@@ -1,13 +1,99 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Geometry inputs for oracle-checked queries are derived from integer table
+  * keys with **dyadic-rational** coordinates (k/4, k/8 …): every derived
+  * coordinate, area, length and midpoint is then exactly representable in
+  * IEEE double, so the DuckDB oracle recomputing the same value closed-form
+  * in plain SQL hash-matches bit-for-bit (DuckDB has no spatial extension in
+  * this environment).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Derived rectangle from an integer key, disjoint across distinct keys:
+  // anchored on a stride-16 grid, w in [1,4], h in [1,3.5] (dyadic quarters).
+  private def boxCols(key: Column): (Column, Column, Column, Column) = {
+    val xmin = (key % 100000).cast("double") * 16.0
+    val ymin = (key % 16).cast("double") * 16.0
+    val w = lit(1.0) + (key % 13).cast("double") / 4.0
+    val h = lit(1.0) + (key % 11).cast("double") / 4.0
+    (xmin, ymin, xmin + w, ymin + h)
+  }
+
+  /** Flagship query on sf=0.001 (README flagship shape,
+    * `/root/reference/README.md:19-29`): build geometries, group, spatially
+    * aggregate, measure, serialize. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val o = t(spark, dir, "orders")
+    val (xmin, ymin, xmax, ymax) = boxCols(col("o_orderkey"))
+    o.select(col("o_orderpriority"), st_rectangle(xmin, ymin, xmax, ymax).as("geometry"))
+      .groupBy(col("o_orderpriority"))
+      .agg(st_union_all(col("geometry")).as("geometry"))
+      .withColumn("area", st_area(col("geometry")))
+      .withColumn("wkt", substring(st_aswkt(col("geometry")), 1, 60))
+      .drop("geometry")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // st_rectangle + st_area: oracle recomputes w*h closed-form.
+    "geo_rect_area" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val (xmin, ymin, xmax, ymax) = boxCols(col("o_orderkey"))
+      o.select(
+        col("o_orderkey"),
+        st_area(st_rectangle(xmin, ymin, xmax, ymax)).as("area"),
+        st_length(st_rectangle(xmin, ymin, xmax, ymax)).as("perimeter"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // groupBy + st_union_all of disjoint boxes: union area == sum of areas.
+    "geo_union_area" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val (xmin, ymin, xmax, ymax) = boxCols(col("o_orderkey"))
+      o.select((col("o_orderkey") % 16).as("grp"),
+          st_rectangle(xmin, ymin, xmax, ymax).as("geometry"))
+        .groupBy(col("grp"))
+        .agg(st_area(st_union_all(col("geometry"))).as("area"))
+        .orderBy(col("grp"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "geo_rect_area" ->
+      """SELECT o_orderkey,
+        | (1+(o_orderkey%13)/4.0) * (1+(o_orderkey%11)/4.0) AS area,
+        | 2*((1+(o_orderkey%13)/4.0) + (1+(o_orderkey%11)/4.0)) AS perimeter
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "geo_union_area" ->
+      """SELECT o_orderkey%16 AS grp,
+        | sum((1+(o_orderkey%13)/4.0) * (1+(o_orderkey%11)/4.0)) AS area
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

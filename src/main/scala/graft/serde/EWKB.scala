@@ -1,0 +1,217 @@
+package graft.serde
+
+import java.io.ByteArrayOutputStream
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.WKBReader
+
+/** EWKB (PostGIS extended WKB) codec.
+  *
+  * Geometry columns in this engine are `BinaryType` holding EWKB bytes, the
+  * same convention as the reference (polars-st `README.md:42-44`). The header
+  * layout follows `/root/reference/src/wkb.rs:14-45`: byte-order byte, u32
+  * type id with flag bits Z=0x8000_0000, M=0x4000_0000, SRID=0x2000_0000,
+  * then an i32 SRID when the SRID flag is set.
+  *
+  * Reading uses JTS `WKBReader` (handles both EWKB flag bits and ISO type
+  * codes). Writing is a hand-rolled little-endian writer so the byte output
+  * is fully deterministic: SRID flag + value always written at the top level
+  * (like GEOS `WKBWriter::set_include_SRID(true)`,
+  * `/root/reference/src/functions.rs:54-58`), Z flag per actual coordinate
+  * dimensionality, children of multi-geometries and collections carry Z/M
+  * flags but no SRID (PostGIS convention).
+  */
+object EWKB {
+
+  val FlagZ: Int = 0x80000000
+  val FlagM: Int = 0x40000000
+  val FlagSrid: Int = 0x20000000
+
+  /** Parsed EWKB header: base geometry type code (1..17), flags, srid. */
+  final case class Header(typeCode: Int, hasZ: Boolean, hasM: Boolean, srid: Int)
+
+  /** 18-type name table, `/root/reference/src/wkb.rs:47-68`. Index = code. */
+  private val typeNames: Array[String] = Array(
+    "Unknown", "Point", "LineString", "Polygon", "MultiPoint",
+    "MultiLineString", "MultiPolygon", "GeometryCollection",
+    "CircularString", "CompoundCurve", "CurvePolygon", "MultiCurve",
+    "MultiSurface", "Curve", "Surface", "PolyhedralSurface", "Tin",
+    "Triangle")
+
+  def typeName(code: Int): String =
+    if (code >= 0 && code < typeNames.length) typeNames(code) else "Unknown"
+
+  /** Parse just the EWKB/ISO WKB header without a full geometry parse
+    * (fast path for geometry_type / srid / has_z — like the reference's
+    * header-only kernels, `functions.rs:410-443`). */
+  def header(bytes: Array[Byte]): Header = {
+    require(bytes != null && bytes.length >= 5, "invalid WKB: too short")
+    val littleEndian = bytes(0) == 1
+    def u32(off: Int): Int = {
+      if (littleEndian)
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      else
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    }
+    val raw = u32(1)
+    val hasSrid = (raw & FlagSrid) != 0
+    var hasZ = (raw & FlagZ) != 0
+    var hasM = (raw & FlagM) != 0
+    var code = raw & 0x0fffffff
+    // ISO type codes: 1001=PointZ, 2001=PointM, 3001=PointZM, etc.
+    val isoDim = code / 1000
+    if (isoDim == 1) { hasZ = true; code -= 1000 }
+    else if (isoDim == 2) { hasM = true; code -= 2000 }
+    else if (isoDim == 3) { hasZ = true; hasM = true; code -= 3000 }
+    val srid = if (hasSrid) u32(5) else 0
+    Header(code, hasZ, hasM, srid)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  private val factory = new GeometryFactory(new PrecisionModel())
+
+  private val readerTL = new ThreadLocal[WKBReader] {
+    override def initialValue(): WKBReader = new WKBReader(factory)
+  }
+
+  /** EWKB/WKB bytes → JTS Geometry (SRID carried on the geometry). */
+  def read(bytes: Array[Byte]): Geometry = readerTL.get().read(bytes)
+
+  def geometryFactory: GeometryFactory = factory
+
+  // --------------------------------------------------------------- write
+
+  /** True if any coordinate sequence in the geometry carries Z. */
+  def hasZ(g: Geometry): Boolean = {
+    var z = false
+    g.apply(new CoordinateSequenceFilter {
+      private var stop = false
+      override def filter(seq: CoordinateSequence, i: Int): Unit = {
+        if (seq.hasZ && !java.lang.Double.isNaN(seq.getZ(i))) { z = true; stop = true }
+      }
+      override def isDone: Boolean = stop
+      override def isGeometryChanged: Boolean = false
+    })
+    z
+  }
+
+  /** True if any coordinate sequence in the geometry carries M. */
+  def hasM(g: Geometry): Boolean = {
+    var m = false
+    g.apply(new CoordinateSequenceFilter {
+      private var stop = false
+      override def filter(seq: CoordinateSequence, i: Int): Unit = {
+        if (seq.hasM && !java.lang.Double.isNaN(seq.getM(i))) { m = true; stop = true }
+      }
+      override def isDone: Boolean = stop
+      override def isGeometryChanged: Boolean = false
+    })
+    m
+  }
+
+  /** JTS Geometry → EWKB bytes (little-endian, SRID always included at the
+    * top level, Z/M flags from actual coordinate content). */
+  def write(g: Geometry): Array[Byte] = {
+    val out = new LEOut(64)
+    writeGeometry(out, g, g.getSRID, topLevel = true, hasZ(g), hasM(g))
+    out.toByteArray
+  }
+
+  private def typeCodeOf(g: Geometry): Int = g match {
+    case _: Point              => 1
+    case _: LinearRing         => 2 // serialized as LineString
+    case _: LineString         => 2
+    case _: Polygon            => 3
+    case _: MultiPoint         => 4
+    case _: MultiLineString    => 5
+    case _: MultiPolygon       => 6
+    case _: GeometryCollection => 7
+    case other => throw new IllegalArgumentException(
+      s"unsupported geometry type: ${other.getGeometryType}")
+  }
+
+  private def writeGeometry(out: LEOut, g: Geometry, srid: Int,
+      topLevel: Boolean, z: Boolean, m: Boolean): Unit = {
+    out.byte(1) // little endian
+    var t = typeCodeOf(g)
+    if (z) t |= FlagZ
+    if (m) t |= FlagM
+    if (topLevel) t |= FlagSrid
+    out.int(t)
+    if (topLevel) out.int(srid)
+    g match {
+      case p: Point =>
+        if (p.isEmpty) { // convention: empty point = all-NaN coords
+          out.double(Double.NaN); out.double(Double.NaN)
+          if (z) out.double(Double.NaN)
+          if (m) out.double(Double.NaN)
+        } else writeCoords(out, p.getCoordinateSequence, z, m, skipCount = true)
+      case l: LineString =>
+        writeCoords(out, l.getCoordinateSequence, z, m, skipCount = false)
+      case poly: Polygon =>
+        if (poly.isEmpty) out.int(0)
+        else {
+          out.int(1 + poly.getNumInteriorRing)
+          writeCoords(out, poly.getExteriorRing.getCoordinateSequence, z, m, skipCount = false)
+          var i = 0
+          while (i < poly.getNumInteriorRing) {
+            writeCoords(out, poly.getInteriorRingN(i).getCoordinateSequence, z, m, skipCount = false)
+            i += 1
+          }
+        }
+      case coll: GeometryCollection =>
+        out.int(coll.getNumGeometries)
+        var i = 0
+        while (i < coll.getNumGeometries) {
+          writeGeometry(out, coll.getGeometryN(i), 0, topLevel = false, z, m)
+          i += 1
+        }
+      case _ => ()
+    }
+  }
+
+  private def writeCoords(out: LEOut, seq: CoordinateSequence,
+      z: Boolean, m: Boolean, skipCount: Boolean): Unit = {
+    val n = seq.size()
+    if (!skipCount) out.int(n)
+    val seqZ = seq.hasZ
+    val seqM = seq.hasM
+    var i = 0
+    while (i < n) {
+      out.double(seq.getX(i))
+      out.double(seq.getY(i))
+      if (z) out.double(if (seqZ) seq.getZ(i) else Double.NaN)
+      if (m) out.double(if (seqM) seq.getM(i) else Double.NaN)
+      i += 1
+    }
+  }
+
+  /** Minimal growable little-endian byte sink. */
+  private final class LEOut(initial: Int) {
+    private var buf = new Array[Byte](initial)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length * 2
+        while (cap < len + n) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    def byte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+    def int(v: Int): Unit = {
+      ensure(4)
+      buf(len) = v.toByte; buf(len + 1) = (v >>> 8).toByte
+      buf(len + 2) = (v >>> 16).toByte; buf(len + 3) = (v >>> 24).toByte
+      len += 4
+    }
+    def double(d: Double): Unit = {
+      ensure(8)
+      val v = java.lang.Double.doubleToLongBits(d)
+      var i = 0
+      while (i < 8) { buf(len + i) = (v >>> (8 * i)).toByte; i += 1 }
+      len += 8
+    }
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+}
