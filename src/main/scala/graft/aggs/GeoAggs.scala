@@ -2,56 +2,241 @@ package graft.aggs
 
 import graft.serde.{EWKB, GeoCodec}
 import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions.udaf
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.geom._
+import org.locationtech.jts.operation.polygonize.Polygonizer
 import org.locationtech.jts.operation.union.UnaryUnionOp
+import org.locationtech.jts.triangulate.{DelaunayTriangulationBuilder, VoronoiDiagramBuilder}
+
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 /** Geometry aggregations (reference §2.7, `/root/reference/polars_st/
-  * geoexpr.py:899-954`). Distributed design: partial aggregation on
-  * executors (update/merge are commutative+associative for these ops),
-  * buffers hold EWKB byte arrays and are **compacted** (unioned) once they
-  * exceed a threshold so executor memory stays bounded at 100 TB scale
-  * instead of accumulating every row.
+  * geoexpr.py:899-954`, kernels `expressions.rs:873-1035`).
   *
-  * Identity on empty/all-null input: `GEOMETRYCOLLECTION EMPTY`
+  * Distributed design notes (100 TB target):
+  * - every aggregator does partial aggregation on executors (Spark calls
+  *   `reduce` per row and `merge` across partitions — map-side combine);
+  * - geometry-accumulating buffers are **compacted** once they exceed a
+  *   threshold so executor memory stays bounded per group;
+  * - `difference_all` is a row-order left fold in the reference
+  *   (`expressions.rs:873-886`) and therefore inherently order-sensitive:
+  *   distributed results are deterministic only per-partition — documented
+  *   divergence (SURVEY.md §7).
+  *
+  * Identity on empty/all-null input: `GEOMETRYCOLLECTION EMPTY` for
+  * geometry aggs, `[NaN,NaN,NaN,NaN]` for total_bounds
   * (`/root/reference/tests/test_expressions.py:293-307`). */
 object GeoAggs {
 
   private val CompactAt = 64
 
+  private def fact: GeometryFactory = EWKB.geometryFactory
   private def emptyGC: Array[Byte] = EWKB.write(GeoCodec.emptyCollection)
+
+  private def readAll(parts: ArrayBuffer[Array[Byte]]): Seq[Geometry] =
+    parts.map(EWKB.read).toSeq
+
+  private def sridOf(gs: Seq[Geometry]): Int =
+    gs.iterator.map(_.getSRID).find(_ != 0).getOrElse(0)
+
+  private def writeWithSrid(g: Geometry, srid: Int): Array[Byte] = {
+    if (srid != 0) g.setSRID(srid)
+    EWKB.write(g)
+  }
 
   private def unionOf(parts: ArrayBuffer[Array[Byte]]): Array[Byte] =
     if (parts.isEmpty) emptyGC
     else {
-      val geoms = parts.map(EWKB.read).toList
-      val srid = geoms.iterator.map(_.getSRID).find(_ != 0).getOrElse(0)
+      val geoms = readAll(parts)
       val u = UnaryUnionOp.union(geoms.asJava.asInstanceOf[java.util.Collection[Geometry]])
-      val r = if (u == null) GeoCodec.emptyCollection else u
-      if (srid != 0) r.setSRID(srid)
-      EWKB.write(r)
+      writeWithSrid(if (u == null) GeoCodec.emptyCollection else u, sridOf(geoms))
     }
 
-  /** Cascaded union (reference `union_all`, `expressions.rs:984-999`). */
-  class UnionAllAgg extends Aggregator[Array[Byte], ArrayBuffer[Array[Byte]], Array[Byte]] {
-    def zero: ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
-    def reduce(b: ArrayBuffer[Array[Byte]], a: Array[Byte]): ArrayBuffer[Array[Byte]] = {
+  /** Base class for list-buffered aggregations with bounded compaction. */
+  abstract class ListAgg extends Aggregator[Array[Byte], ArrayBuffer[Array[Byte]], Array[Byte]] {
+    /** Collapse a full buffer into a smaller equivalent one; identity = no
+      * compaction (for order- or multiplicity-sensitive finishes). */
+    protected def compactBuffer(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = b
+    final def zero: ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
+    final def reduce(b: ArrayBuffer[Array[Byte]], a: Array[Byte]): ArrayBuffer[Array[Byte]] = {
       if (a != null) b += a
-      compact(b)
+      if (b.length >= CompactAt) compactBuffer(b) else b
     }
-    def merge(b1: ArrayBuffer[Array[Byte]], b2: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
-      compact(b1 ++= b2)
-    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] =
-      if (b.isEmpty) emptyGC else unionOf(b)
-    private def compact(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
-      if (b.length >= CompactAt) { val u = unionOf(b); b.clear(); b += u } else b
+    final def merge(b1: ArrayBuffer[Array[Byte]], b2: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = {
+      b1 ++= b2
+      if (b1.length >= CompactAt) compactBuffer(b1) else b1
+    }
     def bufferEncoder: Encoder[ArrayBuffer[Array[Byte]]] =
       Encoders.kryo[ArrayBuffer[Array[Byte]]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Cascaded union (reference `union_all`, `expressions.rs:984-999`). */
+  class UnionAllAgg extends ListAgg {
+    override protected def compactBuffer(b: ArrayBuffer[Array[Byte]]) = {
+      val u = unionOf(b); b.clear(); b += u
+    }
+    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] =
+      if (b.isEmpty) emptyGC else unionOf(b)
+  }
+
+  /** Gather into a multi-geometry or GC with supertype inference
+    * (reference `collect`, `functions.rs:1238-1276`). */
+  class CollectAgg extends ListAgg {
+    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {
+      if (b.isEmpty) return emptyGC
+      val gs = readAll(b)
+      val srid = sridOf(gs)
+      val types = gs.map(_.getGeometryType).toSet
+      val out: Geometry =
+        if (types == Set("Point")) fact.createMultiPoint(gs.map(_.asInstanceOf[Point]).toArray)
+        else if (types == Set("LineString"))
+          fact.createMultiLineString(gs.map(_.asInstanceOf[LineString]).toArray)
+        else if (types == Set("Polygon"))
+          fact.createMultiPolygon(gs.map(_.asInstanceOf[Polygon]).toArray)
+        else fact.createGeometryCollection(gs.toArray)
+      writeWithSrid(out, srid)
+    }
+  }
+
+  /** Fold by pairwise op with a running single-geometry buffer
+    * (associative + commutative: intersection, symmetric difference). */
+  abstract class FoldAgg(op: (Geometry, Geometry) => Geometry)
+      extends Aggregator[Array[Byte], Option[Array[Byte]], Array[Byte]] {
+    def zero: Option[Array[Byte]] = None
+    private def combine(acc: Option[Array[Byte]], g: Array[Byte]): Option[Array[Byte]] =
+      acc match {
+        case None => Some(g)
+        case Some(prev) =>
+          val (a, b) = (EWKB.read(prev), EWKB.read(g))
+          Some(writeWithSrid(op(a, b), sridOf(Seq(a, b))))
+      }
+    def reduce(acc: Option[Array[Byte]], a: Array[Byte]): Option[Array[Byte]] =
+      if (a == null) acc else combine(acc, a)
+    def merge(a: Option[Array[Byte]], b: Option[Array[Byte]]): Option[Array[Byte]] =
+      b.fold(a)(combine(a, _))
+    def finish(acc: Option[Array[Byte]]): Array[Byte] = acc.getOrElse(emptyGC)
+    def bufferEncoder: Encoder[Option[Array[Byte]]] = Encoders.kryo[Option[Array[Byte]]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  class IntersectionAllAgg extends FoldAgg(_ intersection _)
+  class SymmetricDifferenceAllAgg extends FoldAgg(_ symDifference _)
+
+  /** Left fold of difference: g0 \ g1 \ g2 … = g0 \ union(g1..gn)
+    * (reference `expressions.rs:873-886`). The minuend is the first row in
+    * encounter order; subtrahends are union-compacted. */
+  class DifferenceAllAgg extends ListAgg {
+    override protected def compactBuffer(b: ArrayBuffer[Array[Byte]]) = {
+      if (b.length >= 3) {
+        val head = b.head
+        val rest = b.tail.clone()
+        val u = unionOf(rest)
+        b.clear(); b += head; b += u
+      }
+      b
+    }
+    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] =
+      if (b.isEmpty) emptyGC
+      else if (b.length == 1) b.head
+      else {
+        val gs = readAll(b)
+        val sub = UnaryUnionOp.union(gs.tail.asJava.asInstanceOf[java.util.Collection[Geometry]])
+        writeWithSrid(gs.head.difference(sub), sridOf(gs))
+      }
+  }
+
+  /** Collect then single coverage union (reference `coverage_union_all`,
+    * `functions.rs:1213-1219`); inputs must form a coverage, so partial
+    * coverage-union compaction is valid. */
+  class CoverageUnionAllAgg extends ListAgg {
+    private def cu(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {
+      val gs = readAll(b)
+      val gc = fact.createGeometryCollection(gs.toArray)
+      val u = org.locationtech.jts.operation.overlayng.CoverageUnion.union(gc)
+      writeWithSrid(u, sridOf(gs))
+    }
+    override protected def compactBuffer(b: ArrayBuffer[Array[Byte]]) = {
+      val u = cu(b); b.clear(); b += u
+    }
+    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] =
+      if (b.isEmpty) emptyGC else cu(b)
+  }
+
+  /** Polygonize all rows' linework (reference `functions.rs:1221-1226`);
+    * returns a GeometryCollection of polygons like GEOS. */
+  class PolygonizeAgg extends ListAgg {
+    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {
+      if (b.isEmpty) return emptyGC
+      val gs = readAll(b)
+      val p = new Polygonizer()
+      gs.foreach(p.add)
+      val polys = p.getPolygons.asScala.toSeq.map(_.asInstanceOf[Geometry])
+      writeWithSrid(fact.createGeometryCollection(polys.toArray), sridOf(gs))
+    }
+  }
+
+  /** Compaction for vertex-set aggregations: only distinct vertices matter,
+    * so a full buffer collapses to one MultiPoint of unique coords. */
+  abstract class VertexSetAgg extends ListAgg {
+    override protected def compactBuffer(b: ArrayBuffer[Array[Byte]]) = {
+      val gs = readAll(b)
+      val srid = sridOf(gs)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+      gs.foreach(_.apply(new CoordinateSequenceFilter {
+        override def filter(cs: CoordinateSequence, i: Int): Unit =
+          seen += ((cs.getX(i), cs.getY(i)))
+        override def isDone = false
+        override def isGeometryChanged = false
+      }))
+      val mp = fact.createMultiPoint(
+        seen.toArray.map { case (x, y) => fact.createPoint(new Coordinate(x, y)) })
+      val bytes = writeWithSrid(mp, srid)
+      b.clear(); b += bytes
+      b
+    }
+    protected def sites(b: ArrayBuffer[Array[Byte]]): (Geometry, Int) = {
+      compactBuffer(b)
+      val g = EWKB.read(b.head)
+      (g, g.getSRID)
+    }
+  }
+
+  /** Voronoi diagram of all vertices (reference `functions.rs:1791-1802`). */
+  class VoronoiPolygonsAgg(tolerance: Double, onlyEdges: Boolean) extends VertexSetAgg {
+    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {
+      if (b.isEmpty) return emptyGC
+      val (pts, srid) = sites(b)
+      if (pts.isEmpty) return emptyGC
+      val builder = new VoronoiDiagramBuilder()
+      builder.setSites(pts)
+      builder.setTolerance(tolerance)
+      val diagram = builder.getDiagram(fact)
+      val out = if (onlyEdges) {
+        val lines = org.locationtech.jts.geom.util.LinearComponentExtracter.getLines(diagram)
+        fact.createMultiLineString(
+          lines.asScala.toArray.map(_.asInstanceOf[LineString]))
+      } else diagram
+      writeWithSrid(out, srid)
+    }
+  }
+
+  /** Delaunay triangulation of all vertices (reference
+    * `functions.rs:1364-1373`). */
+  class DelaunayTrianglesAgg(tolerance: Double, onlyEdges: Boolean) extends VertexSetAgg {
+    def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {
+      if (b.isEmpty) return emptyGC
+      val (pts, srid) = sites(b)
+      if (pts.isEmpty) return emptyGC
+      val builder = new DelaunayTriangulationBuilder()
+      builder.setSites(pts)
+      builder.setTolerance(tolerance)
+      val out = if (onlyEdges) builder.getEdges(fact) else builder.getTriangles(fact)
+      writeWithSrid(out, srid)
+    }
   }
 
   /** Fold of per-row bounds → [minx, miny, maxx, maxy]; NaN identity
@@ -81,10 +266,37 @@ object GeoAggs {
       mergeIn(b1, b2(0), b2(1), b2(2), b2(3))
     def finish(b: Array[Double]): Seq[Double] = b.toSeq
     def bufferEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]
-    def outputEncoder: Encoder[Seq[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
   val unionAll: UserDefinedFunction = udaf(new UnionAllAgg)
   val totalBounds: UserDefinedFunction = udaf(new TotalBoundsAgg)
+  val collect: UserDefinedFunction = udaf(new CollectAgg)
+  val intersectionAll: UserDefinedFunction = udaf(new IntersectionAllAgg)
+  val differenceAll: UserDefinedFunction = udaf(new DifferenceAllAgg)
+  val symmetricDifferenceAll: UserDefinedFunction = udaf(new SymmetricDifferenceAllAgg)
+  val coverageUnionAll: UserDefinedFunction = udaf(new CoverageUnionAllAgg)
+  val polygonize: UserDefinedFunction = udaf(new PolygonizeAgg)
+  val voronoiPolygons: UserDefinedFunction = udaf(new VoronoiPolygonsAgg(0.0, false))
+  val delaunayTriangles: UserDefinedFunction = udaf(new DelaunayTrianglesAgg(0.0, false))
+
+  /** Parameterized variants (tolerance / only_edges), reference
+    * `geoexpr.py:937-954`. */
+  def voronoiPolygonsUdaf(tolerance: Double, onlyEdges: Boolean): UserDefinedFunction =
+    udaf(new VoronoiPolygonsAgg(tolerance, onlyEdges))
+  def delaunayTrianglesUdaf(tolerance: Double, onlyEdges: Boolean): UserDefinedFunction =
+    udaf(new DelaunayTrianglesAgg(tolerance, onlyEdges))
+
+  /** SQL name → aggregator UDF. */
+  val all: Seq[(String, UserDefinedFunction)] = Seq(
+    "st_union_all" -> unionAll,
+    "st_total_bounds" -> totalBounds,
+    "st_collect" -> collect,
+    "st_intersection_all" -> intersectionAll,
+    "st_difference_all" -> differenceAll,
+    "st_symmetric_difference_all" -> symmetricDifferenceAll,
+    "st_coverage_union_all" -> coverageUnionAll,
+    "st_polygonize" -> polygonize,
+    "st_voronoi_polygons" -> voronoiPolygons,
+    "st_delaunay_triangles" -> delaunayTriangles)
 }

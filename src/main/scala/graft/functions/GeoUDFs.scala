@@ -1,37 +1,75 @@
 package graft.functions
 
-import graft.serde.{EWKB, GeoCodec}
-import org.apache.spark.sql.{Column, SparkSession}
+import graft.serde.{EWKB, GeoCodec, GeomUtil}
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.locationtech.jts.geom._
+import org.locationtech.jts.algorithm.Orientation
+import org.locationtech.jts.algorithm.distance.{DiscreteFrechetDistance, DiscreteHausdorffDistance}
+import org.locationtech.jts.algorithm.hull.ConcaveHull
+import org.locationtech.jts.algorithm.MinimumDiameter
+import org.locationtech.jts.densify.Densifier
+import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+import org.locationtech.jts.geom.util.GeometryFixer
+import org.locationtech.jts.linearref.LengthIndexedLine
+import org.locationtech.jts.operation.buffer.{BufferOp, BufferParameters, OffsetCurve}
+import org.locationtech.jts.operation.distance.DistanceOp
+import org.locationtech.jts.operation.linemerge.LineMerger
+import org.locationtech.jts.operation.overlay.snap.GeometrySnapper
+import org.locationtech.jts.operation.overlayng.OverlayNG
+import org.locationtech.jts.operation.polygonize.Polygonizer
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import org.locationtech.jts.operation.valid.IsValidOp
+import org.locationtech.jts.precision.MinimumClearance
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
 
-/** Scalar geometry function surface, phase-0 slice.
+import scala.jdk.CollectionConverters._
+
+/** Scalar geometry function surface (SURVEY.md §2.1-2.6, 2.8-2.9, 2.11-2.12).
   *
   * Each op is a null-safe Scala UDF over EWKB bytes (parse → JTS compute →
-  * serialize, the same per-op cost model the reference accepts,
-  * `/root/reference/README.md:44`). Column wrappers give the Scala API;
-  * [[graft.Geo.registerAll]] registers the `ST_*` SQL names.
+  * serialize, the per-op cost model the reference accepts,
+  * `/root/reference/README.md:44`). Column wrappers live in
+  * [[graft.functions]]; [[graft.Geo.registerAll]] registers the SQL names.
+  * Null in → null out everywhere (reference arity combinators,
+  * `/root/reference/src/arity.rs`); NaN/empty conventions follow
+  * `/root/reference/src/functions.rs` (see FIXTURES.md §4).
   */
 object GeoUDFs {
 
+  private def fact: GeometryFactory = EWKB.geometryFactory
+
   // ------------------------------------------------------- null-safe lifts
 
-  /** unary geometry → geometry (propagates input SRID to the result, like
-    * GEOS ops do in the reference kernels). */
+  private def keepSrid(in: Geometry, out: Geometry): Geometry = {
+    if (out.getSRID == 0 && in.getSRID != 0) out.setSRID(in.getSRID)
+    out
+  }
+
   private[functions] def uG(f: Geometry => Geometry): Array[Byte] => Array[Byte] =
     b => if (b == null) null
     else {
       val g = EWKB.read(b)
       val r = f(g)
-      if (r == null) null
-      else {
-        if (r.getSRID == 0 && g.getSRID != 0) r.setSRID(g.getSRID)
-        EWKB.write(r)
-      }
+      if (r == null) null else EWKB.write(keepSrid(g, r))
+    }
+
+  private[functions] def bG(f: (Geometry, Geometry) => Geometry)
+      : (Array[Byte], Array[Byte]) => Array[Byte] =
+    (a, b) => if (a == null || b == null) null
+    else {
+      val ga = EWKB.read(a)
+      val r = f(ga, EWKB.read(b))
+      if (r == null) null else EWKB.write(keepSrid(ga, r))
     }
 
   private[functions] def uD(f: Geometry => Double): Array[Byte] => Option[Double] =
+    b => if (b == null) None else Some(f(EWKB.read(b)))
+
+  private[functions] def uI(f: Geometry => Int): Array[Byte] => Option[Int] =
+    b => if (b == null) None else Some(f(EWKB.read(b)))
+
+  private[functions] def uB(f: Geometry => Boolean): Array[Byte] => Option[Boolean] =
     b => if (b == null) None else Some(f(EWKB.read(b)))
 
   private[functions] def uS(f: Geometry => String): Array[Byte] => String =
@@ -41,7 +79,12 @@ object GeoUDFs {
       : (Array[Byte], Array[Byte]) => Option[Boolean] =
     (a, b) => if (a == null || b == null) None else Some(f(EWKB.read(a), EWKB.read(b)))
 
+  private[functions] def bD(f: (Geometry, Geometry) => Double)
+      : (Array[Byte], Array[Byte]) => Option[Double] =
+    (a, b) => if (a == null || b == null) None else Some(f(EWKB.read(a), EWKB.read(b)))
+
   // ---------------------------------------------------------- constructors
+  // Reference: polars_st/parsing.py; kernels functions.rs:258-408.
 
   val geomFromWkt: UserDefinedFunction = udf((s: String) =>
     if (s == null) null else EWKB.write(GeoCodec.fromWkt(s)))
@@ -49,30 +92,83 @@ object GeoUDFs {
   val geomFromEwkt: UserDefinedFunction = udf((s: String) =>
     if (s == null) null else EWKB.write(GeoCodec.fromEwkt(s)))
 
-  /** WKB/EWKB bytes → normalized EWKB (reference `from_wkb`). */
+  /** WKB/EWKB bytes → normalized EWKB. */
   val geomFromWkb: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null else EWKB.write(EWKB.read(b)))
 
-  val point: UserDefinedFunction = udf((x: Double, y: Double) =>
-    EWKB.write(EWKB.geometryFactory.createPoint(new Coordinate(x, y))))
+  val geomFromGeoJson: UserDefinedFunction = udf((s: String) =>
+    if (s == null) null else EWKB.write(GeoJson.read(s)))
 
-  /** `[xmin,ymin,xmax,ymax]` → Polygon box (reference `rectangle`,
-    * `/root/reference/polars_st/parsing.py:250-282`). */
-  val rectangle: UserDefinedFunction =
-    udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) => {
-      val f = EWKB.geometryFactory
-      EWKB.write(f.createPolygon(Array(
-        new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
-        new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
-        new Coordinate(xmin, ymin))))
+  val point: UserDefinedFunction = udf((x: Double, y: Double) =>
+    EWKB.write(fact.createPoint(new Coordinate(x, y))))
+
+  val pointZ: UserDefinedFunction = udf((x: Double, y: Double, z: Double) =>
+    EWKB.write(fact.createPoint(new Coordinate(x, y, z))))
+
+  private def coordOf(xs: Seq[Double]): Coordinate = xs match {
+    case Seq(x, y) => new Coordinate(x, y)
+    case Seq(x, y, z) => new Coordinate(x, y, z)
+    case _ => throw new IllegalArgumentException(
+      s"coordinate must have 2 or 3 values, got ${xs.length}")
+  }
+
+  /** `[x,y(,z)]` array → Point (reference `point`, parsing.py:37-82). */
+  val pointFromCoords: UserDefinedFunction = udf((xs: Seq[Double]) =>
+    if (xs == null) null else EWKB.write(fact.createPoint(coordOf(xs))))
+
+  val multiPoint: UserDefinedFunction = udf((xs: Seq[Seq[Double]]) =>
+    if (xs == null) null
+    else EWKB.write(fact.createMultiPoint(
+      xs.map(c => fact.createPoint(coordOf(c))).toArray)))
+
+  val lineString: UserDefinedFunction = udf((xs: Seq[Seq[Double]]) =>
+    if (xs == null) null
+    else EWKB.write(fact.createLineString(xs.map(coordOf).toArray)))
+
+  val multiLineString: UserDefinedFunction = udf((xs: Seq[Seq[Seq[Double]]]) =>
+    if (xs == null) null
+    else EWKB.write(fact.createMultiLineString(
+      xs.map(l => fact.createLineString(l.map(coordOf).toArray)).toArray)))
+
+  /** list of rings (first = shell) → Polygon (parsing.py:221-247). */
+  val polygon: UserDefinedFunction = udf((rings: Seq[Seq[Seq[Double]]]) =>
+    if (rings == null) null
+    else if (rings.isEmpty) EWKB.write(fact.createPolygon())
+    else {
+      val shell = fact.createLinearRing(rings.head.map(coordOf).toArray)
+      val holes = rings.tail.map(r => fact.createLinearRing(r.map(coordOf).toArray)).toArray
+      EWKB.write(fact.createPolygon(shell, holes))
     })
 
-  // ----------------------------------------------------------- measurement
+  val rectangle: UserDefinedFunction =
+    udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
+      EWKB.write(fact.createPolygon(Array(
+        new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+        new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+        new Coordinate(xmin, ymin)))))
 
-  val area: UserDefinedFunction = udf(uD(_.getArea))
-  val length: UserDefinedFunction = udf(uD(_.getLength))
+  // ------------------------------------------------- accessors / inspection
+  // Reference kernels functions.rs:410-813; header-only ops read EWKB bytes
+  // directly (no JTS parse), like the reference's header reads.
 
-  /** NaN (not null) for non-Point/empty, reference `functions.rs:445-457`. */
+  val geometryType: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null else EWKB.typeName(EWKB.header(b).typeCode))
+
+  /** Topological dimension; empty GeometryCollection → -1. */
+  val dimensions: UserDefinedFunction = udf(uI(_.getDimension))
+
+  /** 2/3/4 from header flags (header-only, functions.rs:427-431). */
+  val coordinateDimension: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None
+    else {
+      val h = EWKB.header(b)
+      Some(2 + (if (h.hasZ) 1 else 0) + (if (h.hasM) 1 else 0))
+    })
+
+  /** SRID from header (header-only). */
+  val srid: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else Some(EWKB.header(b).srid))
+
   val x: UserDefinedFunction = udf(uD {
     case p: Point if !p.isEmpty => p.getX
     case _ => Double.NaN
@@ -81,18 +177,764 @@ object GeoUDFs {
     case p: Point if !p.isEmpty => p.getY
     case _ => Double.NaN
   })
+  val z: UserDefinedFunction = udf(uD {
+    case p: Point if !p.isEmpty && p.getCoordinateSequence.hasZ =>
+      p.getCoordinateSequence.getZ(0)
+    case _ => Double.NaN
+  })
+  val m: UserDefinedFunction = udf(uD {
+    case p: Point if !p.isEmpty && p.getCoordinateSequence.hasM =>
+      p.getCoordinateSequence.getM(0)
+    case _ => Double.NaN
+  })
 
-  // ------------------------------------------------------------ predicates
+  val countCoordinates: UserDefinedFunction = udf(uI(_.getNumPoints))
 
-  val intersects: UserDefinedFunction = udf(bB(_ intersects _))
+  val coordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null else GeomUtil.coordinateRows(EWKB.read(b), None))
 
-  // ---------------------------------------------------------- constructive
+  val exteriorRing: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else EWKB.read(b) match {
+      case p: Polygon => EWKB.write(keepSrid(p, p.getExteriorRing.copy()))
+      case _ => null
+    })
+
+  val interiorRings: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else EWKB.read(b) match {
+      case p: Polygon =>
+        (0 until p.getNumInteriorRing).map(i =>
+          EWKB.write(keepSrid(p, p.getInteriorRingN(i).copy())))
+      case _ => Seq.empty[Array[Byte]]
+    })
+
+  val countInteriorRings: UserDefinedFunction = udf(uI {
+    case p: Polygon => p.getNumInteriorRing
+    case _ => 0
+  })
+
+  /** i-th interior ring; null when out of bounds; raises on non-Polygon
+    * (reference error matrix, tests/test_expressions.py:318-373). */
+  val getInteriorRing: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
+    if (b == null) null
+    else EWKB.read(b) match {
+      case p: Polygon =>
+        if (i < 0 || i >= p.getNumInteriorRing) null
+        else EWKB.write(keepSrid(p, p.getInteriorRingN(i).copy()))
+      case g => throw new IllegalArgumentException(
+        s"get_interior_ring requires a Polygon, got ${g.getGeometryType}")
+    })
+
+  val countGeometries: UserDefinedFunction = udf(uI(_.getNumGeometries))
+
+  val getGeometry: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
+    if (b == null) null
+    else {
+      val g = EWKB.read(b)
+      if (i < 0 || i >= g.getNumGeometries) null
+      else EWKB.write(keepSrid(g, g.getGeometryN(i).copy()))
+    })
+
+  val countPoints: UserDefinedFunction = udf(uI {
+    case l: LineString => l.getNumPoints
+    case _ => 0
+  })
+
+  /** i-th vertex of a LineString; raises on other types (error matrix). */
+  val getPoint: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
+    if (b == null) null
+    else EWKB.read(b) match {
+      case l: LineString =>
+        if (i < 0 || i >= l.getNumPoints) null
+        else EWKB.write(keepSrid(l, l.getPointN(i)))
+      case g => throw new IllegalArgumentException(
+        s"get_point requires a LineString, got ${g.getGeometryType}")
+    })
+
+  val parts: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val g = EWKB.read(b)
+      (0 until g.getNumGeometries).map(i => EWKB.write(keepSrid(g, g.getGeometryN(i).copy())))
+    })
+
+  /** Precision grid size; JTS has no per-geometry precision model, so this
+    * is always 0.0 (= full precision) — documented divergence. */
+  val precision: UserDefinedFunction = udf(uD(_ => 0.0))
+
+  /** [xmin, ymin, xmax, ymax]; NaN×4 for empty (functions.rs:798-813). */
+  val bounds: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val g = EWKB.read(b)
+      if (g.isEmpty) Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      else {
+        val e = g.getEnvelopeInternal
+        Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+      }
+    })
+
+  // ----------------------------------------------------------- measurement
+  // Reference functions.rs:794-883.
+
+  val area: UserDefinedFunction = udf(uD(_.getArea))
+  val length: UserDefinedFunction = udf(uD(_.getLength))
+
+  /** NaN if either side empty (functions.rs:819-829). */
+  val distance: UserDefinedFunction = udf(bD((a, b) =>
+    if (a.isEmpty || b.isEmpty) Double.NaN else a.distance(b)))
+
+  val hausdorffDistance: UserDefinedFunction = udf(bD((a, b) =>
+    if (a.isEmpty || b.isEmpty) Double.NaN
+    else DiscreteHausdorffDistance.distance(a, b)))
+
+  val hausdorffDistanceDensify: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte], densify: Double) =>
+      if (a == null || b == null) None
+      else {
+        val (ga, gb) = (EWKB.read(a), EWKB.read(b))
+        if (ga.isEmpty || gb.isEmpty) Some(Double.NaN)
+        else Some(DiscreteHausdorffDistance.distance(ga, gb, densify))
+      })
+
+  val frechetDistance: UserDefinedFunction = udf(bD((a, b) =>
+    if (a.isEmpty || b.isEmpty) Double.NaN
+    else DiscreteFrechetDistance.distance(a, b)))
+
+  /** Densified Fréchet: JTS's discrete Fréchet has no densify fraction, so
+    * inputs are densified up-front (approximation of GEOS
+    * frechet_distance_densify — documented divergence). */
+  val frechetDistanceDensify: UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte], densify: Double) =>
+      if (a == null || b == null) None
+      else {
+        val (ga, gb) = (EWKB.read(a), EWKB.read(b))
+        if (ga.isEmpty || gb.isEmpty) Some(Double.NaN)
+        else {
+          def dens(g: Geometry): Geometry = {
+            val d = g.getLength * densify
+            if (d > 0) Densifier.densify(g, d) else g
+          }
+          Some(DiscreteFrechetDistance.distance(dens(ga), dens(gb)))
+        }
+      })
+
+  /** +Infinity when no clearance exists (GEOS convention). */
+  val minimumClearance: UserDefinedFunction = udf(uD { g =>
+    val d = MinimumClearance.getDistance(g)
+    if (d == Double.MaxValue) Double.PositiveInfinity else d
+  })
+
+  // ------------------------------------------------------ unary predicates
+  // Reference functions.rs:885-933.
+
+  val hasZ: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else Some(EWKB.header(b).hasZ))
+
+  val hasM: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else Some(EWKB.header(b).hasM))
+
+  /** CCW orientation of closed linear geometry; false otherwise
+    * (functions.rs:893-901). */
+  val isCcw: UserDefinedFunction = udf(uB {
+    case l: LineString if l.getNumPoints >= 4 && l.isClosed =>
+      Orientation.isCCW(l.getCoordinateSequence)
+    case _ => false
+  })
+
+  val isClosed: UserDefinedFunction = udf(uB {
+    case l: LineString => l.isClosed
+    case m: MultiLineString => !m.isEmpty && m.isClosed
+    case _ => false
+  })
+
+  val isEmpty: UserDefinedFunction = udf(uB(_.isEmpty))
+
+  val isRing: UserDefinedFunction = udf(uB {
+    case l: LineString => l.isRing
+    case _ => false
+  })
+
+  val isSimple: UserDefinedFunction = udf(uB(_.isSimple))
+  val isValid: UserDefinedFunction = udf(uB(_.isValid))
+
+  /** Validation detail string. Message wording is JTS's, not GEOS's —
+    * documented divergence. */
+  val isValidReason: UserDefinedFunction = udf(uS { g =>
+    val op = new IsValidOp(g)
+    val err = op.getValidationError
+    if (err == null) "Valid Geometry" else err.toString
+  })
+
+  // ----------------------------------------------------- binary predicates
+  // Reference functions.rs:935-1094. JTS has 1:1 methods for each.
+
+  // All relate-family predicates go through RelateNG (JTS 1.20), which
+  // supports GeometryCollection arguments; classic RelateOp rejects them.
+  // Either side empty → false (disjoint → true), per DE-9IM semantics.
+  import org.locationtech.jts.operation.relateng.{RelateNG, RelatePredicate}
+  private def ngPred(p: () => org.locationtech.jts.operation.relateng.TopologyPredicate)
+      : (Geometry, Geometry) => Boolean =
+    (a, b) => if (a.isEmpty || b.isEmpty) false else RelateNG.relate(a, b, p())
+
+  val intersects: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.intersects())))
+  val crosses: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.crosses())))
+  val contains: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.contains())))
+  val containsProperly: UserDefinedFunction = udf(bB((a, b) =>
+    !a.isEmpty && !b.isEmpty && PreparedGeometryFactory.prepare(a).containsProperly(b)))
+  val coveredBy: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.coveredBy())))
+  val covers: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.covers())))
+  val disjoint: UserDefinedFunction = udf(bB((a, b) =>
+    a.isEmpty || b.isEmpty || RelateNG.relate(a, b, RelatePredicate.disjoint())))
+  val overlaps: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.overlaps())))
+  val touches: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.touches())))
+  val within: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.within())))
+  val equalsTopo: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.equalsTopo())))
+  val equalsIdentical: UserDefinedFunction = udf(bB(GeomUtil.equalsIdentical))
+
+  /** Strict `<` like the reference (functions.rs:984-990), not PostGIS `<=`. */
+  val dwithin: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], d: Double) =>
+    if (a == null || b == null) None
+    else {
+      val (ga, gb) = (EWKB.read(a), EWKB.read(b))
+      Some(!ga.isEmpty && !gb.isEmpty && ga.isWithinDistance(gb, math.nextDown(d)))
+    })
+
+  val equalsExact: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], tol: Double) =>
+    if (a == null || b == null) None else Some(EWKB.read(a).equalsExact(EWKB.read(b), tol)))
+
+  // RelateNG (JTS 1.20) supports GeometryCollection arguments, which the
+  // classic RelateOp rejects. Empty inputs are computed closed-form (the
+  // only non-F cell against an empty operand is exterior/exterior = 2,
+  // plus the non-empty side's interior/boundary against the exterior).
+  private def relateMatrix(a: Geometry, b: Geometry): String = {
+    def dim(d: Int): Char = if (d < 0) 'F' else ('0' + d).toChar
+    if (a.isEmpty && b.isEmpty) "FFFFFFFF2"
+    else if (a.isEmpty)
+      "FFFFFF" + dim(b.getDimension) + dim(b.getBoundaryDimension) + "2"
+    else if (b.isEmpty)
+      "FF" + dim(a.getDimension) + "FF" + dim(a.getBoundaryDimension) + "FF2"
+    else org.locationtech.jts.operation.relateng.RelateNG.relate(a, b).toString
+  }
+
+  val relate: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) null else relateMatrix(EWKB.read(a), EWKB.read(b)))
+
+  val relatePattern: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], p: String) =>
+    if (a == null || b == null || p == null) None
+    else {
+      val (ga, gb) = (EWKB.read(a), EWKB.read(b))
+      if (ga.isEmpty || gb.isEmpty)
+        Some(IntersectionMatrix.matches(relateMatrix(ga, gb), p))
+      else Some(org.locationtech.jts.operation.relateng.RelateNG.relate(ga, gb, p))
+    })
+
+  /** Point-optimized predicates (functions.rs:1072-1094). */
+  val intersectsXY: UserDefinedFunction = udf((b: Array[Byte], px: Double, py: Double) =>
+    if (b == null) None
+    else Some(EWKB.read(b).intersects(fact.createPoint(new Coordinate(px, py)))))
+
+  val containsXY: UserDefinedFunction = udf((b: Array[Byte], px: Double, py: Double) =>
+    if (b == null) None
+    else Some(EWKB.read(b).contains(fact.createPoint(new Coordinate(px, py)))))
+
+  // --------------------------------------------------- overlay / set ops
+  // Reference functions.rs:1096-1226. grid_size>0 → OverlayNG with a fixed
+  // precision model (like GEOS *_prec variants).
+
+  // GeometryCollection operands are unioned into a homogeneous-set geometry
+  // first (GEOS overlay handles GCs natively; JTS overlay does not —
+  // union-of-parts gives the same set semantics).
+  private def flattenGC(g: Geometry): Geometry = g match {
+    case c: GeometryCollection if c.getClass == classOf[GeometryCollection] =>
+      if (c.isEmpty) c else c.union()
+    case other => other
+  }
+
+  private def overlay(op: Int)(a: Geometry, b: Geometry): Geometry =
+    org.locationtech.jts.operation.overlayng.OverlayNGRobust
+      .overlay(flattenGC(a), flattenGC(b), op)
+
+  private def overlayPrec(op: Int, grid: Double)(a: Geometry, b: Geometry): Geometry =
+    if (grid > 0) OverlayNG.overlay(flattenGC(a), flattenGC(b), op, new PrecisionModel(1.0 / grid))
+    else overlay(op)(a, b)
+
+  val union: UserDefinedFunction = udf(bG(overlay(OverlayNG.UNION)))
+  val intersection: UserDefinedFunction = udf(bG(overlay(OverlayNG.INTERSECTION)))
+  val difference: UserDefinedFunction = udf(bG(overlay(OverlayNG.DIFFERENCE)))
+  val symmetricDifference: UserDefinedFunction = udf(bG(overlay(OverlayNG.SYMDIFFERENCE)))
+
+  val unionPrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
+    bG(overlayPrec(OverlayNG.UNION, grid))(a, b))
+  val intersectionPrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
+    bG(overlayPrec(OverlayNG.INTERSECTION, grid))(a, b))
+  val differencePrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
+    bG(overlayPrec(OverlayNG.DIFFERENCE, grid))(a, b))
+  val symmetricDifferencePrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
+    bG(overlayPrec(OverlayNG.SYMDIFFERENCE, grid))(a, b))
+
+  /** Per-row self-union (functions.rs:1156-1176; also covers
+    * disjoint_subset_union). */
+  val unaryUnion: UserDefinedFunction = udf(uG(_.union()))
+
+  /** Union of the parts of a collection; raises on non-collection input
+    * (functions.rs:1194-1204). The fast boundary-merge CoverageUnion only
+    * handles single-dimension coverages; mixed-dimension collections fall
+    * back to full union (same result for valid coverages). */
+  val coverageUnion: UserDefinedFunction = udf(uG {
+    case c: GeometryCollection =>
+      try org.locationtech.jts.operation.overlayng.CoverageUnion.union(c)
+      catch { case _: IllegalArgumentException => c.union() }
+    case g => throw new IllegalArgumentException(
+      s"coverage_union requires a GeometryCollection, got ${g.getGeometryType}")
+  })
+
+  // ------------------------------------------------------ constructive ops
+  // Reference functions.rs:1278-1492.
+
+  /** GeometryCollection → empty GC (GEOS raises; reference special-cases,
+    * functions.rs:1278-1287). */
+  val boundary: UserDefinedFunction = udf(uG {
+    case _: GeometryCollection => fact.createGeometryCollection()
+    case g => g.getBoundary
+  })
+
+  private def capStyleOf(s: String): Int = s.toLowerCase match {
+    case "round" => BufferParameters.CAP_ROUND
+    case "flat" | "butt" => BufferParameters.CAP_FLAT
+    case "square" => BufferParameters.CAP_SQUARE
+    case other => throw new IllegalArgumentException(s"unknown cap_style: $other")
+  }
+  private def joinStyleOf(s: String): Int = s.toLowerCase match {
+    case "round" => BufferParameters.JOIN_ROUND
+    case "mitre" | "miter" => BufferParameters.JOIN_MITRE
+    case "bevel" => BufferParameters.JOIN_BEVEL
+    case other => throw new IllegalArgumentException(s"unknown join_style: $other")
+  }
+
+  val buffer: UserDefinedFunction = udf((b: Array[Byte], dist: Double, quadSegs: Int,
+      capStyle: String, joinStyle: String, mitreLimit: Double, singleSided: Boolean) =>
+    uG { g =>
+      val p = new BufferParameters(quadSegs, capStyleOf(capStyle),
+        joinStyleOf(joinStyle), mitreLimit)
+      p.setSingleSided(singleSided)
+      BufferOp.bufferOp(g, dist, p)
+    }(b))
+
+  val offsetCurve: UserDefinedFunction = udf((b: Array[Byte], dist: Double, quadSegs: Int,
+      joinStyle: String, mitreLimit: Double) =>
+    uG(g => OffsetCurve.getCurve(g, dist, quadSegs, joinStyleOf(joinStyle), mitreLimit))(b))
 
   val centroid: UserDefinedFunction = udf(uG(_.getCentroid))
+
+  /** Bounding-box midpoint (functions.rs:1325-1335). */
+  val center: UserDefinedFunction = udf(uG { g =>
+    if (g.isEmpty) fact.createPoint()
+    else {
+      val e = g.getEnvelopeInternal
+      fact.createPoint(new Coordinate((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2))
+    }
+  })
+
+  val clipByRect: UserDefinedFunction = udf((b: Array[Byte], xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double) =>
+    uG { g =>
+      val box = fact.toGeometry(new Envelope(xmin, xmax, ymin, ymax))
+      g.intersection(box)
+    }(b))
+
+  val convexHull: UserDefinedFunction = udf(uG(_.convexHull()))
+
+  val concaveHull: UserDefinedFunction = udf((b: Array[Byte], ratio: Double, holes: Boolean) =>
+    uG(g => if (g.isEmpty) g.copy()
+            else ConcaveHull.concaveHullByLengthRatio(g, ratio, holes))(b))
+
+  val segmentize: UserDefinedFunction = udf((b: Array[Byte], maxLen: Double) =>
+    uG(g => if (g.isEmpty || g.getDimension == 0) g.copy()
+            else Densifier.densify(g, maxLen))(b))
+
   val envelope: UserDefinedFunction = udf(uG(_.getEnvelope))
 
-  // --------------------------------------------------------- serialization
+  val extractUniquePoints: UserDefinedFunction = udf(uG { g =>
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Double, Double, Double)]
+    val coords = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+    g.apply(new CoordinateSequenceFilter {
+      override def filter(cs: CoordinateSequence, i: Int): Unit = {
+        val c = (cs.getX(i), cs.getY(i), if (cs.hasZ) cs.getZ(i) else Double.NaN)
+        if (seen.add(c)) coords += new Coordinate(c._1, c._2, c._3)
+      }
+      override def isDone = false
+      override def isGeometryChanged = false
+    })
+    fact.createMultiPoint(coords.map(fact.createPoint).toArray)
+  })
+
+  /** GEOS build_area analog: polygonize the noded linework, keeping only
+    * the polygonal surface (functions.rs:1393-1395). */
+  val buildArea: UserDefinedFunction = udf(uG { g =>
+    if (g.isEmpty) fact.createGeometryCollection()
+    else {
+      val noded = nodeLinework(g)
+      val p = new Polygonizer(true)
+      p.add(noded)
+      val out = p.getGeometry
+      if (out == null) fact.createGeometryCollection() else out
+    }
+  })
+
+  val makeValid: UserDefinedFunction = udf(uG(g =>
+    if (g.isValid) g.copy() else GeometryFixer.fix(g)))
+
+  val normalize: UserDefinedFunction = udf(uG(_.norm()))
+
+  private def nodeLinework(g: Geometry): Geometry = {
+    val lines = org.locationtech.jts.geom.util.LinearComponentExtracter.getLines(g)
+    if (lines.isEmpty) fact.createMultiLineString()
+    else UnaryUnionOp.union(lines.asInstanceOf[java.util.Collection[Geometry]])
+  }
+
+  /** Node the linework (GEOS GEOSNode analog via union of linear
+    * components). */
+  val node: UserDefinedFunction = udf(uG(nodeLinework))
+
+  val pointOnSurface: UserDefinedFunction = udf(uG(g =>
+    if (g.isEmpty) fact.createPoint() else g.getInteriorPoint))
+
+  val removeRepeatedPoints: UserDefinedFunction = udf((b: Array[Byte], tol: Double) =>
+    uG { g =>
+      GeomUtil.mapCoordsFilterRepeated(g, tol)
+    }(b))
+
+  val reverse: UserDefinedFunction = udf(uG(_.reverse()))
+
+  val simplify: UserDefinedFunction = udf((b: Array[Byte], tol: Double, preserve: Boolean) =>
+    uG(g => if (preserve) TopologyPreservingSimplifier.simplify(g, tol)
+            else DouglasPeuckerSimplifier.simplify(g, tol))(b))
+
+  val force2d: UserDefinedFunction = udf(uG(g =>
+    GeomUtil.mapCoords(g, (x, y, _) => (x, y, Double.NaN), forceDim = 2)))
+
+  val force3d: UserDefinedFunction = udf((b: Array[Byte], zDefault: Double) =>
+    uG(g => GeomUtil.mapCoords(g,
+      (x, y, z) => (x, y, if (z.isNaN) zDefault else z), forceDim = 3))(b))
+
+  val flipCoordinates: UserDefinedFunction = udf(uG(g =>
+    GeomUtil.mapCoords(g, (x, y, z) => (y, x, z))))
+
+  val minimumRotatedRectangle: UserDefinedFunction = udf(uG(g =>
+    if (g.isEmpty) fact.createPolygon()
+    else MinimumDiameter.getMinimumRectangle(g)))
+
+  val snap: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], tol: Double) =>
+    bG((ga, gb) => new GeometrySnapper(ga).snapTo(gb, tol))(a, b))
+
+  /** LineString between nearest points; null if either side empty
+    * (functions.rs:1765-1777). */
+  val shortestLine: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
+    bG((ga, gb) =>
+      if (ga.isEmpty || gb.isEmpty) null
+      else fact.createLineString(DistanceOp.nearestPoints(ga, gb)))(a, b))
+
+  /** Shared linework split into same-direction and opposite-direction parts:
+    * GEOMETRYCOLLECTION(MULTILINESTRING forward, MULTILINESTRING backward)
+    * (GEOS SharedPaths; JTS has no SharedPathsOp so directions are derived
+    * by locating each shared segment on both inputs). Raises on non-lineal
+    * input like the reference. */
+  val sharedPaths: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
+    bG(SharedPathsImpl.sharedPaths)(a, b))
+
+  /** Typed geometry cast (reference cast table functions.rs:61-177,
+    * matrix documented at geoexpr.py:446-468). Curved targets unsupported
+    * (JTS) — raises. */
+  val castTo: UserDefinedFunction = udf((b: Array[Byte], into: String) =>
+    uG(g => CastImpl.cast(g, into))(b))
+
+  /** Promote to the corresponding Multi* type (functions.rs:779-792). */
+  val multi: UserDefinedFunction = udf(uG {
+    case p: Point => fact.createMultiPoint(Array(p))
+    case l: LineString => fact.createMultiLineString(Array(l))
+    case p: Polygon => fact.createMultiPolygon(Array(p))
+    case g => g.copy()
+  })
+
+  // ------------------------------------ affine transforms / linear ref
+  // Reference functions.rs:1494-1755.
+
+  /** shapely-style matrix: 6 values [a,b,d,e,xoff,yoff] for 2D or 12 values
+    * [a,b,c,d,e,f,g,h,i,xoff,yoff,zoff] for 3D. */
+  val affineTransform: UserDefinedFunction = udf((b: Array[Byte], mat: Seq[Double]) =>
+    if (b == null || mat == null) null
+    else uG { g =>
+      mat.length match {
+        case 6 =>
+          val Seq(a1, b1, d1, e1, xo, yo) = mat
+          GeomUtil.mapCoords(g, (x, y, z) => (a1 * x + b1 * y + xo, d1 * x + e1 * y + yo, z))
+        case 12 =>
+          val Seq(a1, b1, c1, d1, e1, f1, g1, h1, i1, xo, yo, zo) = mat
+          GeomUtil.mapCoords(g, (x, y, z0) => {
+            val z = if (z0.isNaN) 0.0 else z0
+            (a1 * x + b1 * y + c1 * z + xo,
+             d1 * x + e1 * y + f1 * z + yo,
+             g1 * x + h1 * y + i1 * z + zo)
+          }, forceDim = 3)
+        case n => throw new IllegalArgumentException(
+          s"affine_transform matrix must have 6 or 12 values, got $n")
+      }
+    }(b))
+
+  val translate: UserDefinedFunction = udf((b: Array[Byte], dx: Double, dy: Double, dz: Double) =>
+    uG(g => GeomUtil.mapCoords(g, (x, y, z) => (x + dx, y + dy, z + dz)))(b))
+
+  private def originOf(g: Geometry, origin: String): (Double, Double) =
+    origin.toLowerCase match {
+      case "center" =>
+        val e = g.getEnvelopeInternal
+        ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+      case "centroid" =>
+        val c = g.getCentroid
+        (c.getX, c.getY)
+      case s =>
+        val parts = s.split("[ ,]+").filter(_.nonEmpty)
+        require(parts.length >= 2, s"invalid origin: $origin")
+        (parts(0).toDouble, parts(1).toDouble)
+    }
+
+  /** Rotate by degrees about origin ("center" | "centroid" | "x y"). */
+  val rotate: UserDefinedFunction = udf((b: Array[Byte], angleDeg: Double, origin: String) =>
+    uG { g =>
+      val (ox, oy) = originOf(g, origin)
+      val rad = math.toRadians(angleDeg)
+      val (c, s) = (math.cos(rad), math.sin(rad))
+      GeomUtil.mapCoords(g, (x, y, z) =>
+        (ox + (x - ox) * c - (y - oy) * s, oy + (x - ox) * s + (y - oy) * c, z))
+    }(b))
+
+  val scale: UserDefinedFunction = udf((b: Array[Byte], sx: Double, sy: Double, sz: Double,
+      origin: String) =>
+    uG { g =>
+      val (ox, oy) = originOf(g, origin)
+      GeomUtil.mapCoords(g, (x, y, z) => (ox + (x - ox) * sx, oy + (y - oy) * sy, z * sz))
+    }(b))
+
+  val skew: UserDefinedFunction = udf((b: Array[Byte], xDeg: Double, yDeg: Double,
+      origin: String) =>
+    uG { g =>
+      val (ox, oy) = originOf(g, origin)
+      val (tx, ty) = (math.tan(math.toRadians(xDeg)), math.tan(math.toRadians(yDeg)))
+      GeomUtil.mapCoords(g, (x, y, z) =>
+        (x + (y - oy) * tx, y + (x - ox) * ty, z))
+    }(b))
+
+  /** Point along a lineal geometry; raises on non-lineal input. */
+  val interpolate: UserDefinedFunction = udf((b: Array[Byte], dist: Double, normalized: Boolean) =>
+    uG {
+      case l: LineString if l.isEmpty => fact.createPoint()
+      case l @ (_: LineString | _: MultiLineString) =>
+        val lil = new LengthIndexedLine(l)
+        val d = if (normalized) dist * l.getLength else dist
+        fact.createPoint(lil.extractPoint(d))
+      case g => throw new IllegalArgumentException(
+        s"interpolate requires a lineal geometry, got ${g.getGeometryType}")
+    }(b))
+
+  /** Distance along `a` of the nearest location to `b` (a point); raises on
+    * non-lineal `a` (functions.rs:1719-1743 incl. empty guards). */
+  val project: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], normalized: Boolean) =>
+    if (a == null || b == null) None
+    else (EWKB.read(a), EWKB.read(b)) match {
+      case (l @ (_: LineString | _: MultiLineString), p: Point) =>
+        if (l.isEmpty || p.isEmpty) Some(Double.NaN)
+        else {
+          val lil = new LengthIndexedLine(l)
+          val d = lil.indexOf(p.getCoordinate)
+          Some(if (normalized) d / l.getLength else d)
+        }
+      case (g, other) => throw new IllegalArgumentException(
+        s"project requires lineal geometry and Point, got ${g.getGeometryType}/${other.getGeometryType}")
+    })
+
+  /** Merge lines at 2-degree nodes. `directed=true` only joins lines whose
+    * directions agree (GEOS line_merge_directed). */
+  val lineMerge: UserDefinedFunction = udf((b: Array[Byte], directed: Boolean) =>
+    uG { g =>
+      if (g.isEmpty) fact.createGeometryCollection()
+      else if (directed) SharedPathsImpl.directedLineMerge(g)
+      else {
+        val m = new LineMerger()
+        m.add(g)
+        val merged = m.getMergedLineStrings.asScala.toSeq.map(_.asInstanceOf[LineString])
+        if (merged.isEmpty) fact.createGeometryCollection()
+        else if (merged.size == 1) merged.head
+        else fact.createMultiLineString(merged.toArray)
+      }
+    }(b))
+
+  // ----------------------------------------------------------- CRS ops
+  // Reference functions.rs:433-443, 1868-1939.
+
+  /** Rewrite the header SRID (no reprojection). */
+  val setSrid: UserDefinedFunction = udf((b: Array[Byte], srid: Int) =>
+    if (b == null) null
+    else {
+      val g = EWKB.read(b)
+      g.setSRID(srid)
+      EWKB.write(g)
+    })
+
+  /** Reproject coordinates between SRIDs. Offline environment: supports the
+    * identity transform and the closed-form EPSG:4326 ↔ EPSG:3857 pair
+    * (spherical pseudo-Mercator); other pairs raise (documented gap — the
+    * reference embeds a full proj database, crs-definitions). */
+  val toSrid: UserDefinedFunction = udf((b: Array[Byte], target: Int) =>
+    if (b == null) null
+    else {
+      val g = EWKB.read(b)
+      EWKB.write(CrsImpl.toSrid(g, target))
+    })
+
+  // ------------------------------------------------------- serialization
+  // Reference functions.rs:703-769.
 
   val asWkt: UserDefinedFunction = udf(uS(GeoCodec.toWkt(_)))
   val asEwkt: UserDefinedFunction = udf(uS(GeoCodec.toEwkt(_)))
+
+  val asWktPrecision: UserDefinedFunction = udf((b: Array[Byte], precision: Int) =>
+    if (b == null) null else GeoCodec.toWkt(EWKB.read(b), precision))
+
+  /** EWKB with explicit dims/byte-order/srid flags via JTS WKBWriter. */
+  val asWkb: UserDefinedFunction = udf((b: Array[Byte], outputDimension: Int,
+      bigEndian: Boolean, includeSrid: Boolean) =>
+    if (b == null) null
+    else {
+      val w = new org.locationtech.jts.io.WKBWriter(outputDimension,
+        if (bigEndian) org.locationtech.jts.io.ByteOrderValues.BIG_ENDIAN
+        else org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN, includeSrid)
+      w.write(EWKB.read(b))
+    })
+
+  val asGeoJson: UserDefinedFunction = udf(uS(GeoJson.write))
+
+  // ----------------------------------------------------------- registry
+
+  /** SQL name → UDF, for registration and the API-consistency test. */
+  val all: Seq[(String, UserDefinedFunction)] = Seq(
+    "st_geomfromtext" -> geomFromWkt,
+    "st_geomfromewkt" -> geomFromEwkt,
+    "st_geomfromwkb" -> geomFromWkb,
+    "st_geomfromgeojson" -> geomFromGeoJson,
+    "st_point" -> point,
+    "st_pointz" -> pointZ,
+    "st_point_from_coords" -> pointFromCoords,
+    "st_multipoint" -> multiPoint,
+    "st_linestring" -> lineString,
+    "st_multilinestring" -> multiLineString,
+    "st_polygon" -> polygon,
+    "st_rectangle" -> rectangle,
+    "st_geometrytype" -> geometryType,
+    "st_dimensions" -> dimensions,
+    "st_coordinatedimension" -> coordinateDimension,
+    "st_srid" -> srid,
+    "st_x" -> x, "st_y" -> y, "st_z" -> z, "st_m" -> m,
+    "st_count_coordinates" -> countCoordinates,
+    "st_coordinates" -> coordinates,
+    "st_exterior_ring" -> exteriorRing,
+    "st_interior_rings" -> interiorRings,
+    "st_count_interior_rings" -> countInteriorRings,
+    "st_get_interior_ring" -> getInteriorRing,
+    "st_count_geometries" -> countGeometries,
+    "st_get_geometry" -> getGeometry,
+    "st_count_points" -> countPoints,
+    "st_get_point" -> getPoint,
+    "st_parts" -> parts,
+    "st_precision" -> precision,
+    "st_bounds" -> bounds,
+    "st_area" -> area,
+    "st_length" -> length,
+    "st_distance" -> distance,
+    "st_hausdorff_distance" -> hausdorffDistance,
+    "st_hausdorff_distance_densify" -> hausdorffDistanceDensify,
+    "st_frechet_distance" -> frechetDistance,
+    "st_frechet_distance_densify" -> frechetDistanceDensify,
+    "st_minimum_clearance" -> minimumClearance,
+    "st_has_z" -> hasZ,
+    "st_has_m" -> hasM,
+    "st_is_ccw" -> isCcw,
+    "st_is_closed" -> isClosed,
+    "st_is_empty" -> isEmpty,
+    "st_is_ring" -> isRing,
+    "st_is_simple" -> isSimple,
+    "st_is_valid" -> isValid,
+    "st_is_valid_reason" -> isValidReason,
+    "st_intersects" -> intersects,
+    "st_crosses" -> crosses,
+    "st_contains" -> contains,
+    "st_contains_properly" -> containsProperly,
+    "st_covered_by" -> coveredBy,
+    "st_covers" -> covers,
+    "st_disjoint" -> disjoint,
+    "st_overlaps" -> overlaps,
+    "st_touches" -> touches,
+    "st_within" -> within,
+    "st_equals" -> equalsTopo,
+    "st_equals_identical" -> equalsIdentical,
+    "st_equals_exact" -> equalsExact,
+    "st_dwithin" -> dwithin,
+    "st_relate" -> relate,
+    "st_relate_pattern" -> relatePattern,
+    "st_intersects_xy" -> intersectsXY,
+    "st_contains_xy" -> containsXY,
+    "st_union" -> union,
+    "st_union_prec" -> unionPrec,
+    "st_intersection" -> intersection,
+    "st_intersection_prec" -> intersectionPrec,
+    "st_difference" -> difference,
+    "st_difference_prec" -> differencePrec,
+    "st_symmetric_difference" -> symmetricDifference,
+    "st_symmetric_difference_prec" -> symmetricDifferencePrec,
+    "st_unary_union" -> unaryUnion,
+    "st_coverage_union" -> coverageUnion,
+    "st_boundary" -> boundary,
+    "st_buffer" -> buffer,
+    "st_offset_curve" -> offsetCurve,
+    "st_centroid" -> centroid,
+    "st_center" -> center,
+    "st_clip_by_rect" -> clipByRect,
+    "st_convex_hull" -> convexHull,
+    "st_concave_hull" -> concaveHull,
+    "st_segmentize" -> segmentize,
+    "st_envelope" -> envelope,
+    "st_extract_unique_points" -> extractUniquePoints,
+    "st_build_area" -> buildArea,
+    "st_make_valid" -> makeValid,
+    "st_normalize" -> normalize,
+    "st_node" -> node,
+    "st_point_on_surface" -> pointOnSurface,
+    "st_remove_repeated_points" -> removeRepeatedPoints,
+    "st_reverse" -> reverse,
+    "st_simplify" -> simplify,
+    "st_force_2d" -> force2d,
+    "st_force_3d" -> force3d,
+    "st_flip_coordinates" -> flipCoordinates,
+    "st_minimum_rotated_rectangle" -> minimumRotatedRectangle,
+    "st_snap" -> snap,
+    "st_shortest_line" -> shortestLine,
+    "st_shared_paths" -> sharedPaths,
+    "st_cast" -> castTo,
+    "st_multi" -> multi,
+    "st_affine_transform" -> affineTransform,
+    "st_translate" -> translate,
+    "st_rotate" -> rotate,
+    "st_scale" -> scale,
+    "st_skew" -> skew,
+    "st_interpolate" -> interpolate,
+    "st_project" -> project,
+    "st_line_merge" -> lineMerge,
+    "st_set_srid" -> setSrid,
+    "st_to_srid" -> toSrid,
+    "st_aswkt" -> asWkt,
+    "st_aswkt_precision" -> asWktPrecision,
+    "st_asewkt" -> asEwkt,
+    "st_aswkb" -> asWkb,
+    "st_asgeojson" -> asGeoJson)
 }

@@ -1,39 +1,203 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
 
 /** Sugar API mirroring the reference's top-level `st.*` module
-  * (`/root/reference/polars_st/sugar.py`): `st_area($"geometry")` etc. */
+  * (`/root/reference/polars_st/sugar.py`): `st_area($"geometry")` etc.
+  * Optional parameters take the reference's defaults. */
 package object functions {
 
   import GeoUDFs._
 
-  // constructors
+  // ------------------------------------------------------------ constructors
   def st_geomfromtext(wkt: Column): Column = geomFromWkt(wkt)
   def st_geomfromewkt(ewkt: Column): Column = geomFromEwkt(ewkt)
   def st_geomfromwkb(wkb: Column): Column = geomFromWkb(wkb)
+  def st_geomfromgeojson(json: Column): Column = geomFromGeoJson(json)
   def st_point(x: Column, y: Column): Column = point(x, y)
+  def st_point(x: Column, y: Column, z: Column): Column = pointZ(x, y, z)
+  def st_point_from_coords(xs: Column): Column = pointFromCoords(xs)
+  def st_multipoint(xs: Column): Column = multiPoint(xs)
+  def st_linestring(xs: Column): Column = lineString(xs)
+  def st_multilinestring(xs: Column): Column = multiLineString(xs)
+  def st_polygon(rings: Column): Column = polygon(rings)
   def st_rectangle(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     rectangle(xmin, ymin, xmax, ymax)
 
-  // measurement
-  def st_area(g: Column): Column = area(g)
-  def st_length(g: Column): Column = length(g)
+  // --------------------------------------------------------------- accessors
+  def st_geometrytype(g: Column): Column = geometryType(g)
+  def st_dimensions(g: Column): Column = dimensions(g)
+  def st_coordinatedimension(g: Column): Column = coordinateDimension(g)
+  def st_srid(g: Column): Column = srid(g)
   def st_x(g: Column): Column = x(g)
   def st_y(g: Column): Column = y(g)
+  def st_z(g: Column): Column = z(g)
+  def st_m(g: Column): Column = m(g)
+  def st_count_coordinates(g: Column): Column = countCoordinates(g)
+  def st_coordinates(g: Column): Column = coordinates(g)
+  def st_exterior_ring(g: Column): Column = exteriorRing(g)
+  def st_interior_rings(g: Column): Column = interiorRings(g)
+  def st_count_interior_rings(g: Column): Column = countInteriorRings(g)
+  def st_get_interior_ring(g: Column, i: Column): Column = getInteriorRing(g, i)
+  def st_count_geometries(g: Column): Column = countGeometries(g)
+  def st_get_geometry(g: Column, i: Column): Column = getGeometry(g, i)
+  def st_count_points(g: Column): Column = countPoints(g)
+  def st_get_point(g: Column, i: Column): Column = getPoint(g, i)
+  def st_parts(g: Column): Column = parts(g)
+  def st_precision(g: Column): Column = precision(g)
+  def st_bounds(g: Column): Column = bounds(g)
 
-  // predicates
+  // ------------------------------------------------------------- measurement
+  def st_area(g: Column): Column = area(g)
+  def st_length(g: Column): Column = length(g)
+  def st_distance(a: Column, b: Column): Column = distance(a, b)
+  def st_hausdorff_distance(a: Column, b: Column): Column = hausdorffDistance(a, b)
+  def st_hausdorff_distance(a: Column, b: Column, densify: Column): Column =
+    hausdorffDistanceDensify(a, b, densify)
+  def st_frechet_distance(a: Column, b: Column): Column = frechetDistance(a, b)
+  def st_frechet_distance(a: Column, b: Column, densify: Column): Column =
+    frechetDistanceDensify(a, b, densify)
+  def st_minimum_clearance(g: Column): Column = minimumClearance(g)
+
+  // -------------------------------------------------------- unary predicates
+  def st_has_z(g: Column): Column = hasZ(g)
+  def st_has_m(g: Column): Column = hasM(g)
+  def st_is_ccw(g: Column): Column = isCcw(g)
+  def st_is_closed(g: Column): Column = isClosed(g)
+  def st_is_empty(g: Column): Column = isEmpty(g)
+  def st_is_ring(g: Column): Column = isRing(g)
+  def st_is_simple(g: Column): Column = isSimple(g)
+  def st_is_valid(g: Column): Column = isValid(g)
+  def st_is_valid_reason(g: Column): Column = isValidReason(g)
+
+  // ------------------------------------------------------- binary predicates
   def st_intersects(a: Column, b: Column): Column = intersects(a, b)
+  def st_crosses(a: Column, b: Column): Column = crosses(a, b)
+  def st_contains(a: Column, b: Column): Column = contains(a, b)
+  def st_contains_properly(a: Column, b: Column): Column = containsProperly(a, b)
+  def st_covered_by(a: Column, b: Column): Column = coveredBy(a, b)
+  def st_covers(a: Column, b: Column): Column = covers(a, b)
+  def st_disjoint(a: Column, b: Column): Column = disjoint(a, b)
+  def st_overlaps(a: Column, b: Column): Column = overlaps(a, b)
+  def st_touches(a: Column, b: Column): Column = touches(a, b)
+  def st_within(a: Column, b: Column): Column = within(a, b)
+  def st_equals(a: Column, b: Column): Column = equalsTopo(a, b)
+  def st_equals_identical(a: Column, b: Column): Column = equalsIdentical(a, b)
+  def st_equals_exact(a: Column, b: Column, tolerance: Column): Column =
+    equalsExact(a, b, tolerance)
+  def st_dwithin(a: Column, b: Column, d: Column): Column = dwithin(a, b, d)
+  def st_relate(a: Column, b: Column): Column = relate(a, b)
+  def st_relate_pattern(a: Column, b: Column, pattern: Column): Column =
+    relatePattern(a, b, pattern)
+  def st_intersects_xy(g: Column, x: Column, y: Column): Column = intersectsXY(g, x, y)
+  def st_contains_xy(g: Column, x: Column, y: Column): Column = containsXY(g, x, y)
 
-  // constructive
+  // ---------------------------------------------------------------- overlay
+  def st_union(a: Column, b: Column): Column = union(a, b)
+  def st_union(a: Column, b: Column, gridSize: Column): Column = unionPrec(a, b, gridSize)
+  def st_intersection(a: Column, b: Column): Column = intersection(a, b)
+  def st_intersection(a: Column, b: Column, gridSize: Column): Column =
+    intersectionPrec(a, b, gridSize)
+  def st_difference(a: Column, b: Column): Column = difference(a, b)
+  def st_difference(a: Column, b: Column, gridSize: Column): Column =
+    differencePrec(a, b, gridSize)
+  def st_symmetric_difference(a: Column, b: Column): Column = symmetricDifference(a, b)
+  def st_symmetric_difference(a: Column, b: Column, gridSize: Column): Column =
+    symmetricDifferencePrec(a, b, gridSize)
+  def st_unary_union(g: Column): Column = unaryUnion(g)
+  def st_coverage_union(g: Column): Column = coverageUnion(g)
+
+  // ------------------------------------------------------------ constructive
+  def st_boundary(g: Column): Column = boundary(g)
+  def st_buffer(g: Column, distance: Column): Column =
+    buffer(g, distance, lit(8), lit("round"), lit("round"), lit(5.0), lit(false))
+  def st_buffer(g: Column, distance: Column, quadSegs: Column, capStyle: Column,
+      joinStyle: Column, mitreLimit: Column, singleSided: Column): Column =
+    buffer(g, distance, quadSegs, capStyle, joinStyle, mitreLimit, singleSided)
+  def st_offset_curve(g: Column, distance: Column): Column =
+    offsetCurve(g, distance, lit(8), lit("round"), lit(5.0))
+  def st_offset_curve(g: Column, distance: Column, quadSegs: Column, joinStyle: Column,
+      mitreLimit: Column): Column = offsetCurve(g, distance, quadSegs, joinStyle, mitreLimit)
   def st_centroid(g: Column): Column = centroid(g)
+  def st_center(g: Column): Column = center(g)
+  def st_clip_by_rect(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    clipByRect(g, xmin, ymin, xmax, ymax)
+  def st_convex_hull(g: Column): Column = convexHull(g)
+  def st_concave_hull(g: Column, ratio: Column, allowHoles: Column): Column =
+    concaveHull(g, ratio, allowHoles)
+  def st_concave_hull(g: Column, ratio: Column): Column = concaveHull(g, ratio, lit(false))
+  def st_segmentize(g: Column, maxSegmentLength: Column): Column = segmentize(g, maxSegmentLength)
   def st_envelope(g: Column): Column = envelope(g)
+  def st_extract_unique_points(g: Column): Column = extractUniquePoints(g)
+  def st_build_area(g: Column): Column = buildArea(g)
+  def st_make_valid(g: Column): Column = makeValid(g)
+  def st_normalize(g: Column): Column = normalize(g)
+  def st_node(g: Column): Column = node(g)
+  def st_point_on_surface(g: Column): Column = pointOnSurface(g)
+  def st_remove_repeated_points(g: Column, tolerance: Column): Column =
+    removeRepeatedPoints(g, tolerance)
+  def st_reverse(g: Column): Column = reverse(g)
+  def st_simplify(g: Column, tolerance: Column): Column = simplify(g, tolerance, lit(true))
+  def st_simplify(g: Column, tolerance: Column, preserveTopology: Column): Column =
+    simplify(g, tolerance, preserveTopology)
+  def st_force_2d(g: Column): Column = force2d(g)
+  def st_force_3d(g: Column): Column = force3d(g, lit(0.0))
+  def st_force_3d(g: Column, z: Column): Column = force3d(g, z)
+  def st_flip_coordinates(g: Column): Column = flipCoordinates(g)
+  def st_minimum_rotated_rectangle(g: Column): Column = minimumRotatedRectangle(g)
+  def st_snap(g: Column, other: Column, tolerance: Column): Column = snap(g, other, tolerance)
+  def st_shortest_line(a: Column, b: Column): Column = shortestLine(a, b)
+  def st_shared_paths(a: Column, b: Column): Column = sharedPaths(a, b)
+  def st_cast(g: Column, into: Column): Column = castTo(g, into)
+  def st_multi(g: Column): Column = multi(g)
 
-  // serialization
+  // ------------------------------------------------- affine / linear-ref
+  def st_affine_transform(g: Column, matrix: Column): Column = affineTransform(g, matrix)
+  def st_translate(g: Column, dx: Column, dy: Column): Column = translate(g, dx, dy, lit(0.0))
+  def st_translate(g: Column, dx: Column, dy: Column, dz: Column): Column =
+    translate(g, dx, dy, dz)
+  def st_rotate(g: Column, angleDeg: Column): Column = rotate(g, angleDeg, lit("center"))
+  def st_rotate(g: Column, angleDeg: Column, origin: Column): Column = rotate(g, angleDeg, origin)
+  def st_scale(g: Column, sx: Column, sy: Column): Column =
+    scale(g, sx, sy, lit(1.0), lit("center"))
+  def st_scale(g: Column, sx: Column, sy: Column, sz: Column, origin: Column): Column =
+    scale(g, sx, sy, sz, origin)
+  def st_skew(g: Column, xDeg: Column, yDeg: Column): Column = skew(g, xDeg, yDeg, lit("center"))
+  def st_skew(g: Column, xDeg: Column, yDeg: Column, origin: Column): Column =
+    skew(g, xDeg, yDeg, origin)
+  def st_interpolate(g: Column, distance: Column): Column =
+    interpolate(g, distance, lit(false))
+  def st_interpolate(g: Column, distance: Column, normalized: Column): Column =
+    interpolate(g, distance, normalized)
+  def st_project(g: Column, other: Column): Column = project(g, other, lit(false))
+  def st_project(g: Column, other: Column, normalized: Column): Column =
+    project(g, other, normalized)
+  def st_line_merge(g: Column): Column = lineMerge(g, lit(false))
+  def st_line_merge(g: Column, directed: Column): Column = lineMerge(g, directed)
+
+  // --------------------------------------------------------------------- CRS
+  def st_set_srid(g: Column, srid: Column): Column = setSrid(g, srid)
+  def st_to_srid(g: Column, srid: Column): Column = toSrid(g, srid)
+
+  // ----------------------------------------------------------- serialization
   def st_aswkt(g: Column): Column = asWkt(g)
+  def st_aswkt(g: Column, precision: Column): Column = asWktPrecision(g, precision)
   def st_asewkt(g: Column): Column = asEwkt(g)
+  def st_aswkb(g: Column): Column = asWkb(g, lit(3), lit(false), lit(false))
+  def st_aswkb(g: Column, outputDimension: Column, bigEndian: Column, includeSrid: Column): Column =
+    asWkb(g, outputDimension, bigEndian, includeSrid)
+  def st_asgeojson(g: Column): Column = asGeoJson(g)
 
-  // aggregations
+  // ------------------------------------------------------------ aggregations
   def st_union_all(g: Column): Column = graft.aggs.GeoAggs.unionAll(g)
   def st_total_bounds(g: Column): Column = graft.aggs.GeoAggs.totalBounds(g)
+  def st_collect(g: Column): Column = graft.aggs.GeoAggs.collect(g)
+  def st_intersection_all(g: Column): Column = graft.aggs.GeoAggs.intersectionAll(g)
+  def st_difference_all(g: Column): Column = graft.aggs.GeoAggs.differenceAll(g)
+  def st_symmetric_difference_all(g: Column): Column = graft.aggs.GeoAggs.symmetricDifferenceAll(g)
+  def st_coverage_union_all(g: Column): Column = graft.aggs.GeoAggs.coverageUnionAll(g)
+  def st_polygonize(g: Column): Column = graft.aggs.GeoAggs.polygonize(g)
+  def st_voronoi_polygons(g: Column): Column = graft.aggs.GeoAggs.voronoiPolygons(g)
+  def st_delaunay_triangles(g: Column): Column = graft.aggs.GeoAggs.delaunayTriangles(g)
 }

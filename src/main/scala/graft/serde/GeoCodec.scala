@@ -40,7 +40,8 @@ object GeoCodec {
     // documented divergence.
     val w = new WKTWriter(outputDimension)
     if (precision >= 0) w.setPrecisionModel(new PrecisionModel(math.pow(10, precision)))
-    w.write(g)
+    // JTS writes "POINT Z(1 2 3)"; GEOS/the reference write "POINT Z (1 2 3)"
+    w.write(g).replace("Z(", "Z (").replace("M(", "M (")
   }
 
   def toEwkt(g: Geometry, precision: Int = 6, trim: Boolean = true,

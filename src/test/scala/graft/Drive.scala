@@ -8,18 +8,30 @@ object Drive {
       .config("spark.sql.shuffle.partitions", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Geo.registerAll(spark)
-    println("== SQL surface ==")
-    spark.sql("SELECT st_aswkt(st_centroid(st_rectangle(0.0d, 0.0d, 4.0d, 2.0d))) AS c, st_area(st_rectangle(0.0d,0.0d,4.0d,2.0d)) AS a").show(false)
-    spark.sql("SELECT st_asewkt(st_geomfromewkt('SRID=4326;POINT (3 7)')) AS ewkt, st_x(st_geomfromtext('POINT (3 7)')) AS x").show(false)
-    println("== probe: null + non-point x + predicate ==")
-    spark.sql("SELECT st_aswkt(st_geomfromtext(NULL)) AS null_in, st_x(st_geomfromtext('LINESTRING (0 0, 1 1)')) AS x_nonpoint, st_intersects(st_point(0.5d,0.5d), st_rectangle(0.0d,0.0d,1.0d,1.0d)) AS hit").show(false)
-    println("== probe: union_all over all-null input ==")
-    spark.sql("SELECT st_aswkt(st_union_all(g)) AS u FROM (SELECT st_geomfromtext(CAST(NULL AS STRING)) AS g FROM range(3))").show(false)
-    println("== probe: invalid WKT ==")
-    try spark.sql("SELECT st_geomfromtext('NOT A GEOM')").collect()
-    catch { case e: Throwable => println("error surfaced: " + e.getClass.getName) }
+    println("== scalar surface via SQL ==")
+    spark.sql("""SELECT
+      st_aswkt(st_buffer(st_point(0.0d,0.0d), 1.0d, 1, 'square', 'round', 5.0d, false)) AS buf,
+      st_area(st_convex_hull(st_geomfromtext('MULTIPOINT ((0 0), (4 0), (0 4))'))) AS hull_area,
+      st_geometrytype(st_geomfromtext('GEOMETRYCOLLECTION (POINT (0 0))')) AS gt,
+      st_relate(st_geomfromtext('POINT (1 1)'), st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS de9im,
+      st_dwithin(st_point(0.0d,0.0d), st_point(3.0d,4.0d), 5.0d) AS strictly_lt,
+      st_aswkt(st_to_srid(st_set_srid(st_point(0.0d,0.0d), 4326), 3857)) AS reproj
+    """).show(false)
+    println("== probe: GC overlay + empty relate + curved cast error ==")
+    spark.sql("""SELECT
+      st_area(st_intersection(st_geomfromtext('GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))'),
+                              st_geomfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))) AS gc_ovl,
+      st_relate(st_geomfromtext('GEOMETRYCOLLECTION EMPTY'), st_geomfromtext('POINT (1 1)')) AS rel_empty
+    """).show(false)
+    try spark.sql("SELECT st_cast(st_point(1.0d,2.0d), 'CircularString')").collect()
+    catch { case e: Throwable => println("curved cast raises: " + e.getCause.getMessage.take(70)) }
+    println("== probe: voronoi + delaunay agg via SQL group by ==")
+    spark.sql("""SELECT grp, st_geometrytype(st_voronoi_polygons(g)) AS vor,
+                        st_geometrytype(st_delaunay_triangles(g)) AS del
+      FROM (SELECT id % 2 AS grp, st_point(CAST(id AS DOUBLE), CAST(id*id AS DOUBLE)) AS g FROM range(10))
+      GROUP BY grp ORDER BY grp""").show(false)
     println("== entry() flagship ==")
-    SparkEntry.entry(spark).show(5, false)
+    SparkEntry.entry(spark).show(2, false)
     spark.stop()
   }
 }
