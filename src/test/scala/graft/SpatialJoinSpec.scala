@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+import graft.join.SpatialJoin
+
+class SpatialJoinSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // boxes on a coarse grid and points scattered over it
+  def boxes = spark.range(200).select(
+    $"id".as("box_id"),
+    st_rectangle(($"id" % 20).cast("double") * 4.0, ($"id" % 10).cast("double") * 4.0,
+      ($"id" % 20).cast("double") * 4.0 + lit(3.0), ($"id" % 10).cast("double") * 4.0 + lit(3.0))
+      .as("geometry"))
+
+  def points = spark.range(500).select(
+    $"id".as("pt_id"),
+    st_point(($"id" % 83).cast("double"), ($"id" % 41).cast("double")).as("geometry"))
+
+  def bruteForce(predicate: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column): Set[(Long, Long)] =
+    boxes.crossJoin(points.withColumnRenamed("geometry", "g2"))
+      .filter(predicate($"geometry", $"g2"))
+      .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+
+  test("broadcast sjoin matches brute force (intersects)") {
+    val expected = bruteForce(st_intersects)
+    val got = SpatialJoin.sjoin(boxes, points, "intersects")
+      .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("broadcast sjoin contains == within flipped") {
+    val expected = bruteForce(st_contains)
+    val got = SpatialJoin.sjoin(boxes, points, "contains")
+      .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("partitioned sjoin matches brute force") {
+    val expected = bruteForce(st_intersects)
+    for (cellSize <- Seq(2.0, 5.0, 64.0)) {
+      val got = SpatialJoin.sjoinPartitioned(boxes, points, cellSize, "intersects")
+        .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"cellSize=$cellSize")
+    }
+  }
+
+  test("left join keeps unmatched left rows") {
+    val lonely = spark.range(3).select($"id".as("box_id"),
+      st_rectangle(lit(-100.0), lit(-100.0), lit(-99.0), lit(-99.0)).as("geometry"))
+    val l = boxes.union(lonely.withColumn("box_id", $"box_id" + 10000))
+    val out = SpatialJoin.sjoin(l, points, "intersects", how = "left")
+    assert(out.filter($"pt_id".isNull).count() >= 3)
+    assert(out.select("box_id").distinct().count() === l.count())
+  }
+
+  test("suffix applied to clashing right columns") {
+    val out = SpatialJoin.sjoin(boxes, points, "intersects")
+    assert(out.columns.count(_ == "geometry") === 1)
+    assert(out.columns.contains("geometry_right"))
+  }
+}
