@@ -1,0 +1,210 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every method is shuffle-bounded by construction —
+  * candidate generation always goes through a bucket key (hash group, LSH
+  * band, signature chunk) so no all-pairs comparison ever happens; the
+  * verify step runs only inside buckets. Exact dedup is a single
+  * hash-aggregate.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Keep-first exact dedup: one row per distinct key, the row with the
+    * smallest `orderCol`. A window + filter keeps the plan a single shuffle
+    * on the key (no join back). */
+  def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact-dup groups: key → number of copies and kept id (for auditing). */
+  def exactGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("copies"), min(idCol).as("kept_id"))
+
+  // ----------------------------------------------------------- shingles
+
+  /** Character k-shingles of the normalized text, distinct, codegen'd
+    * (transform over a sequence — no UDF). */
+  def shingles(text: Column, k: Int): Column = {
+    val norm = TextAnalysis.normalized(text)
+    array_distinct(
+      when(length(norm) >= k,
+        transform(sequence(lit(1), length(norm) - (k - 1)), i => norm.substr(i, lit(k))))
+        .otherwise(array(norm)))
+  }
+
+  /** Word n-grams of the normalized text. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Jaccard similarity of two token/shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(0.0))
+  }
+
+  // ------------------------------------------------------------ MinHash
+
+  /** splitmix64 finalizer — cheap, high-quality per-seed mixing. */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x
+  }
+
+  /** MinHash signature of a shingle set: sig(j) = min over shingles of
+    * fmix64(hash(s) ^ seed_j). One pass over the shingles per row. */
+  def minhashSignature(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val f = udf((sh: Seq[String]) =>
+      if (sh == null) None
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        sh.foreach { s =>
+          val base = fmix64(s.hashCode.toLong * 0x9e3779b97f4a7c15L + 1)
+          var j = 0
+          while (j < numHashes) {
+            val h = fmix64(base ^ (j * 0xc2b2ae3d27d4eb4fL))
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        Some(sig.toSeq)
+      })
+    f
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH banding: rows whose signature
+    * agrees on all rows of at least one band land in the same bucket.
+    * Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    *
+    * numHashes = bands * rowsPerBand; with 64/16 the collision curve
+    * catches jaccard ≳ 0.5.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sig = minhashSignature(numHashes)(shingles(col(textCol), shingleK))
+    val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    // self-join within (band, bucket); a<b kills mirror+self pairs
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(rgt, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(zipSig(col("sig_a")), zipSig(col("sig_b"))))
+          .cast("double") / numHashes).as("jaccard_est"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** position-tag a signature so array_intersect compares positionally. */
+  private def zipSig(sig: Column): Column =
+    transform(sig, (v, i) => concat_ws(":", i, v))
+
+  /** Full MinHash near-dup pipeline: LSH candidates, then exact shingle
+    * Jaccard verify ≥ threshold. */
+  def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 5): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard_est", "jaccard")
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash over subword tokens. */
+  def simhash64(text: Column): Column = {
+    val f = udf((toks: Seq[String]) =>
+      if (toks == null) None
+      else {
+        val acc = new Array[Int](64)
+        toks.foreach { t =>
+          val h = fmix64(t.hashCode.toLong * 0x9e3779b97f4a7c15L + 1)
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+            i += 1
+          }
+        }
+        var out = 0L
+        var i = 0
+        while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+        Some(out)
+      })
+    f(TextAnalysis.subwordTokens(text))
+  }
+
+  /** SimHash near-dup: bucket by the four 16-bit chunks (a pair within
+    * hamming distance ≤ 3 of a 64-bit hash must agree on at least one of 4
+    * chunks — pigeonhole), verify with bit_count(xor) ≤ maxHamming. */
+  def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    // bucket key c of 4: (sim >>> (16*c)) & 0xffff
+    val withChunk = withSim.select(col("id"), col("sim"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("bucket",
+        expr("(sim >> (chunk * 16)) & 65535").as("bucket_v"))
+    val l = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("chunk", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup: sign-LSH bucket join (random-hyperplane
+    * signature over `bits` planes), exact cosine verify ≥ threshold inside
+    * buckets. Planes are derived deterministically from (plane, dim) hashes
+    * so all executors agree without shared state. */
+  def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 12): DataFrame = {
+    val sigU = Similarity.signSignature(bits)
+    val withSig = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("sig", sigU(col("vec")))
+    val l = withSig.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = withSig.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

