@@ -30,12 +30,12 @@ object GeoIO {
     val c = col(geometryName)
     val isBinary = df.schema(geometryName).dataType == BinaryType
     val parsed: Column = format match {
-      case "wkb" => st_geomfromwkb(c)
+      case "wkb" => graft.functions.st_geomfromwkb(c)
       case "wkt" => st_geomfromtext(c)
       case "ewkt" => st_geomfromewkt(c)
       case "geojson" => st_geomfromgeojson(c)
       case "auto" =>
-        if (isBinary) st_geomfromwkb(c)
+        if (isBinary) graft.functions.st_geomfromwkb(c)
         else when(trim(c).startsWith("{"), st_geomfromgeojson(c))
           .when(upper(c).startsWith("SRID="), st_geomfromewkt(c))
           .otherwise(st_geomfromtext(c))
