@@ -149,6 +149,58 @@ object GeoAggs {
       }
   }
 
+  /** Deterministic ordered `difference_all`: the minuend is the row with
+    * the smallest value of an explicit order column (the reference folds in
+    * strict row order, `expressions.rs:873-886`; Spark has no row order
+    * after a shuffle, so the order is a parameter). Since
+    * g0 \ g1 \ … \ gn ≡ g0 \ (g1 ∪ … ∪ gn), only the minuend needs order
+    * bookkeeping; subtrahends union-compact freely. */
+  class DifferenceAllOrderedAgg
+      extends Aggregator[(Array[Byte], Long), (Long, Array[Byte], ArrayBuffer[Array[Byte]]), Array[Byte]] {
+    def zero: (Long, Array[Byte], ArrayBuffer[Array[Byte]]) =
+      (Long.MaxValue, null, ArrayBuffer.empty)
+    private def compact(rest: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
+      if (rest.length >= CompactAt) { val u = unionOf(rest); rest.clear(); rest += u }
+      else rest
+    def reduce(b: (Long, Array[Byte], ArrayBuffer[Array[Byte]]),
+        in: (Array[Byte], Long)): (Long, Array[Byte], ArrayBuffer[Array[Byte]]) = {
+      val (g, idx) = in
+      if (g == null) b
+      else {
+        val (mi, mg, rest) = b
+        if (idx < mi) {
+          if (mg != null) rest += mg
+          (idx, g, compact(rest))
+        } else {
+          rest += g
+          (mi, mg, compact(rest))
+        }
+      }
+    }
+    def merge(a: (Long, Array[Byte], ArrayBuffer[Array[Byte]]),
+        b: (Long, Array[Byte], ArrayBuffer[Array[Byte]])): (Long, Array[Byte], ArrayBuffer[Array[Byte]]) = {
+      val (keep, drop) = if (a._1 <= b._1) (a, b) else (b, a)
+      val rest = keep._3
+      if (drop._2 != null) rest += drop._2
+      rest ++= drop._3
+      (keep._1, keep._2, compact(rest))
+    }
+    def finish(b: (Long, Array[Byte], ArrayBuffer[Array[Byte]])): Array[Byte] = {
+      val (_, mg, rest) = b
+      if (mg == null) emptyGC
+      else if (rest.isEmpty) mg
+      else {
+        val m = EWKB.read(mg)
+        val sub = UnaryUnionOp.union(
+          readAll(rest).asJava.asInstanceOf[java.util.Collection[Geometry]])
+        writeWithSrid(m.difference(sub), sridOf(Seq(m)))
+      }
+    }
+    def bufferEncoder: Encoder[(Long, Array[Byte], ArrayBuffer[Array[Byte]])] =
+      Encoders.kryo[(Long, Array[Byte], ArrayBuffer[Array[Byte]])]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Collect then single coverage union (reference `coverage_union_all`,
     * `functions.rs:1213-1219`); inputs must form a coverage, so partial
     * coverage-union compaction is valid. */
@@ -274,6 +326,7 @@ object GeoAggs {
   val collect: UserDefinedFunction = udaf(new CollectAgg)
   val intersectionAll: UserDefinedFunction = udaf(new IntersectionAllAgg)
   val differenceAll: UserDefinedFunction = udaf(new DifferenceAllAgg)
+  val differenceAllOrdered: UserDefinedFunction = udaf(new DifferenceAllOrderedAgg)
   val symmetricDifferenceAll: UserDefinedFunction = udaf(new SymmetricDifferenceAllAgg)
   val coverageUnionAll: UserDefinedFunction = udaf(new CoverageUnionAllAgg)
   val polygonize: UserDefinedFunction = udaf(new PolygonizeAgg)
@@ -294,6 +347,7 @@ object GeoAggs {
     "st_collect" -> collect,
     "st_intersection_all" -> intersectionAll,
     "st_difference_all" -> differenceAll,
+    "st_difference_all_ordered" -> differenceAllOrdered,
     "st_symmetric_difference_all" -> symmetricDifferenceAll,
     "st_coverage_union_all" -> coverageUnionAll,
     "st_polygonize" -> polygonize,

@@ -430,14 +430,39 @@ object GeoUDFs {
       else Some(org.locationtech.jts.operation.relateng.RelateNG.relate(ga, gb, p))
     })
 
-  /** Point-optimized predicates (functions.rs:1072-1094). */
+  /** Per-thread LRU of prepared geometries keyed on the raw EWKB bytes —
+    * the reference's entire point of `*_xy` is the PreparedGeometry fast
+    * path (functions.rs:1072-1094); in a column context the same polygon
+    * typically recurs across many probe rows (e.g. zones × events), so a
+    * small cache recovers the prepared-index reuse. */
+  private object PrepCache {
+    private val Cap = 64
+    private val tl = new ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, org.locationtech.jts.geom.prep.PreparedGeometry]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[java.nio.ByteBuffer, org.locationtech.jts.geom.prep.PreparedGeometry](Cap, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.nio.ByteBuffer, org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+            size() > Cap
+        }
+    }
+    def get(b: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
+      val m = tl.get()
+      val k = java.nio.ByteBuffer.wrap(b)
+      var p = m.get(k)
+      if (p == null) { p = PreparedGeometryFactory.prepare(EWKB.read(b)); m.put(k, p) }
+      p
+    }
+  }
+
+  /** Point-optimized predicates (functions.rs:1072-1094), prepared-geometry
+    * fast path via [[PrepCache]]. */
   val intersectsXY: UserDefinedFunction = udf((b: Array[Byte], px: Double, py: Double) =>
     if (b == null) None
-    else Some(EWKB.read(b).intersects(fact.createPoint(new Coordinate(px, py)))))
+    else Some(PrepCache.get(b).intersects(fact.createPoint(new Coordinate(px, py)))))
 
   val containsXY: UserDefinedFunction = udf((b: Array[Byte], px: Double, py: Double) =>
     if (b == null) None
-    else Some(EWKB.read(b).contains(fact.createPoint(new Coordinate(px, py)))))
+    else Some(PrepCache.get(b).contains(fact.createPoint(new Coordinate(px, py)))))
 
   // --------------------------------------------------- overlay / set ops
   // Reference functions.rs:1096-1226. grid_size>0 → OverlayNG with a fixed
@@ -557,12 +582,16 @@ object GeoUDFs {
   val envelope: UserDefinedFunction = udf(uG(_.getEnvelope))
 
   val extractUniquePoints: UserDefinedFunction = udf(uG { g =>
-    val seen = scala.collection.mutable.LinkedHashSet.empty[(Double, Double, Double)]
+    // key on raw bits so NaN z (2D coords) compares equal to itself —
+    // primitive-Double tuple equality has NaN != NaN
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Long, Long, Long)]
     val coords = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
     g.apply(new CoordinateSequenceFilter {
       override def filter(cs: CoordinateSequence, i: Int): Unit = {
-        val c = (cs.getX(i), cs.getY(i), if (cs.hasZ) cs.getZ(i) else Double.NaN)
-        if (seen.add(c)) coords += new Coordinate(c._1, c._2, c._3)
+        val (cx, cy, cz) = (cs.getX(i), cs.getY(i), if (cs.hasZ) cs.getZ(i) else Double.NaN)
+        val key = (java.lang.Double.doubleToLongBits(cx),
+          java.lang.Double.doubleToLongBits(cy), java.lang.Double.doubleToLongBits(cz))
+        if (seen.add(key)) coords += new Coordinate(cx, cy, cz)
       }
       override def isDone = false
       override def isGeometryChanged = false
@@ -782,16 +811,24 @@ object GeoUDFs {
       EWKB.write(g)
     })
 
-  /** Reproject coordinates between SRIDs. Offline environment: supports the
-    * identity transform and the closed-form EPSG:4326 ↔ EPSG:3857 pair
-    * (spherical pseudo-Mercator); other pairs raise (documented gap — the
-    * reference embeds a full proj database, crs-definitions). */
+  /** Reproject coordinates between SRIDs. Offline environment: closed-form
+    * projections for 4326, 3857, 3395 and the WGS84 UTM zones (see
+    * [[CrsImpl]]); other pairs raise (documented gap — the reference embeds
+    * a full proj database, crs-definitions). */
   val toSrid: UserDefinedFunction = udf((b: Array[Byte], target: Int) =>
     if (b == null) null
     else {
       val g = EWKB.read(b)
       EWKB.write(CrsImpl.toSrid(g, target))
     })
+
+  /** CRS definition → (authority, code) struct (reference `src/crs.rs:11-18`);
+    * null when unparseable. */
+  val crsAuthority: UserDefinedFunction = udf((s: String) =>
+    if (s == null) None else CrsImpl.crsAuthority(s))
+
+  /** EPSG code → CRS WKT (reference `src/crs.rs:20-26`); null when unknown. */
+  val crsFromCode: UserDefinedFunction = udf((srid: Int) => CrsImpl.crsFromCode(srid))
 
   // ------------------------------------------------------- serialization
   // Reference functions.rs:703-769.
@@ -932,6 +969,8 @@ object GeoUDFs {
     "st_line_merge" -> lineMerge,
     "st_set_srid" -> setSrid,
     "st_to_srid" -> toSrid,
+    "st_get_crs_authority" -> crsAuthority,
+    "st_get_crs_from_code" -> crsFromCode,
     "st_aswkt" -> asWkt,
     "st_aswkt_precision" -> asWktPrecision,
     "st_asewkt" -> asEwkt,

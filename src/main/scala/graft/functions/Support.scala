@@ -291,35 +291,170 @@ object CastImpl {
 
 /** Offline CRS transforms (reference `to_srid`, `functions.rs:1868-1939`,
   * backed there by proj4rs + an embedded EPSG database). This environment
-  * is zero-egress with no proj library on the classpath, so only the
-  * spherical-Mercator pair EPSG:4326 ↔ EPSG:3857 is implemented
-  * closed-form; other pairs raise (documented gap, SURVEY.md §7). */
+  * is zero-egress with no proj library on the classpath, so the projections
+  * needed in practice are implemented closed-form from the published
+  * formulas (Snyder, *Map Projections — A Working Manual*, USGS PP 1395):
+  *
+  * - EPSG:4326 (WGS84 lon/lat) — the hub; all transforms route through it
+  * - EPSG:3857 spherical pseudo-Mercator (web mercator)
+  * - EPSG:3395 ellipsoidal World Mercator
+  * - EPSG:32601-32660 / 32701-32760 — WGS84 UTM zones N/S (ellipsoidal
+  *   Transverse Mercator, Snyder §8 series; sub-mm round-trip accuracy)
+  *
+  * Other pairs raise (documented gap, SURVEY.md §7). */
 object CrsImpl {
 
-  private val R = 6378137.0
+  private val R = 6378137.0            // WGS84 semi-major
+  private val F = 1.0 / 298.257223563  // WGS84 flattening
+  private val E2 = F * (2 - F)
+  private val E = math.sqrt(E2)
+  private val EP2 = E2 / (1 - E2)
+  private val K0 = 0.9996              // UTM scale factor
+
+  private def isUtmNorth(srid: Int) = srid >= 32601 && srid <= 32660
+  private def isUtmSouth(srid: Int) = srid >= 32701 && srid <= 32760
+  def isSupported(srid: Int): Boolean =
+    srid == 4326 || srid == 3857 || srid == 3395 || isUtmNorth(srid) || isUtmSouth(srid)
+
+  /** Meridian arc length M(φ) (Snyder 3-21). */
+  private def meridianArc(phi: Double): Double =
+    R * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * phi
+      - (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi)
+      + (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi)
+      - (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
+
+  /** Forward ellipsoidal Transverse Mercator (Snyder 8-9..8-13). */
+  private def tmForward(lonDeg: Double, latDeg: Double, lon0Deg: Double,
+      falseNorthing: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val lam0 = math.toRadians(lon0Deg)
+    val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+    val n = R / math.sqrt(1 - E2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = EP2 * cosP * cosP
+    val a = (lam - lam0) * cosP
+    val m = meridianArc(phi)
+    val x = K0 * n * (a + (1 - t + c) * a * a * a / 6
+      + (5 - 18 * t + t * t + 72 * c - 58 * EP2) * math.pow(a, 5) / 120) + 500000.0
+    val y = K0 * (m + n * tanP * (a * a / 2
+      + (5 - t + 9 * c + 4 * c * c) * math.pow(a, 4) / 24
+      + (61 - 58 * t + t * t + 600 * c - 330 * EP2) * math.pow(a, 6) / 720)) + falseNorthing
+    (x, y)
+  }
+
+  /** Inverse ellipsoidal Transverse Mercator (Snyder 8-18..8-25). */
+  private def tmInverse(x0: Double, y0: Double, lon0Deg: Double,
+      falseNorthing: Double): (Double, Double) = {
+    val x = x0 - 500000.0
+    val y = y0 - falseNorthing
+    val m = y / K0
+    val mu = m / (R * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+    val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+      (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+      (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+    val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+    val c1 = EP2 * cosP * cosP
+    val t1 = tanP * tanP
+    val n1 = R / math.sqrt(1 - E2 * sinP * sinP)
+    val r1 = R * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
+    val d = x / (n1 * K0)
+    val phi = phi1 - (n1 * tanP / r1) * (d * d / 2
+      - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * EP2) * math.pow(d, 4) / 24
+      + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * EP2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
+    val lam = (d - (1 + 2 * t1 + c1) * d * d * d / 6
+      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * EP2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / cosP
+    (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  /** Forward from 4326 lon/lat into `dst`. */
+  private def fromWgs84(lon: Double, lat: Double, dst: Int): (Double, Double) = dst match {
+    case 4326 => (lon, lat)
+    case 3857 =>
+      (R * math.toRadians(lon),
+        R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+    case 3395 =>
+      val phi = math.toRadians(lat)
+      val esin = E * math.sin(phi)
+      (R * math.toRadians(lon),
+        R * math.log(math.tan(math.Pi / 4 + phi / 2) *
+          math.pow((1 - esin) / (1 + esin), E / 2)))
+    case z if isUtmNorth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32600), 0.0)
+    case z if isUtmSouth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32700), 1e7)
+    case _ => throw new UnsupportedOperationException(s"to_srid: unsupported target EPSG:$dst")
+  }
+
+  /** Inverse into 4326 lon/lat from `src`. */
+  private def toWgs84(x: Double, y: Double, src: Int): (Double, Double) = src match {
+    case 4326 => (x, y)
+    case 3857 =>
+      (math.toDegrees(x / R),
+        math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
+    case 3395 =>
+      val t = math.exp(-y / R)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 8) { // fixed-point iteration (Snyder 7-9/7-10)
+        val esin = E * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - esin) / (1 + esin), E / 2))
+        i += 1
+      }
+      (math.toDegrees(x / R), math.toDegrees(phi))
+    case z if isUtmNorth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32600), 0.0)
+    case z if isUtmSouth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32700), 1e7)
+    case _ => throw new UnsupportedOperationException(s"to_srid: unsupported source EPSG:$src")
+  }
 
   def toSrid(g: Geometry, target: Int): Geometry = {
     val src = g.getSRID
     if (src == target || g.isEmpty) {
       val c = g.copy(); c.setSRID(target); return c
     }
-    val out = (src, target) match {
-      case (4326, 3857) =>
-        graft.serde.GeomUtil.mapCoords(g, (lon, lat, z) => {
-          val x = R * math.toRadians(lon)
-          val y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
-          (x, y, z)
-        })
-      case (3857, 4326) =>
-        graft.serde.GeomUtil.mapCoords(g, (x, y, z) => {
-          val lon = math.toDegrees(x / R)
-          val lat = math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2)
-          (lon, lat, z)
-        })
-      case _ => throw new UnsupportedOperationException(
-        s"to_srid($src -> $target): only 4326<->3857 supported in this offline build")
-    }
+    require(isSupported(src) && isSupported(target),
+      s"to_srid($src -> $target): supported EPSG codes are 4326, 3857, 3395, UTM 326xx/327xx")
+    val out = graft.serde.GeomUtil.mapCoords(g, (x, y, z) => {
+      val (lon, lat) = toWgs84(x, y, src)
+      val (ox, oy) = fromWgs84(lon, lat, target)
+      (ox, oy, z)
+    })
     out.setSRID(target)
     out
+  }
+
+  /** Parse a CRS definition to (authority, code) — reference
+    * `src/crs.rs:11-18`. Accepts "EPSG:4326", "urn:ogc:def:crs:EPSG::4326",
+    * bare integers, and WKT with AUTHORITY["EPSG","4326"] / ID["EPSG",4326]. */
+  def crsAuthority(defn: String): Option[(String, Int)] = {
+    val s = defn.trim
+    val auth = "(?i)^([A-Za-z]+):(\\d+)$".r
+    val urn = "(?i)^urn:ogc:def:crs:([A-Za-z]+)::?(\\d+)$".r
+    val bare = "^(\\d+)$".r
+    s match {
+      case auth(a, c) => Some((a.toUpperCase, c.toInt))
+      case urn(a, c) => Some((a.toUpperCase, c.toInt))
+      case bare(c) => Some(("EPSG", c.toInt))
+      case _ =>
+        // last AUTHORITY/ID entry in a WKT string names the whole CRS
+        val wkt = "(?i)(?:AUTHORITY|ID)\\s*\\[\\s*\"([A-Za-z]+)\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
+        wkt.findAllMatchIn(s).toSeq.lastOption.map(m => (m.group(1).toUpperCase, m.group(2).toInt))
+    }
+  }
+
+  /** EPSG code → CRS WKT (reference `src/crs.rs:20-26`, which reads an
+    * embedded database; here a small table of the codes this build can
+    * transform, plus synthesized UTM definitions). */
+  def crsFromCode(srid: Int): Option[String] = srid match {
+    case 4326 => Some("""GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]""")
+    case 3857 => Some("""PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3857"]]""")
+    case 3395 => Some("""PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_2SP"],PARAMETER["standard_parallel_1",0],PARAMETER["central_meridian",0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3395"]]""")
+    case z if isUtmNorth(z) || isUtmSouth(z) =>
+      val zone = if (isUtmNorth(z)) z - 32600 else z - 32700
+      val hemi = if (isUtmNorth(z)) "N" else "S"
+      val fn = if (isUtmNorth(z)) 0 else 10000000
+      val cm = -183 + 6 * zone
+      Some(s"""PROJCS["WGS 84 / UTM zone $zone$hemi",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",$cm],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$z"]]""")
+    case _ => None
   }
 }

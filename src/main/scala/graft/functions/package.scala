@@ -25,6 +25,29 @@ package object functions {
   def st_rectangle(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     rectangle(xmin, ymin, xmax, ymax)
 
+  /** dtype-driven dispatch like the reference `from_coords`
+    * (`/root/reference/polars_st/parsing.py:285-320`): array nesting depth
+    * 1 → Point, 2 → LineString, 3 → Polygon. Spark `Column`s don't carry a
+    * resolved type, so the element type is passed explicitly or taken from
+    * a frame's schema. */
+  def st_from_coords(c: Column, dataType: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.ArrayType
+    def depth(t: org.apache.spark.sql.types.DataType, d: Int = 0): Int = t match {
+      case ArrayType(inner, _) => depth(inner, d + 1)
+      case _ => d
+    }
+    depth(dataType) match {
+      case 1 => pointFromCoords(c)
+      case 2 => lineString(c)
+      case 3 => polygon(c)
+      case d => throw new IllegalArgumentException(
+        s"from_coords: expected array nesting depth 1-3, got $d for $dataType")
+    }
+  }
+
+  def st_from_coords(df: org.apache.spark.sql.DataFrame, colName: String): Column =
+    st_from_coords(df(colName), df.schema(colName).dataType)
+
   // --------------------------------------------------------------- accessors
   def st_geometrytype(g: Column): Column = geometryType(g)
   def st_dimensions(g: Column): Column = dimensions(g)
@@ -179,6 +202,10 @@ package object functions {
   // --------------------------------------------------------------------- CRS
   def st_set_srid(g: Column, srid: Column): Column = setSrid(g, srid)
   def st_to_srid(g: Column, srid: Column): Column = toSrid(g, srid)
+  /** (authority, code) struct from a CRS definition string. */
+  def st_get_crs_authority(defn: Column): Column = crsAuthority(defn)
+  /** CRS WKT from an EPSG code. */
+  def st_get_crs_from_code(srid: Column): Column = crsFromCode(srid)
 
   // ----------------------------------------------------------- serialization
   def st_aswkt(g: Column): Column = asWkt(g)
@@ -195,6 +222,9 @@ package object functions {
   def st_collect(g: Column): Column = graft.aggs.GeoAggs.collect(g)
   def st_intersection_all(g: Column): Column = graft.aggs.GeoAggs.intersectionAll(g)
   def st_difference_all(g: Column): Column = graft.aggs.GeoAggs.differenceAll(g)
+  /** Deterministic variant: minuend = row with the smallest `order` value. */
+  def st_difference_all_ordered(g: Column, order: Column): Column =
+    graft.aggs.GeoAggs.differenceAllOrdered(g, order)
   def st_symmetric_difference_all(g: Column): Column = graft.aggs.GeoAggs.symmetricDifferenceAll(g)
   def st_coverage_union_all(g: Column): Column = graft.aggs.GeoAggs.coverageUnionAll(g)
   def st_polygonize(g: Column): Column = graft.aggs.GeoAggs.polygonize(g)

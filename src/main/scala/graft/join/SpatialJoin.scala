@@ -1,10 +1,12 @@
 package graft.join
 
 import graft.serde.EWKB
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.broadcast.Broadcast
-import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.geom.Geometry
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.index.strtree.STRtree
 
@@ -17,20 +19,23 @@ import scala.jdk.CollectionConverters._
   * Two tiers:
   *
   * 1. [[SpatialJoin.sjoin]] — **broadcast STRtree join**: the reference's
-  *    exact algorithm, distributed over the probe side. The left frame's
-  *    (row-id, geometry) pairs are broadcast; each executor builds the
-  *    STRtree of prepared geometries once (cached per broadcast); right
-  *    partitions probe it in parallel and emit (left-id, right-id) match
-  *    pairs; two hash joins re-attach the full rows (the reference does the
-  *    same with `with_row_index` + joins). Use when one side fits in
-  *    executor memory (like the reference, which is single-node in-memory).
+  *    exact algorithm, distributed over the probe side. The left frame is
+  *    collected (size-guarded) and broadcast; ids are assigned driver-side
+  *    (deterministic — no `monotonically_increasing_id`, whose re-evaluation
+  *    on task retry can silently re-number rows). Each executor builds the
+  *    STRtree of prepared geometries once per broadcast; right partitions
+  *    probe it in parallel and emit the joined rows directly — the only
+  *    shuffle-side join left is the broadcast re-attach of left columns.
+  *    If the left side exceeds [[SpatialJoin.MaxBroadcastRows]], the call
+  *    automatically falls back to the grid tier with a sampled cell size.
   *
   * 2. [[SpatialJoin.sjoinPartitioned]] — **grid-partitioned join** for the
   *    large×large case: both sides flatMap to covering grid cells, shuffle
   *    on cell id, per-cell STRtree join, duplicate pairs removed with the
   *    reference-point rule (a pair is reported only by the cell containing
-  *    the top-left corner of the envelope intersection) — the published
-  *    GeoSpark/Sedona design (PAPERS.md).
+  *    the bottom-left corner of the envelope intersection) — the published
+  *    GeoSpark/Sedona design (PAPERS.md). Row ids for outer-join bookkeeping
+  *    come from `zipWithIndex` (deterministic for deterministic scans).
   *
   * Supported predicates (reference `args.rs:172-185`), applied as
   * `predicate(leftGeom, rightGeom)`: intersects_bbox, intersects, within,
@@ -41,6 +46,10 @@ object SpatialJoin {
 
   private val LIdx = "__graft_lidx"
   private val RIdx = "__graft_ridx"
+
+  /** Broadcast-tier guard: above this row count the left side auto-falls
+    * back to the grid-partitioned tier (driver-OOM protection at scale). */
+  val MaxBroadcastRows: Long = 4L * 1000 * 1000
 
   private[join] def applyPred(name: String, prep: PreparedGeometry, right: Geometry): Boolean =
     name match {
@@ -64,9 +73,11 @@ object SpatialJoin {
       cache.computeIfAbsent(bc.id, _ => {
         val tree = new STRtree()
         bc.value.foreach { case (id, bytes) =>
-          val g = EWKB.read(bytes)
-          if (!g.isEmpty)
-            tree.insert(g.getEnvelopeInternal, (id, PreparedGeometryFactory.prepare(g)))
+          if (bytes != null) {
+            val g = EWKB.read(bytes)
+            if (!g.isEmpty)
+              tree.insert(g.getEnvelopeInternal, (id, PreparedGeometryFactory.prepare(g)))
+          }
         }
         tree.build()
         tree
@@ -78,33 +89,45 @@ object SpatialJoin {
     * @param how "inner" | "left" | "right" | "full" (reference
     *            `geolazyframe.py:96-98`; "cross" is rejected there too)
     * @param suffix appended to right-side columns that clash with left
+    * @param maxBuildRows broadcast guard; above it → grid-tier fallback
     */
   def sjoin(left: DataFrame, right: DataFrame,
       predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
-      suffix: String = "_right"): DataFrame = {
+      suffix: String = "_right", maxBuildRows: Long = MaxBroadcastRows): DataFrame = {
     require(Set("inner", "left", "right", "full")(how),
       s"unsupported how: $how (cross is not a spatial join)")
     val spark = left.sparkSession
-    import spark.implicits._
 
-    val leftIdx = left.withColumn(LIdx, monotonically_increasing_id())
-    val rightIdx = right.withColumn(RIdx, monotonically_increasing_id())
+    // Size guard: a mis-sized build side must not OOM the driver.
+    val leftCount = left.count()
+    if (leftCount > maxBuildRows)
+      return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
+        leftGeom, rightGeom, suffix)
 
-    val buildData: Array[(Long, Array[Byte])] = leftIdx
-      .select(col(LIdx), col(leftGeom))
-      .as[(Long, Array[Byte])]
-      .collect()
-      .filter(_._2 != null)
+    val leftGeomPos = left.columns.indexOf(leftGeom)
+    require(leftGeomPos >= 0, s"no column $leftGeom in left frame")
+    val leftRows = left.collect() // bounded by the guard above
+    val buildData: Array[(Long, Array[Byte])] = leftRows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.get(leftGeomPos).asInstanceOf[Array[Byte]])
+    }
     val bc = spark.sparkContext.broadcast(buildData)
     val pred = predicate
+    val emitUnmatchedRight = how == "right" || how == "full"
 
-    val pairs = rightIdx
-      .select(col(RIdx), col(rightGeom))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val tree = TreeCache.get(bc)
-        it.flatMap { case (rid, bytes) =>
+    val rightRenamed = renameClashes(right, left.columns.toSeq, suffix)
+    // after clash-renaming, the right geometry column name:
+    val rgName = if (left.columns.contains(rightGeom)) rightGeom + suffix else rightGeom
+    val rGeomPos = rightRenamed.columns.indexOf(rgName)
+    require(rGeomPos >= 0, s"no column $rightGeom in right frame")
+
+    val outSchema = StructType(rightRenamed.schema.fields :+ StructField(LIdx, LongType, true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val pairs = rightRenamed.mapPartitions { it =>
+      val tree = TreeCache.get(bc)
+      it.flatMap { row =>
+        val bytes = row.get(rGeomPos).asInstanceOf[Array[Byte]]
+        val matches =
           if (bytes == null) Iterator.empty
           else {
             val g = EWKB.read(bytes)
@@ -112,47 +135,86 @@ object SpatialJoin {
             else tree.query(g.getEnvelopeInternal).asScala.iterator
               .map(_.asInstanceOf[(Long, PreparedGeometry)])
               .filter { case (_, prep) => applyPred(pred, prep, g) }
-              .map { case (lid, _) => (lid, rid) }
+              .map { case (lid, _) => Row.fromSeq(row.toSeq :+ lid) }
           }
-        }
+        if (matches.isEmpty && emitUnmatchedRight) Iterator.single(Row.fromSeq(row.toSeq :+ null))
+        else matches
       }
-      .toDF(LIdx, RIdx)
+    }(enc)
 
-    assemble(leftIdx, rightIdx, pairs, how, suffix)
+    // driver-assigned deterministic left ids → small reattach frame
+    val leftIdxSchema = StructType(StructField(LIdx, LongType, false) +: left.schema.fields)
+    val leftIdxDF = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        leftRows.toIndexedSeq.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }),
+      leftIdxSchema)
+
+    val attached = pairs.join(broadcast(leftIdxDF), Seq(LIdx),
+      if (how == "left" || how == "full") "full" else
+        if (how == "right") "left" else "inner")
+    // "left"/"full": left rows with no match must appear → full join above
+    // brings them in with null right columns; inner/right drop them.
+    val ordered = attached.select(
+      (left.columns.map(col) ++ rightRenamed.columns.map(col)): _*)
+    ordered
   }
 
-  /** Grid-partitioned spatial join for large×large inputs (inner join).
+  private def renameClashes(right: DataFrame, leftCols: Seq[String], suffix: String): DataFrame =
+    right.columns.foldLeft(right) { (df, c) =>
+      if (leftCols.contains(c)) df.withColumnRenamed(c, c + suffix) else df
+    }
+
+  /** Sample envelopes to pick a grid cell size ≈ 4× the mean envelope
+    * width (bounded duplication, bounded per-cell fan-in). */
+  def autoCellSize(df: DataFrame, geom: String): Double = {
+    val sample = df.select(col(geom)).limit(1000).collect()
+    val widths = sample.iterator
+      .map(_.get(0).asInstanceOf[Array[Byte]])
+      .filter(_ != null)
+      .map(b => EWKB.read(b).getEnvelopeInternal)
+      .filterNot(_.isNull)
+      .map(e => math.max(e.getWidth, e.getHeight))
+      .toSeq
+    if (widths.isEmpty) 1.0
+    else math.max(4 * widths.sum / widths.size, 1e-9)
+  }
+
+  /** Grid-partitioned spatial join for large×large inputs.
     *
     * @param cellSize grid cell edge length in coordinate units. Choose ≈ the
     *                 median geometry envelope size; smaller cells → more
     *                 duplication, larger cells → more per-cell work.
+    * @param how "inner" | "left" | "right" | "full" — outer variants track
+    *            matched row ids (zipWithIndex, deterministic) and add the
+    *            unmatched rows with an anti join.
     */
   def sjoinPartitioned(left: DataFrame, right: DataFrame, cellSize: Double,
-      predicate: String = "intersects",
+      predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
       suffix: String = "_right"): DataFrame = {
+    require(Set("inner", "left", "right", "full")(how), s"unsupported how: $how")
     val spark = left.sparkSession
     import spark.implicits._
     val pred = predicate
     val cs = cellSize
 
-    val leftIdx = left.withColumn(LIdx, monotonically_increasing_id())
-    val rightIdx = right.withColumn(RIdx, monotonically_increasing_id())
+    val leftIdx = withStableIndex(left, LIdx)
+    val rightIdx = withStableIndex(right, RIdx)
 
-    def cellsOf(bytes: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    def cellsOf(bytes: Array[Byte]): Seq[Long] = {
       if (bytes == null) return Nil
       val e = EWKB.read(bytes).getEnvelopeInternal
       if (e.isNull) return Nil
       val (x0, x1) = (math.floor(e.getMinX / cs).toLong, math.floor(e.getMaxX / cs).toLong)
       val (y0, y1) = (math.floor(e.getMinY / cs).toLong, math.floor(e.getMaxY / cs).toLong)
       for (cx <- x0 to x1; cy <- y0 to y1)
-        yield ((cx << 32) | (cy & 0xffffffffL), bytes)
+        yield (cx << 32) | (cy & 0xffffffffL)
     }
 
     val lCells = leftIdx.select(col(LIdx), col(leftGeom)).as[(Long, Array[Byte])]
-      .flatMap { case (id, b) => cellsOf(b).map { case (c, bb) => (c, id, bb) } }
+      .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
     val rCells = rightIdx.select(col(RIdx), col(rightGeom)).as[(Long, Array[Byte])]
-      .flatMap { case (id, b) => cellsOf(b).map { case (c, bb) => (c, id, bb) } }
+      .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
 
     // cogroup by cell: per-cell STRtree over the left slice, streamed probe
     // of the right slice. No cross product is ever materialized, and the
@@ -195,7 +257,15 @@ object SpatialJoin {
         }
     }.toDF(LIdx, RIdx)
 
-    assemble(leftIdx, rightIdx, pairs, "inner", suffix)
+    assemble(leftIdx, rightIdx, pairs, how, suffix)
+  }
+
+  /** Deterministic row index: zipWithIndex (stable for deterministic
+    * sources, unlike monotonically_increasing_id under task retry). */
+  private def withStableIndex(df: DataFrame, name: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
   }
 
   /** Reattach full rows to the (left-id, right-id) pair table, mirroring

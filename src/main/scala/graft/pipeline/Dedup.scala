@@ -44,6 +44,18 @@ object Dedup {
         .otherwise(array(norm)))
   }
 
+  /** Character k-shingles hashed to Int64 (xxhash64), distinct, codegen'd.
+    * At 100 TB the string shingle array of a 100 KB document is ~0.5 MB per
+    * row; the hashed form is 8 bytes per shingle and loses nothing for
+    * signature/Jaccard purposes (collisions are ~2⁻⁶⁴). */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val norm = TextAnalysis.normalized(text)
+    array_distinct(
+      when(length(norm) >= k,
+        transform(sequence(lit(1), length(norm) - (k - 1)), i => xxhash64(norm.substr(i, lit(k)))))
+        .otherwise(array(xxhash64(norm))))
+  }
+
   /** Word n-grams of the normalized text. */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
@@ -93,6 +105,25 @@ object Dedup {
     f
   }
 
+  /** MinHash signature over pre-hashed Int64 shingles (the scale path —
+    * pairs with [[shingleHashes]] so no string arrays are materialized). */
+  def minhashSignatureHashed(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((sh: Seq[Long]) =>
+      if (sh == null) None
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        sh.foreach { s =>
+          val base = fmix64(s * 0x9e3779b97f4a7c15L + 1)
+          var j = 0
+          while (j < numHashes) {
+            val h = fmix64(base ^ (j * 0xc2b2ae3d27d4eb4fL))
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        Some(sig.toSeq)
+      })
+
   /** Candidate near-dup pairs via MinHash LSH banding: rows whose signature
     * agrees on all rows of at least one band land in the same bucket.
     * Returns (id_a, id_b, jaccard_est) with id_a < id_b.
@@ -101,10 +132,11 @@ object Dedup {
     * catches jaccard ≳ 0.5.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+      maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val sig = minhashSignature(numHashes)(shingles(col(textCol), shingleK))
+    val sig = minhashSignatureHashed(numHashes)(shingleHashes(col(textCol), shingleK))
     val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
     val banded = withSig.select(
       col("id"), col("sig"),
@@ -112,9 +144,21 @@ object Dedup {
         b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    // Hot-bucket guard: a degenerate bucket of B identical-boilerplate rows
+    // is a B² self-join bomb. Buckets above maxBucketSize are dropped
+    // (those rows still pair through their other bands; truly pathological
+    // groups should be exact-deduped first). One extra shuffle on the
+    // bucket key — same key the join shuffles on.
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else {
+        val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
+        banded.join(sizes.filter(col("__bsz") <= maxBucketSize), Seq("band", "bucket"))
+          .drop("__bsz")
+      }
     // self-join within (band, bucket); a<b kills mirror+self pairs
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val rgt = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -133,7 +177,7 @@ object Dedup {
       threshold: Double, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 5): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))

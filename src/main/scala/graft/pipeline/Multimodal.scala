@@ -19,19 +19,76 @@ object Multimodal {
   /** Metadata convention carried next to each media column. */
   val imageMetaFields: Seq[String] = Seq("width", "height", "channels", "format")
 
+  // ------------------------------------------------- REAL header decode
+
+  /** Pure-JVM image header parse: PNG (IHDR), JPEG (SOFn scan), GIF
+    * (logical screen descriptor) → (width, height, channels, format).
+    * This is a real decoder for the metadata plane — no image libraries
+    * needed; pixel decode stays stubbed below. */
+  private[pipeline] def parseImageHeader(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)).toInt
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 26 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G' &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+      // PNG: sig(8) + IHDR chunk: len(4) type(4) width(4) height(4) depth(1) color(1)
+      val channels = u8(25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4; case _ => 3
+      }
+      Some((be32(16), be32(20), channels, "png"))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn frame header
+      var i = 2
+      var out: Option[(Int, Int, Int, String)] = None
+      while (out.isEmpty && i + 9 < b.length) {
+        if (u8(i) != 0xff) return None // desynced — not a valid JPEG stream
+        val marker = u8(i + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+        else if ((marker >= 0xc0 && marker <= 0xcf) && marker != 0xc4 &&
+                 marker != 0xc8 && marker != 0xcc) {
+          // SOFn: len(2) precision(1) height(2) width(2) components(1)
+          out = Some((be16(i + 7), be16(i + 5), u8(i + 9), "jpeg"))
+        } else i += 2 + be16(i + 2)
+      }
+      out
+    } else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') {
+      Some((le16(6), le16(8), 3, "gif"))
+    } else None
+  }
+
+  /** Image header decode: binary → struct(width, height, channels, format);
+    * null for unrecognized bytes. */
+  val decodeImage = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None else parseImageHeader(bytes))
+
+  /** Minimal valid-header PNG bytes for a given size (test/query fixture
+    * generator — deterministic, parseable by [[decodeImage]] and any real
+    * PNG reader's header stage; CRC left zeroed, no pixel data). */
+  val makePngHeader = udf((w: Int, h: Int) => {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h)
+    out.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(0) // CRC placeholder
+    out.array()
+  })
+
   // ------------------------------------------------------------- STUBS
   // Deterministic fakes standing in for actual decoders. ??? -> real impl.
 
-  /** STUB image decode: binary → (width, height, channels). A real build
-    * decodes the header (PNG/JPEG). The fake derives plausible dimensions
-    * from the byte length and first bytes, deterministically. */
+  /** STUB image decode fallback: binary → (width, height, channels) when
+    * the real header parse is not applicable. Deterministic fake. */
   val decodeImageStub = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
-    else {
-      // ??? real: ImageIO/libjpeg header parse
-      val w = 64 + (math.abs(java.util.Arrays.hashCode(bytes)) % 960)
-      val h = 64 + (math.abs(java.util.Arrays.hashCode(bytes) * 31) % 960)
-      Some((w, h, 3))
+    else parseImageHeader(bytes) match {
+      case Some((w, h, c, _)) => Some((w, h, c))
+      case None =>
+        // ??? real: full pixel decode via libjpeg/libpng JNI
+        val w = 64 + (math.abs(java.util.Arrays.hashCode(bytes)) % 960)
+        val h = 64 + (math.abs(java.util.Arrays.hashCode(bytes) * 31) % 960)
+        Some((w, h, 3))
     })
 
   /** STUB feature extraction: binary → dense feature vector of `dim`.

@@ -56,9 +56,41 @@ object Similarity {
         Some(sig)
       })
 
+  /** Per-partition partial top-k: stream each executor partition keeping a
+    * bounded heap per query, so the global rank window only shuffles
+    * ≤ partitions × queries × k survivor rows instead of the full
+    * corpus × queries score matrix (the 100 TB fix for the naive global
+    * `row_number`). Input must have (query_id, corpus_id, cosine). */
+  private def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id").cast("long"), col("corpus_id").cast("long"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // per-query bounded heap: worst element on top for O(log k) evict
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        val ord = Ordering.by[(Double, Long), (Double, Long)] {
+          case (cos, id) => (-cos, id) // min-cosine (then max-id) on top
+        }
+        it.foreach { case (qid, cid, cos) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+          if (h.size < k) h.enqueue((cos, cid))
+          else {
+            val (wc, wi) = h.head
+            if (cos > wc || (cos == wc && cid < wi)) { h.dequeue(); h.enqueue((cos, cid)) }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (cos, cid) => (qid, cid, cos) } }
+      }
+      .toDF("query_id", "corpus_id", "cosine")
+  }
+
   /** Exact top-k nearest corpus rows per query by cosine (ties broken by
     * corpus id for determinism). Queries are broadcast — keep them small
-    * (≤ ~1M rows); the corpus streams at full parallelism.
+    * (≤ ~1M rows); the corpus streams at full parallelism; the rank shuffle
+    * sees only per-partition survivors (see [[localTopK]]).
     *
     * Output: (query id, rank 1..k, corpus id, cosine). */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -71,7 +103,7 @@ object Similarity {
       .withColumn("cosine", cosine(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
+    localTopK(scored, k).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
   }
@@ -93,7 +125,7 @@ object Similarity {
       .withColumn("cosine", cosine(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
+    localTopK(scored, k).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
   }

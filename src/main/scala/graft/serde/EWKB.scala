@@ -56,6 +56,7 @@ object EWKB {
     }
     val raw = u32(1)
     val hasSrid = (raw & FlagSrid) != 0
+    require(!hasSrid || bytes.length >= 9, "invalid WKB: too short")
     var hasZ = (raw & FlagZ) != 0
     var hasM = (raw & FlagM) != 0
     var code = raw & 0x0fffffff
