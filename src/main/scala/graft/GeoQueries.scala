@@ -1,0 +1,670 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions._
+
+/** Oracle-checked queries covering the full SURVEY.md §2 geometry surface.
+  *
+  * Design: every geometry is derived from `o_orderkey` with dyadic-rational
+  * coordinates (k/4, k/8 …), so every exact output (coordinate, area,
+  * length, count, type name, predicate) is recomputable closed-form in
+  * plain DuckDB SQL and hash-matches bit-for-bit. Non-dyadic outputs
+  * (rotation by arbitrary angles, reprojection) are emitted as tolerance
+  * booleans, which the oracle states as constants. Constants that depend on
+  * JTS behavior (DE-9IM strings, buffer areas under mitre joins, voronoi
+  * cell counts) were verified empirically before being baked into the SQL
+  * (see test probe history).
+  *
+  * The reference proves its operators against a fixture × totality matrix
+  * (`/root/reference/tests/test_expressions.py:90-307`); these queries are
+  * the Spark analog with *value* assertions, not just schema.
+  */
+object GeoQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** orders → (k, derived dyadic box/point columns), the shared scheme. */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey").as("k"))
+
+  private def k = col("k")
+  private def xmin = (k % 100000).cast("double") * 16.0
+  private def ymin = (k % 16).cast("double") * 16.0
+  private def w = lit(1.0) + (k % 13).cast("double") / 4.0
+  private def h = lit(1.0) + (k % 11).cast("double") / 4.0
+  private def px = xmin + w / 2
+  private def py = ymin + h / 2
+  private def rect = st_rectangle(xmin, ymin, xmin + w, ymin + h)
+  private def pt = st_point(px, py)
+  /** L-shaped 3-point line, length w+h. */
+  private def lineL = st_linestring(array(
+    array(xmin, ymin), array(xmin + w, ymin), array(xmin + w, ymin + h)))
+  /** horizontal segment (xmin,ymin)→(xmin+w,ymin), length w. */
+  private def hseg = st_linestring(array(array(xmin, ymin), array(xmin + w, ymin)))
+  /** vertical segment, length h. */
+  private def vseg = st_linestring(array(array(xmin, ymin), array(xmin, ymin + h)))
+  /** self-intersecting bowtie polygon, fixed area w*h/2. */
+  private def bowtie = st_polygon(array(array(
+    array(xmin, ymin), array(xmin + w, ymin + h),
+    array(xmin + w, ymin), array(xmin, ymin + h), array(xmin, ymin))))
+  /** polygon with one hole: area w*h - (w/4)*(h/4). */
+  private def polyHole = st_polygon(array(
+    array(array(xmin, ymin), array(xmin + w, ymin), array(xmin + w, ymin + h),
+      array(xmin, ymin + h), array(xmin, ymin)),
+    array(array(xmin + w / 4, ymin + h / 4), array(xmin + w / 2, ymin + h / 4),
+      array(xmin + w / 2, ymin + h / 2), array(xmin + w / 4, ymin + h / 2),
+      array(xmin + w / 4, ymin + h / 4))))
+  private def mp4 = st_multipoint(array(
+    array(xmin, ymin), array(xmin + w, ymin),
+    array(xmin + w, ymin + h), array(xmin, ymin + h)))
+
+  /** DuckDB CTE mirroring the dyadic scheme. */
+  private val B =
+    """WITH b AS (SELECT o_orderkey AS k,
+      | CAST(o_orderkey%100000 AS DOUBLE)*16.0 AS xmin,
+      | CAST(o_orderkey%16 AS DOUBLE)*16.0 AS ymin,
+      | 1+CAST(o_orderkey%13 AS DOUBLE)/4.0 AS w,
+      | 1+CAST(o_orderkey%11 AS DOUBLE)/4.0 AS h
+      | FROM orders)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -------------------------------------------------- §2.1 constructors
+    "geo_ctor_point" -> ((s, dir) => {
+      base(s, dir).select(k,
+        st_x(pt).as("px"),
+        st_y(pt).as("py"),
+        st_z(st_point(px, py, (k % 9).cast("double") / 4.0)).as("pz"),
+        st_m(pt).as("pm"),
+        st_x(st_point_from_coords(array(px, py))).as("pfc_x"),
+        st_geometrytype(pt).as("gt")
+      ).orderBy(k)
+    }),
+
+    "geo_ctor_line" -> ((s, dir) => {
+      base(s, dir).select(k,
+        st_length(lineL).as("len"),
+        st_count_points(lineL).as("npts"),
+        st_count_coordinates(lineL).as("ncoords"),
+        st_geometrytype(mp4).as("gt_mp"),
+        st_count_geometries(mp4).as("n_mp"),
+        st_length(st_multilinestring(array(
+          array(array(xmin, ymin), array(xmin + w, ymin)),
+          array(array(xmin, ymin + h), array(xmin + w, ymin + h))))).as("mls_len"),
+        st_geometrytype(lineL).as("gt")
+      ).orderBy(k)
+    }),
+
+    "geo_ctor_poly" -> ((s, dir) => {
+      base(s, dir).select(k,
+        st_area(polyHole).as("area"),
+        st_count_interior_rings(polyHole).as("nint"),
+        st_area(rect).as("rect_area"),
+        st_x(st_from_coords(array(px, py), ArrayType(DoubleType))).as("fc_x"),
+        st_geometrytype(st_from_coords(array(array(xmin, ymin), array(xmin + w, ymin)),
+          ArrayType(ArrayType(DoubleType)))).as("fc_line_gt")
+      ).orderBy(k)
+    }),
+
+    "geo_parse" -> ((s, dir) => {
+      val xi = ((k % 100000) * 16).cast("long").cast("string")
+      val yi = ((k % 16) * 16).cast("long").cast("string")
+      val wkt = concat(lit("POINT ("), xi, lit(" "), yi, lit(")"))
+      base(s, dir).select(k,
+        st_x(st_geomfromtext(wkt)).as("wkt_x"),
+        graft.functions.st_srid(st_geomfromewkt(concat(lit("SRID=4326;"), wkt))).as("ewkt_srid"),
+        st_x(st_geomfromewkt(concat(lit("SRID=4326;"), wkt))).as("ewkt_x"),
+        st_x(st_geomfromgeojson(concat(lit("{\"type\":\"Point\",\"coordinates\":["),
+          xi, lit(","), yi, lit("]}")))).as("gj_x"),
+        st_x(graft.functions.st_geomfromwkb(st_aswkb(pt, lit(2), lit(false), lit(false)))).as("wkb_x")
+      ).orderBy(k)
+    }),
+
+    // ----------------------------------------------------- §2.2 accessors
+    "geo_acc_meta" -> ((s, dir) => {
+      base(s, dir).select(k,
+        st_geometrytype(rect).as("gt"),
+        st_dimensions(rect).as("dim"),
+        st_coordinatedimension(pt).as("cdim2"),
+        st_coordinatedimension(st_point(px, py, lit(1.0))).as("cdim3"),
+        graft.functions.st_srid(rect).as("srid0"),
+        graft.functions.st_srid(st_set_srid(rect, (lit(1000) + k % 100).cast("int"))).as("srid_set"),
+        st_precision(rect).as("prec"),
+        st_has_z(pt).as("hz"),
+        st_has_z(st_point(px, py, lit(1.0))).as("hz3"),
+        st_has_m(pt).as("hm")
+      ).orderBy(k)
+    }),
+
+    "geo_acc_structure" -> ((s, dir) => {
+      base(s, dir).select(k,
+        st_count_coordinates(rect).as("nc_rect"),
+        st_count_geometries(rect).as("ng_rect"),
+        st_length(st_exterior_ring(polyHole)).as("ext_len"),
+        size(st_interior_rings(polyHole)).as("int_n"),
+        st_length(st_get_interior_ring(polyHole, lit(0))).as("int_len"),
+        st_x(st_get_point(lineL, lit(1))).as("gp_x"),
+        st_x(st_get_geometry(mp4, lit(1))).as("gg_x"),
+        size(st_parts(st_multi(rect))).as("parts_n"),
+        element_at(st_bounds(rect), 1).as("b0"),
+        element_at(st_bounds(rect), 2).as("b1"),
+        element_at(st_bounds(rect), 3).as("b2"),
+        element_at(st_bounds(rect), 4).as("b3"),
+        element_at(element_at(st_coordinates(lineL), 1), 1).as("coord00")
+      ).orderBy(k)
+    }),
+
+    // --------------------------------------------------- §2.3 measurement
+    "geo_measure" -> ((s, dir) => {
+      val hsegTop = st_linestring(array(
+        array(xmin, ymin + h), array(xmin + w, ymin + h)))
+      base(s, dir).select(k,
+        st_area(rect).as("area"),
+        st_length(lineL).as("len"),
+        st_distance(pt, st_point(px + w, py)).as("d_ax"),
+        st_distance(pt, st_point(px + w, py + h)).as("d_diag"),
+        st_hausdorff_distance(hseg, hsegTop).as("haus"),
+        st_hausdorff_distance(hseg, hsegTop, lit(0.5)).as("hausd"),
+        st_frechet_distance(hseg, hsegTop).as("frech"),
+        st_frechet_distance(hseg, hsegTop, lit(0.5)).as("frechd"),
+        st_minimum_clearance(rect).as("clear"),
+        isnan(st_distance(st_geomfromtext(lit("POINT EMPTY")), pt)).as("dist_empty_nan")
+      ).orderBy(k)
+    }),
+
+    // ---------------------------------------------- §2.4 unary predicates
+    "geo_pred_unary" -> ((s, dir) => {
+      val ring = st_exterior_ring(rect)
+      val bowtieRing = st_linestring(array(
+        array(xmin, ymin), array(xmin + w, ymin + h),
+        array(xmin + w, ymin), array(xmin, ymin + h), array(xmin, ymin)))
+      base(s, dir).select(k,
+        st_is_ring(st_cast(ring, lit("LineString"))).as("is_ring"),
+        st_is_closed(st_cast(ring, lit("LineString"))).as("is_closed"),
+        st_is_ccw(ring).as("is_ccw"),
+        st_is_simple(bowtieRing).as("bowtie_simple"),
+        st_is_empty(st_geomfromtext(lit("POLYGON EMPTY"))).as("empty_is_empty"),
+        st_is_empty(rect).as("rect_is_empty"),
+        st_is_valid(rect).as("rect_valid"),
+        st_is_valid(bowtie).as("bowtie_valid"),
+        st_is_valid_reason(rect).as("valid_reason"),
+        st_has_z(rect).as("hz"),
+        st_has_m(rect).as("hm")
+      ).orderBy(k)
+    }),
+
+    // --------------------------------------------- §2.5 binary predicates
+    "geo_pred_binary" -> ((s, dir) => {
+      val a = rect
+      val b = st_translate(rect, w, lit(0.0))
+      val c = st_translate(rect, w / 2, lit(0.0))
+      val f = st_translate(rect, w * 2, lit(0.0))
+      val l = st_linestring(array(array(xmin - 1.0, py), array(xmin + w + 1.0, py)))
+      base(s, dir).select(k,
+        st_intersects(a, c).as("int_c"),
+        st_intersects(a, b).as("int_b"),
+        st_touches(a, b).as("touch_b"),
+        st_disjoint(a, f).as("disj_f"),
+        st_overlaps(a, c).as("overlap_c"),
+        st_crosses(l, a).as("crosses_l"),
+        st_contains(a, pt).as("contains_p"),
+        st_within(pt, a).as("within_p"),
+        st_contains_properly(a, pt).as("cprop_p"),
+        st_contains_properly(a, b).as("cprop_b"),
+        st_covers(a, a).as("covers_a"),
+        st_covered_by(a, a).as("coveredby_a"),
+        st_equals(a, st_reverse(a)).as("eq_rev"),
+        st_equals_identical(a, a).as("eq_ident"),
+        st_equals_exact(a, st_translate(a, lit(0.25), lit(0.0)), lit(0.5)).as("eq_exact"),
+        st_dwithin(pt, st_point(px + w, py), w).as("dwithin_eq"),
+        st_dwithin(pt, st_point(px + w, py), w + 0.25).as("dwithin_lt"),
+        st_relate(pt, a).as("relate_s"),
+        st_relate_pattern(a, pt, lit("T*****FF*")).as("relate_pat"),
+        st_intersects_xy(a, px, py).as("ixy"),
+        st_contains_xy(a, px, py).as("cxy")
+      ).orderBy(k)
+    }),
+
+    // ----------------------------------------------------- §2.6 overlay
+    "geo_overlay" -> ((s, dir) => {
+      val a = rect
+      val c = st_translate(rect, w / 2, lit(0.0))
+      val xiL = ((k % 100000) * 16).cast("long")
+      val yiL = ((k % 16) * 16).cast("long")
+      def S(cc: Column): Column = cc.cast("string")
+      def pWkt(dx0: Int, dx1: Int): Column = concat(
+        lit("(("), S(xiL + dx0), lit(" "), S(yiL), lit(", "), S(xiL + dx1),
+        lit(" "), S(yiL), lit(", "), S(xiL + dx1), lit(" "), S(yiL + 2),
+        lit(", "), S(xiL + dx0), lit(" "), S(yiL + 2), lit(", "),
+        S(xiL + dx0), lit(" "), S(yiL), lit("))"))
+      val mpolyWkt = concat(lit("MULTIPOLYGON ("), pWkt(0, 2), lit(", "), pWkt(1, 3), lit(")"))
+      val gcWkt = concat(lit("GEOMETRYCOLLECTION (POLYGON "), pWkt(0, 2),
+        lit(", POLYGON "), pWkt(2, 4), lit(")"))
+      // prec variants use an integer shift: every coordinate stays on the
+      // 0.25 snap grid, so grid_size snapping is a no-op and the result is
+      // closed-form (overlap width = w-1 ≥ 0).
+      val cp = st_translate(rect, lit(1.0), lit(0.0))
+      base(s, dir).select(k,
+        st_area(st_intersection(a, c)).as("inter_area"),
+        st_area(st_union(a, c)).as("union_area"),
+        st_area(st_difference(a, c)).as("diff_area"),
+        st_area(st_symmetric_difference(a, c)).as("sym_area"),
+        st_area(st_union(a, cp, lit(0.25))).as("union_prec"),
+        st_area(st_intersection(a, cp, lit(0.25))).as("inter_prec"),
+        st_area(st_difference(a, cp, lit(0.25))).as("diff_prec"),
+        st_area(st_symmetric_difference(a, cp, lit(0.25))).as("sym_prec"),
+        st_area(st_unary_union(st_geomfromtext(mpolyWkt))).as("uu_area"),
+        st_area(st_coverage_union(st_geomfromtext(gcWkt))).as("cu_area")
+      ).orderBy(k)
+    }),
+
+    // ------------------------------------------------ §2.7 aggregations
+    "geo_agg_group" -> ((s, dir) => {
+      base(s, dir)
+        .select((k % 16).as("grp"), k.as("k"), rect.as("g"))
+        .groupBy(col("grp"))
+        .agg(
+          element_at(st_total_bounds(col("g")), 1).as("tb_xmin"),
+          element_at(st_total_bounds(col("g")), 4).as("tb_ymax"),
+          st_count_geometries(st_collect(col("g"))).as("n_collect"),
+          st_geometrytype(st_collect(col("g"))).as("gt_collect"),
+          st_area(st_union_all(col("g"))).as("union_area"),
+          st_area(st_symmetric_difference_all(col("g"))).as("sym_area"),
+          st_area(st_coverage_union_all(col("g"))).as("cov_area"),
+          st_area(st_polygonize(st_boundary(col("g")))).as("poly_area"),
+          st_count_geometries(st_polygonize(st_boundary(col("g")))).as("poly_n"))
+        .orderBy(col("grp"))
+    }),
+
+    "geo_agg_inter" -> ((s, dir) => {
+      base(s, dir)
+        .select((k % 8).as("grp"),
+          st_rectangle(lit(0.0), lit(0.0),
+            lit(16.0) + (k % 13).cast("double") / 4.0,
+            lit(16.0) + (k % 11).cast("double") / 4.0).as("g"))
+        .groupBy(col("grp"))
+        .agg(st_area(st_intersection_all(col("g"))).as("ia"))
+        .orderBy(col("grp"))
+    }),
+
+    "geo_agg_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // minuend (rank 1 by k): the 64×64 box; others: small disjoint boxes
+      // in distinct 16×16 cells strictly inside it (rank ≤ 9).
+      val ranked = base(s, dir)
+        .select(k, (k % 2000).as("grp"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(k)))
+        .filter(col("rn") <= 9)
+      val cell = col("rn") - 2 // 0..7 for subtrahend rows
+      val cx = (cell % 3).cast("double") * 16.0 + 4.0
+      val cy = (cell / 3).cast("double").cast("int").cast("double") * 16.0 + 4.0
+      val g = when(col("rn") === 1,
+        st_rectangle(lit(0.0), lit(0.0), lit(64.0), lit(64.0)))
+        .otherwise(st_rectangle(cx, cy, cx + w, cy + h))
+      ranked.select(col("grp"), col("rn"), k, g.as("g"), w.as("w"), h.as("h"))
+        .groupBy(col("grp"))
+        .agg(st_area(st_difference_all_ordered(col("g"), col("rn").cast("long"))).as("da"))
+        .orderBy(col("grp"))
+    }),
+
+    "geo_agg_vor" -> ((s, dir) => {
+      val pts = base(s, dir).select(
+        ((k % 4) % 2).cast("double").as("ix"),
+        when(k % 4 >= 2, 1.0).otherwise(0.0).as("iy"))
+        .distinct()
+        .select(st_point(col("ix") * 16.0, col("iy") * 16.0).as("g"))
+      val vor = pts.agg(
+        st_count_geometries(st_voronoi_polygons(col("g"))).as("vor_n"),
+        st_count_geometries(st_delaunay_triangles(col("g"))).as("del_n"),
+        st_area(st_delaunay_triangles(col("g"))).as("del_area"),
+        st_geometrytype(st_voronoi_polygons(col("g"))).as("vor_gt"))
+      val empty = base(s, dir).filter(lit(false)).agg(
+        st_aswkt(st_union_all(rect)).as("empty_wkt"),
+        isnan(element_at(st_total_bounds(rect), 1)).as("tb_nan"))
+      vor.crossJoin(empty)
+    }),
+
+    // ------------------------------------------- §2.8 constructive ops
+    "geo_constructive1" -> ((s, dir) => {
+      val d = (lit(1.0) + (k % 5).cast("double")) / 4.0
+      base(s, dir).select(k,
+        st_length(st_boundary(rect)).as("bdry_len"),
+        st_geometrytype(st_boundary(rect)).as("bdry_gt"),
+        st_area(st_buffer(pt, d, lit(1), lit("square"), lit("round"), lit(5.0),
+          lit(false))).as("buf_sq_area"),
+        st_area(st_buffer(rect, lit(0.5), lit(1), lit("round"), lit("mitre"),
+          lit(10.0), lit(false))).as("buf_mitre"),
+        st_area(st_buffer(rect, lit(-0.25), lit(1), lit("round"), lit("mitre"),
+          lit(10.0), lit(false))).as("buf_neg"),
+        st_length(st_offset_curve(hseg, lit(0.5))).as("off_len"),
+        st_x(st_centroid(rect)).as("centroid_x"),
+        st_y(st_center(rect)).as("center_y"),
+        st_area(st_envelope(rect)).as("env_area"),
+        st_area(st_convex_hull(mp4)).as("ch_area"),
+        st_area(st_concave_hull(mp4, lit(1.0))).as("cc_area"),
+        st_area(st_clip_by_rect(rect, xmin, ymin, xmin + w / 2, ymin + h)).as("clip_area"),
+        st_contains(rect, st_point_on_surface(rect)).as("pos_in"),
+        st_area(st_minimum_rotated_rectangle(rect)).as("mrr_area")
+      ).orderBy(k)
+    }),
+
+    "geo_constructive2" -> ((s, dir) => {
+      val coll3 = st_linestring(array(
+        array(xmin, ymin), array(xmin + w / 2, ymin), array(xmin + w, ymin)))
+      val dupline = st_linestring(array(
+        array(xmin, ymin), array(xmin, ymin), array(xmin + w, ymin)))
+      val cross = st_multilinestring(array(
+        array(array(xmin, ymin + h / 2), array(xmin + w, ymin + h / 2)),
+        array(array(xmin + w / 2, ymin), array(xmin + w / 2, ymin + h))))
+      base(s, dir).select(k,
+        st_count_coordinates(st_segmentize(vseg, h / 2)).as("seg_n"),
+        st_length(st_segmentize(vseg, h / 2)).as("seg_len"),
+        st_count_coordinates(st_simplify(coll3, lit(0.25), lit(false))).as("simp_n"),
+        st_count_coordinates(st_remove_repeated_points(dupline, lit(0.0))).as("rrp_n"),
+        st_count_geometries(st_extract_unique_points(rect)).as("uniq_n"),
+        st_area(st_make_valid(bowtie)).as("mv_area"),
+        st_geometrytype(st_make_valid(bowtie)).as("mv_gt"),
+        st_area(st_build_area(st_boundary(rect))).as("ba_area"),
+        st_count_geometries(st_node(cross)).as("node_n"),
+        st_geometrytype(st_node(cross)).as("node_gt"),
+        st_x(st_get_point(st_reverse(hseg), lit(0))).as("rev_x"),
+        st_x(st_flip_coordinates(pt)).as("flip_x"),
+        st_equals_identical(st_normalize(rect), st_normalize(st_reverse(rect))).as("norm_eq"),
+        st_z(st_force_3d(pt, lit(1.25))).as("f3_z"),
+        st_has_z(st_force_2d(st_point(px, py, lit(3.0)))).as("f2_hz"),
+        st_geometrytype(st_multi(rect)).as("multi_gt"),
+        st_geometrytype(st_cast(pt, lit("MultiPoint"))).as("cast_gt")
+      ).orderBy(k)
+    }),
+
+    "geo_constructive3" -> ((s, dir) => {
+      val subseg = st_linestring(array(array(xmin + w / 4, ymin), array(xmin + w, ymin)))
+      val mlsFwd = st_multilinestring(array(
+        array(array(xmin, ymin), array(xmin + w, ymin)),
+        array(array(xmin + w, ymin), array(xmin + w, ymin + h))))
+      val mlsBack = st_multilinestring(array(
+        array(array(xmin, ymin), array(xmin + w, ymin)),
+        array(array(xmin + w, ymin + h), array(xmin + w, ymin))))
+      base(s, dir).select(k,
+        st_x(st_snap(st_point(xmin - 0.25, ymin), rect, lit(0.5))).as("snap_x"),
+        st_length(st_shortest_line(rect, st_translate(rect, w * 2, lit(0.0)))).as("short_len"),
+        st_length(st_shared_paths(hseg, subseg)).as("shared_len"),
+        st_geometrytype(st_line_merge(mlsFwd)).as("lm_gt"),
+        st_length(st_line_merge(mlsFwd)).as("lm_len"),
+        st_count_geometries(st_line_merge(mlsBack, lit(true))).as("lmdir_n")
+      ).orderBy(k)
+    }),
+
+    // --------------------------------------- §2.9 affine / linear ref
+    "geo_affine" -> ((s, dir) => {
+      base(s, dir).select(k,
+        st_x(st_affine_transform(pt, array(lit(2.0), lit(0.0), lit(0.0),
+          lit(2.0), lit(0.25), lit(0.5)))).as("at_x"),
+        st_x(st_translate(pt, lit(1.25), lit(0.5))).as("tr_x"),
+        st_y(st_translate(pt, lit(1.25), lit(0.5))).as("tr_y"),
+        st_area(st_scale(rect, lit(2.0), lit(2.0))).as("sc_area"),
+        st_x(st_scale(pt, lit(2.0), lit(2.0), lit(1.0), lit("0 0"))).as("sc_origin_x"),
+        st_x(st_rotate(pt, lit(37.0))).as("rot_self_x"),
+        (abs(st_area(st_rotate(rect, lit(37.0))) - w * h) < 1e-6).as("rot_area_ok"),
+        (abs(st_area(st_skew(rect, lit(10.0), lit(0.0))) - w * h) < 1e-6).as("skew_area_ok"),
+        st_x(st_interpolate(hseg, w / 2)).as("interp_x"),
+        st_x(st_interpolate(hseg, lit(0.5), lit(true))).as("interp_n_x"),
+        st_project(hseg, st_point(xmin + w / 4, ymin + 1.0)).as("proj_d"),
+        st_project(hseg, st_point(xmin + w / 4, ymin + 1.0), lit(true)).as("proj_n")
+      ).orderBy(k)
+    }),
+
+    // ------------------------------------------------------- §2.11 CRS
+    "geo_crs" -> ((s, dir) => {
+      val lon = (k % 180).cast("double") - 90.0 + 0.25
+      val lat = (k % 120).cast("double") / 2.0 - 30.0
+      val lon33 = lit(13.5) + (k % 60).cast("double") / 20.0
+      val lat33 = (k % 140).cast("double") / 2.0 - 35.0
+      val pll = st_set_srid(st_point(lon, lat), lit(4326))
+      val p33 = st_set_srid(st_point(lon33, lat33), lit(4326))
+      val merc = st_to_srid(pll, lit(3857))
+      val rt = st_to_srid(merc, lit(4326))
+      val utm = st_to_srid(p33, lit(32633))
+      val utmRt = st_to_srid(utm, lit(4326))
+      val wm = st_to_srid(pll, lit(3395))
+      val wmRt = st_to_srid(wm, lit(4326))
+      base(s, dir).select(k,
+        graft.functions.st_srid(st_set_srid(pt, lit(3857))).as("srid_set"),
+        graft.functions.st_srid(merc).as("srid_merc"),
+        (abs(st_x(merc) / 20037508.342789244 - lon / 180.0) < 1e-9).as("merc_x_ok"),
+        (abs(st_x(rt) - lon) < 1e-9 && abs(st_y(rt) - lat) < 1e-9).as("merc_rt_ok"),
+        (abs(st_x(utmRt) - lon33) < 1e-8 && abs(st_y(utmRt) - lat33) < 1e-8).as("utm_rt_ok"),
+        (st_x(utm) > 100000.0 && st_x(utm) < 900000.0).as("utm_x_range"),
+        graft.functions.st_srid(utm).as("srid_utm"),
+        (abs(st_x(wmRt) - lon) < 1e-9 && abs(st_y(wmRt) - lat) < 1e-9).as("wm_rt_ok"),
+        st_get_crs_authority(lit("EPSG:32633")).getField("_1").as("auth_name"),
+        st_get_crs_authority(lit("EPSG:32633")).getField("_2").as("auth_code"),
+        st_get_crs_from_code(lit(32633)).contains("UTM zone 33N").as("fromcode_ok"),
+        st_get_crs_authority(st_get_crs_from_code(lit(3857))).getField("_2").as("wkt_code")
+      ).orderBy(k)
+    }),
+
+    // --------------------------------------------- §2.12 serialization
+    "geo_serde" -> ((s, dir) => {
+      val xiD = (k % 100000).cast("double") * 16.0
+      val yiD = (k % 16).cast("double") * 16.0
+      val ptInt = st_point(xiD, yiD)
+      val ptFrac = st_point(xiD + 0.25, yiD)
+      base(s, dir).select(k,
+        st_aswkt(ptInt).as("wkt_int"),
+        st_aswkt(ptFrac).as("wkt_frac"),
+        st_aswkt(ptFrac, lit(6)).as("wkt_prec"),
+        st_asewkt(st_set_srid(ptInt, lit(4326))).as("ewkt_s"),
+        length(st_aswkb(pt, lit(2), lit(false), lit(false))).as("wkb_len"),
+        hex(substring(st_aswkb(pt, lit(2), lit(true), lit(false)), 1, 1)).as("wkb_be"),
+        length(st_aswkb(st_set_srid(pt, lit(4326)), lit(2), lit(false), lit(true))).as("wkb_srid_len"),
+        st_x(graft.functions.st_geomfromwkb(st_aswkb(pt, lit(2), lit(false), lit(false)))).as("wkbrt_x"),
+        st_asgeojson(ptInt).as("gj_s"),
+        st_x(st_geomfromgeojson(st_asgeojson(ptFrac))).as("gj_rt_x"),
+        graft.functions.st_srid(st_geomfromewkt(st_asewkt(st_set_srid(pt, lit(4326))))).as("ewkt_rt")
+      ).orderBy(k)
+    }),
+
+    // ------------------------------------------------ §2.10 spatial join
+    "geo_sjoin_broadcast" -> ((s, dir) => {
+      val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
+      val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
+      val inner = graft.join.SpatialJoin.sjoin(left, right, "contains", "inner")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("lk") === col("rk")).cast("long")).as("n_same"))
+      val rightEven = base(s, dir).filter(k % 2 === 0)
+        .select(k.as("rk"), pt.as("geometry"))
+      val leftJ = graft.join.SpatialJoin.sjoin(left, rightEven, "contains", "left")
+        .agg(count(lit(1)).as("n_left_rows"),
+          sum(col("rk").isNull.cast("long")).as("n_left_null"))
+      inner.crossJoin(leftJ)
+    }),
+
+    "geo_sjoin_grid" -> ((s, dir) => {
+      val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
+      val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
+      graft.join.SpatialJoin.sjoinPartitioned(left, right, 16.0, "contains")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("lk") === col("rk")).cast("long")).as("n_same"))
+    }),
+
+    // ---------------------------------------------------- §2.13 frame I/O
+    "geo_io" -> ((s, dir) => {
+      val df = base(s, dir).select(k, rect.as("geometry"))
+      val pqPath = "/tmp/graft_io_pq"
+      val csvPath = "/tmp/graft_io_csv"
+      val ndPath = "/tmp/graft_io_nd"
+      graft.io.GeoIO.writeGeoParquet(df, pqPath)
+      val pq = graft.io.GeoIO.readGeoParquet(s, pqPath)
+        .select(col("k"), st_area(col("geometry")).as("pq_area"))
+      df.select(k, st_aswkt(col("geometry")).as("geometry"))
+        .write.mode("overwrite").option("header", "true").csv(csvPath)
+      val csv = graft.io.GeoIO.readWktCsv(s, csvPath)
+        .select(col("k").cast("long").as("k"), st_area(col("geometry")).as("csv_area"))
+      graft.io.GeoIO.writeNdGeoJson(df, ndPath)
+      val nd = s.read.text(ndPath).select(
+        get_json_object(col("value"), "$.properties.k").cast("long").as("k"),
+        st_area(st_geomfromgeojson(get_json_object(col("value"), "$.geometry"))).as("nd_area"))
+      pq.join(csv, "k").join(nd, "k").orderBy(col("k"))
+    }),
+
+    // ------------------------------- geometry-list evaluation (list.eval)
+    "geo_list_eval" -> ((s, dir) => {
+      base(s, dir).select(k,
+        element_at(transform(st_parts(mp4), g => st_x(g)), 2).as("part_x1"),
+        size(transform(st_parts(mp4), g => st_geometrytype(g))).as("parts_n"),
+        aggregate(transform(st_parts(st_multi(rect)), g => st_area(g)),
+          lit(0.0), (acc, v) => acc + v).as("parts_area_sum")
+      ).orderBy(k)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "geo_ctor_point" ->
+      s"""$B SELECT k, xmin+w/2 AS px, ymin+h/2 AS py,
+         | CAST(k%9 AS DOUBLE)/4.0 AS pz, CAST('NaN' AS DOUBLE) AS pm,
+         | xmin+w/2 AS pfc_x, 'Point' AS gt
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_ctor_line" ->
+      s"""$B SELECT k, w+h AS len, 3 AS npts, 3 AS ncoords,
+         | 'MultiPoint' AS gt_mp, 4 AS n_mp, w+w AS mls_len, 'LineString' AS gt
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_ctor_poly" ->
+      s"""$B SELECT k, w*h - (w/4)*(h/4) AS area, 1 AS nint, w*h AS rect_area,
+         | xmin+w/2 AS fc_x, 'LineString' AS fc_line_gt
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_parse" ->
+      s"""$B SELECT k, xmin AS wkt_x, 4326 AS ewkt_srid, xmin AS ewkt_x,
+         | xmin AS gj_x, xmin+w/2 AS wkb_x
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_acc_meta" ->
+      s"""$B SELECT k, 'Polygon' AS gt, 2 AS dim, 2 AS cdim2, 3 AS cdim3,
+         | 0 AS srid0, 1000+(k%100) AS srid_set, 0.0 AS prec,
+         | FALSE AS hz, TRUE AS hz3, FALSE AS hm
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_acc_structure" ->
+      s"""$B SELECT k, 5 AS nc_rect, 1 AS ng_rect, 2*(w+h) AS ext_len,
+         | 1 AS int_n, 2*(w/4+h/4) AS int_len, xmin+w AS gp_x, xmin+w AS gg_x,
+         | 1 AS parts_n, xmin AS b0, ymin AS b1, xmin+w AS b2, ymin+h AS b3,
+         | xmin AS coord00
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_measure" ->
+      s"""$B SELECT k, w*h AS area, w+h AS len, w AS d_ax,
+         | sqrt(w*w + h*h) AS d_diag, h AS haus, h AS hausd, h AS frech,
+         | h AS frechd, least(w, h) AS clear, TRUE AS dist_empty_nan
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_pred_unary" ->
+      s"""$B SELECT k, TRUE AS is_ring, TRUE AS is_closed, TRUE AS is_ccw,
+         | FALSE AS bowtie_simple, TRUE AS empty_is_empty, FALSE AS rect_is_empty,
+         | TRUE AS rect_valid, FALSE AS bowtie_valid,
+         | 'Valid Geometry' AS valid_reason, FALSE AS hz, FALSE AS hm
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_pred_binary" ->
+      s"""$B SELECT k, TRUE AS int_c, TRUE AS int_b, TRUE AS touch_b,
+         | TRUE AS disj_f, TRUE AS overlap_c, TRUE AS crosses_l,
+         | TRUE AS contains_p, TRUE AS within_p, TRUE AS cprop_p,
+         | FALSE AS cprop_b, TRUE AS covers_a, TRUE AS coveredby_a,
+         | TRUE AS eq_rev, TRUE AS eq_ident, TRUE AS eq_exact,
+         | FALSE AS dwithin_eq, TRUE AS dwithin_lt,
+         | '0FFFFF212' AS relate_s, TRUE AS relate_pat, TRUE AS ixy, TRUE AS cxy
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_overlay" ->
+      s"""$B SELECT k, (w/2)*h AS inter_area, 1.5*w*h AS union_area,
+         | w*h - (w/2)*h AS diff_area, w*h AS sym_area,
+         | 2*w*h - (w-1)*h AS union_prec, (w-1)*h AS inter_prec,
+         | w*h - (w-1)*h AS diff_prec, 2*(w*h - (w-1)*h) AS sym_prec,
+         | 6.0 AS uu_area, 8.0 AS cu_area
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_agg_group" ->
+      s"""$B SELECT k%16 AS grp, min(xmin) AS tb_xmin, max(ymin+h) AS tb_ymax,
+         | count(*) AS n_collect, 'MultiPolygon' AS gt_collect,
+         | sum(w*h) AS union_area, sum(w*h) AS sym_area, sum(w*h) AS cov_area,
+         | sum(w*h) AS poly_area, count(*) AS poly_n
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "geo_agg_inter" ->
+      """SELECT o_orderkey%8 AS grp,
+        | (16+min(o_orderkey%13)/4.0)*(16+min(o_orderkey%11)/4.0) AS ia
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "geo_agg_diff" ->
+      """WITH ranked AS (
+        | SELECT o_orderkey AS k, o_orderkey%2000 AS grp,
+        |  row_number() OVER (PARTITION BY o_orderkey%2000 ORDER BY o_orderkey) AS rn,
+        |  1+CAST(o_orderkey%13 AS DOUBLE)/4.0 AS w,
+        |  1+CAST(o_orderkey%11 AS DOUBLE)/4.0 AS h
+        | FROM orders)
+        |SELECT grp,
+        | 4096.0 - coalesce(sum(CASE WHEN rn > 1 THEN w*h END), 0.0) AS da
+        |FROM ranked WHERE rn <= 9 GROUP BY grp ORDER BY grp""".stripMargin,
+    "geo_agg_vor" ->
+      """SELECT 4 AS vor_n, 2 AS del_n, 256.0 AS del_area,
+        | 'GeometryCollection' AS vor_gt,
+        | 'GEOMETRYCOLLECTION EMPTY' AS empty_wkt, TRUE AS tb_nan""".stripMargin,
+    "geo_constructive1" ->
+      s"""$B SELECT k, 2*(w+h) AS bdry_len, 'LineString' AS bdry_gt,
+         | ((1+CAST(k%5 AS DOUBLE))/2.0)*((1+CAST(k%5 AS DOUBLE))/2.0) AS buf_sq_area,
+         | (w+1)*(h+1) AS buf_mitre, (w-0.5)*(h-0.5) AS buf_neg,
+         | w AS off_len, xmin+w/2 AS centroid_x, ymin+h/2 AS center_y,
+         | w*h AS env_area, w*h AS ch_area, w*h AS cc_area,
+         | (w/2)*h AS clip_area, TRUE AS pos_in, w*h AS mrr_area
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_constructive2" ->
+      s"""$B SELECT k, 3 AS seg_n, h AS seg_len, 2 AS simp_n, 2 AS rrp_n,
+         | 4 AS uniq_n, w*h/2 AS mv_area, 'MultiPolygon' AS mv_gt,
+         | w*h AS ba_area, 4 AS node_n, 'MultiLineString' AS node_gt,
+         | xmin+w AS rev_x, ymin+h/2 AS flip_x, TRUE AS norm_eq,
+         | 1.25 AS f3_z, FALSE AS f2_hz,
+         | 'MultiPolygon' AS multi_gt, 'MultiPoint' AS cast_gt
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_constructive3" ->
+      s"""$B SELECT k, xmin AS snap_x, w AS short_len, w - w/4 AS shared_len,
+         | 'LineString' AS lm_gt, w+h AS lm_len, 2 AS lmdir_n
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_affine" ->
+      s"""$B SELECT k, 2*(xmin+w/2)+0.25 AS at_x, xmin+w/2+1.25 AS tr_x,
+         | ymin+h/2+0.5 AS tr_y, 4*w*h AS sc_area, 2*(xmin+w/2) AS sc_origin_x,
+         | xmin+w/2 AS rot_self_x, TRUE AS rot_area_ok, TRUE AS skew_area_ok,
+         | xmin+w/2 AS interp_x, xmin+w/2 AS interp_n_x, w/4 AS proj_d,
+         | 0.25 AS proj_n
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs" ->
+      s"""$B SELECT k, 3857 AS srid_set, 3857 AS srid_merc, TRUE AS merc_x_ok,
+         | TRUE AS merc_rt_ok, TRUE AS utm_rt_ok, TRUE AS utm_x_range,
+         | 32633 AS srid_utm, TRUE AS wm_rt_ok, 'EPSG' AS auth_name,
+         | 32633 AS auth_code, TRUE AS fromcode_ok, 3857 AS wkt_code
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_serde" ->
+      s"""$B SELECT k,
+         | 'POINT (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || ' ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ')' AS wkt_int,
+         | 'POINT (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || '.25 ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ')' AS wkt_frac,
+         | 'POINT (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || '.25 ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ')' AS wkt_prec,
+         | 'SRID=4326;POINT (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || ' ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ')' AS ewkt_s,
+         | 21 AS wkb_len, '00' AS wkb_be, 25 AS wkb_srid_len,
+         | xmin+w/2 AS wkbrt_x,
+         | '{"type":"Point","coordinates":[' || CAST(CAST(xmin AS BIGINT) AS VARCHAR)
+         |   || ',' || CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ']}' AS gj_s,
+         | xmin+0.25 AS gj_rt_x, 4326 AS ewkt_rt
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_sjoin_broadcast" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_pairs,
+        | (SELECT count(*) FROM orders) AS n_same,
+        | (SELECT count(*) FROM orders) AS n_left_rows,
+        | (SELECT count(*) FROM orders WHERE o_orderkey%2 = 1) AS n_left_null""".stripMargin,
+    "geo_sjoin_grid" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_pairs,
+        | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
+    "geo_io" ->
+      s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_list_eval" ->
+      s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum
+         |FROM b ORDER BY k""".stripMargin
+  )
+}

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Oracle-checked queries for the LLM-training-data pipeline operators
+  * (beyond-reference surface: dedup, similarity search, text analysis,
+  * multimodal plumbing).
+  *
+  * The synthetic `documents` table has no duplicate rows, so the dedup
+  * queries synthesize exact duplicates by unioning the table with an
+  * id-shifted copy of itself — every "found the duplicate" count is then
+  * closed-form for the oracle. Text statistics are mirrored expression by
+  * expression in DuckDB SQL (same regexes, same arithmetic order, so IEEE
+  * doubles match bit-for-bit).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ (documents with doc_id += 10000): each text exactly twice. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------ text analysis
+    "pipe_text" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tok"),
+        TextAnalysis.subwordCount(txt).as("n_sub"),
+        TextAnalysis.alphaRatio(txt).as("alpha"),
+        TextAnalysis.digitRatio(txt).as("digit"),
+        TextAnalysis.punctRatio(txt).as("punct"),
+        TextAnalysis.whitespaceRatio(txt).as("ws"),
+        TextAnalysis.meanWordLength(txt).as("mwl"),
+        TextAnalysis.stopwordCount(txt, "en").as("sw"),
+        TextAnalysis.stopwordRatio(txt, "en").as("swr"),
+        TextAnalysis.langId(txt).as("lang"),
+        TextAnalysis.qualityScore(txt).as("q"),
+        TextAnalysis.fingerprint(txt).as("fp")
+      ).orderBy(col("doc_id"))
+    }),
+
+    // -------------------------------------------------------- exact dedup
+    "pipe_dedup_exact" -> ((s, dir) => {
+      val all = docsWithDups(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val deduped = Dedup.exact(all, Seq("fp"), "doc_id")
+      val groups = Dedup.exactGroups(all, col("fp"), col("doc_id"))
+      val rfp = t(s, dir, "documents")
+        .select(TextAnalysis.rollingFingerprint(col("text")).as("rf"))
+      deduped.agg(
+        count(lit(1)).as("n_after"),
+        sum(col("doc_id")).as("kept_id_sum"))
+        .crossJoin(groups.agg(
+          sum((col("copies") === 2).cast("long")).as("n_groups2"),
+          sum(col("kept_id")).as("group_kept_sum")))
+        .crossJoin(rfp.agg(countDistinct(col("rf")).as("n_rfp")))
+    }),
+
+    // ------------------------------------------------------- MinHash LSH
+    "pipe_dedup_minhash" -> ((s, dir) => {
+      val all = docsWithDups(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val fps = all.select(col("doc_id").as("id"), col("fp"))
+      val cands = Dedup.minhashCandidates(all, "doc_id", "text")
+        .join(fps.withColumnRenamed("id", "id_a").withColumnRenamed("fp", "fp_a"), Seq("id_a"))
+        .join(fps.withColumnRenamed("id", "id_b").withColumnRenamed("fp", "fp_b"), Seq("id_b"))
+      val verified = Dedup.nearDupMinhash(all, "doc_id", "text", threshold = 1.0)
+        .join(fps.withColumnRenamed("id", "id_a").withColumnRenamed("fp", "fp_a"), Seq("id_a"))
+        .join(fps.withColumnRenamed("id", "id_b").withColumnRenamed("fp", "fp_b"), Seq("id_b"))
+      cands.agg(
+        sum((col("fp_a") === col("fp_b")).cast("long")).as("n_cand_ident"))
+        .crossJoin(verified.agg(
+          sum((col("fp_a") === col("fp_b")).cast("long")).as("n_verified_ident")))
+    }),
+
+    // ----------------------------------------------------------- SimHash
+    "pipe_dedup_simhash" -> ((s, dir) => {
+      val all = docsWithDups(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val fps = all.select(col("doc_id").as("id"), col("fp"))
+      Dedup.nearDupSimhash(all, "doc_id", "text", maxHamming = 3)
+        .join(fps.withColumnRenamed("id", "id_a").withColumnRenamed("fp", "fp_a"), Seq("id_a"))
+        .join(fps.withColumnRenamed("id", "id_b").withColumnRenamed("fp", "fp_b"), Seq("id_b"))
+        .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_ident"),
+          sum((col("hamming") === 0 && col("fp_a") === col("fp_b")).cast("long")).as("n_ident_h0"))
+    }),
+
+    // ------------------------------------- embedding near-dup + ANN search
+    "pipe_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val withDups = e.unionAll(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val nearDup = Dedup.nearDupEmbedding(withDups, "vec_id", "embedding",
+        threshold = 0.9999)
+        .filter(col("id_b") - col("id_a") === 10000)
+      val queries = e.filter(col("vec_id") % 10 === 0)
+      val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1)
+      val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, bits = 8)
+      nearDup.agg(count(lit(1)).as("n_embdup"))
+        .crossJoin(bf.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_bf_self")))
+        .crossJoin(lsh.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_lsh_self")))
+    }),
+
+    // ------------------------------------------------ multimodal plumbing
+    "pipe_multimodal" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("png", Multimodal.makePngHeader(
+          (lit(64) + col("doc_id") % 256).cast("int"),
+          (lit(32) + col("doc_id") % 128).cast("int")))
+      val decoded = d.withColumn("img", Multimodal.decodeImage(col("png")))
+      val feat = Multimodal.withImageFeatures(d, "png", featureDim = 64)
+      decoded.select(col("doc_id"),
+        col("img._1").as("width"),
+        col("img._2").as("height"),
+        col("img._3").as("channels"),
+        col("img._4").as("fmt"))
+        .join(feat.select(col("doc_id"), size(col("features")).as("n_feat")), "doc_id")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB mirrors. The text-stat expressions replicate the Spark
+    * expression tree operation by operation (same regex, same left-assoc
+    * arithmetic) so double outputs are bit-identical. */
+  val oracleSql: Map[String, String] = Map(
+    "pipe_text" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |  length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|a)\b')) AS sw_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|mit|ein|nicht|zu)\b')) AS sw_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des|une|dans|que|pour)\b')) AS sw_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|que|en|por|una)\b')) AS sw_es,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        | FROM documents),
+        |m AS (SELECT *,
+        |  CASE WHEN n_tok > 0 THEN CAST(length(text) - n_tok + 1 AS DOUBLE) / n_tok ELSE 0.0 END AS mwl,
+        |  CASE WHEN length(text) > 0 THEN CAST(n_alpha AS DOUBLE) / length(text) ELSE 0.0 END AS alpha,
+        |  CASE WHEN length(text) > 0 THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END AS punct
+        | FROM s)
+        |SELECT doc_id, n_tok,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_sub,
+        | alpha,
+        | CASE WHEN length(text) > 0 THEN CAST(n_digit AS DOUBLE) / length(text) ELSE 0.0 END AS digit,
+        | punct,
+        | CASE WHEN length(text) > 0 THEN CAST(n_ws AS DOUBLE) / length(text) ELSE 0.0 END AS ws,
+        | mwl,
+        | sw_en AS sw,
+        | CASE WHEN n_tok > 0 THEN CAST(sw_en AS DOUBLE) / n_tok ELSE 0.0 END AS swr,
+        | CASE WHEN cjk > 0 THEN 'zh'
+        |      WHEN sw_es > greatest(sw_en, sw_de, sw_fr) THEN 'es'
+        |      WHEN sw_fr > greatest(sw_en, sw_de) THEN 'fr'
+        |      WHEN sw_de > sw_en THEN 'de'
+        |      ELSE 'en' END AS lang,
+        | floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+        |   + alpha * 0.4
+        |   + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |   + (CASE WHEN punct < 0.1 THEN 1.0 ELSE 1.0 - punct END) * 0.1) * 1e6 + 0.5) / 1e6 AS q,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "pipe_dedup_exact" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_after,
+        | (SELECT sum(doc_id) FROM documents) AS kept_id_sum,
+        | (SELECT count(*) FROM documents) AS n_groups2,
+        | (SELECT sum(doc_id) FROM documents) AS group_kept_sum,
+        | (SELECT count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    FROM documents) AS n_rfp""".stripMargin,
+    "pipe_dedup_minhash" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_cand_ident,
+        | (SELECT count(*) FROM documents) AS n_verified_ident""".stripMargin,
+    "pipe_dedup_simhash" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_ident,
+        | (SELECT count(*) FROM documents) AS n_ident_h0""".stripMargin,
+    "pipe_embedding" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_bf_self,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_lsh_self""".stripMargin,
+    "pipe_multimodal" ->
+      """SELECT doc_id,
+        | 64 + (doc_id % 256) AS width,
+        | 32 + (doc_id % 128) AS height,
+        | 3 AS channels, 'png' AS fmt, 64 AS n_feat
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -43,8 +43,12 @@ object SparkEntry {
       .drop("geometry")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (geometry surface
+    * in [[GeoQueries]], LLM-pipeline surface in [[PipelineQueries]]). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ GeoQueries.queries ++ PipelineQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -55,14 +59,17 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // st_rectangle + st_area: oracle recomputes w*h closed-form.
+    // st_rectangle + st_area: oracle recomputes w*h closed-form. The
+    // rectangle is constructed once in a prior projection (UDF CSE is not
+    // guaranteed, so a repeated st_rectangle would cost 2×).
     "geo_rect_area" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val (xmin, ymin, xmax, ymax) = boxCols(col("o_orderkey"))
-      o.select(
-        col("o_orderkey"),
-        st_area(st_rectangle(xmin, ymin, xmax, ymax)).as("area"),
-        st_length(st_rectangle(xmin, ymin, xmax, ymax)).as("perimeter"))
+      o.select(col("o_orderkey"), st_rectangle(xmin, ymin, xmax, ymax).as("g"))
+        .select(
+          col("o_orderkey"),
+          st_area(col("g")).as("area"),
+          st_length(col("g")).as("perimeter"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -80,7 +87,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ GeoQueries.oracleSql ++ PipelineQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,

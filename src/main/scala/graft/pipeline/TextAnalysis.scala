@@ -83,7 +83,10 @@ object TextAnalysis {
     val wlScore = when(wl.between(3.0, 10.0), 1.0).otherwise(0.5)
     val punct = punctRatio(text)
     val punctScore = when(punct < 0.1, 1.0).otherwise(lit(1.0) - punct)
-    round((lenScore * 0.3 + alpha * 0.4 + wlScore * 0.2 + punctScore * 0.1), 6)
+    // floor(x*1e6 + 0.5)/1e6 instead of round(): identical IEEE semantics
+    // in every engine (Spark's round goes through BigDecimal HALF_UP,
+    // DuckDB's through C rounding — they can disagree on doubles)
+    floor((lenScore * 0.3 + alpha * 0.4 + wlScore * 0.2 + punctScore * 0.1) * 1e6 + 0.5) / 1e6
   }
 
   /** Whitespace-normalized lowercase form used for fingerprinting/dedup. */
