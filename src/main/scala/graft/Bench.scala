@@ -1,23 +1,140 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Headline benchmark, printed as one JSON line for the driver.
+  *
+  * Every query is forced to full evaluation with a hash-sum over all output
+  * columns (`agg(sum(xxhash64(struct(*))))`): a bare `.count()` lets
+  * Catalyst prune deterministic projections, so UDF work would be skipped
+  * and the bench would mostly time the scan.
+  *
+  * The queries are scan-shaped (no global sorts — those are oracle-compare
+  * conveniences in Verify, not workloads): per-row geometry compute,
+  * wide-group aggregation, a spatial join, and the pipeline operators.
+  */
 object Bench {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def k = col("k")
+  private def xmin = (k % 100000).cast("double") * 16.0
+  private def ymin = (k % 16).cast("double") * 16.0
+  private def w = lit(1.0) + (k % 13).cast("double") / 4.0
+  private def h = lit(1.0) + (k % 11).cast("double") / 4.0
+  private def rect = st_rectangle(xmin, ymin, xmin + w, ymin + h)
+  private def pt = st_point(xmin + w / 2, ymin + h / 2)
+
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey").as("k"))
+
+  /** Headline set: name → query. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    // per-row construct + measure, no sort
+    "geo_scan_measure" -> ((s, dir) => {
+      orders(s, dir)
+        .select(k, rect.as("g"), pt.as("p"))
+        .select(st_area(col("g")).as("area"), st_length(col("g")).as("len"),
+          st_x(st_centroid(col("g"))).as("cx"))
+    }),
+    // per-row binary predicates (RelateNG hot path)
+    "geo_scan_pred" -> ((s, dir) => {
+      orders(s, dir)
+        .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"), pt.as("p"))
+        .select(st_intersects(col("a"), col("c")).as("i"),
+          st_contains(col("a"), col("p")).as("ct"),
+          st_dwithin(col("a"), col("p"), lit(1.0)).as("dw"))
+    }),
+    // per-row overlay + buffer (heaviest JTS kernels)
+    "geo_scan_overlay" -> ((s, dir) => {
+      orders(s, dir)
+        .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"))
+        .select(st_area(st_intersection(col("a"), col("c"))).as("ia"),
+          st_area(st_buffer(col("a"), lit(0.5))).as("ba"))
+    }),
+    // wide-group spatial aggregation (1024-way, not 16)
+    "geo_union_groups" -> ((s, dir) => {
+      orders(s, dir)
+        .select((k % 1024).as("grp"), rect.as("g"))
+        .groupBy(col("grp"))
+        .agg(st_area(st_union_all(col("g"))).as("area"))
+    }),
+    // broadcast STRtree spatial join: every point in its own rect
+    "geo_sjoin" -> ((s, dir) => {
+      val left = orders(s, dir).select(k.as("lk"), rect.as("geometry"))
+      val right = orders(s, dir).select(k.as("rk"), pt.as("geometry"))
+      graft.join.SpatialJoin.sjoin(left, right, "contains", "inner")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // text statistics over documents (pure codegen expressions)
+    "pipe_text" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        graft.pipeline.TextAnalysis.tokenCount(txt).as("n_tok"),
+        graft.pipeline.TextAnalysis.alphaRatio(txt).as("alpha"),
+        graft.pipeline.TextAnalysis.langId(txt).as("lang"),
+        graft.pipeline.TextAnalysis.qualityScore(txt).as("q"),
+        graft.pipeline.TextAnalysis.fingerprint(txt).as("fp"))
+    }),
+    // MinHash LSH candidate generation (shingle → sign → band → join)
+    "pipe_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.pipeline.Dedup.minhashCandidates(all, "doc_id", "text")
+        .agg(count(lit(1)).as("n"))
+    }),
+    // brute-force cosine top-k
+    "pipe_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") % 10 === 0)
+      graft.pipeline.Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+    })
+  )
+
+  /** Force full evaluation: fold every column of every row into one
+    * xor-of-hashes (overflow-free under ANSI mode, prunes nothing). */
+  private def force(df: DataFrame): Unit = {
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // geometry aggregators are ObjectHashAggregate buffers; the default
+      // 128-group fallback degrades wide-group aggs to sort-based with
+      // per-row buffer serialization
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JIT/session warm-up on a trivial job so the first measured query
+    // doesn't absorb executor start + codegen compilation of the harness
+    spark.range(1000).select(sum(col("id"))).collect()
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,7 +31,11 @@ import scala.jdk.CollectionConverters._
   * (`/root/reference/tests/test_expressions.py:293-307`). */
 object GeoAggs {
 
-  private val CompactAt = 64
+  // Buffer-compaction threshold: buffers exceeding this many geometries
+  // collapse to one (bounded executor memory per group). 512 keeps typical
+  // groups compaction-free — an intermediate union is O(buffer) JTS work,
+  // and re-running it every 64 rows measured ~5× slower wide-group aggs.
+  private val CompactAt = 512
 
   private def fact: GeometryFactory = EWKB.geometryFactory
   private def emptyGC: Array[Byte] = EWKB.write(GeoCodec.emptyCollection)

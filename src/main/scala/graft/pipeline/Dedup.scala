@@ -47,14 +47,23 @@ object Dedup {
   /** Character k-shingles hashed to Int64 (xxhash64), distinct, codegen'd.
     * At 100 TB the string shingle array of a 100 KB document is ~0.5 MB per
     * row; the hashed form is 8 bytes per shingle and loses nothing for
-    * signature/Jaccard purposes (collisions are ~2⁻⁶⁴). */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val norm = TextAnalysis.normalized(text)
+    * signature/Jaccard purposes (collisions are ~2⁻⁶⁴).
+    *
+    * IMPORTANT: `norm` must be a *materialized column* (an attribute), not
+    * an expression — the transform lambda evaluates its body per element,
+    * so an inlined `normalized(text)` would run its regex once per shingle
+    * (measured: ~20× slowdown). Callers project the normalized text first. */
+  private def shingleHashesNorm(norm: Column, k: Int): Column =
     array_distinct(
       when(length(norm) >= k,
         transform(sequence(lit(1), length(norm) - (k - 1)), i => xxhash64(norm.substr(i, lit(k)))))
         .otherwise(array(xxhash64(norm))))
-  }
+
+  /** Convenience single-expression form; prefer projecting
+    * `TextAnalysis.normalized` into a column and using the candidates
+    * pipeline for anything beyond small data (see [[shingleHashesNorm]]). */
+  def shingleHashes(text: Column, k: Int): Column =
+    shingleHashesNorm(TextAnalysis.normalized(text), k)
 
   /** Word n-grams of the normalized text. */
   def wordNgrams(text: Column, n: Int): Column = {
@@ -128,16 +137,22 @@ object Dedup {
     * agrees on all rows of at least one band land in the same bucket.
     * Returns (id_a, id_b, jaccard_est) with id_a < id_b.
     *
-    * numHashes = bands * rowsPerBand; with 64/16 the collision curve
-    * catches jaccard ≳ 0.5.
+    * numHashes = bands * rowsPerBand; the default 64/8 (8 rows per band)
+    * puts the collision-curve threshold at jaccard ≈ (1/b)^(1/r) ≈ 0.77 —
+    * the near-dup dedup operating point. Use more, narrower bands (e.g.
+    * bands=16) to catch lower-similarity pairs at higher candidate cost.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+      numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
       maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val sig = minhashSignatureHashed(numHashes)(shingleHashes(col(textCol), shingleK))
-    val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
+    // normalize → shingle → sign as separate projections: each stage's
+    // result is an attribute, so lambdas never re-evaluate upstream regexes
+    val withSig = df
+      .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col("id"), shingleHashesNorm(col("__norm"), shingleK).as("__sh"))
+      .select(col("id"), minhashSignatureHashed(numHashes)(col("__sh")).as("sig"))
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -156,28 +171,46 @@ object Dedup {
         banded.join(sizes.filter(col("__bsz") <= maxBucketSize), Seq("band", "bucket"))
           .drop("__bsz")
       }
-    // self-join within (band, bucket); a<b kills mirror+self pairs
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val rgt = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(rgt, Seq("band", "bucket"))
+    // self-join within (band, bucket); a<b kills mirror+self pairs.
+    // Dedup the id pairs BEFORE scoring: a pair colliding in many bands
+    // would otherwise pay the signature comparison once per band.
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rgt = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(zipSig(col("sig_a")), zipSig(col("sig_b"))))
-          .cast("double") / numHashes).as("jaccard_est"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sigs = withSig
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes).as("jaccard_est"))
   }
-
-  /** position-tag a signature so array_intersect compares positionally. */
-  private def zipSig(sig: Column): Column =
-    transform(sig, (v, i) => concat_ws(":", i, v))
 
   /** Full MinHash near-dup pipeline: LSH candidates, then exact shingle
     * Jaccard verify ≥ threshold. */
+  /** Pick the coarsest banding whose collision threshold (1/b)^(r⁻¹) sits
+    * safely below the requested jaccard threshold — fewer bands = fewer
+    * candidate pairs, and the exact verify step removes false positives. */
+  private[pipeline] def autoBands(numHashes: Int, threshold: Double): Int = {
+    val options = Seq(4, 8, 16, 32).filter(numHashes % _ == 0)
+    options.find { b =>
+      val r = numHashes / b
+      math.pow(1.0 / b, 1.0 / r) <= threshold * 0.8
+    }.getOrElse(options.last)
+  }
+
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double, numHashes: Int = 64, bands: Int = 0,
       shingleK: Int = 5): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
-    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("sh"))
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, b, shingleK)
+    val sh = df
+      .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col("id"), shingleHashesNorm(col("__norm"), shingleK).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))

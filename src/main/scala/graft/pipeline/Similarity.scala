@@ -93,14 +93,23 @@ object Similarity {
     * sees only per-partition survivors (see [[localTopK]]).
     *
     * Output: (query id, rank 1..k, corpus id, cosine). */
+  /** Project id + unit-normalized vector: norms are computed once per row
+    * here instead of once per scored pair (cosine of unit vectors = dot).
+    * The norm is materialized as its own column so the division lambda
+    * references an attribute, not a re-evaluated aggregate. */
+  private def unitized(df: DataFrame, id: String, vec: String,
+      outId: String, outVec: String): DataFrame =
+    df.select(col(id).as(outId), col(vec).cast("array<double>").as(outVec))
+      .withColumn("__n", norm(col(outVec)))
+      .withColumn(outVec, transform(col(outVec), x => x / col("__n")))
+      .drop("__n")
+
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
-    val c = corpus.select(col(corpusId).as("corpus_id"),
-      col(corpusVec).cast("array<double>").as("cvec"))
-    val q = queries.select(col(queryId).as("query_id"),
-      col(queryVec).cast("array<double>").as("qvec"))
+    val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+    val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("cosine", dot(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     localTopK(scored, k).withColumn("rank", row_number().over(w))
@@ -115,14 +124,14 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       bits: Int = 8): DataFrame = {
     val sig = signSignature(bits)
-    val c = corpus.select(col(corpusId).as("corpus_id"),
-      col(corpusVec).cast("array<double>").as("cvec"))
+    // signatures are computed on the unit vectors — same signs as the raw
+    // vectors (positive scaling preserves hyperplane sides)
+    val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
       .withColumn("sig", sig(col("cvec")))
-    val q = queries.select(col(queryId).as("query_id"),
-      col(queryVec).cast("array<double>").as("qvec"))
+    val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
       .withColumn("sig", sig(col("qvec")))
     val scored = c.join(broadcast(q), Seq("sig"))
-      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("cosine", dot(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     localTopK(scored, k).withColumn("rank", row_number().over(w))
