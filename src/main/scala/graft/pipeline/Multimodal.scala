@@ -25,7 +25,7 @@ object Multimodal {
     * (logical screen descriptor) → (width, height, channels, format).
     * This is a real decoder for the metadata plane — no image libraries
     * needed; pixel decode stays stubbed below. */
-  private[pipeline] def parseImageHeader(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+  def parseImageHeader(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
     def u8(i: Int) = b(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)).toInt

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.api._
+import graft.functions.{st_point, st_rectangle}
+
+/** Round-2 surface: st namespace, CRS breadth, sjoin hardening, ordered
+  * difference_all, image header decode, from_coords dispatch. */
+class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    import spark.implicits._
+    Seq(1).toDF("i").select(c).collect()(0).get(0).asInstanceOf[T]
+  }
+
+  test("st namespace mirrors package functions") {
+    val g = st_rectangle(lit(0.0), lit(0.0), lit(4.0), lit(2.0))
+    assert(one[Double](g.st.area) === 8.0)
+    assert(one[Double](g.st.length) === 12.0)
+    assert(one[String](g.st.geometryType) === "Polygon")
+    assert(one[Boolean](g.st.contains(st_point(lit(1.0), lit(1.0)))))
+    assert(one[Double](g.st.buffer(1.0).st.area) > 8.0)
+    assert(one[String](g.st.centroid.st.asWkt) === "POINT (2 1)")
+  }
+
+  test("from_coords dispatches on nesting depth") {
+    import org.apache.spark.sql.types._
+    import graft.functions.st_from_coords
+    val p = st_from_coords(array(lit(1.0), lit(2.0)), ArrayType(DoubleType))
+    assert(one[String](p.st.asWkt) === "POINT (1 2)")
+    val l = st_from_coords(array(array(lit(0.0), lit(0.0)), array(lit(3.0), lit(4.0))),
+      ArrayType(ArrayType(DoubleType)))
+    assert(one[Double](l.st.length) === 5.0)
+    val poly = st_from_coords(array(array(
+      array(lit(0.0), lit(0.0)), array(lit(2.0), lit(0.0)),
+      array(lit(2.0), lit(2.0)), array(lit(0.0), lit(0.0)))),
+      ArrayType(ArrayType(ArrayType(DoubleType))))
+    assert(one[Double](poly.st.area) === 2.0)
+    assertThrows[IllegalArgumentException] {
+      st_from_coords(lit(1.0), DoubleType)
+    }
+  }
+
+  test("CRS: UTM and world-mercator round trips, authority, from_code") {
+    val p = st_point(lit(15.25), lit(47.5)).st.setSrid(lit(4326))
+    val utm = p.st.toSrid(lit(32633))
+    assert(one[Int](utm.st.srid) === 32633)
+    val x = one[Double](utm.st.x)
+    assert(x > 100000 && x < 900000, s"utm easting out of range: $x")
+    val back = utm.st.toSrid(lit(4326))
+    assert(math.abs(one[Double](back.st.x) - 15.25) < 1e-8)
+    assert(math.abs(one[Double](back.st.y) - 47.5) < 1e-8)
+    // southern hemisphere zone
+    val s = st_point(lit(-58.5), lit(-34.5)).st.setSrid(lit(4326))
+      .st.toSrid(lit(32721)).st.toSrid(lit(4326))
+    assert(math.abs(one[Double](s.st.y) - (-34.5)) < 1e-8)
+    // world mercator
+    val wm = p.st.toSrid(lit(3395)).st.toSrid(lit(4326))
+    assert(math.abs(one[Double](wm.st.y) - 47.5) < 1e-9)
+    // authority / from_code
+    import graft.functions.{st_get_crs_authority, st_get_crs_from_code}
+    val auth = one[org.apache.spark.sql.Row](
+      st_get_crs_authority(lit("urn:ogc:def:crs:EPSG::4326")))
+    assert(auth.getString(0) === "EPSG" && auth.getInt(1) === 4326)
+    assert(one[String](st_get_crs_from_code(lit(32721))).contains("UTM zone 21S"))
+    // unsupported pair raises
+    val ex = intercept[Exception] {
+      one[Array[Byte]](p.st.toSrid(lit(2154)))
+    }
+    assert(ex.getMessage.contains("to_srid") || ex.getCause != null)
+  }
+
+  test("sjoin broadcast guard falls back to the grid tier") {
+    import spark.implicits._
+    val left = (1 to 100).toDF("k")
+      .select(col("k"), st_rectangle(col("k") * 10.0, lit(0.0),
+        col("k") * 10.0 + 5.0, lit(5.0)).as("geometry"))
+    val right = (1 to 100).toDF("k2")
+      .select(col("k2"), st_point(col("k2") * 10.0 + 2.0, lit(2.0)).as("geometry"))
+    // guard of 10 rows forces the partitioned path; result must be identical
+    val viaGrid = graft.join.SpatialJoin.sjoin(left, right, "contains", "inner",
+      maxBuildRows = 10)
+    val direct = graft.join.SpatialJoin.sjoin(left, right, "contains", "inner")
+    assert(viaGrid.count() === 100)
+    assert(direct.count() === 100)
+    assert(viaGrid.select("k", "k2").as[(Int, Int)].collect().toSet ===
+      direct.select("k", "k2").as[(Int, Int)].collect().toSet)
+  }
+
+  test("sjoin partitioned outer joins") {
+    import spark.implicits._
+    val left = (1 to 10).toDF("k")
+      .select(col("k"), st_rectangle(col("k") * 10.0, lit(0.0),
+        col("k") * 10.0 + 5.0, lit(5.0)).as("geometry"))
+    val rightHalf = (1 to 5).toDF("k2")
+      .select(col("k2"), st_point(col("k2") * 10.0 + 2.0, lit(2.0)).as("geometry"))
+    val lj = graft.join.SpatialJoin.sjoinPartitioned(left, rightHalf, 10.0,
+      "contains", "left")
+    assert(lj.count() === 10)
+    assert(lj.filter(col("k2").isNull).count() === 5)
+    val rj = graft.join.SpatialJoin.sjoinPartitioned(rightHalf, left, 10.0,
+      "within", "right")
+    assert(rj.count() === 10)
+    assert(rj.filter(col("k2").isNull).count() === 5)
+  }
+
+  test("difference_all_ordered minuend is the min-order row regardless of partitioning") {
+    import spark.implicits._
+    import graft.functions.st_difference_all_ordered
+    // minuend idx=0: big box; others: disjoint inner boxes
+    val rows = Seq(
+      (0L, 0.0, 0.0, 10.0, 10.0),
+      (1L, 1.0, 1.0, 2.0, 2.0),
+      (2L, 4.0, 4.0, 5.0, 5.0)
+    )
+    for (parts <- Seq(1, 3)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("i", "x0", "y0", "x1", "y1")
+        .select(col("i"), st_rectangle(col("x0"), col("y0"), col("x1"), col("y1")).as("g"))
+      val area = df.agg(
+        graft.functions.st_area(st_difference_all_ordered(col("g"), col("i"))).as("a"))
+        .as[Double].collect()(0)
+      assert(area === 98.0, s"parts=$parts")
+    }
+  }
+
+  test("image header decode: PNG, JPEG, GIF") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    // PNG via the generator
+    val png = Multimodal.parseImageHeader(
+      Seq(1).toDF("i").select(Multimodal.makePngHeader(lit(640), lit(480)))
+        .collect()(0).getAs[Array[Byte]](0))
+    assert(png === Some((640, 480, 3, "png")))
+    // minimal JPEG: SOI + APP0(len 4) + SOF0 (h=480 w=640, 3 components)
+    val jpeg = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(graft.pipeline.Multimodal.parseImageHeader(jpeg) === Some((640, 480, 3, "jpeg")))
+    // GIF89a 320x200
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Int](0x40, 0x01, 0xc8, 0x00,
+      0x00, 0x00, 0x00).map(_.toByte)
+    assert(graft.pipeline.Multimodal.parseImageHeader(gif) === Some((320, 200, 3, "gif")))
+    // garbage → None
+    assert(graft.pipeline.Multimodal.parseImageHeader(Array[Byte](1, 2, 3, 4)) === None)
+  }
+}
