@@ -122,6 +122,7 @@ object Bench {
       // 128-group fallback degrades wide-group aggs to sort-based with
       // per-row buffer serialization
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/session warm-up on a trivial job so the first measured query

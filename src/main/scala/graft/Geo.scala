@@ -5,7 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** SQL-name registration for the full `ST_*` surface, the Spark analog of
   * the reference's plugin registration (`/root/reference/polars_st/
   * geoexpr.py:35-58`). Call once per session; after that every function is
-  * usable from `spark.sql` and, via [[graft.functions]], the Column API. */
+  * usable from `spark.sql` and, via [[graft.functions]], the Column API.
+  *
+  * Deliberate shadowing: Spark 4.1 ships a handful of built-in `st_*`
+  * names (`st_geomfromwkb`, `st_srid`, …) with geography-flavored
+  * semantics. `registerAll` REPLACES them in the session registry so that
+  * SQL behaves exactly like this library's Column API and the reference
+  * (EWKB in/out, reference null/NaN conventions). Scala code that imports
+  * both `org.apache.spark.sql.functions._` and `graft.functions._` must
+  * qualify those two names (see SurfaceSpec). */
 object Geo {
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.udf

@@ -73,6 +73,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // event-time bucketing over the events stream table (the batch shape of
+    // graft.streaming.GeoStreaming.windowedStats): hour buckets + order-
+    // independent stats (count/min/max/sum-of-long are FP-order-safe).
+    "q_events_window" -> ((s, dir) => {
+      // events.ts is parquet TIMESTAMP(NANOS): read as raw nanosecond longs
+      // (nanosAsLong) and bucket with exact integer division — a double
+      // division at 1e18 ns would lose the low bits at bucket boundaries.
+      t(s, dir, "events")
+        .select(
+          expr("ts div 3600000000000").as("bucket"),
+          col("event_type"), col("value"), col("user_id"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"),
+          sum(col("user_id")).as("uid_sum"))
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
     // groupBy + st_union_all of disjoint boxes: union area == sum of areas.
     "geo_union_area" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -101,6 +120,11 @@ object SparkEntry {
         | (1+(o_orderkey%13)/4.0) * (1+(o_orderkey%11)/4.0) AS area,
         | 2*((1+(o_orderkey%13)/4.0) + (1+(o_orderkey%11)/4.0)) AS perimeter
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_events_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+        | count(*) AS n, min(value) AS vmin, max(value) AS vmax,
+        | sum(user_id) AS uid_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "geo_union_area" ->
       """SELECT o_orderkey%16 AS grp,
         | sum((1+(o_orderkey%13)/4.0) * (1+(o_orderkey%11)/4.0)) AS area

@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+      // default; read as raw nanosecond longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

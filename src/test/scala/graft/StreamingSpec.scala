@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
+
+  test("watermarked windowed stats over a memory stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "etype", "value")
+    val out = graft.streaming.GeoStreaming.windowedStats(
+      df, "ts", "etype", "value", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("winstats")
+      .outputMode("complete").start()
+    in.addData((ts(1), "a", 2.0), (ts(3), "a", 5.0), (ts(12), "a", 7.0), (ts(2), "b", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("winstats")
+      .select(col("etype"), col("n"), col("vmin"), col("vmax")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(rows === Set(("a", 2L, 2.0, 5.0), ("a", 1L, 7.0, 7.0), ("b", 1L, 1.0, 1.0)))
+  }
+
+  test("windowed spatial union aggregates geometry in a stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double, Double)]
+    val df = in.toDF().toDF("ts", "key", "x", "y")
+      .withColumn("geometry", graft.functions.st_rectangle(
+        col("x"), col("y"), col("x") + 2.0, col("y") + 2.0))
+    val out = graft.streaming.GeoStreaming.windowedUnion(
+      df, "ts", "key", "geometry", "10 minutes", "5 minutes")
+      .select(col("key"), col("n"), graft.functions.st_area(col("geometry")).as("area"))
+    val q = out.writeStream.format("memory").queryName("winunion")
+      .outputMode("complete").start()
+    // two disjoint boxes in the same window → union area 8
+    in.addData((ts(1), "k", 0.0, 0.0), (ts(2), "k", 10.0, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("winunion").select("n", "area").as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(rows === Set((2L, 8.0)))
+  }
+
+  test("streaming dedup within watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "text")
+    val out = graft.streaming.GeoStreaming.dedupStream(
+      df, "ts", graft.pipeline.TextAnalysis.fingerprint(col("text")))
+    val q = out.writeStream.format("memory").queryName("dedupst")
+      .outputMode("append").start()
+    in.addData((ts(1), "hello world"), (ts(2), "HELLO   world"), (ts(3), "other doc"))
+    q.processAllAvailable()
+    val n = spark.table("dedupst").count()
+    q.stop()
+    assert(n === 2, "normalized duplicates within the watermark must collapse")
+  }
+
+  test("sessionization with flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.streaming.GeoStreaming._
+    val in = MemoryStream[SessionEvent]
+    // user 1: two events 10s apart (one session), then a 5-minute jump
+    in.addData(SessionEvent(1, 0), SessionEvent(1, 10000), SessionEvent(1, 300000))
+    val q = sessionize(in.toDS(), gapMillis = 60000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "sessionize query did not finish")
+    val closed = spark.table("sessions")
+      .as[ClosedSession].collect().toSet
+    assert(closed === Set(ClosedSession(1, 0, 10000, 2)),
+      s"the 5-minute gap closes the first session: $closed")
+  }
+}
