@@ -506,10 +506,13 @@ object GeoQueries {
       val csv = graft.io.GeoIO.readWktCsv(s, csvPath)
         .select(col("k").cast("long").as("k"), st_area(col("geometry")).as("csv_area"))
       graft.io.GeoIO.writeNdGeoJson(df, ndPath)
-      val nd = s.read.text(ndPath).select(
-        get_json_object(col("value"), "$.properties.k").cast("long").as("k"),
-        st_area(st_geomfromgeojson(get_json_object(col("value"), "$.geometry"))).as("nd_area"))
-      pq.join(csv, "k").join(nd, "k").orderBy(col("k"))
+      val nd = graft.io.GeoIO.readNdGeoJson(s, ndPath)
+        .select(col("k").cast("long").as("k"), st_area(col("geometry")).as("nd_area"))
+      // bbox read: covering-column pruning path; matches rects with xmin<=1000
+      val bbN = graft.io.GeoIO.readGeoParquet(s, pqPath,
+          bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
+        .agg(count(lit(1)).as("bb_n"))
+      pq.join(csv, "k").join(nd, "k").crossJoin(bbN).orderBy(col("k"))
     }),
 
     // ------------------------------- geometry-list evaluation (list.eval)
@@ -661,7 +664,9 @@ object GeoQueries {
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
     "geo_io" ->
-      s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area
+      s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area,
+         | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%100000 AS DOUBLE)*16.0 <= 1000)
+         |   AS bb_n
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum

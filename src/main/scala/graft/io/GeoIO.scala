@@ -44,21 +44,93 @@ object GeoIO {
     df.withColumn(geometryName, parsed)
   }
 
-  /** Read parquet with a WKB geometry column → normalized geo frame. */
+  /** Name of the bbox covering column written next to the geometry
+    * (GeoParquet 1.1 "covering" design). */
+  val BboxColumn = "__geo_bbox"
+
+  /** Read parquet with a WKB geometry column → normalized geo frame.
+    *
+    * @param bbox optional (xmin, ymin, xmax, ymax) spatial filter — the
+    *   Spark analog of the reference's `read_file(bbox=...)` GDAL pushdown
+    *   (`/root/reference/polars_st/input.py:30-153`). When the file carries
+    *   the [[BboxColumn]] covering column (written by [[writeGeoParquet]]),
+    *   the filter is a plain column comparison, so Parquet row-group
+    *   min/max statistics prune non-matching row groups at the scan — no
+    *   geometry is even deserialized for pruned groups. Without the
+    *   covering column it degrades to a per-row envelope test. */
   def readGeoParquet(spark: SparkSession, path: String,
-      geometryName: String = "geometry"): DataFrame =
-    geoDataFrame(spark.read.parquet(path), geometryName, "wkb")
+      geometryName: String = "geometry",
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val filtered = bbox match {
+      case None => raw
+      case Some((xmin, ymin, xmax, ymax)) if raw.columns.contains(BboxColumn) =>
+        raw.filter(
+          col(s"$BboxColumn.xmin") <= xmax && col(s"$BboxColumn.xmax") >= xmin &&
+          col(s"$BboxColumn.ymin") <= ymax && col(s"$BboxColumn.ymax") >= ymin)
+      case Some((xmin, ymin, xmax, ymax)) =>
+        val env = graft.functions.st_bounds(col(geometryName))
+        raw.filter(
+          element_at(env, 1) <= xmax && element_at(env, 3) >= xmin &&
+          element_at(env, 2) <= ymax && element_at(env, 4) >= ymin)
+    }
+    geoDataFrame(filtered, geometryName, "wkb").drop(BboxColumn)
+  }
 
   /** Write parquet with the geometry column tagged in column metadata
-    * (GeoParquet-style marker, enough for round-trip + discovery). */
+    * (GeoParquet-style marker, enough for round-trip + discovery) and,
+    * by default, a bbox covering column that future reads prune on
+    * (see [[readGeoParquet]]). */
   def writeGeoParquet(df: DataFrame, path: String,
-      geometryName: String = "geometry", mode: String = "overwrite"): Unit = {
+      geometryName: String = "geometry", mode: String = "overwrite",
+      writeBbox: Boolean = true): Unit = {
     val meta = new MetadataBuilder()
       .putString("encoding", "EWKB")
       .putBoolean("geoparquet_geometry", true)
       .build()
-    df.withColumn(geometryName, col(geometryName).as(geometryName, meta))
-      .write.mode(mode).parquet(path)
+    val tagged = df.withColumn(geometryName, col(geometryName).as(geometryName, meta))
+    val withBbox =
+      if (!writeBbox) tagged
+      else {
+        val env = graft.functions.st_bounds(col(geometryName))
+        tagged.withColumn(BboxColumn, struct(
+          element_at(env, 1).as("xmin"), element_at(env, 2).as("ymin"),
+          element_at(env, 3).as("xmax"), element_at(env, 4).as("ymax")))
+      }
+    withBbox.write.mode(mode).parquet(path)
+  }
+
+  /** Read newline-delimited GeoJSON features (one Feature per line):
+    * properties become columns (via schema inference over the properties
+    * objects), geometry becomes an EWKB column. */
+  def readNdGeoJson(spark: SparkSession, path: String,
+      geometryName: String = "geometry"): DataFrame = {
+    val lines = spark.read.text(path)
+    val props = spark.read.json(
+      lines.select(get_json_object(col("value"), "$.properties").as("value"))
+        .as(org.apache.spark.sql.Encoders.STRING))
+    val propCols = props.columns
+    val parsed = lines.select(
+      graft.functions.st_geomfromgeojson(
+        get_json_object(col("value"), "$.geometry")).as(geometryName),
+      from_json(get_json_object(col("value"), "$.properties"), props.schema).as("__p"))
+    propCols.foldLeft(parsed)((d, c) => d.withColumn(c, col(s"__p.$c"))).drop("__p")
+  }
+
+  /** Read a whole-file GeoJSON FeatureCollection (the reference's
+    * `read_file` on .geojson): multiline JSON → one row per feature. */
+  def readGeoJson(spark: SparkSession, path: String,
+      geometryName: String = "geometry"): DataFrame = {
+    val fc = spark.read.option("multiLine", "true").json(path)
+    val exploded = fc.select(explode(col("features")).as("f"))
+    val propsSchema = exploded.schema("f").dataType
+      .asInstanceOf[StructType].fields.find(_.name == "properties")
+    val base = exploded.select(
+      graft.functions.st_geomfromgeojson(to_json(col("f.geometry"))).as(geometryName),
+      col("f.properties").as("__p"))
+    propsSchema.map(_.dataType.asInstanceOf[StructType].fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+      .foldLeft(base)((d, c) => d.withColumn(c, col(s"__p.$c"))).drop("__p")
   }
 
   /** One GeoJSON Feature string per row: all non-geometry columns become

@@ -137,6 +137,40 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GeoJSON FeatureCollection reader round-trips") {
+    import spark.implicits._
+    val df = (1 to 5).toDF("k")
+      .select(col("k"), st_rectangle(col("k") * 10.0, lit(0.0),
+        col("k") * 10.0 + 4.0, lit(2.0)).as("geometry"))
+    val fc = graft.io.GeoIO.toGeoJsonFeatureCollection(df)
+    val path = "/tmp/graft_test_fc.geojson"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), fc)
+    val back = graft.io.GeoIO.readGeoJson(spark, path)
+    assert(back.count() === 5)
+    assert(back.columns.toSet === Set("geometry", "k"))
+    val areas = back.select(col("k").cast("int"),
+      graft.functions.st_area(col("geometry"))).as[(Int, Double)].collect().toMap
+    assert(areas === (1 to 5).map(_ -> 8.0).toMap)
+  }
+
+  test("GeoParquet bbox read prunes on the covering column") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("k")
+      .select(col("k"), st_rectangle(col("k") * 10.0, lit(0.0),
+        col("k") * 10.0 + 4.0, lit(2.0)).as("geometry"))
+    val path = "/tmp/graft_test_bbox_pq"
+    graft.io.GeoIO.writeGeoParquet(df, path)
+    val hit = graft.io.GeoIO.readGeoParquet(spark, path,
+      bbox = Some((0.0, 0.0, 305.0, 10.0)))
+    // rects with xmin <= 305: k*10 <= 305 → k <= 30
+    assert(hit.count() === 30)
+    assert(!hit.columns.contains(graft.io.GeoIO.BboxColumn))
+    // no covering column → per-row envelope fallback, same result
+    graft.io.GeoIO.writeGeoParquet(df, path + "2", writeBbox = false)
+    assert(graft.io.GeoIO.readGeoParquet(spark, path + "2",
+      bbox = Some((0.0, 0.0, 305.0, 10.0))).count() === 30)
+  }
+
   test("image header decode: PNG, JPEG, GIF") {
     import spark.implicits._
     import graft.pipeline.Multimodal
