@@ -802,11 +802,12 @@ object GeoUDFs {
   // ----------------------------------------------------------- CRS ops
   // Reference functions.rs:433-443, 1868-1939.
 
-  /** Rewrite the header SRID (no reprojection). */
+  /** Rewrite the header SRID (no reprojection). Copies before mutating —
+    * parsed geometries may be shared via the EWKB parse cache. */
   val setSrid: UserDefinedFunction = udf((b: Array[Byte], srid: Int) =>
     if (b == null) null
     else {
-      val g = EWKB.read(b)
+      val g = EWKB.read(b).copy()
       g.setSRID(srid)
       EWKB.write(g)
     })

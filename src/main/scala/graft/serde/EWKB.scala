@@ -77,8 +77,39 @@ object EWKB {
     override def initialValue(): WKBReader = new WKBReader(factory)
   }
 
-  /** EWKB/WKB bytes → JTS Geometry (SRID carried on the geometry). */
-  def read(bytes: Array[Byte]): Geometry = readerTL.get().read(bytes)
+  // Per-thread parse cache: chained geometry expressions (st_area(st_buffer(g)))
+  // and multi-use of one column (area(g), length(g), centroid(g)) otherwise
+  // re-parse identical bytes per op — the round-trip cost model inherited
+  // from the reference (README.md:44). Keyed on byte content; geometries
+  // returned from read() are treated as immutable everywhere (mutating ops
+  // copy first — see GeoUDFs.setSrid). Oversized values skip the cache so a
+  // thread holds at most Entries × MaxBytes.
+  private val ParseCacheEntries = 64
+  private val ParseCacheMaxBytes = 256 * 1024
+  private val parseCacheTL =
+    new ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry](
+            ParseCacheEntries, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.nio.ByteBuffer, Geometry]): Boolean =
+            size() > ParseCacheEntries
+        }
+    }
+
+  /** EWKB/WKB bytes → JTS Geometry (SRID carried on the geometry). The
+    * result is SHARED via a per-thread cache: callers must not mutate it. */
+  def read(bytes: Array[Byte]): Geometry = {
+    if (bytes.length > ParseCacheMaxBytes) return readerTL.get().read(bytes)
+    val m = parseCacheTL.get()
+    val k = java.nio.ByteBuffer.wrap(bytes)
+    var g = m.get(k)
+    if (g == null) {
+      g = readerTL.get().read(bytes)
+      m.put(k, g)
+    }
+    g
+  }
 
   def geometryFactory: GeometryFactory = factory
 
