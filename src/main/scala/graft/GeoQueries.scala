@@ -153,7 +153,9 @@ object GeoQueries {
         element_at(st_bounds(rect), 2).as("b1"),
         element_at(st_bounds(rect), 3).as("b2"),
         element_at(st_bounds(rect), 4).as("b3"),
-        element_at(element_at(st_coordinates(lineL), 1), 1).as("coord00")
+        element_at(element_at(st_coordinates(lineL), 1), 1).as("coord00"),
+        size(element_at(st_coordinates(pt, lit(3)), 1)).as("coord_dim3_len"),
+        isnan(element_at(element_at(st_coordinates(pt, lit(3)), 1), 3)).as("coord_dim3_nan")
       ).orderBy(k)
     }),
 
@@ -257,6 +259,7 @@ object GeoQueries {
         st_area(st_difference(a, cp, lit(0.25))).as("diff_prec"),
         st_area(st_symmetric_difference(a, cp, lit(0.25))).as("sym_prec"),
         st_area(st_unary_union(st_geomfromtext(mpolyWkt))).as("uu_area"),
+        st_area(st_disjoint_subset_union(st_geomfromtext(mpolyWkt))).as("dsu_area"),
         st_area(st_coverage_union(st_geomfromtext(gcWkt))).as("cu_area")
       ).orderBy(k)
     }),
@@ -411,6 +414,8 @@ object GeoQueries {
         st_x(st_rotate(pt, lit(37.0))).as("rot_self_x"),
         (abs(st_area(st_rotate(rect, lit(37.0))) - w * h) < 1e-6).as("rot_area_ok"),
         (abs(st_area(st_skew(rect, lit(10.0), lit(0.0))) - w * h) < 1e-6).as("skew_area_ok"),
+        (abs(st_area(st_skew(rect, lit(10.0), lit(0.0), lit(0.0), lit("center"))) - w * h)
+          < 1e-6).as("skew3_area_ok"),
         st_x(st_interpolate(hseg, w / 2)).as("interp_x"),
         st_x(st_interpolate(hseg, lit(0.5), lit(true))).as("interp_n_x"),
         st_project(hseg, st_point(xmin + w / 4, ymin + 1.0)).as("proj_d"),
@@ -553,7 +558,7 @@ object GeoQueries {
       s"""$B SELECT k, 5 AS nc_rect, 1 AS ng_rect, 2*(w+h) AS ext_len,
          | 1 AS int_n, 2*(w/4+h/4) AS int_len, xmin+w AS gp_x, xmin+w AS gg_x,
          | 1 AS parts_n, xmin AS b0, ymin AS b1, xmin+w AS b2, ymin+h AS b3,
-         | xmin AS coord00
+         | xmin AS coord00, 3 AS coord_dim3_len, TRUE AS coord_dim3_nan
          |FROM b ORDER BY k""".stripMargin,
     "geo_measure" ->
       s"""$B SELECT k, w*h AS area, w+h AS len, w AS d_ax,
@@ -580,7 +585,7 @@ object GeoQueries {
          | w*h - (w/2)*h AS diff_area, w*h AS sym_area,
          | 2*w*h - (w-1)*h AS union_prec, (w-1)*h AS inter_prec,
          | w*h - (w-1)*h AS diff_prec, 2*(w*h - (w-1)*h) AS sym_prec,
-         | 6.0 AS uu_area, 8.0 AS cu_area
+         | 6.0 AS uu_area, 6.0 AS dsu_area, 8.0 AS cu_area
          |FROM b ORDER BY k""".stripMargin,
     "geo_agg_group" ->
       s"""$B SELECT k%16 AS grp, min(xmin) AS tb_xmin, max(ymin+h) AS tb_ymax,
@@ -630,6 +635,7 @@ object GeoQueries {
       s"""$B SELECT k, 2*(xmin+w/2)+0.25 AS at_x, xmin+w/2+1.25 AS tr_x,
          | ymin+h/2+0.5 AS tr_y, 4*w*h AS sc_area, 2*(xmin+w/2) AS sc_origin_x,
          | xmin+w/2 AS rot_self_x, TRUE AS rot_area_ok, TRUE AS skew_area_ok,
+         | TRUE AS skew3_area_ok,
          | xmin+w/2 AS interp_x, xmin+w/2 AS interp_n_x, w/4 AS proj_d,
          | 0.25 AS proj_n
          |FROM b ORDER BY k""".stripMargin,

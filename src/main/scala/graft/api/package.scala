@@ -50,6 +50,7 @@ package object api {
     def m: Column = st_m(c)
     def countCoordinates: Column = st_count_coordinates(c)
     def coordinates: Column = st_coordinates(c)
+    def coordinates(outputDimension: Column): Column = st_coordinates(c, outputDimension)
     def exteriorRing: Column = st_exterior_ring(c)
     def interiorRings: Column = st_interior_rings(c)
     def countInteriorRings: Column = st_count_interior_rings(c)
@@ -120,6 +121,7 @@ package object api {
     def symmetricDifference(other: Column, gridSize: Column): Column =
       st_symmetric_difference(c, other, gridSize)
     def unaryUnion: Column = st_unary_union(c)
+    def disjointSubsetUnion: Column = st_disjoint_subset_union(c)
     def coverageUnion: Column = st_coverage_union(c)
 
     // constructive
@@ -176,6 +178,8 @@ package object api {
     def skew(xDeg: Column, yDeg: Column): Column = st_skew(c, xDeg, yDeg)
     def skew(xDeg: Column, yDeg: Column, origin: Column): Column =
       st_skew(c, xDeg, yDeg, origin)
+    def skew(xDeg: Column, yDeg: Column, zDeg: Column, origin: Column): Column =
+      st_skew(c, xDeg, yDeg, zDeg, origin)
     def interpolate(distance: Column): Column = st_interpolate(c, distance)
     def interpolate(distance: Column, normalized: Column): Column =
       st_interpolate(c, distance, normalized)

@@ -193,6 +193,11 @@ object GeoUDFs {
   val coordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null else GeomUtil.coordinateRows(EWKB.read(b), None))
 
+  /** dim-override variant (reference `coordinates(output_dimension=2|3)`,
+    * `geoexpr.py:185-194`). */
+  val coordinatesDim: UserDefinedFunction = udf((b: Array[Byte], dim: Int) =>
+    if (b == null) null else GeomUtil.coordinateRows(EWKB.read(b), Some(dim)))
+
   val exteriorRing: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
     else EWKB.read(b) match {
@@ -499,9 +504,14 @@ object GeoUDFs {
   val symmetricDifferencePrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
     bG(overlayPrec(OverlayNG.SYMDIFFERENCE, grid))(a, b))
 
-  /** Per-row self-union (functions.rs:1156-1176; also covers
-    * disjoint_subset_union). */
+  /** Per-row self-union (functions.rs:1156-1168). */
   val unaryUnion: UserDefinedFunction = udf(uG(_.union()))
+
+  /** disjoint_subset_union (functions.rs:1170-1176): GEOS exposes it as an
+    * optimized union for inputs with disjoint subsets; JTS's UnaryUnionOp
+    * already applies cascaded union with spatial partitioning, so the
+    * semantics map to the same operation. */
+  val disjointSubsetUnion: UserDefinedFunction = udf(uG(_.union()))
 
   /** Union of the parts of a collection; raises on non-collection input
     * (functions.rs:1194-1204). The fast boundary-merge CoverageUnion only
@@ -755,6 +765,26 @@ object GeoUDFs {
         (x + (y - oy) * tx, y + (x - ox) * ty, z))
     }(b))
 
+  /** 3-axis skew mirroring the reference's shear matrix verbatim
+    * (functions.rs:242-255: rows (1,tx,ty),(tz,1,tx),(ty,tz,1) about the
+    * origin). The 2-arg [[skew]] keeps the shapely-style x/y shear. */
+  val skew3: UserDefinedFunction = udf((b: Array[Byte], xDeg: Double, yDeg: Double,
+      zDeg: Double, origin: String) =>
+    uG { g =>
+      val (ox, oy) = originOf(g, origin)
+      val tx = math.tan(math.toRadians(xDeg))
+      val ty = math.tan(math.toRadians(yDeg))
+      val tz = math.tan(math.toRadians(zDeg))
+      val has3 = EWKB.hasZ(g)
+      GeomUtil.mapCoords(g, (x, y, z0) => {
+        val z = if (z0.isNaN) 0.0 else z0
+        val dx = x - ox; val dy = y - oy; val dz = z
+        (ox + dx + tx * dy + ty * dz,
+          oy + tz * dx + dy + tx * dz,
+          if (has3) ty * dx + tz * dy + dz else Double.NaN)
+      })
+    }(b))
+
   /** Point along a lineal geometry; raises on non-lineal input. */
   val interpolate: UserDefinedFunction = udf((b: Array[Byte], dist: Double, normalized: Boolean) =>
     uG {
@@ -876,6 +906,7 @@ object GeoUDFs {
     "st_x" -> x, "st_y" -> y, "st_z" -> z, "st_m" -> m,
     "st_count_coordinates" -> countCoordinates,
     "st_coordinates" -> coordinates,
+    "st_coordinates_dim" -> coordinatesDim,
     "st_exterior_ring" -> exteriorRing,
     "st_interior_rings" -> interiorRings,
     "st_count_interior_rings" -> countInteriorRings,
@@ -931,6 +962,7 @@ object GeoUDFs {
     "st_symmetric_difference" -> symmetricDifference,
     "st_symmetric_difference_prec" -> symmetricDifferencePrec,
     "st_unary_union" -> unaryUnion,
+    "st_disjoint_subset_union" -> disjointSubsetUnion,
     "st_coverage_union" -> coverageUnion,
     "st_boundary" -> boundary,
     "st_buffer" -> buffer,
@@ -965,6 +997,7 @@ object GeoUDFs {
     "st_rotate" -> rotate,
     "st_scale" -> scale,
     "st_skew" -> skew,
+    "st_skew3" -> skew3,
     "st_interpolate" -> interpolate,
     "st_project" -> project,
     "st_line_merge" -> lineMerge,

@@ -59,6 +59,8 @@ package object functions {
   def st_m(g: Column): Column = m(g)
   def st_count_coordinates(g: Column): Column = countCoordinates(g)
   def st_coordinates(g: Column): Column = coordinates(g)
+  def st_coordinates(g: Column, outputDimension: Column): Column =
+    coordinatesDim(g, outputDimension)
   def st_exterior_ring(g: Column): Column = exteriorRing(g)
   def st_interior_rings(g: Column): Column = interiorRings(g)
   def st_count_interior_rings(g: Column): Column = countInteriorRings(g)
@@ -129,6 +131,7 @@ package object functions {
   def st_symmetric_difference(a: Column, b: Column, gridSize: Column): Column =
     symmetricDifferencePrec(a, b, gridSize)
   def st_unary_union(g: Column): Column = unaryUnion(g)
+  def st_disjoint_subset_union(g: Column): Column = disjointSubsetUnion(g)
   def st_coverage_union(g: Column): Column = coverageUnion(g)
 
   // ------------------------------------------------------------ constructive
@@ -189,6 +192,9 @@ package object functions {
   def st_skew(g: Column, xDeg: Column, yDeg: Column): Column = skew(g, xDeg, yDeg, lit("center"))
   def st_skew(g: Column, xDeg: Column, yDeg: Column, origin: Column): Column =
     skew(g, xDeg, yDeg, origin)
+  /** 3-axis reference-matrix skew (functions.rs:242-255). */
+  def st_skew(g: Column, xDeg: Column, yDeg: Column, zDeg: Column, origin: Column): Column =
+    skew3(g, xDeg, yDeg, zDeg, origin)
   def st_interpolate(g: Column, distance: Column): Column =
     interpolate(g, distance, lit(false))
   def st_interpolate(g: Column, distance: Column, normalized: Column): Column =

@@ -80,10 +80,19 @@ object GeoIO {
   /** Write parquet with the geometry column tagged in column metadata
     * (GeoParquet-style marker, enough for round-trip + discovery) and,
     * by default, a bbox covering column that future reads prune on
-    * (see [[readGeoParquet]]). */
+    * (see [[readGeoParquet]]).
+    *
+    * With `writeMetadata`, a `_geo_metadata.json` sidecar is written next
+    * to the parquet files carrying the GeoParquet `geo` metadata payload
+    * (version, primary column, encoding, inferred geometry types, dataset
+    * bbox, CRS) — Spark's parquet writer exposes no hook for custom footer
+    * key-value metadata, so the sidecar is the discovery mechanism. Like
+    * the reference's `write_file` (`geodataframe.py:462-471`), geometry
+    * types and CRS are inferred from the data and **mixed SRIDs are
+    * rejected**. */
   def writeGeoParquet(df: DataFrame, path: String,
       geometryName: String = "geometry", mode: String = "overwrite",
-      writeBbox: Boolean = true): Unit = {
+      writeBbox: Boolean = true, writeMetadata: Boolean = false): Unit = {
     val meta = new MetadataBuilder()
       .putString("encoding", "EWKB")
       .putBoolean("geoparquet_geometry", true)
@@ -98,6 +107,35 @@ object GeoIO {
           element_at(env, 3).as("xmax"), element_at(env, 4).as("ymax")))
       }
     withBbox.write.mode(mode).parquet(path)
+    if (writeMetadata) {
+      val g = col(geometryName)
+      val stats = df.agg(
+        collect_set(graft.functions.st_geometrytype(g)).as("types"),
+        collect_set(graft.functions.st_srid(g)).as("srids"),
+        element_at(graft.functions.st_total_bounds(g), 1).as("xmin"),
+        element_at(graft.functions.st_total_bounds(g), 2).as("ymin"),
+        element_at(graft.functions.st_total_bounds(g), 3).as("xmax"),
+        element_at(graft.functions.st_total_bounds(g), 4).as("ymax")
+      ).collect()(0)
+      val types = stats.getSeq[String](0).sorted
+      val srids = stats.getSeq[Int](1).sorted
+      require(srids.length <= 1,
+        s"write_file: mixed SRIDs are not supported (got ${srids.mkString(", ")})")
+      val srid = srids.headOption.getOrElse(0)
+      val crs = graft.functions.CrsImpl.crsFromCode(srid).map(w =>
+        "\"" + w.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+      val json =
+        s"""{"version":"1.1.0","primary_column":"$geometryName","columns":{"$geometryName":{
+           |"encoding":"EWKB","geometry_types":[${types.map("\"" + _ + "\"").mkString(",")}],
+           |"bbox":[${stats.getDouble(2)},${stats.getDouble(3)},${stats.getDouble(4)},${stats.getDouble(5)}],
+           |"srid":$srid,"crs":$crs,
+           |"covering":${if (writeBbox) "{\"bbox\":{\"column\":\"" + BboxColumn + "\"}}" else "null"}}}}""".stripMargin
+      val hadoopPath = new org.apache.hadoop.fs.Path(path, "_geo_metadata.json")
+      val fs = hadoopPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(hadoopPath, true)
+      out.write(json.getBytes("UTF-8"))
+      out.close()
+    }
   }
 
   /** Read newline-delimited GeoJSON features (one Feature per line):

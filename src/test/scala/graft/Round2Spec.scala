@@ -171,6 +171,27 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
       bbox = Some((0.0, 0.0, 305.0, 10.0))).count() === 30)
   }
 
+  test("GeoParquet metadata sidecar: inferred types/CRS, mixed SRIDs rejected") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("k")
+      .select(col("k"), graft.functions.st_set_srid(st_rectangle(col("k") * 10.0,
+        lit(0.0), col("k") * 10.0 + 4.0, lit(2.0)), lit(4326)).as("geometry"))
+    val path = "/tmp/graft_test_meta_pq"
+    graft.io.GeoIO.writeGeoParquet(df, path, writeMetadata = true)
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_geo_metadata.json")), "UTF-8")
+    assert(json.contains("\"geometry_types\":[\"Polygon\"]"))
+    assert(json.contains("\"srid\":4326"))
+    assert(json.contains("WGS 84"))
+    // mixed SRIDs → reject, like the reference write_file
+    val mixed = df.limit(5).unionAll(
+      df.limit(5).select(col("k"),
+        graft.functions.st_set_srid(col("geometry"), lit(3857)).as("geometry")))
+    assertThrows[IllegalArgumentException] {
+      graft.io.GeoIO.writeGeoParquet(mixed, path + "2", writeMetadata = true)
+    }
+  }
+
   test("image header decode: PNG, JPEG, GIF") {
     import spark.implicits._
     import graft.pipeline.Multimodal
