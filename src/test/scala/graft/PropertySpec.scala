@@ -1,0 +1,142 @@
+package graft
+
+import org.locationtech.jts.geom._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.serde.{EWKB, GeoCodec, GeomUtil}
+
+/** ScalaCheck properties over the serde/kernel layer (the SURVEY §5 test
+  * plan's property-test leg): EWKB round trips, header consistency, CRS
+  * inverse transforms, coordinate-rebuild identities. Pure JVM — no Spark
+  * session, so thousands of cases run in milliseconds. */
+object PropertySpec extends Properties("graft-kernel") {
+
+  private val fact = EWKB.geometryFactory
+
+  private val coordGen: Gen[Coordinate] = for {
+    x <- Gen.chooseNum(-1e6, 1e6)
+    y <- Gen.chooseNum(-1e6, 1e6)
+  } yield new Coordinate(x, y)
+
+  private val pointGen: Gen[Geometry] = coordGen.map(fact.createPoint)
+
+  private val lineGen: Gen[Geometry] = for {
+    n <- Gen.chooseNum(2, 12)
+    cs <- Gen.listOfN(n, coordGen)
+  } yield fact.createLineString(cs.toArray)
+
+  private val boxGen: Gen[Geometry] = for {
+    x <- Gen.chooseNum(-1e6, 1e6)
+    y <- Gen.chooseNum(-1e6, 1e6)
+    w <- Gen.chooseNum(0.1, 1000.0)
+    h <- Gen.chooseNum(0.1, 1000.0)
+  } yield fact.toGeometry(new Envelope(x, x + w, y, y + h))
+
+  private val multiPointGen: Gen[Geometry] = for {
+    n <- Gen.chooseNum(1, 8)
+    cs <- Gen.listOfN(n, coordGen)
+  } yield fact.createMultiPoint(cs.map(fact.createPoint).toArray)
+
+  private val geomGen: Gen[Geometry] =
+    Gen.oneOf(pointGen, lineGen, boxGen, multiPointGen)
+
+  private val sridGen: Gen[Int] = Gen.oneOf(0, 4326, 3857, 32633)
+
+  property("EWKB write/read round trip is identity") = forAll(geomGen, sridGen) {
+    (g, srid) =>
+      g.setSRID(srid)
+      val back = EWKB.read(EWKB.write(g))
+      GeomUtil.equalsIdentical(g, back) && back.getSRID == srid
+  }
+
+  property("header matches geometry without a full parse") = forAll(geomGen, sridGen) {
+    (g, srid) =>
+      g.setSRID(srid)
+      val h = EWKB.header(EWKB.write(g))
+      h.srid == srid && !h.hasZ && !h.hasM &&
+        EWKB.typeName(h.typeCode) == (g.getGeometryType match {
+          case "LinearRing" => "LineString"
+          case t => t
+        })
+  }
+
+  property("WKT round trip preserves structure") = forAll(geomGen) { g =>
+    val back = GeoCodec.fromWkt(GeoCodec.toWkt(g, precision = -1))
+    GeomUtil.equalsIdentical(g.norm(), back.norm())
+  }
+
+  property("EWKT carries the SRID") = forAll(geomGen, Gen.chooseNum(1, 999999)) {
+    (g, srid) =>
+      g.setSRID(srid)
+      GeoCodec.fromEwkt(GeoCodec.toEwkt(g, precision = -1)).getSRID == srid
+  }
+
+  property("mapCoords identity transform is identity") = forAll(geomGen) { g =>
+    GeomUtil.equalsIdentical(g, GeomUtil.mapCoords(g, (x, y, z) => (x, y, z)))
+  }
+
+  property("translate then inverse-translate is near-identity") =
+    forAll(geomGen, Gen.chooseNum(-1e5, 1e5), Gen.chooseNum(-1e5, 1e5)) {
+      (g, dx, dy) =>
+        val rt = GeomUtil.mapCoords(
+          GeomUtil.mapCoords(g, (x, y, z) => (x + dx, y + dy, z)),
+          (x, y, z) => (x - dx, y - dy, z))
+        val a = g.getCoordinates; val b = rt.getCoordinates
+        a.length == b.length && a.zip(b).forall { case (ca, cb) =>
+          math.abs(ca.x - cb.x) < 1e-6 && math.abs(ca.y - cb.y) < 1e-6
+        }
+    }
+
+  private val lonLatGen: Gen[(Double, Double)] = for {
+    lon <- Gen.chooseNum(-179.0, 179.0)
+    lat <- Gen.chooseNum(-84.0, 84.0)
+  } yield (lon, lat)
+
+  property("3857 reprojection round trip") = forAll(lonLatGen) { case (lon, lat) =>
+    val p = fact.createPoint(new Coordinate(lon, lat))
+    p.setSRID(4326)
+    val back = graft.functions.CrsImpl.toSrid(
+      graft.functions.CrsImpl.toSrid(p, 3857), 4326)
+    val c = back.getCoordinate
+    math.abs(c.x - lon) < 1e-9 && math.abs(c.y - lat) < 1e-9
+  }
+
+  private val utmGen: Gen[(Double, Double, Int)] = for {
+    zone <- Gen.chooseNum(1, 60)
+    dLon <- Gen.chooseNum(-2.5, 2.5)
+    lat <- Gen.chooseNum(-79.0, 83.0)
+  } yield (-183.0 + 6 * zone + dLon, lat, if (lat >= 0) 32600 + zone else 32700 + zone)
+
+  property("UTM reprojection round trip (in-zone, sub-mm)") = forAll(utmGen) {
+    case (lon, lat, epsg) =>
+      val p = fact.createPoint(new Coordinate(lon, lat))
+      p.setSRID(4326)
+      val prj = graft.functions.CrsImpl.toSrid(p, epsg)
+      val back = graft.functions.CrsImpl.toSrid(prj, 4326)
+      val c = back.getCoordinate
+      math.abs(c.x - lon) < 1e-8 && math.abs(c.y - lat) < 1e-8
+  }
+
+  property("union area is commutative and >= max input (boxes)") =
+    forAll(boxGen, boxGen) { (a, b) =>
+      val ab = a.union(b).getArea
+      val ba = b.union(a).getArea
+      math.abs(ab - ba) < 1e-6 * math.max(ab, 1.0) &&
+        ab >= math.max(a.getArea, b.getArea) - 1e-9
+    }
+
+  property("intersection area <= min input and symmetric (boxes)") =
+    forAll(boxGen, boxGen) { (a, b) =>
+      val i = a.intersection(b).getArea
+      i <= math.min(a.getArea, b.getArea) + 1e-9 &&
+        math.abs(i - b.intersection(a).getArea) < 1e-9
+    }
+
+  property("crsAuthority parses every generated from_code WKT") =
+    forAll(Gen.oneOf(Gen.const(4326), Gen.const(3857), Gen.const(3395),
+      Gen.chooseNum(32601, 32660), Gen.chooseNum(32701, 32760))) { code =>
+      val wkt = graft.functions.CrsImpl.crsFromCode(code)
+      wkt.isDefined &&
+        graft.functions.CrsImpl.crsAuthority(wkt.get).contains(("EPSG", code))
+    }
+}
