@@ -21,7 +21,7 @@ object Bench {
     s.read.parquet(s"$dir/$name.parquet")
 
   private def k = col("k")
-  private def xmin = (k % 100000).cast("double") * 16.0
+  private def xmin = (k % 1000000).cast("double") * 16.0
   private def ymin = (k % 16).cast("double") * 16.0
   private def w = lit(1.0) + (k % 13).cast("double") / 4.0
   private def h = lit(1.0) + (k % 11).cast("double") / 4.0

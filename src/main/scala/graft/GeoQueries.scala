@@ -31,7 +31,7 @@ object GeoQueries {
     t(s, dir, "orders").select(col("o_orderkey").as("k"))
 
   private def k = col("k")
-  private def xmin = (k % 100000).cast("double") * 16.0
+  private def xmin = (k % 1000000).cast("double") * 16.0
   private def ymin = (k % 16).cast("double") * 16.0
   private def w = lit(1.0) + (k % 13).cast("double") / 4.0
   private def h = lit(1.0) + (k % 11).cast("double") / 4.0
@@ -64,7 +64,7 @@ object GeoQueries {
   /** DuckDB CTE mirroring the dyadic scheme. */
   private val B =
     """WITH b AS (SELECT o_orderkey AS k,
-      | CAST(o_orderkey%100000 AS DOUBLE)*16.0 AS xmin,
+      | CAST(o_orderkey%1000000 AS DOUBLE)*16.0 AS xmin,
       | CAST(o_orderkey%16 AS DOUBLE)*16.0 AS ymin,
       | 1+CAST(o_orderkey%13 AS DOUBLE)/4.0 AS w,
       | 1+CAST(o_orderkey%11 AS DOUBLE)/4.0 AS h
@@ -110,7 +110,7 @@ object GeoQueries {
     }),
 
     "geo_parse" -> ((s, dir) => {
-      val xi = ((k % 100000) * 16).cast("long").cast("string")
+      val xi = ((k % 1000000) * 16).cast("long").cast("string")
       val yi = ((k % 16) * 16).cast("long").cast("string")
       val wkt = concat(lit("POINT ("), xi, lit(" "), yi, lit(")"))
       base(s, dir).select(k,
@@ -234,7 +234,7 @@ object GeoQueries {
     "geo_overlay" -> ((s, dir) => {
       val a = rect
       val c = st_translate(rect, w / 2, lit(0.0))
-      val xiL = ((k % 100000) * 16).cast("long")
+      val xiL = ((k % 1000000) * 16).cast("long")
       val yiL = ((k % 16) * 16).cast("long")
       def S(cc: Column): Column = cc.cast("string")
       def pWkt(dx0: Int, dx1: Int): Column = concat(
@@ -455,7 +455,7 @@ object GeoQueries {
 
     // --------------------------------------------- §2.12 serialization
     "geo_serde" -> ((s, dir) => {
-      val xiD = (k % 100000).cast("double") * 16.0
+      val xiD = (k % 1000000).cast("double") * 16.0
       val yiD = (k % 16).cast("double") * 16.0
       val ptInt = st_point(xiD, yiD)
       val ptFrac = st_point(xiD + 0.25, yiD)
@@ -671,7 +671,7 @@ object GeoQueries {
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area,
-         | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%100000 AS DOUBLE)*16.0 <= 1000)
+         | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->

@@ -21,7 +21,7 @@ object SparkEntry {
   // Derived rectangle from an integer key, disjoint across distinct keys:
   // anchored on a stride-16 grid, w in [1,4], h in [1,3.5] (dyadic quarters).
   private def boxCols(key: Column): (Column, Column, Column, Column) = {
-    val xmin = (key % 100000).cast("double") * 16.0
+    val xmin = (key % 1000000).cast("double") * 16.0
     val ymin = (key % 16).cast("double") * 16.0
     val w = lit(1.0) + (key % 13).cast("double") / 4.0
     val h = lit(1.0) + (key % 11).cast("double") / 4.0
