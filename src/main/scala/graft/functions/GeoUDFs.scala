@@ -86,18 +86,20 @@ object GeoUDFs {
   // ---------------------------------------------------------- constructors
   // Reference: polars_st/parsing.py; kernels functions.rs:258-408.
 
+  // Parse constructors are named so graft.plans.BboxFilterRule can evaluate
+  // constant `st_geomfrom*(lit)` chains at plan time.
   val geomFromWkt: UserDefinedFunction = udf((s: String) =>
-    if (s == null) null else EWKB.write(GeoCodec.fromWkt(s)))
+    if (s == null) null else EWKB.write(GeoCodec.fromWkt(s))).withName("st_geomfromtext")
 
   val geomFromEwkt: UserDefinedFunction = udf((s: String) =>
-    if (s == null) null else EWKB.write(GeoCodec.fromEwkt(s)))
+    if (s == null) null else EWKB.write(GeoCodec.fromEwkt(s))).withName("st_geomfromewkt")
 
   /** WKB/EWKB bytes → normalized EWKB. */
   val geomFromWkb: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null else EWKB.write(EWKB.read(b)))
+    if (b == null) null else EWKB.write(EWKB.read(b))).withName("st_geomfromwkb")
 
   val geomFromGeoJson: UserDefinedFunction = udf((s: String) =>
-    if (s == null) null else EWKB.write(GeoJson.read(s)))
+    if (s == null) null else EWKB.write(GeoJson.read(s))).withName("st_geomfromgeojson")
 
   val point: UserDefinedFunction = udf((x: Double, y: Double) =>
     EWKB.write(fact.createPoint(new Coordinate(x, y))))
@@ -383,19 +385,32 @@ object GeoUDFs {
       : (Geometry, Geometry) => Boolean =
     (a, b) => if (a.isEmpty || b.isEmpty) false else RelateNG.relate(a, b, p())
 
-  val intersects: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.intersects())))
-  val crosses: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.crosses())))
-  val contains: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.contains())))
+  // Named with .withName so graft.plans.BboxFilterRule can recognize these
+  // ScalaUDF nodes in filter conditions and conjoin covering-column range
+  // predicates (envelope intersection is implied by every one of them).
+  val intersects: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.intersects()))).withName("st_intersects")
+  val crosses: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.crosses()))).withName("st_crosses")
+  val contains: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.contains()))).withName("st_contains")
   val containsProperly: UserDefinedFunction = udf(bB((a, b) =>
     !a.isEmpty && !b.isEmpty && PreparedGeometryFactory.prepare(a).containsProperly(b)))
-  val coveredBy: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.coveredBy())))
-  val covers: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.covers())))
+    .withName("st_contains_properly")
+  val coveredBy: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.coveredBy()))).withName("st_covered_by")
+  val covers: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.covers()))).withName("st_covers")
   val disjoint: UserDefinedFunction = udf(bB((a, b) =>
     a.isEmpty || b.isEmpty || RelateNG.relate(a, b, RelatePredicate.disjoint())))
-  val overlaps: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.overlaps())))
-  val touches: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.touches())))
-  val within: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.within())))
-  val equalsTopo: UserDefinedFunction = udf(bB(ngPred(() => RelatePredicate.equalsTopo())))
+  val overlaps: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.overlaps()))).withName("st_overlaps")
+  val touches: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.touches()))).withName("st_touches")
+  val within: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.within()))).withName("st_within")
+  val equalsTopo: UserDefinedFunction =
+    udf(bB(ngPred(() => RelatePredicate.equalsTopo()))).withName("st_equals")
   val equalsIdentical: UserDefinedFunction = udf(bB(GeomUtil.equalsIdentical))
 
   /** Strict `<` like the reference (functions.rs:984-990), not PostGIS `<=`. */

@@ -1,0 +1,104 @@
+package graft.plans
+
+import graft.serde.EWKB
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+/** Catalyst extension (SURVEY.md §7 phase 9): bbox covering-column
+  * refinement for spatial filter predicates.
+  *
+  * A filter like `st_intersects(geometry, lit(<ewkb>))` is an opaque UDF to
+  * Catalyst — nothing reaches the Parquet scan, so every row group is read
+  * and every geometry parsed. When the frame carries the GeoParquet-style
+  * covering column written by `GeoIO.writeGeoParquet` (`__geo_bbox`:
+  * struct<xmin,ymin,xmax,ymax>), every non-disjoint DE-9IM predicate
+  * implies envelope intersection with the literal operand, so the rule
+  * conjoins
+  *
+  * {{{ __geo_bbox.xmin <= litEnv.maxX AND __geo_bbox.xmax >= litEnv.minX
+  *     AND __geo_bbox.ymin <= litEnv.maxY AND __geo_bbox.ymax >= litEnv.minY }}}
+  *
+  * which the stock `PushDownPredicates` + Parquet filter pushdown turn into
+  * row-group min/max pruning. The original predicate still runs — the bbox
+  * conjunct is a necessary condition, never a replacement — so semantics
+  * are unchanged; only the scan shrinks.
+  *
+  * Enable per session:
+  * {{{ SparkSession.builder.withExtensions(new GraftExtensions) }}}
+  * or `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => BboxFilterRule)
+}
+
+object BboxFilterRule extends Rule[LogicalPlan] {
+
+  /** Predicates whose truth implies the operands' envelopes intersect. */
+  private val EnvelopePreds = Set(
+    "st_intersects", "st_contains", "st_within", "st_covers", "st_covered_by",
+    "st_overlaps", "st_crosses", "st_touches", "st_equals", "st_contains_properly")
+
+  private def bboxField(bbox: Attribute, name: String): Expression = {
+    val st = bbox.dataType.asInstanceOf[StructType]
+    GetStructField(bbox, st.fieldIndex(name), Some(name))
+  }
+
+  /** graft parse constructors — deterministic, safe to evaluate at plan
+    * time over foldable arguments. */
+  private val ParseFns = Set(
+    "st_geomfromtext", "st_geomfromewkt", "st_geomfromwkb", "st_geomfromgeojson")
+
+  /** The literal side's envelope: a foldable EWKB expression, or a constant
+    * `st_geomfrom*` parse chain evaluated at plan time. */
+  private def litEnvelope(e: Expression): Option[org.locationtech.jts.geom.Envelope] = {
+    val bytes: Option[Array[Byte]] = e match {
+      case _ if e.foldable && e.dataType == BinaryType =>
+        Option(e.eval()).map(_.asInstanceOf[Array[Byte]])
+      case u: ScalaUDF if u.udfName.exists(ParseFns.contains) &&
+          u.children.forall(_.foldable) =>
+        try Option(u.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+          .map(_.asInstanceOf[Array[Byte]])
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    bytes.map(b => EWKB.read(b).getEnvelopeInternal).filterNot(_.isNull)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) if child.output.exists(_.name == graft.io.GeoIO.BboxColumn) &&
+        !cond.references.exists(_.name == graft.io.GeoIO.BboxColumn) =>
+      val bbox = child.output.find(_.name == graft.io.GeoIO.BboxColumn).get
+      if (!bbox.dataType.isInstanceOf[StructType]) f
+      else {
+        val extra = scala.collection.mutable.ArrayBuffer.empty[Expression]
+        cond foreach {
+          case u: ScalaUDF if u.udfName.exists(EnvelopePreds.contains) &&
+              u.children.length == 2 =>
+            val envOpt = litEnvelope(u.children(0)).orElse(litEnvelope(u.children(1)))
+            // only when the non-literal side is a plain geometry column of
+            // this relation (a derived expression may not be covered)
+            val attrSide = u.children.find(c => !c.foldable)
+            val isPlainAttr = attrSide.exists {
+              case a: AttributeReference => child.outputSet.contains(a)
+              case _ => false
+            }
+            envOpt.foreach { env =>
+              if (isPlainAttr) {
+                extra += And(
+                  And(LessThanOrEqual(bboxField(bbox, "xmin"), Literal(env.getMaxX)),
+                    GreaterThanOrEqual(bboxField(bbox, "xmax"), Literal(env.getMinX))),
+                  And(LessThanOrEqual(bboxField(bbox, "ymin"), Literal(env.getMaxY)),
+                    GreaterThanOrEqual(bboxField(bbox, "ymax"), Literal(env.getMinY))))
+              }
+            }
+          case _ => ()
+        }
+        if (extra.isEmpty) f
+        else Filter(extra.foldLeft(cond)((c, e) => And(e, c)), child)
+      }
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** BboxFilterRule: spatial filter predicates over frames carrying the
+  * covering column get a scan-prunable bbox conjunct; semantics unchanged. */
+class BboxRuleSpec extends AnyFunSuite {
+
+  // the shared test session is built with GraftExtensions (TestSpark)
+  private lazy val spark: SparkSession = TestSpark.spark
+
+  private val path = "/tmp/graft_test_rule_pq"
+
+  private def writeData(): Unit = {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("k")
+      .select(col("k"), st_rectangle(col("k") * 10.0, lit(0.0),
+        col("k") * 10.0 + 5.0, lit(5.0)).as("geometry"))
+    graft.io.GeoIO.writeGeoParquet(df, path) // writes __geo_bbox covering
+  }
+
+  private def probeLit = {
+    // a polygon overlapping rects k=10..12 (x in [100, 125])
+    val wkb = spark.range(1).select(
+      st_aswkb(st_rectangle(lit(100.0), lit(0.0), lit(125.0), lit(5.0)),
+        lit(2), lit(false), lit(false))).collect()(0).getAs[Array[Byte]](0)
+    lit(wkb)
+  }
+
+  test("rule conjoins a bbox range predicate that reaches the parquet scan") {
+    writeData()
+    val df = spark.read.parquet(path)
+      .filter(st_intersects(col("geometry"), graft.functions.st_geomfromwkb(probeLit)))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the probe envelope is [100,125]×[0,5] → exact literals in the conjunct
+    assert(optimized.contains("xmin <= 125.0") && optimized.contains("xmax >= 100.0"),
+      s"bbox conjunct missing from optimized plan:\n$optimized")
+    // the range predicate must be pushed into the scan as a data filter
+    val physical = df.queryExecution.executedPlan.toString
+    val pushed = physical.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("__geo_bbox.xmin") || pushed.contains("xmin"),
+      s"no pushed bbox filter:\n$physical")
+  }
+
+  test("results are identical with and without the covering column") {
+    import spark.implicits._
+    writeData()
+    val pred = (g: org.apache.spark.sql.Column) =>
+      st_intersects(g, graft.functions.st_geomfromwkb(probeLit))
+    val withBbox = spark.read.parquet(path)
+      .filter(pred(col("geometry"))).select("k").as[Int].collect().toSet
+    val plain = spark.read.parquet(path).drop(graft.io.GeoIO.BboxColumn)
+      .filter(pred(col("geometry"))).select("k").as[Int].collect().toSet
+    assert(withBbox === plain)
+    assert(withBbox === Set(10, 11, 12))
+  }
+
+  test("rule leaves non-literal predicates and disjoint() untouched") {
+    writeData()
+    val df = spark.read.parquet(path)
+    val selfJoinish = df.filter(st_disjoint(col("geometry"),
+      graft.functions.st_geomfromwkb(probeLit)))
+    val opt = selfJoinish.queryExecution.optimizedPlan.toString
+    // disjoint does not imply envelope intersection — no conjunct
+    assert(!opt.contains("xmin <="))
+  }
+}
