@@ -51,7 +51,7 @@ object SpatialJoin {
     * back to the grid-partitioned tier (driver-OOM protection at scale). */
   val MaxBroadcastRows: Long = 4L * 1000 * 1000
 
-  private[join] def applyPred(name: String, prep: PreparedGeometry, right: Geometry): Boolean =
+  private[graft] def applyPred(name: String, prep: PreparedGeometry, right: Geometry): Boolean =
     name match {
       case "intersects_bbox" => true // envelope hit already established
       case "intersects" => prep.intersects(right)

@@ -31,8 +31,10 @@ import org.apache.spark.sql.types.{BinaryType, StructType}
   * or `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BboxFilterRule)
+    ext.injectPlannerStrategy(_ => SpatialJoinStrategy)
+  }
 }
 
 object BboxFilterRule extends Rule[LogicalPlan] {

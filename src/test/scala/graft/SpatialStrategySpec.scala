@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** SpatialJoinStrategy: `df.join(df2, st_pred(...))` auto-plans as the
+  * STRtree exec node, with results identical to Spark's default plan. */
+class SpatialStrategySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def rects = {
+    import spark.implicits._
+    (1 to 200).toDF("k")
+      .select(col("k"), st_rectangle(col("k") * 10.0, lit(0.0),
+        col("k") * 10.0 + 5.0, lit(5.0)).as("geometry"))
+  }
+  private def points = {
+    import spark.implicits._
+    (1 to 200).toDF("p")
+      .select(col("p"), st_point(col("p") * 10.0 + 2.0, lit(2.0)).as("pgeom"))
+  }
+
+  test("join with st_contains plans as SpatialJoinExec and matches brute force") {
+    import spark.implicits._
+    val l = rects
+    val r = points
+    val joined = l.join(r, st_contains(col("geometry"), col("pgeom")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SpatialJoin "), s"strategy did not fire:\n$plan")
+    val got = joined.select("k", "p").as[(Int, Int)].collect().toSet
+    // brute force via cross join (default planner path — no named UDF match)
+    val brute = l.crossJoin(r)
+      .filter(st_contains(col("geometry"), col("pgeom")))
+      .select("k", "p").as[(Int, Int)].collect().toSet
+    assert(got === brute)
+    assert(got === (1 to 200).map(i => (i, i)).toSet)
+  }
+
+  test("asymmetric predicate written right-side first still plans and matches") {
+    import spark.implicits._
+    // pred(rightGeom, leftGeom): within(point, rect)
+    val joined = rects.join(points, st_within(col("pgeom"), col("geometry")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SpatialJoin "), s"strategy did not fire:\n$plan")
+    val got = joined.select("k", "p").as[(Int, Int)].collect().toSet
+    assert(got === (1 to 200).map(i => (i, i)).toSet)
+  }
+
+  test("extra conjuncts split by the optimizer; spatial join still plans") {
+    // PushDownPredicates pushes the k-filter below the join, so the join
+    // condition reduces to the bare spatial predicate and the strategy fires
+    val joined = rects.join(points,
+      st_contains(col("geometry"), col("pgeom")) && col("k") % 2 === 0, "inner")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SpatialJoin "), s"expected spatial plan:\n$plan")
+    assert(joined.count() === 100)
+  }
+
+  test("left joins fall back to Spark's planner") {
+    val joined = rects.join(points,
+      st_contains(col("geometry"), col("pgeom")), "left")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("SpatialJoin "))
+    assert(joined.count() === 200) // every rect row kept
+  }
+}
