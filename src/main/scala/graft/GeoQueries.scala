@@ -489,6 +489,18 @@ object GeoQueries {
       inner.crossJoin(leftJ)
     }),
 
+    // planner-strategy path: a plain join(condition) auto-plans as the
+    // STRtree exec when GraftExtensions is installed (Verify session is);
+    // without the extension the same query still computes via Spark's
+    // default nested-loop join — semantics identical either way.
+    "geo_sjoin_auto" -> ((s, dir) => {
+      val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
+      val right = base(s, dir).select(k.as("rk"), pt.as("pgeom"))
+      left.join(right, st_contains(col("geometry"), col("pgeom")))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("lk") === col("rk")).cast("long")).as("n_same"))
+    }),
+
     "geo_sjoin_grid" -> ((s, dir) => {
       val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
       val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
@@ -666,6 +678,9 @@ object GeoQueries {
         | (SELECT count(*) FROM orders) AS n_same,
         | (SELECT count(*) FROM orders) AS n_left_rows,
         | (SELECT count(*) FROM orders WHERE o_orderkey%2 = 1) AS n_left_null""".stripMargin,
+    "geo_sjoin_auto" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_pairs,
+        | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
     "geo_sjoin_grid" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
