@@ -93,6 +93,19 @@ object PipelineQueries {
           sum((col("hamming") === 0 && col("fp_a") === col("fp_b")).cast("long")).as("n_ident_h0"))
     }),
 
+    // ------------------------------------------------- word n-gram Jaccard
+    "pipe_dedup_ngram" -> ((s, dir) => {
+      val all = docsWithDups(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val fps = all.select(col("doc_id").as("id"), col("fp"))
+      Dedup.nearDupNgram(all, "doc_id", "text", threshold = 1.0, n = 3)
+        .join(fps.withColumnRenamed("id", "id_a").withColumnRenamed("fp", "fp_a"), Seq("id_a"))
+        .join(fps.withColumnRenamed("id", "id_b").withColumnRenamed("fp", "fp_b"), Seq("id_b"))
+        .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_ident"),
+          sum((col("fp_a") === col("fp_b") && col("jaccard") === 1.0).cast("long"))
+            .as("n_ident_j1"))
+    }),
+
     // ------------------------------------- embedding near-dup + ANN search
     "pipe_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -121,12 +134,24 @@ object PipelineQueries {
           (lit(32) + col("doc_id") % 128).cast("int")))
       val decoded = d.withColumn("img", Multimodal.decodeImage(col("png")))
       val feat = Multimodal.withImageFeatures(d, "png", featureDim = 64)
+      // WAV: 1 channel, 16 kHz, 16-bit, payload (doc_id%100+1) * 32000 bytes
+      // → duration exactly (doc_id%100+1) seconds
+      val wav = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("wav", Multimodal.makeWavHeader(
+          lit(1), lit(16000), lit(16),
+          ((col("doc_id") % 100 + 1) * 32000).cast("int")))
+        .withColumn("au", Multimodal.decodeAudio(col("wav")))
+        .select(col("doc_id"),
+          col("au._1").as("au_channels"),
+          col("au._2").as("au_rate"),
+          col("au._4").as("au_ms"))
       decoded.select(col("doc_id"),
         col("img._1").as("width"),
         col("img._2").as("height"),
         col("img._3").as("channels"),
         col("img._4").as("fmt"))
         .join(feat.select(col("doc_id"), size(col("features")).as("n_feat")), "doc_id")
+        .join(wav, "doc_id")
         .orderBy(col("doc_id"))
     })
   )
@@ -190,11 +215,16 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_bf_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_lsh_self""".stripMargin,
+    "pipe_dedup_ngram" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_ident,
+        | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,
     "pipe_multimodal" ->
       """SELECT doc_id,
         | 64 + (doc_id % 256) AS width,
         | 32 + (doc_id % 128) AS height,
-        | 3 AS channels, 'png' AS fmt, 64 AS n_feat
+        | 3 AS channels, 'png' AS fmt, 64 AS n_feat,
+        | 1 AS au_channels, 16000 AS au_rate,
+        | (doc_id % 100 + 1) * 1000 AS au_ms
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

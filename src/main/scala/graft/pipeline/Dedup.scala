@@ -219,6 +219,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_est", "jaccard")
   }
 
+  /** Word n-gram hashes (Int64), the token-level analog of
+    * [[shingleHashesNorm]]; `toks` must be a materialized column. */
+  private def ngramHashesOf(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array(xxhash64(concat_ws(" ", toks)))))
+
+  /** Word n-gram Jaccard near-dup: MinHash-LSH candidates over hashed word
+    * n-grams, exact n-gram-set Jaccard verify ≥ threshold. Same
+    * bucket-join shape as [[nearDupMinhash]], token-level granularity
+    * (robust to intra-word edits, classic C4/CCNet-style dedup unit). */
+  def nearDupNgram(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 0): DataFrame = {
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val r = numHashes / b
+    val withNg = df
+      .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col("id"), TextAnalysis.tokens(col("__norm")).as("__toks"))
+      .select(col("id"), ngramHashesOf(col("__toks"), n).as("ng"))
+    val withSig = withNg
+      .select(col("id"), col("ng"), minhashSignatureHashed(numHashes)(col("ng")).as("sig"))
+    val banded = withSig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(b - 1)),
+        bb => struct(bb.as("band"), hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(rgt, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val ngs = withNg.select(col("id"), col("ng"))
+    pairs
+      .join(ngs.select(col("id").as("id_a"), col("ng").as("ng_a")), Seq("id_a"))
+      .join(ngs.select(col("id").as("id_b"), col("ng").as("ng_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("ng_a"), col("ng_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over subword tokens. */

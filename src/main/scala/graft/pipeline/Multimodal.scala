@@ -62,6 +62,51 @@ object Multimodal {
   val decodeImage = udf((bytes: Array[Byte]) =>
     if (bytes == null) None else parseImageHeader(bytes))
 
+  /** Pure-JVM WAV (RIFF) header parse → (channels, sampleRate,
+    * bitsPerSample, durationMs). Walks RIFF chunks to fmt + data. */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
+      u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var dataLen = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val sz = le32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= b.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+      else if (tag(i, "data")) dataLen = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    fmt.map { case (ch, rate, bits) =>
+      val bytesPerSec = rate.toLong * ch * (bits / 8)
+      val ms = if (dataLen >= 0 && bytesPerSec > 0) dataLen * 1000 / bytesPerSec else 0L
+      (ch, rate, bits, ms)
+    }
+  }
+
+  /** Audio header decode: binary → struct(channels, sample_rate, bits,
+    * duration_ms); null for unrecognized bytes. */
+  val decodeAudio = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None else parseWavHeader(bytes))
+
+  /** Minimal WAV header bytes for given params + payload length (fixture
+    * generator; no samples, data length only). */
+  val makeWavHeader = udf((channels: Int, sampleRate: Int, bits: Int, dataLen: Int) => {
+    val out = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    out.array()
+  })
+
   /** Minimal valid-header PNG bytes for a given size (test/query fixture
     * generator — deterministic, parseable by [[decodeImage]] and any real
     * PNG reader's header stage; CRC left zeroed, no pixel data). */

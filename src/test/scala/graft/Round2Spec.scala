@@ -212,4 +212,27 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // garbage → None
     assert(graft.pipeline.Multimodal.parseImageHeader(Array[Byte](1, 2, 3, 4)) === None)
   }
+
+  test("WAV header decode round-trips the generator") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    val wav = Seq(1).toDF("i")
+      .select(Multimodal.makeWavHeader(lit(2), lit(44100), lit(16), lit(441000)))
+      .collect()(0).getAs[Array[Byte]](0)
+    // 441000 bytes at 44100 Hz × 2ch × 2B = 176400 B/s → 2500 ms
+    assert(Multimodal.parseWavHeader(wav) === Some((2, 44100, 16, 2500L)))
+    assert(Multimodal.parseWavHeader("nope".getBytes) === None)
+  }
+
+  test("n-gram near-dup finds duplicated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.nearDupNgram(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
 }
