@@ -66,22 +66,33 @@ object SpatialJoin {
       case other => throw new IllegalArgumentException(s"unknown sjoin predicate: $other")
     }
 
-  /** Executor-local cache: one prepared STRtree per broadcast variable. */
+  /** Executor-local cache: one prepared STRtree per broadcast variable,
+    * bounded LRU — an unbounded id-keyed map would retain every past
+    * join's tree for the executor lifetime. */
   private object TreeCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[Long, STRtree]()
-    def get(bc: Broadcast[Array[(Long, Array[Byte])]]): STRtree =
-      cache.computeIfAbsent(bc.id, _ => {
-        val tree = new STRtree()
-        bc.value.foreach { case (id, bytes) =>
-          if (bytes != null) {
-            val g = EWKB.read(bytes)
-            if (!g.isEmpty)
-              tree.insert(g.getEnvelopeInternal, (id, PreparedGeometryFactory.prepare(g)))
-          }
-        }
-        tree.build()
-        tree
+    private val Cap = 4
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Long, STRtree](Cap, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Long, STRtree]): Boolean =
+          size() > Cap
       })
+    def get(bc: Broadcast[Array[(Long, Array[Byte])]]): STRtree =
+      cache.synchronized {
+        var t = cache.get(bc.id)
+        if (t == null) {
+          t = new STRtree()
+          bc.value.foreach { case (id, bytes) =>
+            if (bytes != null) {
+              val g = EWKB.read(bytes)
+              if (!g.isEmpty)
+                t.insert(g.getEnvelopeInternal, (id, PreparedGeometryFactory.prepare(g)))
+            }
+          }
+          t.build()
+          cache.put(bc.id, t)
+        }
+        t
+      }
   }
 
   /** Broadcast STRtree spatial join.

@@ -96,11 +96,6 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
       newRight: SparkPlan): SpatialJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** per-executor tree cache, keyed by broadcast id. */
-  private object Trees {
-    val cache = new java.util.concurrent.ConcurrentHashMap[Long, STRtree]()
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val (build, probe) = if (buildLeft) (left, right) else (right, left)
     val (buildGeomExpr, probeGeomExpr) =
@@ -118,20 +113,7 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
     val outAttrs = output
 
     probe.execute().mapPartitions { it =>
-      val tree = {
-        val cached = Trees.cache.get(bc.id)
-        if (cached != null) cached
-        else Trees.cache.computeIfAbsent(bc.id, _ => {
-          val t = new STRtree()
-          bc.value.foreach { case (bytes, row) =>
-            val g = EWKB.read(bytes)
-            if (!g.isEmpty)
-              t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
-          }
-          t.build()
-          t
-        })
-      }
+      val tree = SpatialJoinExec.treeFor(bc)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       it.flatMap { probeRow =>
@@ -151,4 +133,31 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
       }
     }
   }
+}
+
+object SpatialJoinExec {
+  /** per-executor bounded tree cache keyed by broadcast id — bounded so
+    * long-running executors don't retain every past join's index. */
+  private val Cap = 4
+  private val trees = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, STRtree](Cap, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, STRtree]): Boolean =
+        size() > Cap
+    })
+
+  private def treeFor(bc: Broadcast[Array[(Array[Byte], InternalRow)]]): STRtree =
+    trees.synchronized {
+      var t = trees.get(bc.id)
+      if (t == null) {
+        t = new STRtree()
+        bc.value.foreach { case (bytes, row) =>
+          val g = EWKB.read(bytes)
+          if (!g.isEmpty)
+            t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
+        }
+        t.build()
+        trees.put(bc.id, t)
+      }
+      t
+    }
 }
