@@ -314,7 +314,58 @@ object CrsImpl {
   private def isUtmNorth(srid: Int) = srid >= 32601 && srid <= 32660
   private def isUtmSouth(srid: Int) = srid >= 32701 && srid <= 32760
   def isSupported(srid: Int): Boolean =
-    srid == 4326 || srid == 3857 || srid == 3395 || isUtmNorth(srid) || isUtmSouth(srid)
+    srid == 4326 || srid == 3857 || srid == 3395 || srid == 3035 ||
+      isUtmNorth(srid) || isUtmSouth(srid)
+
+  // ------------------------- EPSG:3035 ETRS89-LAEA (Snyder §24, ellipsoid)
+  // Lambert azimuthal equal-area, lat0=52, lon0=10, FE=4321000, FN=3210000.
+  // WGS84 ellipsoid parameters are used for the offline build (ETRS89/GRS80
+  // differs from WGS84 by <1e-9 in flattening — far below our tolerance).
+  private val Laea = new {
+    val lat0 = math.toRadians(52.0); val lon0 = math.toRadians(10.0)
+    val fe = 4321000.0; val fn = 3210000.0
+    def qOf(phi: Double): Double = {
+      val esin = E * math.sin(phi)
+      (1 - E2) * (math.sin(phi) / (1 - esin * esin) -
+        (1 / (2 * E)) * math.log((1 - esin) / (1 + esin)))
+    }
+    val qp = qOf(math.Pi / 2)
+    val q0 = qOf(lat0)
+    val beta0 = math.asin(q0 / qp)
+    val rq = R * math.sqrt(qp / 2)
+    val d = R * (math.cos(lat0) / math.sqrt(1 - E2 * math.pow(math.sin(lat0), 2))) /
+      (rq * math.cos(beta0))
+  }
+
+  private def laeaForward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    import Laea._
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val beta = math.asin(qOf(phi) / qp)
+    val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
+      math.cos(beta0) * math.cos(beta) * math.cos(lam - lon0)))
+    (fe + b * d * math.cos(beta) * math.sin(lam - lon0),
+      fn + (b / d) * (math.cos(beta0) * math.sin(beta) -
+        math.sin(beta0) * math.cos(beta) * math.cos(lam - lon0)))
+  }
+
+  private def laeaInverse(x0: Double, y0: Double): (Double, Double) = {
+    import Laea._
+    val x = x0 - fe; val y = y0 - fn
+    val rho = math.sqrt(math.pow(x / d, 2) + math.pow(d * y, 2))
+    if (rho < 1e-12) return (math.toDegrees(lon0), math.toDegrees(lat0))
+    val ce = 2 * math.asin(rho / (2 * rq))
+    val betaP = math.asin(math.cos(ce) * math.sin(beta0) +
+      (d * y * math.sin(ce) * math.cos(beta0)) / rho)
+    val lam = lon0 + math.atan2(x * math.sin(ce),
+      d * rho * math.cos(beta0) * math.cos(ce) - d * d * y * math.sin(beta0) * math.sin(ce))
+    // beta → phi by series (Snyder 3-18)
+    val e4 = E2 * E2; val e6 = e4 * E2
+    val phi = betaP + (E2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
+      (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
+      (761 * e6 / 45360) * math.sin(6 * betaP)
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
 
   /** Meridian arc length M(φ) (Snyder 3-21). */
   private def meridianArc(phi: Double): Double =
@@ -381,6 +432,7 @@ object CrsImpl {
       (R * math.toRadians(lon),
         R * math.log(math.tan(math.Pi / 4 + phi / 2) *
           math.pow((1 - esin) / (1 + esin), E / 2)))
+    case 3035 => laeaForward(lon, lat)
     case z if isUtmNorth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32600), 0.0)
     case z if isUtmSouth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32700), 1e7)
     case _ => throw new UnsupportedOperationException(s"to_srid: unsupported target EPSG:$dst")
@@ -402,6 +454,7 @@ object CrsImpl {
         i += 1
       }
       (math.toDegrees(x / R), math.toDegrees(phi))
+    case 3035 => laeaInverse(x, y)
     case z if isUtmNorth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32600), 0.0)
     case z if isUtmSouth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32700), 1e7)
     case _ => throw new UnsupportedOperationException(s"to_srid: unsupported source EPSG:$src")
@@ -413,7 +466,7 @@ object CrsImpl {
       val c = g.copy(); c.setSRID(target); return c
     }
     require(isSupported(src) && isSupported(target),
-      s"to_srid($src -> $target): supported EPSG codes are 4326, 3857, 3395, UTM 326xx/327xx")
+      s"to_srid($src -> $target): supported EPSG codes are 4326, 3857, 3395, 3035, UTM 326xx/327xx")
     val out = graft.serde.GeomUtil.mapCoords(g, (x, y, z) => {
       val (lon, lat) = toWgs84(x, y, src)
       val (ox, oy) = fromWgs84(lon, lat, target)
@@ -449,6 +502,7 @@ object CrsImpl {
     case 4326 => Some("""GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]""")
     case 3857 => Some("""PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3857"]]""")
     case 3395 => Some("""PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_2SP"],PARAMETER["standard_parallel_1",0],PARAMETER["central_meridian",0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3395"]]""")
+    case 3035 => Some("""PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["latitude_of_center",52],PARAMETER["longitude_of_center",10],PARAMETER["false_easting",4321000],PARAMETER["false_northing",3210000],UNIT["metre",1],AUTHORITY["EPSG","3035"]]""")
     case z if isUtmNorth(z) || isUtmSouth(z) =>
       val zone = if (isUtmNorth(z)) z - 32600 else z - 32700
       val hemi = if (isUtmNorth(z)) "N" else "S"

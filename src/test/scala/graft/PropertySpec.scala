@@ -132,9 +132,27 @@ object PropertySpec extends Properties("graft-kernel") {
         math.abs(i - b.intersection(a).getArea) < 1e-9
     }
 
+  private val laeaGen: Gen[(Double, Double)] = for {
+    lon <- Gen.chooseNum(-10.0, 30.0)
+    lat <- Gen.chooseNum(35.0, 70.0)
+  } yield (lon, lat)
+
+  property("LAEA Europe (3035) round trip + false origin") = forAll(laeaGen) {
+    case (lon, lat) =>
+      val p = fact.createPoint(new Coordinate(lon, lat))
+      p.setSRID(4326)
+      val prj = graft.functions.CrsImpl.toSrid(p, 3035)
+      val back = graft.functions.CrsImpl.toSrid(prj, 4326).getCoordinate
+      val origin = fact.createPoint(new Coordinate(10.0, 52.0))
+      origin.setSRID(4326)
+      val o = graft.functions.CrsImpl.toSrid(origin, 3035).getCoordinate
+      math.abs(back.x - lon) < 1e-7 && math.abs(back.y - lat) < 1e-7 &&
+        math.abs(o.x - 4321000.0) < 1e-6 && math.abs(o.y - 3210000.0) < 1e-6
+  }
+
   property("crsAuthority parses every generated from_code WKT") =
     forAll(Gen.oneOf(Gen.const(4326), Gen.const(3857), Gen.const(3395),
-      Gen.chooseNum(32601, 32660), Gen.chooseNum(32701, 32760))) { code =>
+      Gen.const(3035), Gen.chooseNum(32601, 32660), Gen.chooseNum(32701, 32760))) { code =>
       val wkt = graft.functions.CrsImpl.crsFromCode(code)
       wkt.isDefined &&
         graft.functions.CrsImpl.crsAuthority(wkt.get).contains(("EPSG", code))
