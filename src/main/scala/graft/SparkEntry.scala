@@ -50,11 +50,18 @@ object SparkEntry {
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
+      // revenue in exact integer "cent·percent" units: price and discount
+      // both have 2 decimals, so round(×100) recovers exact integers and
+      // the sum is order-independent — a double sum would depend on the
+      // nondeterministic partial-aggregation order and can miss the
+      // oracle's exact compare.
+      val p100 = round(col("l_extendedprice") * 100).cast("long")
+      val d100 = round(col("l_discount") * 100).cast("long")
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          sum(p100 * (lit(100L) - d100)).as("revenue_u"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -112,7 +119,8 @@ object SparkEntry {
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_u,
         | count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "geo_rect_area" ->
