@@ -119,11 +119,15 @@ object PipelineQueries {
         queries, "vec_id", "embedding", k = 1)
       val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 1, bits = 8)
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, nlist = 16, nprobe = 2)
       nearDup.agg(count(lit(1)).as("n_embdup"))
         .crossJoin(bf.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_bf_self")))
         .crossJoin(lsh.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_lsh_self")))
+        .crossJoin(ivf.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivf_self")))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -214,7 +218,8 @@ object PipelineQueries {
     "pipe_embedding" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_bf_self,
-        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_lsh_self""".stripMargin,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_lsh_self,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivf_self""".stripMargin,
     "pipe_dedup_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,

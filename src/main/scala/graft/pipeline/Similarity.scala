@@ -117,6 +117,51 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** IVF (inverted-file) top-k: a coarse k-means quantizer (Spark MLlib,
+    * trained on a corpus sample) assigns every corpus vector to one of
+    * `nlist` cells; each query scores only the rows of its `nprobe`
+    * nearest cells. The 100 TB shape: centroids are a tiny broadcast
+    * model, corpus assignment is one codegen-friendly pass, and the join
+    * is an equi-join on cell id — no all-pairs anywhere. Recall is tuned
+    * with `nprobe` (self-retrieval is exact by construction: a vector's
+    * own cell is always its nearest centroid).
+    *
+    * Output: (query_id, rank 1..k, corpus_id, cosine). */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      nlist: Int = 64, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+      .withColumn("fvec", array_to_vector(col("cvec")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fvec").setPredictionCol("cell")
+    val model = km.fit(c.sample(withReplacement = false, 1.0, seed).limit(100000))
+    val assigned = model.transform(c).select(col("corpus_id"), col("cvec"), col("cell"))
+
+    val centroids = model.clusterCenters.map(_.toArray)
+    val nprobeCells = udf((vec: Seq[Double]) => {
+      // nprobe nearest centroids by euclidean distance
+      centroids.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0; var j = 0
+        while (j < ctr.length) { val t = ctr(j) - vec(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    })
+    val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
+      .withColumn("cell", explode(nprobeCells(col("qvec"))))
+
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine", dot(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    localTopK(scored, k).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Approximate top-k: score only corpus rows in the query's LSH bucket.
     * Same output shape as [[bruteForceTopK]]; rows may be missing when a
     * true neighbor hashes elsewhere (tune `bits`). */
