@@ -73,34 +73,36 @@ object BboxFilterRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, child) if child.output.exists(_.name == graft.io.GeoIO.BboxColumn) &&
         !cond.references.exists(_.name == graft.io.GeoIO.BboxColumn) =>
-      val bbox = child.output.find(_.name == graft.io.GeoIO.BboxColumn).get
-      if (!bbox.dataType.isInstanceOf[StructType]) f
-      else {
-        val extra = scala.collection.mutable.ArrayBuffer.empty[Expression]
-        cond foreach {
-          case u: ScalaUDF if u.udfName.exists(EnvelopePreds.contains) &&
-              u.children.length == 2 =>
-            val envOpt = litEnvelope(u.children(0)).orElse(litEnvelope(u.children(1)))
-            // only when the non-literal side is a plain geometry column of
-            // this relation (a derived expression may not be covered)
-            val attrSide = u.children.find(c => !c.foldable)
-            val isPlainAttr = attrSide.exists {
-              case a: AttributeReference => child.outputSet.contains(a)
-              case _ => false
-            }
-            envOpt.foreach { env =>
-              if (isPlainAttr) {
-                extra += And(
-                  And(LessThanOrEqual(bboxField(bbox, "xmin"), Literal(env.getMaxX)),
-                    GreaterThanOrEqual(bboxField(bbox, "xmax"), Literal(env.getMinX))),
-                  And(LessThanOrEqual(bboxField(bbox, "ymin"), Literal(env.getMaxY)),
-                    GreaterThanOrEqual(bboxField(bbox, "ymax"), Literal(env.getMinY))))
-              }
-            }
-          case _ => ()
-        }
-        if (extra.isEmpty) f
-        else Filter(extra.foldLeft(cond)((c, e) => And(e, c)), child)
+      // covering columns found in the child's output, kept only when typed
+      val bboxes = child.output.filter(a =>
+        a.name == graft.io.GeoIO.BboxColumn && a.dataType.isInstanceOf[StructType])
+      val extra = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      cond foreach {
+        case u: ScalaUDF if u.udfName.exists(EnvelopePreds.contains) &&
+            u.children.length == 2 =>
+          val envOpt = litEnvelope(u.children(0)).orElse(litEnvelope(u.children(1)))
+          // the non-literal side must be a plain geometry column, and the
+          // covering column must come from the SAME leaf relation — after a
+          // join, pairing one side's bbox with the other side's geometry
+          // would prune incorrectly
+          val attrSide = u.children.collectFirst {
+            case a: AttributeReference if child.outputSet.contains(a) => a
+          }
+          for {
+            env <- envOpt
+            geomAttr <- attrSide
+            bbox <- bboxes.find(b => child.collectLeaves().exists(leaf =>
+              leaf.outputSet.contains(geomAttr) && leaf.outputSet.contains(b)))
+          } {
+            extra += And(
+              And(LessThanOrEqual(bboxField(bbox, "xmin"), Literal(env.getMaxX)),
+                GreaterThanOrEqual(bboxField(bbox, "xmax"), Literal(env.getMinX))),
+              And(LessThanOrEqual(bboxField(bbox, "ymin"), Literal(env.getMaxY)),
+                GreaterThanOrEqual(bboxField(bbox, "ymax"), Literal(env.getMinY))))
+          }
+        case _ => ()
       }
+      if (extra.isEmpty) f
+      else Filter(extra.foldLeft(cond)((c, e) => And(e, c)), child)
   }
 }

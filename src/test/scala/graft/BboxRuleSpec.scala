@@ -58,6 +58,22 @@ class BboxRuleSpec extends AnyFunSuite {
     assert(withBbox === Set(10, 11, 12))
   }
 
+  test("after a join, a foreign bbox column is never paired with the other side's geometry") {
+    import spark.implicits._
+    writeData() // left side: rects with covering column at `path`
+    val right = (1 to 50).toDF("p")
+      .select(col("p"), st_point(col("p") * 10.0 + 2.0, lit(2.0)).as("pgeom"))
+    // join keeps the LEFT frame's __geo_bbox in scope; filtering on the
+    // RIGHT side's geometry must NOT gain a conjunct from the left's bbox
+    val joined = spark.read.parquet(path).join(right, col("k") === col("p"))
+      .filter(st_intersects(col("pgeom"), graft.functions.st_geomfromwkb(probeLit)))
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("xmin <= 125.0"),
+      s"cross-relation bbox conjunct must not fire:\n$opt")
+    // correctness: points p=10..12 fall in [100,125]
+    assert(joined.select("p").as[Int].collect().toSet === Set(10, 11, 12))
+  }
+
   test("rule leaves non-literal predicates and disjoint() untouched") {
     writeData()
     val df = spark.read.parquet(path)
