@@ -52,6 +52,73 @@ object GeoStreaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Spatial join of a *stream* against a *static* geometry table: the
+    * static side is collected and broadcast once (size-guarded like the
+    * batch tier), each micro-batch's rows probe the per-executor prepared
+    * STRtree. Output = stream columns + matched static columns (inner
+    * semantics; unmatched stream rows drop). This is the
+    * points-into-zones enrichment shape (events × geofences) that a
+    * streaming pipeline needs and the batch `sjoin` cannot provide
+    * (it counts/collects the left side, which is illegal on a stream). */
+  def sjoinStream(stream: DataFrame, static: DataFrame,
+      predicate: String = "intersects",
+      streamGeom: String = "geometry", staticGeom: String = "geometry",
+      suffix: String = "_static",
+      maxBuildRows: Long = graft.join.SpatialJoin.MaxBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types.StructType
+    import graft.serde.EWKB
+    import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+    import org.locationtech.jts.index.strtree.STRtree
+    import scala.jdk.CollectionConverters._
+
+    val staticCount = static.count()
+    require(staticCount <= maxBuildRows,
+      s"sjoinStream: static side has $staticCount rows > $maxBuildRows broadcast guard")
+    // rename static columns clashing with the stream's
+    val renamed = static.columns.foldLeft(static) { (df, c) =>
+      if (stream.columns.contains(c)) df.withColumnRenamed(c, c + suffix) else df
+    }
+    val sgName = if (stream.columns.contains(staticGeom)) staticGeom + suffix else staticGeom
+    val sgPos = renamed.columns.indexOf(sgName)
+    val staticRows = renamed.collect()
+    val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
+      (r.get(sgPos).asInstanceOf[Array[Byte]], r)
+    })
+    val gPos = stream.columns.indexOf(streamGeom)
+    require(gPos >= 0, s"no column $streamGeom in stream frame")
+    val pred = predicate
+
+    val outSchema = StructType(stream.schema.fields ++ renamed.schema.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    stream.mapPartitions { it =>
+      // per-task tree build from the broadcast (streams are long-lived;
+      // the prepared tree is cheap relative to micro-batch cadence)
+      val tree = new STRtree()
+      bc.value.foreach { case (bytes, row) =>
+        if (bytes != null) {
+          val g = EWKB.read(bytes)
+          if (!g.isEmpty)
+            tree.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
+        }
+      }
+      tree.build()
+      it.flatMap { row =>
+        val bytes = row.get(gPos).asInstanceOf[Array[Byte]]
+        if (bytes == null) Iterator.empty
+        else {
+          val g = EWKB.read(bytes)
+          if (g.isEmpty) Iterator.empty
+          else tree.query(g.getEnvelopeInternal).asScala.iterator
+            .map(_.asInstanceOf[(org.locationtech.jts.geom.prep.PreparedGeometry, Row)])
+            .filter { case (prep, _) => graft.join.SpatialJoin.applyPred(pred, prep, g) }
+            .map { case (_, srow) => Row.fromSeq(row.toSeq ++ srow.toSeq) }
+        }
+      }
+    }(enc)
+  }
+
   /** One closed session per (user, gap): event-time sessionization with
     * `flatMapGroupsWithState` — the custom-state path the reference lacks
     * and Spark provides natively. Emits (user, start, end, n) when a

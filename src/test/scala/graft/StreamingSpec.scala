@@ -75,6 +75,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n === 2, "normalized duplicates within the watermark must collapse")
   }
 
+  test("stream sjoin against a static zone table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // static zones: 5 disjoint rects
+    val zones = (1 to 5).toDF("zone")
+      .select(col("zone"), graft.functions.st_rectangle(col("zone") * 100.0,
+        lit(0.0), col("zone") * 100.0 + 50.0, lit(50.0)).as("geometry"))
+    val in = MemoryStream[(Long, Double, Double)]
+    val pts = in.toDF().toDF("id", "x", "y")
+      .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
+    val joined = graft.streaming.GeoStreaming.sjoinStream(pts, zones, "contains")
+    val q = joined.select("id", "zone").writeStream.format("memory")
+      .queryName("zonejoin").outputMode("append").start()
+    in.addData((1L, 120.0, 10.0), (2L, 320.0, 10.0), (3L, 999.0, 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("zonejoin").as[(Long, Int)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, 1), (2L, 3)), s"got $rows") // id 3 is in no zone
+  }
+
   test("sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
