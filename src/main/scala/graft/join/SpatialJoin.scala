@@ -66,19 +66,17 @@ object SpatialJoin {
       case other => throw new IllegalArgumentException(s"unknown sjoin predicate: $other")
     }
 
-  /** Executor-local cache: one prepared STRtree per broadcast variable,
-    * bounded LRU — an unbounded id-keyed map would retain every past
-    * join's tree for the executor lifetime. */
+  /** Executor-local cache: one prepared STRtree per broadcast variable.
+    * Keyed by the broadcast OBJECT (identity), not `bc.id` — broadcast ids
+    * restart at 0 for every SparkContext, so an id-keyed map served a
+    * stale tree after a context restart in the same JVM (observed: wrong
+    * join results across sequential test sessions). Weak keys let trees
+    * age out with their broadcasts instead of needing an LRU bound. */
   private object TreeCache {
-    private val Cap = 4
-    private val cache = java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[Long, STRtree](Cap, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[Long, STRtree]): Boolean =
-          size() > Cap
-      })
+    private val cache = new java.util.WeakHashMap[Broadcast[_], STRtree]()
     def get(bc: Broadcast[Array[(Long, Array[Byte])]]): STRtree =
       cache.synchronized {
-        var t = cache.get(bc.id)
+        var t = cache.get(bc)
         if (t == null) {
           t = new STRtree()
           bc.value.foreach { case (id, bytes) =>
@@ -89,7 +87,7 @@ object SpatialJoin {
             }
           }
           t.build()
-          cache.put(bc.id, t)
+          cache.put(bc, t)
         }
         t
       }
@@ -260,6 +258,97 @@ object SpatialJoin {
                   val ix = math.max(le.getMinX, re.getMinX)
                   val iy = math.max(le.getMinY, re.getMinY)
                   ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs
+                }
+                .filter { case (_, prep) => applyPred(pred, prep, rg) }
+                .map { case (lid, _) => (lid, rid) }
+            }
+          }
+        }
+    }.toDF(LIdx, RIdx)
+
+    assemble(leftIdx, rightIdx, pairs, how, suffix)
+  }
+
+  /** Quadtree-partitioned spatial join: like [[sjoinPartitioned]] but the
+    * cells come from a sample-adaptive [[QuadTree]] instead of a uniform
+    * grid — skewed data (hot clusters) subdivides into many small cells
+    * while sparse regions stay coarse, so no single cell becomes the
+    * straggler. Geometries outside the sampled extent clamp onto boundary
+    * cells (correctness is unconditional; only balance depends on the
+    * sample). */
+  def sjoinQuadtree(left: DataFrame, right: DataFrame,
+      predicate: String = "intersects", how: String = "inner",
+      leftGeom: String = "geometry", rightGeom: String = "geometry",
+      suffix: String = "_right", sampleSize: Int = 10000,
+      leafCapacity: Int = 64, maxDepth: Int = 12): DataFrame = {
+    require(Set("inner", "left", "right", "full")(how), s"unsupported how: $how")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val pred = predicate
+
+    // envelope centers of a sample of both sides drive the partitioning
+    def centers(df: DataFrame, geom: String): Array[(Double, Double)] = df
+      .select(col(geom)).sample(withReplacement = false, 0.2, 42).limit(sampleSize)
+      .collect()
+      .flatMap { r =>
+        Option(r.get(0).asInstanceOf[Array[Byte]]).map(EWKB.read(_).getEnvelopeInternal)
+          .filterNot(_.isNull)
+          .map(e => ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2))
+      }
+    var sample = centers(left, leftGeom) ++ centers(right, rightGeom)
+    if (sample.isEmpty)
+      sample = left.select(col(leftGeom)).limit(sampleSize).collect()
+        .flatMap { r =>
+          Option(r.get(0).asInstanceOf[Array[Byte]]).map(EWKB.read(_).getEnvelopeInternal)
+            .filterNot(_.isNull)
+            .map(e => ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2))
+        }
+    if (sample.isEmpty) return sjoinPartitioned(left, right, 1.0, predicate, how,
+      leftGeom, rightGeom, suffix)
+    val tree = QuadTree.build(sample.toSeq, leafCapacity, maxDepth)
+    val bcTree = spark.sparkContext.broadcast(tree)
+
+    val leftIdx = withStableIndex(left, LIdx)
+    val rightIdx = withStableIndex(right, RIdx)
+
+    def cellsOf(bytes: Array[Byte]): Seq[Int] = {
+      if (bytes == null) return Nil
+      val e = EWKB.read(bytes).getEnvelopeInternal
+      if (e.isNull) Nil else bcTree.value.leavesFor(e)
+    }
+
+    val lCells = leftIdx.select(col(LIdx), col(leftGeom)).as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
+    val rCells = rightIdx.select(col(RIdx), col(rightGeom)).as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
+
+    val pairs = lCells.groupByKey(_._1).cogroup(rCells.groupByKey(_._1)) {
+      (cell, lit, rit) =>
+        val tree = new STRtree()
+        var n = 0
+        lit.foreach { case (_, lid, bytes) =>
+          val g = EWKB.read(bytes)
+          if (!g.isEmpty) {
+            tree.insert(g.getEnvelopeInternal, (lid, PreparedGeometryFactory.prepare(g)))
+            n += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else {
+          tree.build()
+          val qt = bcTree.value
+          rit.flatMap { case (_, rid, bytes) =>
+            val rg = EWKB.read(bytes)
+            if (rg.isEmpty) Iterator.empty
+            else {
+              val re = rg.getEnvelopeInternal
+              tree.query(re).asScala.iterator
+                .map(_.asInstanceOf[(Long, PreparedGeometry)])
+                .filter { case (_, prep) =>
+                  // reference-point dedup against the quadtree leaf
+                  val le = prep.getGeometry.getEnvelopeInternal
+                  qt.leafOf(math.max(le.getMinX, re.getMinX),
+                    math.max(le.getMinY, re.getMinY)) == cell
                 }
                 .filter { case (_, prep) => applyPred(pred, prep, rg) }
                 .map { case (lid, _) => (lid, rid) }

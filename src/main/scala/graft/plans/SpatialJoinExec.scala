@@ -136,18 +136,15 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
 }
 
 object SpatialJoinExec {
-  /** per-executor bounded tree cache keyed by broadcast id — bounded so
-    * long-running executors don't retain every past join's index. */
-  private val Cap = 4
-  private val trees = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[Long, STRtree](Cap, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[Long, STRtree]): Boolean =
-        size() > Cap
-    })
+  /** per-executor tree cache keyed by the broadcast OBJECT with weak keys —
+    * broadcast ids restart per SparkContext, so an id-keyed map can serve a
+    * stale tree after a context restart; weak keys also let trees age out
+    * with their broadcasts on long-lived executors. */
+  private val trees = new java.util.WeakHashMap[Broadcast[_], STRtree]()
 
   private def treeFor(bc: Broadcast[Array[(Array[Byte], InternalRow)]]): STRtree =
     trees.synchronized {
-      var t = trees.get(bc.id)
+      var t = trees.get(bc)
       if (t == null) {
         t = new STRtree()
         bc.value.foreach { case (bytes, row) =>
@@ -156,7 +153,7 @@ object SpatialJoinExec {
             t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
         }
         t.build()
-        trees.put(bc.id, t)
+        trees.put(bc, t)
       }
       t
     }

@@ -11,15 +11,12 @@ import graft.functions.{st_point, st_rectangle}
   * difference_all, image header decode, from_coords dispatch. */
 class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // single shared session for the whole test JVM (carries GraftExtensions)
+  private lazy val spark: SparkSession = TestSpark.spark
+  // the session is shared across suites (getOrCreate) — do NOT stop it here:
+  // a stopped context makes the next suite build a fresh one whose broadcast
+  // ids restart, which is exactly the stale-cache hazard TreeCache guards
+  override def afterAll(): Unit = ()
 
   private def one[T](c: org.apache.spark.sql.Column): T = {
     import spark.implicits._
@@ -98,6 +95,26 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.count() === 100)
     assert(viaGrid.select("k", "k2").as[(Int, Int)].collect().toSet ===
       direct.select("k", "k2").as[(Int, Int)].collect().toSet)
+  }
+
+  test("quadtree sjoin matches the grid tier on skewed data") {
+    import spark.implicits._
+    // skew: 300 small rects clustered in [0,30]², 50 spread over [0,5000]²
+    val lrows = (1 to 300).map { i =>
+      (i, (i % 30).toDouble, (i / 30).toDouble * 3.0)
+    } ++ (301 to 350).map { i => (i, (i % 50) * 100.0, (i / 50) * 500.0) }
+    val left = lrows.toDF("k", "x", "y")
+      .select(col("k"), st_rectangle(col("x"), col("y"),
+        col("x") + 2.0, col("y") + 2.0).as("geometry"))
+    val right = lrows.toDF("p", "x", "y")
+      .select(col("p"), st_point(col("x") + 1.0, col("y") + 1.0).as("geometry"))
+    val viaQt = graft.join.SpatialJoin.sjoinQuadtree(left, right, "contains",
+      sampleSize = 200, leafCapacity = 16, maxDepth = 8)
+      .select("k", "p").as[(Int, Int)].collect().toSet
+    val viaGrid = graft.join.SpatialJoin.sjoinPartitioned(left, right, 8.0, "contains")
+      .select("k", "p").as[(Int, Int)].collect().toSet
+    assert(viaQt === viaGrid)
+    assert(viaQt.size >= 350, s"each point at least in its own rect: ${viaQt.size}")
   }
 
   test("sjoin partitioned outer joins") {

@@ -5,6 +5,30 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions._
 import graft.join.SpatialJoin
 
+class QuadTreeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.locationtech.jts.geom.Envelope
+
+  test("leaves partition the extent; skew subdivides the hot spot") {
+    // 900 samples clustered at (0..1)², 100 spread to (0..100)²
+    val hot = for (i <- 0 until 900) yield (i % 30 / 30.0, i / 30 / 30.0)
+    val cold = for (i <- 0 until 100) yield (i % 10 * 10.0, i / 10 * 10.0)
+    val qt = graft.join.QuadTree.build(hot ++ cold, capacity = 64, maxDepth = 10)
+    // every probe point maps to exactly one leaf, and envelope queries
+    // always include that leaf
+    val probes = Seq((0.5, 0.5), (50.0, 50.0), (-5.0, -5.0), (1000.0, 1000.0), (0.0, 99.0))
+    probes.foreach { case (x, y) =>
+      val leaf = qt.leafOf(x, y)
+      val viaEnv = qt.leavesFor(new Envelope(x, x, y, y))
+      assert(viaEnv.contains(leaf), s"($x,$y): leaf $leaf not in $viaEnv")
+    }
+    // the hot cluster region intersects more leaves than an equal-size
+    // region in the sparse area (adaptivity)
+    val hotLeaves = qt.leavesFor(new Envelope(0, 1, 0, 1)).size
+    val coldLeaves = qt.leavesFor(new Envelope(80, 81, 80, 81)).size
+    assert(hotLeaves > coldLeaves, s"hot=$hotLeaves cold=$coldLeaves")
+  }
+}
+
 class SpatialJoinSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark

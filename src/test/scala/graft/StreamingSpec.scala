@@ -9,15 +9,12 @@ import java.sql.Timestamp
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  // single shared session for the whole test JVM (carries GraftExtensions)
+  private lazy val spark: SparkSession = TestSpark.spark
+  // the session is shared across suites (getOrCreate) — do NOT stop it here:
+  // a stopped context makes the next suite build a fresh one whose broadcast
+  // ids restart, which is exactly the stale-cache hazard TreeCache guards
+  override def afterAll(): Unit = ()
 
   private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
 
