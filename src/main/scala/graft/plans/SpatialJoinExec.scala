@@ -48,8 +48,8 @@ object SpatialJoinStrategy extends SparkStrategy {
         if u.udfName.exists(Converse.contains) && u.children.length == 2 =>
       val Seq(a, b) = u.children
       val name = u.udfName.get
-      val threshold = SQLConf.get.autoBroadcastJoinThreshold max (64L << 20)
-      def fits(p: LogicalPlan) = p.stats.sizeInBytes <= threshold
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      def fits(p: LogicalPlan) = threshold > 0 && p.stats.sizeInBytes <= threshold
 
       // condition arguments must split cleanly across the two sides
       val straight = a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)
@@ -66,7 +66,10 @@ object SpatialJoinStrategy extends SparkStrategy {
           // must be the converse predicate
           SpatialJoinExec(planLater(l), planLater(r), a, b,
             predKey(Converse(name)), buildLeft = false) :: Nil
-        else Nil
+        else
+          // large × large: quadtree-partitioned shuffle join (per-cell tree
+          // over the left slice, applyPred(left, right) = pred)
+          SpatialJoinQuadtreeExec(planLater(l), planLater(r), a, b, predKey(name)) :: Nil
       } else if (crossed) {
         // pred(rightGeom, leftGeom): same with roles pre-swapped
         if (fits(l))
@@ -75,7 +78,9 @@ object SpatialJoinStrategy extends SparkStrategy {
         else if (fits(r))
           SpatialJoinExec(planLater(l), planLater(r), b, a,
             predKey(name), buildLeft = false) :: Nil
-        else Nil
+        else
+          SpatialJoinQuadtreeExec(planLater(l), planLater(r), b, a,
+            predKey(Converse(name))) :: Nil
       } else Nil
     case _ => Nil
   }
@@ -132,6 +137,114 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
     }
+  }
+}
+
+/** Large×large spatial join: sample-adaptive [[graft.join.QuadTree]]
+  * partitioning at the physical level. Both children flatMap their rows to
+  * covering quadtree leaves, an RDD cogroup shuffles on leaf id, each cell
+  * builds a prepared STRtree over its left slice and streams its right
+  * slice; the reference-point rule keeps each pair unique. The quadtree is
+  * built from a driver-side sample of the left child (correctness never
+  * depends on the sample — only balance does). */
+case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
+    leftGeom: Expression, rightGeom: Expression, predicate: String)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): SpatialJoinQuadtreeExec =
+    copy(left = newLeft, right = newRight)
+
+  private val SampleTarget = 20000
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundL = BindReferences.bindReference(leftGeom, left.output)
+    val boundR = BindReferences.bindReference(rightGeom, right.output)
+
+    // driver-side sample of left envelope centers (partition-prefix biased —
+    // acceptable: the tree only drives balance, never correctness)
+    val sample = left.execute().mapPartitions { it =>
+      val bound = boundL // per-task copy
+      it.flatMap { row =>
+        Option(bound.eval(row)).map { b =>
+          val e = EWKB.read(b.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+          ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+        }
+      }
+    }.take(SampleTarget)
+    if (sample.isEmpty) return sparkContext.emptyRDD[InternalRow]
+    val tree = graft.join.QuadTree.build(sample.toSeq, capacity = 256, maxDepth = 12)
+    val bcTree = sparkContext.broadcast(tree)
+    val pred = predicate
+    val outAttrs = output
+    val parts = conf.numShufflePartitions
+
+    def cells(rdd: RDD[InternalRow], bound: Expression): RDD[(Int, InternalRow)] =
+      rdd.mapPartitions { it =>
+        val qt = bcTree.value
+        it.flatMap { row =>
+          val bytes = bound.eval(row)
+          if (bytes == null) Iterator.empty
+          else {
+            val e = EWKB.read(bytes.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+            if (e.isNull) Iterator.empty
+            else {
+              val copy = row.copy() // rows are reused by the scan iterator
+              qt.leavesFor(e).iterator.map(c => (c, copy))
+            }
+          }
+        }
+      }
+
+    cells(left.execute(), boundL).cogroup(cells(right.execute(), boundR), parts)
+      .mapPartitions { cellIt =>
+        val qt = bcTree.value
+        val joined = new JoinedRow
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val bl = boundL
+        val br = boundR
+        cellIt.flatMap { case (cell, (lRows, rRows)) =>
+          val tree = new STRtree()
+          var n = 0
+          lRows.foreach { row =>
+            val bytes = bl.eval(row)
+            if (bytes != null) {
+              val g = EWKB.read(bytes.asInstanceOf[Array[Byte]])
+              if (!g.isEmpty) {
+                tree.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
+                n += 1
+              }
+            }
+          }
+          if (n == 0) Iterator.empty
+          else {
+            tree.build()
+            rRows.iterator.flatMap { rrow =>
+              val bytes = br.eval(rrow)
+              if (bytes == null) Iterator.empty
+              else {
+                val g = EWKB.read(bytes.asInstanceOf[Array[Byte]])
+                if (g.isEmpty) Iterator.empty
+                else {
+                  val re = g.getEnvelopeInternal
+                  tree.query(re).asScala.iterator
+                    .map(_.asInstanceOf[(PreparedGeometry, InternalRow)])
+                    .filter { case (prep, _) =>
+                      val le = prep.getGeometry.getEnvelopeInternal
+                      qt.leafOf(math.max(le.getMinX, re.getMinX),
+                        math.max(le.getMinY, re.getMinY)) == cell
+                    }
+                    .filter { case (prep, _) =>
+                      graft.join.SpatialJoin.applyPred(pred, prep, g) }
+                    .map { case (_, lrow) => proj(joined(lrow, rrow)) }
+                }
+              }
+            }
+          }
+        }
+      }
   }
 }
 

@@ -58,6 +58,25 @@ class SpatialStrategySpec extends AnyFunSuite {
     assert(joined.count() === 100)
   }
 
+  test("large×large falls to the quadtree exec, not nested loop") {
+    import spark.implicits._
+    // force the broadcast threshold off so neither side "fits"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = rects.join(points, st_contains(col("geometry"), col("pgeom")))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SpatialJoinQuadtree"), s"expected quadtree plan:\n$plan")
+      val got = joined.select("k", "p").as[(Int, Int)].collect().toSet
+      assert(got === (1 to 200).map(i => (i, i)).toSet)
+      // crossed arg order too
+      val crossed = rects.join(points, st_within(col("pgeom"), col("geometry")))
+      assert(crossed.queryExecution.executedPlan.toString.contains("SpatialJoinQuadtree"))
+      assert(crossed.select("k", "p").as[(Int, Int)].collect().toSet ===
+        (1 to 200).map(i => (i, i)).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("left joins fall back to Spark's planner") {
     val joined = rects.join(points,
       st_contains(col("geometry"), col("pgeom")), "left")
