@@ -148,11 +148,15 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // normalize → shingle → sign as separate projections: each stage's
-    // result is an attribute, so lambdas never re-evaluate upstream regexes
+    // result is an attribute, so lambdas never re-evaluate upstream regexes.
+    // The signature frame feeds BOTH the banding branch and the pair-scoring
+    // join; persist it so the shingling pipeline runs once (ids + 64 longs
+    // per row — compact, spills to disk if needed).
     val withSig = df
       .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
       .select(col("id"), shingleHashesNorm(col("__norm"), shingleK).as("__sh"))
       .select(col("id"), minhashSignatureHashed(numHashes)(col("__sh")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
