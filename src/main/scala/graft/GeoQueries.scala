@@ -509,6 +509,14 @@ object GeoQueries {
           sum((col("lk") === col("rk")).cast("long")).as("n_same"))
     }),
 
+    "geo_sjoin_quadtree" -> ((s, dir) => {
+      val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
+      val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
+      graft.join.SpatialJoin.sjoinQuadtree(left, right, "contains")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("lk") === col("rk")).cast("long")).as("n_same"))
+    }),
+
     // ---------------------------------------------------- §2.13 frame I/O
     "geo_io" -> ((s, dir) => {
       val df = base(s, dir).select(k, rect.as("geometry"))
@@ -682,6 +690,9 @@ object GeoQueries {
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
     "geo_sjoin_grid" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_pairs,
+        | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
+    "geo_sjoin_quadtree" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
     "geo_io" ->

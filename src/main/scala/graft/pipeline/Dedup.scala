@@ -65,7 +65,10 @@ object Dedup {
   def shingleHashes(text: Column, k: Int): Column =
     shingleHashesNorm(TextAnalysis.normalized(text), k)
 
-  /** Word n-grams of the normalized text. */
+  /** Word n-grams of the normalized text. NOTE: single-expression
+    * convenience — the lambda re-tokenizes per element (see
+    * [[shingleHashesNorm]]'s warning); at scale use [[nearDupNgram]],
+    * which materializes the token array first. */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
     array_distinct(

@@ -122,7 +122,13 @@ class SurfaceSpec extends AnyFunSuite {
     ("shortest_line", (c: Column) => st_shortest_line(c, dummyLine), BinaryType),
     ("to_srid_identity", (c: Column) => st_to_srid(st_set_srid(c, lit(4326)), lit(4326)), BinaryType),
     ("line_merge", (c: Column) => st_line_merge(c), BinaryType),
-    ("getgeom", (c: Column) => st_get_geometry(c, lit(0)), BinaryType))
+    ("getgeom", (c: Column) => st_get_geometry(c, lit(0)), BinaryType),
+    // round-2 additions
+    ("skew3", (c: Column) => st_skew(c, lit(10.0), lit(0.0), lit(5.0), lit("center")), BinaryType),
+    ("coordinates_dim", (c: Column) => st_coordinates(c, lit(3)),
+      ArrayType(ArrayType(DoubleType, false), true)),
+    ("disjoint_subset_union", st_disjoint_subset_union _, BinaryType),
+    ("get_crs_from_code_null", (_: Column) => st_get_crs_from_code(lit(999999)), StringType))
 
   test("all total ops run over all fixtures with expected types") {
     val df = fixturesDf
