@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BboxFilterRule)
     ext.injectPlannerStrategy(_ => SpatialJoinStrategy)
+    GeoExpressions.registrations.foreach(ext.injectFunction)
   }
 }
 

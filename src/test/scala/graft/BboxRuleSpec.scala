@@ -74,6 +74,34 @@ class BboxRuleSpec extends AnyFunSuite {
     assert(joined.select("p").as[Int].collect().toSet === Set(10, 11, 12))
   }
 
+  test("native codegen expressions agree with the UDF surface") {
+    import spark.implicits._
+    graft.Geo.registerAll(spark)
+    val df = (1 to 100).toDF("k")
+      .select(col("k"), st_rectangle(col("k") * 4.0, lit(0.0),
+        col("k") * 4.0 + 3.0, lit(2.0)).as("g"))
+    df.createOrReplaceTempView("native_check")
+    val rows = spark.sql(
+      """SELECT k, st_area(g) AS a_udf, st_area_native(g) AS a_nat,
+        |  st_length(g) AS l_udf, st_length_native(g) AS l_nat,
+        |  st_intersects(g, st_point(CAST(k*4+1 AS DOUBLE), 1.0d)) AS i_udf,
+        |  st_intersects_native(g, st_point(CAST(k*4+1 AS DOUBLE), 1.0d)) AS i_nat
+        |FROM native_check""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"area k=${r.getInt(0)}")
+      assert(r.getDouble(3) === r.getDouble(4), s"length k=${r.getInt(0)}")
+      assert(r.getBoolean(5) === r.getBoolean(6), s"intersects k=${r.getInt(0)}")
+    }
+    // nulls propagate
+    val n = spark.sql("SELECT st_area_native(CAST(NULL AS BINARY)) AS a").collect()(0)
+    assert(n.isNullAt(0))
+    // the expression appears inline in generated code paths (no ScalaUDF node)
+    val plan = spark.sql("SELECT st_area_native(g) FROM native_check")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("stareanative") || plan.contains("STAreaNative") ||
+      !plan.contains("UDF"), s"unexpected plan:\n$plan")
+  }
+
   test("rule leaves non-literal predicates and disjoint() untouched") {
     writeData()
     val df = spark.read.parquet(path)
