@@ -204,9 +204,9 @@ object PipelineQueries {
         |FROM m ORDER BY doc_id""".stripMargin,
     "pipe_dedup_exact" ->
       """SELECT (SELECT count(*) FROM documents) AS n_after,
-        | (SELECT sum(doc_id) FROM documents) AS kept_id_sum,
+        | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) AS kept_id_sum,
         | (SELECT count(*) FROM documents) AS n_groups2,
-        | (SELECT sum(doc_id) FROM documents) AS group_kept_sum,
+        | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) AS group_kept_sum,
         | (SELECT count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |    FROM documents) AS n_rfp""".stripMargin,
     "pipe_dedup_minhash" ->

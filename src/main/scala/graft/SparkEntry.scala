@@ -119,8 +119,8 @@ object SparkEntry {
   private def coreOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)
-        |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_u,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_u,
         | count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "geo_rect_area" ->
@@ -131,7 +131,7 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
         | count(*) AS n, min(value) AS vmin, max(value) AS vmax,
-        | sum(user_id) AS uid_sum
+        | CAST(sum(user_id) AS BIGINT) AS uid_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "geo_union_area" ->
       """SELECT o_orderkey%16 AS grp,
