@@ -102,9 +102,14 @@ object GeoIO {
       if (!writeBbox) tagged
       else {
         val env = graft.functions.st_bounds(col(geometryName))
+        // record which geometry column the envelopes were derived from, so
+        // BboxFilterRule never prunes on a filter against a different
+        // geometry column of the same table
+        val bboxMeta = new MetadataBuilder().putString("covers", geometryName).build()
         tagged.withColumn(BboxColumn, struct(
           element_at(env, 1).as("xmin"), element_at(env, 2).as("ymin"),
-          element_at(env, 3).as("xmax"), element_at(env, 4).as("ymax")))
+          element_at(env, 3).as("xmax"), element_at(env, 4).as("ymax"))
+          .as(BboxColumn, bboxMeta))
       }
     withBbox.write.mode(mode).parquet(path)
     if (writeMetadata) {

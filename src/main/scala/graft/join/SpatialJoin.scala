@@ -67,28 +67,22 @@ object SpatialJoin {
     }
 
   /** Executor-local cache: one prepared STRtree per broadcast variable.
-    * Keyed by the broadcast OBJECT (identity), not `bc.id` — broadcast ids
-    * restart at 0 for every SparkContext, so an id-keyed map served a
-    * stale tree after a context restart in the same JVM (observed: wrong
-    * join results across sequential test sessions). Weak keys let trees
-    * age out with their broadcasts instead of needing an LRU bound. */
+    * See [[BroadcastCache]] for the keying rationale (app id + broadcast id;
+    * object identity misses across tasks, bare ids go stale across
+    * contexts). */
   private object TreeCache {
-    private val cache = new java.util.WeakHashMap[Broadcast[_], STRtree]()
+    private val cache = new BroadcastCache[STRtree]()
     def get(bc: Broadcast[Array[(Long, Array[Byte])]]): STRtree =
-      cache.synchronized {
-        var t = cache.get(bc)
-        if (t == null) {
-          t = new STRtree()
-          bc.value.foreach { case (id, bytes) =>
-            if (bytes != null) {
-              val g = EWKB.read(bytes)
-              if (!g.isEmpty)
-                t.insert(g.getEnvelopeInternal, (id, PreparedGeometryFactory.prepare(g)))
-            }
+      cache.getOrBuild(bc) {
+        val t = new STRtree()
+        bc.value.foreach { case (id, bytes) =>
+          if (bytes != null) {
+            val g = EWKB.read(bytes)
+            if (!g.isEmpty)
+              t.insert(g.getEnvelopeInternal, (id, PreparedGeometryFactory.prepare(g)))
           }
-          t.build()
-          cache.put(bc, t)
         }
+        t.build()
         t
       }
   }
@@ -108,15 +102,18 @@ object SpatialJoin {
       s"unsupported how: $how (cross is not a spatial join)")
     val spark = left.sparkSession
 
-    // Size guard: a mis-sized build side must not OOM the driver.
-    val leftCount = left.count()
-    if (leftCount > maxBuildRows)
-      return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
-        leftGeom, rightGeom, suffix)
-
     val leftGeomPos = left.columns.indexOf(leftGeom)
     require(leftGeomPos >= 0, s"no column $leftGeom in left frame")
-    val leftRows = left.collect() // bounded by the guard above
+
+    // Size guard in a SINGLE evaluation of the left plan: collect at most
+    // maxBuildRows+1 rows; hitting the sentinel row means the build side is
+    // too big → grid-tier fallback. (A separate count() + collect() would
+    // execute an expensive upstream plan twice per broadcast join.)
+    val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
+    val leftRows = left.limit(guardLimit).collect()
+    if (leftRows.length >= guardLimit)
+      return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
+        leftGeom, rightGeom, suffix)
     val buildData: Array[(Long, Array[Byte])] = leftRows.zipWithIndex.map { case (r, i) =>
       (i.toLong, r.get(leftGeomPos).asInstanceOf[Array[Byte]])
     }

@@ -30,13 +30,19 @@ object GeoNative {
   }
 }
 
+private[plans] object NativeTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def binary(fn: String, children: Expression*): TypeCheckResult =
+    children.find(_.dataType != BinaryType) match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects BINARY, got ${c.dataType}")
+    }
+}
+
 case class STAreaNative(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() =
-    if (child.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"st_area_native expects BINARY, got ${child.dataType}")
+  override def checkInputDataTypes() = NativeTypeCheck.binary("st_area_native", child)
   override protected def nullSafeEval(input: Any): Any =
     GeoNative.area(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,6 +53,7 @@ case class STAreaNative(child: Expression) extends UnaryExpression {
 
 case class STLengthNative(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = NativeTypeCheck.binary("st_length_native", child)
   override protected def nullSafeEval(input: Any): Any =
     GeoNative.length(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,6 +64,8 @@ case class STLengthNative(child: Expression) extends UnaryExpression {
 
 case class STIntersectsNative(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() =
+    NativeTypeCheck.binary("st_intersects_native", left, right)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     GeoNative.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

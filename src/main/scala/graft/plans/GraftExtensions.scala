@@ -38,12 +38,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-object BboxFilterRule extends Rule[LogicalPlan] {
+object BboxFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Predicates whose truth implies the operands' envelopes intersect. */
   private val EnvelopePreds = Set(
     "st_intersects", "st_contains", "st_within", "st_covers", "st_covered_by",
     "st_overlaps", "st_crosses", "st_touches", "st_equals", "st_contains_properly")
+
+  /** True when the covering column `bbox` is known to describe `geomAttr`'s
+    * envelopes. `writeGeoParquet` stamps the covered geometry column's name
+    * into the bbox column's metadata (`covers`); when present it must match.
+    * For pre-metadata files the bbox is only trusted when the filtered
+    * attribute is the sole binary (geometry) column of its leaf — with two
+    * geometry columns we cannot tell which one the envelopes came from. */
+  private def covers(bbox: Attribute, geomAttr: Attribute, child: LogicalPlan): Boolean =
+    if (bbox.metadata.contains("covers")) bbox.metadata.getString("covers") == geomAttr.name
+    else child.collectLeaves().exists { leaf =>
+      leaf.outputSet.contains(geomAttr) &&
+      leaf.output.count(a => a.dataType == BinaryType) == 1
+    }
 
   private def bboxField(bbox: Attribute, name: String): Expression = {
     val st = bbox.dataType.asInstanceOf[StructType]
@@ -78,7 +91,11 @@ object BboxFilterRule extends Rule[LogicalPlan] {
       val bboxes = child.output.filter(a =>
         a.name == graft.io.GeoIO.BboxColumn && a.dataType.isInstanceOf[StructType])
       val extra = scala.collection.mutable.ArrayBuffer.empty[Expression]
-      cond foreach {
+      // Only TOP-LEVEL conjuncts imply the bbox condition: a spatial
+      // predicate nested under Not/Or/CaseWhen can be false while the row
+      // still satisfies the filter, so deriving a bbox conjunct from it
+      // would wrongly drop rows.
+      splitConjunctivePredicates(cond) foreach {
         case u: ScalaUDF if u.udfName.exists(EnvelopePreds.contains) &&
             u.children.length == 2 =>
           val envOpt = litEnvelope(u.children(0)).orElse(litEnvelope(u.children(1)))
@@ -92,8 +109,10 @@ object BboxFilterRule extends Rule[LogicalPlan] {
           for {
             env <- envOpt
             geomAttr <- attrSide
-            bbox <- bboxes.find(b => child.collectLeaves().exists(leaf =>
-              leaf.outputSet.contains(geomAttr) && leaf.outputSet.contains(b)))
+            bbox <- bboxes.find(b =>
+              covers(b, geomAttr, child) &&
+              child.collectLeaves().exists(leaf =>
+                leaf.outputSet.contains(geomAttr) && leaf.outputSet.contains(b)))
           } {
             extra += And(
               And(LessThanOrEqual(bboxField(bbox, "xmin"), Literal(env.getMaxX)),

@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 import org.locationtech.jts.geom.Geometry
@@ -44,7 +44,7 @@ object SpatialJoinStrategy extends SparkStrategy {
   private def predKey(name: String): String = name.stripPrefix("st_")
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(l, r, Inner, Some(u: ScalaUDF), _)
+    case Join(l, r, joinType @ (Inner | LeftOuter | RightOuter), Some(u: ScalaUDF), _)
         if u.udfName.exists(Converse.contains) && u.children.length == 2 =>
       val Seq(a, b) = u.children
       val name = u.udfName.get
@@ -54,34 +54,37 @@ object SpatialJoinStrategy extends SparkStrategy {
       // condition arguments must split cleanly across the two sides
       val straight = a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)
       val crossed = a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet)
+      if (!straight && !crossed) return Nil
 
-      if (straight) {
-        // predicate is pred(leftGeom, rightGeom)
-        if (fits(l))
-          // build left, probe right: applyPred(build=left, probe=right) = pred
-          SpatialJoinExec(planLater(l), planLater(r), a, b,
-            predKey(name), buildLeft = true) :: Nil
-        else if (fits(r))
-          // build right, probe left: applyPred(build=right, probe=left)
-          // must be the converse predicate
-          SpatialJoinExec(planLater(l), planLater(r), a, b,
-            predKey(Converse(name)), buildLeft = false) :: Nil
-        else
-          // large × large: quadtree-partitioned shuffle join (per-cell tree
-          // over the left slice, applyPred(left, right) = pred)
-          SpatialJoinQuadtreeExec(planLater(l), planLater(r), a, b, predKey(name)) :: Nil
-      } else if (crossed) {
-        // pred(rightGeom, leftGeom): same with roles pre-swapped
-        if (fits(l))
-          SpatialJoinExec(planLater(l), planLater(r), b, a,
-            predKey(Converse(name)), buildLeft = true) :: Nil
-        else if (fits(r))
-          SpatialJoinExec(planLater(l), planLater(r), b, a,
-            predKey(name), buildLeft = false) :: Nil
-        else
-          SpatialJoinQuadtreeExec(planLater(l), planLater(r), b, a,
-            predKey(Converse(name))) :: Nil
-      } else Nil
+      // orient geometry expressions as (onLeftChild, onRightChild) and the
+      // predicate as pred(leftGeomExpr, rightGeomExpr)
+      val (lg, rg, predLR) = if (straight) (a, b, name) else (b, a, Converse(name))
+
+      // buildLeft: applyPred(build=left, probe=right) = predLR;
+      // buildRight: applyPred(build=right, probe=left) = converse(predLR)
+      def buildL(outer: Boolean) = SpatialJoinExec(planLater(l), planLater(r), lg, rg,
+        predKey(predLR), buildLeft = true, probeOuter = outer)
+      def buildR(outer: Boolean) = SpatialJoinExec(planLater(l), planLater(r), lg, rg,
+        predKey(Converse(predLR)), buildLeft = false, probeOuter = outer)
+
+      joinType match {
+        case Inner =>
+          if (fits(l)) buildL(false) :: Nil
+          else if (fits(r)) buildR(false) :: Nil
+          else
+            // large × large: quadtree-partitioned shuffle join (per-cell
+            // tree over the left slice, applyPred(left, right) = predLR)
+            SpatialJoinQuadtreeExec(planLater(l), planLater(r), lg, rg,
+              predKey(predLR)) :: Nil
+        case LeftOuter =>
+          // unmatched LEFT rows must survive → left must be the streamed
+          // (probe) side, so only a broadcast of the RIGHT side qualifies;
+          // otherwise decline and let Spark's BNLJ keep the semantics
+          if (fits(r)) buildR(true) :: Nil else Nil
+        case RightOuter =>
+          if (fits(l)) buildL(true) :: Nil else Nil
+        case _ => Nil
+      }
     case _ => Nil
   }
 }
@@ -90,12 +93,21 @@ object SpatialJoinStrategy extends SparkStrategy {
   * per-executor prepared STRtree (cached per broadcast), streamed probe.
   * `leftGeom`/`rightGeom` are the condition's geometry expressions for the
   * left/right child; `predicate` is pre-oriented as
-  * `applyPred(buildGeom, probeGeom)`. */
+  * `applyPred(buildGeom, probeGeom)`.
+  *
+  * `probeOuter = true` makes this an outer join on the PROBE side: probe
+  * rows with no match stream through null-extended on the build columns.
+  * The strategy only selects this orientation (outer side = streamed side),
+  * because unmatched BUILD rows would need cross-partition matched-row
+  * bookkeeping a broadcast join cannot do locally. */
 case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
     leftGeom: Expression, rightGeom: Expression, predicate: String,
-    buildLeft: Boolean) extends BinaryExecNode {
+    buildLeft: Boolean, probeOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (!probeOuter) left.output ++ right.output
+    else if (buildLeft) left.output.map(_.withNullability(true)) ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan,
       newRight: SparkPlan): SpatialJoinExec =
@@ -115,26 +127,33 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
     val boundProbe = BindReferences.bindReference(probeGeomExpr, probe.output)
     val pred = predicate
     val buildOnLeft = buildLeft
+    val outerProbe = probeOuter
+    val buildWidth = build.output.length
     val outAttrs = output
 
     probe.execute().mapPartitions { it =>
       val tree = SpatialJoinExec.treeFor(bc)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullBuild: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(buildWidth)
+      def emit(buildRow: InternalRow, probeRow: InternalRow): InternalRow =
+        if (buildOnLeft) proj(joined(buildRow, probeRow))
+        else proj(joined(probeRow, buildRow))
       it.flatMap { probeRow =>
         val bytes = boundProbe.eval(probeRow)
-        if (bytes == null) Iterator.empty
-        else {
-          val g = EWKB.read(bytes.asInstanceOf[Array[Byte]])
-          if (g.isEmpty) Iterator.empty
-          else tree.query(g.getEnvelopeInternal).asScala.iterator
-            .map(_.asInstanceOf[(PreparedGeometry, InternalRow)])
-            .filter { case (prep, _) => graft.join.SpatialJoin.applyPred(pred, prep, g) }
-            .map { case (_, buildRow) =>
-              if (buildOnLeft) proj(joined(buildRow, probeRow))
-              else proj(joined(probeRow, buildRow))
-            }
-        }
+        val matches =
+          if (bytes == null) Iterator.empty
+          else {
+            val g = EWKB.read(bytes.asInstanceOf[Array[Byte]])
+            if (g.isEmpty) Iterator.empty
+            else tree.query(g.getEnvelopeInternal).asScala.iterator
+              .map(_.asInstanceOf[(PreparedGeometry, InternalRow)])
+              .filter { case (prep, _) => graft.join.SpatialJoin.applyPred(pred, prep, g) }
+              .map { case (_, buildRow) => emit(buildRow, probeRow) }
+          }
+        if (outerProbe && matches.isEmpty) Iterator.single(emit(nullBuild, probeRow))
+        else matches
       }
     }
   }
@@ -163,23 +182,61 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
     val boundL = BindReferences.bindReference(leftGeom, left.output)
     val boundR = BindReferences.bindReference(rightGeom, right.output)
 
-    // driver-side sample of left envelope centers (partition-prefix biased —
-    // acceptable: the tree only drives balance, never correctness)
-    val sample = left.execute().mapPartitions { it =>
-      val bound = boundL // per-task copy
-      it.flatMap { row =>
-        Option(bound.eval(row)).map { b =>
-          val e = EWKB.read(b.asInstanceOf[Array[Byte]]).getEnvelopeInternal
-          ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+    // Extract (envelope, row) from the left child ONCE and persist it: the
+    // sampling job below and the cells pass both read the cached blocks, so
+    // an expensive upstream plan (joins, aggregations) is never executed
+    // twice. The ContextCleaner unpersists the blocks once this RDD is
+    // GC-reachable no more (standard Spark reference tracking).
+    val leftExtracted: RDD[(Double, Double, Double, Double, InternalRow)] =
+      left.execute().mapPartitions { it =>
+        val bound = boundL // per-task copy
+        it.flatMap { row =>
+          val bytes = bound.eval(row)
+          if (bytes == null) Iterator.empty
+          else {
+            val e = EWKB.read(bytes.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+            if (e.isNull) Iterator.empty
+            else Iterator.single(
+              (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, row.copy()))
+          }
         }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    // balanced per-partition reservoir sample of envelope centers (fixes the
+    // partition-prefix bias of a take(); the tree drives balance only,
+    // never correctness)
+    val nParts = math.max(leftExtracted.getNumPartitions, 1)
+    val perPart = math.max(1, SampleTarget / nParts)
+    val sample = leftExtracted.mapPartitionsWithIndex { (pid, it) =>
+      val rng = new java.util.Random(pid * 1000003L + 17)
+      val res = new Array[(Double, Double)](perPart)
+      var n = 0
+      it.foreach { case (x0, y0, x1, y1, _) =>
+        if (n < perPart) res(n) = ((x0 + x1) / 2, (y0 + y1) / 2)
+        else {
+          val j = rng.nextInt(n + 1)
+          if (j < perPart) res(j) = ((x0 + x1) / 2, (y0 + y1) / 2)
+        }
+        n += 1
       }
-    }.take(SampleTarget)
+      res.iterator.take(math.min(n, perPart))
+    }.collect()
     if (sample.isEmpty) return sparkContext.emptyRDD[InternalRow]
     val tree = graft.join.QuadTree.build(sample.toSeq, capacity = 256, maxDepth = 12)
     val bcTree = sparkContext.broadcast(tree)
     val pred = predicate
     val outAttrs = output
     val parts = conf.numShufflePartitions
+
+    // left cells reuse the persisted envelopes (no EWKB re-parse, no
+    // upstream re-execution)
+    val leftCells: RDD[(Int, InternalRow)] = leftExtracted.mapPartitions { it =>
+      val qt = bcTree.value
+      it.flatMap { case (x0, y0, x1, y1, row) =>
+        val e = new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1)
+        qt.leavesFor(e).iterator.map(c => (c, row))
+      }
+    }
 
     def cells(rdd: RDD[InternalRow], bound: Expression): RDD[(Int, InternalRow)] =
       rdd.mapPartitions { it =>
@@ -198,7 +255,7 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
         }
       }
 
-    cells(left.execute(), boundL).cogroup(cells(right.execute(), boundR), parts)
+    leftCells.cogroup(cells(right.execute(), boundR), parts)
       .mapPartitions { cellIt =>
         val qt = bcTree.value
         val joined = new JoinedRow
@@ -249,25 +306,19 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
 }
 
 object SpatialJoinExec {
-  /** per-executor tree cache keyed by the broadcast OBJECT with weak keys —
-    * broadcast ids restart per SparkContext, so an id-keyed map can serve a
-    * stale tree after a context restart; weak keys also let trees age out
-    * with their broadcasts on long-lived executors. */
-  private val trees = new java.util.WeakHashMap[Broadcast[_], STRtree]()
+  /** per-executor tree cache — see [[graft.join.BroadcastCache]] for the
+    * keying rationale (app id + broadcast id). */
+  private val trees = new graft.join.BroadcastCache[STRtree]()
 
   private def treeFor(bc: Broadcast[Array[(Array[Byte], InternalRow)]]): STRtree =
-    trees.synchronized {
-      var t = trees.get(bc)
-      if (t == null) {
-        t = new STRtree()
-        bc.value.foreach { case (bytes, row) =>
-          val g = EWKB.read(bytes)
-          if (!g.isEmpty)
-            t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
-        }
-        t.build()
-        trees.put(bc, t)
+    trees.getOrBuild(bc) {
+      val t = new STRtree()
+      bc.value.foreach { case (bytes, row) =>
+        val g = EWKB.read(bytes)
+        if (!g.isEmpty)
+          t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
       }
+      t.build()
       t
     }
 }

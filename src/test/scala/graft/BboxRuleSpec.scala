@@ -102,6 +102,54 @@ class BboxRuleSpec extends AnyFunSuite {
       !plan.contains("UDF"), s"unexpected plan:\n$plan")
   }
 
+  test("predicates under NOT / OR gain no bbox conjunct and keep all their rows") {
+    import spark.implicits._
+    writeData()
+    val pred = st_intersects(col("geometry"), graft.functions.st_geomfromwkb(probeLit))
+
+    val negated = spark.read.parquet(path).filter(!pred)
+    val optNeg = negated.queryExecution.optimizedPlan.toString
+    assert(!optNeg.contains("xmin <= 125.0"),
+      s"bbox conjunct must not fire under NOT:\n$optNeg")
+    // !intersects keeps everything EXCEPT k=10..12 — a top-level bbox
+    // conjunct would have wrongly dropped all 997 of these rows
+    assert(negated.select("k").as[Int].collect().toSet ===
+      (1 to 1000).toSet -- Set(10, 11, 12))
+
+    val disjunct = spark.read.parquet(path).filter(pred || col("k") === 500)
+    val optOr = disjunct.queryExecution.optimizedPlan.toString
+    assert(!optOr.contains("xmin <= 125.0"),
+      s"bbox conjunct must not fire under OR:\n$optOr")
+    assert(disjunct.select("k").as[Int].collect().toSet === Set(10, 11, 12, 500))
+
+    // conjunction still fires: the spatial predicate IS a top-level conjunct
+    val conj = spark.read.parquet(path).filter(pred && col("k") > 5)
+    val optAnd = conj.queryExecution.optimizedPlan.toString
+    assert(optAnd.contains("xmin <= 125.0"),
+      s"bbox conjunct should fire on a top-level conjunct:\n$optAnd")
+    assert(conj.select("k").as[Int].collect().toSet === Set(10, 11, 12))
+  }
+
+  test("a second geometry column is never pruned by the primary column's bbox") {
+    import spark.implicits._
+    val path2 = "/tmp/graft_test_rule_pq_two_geoms"
+    // primary `geometry` lives at x∈[10k, 10k+5]; secondary `geom2` is a
+    // point at x=k (completely different envelopes)
+    val df = (1 to 1000).toDF("k")
+      .select(col("k"),
+        st_rectangle(col("k") * 10.0, lit(0.0), col("k") * 10.0 + 5.0, lit(5.0)).as("geometry"),
+        st_point(col("k").cast("double"), lit(2.0)).as("geom2"))
+    graft.io.GeoIO.writeGeoParquet(df, path2) // covering column derives from `geometry`
+    val filtered = spark.read.parquet(path2)
+      .filter(st_intersects(col("geom2"), graft.functions.st_geomfromwkb(probeLit)))
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("xmin <= 125.0"),
+      s"bbox over `geometry` must not prune a filter on `geom2`:\n$opt")
+    // geom2 points with x in [100,125] → k=100..125; the primary bbox
+    // would have selected k=10..12 instead
+    assert(filtered.select("k").as[Int].collect().toSet === (100 to 125).toSet)
+  }
+
   test("rule leaves non-literal predicates and disjoint() untouched") {
     writeData()
     val df = spark.read.parquet(path)

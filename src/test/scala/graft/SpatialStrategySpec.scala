@@ -77,11 +77,58 @@ class SpatialStrategySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("left joins fall back to Spark's planner") {
-    val joined = rects.join(points,
+  private def pointsTo(n: Int) = {
+    import spark.implicits._
+    (1 to n).toDF("p")
+      .select(col("p"), st_point(col("p") * 10.0 + 2.0, lit(2.0)).as("pgeom"))
+  }
+
+  test("left outer join plans as SpatialJoinExec and keeps unmatched left rows") {
+    import spark.implicits._
+    // points only up to 150 → rects 151..200 have no match
+    val joined = rects.join(pointsTo(150),
       st_contains(col("geometry"), col("pgeom")), "left")
     val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SpatialJoin "), s"strategy did not fire for left join:\n$plan")
+    val got = joined.select(col("k"), col("p")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    val expect = (1 to 150).map(i => (i, Some(i))).toSet ++
+      (151 to 200).map(i => (i, None)).toSet
+    assert(got === expect)
+  }
+
+  test("right outer join plans as SpatialJoinExec and keeps unmatched right rows") {
+    // points 151..250 fall beyond the last rect → unmatched right rows
+    val joined = rects.join(pointsTo(250),
+      st_contains(col("geometry"), col("pgeom")), "right")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SpatialJoin "), s"strategy did not fire for right join:\n$plan")
+    val got = joined.select(col("k"), col("p")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getInt(1))).toSet
+    val expect = (1 to 200).map(i => (Some(i), i)).toSet ++
+      (201 to 250).map(i => (None, i)).toSet
+    assert(got === expect)
+  }
+
+  test("outer join with the outer side on the build side declines to Spark's planner") {
+    // a LEFT join can only stream the left side; with broadcasting disabled
+    // nothing fits, the strategy declines, and Spark's BNLJ keeps semantics
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = rects.join(pointsTo(150),
+        st_contains(col("geometry"), col("pgeom")), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("SpatialJoin "), s"strategy must decline:\n$plan")
+      assert(joined.count() === 200) // every rect row kept
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("full outer joins fall back to Spark's planner") {
+    val joined = rects.join(pointsTo(250),
+      st_contains(col("geometry"), col("pgeom")), "full")
+    val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("SpatialJoin "))
-    assert(joined.count() === 200) // every rect row kept
+    assert(joined.count() === 250) // 200 matched + 50 unmatched right
   }
 }
