@@ -18,19 +18,38 @@ object Dedup {
   // ------------------------------------------------------------- exact
 
   /** Keep-first exact dedup: one row per distinct key, the row with the
-    * smallest `orderCol`. A window + filter keeps the plan a single shuffle
-    * on the key (no join back). */
+    * smallest `orderCol`. A hash aggregate with min_by keeps the plan a
+    * single shuffle on the key AND partial-aggregates map-side — a
+    * pathological dup group (10⁹ copies of one boilerplate doc) collapses
+    * to one row per input partition before the shuffle, where a
+    * row_number window would funnel every copy to a single task. */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(all, col(orderCol)).as("__row"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Exact-dup groups: key → number of copies and kept id (for auditing). */
   def exactGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
     df.groupBy(key.as("key"))
       .agg(count(lit(1)).as("copies"), min(idCol).as("kept_id"))
+
+  // ------------------------------------------------------ hot-bucket cap
+
+  /** Drop LSH buckets larger than `maxBucketSize` before a bucket
+    * self-join: a degenerate bucket of B identical-boilerplate rows is a
+    * B² join bomb. Rows of a dropped bucket still pair through their other
+    * bands/tables; truly pathological exact-dup groups should be
+    * exact-deduped first. Costs one extra shuffle on the same bucket key
+    * the join shuffles on, with map-side combine on the count. */
+  private[pipeline] def capBuckets(df: DataFrame, bucketCols: Seq[String],
+      maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) df
+    else {
+      val sizes = df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bsz"))
+      df.join(sizes.filter(col("__bsz") <= maxBucketSize), bucketCols).drop("__bsz")
+    }
 
   // ----------------------------------------------------------- shingles
 
@@ -152,45 +171,32 @@ object Dedup {
     val r = numHashes / bands
     // normalize → shingle → sign as separate projections: each stage's
     // result is an attribute, so lambdas never re-evaluate upstream regexes.
-    // The signature frame feeds BOTH the banding branch and the pair-scoring
-    // join; persist it so the shingling pipeline runs once (ids + 64 longs
-    // per row — compact, spills to disk if needed).
+    // Signatures are CARRIED THROUGH the banding and bucket join instead of
+    // being persisted and joined back: the shingling pipeline still runs
+    // exactly once, with no executor cache held for the session's lifetime
+    // and no two extra id-joins — only wider (64-long) shuffle rows.
     val withSig = df
       .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
       .select(col("id"), shingleHashesNorm(col("__norm"), shingleK).as("__sh"))
       .select(col("id"), minhashSignatureHashed(numHashes)(col("__sh")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    // Hot-bucket guard: a degenerate bucket of B identical-boilerplate rows
-    // is a B² self-join bomb. Buckets above maxBucketSize are dropped
-    // (those rows still pair through their other bands; truly pathological
-    // groups should be exact-deduped first). One extra shuffle on the
-    // bucket key — same key the join shuffles on.
-    val capped =
-      if (maxBucketSize <= 0) banded
-      else {
-        val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bsz"))
-        banded.join(sizes.filter(col("__bsz") <= maxBucketSize), Seq("band", "bucket"))
-          .drop("__bsz")
-      }
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     // self-join within (band, bucket); a<b kills mirror+self pairs.
     // Dedup the id pairs BEFORE scoring: a pair colliding in many bands
     // would otherwise pay the signature comparison once per band.
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val rgt = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = l.join(rgt, Seq("band", "bucket"))
+    val l = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val rgt = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")
-    val sigs = withSig
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
@@ -241,7 +247,7 @@ object Dedup {
     * (robust to intra-word edits, classic C4/CCNet-style dedup unit). */
   def nearDupNgram(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 0): DataFrame = {
+      bands: Int = 0, maxBucketSize: Int = 100000): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val r = numHashes / b
     val withNg = df
@@ -255,8 +261,9 @@ object Dedup {
         bb => struct(bb.as("band"), hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rgt = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
@@ -297,13 +304,15 @@ object Dedup {
     * hamming distance ≤ 3 of a 64-bit hash must agree on at least one of 4
     * chunks — pigeonhole), verify with bit_count(xor) ≤ maxHamming. */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
     // bucket key c of 4: (sim >>> (16*c)) & 0xffff
-    val withChunk = withSim.select(col("id"), col("sim"),
-      explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("bucket",
-        expr("(sim >> (chunk * 16)) & 65535").as("bucket_v"))
+    val withChunk = capBuckets(
+      withSim.select(col("id"), col("sim"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+        .withColumn("bucket",
+          expr("(sim >> (chunk * 16)) & 65535").as("bucket_v")),
+      Seq("chunk", "bucket"), maxBucketSize)
     val l = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("chunk", "bucket"))
@@ -319,17 +328,32 @@ object Dedup {
   /** Embedding-cosine near-dup: sign-LSH bucket join (random-hyperplane
     * signature over `bits` planes), exact cosine verify ≥ threshold inside
     * buckets. Planes are derived deterministically from (plane, dim) hashes
-    * so all executors agree without shared state. */
+    * so all executors agree without shared state.
+    *
+    * OR-amplified over `tables` independent signature tables (each its own
+    * planes): a near pair only has to collide in ONE table, so recall at
+    * cosine c is 1-(1-p^bits)^tables with p = 1-acos(c)/π — a single
+    * 12-bit table catches ~28% of 0.95-cosine pairs, four tables ~73%,
+    * eight ~93% (exact duplicates are always caught). Candidates are
+    * deduped across tables before the exact verify. */
   def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 12): DataFrame = {
-    val sigU = Similarity.signSignature(bits)
-    val withSig = df.select(col(idCol).as("id"),
+      threshold: Double, bits: Int = 12, tables: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val withVec = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("sig", sigU(col("vec")))
-    val l = withSig.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = withSig.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("sig"))
+    // one signature column per table, exploded to (table, sig) bucket keys
+    val sigCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), Similarity.signSignatureSeeded(bits, t)(col("vec")).as("sig")))
+    val bucketed = capBuckets(
+      withVec.select(col("id"), col("vec"), explode(array(sigCols: _*)).as("ts"))
+        .select(col("id"), col("vec"), col("ts.t").as("t"), col("ts.sig").as("sig")),
+      Seq("t", "sig"), maxBucketSize)
+    val l = bucketed.select(col("t"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = bucketed.select(col("t"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

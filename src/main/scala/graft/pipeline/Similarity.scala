@@ -37,16 +37,23 @@ object Similarity {
   /** Sign-LSH signature: bit p = sign of <vec, plane_p>, planes with ±1
     * entries derived from fmix64(plane, dim) — deterministic everywhere. */
   def signSignature(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    signSignatureSeeded(bits, 0)
+
+  /** [[signSignature]] with a table seed: table t uses planes
+    * t*bits .. t*bits+bits-1, so several independent signature tables can
+    * OR-amplify recall (a near pair only needs to collide in ONE table). */
+  def signSignatureSeeded(bits: Int, table: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((vec: Seq[Double]) =>
       if (vec == null) None
       else {
         var sig = 0L
         var p = 0
         while (p < bits) {
+          val plane = table.toLong * bits + p
           var s = 0.0
           var i = 0
           while (i < vec.length) {
-            val r = if ((fmix64(p.toLong * 0x9e3779b97f4a7c15L + i) & 1L) == 1L) 1.0 else -1.0
+            val r = if ((fmix64(plane * 0x9e3779b97f4a7c15L + i) & 1L) == 1L) 1.0 else -1.0
             s += r * vec(i)
             i += 1
           }
@@ -56,35 +63,83 @@ object Similarity {
         Some(sig)
       })
 
+  /** Natural ordering on external id values, matching the final rank
+    * window's column ordering (so heap eviction and row_number agree on
+    * ties). Integral ids compare numerically; strings compare in UTF-8
+    * binary order (Spark's string ordering). Other id types are rejected
+    * with a clear error instead of being silently cast (casting e.g. a
+    * UUID string to long yields null and collapses every query into one
+    * group). */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((v: Any) => v.asInstanceOf[Number].longValue)
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"top-k id columns must be integral or string, got $other")
+    }
+  }
+
   /** Per-partition partial top-k: stream each executor partition keeping a
     * bounded heap per query, so the global rank window only shuffles
     * ≤ partitions × queries × k survivor rows instead of the full
     * corpus × queries score matrix (the 100 TB fix for the naive global
-    * `row_number`). Input must have (query_id, corpus_id, cosine). */
+    * `row_number`). Input must have (query_id, corpus_id, cosine); id
+    * columns keep their caller types (integral or string). */
   private def localTopK(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored.select(col("query_id").cast("long"), col("corpus_id").cast("long"), col("cosine"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        // per-query bounded heap: worst element on top for O(log k) evict
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        val ord = Ordering.by[(Double, Long), (Double, Long)] {
-          case (cos, id) => (-cos, id) // min-cosine (then max-id) on top
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val projected = scored
+      .select(col("query_id"), col("corpus_id"), col("cosine").cast("double"))
+      .filter(col("cosine").isNotNull)
+    val schema = projected.schema
+    val cidOrd = idOrdering(schema("corpus_id").dataType)
+    idOrdering(schema("query_id").dataType) // validate eagerly
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    projected.mapPartitions { it =>
+      // per-query bounded heap; head = worst element (smallest cosine,
+      // then largest corpus id) for O(log k) evict
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[(Double, Any)]]
+      val worstFirst = new Ordering[(Double, Any)] {
+        def compare(a: (Double, Any), b: (Double, Any)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else cidOrd.compare(a._2, b._2)
         }
-        it.foreach { case (qid, cid, cos) =>
-          val h = heaps.getOrElseUpdate(qid,
-            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
-          if (h.size < k) h.enqueue((cos, cid))
-          else {
-            val (wc, wi) = h.head
-            if (cos > wc || (cos == wc && cid < wi)) { h.dequeue(); h.enqueue((cos, cid)) }
+      }
+      it.foreach { row =>
+        val qid = row.get(0)
+        val cid = row.get(1)
+        val cos = row.getDouble(2)
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Any)](worstFirst))
+        if (h.size < k) h.enqueue((cos, cid))
+        else {
+          val (wc, wi) = h.head
+          val c = java.lang.Double.compare(cos, wc)
+          if (c > 0 || (c == 0 && cidOrd.compare(cid, wi) < 0)) {
+            h.dequeue(); h.enqueue((cos, cid))
           }
         }
-        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (cos, cid) => (qid, cid, cos) } }
       }
-      .toDF("query_id", "corpus_id", "cosine")
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, cid) => Row(qid, cid, cos) }
+      }
+    }(enc)
   }
 
   /** Exact top-k nearest corpus rows per query by cosine (ties broken by

@@ -69,6 +69,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.filter($"rank" === 1).select("corpus_id").as[Long].collect()(0) === 1L)
   }
 
+  test("hot-bucket cap drops degenerate buckets; other bands still pair") {
+    // 60 exact copies of one doc → every (band, bucket) holds all 60 rows.
+    // With maxBucketSize=10 every bucket is dropped → zero candidates, no
+    // 60² join. With the default cap they all pair.
+    val boiler = (1L to 60L).map(i => (i, "identical boilerplate row served on every page"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(boiler, "doc_id", "text", maxBucketSize = 10)
+    assert(capped.count() === 0)
+    val uncapped = Dedup.minhashCandidates(boiler, "doc_id", "text")
+    assert(uncapped.count() === 60L * 59 / 2)
+    // same guard on the simhash / ngram / embedding bucket joins
+    assert(Dedup.nearDupSimhash(boiler, "doc_id", "text", maxBucketSize = 10).count() === 0)
+    assert(Dedup.nearDupNgram(boiler, "doc_id", "text", threshold = 1.0,
+      maxBucketSize = 10).count() === 0)
+    val dupVecs = (1L to 60L).map(i => (i, Seq(1.0f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.nearDupEmbedding(dupVecs, "vec_id", "embedding", threshold = 0.99,
+      maxBucketSize = 10).count() === 0)
+  }
+
+  test("minhash leaves no cached RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.nearDupMinhash(docs, "doc_id", "text", threshold = 0.6).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"minhash pipeline leaked cached RDDs: ${after -- before}")
+  }
+
+  test("embedding OR-amplification recovers planted 0.95-cosine neighbors") {
+    // 40 planted pairs: base vector + small rotation (cosine ≈ 0.95), in
+    // 16 dims, far apart from other pairs (random-ish orthogonal-ish bases
+    // from a deterministic LCG). Expected recall 1-(1-p^12)^T with
+    // p = 1-acos(0.95)/π ≈ 0.899: one table ~28% (≈11/40), four ~73%
+    // (≈29/40); assert ≥ 24 (2σ below the 4-table mean).
+    val dim = 16
+    def lcg(s0: Long): Long = s0 * 6364136223846793005L + 1442695040888963407L
+    val rows = (0 until 40).flatMap { p =>
+      var s = 1234567L + p * 999983L
+      val base = Array.fill(dim) { s = lcg(s); (s >>> 20).toDouble / (1L << 43).toDouble - 0.5 }
+      val n = math.sqrt(base.map(x => x * x).sum)
+      val unit = base.map(_ / n)
+      // rotate towards a perpendicular direction by theta = acos(0.95)
+      var s2 = 7654321L + p * 424243L
+      val raw = Array.fill(dim) { s2 = lcg(s2); (s2 >>> 20).toDouble / (1L << 43).toDouble - 0.5 }
+      val d = raw.zip(unit).map { case (r, u) => r - u * raw.zip(unit).map(t => t._1 * t._2).sum }
+      val dn = math.sqrt(d.map(x => x * x).sum)
+      val perp = d.map(_ / dn)
+      val c = 0.95
+      val sTheta = math.sqrt(1 - c * c)
+      val rotated = unit.zip(perp).map { case (u, q) => u * c + q * sTheta }
+      Seq((p.toLong * 2, unit.map(_.toFloat).toSeq),
+        (p.toLong * 2 + 1, rotated.map(_.toFloat).toSeq))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    def recovered(tables: Int): Int =
+      Dedup.nearDupEmbedding(vecs, "vec_id", "embedding", threshold = 0.94,
+        bits = 12, tables = tables)
+        .filter($"id_b" - $"id_a" === 1 && $"id_a" % 2 === 0)
+        .count().toInt
+    val multi = recovered(4)
+    val single = recovered(1)
+    assert(multi >= 24, s"4-table recall too low: $multi/40 (single table: $single)")
+    assert(multi > single, "OR-amplification must beat a single table here")
+  }
+
+  test("top-k preserves string ids") {
+    val vecs = Seq(
+      ("doc-a", Seq(1.0f, 0.0f, 0.0f)),
+      ("doc-b", Seq(0.99f, 0.1f, 0.0f)),
+      ("doc-c", Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" === "doc-a").toDF("query_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 2)
+      .select("rank", "corpus_id").as[(Int, String)].collect().toMap
+    assert(topk(1) === "doc-a")
+    assert(topk(2) === "doc-b")
+    // unsupported id types fail loudly instead of silently nulling
+    val badIds = Seq((Seq(1.0), Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(badIds, "vec_id", "embedding",
+        badIds.toDF("query_id", "embedding"), "query_id", "embedding", k = 1)
+    }
+  }
+
   test("text analysis: counts, ratios, langid, fingerprint") {
     val df = Seq(("The cat and the dog sat in the house for a while",
       "der hund und die katze ist nicht hier von dem haus")).toDF("en", "de")
