@@ -331,6 +331,74 @@ object GeoQueries {
       vor.crossJoin(empty)
     }),
 
+    /** grid_size variants of the §2.7 aggregations (reference
+      * `union_all(grid_size)` et al., `expressions.rs:873-999`). Rectangles
+      * get sixteenth-offsets so the 0.25-grid snap changes the result:
+      * snap(v) = floor(4v+0.5)/4 (probed — JTS PrecisionModel.makePrecise
+      * and OverlayNG snap-rounding agree with the closed form). */
+    "geo_agg_prec" -> ((s, dir) => {
+      val ax = (k % 5).cast("double") / 16.0
+      val ay = (k % 7).cast("double") / 16.0
+      // disjoint per row (one 16-wide x cell per k), off-grid top corners
+      val g = st_rectangle(xmin, ymin, xmin + w + ax, ymin + h + ay)
+      // all anchored at (0,0): intersection = [0,min x]×[0,min y]
+      val gi = st_rectangle(lit(0.0), lit(0.0),
+        lit(16.0) + (k % 13).cast("double") / 4.0 + ax,
+        lit(16.0) + (k % 11).cast("double") / 4.0 + ay)
+      base(s, dir)
+        .select((k % 16).as("grp"), g.as("g"), gi.as("gi"))
+        .groupBy(col("grp"))
+        .agg(
+          st_area(st_union_all(col("g"), 0.25)).as("ua"),
+          st_area(st_symmetric_difference_all(col("g"), 0.25)).as("sa"),
+          st_area(st_intersection_all(col("gi"), 0.25)).as("ia"))
+        .orderBy(col("grp"))
+    }),
+
+    /** voronoi/delaunay kwargs (reference `geoexpr.py:937-954`): tolerance,
+      * extend_to clip envelope, only_edges. Sites (0,0),(4,0),(0,3) → cell
+      * areas sum to the clip box area; delaunay edges 3-4-5 triangle. */
+    "geo_agg_vor_kw" -> ((s, dir) => {
+      val box = Seq(-8.0, -8.0, 16.0, 16.0)
+      val pts = base(s, dir).select((k % 3).as("i")).distinct()
+        .select(st_point(
+          when(col("i") === 1, 4.0).otherwise(0.0),
+          when(col("i") === 2, 3.0).otherwise(0.0)).as("g"))
+      pts.agg(
+        st_area(st_voronoi_polygons(col("g"), 0.0, false, box)).as("vor_area"),
+        st_count_geometries(st_voronoi_polygons(col("g"), 0.0, false, box)).as("vor_n"),
+        st_area(st_voronoi_polygons(col("g"), 0.0625, false, box)).as("vor_area_tol"),
+        st_count_geometries(st_voronoi_polygons(col("g"), 0.0, true, box)).as("vor_edge_n"),
+        st_count_geometries(st_delaunay_triangles(col("g"), 0.0, true)).as("del_edges"),
+        st_length(st_delaunay_triangles(col("g"), 0.0, true)).as("del_len"),
+        st_geometrytype(st_delaunay_triangles(col("g"), 0.0, true)).as("del_gt"))
+    }),
+
+    /** Unordered difference_all (reference `expressions.rs:873-886` — a
+      * row-order left fold): deterministic here because the source is
+      * repartition(1) + sorted, so encounter order == rn order. Covers the
+      * plain and grid_size forms. */
+    "geo_agg_diff_unord" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = base(s, dir)
+        .filter(k % 2000 === 0)
+        .withColumn("rn", row_number().over(Window.orderBy(k)))
+        .filter(col("rn") <= 9)
+      val ax = (k % 5).cast("double") / 16.0
+      val ay = (k % 7).cast("double") / 16.0
+      val cell = col("rn") - 2 // 0..7 for subtrahend rows
+      val cx = (cell % 3).cast("double") * 16.0 + 4.0
+      val cy = (cell / 3).cast("double").cast("int").cast("double") * 16.0 + 4.0
+      val g = when(col("rn") === 1,
+        st_rectangle(lit(0.0), lit(0.0), lit(64.0), lit(64.0)))
+        .otherwise(st_rectangle(cx, cy, cx + w + ax, cy + h + ay))
+      ranked.select(col("rn"), g.as("g"))
+        .repartition(1).sortWithinPartitions("rn")
+        .agg(
+          st_area(st_difference_all(col("g"))).as("da"),
+          st_area(st_difference_all(col("g"), 0.25)).as("da_prec"))
+    }),
+
     // ------------------------------------------- §2.8 constructive ops
     "geo_constructive1" -> ((s, dir) => {
       val d = (lit(1.0) + (k % 5).cast("double")) / 4.0
@@ -631,6 +699,37 @@ object GeoQueries {
       """SELECT 4 AS vor_n, 2 AS del_n, 256.0 AS del_area,
         | 'GeometryCollection' AS vor_gt,
         | 'GEOMETRYCOLLECTION EMPTY' AS empty_wkt, TRUE AS tb_nan""".stripMargin,
+    "geo_agg_prec" ->
+      s"""$B, p AS (SELECT k%16 AS grp,
+         | w + floor(CAST(k%5 AS DOUBLE)/4.0 + 0.5)/4.0 AS sw,
+         | h + floor(CAST(k%7 AS DOUBLE)/4.0 + 0.5)/4.0 AS sh,
+         | 16.0 + CAST(k%13 AS DOUBLE)/4.0
+         |   + floor(CAST(k%5 AS DOUBLE)/4.0 + 0.5)/4.0 AS ix,
+         | 16.0 + CAST(k%11 AS DOUBLE)/4.0
+         |   + floor(CAST(k%7 AS DOUBLE)/4.0 + 0.5)/4.0 AS iy
+         | FROM b)
+         |SELECT grp, sum(sw*sh) AS ua, sum(sw*sh) AS sa,
+         | min(ix)*min(iy) AS ia
+         |FROM p GROUP BY grp ORDER BY grp""".stripMargin,
+    "geo_agg_vor_kw" ->
+      """SELECT 576.0 AS vor_area, 3 AS vor_n, 576.0 AS vor_area_tol,
+        | 3 AS vor_edge_n, 3 AS del_edges, 12.0 AS del_len,
+        | 'MultiLineString' AS del_gt""".stripMargin,
+    "geo_agg_diff_unord" ->
+      """WITH ranked AS (
+        | SELECT o_orderkey AS k,
+        |  row_number() OVER (ORDER BY o_orderkey) AS rn,
+        |  1+CAST(o_orderkey%13 AS DOUBLE)/4.0 AS w,
+        |  1+CAST(o_orderkey%11 AS DOUBLE)/4.0 AS h,
+        |  CAST(o_orderkey%5 AS DOUBLE)/16.0 AS ax,
+        |  CAST(o_orderkey%7 AS DOUBLE)/16.0 AS ay,
+        |  floor(CAST(o_orderkey%5 AS DOUBLE)/4.0 + 0.5)/4.0 AS sax,
+        |  floor(CAST(o_orderkey%7 AS DOUBLE)/4.0 + 0.5)/4.0 AS say
+        | FROM orders WHERE o_orderkey%2000 = 0)
+        |SELECT
+        | 4096.0 - sum(CASE WHEN rn > 1 THEN (w+ax)*(h+ay) END) AS da,
+        | 4096.0 - sum(CASE WHEN rn > 1 THEN (w+sax)*(h+say) END) AS da_prec
+        |FROM ranked WHERE rn <= 9""".stripMargin,
     "geo_constructive1" ->
       s"""$B SELECT k, 2*(w+h) AS bdry_len, 'LineString' AS bdry_gt,
          | ((1+CAST(k%5 AS DOUBLE))/2.0)*((1+CAST(k%5 AS DOUBLE))/2.0) AS buf_sq_area,

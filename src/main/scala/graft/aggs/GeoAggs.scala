@@ -51,12 +51,40 @@ object GeoAggs {
     EWKB.write(g)
   }
 
-  private def unionOf(parts: ArrayBuffer[Array[Byte]]): Array[Byte] =
+  private def unionGeoms(geoms: Seq[Geometry], gridSize: Double): Geometry = {
+    val u =
+      if (gridSize > 0) {
+        val pm = new PrecisionModel(1.0 / gridSize)
+        if (geoms.lengthCompare(1) == 0)
+          // UnaryUnionNG short-circuits a lone geometry without snap-rounding
+          // (probed); GEOS-style *_Prec semantics snap every input, so reduce
+          // explicitly here. Multi-input unions snap inside OverlayNG.
+          org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(geoms.head, pm)
+        else
+          org.locationtech.jts.operation.overlayng.UnaryUnionNG.union(
+            geoms.asJava.asInstanceOf[java.util.Collection[Geometry]], pm)
+      } else UnaryUnionOp.union(geoms.asJava.asInstanceOf[java.util.Collection[Geometry]])
+    if (u == null) GeoCodec.emptyCollection else u
+  }
+
+  private def unionOf(parts: ArrayBuffer[Array[Byte]], gridSize: Double = 0.0): Array[Byte] =
     if (parts.isEmpty) emptyGC
     else {
       val geoms = readAll(parts)
-      val u = UnaryUnionOp.union(geoms.asJava.asInstanceOf[java.util.Collection[Geometry]])
-      writeWithSrid(if (u == null) GeoCodec.emptyCollection else u, sridOf(geoms))
+      writeWithSrid(unionGeoms(geoms, gridSize), sridOf(geoms))
+    }
+
+  /** Pairwise overlay op, snapped to a precision grid when gridSize > 0
+    * (reference `union_all(grid_size)` et al., `expressions.rs:873-999`). */
+  private def overlayOp(op: Int, gridSize: Double)(a: Geometry, b: Geometry): Geometry =
+    if (gridSize > 0)
+      org.locationtech.jts.operation.overlayng.OverlayNG.overlay(
+        a, b, op, new PrecisionModel(1.0 / gridSize))
+    else op match {
+      case org.locationtech.jts.operation.overlayng.OverlayNG.INTERSECTION => a intersection b
+      case org.locationtech.jts.operation.overlayng.OverlayNG.SYMDIFFERENCE => a symDifference b
+      case org.locationtech.jts.operation.overlayng.OverlayNG.DIFFERENCE => a difference b
+      case _ => a union b
     }
 
   /** Base class for list-buffered aggregations with bounded compaction. */
@@ -78,13 +106,15 @@ object GeoAggs {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Cascaded union (reference `union_all`, `expressions.rs:984-999`). */
-  class UnionAllAgg extends ListAgg {
+  /** Cascaded union (reference `union_all`, `expressions.rs:984-999`).
+    * `gridSize > 0` snaps to a precision grid — snapped coordinates stay on
+    * the grid, so partial (compaction) unions commute with the final one. */
+  class UnionAllAgg(gridSize: Double = 0.0) extends ListAgg {
     override protected def compactBuffer(b: ArrayBuffer[Array[Byte]]) = {
-      val u = unionOf(b); b.clear(); b += u
+      val u = unionOf(b, gridSize); b.clear(); b += u
     }
     def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] =
-      if (b.isEmpty) emptyGC else unionOf(b)
+      if (b.isEmpty) emptyGC else unionOf(b, gridSize)
   }
 
   /** Gather into a multi-geometry or GC with supertype inference
@@ -127,18 +157,20 @@ object GeoAggs {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  class IntersectionAllAgg extends FoldAgg(_ intersection _)
-  class SymmetricDifferenceAllAgg extends FoldAgg(_ symDifference _)
+  class IntersectionAllAgg(gridSize: Double = 0.0) extends FoldAgg(
+    overlayOp(org.locationtech.jts.operation.overlayng.OverlayNG.INTERSECTION, gridSize))
+  class SymmetricDifferenceAllAgg(gridSize: Double = 0.0) extends FoldAgg(
+    overlayOp(org.locationtech.jts.operation.overlayng.OverlayNG.SYMDIFFERENCE, gridSize))
 
   /** Left fold of difference: g0 \ g1 \ g2 … = g0 \ union(g1..gn)
     * (reference `expressions.rs:873-886`). The minuend is the first row in
     * encounter order; subtrahends are union-compacted. */
-  class DifferenceAllAgg extends ListAgg {
+  class DifferenceAllAgg(gridSize: Double = 0.0) extends ListAgg {
     override protected def compactBuffer(b: ArrayBuffer[Array[Byte]]) = {
       if (b.length >= 3) {
         val head = b.head
         val rest = b.tail.clone()
-        val u = unionOf(rest)
+        val u = unionOf(rest, gridSize)
         b.clear(); b += head; b += u
       }
       b
@@ -148,8 +180,10 @@ object GeoAggs {
       else if (b.length == 1) b.head
       else {
         val gs = readAll(b)
-        val sub = UnaryUnionOp.union(gs.tail.asJava.asInstanceOf[java.util.Collection[Geometry]])
-        writeWithSrid(gs.head.difference(sub), sridOf(gs))
+        val sub = unionGeoms(gs.tail, gridSize)
+        writeWithSrid(
+          overlayOp(org.locationtech.jts.operation.overlayng.OverlayNG.DIFFERENCE,
+            gridSize)(gs.head, sub), sridOf(gs))
       }
   }
 
@@ -159,12 +193,12 @@ object GeoAggs {
     * after a shuffle, so the order is a parameter). Since
     * g0 \ g1 \ … \ gn ≡ g0 \ (g1 ∪ … ∪ gn), only the minuend needs order
     * bookkeeping; subtrahends union-compact freely. */
-  class DifferenceAllOrderedAgg
+  class DifferenceAllOrderedAgg(gridSize: Double = 0.0)
       extends Aggregator[(Array[Byte], Long), (Long, Array[Byte], ArrayBuffer[Array[Byte]]), Array[Byte]] {
     def zero: (Long, Array[Byte], ArrayBuffer[Array[Byte]]) =
       (Long.MaxValue, null, ArrayBuffer.empty)
     private def compact(rest: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
-      if (rest.length >= CompactAt) { val u = unionOf(rest); rest.clear(); rest += u }
+      if (rest.length >= CompactAt) { val u = unionOf(rest, gridSize); rest.clear(); rest += u }
       else rest
     def reduce(b: (Long, Array[Byte], ArrayBuffer[Array[Byte]]),
         in: (Array[Byte], Long)): (Long, Array[Byte], ArrayBuffer[Array[Byte]]) = {
@@ -195,9 +229,10 @@ object GeoAggs {
       else if (rest.isEmpty) mg
       else {
         val m = EWKB.read(mg)
-        val sub = UnaryUnionOp.union(
-          readAll(rest).asJava.asInstanceOf[java.util.Collection[Geometry]])
-        writeWithSrid(m.difference(sub), sridOf(Seq(m)))
+        val sub = unionGeoms(readAll(rest), gridSize)
+        writeWithSrid(
+          overlayOp(org.locationtech.jts.operation.overlayng.OverlayNG.DIFFERENCE,
+            gridSize)(m, sub), sridOf(Seq(m)))
       }
     }
     def bufferEncoder: Encoder[(Long, Array[Byte], ArrayBuffer[Array[Byte]])] =
@@ -261,8 +296,12 @@ object GeoAggs {
     }
   }
 
-  /** Voronoi diagram of all vertices (reference `functions.rs:1791-1802`). */
-  class VoronoiPolygonsAgg(tolerance: Double, onlyEdges: Boolean) extends VertexSetAgg {
+  /** Voronoi diagram of all vertices (reference `functions.rs:1791-1802`).
+    * `extendTo` (xmin, ymin, xmax, ymax) clips the diagram to that envelope
+    * instead of the default expanded site envelope (reference kwarg
+    * `extend_to`, `geoexpr.py:937-945`). */
+  class VoronoiPolygonsAgg(tolerance: Double, onlyEdges: Boolean,
+      extendTo: Seq[Double] = null) extends VertexSetAgg {
     def finish(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {
       if (b.isEmpty) return emptyGC
       val (pts, srid) = sites(b)
@@ -270,6 +309,10 @@ object GeoAggs {
       val builder = new VoronoiDiagramBuilder()
       builder.setSites(pts)
       builder.setTolerance(tolerance)
+      if (extendTo != null) {
+        require(extendTo.length == 4, "extend_to must be (xmin, ymin, xmax, ymax)")
+        builder.setClipEnvelope(new Envelope(extendTo(0), extendTo(2), extendTo(1), extendTo(3)))
+      }
       val diagram = builder.getDiagram(fact)
       val out = if (onlyEdges) {
         val lines = org.locationtech.jts.geom.util.LinearComponentExtracter.getLines(diagram)
@@ -337,12 +380,23 @@ object GeoAggs {
   val voronoiPolygons: UserDefinedFunction = udaf(new VoronoiPolygonsAgg(0.0, false))
   val delaunayTriangles: UserDefinedFunction = udaf(new DelaunayTrianglesAgg(0.0, false))
 
-  /** Parameterized variants (tolerance / only_edges), reference
-    * `geoexpr.py:937-954`. */
-  def voronoiPolygonsUdaf(tolerance: Double, onlyEdges: Boolean): UserDefinedFunction =
-    udaf(new VoronoiPolygonsAgg(tolerance, onlyEdges))
+  /** Parameterized variants (tolerance / extend_to / only_edges / grid_size),
+    * reference `geoexpr.py:899-954`. */
+  def voronoiPolygonsUdaf(tolerance: Double, onlyEdges: Boolean,
+      extendTo: Seq[Double] = null): UserDefinedFunction =
+    udaf(new VoronoiPolygonsAgg(tolerance, onlyEdges, extendTo))
   def delaunayTrianglesUdaf(tolerance: Double, onlyEdges: Boolean): UserDefinedFunction =
     udaf(new DelaunayTrianglesAgg(tolerance, onlyEdges))
+  def unionAllUdaf(gridSize: Double): UserDefinedFunction =
+    udaf(new UnionAllAgg(gridSize))
+  def intersectionAllUdaf(gridSize: Double): UserDefinedFunction =
+    udaf(new IntersectionAllAgg(gridSize))
+  def differenceAllUdaf(gridSize: Double): UserDefinedFunction =
+    udaf(new DifferenceAllAgg(gridSize))
+  def differenceAllOrderedUdaf(gridSize: Double): UserDefinedFunction =
+    udaf(new DifferenceAllOrderedAgg(gridSize))
+  def symmetricDifferenceAllUdaf(gridSize: Double): UserDefinedFunction =
+    udaf(new SymmetricDifferenceAllAgg(gridSize))
 
   /** SQL name → aggregator UDF. */
   val all: Seq[(String, UserDefinedFunction)] = Seq(

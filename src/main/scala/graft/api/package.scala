@@ -203,15 +203,27 @@ package object api {
 
     // aggregations over this column
     def unionAll: Column = st_union_all(c)
+    def unionAll(gridSize: Double): Column = st_union_all(c, gridSize)
     def totalBounds: Column = st_total_bounds(c)
     def collect: Column = st_collect(c)
     def intersectionAll: Column = st_intersection_all(c)
+    def intersectionAll(gridSize: Double): Column = st_intersection_all(c, gridSize)
     def differenceAll: Column = st_difference_all(c)
+    def differenceAll(gridSize: Double): Column = st_difference_all(c, gridSize)
     def differenceAllOrdered(order: Column): Column = st_difference_all_ordered(c, order)
+    def differenceAllOrdered(order: Column, gridSize: Double): Column =
+      st_difference_all_ordered(c, order, gridSize)
     def symmetricDifferenceAll: Column = st_symmetric_difference_all(c)
+    def symmetricDifferenceAll(gridSize: Double): Column =
+      st_symmetric_difference_all(c, gridSize)
     def coverageUnionAll: Column = st_coverage_union_all(c)
     def polygonize: Column = st_polygonize(c)
     def voronoiPolygons: Column = st_voronoi_polygons(c)
+    def voronoiPolygons(tolerance: Double, onlyEdges: Boolean = false,
+        extendTo: Seq[Double] = null): Column =
+      st_voronoi_polygons(c, tolerance, onlyEdges, extendTo)
     def delaunayTriangles: Column = st_delaunay_triangles(c)
+    def delaunayTriangles(tolerance: Double, onlyEdges: Boolean): Column =
+      st_delaunay_triangles(c, tolerance, onlyEdges)
   }
 }

@@ -224,16 +224,36 @@ package object functions {
 
   // ------------------------------------------------------------ aggregations
   def st_union_all(g: Column): Column = graft.aggs.GeoAggs.unionAll(g)
+  /** Precision-grid variant (reference `union_all(grid_size)`). */
+  def st_union_all(g: Column, gridSize: Double): Column =
+    graft.aggs.GeoAggs.unionAllUdaf(gridSize)(g)
   def st_total_bounds(g: Column): Column = graft.aggs.GeoAggs.totalBounds(g)
   def st_collect(g: Column): Column = graft.aggs.GeoAggs.collect(g)
   def st_intersection_all(g: Column): Column = graft.aggs.GeoAggs.intersectionAll(g)
+  def st_intersection_all(g: Column, gridSize: Double): Column =
+    graft.aggs.GeoAggs.intersectionAllUdaf(gridSize)(g)
   def st_difference_all(g: Column): Column = graft.aggs.GeoAggs.differenceAll(g)
+  def st_difference_all(g: Column, gridSize: Double): Column =
+    graft.aggs.GeoAggs.differenceAllUdaf(gridSize)(g)
   /** Deterministic variant: minuend = row with the smallest `order` value. */
   def st_difference_all_ordered(g: Column, order: Column): Column =
     graft.aggs.GeoAggs.differenceAllOrdered(g, order)
+  def st_difference_all_ordered(g: Column, order: Column, gridSize: Double): Column =
+    graft.aggs.GeoAggs.differenceAllOrderedUdaf(gridSize)(g, order)
   def st_symmetric_difference_all(g: Column): Column = graft.aggs.GeoAggs.symmetricDifferenceAll(g)
+  def st_symmetric_difference_all(g: Column, gridSize: Double): Column =
+    graft.aggs.GeoAggs.symmetricDifferenceAllUdaf(gridSize)(g)
   def st_coverage_union_all(g: Column): Column = graft.aggs.GeoAggs.coverageUnionAll(g)
   def st_polygonize(g: Column): Column = graft.aggs.GeoAggs.polygonize(g)
   def st_voronoi_polygons(g: Column): Column = graft.aggs.GeoAggs.voronoiPolygons(g)
+  /** Kwargs variant (reference `voronoi_polygons(tolerance, extend_to,
+    * only_edges)`): `extendTo` = (xmin, ymin, xmax, ymax) clip envelope or
+    * null for the default expanded site envelope. */
+  def st_voronoi_polygons(g: Column, tolerance: Double, onlyEdges: Boolean,
+      extendTo: Seq[Double] = null): Column =
+    graft.aggs.GeoAggs.voronoiPolygonsUdaf(tolerance, onlyEdges, extendTo)(g)
   def st_delaunay_triangles(g: Column): Column = graft.aggs.GeoAggs.delaunayTriangles(g)
+  /** Kwargs variant (reference `delaunay_triangles(tolerance, only_edges)`). */
+  def st_delaunay_triangles(g: Column, tolerance: Double, onlyEdges: Boolean): Column =
+    graft.aggs.GeoAggs.delaunayTrianglesUdaf(tolerance, onlyEdges)(g)
 }

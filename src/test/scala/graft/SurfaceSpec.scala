@@ -278,6 +278,56 @@ class SurfaceSpec extends AnyFunSuite {
     assert(lines.select(st_area(st_polygonize($"g"))).collect()(0).getDouble(0) === 0.5)
   }
 
+  test("aggregation grid_size variants and voronoi/delaunay kwargs") {
+    import spark.implicits._
+    // single off-grid rect: union_all(0.25) snaps per coordinate
+    val one = Seq("POLYGON ((0.125 0.375, 1.375 0.375, 1.375 1.5, 0.125 1.5, 0.125 0.375))")
+      .toDF("wkt").select(st_geomfromtext($"wkt").as("g"))
+    assert(one.agg(st_area(st_union_all($"g", 0.25))).collect()(0).getDouble(0) === 1.25)
+
+    // overlapping off-grid rects: snapped union / intersection / symdiff
+    val two = Seq(
+      "POLYGON ((0.125 0.375, 1.375 0.375, 1.375 1.5, 0.125 1.5, 0.125 0.375))",
+      "POLYGON ((0.6875 0.6875, 2.0625 0.6875, 2.0625 2.0625, 0.6875 2.0625, 0.6875 0.6875))")
+      .toDF("wkt").select(st_geomfromtext($"wkt").as("g"))
+    val r = two.agg(
+      st_area(st_union_all($"g", 0.25)).as("u"),
+      st_area(st_intersection_all($"g", 0.25)).as("i"),
+      st_area(st_symmetric_difference_all($"g", 0.25)).as("s")).collect()(0)
+    assert(r.getDouble(0) === 2.25)
+    assert(r.getDouble(1) === 0.5625)
+    assert(r.getDouble(2) === 1.6875)
+
+    // ordered difference with grid: (8×8 box) minus snapped off-grid hole
+    val dd = Seq(
+      (1L, "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))"),
+      (2L, "POLYGON ((1.125 1.375, 2.375 1.375, 2.375 2.5, 1.125 2.5, 1.125 1.375))"))
+      .toDF("o", "wkt").select($"o", st_geomfromtext($"wkt").as("g"))
+    assert(dd.agg(st_area(st_difference_all_ordered($"g", $"o", 0.25)))
+      .collect()(0).getDouble(0) === 64.0 - 1.25)
+    assert(dd.agg(st_area(st_difference_all($"g", 0.25)))
+      .collect()(0).getDouble(0) === 64.0 - 1.25)
+
+    // voronoi extend_to: cell areas partition the clip box; only_edges rings
+    val pts = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 3.0)).toDF("x", "y")
+      .select(st_point($"x", $"y").as("g"))
+    val box = Seq(-8.0, -8.0, 16.0, 16.0)
+    val v = pts.agg(
+      st_area(st_voronoi_polygons($"g", 0.0, false, box)).as("a"),
+      st_count_geometries(st_voronoi_polygons($"g", 0.0, false, box)).as("n"),
+      st_geometrytype(st_voronoi_polygons($"g", 0.0, true, box)).as("gt")).collect()(0)
+    assert(v.getDouble(0) === 576.0)
+    assert(v.getInt(1) === 3)
+    assert(v.getString(2) === "MultiLineString")
+
+    // delaunay only_edges: 3-4-5 triangle has 3 edges of total length 12
+    val d = pts.agg(
+      st_count_geometries(st_delaunay_triangles($"g", 0.0, true)).as("n"),
+      st_length(st_delaunay_triangles($"g", 0.0, true)).as("len")).collect()(0)
+    assert(d.getInt(0) === 3)
+    assert(d.getDouble(1) === 12.0)
+  }
+
   test("api consistency: every SQL name registered and callable") {
     Geo.registerAll(spark)
     val names = Geo.sqlNames
