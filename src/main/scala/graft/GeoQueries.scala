@@ -399,6 +399,23 @@ object GeoQueries {
           st_area(st_difference_all(col("g"), 0.25)).as("da_prec"))
     }),
 
+    /** Native Catalyst expression tier (st_*_native, SURVEY §4.3): same
+      * EWKB/JTS kernels as the UDF surface, inlined via doGenCode. The row
+      * asserts both closed-form values and native==UDF equality. */
+    "geo_native" -> ((s, dir) => {
+      base(s, dir)
+        .select(k, rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"),
+          st_translate(rect, lit(0.0) - w - lit(1.0), lit(0.0)).as("d"))
+        .select(k,
+          expr("st_area_native(a)").as("area_n"),
+          expr("st_length_native(a)").as("len_n"),
+          expr("st_intersects_native(a, c)").as("ix_t"),
+          expr("st_intersects_native(a, d)").as("ix_f"),
+          (expr("st_area_native(a)") === st_area(col("a"))).as("area_eq"),
+          (expr("st_length_native(a)") === st_length(col("a"))).as("len_eq"))
+        .orderBy(k)
+    }),
+
     // ------------------------------------------- §2.8 constructive ops
     "geo_constructive1" -> ((s, dir) => {
       val d = (lit(1.0) + (k % 5).cast("double")) / 4.0
@@ -539,6 +556,26 @@ object GeoQueries {
         st_asgeojson(ptInt).as("gj_s"),
         st_x(st_geomfromgeojson(st_asgeojson(ptFrac))).as("gj_rt_x"),
         graft.functions.st_srid(st_geomfromewkt(st_asewkt(st_set_srid(pt, lit(4326))))).as("ewkt_rt")
+      ).orderBy(k)
+    }),
+
+    /** Serializer kwargs (reference `to_wkt(trim, old_3d)`,
+      * `to_geojson(indent)`, `geoexpr.py:349-355,418-427`): fixed-decimal
+      * WKT, tagless legacy 3D, pretty GeoJSON. */
+    "geo_serde_kw" -> ((s, dir) => {
+      val xiD = (k % 1000000).cast("double") * 16.0
+      val yiD = (k % 16).cast("double") * 16.0
+      val pf = st_point(xiD + 0.25, yiD)
+      val pz = st_point(xiD + 0.25, yiD, lit(1.25))
+      base(s, dir).select(k,
+        st_aswkt(pf, lit(2), lit(false), lit(3), lit(false)).as("wkt_fixed"),
+        st_aswkt(pz, lit(6), lit(true), lit(3), lit(true)).as("wkt_old3d"),
+        st_aswkt(pz, lit(6), lit(true), lit(3), lit(false)).as("wkt_ztag"),
+        st_asewkt(st_set_srid(pf, lit(3857)), lit(2), lit(false), lit(3),
+          lit(false)).as("ewkt_fixed"),
+        st_asgeojson(pf, lit(-1)).as("gj_compact"),
+        contains(st_asgeojson(pf, lit(0)), lit("\n")).as("gj_nl"),
+        contains(st_asgeojson(pf, lit(2)), lit("  \"coordinates\"")).as("gj_ind")
       ).orderBy(k)
     }),
 
@@ -730,6 +767,10 @@ object GeoQueries {
         | 4096.0 - sum(CASE WHEN rn > 1 THEN (w+ax)*(h+ay) END) AS da,
         | 4096.0 - sum(CASE WHEN rn > 1 THEN (w+sax)*(h+say) END) AS da_prec
         |FROM ranked WHERE rn <= 9""".stripMargin,
+    "geo_native" ->
+      s"""$B SELECT k, w*h AS area_n, 2*(w+h) AS len_n,
+         | TRUE AS ix_t, FALSE AS ix_f, TRUE AS area_eq, TRUE AS len_eq
+         |FROM b ORDER BY k""".stripMargin,
     "geo_constructive1" ->
       s"""$B SELECT k, 2*(w+h) AS bdry_len, 'LineString' AS bdry_gt,
          | ((1+CAST(k%5 AS DOUBLE))/2.0)*((1+CAST(k%5 AS DOUBLE))/2.0) AS buf_sq_area,
@@ -779,6 +820,20 @@ object GeoQueries {
          | '{"type":"Point","coordinates":[' || CAST(CAST(xmin AS BIGINT) AS VARCHAR)
          |   || ',' || CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ']}' AS gj_s,
          | xmin+0.25 AS gj_rt_x, 4326 AS ewkt_rt
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_serde_kw" ->
+      s"""$B SELECT k,
+         | 'POINT (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || '.25 ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || '.00)' AS wkt_fixed,
+         | 'POINT (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || '.25 ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ' 1.25)' AS wkt_old3d,
+         | 'POINT Z (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || '.25 ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ' 1.25)' AS wkt_ztag,
+         | 'SRID=3857;POINT (' || CAST(CAST(xmin AS BIGINT) AS VARCHAR) || '.25 ' ||
+         |   CAST(CAST(ymin AS BIGINT) AS VARCHAR) || '.00)' AS ewkt_fixed,
+         | '{"type":"Point","coordinates":[' || CAST(CAST(xmin AS BIGINT) AS VARCHAR)
+         |   || '.25,' || CAST(CAST(ymin AS BIGINT) AS VARCHAR) || ']}' AS gj_compact,
+         | TRUE AS gj_nl, TRUE AS gj_ind
          |FROM b ORDER BY k""".stripMargin,
     "geo_sjoin_broadcast" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,

@@ -157,6 +157,51 @@ object PipelineQueries {
         .join(feat.select(col("doc_id"), size(col("features")).as("n_feat")), "doc_id")
         .join(wav, "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    /** REAL pixel plane (JDK ImageIO + PCM): solid-color fixtures make
+      * every statistic closed-form — decode dims, channel means v/255,
+      * resize round trip, 2×2 thumbnail features, constant-PCM rms/peak/
+      * mean = amp/2¹⁵ exactly. */
+    "pipe_multimodal_px" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("w", (lit(16) + (col("doc_id") % 8) * 2).cast("int"))
+        .withColumn("h", (lit(8) + (col("doc_id") % 4) * 2).cast("int"))
+        .withColumn("r", (col("doc_id") % 256).cast("int"))
+        .withColumn("g", (col("doc_id") * 7 % 256).cast("int"))
+        .withColumn("b", (col("doc_id") * 13 % 256).cast("int"))
+        .withColumn("png", Multimodal.makeImage(col("w"), col("h"),
+          col("r"), col("g"), col("b"), lit("png")))
+        .withColumn("jpg", Multimodal.makeImage(col("w"), col("h"),
+          col("r"), col("g"), col("b"), lit("jpg")))
+      val img = d
+        .withColumn("px", Multimodal.decodePixels(col("png")))
+        .withColumn("jx", Multimodal.decodePixels(col("jpg")))
+        .withColumn("means", Multimodal.channelMeans(col("png")))
+        .withColumn("rs", Multimodal.resizeImage(col("png"),
+          (col("w") / 2).cast("int"), (col("h") / 2).cast("int")))
+        .withColumn("px2", Multimodal.decodePixels(col("rs")))
+        .withColumn("feat", Multimodal.extractImageFeatures(2)(col("png")))
+      val wav = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("amp", (lit(500) + col("doc_id") % 1000).cast("int"))
+        .withColumn("wav", Multimodal.makeWavConst(lit(1600), lit(16000), col("amp")))
+        .withColumn("st", Multimodal.audioStats(col("wav")))
+        .withColumn("au", Multimodal.decodeAudio(col("wav")))
+        .select(col("doc_id"),
+          col("st._1").as("rms"), col("st._2").as("peak"), col("st._3").as("mean_s"),
+          col("au._4").as("au_ms"))
+      img.select(col("doc_id"),
+        col("px._1").as("width"), col("px._2").as("height"),
+        col("px._3").as("channels"),
+        col("jx._1").as("jpg_w"), col("jx._2").as("jpg_h"),
+        element_at(col("means"), 1).as("mean_r"),
+        element_at(col("means"), 2).as("mean_g"),
+        element_at(col("means"), 3).as("mean_b"),
+        col("px2._1").as("rw"), col("px2._2").as("rh"),
+        size(col("feat")).as("n_feat"),
+        element_at(col("feat"), 1).as("feat_r"))
+        .join(wav, "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -230,6 +275,25 @@ object PipelineQueries {
         | 3 AS channels, 'png' AS fmt, 64 AS n_feat,
         | 1 AS au_channels, 16000 AS au_rate,
         | (doc_id % 100 + 1) * 1000 AS au_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_multimodal_px" ->
+      """SELECT doc_id,
+        | 16 + (doc_id % 8) * 2 AS width,
+        | 8 + (doc_id % 4) * 2 AS height,
+        | 3 AS channels,
+        | 16 + (doc_id % 8) * 2 AS jpg_w,
+        | 8 + (doc_id % 4) * 2 AS jpg_h,
+        | CAST(doc_id % 256 AS DOUBLE) / 255.0 AS mean_r,
+        | CAST(doc_id * 7 % 256 AS DOUBLE) / 255.0 AS mean_g,
+        | CAST(doc_id * 13 % 256 AS DOUBLE) / 255.0 AS mean_b,
+        | 8 + (doc_id % 8) AS rw,
+        | 4 + (doc_id % 4) AS rh,
+        | 12 AS n_feat,
+        | CAST(doc_id % 256 AS DOUBLE) / 255.0 AS feat_r,
+        | CAST(500 + doc_id % 1000 AS DOUBLE) / 32768.0 AS rms,
+        | CAST(500 + doc_id % 1000 AS DOUBLE) / 32768.0 AS peak,
+        | CAST(500 + doc_id % 1000 AS DOUBLE) / 32768.0 AS mean_s,
+        | 100 AS au_ms
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -195,11 +195,18 @@ package object api {
     // serialization
     def asWkt: Column = st_aswkt(c)
     def asWkt(precision: Column): Column = st_aswkt(c, precision)
+    def asWkt(precision: Int, trim: Boolean, outputDimension: Int = 3,
+        old3d: Boolean = false): Column =
+      st_aswkt(c, lit(precision), lit(trim), lit(outputDimension), lit(old3d))
     def asEwkt: Column = st_asewkt(c)
+    def asEwkt(precision: Int, trim: Boolean, outputDimension: Int = 3,
+        old3d: Boolean = false): Column =
+      st_asewkt(c, lit(precision), lit(trim), lit(outputDimension), lit(old3d))
     def asWkb: Column = st_aswkb(c)
     def asWkb(outputDimension: Column, bigEndian: Column, includeSrid: Column): Column =
       st_aswkb(c, outputDimension, bigEndian, includeSrid)
     def asGeoJson: Column = st_asgeojson(c)
+    def asGeoJson(indent: Int): Column = st_asgeojson(c, lit(indent))
 
     // aggregations over this column
     def unionAll: Column = st_union_all(c)

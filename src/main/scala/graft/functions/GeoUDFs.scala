@@ -885,6 +885,22 @@ object GeoUDFs {
   val asWktPrecision: UserDefinedFunction = udf((b: Array[Byte], precision: Int) =>
     if (b == null) null else GeoCodec.toWkt(EWKB.read(b), precision))
 
+  /** Full to_wkt kwargs (rounding_precision, trim, output_dimension, old_3d),
+    * reference `geoexpr.py:349-355`. */
+  val asWktFmt: UserDefinedFunction = udf((b: Array[Byte], precision: Int,
+      trim: Boolean, outputDimension: Int, old3d: Boolean) =>
+    if (b == null) null
+    else GeoCodec.toWkt(EWKB.read(b), precision, trim, outputDimension, old3d))
+
+  val asEwktFmt: UserDefinedFunction = udf((b: Array[Byte], precision: Int,
+      trim: Boolean, outputDimension: Int, old3d: Boolean) =>
+    if (b == null) null
+    else GeoCodec.toEwkt(EWKB.read(b), precision, trim, outputDimension, old3d))
+
+  /** to_geojson(indent): negative = compact (reference None). */
+  val asGeoJsonIndent: UserDefinedFunction = udf((b: Array[Byte], indent: Int) =>
+    if (b == null) null else GeoJson.write(EWKB.read(b), indent))
+
   /** EWKB with explicit dims/byte-order/srid flags via JTS WKBWriter. */
   val asWkb: UserDefinedFunction = udf((b: Array[Byte], outputDimension: Int,
       bigEndian: Boolean, includeSrid: Boolean) =>
@@ -1022,6 +1038,9 @@ object GeoUDFs {
     "st_get_crs_from_code" -> crsFromCode,
     "st_aswkt" -> asWkt,
     "st_aswkt_precision" -> asWktPrecision,
+    "st_aswkt_fmt" -> asWktFmt,
+    "st_asewkt_fmt" -> asEwktFmt,
+    "st_asgeojson_indent" -> asGeoJsonIndent,
     "st_asewkt" -> asEwkt,
     "st_aswkb" -> asWkb,
     "st_asgeojson" -> asGeoJson)

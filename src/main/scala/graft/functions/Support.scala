@@ -65,6 +65,22 @@ object GeoJson {
     sb.toString()
   }
 
+  /** `indent >= 0` → pretty-printed (reference `to_geojson(indent)`,
+    * `functions.rs:748-754`): 0 inserts newlines only, n indents n spaces
+    * per level. Exact whitespace layout follows Jackson's pretty printer
+    * (documented divergence from GEOS's formatter — same JSON value). */
+  def write(g: Geometry, indent: Int): String = {
+    val compact = write(g)
+    if (indent < 0) compact
+    else {
+      val printer = new com.fasterxml.jackson.core.util.DefaultPrettyPrinter()
+      val ind = new com.fasterxml.jackson.core.util.DefaultIndenter(" " * indent, "\n")
+      printer.indentObjectsWith(ind)
+      printer.indentArraysWith(ind)
+      mapper.writer(printer).writeValueAsString(mapper.readTree(compact))
+    }
+  }
+
   private def num(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 

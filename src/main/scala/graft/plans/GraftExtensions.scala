@@ -95,15 +95,22 @@ object BboxFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       // predicate nested under Not/Or/CaseWhen can be false while the row
       // still satisfies the filter, so deriving a bbox conjunct from it
       // would wrongly drop rows.
-      splitConjunctivePredicates(cond) foreach {
-        case u: ScalaUDF if u.udfName.exists(EnvelopePreds.contains) &&
-            u.children.length == 2 =>
-          val envOpt = litEnvelope(u.children(0)).orElse(litEnvelope(u.children(1)))
+      splitConjunctivePredicates(cond) foreach { p =>
+        // spatial conjunct operands: the ScalaUDF surface or the native
+        // Catalyst expression tier (the Column API emits STIntersectsNative)
+        val operands: Seq[Expression] = p match {
+          case u: ScalaUDF if u.udfName.exists(EnvelopePreds.contains) &&
+              u.children.length == 2 => u.children
+          case n: STIntersectsNative => Seq(n.left, n.right)
+          case _ => Seq.empty
+        }
+        if (operands.length == 2) {
+          val envOpt = litEnvelope(operands(0)).orElse(litEnvelope(operands(1)))
           // the non-literal side must be a plain geometry column, and the
           // covering column must come from the SAME leaf relation — after a
           // join, pairing one side's bbox with the other side's geometry
           // would prune incorrectly
-          val attrSide = u.children.collectFirst {
+          val attrSide = operands.collectFirst {
             case a: AttributeReference if child.outputSet.contains(a) => a
           }
           for {
@@ -120,7 +127,7 @@ object BboxFilterRule extends Rule[LogicalPlan] with PredicateHelper {
               And(LessThanOrEqual(bboxField(bbox, "ymin"), Literal(env.getMaxY)),
                 GreaterThanOrEqual(bboxField(bbox, "ymax"), Literal(env.getMinY))))
           }
-        case _ => ()
+        }
       }
       if (extra.isEmpty) f
       else Filter(extra.foldLeft(cond)((c, e) => And(e, c)), child)

@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 import org.locationtech.jts.geom.Geometry
@@ -43,11 +43,20 @@ object SpatialJoinStrategy extends SparkStrategy {
   /** sjoin predicate key for SpatialJoin.applyPred(build, probe). */
   private def predKey(name: String): String = name.stripPrefix("st_")
 
+  /** (predicate name, operand a, operand b) from either predicate tier:
+    * the ScalaUDF surface or the native Catalyst expression the Column API
+    * emits for st_intersects. */
+  private def spatialCond(e: Expression): Option[(String, Expression, Expression)] = e match {
+    case u: ScalaUDF if u.udfName.exists(Converse.contains) && u.children.length == 2 =>
+      Some((u.udfName.get, u.children(0), u.children(1)))
+    case n: STIntersectsNative => Some(("st_intersects", n.left, n.right))
+    case _ => None
+  }
+
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(l, r, joinType @ (Inner | LeftOuter | RightOuter), Some(u: ScalaUDF), _)
-        if u.udfName.exists(Converse.contains) && u.children.length == 2 =>
-      val Seq(a, b) = u.children
-      val name = u.udfName.get
+    case Join(l, r, joinType @ (Inner | LeftOuter | RightOuter | FullOuter), Some(cond), _)
+        if spatialCond(cond).isDefined =>
+      val (name, a, b) = spatialCond(cond).get
       val threshold = SQLConf.get.autoBroadcastJoinThreshold
       def fits(p: LogicalPlan) = threshold > 0 && p.stats.sizeInBytes <= threshold
 
@@ -62,10 +71,13 @@ object SpatialJoinStrategy extends SparkStrategy {
 
       // buildLeft: applyPred(build=left, probe=right) = predLR;
       // buildRight: applyPred(build=right, probe=left) = converse(predLR)
-      def buildL(outer: Boolean) = SpatialJoinExec(planLater(l), planLater(r), lg, rg,
-        predKey(predLR), buildLeft = true, probeOuter = outer)
-      def buildR(outer: Boolean) = SpatialJoinExec(planLater(l), planLater(r), lg, rg,
-        predKey(Converse(predLR)), buildLeft = false, probeOuter = outer)
+      def buildL(outer: Boolean, bOuter: Boolean = false) =
+        SpatialJoinExec(planLater(l), planLater(r), lg, rg,
+          predKey(predLR), buildLeft = true, probeOuter = outer, buildOuter = bOuter)
+      def buildR(outer: Boolean, bOuter: Boolean = false) =
+        SpatialJoinExec(planLater(l), planLater(r), lg, rg,
+          predKey(Converse(predLR)), buildLeft = false, probeOuter = outer,
+          buildOuter = bOuter)
 
       joinType match {
         case Inner =>
@@ -83,6 +95,14 @@ object SpatialJoinStrategy extends SparkStrategy {
           if (fits(r)) buildR(true) :: Nil else Nil
         case RightOuter =>
           if (fits(l)) buildL(true) :: Nil else Nil
+        case FullOuter =>
+          // probe-outer covers the streamed side; the build side's
+          // unmatched rows come from a matched-index pre-pass (same 2-pass
+          // shape Spark's own BNLJ uses for outer-on-build, but STRtree-
+          // pruned instead of O(n·m))
+          if (fits(r)) buildR(true, bOuter = true) :: Nil
+          else if (fits(l)) buildL(true, bOuter = true) :: Nil
+          else Nil
         case _ => Nil
       }
     case _ => Nil
@@ -97,17 +117,24 @@ object SpatialJoinStrategy extends SparkStrategy {
   *
   * `probeOuter = true` makes this an outer join on the PROBE side: probe
   * rows with no match stream through null-extended on the build columns.
-  * The strategy only selects this orientation (outer side = streamed side),
-  * because unmatched BUILD rows would need cross-partition matched-row
-  * bookkeeping a broadcast join cannot do locally. */
+  * `buildOuter = true` additionally emits unmatched BUILD rows (full
+  * outer): a pre-pass folds a matched-build-index BitSet over the probe
+  * side (tree-pruned — the same two-pass shape Spark's BNLJ uses for
+  * outer-on-build, minus the O(n·m) predicate sweep), then the unmatched
+  * build rows are appended null-extended; the build side is already
+  * driver-resident and size-guarded, so that append is a tiny
+  * parallelize. */
 case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
     leftGeom: Expression, rightGeom: Expression, predicate: String,
-    buildLeft: Boolean, probeOuter: Boolean = false) extends BinaryExecNode {
+    buildLeft: Boolean, probeOuter: Boolean = false,
+    buildOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    if (!probeOuter) left.output ++ right.output
-    else if (buildLeft) left.output.map(_.withNullability(true)) ++ right.output
-    else left.output ++ right.output.map(_.withNullability(true))
+  override def output: Seq[Attribute] = {
+    val lNull = (probeOuter && buildLeft) || (buildOuter && !buildLeft)
+    val rNull = (probeOuter && !buildLeft) || (buildOuter && buildLeft)
+    (if (lNull) left.output.map(_.withNullability(true)) else left.output) ++
+      (if (rNull) right.output.map(_.withNullability(true)) else right.output)
+  }
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan,
       newRight: SparkPlan): SpatialJoinExec =
@@ -119,10 +146,11 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
       if (buildLeft) (leftGeom, rightGeom) else (rightGeom, leftGeom)
     val boundBuild = BindReferences.bindReference(buildGeomExpr, build.output)
     val buildRows = build.executeCollect() // stats-guarded by the strategy
-    val data: Array[(Array[Byte], InternalRow)] = buildRows.flatMap { row =>
-      Option(boundBuild.eval(row)).map(b => (b.asInstanceOf[Array[Byte]], row))
-    }
-    val bc: Broadcast[Array[(Array[Byte], InternalRow)]] =
+    val data: Array[(Array[Byte], Int, InternalRow)] =
+      buildRows.iterator.zipWithIndex.flatMap { case (row, i) =>
+        Option(boundBuild.eval(row)).map(b => (b.asInstanceOf[Array[Byte]], i, row))
+      }.toArray
+    val bc: Broadcast[Array[(Array[Byte], Int, InternalRow)]] =
       sparkContext.broadcast(data)
     val boundProbe = BindReferences.bindReference(probeGeomExpr, probe.output)
     val pred = predicate
@@ -131,7 +159,7 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
     val buildWidth = build.output.length
     val outAttrs = output
 
-    probe.execute().mapPartitions { it =>
+    val joinedRdd = probe.execute().mapPartitions { it =>
       val tree = SpatialJoinExec.treeFor(bc)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -148,13 +176,55 @@ case class SpatialJoinExec(left: SparkPlan, right: SparkPlan,
             val g = EWKB.read(bytes.asInstanceOf[Array[Byte]])
             if (g.isEmpty) Iterator.empty
             else tree.query(g.getEnvelopeInternal).asScala.iterator
-              .map(_.asInstanceOf[(PreparedGeometry, InternalRow)])
-              .filter { case (prep, _) => graft.join.SpatialJoin.applyPred(pred, prep, g) }
-              .map { case (_, buildRow) => emit(buildRow, probeRow) }
+              .map(_.asInstanceOf[(PreparedGeometry, Int, InternalRow)])
+              .filter { case (prep, _, _) => graft.join.SpatialJoin.applyPred(pred, prep, g) }
+              .map { case (_, _, buildRow) => emit(buildRow, probeRow) }
           }
         if (outerProbe && matches.isEmpty) Iterator.single(emit(nullBuild, probeRow))
         else matches
       }
+    }
+    if (!buildOuter) joinedRdd
+    else {
+      // pre-pass: which build indices matched anywhere? (separate job over
+      // the probe side; tree-pruned, no row materialization)
+      val matched = probe.execute().mapPartitions { it =>
+        val tree = SpatialJoinExec.treeFor(bc)
+        val bits = new java.util.BitSet(buildRows.length)
+        it.foreach { probeRow =>
+          val bytes = boundProbe.eval(probeRow)
+          if (bytes != null) {
+            val g = EWKB.read(bytes.asInstanceOf[Array[Byte]])
+            if (!g.isEmpty)
+              tree.query(g.getEnvelopeInternal).asScala.foreach { o =>
+                val (prep, i, _) = o.asInstanceOf[(PreparedGeometry, Int, InternalRow)]
+                if (!bits.get(i) && graft.join.SpatialJoin.applyPred(pred, prep, g))
+                  bits.set(i)
+              }
+          }
+        }
+        Iterator.single(bits)
+      }.fold(new java.util.BitSet(buildRows.length)) { (x, y) => x.or(y); x }
+      // null-geometry build rows never enter the tree → always unmatched
+      val unmatched = buildRows.iterator.zipWithIndex.collect {
+        case (row, i) if !matched.get(i) => row
+      }.toSeq
+      val probeWidth = probe.output.length
+      val unmatchedRdd = sparkContext
+        .parallelize(unmatched, math.max(1, math.min(unmatched.length, 4)))
+        .mapPartitions { it =>
+          val joined = new JoinedRow
+          val proj = UnsafeProjection.create(outAttrs, outAttrs)
+          val nullProbe: InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(probeWidth)
+          it.map { buildRow =>
+            val out: InternalRow =
+              if (buildOnLeft) proj(joined(buildRow, nullProbe))
+              else proj(joined(nullProbe, buildRow))
+            out
+          }
+        }
+      joinedRdd.union(unmatchedRdd)
     }
   }
 }
@@ -310,13 +380,13 @@ object SpatialJoinExec {
     * keying rationale (app id + broadcast id). */
   private val trees = new graft.join.BroadcastCache[STRtree]()
 
-  private def treeFor(bc: Broadcast[Array[(Array[Byte], InternalRow)]]): STRtree =
+  private def treeFor(bc: Broadcast[Array[(Array[Byte], Int, InternalRow)]]): STRtree =
     trees.getOrBuild(bc) {
       val t = new STRtree()
-      bc.value.foreach { case (bytes, row) =>
+      bc.value.foreach { case (bytes, i, row) =>
         val g = EWKB.read(bytes)
         if (!g.isEmpty)
-          t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
+          t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), i, row))
       }
       t.build()
       t

@@ -31,22 +31,45 @@ object GeoCodec {
     } else fromWkt(t)
   }
 
+  private val NumToken = "-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?".r
+
+  /** Rewrite every ordinate token to exactly-`p`-decimal form. JTS's writer
+    * can neither fix the decimal count nor round at a given decimal (its
+    * PrecisionModel maps to significant digits, off by one) — so the full-
+    * precision output is reparsed per token and formatted via BigDecimal
+    * with HALF_EVEN, which is bit-identical to GEOS's C `%.*f` on the same
+    * double. `trim` then strips trailing zeros (GEOS trim=true). */
+  private def formatOrdinates(wkt: String, p: Int, trim: Boolean): String =
+    NumToken.replaceAllIn(wkt, m => {
+      val bd = new java.math.BigDecimal(m.matched.toDouble)
+        .setScale(p, java.math.RoundingMode.HALF_EVEN)
+      val out = if (trim) {
+        val t = bd.stripTrailingZeros
+        if (t.scale < 0) t.setScale(0).toPlainString else t.toPlainString
+      } else bd.toPlainString
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+
   /** WKT writer matching reference defaults: rounding_precision=6, trim=true,
-    * output_dimension=3 (`/root/reference/polars_st/geoexpr.py:348-369`). */
+    * output_dimension=3, old_3d=false
+    * (`/root/reference/polars_st/geoexpr.py:349-355`).
+    * `trim=false` → fixed-decimal ordinates (GEOS `%.*f` style; 16 decimals
+    * when precision < 0 i.e. "full"). `old3d=true` → the pre-SFA tagless 3D
+    * form ("POINT (1 2 3)" instead of "POINT Z (1 2 3)"). */
   def toWkt(g: Geometry, precision: Int = 6, trim: Boolean = true,
-      outputDimension: Int = 3): String = {
-    // JTS WKTWriter always trims trailing zeros (the reference's trim=True
-    // default); trim=false (fixed-decimal output) is not supported by JTS —
-    // documented divergence.
+      outputDimension: Int = 3, old3d: Boolean = false): String = {
     val w = new WKTWriter(outputDimension)
-    if (precision >= 0) w.setPrecisionModel(new PrecisionModel(math.pow(10, precision)))
     // JTS writes "POINT Z(1 2 3)"; GEOS/the reference write "POINT Z (1 2 3)"
-    w.write(g).replace("Z(", "Z (").replace("M(", "M (")
+    var s = w.write(g).replace("Z(", "Z (").replace("M(", "M (")
+    if (precision >= 0 || !trim)
+      s = formatOrdinates(s, if (precision >= 0) precision else 16, trim)
+    if (old3d) s = s.replace(" ZM ", " M ").replace(" Z ", " ")
+    s
   }
 
   def toEwkt(g: Geometry, precision: Int = 6, trim: Boolean = true,
-      outputDimension: Int = 3): String = {
-    val wkt = toWkt(g, precision, trim, outputDimension)
+      outputDimension: Int = 3, old3d: Boolean = false): String = {
+    val wkt = toWkt(g, precision, trim, outputDimension, old3d)
     if (g.getSRID != 0) s"SRID=${g.getSRID};$wkt" else wkt
   }
 

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ catalyst Expression bridge. `ExpressionUtils` is
+  * `private[sql]`, so the graft Column API reaches it through this shim —
+  * the established pattern for Spark-native libraries that expose custom
+  * Catalyst expressions on the public Column surface. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -193,4 +193,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() === 8)
     assert(frames.columns.toSeq === Seq("id", "frame_idx", "frame"))
   }
+
+  test("multimodal REAL pixel plane: decode, means, resize, features, pcm") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 16, 8, 200, 100, 50)).toDF("id", "w", "h", "r", "g", "b")
+      .withColumn("png", Multimodal.makeImage($"w", $"h", $"r", $"g", $"b", lit("png")))
+      .withColumn("jpg", Multimodal.makeImage($"w", $"h", $"r", $"g", $"b", lit("jpg")))
+      .withColumn("bmp", Multimodal.makeImage($"w", $"h", $"r", $"g", $"b", lit("bmp")))
+    val row = df.select(
+      Multimodal.decodePixels($"png").as("px"),
+      Multimodal.decodePixels($"jpg").as("jx"),
+      Multimodal.decodePixels($"bmp").as("bx"),
+      Multimodal.channelMeans($"png").as("m"),
+      Multimodal.decodePixels(Multimodal.resizeImage($"png", lit(8), lit(4))).as("rs"),
+      Multimodal.extractImageFeatures(2)($"png").as("f")).collect()(0)
+    assert(row.getStruct(0).getInt(0) === 16 && row.getStruct(0).getInt(1) === 8)
+    assert(row.getStruct(0).getInt(2) === 3)
+    assert(row.getStruct(1).getInt(0) === 16) // jpeg decodes to same dims
+    assert(row.getStruct(2).getInt(0) === 16) // bmp too
+    assert(row.getSeq[Double](3) === Seq(200 / 255.0, 100 / 255.0, 50 / 255.0))
+    assert(row.getStruct(4).getInt(0) === 8 && row.getStruct(4).getInt(1) === 4)
+    val f = row.getSeq[Double](5)
+    assert(f.length === 12 && f(0) === 200 / 255.0 && f(4) === 100 / 255.0)
+
+    // constant-amplitude PCM: rms = peak = mean = amp / 2^15 exactly
+    val au = Seq(1).toDF("id")
+      .withColumn("wav", Multimodal.makeWavConst(lit(800), lit(16000), lit(1000)))
+      .select(Multimodal.audioStats($"wav").as("st"),
+        Multimodal.decodeAudio($"wav").as("au")).collect()(0)
+    val st = au.getStruct(0)
+    assert(st.getDouble(0) === 1000 / 32768.0)
+    assert(st.getDouble(1) === 1000 / 32768.0)
+    assert(st.getDouble(2) === 1000 / 32768.0)
+    assert(au.getStruct(1).getLong(3) === 50L) // 800 samples @ 16 kHz = 50 ms
+  }
 }

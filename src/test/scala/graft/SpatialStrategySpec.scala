@@ -124,11 +124,42 @@ class SpatialStrategySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("full outer joins fall back to Spark's planner") {
-    val joined = rects.join(pointsTo(250),
+  test("full outer join plans as SpatialJoinExec and keeps both unmatched sides") {
+    // rects 1..100 vs points 1..250: points 101..250 are unmatched on the
+    // BUILD side (right is broadcast) — exercises the matched-bitset pass
+    val joined = rects.filter(col("k") <= 100).join(pointsTo(250),
       st_contains(col("geometry"), col("pgeom")), "full")
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("SpatialJoin "))
-    assert(joined.count() === 250) // 200 matched + 50 unmatched right
+    assert(plan.contains("SpatialJoin "), s"strategy did not fire for full join:\n$plan")
+    val got = joined.select(col("k"), col("p")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    val expect = (1 to 100).map(i => (Some(i), Some(i))).toSet ++
+      (101 to 250).map(i => (None: Option[Int], Some(i))).toSet
+    assert(got === expect)
+
+    // and the mirror: unmatched BUILD-side rows survive too
+    val joined2 = rects.join(pointsTo(150),
+      st_contains(col("geometry"), col("pgeom")), "full")
+    assert(joined2.queryExecution.executedPlan.toString.contains("SpatialJoin "))
+    val got2 = joined2.select(col("k"), col("p")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+    val expect2 = (1 to 150).map(i => (Some(i), Some(i))).toSet ++
+      (151 to 200).map(i => (Some(i), None: Option[Int])).toSet
+    assert(got2 === expect2)
+
+    // cross-check against Spark's own full-outer BNLJ with the strategy off
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bnlj = rects.join(pointsTo(150),
+        st_contains(col("geometry"), col("pgeom")), "full")
+      assert(!bnlj.queryExecution.executedPlan.toString.contains("SpatialJoin "))
+      val got3 = bnlj.select(col("k"), col("p")).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+      assert(got3 === got2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

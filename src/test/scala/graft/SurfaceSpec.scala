@@ -328,6 +328,29 @@ class SurfaceSpec extends AnyFunSuite {
     assert(d.getDouble(1) === 12.0)
   }
 
+  test("serializer kwargs: to_wkt trim/old_3d, to_geojson indent") {
+    import spark.implicits._
+    val df = Seq("POINT Z (1.25 2 3)").toDF("wkt")
+      .select(st_geomfromtext($"wkt").as("g"))
+    def one(c: org.apache.spark.sql.Column): String =
+      df.select(c).collect()(0).getString(0)
+    assert(one(st_aswkt($"g", lit(2), lit(false), lit(3), lit(false))) ===
+      "POINT Z (1.25 2.00 3.00)")
+    assert(one(st_aswkt($"g", lit(6), lit(true), lit(3), lit(true))) ===
+      "POINT (1.25 2 3)")
+    assert(one(st_aswkt($"g", lit(6), lit(true), lit(2), lit(false))) ===
+      "POINT (1.25 2)")
+    // 1.25 rounds HALF_EVEN at 1 decimal → 1.2 (GEOS %.1f parity)
+    assert(one(st_asewkt(st_set_srid($"g", lit(4326)), lit(1), lit(false), lit(3),
+      lit(true))) === "SRID=4326;POINT (1.2 2.0 3.0)")
+    val gj = one(st_asgeojson($"g", lit(-1)))
+    assert(gj === """{"type":"Point","coordinates":[1.25,2,3]}""")
+    val pretty = one(st_asgeojson($"g", lit(2)))
+    assert(pretty.contains("\n") && pretty.contains("  \"coordinates\""))
+    val nlOnly = one(st_asgeojson($"g", lit(0)))
+    assert(nlOnly.contains("\n") && !nlOnly.contains("\n "))
+  }
+
   test("api consistency: every SQL name registered and callable") {
     Geo.registerAll(spark)
     val names = Geo.sqlNames
