@@ -314,6 +314,9 @@ object CastImpl {
   * - EPSG:4326 (WGS84 lon/lat) — the hub; all transforms route through it
   * - EPSG:3857 spherical pseudo-Mercator (web mercator)
   * - EPSG:3395 ellipsoidal World Mercator
+  * - EPSG:3035 ETRS89-LAEA Europe (Snyder §24)
+  * - EPSG:2154 Lambert-93 France / EPSG:3978 Canada Atlas (Lambert
+  *   Conformal Conic 2SP, Snyder §15)
   * - EPSG:32601-32660 / 32701-32760 — WGS84 UTM zones N/S (ellipsoidal
   *   Transverse Mercator, Snyder §8 series; sub-mm round-trip accuracy)
   *
@@ -331,7 +334,60 @@ object CrsImpl {
   private def isUtmSouth(srid: Int) = srid >= 32701 && srid <= 32760
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3395 || srid == 3035 ||
-      isUtmNorth(srid) || isUtmSouth(srid)
+      LccSpecs.contains(srid) || isUtmNorth(srid) || isUtmSouth(srid)
+
+  // --------------------- Lambert Conformal Conic 2SP (Snyder §15, ellipsoid)
+  // EPSG:2154 RGF93 / Lambert-93 (France): lat1=49, lat2=44, lat0=46.5,
+  //   lon0=3, FE=700000, FN=6600000 (GRS80 ≈ WGS84, same note as LAEA;
+  //   validated: Paris forward matches the published grid to centimeters,
+  //   round trip < 1e-13°).
+  // EPSG:3978 NAD83 / Canada Atlas Lambert: lat1=49, lat2=77, lat0=49,
+  //   lon0=-95, FE=0, FN=0.
+  private final class Lcc(lat1Deg: Double, lat2Deg: Double, lat0Deg: Double,
+      lon0Deg: Double, fe: Double, fn: Double) {
+    private val lon0 = math.toRadians(lon0Deg)
+    private def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - E2 * s * s)
+    }
+    private def tOf(phi: Double) = {
+      val esin = E * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), E / 2)
+    }
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val n = (math.log(mOf(phi1)) - math.log(mOf(phi2))) /
+      (math.log(tOf(phi1)) - math.log(tOf(phi2)))
+    private val f = mOf(phi1) / (n * math.pow(tOf(phi1), n))
+    private val rho0 = R * f * math.pow(tOf(math.toRadians(lat0Deg)), n)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = R * f * math.pow(tOf(math.toRadians(latDeg)), n)
+      val theta = n * (math.toRadians(lonDeg) - lon0)
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val sg = math.signum(n) // Snyder: reverse x/y/ρ signs when n < 0
+      val x = x0 - fe; val y = rho0 - (y0 - fn)
+      val rho = sg * math.sqrt(x * x + y * y)
+      val t = math.pow(rho / (R * f), 1 / n)
+      val theta = math.atan2(sg * x, sg * y)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 8) { // fixed-point (Snyder 7-9), converges in ~4 iterations
+        val esin = E * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - esin) / (1 + esin), E / 2))
+        i += 1
+      }
+      (math.toDegrees(theta / n + lon0), math.toDegrees(phi))
+    }
+  }
+
+  private val LccSpecs: Map[Int, Lcc] = Map(
+    2154 -> new Lcc(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    3978 -> new Lcc(49.0, 77.0, 49.0, -95.0, 0.0, 0.0))
 
   // ------------------------- EPSG:3035 ETRS89-LAEA (Snyder §24, ellipsoid)
   // Lambert azimuthal equal-area, lat0=52, lon0=10, FE=4321000, FN=3210000.
@@ -449,6 +505,7 @@ object CrsImpl {
         R * math.log(math.tan(math.Pi / 4 + phi / 2) *
           math.pow((1 - esin) / (1 + esin), E / 2)))
     case 3035 => laeaForward(lon, lat)
+    case z if LccSpecs.contains(z) => LccSpecs(z).forward(lon, lat)
     case z if isUtmNorth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32600), 0.0)
     case z if isUtmSouth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32700), 1e7)
     case _ => throw new UnsupportedOperationException(s"to_srid: unsupported target EPSG:$dst")
@@ -471,6 +528,7 @@ object CrsImpl {
       }
       (math.toDegrees(x / R), math.toDegrees(phi))
     case 3035 => laeaInverse(x, y)
+    case z if LccSpecs.contains(z) => LccSpecs(z).inverse(x, y)
     case z if isUtmNorth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32600), 0.0)
     case z if isUtmSouth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32700), 1e7)
     case _ => throw new UnsupportedOperationException(s"to_srid: unsupported source EPSG:$src")
@@ -482,7 +540,8 @@ object CrsImpl {
       val c = g.copy(); c.setSRID(target); return c
     }
     require(isSupported(src) && isSupported(target),
-      s"to_srid($src -> $target): supported EPSG codes are 4326, 3857, 3395, 3035, UTM 326xx/327xx")
+      s"to_srid($src -> $target): supported EPSG codes are 4326, 3857, 3395, " +
+        "3035, 2154, 3978, UTM 326xx/327xx")
     val out = graft.serde.GeomUtil.mapCoords(g, (x, y, z) => {
       val (lon, lat) = toWgs84(x, y, src)
       val (ox, oy) = fromWgs84(lon, lat, target)
@@ -519,6 +578,8 @@ object CrsImpl {
     case 3857 => Some("""PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3857"]]""")
     case 3395 => Some("""PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_2SP"],PARAMETER["standard_parallel_1",0],PARAMETER["central_meridian",0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3395"]]""")
     case 3035 => Some("""PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["latitude_of_center",52],PARAMETER["longitude_of_center",10],PARAMETER["false_easting",4321000],PARAMETER["false_northing",3210000],UNIT["metre",1],AUTHORITY["EPSG","3035"]]""")
+    case 2154 => Some("""PROJCS["RGF93 v1 / Lambert-93",GEOGCS["RGF93 v1",DATUM["Reseau_Geodesique_Francais_1993_v1",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",46.5],PARAMETER["central_meridian",3],PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",44],PARAMETER["false_easting",700000],PARAMETER["false_northing",6600000],UNIT["metre",1],AUTHORITY["EPSG","2154"]]""")
+    case 3978 => Some("""PROJCS["NAD83 / Canada Atlas Lambert",GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-95],PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",77],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3978"]]""")
     case z if isUtmNorth(z) || isUtmSouth(z) =>
       val zone = if (isUtmNorth(z)) z - 32600 else z - 32700
       val hemi = if (isUtmNorth(z)) "N" else "S"

@@ -111,19 +111,22 @@ package object functions {
   def st_intersects(a: Column, b: Column): Column =
     ofExpr(graft.plans.STIntersectsNative(toExpr(a), toExpr(b)))
   def st_crosses(a: Column, b: Column): Column = crosses(a, b)
-  def st_contains(a: Column, b: Column): Column = contains(a, b)
+  def st_contains(a: Column, b: Column): Column =
+    ofExpr(graft.plans.STContainsNative(toExpr(a), toExpr(b)))
   def st_contains_properly(a: Column, b: Column): Column = containsProperly(a, b)
   def st_covered_by(a: Column, b: Column): Column = coveredBy(a, b)
   def st_covers(a: Column, b: Column): Column = covers(a, b)
   def st_disjoint(a: Column, b: Column): Column = disjoint(a, b)
   def st_overlaps(a: Column, b: Column): Column = overlaps(a, b)
   def st_touches(a: Column, b: Column): Column = touches(a, b)
-  def st_within(a: Column, b: Column): Column = within(a, b)
+  def st_within(a: Column, b: Column): Column =
+    ofExpr(graft.plans.STWithinNative(toExpr(a), toExpr(b)))
   def st_equals(a: Column, b: Column): Column = equalsTopo(a, b)
   def st_equals_identical(a: Column, b: Column): Column = equalsIdentical(a, b)
   def st_equals_exact(a: Column, b: Column, tolerance: Column): Column =
     equalsExact(a, b, tolerance)
-  def st_dwithin(a: Column, b: Column, d: Column): Column = dwithin(a, b, d)
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    ofExpr(graft.plans.STDWithinNative(toExpr(a), toExpr(b), toExpr(d)))
   def st_relate(a: Column, b: Column): Column = relate(a, b)
   def st_relate_pattern(a: Column, b: Column, pattern: Column): Column =
     relatePattern(a, b, pattern)

@@ -3,7 +3,7 @@ package graft.plans
 import graft.serde.EWKB
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the hottest scalar ops — the
@@ -19,14 +19,33 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType
   * same null-in-null-out).
   */
 object GeoNative {
+  import org.locationtech.jts.operation.relateng.{RelateNG, RelatePredicate}
   def area(b: Array[Byte]): Double = EWKB.read(b).getArea
   def length(b: Array[Byte]): Double = EWKB.read(b).getLength
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
     val ga = EWKB.read(a)
     val gb = EWKB.read(b)
     if (ga.isEmpty || gb.isEmpty) false
-    else org.locationtech.jts.operation.relateng.RelateNG.relate(ga, gb,
-      org.locationtech.jts.operation.relateng.RelatePredicate.intersects())
+    else RelateNG.relate(ga, gb, RelatePredicate.intersects())
+  }
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ga = EWKB.read(a)
+    val gb = EWKB.read(b)
+    if (ga.isEmpty || gb.isEmpty) false
+    else RelateNG.relate(ga, gb, RelatePredicate.contains())
+  }
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ga = EWKB.read(a)
+    val gb = EWKB.read(b)
+    if (ga.isEmpty || gb.isEmpty) false
+    else RelateNG.relate(ga, gb, RelatePredicate.within())
+  }
+  /** Strict `<` like the reference (functions.rs:984-990), not PostGIS `<=`
+    * — same convention as the UDF tier. */
+  def dwithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean = {
+    val ga = EWKB.read(a)
+    val gb = EWKB.read(b)
+    !ga.isEmpty && !gb.isEmpty && ga.isWithinDistance(gb, math.nextDown(d))
   }
 }
 
@@ -74,6 +93,51 @@ case class STIntersectsNative(left: Expression, right: Expression) extends Binar
       newRight: Expression): STIntersectsNative = copy(left = newLeft, right = newRight)
 }
 
+case class STContainsNative(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() =
+    NativeTypeCheck.binary("st_contains_native", left, right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoNative.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GeoNative.contains($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): STContainsNative = copy(left = newLeft, right = newRight)
+}
+
+case class STWithinNative(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() =
+    NativeTypeCheck.binary("st_within_native", left, right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoNative.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GeoNative.within($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): STWithinNative = copy(left = newLeft, right = newRight)
+}
+
+case class STDWithinNative(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bin = NativeTypeCheck.binary("st_dwithin_native", first, second)
+    if (!bin.isSuccess) bin
+    else if (!third.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"st_dwithin_native expects a numeric distance, got ${third.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override protected def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeoNative.dwithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Number].doubleValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, d) => s"graft.plans.GeoNative.dwithin($a, $b, (double)($d))")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): STDWithinNative = copy(first = f, second = s, third = t)
+}
+
 object GeoExpressions {
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -86,5 +150,14 @@ object GeoExpressions {
       (args: Seq[Expression]) => STLengthNative(args.head)),
     (FunctionIdentifier("st_intersects_native"),
       new ExpressionInfo(classOf[STIntersectsNative].getName, "st_intersects_native"),
-      (args: Seq[Expression]) => STIntersectsNative(args(0), args(1))))
+      (args: Seq[Expression]) => STIntersectsNative(args(0), args(1))),
+    (FunctionIdentifier("st_contains_native"),
+      new ExpressionInfo(classOf[STContainsNative].getName, "st_contains_native"),
+      (args: Seq[Expression]) => STContainsNative(args(0), args(1))),
+    (FunctionIdentifier("st_within_native"),
+      new ExpressionInfo(classOf[STWithinNative].getName, "st_within_native"),
+      (args: Seq[Expression]) => STWithinNative(args(0), args(1))),
+    (FunctionIdentifier("st_dwithin_native"),
+      new ExpressionInfo(classOf[STDWithinNative].getName, "st_dwithin_native"),
+      (args: Seq[Expression]) => STDWithinNative(args(0), args(1), args(2))))
 }

@@ -102,6 +102,8 @@ object BboxFilterRule extends Rule[LogicalPlan] with PredicateHelper {
           case u: ScalaUDF if u.udfName.exists(EnvelopePreds.contains) &&
               u.children.length == 2 => u.children
           case n: STIntersectsNative => Seq(n.left, n.right)
+          case n: STContainsNative => Seq(n.left, n.right)
+          case n: STWithinNative => Seq(n.left, n.right)
           case _ => Seq.empty
         }
         if (operands.length == 2) {

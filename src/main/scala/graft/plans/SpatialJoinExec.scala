@@ -50,6 +50,8 @@ object SpatialJoinStrategy extends SparkStrategy {
     case u: ScalaUDF if u.udfName.exists(Converse.contains) && u.children.length == 2 =>
       Some((u.udfName.get, u.children(0), u.children(1)))
     case n: STIntersectsNative => Some(("st_intersects", n.left, n.right))
+    case n: STContainsNative => Some(("st_contains", n.left, n.right))
+    case n: STWithinNative => Some(("st_within", n.left, n.right))
     case _ => None
   }
 

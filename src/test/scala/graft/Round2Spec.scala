@@ -73,9 +73,21 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
       st_get_crs_authority(lit("urn:ogc:def:crs:EPSG::4326")))
     assert(auth.getString(0) === "EPSG" && auth.getInt(1) === 4326)
     assert(one[String](st_get_crs_from_code(lit(32721))).contains("UTM zone 21S"))
-    // unsupported pair raises
+    // Lambert-93 (LCC 2SP): Paris forward matches the published grid to ~cm
+    val paris = st_point(lit(2.3522), lit(48.8566)).st.setSrid(lit(4326))
+      .st.toSrid(lit(2154))
+    assert(math.abs(one[Double](paris.st.x) - 652469.0) < 10.0)
+    assert(math.abs(one[Double](paris.st.y) - 6862035.0) < 10.0)
+    val lccBack = paris.st.toSrid(lit(4326))
+    assert(math.abs(one[Double](lccBack.st.x) - 2.3522) < 1e-8)
+    assert(math.abs(one[Double](lccBack.st.y) - 48.8566) < 1e-8)
+    // Canada Atlas Lambert round trip
+    val yyz = st_point(lit(-79.38), lit(43.65)).st.setSrid(lit(4326))
+      .st.toSrid(lit(3978)).st.toSrid(lit(4326))
+    assert(math.abs(one[Double](yyz.st.y) - 43.65) < 1e-8)
+    // unsupported pair raises (27700 needs a datum shift we don't embed)
     val ex = intercept[Exception] {
-      one[Array[Byte]](p.st.toSrid(lit(2154)))
+      one[Array[Byte]](p.st.toSrid(lit(27700)))
     }
     assert(ex.getMessage.contains("to_srid") || ex.getCause != null)
   }
