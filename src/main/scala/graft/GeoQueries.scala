@@ -645,6 +645,23 @@ object GeoQueries {
       pq.join(csv, "k").join(nd, "k").crossJoin(bbN).orderBy(col("k"))
     }),
 
+    // FlatGeobuf round trip: single-file (driver-streamed) and partitioned
+    // (executor-parallel) writers, read back with SRID from the header CRS.
+    "geo_io_fgb" -> ((s, dir) => {
+      val df = base(s, dir).select(k,
+        graft.functions.st_set_srid(rect, lit(4326)).as("geometry"))
+      val single = "/tmp/graft_io_fgb/t.fgb"
+      graft.io.GeoIO.writeFlatGeobuf(df, single)
+      val one = graft.io.GeoIO.readFlatGeobuf(s, single)
+        .select(col("k"), st_area(col("geometry")).as("fgb_area"),
+          graft.functions.st_srid(col("geometry")).as("fgb_srid"))
+      val partDir = "/tmp/graft_io_fgbp"
+      graft.io.GeoIO.writeFlatGeobufPartitioned(df.repartition(4), partDir)
+      val part = graft.io.GeoIO.readFlatGeobuf(s, partDir)
+        .select(col("k"), st_area(col("geometry")).as("p_area"))
+      one.join(part, "k").orderBy(col("k"))
+    }),
+
     // ------------------------------- geometry-list evaluation (list.eval)
     "geo_list_eval" -> ((s, dir) => {
       base(s, dir).select(k,
@@ -853,6 +870,9 @@ object GeoQueries {
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_io_fgb" ->
+      s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum

@@ -1,0 +1,438 @@
+package graft.io
+
+import java.io.{DataOutputStream, InputStream, OutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.serde.EWKB
+import org.locationtech.jts.geom._
+
+/** FlatGeobuf (FGB) encode/decode in pure JVM — closes the reference's
+  * `read_file`/`write_file` OGR-format gap for the one cloud-native binary
+  * vector format that needs no GDAL (spec: flatgeobuf.org, file layout
+  * `MAGIC | u32 headerSize | Header fb | [packed Hilbert R-tree] |
+  * (u32 featureSize | Feature fb)*`; the reference reads it through pyogrio,
+  * `/root/reference/polars_st/input.py:30-153`).
+  *
+  * Supported: geometry types Point/LineString/Polygon/MultiPoint/
+  * MultiLineString/MultiPolygon/GeometryCollection (2D + Z), property
+  * columns of the scalar/string/binary ColumnTypes, header CRS (EPSG code →
+  * SRID on every read geometry), and skipping a present spatial index.
+  * Written files carry no index (index_node_size=0, features_count as
+  * written) — the Hilbert index is a random-access optimization, not part of
+  * the data model.
+  */
+object FlatGeobuf {
+
+  /** `fgb\x03fgb\x00` — spec version 3. */
+  val Magic: Array[Byte] = Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0)
+
+  // GeometryType enum — identical codes to WKB (spec header.fbs).
+  private val GtUnknown = 0
+  private val GtPoint = 1
+  private val GtLineString = 2
+  private val GtPolygon = 3
+  private val GtMultiPoint = 4
+  private val GtMultiLineString = 5
+  private val GtMultiPolygon = 6
+  private val GtGeometryCollection = 7
+
+  // ColumnType enum (spec header.fbs).
+  val CtByte = 0; val CtUByte = 1; val CtBool = 2; val CtShort = 3
+  val CtUShort = 4; val CtInt = 5; val CtUInt = 6; val CtLong = 7
+  val CtULong = 8; val CtFloat = 9; val CtDouble = 10; val CtString = 11
+  val CtJson = 12; val CtDateTime = 13; val CtBinary = 14
+
+  final case class Col(name: String, colType: Int)
+  final case class Header(geometryType: Int, hasZ: Boolean, columns: Seq[Col],
+      featuresCount: Long, indexNodeSize: Int, srid: Int)
+
+  final case class Feature(geometry: Geometry, properties: Array[Any])
+
+  private def factory = EWKB.geometryFactory
+
+  // ----------------------------------------------------------------- header
+
+  /** Parse the header flatbuffer (fields per header.fbs: 0 name,
+    * 1 envelope, 2 geometry_type, 3 has_z, 4 has_m, 5 has_t, 6 has_tm,
+    * 7 columns, 8 features_count, 9 index_node_size, 10 crs, ...). */
+  def readHeader(headerBytes: Array[Byte]): Header = {
+    val (r, root) = FlatBuf.reader(headerBytes)
+    val gt = r.byteField(root, 2, GtUnknown)
+    val hasZ = r.boolField(root, 3, default = false)
+    val cols = r.tableVector(root, 7).toSeq.map { cp =>
+      Col(r.stringField(cp, 0), r.byteField(cp, 1, CtString))
+    }
+    val count = r.longField(root, 8, 0L)
+    val nodeSize = r.shortField(root, 9, 16)
+    val crsPos = r.tableField(root, 10)
+    val srid = if (crsPos < 0) 0 else r.intField(crsPos, 1, 0)
+    Header(gt, hasZ, cols, count, nodeSize, srid)
+  }
+
+  private def buildHeader(h: Header, name: String): Array[Byte] = {
+    val b = new FlatBuf.Builder(256)
+    val colOffs = h.columns.map { c =>
+      val n = b.createString(c.name)
+      b.startTable(11)
+      b.addOffsetField(0, n)
+      b.addByteField(1, c.colType, -1) // always store the type explicitly
+      b.endTable()
+    }.toArray
+    val colsVec = if (colOffs.isEmpty) 0 else b.createOffsetVector(colOffs)
+    val crsOff = if (h.srid == 0) 0 else {
+      val org = b.createString("EPSG")
+      b.startTable(6)
+      b.addOffsetField(0, org)
+      b.addIntField(1, h.srid, 0)
+      b.endTable()
+    }
+    val nameOff = b.createString(name)
+    b.startTable(11)
+    b.addOffsetField(0, nameOff)
+    b.addByteField(2, h.geometryType, GtUnknown)
+    b.addBoolField(3, h.hasZ, default = false)
+    b.addOffsetField(7, colsVec)
+    b.addLongField(8, h.featuresCount, 0L)
+    b.addShortField(9, h.indexNodeSize, 16)
+    b.addOffsetField(10, crsOff)
+    b.finish(b.endTable())
+  }
+
+  /** Byte size of the packed Hilbert R-tree (spec: 40-byte nodes, levels of
+    * ceil(n/nodeSize) up to the root). */
+  def indexSize(featuresCount: Long, nodeSize: Int): Long = {
+    if (nodeSize <= 0 || featuresCount == 0) return 0L
+    var n = featuresCount
+    var total = n
+    while (n != 1) {
+      n = (n + nodeSize - 1) / nodeSize
+      total += n
+    }
+    total * 40L
+  }
+
+  // --------------------------------------------------------------- geometry
+
+  /** Feature-level Geometry table (feature.fbs: 0 ends, 1 xy, 2 z, 3 m,
+    * 4 t, 5 tm, 6 type, 7 parts) → JTS. `ends` are cumulative vertex
+    * counts; xy is the flat coordinate pair array. */
+  private def readGeometry(r: FlatBuf.Reader, pos: Int, defaultType: Int): Geometry = {
+    val gt = {
+      val t = r.byteField(pos, 6, GtUnknown)
+      if (t != GtUnknown) t else defaultType
+    }
+    val partsPos = r.fieldPos(pos, 7)
+    if (partsPos >= 0) {
+      val parts = r.tableVector(pos, 7).map(p => readGeometry(r, p, GtUnknown))
+      return gt match {
+        case GtMultiPolygon =>
+          factory.createMultiPolygon(parts.map(_.asInstanceOf[Polygon]))
+        case GtMultiLineString =>
+          factory.createMultiLineString(parts.map(_.asInstanceOf[LineString]))
+        case GtMultiPoint =>
+          factory.createMultiPoint(parts.map(_.asInstanceOf[Point]))
+        case _ => factory.createGeometryCollection(parts)
+      }
+    }
+    val xy = r.doubleVector(pos, 1)
+    val z = r.doubleVector(pos, 2)
+    val ends = r.uintVector(pos, 0)
+    val hasZ = z.nonEmpty
+    def seq(fromVertex: Int, toVertex: Int): CoordinateSequence = {
+      val n = toVertex - fromVertex
+      val dims = if (hasZ) 3 else 2
+      val s = factory.getCoordinateSequenceFactory.create(n, dims, 0)
+      var i = 0
+      while (i < n) {
+        s.setOrdinate(i, 0, xy(2 * (fromVertex + i)))
+        s.setOrdinate(i, 1, xy(2 * (fromVertex + i) + 1))
+        if (hasZ) s.setOrdinate(i, 2, z(fromVertex + i))
+        i += 1
+      }
+      s
+    }
+    val nVertices = xy.length / 2
+    def rings: Array[LinearRing] = {
+      val bounds = if (ends.isEmpty) Array(nVertices) else ends
+      var from = 0
+      bounds.map { e => val ring = factory.createLinearRing(seq(from, e)); from = e; ring }
+    }
+    gt match {
+      case GtPoint =>
+        if (nVertices == 0) factory.createPoint()
+        else factory.createPoint(seq(0, 1))
+      case GtLineString => factory.createLineString(seq(0, nVertices))
+      case GtPolygon =>
+        if (nVertices == 0) factory.createPolygon()
+        else {
+          val rs = rings
+          factory.createPolygon(rs.head, rs.tail)
+        }
+      case GtMultiPoint =>
+        factory.createMultiPoint(
+          (0 until nVertices).map(i => factory.createPoint(seq(i, i + 1))).toArray)
+      case GtMultiLineString =>
+        val bounds = if (ends.isEmpty) Array(nVertices) else ends
+        var from = 0
+        factory.createMultiLineString(bounds.map { e =>
+          val l = factory.createLineString(seq(from, e)); from = e; l
+        })
+      case GtMultiPolygon => // single-part flat encoding
+        if (nVertices == 0) factory.createMultiPolygon(Array.empty[Polygon])
+        else {
+          val rs = rings
+          factory.createMultiPolygon(Array(factory.createPolygon(rs.head, rs.tail)))
+        }
+      case GtGeometryCollection => factory.createGeometryCollection(Array.empty)
+      case other => throw new IllegalArgumentException(
+        s"flatgeobuf: unsupported geometry type code $other (curved types " +
+          "have no JTS representation — documented divergence, SURVEY.md §7)")
+    }
+  }
+
+  private def geometryTypeCode(g: Geometry): Int = g match {
+    case _: Point => GtPoint
+    case _: LineString => GtLineString
+    case _: Polygon => GtPolygon
+    case _: MultiPoint => GtMultiPoint
+    case _: MultiLineString => GtMultiLineString
+    case _: MultiPolygon => GtMultiPolygon
+    case _: GeometryCollection => GtGeometryCollection
+    case other => throw new IllegalArgumentException(
+      s"flatgeobuf: cannot encode ${other.getGeometryType}")
+  }
+
+  /** Flatten a simple (non-multi-polygon, non-collection) geometry into
+    * (xy, z or null, ends or null). */
+  private def flatten(g: Geometry): (Array[Double], Array[Double], Array[Int]) = {
+    val withZ = EWKB.hasZ(g)
+    val coords = new scala.collection.mutable.ArrayBuffer[Double]()
+    val zs = new scala.collection.mutable.ArrayBuffer[Double]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var vertices = 0
+    def addSeq(seq: CoordinateSequence): Unit = {
+      var i = 0
+      while (i < seq.size()) {
+        coords += seq.getX(i); coords += seq.getY(i)
+        if (withZ) zs += seq.getZ(i)
+        i += 1
+      }
+      vertices += seq.size()
+      ends += vertices
+    }
+    g match {
+      case p: Point => if (!p.isEmpty) addSeq(p.getCoordinateSequence)
+      case l: LineString => addSeq(l.getCoordinateSequence)
+      case poly: Polygon =>
+        if (!poly.isEmpty) {
+          addSeq(poly.getExteriorRing.getCoordinateSequence)
+          (0 until poly.getNumInteriorRing)
+            .foreach(i => addSeq(poly.getInteriorRingN(i).getCoordinateSequence))
+        }
+      case mp: MultiPoint =>
+        (0 until mp.getNumGeometries).foreach { i =>
+          val p = mp.getGeometryN(i).asInstanceOf[Point]
+          if (!p.isEmpty) addSeq(p.getCoordinateSequence)
+        }
+      case ml: MultiLineString =>
+        (0 until ml.getNumGeometries).foreach { i =>
+          addSeq(ml.getGeometryN(i).asInstanceOf[LineString].getCoordinateSequence)
+        }
+      case other => throw new IllegalArgumentException(
+        s"flatgeobuf: ${other.getGeometryType} must be encoded via parts")
+    }
+    // ends are only meaningful for multi-ring/multi-part flat encodings
+    val endsOut =
+      if (ends.length > 1) ends.toArray
+      else null
+    (coords.toArray, if (withZ && zs.nonEmpty) zs.toArray else null, endsOut)
+  }
+
+  private def buildGeometry(b: FlatBuf.Builder, g: Geometry): Int = {
+    val gt = geometryTypeCode(g)
+    gt match {
+      case GtMultiPolygon | GtGeometryCollection =>
+        val parts = (0 until g.getNumGeometries)
+          .map(i => buildGeometry(b, g.getGeometryN(i))).toArray
+        val partsVec = if (parts.isEmpty) 0 else b.createOffsetVector(parts)
+        b.startTable(8)
+        b.addByteField(6, gt, GtUnknown)
+        b.addOffsetField(7, partsVec)
+        b.endTable()
+      case _ =>
+        val (xy, z, ends) = flatten(g)
+        val xyVec = if (xy.nonEmpty) b.createDoubleVector(xy) else 0
+        val zVec = if (z != null) b.createDoubleVector(z) else 0
+        val endsVec = if (ends != null) b.createUIntVector(ends) else 0
+        b.startTable(8)
+        b.addOffsetField(0, endsVec)
+        b.addOffsetField(1, xyVec)
+        b.addOffsetField(2, zVec)
+        b.addByteField(6, gt, GtUnknown)
+        b.endTable()
+    }
+  }
+
+  // ------------------------------------------------------------- properties
+
+  /** Decode the properties blob: repeated `u16 columnIndex | value`, value
+    * layout fixed by the column type; strings/binaries are u32-length
+    * prefixed. Missing columns stay null. */
+  def readProperties(blob: Array[Byte], columns: Seq[Col]): Array[Any] = {
+    val out = new Array[Any](columns.length)
+    if (blob == null || blob.isEmpty) return out
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    while (bb.remaining() >= 2) {
+      val idx = bb.getShort() & 0xffff
+      val ct = columns(idx).colType
+      out(idx) = ct match {
+        case CtBool => bb.get() != 0
+        case CtByte => bb.get()
+        case CtUByte => (bb.get() & 0xff).toShort
+        case CtShort => bb.getShort()
+        case CtUShort => bb.getShort() & 0xffff
+        case CtInt => bb.getInt()
+        case CtUInt => bb.getInt().toLong & 0xffffffffL
+        case CtLong | CtULong => bb.getLong()
+        case CtFloat => bb.getFloat()
+        case CtDouble => bb.getDouble()
+        case CtString | CtJson | CtDateTime =>
+          val len = bb.getInt()
+          val bytes = new Array[Byte](len); bb.get(bytes)
+          new String(bytes, "UTF-8")
+        case CtBinary =>
+          val len = bb.getInt()
+          val bytes = new Array[Byte](len); bb.get(bytes)
+          bytes
+        case other => throw new IllegalArgumentException(
+          s"flatgeobuf: unsupported column type $other")
+      }
+    }
+    out
+  }
+
+  def writeProperties(values: Array[Any], columns: Seq[Col]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    def u16(v: Int): Unit = { dos.write(v & 0xff); dos.write((v >>> 8) & 0xff) }
+    def u32(v: Int): Unit = {
+      dos.write(v & 0xff); dos.write((v >>> 8) & 0xff)
+      dos.write((v >>> 16) & 0xff); dos.write((v >>> 24) & 0xff)
+    }
+    def u64(v: Long): Unit = { u32(v.toInt); u32((v >>> 32).toInt) }
+    var i = 0
+    while (i < columns.length) {
+      val v = values(i)
+      if (v != null) {
+        u16(i)
+        columns(i).colType match {
+          case CtBool => dos.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+          case CtByte => dos.write(v.asInstanceOf[Byte].toInt)
+          case CtShort => val s = v.asInstanceOf[Short].toInt; dos.write(s & 0xff); dos.write((s >>> 8) & 0xff)
+          case CtInt => u32(v.asInstanceOf[Int])
+          case CtLong => u64(v.asInstanceOf[Long])
+          case CtFloat => u32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+          case CtDouble => u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+          case CtString | CtJson | CtDateTime =>
+            val bytes = v.toString.getBytes("UTF-8")
+            u32(bytes.length); dos.write(bytes)
+          case CtBinary =>
+            val bytes = v.asInstanceOf[Array[Byte]]
+            u32(bytes.length); dos.write(bytes)
+          case other => throw new IllegalArgumentException(
+            s"flatgeobuf: unsupported column type $other")
+        }
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- feature
+
+  private def buildFeature(b: FlatBuf.Builder, geom: Geometry,
+      props: Array[Byte]): Array[Byte] = {
+    val propsVec = if (props.nonEmpty) b.createByteVector(props) else 0
+    val geomOff = if (geom == null) 0 else buildGeometry(b, geom)
+    b.startTable(3)
+    b.addOffsetField(0, geomOff)
+    b.addOffsetField(1, propsVec)
+    b.finish(b.endTable())
+  }
+
+  /** Parse one Feature flatbuffer (feature.fbs: 0 geometry, 1 properties). */
+  def readFeature(bytes: Array[Byte], header: Header): Feature = {
+    val (r, root) = FlatBuf.reader(bytes)
+    val geomPos = r.tableField(root, 0)
+    val geom =
+      if (geomPos < 0) null
+      else {
+        val g = readGeometry(r, geomPos, header.geometryType)
+        g.setSRID(header.srid)
+        g
+      }
+    val props = r.byteVector(root, 1)
+    Feature(geom, readProperties(props, header.columns))
+  }
+
+  // ------------------------------------------------------------ file format
+
+  /** Streaming writer over any OutputStream. Header is written on `start`;
+    * each `write` appends one size-prefixed feature. */
+  final class Writer(out: OutputStream, columns: Seq[Col], srid: Int,
+      name: String = "graft", featuresCount: Long = 0L) {
+    private val dos = new DataOutputStream(out)
+    locked()
+    private def locked(): Unit = {
+      dos.write(Magic)
+      val header = buildHeader(
+        Header(GtUnknown, hasZ = false, columns, featuresCount,
+          indexNodeSize = 0, srid), name)
+      writeU32(header.length)
+      dos.write(header)
+    }
+    private def writeU32(v: Int): Unit = {
+      dos.write(v & 0xff); dos.write((v >>> 8) & 0xff)
+      dos.write((v >>> 16) & 0xff); dos.write((v >>> 24) & 0xff)
+    }
+    def write(geom: Geometry, props: Array[Any]): Unit = {
+      val b = new FlatBuf.Builder(512)
+      val bytes = buildFeature(b, geom, writeProperties(props, columns))
+      writeU32(bytes.length)
+      dos.write(bytes)
+    }
+    def close(): Unit = dos.close()
+  }
+
+  /** Parse a whole .fgb byte array → (header, features iterator). */
+  def read(bytes: Array[Byte]): (Header, Iterator[Feature]) = {
+    // bytes 3 and 7 are spec version / patch level and may vary
+    require(bytes.length >= 12 && Seq(0, 1, 2, 4, 5, 6).forall(i => bytes(i) == Magic(i)),
+      "not a FlatGeobuf file (bad magic)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = bb.getInt(8)
+    val headerBytes = java.util.Arrays.copyOfRange(bytes, 12, 12 + headerSize)
+    val header = readHeader(headerBytes)
+    var pos = 12 + headerSize + indexSize(header.featuresCount, header.indexNodeSize).toInt
+    val it = new Iterator[Feature] {
+      override def hasNext: Boolean = pos + 4 <= bytes.length
+      override def next(): Feature = {
+        val size = bb.getInt(pos)
+        val fb = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + size)
+        pos += 4 + size
+        readFeature(fb, header)
+      }
+    }
+    (header, it)
+  }
+
+  /** Read just the header from a stream (first bytes of a file). */
+  def readHeaderFrom(in: InputStream): Header = {
+    val magic = in.readNBytes(8)
+    require(magic.length == 8 && magic(0) == 'f' && magic(1) == 'g' && magic(2) == 'b',
+      "not a FlatGeobuf file (bad magic)")
+    val sz = in.readNBytes(4)
+    val headerSize = ByteBuffer.wrap(sz).order(ByteOrder.LITTLE_ENDIAN).getInt
+    readHeader(in.readNBytes(headerSize))
+  }
+}

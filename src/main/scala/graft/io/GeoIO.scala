@@ -205,4 +205,140 @@ object GeoIO {
   def readWktCsv(spark: SparkSession, path: String, geometryName: String = "geometry",
       header: Boolean = true): DataFrame =
     geoDataFrame(spark.read.option("header", header.toString).csv(path), geometryName, "wkt")
+
+  // ------------------------------------------------------------- FlatGeobuf
+
+  private def fgbTypeFor(dt: DataType): Int = dt match {
+    case BooleanType => FlatGeobuf.CtBool
+    case ByteType => FlatGeobuf.CtByte
+    case ShortType => FlatGeobuf.CtShort
+    case IntegerType => FlatGeobuf.CtInt
+    case LongType => FlatGeobuf.CtLong
+    case FloatType => FlatGeobuf.CtFloat
+    case DoubleType => FlatGeobuf.CtDouble
+    case StringType => FlatGeobuf.CtString
+    case BinaryType => FlatGeobuf.CtBinary
+    case other => throw new IllegalArgumentException(
+      s"flatgeobuf: unsupported property column type $other (cast to a " +
+        "scalar/string/binary type first)")
+  }
+
+  private def sparkTypeFor(ct: Int): DataType = ct match {
+    case FlatGeobuf.CtBool => BooleanType
+    case FlatGeobuf.CtByte => ByteType
+    case FlatGeobuf.CtUByte | FlatGeobuf.CtShort => ShortType
+    case FlatGeobuf.CtUShort | FlatGeobuf.CtInt => IntegerType
+    case FlatGeobuf.CtUInt | FlatGeobuf.CtLong | FlatGeobuf.CtULong => LongType
+    case FlatGeobuf.CtFloat => FloatType
+    case FlatGeobuf.CtDouble => DoubleType
+    case FlatGeobuf.CtString | FlatGeobuf.CtJson | FlatGeobuf.CtDateTime => StringType
+    case FlatGeobuf.CtBinary => BinaryType
+    case other => throw new IllegalArgumentException(s"flatgeobuf: column type $other")
+  }
+
+  /** Read FlatGeobuf file(s) → geo frame (EWKB geometry column + property
+    * columns typed from the FGB header). `path` may be a single .fgb or a
+    * directory/glob of them; parallelism is per file (one FGB stream is not
+    * splittable without consulting its spatial index — the multi-file layout
+    * written by [[writeFlatGeobufPartitioned]] is the cluster-scale path). */
+  def readFlatGeobuf(spark: SparkSession, path: String,
+      geometryName: String = "geometry"): DataFrame = {
+    // schema comes from the first file's header (all parts share one schema)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first =
+      if (fs.getFileStatus(hadoopPath).isDirectory)
+        fs.listStatus(hadoopPath).map(_.getPath)
+          .filter(_.getName.endsWith(".fgb")).sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no .fgb files in $path"))
+      else hadoopPath
+    val in = fs.open(first)
+    val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
+    val schema = StructType(
+      StructField(geometryName, BinaryType, nullable = true) +:
+        header.columns.map(c => StructField(c.name, sparkTypeFor(c.colType))))
+    val glob = if (fs.getFileStatus(hadoopPath).isDirectory) s"$path/*.fgb" else path
+    val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (_, pds) =>
+      val (_, features) = FlatGeobuf.read(pds.toArray())
+      features.map { f =>
+        val geo = if (f.geometry == null) null else graft.serde.EWKB.write(f.geometry)
+        org.apache.spark.sql.Row.fromSeq(geo +: f.properties.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def fgbColumns(df: DataFrame, geometryName: String): Seq[FlatGeobuf.Col] =
+    df.schema.fields.toSeq.filterNot(_.name == geometryName)
+      .map(f => FlatGeobuf.Col(f.name, fgbTypeFor(f.dataType)))
+
+  /** Write a single .fgb file, streaming rows through the driver (bounded
+    * memory via `toLocalIterator`; the single-file format is inherently a
+    * one-writer sink — use [[writeFlatGeobufPartitioned]] at scale). The
+    * header SRID is taken from the first geometry; FGB carries one CRS per
+    * file, so mixed-SRID frames are rejected like the reference's
+    * `write_file` (`geodataframe.py:462-471`). */
+  def writeFlatGeobuf(df: DataFrame, path: String,
+      geometryName: String = "geometry"): Unit = {
+    val cols = fgbColumns(df, geometryName)
+    val ordered = df.select((col(geometryName) +: cols.map(c => col(c.name))): _*)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(hadoopPath, true)
+    var writer: FlatGeobuf.Writer = null
+    var srid = -1
+    val it = ordered.toLocalIterator()
+    try {
+      while (it.hasNext) {
+        val row = it.next()
+        val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+        val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+        if (writer == null) {
+          srid = if (geom == null) 0 else geom.getSRID
+          writer = new FlatGeobuf.Writer(out, cols, srid)
+        } else if (geom != null && geom.getSRID != srid)
+          throw new IllegalArgumentException(
+            s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+        writer.write(geom, Array.tabulate(cols.length)(i => row.get(i + 1)))
+      }
+      if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
+    } finally {
+      if (writer != null) writer.close() else out.close()
+    }
+  }
+
+  /** Scale-path FlatGeobuf sink: one part-NNNNN.fgb per partition, written
+    * executor-side in parallel (no driver funnel); [[readFlatGeobuf]] reads
+    * the directory back with per-file parallelism. */
+  def writeFlatGeobufPartitioned(df: DataFrame, path: String,
+      geometryName: String = "geometry"): Unit = {
+    val cols = fgbColumns(df, geometryName)
+    val ordered = df.select((col(geometryName) +: cols.map(c => col(c.name))): _*)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    ordered.rdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val part = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.fgb")
+      val pfs = part.getFileSystem(conf.value)
+      val out = pfs.create(part, true)
+      var writer: FlatGeobuf.Writer = null
+      try {
+        rows.foreach { row =>
+          val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+          val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+          if (writer == null)
+            writer = new FlatGeobuf.Writer(out, cols,
+              if (geom == null) 0 else geom.getSRID)
+          writer.write(geom, Array.tabulate(cols.length)(i => row.get(i + 1)))
+        }
+        if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
+      } finally {
+        if (writer != null) writer.close() else out.close()
+      }
+    }
+  }
 }
