@@ -98,6 +98,38 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    // CircularString: curved EWKB construction (type 8), header/structure
+    // accessors on raw bytes, and linearization into compute ops — the last
+    // §2.1 constructor. Semicircle of radius w: p0=(xmin,ymin),
+    // p1=(xmin+w,ymin+w), p2=(xmin+2w,ymin); chord-sum length of the
+    // 64-segment linearization is within 0.03% of πr.
+    "geo_curved" -> ((s, dir) => {
+      val cs = graft.functions.st_set_srid(
+        st_circularstring(array(
+          array(xmin, ymin), array(xmin + w, ymin + w), array(xmin + w + w, ymin))),
+        lit(4326))
+      val csZ = st_circularstring(array(
+        array(xmin, ymin, lit(0.0)), array(xmin + w, ymin + w, lit(1.0)),
+        array(xmin + w + w, ymin, lit(2.0))))
+      base(s, dir).select(k, cs.as("cs"), csZ.as("csz"))
+        .select(k,
+          st_geometrytype(col("cs")).as("gt"),
+          graft.functions.st_srid(col("cs")).as("srid"),
+          st_count_coordinates(col("cs")).as("ncoords"),
+          element_at(element_at(st_coordinates(col("cs")), 1), 1).as("coord0_x"),
+          st_is_closed(col("cs")).as("closed"),
+          st_coordinatedimension(col("csz")).as("cdim3"),
+          st_geometrytype(st_linearize(col("cs"))).as("lin_gt"),
+          st_count_coordinates(st_linearize(col("cs"))).as("lin_npts"),
+          element_at(element_at(st_coordinates(st_linearize(col("cs"))), 1), 1)
+            .as("lin_first_x"),
+          element_at(element_at(st_coordinates(st_linearize(col("cs"))), 65), 1)
+            .as("lin_last_x"),
+          (abs(st_length(st_linearize(col("cs"))) -
+            lit(math.Pi) * (w + w) / 2) < (w + w) / 2 * 0.01).as("len_ok"))
+        .orderBy(k)
+    }),
+
     "geo_ctor_poly" -> ((s, dir) => {
       base(s, dir).select(k,
         st_area(polyHole).as("area"),
@@ -870,6 +902,12 @@ object GeoQueries {
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_curved" ->
+      s"""$B SELECT k, 'CircularString' AS gt, 4326 AS srid, 3 AS ncoords,
+         | xmin AS coord0_x, FALSE AS closed, 3 AS cdim3,
+         | 'LineString' AS lin_gt, 65 AS lin_npts, xmin AS lin_first_x,
+         | xmin + 2*w AS lin_last_x, TRUE AS len_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_fgb" ->
       s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area

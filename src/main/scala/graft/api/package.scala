@@ -38,6 +38,11 @@ package object api {
     def fromEwkt: Column = st_geomfromewkt(c)
     def fromWkb: Column = st_geomfromwkb(c)
     def fromGeoJson: Column = st_geomfromgeojson(c)
+    /** coords column → CircularString EWKB (curved; see [[linearize]]). */
+    def circularString: Column = st_circularstring(c)
+    /** arcs → chords; non-curved passes through. */
+    def linearize: Column = st_linearize(c)
+    def linearize(segsPerQuadrant: Column): Column = st_linearize(c, segsPerQuadrant)
 
     // accessors
     def geometryType: Column = st_geometrytype(c)

@@ -127,6 +127,21 @@ object GeoUDFs {
     if (xs == null) null
     else EWKB.write(fact.createLineString(xs.map(coordOf).toArray)))
 
+  /** CircularString constructor (reference `circularstring`,
+    * parsing.py:163-189): JTS cannot model arcs, so the EWKB bytes (type 8)
+    * are written directly; header/structure accessors work on them and
+    * [[linearize]] bridges into every compute op. */
+  val circularString: UserDefinedFunction = udf((xs: Seq[Seq[Double]]) =>
+    if (xs == null) null else graft.serde.Curved.writeCircularString(xs, 0))
+
+  /** CircularString → chorded LineString (PostGIS-style `ST_CurveToLine`
+    * with segments-per-quadrant); non-curved geometries pass through. */
+  val linearize: UserDefinedFunction = udf((b: Array[Byte], segsPerQuadrant: Int) =>
+    if (b == null) null
+    else if (graft.serde.Curved.isCircularString(b))
+      EWKB.write(graft.serde.Curved.linearize(b, segsPerQuadrant))
+    else b)
+
   val multiLineString: UserDefinedFunction = udf((xs: Seq[Seq[Seq[Double]]]) =>
     if (xs == null) null
     else EWKB.write(fact.createMultiLineString(
@@ -190,15 +205,36 @@ object GeoUDFs {
     case _ => Double.NaN
   })
 
-  val countCoordinates: UserDefinedFunction = udf(uI(_.getNumPoints))
+  import graft.serde.Curved
+
+  /** Curved coordinate rows with the same dim-override semantics as
+    * [[GeomUtil.coordinateRows]]: pad missing Z with NaN, drop extra. */
+  private def curvedRows(b: Array[Byte], dim: Option[Int]): Seq[Seq[Double]] = {
+    val (_, pts) = Curved.readCircularString(b)
+    pts.toSeq.map { p =>
+      dim.getOrElse(p.length) match {
+        case 2 => Seq(p(0), p(1))
+        case _ => Seq(p(0), p(1), if (p.length >= 3) p(2) else Double.NaN)
+      }
+    }
+  }
+
+  val countCoordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None
+    else if (Curved.isCircularString(b)) Some(Curved.readCircularString(b)._2.length)
+    else Some(EWKB.read(b).getNumPoints))
 
   val coordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null else GeomUtil.coordinateRows(EWKB.read(b), None))
+    if (b == null) null
+    else if (Curved.isCircularString(b)) curvedRows(b, None)
+    else GeomUtil.coordinateRows(EWKB.read(b), None))
 
   /** dim-override variant (reference `coordinates(output_dimension=2|3)`,
     * `geoexpr.py:185-194`). */
   val coordinatesDim: UserDefinedFunction = udf((b: Array[Byte], dim: Int) =>
-    if (b == null) null else GeomUtil.coordinateRows(EWKB.read(b), Some(dim)))
+    if (b == null) null
+    else if (Curved.isCircularString(b)) curvedRows(b, Some(dim))
+    else GeomUtil.coordinateRows(EWKB.read(b), Some(dim)))
 
   val exteriorRing: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
@@ -350,11 +386,16 @@ object GeoUDFs {
     case _ => false
   })
 
-  val isClosed: UserDefinedFunction = udf(uB {
-    case l: LineString => l.isClosed
-    case m: MultiLineString => !m.isEmpty && m.isClosed
-    case _ => false
-  })
+  val isClosed: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None
+    else if (Curved.isCircularString(b)) {
+      val (_, pts) = Curved.readCircularString(b)
+      Some(pts.length > 0 && pts.head.toSeq == pts.last.toSeq)
+    } else Some(EWKB.read(b) match {
+      case l: LineString => l.isClosed
+      case m: MultiLineString => !m.isEmpty && m.isClosed
+      case _ => false
+    }))
 
   val isEmpty: UserDefinedFunction = udf(uB(_.isEmpty))
 
@@ -851,6 +892,7 @@ object GeoUDFs {
     * parsed geometries may be shared via the EWKB parse cache. */
   val setSrid: UserDefinedFunction = udf((b: Array[Byte], srid: Int) =>
     if (b == null) null
+    else if (Curved.isCircularString(b)) Curved.withSrid(b, srid)
     else {
       val g = EWKB.read(b).copy()
       g.setSRID(srid)
@@ -927,6 +969,8 @@ object GeoUDFs {
     "st_point_from_coords" -> pointFromCoords,
     "st_multipoint" -> multiPoint,
     "st_linestring" -> lineString,
+    "st_circularstring" -> circularString,
+    "st_linearize" -> linearize,
     "st_multilinestring" -> multiLineString,
     "st_polygon" -> polygon,
     "st_rectangle" -> rectangle,

@@ -32,6 +32,15 @@ package object functions {
   def st_multipoint(xs: Column): Column = multiPoint(xs)
   def st_linestring(xs: Column): Column = lineString(xs)
   def st_multilinestring(xs: Column): Column = multiLineString(xs)
+  /** CircularString from coords (reference `circularstring`,
+    * `parsing.py:163-189`) — curved EWKB bytes; pair with [[st_linearize]]
+    * for compute ops (JTS has no curve model, SURVEY.md §7). */
+  def st_circularstring(xs: Column): Column = circularString(xs)
+  /** Arcs → chords (PostGIS `ST_CurveToLine` convention); non-curved input
+    * passes through unchanged. */
+  def st_linearize(g: Column): Column = linearize(g, lit(32))
+  def st_linearize(g: Column, segsPerQuadrant: Column): Column =
+    linearize(g, segsPerQuadrant)
   def st_polygon(rings: Column): Column = polygon(rings)
   def st_rectangle(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     rectangle(xmin, ymin, xmax, ymax)
