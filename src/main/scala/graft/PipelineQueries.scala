@@ -202,6 +202,33 @@ object PipelineQueries {
         element_at(col("feat"), 1).as("feat_r"))
         .join(wav, "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // REAL video plane: MJPEG AVI built frame-by-frame through the JDK JPEG
+    // encoder, then header decode (RIFF walk), evenly-spaced frame sampling
+    // and per-frame pixel decode. Frame 0 is grey r0; sampled frame 1 is
+    // stream frame 2 (floor(1·6/3)) at grey r0+16; JPEG is lossy so channel
+    // means are tolerance booleans, structure fields are exact.
+    "pipe_video" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("r0", (col("doc_id") % 200).cast("int"))
+        .withColumn("avi", Multimodal.makeMjpegAvi(lit(16), lit(16), lit(6),
+          col("r0"), col("r0"), col("r0"), lit(8)))
+      d.withColumn("meta", Multimodal.decodeVideo(col("avi")))
+        .withColumn("frames", Multimodal.frameSample(3)(col("avi")))
+        .withColumn("px0", Multimodal.decodePixels(element_at(col("frames"), 1)))
+        .withColumn("m0", Multimodal.channelMeans(element_at(col("frames"), 1)))
+        .withColumn("m1", Multimodal.channelMeans(element_at(col("frames"), 2)))
+        .select(col("doc_id"),
+          col("meta._1").as("vw"), col("meta._2").as("vh"),
+          col("meta._3").as("n_frames"), col("meta._4").as("fps"),
+          size(col("frames")).as("n_sampled"),
+          col("px0._1").as("f0_w"), col("px0._2").as("f0_h"),
+          col("px0._3").as("f0_ch"),
+          (abs(element_at(col("m0"), 1) * 255 - col("r0")) < 3).as("f0_r_ok"),
+          (abs(element_at(col("m1"), 1) * 255 - (col("r0") + lit(16))) < 3)
+            .as("f1_r_ok"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -294,6 +321,11 @@ object PipelineQueries {
         | CAST(500 + doc_id % 1000 AS DOUBLE) / 32768.0 AS peak,
         | CAST(500 + doc_id % 1000 AS DOUBLE) / 32768.0 AS mean_s,
         | 100 AS au_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_video" ->
+      """SELECT doc_id, 16 AS vw, 16 AS vh, 6 AS n_frames, 25.0 AS fps,
+        | 3 AS n_sampled, 16 AS f0_w, 16 AS f0_h, 3 AS f0_ch,
+        | TRUE AS f0_r_ok, TRUE AS f1_r_ok
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *    resize (decode → scale → re-encode) and thumbnail-grid feature
   *    extraction are real implementations, exercised by an exact oracle
   *    query on solid-color fixtures;
-  *  - video frame sampling: STUBBED (no video codecs in the JVM or this
-  *    container) — deterministic fake with the real signature.
+  *  - video plane: REAL for MJPEG-in-AVI (RIFF walk to the 'movi' LIST,
+  *    per-frame JPEG decode through the JDK codec) — header metadata,
+  *    evenly-spaced frame sampling and frame decode are actual
+  *    implementations; non-MJPEG codecs (H.26x/VP9) have no JVM decoder
+  *    and fall back to a clearly-labeled deterministic stub.
   */
 object Multimodal {
 
@@ -276,6 +279,140 @@ object Multimodal {
     out.array()
   })
 
+  // ------------------------------------- REAL video plane (MJPEG-in-AVI)
+  // AVI is a RIFF container; Motion-JPEG stores each frame as a complete
+  // JPEG inside '00dc' chunks of the 'movi' LIST, so the JDK's JPEG codec
+  // decodes sampled frames with no external video library. Other codecs
+  // (H.26x etc.) have no JVM decoder — those fall through to the labeled
+  // stub below, which is the documented remaining gap.
+
+  /** AVI main header: walk RIFF to LIST/hdrl/avih → (width, height,
+    * totalFrames, microSecPerFrame). */
+  def parseAviHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
+      u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 64 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val sz = le32(i + 4).toInt
+      if (tag(i, "LIST") && i + 12 <= b.length && tag(i + 8, "hdrl")) {
+        // avih is the first chunk of hdrl: 'avih' size then the header body
+        val a = i + 12
+        if (a + 8 + 40 <= b.length && tag(a, "avih"))
+          return Some((le32(a + 8 + 32).toInt, le32(a + 8 + 36).toInt,
+            le32(a + 8 + 16).toInt, le32(a + 8).toInt))
+        return None
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** All video frame payloads ('NNdc'/'NNdb' chunks of the 'movi' LIST),
+    * in stream order. For MJPEG each payload is a standalone JPEG. */
+  def aviFramePayloads(b: Array[Byte]): Seq[Array[Byte]] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
+      u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 12
+    while (i + 8 <= b.length) {
+      val sz = le32(i + 4).toInt
+      if (tag(i, "LIST") && i + 12 <= b.length && tag(i + 8, "movi")) {
+        var j = i + 12
+        val end = math.min(i + 8 + sz, b.length)
+        while (j + 8 <= end) {
+          val csz = le32(j + 4).toInt
+          val isFrame = u8(j + 2) == 'd' && (u8(j + 3) == 'c' || u8(j + 3) == 'b')
+          if (isFrame && csz > 0 && j + 8 + csz <= end)
+            out += java.util.Arrays.copyOfRange(b, j + 8, j + 8 + csz)
+          j += 8 + csz + (csz & 1)
+        }
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    out.toSeq
+  }
+
+  /** REAL frame sampling for MJPEG AVI: n evenly spaced frames (indexes
+    * floor(i·total/n)), each a standalone decodable JPEG. Non-AVI bytes →
+    * None (callers may fall back to [[frameSampleStub]]). */
+  def sampleAviFrames(bytes: Array[Byte], n: Int): Option[Seq[Array[Byte]]] = {
+    val frames = aviFramePayloads(bytes)
+    if (frames.isEmpty) None
+    else Some((0 until n).map(i => frames(i * frames.length / math.max(n, 1))))
+  }
+
+  def frameSample(n: Int) = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None else sampleAviFrames(bytes, n))
+
+  /** Video metadata decode: binary → (width, height, n_frames, fps). */
+  val decodeVideo = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None
+    else parseAviHeader(bytes).map { case (w, h, frames, uspf) =>
+      (w, h, frames, if (uspf > 0) 1e6 / uspf else 0.0)
+    })
+
+  /** Fixture: a real MJPEG AVI — RIFF('AVI ' LIST(hdrl avih
+    * LIST(strl strh strf)) LIST(movi '00dc'×n)), each frame a solid-color
+    * JPEG from the JDK encoder; colors stride by `colorStep` from
+    * (r0,g0,b0). Playable layout per the public AVI/RIFF spec. */
+  val makeMjpegAvi = udf((w: Int, h: Int, nFrames: Int, r0: Int, g0: Int,
+      b0: Int, colorStep: Int) => {
+    def jpegFrame(idx: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (((r0 + idx * colorStep) & 0xff) << 16) |
+        (((g0 + idx * colorStep) & 0xff) << 8) | ((b0 + idx * colorStep) & 0xff)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = (0 until nFrames).map(jpegFrame)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40000) // µs per frame (25 fps)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(25) // rate 25/1
+        .putInt(0).putInt(nFrames).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+        .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  })
+
   // ------------------------------------------------------------- STUBS
   // Deterministic fakes standing in for actual decoders. ??? -> real impl.
 
@@ -313,12 +450,13 @@ object Multimodal {
   val resizeStub = udf((bytes: Array[Byte], w: Int, h: Int) =>
     if (bytes == null) None else Some(bytes)) // ??? real: decode+scale+encode
 
-  /** STUB video frame sampling: binary → n byte slices standing in for
-    * decoded frames (a real build would ffmpeg-seek). */
+  /** STUB video frame sampling for non-AVI containers (H.26x/VP9 have no
+    * JVM decoder): n byte slices standing in for decoded frames. MJPEG AVI
+    * takes the REAL path ([[sampleAviFrames]]) first. */
   def frameSampleStub(n: Int) = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
-    else {
-      // ??? real: ffmpeg keyframe extraction
+    else sampleAviFrames(bytes, n).orElse {
+      // ??? real: ffmpeg keyframe extraction for non-MJPEG codecs
       val step = math.max(1, bytes.length / math.max(n, 1))
       Some((0 until n).map(i => bytes.slice(i * step, math.min((i + 1) * step, bytes.length))))
     })
@@ -341,7 +479,8 @@ object Multimodal {
   }
 
   /** Explode sampled video frames into one row per frame, preserving the
-    * parent id — the shape a frame-level training pipeline consumes. */
+    * parent id — the shape a frame-level training pipeline consumes.
+    * MJPEG AVI frames decode for real; other containers hit the stub. */
   def explodeFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame =
     df.select(col(idCol), posexplode(frameSampleStub(n)(col(binCol))).as(Seq("frame_idx", "frame")))
 }
