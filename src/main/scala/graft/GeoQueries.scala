@@ -570,6 +570,54 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    // Round-2..4 projection families beyond the original four: Lambert
+    // Conformal Conic 2SP (2154 France / 3978 Canada), Albers equal-area
+    // (5070 CONUS / 3577 Australia), polar stereographic variant B
+    // (3413 Arctic / 3031 Antarctic). Same tolerance-boolean scheme as
+    // geo_crs; each family round-trips through 4326 on in-domain points.
+    "geo_crs2" -> ((s, dir) => {
+      def rtOk(lon: Column, lat: Column, epsg: Int, tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val back = st_to_srid(st_to_srid(p, lit(epsg)), lit(4326))
+        abs(st_x(back) - lon) < tol && abs(st_y(back) - lat) < tol
+      }
+      // in-domain points derived from k
+      val lonFr = (k % 10).cast("double") / 2.0 - 1.0           // -1 .. 3.5
+      val latFr = lit(42.5) + (k % 17).cast("double") / 2.0     // 42.5 .. 50.5
+      val lonCa = (k % 80).cast("double") - 135.0               // -135 .. -56
+      val latCa = lit(45.0) + (k % 50).cast("double") / 2.0     // 45 .. 69.5
+      val lonUs = (k % 45).cast("double") - 120.0               // -120 .. -76
+      val latUs = lit(26.0) + (k % 40).cast("double") / 2.0     // 26 .. 45.5
+      val lonAu = lit(115.0) + (k % 35).cast("double")          // 115 .. 149
+      val latAu = (k % 28).cast("double") - 40.0                // -40 .. -13
+      val lonPo = (k % 360).cast("double") - 179.5              // -179.5 .. 179.5
+      val latN = lit(60.0) + (k % 29).cast("double")            // 60 .. 88
+      val latS = -(lit(60.0) + (k % 29).cast("double"))
+      // the projection origin (lon0=3, lat0=46.5) maps exactly onto the
+      // false origin (700000, 6600000)
+      val fr0 = st_to_srid(
+        st_set_srid(st_point(lit(3.0), lit(46.5)), lit(4326)), lit(2154))
+      val pole = st_to_srid(
+        st_set_srid(st_point(lit(0.0), lit(90.0)), lit(4326)), lit(3413))
+      base(s, dir).select(k,
+        rtOk(lonFr, latFr, 2154, 1e-8).as("lcc_fr_rt_ok"),
+        rtOk(lonCa, latCa, 3978, 1e-8).as("lcc_ca_rt_ok"),
+        rtOk(lonUs, latUs, 5070, 1e-7).as("albers_us_rt_ok"),
+        rtOk(lonAu, latAu, 3577, 1e-7).as("albers_au_rt_ok"),
+        rtOk(lonPo, latN, 3413, 1e-7).as("polar_n_rt_ok"),
+        rtOk(lonPo, latS, 3031, 1e-7).as("polar_s_rt_ok"),
+        (abs(st_x(fr0) - lit(700000.0)) < 1e-6 &&
+          abs(st_y(fr0) - lit(6600000.0)) < 1e-6).as("lcc_fr_origin_ok"),
+        (abs(st_x(pole)) < 1e-6 && abs(st_y(pole)) < 1e-6).as("pole_origin_ok"),
+        graft.functions.st_srid(
+          st_to_srid(st_set_srid(st_point(lonUs, latUs), lit(4326)), lit(5070)))
+          .as("srid_albers"),
+        st_get_crs_from_code(lit(5070)).contains("Conus Albers").as("fromcode_albers"),
+        st_get_crs_from_code(lit(3413)).contains("Polar Stereographic").as("fromcode_polar"),
+        st_get_crs_authority(st_get_crs_from_code(lit(3031))).getField("_2").as("wkt_code_3031")
+      ).orderBy(k)
+    }),
+
     // --------------------------------------------- §2.12 serialization
     "geo_serde" -> ((s, dir) => {
       val xiD = (k % 1000000).cast("double") * 16.0
@@ -853,6 +901,14 @@ object GeoQueries {
          | TRUE AS merc_rt_ok, TRUE AS utm_rt_ok, TRUE AS utm_x_range,
          | 32633 AS srid_utm, TRUE AS wm_rt_ok, 'EPSG' AS auth_name,
          | 32633 AS auth_code, TRUE AS fromcode_ok, 3857 AS wkt_code
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs2" ->
+      s"""$B SELECT k, TRUE AS lcc_fr_rt_ok, TRUE AS lcc_ca_rt_ok,
+         | TRUE AS albers_us_rt_ok, TRUE AS albers_au_rt_ok,
+         | TRUE AS polar_n_rt_ok, TRUE AS polar_s_rt_ok,
+         | TRUE AS lcc_fr_origin_ok, TRUE AS pole_origin_ok,
+         | 5070 AS srid_albers, TRUE AS fromcode_albers,
+         | TRUE AS fromcode_polar, 3031 AS wkt_code_3031
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked queries for the LLM-training-data pipeline operators
   * (beyond-reference surface: dedup, similarity search, text analysis,
@@ -229,6 +229,42 @@ object PipelineQueries {
           (abs(element_at(col("m1"), 1) * 255 - (col("r0") + lit(16))) < 3)
             .as("f1_r_ok"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------- dataset curation
+    // Deterministic content-addressed train/val/test split: the md5-bucket
+    // expression is mirrored verbatim in DuckDB, so per-split counts and
+    // id-sums are exact (not tolerance booleans).
+    "pipe_split" -> ((s, dir) => {
+      Curation.withSplit(t(s, dir, "documents"), "doc_id",
+          salt = "s1", fracTrain = 0.8, fracVal = 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
+    // Token-budget sequence packing within each source group: shard id and
+    // in-shard offset from a windowed cumulative sum, mirrored by the same
+    // window in DuckDB.
+    "pipe_pack" -> ((s, dir) => {
+      Curation.packShards(t(s, dir, "documents"),
+          groupCol = "source", orderCol = "doc_id", tokenCol = "n_chars",
+          budget = 2048)
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min(col("shard_offset")).as("first_off"))
+        .orderBy(col("source"), col("shard"))
+    }),
+
+    // Stratified deterministic down-sampling by language (en 50%, zh 20%,
+    // others kept), same md5 bucket as the split but a different salt.
+    "pipe_sample" -> ((s, dir) => {
+      Curation.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          fracs = Map("en" -> 0.5, "zh" -> 0.2), defaultFrac = 1.0, salt = "s2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -326,6 +362,34 @@ object PipelineQueries {
       """SELECT doc_id, 16 AS vw, 16 AS vh, 6 AS n_frames, 25.0 AS fps,
         | 3 AS n_sampled, 16 AS f0_w, 16 AS f0_h, 3 AS f0_ch,
         | TRUE AS f0_r_ok, TRUE AS f1_r_ok
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_split" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) AS b
+         | FROM documents)
+         |SELECT CASE WHEN b < '${Curation.hexThreshold(0.8)}' THEN 'train'
+         |  WHEN b < '${Curation.hexThreshold(0.9)}' THEN 'val'
+         |  ELSE 'test' END AS split,
+         | count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_pack" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS strt
+        | FROM documents)
+        |SELECT source, CAST(floor(strt / 2048.0) AS BIGINT) AS shard,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(min(strt - floor(strt / 2048.0) * 2048) AS BIGINT) AS first_off
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipe_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  substr(md5(CAST(doc_id AS VARCHAR) || 's2'), 1, 8) AS b
+         | FROM documents)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM h
+         |WHERE b < CASE lang WHEN 'en' THEN '${Curation.hexThreshold(0.5)}'
+         |  WHEN 'zh' THEN '${Curation.hexThreshold(0.2)}'
+         |  ELSE '${Curation.hexThreshold(1.0)}' END
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -317,6 +317,10 @@ object CastImpl {
   * - EPSG:3035 ETRS89-LAEA Europe (Snyder §24)
   * - EPSG:2154 Lambert-93 France / EPSG:3978 Canada Atlas (Lambert
   *   Conformal Conic 2SP, Snyder §15)
+  * - EPSG:5070 Conus Albers / EPSG:3577 Australian Albers (Albers equal-area
+  *   conic, Snyder §14)
+  * - EPSG:3413 Arctic / EPSG:3031 Antarctic polar stereographic (variant B,
+  *   Snyder §21)
   * - EPSG:32601-32660 / 32701-32760 — WGS84 UTM zones N/S (ellipsoidal
   *   Transverse Mercator, Snyder §8 series; sub-mm round-trip accuracy)
   *
@@ -334,7 +338,8 @@ object CrsImpl {
   private def isUtmSouth(srid: Int) = srid >= 32701 && srid <= 32760
   def isSupported(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3395 || srid == 3035 ||
-      LccSpecs.contains(srid) || isUtmNorth(srid) || isUtmSouth(srid)
+      LccSpecs.contains(srid) || AlbersSpecs.contains(srid) ||
+      PolarSpecs.contains(srid) || isUtmNorth(srid) || isUtmSouth(srid)
 
   // --------------------- Lambert Conformal Conic 2SP (Snyder §15, ellipsoid)
   // EPSG:2154 RGF93 / Lambert-93 (France): lat1=49, lat2=44, lat0=46.5,
@@ -388,6 +393,120 @@ object CrsImpl {
   private val LccSpecs: Map[Int, Lcc] = Map(
     2154 -> new Lcc(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
     3978 -> new Lcc(49.0, 77.0, 49.0, -95.0, 0.0, 0.0))
+
+  // ----------------------- Albers Equal-Area Conic 2SP (Snyder §14, ellipsoid)
+  // EPSG:5070 NAD83 / Conus Albers: lat1=29.5, lat2=45.5, lat0=23, lon0=-96,
+  //   FE=0, FN=0 (GRS80 ≈ WGS84, same flattening note as LAEA).
+  // EPSG:3577 GDA94 / Australian Albers: lat1=-18, lat2=-36, lat0=0,
+  //   lon0=132, FE=0, FN=0.
+  private final class Albers(lat1Deg: Double, lat2Deg: Double, lat0Deg: Double,
+      lon0Deg: Double, fe: Double, fn: Double) {
+    private val lon0 = math.toRadians(lon0Deg)
+    private def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - E2 * s * s)
+    }
+    private def qOf(phi: Double): Double = {
+      val esin = E * math.sin(phi)
+      (1 - E2) * (math.sin(phi) / (1 - esin * esin) -
+        (1 / (2 * E)) * math.log((1 - esin) / (1 + esin)))
+    }
+    private val m1 = mOf(math.toRadians(lat1Deg))
+    private val m2 = mOf(math.toRadians(lat2Deg))
+    private val q1 = qOf(math.toRadians(lat1Deg))
+    private val q2 = qOf(math.toRadians(lat2Deg))
+    private val n = (m1 * m1 - m2 * m2) / (q2 - q1) // Snyder 14-14
+    private val c = m1 * m1 + n * q1                // Snyder 14-13
+    private val rho0 = R * math.sqrt(c - n * qOf(math.toRadians(lat0Deg))) / n
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = R * math.sqrt(c - n * qOf(math.toRadians(latDeg))) / n // 14-12
+      val theta = n * (math.toRadians(lonDeg) - lon0)                  // 14-4
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val sg = math.signum(n) // Snyder p.101: reverse signs when n < 0
+      val x = x0 - fe; val y = rho0 - (y0 - fn)
+      val rho = sg * math.sqrt(x * x + y * y)
+      val theta = math.atan2(sg * x, sg * y)
+      val q = (c - rho * rho * n * n / (R * R)) / n // Snyder 14-19
+      // φ from q by fixed-point iteration (Snyder 3-16)
+      var phi = math.asin(math.max(-1, math.min(1, q / 2)))
+      var i = 0
+      while (i < 10) {
+        val sinP = math.sin(phi)
+        val esin = E * sinP
+        val one = 1 - esin * esin
+        phi += one * one / (2 * math.cos(phi)) * (q / (1 - E2) -
+          sinP / one + (1 / (2 * E)) * math.log((1 - esin) / (1 + esin)))
+        i += 1
+      }
+      (math.toDegrees(theta / n + lon0), math.toDegrees(phi))
+    }
+  }
+
+  private val AlbersSpecs: Map[Int, Albers] = Map(
+    5070 -> new Albers(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    3577 -> new Albers(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0))
+
+  // ------------------- Polar Stereographic variant B (Snyder §21, ellipsoid)
+  // EPSG:3413 WGS84 / NSIDC Sea Ice Polar Stereographic North: lat_ts=70,
+  //   lon0=-45, FE=0, FN=0.
+  // EPSG:3031 WGS84 / Antarctic Polar Stereographic: lat_ts=-71, lon0=0,
+  //   FE=0, FN=0.
+  private final class PolarStereo(latTsDeg: Double, lon0Deg: Double,
+      fe: Double, fn: Double) {
+    private val north = latTsDeg >= 0
+    private val lon0 = math.toRadians(lon0Deg)
+    // Snyder 15-9: t(φ) for the north aspect (south mirrors φ and y)
+    private def tOf(phi: Double) = {
+      val esin = E * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), E / 2)
+    }
+    private def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - E2 * s * s)
+    }
+    private val phiTs = math.toRadians(math.abs(latTsDeg))
+    private val kTs = R * mOf(phiTs) / tOf(phiTs) // ρ = kTs · t  (Snyder 21-34)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(if (north) latDeg else -latDeg)
+      val dLam = math.toRadians(lonDeg) - lon0
+      val rho = kTs * tOf(phi)
+      // EPSG variant B: E = FE + ρ sin(λ−λ0); N is FN − ρcos (north aspect)
+      // or FN + ρcos (south aspect)
+      val x = rho * math.sin(dLam)
+      val y = if (north) -rho * math.cos(dLam) else rho * math.cos(dLam)
+      (fe + x, fn + y)
+    }
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe; val y = y0 - fn
+      val rho = math.hypot(x, y)
+      if (rho < 1e-12)
+        return (math.toDegrees(lon0), if (north) 90.0 else -90.0)
+      val t = rho / kTs
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 10) { // Snyder 7-9
+        val esin = E * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - esin) / (1 + esin), E / 2))
+        i += 1
+      }
+      val lam = lon0 + (if (north) math.atan2(x, -y) else math.atan2(x, y))
+      // full-longitude domain → normalize into (-180, 180]
+      val lamDeg = math.toDegrees(lam)
+      val norm = lamDeg - 360.0 * math.floor((lamDeg + 180.0) / 360.0)
+      val lamOut = if (norm == -180.0) 180.0 else norm
+      (lamOut, math.toDegrees(if (north) phi else -phi))
+    }
+  }
+
+  private val PolarSpecs: Map[Int, PolarStereo] = Map(
+    3413 -> new PolarStereo(70.0, -45.0, 0.0, 0.0),
+    3031 -> new PolarStereo(-71.0, 0.0, 0.0, 0.0))
 
   // ------------------------- EPSG:3035 ETRS89-LAEA (Snyder §24, ellipsoid)
   // Lambert azimuthal equal-area, lat0=52, lon0=10, FE=4321000, FN=3210000.
@@ -506,6 +625,8 @@ object CrsImpl {
           math.pow((1 - esin) / (1 + esin), E / 2)))
     case 3035 => laeaForward(lon, lat)
     case z if LccSpecs.contains(z) => LccSpecs(z).forward(lon, lat)
+    case z if AlbersSpecs.contains(z) => AlbersSpecs(z).forward(lon, lat)
+    case z if PolarSpecs.contains(z) => PolarSpecs(z).forward(lon, lat)
     case z if isUtmNorth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32600), 0.0)
     case z if isUtmSouth(z) => tmForward(lon, lat, -183.0 + 6 * (z - 32700), 1e7)
     case _ => throw new UnsupportedOperationException(s"to_srid: unsupported target EPSG:$dst")
@@ -529,6 +650,8 @@ object CrsImpl {
       (math.toDegrees(x / R), math.toDegrees(phi))
     case 3035 => laeaInverse(x, y)
     case z if LccSpecs.contains(z) => LccSpecs(z).inverse(x, y)
+    case z if AlbersSpecs.contains(z) => AlbersSpecs(z).inverse(x, y)
+    case z if PolarSpecs.contains(z) => PolarSpecs(z).inverse(x, y)
     case z if isUtmNorth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32600), 0.0)
     case z if isUtmSouth(z) => tmInverse(x, y, -183.0 + 6 * (z - 32700), 1e7)
     case _ => throw new UnsupportedOperationException(s"to_srid: unsupported source EPSG:$src")
@@ -541,7 +664,7 @@ object CrsImpl {
     }
     require(isSupported(src) && isSupported(target),
       s"to_srid($src -> $target): supported EPSG codes are 4326, 3857, 3395, " +
-        "3035, 2154, 3978, UTM 326xx/327xx")
+        "3035, 2154, 3978, 5070, 3577, 3413, 3031, UTM 326xx/327xx")
     val out = graft.serde.GeomUtil.mapCoords(g, (x, y, z) => {
       val (lon, lat) = toWgs84(x, y, src)
       val (ox, oy) = fromWgs84(lon, lat, target)
@@ -580,6 +703,10 @@ object CrsImpl {
     case 3035 => Some("""PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["latitude_of_center",52],PARAMETER["longitude_of_center",10],PARAMETER["false_easting",4321000],PARAMETER["false_northing",3210000],UNIT["metre",1],AUTHORITY["EPSG","3035"]]""")
     case 2154 => Some("""PROJCS["RGF93 v1 / Lambert-93",GEOGCS["RGF93 v1",DATUM["Reseau_Geodesique_Francais_1993_v1",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",46.5],PARAMETER["central_meridian",3],PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",44],PARAMETER["false_easting",700000],PARAMETER["false_northing",6600000],UNIT["metre",1],AUTHORITY["EPSG","2154"]]""")
     case 3978 => Some("""PROJCS["NAD83 / Canada Atlas Lambert",GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-95],PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",77],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3978"]]""")
+    case 5070 => Some("""PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Albers_Conic_Equal_Area"],PARAMETER["latitude_of_center",23],PARAMETER["longitude_of_center",-96],PARAMETER["standard_parallel_1",29.5],PARAMETER["standard_parallel_2",45.5],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","5070"]]""")
+    case 3577 => Some("""PROJCS["GDA94 / Australian Albers",GEOGCS["GDA94",DATUM["Geocentric_Datum_of_Australia_1994",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Albers_Conic_Equal_Area"],PARAMETER["latitude_of_center",0],PARAMETER["longitude_of_center",132],PARAMETER["standard_parallel_1",-18],PARAMETER["standard_parallel_2",-36],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3577"]]""")
+    case 3413 => Some("""PROJCS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Polar_Stereographic"],PARAMETER["latitude_of_origin",70],PARAMETER["central_meridian",-45],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3413"]]""")
+    case 3031 => Some("""PROJCS["WGS 84 / Antarctic Polar Stereographic",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Polar_Stereographic"],PARAMETER["latitude_of_origin",-71],PARAMETER["central_meridian",0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3031"]]""")
     case z if isUtmNorth(z) || isUtmSouth(z) =>
       val zone = if (isUtmNorth(z)) z - 32600 else z - 32700
       val hemi = if (isUtmNorth(z)) "N" else "S"

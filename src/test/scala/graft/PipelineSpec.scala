@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis, Multimodal}
 
 class PipelineSpec extends AnyFunSuite {
 
@@ -227,5 +227,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(st.getDouble(1) === 1000 / 32768.0)
     assert(st.getDouble(2) === 1000 / 32768.0)
     assert(au.getStruct(1).getLong(3) === 50L) // 800 samples @ 16 kHz = 50 ms
+  }
+
+  test("deterministic split: stable, exhaustive, insensitive to other rows") {
+    val ids = (0L until 1000L).toDF("id")
+    val s1 = Curation.withSplit(ids, "id", salt = "x", fracTrain = 0.8, fracVal = 0.1)
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 1000L)
+    // realized fractions near targets (md5 is uniform; 1000 draws)
+    assert(math.abs(counts("train") - 800L) < 60, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 100L) < 40, s"val=${counts("val")}")
+    // assignment of id=7 doesn't depend on which other rows are present
+    val single = Curation.withSplit(Seq(7L).toDF("id"), "id", salt = "x", 0.8, 0.1)
+      .select("split").as[String].collect()(0)
+    val inFull = s1.filter($"id" === 7L).select("split").as[String].collect()(0)
+    assert(single === inFull)
+    // different salt re-deals
+    val s2 = Curation.withSplit(ids, "id", salt = "y", 0.8, 0.1)
+    val moved = s1.select($"id", $"split".as("a"))
+      .join(s2.select($"id", $"split".as("b")), "id")
+      .filter($"a" =!= $"b").count()
+    assert(moved > 0)
+  }
+
+  test("packShards: contiguous, budget-respecting starts, offsets in range") {
+    val rows = Seq(
+      ("g1", 1L, 100L), ("g1", 2L, 900L), ("g1", 3L, 150L), ("g1", 4L, 2000L),
+      ("g2", 1L, 1024L), ("g2", 2L, 1024L), ("g2", 3L, 1L)
+    ).toDF("src", "ord", "tok")
+    val out = Curation.packShards(rows, "src", "ord", "tok", budget = 1024)
+      .select($"src", $"ord", $"shard", $"shard_offset")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // g1: starts 0,100,1000,1150 → shards 0,0,0,1 ; g2: starts 0,1024,2048 → 0,1,2
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 0L), ("g1", 4L, 1L),
+      ("g2", 1L, 0L), ("g2", 2L, 1L), ("g2", 3L, 2L)))
+    assert(out.forall(r => r._4 >= 0 && r._4 < 1024))
+    // shard ids are monotone in order within a group
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.sortBy(_._2).map(_._3).sliding(2).forall(p => p.head <= p.last))
+    }
+  }
+
+  test("stratifiedSample keeps default strata fully, composes with split salt") {
+    val rows = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("id", "lang")
+    val kept = Curation.stratifiedSample(rows, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.0), defaultFrac = 1.0, salt = "z")
+    val counts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("de", 0L) === 0L)
+    assert(counts("fr") === 200L) // default 1.0 keeps all
+    assert(counts("en") > 50 && counts("en") < 150, s"en=${counts("en")}")
+  }
+
+  test("mixtureFractions realizes weights with the binding stratum at 1.0") {
+    val fr = Curation.mixtureFractions(
+      counts = Map("web" -> 1000L, "code" -> 100L, "books" -> 50L),
+      weights = Map("web" -> 0.5, "code" -> 0.4, "books" -> 0.1))
+    // code binds: N = 100/0.4 = 250 → web 125/1000, books 25/50
+    assert(math.abs(fr("code") - 1.0) < 1e-12)
+    assert(math.abs(fr("web") - 0.125) < 1e-12)
+    assert(math.abs(fr("books") - 0.5) < 1e-12)
+    // zero-weight stratum → keep nothing of it
+    val fr2 = Curation.mixtureFractions(
+      Map("a" -> 10L, "b" -> 10L), Map("a" -> 1.0, "b" -> 0.0))
+    assert(fr2("b") === 0.0 && fr2("a") === 1.0)
+  }
+
+  test("hexThreshold edges and ordering") {
+    assert(Curation.hexThreshold(0.0) === "00000000")
+    assert(Curation.hexThreshold(1.0) === "g")
+    assert(Curation.hexThreshold(0.5) === "80000000")
+    val ts = Seq(0.1, 0.25, 0.5, 0.75, 0.9).map(Curation.hexThreshold)
+    assert(ts === ts.sorted)
   }
 }

@@ -152,9 +152,89 @@ object PropertySpec extends Properties("graft-kernel") {
 
   property("crsAuthority parses every generated from_code WKT") =
     forAll(Gen.oneOf(Gen.const(4326), Gen.const(3857), Gen.const(3395),
-      Gen.const(3035), Gen.chooseNum(32601, 32660), Gen.chooseNum(32701, 32760))) { code =>
+      Gen.const(3035), Gen.const(2154), Gen.const(3978), Gen.const(5070),
+      Gen.const(3577), Gen.const(3413), Gen.const(3031),
+      Gen.chooseNum(32601, 32660), Gen.chooseNum(32701, 32760))) { code =>
       val wkt = graft.functions.CrsImpl.crsFromCode(code)
       wkt.isDefined &&
         graft.functions.CrsImpl.crsAuthority(wkt.get).contains(("EPSG", code))
+    }
+
+  private def roundTrip(lon: Double, lat: Double, epsg: Int, tol: Double): Boolean = {
+    val p = fact.createPoint(new Coordinate(lon, lat))
+    p.setSRID(4326)
+    val back = graft.functions.CrsImpl.toSrid(
+      graft.functions.CrsImpl.toSrid(p, epsg), 4326).getCoordinate
+    math.abs(back.x - lon) < tol && math.abs(back.y - lat) < tol
+  }
+
+  /** local E-W scale factor of `epsg` at (lon, lat) by central finite
+    * difference against the ellipsoid parallel arc R·m(φ)·Δλ. */
+  private def ewScale(lon: Double, lat: Double, epsg: Int): Double = {
+    val d = 1e-4 // degrees
+    def fwd(ln: Double) = {
+      val p = fact.createPoint(new Coordinate(ln, lat))
+      p.setSRID(4326)
+      graft.functions.CrsImpl.toSrid(p, epsg).getCoordinate
+    }
+    val (a, b) = (fwd(lon - d), fwd(lon + d))
+    val proj = math.hypot(b.x - a.x, b.y - a.y)
+    val phi = math.toRadians(lat)
+    val m = math.cos(phi) / math.sqrt(1 - 0.00669437999014 * math.pow(math.sin(phi), 2))
+    proj / (6378137.0 * m * math.toRadians(2 * d))
+  }
+
+  private val conusGen: Gen[(Double, Double)] = for {
+    lon <- Gen.chooseNum(-124.0, -67.0)
+    lat <- Gen.chooseNum(24.0, 49.0)
+  } yield (lon, lat)
+
+  property("Conus Albers (5070) round trip; unit scale on standard parallels") =
+    forAll(conusGen) { case (lon, lat) =>
+      roundTrip(lon, lat, 5070, 1e-7) &&
+        math.abs(ewScale(-96.0, 29.5, 5070) - 1.0) < 1e-6 &&
+        math.abs(ewScale(-80.0, 45.5, 5070) - 1.0) < 1e-6
+    }
+
+  private val ausGen: Gen[(Double, Double)] = for {
+    lon <- Gen.chooseNum(113.0, 154.0)
+    lat <- Gen.chooseNum(-44.0, -10.0)
+  } yield (lon, lat)
+
+  property("Australian Albers (3577, n<0) round trip; unit scale on parallels") =
+    forAll(ausGen) { case (lon, lat) =>
+      roundTrip(lon, lat, 3577, 1e-7) &&
+        math.abs(ewScale(132.0, -18.0, 3577) - 1.0) < 1e-6 &&
+        math.abs(ewScale(145.0, -36.0, 3577) - 1.0) < 1e-6
+    }
+
+  private val arcticGen: Gen[(Double, Double)] = for {
+    lon <- Gen.chooseNum(-179.0, 179.0)
+    lat <- Gen.chooseNum(55.0, 89.5)
+  } yield (lon, lat)
+
+  property("Arctic polar stereo (3413): round trip, pole at origin, true scale at 70N") =
+    forAll(arcticGen) { case (lon, lat) =>
+      val pole = fact.createPoint(new Coordinate(0.0, 90.0))
+      pole.setSRID(4326)
+      val pc = graft.functions.CrsImpl.toSrid(pole, 3413).getCoordinate
+      roundTrip(lon, lat, 3413, 1e-7) &&
+        math.abs(pc.x) < 1e-6 && math.abs(pc.y) < 1e-6 &&
+        math.abs(ewScale(10.0, 70.0, 3413) - 1.0) < 1e-6
+    }
+
+  private val antarcticGen: Gen[(Double, Double)] = for {
+    lon <- Gen.chooseNum(-179.0, 179.0)
+    lat <- Gen.chooseNum(-89.5, -55.0)
+  } yield (lon, lat)
+
+  property("Antarctic polar stereo (3031): round trip, pole at origin, true scale at 71S") =
+    forAll(antarcticGen) { case (lon, lat) =>
+      val pole = fact.createPoint(new Coordinate(0.0, -90.0))
+      pole.setSRID(4326)
+      val pc = graft.functions.CrsImpl.toSrid(pole, 3031).getCoordinate
+      roundTrip(lon, lat, 3031, 1e-7) &&
+        math.abs(pc.x) < 1e-6 && math.abs(pc.y) < 1e-6 &&
+        math.abs(ewScale(45.0, -71.0, 3031) - 1.0) < 1e-6
     }
 }
