@@ -75,8 +75,19 @@ object Bench {
           st_contains(col("a"), col("p")).as("ct"),
           st_dwithin(col("a"), col("p"), lit(1.0)).as("dw"))
     }),
-    // per-row overlay + buffer (heaviest JTS kernels)
+    // per-row overlay + buffer (heaviest JTS kernels); with fusion on the
+    // whole construct→translate→overlay→area tree runs as one STGeoFused
+    // program (zero interior EWKB round trips)
     "geo_scan_overlay" -> ((s, dir) => {
+      orders(s, dir)
+        .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"))
+        .select(st_area(st_intersection(col("a"), col("c"))).as("ia"),
+          st_area(st_buffer(col("a"), lit(0.5))).as("ba"))
+    }),
+    // same plan with the fusion rule pinned off (main() toggles
+    // spark.graft.fuse for *_unfused/*_udf names): quantifies the per-op
+    // parse→compute→serialize tax the fusion tier removes
+    "geo_scan_overlay_unfused" -> ((s, dir) => {
       orders(s, dir)
         .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"))
         .select(st_area(st_intersection(col("a"), col("c"))).as("ia"),
@@ -161,12 +172,16 @@ object Bench {
     // doesn't absorb executor start + codegen compilation of the harness
     spark.range(1000).select(sum(col("id"))).collect()
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // *_udf and *_unfused entries pin the ScalaUDF tier: without this the
+      // fusion rule would rewrite them too and the pair would measure nothing
+      val pinUnfused = name.endsWith("_udf") || name.endsWith("_unfused")
+      if (pinUnfused) spark.conf.set("spark.graft.fuse", "false")
       val sec =
         try timeWarm(fn(spark, sfDir))
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
-        }
+        } finally if (pinUnfused) spark.conf.set("spark.graft.fuse", "true")
       name -> sec
     }
     val qs = results.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")

@@ -448,6 +448,28 @@ object GeoQueries {
         .orderBy(k)
     }),
 
+    /** Fusion tier (GeoFusionRule/STGeoFused): deep construct→transform→
+      * overlay→measure chains run as one fused program (one parse per
+      * input, zero interior EWKB round trips). Values are closed-form; the
+      * `tier_eq` column computes the same buffer area through a fused chain
+      * and through a chain broken by `st_linearize` (a byte-level
+      * passthrough op the fusion registry excludes), so fused and unfused
+      * kernels are asserted equal IN-ROW. */
+    "geo_fused" -> ((s, dir) => {
+      def bufm(g: Column) = st_buffer(g, lit(0.5), lit(1), lit("round"),
+        lit("mitre"), lit(10.0), lit(false))
+      val c = st_translate(rect, w / 2, lit(0.0))
+      base(s, dir).select(k,
+        st_area(st_intersection(rect, c)).as("ia"),
+        st_area(st_union(rect, c)).as("ua"),
+        st_x(st_centroid(st_envelope(rect))).as("cx"),
+        st_area(bufm(rect)).as("bm"),
+        st_dwithin(st_centroid(rect), st_centroid(c), w).as("dw"),
+        (st_area(st_simplify(bufm(rect), lit(0.0), lit(false))) ===
+          st_area(st_linearize(bufm(rect), lit(8)))).as("tier_eq"))
+        .orderBy(k)
+    }),
+
     // ------------------------------------------- §2.8 constructive ops
     "geo_constructive1" -> ((s, dir) => {
       val d = (lit(1.0) + (k % 5).cast("double")) / 4.0
@@ -867,6 +889,10 @@ object GeoQueries {
     "geo_native" ->
       s"""$B SELECT k, w*h AS area_n, 2*(w+h) AS len_n,
          | TRUE AS ix_t, FALSE AS ix_f, TRUE AS area_eq, TRUE AS len_eq
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_fused" ->
+      s"""$B SELECT k, (w/2)*h AS ia, 1.5*w*h AS ua, xmin + w/2 AS cx,
+         | (w+1)*(h+1) AS bm, TRUE AS dw, TRUE AS tier_eq
          |FROM b ORDER BY k""".stripMargin,
     "geo_constructive1" ->
       s"""$B SELECT k, 2*(w+h) AS bdry_len, 'LineString' AS bdry_gt,

@@ -83,6 +83,48 @@ object GeoUDFs {
       : (Array[Byte], Array[Byte]) => Option[Double] =
     (a, b) => if (a == null || b == null) None else Some(f(EWKB.read(a), EWKB.read(b)))
 
+  // --------------------------------------------- fusable-op definition site
+  // Each f* helper creates the ScalaUDF lift AND registers the raw
+  // Geometry-level kernel with [[GeoKernels]] under the same name, so the
+  // optimizer fusion tier ([[graft.plans.GeoFusionRule]]) can run chains of
+  // these ops on parsed geometries — one EWKB parse per input, one serialize
+  // per chain, zero interior round trips. The lifted UDF and the registered
+  // kernel share the SAME function value: the tiers cannot drift.
+  import GeoKernels.{K, OGeom, ODouble, OBool, OInt, OString, aG, aD, aI, aB, aS}
+
+  private def fG1(name: String)(f: Geometry => Geometry): UserDefinedFunction = {
+    GeoKernels.add(K(name, 1, Set(0), OGeom, a => f(aG(a(0)))))
+    udf(uG(f)).withName(name)
+  }
+  private def fG2(name: String)(f: (Geometry, Geometry) => Geometry): UserDefinedFunction = {
+    GeoKernels.add(K(name, 2, Set(0, 1), OGeom, a => f(aG(a(0)), aG(a(1)))))
+    udf(bG(f)).withName(name)
+  }
+  private def fD1(name: String)(f: Geometry => Double): UserDefinedFunction = {
+    GeoKernels.add(K(name, 1, Set(0), ODouble, a => f(aG(a(0)))))
+    udf(uD(f)).withName(name)
+  }
+  private def fD2(name: String)(f: (Geometry, Geometry) => Double): UserDefinedFunction = {
+    GeoKernels.add(K(name, 2, Set(0, 1), ODouble, a => f(aG(a(0)), aG(a(1)))))
+    udf(bD(f)).withName(name)
+  }
+  private def fB1(name: String)(f: Geometry => Boolean): UserDefinedFunction = {
+    GeoKernels.add(K(name, 1, Set(0), OBool, a => f(aG(a(0)))))
+    udf(uB(f)).withName(name)
+  }
+  private def fB2(name: String)(f: (Geometry, Geometry) => Boolean): UserDefinedFunction = {
+    GeoKernels.add(K(name, 2, Set(0, 1), OBool, a => f(aG(a(0)), aG(a(1)))))
+    udf(bB(f)).withName(name)
+  }
+  private def fI1(name: String)(f: Geometry => Int): UserDefinedFunction = {
+    GeoKernels.add(K(name, 1, Set(0), OInt, a => f(aG(a(0)))))
+    udf(uI(f)).withName(name)
+  }
+  private def fS1(name: String)(f: Geometry => String): UserDefinedFunction = {
+    GeoKernels.add(K(name, 1, Set(0), OString, a => f(aG(a(0)))))
+    udf(uS(f)).withName(name)
+  }
+
   // ---------------------------------------------------------- constructors
   // Reference: polars_st/parsing.py; kernels functions.rs:258-408.
 
@@ -102,10 +144,23 @@ object GeoUDFs {
     if (s == null) null else EWKB.write(GeoJson.read(s))).withName("st_geomfromgeojson")
 
   val point: UserDefinedFunction = udf((x: Double, y: Double) =>
-    EWKB.write(fact.createPoint(new Coordinate(x, y))))
+    EWKB.write(fact.createPoint(new Coordinate(x, y)))).withName("st_point")
 
   val pointZ: UserDefinedFunction = udf((x: Double, y: Double, z: Double) =>
-    EWKB.write(fact.createPoint(new Coordinate(x, y, z))))
+    EWKB.write(fact.createPoint(new Coordinate(x, y, z)))).withName("st_pointz")
+
+  // Fusion kernels for the leaf constructors: a fused chain builds the
+  // JTS geometry directly, skipping the constructor's serialize and the
+  // consumer's parse. st_geomfromwkb is the identity on the parsed arg
+  // (its UDF is read→write normalization; the fused Load already parses).
+  GeoKernels.add(K("st_point", 2, Set.empty, OGeom, a =>
+    fact.createPoint(new Coordinate(aD(a(0)), aD(a(1))))))
+  GeoKernels.add(K("st_pointz", 3, Set.empty, OGeom, a =>
+    fact.createPoint(new Coordinate(aD(a(0)), aD(a(1)), aD(a(2))))))
+  GeoKernels.add(K("st_geomfromtext", 1, Set.empty, OGeom, a => GeoCodec.fromWkt(aS(a(0)))))
+  GeoKernels.add(K("st_geomfromewkt", 1, Set.empty, OGeom, a => GeoCodec.fromEwkt(aS(a(0)))))
+  GeoKernels.add(K("st_geomfromwkb", 1, Set(0), OGeom, a => aG(a(0))))
+  GeoKernels.add(K("st_geomfromgeojson", 1, Set.empty, OGeom, a => GeoJson.read(aS(a(0)))))
 
   private def coordOf(xs: Seq[Double]): Coordinate = xs match {
     case Seq(x, y) => new Coordinate(x, y)
@@ -117,15 +172,26 @@ object GeoUDFs {
   /** `[x,y(,z)]` array → Point (reference `point`, parsing.py:37-82). */
   val pointFromCoords: UserDefinedFunction = udf((xs: Seq[Double]) =>
     if (xs == null) null else EWKB.write(fact.createPoint(coordOf(xs))))
+    .withName("st_point_from_coords")
+
+  private def multiPointK(xs: Seq[Seq[Double]]): Geometry =
+    fact.createMultiPoint(xs.map(c => fact.createPoint(coordOf(c))).toArray)
 
   val multiPoint: UserDefinedFunction = udf((xs: Seq[Seq[Double]]) =>
-    if (xs == null) null
-    else EWKB.write(fact.createMultiPoint(
-      xs.map(c => fact.createPoint(coordOf(c))).toArray)))
+    if (xs == null) null else EWKB.write(multiPointK(xs))).withName("st_multipoint")
+
+  private def lineStringK(xs: Seq[Seq[Double]]): Geometry =
+    fact.createLineString(xs.map(coordOf).toArray)
 
   val lineString: UserDefinedFunction = udf((xs: Seq[Seq[Double]]) =>
-    if (xs == null) null
-    else EWKB.write(fact.createLineString(xs.map(coordOf).toArray)))
+    if (xs == null) null else EWKB.write(lineStringK(xs))).withName("st_linestring")
+
+  GeoKernels.add(K("st_point_from_coords", 1, Set.empty, OGeom, a =>
+    fact.createPoint(coordOf(GeoKernels.aDs(a(0))))))
+  GeoKernels.add(K("st_multipoint", 1, Set.empty, OGeom, a =>
+    multiPointK(GeoKernels.aDss(a(0)))))
+  GeoKernels.add(K("st_linestring", 1, Set.empty, OGeom, a =>
+    lineStringK(GeoKernels.aDss(a(0)))))
 
   /** CircularString constructor (reference `circularstring`,
     * parsing.py:163-189): JTS cannot model arcs, so the EWKB bytes (type 8)
@@ -142,27 +208,44 @@ object GeoUDFs {
       EWKB.write(graft.serde.Curved.linearize(b, segsPerQuadrant))
     else b)
 
+  private def multiLineStringK(xs: Seq[Seq[Seq[Double]]]): Geometry =
+    fact.createMultiLineString(
+      xs.map(l => fact.createLineString(l.map(coordOf).toArray)).toArray)
+
   val multiLineString: UserDefinedFunction = udf((xs: Seq[Seq[Seq[Double]]]) =>
-    if (xs == null) null
-    else EWKB.write(fact.createMultiLineString(
-      xs.map(l => fact.createLineString(l.map(coordOf).toArray)).toArray)))
+    if (xs == null) null else EWKB.write(multiLineStringK(xs)))
+    .withName("st_multilinestring")
 
   /** list of rings (first = shell) → Polygon (parsing.py:221-247). */
-  val polygon: UserDefinedFunction = udf((rings: Seq[Seq[Seq[Double]]]) =>
-    if (rings == null) null
-    else if (rings.isEmpty) EWKB.write(fact.createPolygon())
+  private def polygonK(rings: Seq[Seq[Seq[Double]]]): Geometry =
+    if (rings.isEmpty) fact.createPolygon()
     else {
       val shell = fact.createLinearRing(rings.head.map(coordOf).toArray)
       val holes = rings.tail.map(r => fact.createLinearRing(r.map(coordOf).toArray)).toArray
-      EWKB.write(fact.createPolygon(shell, holes))
-    })
+      fact.createPolygon(shell, holes)
+    }
+
+  val polygon: UserDefinedFunction = udf((rings: Seq[Seq[Seq[Double]]]) =>
+    if (rings == null) null else EWKB.write(polygonK(rings))).withName("st_polygon")
+
+  GeoKernels.add(K("st_multilinestring", 1, Set.empty, OGeom, a =>
+    multiLineStringK(GeoKernels.aDsss(a(0)))))
+  GeoKernels.add(K("st_polygon", 1, Set.empty, OGeom, a =>
+    polygonK(GeoKernels.aDsss(a(0)))))
+
+  private[graft] def rectKernel(xmin: Double, ymin: Double, xmax: Double,
+      ymax: Double): Geometry =
+    fact.createPolygon(Array(
+      new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+      new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+      new Coordinate(xmin, ymin)))
 
   val rectangle: UserDefinedFunction =
     udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
-      EWKB.write(fact.createPolygon(Array(
-        new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
-        new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
-        new Coordinate(xmin, ymin)))))
+      EWKB.write(rectKernel(xmin, ymin, xmax, ymax))).withName("st_rectangle")
+
+  GeoKernels.add(K("st_rectangle", 4, Set.empty, OGeom, a =>
+    rectKernel(aD(a(0)), aD(a(1)), aD(a(2)), aD(a(3)))))
 
   // ------------------------------------------------- accessors / inspection
   // Reference kernels functions.rs:410-813; header-only ops read EWKB bytes
@@ -172,7 +255,7 @@ object GeoUDFs {
     if (b == null) null else EWKB.typeName(EWKB.header(b).typeCode))
 
   /** Topological dimension; empty GeometryCollection → -1. */
-  val dimensions: UserDefinedFunction = udf(uI(_.getDimension))
+  val dimensions: UserDefinedFunction = fI1("st_dimensions")(_.getDimension)
 
   /** 2/3/4 from header flags (header-only, functions.rs:427-431). */
   val coordinateDimension: UserDefinedFunction = udf((b: Array[Byte]) =>
@@ -186,24 +269,24 @@ object GeoUDFs {
   val srid: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None else Some(EWKB.header(b).srid))
 
-  val x: UserDefinedFunction = udf(uD {
+  val x: UserDefinedFunction = fD1("st_x") {
     case p: Point if !p.isEmpty => p.getX
     case _ => Double.NaN
-  })
-  val y: UserDefinedFunction = udf(uD {
+  }
+  val y: UserDefinedFunction = fD1("st_y") {
     case p: Point if !p.isEmpty => p.getY
     case _ => Double.NaN
-  })
-  val z: UserDefinedFunction = udf(uD {
+  }
+  val z: UserDefinedFunction = fD1("st_z") {
     case p: Point if !p.isEmpty && p.getCoordinateSequence.hasZ =>
       p.getCoordinateSequence.getZ(0)
     case _ => Double.NaN
-  })
-  val m: UserDefinedFunction = udf(uD {
+  }
+  val m: UserDefinedFunction = fD1("st_m") {
     case p: Point if !p.isEmpty && p.getCoordinateSequence.hasM =>
       p.getCoordinateSequence.getM(0)
     case _ => Double.NaN
-  })
+  }
 
   import graft.serde.Curved
 
@@ -236,12 +319,10 @@ object GeoUDFs {
     else if (Curved.isCircularString(b)) curvedRows(b, Some(dim))
     else GeomUtil.coordinateRows(EWKB.read(b), Some(dim)))
 
-  val exteriorRing: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null
-    else EWKB.read(b) match {
-      case p: Polygon => EWKB.write(keepSrid(p, p.getExteriorRing.copy()))
-      case _ => null
-    })
+  val exteriorRing: UserDefinedFunction = fG1("st_exterior_ring") {
+    case p: Polygon => p.getExteriorRing.copy()
+    case _ => null
+  }
 
   val interiorRings: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
@@ -252,10 +333,10 @@ object GeoUDFs {
       case _ => Seq.empty[Array[Byte]]
     })
 
-  val countInteriorRings: UserDefinedFunction = udf(uI {
+  val countInteriorRings: UserDefinedFunction = fI1("st_count_interior_rings") {
     case p: Polygon => p.getNumInteriorRing
     case _ => 0
-  })
+  }
 
   /** i-th interior ring; null when out of bounds; raises on non-Polygon
     * (reference error matrix, tests/test_expressions.py:318-373). */
@@ -269,20 +350,21 @@ object GeoUDFs {
         s"get_interior_ring requires a Polygon, got ${g.getGeometryType}")
     })
 
-  val countGeometries: UserDefinedFunction = udf(uI(_.getNumGeometries))
+  val countGeometries: UserDefinedFunction = fI1("st_count_geometries")(_.getNumGeometries)
+
+  private def getGeometryK(i: Int)(g: Geometry): Geometry =
+    if (i < 0 || i >= g.getNumGeometries) null else g.getGeometryN(i).copy()
 
   val getGeometry: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    if (b == null) null
-    else {
-      val g = EWKB.read(b)
-      if (i < 0 || i >= g.getNumGeometries) null
-      else EWKB.write(keepSrid(g, g.getGeometryN(i).copy()))
-    })
+    uG(getGeometryK(i))(b)).withName("st_get_geometry")
 
-  val countPoints: UserDefinedFunction = udf(uI {
+  GeoKernels.add(K("st_get_geometry", 2, Set(0), OGeom,
+    a => getGeometryK(aI(a(1)))(aG(a(0)))))
+
+  val countPoints: UserDefinedFunction = fI1("st_count_points") {
     case l: LineString => l.getNumPoints
     case _ => 0
-  })
+  }
 
   /** i-th vertex of a LineString; raises on other types (error matrix). */
   val getPoint: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
@@ -321,53 +403,60 @@ object GeoUDFs {
   // ----------------------------------------------------------- measurement
   // Reference functions.rs:794-883.
 
-  val area: UserDefinedFunction = udf(uD(_.getArea))
-  val length: UserDefinedFunction = udf(uD(_.getLength))
+  val area: UserDefinedFunction = fD1("st_area")(_.getArea)
+  val length: UserDefinedFunction = fD1("st_length")(_.getLength)
 
   /** NaN if either side empty (functions.rs:819-829). */
-  val distance: UserDefinedFunction = udf(bD((a, b) =>
-    if (a.isEmpty || b.isEmpty) Double.NaN else a.distance(b)))
+  val distance: UserDefinedFunction = fD2("st_distance")((a, b) =>
+    if (a.isEmpty || b.isEmpty) Double.NaN else a.distance(b))
 
-  val hausdorffDistance: UserDefinedFunction = udf(bD((a, b) =>
+  val hausdorffDistance: UserDefinedFunction = fD2("st_hausdorff_distance")((a, b) =>
     if (a.isEmpty || b.isEmpty) Double.NaN
-    else DiscreteHausdorffDistance.distance(a, b)))
+    else DiscreteHausdorffDistance.distance(a, b))
+
+  private def hausdorffDensifyK(densify: Double)(ga: Geometry, gb: Geometry): Double =
+    if (ga.isEmpty || gb.isEmpty) Double.NaN
+    else DiscreteHausdorffDistance.distance(ga, gb, densify)
 
   val hausdorffDistanceDensify: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte], densify: Double) =>
       if (a == null || b == null) None
-      else {
-        val (ga, gb) = (EWKB.read(a), EWKB.read(b))
-        if (ga.isEmpty || gb.isEmpty) Some(Double.NaN)
-        else Some(DiscreteHausdorffDistance.distance(ga, gb, densify))
-      })
+      else Some(hausdorffDensifyK(densify)(EWKB.read(a), EWKB.read(b))))
+      .withName("st_hausdorff_distance_densify")
 
-  val frechetDistance: UserDefinedFunction = udf(bD((a, b) =>
+  val frechetDistance: UserDefinedFunction = fD2("st_frechet_distance")((a, b) =>
     if (a.isEmpty || b.isEmpty) Double.NaN
-    else DiscreteFrechetDistance.distance(a, b)))
+    else DiscreteFrechetDistance.distance(a, b))
 
   /** Densified Fréchet: JTS's discrete Fréchet has no densify fraction, so
     * inputs are densified up-front (approximation of GEOS
     * frechet_distance_densify — documented divergence). */
+  private def frechetDensifyK(densify: Double)(ga: Geometry, gb: Geometry): Double =
+    if (ga.isEmpty || gb.isEmpty) Double.NaN
+    else {
+      def dens(g: Geometry): Geometry = {
+        val d = g.getLength * densify
+        if (d > 0) Densifier.densify(g, d) else g
+      }
+      DiscreteFrechetDistance.distance(dens(ga), dens(gb))
+    }
+
   val frechetDistanceDensify: UserDefinedFunction =
     udf((a: Array[Byte], b: Array[Byte], densify: Double) =>
       if (a == null || b == null) None
-      else {
-        val (ga, gb) = (EWKB.read(a), EWKB.read(b))
-        if (ga.isEmpty || gb.isEmpty) Some(Double.NaN)
-        else {
-          def dens(g: Geometry): Geometry = {
-            val d = g.getLength * densify
-            if (d > 0) Densifier.densify(g, d) else g
-          }
-          Some(DiscreteFrechetDistance.distance(dens(ga), dens(gb)))
-        }
-      })
+      else Some(frechetDensifyK(densify)(EWKB.read(a), EWKB.read(b))))
+      .withName("st_frechet_distance_densify")
+
+  GeoKernels.add(K("st_hausdorff_distance_densify", 3, Set(0, 1), ODouble,
+    a => hausdorffDensifyK(aD(a(2)))(aG(a(0)), aG(a(1)))))
+  GeoKernels.add(K("st_frechet_distance_densify", 3, Set(0, 1), ODouble,
+    a => frechetDensifyK(aD(a(2)))(aG(a(0)), aG(a(1)))))
 
   /** +Infinity when no clearance exists (GEOS convention). */
-  val minimumClearance: UserDefinedFunction = udf(uD { g =>
+  val minimumClearance: UserDefinedFunction = fD1("st_minimum_clearance") { g =>
     val d = MinimumClearance.getDistance(g)
     if (d == Double.MaxValue) Double.PositiveInfinity else d
-  })
+  }
 
   // ------------------------------------------------------ unary predicates
   // Reference functions.rs:885-933.
@@ -380,11 +469,11 @@ object GeoUDFs {
 
   /** CCW orientation of closed linear geometry; false otherwise
     * (functions.rs:893-901). */
-  val isCcw: UserDefinedFunction = udf(uB {
+  val isCcw: UserDefinedFunction = fB1("st_is_ccw") {
     case l: LineString if l.getNumPoints >= 4 && l.isClosed =>
       Orientation.isCCW(l.getCoordinateSequence)
     case _ => false
-  })
+  }
 
   val isClosed: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None
@@ -397,23 +486,23 @@ object GeoUDFs {
       case _ => false
     }))
 
-  val isEmpty: UserDefinedFunction = udf(uB(_.isEmpty))
+  val isEmpty: UserDefinedFunction = fB1("st_is_empty")(_.isEmpty)
 
-  val isRing: UserDefinedFunction = udf(uB {
+  val isRing: UserDefinedFunction = fB1("st_is_ring") {
     case l: LineString => l.isRing
     case _ => false
-  })
+  }
 
-  val isSimple: UserDefinedFunction = udf(uB(_.isSimple))
-  val isValid: UserDefinedFunction = udf(uB(_.isValid))
+  val isSimple: UserDefinedFunction = fB1("st_is_simple")(_.isSimple)
+  val isValid: UserDefinedFunction = fB1("st_is_valid")(_.isValid)
 
   /** Validation detail string. Message wording is JTS's, not GEOS's —
     * documented divergence. */
-  val isValidReason: UserDefinedFunction = udf(uS { g =>
+  val isValidReason: UserDefinedFunction = fS1("st_is_valid_reason") { g =>
     val op = new IsValidOp(g)
     val err = op.getValidationError
     if (err == null) "Valid Geometry" else err.toString
-  })
+  }
 
   // ----------------------------------------------------- binary predicates
   // Reference functions.rs:935-1094. JTS has 1:1 methods for each.
@@ -430,40 +519,46 @@ object GeoUDFs {
   // ScalaUDF nodes in filter conditions and conjoin covering-column range
   // predicates (envelope intersection is implied by every one of them).
   val intersects: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.intersects()))).withName("st_intersects")
+    fB2("st_intersects")(ngPred(() => RelatePredicate.intersects()))
   val crosses: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.crosses()))).withName("st_crosses")
+    fB2("st_crosses")(ngPred(() => RelatePredicate.crosses()))
   val contains: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.contains()))).withName("st_contains")
-  val containsProperly: UserDefinedFunction = udf(bB((a, b) =>
-    !a.isEmpty && !b.isEmpty && PreparedGeometryFactory.prepare(a).containsProperly(b)))
-    .withName("st_contains_properly")
+    fB2("st_contains")(ngPred(() => RelatePredicate.contains()))
+  val containsProperly: UserDefinedFunction = fB2("st_contains_properly")((a, b) =>
+    !a.isEmpty && !b.isEmpty && PreparedGeometryFactory.prepare(a).containsProperly(b))
   val coveredBy: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.coveredBy()))).withName("st_covered_by")
+    fB2("st_covered_by")(ngPred(() => RelatePredicate.coveredBy()))
   val covers: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.covers()))).withName("st_covers")
-  val disjoint: UserDefinedFunction = udf(bB((a, b) =>
-    a.isEmpty || b.isEmpty || RelateNG.relate(a, b, RelatePredicate.disjoint())))
+    fB2("st_covers")(ngPred(() => RelatePredicate.covers()))
+  val disjoint: UserDefinedFunction = fB2("st_disjoint")((a, b) =>
+    a.isEmpty || b.isEmpty || RelateNG.relate(a, b, RelatePredicate.disjoint()))
   val overlaps: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.overlaps()))).withName("st_overlaps")
+    fB2("st_overlaps")(ngPred(() => RelatePredicate.overlaps()))
   val touches: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.touches()))).withName("st_touches")
+    fB2("st_touches")(ngPred(() => RelatePredicate.touches()))
   val within: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.within()))).withName("st_within")
+    fB2("st_within")(ngPred(() => RelatePredicate.within()))
   val equalsTopo: UserDefinedFunction =
-    udf(bB(ngPred(() => RelatePredicate.equalsTopo()))).withName("st_equals")
-  val equalsIdentical: UserDefinedFunction = udf(bB(GeomUtil.equalsIdentical))
+    fB2("st_equals")(ngPred(() => RelatePredicate.equalsTopo()))
+  val equalsIdentical: UserDefinedFunction =
+    fB2("st_equals_identical")(GeomUtil.equalsIdentical)
 
   /** Strict `<` like the reference (functions.rs:984-990), not PostGIS `<=`. */
+  private def dwithinK(d: Double)(ga: Geometry, gb: Geometry): Boolean =
+    !ga.isEmpty && !gb.isEmpty && ga.isWithinDistance(gb, math.nextDown(d))
+
   val dwithin: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], d: Double) =>
     if (a == null || b == null) None
-    else {
-      val (ga, gb) = (EWKB.read(a), EWKB.read(b))
-      Some(!ga.isEmpty && !gb.isEmpty && ga.isWithinDistance(gb, math.nextDown(d)))
-    })
+    else Some(dwithinK(d)(EWKB.read(a), EWKB.read(b)))).withName("st_dwithin")
 
   val equalsExact: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], tol: Double) =>
     if (a == null || b == null) None else Some(EWKB.read(a).equalsExact(EWKB.read(b), tol)))
+    .withName("st_equals_exact")
+
+  GeoKernels.add(K("st_dwithin", 3, Set(0, 1), OBool,
+    a => dwithinK(aD(a(2)))(aG(a(0)), aG(a(1)))))
+  GeoKernels.add(K("st_equals_exact", 3, Set(0, 1), OBool,
+    a => aG(a(0)).equalsExact(aG(a(1)), aD(a(2)))))
 
   // RelateNG (JTS 1.20) supports GeometryCollection arguments, which the
   // classic RelateOp rejects. Empty inputs are computed closed-form (the
@@ -481,6 +576,10 @@ object GeoUDFs {
 
   val relate: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) null else relateMatrix(EWKB.read(a), EWKB.read(b)))
+    .withName("st_relate")
+
+  GeoKernels.add(K("st_relate", 2, Set(0, 1), OString,
+    a => relateMatrix(aG(a(0)), aG(a(1)))))
 
   val relatePattern: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], p: String) =>
     if (a == null || b == null || p == null) None
@@ -546,50 +645,61 @@ object GeoUDFs {
     if (grid > 0) OverlayNG.overlay(flattenGC(a), flattenGC(b), op, new PrecisionModel(1.0 / grid))
     else overlay(op)(a, b)
 
-  val union: UserDefinedFunction = udf(bG(overlay(OverlayNG.UNION)))
-  val intersection: UserDefinedFunction = udf(bG(overlay(OverlayNG.INTERSECTION)))
-  val difference: UserDefinedFunction = udf(bG(overlay(OverlayNG.DIFFERENCE)))
-  val symmetricDifference: UserDefinedFunction = udf(bG(overlay(OverlayNG.SYMDIFFERENCE)))
+  val union: UserDefinedFunction =
+    fG2("st_union")(overlay(OverlayNG.UNION))
+  val intersection: UserDefinedFunction =
+    fG2("st_intersection")(overlay(OverlayNG.INTERSECTION))
+  val difference: UserDefinedFunction =
+    fG2("st_difference")(overlay(OverlayNG.DIFFERENCE))
+  val symmetricDifference: UserDefinedFunction =
+    fG2("st_symmetric_difference")(overlay(OverlayNG.SYMDIFFERENCE))
 
-  val unionPrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
-    bG(overlayPrec(OverlayNG.UNION, grid))(a, b))
-  val intersectionPrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
-    bG(overlayPrec(OverlayNG.INTERSECTION, grid))(a, b))
-  val differencePrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
-    bG(overlayPrec(OverlayNG.DIFFERENCE, grid))(a, b))
-  val symmetricDifferencePrec: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
-    bG(overlayPrec(OverlayNG.SYMDIFFERENCE, grid))(a, b))
+  private def precUdf(name: String, op: Int): UserDefinedFunction = {
+    GeoKernels.add(K(name, 3, Set(0, 1), OGeom,
+      a => overlayPrec(op, aD(a(2)))(aG(a(0)), aG(a(1)))))
+    udf((a: Array[Byte], b: Array[Byte], grid: Double) =>
+      bG(overlayPrec(op, grid))(a, b)).withName(name)
+  }
+
+  val unionPrec: UserDefinedFunction = precUdf("st_union_prec", OverlayNG.UNION)
+  val intersectionPrec: UserDefinedFunction =
+    precUdf("st_intersection_prec", OverlayNG.INTERSECTION)
+  val differencePrec: UserDefinedFunction =
+    precUdf("st_difference_prec", OverlayNG.DIFFERENCE)
+  val symmetricDifferencePrec: UserDefinedFunction =
+    precUdf("st_symmetric_difference_prec", OverlayNG.SYMDIFFERENCE)
 
   /** Per-row self-union (functions.rs:1156-1168). */
-  val unaryUnion: UserDefinedFunction = udf(uG(_.union()))
+  val unaryUnion: UserDefinedFunction = fG1("st_unary_union")(_.union())
 
   /** disjoint_subset_union (functions.rs:1170-1176): GEOS exposes it as an
     * optimized union for inputs with disjoint subsets; JTS's UnaryUnionOp
     * already applies cascaded union with spatial partitioning, so the
     * semantics map to the same operation. */
-  val disjointSubsetUnion: UserDefinedFunction = udf(uG(_.union()))
+  val disjointSubsetUnion: UserDefinedFunction =
+    fG1("st_disjoint_subset_union")(_.union())
 
   /** Union of the parts of a collection; raises on non-collection input
     * (functions.rs:1194-1204). The fast boundary-merge CoverageUnion only
     * handles single-dimension coverages; mixed-dimension collections fall
     * back to full union (same result for valid coverages). */
-  val coverageUnion: UserDefinedFunction = udf(uG {
+  val coverageUnion: UserDefinedFunction = fG1("st_coverage_union") {
     case c: GeometryCollection =>
       try org.locationtech.jts.operation.overlayng.CoverageUnion.union(c)
       catch { case _: IllegalArgumentException => c.union() }
     case g => throw new IllegalArgumentException(
       s"coverage_union requires a GeometryCollection, got ${g.getGeometryType}")
-  })
+  }
 
   // ------------------------------------------------------ constructive ops
   // Reference functions.rs:1278-1492.
 
   /** GeometryCollection → empty GC (GEOS raises; reference special-cases,
     * functions.rs:1278-1287). */
-  val boundary: UserDefinedFunction = udf(uG {
+  val boundary: UserDefinedFunction = fG1("st_boundary") {
     case _: GeometryCollection => fact.createGeometryCollection()
     case g => g.getBoundary
-  })
+  }
 
   private def capStyleOf(s: String): Int = s.toLowerCase match {
     case "round" => BufferParameters.CAP_ROUND
@@ -604,50 +714,75 @@ object GeoUDFs {
     case other => throw new IllegalArgumentException(s"unknown join_style: $other")
   }
 
+  private def bufferK(dist: Double, quadSegs: Int, capStyle: String,
+      joinStyle: String, mitreLimit: Double, singleSided: Boolean)(g: Geometry): Geometry = {
+    val p = new BufferParameters(quadSegs, capStyleOf(capStyle),
+      joinStyleOf(joinStyle), mitreLimit)
+    p.setSingleSided(singleSided)
+    BufferOp.bufferOp(g, dist, p)
+  }
+
   val buffer: UserDefinedFunction = udf((b: Array[Byte], dist: Double, quadSegs: Int,
       capStyle: String, joinStyle: String, mitreLimit: Double, singleSided: Boolean) =>
-    uG { g =>
-      val p = new BufferParameters(quadSegs, capStyleOf(capStyle),
-        joinStyleOf(joinStyle), mitreLimit)
-      p.setSingleSided(singleSided)
-      BufferOp.bufferOp(g, dist, p)
-    }(b))
+    uG(bufferK(dist, quadSegs, capStyle, joinStyle, mitreLimit, singleSided))(b))
+    .withName("st_buffer")
+
+  GeoKernels.add(K("st_buffer", 7, Set(0), OGeom, a =>
+    bufferK(aD(a(1)), aI(a(2)), aS(a(3)), aS(a(4)), aD(a(5)), aB(a(6)))(aG(a(0)))))
 
   val offsetCurve: UserDefinedFunction = udf((b: Array[Byte], dist: Double, quadSegs: Int,
       joinStyle: String, mitreLimit: Double) =>
     uG(g => OffsetCurve.getCurve(g, dist, quadSegs, joinStyleOf(joinStyle), mitreLimit))(b))
+    .withName("st_offset_curve")
 
-  val centroid: UserDefinedFunction = udf(uG(_.getCentroid))
+  GeoKernels.add(K("st_offset_curve", 5, Set(0), OGeom, a =>
+    OffsetCurve.getCurve(aG(a(0)), aD(a(1)), aI(a(2)), joinStyleOf(aS(a(3))), aD(a(4)))))
+
+  val centroid: UserDefinedFunction = fG1("st_centroid")(_.getCentroid)
 
   /** Bounding-box midpoint (functions.rs:1325-1335). */
-  val center: UserDefinedFunction = udf(uG { g =>
+  val center: UserDefinedFunction = fG1("st_center") { g =>
     if (g.isEmpty) fact.createPoint()
     else {
       val e = g.getEnvelopeInternal
       fact.createPoint(new Coordinate((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2))
     }
-  })
+  }
+
+  private def clipByRectK(xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+      (g: Geometry): Geometry =
+    g.intersection(fact.toGeometry(new Envelope(xmin, xmax, ymin, ymax)))
 
   val clipByRect: UserDefinedFunction = udf((b: Array[Byte], xmin: Double, ymin: Double,
       xmax: Double, ymax: Double) =>
-    uG { g =>
-      val box = fact.toGeometry(new Envelope(xmin, xmax, ymin, ymax))
-      g.intersection(box)
-    }(b))
+    uG(clipByRectK(xmin, ymin, xmax, ymax))(b)).withName("st_clip_by_rect")
 
-  val convexHull: UserDefinedFunction = udf(uG(_.convexHull()))
+  GeoKernels.add(K("st_clip_by_rect", 5, Set(0), OGeom, a =>
+    clipByRectK(aD(a(1)), aD(a(2)), aD(a(3)), aD(a(4)))(aG(a(0)))))
+
+  val convexHull: UserDefinedFunction = fG1("st_convex_hull")(_.convexHull())
+
+  private def concaveHullK(ratio: Double, holes: Boolean)(g: Geometry): Geometry =
+    if (g.isEmpty) g.copy() else ConcaveHull.concaveHullByLengthRatio(g, ratio, holes)
 
   val concaveHull: UserDefinedFunction = udf((b: Array[Byte], ratio: Double, holes: Boolean) =>
-    uG(g => if (g.isEmpty) g.copy()
-            else ConcaveHull.concaveHullByLengthRatio(g, ratio, holes))(b))
+    uG(concaveHullK(ratio, holes))(b)).withName("st_concave_hull")
+
+  GeoKernels.add(K("st_concave_hull", 3, Set(0), OGeom, a =>
+    concaveHullK(aD(a(1)), aB(a(2)))(aG(a(0)))))
+
+  private def segmentizeK(maxLen: Double)(g: Geometry): Geometry =
+    if (g.isEmpty || g.getDimension == 0) g.copy() else Densifier.densify(g, maxLen)
 
   val segmentize: UserDefinedFunction = udf((b: Array[Byte], maxLen: Double) =>
-    uG(g => if (g.isEmpty || g.getDimension == 0) g.copy()
-            else Densifier.densify(g, maxLen))(b))
+    uG(segmentizeK(maxLen))(b)).withName("st_segmentize")
 
-  val envelope: UserDefinedFunction = udf(uG(_.getEnvelope))
+  GeoKernels.add(K("st_segmentize", 2, Set(0), OGeom, a =>
+    segmentizeK(aD(a(1)))(aG(a(0)))))
 
-  val extractUniquePoints: UserDefinedFunction = udf(uG { g =>
+  val envelope: UserDefinedFunction = fG1("st_envelope")(_.getEnvelope)
+
+  val extractUniquePoints: UserDefinedFunction = fG1("st_extract_unique_points") { g =>
     // key on raw bits so NaN z (2D coords) compares equal to itself —
     // primitive-Double tuple equality has NaN != NaN
     val seen = scala.collection.mutable.LinkedHashSet.empty[(Long, Long, Long)]
@@ -663,11 +798,11 @@ object GeoUDFs {
       override def isGeometryChanged = false
     })
     fact.createMultiPoint(coords.map(fact.createPoint).toArray)
-  })
+  }
 
   /** GEOS build_area analog: polygonize the noded linework, keeping only
     * the polygonal surface (functions.rs:1393-1395). */
-  val buildArea: UserDefinedFunction = udf(uG { g =>
+  val buildArea: UserDefinedFunction = fG1("st_build_area") { g =>
     if (g.isEmpty) fact.createGeometryCollection()
     else {
       val noded = nodeLinework(g)
@@ -676,12 +811,12 @@ object GeoUDFs {
       val out = p.getGeometry
       if (out == null) fact.createGeometryCollection() else out
     }
-  })
+  }
 
-  val makeValid: UserDefinedFunction = udf(uG(g =>
-    if (g.isValid) g.copy() else GeometryFixer.fix(g)))
+  val makeValid: UserDefinedFunction = fG1("st_make_valid")(g =>
+    if (g.isValid) g.copy() else GeometryFixer.fix(g))
 
-  val normalize: UserDefinedFunction = udf(uG(_.norm()))
+  val normalize: UserDefinedFunction = fG1("st_normalize")(_.norm())
 
   private def nodeLinework(g: Geometry): Geometry = {
     val lines = org.locationtech.jts.geom.util.LinearComponentExtracter.getLines(g)
@@ -691,53 +826,71 @@ object GeoUDFs {
 
   /** Node the linework (GEOS GEOSNode analog via union of linear
     * components). */
-  val node: UserDefinedFunction = udf(uG(nodeLinework))
+  val node: UserDefinedFunction = fG1("st_node")(nodeLinework)
 
-  val pointOnSurface: UserDefinedFunction = udf(uG(g =>
-    if (g.isEmpty) fact.createPoint() else g.getInteriorPoint))
+  val pointOnSurface: UserDefinedFunction = fG1("st_point_on_surface")(g =>
+    if (g.isEmpty) fact.createPoint() else g.getInteriorPoint)
 
   val removeRepeatedPoints: UserDefinedFunction = udf((b: Array[Byte], tol: Double) =>
-    uG { g =>
-      GeomUtil.mapCoordsFilterRepeated(g, tol)
-    }(b))
+    uG(g => GeomUtil.mapCoordsFilterRepeated(g, tol))(b))
+    .withName("st_remove_repeated_points")
 
-  val reverse: UserDefinedFunction = udf(uG(_.reverse()))
+  GeoKernels.add(K("st_remove_repeated_points", 2, Set(0), OGeom, a =>
+    GeomUtil.mapCoordsFilterRepeated(aG(a(0)), aD(a(1)))))
+
+  val reverse: UserDefinedFunction = fG1("st_reverse")(_.reverse())
+
+  private def simplifyK(tol: Double, preserve: Boolean)(g: Geometry): Geometry =
+    if (preserve) TopologyPreservingSimplifier.simplify(g, tol)
+    else DouglasPeuckerSimplifier.simplify(g, tol)
 
   val simplify: UserDefinedFunction = udf((b: Array[Byte], tol: Double, preserve: Boolean) =>
-    uG(g => if (preserve) TopologyPreservingSimplifier.simplify(g, tol)
-            else DouglasPeuckerSimplifier.simplify(g, tol))(b))
+    uG(simplifyK(tol, preserve))(b)).withName("st_simplify")
 
-  val force2d: UserDefinedFunction = udf(uG(g =>
-    GeomUtil.mapCoords(g, (x, y, _) => (x, y, Double.NaN), forceDim = 2)))
+  GeoKernels.add(K("st_simplify", 3, Set(0), OGeom, a =>
+    simplifyK(aD(a(1)), aB(a(2)))(aG(a(0)))))
+
+  val force2d: UserDefinedFunction = fG1("st_force_2d")(g =>
+    GeomUtil.mapCoords(g, (x, y, _) => (x, y, Double.NaN), forceDim = 2))
+
+  private def force3dK(zDefault: Double)(g: Geometry): Geometry =
+    GeomUtil.mapCoords(g, (x, y, z) => (x, y, if (z.isNaN) zDefault else z), forceDim = 3)
 
   val force3d: UserDefinedFunction = udf((b: Array[Byte], zDefault: Double) =>
-    uG(g => GeomUtil.mapCoords(g,
-      (x, y, z) => (x, y, if (z.isNaN) zDefault else z), forceDim = 3))(b))
+    uG(force3dK(zDefault))(b)).withName("st_force_3d")
 
-  val flipCoordinates: UserDefinedFunction = udf(uG(g =>
-    GeomUtil.mapCoords(g, (x, y, z) => (y, x, z))))
+  GeoKernels.add(K("st_force_3d", 2, Set(0), OGeom, a =>
+    force3dK(aD(a(1)))(aG(a(0)))))
 
-  val minimumRotatedRectangle: UserDefinedFunction = udf(uG(g =>
-    if (g.isEmpty) fact.createPolygon()
-    else MinimumDiameter.getMinimumRectangle(g)))
+  val flipCoordinates: UserDefinedFunction = fG1("st_flip_coordinates")(g =>
+    GeomUtil.mapCoords(g, (x, y, z) => (y, x, z)))
+
+  val minimumRotatedRectangle: UserDefinedFunction =
+    fG1("st_minimum_rotated_rectangle")(g =>
+      if (g.isEmpty) fact.createPolygon()
+      else MinimumDiameter.getMinimumRectangle(g))
+
+  private def snapK(tol: Double)(ga: Geometry, gb: Geometry): Geometry =
+    new GeometrySnapper(ga).snapTo(gb, tol)
 
   val snap: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], tol: Double) =>
-    bG((ga, gb) => new GeometrySnapper(ga).snapTo(gb, tol))(a, b))
+    bG(snapK(tol))(a, b)).withName("st_snap")
+
+  GeoKernels.add(K("st_snap", 3, Set(0, 1), OGeom, a =>
+    snapK(aD(a(2)))(aG(a(0)), aG(a(1)))))
 
   /** LineString between nearest points; null if either side empty
     * (functions.rs:1765-1777). */
-  val shortestLine: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
-    bG((ga, gb) =>
-      if (ga.isEmpty || gb.isEmpty) null
-      else fact.createLineString(DistanceOp.nearestPoints(ga, gb)))(a, b))
+  val shortestLine: UserDefinedFunction = fG2("st_shortest_line")((ga, gb) =>
+    if (ga.isEmpty || gb.isEmpty) null
+    else fact.createLineString(DistanceOp.nearestPoints(ga, gb)))
 
   /** Shared linework split into same-direction and opposite-direction parts:
     * GEOMETRYCOLLECTION(MULTILINESTRING forward, MULTILINESTRING backward)
     * (GEOS SharedPaths; JTS has no SharedPathsOp so directions are derived
     * by locating each shared segment on both inputs). Raises on non-lineal
     * input like the reference. */
-  val sharedPaths: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
-    bG(SharedPathsImpl.sharedPaths)(a, b))
+  val sharedPaths: UserDefinedFunction = fG2("st_shared_paths")(SharedPathsImpl.sharedPaths)
 
   /** Typed geometry cast (reference cast table functions.rs:61-177,
     * matrix documented at geoexpr.py:446-468). Curved targets unsupported
@@ -746,40 +899,50 @@ object GeoUDFs {
     uG(g => CastImpl.cast(g, into))(b))
 
   /** Promote to the corresponding Multi* type (functions.rs:779-792). */
-  val multi: UserDefinedFunction = udf(uG {
+  val multi: UserDefinedFunction = fG1("st_multi") {
     case p: Point => fact.createMultiPoint(Array(p))
     case l: LineString => fact.createMultiLineString(Array(l))
     case p: Polygon => fact.createMultiPolygon(Array(p))
     case g => g.copy()
-  })
+  }
 
   // ------------------------------------ affine transforms / linear ref
   // Reference functions.rs:1494-1755.
 
   /** shapely-style matrix: 6 values [a,b,d,e,xoff,yoff] for 2D or 12 values
     * [a,b,c,d,e,f,g,h,i,xoff,yoff,zoff] for 3D. */
+  private def affineK(mat: Seq[Double])(g: Geometry): Geometry =
+    mat.length match {
+      case 6 =>
+        val Seq(a1, b1, d1, e1, xo, yo) = mat
+        GeomUtil.mapCoords(g, (x, y, z) => (a1 * x + b1 * y + xo, d1 * x + e1 * y + yo, z))
+      case 12 =>
+        val Seq(a1, b1, c1, d1, e1, f1, g1, h1, i1, xo, yo, zo) = mat
+        GeomUtil.mapCoords(g, (x, y, z0) => {
+          val z = if (z0.isNaN) 0.0 else z0
+          (a1 * x + b1 * y + c1 * z + xo,
+           d1 * x + e1 * y + f1 * z + yo,
+           g1 * x + h1 * y + i1 * z + zo)
+        }, forceDim = 3)
+      case n => throw new IllegalArgumentException(
+        s"affine_transform matrix must have 6 or 12 values, got $n")
+    }
+
   val affineTransform: UserDefinedFunction = udf((b: Array[Byte], mat: Seq[Double]) =>
     if (b == null || mat == null) null
-    else uG { g =>
-      mat.length match {
-        case 6 =>
-          val Seq(a1, b1, d1, e1, xo, yo) = mat
-          GeomUtil.mapCoords(g, (x, y, z) => (a1 * x + b1 * y + xo, d1 * x + e1 * y + yo, z))
-        case 12 =>
-          val Seq(a1, b1, c1, d1, e1, f1, g1, h1, i1, xo, yo, zo) = mat
-          GeomUtil.mapCoords(g, (x, y, z0) => {
-            val z = if (z0.isNaN) 0.0 else z0
-            (a1 * x + b1 * y + c1 * z + xo,
-             d1 * x + e1 * y + f1 * z + yo,
-             g1 * x + h1 * y + i1 * z + zo)
-          }, forceDim = 3)
-        case n => throw new IllegalArgumentException(
-          s"affine_transform matrix must have 6 or 12 values, got $n")
-      }
-    }(b))
+    else uG(affineK(mat))(b)).withName("st_affine_transform")
+
+  GeoKernels.add(K("st_affine_transform", 2, Set(0), OGeom, a =>
+    affineK(GeoKernels.aDs(a(1)))(aG(a(0)))))
+
+  private def translateK(dx: Double, dy: Double, dz: Double)(g: Geometry): Geometry =
+    GeomUtil.mapCoords(g, (x, y, z) => (x + dx, y + dy, z + dz))
 
   val translate: UserDefinedFunction = udf((b: Array[Byte], dx: Double, dy: Double, dz: Double) =>
-    uG(g => GeomUtil.mapCoords(g, (x, y, z) => (x + dx, y + dy, z + dz)))(b))
+    uG(translateK(dx, dy, dz))(b)).withName("st_translate")
+
+  GeoKernels.add(K("st_translate", 4, Set(0), OGeom, a =>
+    translateK(aD(a(1)), aD(a(2)), aD(a(3)))(aG(a(0)))))
 
   private def originOf(g: Geometry, origin: String): (Double, Double) =
     origin.toLowerCase match {
@@ -796,30 +959,45 @@ object GeoUDFs {
     }
 
   /** Rotate by degrees about origin ("center" | "centroid" | "x y"). */
+  private def rotateK(angleDeg: Double, origin: String)(g: Geometry): Geometry = {
+    val (ox, oy) = originOf(g, origin)
+    val rad = math.toRadians(angleDeg)
+    val (c, s) = (math.cos(rad), math.sin(rad))
+    GeomUtil.mapCoords(g, (x, y, z) =>
+      (ox + (x - ox) * c - (y - oy) * s, oy + (x - ox) * s + (y - oy) * c, z))
+  }
+
   val rotate: UserDefinedFunction = udf((b: Array[Byte], angleDeg: Double, origin: String) =>
-    uG { g =>
-      val (ox, oy) = originOf(g, origin)
-      val rad = math.toRadians(angleDeg)
-      val (c, s) = (math.cos(rad), math.sin(rad))
-      GeomUtil.mapCoords(g, (x, y, z) =>
-        (ox + (x - ox) * c - (y - oy) * s, oy + (x - ox) * s + (y - oy) * c, z))
-    }(b))
+    uG(rotateK(angleDeg, origin))(b)).withName("st_rotate")
+
+  GeoKernels.add(K("st_rotate", 3, Set(0), OGeom, a =>
+    rotateK(aD(a(1)), aS(a(2)))(aG(a(0)))))
+
+  private def scaleK(sx: Double, sy: Double, sz: Double, origin: String)(g: Geometry): Geometry = {
+    val (ox, oy) = originOf(g, origin)
+    GeomUtil.mapCoords(g, (x, y, z) => (ox + (x - ox) * sx, oy + (y - oy) * sy, z * sz))
+  }
 
   val scale: UserDefinedFunction = udf((b: Array[Byte], sx: Double, sy: Double, sz: Double,
       origin: String) =>
-    uG { g =>
-      val (ox, oy) = originOf(g, origin)
-      GeomUtil.mapCoords(g, (x, y, z) => (ox + (x - ox) * sx, oy + (y - oy) * sy, z * sz))
-    }(b))
+    uG(scaleK(sx, sy, sz, origin))(b)).withName("st_scale")
+
+  GeoKernels.add(K("st_scale", 5, Set(0), OGeom, a =>
+    scaleK(aD(a(1)), aD(a(2)), aD(a(3)), aS(a(4)))(aG(a(0)))))
+
+  private def skewK(xDeg: Double, yDeg: Double, origin: String)(g: Geometry): Geometry = {
+    val (ox, oy) = originOf(g, origin)
+    val (tx, ty) = (math.tan(math.toRadians(xDeg)), math.tan(math.toRadians(yDeg)))
+    GeomUtil.mapCoords(g, (x, y, z) =>
+      (x + (y - oy) * tx, y + (x - ox) * ty, z))
+  }
 
   val skew: UserDefinedFunction = udf((b: Array[Byte], xDeg: Double, yDeg: Double,
       origin: String) =>
-    uG { g =>
-      val (ox, oy) = originOf(g, origin)
-      val (tx, ty) = (math.tan(math.toRadians(xDeg)), math.tan(math.toRadians(yDeg)))
-      GeomUtil.mapCoords(g, (x, y, z) =>
-        (x + (y - oy) * tx, y + (x - ox) * ty, z))
-    }(b))
+    uG(skewK(xDeg, yDeg, origin))(b)).withName("st_skew")
+
+  GeoKernels.add(K("st_skew", 4, Set(0), OGeom, a =>
+    skewK(aD(a(1)), aD(a(2)), aS(a(3)))(aG(a(0)))))
 
   /** 3-axis skew mirroring the reference's shear matrix verbatim
     * (functions.rs:242-255: rows (1,tx,ty),(tz,1,tx),(ty,tz,1) about the
@@ -842,48 +1020,63 @@ object GeoUDFs {
     }(b))
 
   /** Point along a lineal geometry; raises on non-lineal input. */
+  private def interpolateK(dist: Double, normalized: Boolean)(g0: Geometry): Geometry = g0 match {
+    case l: LineString if l.isEmpty => fact.createPoint()
+    case l @ (_: LineString | _: MultiLineString) =>
+      val lil = new LengthIndexedLine(l)
+      val d = if (normalized) dist * l.getLength else dist
+      fact.createPoint(lil.extractPoint(d))
+    case g => throw new IllegalArgumentException(
+      s"interpolate requires a lineal geometry, got ${g.getGeometryType}")
+  }
+
   val interpolate: UserDefinedFunction = udf((b: Array[Byte], dist: Double, normalized: Boolean) =>
-    uG {
-      case l: LineString if l.isEmpty => fact.createPoint()
-      case l @ (_: LineString | _: MultiLineString) =>
-        val lil = new LengthIndexedLine(l)
-        val d = if (normalized) dist * l.getLength else dist
-        fact.createPoint(lil.extractPoint(d))
-      case g => throw new IllegalArgumentException(
-        s"interpolate requires a lineal geometry, got ${g.getGeometryType}")
-    }(b))
+    uG(interpolateK(dist, normalized))(b)).withName("st_interpolate")
+
+  GeoKernels.add(K("st_interpolate", 3, Set(0), OGeom, a =>
+    interpolateK(aD(a(1)), aB(a(2)))(aG(a(0)))))
 
   /** Distance along `a` of the nearest location to `b` (a point); raises on
     * non-lineal `a` (functions.rs:1719-1743 incl. empty guards). */
-  val project: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], normalized: Boolean) =>
-    if (a == null || b == null) None
-    else (EWKB.read(a), EWKB.read(b)) match {
+  private def projectK(normalized: Boolean)(ga: Geometry, gb: Geometry): Double =
+    (ga, gb) match {
       case (l @ (_: LineString | _: MultiLineString), p: Point) =>
-        if (l.isEmpty || p.isEmpty) Some(Double.NaN)
+        if (l.isEmpty || p.isEmpty) Double.NaN
         else {
           val lil = new LengthIndexedLine(l)
           val d = lil.indexOf(p.getCoordinate)
-          Some(if (normalized) d / l.getLength else d)
+          if (normalized) d / l.getLength else d
         }
       case (g, other) => throw new IllegalArgumentException(
         s"project requires lineal geometry and Point, got ${g.getGeometryType}/${other.getGeometryType}")
-    })
+    }
+
+  val project: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], normalized: Boolean) =>
+    if (a == null || b == null) None
+    else Some(projectK(normalized)(EWKB.read(a), EWKB.read(b)))).withName("st_project")
+
+  GeoKernels.add(K("st_project", 3, Set(0, 1), ODouble, a =>
+    projectK(aB(a(2)))(aG(a(0)), aG(a(1)))))
 
   /** Merge lines at 2-degree nodes. `directed=true` only joins lines whose
     * directions agree (GEOS line_merge_directed). */
+  private def lineMergeK(directed: Boolean)(g: Geometry): Geometry =
+    if (g.isEmpty) fact.createGeometryCollection()
+    else if (directed) SharedPathsImpl.directedLineMerge(g)
+    else {
+      val m = new LineMerger()
+      m.add(g)
+      val merged = m.getMergedLineStrings.asScala.toSeq.map(_.asInstanceOf[LineString])
+      if (merged.isEmpty) fact.createGeometryCollection()
+      else if (merged.size == 1) merged.head
+      else fact.createMultiLineString(merged.toArray)
+    }
+
   val lineMerge: UserDefinedFunction = udf((b: Array[Byte], directed: Boolean) =>
-    uG { g =>
-      if (g.isEmpty) fact.createGeometryCollection()
-      else if (directed) SharedPathsImpl.directedLineMerge(g)
-      else {
-        val m = new LineMerger()
-        m.add(g)
-        val merged = m.getMergedLineStrings.asScala.toSeq.map(_.asInstanceOf[LineString])
-        if (merged.isEmpty) fact.createGeometryCollection()
-        else if (merged.size == 1) merged.head
-        else fact.createMultiLineString(merged.toArray)
-      }
-    }(b))
+    uG(lineMergeK(directed))(b)).withName("st_line_merge")
+
+  GeoKernels.add(K("st_line_merge", 2, Set(0), OGeom, a =>
+    lineMergeK(aB(a(1)))(aG(a(0)))))
 
   // ----------------------------------------------------------- CRS ops
   // Reference functions.rs:433-443, 1868-1939.
@@ -921,11 +1114,20 @@ object GeoUDFs {
   // ------------------------------------------------------- serialization
   // Reference functions.rs:703-769.
 
-  val asWkt: UserDefinedFunction = udf(uS(GeoCodec.toWkt(_)))
-  val asEwkt: UserDefinedFunction = udf(uS(GeoCodec.toEwkt(_)))
+  // Serializer terminals are fusion kernels too: a chain ending in to_wkt
+  // would otherwise pay one extra serialize+parse at the chain boundary.
+  // Both WKT and GeoJSON writers key Z output on non-NaN ordinates (same
+  // canonicalization EWKB.write applies), so fused and unfused chains
+  // print identically.
+  val asWkt: UserDefinedFunction = fS1("st_aswkt")(GeoCodec.toWkt(_))
+  val asEwkt: UserDefinedFunction = fS1("st_asewkt")(GeoCodec.toEwkt(_))
 
   val asWktPrecision: UserDefinedFunction = udf((b: Array[Byte], precision: Int) =>
     if (b == null) null else GeoCodec.toWkt(EWKB.read(b), precision))
+    .withName("st_aswkt_precision")
+
+  GeoKernels.add(K("st_aswkt_precision", 2, Set(0), OString, a =>
+    GeoCodec.toWkt(aG(a(0)), aI(a(1)))))
 
   /** Full to_wkt kwargs (rounding_precision, trim, output_dimension, old_3d),
     * reference `geoexpr.py:349-355`. */
@@ -954,7 +1156,7 @@ object GeoUDFs {
       w.write(EWKB.read(b))
     })
 
-  val asGeoJson: UserDefinedFunction = udf(uS(GeoJson.write))
+  val asGeoJson: UserDefinedFunction = fS1("st_asgeojson")(GeoJson.write)
 
   // ----------------------------------------------------------- registry
 

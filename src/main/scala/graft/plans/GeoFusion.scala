@@ -1,0 +1,338 @@
+package graft.plans
+
+import graft.functions.GeoKernels
+import graft.serde.EWKB
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.Geometry
+
+/** Geometry-chain fusion (the first perf lever named in BASELINE.md).
+  *
+  * Both the reference and the UDF tier pay a parse→compute→serialize round
+  * trip PER OP (`/root/reference/README.md:44` accepts this cost). For a
+  * chain like `st_area(st_intersection(a, st_buffer(b, d)))` that is three
+  * parses and two serializes more than necessary. [[GeoFusionRule]] rewrites
+  * such chains in Project lists into one [[STGeoFused]] expression holding a
+  * small geometry program: each distinct input is parsed once, interior
+  * results stay JTS [[Geometry]] objects, and only a geometry-typed root is
+  * serialized back to EWKB.
+  *
+  * Semantics are identical to the unfused chain by construction: the
+  * program nodes invoke the SAME kernel function values the ScalaUDFs lift
+  * (see [[GeoKernels]]), null short-circuits exactly like the `uG`/`bG`
+  * lifts (any null argument → null result), and geometry-returning calls
+  * inherit the first geometry argument's SRID the way `keepSrid` does. The
+  * EWKB round trip this skips is lossless (doubles are bit-preserved; the
+  * writer's Z/M canonicalization keys on NaN ordinates, which the kernels
+  * propagate identically).
+  *
+  * Scope guard: the rule rewrites Project lists ONLY. Filter conditions and
+  * join conditions keep their ScalaUDF / native-expression shape so
+  * [[BboxFilterRule]] and [[SpatialJoinStrategy]] still recognize spatial
+  * predicates. Disable per session with `spark.graft.fuse=false`.
+  */
+sealed trait GProg extends Serializable
+object GProg {
+  /** Child `idx` is BinaryType EWKB: parse once per row. */
+  final case class Load(idx: Int) extends GProg
+  /** Child `idx` is a scalar: pass through (UTF8String → String). */
+  final case class Scalar(idx: Int) extends GProg
+  /** Apply kernel `name` from [[GeoKernels.table]]. */
+  final case class Call(name: String, args: Seq[GProg]) extends GProg
+  /** Null-guard wrapper: Spark wraps primitive-arg UDF calls over nullable
+    * inputs as `if (isnull(a) OR ...) null else udf(knownnotnull(a), ...)`.
+    * Child `predIdx` is the boolean guard; when it evaluates to
+    * `thenNull == true`'s branch the result is null, otherwise `inner`
+    * runs. Mirrors `If` semantics (null predicate → else branch). */
+  final case class Guard(predIdx: Int, thenNull: Boolean, inner: GProg) extends GProg
+}
+
+/** One fused geometry chain. `children` are the chain's external inputs
+  * (geometry columns, scalar args); `program` references them by index.
+  * `dataType` is the root kernel's output type (matches the expression the
+  * chain replaced). */
+case class STGeoFused(program: GProg, dataType: DataType, children: Seq[Expression])
+    extends Expression {
+
+  override def nullable: Boolean = true
+  override def foldable: Boolean = false
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): STGeoFused = copy(children = newChildren)
+
+  /** Count of kernel calls (plan-readability: shows in explain output). */
+  private lazy val nKernels: Int = {
+    def count(p: GProg): Int = p match {
+      case GProg.Call(_, as) => 1 + as.map(count).sum
+      case GProg.Guard(_, _, inner) => count(inner)
+      case _ => 0
+    }
+    count(program)
+  }
+
+  override def toString: String = s"st_geo_fused($nKernels ops, ${children.mkString(", ")})"
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.length
+    val args = new Array[Any](n)
+    var i = 0
+    while (i < n) { args(i) = children(i).eval(input); i += 1 }
+    run(args)
+  }
+
+  /** Program compiled to a closure tree once per (deserialized) instance:
+    * kernels resolved from [[GeoKernels.table]] at compile time, not per
+    * row. Expression instances are task-confined (each task deserializes
+    * its own taskBinary), so the lazy init races at most with the driver's
+    * constant-folding eval — both produce the same value. */
+  @transient private lazy val runner: Array[Any] => Any =
+    GeoFusion.compile(program, children.length)
+
+  /** Evaluate the program over already-evaluated child values (Catalyst
+    * representations). Also the entry point for generated code. */
+  def run(args: Array[Any]): Any =
+    runner(args) match {
+      case null => null
+      case g: Geometry => EWKB.write(g)
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geoFused", this, classOf[STGeoFused].getName)
+    val argsTerm = ctx.freshName("fusedArgs")
+    val resTerm = ctx.freshName("fusedRes")
+    val childCodes = children.map(_.genCode(ctx))
+    val setArgs = childCodes.zipWithIndex.map { case (c, i) =>
+      // Janino has no autoboxing: primitives must box via Type.valueOf
+      val boxed =
+        if (CodeGenerator.isPrimitiveType(children(i).dataType))
+          s"${CodeGenerator.boxedType(children(i).dataType)}.valueOf(${c.value})"
+        else s"(Object) ${c.value}"
+      s"""${c.code}
+         |if (${c.isNull}) { $argsTerm[$i] = null; } else { $argsTerm[$i] = $boxed; }""".stripMargin
+    }.mkString("\n")
+    val javaT = CodeGenerator.javaType(dataType)
+    val boxedT = CodeGenerator.boxedType(dataType)
+    // explicit unboxing: Janino does not auto-unbox in assignments/ternaries
+    val extract = dataType match {
+      case DoubleType => s"(($boxedT) $resTerm).doubleValue()"
+      case BooleanType => s"(($boxedT) $resTerm).booleanValue()"
+      case IntegerType => s"(($boxedT) $resTerm).intValue()"
+      case _ => s"(($javaT) $resTerm)" // byte[], UTF8String
+    }
+    ev.copy(code = code"""
+      Object[] $argsTerm = new Object[${children.length}];
+      $setArgs
+      Object $resTerm = $ref.run($argsTerm);
+      boolean ${ev.isNull} = $resTerm == null;
+      $javaT ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${ev.isNull}) {
+        ${ev.value} = $extract;
+      }""")
+  }
+}
+
+object GeoFusion {
+
+  /** Node evaluator: (child values, per-row parse memo) → value. */
+  private type Ev = (Array[Any], Array[Geometry]) => Any
+
+  /** Compile a program to a closure tree. Kernel lookups, arg positions,
+    * and srid-inheritance decisions happen here, once; the per-row path is
+    * closure calls plus the kernel work itself. */
+  private[plans] def compile(prog: GProg, nChildren: Int): Array[Any] => Any = {
+    def comp(p: GProg): Ev = p match {
+      case GProg.Load(i) =>
+        (args, parsed) => {
+          val v = args(i)
+          if (v == null) null
+          else {
+            var g = parsed(i)
+            if (g == null) { g = EWKB.read(v.asInstanceOf[Array[Byte]]); parsed(i) = g }
+            g
+          }
+        }
+      case GProg.Scalar(i) =>
+        (args, _) => args(i) match {
+          case u: UTF8String => u.toString
+          case v => v
+        }
+      case GProg.Guard(pi, thenNull, inner) =>
+        val ic = comp(inner)
+        // If(pred, null, inner) / If(pred, inner, null): null predicate
+        // takes the else branch, like Catalyst If
+        (args, parsed) => {
+          val isTrue = args(pi) == java.lang.Boolean.TRUE
+          if (isTrue == thenNull) null else ic(args, parsed)
+        }
+      case GProg.Call(name, cargs) =>
+        val k = GeoKernels.table(name)
+        val acs = cargs.map(comp).toArray
+        val n = acs.length
+        val inheritSrid = k.out == GeoKernels.OGeom && k.firstGeomArg >= 0
+        val fga = k.firstGeomArg
+        val fn = k.fn
+        (args, parsed) => {
+          val vals = new Array[Any](n)
+          var j = 0
+          var isNull = false
+          while (j < n && !isNull) {
+            val v = acs(j)(args, parsed)
+            if (v == null) isNull = true else vals(j) = v
+            j += 1
+          }
+          if (isNull) null
+          else {
+            val r = fn(vals)
+            if (r == null) null
+            else if (inheritSrid) {
+              // keepSrid semantics of the uG/bG lifts
+              val in = vals(fga).asInstanceOf[Geometry]
+              val g = r.asInstanceOf[Geometry]
+              if (g.getSRID == 0 && in.getSRID != 0) g.setSRID(in.getSRID)
+              g
+            } else r
+          }
+        }
+    }
+    val root = comp(prog)
+    // per-row parse memo: a child referenced by several Load nodes (after
+    // semantic dedup) is parsed once
+    args => root(args, new Array[Geometry](nChildren))
+  }
+}
+
+/** Optimizer rule: fuse chains of registered geometry ops inside Project
+  * lists, Aggregate expression lists, and non-spatial Filter conjuncts.
+  * Fires only when a rewrite removes at least one interior EWKB round trip
+  * (≥ 2 kernels, or a splice into an already-fused child).
+  *
+  * Filter guard: conjuncts whose ROOT is a spatial predicate are left
+  * completely untouched (root and argument chains) — [[BboxFilterRule]]
+  * derives covering-column conjuncts from exactly that shape, and a
+  * filter that later becomes a join condition must stay recognizable to
+  * [[SpatialJoinStrategy]]. Join conditions themselves are never visited. */
+object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val MinKernels = 2
+
+  /** Predicates whose conjunct shape other rules pattern-match. */
+  private val SpatialPredNames = Set(
+    "st_intersects", "st_contains", "st_within", "st_covers", "st_covered_by",
+    "st_overlaps", "st_crosses", "st_touches", "st_equals",
+    "st_contains_properly", "st_dwithin")
+
+  private def isSpatialPredRoot(e: Expression): Boolean = e match {
+    case u: ScalaUDF => u.udfName.exists(SpatialPredNames.contains)
+    case _: STIntersectsNative | _: STContainsNative | _: STWithinNative |
+         _: STDWithinNative => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.fuse", "true").toBoolean) plan
+    else plan transform {
+      case p: Project =>
+        val fused = p.projectList.map(fuseNamed)
+        if (fused.zip(p.projectList).forall { case (a, b) => a eq b }) p
+        else p.copy(projectList = fused)
+      case a: Aggregate =>
+        val groups = a.groupingExpressions.map(fuseExpr)
+        val aggs = a.aggregateExpressions.map(fuseNamed)
+        if (groups.zip(a.groupingExpressions).forall { case (x, y) => x eq y } &&
+            aggs.zip(a.aggregateExpressions).forall { case (x, y) => x eq y }) a
+        else a.copy(groupingExpressions = groups, aggregateExpressions = aggs)
+      case f: Filter =>
+        val conjuncts = splitConjunctivePredicates(f.condition)
+        val fused = conjuncts.map(c => if (isSpatialPredRoot(c)) c else fuseExpr(c))
+        if (fused.zip(conjuncts).forall { case (x, y) => x eq y }) f
+        else f.copy(condition = fused.reduce(And))
+    }
+
+  private def fuseNamed(ne: NamedExpression): NamedExpression =
+    fuseExpr(ne).asInstanceOf[NamedExpression]
+
+  private def fuseExpr(e0: Expression): Expression =
+    e0.transformDown {
+      case e if !e.isInstanceOf[STGeoFused] => tryFuse(e).getOrElse(e)
+    }
+
+  /** Attempt to fuse the tree rooted at `e`. Returns Some only when the
+    * rewrite spans enough kernels to pay. */
+  private def tryFuse(e: Expression): Option[STGeoFused] = {
+    val childBuf = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    var kernels = 0
+    var spliced = false
+
+    def addChild(c: Expression): Int = {
+      val i = if (c.deterministic) childBuf.indexWhere(_.semanticEquals(c)) else -1
+      if (i >= 0) i
+      else { childBuf += c; childBuf.length - 1 }
+    }
+
+    def geomArg(c: Expression): GProg = build(c).getOrElse {
+      c match {
+        case f: STGeoFused if f.dataType == BinaryType =>
+          // splice an already-fused geometry subtree (appears after
+          // CollapseProject merges a fused lower Project into this one)
+          spliced = true
+          val mapping = f.children.map(addChild)
+          def remap(p: GProg): GProg = p match {
+            case GProg.Load(i) => GProg.Load(mapping(i))
+            case GProg.Scalar(i) => GProg.Scalar(mapping(i))
+            case GProg.Call(n, as) => GProg.Call(n, as.map(remap))
+            case GProg.Guard(i, t, in) => GProg.Guard(mapping(i), t, remap(in))
+          }
+          remap(f.program)
+        case _ => GProg.Load(addChild(c))
+      }
+    }
+
+    def call(name: String, k: GeoKernels.K, args: Seq[Expression]): GProg = {
+      kernels += 1
+      GProg.Call(name, args.zipWithIndex.map { case (c, i) =>
+        if (k.geomArgs.contains(i)) geomArg(c) else GProg.Scalar(addChild(c))
+      })
+    }
+
+    def build(x: Expression): Option[GProg] = x match {
+      case u: ScalaUDF if u.udfDeterministic =>
+        u.udfName.flatMap(GeoKernels.table.get) match {
+          case Some(k) if u.children.length == k.arity && u.dataType == k.dataType =>
+            Some(call(k.name, k, u.children))
+          case _ => None
+        }
+      // Spark's null-guard around primitive-arg UDF calls on nullable
+      // inputs: `if (isnull(a) OR ...) null else udf(knownnotnull(a), ...)`
+      // — fuse through it so guarded constructors join the chain
+      case If(pred, Literal(v, _), inner) if v == null =>
+        build(inner).map(ip => GProg.Guard(addChild(pred), true, ip))
+      case If(pred, inner, Literal(v, _)) if v == null =>
+        build(inner).map(ip => GProg.Guard(addChild(pred), false, ip))
+      case STAreaNative(c) => Some(call("st_area", GeoKernels.table("st_area"), Seq(c)))
+      case STLengthNative(c) => Some(call("st_length", GeoKernels.table("st_length"), Seq(c)))
+      case STIntersectsNative(l, r) =>
+        Some(call("st_intersects", GeoKernels.table("st_intersects"), Seq(l, r)))
+      case STContainsNative(l, r) =>
+        Some(call("st_contains", GeoKernels.table("st_contains"), Seq(l, r)))
+      case STWithinNative(l, r) =>
+        Some(call("st_within", GeoKernels.table("st_within"), Seq(l, r)))
+      case STDWithinNative(a, b, d) =>
+        Some(call("st_dwithin", GeoKernels.table("st_dwithin"), Seq(a, b, d)))
+      case _ => None
+    }
+
+    build(e) match {
+      case Some(prog) if kernels >= MinKernels || (spliced && kernels >= 1) =>
+        Some(STGeoFused(prog, e.dataType, childBuf.toSeq))
+      case _ => None
+    }
+  }
+}

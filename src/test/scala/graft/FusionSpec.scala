@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** GeoFusionRule / STGeoFused: chained geometry ops in Project lists fuse
+  * into one expression (parse inputs once, no interior EWKB round trips)
+  * with results byte-identical to the unfused ScalaUDF chain. */
+class FusionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Evaluate `df` with fusion on and off; assert identical rows (order
+    * preserved — inputs are small single-partition frames). */
+  private def assertTiersAgree(build: => DataFrame): Unit = {
+    spark.conf.set("spark.graft.fuse", "true")
+    val fusedPlan = build.queryExecution.optimizedPlan.toString
+    assert(fusedPlan.contains("st_geo_fused"), s"fusion did not fire:\n$fusedPlan")
+    val fused = build.collect()
+    spark.conf.set("spark.graft.fuse", "false")
+    try {
+      val unfusedPlan = build.queryExecution.optimizedPlan.toString
+      assert(!unfusedPlan.contains("st_geo_fused"), "conf off but rule fired")
+      val unfused = build.collect()
+      assert(fused.length == unfused.length)
+      fused.zip(unfused).foreach { case (a, b) =>
+        assert(a.length == b.length)
+        (0 until a.length).foreach { i =>
+          (a.get(i), b.get(i)) match {
+            case (x: Array[Byte], y: Array[Byte]) =>
+              assert(java.util.Arrays.equals(x, y), s"byte mismatch at col $i")
+            case (x: Double, y: Double) =>
+              assert(java.lang.Double.compare(x, y) == 0, s"double mismatch at col $i: $x vs $y")
+            case (x, y) => assert(x == y, s"mismatch at col $i: $x vs $y")
+          }
+        }
+      }
+    } finally spark.conf.set("spark.graft.fuse", "true")
+  }
+
+  // spark.range keeps a Range leaf under the Project (a local Seq would be
+  // folded whole by ConvertToLocalRelation before the rule can be observed)
+  private def rects: DataFrame = {
+    val k = col("id") + 1
+    spark.range(64).select(k.as("k"),
+      st_rectangle(k * 2.0, lit(0.0), k * 2.0 + 3.0, lit(3.0)).as("g"),
+      st_rectangle(k * 2.0 + 1.0, lit(1.0), k * 2.0 + 5.0, lit(4.0)).as("h"))
+  }
+
+  test("scalar chain x(centroid(g)) fuses and matches the UDF tier") {
+    assertTiersAgree(rects.select(st_x(st_centroid(col("g"))).as("cx")))
+  }
+
+  test("measure-over-overlay chain (native root) fuses and matches") {
+    assertTiersAgree(rects.select(
+      st_area(st_intersection(col("g"), col("h"))).as("ia"),
+      st_area(st_buffer(col("g"), lit(0.5))).as("ba"),
+      st_length(st_boundary(col("g"))).as("lb")))
+  }
+
+  test("geometry-rooted chain serializes identically") {
+    assertTiersAgree(rects.select(
+      st_translate(st_union(col("g"), col("h")), lit(1.5), lit(-2.0)).as("t"),
+      st_simplify(st_buffer(st_centroid(col("g")), lit(2.0)), lit(0.5)).as("s")))
+  }
+
+  test("constructor leaves fuse into the chain") {
+    val k = col("id") + 1
+    def df = spark.range(32).select(
+      st_area(st_intersection(
+        st_rectangle(k * 1.0, lit(0.0), k + 4.0, lit(4.0)),
+        st_buffer(st_point(k + 2.0, lit(2.0)), lit(1.25)))).as("a"))
+    assertTiersAgree(df)
+  }
+
+  test("boolean and string roots fuse (predicates, relate)") {
+    assertTiersAgree(rects.select(
+      st_intersects(st_buffer(col("g"), lit(0.25)), col("h")).as("i"),
+      st_dwithin(st_centroid(col("g")), st_centroid(col("h")), lit(5.0)).as("d"),
+      st_relate(st_envelope(col("g")), col("h")).as("r")))
+  }
+
+  test("duplicate input parsed once via semantic dedup, result unchanged") {
+    assertTiersAgree(rects.select(
+      st_area(st_union(col("g"), col("g"))).as("self"),
+      st_distance(st_centroid(col("g")), st_centroid(col("g"))).as("z")))
+  }
+
+  test("null inputs propagate to null through the fused chain") {
+    def df = rects.select(when(col("k") % 2 === 0, col("g")).as("g"), col("h"))
+      .select(st_area(st_intersection(col("g"), col("h"))).as("a"),
+        st_x(st_centroid(col("g"))).as("cx"))
+    assertTiersAgree(df)
+    spark.conf.set("spark.graft.fuse", "true")
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 32)
+    assert(rows.count(_.isNullAt(1)) == 32)
+  }
+
+  test("srid inherited through fused chain (header check on output bytes)") {
+    import spark.implicits._
+    val df = Seq("SRID=4326;POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))").toDF("w")
+      .repartition(1)
+      .select(graft.functions.st_srid(
+        st_centroid(st_buffer(st_geomfromewkt(col("w")), lit(1.0)))).as("srid"))
+    spark.conf.set("spark.graft.fuse", "true")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("st_geo_fused"))
+    assert(df.collect().head.getInt(0) == 4326)
+  }
+
+  test("SQL-name chains fuse too") {
+    rects.createOrReplaceTempView("fusion_rects")
+    def df = spark.sql(
+      "SELECT st_area(st_symmetric_difference(g, h)) AS sd FROM fusion_rects")
+    assertTiersAgree(df)
+  }
+
+  test("single ops do not fuse; filter and join conditions stay unfused") {
+    spark.conf.set("spark.graft.fuse", "true")
+    // one kernel over a plain binary column: no gain, no rewrite (the
+    // repartition barrier keeps CollapseProject from inlining the fusable
+    // st_rectangle constructor and making this a legitimate 2-op chain)
+    val single = rects.repartition(2).select(st_area(col("g")).as("a"))
+    assert(!single.queryExecution.optimizedPlan.toString.contains("st_geo_fused"))
+    // filter condition keeps its predicate shape (BboxFilterRule contract)
+    val filt = rects.filter(st_intersects(col("g"),
+      st_geomfromtext(lit("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))"))))
+    val fplan = filt.queryExecution.optimizedPlan.toString
+    assert(!fplan.contains("st_geo_fused"), s"filter condition was fused:\n$fplan")
+    // join condition keeps its shape so SpatialJoinStrategy plans it
+    val pts = rects.select(col("k").as("p"), st_centroid(col("g")).as("pg"))
+    val joined = rects.join(pts, st_contains(col("g"), col("pg")))
+    val jplan = joined.queryExecution.executedPlan.toString
+    assert(jplan.contains("SpatialJoin "), s"strategy lost to fusion:\n$jplan")
+  }
+
+  test("guarded constructors over nullable inputs fuse through the null-guard") {
+    // nullable inputs make the analyzer wrap primitive-arg UDFs as
+    // `if (isnull(...)) null else st_rectangle(knownnotnull(...))`; the
+    // GProg.Guard node fuses straight through that wrapper
+    def df = {
+      val nk = when(col("id") % 7 =!= 3, col("id") + 1).cast("double")
+      spark.range(64).select(
+        st_area(st_intersection(
+          st_rectangle(nk, lit(0.0), nk + 4.0, lit(3.0)),
+          st_rectangle(nk + 2.0, lit(0.0), nk + 6.0, lit(3.0)))).as("ia"))
+    }
+    spark.conf.set("spark.graft.fuse", "true")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("st_geo_fused"))
+    assert(!plan.contains("st_rectangle"), s"constructor not fused through guard:\n$plan")
+    assertTiersAgree(df)
+    val nNull = df.collect().count(_.isNullAt(0))
+    assert(nNull == 9) // ids 3,10,...,59: id%7==3 → null chain output
+  }
+
+  test("non-spatial filter conjuncts fuse; spatial conjuncts keep their shape") {
+    spark.conf.set("spark.graft.fuse", "true")
+    def filt = rects.filter(
+      st_intersects(col("g"), st_geomfromtext(lit("POLYGON ((0 0, 200 0, 200 9, 0 9, 0 0))"))) &&
+      st_area(st_intersection(col("g"), col("h"))) > lit(1.0))
+    val plan = filt.queryExecution.optimizedPlan.toString
+    assert(plan.contains("st_geo_fused"), s"area chain in filter did not fuse:\n$plan")
+    // the Column API emits the native tier for st_intersects
+    assert(plan.contains("stintersectsnative"), s"spatial conjunct lost its shape:\n$plan")
+    spark.conf.set("spark.graft.fuse", "false")
+    val expected = try filt.count() finally spark.conf.set("spark.graft.fuse", "true")
+    assert(filt.count() == expected)
+  }
+
+  test("aggregate input chains fuse") {
+    spark.conf.set("spark.graft.fuse", "true")
+    def agg = rects.groupBy((col("k") % 4).as("grp"))
+      .agg(sum(st_area(st_intersection(col("g"), col("h")))).as("s"))
+    val plan = agg.queryExecution.optimizedPlan.toString
+    assert(plan.contains("st_geo_fused"), s"agg input chain did not fuse:\n$plan")
+    val fused = agg.orderBy(col("grp")).collect().map(_.getDouble(1))
+    spark.conf.set("spark.graft.fuse", "false")
+    val unfused = try agg.orderBy(col("grp")).collect().map(_.getDouble(1))
+      finally spark.conf.set("spark.graft.fuse", "true")
+    assert(fused.toSeq == unfused.toSeq)
+  }
+
+  test("fused expression compiles under CODEGEN_ONLY (no interpreter fallback)") {
+    spark.conf.set("spark.graft.fuse", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = rects.select(
+        st_area(st_intersection(col("g"), col("h"))).as("ia"),     // double root
+        st_translate(st_union(col("g"), col("h")), lit(1.0), lit(1.0)).as("t"), // binary root
+        st_intersects(st_buffer(col("g"), lit(0.1)), col("h")).as("i"), // boolean root
+        st_relate(st_envelope(col("g")), col("h")).as("r"),         // string root
+        st_count_geometries(st_multi(col("g"))).as("n"))            // int root
+      assert(df.queryExecution.optimizedPlan.toString.contains("st_geo_fused"))
+      assert(df.collect().length == 64)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
+  test("fixture WKT battery: long mixed chain agrees across tiers") {
+    import spark.implicits._
+    val wkts = Seq(
+      "POINT (1 2)", "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOINT ((0 0), (3 3))", "MULTILINESTRING ((0 0, 2 2), (3 3, 5 5))",
+      "MULTIPOLYGON (((0 0, 2 0, 0 2, 0 0)), ((3 3, 5 3, 3 5, 3 3)))",
+      "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))",
+      "POLYGON EMPTY", "POINT EMPTY")
+    def df = wkts.toDF("w").repartition(1).select(st_geomfromtext(col("w")).as("g"))
+    def chained = df.select(
+      st_area(st_convex_hull(st_buffer(col("g"), lit(0.75)))).as("a"),
+      st_aswkt(st_make_valid(st_envelope(col("g")))).as("w2"),
+      st_is_empty(st_boundary(col("g"))).as("be"),
+      st_count_geometries(st_multi(col("g"))).as("nm"))
+    assertTiersAgree(chained)
+  }
+
+  test("array-arg constructors and serializer terminals fuse") {
+    def df = rects.select(
+      st_length(st_linestring(array(
+        array(col("k") * 1.0, lit(0.0)),
+        array(col("k") * 1.0 + 3.0, lit(4.0))))).as("len"),
+      st_aswkt(st_centroid(col("g"))).as("wkt"),
+      st_asgeojson(st_envelope(col("h"))).as("gj"),
+      // st_aswkt_fmt stays unregistered: mixed fused/unfused composition
+      st_aswkt(st_point_on_surface(col("g")), lit(2), lit(false), lit(3),
+        lit(false)).as("fmt"))
+    assertTiersAgree(df)
+  }
+}
