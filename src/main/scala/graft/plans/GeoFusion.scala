@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -254,6 +254,10 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
         val fused = conjuncts.map(c => if (isSpatialPredRoot(c)) c else fuseExpr(c))
         if (fused.zip(conjuncts).forall { case (x, y) => x eq y }) f
         else f.copy(condition = fused.reduce(And))
+      case w: Window =>
+        val fused = w.windowExpressions.map(fuseNamed)
+        if (fused.zip(w.windowExpressions).forall { case (x, y) => x eq y }) w
+        else w.copy(windowExpressions = fused)
     }
 
   private def fuseNamed(ne: NamedExpression): NamedExpression =

@@ -218,6 +218,14 @@ class FusionSpec extends AnyFunSuite {
     assertTiersAgree(chained)
   }
 
+  test("window expression inputs fuse") {
+    val wspec = org.apache.spark.sql.expressions.Window.partitionBy(col("k") % 4)
+    def df = rects.select(col("k"),
+      sum(st_area(st_intersection(col("g"), col("h")))).over(wspec).as("s"))
+      .orderBy(col("k"))
+    assertTiersAgree(df)
+  }
+
   test("array-arg constructors and serializer terminals fuse") {
     def df = rects.select(
       st_length(st_linestring(array(
