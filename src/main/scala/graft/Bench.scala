@@ -147,9 +147,14 @@ object Bench {
     * zero over 100 TB, so the representative number is the warm run. */
   private def timeWarm(df: => DataFrame): Double = {
     force(df)
-    val t0 = System.nanoTime()
-    force(df)
-    (System.nanoTime() - t0) / 1e9
+    // min of two timed runs: single-sample times on a shared box jitter
+    // ±20% (GC, page cache); the minimum is the stable throughput signal
+    def timed(): Double = {
+      val t0 = System.nanoTime()
+      force(df)
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(timed(), timed())
   }
 
   def main(args: Array[String]): Unit = {

@@ -88,11 +88,18 @@ case class STGeoFused(program: GProg, dataType: DataType, children: Seq[Expressi
 
   /** Program compiled to a closure tree once per (deserialized) instance:
     * kernels resolved from [[GeoKernels.table]] at compile time, not per
-    * row. Expression instances are task-confined (each task deserializes
-    * its own taskBinary), so the lazy init races at most with the driver's
+    * row, and constant subtrees (literal geometry parses, constant
+    * construct/transform chains) evaluated once — a per-row
+    * `st_geomfromtext(lit)` WKT parse becomes a compile-time constant.
+    * Expression instances are task-confined (each task deserializes its
+    * own taskBinary), so the lazy init races at most with the driver's
     * constant-folding eval — both produce the same value. */
-  @transient private lazy val runner: Array[Any] => Any =
-    GeoFusion.compile(program, children.length)
+  @transient private lazy val runner: Array[Any] => Any = {
+    val constVals = children.map { c =>
+      if (c.foldable) Some(c.eval(InternalRow.empty)) else None
+    }.toArray
+    GeoFusion.compile(program, constVals)
+  }
 
   /** Evaluate the program over already-evaluated child values (Catalyst
     * representations). Also the entry point for generated code. */
@@ -146,40 +153,65 @@ object GeoFusion {
 
   /** Compile a program to a closure tree. Kernel lookups, arg positions,
     * and srid-inheritance decisions happen here, once; the per-row path is
-    * closure calls plus the kernel work itself. */
-  private[plans] def compile(prog: GProg, nChildren: Int): Array[Any] => Any = {
-    def comp(p: GProg): Ev = p match {
+    * closure calls plus the kernel work itself. Subtrees whose leaves are
+    * all foldable children (`constVals(i)` defined) are evaluated HERE and
+    * become constant closures — kernels are deterministic and treat inputs
+    * as read-only, so sharing one result object across rows is safe (the
+    * EWKB parse cache already relies on the same invariant). */
+  private[plans] def compile(prog: GProg,
+      constVals: Array[Option[Any]]): Array[Any] => Any = {
+    // (evaluator, isConstant)
+    def comp(p: GProg): (Ev, Boolean) = p match {
       case GProg.Load(i) =>
-        (args, parsed) => {
-          val v = args(i)
-          if (v == null) null
-          else {
-            var g = parsed(i)
-            if (g == null) { g = EWKB.read(v.asInstanceOf[Array[Byte]]); parsed(i) = g }
-            g
-          }
+        constVals(i) match {
+          case Some(cv) =>
+            val g = if (cv == null) null else EWKB.read(cv.asInstanceOf[Array[Byte]])
+            ((_, _) => g, true)
+          case None =>
+            ((args, parsed) => {
+              val v = args(i)
+              if (v == null) null
+              else {
+                var g = parsed(i)
+                if (g == null) { g = EWKB.read(v.asInstanceOf[Array[Byte]]); parsed(i) = g }
+                g
+              }
+            }, false)
         }
       case GProg.Scalar(i) =>
-        (args, _) => args(i) match {
+        def conv(v: Any): Any = v match {
           case u: UTF8String => u.toString
-          case v => v
+          case x => x
+        }
+        constVals(i) match {
+          case Some(cv) =>
+            val c = conv(cv)
+            ((_, _) => c, true)
+          case None => ((args, _) => conv(args(i)), false)
         }
       case GProg.Guard(pi, thenNull, inner) =>
-        val ic = comp(inner)
+        val (ic, innerConst) = comp(inner)
         // If(pred, null, inner) / If(pred, inner, null): null predicate
         // takes the else branch, like Catalyst If
-        (args, parsed) => {
-          val isTrue = args(pi) == java.lang.Boolean.TRUE
-          if (isTrue == thenNull) null else ic(args, parsed)
+        constVals(pi) match {
+          case Some(cv) =>
+            val isTrue = cv == java.lang.Boolean.TRUE
+            if (isTrue == thenNull) (((_, _) => null), true) else (ic, innerConst)
+          case None =>
+            (((args, parsed) => {
+              val isTrue = args(pi) == java.lang.Boolean.TRUE
+              if (isTrue == thenNull) null else ic(args, parsed)
+            }), false)
         }
       case GProg.Call(name, cargs) =>
         val k = GeoKernels.table(name)
-        val acs = cargs.map(comp).toArray
+        val compiled = cargs.map(comp)
+        val acs = compiled.map(_._1).toArray
         val n = acs.length
         val inheritSrid = k.out == GeoKernels.OGeom && k.firstGeomArg >= 0
         val fga = k.firstGeomArg
         val fn = k.fn
-        (args, parsed) => {
+        val ev: Ev = (args, parsed) => {
           val vals = new Array[Any](n)
           var j = 0
           var isNull = false
@@ -201,11 +233,16 @@ object GeoFusion {
             } else r
           }
         }
+        if (compiled.forall(_._2)) {
+          // all-constant subtree: run the kernel once now
+          val r = ev(null, null)
+          (((_, _) => r), true)
+        } else (ev, false)
     }
-    val root = comp(prog)
+    val (root, _) = comp(prog)
     // per-row parse memo: a child referenced by several Load nodes (after
     // semantic dedup) is parsed once
-    args => root(args, new Array[Geometry](nChildren))
+    args => root(args, new Array[Geometry](constVals.length))
   }
 }
 

@@ -218,6 +218,17 @@ class FusionSpec extends AnyFunSuite {
     assertTiersAgree(chained)
   }
 
+  test("constant geometry subtrees fold at runner-compile time, same results") {
+    // the st_buffer(st_geomfromtext(lit), …) subtree has only foldable
+    // leaves → evaluated once per task instead of per row
+    def df = rects.select(
+      st_distance(st_centroid(col("g")),
+        st_buffer(st_geomfromtext(lit("POINT (50 2)")), lit(1.0))).as("d"),
+      st_intersects(col("g"),
+        st_geomfromtext(lit("POLYGON ((0 0, 40 0, 40 9, 0 9, 0 0))"))).as("i"))
+    assertTiersAgree(df)
+  }
+
   test("window expression inputs fuse") {
     val wspec = org.apache.spark.sql.expressions.Window.partitionBy(col("k") % 4)
     def df = rects.select(col("k"),
