@@ -448,6 +448,24 @@ object GeoQueries {
         .orderBy(k)
     }),
 
+    /** set_precision (reference functions.rs:691-701, GEOS
+      * GEOSGeom_setPrecision): grid-snap in all three modes. Constants
+      * verified empirically (Probe7): the 0.25 grid is a no-op on dyadic
+      * coords; the 64.0 grid collapses every rect (corners snap to one
+      * grid point) → valid_output strips to POLYGON EMPTY, and
+      * keep_collapsed's retained ring is also empty after repair. */
+    "geo_setprec" -> ((s, dir) => {
+      base(s, dir).select(k,
+        st_area(st_set_precision(rect, lit(0.25))).as("sp_area"),
+        st_is_empty(st_set_precision(rect, lit(64.0))).as("sp_empty"),
+        st_geometrytype(st_set_precision(rect, lit(64.0))).as("sp_gt"),
+        st_count_coordinates(
+          st_set_precision(rect, lit(0.25), lit("no_topo"))).as("sp_n"),
+        st_geometrytype(
+          st_set_precision(rect, lit(64.0), lit("keep_collapsed"))).as("sp_kc_gt"))
+        .orderBy(k)
+    }),
+
     /** Fusion tier (GeoFusionRule/STGeoFused): deep construct→transform→
       * overlay→measure chains run as one fused program (one parse per
       * input, zero interior EWKB round trips). Values are closed-form; the
@@ -740,11 +758,19 @@ object GeoQueries {
       graft.io.GeoIO.writeNdGeoJson(df, ndPath)
       val nd = graft.io.GeoIO.readNdGeoJson(s, ndPath)
         .select(col("k").cast("long").as("k"), st_area(col("geometry")).as("nd_area"))
+      // FeatureCollection round trip (reference read_file on .geojson):
+      // driver-side FC writer (documented small-frame path), multiline read
+      val fcPath = "/tmp/graft_io_fc.geojson"
+      java.nio.file.Files.write(java.nio.file.Paths.get(fcPath),
+        graft.io.GeoIO.toGeoJsonFeatureCollection(df)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val fc = graft.io.GeoIO.readGeoJson(s, fcPath)
+        .select(col("k").cast("long").as("k"), st_area(col("geometry")).as("fc_area"))
       // bbox read: covering-column pruning path; matches rects with xmin<=1000
       val bbN = graft.io.GeoIO.readGeoParquet(s, pqPath,
           bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
         .agg(count(lit(1)).as("bb_n"))
-      pq.join(csv, "k").join(nd, "k").crossJoin(bbN).orderBy(col("k"))
+      pq.join(csv, "k").join(nd, "k").join(fc, "k").crossJoin(bbN).orderBy(col("k"))
     }),
 
     // FlatGeobuf round trip: single-file (driver-streamed) and partitioned
@@ -894,6 +920,10 @@ object GeoQueries {
       s"""$B SELECT k, (w/2)*h AS ia, 1.5*w*h AS ua, xmin + w/2 AS cx,
          | (w+1)*(h+1) AS bm, TRUE AS dw, TRUE AS tier_eq
          |FROM b ORDER BY k""".stripMargin,
+    "geo_setprec" ->
+      s"""$B SELECT k, w*h AS sp_area, TRUE AS sp_empty, 'Polygon' AS sp_gt,
+         | 5 AS sp_n, 'Polygon' AS sp_kc_gt
+         |FROM b ORDER BY k""".stripMargin,
     "geo_constructive1" ->
       s"""$B SELECT k, 2*(w+h) AS bdry_len, 'LineString' AS bdry_gt,
          | ((1+CAST(k%5 AS DOUBLE))/2.0)*((1+CAST(k%5 AS DOUBLE))/2.0) AS buf_sq_area,
@@ -981,7 +1011,7 @@ object GeoQueries {
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
     "geo_io" ->
-      s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area,
+      s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n
          |FROM b ORDER BY k""".stripMargin,

@@ -66,6 +66,8 @@ package object api {
     def getPoint(i: Column): Column = st_get_point(c, i)
     def parts: Column = st_parts(c)
     def precision: Column = st_precision(c)
+    def setPrecision(gridSize: Column, mode: String = "valid_output"): Column =
+      st_set_precision(c, gridSize, lit(mode))
     def bounds: Column = st_bounds(c)
 
     // measurement

@@ -20,7 +20,7 @@ import org.locationtech.jts.operation.overlayng.OverlayNG
 import org.locationtech.jts.operation.polygonize.Polygonizer
 import org.locationtech.jts.operation.union.UnaryUnionOp
 import org.locationtech.jts.operation.valid.IsValidOp
-import org.locationtech.jts.precision.MinimumClearance
+import org.locationtech.jts.precision.{GeometryPrecisionReducer, MinimumClearance}
 import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
 
 import scala.jdk.CollectionConverters._
@@ -387,6 +387,38 @@ object GeoUDFs {
   /** Precision grid size; JTS has no per-geometry precision model, so this
     * is always 0.0 (= full precision) — documented divergence. */
   val precision: UserDefinedFunction = udf(uD(_ => 0.0))
+
+  /** Snap coordinates to a grid (reference `set_precision`,
+    * functions.rs:691-701 → GEOS GEOSGeom_setPrecision; modes
+    * `args.rs:27-41`). grid_size 0 = full precision (no-op).
+    * valid_output → topology-repaired reduce (collapsed parts removed),
+    * no_topo → pointwise snap, keep_collapsed → reduce keeping collapsed
+    * parts. JTS GeometryPrecisionReducer is the GEOS implementation's
+    * JVM twin (same PrecisionModel snapping). */
+  private def setPrecisionK(grid: Double, mode: String)(g: Geometry): Geometry = {
+    require(grid >= 0, s"grid_size must be >= 0, got $grid")
+    if (grid == 0) g.copy()
+    else {
+      val pm = new PrecisionModel(1.0 / grid)
+      mode.toLowerCase match {
+        case "valid_output" => GeometryPrecisionReducer.reduce(g, pm)
+        case "no_topo" => GeometryPrecisionReducer.reducePointwise(g, pm)
+        case "keep_collapsed" =>
+          val r = new GeometryPrecisionReducer(pm)
+          r.setRemoveCollapsedComponents(false)
+          r.reduce(g)
+        case other => throw new IllegalArgumentException(
+          s"unknown set_precision mode: $other (valid_output | no_topo | keep_collapsed)")
+      }
+    }
+  }
+
+  val setPrecision: UserDefinedFunction =
+    udf((b: Array[Byte], grid: Double, mode: String) =>
+      uG(setPrecisionK(grid, mode))(b)).withName("st_set_precision")
+
+  GeoKernels.add(K("st_set_precision", 3, Set(0), OGeom, a =>
+    setPrecisionK(aD(a(1)), aS(a(2)))(aG(a(0)))))
 
   /** [xmin, ymin, xmax, ymax]; NaN×4 for empty (functions.rs:798-813). */
   val bounds: UserDefinedFunction = udf((b: Array[Byte]) =>
@@ -1194,6 +1226,7 @@ object GeoUDFs {
     "st_get_point" -> getPoint,
     "st_parts" -> parts,
     "st_precision" -> precision,
+    "st_set_precision" -> setPrecision,
     "st_bounds" -> bounds,
     "st_area" -> area,
     "st_length" -> length,

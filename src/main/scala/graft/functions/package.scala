@@ -91,6 +91,10 @@ package object functions {
   def st_get_point(g: Column, i: Column): Column = getPoint(g, i)
   def st_parts(g: Column): Column = parts(g)
   def st_precision(g: Column): Column = precision(g)
+  def st_set_precision(g: Column, gridSize: Column): Column =
+    setPrecision(g, gridSize, lit("valid_output"))
+  def st_set_precision(g: Column, gridSize: Column, mode: Column): Column =
+    setPrecision(g, gridSize, mode)
   def st_bounds(g: Column): Column = bounds(g)
 
   // ------------------------------------------------------------- measurement
