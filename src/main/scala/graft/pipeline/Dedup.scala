@@ -358,4 +358,102 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ------------------------------------------- near-dup pair clustering
+
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup hits into dedup GROUPS (a ~ b, b ~ c ⇒ one
+    * cluster, one survivor).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two shuffle-bounded groupBy/join passes over the edge set, and the
+    * edge set converges to per-component stars rooted at the component
+    * minimum in O(log n) rounds even for path graphs (plain min-label
+    * propagation needs O(diameter)). No driver-side state: ids never leave
+    * the cluster except for the two scalar convergence aggregates per
+    * round. Lineage is truncated every round with `localCheckpoint` (an
+    * iterative plan otherwise grows by ~6 operators per round).
+    *
+    * Ids may be any orderable Spark type (integral, string, ...). Returns
+    * `(id, component)` for every id appearing in `pairs`, where
+    * `component` is the smallest id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val u = col("u"); val v = col("v")
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(u =!= v)
+      .select(least(u, v).as("u"), greatest(u, v).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // set signature = (count, xor of row hashes): order-insensitive, safe
+    // under ANSI mode (no sum overflow), sound because the set is distinct
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(u, v).as("h")).agg(count(lit(1)), expr("bit_xor(h)")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // both directions once per round; reused by both stars
+      val nbrs = edges.select(u, v).unionAll(edges.select(v.as("u"), u.as("v")))
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      val lmin = nbrs.groupBy(u).agg(min(v).as("__mv"))
+        .select(u, least(col("__mv"), u).as("m"))
+      val large = nbrs.join(lmin, "u").filter(v > u)
+        .select(v.as("u"), col("m").as("v"))
+      // small-star over edges directed large→small: all small neighbors
+      // (and u itself) link to the smallest
+      val dirSmall = large.filter(u =!= v)
+        .select(greatest(u, v).as("u"), least(u, v).as("v"))
+        .distinct()
+      val smin = dirSmall.groupBy(u).agg(min(v).as("m"))
+      val small = dirSmall.join(smin, "u")
+        .select(v.as("u"), col("m").as("v"))
+        .unionAll(smin.select(u, col("m").as("v")))
+        .filter(u =!= v)
+        .select(least(u, v).as("u"), greatest(u, v).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nsig = signature(small)
+      converged = nsig == sig
+      sig = nsig
+      edges = small
+      it += 1
+    }
+    // at the fixpoint edges form stars (member, root); roots label themselves
+    edges.select(v.as("id"), u.as("component"))
+      .unionAll(edges.select(u.as("id"), u.as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+
+  /** Cluster assignment for EVERY row of `df`: near-dup components from
+    * [[nearDupMinhash]] pairs, singletons keep their own id. Output:
+    * `(id, cluster)` with cluster = min id of the row's component. */
+  def clusterNearMinhash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 0,
+      shingleK: Int = 5): DataFrame = {
+    val pairs = nearDupMinhash(df, idCol, textCol, threshold, numHashes, bands, shingleK)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+  }
+
+  /** Near-dup dedup end to end: keep one survivor per cluster (the row
+    * whose id IS the cluster minimum). Returns the surviving rows of `df`
+    * with all original columns. */
+  def dedupNearMinhash(dfIn: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 0,
+      shingleK: Int = 5): DataFrame = {
+    val clusters = clusterNearMinhash(dfIn, idCol, textCol, threshold,
+      numHashes, bands, shingleK)
+    val survivors = clusters.filter(col("id") === col("cluster")).select("id")
+    dfIn.join(survivors, dfIn(idCol) === survivors("id"), "left_semi")
+  }
 }

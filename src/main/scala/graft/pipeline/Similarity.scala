@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Codegen'd dot product over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product over two array<double> columns: a native codegen'd
+    * expression ([[graft.plans.DotProduct]]) — one fused loop per pair,
+    * no zipped intermediate array. Bit-exact vs the
+    * `aggregate(zip_with(...))` formulation (same left-to-right double
+    * accumulation and null semantics). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

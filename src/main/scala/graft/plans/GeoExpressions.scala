@@ -159,5 +159,8 @@ object GeoExpressions {
       (args: Seq[Expression]) => STWithinNative(args(0), args(1))),
     (FunctionIdentifier("st_dwithin_native"),
       new ExpressionInfo(classOf[STDWithinNative].getName, "st_dwithin_native"),
-      (args: Seq[Expression]) => STDWithinNative(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => STDWithinNative(args(0), args(1), args(2))),
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "array_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
 }

@@ -151,6 +151,63 @@ object GeoFusion {
   /** Node evaluator: (child values, per-row parse memo) → value. */
   private type Ev = (Array[Any], Array[Geometry]) => Any
 
+  import org.locationtech.jts.geom.GeometryCollection
+  import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+
+  private type PF = (PreparedGeometry, Geometry) => Boolean
+
+  /** Binary predicates with a [[PreparedGeometry]] fast path when one
+    * operand is constant: name → (prepared call when the constant is arg 0,
+    * prepared call when it is arg 1). Orientation matters — JTS only
+    * accelerates intersects/contains/containsProperly/covers on the
+    * PREPARED side, so asymmetric predicates are listed only for the
+    * orientation that maps onto an accelerated call (`a within b` ≡
+    * `prep(b) contains a`, `a covered_by b` ≡ `prep(b) covers a`). */
+  private val PreparedPreds: Map[String, (Option[PF], Option[PF])] = Map(
+    "st_intersects" -> (Some((p, g) => p.intersects(g)), Some((p, g) => p.intersects(g))),
+    "st_contains" -> (Some((p, g) => p.contains(g)), None),
+    "st_contains_properly" -> (Some((p, g) => p.containsProperly(g)), None),
+    "st_covers" -> (Some((p, g) => p.covers(g)), None),
+    "st_within" -> (None, Some((p, g) => p.contains(g))),
+    "st_covered_by" -> (None, Some((p, g) => p.covers(g))))
+
+  /** Pure GeometryCollection (not Multi*): prepared predicates reject it,
+    * RelateNG handles it — such operands keep the base kernel. */
+  private def isPureGC(g: Geometry): Boolean =
+    g.getClass == classOf[GeometryCollection]
+
+  /** When `name` is a prepared-capable predicate and exactly one geometry
+    * operand is a constant, return a kernel body that probes the constant's
+    * [[PreparedGeometry]] (built once at compile time) instead of running
+    * the full RelateNG per row. Same results: prepared predicates and
+    * RelateNG agree on valid inputs, the kernels' empty→false convention is
+    * replicated, and GeometryCollection operands (where the two engines
+    * differ in SUPPORT, not answers) fall back to the base kernel. */
+  private def preparedKernel(name: String, k: GeoKernels.K,
+      compiled: Seq[(Ev, Boolean)]): Option[Array[Any] => Any] = {
+    if (!PreparedPreds.contains(name) || k.geomArgs != Set(0, 1)) return None
+    val (at0, at1) = PreparedPreds(name)
+    val constIdx =
+      if (compiled(0)._2 && !compiled(1)._2 && at0.isDefined) 0
+      else if (compiled(1)._2 && !compiled(0)._2 && at1.isDefined) 1
+      else return None
+    val pf = (if (constIdx == 0) at0 else at1).get
+    val cv = compiled(constIdx)._1(null, null)
+    if (cv == null) return None // never invoked (null args short-circuit)
+    val g = cv.asInstanceOf[Geometry]
+    if (g.isEmpty) return Some(_ => false) // kernel convention: empty → false
+    if (isPureGC(g)) return None
+    val prep = PreparedGeometryFactory.prepare(g)
+    val otherIdx = 1 - constIdx
+    val base = k.fn
+    Some { vals =>
+      val o = vals(otherIdx).asInstanceOf[Geometry]
+      if (o.isEmpty) false
+      else if (isPureGC(o)) base(vals)
+      else pf(prep, o)
+    }
+  }
+
   /** Compile a program to a closure tree. Kernel lookups, arg positions,
     * and srid-inheritance decisions happen here, once; the per-row path is
     * closure calls plus the kernel work itself. Subtrees whose leaves are
@@ -210,7 +267,7 @@ object GeoFusion {
         val n = acs.length
         val inheritSrid = k.out == GeoKernels.OGeom && k.firstGeomArg >= 0
         val fga = k.firstGeomArg
-        val fn = k.fn
+        val fn = preparedKernel(name, k, compiled).getOrElse(k.fn)
         val ev: Ev = (args, parsed) => {
           val vals = new Array[Any](n)
           var j = 0
@@ -273,41 +330,75 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** A node the fusion builder can absorb into a chain. */
+  private def isFusableNode(e: Expression): Boolean = e match {
+    case u: ScalaUDF => u.udfName.exists(GeoKernels.table.contains)
+    case _: STAreaNative | _: STLengthNative | _: STIntersectsNative |
+         _: STContainsNative | _: STWithinNative | _: STDWithinNative |
+         _: STGeoFused => true
+    case _ => false
+  }
+
+  /** Fusable subtrees occurring ≥ 2 times across `exprs` (canonicalized).
+    * Inlining such a subtree into every chain that uses it would RE-RUN it
+    * per chain, while the unfused plan computes it once via whole-stage
+    * codegen's cross-expression subexpression elimination. The fusion
+    * builder therefore treats these as chain boundaries: the shared node
+    * stays a plain child expression (codegen CSE evaluates it once per
+    * row), and each chain parses its bytes once — interior round trips are
+    * still elided within every chain. */
+  private def sharedSubtrees(exprs: Seq[Expression]): Expression => Boolean = {
+    val counts = scala.collection.mutable.HashMap.empty[Expression, Int]
+    exprs.foreach(_.foreach { e =>
+      if (isFusableNode(e)) {
+        val k = e.canonicalized
+        counts(k) = counts.getOrElse(k, 0) + 1
+      }
+    })
+    val shared = counts.collect { case (k, n) if n >= 2 => k }.toSet
+    if (shared.isEmpty) (_: Expression) => false
+    else (e: Expression) => shared.contains(e.canonicalized)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.fuse", "true").toBoolean) plan
     else plan transform {
       case p: Project =>
-        val fused = p.projectList.map(fuseNamed)
+        val shared = sharedSubtrees(p.projectList)
+        val fused = p.projectList.map(fuseNamed(_, shared))
         if (fused.zip(p.projectList).forall { case (a, b) => a eq b }) p
         else p.copy(projectList = fused)
       case a: Aggregate =>
-        val groups = a.groupingExpressions.map(fuseExpr)
-        val aggs = a.aggregateExpressions.map(fuseNamed)
+        val shared = sharedSubtrees(a.groupingExpressions ++ a.aggregateExpressions)
+        val groups = a.groupingExpressions.map(fuseExpr(_, shared))
+        val aggs = a.aggregateExpressions.map(fuseNamed(_, shared))
         if (groups.zip(a.groupingExpressions).forall { case (x, y) => x eq y } &&
             aggs.zip(a.aggregateExpressions).forall { case (x, y) => x eq y }) a
         else a.copy(groupingExpressions = groups, aggregateExpressions = aggs)
       case f: Filter =>
         val conjuncts = splitConjunctivePredicates(f.condition)
-        val fused = conjuncts.map(c => if (isSpatialPredRoot(c)) c else fuseExpr(c))
+        val shared = sharedSubtrees(conjuncts)
+        val fused = conjuncts.map(c => if (isSpatialPredRoot(c)) c else fuseExpr(c, shared))
         if (fused.zip(conjuncts).forall { case (x, y) => x eq y }) f
         else f.copy(condition = fused.reduce(And))
       case w: Window =>
-        val fused = w.windowExpressions.map(fuseNamed)
+        val shared = sharedSubtrees(w.windowExpressions)
+        val fused = w.windowExpressions.map(fuseNamed(_, shared))
         if (fused.zip(w.windowExpressions).forall { case (x, y) => x eq y }) w
         else w.copy(windowExpressions = fused)
     }
 
-  private def fuseNamed(ne: NamedExpression): NamedExpression =
-    fuseExpr(ne).asInstanceOf[NamedExpression]
+  private def fuseNamed(ne: NamedExpression, shared: Expression => Boolean): NamedExpression =
+    fuseExpr(ne, shared).asInstanceOf[NamedExpression]
 
-  private def fuseExpr(e0: Expression): Expression =
+  private def fuseExpr(e0: Expression, shared: Expression => Boolean): Expression =
     e0.transformDown {
-      case e if !e.isInstanceOf[STGeoFused] => tryFuse(e).getOrElse(e)
+      case e if !e.isInstanceOf[STGeoFused] => tryFuse(e, shared).getOrElse(e)
     }
 
   /** Attempt to fuse the tree rooted at `e`. Returns Some only when the
     * rewrite spans enough kernels to pay. */
-  private def tryFuse(e: Expression): Option[STGeoFused] = {
+  private def tryFuse(e: Expression, shared: Expression => Boolean): Option[STGeoFused] = {
     val childBuf = scala.collection.mutable.ArrayBuffer.empty[Expression]
     var kernels = 0
     var spliced = false
@@ -318,7 +409,13 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
       else { childBuf += c; childBuf.length - 1 }
     }
 
-    def geomArg(c: Expression): GProg = build(c).getOrElse {
+    def geomArg(c: Expression): GProg =
+      // shared-subtree boundary: leave `c` a plain child so codegen CSE
+      // computes it once across every chain (and column) that uses it.
+      // Constant chains (no attribute references) are exempt — inlined,
+      // the runner folds them once per task, cheaper than per-row CSE.
+      if (shared(c) && c.references.nonEmpty) GProg.Load(addChild(c))
+      else build(c).getOrElse {
       c match {
         case f: STGeoFused if f.dataType == BinaryType =>
           // splice an already-fused geometry subtree (appears after

@@ -249,4 +249,42 @@ class FusionSpec extends AnyFunSuite {
         lit(false)).as("fmt"))
     assertTiersAgree(df)
   }
+
+  test("prepared fast path: constant-operand predicates agree across tiers") {
+    // constant side (one per orientation); the fused tier probes a
+    // PreparedGeometry built once at runner-compile time
+    def poly = st_geomfromtext(lit("POLYGON ((9.5 -0.5, 40 -0.5, 40 3.5, 9.5 3.5, 9.5 -0.5))"))
+    def df = rects.select(
+      st_intersects(col("g"), poly).as("i1"),
+      st_intersects(poly, col("g")).as("i2"),
+      st_contains(poly, col("g")).as("c"),
+      st_within(col("g"), poly).as("w"),
+      st_covers(poly, col("g")).as("cv"),
+      st_covered_by(col("g"), poly).as("cb"),
+      st_contains_properly(poly, col("g")).as("cp"))
+    assertTiersAgree(df)
+  }
+
+  test("prepared fast path: empty and GeometryCollection operands keep kernel semantics") {
+    def poly = st_geomfromtext(lit("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))"))
+    // per-row operands cycle point / empty / pure GC / linestring: empties
+    // stay false, GCs take the RelateNG fallback (prepared rejects them)
+    def wkt = when(col("id") % 4 === 0,
+        concat(lit("POINT ("), col("id").cast("string"), lit(" 1)")))
+      .when(col("id") % 4 === 1, lit("POLYGON EMPTY"))
+      .when(col("id") % 4 === 2,
+        lit("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))"))
+      .otherwise(concat(lit("LINESTRING (0 0, "), col("id").cast("string"), lit(" 4)")))
+    def df = TestSpark.spark.range(16).select(
+      st_intersects(st_geomfromtext(wkt), poly).as("i"),
+      st_within(st_geomfromtext(wkt), poly).as("w"),
+      st_contains(poly, st_geomfromtext(wkt)).as("c"))
+    assertTiersAgree(df)
+    // constant empty / constant GC operands never take the prepared path
+    def degenerate = rects.select(
+      st_intersects(col("g"), st_geomfromtext(lit("POLYGON EMPTY"))).as("ie"),
+      st_intersects(col("g"),
+        st_geomfromtext(lit("GEOMETRYCOLLECTION (POINT (21 1))"))).as("ig"))
+    assertTiersAgree(degenerate)
+  }
 }
