@@ -257,6 +257,61 @@ object PipelineQueries {
         .orderBy(col("source"), col("shard"))
     }),
 
+    // --------------------------------------- near-dup pair clustering
+    // Two component graphs with closed-form answers: (1) chain edges
+    // (doc_id, doc_id+1) within each 5-block — a path graph, so the
+    // large-star/small-star transitive closure is actually exercised
+    // (pairwise dedup would NOT produce these labels); component =
+    // doc_id - doc_id%5. (2) the full minhash→verify→cluster→survivor
+    // pipeline over documents ∪ two id-shifted copies: every text exactly
+    // 3×, so clusters are triples rooted at the original id.
+    "pipe_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val edges = d.filter(col("doc_id") % 5 =!= 4)
+        .join(d.select(col("doc_id").as("b")), col("doc_id") + 1 === col("b"))
+        .select(col("doc_id").as("a"), col("b"))
+      val chain = Dedup.connectedComponents(edges, "a", "b")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all3 = docs
+        .unionAll(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val clusters = Dedup.clusterNearMinhash(all3, "doc_id", "text", threshold = 1.0)
+      val surv = Dedup.dedupNearMinhash(all3, "doc_id", "text", threshold = 1.0)
+      chain.agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("component")).as("n_chain_comps"),
+          sum(col("component")).as("chain_comp_sum"))
+        .crossJoin(clusters.agg(
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("cluster")).as("cluster_sum")))
+        .crossJoin(surv.agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).as("survivor_id_sum")))
+    }),
+
+    // --------------------------------------------- decontamination
+    // Benchmark set = every 50th document; the oracle recomputes the same
+    // normalized-token 8-gram overlap in DuckDB (no closed form needed).
+    "pipe_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      val contam = Dedup.contaminated(docs, "doc_id", "text", bench, "text", n = 8)
+      val clean = Dedup.decontaminate(docs, "doc_id", "text", bench, "text", n = 8)
+      contam.agg(count(lit(1)).as("n_contam"))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+          sum(col("doc_id")).as("clean_id_sum")))
+    }),
+
+    // ---------------------------------- repetition signals (Gopher-style)
+    "pipe_text2" -> ((s, dir) => {
+      val txt = col("text")
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dupLineFrac(txt).as("dlf"),
+        TextAnalysis.dupLineCharFrac(txt).as("dlcf"))
+      val top2 = TextAnalysis.topNgramCharCoverage(
+        t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("top_frac", "top2")
+      base.join(top2, "doc_id").orderBy(col("doc_id"))
+    }),
+
     // Stratified deterministic down-sampling by language (en 50%, zh 20%,
     // others kept), same md5 bucket as the split but a different salt.
     "pipe_sample" -> ((s, dir) => {
@@ -381,6 +436,56 @@ object PipelineQueries {
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
         | CAST(min(strt - floor(strt / 2048.0) * 2048) AS BIGINT) AS first_off
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipe_cluster" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_nodes,
+        | (SELECT count(DISTINCT doc_id - doc_id % 5) FROM documents) AS n_chain_comps,
+        | (SELECT CAST(sum(doc_id - doc_id % 5) AS BIGINT) FROM documents) AS chain_comp_sum,
+        | (SELECT count(*) FROM documents) AS n_clusters,
+        | (SELECT CAST(3 * sum(doc_id) AS BIGINT) FROM documents) AS cluster_sum,
+        | (SELECT count(*) FROM documents) AS n_survivors,
+        | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) AS survivor_id_sum""".stripMargin,
+    "pipe_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS tk
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+        |  THEN list_transform(generate_series(1, len(tk) - 7),
+        |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+        |  ELSE [array_to_string(tk, ' ')] END) AS gram FROM toks),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+        |SELECT (SELECT count(*) FROM contam) AS n_contam,
+        | (SELECT count(*) FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS n_clean,
+        | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS clean_id_sum""".stripMargin,
+    "pipe_text2" ->
+      """WITH l AS (SELECT doc_id, text,
+        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |    x -> length(x) > 0) AS ls,
+        |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS tk,
+        |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS doc_len
+        | FROM documents),
+        |m AS (SELECT doc_id, ls, doc_len,
+        |  CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk) - 1),
+        |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+        |    ELSE [] END AS grams
+        | FROM l)
+        |SELECT doc_id,
+        | CASE WHEN len(ls) > 0
+        |   THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+        |   ELSE 0.0 END AS dlf,
+        | CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) > 0
+        |   THEN CAST(coalesce(list_sum(list_transform(list_distinct(ls),
+        |     d -> (len(list_filter(ls, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE)
+        |     / list_sum(list_transform(ls, x -> length(x)))
+        |   ELSE 0.0 END AS dlcf,
+        | CASE WHEN doc_len > 0
+        |   THEN CAST(coalesce(list_max(list_transform(list_distinct(grams),
+        |     g -> len(list_filter(grams, x -> x = g)) * length(g))), 0) AS DOUBLE) / doc_len
+        |   ELSE 0.0 END AS top2
+        |FROM m ORDER BY doc_id""".stripMargin,
     "pipe_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  substr(md5(CAST(doc_id AS VARCHAR) || 's2'), 1, 8) AS b

@@ -359,6 +359,36 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // -------------------------------------------------- decontamination
+
+  /** Train-set rows sharing at least one word `n`-gram with a benchmark /
+    * eval document set (the standard "n-gram overlap" decontamination
+    * check, n=8..13 in published pipelines). Returns the distinct
+    * contaminated train ids.
+    *
+    * Scale shape: the benchmark side (small by definition — eval sets are
+    * thousands of docs, not billions) collapses to its distinct grams and
+    * is broadcast, so the 100 TB train side never shuffles for the join;
+    * the only train-side shuffle is the final id-distinct. Documents
+    * shorter than `n` tokens contribute their whole text as one gram
+    * (matching [[wordNgrams]]). */
+  def contaminated(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    val tg = train.select(col(trainId).as("id"),
+      explode(wordNgrams(col(trainText), n)).as("gram"))
+    val bg = bench.select(explode(wordNgrams(col(benchText), n)).as("gram")).distinct()
+    tg.join(broadcast(bg), Seq("gram")).select("id").distinct()
+  }
+
+  /** [[contaminated]] complement: `train` rows that share NO word n-gram
+    * with the benchmark set, all columns kept (left-anti join on the
+    * contaminated id set). */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
+    val bad = contaminated(train, trainId, trainText, bench, benchText, n)
+    train.join(bad, train(trainId) === bad("id"), "left_anti")
+  }
+
   // ------------------------------------------- near-dup pair clustering
 
   /** Connected components over an undirected edge list — the step that

@@ -110,4 +110,56 @@ object TextAnalysis {
       })
     f(normalized(text))
   }
+
+  // ------------------------------- repetition signals (Gopher-style)
+
+  /** Non-empty lines of the raw text ('\n' separated, trimmed). */
+  private def lines(text: Column): Column =
+    filter(transform(split(text, "\n", -1), l => trim(l)), l => length(l) > 0)
+
+  /** Fraction of lines that are repeats of an earlier line (Gopher
+    * `duplicate_line_fraction`): 1 - distinct/total, 0 for no lines. */
+  def dupLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    ratio(size(ls) - size(array_distinct(ls)), size(ls))
+  }
+
+  /** Fraction of line CHARACTERS belonging to repeated copies (every
+    * occurrence beyond a line's first counts its characters). Quadratic in
+    * the number of DISTINCT lines per document — bounded per row, no
+    * shuffle. */
+  def dupLineCharFrac(text: Column): Column = {
+    val ls = lines(text)
+    val totalChars = aggregate(ls, lit(0), (acc, l) => acc + length(l))
+    val dupChars = aggregate(array_distinct(ls), lit(0), (acc, d) =>
+      acc + (size(filter(ls, x => x === d)) - 1) * length(d))
+    ratio(dupChars, totalChars)
+  }
+
+  /** Max share of document characters covered by one repeated word
+    * `n`-gram: max over n-grams of occurrences × gram length, divided by
+    * the normalized document length (a max-coverage variant of Gopher's
+    * `top_ngram_char_fraction`, deterministic with no tie-break rule
+    * needed). A DataFrame op, not a scalar column: the per-(doc, gram)
+    * count is a distributed hash aggregate, so a pathological document
+    * doesn't square inside one expression. Output: (id, top_frac). */
+  def topNgramCharCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(normalized(col(textCol)))
+    val grams = df.select(col(idCol).as("id"),
+        length(normalized(col(textCol))).as("doc_len"), toks.as("tk"))
+      .select(col("id"), col("doc_len"),
+        explode_outer(when(size(col("tk")) >= n,
+          transform(sequence(lit(0), size(col("tk")) - n),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+          .otherwise(array())).as("gram")) // explode_outer: short docs keep a null-gram row → top_frac 0
+    grams.groupBy(col("id"), col("doc_len"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(max(col("cnt") * length(col("gram"))).as("cov"),
+        first(col("doc_len")).as("doc_len"))
+      .select(col("id"),
+        when(col("doc_len") > 0, coalesce(col("cov"), lit(0L)).cast("double") / col("doc_len"))
+          .otherwise(lit(0.0)).as("top_frac"))
+  }
 }
