@@ -30,6 +30,24 @@ package object api {
         how: String = "inner", leftGeom: String = "geometry",
         rightGeom: String = "geometry", suffix: String = "_right"): DataFrame =
       graft.join.SpatialJoin.sjoin(df, other, predicate, how, leftGeom, rightGeom, suffix)
+
+    /** The frame's geometry columns: the named ones, or (like the
+      * reference's default) every binary column when none are given. */
+    private def geometryCols(cols: Seq[String]): Seq[String] =
+      if (cols.nonEmpty) cols
+      else df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.BinaryType).map(_.name).toSeq
+
+    private def mapGeomCols(cols: Seq[String], f: Column => Column): DataFrame =
+      geometryCols(cols).foldLeft(df)((d, n) => d.withColumn(n, f(d(n))))
+
+    /** Frame-level serializers (reference `geodataframe.py:232-299`):
+      * replace each geometry column by its serialized form, all other
+      * columns untouched. No columns named → every binary column. */
+    def stToWkt(cols: String*): DataFrame = mapGeomCols(cols, st_aswkt(_))
+    def stToEwkt(cols: String*): DataFrame = mapGeomCols(cols, st_asewkt(_))
+    def stToWkb(cols: String*): DataFrame = mapGeomCols(cols, st_aswkb(_))
+    def stToGeoJson(cols: String*): DataFrame = mapGeomCols(cols, st_asgeojson(_))
   }
 
   final class GeoNamespace(private val c: Column) {

@@ -136,6 +136,16 @@ object Dedup {
     f
   }
 
+  /** MinHash signature straight from the normalized text as one native
+    * codegen'd pass ([[graft.plans.MinHashSig]]): no shingle array, no
+    * distinct, no UDF boxing. Values identical to
+    * `minhashSignatureHashed(numHashes)(shingleHashes(text, k))`. */
+  def minhashSigNative(norm: Column, shingleK: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.MinHashSig(
+      ColumnBridge.expression(norm), shingleK, numHashes))
+  }
+
   /** MinHash signature over pre-hashed Int64 shingles (the scale path —
     * pairs with [[shingleHashes]] so no string arrays are materialized). */
   def minhashSignatureHashed(numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -177,8 +187,7 @@ object Dedup {
     // and no two extra id-joins — only wider (64-long) shuffle rows.
     val withSig = df
       .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
-      .select(col("id"), shingleHashesNorm(col("__norm"), shingleK).as("__sh"))
-      .select(col("id"), minhashSignatureHashed(numHashes)(col("__sh")).as("sig"))
+      .select(col("id"), minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"))
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

@@ -79,3 +79,94 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Static kernel behind [[MinHashSig]]. */
+object MinHashKernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x
+  }
+
+  /** MinHash signature of the character `k`-shingle set of `s`, one fused
+    * pass: for every shingle window, xxhash64 its UTF-8 bytes (seed 42 —
+    * identical values to Spark's `xxhash64(substr(...))`), then fold into
+    * the running per-seed minima. No shingle array, no distinct pass (min
+    * is idempotent over duplicates), no boxing. Shorter-than-k strings
+    * hash whole, matching the expression formulation's `otherwise` arm. */
+  def sig(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // codepoint start offsets (shingles are per CHARACTER, like substr)
+    var cp = 0
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) cp += 1
+      i += 1
+    }
+    val starts = new Array[Int](cp + 1)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(j) = i; j += 1 }
+      i += 1
+    }
+    starts(cp) = n
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val nWin = if (cp >= k) cp - k + 1 else 1
+    val winLen = if (cp >= k) k else cp
+    var w = 0
+    while (w < nWin) {
+      val from = starts(w)
+      val len = starts(w + winLen) - from
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+      val base = fmix64(h * 0x9e3779b97f4a7c15L + 1)
+      var p = 0
+      while (p < numHashes) {
+        val v = fmix64(base ^ (p * 0xc2b2ae3d27d4eb4fL))
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      w += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** MinHash signature over the normalized text, as ONE codegen'd
+  * expression: the `shingle-hash array → distinct → per-seed min` chain
+  * ([[graft.pipeline.Dedup.shingleHashes]] +
+  * `minhashSignatureHashed`) collapses into a single pass over the
+  * string's UTF-8 bytes with a 64-long running-minimum buffer — no
+  * intermediate array, no UDF encoder boxing. Values are IDENTICAL to the
+  * UDF formulation (same xxhash64-seed-42 shingle hash, same splitmix64
+  * seed mixing), so the two tiers are interchangeable. */
+case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects STRING, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.sig(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      shingleK, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinHashKernel.sig($c, $shingleK, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

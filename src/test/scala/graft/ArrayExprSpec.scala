@@ -48,6 +48,24 @@ class ArrayExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native minhash signature is value-identical to the UDF formulation") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short", "ab", "", "aaaaaaaaaaaaaaaa", // duplicate shingles
+      "unicode: émojis 🦊 and 中文字符 here",
+      "  spaced   out\ttext\nwith newlines  ")
+    val df = texts.toDF("text")
+      .select(graft.pipeline.TextAnalysis.normalized(col("text")).as("norm"))
+    val both = df.select(
+      graft.pipeline.Dedup.minhashSigNative(col("norm"), 5, 64).as("a"),
+      graft.pipeline.Dedup.minhashSignatureHashed(64)(
+        graft.pipeline.Dedup.shingleHashes(col("norm"), 5)).as("b")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("array_dot is registered in SQL and codegens") {
     val r = spark.sql(
       "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").collect()

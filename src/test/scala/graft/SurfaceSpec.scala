@@ -361,4 +361,24 @@ class SurfaceSpec extends AnyFunSuite {
       assert(spark.catalog.functionExists(n), s"$n not registered")
     }
   }
+
+  test("frame-level serializers replace every geometry column (reference geodataframe.py:232-299)") {
+    import graft.api._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.range(3).select(col("id"),
+      st_point(col("id").cast("double"), lit(1.0)).as("geometry"),
+      st_point(lit(0.0), col("id").cast("double")).as("g2"))
+    val wkt = df.stToWkt()
+    assert(wkt.schema("geometry").dataType == org.apache.spark.sql.types.StringType)
+    assert(wkt.schema("g2").dataType == org.apache.spark.sql.types.StringType)
+    assert(wkt.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(wkt.orderBy("id").collect()(1).getString(1) == "POINT (1 1)")
+    // named column: only that one serialized
+    val one = df.stToGeoJson("g2")
+    assert(one.schema("geometry").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(one.orderBy("id").collect()(2).getString(2).contains("\"Point\""))
+    assert(df.stToWkb().schema("geometry").dataType ==
+      org.apache.spark.sql.types.BinaryType) // wkb stays binary
+    assert(df.stToEwkt().orderBy("id").collect()(0).getString(1) == "POINT (0 1)")
+  }
 }
