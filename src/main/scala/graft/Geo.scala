@@ -24,6 +24,18 @@ object Geo {
     graft.plans.GeoExpressions.registrations.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // Optimizer rules + spatial-join strategy for sessions built WITHOUT
+    // `withExtensions(new GraftExtensions)`: Spark's experimental hooks
+    // retrofit the same tiers. Safe when extensions are present too — both
+    // rules are idempotent (fused chains are skipped on a second pass; the
+    // bbox rule fires only while the filter doesn't reference the covering
+    // column) and a duplicate strategy just never gets asked second.
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(graft.plans.GeoFusionRule))
+      exp.extraOptimizations = exp.extraOptimizations ++
+        Seq(graft.plans.BboxFilterRule, graft.plans.GeoFusionRule)
+    if (!exp.extraStrategies.contains(graft.plans.SpatialJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies ++ Seq(graft.plans.SpatialJoinStrategy)
   }
 
   /** All registered SQL function names (for the API-consistency spec). */

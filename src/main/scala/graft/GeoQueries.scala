@@ -500,6 +500,9 @@ object GeoQueries {
           lit(10.0), lit(false))).as("buf_mitre"),
         st_area(st_buffer(rect, lit(-0.25), lit(1), lit("round"), lit("mitre"),
           lit(10.0), lit(false))).as("buf_neg"),
+        // single-sided buffer of the horizontal w-segment: exact w×0.5 strip
+        st_area(st_buffer(hseg, lit(0.5), lit(8), lit("round"), lit("round"),
+          lit(5.0), lit(true))).as("buf_ss"),
         st_length(st_offset_curve(hseg, lit(0.5))).as("off_len"),
         st_x(st_centroid(rect)).as("centroid_x"),
         st_y(st_center(rect)).as("center_y"),
@@ -928,6 +931,7 @@ object GeoQueries {
       s"""$B SELECT k, 2*(w+h) AS bdry_len, 'LineString' AS bdry_gt,
          | ((1+CAST(k%5 AS DOUBLE))/2.0)*((1+CAST(k%5 AS DOUBLE))/2.0) AS buf_sq_area,
          | (w+1)*(h+1) AS buf_mitre, (w-0.5)*(h-0.5) AS buf_neg,
+         | w*0.5 AS buf_ss,
          | w AS off_len, xmin+w/2 AS centroid_x, ymin+h/2 AS center_y,
          | w*h AS env_area, w*h AS ch_area, w*h AS cc_area,
          | (w/2)*h AS clip_area, TRUE AS pos_in, w*h AS mrr_area

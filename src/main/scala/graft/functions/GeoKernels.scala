@@ -28,6 +28,14 @@ object GeoKernels {
   case object OBool extends Out
   case object OInt extends Out
   case object OString extends Out
+  /** Raw bytes result (to_wkb output — NOT EWKB-normalized, no srid copy). */
+  case object OBinary extends Out
+  /** `array<double>` (bounds). */
+  case object ODoubleArr extends Out
+  /** `array<array<double>>` (coordinates). */
+  case object ONestedDoubleArr extends Out
+  /** `array<binary>` of EWKB parts (parts / interior_rings). */
+  case object OBinaryArr extends Out
 
   /** One fusable kernel.
     *
@@ -48,6 +56,14 @@ object GeoKernels {
       case OBool => BooleanType
       case OInt => IntegerType
       case OString => StringType
+      case OBinary => BinaryType
+      // containsNull mirrors ScalaReflection's schema for the UDF return
+      // types (Seq[Double] / Seq[Seq[Double]] / Seq[Array[Byte]]) so the
+      // builder's `u.dataType == k.dataType` check matches exactly
+      case ODoubleArr => ArrayType(DoubleType, containsNull = false)
+      case ONestedDoubleArr =>
+        ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = true)
+      case OBinaryArr => ArrayType(BinaryType, containsNull = true)
     }
     /** Lowest geometry-argument position (srid-inheritance source). */
     val firstGeomArg: Int = if (geomArgs.isEmpty) -1 else geomArgs.min

@@ -310,28 +310,42 @@ object GeoUDFs {
   val coordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
     else if (Curved.isCircularString(b)) curvedRows(b, None)
-    else GeomUtil.coordinateRows(EWKB.read(b), None))
+    else GeomUtil.coordinateRows(EWKB.read(b), None)).withName("st_coordinates")
 
   /** dim-override variant (reference `coordinates(output_dimension=2|3)`,
     * `geoexpr.py:185-194`). */
   val coordinatesDim: UserDefinedFunction = udf((b: Array[Byte], dim: Int) =>
     if (b == null) null
     else if (Curved.isCircularString(b)) curvedRows(b, Some(dim))
-    else GeomUtil.coordinateRows(EWKB.read(b), Some(dim)))
+    else GeomUtil.coordinateRows(EWKB.read(b), Some(dim))).withName("st_coordinates_dim")
+
+  // Fused-chain kernels for the array-output accessors. The curved-bytes
+  // fast path above is unreachable in a fused chain: a chain interior is a
+  // COMPUTED JTS geometry (compute kernels cannot produce curved types), so
+  // the parsed-geometry kernel is exact. Standalone calls on raw columns
+  // (where curved bytes can appear) stay single-kernel and never fuse.
+  GeoKernels.add(K("st_coordinates", 1, Set(0), GeoKernels.ONestedDoubleArr,
+    a => GeomUtil.coordinateRows(aG(a(0)), None)))
+  GeoKernels.add(K("st_coordinates_dim", 2, Set(0), GeoKernels.ONestedDoubleArr,
+    a => GeomUtil.coordinateRows(aG(a(0)), Some(aI(a(1))))))
 
   val exteriorRing: UserDefinedFunction = fG1("st_exterior_ring") {
     case p: Polygon => p.getExteriorRing.copy()
     case _ => null
   }
 
+  private def interiorRingsK(g: Geometry): Seq[Array[Byte]] = g match {
+    case p: Polygon =>
+      (0 until p.getNumInteriorRing).map(i =>
+        EWKB.write(keepSrid(p, p.getInteriorRingN(i).copy())))
+    case _ => Seq.empty[Array[Byte]]
+  }
+
   val interiorRings: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null
-    else EWKB.read(b) match {
-      case p: Polygon =>
-        (0 until p.getNumInteriorRing).map(i =>
-          EWKB.write(keepSrid(p, p.getInteriorRingN(i).copy())))
-      case _ => Seq.empty[Array[Byte]]
-    })
+    if (b == null) null else interiorRingsK(EWKB.read(b))).withName("st_interior_rings")
+
+  GeoKernels.add(K("st_interior_rings", 1, Set(0), GeoKernels.OBinaryArr,
+    a => interiorRingsK(aG(a(0)))))
 
   val countInteriorRings: UserDefinedFunction = fI1("st_count_interior_rings") {
     case p: Polygon => p.getNumInteriorRing
@@ -340,15 +354,19 @@ object GeoUDFs {
 
   /** i-th interior ring; null when out of bounds; raises on non-Polygon
     * (reference error matrix, tests/test_expressions.py:318-373). */
+  private def getInteriorRingK(i: Int)(g: Geometry): Geometry = g match {
+    case p: Polygon =>
+      if (i < 0 || i >= p.getNumInteriorRing) null
+      else p.getInteriorRingN(i).copy()
+    case other => throw new IllegalArgumentException(
+      s"get_interior_ring requires a Polygon, got ${other.getGeometryType}")
+  }
+
   val getInteriorRing: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    if (b == null) null
-    else EWKB.read(b) match {
-      case p: Polygon =>
-        if (i < 0 || i >= p.getNumInteriorRing) null
-        else EWKB.write(keepSrid(p, p.getInteriorRingN(i).copy()))
-      case g => throw new IllegalArgumentException(
-        s"get_interior_ring requires a Polygon, got ${g.getGeometryType}")
-    })
+    uG(getInteriorRingK(i))(b)).withName("st_get_interior_ring")
+
+  GeoKernels.add(K("st_get_interior_ring", 2, Set(0), OGeom,
+    a => getInteriorRingK(aI(a(1)))(aG(a(0)))))
 
   val countGeometries: UserDefinedFunction = fI1("st_count_geometries")(_.getNumGeometries)
 
@@ -367,22 +385,26 @@ object GeoUDFs {
   }
 
   /** i-th vertex of a LineString; raises on other types (error matrix). */
+  private def getPointK(i: Int)(g: Geometry): Geometry = g match {
+    case l: LineString =>
+      if (i < 0 || i >= l.getNumPoints) null else l.getPointN(i)
+    case other => throw new IllegalArgumentException(
+      s"get_point requires a LineString, got ${other.getGeometryType}")
+  }
+
   val getPoint: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    if (b == null) null
-    else EWKB.read(b) match {
-      case l: LineString =>
-        if (i < 0 || i >= l.getNumPoints) null
-        else EWKB.write(keepSrid(l, l.getPointN(i)))
-      case g => throw new IllegalArgumentException(
-        s"get_point requires a LineString, got ${g.getGeometryType}")
-    })
+    uG(getPointK(i))(b)).withName("st_get_point")
+
+  GeoKernels.add(K("st_get_point", 2, Set(0), OGeom,
+    a => getPointK(aI(a(1)))(aG(a(0)))))
+
+  private def partsK(g: Geometry): Seq[Array[Byte]] =
+    (0 until g.getNumGeometries).map(i => EWKB.write(keepSrid(g, g.getGeometryN(i).copy())))
 
   val parts: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null
-    else {
-      val g = EWKB.read(b)
-      (0 until g.getNumGeometries).map(i => EWKB.write(keepSrid(g, g.getGeometryN(i).copy())))
-    })
+    if (b == null) null else partsK(EWKB.read(b))).withName("st_parts")
+
+  GeoKernels.add(K("st_parts", 1, Set(0), GeoKernels.OBinaryArr, a => partsK(aG(a(0)))))
 
   /** Precision grid size; JTS has no per-geometry precision model, so this
     * is always 0.0 (= full precision) — documented divergence. */
@@ -421,16 +443,17 @@ object GeoUDFs {
     setPrecisionK(aD(a(1)), aS(a(2)))(aG(a(0)))))
 
   /** [xmin, ymin, xmax, ymax]; NaN×4 for empty (functions.rs:798-813). */
-  val bounds: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null
+  private def boundsK(g: Geometry): Seq[Double] =
+    if (g.isEmpty) Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     else {
-      val g = EWKB.read(b)
-      if (g.isEmpty) Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-      else {
-        val e = g.getEnvelopeInternal
-        Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
-      }
-    })
+      val e = g.getEnvelopeInternal
+      Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    }
+
+  val bounds: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null else boundsK(EWKB.read(b))).withName("st_bounds")
+
+  GeoKernels.add(K("st_bounds", 1, Set(0), GeoKernels.ODoubleArr, a => boundsK(aG(a(0)))))
 
   // ----------------------------------------------------------- measurement
   // Reference functions.rs:794-883.
@@ -613,14 +636,16 @@ object GeoUDFs {
   GeoKernels.add(K("st_relate", 2, Set(0, 1), OString,
     a => relateMatrix(aG(a(0)), aG(a(1)))))
 
+  private def relatePatternK(ga: Geometry, gb: Geometry, p: String): Boolean =
+    if (ga.isEmpty || gb.isEmpty) IntersectionMatrix.matches(relateMatrix(ga, gb), p)
+    else org.locationtech.jts.operation.relateng.RelateNG.relate(ga, gb, p)
+
   val relatePattern: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], p: String) =>
     if (a == null || b == null || p == null) None
-    else {
-      val (ga, gb) = (EWKB.read(a), EWKB.read(b))
-      if (ga.isEmpty || gb.isEmpty)
-        Some(IntersectionMatrix.matches(relateMatrix(ga, gb), p))
-      else Some(org.locationtech.jts.operation.relateng.RelateNG.relate(ga, gb, p))
-    })
+    else Some(relatePatternK(EWKB.read(a), EWKB.read(b), p))).withName("st_relate_pattern")
+
+  GeoKernels.add(K("st_relate_pattern", 3, Set(0, 1), OBool,
+    a => relatePatternK(aG(a(0)), aG(a(1)), aS(a(2)))))
 
   /** Per-thread LRU of prepared geometries keyed on the raw EWKB bytes —
     * the reference's entire point of `*_xy` is the PreparedGeometry fast
@@ -651,10 +676,22 @@ object GeoUDFs {
   val intersectsXY: UserDefinedFunction = udf((b: Array[Byte], px: Double, py: Double) =>
     if (b == null) None
     else Some(PrepCache.get(b).intersects(fact.createPoint(new Coordinate(px, py)))))
+    .withName("st_intersects_xy")
 
   val containsXY: UserDefinedFunction = udf((b: Array[Byte], px: Double, py: Double) =>
     if (b == null) None
     else Some(PrepCache.get(b).contains(fact.createPoint(new Coordinate(px, py)))))
+    .withName("st_contains_xy")
+
+  // Fused-chain kernels: inside a chain the geometry operand is computed
+  // per row (no bytes to key a prepared-geometry cache on), so the kernels
+  // call the plain JTS predicates — PreparedGeometry and RelateOp agree on
+  // every supported input, and the fusion tier's own preparedKernel path
+  // covers the constant-operand case.
+  GeoKernels.add(K("st_intersects_xy", 3, Set(0), OBool,
+    a => aG(a(0)).intersects(fact.createPoint(new Coordinate(aD(a(1)), aD(a(2)))))))
+  GeoKernels.add(K("st_contains_xy", 3, Set(0), OBool,
+    a => aG(a(0)).contains(fact.createPoint(new Coordinate(aD(a(1)), aD(a(2)))))))
 
   // --------------------------------------------------- overlay / set ops
   // Reference functions.rs:1096-1226. grid_size>0 → OverlayNG with a fixed
@@ -928,7 +965,9 @@ object GeoUDFs {
     * matrix documented at geoexpr.py:446-468). Curved targets unsupported
     * (JTS) — raises. */
   val castTo: UserDefinedFunction = udf((b: Array[Byte], into: String) =>
-    uG(g => CastImpl.cast(g, into))(b))
+    uG(g => CastImpl.cast(g, into))(b)).withName("st_cast")
+
+  GeoKernels.add(K("st_cast", 2, Set(0), OGeom, a => CastImpl.cast(aG(a(0)), aS(a(1)))))
 
   /** Promote to the corresponding Multi* type (functions.rs:779-792). */
   val multi: UserDefinedFunction = fG1("st_multi") {
@@ -1133,7 +1172,13 @@ object GeoUDFs {
     else {
       val g = EWKB.read(b)
       EWKB.write(CrsImpl.toSrid(g, target))
-    })
+    }).withName("st_to_srid")
+
+  // (st_set_srid is deliberately NOT a fusion kernel: its UDF is a
+  // header-only byte rewrite that also supports curved EWKB — fusing it
+  // would force a parse the unfused tier never pays.)
+  GeoKernels.add(K("st_to_srid", 2, Set(0), OGeom,
+    a => CrsImpl.toSrid(aG(a(0)), aI(a(1)))))
 
   /** CRS definition → (authority, code) struct (reference `src/crs.rs:11-18`);
     * null when unparseable. */
@@ -1167,26 +1212,45 @@ object GeoUDFs {
       trim: Boolean, outputDimension: Int, old3d: Boolean) =>
     if (b == null) null
     else GeoCodec.toWkt(EWKB.read(b), precision, trim, outputDimension, old3d))
+    .withName("st_aswkt_fmt")
+
+  GeoKernels.add(K("st_aswkt_fmt", 5, Set(0), OString,
+    a => GeoCodec.toWkt(aG(a(0)), aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))))
 
   val asEwktFmt: UserDefinedFunction = udf((b: Array[Byte], precision: Int,
       trim: Boolean, outputDimension: Int, old3d: Boolean) =>
     if (b == null) null
     else GeoCodec.toEwkt(EWKB.read(b), precision, trim, outputDimension, old3d))
+    .withName("st_asewkt_fmt")
+
+  GeoKernels.add(K("st_asewkt_fmt", 5, Set(0), OString,
+    a => GeoCodec.toEwkt(aG(a(0)), aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))))
 
   /** to_geojson(indent): negative = compact (reference None). */
   val asGeoJsonIndent: UserDefinedFunction = udf((b: Array[Byte], indent: Int) =>
     if (b == null) null else GeoJson.write(EWKB.read(b), indent))
+    .withName("st_asgeojson_indent")
+
+  GeoKernels.add(K("st_asgeojson_indent", 2, Set(0), OString,
+    a => GeoJson.write(aG(a(0)), aI(a(1)))))
 
   /** EWKB with explicit dims/byte-order/srid flags via JTS WKBWriter. */
+  private def asWkbK(g: Geometry, outputDimension: Int, bigEndian: Boolean,
+      includeSrid: Boolean): Array[Byte] = {
+    val w = new org.locationtech.jts.io.WKBWriter(outputDimension,
+      if (bigEndian) org.locationtech.jts.io.ByteOrderValues.BIG_ENDIAN
+      else org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN, includeSrid)
+    w.write(g)
+  }
+
   val asWkb: UserDefinedFunction = udf((b: Array[Byte], outputDimension: Int,
       bigEndian: Boolean, includeSrid: Boolean) =>
     if (b == null) null
-    else {
-      val w = new org.locationtech.jts.io.WKBWriter(outputDimension,
-        if (bigEndian) org.locationtech.jts.io.ByteOrderValues.BIG_ENDIAN
-        else org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN, includeSrid)
-      w.write(EWKB.read(b))
-    })
+    else asWkbK(EWKB.read(b), outputDimension, bigEndian, includeSrid))
+    .withName("st_aswkb")
+
+  GeoKernels.add(K("st_aswkb", 4, Set(0), GeoKernels.OBinary,
+    a => asWkbK(aG(a(0)), aI(a(1)), aB(a(2)), aB(a(3)))))
 
   val asGeoJson: UserDefinedFunction = fS1("st_asgeojson")(GeoJson.write)
 

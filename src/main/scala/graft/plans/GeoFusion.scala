@@ -51,6 +51,21 @@ object GProg {
     * `thenNull == true`'s branch the result is null, otherwise `inner`
     * runs. Mirrors `If` semantics (null predicate → else branch). */
   final case class Guard(predIdx: Int, thenNull: Boolean, inner: GProg) extends GProg
+  /** EWKB-parse of a raw-bytes subtree result: inserted when a kernel whose
+    * output is plain bytes (OBinary, e.g. st_aswkb) feeds a geometry
+    * argument — the unfused tier parses at exactly that boundary. */
+  final case class Parse(inner: GProg) extends GProg
+
+  /** Does this program node yield a parsed [[org.locationtech.jts.geom.Geometry]]
+    * (vs raw bytes / a scalar)? */
+  def yieldsGeometry(p: GProg, table: Map[String, graft.functions.GeoKernels.K]): Boolean =
+    p match {
+      case Load(_) => true
+      case Parse(_) => true
+      case Scalar(_) => false
+      case Guard(_, _, inner) => yieldsGeometry(inner, table)
+      case Call(n, _) => table(n).out == graft.functions.GeoKernels.OGeom
+    }
 }
 
 /** One fused geometry chain. `children` are the chain's external inputs
@@ -71,6 +86,7 @@ case class STGeoFused(program: GProg, dataType: DataType, children: Seq[Expressi
     def count(p: GProg): Int = p match {
       case GProg.Call(_, as) => 1 + as.map(count).sum
       case GProg.Guard(_, _, inner) => count(inner)
+      case GProg.Parse(inner) => count(inner)
       case _ => 0
     }
     count(program)
@@ -108,6 +124,7 @@ case class STGeoFused(program: GProg, dataType: DataType, children: Seq[Expressi
       case null => null
       case g: Geometry => EWKB.write(g)
       case s: String => UTF8String.fromString(s)
+      case s: scala.collection.Seq[_] => GeoFusion.toCatalystArray(s)
       case other => other
     }
 
@@ -147,6 +164,65 @@ case class STGeoFused(program: GProg, dataType: DataType, children: Seq[Expressi
 }
 
 object GeoFusion {
+
+  /** Scala collection result (array-output kernels: bounds, coordinates,
+    * parts, interior_rings) → Catalyst [[ArrayData]], recursively. The
+    * element conversions mirror what the UDF tier's encoder produces, so
+    * fused and unfused plans emit equal values. */
+  private[plans] def toCatalystArray(s: scala.collection.Seq[_])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val converted = s.map {
+      case null => null
+      case inner: scala.collection.Seq[_] => toCatalystArray(inner)
+      case str: String => UTF8String.fromString(str)
+      case x => x
+    }.toArray[Any]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(converted)
+  }
+
+  /** Replicate the one lossy step of the EWKB round trip the fused chain
+    * skips: WKB has no LinearRing type code — [[EWKB.write]] emits rings as
+    * LineString (type 2), so an unfused chain's next kernel always sees a
+    * LineString. Kernels CAN return live LinearRing objects (exterior_ring,
+    * boundary of a single-ring polygon, cast) at the root or as direct
+    * elements of a MultiLineString/GeometryCollection; convert those the
+    * way a write→read would. No-op (no allocation) when nothing needs it. */
+  private[graft] def canonical(g: Geometry): Geometry = g match {
+    case r: org.locationtech.jts.geom.LinearRing =>
+      val ls = r.getFactory.createLineString(r.getCoordinateSequence)
+      ls.setSRID(r.getSRID)
+      ls
+    case m: org.locationtech.jts.geom.MultiLineString =>
+      var changed = false
+      val parts = Array.tabulate(m.getNumGeometries) { i =>
+        val c = m.getGeometryN(i)
+        val cc = canonical(c)
+        if (cc ne c) changed = true
+        cc.asInstanceOf[org.locationtech.jts.geom.LineString]
+      }
+      if (!changed) m
+      else {
+        val out = m.getFactory.createMultiLineString(parts)
+        out.setSRID(m.getSRID)
+        out
+      }
+    case gc: org.locationtech.jts.geom.GeometryCollection
+        if gc.getClass == classOf[org.locationtech.jts.geom.GeometryCollection] =>
+      var changed = false
+      val parts = Array.tabulate(gc.getNumGeometries) { i =>
+        val c = gc.getGeometryN(i)
+        val cc = canonical(c)
+        if (cc ne c) changed = true
+        cc
+      }
+      if (!changed) gc
+      else {
+        val out = gc.getFactory.createGeometryCollection(parts)
+        out.setSRID(gc.getSRID)
+        out
+      }
+    case other => other
+  }
 
   /** Node evaluator: (child values, per-row parse memo) → value. */
   private type Ev = (Array[Any], Array[Geometry]) => Any
@@ -246,6 +322,16 @@ object GeoFusion {
             ((_, _) => c, true)
           case None => ((args, _) => conv(args(i)), false)
         }
+      case GProg.Parse(inner) =>
+        val (ic, innerConst) = comp(inner)
+        val ev: Ev = (args, parsed) => {
+          val v = ic(args, parsed)
+          if (v == null) null else EWKB.read(v.asInstanceOf[Array[Byte]])
+        }
+        if (innerConst) {
+          val r = ev(null, null)
+          (((_, _) => r), true)
+        } else (ev, false)
       case GProg.Guard(pi, thenNull, inner) =>
         val (ic, innerConst) = comp(inner)
         // If(pred, null, inner) / If(pred, inner, null): null predicate
@@ -281,11 +367,13 @@ object GeoFusion {
           else {
             val r = fn(vals)
             if (r == null) null
-            else if (inheritSrid) {
-              // keepSrid semantics of the uG/bG lifts
-              val in = vals(fga).asInstanceOf[Geometry]
-              val g = r.asInstanceOf[Geometry]
-              if (g.getSRID == 0 && in.getSRID != 0) g.setSRID(in.getSRID)
+            else if (k.out == GeoKernels.OGeom) {
+              val g = canonical(r.asInstanceOf[Geometry])
+              if (inheritSrid) {
+                // keepSrid semantics of the uG/bG lifts
+                val in = vals(fga).asInstanceOf[Geometry]
+                if (g.getSRID == 0 && in.getSRID != 0) g.setSRID(in.getSRID)
+              }
               g
             } else r
           }
@@ -409,13 +497,19 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
       else { childBuf += c; childBuf.length - 1 }
     }
 
+    /** Bytes-output subtrees (OBinary kernels like st_aswkb) feeding a
+      * geometry argument get an explicit [[GProg.Parse]] — the unfused
+      * tier's consumer parses at exactly that boundary. */
+    def asGeom(p: GProg): GProg =
+      if (GProg.yieldsGeometry(p, GeoKernels.table)) p else GProg.Parse(p)
+
     def geomArg(c: Expression): GProg =
       // shared-subtree boundary: leave `c` a plain child so codegen CSE
       // computes it once across every chain (and column) that uses it.
       // Constant chains (no attribute references) are exempt — inlined,
       // the runner folds them once per task, cheaper than per-row CSE.
       if (shared(c) && c.references.nonEmpty) GProg.Load(addChild(c))
-      else build(c).getOrElse {
+      else build(c).map(asGeom).getOrElse {
       c match {
         case f: STGeoFused if f.dataType == BinaryType =>
           // splice an already-fused geometry subtree (appears after
@@ -427,8 +521,9 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
             case GProg.Scalar(i) => GProg.Scalar(mapping(i))
             case GProg.Call(n, as) => GProg.Call(n, as.map(remap))
             case GProg.Guard(i, t, in) => GProg.Guard(mapping(i), t, remap(in))
+            case GProg.Parse(in) => GProg.Parse(remap(in))
           }
-          remap(f.program)
+          asGeom(remap(f.program))
         case _ => GProg.Load(addChild(c))
       }
     }

@@ -30,6 +30,31 @@ object Drive {
                         st_geometrytype(st_delaunay_triangles(g)) AS del
       FROM (SELECT id % 2 AS grp, st_point(CAST(id AS DOUBLE), CAST(id*id AS DOUBLE)) AS g FROM range(10))
       GROUP BY grp ORDER BY grp""").show(false)
+    println("== probe: fused chain via SQL (plan + values + null-in-null-out) ==")
+    val fusedQ = spark.sql("""SELECT
+      st_bounds(st_buffer(st_geomfromtext(w), 0.5d, 8, 'round', 'round', 5.0d, false)) AS bb,
+      st_aswkt(st_get_point(st_exterior_ring(st_envelope(st_geomfromtext(w))), 1)) AS p1,
+      st_x(st_geomfromwkb(st_aswkb(st_centroid(st_geomfromtext(w)), 2, false, false))) AS rt_x
+      FROM VALUES ('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), (NULL) AS t(w)""")
+    fusedQ.show(false)
+    // VALUES sources constant-fold to LocalRelation before optimizer rules
+    // run; a range-backed frame shows the fusion rule firing in a session
+    // built WITHOUT GraftExtensions (retrofit via Geo.registerAll)
+    val rangePlan = spark.sql("""SELECT
+      st_area(st_intersection(st_rectangle(CAST(id AS DOUBLE), 0.0d, id + 3.0d, 3.0d),
+                              st_rectangle(id + 1.0d, 1.0d, id + 5.0d, 4.0d))) AS ia
+      FROM range(8)""").queryExecution.optimizedPlan.toString
+    println("fusion fired in extension-less SQL session: " + rangePlan.contains("st_geo_fused"))
+    println("== probe: PII scrub via Column API ==")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pii = Seq(
+      ("mail a@b.io, server 10.0.0.1, call +44-20-7946-0958, see https://EX.com/x", 1),
+      ("clean row", 2), (null: String, 3)).toDF("text", "id")
+    pii.select($"id",
+      graft.pipeline.Scrub.redactPii($"text").as("red"),
+      graft.pipeline.Scrub.urlDomains($"text").as("dom"),
+      graft.pipeline.Scrub.hasPii($"text").as("flag")).show(false)
     println("== entry() flagship ==")
     SparkEntry.entry(spark).show(2, false)
     spark.stop()

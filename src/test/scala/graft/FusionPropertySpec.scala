@@ -71,9 +71,15 @@ object FusionPropertySpec extends Properties("graft-fusion") {
     out
   }
 
+  /** One kernel step the way `STGeoFused` runs it: kernel, then the
+    * LinearRing→LineString canonicalization (the one lossy step of the
+    * EWKB round trip, replicated so e.g. `st_aswkt(st_boundary(box))`
+    * prints LINESTRING in both tiers), then keepSrid. In the round-trip
+    * emulation the subsequent write→read performs the same
+    * canonicalization naturally, so sharing this helper is exact. */
   private def applyK(name: String, g: Geometry): Geometry = {
     val r = GeoKernels.table(name).fn(Array[Any](g)).asInstanceOf[Geometry]
-    if (r == null) null else keepSrid(g, r)
+    if (r == null) null else keepSrid(g, graft.plans.GeoFusion.canonical(r))
   }
 
   /** ScalaUDF-tier emulation: EWKB round trip between every op. */

@@ -25,16 +25,17 @@ class FusionSpec extends AnyFunSuite {
       assert(!unfusedPlan.contains("st_geo_fused"), "conf off but rule fired")
       val unfused = build.collect()
       assert(fused.length == unfused.length)
+      def valEq(x: Any, y: Any): Boolean = (x, y) match {
+        case (u: Array[Byte], v: Array[Byte]) => java.util.Arrays.equals(u, v)
+        case (u: Double, v: Double) => java.lang.Double.compare(u, v) == 0
+        case (u: scala.collection.Seq[_], v: scala.collection.Seq[_]) =>
+          u.length == v.length && u.zip(v).forall { case (e, f) => valEq(e, f) }
+        case (u, v) => u == v
+      }
       fused.zip(unfused).foreach { case (a, b) =>
         assert(a.length == b.length)
         (0 until a.length).foreach { i =>
-          (a.get(i), b.get(i)) match {
-            case (x: Array[Byte], y: Array[Byte]) =>
-              assert(java.util.Arrays.equals(x, y), s"byte mismatch at col $i")
-            case (x: Double, y: Double) =>
-              assert(java.lang.Double.compare(x, y) == 0, s"double mismatch at col $i: $x vs $y")
-            case (x, y) => assert(x == y, s"mismatch at col $i: $x vs $y")
-          }
+          assert(valEq(a.get(i), b.get(i)), s"mismatch at col $i: ${a.get(i)} vs ${b.get(i)}")
         }
       }
     } finally spark.conf.set("spark.graft.fuse", "true")
@@ -244,9 +245,42 @@ class FusionSpec extends AnyFunSuite {
         array(col("k") * 1.0 + 3.0, lit(4.0))))).as("len"),
       st_aswkt(st_centroid(col("g"))).as("wkt"),
       st_asgeojson(st_envelope(col("h"))).as("gj"),
-      // st_aswkt_fmt stays unregistered: mixed fused/unfused composition
       st_aswkt(st_point_on_surface(col("g")), lit(2), lit(false), lit(3),
         lit(false)).as("fmt"))
+    assertTiersAgree(df)
+  }
+
+  test("array-output accessors and kwargs serializers fuse as chain terminals") {
+    def df = rects.select(
+      st_bounds(st_buffer(col("g"), lit(0.5))).as("bb"),
+      st_coordinates(st_envelope(col("h"))).as("coords"),
+      st_parts(st_multi(col("g"))).as("parts"),
+      st_interior_rings(st_convex_hull(col("g"))).as("rings"),
+      st_aswkb(st_centroid(col("g")), lit(2), lit(true), lit(false)).as("wkb"),
+      st_asgeojson(st_point_on_surface(col("g")), lit(2)).as("gj2"),
+      // bytes-output kernel feeding a geometry arg: the builder must insert
+      // a Parse at the boundary (the geo_parse oracle shape)
+      graft.functions.st_x(graft.functions.st_geomfromwkb(st_aswkb(
+        st_centroid(col("g")), lit(2), lit(false), lit(false)))).as("rt_x"))
+    spark.conf.set("spark.graft.fuse", "true")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("st_geo_fused"), s"array-output chains did not fuse:\n$plan")
+    assertTiersAgree(df)
+  }
+
+  test("indexed accessors, cast, xy predicates, relate_pattern, to_srid fuse") {
+    import spark.implicits._
+    def ring = Seq("SRID=4326;POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+      .toDF("w").repartition(1)
+      .select(st_geomfromewkt(col("w")).as("g"))
+    def df = ring.select(
+      st_aswkt(st_get_interior_ring(st_make_valid(col("g")), lit(0))).as("ir"),
+      st_aswkt(st_get_point(st_exterior_ring(col("g")), lit(2))).as("p2"),
+      st_aswkt(st_cast(st_envelope(col("g")), lit("multipolygon"))).as("mc"),
+      st_relate_pattern(st_envelope(col("g")), st_centroid(col("g")), lit("T*F**FF**")).as("rp"),
+      st_intersects_xy(st_buffer(col("g"), lit(0.1)), lit(1.0), lit(1.0)).as("ix"),
+      st_contains_xy(st_convex_hull(col("g")), lit(3.0), lit(3.0)).as("cx"),
+      graft.functions.st_srid(st_to_srid(st_centroid(col("g")), lit(3857))).as("reproj"))
     assertTiersAgree(df)
   }
 

@@ -187,6 +187,15 @@ object Probe {
       println("  transform+UDF OK: " + r(0).getSeq[Double](0))
     } catch { case e: Throwable => println("  transform+UDF FAILS: " + e.getMessage.take(120)) }
 
+
+    show("single_sided_buffer", df.select(
+      st_area(st_buffer(st_linestring(array(array($"x0", $"y0"), array($"x0" + $"w", $"y0"))),
+        lit(0.5), lit(8), lit("round"), lit("round"), lit(5.0), lit(true))).as("ss_pos_area_want_0.875"),
+      st_aswkt(st_buffer(st_linestring(array(array($"x0", $"y0"), array($"x0" + $"w", $"y0"))),
+        lit(0.5), lit(8), lit("round"), lit("round"), lit(5.0), lit(true))).as("ss_pos_wkt"),
+      st_area(st_buffer(st_linestring(array(array($"x0", $"y0"), array($"x0" + $"w", $"y0"))),
+        lit(-0.5), lit(8), lit("round"), lit("round"), lit(5.0), lit(true))).as("ss_neg_area")))
+
     spark.stop()
   }
 }
