@@ -320,6 +320,35 @@ object PipelineQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"))
+    }),
+
+    // ------------------------------------ PII scrubbing / URL hygiene
+    // The synthetic documents carry no PII, so the query plants one
+    // deterministic email / URL / IPv4 / phone per row; the oracle runs
+    // the same regexes (Java-regex/RE2 common subset) over the same
+    // augmented text in DuckDB.
+    "pipe_pii" -> ((s, dir) => {
+      import graft.pipeline.Scrub
+      val id = col("doc_id").cast("string")
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), id, lit("@example.com or visit https://site"),
+          (col("doc_id") % 7).cast("string"), lit(".example.org/p?id="), id,
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      val unblocked = Scrub.filterBlockedDomains(aug, "text",
+        Seq("site3.example.org", "site5.example.org"))
+      aug.select(col("doc_id"),
+          Scrub.emailCount(col("text")).cast("long").as("n_email"),
+          Scrub.urlCount(col("text")).cast("long").as("n_url"),
+          Scrub.ipv4Count(col("text")).cast("long").as("n_ip"),
+          Scrub.phoneCount(col("text")).cast("long").as("n_phone"),
+          length(Scrub.redactPii(col("text"))).cast("long").as("redacted_len"),
+          array_join(Scrub.urlDomains(col("text")), ",").as("domains"))
+        .crossJoin(unblocked.agg(count(lit(1)).as("n_unblocked")))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -327,6 +356,33 @@ object PipelineQueries {
     * expression tree operation by operation (same regex, same left-assoc
     * arithmetic) so double outputs are bit-identical. */
   val oracleSql: Map[String, String] = Map(
+    "pipe_pii" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or visit https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.example.org/p?id=' || CAST(doc_id AS VARCHAR)
+        |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '(?i:https?)://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+')) AS n_url,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(text, '\+[0-9]{1,3}([-. ][0-9]{2,5}){1,4}|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone,
+        |  length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{1,3}([-. ][0-9]{2,5}){1,4}|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS redacted_len,
+        |  list_transform(regexp_extract_all(text, '(?i:https?)://[A-Za-z0-9._~:/?#@!$&*+,;=%-]+'),
+        |    u -> lower(regexp_extract(u, '(?i:https?)://([^/:?#]+)', 1))) AS dlist
+        |  FROM aug)
+        |SELECT doc_id, n_email, n_url, n_ip, n_phone, redacted_len,
+        |  array_to_string(dlist, ',') AS domains,
+        |  (SELECT count(*) FROM s s2
+        |    WHERE NOT list_has_any(s2.dlist, ['site3.example.org', 'site5.example.org']))
+        |    AS n_unblocked
+        |FROM s ORDER BY doc_id""".stripMargin,
     "pipe_text" ->
       """WITH s AS (SELECT doc_id, text,
         |  len(regexp_extract_all(text, '\S+')) AS n_tok,

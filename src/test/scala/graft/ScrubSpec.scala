@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Scrub
+
+/** PII scrubbing / URL hygiene (graft.pipeline.Scrub). */
+class ScrubSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "Write to alice.smith+work@mail.example.com or bob@sub.test.org today"),
+    (2L, "Server at 192.168.1.100 and backup at 10.0.0.7 are both up"),
+    (3L, "Call +1-555-123-4567 or (212) 555 0199 after five"),
+    (4L, "See https://docs.example.com/guide?x=1 and http://blog.test.io/post#top"),
+    (5L, "No sensitive content in this row at all")
+  ).toDF("doc_id", "text")
+
+  test("detection counts per category") {
+    val r = docs.select($"doc_id",
+      Scrub.emailCount($"text").as("e"), Scrub.ipv4Count($"text").as("i"),
+      Scrub.phoneCount($"text").as("p"), Scrub.urlCount($"text").as("u"))
+      .orderBy($"doc_id").collect()
+    assert(r.map(_.getInt(1)).toSeq == Seq(2, 0, 0, 0, 0)) // emails
+    assert(r.map(_.getInt(2)).toSeq == Seq(0, 2, 0, 0, 0)) // ipv4
+    assert(r.map(_.getInt(3)).toSeq == Seq(0, 0, 2, 0, 0)) // phones
+    assert(r.map(_.getInt(4)).toSeq == Seq(0, 0, 0, 2, 0)) // urls
+  }
+
+  test("redaction replaces every hit and leaves clean text unchanged") {
+    val red = docs.select($"doc_id", Scrub.redactPii($"text").as("t"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(red(1L) == "Write to <EMAIL> or <EMAIL> today")
+    assert(red(2L) == "Server at <IP> and backup at <IP> are both up")
+    assert(red(3L) == "Call <PHONE> or <PHONE> after five")
+    assert(red(5L) == "No sensitive content in this row at all")
+    val noUrl = docs.select(Scrub.redactUrls($"text")).as[String].collect()
+    assert(noUrl.exists(_ == "See <URL> and <URL>"))
+  }
+
+  test("hasPii pre-filter") {
+    val flagged = docs.filter(Scrub.hasPii($"text")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L, 3L))
+  }
+
+  test("domain extraction lowercases and strips path/port") {
+    val d = Seq("go to HTTPS://Docs.Example.COM:8443/x and https://a.b.c/d?q=1")
+      .toDF("text").select(Scrub.urlDomains($"text")).as[Seq[String]].collect()(0)
+    assert(d == Seq("docs.example.com", "a.b.c"))
+  }
+
+  test("blocklist filter drops only documents hitting a blocked host") {
+    val kept = Scrub.filterBlockedDomains(docs, "text", Seq("blog.test.io"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+    val keptNone = Scrub.filterBlockedDomains(docs, "text", Seq("other.example"))
+      .count()
+    assert(keptNone == 5)
+  }
+}
