@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ScalaUDF construction from a UserDefinedFunction + resolved
+    * children — what a FunctionRegistry builder must return (a lazy Column
+    * node would reach codegen unresolved). */
+  def scalaUDF(f: org.apache.spark.sql.expressions.UserDefinedFunction,
+      children: Seq[Expression]): Expression =
+    org.apache.spark.sql.classic.UserDefinedFunctionUtils.toScalaUDF(
+      f.asInstanceOf[org.apache.spark.sql.expressions.SparkUserDefinedFunction], children)
 }

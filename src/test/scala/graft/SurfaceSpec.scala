@@ -362,6 +362,35 @@ class SurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL kwargs defaults: omitted trailing args behave like the Column API") {
+    Geo.registerAll(spark)
+    // each pair: short SQL form ≡ explicit full form (reference defaults)
+    val pairs = Seq(
+      "st_aswkt(st_buffer(st_point(0.0d, 0.0d), 1.0d))" ->
+        "st_aswkt(st_buffer(st_point(0.0d, 0.0d), 1.0d, 8, 'round', 'round', 5.0d, false))",
+      "st_aswkt(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0.1, 2 0)'), 0.5d))" ->
+        "st_aswkt(st_simplify(st_geomfromtext('LINESTRING (0 0, 1 0.1, 2 0)'), 0.5d, true))",
+      "st_aswkt(st_translate(st_point(1.0d, 2.0d), 3.0d, 4.0d))" ->
+        "st_aswkt(st_translate(st_point(1.0d, 2.0d), 3.0d, 4.0d, 0.0d))",
+      "st_aswkt(st_rotate(st_point(1.0d, 0.0d), 90.0d))" ->
+        "st_aswkt(st_rotate(st_point(1.0d, 0.0d), 90.0d, 'center'))",
+      "st_aswkt(st_force_3d(st_point(1.0d, 2.0d)))" ->
+        "st_aswkt(st_force_3d(st_point(1.0d, 2.0d), 0.0d))",
+      "st_aswkt(st_line_merge(st_geomfromtext('MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))')))" ->
+        "st_aswkt(st_line_merge(st_geomfromtext('MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))'), false))",
+      "hex(st_aswkb(st_point(1.0d, 2.0d)))" ->
+        "hex(st_aswkb(st_point(1.0d, 2.0d), 3, false, false))")
+    pairs.foreach { case (short, full) =>
+      val s = spark.sql(s"SELECT $short").collect()(0).getString(0)
+      val f = spark.sql(s"SELECT $full").collect()(0).getString(0)
+      assert(s == f, s"SQL default mismatch: $short -> $s vs $f")
+    }
+    // arity errors stay clear
+    val e = intercept[Exception](
+      spark.sql("SELECT st_buffer(st_point(0.0d, 0.0d))").collect())
+    assert(e.getMessage.contains("argument"), e.getMessage)
+  }
+
   test("frame-level serializers replace every geometry column (reference geodataframe.py:232-299)") {
     import graft.api._
     import org.apache.spark.sql.functions.{col, lit}
