@@ -145,16 +145,20 @@ object Bench {
     * compilation and JIT warm-up (measured ~2 s on the cheap scans — larger
     * than the queries themselves). On a real cluster that cost amortizes to
     * zero over 100 TB, so the representative number is the warm run. */
-  private def timeWarm(df: => DataFrame): Double = {
+  /** @return (median of three timed warm runs, max-min spread). Single
+    * samples on a shared box jitter ±20% (GC, page cache, neighbor load);
+    * r4's driver file even showed a 2× ghost regression that never
+    * reproduced. The median of three bounds that noise; the spread is
+    * logged so a reviewer can see which numbers to (dis)trust. */
+  private def timeWarm(df: => DataFrame): (Double, Double) = {
     force(df)
-    // min of two timed runs: single-sample times on a shared box jitter
-    // ±20% (GC, page cache); the minimum is the stable throughput signal
     def timed(): Double = {
       val t0 = System.nanoTime()
       force(df)
       (System.nanoTime() - t0) / 1e9
     }
-    math.min(timed(), timed())
+    val ts = Seq(timed(), timed(), timed()).sorted
+    (ts(1), ts(2) - ts(0))
   }
 
   def main(args: Array[String]): Unit = {
@@ -181,17 +185,20 @@ object Bench {
       // fusion rule would rewrite them too and the pair would measure nothing
       val pinUnfused = name.endsWith("_udf") || name.endsWith("_unfused")
       if (pinUnfused) spark.conf.set("spark.graft.fuse", "false")
-      val sec =
+      val (sec, spread) =
         try timeWarm(fn(spark, sfDir))
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
+            System.err.println(s"[bench] $name: ${e.getMessage}"); (-1.0, 0.0)
         } finally if (pinUnfused) spark.conf.set("spark.graft.fuse", "true")
-      name -> sec
+      (name, sec, spread)
     }
-    val qs = results.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (n, v, _) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val spreads = results.map { case (n, _, sp) =>
+      "\"" + n + "\":" + BigDecimal(sp).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

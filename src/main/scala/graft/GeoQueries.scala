@@ -369,6 +369,7 @@ object GeoQueries {
       * snap(v) = floor(4v+0.5)/4 (probed — JTS PrecisionModel.makePrecise
       * and OverlayNG snap-rounding agree with the closed form). */
     "geo_agg_prec" -> ((s, dir) => {
+      graft.Geo.registerAll(s) // SQL-path column below needs the registry
       val ax = (k % 5).cast("double") / 16.0
       val ay = (k % 7).cast("double") / 16.0
       // disjoint per row (one 16-wide x cell per k), off-grid top corners
@@ -382,8 +383,12 @@ object GeoQueries {
         .groupBy(col("grp"))
         .agg(
           st_area(st_union_all(col("g"), 0.25)).as("ua"),
+          // same aggregate through the SQL registry's arity-flexible
+          // builder (grid_size as a literal trailing argument)
+          expr("st_area(st_union_all(g, 0.25))").as("ua_sql"),
           st_area(st_symmetric_difference_all(col("g"), 0.25)).as("sa"),
-          st_area(st_intersection_all(col("gi"), 0.25)).as("ia"))
+          st_area(st_intersection_all(col("gi"), 0.25)).as("ia"),
+          expr("st_area(st_intersection_all(gi, 0.25))").as("ia_sql"))
         .orderBy(col("grp"))
     }),
 
@@ -661,6 +666,74 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    /** Embedded EPSG parameter table (round-5/6 addition; reference
+      * reprojects ANY registry pair via its embedded CRS db,
+      * `functions.rs:1868-1939` + crs-definitions). Codes here were
+      * previously-unsupported: ETRS89/UTM (25832), British National Grid
+      * (27700, Airy 1830 + OSGB36 Helmert shift), NZTM (2193), Belgian
+      * Lambert 72 (31370, International 1924 + BD72 shift), California
+      * SPCS zone 3 (26943), France CC45 (3945), Arctic Polar Stereo
+      * (3995), UPS North (32661, variant A). Round trips through 4326 at
+      * 1e-8° (polar family 1e-7, matching geo_crs2); datum-shifted grids
+      * also assert the closed-form natural-origin → false-origin identity
+      * STARTING from their own geographic CRS (exercises the Helmert
+      * round trip at fp precision). */
+    "geo_crs3" -> ((s, dir) => {
+      def rtOk(lon: Column, lat: Column, epsg: Int, tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val back = st_to_srid(st_to_srid(p, lit(epsg)), lit(4326))
+        abs(st_x(back) - lon) < tol && abs(st_y(back) - lat) < tol
+      }
+      // in-domain dyadic points per grid
+      val lonUk = (k % 24).cast("double") / 4.0 - 5.0     // -5 .. 0.75
+      val latUk = lit(50.25) + (k % 26).cast("double") / 4.0 // 50.25 .. 56.5
+      val lonDe = lit(6.25) + (k % 23).cast("double") / 4.0  // 6.25 .. 11.75
+      val latDe = lit(47.5) + (k % 40).cast("double") / 4.0  // 47.5 .. 57.25
+      val lonNz = lit(170.25) + (k % 23).cast("double") / 4.0 // 170.25 .. 175.75
+      val latNz = -(lit(36.5) + (k % 30).cast("double") / 4.0) // -36.5 .. -43.75
+      val lonBe = lit(2.75) + (k % 14).cast("double") / 4.0  // 2.75 .. 6.0
+      val latBe = lit(49.75) + (k % 7).cast("double") / 4.0  // 49.75 .. 51.25
+      val lonCa3 = -(lit(117.25) + (k % 19).cast("double") / 4.0) // -117.25 .. -121.75
+      val latCa3 = lit(36.25) + (k % 9).cast("double") / 4.0 // 36.25 .. 38.25
+      val lonFr = (k % 32).cast("double") / 4.0 - 1.0       // -1 .. 6.75
+      val latFr = lit(44.25) + (k % 7).cast("double") / 4.0  // 44.25 .. 45.75 (CC45)
+      val lonPo = (k % 360).cast("double") - 179.5
+      val latN = lit(60.0) + (k % 29).cast("double")
+      // natural origin → false origin. CC45 has no datum shift →
+      // projection-exact. BNG starts from its own geographic CRS (4277
+      // OSGB36): the hub detour (Airy h=0 → WGS84, height dropped → Airy)
+      // leaves the standard h=0-convention residual of ~1 mm (the same
+      // sub-cm loss a proj pipeline shows for 2D datum-shifted round
+      // trips), so the check is at 1 cm.
+      val bng0 = st_to_srid(
+        st_set_srid(st_point(lit(-2.0), lit(49.0)), lit(4277)), lit(27700))
+      val cc0 = st_to_srid(
+        st_set_srid(st_point(lit(3.0), lit(45.0)), lit(4326)), lit(3945))
+      base(s, dir).select(k,
+        // datum-shifted grids round-trip at 1e-7 (the h=0 residual above
+        // caps them at ~2e-8); shift-free grids hold 1e-8
+        rtOk(lonUk, latUk, 27700, 1e-7).as("bng_rt_ok"),
+        rtOk(lonDe, latDe, 25832, 1e-8).as("etrs_utm_rt_ok"),
+        rtOk(lonNz, latNz, 2193, 1e-8).as("nztm_rt_ok"),
+        rtOk(lonBe, latBe, 31370, 1e-8).as("belge_rt_ok"),
+        rtOk(lonCa3, latCa3, 26943, 1e-8).as("spcs_ca3_rt_ok"),
+        rtOk(lonFr, latFr, 3945, 1e-8).as("cc45_rt_ok"),
+        rtOk(lonPo, latN, 3995, 1e-7).as("arctic_rt_ok"),
+        rtOk(lonPo, latN, 32661, 1e-7).as("ups_rt_ok"),
+        (abs(st_x(bng0) - 400000.0) < 1e-2 &&
+          abs(st_y(bng0) + 100000.0) < 1e-2).as("bng_origin_ok"),
+        (abs(st_x(cc0) - 1700000.0) < 1e-6 &&
+          abs(st_y(cc0) - 4200000.0) < 1e-6).as("cc45_origin_ok"),
+        graft.functions.st_srid(
+          st_to_srid(st_set_srid(st_point(lonUk, latUk), lit(4326)), lit(27700)))
+          .as("srid_bng"),
+        st_get_crs_from_code(lit(27700)).contains("British National Grid")
+          .as("fromcode_bng"),
+        st_get_crs_authority(st_get_crs_from_code(lit(25832))).getField("_2")
+          .as("wkt_code_25832")
+      ).orderBy(k)
+    }),
+
     // --------------------------------------------- §2.12 serialization
     "geo_serde" -> ((s, dir) => {
       val xiD = (k % 1000000).cast("double") * 16.0
@@ -893,8 +966,8 @@ object GeoQueries {
          | 16.0 + CAST(k%11 AS DOUBLE)/4.0
          |   + floor(CAST(k%7 AS DOUBLE)/4.0 + 0.5)/4.0 AS iy
          | FROM b)
-         |SELECT grp, sum(sw*sh) AS ua, sum(sw*sh) AS sa,
-         | min(ix)*min(iy) AS ia
+         |SELECT grp, sum(sw*sh) AS ua, sum(sw*sh) AS ua_sql, sum(sw*sh) AS sa,
+         | min(ix)*min(iy) AS ia, min(ix)*min(iy) AS ia_sql
          |FROM p GROUP BY grp ORDER BY grp""".stripMargin,
     "geo_agg_vor_kw" ->
       """SELECT 576.0 AS vor_area, 3 AS vor_n, 576.0 AS vor_area_tol,
@@ -969,6 +1042,13 @@ object GeoQueries {
          | TRUE AS lcc_fr_origin_ok, TRUE AS pole_origin_ok,
          | 5070 AS srid_albers, TRUE AS fromcode_albers,
          | TRUE AS fromcode_polar, 3031 AS wkt_code_3031
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs3" ->
+      s"""$B SELECT k, TRUE AS bng_rt_ok, TRUE AS etrs_utm_rt_ok,
+         | TRUE AS nztm_rt_ok, TRUE AS belge_rt_ok, TRUE AS spcs_ca3_rt_ok,
+         | TRUE AS cc45_rt_ok, TRUE AS arctic_rt_ok, TRUE AS ups_rt_ok,
+         | TRUE AS bng_origin_ok, TRUE AS cc45_origin_ok,
+         | 27700 AS srid_bng, TRUE AS fromcode_bng, 25832 AS wkt_code_25832
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

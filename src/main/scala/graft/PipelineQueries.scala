@@ -106,6 +106,40 @@ object PipelineQueries {
             .as("n_ident_j1"))
     }),
 
+    // ------------------------------------------------ streaming near-dup
+    // The streaming MinHash tier, drained batch-equivalently: the doc
+    // table (with planted dups) becomes a file-source stream, AvailableNow
+    // runs it through flatMapGroupsWithState bucket state, and the result
+    // is compared in-query against the batch tier — n_sym_diff MUST be 0
+    // (same pairs), and the identical-fingerprint pair count is the
+    // closed-form oracle.
+    "pipe_stream_minhash" -> ((s, dir) => {
+      val all = docsWithDups(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      all.write.mode("overwrite").parquet(tmp + "/in")
+      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
+      val hits = graft.streaming.DedupStreaming.nearDupMinhashStream(
+        streamIn, "doc_id", "text", threshold = 1.0)
+      val qn = "stream_minhash_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = hits.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "streaming minhash drain timed out")
+      val pairs = s.table(qn).dropDuplicates("id_a", "id_b")
+      val fps = all.select(col("doc_id").as("id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val batchPairs = Dedup.nearDupMinhash(all, "doc_id", "text", threshold = 1.0)
+        .select("id_a", "id_b")
+      val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
+        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      pairs
+        .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_stream_ident"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+    }),
+
     // ------------------------------------- embedding near-dup + ANN search
     "pipe_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -434,6 +468,9 @@ object PipelineQueries {
     "pipe_dedup_simhash" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_h0""".stripMargin,
+    "pipe_stream_minhash" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
+        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_embedding" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_bf_self,

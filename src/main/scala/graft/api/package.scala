@@ -162,6 +162,7 @@ package object api {
     def clipByRect(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
       st_clip_by_rect(c, xmin, ymin, xmax, ymax)
     def convexHull: Column = st_convex_hull(c)
+    def concaveHull: Column = st_concave_hull(c)
     def concaveHull(ratio: Column): Column = st_concave_hull(c, ratio)
     def concaveHull(ratio: Column, allowHoles: Column): Column =
       st_concave_hull(c, ratio, allowHoles)

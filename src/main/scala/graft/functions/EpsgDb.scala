@@ -1,0 +1,580 @@
+package graft.functions
+
+/** Embedded EPSG parameter table + generalized projection engine for
+  * `st_to_srid` (reference `to_srid`, `/root/reference/src/functions.rs:
+  * 1868-1939`, backed there by proj4rs + an embedded EPSG database; this
+  * offline build embeds the parameter tuples directly).
+  *
+  * Everything here derives from public knowledge: the projection formulas
+  * are Snyder, *Map Projections — A Working Manual* (USGS PP 1395), the
+  * datum transform is the standard 7-parameter Helmert (position-vector
+  * rotation convention, EPSG method 9606), and the per-code parameters are
+  * the published EPSG registry values (ellipsoid, standard parallels,
+  * natural origin, false easting/northing, scale, datum shift).
+  *
+  * This module backs the codes NOT covered by [[CrsImpl]]'s original
+  * closed-form families; those keep their existing implementations so
+  * results stay bit-identical. All transforms route through the WGS84
+  * geodetic hub; CRSs on other datums convert via geodetic → geocentric →
+  * Helmert → WGS84 (grid-based transformations like NADCON/NTv2 are out of
+  * scope — the published Helmert parameters are the meter-level "single
+  * transform" of each registry entry, which is the same fallback proj uses
+  * without grid files).
+  */
+object EpsgDb {
+
+  // ------------------------------------------------------------ ellipsoids
+
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    val e2: Double = f * (2 - f)
+    val e: Double = math.sqrt(e2)
+    val ep2: Double = e2 / (1 - e2)
+  }
+
+  private val WGS84 = Ellipsoid(6378137.0, 298.257223563)
+  private val GRS80 = Ellipsoid(6378137.0, 298.257222101)
+  private val Intl1924 = Ellipsoid(6378388.0, 297.0)
+  private val Airy1830 = Ellipsoid(6377563.396, 299.3249646)
+  private val AiryModified = Ellipsoid(6377340.189, 299.3249646)
+  private val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
+
+  // ------------------------------------------------------- datum transform
+
+  /** 7-parameter Helmert to WGS84, position-vector rotation convention
+    * (EPSG 9606): translations m, rotations arc-seconds, scale ppm. The
+    * inverse uses the EXACT analytic inverse of the (small-angle) rotation
+    * matrix rather than parameter negation — negation leaves a second-order
+    * s² residual (~3 mm for OSGB36's −20.5 ppm) that would eat the 1e-8°
+    * round-trip budget. */
+  final case class Helmert(dx: Double, dy: Double, dz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, ppm: Double) {
+    private val s = math.Pi / (180.0 * 3600.0)
+    private val (rx, ry, rz) = (rxSec * s, rySec * s, rzSec * s)
+    private val m = 1.0 + ppm * 1e-6
+    // inverse of A = [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]] via cofactors
+    private val det = 1.0 + rx * rx + ry * ry + rz * rz
+    private val i11 = (1 + rx * rx) / det
+    private val i12 = (rz + rx * ry) / det
+    private val i13 = (rx * rz - ry) / det
+    private val i21 = (rx * ry - rz) / det
+    private val i22 = (1 + ry * ry) / det
+    private val i23 = (rx + ry * rz) / det
+    private val i31 = (rx * rz + ry) / det
+    private val i32 = (ry * rz - rx) / det
+    private val i33 = (1 + rz * rz) / det
+
+    def toWgs84(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (dx + m * (x - rz * y + ry * z),
+        dy + m * (rz * x + y - rx * z),
+        dz + m * (-ry * x + rx * y + z))
+
+    def fromWgs84(x0: Double, y0: Double, z0: Double): (Double, Double, Double) = {
+      val x = (x0 - dx) / m
+      val y = (y0 - dy) / m
+      val z = (z0 - dz) / m
+      (i11 * x + i12 * y + i13 * z,
+        i21 * x + i22 * y + i23 * z,
+        i31 * x + i32 * y + i33 * z)
+    }
+  }
+
+  /** Geodetic (deg, h=0) → geocentric XYZ. */
+  private def toXYZ(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val lat = math.toRadians(latDeg)
+    val lon = math.toRadians(lonDeg)
+    val sinP = math.sin(lat)
+    val n = ell.a / math.sqrt(1 - ell.e2 * sinP * sinP)
+    (n * math.cos(lat) * math.cos(lon),
+      n * math.cos(lat) * math.sin(lon),
+      n * (1 - ell.e2) * sinP)
+  }
+
+  /** Geocentric XYZ → geodetic (deg), fixed-point on φ (converges to
+    * double precision in < 10 rounds for surface points). */
+  private def toGeodetic(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1 - ell.e2))
+    var i = 0
+    while (i < 12) {
+      val sinP = math.sin(phi)
+      val n = ell.a / math.sqrt(1 - ell.e2 * sinP * sinP)
+      phi = math.atan2(z + ell.e2 * n * sinP, p)
+      i += 1
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
+
+  // ------------------------------------------------------------ projections
+
+  /** Forward/inverse between (lon, lat) degrees on the CRS's own datum and
+    * projected (x, y). */
+  sealed trait Projection {
+    def ell: Ellipsoid
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double)
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
+
+  /** Geographic 2D CRS (axis order normalized to lon, lat degrees). */
+  final case class Geographic(ell: Ellipsoid) extends Projection {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = (lonDeg, latDeg)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  /** Meridian arc M(φ) (Snyder 3-21), per ellipsoid. */
+  private def meridianArc(ell: Ellipsoid, phi: Double): Double = {
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    ell.a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+      - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi)
+      + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+      - (35 * e6 / 3072) * math.sin(6 * phi))
+  }
+
+  /** Ellipsoidal Transverse Mercator (Snyder §8, series form — sub-mm
+    * within ±4° of the central meridian, the designed domain of every
+    * TM-based grid here). */
+  final case class TMerc(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    private val m0 = meridianArc(ell, math.toRadians(lat0Deg))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val lam0 = math.toRadians(lon0Deg)
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val n = ell.a / math.sqrt(1 - ell.e2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = ell.ep2 * cosP * cosP
+      val aa = (lam - lam0) * cosP
+      val m = meridianArc(ell, phi)
+      val x = fe + k0 * n * (aa + (1 - t + c) * aa * aa * aa / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ell.ep2) * math.pow(aa, 5) / 120)
+      val y = fn + k0 * (m - m0 + n * tanP * (aa * aa / 2
+        + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ell.ep2) * math.pow(aa, 6) / 720))
+      (x, y)
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val e2 = ell.e2
+      val x = x0 - fe
+      val m = m0 + (y0 - fn) / k0
+      val mu = m / (ell.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+      val c1 = ell.ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = ell.a / math.sqrt(1 - e2 * sinP * sinP)
+      val r1 = ell.a * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
+      val d = x / (n1 * k0)
+      val phi = phi1 - (n1 * tanP / r1) * (d * d / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ell.ep2) * math.pow(d, 4) / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ell.ep2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
+      val lam = (d - (1 + 2 * t1 + c1) * d * d * d / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ell.ep2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / cosP
+      (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Lambert Conformal Conic 2SP (Snyder §15). */
+  final case class Lcc2SP(ell: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double, fe: Double, fn: Double) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+    }
+    private def tOf(phi: Double) = {
+      val esin = ell.e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), ell.e / 2)
+    }
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (math.log(mOf(phi1)) - math.log(mOf(phi2))) /
+        (math.log(tOf(phi1)) - math.log(tOf(phi2)))
+    private val fBig = mOf(phi1) / (n * math.pow(tOf(phi1), n))
+    private val rho0 = {
+      val t0 = tOf(math.toRadians(lat0Deg))
+      if (t0 == 0.0) 0.0 else ell.a * fBig * math.pow(t0, n)
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val t = tOf(math.toRadians(latDeg))
+      val rho = if (t == 0.0) 0.0 else ell.a * fBig * math.pow(t, n)
+      val theta = n * (math.toRadians(lonDeg) - lon0)
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val sg = math.signum(n)
+      val x = x0 - fe; val y = rho0 - (y0 - fn)
+      val rho = sg * math.sqrt(x * x + y * y)
+      val t = math.pow(rho / (ell.a * fBig), 1 / n)
+      val theta = math.atan2(sg * x, sg * y)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 10) {
+        val esin = ell.e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - esin) / (1 + esin), ell.e / 2))
+        i += 1
+      }
+      (math.toDegrees(theta / n + lon0), math.toDegrees(phi))
+    }
+  }
+
+  /** Albers Equal-Area Conic 2SP (Snyder §14). */
+  final case class AlbersConic(ell: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double, fe: Double, fn: Double) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+    }
+    private def qOf(phi: Double): Double = {
+      val esin = ell.e * math.sin(phi)
+      (1 - ell.e2) * (math.sin(phi) / (1 - esin * esin) -
+        (1 / (2 * ell.e)) * math.log((1 - esin) / (1 + esin)))
+    }
+    private val m1 = mOf(math.toRadians(lat1Deg))
+    private val m2 = mOf(math.toRadians(lat2Deg))
+    private val q1 = qOf(math.toRadians(lat1Deg))
+    private val q2 = qOf(math.toRadians(lat2Deg))
+    private val n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    private val c = m1 * m1 + n * q1
+    private val rho0 = ell.a * math.sqrt(c - n * qOf(math.toRadians(lat0Deg))) / n
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = ell.a * math.sqrt(c - n * qOf(math.toRadians(latDeg))) / n
+      val theta = n * (math.toRadians(lonDeg) - lon0)
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val sg = math.signum(n)
+      val x = x0 - fe; val y = rho0 - (y0 - fn)
+      val rho = sg * math.sqrt(x * x + y * y)
+      val theta = math.atan2(sg * x, sg * y)
+      val q = (c - rho * rho * n * n / (ell.a * ell.a)) / n
+      var phi = math.asin(math.max(-1, math.min(1, q / 2)))
+      var i = 0
+      while (i < 12) {
+        val sinP = math.sin(phi)
+        val esin = ell.e * sinP
+        val one = 1 - esin * esin
+        phi += one * one / (2 * math.cos(phi)) * (q / (1 - ell.e2) -
+          sinP / one + (1 / (2 * ell.e)) * math.log((1 - esin) / (1 + esin)))
+        i += 1
+      }
+      (math.toDegrees(theta / n + lon0), math.toDegrees(phi))
+    }
+  }
+
+  /** Polar Stereographic (Snyder §21), either EPSG variant: variant B is
+    * parameterized by a standard parallel (`latTsDeg`), variant A (UPS) by
+    * a scale factor at the pole (`k0`). Set exactly one. */
+  final case class PolarStereo(ell: Ellipsoid, north: Boolean, lon0Deg: Double,
+      latTsDeg: Double, k0: Double, fe: Double, fn: Double) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private def tOf(phi: Double) = {
+      val esin = ell.e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), ell.e / 2)
+    }
+    private def mOf(phi: Double) = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - ell.e2 * s * s)
+    }
+    /** ρ = kFactor · t. Variant B: a·m(φts)/t(φts); variant A (Snyder
+      * 21-33): 2·a·k0 / sqrt((1+e)^(1+e)·(1-e)^(1-e)). */
+    private val kFactor =
+      if (!latTsDeg.isNaN) {
+        val phiTs = math.toRadians(math.abs(latTsDeg))
+        ell.a * mOf(phiTs) / tOf(phiTs)
+      } else {
+        val e = ell.e
+        2 * ell.a * k0 / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(if (north) latDeg else -latDeg)
+      val dLam = math.toRadians(lonDeg) - lon0
+      val rho = kFactor * tOf(phi)
+      val x = rho * math.sin(dLam)
+      val y = if (north) -rho * math.cos(dLam) else rho * math.cos(dLam)
+      (fe + x, fn + y)
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe; val y = y0 - fn
+      val rho = math.hypot(x, y)
+      if (rho < 1e-12) return (lon0Deg, if (north) 90.0 else -90.0)
+      val t = rho / kFactor
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 10) {
+        val esin = ell.e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - esin) / (1 + esin), ell.e / 2))
+        i += 1
+      }
+      val lam = lon0 + (if (north) math.atan2(x, -y) else math.atan2(x, y))
+      val lamDeg = math.toDegrees(lam)
+      val norm = lamDeg - 360.0 * math.floor((lamDeg + 180.0) / 360.0)
+      val lamOut = if (norm == -180.0) 180.0 else norm
+      (lamOut, math.toDegrees(if (north) phi else -phi))
+    }
+  }
+
+  /** Ellipsoidal Mercator 1SP (Snyder §7). */
+  final case class Mercator1SP(ell: Ellipsoid, lon0Deg: Double, k0: Double,
+      fe: Double, fn: Double) extends Projection {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val esin = ell.e * math.sin(phi)
+      (fe + ell.a * k0 * math.toRadians(lonDeg - lon0Deg),
+        fn + ell.a * k0 * math.log(math.tan(math.Pi / 4 + phi / 2) *
+          math.pow((1 - esin) / (1 + esin), ell.e / 2)))
+    }
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val t = math.exp(-(y0 - fn) / (ell.a * k0))
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 10) {
+        val esin = ell.e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - esin) / (1 + esin), ell.e / 2))
+        i += 1
+      }
+      (lon0Deg + math.toDegrees((x0 - fe) / (ell.a * k0)), math.toDegrees(phi))
+    }
+  }
+
+  /** Oblique-aspect Lambert Azimuthal Equal-Area (Snyder §24). */
+  final case class Laea(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      fe: Double, fn: Double) extends Projection {
+    private val lat0 = math.toRadians(lat0Deg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private def qOf(phi: Double): Double = {
+      val esin = ell.e * math.sin(phi)
+      (1 - ell.e2) * (math.sin(phi) / (1 - esin * esin) -
+        (1 / (2 * ell.e)) * math.log((1 - esin) / (1 + esin)))
+    }
+    private val qp = qOf(math.Pi / 2)
+    private val q0 = qOf(lat0)
+    private val beta0 = math.asin(q0 / qp)
+    private val rq = ell.a * math.sqrt(qp / 2)
+    private val d = ell.a * (math.cos(lat0) /
+      math.sqrt(1 - ell.e2 * math.pow(math.sin(lat0), 2))) / (rq * math.cos(beta0))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val beta = math.asin(qOf(phi) / qp)
+      val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
+        math.cos(beta0) * math.cos(beta) * math.cos(lam - lon0)))
+      (fe + b * d * math.cos(beta) * math.sin(lam - lon0),
+        fn + (b / d) * (math.cos(beta0) * math.sin(beta) -
+          math.sin(beta0) * math.cos(beta) * math.cos(lam - lon0)))
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe; val y = y0 - fn
+      val rho = math.sqrt(math.pow(x / d, 2) + math.pow(d * y, 2))
+      if (rho < 1e-12) return (lon0Deg, lat0Deg)
+      val ce = 2 * math.asin(rho / (2 * rq))
+      val betaP = math.asin(math.cos(ce) * math.sin(beta0) +
+        (d * y * math.sin(ce) * math.cos(beta0)) / rho)
+      val lam = lon0 + math.atan2(x * math.sin(ce),
+        d * rho * math.cos(beta0) * math.cos(ce) - d * d * y * math.sin(beta0) * math.sin(ce))
+      val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+      val phi = betaP + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
+        (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
+        (761 * e6 / 45360) * math.sin(6 * betaP)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  final case class Crs(proj: Projection, shift: Option[Helmert], name: String)
+
+  private def noShift(p: Projection, name: String): (Projection, Option[Helmert], String) =
+    (p, None, name)
+
+  /** Published Helmert parameters (position vector, to WGS84). */
+  private val Osgb36 = Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+  private val Tm65 = Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15)
+  private val Dhdn = Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+  private val Ed50 = Helmert(-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+  private val Bd72 = Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
+
+  val table: Map[Int, Crs] = {
+    val b = Map.newBuilder[Int, Crs]
+    def add(code: Int, e: (Projection, Option[Helmert], String)): Unit =
+      b += code -> Crs(e._1, e._2, e._3)
+
+    // geographic 2D CRSs on datums coincident with WGS84 at our tolerance
+    add(4258, noShift(Geographic(GRS80), "ETRS89"))
+    add(4269, noShift(Geographic(GRS80), "NAD83"))
+    add(4283, noShift(Geographic(GRS80), "GDA94"))
+    add(4171, noShift(Geographic(GRS80), "RGF93 v1"))
+    add(4619, noShift(Geographic(GRS80), "SWEREF99"))
+    add(4167, noShift(Geographic(GRS80), "NZGD2000"))
+    // geographic CRSs with a datum shift
+    add(4277, (Geographic(Airy1830), Some(Osgb36), "OSGB36"))
+    add(4230, (Geographic(Intl1924), Some(Ed50), "ED50"))
+    add(4314, (Geographic(Bessel1841), Some(Dhdn), "DHDN"))
+    add(4313, (Geographic(Intl1924), Some(Bd72), "BD72"))
+    add(4299, (Geographic(AiryModified), Some(Tm65), "TM65"))
+
+    // ETRS89 / UTM zones 28N-38N
+    for (z <- 28 to 38)
+      add(25800 + z, noShift(TMerc(GRS80, 0, -183 + 6 * z, 0.9996, 500000, 0),
+        s"ETRS89 / UTM zone ${z}N"))
+    // NAD83 / UTM zones 1N-23N
+    for (z <- 1 to 23)
+      add(26900 + z, noShift(TMerc(GRS80, 0, -183 + 6 * z, 0.9996, 500000, 0),
+        s"NAD83 / UTM zone ${z}N"))
+    // GDA94 / MGA zones 48-58
+    for (z <- 48 to 58)
+      add(28300 + z, noShift(TMerc(GRS80, 0, -183 + 6 * z, 0.9996, 500000, 10000000),
+        s"GDA94 / MGA zone $z"))
+    // ED50 / UTM zones 28N-38N (International 1924 + 3-param shift)
+    for (z <- 28 to 38)
+      add(23000 + z, (TMerc(Intl1924, 0, -183 + 6 * z, 0.9996, 500000, 0),
+        Some(Ed50), s"ED50 / UTM zone ${z}N"))
+    // DHDN / 3-degree Gauss-Krüger zones 2-5
+    for (z <- 2 to 5)
+      add(31464 + z, (TMerc(Bessel1841, 0, 3 * z, 1.0, z * 1e6 + 500000, 0),
+        Some(Dhdn), s"DHDN / 3-degree Gauss-Kruger zone $z"))
+
+    // national TM grids
+    add(27700, (TMerc(Airy1830, 49, -2, 0.9996012717, 400000, -100000),
+      Some(Osgb36), "OSGB36 / British National Grid"))
+    add(2157, noShift(TMerc(GRS80, 53.5, -8, 0.99982, 600000, 750000),
+      "IRENET95 / Irish Transverse Mercator"))
+    add(29902, (TMerc(AiryModified, 53.5, -8, 1.000035, 200000, 250000),
+      Some(Tm65), "TM65 / Irish Grid"))
+    add(29903, (TMerc(AiryModified, 53.5, -8, 1.000035, 200000, 250000),
+      Some(Tm65), "TM75 / Irish Grid"))
+    add(2193, noShift(TMerc(GRS80, 0, 173, 0.9996, 1600000, 10000000),
+      "NZGD2000 / New Zealand Transverse Mercator 2000"))
+    add(2180, noShift(TMerc(GRS80, 0, 19, 0.9993, 500000, -5300000),
+      "ETRF2000-PL / CS92"))
+    add(3006, noShift(TMerc(GRS80, 0, 15, 0.9996, 500000, 0),
+      "SWEREF99 TM"))
+
+    // RGF93 / CC42-CC50 (France 9-zone conic system)
+    for (z <- 42 to 50)
+      add(3900 + z, noShift(
+        Lcc2SP(GRS80, z - 0.75, z + 0.75, z, 3, 1700000, (z - 42) * 1e6 + 1200000),
+        s"RGF93 v1 / CC$z"))
+    // Belgian Lambert 72
+    add(31370, (Lcc2SP(Intl1924, 51.16666723333333, 49.8333339, 90, 4.367486666666666,
+      150000.013, 5400088.438), Some(Bd72), "BD72 / Belgian Lambert 72"))
+    // NAD83 / California Albers + SPCS California zones 1-6 (meters)
+    add(3310, noShift(AlbersConic(GRS80, 34, 40.5, 0, -120, 0, -4000000),
+      "NAD83 / California Albers"))
+    val caZones = Seq(
+      (26941, 41.0 + 40.0 / 60, 40.0, 39.0 + 20.0 / 60, -122.0),
+      (26942, 39.0 + 50.0 / 60, 38.0 + 20.0 / 60, 37.0 + 40.0 / 60, -122.0),
+      (26943, 38.0 + 26.0 / 60, 37.0 + 4.0 / 60, 36.5, -120.5),
+      (26944, 37.25, 36.0, 35.0 + 20.0 / 60, -119.0),
+      (26945, 35.0 + 28.0 / 60, 34.0 + 2.0 / 60, 33.5, -118.0),
+      (26946, 33.0 + 53.0 / 60, 32.0 + 47.0 / 60, 32.0 + 10.0 / 60, -116.25))
+    caZones.zipWithIndex.foreach { case ((code, lat1, lat2, lat0, lon0), i) =>
+      add(code, noShift(Lcc2SP(GRS80, lat1, lat2, lat0, lon0, 2000000, 500000),
+        s"NAD83 / California zone ${i + 1}"))
+    }
+    // Canadian Albers systems
+    add(3005, noShift(AlbersConic(GRS80, 50, 58.5, 45, -126, 1000000, 0),
+      "NAD83 / BC Albers"))
+    add(3578, noShift(AlbersConic(GRS80, 61.0 + 40.0 / 60, 68, 59, -132.5, 500000, 500000),
+      "NAD83 / Yukon Albers"))
+
+    // polar CRSs
+    add(3976, noShift(PolarStereo(WGS84, north = false, 0, -70, Double.NaN, 0, 0),
+      "WGS 84 / NSIDC Sea Ice Polar Stereographic South"))
+    add(3995, noShift(PolarStereo(WGS84, north = true, 0, 71, Double.NaN, 0, 0),
+      "WGS 84 / Arctic Polar Stereographic"))
+    add(32661, noShift(PolarStereo(WGS84, north = true, 0, Double.NaN, 0.994, 2000000, 2000000),
+      "WGS 84 / UPS North (N,E)"))
+    add(32761, noShift(PolarStereo(WGS84, north = false, 0, Double.NaN, 0.994, 2000000, 2000000),
+      "WGS 84 / UPS South (N,E)"))
+
+    // Pacific-centered Mercator
+    add(3832, noShift(Mercator1SP(WGS84, 150, 1.0, 0, 0),
+      "WGS 84 / PDC Mercator"))
+
+    b.result()
+  }
+
+  def isSupported(code: Int): Boolean = code == 4326 || table.contains(code)
+
+  /** (lon, lat) on this CRS's datum → WGS84 (lon, lat). */
+  private def datumToWgs84(crs: Crs, lonDeg: Double, latDeg: Double): (Double, Double) =
+    crs.shift match {
+      case None => (lonDeg, latDeg)
+      case Some(h) =>
+        val (x, y, z) = toXYZ(crs.proj.ell, lonDeg, latDeg)
+        val (x2, y2, z2) = h.toWgs84(x, y, z)
+        toGeodetic(WGS84, x2, y2, z2)
+    }
+
+  private def wgs84ToDatum(crs: Crs, lonDeg: Double, latDeg: Double): (Double, Double) =
+    crs.shift match {
+      case None => (lonDeg, latDeg)
+      case Some(h) =>
+        val (x, y, z) = toXYZ(WGS84, lonDeg, latDeg)
+        val (x2, y2, z2) = h.fromWgs84(x, y, z)
+        toGeodetic(crs.proj.ell, x2, y2, z2)
+    }
+
+  /** Projected/geographic (x, y) in `code` → WGS84 (lon, lat). */
+  def toWgs84(x: Double, y: Double, code: Int): (Double, Double) = {
+    if (code == 4326) return (x, y)
+    val crs = table(code)
+    val (lon, lat) = crs.proj.inverse(x, y)
+    datumToWgs84(crs, lon, lat)
+  }
+
+  /** WGS84 (lon, lat) → projected/geographic (x, y) in `code`. */
+  def fromWgs84(lon: Double, lat: Double, code: Int): (Double, Double) = {
+    if (code == 4326) return (lon, lat)
+    val crs = table(code)
+    val (lonD, latD) = wgs84ToDatum(crs, lon, lat)
+    crs.proj.forward(lonD, latD)
+  }
+
+  /** Synthesized CRS WKT from the stored parameters (reference
+    * `src/crs.rs:20-26`; registry names, parameter values public). */
+  def wkt(code: Int): Option[String] = table.get(code).map { crs =>
+    def geogcs(ell: Ellipsoid, datumName: String) =
+      s"""GEOGCS["$datumName",DATUM["${datumName.replace(' ', '_')}",SPHEROID["${datumName}",${ell.a},${ell.invF}]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""
+    val base = geogcs(crs.proj.ell, crs.name.split(" / ").head)
+    crs.proj match {
+      case Geographic(_) =>
+        s"""GEOGCS["${crs.name}",DATUM["${crs.name.replace(' ', '_')}",SPHEROID["${crs.name}",${crs.proj.ell.a},${crs.proj.ell.invF}]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","$code"]]"""
+      case TMerc(_, lat0, lon0, k0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Lcc2SP(_, lat1, lat2, lat0, lon0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["standard_parallel_1",$lat1],PARAMETER["standard_parallel_2",$lat2],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case AlbersConic(_, lat1, lat2, lat0, lon0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Albers_Conic_Equal_Area"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["standard_parallel_1",$lat1],PARAMETER["standard_parallel_2",$lat2],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case PolarStereo(_, north, lon0, latTs, k0, fe, fn) =>
+        val lat0 = if (!latTs.isNaN) latTs else if (north) 90.0 else -90.0
+        val k = if (k0.isNaN) 1.0 else k0
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Polar_Stereographic"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Mercator1SP(_, lon0, k0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Laea(_, lat0, lon0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+    }
+  }
+}

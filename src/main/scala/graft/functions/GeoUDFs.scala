@@ -965,7 +965,8 @@ object GeoUDFs {
     * matrix documented at geoexpr.py:446-468). Curved targets unsupported
     * (JTS) — raises. */
   val castTo: UserDefinedFunction = udf((b: Array[Byte], into: String) =>
-    uG(g => CastImpl.cast(g, into))(b)).withName("st_cast")
+    if (into == null) null
+    else uG(g => CastImpl.cast(g, into))(b)).withName("st_cast")
 
   GeoKernels.add(K("st_cast", 2, Set(0), OGeom, a => CastImpl.cast(aG(a(0)), aS(a(1)))))
 

@@ -336,10 +336,14 @@ object CrsImpl {
 
   private def isUtmNorth(srid: Int) = srid >= 32601 && srid <= 32660
   private def isUtmSouth(srid: Int) = srid >= 32701 && srid <= 32760
-  def isSupported(srid: Int): Boolean =
+  /** Codes handled by the original closed-form families (kept on their own
+    * code paths so long-standing results stay bit-identical). */
+  private def isClosedForm(srid: Int): Boolean =
     srid == 4326 || srid == 3857 || srid == 3395 || srid == 3035 ||
       LccSpecs.contains(srid) || AlbersSpecs.contains(srid) ||
       PolarSpecs.contains(srid) || isUtmNorth(srid) || isUtmSouth(srid)
+  def isSupported(srid: Int): Boolean =
+    isClosedForm(srid) || EpsgDb.isSupported(srid)
 
   // --------------------- Lambert Conformal Conic 2SP (Snyder §15, ellipsoid)
   // EPSG:2154 RGF93 / Lambert-93 (France): lat1=49, lat2=44, lat0=46.5,
@@ -657,17 +661,28 @@ object CrsImpl {
     case _ => throw new UnsupportedOperationException(s"to_srid: unsupported source EPSG:$src")
   }
 
+  /** Inverse into the WGS84 hub through whichever engine owns the code:
+    * the original closed-form family (bit-identical legacy results) or the
+    * embedded EPSG parameter table ([[EpsgDb]]). */
+  private def toWgs84Any(x: Double, y: Double, src: Int): (Double, Double) =
+    if (isClosedForm(src)) toWgs84(x, y, src) else EpsgDb.toWgs84(x, y, src)
+
+  private def fromWgs84Any(lon: Double, lat: Double, dst: Int): (Double, Double) =
+    if (isClosedForm(dst)) fromWgs84(lon, lat, dst) else EpsgDb.fromWgs84(lon, lat, dst)
+
   def toSrid(g: Geometry, target: Int): Geometry = {
     val src = g.getSRID
     if (src == target || g.isEmpty) {
       val c = g.copy(); c.setSRID(target); return c
     }
     require(isSupported(src) && isSupported(target),
-      s"to_srid($src -> $target): supported EPSG codes are 4326, 3857, 3395, " +
-        "3035, 2154, 3978, 5070, 3577, 3413, 3031, UTM 326xx/327xx")
+      s"to_srid($src -> $target): supported EPSG codes are the closed-form " +
+        "families (4326, 3857, 3395, 3035, 2154, 3978, 5070, 3577, 3413, 3031, " +
+        s"UTM 326xx/327xx) plus the ${EpsgDb.table.size} codes in the embedded " +
+        "EPSG parameter table (graft.functions.EpsgDb)")
     val out = graft.serde.GeomUtil.mapCoords(g, (x, y, z) => {
-      val (lon, lat) = toWgs84(x, y, src)
-      val (ox, oy) = fromWgs84(lon, lat, target)
+      val (lon, lat) = toWgs84Any(x, y, src)
+      val (ox, oy) = fromWgs84Any(lon, lat, target)
       (ox, oy, z)
     })
     out.setSRID(target)
@@ -713,6 +728,6 @@ object CrsImpl {
       val fn = if (isUtmNorth(z)) 0 else 10000000
       val cm = -183 + 6 * zone
       Some(s"""PROJCS["WGS 84 / UTM zone $zone$hemi",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",$cm],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$z"]]""")
-    case _ => None
+    case _ => EpsgDb.wkt(srid)
   }
 }

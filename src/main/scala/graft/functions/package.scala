@@ -181,6 +181,7 @@ package object functions {
   def st_concave_hull(g: Column, ratio: Column, allowHoles: Column): Column =
     concaveHull(g, ratio, allowHoles)
   def st_concave_hull(g: Column, ratio: Column): Column = concaveHull(g, ratio, lit(false))
+  def st_concave_hull(g: Column): Column = concaveHull(g, lit(0.0), lit(false))
   def st_segmentize(g: Column, maxSegmentLength: Column): Column = segmentize(g, maxSegmentLength)
   def st_envelope(g: Column): Column = envelope(g)
   def st_extract_unique_points(g: Column): Column = extractUniquePoints(g)

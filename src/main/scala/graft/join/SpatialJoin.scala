@@ -1,12 +1,12 @@
 package graft.join
 
 import graft.serde.EWKB
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.broadcast.Broadcast
-import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.geom.{Envelope, Geometry}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.index.strtree.STRtree
 
@@ -50,6 +50,32 @@ object SpatialJoin {
   /** Broadcast-tier guard: above this row count the left side auto-falls
     * back to the grid-partitioned tier (driver-OOM protection at scale). */
   val MaxBroadcastRows: Long = 4L * 1000 * 1000
+
+  /** Broadcast-tier byte guard: a row-count cap alone cannot protect the
+    * driver from millions of *wide* rows (all left columns are collected
+    * for the re-attach frame, not just the geometry), so the collected
+    * size is also capped by estimated bytes. 512 MiB keeps the broadcast
+    * comfortably under Spark's hard 8 GiB limit with room for the
+    * prepared-tree expansion on executors. */
+  val MaxBroadcastBytes: Long = 512L << 20
+
+  /** Cheap per-row heap estimate for the byte guard (binary/string sized,
+    * fixed-width fields flat-rated). */
+  private def estimateRowBytes(r: Row): Long = {
+    var s = 16L
+    var i = 0
+    while (i < r.length) {
+      r.get(i) match {
+        case null => ()
+        case b: Array[Byte] => s += b.length + 16L
+        case str: String => s += 2L * str.length + 40L
+        case seq: scala.collection.Seq[_] => s += 16L * seq.length + 16L
+        case _ => s += 16L
+      }
+      i += 1
+    }
+    s
+  }
 
   private[graft] def applyPred(name: String, prep: PreparedGeometry, right: Geometry): Boolean =
     name match {
@@ -97,7 +123,8 @@ object SpatialJoin {
   def sjoin(left: DataFrame, right: DataFrame,
       predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
-      suffix: String = "_right", maxBuildRows: Long = MaxBroadcastRows): DataFrame = {
+      suffix: String = "_right", maxBuildRows: Long = MaxBroadcastRows,
+      maxBuildBytes: Long = MaxBroadcastBytes): DataFrame = {
     require(Set("inner", "left", "right", "full")(how),
       s"unsupported how: $how (cross is not a spatial join)")
     val spark = left.sparkSession
@@ -105,15 +132,29 @@ object SpatialJoin {
     val leftGeomPos = left.columns.indexOf(leftGeom)
     require(leftGeomPos >= 0, s"no column $leftGeom in left frame")
 
-    // Size guard in a SINGLE evaluation of the left plan: collect at most
-    // maxBuildRows+1 rows; hitting the sentinel row means the build side is
-    // too big → grid-tier fallback. (A separate count() + collect() would
-    // execute an expensive upstream plan twice per broadcast join.)
+    // Size guard in a SINGLE incremental evaluation of the left plan: pull
+    // at most maxBuildRows+1 rows through toLocalIterator, tracking an
+    // estimated byte size as rows arrive, and abort to the grid tier the
+    // moment EITHER cap trips — the row cap alone cannot protect the driver
+    // from wide rows, and a count()/stats probe would either re-execute the
+    // plan or trust Catalyst estimates that default to "unknown". In the
+    // good (small-left) case this is one pass over the same rows collect()
+    // would fetch; in the bad case it stops fetching early.
     val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
-    val leftRows = left.limit(guardLimit).collect()
-    if (leftRows.length >= guardLimit)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var estBytes = 0L
+    var tooBig = false
+    val localIt = left.limit(guardLimit).toLocalIterator()
+    while (!tooBig && localIt.hasNext) {
+      val r = localIt.next()
+      buf += r
+      estBytes += estimateRowBytes(r)
+      if (buf.length >= guardLimit || estBytes > maxBuildBytes) tooBig = true
+    }
+    if (tooBig)
       return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
         leftGeom, rightGeom, suffix)
+    val leftRows: Array[Row] = buf.toArray
     val buildData: Array[(Long, Array[Byte])] = leftRows.zipWithIndex.map { case (r, i) =>
       (i.toLong, r.get(leftGeomPos).asInstanceOf[Array[Byte]])
     }
@@ -185,6 +226,86 @@ object SpatialJoin {
     else math.max(4 * widths.sum / widths.size, 1e-9)
   }
 
+  /** Per-task build-slice bound for the partitioned tiers: a (cell, salt)
+    * slice never buffers more than this many left rows (the cogroup
+    * buffers only the left slice — the right side streams), so one
+    * pathological hot cell cannot OOM its task. */
+  val MaxCellBuildRows: Int = 1 << 20
+
+  /** Per-cell STRtree cogroup with bounded left fan-in. Cells whose LEFT
+    * slice exceeds `maxCellRows` split into ceil(n/maxCellRows) salt
+    * slices: left rows round-robin into one slice, right rows replicate to
+    * all slices of their cell — each (left, right) pair still meets
+    * exactly once, the reference-point rule still dedups per CELL, and no
+    * task buffers more than ~maxCellRows build rows (the analog of
+    * [[graft.pipeline.Dedup]]'s capBuckets for LSH buckets, except a join
+    * cannot drop — it splits). The hot-cell census costs one extra
+    * map-side-combined count shuffle of (cell) keys and one driver map
+    * bounded by totalLeftRows / maxCellRows entries.
+    *
+    * @param refPoint (cell, leftEnv, rightEnv) => does this CELL own the
+    *                 pair (the tier's reference-point rule)
+    */
+  private def cellCogroupPairs(
+      lCells: Dataset[(Long, Long, Array[Byte])],
+      rCells: Dataset[(Long, Long, Array[Byte])],
+      pred: String,
+      refPoint: (Long, Envelope, Envelope) => Boolean,
+      maxCellRows: Int): DataFrame = {
+    val spark = lCells.sparkSession
+    import spark.implicits._
+    val hotMap: Map[Long, Int] =
+      if (maxCellRows <= 0) Map.empty
+      else lCells.groupByKey(_._1).count()
+        .filter(_._2 > maxCellRows)
+        .collect()
+        .map { case (c, n) => c -> math.ceil(n.toDouble / maxCellRows).toInt }
+        .toMap
+    val bcHot = spark.sparkContext.broadcast(hotMap)
+    val lS = lCells.mapPartitions { it =>
+      var ctr = 0
+      it.map { case (c, id, b) =>
+        val s = bcHot.value.getOrElse(c, 1)
+        val salt = if (s <= 1) 0 else { ctr += 1; ctr % s }
+        (c, salt, id, b)
+      }
+    }
+    val rS = rCells.flatMap { case (c, id, b) =>
+      val s = bcHot.value.getOrElse(c, 1)
+      (0 until s).iterator.map(salt => (c, salt, id, b))
+    }
+    lS.groupByKey(t => (t._1, t._2)).cogroup(rS.groupByKey(t => (t._1, t._2))) {
+      (key, lit, rit) =>
+        val cell = key._1
+        val tree = new STRtree()
+        var n = 0
+        lit.foreach { case (_, _, lid, bytes) =>
+          val g = EWKB.read(bytes)
+          if (!g.isEmpty) {
+            tree.insert(g.getEnvelopeInternal, (lid, PreparedGeometryFactory.prepare(g)))
+            n += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else {
+          tree.build()
+          rit.flatMap { case (_, _, rid, bytes) =>
+            val rg = EWKB.read(bytes)
+            if (rg.isEmpty) Iterator.empty
+            else {
+              val re = rg.getEnvelopeInternal
+              tree.query(re).asScala.iterator
+                .map(_.asInstanceOf[(Long, PreparedGeometry)])
+                .filter { case (_, prep) =>
+                  refPoint(cell, prep.getGeometry.getEnvelopeInternal, re) }
+                .filter { case (_, prep) => applyPred(pred, prep, rg) }
+                .map { case (lid, _) => (lid, rid) }
+            }
+          }
+        }
+    }.toDF(LIdx, RIdx)
+  }
+
   /** Grid-partitioned spatial join for large×large inputs.
     *
     * @param cellSize grid cell edge length in coordinate units. Choose ≈ the
@@ -197,7 +318,7 @@ object SpatialJoin {
   def sjoinPartitioned(left: DataFrame, right: DataFrame, cellSize: Double,
       predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
-      suffix: String = "_right"): DataFrame = {
+      suffix: String = "_right", maxCellRows: Int = MaxCellBuildRows): DataFrame = {
     require(Set("inner", "left", "right", "full")(how), s"unsupported how: $how")
     val spark = left.sparkSession
     import spark.implicits._
@@ -222,46 +343,18 @@ object SpatialJoin {
     val rCells = rightIdx.select(col(RIdx), col(rightGeom)).as[(Long, Array[Byte])]
       .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
 
-    // cogroup by cell: per-cell STRtree over the left slice, streamed probe
-    // of the right slice. No cross product is ever materialized, and the
-    // reference-point rule makes each pair unique without a distinct().
-    val pairs = lCells.groupByKey(_._1).cogroup(rCells.groupByKey(_._1)) {
-      (cell, lit, rit) =>
-        val tree = new STRtree()
-        var n = 0
-        lit.foreach { case (_, lid, bytes) =>
-          val g = EWKB.read(bytes)
-          if (!g.isEmpty) {
-            tree.insert(g.getEnvelopeInternal, (lid, PreparedGeometryFactory.prepare(g)))
-            n += 1
-          }
-        }
-        if (n == 0) Iterator.empty
-        else {
-          tree.build()
-          val cx = (cell >> 32).toDouble * cs
-          val cy = (cell << 32 >> 32).toDouble * cs
-          rit.flatMap { case (_, rid, bytes) =>
-            val rg = EWKB.read(bytes)
-            if (rg.isEmpty) Iterator.empty
-            else {
-              val re = rg.getEnvelopeInternal
-              tree.query(re).asScala.iterator
-                .map(_.asInstanceOf[(Long, PreparedGeometry)])
-                .filter { case (_, prep) =>
-                  // reference-point dedup: only the cell containing the
-                  // bottom-left corner of the envelope intersection reports
-                  val le = prep.getGeometry.getEnvelopeInternal
-                  val ix = math.max(le.getMinX, re.getMinX)
-                  val iy = math.max(le.getMinY, re.getMinY)
-                  ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs
-                }
-                .filter { case (_, prep) => applyPred(pred, prep, rg) }
-                .map { case (lid, _) => (lid, rid) }
-            }
-          }
-        }
-    }.toDF(LIdx, RIdx)
+    // cogroup by (cell, salt): per-slice STRtree over the left slice,
+    // streamed probe of the right slice. No cross product is ever
+    // materialized; the reference-point rule (bottom-left corner of the
+    // envelope intersection) makes each pair unique without a distinct().
+    val pairs = cellCogroupPairs(lCells, rCells, pred,
+      (cell, le, re) => {
+        val cx = (cell >> 32).toDouble * cs
+        val cy = (cell << 32 >> 32).toDouble * cs
+        val ix = math.max(le.getMinX, re.getMinX)
+        val iy = math.max(le.getMinY, re.getMinY)
+        ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs
+      }, maxCellRows)
 
     assemble(leftIdx, rightIdx, pairs, how, suffix)
   }
@@ -277,7 +370,8 @@ object SpatialJoin {
       predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
       suffix: String = "_right", sampleSize: Int = 10000,
-      leafCapacity: Int = 64, maxDepth: Int = 12): DataFrame = {
+      leafCapacity: Int = 64, maxDepth: Int = 12,
+      maxCellRows: Int = MaxCellBuildRows): DataFrame = {
     require(Set("inner", "left", "right", "full")(how), s"unsupported how: $how")
     val spark = left.sparkSession
     import spark.implicits._
@@ -315,44 +409,16 @@ object SpatialJoin {
     }
 
     val lCells = leftIdx.select(col(LIdx), col(leftGeom)).as[(Long, Array[Byte])]
-      .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
+      .flatMap { case (id, b) => cellsOf(b).map(c => (c.toLong, id, b)) }
     val rCells = rightIdx.select(col(RIdx), col(rightGeom)).as[(Long, Array[Byte])]
-      .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
+      .flatMap { case (id, b) => cellsOf(b).map(c => (c.toLong, id, b)) }
 
-    val pairs = lCells.groupByKey(_._1).cogroup(rCells.groupByKey(_._1)) {
-      (cell, lit, rit) =>
-        val tree = new STRtree()
-        var n = 0
-        lit.foreach { case (_, lid, bytes) =>
-          val g = EWKB.read(bytes)
-          if (!g.isEmpty) {
-            tree.insert(g.getEnvelopeInternal, (lid, PreparedGeometryFactory.prepare(g)))
-            n += 1
-          }
-        }
-        if (n == 0) Iterator.empty
-        else {
-          tree.build()
-          val qt = bcTree.value
-          rit.flatMap { case (_, rid, bytes) =>
-            val rg = EWKB.read(bytes)
-            if (rg.isEmpty) Iterator.empty
-            else {
-              val re = rg.getEnvelopeInternal
-              tree.query(re).asScala.iterator
-                .map(_.asInstanceOf[(Long, PreparedGeometry)])
-                .filter { case (_, prep) =>
-                  // reference-point dedup against the quadtree leaf
-                  val le = prep.getGeometry.getEnvelopeInternal
-                  qt.leafOf(math.max(le.getMinX, re.getMinX),
-                    math.max(le.getMinY, re.getMinY)) == cell
-                }
-                .filter { case (_, prep) => applyPred(pred, prep, rg) }
-                .map { case (lid, _) => (lid, rid) }
-            }
-          }
-        }
-    }.toDF(LIdx, RIdx)
+    val pairs = cellCogroupPairs(lCells, rCells, pred,
+      (cell, le, re) =>
+        // reference-point dedup against the quadtree leaf
+        bcTree.value.leafOf(math.max(le.getMinX, re.getMinX),
+          math.max(le.getMinY, re.getMinY)) == cell.toInt,
+      maxCellRows)
 
     assemble(leftIdx, rightIdx, pairs, how, suffix)
   }

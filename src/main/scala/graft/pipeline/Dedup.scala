@@ -72,7 +72,7 @@ object Dedup {
     * an expression — the transform lambda evaluates its body per element,
     * so an inlined `normalized(text)` would run its regex once per shingle
     * (measured: ~20× slowdown). Callers project the normalized text first. */
-  private def shingleHashesNorm(norm: Column, k: Int): Column =
+  private[graft] def shingleHashesNorm(norm: Column, k: Int): Column =
     array_distinct(
       when(length(norm) >= k,
         transform(sequence(lit(1), length(norm) - (k - 1)), i => xxhash64(norm.substr(i, lit(k)))))
@@ -217,7 +217,7 @@ object Dedup {
   /** Pick the coarsest banding whose collision threshold (1/b)^(r⁻¹) sits
     * safely below the requested jaccard threshold — fewer bands = fewer
     * candidate pairs, and the exact verify step removes false positives. */
-  private[pipeline] def autoBands(numHashes: Int, threshold: Double): Int = {
+  private[graft] def autoBands(numHashes: Int, threshold: Double): Int = {
     val options = Seq(4, 8, 16, 32).filter(numHashes % _ == 0)
     options.find { b =>
       val r = numHashes / b

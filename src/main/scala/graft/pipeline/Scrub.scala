@@ -81,7 +81,8 @@ object Scrub {
     transform(urls(text), u => lower(regexp_extract(u, "(?i:https?)://([^/:?#]+)", 1)))
 
   /** Keep only documents whose URLs hit none of `blocked` (exact host
-    * match, case-insensitive). Documents without URLs pass. A codegen'd
+    * match, case-insensitive). Documents without URLs — including NULL
+    * text, where the regexp extraction yields NULL — pass. A codegen'd
     * per-row filter — at 100 TB this is a scan-speed pass; for blocklists
     * beyond broadcast-literal size, join on an exploded domain column
     * instead. */
@@ -89,6 +90,6 @@ object Scrub {
       blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist — nothing to filter")
     val blockedArr = array(blocked.map(d => lit(d.toLowerCase)): _*)
-    df.filter(!arrays_overlap(urlDomains(col(textCol)), blockedArr))
+    df.filter(coalesce(!arrays_overlap(urlDomains(col(textCol)), blockedArr), lit(true)))
   }
 }

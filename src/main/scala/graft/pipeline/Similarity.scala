@@ -179,43 +179,91 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
-  /** IVF (inverted-file) top-k: a coarse k-means quantizer (Spark MLlib,
-    * trained on a corpus sample) assigns every corpus vector to one of
-    * `nlist` cells; each query scores only the rows of its `nprobe`
-    * nearest cells. The 100 TB shape: centroids are a tiny broadcast
-    * model, corpus assignment is one codegen-friendly pass, and the join
-    * is an equi-join on cell id — no all-pairs anywhere. Recall is tuned
-    * with `nprobe` (self-retrieval is exact by construction: a vector's
-    * own cell is always its nearest centroid).
-    *
-    * Output: (query_id, rank 1..k, corpus_id, cosine). */
-  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String, k: Int,
-      nlist: Int = 64, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+  // -------------------------------------------------------------- IVF tier
+
+  /** Trained IVF coarse quantizer: `centroids(cell)` is the cell's center
+    * (unit-vector space). A tiny value — nlist × dim doubles — broadcast
+    * to executors at query time; persistable with [[saveIvf]]/[[loadIvf]]
+    * so repeated query batches against a fixed corpus skip re-training. */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Unbiased, bounded, deterministic training sample: order by a 64-bit
+    * hash of the id (≈ a random permutation keyed by `seed`) and take the
+    * first `maxRows` — Spark plans this as per-partition top-k + merge
+    * (TakeOrderedAndProject), one pass, no full sort, no partition-prefix
+    * bias (`sample(1.0).limit(n)` trained on whatever partitions came
+    * first). */
+  private def trainingSample(c: DataFrame, seed: Long, maxRows: Int): DataFrame =
+    c.orderBy(xxhash64(col("corpus_id"), lit(seed))).limit(maxRows)
+
+  /** Train the IVF quantizer (MLlib k-means on a bounded unbiased corpus
+    * sample). Train ONCE per corpus and reuse across query batches —
+    * [[ivfTopK]] convenience calls this per invocation. */
+  def trainIvf(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nlist: Int = 64, seed: Long = 42L, maxTrainRows: Int = 100000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
     val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
       .withColumn("fvec", array_to_vector(col("cvec")))
     val km = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("fvec").setPredictionCol("cell")
-    val model = km.fit(c.sample(withReplacement = false, 1.0, seed).limit(100000))
-    val assigned = model.transform(c).select(col("corpus_id"), col("cvec"), col("cell"))
+    val model = km.fit(trainingSample(c, seed, maxTrainRows))
+    IvfIndex(model.clusterCenters.map(_.toArray))
+  }
 
-    val centroids = model.clusterCenters.map(_.toArray)
-    val nprobeCells = udf((vec: Seq[Double]) => {
-      // nprobe nearest centroids by euclidean distance
-      centroids.zipWithIndex.map { case (ctr, i) =>
-        var d = 0.0; var j = 0
-        while (j < ctr.length) { val t = ctr(j) - vec(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
-    })
+  /** Persist a trained index as plain parquet (cell int, center
+    * array<double>) — no MLlib persistence dependency, readable by any
+    * engine. */
+  def saveIvf(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      path: String): Unit = {
+    import spark.implicits._
+    index.centroids.toSeq.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }
+      .toDF("cell", "center").repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val rows = spark.read.parquet(path).select("cell", "center").collect()
+    val centroids = new Array[Array[Double]](rows.length)
+    rows.foreach { r =>
+      centroids(r.getInt(0)) = r.getSeq[Double](1).toArray
+    }
+    IvfIndex(centroids)
+  }
+
+  /** `nprobe` nearest cells of `index` for a vector (euclidean, ties by
+    * cell id via stable sort — the assignment path uses nprobe=1, so
+    * corpus assignment and query probing can never disagree on the
+    * nearest cell). */
+  private def nearestCells(index: IvfIndex, nprobe: Int) = udf((vec: Seq[Double]) =>
+    if (vec == null) null
+    else index.centroids.zipWithIndex.map { case (ctr, i) =>
+      var d = 0.0; var j = 0
+      while (j < ctr.length) { val t = ctr(j) - vec(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq)
+
+  /** IVF (inverted-file) top-k against a pre-trained [[IvfIndex]]: the
+    * quantizer assigns every corpus vector to one of `nlist` cells; each
+    * query scores only the rows of its `nprobe` nearest cells. The 100 TB
+    * shape: centroids are a tiny broadcast model, corpus assignment is one
+    * pass, and the join is an equi-join on cell id — no all-pairs
+    * anywhere. Recall is tuned with `nprobe` (self-retrieval is exact by
+    * construction: a vector's own cell is always its nearest centroid).
+    *
+    * Output: (query_id, rank 1..k, corpus_id, cosine). */
+  def ivfTopKIndexed(index: IvfIndex,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val assignCell = nearestCells(index, 1)
+    val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+      .withColumn("cell", element_at(assignCell(col("cvec")), 1))
     val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
-      .withColumn("cell", explode(nprobeCells(col("qvec"))))
+      .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
 
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("cosine", dot(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
@@ -223,6 +271,15 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
   }
+
+  /** Train-and-query convenience (one-shot batches). For repeated batches
+    * against a fixed corpus, [[trainIvf]] once (optionally [[saveIvf]]) and
+    * call [[ivfTopKIndexed]]. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      nlist: Int = 64, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopKIndexed(trainIvf(corpus, corpusId, corpusVec, nlist, seed),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k, nprobe)
 
   /** Approximate top-k: score only corpus rows in the query's LSH bucket.
     * Same output shape as [[bruteForceTopK]]; rows may be missing when a

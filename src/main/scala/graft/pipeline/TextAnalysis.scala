@@ -125,15 +125,41 @@ object TextAnalysis {
   }
 
   /** Fraction of line CHARACTERS belonging to repeated copies (every
-    * occurrence beyond a line's first counts its characters). Quadratic in
-    * the number of DISTINCT lines per document — bounded per row, no
-    * shuffle. */
+    * occurrence beyond a line's first counts its characters). A single
+    * O(chars) pass with a per-row hash count — the earlier array-lambda
+    * form was O(distinct × total) per row, which a 10k-line document turns
+    * into 10⁸ comparisons inside one expression. Line splitting/trimming
+    * matches [[lines]] exactly (ASCII-space trim, like Spark's `trim` and
+    * the DuckDB oracle's). */
   def dupLineCharFrac(text: Column): Column = {
-    val ls = lines(text)
-    val totalChars = aggregate(ls, lit(0), (acc, l) => acc + length(l))
-    val dupChars = aggregate(array_distinct(ls), lit(0), (acc, d) =>
-      acc + (size(filter(ls, x => x === d)) - 1) * length(d))
-    ratio(dupChars, totalChars)
+    val f = udf((s: String) =>
+      if (s == null) 0.0
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        var total = 0L
+        var dup = 0L
+        var from = 0
+        while (from <= s.length) {
+          val nl = s.indexOf('\n', from)
+          val end = if (nl < 0) s.length else nl
+          // space-only trim (Spark `trim` semantics; String.trim would
+          // also strip tabs and diverge from the lambda tier/oracle)
+          var b = from
+          var e = end
+          while (b < e && s.charAt(b) == ' ') b += 1
+          while (e > b && s.charAt(e - 1) == ' ') e -= 1
+          if (e > b) {
+            val line = s.substring(b, e)
+            total += line.length
+            val seen = counts.getOrElse(line, 0)
+            if (seen >= 1) dup += line.length
+            counts(line) = seen + 1
+          }
+          from = end + 1
+        }
+        if (total == 0L) 0.0 else dup.toDouble / total
+      })
+    f(text)
   }
 
   /** Max share of document characters covered by one repeated word

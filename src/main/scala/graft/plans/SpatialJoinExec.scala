@@ -327,14 +327,45 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
         }
       }
 
-    leftCells.cogroup(cells(right.execute(), boundR), parts)
+    // Hot-cell fan-in cap (mirrors SpatialJoin.cellCogroupPairs): a cell
+    // whose left slice exceeds the bound splits into salt slices — left
+    // rows round-robin into one, right rows replicate to all, so no task
+    // buffers an unbounded build slice. The census reads the PERSISTED
+    // left extract (no upstream re-execution) and the hot map is bounded
+    // by the quadtree's leaf count.
+    val cap = graft.join.SpatialJoin.MaxCellBuildRows
+    val hotMap: Map[Int, Int] = leftCells.map(p => (p._1, 1L)).reduceByKey(_ + _)
+      .filter(_._2 > cap)
+      .map { case (c, n) => (c, math.ceil(n.toDouble / cap).toInt) }
+      .collect().toMap
+    val bcHot = sparkContext.broadcast(hotMap)
+    val leftSalted: RDD[((Int, Int), InternalRow)] = leftCells.mapPartitions { it =>
+      var ctr = 0
+      val hot = bcHot.value
+      it.map { case (c, row) =>
+        val s = hot.getOrElse(c, 1)
+        val salt = if (s <= 1) 0 else { ctr += 1; ctr % s }
+        ((c, salt), row)
+      }
+    }
+    val rightSalted: RDD[((Int, Int), InternalRow)] =
+      cells(right.execute(), boundR).mapPartitions { it =>
+        val hot = bcHot.value
+        it.flatMap { case (c, row) =>
+          val s = hot.getOrElse(c, 1)
+          if (s <= 1) Iterator.single(((c, 0), row))
+          else (0 until s).iterator.map(salt => ((c, salt), row))
+        }
+      }
+
+    leftSalted.cogroup(rightSalted, parts)
       .mapPartitions { cellIt =>
         val qt = bcTree.value
         val joined = new JoinedRow
         val proj = UnsafeProjection.create(outAttrs, outAttrs)
         val bl = boundL
         val br = boundR
-        cellIt.flatMap { case (cell, (lRows, rRows)) =>
+        cellIt.flatMap { case ((cell, _), (lRows, rRows)) =>
           val tree = new STRtree()
           var n = 0
           lRows.foreach { row =>

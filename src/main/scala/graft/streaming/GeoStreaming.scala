@@ -73,16 +73,20 @@ object GeoStreaming {
     import org.locationtech.jts.index.strtree.STRtree
     import scala.jdk.CollectionConverters._
 
-    val staticCount = static.count()
-    require(staticCount <= maxBuildRows,
-      s"sjoinStream: static side has $staticCount rows > $maxBuildRows broadcast guard")
     // rename static columns clashing with the stream's
     val renamed = static.columns.foldLeft(static) { (df, c) =>
       if (stream.columns.contains(c)) df.withColumnRenamed(c, c + suffix) else df
     }
     val sgName = if (stream.columns.contains(staticGeom)) staticGeom + suffix else staticGeom
     val sgPos = renamed.columns.indexOf(sgName)
-    val staticRows = renamed.collect()
+    // Size guard in a SINGLE evaluation of the static plan (same pattern as
+    // SpatialJoin.sjoin): collect at most maxBuildRows+1 rows; hitting the
+    // sentinel means the static side is over the broadcast guard. A separate
+    // count() + collect() would execute the static plan twice.
+    val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
+    val staticRows = renamed.limit(guardLimit).collect()
+    require(staticRows.length < guardLimit,
+      s"sjoinStream: static side exceeds $maxBuildRows-row broadcast guard")
     val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
       (r.get(sgPos).asInstanceOf[Array[Byte]], r)
     })

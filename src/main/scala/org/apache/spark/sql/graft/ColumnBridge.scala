@@ -19,4 +19,13 @@ object ColumnBridge {
       children: Seq[Expression]): Expression =
     org.apache.spark.sql.classic.UserDefinedFunctionUtils.toScalaUDF(
       f.asInstanceOf[org.apache.spark.sql.expressions.SparkUserDefinedFunction], children)
+
+  /** Eager aggregate construction from a `udaf(...)`-wrapped Aggregator +
+    * resolved children — the UDAF analog of [[scalaUDF]] for
+    * FunctionRegistry builders. */
+  def scalaUDAF(f: org.apache.spark.sql.expressions.UserDefinedFunction,
+      children: Seq[Expression]): Expression =
+    org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      f.asInstanceOf[org.apache.spark.sql.expressions.UserDefinedAggregator[Any, Any, Any]],
+      children).toAggregateExpression(isDistinct = false)
 }

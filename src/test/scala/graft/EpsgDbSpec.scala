@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.EpsgDb
+
+/** Embedded EPSG parameter table: every registered code must round-trip
+  * WGS84 → code → WGS84 on an in-domain point. Shift-free codes hold
+  * 1e-8°; datum-shifted codes are capped by the h=0-convention residual
+  * (~1-2e-8°, see geo_crs3's scaladoc) and get 1e-7°. */
+class EpsgDbSpec extends AnyFunSuite {
+
+  /** A representative in-domain (lon, lat) for each projection. */
+  private def domainPoint(crs: EpsgDb.Crs): (Double, Double) = crs.proj match {
+    case EpsgDb.Geographic(_) => (10.0, 50.0)
+    case EpsgDb.TMerc(_, lat0, lon0, _, _, fn) =>
+      val lat =
+        if (lat0 != 0) lat0 + 1.0
+        else if (fn >= 5e6) -35.0 // southern-hemisphere grid (MGA, NZTM)
+        else 48.0
+      (lon0 + 1.0, lat)
+    case EpsgDb.Lcc2SP(_, lat1, lat2, _, lon0, _, _) =>
+      (lon0 + 1.0, (lat1 + lat2) / 2)
+    case EpsgDb.AlbersConic(_, lat1, lat2, _, lon0, _, _) =>
+      (lon0 + 1.0, (lat1 + lat2) / 2)
+    case EpsgDb.PolarStereo(_, north, lon0, _, _, _, _) =>
+      (lon0 + 30.0, if (north) 75.0 else -75.0)
+    case EpsgDb.Mercator1SP(_, lon0, _, _, _) => (lon0 + 10.0, 10.0)
+    case EpsgDb.Laea(_, lat0, lon0, _, _) => (lon0 + 5.0, lat0 + 3.0)
+  }
+
+  test("every table code round-trips through the WGS84 hub") {
+    assert(EpsgDb.table.size >= 90, s"table shrank: ${EpsgDb.table.size}")
+    EpsgDb.table.foreach { case (code, crs) =>
+      val (lon, lat) = domainPoint(crs)
+      val (x, y) = EpsgDb.fromWgs84(lon, lat, code)
+      assert(!x.isNaN && !y.isNaN, s"EPSG:$code produced NaN")
+      val (lon2, lat2) = EpsgDb.toWgs84(x, y, code)
+      val tol = if (crs.shift.isDefined) 1e-7 else 1e-8
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol,
+        s"EPSG:$code (${crs.name}): ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("known closed-form anchors") {
+    // natural origin of a projected CRS maps to its false origin exactly
+    // (pure projection math, no datum hop)
+    val bng = EpsgDb.table(27700).proj.forward(-2.0, 49.0)
+    assert(math.abs(bng._1 - 400000.0) < 1e-6 && math.abs(bng._2 + 100000.0) < 1e-6)
+    val nz = EpsgDb.table(2193).proj.forward(173.0, 0.0)
+    assert(math.abs(nz._1 - 1600000.0) < 1e-6 && math.abs(nz._2 - 1e7) < 1e-6)
+    // UTM consistency: ETRS89 UTM 32N == WGS84 UTM 32N to sub-mm
+    // (GRS80 vs WGS84 flattenings differ in the 12th digit; the measured
+    // northing delta is ~0.1 mm)
+    val (e1, n1) = EpsgDb.fromWgs84(9.5, 50.0, 25832)
+    val g = graft.serde.EWKB.geometryFactory.createPoint(
+      new org.locationtech.jts.geom.Coordinate(9.5, 50.0))
+    g.setSRID(4326)
+    val viaLegacy = graft.functions.CrsImpl.toSrid(g, 32632).getCoordinate
+    assert(math.abs(e1 - viaLegacy.x) < 1e-3, s"$e1 vs ${viaLegacy.x}")
+    assert(math.abs(n1 - viaLegacy.y) < 1e-3, s"$n1 vs ${viaLegacy.y}")
+    // geographic CRS on a WGS84-coincident datum is a passthrough
+    assert(EpsgDb.fromWgs84(12.25, 47.5, 4258) == ((12.25, 47.5)))
+    // datum-shifted geographic CRS moves coordinates by the expected
+    // ~100 m (OSGB36 London offset is ~0.001-0.002 degrees)
+    val (lo, la) = EpsgDb.fromWgs84(-0.125, 51.5, 4277)
+    assert(math.abs(lo + 0.125) > 1e-4 && math.abs(lo + 0.125) < 5e-3)
+    assert(math.abs(la - 51.5) > 1e-5 && math.abs(la - 51.5) < 5e-3)
+  }
+
+  test("wkt synthesis carries the authority code and projection name") {
+    val w = EpsgDb.wkt(27700).get
+    assert(w.contains("""AUTHORITY["EPSG","27700"]"""))
+    assert(w.contains("Transverse_Mercator"))
+    assert(graft.functions.CrsImpl.crsFromCode(31370).exists(_.contains(
+      "Lambert_Conformal_Conic_2SP")))
+    assert(graft.functions.CrsImpl.crsAuthority(
+      graft.functions.CrsImpl.crsFromCode(3995).get) == Some(("EPSG", 3995)))
+  }
+}

@@ -69,6 +69,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.filter($"rank" === 1).select("corpus_id").as[Long].collect()(0) === 1L)
   }
 
+  test("IVF index: train once, save, reload, identical top-k") {
+    // VERDICT r4 #5: centroid persistence (plain parquet) + unbiased
+    // training sample — repeated query batches against a fixed corpus must
+    // not pay k-means again, and a reloaded index must answer identically.
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 300L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+      .toDF("query_id", "embedding")
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 8, seed = 5L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.saveIvf(spark, index, dir + "/idx")
+    val reloaded = Similarity.loadIvf(spark, dir + "/idx")
+    assert(reloaded.nlist === index.nlist)
+    reloaded.centroids.zip(index.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    def run(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKIndexed(ix, corpus, "vec_id", "embedding",
+        queries, "query_id", "embedding", k = 3, nprobe = 2)
+        .select("query_id", "rank", "corpus_id").as[(Long, Int, Long)]
+        .collect().toSet
+    val a = run(index)
+    assert(a === run(reloaded))
+    // self-retrieval is exact by construction
+    assert(corpus.filter($"vec_id" % 25 === 0).count() ===
+      a.count { case (q, r, c) => r == 1 && q == c })
+  }
+
   test("hot-bucket cap drops degenerate buckets; other bands still pair") {
     // 60 exact copies of one doc → every (band, bucket) holds all 60 rows.
     // With maxBucketSize=10 every bucket is dropped → zero candidates, no

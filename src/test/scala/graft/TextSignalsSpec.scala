@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.{Dedup, TextAnalysis}
@@ -25,6 +26,38 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(df(3L) == (2.0 / 3.0, 2.0 / 3.0))
     assert(df(4L) == (0.0, 0.0))
     assert(df(5L) == (0.0, 0.0))
+  }
+
+  test("dupLineCharFrac: linear-time UDF matches the lambda formula, 10k lines bounded") {
+    // old O(distinct × total) array-lambda formula, inlined as the test oracle
+    def lambdaTier(text: Column): Column = {
+      val ls = filter(transform(split(text, "\n", -1), l => trim(l)), l => length(l) > 0)
+      val totalChars = aggregate(ls, lit(0), (acc, l) => acc + length(l))
+      val dupChars = aggregate(array_distinct(ls), lit(0), (acc, d) =>
+        acc + (size(filter(ls, x => x === d)) - 1) * length(d))
+      when(totalChars > 0, dupChars.cast("double") / totalChars.cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val rnd = new scala.util.Random(7)
+    val randomDocs = (1 to 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ =>
+        Seq("  aa", "bb ", " c c ", "", "\tdd", "ee  ee")(rnd.nextInt(6))).mkString("\n"))
+    }
+    val rows = randomDocs.toDF("id", "text")
+      .select(TextAnalysis.dupLineCharFrac(col("text")).as("fast"),
+        lambdaTier(col("text")).as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    // 10k-line doc: 5k distinct + 5k repeats → exactly half the chars are
+    // duplicate copies; the old quadratic form would do ~10⁸ comparisons here
+    val big = ((0 until 5000).map(i => s"line-$i-" + "x" * 20) ++
+      (0 until 5000).map(i => s"line-$i-" + "x" * 20)).mkString("\n")
+    val t0 = System.nanoTime()
+    val v = Seq(Tuple1(big)).toDF("text")
+      .select(TextAnalysis.dupLineCharFrac(col("text"))).head().getDouble(0)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(v == 0.5, s"got $v")
+    assert(elapsedMs < 10000, s"10k-line doc took ${elapsedMs}ms")
   }
 
   test("topNgramCharCoverage: repeated bigram dominates; short docs get 0") {
