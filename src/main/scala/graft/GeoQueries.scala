@@ -697,6 +697,10 @@ object GeoQueries {
       val latCa3 = lit(36.25) + (k % 9).cast("double") / 4.0 // 36.25 .. 38.25
       val lonFr = (k % 32).cast("double") / 4.0 - 1.0       // -1 .. 6.75
       val latFr = lit(44.25) + (k % 7).cast("double") / 4.0  // 44.25 .. 45.75 (CC45)
+      val lonNl = lit(4.25) + (k % 10).cast("double") / 4.0   // 4.25 .. 6.5
+      val latNl = lit(51.0) + (k % 8).cast("double") / 4.0    // 51 .. 52.75
+      val lonCh = lit(6.25) + (k % 14).cast("double") / 4.0   // 6.25 .. 9.5
+      val latCh = lit(45.92) + (k % 7).cast("double") / 4.0   // 45.92 .. 47.42
       val lonPo = (k % 360).cast("double") - 179.5
       val latN = lit(60.0) + (k % 29).cast("double")
       // natural origin → false origin. CC45 has no datum shift →
@@ -720,6 +724,10 @@ object GeoQueries {
         rtOk(lonFr, latFr, 3945, 1e-8).as("cc45_rt_ok"),
         rtOk(lonPo, latN, 3995, 1e-7).as("arctic_rt_ok"),
         rtOk(lonPo, latN, 32661, 1e-7).as("ups_rt_ok"),
+        // round-6 late additions: Dutch double stereographic and Swiss
+        // oblique Mercator (both Bessel + datum shift → 1e-7)
+        rtOk(lonNl, latNl, 28992, 1e-7).as("rd_rt_ok"),
+        rtOk(lonCh, latCh, 2056, 1e-7).as("lv95_rt_ok"),
         (abs(st_x(bng0) - 400000.0) < 1e-2 &&
           abs(st_y(bng0) + 100000.0) < 1e-2).as("bng_origin_ok"),
         (abs(st_x(cc0) - 1700000.0) < 1e-6 &&
@@ -1047,6 +1055,7 @@ object GeoQueries {
       s"""$B SELECT k, TRUE AS bng_rt_ok, TRUE AS etrs_utm_rt_ok,
          | TRUE AS nztm_rt_ok, TRUE AS belge_rt_ok, TRUE AS spcs_ca3_rt_ok,
          | TRUE AS cc45_rt_ok, TRUE AS arctic_rt_ok, TRUE AS ups_rt_ok,
+         | TRUE AS rd_rt_ok, TRUE AS lv95_rt_ok,
          | TRUE AS bng_origin_ok, TRUE AS cc45_origin_ok,
          | 27700 AS srid_bng, TRUE AS fromcode_bng, 25832 AS wkt_code_25832
          |FROM b ORDER BY k""".stripMargin,

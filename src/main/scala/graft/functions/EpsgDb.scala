@@ -400,6 +400,128 @@ object EpsgDb {
     }
   }
 
+  /** Oblique (double) Stereographic, EPSG method 9809 (EPSG Guidance Note
+    * 7-2): ellipsoid → conformal sphere → oblique stereographic. The
+    * projection of the Dutch RD grid. */
+  final case class ObliqueStereo(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    private val e = ell.e
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val sin0 = math.sin(phi0)
+    private val rho0 = ell.a * (1 - ell.e2) / math.pow(1 - ell.e2 * sin0 * sin0, 1.5)
+    private val nu0 = ell.a / math.sqrt(1 - ell.e2 * sin0 * sin0)
+    private val bigR = math.sqrt(rho0 * nu0)
+    private val n = math.sqrt(1 + ell.e2 * math.pow(math.cos(phi0), 4) / (1 - ell.e2))
+    private val s1 = (1 + sin0) / (1 - sin0)
+    private val s2 = (1 - e * sin0) / (1 + e * sin0)
+    private val w1 = math.pow(s1 * math.pow(s2, e), n)
+    private val sinChi00 = (w1 - 1) / (w1 + 1)
+    private val c = (n + sin0) * (1 - sinChi00) / ((n - sin0) * (1 + sinChi00))
+    private val w2 = c * w1
+    private val chi0 = math.asin((w2 - 1) / (w2 + 1))
+    private val sinChi0 = math.sin(chi0)
+    private val cosChi0 = math.cos(chi0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val bigLam = n * (lam - lam0) + lam0
+      val sa = (1 + math.sin(phi)) / (1 - math.sin(phi))
+      val sb = (1 - e * math.sin(phi)) / (1 + e * math.sin(phi))
+      val w = c * math.pow(sa * math.pow(sb, e), n)
+      val chi = math.asin((w - 1) / (w + 1))
+      val dl = bigLam - lam0
+      val b = 1 + math.sin(chi) * sinChi0 + math.cos(chi) * cosChi0 * math.cos(dl)
+      (fe + 2 * bigR * k0 * math.cos(chi) * math.sin(dl) / b,
+        fn + 2 * bigR * k0 * (math.sin(chi) * cosChi0 -
+          math.cos(chi) * sinChi0 * math.cos(dl)) / b)
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val de = x0 - fe
+      val dn = y0 - fn
+      val g = 2 * bigR * k0 * math.tan(math.Pi / 4 - chi0 / 2)
+      val h = 4 * bigR * k0 * math.tan(chi0) + g
+      val i = math.atan2(de, h + dn)
+      val j = math.atan2(de, g - dn) - i
+      val chi = chi0 + 2 * math.atan((dn - de * math.tan(j / 2)) / (2 * bigR * k0))
+      val bigLam = j + 2 * i + lam0
+      val lam = (bigLam - lam0) / n + lam0
+      // isometric latitude on the conformal sphere → geodetic φ by iteration
+      val psi = 0.5 * math.log((1 + math.sin(chi)) / (c * (1 - math.sin(chi)))) / n
+      var phi = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+      var k = 0
+      while (k < 12) {
+        val esin = e * math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2 + math.Pi / 4) *
+          math.pow((1 - esin) / (1 + esin), e / 2))
+        phi -= (psiI - psi) * math.cos(phi) * (1 - esin * esin) / (1 - ell.e2)
+        k += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Oblique Mercator (Swiss / Rosenmund), EPSG method 9814 — proj's
+    * `somerc`: ellipsoid → conformal sphere → rotated equatorial Mercator.
+    * The projection of the Swiss LV03/LV95 grids. */
+  final case class SwissOblique(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    private val e = ell.e
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val sin0 = math.sin(phi0)
+    private val cc = math.sqrt(1 + ell.e2 * math.pow(math.cos(phi0), 4) / (1 - ell.e2))
+    private val sinP0 = sin0 / cc // sin of the conformal-sphere latitude of origin
+    private val phiP0 = math.asin(sinP0)
+    private val cosP0 = math.cos(phiP0)
+    private val bigK = math.log(math.tan(math.Pi / 4 + phiP0 / 2)) -
+      cc * (math.log(math.tan(math.Pi / 4 + phi0 / 2)) -
+        (e / 2) * math.log((1 + e * sin0) / (1 - e * sin0)))
+    private val kR = ell.a * k0 * math.sqrt(1 - ell.e2) / (1 - ell.e2 * sin0 * sin0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val esin = e * math.sin(phi)
+      // geodetic → conformal sphere
+      val s = cc * (math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        (e / 2) * math.log((1 + esin) / (1 - esin))) + bigK
+      val phiC = 2 * math.atan(math.exp(s)) - math.Pi / 2
+      val lamC = cc * (lam - lam0)
+      // rotate so the origin sits on the (oblique) equator
+      val sinPhi2 = cosP0 * math.sin(phiC) - sinP0 * math.cos(phiC) * math.cos(lamC)
+      val phi2 = math.asin(sinPhi2)
+      val lam2 = math.asin(math.cos(phiC) * math.sin(lamC) / math.cos(phi2))
+      (fe + kR * lam2,
+        fn + kR * math.log(math.tan(math.Pi / 4 + phi2 / 2)))
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val lam2 = (x0 - fe) / kR
+      val phi2 = 2 * math.atan(math.exp((y0 - fn) / kR)) - math.Pi / 2
+      // unrotate
+      val sinPhiC = cosP0 * math.sin(phi2) + sinP0 * math.cos(phi2) * math.cos(lam2)
+      val phiC = math.asin(sinPhiC)
+      val lamC = math.asin(math.cos(phi2) * math.sin(lam2) / math.cos(phiC))
+      val lam = lamC / cc + lam0
+      // conformal sphere → geodetic by iteration
+      val psi = math.log(math.tan(math.Pi / 4 + phiC / 2))
+      val s = (psi - bigK) / cc // isometric latitude of the geodetic φ
+      var phi = 2 * math.atan(math.exp(s)) - math.Pi / 2
+      var k = 0
+      while (k < 12) {
+        val esin = e * math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2 + math.Pi / 4)) -
+          (e / 2) * math.log((1 + esin) / (1 - esin))
+        phi -= (psiI - s) * math.cos(phi) * (1 - esin * esin) / (1 - ell.e2)
+        k += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   final case class Crs(proj: Projection, shift: Option[Helmert], name: String)
@@ -413,6 +535,8 @@ object EpsgDb {
   private val Dhdn = Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
   private val Ed50 = Helmert(-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
   private val Bd72 = Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
+  private val Amersfoort = Helmert(565.2369, 50.0087, 465.658, -0.406857, 0.350733, -1.87035, 4.0812)
+  private val Ch1903 = Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -512,6 +636,18 @@ object EpsgDb {
     add(3832, noShift(Mercator1SP(WGS84, 150, 1.0, 0, 0),
       "WGS 84 / PDC Mercator"))
 
+    // Dutch RD New (double stereographic on Bessel + Amersfoort shift)
+    add(28992, (ObliqueStereo(Bessel1841, 52.15616055555555, 5.38763888888889,
+      0.9999079, 155000, 463000), Some(Amersfoort), "Amersfoort / RD New"))
+    add(4289, (Geographic(Bessel1841), Some(Amersfoort), "Amersfoort"))
+    // Swiss LV95 / LV03 (Rosenmund oblique Mercator on Bessel)
+    add(2056, (SwissOblique(Bessel1841, 46.95240555555556, 7.439583333333333,
+      1.0, 2600000, 1200000), Some(Ch1903), "CH1903+ / LV95"))
+    add(21781, (SwissOblique(Bessel1841, 46.95240555555556, 7.439583333333333,
+      1.0, 600000, 200000), Some(Ch1903), "CH1903 / LV03"))
+    add(4150, (Geographic(Bessel1841), Some(Ch1903), "CH1903+"))
+    add(4149, (Geographic(Bessel1841), Some(Ch1903), "CH1903"))
+
     b.result()
   }
 
@@ -575,6 +711,10 @@ object EpsgDb {
         s"""PROJCS["${crs.name}",$base,PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case Laea(_, lat0, lon0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case ObliqueStereo(_, lat0, lon0, k0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Oblique_Stereographic"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case SwissOblique(_, lat0, lon0, k0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
     }
   }
 }

@@ -132,29 +132,47 @@ object SpatialJoin {
     val leftGeomPos = left.columns.indexOf(leftGeom)
     require(leftGeomPos >= 0, s"no column $leftGeom in left frame")
 
-    // Size guard in a SINGLE incremental evaluation of the left plan: pull
-    // at most maxBuildRows+1 rows through toLocalIterator, tracking an
-    // estimated byte size as rows arrive, and abort to the grid tier the
-    // moment EITHER cap trips — the row cap alone cannot protect the driver
-    // from wide rows, and a count()/stats probe would either re-execute the
-    // plan or trust Catalyst estimates that default to "unknown". In the
-    // good (small-left) case this is one pass over the same rows collect()
-    // would fetch; in the bad case it stops fetching early.
+    // Size guard in a SINGLE evaluation of the left plan, byte-aware (the
+    // row cap alone cannot protect the driver from wide rows):
+    //  - fast path: when Catalyst's own size estimate for the optimized
+    //    plan is already under the byte cap (parquet scans/projections
+    //    carry reliable file-size-derived stats), fetch with one parallel
+    //    limit+collect — the common case pays nothing new;
+    //  - guarded path (stats unknown — Catalyst defaults them huge — or
+    //    over-cap): pull rows through toLocalIterator, tracking estimated
+    //    bytes as they arrive, and abort to the grid tier the moment
+    //    either cap trips — partial single pass, no wide-row OOM.
     val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var estBytes = 0L
-    var tooBig = false
-    val localIt = left.limit(guardLimit).toLocalIterator()
-    while (!tooBig && localIt.hasNext) {
-      val r = localIt.next()
-      buf += r
-      estBytes += estimateRowBytes(r)
-      if (buf.length >= guardLimit || estBytes > maxBuildBytes) tooBig = true
-    }
-    if (tooBig)
-      return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
-        leftGeom, rightGeom, suffix)
-    val leftRows: Array[Row] = buf.toArray
+    val statBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
+    val leftRows: Array[Row] =
+      if (statBytes <= maxBuildBytes) {
+        val rows = left.limit(guardLimit).collect()
+        // stats can underestimate computed columns — re-check actual bytes
+        var actual = 0L
+        var i = 0
+        while (i < rows.length && actual <= maxBuildBytes) {
+          actual += estimateRowBytes(rows(i)); i += 1
+        }
+        if (rows.length >= guardLimit || actual > maxBuildBytes)
+          return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
+            leftGeom, rightGeom, suffix)
+        rows
+      } else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var estBytes = 0L
+        var tooBig = false
+        val localIt = left.limit(guardLimit).toLocalIterator()
+        while (!tooBig && localIt.hasNext) {
+          val r = localIt.next()
+          buf += r
+          estBytes += estimateRowBytes(r)
+          if (buf.length >= guardLimit || estBytes > maxBuildBytes) tooBig = true
+        }
+        if (tooBig)
+          return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
+            leftGeom, rightGeom, suffix)
+        buf.toArray
+      }
     val buildData: Array[(Long, Array[Byte])] = leftRows.zipWithIndex.map { case (r, i) =>
       (i.toLong, r.get(leftGeomPos).asInstanceOf[Array[Byte]])
     }

@@ -48,6 +48,15 @@ object DedupStreaming {
   final case class MinhashBucketState(members: List[MinhashMember], saturated: Boolean)
   final case class NearDupHit(id_a: Long, id_b: Long, jaccard_est: Double, jaccard: Double)
 
+  final case class SimhashBucketRow(chunk: Int, bucket: Long, id: Long, sim: Long)
+  final case class SimhashBucketState(members: List[(Long, Long)], saturated: Boolean)
+  final case class SimhashHit(id_a: Long, id_b: Long, hamming: Int)
+
+  final case class EmbBucketRow(t: Int, sig: Long, id: Long, vec: Seq[Double])
+  final case class EmbMember(id: Long, vec: Seq[Double])
+  final case class EmbBucketState(members: List[EmbMember], saturated: Boolean)
+  final case class EmbHit(id_a: Long, id_b: Long, cosine: Double)
+
   /** @param events streaming DataFrame with `idCol` (castable to long) and
     *               `textCol` (string)
     * @return append-mode stream of verified near-dup hits */
@@ -110,6 +119,108 @@ object DedupStreaming {
                   }
                 }
                 st = st.copy(members = MinhashMember(row.id, row.sig, row.sh) :: st.members)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming SimHash near-dup: the streaming tier of
+    * [[Dedup.nearDupSimhash]]. Bucket keys are the four 16-bit chunks of
+    * the 64-bit SimHash (pigeonhole: hamming ≤ 3 pairs agree on ≥ 1
+    * chunk); state per (chunk, bucket) holds (id, simhash); a new arrival
+    * verifies `bitCount(xor) ≤ maxHamming` against stored members. Same
+    * at-least-once-per-colliding-chunk and cap semantics as
+    * [[nearDupMinhashStream]]. */
+  def nearDupSimhashStream(events: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 100000): Dataset[SimhashHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val banded = events
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.simhash64(col(textCol)).as("sim"))
+      .select(col("id"), col("sim"), explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535"))
+      .select(col("chunk"), col("bucket"), col("id"), col("sim"))
+      .as[SimhashBucketRow]
+    val mh = maxHamming
+    val cap = maxBucketSize
+    banded.groupByKey(r => (r.chunk, r.bucket))
+      .flatMapGroupsWithState[SimhashBucketState, SimhashHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var st = state.getOption.getOrElse(SimhashBucketState(Nil, saturated = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SimhashHit]
+          rows.toSeq.sortBy(_.id).foreach { row =>
+            if (!st.saturated) {
+              if (st.members.lengthCompare(cap) >= 0) st = st.copy(saturated = true)
+              else {
+                st.members.foreach { case (mid, msim) =>
+                  if (mid != row.id) {
+                    val d = java.lang.Long.bitCount(msim ^ row.sim)
+                    if (d <= mh)
+                      out += SimhashHit(math.min(mid, row.id), math.max(mid, row.id), d)
+                  }
+                }
+                st = st.copy(members = (row.id, row.sim) :: st.members)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming embedding-cosine near-dup: the streaming tier of
+    * [[Dedup.nearDupEmbedding]]. OR-amplified sign-LSH bucket keys
+    * ((table, signature), same planes as batch via
+    * [[graft.pipeline.Similarity.signSignatureSeeded]]); state holds the
+    * (id, vector) members; a new arrival verifies exact cosine ≥
+    * threshold against stored members. At-least-once per colliding
+    * table; cap semantics as [[nearDupMinhashStream]]. */
+  def nearDupEmbeddingStream(events: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 12, tables: Int = 4,
+      maxBucketSize: Int = 100000): Dataset[EmbHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sigCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        graft.pipeline.Similarity.signSignatureSeeded(bits, t)(col("vec")).as("sig")))
+    val banded = events
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .select(col("id"), col("vec"), explode(array(sigCols: _*)).as("ts"))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("id"), col("vec"))
+      .as[EmbBucketRow]
+    val th = threshold
+    val cap = maxBucketSize
+    banded.groupByKey(r => (r.t, r.sig))
+      .flatMapGroupsWithState[EmbBucketState, EmbHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var st = state.getOption.getOrElse(EmbBucketState(Nil, saturated = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EmbHit]
+          def dot(a: Seq[Double], b: Seq[Double]): Double = {
+            var s = 0.0; var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) { s += a(i) * b(i); i += 1 }
+            s
+          }
+          rows.toSeq.sortBy(_.id).foreach { row =>
+            if (!st.saturated) {
+              if (st.members.lengthCompare(cap) >= 0) st = st.copy(saturated = true)
+              else {
+                st.members.foreach { m =>
+                  if (m.id != row.id) {
+                    val c = dot(m.vec, row.vec) /
+                      (math.sqrt(dot(m.vec, m.vec)) * math.sqrt(dot(row.vec, row.vec)))
+                    if (c >= th)
+                      out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
+                  }
+                }
+                st = st.copy(members = EmbMember(row.id, row.vec) :: st.members)
               }
             }
           }

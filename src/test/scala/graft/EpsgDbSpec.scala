@@ -26,6 +26,8 @@ class EpsgDbSpec extends AnyFunSuite {
       (lon0 + 30.0, if (north) 75.0 else -75.0)
     case EpsgDb.Mercator1SP(_, lon0, _, _, _) => (lon0 + 10.0, 10.0)
     case EpsgDb.Laea(_, lat0, lon0, _, _) => (lon0 + 5.0, lat0 + 3.0)
+    case EpsgDb.ObliqueStereo(_, lat0, lon0, _, _, _) => (lon0 + 1.0, lat0 + 0.75)
+    case EpsgDb.SwissOblique(_, lat0, lon0, _, _, _) => (lon0 + 1.5, lat0 + 0.5)
   }
 
   test("every table code round-trips through the WGS84 hub") {
@@ -48,6 +50,12 @@ class EpsgDbSpec extends AnyFunSuite {
     assert(math.abs(bng._1 - 400000.0) < 1e-6 && math.abs(bng._2 + 100000.0) < 1e-6)
     val nz = EpsgDb.table(2193).proj.forward(173.0, 0.0)
     assert(math.abs(nz._1 - 1600000.0) < 1e-6 && math.abs(nz._2 - 1e7) < 1e-6)
+    // RD New: the Amersfoort origin maps to (155000, 463000)
+    val rd = EpsgDb.table(28992).proj.forward(5.38763888888889, 52.15616055555555)
+    assert(math.abs(rd._1 - 155000.0) < 1e-6 && math.abs(rd._2 - 463000.0) < 1e-6, rd.toString)
+    // LV95: the Bern origin maps to (2600000, 1200000)
+    val lv = EpsgDb.table(2056).proj.forward(7.439583333333333, 46.95240555555556)
+    assert(math.abs(lv._1 - 2600000.0) < 1e-6 && math.abs(lv._2 - 1200000.0) < 1e-6, lv.toString)
     // UTM consistency: ETRS89 UTM 32N == WGS84 UTM 32N to sub-mm
     // (GRS80 vs WGS84 flattenings differ in the 12th digit; the measured
     // northing delta is ~0.1 mm)

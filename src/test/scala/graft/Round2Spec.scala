@@ -85,12 +85,12 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val yyz = st_point(lit(-79.38), lit(43.65)).st.setSrid(lit(4326))
       .st.toSrid(lit(3978)).st.toSrid(lit(4326))
     assert(math.abs(one[Double](yyz.st.y) - 43.65) < 1e-8)
-    // 27700 is supported since round 6 (embedded EPSG table, Airy 1830 +
-    // OSGB36 Helmert); a code outside every family still raises (2056
-    // Swiss LV95 is Oblique Mercator — not yet a family)
+    // 27700 and 2056 are supported since round 6 (embedded EPSG table);
+    // a code outside every family still raises (5514 is Krovak)
     assert(one[Array[Byte]](p.st.toSrid(lit(27700))) != null)
+    assert(one[Array[Byte]](p.st.toSrid(lit(2056))) != null)
     val ex = intercept[Exception] {
-      one[Array[Byte]](p.st.toSrid(lit(2056)))
+      one[Array[Byte]](p.st.toSrid(lit(5514)))
     }
     assert(ex.getMessage.contains("to_srid") || ex.getCause != null)
   }

@@ -156,6 +156,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream=$streamed\nbatch=$batch")
   }
 
+  test("streaming SimHash and embedding near-dup match their batch tiers") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "an entirely different document about spark streaming state",
+      3L -> "THE quick   brown fox jumps over the lazy dog again and again",
+      4L -> "yet another unrelated piece of text with its own words")
+    val simBatch = graft.pipeline.Dedup.nearDupSimhash(
+      docs.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(simBatch.nonEmpty, "fixture sanity: simhash should pair 1 and 3")
+    val in = MemoryStream[(Long, String)]
+    val hits = graft.streaming.DedupStreaming.nearDupSimhashStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+    val q = hits.writeStream.format("memory").queryName("simst")
+      .outputMode("append").start()
+    docs.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    val simStream = spark.table("simst").as[(Long, Long, Int)].collect().toSet
+    q.stop()
+    assert(simStream === simBatch, s"stream=$simStream batch=$simBatch")
+
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.1f, 0.0f)),
+      (2L, Seq(0.99f, 0.05f, 0.1f, 0.0f)), // near 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.2f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+    val embBatch = graft.pipeline.Dedup.nearDupEmbedding(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(embBatch.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    val vin = MemoryStream[(Long, Seq[Float])]
+    val ehits = graft.streaming.DedupStreaming.nearDupEmbeddingStream(
+      vin.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", threshold = 0.99)
+    val eq = ehits.writeStream.format("memory").queryName("embst")
+      .outputMode("append").start()
+    vecs.grouped(2).foreach { chunk => vin.addData(chunk); eq.processAllAvailable() }
+    val embStream = spark.table("embst").as[(Long, Long, Double)].collect().toSet
+    eq.stop()
+    assert(embStream.map(p => (p._1, p._2)) === embBatch.map(p => (p._1, p._2)))
+    // cosine values agree to fp noise (same summation order as DotProduct)
+    embStream.foreach { case (a, b, c) =>
+      val bc = embBatch.find(p => p._1 == a && p._2 == b).get._3
+      assert(math.abs(c - bc) < 1e-12, s"cosine drift: $c vs $bc")
+    }
+  }
+
   test("sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
