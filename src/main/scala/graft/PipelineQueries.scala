@@ -140,6 +140,66 @@ object PipelineQueries {
         .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
     }),
 
+    // The streaming SimHash tier, drained the same way: pairs (and the
+    // deterministic hamming values) must equal the batch tier's — the
+    // full-outer symmetric difference on (id_a, id_b, hamming) is pinned
+    // to 0, and the identical-fingerprint pair count is closed-form.
+    "pipe_stream_simhash" -> ((s, dir) => {
+      val all = docsWithDups(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      all.write.mode("overwrite").parquet(tmp + "/in")
+      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
+      val hits = graft.streaming.DedupStreaming.nearDupSimhashStream(
+        streamIn, "doc_id", "text", maxHamming = 3)
+      val qn = "stream_simhash_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = hits.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "streaming simhash drain timed out")
+      val pairs = s.table(qn).dropDuplicates("id_a", "id_b")
+      val fps = all.select(col("doc_id").as("id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val batchPairs = Dedup.nearDupSimhash(all, "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b", "hamming")
+      val symDiff = pairs.select(col("id_a"), col("id_b"), col("hamming"), lit(1).as("s"))
+        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b", "hamming"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      pairs
+        .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_stream_ident"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+    }),
+
+    // The streaming embedding tier: planted exact-duplicate vectors always
+    // collide (identical vectors share every sign signature), so the
+    // planted-pair count is closed-form and the stream/batch pair sets are
+    // identical by construction (same planes, same buckets).
+    "pipe_stream_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val all = e.unionAll(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      all.write.mode("overwrite").parquet(tmp + "/in")
+      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
+      val hits = graft.streaming.DedupStreaming.nearDupEmbeddingStream(
+        streamIn, "vec_id", "embedding", threshold = 0.9999)
+      val qn = "stream_emb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = hits.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "streaming embedding drain timed out")
+      val pairs = s.table(qn).dropDuplicates("id_a", "id_b")
+      val batchPairs = Dedup.nearDupEmbedding(all, "vec_id", "embedding",
+        threshold = 0.9999).select("id_a", "id_b")
+      val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
+        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      pairs.filter(col("id_b") - col("id_a") === 10000)
+        .agg(count(lit(1)).as("n_stream_embdup"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+    }),
+
     // ------------------------------------- embedding near-dup + ANN search
     "pipe_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -470,6 +530,12 @@ object PipelineQueries {
         | (SELECT count(*) FROM documents) AS n_ident_h0""".stripMargin,
     "pipe_stream_minhash" ->
       """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
+        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
+    "pipe_stream_simhash" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
+        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
+    "pipe_stream_embedding" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_stream_embdup,
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_embedding" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
