@@ -213,8 +213,15 @@ object PipelineQueries {
         queries, "vec_id", "embedding", k = 1)
       val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 1, bits = 8)
-      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 1, nlist = 16, nprobe = 2)
+      val index = Similarity.trainIvf(e, "vec_id", "embedding", nlist = 16)
+      val ivf = Similarity.ivfTopKIndexed(index, e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, nprobe = 2)
+      // materialized store tier: build once (partitioned by cell), query
+      // through the partition-pruned scan — self-retrieval stays exact
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Similarity.buildIvfStore(index, e, "vec_id", "embedding", tmp + "/store")
+      val stored = Similarity.ivfTopKStored(s, index, tmp + "/store",
+        queries, "vec_id", "embedding", k = 1, nprobe = 2)
       nearDup.agg(count(lit(1)).as("n_embdup"))
         .crossJoin(bf.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_bf_self")))
@@ -222,6 +229,8 @@ object PipelineQueries {
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_lsh_self")))
         .crossJoin(ivf.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivf_self")))
+        .crossJoin(stored.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfstore_self")))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -541,7 +550,8 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_bf_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_lsh_self,
-        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivf_self""".stripMargin,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivf_self,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfstore_self""".stripMargin,
     "pipe_dedup_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,

@@ -46,6 +46,21 @@ object Similarity {
   def signSignature(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     signSignatureSeeded(bits, 0)
 
+  /** Per-executor cache of the ±1 plane matrix for (bits, table, dim):
+    * the signs depend only on the plane index and dimension, so each
+    * executor materializes them once (bits × dim doubles — tiny) instead
+    * of re-hashing fmix64 bits × dim times per ROW. Values and summation
+    * order are identical to the inline computation — signatures are
+    * bit-exact across both paths. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+  private def planeSigns(bits: Int, table: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, table, dim), _ =>
+      Array.tabulate(bits, dim) { (p, i) =>
+        val plane = table.toLong * bits + p
+        if ((fmix64(plane * 0x9e3779b97f4a7c15L + i) & 1L) == 1L) 1.0 else -1.0
+      })
+
   /** [[signSignature]] with a table seed: table t uses planes
     * t*bits .. t*bits+bits-1, so several independent signature tables can
     * OR-amplify recall (a near pair only needs to collide in ONE table). */
@@ -53,15 +68,15 @@ object Similarity {
     udf((vec: Seq[Double]) =>
       if (vec == null) None
       else {
+        val signs = planeSigns(bits, table, vec.length)
         var sig = 0L
         var p = 0
         while (p < bits) {
-          val plane = table.toLong * bits + p
+          val row = signs(p)
           var s = 0.0
           var i = 0
           while (i < vec.length) {
-            val r = if ((fmix64(plane * 0x9e3779b97f4a7c15L + i) & 1L) == 1L) 1.0 else -1.0
-            s += r * vec(i)
+            s += row(i) * vec(i)
             i += 1
           }
           if (s >= 0) sig |= (1L << p)
@@ -263,6 +278,79 @@ object Similarity {
     val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
       .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
 
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine", dot(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    localTopK(scored, k).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
+  // ------------------------------------------------------- IVF store tier
+
+  /** Materialize the cell-assigned, unit-normalized corpus as parquet
+    * `partitionBy("cell")`. At query time ([[ivfTopKStored]]) only the
+    * probed cells' directories are read — Spark partition pruning turns
+    * `nprobe / nlist` into a literal IO fraction: a 100 TB corpus at
+    * nlist=4096, nprobe=8 scans ~0.2% of the bytes instead of re-assigning
+    * and re-scanning the whole table per query batch (what
+    * [[ivfTopKIndexed]] does when called repeatedly). Normalization and
+    * assignment are paid exactly once, at build time. */
+  def buildIvfStore(index: IvfIndex, corpus: DataFrame, corpusId: String,
+      corpusVec: String, path: String): Unit =
+    assigned(index, corpus, corpusId, corpusVec)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Append-only refresh: assign NEW rows with the SAME index so they land
+    * in the right cell directories; existing data is never rewritten.
+    * Quantizer drift from appended data is observable via
+    * [[ivfStoreStats]] / [[ivfNeedsRetrain]]; on retrain, [[buildIvfStore]]
+    * rewrites the store against the new centroids. */
+  def appendToIvfStore(index: IvfIndex, rows: DataFrame, corpusId: String,
+      corpusVec: String, path: String): Unit =
+    assigned(index, rows, corpusId, corpusVec)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  private def assigned(index: IvfIndex, corpus: DataFrame, corpusId: String,
+      corpusVec: String): DataFrame = {
+    val assignCell = nearestCells(index, 1)
+    unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+      .withColumn("cell", element_at(assignCell(col("cvec")), 1))
+  }
+
+  /** Per-cell occupancy of a store: one pass, map-side-combined count
+    * (cell is the partition column, so this reads footers + one long per
+    * row group worth of work, not the vectors). */
+  def ivfStoreStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).orderBy(col("cell"))
+
+  /** Retrain heuristic for append-only corpora: true when the hottest
+    * cell holds more than `imbalance` × the mean occupancy — the signature
+    * of quantizer drift (appended data piling into cells the original
+    * training sample under-represented), which erodes the nprobe/nlist IO
+    * fraction [[ivfTopKStored]] relies on. */
+  def ivfNeedsRetrain(stats: DataFrame, imbalance: Double = 8.0): Boolean = {
+    val row = stats.agg(max(col("n")).cast("double").as("mx"),
+      avg(col("n")).as("mean")).collect()(0)
+    if (row.isNullAt(0) || row.isNullAt(1)) false
+    else row.getDouble(0) > imbalance * row.getDouble(1)
+  }
+
+  /** IVF top-k against a materialized store: probe cells are computed from
+    * the (small, broadcast-bound) query batch on the driver — ≤ queries ×
+    * nprobe ints — and pushed into the scan as a partition filter, so only
+    * the probed cell directories are read. Same scoring, tie-breaking, and
+    * output shape as [[ivfTopKIndexed]]. */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      storePath: String, queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
+      .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(storePath)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("cosine", dot(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))

@@ -99,6 +99,49 @@ class PipelineSpec extends AnyFunSuite {
       a.count { case (q, r, c) => r == 1 && q == c })
   }
 
+  test("IVF store: partition-pruned probe, identical top-k, append + retrain stats") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (1L to 300L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 50 === 0).toDF("query_id", "embedding")
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 8, seed = 5L)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    Similarity.buildIvfStore(index, corpus, "vec_id", "embedding", dir + "/store")
+
+    val stored = Similarity.ivfTopKStored(spark, index, dir + "/store",
+      queries, "query_id", "embedding", k = 3, nprobe = 2)
+    val indexed = Similarity.ivfTopKIndexed(index, corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 3, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    assert(rows(stored) === rows(indexed))
+
+    // the scan must touch ONLY probed cell directories: execution-level
+    // proof via input_file_name() on a scan filtered the way
+    // ivfTopKStored filters (partition pruning, not a post-scan filter)
+    val pruned = spark.read.parquet(dir + "/store").filter($"cell".isin(0, 1))
+    val touched = pruned.select(input_file_name()).distinct().as[String].collect().toSeq
+    assert(touched.nonEmpty)
+    assert(touched.forall(f => f.contains("cell=0") || f.contains("cell=1")),
+      s"non-probed cell files read: $touched")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
+      s"partition filter missing from scan:\n$planStr")
+
+    // append-only refresh: new rows land in cell directories, stats see them
+    val extra = (301L to 360L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfStore(index, extra, "vec_id", "embedding", dir + "/store")
+    val stats = Similarity.ivfStoreStats(spark, dir + "/store")
+    assert(stats.agg(sum($"n")).as[Long].collect()(0) === 360L)
+    assert(!Similarity.ivfNeedsRetrain(stats, imbalance = 1000.0))
+    // a degenerate pile-up (everything in one cell) must trip the heuristic
+    val skewed = Seq((0, 1000L), (1, 1L), (2, 1L)).toDF("cell", "n")
+    assert(Similarity.ivfNeedsRetrain(skewed, imbalance = 2.0))
+  }
+
   test("hot-bucket cap drops degenerate buckets; other bands still pair") {
     // 60 exact copies of one doc → every (band, bucket) holds all 60 rows.
     // With maxBucketSize=10 every bucket is dropped → zero candidates, no
