@@ -728,6 +728,24 @@ object GeoQueries {
         // oblique Mercator (both Bessel + datum shift → 1e-7)
         rtOk(lonNl, latNl, 28992, 1e-7).as("rd_rt_ok"),
         rtOk(lonCh, latCh, 2056, 1e-7).as("lv95_rt_ok"),
+        // round-6 additions: Lambert-93, NTF Lambert zone II (LCC-1SP,
+        // Paris meridian, Clarke 1880 IGN + NTF shift), Conus Albers,
+        // JGD2011 zone IX, GDA2020 MGA 55, NAD27 UTM 15N (Clarke 1866)
+        rtOk(lonFr, latFr, 2154, 1e-8).as("l93_rt_ok"),
+        rtOk(lonFr, lit(46.0) + (k % 10).cast("double") / 4.0, 27572, 1e-7)
+          .as("ntf_lz2_rt_ok"),
+        rtOk(-(lit(80.25) + (k % 155).cast("double") / 4.0),
+          lit(30.25) + (k % 60).cast("double") / 4.0, 5070, 1e-8)
+          .as("conus_rt_ok"),
+        rtOk(lit(139.0) + (k % 6).cast("double") / 4.0,
+          lit(35.25) + (k % 6).cast("double") / 4.0, 6677, 1e-8)
+          .as("jgd9_rt_ok"),
+        rtOk(lit(144.25) + (k % 22).cast("double") / 4.0,
+          -(lit(35.5) + (k % 20).cast("double") / 4.0), 7855, 1e-8)
+          .as("mga55_rt_ok"),
+        rtOk(-(lit(90.25) + (k % 22).cast("double") / 4.0),
+          lit(30.25) + (k % 60).cast("double") / 4.0, 26715, 1e-7)
+          .as("nad27_utm15_rt_ok"),
         (abs(st_x(bng0) - 400000.0) < 1e-2 &&
           abs(st_y(bng0) + 100000.0) < 1e-2).as("bng_origin_ok"),
         (abs(st_x(cc0) - 1700000.0) < 1e-6 &&
@@ -1056,6 +1074,8 @@ object GeoQueries {
          | TRUE AS nztm_rt_ok, TRUE AS belge_rt_ok, TRUE AS spcs_ca3_rt_ok,
          | TRUE AS cc45_rt_ok, TRUE AS arctic_rt_ok, TRUE AS ups_rt_ok,
          | TRUE AS rd_rt_ok, TRUE AS lv95_rt_ok,
+         | TRUE AS l93_rt_ok, TRUE AS ntf_lz2_rt_ok, TRUE AS conus_rt_ok,
+         | TRUE AS jgd9_rt_ok, TRUE AS mga55_rt_ok, TRUE AS nad27_utm15_rt_ok,
          | TRUE AS bng_origin_ok, TRUE AS cc45_origin_ok,
          | 27700 AS srid_bng, TRUE AS fromcode_bng, 25832 AS wkt_code_25832
          |FROM b ORDER BY k""".stripMargin,

@@ -38,6 +38,8 @@ object EpsgDb {
   private val Airy1830 = Ellipsoid(6377563.396, 299.3249646)
   private val AiryModified = Ellipsoid(6377340.189, 299.3249646)
   private val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
+  private val Clarke1880IGN = Ellipsoid(6378249.2, 293.4660212936269)
+  private val Clarke1866 = Ellipsoid(6378206.4, 294.978698213898)
 
   // ------------------------------------------------------- datum transform
 
@@ -216,6 +218,54 @@ object EpsgDb {
       val x = x0 - fe; val y = rho0 - (y0 - fn)
       val rho = sg * math.sqrt(x * x + y * y)
       val t = math.pow(rho / (ell.a * fBig), 1 / n)
+      val theta = math.atan2(sg * x, sg * y)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 10) {
+        val esin = ell.e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - esin) / (1 + esin), ell.e / 2))
+        i += 1
+      }
+      (math.toDegrees(theta / n + lon0), math.toDegrees(phi))
+    }
+  }
+
+  /** Lambert Conformal Conic 1SP (EPSG method 9801; Snyder §15 with the
+    * scale factor k0 at the natural origin — the French NTF Lambert zones'
+    * form). Same t/ρ machinery as [[Lcc2SP]] with n = sin φ0 and ρ scaled
+    * by k0. */
+  final case class Lcc1SP(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private def tOf(phi: Double) = {
+      val esin = ell.e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), ell.e / 2)
+    }
+    private val phi0 = math.toRadians(lat0Deg)
+    private val n = math.sin(phi0)
+    private val m0 = {
+      val s = math.sin(phi0)
+      math.cos(phi0) / math.sqrt(1 - ell.e2 * s * s)
+    }
+    private val fBig = m0 / (n * math.pow(tOf(phi0), n))
+    private val rho0 = {
+      val t0 = tOf(phi0)
+      if (t0 == 0.0) 0.0 else ell.a * k0 * fBig * math.pow(t0, n)
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val t = tOf(math.toRadians(latDeg))
+      val rho = if (t == 0.0) 0.0 else ell.a * k0 * fBig * math.pow(t, n)
+      val theta = n * (math.toRadians(lonDeg) - lon0)
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val sg = math.signum(n)
+      val x = x0 - fe; val y = rho0 - (y0 - fn)
+      val rho = sg * math.sqrt(x * x + y * y)
+      val t = math.pow(rho / (ell.a * k0 * fBig), 1 / n)
       val theta = math.atan2(sg * x, sg * y)
       var phi = math.Pi / 2 - 2 * math.atan(t)
       var i = 0
@@ -537,6 +587,8 @@ object EpsgDb {
   private val Bd72 = Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
   private val Amersfoort = Helmert(565.2369, 50.0087, 465.658, -0.406857, 0.350733, -1.87035, 4.0812)
   private val Ch1903 = Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+  private val Ntf = Helmert(-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)
+  private val Nad27 = Helmert(-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -636,6 +688,60 @@ object EpsgDb {
     add(3832, noShift(Mercator1SP(WGS84, 150, 1.0, 0, 0),
       "WGS 84 / PDC Mercator"))
 
+    // France: Lambert-93 (the modern national grid) + the four NTF
+    // Lambert zones (LCC-1SP on Clarke 1880 IGN, Paris prime meridian —
+    // lon0 below is the Paris meridian expressed from Greenwich)
+    add(2154, noShift(Lcc2SP(GRS80, 44, 49, 46.5, 3, 700000, 6600000),
+      "RGF93 v1 / Lambert-93"))
+    val parisFromGreenwich = 2.0 + 20.0 / 60 + 14.025 / 3600
+    add(4275, (Geographic(Clarke1880IGN), Some(Ntf), "NTF"))
+    val ntfZones = Seq(
+      (27571, 49.5, 0.999877341, 600000.0, 1200000.0, "I"),
+      (27572, 46.8, 0.99987742, 600000.0, 2200000.0, "II"),
+      (27573, 44.1, 0.999877499, 600000.0, 3200000.0, "III"),
+      (27574, 42.165, 0.99994471, 234.358, 4185861.369, "IV"))
+    ntfZones.foreach { case (code, lat0, k0, fe, fn, z) =>
+      add(code, (Lcc1SP(Clarke1880IGN, lat0, parisFromGreenwich, k0, fe, fn),
+        Some(Ntf), s"NTF (Paris) / Lambert zone $z (carto)"))
+    }
+    // continental equal-area / statistical grids
+    add(5070, noShift(AlbersConic(GRS80, 29.5, 45.5, 23, -96, 0, 0),
+      "NAD83 / Conus Albers"))
+    add(3577, noShift(AlbersConic(GRS80, -18, -36, 0, 132, 0, 0),
+      "GDA94 / Australian Albers"))
+    add(3347, noShift(Lcc2SP(GRS80, 49, 77, 63.390675, -91.86666666666667,
+      6200000, 3000000), "NAD83 / Statistics Canada Lambert"))
+    // national TM grids (contd.)
+    add(3067, noShift(TMerc(GRS80, 0, 27, 0.9996, 500000, 0),
+      "ETRS89 / TM35FIN(E,N)"))
+    add(5179, noShift(TMerc(GRS80, 38, 127.5, 0.9996, 1000000, 2000000),
+      "Korea 2000 / Unified CS"))
+    // GDA2020 (coincident with WGS84 at our tolerance, like GDA94)
+    add(7844, noShift(Geographic(GRS80), "GDA2020"))
+    for (z <- 46 to 59)
+      add(7800 + z, noShift(TMerc(GRS80, 0, -183 + 6 * z, 0.9996, 500000, 10000000),
+        s"GDA2020 / MGA zone $z"))
+    // JGD2011 / Japan Plane Rectangular CS I-XIX (TM, k0 = 0.9999,
+    // zero false origin; JGD2011 coincident with WGS84 at our tolerance)
+    val jgdRoman = Seq("I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX",
+      "X", "XI", "XII", "XIII", "XIV", "XV", "XVI", "XVII", "XVIII", "XIX")
+    val jgdZones = Seq(
+      (33.0, 129.5), (33.0, 131.0), (36.0, 132.0 + 10.0 / 60), (33.0, 133.5),
+      (36.0, 134.0 + 20.0 / 60), (36.0, 136.0), (36.0, 137.0 + 10.0 / 60),
+      (36.0, 138.5), (36.0, 139.0 + 50.0 / 60), (40.0, 140.0 + 50.0 / 60),
+      (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+      (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0), (26.0, 154.0))
+    jgdZones.zipWithIndex.foreach { case ((lat0, lon0), i) =>
+      add(6669 + i, noShift(TMerc(GRS80, lat0, lon0, 0.9999, 0, 0),
+        s"JGD2011 / Japan Plane Rectangular CS ${jgdRoman(i)}"))
+    }
+    // NAD27 (Clarke 1866; single-Helmert fallback — the same meter-level
+    // transform proj applies without NADCON grid files)
+    add(4267, (Geographic(Clarke1866), Some(Nad27), "NAD27"))
+    for (z <- 10 to 19)
+      add(26700 + z, (TMerc(Clarke1866, 0, -183 + 6 * z, 0.9996, 500000, 0),
+        Some(Nad27), s"NAD27 / UTM zone ${z}N"))
+
     // Dutch RD New (double stereographic on Bessel + Amersfoort shift)
     add(28992, (ObliqueStereo(Bessel1841, 52.15616055555555, 5.38763888888889,
       0.9999079, 155000, 463000), Some(Amersfoort), "Amersfoort / RD New"))
@@ -699,6 +805,8 @@ object EpsgDb {
         s"""GEOGCS["${crs.name}",DATUM["${crs.name.replace(' ', '_')}",SPHEROID["${crs.name}",${crs.proj.ell.a},${crs.proj.ell.invF}]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","$code"]]"""
       case TMerc(_, lat0, lon0, k0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Lcc1SP(_, lat0, lon0, k0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Conformal_Conic_1SP"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case Lcc2SP(_, lat1, lat2, lat0, lon0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["standard_parallel_1",$lat1],PARAMETER["standard_parallel_2",$lat2],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case AlbersConic(_, lat1, lat2, lat0, lon0, fe, fn) =>

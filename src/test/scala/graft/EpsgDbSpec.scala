@@ -20,6 +20,8 @@ class EpsgDbSpec extends AnyFunSuite {
       (lon0 + 1.0, lat)
     case EpsgDb.Lcc2SP(_, lat1, lat2, _, lon0, _, _) =>
       (lon0 + 1.0, (lat1 + lat2) / 2)
+    case EpsgDb.Lcc1SP(_, lat0, lon0, _, _, _) =>
+      (lon0 + 1.0, lat0 + 0.5)
     case EpsgDb.AlbersConic(_, lat1, lat2, _, lon0, _, _) =>
       (lon0 + 1.0, (lat1 + lat2) / 2)
     case EpsgDb.PolarStereo(_, north, lon0, _, _, _, _) =>
@@ -56,6 +58,19 @@ class EpsgDbSpec extends AnyFunSuite {
     // LV95: the Bern origin maps to (2600000, 1200000)
     val lv = EpsgDb.table(2056).proj.forward(7.439583333333333, 46.95240555555556)
     assert(math.abs(lv._1 - 2600000.0) < 1e-6 && math.abs(lv._2 - 1200000.0) < 1e-6, lv.toString)
+    // Lambert-93: natural origin (3E, 46.5N on GRS80) → (700000, 6600000)
+    val l93 = EpsgDb.table(2154).proj.forward(3.0, 46.5)
+    assert(math.abs(l93._1 - 700000.0) < 1e-6 && math.abs(l93._2 - 6600000.0) < 1e-6, l93.toString)
+    // Conus Albers: (-96, 23) → (0, 0)
+    val conus = EpsgDb.table(5070).proj.forward(-96.0, 23.0)
+    assert(math.abs(conus._1) < 1e-6 && math.abs(conus._2) < 1e-6, conus.toString)
+    // NTF Lambert zone II (LCC-1SP): Paris-meridian natural origin at
+    // 46.8N → carto false origin (600000, 2200000)
+    val lz2 = EpsgDb.table(27572).proj.forward(2.0 + 20.0 / 60 + 14.025 / 3600, 46.8)
+    assert(math.abs(lz2._1 - 600000.0) < 1e-6 && math.abs(lz2._2 - 2200000.0) < 1e-6, lz2.toString)
+    // JGD2011 zone IX: (139°50'E, 36N) → (0, 0)
+    val jix = EpsgDb.table(6677).proj.forward(139.0 + 50.0 / 60, 36.0)
+    assert(math.abs(jix._1) < 1e-6 && math.abs(jix._2) < 1e-6, jix.toString)
     // UTM consistency: ETRS89 UTM 32N == WGS84 UTM 32N to sub-mm
     // (GRS80 vs WGS84 flattenings differ in the 12th digit; the measured
     // northing delta is ~0.1 mm)
