@@ -387,6 +387,7 @@ object GeoQueries {
           // builder (grid_size as a literal trailing argument)
           expr("st_area(st_union_all(g, 0.25))").as("ua_sql"),
           st_area(st_symmetric_difference_all(col("g"), 0.25)).as("sa"),
+          expr("st_area(st_symmetric_difference_all(g, 0.25))").as("sa_sql"),
           st_area(st_intersection_all(col("gi"), 0.25)).as("ia"),
           expr("st_area(st_intersection_all(gi, 0.25))").as("ia_sql"))
         .orderBy(col("grp"))
@@ -993,7 +994,7 @@ object GeoQueries {
          |   + floor(CAST(k%7 AS DOUBLE)/4.0 + 0.5)/4.0 AS iy
          | FROM b)
          |SELECT grp, sum(sw*sh) AS ua, sum(sw*sh) AS ua_sql, sum(sw*sh) AS sa,
-         | min(ix)*min(iy) AS ia, min(ix)*min(iy) AS ia_sql
+         | sum(sw*sh) AS sa_sql, min(ix)*min(iy) AS ia, min(ix)*min(iy) AS ia_sql
          |FROM p GROUP BY grp ORDER BY grp""".stripMargin,
     "geo_agg_vor_kw" ->
       """SELECT 576.0 AS vor_area, 3 AS vor_n, 576.0 AS vor_area_tol,
