@@ -380,6 +380,11 @@ object GeoQueries {
         lit(16.0) + (k % 11).cast("double") / 4.0 + ay)
       base(s, dir)
         .select((k % 16).as("grp"), g.as("g"), gi.as("gi"))
+        // the sf0.01 parquet is a single input split, so without this the
+        // snap-rounding folds for all 16 groups run in ONE partial-agg
+        // task; pre-hashing by the group key parallelizes the fold and
+        // lets the aggregation reuse the partitioning (no extra exchange)
+        .repartition(32, col("grp"))
         .groupBy(col("grp"))
         .agg(
           st_area(st_union_all(col("g"), 0.25)).as("ua"),
