@@ -572,6 +572,74 @@ object EpsgDb {
     }
   }
 
+  /** Krovak oblique conformal conic (EPSG method 9819) in its East-North
+    * orientation (EPSG 5514 axis convention: E = −westing, N = −southing,
+    * so Czech/Slovak coordinates are negative). `lon0Deg` is the origin
+    * longitude referenced to GREENWICH (24°50′E for S-JTSK — the
+    * registry's Ferro-referenced variant of the same origin is 42°30′,
+    * Ferro being 17°40′ west of Greenwich; passing the Ferro value here
+    * would double-shift). Validated against the published worked example
+    * for method 9819 (50°12′32.4416″N 16°50′59.1790″E → southing
+    * 1050538.63 m, westing 568991.00 m; EpsgDbSpec anchor). */
+  final case class Krovak(ell: Ellipsoid, latCDeg: Double, lon0Deg: Double,
+      alphaDeg: Double, latPDeg: Double, k0: Double) extends Projection {
+    private val e = ell.e
+    private val phiC = math.toRadians(latCDeg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val alpha = math.toRadians(alphaDeg)
+    private val phiP = math.toRadians(latPDeg)
+    private val sinC = math.sin(phiC)
+    private val bigA = ell.a * math.sqrt(1 - ell.e2) / (1 - ell.e2 * sinC * sinC)
+    private val bigB = math.sqrt(1 + ell.e2 * math.pow(math.cos(phiC), 4) / (1 - ell.e2))
+    private val gamma0 = math.asin(sinC / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * sinC) / (1 - e * sinC), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = k0 * bigA / math.tan(phiP)
+    private val tanPn = math.pow(math.tan(math.Pi / 4 + phiP / 2), n)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val esin = e * math.sin(phi)
+      val u = 2 * (math.atan(t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bigB) *
+        math.pow((1 - esin) / (1 + esin), e * bigB / 2)) - math.Pi / 4)
+      val v = bigB * (lam0 - lam)
+      val t = math.asin(math.cos(alpha) * math.sin(u) +
+        math.sin(alpha) * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val theta = n * d
+      val r = r0 * tanPn / math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      val southing = r * math.cos(theta)
+      val westing = r * math.sin(theta)
+      (-westing, -southing)
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val westing = -x0
+      val southing = -y0
+      val r = math.hypot(southing, westing)
+      val theta = math.atan2(westing, southing)
+      val d = theta / n
+      val t = 2 * (math.atan(math.pow(r0 / r, 1.0 / n) *
+        math.tan(math.Pi / 4 + phiP / 2)) - math.Pi / 4)
+      val u = math.asin(math.cos(alpha) * math.sin(t) -
+        math.sin(alpha) * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      var phi = u
+      var i = 0
+      while (i < 12) {
+        val esin = e * math.sin(phi)
+        phi = 2 * (math.atan(math.pow(t0, -1.0 / bigB) *
+          math.pow(math.tan(u / 2 + math.Pi / 4), 1.0 / bigB) *
+          math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 4)
+        i += 1
+      }
+      (math.toDegrees(lam0 - v / bigB), math.toDegrees(phi))
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   final case class Crs(proj: Projection, shift: Option[Helmert], name: String)
@@ -589,6 +657,7 @@ object EpsgDb {
   private val Ch1903 = Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
   private val Ntf = Helmert(-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)
   private val Nad27 = Helmert(-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
+  private val Sjtsk = Helmert(589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -742,6 +811,14 @@ object EpsgDb {
       add(26700 + z, (TMerc(Clarke1866, 0, -183 + 6 * z, 0.9996, 500000, 0),
         Some(Nad27), s"NAD27 / UTM zone ${z}N"))
 
+    // Czech + Slovak S-JTSK (Krovak oblique conformal conic on Bessel,
+    // East-North axis variant; origin longitude 24°50' E Greenwich
+    // = 42°30' east of Ferro)
+    add(5514, (Krovak(Bessel1841, 49.5, 24.0 + 50.0 / 60,
+      30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999),
+      Some(Sjtsk), "S-JTSK / Krovak East North"))
+    add(4156, (Geographic(Bessel1841), Some(Sjtsk), "S-JTSK"))
+
     // Dutch RD New (double stereographic on Bessel + Amersfoort shift)
     add(28992, (ObliqueStereo(Bessel1841, 52.15616055555555, 5.38763888888889,
       0.9999079, 155000, 463000), Some(Amersfoort), "Amersfoort / RD New"))
@@ -821,6 +898,8 @@ object EpsgDb {
         s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case ObliqueStereo(_, lat0, lon0, k0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Oblique_Stereographic"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Krovak(_, latC, lon0, alpha, latP, k0) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Krovak"],PARAMETER["latitude_of_center",$latC],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",$alpha],PARAMETER["pseudo_standard_parallel_1",$latP],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case SwissOblique(_, lat0, lon0, k0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
     }

@@ -30,6 +30,7 @@ class EpsgDbSpec extends AnyFunSuite {
     case EpsgDb.Laea(_, lat0, lon0, _, _) => (lon0 + 5.0, lat0 + 3.0)
     case EpsgDb.ObliqueStereo(_, lat0, lon0, _, _, _) => (lon0 + 1.0, lat0 + 0.75)
     case EpsgDb.SwissOblique(_, lat0, lon0, _, _, _) => (lon0 + 1.5, lat0 + 0.5)
+    case EpsgDb.Krovak(_, _, _, _, _, _) => (15.5, 49.75) // Czech interior
   }
 
   test("every table code round-trips through the WGS84 hub") {
@@ -71,6 +72,15 @@ class EpsgDbSpec extends AnyFunSuite {
     // JGD2011 zone IX: (139°50'E, 36N) → (0, 0)
     val jix = EpsgDb.table(6677).proj.forward(139.0 + 50.0 / 60, 36.0)
     assert(math.abs(jix._1) < 1e-6 && math.abs(jix._2) < 1e-6, jix.toString)
+    // Krovak: the EPSG method-9819 worked example — 50°12'32.4416"N,
+    // 16°50'59.1790"E (Greenwich) on the Bessel/S-JTSK datum → southing
+    // X = 1050538.63, westing Y = 568991.00; the East-North variant
+    // (5514) negates both. Pure projection math, 1 cm tolerance.
+    val kLat = 50.0 + 12.0 / 60 + 32.4416 / 3600
+    val kLon = 16.0 + 50.0 / 60 + 59.1790 / 3600
+    val kv = EpsgDb.table(5514).proj.forward(kLon, kLat)
+    assert(math.abs(kv._1 - (-568991.00)) < 2e-2, kv.toString)
+    assert(math.abs(kv._2 - (-1050538.63)) < 2e-2, kv.toString)
     // UTM consistency: ETRS89 UTM 32N == WGS84 UTM 32N to sub-mm
     // (GRS80 vs WGS84 flattenings differ in the 12th digit; the measured
     // northing delta is ~0.1 mm)
