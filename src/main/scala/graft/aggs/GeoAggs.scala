@@ -160,28 +160,27 @@ object GeoAggs {
   class IntersectionAllAgg(gridSize: Double = 0.0) extends FoldAgg(
     overlayOp(org.locationtech.jts.operation.overlayng.OverlayNG.INTERSECTION, gridSize))
 
-  /** Plain symmetric difference keeps the running-fold shape (the
-    * accumulator-vs-row overlay is cheap without snap-rounding, and the
-    * fold order is bit-stable against the established oracle rows). */
-  class SymmetricDifferenceAllAgg extends FoldAgg(
-    overlayOp(org.locationtech.jts.operation.overlayng.OverlayNG.SYMDIFFERENCE, 0.0))
-
-  /** Grid-snapped symmetric difference as a BALANCED pairwise fold.
+  /** Symmetric difference (plain or grid-snapped) as a BALANCED pairwise
+    * fold.
     *
-    * The linear fold is O(n²) in snap-rounding work: every step re-noids
-    * the whole accumulated multipolygon (SnapRoundingNoder rebuilds its
-    * hot-pixel KdTree over all accumulated vertices), measured ~30 s for a
-    * single 900-row group at sf0.01 — ~8 CPU-minutes for the 16-group
-    * oracle query, a verify-harness killer and a 100 TB non-starter. The
-    * balanced tree does O(n log n) snap work: each input participates in
-    * log₂ n overlays instead of feeding an ever-growing accumulator.
+    * The naive running-accumulator fold is O(n²): every step overlays the
+    * whole accumulated multipolygon with one more row — fatal with
+    * snap-rounding, where each step also re-noids all accumulated
+    * vertices (SnapRoundingNoder rebuilds its hot-pixel KdTree; measured
+    * ~30 s for a single 900-row group at sf0.01, ~8 CPU-minutes for the
+    * 16-group oracle query — a verify-harness killer and a 100 TB
+    * non-starter), and still quadratic with the cheaper plain overlay.
+    * The balanced tree does O(n log n) overlay work: each input
+    * participates in log₂ n overlays instead of feeding an ever-growing
+    * accumulator.
     *
-    * Identical results: symmetric difference is associative + commutative
-    * (region parity), and with every output snapped to the same grid the
-    * tree and linear folds produce the same on-grid region; buffer
-    * compaction preserves correctness because a compacted partial is just
-    * a subtree. */
-  class SymmetricDifferenceAllGridAgg(gridSize: Double) extends ListAgg {
+    * Results: symmetric difference is associative + commutative (region
+    * parity), so any fold shape defines the same region; distributed
+    * merge order was never deterministic to begin with (partials combine
+    * in task-completion order). With a grid the outputs are snapped to
+    * the same lattice in every shape; buffer compaction preserves
+    * correctness because a compacted partial is just a subtree. */
+  class SymmetricDifferenceAllAgg(gridSize: Double = 0.0) extends ListAgg {
     private def tree(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {
       val geoms = readAll(b)
       val srid = sridOf(geoms)
@@ -436,8 +435,7 @@ object GeoAggs {
   def differenceAllOrderedUdaf(gridSize: Double): UserDefinedFunction =
     udaf(new DifferenceAllOrderedAgg(gridSize))
   def symmetricDifferenceAllUdaf(gridSize: Double): UserDefinedFunction =
-    if (gridSize > 0) udaf(new SymmetricDifferenceAllGridAgg(gridSize))
-    else udaf(new SymmetricDifferenceAllAgg)
+    udaf(new SymmetricDifferenceAllAgg(gridSize))
 
   /** SQL name → aggregator UDF. */
   val all: Seq[(String, UserDefinedFunction)] = Seq(
