@@ -40,6 +40,7 @@ object EpsgDb {
   private val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
   private val Clarke1880IGN = Ellipsoid(6378249.2, 293.4660212936269)
   private val Clarke1866 = Ellipsoid(6378206.4, 294.978698213898)
+  private val Grs67 = Ellipsoid(6378160.0, 298.247167427)
 
   // ------------------------------------------------------- datum transform
 
@@ -658,6 +659,8 @@ object EpsgDb {
   private val Ntf = Helmert(-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)
   private val Nad27 = Helmert(-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
   private val Sjtsk = Helmert(589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+  private val Hd72 = Helmert(52.17, -71.82, -14.9, 0.0, 0.0, 0.0, 0.0)
+  private val Mgi = Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -818,6 +821,15 @@ object EpsgDb {
       30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999),
       Some(Sjtsk), "S-JTSK / Krovak East North"))
     add(4156, (Geographic(Bessel1841), Some(Sjtsk), "S-JTSK"))
+    // Hungarian EOV: the same oblique-cylindric double projection as the
+    // Swiss grids, on GRS 1967 (HD72 datum)
+    add(23700, (SwissOblique(Grs67, 47.14439372222222, 19.04857177777778,
+      0.99993, 650000, 200000), Some(Hd72), "HD72 / EOV"))
+    add(4237, (Geographic(Grs67), Some(Hd72), "HD72"))
+    // Austria Lambert (MGI on Bessel, 7-parameter shift)
+    add(31287, (Lcc2SP(Bessel1841, 49, 46, 47.5, 13.0 + 20.0 / 60,
+      400000, 400000), Some(Mgi), "MGI / Austria Lambert"))
+    add(4312, (Geographic(Bessel1841), Some(Mgi), "MGI"))
 
     // Dutch RD New (double stereographic on Bessel + Amersfoort shift)
     add(28992, (ObliqueStereo(Bessel1841, 52.15616055555555, 5.38763888888889,

@@ -72,6 +72,12 @@ class EpsgDbSpec extends AnyFunSuite {
     // JGD2011 zone IX: (139°50'E, 36N) → (0, 0)
     val jix = EpsgDb.table(6677).proj.forward(139.0 + 50.0 / 60, 36.0)
     assert(math.abs(jix._1) < 1e-6 && math.abs(jix._2) < 1e-6, jix.toString)
+    // EOV / Austria Lambert: natural origin → false origin (projection
+    // math only; both constructions anchor the origin by design)
+    val eov = EpsgDb.table(23700).proj.forward(19.04857177777778, 47.14439372222222)
+    assert(math.abs(eov._1 - 650000.0) < 1e-6 && math.abs(eov._2 - 200000.0) < 1e-6, eov.toString)
+    val atl = EpsgDb.table(31287).proj.forward(13.0 + 20.0 / 60, 47.5)
+    assert(math.abs(atl._1 - 400000.0) < 1e-6 && math.abs(atl._2 - 400000.0) < 1e-6, atl.toString)
     // Krovak: the EPSG method-9819 worked example — 50°12'32.4416"N,
     // 16°50'59.1790"E (Greenwich) on the Bessel/S-JTSK datum → southing
     // X = 1050538.63, westing Y = 568991.00; the East-North variant
