@@ -390,6 +390,20 @@ object PipelineQueries {
           sum(col("doc_id")).as("survivor_id_sum")))
     }),
 
+    // ----------------------------------- cross-doc duplicated substrings
+    // Exact-substring dedup signal: every 10th document gets an id-shifted
+    // copy, so those documents' token 8-grams occur in two docs and the
+    // per-doc duplicated-position counts are mirrored gram-for-gram by the
+    // DuckDB oracle (strings there, xxhash64 here — counts agree absent a
+    // 64-bit collision).
+    "pipe_crossdup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.crossDocGramStats(aug, "doc_id", "text", n = 8)
+        .orderBy(col("id"))
+    }),
+
     // --------------------------------------------- decontamination
     // Benchmark set = every 50th document; the oracle recomputes the same
     // normalized-token 8-gram overlap in DuckDB (no closed form needed).
@@ -613,6 +627,25 @@ object PipelineQueries {
         | (SELECT CAST(3 * sum(doc_id) AS BIGINT) FROM documents) AS cluster_sum,
         | (SELECT count(*) FROM documents) AS n_survivors,
         | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) AS survivor_id_sum""".stripMargin,
+    "pipe_crossdup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+        |tk AS (SELECT doc_id AS id,
+        |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS t
+        | FROM aug),
+        |g AS (SELECT id, unnest(CASE WHEN len(t) >= 8
+        |  THEN list_transform(generate_series(1, len(t) - 7),
+        |    i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        |  ELSE [array_to_string(t, ' ')] END) AS gram FROM tk),
+        |pd AS (SELECT id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |dg AS (SELECT gram FROM pd GROUP BY gram HAVING count(*) >= 2),
+        |dup AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_dup FROM pd
+        |  JOIN dg USING (gram) GROUP BY id)
+        |SELECT tk.id, CAST(greatest(len(t) - 7, 1) AS BIGINT) AS n_grams,
+        | coalesce(n_dup, 0) AS n_dup_grams,
+        | CAST(coalesce(n_dup, 0) AS DOUBLE)
+        |   / CAST(greatest(len(t) - 7, 1) AS DOUBLE) AS dup_frac
+        |FROM tk LEFT JOIN dup USING (id) ORDER BY id""".stripMargin,
     "pipe_decontam" ->
       """WITH toks AS (SELECT doc_id,
         |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS tk

@@ -398,6 +398,79 @@ object Dedup {
     train.join(bad, train(trainId) === bad("id"), "left_anti")
   }
 
+  // ------------------------------------ cross-document duplicated spans
+
+  /** Token k-gram hashes WITH multiplicity and position order (unlike
+    * [[wordNgrams]], which set-dedups) — one xxhash64 per gram position,
+    * so nothing downstream ever shuffles gram STRINGS. Docs shorter than
+    * `n` tokens contribute their whole text as one gram (same convention
+    * as [[wordNgrams]]). */
+  def gramHashSeq(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+  }
+
+  /** Cross-document duplicated k-gram signal — the distributed shape of
+    * exact-substring dedup (spans repeated across documents; the
+    * train-data dedup described in Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", 2022). Per document: how many of
+    * its k-gram positions carry a gram that also occurs in at least
+    * `minDocs` distinct documents (itself included).
+    *
+    * Output: (id, n_grams, n_dup_grams, dup_frac).
+    *
+    * Scale shape: grams travel as xxhash64 longs, never strings; the
+    * per-(gram, doc) pre-aggregate is map-side combined, the gram-level
+    * document count is a count over that compact set, and the join back
+    * is hash-on-long. Boilerplate grams are the classic skew key — at
+    * cluster scale enable AQE skew join; the aggregates themselves are
+    * insensitive. */
+  def crossDocGramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(gramHashSeq(col(textCol), n)).as("gh"))
+    // one row per (gram, doc) with the doc's position count
+    val perDoc = exploded.groupBy(col("gh"), col("id"))
+      .agg(count(lit(1)).as("c"))
+    // grams present in >= minDocs distinct docs (perDoc is unique per
+    // (gh, id), so the doc count is a plain count)
+    val dupGrams = perDoc.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    val dupPerDoc = perDoc.join(dupGrams, Seq("gh"))
+      .groupBy(col("id")).agg(sum(col("c")).as("n_dup_grams"))
+    df.select(col(idCol).as("id"),
+        size(gramHashSeq(col(textCol), n)).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Span starts of cross-document duplicated k-grams: (id, pos, gh),
+    * 0-based token position — the removal-tool feed ([[crossDocGramStats]]
+    * aggregates this to per-doc fractions). Spans overlap by construction
+    * (consecutive positions of a long shared run each emit); merging
+    * overlapping [pos, pos+n) intervals is the consumer's (cheap,
+    * per-document) step. */
+  def crossDocDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        posexplode(gramHashSeq(col(textCol), n)).as(Seq("pos", "gh")))
+    val dupGrams = exploded.select(col("gh"), col("id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gh")
+    exploded.join(dupGrams, Seq("gh")).select("id", "pos", "gh")
+  }
+
   // ------------------------------------------- near-dup pair clustering
 
   /** Connected components over an undirected edge list — the step that

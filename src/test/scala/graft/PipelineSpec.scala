@@ -142,6 +142,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.ivfNeedsRetrain(skewed, imbalance = 2.0))
   }
 
+  test("cross-doc duplicated grams: stats and spans on a planted fixture") {
+    // docs 1 and 3 share the 5-token run "alpha beta gamma delta epsilon"
+    // (3 trigram positions); doc 2 is unique; doc 4 repeats ITS OWN gram
+    // twice but shares with nobody (within-doc repeats must not count)
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon one two"),
+      (2L, "completely different text with no shared runs at all"),
+      (3L, "prefix words alpha beta gamma delta epsilon suffix"),
+      (4L, "echo echo echo echo echo")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.crossDocGramStats(d, "doc_id", "text", n = 3)
+      .orderBy($"id").collect()
+    // doc1: 5 trigrams, 3 shared; doc3: 6 trigrams, 3 shared
+    val byId = stats.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) === ((5L, 3L)))
+    assert(byId(3L) === ((6L, 3L)))
+    assert(byId(2L)._2 === 0L)
+    assert(byId(4L)._2 === 0L) // 3 positions of one gram, but one doc only
+    val spans = Dedup.crossDocDuplicateSpans(d, "doc_id", "text", n = 3)
+      .select("id", "pos").as[(Long, Int)].collect().toSet
+    assert(spans === Set((1L, 0), (1L, 1), (1L, 2), (3L, 2), (3L, 3), (3L, 4)))
+  }
+
   test("hot-bucket cap drops degenerate buckets; other bands still pair") {
     // 60 exact copies of one doc → every (band, bucket) holds all 60 rows.
     // With maxBucketSize=10 every bucket is dropped → zero candidates, no
