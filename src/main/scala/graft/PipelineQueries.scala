@@ -439,6 +439,16 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // Per-key cap (domain balancing): at most 20 docs per source, chosen
+    // by the salted md5 order mirrored exactly in DuckDB.
+    "pipe_cap" -> ((s, dir) => {
+      Curation.capPerKey(t(s, dir, "documents"), "source", "doc_id",
+          n = 20, salt = "c1")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    }),
+
     // ------------------------------------ PII scrubbing / URL hygiene
     // The synthetic documents carry no PII, so the query plants one
     // deterministic email / URL / IPv4 / phone per row; the oracle runs
@@ -688,6 +698,13 @@ object PipelineQueries {
         |     g -> len(list_filter(grams, x -> x = g)) * length(g))), 0) AS DOUBLE) / doc_len
         |   ELSE 0.0 END AS top2
         |FROM m ORDER BY doc_id""".stripMargin,
+    "pipe_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'c1'), 1, 8), doc_id) AS rk
+        | FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= 20 GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  substr(md5(CAST(doc_id AS VARCHAR) || 's2'), 1, 8) AS b

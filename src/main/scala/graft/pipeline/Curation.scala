@@ -92,6 +92,27 @@ object Curation {
     df.filter(b < threshold)
   }
 
+  /** Deterministic per-key cap: keep at most `n` rows per `keyCol` — the
+    * crawl-curation "at most N documents per domain" balancing step.
+    * Survivors are chosen by a salted md5 of the row id (content-addressed
+    * like [[withSplit]]: stable under reordering, repartitioning, and task
+    * retries — never `rand()`), with the id itself as the tiebreak.
+    *
+    * Scale shape: one window shuffle partitioned by key. A pathologically
+    * hot key concentrates its rows in one task; when a key can exceed
+    * ~10⁷ rows, pre-thin with a hash-threshold filter (keep
+    * `hashBucket(id) < hexThreshold(cₙ/estimate)` for a small safety
+    * factor c) before the exact window — same survivors, bounded task. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= n)
+      .drop("__graft_rk")
+  }
+
   /** Per-source target mixing weights → sampling fractions. Given observed
     * per-stratum counts and desired mixture weights (summing to 1), returns
     * the per-stratum keep-fractions that realize the mixture while keeping

@@ -142,6 +142,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.ivfNeedsRetrain(skewed, imbalance = 2.0))
   }
 
+  test("capPerKey: deterministic survivors, small keys untouched") {
+    val rows = ((1L to 30L).map(i => ("big", i)) ++ (31L to 35L).map(i => ("small", i)))
+      .toDF("domain", "id")
+    val capped = Curation.capPerKey(rows, "domain", "id", n = 10, salt = "t")
+    val byKey = capped.groupBy($"domain").count().as[(String, Long)].collect().toMap
+    assert(byKey === Map("big" -> 10L, "small" -> 5L))
+    // content-addressed: survivors identical under shuffling/repartitioning
+    val again = Curation.capPerKey(rows.orderBy(rand(7)).repartition(5),
+      "domain", "id", n = 10, salt = "t")
+    assert(capped.select("id").as[Long].collect().toSet ===
+      again.select("id").as[Long].collect().toSet)
+    // different salt re-deals the choice (with 30C10 subsets, collision
+    // of the whole survivor set is implausible)
+    val other = Curation.capPerKey(rows, "domain", "id", n = 10, salt = "u")
+    assert(capped.filter($"domain" === "big").select("id").as[Long].collect().toSet !==
+      other.filter($"domain" === "big").select("id").as[Long].collect().toSet)
+  }
+
   test("cross-doc duplicated grams: stats and spans on a planted fixture") {
     // docs 1 and 3 share the 5-token run "alpha beta gamma delta epsilon"
     // (3 trigram positions); doc 2 is unique; doc 4 repeats ITS OWN gram
