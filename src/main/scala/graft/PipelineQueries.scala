@@ -439,6 +439,30 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // URL canonicalization + URL-keyed dedup: the oracle is CLOSED-FORM
+    // (the expected canonical string is constructed directly, not by
+    // mirroring the regexes) — planted messy URLs (uppercase host,
+    // default port, tracking params) must collapse to it, and a noisy
+    // variant per doc must dedup to one canonical per document.
+    "pipe_url" -> ((s, dir) => {
+      import graft.pipeline.Scrub
+      val m7 = (col("doc_id") % 7).cast("string")
+      val m5 = (col("doc_id") % 5).cast("string")
+      val id = col("doc_id").cast("string")
+      val messy = concat(lit("HTTPS://Site"), m7, lit(".Example.ORG:443/p"), m5,
+        lit("?utm_source=a&id="), id, lit("&gclid=b#frag"))
+      val variant = concat(lit("https://SITE"), m7, lit(".EXAMPLE.ORG/p"), m5,
+        lit("?id="), id, lit("&utm_x=9"))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Scrub.canonicalUrl(messy).as("canon"),
+        Scrub.canonicalUrl(variant).as("canon2"))
+      d.select(col("doc_id"), col("canon"),
+          (col("canon") === col("canon2")).as("variant_eq"))
+        .crossJoin(d.select(explode(array(col("canon"), col("canon2"))).as("c"))
+          .agg(countDistinct(col("c")).as("n_unique")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-key cap (domain balancing): at most 20 docs per source, chosen
     // by the salted md5 order mirrored exactly in DuckDB.
     "pipe_cap" -> ((s, dir) => {
@@ -698,6 +722,13 @@ object PipelineQueries {
         |     g -> len(list_filter(grams, x -> x = g)) * length(g))), 0) AS DOUBLE) / doc_len
         |   ELSE 0.0 END AS top2
         |FROM m ORDER BY doc_id""".stripMargin,
+    "pipe_url" ->
+      """SELECT doc_id,
+        | 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p'
+        |   || CAST(doc_id % 5 AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) AS canon,
+        | TRUE AS variant_eq,
+        | (SELECT count(*) FROM documents) AS n_unique
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pipe_cap" ->
       """WITH r AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source

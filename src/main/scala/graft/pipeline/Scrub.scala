@@ -80,6 +80,30 @@ object Scrub {
   def urlDomains(text: Column): Column =
     transform(urls(text), u => lower(regexp_extract(u, "(?i:https?)://([^/:?#]+)", 1)))
 
+  /** Canonical URL for URL-keyed dedup and grouping: lowercases the
+    * scheme and host, strips the scheme's default port, drops the
+    * fragment and the common tracking parameters (utm_*, fbclid, gclid,
+    * msclkid), repairs the query separator if the first parameter was
+    * removed, and trims trailing '?'/'&' and trailing slashes. Built
+    * entirely from codegen'd regexp expressions — a scan-speed pass at
+    * 100 TB; crawl dedup then groups on this column (e.g.
+    * [[graft.pipeline.Dedup.exact]] with the canonical URL as the key). */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQuery = regexp_extract(rest, "^[^/?#]+([^#]*)", 1)
+    val noTracking = regexp_replace(pathQuery,
+      "[?&](?:utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*", "")
+    val fixedSeparator = regexp_replace(noTracking, "^([^?]*)&", "$1?")
+    val trimmed = regexp_replace(
+      regexp_replace(fixedSeparator, "[?&]+$", ""), "/+$", "")
+    concat(scheme, lit("://"), host, trimmed)
+  }
+
   /** Keep only documents whose URLs hit none of `blocked` (exact host
     * match, case-insensitive). Documents without URLs — including NULL
     * text, where the regexp extraction yields NULL — pass. A codegen'd

@@ -52,6 +52,31 @@ class ScrubSpec extends AnyFunSuite {
     assert(d == Seq("docs.example.com", "a.b.c"))
   }
 
+  test("canonicalUrl: case, default ports, tracking params, fragments, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercased, :80 stripped for http, leading tracking
+      // param removed with separator repair, fragment dropped
+      ("HTTP://EXAMPLE.com:80/a/b?utm_source=t&x=1&fbclid=zz#top",
+        "http://example.com/a/b?x=1"),
+      // :443 stripped for https only; path case preserved
+      ("https://Site.Example.ORG:443/Path?id=5&utm_campaign=y",
+        "https://site.example.org/Path?id=5"),
+      // root slash and empty query trimmed
+      ("https://x.com/", "https://x.com"),
+      ("https://x.com/p?utm_a=1", "https://x.com/p"),
+      // non-default port kept
+      ("https://X.com:8080/p", "https://x.com:8080/p"),
+      // adjacent tracking params, gclid/msclkid
+      ("https://a.io/q?utm_a=1&utm_b=2&c=3&gclid=g&msclkid=m",
+        "https://a.io/q?c=3"))
+    val out = cases.map(_._1).toDF("u")
+      .select(Scrub.canonicalUrl($"u")).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got === want)
+    }
+  }
+
   test("blocklist filter drops only documents hitting a blocked host") {
     val kept = Scrub.filterBlockedDomains(docs, "text", Seq("blog.test.io"))
       .select("doc_id").as[Long].collect().toSet
