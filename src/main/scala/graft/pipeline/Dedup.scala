@@ -443,8 +443,12 @@ object Dedup {
       .select("gh")
     val dupPerDoc = perDoc.join(dupGrams, Seq("gh"))
       .groupBy(col("id")).agg(sum(col("c")).as("n_dup_grams"))
-    df.select(col(idCol).as("id"),
-        size(gramHashSeq(col(textCol), n)).cast("long").as("n_grams"))
+    // per-doc totals from the SAME compact (gram, doc) aggregate — the
+    // two branches share an identical exchange subtree, so ReuseExchange
+    // tokenizes the corpus once (deriving totals from the raw text again
+    // would re-run the tokenizer over every document)
+    val totals = perDoc.groupBy(col("id")).agg(sum(col("c")).as("n_grams"))
+    totals
       .join(dupPerDoc, Seq("id"), "left")
       .select(col("id"), col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
