@@ -404,6 +404,19 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // Exact-substring REMOVAL: with every 10th document duplicated, the
+    // original (smaller id) owns every shared run and must come back
+    // unchanged while its copy strips to empty; the oracle mirrors the
+    // owner/span computation over gram STRINGS in DuckDB and compares
+    // the full rebuilt text of all 550 documents.
+    "pipe_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.stripCrossDocDuplicates(aug, "doc_id", "text", n = 8)
+        .orderBy(col("id"))
+    }),
+
     // --------------------------------------------- decontamination
     // Benchmark set = every 50th document; the oracle recomputes the same
     // normalized-token 8-gram overlap in DuckDB (no closed form needed).
@@ -661,6 +674,30 @@ object PipelineQueries {
         | (SELECT CAST(3 * sum(doc_id) AS BIGINT) FROM documents) AS cluster_sum,
         | (SELECT count(*) FROM documents) AS n_survivors,
         | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents) AS survivor_id_sum""".stripMargin,
+    "pipe_strip" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+        |tk AS (SELECT doc_id AS id,
+        |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS t
+        | FROM aug),
+        |tg AS (SELECT id, t, CASE WHEN len(t) >= 8
+        |  THEN list_transform(generate_series(1, len(t) - 7),
+        |    i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        |  ELSE [array_to_string(t, ' ')] END AS gr FROM tk),
+        |g0 AS (SELECT id, unnest(list_transform(generate_series(1, len(gr)),
+        |  i -> struct_pack(pos := i, gram := gr[i]))) AS u FROM tg),
+        |g AS (SELECT id, u.pos AS pos, u.gram AS gram FROM g0),
+        |ow AS (SELECT gram, min(id) AS owner
+        |  FROM (SELECT DISTINCT gram, id FROM g) GROUP BY gram
+        |  HAVING count(*) >= 2),
+        |sp AS (SELECT g.id, list(g.pos) AS spans FROM g
+        |  JOIN ow USING (gram) WHERE g.id != ow.owner GROUP BY g.id)
+        |SELECT tg.id,
+        | CASE WHEN spans IS NULL THEN array_to_string(t, ' ')
+        |  ELSE array_to_string(list_filter(t,
+        |    (x, i) -> NOT (len(list_filter(spans, p -> i >= p AND i < p + 8)) > 0)), ' ')
+        | END AS text
+        |FROM tg LEFT JOIN sp USING (id) ORDER BY id""".stripMargin,
     "pipe_crossdup" ->
       """WITH aug AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),

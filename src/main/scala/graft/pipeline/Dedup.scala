@@ -405,13 +405,17 @@ object Dedup {
     * so nothing downstream ever shuffles gram STRINGS. Docs shorter than
     * `n` tokens contribute their whole text as one gram (same convention
     * as [[wordNgrams]]). */
-  def gramHashSeq(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+  def gramHashSeq(text: Column, n: Int): Column =
+    gramHashesOfTokens(TextAnalysis.tokens(TextAnalysis.normalized(text)), n)
+
+  /** [[gramHashSeq]] over an already-materialized token array column (use
+    * this when tokens feed several expressions — an attribute is computed
+    * once, an inline tokenizer re-runs per consumer). */
+  def gramHashesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
-  }
 
   /** Cross-document duplicated k-gram signal — the distributed shape of
     * exact-substring dedup (spans repeated across documents; the
@@ -473,6 +477,45 @@ object Dedup {
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("gh")
     exploded.join(dupGrams, Seq("gh")).select("id", "pos", "gh")
+  }
+
+  /** Exact-substring dedup, removal step: rebuild each document's
+    * NORMALIZED text with cross-document duplicated runs removed, keeping
+    * exactly ONE corpus-wide occurrence of every shared run — the OWNER
+    * document (smallest id sharing the gram) keeps its copy, every other
+    * document drops the covered tokens. Within-document repeats are not
+    * touched (they are the repetition signals' job, not dedup's).
+    *
+    * Output: (id, text) — text is the kept-token join; a document whose
+    * every token is covered (e.g. a short doc wholly contained in an
+    * earlier one) comes back empty, ready for a length filter.
+    *
+    * Scale shape: same hash-only gram stream as [[crossDocGramStats]];
+    * ownership is a (min, count) aggregate per gram; covered positions
+    * come back as one array per document (bounded by doc length), and the
+    * token filter is an indexed higher-order function — no UDF, no
+    * per-row quadratic work beyond tokens × spans. */
+  def stripCrossDocDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("toks"))
+    val posGrams = base.select(col("id"),
+      posexplode(gramHashesOfTokens(col("toks"), n)).as(Seq("pos", "gh")))
+    val owners = posGrams.select(col("gh"), col("id")).distinct()
+      .groupBy(col("gh"))
+      .agg(min(col("id")).as("owner"), count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"), col("owner"))
+    val strip = posGrams.join(owners, Seq("gh"))
+      .filter(col("id") =!= col("owner"))
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("spans"))
+    base.join(strip, Seq("id"), "left")
+      .select(col("id"),
+        when(col("spans").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("toks"), (_, i) =>
+              !exists(col("spans"), p => i >= p && i < p + n))))
+          .as("text"))
   }
 
   // ------------------------------------------- near-dup pair clustering

@@ -183,6 +183,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(spans === Set((1L, 0), (1L, 1), (1L, 2), (3L, 2), (3L, 3), (3L, 4)))
   }
 
+  test("stripCrossDocDuplicates keeps the owner copy, strips the rest") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon one two"),
+      (2L, "completely different text with no shared runs at all"),
+      (3L, "prefix words alpha beta gamma delta epsilon suffix"),
+      (4L, "alpha beta gamma") // wholly contained in the shared run
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripCrossDocDuplicates(d, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().toMap
+    // doc 1 is the owner (smallest id) of every shared gram — unchanged
+    assert(out(1L) === "alpha beta gamma delta epsilon one two")
+    assert(out(2L) === "completely different text with no shared runs at all")
+    // doc 3: positions 2..4 carry shared grams → token indices 2..6 drop
+    assert(out(3L) === "prefix words suffix")
+    // doc 4: its single (short-doc) gram "alpha beta gamma" is also a
+    // gram of docs 1 and 3 → fully covered → empty
+    assert(out(4L) === "")
+  }
+
   test("hot-bucket cap drops degenerate buckets; other bands still pair") {
     // 60 exact copies of one doc → every (band, bucket) holds all 60 rows.
     // With maxBucketSize=10 every bucket is dropped → zero candidates, no
