@@ -217,8 +217,12 @@ object PipelineQueries {
       val ivf = Similarity.ivfTopKIndexed(index, e, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 1, nprobe = 2)
       // materialized store tier: build once (partitioned by cell), query
-      // through the partition-pruned scan — self-retrieval stays exact
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      // through the partition-pruned scan — self-retrieval stays exact.
+      // The path is DETERMINISTIC so repeated bench/verify invocations
+      // overwrite (buildIvfStore writes mode=overwrite) instead of
+      // accumulating one fresh temp dir per run.
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ivf_pipe_embedding").toString
       Similarity.buildIvfStore(index, e, "vec_id", "embedding", tmp + "/store")
       val stored = Similarity.ivfTopKStored(s, index, tmp + "/store",
         queries, "vec_id", "embedding", k = 1, nprobe = 2)
@@ -693,10 +697,10 @@ object PipelineQueries {
         |sp AS (SELECT g.id, list(g.pos) AS spans FROM g
         |  JOIN ow USING (gram) WHERE g.id != ow.owner GROUP BY g.id)
         |SELECT tg.id,
-        | CASE WHEN spans IS NULL THEN array_to_string(t, ' ')
+        | coalesce(CASE WHEN spans IS NULL THEN array_to_string(t, ' ')
         |  ELSE array_to_string(list_filter(t,
         |    (x, i) -> NOT (len(list_filter(spans, p -> i >= p AND i < p + 8)) > 0)), ' ')
-        | END AS text
+        | END, '') AS text
         |FROM tg LEFT JOIN sp USING (id) ORDER BY id""".stripMargin,
     "pipe_crossdup" ->
       """WITH aug AS (SELECT doc_id, text FROM documents

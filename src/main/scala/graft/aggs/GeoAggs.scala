@@ -175,10 +175,17 @@ object GeoAggs {
     * accumulator.
     *
     * Results: symmetric difference is associative + commutative (region
-    * parity), so any fold shape defines the same region; distributed
-    * merge order was never deterministic to begin with (partials combine
-    * in task-completion order). With a grid the outputs are snapped to
-    * the same lattice in every shape; buffer compaction preserves
+    * parity), so over EXACT arithmetic any fold shape defines the same
+    * region, and distributed merge order was never deterministic to begin
+    * with (partials combine in task-completion order). With snap-rounding
+    * the claim is weaker: OverlayNG inserts hot pixels at intersection
+    * points, so different pairings can in principle snap off-lattice
+    * inputs differently — fold-shape invariance is guaranteed only for
+    * inputs whose vertices already sit on the grid lattice (then every
+    * intermediate stays on-lattice). SurfaceSpec pins tree == strict
+    * linear fold as a multi-seed / multi-partitioning property test on
+    * dyadic inputs; off-lattice inputs should be compared with an area
+    * tolerance, not bit equality. Buffer compaction preserves
     * correctness because a compacted partial is just a subtree. */
   class SymmetricDifferenceAllAgg(gridSize: Double = 0.0) extends ListAgg {
     private def tree(b: ArrayBuffer[Array[Byte]]): Array[Byte] = {

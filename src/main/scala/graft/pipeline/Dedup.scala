@@ -488,7 +488,8 @@ object Dedup {
     *
     * Output: (id, text) — text is the kept-token join; a document whose
     * every token is covered (e.g. a short doc wholly contained in an
-    * earlier one) comes back empty, ready for a length filter.
+    * earlier one) comes back empty, ready for a length filter. Ids may be
+    * any orderable type (integral, string, ...); ownership is min-by-id.
     *
     * Scale shape: same hash-only gram stream as [[crossDocGramStats]];
     * ownership is a (min, count) aggregate per gram; covered positions
@@ -497,7 +498,10 @@ object Dedup {
     * per-row quadratic work beyond tokens × spans. */
   def stripCrossDocDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // id keeps its ORIGINAL type — min/join/groupBy work for any orderable
+    // key, and a cast-to-long would silently null out string ids, merging
+    // every non-numeric document into one null-keyed group.
+    val base = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("toks"))
     val posGrams = base.select(col("id"),
       posexplode(gramHashesOfTokens(col("toks"), n)).as(Seq("pos", "gh")))

@@ -98,10 +98,22 @@ object Scrub {
     val pathQuery = regexp_extract(rest, "^[^/?#]+([^#]*)", 1)
     val noTracking = regexp_replace(pathQuery,
       "[?&](?:utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*", "")
-    val fixedSeparator = regexp_replace(noTracking, "^([^?]*)&", "$1?")
+    // If the leading '?param' was removed, the next separator (a '&' at the
+    // exact byte position the '?' occupied — the prefix before '?' is
+    // untouched by the removal) must become the new '?'. Conditioning on
+    // that position keeps literal '&'s in the path intact.
+    val qPos = instr(pathQuery, "?")
+    val fixedSeparator = when(
+      qPos > 0 && instr(noTracking, "?") === 0 && length(noTracking) >= qPos,
+      concat(noTracking.substr(lit(1), qPos - 1), lit("?"),
+        noTracking.substr(qPos + 1, length(noTracking))))
+      .otherwise(noTracking)
     val trimmed = regexp_replace(
       regexp_replace(fixedSeparator, "[?&]+$", ""), "/+$", "")
-    concat(scheme, lit("://"), host, trimmed)
+    // A scheme-less input has nothing to canonicalize against — pass it
+    // through unchanged rather than emitting a malformed '://...' string.
+    when(length(scheme) === 0, u)
+      .otherwise(concat(scheme, lit("://"), host, trimmed))
   }
 
   /** Keep only documents whose URLs hit none of `blocked` (exact host

@@ -349,7 +349,13 @@ object Similarity {
     val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
       .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    // With spark.sql.sources.partitionColumnTypeInference.enabled=false the
+    // read-back partition column is StringType; the explicit cast pins it to
+    // int so the isin filter matches under either setting (the cast is a
+    // deterministic function of the partition column, so pruning still
+    // applies — PipelineSpec asserts it via input_file_name()).
     val c = spark.read.parquet(storePath)
+      .withColumn("cell", col("cell").cast("int"))
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("cosine", dot(col("cvec"), col("qvec")))

@@ -202,6 +202,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) === "")
   }
 
+  test("stripCrossDocDuplicates preserves non-numeric id types") {
+    // String keys must NOT be cast (a long cast nulls them out and merges
+    // every doc into one null-keyed group); ownership is min-by-id in
+    // string order: "a" owns the shared run, "b" gets stripped.
+    val d = Seq(
+      ("a", "alpha beta gamma delta epsilon one two"),
+      ("b", "prefix words alpha beta gamma delta epsilon suffix")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripCrossDocDuplicates(d, "doc_id", "text", n = 3)
+      .as[(String, String)].collect().toMap
+    assert(out("a") === "alpha beta gamma delta epsilon one two")
+    assert(out("b") === "prefix words suffix")
+  }
+
   test("hot-bucket cap drops degenerate buckets; other bands still pair") {
     // 60 exact copies of one doc → every (band, bucket) holds all 60 rows.
     // With maxBucketSize=10 every bucket is dropped → zero candidates, no

@@ -69,7 +69,14 @@ class ScrubSpec extends AnyFunSuite {
       ("https://X.com:8080/p", "https://x.com:8080/p"),
       // adjacent tracking params, gclid/msclkid
       ("https://a.io/q?utm_a=1&utm_b=2&c=3&gclid=g&msclkid=m",
-        "https://a.io/q?c=3"))
+        "https://a.io/q?c=3"),
+      // scheme-less input: nothing to canonicalize — pass through verbatim
+      ("example.com/path?utm_a=1", "example.com/path?utm_a=1"),
+      // literal '&' in the PATH (legal, unusual) must survive separator
+      // repair: only the '&' at the removed-'?' byte position flips
+      ("https://a.io/a&b?utm_x=1&c=2", "https://a.io/a&b?c=2"),
+      // literal '&' in the path with nothing removed — untouched
+      ("https://a.io/a&b?c=2", "https://a.io/a&b?c=2"))
     val out = cases.map(_._1).toDF("u")
       .select(Scrub.canonicalUrl($"u")).as[String].collect()
     out.zip(cases.map(_._2)).foreach { case (got, want) =>

@@ -280,28 +280,36 @@ class SurfaceSpec extends AnyFunSuite {
 
   test("grid symmetric difference: distributed tree fold == linear reference fold") {
     import spark.implicits._
-    // 120 random overlapping sixteenth-grid rects in a 4x4 window: the
-    // 0.25 snap forces heavy overlap and parity cancellation. The
-    // distributed balanced fold (across 7 partitions, so merge() runs)
-    // must equal a strict driver-side left-to-right OverlayNG fold —
-    // region parity is order-insensitive, and all areas are dyadic
-    // rationals, so the comparison is EXACT.
-    val rnd = new scala.util.Random(7)
-    val wkts = (1 to 120).map { _ =>
-      val x = rnd.nextInt(64) / 16.0; val y = rnd.nextInt(64) / 16.0
-      val w = (rnd.nextInt(32) + 4) / 16.0; val h = (rnd.nextInt(32) + 4) / 16.0
-      s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))"
-    }
-    val df = wkts.toDF("wkt").repartition(7).select(st_geomfromtext($"wkt").as("g"))
-    val treeArea = df.agg(st_area(st_symmetric_difference_all($"g", 0.25)))
-      .collect()(0).getDouble(0)
+    // Property-style check over several seeds AND partitionings: random
+    // overlapping sixteenth-grid rects in a 4x4 window; the 0.25 snap
+    // forces heavy overlap and parity cancellation. All vertices sit on
+    // the snap lattice (sixteenths snap cleanly onto quarters), so every
+    // intermediate overlay stays on-lattice and fold-shape invariance
+    // holds EXACTLY — the distributed balanced fold (several partition
+    // counts, so merge() runs with different subtree shapes) must equal
+    // a strict driver-side left-to-right OverlayNG fold bit-for-bit.
+    // Off-lattice inputs carry no such guarantee (hot-pixel snapping can
+    // differ by pairing) — see the SymmetricDifferenceAllAgg doc.
     val reader = new org.locationtech.jts.io.WKTReader()
     val pm = new org.locationtech.jts.geom.PrecisionModel(4.0)
-    val ref = wkts.map(reader.read).reduce((a, b) =>
-      org.locationtech.jts.operation.overlayng.OverlayNG.overlay(a, b,
-        org.locationtech.jts.operation.overlayng.OverlayNG.SYMDIFFERENCE, pm))
-    assert(treeArea === ref.getArea, s"tree $treeArea vs linear ${ref.getArea}")
-    assert(treeArea > 0.0)
+    for (seed <- Seq(7, 41, 9001); parts <- Seq(3, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val wkts = (1 to 120).map { _ =>
+        val x = rnd.nextInt(64) / 16.0; val y = rnd.nextInt(64) / 16.0
+        val w = (rnd.nextInt(32) + 4) / 16.0; val h = (rnd.nextInt(32) + 4) / 16.0
+        s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + h}, $x ${y + h}, $x $y))"
+      }
+      val df = wkts.toDF("wkt").repartition(parts)
+        .select(st_geomfromtext($"wkt").as("g"))
+      val treeArea = df.agg(st_area(st_symmetric_difference_all($"g", 0.25)))
+        .collect()(0).getDouble(0)
+      val ref = wkts.map(reader.read).reduce((a, b) =>
+        org.locationtech.jts.operation.overlayng.OverlayNG.overlay(a, b,
+          org.locationtech.jts.operation.overlayng.OverlayNG.SYMDIFFERENCE, pm))
+      assert(treeArea === ref.getArea,
+        s"seed=$seed parts=$parts tree $treeArea vs linear ${ref.getArea}")
+      assert(treeArea > 0.0, s"seed=$seed parts=$parts")
+    }
   }
 
   test("aggregation grid_size variants and voronoi/delaunay kwargs") {
