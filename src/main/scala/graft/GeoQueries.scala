@@ -911,6 +911,25 @@ object GeoQueries {
       one.join(part, "k").orderBy(col("k"))
     }),
 
+    // Shapefile round trip (pure-JVM .shp/.shx/.dbf/.prj codec): geometry,
+    // a string attribute, SRID recovered from the written .prj, and a
+    // bbox-pushdown read that prunes on each record's stored box.
+    "geo_io_shp" -> ((s, dir) => {
+      val df = base(s, dir).select(k,
+        concat(lit("r"), k.cast("string")).as("name"),
+        graft.functions.st_set_srid(rect, lit(4326)).as("geometry"))
+      new java.io.File("/tmp/graft_io_shp").mkdirs()
+      val shp = "/tmp/graft_io_shp/t.shp"
+      graft.io.GeoIO.writeShapefile(df, shp)
+      val one = graft.io.GeoIO.readShapefile(s, shp)
+        .select(col("k"), col("name"), st_area(col("geometry")).as("shp_area"),
+          graft.functions.st_srid(col("geometry")).as("shp_srid"))
+      val bb = graft.io.GeoIO.readShapefile(s, shp,
+          bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
+        .agg(count(lit(1)).as("bb_n"))
+      one.crossJoin(bb).orderBy(col("k"))
+    }),
+
     // ------------------------------- geometry-list evaluation (list.eval)
     "geo_list_eval" -> ((s, dir) => {
       base(s, dir).select(k,
@@ -1156,6 +1175,12 @@ object GeoQueries {
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_fgb" ->
       s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_io_shp" ->
+      s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS shp_area,
+         | 4326 AS shp_srid,
+         | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
+         |   AS bb_n
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum

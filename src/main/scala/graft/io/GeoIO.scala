@@ -206,6 +206,149 @@ object GeoIO {
       header: Boolean = true): DataFrame =
     geoDataFrame(spark.read.option("header", header.toString).csv(path), geometryName, "wkt")
 
+  // -------------------------------------------------------------- Shapefile
+
+  private def dbfFieldFor(f: StructField): Shapefile.DbfField = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Shapefile.DbfField(f.name, 'N', 20, 0)
+    case FloatType | DoubleType => Shapefile.DbfField(f.name, 'N', 30, 10)
+    case BooleanType => Shapefile.DbfField(f.name, 'L', 1, 0)
+    case StringType => Shapefile.DbfField(f.name, 'C', 128, 0)
+    case other => throw new IllegalArgumentException(
+      s"shapefile: unsupported attribute column type $other (cast to a " +
+        "scalar/string type first)")
+  }
+
+  /** Read ESRI shapefile(s) → geo frame (EWKB geometry + attribute columns
+    * typed from the .dbf header), mirroring the reference's `read_file`
+    * on .shp (`/root/reference/polars_st/input.py:30-153`). `path` may be
+    * one `.shp` or a directory of them (parallelism is per file — the
+    * format is not splittable; 2 GB per-file spec cap bounds each task).
+    *
+    * @param columns  attribute subset to keep (data-source order, like
+    *   pyogrio's `columns=`); geometry is always kept.
+    * @param bbox     (xmin, ymin, xmax, ymax) — records whose STORED
+    *   bounding box (read before any point data) misses it are skipped
+    *   without geometry deserialization.
+    * @param readGeometry false drops the geometry column (pyogrio's
+    *   `read_geometry=False`). */
+  def readShapefile(spark: SparkSession, path: String,
+      geometryName: String = "geometry",
+      columns: Option[Seq[String]] = None,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      readGeometry: Boolean = true): DataFrame = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shps: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(hadoopPath).isDirectory)
+        fs.listStatus(hadoopPath).map(_.getPath).toSeq
+          .filter(_.getName.toLowerCase.endsWith(".shp")).sortBy(_.getName)
+      else Seq(hadoopPath)
+    require(shps.nonEmpty, s"no .shp files in $path")
+    def sidecar(shp: org.apache.hadoop.fs.Path, ext: String): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(shp.getParent,
+        shp.getName.replaceAll("(?i)\\.shp$", "") + ext)
+    def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    }
+    // schema + srid from the first file's sidecars
+    val firstDbf = sidecar(shps.head, ".dbf")
+    val fields: Seq[Shapefile.DbfField] =
+      if (fs.exists(firstDbf)) Shapefile.readDbf(readAll(firstDbf))._1 else Seq.empty
+    val keptIdx: Seq[Int] = columns match {
+      case None => fields.indices
+      case Some(want) =>
+        val wantSet = want.toSet
+        val idx = fields.indices.filter(i => wantSet.contains(fields(i).name))
+        val missing = wantSet -- idx.map(fields(_).name)
+        require(missing.isEmpty, s"shapefile: no such attribute column(s): ${missing.mkString(", ")}")
+        idx
+    }
+    val prj = sidecar(shps.head, ".prj")
+    val srid =
+      if (fs.exists(prj)) Shapefile.sridFromPrj(
+        new String(readAll(prj), java.nio.charset.StandardCharsets.UTF_8))
+      else 0
+    val schema = StructType(
+      (if (readGeometry) Seq(StructField(geometryName, BinaryType, nullable = true))
+       else Seq.empty) ++
+        keptIdx.map(i => StructField(fields(i).name, Shapefile.sparkType(fields(i)))))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileList = shps.map(_.toString)
+    val keptArr = keptIdx.toArray
+    val rows = spark.sparkContext.parallelize(fileList, fileList.length).flatMap { shpPath =>
+      val p = new org.apache.hadoop.fs.Path(shpPath)
+      val pfs = p.getFileSystem(conf.value)
+      def bytesOf(path: org.apache.hadoop.fs.Path): Array[Byte] = {
+        val in = pfs.open(path)
+        try {
+          val len = pfs.getFileStatus(path).getLen.toInt
+          val buf = new Array[Byte](len); in.readFully(0, buf); buf
+        } finally in.close()
+      }
+      val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
+        p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
+      val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
+      Shapefile.readFeatures(bytesOf(p), dbf, bbox, srid).map { case (g, attrs) =>
+        val geo: Seq[Any] =
+          if (!readGeometry) Seq.empty
+          else Seq(if (g == null) null else graft.serde.EWKB.write(g))
+        org.apache.spark.sql.Row.fromSeq(geo ++ keptArr.map(attrs(_)).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write one shapefile set (`base.shp`/`.shx`/`.dbf`, plus `.prj` when
+    * the SRID resolves in the EPSG db), streaming rows through the driver.
+    * The record body is buffered in memory to back-patch the header — safe
+    * because the format itself caps files at 2 GB; shapefile is an
+    * EXPORT/interchange sink (the cluster-scale sink is GeoParquet).
+    * Mixed shape classes and mixed SRIDs are rejected like the reference's
+    * `write_file` (`geodataframe.py:462-471`). `path` is the `.shp` path;
+    * sidecars are derived. */
+  def writeShapefile(df: DataFrame, path: String,
+      geometryName: String = "geometry"): Unit = {
+    require(path.toLowerCase.endsWith(".shp"), s"shapefile path must end in .shp: $path")
+    val attrFields = df.schema.fields.toSeq.filterNot(_.name == geometryName)
+    val dbfFields = attrFields.map(dbfFieldFor)
+    val ordered = df.select((col(geometryName) +: attrFields.map(f => col(f.name))): _*)
+    val writer = new Shapefile.Writer(dbfFields)
+    var srid = Int.MinValue
+    val it = ordered.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+      val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+      if (geom != null) {
+        if (srid == Int.MinValue) srid = geom.getSRID
+        else if (geom.getSRID != srid) throw new IllegalArgumentException(
+          s"shapefile: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+      }
+      writer.write(geom, Array.tabulate(attrFields.length)(i => row.get(i + 1)))
+    }
+    val bytes = writer.result()
+    val base = path.replaceAll("(?i)\\.shp$", "")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    def put(ext: String, data: Array[Byte]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(base + ext)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(data) finally out.close()
+    }
+    put(".shp", bytes.shp); put(".shx", bytes.shx); put(".dbf", bytes.dbf)
+    if (srid != Int.MinValue && srid != 0)
+      graft.functions.CrsImpl.crsFromCode(srid).foreach(wkt =>
+        put(".prj", wkt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
   // ------------------------------------------------------------- FlatGeobuf
 
   private def fgbTypeFor(dt: DataType): Int = dt match {

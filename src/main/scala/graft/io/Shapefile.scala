@@ -1,0 +1,472 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import graft.serde.EWKB
+import org.locationtech.jts.algorithm.{Orientation, PointLocation}
+import org.locationtech.jts.geom._
+
+/** ESRI Shapefile (.shp / .shx / .dbf / .prj) encode/decode in pure JVM —
+  * the most common geo interchange format the reference reads through
+  * pyogrio/OGR (`/root/reference/polars_st/input.py:30-153`). Implemented
+  * from the public spec ("ESRI Shapefile Technical Description", July 1998)
+  * plus the dBase III .dbf layout; no GDAL.
+  *
+  * Supported shapes: Null, Point(Z), MultiPoint(Z), PolyLine(Z),
+  * Polygon(Z) — M values (shape types 21-28 and trailing M blocks on Z
+  * shapes) are parsed-over and DROPPED (JTS measures are not plumbed
+  * through this codec; same class of caveat as the reference's curve
+  * linearization note, `input.py:49-50`). Polygon rings follow the spec
+  * convention (outer CW, holes CCW); holes are assigned to the smallest
+  * enclosing shell on read.
+  *
+  * Attributes: dBase III field types C (string, UTF-8 bytes), N
+  * (integer when decimals==0, else double), F (double), L (boolean),
+  * D (yyyymmdd string). DBF has no NULL — blank numerics read as null,
+  * blank strings as "".
+  *
+  * CRS: a `.prj` sidecar holding WKT; the writer emits it from the
+  * geometry SRID via the embedded EPSG db, the reader extracts the EPSG
+  * code from the WKT's trailing AUTHORITY clause (the same crs→srid
+  * recovery the reference does in `utils/srid.py`).
+  *
+  * The format itself caps each file at 2 GB (31-bit offsets in 16-bit
+  * words) — writers buffer the record body in memory and back-patch the
+  * header, which the cap makes safe; shapefile is an EXPORT/interchange
+  * format here, not a cluster-scale sink (that's GeoParquet).
+  */
+object Shapefile {
+
+  // Shape type codes (spec p.4).
+  val StNull = 0
+  val StPoint = 1; val StPolyLine = 3; val StPolygon = 5; val StMultiPoint = 8
+  val StPointZ = 11; val StPolyLineZ = 13; val StPolygonZ = 15; val StMultiPointZ = 18
+  val StPointM = 21; val StPolyLineM = 23; val StPolygonM = 25; val StMultiPointM = 28
+
+  final case class DbfField(name: String, ftype: Char, length: Int, decimals: Int)
+
+  /** Sentinel emitted by [[readShpGeometries]] for records pruned by the
+    * bbox filter — the geometry is never deserialized. */
+  case object Skipped
+
+  private def factory = EWKB.geometryFactory
+
+  // =========================================================== .shp reading
+
+  /** Decode the .shp byte stream. Returns the header shape type and one
+    * entry per record: a `Geometry` (null for Null shapes) or [[Skipped]]
+    * when `bbox` is set and the record's stored bounding box (read before
+    * any point data) does not intersect it — the bbox pushdown analog of
+    * `read_file(bbox=...)`. */
+  def readShpGeometries(data: Array[Byte],
+      bbox: Option[(Double, Double, Double, Double)] = None): (Int, Iterator[AnyRef]) = {
+    require(data.length >= 100, "shapefile: truncated header")
+    // NB: absolute gets on a FULL wrap — wrap(array, offset, len) does not
+    // shift absolute indices, so offset wraps + getInt(0) silently read the
+    // array start.
+    val whole = ByteBuffer.wrap(data)
+    require(whole.getInt(0) == 9994, "shapefile: bad magic (file code != 9994)")
+    val shapeType = whole.order(ByteOrder.LITTLE_ENDIAN).getInt(32)
+    whole.order(ByteOrder.BIG_ENDIAN)
+    val fileLenBytes = math.min(whole.getInt(24) * 2L, data.length).toInt
+    val it = new Iterator[AnyRef] {
+      private var off = 100
+      def hasNext: Boolean = off + 8 <= fileLenBytes
+      def next(): AnyRef = {
+        val contentWords = whole.getInt(off + 4)
+        val content = ByteBuffer.wrap(data, off + 8, contentWords * 2)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        off += 8 + contentWords * 2
+        readRecord(content, bbox)
+      }
+    }
+    (shapeType, it)
+  }
+
+  private def readRecord(b: ByteBuffer,
+      bbox: Option[(Double, Double, Double, Double)]): AnyRef = {
+    val st = b.getInt
+    if (st == StNull) return null
+    val base = st % 10
+    val hasZ = st >= StPointZ && st < StPointM
+    val hasM = st >= StPointM
+    base match {
+      case StPoint =>
+        val x = b.getDouble; val y = b.getDouble
+        bbox match {
+          case Some((x0, y0, x1, y1)) if x < x0 || x > x1 || y < y0 || y > y1 => Skipped
+          case _ =>
+            val c = if (hasZ) new Coordinate(x, y, b.getDouble) else new Coordinate(x, y)
+            factory.createPoint(c)
+        }
+      case StMultiPoint =>
+        if (boxMisses(b, bbox)) return Skipped
+        val n = b.getInt
+        val coords = Array.fill(n)(new Coordinate(b.getDouble, b.getDouble))
+        if (hasZ) { skipMinMax(b); var i = 0; while (i < n) { coords(i).setZ(b.getDouble); i += 1 } }
+        factory.createMultiPointFromCoords(coords)
+      case StPolyLine | StPolygon =>
+        if (boxMisses(b, bbox)) return Skipped
+        val numParts = b.getInt; val numPoints = b.getInt
+        val parts = Array.fill(numParts)(b.getInt)
+        val coords = Array.fill(numPoints)(new Coordinate(b.getDouble, b.getDouble))
+        if (hasZ) {
+          skipMinMax(b)
+          var i = 0; while (i < numPoints) { coords(i).setZ(b.getDouble); i += 1 }
+        }
+        // trailing M block (also optionally present on Z shapes) is dropped
+        val rings = (0 until numParts).map { p =>
+          val from = parts(p)
+          val until = if (p + 1 < numParts) parts(p + 1) else numPoints
+          java.util.Arrays.copyOfRange(coords.asInstanceOf[Array[AnyRef]], from, until)
+            .asInstanceOf[Array[Coordinate]]
+        }
+        if (base == StPolyLine) {
+          val lines = rings.map(factory.createLineString)
+          if (lines.length == 1) lines.head else factory.createMultiLineString(lines.toArray)
+        } else assemblePolygons(rings)
+      case other =>
+        throw new IllegalArgumentException(s"shapefile: unsupported shape type $other")
+    }
+  }
+
+  /** Reads the record's 4-double box; true when it misses `bbox` (point
+    * data is then never touched). */
+  private def boxMisses(b: ByteBuffer,
+      bbox: Option[(Double, Double, Double, Double)]): Boolean = {
+    val xmin = b.getDouble; val ymin = b.getDouble
+    val xmax = b.getDouble; val ymax = b.getDouble
+    bbox.exists { case (x0, y0, x1, y1) =>
+      xmin > x1 || xmax < x0 || ymin > y1 || ymax < y0
+    }
+  }
+
+  private def skipMinMax(b: ByteBuffer): Unit = { b.getDouble; b.getDouble }
+
+  /** Spec convention: outer rings CW, holes CCW; each hole belongs to the
+    * smallest-area shell that contains it. Rings are closed defensively
+    * (some writers drop the closing vertex). */
+  private def assemblePolygons(ringCoords: Seq[Array[Coordinate]]): Geometry = {
+    def closed(cs: Array[Coordinate]): Array[Coordinate] =
+      if (cs.length >= 3 && cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+    val rings = ringCoords.filter(_.length >= 3).map(cs => factory.createLinearRing(closed(cs)))
+    val (holes, shells) = rings.partition(r => Orientation.isCCW(r.getCoordinateSequence))
+    val effShells = if (shells.isEmpty) rings else shells
+    if (effShells.isEmpty) return factory.createPolygon()
+    val polys = effShells.map(s => (s, scala.collection.mutable.ArrayBuffer.empty[LinearRing]))
+    if (shells.nonEmpty) holes.foreach { h =>
+      val p = h.getCoordinateN(0)
+      val candidates = polys.filter { case (s, _) =>
+        s.getEnvelopeInternal.contains(h.getEnvelopeInternal) &&
+          PointLocation.isInRing(p, s.getCoordinates)
+      }
+      val target =
+        if (candidates.nonEmpty) Some(candidates.minBy(c => factory.createPolygon(c._1).getArea))
+        else polys.headOption // orphan hole: keep the data, attach to first shell
+      target.foreach(_._2 += h)
+    }
+    val built = polys.map { case (s, hs) => factory.createPolygon(s, hs.toArray) }
+    if (built.length == 1) built.head else factory.createMultiPolygon(built.toArray)
+  }
+
+  // =========================================================== .dbf reading
+
+  /** Decode a dBase III .dbf: (fields, record iterator). Deleted records
+    * (flag 0x2A) are skipped — callers zipping with .shp records should
+    * read with [[readFeatures]], which keeps the two streams aligned. */
+  def readDbf(data: Array[Byte]): (Seq[DbfField], Iterator[Array[Any]]) = {
+    val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val numRecords = b.getInt(4)
+    val headerSize = b.getShort(8) & 0xffff
+    val recordSize = b.getShort(10) & 0xffff
+    val fields = scala.collection.mutable.ArrayBuffer.empty[DbfField]
+    var off = 32
+    while (off + 32 <= headerSize && data(off) != 0x0d) {
+      val nameEnd0 = (off until off + 11).indexWhere(i => data(i) == 0)
+      val nameLen = if (nameEnd0 < 0) 11 else nameEnd0
+      val name = new String(data, off, nameLen, StandardCharsets.US_ASCII)
+      fields += DbfField(name, data(off + 11).toChar, data(off + 16) & 0xff, data(off + 17) & 0xff)
+      off += 32
+    }
+    val fs = fields.toSeq
+    val it = (0 until numRecords).iterator.map { r =>
+      val base = headerSize + r.toLong * recordSize
+      if (base + recordSize > data.length) null
+      else if (data(base.toInt) == 0x2a) null // deleted
+      else {
+        var p = base.toInt + 1
+        fs.map { f =>
+          val raw = new String(data, p, f.length, StandardCharsets.UTF_8)
+          p += f.length
+          parseDbfValue(f, raw)
+        }.toArray[Any]
+      }
+    }
+    (fs, it)
+  }
+
+  private def parseDbfValue(f: DbfField, raw: String): Any = f.ftype match {
+    case 'C' => raw.replaceAll("\\s+$", "")
+    case 'N' | 'F' =>
+      val t = raw.trim
+      if (t.isEmpty || t == "*") null
+      else if (f.ftype == 'N' && f.decimals == 0) java.lang.Long.valueOf(t.toLong)
+      else java.lang.Double.valueOf(t.toDouble)
+    case 'L' => raw.head match {
+      case 'T' | 't' | 'Y' | 'y' => java.lang.Boolean.TRUE
+      case 'F' | 'f' | 'N' | 'n' => java.lang.Boolean.FALSE
+      case _ => null
+    }
+    case 'D' => val t = raw.trim; if (t.isEmpty) null else t
+    case _ => raw.trim
+  }
+
+  /** Spark-side field type: N/dec==0 → long, N/F → double, L → boolean,
+    * everything else string. */
+  def sparkType(f: DbfField): org.apache.spark.sql.types.DataType = f.ftype match {
+    case 'N' if f.decimals == 0 => org.apache.spark.sql.types.LongType
+    case 'N' | 'F' => org.apache.spark.sql.types.DoubleType
+    case 'L' => org.apache.spark.sql.types.BooleanType
+    case _ => org.apache.spark.sql.types.StringType
+  }
+
+  // ========================================================= joint reading
+
+  /** Zip .shp geometries with .dbf attribute rows, applying the bbox
+    * pushdown (records pruned by bbox are skipped WITHOUT geometry
+    * deserialization; their dbf rows are skipped in lockstep). */
+  def readFeatures(shp: Array[Byte], dbf: Option[Array[Byte]],
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      srid: Int = 0): Iterator[(Geometry, Array[Any])] = {
+    val (_, geoms) = readShpGeometries(shp, bbox)
+    val attrs: Iterator[Array[Any]] = dbf match {
+      case Some(d) => readDbf(d)._2
+      case None => Iterator.continually(Array.empty[Any])
+    }
+    geoms.zip(attrs).collect {
+      case (g: Geometry, a) =>
+        if (srid != 0) g.setSRID(srid)
+        (g, a)
+      case (null, a) => (null: Geometry, a)
+    }
+  }
+
+  // ================================================================ writing
+
+  /** In-memory shapefile writer (see class doc for why buffering is safe:
+    * the format caps files at 2 GB). Produces the .shp/.shx/.dbf byte
+    * arrays plus an optional .prj WKT. One shape class per file (spec):
+    * the type is fixed by the first non-null geometry; later geometries
+    * must match (Polygon and MultiPolygon share a shape type, ditto
+    * lines/points). */
+  final class Writer(fields: Seq[DbfField]) {
+    private val shpBody = new ByteArrayOutputStream()
+    private val shxBody = new ByteArrayOutputStream()
+    private val dbfBody = new ByteArrayOutputStream()
+    private var shapeType = -1
+    private var hasZ = false
+    private var recNum = 0
+    private var xmin = Double.MaxValue; private var ymin = Double.MaxValue
+    private var xmax = -Double.MaxValue; private var ymax = -Double.MaxValue
+    private var zmin = Double.MaxValue; private var zmax = -Double.MaxValue
+
+    private def shapeTypeOf(g: Geometry, z: Boolean): Int = {
+      val base = g match {
+        case _: Point => StPoint
+        case _: MultiPoint => StMultiPoint
+        case _: LineString | _: MultiLineString => StPolyLine
+        case _: Polygon | _: MultiPolygon => StPolygon
+        case other => throw new IllegalArgumentException(
+          s"shapefile: unsupported geometry ${other.getGeometryType} (no GeometryCollection)")
+      }
+      if (z) base + 10 else base
+    }
+
+    def write(g: Geometry, attrs: Array[Any]): Unit = {
+      recNum += 1
+      val content: Array[Byte] =
+        if (g == null || g.isEmpty) le(4) { b => b.putInt(StNull) }
+        else {
+          if (shapeType < 0) { hasZ = EWKB.hasZ(g); shapeType = shapeTypeOf(g, hasZ) }
+          else require(shapeTypeOf(g, hasZ) == shapeType,
+            s"shapefile: mixed shape types (${g.getGeometryType} in a type-$shapeType file)")
+          val e = g.getEnvelopeInternal
+          xmin = math.min(xmin, e.getMinX); ymin = math.min(ymin, e.getMinY)
+          xmax = math.max(xmax, e.getMaxX); ymax = math.max(ymax, e.getMaxY)
+          encodeShape(g)
+        }
+      val recHead = ByteBuffer.allocate(8)
+      recHead.putInt(recNum).putInt(content.length / 2)
+      val offsetWords = (100 + shpBody.size()) / 2
+      shpBody.write(recHead.array()); shpBody.write(content)
+      val shxRec = ByteBuffer.allocate(8)
+      shxRec.putInt(offsetWords).putInt(content.length / 2)
+      shxBody.write(shxRec.array())
+      writeDbfRecord(attrs)
+    }
+
+    private def le(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      f(b); b.array()
+    }
+
+    private def allCoords(g: Geometry): Array[Coordinate] = g.getCoordinates
+
+    private def trackZ(cs: Array[Coordinate]): Unit = if (hasZ) cs.foreach { c =>
+      val z = if (c.getZ.isNaN) 0.0 else c.getZ
+      zmin = math.min(zmin, z); zmax = math.max(zmax, z)
+    }
+
+    private def encodeShape(g: Geometry): Array[Byte] = g match {
+      case p: Point =>
+        trackZ(allCoords(p))
+        le(4 + 16 + (if (hasZ) 8 else 0)) { b =>
+          b.putInt(shapeType).putDouble(p.getX).putDouble(p.getY)
+          if (hasZ) b.putDouble(zOf(p.getCoordinate))
+        }
+      case mp: MultiPoint =>
+        val cs = allCoords(mp); trackZ(cs)
+        le(4 + 32 + 4 + 16 * cs.length + (if (hasZ) 16 + 8 * cs.length else 0)) { b =>
+          b.putInt(shapeType); putBox(b, mp)
+          b.putInt(cs.length)
+          cs.foreach(c => b.putDouble(c.x).putDouble(c.y))
+          if (hasZ) putZBlock(b, cs)
+        }
+      case _ =>
+        // (multi)lines and (multi)polygons share the parts/points layout
+        val parts: Seq[Array[Coordinate]] = g match {
+          case l: LineString => Seq(l.getCoordinates)
+          case ml: MultiLineString =>
+            (0 until ml.getNumGeometries).map(ml.getGeometryN(_).getCoordinates)
+          case poly: Polygon => polygonRings(poly)
+          case mpoly: MultiPolygon =>
+            (0 until mpoly.getNumGeometries)
+              .flatMap(i => polygonRings(mpoly.getGeometryN(i).asInstanceOf[Polygon]))
+          case other => throw new IllegalArgumentException(other.getGeometryType)
+        }
+        val cs = parts.toArray.flatten; trackZ(cs)
+        le(4 + 32 + 8 + 4 * parts.length + 16 * cs.length +
+            (if (hasZ) 16 + 8 * cs.length else 0)) { b =>
+          b.putInt(shapeType); putBox(b, g)
+          b.putInt(parts.length).putInt(cs.length)
+          var acc = 0
+          parts.foreach { p => b.putInt(acc); acc += p.length }
+          cs.foreach(c => b.putDouble(c.x).putDouble(c.y))
+          if (hasZ) putZBlock(b, cs)
+        }
+    }
+
+    /** Shell first (forced CW per spec), then holes (forced CCW). */
+    private def polygonRings(p: Polygon): Seq[Array[Coordinate]] = {
+      def oriented(cs: Array[Coordinate], wantCCW: Boolean): Array[Coordinate] =
+        if (Orientation.isCCW(cs) == wantCCW) cs else cs.reverse
+      oriented(p.getExteriorRing.getCoordinates, wantCCW = false) +:
+        (0 until p.getNumInteriorRing)
+          .map(i => oriented(p.getInteriorRingN(i).getCoordinates, wantCCW = true))
+    }
+
+    private def zOf(c: Coordinate): Double = if (c.getZ.isNaN) 0.0 else c.getZ
+
+    private def putBox(b: ByteBuffer, g: Geometry): Unit = {
+      val e = g.getEnvelopeInternal
+      b.putDouble(e.getMinX).putDouble(e.getMinY).putDouble(e.getMaxX).putDouble(e.getMaxY)
+    }
+
+    private def putZBlock(b: ByteBuffer, cs: Array[Coordinate]): Unit = {
+      val zs = cs.map(zOf)
+      b.putDouble(if (zs.isEmpty) 0.0 else zs.min)
+      b.putDouble(if (zs.isEmpty) 0.0 else zs.max)
+      zs.foreach(b.putDouble)
+    }
+
+    private def writeDbfRecord(attrs: Array[Any]): Unit = {
+      require(attrs.length == fields.length,
+        s"shapefile: ${attrs.length} attributes for ${fields.length} dbf fields")
+      dbfBody.write(' ')
+      fields.zip(attrs).foreach { case (f, v) =>
+        val s = formatDbfValue(f, v)
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        val out = new Array[Byte](f.length)
+        java.util.Arrays.fill(out, ' '.toByte)
+        if (f.ftype == 'C' || f.ftype == 'L')
+          System.arraycopy(bytes, 0, out, 0, math.min(bytes.length, f.length))
+        else // numerics right-justified
+          System.arraycopy(bytes, math.max(0, bytes.length - f.length), out,
+            math.max(0, f.length - bytes.length), math.min(bytes.length, f.length))
+        dbfBody.write(out)
+      }
+    }
+
+    private def formatDbfValue(f: DbfField, v: Any): String = (f.ftype, v) match {
+      case (_, null) => ""
+      case ('L', b: java.lang.Boolean) => if (b) "T" else "F"
+      case ('N', x) if f.decimals == 0 => x.toString
+      case ('N' | 'F', x: java.lang.Double) => f"%%.${f.decimals}f".format(x.doubleValue)
+      case ('N' | 'F', x: java.lang.Float) => f"%%.${f.decimals}f".format(x.doubleValue)
+      case ('N' | 'F', x) => x.toString
+      case (_, x) => x.toString
+    }
+
+    /** Final file images. */
+    def result(): ShapefileBytes = {
+      if (shapeType < 0) shapeType = StNull
+      if (recNum == 0) { xmin = 0; ymin = 0; xmax = 0; ymax = 0 }
+      val shp = withMainHeader(shpBody.toByteArray)
+      val shx = withMainHeader(shxBody.toByteArray)
+      ShapefileBytes(shp, shx, dbfBytes())
+    }
+
+    private def withMainHeader(body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(100 + body.length)
+      b.putInt(9994); b.position(24); b.putInt((100 + body.length) / 2)
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000).putInt(shapeType)
+      b.putDouble(xmin).putDouble(ymin).putDouble(xmax).putDouble(ymax)
+      b.putDouble(if (hasZ && recNum > 0) zmin else 0.0)
+      b.putDouble(if (hasZ && recNum > 0) zmax else 0.0)
+      b.putDouble(0.0).putDouble(0.0) // M range (unused)
+      b.position(100); b.put(body)
+      b.array()
+    }
+
+    private def dbfBytes(): Array[Byte] = {
+      val headerSize = 32 + 32 * fields.length + 1
+      val recordSize = 1 + fields.map(_.length).sum
+      val head = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
+      head.put(0x03.toByte)
+      head.put(126.toByte).put(1.toByte).put(1.toByte) // fixed date: deterministic output
+      head.putInt(recNum)
+      head.putShort(headerSize.toShort).putShort(recordSize.toShort)
+      head.position(32)
+      fields.foreach { f =>
+        val fd = ByteBuffer.allocate(32)
+        val nameBytes = f.name.getBytes(StandardCharsets.US_ASCII)
+        require(nameBytes.length <= 10, s"shapefile: dbf field name too long: ${f.name}")
+        fd.put(nameBytes); fd.position(11)
+        fd.put(f.ftype.toByte)
+        fd.position(16); fd.put(f.length.toByte).put(f.decimals.toByte)
+        head.put(fd.array())
+      }
+      head.put(0x0d.toByte)
+      val out = new ByteArrayOutputStream()
+      out.write(head.array())
+      dbfBody.writeTo(out)
+      out.write(0x1a)
+      out.toByteArray
+    }
+  }
+
+  final case class ShapefileBytes(shp: Array[Byte], shx: Array[Byte], dbf: Array[Byte])
+
+  // ================================================================== .prj
+
+  /** EPSG code from a .prj's WKT: the LAST AUTHORITY clause is the
+    * top-level CRS authority (inner ones belong to datum/spheroid). */
+  def sridFromPrj(wkt: String): Int = {
+    val m = "(?i)AUTHORITY\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
+      .findAllMatchIn(wkt).toSeq
+    m.lastOption.map(_.group(1).toInt).getOrElse(0)
+  }
+}
