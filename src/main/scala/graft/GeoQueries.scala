@@ -891,7 +891,18 @@ object GeoQueries {
       val bbN = graft.io.GeoIO.readGeoParquet(s, pqPath,
           bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
         .agg(count(lit(1)).as("bb_n"))
-      pq.join(csv, "k").join(nd, "k").join(fc, "k").crossJoin(bbN).orderBy(col("k"))
+      // standard GeoParquet: WKB encoding + `geo` FOOTER metadata; the
+      // read recovers the dataset SRID from the footer (values carry none)
+      val wkbPath = "/tmp/graft_io_pq_wkb"
+      graft.io.GeoIO.writeGeoParquet(
+        df.select(col("k"),
+          graft.functions.st_set_srid(col("geometry"), lit(4326)).as("geometry")),
+        wkbPath, writeMetadata = true, encoding = "WKB")
+      val wkb = graft.io.GeoIO.readGeoParquet(s, wkbPath)
+        .select(col("k"), st_area(col("geometry")).as("wkb_area"),
+          graft.functions.st_srid(col("geometry")).as("wkb_srid"))
+      pq.join(csv, "k").join(nd, "k").join(fc, "k").join(wkb, "k")
+        .crossJoin(bbN).orderBy(col("k"))
     }),
 
     // FlatGeobuf round trip: single-file (driver-streamed) and partitioned
@@ -1164,6 +1175,7 @@ object GeoQueries {
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
+         | w*h AS wkb_area, 4326 AS wkb_srid,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n
          |FROM b ORDER BY k""".stripMargin,

@@ -48,7 +48,35 @@ object GeoIO {
     * (GeoParquet 1.1 "covering" design). */
   val BboxColumn = "__geo_bbox"
 
+  /** The GeoParquet discovery metadata for `path`: the standard `geo`
+    * footer key-value when present (written by [[writeGeoParquet]]'s
+    * `writeMetadata` via [[ParquetFooter]], or by any conforming writer —
+    * geopandas, DuckDB spatial, GDAL), else the `_geo_metadata.json`
+    * sidecar (this library's pre-footer fallback). */
+  def geoParquetMetadata(spark: SparkSession, path: String): Option[String] = {
+    val footer =
+      try ParquetFooter.readKeyValueMetadata(spark, path, "geo")
+      catch { case _: Exception => None }
+    footer.orElse {
+      val p = new org.apache.hadoop.fs.Path(path, "_geo_metadata.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+        finally in.close()
+      }
+    }
+  }
+
   /** Read parquet with a WKB geometry column → normalized geo frame.
+    *
+    * GeoParquet metadata (footer `geo` key or sidecar, see
+    * [[geoParquetMetadata]]) is honored when present: a dataset-level
+    * `srid` is applied to geometries that carry none, so standard
+    * WKB-encoded files (GeoParquet 1.x stores CRS only in metadata) come
+    * back with the right SRID.
     *
     * @param bbox optional (xmin, ymin, xmax, ymax) spatial filter — the
     *   Spark analog of the reference's `read_file(bbox=...)` GDAL pushdown
@@ -74,7 +102,17 @@ object GeoIO {
           element_at(env, 1) <= xmax && element_at(env, 3) >= xmin &&
           element_at(env, 2) <= ymax && element_at(env, 4) >= ymin)
     }
-    geoDataFrame(filtered, geometryName, "wkb").drop(BboxColumn)
+    val parsed = geoDataFrame(filtered, geometryName, "wkb").drop(BboxColumn)
+    val metaSrid = geoParquetMetadata(spark, path)
+      .flatMap("\"srid\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).getOrElse(0)
+    if (metaSrid == 0) parsed
+    else {
+      val g = col(geometryName)
+      parsed.withColumn(geometryName,
+        when(graft.functions.st_srid(g) === 0,
+          graft.functions.st_set_srid(g, lit(metaSrid))).otherwise(g))
+    }
   }
 
   /** Write parquet with the geometry column tagged in column metadata
@@ -82,22 +120,36 @@ object GeoIO {
     * by default, a bbox covering column that future reads prune on
     * (see [[readGeoParquet]]).
     *
-    * With `writeMetadata`, a `_geo_metadata.json` sidecar is written next
-    * to the parquet files carrying the GeoParquet `geo` metadata payload
-    * (version, primary column, encoding, inferred geometry types, dataset
-    * bbox, CRS) — Spark's parquet writer exposes no hook for custom footer
-    * key-value metadata, so the sidecar is the discovery mechanism. Like
-    * the reference's `write_file` (`geodataframe.py:462-471`), geometry
-    * types and CRS are inferred from the data and **mixed SRIDs are
-    * rejected**. */
+    * @param encoding geometry byte encoding: `"EWKB"` (default — this
+    *   library's native convention, SRID travels in every value) or
+    *   `"WKB"` (standard GeoParquet 1.x: plain ISO WKB, CRS only in the
+    *   dataset metadata — what geopandas / DuckDB-spatial / GDAL expect).
+    * @param writeMetadata write the GeoParquet `geo` metadata payload
+    *   (version, primary column, encoding, inferred geometry types,
+    *   dataset bbox, CRS/SRID, covering column): into every part file's
+    *   FOOTER key-value metadata via [[ParquetFooter]] (standard
+    *   discovery — external readers find it), and as a
+    *   `_geo_metadata.json` sidecar (cheap discovery for this library;
+    *   also covers filesystems where the footer-rewrite pass is
+    *   undesirable). The footer pass re-copies each part file's bytes
+    *   once (no decode) — the default write path skips it and pays
+    *   nothing. Like the reference's `write_file`
+    *   (`geodataframe.py:462-471`), geometry types and CRS are inferred
+    *   from the data and **mixed SRIDs are rejected**. */
   def writeGeoParquet(df: DataFrame, path: String,
       geometryName: String = "geometry", mode: String = "overwrite",
-      writeBbox: Boolean = true, writeMetadata: Boolean = false): Unit = {
+      writeBbox: Boolean = true, writeMetadata: Boolean = false,
+      encoding: String = "EWKB"): Unit = {
+    require(encoding == "EWKB" || encoding == "WKB",
+      s"writeGeoParquet: encoding must be EWKB or WKB, got $encoding")
     val meta = new MetadataBuilder()
-      .putString("encoding", "EWKB")
+      .putString("encoding", encoding)
       .putBoolean("geoparquet_geometry", true)
       .build()
-    val tagged = df.withColumn(geometryName, col(geometryName).as(geometryName, meta))
+    val geoCol =
+      if (encoding == "WKB") graft.functions.st_aswkb(col(geometryName))
+      else col(geometryName)
+    val tagged = df.withColumn(geometryName, geoCol.as(geometryName, meta))
     val withBbox =
       if (!writeBbox) tagged
       else {
@@ -131,7 +183,7 @@ object GeoIO {
         "\"" + w.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
       val json =
         s"""{"version":"1.1.0","primary_column":"$geometryName","columns":{"$geometryName":{
-           |"encoding":"EWKB","geometry_types":[${types.map("\"" + _ + "\"").mkString(",")}],
+           |"encoding":"$encoding","geometry_types":[${types.map("\"" + _ + "\"").mkString(",")}],
            |"bbox":[${stats.getDouble(2)},${stats.getDouble(3)},${stats.getDouble(4)},${stats.getDouble(5)}],
            |"srid":$srid,"crs":$crs,
            |"covering":${if (writeBbox) "{\"bbox\":{\"column\":\"" + BboxColumn + "\"}}" else "null"}}}}""".stripMargin
@@ -140,6 +192,8 @@ object GeoIO {
       val out = fs.create(hadoopPath, true)
       out.write(json.getBytes("UTF-8"))
       out.close()
+      // standard discovery: the same payload into every part footer
+      ParquetFooter.addKeyValueMetadata(df.sparkSession, path, Map("geo" -> json))
     }
   }
 

@@ -330,8 +330,9 @@ object SpatialJoin {
     *                 median geometry envelope size; smaller cells → more
     *                 duplication, larger cells → more per-cell work.
     * @param how "inner" | "left" | "right" | "full" — outer variants track
-    *            matched row ids (zipWithIndex, deterministic) and add the
-    *            unmatched rows with an anti join.
+    *            matched row ids (single-pass partition-offset index, see
+    *            withStableIndex) and add the unmatched rows with an anti
+    *            join.
     */
   def sjoinPartitioned(left: DataFrame, right: DataFrame, cellSize: Double,
       predicate: String = "intersects", how: String = "inner",
@@ -441,12 +442,28 @@ object SpatialJoin {
     assemble(leftIdx, rightIdx, pairs, how, suffix)
   }
 
-  /** Deterministic row index: zipWithIndex (stable for deterministic
-    * sources, unlike monotonically_increasing_id under task retry). */
+  /** Deterministic row index in a SINGLE pass: id = (partition << 40) |
+    * offset via mapPartitionsWithIndex — unlike zipWithIndex there is no
+    * up-front per-partition count job, so the input is not scanned twice
+    * just to assign ids. The indexed RDD is persisted: the two consumers
+    * of each side (the cells pass and the outer-join reattach) read one
+    * materialized scan with identical ids, so an expensive upstream plan
+    * never executes twice and id assignment cannot diverge between
+    * branches (the correctness hazard of re-deriving ids per job).
+    * Blocks are freed by the ContextCleaner once the plan becomes
+    * unreachable — the same lifecycle as the exec tier's persisted
+    * envelope extract (SpatialJoinExec). */
   private def withStableIndex(df: DataFrame, name: String): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(name, LongType, false))
-    df.sparkSession.createDataFrame(
-      df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }, schema)
+    val indexed = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var off = 0L
+      it.map { r =>
+        val id = (pid.toLong << 40) | off
+        off += 1
+        Row.fromSeq(r.toSeq :+ id)
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    df.sparkSession.createDataFrame(indexed, schema)
   }
 
   /** Reattach full rows to the (left-id, right-id) pair table, mirroring

@@ -226,6 +226,37 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GeoParquet footer metadata + standard WKB encoding round-trip") {
+    import spark.implicits._
+    val df = (1 to 50).toDF("k")
+      .select(col("k"), graft.functions.st_set_srid(st_rectangle(col("k") * 10.0,
+        lit(0.0), col("k") * 10.0 + 4.0, lit(2.0)), lit(4326)).as("geometry"))
+    val path = "/tmp/graft_test_footer_pq"
+    graft.io.GeoIO.writeGeoParquet(df, path, writeMetadata = true, encoding = "WKB")
+    // discovery straight from the parquet FOOTER (sidecar removed to prove it)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_geo_metadata.json"))
+    val meta = graft.io.GeoIO.geoParquetMetadata(spark, path)
+    assert(meta.isDefined)
+    assert(meta.get.contains("\"encoding\":\"WKB\""))
+    assert(meta.get.contains("\"srid\":4326"))
+    // the stored bytes are plain ISO WKB: no SRID flag bit set
+    val rawFirst = spark.read.parquet(path).select(col("geometry")).limit(1)
+      .collect()(0).getAs[Array[Byte]](0)
+    assert((graft.serde.EWKB.header(rawFirst).srid) === 0)
+    // read back: dataset-level SRID re-applied from the footer metadata
+    val back = graft.io.GeoIO.readGeoParquet(spark, path)
+      .select(col("k"), graft.functions.st_srid(col("geometry")).as("srid"),
+        graft.functions.st_area(col("geometry")).as("a"))
+      .orderBy(col("k")).collect()
+    assert(back.length === 50)
+    assert(back.forall(_.getInt(1) === 4326))
+    assert(back.forall(_.getDouble(2) === 8.0))
+    // footer rewrite preserved Spark's own footer entries: schema + stats
+    // still read fine (covering-column prune path still works)
+    assert(graft.io.GeoIO.readGeoParquet(spark, path,
+      bbox = Some((0.0, 0.0, 305.0, 10.0))).count() === 30)
+  }
+
   test("image header decode: PNG, JPEG, GIF") {
     import spark.implicits._
     import graft.pipeline.Multimodal

@@ -75,6 +75,34 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("grid outer join scans each input side exactly once") {
+    // The stable-index pass persists its single scan; the cells pass and
+    // the outer-join reattach both read the cache, so an instrumented
+    // source must evaluate each row exactly once (the zipWithIndex
+    // double-scan this replaces evaluated it 2-3x).
+    val sc = spark.sparkContext
+    val leftEvals = sc.longAccumulator("leftEvals")
+    val rightEvals = sc.longAccumulator("rightEvals")
+    def instrumented(df: org.apache.spark.sql.DataFrame,
+        acc: org.apache.spark.util.LongAccumulator) = {
+      val schema = df.schema
+      spark.createDataFrame(
+        df.rdd.map { r => acc.add(1); r }, schema)
+    }
+    val expected = bruteForce(st_intersects)
+    val out = SpatialJoin.sjoinPartitioned(
+      instrumented(boxes, leftEvals), instrumented(points, rightEvals),
+      cellSize = 5.0, predicate = "intersects", how = "left")
+    out.collect() // one action drives the whole join
+    val gotPairs = out.filter($"pt_id".isNotNull)
+      .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+    assert(gotPairs === expected)
+    assert(leftEvals.value === boxes.count(),
+      s"left side evaluated ${leftEvals.value}x for ${boxes.count()} rows")
+    assert(rightEvals.value === points.count(),
+      s"right side evaluated ${rightEvals.value}x for ${points.count()} rows")
+  }
+
   test("left join keeps unmatched left rows") {
     val lonely = spark.range(3).select($"id".as("box_id"),
       st_rectangle(lit(-100.0), lit(-100.0), lit(-99.0), lit(-99.0)).as("geometry"))
