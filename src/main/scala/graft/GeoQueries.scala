@@ -941,6 +941,25 @@ object GeoQueries {
       one.crossJoin(bb).orderBy(col("k"))
     }),
 
+    // GeoPackage round trip (pure-JVM SQLite codec): geometry + attribute
+    // columns, SRID via gpkg_spatial_ref_sys, layer fid recovered from the
+    // rowid, and a bbox read pruned on each blob's stored envelope.
+    "geo_io_gpkg" -> ((s, dir) => {
+      val df = base(s, dir).select(k,
+        concat(lit("r"), k.cast("string")).as("name"),
+        graft.functions.st_set_srid(rect, lit(4326)).as("geometry"))
+      new java.io.File("/tmp/graft_io_gpkg").mkdirs()
+      val gpkg = "/tmp/graft_io_gpkg/t.gpkg"
+      graft.io.GeoIO.writeGeoPackage(df, gpkg, tableName = "boxes")
+      val one = graft.io.GeoIO.readGeoPackage(s, gpkg)
+        .select(col("k"), col("name"), st_area(col("geometry")).as("gpkg_area"),
+          graft.functions.st_srid(col("geometry")).as("gpkg_srid"))
+      val bb = graft.io.GeoIO.readGeoPackage(s, gpkg,
+          bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
+        .agg(count(lit(1)).as("bb_n"))
+      one.crossJoin(bb).orderBy(col("k"))
+    }),
+
     // ------------------------------- geometry-list evaluation (list.eval)
     "geo_list_eval" -> ((s, dir) => {
       base(s, dir).select(k,
@@ -1060,8 +1079,8 @@ object GeoQueries {
         |  floor(CAST(o_orderkey%7 AS DOUBLE)/4.0 + 0.5)/4.0 AS say
         | FROM orders WHERE o_orderkey%2000 = 0)
         |SELECT
-        | 4096.0 - sum(CASE WHEN rn > 1 THEN (w+ax)*(h+ay) END) AS da,
-        | 4096.0 - sum(CASE WHEN rn > 1 THEN (w+sax)*(h+say) END) AS da_prec
+        | 4096.0 - coalesce(sum(CASE WHEN rn > 1 THEN (w+ax)*(h+ay) END), 0) AS da,
+        | 4096.0 - coalesce(sum(CASE WHEN rn > 1 THEN (w+sax)*(h+say) END), 0) AS da_prec
         |FROM ranked WHERE rn <= 9""".stripMargin,
     "geo_native" ->
       s"""$B SELECT k, w*h AS area_n, 2*(w+h) AS len_n,
@@ -1191,6 +1210,12 @@ object GeoQueries {
     "geo_io_shp" ->
       s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS shp_area,
          | 4326 AS shp_srid,
+         | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
+         |   AS bb_n
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_io_gpkg" ->
+      s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS gpkg_area,
+         | 4326 AS gpkg_srid,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n
          |FROM b ORDER BY k""".stripMargin,

@@ -382,8 +382,15 @@ object PipelineQueries {
       val all3 = docs
         .unionAll(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
         .unionAll(docs.select((col("doc_id") + 20000).as("doc_id"), col("text")))
-      val clusters = Dedup.clusterNearMinhash(all3, "doc_id", "text", threshold = 1.0)
-      val surv = Dedup.dedupNearMinhash(all3, "doc_id", "text", threshold = 1.0)
+      // shingleK=12: with the default 5-char shingles, two sf0.001 docs
+      // differing only in a trailing repeated token have IDENTICAL shingle
+      // sets (the tail adds no new 5-grams), so char-5-gram Jaccard is
+      // genuinely 1.0 and they'd merge — correct for the operator, but the
+      // oracle asserts copies-only clusters. Longer shingles see the tail.
+      val clusters = Dedup.clusterNearMinhash(all3, "doc_id", "text",
+        threshold = 1.0, shingleK = 12)
+      val surv = Dedup.dedupNearMinhash(all3, "doc_id", "text",
+        threshold = 1.0, shingleK = 12)
       chain.agg(count(lit(1)).as("n_nodes"),
           countDistinct(col("component")).as("n_chain_comps"),
           sum(col("component")).as("chain_comp_sum"))

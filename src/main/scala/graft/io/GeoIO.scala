@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Frame-level geometry I/O (reference §2.13, `/root/reference/polars_st/
   * input.py` + `geodataframe.py:385-553`).
   *
@@ -537,5 +539,269 @@ object GeoIO {
         if (writer != null) writer.close() else out.close()
       }
     }
+  }
+
+  // ------------------------------------------------------------ GeoPackage
+
+  private def gpkgSparkType(c: GeoPackage.GpkgColumn): DataType = {
+    val t = c.sqlType
+    if (t.contains("INT")) LongType
+    else if (t == "REAL" || t == "FLOAT" || t.contains("DOUBLE")) DoubleType
+    else if (t.contains("BOOL")) BooleanType
+    else if (t.isEmpty || t.contains("BLOB")) BinaryType
+    else StringType // TEXT/CHAR/CLOB/DATE/DATETIME — gpkg stores these as text
+  }
+
+  /** Read a GeoPackage feature layer → geo frame (EWKB geometry + attribute
+    * columns typed from the declared table schema), via the pure-JVM
+    * [[Sqlite]] codec — the `.gpkg` leg of the reference's `read_file`
+    * (`/root/reference/polars_st/input.py:30-153`).
+    *
+    * Scale shape: the driver reads only the schema + b-tree INTERIOR pages
+    * to plan, then distributes the table's leaf-page list; each task opens
+    * the file and reads just its pages (plus any overflow chains) — a
+    * single `.gpkg` splits like a columnar file, no whole-file funnel.
+    *
+    * @param layer feature table to read; default = first layer in
+    *   `gpkg_geometry_columns` (like the reference's single-layer default).
+    * @param columns attribute subset (geometry always kept);
+    * @param bbox    (xmin, ymin, xmax, ymax) — rows whose STORED blob
+    *   envelope misses it are skipped before WKB parsing. */
+  def readGeoPackage(spark: SparkSession, path: String,
+      layer: Option[String] = None,
+      geometryName: String = "geometry",
+      columns: Option[Seq[String]] = None,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      readGeometry: Boolean = true): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    def open(): (Sqlite.SqliteDb, org.apache.hadoop.fs.FSDataInputStream) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf.value)
+      val in = fs.open(p)
+      (new Sqlite.SqliteDb(
+        new Sqlite.HadoopAccess(in, fs.getFileStatus(p).getLen)), in)
+    }
+    val (db, in) = open()
+    val (lay, leafList) =
+      try {
+        val all = GeoPackage.layers(db)
+        require(all.nonEmpty, s"gpkg: no feature layers in $path")
+        val lay = layer match {
+          case None => all.head
+          case Some(want) => all.find(_.table == want).getOrElse(
+            throw new IllegalArgumentException(
+              s"gpkg: no such layer $want (have ${all.map(_.table).mkString(", ")})"))
+        }
+        val root = db.master.find(m => m.typ == "table" && m.name == lay.table).get.rootPage
+        (lay, db.leafPages(root))
+      } finally in.close()
+    val geomOrd = lay.columns.indexWhere(_.name.equalsIgnoreCase(lay.geometryColumn))
+    require(geomOrd >= 0, s"gpkg: geometry column ${lay.geometryColumn} not in schema")
+    val attrs = lay.columns.zipWithIndex.filter(_._2 != geomOrd)
+    val kept: Seq[(GeoPackage.GpkgColumn, Int)] = columns match {
+      case None => attrs
+      case Some(want) =>
+        val wantSet = want.toSet
+        val sel = attrs.filter { case (c, _) => wantSet.contains(c.name) }
+        val missing = wantSet -- sel.map(_._1.name)
+        require(missing.isEmpty,
+          s"gpkg: no such attribute column(s): ${missing.mkString(", ")}")
+        sel
+    }
+    val schema = StructType(
+      (if (readGeometry) Seq(StructField(geometryName, BinaryType, nullable = true))
+       else Seq.empty) ++
+        kept.map { case (c, _) => StructField(c.name, gpkgSparkType(c), nullable = true) })
+    val keptArr = kept.toArray
+    val layerSrid = lay.srid
+    val doGeom = readGeometry
+    val bbx = bbox
+    // one task per leaf-page group; 64 leaves/task ≈ a few MB of pages
+    val groups = leafList.grouped(64).toSeq
+    val rows = spark.sparkContext
+      .parallelize(groups, math.max(1, groups.length))
+      .flatMap { leaves =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf.value)
+        val fin = fs.open(p)
+        val fdb = new Sqlite.SqliteDb(
+          new Sqlite.HadoopAccess(fin, fs.getFileStatus(p).getLen))
+        // decode this task's leaves eagerly (≤64 pages, a few MB) so the
+        // file handle closes before the iterator is consumed downstream
+        val decoded =
+          try leaves.flatMap(pg => fdb.leafRows(pg).toVector)
+          finally fin.close()
+        decoded.iterator.flatMap { case (rowid, rec) =>
+          val blob = rec(geomOrd).asInstanceOf[Array[Byte]]
+          // bbox prune on the stored envelope, before WKB parse; a bbox
+          // read is a spatial predicate, so NULL geometries drop too
+          val prune = bbx.exists { case (xmin, ymin, xmax, ymax) =>
+            blob == null || {
+              val flags = blob(3) & 0xff
+              val envInd = (flags >> 1) & 0x07
+              if (envInd == 0) false // no stored envelope → cannot prune
+              else {
+                val little = (flags & 1) == 1
+                def d(i: Int): Double = java.lang.Double.longBitsToDouble {
+                  var v = 0L
+                  var j = 0
+                  while (j < 8) {
+                    val idx = 8 + 8 * i + (if (little) 7 - j else j)
+                    v = (v << 8) | (blob(idx) & 0xffL); j += 1
+                  }
+                  v
+                }
+                d(0) > xmax || d(1) < xmin || d(2) > ymax || d(3) < ymin
+              }
+            }
+          }
+          if (prune) None
+          else {
+            val geo: Seq[Any] =
+              if (!doGeom) Seq.empty
+              else if (blob == null) Seq(null)
+              else {
+                val (g, _) = GeoPackage.readGeometryBlob(blob)
+                if (g.getSRID == 0 && layerSrid != 0) g.setSRID(layerSrid)
+                Seq(graft.serde.EWKB.write(g))
+              }
+            val vals = keptArr.map { case (c, ord) =>
+              (rec(ord), gpkgSparkType(c)) match {
+                case (null, _) =>
+                  if (c.ipk) rowid else null // IPK stored as NULL = rowid
+                case (v: Long, LongType) => v
+                case (v: Long, DoubleType) => v.toDouble
+                case (v: Long, BooleanType) => v != 0L
+                case (v: Long, StringType) => v.toString
+                case (v: Double, DoubleType) => v
+                case (v: Double, LongType) => v.toLong
+                case (v: Double, StringType) => v.toString
+                case (v: String, StringType) => v
+                case (v: String, LongType) => v.toLong
+                case (v: String, DoubleType) => v.toDouble
+                case (v: Array[Byte], BinaryType) => v
+                case (v, t) => throw new java.io.IOException(
+                  s"gpkg: column ${c.name}: cannot map ${v.getClass} to $t")
+              }
+            }.toSeq
+            Some(org.apache.spark.sql.Row.fromSeq(geo ++ vals))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def gpkgSqlTypeFor(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "INTEGER"
+    case FloatType | DoubleType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case StringType => "TEXT"
+    case BinaryType => "BLOB"
+    case other => throw new IllegalArgumentException(
+      s"geopackage: unsupported attribute column type $other (cast to a " +
+        "scalar/string/binary type first)")
+  }
+
+  /** Write one GeoPackage (single layer), streaming rows through the
+    * driver — like [[writeShapefile]]/[[writeFlatGeobuf]], a single-file
+    * EXPORT/interchange sink (the cluster-scale sink is GeoParquet). Emits
+    * the required `gpkg_spatial_ref_sys` / `gpkg_contents` /
+    * `gpkg_geometry_columns` tables plus the feature table with an `fid`
+    * INTEGER PRIMARY KEY, readable by GDAL/QGIS/DuckDB-spatial. Mixed
+    * SRIDs are rejected like the reference's `write_file`
+    * (`geodataframe.py:462-471`). */
+  def writeGeoPackage(df: DataFrame, path: String, tableName: String = "layer",
+      geometryName: String = "geometry"): Unit = {
+    val attrFields = df.schema.fields.toSeq.filterNot(_.name == geometryName)
+    require(df.schema.fieldNames.contains(geometryName),
+      s"geopackage: no geometry column $geometryName")
+    val ordered = df.select((col(geometryName) +: attrFields.map(f => col(f.name))): _*)
+    val rows = ArrayBuffer.empty[(Long, Seq[Any])]
+    var srid = Int.MinValue
+    var geomTypes = Set.empty[String]
+    var (minX, minY, maxX, maxY) =
+      (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)
+    var fid = 0L
+    val it = ordered.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      fid += 1
+      val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+      val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+      val blob = if (geom == null) null else {
+        if (srid == Int.MinValue) srid = geom.getSRID
+        else if (geom.getSRID != srid) throw new IllegalArgumentException(
+          s"geopackage: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+        geomTypes += geom.getGeometryType.toUpperCase
+        if (!geom.isEmpty) {
+          val e = geom.getEnvelopeInternal
+          minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
+          maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+        }
+        GeoPackage.writeGeometryBlob(geom, math.max(geom.getSRID, 0))
+      }
+      val attrs = attrFields.zipWithIndex.map { case (f, i) =>
+        (row.get(i + 1), f.dataType) match {
+          case (null, _) => null
+          case (v: Byte, _) => v.toLong
+          case (v: Short, _) => v.toLong
+          case (v: Int, _) => v.toLong
+          case (v: Long, _) => v
+          case (v: Float, _) => v.toDouble
+          case (v: Double, _) => v
+          case (v: Boolean, _) => if (v) 1L else 0L
+          case (v: String, _) => v
+          case (v: Array[Byte], _) => v
+          case (v, t) => throw new IllegalArgumentException(
+            s"geopackage: column ${f.name}: unsupported value type $t")
+        }
+      }
+      rows += ((fid, (null +: blob +: attrs))) // null = fid (IPK → rowid)
+    }
+    val theSrid = if (srid == Int.MinValue || srid < 0) 0 else srid
+    val geomTypeName =
+      if (geomTypes.size == 1) geomTypes.head else "GEOMETRY"
+    val hasBounds = minX != Double.MaxValue
+    def q(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+    val w = new Sqlite.SqliteWriter()
+    // gpkg_spatial_ref_sys: the two mandatory rows + the layer's CRS
+    val srsSql = """CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)"""
+    val mandatory = Seq(
+      (-1L, Seq[Any]("Undefined Cartesian SRS", null, "NONE", -1L, "undefined", null)),
+      (0L, Seq[Any]("Undefined geographic SRS", null, "NONE", 0L, "undefined", null)))
+    val layerSrs =
+      if (theSrid == 0) Seq.empty
+      else Seq((theSrid.toLong, Seq[Any](s"EPSG:$theSrid", null, "EPSG",
+        theSrid.toLong,
+        graft.functions.CrsImpl.crsFromCode(theSrid).getOrElse("undefined"), null)))
+    // rowid must be positive: remap -1/0 to rowids 1/2 via IPK=srs_id?
+    // srs_id IS the IPK — rowids -1/0 are legal in SQLite (any int64),
+    // but our writer sorts by rowid, which keeps them ordered fine.
+    w.addTable("gpkg_spatial_ref_sys", srsSql,
+      (mandatory ++ layerSrs).map { case (id, vals) =>
+        (id, vals.updated(1, null)) }, ipkOrdinal = 1)
+    val contentsSql = """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+    // table_name PRIMARY KEY → autoindex 1; identifier UNIQUE → autoindex 2
+    w.addTable("gpkg_contents", contentsSql, Seq((1L, Seq[Any](
+      tableName, "features", tableName, "",
+      "2000-01-01T00:00:00.000Z",
+      if (hasBounds) minX else null, if (hasBounds) minY else null,
+      if (hasBounds) maxX else null, if (hasBounds) maxY else null,
+      theSrid.toLong))), autoIndexKeys = Seq(Seq(0), Seq(2)))
+    val geomColsSql = """CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"""
+    // composite PRIMARY KEY (table_name, column_name) → autoindex 1
+    w.addTable("gpkg_geometry_columns", geomColsSql, Seq((1L, Seq[Any](
+      tableName, geometryName, geomTypeName, theSrid.toLong, 0L, 0L))),
+      autoIndexKeys = Seq(Seq(0, 1)))
+    val featureSql = s"CREATE TABLE ${q(tableName)} (fid INTEGER PRIMARY KEY AUTOINCREMENT, " +
+      s"${q(geometryName)} ${if (geomTypeName == "GEOMETRY") "GEOMETRY" else geomTypeName}" +
+      attrFields.map(f => s", ${q(f.name)} ${gpkgSqlTypeFor(f.dataType)}").mkString + ")"
+    w.addTable(tableName, featureSql, rows.toSeq, ipkOrdinal = 0)
+    val bytes = w.build(applicationId = 0x47504B47L, userVersion = 10300L)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
   }
 }
