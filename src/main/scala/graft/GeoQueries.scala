@@ -779,6 +779,41 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    // Registered-CRS escape hatch (graft.functions.registerCrs): a WKT1
+    // definition parsed by CrsRegistry must transform identically to the
+    // same CRS's embedded-table entry, and round-trip 4326 → code → 4326.
+    "geo_crs4" -> ((s, dir) => {
+      graft.functions.registerCrs(927700,
+        """PROJCS["OSGB36 / British National Grid",GEOGCS["OSGB36",DATUM["Ordnance_Survey_of_Great_Britain_1936",SPHEROID["Airy 1830",6377563.396,299.3249646],TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],PARAMETER["scale_factor",0.9996012717],PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],UNIT["metre",1],AUTHORITY["EPSG","27700"]]""")
+      graft.functions.registerCrs(905514,
+        """PROJCS["S-JTSK / Krovak East North",GEOGCS["S-JTSK",DATUM["System_Jednotne_Trigonometricke_Site_Katastralni",SPHEROID["Bessel 1841",6377397.155,299.1528128],TOWGS84[589,76,480,0,0,0,0]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Krovak"],PARAMETER["latitude_of_center",49.5],PARAMETER["longitude_of_center",24.83333333333333],PARAMETER["azimuth",30.28813972527778],PARAMETER["pseudo_standard_parallel_1",78.5],PARAMETER["scale_factor",0.9999],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]""")
+      val lonUk = (k % 24).cast("double") / 4.0 - 5.0
+      val latUk = lit(50.25) + (k % 26).cast("double") / 4.0
+      val lonCz = lit(12.25) + (k % 26).cast("double") / 4.0
+      val latCz = lit(48.75) + (k % 10).cast("double") / 4.0
+      def viaBoth(lon: Column, lat: Column, builtin: Int, reg: Int, tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val a = st_to_srid(p, lit(builtin))
+        val b = st_to_srid(p, lit(reg))
+        abs(st_x(a) - st_x(b)) < tol && abs(st_y(a) - st_y(b)) < tol
+      }
+      def rtOk(lon: Column, lat: Column, epsg: Int, tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val back = st_to_srid(st_to_srid(p, lit(epsg)), lit(4326))
+        abs(st_x(back) - lon) < tol && abs(st_y(back) - lat) < tol
+      }
+      base(s, dir).select(k,
+        viaBoth(lonUk, latUk, 27700, 927700, 1e-5).as("reg_bng_match_ok"),
+        // 1 cm: the built-in azimuth is the sexagesimal 30°17'17.3031" and
+        // the WKT prints its own decimal rounding — ~3 mm apart
+        viaBoth(lonCz, latCz, 5514, 905514, 1e-2).as("reg_krovak_match_ok"),
+        rtOk(lonUk, latUk, 927700, 1e-6).as("reg_bng_rt_ok"),
+        rtOk(lonCz, latCz, 905514, 1e-5).as("reg_krovak_rt_ok"),
+        st_get_crs_from_code(lit(927700)).contains("British National Grid")
+          .as("reg_wkt_ok")
+      ).orderBy(k)
+    }),
+
     // --------------------------------------------- §2.12 serialization
     "geo_serde" -> ((s, dir) => {
       val xiD = (k % 1000000).cast("double") * 16.0
@@ -1147,6 +1182,10 @@ object GeoQueries {
          | TRUE AS krovak_rt_ok, TRUE AS eov_rt_ok, TRUE AS austria_rt_ok,
          | TRUE AS bng_origin_ok, TRUE AS cc45_origin_ok,
          | 27700 AS srid_bng, TRUE AS fromcode_bng, 25832 AS wkt_code_25832
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs4" ->
+      s"""$B SELECT k, TRUE AS reg_bng_match_ok, TRUE AS reg_krovak_match_ok,
+         | TRUE AS reg_bng_rt_ok, TRUE AS reg_krovak_rt_ok, TRUE AS reg_wkt_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

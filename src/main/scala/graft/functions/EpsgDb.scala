@@ -124,6 +124,20 @@ object EpsgDb {
     def inverse(x: Double, y: Double): (Double, Double) = (x, y)
   }
 
+  /** Linear-unit adapter for WKT CRSs whose projected unit is not the
+    * metre (e.g. US survey foot): the wrapped projection computes in
+    * metres (false easting/northing already converted), outputs divide by
+    * `factor` (metres per unit). Used by [[CrsRegistry]]'s WKT parser. */
+  final case class UnitScaled(inner: Projection, factor: Double) extends Projection {
+    def ell: Ellipsoid = inner.ell
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y) = inner.forward(lonDeg, latDeg)
+      (x / factor, y / factor)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      inner.inverse(x * factor, y * factor)
+  }
+
   /** Meridian arc M(φ) (Snyder 3-21), per ellipsoid. */
   private def meridianArc(ell: Ellipsoid, phi: Double): Double = {
     val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
@@ -846,7 +860,12 @@ object EpsgDb {
     b.result()
   }
 
-  def isSupported(code: Int): Boolean = code == 4326 || table.contains(code)
+  /** Built-in table first, then user registrations ([[CrsRegistry]]). */
+  private def crsOf(code: Int): Option[Crs] =
+    table.get(code).orElse(CrsRegistry.registered(code))
+
+  def isSupported(code: Int): Boolean =
+    code == 4326 || table.contains(code) || CrsRegistry.registered(code).isDefined
 
   /** (lon, lat) on this CRS's datum → WGS84 (lon, lat). */
   private def datumToWgs84(crs: Crs, lonDeg: Double, latDeg: Double): (Double, Double) =
@@ -870,7 +889,7 @@ object EpsgDb {
   /** Projected/geographic (x, y) in `code` → WGS84 (lon, lat). */
   def toWgs84(x: Double, y: Double, code: Int): (Double, Double) = {
     if (code == 4326) return (x, y)
-    val crs = table(code)
+    val crs = crsOf(code).getOrElse(table(code))
     val (lon, lat) = crs.proj.inverse(x, y)
     datumToWgs84(crs, lon, lat)
   }
@@ -878,14 +897,19 @@ object EpsgDb {
   /** WGS84 (lon, lat) → projected/geographic (x, y) in `code`. */
   def fromWgs84(lon: Double, lat: Double, code: Int): (Double, Double) = {
     if (code == 4326) return (lon, lat)
-    val crs = table(code)
+    val crs = crsOf(code).getOrElse(table(code))
     val (lonD, latD) = wgs84ToDatum(crs, lon, lat)
     crs.proj.forward(lonD, latD)
   }
 
   /** Synthesized CRS WKT from the stored parameters (reference
-    * `src/crs.rs:20-26`; registry names, parameter values public). */
-  def wkt(code: Int): Option[String] = table.get(code).map { crs =>
+    * `src/crs.rs:20-26`; registry names, parameter values public). For a
+    * user-registered code, the registration's own WKT is returned
+    * verbatim. */
+  def wkt(code: Int): Option[String] =
+    wktBuiltin(code).orElse(CrsRegistry.registeredWkt(code))
+
+  private def wktBuiltin(code: Int): Option[String] = table.get(code).map { crs =>
     def geogcs(ell: Ellipsoid, datumName: String) =
       s"""GEOGCS["$datumName",DATUM["${datumName.replace(' ', '_')}",SPHEROID["${datumName}",${ell.a},${ell.invF}]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""
     val base = geogcs(crs.proj.ell, crs.name.split(" / ").head)
