@@ -165,7 +165,7 @@ package object functions {
   // ------------------------------------------------------------ constructive
   def st_boundary(g: Column): Column = boundary(g)
   def st_buffer(g: Column, distance: Column): Column =
-    buffer(g, distance, lit(8), lit("round"), lit("round"), lit(5.0), lit(false))
+    ofExpr(graft.plans.STBufferNative(toExpr(g), toExpr(distance)))
   def st_buffer(g: Column, distance: Column, quadSegs: Column, capStyle: Column,
       joinStyle: Column, mitreLimit: Column, singleSided: Column): Column =
     buffer(g, distance, quadSegs, capStyle, joinStyle, mitreLimit, singleSided)

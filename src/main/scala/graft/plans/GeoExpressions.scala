@@ -47,6 +47,15 @@ object GeoNative {
     val gb = EWKB.read(b)
     !ga.isEmpty && !gb.isEmpty && ga.isWithinDistance(gb, math.nextDown(d))
   }
+  /** Default-parameter buffer (quad_segs 8, round cap/join, mitre 5.0,
+    * two-sided — the reference's kwargs defaults, args.rs:102-124). SRID
+    * carries over like the uG lift. */
+  def buffer(b: Array[Byte], dist: Double): Array[Byte] = {
+    val g = EWKB.read(b)
+    val out = org.locationtech.jts.operation.buffer.BufferOp.bufferOp(g, dist)
+    if (out.getSRID == 0 && g.getSRID != 0) out.setSRID(g.getSRID)
+    EWKB.write(out)
+  }
 }
 
 private[plans] object NativeTypeCheck {
@@ -138,6 +147,25 @@ case class STDWithinNative(first: Expression, second: Expression, third: Express
       t: Expression): STDWithinNative = copy(first = f, second = s, third = t)
 }
 
+case class STBufferNative(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bin = NativeTypeCheck.binary("st_buffer_native", left)
+    if (!bin.isSuccess) bin
+    else if (!right.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"st_buffer_native expects a numeric distance, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override protected def nullSafeEval(a: Any, d: Any): Any =
+    GeoNative.buffer(a.asInstanceOf[Array[Byte]], d.asInstanceOf[Number].doubleValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, d) => s"graft.plans.GeoNative.buffer($a, (double)($d))")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): STBufferNative = copy(left = newLeft, right = newRight)
+}
+
 object GeoExpressions {
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -160,6 +188,9 @@ object GeoExpressions {
     (FunctionIdentifier("st_dwithin_native"),
       new ExpressionInfo(classOf[STDWithinNative].getName, "st_dwithin_native"),
       (args: Seq[Expression]) => STDWithinNative(args(0), args(1), args(2))),
+    (FunctionIdentifier("st_buffer_native"),
+      new ExpressionInfo(classOf[STBufferNative].getName, "st_buffer_native"),
+      (args: Seq[Expression]) => STBufferNative(args(0), args(1))),
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "array_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

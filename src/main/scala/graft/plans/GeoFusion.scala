@@ -559,6 +559,10 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
         Some(call("st_within", GeoKernels.table("st_within"), Seq(l, r)))
       case STDWithinNative(a, b, d) =>
         Some(call("st_dwithin", GeoKernels.table("st_dwithin"), Seq(a, b, d)))
+      case STBufferNative(g, d) =>
+        // rebuild the 7-arg kernel call with the expression's fixed defaults
+        Some(call("st_buffer", GeoKernels.table("st_buffer"), Seq(g, d,
+          Literal(8), Literal("round"), Literal("round"), Literal(5.0), Literal(false))))
       case _ => None
     }
 

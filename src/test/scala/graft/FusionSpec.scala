@@ -61,6 +61,32 @@ class FusionSpec extends AnyFunSuite {
       st_length(st_boundary(col("g"))).as("lb")))
   }
 
+  test("st_buffer 2-arg lowers to the native expression and matches the UDF tier") {
+    // with fusion off, the 2-arg form is the native expression (not a UDF);
+    // with fusion on it joins chains like any kernel (asserted below by
+    // assertTiersAgree tests that compose st_buffer)
+    spark.conf.set("spark.graft.fuse", "false")
+    try {
+      val plan = rects.select(st_buffer(col("g"), lit(0.5)).as("b"))
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("stbuffernative"), s"2-arg st_buffer not native:\n$plan")
+    } finally spark.conf.set("spark.graft.fuse", "true")
+    // byte-identical to the explicit-kwargs UDF tier at the defaults
+    val both = rects.select(
+      st_buffer(col("g"), lit(0.5)).as("n"),
+      st_buffer(col("g"), lit(0.5), lit(8), lit("round"), lit("round"),
+        lit(5.0), lit(false)).as("u")).collect()
+    both.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    }
+    // SRID carries; null in → null out
+    val srid = rects.select(
+      graft.functions.st_srid(
+        st_buffer(graft.functions.st_set_srid(col("g"), lit(3857)), lit(1.0))).as("s"),
+      st_buffer(lit(null).cast("binary"), lit(1.0)).as("z")).collect()
+    srid.foreach { r => assert(r.getInt(0) == 3857 && r.isNullAt(1)) }
+  }
+
   test("geometry-rooted chain serializes identically") {
     assertTiersAgree(rects.select(
       st_translate(st_union(col("g"), col("h")), lit(1.5), lit(-2.0)).as("t"),
