@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.pipeline.{Dedup, TextAnalysis}
 
 /** Streaming MinHash near-duplicate detection — the streaming tier of
@@ -35,34 +35,114 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *   admitting members (pairs already emitted stand, nothing further is
   *   emitted from that bucket).
   *
-  * State size: ≤ cap members × (numHashes + shingles) longs per hot
-  * bucket; normal buckets hold a handful of docs. For unbounded streams
-  * pair this with an upstream watermark + window repartitioning of the id
-  * space, or periodically restart from a batch-deduped checkpoint.
+  * == Bounded state: event-time TTL ==
+  *
+  * With the default `ttlMs = 0` state grows until the bucket cap — fine
+  * for drains and bounded runs, unbounded on a 100 TB stream. Passing
+  * `eventTimeCol` + `ttlMs` (and a `watermarkDelay`) turns on
+  * watermark-driven eviction:
+  * - each stored member carries its event time; members whose time has
+  *   fallen more than `ttlMs` behind the watermark are evicted before
+  *   pairing, so state per (band,bucket) is bounded by the window's
+  *   arrival rate, not the stream's lifetime;
+  * - a whole bucket with no arrival for `ttlMs` past its newest member is
+  *   removed via `GroupStateTimeout.EventTimeTimeout`;
+  * - a saturated bucket whose members have all aged out starts a fresh
+  *   epoch (the saturation latch clears with the state).
+  *
+  * Pairing semantics under TTL: two docs whose event times are within
+  * `ttlMs` of each other are ALWAYS paired (the watermark trails the max
+  * seen event time, so a member is never evicted before `ttlMs` of
+  * event time has passed it); docs farther apart than `ttlMs` plus the
+  * watermark delay are never paired; between the two bounds, pairing
+  * depends on micro-batch boundaries — the standard watermark contract.
+  * Batch equivalence therefore holds exactly for inputs whose span fits
+  * inside the TTL window (StreamingSpec pins both the equivalence and the
+  * eviction).
   */
 object DedupStreaming {
 
   final case class MinhashBucketRow(band: Int, bucket: Int, id: Long,
-      sig: Seq[Long], sh: Seq[Long])
-  final case class MinhashMember(id: Long, sig: Seq[Long], sh: Seq[Long])
+      sig: Seq[Long], sh: Seq[Long], ts: java.sql.Timestamp)
+  final case class MinhashMember(id: Long, sig: Seq[Long], sh: Seq[Long], ts: Long)
   final case class MinhashBucketState(members: List[MinhashMember], saturated: Boolean)
   final case class NearDupHit(id_a: Long, id_b: Long, jaccard_est: Double, jaccard: Double)
 
-  final case class SimhashBucketRow(chunk: Int, bucket: Long, id: Long, sim: Long)
-  final case class SimhashBucketState(members: List[(Long, Long)], saturated: Boolean)
+  final case class SimhashBucketRow(chunk: Int, bucket: Long, id: Long, sim: Long,
+      ts: java.sql.Timestamp)
+  final case class SimhashMember(id: Long, sim: Long, ts: Long)
+  final case class SimhashBucketState(members: List[SimhashMember], saturated: Boolean)
   final case class SimhashHit(id_a: Long, id_b: Long, hamming: Int)
 
-  final case class EmbBucketRow(t: Int, sig: Long, id: Long, vec: Seq[Double])
-  final case class EmbMember(id: Long, vec: Seq[Double])
+  final case class EmbBucketRow(t: Int, sig: Long, id: Long, vec: Seq[Double],
+      ts: java.sql.Timestamp)
+  final case class EmbMember(id: Long, vec: Seq[Double], ts: Long)
   final case class EmbBucketState(members: List[EmbMember], saturated: Boolean)
   final case class EmbHit(id_a: Long, id_b: Long, cosine: Double)
 
+  /** Event-time column for the banded projection. The ORIGINAL watermark
+    * attribute must flow (unwrapped — casts strip the watermark metadata
+    * Spark's checker looks for on the stateful operator's child), so this
+    * is the raw column when TTL is on, a null literal otherwise; the state
+    * fold converts to millis via [[rowMs]]. */
+  private def tsCol(eventTimeCol: String, ttlMs: Long): Column =
+    if (ttlMs > 0) col(eventTimeCol) else lit(null).cast("timestamp")
+
+  private def rowMs(t: java.sql.Timestamp): Long = if (t == null) 0L else t.getTime
+
+  private def withWatermarkIf(df: DataFrame, eventTimeCol: String,
+      watermarkDelay: String, ttlMs: Long): DataFrame = {
+    if (ttlMs <= 0) df
+    else {
+      require(eventTimeCol.nonEmpty, "ttlMs > 0 requires eventTimeCol")
+      df.withWatermark(eventTimeCol, watermarkDelay)
+    }
+  }
+
+  private def timeoutOf(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+
+  /** Shared TTL state mechanics for one `flatMapGroupsWithState`
+    * invocation: handles the timed-out case, evicts aged members, clears
+    * the saturation latch when an epoch fully drains, and (re)arms the
+    * group timeout after `body` has folded the batch's rows in.
+    *
+    * @param memberTs event time of a stored member
+    * @param body     (retained members, saturated) => (new members, saturated, output)
+    * @return the output iterator */
+  private def withTtlState[M, S, O](ttlMs: Long, state: GroupState[S],
+      get: S => (List[M], Boolean), mk: (List[M], Boolean) => S, memberTs: M => Long)(
+      body: (List[M], Boolean) => (List[M], Boolean, Iterator[O])): Iterator[O] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val (members0, saturated0) = state.getOption.map(get).getOrElse((Nil, false))
+    val wm = if (ttlMs > 0) state.getCurrentWatermarkMs() else Long.MinValue
+    val retained =
+      if (ttlMs > 0) members0.filter(m => memberTs(m) + ttlMs > wm) else members0
+    // all members of a saturated epoch aged out → fresh epoch
+    val saturated1 = saturated0 && retained.nonEmpty
+    val (members, saturated, out) = body(retained, saturated1)
+    if (ttlMs > 0 && members.isEmpty && !saturated) {
+      state.remove()
+    } else {
+      state.update(mk(members, saturated))
+      if (ttlMs > 0) {
+        val newest = members.iterator.map(memberTs).foldLeft(wm)(math.max)
+        state.setTimeoutTimestamp(newest + ttlMs)
+      }
+    }
+    out
+  }
+
   /** @param events streaming DataFrame with `idCol` (castable to long) and
     *               `textCol` (string)
+    * @param eventTimeCol timestamp column for TTL eviction ("" = none)
+    * @param watermarkDelay max out-of-orderness, e.g. "10 minutes"
+    * @param ttlMs state TTL in event-time millis (0 = keep state forever)
     * @return append-mode stream of verified near-dup hits */
   def nearDupMinhashStream(events: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 0, shingleK: Int = 5,
-      maxBucketSize: Int = 100000): Dataset[NearDupHit] = {
+      maxBucketSize: Int = 100000, eventTimeCol: String = "",
+      watermarkDelay: String = "0 seconds", ttlMs: Long = 0L): Dataset[NearDupHit] = {
     val spark = events.sparkSession
     import spark.implicits._
     val b = if (bands > 0) bands else Dedup.autoBands(numHashes, threshold)
@@ -72,58 +152,64 @@ object DedupStreaming {
     // identical projection chain to the batch tier: normalize (attribute,
     // so lambdas never re-run the regex), native one-pass signature,
     // hashed shingle set for the exact verify
-    val base = events
+    val base = withWatermarkIf(events, eventTimeCol, watermarkDelay, ttlMs)
       .select(col(idCol).cast("long").as("id"),
-        TextAnalysis.normalized(col(textCol)).as("__norm"))
-      .select(col("id"),
+        TextAnalysis.normalized(col(textCol)).as("__norm"),
+        tsCol(eventTimeCol, ttlMs).as("ts"))
+      .select(col("id"), col("ts"),
         Dedup.minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"),
         Dedup.shingleHashesNorm(col("__norm"), shingleK).as("sh"))
     val banded = base.select(
-      col("id"), col("sig"), col("sh"),
+      col("id"), col("sig"), col("sh"), col("ts"),
       explode(transform(sequence(lit(0), lit(b - 1)),
         bb => struct(bb.as("band"),
           hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket")))).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("id"), col("sig"), col("sh"))
+        col("id"), col("sig"), col("sh"), col("ts"))
       .as[MinhashBucketRow]
 
     val nh = numHashes
     val th = threshold
     val cap = maxBucketSize
+    val ttl = ttlMs
     banded.groupByKey(row => (row.band, row.bucket))
       .flatMapGroupsWithState[MinhashBucketState, NearDupHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutOf(ttl)) {
         case (_, rows, state) =>
-          var st = state.getOption.getOrElse(MinhashBucketState(Nil, saturated = false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-          // id-sorted within the micro-batch: emission order (and which
-          // member is "already present" for within-batch pairs) is
-          // deterministic under source repartitioning
-          rows.toSeq.sortBy(_.id).foreach { row =>
-            if (!st.saturated) {
-              if (st.members.lengthCompare(cap) >= 0) {
-                st = st.copy(saturated = true)
-              } else {
-                st.members.foreach { m =>
-                  if (m.id != row.id) {
-                    var eq = 0
-                    var i = 0
-                    while (i < nh) { if (m.sig(i) == row.sig(i)) eq += 1; i += 1 }
-                    val sa = m.sh.toSet
-                    val sb = row.sh.toSet
-                    val uni = sa.union(sb).size
-                    val jac = if (uni > 0) sa.intersect(sb).size.toDouble / uni else 0.0
-                    if (jac >= th)
-                      out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
-                        eq.toDouble / nh, jac)
+          withTtlState[MinhashMember, MinhashBucketState, NearDupHit](
+            ttl, state, s => (s.members, s.saturated),
+            MinhashBucketState(_, _), _.ts) { (members0, saturated0) =>
+            var members = members0
+            var saturated = saturated0
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            // id-sorted within the micro-batch: emission order (and which
+            // member is "already present" for within-batch pairs) is
+            // deterministic under source repartitioning
+            rows.toSeq.sortBy(_.id).foreach { row =>
+              if (!saturated) {
+                if (members.lengthCompare(cap) >= 0) {
+                  saturated = true
+                } else {
+                  members.foreach { m =>
+                    if (m.id != row.id) {
+                      var eq = 0
+                      var i = 0
+                      while (i < nh) { if (m.sig(i) == row.sig(i)) eq += 1; i += 1 }
+                      val sa = m.sh.toSet
+                      val sb = row.sh.toSet
+                      val uni = sa.union(sb).size
+                      val jac = if (uni > 0) sa.intersect(sb).size.toDouble / uni else 0.0
+                      if (jac >= th)
+                        out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
+                          eq.toDouble / nh, jac)
+                    }
                   }
+                  members = MinhashMember(row.id, row.sig, row.sh, rowMs(row.ts)) :: members
                 }
-                st = st.copy(members = MinhashMember(row.id, row.sig, row.sh) :: st.members)
               }
             }
+            (members, saturated, out.iterator)
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -132,44 +218,52 @@ object DedupStreaming {
     * the 64-bit SimHash (pigeonhole: hamming ≤ 3 pairs agree on ≥ 1
     * chunk); state per (chunk, bucket) holds (id, simhash); a new arrival
     * verifies `bitCount(xor) ≤ maxHamming` against stored members. Same
-    * at-least-once-per-colliding-chunk and cap semantics as
+    * at-least-once-per-colliding-chunk, cap, and TTL semantics as
     * [[nearDupMinhashStream]]. */
   def nearDupSimhashStream(events: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 100000): Dataset[SimhashHit] = {
+      maxHamming: Int = 3, maxBucketSize: Int = 100000, eventTimeCol: String = "",
+      watermarkDelay: String = "0 seconds", ttlMs: Long = 0L): Dataset[SimhashHit] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val banded = events
+    val banded = withWatermarkIf(events, eventTimeCol, watermarkDelay, ttlMs)
       .select(col(idCol).cast("long").as("id"),
-        Dedup.simhash64(col(textCol)).as("sim"))
-      .select(col("id"), col("sim"), explode(sequence(lit(0), lit(3))).as("chunk"))
+        Dedup.simhash64(col(textCol)).as("sim"),
+        tsCol(eventTimeCol, ttlMs).as("ts"))
+      .select(col("id"), col("sim"), col("ts"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535"))
-      .select(col("chunk"), col("bucket"), col("id"), col("sim"))
+      .select(col("chunk"), col("bucket"), col("id"), col("sim"), col("ts"))
       .as[SimhashBucketRow]
     val mh = maxHamming
     val cap = maxBucketSize
+    val ttl = ttlMs
     banded.groupByKey(r => (r.chunk, r.bucket))
       .flatMapGroupsWithState[SimhashBucketState, SimhashHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutOf(ttl)) {
         case (_, rows, state) =>
-          var st = state.getOption.getOrElse(SimhashBucketState(Nil, saturated = false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SimhashHit]
-          rows.toSeq.sortBy(_.id).foreach { row =>
-            if (!st.saturated) {
-              if (st.members.lengthCompare(cap) >= 0) st = st.copy(saturated = true)
-              else {
-                st.members.foreach { case (mid, msim) =>
-                  if (mid != row.id) {
-                    val d = java.lang.Long.bitCount(msim ^ row.sim)
-                    if (d <= mh)
-                      out += SimhashHit(math.min(mid, row.id), math.max(mid, row.id), d)
+          withTtlState[SimhashMember, SimhashBucketState, SimhashHit](
+            ttl, state, s => (s.members, s.saturated),
+            SimhashBucketState(_, _), _.ts) { (members0, saturated0) =>
+            var members = members0
+            var saturated = saturated0
+            val out = scala.collection.mutable.ArrayBuffer.empty[SimhashHit]
+            rows.toSeq.sortBy(_.id).foreach { row =>
+              if (!saturated) {
+                if (members.lengthCompare(cap) >= 0) saturated = true
+                else {
+                  members.foreach { m =>
+                    if (m.id != row.id) {
+                      val d = java.lang.Long.bitCount(m.sim ^ row.sim)
+                      if (d <= mh)
+                        out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
+                    }
                   }
+                  members = SimhashMember(row.id, row.sim, rowMs(row.ts)) :: members
                 }
-                st = st.copy(members = (row.id, row.sim) :: st.members)
               }
             }
+            (members, saturated, out.iterator)
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -179,53 +273,61 @@ object DedupStreaming {
     * [[graft.pipeline.Similarity.signSignatureSeeded]]); state holds the
     * (id, vector) members; a new arrival verifies exact cosine ≥
     * threshold against stored members. At-least-once per colliding
-    * table; cap semantics as [[nearDupMinhashStream]]. */
+    * table; cap and TTL semantics as [[nearDupMinhashStream]]. */
   def nearDupEmbeddingStream(events: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, tables: Int = 4,
-      maxBucketSize: Int = 100000): Dataset[EmbHit] = {
+      maxBucketSize: Int = 100000, eventTimeCol: String = "",
+      watermarkDelay: String = "0 seconds", ttlMs: Long = 0L): Dataset[EmbHit] = {
     val spark = events.sparkSession
     import spark.implicits._
     val sigCols = (0 until tables).map(t =>
       struct(lit(t).as("t"),
         graft.pipeline.Similarity.signSignatureSeeded(bits, t)(col("vec")).as("sig")))
-    val banded = events
+    val banded = withWatermarkIf(events, eventTimeCol, watermarkDelay, ttlMs)
       .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .select(col("id"), col("vec"), explode(array(sigCols: _*)).as("ts"))
-      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("id"), col("vec"))
+        col(vecCol).cast("array<double>").as("vec"),
+        tsCol(eventTimeCol, ttlMs).as("ts"))
+      .select(col("id"), col("vec"), col("ts"), explode(array(sigCols: _*)).as("tsig"))
+      .select(col("tsig.t").as("t"), col("tsig.sig").as("sig"),
+        col("id"), col("vec"), col("ts"))
       .as[EmbBucketRow]
     val th = threshold
     val cap = maxBucketSize
+    val ttl = ttlMs
     banded.groupByKey(r => (r.t, r.sig))
       .flatMapGroupsWithState[EmbBucketState, EmbHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutOf(ttl)) {
         case (_, rows, state) =>
-          var st = state.getOption.getOrElse(EmbBucketState(Nil, saturated = false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[EmbHit]
-          def dot(a: Seq[Double], b: Seq[Double]): Double = {
-            var s = 0.0; var i = 0
-            val n = math.min(a.length, b.length)
-            while (i < n) { s += a(i) * b(i); i += 1 }
-            s
-          }
-          rows.toSeq.sortBy(_.id).foreach { row =>
-            if (!st.saturated) {
-              if (st.members.lengthCompare(cap) >= 0) st = st.copy(saturated = true)
-              else {
-                st.members.foreach { m =>
-                  if (m.id != row.id) {
-                    val c = dot(m.vec, row.vec) /
-                      (math.sqrt(dot(m.vec, m.vec)) * math.sqrt(dot(row.vec, row.vec)))
-                    if (c >= th)
-                      out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
+          withTtlState[EmbMember, EmbBucketState, EmbHit](
+            ttl, state, s => (s.members, s.saturated),
+            EmbBucketState(_, _), _.ts) { (members0, saturated0) =>
+            var members = members0
+            var saturated = saturated0
+            val out = scala.collection.mutable.ArrayBuffer.empty[EmbHit]
+            def dot(a: Seq[Double], b: Seq[Double]): Double = {
+              var s = 0.0; var i = 0
+              val n = math.min(a.length, b.length)
+              while (i < n) { s += a(i) * b(i); i += 1 }
+              s
+            }
+            rows.toSeq.sortBy(_.id).foreach { row =>
+              if (!saturated) {
+                if (members.lengthCompare(cap) >= 0) saturated = true
+                else {
+                  members.foreach { m =>
+                    if (m.id != row.id) {
+                      val c = dot(m.vec, row.vec) /
+                        (math.sqrt(dot(m.vec, m.vec)) * math.sqrt(dot(row.vec, row.vec)))
+                      if (c >= th)
+                        out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
+                    }
                   }
+                  members = EmbMember(row.id, row.vec, rowMs(row.ts)) :: members
                 }
-                st = st.copy(members = EmbMember(row.id, row.vec) :: st.members)
               }
             }
+            (members, saturated, out.iterator)
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

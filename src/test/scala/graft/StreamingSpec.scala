@@ -156,6 +156,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream=$streamed\nbatch=$batch")
   }
 
+  test("near-dup stream state obeys the event-time TTL") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Long, String, Timestamp)]
+    // 10-minute TTL: docs 1,2 pair inside the window; a far-future doc 9
+    // advances the watermark past their expiry; docs 3,4 (same text!) must
+    // pair only with each other — members 1,2 evicted, bucket state reborn
+    val hits = graft.streaming.DedupStreaming.nearDupMinhashStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", threshold = 0.6,
+      eventTimeCol = "ts", watermarkDelay = "0 seconds", ttlMs = 10 * 60000L)
+    val q = hits.writeStream.format("memory").queryName("ttlst")
+      .outputMode("append").start()
+    in.addData((1L, fox, ts(0)), (2L, fox, ts(1)))
+    q.processAllAvailable() // wm -> minute 1; pair (1,2) emitted
+    in.addData((9L, "totally unrelated filler advancing the watermark", ts(60)))
+    q.processAllAvailable() // wm -> minute 60; fox bucket expired (ts(1)+10m)
+    in.addData((3L, fox, ts(61)), (4L, fox, ts(62)))
+    q.processAllAvailable()
+    val pairs = spark.table("ttlst")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs === Set((1L, 2L), (3L, 4L)),
+      s"TTL eviction broken (stale members still pairing): $pairs")
+
+    // batch equivalence within the window: the same docs restricted to one
+    // TTL window give the same pairs as the batch tier
+    val windowDocs = Seq(1L -> fox, 2L -> fox)
+    val batch = graft.pipeline.Dedup.nearDupMinhash(
+      windowDocs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batch === Set((1L, 2L)) && pairs.intersect(batch) === batch)
+  }
+
   test("streaming SimHash and embedding near-dup match their batch tiers") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
