@@ -814,6 +814,77 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    // Round-7 EPSG tranche: US state planes (metres + US survey foot via
+    // UnitScaled), ETRS89 national LCCs, SIRGAS 2000 UTM south zones.
+    // All on WGS84-coincident datums → round trips at 1e-8; the ftUS/metre
+    // twins must agree exactly up to the published foot factor.
+    "geo_crs5" -> ((s, dir) => {
+      def rtOk(lon: Column, lat: Column, epsg: Int, tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val back = st_to_srid(st_to_srid(p, lit(epsg)), lit(4326))
+        abs(st_x(back) - lon) < tol && abs(st_y(back) - lat) < tol
+      }
+      val ftUS = 1200.0 / 3937.0
+      // ftUS grid == metre grid ÷ foot, same point, to 1e-6 m
+      def ftConsistent(lon: Column, lat: Column, mCode: Int, fCode: Int): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val m = st_to_srid(p, lit(mCode))
+        val f = st_to_srid(p, lit(fCode))
+        abs(st_x(f) * ftUS - st_x(m)) < 1e-6 && abs(st_y(f) * ftUS - st_y(m)) < 1e-6
+      }
+      val lonTx = -(lit(99.25) + (k % 10).cast("double") / 4.0)   // -99.25 .. -101.5
+      val latTx = lit(29.75) + (k % 8).cast("double") / 4.0       // 29.75 .. 31.5
+      val lonNy = -(lit(72.5) + (k % 8).cast("double") / 4.0)     // -72.5 .. -74.25
+      val latNy = lit(40.5) + (k % 3).cast("double") / 4.0        // 40.5 .. 41.0
+      val lonCa = -(lit(117.25) + (k % 19).cast("double") / 4.0)  // -117.25 .. -121.75
+      val latCa = lit(36.25) + (k % 9).cast("double") / 4.0       // 36.25 .. 38.25
+      val lonPa = -(lit(75.25) + (k % 20).cast("double") / 4.0)
+      val latPa = lit(39.5) + (k % 6).cast("double") / 4.0
+      val lonWa = -(lit(117.25) + (k % 30).cast("double") / 4.0)
+      val latWa = lit(47.25) + (k % 7).cast("double") / 4.0
+      val lonMa = -(lit(69.75) + (k % 15).cast("double") / 4.0)
+      val latMa = lit(41.25) + (k % 7).cast("double") / 4.0
+      val lonFl = -(lit(80.0) + (k % 6).cast("double") / 4.0)
+      val latFl = lit(24.75) + (k % 14).cast("double") / 4.0
+      val lonEu = (k % 120).cast("double") / 4.0 - 10.0           // -10 .. 19.75
+      val latEu = lit(36.25) + (k % 115).cast("double") / 4.0     // 36.25 .. 64.75
+      val lonPt = -(lit(6.25) + (k % 13).cast("double") / 4.0)
+      val latPt = lit(37.25) + (k % 19).cast("double") / 4.0
+      val lonBr = -(lit(43.25) + (k % 12).cast("double") / 4.0)   // zone 23S domain
+      val latBr = -(lit(20.25) + (k % 14).cast("double") / 4.0)
+      base(s, dir).select(k,
+        rtOk(lonTx, latTx, 32139, 1e-8).as("tx_m_rt_ok"),
+        rtOk(lonTx, latTx, 2277, 1e-8).as("tx_ft_rt_ok"),
+        rtOk(lonNy, latNy, 2263, 1e-8).as("nyli_ft_rt_ok"),
+        rtOk(lonCa, latCa, 2227, 1e-8).as("ca3_ft_rt_ok"),
+        rtOk(lonPa, latPa, 32129, 1e-8).as("pas_rt_ok"),
+        rtOk(lonWa, latWa, 2285, 1e-8).as("wan_ft_rt_ok"),
+        rtOk(lonMa, latMa, 2249, 1e-8).as("mam_ft_rt_ok"),
+        rtOk(lonFl, latFl, 2236, 1e-8).as("fle_ft_rt_ok"),
+        rtOk(lonTx, latTx, 26954, 1e-8).as("coc_rt_ok"), // CO grid math holds anywhere conic does
+        rtOk(lonEu, latEu, 3034, 1e-8).as("lcc_eu_rt_ok"),
+        rtOk(lonPt, latPt, 3763, 1e-8).as("pt06_rt_ok"),
+        rtOk(lonEu, lit(46.25) + (k % 6).cast("double") / 4.0, 3416, 1e-8)
+          .as("at_lcc_rt_ok"),
+        rtOk(lit(2.75) + (k % 14).cast("double") / 4.0,
+          lit(49.75) + (k % 7).cast("double") / 4.0, 3812, 1e-8)
+          .as("be08_rt_ok"),
+        rtOk(lit(6.25) + (k % 36).cast("double") / 4.0,
+          lit(47.25) + (k % 30).cast("double") / 4.0, 5243, 1e-8)
+          .as("de_lcc_rt_ok"),
+        rtOk(lonBr, latBr, 31983, 1e-8).as("sirgas23s_rt_ok"),
+        rtOk(-(lit(67.25) + (k % 12).cast("double") / 4.0),
+          -(lit(5.25) + (k % 30).cast("double") / 4.0), 31979, 1e-8)
+          .as("sirgas19s_rt_ok"),
+        ftConsistent(lonTx, latTx, 32139, 2277).as("tx_ft_m_ok"),
+        ftConsistent(lonNy, latNy, 32118, 2263).as("nyli_ft_m_ok"),
+        ftConsistent(lonCa, latCa, 26943, 2227).as("ca3_ft_m_ok"),
+        ftConsistent(lonFl, latFl, 26958, 2236).as("fle_ft_m_ok"),
+        st_get_crs_from_code(lit(2277)).contains("US survey foot")
+          .as("ft_wkt_unit_ok")
+      ).orderBy(k)
+    }),
+
     // --------------------------------------------- §2.12 serialization
     "geo_serde" -> ((s, dir) => {
       val xiD = (k % 1000000).cast("double") * 16.0
@@ -1186,6 +1257,16 @@ object GeoQueries {
     "geo_crs4" ->
       s"""$B SELECT k, TRUE AS reg_bng_match_ok, TRUE AS reg_krovak_match_ok,
          | TRUE AS reg_bng_rt_ok, TRUE AS reg_krovak_rt_ok, TRUE AS reg_wkt_ok
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs5" ->
+      s"""$B SELECT k,
+         | TRUE AS tx_m_rt_ok, TRUE AS tx_ft_rt_ok, TRUE AS nyli_ft_rt_ok,
+         | TRUE AS ca3_ft_rt_ok, TRUE AS pas_rt_ok, TRUE AS wan_ft_rt_ok,
+         | TRUE AS mam_ft_rt_ok, TRUE AS fle_ft_rt_ok, TRUE AS coc_rt_ok,
+         | TRUE AS lcc_eu_rt_ok, TRUE AS pt06_rt_ok, TRUE AS at_lcc_rt_ok,
+         | TRUE AS be08_rt_ok, TRUE AS de_lcc_rt_ok, TRUE AS sirgas23s_rt_ok,
+         | TRUE AS sirgas19s_rt_ok, TRUE AS tx_ft_m_ok, TRUE AS nyli_ft_m_ok,
+         | TRUE AS ca3_ft_m_ok, TRUE AS fle_ft_m_ok, TRUE AS ft_wkt_unit_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

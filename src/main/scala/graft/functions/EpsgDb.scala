@@ -845,6 +845,66 @@ object EpsgDb {
       400000, 400000), Some(Mgi), "MGI / Austria Lambert"))
     add(4312, (Geographic(Bessel1841), Some(Mgi), "MGI"))
 
+    // SIRGAS 2000 (GRS80, coincident with WGS84 at our tolerance) and its
+    // Brazilian UTM south zones
+    add(4674, noShift(Geographic(GRS80), "SIRGAS 2000"))
+    for (z <- 17 to 25)
+      add(31960 + z, noShift(TMerc(GRS80, 0, -183 + 6 * z, 0.9996, 500000, 10000000),
+        s"SIRGAS 2000 / UTM zone ${z}S"))
+
+    // US State Plane (NAD83): a representative zone per projection style,
+    // metres + the US-survey-foot working variants (EPSG parameter
+    // registry values; ftUS false origins are the exact published
+    // foot-denominated values times the foot)
+    val ftUS = 1200.0 / 3937.0 // US survey foot in metres, exact
+    def ft(code: Int, m: Crs): Unit =
+      b += code -> Crs(UnitScaled(m.proj, ftUS), m.shift, m.name + " (ftUS)")
+    // Lambert Conformal Conic zones
+    val txc = Crs(Lcc2SP(GRS80, 31.0 + 53.0 / 60, 30.0 + 7.0 / 60, 29.0 + 40.0 / 60,
+      -(100.0 + 20.0 / 60), 700000, 3000000), None, "NAD83 / Texas Central")
+    b += 32139 -> txc; ft(2277, txc)
+    val nyli = Crs(Lcc2SP(GRS80, 41.0 + 2.0 / 60, 40.0 + 40.0 / 60, 40.0 + 10.0 / 60,
+      -74.0, 300000, 0), None, "NAD83 / New York Long Island")
+    b += 32118 -> nyli; ft(2263, nyli)
+    val pas = Crs(Lcc2SP(GRS80, 40.0 + 58.0 / 60, 39.0 + 56.0 / 60, 39.0 + 20.0 / 60,
+      -77.75, 600000, 0), None, "NAD83 / Pennsylvania South")
+    b += 32129 -> pas; ft(2272, pas)
+    val wan = Crs(Lcc2SP(GRS80, 48.0 + 44.0 / 60, 47.5, 47.0,
+      -(120.0 + 50.0 / 60), 500000, 0), None, "NAD83 / Washington North")
+    b += 32148 -> wan; ft(2285, wan)
+    val mam = Crs(Lcc2SP(GRS80, 42.0 + 41.0 / 60, 41.0 + 43.0 / 60, 41.0,
+      -71.5, 200000, 750000), None, "NAD83 / Massachusetts Mainland")
+    b += 26986 -> mam; ft(2249, mam)
+    val coc = Crs(Lcc2SP(GRS80, 39.75, 38.45, 37.0 + 50.0 / 60,
+      -105.5, 914401.8289, 304800.6096), None, "NAD83 / Colorado Central")
+    b += 26954 -> coc
+    // Transverse Mercator zones
+    val fle = Crs(TMerc(GRS80, 24.0 + 20.0 / 60, -81.0, 0.999941177, 200000, 0),
+      None, "NAD83 / Florida East")
+    b += 26958 -> fle; ft(2236, fle)
+    val ile = Crs(TMerc(GRS80, 36.0 + 40.0 / 60, -(88.0 + 20.0 / 60), 0.999975,
+      300000, 0), None, "NAD83 / Illinois East")
+    b += 26971 -> ile
+    val azc = Crs(TMerc(GRS80, 31.0, -(111.0 + 55.0 / 60), 0.9999, 213360, 0),
+      None, "NAD83 / Arizona Central")
+    b += 26949 -> azc
+    // California zone 3 ftUS variant (same false origin as 26943, in feet)
+    ft(2227, Crs(Lcc2SP(GRS80, 38.0 + 26.0 / 60, 37.0 + 4.0 / 60, 36.5, -120.5,
+      2000000, 500000), None, "NAD83 / California zone 3"))
+
+    // ETRS89 national / continental LCCs
+    add(3034, noShift(Lcc2SP(GRS80, 35, 65, 52, 10, 4000000, 2800000),
+      "ETRS89-extended / LCC Europe"))
+    add(3763, noShift(TMerc(GRS80, 39.66825833333333, -8.133108333333334, 1.0, 0, 0),
+      "ETRS89 / Portugal TM06"))
+    add(3416, noShift(Lcc2SP(GRS80, 49, 46, 47.5, 13.0 + 20.0 / 60, 400000, 400000),
+      "ETRS89 / Austria Lambert"))
+    add(3812, noShift(Lcc2SP(GRS80, 49.0 + 50.0 / 60, 51.0 + 10.0 / 60,
+      50.0 + 47.0 / 60 + 52.134 / 3600, 4.0 + 21.0 / 60 + 33.177 / 3600,
+      649328, 665262), "ETRS89 / Lambert 2008"))
+    add(5243, noShift(Lcc2SP(GRS80, 48.66666666666666, 53.66666666666666, 51, 10.5,
+      0, 0), "ETRS89 / LCC Germany (E-N)"))
+
     // Dutch RD New (double stereographic on Bessel + Amersfoort shift)
     add(28992, (ObliqueStereo(Bessel1841, 52.15616055555555, 5.38763888888889,
       0.9999079, 155000, 463000), Some(Amersfoort), "Amersfoort / RD New"))
@@ -938,6 +998,14 @@ object EpsgDb {
         s"""PROJCS["${crs.name}",$base,PROJECTION["Krovak"],PARAMETER["latitude_of_center",$latC],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",$alpha],PARAMETER["pseudo_standard_parallel_1",$latP],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case SwissOblique(_, lat0, lon0, k0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      // non-metre CRSs (US survey foot state planes): the false origin is
+      // expressed in the CRS's own unit, per WKT1 convention
+      case UnitScaled(TMerc(_, lat0, lon0, k0, fe, fn), f) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",${fe / f}],PARAMETER["false_northing",${fn / f}],UNIT["US survey foot",$f],AUTHORITY["EPSG","$code"]]"""
+      case UnitScaled(Lcc2SP(_, lat1, lat2, lat0, lon0, fe, fn), f) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["standard_parallel_1",$lat1],PARAMETER["standard_parallel_2",$lat2],PARAMETER["false_easting",${fe / f}],PARAMETER["false_northing",${fn / f}],UNIT["US survey foot",$f],AUTHORITY["EPSG","$code"]]"""
+      case UnitScaled(inner, f) => throw new IllegalStateException(
+        s"no WKT synthesis for UnitScaled(${inner.getClass.getSimpleName}, $f)")
     }
   }
 }

@@ -31,6 +31,7 @@ class EpsgDbSpec extends AnyFunSuite {
     case EpsgDb.ObliqueStereo(_, lat0, lon0, _, _, _) => (lon0 + 1.0, lat0 + 0.75)
     case EpsgDb.SwissOblique(_, lat0, lon0, _, _, _) => (lon0 + 1.5, lat0 + 0.5)
     case EpsgDb.Krovak(_, _, _, _, _, _) => (15.5, 49.75) // Czech interior
+    case EpsgDb.UnitScaled(inner, _) => domainPoint(crs.copy(proj = inner))
   }
 
   test("every table code round-trips through the WGS84 hub") {
@@ -87,6 +88,35 @@ class EpsgDbSpec extends AnyFunSuite {
     val kv = EpsgDb.table(5514).proj.forward(kLon, kLat)
     assert(math.abs(kv._1 - (-568991.00)) < 2e-2, kv.toString)
     assert(math.abs(kv._2 - (-1050538.63)) < 2e-2, kv.toString)
+    // US state planes: natural/false origin anchors, metres and the exact
+    // published US-survey-foot values (ftUS = 1200/3937 m)
+    val txm = EpsgDb.table(32139).proj.forward(-(100.0 + 20.0 / 60), 29.0 + 40.0 / 60)
+    assert(math.abs(txm._1 - 700000.0) < 1e-6 && math.abs(txm._2 - 3000000.0) < 1e-6)
+    val txf = EpsgDb.table(2277).proj.forward(-(100.0 + 20.0 / 60), 29.0 + 40.0 / 60)
+    assert(math.abs(txf._1 - 2296583.333333333) < 1e-6
+      && math.abs(txf._2 - 9842500.0) < 1e-6, txf.toString)
+    val nyf = EpsgDb.table(2263).proj.forward(-74.0, 40.0 + 10.0 / 60)
+    assert(math.abs(nyf._1 - 984250.0) < 1e-6 && math.abs(nyf._2) < 1e-6, nyf.toString)
+    val caf = EpsgDb.table(2227).proj.forward(-120.5, 36.5)
+    assert(math.abs(caf._1 - 6561666.666666667) < 1e-6
+      && math.abs(caf._2 - 1640416.666666667) < 1e-6, caf.toString)
+    val flf = EpsgDb.table(2236).proj.forward(-81.0, 24.0 + 20.0 / 60)
+    assert(math.abs(flf._1 - 656166.6666666666) < 1e-6 && math.abs(flf._2) < 1e-6)
+    // ETRS89 LCCs: false-origin anchors
+    val lcceu = EpsgDb.table(3034).proj.forward(10.0, 52.0)
+    assert(math.abs(lcceu._1 - 4000000.0) < 1e-6 && math.abs(lcceu._2 - 2800000.0) < 1e-6)
+    val be08 = EpsgDb.table(3812).proj.forward(
+      4.0 + 21.0 / 60 + 33.177 / 3600, 50.0 + 47.0 / 60 + 52.134 / 3600)
+    assert(math.abs(be08._1 - 649328.0) < 1e-6 && math.abs(be08._2 - 665262.0) < 1e-6)
+    val pt06 = EpsgDb.table(3763).proj.forward(-8.133108333333334, 39.66825833333333)
+    assert(math.abs(pt06._1) < 1e-6 && math.abs(pt06._2) < 1e-6)
+    // SIRGAS 2000 UTM 23S == WGS84 UTM 23S (closed-form) to sub-mm
+    val (se, sn) = EpsgDb.fromWgs84(-44.5, -22.5, 31983)
+    val sg = graft.serde.EWKB.geometryFactory.createPoint(
+      new org.locationtech.jts.geom.Coordinate(-44.5, -22.5))
+    sg.setSRID(4326)
+    val sLegacy = graft.functions.CrsImpl.toSrid(sg, 32723).getCoordinate
+    assert(math.abs(se - sLegacy.x) < 1e-3 && math.abs(sn - sLegacy.y) < 1e-3)
     // UTM consistency: ETRS89 UTM 32N == WGS84 UTM 32N to sub-mm
     // (GRS80 vs WGS84 flattenings differ in the 12th digit; the measured
     // northing delta is ~0.1 mm)
