@@ -84,12 +84,20 @@ object SparkEntry {
     // graft.streaming.GeoStreaming.windowedStats): hour buckets + order-
     // independent stats (count/min/max/sum-of-long are FP-order-safe).
     "q_events_window" -> ((s, dir) => {
-      // events.ts is parquet TIMESTAMP(NANOS): read as raw nanosecond longs
-      // (nanosAsLong) and bucket with exact integer division — a double
-      // division at 1e18 ns would lose the low bits at bucket boundaries.
-      t(s, dir, "events")
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) — read as raw
+      // nanosecond longs via nanosAsLong — and TIMESTAMP(MICROS) — read as a
+      // timestamp type. Bucket with exact integer division in either case (a
+      // double division would lose low bits at bucket boundaries); the
+      // session timezone is pinned to UTC so unix_micros on the cast
+      // timestamp matches DuckDB's epoch_ns on the same naive value.
+      val ev = t(s, dir, "events")
+      val bucket = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 3600000000000")
+        case _ => expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+      }
+      ev
         .select(
-          expr("ts div 3600000000000").as("bucket"),
+          bucket.as("bucket"),
           col("event_type"), col("value"), col("user_id"))
         .groupBy(col("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"),
