@@ -765,6 +765,9 @@ object GeoQueries {
         rtOk(lit(9.75) + (k % 28).cast("double") / 4.0,
           lit(46.5) + (k % 10).cast("double") / 4.0, 31287, 1e-7)
           .as("austria_rt_ok"),
+        // NZ Map Grid (complex-series conformal on Intl 1924 + NZGD49
+        // 7-parameter shift → 1e-7); reuses the NZTM domain points
+        rtOk(lonNz, latNz, 27200, 1e-7).as("nzmg_rt_ok"),
         (abs(st_x(bng0) - 400000.0) < 1e-2 &&
           abs(st_y(bng0) + 100000.0) < 1e-2).as("bng_origin_ok"),
         (abs(st_x(cc0) - 1700000.0) < 1e-6 &&
@@ -1251,6 +1254,7 @@ object GeoQueries {
          | TRUE AS l93_rt_ok, TRUE AS ntf_lz2_rt_ok, TRUE AS conus_rt_ok,
          | TRUE AS jgd9_rt_ok, TRUE AS mga55_rt_ok, TRUE AS nad27_utm15_rt_ok,
          | TRUE AS krovak_rt_ok, TRUE AS eov_rt_ok, TRUE AS austria_rt_ok,
+         | TRUE AS nzmg_rt_ok,
          | TRUE AS bng_origin_ok, TRUE AS cc45_origin_ok,
          | 27700 AS srid_bng, TRUE AS fromcode_bng, 25832 AS wkt_code_25832
          |FROM b ORDER BY k""".stripMargin,

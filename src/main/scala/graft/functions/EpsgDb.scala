@@ -655,6 +655,117 @@ object EpsgDb {
     }
   }
 
+  /** New Zealand Map Grid (EPSG method 9811; the projection of EPSG
+    * 27200): the DOSLI/LINZ sixth-degree complex-polynomial conformal
+    * projection on International 1924 (NZGD49 datum), natural origin
+    * 41°S 173°E, published false origin (2510000, 6023150).
+    *
+    * Published series (LINZ NZMG definition — the same coefficient set
+    * appears verbatim in every public implementation): a 10-term real
+    * series maps Δφ (in units of 10⁵ arc-seconds) to the conformal
+    * ordinate ψ, then a 6-term complex series maps z = ψ + i·Δλ (Δλ in
+    * radians) to grid coordinates θ with E = FE + a·Im θ,
+    * N = FN + a·Re θ. Any polynomial in z is holomorphic, so
+    * conformality is automatic; correctness of the φ→ψ series is pinned
+    * by EpsgDbSpec's directional-scale-equality check (meridian vs
+    * parallel scale must agree, which fails if the series is not the
+    * isometric-latitude expansion), and overall scale by the
+    * near-origin scale anchor.
+    *
+    * Inverse: the published seed series C (θ→z) refined by Newton on
+    * the forward complex polynomial, then the published ψ→Δφ series D
+    * refined by Newton on the forward real series — forward/inverse are
+    * exact fp inverses regardless of the seed series' truncation. */
+  final case class Nzmg(fe: Double, fn: Double) extends Projection {
+    val ell: Ellipsoid = Intl1924
+    private val lam0 = math.toRadians(173.0)
+    private val A = Array(0.6399175073, -0.1358797613, 0.063294409,
+      -0.02526853, 0.0117879, -0.0055161, 0.0026906, -0.001333,
+      0.00067, -0.00034)
+    private val Bre = Array(0.7557853228, 0.249204646, -0.001541739,
+      -0.10162907, -0.26623489, -0.6870983)
+    private val Bim = Array(0.0, 0.003371507, 0.041058560, 0.01727609,
+      -0.36249218, -1.1651967)
+    private val Cre = Array(1.3231270439, -0.577245789, 0.508307513,
+      -0.15094762, 1.01418179, 1.9660549)
+    private val Cim = Array(0.0, -0.007809598, -0.112208952, 0.18200602,
+      1.64497696, 2.5127645)
+    private val D = Array(1.5627014243, 0.5185406398, -0.03333098,
+      -0.1052906, -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+
+    /** Σ_{m=1..n} c_m x^m (real Horner; c(0) = c_1). */
+    private def rpoly(c: Array[Double], x: Double): Double = {
+      var s = 0.0; var i = c.length - 1
+      while (i >= 0) { s = s * x + c(i); i -= 1 }
+      s * x
+    }
+    /** d/dx Σ_{m=1..n} c_m x^m. */
+    private def rpolyD(c: Array[Double], x: Double): Double = {
+      var s = 0.0; var i = c.length - 1
+      while (i >= 0) { s = s * x + (i + 1) * c(i); i -= 1 }
+      s
+    }
+    /** Σ_{m=1..n} c_m z^m (complex Horner). */
+    private def cpoly(cre: Array[Double], cim: Array[Double],
+        zr: Double, zi: Double): (Double, Double) = {
+      var sr = 0.0; var si = 0.0; var i = cre.length - 1
+      while (i >= 0) {
+        val tr = sr * zr - si * zi + cre(i)
+        si = sr * zi + si * zr + cim(i); sr = tr
+        i -= 1
+      }
+      (sr * zr - si * zi, sr * zi + si * zr)
+    }
+
+    /** Δφ in the series' unit: 10⁵ arc-seconds from φ0 = −41°. */
+    private def dphiOf(latDeg: Double): Double = (latDeg + 41.0) * 0.036
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val psi = rpoly(A, dphiOf(latDeg))
+      val dlam = math.toRadians(lonDeg) - lam0
+      val (tr, ti) = cpoly(Bre, Bim, psi, dlam)
+      (fe + ell.a * ti, fn + ell.a * tr)
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val wr = (y0 - fn) / ell.a // θ' (grid, a-scaled): real ↔ northing
+      val wi = (x0 - fe) / ell.a
+      var (zr, zi) = cpoly(Cre, Cim, wr, wi)
+      // Newton on θ(z) = θ': z ← (θ' + Σ(m−1)B_m z^m) / (Σ m B_m z^{m−1})
+      var it = 0
+      while (it < 3) {
+        // num = θ' + z²·Σ_{m=2..6}(m−1) B_m z^{m−2}; den = Σ m B_m z^{m−1}
+        var nr = 0.0; var ni = 0.0; var dr = 0.0; var di = 0.0
+        var i = 5
+        while (i >= 0) {
+          val t1 = dr * zr - di * zi + (i + 1) * Bre(i)
+          di = dr * zi + di * zr + (i + 1) * Bim(i); dr = t1
+          if (i >= 1) {
+            val t2 = nr * zr - ni * zi + i * Bre(i)
+            ni = nr * zi + ni * zr + i * Bim(i); nr = t2
+          }
+          i -= 1
+        }
+        // nr+i·ni currently = Σ(m−1)B_m z^{m−2}; multiply by z²
+        val z2r = zr * zr - zi * zi; val z2i = 2 * zr * zi
+        val numR = wr + (nr * z2r - ni * z2i)
+        val numI = wi + (nr * z2i + ni * z2r)
+        val dd = dr * dr + di * di
+        zr = (numR * dr + numI * di) / dd
+        zi = (numI * dr - numR * di) / dd
+        it += 1
+      }
+      // ψ → Δφ: published seed series D, then Newton on the forward series
+      var dphi = rpoly(D, zr)
+      var j = 0
+      while (j < 3) {
+        dphi -= (rpoly(A, dphi) - zr) / rpolyD(A, dphi)
+        j += 1
+      }
+      (math.toDegrees(lam0 + zi), dphi / 0.036 - 41.0)
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   final case class Crs(proj: Projection, shift: Option[Helmert], name: String)
@@ -675,6 +786,9 @@ object EpsgDb {
   private val Sjtsk = Helmert(589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
   private val Hd72 = Helmert(52.17, -71.82, -14.9, 0.0, 0.0, 0.0, 0.0)
   private val Mgi = Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
+  // LINZ's published NZGD49 → NZGD2000 7-parameter transform (NZGD2000
+  // coincident with WGS84 at our tolerance), position vector
+  private val Nzgd49 = Helmert(59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -845,6 +959,12 @@ object EpsgDb {
       400000, 400000), Some(Mgi), "MGI / Austria Lambert"))
     add(4312, (Geographic(Bessel1841), Some(Mgi), "MGI"))
 
+    // New Zealand NZGD49: geographic + the Map Grid (complex-series
+    // conformal, EPSG method 9811)
+    add(4272, (Geographic(Intl1924), Some(Nzgd49), "NZGD49"))
+    add(27200, (Nzmg(2510000, 6023150), Some(Nzgd49),
+      "NZGD49 / New Zealand Map Grid"))
+
     // SIRGAS 2000 (GRS80, coincident with WGS84 at our tolerance) and its
     // Brazilian UTM south zones
     add(4674, noShift(Geographic(GRS80), "SIRGAS 2000"))
@@ -996,6 +1116,8 @@ object EpsgDb {
         s"""PROJCS["${crs.name}",$base,PROJECTION["Oblique_Stereographic"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case Krovak(_, latC, lon0, alpha, latP, k0) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Krovak"],PARAMETER["latitude_of_center",$latC],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",$alpha],PARAMETER["pseudo_standard_parallel_1",$latP],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Nzmg(fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["New_Zealand_Map_Grid"],PARAMETER["latitude_of_origin",-41],PARAMETER["central_meridian",173],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case SwissOblique(_, lat0, lon0, k0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       // non-metre CRSs (US survey foot state planes): the false origin is

@@ -31,6 +31,7 @@ class EpsgDbSpec extends AnyFunSuite {
     case EpsgDb.ObliqueStereo(_, lat0, lon0, _, _, _) => (lon0 + 1.0, lat0 + 0.75)
     case EpsgDb.SwissOblique(_, lat0, lon0, _, _, _) => (lon0 + 1.5, lat0 + 0.5)
     case EpsgDb.Krovak(_, _, _, _, _, _) => (15.5, 49.75) // Czech interior
+    case EpsgDb.Nzmg(_, _) => (174.75, -41.25) // NZ interior
     case EpsgDb.UnitScaled(inner, _) => domainPoint(crs.copy(proj = inner))
   }
 
@@ -134,6 +135,60 @@ class EpsgDbSpec extends AnyFunSuite {
     val (lo, la) = EpsgDb.fromWgs84(-0.125, 51.5, 4277)
     assert(math.abs(lo + 0.125) > 1e-4 && math.abs(lo + 0.125) < 5e-3)
     assert(math.abs(la - 51.5) > 1e-5 && math.abs(la - 51.5) < 5e-3)
+  }
+
+  test("NZMG: origin anchor, round trips, conformal scale invariants") {
+    val nzmg = EpsgDb.table(27200).proj
+    // natural origin (173 E, 41 S) → false origin, exactly
+    val o = nzmg.forward(173.0, -41.0)
+    assert(math.abs(o._1 - 2510000.0) < 1e-6 && math.abs(o._2 - 6023150.0) < 1e-6,
+      o.toString)
+    // forward/inverse are exact fp inverses over a grid covering NZ
+    for (lon <- 166 to 179; lat <- -47 to -34) {
+      val (x, y) = nzmg.forward(lon, lat)
+      val (lon2, lat2) = nzmg.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-10 && math.abs(lat2 - lat) < 1e-10,
+        s"nzmg rt ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+    // independent checks of the published series (no external library
+    // offline, so pin the projection's defining properties):
+    // 1. meridian scale == parallel scale everywhere (the complex series
+    //    is holomorphic, so this tests that the real series A is the
+    //    isometric-latitude expansion — a typo'd coefficient breaks the
+    //    equality at its own relative magnitude);
+    // 2. both stay within NZMG's published ±0.05% design distortion over
+    //    the NZ mainland (tests the overall B-series scaling).
+    val ell = EpsgDb.table(27200).proj.ell
+    def scales(lon: Double, lat: Double): (Double, Double) = {
+      val d = 1e-6 // degrees; ~0.1 m
+      val phi = math.toRadians(lat)
+      val sin2 = math.sin(phi) * math.sin(phi)
+      val w = math.sqrt(1 - ell.e2 * sin2)
+      val rMer = ell.a * (1 - ell.e2) / (w * w * w) // meridian radius M
+      val rPar = ell.a / w * math.cos(phi) // parallel radius ν cos φ
+      val (x0, y0) = nzmg.forward(lon, lat)
+      val (x1, y1) = nzmg.forward(lon + d, lat)
+      val (x2, y2) = nzmg.forward(lon, lat + d)
+      val rad = math.toRadians(d)
+      (math.hypot(x2 - x0, y2 - y0) / (rMer * rad),
+        math.hypot(x1 - x0, y1 - y0) / (rPar * rad))
+    }
+    for ((lon, lat) <- Seq((173.0, -41.0), (174.75, -36.85), (170.5, -45.87),
+        (168.35, -46.4), (178.0, -38.65), (172.65, -43.5))) {
+      val (kNS, kEW) = scales(lon, lat)
+      assert(math.abs(kNS / kEW - 1.0) < 2e-5,
+        s"anisotropy at ($lon,$lat): kNS=$kNS kEW=$kEW")
+      assert(kNS > 0.9994 && kNS < 1.0006, s"scale at ($lon,$lat): $kNS")
+    }
+    // full CRS round trip through the datum shift
+    val (x, y) = EpsgDb.fromWgs84(174.75, -41.25, 27200)
+    val (lon2, lat2) = EpsgDb.toWgs84(x, y, 27200)
+    assert(math.abs(lon2 - 174.75) < 1e-7 && math.abs(lat2 + 41.25) < 1e-7)
+    // NZGD49 geographic: the datum shift moves NZ points by the expected
+    // ~190 m (dominant ΔZ=187 m), i.e. a few 1e-3 degrees
+    val (lo, la) = EpsgDb.fromWgs84(174.75, -41.25, 4272)
+    assert(math.abs(lo - 174.75) > 1e-4 && math.abs(lo - 174.75) < 5e-3)
+    assert(math.abs(la + 41.25) > 1e-4 && math.abs(la + 41.25) < 5e-3)
   }
 
   test("wkt synthesis carries the authority code and projection name") {
