@@ -1069,6 +1069,41 @@ object GeoQueries {
       one.crossJoin(bb).orderBy(col("k"))
     }),
 
+    // KML + GPX round trip (pure-JVM StAX codecs, io/Kml.scala +
+    // io/Gpx.scala): KML polygons carry name + an ExtendedData attribute
+    // (strings — KML is untyped without a Schema element); GPX carries a
+    // waypoint (Z → ele) and an L-track per row (length w+h, dyadic).
+    "geo_io_xml" -> ((s, dir) => {
+      val df = base(s, dir).select(k,
+        concat(lit("r"), k.cast("string")).as("name"),
+        graft.functions.st_set_srid(rect, lit(4326)).as("geometry"))
+      new java.io.File("/tmp/graft_io_xml").mkdirs()
+      val kml = "/tmp/graft_io_xml/t.kml"
+      graft.io.GeoIO.writeKml(df, kml)
+      val kmlBack = graft.io.GeoIO.readKml(s, kml)
+        .select(col("k").cast("long").as("k"), col("name").as("kml_name"),
+          st_area(col("geometry")).as("kml_area"),
+          graft.functions.st_srid(col("geometry")).as("kml_srid"))
+      val gpx = "/tmp/graft_io_xml/t.gpx"
+      val wpts = base(s, dir).select(
+        concat(lit("r"), k.cast("string")).as("name"),
+        graft.functions.st_set_srid(
+          st_point(px, py, lit(1.0) + (k % 16).cast("double") / 4.0),
+          lit(4326)).as("geometry"))
+      val trks = base(s, dir).select(
+        concat(lit("r"), k.cast("string")).as("name"),
+        graft.functions.st_set_srid(lineL, lit(4326)).as("geometry"))
+      graft.io.GeoIO.writeGpx(wpts.unionByName(trks), gpx)
+      val wptBack = graft.io.GeoIO.readGpx(s, gpx, "waypoints")
+        .select(expr("cast(substring(name, 2) as long)").as("k"),
+          st_x(col("geometry")).as("wpt_x"), col("ele").as("wpt_ele"),
+          st_z(col("geometry")).as("wpt_z"))
+      val trkBack = graft.io.GeoIO.readGpx(s, gpx, "tracks")
+        .select(expr("cast(substring(name, 2) as long)").as("k"),
+          st_length(col("geometry")).as("trk_len"))
+      kmlBack.join(wptBack, "k").join(trkBack, "k").orderBy(col("k"))
+    }),
+
     // ------------------------------- geometry-list evaluation (list.eval)
     "geo_list_eval" -> ((s, dir) => {
       base(s, dir).select(k,
@@ -1342,6 +1377,13 @@ object GeoQueries {
          | 4326 AS gpkg_srid,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_io_xml" ->
+      s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS kml_name, w*h AS kml_area,
+         | 4326 AS kml_srid, xmin+w/2 AS wpt_x,
+         | 1+CAST(k%16 AS DOUBLE)/4.0 AS wpt_ele,
+         | 1+CAST(k%16 AS DOUBLE)/4.0 AS wpt_z,
+         | w+h AS trk_len
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum

@@ -804,4 +804,185 @@ object GeoIO {
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
   }
+
+  // --------------------------------------------------------------- KML / GPX
+
+  /** List `path` (a file, or a directory of files with `ext`) and return
+    * (paths, bytes-of-first) — the shared discovery step for the
+    * whole-file XML formats. Parallelism is per file; neither format is
+    * splittable. */
+  private def xmlFileList(spark: SparkSession, path: String, ext: String)
+      : (Seq[String], Array[Byte]) = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(hadoopPath).isDirectory)
+        fs.listStatus(hadoopPath).map(_.getPath).toSeq
+          .filter(_.getName.toLowerCase.endsWith(ext)).sortBy(_.getName)
+      else Seq(hadoopPath)
+    require(files.nonEmpty, s"no $ext files in $path")
+    val in = fs.open(files.head)
+    val first =
+      try {
+        val len = fs.getFileStatus(files.head).getLen.toInt
+        val buf = new Array[Byte](len); in.readFully(0, buf); buf
+      } finally in.close()
+    (files.map(_.toString), first)
+  }
+
+  private def readWholeFile(conf: org.apache.spark.util.SerializableConfiguration,
+      path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len); in.readFully(0, buf); buf
+    } finally in.close()
+  }
+
+  /** Read KML file(s) → geo frame: EWKB geometry (SRID 4326, fixed by the
+    * KML spec) + `name` + `description` + one STRING column per
+    * ExtendedData key (KML carries no attribute types without a Schema
+    * element — cast downstream). Attribute schema is discovered from the
+    * first file. `path` may be one `.kml` or a directory of them;
+    * parallelism is per file (whole-document XML is not splittable). */
+  def readKml(spark: SparkSession, path: String,
+      geometryName: String = "geometry"): DataFrame = {
+    val (files, first) = xmlFileList(spark, path, ".kml")
+    val keys = Kml.dataKeys(first)
+    val schema = StructType(
+      StructField(geometryName, BinaryType, nullable = true) +:
+        StructField("name", StringType) +: StructField("description", StringType) +:
+        keys.map(StructField(_, StringType)))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val keyArr = keys.toArray
+    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+      Kml.readFeatures(readWholeFile(conf, f)).map { ft =>
+        org.apache.spark.sql.Row.fromSeq(
+          (if (ft.geom == null) null else graft.serde.EWKB.write(ft.geom)) +:
+            ft.name +: ft.description +:
+            keyArr.toSeq.map(k => ft.data.getOrElse(k, null)))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write one KML document (export sink — KML is an interchange format;
+    * the cluster-scale sink is GeoParquet). `nameColumn` (if present in
+    * the frame) feeds the Placemark name; every other non-geometry column
+    * becomes an ExtendedData pair. */
+  def writeKml(df: DataFrame, path: String, geometryName: String = "geometry",
+      nameColumn: String = "name", documentName: String = "graft"): Unit = {
+    val hasName = df.columns.contains(nameColumn)
+    val dataCols = df.columns.filterNot(c => c == geometryName || c == nameColumn)
+    val ordered = df.select(
+      (Seq(col(geometryName)) ++
+        (if (hasName) Seq(col(nameColumn).cast("string")) else Seq.empty) ++
+        dataCols.map(c => col(c).cast("string"))): _*)
+    val it = ordered.toLocalIterator()
+    val rows = new Iterator[(org.locationtech.jts.geom.Geometry, String, Seq[(String, String)])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (org.locationtech.jts.geom.Geometry, String, Seq[(String, String)]) = {
+        val row = it.next()
+        val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+        val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+        val name = if (hasName) row.getString(1) else null
+        val off = if (hasName) 2 else 1
+        (geom, name,
+          dataCols.toSeq.zipWithIndex.map { case (c, i) => (c, row.getString(off + i)) })
+      }
+    }
+    val bytes = Kml.write(rows, documentName)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Read GPX file(s) → geo frame for one of the five OGR-style layers:
+    * `waypoints` (default), `routes`, `tracks`, `route_points`,
+    * `track_points`. CRS is fixed by the GPX spec: EPSG:4326; waypoint
+    * `ele` becomes both the point Z and an `ele` column. `path` may be
+    * one `.gpx` or a directory; parallelism is per file. */
+  def readGpx(spark: SparkSession, path: String, layer: String = "waypoints",
+      geometryName: String = "geometry"): DataFrame = {
+    val (files, _) = xmlFileList(spark, path, ".gpx")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val g = StructField(geometryName, BinaryType, nullable = true)
+    val schema: StructType = layer match {
+      case "waypoints" => StructType(Seq(g, StructField("ele", DoubleType),
+        StructField("time", StringType), StructField("name", StringType),
+        StructField("desc", StringType), StructField("sym", StringType),
+        StructField("type", StringType)))
+      case "routes" | "tracks" => StructType(Seq(g,
+        StructField("name", StringType), StructField("desc", StringType)))
+      case "route_points" => StructType(Seq(g,
+        StructField("route_fid", LongType), StructField("route_point_id", LongType),
+        StructField("ele", DoubleType), StructField("time", StringType),
+        StructField("name", StringType)))
+      case "track_points" => StructType(Seq(g,
+        StructField("track_fid", LongType), StructField("track_seg_id", LongType),
+        StructField("track_seg_point_id", LongType),
+        StructField("ele", DoubleType), StructField("time", StringType)))
+      case other => throw new IllegalArgumentException(
+        s"gpx: unknown layer '$other' (waypoints|routes|tracks|route_points|track_points)")
+    }
+    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+      val doc = Gpx.read(readWholeFile(conf, f))
+      def ewkb(geom: org.locationtech.jts.geom.Geometry) = graft.serde.EWKB.write(geom)
+      layer match {
+        case "waypoints" => doc.waypoints.map(p =>
+          org.apache.spark.sql.Row(ewkb(Gpx.pointGeom(p)), p.ele.orNull,
+            p.time, p.name, p.desc, p.sym, p.typ))
+        case "routes" => doc.routes.map(rt =>
+          org.apache.spark.sql.Row(ewkb(Gpx.routeGeom(rt)), rt.name, rt.desc))
+        case "tracks" => doc.tracks.map(t =>
+          org.apache.spark.sql.Row(ewkb(Gpx.trackGeom(t)), t.name, t.desc))
+        case "route_points" => doc.routes.zipWithIndex.flatMap { case (rt, fid) =>
+          rt.points.zipWithIndex.map { case (p, i) =>
+            org.apache.spark.sql.Row(ewkb(Gpx.pointGeom(p)), fid.toLong, i.toLong,
+              p.ele.orNull, p.time, p.name)
+          }
+        }
+        case "track_points" => doc.tracks.zipWithIndex.flatMap { case (t, fid) =>
+          t.segments.zipWithIndex.flatMap { case (seg, sid) =>
+            seg.zipWithIndex.map { case (p, i) =>
+              org.apache.spark.sql.Row(ewkb(Gpx.pointGeom(p)), fid.toLong,
+                sid.toLong, i.toLong, p.ele.orNull, p.time)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write one GPX document (export sink): Point rows → `wpt`,
+    * (Multi)LineString rows → `trk`; Z → `ele`; `nameColumn` (if
+    * present) feeds the element name. */
+  def writeGpx(df: DataFrame, path: String, geometryName: String = "geometry",
+      nameColumn: String = "name", creator: String = "graft"): Unit = {
+    val hasName = df.columns.contains(nameColumn)
+    val ordered =
+      if (hasName) df.select(col(geometryName), col(nameColumn).cast("string"))
+      else df.select(col(geometryName))
+    val it = ordered.toLocalIterator()
+    val rows = new Iterator[(org.locationtech.jts.geom.Geometry, String)] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (org.locationtech.jts.geom.Geometry, String) = {
+        val row = it.next()
+        val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+        val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+        (geom, if (hasName) row.getString(1) else null)
+      }
+    }
+    val bytes = Gpx.write(rows.filter(_._1 != null), creator)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
 }
