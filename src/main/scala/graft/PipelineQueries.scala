@@ -226,6 +226,10 @@ object PipelineQueries {
       Similarity.buildIvfStore(index, e, "vec_id", "embedding", tmp + "/store")
       val stored = Similarity.ivfTopKStored(s, index, tmp + "/store",
         queries, "vec_id", "embedding", k = 1, nprobe = 2)
+      // adaptive tier: occupancy-driven probe widening; self-retrieval
+      // stays exact at any candidate target
+      val adaptive = Similarity.ivfTopKStoredAdaptive(s, index, tmp + "/store",
+        queries, "vec_id", "embedding", k = 1, minCandidates = 64, maxProbe = 8)
       nearDup.agg(count(lit(1)).as("n_embdup"))
         .crossJoin(bf.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_bf_self")))
@@ -235,6 +239,8 @@ object PipelineQueries {
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivf_self")))
         .crossJoin(stored.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfstore_self")))
+        .crossJoin(adaptive.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfadapt_self")))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -623,7 +629,8 @@ object PipelineQueries {
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_bf_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_lsh_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivf_self,
-        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfstore_self""".stripMargin,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfstore_self,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfadapt_self""".stripMargin,
     "pipe_dedup_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,

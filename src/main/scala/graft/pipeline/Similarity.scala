@@ -366,6 +366,61 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** Adaptive-nprobe variant of [[ivfTopKStored]]: instead of a fixed
+    * probe count, each query expands through its distance-ordered cells
+    * until the probed cells' OCCUPANCY (from [[ivfStoreStats]], a tiny
+    * driver-side map over ≤ nlist cells) covers `minCandidates` rows,
+    * capped at `maxProbe` cells. Queries landing in hot cells read one
+    * or two directories; queries in sparse regions (where a fixed nprobe
+    * would score almost nothing and recall craters) widen automatically —
+    * the per-query IO bound adapts to the data distribution instead of
+    * the cell count, which is exactly what an append-skewed 100 TB store
+    * needs between retrains. Self-retrieval stays exact (a vector's own
+    * cell is always probed first). Output shape matches
+    * [[ivfTopKIndexed]]. */
+  def ivfTopKStoredAdaptive(spark: org.apache.spark.sql.SparkSession,
+      index: IvfIndex, storePath: String, queries: DataFrame, queryId: String,
+      queryVec: String, k: Int, minCandidates: Int = 1024,
+      maxProbe: Int = 64): DataFrame = {
+    val occ: Map[Int, Long] = ivfStoreStats(spark, storePath).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centroids = index.centroids
+    val cap = math.min(maxProbe, centroids.length)
+    val adaptiveCells = udf((vec: Seq[Double]) =>
+      if (vec == null) null
+      else {
+        val byDist = centroids.zipWithIndex.map { case (ctr, i) =>
+          var d = 0.0; var j = 0
+          while (j < ctr.length) { val t = ctr(j) - vec(j); d += t * t; j += 1 }
+          (d, i)
+        }.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        var covered = 0L
+        var i = 0
+        while (i < byDist.length && out.length < cap &&
+            (covered < minCandidates || out.isEmpty)) {
+          val cell = byDist(i)._2
+          out += cell
+          covered += occ.getOrElse(cell, 0L)
+          i += 1
+        }
+        out.toSeq
+      })
+    val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
+      .withColumn("cell", explode(adaptiveCells(col("qvec"))))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(storePath)
+      .withColumn("cell", col("cell").cast("int"))
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine", dot(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    localTopK(scored, k).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Train-and-query convenience (one-shot batches). For repeated batches
     * against a fixed corpus, [[trainIvf]] once (optionally [[saveIvf]]) and
     * call [[ivfTopKIndexed]]. */

@@ -142,6 +142,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.ivfNeedsRetrain(skewed, imbalance = 2.0))
   }
 
+  test("IVF store: adaptive nprobe widens with occupancy, exact at full cover") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (1L to 300L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 50 === 0).toDF("query_id", "embedding")
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 8, seed = 5L)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadapt").toString
+    Similarity.buildIvfStore(index, corpus, "vec_id", "embedding", dir + "/store")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+
+    // minCandidates >= corpus size forces every cell to be probed →
+    // result must EQUAL brute force (and each query returns all k ranks)
+    val full = Similarity.ivfTopKStoredAdaptive(spark, index, dir + "/store",
+      queries, "query_id", "embedding", k = 3, minCandidates = 1000)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 3)
+    assert(rows(full) === rows(brute))
+
+    // tiny candidate target probes few cells but self-retrieval stays
+    // exact (own cell is always first), and every query still gets rows
+    val narrow = Similarity.ivfTopKStoredAdaptive(spark, index, dir + "/store",
+      queries, "query_id", "embedding", k = 3, minCandidates = 1)
+    val nr = rows(narrow)
+    val qids = queries.select($"query_id").as[Long].collect().toSet
+    assert(qids.forall(q => nr.contains((q, 1, q))), s"self-retrieval lost: $nr")
+
+    // maxProbe caps the expansion even when the target is unreachable
+    val capped = Similarity.ivfTopKStoredAdaptive(spark, index, dir + "/store",
+      queries, "query_id", "embedding", k = 3, minCandidates = 1000000,
+      maxProbe = 2)
+    assert(rows(capped).nonEmpty)
+    // with only 2 of 8 cells probed the result may differ from brute
+    // force; it must still agree with the fixed-nprobe tier at nprobe=2
+    val fixed2 = Similarity.ivfTopKStored(spark, index, dir + "/store",
+      queries, "query_id", "embedding", k = 3, nprobe = 2)
+    assert(rows(capped) === rows(fixed2))
+  }
+
   test("capPerKey: deterministic survivors, small keys untouched") {
     val rows = ((1L to 30L).map(i => ("big", i)) ++ (31L to 35L).map(i => ("small", i)))
       .toDF("domain", "id")
