@@ -230,6 +230,13 @@ object PipelineQueries {
       // stays exact at any candidate target
       val adaptive = Similarity.ivfTopKStoredAdaptive(s, index, tmp + "/store",
         queries, "vec_id", "embedding", k = 1, minCandidates = 64, maxProbe = 8)
+      // PQ tier: byte codes + ADC scan + exact re-rank; at a narrow
+      // candidate budget self-retrieval is still exact (a vector's own
+      // code tops its own ADC ranking)
+      val pqBook = Similarity.trainPq(e, "vec_id", "embedding", m = 8, ksub = 32)
+      val pqCodes = Similarity.encodePq(pqBook, e, "vec_id", "embedding")
+      val pq = Similarity.pqTopKReranked(pqBook, pqCodes, e, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 1, candidates = 16)
       nearDup.agg(count(lit(1)).as("n_embdup"))
         .crossJoin(bf.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_bf_self")))
@@ -241,6 +248,8 @@ object PipelineQueries {
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfstore_self")))
         .crossJoin(adaptive.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfadapt_self")))
+        .crossJoin(pq.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_pq_self")))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -630,7 +639,8 @@ object PipelineQueries {
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_lsh_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivf_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfstore_self,
-        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfadapt_self""".stripMargin,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfadapt_self,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_pq_self""".stripMargin,
     "pipe_dedup_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,

@@ -430,6 +430,158 @@ object Similarity {
     ivfTopKIndexed(trainIvf(corpus, corpusId, corpusVec, nlist, seed),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k, nprobe)
 
+  // --------------------------------------------------------------- PQ tier
+
+  /** Product-quantization codebook (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * unit-vector space is split into `m` contiguous subspaces of
+    * `dim / m` dims; each subspace gets its own `ksub`-center codebook.
+    * A corpus vector is stored as `m` single-byte center ids — dim × 8
+    * bytes of doubles become m bytes (a 64-dim corpus at m=8 compresses
+    * 64×), which is what lets a 100 TB embedding column's codes live in
+    * a fraction of the memory/IO while the full vectors stay in cold
+    * storage for the re-rank step only.
+    * `codebooks(sub)(center)` is a dsub-dim array. */
+  final case class PqCodebook(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+    require(ksub <= 256, s"pq: ksub=$ksub exceeds one byte per code")
+  }
+
+  /** Train per-subspace codebooks with seeded Lloyd iterations on a
+    * bounded, hash-ordered (unbiased) driver-side sample — deterministic
+    * across runs and partitionings. The sample is small (maxTrainRows ×
+    * dim doubles); training cost never scales with the corpus. */
+  def trainPq(corpus: DataFrame, corpusId: String, corpusVec: String,
+      m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+      maxTrainRows: Int = 10000, iters: Int = 20): PqCodebook = {
+    val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+    val sample = trainingSample(c, seed, maxTrainRows)
+      .select(col("cvec")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pq: empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      val k = math.min(ksub, pts.length)
+      // init: first k points of the hash-ordered sample (pseudo-random,
+      // deterministic); duplicates are tolerated (their cells just empty)
+      var centers = Array.tabulate(k)(i => pts(i).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val counts = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < k) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = centers(ci)(j) - p(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+          counts(best) += 1
+        }
+        centers = Array.tabulate(k)(ci =>
+          if (counts(ci) == 0) centers(ci)
+          else Array.tabulate(dsub)(j => sums(ci)(j) / counts(ci)))
+        it += 1
+      }
+      centers
+    }
+    PqCodebook(books)
+  }
+
+  /** Encode the corpus: (corpus_id, code binary of `m` bytes). This is
+    * the table that replaces the raw vectors for the ADC scan — m bytes
+    * per row regardless of dim. */
+  def encodePq(book: PqCodebook, corpus: DataFrame, corpusId: String,
+      corpusVec: String): DataFrame = {
+    val books = book.codebooks
+    val enc = udf((vec: Seq[Double]) =>
+      if (vec == null) null
+      else {
+        val dsub = books(0)(0).length
+        Array.tabulate(books.length) { sub =>
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < books(sub).length) {
+            var d = 0.0; var j = 0
+            while (j < dsub) {
+              val t = books(sub)(ci)(j) - vec(sub * dsub + j); d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          best.toByte
+        }
+      })
+    unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+      .select(col("corpus_id"), enc(col("cvec")).as("code"))
+  }
+
+  /** Approximate top-`candidates` per query by asymmetric distance
+    * computation over the CODES table, then EXACT re-rank of those
+    * candidates against the full vectors. The scan side touches only m
+    * bytes + m table lookups per corpus row (the per-query lookup table
+    * of m × ksub partial dot products is built once per query and
+    * broadcast with the batch); the full-precision corpus is read only
+    * for `candidates × |queries|` rows via an id equi-join. Output shape
+    * and tie-breaking match [[bruteForceTopK]]; with `candidates` ≥ the
+    * corpus size the result IS brute force (exact re-rank over all). */
+  def pqTopKReranked(book: PqCodebook, codes: DataFrame,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, candidates: Int = 64): DataFrame = {
+    val books = book.codebooks
+    val ksub = book.ksub
+    // per-query ADC table: flat m × ksub array of dot(q_sub, center)
+    val tableOf = udf((vec: Seq[Double]) =>
+      if (vec == null) null
+      else {
+        val dsub = books(0)(0).length
+        val out = new Array[Double](books.length * ksub)
+        var sub = 0
+        while (sub < books.length) {
+          var ci = 0
+          while (ci < books(sub).length) {
+            var s = 0.0; var j = 0
+            while (j < dsub) { s += books(sub)(ci)(j) * vec(sub * dsub + j); j += 1 }
+            out(sub * ksub + ci) = s
+            ci += 1
+          }
+          sub += 1
+        }
+        out
+      })
+    val adc = udf((code: Array[Byte], table: Seq[Double]) => {
+      var s = 0.0; var i = 0
+      while (i < code.length) { s += table(i * ksub + (code(i) & 0xFF)); i += 1 }
+      s
+    })
+    val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
+      .withColumn("qtable", tableOf(col("qvec")))
+    val scored = codes.crossJoin(broadcast(q.select(col("query_id"), col("qtable"))))
+      .withColumn("cosine", adc(col("code"), col("qtable")))
+    val cand = localTopK(scored.select("query_id", "corpus_id", "cosine"), candidates)
+      .select("query_id", "corpus_id")
+    // exact re-rank: only candidate rows of the full-precision corpus
+    val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+    val exact = cand.join(c, Seq("corpus_id"))
+      .join(broadcast(q.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("cosine", dot(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    localTopK(exact.select("query_id", "corpus_id", "cosine"), k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Approximate top-k: score only corpus rows in the query's LSH bucket.
     * Same output shape as [[bruteForceTopK]]; rows may be missing when a
     * true neighbor hashes elsewhere (tune `bits`). */

@@ -183,6 +183,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(capped) === rows(fixed2))
   }
 
+  test("PQ: byte codes, deterministic training, exact at full re-rank") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (1L to 300L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 50 === 0).toDF("query_id", "embedding")
+    val book = Similarity.trainPq(corpus, "vec_id", "embedding", m = 4, ksub = 16)
+    assert(book.m === 4 && book.ksub === 16 && book.dsub === 4)
+    // deterministic: same seed → identical codebooks
+    val book2 = Similarity.trainPq(corpus, "vec_id", "embedding", m = 4, ksub = 16)
+    book.codebooks.zip(book2.codebooks).foreach { case (a, b) =>
+      a.zip(b).foreach { case (ca, cb) => assert(ca.toSeq === cb.toSeq) }
+    }
+    // codes: one byte per subspace — 16 doubles become 4 bytes
+    val codes = Similarity.encodePq(book, corpus, "vec_id", "embedding")
+    assert(codes.select(length($"code")).distinct().as[Int].collect().toSeq === Seq(4))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    // candidates >= corpus size → exact re-rank over everything == brute
+    // force, bit for bit (cosine comes from the same unitized dot)
+    val full = Similarity.pqTopKReranked(book, codes, corpus, "vec_id",
+      "embedding", queries, "query_id", "embedding", k = 3, candidates = 300)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 3)
+    assert(rows(full) === rows(brute))
+    // narrow candidate budget: every query still returns k exact-scored
+    // rows and self-retrieval survives the ADC cut (a vector's own code
+    // is its quantization — top of the ADC ranking by construction)
+    val narrow = Similarity.pqTopKReranked(book, codes, corpus, "vec_id",
+      "embedding", queries, "query_id", "embedding", k = 3, candidates = 8)
+    val nr = rows(narrow)
+    val qids = queries.select($"query_id").as[Long].collect().toSet
+    assert(qids.forall(q => nr.contains((q, 1, q))), s"self-retrieval lost: $nr")
+    assert(nr.size === qids.size * 3)
+  }
+
   test("capPerKey: deterministic survivors, small keys untouched") {
     val rows = ((1L to 30L).map(i => ("big", i)) ++ (31L to 35L).map(i => ("small", i)))
       .toDF("domain", "id")
