@@ -237,6 +237,11 @@ object PipelineQueries {
       val pqCodes = Similarity.encodePq(pqBook, e, "vec_id", "embedding")
       val pq = Similarity.pqTopKReranked(pqBook, pqCodes, e, "vec_id",
         "embedding", queries, "vec_id", "embedding", k = 1, candidates = 16)
+      // composed IVF-PQ store: cell-pruned ADC scan + candidate re-rank
+      Similarity.buildIvfPqStore(index, pqBook, e, "vec_id", "embedding",
+        tmp + "/pqstore")
+      val ivfpq = Similarity.ivfPqTopKStored(s, index, pqBook, tmp + "/pqstore",
+        queries, "vec_id", "embedding", k = 1, nprobe = 2, candidates = 16)
       nearDup.agg(count(lit(1)).as("n_embdup"))
         .crossJoin(bf.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_bf_self")))
@@ -250,6 +255,8 @@ object PipelineQueries {
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfadapt_self")))
         .crossJoin(pq.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_pq_self")))
+        .crossJoin(ivfpq.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfpq_self")))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -640,7 +647,8 @@ object PipelineQueries {
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivf_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfstore_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfadapt_self,
-        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_pq_self""".stripMargin,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_pq_self,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfpq_self""".stripMargin,
     "pipe_dedup_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,

@@ -421,6 +421,93 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** Materialize an IVF-PQ store: the cell-partitioned layout of
+    * [[buildIvfStore]] with the PQ byte codes alongside the full vectors.
+    * Query-time IO composes BOTH prunings: partition pruning cuts to the
+    * probed cells, then the ADC pass projects only (corpus_id, code) —
+    * parquet column pruning skips the wide vector pages entirely — and
+    * the exact re-rank re-reads the probed cells with an `isin` pushdown
+    * on the bounded candidate-id set. At nlist=4096/nprobe=8/m=8 a query
+    * batch reads ~0.2% of the partitions × ~2% of those bytes for the
+    * scan, and full vectors only for candidate rows. */
+  def buildIvfPqStore(index: IvfIndex, book: PqCodebook, corpus: DataFrame,
+      corpusId: String, corpusVec: String, path: String): Unit = {
+    val withCell = assigned(index, corpus, corpusId, corpusVec)
+    val codes = encodePq(book, corpus, corpusId, corpusVec)
+    withCell.join(codes, "corpus_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF-PQ top-k against a [[buildIvfPqStore]] store: partition-pruned
+    * ADC scan over the codes, exact re-rank over candidate rows only.
+    * Same output shape and tie-breaking as [[bruteForceTopK]]; with
+    * `nprobe` ≥ nlist and `candidates` ≥ the corpus size the result is
+    * brute force exactly. */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession,
+      index: IvfIndex, book: PqCodebook, storePath: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = 4, candidates: Int = 64): DataFrame = {
+    val books = book.codebooks
+    val ksub = book.ksub
+    val tableOf = udf((vec: Seq[Double]) =>
+      if (vec == null) null
+      else {
+        val dsub = books(0)(0).length
+        val out = new Array[Double](books.length * ksub)
+        var sub = 0
+        while (sub < books.length) {
+          var ci = 0
+          while (ci < books(sub).length) {
+            var s = 0.0; var j = 0
+            while (j < dsub) { s += books(sub)(ci)(j) * vec(sub * dsub + j); j += 1 }
+            out(sub * ksub + ci) = s
+            ci += 1
+          }
+          sub += 1
+        }
+        out
+      })
+    val adc = udf((code: Array[Byte], table: Seq[Double]) => {
+      var s = 0.0; var i = 0
+      while (i < code.length) { s += table(i * ksub + (code(i) & 0xFF)); i += 1 }
+      s
+    })
+    val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
+      .withColumn("qtable", tableOf(col("qvec")))
+      .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    def prunedStore = spark.read.parquet(storePath)
+      .withColumn("cell", col("cell").cast("int"))
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    // ADC pass: only (corpus_id, code) survive column pruning — the wide
+    // vector column's pages are never read here
+    val scored = prunedStore.select(col("cell"), col("corpus_id"), col("code"))
+      .join(broadcast(q.select(col("cell"), col("query_id"), col("qtable"))),
+        Seq("cell"))
+      .withColumn("cosine", adc(col("code"), col("qtable")))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    val cand = localTopK(scored.select("query_id", "corpus_id", "cosine"), candidates)
+      .withColumn("rank", row_number().over(wCand))
+      .filter(col("rank") <= candidates)
+      .select("query_id", "corpus_id")
+    // bounded candidate-id set (≤ candidates × |queries|) → isin pushdown
+    // so the re-rank read prunes row groups on id stats too
+    val candIds = cand.select(col("corpus_id")).distinct().collect().map(_.get(0))
+    val exact = prunedStore.select(col("corpus_id"), col("cvec"))
+      .filter(col("corpus_id").isInCollection(candIds.toSeq))
+      .join(cand, Seq("corpus_id"))
+      .join(broadcast(q.select(col("query_id"), col("qvec")).distinct()),
+        Seq("query_id"))
+      .withColumn("cosine", dot(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    localTopK(exact.select("query_id", "corpus_id", "cosine"), k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Train-and-query convenience (one-shot batches). For repeated batches
     * against a fixed corpus, [[trainIvf]] once (optionally [[saveIvf]]) and
     * call [[ivfTopKIndexed]]. */

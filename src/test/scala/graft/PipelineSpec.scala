@@ -220,6 +220,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(nr.size === qids.size * 3)
   }
 
+  test("IVF-PQ store: composed pruning, exact at full probe + full re-rank") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (1L to 300L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 50 === 0).toDF("query_id", "embedding")
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 8, seed = 5L)
+    val book = Similarity.trainPq(corpus, "vec_id", "embedding", m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.buildIvfPqStore(index, book, corpus, "vec_id", "embedding",
+      dir + "/store")
+    // the store carries cell partitions + code + full vector
+    val store = spark.read.parquet(dir + "/store")
+    assert(store.columns.toSet === Set("corpus_id", "cvec", "code", "cell"))
+    assert(store.count() === 300)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    // full probe + full re-rank == brute force, bit for bit
+    val full = Similarity.ivfPqTopKStored(spark, index, book, dir + "/store",
+      queries, "query_id", "embedding", k = 3, nprobe = 8, candidates = 300)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 3)
+    assert(rows(full) === rows(brute))
+    // narrow probe/candidates: self-retrieval survives (own cell probed
+    // first, own code tops its ADC ranking)
+    val narrow = Similarity.ivfPqTopKStored(spark, index, book, dir + "/store",
+      queries, "query_id", "embedding", k = 3, nprobe = 2, candidates = 8)
+    val nr = rows(narrow)
+    val qids = queries.select($"query_id").as[Long].collect().toSet
+    assert(qids.forall(q => nr.contains((q, 1, q))), s"self-retrieval lost: $nr")
+    // the ADC pass must not read the vector column: column pruning drops
+    // cvec from the scan schema
+    val adcScan = spark.read.parquet(dir + "/store")
+      .filter($"cell".cast("int").isin(0, 1))
+      .select($"corpus_id", $"code")
+    val schemaStr = adcScan.queryExecution.executedPlan.toString
+    assert(schemaStr.contains("ReadSchema") && !schemaStr.contains("cvec"),
+      s"vector column not pruned from ADC scan:\n$schemaStr")
+  }
+
   test("capPerKey: deterministic survivors, small keys untouched") {
     val rows = ((1L to 30L).map(i => ("big", i)) ++ (31L to 35L).map(i => ("small", i)))
       .toDF("domain", "id")
