@@ -146,8 +146,45 @@ object Bench {
       val q = e.filter(col("vec_id") % 10 === 0)
       graft.pipeline.Similarity.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 5)
+    }),
+    // IVF-PQ composed store: the ANN scale path (partition + column
+    // pruning + pushdown re-rank). Train/build happen ONCE per process
+    // (AnnSetup memo) — the timed part is the query batch, matching real
+    // use where the store outlives query batches.
+    "pipe_ann_ivfpq" -> ((s, dir) => {
+      val (index, book, store) = AnnSetup.get(s, dir)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") % 10 === 0)
+      graft.pipeline.Similarity.ivfPqTopKStored(s, index, book, store,
+        q, "vec_id", "embedding", k = 5, nprobe = 2, candidates = 16)
     })
   )
+
+  /** Build-once ANN fixtures (per sf dir): IVF index, PQ codebook, and
+    * the composed store on disk. Kept out of the timed lambdas — the
+    * store outlives query batches in real use. */
+  private object AnnSetup {
+    private var cached: Option[(String, graft.pipeline.Similarity.IvfIndex,
+      graft.pipeline.Similarity.PqCodebook, String)] = None
+    def get(s: SparkSession, dir: String): (graft.pipeline.Similarity.IvfIndex,
+        graft.pipeline.Similarity.PqCodebook, String) = synchronized {
+      cached match {
+        case Some((d, ix, bk, st)) if d == dir => (ix, bk, st)
+        case _ =>
+          val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          val ix = graft.pipeline.Similarity.trainIvf(e, "vec_id", "embedding",
+            nlist = 16)
+          val bk = graft.pipeline.Similarity.trainPq(e, "vec_id", "embedding",
+            m = 8, ksub = 32)
+          val st = new java.io.File(sys.props("java.io.tmpdir"),
+            "graft_bench_ivfpq").toString + "/store"
+          graft.pipeline.Similarity.buildIvfPqStore(ix, bk, e, "vec_id",
+            "embedding", st)
+          cached = Some((dir, ix, bk, st))
+          (ix, bk, st)
+      }
+    }
+  }
 
   /** Force full evaluation: fold every column of every row into one
     * xor-of-hashes (overflow-free under ANSI mode, prunes nothing). */
