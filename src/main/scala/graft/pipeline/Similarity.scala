@@ -431,10 +431,13 @@ object Similarity {
     * batch reads ~0.2% of the partitions × ~2% of those bytes for the
     * scan, and full vectors only for candidate rows. */
   def buildIvfPqStore(index: IvfIndex, book: PqCodebook, corpus: DataFrame,
-      corpusId: String, corpusVec: String, path: String): Unit = {
+      corpusId: String, corpusVec: String, path: String,
+      residual: Boolean = false): Unit = {
     val withCell = assigned(index, corpus, corpusId, corpusVec)
-    val codes = encodePq(book, corpus, corpusId, corpusVec)
-    withCell.join(codes, "corpus_id")
+    val encodeInput =
+      if (residual) residualUdf(index)(col("cvec"), col("cell"))
+      else col("cvec")
+    withCell.withColumn("code", pqEncodeUdf(book)(encodeInput))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -446,7 +449,8 @@ object Similarity {
   def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession,
       index: IvfIndex, book: PqCodebook, storePath: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nprobe: Int = 4, candidates: Int = 64): DataFrame = {
+      k: Int, nprobe: Int = 4, candidates: Int = 64,
+      residual: Boolean = false): DataFrame = {
     val books = book.codebooks
     val ksub = book.ksub
     val tableOf = udf((vec: Seq[Double]) =>
@@ -472,9 +476,21 @@ object Similarity {
       while (i < code.length) { s += table(i * ksub + (code(i) & 0xFF)); i += 1 }
       s
     })
+    // residual stores score dot(q, x) ≈ dot(q, c_cell) + dot(q, quant(r)):
+    // the per-(query, probed-cell) constant rides the explode — |Q|×nprobe
+    // dim-length dots, negligible next to the scan
+    val centroids = index.centroids
+    val qcUdf = udf((vec: Seq[Double], cell: Int) => {
+      val c = centroids(cell)
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * vec(i); i += 1 }
+      s
+    })
     val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
       .withColumn("qtable", tableOf(col("qvec")))
       .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
+      .withColumn("qc",
+        if (residual) qcUdf(col("qvec"), col("cell")) else lit(0.0))
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
     def prunedStore = spark.read.parquet(storePath)
       .withColumn("cell", col("cell").cast("int"))
@@ -482,9 +498,9 @@ object Similarity {
     // ADC pass: only (corpus_id, code) survive column pruning — the wide
     // vector column's pages are never read here
     val scored = prunedStore.select(col("cell"), col("corpus_id"), col("code"))
-      .join(broadcast(q.select(col("cell"), col("query_id"), col("qtable"))),
-        Seq("cell"))
-      .withColumn("cosine", adc(col("code"), col("qtable")))
+      .join(broadcast(q.select(col("cell"), col("query_id"), col("qtable"),
+        col("qc"))), Seq("cell"))
+      .withColumn("cosine", col("qc") + adc(col("code"), col("qtable")))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     val cand = localTopK(scored.select("query_id", "corpus_id", "cosine"), candidates)
@@ -546,11 +562,45 @@ object Similarity {
     val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
     val sample = trainingSample(c, seed, maxTrainRows)
       .select(col("cvec")).collect().map(_.getSeq[Double](0).toArray)
+    PqCodebook(lloydBooks(sample, m, ksub, iters))
+  }
+
+  /** Residual-PQ training (the Faiss-IVFPQ refinement): codebooks learn
+    * x − centroid(cell(x)) instead of x. Residuals are much more
+    * concentrated than raw vectors (the coarse quantizer has already
+    * removed the cell's mean direction), so the same code width buys a
+    * visibly tighter ADC approximation. One codebook is shared across
+    * cells (standard IVF-PQ). */
+  def trainPqResidual(index: IvfIndex, corpus: DataFrame, corpusId: String,
+      corpusVec: String, m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+      maxTrainRows: Int = 10000, iters: Int = 20): PqCodebook = {
+    val withCell = assigned(index, corpus, corpusId, corpusVec)
+      .withColumn("rvec", residualUdf(index)(col("cvec"), col("cell")))
+    val sample = withCell.orderBy(xxhash64(col("corpus_id"), lit(seed)))
+      .limit(maxTrainRows)
+      .select(col("rvec")).collect().map(_.getSeq[Double](0).toArray)
+    PqCodebook(lloydBooks(sample, m, ksub, iters))
+  }
+
+  private def residualUdf(index: IvfIndex) = {
+    val centroids = index.centroids
+    udf((vec: Seq[Double], cell: Int) =>
+      if (vec == null) null
+      else {
+        val c = centroids(cell)
+        Array.tabulate(vec.length)(i => vec(i) - c(i))
+      })
+  }
+
+  /** Seeded Lloyd per subspace over a driver-side sample (deterministic
+    * across runs and partitionings; cost never scales with the corpus). */
+  private def lloydBooks(sample: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "pq: empty training sample")
     val dim = sample(0).length
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val books = Array.tabulate(m) { sub =>
+    Array.tabulate(m) { sub =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
       val k = math.min(ksub, pts.length)
       // init: first k points of the hash-ordered sample (pseudo-random,
@@ -580,16 +630,11 @@ object Similarity {
       }
       centers
     }
-    PqCodebook(books)
   }
 
-  /** Encode the corpus: (corpus_id, code binary of `m` bytes). This is
-    * the table that replaces the raw vectors for the ADC scan — m bytes
-    * per row regardless of dim. */
-  def encodePq(book: PqCodebook, corpus: DataFrame, corpusId: String,
-      corpusVec: String): DataFrame = {
+  private def pqEncodeUdf(book: PqCodebook) = {
     val books = book.codebooks
-    val enc = udf((vec: Seq[Double]) =>
+    udf((vec: Seq[Double]) =>
       if (vec == null) null
       else {
         val dsub = books(0)(0).length
@@ -607,9 +652,15 @@ object Similarity {
           best.toByte
         }
       })
-    unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
-      .select(col("corpus_id"), enc(col("cvec")).as("code"))
   }
+
+  /** Encode the corpus: (corpus_id, code binary of `m` bytes). This is
+    * the table that replaces the raw vectors for the ADC scan — m bytes
+    * per row regardless of dim. */
+  def encodePq(book: PqCodebook, corpus: DataFrame, corpusId: String,
+      corpusVec: String): DataFrame =
+    unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+      .select(col("corpus_id"), pqEncodeUdf(book)(col("cvec")).as("code"))
 
   /** Approximate top-`candidates` per query by asymmetric distance
     * computation over the CODES table, then EXACT re-rank of those

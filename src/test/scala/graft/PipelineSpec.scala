@@ -259,6 +259,28 @@ class PipelineSpec extends AnyFunSuite {
     val schemaStr = adcScan.queryExecution.executedPlan.toString
     assert(schemaStr.contains("ReadSchema") && !schemaStr.contains("cvec"),
       s"vector column not pruned from ADC scan:\n$schemaStr")
+
+    // residual encoding: codebooks trained on x − centroid(cell), ADC
+    // scores dot(q,c_cell) + table sum. Same exactness at full cover;
+    // codes genuinely differ from the raw-vector encoding.
+    val rBook = Similarity.trainPqResidual(index, corpus, "vec_id",
+      "embedding", m = 4, ksub = 16)
+    Similarity.buildIvfPqStore(index, rBook, corpus, "vec_id", "embedding",
+      dir + "/rstore", residual = true)
+    val rFull = Similarity.ivfPqTopKStored(spark, index, rBook, dir + "/rstore",
+      queries, "query_id", "embedding", k = 3, nprobe = 8, candidates = 300,
+      residual = true)
+    assert(rows(rFull) === rows(brute))
+    val rNarrow = Similarity.ivfPqTopKStored(spark, index, rBook, dir + "/rstore",
+      queries, "query_id", "embedding", k = 3, nprobe = 2, candidates = 8,
+      residual = true)
+    assert(qids.forall(q => rows(rNarrow).contains((q, 1, q))))
+    val rawCodes = spark.read.parquet(dir + "/store")
+      .select($"corpus_id", $"code".as("raw")).join(
+        spark.read.parquet(dir + "/rstore")
+          .select($"corpus_id", $"code".as("res")), "corpus_id")
+    assert(rawCodes.filter(not($"raw" === $"res")).count() > 0,
+      "residual codes identical to raw codes — residual path inert")
   }
 
   test("capPerKey: deterministic survivors, small keys untouched") {
