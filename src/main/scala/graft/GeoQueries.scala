@@ -1101,7 +1101,14 @@ object GeoQueries {
       val trkBack = graft.io.GeoIO.readGpx(s, gpx, "tracks")
         .select(expr("cast(substring(name, 2) as long)").as("k"),
           st_length(col("geometry")).as("trk_len"))
-      kmlBack.join(wptBack, "k").join(trkBack, "k").orderBy(col("k"))
+      val gml = "/tmp/graft_io_xml/t.gml"
+      graft.io.GeoIO.writeGml(df, gml)
+      val gmlBack = graft.io.GeoIO.readGml(s, gml)
+        .select(col("k").cast("long").as("k"),
+          st_area(col("geometry")).as("gml_area"),
+          graft.functions.st_srid(col("geometry")).as("gml_srid"))
+      kmlBack.join(wptBack, "k").join(trkBack, "k").join(gmlBack, "k")
+        .orderBy(col("k"))
     }),
 
     // ------------------------------- geometry-list evaluation (list.eval)
@@ -1383,7 +1390,7 @@ object GeoQueries {
          | 4326 AS kml_srid, xmin+w/2 AS wpt_x,
          | 1+CAST(k%16 AS DOUBLE)/4.0 AS wpt_ele,
          | 1+CAST(k%16 AS DOUBLE)/4.0 AS wpt_z,
-         | w+h AS trk_len
+         | w+h AS trk_len, w*h AS gml_area, 4326 AS gml_srid
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum

@@ -901,6 +901,58 @@ object GeoIO {
     try out.write(bytes) finally out.close()
   }
 
+  /** Read GML file(s) → geo frame: EWKB geometry (SRID from `srsName`,
+    * urn-form axis order normalized to lon/lat) + one STRING column per
+    * simple property (GML carries no types without its XSD — cast
+    * downstream). Attribute schema from the first file; `path` may be one
+    * `.gml` (or `.xml`) file or a directory of `.gml`; parallelism is per
+    * file. */
+  def readGml(spark: SparkSession, path: String,
+      geometryName: String = "geometry"): DataFrame = {
+    val (files, first) = xmlFileList(spark, path, ".gml")
+    val keys = Gml.dataKeys(first)
+    val schema = StructType(
+      StructField(geometryName, BinaryType, nullable = true) +:
+        keys.map(StructField(_, StringType)))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val keyArr = keys.toArray
+    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+      Gml.readFeatures(readWholeFile(conf, f)).map { ft =>
+        org.apache.spark.sql.Row.fromSeq(
+          (if (ft.geom == null) null else graft.serde.EWKB.write(ft.geom)) +:
+            keyArr.toSeq.map(k => ft.data.getOrElse(k, null)))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write one GML 3.2 feature collection (export sink): every
+    * non-geometry column becomes a string property; the legacy `EPSG:n`
+    * srsName (lon/lat axis order) is written. */
+  def writeGml(df: DataFrame, path: String, geometryName: String = "geometry",
+      featureName: String = "feature"): Unit = {
+    val dataCols = df.columns.filterNot(_ == geometryName)
+    val ordered = df.select(
+      (Seq(col(geometryName)) ++ dataCols.map(c => col(c).cast("string"))): _*)
+    val it = ordered.toLocalIterator()
+    val rows = new Iterator[(org.locationtech.jts.geom.Geometry, Seq[(String, String)])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (org.locationtech.jts.geom.Geometry, Seq[(String, String)]) = {
+        val row = it.next()
+        val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+        val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+        (geom,
+          dataCols.toSeq.zipWithIndex.map { case (c, i) => (c, row.getString(1 + i)) })
+      }
+    }
+    val bytes = Gml.write(rows, featureName)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   /** Read GPX file(s) → geo frame for one of the five OGR-style layers:
     * `waypoints` (default), `routes`, `tracks`, `route_points`,
     * `track_points`. CRS is fixed by the GPX spec: EPSG:4326; waypoint

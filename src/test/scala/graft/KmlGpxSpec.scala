@@ -191,6 +191,91 @@ class KmlGpxSpec extends AnyFunSuite {
     assert(rp(2).isNullAt(3)) // no ele
   }
 
+  test("gml: polygon + attribute round-trip, geometry classes, srid") {
+    val wkts = Seq(
+      "POINT (1.5 2.25)",
+      "POINT Z (1.5 2.25 10.5)",
+      "LINESTRING (0 0, 1 1, 2 0.5)",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    val df = wkts.zipWithIndex
+      .map { case (w, i) => (i.toLong, s"n$i", w) }.toDF("k", "name", "wkt")
+      .select($"k", $"name",
+        st_set_srid(st_geomfromtext($"wkt"), lit(4326)).as("geometry"))
+    val path = tmp("classes.gml")
+    graft.io.GeoIO.writeGml(df, path)
+    val back = graft.io.GeoIO.readGml(spark, path)
+    assert(back.columns.toSeq === Seq("geometry", "k", "name"))
+    val rows = back.select($"k".cast("long"), $"name",
+        st_aswkt($"geometry").as("wkt"),
+        graft.functions.st_srid($"geometry").as("srid"))
+      .orderBy($"k").collect()
+    assert(rows.length === wkts.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(1) === s"n$i")
+      assert(r.getInt(3) === 4326)
+    }
+    val got = rows.map(_.getString(2))
+    assert(got(0) === "POINT (1.5 2.25)")
+    assert(got(1).startsWith("POINT Z") && got(1).contains("10.5"))
+    assert(got(2) === "LINESTRING (0 0, 1 1, 2 0.5)")
+    assert(got(3) === "MULTIPOINT ((1 1), (2 2))")
+    assert(got(4) === "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    assert(got(5) === wkts(5))
+    assert(got(6) === wkts(6))
+  }
+
+  test("gml: reads external GML2 and urn-axis-order GML3 documents") {
+    // GML2 coordinates encoding with legacy srsName (axis order as
+    // written, lon/lat) + GML3 posList with urn srsName on a geographic
+    // CRS (lat-first per the GML3 convention — reader must swap)
+    val xml =
+      """<?xml version="1.0"?>
+        |<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs"
+        |  xmlns:gml="http://www.opengis.net/gml" xmlns:app="urn:app">
+        |<gml:featureMember>
+        |  <app:city><app:name>wellington</app:name><app:pop>212000</app:pop>
+        |    <app:shape>
+        |      <gml:Point srsName="EPSG:4326"><gml:coordinates>174.75,-41.25</gml:coordinates></gml:Point>
+        |    </app:shape>
+        |  </app:city>
+        |</gml:featureMember>
+        |<gml:featureMember>
+        |  <app:city><app:name>auckland</app:name><app:pop>1463000</app:pop>
+        |    <app:shape>
+        |      <gml:Point srsName="urn:ogc:def:crs:EPSG::4326"><gml:pos>-36.85 174.76</gml:pos></gml:Point>
+        |    </app:shape>
+        |  </app:city>
+        |</gml:featureMember>
+        |<gml:featureMember>
+        |  <app:zone><app:name>box</app:name>
+        |    <gml:Polygon srsName="EPSG:4326"><gml:outerBoundaryIs><gml:LinearRing>
+        |      <gml:coordinates>0,0 2,0 2,1.5 0,1.5 0,0</gml:coordinates>
+        |    </gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>
+        |  </app:zone>
+        |</gml:featureMember>
+        |</wfs:FeatureCollection>""".stripMargin
+    val path = tmp("cities.gml")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = graft.io.GeoIO.readGml(spark, path)
+    assert(back.columns.toSeq === Seq("geometry", "name", "pop"))
+    val wgtn = back.filter($"name" === "wellington")
+      .select(st_x($"geometry"), st_y($"geometry"),
+        graft.functions.st_srid($"geometry"), $"pop").head()
+    assert(wgtn.getDouble(0) === 174.75 && wgtn.getDouble(1) === -41.25)
+    assert(wgtn.getInt(2) === 4326 && wgtn.getString(3) === "212000")
+    // urn form: lat-first on the wire, lon/lat after the reader swap
+    val akl = back.filter($"name" === "auckland")
+      .select(st_x($"geometry"), st_y($"geometry")).head()
+    assert(akl.getDouble(0) === 174.76 && akl.getDouble(1) === -36.85)
+    val box = back.filter($"name" === "box")
+      .select(st_area($"geometry")).head()
+    assert(box.getDouble(0) === 3.0)
+  }
+
   test("kml + gpx: multi-file directory reads parallelize per file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml_dir").toString
     for (part <- 0 until 3) {
