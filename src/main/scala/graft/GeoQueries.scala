@@ -1107,7 +1107,14 @@ object GeoQueries {
         .select(col("k").cast("long").as("k"),
           st_area(col("geometry")).as("gml_area"),
           graft.functions.st_srid(col("geometry")).as("gml_srid"))
+      val mif = "/tmp/graft_io_xml/t.mif"
+      graft.io.GeoIO.writeMif(df, mif)
+      val mifBack = graft.io.GeoIO.readMif(s, mif)
+        .select(col("k"), col("name").as("mif_name"),
+          st_area(col("geometry")).as("mif_area"),
+          graft.functions.st_srid(col("geometry")).as("mif_srid"))
       kmlBack.join(wptBack, "k").join(trkBack, "k").join(gmlBack, "k")
+        .join(mifBack, "k")
         .orderBy(col("k"))
     }),
 
@@ -1390,7 +1397,9 @@ object GeoQueries {
          | 4326 AS kml_srid, xmin+w/2 AS wpt_x,
          | 1+CAST(k%16 AS DOUBLE)/4.0 AS wpt_ele,
          | 1+CAST(k%16 AS DOUBLE)/4.0 AS wpt_z,
-         | w+h AS trk_len, w*h AS gml_area, 4326 AS gml_srid
+         | w+h AS trk_len, w*h AS gml_area, 4326 AS gml_srid,
+         | 'r' || CAST(k AS VARCHAR) AS mif_name, w*h AS mif_area,
+         | 4326 AS mif_srid
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum

@@ -953,6 +953,87 @@ object GeoIO {
     try out.write(bytes) finally out.close()
   }
 
+  /** Read MapInfo MIF/MID file pair(s) → geo frame: EWKB geometry +
+    * attribute columns typed from the MIF `Columns` header. `path` is one
+    * `.mif` (its `.mid` sidecar is discovered case-insensitively) or a
+    * directory of them; parallelism is per file. */
+  def readMif(spark: SparkSession, path: String,
+      geometryName: String = "geometry"): DataFrame = {
+    val (files, first) = xmlFileList(spark, path, ".mif")
+    val cols = MapInfo.readMif(
+      new String(first, java.nio.charset.StandardCharsets.UTF_8), None).columns
+    val schema = StructType(
+      StructField(geometryName, BinaryType, nullable = true) +:
+        cols.map(c => StructField(c.name, MapInfo.sparkType(c))))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val colArr = cols.toArray
+    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(conf.value)
+      def text(pp: org.apache.hadoop.fs.Path): String =
+        new String(readWholeFile(conf, pp.toString),
+          java.nio.charset.StandardCharsets.UTF_8)
+      val midPath = Seq(".mid", ".MID").map(ext =>
+        new org.apache.hadoop.fs.Path(p.getParent,
+          p.getName.replaceAll("(?i)\\.mif$", "") + ext)).find(fs.exists)
+      val parsed = MapInfo.readMif(text(p), midPath.map(text))
+      parsed.geoms.zipWithIndex.map { case (g, ri) =>
+        val attrs = colArr.indices.map { ci =>
+          if (ri < parsed.rows.length && ci < parsed.rows(ri).length)
+            MapInfo.parseValue(colArr(ci), parsed.rows(ri)(ci))
+          else null
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          (if (g == null) null else graft.serde.EWKB.write(g)) +: attrs)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write one MIF/MID pair (export sink). `path` is the `.mif` path;
+    * the `.mid` sidecar is derived. Column types map to the nearest MIF
+    * type (Integer/Smallint/Float/Logical/Char). */
+  def writeMif(df: DataFrame, path: String,
+      geometryName: String = "geometry"): Unit = {
+    require(path.toLowerCase.endsWith(".mif"), s"mif path must end in .mif: $path")
+    val attrFields = df.schema.fields.toSeq.filterNot(_.name == geometryName)
+    val cols = attrFields.map { f =>
+      val t = f.dataType match {
+        case LongType => "Integer"
+        case IntegerType | ShortType | ByteType => "Smallint"
+        case DoubleType | FloatType => "Float"
+        case BooleanType => "Logical"
+        case _ => "Char(254)"
+      }
+      MapInfo.MifColumn(f.name, t)
+    }
+    val ordered = df.select(
+      (Seq(col(geometryName)) ++ attrFields.map(f => col(f.name).cast("string"))): _*)
+    val it = ordered.toLocalIterator()
+    var srid = 0
+    val buffered = new scala.collection.mutable.ArrayBuffer[
+      (org.locationtech.jts.geom.Geometry, Array[String])]()
+    while (it.hasNext) {
+      val row = it.next()
+      val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+      val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+      if (geom != null && srid == 0) srid = geom.getSRID
+      buffered += ((geom, Array.tabulate(attrFields.length)(i => row.getString(1 + i))))
+    }
+    val (mif, mid) = MapInfo.write(cols, buffered.iterator, srid)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    def put(pp: String, data: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(pp)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try out.write(data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put(path, mif)
+    put(path.replaceAll("(?i)\\.mif$", "") + ".mid", mid)
+  }
+
   /** Read GPX file(s) → geo frame for one of the five OGR-style layers:
     * `waypoints` (default), `routes`, `tracks`, `route_points`,
     * `track_points`. CRS is fixed by the GPX spec: EPSG:4326; waypoint

@@ -276,6 +276,101 @@ class KmlGpxSpec extends AnyFunSuite {
     assert(box.getDouble(0) === 3.0)
   }
 
+  test("mif: typed attribute round-trip across geometry classes") {
+    val wkts = Seq(
+      "POINT (1.5 2.25)",
+      "LINESTRING (0 0, 1 1, 2 0.5)",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((1 1), (2 2))")
+    val df = wkts.zipWithIndex
+      .map { case (w, i) => (i.toLong, i * 0.25, i % 2 == 0, s"r,\"$i\"", w) }
+      .toDF("k", "score", "flag", "name", "wkt")
+      .select($"k", $"score", $"flag", $"name",
+        st_set_srid(st_geomfromtext($"wkt"), lit(4326)).as("geometry"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mif").toString
+    val path = s"$dir/t.mif"
+    graft.io.GeoIO.writeMif(df, path)
+    assert(new java.io.File(path).exists())
+    assert(new java.io.File(s"$dir/t.mid").exists())
+    val back = graft.io.GeoIO.readMif(spark, path)
+    assert(back.columns.toSeq === Seq("geometry", "k", "score", "flag", "name"))
+    val rows = back.select($"k", $"score", $"flag", $"name",
+        st_aswkt($"geometry").as("wkt"),
+        graft.functions.st_srid($"geometry").as("srid"))
+      .orderBy($"k").collect()
+    assert(rows.length === wkts.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getDouble(1) === i * 0.25)
+      assert(r.getBoolean(2) === (i % 2 == 0))
+      assert(r.getString(3) === s"r,\"$i\"") // delimiter + quote survive
+      assert(r.getInt(5) === 4326)
+    }
+    val got = rows.map(_.getString(4))
+    assert(got(0) === "POINT (1.5 2.25)")
+    // MIF has no single-vs-multi polyline distinction on read: a 1-part
+    // Pline comes back as LINESTRING, Multiple as MULTILINESTRING
+    assert(got(1) === "LINESTRING (0 0, 1 1, 2 0.5)")
+    assert(got(2) === "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))")
+    // Region rings → shell + contained hole by MapInfo semantics
+    assert(got(3) === wkts(3))
+    assert(got(4) === "MULTIPOINT ((1 1), (2 2))")
+  }
+
+  test("mif: reads external documents with style clauses and none rows") {
+    val mif =
+      """Version 300
+        |Charset "WindowsLatin1"
+        |Delimiter ","
+        |CoordSys Earth Projection 1, 104
+        |Columns 2
+        |  id Integer
+        |  label Char(20)
+        |Data
+        |
+        |Point 174.75 -41.25
+        |    Symbol (34,0,12)
+        |Region 2
+        |  5
+        |0 0
+        |4 0
+        |4 4
+        |0 4
+        |0 0
+        |  5
+        |1 1
+        |2 1
+        |2 2
+        |1 2
+        |1 1
+        |    Pen (1,2,0)
+        |    Brush (2,16777215)
+        |None
+        |""".stripMargin
+    val mid =
+      """1,"wgtn"
+        |2,"donut"
+        |3,"empty"
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft_mif2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.mif"),
+      mif.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.mid"),
+      mid.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val back = graft.io.GeoIO.readMif(spark, s"$dir/x.mif").orderBy($"id")
+    val rows = back.select($"id", $"label", st_aswkt($"geometry").as("w"),
+      graft.functions.st_srid($"geometry").as("srid")).collect()
+    assert(rows.length === 3)
+    assert(rows(0).getLong(0) === 1L && rows(0).getString(1) === "wgtn")
+    assert(rows(0).getString(2) === "POINT (174.75 -41.25)")
+    assert(rows(0).getInt(3) === 4326)
+    assert(rows(1).getString(1) === "donut")
+    assert(rows(1).getString(2) ===
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(rows(2).getString(2) === "GEOMETRYCOLLECTION EMPTY")
+  }
+
   test("kml + gpx: multi-file directory reads parallelize per file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml_dir").toString
     for (part <- 0 until 3) {
