@@ -283,6 +283,50 @@ class PipelineSpec extends AnyFunSuite {
       "residual codes identical to raw codes — residual path inert")
   }
 
+  test("ANN recall: planted near-neighbors recovered by every tier") {
+    // planted-neighbor fixture: queries are small perturbations of
+    // corpus vectors, so each query's TRUE nearest neighbor is known.
+    // Everything is seeded → recall numbers are deterministic; the
+    // thresholds are pinned just below the measured values so a tier
+    // regression (bad probe order, broken table, wrong code decode)
+    // fails loudly while seed-stable noise does not.
+    val rnd = new scala.util.Random(31)
+    val base = (1L to 400L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val queries = base.filter(_._1 % 20 == 0).map { case (i, v) =>
+      (i, v.map(x => x + rnd.nextGaussian() * 0.02).toSeq) // ~2% noise
+    }.toDF("query_id", "embedding")
+    val nQ = queries.count().toDouble
+
+    def recall1(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter($"rank" === 1 && $"query_id" === $"corpus_id").count() / nQ
+
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 1)
+    assert(recall1(brute) === 1.0, "planted neighbor not the true NN — fixture broken")
+
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 16, seed = 7L)
+    val ivf = Similarity.ivfTopKIndexed(index, corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 1, nprobe = 4)
+    assert(recall1(ivf) >= 0.9, s"ivf recall@1 = ${recall1(ivf)}")
+
+    val book = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, ksub = 32)
+    val codes = Similarity.encodePq(book, corpus, "vec_id", "embedding")
+    val pq = Similarity.pqTopKReranked(book, codes, corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 1, candidates = 16)
+    assert(recall1(pq) >= 0.9, s"pq recall@1 = ${recall1(pq)}")
+
+    val rBook = Similarity.trainPqResidual(index, corpus, "vec_id", "embedding",
+      m = 8, ksub = 32)
+    val dir = java.nio.file.Files.createTempDirectory("annrecall").toString
+    Similarity.buildIvfPqStore(index, rBook, corpus, "vec_id", "embedding",
+      dir + "/rstore", residual = true)
+    val ivfpq = Similarity.ivfPqTopKStored(spark, index, rBook, dir + "/rstore",
+      queries, "query_id", "embedding", k = 1, nprobe = 4, candidates = 16,
+      residual = true)
+    assert(recall1(ivfpq) >= 0.9, s"ivf-pq recall@1 = ${recall1(ivfpq)}")
+  }
+
   test("capPerKey: deterministic survivors, small keys untouched") {
     val rows = ((1L to 30L).map(i => ("big", i)) ++ (31L to 35L).map(i => ("small", i)))
       .toDF("domain", "id")
