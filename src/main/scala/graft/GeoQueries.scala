@@ -1113,8 +1113,16 @@ object GeoQueries {
         .select(col("k"), col("name").as("mif_name"),
           st_area(col("geometry")).as("mif_area"),
           graft.functions.st_srid(col("geometry")).as("mif_srid"))
+      // DXF: rings export as closed polylines (boundary semantics), so
+      // the round-trip invariant is the ring length = perimeter
+      val dxf = "/tmp/graft_io_xml/t.dxf"
+      graft.io.GeoIO.writeDxf(
+        df.select(col("name").as("layer"), col("geometry")), dxf)
+      val dxfBack = graft.io.GeoIO.readDxf(s, dxf)
+        .select(expr("cast(substring(layer, 2) as long)").as("k"),
+          st_length(col("geometry")).as("dxf_perim"))
       kmlBack.join(wptBack, "k").join(trkBack, "k").join(gmlBack, "k")
-        .join(mifBack, "k")
+        .join(mifBack, "k").join(dxfBack, "k")
         .orderBy(col("k"))
     }),
 
@@ -1399,7 +1407,7 @@ object GeoQueries {
          | 1+CAST(k%16 AS DOUBLE)/4.0 AS wpt_z,
          | w+h AS trk_len, w*h AS gml_area, 4326 AS gml_srid,
          | 'r' || CAST(k AS VARCHAR) AS mif_name, w*h AS mif_area,
-         | 4326 AS mif_srid
+         | 4326 AS mif_srid, 2*(w+h) AS dxf_perim
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum

@@ -953,6 +953,60 @@ object GeoIO {
     try out.write(bytes) finally out.close()
   }
 
+  /** Read DXF file(s) → geo frame: EWKB geometry + the `layer` string
+    * (the one attribute the format carries). ENTITIES subset: POINT /
+    * LINE / LWPOLYLINE / POLYLINE / CIRCLE / ARC (arcs linearized);
+    * closed polylines come back as closed LINESTRINGs (OGR semantics).
+    * DXF has no CRS — SRID is 0. `path` is one `.dxf` or a directory;
+    * parallelism is per file. */
+  def readDxf(spark: SparkSession, path: String,
+      geometryName: String = "geometry"): DataFrame = {
+    val (files, _) = xmlFileList(spark, path, ".dxf")
+    val schema = StructType(Seq(
+      StructField(geometryName, BinaryType, nullable = true),
+      StructField("layer", StringType)))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+      val text = new String(readWholeFile(conf, f),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Dxf.readEntities(text).map { e =>
+        org.apache.spark.sql.Row(
+          if (e.geom == null) null else graft.serde.EWKB.write(e.geom), e.layer)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Write one DXF document (export sink): Point → POINT, (Multi)
+    * LineString → LWPOLYLINE(s), Polygon → one closed LWPOLYLINE per
+    * ring (boundary export — DXF has no simple polygon entity; reads
+    * back as closed linestrings). `layerColumn` (if present) names each
+    * entity's layer. */
+  def writeDxf(df: DataFrame, path: String, geometryName: String = "geometry",
+      layerColumn: String = "layer"): Unit = {
+    val hasLayer = df.columns.contains(layerColumn)
+    val ordered =
+      if (hasLayer) df.select(col(geometryName), col(layerColumn).cast("string"))
+      else df.select(col(geometryName))
+    val it = ordered.toLocalIterator()
+    val rows = new Iterator[(org.locationtech.jts.geom.Geometry, String)] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (org.locationtech.jts.geom.Geometry, String) = {
+        val row = it.next()
+        val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+        val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+        (geom, if (hasLayer) row.getString(1) else "0")
+      }
+    }
+    val text = Dxf.write(rows)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Read MapInfo MIF/MID file pair(s) → geo frame: EWKB geometry +
     * attribute columns typed from the MIF `Columns` header. `path` is one
     * `.mif` (its `.mid` sidecar is discovered case-insensitively) or a

@@ -371,6 +371,68 @@ class KmlGpxSpec extends AnyFunSuite {
     assert(rows(2).getString(2) === "GEOMETRYCOLLECTION EMPTY")
   }
 
+  test("dxf: point/line/polyline round-trip with layers; arcs linearize") {
+    val df = Seq(
+      ("pts", "POINT (1.5 2.25)"),
+      ("lines", "LINESTRING (0 0, 1 1, 2 0.5)"),
+      ("lines", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+      ("polys", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"))
+      .toDF("layer", "wkt")
+      .select($"layer", st_geomfromtext($"wkt").as("geometry"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dxf").toString
+    val path = s"$dir/t.dxf"
+    graft.io.GeoIO.writeDxf(df, path)
+    val back = graft.io.GeoIO.readDxf(spark, path)
+    assert(back.columns.toSeq === Seq("geometry", "layer"))
+    // polygon rings expand to closed polylines; multiline to 2 entities:
+    // 1 point + 1 line + 2 lines + 2 rings = 6 entities
+    assert(back.count() === 6)
+    val pt = back.filter($"layer" === "pts")
+      .select(st_aswkt($"geometry")).head().getString(0)
+    assert(pt === "POINT (1.5 2.25)")
+    val lines = back.filter($"layer" === "lines")
+      .select(st_aswkt($"geometry")).collect().map(_.getString(0)).sorted
+    assert(lines === Array("LINESTRING (0 0, 1 1)", "LINESTRING (0 0, 1 1, 2 0.5)",
+      "LINESTRING (2 2, 3 3)"))
+    // rings read back closed with the documented boundary-export loss
+    val rings = back.filter($"layer" === "polys")
+    assert(rings.count() === 2)
+    val ringLens = rings.select(st_length($"geometry"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(ringLens === Array(4.0, 16.0))
+
+    // hand-authored document: POLYLINE/VERTEX/SEQEND, CIRCLE, ARC, and an
+    // entity type we skip (TEXT)
+    val dxf = Seq(
+      "0", "SECTION", "2", "ENTITIES",
+      "0", "POLYLINE", "8", "road", "70", "1",
+      "0", "VERTEX", "10", "0", "20", "0",
+      "0", "VERTEX", "10", "2", "20", "0",
+      "0", "VERTEX", "10", "2", "20", "2",
+      "0", "SEQEND",
+      "0", "CIRCLE", "8", "circ", "10", "10", "20", "10", "40", "2",
+      "0", "ARC", "8", "arc", "10", "0", "20", "0", "40", "1",
+      "50", "0", "51", "90",
+      "0", "TEXT", "8", "t", "1", "hello", "10", "0", "20", "0",
+      "0", "ENDSEC", "0", "EOF").mkString("\n")
+    val p2 = s"$dir/hand.dxf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2),
+      dxf.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hb = graft.io.GeoIO.readDxf(spark, p2)
+    assert(hb.count() === 3) // TEXT skipped
+    val road = hb.filter($"layer" === "road")
+      .select(st_aswkt($"geometry")).head().getString(0)
+    assert(road === "LINESTRING (0 0, 2 0, 2 2, 0 0)") // closed flag honored
+    val circ = hb.filter($"layer" === "circ").select(
+      st_area($"geometry"), st_count_coordinates($"geometry")).head()
+    // 64-chord circle area within 1% of pi r^2
+    assert(math.abs(circ.getDouble(0) - math.Pi * 4) / (math.Pi * 4) < 0.01)
+    val arc = hb.filter($"layer" === "arc").select(
+      st_length($"geometry"), st_count_coordinates($"geometry")).head()
+    // quarter unit circle, 16 chords ≈ pi/2
+    assert(math.abs(arc.getDouble(0) - math.Pi / 2) < 0.01)
+  }
+
   test("kml + gpx: multi-file directory reads parallelize per file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml_dir").toString
     for (part <- 0 until 3) {
