@@ -475,6 +475,27 @@ object PipelineQueries {
       base.join(top2, "doc_id").orderBy(col("doc_id"))
     }),
 
+    // Published document-quality filters: Gopher Table A1 (symbol ratio,
+    // bullet/ellipsis line fractions, alpha-word ratio, required stop
+    // words, combined keep) and the C4 line rules (terminal punctuation +
+    // minimum words, boilerplate flags). All closed-form — the oracle
+    // recomputes each signal in DuckDB SQL with the same expression
+    // shapes, so doubles hash-match bit-for-bit.
+    "pipe_text3" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.symbolToWordRatio(txt).as("sym_ratio"),
+        TextAnalysis.bulletLineFrac(txt).as("bullet_frac"),
+        TextAnalysis.ellipsisLineFrac(txt).as("ellipsis_frac"),
+        TextAnalysis.alphaWordRatio(txt).as("alpha_word"),
+        TextAnalysis.requiredStopwordCount(txt).cast("long").as("req_stop"),
+        TextAnalysis.gopherKeep(txt).as("keep"),
+        length(TextAnalysis.c4KeepLines(txt)).as("c4_len"),
+        TextAnalysis.c4HasLoremIpsum(txt).as("c4_lorem"),
+        TextAnalysis.c4HasCurlyBrace(txt).as("c4_brace"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified deterministic down-sampling by language (en 50%, zh 20%,
     // others kept), same md5 bucket as the split but a different salt.
     "pipe_sample" -> ((s, dir) => {
@@ -794,6 +815,54 @@ object PipelineQueries {
         |   THEN CAST(coalesce(list_max(list_transform(list_distinct(grams),
         |     g -> len(list_filter(grams, x -> x = g)) * length(g))), 0) AS DOUBLE) / doc_len
         |   ELSE 0.0 END AS top2
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "pipe_text3" ->
+      """WITH l AS (SELECT doc_id, text,
+        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |    x -> length(x) > 0) AS ls,
+        |  regexp_extract_all(text, '\S+') AS tk
+        | FROM documents),
+        |m AS (SELECT doc_id, text, ls, tk,
+        |  (length(text) - length(replace(text, '#', ''))) / 1
+        |   + (length(text) - length(replace(text, '…', ''))) / 1
+        |   + (length(text) - length(replace(text, '...', ''))) / 3 AS syms,
+        |  CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |     x -> substring(x, 1, 1) IN ('•', '‣', '●', '-', '*'))) AS DOUBLE)
+        |     / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS bullet_frac,
+        |  CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls,
+        |     x -> ends_with(x, '…') OR ends_with(x, '...'))) AS DOUBLE)
+        |     / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS ellipsis_frac,
+        |  CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk,
+        |     t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |     / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS alpha_word,
+        |  CAST(regexp_matches(lower(text), '\bthe\b') AS INT)
+        |   + CAST(regexp_matches(lower(text), '\bbe\b') AS INT)
+        |   + CAST(regexp_matches(lower(text), '\bto\b') AS INT)
+        |   + CAST(regexp_matches(lower(text), '\bof\b') AS INT)
+        |   + CAST(regexp_matches(lower(text), '\band\b') AS INT)
+        |   + CAST(regexp_matches(lower(text), '\bthat\b') AS INT)
+        |   + CAST(regexp_matches(lower(text), '\bhave\b') AS INT)
+        |   + CAST(regexp_matches(lower(text), '\bwith\b') AS INT) AS req_stop,
+        |  CASE WHEN len(tk) > 0
+        |    THEN CAST(length(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |    ELSE 0.0 END AS mwl
+        | FROM l)
+        |SELECT doc_id,
+        | CASE WHEN len(tk) > 0 THEN CAST(syms AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |   ELSE 0.0 END AS sym_ratio,
+        | bullet_frac, ellipsis_frac, alpha_word,
+        | CAST(req_stop AS BIGINT) AS req_stop,
+        | (len(tk) BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |   AND (CASE WHEN len(tk) > 0 THEN CAST(syms AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |        ELSE 0.0 END) <= 0.1
+        |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_word >= 0.8 AND req_stop >= 2 AS keep,
+        | coalesce(length(array_to_string(list_filter(ls,
+        |   x -> (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+        |         OR ends_with(x, '"'))
+        |        AND len(regexp_extract_all(x, '\S+')) >= 3), chr(10))), 0) AS c4_len,
+        | contains(lower(text), 'lorem ipsum') AS c4_lorem,
+        | contains(text, '{') AS c4_brace
         |FROM m ORDER BY doc_id""".stripMargin,
     "pipe_url" ->
       """SELECT doc_id,

@@ -188,4 +188,81 @@ object TextAnalysis {
         when(col("doc_len") > 0, coalesce(col("cov"), lit(0L)).cast("double") / col("doc_len"))
           .otherwise(lit(0.0)).as("top_frac"))
   }
+
+  // --------------------- document quality filters (Gopher Table A1 / C4)
+
+  private def occurrences(text: Column, s: String): Column =
+    (length(text) - length(call_function("replace", text, lit(s), lit("")))) / s.length
+
+  /** Occurrences of '#' or an ellipsis ('…' or '...') per word — Gopher's
+    * symbol-to-word ratio (threshold ≤ 0.1). 0 for wordless text. */
+  def symbolToWordRatio(text: Column): Column =
+    ratio(occurrences(text, "#") + occurrences(text, "…") +
+      occurrences(text, "..."), tokenCount(text))
+
+  /** Fraction of (non-empty, trimmed) lines starting with a bullet
+    * character (•, ‣, ●, -, *) — Gopher threshold ≤ 0.9. */
+  def bulletLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    ratio(size(filter(ls, l => substring(l, 1, 1).isin("•", "‣", "●", "-", "*"))),
+      size(ls))
+  }
+
+  /** Fraction of lines ending with an ellipsis — Gopher threshold ≤ 0.3. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    ratio(size(filter(ls, l => l.endsWith("…") || l.endsWith("..."))), size(ls))
+  }
+
+  /** Fraction of words containing at least one ASCII letter — Gopher
+    * threshold ≥ 0.8. */
+  def alphaWordRatio(text: Column): Column = {
+    val tk = tokens(text)
+    ratio(size(filter(tk, t => t.rlike("[A-Za-z]"))), size(tk))
+  }
+
+  /** How many of Gopher's eight required English stop words appear as
+    * whole words ({the, be, to, of, and, that, have, with}) — threshold
+    * ≥ 2. */
+  def requiredStopwordCount(text: Column): Column = {
+    val lo = lower(text)
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => lo.rlike("\\b" + w + "\\b").cast("int"))
+      .reduce(_ + _)
+  }
+
+  /** Gopher document-level keep decision (Rae et al. 2021, Table A1
+    * document filters; the repetition thresholds are separate signals —
+    * [[dupLineFrac]] etc.). All sub-signals are codegen built-ins. */
+  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaWordRatio: Double = 0.8,
+      minRequiredStopwords: Int = 2): Column = {
+    val n = tokenCount(text)
+    n.geq(minWords) && n.leq(maxWords) &&
+      meanWordLength(text).between(minMeanWordLen, maxMeanWordLen) &&
+      symbolToWordRatio(text).leq(maxSymbolRatio) &&
+      bulletLineFrac(text).leq(maxBulletFrac) &&
+      ellipsisLineFrac(text).leq(maxEllipsisFrac) &&
+      alphaWordRatio(text).geq(minAlphaWordRatio) &&
+      requiredStopwordCount(text).geq(minRequiredStopwords)
+  }
+
+  /** C4-style line filter (Raffel et al. 2020): keep lines that end in
+    * terminal punctuation ('.', '!', '?', '"') and carry at least
+    * `minWords` whitespace words; returns the retained lines re-joined
+    * with '\n' (empty string when nothing survives). */
+  def c4KeepLines(text: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(lines(text), l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+          l.endsWith("\"")) &&
+          size(regexp_extract_all(l, lit("\\S+"), lit(0))).geq(minWords)),
+      "\n")
+
+  /** C4 document flags: boilerplate markers that drop the whole page. */
+  def c4HasLoremIpsum(text: Column): Column =
+    lower(text).contains("lorem ipsum")
+  def c4HasCurlyBrace(text: Column): Column = text.contains("{")
 }
