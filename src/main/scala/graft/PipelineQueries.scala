@@ -489,6 +489,7 @@ object PipelineQueries {
         TextAnalysis.ellipsisLineFrac(txt).as("ellipsis_frac"),
         TextAnalysis.alphaWordRatio(txt).as("alpha_word"),
         TextAnalysis.requiredStopwordCount(txt).cast("long").as("req_stop"),
+        TextAnalysis.dupParagraphFrac(txt).as("dup_para"),
         TextAnalysis.gopherKeep(txt).as("keep"),
         length(TextAnalysis.c4KeepLines(txt)).as("c4_len"),
         TextAnalysis.c4HasLoremIpsum(txt).as("c4_lorem"),
@@ -852,6 +853,12 @@ object PipelineQueries {
         |   ELSE 0.0 END AS sym_ratio,
         | bullet_frac, ellipsis_frac, alpha_word,
         | CAST(req_stop AS BIGINT) AS req_stop,
+        | (SELECT CASE WHEN len(ps) > 0
+        |    THEN CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE)
+        |      / CAST(len(ps) AS DOUBLE) ELSE 0.0 END
+        |   FROM (SELECT list_filter(list_transform(
+        |     string_split(text, chr(10) || chr(10)), p -> trim(p)),
+        |     p -> length(p) > 0) AS ps)) AS dup_para,
         | (len(tk) BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
         |   AND (CASE WHEN len(tk) > 0 THEN CAST(syms AS DOUBLE) / CAST(len(tk) AS DOUBLE)
         |        ELSE 0.0 END) <= 0.1

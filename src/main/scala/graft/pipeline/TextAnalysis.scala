@@ -124,6 +124,18 @@ object TextAnalysis {
     ratio(size(ls) - size(array_distinct(ls)), size(ls))
   }
 
+  /** Non-empty paragraphs: blank-line-separated chunks, trimmed. A chunk
+    * may span lines (single newlines stay inside it). */
+  private def paragraphs(text: Column): Column =
+    filter(transform(split(text, "\n\n", -1), p => trim(p)), p => length(p) > 0)
+
+  /** Fraction of paragraphs that repeat an earlier paragraph (Gopher
+    * `duplicate_paragraph_fraction`). */
+  def dupParagraphFrac(text: Column): Column = {
+    val ps = paragraphs(text)
+    ratio(size(ps) - size(array_distinct(ps)), size(ps))
+  }
+
   /** Fraction of line CHARACTERS belonging to repeated copies (every
     * occurrence beyond a line's first counts its characters). A single
     * O(chars) pass with a per-row hash count — the earlier array-lambda
