@@ -432,12 +432,12 @@ object Similarity {
     * scan, and full vectors only for candidate rows. */
   def buildIvfPqStore(index: IvfIndex, book: PqCodebook, corpus: DataFrame,
       corpusId: String, corpusVec: String, path: String,
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false, packed: Boolean = false): Unit = {
     val withCell = assigned(index, corpus, corpusId, corpusVec)
     val encodeInput =
       if (residual) residualUdf(index)(col("cvec"), col("cell"))
       else col("cvec")
-    withCell.withColumn("code", pqEncodeUdf(book)(encodeInput))
+    withCell.withColumn("code", pqEncodeUdf(book, packed)(encodeInput))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
@@ -450,7 +450,7 @@ object Similarity {
       index: IvfIndex, book: PqCodebook, storePath: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int = 4, candidates: Int = 64,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false, packed: Boolean = false): DataFrame = {
     val books = book.codebooks
     val ksub = book.ksub
     val tableOf = udf((vec: Seq[Double]) =>
@@ -471,11 +471,7 @@ object Similarity {
         }
         out
       })
-    val adc = udf((code: Array[Byte], table: Seq[Double]) => {
-      var s = 0.0; var i = 0
-      while (i < code.length) { s += table(i * ksub + (code(i) & 0xFF)); i += 1 }
-      s
-    })
+    val adc = adcUdf(book.m, ksub, packed)
     // residual stores score dot(q, x) ≈ dot(q, c_cell) + dot(q, quant(r)):
     // the per-(query, probed-cell) constant rides the explode — |Q|×nprobe
     // dim-length dots, negligible next to the scan
@@ -632,13 +628,15 @@ object Similarity {
     }
   }
 
-  private def pqEncodeUdf(book: PqCodebook) = {
+  private def pqEncodeUdf(book: PqCodebook, packed: Boolean = false) = {
     val books = book.codebooks
+    if (packed) require(book.ksub <= 16,
+      s"pq: packed nibble codes need ksub <= 16, got ${book.ksub}")
     udf((vec: Seq[Double]) =>
       if (vec == null) null
       else {
         val dsub = books(0)(0).length
-        Array.tabulate(books.length) { sub =>
+        val idx = Array.tabulate(books.length) { sub =>
           var best = 0; var bestD = Double.MaxValue
           var ci = 0
           while (ci < books(sub).length) {
@@ -649,18 +647,40 @@ object Similarity {
             if (d < bestD) { bestD = d; best = ci }
             ci += 1
           }
-          best.toByte
+          best
+        }
+        if (!packed) idx.map(_.toByte)
+        else Array.tabulate((idx.length + 1) / 2) { b =>
+          // sub 2b in the low nibble, sub 2b+1 in the high nibble
+          val lo = idx(2 * b)
+          val hi = if (2 * b + 1 < idx.length) idx(2 * b + 1) else 0
+          ((hi << 4) | lo).toByte
         }
       })
   }
 
-  /** Encode the corpus: (corpus_id, code binary of `m` bytes). This is
-    * the table that replaces the raw vectors for the ADC scan — m bytes
-    * per row regardless of dim. */
+  /** ADC lookup over a code byte array: one lookup per subspace, nibble
+    * decode when `packed`. */
+  private def adcUdf(m: Int, ksub: Int, packed: Boolean) =
+    udf((code: Array[Byte], table: Seq[Double]) => {
+      var s = 0.0; var i = 0
+      while (i < m) {
+        val ci =
+          if (!packed) code(i) & 0xFF
+          else (code(i >> 1) >> ((i & 1) * 4)) & 0xF
+        s += table(i * ksub + ci)
+        i += 1
+      }
+      s
+    })
+
+  /** Encode the corpus: (corpus_id, code binary of `m` bytes — or
+    * ⌈m/2⌉ bytes with `packed` nibble codes when ksub ≤ 16). This is
+    * the table that replaces the raw vectors for the ADC scan. */
   def encodePq(book: PqCodebook, corpus: DataFrame, corpusId: String,
-      corpusVec: String): DataFrame =
+      corpusVec: String, packed: Boolean = false): DataFrame =
     unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
-      .select(col("corpus_id"), pqEncodeUdf(book)(col("cvec")).as("code"))
+      .select(col("corpus_id"), pqEncodeUdf(book, packed)(col("cvec")).as("code"))
 
   /** Approximate top-`candidates` per query by asymmetric distance
     * computation over the CODES table, then EXACT re-rank of those
@@ -674,7 +694,7 @@ object Similarity {
   def pqTopKReranked(book: PqCodebook, codes: DataFrame,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, candidates: Int = 64): DataFrame = {
+      k: Int, candidates: Int = 64, packed: Boolean = false): DataFrame = {
     val books = book.codebooks
     val ksub = book.ksub
     // per-query ADC table: flat m × ksub array of dot(q_sub, center)
@@ -696,11 +716,7 @@ object Similarity {
         }
         out
       })
-    val adc = udf((code: Array[Byte], table: Seq[Double]) => {
-      var s = 0.0; var i = 0
-      while (i < code.length) { s += table(i * ksub + (code(i) & 0xFF)); i += 1 }
-      s
-    })
+    val adc = adcUdf(book.m, ksub, packed)
     val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
       .withColumn("qtable", tableOf(col("qvec")))
     val scored = codes.crossJoin(broadcast(q.select(col("query_id"), col("qtable"))))

@@ -218,6 +218,18 @@ class PipelineSpec extends AnyFunSuite {
     val qids = queries.select($"query_id").as[Long].collect().toSet
     assert(qids.forall(q => nr.contains((q, 1, q))), s"self-retrieval lost: $nr")
     assert(nr.size === qids.size * 3)
+
+    // 4-bit packed nibble codes (ksub=16): HALF the bytes, and because
+    // the packed decode recovers the identical center indices, the
+    // result set is identical to the byte-code path
+    val packedCodes = Similarity.encodePq(book, corpus, "vec_id", "embedding",
+      packed = true)
+    assert(packedCodes.select(length($"code")).distinct().as[Int]
+      .collect().toSeq === Seq(2)) // m=4 → 2 bytes
+    val packedRes = Similarity.pqTopKReranked(book, packedCodes, corpus,
+      "vec_id", "embedding", queries, "query_id", "embedding", k = 3,
+      candidates = 8, packed = true)
+    assert(rows(packedRes) === nr)
   }
 
   test("IVF-PQ store: composed pruning, exact at full probe + full re-rank") {
