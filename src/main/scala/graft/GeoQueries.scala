@@ -884,7 +884,24 @@ object GeoQueries {
         ftConsistent(lonCa, latCa, 26943, 2227).as("ca3_ft_m_ok"),
         ftConsistent(lonFl, latFl, 26958, 2236).as("fle_ft_m_ok"),
         st_get_crs_from_code(lit(2277)).contains("US survey foot")
-          .as("ft_wkt_unit_ok")
+          .as("ft_wkt_unit_ok"),
+        // round-7 tranche: Nordic/Baltic national grids (shift-free →
+        // 1e-8). NTM zone 10's domain straddles its half-degree meridian.
+        rtOk(lit(9.75) + (k % 7).cast("double") / 4.0,
+          lit(58.25) + (k % 24).cast("double") / 4.0, 5110, 1e-8)
+          .as("ntm10_rt_ok"),
+        rtOk(lit(22.25) + (k % 23).cast("double") / 4.0,
+          lit(57.75) + (k % 7).cast("double") / 4.0, 3301, 1e-8)
+          .as("est97_rt_ok"),
+        rtOk(lit(21.25) + (k % 27).cast("double") / 4.0,
+          lit(55.75) + (k % 9).cast("double") / 4.0, 3059, 1e-8)
+          .as("lks92_rt_ok"),
+        rtOk(lit(21.25) + (k % 21).cast("double") / 4.0,
+          lit(54.0) + (k % 10).cast("double") / 4.0, 3346, 1e-8)
+          .as("lks94_rt_ok"),
+        rtOk(lit(8.25) + (k % 13).cast("double") / 4.0,
+          lit(54.75) + (k % 11).cast("double") / 4.0, 4094, 1e-8)
+          .as("dktm2_rt_ok")
       ).orderBy(k)
     }),
 
@@ -1327,7 +1344,9 @@ object GeoQueries {
          | TRUE AS lcc_eu_rt_ok, TRUE AS pt06_rt_ok, TRUE AS at_lcc_rt_ok,
          | TRUE AS be08_rt_ok, TRUE AS de_lcc_rt_ok, TRUE AS sirgas23s_rt_ok,
          | TRUE AS sirgas19s_rt_ok, TRUE AS tx_ft_m_ok, TRUE AS nyli_ft_m_ok,
-         | TRUE AS ca3_ft_m_ok, TRUE AS fle_ft_m_ok, TRUE AS ft_wkt_unit_ok
+         | TRUE AS ca3_ft_m_ok, TRUE AS fle_ft_m_ok, TRUE AS ft_wkt_unit_ok,
+         | TRUE AS ntm10_rt_ok, TRUE AS est97_rt_ok, TRUE AS lks92_rt_ok,
+         | TRUE AS lks94_rt_ok, TRUE AS dktm2_rt_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

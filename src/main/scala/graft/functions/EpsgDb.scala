@@ -193,7 +193,27 @@ object EpsgDb {
         + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ell.ep2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
       val lam = (d - (1 + 2 * t1 + c1) * d * d * d / 6
         + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ell.ep2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / cosP
-      (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+      // The Snyder series truncates at d⁵/λ⁶: ~3e-8° of residual at
+      // 3.75° from the central meridian (LKS92's eastern edge), which
+      // breaches the shift-free 1e-8° round-trip budget. One Newton step
+      // against the exact forward (numeric Jacobian; the step error is
+      // quadratic in the ~1e-8 residual) lands every in-domain TM zone
+      // at ≤1e-11°.
+      var lon = lon0Deg + math.toDegrees(lam)
+      var lat = math.toDegrees(phi)
+      val (fx0, fy0) = forward(lon, lat)
+      val h = 1e-7
+      val (fx1, fy1) = forward(lon + h, lat)
+      val (fx2, fy2) = forward(lon, lat + h)
+      val j11 = (fx1 - fx0) / h; val j12 = (fx2 - fx0) / h
+      val j21 = (fy1 - fy0) / h; val j22 = (fy2 - fy0) / h
+      val det = j11 * j22 - j12 * j21
+      if (det != 0.0 && !det.isNaN) {
+        val ex = x0 - fx0; val ey = y0 - fy0
+        lon += (j22 * ex - j12 * ey) / det
+        lat += (-j21 * ex + j11 * ey) / det
+      }
+      (lon, lat)
     }
   }
 
@@ -958,6 +978,28 @@ object EpsgDb {
     add(31287, (Lcc2SP(Bessel1841, 49, 46, 47.5, 13.0 + 20.0 / 60,
       400000, 400000), Some(Mgi), "MGI / Austria Lambert"))
     add(4312, (Geographic(Bessel1841), Some(Mgi), "MGI"))
+
+    // Norway: ETRS89 / NTM zones 5-30 (TM, k0 = 1, half-degree central
+    // meridians — the construction-survey grids)
+    for (z <- 5 to 30)
+      add(5100 + z, noShift(TMerc(GRS80, 58, z + 0.5, 1.0, 100000, 1000000),
+        s"ETRS89 / NTM zone $z"))
+    // Baltic national grids (ETRS89-family datums, coincident at our
+    // tolerance): Estonia 1997 LCC, Latvia LKS92 TM, Lithuania LKS94 TM
+    add(3301, noShift(Lcc2SP(GRS80, 59.0 + 20.0 / 60, 58.0,
+      57.0 + 31.0 / 60 + 3.19415 / 3600, 24.0, 500000, 6375000),
+      "Estonian Coordinate System of 1997"))
+    add(3059, noShift(TMerc(GRS80, 0, 24, 0.9996, 500000, -6000000),
+      "LKS92 / Latvia TM"))
+    add(3346, noShift(TMerc(GRS80, 0, 24, 0.9998, 500000, 0),
+      "LKS94 / Lithuania TM"))
+    // Denmark: ETRS89 / DKTM1-4
+    val dktm = Seq((4093, 9.0, 200000.0), (4094, 10.0, 400000.0),
+      (4095, 11.75, 600000.0), (4096, 15.0, 800000.0))
+    dktm.zipWithIndex.foreach { case ((code, lon0, fe), i) =>
+      add(code, noShift(TMerc(GRS80, 0, lon0, 0.99998, fe, -5000000),
+        s"ETRS89 / DKTM${i + 1}"))
+    }
 
     // New Zealand NZGD49: geographic + the Map Grid (complex-series
     // conformal, EPSG method 9811)
