@@ -156,12 +156,13 @@ private[graft] object MapInfo {
               new Coordinate(w(3).toDouble, w(4).toDouble)))
             i += 1
           case "pline" =>
-            val sections =
-              if (w.length >= 3 && w(1).equalsIgnoreCase("multiple")) w(2).toInt
-              else 1
-            // single-section count may be on the same line or the next
+            val isMultiple = w.length >= 3 && w(1).equalsIgnoreCase("multiple")
+            val sections = if (isMultiple) w(2).toInt else 1
+            // single-section count may be on the same line or the next —
+            // but "Pline Multiple 1" is still the multiple form, whose
+            // per-section counts always live on their own lines
             var firstCount = -1
-            if (sections == 1 && w.length >= 2) firstCount = w(1).toInt
+            if (!isMultiple && w.length >= 2) firstCount = w(1).toInt
             i += 1
             val parts = (0 until sections).map { s =>
               val n =
@@ -170,7 +171,9 @@ private[graft] object MapInfo {
               val cs = Array.fill(n) { val c = coordLine(lines(i)); i += 1; c }
               factory.createLineString(cs)
             }
-            geoms += (if (parts.length == 1) parts.head
+            // the Multiple form stays a MultiLineString even with one
+            // section (OGR's mapping); a bare Pline is a LineString
+            geoms += (if (!isMultiple && parts.length == 1) parts.head
               else factory.createMultiLineString(parts.toArray))
           case "region" =>
             val nRings = w(1).toInt
