@@ -616,7 +616,7 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
         | FROM documents),
         |m AS (SELECT *,
-        |  CASE WHEN n_tok > 0 THEN CAST(length(text) - n_tok + 1 AS DOUBLE) / n_tok ELSE 0.0 END AS mwl,
+        |  CASE WHEN n_tok > 0 THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_tok ELSE 0.0 END AS mwl,
         |  CASE WHEN length(text) > 0 THEN CAST(n_alpha AS DOUBLE) / length(text) ELSE 0.0 END AS alpha,
         |  CASE WHEN length(text) > 0 THEN CAST(n_punct AS DOUBLE) / length(text) ELSE 0.0 END AS punct
         | FROM s)
@@ -845,7 +845,8 @@ object PipelineQueries {
         |   + CAST(regexp_matches(lower(text), '\bhave\b') AS INT)
         |   + CAST(regexp_matches(lower(text), '\bwith\b') AS INT) AS req_stop,
         |  CASE WHEN len(tk) > 0
-        |    THEN CAST(length(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |    THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / CAST(len(tk) AS DOUBLE)
         |    ELSE 0.0 END AS mwl
         | FROM l)
         |SELECT doc_id,

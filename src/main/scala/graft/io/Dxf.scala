@@ -84,8 +84,10 @@ private[graft] object Dxf {
           case "ENDSEC" | "EOF" => p = pairs.length
           case "POINT" =>
             val (m, next) = groupsOf(p)
+            // group 30 is mandatory on POINT: an explicit z (even 0.0) keeps
+            // the Z dimension; only an absent group reads as 2D
             val z = d(m, 30, Double.NaN)
-            val c = if (java.lang.Double.isNaN(z) || z == 0.0)
+            val c = if (java.lang.Double.isNaN(z))
               new Coordinate(d(m, 10), d(m, 20))
             else new Coordinate(d(m, 10), d(m, 20), z)
             out += Entity(factory.createPoint(c), layerOf(m))

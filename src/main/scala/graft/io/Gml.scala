@@ -186,21 +186,31 @@ private[graft] object Gml {
           case XMLStreamConstants.START_ELEMENT =>
             val n = r.getLocalName
             // member wrappers (pointMember, curveMember, surfaceMembers,
-            // geometryMember, ...) just descend; geometry tags parse
-            if (GeometryTags.contains(n) && !n.startsWith("Multi"))
+            // geometryMember, ...) just descend; geometry tags parse —
+            // including nested Multi* (a MultiPolygon inside MultiGeometry
+            // is valid GML and must not be silently skipped)
+            if (GeometryTags.contains(n))
               parts += parseGeometry(r, n, srsDim, latFirst)
             else if (!n.endsWith("Member") && !n.endsWith("Members")) skip(r)
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == m => done = true
           case _ =>
         }
       }
+      // A nested multi inside a *typed* container (nonstandard but seen in
+      // the wild) contributes its components rather than failing the cast.
+      val flat = parts.flatMap {
+        case gc: org.locationtech.jts.geom.GeometryCollection
+            if m != "MultiGeometry" =>
+          (0 until gc.getNumGeometries).map(gc.getGeometryN)
+        case g => Seq(g)
+      }
       m match {
         case "MultiPoint" => factory.createMultiPoint(
-          parts.map(_.asInstanceOf[org.locationtech.jts.geom.Point]).toArray)
+          flat.map(_.asInstanceOf[org.locationtech.jts.geom.Point]).toArray)
         case "MultiLineString" | "MultiCurve" => factory.createMultiLineString(
-          parts.map(_.asInstanceOf[org.locationtech.jts.geom.LineString]).toArray)
+          flat.map(_.asInstanceOf[org.locationtech.jts.geom.LineString]).toArray)
         case "MultiPolygon" | "MultiSurface" => factory.createMultiPolygon(
-          parts.map(_.asInstanceOf[org.locationtech.jts.geom.Polygon]).toArray)
+          flat.map(_.asInstanceOf[org.locationtech.jts.geom.Polygon]).toArray)
         case _ => factory.createGeometryCollection(parts.toArray)
       }
   }

@@ -307,8 +307,11 @@ private[graft] object Kml {
       if (data.nonEmpty) {
         b.append("<ExtendedData>")
         data.foreach { case (k, v) =>
-          b.append("<Data name=\"").append(esc(k)).append("\"><value>")
-            .append(if (v == null) "" else esc(v)).append("</value></Data>")
+          // null values omit the Data element entirely so a round trip reads
+          // them back as null, not empty string
+          if (v != null)
+            b.append("<Data name=\"").append(esc(k)).append("\"><value>")
+              .append(esc(v)).append("</value></Data>")
         }
         b.append("</ExtendedData>")
       }

@@ -253,7 +253,12 @@ private[graft] object MapInfo {
   }
 
   /** Serialize (mif, mid). `columns` must match each row's field order;
-    * Char fields are quoted in the MID. */
+    * Char fields are quoted in the MID.
+    *
+    * Null coercion (documented divergence): MID is a positional CSV with no
+    * null literal, so null fields serialize as the empty value and read back
+    * as "" (Char) / null (numeric via parse failure). Null vs "" is not
+    * distinguishable across a MIF/MID round trip — inherent to the format. */
   def write(columns: Seq[MifColumn], rows: Iterator[(Geometry, Array[String])],
       srid: Int): (String, String) = {
     val mif = new StringBuilder

@@ -31,7 +31,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Null (not NaN) when either vector is all-zero: NaN would sort greatest
+    * under Spark's ordering and satisfy `>= threshold` filters, so a zero
+    * embedding would otherwise match everything in its bucket. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0d, dot(a, b) / d)
+  }
 
   private def fmix64(x0: Long): Long = {
     var x = x0
@@ -178,6 +184,11 @@ object Similarity {
       outId: String, outVec: String): DataFrame =
     df.select(col(id).as(outId), col(vec).cast("array<double>").as(outVec))
       .withColumn("__n", norm(col(outVec)))
+      // Zero-norm (all-zero) vectors have no direction: dividing by the norm
+      // would yield an all-NaN unit vector whose NaN cosine sorts ABOVE every
+      // real match under Spark's NaN-greatest ordering. Drop such rows here so
+      // no tier (brute/LSH/IVF/PQ) can rank them.
+      .filter(col("__n") > 0d)
       .withColumn(outVec, transform(col(outVec), x => x / col("__n")))
       .drop("__n")
 

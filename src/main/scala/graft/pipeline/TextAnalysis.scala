@@ -40,9 +40,13 @@ object TextAnalysis {
   def whitespaceRatio(text: Column): Column =
     ratio(length(text) - length(regexp_replace(text, "\\s", "")), length(text))
 
+  /** Mean word length per Gopher's per-word definition: total non-whitespace
+    * characters / token count (Σ len(token) = len(text stripped of \s), since
+    * tokens are exactly the \S+ runs). Robust to repeated spaces, newlines
+    * and \r\n — unlike a separator-count proxy. */
   def meanWordLength(text: Column): Column =
     when(tokenCount(text) > 0,
-      (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text))
+      length(regexp_replace(text, "\\s", "")).cast("double") / tokenCount(text))
       .otherwise(lit(0.0))
 
   /** Small embedded stopword lists (public, common function words). */

@@ -69,6 +69,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.filter($"rank" === 1).select("corpus_id").as[Long].collect()(0) === 1L)
   }
 
+  test("all-zero embeddings never rank (no NaN cosine)") {
+    // A zero vector has no direction; before the guard, its NaN cosine
+    // sorted above every real match (Spark orders NaN greatest).
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f)) // zero-norm corpus row
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 3)
+      .select("rank", "corpus_id", "cosine").as[(Int, Long, Double)].collect()
+    assert(topk.forall(t => !t._3.isNaN))
+    assert(topk.map(_._2).toSet === Set(1L, 2L)) // zero row absent
+    assert(topk.find(_._1 == 1).get._2 === 1L)
+    // near-dup tier: zero vector must not pair with everything in its bucket
+    val nd = Dedup.nearDupEmbedding(vecs, "vec_id", "embedding",
+      threshold = 0.9, bits = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!nd.exists(p => p._1 == 3L || p._2 == 3L), s"zero vec paired: $nd")
+  }
+
   test("IVF index: train once, save, reload, identical top-k") {
     // VERDICT r4 #5: centroid persistence (plain parquet) + unbiased
     // training sample — repeated query batches against a fixed corpus must

@@ -90,4 +90,17 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
     assert(clean.columns.toSeq == Seq("doc_id", "text"))
   }
+
+  test("meanWordLength counts word chars, not separators") {
+    val m = Seq(
+      (1L, "ab cd"),        // 4 chars / 2 tokens = 2.0
+      (2L, "ab   cd"),      // repeated spaces must not inflate: still 2.0
+      (3L, "ab\r\ncd\n\n"), // CRLF + trailing newlines: still 2.0
+      (4L, "abc"), (5L, ""), (6L, "   ")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.meanWordLength(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 2.0 && m(2L) == 2.0 && m(3L) == 2.0)
+    assert(m(4L) == 3.0 && m(5L) == 0.0 && m(6L) == 0.0)
+  }
 }
