@@ -788,6 +788,12 @@ object GeoQueries {
     "geo_crs4" -> ((s, dir) => {
       graft.functions.registerCrs(927700,
         """PROJCS["OSGB36 / British National Grid",GEOGCS["OSGB36",DATUM["Ordnance_Survey_of_Great_Britain_1936",SPHEROID["Airy 1830",6377563.396,299.3249646],TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],PARAMETER["scale_factor",0.9996012717],PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],UNIT["metre",1],AUTHORITY["EPSG","27700"]]""")
+      // ESRI dialect (ArcGIS .prj): D_-prefixed datum, no TOWGS84, no
+      // AUTHORITY — the datum-name table recovers the OSGB36 Helmert and
+      // sridForWkt infers 27700 from the embedded table
+      val esriBngPrj =
+        """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",400000.0],PARAMETER["False_Northing",-100000.0],PARAMETER["Central_Meridian",-2.0],PARAMETER["Scale_Factor",0.9996012717],PARAMETER["Latitude_Of_Origin",49.0],UNIT["Meter",1.0]]"""
+      graft.functions.registerCrs(957700, esriBngPrj)
       graft.functions.registerCrs(905514,
         """PROJCS["S-JTSK / Krovak East North",GEOGCS["S-JTSK",DATUM["System_Jednotne_Trigonometricke_Site_Katastralni",SPHEROID["Bessel 1841",6377397.155,299.1528128],TOWGS84[589,76,480,0,0,0,0]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Krovak"],PARAMETER["latitude_of_center",49.5],PARAMETER["longitude_of_center",24.83333333333333],PARAMETER["azimuth",30.28813972527778],PARAMETER["pseudo_standard_parallel_1",78.5],PARAMETER["scale_factor",0.9999],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]""")
       val lonUk = (k % 24).cast("double") / 4.0 - 5.0
@@ -813,7 +819,12 @@ object GeoQueries {
         rtOk(lonUk, latUk, 927700, 1e-6).as("reg_bng_rt_ok"),
         rtOk(lonCz, latCz, 905514, 1e-5).as("reg_krovak_rt_ok"),
         st_get_crs_from_code(lit(927700)).contains("British National Grid")
-          .as("reg_wkt_ok")
+          .as("reg_wkt_ok"),
+        // ESRI-dialect .prj ≡ EPSG-table twin (Helmert from the datum NAME)
+        viaBoth(lonUk, latUk, 27700, 957700, 1e-4).as("esri_bng_match_ok"),
+        rtOk(lonUk, latUk, 957700, 1e-6).as("esri_bng_rt_ok"),
+        lit(graft.functions.CrsRegistry.sridForWkt(esriBngPrj) == 27700)
+          .as("esri_infer_ok")
       ).orderBy(k)
     }),
 
@@ -1334,7 +1345,8 @@ object GeoQueries {
          |FROM b ORDER BY k""".stripMargin,
     "geo_crs4" ->
       s"""$B SELECT k, TRUE AS reg_bng_match_ok, TRUE AS reg_krovak_match_ok,
-         | TRUE AS reg_bng_rt_ok, TRUE AS reg_krovak_rt_ok, TRUE AS reg_wkt_ok
+         | TRUE AS reg_bng_rt_ok, TRUE AS reg_krovak_rt_ok, TRUE AS reg_wkt_ok,
+         | TRUE AS esri_bng_match_ok, TRUE AS esri_bng_rt_ok, TRUE AS esri_infer_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_crs5" ->
       s"""$B SELECT k,

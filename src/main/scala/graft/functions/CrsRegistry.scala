@@ -5,10 +5,12 @@ import graft.functions.EpsgDb._
 import scala.collection.mutable.ArrayBuffer
 
 /** User-registrable CRS definitions, closing the long tail beyond the
-  * embedded EPSG table: any WKT1 definition (the format published per code
-  * on epsg.io / spatialreference.org, and carried by `.prj` files) whose
-  * projection method is one of the implemented families becomes a working
-  * `st_to_srid` target/source.
+  * embedded EPSG table: any WKT definition — OGC WKT1, the ESRI WKT1
+  * dialect that ArcGIS writes into `.prj` files (no TOWGS84, no AUTHORITY,
+  * `D_`-prefixed datum names), or WKT2 (ISO 19162 `PROJCRS`/`GEOGCRS`,
+  * incl. `BOUNDCRS` datum-shift wrappers) — whose projection method is one
+  * of the implemented families becomes a working `st_to_srid`
+  * target/source.
   *
   * Cluster semantics: [[register]] affects the CALLING JVM — the driver,
   * and every executor in `local[*]` mode. On a multi-executor cluster,
@@ -19,12 +21,16 @@ import scala.collection.mutable.ArrayBuffer
   * (A driver-side runtime `register` cannot reach remote executors —
   * Spark ships no static state — hence the conf channel.)
   *
-  * Supported WKT1 projection methods → [[EpsgDb]] families:
-  * Transverse_Mercator, Mercator_1SP/2SP, Lambert_Conformal_Conic_1SP/2SP,
-  * Albers_Conic_Equal_Area, Polar_Stereographic,
-  * Lambert_Azimuthal_Equal_Area, Oblique_Stereographic, Krovak, plus plain
-  * GEOGCS. Datum shift from TOWGS84 (3- or 7-parameter, position vector);
-  * non-metre linear units via [[EpsgDb.UnitScaled]].
+  * Supported projection methods → [[EpsgDb]] families (WKT1, ESRI and
+  * WKT2/EPSG spellings all accepted): Transverse_Mercator/Gauss_Kruger,
+  * Mercator (1SP/2SP/variant A/B/Auxiliary_Sphere/web mercator),
+  * Lambert_Conformal_Conic (1SP/2SP), Albers, Polar_Stereographic
+  * (variant A/B, ESRI North/South_Pole), Lambert_Azimuthal_Equal_Area,
+  * Oblique/Double_Stereographic, Krovak, plus plain geographic CRSs.
+  * Datum shift from TOWGS84 / BOUNDCRS when present; otherwise recovered
+  * from the datum NAME via [[EpsgDb.datumShiftByName]] (how the reference
+  * resolves ESRI `.prj` files through GDAL, `utils/srid.py:10-23`).
+  * Non-metre linear units via [[EpsgDb.UnitScaled]].
   */
 object CrsRegistry {
 
@@ -35,9 +41,10 @@ object CrsRegistry {
     * registrations: `"27700=PROJCS[...];;31370=PROJCS[...]"`. */
   val ConfKey = "spark.graft.crs.wkt"
 
-  /** Register EPSG `code` from a WKT1 string in this JVM (see the class
-    * doc for cluster semantics). Throws IllegalArgumentException when the
-    * projection method has no implemented family. */
+  /** Register EPSG `code` from a WKT string (WKT1, ESRI WKT1 or WKT2) in
+    * this JVM (see the class doc for cluster semantics). Throws
+    * IllegalArgumentException when the projection method has no
+    * implemented family. */
   def register(code: Int, wkt: String): Unit =
     custom.put(code, (parseWkt(wkt), wkt))
 
@@ -67,10 +74,11 @@ object CrsRegistry {
     }
   }
 
-  // ------------------------------------------------------------ WKT1 parse
+  // ------------------------------------------------------------- WKT parse
 
-  /** One node of a WKT1 tree: KIND[args...] where each arg is a quoted
-    * string, a number, or a nested node. */
+  /** One node of a WKT tree: KIND[args...] where each arg is a quoted
+    * string, a number, a bare keyword (WKT2 axis directions etc.), or a
+    * nested node. */
   private final case class Node(kind: String, args: Seq[Any]) {
     def name: String = args.collectFirst { case s: String => s }.getOrElse("")
     def child(kind: String): Option[Node] = {
@@ -81,6 +89,7 @@ object CrsRegistry {
       val up = kind.toUpperCase
       args.collect { case n: Node if n.kind == up => n }
     }
+    def childNodes: Seq[Node] = args.collect { case n: Node => n }
     def numbers: Seq[Double] = args.collect { case d: Double => d }
   }
 
@@ -109,7 +118,16 @@ object CrsRegistry {
             while (s(i) != '"') i += 1
             args += s.substring(st, i)
             i += 1
-          case c if c.isLetter => args += parseNode()
+          case c if c.isLetter =>
+            // lookahead: identifier followed by [ is a nested node, a bare
+            // identifier (WKT2 `north`, `east`, `Cartesian`...) is a token
+            val st = i
+            var j = i
+            while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+            var k = j
+            while (k < s.length && s(k).isWhitespace) k += 1
+            if (k < s.length && (s(k) == '[' || s(k) == '(')) args += parseNode()
+            else { args += s.substring(st, j); i = j }
           case _ =>
             val st = i
             while (i < s.length && "]),".indexOf(s(i)) < 0) i += 1
@@ -121,90 +139,59 @@ object CrsRegistry {
     parseNode()
   }
 
-  /** WKT1 GEOGCS/PROJCS → [[EpsgDb.Crs]]. */
-  def parseWkt(wkt: String): Crs = {
-    val root = tokenizeAndParse(wkt)
-    root.kind match {
-      case "GEOGCS" =>
-        val (ell, shift) = datumOf(root)
-        Crs(Geographic(ell), shift, root.name)
-      case "PROJCS" =>
-        val geog = root.child("GEOGCS").getOrElse(
-          throw new IllegalArgumentException("WKT PROJCS without GEOGCS"))
-        val (ell, shift) = datumOf(geog)
-        val angularFactor = geog.child("UNIT").flatMap(_.numbers.headOption)
-          .getOrElse(math.Pi / 180)
-        // WKTs print the degree factor truncated (0.0174532925199433): a
-        // near-1 ratio IS degrees — snap it so 90 stays exactly 90 (grads
-        // etc. convert for real)
-        val toDegRaw = angularFactor / (math.Pi / 180)
-        val toDeg = if (math.abs(toDegRaw - 1.0) < 1e-12) 1.0 else toDegRaw
-        val linearFactor = root.children("UNIT").lastOption
-          .flatMap(_.numbers.headOption).getOrElse(1.0)
-        val method = root.child("PROJECTION").map(_.name).getOrElse(
-          throw new IllegalArgumentException("WKT PROJCS without PROJECTION"))
-        val params: Map[String, Double] = root.children("PARAMETER").map { p =>
-          (p.name.toLowerCase.replaceAll("[\\s_-]", ""), p.numbers.headOption.getOrElse(0.0))
-        }.toMap
-        def angle(names: String*): Double =
-          names.flatMap(params.get).headOption.map(_ * toDeg).getOrElse(0.0)
-        def len(names: String*): Double = // WKT unit → metres
-          names.flatMap(params.get).headOption.map(_ * linearFactor).getOrElse(0.0)
-        def num(names: String*): Double = names.flatMap(params.get).headOption.getOrElse(1.0)
-        val lat0 = angle("latitudeoforigin", "latitudeofcenter")
-        val lon0 = angle("centralmeridian", "longitudeofcenter")
-        val lat1 = angle("standardparallel1")
-        val lat2 = angle("standardparallel2")
-        val k0 = num("scalefactor")
-        val fe = len("falseeasting")
-        val fn = len("falsenorthing")
-        val m = method.toLowerCase.replaceAll("[\\s_-]", "")
-        val proj: Projection = m match {
-          case "transversemercator" | "gausskruger" =>
-            TMerc(ell, lat0, lon0, k0, fe, fn)
-          case "mercator1sp" | "mercator" =>
-            Mercator1SP(ell, lon0, k0, fe, fn)
-          case "mercator2sp" =>
-            // k0 at the equator that holds scale true at standard_parallel_1
-            val phi1 = math.toRadians(lat1)
-            val s = math.sin(phi1)
-            val kEq = math.cos(phi1) / math.sqrt(1 - ell.e2 * s * s)
-            Mercator1SP(ell, lon0, kEq, fe, fn)
-          case "lambertconformalconic1sp" =>
-            Lcc1SP(ell, lat0, lon0, k0, fe, fn)
-          case "lambertconformalconic2sp" | "lambertconformalconic" =>
-            if (params.contains("standardparallel2"))
-              Lcc2SP(ell, lat1, lat2, lat0, lon0, fe, fn)
-            else Lcc1SP(ell, lat0, lon0, k0, fe, fn)
-          case "albersconicequalarea" | "albers" =>
-            AlbersConic(ell, lat1, lat2, lat0, lon0, fe, fn)
-          case "polarstereographic" =>
-            val north = lat0 >= 0
-            if (math.abs(math.abs(lat0) - 90) < 1e-9) // variant A: scale at pole
-              PolarStereo(ell, north, lon0, Double.NaN, k0, fe, fn)
-            else PolarStereo(ell, north, lon0, lat0, Double.NaN, fe, fn)
-          case "lambertazimuthalequalarea" =>
-            Laea(ell, lat0, lon0, fe, fn)
-          case "obliquestereographic" | "doublestereographic" =>
-            ObliqueStereo(ell, lat0, lon0, k0, fe, fn)
-          case "krovak" =>
-            require(fe == 0 && fn == 0,
-              "WKT Krovak with false easting/northing is not supported")
-            Krovak(ell, lat0, lon0, angle("azimuth"),
-              angle("pseudostandardparallel1"), k0)
-          case _ => throw new IllegalArgumentException(
-            s"WKT projection method not implemented: $method (supported: " +
-              "Transverse_Mercator, Mercator_1SP/2SP, Lambert_Conformal_Conic_1SP/2SP, " +
-              "Albers_Conic_Equal_Area, Polar_Stereographic, " +
-              "Lambert_Azimuthal_Equal_Area, Oblique_Stereographic, Krovak)")
-        }
-        val scaled =
-          if (math.abs(linearFactor - 1.0) < 1e-12) proj
-          else UnitScaled(proj, linearFactor)
-        Crs(scaled, shift, root.name)
-      case other => throw new IllegalArgumentException(
-        s"WKT root must be GEOGCS or PROJCS, got $other")
-    }
+  /** Lowercase, alphanumeric-only key: makes `Central_Meridian`,
+    * `central meridian` and `Longitude of natural origin`-style spellings
+    * comparable across the WKT1 / ESRI / WKT2 dialects. */
+  private def norm(s: String): String = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+
+  private val DegFactor = math.Pi / 180
+
+  /** WKTs print the degree factor truncated (0.0174532925199433): a near-1
+    * ratio IS degrees — snap it so 90 stays exactly 90 (grads etc. convert
+    * for real). */
+  private def snapToDeg(angularFactor: Double): Double = {
+    val toDegRaw = angularFactor / DegFactor
+    if (math.abs(toDegRaw - 1.0) < 1e-12) 1.0 else toDegRaw
+  }
+
+  /** WKT1/ESRI GEOGCS/PROJCS or WKT2 GEOGCRS/PROJCRS/BOUNDCRS →
+    * [[EpsgDb.Crs]]. */
+  def parseWkt(wkt: String): Crs = parseTree(tokenizeAndParse(wkt))
+
+  private def parseTree(root: Node): Crs = root.kind match {
+    case "GEOGCS" =>
+      val (ell, shift) = datumOf(root)
+      Crs(Geographic(ell), shift, root.name)
+    case "PROJCS" => parseProjcs1(root)
+    case "GEOGCRS" | "GEOGRAPHICCRS" | "GEODCRS" | "GEODETICCRS" =>
+      val (ell, shift) = datumOf2(root)
+      Crs(Geographic(ell), shift, root.name)
+    case "PROJCRS" | "PROJECTEDCRS" => parseProjcrs2(root)
+    case "BOUNDCRS" => parseBoundCrs(root)
+    case other => throw new IllegalArgumentException(
+      s"WKT root must be GEOGCS/PROJCS (WKT1) or GEOGCRS/PROJCRS/BOUNDCRS (WKT2), got $other")
+  }
+
+  // ------------------------------------------------------------ WKT1 path
+
+  private def parseProjcs1(root: Node): Crs = {
+    val geog = root.child("GEOGCS").getOrElse(
+      throw new IllegalArgumentException("WKT PROJCS without GEOGCS"))
+    val (ell, shift) = datumOf(geog)
+    val toDeg = snapToDeg(geog.child("UNIT").flatMap(_.numbers.headOption)
+      .getOrElse(DegFactor))
+    val linearFactor = root.children("UNIT").lastOption
+      .flatMap(_.numbers.headOption).getOrElse(1.0)
+    val method = root.child("PROJECTION").map(_.name).getOrElse(
+      throw new IllegalArgumentException("WKT PROJCS without PROJECTION"))
+    val params: Map[String, Double] = root.children("PARAMETER").map { p =>
+      (norm(p.name), p.numbers.headOption.getOrElse(0.0))
+    }.toMap
+    val proj = buildProjection(method, ell,
+      angle = names => names.flatMap(params.get).headOption.map(_ * toDeg),
+      len = names => names.flatMap(params.get).headOption.map(_ * linearFactor),
+      num = names => names.flatMap(params.get).headOption)
+    Crs(unitScaled(proj, linearFactor), shift, root.name)
   }
 
   private def datumOf(geog: Node): (Ellipsoid, Option[Helmert]) = {
@@ -220,7 +207,266 @@ object CrsRegistry {
       case s if s.exists(_ != 0.0) =>
         val p = s.padTo(7, 0.0)
         Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
-    }
+    }.orElse(
+      // ESRI dialect: no TOWGS84 clause — recover the published Helmert
+      // from the datum NAME (`D_` prefix is ESRI's marker)
+      if (datum.child("TOWGS84").isDefined) None // explicit all-zero = coincident
+      else shiftFromDatumName(datum.name))
     (ell, shift)
+  }
+
+  private def shiftFromDatumName(raw: String): Option[Helmert] = {
+    val base = if (raw.startsWith("D_")) raw.substring(2) else raw
+    EpsgDb.datumShiftByName.getOrElse(norm(base), None)
+  }
+
+  // ------------------------------------------------------------ WKT2 path
+
+  /** Datum/ensemble + ellipsoid of a WKT2 geographic (or BASEGEOGCRS)
+    * node; shift recovered from the datum name (WKT2 has no TOWGS84 —
+    * shifts live in BOUNDCRS wrappers, handled separately). */
+  private def datumOf2(geog: Node): (Ellipsoid, Option[Helmert]) = {
+    val datum = geog.child("DATUM").orElse(geog.child("ENSEMBLE"))
+      .orElse(geog.child("TRF")).orElse(geog.child("GEODETICDATUM")).getOrElse(
+        throw new IllegalArgumentException(s"WKT2 ${geog.kind} without DATUM/ENSEMBLE"))
+    val sph = datum.child("ELLIPSOID").orElse(datum.child("SPHEROID")).getOrElse(
+      throw new IllegalArgumentException("WKT2 DATUM without ELLIPSOID"))
+    val ns = sph.numbers
+    require(ns.length >= 2, "WKT2 ELLIPSOID needs semi-major axis and 1/f")
+    // semi-major axis may carry its own LENGTHUNIT (Clarke's foot etc.)
+    val aFactor = sph.child("LENGTHUNIT").orElse(sph.child("UNIT"))
+      .flatMap(_.numbers.headOption).getOrElse(1.0)
+    val ell = Ellipsoid(ns(0) * aFactor, if (ns(1) == 0.0) 1e12 else ns(1))
+    (ell, shiftFromDatumName(datum.name))
+  }
+
+  private def parseProjcrs2(root: Node): Crs = {
+    val base = root.child("BASEGEOGCRS").orElse(root.child("BASEGEODCRS")).getOrElse(
+      throw new IllegalArgumentException("WKT2 PROJCRS without BASEGEOGCRS"))
+    val (ell, shift) = datumOf2(base)
+    val conv = root.child("CONVERSION").getOrElse(
+      throw new IllegalArgumentException("WKT2 PROJCRS without CONVERSION"))
+    val method = conv.child("METHOD").map(_.name).getOrElse(
+      throw new IllegalArgumentException("WKT2 CONVERSION without METHOD"))
+    // CS linear unit: per-axis LENGTHUNIT, or a CS-level one after CS[]
+    val axisUnit = root.children("AXIS").flatMap(a =>
+      a.child("LENGTHUNIT").orElse(a.child("UNIT"))).headOption
+      .orElse(root.child("LENGTHUNIT")).orElse(root.child("UNIT"))
+    val linearFactor = axisUnit.flatMap(_.numbers.headOption).getOrElse(1.0)
+    // each parameter may carry its own unit node
+    case class P(value: Double, unit: Option[Node])
+    val params: Map[String, P] = conv.children("PARAMETER").map { p =>
+      val u = p.child("ANGLEUNIT").orElse(p.child("LENGTHUNIT"))
+        .orElse(p.child("SCALEUNIT")).orElse(p.child("UNIT"))
+      norm(p.name) -> P(p.numbers.headOption.getOrElse(0.0), u)
+    }.toMap
+    def get(names: Seq[String]): Option[P] = names.flatMap(params.get).headOption
+    val proj = buildProjection(method, ell,
+      angle = names => get(names).map { p =>
+        val f = p.unit.flatMap(_.numbers.headOption).getOrElse(DegFactor)
+        p.value * snapToDeg(f)
+      },
+      len = names => get(names).map { p =>
+        val f = p.unit.filter(_.kind != "SCALEUNIT").flatMap(_.numbers.headOption)
+          .getOrElse(linearFactor)
+        p.value * f
+      },
+      num = names => get(names).map(_.value))
+    Crs(unitScaled(proj, linearFactor), shift, root.name)
+  }
+
+  /** BOUNDCRS[SOURCECRS[...], TARGETCRS[...WGS 84...],
+    * ABRIDGEDTRANSFORMATION[... PARAMETER["X-axis translation",...]...]]:
+    * the WKT2 equivalent of TOWGS84. Rotations are arc-seconds; the
+    * abridged scale difference is the ratio M = 1 + ds·1e-6 (a full
+    * TRANSFORMATION writes ppm directly — both accepted). */
+  private def parseBoundCrs(root: Node): Crs = {
+    val src = root.child("SOURCECRS").flatMap(_.childNodes.headOption).getOrElse(
+      throw new IllegalArgumentException("BOUNDCRS without SOURCECRS"))
+    val inner = parseTree(src)
+    val tr = root.child("ABRIDGEDTRANSFORMATION")
+      .orElse(root.child("COORDINATEOPERATION"))
+    val shift = tr.flatMap { t =>
+      val p: Map[String, Double] = t.children("PARAMETER").map { n =>
+        norm(n.name) -> n.numbers.headOption.getOrElse(0.0)
+      }.toMap
+      def g(k: String): Double = p.getOrElse(k, 0.0)
+      val dsRaw = g("scaledifference")
+      val ds = if (dsRaw != 0.0 && math.abs(dsRaw - 1.0) < 0.01) (dsRaw - 1.0) * 1e6 else dsRaw
+      val h = Helmert(g("xaxistranslation"), g("yaxistranslation"), g("zaxistranslation"),
+        g("xaxisrotation"), g("yaxisrotation"), g("zaxisrotation"), ds)
+      if (h == Helmert(0, 0, 0, 0, 0, 0, 0)) None else Some(h)
+    }
+    Crs(inner.proj, shift.orElse(inner.shift), inner.name)
+  }
+
+  // --------------------------------------------- shared projection builder
+
+  private def unitScaled(proj: Projection, linearFactor: Double): Projection =
+    if (math.abs(linearFactor - 1.0) < 1e-12) proj else UnitScaled(proj, linearFactor)
+
+  private val Lat0Names = Seq("latitudeoforigin", "latitudeofnaturalorigin",
+    "latitudeoffalseorigin", "latitudeofcenter", "latitudeofcentre",
+    "latitudeofprojectioncentre")
+  private val Lon0Names = Seq("centralmeridian", "longitudeofnaturalorigin",
+    "longitudeoffalseorigin", "longitudeofcenter", "longitudeofcentre",
+    "longitudeoforigin", "longitudeofprojectioncentre")
+  private val K0Names = Seq("scalefactor", "scalefactoratnaturalorigin")
+  private val FeNames = Seq("falseeasting", "eastingatfalseorigin")
+  private val FnNames = Seq("falsenorthing", "northingatfalseorigin")
+  private val Sp1Names = Seq("standardparallel1", "latitudeof1ststandardparallel",
+    "latitudeofstandardparallel")
+  private val Sp2Names = Seq("standardparallel2", "latitudeof2ndstandardparallel")
+
+  /** Construct the projection family from dialect-normalized lookups:
+    * `angle` yields degrees, `len` metres, `num` the raw value; all return
+    * None when no spelling of the parameter is present. */
+  private def buildProjection(method: String, ell: Ellipsoid,
+      angle: Seq[String] => Option[Double],
+      len: Seq[String] => Option[Double],
+      num: Seq[String] => Option[Double]): Projection = {
+    val lat0 = angle(Lat0Names).getOrElse(0.0)
+    val lon0 = angle(Lon0Names).getOrElse(0.0)
+    val sp1 = angle(Sp1Names)
+    val lat1 = sp1.getOrElse(0.0)
+    val lat2 = angle(Sp2Names).getOrElse(0.0)
+    val k0 = num(K0Names).getOrElse(1.0)
+    val fe = len(FeNames).getOrElse(0.0)
+    val fn = len(FnNames).getOrElse(0.0)
+    def mercSp1: Projection = {
+      // k0 at the equator that holds scale true at standard_parallel_1
+      val phi1 = math.toRadians(lat1)
+      val s = math.sin(phi1)
+      val kEq = math.cos(phi1) / math.sqrt(1 - ell.e2 * s * s)
+      Mercator1SP(ell, lon0, kEq, fe, fn)
+    }
+    // spherical web mercator: formulas of a sphere of radius a, applied to
+    // ellipsoidal WGS84 latitudes (the EPSG 3857 definition)
+    def webMercator: Projection =
+      Mercator1SP(Ellipsoid(ell.a, 1e12), lon0, 1.0, fe, fn)
+    def polarA: Projection =
+      PolarStereo(ell, lat0 >= 0, lon0, Double.NaN, k0, fe, fn)
+    def polarB(north: Boolean): Projection =
+      PolarStereo(ell, north, lon0, lat1, Double.NaN, fe, fn)
+    norm(method) match {
+      case "transversemercator" | "gausskruger" =>
+        TMerc(ell, lat0, lon0, k0, fe, fn)
+      case "mercator1sp" | "mercatorvarianta" =>
+        Mercator1SP(ell, lon0, k0, fe, fn)
+      case "mercator2sp" | "mercatorvariantb" => mercSp1
+      case "mercator" => // ESRI spells both variants "Mercator"
+        if (sp1.isDefined && num(K0Names).isEmpty) mercSp1
+        else Mercator1SP(ell, lon0, k0, fe, fn)
+      case "mercatorauxiliarysphere" | "popularvisualisationpseudomercator" =>
+        webMercator
+      case "lambertconformalconic1sp" | "lambertconicconformal1sp" =>
+        Lcc1SP(ell, lat0, lon0, k0, fe, fn)
+      case "lambertconformalconic2sp" | "lambertconicconformal2sp" =>
+        Lcc2SP(ell, lat1, lat2, lat0, lon0, fe, fn)
+      case "lambertconformalconic" => // ESRI: one name for both variants
+        if (angle(Sp2Names).isDefined) Lcc2SP(ell, lat1, lat2, lat0, lon0, fe, fn)
+        else Lcc1SP(ell, lat0, lon0, k0, fe, fn)
+      case "albersconicequalarea" | "albers" | "albersequalarea" =>
+        AlbersConic(ell, lat1, lat2, lat0, lon0, fe, fn)
+      case "polarstereographic" =>
+        if (math.abs(math.abs(lat0) - 90) < 1e-9) polarA // variant A: scale at pole
+        else PolarStereo(ell, lat0 >= 0, lon0, lat0, Double.NaN, fe, fn)
+      case "polarstereographicvarianta" => polarA
+      case "polarstereographicvariantb" => polarB(lat1 >= 0)
+      case "stereographicnorthpole" => polarB(north = true) // ESRI names
+      case "stereographicsouthpole" => polarB(north = false)
+      case "stereographic" if math.abs(math.abs(lat0) - 90) < 1e-6 => polarA
+      case "obliquestereographic" | "doublestereographic" =>
+        ObliqueStereo(ell, lat0, lon0, k0, fe, fn)
+      case "lambertazimuthalequalarea" =>
+        Laea(ell, lat0, lon0, fe, fn)
+      case "krovak" =>
+        require(fe == 0 && fn == 0,
+          "WKT Krovak with false easting/northing is not supported")
+        val az = angle(Seq("azimuth", "colatitudeofconeaxis")).getOrElse(0.0)
+        val psp = angle(Seq("pseudostandardparallel1",
+          "latitudeofpseudostandardparallel")).getOrElse(0.0)
+        val kk = num("scalefactoronpseudostandardparallel" +: K0Names).getOrElse(1.0)
+        Krovak(ell, lat0, lon0, az, psp, kk)
+      case _ => throw new IllegalArgumentException(
+        s"WKT projection method not implemented: $method (supported: " +
+          "Transverse_Mercator, Mercator (1SP/2SP/web), Lambert_Conformal_Conic (1SP/2SP), " +
+          "Albers, Polar_Stereographic (A/B), " +
+          "Lambert_Azimuthal_Equal_Area, Oblique_Stereographic, Krovak)")
+    }
+  }
+
+  // --------------------------------------------- SRID inference / recovery
+
+  /** Approximate structural equality of projection trees (case classes of
+    * doubles): relative 1e-9 absorbs WKT decimal printing while keeping
+    * distinct zones distinct. Names are NOT compared. */
+  private def approxSame(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Double, y: Double) =>
+      (x.isNaN && y.isNaN) ||
+        math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    case (x: Product, y: Product) =>
+      x.getClass == y.getClass && x.productArity == y.productArity &&
+        x.productIterator.zip(y.productIterator).forall { case (u, v) => approxSame(u, v) }
+    case (x, y) => x == y
+  }
+
+  /** The embedded-table EPSG code whose definition matches `crs` (smallest
+    * code wins for determinism), if any — the CRS→SRID inference the
+    * reference performs at import time via pyproj. */
+  def inferSrid(crs: Crs): Option[Int] =
+    EpsgDb.table.toSeq.sortBy(_._1).collectFirst {
+      case (code, t) if approxSame(t.proj, crs.proj) && approxSame(t.shift, crs.shift) =>
+        code
+    }
+
+  /** Resolve a `.prj`/WKT definition to a working SRID:
+    * 1. an explicit root AUTHORITY/ID clause wins (and the definition is
+    *    registered under it when the code isn't otherwise known, so the
+    *    long tail still reprojects);
+    * 2. else the parsed definition is matched against the embedded EPSG
+    *    table (how ESRI `.prj` files — no AUTHORITY — recover their code);
+    * 3. else the definition auto-registers under a deterministic synthetic
+    *    code in 990000..998999 so reprojection works end-to-end;
+    * 4. unparseable/unsupported definitions yield 0 (geometry still reads,
+    *    untagged — the reference's GDAL fallback behavior). */
+  def sridForWkt(wkt: String): Int = {
+    val parsed: Option[Node] =
+      try Some(tokenizeAndParse(wkt))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val authority: Option[Int] = parsed.flatMap { root =>
+      (root.children("AUTHORITY") ++ root.children("ID")).lastOption.collect {
+        case n if n.name.equalsIgnoreCase("EPSG") =>
+          n.args.collectFirst {
+            case d: Double => d.toInt
+            case s: String if s.forall(_.isDigit) && s.nonEmpty => s.toInt
+          }
+      }.flatten
+    }.orElse {
+      // unparseable WKT may still carry a recoverable trailing clause
+      "(?i)AUTHORITY\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
+        .findAllMatchIn(wkt).toSeq.lastOption.map(_.group(1).toInt)
+    }
+    authority match {
+      case Some(code) =>
+        if (!EpsgDb.isSupported(code))
+          try register(code, wkt) catch { case scala.util.control.NonFatal(_) => () }
+        code
+      case None =>
+        try {
+          val crs = parseWkt(wkt)
+          inferSrid(crs).getOrElse(autoRegister(crs, wkt))
+        } catch { case scala.util.control.NonFatal(_) => 0 }
+    }
+  }
+
+  /** Deterministic synthetic code (990000..998999, outside the EPSG range)
+    * keyed by the definition text: the same `.prj` content always maps to
+    * the same code, distinct definitions probe forward on collision. */
+  private def autoRegister(crs: Crs, wkt: String): Int = synchronized {
+    var code = 990000 + (scala.util.hashing.MurmurHash3.stringHash(wkt) & 0x7fffffff) % 9000
+    while (Option(custom.get(code)).exists(_._2 != wkt)) code += 1
+    custom.putIfAbsent(code, (crs, wkt))
+    code
   }
 }

@@ -1082,6 +1082,48 @@ object EpsgDb {
     b.result()
   }
 
+  /** Datum name → published Helmert shift (None = WGS84-coincident at our
+    * tolerance), keyed by lowercase alphanumeric-only names. Covers the OGC
+    * WKT1, ESRI WKT1 (`D_` prefix stripped by the caller) and WKT2 (EPSG
+    * registry) spellings, so a `.prj` with no TOWGS84 clause — the ESRI
+    * dialect ArcGIS writes — still reprojects through the right datum
+    * (reference behavior: GDAL/pyproj datum lookup, `utils/srid.py:10-23`). */
+  val datumShiftByName: Map[String, Option[Helmert]] = Map(
+    // WGS84-coincident
+    "wgs1984" -> None, "worldgeodeticsystem1984" -> None,
+    "worldgeodeticsystem1984ensemble" -> None, "wgs84" -> None,
+    "etrs1989" -> None, "europeanterrestrialreferencesystem1989" -> None,
+    "etrs89" -> None, "etrf1989" -> None,
+    "northamerican1983" -> None, "northamericandatum1983" -> None,
+    "nad1983" -> None, "nad83" -> None,
+    "gda1994" -> None, "geocentricdatumofaustralia1994" -> None,
+    "nzgd2000" -> None, "newzealandgeodeticdatum2000" -> None,
+    "sweref99" -> None, "rgf1993" -> None,
+    "reseaugeodesiquefrancais1993" -> None,
+    "reseaugeodesiquefrancais1993v1" -> None, "rgf93" -> None,
+    "sirgas2000" -> None, "sistemadereferenciageocentricoparalasamericas2000" -> None,
+    // shifted datums (position-vector Helmert, as in the embedded table)
+    "osgb1936" -> Some(Osgb36), "osgb36" -> Some(Osgb36),
+    "ordnancesurveyofgreatbritain1936" -> Some(Osgb36),
+    "northamerican1927" -> Some(Nad27), "northamericandatum1927" -> Some(Nad27),
+    "nad1927" -> Some(Nad27), "nad27" -> Some(Nad27),
+    "european1950" -> Some(Ed50), "europeandatum1950" -> Some(Ed50),
+    "ed1950" -> Some(Ed50), "ed50" -> Some(Ed50),
+    "deutscheshauptdreiecksnetz" -> Some(Dhdn), "dhdn" -> Some(Dhdn),
+    "belge1972" -> Some(Bd72), "reseaunationalbelge1972" -> Some(Bd72),
+    "amersfoort" -> Some(Amersfoort),
+    "ch1903" -> Some(Ch1903),
+    "ntf" -> Some(Ntf), "nouvelletriangulationfrancaise" -> Some(Ntf),
+    "nouvelletriangulationfrancaiseparis" -> Some(Ntf),
+    "sjtsk" -> Some(Sjtsk), "jtsk" -> Some(Sjtsk),
+    "systemjednotnetrigonometrickesitekatastralni" -> Some(Sjtsk),
+    "hungarian1972" -> Some(Hd72), "hungariandatum1972" -> Some(Hd72),
+    "hd1972" -> Some(Hd72),
+    "mgi" -> Some(Mgi), "militargeographischesinstitut" -> Some(Mgi),
+    "tm65" -> Some(Tm65),
+    "newzealand1949" -> Some(Nzgd49),
+    "newzealandgeodeticdatum1949" -> Some(Nzgd49), "nzgd1949" -> Some(Nzgd49))
+
   /** Built-in table first, then user registrations ([[CrsRegistry]]). */
   private def crsOf(code: Int): Option[Crs] =
     table.get(code).orElse(CrsRegistry.registered(code))

@@ -327,8 +327,10 @@ object GeoIO {
         idx
     }
     val prj = sidecar(shps.head, ".prj")
+    // AUTHORITY clause, EPSG-table inference, or auto-registration — so an
+    // ArcGIS-authored .prj (ESRI dialect, no AUTHORITY) still reprojects
     val srid =
-      if (fs.exists(prj)) Shapefile.sridFromPrj(
+      if (fs.exists(prj)) graft.functions.CrsRegistry.sridForWkt(
         new String(readAll(prj), java.nio.charset.StandardCharsets.UTF_8))
       else 0
     val schema = StructType(
@@ -593,6 +595,13 @@ object GeoIO {
             throw new IllegalArgumentException(
               s"gpkg: no such layer $want (have ${all.map(_.table).mkString(", ")})"))
         }
+        // non-EPSG srs_id (ESRI-authored packages): register the stored
+        // definition WKT so st_to_srid works on the read frame
+        if (lay.srid > 0 && !graft.functions.EpsgDb.isSupported(lay.srid))
+          GeoPackage.srsDefinition(db, lay.srid).foreach { wkt =>
+            try graft.functions.CrsRegistry.register(lay.srid, wkt)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
         val root = db.master.find(m => m.typ == "table" && m.name == lay.table).get.rootPage
         (lay, db.leafPages(root))
       } finally in.close()

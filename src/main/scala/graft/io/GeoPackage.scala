@@ -193,4 +193,24 @@ object GeoPackage {
         parseCreateTable(sql))
     }.toSeq
   }
+
+  /** The `definition` WKT for `srsId` from `gpkg_spatial_ref_sys`, if the
+    * table and row exist — lets a non-EPSG srs_id (ESRI-authored packages)
+    * register its CRS for reprojection. */
+  def srsDefinition(db: Sqlite.SqliteDb, srsId: Int): Option[String] = {
+    val master = db.master
+    val entry = master.find(m => m.typ == "table" && m.name == "gpkg_spatial_ref_sys")
+    entry.flatMap { m =>
+      val schema = parseCreateTable(m.sql)
+      val idOrd = schema.indexWhere(_.name.equalsIgnoreCase("srs_id"))
+      val defOrd = schema.indexWhere(_.name.equalsIgnoreCase("definition"))
+      if (idOrd < 0 || defOrd < 0) None
+      else db.tableRows(m.rootPage).collectFirst {
+        case (_, r) if (r(idOrd) match {
+          case v: Long => v.toInt == srsId
+          case _ => false
+        }) => r(defOrd) match { case s: String => s; case _ => null }
+      }.filter(s => s != null && s.nonEmpty && !s.equalsIgnoreCase("undefined"))
+    }
+  }
 }

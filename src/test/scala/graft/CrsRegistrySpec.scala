@@ -165,4 +165,110 @@ class CrsRegistrySpec extends AnyFunSuite {
     // and the shapefile .prj writer picks up the registration's WKT
     assert(graft.functions.CrsImpl.crsFromCode(927700).exists(_.contains("OSGB36")))
   }
+
+  /** ArcGIS .prj dialect: D_-prefixed datum, no TOWGS84, no AUTHORITY.
+    * The datum-name table must recover the OSGB36 Helmert, so the ESRI
+    * definition transforms identically to the embedded 27700 entry. */
+  private val EsriBngPrj =
+    """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",
+      |DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646]],
+      |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],
+      |PROJECTION["Transverse_Mercator"],
+      |PARAMETER["False_Easting",400000.0],PARAMETER["False_Northing",-100000.0],
+      |PARAMETER["Central_Meridian",-2.0],PARAMETER["Scale_Factor",0.9996012717],
+      |PARAMETER["Latitude_Of_Origin",49.0],UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+
+  test("ESRI WKT1 dialect: datum-name Helmert recovery (no TOWGS84)") {
+    CrsRegistry.register(937700, EsriBngPrj)
+    assert(maxDelta(27700, 937700,
+      Seq((-0.1276, 51.5072), (-3.19, 55.95), (-5.93, 54.6))) < 1e-4)
+    // NAD27 by ESRI name gets the published shift (≠ identity: the same
+    // point through a no-shift clone differs by tens of metres)
+    CrsRegistry.register(938000,
+      """GEOGCS["GCS_North_American_1927",DATUM["D_North_American_1927",
+        |SPHEROID["Clarke_1866",6378206.4,294.9786982]],
+        |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+        .stripMargin.replace("\n", ""))
+    val (lon27, lat27) = EpsgDb.toWgs84(-98.0, 38.0, 938000)
+    val d = math.hypot((lon27 + 98.0) * 111000, (lat27 - 38.0) * 111000)
+    assert(d > 10 && d < 300, s"NAD27 shift magnitude off: $d m")
+  }
+
+  test("ESRI .prj infers its EPSG code from the embedded table") {
+    assert(CrsRegistry.sridForWkt(EsriBngPrj) == 27700)
+    // OGC WKT1 with AUTHORITY: the explicit code wins
+    assert(CrsRegistry.sridForWkt(EpsgDb.wkt(25832).get) == 25832)
+  }
+
+  test("WKT2 PROJCRS parses: ETRS89 / UTM 32N matches the table entry") {
+    CrsRegistry.register(925832,
+      """PROJCRS["ETRS89 / UTM zone 32N",
+        |BASEGEOGCRS["ETRS89",ENSEMBLE["European Terrestrial Reference System 1989 ensemble",
+        |MEMBER["European Terrestrial Reference Frame 1989"],
+        |ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]],
+        |ENSEMBLEACCURACY[0.1]],PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],
+        |ID["EPSG",4258]],
+        |CONVERSION["UTM zone 32N",METHOD["Transverse Mercator",ID["EPSG",9807]],
+        |PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],
+        |PARAMETER["Longitude of natural origin",9,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],
+        |PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],ID["EPSG",8805]],
+        |PARAMETER["False easting",500000,LENGTHUNIT["metre",1],ID["EPSG",8806]],
+        |PARAMETER["False northing",0,LENGTHUNIT["metre",1],ID["EPSG",8807]]],
+        |CS[Cartesian,2],
+        |AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+        |AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],
+        |ID["EPSG",25832]]""".stripMargin.replace("\n", ""))
+    assert(maxDelta(25832, 925832,
+      Seq((9.0, 50.0), (7.25, 52.5), (11.5, 48.25))) < 1e-6)
+  }
+
+  test("WKT2 BOUNDCRS: abridged transformation equals the TOWGS84 twin") {
+    CrsRegistry.register(947700,
+      """BOUNDCRS[SOURCECRS[PROJCRS["OSGB36 / British National Grid",
+        |BASEGEOGCRS["OSGB36",DATUM["Ordnance Survey of Great Britain 1936",
+        |ELLIPSOID["Airy 1830",6377563.396,299.3249646,LENGTHUNIT["metre",1]]],
+        |PRIMEM["Greenwich",0]],
+        |CONVERSION["British National Grid",METHOD["Transverse Mercator"],
+        |PARAMETER["Latitude of natural origin",49],
+        |PARAMETER["Longitude of natural origin",-2],
+        |PARAMETER["Scale factor at natural origin",0.9996012717],
+        |PARAMETER["False easting",400000],PARAMETER["False northing",-100000]],
+        |CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+        |AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]],
+        |TARGETCRS[GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",
+        |MEMBER["World Geodetic System 1984 (Transit)"],
+        |ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],
+        |ENSEMBLEACCURACY[2.0]],PRIMEM["Greenwich",0],CS[ellipsoidal,2],
+        |AXIS["latitude",north,ORDER[1],ANGLEUNIT["degree",0.0174532925199433]],
+        |AXIS["longitude",east,ORDER[2],ANGLEUNIT["degree",0.0174532925199433]],
+        |ID["EPSG",4326]]],
+        |ABRIDGEDTRANSFORMATION["Transformation from OSGB36 to WGS84",
+        |METHOD["Position Vector transformation (geog2D domain)",ID["EPSG",9606]],
+        |PARAMETER["X-axis translation",446.448],
+        |PARAMETER["Y-axis translation",-125.157],
+        |PARAMETER["Z-axis translation",542.06],
+        |PARAMETER["X-axis rotation",0.1502],
+        |PARAMETER["Y-axis rotation",0.247],
+        |PARAMETER["Z-axis rotation",0.8421],
+        |PARAMETER["Scale difference",0.9999795106]]]""".stripMargin.replace("\n", ""))
+    assert(maxDelta(27700, 947700,
+      Seq((-0.1276, 51.5072), (-3.19, 55.95))) < 1e-3)
+  }
+
+  test("unknown definition auto-registers under a stable synthetic code") {
+    // a custom TM nobody has a code for (central meridian 3.125)
+    val wkt =
+      """PROJCS["Custom_TM",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",
+        |SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],
+        |UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],
+        |PARAMETER["False_Easting",250000.0],PARAMETER["False_Northing",0.0],
+        |PARAMETER["Central_Meridian",3.125],PARAMETER["Scale_Factor",0.9997],
+        |PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    val code = CrsRegistry.sridForWkt(wkt)
+    assert(code >= 990000 && code < 999999, s"synthetic code out of range: $code")
+    assert(CrsRegistry.sridForWkt(wkt) == code) // stable on re-read
+    // and it transforms end-to-end
+    val (x, y) = EpsgDb.fromWgs84(3.125, 0.0, code)
+    assert(math.abs(x - 250000.0) < 1e-6 && math.abs(y) < 1e-6)
+  }
 }

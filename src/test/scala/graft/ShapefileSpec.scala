@@ -158,4 +158,24 @@ class ShapefileSpec extends AnyFunSuite {
     assert(back.count() === 12)
     assert(back.agg(sum($"fid")).collect()(0).getLong(0) === 66L)
   }
+
+  test("ESRI-dialect .prj (no AUTHORITY): srid inferred, reprojection works") {
+    // hand-author an ArcGIS-style sidecar next to a written shapefile
+    val df = Seq((1L, "POINT (400000 -100000)"), (2L, "POINT (400100 -99900)"))
+      .toDF("fid", "wkt").select($"fid", st_geomfromtext($"wkt").as("geometry"))
+    val path = tmpShp("esri")
+    graft.io.GeoIO.writeShapefile(df, path)
+    val prj = new java.io.PrintWriter(path.replace(".shp", ".prj"))
+    prj.print("""PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",400000.0],PARAMETER["False_Northing",-100000.0],PARAMETER["Central_Meridian",-2.0],PARAMETER["Scale_Factor",0.9996012717],PARAMETER["Latitude_Of_Origin",49.0],UNIT["Meter",1.0]]""")
+    prj.close()
+    val back = graft.io.GeoIO.readShapefile(spark, path)
+    val r = back.select(graft.functions.st_srid($"geometry").as("srid"),
+        st_x(st_to_srid($"geometry", lit(4326))).as("lon"),
+        st_y(st_to_srid($"geometry", lit(4326))).as("lat"))
+      .orderBy($"lon").collect()
+    assert(r(0).getInt(0) === 27700) // inferred from the ESRI definition
+    // BNG false origin is (49N, 2W) pre-shift; OSGB36→WGS84 moves it ~120 m
+    assert(math.abs(r(0).getDouble(1) + 2.0) < 0.01)
+    assert(math.abs(r(0).getDouble(2) - 49.0) < 0.01)
+  }
 }
