@@ -442,29 +442,24 @@ object SpatialJoin {
     assemble(leftIdx, rightIdx, pairs, how, suffix)
   }
 
-  /** Deterministic row index in a SINGLE pass: id = (partition << 40) |
-    * offset via mapPartitionsWithIndex — unlike zipWithIndex there is no
-    * up-front per-partition count job, so the input is not scanned twice
-    * just to assign ids. The indexed RDD is persisted: the two consumers
-    * of each side (the cells pass and the outer-join reattach) read one
-    * materialized scan with identical ids, so an expensive upstream plan
+  /** Deterministic row index in a SINGLE pass, fully inside the DataFrame
+    * tier: `monotonically_increasing_id()` is exactly the (partition <<
+    * 33) | offset scheme, assigned during the one cache-materialization
+    * scan. The frame is persisted (columnar in-memory cache): the two
+    * consumers of each side (the cells pass and the outer-join reattach)
+    * read the cache with identical ids, so an expensive upstream plan
     * never executes twice and id assignment cannot diverge between
-    * branches (the correctness hazard of re-deriving ids per job).
-    * Blocks are freed by the ContextCleaner once the plan becomes
-    * unreachable — the same lifecycle as the exec tier's persisted
-    * envelope extract (SpatialJoinExec). */
-  private def withStableIndex(df: DataFrame, name: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(name, LongType, false))
-    val indexed = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var off = 0L
-      it.map { r =>
-        val id = (pid.toLong << 40) | off
-        off += 1
-        Row.fromSeq(r.toSeq :+ id)
-      }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    df.sparkSession.createDataFrame(indexed, schema)
-  }
+    * branches (the correctness hazard of re-deriving a nondeterministic id
+    * per job). Unlike the previous `df.rdd.mapPartitionsWithIndex` hop,
+    * there is no RDD scan barrier: downstream reads stay columnar
+    * (InMemoryTableScan supports column pruning — the cells pass reads
+    * only id+geometry batches) and whole-stage codegen resumes directly
+    * above the cache. Blocks are freed by the ContextCleaner once the
+    * plan becomes unreachable — the same lifecycle as the exec tier's
+    * persisted envelope extract (SpatialJoinExec). */
+  private def withStableIndex(df: DataFrame, name: String): DataFrame =
+    df.withColumn(name, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Reattach full rows to the (left-id, right-id) pair table, mirroring
     * the reference's index-join finish (`geolazyframe.py:133-158`). */
