@@ -1154,6 +1154,49 @@ object GeoQueries {
         .orderBy(col("k"))
     }),
 
+    // skip_features/max_features reader windows (pyogrio options on the
+    // reference's read_file, input.py:123-138): positional over the write
+    // (k-sorted) order; with a bbox the window applies AFTER the filter.
+    // Scan-level: shp counts from .shx length + record-header hops, gpkg
+    // leaf-page pruning + cell-pointer jumps, fgb size-prefix hops.
+    "geo_io_skip" -> ((s, dir) => {
+      val df = base(s, dir).select(k,
+        graft.functions.st_set_srid(rect, lit(4326)).as("geometry")).orderBy(k)
+      new java.io.File("/tmp/graft_io_skip").mkdirs()
+      val shp = "/tmp/graft_io_skip/t.shp"
+      graft.io.GeoIO.writeShapefile(df, shp)
+      val sW = graft.io.GeoIO.readShapefile(s, shp,
+          skipFeatures = 7, maxFeatures = 11)
+        .agg(count(lit(1)).as("shp_n"), min(col("k")).as("shp_min_k"),
+          max(col("k")).as("shp_max_k"), sum(col("k")).as("shp_sum_k"))
+      val sB = graft.io.GeoIO.readShapefile(s, shp,
+          bbox = Some((0.0, 0.0, 1000.0, 1000.0)),
+          skipFeatures = 2, maxFeatures = 5)
+        .agg(count(lit(1)).as("shpb_n"), min(col("k")).as("shpb_min_k"),
+          sum(col("k")).as("shpb_sum_k"))
+      val gpkg = "/tmp/graft_io_skip/t.gpkg"
+      graft.io.GeoIO.writeGeoPackage(df, gpkg, tableName = "boxes")
+      val gW = graft.io.GeoIO.readGeoPackage(s, gpkg,
+          skipFeatures = 7, maxFeatures = 11)
+        .agg(count(lit(1)).as("gpkg_n"), min(col("k")).as("gpkg_min_k"),
+          sum(col("k")).as("gpkg_sum_k"))
+      val fgb = "/tmp/graft_io_skip/t.fgb"
+      graft.io.GeoIO.writeFlatGeobuf(df, fgb)
+      val fW = graft.io.GeoIO.readFlatGeobuf(s, fgb,
+          skipFeatures = 7, maxFeatures = 11)
+        .agg(count(lit(1)).as("fgb_n"), min(col("k")).as("fgb_min_k"),
+          sum(col("k")).as("fgb_sum_k"))
+      val kml = "/tmp/graft_io_skip/t.kml"
+      graft.io.GeoIO.writeKml(
+        df.select(k.cast("string").as("name"), col("geometry")), kml)
+      val kW = graft.io.GeoIO.readKml(s, kml,
+          skipFeatures = 13, maxFeatures = 20)
+        .agg(count(lit(1)).as("kml_n"),
+          min(expr("cast(name as bigint)")).as("kml_min_k"),
+          sum(expr("cast(name as bigint)")).as("kml_sum_k"))
+      sW.crossJoin(sB).crossJoin(gW).crossJoin(fW).crossJoin(kW)
+    }),
+
     // ------------------------------- geometry-list evaluation (list.eval)
     "geo_list_eval" -> ((s, dir) => {
       base(s, dir).select(k,
@@ -1442,6 +1485,28 @@ object GeoQueries {
          |FROM b ORDER BY k""".stripMargin,
     "geo_list_eval" ->
       s"""$B SELECT k, xmin+w AS part_x1, 4 AS parts_n, w*h AS parts_area_sum
-         |FROM b ORDER BY k""".stripMargin
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_io_skip" ->
+      s"""$B, w1 AS (SELECT k FROM b ORDER BY k LIMIT 11 OFFSET 7),
+         | wb AS (SELECT k FROM b WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0
+         |   ORDER BY k LIMIT 5 OFFSET 2),
+         | wk AS (SELECT k FROM b ORDER BY k LIMIT 20 OFFSET 13)
+         |SELECT
+         | (SELECT count(*) FROM w1) AS shp_n,
+         | (SELECT min(k) FROM w1) AS shp_min_k,
+         | (SELECT max(k) FROM w1) AS shp_max_k,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM w1) AS shp_sum_k,
+         | (SELECT count(*) FROM wb) AS shpb_n,
+         | (SELECT min(k) FROM wb) AS shpb_min_k,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM wb) AS shpb_sum_k,
+         | (SELECT count(*) FROM w1) AS gpkg_n,
+         | (SELECT min(k) FROM w1) AS gpkg_min_k,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM w1) AS gpkg_sum_k,
+         | (SELECT count(*) FROM w1) AS fgb_n,
+         | (SELECT min(k) FROM w1) AS fgb_min_k,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM w1) AS fgb_sum_k,
+         | (SELECT count(*) FROM wk) AS kml_n,
+         | (SELECT min(k) FROM wk) AS kml_min_k,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM wk) AS kml_sum_k""".stripMargin
   )
 }

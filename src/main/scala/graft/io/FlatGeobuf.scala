@@ -404,8 +404,10 @@ object FlatGeobuf {
     def close(): Unit = dos.close()
   }
 
-  /** Parse a whole .fgb byte array → (header, features iterator). */
-  def read(bytes: Array[Byte]): (Header, Iterator[Feature]) = {
+  /** Parse a whole .fgb byte array → (header, features iterator).
+    * `skip` hops that many size-prefixed feature records without
+    * decoding their flatbuffers (scan-level skip_features). */
+  def read(bytes: Array[Byte], skip: Long = 0L): (Header, Iterator[Feature]) = {
     // bytes 3 and 7 are spec version / patch level and may vary
     require(bytes.length >= 12 && Seq(0, 1, 2, 4, 5, 6).forall(i => bytes(i) == Magic(i)),
       "not a FlatGeobuf file (bad magic)")
@@ -414,6 +416,11 @@ object FlatGeobuf {
     val headerBytes = java.util.Arrays.copyOfRange(bytes, 12, 12 + headerSize)
     val header = readHeader(headerBytes)
     var pos = 12 + headerSize + indexSize(header.featuresCount, header.indexNodeSize).toInt
+    var toSkip = skip
+    while (toSkip > 0 && pos + 4 <= bytes.length) {
+      pos += 4 + bb.getInt(pos)
+      toSkip -= 1
+    }
     val it = new Iterator[Feature] {
       override def hasNext: Boolean = pos + 4 <= bytes.length
       override def next(): Feature = {
@@ -424,6 +431,21 @@ object FlatGeobuf {
       }
     }
     (header, it)
+  }
+
+  /** Feature count by hopping size prefixes — no flatbuffer decode; used
+    * when the header's featuresCount is 0 (writer didn't know it). */
+  def recordCount(bytes: Array[Byte]): Long = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = bb.getInt(8)
+    val header = readHeader(java.util.Arrays.copyOfRange(bytes, 12, 12 + headerSize))
+    var pos = 12 + headerSize + indexSize(header.featuresCount, header.indexNodeSize).toInt
+    var n = 0L
+    while (pos + 4 <= bytes.length) {
+      pos += 4 + bb.getInt(pos)
+      n += 1
+    }
+    n
   }
 
   /** Read just the header from a stream (first bytes of a file). */

@@ -217,14 +217,38 @@ object GeoIO {
   }
 
   /** Read a whole-file GeoJSON FeatureCollection (the reference's
-    * `read_file` on .geojson): multiline JSON → one row per feature. */
+    * `read_file` on .geojson): multiline JSON → one row per feature.
+    * `skipFeatures`/`maxFeatures` window the feature sequence
+    * (filename-ordered across a directory of collections) declaratively:
+    * per-file counts are one `size(features)` aggregate, the window is a
+    * broadcast join on filename + a `posexplode` range filter. */
   def readGeoJson(spark: SparkSession, path: String,
-      geometryName: String = "geometry"): DataFrame = {
-    val fc = spark.read.option("multiLine", "true").json(path)
-    val exploded = fc.select(explode(col("features")).as("f"))
-    val propsSchema = exploded.schema("f").dataType
+      geometryName: String = "geometry",
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
+    val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
+    val fc0 = spark.read.option("multiLine", "true").json(path)
+    val exploded0 =
+      if (!windowed) fc0.select(explode(col("features")).as("f"))
+      else {
+        val fc = fc0.withColumn("__file", input_file_name())
+        val counts = fc.select(col("__file"),
+          size(col("features")).cast("long").as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        val windows = featureWindows(counts.map(_._1).toSeq,
+          skipFeatures, maxFeatures)(counts.toMap)
+        import spark.implicits._
+        val wdf = windows.toDF("__file", "__skip", "__take")
+        fc.join(broadcast(wdf), "__file")
+          .select(col("__skip"), col("__take"),
+            posexplode(col("features")).as(Seq("__pos", "f")))
+          .where(col("__pos") >= col("__skip") &&
+            col("__pos") < col("__skip") + col("__take"))
+          .select(col("f"))
+      }
+    val propsSchema = exploded0.schema("f").dataType
       .asInstanceOf[StructType].fields.find(_.name == "properties")
-    val base = exploded.select(
+    val base = exploded0.select(
       graft.functions.st_geomfromgeojson(to_json(col("f.geometry"))).as(geometryName),
       col("f.properties").as("__p"))
     propsSchema.map(_.dataType.asInstanceOf[StructType].fieldNames.toSeq)
@@ -287,12 +311,22 @@ object GeoIO {
     *   bounding box (read before any point data) misses it are skipped
     *   without geometry deserialization.
     * @param readGeometry false drops the geometry column (pyogrio's
-    *   `read_geometry=False`). */
+    *   `read_geometry=False`).
+    * @param skipFeatures / @param maxFeatures positional window over the
+    *   (filename-ordered) feature sequence, pyogrio's `skip_features` /
+    *   `max_features`. Without a bbox the skip is scan-level: per-file
+    *   counts come from the .shx length alone (no data read), files
+    *   outside the window are never opened, and in-file skips hop record
+    *   headers without decoding. With a bbox the window applies AFTER the
+    *   filter (pyogrio semantics), so multi-file planning needs one
+    *   count pass over the stored-bbox tests. */
   def readShapefile(spark: SparkSession, path: String,
       geometryName: String = "geometry",
       columns: Option[Seq[String]] = None,
       bbox: Option[(Double, Double, Double, Double)] = None,
-      readGeometry: Boolean = true): DataFrame = {
+      readGeometry: Boolean = true,
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shps: Seq[org.apache.hadoop.fs.Path] =
@@ -341,26 +375,49 @@ object GeoIO {
       spark.sparkContext.hadoopConfiguration)
     val fileList = shps.map(_.toString)
     val keptArr = keptIdx.toArray
-    val rows = spark.sparkContext.parallelize(fileList, fileList.length).flatMap { shpPath =>
-      val p = new org.apache.hadoop.fs.Path(shpPath)
-      val pfs = p.getFileSystem(conf.value)
-      def bytesOf(path: org.apache.hadoop.fs.Path): Array[Byte] = {
-        val in = pfs.open(path)
-        try {
-          val len = pfs.getFileStatus(path).getLen.toInt
-          val buf = new Array[Byte](len); in.readFully(0, buf); buf
-        } finally in.close()
+    val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
+    val windows: Seq[(String, Long, Long)] =
+      if (!windowed) fileList.map(f => (f, 0L, Long.MaxValue))
+      else if (fileList.length == 1) Seq((fileList.head, skipFeatures, maxFeatures))
+      else {
+        val counts: Map[String, Long] =
+          if (bbox.isEmpty) {
+            // fixed-size .shx: count = (len - 100) / 8, from FileStatus
+            // alone; files missing the sidecar fall back to a header hop
+            val (withShx, needScan) = fileList.partition(f =>
+              fs.exists(sidecar(new org.apache.hadoop.fs.Path(f), ".shx")))
+            withShx.map(f => f -> Shapefile.recordCountFromShx(
+              fs.getFileStatus(sidecar(new org.apache.hadoop.fs.Path(f), ".shx")).getLen)).toMap ++
+              distributedCounts(spark, needScan)(f =>
+                Shapefile.recordCount(readWholeFile(conf, f)))
+          } else
+            // window applies post-filter → count the bbox survivors
+            distributedCounts(spark, fileList)(f =>
+              Shapefile.readFeatures(readWholeFile(conf, f), None, bbox).size.toLong)
+        featureWindows(fileList, skipFeatures, maxFeatures)(counts)
       }
-      val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
-        p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
-      val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
-      Shapefile.readFeatures(bytesOf(p), dbf, bbox, srid).map { case (g, attrs) =>
-        val geo: Seq[Any] =
-          if (!readGeometry) Seq.empty
-          else Seq(if (g == null) null else graft.serde.EWKB.write(g))
-        org.apache.spark.sql.Row.fromSeq(geo ++ keptArr.map(attrs(_)).toSeq)
+    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+      .flatMap { case (shpPath, wSkip, wTake) =>
+        val p = new org.apache.hadoop.fs.Path(shpPath)
+        val pfs = p.getFileSystem(conf.value)
+        def bytesOf(path: org.apache.hadoop.fs.Path): Array[Byte] = {
+          val in = pfs.open(path)
+          try {
+            val len = pfs.getFileStatus(path).getLen.toInt
+            val buf = new Array[Byte](len); in.readFully(0, buf); buf
+          } finally in.close()
+        }
+        val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
+          p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
+        val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
+        Shapefile.readFeatures(bytesOf(p), dbf, bbox, srid, wSkip, wTake)
+          .map { case (g, attrs) =>
+            val geo: Seq[Any] =
+              if (!readGeometry) Seq.empty
+              else Seq(if (g == null) null else graft.serde.EWKB.write(g))
+            org.apache.spark.sql.Row.fromSeq(geo ++ keptArr.map(attrs(_)).toSeq)
+          }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -443,29 +500,54 @@ object GeoIO {
     * splittable without consulting its spatial index — the multi-file layout
     * written by [[writeFlatGeobufPartitioned]] is the cluster-scale path). */
   def readFlatGeobuf(spark: SparkSession, path: String,
-      geometryName: String = "geometry"): DataFrame = {
+      geometryName: String = "geometry",
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     // schema comes from the first file's header (all parts share one schema)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val first =
-      if (fs.getFileStatus(hadoopPath).isDirectory)
-        fs.listStatus(hadoopPath).map(_.getPath)
-          .filter(_.getName.endsWith(".fgb")).sortBy(_.getName).headOption
-          .getOrElse(throw new IllegalArgumentException(s"no .fgb files in $path"))
-      else hadoopPath
-    val in = fs.open(first)
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(hadoopPath).isDirectory) {
+        val l = fs.listStatus(hadoopPath).map(_.getPath).toSeq
+          .filter(_.getName.endsWith(".fgb")).sortBy(_.getName)
+        require(l.nonEmpty, s"no .fgb files in $path")
+        l
+      } else Seq(hadoopPath)
+    val in = fs.open(files.head)
     val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
     val schema = StructType(
       StructField(geometryName, BinaryType, nullable = true) +:
         header.columns.map(c => StructField(c.name, sparkTypeFor(c.colType))))
-    val glob = if (fs.getFileStatus(hadoopPath).isDirectory) s"$path/*.fgb" else path
-    val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (_, pds) =>
-      val (_, features) = FlatGeobuf.read(pds.toArray())
-      features.map { f =>
-        val geo = if (f.geometry == null) null else graft.serde.EWKB.write(f.geometry)
-        org.apache.spark.sql.Row.fromSeq(geo +: f.properties.toSeq)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileList = files.map(_.toString)
+    val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
+    val windows: Seq[(String, Long, Long)] =
+      if (!windowed) fileList.map(f => (f, 0L, Long.MaxValue))
+      else if (fileList.length == 1) Seq((fileList.head, skipFeatures, maxFeatures))
+      else {
+        // header featuresCount when the writer recorded it (header-only
+        // read per file); else one distributed size-prefix hop pass
+        val fromHeaders: Map[String, Long] = fileList.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val hin = fs.open(p)
+          val h = try FlatGeobuf.readHeaderFrom(hin) finally hin.close()
+          f -> h.featuresCount
+        }.toMap
+        val needScan = fileList.filter(fromHeaders(_) == 0L)
+        val counts = fromHeaders ++ distributedCounts(spark, needScan)(f =>
+          FlatGeobuf.recordCount(readWholeFile(conf, f)))
+        featureWindows(fileList, skipFeatures, maxFeatures)(counts)
       }
-    }
+    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+      .flatMap { case (f, wSkip, wTake) =>
+        // scan-level skip: size prefixes hopped, no flatbuffer decode
+        val (_, features) = FlatGeobuf.read(readWholeFile(conf, f), wSkip)
+        sliceIterator(features, 0L, wTake).map { ft =>
+          val geo = if (ft.geometry == null) null else graft.serde.EWKB.write(ft.geometry)
+          org.apache.spark.sql.Row.fromSeq(geo +: ft.properties.toSeq)
+        }
+      }
     spark.createDataFrame(rows, schema)
   }
 
@@ -569,12 +651,39 @@ object GeoIO {
     * @param columns attribute subset (geometry always kept);
     * @param bbox    (xmin, ymin, xmax, ymax) — rows whose STORED blob
     *   envelope misses it are skipped before WKB parsing. */
+  /** Stored-envelope bbox test on a gpkg geometry blob — header-only, no
+    * WKB parse. A bbox read is a spatial predicate, so NULL geometries
+    * (and null blobs) prune too; a blob without a stored envelope cannot
+    * be pruned. */
+  private def gpkgBboxPruned(blob: Array[Byte],
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean =
+    blob == null || {
+      val flags = blob(3) & 0xff
+      val envInd = (flags >> 1) & 0x07
+      if (envInd == 0) false
+      else {
+        val little = (flags & 1) == 1
+        def d(i: Int): Double = java.lang.Double.longBitsToDouble {
+          var v = 0L
+          var j = 0
+          while (j < 8) {
+            val idx = 8 + 8 * i + (if (little) 7 - j else j)
+            v = (v << 8) | (blob(idx) & 0xffL); j += 1
+          }
+          v
+        }
+        d(0) > xmax || d(1) < xmin || d(2) > ymax || d(3) < ymin
+      }
+    }
+
   def readGeoPackage(spark: SparkSession, path: String,
       layer: Option[String] = None,
       geometryName: String = "geometry",
       columns: Option[Seq[String]] = None,
       bbox: Option[(Double, Double, Double, Double)] = None,
-      readGeometry: Boolean = true): DataFrame = {
+      readGeometry: Boolean = true,
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     def open(): (Sqlite.SqliteDb, org.apache.hadoop.fs.FSDataInputStream) = {
@@ -626,76 +735,92 @@ object GeoIO {
     val layerSrid = lay.srid
     val doGeom = readGeometry
     val bbx = bbox
+    // a function val, not a local def: defs lift to methods on the
+    // (non-serializable) GeoIO module and poison task closures
+    val openTask: () => (Sqlite.SqliteDb, org.apache.hadoop.fs.FSDataInputStream) = () => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf.value)
+      val fin = fs.open(p)
+      (new Sqlite.SqliteDb(
+        new Sqlite.HadoopAccess(fin, fs.getFileStatus(p).getLen)), fin)
+    }
+    // skip_features/max_features: per-LEAF (skip, take) windows in rowid
+    // order. Counts come from leaf page headers alone when there is no
+    // bbox (no cell decode); under a bbox the window applies post-filter
+    // (pyogrio semantics), so counting pays the stored-envelope tests.
+    // Leaves wholly outside the window are pruned — never read again.
+    val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
+    val leafWindows: Seq[(Int, Long, Long)] =
+      if (!windowed) leafList.map(pg => (pg, 0L, Long.MaxValue))
+      else {
+        val cgroups = leafList.grouped(64).toSeq
+        val counts: Map[Int, Long] = spark.sparkContext
+          .parallelize(cgroups, math.max(1, cgroups.length))
+          .flatMap { leaves =>
+            val (fdb, fin) = openTask()
+            try leaves.map(pg => pg -> (bbx match {
+              case None => fdb.leafCellCount(pg).toLong
+              case Some((x0, y0, x1, y1)) => fdb.leafRows(pg).count { case (_, rec) =>
+                !gpkgBboxPruned(rec(geomOrd).asInstanceOf[Array[Byte]], x0, y0, x1, y1)
+              }.toLong
+            }))
+            finally fin.close()
+          }.collect().toMap
+        featureWindows(leafList, skipFeatures, maxFeatures)(counts)
+      }
     // one task per leaf-page group; 64 leaves/task ≈ a few MB of pages
-    val groups = leafList.grouped(64).toSeq
+    val groups = leafWindows.grouped(64).toSeq
     val rows = spark.sparkContext
       .parallelize(groups, math.max(1, groups.length))
       .flatMap { leaves =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(conf.value)
-        val fin = fs.open(p)
-        val fdb = new Sqlite.SqliteDb(
-          new Sqlite.HadoopAccess(fin, fs.getFileStatus(p).getLen))
+        val (fdb, fin) = openTask()
         // decode this task's leaves eagerly (≤64 pages, a few MB) so the
-        // file handle closes before the iterator is consumed downstream
+        // file handle closes before the iterator is consumed downstream;
+        // bbox prune on the stored envelope, before any WKB parse
         val decoded =
-          try leaves.flatMap(pg => fdb.leafRows(pg).toVector)
-          finally fin.close()
-        decoded.iterator.flatMap { case (rowid, rec) =>
-          val blob = rec(geomOrd).asInstanceOf[Array[Byte]]
-          // bbox prune on the stored envelope, before WKB parse; a bbox
-          // read is a spatial predicate, so NULL geometries drop too
-          val prune = bbx.exists { case (xmin, ymin, xmax, ymax) =>
-            blob == null || {
-              val flags = blob(3) & 0xff
-              val envInd = (flags >> 1) & 0x07
-              if (envInd == 0) false // no stored envelope → cannot prune
-              else {
-                val little = (flags & 1) == 1
-                def d(i: Int): Double = java.lang.Double.longBitsToDouble {
-                  var v = 0L
-                  var j = 0
-                  while (j < 8) {
-                    val idx = 8 + 8 * i + (if (little) 7 - j else j)
-                    v = (v << 8) | (blob(idx) & 0xffL); j += 1
-                  }
-                  v
-                }
-                d(0) > xmax || d(1) < xmin || d(2) > ymax || d(3) < ymin
-              }
+          try leaves.flatMap { case (pg, lskip, ltake) =>
+            val windowedRows = bbx match {
+              case None =>
+                // scan-level skip: the cell pointer array jumps lskip cells
+                sliceIterator(fdb.leafRows(pg, lskip.toInt), 0L, ltake)
+              case Some((x0, y0, x1, y1)) =>
+                sliceIterator(fdb.leafRows(pg).filterNot { case (_, rec) =>
+                  gpkgBboxPruned(rec(geomOrd).asInstanceOf[Array[Byte]], x0, y0, x1, y1)
+                }, lskip, ltake)
             }
+            windowedRows.toVector
           }
-          if (prune) None
-          else {
-            val geo: Seq[Any] =
-              if (!doGeom) Seq.empty
-              else if (blob == null) Seq(null)
-              else {
-                val (g, _) = GeoPackage.readGeometryBlob(blob)
-                if (g.getSRID == 0 && layerSrid != 0) g.setSRID(layerSrid)
-                Seq(graft.serde.EWKB.write(g))
-              }
-            val vals = keptArr.map { case (c, ord) =>
-              (rec(ord), gpkgSparkType(c)) match {
-                case (null, _) =>
-                  if (c.ipk) rowid else null // IPK stored as NULL = rowid
-                case (v: Long, LongType) => v
-                case (v: Long, DoubleType) => v.toDouble
-                case (v: Long, BooleanType) => v != 0L
-                case (v: Long, StringType) => v.toString
-                case (v: Double, DoubleType) => v
-                case (v: Double, LongType) => v.toLong
-                case (v: Double, StringType) => v.toString
-                case (v: String, StringType) => v
-                case (v: String, LongType) => v.toLong
-                case (v: String, DoubleType) => v.toDouble
-                case (v: Array[Byte], BinaryType) => v
-                case (v, t) => throw new java.io.IOException(
-                  s"gpkg: column ${c.name}: cannot map ${v.getClass} to $t")
-              }
-            }.toSeq
-            Some(org.apache.spark.sql.Row.fromSeq(geo ++ vals))
-          }
+          finally fin.close()
+        decoded.iterator.map { case (rowid, rec) =>
+          val blob = rec(geomOrd).asInstanceOf[Array[Byte]]
+          val geo: Seq[Any] =
+            if (!doGeom) Seq.empty
+            else if (blob == null) Seq(null)
+            else {
+              val (g, _) = GeoPackage.readGeometryBlob(blob)
+              if (g.getSRID == 0 && layerSrid != 0) g.setSRID(layerSrid)
+              Seq(graft.serde.EWKB.write(g))
+            }
+          val vals = keptArr.map { case (c, ord) =>
+            (rec(ord), gpkgSparkType(c)) match {
+              case (null, _) =>
+                if (c.ipk) rowid else null // IPK stored as NULL = rowid
+              case (v: Long, LongType) => v
+              case (v: Long, DoubleType) => v.toDouble
+              case (v: Long, BooleanType) => v != 0L
+              case (v: Long, StringType) => v.toString
+              case (v: Double, DoubleType) => v
+              case (v: Double, LongType) => v.toLong
+              case (v: Double, StringType) => v.toString
+              case (v: String, StringType) => v
+              case (v: String, LongType) => v.toLong
+              case (v: String, DoubleType) => v.toDouble
+              case (v: Array[Byte], BinaryType) => v
+              case (v, t) => throw new java.io.IOException(
+                s"gpkg: column ${c.name}: cannot map ${v.getClass} to $t")
+            }
+          }.toSeq
+          org.apache.spark.sql.Row.fromSeq(geo ++ vals)
         }
       }
     spark.createDataFrame(rows, schema)
@@ -850,6 +975,66 @@ object GeoIO {
     } finally in.close()
   }
 
+  // ------------------------------------------- skip_features/max_features
+
+  /** Per-unit (skip, take) windows implementing pyogrio's
+    * `skip_features`/`max_features` over an ordered sequence of scan units
+    * (files, or gpkg leaf pages). `count` is consulted lazily: units after
+    * the window's end are never counted, and once the window is open-ended
+    * the remaining units skip counting entirely. Units wholly outside the
+    * window are dropped — they are never scanned. */
+  private[io] def featureWindows[K](units: Seq[K], skip: Long, max: Long)(
+      count: K => Long): Seq[(K, Long, Long)] = {
+    var remSkip = math.max(0L, skip)
+    var remMax = max
+    val out = Seq.newBuilder[(K, Long, Long)]
+    val it = units.iterator
+    while (it.hasNext && remMax > 0) {
+      val u = it.next()
+      if (remSkip == 0 && remMax == Long.MaxValue) out += ((u, 0L, Long.MaxValue))
+      else {
+        val n = count(u)
+        if (remSkip >= n) remSkip -= n
+        else {
+          val localSkip = remSkip
+          remSkip = 0
+          val take = math.min(n - localSkip, remMax)
+          out += ((u, localSkip, take))
+          if (remMax != Long.MaxValue) remMax -= take
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** One small job counting features per file (used only when a windowed
+    * read spans several files and the count is not derivable from file
+    * metadata alone). */
+  private def distributedCounts(spark: SparkSession, files: Seq[String])(
+      countOne: String => Long): Map[String, Long] =
+    spark.sparkContext.parallelize(files, math.max(1, files.length))
+      .map(f => (f, countOne(f))).collect().toMap
+
+  /** Windows for the whole-document formats (KML/GML/GPX/MIF/DXF): their
+    * framing requires a parse, so a windowed multi-file read plans with
+    * one distributed parse-count pass; single-file reads (the common
+    * interchange case) slice in-stream with no extra pass. */
+  private def xmlWindows(spark: SparkSession, files: Seq[String],
+      skip: Long, max: Long)(count: String => Long): Seq[(String, Long, Long)] =
+    if (skip <= 0 && max == Long.MaxValue) files.map(f => (f, 0L, Long.MaxValue))
+    else if (files.length == 1) Seq((files.head, skip, max))
+    else {
+      val counts = distributedCounts(spark, files)(count)
+      featureWindows(files, skip, max)(counts)
+    }
+
+  private def sliceIterator[T](it: Iterator[T], skip: Long, take: Long): Iterator[T] = {
+    val dropped = if (skip <= 0) it else it.drop(
+      if (skip > Int.MaxValue) Int.MaxValue else skip.toInt)
+    if (take == Long.MaxValue) dropped
+    else dropped.take(if (take > Int.MaxValue) Int.MaxValue else take.toInt)
+  }
+
   /** Read KML file(s) → geo frame: EWKB geometry (SRID 4326, fixed by the
     * KML spec) + `name` + `description` + one STRING column per
     * ExtendedData key (KML carries no attribute types without a Schema
@@ -857,7 +1042,9 @@ object GeoIO {
     * first file. `path` may be one `.kml` or a directory of them;
     * parallelism is per file (whole-document XML is not splittable). */
   def readKml(spark: SparkSession, path: String,
-      geometryName: String = "geometry"): DataFrame = {
+      geometryName: String = "geometry",
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     val (files, first) = xmlFileList(spark, path, ".kml")
     val keys = Kml.dataKeys(first)
     val schema = StructType(
@@ -867,14 +1054,18 @@ object GeoIO {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val keyArr = keys.toArray
-    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
-      Kml.readFeatures(readWholeFile(conf, f)).map { ft =>
-        org.apache.spark.sql.Row.fromSeq(
-          (if (ft.geom == null) null else graft.serde.EWKB.write(ft.geom)) +:
-            ft.name +: ft.description +:
-            keyArr.toSeq.map(k => ft.data.getOrElse(k, null)))
+    val windows = xmlWindows(spark, files, skipFeatures, maxFeatures)(
+      f => Kml.readFeatures(readWholeFile(conf, f)).size.toLong)
+    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+      .flatMap { case (f, wSkip, wTake) =>
+        sliceIterator(Kml.readFeatures(readWholeFile(conf, f)).iterator, wSkip, wTake)
+          .map { ft =>
+            org.apache.spark.sql.Row.fromSeq(
+              (if (ft.geom == null) null else graft.serde.EWKB.write(ft.geom)) +:
+                ft.name +: ft.description +:
+                keyArr.toSeq.map(k => ft.data.getOrElse(k, null)))
+          }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -917,7 +1108,9 @@ object GeoIO {
     * `.gml` (or `.xml`) file or a directory of `.gml`; parallelism is per
     * file. */
   def readGml(spark: SparkSession, path: String,
-      geometryName: String = "geometry"): DataFrame = {
+      geometryName: String = "geometry",
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     val (files, first) = xmlFileList(spark, path, ".gml")
     val keys = Gml.dataKeys(first)
     val schema = StructType(
@@ -926,13 +1119,17 @@ object GeoIO {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val keyArr = keys.toArray
-    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
-      Gml.readFeatures(readWholeFile(conf, f)).map { ft =>
-        org.apache.spark.sql.Row.fromSeq(
-          (if (ft.geom == null) null else graft.serde.EWKB.write(ft.geom)) +:
-            keyArr.toSeq.map(k => ft.data.getOrElse(k, null)))
+    val windows = xmlWindows(spark, files, skipFeatures, maxFeatures)(
+      f => Gml.readFeatures(readWholeFile(conf, f)).size.toLong)
+    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+      .flatMap { case (f, wSkip, wTake) =>
+        sliceIterator(Gml.readFeatures(readWholeFile(conf, f)).iterator, wSkip, wTake)
+          .map { ft =>
+            org.apache.spark.sql.Row.fromSeq(
+              (if (ft.geom == null) null else graft.serde.EWKB.write(ft.geom)) +:
+                keyArr.toSeq.map(k => ft.data.getOrElse(k, null)))
+          }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -969,21 +1166,27 @@ object GeoIO {
     * DXF has no CRS — SRID is 0. `path` is one `.dxf` or a directory;
     * parallelism is per file. */
   def readDxf(spark: SparkSession, path: String,
-      geometryName: String = "geometry"): DataFrame = {
+      geometryName: String = "geometry",
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     val (files, _) = xmlFileList(spark, path, ".dxf")
     val schema = StructType(Seq(
       StructField(geometryName, BinaryType, nullable = true),
       StructField("layer", StringType)))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
-      val text = new String(readWholeFile(conf, f),
-        java.nio.charset.StandardCharsets.UTF_8)
-      Dxf.readEntities(text).map { e =>
-        org.apache.spark.sql.Row(
-          if (e.geom == null) null else graft.serde.EWKB.write(e.geom), e.layer)
+    // function val, not a def: a local def would capture the GeoIO module
+    val entities: String => Seq[Dxf.Entity] = f => Dxf.readEntities(
+      new String(readWholeFile(conf, f), java.nio.charset.StandardCharsets.UTF_8))
+    val windows = xmlWindows(spark, files, skipFeatures, maxFeatures)(
+      f => entities(f).size.toLong)
+    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+      .flatMap { case (f, wSkip, wTake) =>
+        sliceIterator(entities(f).iterator, wSkip, wTake).map { e =>
+          org.apache.spark.sql.Row(
+            if (e.geom == null) null else graft.serde.EWKB.write(e.geom), e.layer)
+        }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -1021,7 +1224,9 @@ object GeoIO {
     * `.mif` (its `.mid` sidecar is discovered case-insensitively) or a
     * directory of them; parallelism is per file. */
   def readMif(spark: SparkSession, path: String,
-      geometryName: String = "geometry"): DataFrame = {
+      geometryName: String = "geometry",
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     val (files, first) = xmlFileList(spark, path, ".mif")
     val cols = MapInfo.readMif(
       new String(first, java.nio.charset.StandardCharsets.UTF_8), None).columns
@@ -1031,26 +1236,36 @@ object GeoIO {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val colArr = cols.toArray
-    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+    // function val, not a def: a local def would capture the GeoIO module
+    val parse: (String, Boolean) => MapInfo.MifFile = (f, withMid) => {
       val p = new org.apache.hadoop.fs.Path(f)
       val fs = p.getFileSystem(conf.value)
-      def text(pp: org.apache.hadoop.fs.Path): String =
+      val text = (pp: org.apache.hadoop.fs.Path) =>
         new String(readWholeFile(conf, pp.toString),
           java.nio.charset.StandardCharsets.UTF_8)
-      val midPath = Seq(".mid", ".MID").map(ext =>
-        new org.apache.hadoop.fs.Path(p.getParent,
-          p.getName.replaceAll("(?i)\\.mif$", "") + ext)).find(fs.exists)
-      val parsed = MapInfo.readMif(text(p), midPath.map(text))
-      parsed.geoms.zipWithIndex.map { case (g, ri) =>
-        val attrs = colArr.indices.map { ci =>
-          if (ri < parsed.rows.length && ci < parsed.rows(ri).length)
-            MapInfo.parseValue(colArr(ci), parsed.rows(ri)(ci))
-          else null
-        }
-        org.apache.spark.sql.Row.fromSeq(
-          (if (g == null) null else graft.serde.EWKB.write(g)) +: attrs)
-      }
+      val midPath =
+        if (!withMid) None
+        else Seq(".mid", ".MID").map(ext =>
+          new org.apache.hadoop.fs.Path(p.getParent,
+            p.getName.replaceAll("(?i)\\.mif$", "") + ext)).find(fs.exists)
+      MapInfo.readMif(text(p), midPath.map(text))
     }
+    val windows = xmlWindows(spark, files, skipFeatures, maxFeatures)(
+      f => parse(f, false).geoms.size.toLong)
+    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+      .flatMap { case (f, wSkip, wTake) =>
+        val parsed = parse(f, true)
+        sliceIterator(parsed.geoms.iterator.zipWithIndex, wSkip, wTake)
+          .map { case (g, ri) =>
+            val attrs = colArr.indices.map { ci =>
+              if (ri < parsed.rows.length && ci < parsed.rows(ri).length)
+                MapInfo.parseValue(colArr(ci), parsed.rows(ri)(ci))
+              else null
+            }
+            org.apache.spark.sql.Row.fromSeq(
+              (if (g == null) null else graft.serde.EWKB.write(g)) +: attrs)
+          }
+      }
     spark.createDataFrame(rows, schema)
   }
 
@@ -1103,7 +1318,9 @@ object GeoIO {
     * `ele` becomes both the point Z and an `ele` column. `path` may be
     * one `.gpx` or a directory; parallelism is per file. */
   def readGpx(spark: SparkSession, path: String, layer: String = "waypoints",
-      geometryName: String = "geometry"): DataFrame = {
+      geometryName: String = "geometry",
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue): DataFrame = {
     val (files, _) = xmlFileList(spark, path, ".gpx")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -1126,9 +1343,10 @@ object GeoIO {
       case other => throw new IllegalArgumentException(
         s"gpx: unknown layer '$other' (waypoints|routes|tracks|route_points|track_points)")
     }
-    val rows = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+    // function val, not a def: a local def would capture the GeoIO module
+    val layerRows: String => Seq[org.apache.spark.sql.Row] = f => {
       val doc = Gpx.read(readWholeFile(conf, f))
-      def ewkb(geom: org.locationtech.jts.geom.Geometry) = graft.serde.EWKB.write(geom)
+      val ewkb = (geom: org.locationtech.jts.geom.Geometry) => graft.serde.EWKB.write(geom)
       layer match {
         case "waypoints" => doc.waypoints.map(p =>
           org.apache.spark.sql.Row(ewkb(Gpx.pointGeom(p)), p.ele.orNull,
@@ -1153,6 +1371,12 @@ object GeoIO {
         }
       }
     }
+    val windows = xmlWindows(spark, files, skipFeatures, maxFeatures)(
+      f => layerRows(f).size.toLong)
+    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+      .flatMap { case (f, wSkip, wTake) =>
+        sliceIterator(layerRows(f).iterator, wSkip, wTake)
+      }
     spark.createDataFrame(rows, schema)
   }
 

@@ -61,7 +61,8 @@ object Shapefile {
     * any point data) does not intersect it — the bbox pushdown analog of
     * `read_file(bbox=...)`. */
   def readShpGeometries(data: Array[Byte],
-      bbox: Option[(Double, Double, Double, Double)] = None): (Int, Iterator[AnyRef]) = {
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      skip: Long = 0L): (Int, Iterator[AnyRef]) = {
     require(data.length >= 100, "shapefile: truncated header")
     // NB: absolute gets on a FULL wrap — wrap(array, offset, len) does not
     // shift absolute indices, so offset wraps + getInt(0) silently read the
@@ -71,8 +72,16 @@ object Shapefile {
     val shapeType = whole.order(ByteOrder.LITTLE_ENDIAN).getInt(32)
     whole.order(ByteOrder.BIG_ENDIAN)
     val fileLenBytes = math.min(whole.getInt(24) * 2L, data.length).toInt
+    // scan-level skip: hop record headers (8 bytes each) without touching
+    // any point data — skipped records cost one length read + a jump
+    var start = 100
+    var toSkip = skip
+    while (toSkip > 0 && start + 8 <= fileLenBytes) {
+      start += 8 + whole.getInt(start + 4) * 2
+      toSkip -= 1
+    }
     val it = new Iterator[AnyRef] {
-      private var off = 100
+      private var off = start
       def hasNext: Boolean = off + 8 <= fileLenBytes
       def next(): AnyRef = {
         val contentWords = whole.getInt(off + 4)
@@ -176,7 +185,8 @@ object Shapefile {
   /** Decode a dBase III .dbf: (fields, record iterator). Deleted records
     * (flag 0x2A) are skipped — callers zipping with .shp records should
     * read with [[readFeatures]], which keeps the two streams aligned. */
-  def readDbf(data: Array[Byte]): (Seq[DbfField], Iterator[Array[Any]]) = {
+  def readDbf(data: Array[Byte],
+      skip: Int = 0): (Seq[DbfField], Iterator[Array[Any]]) = {
     val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = b.getInt(4)
     val headerSize = b.getShort(8) & 0xffff
@@ -191,7 +201,8 @@ object Shapefile {
       off += 32
     }
     val fs = fields.toSeq
-    val it = (0 until numRecords).iterator.map { r =>
+    // dbf records are fixed-size: skipping is pure index arithmetic
+    val it = (math.min(skip, numRecords) until numRecords).iterator.map { r =>
       val base = headerSize + r.toLong * recordSize
       if (base + recordSize > data.length) null
       else if (data(base.toInt) == 0x2a) null // deleted
@@ -236,21 +247,53 @@ object Shapefile {
 
   /** Zip .shp geometries with .dbf attribute rows, applying the bbox
     * pushdown (records pruned by bbox are skipped WITHOUT geometry
-    * deserialization; their dbf rows are skipped in lockstep). */
+    * deserialization; their dbf rows are skipped in lockstep).
+    *
+    * `skip`/`take` window the feature sequence (pyogrio's
+    * `skip_features`/`max_features`). With no bbox the skip is
+    * scan-level — record headers are hopped and dbf offsets jumped, no
+    * geometry or attribute decode for skipped records. With a bbox the
+    * window applies AFTER the filter (pyogrio semantics), so skipped
+    * matches still pay their (cheap, header-only) bbox test. */
   def readFeatures(shp: Array[Byte], dbf: Option[Array[Byte]],
       bbox: Option[(Double, Double, Double, Double)] = None,
-      srid: Int = 0): Iterator[(Geometry, Array[Any])] = {
-    val (_, geoms) = readShpGeometries(shp, bbox)
+      srid: Int = 0, skip: Long = 0L,
+      take: Long = Long.MaxValue): Iterator[(Geometry, Array[Any])] = {
+    val scanSkip = if (bbox.isEmpty) skip else 0L
+    val (_, geoms) = readShpGeometries(shp, bbox, scanSkip)
     val attrs: Iterator[Array[Any]] = dbf match {
-      case Some(d) => readDbf(d)._2
+      case Some(d) => readDbf(d, scanSkip.toInt)._2
       case None => Iterator.continually(Array.empty[Any])
     }
-    geoms.zip(attrs).collect {
+    val zipped = geoms.zip(attrs).collect {
       case (g: Geometry, a) =>
         if (srid != 0) g.setSRID(srid)
         (g, a)
       case (null, a) => (null: Geometry, a)
     }
+    val windowed =
+      if (bbox.isEmpty) zipped
+      else if (skip > 0) zipped.drop(
+        if (skip > Int.MaxValue) Int.MaxValue else skip.toInt)
+      else zipped
+    if (take == Long.MaxValue) windowed
+    else windowed.take(if (take > Int.MaxValue) Int.MaxValue else take.toInt)
+  }
+
+  /** Record count without decoding: from the fixed-size .shx when
+    * present ((len-100)/8), else by hopping .shp record headers. */
+  def recordCountFromShx(shxLen: Long): Long = (shxLen - 100L) / 8L
+
+  def recordCount(shp: Array[Byte]): Long = {
+    val whole = ByteBuffer.wrap(shp)
+    val fileLenBytes = math.min(whole.getInt(24) * 2L, shp.length).toInt
+    var off = 100
+    var n = 0L
+    while (off + 8 <= fileLenBytes) {
+      off += 8 + whole.getInt(off + 4) * 2
+      n += 1
+    }
+    n
   }
 
   // ================================================================ writing

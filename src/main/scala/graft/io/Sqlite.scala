@@ -248,18 +248,32 @@ object Sqlite {
     }
 
     /** (rowid, decoded record) for every cell of one table LEAF page. */
-    def leafRows(pageNo: Int): Iterator[(Long, Array[Any])] = {
+    /** Rows stored on a table leaf page (one cell = one row). The cell
+      * pointer array gives direct access, so `skipCells` is pure index
+      * arithmetic — no payload decode for skipped cells. */
+    def leafRows(pageNo: Int, skipCells: Int = 0): Iterator[(Long, Array[Any])] = {
       val pg = page(pageNo)
       val base = if (pageNo == 1) 100 else 0
       val typ = pg(base) & 0xff
       require(typ == 0x0d, s"sqlite: page $pageNo is not a table leaf (type $typ)")
       val nCells = u16(pg, base + 3)
-      (0 until nCells).iterator.map { i =>
+      (math.min(skipCells, nCells) until nCells).iterator.map { i =>
         var off = u16(pg, base + 8 + 2 * i)
         val (payload, n1) = readVarint(pg, off); off += n1
         val (rowid, n2) = readVarint(pg, off); off += n2
         (rowid, decodeRecord(cellPayload(pg, off, payload)))
       }
+    }
+
+    /** Row count of a table leaf page from its header alone (offset 3,
+      * big-endian u16) — no cell decode; a positional scan window
+      * (skip_features/max_features) plans from these. */
+    def leafCellCount(pageNo: Int): Int = {
+      val pg = page(pageNo)
+      val base = if (pageNo == 1) 100 else 0
+      val typ = pg(base) & 0xff
+      require(typ == 0x0d, s"sqlite: page $pageNo is not a table leaf (type $typ)")
+      u16(pg, base + 3)
     }
 
     /** All LEAF page numbers under a table b-tree root, in key order —
@@ -289,7 +303,7 @@ object Sqlite {
 
     /** Scan a whole rowid table. */
     def tableRows(root: Int): Iterator[(Long, Array[Any])] =
-      leafPages(root).iterator.flatMap(leafRows)
+      leafPages(root).iterator.flatMap(pg => leafRows(pg))
 
     /** The schema table (`sqlite_master`, root = page 1). */
     def master: Seq[MasterRow] =

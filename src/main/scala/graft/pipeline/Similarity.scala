@@ -309,9 +309,22 @@ object Similarity {
     * [[ivfTopKIndexed]] does when called repeatedly). Normalization and
     * assignment are paid exactly once, at build time. */
   def buildIvfStore(index: IvfIndex, corpus: DataFrame, corpusId: String,
-      corpusVec: String, path: String): Unit =
-    assigned(index, corpus, corpusId, corpusVec)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      corpusVec: String, path: String,
+      writeOptions: Map[String, String] = Map.empty): Unit =
+    clusteredByCellThenId(assigned(index, corpus, corpusId, corpusVec))
+      .write.mode("overwrite").options(writeOptions)
+      .partitionBy("cell").parquet(path)
+
+  /** One writer task per cell group, rows sorted by corpus_id inside each
+    * cell — every parquet ROW GROUP then covers a tight, disjoint id
+    * range, so parquet's per-group min/max stats turn the re-rank's
+    * `id isin (candidates)` pushdown into row-group pruning (the
+    * unsorted layout leaves each group's id range spanning the whole
+    * space, disabling stats-based skips). Same effect as a covering-id
+    * index, paid once at build time with one extra shuffle. */
+  private def clusteredByCellThenId(df: DataFrame): DataFrame =
+    df.repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("corpus_id"))
 
   /** Append-only refresh: assign NEW rows with the SAME index so they land
     * in the right cell directories; existing data is never rewritten.
@@ -320,7 +333,7 @@ object Similarity {
     * rewrites the store against the new centroids. */
   def appendToIvfStore(index: IvfIndex, rows: DataFrame, corpusId: String,
       corpusVec: String, path: String): Unit =
-    assigned(index, rows, corpusId, corpusVec)
+    clusteredByCellThenId(assigned(index, rows, corpusId, corpusVec))
       .write.mode("append").partitionBy("cell").parquet(path)
 
   private def assigned(index: IvfIndex, corpus: DataFrame, corpusId: String,
@@ -443,13 +456,16 @@ object Similarity {
     * scan, and full vectors only for candidate rows. */
   def buildIvfPqStore(index: IvfIndex, book: PqCodebook, corpus: DataFrame,
       corpusId: String, corpusVec: String, path: String,
-      residual: Boolean = false, packed: Boolean = false): Unit = {
+      residual: Boolean = false, packed: Boolean = false,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     val withCell = assigned(index, corpus, corpusId, corpusVec)
     val encodeInput =
       if (residual) residualUdf(index)(col("cvec"), col("cell"))
       else col("cvec")
-    withCell.withColumn("code", pqEncodeUdf(book, packed)(encodeInput))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    clusteredByCellThenId(
+      withCell.withColumn("code", pqEncodeUdf(book, packed)(encodeInput)))
+      .write.mode("overwrite").options(writeOptions)
+      .partitionBy("cell").parquet(path)
   }
 
   /** IVF-PQ top-k against a [[buildIvfPqStore]] store: partition-pruned

@@ -318,6 +318,70 @@ class PipelineSpec extends AnyFunSuite {
       "residual codes identical to raw codes — residual path inert")
   }
 
+  test("IVF-PQ store: id-clustered layout row-group-prunes the re-rank read") {
+    // the store build sorts by corpus_id inside each cell, so every
+    // parquet row group covers a tight disjoint id range and the exact
+    // re-rank's `corpus_id isin (candidates)` pushdown skips whole row
+    // groups on footer stats (the unsorted layout left every group
+    // spanning the full id space → zero skips)
+    val rnd = new scala.util.Random(37)
+    val corpus = (1L to 4000L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 4, seed = 7L)
+    val book = Similarity.trainPq(corpus, "vec_id", "embedding", m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rg").toString
+    Similarity.buildIvfPqStore(index, book, corpus, "vec_id", "embedding",
+      dir + "/store",
+      // tiny row groups so a 4000-row fixture has many per file
+      writeOptions = Map("parquet.block.size" -> "16384",
+        "parquet.page.size" -> "4096"))
+    // structural: per-file row-group id ranges are sorted and disjoint
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = new java.io.File(dir + "/store").listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.getName.endsWith(".parquet")))
+    assert(parts.nonEmpty)
+    var multiGroup = 0
+    parts.foreach { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val ranges = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "corpus_id").get
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[Long], st.genericGetMax.asInstanceOf[Long])
+        }
+        if (ranges.length > 1) multiGroup += 1
+        ranges.sliding(2).foreach {
+          case Seq((_, hi), (lo2, _)) =>
+            assert(hi < lo2, s"row-group id ranges overlap in ${f.getName}: $ranges")
+          case _ => ()
+        }
+      } finally rd.close()
+    }
+    assert(multiGroup > 0,
+      "fixture produced only single-row-group files — shrink block size")
+    // behavioral: the isin read's scan emits only surviving row groups'
+    // rows (record-level parquet filtering is off by default, so the
+    // scan's numOutputRows IS the post-group-skip count)
+    val cand = Seq(5L, 777L, 1234L, 2345L, 3456L)
+    val read = spark.read.parquet(dir + "/store")
+      .select($"corpus_id", $"cvec")
+      .filter($"corpus_id".isInCollection(cand))
+    assert(read.collect().map(_.getLong(0)).toSet === cand.toSet)
+    val scans = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in the re-rank read plan")
+    val emitted = scans.map(_.metrics("numOutputRows").value).sum
+    assert(emitted < 2000,
+      s"scan emitted $emitted of 4000 rows — row groups not pruned")
+  }
+
   test("ANN recall: planted near-neighbors recovered by every tier") {
     // planted-neighbor fixture: queries are small perturbations of
     // corpus vectors, so each query's TRUE nearest neighbor is known.

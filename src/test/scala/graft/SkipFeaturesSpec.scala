@@ -1,0 +1,139 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `skip_features`/`max_features` windows on the file readers, mirroring
+  * pyogrio's options on the reference's `read_file`
+  * (`/root/reference/polars_st/input.py:123-138`): positional over the
+  * (filename-ordered) feature sequence, applied AFTER a bbox filter when
+  * one is given. Scan-level where the format allows it: shapefile counts
+  * come from the .shx length and skips hop record headers; gpkg windows
+  * prune whole leaf pages and jump the cell pointer array; fgb hops size
+  * prefixes. */
+class SkipFeaturesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** fid 1..n, point (i, i), sorted so write order == fid order. */
+  private def pts(from: Int, to: Int) =
+    (from to to).map(i => (i.toLong, i.toDouble))
+      .toDF("fid", "x")
+      .select($"fid",
+        st_set_srid(st_point($"x", $"x"), lit(4326)).as("geometry"))
+      .orderBy($"fid")
+
+  private def fids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select($"fid").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("shapefile: single-file window, scan-level skip") {
+    val d = tmpDir("graft_skip_shp")
+    graft.io.GeoIO.writeShapefile(pts(1, 30), s"$d/t.shp")
+    val w = graft.io.GeoIO.readShapefile(spark, s"$d/t.shp",
+      skipFeatures = 10, maxFeatures = 5)
+    assert(fids(w) === (11L to 15L))
+    // open-ended skip and bare max
+    assert(fids(graft.io.GeoIO.readShapefile(spark, s"$d/t.shp",
+      skipFeatures = 27)) === (28L to 30L))
+    assert(fids(graft.io.GeoIO.readShapefile(spark, s"$d/t.shp",
+      maxFeatures = 4)) === (1L to 4L))
+    // skip beyond EOF → empty
+    assert(graft.io.GeoIO.readShapefile(spark, s"$d/t.shp",
+      skipFeatures = 99).count() === 0L)
+  }
+
+  test("shapefile: multi-file window plans from .shx lengths and straddles") {
+    val d = tmpDir("graft_skip_shp2")
+    graft.io.GeoIO.writeShapefile(pts(1, 30), s"$d/a.shp")
+    graft.io.GeoIO.writeShapefile(pts(31, 60), s"$d/b.shp")
+    val w = graft.io.GeoIO.readShapefile(spark, d,
+      skipFeatures = 25, maxFeatures = 10)
+    assert(fids(w) === (26L to 35L))
+    // window inside the second file only: a.shp never contributes
+    assert(fids(graft.io.GeoIO.readShapefile(spark, d,
+      skipFeatures = 40, maxFeatures = 3)) === (41L to 43L))
+  }
+
+  test("shapefile: window applies AFTER the bbox filter (pyogrio order)") {
+    val d = tmpDir("graft_skip_shp3")
+    graft.io.GeoIO.writeShapefile(pts(1, 30), s"$d/t.shp")
+    // bbox keeps points 10..20; skip 3 of the matches → 13..20, max 5 → 13..17
+    val w = graft.io.GeoIO.readShapefile(spark, s"$d/t.shp",
+      bbox = Some((10.0, 10.0, 20.0, 20.0)),
+      skipFeatures = 3, maxFeatures = 5)
+    assert(fids(w) === (13L to 17L))
+  }
+
+  // the gpkg writer adds its own `fid` IPK column — use `pid` for ours
+  private def gpkgPts = pts(1, 30).withColumnRenamed("fid", "pid")
+  private def pids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select(col("pid")).collect().map(_.getLong(0)).toSeq.sorted
+
+  test("geopackage: leaf-page window, cell-pointer skip") {
+    val d = tmpDir("graft_skip_gpkg")
+    graft.io.GeoIO.writeGeoPackage(gpkgPts, s"$d/t.gpkg", tableName = "pts")
+    val w = graft.io.GeoIO.readGeoPackage(spark, s"$d/t.gpkg",
+      skipFeatures = 10, maxFeatures = 5)
+    assert(pids(w) === (11L to 15L))
+    assert(pids(graft.io.GeoIO.readGeoPackage(spark, s"$d/t.gpkg",
+      skipFeatures = 28)) === (29L to 30L))
+    assert(graft.io.GeoIO.readGeoPackage(spark, s"$d/t.gpkg",
+      skipFeatures = 99).count() === 0L)
+  }
+
+  test("geopackage: window after bbox filter") {
+    val d = tmpDir("graft_skip_gpkg2")
+    graft.io.GeoIO.writeGeoPackage(gpkgPts, s"$d/t.gpkg", tableName = "pts")
+    val w = graft.io.GeoIO.readGeoPackage(spark, s"$d/t.gpkg",
+      bbox = Some((10.0, 10.0, 20.0, 20.0)),
+      skipFeatures = 3, maxFeatures = 5)
+    assert(pids(w) === (13L to 17L))
+  }
+
+  test("flatgeobuf: size-prefix hop window, multi-file via header counts") {
+    val d = tmpDir("graft_skip_fgb")
+    graft.io.GeoIO.writeFlatGeobuf(pts(1, 30), s"$d/parts/a.fgb")
+    graft.io.GeoIO.writeFlatGeobuf(pts(31, 60), s"$d/parts/b.fgb")
+    assert(fids(graft.io.GeoIO.readFlatGeobuf(spark, s"$d/parts/a.fgb",
+      skipFeatures = 10, maxFeatures = 5)) === (11L to 15L))
+    assert(fids(graft.io.GeoIO.readFlatGeobuf(spark, s"$d/parts",
+      skipFeatures = 25, maxFeatures = 10)) === (26L to 35L))
+  }
+
+  test("kml + dxf: whole-document window") {
+    val d = tmpDir("graft_skip_xml")
+    val df = pts(1, 20).select(concat(lit("f"), $"fid".cast("string")).as("name"),
+      $"geometry")
+    graft.io.GeoIO.writeKml(df, s"$d/t.kml")
+    val kml = graft.io.GeoIO.readKml(spark, s"$d/t.kml",
+      skipFeatures = 5, maxFeatures = 3)
+      .select(expr("cast(substring(name, 2) as long)").as("fid"))
+    assert(fids(kml) === (6L to 8L))
+    graft.io.GeoIO.writeDxf(df.select($"name".as("layer"), $"geometry"), s"$d/t.dxf")
+    val dxf = graft.io.GeoIO.readDxf(spark, s"$d/t.dxf",
+      skipFeatures = 15, maxFeatures = 99)
+      .select(expr("cast(substring(layer, 2) as long)").as("fid"))
+    assert(fids(dxf) === (16L to 20L))
+  }
+
+  test("geojson: declarative posexplode window across files") {
+    val d = tmpDir("graft_skip_gj")
+    def fc(from: Int, to: Int): String =
+      (from to to).map(i =>
+        s"""{"type":"Feature","geometry":{"type":"Point","coordinates":[$i,$i]},"properties":{"fid":$i}}""")
+        .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "a.json"),
+      fc(1, 30).getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "b.json"),
+      fc(31, 60).getBytes("UTF-8"))
+    val w = graft.io.GeoIO.readGeoJson(spark, d,
+      skipFeatures = 25, maxFeatures = 10)
+    assert(w.select($"fid").collect().map(_.getLong(0)).toSeq.sorted === (26L to 35L))
+    // unwindowed read unchanged
+    assert(graft.io.GeoIO.readGeoJson(spark, d).count() === 60L)
+  }
+}
