@@ -547,6 +547,21 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** Recall@k of an ANN result against an exact truth set: the fraction
+    * of (query, true-top-k-neighbor) pairs the approximate result
+    * recovered in ITS top k. Both frames carry the
+    * (query_id, rank, corpus_id) shape every tier here emits; `truth` is
+    * typically [[bruteForceTopK]] at the same k. One join + two counts —
+    * cheap enough to run as a held-out-sample quality probe alongside a
+    * production index build. */
+  def recallAtK(result: DataFrame, truth: DataFrame, k: Int): Double = {
+    val t = truth.filter(col("rank") <= k).select("query_id", "corpus_id")
+    val r = result.filter(col("rank") <= k).select("query_id", "corpus_id")
+    val denom = t.count()
+    require(denom > 0, "recallAtK: empty truth set")
+    t.join(r, Seq("query_id", "corpus_id")).count().toDouble / denom
+  }
+
   /** Train-and-query convenience (one-shot batches). For repeated batches
     * against a fixed corpus, [[trainIvf]] once (optionally [[saveIvf]]) and
     * call [[ivfTopKIndexed]]. */

@@ -426,6 +426,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall1(ivfpq) >= 0.9, s"ivf-pq recall@1 = ${recall1(ivfpq)}")
   }
 
+  test("ANN recall@10 sweep: nprobe × candidates grid on the planted fixture") {
+    // tuning-regression canary: recall@10 across the (nprobe, candidates)
+    // grid, printed as the PERF.md table. Deterministic (seeded fixture,
+    // seeded kmeans) → pinned bounds; the corner nprobe=nlist &
+    // candidates=corpus is brute force exactly, so recall@10 == 1.0 is
+    // an equality there, not a bound.
+    val rnd = new scala.util.Random(41)
+    val base = (1L to 600L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val queries = base.filter(_._1 % 20 == 0).map { case (i, v) =>
+      (i, v.map(x => x + rnd.nextGaussian() * 0.02).toSeq)
+    }.toDF("query_id", "embedding")
+    val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 10).cache()
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 16, seed = 7L)
+    val rBook = Similarity.trainPqResidual(index, corpus, "vec_id", "embedding",
+      m = 8, ksub = 32)
+    val dir = java.nio.file.Files.createTempDirectory("annsweep").toString
+    Similarity.buildIvfPqStore(index, rBook, corpus, "vec_id", "embedding",
+      dir + "/store", residual = true)
+
+    val nprobes = Seq(1, 2, 4, 8, 16)
+    val cands = Seq(16, 64, 600)
+    val grid: Map[(Int, Int), Double] = (for {
+      np <- nprobes; c <- cands
+    } yield {
+      val res = Similarity.ivfPqTopKStored(spark, index, rBook, dir + "/store",
+        queries, "query_id", "embedding", k = 10, nprobe = np, candidates = c,
+        residual = true)
+      (np, c) -> Similarity.recallAtK(res, truth, 10)
+    }).toMap
+
+    info("recall@10, residual IVF-PQ (nlist=16, m=8, ksub=32), 600×16d planted fixture:")
+    info(f"| nprobe | ${cands.map(c => f"cand=$c%-5d").mkString(" | ")} |")
+    nprobes.foreach { np =>
+      info(f"| $np%6d | ${cands.map(c => f"${grid((np, c))}%.3f    ").mkString(" | ")} |")
+    }
+
+    // exact corner: full probe + full re-rank IS brute force
+    assert(grid((16, 600)) === 1.0)
+    // monotone in candidates at fixed probe (more re-rank budget can
+    // only add true pairs)
+    nprobes.foreach { np =>
+      assert(grid((np, 16)) <= grid((np, 64)) + 1e-9)
+      assert(grid((np, 64)) <= grid((np, 600)) + 1e-9)
+    }
+    // pinned floors (measured values minus slack): a probe-order or
+    // decode regression craters these, seed-stable noise does not
+    assert(grid((4, 64)) >= 0.80, s"recall@10 nprobe=4/cand=64 = ${grid((4, 64))}")
+    assert(grid((8, 600)) >= 0.95, s"recall@10 nprobe=8/cand=600 = ${grid((8, 600))}")
+    assert(grid((1, 16)) >= 0.30, s"recall@10 nprobe=1/cand=16 = ${grid((1, 16))}")
+  }
+
   test("capPerKey: deterministic survivors, small keys untouched") {
     val rows = ((1L to 30L).map(i => ("big", i)) ++ (31L to 35L).map(i => ("small", i)))
       .toDF("domain", "id")
