@@ -242,6 +242,17 @@ object PipelineQueries {
         tmp + "/pqstore")
       val ivfpq = Similarity.ivfPqTopKStored(s, index, pqBook, tmp + "/pqstore",
         queries, "vec_id", "embedding", k = 1, nprobe = 2, candidates = 16)
+      // OPQ tier: learned rotation (eigenvalue-allocation init + Procrustes
+      // alternation) before 4-bit packed codes; self-retrieval is exact
+      // (rotation is orthogonal — a vector's rotated code still tops its
+      // own rotated ADC table)
+      val opqModel = Similarity.trainOpq(e, "vec_id", "embedding", m = 8,
+        ksub = 16, opqIters = 4)
+      val opqCodes = Similarity.encodePq(opqModel.book, e, "vec_id",
+        "embedding", packed = true, rotation = Some(opqModel.rotation))
+      val opq = Similarity.pqTopKReranked(opqModel.book, opqCodes, e, "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 1, candidates = 16,
+        packed = true, rotation = Some(opqModel.rotation))
       nearDup.agg(count(lit(1)).as("n_embdup"))
         .crossJoin(bf.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_bf_self")))
@@ -257,6 +268,8 @@ object PipelineQueries {
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_pq_self")))
         .crossJoin(ivfpq.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfpq_self")))
+        .crossJoin(opq.agg(
+          sum((col("query_id") === col("corpus_id")).cast("long")).as("n_opq_self")))
     }),
 
     // ------------------------------------------------ multimodal plumbing
@@ -670,7 +683,8 @@ object PipelineQueries {
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfstore_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfadapt_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_pq_self,
-        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfpq_self""".stripMargin,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfpq_self,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_opq_self""".stripMargin,
     "pipe_dedup_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,

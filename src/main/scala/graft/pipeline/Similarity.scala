@@ -457,11 +457,14 @@ object Similarity {
   def buildIvfPqStore(index: IvfIndex, book: PqCodebook, corpus: DataFrame,
       corpusId: String, corpusVec: String, path: String,
       residual: Boolean = false, packed: Boolean = false,
-      writeOptions: Map[String, String] = Map.empty): Unit = {
+      writeOptions: Map[String, String] = Map.empty,
+      rotation: Option[Array[Array[Double]]] = None): Unit = {
     val withCell = assigned(index, corpus, corpusId, corpusVec)
-    val encodeInput =
+    val base =
       if (residual) residualUdf(index)(col("cvec"), col("cell"))
       else col("cvec")
+    // OPQ composes after the residual: codes are q(R·(x − c_cell))
+    val encodeInput = rotation.map(r => rotateUdf(r)(base)).getOrElse(base)
     clusteredByCellThenId(
       withCell.withColumn("code", pqEncodeUdf(book, packed)(encodeInput)))
       .write.mode("overwrite").options(writeOptions)
@@ -477,7 +480,8 @@ object Similarity {
       index: IvfIndex, book: PqCodebook, storePath: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int = 4, candidates: Int = 64,
-      residual: Boolean = false, packed: Boolean = false): DataFrame = {
+      residual: Boolean = false, packed: Boolean = false,
+      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val books = book.codebooks
     val ksub = book.ksub
     val tableOf = udf((vec: Seq[Double]) =>
@@ -509,8 +513,12 @@ object Similarity {
       while (i < c.length) { s += c(i) * vec(i); i += 1 }
       s
     })
+    // with OPQ the ADC table reads off the ROTATED query (rotation
+    // preserves dots); probing and the dot(q, c_cell) residual constant
+    // stay in the raw space, as does the exact re-rank
+    val qForTable = rotation.map(r => rotateUdf(r)(col("qvec"))).getOrElse(col("qvec"))
     val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
-      .withColumn("qtable", tableOf(col("qvec")))
+      .withColumn("qtable", tableOf(qForTable))
       .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
       .withColumn("qc",
         if (residual) qcUdf(col("qvec"), col("cell")) else lit(0.0))
@@ -720,9 +728,12 @@ object Similarity {
     * ⌈m/2⌉ bytes with `packed` nibble codes when ksub ≤ 16). This is
     * the table that replaces the raw vectors for the ADC scan. */
   def encodePq(book: PqCodebook, corpus: DataFrame, corpusId: String,
-      corpusVec: String, packed: Boolean = false): DataFrame =
+      corpusVec: String, packed: Boolean = false,
+      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+    val input = rotation.map(r => rotateUdf(r)(col("cvec"))).getOrElse(col("cvec"))
     unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
-      .select(col("corpus_id"), pqEncodeUdf(book, packed)(col("cvec")).as("code"))
+      .select(col("corpus_id"), pqEncodeUdf(book, packed)(input).as("code"))
+  }
 
   /** Approximate top-`candidates` per query by asymmetric distance
     * computation over the CODES table, then EXACT re-rank of those
@@ -736,7 +747,8 @@ object Similarity {
   def pqTopKReranked(book: PqCodebook, codes: DataFrame,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, candidates: Int = 64, packed: Boolean = false): DataFrame = {
+      k: Int, candidates: Int = 64, packed: Boolean = false,
+      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val books = book.codebooks
     val ksub = book.ksub
     // per-query ADC table: flat m × ksub array of dot(q_sub, center)
@@ -759,8 +771,12 @@ object Similarity {
         out
       })
     val adc = adcUdf(book.m, ksub, packed)
+    // rotation preserves dots: dot(q, x) = dot(R·q, R·x), so the ADC
+    // table comes from the ROTATED query while the exact re-rank below
+    // stays on the raw vectors
+    val qForTable = rotation.map(r => rotateUdf(r)(col("qvec"))).getOrElse(col("qvec"))
     val q = unitized(queries, queryId, queryVec, "query_id", "qvec")
-      .withColumn("qtable", tableOf(col("qvec")))
+      .withColumn("qtable", tableOf(qForTable))
     val scored = codes.crossJoin(broadcast(q.select(col("query_id"), col("qtable"))))
       .withColumn("cosine", adc(col("code"), col("qtable")))
     val cand = localTopK(scored.select("query_id", "corpus_id", "cosine"), candidates)
@@ -777,6 +793,362 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
   }
+
+  // -------------------------------------------------------------- OPQ tier
+
+  /** Optimized Product Quantization (Ge, He, Ke, Sun, "Optimized Product
+    * Quantization for Approximate Nearest Neighbor Search", CVPR 2013,
+    * non-parametric alternation): an orthogonal rotation R learned so
+    * that R·x quantizes better under PQ's fixed contiguous subspace
+    * split — it balances variance across subspaces, which is exactly
+    * where plain PQ wastes code budget on anisotropic/correlated data.
+    * Rotation preserves dot products, so ADC tables are built from R·q
+    * and the exact re-rank still runs on the RAW vectors — OPQ changes
+    * only the code assignment, never the scoring identity. */
+  final case class OpqModel(rotation: Array[Array[Double]], book: PqCodebook) {
+    def dim: Int = rotation.length
+  }
+
+  /** Non-parametric OPQ training on the bounded driver-side sample:
+    * alternate (1) Lloyd codebooks on R·x with (2) the orthogonal
+    * Procrustes update R = U·Vᵀ from the SVD of `recon · sampleᵀ`.
+    * Deterministic (seeded sample + seeded Lloyd); cost is
+    * O(iters · (n·d·ksub + d³)) on ≤ `maxTrainRows` rows — never scales
+    * with the corpus. */
+  def trainOpq(corpus: DataFrame, corpusId: String, corpusVec: String,
+      m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+      maxTrainRows: Int = 10000, opqIters: Int = 10,
+      lloydIters: Int = 8): OpqModel = {
+    val c = unitized(corpus, corpusId, corpusVec, "corpus_id", "cvec")
+    val sample = trainingSample(c, seed, maxTrainRows)
+      .select(col("cvec")).collect().map(_.getSeq[Double](0).toArray)
+    opqAlternate(sample, m, ksub, opqIters, lloydIters)
+  }
+
+  /** OPQ over IVF residuals (rotation + codebooks learned on
+    * x − centroid(cell)): the composition of both published refinements.
+    * Feed the result's rotation/book to [[buildIvfPqStore]] /
+    * [[ivfPqTopKStored]] with `residual = true`. */
+  def trainOpqResidual(index: IvfIndex, corpus: DataFrame, corpusId: String,
+      corpusVec: String, m: Int = 8, ksub: Int = 256, seed: Long = 42L,
+      maxTrainRows: Int = 10000, opqIters: Int = 10,
+      lloydIters: Int = 8): OpqModel = {
+    val withCell = assigned(index, corpus, corpusId, corpusVec)
+      .withColumn("rvec", residualUdf(index)(col("cvec"), col("cell")))
+    val sample = withCell.orderBy(xxhash64(col("corpus_id"), lit(seed)))
+      .limit(maxTrainRows)
+      .select(col("rvec")).collect().map(_.getSeq[Double](0).toArray)
+    opqAlternate(sample, m, ksub, opqIters, lloydIters)
+  }
+
+  /** Ge et al.'s parametric initialization (§4.1, "Eigenvalue
+    * Allocation"): PCA-rotate, then deal principal components to
+    * subspaces greedily balancing each subspace's PRODUCT of eigenvalues
+    * (sum of logs) — the optimal split for Gaussian data, and the init
+    * that keeps the non-parametric alternation out of the R≈I local
+    * minimum on anisotropic spectra. */
+  private def eigenvalueAllocationInit(sample: Array[Array[Double]],
+      m: Int): Array[Array[Double]] = {
+    val d = sample(0).length
+    val dsub = d / m
+    val cov = Array.fill(d, d)(0.0)
+    sample.foreach { x =>
+      var i = 0
+      while (i < d) {
+        val xi = x(i); val row = cov(i)
+        var j = 0
+        while (j < d) { row(j) += xi * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { cov(i)(j) /= sample.length; j += 1 }
+      i += 1
+    }
+    val (eig, v) = jacobiEigen(cov)
+    // greedy balanced partition of Σ log λ per bucket. Every bucket ends
+    // with exactly dsub components, so shifting all logs by the minimum
+    // (making the weights non-negative) changes every bucket's total by
+    // the same dsub·min — the greedy "largest weight into the emptiest
+    // bucket" rule then balances correctly even with λ < 1, where raw
+    // (negative) logs would anti-balance (the first bucket's shrinking
+    // product keeps winning the min).
+    val logs = Array.tabulate(d)(c => math.log(math.max(eig(c), 1e-12)))
+    val minLog = logs.min
+    val order = (0 until d).sortBy(c => -logs(c))
+    val bucketLog = Array.fill(m)(0.0)
+    val bucketCnt = Array.fill(m)(0)
+    val assign = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { comp =>
+      val open = (0 until m).filter(bucketCnt(_) < dsub)
+      val b = open.minBy(bucketLog(_))
+      assign(b) += comp
+      bucketCnt(b) += 1
+      bucketLog(b) += logs(comp) - minLog
+    }
+    val r = Array.ofDim[Double](d, d)
+    var row = 0
+    for (s <- 0 until m; comp <- assign(s)) {
+      var j = 0
+      while (j < d) { r(row)(j) = v(j)(comp); j += 1 }
+      row += 1
+    }
+    r
+  }
+
+  private def opqAlternate(sample: Array[Array[Double]], m: Int, ksub: Int,
+      opqIters: Int, lloydIters: Int): OpqModel = {
+    require(sample.nonEmpty, "opq: empty training sample")
+    val d = sample(0).length
+    var r = eigenvalueAllocationInit(sample, m)
+    var books: Array[Array[Array[Double]]] = null
+    var it = 0
+    while (it < opqIters) {
+      val rotated = sample.map(matVec(r, _))
+      books = lloydBooks(rotated, m, ksub, lloydIters)
+      // B = q(R·x): nearest-center reconstructions in the rotated space
+      val recon = rotated.map(pqReconstruct(books, _))
+      // Procrustes: min_R ‖R·X − B‖_F → R = U·Vᵀ from svd(B·Xᵀ)
+      val mMat = Array.fill(d, d)(0.0)
+      var n = 0
+      while (n < sample.length) {
+        val b = recon(n); val x = sample(n)
+        var i = 0
+        while (i < d) {
+          val bi = b(i); val row = mMat(i)
+          var j = 0
+          while (j < d) { row(j) += bi * x(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      r = procrustesRotation(mMat)
+      it += 1
+    }
+    // final codebooks against the final rotation
+    OpqModel(r, PqCodebook(lloydBooks(sample.map(matVec(r, _)), m, ksub, lloydIters)))
+  }
+
+  private def pqReconstruct(books: Array[Array[Array[Double]]],
+      y: Array[Double]): Array[Double] = {
+    val dsub = books(0)(0).length
+    val out = new Array[Double](y.length)
+    var sub = 0
+    while (sub < books.length) {
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < books(sub).length) {
+        var dd = 0.0; var j = 0
+        while (j < dsub) { val t = books(sub)(ci)(j) - y(sub * dsub + j); dd += t * t; j += 1 }
+        if (dd < bestD) { bestD = dd; best = ci }
+        ci += 1
+      }
+      System.arraycopy(books(sub)(best), 0, out, sub * dsub, dsub)
+      sub += 1
+    }
+    out
+  }
+
+  private def matVec(a: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val d = a.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val row = a(i); var s = 0.0; var j = 0
+      while (j < x.length) { s += row(j) * x(j); j += 1 }
+      out(i) = s; i += 1
+    }
+    out
+  }
+
+  /** Nearest orthogonal matrix to M (the Procrustes solution U·Vᵀ),
+    * computed without an external linear-algebra dependency: cyclic
+    * Jacobi eigendecomposition of MᵀM = V·S²·Vᵀ, then U = M·V·S⁻¹ with
+    * Gram-Schmidt completion of any (rank-deficient) near-zero columns.
+    * d ≤ a few hundred → the O(d³) sweeps are driver-side milliseconds. */
+  private def procrustesRotation(mMat: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mMat.length
+    // MᵀM (symmetric PSD)
+    val mtm = Array.fill(d, d)(0.0)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var s = 0.0; var k2 = 0
+        while (k2 < d) { s += mMat(k2)(i) * mMat(k2)(j); k2 += 1 }
+        mtm(i)(j) = s; j += 1
+      }
+      i += 1
+    }
+    val (eig, v) = jacobiEigen(mtm)
+    val smax = math.sqrt(math.max(eig.max, 0.0))
+    val eps = math.max(smax, 1.0) * 1e-12
+    // U columns: M·v_c / s_c for s_c above the rank floor
+    val u = Array.fill(d, d)(0.0)
+    var c = 0
+    while (c < d) {
+      val s = math.sqrt(math.max(eig(c), 0.0))
+      if (s > eps) {
+        var r2 = 0
+        while (r2 < d) {
+          var t = 0.0; var k2 = 0
+          while (k2 < d) { t += mMat(r2)(k2) * v(k2)(c); k2 += 1 }
+          u(r2)(c) = t / s; r2 += 1
+        }
+      } else {
+        // rank-deficient direction: any unit vector orthogonal to the
+        // existing columns keeps U orthogonal (Gram-Schmidt over e_k)
+        var k2 = 0
+        var done = false
+        while (k2 < d && !done) {
+          val cand = new Array[Double](d); cand(k2) = 1.0
+          var cc = 0
+          while (cc < c) {
+            var proj = 0.0; var r3 = 0
+            while (r3 < d) { proj += u(r3)(cc) * cand(r3); r3 += 1 }
+            r3 = 0
+            while (r3 < d) { cand(r3) -= proj * u(r3)(cc); r3 += 1 }
+            cc += 1
+          }
+          var norm = 0.0; var r3 = 0
+          while (r3 < d) { norm += cand(r3) * cand(r3); r3 += 1 }
+          if (norm > 1e-6) {
+            val inv = 1.0 / math.sqrt(norm)
+            r3 = 0
+            while (r3 < d) { u(r3)(c) = cand(r3) * inv; r3 += 1 }
+            done = true
+          }
+          k2 += 1
+        }
+      }
+      c += 1
+    }
+    // R = U·Vᵀ
+    Array.tabulate(d, d) { (r2, c2) =>
+      var s = 0.0; var k2 = 0
+      while (k2 < d) { s += u(r2)(k2) * v(c2)(k2); k2 += 1 }
+      s
+    }
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues,
+    * eigenvector COLUMNS). Converges quadratically; 30 sweeps is far
+    * beyond what d ≤ 256 needs. */
+  private def jacobiEigen(aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 30 && off > 1e-20) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val cc = 1.0 / math.sqrt(t * t + 1.0)
+            val ss = t * cc
+            var k2 = 0
+            while (k2 < d) {
+              val akp = a(k2)(p); val akq = a(k2)(q)
+              a(k2)(p) = cc * akp - ss * akq
+              a(k2)(q) = ss * akp + cc * akq
+              k2 += 1
+            }
+            k2 = 0
+            while (k2 < d) {
+              val apk = a(p)(k2); val aqk = a(q)(k2)
+              a(p)(k2) = cc * apk - ss * aqk
+              a(q)(k2) = ss * apk + cc * aqk
+              k2 += 1
+            }
+            k2 = 0
+            while (k2 < d) {
+              val vkp = v(k2)(p); val vkq = v(k2)(q)
+              v(k2)(p) = cc * vkp - ss * vkq
+              v(k2)(q) = ss * vkp + cc * vkq
+              k2 += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  // test-only probes (package-private): exercise the private linear
+  // algebra without widening the public surface
+  private[pipeline] def probeProcrustes(m: Array[Array[Double]]): Array[Array[Double]] =
+    procrustesRotation(m)
+
+  private[pipeline] def probeOpqMse(sample: Array[Array[Double]], mSub: Int,
+      ksub: Int, iters: Int): Unit = {
+    val d = sample(0).length
+    def mse(r: Array[Array[Double]], books: Array[Array[Array[Double]]]): Double = {
+      var s = 0.0
+      sample.foreach { x =>
+        val y = matVec(r, x)
+        val b = pqReconstruct(books, y)
+        var j = 0
+        while (j < d) { val t = y(j) - b(j); s += t * t; j += 1 }
+      }
+      s / sample.length
+    }
+    val id = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val plainBooks = lloydBooks(sample, mSub, ksub, 8)
+    println(s"plain PQ mse: ${mse(id, plainBooks)}")
+    var r = eigenvalueAllocationInit(sample, mSub)
+    var it = 0
+    while (it < iters) {
+      val rotated = sample.map(matVec(r, _))
+      val books = lloydBooks(rotated, mSub, ksub, 8)
+      println(s"opq iter $it mse: ${mse(r, books)}")
+      val recon = rotated.map(pqReconstruct(books, _))
+      val mMat = Array.fill(d, d)(0.0)
+      var n = 0
+      while (n < sample.length) {
+        val b = recon(n); val x = sample(n)
+        var i = 0
+        while (i < d) {
+          val bi = b(i); val row = mMat(i)
+          var j = 0
+          while (j < d) { row(j) += bi * x(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      r = procrustesRotation(mMat)
+      it += 1
+    }
+  }
+
+  private def rotateUdf(r: Array[Array[Double]]) =
+    udf((vec: Seq[Double]) =>
+      if (vec == null) null
+      else {
+        val d = r.length
+        val out = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          val row = r(i); var s = 0.0; var j = 0
+          while (j < d) { s += row(j) * vec(j); j += 1 }
+          out(i) = s; i += 1
+        }
+        out
+      })
 
   /** Approximate top-k: score only corpus rows in the query's LSH bucket.
     * Same output shape as [[bruteForceTopK]]; rows may be missing when a

@@ -479,6 +479,98 @@ class PipelineSpec extends AnyFunSuite {
     assert(grid((1, 16)) >= 0.30, s"recall@10 nprobe=1/cand=16 = ${grid((1, 16))}")
   }
 
+  test("OPQ: learned rotation beats plain PQ at 4-bit on anisotropic data") {
+    // OPQ's win condition is unequal per-subspace determinants: with
+    // half the dims at full variance and half near-constant, PQ's
+    // contiguous split pairs big-with-big (four hard 2-D codebooks, four
+    // wasted ones) while the learned rotation pairs each big dim with a
+    // small one — eight easy ~1-D codebooks. Measured: ~7× lower
+    // quantization MSE. 4-bit packed codes (m=8, ksub=16) and a tight
+    // candidate cut make the ADC quality decide recall.
+    val rnd = new scala.util.Random(43)
+    val sig = Array.tabulate(16)(i => if (i < 8) 1.0 else 0.05)
+    val base = (1L to 2000L).map(i =>
+      (i, Array.tabulate(16)(j => rnd.nextGaussian() * sig(j))))
+    val corpus = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val queries = base.filter(_._1 % 20 == 0).map { case (i, v) =>
+      (i, v.zipWithIndex.map { case (x, j) =>
+        x + rnd.nextGaussian() * 0.05 * sig(j) }.toSeq)
+    }.toDF("query_id", "embedding")
+    val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 1).cache()
+
+    val book = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, ksub = 16)
+    val codes = Similarity.encodePq(book, corpus, "vec_id", "embedding", packed = true)
+    val pq = Similarity.pqTopKReranked(book, codes, corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 1, candidates = 1, packed = true)
+    val rPq = Similarity.recallAtK(pq, truth, 1)
+
+    val opq = Similarity.trainOpq(corpus, "vec_id", "embedding", m = 8, ksub = 16)
+    val oCodes = Similarity.encodePq(opq.book, corpus, "vec_id", "embedding",
+      packed = true, rotation = Some(opq.rotation))
+    val oRes = Similarity.pqTopKReranked(opq.book, oCodes, corpus, "vec_id",
+      "embedding", queries, "query_id", "embedding", k = 1, candidates = 1,
+      packed = true, rotation = Some(opq.rotation))
+    val rOpq = Similarity.recallAtK(oRes, truth, 1)
+    info(f"recall@1 at m=8/4-bit/cand=1: PQ $rPq%.3f vs OPQ $rOpq%.3f")
+
+    // the rotation is orthogonal: R·Rᵀ = I to fp tolerance
+    val r = opq.rotation
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k2 => r(i)(k2) * r(j)(k2)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"R not orthogonal at ($i,$j): $dot")
+    }
+    // pinned: the learned rotation must beat the un-rotated baseline
+    // (measured 0.66 vs 0.97 — a probe-order/allocation regression
+    // collapses the gap long before this floor)
+    assert(rOpq >= rPq + 0.15,
+      f"OPQ gain too small: PQ $rPq%.3f vs OPQ $rOpq%.3f")
+    // full candidate budget → exact re-rank == brute force, rotation or not
+    val oFull = Similarity.pqTopKReranked(opq.book, oCodes, corpus, "vec_id",
+      "embedding", queries, "query_id", "embedding", k = 1, candidates = 2000,
+      packed = true, rotation = Some(opq.rotation))
+    assert(Similarity.recallAtK(oFull, truth, 1) === 1.0)
+  }
+
+  test("OPQ residual IVF-PQ store: composes with cells, exact at full cover") {
+    val rnd = new scala.util.Random(47)
+    val sig = Array.tabulate(16)(i => if (i < 8) 1.0 else 0.05)
+    val base = (1L to 400L).map(i =>
+      (i, Array.tabulate(16)(j => rnd.nextGaussian() * sig(j))))
+    val corpus = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val queries = base.filter(_._1 % 40 == 0).map { case (i, v) =>
+      (i, v.zipWithIndex.map { case (x, j) =>
+        x + rnd.nextGaussian() * 0.02 * sig(j) }.toSeq)
+    }.toDF("query_id", "embedding")
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 8, seed = 5L)
+    val model = Similarity.trainOpqResidual(index, corpus, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("opqivf").toString
+    Similarity.buildIvfPqStore(index, model.book, corpus, "vec_id", "embedding",
+      dir + "/store", residual = true, packed = true,
+      rotation = Some(model.rotation))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "embedding", k = 3)
+    // full probe + full re-rank: the OPQ'd ADC pass only ORDERS
+    // candidates; with all of them re-ranked exactly, brute force falls
+    // out bit-for-bit
+    val full = Similarity.ivfPqTopKStored(spark, index, model.book, dir + "/store",
+      queries, "query_id", "embedding", k = 3, nprobe = 8, candidates = 400,
+      residual = true, packed = true, rotation = Some(model.rotation))
+    assert(rows(full) === rows(brute))
+    // narrow budget: self-retrieval survives the rotated ADC cut
+    val narrow = Similarity.ivfPqTopKStored(spark, index, model.book, dir + "/store",
+      queries, "query_id", "embedding", k = 3, nprobe = 2, candidates = 8,
+      residual = true, packed = true, rotation = Some(model.rotation))
+    val qids = queries.select($"query_id").as[Long].collect().toSet
+    assert(qids.forall(q => rows(narrow).contains((q, 1, q))),
+      s"self-retrieval lost under OPQ: ${rows(narrow)}")
+  }
+
   test("capPerKey: deterministic survivors, small keys untouched") {
     val rows = ((1L to 30L).map(i => ("big", i)) ++ (31L to 35L).map(i => ("small", i)))
       .toDF("domain", "id")
