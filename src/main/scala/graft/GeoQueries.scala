@@ -912,7 +912,21 @@ object GeoQueries {
           .as("lks94_rt_ok"),
         rtOk(lit(8.25) + (k % 13).cast("double") / 4.0,
           lit(54.75) + (k % 11).cast("double") / 4.0, 4094, 1e-8)
-          .as("dktm2_rt_ok")
+          .as("dktm2_rt_ok"),
+        // round-8 tranche: Pulkovo 1942 Gauss-Krüger (Krassowsky +
+        // 3-param shift → 1e-7) and NAD83 MTM (shift-free → 1e-8)
+        rtOk(lit(37.25) + (k % 19).cast("double") / 4.0,
+          lit(50.25) + (k % 32).cast("double") / 4.0, 28407, 1e-7)
+          .as("gk7_rt_ok"),
+        rtOk(lit(61.25) + (k % 19).cast("double") / 4.0,
+          lit(52.25) + (k % 32).cast("double") / 4.0, 28411, 1e-7)
+          .as("gk11_rt_ok"),
+        rtOk(-(lit(69.25) + (k % 10).cast("double") / 4.0),
+          lit(45.25) + (k % 32).cast("double") / 4.0, 32187, 1e-8)
+          .as("mtm7_rt_ok"),
+        rtOk(-(lit(78.25) + (k % 10).cast("double") / 4.0),
+          lit(43.25) + (k % 32).cast("double") / 4.0, 32190, 1e-8)
+          .as("mtm10_rt_ok")
       ).orderBy(k)
     }),
 
@@ -1401,7 +1415,9 @@ object GeoQueries {
          | TRUE AS sirgas19s_rt_ok, TRUE AS tx_ft_m_ok, TRUE AS nyli_ft_m_ok,
          | TRUE AS ca3_ft_m_ok, TRUE AS fle_ft_m_ok, TRUE AS ft_wkt_unit_ok,
          | TRUE AS ntm10_rt_ok, TRUE AS est97_rt_ok, TRUE AS lks92_rt_ok,
-         | TRUE AS lks94_rt_ok, TRUE AS dktm2_rt_ok
+         | TRUE AS lks94_rt_ok, TRUE AS dktm2_rt_ok,
+         | TRUE AS gk7_rt_ok, TRUE AS gk11_rt_ok,
+         | TRUE AS mtm7_rt_ok, TRUE AS mtm10_rt_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

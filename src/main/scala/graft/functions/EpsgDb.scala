@@ -41,6 +41,7 @@ object EpsgDb {
   private val Clarke1880IGN = Ellipsoid(6378249.2, 293.4660212936269)
   private val Clarke1866 = Ellipsoid(6378206.4, 294.978698213898)
   private val Grs67 = Ellipsoid(6378160.0, 298.247167427)
+  private val Krassowsky1940 = Ellipsoid(6378245.0, 298.3)
 
   // ------------------------------------------------------- datum transform
 
@@ -156,13 +157,18 @@ object EpsgDb {
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
-      val lam = math.toRadians(lonDeg)
-      val lam0 = math.toRadians(lon0Deg)
+      // Δλ wrapped to (−180°, 180°]: zones whose central meridian sits
+      // past the antimeridian (Pulkovo GK zone 31 at 183°E) must see a
+      // point at −176° as +1° off-meridian, not −359°
+      val dLonDeg = {
+        val d = (lonDeg - lon0Deg) % 360.0
+        if (d > 180.0) d - 360.0 else if (d <= -180.0) d + 360.0 else d
+      }
       val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
       val n = ell.a / math.sqrt(1 - ell.e2 * sinP * sinP)
       val t = tanP * tanP
       val c = ell.ep2 * cosP * cosP
-      val aa = (lam - lam0) * cosP
+      val aa = math.toRadians(dLonDeg) * cosP
       val m = meridianArc(ell, phi)
       val x = fe + k0 * n * (aa + (1 - t + c) * aa * aa * aa / 6
         + (5 - 18 * t + t * t + 72 * c - 58 * ell.ep2) * math.pow(aa, 5) / 120)
@@ -809,6 +815,7 @@ object EpsgDb {
   // LINZ's published NZGD49 → NZGD2000 7-parameter transform (NZGD2000
   // coincident with WGS84 at our tolerance), position vector
   private val Nzgd49 = Helmert(59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993)
+  private val Pulkovo42 = Helmert(28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -828,6 +835,10 @@ object EpsgDb {
     add(4314, (Geographic(Bessel1841), Some(Dhdn), "DHDN"))
     add(4313, (Geographic(Intl1924), Some(Bd72), "BD72"))
     add(4299, (Geographic(AiryModified), Some(Tm65), "TM65"))
+
+    // NB: WGS84 UTM (326xx/327xx), 3857, 3395, 3035, 3413/3031, 3978 and
+    // friends live on CrsImpl's original closed-form path (checked before
+    // this table) — they are deliberately NOT duplicated here.
 
     // ETRS89 / UTM zones 28N-38N
     for (z <- 28 to 38)
@@ -955,6 +966,24 @@ object EpsgDb {
       add(6669 + i, noShift(TMerc(GRS80, lat0, lon0, 0.9999, 0, 0),
         s"JGD2011 / Japan Plane Rectangular CS ${jgdRoman(i)}"))
     }
+    // Pulkovo 1942 (Krassowsky 1940) + the 6-degree Gauss-Krüger zones
+    // covering the former-USSR mapping series; the classic published
+    // 3-parameter geocentric translation (EPSG tfm "Pulkovo 1942 to
+    // WGS 84 (1)") — grid-based refinements are out of scope offline,
+    // same caveat as NAD27
+    add(4284, (Geographic(Krassowsky1940), Some(Pulkovo42), "Pulkovo 1942"))
+    for (z <- 4 to 32)
+      add(28400 + z, (TMerc(Krassowsky1940, 0, 6 * z - 3, 1.0, z * 1e6 + 500000, 0),
+        Some(Pulkovo42), s"Pulkovo 1942 / Gauss-Kruger zone $z"))
+    // NAD83 / MTM zones 1-10 (eastern Canada 3-degree TM, false easting
+    // 304800 m = 1,000,000 ft)
+    val mtmLon0 = Seq(-53.0, -56.0, -58.5, -61.5, -64.5,
+      -67.5, -70.5, -73.5, -76.5, -79.5)
+    mtmLon0.zipWithIndex.foreach { case (lon0, i) =>
+      add(32181 + i, noShift(TMerc(GRS80, 0, lon0, 0.9999, 304800, 0),
+        s"NAD83 / MTM zone ${i + 1}"))
+    }
+
     // NAD27 (Clarke 1866; single-Helmert fallback — the same meter-level
     // transform proj applies without NADCON grid files)
     add(4267, (Geographic(Clarke1866), Some(Nad27), "NAD27"))
@@ -1122,7 +1151,8 @@ object EpsgDb {
     "mgi" -> Some(Mgi), "militargeographischesinstitut" -> Some(Mgi),
     "tm65" -> Some(Tm65),
     "newzealand1949" -> Some(Nzgd49),
-    "newzealandgeodeticdatum1949" -> Some(Nzgd49), "nzgd1949" -> Some(Nzgd49))
+    "newzealandgeodeticdatum1949" -> Some(Nzgd49), "nzgd1949" -> Some(Nzgd49),
+    "pulkovo1942" -> Some(Pulkovo42))
 
   /** Built-in table first, then user registrations ([[CrsRegistry]]). */
   private def crsOf(code: Int): Option[Crs] =

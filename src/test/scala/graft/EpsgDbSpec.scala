@@ -17,7 +17,14 @@ class EpsgDbSpec extends AnyFunSuite {
         if (lat0 != 0) lat0 + 1.0
         else if (fn >= 5e6) -35.0 // southern-hemisphere grid (MGA, NZTM)
         else 48.0
-      (lon0 + 1.0, lat)
+      // normalize to (−180, 180] for zones whose central meridian sits
+      // past the antimeridian (Pulkovo GK zone 31 at 183°E): the WGS84
+      // hub reports longitudes normalized
+      val lon = {
+        val d = (lon0 + 1.0) % 360.0
+        if (d > 180.0) d - 360.0 else if (d <= -180.0) d + 360.0 else d
+      }
+      (lon, lat)
     case EpsgDb.Lcc2SP(_, lat1, lat2, _, lon0, _, _) =>
       (lon0 + 1.0, (lat1 + lat2) / 2)
     case EpsgDb.Lcc1SP(_, lat0, lon0, _, _, _) =>
@@ -128,6 +135,13 @@ class EpsgDbSpec extends AnyFunSuite {
     val viaLegacy = graft.functions.CrsImpl.toSrid(g, 32632).getCoordinate
     assert(math.abs(e1 - viaLegacy.x) < 1e-3, s"$e1 vs ${viaLegacy.x}")
     assert(math.abs(n1 - viaLegacy.y) < 1e-3, s"$n1 vs ${viaLegacy.y}")
+    // Pulkovo 1942 / GK zone 7: natural origin (39E, 0N on Krassowsky)
+    // → zone-prefixed false easting (7500000, 0); pure projection math
+    val gk7 = EpsgDb.table(28407).proj.forward(39.0, 0.0)
+    assert(math.abs(gk7._1 - 7500000.0) < 1e-6 && math.abs(gk7._2) < 1e-6, gk7.toString)
+    // NAD83 / MTM zone 7: (70°30'W, 0N) → (304800, 0)
+    val mtm7 = EpsgDb.table(32187).proj.forward(-70.5, 0.0)
+    assert(math.abs(mtm7._1 - 304800.0) < 1e-6 && math.abs(mtm7._2) < 1e-6, mtm7.toString)
     // geographic CRS on a WGS84-coincident datum is a passthrough
     assert(EpsgDb.fromWgs84(12.25, 47.5, 4258) == ((12.25, 47.5)))
     // datum-shifted geographic CRS moves coordinates by the expected
