@@ -1208,7 +1208,19 @@ object GeoQueries {
         .agg(count(lit(1)).as("kml_n"),
           min(expr("cast(name as bigint)")).as("kml_min_k"),
           sum(expr("cast(name as bigint)")).as("kml_sum_k"))
+      // fids random access: shapefile 0-based positions via .shx offsets,
+      // gpkg rowids via b-tree point lookups; where = Catalyst filter
+      val sF = graft.io.GeoIO.readShapefile(s, shp,
+          fids = Some(Seq(1L, 5L, 100L)))
+        .agg(count(lit(1)).as("shpf_n"), sum(col("k")).as("shpf_sum_k"))
+      val gF = graft.io.GeoIO.readGeoPackage(s, gpkg,
+          fids = Some(Seq(2L, 9L, 200L)))
+        .agg(count(lit(1)).as("gpkgf_n"), sum(col("k")).as("gpkgf_sum_k"))
+      val sWh = graft.io.GeoIO.readShapefile(s, shp,
+          where = Some("k % 1000 = 0"))
+        .agg(count(lit(1)).as("shpw_n"), sum(col("k")).as("shpw_sum_k"))
       sW.crossJoin(sB).crossJoin(gW).crossJoin(fW).crossJoin(kW)
+        .crossJoin(sF).crossJoin(gF).crossJoin(sWh)
     }),
 
     // ------------------------------- geometry-list evaluation (list.eval)
@@ -1504,6 +1516,7 @@ object GeoQueries {
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_skip" ->
       s"""$B, w1 AS (SELECT k FROM b ORDER BY k LIMIT 11 OFFSET 7),
+         | rk AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM b),
          | wb AS (SELECT k FROM b WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0
          |   ORDER BY k LIMIT 5 OFFSET 2),
          | wk AS (SELECT k FROM b ORDER BY k LIMIT 20 OFFSET 13)
@@ -1523,6 +1536,12 @@ object GeoQueries {
          | (SELECT CAST(sum(k) AS BIGINT) FROM w1) AS fgb_sum_k,
          | (SELECT count(*) FROM wk) AS kml_n,
          | (SELECT min(k) FROM wk) AS kml_min_k,
-         | (SELECT CAST(sum(k) AS BIGINT) FROM wk) AS kml_sum_k""".stripMargin
+         | (SELECT CAST(sum(k) AS BIGINT) FROM wk) AS kml_sum_k,
+         | (SELECT count(*) FROM rk WHERE rn IN (2, 6, 101)) AS shpf_n,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM rk WHERE rn IN (2, 6, 101)) AS shpf_sum_k,
+         | (SELECT count(*) FROM rk WHERE rn IN (2, 9, 200)) AS gpkgf_n,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM rk WHERE rn IN (2, 9, 200)) AS gpkgf_sum_k,
+         | (SELECT count(*) FROM b WHERE k % 1000 = 0) AS shpw_n,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 1000 = 0) AS shpw_sum_k""".stripMargin
   )
 }

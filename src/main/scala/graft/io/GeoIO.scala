@@ -319,14 +319,29 @@ object GeoIO {
     *   outside the window are never opened, and in-file skips hop record
     *   headers without decoding. With a bbox the window applies AFTER the
     *   filter (pyogrio semantics), so multi-file planning needs one
-    *   count pass over the stored-bbox tests. */
+    *   count pass over the stored-bbox tests.
+    * @param fids 0-based record indexes to read (OGR shapefile FIDs;
+    *   global across a filename-ordered directory read): random access
+    *   through the .shx offsets — O(1) per feature, nothing else
+    *   decoded. Mutually exclusive with bbox/skip/max (pyogrio rule).
+    * @param where SQL boolean expression over the attribute columns,
+    *   applied as a Catalyst filter on the result frame (pyogrio's
+    *   `where`); `force2D` drops Z from the geometry (`force_2d`). The
+    *   remaining readers take these as plain frame ops —
+    *   `.filter(expr(...))` / `st_force_2d` compose identically there. */
   def readShapefile(spark: SparkSession, path: String,
       geometryName: String = "geometry",
       columns: Option[Seq[String]] = None,
       bbox: Option[(Double, Double, Double, Double)] = None,
       readGeometry: Boolean = true,
       skipFeatures: Long = 0L,
-      maxFeatures: Long = Long.MaxValue): DataFrame = {
+      maxFeatures: Long = Long.MaxValue,
+      fids: Option[Seq[Long]] = None,
+      where: Option[String] = None,
+      force2D: Boolean = false): DataFrame = {
+    require(fids.isEmpty ||
+      (bbox.isEmpty && skipFeatures == 0 && maxFeatures == Long.MaxValue),
+      "shapefile: fids cannot be combined with bbox/skip_features/max_features")
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shps: Seq[org.apache.hadoop.fs.Path] =
@@ -396,29 +411,89 @@ object GeoIO {
               Shapefile.readFeatures(readWholeFile(conf, f), None, bbox).size.toLong)
         featureWindows(fileList, skipFeatures, maxFeatures)(counts)
       }
-    val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
-      .flatMap { case (shpPath, wSkip, wTake) =>
-        val p = new org.apache.hadoop.fs.Path(shpPath)
-        val pfs = p.getFileSystem(conf.value)
-        def bytesOf(path: org.apache.hadoop.fs.Path): Array[Byte] = {
-          val in = pfs.open(path)
-          try {
-            val len = pfs.getFileStatus(path).getLen.toInt
-            val buf = new Array[Byte](len); in.readFully(0, buf); buf
-          } finally in.close()
+    val doGeom = readGeometry
+    val toRow: ((org.locationtech.jts.geom.Geometry, Array[Any])) => org.apache.spark.sql.Row = {
+      case (g, attrs) =>
+        val geo: Seq[Any] =
+          if (!doGeom) Seq.empty
+          else Seq(if (g == null) null else graft.serde.EWKB.write(g))
+        org.apache.spark.sql.Row.fromSeq(geo ++ keptArr.map(attrs(_)).toSeq)
+    }
+    val sidecarOf: (String, String) => org.apache.hadoop.fs.Path = (f, ext) => {
+      val p = new org.apache.hadoop.fs.Path(f)
+      new org.apache.hadoop.fs.Path(p.getParent,
+        p.getName.replaceAll("(?i)\\.shp$", "") + ext)
+    }
+    val rows = fids match {
+      case Some(wanted) =>
+        // random access: .shx lengths give per-file counts (driver-side,
+        // FileStatus only); global fids map to (file, local index) and
+        // each task O(1)-decodes just its features
+        val counts: Seq[(String, Long)] = fileList.map { f =>
+          val shxP = sidecarOf(f, ".shx")
+          require(fs.exists(shxP), s"shapefile: fids read needs the .shx sidecar: $f")
+          f -> Shapefile.recordCountFromShx(fs.getFileStatus(shxP).getLen)
         }
-        val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
-          p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
-        val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
-        Shapefile.readFeatures(bytesOf(p), dbf, bbox, srid, wSkip, wTake)
-          .map { case (g, attrs) =>
-            val geo: Seq[Any] =
-              if (!readGeometry) Seq.empty
-              else Seq(if (g == null) null else graft.serde.EWKB.write(g))
-            org.apache.spark.sql.Row.fromSeq(geo ++ keptArr.map(attrs(_)).toSeq)
+        val starts = counts.scanLeft(0L)(_ + _._2)
+        val perFile: Seq[(String, Seq[Long])] = counts.zip(starts).flatMap {
+          case ((f, n), start) =>
+            val local = wanted.filter(i => i >= start && i < start + n).map(_ - start)
+            if (local.isEmpty) None else Some((f, local))
+        }
+        spark.sparkContext.parallelize(perFile, math.max(1, perFile.length))
+          .flatMap { case (shpPath, local) =>
+            val p = new org.apache.hadoop.fs.Path(shpPath)
+            val pfs = p.getFileSystem(conf.value)
+            val bytesOf = (path: org.apache.hadoop.fs.Path) => {
+              val in = pfs.open(path)
+              try {
+                val len = pfs.getFileStatus(path).getLen.toInt
+                val buf = new Array[Byte](len); in.readFully(0, buf); buf
+              } finally in.close()
+            }
+            val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
+              p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
+            val shxPath = new org.apache.hadoop.fs.Path(p.getParent,
+              p.getName.replaceAll("(?i)\\.shp$", "") + ".shx")
+            val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
+            Shapefile.readFeaturesByFids(bytesOf(p), bytesOf(shxPath), dbf,
+              local, srid).map(toRow)
           }
-      }
-    spark.createDataFrame(rows, schema)
+      case None =>
+        spark.sparkContext.parallelize(windows, math.max(1, windows.length))
+          .flatMap { case (shpPath, wSkip, wTake) =>
+            val p = new org.apache.hadoop.fs.Path(shpPath)
+            val pfs = p.getFileSystem(conf.value)
+            val bytesOf = (path: org.apache.hadoop.fs.Path) => {
+              val in = pfs.open(path)
+              try {
+                val len = pfs.getFileStatus(path).getLen.toInt
+                val buf = new Array[Byte](len); in.readFully(0, buf); buf
+              } finally in.close()
+            }
+            val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
+              p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
+            val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
+            Shapefile.readFeatures(bytesOf(p), dbf, bbox, srid, wSkip, wTake)
+              .map(toRow)
+          }
+    }
+    applyReadOptions(spark.createDataFrame(rows, schema), geometryName,
+      where, force2D)
+  }
+
+  /** The pyogrio options that are pure frame transforms: `where` becomes
+    * a Catalyst filter, `force_2d` a `force2d` projection. They fuse into
+    * the same whole-stage plan as any user-side `.filter`/`.select` —
+    * which is why only IO-shaping options (bbox, columns, skip/max,
+    * fids) live inside the codecs. */
+  private def applyReadOptions(df: DataFrame, geometryName: String,
+      where: Option[String], force2D: Boolean): DataFrame = {
+    val filtered = where.map(df.filter).getOrElse(df)
+    if (force2D && filtered.columns.contains(geometryName))
+      filtered.withColumn(geometryName,
+        graft.functions.st_force_2d(col(geometryName)))
+    else filtered
   }
 
   /** Write one shapefile set (`base.shp`/`.shx`/`.dbf`, plus `.prj` when
@@ -676,6 +751,12 @@ object GeoIO {
       }
     }
 
+  /** @param fids gpkg FIDs (= sqlite rowids) to read: each becomes an
+    *   O(log n) b-tree point lookup — interior-page descent, no scan of
+    *   the rest of the table. Mutually exclusive with
+    *   bbox/skip_features/max_features (pyogrio rule).
+    * @param where / @param force2D pure frame transforms (Catalyst
+    *   filter / `force2d` projection), see [[readShapefile]]. */
   def readGeoPackage(spark: SparkSession, path: String,
       layer: Option[String] = None,
       geometryName: String = "geometry",
@@ -683,7 +764,13 @@ object GeoIO {
       bbox: Option[(Double, Double, Double, Double)] = None,
       readGeometry: Boolean = true,
       skipFeatures: Long = 0L,
-      maxFeatures: Long = Long.MaxValue): DataFrame = {
+      maxFeatures: Long = Long.MaxValue,
+      fids: Option[Seq[Long]] = None,
+      where: Option[String] = None,
+      force2D: Boolean = false): DataFrame = {
+    require(fids.isEmpty ||
+      (bbox.isEmpty && skipFeatures == 0 && maxFeatures == Long.MaxValue),
+      "gpkg: fids cannot be combined with bbox/skip_features/max_features")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     def open(): (Sqlite.SqliteDb, org.apache.hadoop.fs.FSDataInputStream) = {
@@ -694,7 +781,7 @@ object GeoIO {
         new Sqlite.HadoopAccess(in, fs.getFileStatus(p).getLen)), in)
     }
     val (db, in) = open()
-    val (lay, leafList) =
+    val (lay, rootPage, leafList) =
       try {
         val all = GeoPackage.layers(db)
         require(all.nonEmpty, s"gpkg: no feature layers in $path")
@@ -712,7 +799,8 @@ object GeoIO {
             catch { case scala.util.control.NonFatal(_) => () }
           }
         val root = db.master.find(m => m.typ == "table" && m.name == lay.table).get.rootPage
-        (lay, db.leafPages(root))
+        // fids reads never scan: skip leaf enumeration entirely
+        (lay, root, if (fids.isDefined) Seq.empty[Int] else db.leafPages(root))
       } finally in.close()
     val geomOrd = lay.columns.indexWhere(_.name.equalsIgnoreCase(lay.geometryColumn))
     require(geomOrd >= 0, s"gpkg: geometry column ${lay.geometryColumn} not in schema")
@@ -768,62 +856,82 @@ object GeoIO {
           }.collect().toMap
         featureWindows(leafList, skipFeatures, maxFeatures)(counts)
       }
-    // one task per leaf-page group; 64 leaves/task ≈ a few MB of pages
-    val groups = leafWindows.grouped(64).toSeq
-    val rows = spark.sparkContext
-      .parallelize(groups, math.max(1, groups.length))
-      .flatMap { leaves =>
-        val (fdb, fin) = openTask()
-        // decode this task's leaves eagerly (≤64 pages, a few MB) so the
-        // file handle closes before the iterator is consumed downstream;
-        // bbox prune on the stored envelope, before any WKB parse
-        val decoded =
-          try leaves.flatMap { case (pg, lskip, ltake) =>
-            val windowedRows = bbx match {
-              case None =>
-                // scan-level skip: the cell pointer array jumps lskip cells
-                sliceIterator(fdb.leafRows(pg, lskip.toInt), 0L, ltake)
-              case Some((x0, y0, x1, y1)) =>
-                sliceIterator(fdb.leafRows(pg).filterNot { case (_, rec) =>
-                  gpkgBboxPruned(rec(geomOrd).asInstanceOf[Array[Byte]], x0, y0, x1, y1)
-                }, lskip, ltake)
-            }
-            windowedRows.toVector
+    val buildRow: ((Long, Array[Any])) => org.apache.spark.sql.Row = {
+      case (rowid, rec) =>
+        val blob = rec(geomOrd).asInstanceOf[Array[Byte]]
+        val geo: Seq[Any] =
+          if (!doGeom) Seq.empty
+          else if (blob == null) Seq(null)
+          else {
+            val (g, _) = GeoPackage.readGeometryBlob(blob)
+            if (g.getSRID == 0 && layerSrid != 0) g.setSRID(layerSrid)
+            Seq(graft.serde.EWKB.write(g))
           }
-          finally fin.close()
-        decoded.iterator.map { case (rowid, rec) =>
-          val blob = rec(geomOrd).asInstanceOf[Array[Byte]]
-          val geo: Seq[Any] =
-            if (!doGeom) Seq.empty
-            else if (blob == null) Seq(null)
-            else {
-              val (g, _) = GeoPackage.readGeometryBlob(blob)
-              if (g.getSRID == 0 && layerSrid != 0) g.setSRID(layerSrid)
-              Seq(graft.serde.EWKB.write(g))
-            }
-          val vals = keptArr.map { case (c, ord) =>
-            (rec(ord), gpkgSparkType(c)) match {
-              case (null, _) =>
-                if (c.ipk) rowid else null // IPK stored as NULL = rowid
-              case (v: Long, LongType) => v
-              case (v: Long, DoubleType) => v.toDouble
-              case (v: Long, BooleanType) => v != 0L
-              case (v: Long, StringType) => v.toString
-              case (v: Double, DoubleType) => v
-              case (v: Double, LongType) => v.toLong
-              case (v: Double, StringType) => v.toString
-              case (v: String, StringType) => v
-              case (v: String, LongType) => v.toLong
-              case (v: String, DoubleType) => v.toDouble
-              case (v: Array[Byte], BinaryType) => v
-              case (v, t) => throw new java.io.IOException(
-                s"gpkg: column ${c.name}: cannot map ${v.getClass} to $t")
-            }
-          }.toSeq
-          org.apache.spark.sql.Row.fromSeq(geo ++ vals)
-        }
-      }
-    spark.createDataFrame(rows, schema)
+        val vals = keptArr.map { case (c, ord) =>
+          (rec(ord), gpkgSparkType(c)) match {
+            case (null, _) =>
+              if (c.ipk) rowid else null // IPK stored as NULL = rowid
+            case (v: Long, LongType) => v
+            case (v: Long, DoubleType) => v.toDouble
+            case (v: Long, BooleanType) => v != 0L
+            case (v: Long, StringType) => v.toString
+            case (v: Double, DoubleType) => v
+            case (v: Double, LongType) => v.toLong
+            case (v: Double, StringType) => v.toString
+            case (v: String, StringType) => v
+            case (v: String, LongType) => v.toLong
+            case (v: String, DoubleType) => v.toDouble
+            case (v: Array[Byte], BinaryType) => v
+            case (v, t) => throw new java.io.IOException(
+              s"gpkg: column ${c.name}: cannot map ${v.getClass} to $t")
+          }
+        }.toSeq
+        org.apache.spark.sql.Row.fromSeq(geo ++ vals)
+    }
+    val rows = fids match {
+      case Some(wanted) =>
+        // point lookups: each fid descends the rowid b-tree from the
+        // root — O(log n) page reads per feature, no leaf enumeration
+        val fidGroups = wanted.grouped(256).toSeq
+        spark.sparkContext
+          .parallelize(fidGroups, math.max(1, fidGroups.length))
+          .flatMap { group =>
+            val (fdb, fin) = openTask()
+            val decoded =
+              try group.flatMap(rid => fdb.lookupRow(rootPage, rid))
+              finally fin.close()
+            decoded.map(buildRow)
+          }
+      case None =>
+        // one task per leaf-page group; 64 leaves/task ≈ a few MB of pages
+        val groups = leafWindows.grouped(64).toSeq
+        spark.sparkContext
+          .parallelize(groups, math.max(1, groups.length))
+          .flatMap { leaves =>
+            val (fdb, fin) = openTask()
+            // decode this task's leaves eagerly (≤64 pages, a few MB) so
+            // the file handle closes before the iterator is consumed
+            // downstream; bbox prune on the stored envelope, before any
+            // WKB parse
+            val decoded =
+              try leaves.flatMap { case (pg, lskip, ltake) =>
+                val windowedRows = bbx match {
+                  case None =>
+                    // scan-level skip: the cell pointer array jumps lskip cells
+                    sliceIterator(fdb.leafRows(pg, lskip.toInt), 0L, ltake)
+                  case Some((x0, y0, x1, y1)) =>
+                    sliceIterator(fdb.leafRows(pg).filterNot { case (_, rec) =>
+                      gpkgBboxPruned(rec(geomOrd).asInstanceOf[Array[Byte]], x0, y0, x1, y1)
+                    }, lskip, ltake)
+                }
+                windowedRows.toVector
+              }
+              finally fin.close()
+            decoded.iterator.map(buildRow)
+          }
+    }
+    applyReadOptions(spark.createDataFrame(rows, schema), geometryName,
+      where, force2D)
   }
 
   private def gpkgSqlTypeFor(dt: DataType): String = dt match {

@@ -280,6 +280,54 @@ object Shapefile {
     else windowed.take(if (take > Int.MaxValue) Int.MaxValue else take.toInt)
   }
 
+  /** Random access by 0-based record index (OGR's shapefile FID): the
+    * fixed-size .shx gives each record's byte offset directly and the
+    * .dbf is fixed-stride, so each requested feature costs O(1) decode —
+    * nothing else in the file is touched. Unknown indexes are skipped
+    * (pyogrio `fids=` semantics). */
+  def readFeaturesByFids(shp: Array[Byte], shx: Array[Byte],
+      dbf: Option[Array[Byte]], fids: Seq[Long],
+      srid: Int = 0): Iterator[(Geometry, Array[Any])] = {
+    val whole = ByteBuffer.wrap(shp) // big-endian for record headers
+    val fileLenBytes = math.min(whole.getInt(24) * 2L, shp.length).toInt
+    val nRec = recordCountFromShx(shx.length.toLong)
+    val fields = dbf.map(d => readDbf(d)._1).getOrElse(Seq.empty)
+    val dbfHeaderSize = dbf.map(d =>
+      ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN).getShort(8) & 0xffff).getOrElse(0)
+    val dbfRecordSize = dbf.map(d =>
+      ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN).getShort(10) & 0xffff).getOrElse(0)
+    val shxBuf = ByteBuffer.wrap(shx)
+    fids.iterator.filter(i => i >= 0 && i < nRec).flatMap { i =>
+      val off = shxBuf.getInt(100 + 8 * i.toInt) * 2
+      if (off + 8 > fileLenBytes) None
+      else {
+        val contentWords = whole.getInt(off + 4)
+        val content = ByteBuffer.wrap(shp, off + 8, contentWords * 2)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val geom = readRecord(content, None) match {
+          case g: Geometry => if (srid != 0) g.setSRID(srid); g
+          case _ => null
+        }
+        val attrs: Array[Any] = dbf match {
+          case Some(d) =>
+            val base = dbfHeaderSize + i * dbfRecordSize
+            if (base + dbfRecordSize > d.length || d(base.toInt) == 0x2a)
+              Array.fill[Any](fields.length)(null)
+            else {
+              var p = base.toInt + 1
+              fields.map { f =>
+                val raw = new String(d, p, f.length, StandardCharsets.UTF_8)
+                p += f.length
+                parseDbfValue(f, raw)
+              }.toArray[Any]
+            }
+          case None => Array.empty[Any]
+        }
+        Some((geom, attrs))
+      }
+    }
+  }
+
   /** Record count without decoding: from the fixed-size .shx when
     * present ((len-100)/8), else by hopping .shp record headers. */
   def recordCountFromShx(shxLen: Long): Long = (shxLen - 100L) / 8L

@@ -276,6 +276,48 @@ object Sqlite {
       u16(pg, base + 3)
     }
 
+    /** B-tree point lookup: the single row with this rowid, descending
+      * interior pages by key (each interior cell holds (child, largest
+      * rowid in child)) — O(log n) page reads, no scan. None when the
+      * rowid is absent. Backs the readers' `fids=` option: random access
+      * to named features without touching the rest of the table. */
+    def lookupRow(root: Int, rowid: Long): Option[(Long, Array[Any])] = {
+      var n = root
+      while (true) {
+        val pg = page(n)
+        val base = if (n == 1) 100 else 0
+        (pg(base) & 0xff) match {
+          case 0x0d =>
+            val nCells = u16(pg, base + 3)
+            var i = 0
+            while (i < nCells) {
+              var off = u16(pg, base + 8 + 2 * i)
+              val (payload, n1) = readVarint(pg, off); off += n1
+              val (rid, n2) = readVarint(pg, off); off += n2
+              if (rid == rowid)
+                return Some((rid, decodeRecord(cellPayload(pg, off, payload))))
+              i += 1
+            }
+            return None
+          case 0x05 =>
+            val nCells = u16(pg, base + 3)
+            var child = u32(pg, base + 8).toInt // rightmost by default
+            var i = 0
+            var found = false
+            while (i < nCells && !found) {
+              val off = u16(pg, base + 12 + 2 * i)
+              val (key, _) = readVarint(pg, off + 4)
+              if (rowid <= key) { child = u32(pg, off).toInt; found = true }
+              i += 1
+            }
+            n = child
+          case t => throw new java.io.IOException(
+            s"sqlite: unexpected page type $t in table b-tree (page $n)")
+        }
+      }
+      None // unreachable
+    }
+
     /** All LEAF page numbers under a table b-tree root, in key order —
       * reads only interior pages, so planning a distributed scan touches
       * O(leaves / fanout) pages. */

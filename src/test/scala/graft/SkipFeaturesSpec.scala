@@ -120,6 +120,58 @@ class SkipFeaturesSpec extends AnyFunSuite {
     assert(fids(dxf) === (16L to 20L))
   }
 
+  test("shapefile: fids random access, where filter, force2D") {
+    val d = tmpDir("graft_fids_shp")
+    // 3D points so force2D is observable
+    val df = (1 to 30).map(i => (i.toLong, i.toDouble)).toDF("fid", "x")
+      .select($"fid", st_set_srid(
+        st_point($"x", $"x", $"x" / 2.0), lit(4326)).as("geometry"))
+      .orderBy($"fid")
+    graft.io.GeoIO.writeShapefile(df, s"$d/a.shp")
+    graft.io.GeoIO.writeShapefile(
+      df.select($"fid" + 30 as "fid", $"geometry").orderBy($"fid"), s"$d/b.shp")
+    // global 0-based fids across the filename-ordered pair: 2→fid 3,
+    // 29→fid 30 (last of a), 30→fid 31 (first of b), 55→fid 56
+    val got = graft.io.GeoIO.readShapefile(spark, d,
+      fids = Some(Seq(2L, 29L, 30L, 55L)))
+    assert(fids(got) === Seq(3L, 30L, 31L, 56L))
+    // out-of-range fids are skipped, not errors
+    assert(graft.io.GeoIO.readShapefile(spark, s"$d/a.shp",
+      fids = Some(Seq(7L, 999L))).count() === 1L)
+    // where: SQL over the attributes, Catalyst-applied
+    val w = graft.io.GeoIO.readShapefile(spark, s"$d/a.shp",
+      where = Some("fid % 10 = 0"))
+    assert(fids(w) === Seq(10L, 20L, 30L))
+    // force2D drops Z
+    val z3 = graft.io.GeoIO.readShapefile(spark, s"$d/a.shp")
+      .select(st_has_z($"geometry").as("hz")).distinct()
+    assert(z3.collect().map(_.getBoolean(0)).toSeq === Seq(true))
+    val z2 = graft.io.GeoIO.readShapefile(spark, s"$d/a.shp", force2D = true)
+      .select(st_has_z($"geometry").as("hz")).distinct()
+    assert(z2.collect().map(_.getBoolean(0)).toSeq === Seq(false))
+    // pyogrio rule: fids excludes windows
+    intercept[IllegalArgumentException] {
+      graft.io.GeoIO.readShapefile(spark, s"$d/a.shp",
+        fids = Some(Seq(1L)), skipFeatures = 1)
+    }
+  }
+
+  test("geopackage: fids are b-tree point lookups") {
+    val d = tmpDir("graft_fids_gpkg")
+    graft.io.GeoIO.writeGeoPackage(gpkgPts, s"$d/t.gpkg", tableName = "pts")
+    // gpkg fids are rowids (1-based write order here)
+    val got = graft.io.GeoIO.readGeoPackage(spark, s"$d/t.gpkg",
+      fids = Some(Seq(3L, 17L, 30L, 99L)))
+    assert(pids(got) === Seq(3L, 17L, 30L))
+    val w = graft.io.GeoIO.readGeoPackage(spark, s"$d/t.gpkg",
+      where = Some("pid > 25"))
+    assert(pids(w) === (26L to 30L))
+    intercept[IllegalArgumentException] {
+      graft.io.GeoIO.readGeoPackage(spark, s"$d/t.gpkg",
+        fids = Some(Seq(1L)), maxFeatures = 5)
+    }
+  }
+
   test("geojson: declarative posexplode window across files") {
     val d = tmpDir("graft_skip_gj")
     def fc(from: Int, to: Int): String =
