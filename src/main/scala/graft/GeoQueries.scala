@@ -1070,7 +1070,14 @@ object GeoQueries {
       graft.io.GeoIO.writeFlatGeobufPartitioned(df.repartition(4), partDir)
       val part = graft.io.GeoIO.readFlatGeobuf(s, partDir)
         .select(col("k"), st_area(col("geometry")).as("p_area"))
-      one.join(part, "k").orderBy(col("k"))
+      // packed Hilbert R-tree: indexed write + index-driven bbox read
+      val idx = "/tmp/graft_io_fgb/i.fgb"
+      graft.io.GeoIO.writeFlatGeobuf(df, idx, spatialIndex = true)
+      val ib = graft.io.GeoIO.readFlatGeobuf(s, idx,
+          bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
+        .agg(count(lit(1)).as("ibb_n"),
+          sum(col("k")).cast("long").as("ibb_sum_k"))
+      one.join(part, "k").crossJoin(ib).orderBy(col("k"))
     }),
 
     // Shapefile round trip (pure-JVM .shp/.shx/.dbf/.prj codec): geometry,
@@ -1488,7 +1495,10 @@ object GeoQueries {
          | xmin + 2*w AS lin_last_x, TRUE AS len_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_fgb" ->
-      s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area
+      s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area,
+         | (SELECT count(*) FROM b WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0) AS ibb_n,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM b
+         |   WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0) AS ibb_sum_k
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_shp" ->
       s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS shp_area,

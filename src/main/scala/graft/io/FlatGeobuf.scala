@@ -111,6 +111,225 @@ object FlatGeobuf {
     total * 40L
   }
 
+  // ------------------------------------------- packed Hilbert R-tree index
+
+  /** The spec's spatial index (flatgeobuf.org `spec.md` + the reference
+    * `packedrtree` implementations): a bottom-up-packed R-tree over the
+    * features in Hilbert order, serialized ROOT LEVEL FIRST as 40-byte
+    * little-endian nodes (minX, minY, maxX, maxY: f64; offset: u64).
+    * Leaf nodes carry the feature's byte offset within the features
+    * section; internal nodes carry the absolute node INDEX of their
+    * first child. Any consistent feature order yields a valid file —
+    * Hilbert order is the locality optimization the spec prescribes. */
+  object PackedRTree {
+    final case class Node(minX: Double, minY: Double, maxX: Double,
+      maxY: Double, offset: Long)
+
+    /** Order-16 Hilbert curve position of a grid cell (the classic
+      * rotate-and-interleave xy→d walk). */
+    def hilbert(x: Int, y: Int): Long = {
+      var rx = 0; var ry = 0; var d = 0L
+      var xx = x; var yy = y
+      var s = 1 << 15
+      while (s > 0) {
+        rx = if ((xx & s) > 0) 1 else 0
+        ry = if ((yy & s) > 0) 1 else 0
+        d += s.toLong * s.toLong * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { xx = s - 1 - xx; yy = s - 1 - yy }
+          val t = xx; xx = yy; yy = t
+        }
+        s >>= 1
+      }
+      d
+    }
+
+    /** Per-level [start, end) node-index bounds, LEAF LEVEL FIRST (the
+      * storage order puts the root at node 0, leaves at the end). */
+    def levelBounds(numItems: Long, nodeSize: Int): Seq[(Long, Long)] = {
+      require(numItems > 0 && nodeSize >= 2)
+      var n = numItems
+      val sizes = scala.collection.mutable.ArrayBuffer(n)
+      while (n != 1) { n = (n + nodeSize - 1) / nodeSize; sizes += n }
+      val numNodes = sizes.sum
+      var acc = numNodes
+      sizes.map { size => acc -= size; (acc, acc + size) }.toSeq
+    }
+
+    /** Pack the tree over leaf items (already in storage order) and
+      * serialize all levels. */
+    def build(leaves: Array[Node], nodeSize: Int): Array[Byte] = {
+      val bounds = levelBounds(leaves.length.toLong, nodeSize)
+      val numNodes = bounds.map { case (a, b) => b - a }.sum.toInt
+      val nodes = new Array[Node](numNodes)
+      val (leafStart, _) = bounds.head
+      var i = 0
+      while (i < leaves.length) { nodes(leafStart.toInt + i) = leaves(i); i += 1 }
+      // bottom-up: each parent unions up to nodeSize children and points
+      // at the first one's absolute node index
+      var level = 0
+      while (level < bounds.length - 1) {
+        val (cStart, cEnd) = bounds(level)
+        val (pStart, _) = bounds(level + 1)
+        var child = cStart
+        var parent = pStart
+        while (child < cEnd) {
+          val end = math.min(child + nodeSize, cEnd)
+          var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+          var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+          var c = child
+          while (c < end) {
+            val n = nodes(c.toInt)
+            if (n.minX < minX) minX = n.minX
+            if (n.minY < minY) minY = n.minY
+            if (n.maxX > maxX) maxX = n.maxX
+            if (n.maxY > maxY) maxY = n.maxY
+            c += 1
+          }
+          nodes(parent.toInt) = Node(minX, minY, maxX, maxY, child)
+          parent += 1
+          child = end
+        }
+        level += 1
+      }
+      val out = ByteBuffer.allocate(numNodes * 40).order(ByteOrder.LITTLE_ENDIAN)
+      nodes.foreach { n =>
+        out.putDouble(n.minX).putDouble(n.minY)
+          .putDouble(n.maxX).putDouble(n.maxY).putLong(n.offset)
+      }
+      out.array()
+    }
+
+    /** Query the serialized tree: byte offsets (within the features
+      * section) of every feature whose stored envelope intersects the
+      * bbox, ascending for sequential IO. */
+    def search(index: Array[Byte], indexBase: Int, numItems: Long,
+        nodeSize: Int, xmin: Double, ymin: Double, xmax: Double,
+        ymax: Double): Seq[Long] = {
+      val bb = ByteBuffer.wrap(index).order(ByteOrder.LITTLE_ENDIAN)
+      def node(i: Long): Node = {
+        val p = indexBase + i.toInt * 40
+        Node(bb.getDouble(p), bb.getDouble(p + 8), bb.getDouble(p + 16),
+          bb.getDouble(p + 24), bb.getLong(p + 32))
+      }
+      val bounds = levelBounds(numItems, nodeSize)
+      val (leafStart, _) = bounds.head
+      val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // (first node index, level) — root is the single node of the top level
+      val queue = scala.collection.mutable.Queue((bounds.last._1, bounds.length - 1))
+      while (queue.nonEmpty) {
+        val (first, level) = queue.dequeue()
+        val levelEnd = bounds(level)._2
+        val end = math.min(first + nodeSize, levelEnd)
+        var i = first
+        while (i < end) {
+          val n = node(i)
+          val hit = !(n.minX > xmax || n.maxX < xmin || n.minY > ymax || n.maxY < ymin)
+          if (hit) {
+            if (i >= leafStart) results += n.offset
+            else queue.enqueue((n.offset, level - 1))
+          }
+          i += 1
+        }
+      }
+      results.sorted.toSeq
+    }
+  }
+
+  /** Buffered indexed write (spec layout: magic | header | packed
+    * Hilbert R-tree | features): features are Hilbert-sorted on their
+    * envelope centers within the dataset extent, so bbox reads seek to
+    * a handful of contiguous ranges. Features WITHOUT a geometry get an
+    * inverted (never-intersecting) box — a bbox read is a spatial
+    * predicate, so they drop there but still appear in full scans. */
+  def writeIndexed(out: OutputStream, columns: Seq[Col], srid: Int,
+      features: Iterator[(Geometry, Array[Any])],
+      nodeSize: Int = 16, name: String = "graft"): Unit = {
+    val encoded = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], org.locationtech.jts.geom.Envelope)]
+    features.foreach { case (g, props) =>
+      val b = new FlatBuf.Builder(512)
+      val bytes = buildFeature(b, g, writeProperties(props, columns))
+      val env = if (g == null || g.isEmpty) null else g.getEnvelopeInternal
+      encoded += ((bytes, env))
+    }
+    val dos = new DataOutputStream(out)
+    def u32(v: Int): Unit = {
+      dos.write(v & 0xff); dos.write((v >>> 8) & 0xff)
+      dos.write((v >>> 16) & 0xff); dos.write((v >>> 24) & 0xff)
+    }
+    dos.write(Magic)
+    if (encoded.isEmpty) {
+      // an empty indexed file degenerates to an empty unindexed one
+      val header = buildHeader(
+        Header(GtUnknown, hasZ = false, columns, 0L, indexNodeSize = 0, srid), name)
+      u32(header.length); dos.write(header); dos.close()
+      return
+    }
+    // dataset extent over real envelopes → order-16 Hilbert sort keys
+    var eMinX = Double.PositiveInfinity; var eMinY = Double.PositiveInfinity
+    var eMaxX = Double.NegativeInfinity; var eMaxY = Double.NegativeInfinity
+    encoded.foreach { case (_, env) =>
+      if (env != null) {
+        if (env.getMinX < eMinX) eMinX = env.getMinX
+        if (env.getMinY < eMinY) eMinY = env.getMinY
+        if (env.getMaxX > eMaxX) eMaxX = env.getMaxX
+        if (env.getMaxY > eMaxY) eMaxY = env.getMaxY
+      }
+    }
+    val w = math.max(eMaxX - eMinX, java.lang.Double.MIN_NORMAL)
+    val h = math.max(eMaxY - eMinY, java.lang.Double.MIN_NORMAL)
+    val sorted = encoded.sortBy { case (_, env) =>
+      if (env == null) Long.MaxValue // geometry-less features sort last
+      else PackedRTree.hilbert(
+        (((env.getMinX + env.getMaxX) / 2 - eMinX) / w * 0xffff).toInt,
+        (((env.getMinY + env.getMaxY) / 2 - eMinY) / h * 0xffff).toInt)
+    }
+    var off = 0L
+    val leaves = sorted.map { case (bytes, env) =>
+      val n =
+        if (env == null)
+          PackedRTree.Node(Double.PositiveInfinity, Double.PositiveInfinity,
+            Double.NegativeInfinity, Double.NegativeInfinity, off)
+        else PackedRTree.Node(env.getMinX, env.getMinY, env.getMaxX,
+          env.getMaxY, off)
+      off += 4 + bytes.length
+      n
+    }.toArray
+    val header = buildHeader(
+      Header(GtUnknown, hasZ = false, columns, encoded.length.toLong,
+        indexNodeSize = nodeSize, srid), name)
+    u32(header.length); dos.write(header)
+    dos.write(PackedRTree.build(leaves, nodeSize))
+    sorted.foreach { case (bytes, _) => u32(bytes.length); dos.write(bytes) }
+    dos.close()
+  }
+
+  /** Index-driven candidate offsets for a bbox read: None when the file
+    * carries no index (callers fall back to a filtered scan). */
+  def searchOffsets(bytes: Array[Byte], xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Option[Seq[Long]] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = bb.getInt(8)
+    val header = readHeader(java.util.Arrays.copyOfRange(bytes, 12, 12 + headerSize))
+    if (header.indexNodeSize <= 0 || header.featuresCount == 0) None
+    else Some(PackedRTree.search(bytes, 12 + headerSize, header.featuresCount,
+      header.indexNodeSize, xmin, ymin, xmax, ymax))
+  }
+
+  /** Decode the features at the given byte offsets (within the features
+    * section) — the random-access half of an indexed bbox read. */
+  def readFeaturesAt(bytes: Array[Byte], offsets: Seq[Long]): Iterator[Feature] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = bb.getInt(8)
+    val header = readHeader(java.util.Arrays.copyOfRange(bytes, 12, 12 + headerSize))
+    val base = 12 + headerSize + indexSize(header.featuresCount, header.indexNodeSize).toInt
+    offsets.iterator.map { off =>
+      val pos = base + off.toInt
+      val size = bb.getInt(pos)
+      readFeature(java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + size), header)
+    }
+  }
+
   // --------------------------------------------------------------- geometry
 
   /** Feature-level Geometry table (feature.fbs: 0 ends, 1 xy, 2 z, 3 m,

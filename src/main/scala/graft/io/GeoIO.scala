@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 /** Frame-level geometry I/O (reference §2.13, `/root/reference/polars_st/
   * input.py` + `geodataframe.py:385-553`).
@@ -574,10 +575,16 @@ object GeoIO {
     * directory/glob of them; parallelism is per file (one FGB stream is not
     * splittable without consulting its spatial index — the multi-file layout
     * written by [[writeFlatGeobufPartitioned]] is the cluster-scale path). */
+  /** @param bbox spatial filter (envelope-intersects, like the other
+    *   readers): files carrying the packed Hilbert R-tree answer it by
+    *   index search + random-access decode of just the hits; unindexed
+    *   files fall back to a sequential decode with an envelope test. A
+    *   skip/max window composes AFTER the filter (pyogrio order). */
   def readFlatGeobuf(spark: SparkSession, path: String,
       geometryName: String = "geometry",
       skipFeatures: Long = 0L,
-      maxFeatures: Long = Long.MaxValue): DataFrame = {
+      maxFeatures: Long = Long.MaxValue,
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     // schema comes from the first file's header (all parts share one schema)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -596,10 +603,34 @@ object GeoIO {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fileList = files.map(_.toString)
+    val bbx = bbox
+    // features of one file surviving the bbox (index-driven when the
+    // file has one), skip already applied scan-level when there is no
+    // bbox to respect the filter-before-window order
+    val matched: (String, Long) => Iterator[FlatGeobuf.Feature] = (f, preSkip) => {
+      val bytes = readWholeFile(conf, f)
+      bbx match {
+        case None => FlatGeobuf.read(bytes, preSkip)._2
+        case Some((x0, y0, x1, y1)) =>
+          FlatGeobuf.searchOffsets(bytes, x0, y0, x1, y1) match {
+            case Some(offsets) => FlatGeobuf.readFeaturesAt(bytes, offsets)
+            case None => FlatGeobuf.read(bytes)._2.filter { ft =>
+              ft.geometry != null && !ft.geometry.isEmpty && {
+                val e = ft.geometry.getEnvelopeInternal
+                !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0)
+              }
+            }
+          }
+      }
+    }
     val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
     val windows: Seq[(String, Long, Long)] =
       if (!windowed) fileList.map(f => (f, 0L, Long.MaxValue))
       else if (fileList.length == 1) Seq((fileList.head, skipFeatures, maxFeatures))
+      else if (bbx.isDefined)
+        // post-filter window → plan from per-file MATCH counts
+        featureWindows(fileList, skipFeatures, maxFeatures)(
+          distributedCounts(spark, fileList)(f => matched(f, 0L).size.toLong))
       else {
         // header featuresCount when the writer recorded it (header-only
         // read per file); else one distributed size-prefix hop pass
@@ -616,9 +647,11 @@ object GeoIO {
       }
     val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
       .flatMap { case (f, wSkip, wTake) =>
-        // scan-level skip: size prefixes hopped, no flatbuffer decode
-        val (_, features) = FlatGeobuf.read(readWholeFile(conf, f), wSkip)
-        sliceIterator(features, 0L, wTake).map { ft =>
+        // without a bbox the skip is scan-level (size prefixes hopped, no
+        // flatbuffer decode); with one, the window slices the match set
+        val preSkip = if (bbx.isEmpty) wSkip else 0L
+        val postSkip = if (bbx.isEmpty) 0L else wSkip
+        sliceIterator(matched(f, preSkip), postSkip, wTake).map { ft =>
           val geo = if (ft.geometry == null) null else graft.serde.EWKB.write(ft.geometry)
           org.apache.spark.sql.Row.fromSeq(geo +: ft.properties.toSeq)
         }
@@ -636,13 +669,36 @@ object GeoIO {
     * header SRID is taken from the first geometry; FGB carries one CRS per
     * file, so mixed-SRID frames are rejected like the reference's
     * `write_file` (`geodataframe.py:462-471`). */
+  /** @param spatialIndex write the spec's packed Hilbert R-tree: features
+    *   are Hilbert-REORDERED and buffered in memory for the two-pass
+    *   layout, and [[readFlatGeobuf]] bbox reads (and any external FGB
+    *   client) seek straight to matching features. Default off — the
+    *   streaming writer preserves frame order, which the positional
+    *   options (skip/max) read back deterministically. */
   def writeFlatGeobuf(df: DataFrame, path: String,
-      geometryName: String = "geometry"): Unit = {
+      geometryName: String = "geometry",
+      spatialIndex: Boolean = false): Unit = {
     val cols = fgbColumns(df, geometryName)
     val ordered = df.select((col(geometryName) +: cols.map(c => col(c.name))): _*)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(hadoopPath, true)
+    if (spatialIndex) {
+      var srid = -1
+      val feats = ordered.toLocalIterator().asScala.map { row =>
+        val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+        val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+        if (geom != null) {
+          if (srid == -1) srid = geom.getSRID
+          else if (geom.getSRID != srid) throw new IllegalArgumentException(
+            s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+        }
+        (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
+      }.toBuffer
+      try FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
+      catch { case e: Throwable => out.close(); throw e }
+      return
+    }
     var writer: FlatGeobuf.Writer = null
     var srid = -1
     val it = ordered.toLocalIterator()

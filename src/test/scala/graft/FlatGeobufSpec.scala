@@ -125,4 +125,54 @@ class FlatGeobufSpec extends AnyFunSuite {
     val (h2, it2) = FlatGeobuf.read(out2.toByteArray)
     assert(h2.columns == cols && it2.isEmpty)
   }
+
+  test("packed Hilbert R-tree: indexed write, bbox search == filtered scan") {
+    import graft.functions._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("fgb_idx").toString
+    // 600 unit squares on a 60x10 grid + one geometry-less row → the
+    // tree has real internal levels (600 leaves → 38 → 3 → 1)
+    val df = (1 to 600).map { i =>
+      val x = (i % 60) * 10.0; val y = (i / 60) * 10.0
+      (i.toLong, s"POLYGON (($x $y, ${x + 1} $y, ${x + 1} ${y + 1}, $x ${y + 1}, $x $y))")
+    }.toDF("pid", "wkt")
+      .select($"pid", st_set_srid(st_geomfromtext($"wkt"), lit(4326)).as("geometry"))
+      .unionByName(Seq((601L, null.asInstanceOf[Array[Byte]]))
+        .toDF("pid", "geometry"))
+    graft.io.GeoIO.writeFlatGeobuf(df, s"$d/i.fgb", spatialIndex = true)
+    graft.io.GeoIO.writeFlatGeobuf(df, s"$d/p.fgb") // plain, no index
+    // structural: the indexed header declares nodeSize 16 and the file
+    // is exactly indexSize bigger than the sum of its parts implies
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d, "i.fgb"))
+    val (h, all) = FlatGeobuf.read(bytes)
+    assert(h.indexNodeSize === 16 && h.featuresCount === 601L)
+    assert(all.size === 601) // sequential read skips the index correctly
+    // full read of indexed == full read of plain (order differs — Hilbert)
+    def pids(df2: org.apache.spark.sql.DataFrame) =
+      df2.select($"pid").as[Long].collect().toSet
+    assert(pids(graft.io.GeoIO.readFlatGeobuf(spark, s"$d/i.fgb")) ===
+      (1L to 601L).toSet)
+    // bbox via the index == bbox via the scan fallback == manual filter;
+    // the geometry-less row never matches a spatial predicate
+    val box = (95.0, 25.0, 205.0, 65.0)
+    val viaIndex = graft.io.GeoIO.readFlatGeobuf(spark, s"$d/i.fgb", bbox = Some(box))
+    val viaScan = graft.io.GeoIO.readFlatGeobuf(spark, s"$d/p.fgb", bbox = Some(box))
+    val manual = pids(graft.io.GeoIO.readFlatGeobuf(spark, s"$d/p.fgb")
+      .where(st_intersects(st_envelope($"geometry"),
+        st_rectangle(lit(box._1), lit(box._2), lit(box._3), lit(box._4)))))
+    assert(pids(viaIndex) === manual, "index search diverges from envelope filter")
+    assert(pids(viaScan) === manual)
+    assert(!pids(viaIndex).contains(601L))
+    assert(manual.nonEmpty && manual.size < 601)
+    // the index visits a fraction: candidates from searchOffsets are
+    // exactly the matches (leaf boxes are exact envelopes)
+    val offs = FlatGeobuf.searchOffsets(bytes, box._1, box._2, box._3, box._4).get
+    assert(offs.size === manual.size)
+    // bbox + window composes post-filter
+    val windowed = graft.io.GeoIO.readFlatGeobuf(spark, s"$d/i.fgb",
+      bbox = Some(box), skipFeatures = 2, maxFeatures = 3)
+    assert(windowed.count() === 3)
+    assert(pids(windowed).subsetOf(manual))
+  }
 }
