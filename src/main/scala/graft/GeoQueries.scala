@@ -1014,6 +1014,38 @@ object GeoQueries {
           sum((col("lk") === col("rk")).cast("long")).as("n_same"))
     }),
 
+    // bucketed spatial store: both sides written cell-bucketed once, the
+    // join itself is a bucketed sort-merge with zero exchanges
+    "geo_sjoin_bucketed" -> ((s, dir) => {
+      val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
+      val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
+      // a fresh session's in-memory catalog does not know tables a prior
+      // run left in the warehouse dir — drop BOTH the entry and the
+      // location or saveAsTable dies with LOCATION_ALREADY_EXISTS
+      Seq("graft_q_bkt_l", "graft_q_bkt_r").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+      }
+      graft.join.SpatialJoin.writeSpatialBucketed(left, "graft_q_bkt_l", 16.0, 32)
+      graft.join.SpatialJoin.writeSpatialBucketed(right, "graft_q_bkt_r", 16.0, 32)
+      // force the bucketed sort-merge path (auto-broadcast would elide
+      // the very mechanism this row verifies), restore after planning
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (joined, planHasExchange) =
+        try {
+          val j = graft.join.SpatialJoin.sjoinBucketed(s, "graft_q_bkt_l",
+            "graft_q_bkt_r", 16.0, "contains")
+          (j, j.queryExecution.executedPlan.toString.contains("Exchange"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      joined.agg(count(lit(1)).as("n_pairs"),
+        sum((col("lk") === col("rk")).cast("long")).as("n_same"))
+        .withColumn("shuffle_free", lit(!planHasExchange))
+    }),
+
     // ---------------------------------------------------- §2.13 frame I/O
     "geo_io" -> ((s, dir) => {
       val df = base(s, dir).select(k, rect.as("geometry"))
@@ -1482,6 +1514,9 @@ object GeoQueries {
     "geo_sjoin_quadtree" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
+    "geo_sjoin_bucketed" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_pairs,
+        | (SELECT count(*) FROM orders) AS n_same, TRUE AS shuffle_free""".stripMargin,
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
          | w*h AS wkb_area, 4326 AS wkb_srid,

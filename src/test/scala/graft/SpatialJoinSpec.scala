@@ -75,6 +75,56 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed spatial store: exchange-free join matches brute force") {
+    // write both sides bucketed on the same grid once, then the join is a
+    // bucketed sort-merge with NO shuffle on either side — the
+    // repeated-join path at scale (each new join re-reads co-located
+    // buckets instead of re-shuffling both inputs)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def dropHard(t: String): Unit = {
+      // fresh-JVM catalogs do not know tables a prior run left in the
+      // warehouse dir: drop the entry AND the location
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
+    try {
+      dropHard("graft_bkt_boxes")
+      dropHard("graft_bkt_points")
+      SpatialJoin.writeSpatialBucketed(boxes, "graft_bkt_boxes", cellSize = 8.0,
+        buckets = 8)
+      SpatialJoin.writeSpatialBucketed(points, "graft_bkt_points", cellSize = 8.0,
+        buckets = 8)
+      val joined = SpatialJoin.sjoinBucketed(spark, "graft_bkt_boxes",
+        "graft_bkt_points", cellSize = 8.0, "intersects")
+      val got = joined.select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+      assert(got === bruteForce(st_intersects))
+      assert(got.nonEmpty)
+      // the plan has zero exchanges: cells are co-located by the
+      // write-time bucketing, so the sort-merge join reads both sides
+      // in place
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange"),
+        s"bucketed join still shuffles:\n$planStr")
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        s"expected an equi-join over buckets:\n$planStr")
+      // a second predicate over the same stores: still no exchange, and
+      // contains == its broadcast-tier answer
+      val joined2 = SpatialJoin.sjoinBucketed(spark, "graft_bkt_boxes",
+        "graft_bkt_points", cellSize = 8.0, "contains")
+      assert(joined2.select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+        === bruteForce(st_contains))
+      assert(!joined2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      dropHard("graft_bkt_boxes")
+      dropHard("graft_bkt_points")
+    }
+  }
+
   test("grid outer join scans each input side exactly once") {
     // The stable-index pass persists its single scan; the cells pass and
     // the outer-join reattach both read the cache, so an instrumented
