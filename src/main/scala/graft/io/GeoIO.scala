@@ -724,8 +724,13 @@ object GeoIO {
   /** Scale-path FlatGeobuf sink: one part-NNNNN.fgb per partition, written
     * executor-side in parallel (no driver funnel); [[readFlatGeobuf]] reads
     * the directory back with per-file parallelism. */
+  /** @param spatialIndex give EACH part its own packed Hilbert R-tree
+    *   (buffering is per partition, executor-side): a bbox read then
+    *   index-searches every part in parallel — the directory behaves as
+    *   a sharded spatial index. */
   def writeFlatGeobufPartitioned(df: DataFrame, path: String,
-      geometryName: String = "geometry"): Unit = {
+      geometryName: String = "geometry",
+      spatialIndex: Boolean = false): Unit = {
     val cols = fgbColumns(df, geometryName)
     val ordered = df.select((col(geometryName) +: cols.map(c => col(c.name))): _*)
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -734,24 +739,36 @@ object GeoIO {
     val fs = dir.getFileSystem(conf.value)
     fs.delete(dir, true)
     fs.mkdirs(dir)
+    val doIndex = spatialIndex
     ordered.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val part = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.fgb")
       val pfs = part.getFileSystem(conf.value)
       val out = pfs.create(part, true)
-      var writer: FlatGeobuf.Writer = null
-      try {
-        rows.foreach { row =>
+      if (doIndex) {
+        var srid = 0
+        val feats = rows.map { row =>
           val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
           val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-          if (writer == null)
-            writer = new FlatGeobuf.Writer(out, cols,
-              if (geom == null) 0 else geom.getSRID)
-          writer.write(geom, Array.tabulate(cols.length)(i => row.get(i + 1)))
+          if (geom != null && srid == 0) srid = geom.getSRID
+          (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
+        }.toBuffer
+        FlatGeobuf.writeIndexed(out, cols, srid, feats.iterator)
+      } else {
+        var writer: FlatGeobuf.Writer = null
+        try {
+          rows.foreach { row =>
+            val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+            val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+            if (writer == null)
+              writer = new FlatGeobuf.Writer(out, cols,
+                if (geom == null) 0 else geom.getSRID)
+            writer.write(geom, Array.tabulate(cols.length)(i => row.get(i + 1)))
+          }
+          if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
+        } finally {
+          if (writer != null) writer.close() else out.close()
         }
-        if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
-      } finally {
-        if (writer != null) writer.close() else out.close()
       }
     }
   }

@@ -528,6 +528,56 @@ object SpatialJoin {
       .saveAsTable(table)
   }
 
+  /** Bbox read of a [[writeSpatialBucketed]] store: the query box's
+    * covering cells become an IN filter on the bucket column, which
+    * Spark's bucket pruning turns into reading ONLY the matching buckets
+    * (`SelectedBucketsCount` < total in the scan). Copies of a row that
+    * straddles several cells are deduped by the bottom-left-of-
+    * intersection rule, and the exact envelope test refines the cell
+    * coarseness — output is one row per stored geometry whose envelope
+    * intersects the box. */
+  def readSpatialBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, cellSize: Double,
+      bbox: (Double, Double, Double, Double),
+      geom: String = "geometry"): DataFrame = {
+    val (x0, y0, x1, y1) = bbox
+    val cs = cellSize
+    val cells: Seq[java.lang.Long] =
+      for {
+        cx <- math.floor(x0 / cs).toLong to math.floor(x1 / cs).toLong
+        cy <- math.floor(y0 / cs).toLong to math.floor(y1 / cs).toLong
+      } yield java.lang.Long.valueOf((cx << 32) | (cy & 0xffffffffL))
+    require(cells.size <= 65536,
+      s"readSpatialBucketed: bbox covers ${cells.size} cells — widen the " +
+        "grid or read the table directly for near-full scans")
+    val refUdf = udf((b: Array[Byte], cell: Long) => {
+      if (b == null) false
+      else {
+        val e = EWKB.read(b).getEnvelopeInternal
+        !e.isNull &&
+          !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0) && {
+            val ix = math.max(e.getMinX, x0)
+            val iy = math.max(e.getMinY, y0)
+            ((math.floor(ix / cs).toLong << 32) |
+              (math.floor(iy / cs).toLong & 0xffffffffL)) == cell
+          }
+      }
+    })
+    val df = spark.table(table)
+      .filter(col(CellCol).isin(cells: _*))
+      .filter(refUdf(col(geom), col(CellCol)))
+      .drop(CellCol)
+    // the planner auto-disables bucketed scans for plain filters (no
+    // join/agg needs the bucket partitioning), which also forfeits
+    // bucket PRUNING — force it on while this frame plans (the physical
+    // plan is resolved once and cached on the Dataset)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try df.queryExecution.executedPlan finally spark.conf.set(key, prev)
+    df
+  }
+
   /** Inner spatial join between two [[writeSpatialBucketed]] stores
     * written on the SAME grid: an equi-join on the cell column (bucketed
     * sort-merge — no exchange on either side), refined by the

@@ -174,5 +174,18 @@ class FlatGeobufSpec extends AnyFunSuite {
       bbox = Some(box), skipFeatures = 2, maxFeatures = 3)
     assert(windowed.count() === 3)
     assert(pids(windowed).subsetOf(manual))
+    // partitioned writer with per-part indexes: a directory bbox read
+    // index-searches every part in parallel and agrees with the others
+    graft.io.GeoIO.writeFlatGeobufPartitioned(
+      df.filter($"pid" <= 600).repartition(4), s"$d/parts", spatialIndex = true)
+    val partFiles = new java.io.File(s"$d/parts").listFiles
+      .filter(_.getName.endsWith(".fgb"))
+    assert(partFiles.length === 4)
+    partFiles.foreach { f =>
+      val b = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(FlatGeobuf.read(b)._1.indexNodeSize === 16, s"${f.getName} unindexed")
+    }
+    val viaParts = graft.io.GeoIO.readFlatGeobuf(spark, s"$d/parts", bbox = Some(box))
+    assert(pids(viaParts) === manual)
   }
 }

@@ -118,6 +118,23 @@ class SpatialJoinSpec extends AnyFunSuite {
       assert(joined2.select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
         === bruteForce(st_contains))
       assert(!joined2.queryExecution.executedPlan.toString.contains("Exchange"))
+      // bbox read: covering cells → bucket pruning (the scan reads a
+      // SUBSET of buckets), result = exact envelope matches, one row per
+      // original geometry despite multi-cell duplication
+      val box = (10.0, 10.0, 30.0, 30.0)
+      val got2 = SpatialJoin.readSpatialBucketed(spark, "graft_bkt_boxes",
+        cellSize = 8.0, box)
+      val expected2 = boxes.filter(st_intersects(st_envelope($"geometry"),
+        st_rectangle(lit(box._1), lit(box._2), lit(box._3), lit(box._4))))
+        .select($"box_id").as[Long].collect().toSet
+      assert(got2.select($"box_id").as[Long].collect().toSet === expected2)
+      assert(got2.count() === expected2.size, "multi-cell copies not deduped")
+      val scanStr = got2.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanStr)
+      assert(sel.isDefined, s"no bucket pruning in scan:\n$scanStr")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"bbox read touched every bucket: ${sel.get.matched}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       dropHard("graft_bkt_boxes")
