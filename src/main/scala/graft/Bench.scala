@@ -173,13 +173,8 @@ object Bench {
     private var cached: Option[String] = None
     def get(s: SparkSession, dir: String): Unit = synchronized {
       if (!cached.contains(dir)) {
-        Seq("graft_bench_bkt_l", "graft_bench_bkt_r").foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val wh = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), tbl)
-          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(wh)) fs.delete(wh, true)
-        }
+        Seq("graft_bench_bkt_l", "graft_bench_bkt_r")
+          .foreach(graft.join.SpatialJoin.dropBucketedTable(s, _))
         graft.join.SpatialJoin.writeSpatialBucketed(
           orders(s, dir).select(k.as("lk"), rect.as("geometry")),
           "graft_bench_bkt_l", 16.0, 32)

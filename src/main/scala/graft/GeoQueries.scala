@@ -1019,16 +1019,8 @@ object GeoQueries {
     "geo_sjoin_bucketed" -> ((s, dir) => {
       val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
       val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
-      // a fresh session's in-memory catalog does not know tables a prior
-      // run left in the warehouse dir — drop BOTH the entry and the
-      // location or saveAsTable dies with LOCATION_ALREADY_EXISTS
-      Seq("graft_q_bkt_l", "graft_q_bkt_r").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(wh)) fs.delete(wh, true)
-      }
+      Seq("graft_q_bkt_l", "graft_q_bkt_r")
+        .foreach(graft.join.SpatialJoin.dropBucketedTable(s, _))
       graft.join.SpatialJoin.writeSpatialBucketed(left, "graft_q_bkt_l", 16.0, 32)
       graft.join.SpatialJoin.writeSpatialBucketed(right, "graft_q_bkt_r", 16.0, 32)
       // force the bucketed sort-merge path (auto-broadcast would elide

@@ -396,20 +396,24 @@ object GeoIO {
       if (!windowed) fileList.map(f => (f, 0L, Long.MaxValue))
       else if (fileList.length == 1) Seq((fileList.head, skipFeatures, maxFeatures))
       else {
-        val counts: Map[String, Long] =
+        val counts: String => Long =
           if (bbox.isEmpty) {
             // fixed-size .shx: count = (len - 100) / 8, from FileStatus
             // alone; files missing the sidecar fall back to a header hop
             val (withShx, needScan) = fileList.partition(f =>
               fs.exists(sidecar(new org.apache.hadoop.fs.Path(f), ".shx")))
-            withShx.map(f => f -> Shapefile.recordCountFromShx(
-              fs.getFileStatus(sidecar(new org.apache.hadoop.fs.Path(f), ".shx")).getLen)).toMap ++
-              distributedCounts(spark, needScan)(f =>
-                Shapefile.recordCount(readWholeFile(conf, f)))
+            val quick = withShx.map(f => f -> Shapefile.recordCountFromShx(
+              fs.getFileStatus(sidecar(new org.apache.hadoop.fs.Path(f), ".shx")).getLen)).toMap
+            val scanned = lazyChunkedCounts(needScan, 16)(fs2 =>
+              distributedCounts(spark, fs2)(f =>
+                Shapefile.recordCount(readWholeFile(conf, f))))
+            f => quick.getOrElse(f, scanned(f))
           } else
-            // window applies post-filter → count the bbox survivors
-            distributedCounts(spark, fileList)(f =>
-              Shapefile.readFeatures(readWholeFile(conf, f), None, bbox).size.toLong)
+            // window applies post-filter → count the bbox survivors,
+            // lazily in chunks (files past the window are never scanned)
+            lazyChunkedCounts(fileList, 16)(fs2 =>
+              distributedCounts(spark, fs2)(f =>
+                Shapefile.readFeatures(readWholeFile(conf, f), None, bbox).size.toLong))
         featureWindows(fileList, skipFeatures, maxFeatures)(counts)
       }
     val doGeom = readGeometry
@@ -627,13 +631,28 @@ object GeoIO {
     val windows: Seq[(String, Long, Long)] =
       if (!windowed) fileList.map(f => (f, 0L, Long.MaxValue))
       else if (fileList.length == 1) Seq((fileList.head, skipFeatures, maxFeatures))
-      else if (bbx.isDefined)
-        // post-filter window → plan from per-file MATCH counts
+      else if (bbx.isDefined) {
+        // post-filter window → per-file MATCH counts, lazily in chunks;
+        // indexed files count through the R-tree without decoding
+        val matchCount: String => Long = f => {
+          val bytes = readWholeFile(conf, f)
+          val (x0, y0, x1, y1) = bbx.get
+          FlatGeobuf.searchOffsets(bytes, x0, y0, x1, y1) match {
+            case Some(offsets) => offsets.size.toLong
+            case None => FlatGeobuf.read(bytes)._2.count { ft =>
+              ft.geometry != null && !ft.geometry.isEmpty && {
+                val e = ft.geometry.getEnvelopeInternal
+                !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0)
+              }
+            }.toLong
+          }
+        }
         featureWindows(fileList, skipFeatures, maxFeatures)(
-          distributedCounts(spark, fileList)(f => matched(f, 0L).size.toLong))
-      else {
+          lazyChunkedCounts(fileList, 16)(fs2 =>
+            distributedCounts(spark, fs2)(matchCount)))
+      } else {
         // header featuresCount when the writer recorded it (header-only
-        // read per file); else one distributed size-prefix hop pass
+        // read per file); else lazily chunked size-prefix hop passes
         val fromHeaders: Map[String, Long] = fileList.map { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           val hin = fs.open(p)
@@ -641,9 +660,13 @@ object GeoIO {
           f -> h.featuresCount
         }.toMap
         val needScan = fileList.filter(fromHeaders(_) == 0L)
-        val counts = fromHeaders ++ distributedCounts(spark, needScan)(f =>
-          FlatGeobuf.recordCount(readWholeFile(conf, f)))
-        featureWindows(fileList, skipFeatures, maxFeatures)(counts)
+        val scanned = lazyChunkedCounts(needScan, 16)(fs2 =>
+          distributedCounts(spark, fs2)(f =>
+            FlatGeobuf.recordCount(readWholeFile(conf, f))))
+        featureWindows(fileList, skipFeatures, maxFeatures)(f => {
+          val h = fromHeaders(f)
+          if (h != 0L) h else scanned(f)
+        })
       }
     val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
       .flatMap { case (f, wSkip, wTake) =>
@@ -684,19 +707,20 @@ object GeoIO {
     val fs = hadoopPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(hadoopPath, true)
     if (spatialIndex) {
-      var srid = -1
-      val feats = ordered.toLocalIterator().asScala.map { row =>
-        val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
-        val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-        if (geom != null) {
-          if (srid == -1) srid = geom.getSRID
-          else if (geom.getSRID != srid) throw new IllegalArgumentException(
-            s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
-        }
-        (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
-      }.toBuffer
-      try FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
-      catch { case e: Throwable => out.close(); throw e }
+      try {
+        var srid = -1
+        val feats = ordered.toLocalIterator().asScala.map { row =>
+          val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+          val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+          if (geom != null) {
+            if (srid == -1) srid = geom.getSRID
+            else if (geom.getSRID != srid) throw new IllegalArgumentException(
+              s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+          }
+          (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
+        }.toBuffer
+        FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
+      } catch { case e: Throwable => out.close(); throw e }
       return
     }
     var writer: FlatGeobuf.Writer = null
@@ -746,14 +770,20 @@ object GeoIO {
       val pfs = part.getFileSystem(conf.value)
       val out = pfs.create(part, true)
       if (doIndex) {
-        var srid = 0
-        val feats = rows.map { row =>
-          val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
-          val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-          if (geom != null && srid == 0) srid = geom.getSRID
-          (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
-        }.toBuffer
-        FlatGeobuf.writeIndexed(out, cols, srid, feats.iterator)
+        try {
+          var srid = -1
+          val feats = rows.map { row =>
+            val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
+            val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+            if (geom != null) {
+              if (srid == -1) srid = geom.getSRID
+              else if (geom.getSRID != srid) throw new IllegalArgumentException(
+                s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+            }
+            (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
+          }.toBuffer
+          FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
+        } catch { case e: Throwable => out.close(); throw e }
       } else {
         var writer: FlatGeobuf.Writer = null
         try {
@@ -914,20 +944,24 @@ object GeoIO {
     val leafWindows: Seq[(Int, Long, Long)] =
       if (!windowed) leafList.map(pg => (pg, 0L, Long.MaxValue))
       else {
-        val cgroups = leafList.grouped(64).toSeq
-        val counts: Map[Int, Long] = spark.sparkContext
-          .parallelize(cgroups, math.max(1, cgroups.length))
-          .flatMap { leaves =>
-            val (fdb, fin) = openTask()
-            try leaves.map(pg => pg -> (bbx match {
-              case None => fdb.leafCellCount(pg).toLong
-              case Some((x0, y0, x1, y1)) => fdb.leafRows(pg).count { case (_, rec) =>
-                !gpkgBboxPruned(rec(geomOrd).asInstanceOf[Array[Byte]], x0, y0, x1, y1)
-              }.toLong
-            }))
-            finally fin.close()
-          }.collect().toMap
-        featureWindows(leafList, skipFeatures, maxFeatures)(counts)
+        // lazily chunked: leaves past the window's end are never read
+        val countMany: Seq[Int] => Map[Int, Long] = leaves0 => {
+          val cgroups = leaves0.grouped(64).toSeq
+          spark.sparkContext
+            .parallelize(cgroups, math.max(1, cgroups.length))
+            .flatMap { leaves =>
+              val (fdb, fin) = openTask()
+              try leaves.map(pg => pg -> (bbx match {
+                case None => fdb.leafCellCount(pg).toLong
+                case Some((x0, y0, x1, y1)) => fdb.leafRows(pg).count { case (_, rec) =>
+                  !gpkgBboxPruned(rec(geomOrd).asInstanceOf[Array[Byte]], x0, y0, x1, y1)
+                }.toLong
+              }))
+              finally fin.close()
+            }.collect().toMap
+        }
+        featureWindows(leafList, skipFeatures, maxFeatures)(
+          lazyChunkedCounts(leafList, 256)(countMany))
       }
     val buildRow: ((Long, Array[Any])) => org.apache.spark.sql.Row = {
       case (rowid, rec) =>
@@ -1196,6 +1230,25 @@ object GeoIO {
     spark.sparkContext.parallelize(files, math.max(1, files.length))
       .map(f => (f, countOne(f))).collect().toMap
 
+  /** Lazily materialized, IN-ORDER chunked counts: [[featureWindows]]
+    * consults units front-to-back and stops at the window's end, so this
+    * fetches `chunk` units at a time via `countMany` (typically one small
+    * distributed job per chunk) — units past the window are never
+    * counted, honoring featureWindows' laziness contract. */
+  private def lazyChunkedCounts[K](units: Seq[K], chunk: Int)(
+      countMany: Seq[K] => Map[K, Long]): K => Long = {
+    val cache = scala.collection.mutable.HashMap.empty[K, Long]
+    var next = 0
+    k => {
+      while (!cache.contains(k) && next < units.length) {
+        val slice = units.slice(next, next + chunk)
+        next += slice.length
+        cache ++= countMany(slice)
+      }
+      cache(k)
+    }
+  }
+
   /** Windows for the whole-document formats (KML/GML/GPX/MIF/DXF): their
     * framing requires a parse, so a windowed multi-file read plans with
     * one distributed parse-count pass; single-file reads (the common
@@ -1204,10 +1257,8 @@ object GeoIO {
       skip: Long, max: Long)(count: String => Long): Seq[(String, Long, Long)] =
     if (skip <= 0 && max == Long.MaxValue) files.map(f => (f, 0L, Long.MaxValue))
     else if (files.length == 1) Seq((files.head, skip, max))
-    else {
-      val counts = distributedCounts(spark, files)(count)
-      featureWindows(files, skip, max)(counts)
-    }
+    else featureWindows(files, skip, max)(
+      lazyChunkedCounts(files, 16)(fs => distributedCounts(spark, fs)(count)))
 
   private def sliceIterator[T](it: Iterator[T], skip: Long, take: Long): Iterator[T] = {
     val dropped = if (skip <= 0) it else it.drop(

@@ -307,11 +307,15 @@ private[graft] object Kml {
       if (data.nonEmpty) {
         b.append("<ExtendedData>")
         data.foreach { case (k, v) =>
-          // null values omit the Data element entirely so a round trip reads
-          // them back as null, not empty string
+          // null values write an EMPTY Data element (no value child): the
+          // reader records the key with a null value, so the column stays
+          // in the read-back schema even when null in every feature AND
+          // null round-trips as null, not empty string
           if (v != null)
             b.append("<Data name=\"").append(esc(k)).append("\"><value>")
               .append(esc(v)).append("</value></Data>")
+          else
+            b.append("<Data name=\"").append(esc(k)).append("\"/>")
         }
         b.append("</ExtendedData>")
       }

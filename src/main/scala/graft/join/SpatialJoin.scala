@@ -347,15 +347,11 @@ object SpatialJoin {
     val leftIdx = withStableIndex(left, LIdx)
     val rightIdx = withStableIndex(right, RIdx)
 
-    def cellsOf(bytes: Array[Byte]): Seq[Long] = {
-      if (bytes == null) return Nil
-      val e = EWKB.read(bytes).getEnvelopeInternal
-      if (e.isNull) return Nil
-      val (x0, x1) = (math.floor(e.getMinX / cs).toLong, math.floor(e.getMaxX / cs).toLong)
-      val (y0, y1) = (math.floor(e.getMinY / cs).toLong, math.floor(e.getMaxY / cs).toLong)
-      for (cx <- x0 to x1; cy <- y0 to y1)
-        yield (cx << 32) | (cy & 0xffffffffL)
-    }
+    // the one packed-cell scheme, shared with the bucketed store (the
+    // two tiers only interoperate while their cells stay bit-identical);
+    // a function VAL — a local def would capture the non-serializable
+    // SpatialJoin module in the task closures below
+    val cellsOf: Array[Byte] => Seq[Long] = bytes => gridCellsOf(bytes, cs)
 
     val lCells = leftIdx.select(col(LIdx), col(leftGeom)).as[(Long, Array[Byte])]
       .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
@@ -567,10 +563,14 @@ object SpatialJoin {
       .filter(col(CellCol).isin(cells: _*))
       .filter(refUdf(col(geom), col(CellCol)))
       .drop(CellCol)
-    // the planner auto-disables bucketed scans for plain filters (no
+    // The planner auto-disables bucketed scans for plain filters (no
     // join/agg needs the bucket partitioning), which also forfeits
-    // bucket PRUNING — force it on while this frame plans (the physical
-    // plan is resolved once and cached on the Dataset)
+    // bucket PRUNING — force it on while THIS frame plans (the physical
+    // plan is resolved once and cached on the Dataset). Frames DERIVED
+    // from the result re-plan later with the session default and fall
+    // back to the pushed IN filter over the cell-SORTED files — parquet
+    // row-group stats then prune to the same IO class, just at row-group
+    // rather than file granularity.
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
@@ -594,32 +594,61 @@ object SpatialJoin {
     val r = renameClashes(spark.table(rightTable), leftCols, suffix)
     val rg = if (leftCols.contains(rightGeom)) rightGeom + suffix else rightGeom
     val cs = cellSize
-    // reference-point dedup: a pair straddling k cells appears in k
-    // buckets; only the cell owning the bottom-left corner of the
-    // envelope intersection emits it
-    val refUdf = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) => {
+    val predName = predicate
+    // one UDF, one EWKB parse per side per pair: the reference-point
+    // dedup (only the cell owning the bottom-left corner of the envelope
+    // intersection emits a pair that straddles k cells) short-circuits
+    // before the predicate, and the predicate runs on plain geometries —
+    // PreparedGeometry costs more than it saves at one use per pair
+    val matchUdf = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) => {
       if (lb == null || rb == null) false
       else {
-        val le = EWKB.read(lb).getEnvelopeInternal
-        val re = EWKB.read(rb).getEnvelopeInternal
-        !le.isNull && !re.isNull && {
+        val lg = EWKB.read(lb); val rgm = EWKB.read(rb)
+        !lg.isEmpty && !rgm.isEmpty && {
+          val le = lg.getEnvelopeInternal
+          val re = rgm.getEnvelopeInternal
           val cx = (cell >> 32).toDouble * cs
           val cy = (cell << 32 >> 32).toDouble * cs
           val ix = math.max(le.getMinX, re.getMinX)
           val iy = math.max(le.getMinY, re.getMinY)
-          ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs
+          ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
+            applyPredPlain(predName, lg, rgm)
         }
       }
     })
-    val predName = predicate
-    val predUdf = udf((lb: Array[Byte], rb: Array[Byte]) => {
-      val lg = EWKB.read(lb); val rgm = EWKB.read(rb)
-      !lg.isEmpty && !rgm.isEmpty &&
-        applyPred(predName, PreparedGeometryFactory.prepare(lg), rgm)
-    })
     l.join(r, CellCol)
-      .filter(refUdf(col(leftGeom), col(rg), col(CellCol)))
-      .filter(predUdf(col(leftGeom), col(rg)))
+      .filter(matchUdf(col(leftGeom), col(rg), col(CellCol)))
       .drop(CellCol)
+  }
+
+  /** [[applyPred]] without the prepared-geometry wrapper, for sites that
+    * evaluate each pair exactly once. */
+  private def applyPredPlain(name: String, l: Geometry, r: Geometry): Boolean =
+    name match {
+      case "intersects_bbox" => true
+      case "intersects" => l.intersects(r)
+      case "within" => l.within(r)
+      case "contains" => l.contains(r)
+      case "contains_properly" =>
+        PreparedGeometryFactory.prepare(l).containsProperly(r)
+      case "overlaps" => l.overlaps(r)
+      case "crosses" => l.crosses(r)
+      case "touches" => l.touches(r)
+      case "covers" => l.covers(r)
+      case "covered_by" => l.coveredBy(r)
+      case other => throw new IllegalArgumentException(s"unknown sjoin predicate: $other")
+    }
+
+  /** Drop a [[writeSpatialBucketed]] table AND its warehouse location — a
+    * fresh session's in-memory catalog does not know tables a prior run
+    * left on disk, and `saveAsTable` dies with LOCATION_ALREADY_EXISTS on
+    * the stale directory otherwise. */
+  def dropBucketedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
   }
 }

@@ -622,8 +622,7 @@ object Similarity {
       maxTrainRows: Int = 10000, iters: Int = 20): PqCodebook = {
     val withCell = assigned(index, corpus, corpusId, corpusVec)
       .withColumn("rvec", residualUdf(index)(col("cvec"), col("cell")))
-    val sample = withCell.orderBy(xxhash64(col("corpus_id"), lit(seed)))
-      .limit(maxTrainRows)
+    val sample = trainingSample(withCell, seed, maxTrainRows)
       .select(col("rvec")).collect().map(_.getSeq[Double](0).toArray)
     PqCodebook(lloydBooks(sample, m, ksub, iters))
   }
@@ -835,8 +834,7 @@ object Similarity {
       lloydIters: Int = 8): OpqModel = {
     val withCell = assigned(index, corpus, corpusId, corpusVec)
       .withColumn("rvec", residualUdf(index)(col("cvec"), col("cell")))
-    val sample = withCell.orderBy(xxhash64(col("corpus_id"), lit(seed)))
-      .limit(maxTrainRows)
+    val sample = trainingSample(withCell, seed, maxTrainRows)
       .select(col("rvec")).collect().map(_.getSeq[Double](0).toArray)
     opqAlternate(sample, m, ksub, opqIters, lloydIters)
   }

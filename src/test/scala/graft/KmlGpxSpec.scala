@@ -453,4 +453,27 @@ class KmlGpxSpec extends AnyFunSuite {
     assert(gpx.count() === 30)
     assert(gpx.agg(sum($"name".cast("long"))).head().getLong(0) === (0 until 30).sum)
   }
+
+  test("kml: an all-null attribute column survives the round trip as null") {
+    // nulls write an EMPTY Data element: omitting it entirely would drop
+    // a column that is null in every feature from the read-back schema,
+    // while writing <value></value> would turn null into empty string
+    val d = java.nio.file.Files.createTempDirectory("kml_nulls").toString
+    val df = Seq(
+      (1L, "a", null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("k", "partial", "allnull")
+      .select(concat(lit("r"), $"k".cast("string")).as("name"),
+        $"partial", $"allnull",
+        graft.functions.st_set_srid(
+          graft.functions.st_point($"k".cast("double"), lit(0.0)),
+          lit(4326)).as("geometry"))
+    graft.io.GeoIO.writeKml(df, s"$d/t.kml")
+    val back = graft.io.GeoIO.readKml(spark, s"$d/t.kml")
+    assert(back.columns.toSet ===
+      Set("geometry", "name", "description", "partial", "allnull"))
+    val rows = back.select($"name", $"partial", $"allnull")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(("r1", "a", null), ("r2", null, null)))
+  }
 }

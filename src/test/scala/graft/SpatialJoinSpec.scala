@@ -82,15 +82,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     // buckets instead of re-shuffling both inputs)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    def dropHard(t: String): Unit = {
-      // fresh-JVM catalogs do not know tables a prior run left in the
-      // warehouse dir: drop the entry AND the location
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
-    }
+    def dropHard(t: String): Unit = SpatialJoin.dropBucketedTable(spark, t)
     try {
       dropHard("graft_bkt_boxes")
       dropHard("graft_bkt_points")

@@ -27,13 +27,8 @@ object BktProbe {
         ($"id" % 10).cast("double") * 4.0 + lit(3.0)).as("geometry"))
     val right = spark.range(500).select($"id".as("rk"),
       st_point(($"id" % 83).cast("double"), ($"id" % 41).cast("double")).as("geometry"))
-    Seq("bp_l", "bp_r").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
-    }
+    Seq("bp_l", "bp_r")
+      .foreach(graft.join.SpatialJoin.dropBucketedTable(spark, _))
     graft.join.SpatialJoin.writeSpatialBucketed(left, "bp_l", 16.0, 32)
     graft.join.SpatialJoin.writeSpatialBucketed(right, "bp_r", 16.0, 32)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
