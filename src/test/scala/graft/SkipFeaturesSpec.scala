@@ -120,6 +120,23 @@ class SkipFeaturesSpec extends AnyFunSuite {
     assert(fids(dxf) === (16L to 20L))
   }
 
+  test("kml + gpx: multi-file window straddles files (lazy chunked counts)") {
+    val d = tmpDir("graft_skip_xml2")
+    def named(from: Int, to: Int) = pts(from, to)
+      .select(concat(lit("f"), $"fid".cast("string")).as("name"), $"geometry")
+    graft.io.GeoIO.writeKml(named(1, 12), s"$d/a.kml")
+    graft.io.GeoIO.writeKml(named(13, 24), s"$d/b.kml")
+    val kml = graft.io.GeoIO.readKml(spark, d, skipFeatures = 10, maxFeatures = 5)
+      .select(expr("cast(substring(name, 2) as long)").as("fid"))
+    assert(fids(kml) === (11L to 15L))
+    graft.io.GeoIO.writeGpx(named(1, 12), s"$d/a.gpx")
+    graft.io.GeoIO.writeGpx(named(13, 24), s"$d/b.gpx")
+    val gpx = graft.io.GeoIO.readGpx(spark, d, "waypoints",
+      skipFeatures = 10, maxFeatures = 5)
+      .select(expr("cast(substring(name, 2) as long)").as("fid"))
+    assert(fids(gpx) === (11L to 15L))
+  }
+
   test("shapefile: fids random access, where filter, force2D") {
     val d = tmpDir("graft_fids_shp")
     // 3D points so force2D is observable
