@@ -447,6 +447,13 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.buildIvfPqStore(index, rBook, corpus, "vec_id", "embedding",
       dir + "/store", residual = true)
 
+    // OPQ-composed store on the same fixture: rotation learned on the
+    // residuals, same (m, ksub) budget
+    val oModel = Similarity.trainOpqResidual(index, corpus, "vec_id", "embedding",
+      m = 8, ksub = 32, opqIters = 4)
+    Similarity.buildIvfPqStore(index, oModel.book, corpus, "vec_id", "embedding",
+      dir + "/ostore", residual = true, rotation = Some(oModel.rotation))
+
     val nprobes = Seq(1, 2, 4, 8, 16)
     val cands = Seq(16, 64, 600)
     val grid: Map[(Int, Int), Double] = (for {
@@ -457,11 +464,25 @@ class PipelineSpec extends AnyFunSuite {
         residual = true)
       (np, c) -> Similarity.recallAtK(res, truth, 10)
     }).toMap
+    val opqGrid: Map[Int, Double] = nprobes.map { np =>
+      val res = Similarity.ivfPqTopKStored(spark, index, oModel.book, dir + "/ostore",
+        queries, "query_id", "embedding", k = 10, nprobe = np, candidates = 64,
+        residual = true, rotation = Some(oModel.rotation))
+      np -> Similarity.recallAtK(res, truth, 10)
+    }.toMap
 
     info("recall@10, residual IVF-PQ (nlist=16, m=8, ksub=32), 600×16d planted fixture:")
-    info(f"| nprobe | ${cands.map(c => f"cand=$c%-5d").mkString(" | ")} |")
+    info(f"| nprobe | ${cands.map(c => f"cand=$c%-5d").mkString(" | ")} | opq c=64 |")
     nprobes.foreach { np =>
-      info(f"| $np%6d | ${cands.map(c => f"${grid((np, c))}%.3f    ").mkString(" | ")} |")
+      info(f"| $np%6d | ${cands.map(c => f"${grid((np, c))}%.3f    ").mkString(" | ")} | ${opqGrid(np)}%.3f    |")
+    }
+    // OPQ at the same budget: within noise of plain residual PQ on this
+    // ISOTROPIC fixture (no variance imbalance to exploit — the OPQ win
+    // case is pinned separately on the anisotropic fixture); bound the
+    // allowed regression so a broken rotation still fails loudly
+    nprobes.foreach { np =>
+      assert(opqGrid(np) >= grid((np, 64)) - 0.05,
+        f"OPQ regressed at nprobe=$np: ${opqGrid(np)}%.3f vs ${grid((np, 64))}%.3f")
     }
 
     // exact corner: full probe + full re-rank IS brute force
