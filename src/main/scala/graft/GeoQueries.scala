@@ -926,7 +926,11 @@ object GeoQueries {
           .as("mtm7_rt_ok"),
         rtOk(-(lit(78.25) + (k % 10).cast("double") / 4.0),
           lit(43.25) + (k % 32).cast("double") / 4.0, 32190, 1e-8)
-          .as("mtm10_rt_ok")
+          .as("mtm10_rt_ok"),
+        // Austria Gauss-Krüger (MGI Bessel + 7-param shift → 1e-7)
+        rtOk(lit(12.25) + (k % 9).cast("double") / 4.0,
+          lit(46.5) + (k % 9).cast("double") / 4.0, 31285, 1e-7)
+          .as("atm31_rt_ok")
       ).orderBy(k)
     }),
 
@@ -1460,7 +1464,7 @@ object GeoQueries {
          | TRUE AS ntm10_rt_ok, TRUE AS est97_rt_ok, TRUE AS lks92_rt_ok,
          | TRUE AS lks94_rt_ok, TRUE AS dktm2_rt_ok,
          | TRUE AS gk7_rt_ok, TRUE AS gk11_rt_ok,
-         | TRUE AS mtm7_rt_ok, TRUE AS mtm10_rt_ok
+         | TRUE AS mtm7_rt_ok, TRUE AS mtm10_rt_ok, TRUE AS atm31_rt_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

@@ -1007,6 +1007,18 @@ object EpsgDb {
     add(31287, (Lcc2SP(Bessel1841, 49, 46, 47.5, 13.0 + 20.0 / 60,
       400000, 400000), Some(Mgi), "MGI / Austria Lambert"))
     add(4312, (Geographic(Bessel1841), Some(Mgi), "MGI"))
+    // Austria Gauss-Krüger strips: central meridians 28°/31°/34° east of
+    // FERRO (17°40' west of Greenwich) → 10°20'/13°20'/16°20' E; k0 = 1,
+    // northings reduced by 5 000 000 m. The GK triplet has no false
+    // easting; the Bundesmeldenetz M28/M31/M34 add 150/450/750 km.
+    val ferroE = Seq(10.0 + 20.0 / 60, 13.0 + 20.0 / 60, 16.0 + 20.0 / 60)
+    val gkNames = Seq("West", "Central", "East")
+    ferroE.zipWithIndex.foreach { case (lon0, i) =>
+      add(31254 + i, (TMerc(Bessel1841, 0, lon0, 1.0, 0, -5000000),
+        Some(Mgi), s"MGI / Austria GK ${gkNames(i)}"))
+      add(31284 + i, (TMerc(Bessel1841, 0, lon0, 1.0, 150000 + i * 300000, -5000000),
+        Some(Mgi), s"MGI / Austria M${28 + 3 * i}"))
+    }
 
     // Norway: ETRS89 / NTM zones 5-30 (TM, k0 = 1, half-degree central
     // meridians — the construction-survey grids)

@@ -142,6 +142,12 @@ class EpsgDbSpec extends AnyFunSuite {
     // NAD83 / MTM zone 7: (70°30'W, 0N) → (304800, 0)
     val mtm7 = EpsgDb.table(32187).proj.forward(-70.5, 0.0)
     assert(math.abs(mtm7._1 - 304800.0) < 1e-6 && math.abs(mtm7._2) < 1e-6, mtm7.toString)
+    // MGI / Austria M31: natural origin (13°20'E = Ferro 31°, 0N) →
+    // (450000, -5000000); GK Central drops the false easting
+    val m31 = EpsgDb.table(31285).proj.forward(13.0 + 20.0 / 60, 0.0)
+    assert(math.abs(m31._1 - 450000.0) < 1e-6 && math.abs(m31._2 + 5000000.0) < 1e-6, m31.toString)
+    val gkC = EpsgDb.table(31255).proj.forward(13.0 + 20.0 / 60, 0.0)
+    assert(math.abs(gkC._1) < 1e-6 && math.abs(gkC._2 + 5000000.0) < 1e-6, gkC.toString)
     // geographic CRS on a WGS84-coincident datum is a passthrough
     assert(EpsgDb.fromWgs84(12.25, 47.5, 4258) == ((12.25, 47.5)))
     // datum-shifted geographic CRS moves coordinates by the expected
