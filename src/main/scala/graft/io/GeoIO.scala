@@ -168,28 +168,8 @@ object GeoIO {
       }
     withBbox.write.mode(mode).parquet(path)
     if (writeMetadata) {
-      val g = col(geometryName)
-      val stats = df.agg(
-        collect_set(graft.functions.st_geometrytype(g)).as("types"),
-        collect_set(graft.functions.st_srid(g)).as("srids"),
-        element_at(graft.functions.st_total_bounds(g), 1).as("xmin"),
-        element_at(graft.functions.st_total_bounds(g), 2).as("ymin"),
-        element_at(graft.functions.st_total_bounds(g), 3).as("xmax"),
-        element_at(graft.functions.st_total_bounds(g), 4).as("ymax")
-      ).collect()(0)
-      val types = stats.getSeq[String](0).sorted
-      val srids = stats.getSeq[Int](1).sorted
-      require(srids.length <= 1,
-        s"write_file: mixed SRIDs are not supported (got ${srids.mkString(", ")})")
-      val srid = srids.headOption.getOrElse(0)
-      val crs = graft.functions.CrsImpl.crsFromCode(srid).map(w =>
-        "\"" + w.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
-      val json =
-        s"""{"version":"1.1.0","primary_column":"$geometryName","columns":{"$geometryName":{
-           |"encoding":"$encoding","geometry_types":[${types.map("\"" + _ + "\"").mkString(",")}],
-           |"bbox":[${stats.getDouble(2)},${stats.getDouble(3)},${stats.getDouble(4)},${stats.getDouble(5)}],
-           |"srid":$srid,"crs":$crs,
-           |"covering":${if (writeBbox) "{\"bbox\":{\"column\":\"" + BboxColumn + "\"}}" else "null"}}}}""".stripMargin
+      val json = geoMetadataJson(df, geometryName, encoding,
+        if (writeBbox) Some(BboxColumn) else None)
       val hadoopPath = new org.apache.hadoop.fs.Path(path, "_geo_metadata.json")
       val fs = hadoopPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       val out = fs.create(hadoopPath, true)
@@ -198,6 +178,34 @@ object GeoIO {
       // standard discovery: the same payload into every part footer
       ParquetFooter.addKeyValueMetadata(df.sparkSession, path, Map("geo" -> json))
     }
+  }
+
+  /** GeoParquet 1.1 `geo` metadata payload from the frame's own stats
+    * (geometry types, single SRID enforced, total bounds) — shared by
+    * [[writeGeoParquet]] and the bucketed spatial store's stamping. */
+  private[graft] def geoMetadataJson(df: DataFrame, geometryName: String,
+      encoding: String, coveringColumn: Option[String]): String = {
+    val g = col(geometryName)
+    val stats = df.agg(
+      collect_set(graft.functions.st_geometrytype(g)).as("types"),
+      collect_set(graft.functions.st_srid(g)).as("srids"),
+      element_at(graft.functions.st_total_bounds(g), 1).as("xmin"),
+      element_at(graft.functions.st_total_bounds(g), 2).as("ymin"),
+      element_at(graft.functions.st_total_bounds(g), 3).as("xmax"),
+      element_at(graft.functions.st_total_bounds(g), 4).as("ymax")
+    ).collect()(0)
+    val types = stats.getSeq[String](0).sorted
+    val srids = stats.getSeq[Int](1).sorted
+    require(srids.length <= 1,
+      s"write_file: mixed SRIDs are not supported (got ${srids.mkString(", ")})")
+    val srid = srids.headOption.getOrElse(0)
+    val crs = graft.functions.CrsImpl.crsFromCode(srid).map(w =>
+      "\"" + w.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+    s"""{"version":"1.1.0","primary_column":"$geometryName","columns":{"$geometryName":{
+       |"encoding":"$encoding","geometry_types":[${types.map("\"" + _ + "\"").mkString(",")}],
+       |"bbox":[${stats.getDouble(2)},${stats.getDouble(3)},${stats.getDouble(4)},${stats.getDouble(5)}],
+       |"srid":$srid,"crs":$crs,
+       |"covering":${coveringColumn.map(c => "{\"bbox\":{\"column\":\"" + c + "\"}}").getOrElse("null")}}}}""".stripMargin
   }
 
   /** Read newline-delimited GeoJSON features (one Feature per line):

@@ -509,9 +509,14 @@ object SpatialJoin {
     * Cost model: rows duplicate per covering cell (bounded by
     * cellSize ≈ [[autoCellSize]]'s 4× mean envelope), storage is plain
     * parquet in the session catalog. */
+  /** @param geoMetadata stamp the GeoParquet 1.1 `geo` payload into every
+    *   part footer after the write (one extra stats pass + an
+    *   executor-parallel footer rewrite; file names — and so Spark's
+    *   bucket-id naming — are preserved), making the store discoverable
+    *   by external GeoParquet readers as well as joinable here. */
   def writeSpatialBucketed(df: DataFrame, table: String, cellSize: Double,
       buckets: Int = 64, geom: String = "geometry",
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", geoMetadata: Boolean = false): Unit = {
     require(!df.columns.contains(CellCol),
       s"writeSpatialBucketed: input already has a $CellCol column")
     val cs = cellSize
@@ -522,6 +527,13 @@ object SpatialJoin {
       .bucketBy(buckets, CellCol).sortBy(CellCol)
       .format("parquet")
       .saveAsTable(table)
+    if (geoMetadata) {
+      val spark = df.sparkSession
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+      val json = graft.io.GeoIO.geoMetadataJson(df, geom, "EWKB", None)
+      graft.io.ParquetFooter.addKeyValueMetadata(spark, loc, Map("geo" -> json))
+    }
   }
 
   /** Bbox read of a [[writeSpatialBucketed]] store: the query box's

@@ -87,7 +87,7 @@ class SpatialJoinSpec extends AnyFunSuite {
       dropHard("graft_bkt_boxes")
       dropHard("graft_bkt_points")
       SpatialJoin.writeSpatialBucketed(boxes, "graft_bkt_boxes", cellSize = 8.0,
-        buckets = 8)
+        buckets = 8, geoMetadata = true)
       SpatialJoin.writeSpatialBucketed(points, "graft_bkt_points", cellSize = 8.0,
         buckets = 8)
       val joined = SpatialJoin.sjoinBucketed(spark, "graft_bkt_boxes",
@@ -127,6 +127,14 @@ class SpatialJoinSpec extends AnyFunSuite {
       assert(sel.isDefined, s"no bucket pruning in scan:\n$scanStr")
       assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
         s"bbox read touched every bucket: ${sel.get.matched}")
+      // the geo-stamped store is GeoParquet-discoverable (footer payload
+      // survives the bucket-named files) and still joins/prunes above
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_bkt_boxes"))
+        .location.toString
+      val geo = graft.io.ParquetFooter.readKeyValueMetadata(spark, loc, "geo")
+      assert(geo.isDefined && geo.get.contains("\"primary_column\":\"geometry\""),
+        s"geo footer missing: $geo")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       dropHard("graft_bkt_boxes")
