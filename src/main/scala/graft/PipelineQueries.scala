@@ -642,7 +642,7 @@ object PipelineQueries {
         | mwl,
         | sw_en AS sw,
         | CASE WHEN n_tok > 0 THEN CAST(sw_en AS DOUBLE) / n_tok ELSE 0.0 END AS swr,
-        | CASE WHEN cjk > 0 THEN 'zh'
+        | CASE WHEN cjk * 4 > length(text) THEN 'zh'
         |      WHEN sw_es > greatest(sw_en, sw_de, sw_fr) THEN 'es'
         |      WHEN sw_fr > greatest(sw_en, sw_de) THEN 'fr'
         |      WHEN sw_de > sw_en THEN 'de'
@@ -806,7 +806,7 @@ object PipelineQueries {
         |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS clean_id_sum""".stripMargin,
     "pipe_text2" ->
       """WITH l AS (SELECT doc_id, text,
-        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |  list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),
         |    x -> length(x) > 0) AS ls,
         |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS tk,
         |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS doc_len
@@ -833,7 +833,7 @@ object PipelineQueries {
         |FROM m ORDER BY doc_id""".stripMargin,
     "pipe_text3" ->
       """WITH l AS (SELECT doc_id, text,
-        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |  list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),
         |    x -> length(x) > 0) AS ls,
         |  regexp_extract_all(text, '\S+') AS tk
         | FROM documents),
@@ -872,7 +872,7 @@ object PipelineQueries {
         |    THEN CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE)
         |      / CAST(len(ps) AS DOUBLE) ELSE 0.0 END
         |   FROM (SELECT list_filter(list_transform(
-        |     string_split(text, chr(10) || chr(10)), p -> trim(p)),
+        |     string_split_regex(text, '\r?\n\r?\n'), p -> trim(p)),
         |     p -> length(p) > 0) AS ps)) AS dup_para,
         | (len(tk) BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
         |   AND (CASE WHEN len(tk) > 0 THEN CAST(syms AS DOUBLE) / CAST(len(tk) AS DOUBLE)

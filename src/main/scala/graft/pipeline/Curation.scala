@@ -35,7 +35,12 @@ object Curation {
   }
 
   /** Lowercase-hex md5 bucket of (id, salt) — the first 8 hex chars.
-    * `id` may be any type; it is canonicalized via CAST(... AS STRING). */
+    * `id` may be any type; it is canonicalized via CAST(... AS STRING).
+    * NB each operation's DEFAULT salt is distinct ("split"/"sample"/
+    * "cap"): with a shared default, sampling-then-splitting over the
+    * same bucket silently degenerates (every sampled survivor lands in
+    * "train", val/test empty). Override when composing the SAME op
+    * twice. */
   def hashBucket(id: Column, salt: String): Column =
     substring(md5(encode(concat(id.cast("string"), lit(salt)), "UTF-8")), 1, 8)
 
@@ -45,7 +50,7 @@ object Curation {
     * them at scale); `fracTrain + fracVal` must be <= 1, the remainder is
     * "test". Changing the salt re-deals every assignment; changing the
     * data never re-deals anyone else's. */
-  def withSplit(df: DataFrame, idCol: String, salt: String = "",
+  def withSplit(df: DataFrame, idCol: String, salt: String = "split",
       fracTrain: Double = 0.98, fracVal: Double = 0.01): DataFrame = {
     require(fracTrain >= 0 && fracVal >= 0 && fracTrain + fracVal <= 1.0,
       s"invalid split fractions ($fracTrain, $fracVal)")
@@ -69,7 +74,15 @@ object Curation {
   def packShards(df: DataFrame, groupCol: String, orderCol: String,
       tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // ROWS, not the default RANGE frame: RANGE sums over ORDER-BY PEERS,
+    // so rows sharing an orderCol value would all see the same cumulative
+    // total (overlapping offsets, shards silently over budget). ROWS
+    // gives every row a distinct, valid offset; rows TIED on orderCol
+    // pack in an arbitrary (scan-dependent) relative order — use a
+    // unique orderCol when bit-reproducible shards matter. The DuckDB
+    // oracle states the same frame explicitly.
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col(tokenCol)).over(w)
     val start = cum - col(tokenCol) // first-token offset in the group stream
     df.withColumn("shard", floor(start / budget))
@@ -83,7 +96,7 @@ object Curation {
     * CASE over the (small) strata map — no shuffle, no join. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       fracs: Map[String, Double], defaultFrac: Double = 1.0,
-      salt: String = ""): DataFrame = {
+      salt: String = "sample"): DataFrame = {
     val b = hashBucket(col(idCol), salt)
     val threshold = fracs.foldLeft(lit(hexThreshold(defaultFrac))) {
       case (acc, (stratum, f)) =>
@@ -104,7 +117,7 @@ object Curation {
     * `hashBucket(id) < hexThreshold(cₙ/estimate)` for a small safety
     * factor c) before the exact window — same survivors, bounded task. */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
-      salt: String = ""): DataFrame = {
+      salt: String = "cap"): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(hashBucket(col(idCol), salt), col(idCol))
@@ -125,10 +138,17 @@ object Curation {
     val total = weights.values.sum
     require(total > 0, "mixture weights sum to zero")
     val norm = weights.view.mapValues(_ / total).toMap
+    // a weighted stratum with ZERO rows makes the mixture unrealizable —
+    // silently dropping it from the bound would return fractions whose
+    // output mixture is not the requested one
+    val missing = norm.collect {
+      case (st, w) if w > 0 && counts.getOrElse(st, 0L) == 0L => st
+    }
+    require(missing.isEmpty,
+      s"mixtureFractions: weighted strata with no rows: ${missing.mkString(", ")}")
     // largest feasible output size N: for each stratum, N·w_s <= n_s
     val feasible = norm.collect {
-      case (s, w) if w > 0 && counts.getOrElse(s, 0L) > 0 =>
-        counts(s).toDouble / w
+      case (st, w) if w > 0 => counts(st).toDouble / w
     }
     require(feasible.nonEmpty, "no stratum has both weight and rows")
     val n = feasible.min

@@ -88,14 +88,18 @@ object Dedup {
     * convenience — the lambda re-tokenizes per element (see
     * [[shingleHashesNorm]]'s warning); at scale use [[nearDupNgram]],
     * which materializes the token array first. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOfTokens(TextAnalysis.tokens(TextAnalysis.normalized(text)), n)
+
+  /** [[wordNgrams]] over an ALREADY-MATERIALIZED token array column —
+    * callers with large inputs should project the tokens first so the
+    * tokenizer runs once per document, not once per gram position. */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
 
   /** Jaccard similarity of two token/shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
@@ -258,6 +262,9 @@ object Dedup {
       threshold: Double, n: Int = 3, numHashes: Int = 64,
       bands: Int = 0, maxBucketSize: Int = 100000): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    require(numHashes % b == 0,
+      s"nearDupNgram: numHashes=$numHashes not divisible by bands=$b — " +
+        "part of the signature would be silently ignored")
     val r = numHashes / b
     val withNg = df
       .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
@@ -383,9 +390,17 @@ object Dedup {
     * (matching [[wordNgrams]]). */
   def contaminated(train: DataFrame, trainId: String, trainText: String,
       bench: DataFrame, benchText: String, n: Int = 8): DataFrame = {
-    val tg = train.select(col(trainId).as("id"),
-      explode(wordNgrams(col(trainText), n)).as("gram"))
-    val bg = bench.select(explode(wordNgrams(col(benchText), n)).as("gram")).distinct()
+    // materialize the token array per document BEFORE the gram transform
+    // (the per-element re-tokenization trap wordNgrams documents): the
+    // tokenizer regex runs once per document, not once per gram position
+    // — this is the 100 TB side of the module
+    val tg = train
+      .select(col(trainId).as("id"),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(trainText))).as("__toks"))
+      .select(col("id"), explode(wordNgramsOfTokens(col("__toks"), n)).as("gram"))
+    val bg = bench
+      .select(TextAnalysis.tokens(TextAnalysis.normalized(col(benchText))).as("__toks"))
+      .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("gram")).distinct()
     tg.join(broadcast(bg), Seq("gram")).select("id").distinct()
   }
 
@@ -480,10 +495,16 @@ object Dedup {
   }
 
   /** Exact-substring dedup, removal step: rebuild each document's
-    * NORMALIZED text with cross-document duplicated runs removed, keeping
-    * exactly ONE corpus-wide occurrence of every shared run — the OWNER
-    * document (smallest id sharing the gram) keeps its copy, every other
-    * document drops the covered tokens. Within-document repeats are not
+    * NORMALIZED text with cross-document duplicated runs removed.
+    * Ownership is decided PER GRAM (the smallest id sharing that gram
+    * keeps its copy; every other document drops the covered tokens), so
+    * for each shared gram exactly one corpus-wide occurrence survives.
+    * NB the guarantee is gram-granular, not run-granular: when shared
+    * runs of different document subsets OVERLAP, a document can own one
+    * gram while a neighboring gram (owned elsewhere) strips part of the
+    * same run — the union of surviving grams still covers every shared
+    * sequence corpus-wide, but no single document is guaranteed an
+    * intact copy of a run longer than n. Within-document repeats are not
     * touched (they are the repetition signals' job, not dedup's).
     *
     * Output: (id, text) — text is the kept-token join; a document whose

@@ -75,10 +75,14 @@ object Scrub {
 
   // ------------------------------------------------------------ domains
 
-  /** Registrable host of each URL in the text (scheme-stripped, up to the
-    * first `/ : ? #`), lowercased. */
+  /** Registrable host of each URL in the text (scheme-stripped, userinfo
+    * skipped, up to the first `/ : ? #`), lowercased. The optional
+    * `user:pass@` segment must be consumed before the host capture —
+    * otherwise "http://foo@blockedsite.com/" reads back "foo@…" and a
+    * blocklist match silently fails. */
   def urlDomains(text: Column): Column =
-    transform(urls(text), u => lower(regexp_extract(u, "(?i:https?)://([^/:?#]+)", 1)))
+    transform(urls(text), u =>
+      lower(regexp_extract(u, "(?i:https?)://(?:[^/@?#]*@)?([^/:?#]+)", 1)))
 
   /** Canonical URL for URL-keyed dedup and grouping: lowercases the
     * scheme and host, strips the scheme's default port, drops the
@@ -96,20 +100,23 @@ object Scrub {
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
     val pathQuery = regexp_extract(rest, "^[^/?#]+([^#]*)", 1)
-    val noTracking = regexp_replace(pathQuery,
-      "[?&](?:utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*", "")
-    // If the leading '?param' was removed, the next separator (a '&' at the
-    // exact byte position the '?' occupied — the prefix before '?' is
-    // untouched by the removal) must become the new '?'. Conditioning on
-    // that position keeps literal '&'s in the path intact.
+    // tracking-parameter removal applies ONLY to the query string: split
+    // at the first '?' so a literal '&utm_…' in the PATH (legal, and
+    // explicitly distinct content) is never stripped
     val qPos = instr(pathQuery, "?")
-    val fixedSeparator = when(
-      qPos > 0 && instr(noTracking, "?") === 0 && length(noTracking) >= qPos,
-      concat(noTracking.substr(lit(1), qPos - 1), lit("?"),
-        noTracking.substr(qPos + 1, length(noTracking))))
-      .otherwise(noTracking)
+    val pathOnly = when(qPos > 0, pathQuery.substr(lit(1), qPos - 1))
+      .otherwise(pathQuery)
+    val queryPart = when(qPos > 0,
+      pathQuery.substr(qPos, length(pathQuery) - qPos + 1)).otherwise(lit(""))
+    val cleanedQuery = regexp_replace(queryPart,
+      "[?&](?:utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*", "")
+    // if the LEADING '?param' was removed, the first surviving '&'
+    // becomes the new '?'
+    val fixedQuery = when(cleanedQuery.substr(lit(1), lit(1)) === "&",
+      concat(lit("?"), cleanedQuery.substr(lit(2), length(cleanedQuery))))
+      .otherwise(cleanedQuery)
     val trimmed = regexp_replace(
-      regexp_replace(fixedSeparator, "[?&]+$", ""), "/+$", "")
+      regexp_replace(concat(pathOnly, fixedQuery), "[?&]+$", ""), "/+$", "")
     // A scheme-less input has nothing to canonicalize against — pass it
     // through unchanged rather than emitting a malformed '://...' string.
     when(length(scheme) === 0, u)

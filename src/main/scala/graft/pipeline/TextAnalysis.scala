@@ -74,7 +74,11 @@ object TextAnalysis {
     val best = scores.foldLeft((lit("en"), lit(0))) { case ((bl, bs), (l, s)) =>
       (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
     }
-    when(cjk > 0, lit("zh")).otherwise(best._1)
+    // "zh" only when CJK characters actually dominate (≥ 25% of the
+    // text): a single quoted CJK word in an English article must not
+    // reroute the whole document (integer compare, mirrored verbatim in
+    // the oracle)
+    when(cjk * 4 > length(text), lit("zh")).otherwise(best._1)
   }
 
   /** Composite quality score in [0,1]: favors mid-length documents with
@@ -117,9 +121,12 @@ object TextAnalysis {
 
   // ------------------------------- repetition signals (Gopher-style)
 
-  /** Non-empty lines of the raw text ('\n' separated, trimmed). */
+  /** Non-empty lines of the raw text ('\n' or '\r\n' separated,
+    * trimmed): crawled web text is frequently CRLF, and a trailing '\r'
+    * left on every line would defeat the endsWith-punctuation gates
+    * (C4) and the ellipsis checks. */
   private def lines(text: Column): Column =
-    filter(transform(split(text, "\n", -1), l => trim(l)), l => length(l) > 0)
+    filter(transform(split(text, "\r?\n", -1), l => trim(l)), l => length(l) > 0)
 
   /** Fraction of lines that are repeats of an earlier line (Gopher
     * `duplicate_line_fraction`): 1 - distinct/total, 0 for no lines. */
@@ -131,7 +138,7 @@ object TextAnalysis {
   /** Non-empty paragraphs: blank-line-separated chunks, trimmed. A chunk
     * may span lines (single newlines stay inside it). */
   private def paragraphs(text: Column): Column =
-    filter(transform(split(text, "\n\n", -1), p => trim(p)), p => length(p) > 0)
+    filter(transform(split(text, "\r?\n\r?\n", -1), p => trim(p)), p => length(p) > 0)
 
   /** Fraction of paragraphs that repeat an earlier paragraph (Gopher
     * `duplicate_paragraph_fraction`). */

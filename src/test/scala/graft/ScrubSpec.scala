@@ -92,4 +92,32 @@ class ScrubSpec extends AnyFunSuite {
       .count()
     assert(keptNone == 5)
   }
+
+  test("urlDomains skips userinfo; blocklist cannot be bypassed with '@'") {
+    val docs = Seq(
+      (1L, "see http://foo@blockedsite.com/x now"),
+      (2L, "see http://user:pw@blockedsite.com/ now"),
+      (3L, "see http://fine.example.org/a@b now") // '@' in the PATH is not userinfo
+    ).toDF("doc_id", "text")
+    val doms = docs.select($"doc_id", Scrub.urlDomains($"text").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(doms(1L) === Seq("blockedsite.com"))
+    assert(doms(2L) === Seq("blockedsite.com"))
+    assert(doms(3L) === Seq("fine.example.org"))
+    assert(Scrub.filterBlockedDomains(docs, "text", Seq("blockedsite.com"))
+      .select($"doc_id").as[Long].collect().toSet === Set(3L))
+  }
+
+  test("canonicalUrl strips tracking params only from the QUERY, not the path") {
+    val df = Seq(
+      (1L, "https://ex.com/a&gclid=z"),            // '&gclid' in the path: keep
+      (2L, "https://ex.com/a?gclid=z"),            // real tracking param: strip
+      (3L, "https://ex.com/a&gclid=z?utm_k=1&id=2") // path kept, query cleaned
+    ).toDF("id", "u")
+    val got = df.select($"id", Scrub.canonicalUrl($"u").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "https://ex.com/a&gclid=z", got(1L))
+    assert(got(2L) === "https://ex.com/a", got(2L))
+    assert(got(3L) === "https://ex.com/a&gclid=z?id=2", got(3L))
+  }
 }

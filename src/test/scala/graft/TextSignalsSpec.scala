@@ -103,4 +103,19 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(m(1L) == 2.0 && m(2L) == 2.0 && m(3L) == 2.0)
     assert(m(4L) == 3.0 && m(5L) == 0.0 && m(6L) == 0.0)
   }
+
+  test("CRLF documents pass the line-based gates identically to LF ones") {
+    // a trailing '\r' on every line used to defeat the C4
+    // punctuation-ending gate and the line-repeat signals
+    val lf = "A good sentence here and more words to say.\nAnother good one with plenty of words.\n"
+    val crlf = lf.replace("\n", "\r\n")
+    val df = Seq((1L, lf), (2L, crlf)).toDF("id", "text")
+    val out = df.select($"id",
+      graft.pipeline.TextAnalysis.c4KeepLines($"text").as("c4"),
+      graft.pipeline.TextAnalysis.dupLineFrac($"text").as("dlf"),
+      graft.pipeline.TextAnalysis.ellipsisLineFrac($"text").as("elf"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === out(2L), s"CRLF diverged: $out")
+    assert(out(1L)._1.nonEmpty, "C4 gate dropped clean sentences")
+  }
 }
