@@ -61,7 +61,7 @@ object SpatialJoin {
 
   /** Cheap per-row heap estimate for the byte guard (binary/string sized,
     * fixed-width fields flat-rated). */
-  private def estimateRowBytes(r: Row): Long = {
+  private[graft] def estimateRowBytes(r: Row): Long = {
     var s = 16L
     var i = 0
     while (i < r.length) {
@@ -224,7 +224,7 @@ object SpatialJoin {
     ordered
   }
 
-  private def renameClashes(right: DataFrame, leftCols: Seq[String], suffix: String): DataFrame =
+  private[graft] def renameClashes(right: DataFrame, leftCols: Seq[String], suffix: String): DataFrame =
     right.columns.foldLeft(right) { (df, c) =>
       if (leftCols.contains(c)) df.withColumnRenamed(c, c + suffix) else df
     }
@@ -635,7 +635,7 @@ object SpatialJoin {
 
   /** [[applyPred]] without the prepared-geometry wrapper, for sites that
     * evaluate each pair exactly once. */
-  private def applyPredPlain(name: String, l: Geometry, r: Geometry): Boolean =
+  private[graft] def applyPredPlain(name: String, l: Geometry, r: Geometry): Boolean =
     name match {
       case "intersects_bbox" => true
       case "intersects" => l.intersects(r)

@@ -85,7 +85,10 @@ object Multimodal {
       if (tag(i, "fmt ") && i + 24 <= b.length)
         fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
       else if (tag(i, "data")) dataLen = sz
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // a crafted size >= 2^31 truncates negative and would stall the
+      // walk forever — treat it as malformed and stop
+      if (sz > Int.MaxValue - 16) i = b.length
+      else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
     }
     fmt.map { case (ch, rate, bits) =>
       val bytesPerSec = rate.toLong * ch * (bits / 8)
@@ -228,6 +231,7 @@ object Multimodal {
     while (i + 8 <= b.length && dataOff < 0) {
       val sz = le32(i + 4)
       if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
+      else if (sz > Int.MaxValue - 16) i = b.length // malformed size: stop
       else i += 8 + sz.toInt + (sz.toInt & 1)
     }
     if (dataOff < 0) return None
@@ -297,6 +301,7 @@ object Multimodal {
     var i = 12
     while (i + 8 <= b.length) {
       val sz = le32(i + 4).toInt
+      if (sz < 0) return None // size >= 2^31: malformed, would stall
       if (tag(i, "LIST") && i + 12 <= b.length && tag(i + 8, "hdrl")) {
         // avih is the first chunk of hdrl: 'avih' size then the header body
         val a = i + 12
@@ -322,15 +327,19 @@ object Multimodal {
     var i = 12
     while (i + 8 <= b.length) {
       val sz = le32(i + 4).toInt
+      if (sz < 0) return out.toSeq // malformed size: stop the walk
       if (tag(i, "LIST") && i + 12 <= b.length && tag(i + 8, "movi")) {
         var j = i + 12
         val end = math.min(i + 8 + sz, b.length)
         while (j + 8 <= end) {
           val csz = le32(j + 4).toInt
-          val isFrame = u8(j + 2) == 'd' && (u8(j + 3) == 'c' || u8(j + 3) == 'b')
-          if (isFrame && csz > 0 && j + 8 + csz <= end)
-            out += java.util.Arrays.copyOfRange(b, j + 8, j + 8 + csz)
-          j += 8 + csz + (csz & 1)
+          if (csz < 0) { j = end } // malformed chunk size: stop
+          else {
+            val isFrame = u8(j + 2) == 'd' && (u8(j + 3) == 'c' || u8(j + 3) == 'b')
+            if (isFrame && csz > 0 && j + 8 + csz <= end)
+              out += java.util.Arrays.copyOfRange(b, j + 8, j + 8 + csz)
+            j += 8 + csz + (csz & 1)
+          }
         }
       }
       i += 8 + sz + (sz & 1)

@@ -159,7 +159,11 @@ object DedupStreaming {
       .select(col("id"), col("ts"),
         Dedup.minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"),
         Dedup.shingleHashesNorm(col("__norm"), shingleK).as("sh"))
-    val banded = base.select(
+    // a null text gives a null signature: drop such rows up front — one
+    // bad record must not NPE (and so kill) the long-running query, and
+    // the batch tier's Column math null-propagates them out the same way
+    val banded = base.filter(col("sig").isNotNull && col("sh").isNotNull)
+      .select(
       col("id"), col("sig"), col("sh"), col("ts"),
       explode(transform(sequence(lit(0), lit(b - 1)),
         bb => struct(bb.as("band"),
@@ -189,20 +193,22 @@ object DedupStreaming {
               if (!saturated) {
                 if (members.lengthCompare(cap) >= 0) {
                   saturated = true
+                } else if (members.exists(_.id == row.id)) {
+                  // at-least-once re-delivery: the id is already a member —
+                  // re-appending would duplicate every future pair and
+                  // burn a cap slot per replay
                 } else {
+                  val sb = row.sh.toSet // loop-invariant: hoisted per arrival
                   members.foreach { m =>
-                    if (m.id != row.id) {
-                      var eq = 0
-                      var i = 0
-                      while (i < nh) { if (m.sig(i) == row.sig(i)) eq += 1; i += 1 }
-                      val sa = m.sh.toSet
-                      val sb = row.sh.toSet
-                      val uni = sa.union(sb).size
-                      val jac = if (uni > 0) sa.intersect(sb).size.toDouble / uni else 0.0
-                      if (jac >= th)
-                        out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
-                          eq.toDouble / nh, jac)
-                    }
+                    var eq = 0
+                    var i = 0
+                    while (i < nh) { if (m.sig(i) == row.sig(i)) eq += 1; i += 1 }
+                    val sa = m.sh.toSet
+                    val uni = sa.union(sb).size
+                    val jac = if (uni > 0) sa.intersect(sb).size.toDouble / uni else 0.0
+                    if (jac >= th)
+                      out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
+                        eq.toDouble / nh, jac)
                   }
                   members = MinhashMember(row.id, row.sig, row.sh, rowMs(row.ts)) :: members
                 }
@@ -229,6 +235,8 @@ object DedupStreaming {
       .select(col(idCol).cast("long").as("id"),
         Dedup.simhash64(col(textCol)).as("sim"),
         tsCol(eventTimeCol, ttlMs).as("ts"))
+      // null text → null simhash: drop before the non-nullable encoder
+      .filter(col("sim").isNotNull)
       .select(col("id"), col("sim"), col("ts"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535"))
@@ -250,13 +258,13 @@ object DedupStreaming {
             rows.toSeq.sortBy(_.id).foreach { row =>
               if (!saturated) {
                 if (members.lengthCompare(cap) >= 0) saturated = true
-                else {
+                else if (members.exists(_.id == row.id)) {
+                  // re-delivery: already a member (see minhash tier)
+                } else {
                   members.foreach { m =>
-                    if (m.id != row.id) {
-                      val d = java.lang.Long.bitCount(m.sim ^ row.sim)
-                      if (d <= mh)
-                        out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
-                    }
+                    val d = java.lang.Long.bitCount(m.sim ^ row.sim)
+                    if (d <= mh)
+                      out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
                   }
                   members = SimhashMember(row.id, row.sim, rowMs(row.ts)) :: members
                 }
@@ -287,9 +295,13 @@ object DedupStreaming {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"),
         tsCol(eventTimeCol, ttlMs).as("ts"))
+      // null/zero-information vectors give a null signature: drop before
+      // the non-nullable encoder (one bad record must not kill the query)
+      .filter(col("vec").isNotNull)
       .select(col("id"), col("vec"), col("ts"), explode(array(sigCols: _*)).as("tsig"))
       .select(col("tsig.t").as("t"), col("tsig.sig").as("sig"),
         col("id"), col("vec"), col("ts"))
+      .filter(col("sig").isNotNull)
       .as[EmbBucketRow]
     val th = threshold
     val cap = maxBucketSize
@@ -313,14 +325,15 @@ object DedupStreaming {
             rows.toSeq.sortBy(_.id).foreach { row =>
               if (!saturated) {
                 if (members.lengthCompare(cap) >= 0) saturated = true
-                else {
+                else if (members.exists(_.id == row.id)) {
+                  // re-delivery: already a member (see minhash tier)
+                } else {
+                  val rowNorm = math.sqrt(dot(row.vec, row.vec)) // hoisted
                   members.foreach { m =>
-                    if (m.id != row.id) {
-                      val c = dot(m.vec, row.vec) /
-                        (math.sqrt(dot(m.vec, m.vec)) * math.sqrt(dot(row.vec, row.vec)))
-                      if (c >= th)
-                        out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
-                    }
+                    val c = dot(m.vec, row.vec) /
+                      (math.sqrt(dot(m.vec, m.vec)) * rowNorm)
+                    if (c >= th)
+                      out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
                   }
                   members = EmbMember(row.id, row.vec, rowMs(row.ts)) :: members
                 }

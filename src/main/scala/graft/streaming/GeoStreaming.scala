@@ -52,19 +52,42 @@ object GeoStreaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Executor-local cache of the prepared static tree: one build per
+    * broadcast per executor (not per task per micro-batch — a 1-second
+    * trigger would otherwise re-parse and re-prepare the whole static
+    * side continuously). */
+  private val streamTreeCache =
+    new graft.join.BroadcastCache[org.locationtech.jts.index.strtree.STRtree]()
+
+  /** The converse relation, for evaluating stream.pred(static) through
+    * the PREPARED static geometry: a.within(b) ⟺ b.contains(a), etc.
+    * Symmetric predicates map to themselves. */
+  private val conversePred = Map(
+    "within" -> "contains", "contains" -> "within",
+    "covers" -> "covered_by", "covered_by" -> "covers")
+
   /** Spatial join of a *stream* against a *static* geometry table: the
-    * static side is collected and broadcast once (size-guarded like the
-    * batch tier), each micro-batch's rows probe the per-executor prepared
-    * STRtree. Output = stream columns + matched static columns (inner
-    * semantics; unmatched stream rows drop). This is the
+    * static side is collected and broadcast once (row- AND byte-guarded
+    * like the batch tier), each micro-batch probes the per-EXECUTOR
+    * prepared STRtree (cached per broadcast — not rebuilt per
+    * micro-batch). Output = stream columns + matched static columns
+    * (inner semantics; unmatched stream rows drop). This is the
     * points-into-zones enrichment shape (events × geofences) that a
     * streaming pipeline needs and the batch `sjoin` cannot provide
-    * (it counts/collects the left side, which is illegal on a stream). */
+    * (it counts/collects the left side, which is illegal on a stream).
+    *
+    * Predicate direction matches the batch tier's ARGUMENT ORDER:
+    * `sjoinStream(events, zones, "within")` keeps events WITHIN zones —
+    * the same pairs `sjoin(events, zones, "within")` returns. Internally
+    * the prepared static side evaluates the converse relation
+    * (a.within(b) ⟺ b.contains(a)); `contains_properly`, which has no
+    * converse in the predicate set, is evaluated plain per pair. */
   def sjoinStream(stream: DataFrame, static: DataFrame,
       predicate: String = "intersects",
       streamGeom: String = "geometry", staticGeom: String = "geometry",
       suffix: String = "_static",
-      maxBuildRows: Long = graft.join.SpatialJoin.MaxBroadcastRows): DataFrame = {
+      maxBuildRows: Long = graft.join.SpatialJoin.MaxBroadcastRows,
+      maxBuildBytes: Long = graft.join.SpatialJoin.MaxBroadcastBytes): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.types.StructType
@@ -73,12 +96,11 @@ object GeoStreaming {
     import org.locationtech.jts.index.strtree.STRtree
     import scala.jdk.CollectionConverters._
 
-    // rename static columns clashing with the stream's
-    val renamed = static.columns.foldLeft(static) { (df, c) =>
-      if (stream.columns.contains(c)) df.withColumnRenamed(c, c + suffix) else df
-    }
+    val renamed = graft.join.SpatialJoin.renameClashes(
+      static, stream.columns.toSeq, suffix)
     val sgName = if (stream.columns.contains(staticGeom)) staticGeom + suffix else staticGeom
     val sgPos = renamed.columns.indexOf(sgName)
+    require(sgPos >= 0, s"no column $staticGeom in static frame")
     // Size guard in a SINGLE evaluation of the static plan (same pattern as
     // SpatialJoin.sjoin): collect at most maxBuildRows+1 rows; hitting the
     // sentinel means the static side is over the broadcast guard. A separate
@@ -87,27 +109,38 @@ object GeoStreaming {
     val staticRows = renamed.limit(guardLimit).collect()
     require(staticRows.length < guardLimit,
       s"sjoinStream: static side exceeds $maxBuildRows-row broadcast guard")
+    // byte guard: the row cap alone cannot protect the driver (or the
+    // per-executor broadcast copy) from wide rows
+    var staticBytes = 0L
+    var bi = 0
+    while (bi < staticRows.length && staticBytes <= maxBuildBytes) {
+      staticBytes += graft.join.SpatialJoin.estimateRowBytes(staticRows(bi)); bi += 1
+    }
+    require(staticBytes <= maxBuildBytes,
+      s"sjoinStream: static side exceeds the $maxBuildBytes-byte broadcast guard")
     val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
       (r.get(sgPos).asInstanceOf[Array[Byte]], r)
     })
     val gPos = stream.columns.indexOf(streamGeom)
     require(gPos >= 0, s"no column $streamGeom in stream frame")
     val pred = predicate
+    val prepPred = conversePred.getOrElse(pred, pred)
 
     val outSchema = StructType(stream.schema.fields ++ renamed.schema.fields)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     stream.mapPartitions { it =>
-      // per-task tree build from the broadcast (streams are long-lived;
-      // the prepared tree is cheap relative to micro-batch cadence)
-      val tree = new STRtree()
-      bc.value.foreach { case (bytes, row) =>
-        if (bytes != null) {
-          val g = EWKB.read(bytes)
-          if (!g.isEmpty)
-            tree.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
+      val tree = streamTreeCache.getOrBuild(bc) {
+        val t = new STRtree()
+        bc.value.foreach { case (bytes, row) =>
+          if (bytes != null) {
+            val g = EWKB.read(bytes)
+            if (!g.isEmpty)
+              t.insert(g.getEnvelopeInternal, (PreparedGeometryFactory.prepare(g), row))
+          }
         }
+        t.build()
+        t
       }
-      tree.build()
       it.flatMap { row =>
         val bytes = row.get(gPos).asInstanceOf[Array[Byte]]
         if (bytes == null) Iterator.empty
@@ -116,7 +149,13 @@ object GeoStreaming {
           if (g.isEmpty) Iterator.empty
           else tree.query(g.getEnvelopeInternal).asScala.iterator
             .map(_.asInstanceOf[(org.locationtech.jts.geom.prep.PreparedGeometry, Row)])
-            .filter { case (prep, _) => graft.join.SpatialJoin.applyPred(pred, prep, g) }
+            .filter { case (prep, _) =>
+              // stream.pred(static), via the prepared converse when one
+              // exists; contains_properly evaluates plain
+              if (pred == "contains_properly")
+                graft.join.SpatialJoin.applyPredPlain(pred, g, prep.getGeometry)
+              else graft.join.SpatialJoin.applyPred(prepPred, prep, g)
+            }
             .map { case (_, srow) => Row.fromSeq(row.toSeq ++ srow.toSeq) }
         }
       }
@@ -156,7 +195,11 @@ object GeoStreaming {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.tsMillis - s.last <= gapMillis =>
-                  cur = Some(s.copy(last = e.tsMillis, n = s.n + 1))
+                  // late events must never REWIND the session: last only
+                  // moves forward, start only backward (events are sorted
+                  // within a micro-batch, not across batches)
+                  cur = Some(s.copy(start = math.min(s.start, e.tsMillis),
+                    last = math.max(s.last, e.tsMillis), n = s.n + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(userId, s.start, s.last, s.n)
                   cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))

@@ -82,7 +82,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val in = MemoryStream[(Long, Double, Double)]
     val pts = in.toDF().toDF("id", "x", "y")
       .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
-    val joined = graft.streaming.GeoStreaming.sjoinStream(pts, zones, "contains")
+    val joined = graft.streaming.GeoStreaming.sjoinStream(pts, zones, "within")
     val q = joined.select("id", "zone").writeStream.format("memory")
       .queryName("zonejoin").outputMode("append").start()
     in.addData((1L, 120.0, 10.0), (2L, 320.0, 10.0), (3L, 999.0, 10.0))
@@ -90,6 +90,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = spark.table("zonejoin").as[(Long, Int)].collect().toSet
     q.stop()
     assert(rows === Set((1L, 1), (2L, 3)), s"got $rows") // id 3 is in no zone
+  }
+
+  test("sjoinStream matches batch sjoin for ASYMMETRIC predicates (direction parity)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // points first, zones second — 'within' must mean point.within(zone)
+    // exactly as in the batch API with the same argument order
+    val zones = (1 to 5).toDF("zone")
+      .select(col("zone"), graft.functions.st_rectangle(col("zone") * 100.0,
+        lit(0.0), col("zone") * 100.0 + 50.0, lit(50.0)).as("geometry"))
+    val ptsBatch = Seq((1L, 120.0, 10.0), (2L, 320.0, 10.0), (3L, 999.0, 10.0))
+      .toDF("id", "x", "y")
+      .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
+    val batch = graft.join.SpatialJoin.sjoin(ptsBatch, zones, "within")
+      .select(col("id"), col("zone")).as[(Long, Int)].collect().toSet
+    val in = MemoryStream[(Long, Double, Double)]
+    val pts = in.toDF().toDF("id", "x", "y")
+      .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
+    val joined = graft.streaming.GeoStreaming.sjoinStream(pts, zones, "within")
+    val q = joined.select("id", "zone").writeStream.format("memory")
+      .queryName("zoneparity").outputMode("append").start()
+    in.addData((1L, 120.0, 10.0), (2L, 320.0, 10.0), (3L, 999.0, 10.0))
+    q.processAllAvailable()
+    val streamed = spark.table("zoneparity").as[(Long, Int)].collect().toSet
+    q.stop()
+    assert(streamed === batch, s"stream $streamed vs batch $batch")
+    assert(batch === Set((1L, 1), (2L, 3)))
   }
 
   test("sjoinStream evaluates the static plan exactly once") {
@@ -110,7 +137,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val in = MemoryStream[(Long, Double, Double)]
     val pts = in.toDF().toDF("id", "x", "y")
       .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
-    val joined = graft.streaming.GeoStreaming.sjoinStream(pts, zones, "contains")
+    val joined = graft.streaming.GeoStreaming.sjoinStream(pts, zones, "within")
     assert(evals.value === 5L,
       s"static side of 5 rows evaluated ${evals.value} row-passes — expected one pass")
     val q = joined.select("id", "zone").writeStream.format("memory")

@@ -70,4 +70,26 @@ class VideoSpec extends AnyFunSuite {
     assert(rows.length == 4)
     assert(rows.forall(r => Multimodal.readImage(r.getAs[Array[Byte]]("frame")).isDefined))
   }
+
+  test("crafted chunk sizes >= 2^31 terminate the RIFF walkers (no hang)") {
+    // a size field of 0xFFFFFFF8 truncates to a negative Int; before the
+    // guards the walk step became <= 0 and the task spun forever
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val evil = 0xFFFFFFF8L
+    val wav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(evil) ++ new Array[Byte](64)
+    val avi = "RIFF".getBytes ++ le32(100) ++ "AVI ".getBytes ++
+      "junk".getBytes ++ le32(evil) ++ new Array[Byte](64)
+    // completes (returns None / empty) instead of hanging
+    assert(Multimodal.parseWavHeader(wav).isEmpty)
+    assert(Multimodal.parseAviHeader(avi).isEmpty)
+    assert(Multimodal.aviFramePayloads(avi).isEmpty)
+    // movi LIST with a malformed inner chunk size also terminates
+    val movi = "RIFF".getBytes ++ le32(200) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(80) ++ "movi".getBytes ++
+      "00dc".getBytes ++ le32(evil) ++ new Array[Byte](64)
+    assert(Multimodal.aviFramePayloads(movi).isEmpty)
+  }
 }
