@@ -106,6 +106,9 @@ private[graft] object Dxf {
             var cs = xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }.toArray
             if (closed && cs.nonEmpty && !cs.head.equals2D(cs.last))
               cs = cs :+ new Coordinate(cs.head)
+            // CAD exports contain degenerate one-vertex polylines; JTS
+            // rejects 1-coordinate lines — degrade to zero-length
+            if (cs.length == 1) cs = cs :+ new Coordinate(cs.head)
             out += Entity(factory.createLineString(cs), layerOf(m))
             p = next
           case "POLYLINE" =>
@@ -130,6 +133,7 @@ private[graft] object Dxf {
             var arr = cs.toArray
             if (closed && arr.nonEmpty && !arr.head.equals2D(arr.last))
               arr = arr :+ new Coordinate(arr.head)
+            if (arr.length == 1) arr = arr :+ new Coordinate(arr.head)
             out += Entity(factory.createLineString(arr), layer)
             p = j
           case "CIRCLE" =>
@@ -176,6 +180,8 @@ private[graft] object Dxf {
 
   private def entityBlocks(g: Geometry, layer: String, b: StringBuilder): Unit =
     g match {
+      case p: org.locationtech.jts.geom.Point if p.isEmpty =>
+        () // POINT EMPTY has no coordinates to serialize — skip
       case p: org.locationtech.jts.geom.Point =>
         pair(b, 0, "POINT"); pair(b, 8, layer)
         pair(b, 10, num(p.getX)); pair(b, 20, num(p.getY))

@@ -388,15 +388,29 @@ private[graft] object Gml {
     * pairs); the legacy `EPSG:n` srsName form is written (axis order as
     * stored, lon/lat) so a round trip through [[readFeatures]] is
     * order-preserving. */
+  /** XML element names must be NCNames; Spark column names may hold
+    * spaces, '&', '<' or lead with a digit — sanitize (invalid chars →
+    * '_', leading non-letter prefixed) or the output is not well-formed
+    * XML and no reader, ours included, can parse it back. Reads return
+    * the sanitized name. */
+  private def ncName(s: String): String = {
+    val cleaned = s.map(c =>
+      if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
+    if (cleaned.isEmpty || !(cleaned(0).isLetter || cleaned(0) == '_')) "_" + cleaned
+    else cleaned
+  }
+
   def write(rows: Iterator[(Geometry, Seq[(String, String)])],
       featureName: String): Array[Byte] = {
     val b = new StringBuilder
     b.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
       .append("<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml/3.2\" ")
       .append("xmlns:graft=\"urn:graft\">\n")
+    val fn = ncName(featureName)
     rows.foreach { case (g, data) =>
-      b.append("<gml:featureMember><graft:").append(featureName).append('>')
-      data.foreach { case (k, v) =>
+      b.append("<gml:featureMember><graft:").append(fn).append('>')
+      data.foreach { case (k0, v) =>
+        val k = ncName(k0)
         b.append("<graft:").append(k).append('>')
           .append(if (v == null) "" else Kml.esc(v))
           .append("</graft:").append(k).append('>')
@@ -406,7 +420,7 @@ private[graft] object Gml {
         geometryXml(g, if (g.getSRID == 0) null else s"EPSG:${g.getSRID}", b)
         b.append("</graft:geometry>")
       }
-      b.append("</graft:").append(featureName).append("></gml:featureMember>\n")
+      b.append("</graft:").append(fn).append("></gml:featureMember>\n")
     }
     b.append("</gml:FeatureCollection>\n")
     b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)

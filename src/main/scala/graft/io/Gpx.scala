@@ -55,8 +55,12 @@ private[graft] object Gpx {
 
   /** Parse a wpt/rtept/trkpt element (cursor on its START, tag = name). */
   private def parsePt(r: XMLStreamReader, tag: String): Pt = {
-    val lat = r.getAttributeValue(null, "lat").toDouble
-    val lon = r.getAttributeValue(null, "lon").toDouble
+    val latS = r.getAttributeValue(null, "lat")
+    val lonS = r.getAttributeValue(null, "lon")
+    require(latS != null && lonS != null,
+      s"gpx: <$tag> element missing its lat/lon attribute")
+    val lat = latS.toDouble
+    val lon = lonS.toDouble
     var ele: Option[Double] = None
     var time: String = null; var name: String = null
     var desc: String = null; var sym: String = null; var typ: String = null
@@ -159,9 +163,14 @@ private[graft] object Gpx {
 
   /** A line is 3D only when EVERY point carries `ele` — a mixed sequence
     * would otherwise interleave NaN Z values into a nominally-3D line. */
-  private def lineCoords(pts: Seq[Pt]): Array[Coordinate] =
-    if (pts.nonEmpty && pts.forall(_.ele.isDefined)) pts.map(coordOf).toArray
-    else pts.map(p => new Coordinate(p.lon, p.lat)).toArray
+  private def lineCoords(pts: Seq[Pt]): Array[Coordinate] = {
+    val cs =
+      if (pts.nonEmpty && pts.forall(_.ele.isDefined)) pts.map(coordOf).toArray
+      else pts.map(p => new Coordinate(p.lon, p.lat)).toArray
+    // the GPX 1.1 schema allows a route/segment with a SINGLE point; JTS
+    // rejects 1-coordinate lines, so degrade to a zero-length line
+    if (cs.length == 1) Array(cs(0), cs(0).copy()) else cs
+  }
 
   def routeGeom(rt: Route): Geometry = {
     val g = factory.createLineString(lineCoords(rt.points))
@@ -204,6 +213,8 @@ private[graft] object Gpx {
     val trkRows = mutable.ArrayBuffer[(Geometry, String)]()
     rows.foreach { case (g, name) =>
       g match {
+        case p: org.locationtech.jts.geom.Point if p.isEmpty =>
+          () // POINT EMPTY has no coordinate to serialize — skip the row
         case p: org.locationtech.jts.geom.Point =>
           ptXml("wpt", p.getCoordinate, name, b); b.append('\n')
         case _: org.locationtech.jts.geom.LineString |

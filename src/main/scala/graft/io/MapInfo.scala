@@ -201,8 +201,12 @@ private[graft] object MapInfo {
     }
     if (srid != 0) geoms.foreach(_.setSRID(srid))
     val rows: Seq[Array[String]] = mid match {
-      case Some(text) => text.split("\r?\n").toSeq
-        .filter(_.nonEmpty).map(splitMid(_, delim))
+      case Some(text) =>
+        // drop only TRAILING blank lines: an interior empty line is a
+        // legal one-column row with an empty unquoted value — filtering
+        // it would shift every later row against the geometry list
+        val all = text.split("\r?\n").toSeq
+        all.take(all.lastIndexWhere(_.nonEmpty) + 1).map(splitMid(_, delim))
       case None => Seq.empty
     }
     MifFile(columns.toSeq, delim, srid, geoms.toSeq, rows)
@@ -216,6 +220,8 @@ private[graft] object MapInfo {
   }
 
   private def geometryBlock(g: Geometry, b: StringBuilder): Unit = g match {
+    case p if p.isEmpty =>
+      b.append("None\n") // empty geometry: the MIF geometry-less row
     case p: org.locationtech.jts.geom.Point =>
       b.append(s"Point ${num(p.getX)} ${num(p.getY)}\n")
     case l: org.locationtech.jts.geom.LineString =>
@@ -273,7 +279,12 @@ private[graft] object MapInfo {
       mid.append(columns.indices.map { ci =>
         val v = if (ci < fields.length && fields(ci) != null) fields(ci) else ""
         if (sparkType(columns(ci)) == org.apache.spark.sql.types.StringType)
-          "\"" + v.replace("\"", "\"\"") + "\""
+          // MID has no escape for newlines inside a field; a raw one
+          // would split this row across two lines and shift every later
+          // row against the geometry list — coerce to spaces (documented
+          // lossy mapping, like the other interchange coercions)
+          "\"" + v.replace("\r", " ").replace("\n", " ")
+            .replace("\"", "\"\"") + "\""
         else v
       }.mkString(",")).append('\n')
     }

@@ -587,9 +587,17 @@ object Sqlite {
           (0L, cell.toArray)
         }
       val need = 8 + cells.map(_._2.length + 2).sum
-      require(need <= usable && cells.forall(_._2.length <= usable - 35),
+      // INDEX pages have a much smaller inline-payload maximum than table
+      // leaves: X = (usable−12)·64/255 − 23 (~1002 at 4096), NOT
+      // usable−35. A key record between the two bounds written inline
+      // would read back in real SQLite as having an overflow pointer —
+      // 'database disk image is malformed'. Reject instead (this writer
+      // does not spill index keys to overflow chains).
+      val maxIndexLocal = (usable - 12) * 64 / 255 - 23
+      require(need <= usable && cells.forall(_._2.length <= maxIndexLocal),
         s"sqlite writer: automatic index on $tableName exceeds one leaf page " +
-          s"($need bytes) — use an INTEGER PRIMARY KEY for large tables")
+          s"or a key exceeds the $maxIndexLocal-byte index inline maximum " +
+          s"($need bytes total) — use an INTEGER PRIMARY KEY for large tables")
       val no = alloc()
       writeIndexLeaf(pages(no - 1), cells.map(_._2))
       no

@@ -454,6 +454,44 @@ class KmlGpxSpec extends AnyFunSuite {
     assert(gpx.agg(sum($"name".cast("long"))).head().getLong(0) === (0 until 30).sum)
   }
 
+  test("degenerate inputs: 1-point lines, empty points, hostile column names") {
+    import graft.serde.EWKB
+    val wkt = new org.locationtech.jts.io.WKTReader(EWKB.geometryFactory)
+    // GPX: a schema-valid route with a single rtept reads as a
+    // zero-length line instead of crashing the file
+    val oneRte = ("""<?xml version="1.0"?><gpx version="1.1" creator="t" """ +
+      """xmlns="http://www.topografix.com/GPX/1/1">""" +
+      """<rte><name>r</name><rtept lat="1" lon="2"/></rte></gpx>""").getBytes("UTF-8")
+    val doc = graft.io.Gpx.read(oneRte)
+    assert(doc.routes.length === 1)
+    val rg = graft.io.Gpx.routeGeom(doc.routes.head)
+    assert(rg.getLength === 0.0 && rg.getNumPoints === 2)
+    // GPX: missing lat attribute raises a diagnosable error, not an NPE
+    val badPt = ("""<?xml version="1.0"?><gpx version="1.1" creator="t" """ +
+      """xmlns="http://www.topografix.com/GPX/1/1"><wpt lon="1"/></gpx>""").getBytes("UTF-8")
+    val e = intercept[IllegalArgumentException](graft.io.Gpx.read(badPt))
+    assert(e.getMessage.contains("lat/lon"))
+    // DXF: one-vertex LWPOLYLINE degrades instead of aborting the read
+    val sb = new StringBuilder
+    Seq("0","SECTION","2","ENTITIES","0","LWPOLYLINE","8","L","10","3.0","20","4.0",
+      "0","ENDSEC","0","EOF").foreach(v => sb.append(v).append("\n"))
+    val ents = graft.io.Dxf.readEntities(sb.toString)
+    assert(ents.length === 1 && ents.head.geom.getLength === 0.0)
+    // empty POINT: every writer skips/degrades instead of crashing
+    val empty = wkt.read("POINT EMPTY")
+    graft.io.Dxf.write(Iterator((empty, "0")))
+    graft.io.Gpx.write(Iterator((empty, "n")), "t")
+    val (mifS, _) = graft.io.MapInfo.write(
+      Seq.empty, Seq((empty, Array[String]())).iterator, 0)
+    assert(mifS.contains("None"))
+    // GML: a column name with a space still yields well-formed XML
+    val bytes = graft.io.Gml.write(
+      Iterator((wkt.read("POINT (1 2)"), Seq(("my col", "v"), ("2bad&", "w")))), "f x")
+    val back = graft.io.Gml.readFeatures(bytes)
+    assert(back.length === 1)
+    assert(back.head.data === Map("my_col" -> "v", "_2bad_" -> "w"))
+  }
+
   test("kml: an all-null attribute column survives the round trip as null") {
     // nulls write an EMPTY Data element: omitting it entirely would drop
     // a column that is null in every feature from the read-back schema,
