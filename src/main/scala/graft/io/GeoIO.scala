@@ -1314,23 +1314,28 @@ object GeoIO {
     * the frame) feeds the Placemark name; every other non-geometry column
     * becomes an ExtendedData pair. */
   def writeKml(df: DataFrame, path: String, geometryName: String = "geometry",
-      nameColumn: String = "name", documentName: String = "graft"): Unit = {
+      nameColumn: String = "name", documentName: String = "graft",
+      descriptionColumn: String = "description"): Unit = {
     val hasName = df.columns.contains(nameColumn)
-    val dataCols = df.columns.filterNot(c => c == geometryName || c == nameColumn)
+    val hasDesc = df.columns.contains(descriptionColumn)
+    val dataCols = df.columns.filterNot(c =>
+      c == geometryName || c == nameColumn || c == descriptionColumn)
     val ordered = df.select(
       (Seq(col(geometryName)) ++
         (if (hasName) Seq(col(nameColumn).cast("string")) else Seq.empty) ++
+        (if (hasDesc) Seq(col(descriptionColumn).cast("string")) else Seq.empty) ++
         dataCols.map(c => col(c).cast("string"))): _*)
     val it = ordered.toLocalIterator()
-    val rows = new Iterator[(org.locationtech.jts.geom.Geometry, String, Seq[(String, String)])] {
+    val rows = new Iterator[(org.locationtech.jts.geom.Geometry, String, String, Seq[(String, String)])] {
       def hasNext: Boolean = it.hasNext
-      def next(): (org.locationtech.jts.geom.Geometry, String, Seq[(String, String)]) = {
+      def next(): (org.locationtech.jts.geom.Geometry, String, String, Seq[(String, String)]) = {
         val row = it.next()
         val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
         val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-        val name = if (hasName) row.getString(1) else null
-        val off = if (hasName) 2 else 1
-        (geom, name,
+        var off = 1
+        val name = if (hasName) { val v = row.getString(off); off += 1; v } else null
+        val desc = if (hasDesc) { val v = row.getString(off); off += 1; v } else null
+        (geom, name, desc,
           dataCols.toSeq.zipWithIndex.map { case (c, i) => (c, row.getString(off + i)) })
       }
     }

@@ -44,7 +44,14 @@ object GeoPackage {
     }
     val wkbOff = 8 + 8 * nEnv
     if ((flags & 0x10) != 0) { // empty-geometry flag
-      val g = graft.serde.EWKB.geometryFactory.createGeometryCollection()
+      // GDAL still writes the TYPED WKB body (e.g. POINT EMPTY) with the
+      // flag set — parse it when present so the geometry type survives;
+      // only a truly absent body degrades to GEOMETRYCOLLECTION EMPTY
+      val g =
+        if (b.length > wkbOff)
+          graft.serde.EWKB.read(
+            java.util.Arrays.copyOfRange(b, wkbOff, b.length)).copy()
+        else graft.serde.EWKB.geometryFactory.createGeometryCollection()
       g.setSRID(srid)
       return (g, env)
     }
@@ -68,7 +75,9 @@ object GeoPackage {
       Seq(e.getMinX, e.getMaxX, e.getMinY, e.getMaxY).foreach(d =>
         putInt64(out, java.lang.Double.doubleToLongBits(d), little = true))
     }
-    val body = if (empty) graft.serde.EWKB.geometryFactory.createGeometryCollection()
+    // keep the TYPED body for empty geometries too (GDAL convention):
+    // POINT EMPTY must read back as a point, not a collection
+    val body = if (g == null) graft.serde.EWKB.geometryFactory.createGeometryCollection()
       else g
     // plain WKB (no SRID — it travels in the blob header). XY bytes are
     // identical under ISO and extended conventions; Z uses JTS's

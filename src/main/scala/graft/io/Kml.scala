@@ -54,13 +54,19 @@ private[graft] object Kml {
   }
 
   /** "lon,lat[,alt]" tuples separated by whitespace (KML §9.17). */
-  private[io] def parseCoordinates(text: String): Array[Coordinate] =
-    text.trim.split("\\s+").iterator.filter(_.nonEmpty).map { tup =>
-      val p = tup.split(",")
-      if (p.length >= 3)
-        new Coordinate(p(0).toDouble, p(1).toDouble, p(2).toDouble)
-      else new Coordinate(p(0).toDouble, p(1).toDouble)
-    }.toArray
+  private[io] def parseCoordinates(text: String): Array[Coordinate] = {
+    // some authoring tools put a space after the comma ("10.0, 59.0"),
+    // splitting one tuple across whitespace tokens — strip whitespace
+    // around commas first, then drop fragments with < 2 components
+    // instead of crashing the whole file on them
+    val cleaned = text.trim.replaceAll("\\s*,\\s*", ",")
+    cleaned.split("\\s+").iterator.filter(_.nonEmpty).map(_.split(","))
+      .filter(_.length >= 2).map { p =>
+        if (p.length >= 3)
+          new Coordinate(p(0).toDouble, p(1).toDouble, p(2).toDouble)
+        else new Coordinate(p(0).toDouble, p(1).toDouble)
+      }.toArray
+  }
 
   /** First `coordinates` child's tuples; skips siblings (extrude etc.). */
   private def coordinatesOf(r: XMLStreamReader, owner: String): Array[Coordinate] = {
@@ -125,7 +131,10 @@ private[graft] object Kml {
           case _ =>
         }
       }
-      factory.createPolygon(outer, holes.toArray)
+      // malformed-but-seen KML: holes without a usable outer ring — JTS
+      // rejects (null shell, holes); degrade to an empty polygon
+      if (outer == null || outer.isEmpty) factory.createPolygon()
+      else factory.createPolygon(outer, holes.toArray)
     case "MultiGeometry" =>
       val parts = mutable.ArrayBuffer[Geometry]()
       var done = false
@@ -242,6 +251,11 @@ private[graft] object Kml {
         case '<' => b.append("&lt;")
         case '>' => b.append("&gt;")
         case '"' => b.append("&quot;")
+        // control chars below 0x20 (except tab/LF/CR) are ILLEGAL in
+        // XML 1.0 even escaped — emitting one writes a file no parser
+        // (ours included) can read back; coerce to a space
+        case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+          b.append(' ')
         case c => b.append(c)
       }
       i += 1
@@ -295,15 +309,19 @@ private[graft] object Kml {
   }
 
   /** Serialize one document. `rows`: (geometry, name-or-null, data pairs). */
-  def write(rows: Iterator[(Geometry, String, Seq[(String, String)])],
+  def write(rows: Iterator[(Geometry, String, String, Seq[(String, String)])],
       docName: String): Array[Byte] = {
     val b = new StringBuilder
     b.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
       .append("<kml xmlns=\"http://www.opengis.net/kml/2.2\"><Document><name>")
       .append(esc(docName)).append("</name>\n")
-    rows.foreach { case (g, name, data) =>
+    rows.foreach { case (g, name, desc, data) =>
       b.append("<Placemark>")
       if (name != null) b.append("<name>").append(esc(name)).append("</name>")
+      // description is a first-class Placemark element (the reader parses
+      // it into the fixed 'description' column): writing it as Data would
+      // come back as a DUPLICATE description column
+      if (desc != null) b.append("<description>").append(esc(desc)).append("</description>")
       if (data.nonEmpty) {
         b.append("<ExtendedData>")
         data.foreach { case (k, v) =>

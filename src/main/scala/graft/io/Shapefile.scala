@@ -160,7 +160,9 @@ object Shapefile {
   private def assemblePolygons(ringCoords: Seq[Array[Coordinate]]): Geometry = {
     def closed(cs: Array[Coordinate]): Array[Coordinate] =
       if (cs.length >= 3 && cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
-    val rings = ringCoords.filter(_.length >= 3).map(cs => factory.createLinearRing(closed(cs)))
+    val rings = ringCoords.filter(_.length >= 3).map(closed)
+      .filter(_.length >= 4) // a closed 3-point ring (2 distinct vertices) is degenerate
+      .map(factory.createLinearRing)
     val (holes, shells) = rings.partition(r => Orientation.isCCW(r.getCoordinateSequence))
     val effShells = if (shells.isEmpty) rings else shells
     if (effShells.isEmpty) return factory.createPolygon()
@@ -204,8 +206,11 @@ object Shapefile {
     // dbf records are fixed-size: skipping is pure index arithmetic
     val it = (math.min(skip, numRecords) until numRecords).iterator.map { r =>
       val base = headerSize + r.toLong * recordSize
-      if (base + recordSize > data.length) null
-      else if (data(base.toInt) == 0x2a) null // deleted
+      // truncated or deleted (flag 0x2A) records yield a null-FILLED
+      // array, never a null array: callers index attributes positionally
+      // and the .shp stream stays aligned
+      if (base + recordSize > data.length) Array.fill[Any](fs.length)(null)
+      else if (data(base.toInt) == 0x2a) Array.fill[Any](fs.length)(null)
       else {
         var p = base.toInt + 1
         fs.map { f =>
@@ -222,7 +227,7 @@ object Shapefile {
     case 'C' => raw.replaceAll("\\s+$", "")
     case 'N' | 'F' =>
       val t = raw.trim
-      if (t.isEmpty || t == "*") null
+      if (t.isEmpty || t.forall(_ == '*')) null // '*'-filled = overflow marker
       else if (f.ftype == 'N' && f.decimals == 0) java.lang.Long.valueOf(t.toLong)
       else java.lang.Double.valueOf(t.toDouble)
     case 'L' => raw.head match {
@@ -483,9 +488,14 @@ object Shapefile {
         java.util.Arrays.fill(out, ' '.toByte)
         if (f.ftype == 'C' || f.ftype == 'L')
           System.arraycopy(bytes, 0, out, 0, math.min(bytes.length, f.length))
+        else if (bytes.length > f.length)
+          // an overflowing numeric must NOT be truncated (keeping the
+          // last f.length bytes silently drops the sign and leading
+          // digits) — write the dBase overflow marker, which reads back
+          // as null
+          java.util.Arrays.fill(out, '*'.toByte)
         else // numerics right-justified
-          System.arraycopy(bytes, math.max(0, bytes.length - f.length), out,
-            math.max(0, f.length - bytes.length), math.min(bytes.length, f.length))
+          System.arraycopy(bytes, 0, out, f.length - bytes.length, bytes.length)
         dbfBody.write(out)
       }
     }
@@ -503,7 +513,9 @@ object Shapefile {
     /** Final file images. */
     def result(): ShapefileBytes = {
       if (shapeType < 0) shapeType = StNull
-      if (recNum == 0) { xmin = 0; ymin = 0; xmax = 0; ymax = 0 }
+      // no record ever extended the box (empty file OR all-null
+      // geometries): ±Double.MaxValue would be a garbage header extent
+      if (xmin > xmax || ymin > ymax) { xmin = 0; ymin = 0; xmax = 0; ymax = 0 }
       val shp = withMainHeader(shpBody.toByteArray)
       val shx = withMainHeader(shxBody.toByteArray)
       ShapefileBytes(shp, shx, dbfBytes())
@@ -555,9 +567,4 @@ object Shapefile {
 
   /** EPSG code from a .prj's WKT: the LAST AUTHORITY clause is the
     * top-level CRS authority (inner ones belong to datum/spheroid). */
-  def sridFromPrj(wkt: String): Int = {
-    val m = "(?i)AUTHORITY\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
-      .findAllMatchIn(wkt).toSeq
-    m.lastOption.map(_.group(1).toInt).getOrElse(0)
-  }
 }

@@ -90,7 +90,7 @@ object CodecPropertySpec extends Properties("graft-codecs") {
   property("kml round trip preserves every geometry class") =
     forAll(anyGeom) { g =>
       g.setSRID(4326)
-      val bytes = Kml.write(Iterator((g, "n", Seq("k" -> "1"))), "d")
+      val bytes = Kml.write(Iterator((g, "n", null, Seq("k" -> "1"))), "d")
       val back = Kml.readFeatures(bytes)
       back.length == 1 && wkt(back.head.geom) == wkt(g) &&
         back.head.geom.getSRID == 4326 && back.head.data("k") == "1"

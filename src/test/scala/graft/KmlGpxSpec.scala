@@ -454,6 +454,21 @@ class KmlGpxSpec extends AnyFunSuite {
     assert(gpx.agg(sum($"name".cast("long"))).head().getLong(0) === (0 until 30).sum)
   }
 
+  test("kml: a 'description' column round-trips to the description element, once") {
+    val d = java.nio.file.Files.createTempDirectory("kml_desc").toString
+    val df = Seq((1L, "n1", "about one")).toDF("k", "name", "description")
+      .select($"k", $"name", $"description",
+        graft.functions.st_set_srid(
+          graft.functions.st_point(lit(1.0), lit(2.0)), lit(4326)).as("geometry"))
+    graft.io.GeoIO.writeKml(df, s"$d/t.kml")
+    val back = graft.io.GeoIO.readKml(spark, s"$d/t.kml")
+    // exactly ONE description column (writing it as Data used to come
+    // back as a duplicate), holding the value
+    assert(back.columns.count(_ == "description") === 1)
+    assert(back.select($"description").collect().map(_.getString(0)).toSeq
+      === Seq("about one"))
+  }
+
   test("degenerate inputs: 1-point lines, empty points, hostile column names") {
     import graft.serde.EWKB
     val wkt = new org.locationtech.jts.io.WKTReader(EWKB.geometryFactory)
