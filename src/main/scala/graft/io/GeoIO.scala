@@ -333,6 +333,10 @@ object GeoIO {
     *   global across a filename-ordered directory read): random access
     *   through the .shx offsets — O(1) per feature, nothing else
     *   decoded. Mutually exclusive with bbox/skip/max (pyogrio rule).
+    *   pyogrio additionally forbids fids+where; here the combination is
+    *   DELIBERATELY allowed — `where` is a post-read Catalyst filter over
+    *   the fids-selected rows (well-defined, order-independent), not a
+    *   scan-level OGR clause, so there is no ambiguity to forbid.
     * @param where SQL boolean expression over the attribute columns,
     *   applied as a Catalyst filter on the result frame (pyogrio's
     *   `where`); `force2D` drops Z from the geometry (`force_2d`). The
@@ -865,7 +869,9 @@ object GeoIO {
   /** @param fids gpkg FIDs (= sqlite rowids) to read: each becomes an
     *   O(log n) b-tree point lookup — interior-page descent, no scan of
     *   the rest of the table. Mutually exclusive with
-    *   bbox/skip_features/max_features (pyogrio rule).
+    *   bbox/skip_features/max_features (pyogrio rule); fids+where is
+    *   deliberately allowed here (post-read Catalyst filter — see
+    *   [[readShapefile]]'s fids doc for the divergence rationale).
     * @param where / @param force2D pure frame transforms (Catalyst
     *   filter / `force2d` projection), see [[readShapefile]]. */
   def readGeoPackage(spark: SparkSession, path: String,
@@ -1269,10 +1275,22 @@ object GeoIO {
       lazyChunkedCounts(files, 16)(fs => distributedCounts(spark, fs)(count)))
 
   private def sliceIterator[T](it: Iterator[T], skip: Long, take: Long): Iterator[T] = {
-    val dropped = if (skip <= 0) it else it.drop(
-      if (skip > Int.MaxValue) Int.MaxValue else skip.toInt)
-    if (take == Long.MaxValue) dropped
-    else dropped.take(if (take > Int.MaxValue) Int.MaxValue else take.toInt)
+    // Long-counting slice: Iterator.drop/take truncate at Int.MaxValue,
+    // which would silently under-skip / over-take a >2^31 window
+    val skip0 = skip
+    val take0 = take
+    new Iterator[T] {
+      private var toSkip = math.max(skip0, 0L)
+      private var remaining = take0
+      private def ensureSkipped(): Unit =
+        while (toSkip > 0 && it.hasNext) { it.next(); toSkip -= 1 }
+      def hasNext: Boolean = { ensureSkipped(); remaining > 0 && it.hasNext }
+      def next(): T = {
+        if (!hasNext) throw new NoSuchElementException("sliceIterator exhausted")
+        remaining -= 1
+        it.next()
+      }
+    }
   }
 
   /** Read KML file(s) → geo frame: EWKB geometry (SRID 4326, fixed by the

@@ -400,6 +400,23 @@ private[graft] object Gml {
     else cleaned
   }
 
+  /** Per-write collision-free sanitizer: distinct input names that
+    * sanitize to the same NCName (e.g. "a b" and "a&b" → "a_b") get
+    * numeric suffixes, so their values cannot silently merge on round
+    * trip. Stable across rows within one write. */
+  private final class NcNames {
+    private val assigned = scala.collection.mutable.Map.empty[String, String]
+    private val taken = scala.collection.mutable.Set.empty[String]
+    def apply(raw: String): String = assigned.getOrElseUpdate(raw, {
+      val base = ncName(raw)
+      val unique =
+        if (!taken(base)) base
+        else Iterator.from(2).map(i => s"${base}_$i").find(!taken(_)).get
+      taken += unique
+      unique
+    })
+  }
+
   def write(rows: Iterator[(Geometry, Seq[(String, String)])],
       featureName: String): Array[Byte] = {
     val b = new StringBuilder
@@ -407,10 +424,11 @@ private[graft] object Gml {
       .append("<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml/3.2\" ")
       .append("xmlns:graft=\"urn:graft\">\n")
     val fn = ncName(featureName)
+    val names = new NcNames
     rows.foreach { case (g, data) =>
       b.append("<gml:featureMember><graft:").append(fn).append('>')
       data.foreach { case (k0, v) =>
-        val k = ncName(k0)
+        val k = names(k0)
         b.append("<graft:").append(k).append('>')
           .append(if (v == null) "" else Kml.esc(v))
           .append("</graft:").append(k).append('>')

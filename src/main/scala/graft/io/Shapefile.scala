@@ -188,7 +188,7 @@ object Shapefile {
     * (flag 0x2A) are skipped — callers zipping with .shp records should
     * read with [[readFeatures]], which keeps the two streams aligned. */
   def readDbf(data: Array[Byte],
-      skip: Int = 0): (Seq[DbfField], Iterator[Array[Any]]) = {
+      skip: Long = 0L): (Seq[DbfField], Iterator[Array[Any]]) = {
     val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = b.getInt(4)
     val headerSize = b.getShort(8) & 0xffff
@@ -203,8 +203,10 @@ object Shapefile {
       off += 32
     }
     val fs = fields.toSeq
-    // dbf records are fixed-size: skipping is pure index arithmetic
-    val it = (math.min(skip, numRecords) until numRecords).iterator.map { r =>
+    // dbf records are fixed-size: skipping is pure index arithmetic.
+    // numRecords fits in Int (the file is an in-memory array), so a Long
+    // skip clamps safely — no Int wrap for >2^31 windows
+    val it = (math.min(skip, numRecords.toLong).toInt until numRecords).iterator.map { r =>
       val base = headerSize + r.toLong * recordSize
       // truncated or deleted (flag 0x2A) records yield a null-FILLED
       // array, never a null array: callers index attributes positionally
@@ -267,7 +269,7 @@ object Shapefile {
     val scanSkip = if (bbox.isEmpty) skip else 0L
     val (_, geoms) = readShpGeometries(shp, bbox, scanSkip)
     val attrs: Iterator[Array[Any]] = dbf match {
-      case Some(d) => readDbf(d, scanSkip.toInt)._2
+      case Some(d) => readDbf(d, scanSkip)._2
       case None => Iterator.continually(Array.empty[Any])
     }
     val zipped = geoms.zip(attrs).collect {
@@ -276,13 +278,13 @@ object Shapefile {
         (g, a)
       case (null, a) => (null: Geometry, a)
     }
+    // Long-counting post-filter window (Iterator.drop/take truncate at
+    // Int.MaxValue, which would mis-slice a >2^31 window)
     val windowed =
-      if (bbox.isEmpty) zipped
-      else if (skip > 0) zipped.drop(
-        if (skip > Int.MaxValue) Int.MaxValue else skip.toInt)
-      else zipped
+      if (bbox.isEmpty || skip <= 0) zipped
+      else { var n = skip; zipped.filter(_ => if (n > 0) { n -= 1; false } else true) }
     if (take == Long.MaxValue) windowed
-    else windowed.take(if (take > Int.MaxValue) Int.MaxValue else take.toInt)
+    else { var n = take; windowed.takeWhile(_ => if (n > 0) { n -= 1; true } else false) }
   }
 
   /** Random access by 0-based record index (OGR's shapefile FID): the

@@ -550,14 +550,20 @@ object SpatialJoin {
       geom: String = "geometry"): DataFrame = {
     val (x0, y0, x1, y1) = bbox
     val cs = cellSize
+    // guard BEFORE materializing: a huge bbox over a tiny grid would build
+    // the whole cross-range on the driver just to be rejected
+    val (cx0, cx1) = (math.floor(x0 / cs).toLong, math.floor(x1 / cs).toLong)
+    val (cy0, cy1) = (math.floor(y0 / cs).toLong, math.floor(y1 / cs).toLong)
+    val (nx, ny) = (cx1 - cx0 + 1, cy1 - cy0 + 1)
+    // per-dimension caps first so nx*ny cannot overflow Long
+    require(nx >= 1 && ny >= 1 && nx <= 65536 && ny <= 65536 && nx * ny <= 65536,
+      s"readSpatialBucketed: bbox covers ${nx}x$ny cells — widen the " +
+        "grid or read the table directly for near-full scans")
     val cells: Seq[java.lang.Long] =
       for {
-        cx <- math.floor(x0 / cs).toLong to math.floor(x1 / cs).toLong
-        cy <- math.floor(y0 / cs).toLong to math.floor(y1 / cs).toLong
+        cx <- cx0 to cx1
+        cy <- cy0 to cy1
       } yield java.lang.Long.valueOf((cx << 32) | (cy & 0xffffffffL))
-    require(cells.size <= 65536,
-      s"readSpatialBucketed: bbox covers ${cells.size} cells — widen the " +
-        "grid or read the table directly for near-full scans")
     val refUdf = udf((b: Array[Byte], cell: Long) => {
       if (b == null) false
       else {
@@ -619,12 +625,18 @@ object SpatialJoin {
         !lg.isEmpty && !rgm.isEmpty && {
           val le = lg.getEnvelopeInternal
           val re = rgm.getEnvelopeInternal
-          val cx = (cell >> 32).toDouble * cs
-          val cy = (cell << 32 >> 32).toDouble * cs
-          val ix = math.max(le.getMinX, re.getMinX)
-          val iy = math.max(le.getMinY, re.getMinY)
-          ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
-            applyPredPlain(predName, lg, rgm)
+          // envelope intersection FIRST: the other tiers get this from the
+          // STRtree query, but here two geometries sharing a cell can have
+          // disjoint envelopes — without this test, intersects_bbox (whose
+          // refinement is unconditionally true) reported them as a pair
+          le.intersects(re) && {
+            val cx = (cell >> 32).toDouble * cs
+            val cy = (cell << 32 >> 32).toDouble * cs
+            val ix = math.max(le.getMinX, re.getMinX)
+            val iy = math.max(le.getMinY, re.getMinY)
+            ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
+              applyPredPlain(predName, lg, rgm)
+          }
         }
       }
     })

@@ -505,6 +505,12 @@ class KmlGpxSpec extends AnyFunSuite {
     val back = graft.io.Gml.readFeatures(bytes)
     assert(back.length === 1)
     assert(back.head.data === Map("my_col" -> "v", "_2bad_" -> "w"))
+    // ADVICE r8: names that sanitize to the SAME NCName must not merge —
+    // the second collision gets a numeric suffix, values stay distinct
+    val collide = graft.io.Gml.write(
+      Iterator((wkt.read("POINT (1 2)"), Seq(("a b", "v1"), ("a&b", "v2")))), "f")
+    val cBack = graft.io.Gml.readFeatures(collide)
+    assert(cBack.head.data === Map("a_b" -> "v1", "a_b_2" -> "v2"))
   }
 
   test("kml: an all-null attribute column survives the round trip as null") {

@@ -142,6 +142,44 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed intersects_bbox: disjoint envelopes sharing a cell are NOT paired") {
+    // ADVICE r8 (medium): intersects_bbox's refinement is unconditionally
+    // true, so without an explicit envelope test two disjoint geometries
+    // in one shared cell passed the reference-point rule ([0,0.4]² and
+    // [0.6,0.9]² with cellSize 16: ix=0.6, iy=0.6 lies in the shared
+    // cell) and were reported as a pair. The semantic across every tier:
+    // intersects_bbox pairs exactly the envelope-intersecting pairs.
+    val l = spark.range(4).select($"id".as("box_id"),
+      st_rectangle($"id".cast("double") * 0.1, $"id".cast("double") * 0.1,
+        $"id".cast("double") * 0.1 + lit(0.05), $"id".cast("double") * 0.1 + lit(0.05))
+        .as("geometry"))
+    val r = spark.range(4).select($"id".as("pt_id"),
+      st_rectangle($"id".cast("double") * 0.1 + lit(0.3), $"id".cast("double") * 0.1 + lit(0.3),
+        $"id".cast("double") * 0.1 + lit(0.45), $"id".cast("double") * 0.1 + lit(0.45))
+        .as("geometry"))
+    val expected = l.crossJoin(r.withColumnRenamed("geometry", "g2"))
+      .filter(st_intersects(st_envelope($"geometry"), st_envelope($"g2")))
+      .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+    try {
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bbox_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bbox_r")
+      SpatialJoin.writeSpatialBucketed(l, "graft_bkt_bbox_l", cellSize = 16.0, buckets = 4)
+      SpatialJoin.writeSpatialBucketed(r, "graft_bkt_bbox_r", cellSize = 16.0, buckets = 4)
+      val got = SpatialJoin.sjoinBucketed(spark, "graft_bkt_bbox_l",
+        "graft_bkt_bbox_r", cellSize = 16.0, "intersects_bbox")
+        .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+      assert(got === expected,
+        s"intersects_bbox diverged from envelope intersection: got $got expected $expected")
+      // the fixture is only meaningful if at least one disjoint-envelope
+      // pair shares the cell and at least one pair genuinely touches
+      assert(expected.size < 16, "fixture degenerated: all envelopes intersect")
+      assert(expected.nonEmpty, "fixture degenerated: no envelope intersections")
+    } finally {
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bbox_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bbox_r")
+    }
+  }
+
   test("grid outer join scans each input side exactly once") {
     // The stable-index pass persists its single scan; the cells pass and
     // the outer-join reattach both read the cache, so an instrumented
