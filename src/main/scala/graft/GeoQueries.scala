@@ -997,9 +997,28 @@ object GeoQueries {
     "geo_sjoin_auto" -> ((s, dir) => {
       val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
       val right = base(s, dir).select(k.as("rk"), pt.as("pgeom"))
-      left.join(right, st_contains(col("geometry"), col("pgeom")))
+      val plain = left.join(right, st_contains(col("geometry"), col("pgeom")))
         .agg(count(lit(1)).as("n_pairs"),
           sum((col("lk") === col("rk")).cast("long")).as("n_same"))
+      // r9: the SAME plain-join API over two same-grid bucketed stores
+      // must auto-plan exchange-free (BucketedSpatialJoinRule) and agree
+      Seq("graft_q_auto_l", "graft_q_auto_r")
+        .foreach(graft.join.SpatialJoin.dropBucketedTable(s, _))
+      graft.join.SpatialJoin.writeSpatialBucketed(left, "graft_q_auto_l", 16.0, 32)
+      graft.join.SpatialJoin.writeSpatialBucketed(right, "graft_q_auto_r", 16.0, 32,
+        geom = "pgeom")
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (bkt, planShuffleFree) =
+        try {
+          val j = s.table("graft_q_auto_l").join(s.table("graft_q_auto_r"),
+            st_contains(col("geometry"), col("pgeom")))
+          (j, !j.queryExecution.executedPlan.toString.contains("Exchange"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      val bktAgg = bkt.agg(count(lit(1)).as("n_pairs_bkt"),
+        sum((col("lk") === col("rk")).cast("long")).as("n_same_bkt"))
+        .withColumn("auto_shuffle_free", lit(planShuffleFree))
+      plain.crossJoin(bktAgg)
     }),
 
     "geo_sjoin_grid" -> ((s, dir) => {
@@ -1503,7 +1522,10 @@ object GeoQueries {
         | (SELECT count(*) FROM orders WHERE o_orderkey%2 = 1) AS n_left_null""".stripMargin,
     "geo_sjoin_auto" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
-        | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
+        | (SELECT count(*) FROM orders) AS n_same,
+        | (SELECT count(*) FROM orders) AS n_pairs_bkt,
+        | (SELECT count(*) FROM orders) AS n_same_bkt,
+        | TRUE AS auto_shuffle_free""".stripMargin,
     "geo_sjoin_grid" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,

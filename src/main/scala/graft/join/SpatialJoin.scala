@@ -514,6 +514,12 @@ object SpatialJoin {
     *   executor-parallel footer rewrite; file names — and so Spark's
     *   bucket-id naming — are preserved), making the store discoverable
     *   by external GeoParquet readers as well as joinable here. */
+  /** Table property carrying the store's grid cell size — written by
+    * [[writeSpatialBucketed]], read by the auto-planning rule
+    * ([[graft.plans.BucketedSpatialJoinRule]]) to recognize two same-grid
+    * stores in a plain `df.join(st_intersects(...))`. */
+  val CellSizeProp = "graft.spatial.cellSize"
+
   def writeSpatialBucketed(df: DataFrame, table: String, cellSize: Double,
       buckets: Int = 64, geom: String = "geometry",
       mode: String = "overwrite", geoMetadata: Boolean = false): Unit = {
@@ -527,6 +533,11 @@ object SpatialJoin {
       .bucketBy(buckets, CellCol).sortBy(CellCol)
       .format("parquet")
       .saveAsTable(table)
+    // stamp the grid geometry into the catalog so the optimizer rule can
+    // auto-plan plain spatial joins between two same-grid stores
+    df.sparkSession.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+        s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
     if (geoMetadata) {
       val spark = df.sparkSession
       val loc = spark.sessionState.catalog.getTableMetadata(
@@ -613,36 +624,42 @@ object SpatialJoin {
     val rg = if (leftCols.contains(rightGeom)) rightGeom + suffix else rightGeom
     val cs = cellSize
     val predName = predicate
-    // one UDF, one EWKB parse per side per pair: the reference-point
-    // dedup (only the cell owning the bottom-left corner of the envelope
-    // intersection emits a pair that straddles k cells) short-circuits
-    // before the predicate, and the predicate runs on plain geometries —
-    // PreparedGeometry costs more than it saves at one use per pair
-    val matchUdf = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) => {
-      if (lb == null || rb == null) false
-      else {
-        val lg = EWKB.read(lb); val rgm = EWKB.read(rb)
-        !lg.isEmpty && !rgm.isEmpty && {
-          val le = lg.getEnvelopeInternal
-          val re = rgm.getEnvelopeInternal
-          // envelope intersection FIRST: the other tiers get this from the
-          // STRtree query, but here two geometries sharing a cell can have
-          // disjoint envelopes — without this test, intersects_bbox (whose
-          // refinement is unconditionally true) reported them as a pair
-          le.intersects(re) && {
-            val cx = (cell >> 32).toDouble * cs
-            val cy = (cell << 32 >> 32).toDouble * cs
-            val ix = math.max(le.getMinX, re.getMinX)
-            val iy = math.max(le.getMinY, re.getMinY)
-            ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
-              applyPredPlain(predName, lg, rgm)
-          }
-        }
-      }
-    })
+    val matchUdf = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) =>
+      bucketedMatch(lb, rb, cell, cs, predName))
     l.join(r, CellCol)
       .filter(matchUdf(col(leftGeom), col(rg), col(CellCol)))
       .drop(CellCol)
+  }
+
+  /** The bucketed tiers' per-pair refinement — one EWKB parse per side:
+    * envelope intersection FIRST (the STRtree tiers get this from the
+    * tree query, but two geometries sharing a cell can have disjoint
+    * envelopes — without it, intersects_bbox, whose refinement is
+    * unconditionally true, reported them as a pair), then the
+    * reference-point dedup (only the cell owning the bottom-left corner
+    * of the envelope intersection emits a pair that straddles k cells),
+    * then the predicate on plain geometries — PreparedGeometry costs
+    * more than it saves at one use per pair. Shared by [[sjoinBucketed]]
+    * and the auto-planning rule
+    * ([[graft.plans.BucketedSpatialJoinRule]]). */
+  private[graft] def bucketedMatch(lb: Array[Byte], rb: Array[Byte],
+      cell: Long, cs: Double, predName: String): Boolean = {
+    if (lb == null || rb == null) false
+    else {
+      val lg = EWKB.read(lb); val rgm = EWKB.read(rb)
+      !lg.isEmpty && !rgm.isEmpty && {
+        val le = lg.getEnvelopeInternal
+        val re = rgm.getEnvelopeInternal
+        le.intersects(re) && {
+          val cx = (cell >> 32).toDouble * cs
+          val cy = (cell << 32 >> 32).toDouble * cs
+          val ix = math.max(le.getMinX, re.getMinX)
+          val iy = math.max(le.getMinY, re.getMinY)
+          ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
+            applyPredPlain(predName, lg, rgm)
+        }
+      }
+    }
   }
 
   /** [[applyPred]] without the prepared-geometry wrapper, for sites that

@@ -1,0 +1,100 @@
+package graft.plans
+
+import graft.join.SpatialJoin
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types.LongType
+
+/** Auto-plans a PLAIN spatial join between two bucketed spatial stores
+  * (reference users never call a special join API —
+  * `/root/reference/polars_st/geolazyframe.py:64-158` is the ordinary
+  * frame join; here the ordinary `df.join(st_intersects(lg, rg))` should
+  * get [[SpatialJoin.sjoinBucketed]]'s exchange-free plan when both sides
+  * qualify).
+  *
+  * Fires when an INNER join's condition is one spatial predicate and BOTH
+  * children still carry the store's grid-cell column ([[SpatialJoin.CellCol]])
+  * from a [[SpatialJoin.writeSpatialBucketed]] table scan with the SAME
+  * `graft.spatial.cellSize` table property and the SAME bucket count. The
+  * join is rewritten to a cell equi-join (bucketed sort-merge — zero
+  * exchanges: both scans are already hash-partitioned and sorted on the
+  * cell) refined by [[SpatialJoin.bucketedMatch]] (envelope test +
+  * reference-point dedup + predicate).
+  *
+  * SEMANTICS NOTE: a store table holds one row per (geometry, covering
+  * cell) — the raw exploded layout. This rewrite gives the join the
+  * STORE's logical semantics (one output row per matching geometry PAIR,
+  * the same answer sjoinBucketed/sjoin produce), not the row-level
+  * cross-product of the exploded layout a predicate-only join would
+  * degenerate to without the rule (duplicate pairs, one per shared-cell
+  * combination — an answer no caller wants). The cell columns stay in the
+  * output (an optimizer rule must preserve the schema); both carry the
+  * owning cell after the rewrite.
+  *
+  * The rewritten condition is an `EqualTo`, so the rule never re-fires on
+  * its own output and [[SpatialJoinStrategy]] (which would otherwise plan
+  * the broadcast/quadtree tiers) no longer matches — rule before strategy
+  * is exactly the precedence we want: co-located beats broadcast beats
+  * shuffle. */
+object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
+
+  /** (cell attribute, cellSize, numBuckets) when `side` still exposes the
+    * cell column of a bucketed-store scan. The attribute must originate
+    * from a leaf whose relation is bucketed BY that column — a
+    * user-fabricated `__cell` column over a non-bucketed source must not
+    * trigger the rewrite (the equi-join would then shuffle, and the
+    * reference-point rule assumes write-time cell explosion). */
+  private def storeInfo(side: LogicalPlan): Option[(Attribute, Double, Int)] =
+    side.output.find(a => a.name == SpatialJoin.CellCol && a.dataType == LongType)
+      .flatMap { cellAttr =>
+        side.collectLeaves().collectFirst {
+          case lr: LogicalRelation if lr.outputSet.contains(cellAttr) => lr
+        }.flatMap { lr =>
+          lr.relation match {
+            case fs: HadoopFsRelation =>
+              for {
+                bs <- fs.bucketSpec
+                if bs.bucketColumnNames == Seq(SpatialJoin.CellCol)
+                ct <- lr.catalogTable
+                cs <- ct.properties.get(SpatialJoin.CellSizeProp)
+                  .flatMap(s => scala.util.Try(s.toDouble).toOption)
+              } yield (cellAttr, cs, bs.numBuckets)
+            case _ => None
+          }
+        }
+      }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case j @ Join(l, r, Inner, Some(cond), hint) =>
+      (for {
+        (name, a, b) <- SpatialJoinStrategy.spatialCond(cond)
+        (lCell, lcs, lnb) <- storeInfo(l)
+        (rCell, rcs, rnb) <- storeInfo(r)
+        if lcs == rcs && lnb > 0 && lnb == rnb
+        // orient the operands as (leftGeom, rightGeom); a crossed
+        // condition flips the predicate to its converse
+        oriented <- {
+          val straight = a.references.subsetOf(l.outputSet) &&
+            b.references.subsetOf(r.outputSet)
+          val crossed = a.references.subsetOf(r.outputSet) &&
+            b.references.subsetOf(l.outputSet)
+          if (straight) Some((a, b, name))
+          else if (crossed) SpatialJoinStrategy.Converse.get(name).map((b, a, _))
+          else None
+        }
+      } yield {
+        val (lg, rg, predLR) = oriented
+        val cs = lcs
+        val predKey = predLR.stripPrefix("st_")
+        val f = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) =>
+          SpatialJoin.bucketedMatch(lb, rb, cell, cs, predKey))
+        val refine = org.apache.spark.sql.graft.ColumnBridge.scalaUDF(
+          f, Seq(lg, rg, lCell))
+        Filter(refine, Join(l, r, Inner, Some(EqualTo(lCell, rCell)), hint))
+      }).getOrElse(j)
+  }
+}

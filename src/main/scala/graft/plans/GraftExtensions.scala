@@ -33,6 +33,7 @@ import org.apache.spark.sql.types.{BinaryType, StructType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BboxFilterRule)
+    ext.injectOptimizerRule(_ => BucketedSpatialJoinRule)
     ext.injectOptimizerRule(_ => GeoFusionRule)
     ext.injectPlannerStrategy(_ => SpatialJoinStrategy)
     GeoExpressions.registrations.foreach(ext.injectFunction)

@@ -30,7 +30,7 @@ import scala.jdk.CollectionConverters._
 object SpatialJoinStrategy extends SparkStrategy {
 
   /** predicate name → converse when probe/build sides swap. */
-  private val Converse: Map[String, String] = Map(
+  private[plans] val Converse: Map[String, String] = Map(
     "st_intersects" -> "st_intersects",
     "st_overlaps" -> "st_overlaps",
     "st_touches" -> "st_touches",
@@ -46,7 +46,7 @@ object SpatialJoinStrategy extends SparkStrategy {
   /** (predicate name, operand a, operand b) from either predicate tier:
     * the ScalaUDF surface or the native Catalyst expression the Column API
     * emits for st_intersects. */
-  private def spatialCond(e: Expression): Option[(String, Expression, Expression)] = e match {
+  private[plans] def spatialCond(e: Expression): Option[(String, Expression, Expression)] = e match {
     case u: ScalaUDF if u.udfName.exists(Converse.contains) && u.children.length == 2 =>
       Some((u.udfName.get, u.children(0), u.children(1)))
     case n: STIntersectsNative => Some(("st_intersects", n.left, n.right))

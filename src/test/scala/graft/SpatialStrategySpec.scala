@@ -162,4 +162,53 @@ class SpatialStrategySpec extends AnyFunSuite {
       assert(got3 === got2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("plain join between two bucketed stores auto-plans exchange-free") {
+    // VERDICT r8 #1: df.join(st_contains) over two same-grid bucketed
+    // store tables must get sjoinBucketed's plan — cell equi-join over
+    // co-located buckets (ZERO exchanges) + reference-point refinement —
+    // with sjoinBucketed's answer (one row per matching geometry pair).
+    import spark.implicits._
+    val sj = graft.join.SpatialJoin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sj.dropBucketedTable(spark, "graft_auto_l")
+      sj.dropBucketedTable(spark, "graft_auto_r")
+      sj.writeSpatialBucketed(rects, "graft_auto_l", cellSize = 64.0, buckets = 8)
+      sj.writeSpatialBucketed(points, "graft_auto_r", cellSize = 64.0, buckets = 8,
+        geom = "pgeom")
+      val joined = spark.table("graft_auto_l").join(spark.table("graft_auto_r"),
+        st_contains(col("geometry"), col("pgeom")))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"auto-planned bucketed join shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected an equi-join over buckets:\n$plan")
+      assert(!plan.contains("SpatialJoin "),
+        s"broadcast tier fired instead of the bucketed rewrite:\n$plan")
+      val got = joined.select("k", "p").as[(Int, Int)].collect().toSet
+      assert(got === (1 to 200).map(i => (i, i)).toSet)
+      // crossed operand order flips to the converse and still auto-plans
+      val crossed = spark.table("graft_auto_l").join(spark.table("graft_auto_r"),
+        st_within(col("pgeom"), col("geometry")))
+      assert(!crossed.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(crossed.select("k", "p").as[(Int, Int)].collect().toSet === got)
+      // mismatched grids must NOT rewrite (the cell columns mean different
+      // things); the plain spatial tiers take over and the answer is the same
+      sj.dropBucketedTable(spark, "graft_auto_r2")
+      sj.writeSpatialBucketed(points, "graft_auto_r2", cellSize = 32.0, buckets = 8,
+        geom = "pgeom")
+      val mixed = spark.table("graft_auto_l").join(spark.table("graft_auto_r2"),
+        st_contains(col("geometry"), col("pgeom")))
+      val mixedPlan = mixed.queryExecution.executedPlan.toString
+      assert(mixedPlan.contains("SpatialJoin") || mixedPlan.contains("Exchange"),
+        s"mismatched grids should not take the bucketed rewrite:\n$mixedPlan")
+      assert(mixed.select("k", "p").as[(Int, Int)].collect().toSet === got)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      sj.dropBucketedTable(spark, "graft_auto_l")
+      sj.dropBucketedTable(spark, "graft_auto_r")
+      sj.dropBucketedTable(spark, "graft_auto_r2")
+    }
+  }
 }
