@@ -440,22 +440,28 @@ object SpatialJoin {
 
   /** Deterministic row index in a SINGLE pass, fully inside the DataFrame
     * tier: `monotonically_increasing_id()` is exactly the (partition <<
-    * 33) | offset scheme, assigned during the one cache-materialization
-    * scan. The frame is persisted (columnar in-memory cache): the two
-    * consumers of each side (the cells pass and the outer-join reattach)
-    * read the cache with identical ids, so an expensive upstream plan
-    * never executes twice and id assignment cannot diverge between
-    * branches (the correctness hazard of re-deriving a nondeterministic id
-    * per job). Unlike the previous `df.rdd.mapPartitionsWithIndex` hop,
-    * there is no RDD scan barrier: downstream reads stay columnar
-    * (InMemoryTableScan supports column pruning — the cells pass reads
-    * only id+geometry batches) and whole-stage codegen resumes directly
-    * above the cache. Blocks are freed by the ContextCleaner once the
-    * plan becomes unreachable — the same lifecycle as the exec tier's
-    * persisted envelope extract (SpatialJoinExec). */
-  private def withStableIndex(df: DataFrame, name: String): DataFrame =
-    df.withColumn(name, monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    * 33) | offset scheme, assigned during one eager materialization. The
+    * result is CHECKPOINTED, not merely persisted: the two consumers of
+    * each side (the cells pass and the outer-join reattach) must see ONE
+    * id generation, and a persisted-only frame cannot guarantee that —
+    * on executor loss a cached block is recomputed FROM LINEAGE, and over
+    * a nondeterministic upstream (sample, unstable shuffle order) the
+    * recomputed ids can silently renumber, letting the two branches
+    * disagree (the `monotonically_increasing_id` hazard PERF.md
+    * documents). Checkpointing cuts the lineage, making recompute
+    * impossible: with a RELIABLE checkpoint dir configured
+    * (`sc.setCheckpointDir` — set one for long cluster runs) block loss
+    * recovers from the checkpoint; otherwise `localCheckpoint` stores on
+    * executors and a lost executor fails the job LOUDLY instead of
+    * silently joining rows under renumbered ids. Downstream reads stay
+    * columnar off the materialized blocks — no RDD scan barrier, and an
+    * expensive upstream plan never executes twice. */
+  private[graft] def withStableIndex(df: DataFrame, name: String): DataFrame = {
+    val indexed = df.withColumn(name, monotonically_increasing_id())
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      indexed.checkpoint(eager = true)
+    else indexed.localCheckpoint(eager = true)
+  }
 
   /** Reattach full rows to the (left-id, right-id) pair table, mirroring
     * the reference's index-join finish (`geolazyframe.py:133-158`). */

