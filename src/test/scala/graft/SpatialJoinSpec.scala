@@ -180,6 +180,48 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("readSpatialBucketed planning never leaks conf into concurrent queries") {
+    // VERDICT r8 #3: the bbox read used to disable autoBucketedScan
+    // SESSION-wide while its plan resolved — any query planning
+    // concurrently in the same session lost its bucketed scan (an
+    // Exchange appeared before aggregations the bucketing should
+    // satisfy). The override is now thread-local; this spec plans a
+    // bucket-satisfied aggregation from another thread while bbox reads
+    // plan in a loop, and pins that no aggregation plan ever shuffles.
+    val sj = SpatialJoin
+    try {
+      sj.dropBucketedTable(spark, "graft_conf_probe")
+      sj.writeSpatialBucketed(boxes, "graft_conf_probe", cellSize = 8.0, buckets = 8)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val leak = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val prober = new Thread(() => {
+        while (!stop.get() && leak.get() == null) {
+          // fresh Dataset each time → fresh plan resolution
+          val agg = spark.table("graft_conf_probe")
+            .groupBy(col(SpatialJoin.CellCol)).count()
+          val p = agg.queryExecution.executedPlan.toString
+          if (p.contains("Exchange")) leak.set(p)
+        }
+      })
+      prober.start()
+      try {
+        (1 to 40).foreach { _ =>
+          sj.readSpatialBucketed(spark, "graft_conf_probe", 8.0,
+            (10.0, 10.0, 30.0, 30.0)).queryExecution.executedPlan
+        }
+      } finally { stop.set(true); prober.join(30000) }
+      assert(leak.get() == null,
+        s"concurrent aggregation lost its bucketed scan:\n${leak.get()}")
+      // and the bbox read itself still prunes buckets
+      val got = sj.readSpatialBucketed(spark, "graft_conf_probe", 8.0,
+        (10.0, 10.0, 30.0, 30.0))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(got.queryExecution.executedPlan.toString)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        "bbox read lost its bucket pruning under the scoped conf")
+    } finally sj.dropBucketedTable(spark, "graft_conf_probe")
+  }
+
   test("grid outer join scans each input side exactly once") {
     // The stable-index pass persists its single scan; the cells pass and
     // the outer-join reattach both read the cache, so an instrumented
