@@ -152,11 +152,12 @@ object Bench {
     // (AnnSetup memo) — the timed part is the query batch, matching real
     // use where the store outlives query batches.
     "pipe_ann_ivfpq" -> ((s, dir) => {
-      val (index, book, store) = AnnSetup.get(s, dir)
+      val (index, opq, store) = AnnSetup.get(s, dir)
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") % 10 === 0)
-      graft.pipeline.Similarity.ivfPqTopKStored(s, index, book, store,
-        q, "vec_id", "embedding", k = 5, nprobe = 2, candidates = 16)
+      graft.pipeline.Similarity.ivfPqTopKStored(s, index, opq.book, store,
+        q, "vec_id", "embedding", k = 5, nprobe = 2, candidates = 16,
+        residual = true, rotation = Some(opq.rotation))
     }),
     // bucketed spatial store: the JOIN's own cost with the shuffle paid
     // at (untimed, build-once) write time — the repeated-join constant
@@ -186,28 +187,30 @@ object Bench {
     }
   }
 
-  /** Build-once ANN fixtures (per sf dir): IVF index, PQ codebook, and
-    * the composed store on disk. Kept out of the timed lambdas — the
-    * store outlives query batches in real use. */
+  /** Build-once ANN fixtures (per sf dir): IVF index, OPQ-rotated
+    * residual codebook (the store default since r9 — same query-time
+    * cost, strictly better codes on anisotropic data), and the composed
+    * store on disk. Kept out of the timed lambdas — the store outlives
+    * query batches in real use. */
   private object AnnSetup {
     private var cached: Option[(String, graft.pipeline.Similarity.IvfIndex,
-      graft.pipeline.Similarity.PqCodebook, String)] = None
+      graft.pipeline.Similarity.OpqModel, String)] = None
     def get(s: SparkSession, dir: String): (graft.pipeline.Similarity.IvfIndex,
-        graft.pipeline.Similarity.PqCodebook, String) = synchronized {
+        graft.pipeline.Similarity.OpqModel, String) = synchronized {
       cached match {
-        case Some((d, ix, bk, st)) if d == dir => (ix, bk, st)
+        case Some((d, ix, om, st)) if d == dir => (ix, om, st)
         case _ =>
           val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
           val ix = graft.pipeline.Similarity.trainIvf(e, "vec_id", "embedding",
             nlist = 16)
-          val bk = graft.pipeline.Similarity.trainPq(e, "vec_id", "embedding",
-            m = 8, ksub = 32)
+          val om = graft.pipeline.Similarity.trainOpqResidual(ix, e, "vec_id",
+            "embedding", m = 8, ksub = 32, opqIters = 4)
           val st = new java.io.File(sys.props("java.io.tmpdir"),
-            "graft_bench_ivfpq").toString + "/store"
-          graft.pipeline.Similarity.buildIvfPqStore(ix, bk, e, "vec_id",
-            "embedding", st)
-          cached = Some((dir, ix, bk, st))
-          (ix, bk, st)
+            "graft_bench_ivfpq").toString + "/store_opq"
+          graft.pipeline.Similarity.buildIvfPqStore(ix, om.book, e, "vec_id",
+            "embedding", st, residual = true, rotation = Some(om.rotation))
+          cached = Some((dir, ix, om, st))
+          (ix, om, st)
       }
     }
   }
