@@ -227,20 +227,43 @@ object Bench {
     * compilation and JIT warm-up (measured ~2 s on the cheap scans — larger
     * than the queries themselves). On a real cluster that cost amortizes to
     * zero over 100 TB, so the representative number is the warm run. */
-  /** @return (median of three timed warm runs, max-min spread). Single
-    * samples on a shared box jitter ±20% (GC, page cache, neighbor load);
-    * r4's driver file even showed a 2× ghost regression that never
-    * reproduced. The median of three bounds that noise; the spread is
-    * logged so a reviewer can see which numbers to (dis)trust. */
-  private def timeWarm(df: => DataFrame): (Double, Double) = {
+  /** @return (median, max-min spread of the reported triple, noisy flag).
+    * Single samples on a shared box jitter ±20% (GC, page cache, neighbor
+    * load); r4's driver file even showed a 2× ghost regression that never
+    * reproduced, and r8's showed a 9× one (geo_union_groups 24.4 s vs a
+    * quiet 2.9 s, spread 20.2 s) from plain box contention. The median of
+    * three bounds small noise; CONTENTION DEFENSE (r8 VERDICT #6) handles
+    * the big hits: when the triple's spread exceeds 50% of its median,
+    * keep sampling (up to [[MaxExtraTrials]] extra runs) and report the
+    * tightest consecutive-in-sorted-order triple seen — a contended
+    * window inflates some samples but the tight cluster around the true
+    * cost survives. If even the best triple stays wide, the key is
+    * flagged `noisy` in the output so a reviewer knows to distrust it. */
+  private val MaxExtraTrials = 6
+  private def timeWarm(df: => DataFrame): (Double, Double, Boolean) = {
     force(df)
     def timed(): Double = {
       val t0 = System.nanoTime()
       force(df)
       (System.nanoTime() - t0) / 1e9
     }
-    val ts = Seq(timed(), timed(), timed()).sorted
-    (ts(1), ts(2) - ts(0))
+    def bestTriple(samples: Seq[Double]): (Double, Double) = {
+      val s = samples.sorted
+      // tightest window of 3 consecutive sorted samples
+      val (lo, hi, med) = (0 to s.length - 3)
+        .map(i => (s(i), s(i + 2), s(i + 1)))
+        .minBy { case (a, b, _) => b - a }
+      (med, hi - lo)
+    }
+    var samples = Seq(timed(), timed(), timed())
+    var (med, spread) = bestTriple(samples)
+    var extra = 0
+    while (spread > 0.5 * med && extra < MaxExtraTrials) {
+      samples :+= timed()
+      extra += 1
+      val b = bestTriple(samples); med = b._1; spread = b._2
+    }
+    (med, spread, spread > 0.5 * med)
   }
 
   def main(args: Array[String]): Unit = {
@@ -267,20 +290,22 @@ object Bench {
       // fusion rule would rewrite them too and the pair would measure nothing
       val pinUnfused = name.endsWith("_udf") || name.endsWith("_unfused")
       if (pinUnfused) spark.conf.set("spark.graft.fuse", "false")
-      val (sec, spread) =
+      val (sec, spread, noisy) =
         try timeWarm(fn(spark, sfDir))
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name: ${e.getMessage}"); (-1.0, 0.0)
+            System.err.println(s"[bench] $name: ${e.getMessage}"); (-1.0, 0.0, true)
         } finally if (pinUnfused) spark.conf.set("spark.graft.fuse", "true")
-      (name, sec, spread)
+      (name, sec, spread, noisy)
     }
-    val qs = results.map { case (n, v, _) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
-    val spreads = results.map { case (n, _, sp) =>
+    val qs = results.map { case (n, v, _, _) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val spreads = results.map { case (n, _, sp, _) =>
       "\"" + n + "\":" + BigDecimal(sp).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
+    val noisyKeys = results.collect { case (n, _, _, true) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"noisy":$noisyKeys,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
