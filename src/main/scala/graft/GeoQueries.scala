@@ -1273,8 +1273,26 @@ object GeoQueries {
       val sWh = graft.io.GeoIO.readShapefile(s, shp,
           where = Some("k % 1000 = 0"))
         .agg(count(lit(1)).as("shpw_n"), sum(col("k")).as("shpw_sum_k"))
+      // r9: return_fids — the fid column matches row_number arithmetic
+      // (records are written in k order): windowed shapefile/fgb fids are
+      // 0-based positions, gpkg fids are 1-based rowids, random-access
+      // fids echo the request
+      val sFid = graft.io.GeoIO.readShapefile(s, shp,
+          skipFeatures = 7, maxFeatures = 11, returnFids = true)
+        .agg(sum(col("fid")).as("shp_fid_sum"))
+      val gFid = graft.io.GeoIO.readGeoPackage(s, gpkg,
+          columns = Some(Seq("k")),
+          skipFeatures = 7, maxFeatures = 11, returnFids = true)
+        .agg(sum(col("fid")).as("gpkg_fid_sum"))
+      val fFid = graft.io.GeoIO.readFlatGeobuf(s, fgb,
+          skipFeatures = 7, maxFeatures = 11, returnFids = true)
+        .agg(sum(col("fid")).as("fgb_fid_sum"))
+      val sFidRa = graft.io.GeoIO.readShapefile(s, shp,
+          fids = Some(Seq(1L, 5L, 100L)), returnFids = true)
+        .agg(sum(col("fid")).as("shpf_fid_sum"))
       sW.crossJoin(sB).crossJoin(gW).crossJoin(fW).crossJoin(kW)
         .crossJoin(sF).crossJoin(gF).crossJoin(sWh)
+        .crossJoin(sFid).crossJoin(gFid).crossJoin(fFid).crossJoin(sFidRa)
     }),
 
     // ------------------------------- geometry-list evaluation (list.eval)
@@ -1605,6 +1623,14 @@ object GeoQueries {
          | (SELECT count(*) FROM rk WHERE rn IN (2, 9, 200)) AS gpkgf_n,
          | (SELECT CAST(sum(k) AS BIGINT) FROM rk WHERE rn IN (2, 9, 200)) AS gpkgf_sum_k,
          | (SELECT count(*) FROM b WHERE k % 1000 = 0) AS shpw_n,
-         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 1000 = 0) AS shpw_sum_k""".stripMargin
+         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 1000 = 0) AS shpw_sum_k,
+         | (SELECT CAST(sum(rn - 1) AS BIGINT) FROM rk WHERE rn BETWEEN 8 AND 18)
+         |   AS shp_fid_sum,
+         | (SELECT CAST(sum(rn) AS BIGINT) FROM rk WHERE rn BETWEEN 8 AND 18)
+         |   AS gpkg_fid_sum,
+         | (SELECT CAST(sum(rn - 1) AS BIGINT) FROM rk WHERE rn BETWEEN 8 AND 18)
+         |   AS fgb_fid_sum,
+         | (SELECT CAST(sum(rn - 1) AS BIGINT) FROM rk WHERE rn IN (2, 6, 101))
+         |   AS shpf_fid_sum""".stripMargin
   )
 }

@@ -205,7 +205,18 @@ object FlatGeobuf {
       * bbox, ascending for sequential IO. */
     def search(index: Array[Byte], indexBase: Int, numItems: Long,
         nodeSize: Int, xmin: Double, ymin: Double, xmax: Double,
-        ymax: Double): Seq[Long] = {
+        ymax: Double): Seq[Long] =
+      searchWithIndex(index, indexBase, numItems, nodeSize,
+        xmin, ymin, xmax, ymax).map(_._2)
+
+    /** [[search]] carrying each hit's feature ORDINAL (its position in
+      * the file's feature order = `leafIndex - leafStart`, since leaves
+      * are built in feature-storage order) alongside the byte offset —
+      * the fid an OGR sequential read would assign. Sorted by offset for
+      * sequential IO. */
+    def searchWithIndex(index: Array[Byte], indexBase: Int, numItems: Long,
+        nodeSize: Int, xmin: Double, ymin: Double, xmax: Double,
+        ymax: Double): Seq[(Long, Long)] = {
       val bb = ByteBuffer.wrap(index).order(ByteOrder.LITTLE_ENDIAN)
       def node(i: Long): Node = {
         val p = indexBase + i.toInt * 40
@@ -214,7 +225,7 @@ object FlatGeobuf {
       }
       val bounds = levelBounds(numItems, nodeSize)
       val (leafStart, _) = bounds.head
-      val results = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       // (first node index, level) — root is the single node of the top level
       val queue = scala.collection.mutable.Queue((bounds.last._1, bounds.length - 1))
       while (queue.nonEmpty) {
@@ -226,13 +237,13 @@ object FlatGeobuf {
           val n = node(i)
           val hit = !(n.minX > xmax || n.maxX < xmin || n.minY > ymax || n.maxY < ymin)
           if (hit) {
-            if (i >= leafStart) results += n.offset
+            if (i >= leafStart) results += ((i - leafStart, n.offset))
             else queue.enqueue((n.offset, level - 1))
           }
           i += 1
         }
       }
-      results.sorted.toSeq
+      results.sortBy(_._2).toSeq
     }
   }
 
@@ -307,13 +318,19 @@ object FlatGeobuf {
   /** Index-driven candidate offsets for a bbox read: None when the file
     * carries no index (callers fall back to a filtered scan). */
   def searchOffsets(bytes: Array[Byte], xmin: Double, ymin: Double,
-      xmax: Double, ymax: Double): Option[Seq[Long]] = {
+      xmax: Double, ymax: Double): Option[Seq[Long]] =
+    searchHits(bytes, xmin, ymin, xmax, ymax).map(_.map(_._2))
+
+  /** [[searchOffsets]] with each hit's feature ordinal (fid): None when
+    * the file carries no index. */
+  def searchHits(bytes: Array[Byte], xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Option[Seq[(Long, Long)]] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val headerSize = bb.getInt(8)
     val header = readHeader(java.util.Arrays.copyOfRange(bytes, 12, 12 + headerSize))
     if (header.indexNodeSize <= 0 || header.featuresCount == 0) None
-    else Some(PackedRTree.search(bytes, 12 + headerSize, header.featuresCount,
-      header.indexNodeSize, xmin, ymin, xmax, ymax))
+    else Some(PackedRTree.searchWithIndex(bytes, 12 + headerSize,
+      header.featuresCount, header.indexNodeSize, xmin, ymin, xmax, ymax))
   }
 
   /** Decode the features at the given byte offsets (within the features

@@ -351,7 +351,8 @@ object GeoIO {
       maxFeatures: Long = Long.MaxValue,
       fids: Option[Seq[Long]] = None,
       where: Option[String] = None,
-      force2D: Boolean = false): DataFrame = {
+      force2D: Boolean = false,
+      returnFids: Boolean = false): DataFrame = {
     require(fids.isEmpty ||
       (bbox.isEmpty && skipFeatures == 0 && maxFeatures == Long.MaxValue),
       "shapefile: fids cannot be combined with bbox/skip_features/max_features")
@@ -395,9 +396,14 @@ object GeoIO {
       if (fs.exists(prj)) graft.functions.CrsRegistry.sridForWkt(
         new String(readAll(prj), java.nio.charset.StandardCharsets.UTF_8))
       else 0
+    require(!returnFids || !keptIdx.exists(i => fields(i).name == "fid"),
+      "shapefile: return_fids would collide with an attribute column " +
+        "named 'fid' — exclude it via columns=")
     val schema = StructType(
-      (if (readGeometry) Seq(StructField(geometryName, BinaryType, nullable = true))
+      (if (returnFids) Seq(StructField("fid", LongType, nullable = false))
        else Seq.empty) ++
+        (if (readGeometry) Seq(StructField(geometryName, BinaryType, nullable = true))
+         else Seq.empty) ++
         keptIdx.map(i => StructField(fields(i).name, Shapefile.sparkType(fields(i)))))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -429,17 +435,30 @@ object GeoIO {
         featureWindows(fileList, skipFeatures, maxFeatures)(counts)
       }
     val doGeom = readGeometry
-    val toRow: ((org.locationtech.jts.geom.Geometry, Array[Any])) => org.apache.spark.sql.Row = {
-      case (g, attrs) =>
-        val geo: Seq[Any] =
-          if (!doGeom) Seq.empty
-          else Seq(if (g == null) null else graft.serde.EWKB.write(g))
-        org.apache.spark.sql.Row.fromSeq(geo ++ keptArr.map(attrs(_)).toSeq)
+    val withFid = returnFids
+    val toRow: ((Long, org.locationtech.jts.geom.Geometry, Array[Any])) => org.apache.spark.sql.Row = {
+      case (fid, g, attrs) =>
+        val lead: Seq[Any] = (if (withFid) Seq(fid) else Seq.empty) ++
+          (if (!doGeom) Seq.empty
+           else Seq(if (g == null) null else graft.serde.EWKB.write(g)))
+        org.apache.spark.sql.Row.fromSeq(lead ++ keptArr.map(attrs(_)).toSeq)
     }
     val sidecarOf: (String, String) => org.apache.hadoop.fs.Path = (f, ext) => {
       val p = new org.apache.hadoop.fs.Path(f)
       new org.apache.hadoop.fs.Path(p.getParent,
         p.getName.replaceAll("(?i)\\.shp$", "") + ext)
+    }
+    // global-fid base per file (fids are global across a filename-ordered
+    // directory read): .shx FileStatus when present, header-hop count
+    // otherwise; only needed when fids must be returned or resolved
+    lazy val fidBases: Map[String, Long] = {
+      val counts = fileList.init.map { f =>
+        val shxP = sidecarOf(f, ".shx")
+        if (fs.exists(shxP))
+          Shapefile.recordCountFromShx(fs.getFileStatus(shxP).getLen)
+        else Shapefile.recordCount(readWholeFile(conf, f))
+      }
+      fileList.zip(counts.scanLeft(0L)(_ + _)).toMap
     }
     val rows = fids match {
       case Some(wanted) =>
@@ -452,13 +471,13 @@ object GeoIO {
           f -> Shapefile.recordCountFromShx(fs.getFileStatus(shxP).getLen)
         }
         val starts = counts.scanLeft(0L)(_ + _._2)
-        val perFile: Seq[(String, Seq[Long])] = counts.zip(starts).flatMap {
+        val perFile: Seq[(String, Long, Seq[Long])] = counts.zip(starts).flatMap {
           case ((f, n), start) =>
             val local = wanted.filter(i => i >= start && i < start + n).map(_ - start)
-            if (local.isEmpty) None else Some((f, local))
+            if (local.isEmpty) None else Some((f, start, local))
         }
         spark.sparkContext.parallelize(perFile, math.max(1, perFile.length))
-          .flatMap { case (shpPath, local) =>
+          .flatMap { case (shpPath, start, local) =>
             val p = new org.apache.hadoop.fs.Path(shpPath)
             val pfs = p.getFileSystem(conf.value)
             val bytesOf = (path: org.apache.hadoop.fs.Path) => {
@@ -473,10 +492,13 @@ object GeoIO {
             val shxPath = new org.apache.hadoop.fs.Path(p.getParent,
               p.getName.replaceAll("(?i)\\.shp$", "") + ".shx")
             val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
-            Shapefile.readFeaturesByFids(bytesOf(p), bytesOf(shxPath), dbf,
-              local, srid).map(toRow)
+            Shapefile.readFeaturesByFidsWithIds(bytesOf(p), bytesOf(shxPath), dbf,
+              local, srid)
+              .map { case (lfid, g, a) => toRow((start + lfid, g, a)) }
           }
       case None =>
+        val bases: Map[String, Long] =
+          if (returnFids) fidBases else fileList.map(_ -> 0L).toMap
         spark.sparkContext.parallelize(windows, math.max(1, windows.length))
           .flatMap { case (shpPath, wSkip, wTake) =>
             val p = new org.apache.hadoop.fs.Path(shpPath)
@@ -491,8 +513,9 @@ object GeoIO {
             val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
               p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
             val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
-            Shapefile.readFeatures(bytesOf(p), dbf, bbox, srid, wSkip, wTake)
-              .map(toRow)
+            val base = bases(shpPath)
+            Shapefile.readFeaturesWithFids(bytesOf(p), dbf, bbox, srid, wSkip, wTake)
+              .map { case (lfid, g, a) => toRow((base + lfid, g, a)) }
           }
     }
     applyReadOptions(spark.createDataFrame(rows, schema), geometryName,
@@ -600,7 +623,8 @@ object GeoIO {
       geometryName: String = "geometry",
       skipFeatures: Long = 0L,
       maxFeatures: Long = Long.MaxValue,
-      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      returnFids: Boolean = false): DataFrame = {
     // schema comes from the first file's header (all parts share one schema)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -613,28 +637,36 @@ object GeoIO {
       } else Seq(hadoopPath)
     val in = fs.open(files.head)
     val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
+    require(!returnFids || !header.columns.exists(_.name == "fid"),
+      "flatgeobuf: return_fids would collide with a column named 'fid'")
     val schema = StructType(
-      StructField(geometryName, BinaryType, nullable = true) +:
-        header.columns.map(c => StructField(c.name, sparkTypeFor(c.colType))))
+      (if (returnFids) Seq(StructField("fid", LongType, nullable = false))
+       else Seq.empty) ++
+        (StructField(geometryName, BinaryType, nullable = true) +:
+          header.columns.map(c => StructField(c.name, sparkTypeFor(c.colType)))))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fileList = files.map(_.toString)
     val bbx = bbox
     // features of one file surviving the bbox (index-driven when the
     // file has one), skip already applied scan-level when there is no
-    // bbox to respect the filter-before-window order
-    val matched: (String, Long) => Iterator[FlatGeobuf.Feature] = (f, preSkip) => {
+    // bbox to respect the filter-before-window order. Each feature rides
+    // with its IN-FILE ordinal (the OGR fid): sequential position for
+    // scans, the R-tree leaf index for indexed bbox reads.
+    val matched: (String, Long) => Iterator[(Long, FlatGeobuf.Feature)] = (f, preSkip) => {
       val bytes = readWholeFile(conf, f)
       bbx match {
-        case None => FlatGeobuf.read(bytes, preSkip)._2
+        case None => FlatGeobuf.read(bytes, preSkip)._2.zipWithIndex
+          .map { case (ft, i) => (preSkip + i, ft) }
         case Some((x0, y0, x1, y1)) =>
-          FlatGeobuf.searchOffsets(bytes, x0, y0, x1, y1) match {
-            case Some(offsets) => FlatGeobuf.readFeaturesAt(bytes, offsets)
-            case None => FlatGeobuf.read(bytes)._2.filter { ft =>
-              ft.geometry != null && !ft.geometry.isEmpty && {
-                val e = ft.geometry.getEnvelopeInternal
-                !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0)
-              }
+          FlatGeobuf.searchHits(bytes, x0, y0, x1, y1) match {
+            case Some(hits) => hits.iterator.map(_._1)
+              .zip(FlatGeobuf.readFeaturesAt(bytes, hits.map(_._2)))
+            case None => FlatGeobuf.read(bytes)._2.zipWithIndex.collect {
+              case (ft, i) if ft.geometry != null && !ft.geometry.isEmpty && {
+                  val e = ft.geometry.getEnvelopeInternal
+                  !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0)
+                } => (i.toLong, ft)
             }
           }
       }
@@ -680,15 +712,32 @@ object GeoIO {
           if (h != 0L) h else scanned(f)
         })
       }
+    // global-fid base per file (directory reads number features across
+    // filename order): header featuresCount when recorded, size-prefix
+    // hop count otherwise; computed only when fids are requested
+    val fidBases: Map[String, Long] =
+      if (!returnFids || fileList.length == 1) fileList.map(_ -> 0L).toMap
+      else {
+        val counts = fileList.init.map { f =>
+          val hin = fs.open(new org.apache.hadoop.fs.Path(f))
+          val h = try FlatGeobuf.readHeaderFrom(hin) finally hin.close()
+          if (h.featuresCount != 0L) h.featuresCount
+          else FlatGeobuf.recordCount(readWholeFile(conf, f))
+        }
+        fileList.zip(counts.scanLeft(0L)(_ + _)).toMap
+      }
+    val withFid = returnFids
     val rows = spark.sparkContext.parallelize(windows, math.max(1, windows.length))
       .flatMap { case (f, wSkip, wTake) =>
         // without a bbox the skip is scan-level (size prefixes hopped, no
         // flatbuffer decode); with one, the window slices the match set
         val preSkip = if (bbx.isEmpty) wSkip else 0L
         val postSkip = if (bbx.isEmpty) 0L else wSkip
-        sliceIterator(matched(f, preSkip), postSkip, wTake).map { ft =>
+        val base = fidBases(f)
+        sliceIterator(matched(f, preSkip), postSkip, wTake).map { case (lfid, ft) =>
           val geo = if (ft.geometry == null) null else graft.serde.EWKB.write(ft.geometry)
-          org.apache.spark.sql.Row.fromSeq(geo +: ft.properties.toSeq)
+          val lead: Seq[Any] = if (withFid) Seq(base + lfid) else Seq.empty
+          org.apache.spark.sql.Row.fromSeq(lead ++ (geo +: ft.properties.toSeq))
         }
       }
     spark.createDataFrame(rows, schema)
@@ -884,7 +933,8 @@ object GeoIO {
       maxFeatures: Long = Long.MaxValue,
       fids: Option[Seq[Long]] = None,
       where: Option[String] = None,
-      force2D: Boolean = false): DataFrame = {
+      force2D: Boolean = false,
+      returnFids: Boolean = false): DataFrame = {
     require(fids.isEmpty ||
       (bbox.isEmpty && skipFeatures == 0 && maxFeatures == Long.MaxValue),
       "gpkg: fids cannot be combined with bbox/skip_features/max_features")
@@ -932,9 +982,15 @@ object GeoIO {
           s"gpkg: no such attribute column(s): ${missing.mkString(", ")}")
         sel
     }
+    require(!returnFids || !kept.exists(_._1.name == "fid"),
+      "gpkg: return_fids would collide with the layer's own 'fid' column " +
+        "(for a rowid-IPK layer that column already carries the fid — read " +
+        "it directly, or exclude it via columns=)")
     val schema = StructType(
-      (if (readGeometry) Seq(StructField(geometryName, BinaryType, nullable = true))
+      (if (returnFids) Seq(StructField("fid", LongType, nullable = false))
        else Seq.empty) ++
+        (if (readGeometry) Seq(StructField(geometryName, BinaryType, nullable = true))
+         else Seq.empty) ++
         kept.map { case (c, _) => StructField(c.name, gpkgSparkType(c), nullable = true) })
     val keptArr = kept.toArray
     val layerSrid = lay.srid
@@ -977,9 +1033,11 @@ object GeoIO {
         featureWindows(leafList, skipFeatures, maxFeatures)(
           lazyChunkedCounts(leafList, 256)(countMany))
       }
+    val withFid = returnFids
     val buildRow: ((Long, Array[Any])) => org.apache.spark.sql.Row = {
       case (rowid, rec) =>
         val blob = rec(geomOrd).asInstanceOf[Array[Byte]]
+        val fidLead: Seq[Any] = if (withFid) Seq(rowid) else Seq.empty
         val geo: Seq[Any] =
           if (!doGeom) Seq.empty
           else if (blob == null) Seq(null)
@@ -1007,7 +1065,7 @@ object GeoIO {
               s"gpkg: column ${c.name}: cannot map ${v.getClass} to $t")
           }
         }.toSeq
-        org.apache.spark.sql.Row.fromSeq(geo ++ vals)
+        org.apache.spark.sql.Row.fromSeq(fidLead ++ geo ++ vals)
     }
     val rows = fids match {
       case Some(wanted) =>

@@ -265,18 +265,31 @@ object Shapefile {
   def readFeatures(shp: Array[Byte], dbf: Option[Array[Byte]],
       bbox: Option[(Double, Double, Double, Double)] = None,
       srid: Int = 0, skip: Long = 0L,
-      take: Long = Long.MaxValue): Iterator[(Geometry, Array[Any])] = {
+      take: Long = Long.MaxValue): Iterator[(Geometry, Array[Any])] =
+    readFeaturesWithFids(shp, dbf, bbox, srid, skip, take)
+      .map { case (_, g, a) => (g, a) }
+
+  /** [[readFeatures]] carrying each feature's 0-based IN-FILE record
+    * index (its OGR FID): records pruned by the bbox still consume an
+    * index, so the fid matches what a full-scan numbering — or a
+    * [[readFeaturesByFids]] random access — would assign. */
+  def readFeaturesWithFids(shp: Array[Byte], dbf: Option[Array[Byte]],
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      srid: Int = 0, skip: Long = 0L,
+      take: Long = Long.MaxValue): Iterator[(Long, Geometry, Array[Any])] = {
     val scanSkip = if (bbox.isEmpty) skip else 0L
     val (_, geoms) = readShpGeometries(shp, bbox, scanSkip)
     val attrs: Iterator[Array[Any]] = dbf match {
       case Some(d) => readDbf(d, scanSkip)._2
       case None => Iterator.continually(Array.empty[Any])
     }
-    val zipped = geoms.zip(attrs).collect {
-      case (g: Geometry, a) =>
+    // zipWithIndex BEFORE the bbox-skip collect: pruned records consume
+    // an index, keeping fids scan-position-true
+    val zipped = geoms.zip(attrs).zipWithIndex.collect {
+      case ((g: Geometry, a), i) =>
         if (srid != 0) g.setSRID(srid)
-        (g, a)
-      case (null, a) => (null: Geometry, a)
+        (scanSkip + i, g, a)
+      case ((null, a), i) => (scanSkip + i, null: Geometry, a)
     }
     // Long-counting post-filter window (Iterator.drop/take truncate at
     // Int.MaxValue, which would mis-slice a >2^31 window)
@@ -294,7 +307,16 @@ object Shapefile {
     * (pyogrio `fids=` semantics). */
   def readFeaturesByFids(shp: Array[Byte], shx: Array[Byte],
       dbf: Option[Array[Byte]], fids: Seq[Long],
-      srid: Int = 0): Iterator[(Geometry, Array[Any])] = {
+      srid: Int = 0): Iterator[(Geometry, Array[Any])] =
+    readFeaturesByFidsWithIds(shp, shx, dbf, fids, srid)
+      .map { case (_, g, a) => (g, a) }
+
+  /** [[readFeaturesByFids]] carrying the resolved fid per feature (the
+    * requested index that produced the row — unknown indexes are
+    * dropped, so callers needing fid alignment must read it here). */
+  def readFeaturesByFidsWithIds(shp: Array[Byte], shx: Array[Byte],
+      dbf: Option[Array[Byte]], fids: Seq[Long],
+      srid: Int = 0): Iterator[(Long, Geometry, Array[Any])] = {
     val whole = ByteBuffer.wrap(shp) // big-endian for record headers
     val fileLenBytes = math.min(whole.getInt(24) * 2L, shp.length).toInt
     val nRec = recordCountFromShx(shx.length.toLong)
@@ -330,7 +352,7 @@ object Shapefile {
             }
           case None => Array.empty[Any]
         }
-        Some((geom, attrs))
+        Some((i, geom, attrs))
       }
     }
   }
