@@ -16,10 +16,12 @@ import org.locationtech.jts.geom._
   * Supported: geometry types Point/LineString/Polygon/MultiPoint/
   * MultiLineString/MultiPolygon/GeometryCollection (2D + Z), property
   * columns of the scalar/string/binary ColumnTypes, header CRS (EPSG code →
-  * SRID on every read geometry), and skipping a present spatial index.
-  * Written files carry no index (index_node_size=0, features_count as
-  * written) — the Hilbert index is a random-access optimization, not part of
-  * the data model.
+  * SRID on every read geometry), and the packed Hilbert R-tree index on
+  * BOTH sides: [[writeIndexed]] emits spec-layout indexed files
+  * (Hilbert-sorted features, 40-byte LE nodes) and bbox reads are
+  * index-driven (tree search + random-access decode of only the hits);
+  * plain [[write]] emits index_node_size=0 files, and unindexed reads
+  * fall back to a sequential filtered scan.
   */
 object FlatGeobuf {
 

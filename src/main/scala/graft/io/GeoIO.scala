@@ -183,19 +183,26 @@ object GeoIO {
   /** GeoParquet 1.1 `geo` metadata payload from the frame's own stats
     * (geometry types, single SRID enforced, total bounds) — shared by
     * [[writeGeoParquet]] and the bucketed spatial store's stamping. */
-  private[graft] def geoMetadataJson(df: DataFrame, geometryName: String,
-      encoding: String, coveringColumn: Option[String]): String = {
+  /** The geo-stats aggregate columns (types, srids, total bounds) —
+    * usable in a plain `.agg` or folded into a write via `.observe`. */
+  private[graft] def geoStatsAggs(geometryName: String): Seq[Column] = {
     val g = col(geometryName)
-    val stats = df.agg(
+    Seq(
       collect_set(graft.functions.st_geometrytype(g)).as("types"),
       collect_set(graft.functions.st_srid(g)).as("srids"),
       element_at(graft.functions.st_total_bounds(g), 1).as("xmin"),
       element_at(graft.functions.st_total_bounds(g), 2).as("ymin"),
       element_at(graft.functions.st_total_bounds(g), 3).as("xmax"),
-      element_at(graft.functions.st_total_bounds(g), 4).as("ymax")
-    ).collect()(0)
-    val types = stats.getSeq[String](0).sorted
-    val srids = stats.getSeq[Int](1).sorted
+      element_at(graft.functions.st_total_bounds(g), 4).as("ymax"))
+  }
+
+  /** GeoParquet 1.1 `geo` payload from computed [[geoStatsAggs]] values. */
+  private[graft] def geoMetadataJsonFromStats(typesRaw: Seq[String],
+      sridsRaw: Seq[Int], bbox: (Double, Double, Double, Double),
+      geometryName: String, encoding: String,
+      coveringColumn: Option[String]): String = {
+    val types = typesRaw.sorted
+    val srids = sridsRaw.sorted
     require(srids.length <= 1,
       s"write_file: mixed SRIDs are not supported (got ${srids.mkString(", ")})")
     val srid = srids.headOption.getOrElse(0)
@@ -203,9 +210,18 @@ object GeoIO {
       "\"" + w.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
     s"""{"version":"1.1.0","primary_column":"$geometryName","columns":{"$geometryName":{
        |"encoding":"$encoding","geometry_types":[${types.map("\"" + _ + "\"").mkString(",")}],
-       |"bbox":[${stats.getDouble(2)},${stats.getDouble(3)},${stats.getDouble(4)},${stats.getDouble(5)}],
+       |"bbox":[${bbox._1},${bbox._2},${bbox._3},${bbox._4}],
        |"srid":$srid,"crs":$crs,
        |"covering":${coveringColumn.map(c => "{\"bbox\":{\"column\":\"" + c + "\"}}").getOrElse("null")}}}}""".stripMargin
+  }
+
+  private[graft] def geoMetadataJson(df: DataFrame, geometryName: String,
+      encoding: String, coveringColumn: Option[String]): String = {
+    val stats = df.agg(geoStatsAggs(geometryName).head,
+      geoStatsAggs(geometryName).tail: _*).collect()(0)
+    geoMetadataJsonFromStats(stats.getSeq[String](0), stats.getSeq[Int](1),
+      (stats.getDouble(2), stats.getDouble(3), stats.getDouble(4), stats.getDouble(5)),
+      geometryName, encoding, coveringColumn)
   }
 
   /** Read newline-delimited GeoJSON features (one Feature per line):

@@ -515,25 +515,34 @@ object SpatialJoin {
     * Cost model: rows duplicate per covering cell (bounded by
     * cellSize ≈ [[autoCellSize]]'s 4× mean envelope), storage is plain
     * parquet in the session catalog. */
-  /** @param geoMetadata stamp the GeoParquet 1.1 `geo` payload into every
-    *   part footer after the write (one extra stats pass + an
-    *   executor-parallel footer rewrite; file names — and so Spark's
-    *   bucket-id naming — are preserved), making the store discoverable
-    *   by external GeoParquet readers as well as joinable here. */
   /** Table property carrying the store's grid cell size — written by
     * [[writeSpatialBucketed]], read by the auto-planning rule
     * ([[graft.plans.BucketedSpatialJoinRule]]) to recognize two same-grid
     * stores in a plain `df.join(st_intersects(...))`. */
   val CellSizeProp = "graft.spatial.cellSize"
 
+  /** @param geoMetadata stamp the GeoParquet 1.1 `geo` payload into every
+    *   part footer (default ON since r9): the stats FOLD INTO the write
+    *   itself via `Dataset.observe` — the one write-side scan computes
+    *   types/srid/total-bounds as observed metrics, so stamping costs
+    *   only the executor-parallel footer rewrite (file names — and so
+    *   Spark's bucket-id naming — are preserved). Stores are thereby
+    *   externally discoverable by any GeoParquet reader out of the box.
+    *   A store that cannot be stamped (mixed SRIDs) logs a warning and
+    *   skips the footer rather than failing the already-complete write. */
   def writeSpatialBucketed(df: DataFrame, table: String, cellSize: Double,
       buckets: Int = 64, geom: String = "geometry",
-      mode: String = "overwrite", geoMetadata: Boolean = false): Unit = {
+      mode: String = "overwrite", geoMetadata: Boolean = true): Unit = {
     require(!df.columns.contains(CellCol),
       s"writeSpatialBucketed: input already has a $CellCol column")
     val cs = cellSize
     val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs))
-    df.withColumn(CellCol, explode(cellsUdf(col(geom))))
+    val obs = new org.apache.spark.sql.Observation()
+    val source = if (geoMetadata) {
+      val aggs = graft.io.GeoIO.geoStatsAggs(geom)
+      df.observe(obs, aggs.head, aggs.tail: _*)
+    } else df
+    source.withColumn(CellCol, explode(cellsUdf(col(geom))))
       .repartition(buckets, col(CellCol))
       .write.mode(mode)
       .bucketBy(buckets, CellCol).sortBy(CellCol)
@@ -546,10 +555,26 @@ object SpatialJoin {
         s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
     if (geoMetadata) {
       val spark = df.sparkSession
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
-      val json = graft.io.GeoIO.geoMetadataJson(df, geom, "EWKB", None)
-      graft.io.ParquetFooter.addKeyValueMetadata(spark, loc, Map("geo" -> json))
+      try {
+        val m = obs.get
+        def seqOf[T](k: String): Seq[T] =
+          m(k).asInstanceOf[scala.collection.Seq[T]].toSeq
+        def dbl(k: String): Double = m(k) match {
+          case d: java.lang.Number => d.doubleValue()
+          case other => throw new IllegalStateException(s"no $k stat: $other")
+        }
+        val json = graft.io.GeoIO.geoMetadataJsonFromStats(
+          seqOf[String]("types"), seqOf[Int]("srids"),
+          (dbl("xmin"), dbl("ymin"), dbl("xmax"), dbl("ymax")),
+          geom, "EWKB", None)
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+        graft.io.ParquetFooter.addKeyValueMetadata(spark, loc, Map("geo" -> json))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writeSpatialBucketed: store $table written but not geo-stamped: ${e.getMessage}")
+      }
     }
   }
 

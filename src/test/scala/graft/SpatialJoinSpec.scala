@@ -86,8 +86,9 @@ class SpatialJoinSpec extends AnyFunSuite {
     try {
       dropHard("graft_bkt_boxes")
       dropHard("graft_bkt_points")
+      // default args: stamping is ON (stats observed during the write)
       SpatialJoin.writeSpatialBucketed(boxes, "graft_bkt_boxes", cellSize = 8.0,
-        buckets = 8, geoMetadata = true)
+        buckets = 8)
       SpatialJoin.writeSpatialBucketed(points, "graft_bkt_points", cellSize = 8.0,
         buckets = 8)
       val joined = SpatialJoin.sjoinBucketed(spark, "graft_bkt_boxes",
@@ -127,14 +128,20 @@ class SpatialJoinSpec extends AnyFunSuite {
       assert(sel.isDefined, s"no bucket pruning in scan:\n$scanStr")
       assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
         s"bbox read touched every bucket: ${sel.get.matched}")
-      // the geo-stamped store is GeoParquet-discoverable (footer payload
-      // survives the bucket-named files) and still joins/prunes above
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("graft_bkt_boxes"))
-        .location.toString
-      val geo = graft.io.ParquetFooter.readKeyValueMetadata(spark, loc, "geo")
-      assert(geo.isDefined && geo.get.contains("\"primary_column\":\"geometry\""),
-        s"geo footer missing: $geo")
+      // DEFAULT-ON stamping (r9): both stores — written with default
+      // args — are GeoParquet-discoverable (footer payload survives the
+      // bucket-named files) and still join/prune above; readGeoParquet
+      // reads the store back as an ordinary GeoParquet dataset
+      Seq("graft_bkt_boxes", "graft_bkt_points").foreach { t =>
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString
+        val geo = graft.io.ParquetFooter.readKeyValueMetadata(spark, loc, "geo")
+        assert(geo.isDefined && geo.get.contains("\"primary_column\":\"geometry\""),
+          s"geo footer missing on $t: $geo")
+        val back = graft.io.GeoIO.readGeoParquet(spark, loc)
+        assert(back.columns.contains("geometry") &&
+          back.columns.contains(SpatialJoin.CellCol))
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       dropHard("graft_bkt_boxes")
