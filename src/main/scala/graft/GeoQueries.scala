@@ -930,7 +930,31 @@ object GeoQueries {
         // Austria Gauss-Krüger (MGI Bessel + 7-param shift → 1e-7)
         rtOk(lit(12.25) + (k % 9).cast("double") / 4.0,
           lit(46.5) + (k % 9).cast("double") / 4.0, 31285, 1e-7)
-          .as("atm31_rt_ok")
+          .as("atm31_rt_ok"),
+        // round-9 tranche: Poland CS2000 zone 6 + Greek Grid (3-param
+        // shift → 1e-7) + Korea Central Belt 2010 + Italy Gauss-Boaga
+        // (7-param shift → 1e-7) + the EASE-Grid 2.0 equal-area trio
+        rtOk(lit(16.75) + (k % 12).cast("double") / 4.0,
+          lit(49.25) + (k % 22).cast("double") / 4.0, 2177, 1e-8)
+          .as("pl2000_rt_ok"),
+        rtOk(lit(20.25) + (k % 26).cast("double") / 4.0,
+          lit(35.25) + (k % 26).cast("double") / 4.0, 2100, 1e-7)
+          .as("greek_rt_ok"),
+        rtOk(lit(126.25) + (k % 8).cast("double") / 4.0,
+          lit(33.25) + (k % 22).cast("double") / 4.0, 5186, 1e-8)
+          .as("korea_c_rt_ok"),
+        rtOk(lit(7.25) + (k % 14).cast("double") / 4.0,
+          lit(37.25) + (k % 36).cast("double") / 4.0, 3003, 1e-7)
+          .as("gaussboaga_rt_ok"),
+        rtOk((k % 120).cast("double") - 60.0,
+          lit(45.25) + (k % 120).cast("double") / 4.0, 6931, 1e-8)
+          .as("ease_n_rt_ok"),
+        rtOk((k % 120).cast("double") - 60.0,
+          -(lit(45.25) + (k % 120).cast("double") / 4.0), 6932, 1e-8)
+          .as("ease_s_rt_ok"),
+        rtOk((k % 500).cast("double") / 2.0 - 125.0,
+          (k % 300).cast("double") / 4.0 - 37.5, 6933, 1e-8)
+          .as("ease_g_rt_ok")
       ).orderBy(k)
     }),
 
@@ -1143,7 +1167,11 @@ object GeoQueries {
       val bb = graft.io.GeoIO.readShapefile(s, shp,
           bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
         .agg(count(lit(1)).as("bb_n"))
-      one.crossJoin(bb).orderBy(col("k"))
+      // r9: the read_file dispatcher's sql= path (register-view + Spark
+      // SQL over the extension-dispatched read)
+      val sqlAgg = graft.io.GeoIO.readFile(s, shp,
+          sql = Some("SELECT count(*) AS rf_n, sum(k) AS rf_sum_k FROM t WHERE k % 2 = 0"))
+      one.crossJoin(bb).crossJoin(sqlAgg).orderBy(col("k"))
     }),
 
     // GeoPackage round trip (pure-JVM SQLite codec): geometry + attribute
@@ -1501,7 +1529,10 @@ object GeoQueries {
          | TRUE AS ntm10_rt_ok, TRUE AS est97_rt_ok, TRUE AS lks92_rt_ok,
          | TRUE AS lks94_rt_ok, TRUE AS dktm2_rt_ok,
          | TRUE AS gk7_rt_ok, TRUE AS gk11_rt_ok,
-         | TRUE AS mtm7_rt_ok, TRUE AS mtm10_rt_ok, TRUE AS atm31_rt_ok
+         | TRUE AS mtm7_rt_ok, TRUE AS mtm10_rt_ok, TRUE AS atm31_rt_ok,
+         | TRUE AS pl2000_rt_ok, TRUE AS greek_rt_ok, TRUE AS korea_c_rt_ok,
+         | TRUE AS gaussboaga_rt_ok, TRUE AS ease_n_rt_ok,
+         | TRUE AS ease_s_rt_ok, TRUE AS ease_g_rt_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,
@@ -1575,7 +1606,9 @@ object GeoQueries {
       s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS shp_area,
          | 4326 AS shp_srid,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
-         |   AS bb_n
+         |   AS bb_n,
+         | (SELECT count(*) FROM b WHERE k % 2 = 0) AS rf_n,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 2 = 0) AS rf_sum_k
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_gpkg" ->
       s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS gpkg_area,

@@ -460,22 +460,49 @@ object EpsgDb {
     private val q0 = qOf(lat0)
     private val beta0 = math.asin(q0 / qp)
     private val rq = ell.a * math.sqrt(qp / 2)
-    private val d = ell.a * (math.cos(lat0) /
+    // polar aspect (lat0 = ±90): the oblique D constant degenerates to
+    // 0/0 there — Snyder's separate polar forms (24-23..25) apply
+    private val polar = math.abs(lat0Deg) >= 90.0 - 1e-9
+    private val north = lat0Deg > 0
+    private val d = if (polar) Double.NaN else ell.a * (math.cos(lat0) /
       math.sqrt(1 - ell.e2 * math.pow(math.sin(lat0), 2))) / (rq * math.cos(beta0))
+
+    private def betaToPhi(betaP: Double): Double = {
+      val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+      betaP + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
+        (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
+        (761 * e6 / 45360) * math.sin(6 * betaP)
+    }
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
       val lam = math.toRadians(lonDeg)
-      val beta = math.asin(qOf(phi) / qp)
-      val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
-        math.cos(beta0) * math.cos(beta) * math.cos(lam - lon0)))
-      (fe + b * d * math.cos(beta) * math.sin(lam - lon0),
-        fn + (b / d) * (math.cos(beta0) * math.sin(beta) -
-          math.sin(beta0) * math.cos(beta) * math.cos(lam - lon0)))
+      if (polar) {
+        val q = qOf(phi)
+        val rho = ell.a * math.sqrt(math.max(0.0, if (north) qp - q else qp + q))
+        if (north) (fe + rho * math.sin(lam - lon0), fn - rho * math.cos(lam - lon0))
+        else (fe + rho * math.sin(lam - lon0), fn + rho * math.cos(lam - lon0))
+      } else {
+        val beta = math.asin(qOf(phi) / qp)
+        val b = rq * math.sqrt(2 / (1 + math.sin(beta0) * math.sin(beta) +
+          math.cos(beta0) * math.cos(beta) * math.cos(lam - lon0)))
+        (fe + b * d * math.cos(beta) * math.sin(lam - lon0),
+          fn + (b / d) * (math.cos(beta0) * math.sin(beta) -
+            math.sin(beta0) * math.cos(beta) * math.cos(lam - lon0)))
+      }
     }
 
     def inverse(x0: Double, y0: Double): (Double, Double) = {
       val x = x0 - fe; val y = y0 - fn
+      if (polar) {
+        val rho = math.hypot(x, y)
+        if (rho < 1e-12) return (lon0Deg, lat0Deg)
+        val r = rho / ell.a
+        val q = if (north) qp - r * r else r * r - qp
+        val betaP = math.asin(math.max(-1.0, math.min(1.0, q / qp)))
+        val lam = if (north) lon0 + math.atan2(x, -y) else lon0 + math.atan2(x, y)
+        return (math.toDegrees(lam), math.toDegrees(betaToPhi(betaP)))
+      }
       val rho = math.sqrt(math.pow(x / d, 2) + math.pow(d * y, 2))
       if (rho < 1e-12) return (lon0Deg, lat0Deg)
       val ce = 2 * math.asin(rho / (2 * rq))
@@ -483,11 +510,50 @@ object EpsgDb {
         (d * y * math.sin(ce) * math.cos(beta0)) / rho)
       val lam = lon0 + math.atan2(x * math.sin(ce),
         d * rho * math.cos(beta0) * math.cos(ce) - d * d * y * math.sin(beta0) * math.sin(ce))
+      (math.toDegrees(lam), math.toDegrees(betaToPhi(betaP)))
+    }
+  }
+
+  /** Normal-aspect cylindrical equal-area, ellipsoidal form (Snyder §10,
+    * EPSG method 9835 "Lambert Cylindrical Equal Area"): x scales by
+    * k0 = cos φts / √(1 − e² sin² φts), y is the authalic ordinate
+    * a·q/(2k0). NSIDC EASE-Grid 2.0 Global (EPSG:6933) is this with
+    * φts = 30°. Inverse latitude via the authalic β series. */
+  final case class Cea(ell: Ellipsoid, latTsDeg: Double, lon0Deg: Double,
+      fe: Double, fn: Double) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private val ts = math.toRadians(latTsDeg)
+    private def qOf(phi: Double): Double = {
+      val esin = ell.e * math.sin(phi)
+      (1 - ell.e2) * (math.sin(phi) / (1 - esin * esin) -
+        (1 / (2 * ell.e)) * math.log((1 - esin) / (1 + esin)))
+    }
+    private val qp = qOf(math.Pi / 2)
+    private val k0 = math.cos(ts) / math.sqrt(1 - ell.e2 * math.sin(ts) * math.sin(ts))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      var dlam = math.toRadians(lonDeg) - lon0
+      while (dlam > math.Pi) dlam -= 2 * math.Pi
+      while (dlam <= -math.Pi) dlam += 2 * math.Pi
+      (fe + ell.a * k0 * dlam, fn + ell.a * qOf(phi) / (2 * k0))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val q = (y - fn) * 2 * k0 / ell.a
+      val betaP = math.asin(math.max(-1.0, math.min(1.0, q / qp)))
       val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
-      val phi = betaP + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
+      var phi = betaP + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
         (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
         (761 * e6 / 45360) * math.sin(6 * betaP)
-      (math.toDegrees(lam), math.toDegrees(phi))
+      // the β series truncates at ~1e-8° — one Newton step on q(φ)
+      // (Snyder 3-16; quadratic from the series seed) lands ≤1e-12°
+      if (math.abs(phi) < math.Pi / 2 - 1e-9) {
+        val sinp = math.sin(phi)
+        val den = 1 - e2 * sinp * sinp
+        phi += den * den / (2 * math.cos(phi) * (1 - e2)) * (q - qOf(phi))
+      }
+      (math.toDegrees(lon0 + (x - fe) / (ell.a * k0)), math.toDegrees(phi))
     }
   }
 
@@ -816,6 +882,11 @@ object EpsgDb {
   // coincident with WGS84 at our tolerance), position vector
   private val Nzgd49 = Helmert(59.47, -5.04, 187.44, 0.47, -0.10, 1.024, -4.5993)
   private val Pulkovo42 = Helmert(28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
+  // EPSG tfm "GGRS87 to WGS 84 (1)": pure geocentric translation
+  private val Ggrs87 = Helmert(-199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0)
+  // EPSG tfm "Monte Mario to WGS 84 (4)" (IGM95, peninsular Italy),
+  // position vector
+  private val MonteMario = Helmert(-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -1120,6 +1191,53 @@ object EpsgDb {
     add(4150, (Geographic(Bessel1841), Some(Ch1903), "CH1903+"))
     add(4149, (Geographic(Bessel1841), Some(Ch1903), "CH1903"))
 
+    // ---- r9 tranche: most-used remaining national grids + EASE grids ----
+    // Poland: ETRF2000-PL / CS2000 zones 5-8 (3° Gauss-Krüger strips,
+    // k0 = 0.999923, zone-number-prefixed false eastings)
+    for ((code, cm, fe) <- Seq((2176, 15.0, 5500000.0), (2177, 18.0, 6500000.0),
+        (2178, 21.0, 7500000.0), (2179, 24.0, 8500000.0)))
+      add(code, noShift(TMerc(GRS80, 0, cm, 0.999923, fe, 0),
+        s"ETRF2000-PL / CS2000/${cm.toInt}"))
+    // Greece: GGRS87 / Greek Grid (TM87) + the geographic CRS
+    add(2100, (TMerc(GRS80, 0, 24, 0.9996, 500000, 0), Some(Ggrs87),
+      "GGRS87 / Greek Grid"))
+    add(4121, (Geographic(GRS80), Some(Ggrs87), "GGRS87"))
+    // Korea 2000 belts (2010 definitions: lat0 38°N, k0 = 1, FN 600 km)
+    for ((code, cm, belt) <- Seq((5185, 125.0, "West"), (5186, 127.0, "Central"),
+        (5187, 129.0, "East"), (5188, 131.0, "East Sea")))
+      add(code, noShift(TMerc(GRS80, 38, cm, 1.0, 200000, 600000),
+        s"Korea 2000 / $belt Belt 2010"))
+    // Croatia: HTRS96 / Croatia TM
+    add(3765, noShift(TMerc(GRS80, 0, 16.5, 0.9999, 500000, 0),
+      "HTRS96 / Croatia TM"))
+    // Italy: Monte Mario / Gauss-Boaga west + east zones
+    add(3003, (TMerc(Intl1924, 0, 9, 0.9996, 1500000, 0), Some(MonteMario),
+      "Monte Mario / Italy zone 1"))
+    add(3004, (TMerc(Intl1924, 0, 15, 0.9996, 2520000, 0), Some(MonteMario),
+      "Monte Mario / Italy zone 2"))
+    add(4265, (Geographic(Intl1924), Some(MonteMario), "Monte Mario"))
+    // Australia: the national-analysis Lamberts (GDA94 + GDA2020)
+    add(3112, noShift(Lcc2SP(GRS80, -18, -36, 0, 134, 0, 0),
+      "GDA94 / Geoscience Australia Lambert"))
+    add(7845, noShift(Lcc2SP(GRS80, -18, -36, 0, 134, 0, 0),
+      "GDA2020 / GA LCC"))
+    // Germany/EU INSPIRE zone-prefixed ETRS89 UTM (zE-N: 32.5M/33.5M FE)
+    add(4647, noShift(TMerc(GRS80, 0, 9, 0.9996, 32500000, 0),
+      "ETRS89 / UTM zone 32N (zE-N)"))
+    add(5650, noShift(TMerc(GRS80, 0, 15, 0.9996, 33500000, 0),
+      "ETRS89 / UTM zone 33N (zE-N)"))
+    // NSIDC EASE-Grid 2.0: polar LAEA pair + the global cylindrical
+    // equal-area (the remote-sensing tiling grids)
+    add(6931, noShift(Laea(WGS84, 90, 0, 0, 0),
+      "WGS 84 / NSIDC EASE-Grid 2.0 North"))
+    add(6932, noShift(Laea(WGS84, -90, 0, 0, 0),
+      "WGS 84 / NSIDC EASE-Grid 2.0 South"))
+    add(6933, noShift(Cea(WGS84, 30, 0, 0, 0),
+      "WGS 84 / NSIDC EASE-Grid 2.0 Global"))
+    // Singapore SVY21 (WGS84-coincident datum)
+    add(3414, noShift(TMerc(WGS84, 1.366666666666667, 103.8333333333333, 1.0,
+      28001.642, 38744.572), "SVY21 / Singapore TM"))
+
     b.result()
   }
 
@@ -1158,6 +1276,8 @@ object EpsgDb {
     "nouvelletriangulationfrancaiseparis" -> Some(Ntf),
     "sjtsk" -> Some(Sjtsk), "jtsk" -> Some(Sjtsk),
     "systemjednotnetrigonometrickesitekatastralni" -> Some(Sjtsk),
+    "greekgeodeticreferencesystem1987" -> Some(Ggrs87), "ggrs87" -> Some(Ggrs87),
+    "montemario" -> Some(MonteMario),
     "hungarian1972" -> Some(Hd72), "hungariandatum1972" -> Some(Hd72),
     "hd1972" -> Some(Hd72),
     "mgi" -> Some(Mgi), "militargeographischesinstitut" -> Some(Mgi),

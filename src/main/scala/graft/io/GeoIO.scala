@@ -543,6 +543,150 @@ object GeoIO {
     * the same whole-stage plan as any user-side `.filter`/`.select` —
     * which is why only IO-shaping options (bbox, columns, skip/max,
     * fids) live inside the codecs. */
+  /** One-call reader mirroring the reference's `read_file`
+    * (`/root/reference/polars_st/input.py:30-153`): dispatches on the
+    * file extension to the format codecs, forwarding each option to the
+    * format's native pushdown where one exists and falling back to the
+    * equivalent Catalyst transform where the combination stays
+    * order-correct (a post-read bbox filter cannot be combined with a
+    * positional window, because pyogrio's order is filter-THEN-window —
+    * such combos raise rather than silently reorder).
+    *
+    * `sql` runs a SPARK SQL statement over the read frame, registered as
+    * a temp view named after the layer (or the file's basename) — the
+    * reference forwards `sql` to OGR's SQL engine; here the engine is
+    * Spark SQL, so `sqlDialect` accepts only "spark" (OGRSQL/SQLITE
+    * grammars are not emulated — documented divergence). Filters and
+    * projections inside the statement optimize like any Spark query
+    * (scan pruning through the session's usual rules). */
+  def readFile(spark: SparkSession, path: String,
+      geometryName: String = "geometry",
+      layer: Option[String] = None,
+      columns: Option[Seq[String]] = None,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      readGeometry: Boolean = true,
+      skipFeatures: Long = 0L,
+      maxFeatures: Long = Long.MaxValue,
+      fids: Option[Seq[Long]] = None,
+      where: Option[String] = None,
+      force2D: Boolean = false,
+      returnFids: Boolean = false,
+      sql: Option[String] = None,
+      sqlDialect: Option[String] = None): DataFrame = {
+    require(sqlDialect.forall(_.equalsIgnoreCase("spark")),
+      s"read_file: sql runs on Spark SQL; dialect ${sqlDialect.get} " +
+        "(OGRSQL/SQLITE) is not emulated")
+    require(sql.isDefined || sqlDialect.isEmpty, "read_file: sqlDialect without sql")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ext: String = {
+      def extOf(n: String): String = {
+        val i = n.lastIndexOf('.')
+        if (i < 0) "" else n.substring(i + 1).toLowerCase
+      }
+      val direct = extOf(hp.getName)
+      if (direct.nonEmpty) direct // name decides; existence checked by the codec
+      else {
+        val inner = fs.listStatus(hp).iterator.map(_.getPath.getName)
+          .map(extOf).find(_.nonEmpty)
+        inner.getOrElse(direct)
+      }
+    }
+    val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
+    def unsupported(what: String): Nothing =
+      throw new IllegalArgumentException(s"read_file: $what is not supported for .$ext")
+    def noFids(): Unit = { if (fids.isDefined) unsupported("fids"); if (returnFids) unsupported("return_fids") }
+    // post-read fallbacks for formats without the native pushdown
+    def genericBbox(df: DataFrame): DataFrame = bbox match {
+      case None => df
+      case Some((x0, y0, x1, y1)) =>
+        require(!windowed, s"read_file: bbox+skip/max on .$ext would window " +
+          "before filtering (pyogrio filters first) — filter yourself or drop the window")
+        df.filter(graft.functions.st_intersects(
+          graft.functions.st_envelope(col(geometryName)),
+          graft.functions.st_rectangle(lit(x0), lit(y0), lit(x1), lit(y1))))
+    }
+    def genericColumns(df: DataFrame): DataFrame = columns match {
+      case None => df
+      case Some(want) =>
+        val keep = (if (df.columns.contains(geometryName) && readGeometry)
+          Seq(geometryName) else Seq.empty) ++ want
+        df.select(keep.map(col): _*)
+    }
+    def genericNoGeom(df: DataFrame): DataFrame =
+      if (readGeometry || !df.columns.contains(geometryName)) df
+      else df.drop(geometryName)
+    val base: DataFrame = ext match {
+      case "shp" =>
+        readShapefile(spark, path, geometryName, columns, bbox, readGeometry,
+          skipFeatures, maxFeatures, fids, where, force2D, returnFids)
+      case "gpkg" =>
+        readGeoPackage(spark, path, layer, geometryName, columns, bbox,
+          readGeometry, skipFeatures, maxFeatures, fids, where, force2D, returnFids)
+      case "fgb" =>
+        if (fids.isDefined) unsupported("fids")
+        val df = readFlatGeobuf(spark, path, geometryName, skipFeatures,
+          maxFeatures, bbox, returnFids)
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "parquet" =>
+        noFids()
+        if (windowed) unsupported("skip_features/max_features")
+        val df = readGeoParquet(spark, path, geometryName, bbox)
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "geojson" | "json" =>
+        noFids()
+        val df = genericBbox(readGeoJson(spark, path, geometryName, skipFeatures, maxFeatures))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "ndjson" | "ndgeojson" | "jsonl" =>
+        noFids()
+        if (windowed) unsupported("skip_features/max_features")
+        val df = genericBbox(readNdGeoJson(spark, path, geometryName))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "csv" =>
+        noFids()
+        if (windowed) unsupported("skip_features/max_features")
+        val df = genericBbox(readWktCsv(spark, path, geometryName))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "kml" =>
+        noFids()
+        val df = genericBbox(readKml(spark, path, geometryName, skipFeatures, maxFeatures))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "gml" =>
+        noFids()
+        val df = genericBbox(readGml(spark, path, geometryName, skipFeatures, maxFeatures))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "gpx" =>
+        noFids()
+        val df = genericBbox(readGpx(spark, path, layer.getOrElse("waypoints"),
+          geometryName, skipFeatures, maxFeatures))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "dxf" =>
+        noFids()
+        val df = genericBbox(readDxf(spark, path, geometryName, skipFeatures, maxFeatures))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case "mif" =>
+        noFids()
+        val df = genericBbox(readMif(spark, path, geometryName, skipFeatures, maxFeatures))
+        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+      case other =>
+        throw new IllegalArgumentException(
+          s"read_file: unrecognized extension .$other (supported: shp, gpkg, fgb, " +
+            "parquet, geojson/json, ndjson, csv, kml, gml, gpx, dxf, mif)")
+    }
+    sql match {
+      case None => base
+      case Some(stmt) =>
+        // view named like OGR's layer: the explicit layer, else basename
+        val baseName = hp.getName
+        val dotted = baseName.lastIndexOf('.')
+        val stem = if (dotted > 0) baseName.substring(0, dotted) else baseName
+        val view = layer.getOrElse(stem).replaceAll("[^A-Za-z0-9_]", "_")
+        base.createOrReplaceTempView(view)
+        try spark.sql(stmt) // analyzed now — the plan owns the resolved subtree
+        finally spark.catalog.dropTempView(view)
+    }
+  }
+
   private def applyReadOptions(df: DataFrame, geometryName: String,
       where: Option[String], force2D: Boolean): DataFrame = {
     val filtered = where.map(df.filter).getOrElse(df)

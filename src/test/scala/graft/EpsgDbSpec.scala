@@ -34,7 +34,11 @@ class EpsgDbSpec extends AnyFunSuite {
     case EpsgDb.PolarStereo(_, north, lon0, _, _, _, _) =>
       (lon0 + 30.0, if (north) 75.0 else -75.0)
     case EpsgDb.Mercator1SP(_, lon0, _, _, _) => (lon0 + 10.0, 10.0)
-    case EpsgDb.Laea(_, lat0, lon0, _, _) => (lon0 + 5.0, lat0 + 3.0)
+    case EpsgDb.Laea(_, lat0, lon0, _, _) =>
+      if (lat0 >= 89.0) (lon0 + 35.0, 72.0)          // polar north aspect
+      else if (lat0 <= -89.0) (lon0 + 35.0, -72.0)   // polar south aspect
+      else (lon0 + 5.0, lat0 + 3.0)
+    case EpsgDb.Cea(_, _, lon0, _, _) => (lon0 + 40.0, 23.0)
     case EpsgDb.ObliqueStereo(_, lat0, lon0, _, _, _) => (lon0 + 1.0, lat0 + 0.75)
     case EpsgDb.SwissOblique(_, lat0, lon0, _, _, _) => (lon0 + 1.5, lat0 + 0.5)
     case EpsgDb.Krovak(_, _, _, _, _, _) => (15.5, 49.75) // Czech interior
@@ -96,6 +100,30 @@ class EpsgDbSpec extends AnyFunSuite {
     val kv = EpsgDb.table(5514).proj.forward(kLon, kLat)
     assert(math.abs(kv._1 - (-568991.00)) < 2e-2, kv.toString)
     assert(math.abs(kv._2 - (-1050538.63)) < 2e-2, kv.toString)
+    // r9 tranche: natural-origin anchors
+    // Poland CS2000 zone 6 (cm 18°E): origin → (6500000, 0)
+    val pl6 = EpsgDb.table(2177).proj.forward(18.0, 0.0)
+    assert(math.abs(pl6._1 - 6500000.0) < 1e-6 && math.abs(pl6._2) < 1e-6, pl6.toString)
+    // Greek Grid: origin (24E, 0) → (500000, 0), projection math only
+    val gr = EpsgDb.table(2100).proj.forward(24.0, 0.0)
+    assert(math.abs(gr._1 - 500000.0) < 1e-6 && math.abs(gr._2) < 1e-6, gr.toString)
+    // Korea Central Belt 2010: (127E, 38N) → (200000, 600000)
+    val kc = EpsgDb.table(5186).proj.forward(127.0, 38.0)
+    assert(math.abs(kc._1 - 200000.0) < 1e-6 && math.abs(kc._2 - 600000.0) < 1e-6, kc.toString)
+    // Gauss-Boaga west: (9E, 0) → (1500000, 0)
+    val gb = EpsgDb.table(3003).proj.forward(9.0, 0.0)
+    assert(math.abs(gb._1 - 1500000.0) < 1e-6 && math.abs(gb._2) < 1e-6, gb.toString)
+    // GA Lambert: (134E, 0) → (0, 0)
+    val ga = EpsgDb.table(3112).proj.forward(134.0, 0.0)
+    assert(math.abs(ga._1) < 1e-6 && math.abs(ga._2) < 1e-6, ga.toString)
+    // EASE-Grid 2.0 Global: the published map half-width at the equator
+    // line (x at ±180° = a·k0·π = 17 367 530.45 m, NSIDC grid constant)
+    val easeX = EpsgDb.table(6933).proj.forward(180.0, 0.0)._1
+    assert(math.abs(easeX - 17367530.45) < 1.0, easeX.toString)
+    // EASE-Grid 2.0 North: pole → (0, 0); y is negative due south
+    val easeP = EpsgDb.table(6931).proj.forward(37.0, 90.0)
+    assert(math.abs(easeP._1) < 1e-6 && math.abs(easeP._2) < 1e-6, easeP.toString)
+
     // US state planes: natural/false origin anchors, metres and the exact
     // published US-survey-foot values (ftUS = 1200/3937 m)
     val txm = EpsgDb.table(32139).proj.forward(-(100.0 + 20.0 / 60), 29.0 + 40.0 / 60)
@@ -155,6 +183,41 @@ class EpsgDbSpec extends AnyFunSuite {
     val (lo, la) = EpsgDb.fromWgs84(-0.125, 51.5, 4277)
     assert(math.abs(lo + 0.125) > 1e-4 && math.abs(lo + 0.125) < 5e-3)
     assert(math.abs(la - 51.5) > 1e-5 && math.abs(la - 51.5) < 5e-3)
+  }
+
+  test("EASE-Grid 2.0 trio: projected patch areas match the ellipsoidal element") {
+    // the defining property of an equal-area CRS: the map area of a small
+    // dλ×dφ quad equals the ellipsoidal patch area
+    // a²(1−e²)cosφ/(1−e²sin²φ)² dλdφ — checked at several latitudes for
+    // the cylindrical global grid and both polar LAEA aspects. A wrong k0,
+    // series, or polar branch shows up as a systematic ratio offset.
+    val a = 6378137.0; val e2 = 0.00669437999014132
+    def ellArea(lonDeg: Double, latDeg: Double, d: Double): Double = {
+      val phi = math.toRadians(latDeg + d / 2)
+      val dl = math.toRadians(d)
+      a * a * (1 - e2) * math.cos(phi) /
+        math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 2) * dl * dl
+    }
+    def mapArea(code: Int, lonDeg: Double, latDeg: Double, d: Double): Double = {
+      val p = graft.functions.EpsgDb.table(code).proj
+      val corners = Seq((lonDeg, latDeg), (lonDeg + d, latDeg),
+        (lonDeg + d, latDeg + d), (lonDeg, latDeg + d)).map((p.forward _).tupled)
+      math.abs(corners.indices.map { i =>
+        val (x1, y1) = corners(i); val (x2, y2) = corners((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum / 2)
+    }
+    val d = 0.05
+    for (lat <- Seq(-60.0, -30.0, 0.0, 25.0, 55.0); lon <- Seq(-120.0, 0.0, 95.0)) {
+      val r = mapArea(6933, lon, lat, d) / ellArea(lon, lat, d)
+      assert(math.abs(r - 1.0) < 1e-5, s"CEA area ratio at ($lon,$lat): $r")
+    }
+    for (lat <- Seq(45.0, 65.0, 84.0); lon <- Seq(-120.0, 0.0, 95.0)) {
+      val rn = mapArea(6931, lon, lat, d) / ellArea(lon, lat, d)
+      assert(math.abs(rn - 1.0) < 1e-5, s"LAEA-N area ratio at ($lon,$lat): $rn")
+      val rs = mapArea(6932, lon, -lat - d, d) / ellArea(lon, -lat - d, d)
+      assert(math.abs(rs - 1.0) < 1e-5, s"LAEA-S area ratio at ($lon,${-lat}): $rs")
+    }
   }
 
   test("NZMG: origin anchor, round trips, conformal scale invariants") {

@@ -263,6 +263,50 @@ class SkipFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("read_file dispatcher: extension routing, options, and the sql= path") {
+    // VERDICT r8 #7: the reference's one-call read_file (input.py:30-153)
+    // — extension dispatch, native pushdown where the codec has one,
+    // order-correct Catalyst fallbacks elsewhere, and sql= as
+    // register-view + Spark SQL (OGR dialects documented out).
+    val d = tmpDir("graft_readfile")
+    val df = pts(1, 30).withColumnRenamed("fid", "pid")
+    graft.io.GeoIO.writeShapefile(df, s"$d/boxes.shp")
+    // native pushdown route (shapefile window)
+    val w = graft.io.GeoIO.readFile(spark, s"$d/boxes.shp",
+      skipFeatures = 5, maxFeatures = 3)
+    assert(w.select(col("pid")).collect().map(_.getLong(0)).sorted.toSeq === (6L to 8L))
+    // sql= over the basename view
+    val agg = graft.io.GeoIO.readFile(spark, s"$d/boxes.shp",
+      sql = Some("SELECT count(*) AS n, sum(pid) AS s FROM boxes WHERE pid <= 10"))
+    val row = agg.collect()(0)
+    assert((row.getLong(0), row.getLong(1)) === (10L, 55L))
+    // sql composes with reader options (columns pushdown feeds the view)
+    val agg2 = graft.io.GeoIO.readFile(spark, s"$d/boxes.shp",
+      columns = Some(Seq("pid")), readGeometry = false,
+      sql = Some("SELECT max(pid) AS m FROM boxes"))
+    assert(agg2.collect()(0).getLong(0) === 30L)
+    // OGR dialects are not emulated
+    assertThrows[IllegalArgumentException] {
+      graft.io.GeoIO.readFile(spark, s"$d/boxes.shp",
+        sql = Some("SELECT 1"), sqlDialect = Some("OGRSQL"))
+    }
+    // generic-bbox formats reject bbox+window (would reorder filter/window)
+    graft.io.GeoIO.writeKml(df.select(col("pid").cast("string").as("name"),
+      col("geometry")), s"$d/t.kml")
+    assertThrows[IllegalArgumentException] {
+      graft.io.GeoIO.readFile(spark, s"$d/t.kml",
+        bbox = Some((0.0, 0.0, 10.0, 10.0)), skipFeatures = 2)
+    }
+    // but bare generic bbox works (post-read envelope filter)
+    val kb = graft.io.GeoIO.readFile(spark, s"$d/t.kml",
+      bbox = Some((10.0, 10.0, 20.0, 20.0)))
+    assert(kb.count() === 11)
+    // unknown extension → clear error
+    assertThrows[IllegalArgumentException] {
+      graft.io.GeoIO.readFile(spark, s"$d/boxes.tab")
+    }
+  }
+
   test("geojson: declarative posexplode window across files") {
     val d = tmpDir("graft_skip_gj")
     def fc(from: Int, to: Int): String =
