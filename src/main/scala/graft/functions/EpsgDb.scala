@@ -447,15 +447,26 @@ object EpsgDb {
   }
 
   /** Oblique-aspect Lambert Azimuthal Equal-Area (Snyder §24). */
+  /** Authalic q(φ) (Snyder 3-12) — shared by the equal-area projections. */
+  private def authalicQ(ell: Ellipsoid, phi: Double): Double = {
+    val esin = ell.e * math.sin(phi)
+    (1 - ell.e2) * (math.sin(phi) / (1 - esin * esin) -
+      (1 / (2 * ell.e)) * math.log((1 - esin) / (1 + esin)))
+  }
+
+  /** Authalic β → geodetic φ series (Snyder 3-18). */
+  private def authalicBetaToPhi(ell: Ellipsoid, betaP: Double): Double = {
+    val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
+    betaP + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
+      (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
+      (761 * e6 / 45360) * math.sin(6 * betaP)
+  }
+
   final case class Laea(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
       fe: Double, fn: Double) extends Projection {
     private val lat0 = math.toRadians(lat0Deg)
     private val lon0 = math.toRadians(lon0Deg)
-    private def qOf(phi: Double): Double = {
-      val esin = ell.e * math.sin(phi)
-      (1 - ell.e2) * (math.sin(phi) / (1 - esin * esin) -
-        (1 / (2 * ell.e)) * math.log((1 - esin) / (1 + esin)))
-    }
+    private def qOf(phi: Double): Double = authalicQ(ell, phi)
     private val qp = qOf(math.Pi / 2)
     private val q0 = qOf(lat0)
     private val beta0 = math.asin(q0 / qp)
@@ -467,12 +478,7 @@ object EpsgDb {
     private val d = if (polar) Double.NaN else ell.a * (math.cos(lat0) /
       math.sqrt(1 - ell.e2 * math.pow(math.sin(lat0), 2))) / (rq * math.cos(beta0))
 
-    private def betaToPhi(betaP: Double): Double = {
-      val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
-      betaP + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
-        (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
-        (761 * e6 / 45360) * math.sin(6 * betaP)
-    }
+    private def betaToPhi(betaP: Double): Double = authalicBetaToPhi(ell, betaP)
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
@@ -523,11 +529,7 @@ object EpsgDb {
       fe: Double, fn: Double) extends Projection {
     private val lon0 = math.toRadians(lon0Deg)
     private val ts = math.toRadians(latTsDeg)
-    private def qOf(phi: Double): Double = {
-      val esin = ell.e * math.sin(phi)
-      (1 - ell.e2) * (math.sin(phi) / (1 - esin * esin) -
-        (1 / (2 * ell.e)) * math.log((1 - esin) / (1 + esin)))
-    }
+    private def qOf(phi: Double): Double = authalicQ(ell, phi)
     private val qp = qOf(math.Pi / 2)
     private val k0 = math.cos(ts) / math.sqrt(1 - ell.e2 * math.sin(ts) * math.sin(ts))
 
@@ -542,16 +544,13 @@ object EpsgDb {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val q = (y - fn) * 2 * k0 / ell.a
       val betaP = math.asin(math.max(-1.0, math.min(1.0, q / qp)))
-      val e2 = ell.e2; val e4 = e2 * e2; val e6 = e4 * e2
-      var phi = betaP + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * betaP) +
-        (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * betaP) +
-        (761 * e6 / 45360) * math.sin(6 * betaP)
+      var phi = authalicBetaToPhi(ell, betaP)
       // the β series truncates at ~1e-8° — one Newton step on q(φ)
       // (Snyder 3-16; quadratic from the series seed) lands ≤1e-12°
       if (math.abs(phi) < math.Pi / 2 - 1e-9) {
         val sinp = math.sin(phi)
-        val den = 1 - e2 * sinp * sinp
-        phi += den * den / (2 * math.cos(phi) * (1 - e2)) * (q - qOf(phi))
+        val den = 1 - ell.e2 * sinp * sinp
+        phi += den * den / (2 * math.cos(phi) * (1 - ell.e2)) * (q - qOf(phi))
       }
       (math.toDegrees(lon0 + (x - fe) / (ell.a * k0)), math.toDegrees(phi))
     }

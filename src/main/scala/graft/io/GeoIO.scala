@@ -584,12 +584,16 @@ object GeoIO {
         val i = n.lastIndexOf('.')
         if (i < 0) "" else n.substring(i + 1).toLowerCase
       }
+      val known = Set("shp", "gpkg", "fgb", "parquet", "geojson", "json",
+        "ndjson", "ndgeojson", "jsonl", "csv", "kml", "gml", "gpx", "dxf", "mif")
       val direct = extOf(hp.getName)
       if (direct.nonEmpty) direct // name decides; existence checked by the codec
       else {
-        val inner = fs.listStatus(hp).iterator.map(_.getPath.getName)
-          .map(extOf).find(_.nonEmpty)
-        inner.getOrElse(direct)
+        // directory: pick a RECOGNIZED data extension — a shapefile dir
+        // lists .dbf/.prj/.shx sidecars that must not win the dispatch
+        val inner = fs.listStatus(hp).iterator.map(_.getPath.getName).map(extOf)
+          .filter(_.nonEmpty).toSeq
+        inner.find(known.contains).orElse(inner.headOption).getOrElse("")
       }
     }
     val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
@@ -609,8 +613,12 @@ object GeoIO {
     def genericColumns(df: DataFrame): DataFrame = columns match {
       case None => df
       case Some(want) =>
-        val keep = (if (df.columns.contains(geometryName) && readGeometry)
-          Seq(geometryName) else Seq.empty) ++ want
+        // fid and geometry ride along: columns= selects ATTRIBUTES, it
+        // must not silently drop what return_fids/read_geometry asked for
+        val keep = (if (returnFids && df.columns.contains("fid")) Seq("fid")
+          else Seq.empty) ++
+          (if (df.columns.contains(geometryName) && readGeometry)
+            Seq(geometryName) else Seq.empty) ++ want
         df.select(keep.map(col): _*)
     }
     def genericNoGeom(df: DataFrame): DataFrame =
@@ -676,11 +684,18 @@ object GeoIO {
     sql match {
       case None => base
       case Some(stmt) =>
-        // view named like OGR's layer: the explicit layer, else basename
+        // view named like OGR's layer: the explicit layer, else basename.
+        // A pre-existing temp view with that name belongs to the USER —
+        // replacing and then dropping it would silently destroy it, so
+        // collide loudly instead.
         val baseName = hp.getName
         val dotted = baseName.lastIndexOf('.')
         val stem = if (dotted > 0) baseName.substring(0, dotted) else baseName
         val view = layer.getOrElse(stem).replaceAll("[^A-Za-z0-9_]", "_")
+        require(!spark.catalog.tableExists(view),
+          s"read_file: sql would register temp view '$view' but a table/view " +
+            "with that name already exists in the session — drop/rename it, " +
+            "or pass layer= to pick a different view name")
         base.createOrReplaceTempView(view)
         try spark.sql(stmt) // analyzed now — the plan owns the resolved subtree
         finally spark.catalog.dropTempView(view)

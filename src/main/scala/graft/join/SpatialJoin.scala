@@ -453,9 +453,17 @@ object SpatialJoin {
     * (`sc.setCheckpointDir` — set one for long cluster runs) block loss
     * recovers from the checkpoint; otherwise `localCheckpoint` stores on
     * executors and a lost executor fails the job LOUDLY instead of
-    * silently joining rows under renumbered ids. Downstream reads stay
-    * columnar off the materialized blocks — no RDD scan barrier, and an
-    * expensive upstream plan never executes twice. */
+    * silently joining rows under renumbered ids.
+    *
+    * COSTS, accepted deliberately (correctness over the r8 cache
+    * micro-optimization): (1) consumers read a ROW-based
+    * `Scan ExistingRDD` — no columnar pruning on the reattach path
+    * (measured ~0.2 s per grid/quadtree bench key at sf0.1); (2) with a
+    * reliable dir the checkpoint files outlive the frame unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set (or
+    * the dir has a TTL policy) — long-running apps doing repeated joins
+    * should set it. An expensive upstream plan still executes exactly
+    * once. */
   private[graft] def withStableIndex(df: DataFrame, name: String): DataFrame = {
     val indexed = df.withColumn(name, monotonically_increasing_id())
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
@@ -537,8 +545,9 @@ object SpatialJoin {
       s"writeSpatialBucketed: input already has a $CellCol column")
     val cs = cellSize
     val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs))
+    val stamp = geoMetadata && mode == "overwrite"
     val obs = new org.apache.spark.sql.Observation()
-    val source = if (geoMetadata) {
+    val source = if (stamp) {
       val aggs = graft.io.GeoIO.geoStatsAggs(geom)
       df.observe(obs, aggs.head, aggs.tail: _*)
     } else df
@@ -550,10 +559,20 @@ object SpatialJoin {
       .saveAsTable(table)
     // stamp the grid geometry into the catalog so the optimizer rule can
     // auto-plan plain spatial joins between two same-grid stores
+    // (quote each part separately — backticking the whole string would
+    // turn a db-qualified name into one dotted identifier)
+    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
     df.sparkSession.sql(
-      s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"ALTER TABLE $quoted SET TBLPROPERTIES " +
         s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
-    if (geoMetadata) {
+    // footer stats describe ONE batch: stamping an append would rewrite
+    // every part (old batches included) with the new batch's bbox/types —
+    // corrupt metadata for any external reader trusting the footer
+    if (geoMetadata && !stamp)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"writeSpatialBucketed: geo stamping skipped for mode=$mode " +
+          "(footer stats would describe only the appended batch)")
+    if (stamp) {
       val spark = df.sparkSession
       try {
         val m = obs.get

@@ -42,13 +42,20 @@ import org.apache.spark.sql.types.LongType
   * shuffle. */
 object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
 
-  /** (cell attribute, cellSize, numBuckets) when `side` still exposes the
-    * cell column of a bucketed-store scan. The attribute must originate
-    * from a leaf whose relation is bucketed BY that column — a
-    * user-fabricated `__cell` column over a non-bucketed source must not
-    * trigger the rewrite (the equi-join would then shuffle, and the
-    * reference-point rule assumes write-time cell explosion). */
-  private def storeInfo(side: LogicalPlan): Option[(Attribute, Double, Int)] =
+  /** (cell attribute, STAMPED geometry attribute, cellSize, numBuckets)
+    * when `side` still exposes the cell column of a bucketed-store scan.
+    * The cell attribute must originate from a leaf whose relation is
+    * bucketed BY that column — a user-fabricated `__cell` column over a
+    * non-bucketed source must not trigger the rewrite (the equi-join
+    * would then shuffle, and the reference-point rule assumes write-time
+    * cell explosion). The geometry attribute is the one the
+    * `graft.spatial.geometry` table property names: the cells were
+    * exploded from THAT column, so the rewrite is only sound when the
+    * join predicate tests exactly it — a second geometry column or a
+    * derived expression (st_buffer(...)) must decline, or pairs whose
+    * envelopes intersect without sharing a primary-geometry cell would
+    * silently vanish. */
+  private def storeInfo(side: LogicalPlan): Option[(Attribute, Attribute, Double, Int)] =
     side.output.find(a => a.name == SpatialJoin.CellCol && a.dataType == LongType)
       .flatMap { cellAttr =>
         side.collectLeaves().collectFirst {
@@ -62,7 +69,10 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
                 ct <- lr.catalogTable
                 cs <- ct.properties.get(SpatialJoin.CellSizeProp)
                   .flatMap(s => scala.util.Try(s.toDouble).toOption)
-              } yield (cellAttr, cs, bs.numBuckets)
+                geomName = ct.properties.getOrElse("graft.spatial.geometry", "geometry")
+                geomAttr <- side.output.find(a =>
+                  a.name == geomName && lr.outputSet.contains(a))
+              } yield (cellAttr, geomAttr, cs, bs.numBuckets)
             case _ => None
           }
         }
@@ -72,18 +82,21 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
     case j @ Join(l, r, Inner, Some(cond), hint) =>
       (for {
         (name, a, b) <- SpatialJoinStrategy.spatialCond(cond)
-        (lCell, lcs, lnb) <- storeInfo(l)
-        (rCell, rcs, rnb) <- storeInfo(r)
+        (lCell, lGeom, lcs, lnb) <- storeInfo(l)
+        (rCell, rGeom, rcs, rnb) <- storeInfo(r)
         if lcs == rcs && lnb > 0 && lnb == rnb
         // orient the operands as (leftGeom, rightGeom); a crossed
-        // condition flips the predicate to its converse
+        // condition flips the predicate to its converse. Operands must
+        // BE the stamped geometry attributes — not merely reference the
+        // right side (see storeInfo's geometry-column rationale).
         oriented <- {
-          val straight = a.references.subsetOf(l.outputSet) &&
-            b.references.subsetOf(r.outputSet)
-          val crossed = a.references.subsetOf(r.outputSet) &&
-            b.references.subsetOf(l.outputSet)
-          if (straight) Some((a, b, name))
-          else if (crossed) SpatialJoinStrategy.Converse.get(name).map((b, a, _))
+          def isAttr(e: Expression, target: Attribute): Boolean = e match {
+            case ar: AttributeReference => ar.exprId == target.exprId
+            case _ => false
+          }
+          if (isAttr(a, lGeom) && isAttr(b, rGeom)) Some((a, b, name))
+          else if (isAttr(a, rGeom) && isAttr(b, lGeom))
+            SpatialJoinStrategy.Converse.get(name).map((b, a, _))
           else None
         }
       } yield {

@@ -305,6 +305,28 @@ class SkipFeaturesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       graft.io.GeoIO.readFile(spark, s"$d/boxes.tab")
     }
+    // review r9: a DIRECTORY of shapefiles dispatches on the recognized
+    // data extension, not whichever sidecar (.dbf/.prj/.shx) lists first
+    val shpDir = tmpDir("graft_readfile_dir")
+    graft.io.GeoIO.writeShapefile(df, s"$shpDir/only.shp")
+    val dirRead = graft.io.GeoIO.readFile(spark, shpDir)
+    assert(dirRead.count() === 30)
+    // review r9: a pre-existing temp view with the target name is the
+    // user's — collide loudly, and leave it intact
+    spark.range(3).createOrReplaceTempView("boxes")
+    try {
+      assertThrows[IllegalArgumentException] {
+        graft.io.GeoIO.readFile(spark, s"$d/boxes.shp", sql = Some("SELECT 1"))
+      }
+      assert(spark.table("boxes").count() === 3, "user view destroyed")
+    } finally spark.catalog.dropTempView("boxes")
+    // review r9: fgb columns= keeps the fid column return_fids asked for
+    graft.io.GeoIO.writeFlatGeobuf(df, s"$d/t.fgb")
+    val ff = graft.io.GeoIO.readFile(spark, s"$d/t.fgb",
+      columns = Some(Seq("pid")), returnFids = true)
+    assert(ff.columns.toSeq === Seq("fid", "geometry", "pid"))
+    assert(ff.select(col("fid")).collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 30L))
   }
 
   test("geojson: declarative posexplode window across files") {

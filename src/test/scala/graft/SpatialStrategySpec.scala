@@ -211,4 +211,64 @@ class SpatialStrategySpec extends AnyFunSuite {
       sj.dropBucketedTable(spark, "graft_auto_r2")
     }
   }
+
+  test("bucketed rewrite declines unless operands ARE the stamped geometry columns") {
+    // review r9: the store's cells were exploded from its STAMPED
+    // geometry column — a join over a second geometry column or a derived
+    // expression must not take the cell equi-join (pairs not sharing a
+    // primary-geometry cell would silently vanish). It falls back to the
+    // ordinary spatial tiers, whose answer on the exploded store rows is
+    // still set-correct.
+    import spark.implicits._
+    val sj = graft.join.SpatialJoin
+    try {
+      sj.dropBucketedTable(spark, "graft_decl_l")
+      sj.dropBucketedTable(spark, "graft_decl_r")
+      // second geometry column g2 sits 1000 units away from `geometry`
+      val l2 = rects.withColumn("g2",
+        st_point(col("k") * 10.0 + 1000.0, lit(2.0)))
+      sj.writeSpatialBucketed(l2, "graft_decl_l", cellSize = 64.0, buckets = 4)
+      sj.writeSpatialBucketed(
+        points.withColumn("pg2", st_rectangle(col("p") * 10.0 + 998.0, lit(0.0),
+          col("p") * 10.0 + 1003.0, lit(5.0))),
+        "graft_decl_r", cellSize = 64.0, buckets = 4, geom = "pgeom")
+      // join over the NON-stamped columns: g2 (points) within pg2 (rects)
+      val j = spark.table("graft_decl_l").join(spark.table("graft_decl_r"),
+        st_within(col("g2"), col("pg2")))
+      val got = j.select("k", "p").as[(Int, Int)].collect().toSet
+      assert(got === (1 to 200).map(i => (i, i)).toSet,
+        "fallback answer wrong for the non-stamped geometry join")
+      // and a derived expression over the stamped column also declines —
+      // detectable because the result still matches (the bucketed rewrite
+      // would drop cross-cell pairs of the buffered envelopes)
+      // buffered rect k = [10k-3, 10k+8]×[-3, 8] contains point p =
+      // (10p+2, 2) iff p == k
+      val jb = spark.table("graft_decl_l").join(spark.table("graft_decl_r"),
+        st_contains(st_buffer(col("geometry"), lit(3.0)), col("pgeom")))
+      assert(jb.select("k", "p").as[(Int, Int)].collect().toSet
+        === (1 to 200).map(i => (i, i)).toSet)
+    } finally {
+      sj.dropBucketedTable(spark, "graft_decl_l")
+      sj.dropBucketedTable(spark, "graft_decl_r")
+    }
+  }
+
+  test("writeSpatialBucketed stamps properties for db-qualified table names") {
+    // review r9: ALTER TABLE `db.tbl` parsed the backticked whole string
+    // as one dotted identifier and threw after the write; parts are now
+    // quoted separately
+    val sj = graft.join.SpatialJoin
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_qdb")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_qdb.qstore")
+      sj.writeSpatialBucketed(rects, "graft_qdb.qstore", cellSize = 64.0, buckets = 4)
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("qstore", Some("graft_qdb")))
+        .properties
+      assert(props.get(sj.CellSizeProp).contains("64.0"), props.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_qdb.qstore")
+      spark.sql("DROP DATABASE IF EXISTS graft_qdb")
+    }
+  }
 }
