@@ -828,6 +828,53 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    // r9: the NTv2 grid-shift seam end-to-end. A hand-authored .gsb with
+    // a DYADIC bilinear shift field (all node values exact in float32)
+    // registers for NAD27; st_to_srid must then apply the interpolated
+    // grid inside coverage (pinned against the closed-form field), invert
+    // through the fixed-point iteration, and fall back to the Helmert
+    // outside coverage.
+    "geo_crs6" -> ((s, dir) => {
+      val nCols = 5; val nRows = 5
+      val latSh = new Array[Float](nRows * nCols)
+      val lonSh = new Array[Float](nRows * nCols)
+      for (r <- 0 until nRows; c <- 0 until nCols) {
+        latSh(r * nCols + c) = (1.0 + 0.125 * r + 0.25 * c).toFloat
+        lonSh(r * nCols + c) = (2.0 + 0.0625 * r - 0.125 * c).toFloat
+      }
+      val grid = graft.functions.NTv2.SubGrid("MAIN", "NONE",
+        sLat = 144000.0, nLat = 151200.0, eLong = 352800.0, wLong = 360000.0,
+        latInc = 1800.0, lonInc = 1800.0, latSh, lonSh)
+      graft.functions.CrsRegistry.registerGridShift("NAD27",
+        graft.functions.NTv2.write(graft.functions.NTv2.GridFile(Seq(grid))))
+      // interior points at eighth-degree steps (dyadic node fractions)
+      val lon = -(lit(98.25) + (k % 6).cast("double") / 8.0)
+      val lat = lit(40.25) + (k % 12).cast("double") / 8.0
+      val p = st_set_srid(st_point(lon, lat), lit(4267))
+      val w = st_to_srid(p, lit(4326))
+      // closed-form field in Column arithmetic (r, c from the grid layout)
+      val rr = (lat * 3600.0 - 144000.0) / 1800.0
+      val cc = (-lon * 3600.0 - 352800.0) / 1800.0
+      val dLatSec = lit(1.0) + rr * 0.125 + cc * 0.25
+      val dLonWSec = lit(2.0) + rr * 0.0625 - cc * 0.125
+      val gridLatOk = abs(st_y(w) - (lat + dLatSec / 3600.0)) < 1e-9
+      val gridLonOk = abs(st_x(w) - (lon - dLonWSec / 3600.0)) < 1e-9
+      val back = st_to_srid(w, lit(4267))
+      val rtOk6 = abs(st_x(back) - lon) < 1e-9 && abs(st_y(back) - lat) < 1e-9
+      // outside coverage the Helmert fallback applies: shifts there are
+      // datum-level (tens of metres), NOT the fixture field
+      val lonOut = lon - 20.0
+      val pOut = st_set_srid(st_point(lonOut, lat), lit(4267))
+      val wOut = st_to_srid(pOut, lit(4326))
+      val helmertOk = abs(st_x(wOut) - lonOut) > 1e-5 &&
+        abs(st_x(wOut) - lonOut) < 1e-2 &&
+        abs(st_x(wOut) - (lonOut - (lit(2.0) + rr * 0.0625) / 3600.0)) > 1e-6
+      base(s, dir).select(k,
+        gridLatOk.as("grid_lat_ok"), gridLonOk.as("grid_lon_ok"),
+        rtOk6.as("grid_rt_ok"), helmertOk.as("helmert_out_ok"))
+        .orderBy(k)
+    }),
+
     // Round-7 EPSG tranche: US state planes (metres + US survey foot via
     // UnitScaled), ETRS89 national LCCs, SIRGAS 2000 UTM south zones.
     // All on WGS84-coincident datums → round trips at 1e-8; the ftUS/metre
@@ -1516,6 +1563,11 @@ object GeoQueries {
       s"""$B SELECT k, TRUE AS reg_bng_match_ok, TRUE AS reg_krovak_match_ok,
          | TRUE AS reg_bng_rt_ok, TRUE AS reg_krovak_rt_ok, TRUE AS reg_wkt_ok,
          | TRUE AS esri_bng_match_ok, TRUE AS esri_bng_rt_ok, TRUE AS esri_infer_ok
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs6" ->
+      s"""$B SELECT k,
+         | TRUE AS grid_lat_ok, TRUE AS grid_lon_ok,
+         | TRUE AS grid_rt_ok, TRUE AS helmert_out_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_crs5" ->
       s"""$B SELECT k,

@@ -50,6 +50,47 @@ object CrsRegistry {
 
   def registered(code: Int): Option[Crs] = { ensureConf(); Option(custom.get(code)).map(_._1) }
 
+  // ------------------------------------------------------ grid shifts seam
+
+  private val gridShifts =
+    new java.util.concurrent.ConcurrentHashMap[EpsgDb.Helmert, NTv2.GridFile]()
+
+  /** Register an NTv2 grid-shift file for a datum: every `st_to_srid`
+    * datum hop on that datum then prefers the grid (source datum →
+    * WGS84-class target, bilinear, sub-meter where the grid is sub-meter)
+    * over the datum's single-Helmert fallback wherever the grid covers;
+    * outside coverage the Helmert still applies. The datum is named as in
+    * WKT (e.g. "NAD27", "DHDN", "North_American_Datum_1927") — the same
+    * lookup `.prj` parsing uses. No grids ship with the library (they are
+    * distributed under their agencies' own terms); this is the seam for
+    * users who have them.
+    *
+    * JVM-local, like [[register]]: call on the driver before building the
+    * frame (the registration is captured into task closures through the
+    * datum-hop functions' registry lookups on each executor, so cluster
+    * use needs the call in an executor-startup hook or the grid
+    * broadcast-registered — same semantics as WKT registrations). */
+  def registerGridShift(datumName: String, gsb: Array[Byte]): Unit = {
+    val key = norm(stripDatumPrefix(datumName))
+    val shift = EpsgDb.datumShiftByName.get(key).flatten.getOrElse(
+      throw new IllegalArgumentException(
+        s"registerGridShift: unknown or WGS84-coincident datum '$datumName' " +
+          "(a coincident datum has nothing to shift)"))
+    gridShifts.put(shift, NTv2.read(gsb))
+  }
+
+  private def stripDatumPrefix(s: String): String =
+    if (s.startsWith("D_")) s.substring(2) else s
+
+  /** The grid registered for a datum's Helmert, if any. */
+  private[functions] def gridShiftFor(h: EpsgDb.Helmert): Option[NTv2.GridFile] =
+    Option(gridShifts.get(h))
+
+  /** Test/ops hook: drop a registration. */
+  def unregisterGridShift(datumName: String): Unit =
+    EpsgDb.datumShiftByName.get(norm(stripDatumPrefix(datumName))).flatten
+      .foreach(gridShifts.remove(_))
+
   /** The raw WKT the code was registered with (used by `.prj` writers). */
   def registeredWkt(code: Int): Option[String] = { ensureConf(); Option(custom.get(code)).map(_._2) }
 

@@ -1292,23 +1292,49 @@ object EpsgDb {
   def isSupported(code: Int): Boolean =
     code == 4326 || table.contains(code) || CrsRegistry.registered(code).isDefined
 
-  /** (lon, lat) on this CRS's datum → WGS84 (lon, lat). */
+  /** (lon, lat) on this CRS's datum → WGS84 (lon, lat). A registered
+    * NTv2 grid for the datum ([[CrsRegistry.registerGridShift]]) takes
+    * precedence wherever it covers — the grid interpolates the true
+    * distortion field where a single Helmert can only average it;
+    * outside coverage (or with no grid) the Helmert applies. */
   private def datumToWgs84(crs: Crs, lonDeg: Double, latDeg: Double): (Double, Double) =
     crs.shift match {
       case None => (lonDeg, latDeg)
       case Some(h) =>
-        val (x, y, z) = toXYZ(crs.proj.ell, lonDeg, latDeg)
-        val (x2, y2, z2) = h.toWgs84(x, y, z)
-        toGeodetic(WGS84, x2, y2, z2)
+        CrsRegistry.gridShiftFor(h).flatMap(_.shift(lonDeg, latDeg)) match {
+          case Some((dLat, dLon)) => (lonDeg + dLon, latDeg + dLat)
+          case None =>
+            val (x, y, z) = toXYZ(crs.proj.ell, lonDeg, latDeg)
+            val (x2, y2, z2) = h.toWgs84(x, y, z)
+            toGeodetic(WGS84, x2, y2, z2)
+        }
     }
 
   private def wgs84ToDatum(crs: Crs, lonDeg: Double, latDeg: Double): (Double, Double) =
     crs.shift match {
       case None => (lonDeg, latDeg)
       case Some(h) =>
-        val (x, y, z) = toXYZ(WGS84, lonDeg, latDeg)
-        val (x2, y2, z2) = h.fromWgs84(x, y, z)
-        toGeodetic(crs.proj.ell, x2, y2, z2)
+        CrsRegistry.gridShiftFor(h) match {
+          case Some(grid) if grid.shift(lonDeg, latDeg).isDefined =>
+            // the grid is indexed by SOURCE-datum coordinates: fixed-point
+            // iterate λφ_datum = λφ_wgs − shift(λφ_datum), seeded at the
+            // WGS84 position (shifts are arc-seconds — 3 rounds land far
+            // below the 1e-9° budget; proj inverts the same way)
+            var lon = lonDeg; var lat = latDeg
+            var i = 0
+            while (i < 4) {
+              grid.shift(lon, lat) match {
+                case Some((dLat, dLon)) => lon = lonDeg - dLon; lat = latDeg - dLat
+                case None => i = 4 // walked off the grid: keep last estimate
+              }
+              i += 1
+            }
+            (lon, lat)
+          case _ =>
+            val (x, y, z) = toXYZ(WGS84, lonDeg, latDeg)
+            val (x2, y2, z2) = h.fromWgs84(x, y, z)
+            toGeodetic(crs.proj.ell, x2, y2, z2)
+        }
     }
 
   /** Projected/geographic (x, y) in `code` → WGS84 (lon, lat). */
