@@ -869,10 +869,17 @@ object GeoQueries {
       val helmertOk = abs(st_x(wOut) - lonOut) > 1e-5 &&
         abs(st_x(wOut) - lonOut) < 1e-2 &&
         abs(st_x(wOut) - (lonOut - (lit(2.0) + rr * 0.0625) / 3600.0)) > 1e-6
-      base(s, dir).select(k,
+      // materialize WHILE registered, then unregister: the registry is
+      // JVM-global and the fixture field must not leak into later NAD27
+      // transforms (the cached result keeps serving this frame)
+      val out = base(s, dir).select(k,
         gridLatOk.as("grid_lat_ok"), gridLonOk.as("grid_lon_ok"),
         rtOk6.as("grid_rt_ok"), helmertOk.as("helmert_out_ok"))
         .orderBy(k)
+        .cache()
+      out.count()
+      graft.functions.CrsRegistry.unregisterGridShift("NAD27")
+      out
     }),
 
     // Round-7 EPSG tranche: US state planes (metres + US survey foot via

@@ -507,7 +507,15 @@ object EpsgDb {
         val q = if (north) qp - r * r else r * r - qp
         val betaP = math.asin(math.max(-1.0, math.min(1.0, q / qp)))
         val lam = if (north) lon0 + math.atan2(x, -y) else lon0 + math.atan2(x, y)
-        return (math.toDegrees(lam), math.toDegrees(betaToPhi(betaP)))
+        var phi = betaToPhi(betaP)
+        // series truncation leaves ~1e-8° at mid latitudes — the same
+        // Newton-on-q(φ) polish as Cea (Snyder 3-16) lands ≤1e-12°
+        if (math.abs(phi) < math.Pi / 2 - 1e-9) {
+          val sinp = math.sin(phi)
+          val den = 1 - ell.e2 * sinp * sinp
+          phi += den * den / (2 * math.cos(phi) * (1 - ell.e2)) * (q - qOf(phi))
+        }
+        return (math.toDegrees(lam), math.toDegrees(phi))
       }
       val rho = math.sqrt(math.pow(x / d, 2) + math.pow(d * y, 2))
       if (rho < 1e-12) return (lon0Deg, lat0Deg)
@@ -1314,26 +1322,38 @@ object EpsgDb {
     crs.shift match {
       case None => (lonDeg, latDeg)
       case Some(h) =>
+        def helmert(): (Double, Double) = {
+          val (x, y, z) = toXYZ(WGS84, lonDeg, latDeg)
+          val (x2, y2, z2) = h.fromWgs84(x, y, z)
+          toGeodetic(crs.proj.ell, x2, y2, z2)
+        }
         CrsRegistry.gridShiftFor(h) match {
-          case Some(grid) if grid.shift(lonDeg, latDeg).isDefined =>
+          case Some(grid) =>
             // the grid is indexed by SOURCE-datum coordinates: fixed-point
             // iterate λφ_datum = λφ_wgs − shift(λφ_datum), seeded at the
             // WGS84 position (shifts are arc-seconds — 3 rounds land far
-            // below the 1e-9° budget; proj inverts the same way)
+            // below the 1e-9° budget; proj inverts the same way).
+            // The seed can sit up to a shift-magnitude OUTSIDE the
+            // source-frame coverage for in-coverage sources near the
+            // edge, so iteration lookups tolerate a 30-arcsec margin
+            // (edge-clamped interpolation); the accept/reject decision is
+            // STRICT on the converged source estimate — the same frame
+            // datumToWgs84 tests, so forward and inverse always pick the
+            // same path and edge round trips hold.
+            val margin = 30.0
             var lon = lonDeg; var lat = latDeg
+            var near = true
             var i = 0
-            while (i < 4) {
-              grid.shift(lon, lat) match {
+            while (near && i < 4) {
+              grid.shift(lon, lat, margin) match {
                 case Some((dLat, dLon)) => lon = lonDeg - dLon; lat = latDeg - dLat
-                case None => i = 4 // walked off the grid: keep last estimate
+                case None => near = false
               }
               i += 1
             }
-            (lon, lat)
-          case _ =>
-            val (x, y, z) = toXYZ(WGS84, lonDeg, latDeg)
-            val (x2, y2, z2) = h.fromWgs84(x, y, z)
-            toGeodetic(crs.proj.ell, x2, y2, z2)
+            if (near && grid.shift(lon, lat).isDefined) (lon, lat)
+            else helmert()
+          case None => helmert()
         }
     }
 

@@ -38,12 +38,17 @@ object NTv2 {
     val nCols: Int = math.round((wLong - eLong) / lonInc).toInt + 1
     val nRows: Int = math.round((nLat - sLat) / latInc).toInt + 1
 
-    /** Point (lonDeg east-positive, latDeg) covered by this grid? */
-    def covers(lonDeg: Double, latDeg: Double): Boolean = {
+    /** Point (lonDeg east-positive, latDeg) covered by this grid?
+      * `marginSec` loosens the test by that many arc-seconds — the
+      * inverse transform seeds at the TARGET position, which can sit a
+      * shift-magnitude outside the source-frame coverage; interpolation
+      * clamps to the edge cell there (bounded extrapolation), and the
+      * final accept/reject is strict. */
+    def covers(lonDeg: Double, latDeg: Double, marginSec: Double = 0.0): Boolean = {
       val latSec = latDeg * 3600.0
       val lonWSec = -lonDeg * 3600.0
-      latSec >= sLat - 1e-9 && latSec <= nLat + 1e-9 &&
-        lonWSec >= eLong - 1e-9 && lonWSec <= wLong + 1e-9
+      latSec >= sLat - 1e-9 - marginSec && latSec <= nLat + 1e-9 + marginSec &&
+        lonWSec >= eLong - 1e-9 - marginSec && lonWSec <= wLong + 1e-9 + marginSec
     }
 
     /** Bilinear (latShiftSec, lonShiftSecWest) at an interior point. */
@@ -54,8 +59,11 @@ object NTv2 {
       val fc = (lonWSec - eLong) / lonInc
       val r0 = math.min(math.max(math.floor(fr).toInt, 0), nRows - 2)
       val c0 = math.min(math.max(math.floor(fc).toInt, 0), nCols - 2)
-      val dr = fr - r0
-      val dc = fc - c0
+      // margin-tolerant callers can land slightly outside the grid:
+      // constant edge extension (clamp the cell fractions) beats linear
+      // extrapolation blowing up on fine grids
+      val dr = math.min(math.max(fr - r0, 0.0), 1.0)
+      val dc = math.min(math.max(fc - c0, 0.0), 1.0)
       def at(arr: Array[Float], r: Int, c: Int): Double = arr(r * nCols + c)
       def bilin(arr: Array[Float]): Double =
         at(arr, r0, c0) * (1 - dr) * (1 - dc) +
@@ -67,18 +75,34 @@ object NTv2 {
   }
 
   final case class GridFile(subGrids: Seq[SubGrid]) {
+    // datum hops call this per ROW: a plain while over an array, no
+    // filter/minBy allocation (agency files carry 100+ sub-grids)
+    private val gridsArr: Array[SubGrid] = subGrids.toArray
+
     /** Finest covering sub-grid (children refine parents — proj picks the
       * densest too); None when the point is outside every grid. */
-    def gridFor(lonDeg: Double, latDeg: Double): Option[SubGrid] =
-      subGrids.filter(_.covers(lonDeg, latDeg)) match {
-        case Seq() => None
-        case covering => Some(covering.minBy(g => g.latInc * g.lonInc))
+    def gridFor(lonDeg: Double, latDeg: Double,
+        marginSec: Double = 0.0): Option[SubGrid] = {
+      var best: SubGrid = null
+      var bestArea = Double.MaxValue
+      var i = 0
+      while (i < gridsArr.length) {
+        val g = gridsArr(i)
+        if (g.covers(lonDeg, latDeg, marginSec)) {
+          val area = g.latInc * g.lonInc
+          if (area < bestArea) { best = g; bestArea = area }
+        }
+        i += 1
       }
+      Option(best)
+    }
 
     /** (dLatDeg, dLonDegEastPositive) of the SOURCE→TARGET datum shift at
-      * the source-datum position; None outside coverage. */
-    def shift(lonDeg: Double, latDeg: Double): Option[(Double, Double)] =
-      gridFor(lonDeg, latDeg).map { g =>
+      * the source-datum position; None outside coverage (loosened by
+      * `marginSec` — interpolation clamps to the edge cell there). */
+    def shift(lonDeg: Double, latDeg: Double,
+        marginSec: Double = 0.0): Option[(Double, Double)] =
+      gridFor(lonDeg, latDeg, marginSec).map { g =>
         val (dLatSec, dLonWSec) = g.interpolate(lonDeg, latDeg)
         // west-positive seconds → east-positive degrees is a sign flip
         (dLatSec / 3600.0, -dLonWSec / 3600.0)

@@ -587,14 +587,19 @@ object GeoIO {
       val known = Set("shp", "gpkg", "fgb", "parquet", "geojson", "json",
         "ndjson", "ndgeojson", "jsonl", "csv", "kml", "gml", "gpx", "dxf", "mif")
       val direct = extOf(hp.getName)
-      if (direct.nonEmpty) direct // name decides; existence checked by the codec
-      else {
-        // directory: pick a RECOGNIZED data extension — a shapefile dir
-        // lists .dbf/.prj/.shx sidecars that must not win the dispatch
+      // an EXISTING directory lists its contents regardless of dots in
+      // its own name (run.2024/ must dispatch on the contained .shp);
+      // otherwise the name decides and the codec reports missing files
+      val isDir = try fs.getFileStatus(hp).isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!isDir && direct.nonEmpty) direct
+      else if (isDir) {
+        // pick a RECOGNIZED data extension — a shapefile dir lists
+        // .dbf/.prj/.shx sidecars that must not win the dispatch
         val inner = fs.listStatus(hp).iterator.map(_.getPath.getName).map(extOf)
           .filter(_.nonEmpty).toSeq
-        inner.find(known.contains).orElse(inner.headOption).getOrElse("")
-      }
+        inner.find(known.contains).orElse(inner.headOption).getOrElse(direct)
+      } else direct
     }
     val windowed = skipFeatures > 0 || maxFeatures != Long.MaxValue
     def unsupported(what: String): Nothing =
@@ -615,15 +620,27 @@ object GeoIO {
       case Some(want) =>
         // fid and geometry ride along: columns= selects ATTRIBUTES, it
         // must not silently drop what return_fids/read_geometry asked for
-        val keep = (if (returnFids && df.columns.contains("fid")) Seq("fid")
+        // — nor duplicate them when the user lists them explicitly
+        val lead = (if (returnFids && df.columns.contains("fid")) Seq("fid")
           else Seq.empty) ++
           (if (df.columns.contains(geometryName) && readGeometry)
-            Seq(geometryName) else Seq.empty) ++ want
+            Seq(geometryName) else Seq.empty)
+        val keep = lead ++ want.filterNot(lead.contains)
         df.select(keep.map(col): _*)
     }
     def genericNoGeom(df: DataFrame): DataFrame =
       if (readGeometry || !df.columns.contains(geometryName)) df
       else df.drop(geometryName)
+    // OGR evaluates `where` against ALL fields BEFORE column selection —
+    // filter first so a where over an unselected attribute still works
+    def genericShape(df: DataFrame): DataFrame = {
+      val filtered = where.map(df.filter).getOrElse(df)
+      val pruned = genericNoGeom(genericColumns(filtered))
+      if (force2D && pruned.columns.contains(geometryName))
+        pruned.withColumn(geometryName,
+          graft.functions.st_force_2d(col(geometryName)))
+      else pruned
+    }
     val base: DataFrame = ext match {
       case "shp" =>
         readShapefile(spark, path, geometryName, columns, bbox, readGeometry,
@@ -635,47 +652,47 @@ object GeoIO {
         if (fids.isDefined) unsupported("fids")
         val df = readFlatGeobuf(spark, path, geometryName, skipFeatures,
           maxFeatures, bbox, returnFids)
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "parquet" =>
         noFids()
         if (windowed) unsupported("skip_features/max_features")
         val df = readGeoParquet(spark, path, geometryName, bbox)
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "geojson" | "json" =>
         noFids()
         val df = genericBbox(readGeoJson(spark, path, geometryName, skipFeatures, maxFeatures))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "ndjson" | "ndgeojson" | "jsonl" =>
         noFids()
         if (windowed) unsupported("skip_features/max_features")
         val df = genericBbox(readNdGeoJson(spark, path, geometryName))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "csv" =>
         noFids()
         if (windowed) unsupported("skip_features/max_features")
         val df = genericBbox(readWktCsv(spark, path, geometryName))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "kml" =>
         noFids()
         val df = genericBbox(readKml(spark, path, geometryName, skipFeatures, maxFeatures))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "gml" =>
         noFids()
         val df = genericBbox(readGml(spark, path, geometryName, skipFeatures, maxFeatures))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "gpx" =>
         noFids()
         val df = genericBbox(readGpx(spark, path, layer.getOrElse("waypoints"),
           geometryName, skipFeatures, maxFeatures))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "dxf" =>
         noFids()
         val df = genericBbox(readDxf(spark, path, geometryName, skipFeatures, maxFeatures))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case "mif" =>
         noFids()
         val df = genericBbox(readMif(spark, path, geometryName, skipFeatures, maxFeatures))
-        applyReadOptions(genericNoGeom(genericColumns(df)), geometryName, where, force2D)
+        genericShape(df)
       case other =>
         throw new IllegalArgumentException(
           s"read_file: unrecognized extension .$other (supported: shp, gpkg, fgb, " +

@@ -543,6 +543,25 @@ object SpatialJoin {
       mode: String = "overwrite", geoMetadata: Boolean = true): Unit = {
     require(!df.columns.contains(CellCol),
       s"writeSpatialBucketed: input already has a $CellCol column")
+    val spark0 = df.sparkSession
+    val tableId = spark0.sessionState.sqlParser.parseTableIdentifier(table)
+    // an append must not silently re-grid the store: rows already on disk
+    // were exploded with the ORIGINAL cellSize/geom — mixing grids would
+    // make bucketedMatch disagree with stored cell ids and drop pairs.
+    // Checked BEFORE any write so a bad append leaves the store intact.
+    if (mode == "append" && spark0.sessionState.catalog.tableExists(tableId)) {
+      val existing = spark0.sessionState.catalog.getTableMetadata(tableId).properties
+      existing.get(CellSizeProp).foreach { prev =>
+        require(prev.toDouble == cellSize,
+          s"writeSpatialBucketed: append with cellSize=$cellSize onto a " +
+            s"store written with cellSize=$prev — appends must reuse the grid")
+      }
+      existing.get("graft.spatial.geometry").foreach { prev =>
+        require(prev == geom,
+          s"writeSpatialBucketed: append with geom=$geom onto a store " +
+            s"stamped for $prev")
+      }
+    }
     val cs = cellSize
     val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs))
     val stamp = geoMetadata && mode == "overwrite"
@@ -562,7 +581,7 @@ object SpatialJoin {
     // (quote each part separately — backticking the whole string would
     // turn a db-qualified name into one dotted identifier)
     val quoted = table.split('.').map(p => s"`$p`").mkString(".")
-    df.sparkSession.sql(
+    spark0.sql(
       s"ALTER TABLE $quoted SET TBLPROPERTIES " +
         s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
     // footer stats describe ONE batch: stamping an append would rewrite
@@ -586,8 +605,8 @@ object SpatialJoin {
           seqOf[String]("types"), seqOf[Int]("srids"),
           (dbl("xmin"), dbl("ymin"), dbl("xmax"), dbl("ymax")),
           geom, "EWKB", None)
-        val loc = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+        val loc = spark.sessionState.catalog.getTableMetadata(tableId)
+          .location.toString
         graft.io.ParquetFooter.addKeyValueMetadata(spark, loc, Map("geo" -> json))
       } catch {
         case scala.util.control.NonFatal(e) =>

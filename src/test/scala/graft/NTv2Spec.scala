@@ -146,6 +146,35 @@ class NTv2Spec extends AnyFunSuite {
     } finally CrsRegistry.unregisterGridShift("NAD27")
   }
 
+  test("edge band: forward and inverse pick the SAME path near coverage boundary") {
+    // review r9: with an EASTWARD shift at the east edge, a source point
+    // just inside coverage lands at a WGS84 position just OUTSIDE it —
+    // the inverse must still take the grid (margin-tolerant iteration,
+    // strict decision at the converged source estimate), or round trips
+    // in the edge band silently degrade to the grid-vs-Helmert gap.
+    val nCols = 5; val nRows = 5
+    val lat = Array.fill(nRows * nCols)(0.5f)
+    val lon = Array.fill(nRows * nCols)(-2.0f) // NEGATIVE west = eastward
+    val g = NTv2.SubGrid("EDGE", "NONE", 144000.0, 151200.0, 352800.0, 360000.0,
+      1800.0, 1800.0, lat, lon)
+    val gsb = NTv2.write(NTv2.GridFile(Seq(g)))
+    try {
+      CrsRegistry.registerGridShift("NAD27", gsb)
+      // source at the exact east edge: −98.0 (lonW = 352800)
+      val (lon0, lat0) = (-98.0, 41.0)
+      val (lonW, latW) = EpsgDb.toWgs84(lon0, lat0, 4267)
+      assert(lonW > -98.0, "fixture failed to push the image outside coverage")
+      val (lonB, latB) = EpsgDb.fromWgs84(lonW, latW, 4267)
+      assert(math.abs(lonB - lon0) < 1e-9 && math.abs(latB - lat0) < 1e-9,
+        s"edge-band round trip broke: ($lonB, $latB)")
+      // a WGS84 point whose source pre-image is OUTSIDE coverage keeps
+      // the Helmert on both legs (strict reject at the converged source)
+      val farOut = EpsgDb.fromWgs84(-97.5, 41.0, 4267)
+      CrsRegistry.unregisterGridShift("NAD27")
+      assert(farOut === EpsgDb.fromWgs84(-97.5, 41.0, 4267))
+    } finally CrsRegistry.unregisterGridShift("NAD27")
+  }
+
   test("registerGridShift rejects unknown and coincident datums") {
     val gsb = NTv2.write(NTv2.GridFile(Seq(fixture())))
     assertThrows[IllegalArgumentException] {

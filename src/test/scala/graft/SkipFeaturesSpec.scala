@@ -327,6 +327,22 @@ class SkipFeaturesSpec extends AnyFunSuite {
     assert(ff.columns.toSeq === Seq("fid", "geometry", "pid"))
     assert(ff.select(col("fid")).collect().map(_.getLong(0)).sorted.toSeq
       === (0L until 30L))
+    // review r9 round 2: listing geometry in columns= must not duplicate it
+    val fg = graft.io.GeoIO.readFile(spark, s"$d/t.fgb",
+      columns = Some(Seq("geometry", "pid")))
+    assert(fg.columns.count(_ == "geometry") === 1)
+    // where references a PRUNED column: OGR filters before selection
+    val fw = graft.io.GeoIO.readFile(spark, s"$d/t.fgb",
+      columns = Some(Seq("pid")), where = Some("pid <= 5"))
+    assert(fw.count() === 5)
+    val fw2 = graft.io.GeoIO.readFile(spark, s"$d/t.fgb",
+      columns = Some(Seq()), where = Some("pid <= 5"), readGeometry = true)
+    assert(fw2.count() === 5 && fw2.columns.toSeq === Seq("geometry"))
+    // a directory whose NAME contains a dot still lists its contents
+    val dotDir = tmpDir("graft_rf_dot") + "/run.2024"
+    new java.io.File(dotDir).mkdirs()
+    graft.io.GeoIO.writeShapefile(df, s"$dotDir/only.shp")
+    assert(graft.io.GeoIO.readFile(spark, dotDir).count() === 30)
   }
 
   test("geojson: declarative posexplode window across files") {

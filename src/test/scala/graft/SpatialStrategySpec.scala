@@ -262,10 +262,22 @@ class SpatialStrategySpec extends AnyFunSuite {
     try {
       spark.sql("DROP TABLE IF EXISTS graft_qdb.qstore")
       sj.writeSpatialBucketed(rects, "graft_qdb.qstore", cellSize = 64.0, buckets = 4)
-      val props = spark.sessionState.catalog.getTableMetadata(
+      val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier("qstore", Some("graft_qdb")))
-        .properties
-      assert(props.get(sj.CellSizeProp).contains("64.0"), props.toString)
+      assert(meta.properties.get(sj.CellSizeProp).contains("64.0"),
+        meta.properties.toString)
+      // review r9 round 2: the geo footer stamp must also survive the
+      // qualified name (TableIdentifier(raw) mis-parsed db.tbl before)
+      val geo = graft.io.ParquetFooter.readKeyValueMetadata(spark,
+        meta.location.toString, "geo")
+      assert(geo.isDefined && geo.get.contains("\"primary_column\":\"geometry\""),
+        s"geo footer missing on qualified store: $geo")
+      // append with a DIFFERENT grid must refuse before writing anything
+      val ex = intercept[IllegalArgumentException] {
+        sj.writeSpatialBucketed(rects, "graft_qdb.qstore", cellSize = 32.0,
+          buckets = 4, mode = "append")
+      }
+      assert(ex.getMessage.contains("cellSize"), ex.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_qdb.qstore")
       spark.sql("DROP DATABASE IF EXISTS graft_qdb")
