@@ -346,6 +346,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    /** REAL spectral audio plane (r9): per-doc sine WAVs at BIN-ALIGNED
+      * frequencies (f = m·rate/frameSize) through the in-repo radix-2
+      * FFT — the dominant bin is exact and SQL-computable; centroid/
+      * zcr/rms land within analytic tolerances (Hann leakage symmetric,
+      * rms of A·sin = A/√2). */
+    "pipe_audio" -> ((s, dir) => {
+      val rate = 8192
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("freq",
+          ((lit(64) + col("doc_id") % 8 * 16) * 8).cast("double"))
+        .withColumn("wav", Multimodal.makeWavSine(lit(rate), lit(rate),
+          col("freq"), lit(12000)))
+        .withColumn("sp", Multimodal.audioSpectral(1024)(col("wav")))
+      d.select(col("doc_id"),
+        col("sp.dominantHz").as("dominant_hz"),
+        col("sp.durationSec").as("dur_sec"),
+        (abs(col("sp.centroidHz") - col("freq")) < 4.0).as("cent_ok"),
+        (abs(col("sp.zcrHz") - col("freq")) < 2.0).as("zcr_ok"),
+        (abs(col("sp.rms") - lit(12000.0 / 32768.0 / math.sqrt(2.0))) < 1e-4)
+          .as("rms_ok"),
+        (col("sp.bandwidthHz") < 20.0).as("bw_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL video plane: MJPEG AVI built frame-by-frame through the JDK JPEG
     // encoder, then header decode (RIFF walk), evenly-spaced frame sampling
     // and per-frame pixel decode. Frame 0 is grey r0; sampled frame 1 is
@@ -695,6 +719,12 @@ object PipelineQueries {
         | 3 AS channels, 'png' AS fmt, 64 AS n_feat,
         | 1 AS au_channels, 16000 AS au_rate,
         | (doc_id % 100 + 1) * 1000 AS au_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_audio" ->
+      """SELECT doc_id,
+        | CAST((64 + doc_id % 8 * 16) * 8 AS DOUBLE) AS dominant_hz,
+        | 1.0 AS dur_sec,
+        | TRUE AS cent_ok, TRUE AS zcr_ok, TRUE AS rms_ok, TRUE AS bw_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pipe_multimodal_px" ->
       """SELECT doc_id,

@@ -253,6 +253,227 @@ object Multimodal {
   val audioStats = udf((bytes: Array[Byte]) =>
     if (bytes == null) None else pcmStats(bytes))
 
+  // ------------------------------------- REAL spectral audio plane (DSP)
+
+  /** Mono float samples from a 16-bit LE PCM WAV (channels averaged) +
+    * sample rate — the decode step spectral features build on. */
+  def pcmSamples(b: Array[Byte]): Option[(Int, Array[Double])] = {
+    parseWavHeader(b).flatMap { case (channels, rate, bits, _) =>
+      if (bits != 16 || channels < 1) None
+      else {
+        def u8(i: Int) = b(i) & 0xff
+        def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
+          u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24)
+        def tag(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s.charAt(j))
+        var i = 12
+        var dataOff = -1; var dataLen = 0L
+        while (i + 8 <= b.length && dataOff < 0) {
+          val sz = le32(i + 4)
+          if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
+          else if (sz > Int.MaxValue - 16) i = b.length
+          else i += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (dataOff < 0) None
+        else {
+          val end = math.min(dataOff + dataLen, b.length.toLong).toInt
+          val frames = (end - dataOff) / (2 * channels)
+          val mono = new Array[Double](frames)
+          var f = 0
+          while (f < frames) {
+            var c = 0; var acc = 0.0
+            while (c < channels) {
+              val off = dataOff + 2 * (f * channels + c)
+              acc += ((u8(off) | (u8(off + 1) << 8)).toShort).toDouble
+              c += 1
+            }
+            mono(f) = acc / channels / 32768.0
+            f += 1
+          }
+          Some((rate, mono))
+        }
+      }
+    }
+  }
+
+  /** In-repo iterative radix-2 FFT (Cooley-Tukey, bit-reversal order):
+    * re/im modified in place; lengths must be equal powers of two. No
+    * DSP dependency — ~30 lines beat shipping one. */
+  def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"fft: length $n not a power of 2")
+    // bit reversal
+    var j = 0
+    var i = 0
+    while (i < n) {
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      var m = n >> 1
+      while (m >= 1 && j >= m) { j -= m; m >>= 1 }
+      j += m
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = base + k; val bIdx = base + k + len / 2
+          val xr = re(bIdx) * cr - im(bIdx) * ci
+          val xi = re(bIdx) * ci + im(bIdx) * cr
+          re(bIdx) = re(a) - xr; im(bIdx) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Spectral feature vector of a PCM16 WAV: Hann-windowed
+    * non-overlapping frames, power spectra averaged across frames.
+    * All frequencies in Hz:
+    *  - `dominantHz`: argmax bin (DC excluded) — for a pure tone at a
+    *    bin-aligned frequency this is EXACT;
+    *  - `centroidHz` / `bandwidthHz`: power-weighted mean / stddev of
+    *    bin frequencies (Hann leakage is symmetric, so a pure tone's
+    *    centroid stays on the tone);
+    *  - `rolloffHz`: lowest frequency below which 85% of power lies;
+    *  - `zcrHz`: zero-crossing rate / 2 (= fundamental for a tone);
+    *  - `rms` amplitude (full scale = 1), `durationSec`.
+    * Quality filters cut on these the way text filters cut on
+    * stopword/punctuation ratios: silence → rms≈0; hum → dominant at
+    * mains frequency; clipped/noisy → bandwidth and rolloff blow up. */
+  final case class AudioSpectral(durationSec: Double, rms: Double,
+      zcrHz: Double, dominantHz: Double, centroidHz: Double,
+      bandwidthHz: Double, rolloffHz: Double)
+
+  def spectralFeatures(b: Array[Byte], frameSize: Int = 1024): Option[AudioSpectral] =
+    pcmSamples(b).map { case (rate, mono) =>
+      val n = mono.length
+      val durationSec = n.toDouble / rate
+      var sumSq = 0.0
+      var crossings = 0
+      var i = 0
+      while (i < n) {
+        sumSq += mono(i) * mono(i)
+        if (i > 0 && (mono(i) >= 0) != (mono(i - 1) >= 0)) crossings += 1
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      val zcrHz = if (durationSec == 0) 0.0 else crossings / (2.0 * durationSec)
+      // averaged Hann power spectrum (zero-pad a short tail-less signal)
+      val nBins = frameSize / 2
+      val power = new Array[Double](nBins)
+      val hann = Array.tabulate(frameSize)(j =>
+        0.5 * (1 - math.cos(2 * math.Pi * j / (frameSize - 1))))
+      val frames = math.max(1, n / frameSize)
+      var fr = 0
+      while (fr < frames) {
+        val re = new Array[Double](frameSize)
+        val im = new Array[Double](frameSize)
+        var j = 0
+        while (j < frameSize) {
+          val idx = fr * frameSize + j
+          re(j) = (if (idx < n) mono(idx) else 0.0) * hann(j)
+          j += 1
+        }
+        fftInPlace(re, im)
+        var k = 0
+        while (k < nBins) { power(k) += re(k) * re(k) + im(k) * im(k); k += 1 }
+        fr += 1
+      }
+      val binHz = rate.toDouble / frameSize
+      var total = 0.0
+      var k = 1
+      while (k < nBins) { total += power(k); k += 1 } // DC excluded
+      if (total <= 0)
+        AudioSpectral(durationSec, rms, zcrHz, 0.0, 0.0, 0.0, 0.0)
+      else {
+        var best = 1; var centNum = 0.0
+        k = 1
+        while (k < nBins) {
+          if (power(k) > power(best)) best = k
+          centNum += k * binHz * power(k)
+          k += 1
+        }
+        val centroid = centNum / total
+        var varNum = 0.0
+        k = 1
+        while (k < nBins) {
+          val d = k * binHz - centroid
+          varNum += d * d * power(k)
+          k += 1
+        }
+        var cum = 0.0
+        var roll = 1
+        k = 1
+        while (k < nBins && cum < 0.85 * total) { cum += power(k); roll = k; k += 1 }
+        AudioSpectral(durationSec, rms, zcrHz, best * binHz, centroid,
+          math.sqrt(varNum / total), roll * binHz)
+      }
+    }
+
+  def audioSpectral(frameSize: Int = 1024) = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None else spectralFeatures(bytes, frameSize))
+
+  /** Sample-wise sum of two PCM16 mono WAVs (same rate; length = the
+    * shorter), clipped to 16-bit — superposition fixtures for the
+    * spectral plane. */
+  val pcmMix = udf((a: Array[Byte], b: Array[Byte]) => {
+    (pcmSamples(a), pcmSamples(b)) match {
+      case (Some((ra, xa)), Some((rb, xb))) if ra == rb =>
+        val n = math.min(xa.length, xb.length)
+        val dataLen = n * 2
+        val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort).putShort(1.toShort).putInt(ra)
+          .putInt(ra * 2).putShort(2.toShort).putShort(16.toShort)
+        out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          val s = math.max(-32768.0, math.min(32767.0, (xa(i) + xb(i)) * 32768.0))
+          out.putShort(math.round(s).toShort)
+          i += 1
+        }
+        out.array()
+      case _ => null
+    }
+  })
+
+  /** Fixture: mono 16-bit WAV sine — `amp`·sin(2π·freq·t) at
+    * `sampleRate` for `n` samples. A bin-aligned `freq`
+    * (= m·rate/frameSize) makes `dominantHz` exact. */
+  val makeWavSine = udf((n: Int, sampleRate: Int, freq: Double, amp: Int) => {
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2.toShort).putShort(16.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      out.putShort(math.round(amp * math.sin(2 * math.Pi * freq * i / sampleRate)).toShort)
+      i += 1
+    }
+    out.array()
+  })
+
   /** Fixture: solid-color RGB image through the REAL encoder
     * (`fmt` = "png" | "jpg" | "gif" | "bmp"). */
   val makeImage = udf((w: Int, h: Int, r: Int, g: Int, b: Int, fmt: String) => {

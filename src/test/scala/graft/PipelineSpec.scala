@@ -882,6 +882,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(au.getStruct(1).getLong(3) === 50L) // 800 samples @ 16 kHz = 50 ms
   }
 
+  test("audio spectral features: FFT pins the analytic sine fixtures") {
+    // REAL DSP plane (r9): Hann-framed radix-2 FFT. A BIN-ALIGNED sine
+    // (freq = m·rate/frameSize) makes the dominant bin exact; symmetric
+    // Hann leakage keeps the centroid on the tone; zcr/2 is the
+    // fundamental; rms of A·sin = A/√2.
+    val rate = 8192; val frame = 1024
+    val f1 = 96 * rate / frame  // 768 Hz, bin 96
+    val f2 = 160 * rate / frame // 1280 Hz, bin 160
+    val rows = Seq((1, f1.toDouble), (2, f2.toDouble)).toDF("id", "freq")
+      .withColumn("wav", Multimodal.makeWavSine(lit(rate), lit(rate),
+        $"freq", lit(12000)))
+      .withColumn("sp", Multimodal.audioSpectral(frame)($"wav"))
+      .select($"freq", $"sp.*")
+      .collect()
+    rows.foreach { r =>
+      val freq = r.getDouble(0)
+      val (dur, rms, zcr, dom, cent, bw, roll) = (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(dur === 1.0)
+      assert(math.abs(rms - 12000.0 / 32768.0 / math.sqrt(2)) < 1e-4, s"rms $rms")
+      assert(math.abs(zcr - freq) < 2.0, s"zcr $zcr vs $freq")
+      assert(dom === freq, s"dominant $dom vs $freq (bin-aligned: exact)")
+      assert(math.abs(cent - freq) < 0.5 * rate / frame, s"centroid $cent vs $freq")
+      assert(bw < 2.5 * rate / frame, s"pure tone bandwidth too wide: $bw")
+      assert(math.abs(roll - freq) < 2.0 * rate / frame, s"rolloff $roll vs $freq")
+    }
+    // silence: zero everything, no NaNs
+    val silent = Seq(1).toDF("id")
+      .withColumn("wav", Multimodal.makeWavConst(lit(4096), lit(rate), lit(0)))
+      .select(Multimodal.audioSpectral(frame)($"wav").as("sp"))
+      .select($"sp.*").collect()(0)
+    assert(silent.getDouble(1) === 0.0 && silent.getDouble(4) === 0.0)
+    // two-tone mix: centroid sits between the tones, dominant on the
+    // stronger one (superposition sanity for the averaged spectrum)
+    val mixWav = Seq(1).toDF("id")
+      .withColumn("a", Multimodal.makeWavSine(lit(rate), lit(rate),
+        lit(f1.toDouble), lit(12000)))
+      .select(Multimodal.pcmMix($"a",
+        Multimodal.makeWavSine(lit(rate), lit(rate), lit(f2.toDouble), lit(4000)))
+        .as("wav"))
+      .select(Multimodal.audioSpectral(frame)($"wav").as("sp"))
+      .select($"sp.*").collect()(0)
+    val (mDom, mCent) = (mixWav.getDouble(3), mixWav.getDouble(4))
+    assert(mDom === f1.toDouble, s"mix dominant $mDom")
+    assert(mCent > f1 && mCent < f2, s"mix centroid $mCent outside ($f1, $f2)")
+    // power-weighted mean: amp 3:1 → power 9:1 → (768·9 + 1280)/10 = 819.2
+    assert(math.abs(mCent - 819.2) < 2.0, s"mix centroid $mCent vs 819.2")
+  }
+
   test("deterministic split: stable, exhaustive, insensitive to other rows") {
     val ids = (0L until 1000L).toDF("id")
     val s1 = Curation.withSplit(ids, "id", salt = "x", fracTrain = 0.8, fracVal = 0.1)
