@@ -342,8 +342,10 @@ object CrsImpl {
     srid == 4326 || srid == 3857 || srid == 3395 || srid == 3035 ||
       LccSpecs.contains(srid) || AlbersSpecs.contains(srid) ||
       PolarSpecs.contains(srid) || isUtmNorth(srid) || isUtmSouth(srid)
-  def isSupported(srid: Int): Boolean =
+  def isSupported(srid0: Int): Boolean = {
+    val srid = EsriAliases.getOrElse(srid0, srid0)
     isClosedForm(srid) || EpsgDb.isSupported(srid)
+  }
 
   // --------------------- Lambert Conformal Conic 2SP (Snyder §15, ellipsoid)
   // EPSG:2154 RGF93 / Lambert-93 (France): lat1=49, lat2=44, lat0=46.5,
@@ -670,10 +672,21 @@ object CrsImpl {
   private def fromWgs84Any(lon: Double, lat: Double, dst: Int): (Double, Double) =
     if (isClosedForm(dst)) fromWgs84(lon, lat, dst) else EpsgDb.fromWgs84(lon, lat, dst)
 
-  def toSrid(g: Geometry, target: Int): Geometry = {
-    val src = g.getSRID
+  /** ESRI numeric codes that are exact aliases of EPSG definitions —
+    * ArcGIS-authored data commonly carries these (102100 is ubiquitous).
+    * Only identities we're certain of; canonicalized at the transform
+    * entry so every family path serves them. */
+  private val EsriAliases: Map[Int, Int] = Map(
+    102100 -> 3857, // WGS_1984_Web_Mercator_Auxiliary_Sphere
+    102039 -> 5070) // USA_Contiguous_Albers_Equal_Area_Conic_USGS_version
+
+  private def canonical(srid: Int): Int = EsriAliases.getOrElse(srid, srid)
+
+  def toSrid(g: Geometry, target0: Int): Geometry = {
+    val target = canonical(target0)
+    val src = canonical(g.getSRID)
     if (src == target || g.isEmpty) {
-      val c = g.copy(); c.setSRID(target); return c
+      val c = g.copy(); c.setSRID(target0); return c
     }
     require(isSupported(src) && isSupported(target),
       s"to_srid($src -> $target): supported EPSG codes are the closed-form " +
@@ -687,7 +700,7 @@ object CrsImpl {
       val (ox, oy) = fromWgs84Any(lon, lat, target)
       (ox, oy, z)
     })
-    out.setSRID(target)
+    out.setSRID(target0) // the caller's code, alias or canonical
     out
   }
 

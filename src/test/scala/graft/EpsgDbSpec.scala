@@ -124,6 +124,26 @@ class EpsgDbSpec extends AnyFunSuite {
     val easeP = EpsgDb.table(6931).proj.forward(37.0, 90.0)
     assert(math.abs(easeP._1) < 1e-6 && math.abs(easeP._2) < 1e-6, easeP.toString)
 
+    // plain NTF Lambert zones = carto zones minus zone·10⁶ northing,
+    // same cone (r9): the identity is structural, pin it at a real point
+    for ((plain, carto, zone) <- Seq((27561, 27571, 1), (27562, 27572, 2),
+        (27563, 27573, 3), (27564, 27574, 4))) {
+      val (px, py) = EpsgDb.table(plain).proj.forward(2.5, 46.8)
+      val (cx, cy) = EpsgDb.table(carto).proj.forward(2.5, 46.8)
+      assert(math.abs(px - cx) < 1e-9 && math.abs((cy - py) - zone * 1e6) < 1e-6,
+        s"zone $zone: plain ($px,$py) vs carto ($cx,$cy)")
+    }
+    // ESRI numeric aliases transform exactly like their EPSG canon
+    val pt = { val g = new org.locationtech.jts.geom.GeometryFactory()
+      .createPoint(new org.locationtech.jts.geom.Coordinate(2.5, 48.8))
+      g.setSRID(4326); g }
+    val viaAlias = graft.functions.CrsImpl.toSrid(pt, 102100)
+    val viaEpsg = graft.functions.CrsImpl.toSrid(pt, 3857)
+    assert(viaAlias.getCoordinate.equals2D(viaEpsg.getCoordinate))
+    assert(viaAlias.getSRID === 102100) // caller's code preserved
+    assert(graft.functions.CrsImpl.toSrid(viaAlias, 4326).getCoordinate
+      .distance(pt.getCoordinate) < 1e-9)
+
     // US state planes: natural/false origin anchors, metres and the exact
     // published US-survey-foot values (ftUS = 1200/3937 m)
     val txm = EpsgDb.table(32139).proj.forward(-(100.0 + 20.0 / 60), 29.0 + 40.0 / 60)
