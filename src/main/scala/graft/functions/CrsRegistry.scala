@@ -54,6 +54,47 @@ object CrsRegistry {
 
   private val gridShifts =
     new java.util.concurrent.ConcurrentHashMap[EpsgDb.Helmert, NTv2.GridFile]()
+  @volatile private var gridConfLoaded = false
+
+  /** Spark conf key for CLUSTER-wide grid registrations —
+    * `"NAD27=/mnt/grids/ntv2_0.gsb;;DHDN=hdfs:///grids/BETA2007.gsb"`.
+    * Loaded lazily ONCE PER JVM (driver and every executor alike, the
+    * same mechanism [[ConfKey]] uses for WKT), so the datum-hop UDFs see
+    * the grids on executors without any startup hook; paths resolve
+    * through the Hadoop filesystem of the running job. */
+  val GridConfKey = "spark.graft.crs.gridshift"
+
+  private def ensureGridConf(): Unit = if (!gridConfLoaded) synchronized {
+    if (!gridConfLoaded) {
+      gridConfLoaded = true
+      try {
+        val env = org.apache.spark.SparkEnv.get
+        if (env != null) {
+          val blob = env.conf.get(GridConfKey, "")
+          blob.split(";;").iterator.map(_.trim).filter(_.nonEmpty).foreach { entry =>
+            val eq = entry.indexOf('=')
+            require(eq > 0, s"$GridConfKey entry must be datum=/path/to.gsb: $entry")
+            val datum = entry.substring(0, eq).trim
+            val path = new org.apache.hadoop.fs.Path(entry.substring(eq + 1).trim)
+            // plain Hadoop conf: classpath core-site/hdfs-site resolve the
+            // scheme (SparkHadoopUtil is private[spark])
+            val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val in = fs.open(path)
+            val bytes =
+              try {
+                val len = fs.getFileStatus(path).getLen.toInt
+                val buf = new Array[Byte](len); in.readFully(0, buf); buf
+              } finally in.close()
+            registerGridShift(datum, bytes)
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"failed to load $GridConfKey: ${e.getMessage}", e)
+      }
+    }
+  }
 
   /** Register an NTv2 grid-shift file for a datum: every `st_to_srid`
     * datum hop on that datum then prefers the grid (source datum →
@@ -65,11 +106,12 @@ object CrsRegistry {
     * distributed under their agencies' own terms); this is the seam for
     * users who have them.
     *
-    * JVM-local, like [[register]]: call on the driver before building the
-    * frame (the registration is captured into task closures through the
-    * datum-hop functions' registry lookups on each executor, so cluster
-    * use needs the call in an executor-startup hook or the grid
-    * broadcast-registered — same semantics as WKT registrations). */
+    * Direct calls are JVM-local, like [[register]] — right for driver-side
+    * work and tests. For a CLUSTER, set [[GridConfKey]]
+    * (`spark.graft.crs.gridshift = "NAD27=/mnt/grids/ntv2_0.gsb"`) at
+    * submit time instead: every executor lazily loads the grid from the
+    * shared filesystem on first datum hop, the same per-JVM mechanism WKT
+    * registrations use. */
   def registerGridShift(datumName: String, gsb: Array[Byte]): Unit = {
     val key = norm(stripDatumPrefix(datumName))
     val shift = EpsgDb.datumShiftByName.get(key).flatten.getOrElse(
@@ -83,13 +125,20 @@ object CrsRegistry {
     if (s.startsWith("D_")) s.substring(2) else s
 
   /** The grid registered for a datum's Helmert, if any. */
-  private[functions] def gridShiftFor(h: EpsgDb.Helmert): Option[NTv2.GridFile] =
+  private[functions] def gridShiftFor(h: EpsgDb.Helmert): Option[NTv2.GridFile] = {
+    ensureGridConf()
     Option(gridShifts.get(h))
+  }
 
   /** Test/ops hook: drop a registration. */
   def unregisterGridShift(datumName: String): Unit =
     EpsgDb.datumShiftByName.get(norm(stripDatumPrefix(datumName))).flatten
       .foreach(gridShifts.remove(_))
+
+  /** Test hook: force the next [[gridShiftFor]] to re-read [[GridConfKey]]. */
+  private[graft] def reloadGridConfForTest(): Unit = synchronized {
+    gridConfLoaded = false
+  }
 
   /** The raw WKT the code was registered with (used by `.prj` writers). */
   def registeredWkt(code: Int): Option[String] = { ensureConf(); Option(custom.get(code)).map(_._2) }

@@ -175,6 +175,32 @@ class NTv2Spec extends AnyFunSuite {
     } finally CrsRegistry.unregisterGridShift("NAD27")
   }
 
+  test("cluster seam: grids load lazily from the spark.graft.crs.gridshift conf") {
+    // executors never see driver-side registerGridShift calls — the conf
+    // key points at a .gsb on the shared filesystem and each JVM loads it
+    // on first datum hop, like the WKT conf mechanism
+    TestSpark.spark // SparkEnv exists only once a session is up
+    val gsb = NTv2.write(NTv2.GridFile(Seq(fixture())))
+    val f = java.nio.file.Files.createTempFile("graft_conf_grid", ".gsb")
+    java.nio.file.Files.write(f, gsb)
+    val conf = org.apache.spark.SparkEnv.get.conf
+    try {
+      CrsRegistry.unregisterGridShift("NAD27")
+      conf.set(CrsRegistry.GridConfKey, s"NAD27=${f.toString}")
+      CrsRegistry.reloadGridConfForTest()
+      val (lon0, lat0) = (-98.5, 40.5)
+      val (lonW, latW) = EpsgDb.toWgs84(lon0, lat0, 4267)
+      val (aLatSec, _) = analytic(lon0, lat0)
+      assert(math.abs(latW - (lat0 + aLatSec / 3600.0)) < 2e-7,
+        s"conf-loaded grid not applied: $latW")
+    } finally {
+      conf.remove(CrsRegistry.GridConfKey)
+      CrsRegistry.unregisterGridShift("NAD27")
+      CrsRegistry.reloadGridConfForTest()
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
+
   test("registerGridShift rejects unknown and coincident datums") {
     val gsb = NTv2.write(NTv2.GridFile(Seq(fixture())))
     assertThrows[IllegalArgumentException] {
