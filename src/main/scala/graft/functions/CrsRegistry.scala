@@ -65,8 +65,12 @@ object CrsRegistry {
   val GridConfKey = "spark.graft.crs.gridshift"
 
   private def ensureGridConf(): Unit = if (!gridConfLoaded) synchronized {
+    // flag flips only AFTER a successful load: concurrent callers block
+    // on the monitor until the grids are in (a lock-free early flag let
+    // them silently transform grid-less during the load window), and a
+    // transient FS failure is retried by the next caller instead of
+    // poisoning the JVM into permanent Helmert-only mode
     if (!gridConfLoaded) {
-      gridConfLoaded = true
       try {
         val env = org.apache.spark.SparkEnv.get
         if (env != null) {
@@ -76,18 +80,30 @@ object CrsRegistry {
             require(eq > 0, s"$GridConfKey entry must be datum=/path/to.gsb: $entry")
             val datum = entry.substring(0, eq).trim
             val path = new org.apache.hadoop.fs.Path(entry.substring(eq + 1).trim)
-            // plain Hadoop conf: classpath core-site/hdfs-site resolve the
-            // scheme (SparkHadoopUtil is private[spark])
-            val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            // classpath core-site/hdfs-site PLUS the job's spark.hadoop.*
+            // overrides (object-store credentials etc.; SparkHadoopUtil
+            // is private[spark], so copy the keys directly)
+            val hconf = new org.apache.hadoop.conf.Configuration()
+            env.conf.getAll.foreach { case (k, v) =>
+              if (k.startsWith("spark.hadoop."))
+                hconf.set(k.stripPrefix("spark.hadoop."), v)
+            }
+            val fs = path.getFileSystem(hconf)
             val in = fs.open(path)
             val bytes =
               try {
                 val len = fs.getFileStatus(path).getLen.toInt
                 val buf = new Array[Byte](len); in.readFully(0, buf); buf
               } finally in.close()
-            registerGridShift(datum, bytes)
+            // if-absent: an explicit driver-side registerGridShift wins
+            // over the conf, matching ensureConf's WKT semantics
+            val key = EpsgDb.datumShiftByName.get(norm(stripDatumPrefix(datum)))
+              .flatten.getOrElse(throw new IllegalArgumentException(
+                s"$GridConfKey: unknown or WGS84-coincident datum '$datum'"))
+            gridShifts.putIfAbsent(key, NTv2.read(bytes))
           }
         }
+        gridConfLoaded = true
       } catch {
         case scala.util.control.NonFatal(e) =>
           throw new IllegalArgumentException(

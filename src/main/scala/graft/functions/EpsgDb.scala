@@ -1013,11 +1013,12 @@ object EpsgDb {
       add(code, (Lcc1SP(Clarke1880IGN, lat0, parisFromGreenwich, k0, fe, fn),
         Some(Ntf), s"NTF (Paris) / Lambert zone $z (carto)"))
       // plain (non-carto) zone: same cone, northing minus zone·10⁶
-      val plainName = Map("I" -> "Nord", "II" -> "Centre", "III" -> "Sud",
-        "IV" -> "Corse")(z)
+      // (EPSG names zones I-III "<region> France", Corse without it)
+      val plainName = Map("I" -> "Nord France", "II" -> "Centre France",
+        "III" -> "Sud France", "IV" -> "Corse")(z)
       add(code - 10, (Lcc1SP(Clarke1880IGN, lat0, parisFromGreenwich, k0, fe,
         fn - (code - 27570) * 1e6),
-        Some(Ntf), s"NTF (Paris) / Lambert $plainName France"))
+        Some(Ntf), s"NTF (Paris) / Lambert $plainName"))
     }
     // continental equal-area / statistical grids
     add(5070, noShift(AlbersConic(GRS80, 29.5, 45.5, 23, -96, 0, 0),

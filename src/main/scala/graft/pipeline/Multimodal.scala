@@ -218,9 +218,9 @@ object Multimodal {
       out.toSeq
     })
 
-  /** REAL PCM statistics from the WAV data chunk (16-bit LE signed
-    * samples): (rms, peak, mean), each normalized by 2¹⁵. */
-  def pcmStats(b: Array[Byte]): Option[(Double, Double, Double)] = {
+  /** (dataOff, end) byte bounds of the first RIFF `data` chunk — the one
+    * chunk walk every PCM reader shares (hardened against ≥2³¹ sizes). */
+  private def dataChunkBounds(b: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = b(i) & 0xff
     def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
       u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24)
@@ -234,8 +234,34 @@ object Multimodal {
       else if (sz > Int.MaxValue - 16) i = b.length // malformed size: stop
       else i += 8 + sz.toInt + (sz.toInt & 1)
     }
-    if (dataOff < 0) return None
-    val end = math.min(dataOff + dataLen, b.length.toLong).toInt
+    if (dataOff < 0) None
+    else Some((dataOff, math.min(dataOff + dataLen, b.length.toLong).toInt))
+  }
+
+  /** Mono PCM16 WAV assembly: 44-byte header, `fill` writes the `n`
+    * 16-bit samples — the one header writer every fixture shares. */
+  private def monoWav16(rate: Int, n: Int)(
+      fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(rate)
+      .putInt(rate * 2).putShort(2.toShort).putShort(16.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    fill(out)
+    out.array()
+  }
+
+  /** REAL PCM statistics from the WAV data chunk (16-bit LE signed
+    * samples): (rms, peak, mean), each normalized by 2¹⁵. */
+  def pcmStats(b: Array[Byte]): Option[(Double, Double, Double)] = {
+    def u8(i: Int) = b(i) & 0xff
+    val bounds = dataChunkBounds(b)
+    if (bounds.isEmpty) return None
+    val (dataOff, end) = bounds.get
     val n = (end - dataOff) / 2
     if (n <= 0) return Some((0.0, 0.0, 0.0))
     var sum = 0L; var sumSq = 0L; var peak = 0L
@@ -262,20 +288,7 @@ object Multimodal {
       if (bits != 16 || channels < 1) None
       else {
         def u8(i: Int) = b(i) & 0xff
-        def le32(i: Int) = (u8(i).toLong | u8(i + 1).toLong << 8 |
-          u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24)
-        def tag(i: Int, s: String) = s.indices.forall(j => u8(i + j) == s.charAt(j))
-        var i = 12
-        var dataOff = -1; var dataLen = 0L
-        while (i + 8 <= b.length && dataOff < 0) {
-          val sz = le32(i + 4)
-          if (tag(i, "data")) { dataOff = i + 8; dataLen = sz }
-          else if (sz > Int.MaxValue - 16) i = b.length
-          else i += 8 + sz.toInt + (sz.toInt & 1)
-        }
-        if (dataOff < 0) None
-        else {
-          val end = math.min(dataOff + dataLen, b.length.toLong).toInt
+        dataChunkBounds(b).map { case (dataOff, end) =>
           val frames = (end - dataOff) / (2 * channels)
           val mono = new Array[Double](frames)
           var f = 0
@@ -289,7 +302,7 @@ object Multimodal {
             mono(f) = acc / channels / 32768.0
             f += 1
           }
-          Some((rate, mono))
+          (rate, mono)
         }
       }
     }
@@ -357,6 +370,9 @@ object Multimodal {
       zcrHz: Double, dominantHz: Double, centroidHz: Double,
       bandwidthHz: Double, rolloffHz: Double)
 
+  private val hannCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+
   def spectralFeatures(b: Array[Byte], frameSize: Int = 1024): Option[AudioSpectral] =
     pcmSamples(b).map { case (rate, mono) =>
       val n = mono.length
@@ -371,20 +387,23 @@ object Multimodal {
       }
       val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
       val zcrHz = if (durationSec == 0) 0.0 else crossings / (2.0 * durationSec)
-      // averaged Hann power spectrum (zero-pad a short tail-less signal)
+      // averaged Hann power spectrum (zero-pad a short tail-less signal);
+      // the window is cached per frameSize and the FFT scratch is reused
+      // across frames — this runs per ROW in a scan
       val nBins = frameSize / 2
       val power = new Array[Double](nBins)
-      val hann = Array.tabulate(frameSize)(j =>
-        0.5 * (1 - math.cos(2 * math.Pi * j / (frameSize - 1))))
+      val hann = hannCache.computeIfAbsent(frameSize, fs =>
+        Array.tabulate(fs)(j => 0.5 * (1 - math.cos(2 * math.Pi * j / (fs - 1)))))
       val frames = math.max(1, n / frameSize)
+      val re = new Array[Double](frameSize)
+      val im = new Array[Double](frameSize)
       var fr = 0
       while (fr < frames) {
-        val re = new Array[Double](frameSize)
-        val im = new Array[Double](frameSize)
         var j = 0
         while (j < frameSize) {
           val idx = fr * frameSize + j
           re(j) = (if (idx < n) mono(idx) else 0.0) * hann(j)
+          im(j) = 0.0
           j += 1
         }
         fftInPlace(re, im)
@@ -433,22 +452,14 @@ object Multimodal {
     (pcmSamples(a), pcmSamples(b)) match {
       case (Some((ra, xa)), Some((rb, xb))) if ra == rb =>
         val n = math.min(xa.length, xb.length)
-        val dataLen = n * 2
-        val out = java.nio.ByteBuffer.allocate(44 + dataLen)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-          .put("WAVE".getBytes("US-ASCII"))
-        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-          .putShort(1.toShort).putShort(1.toShort).putInt(ra)
-          .putInt(ra * 2).putShort(2.toShort).putShort(16.toShort)
-        out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-        var i = 0
-        while (i < n) {
-          val s = math.max(-32768.0, math.min(32767.0, (xa(i) + xb(i)) * 32768.0))
-          out.putShort(math.round(s).toShort)
-          i += 1
+        monoWav16(ra, n) { out =>
+          var i = 0
+          while (i < n) {
+            val s = math.max(-32768.0, math.min(32767.0, (xa(i) + xb(i)) * 32768.0))
+            out.putShort(math.round(s).toShort)
+            i += 1
+          }
         }
-        out.array()
       case _ => null
     }
   })
@@ -456,23 +467,14 @@ object Multimodal {
   /** Fixture: mono 16-bit WAV sine — `amp`·sin(2π·freq·t) at
     * `sampleRate` for `n` samples. A bin-aligned `freq`
     * (= m·rate/frameSize) makes `dominantHz` exact. */
-  val makeWavSine = udf((n: Int, sampleRate: Int, freq: Double, amp: Int) => {
-    val dataLen = n * 2
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1.toShort).putShort(1.toShort).putInt(sampleRate)
-      .putInt(sampleRate * 2).putShort(2.toShort).putShort(16.toShort)
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var i = 0
-    while (i < n) {
-      out.putShort(math.round(amp * math.sin(2 * math.Pi * freq * i / sampleRate)).toShort)
-      i += 1
-    }
-    out.array()
-  })
+  val makeWavSine = udf((n: Int, sampleRate: Int, freq: Double, amp: Int) =>
+    monoWav16(sampleRate, n) { out =>
+      var i = 0
+      while (i < n) {
+        out.putShort(math.round(amp * math.sin(2 * math.Pi * freq * i / sampleRate)).toShort)
+        i += 1
+      }
+    })
 
   /** Fixture: solid-color RGB image through the REAL encoder
     * (`fmt` = "png" | "jpg" | "gif" | "bmp"). */
@@ -489,20 +491,11 @@ object Multimodal {
 
   /** Fixture: mono 16-bit WAV with `n` constant-amplitude samples —
     * rms = peak = mean = amp/2¹⁵ exactly. */
-  val makeWavConst = udf((n: Int, sampleRate: Int, amp: Int) => {
-    val dataLen = n * 2
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1.toShort).putShort(1.toShort).putInt(sampleRate)
-      .putInt(sampleRate * 2).putShort(2.toShort).putShort(16.toShort)
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var i = 0
-    while (i < n) { out.putShort(amp.toShort); i += 1 }
-    out.array()
-  })
+  val makeWavConst = udf((n: Int, sampleRate: Int, amp: Int) =>
+    monoWav16(sampleRate, n) { out =>
+      var i = 0
+      while (i < n) { out.putShort(amp.toShort); i += 1 }
+    })
 
   // ------------------------------------- REAL video plane (MJPEG-in-AVI)
   // AVI is a RIFF container; Motion-JPEG stores each frame as a complete
