@@ -140,6 +140,15 @@ object Bench {
       graft.pipeline.Dedup.minhashCandidates(all, "doc_id", "text")
         .agg(count(lit(1)).as("n"))
     }),
+    // spectral audio features (per-row radix-2 FFT over generated PCM)
+    "pipe_audio" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("wav", graft.pipeline.Multimodal.makeWavSine(
+          lit(8192), lit(8192),
+          ((lit(64) + col("doc_id") % 8 * 16) * 8).cast("double"), lit(12000)))
+      d.select(graft.pipeline.Multimodal.audioSpectral(1024)(col("wav")).as("sp"))
+        .agg(sum(col("sp.dominantHz")).as("s"), avg(col("sp.centroidHz")).as("c"))
+    }),
     // brute-force cosine top-k
     "pipe_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))

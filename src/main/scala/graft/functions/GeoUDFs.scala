@@ -594,7 +594,12 @@ object GeoUDFs {
   val within: UserDefinedFunction =
     fB2("st_within")(ngPred(() => RelatePredicate.within()))
   val equalsTopo: UserDefinedFunction =
-    fB2("st_equals")(ngPred(() => RelatePredicate.equalsTopo()))
+    // GEOS special-cases equals: two empties ARE equal (same empty point
+    // set) — the blanket either-empty→false convention of the other
+    // predicates would diverge from the reference here
+    fB2("st_equals")((a, b) =>
+      if (a.isEmpty || b.isEmpty) a.isEmpty && b.isEmpty
+      else RelateNG.relate(a, b, RelatePredicate.equalsTopo()))
   val equalsIdentical: UserDefinedFunction =
     fB2("st_equals_identical")(GeomUtil.equalsIdentical)
 
@@ -970,8 +975,14 @@ object GeoUDFs {
 
   GeoKernels.add(K("st_cast", 2, Set(0), OGeom, a => CastImpl.cast(aG(a(0)), aS(a(1)))))
 
-  /** Promote to the corresponding Multi* type (functions.rs:779-792). */
+  /** Promote to the corresponding Multi* type (functions.rs:779-792).
+    * Empties promote to MULTI* EMPTY (the GEOS result, and what
+    * [[CastImpl.cast]] does) — wrapping an empty element instead crashes
+    * the GeoJSON writer on its 0-length coordinate sequence. */
   val multi: UserDefinedFunction = fG1("st_multi") {
+    case p: Point if p.isEmpty => fact.createMultiPoint()
+    case l: LineString if l.isEmpty => fact.createMultiLineString()
+    case p: Polygon if p.isEmpty => fact.createMultiPolygon()
     case p: Point => fact.createMultiPoint(Array(p))
     case l: LineString => fact.createMultiLineString(Array(l))
     case p: Polygon => fact.createMultiPolygon(Array(p))
@@ -1023,7 +1034,9 @@ object GeoUDFs {
         ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
       case "centroid" =>
         val c = g.getCentroid
-        (c.getX, c.getY)
+        // empty input: the transform maps zero coordinates, any origin
+        // works — Point.getX on an empty centroid would throw instead
+        if (c.isEmpty) (0.0, 0.0) else (c.getX, c.getY)
       case s =>
         val parts = s.split("[ ,]+").filter(_.nonEmpty)
         require(parts.length >= 2, s"invalid origin: $origin")
@@ -1093,7 +1106,9 @@ object GeoUDFs {
 
   /** Point along a lineal geometry; raises on non-lineal input. */
   private def interpolateK(dist: Double, normalized: Boolean)(g0: Geometry): Geometry = g0 match {
-    case l: LineString if l.isEmpty => fact.createPoint()
+    // EMPTY of either lineal type: LengthIndexedLine's end-location on an
+    // empty MultiLineString indexes component -1 and crashes
+    case l @ (_: LineString | _: MultiLineString) if l.isEmpty => fact.createPoint()
     case l @ (_: LineString | _: MultiLineString) =>
       val lil = new LengthIndexedLine(l)
       val d = if (normalized) dist * l.getLength else dist

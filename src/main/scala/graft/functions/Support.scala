@@ -23,15 +23,29 @@ object GeoJson {
   private def readNode(n: JsonNode): Geometry = {
     val t = Option(n.get("type")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException("GeoJSON missing type"))
+    def member(name: String): JsonNode = {
+      val m = n.get(name)
+      if (m == null) throw new IllegalArgumentException(
+        s"GeoJSON $t missing '$name'")
+      m
+    }
     t match {
-      case "Feature" => readNode(n.get("geometry"))
+      case "Feature" =>
+        // RFC 7946: "geometry": null is a valid unlocated Feature
+        val g = n.get("geometry")
+        if (g == null || g.isNull) fact.createGeometryCollection()
+        else readNode(g)
       case "FeatureCollection" =>
-        val gs = n.get("features").elements().asScala.map(readNode).toArray
+        val gs = member("features").elements().asScala.map(readNode).toArray
         fact.createGeometryCollection(gs)
       case "GeometryCollection" =>
-        val gs = n.get("geometries").elements().asScala.map(readNode).toArray
+        val gs = member("geometries").elements().asScala.map(readNode).toArray
         fact.createGeometryCollection(gs)
-      case "Point" => fact.createPoint(coord(n.get("coordinates")))
+      case "Point" =>
+        // our own writer emits coordinates:[] for POINT EMPTY
+        val c = member("coordinates")
+        if (!c.elements().hasNext) fact.createPoint()
+        else fact.createPoint(coord(c))
       case "MultiPoint" =>
         fact.createMultiPoint(arr(n.get("coordinates")).map(c => fact.createPoint(coord(c))).toArray)
       case "LineString" => fact.createLineString(coords(n.get("coordinates")))
@@ -182,9 +196,10 @@ object SharedPathsImpl {
     val shared = a.intersection(b)
     val lines = org.locationtech.jts.geom.util.LinearComponentExtracter
       .getLines(shared).asScala.toSeq.map(_.asInstanceOf[LineString]).filter(!_.isEmpty)
+    // index builds are O(input) — once per call, not once per component
+    val la = new LengthIndexedLine(a)
+    val lb = new LengthIndexedLine(b)
     val (fw, bw) = lines.partition { l =>
-      val la = new LengthIndexedLine(a)
-      val lb = new LengthIndexedLine(b)
       val p0 = l.getCoordinateN(0)
       val p1 = l.getCoordinateN(1)
       val dirA = la.indexOf(p1) >= la.indexOf(p0)
@@ -518,7 +533,10 @@ object CrsImpl {
   // Lambert azimuthal equal-area, lat0=52, lon0=10, FE=4321000, FN=3210000.
   // WGS84 ellipsoid parameters are used for the offline build (ETRS89/GRS80
   // differs from WGS84 by <1e-9 in flattening — far below our tolerance).
-  private val Laea = new {
+  // a proper object, not an anonymous structural type: structural member
+  // access goes through reflection, and this sits on the per-COORDINATE
+  // hot path of every 3035 transform
+  private object Laea {
     val lat0 = math.toRadians(52.0); val lon0 = math.toRadians(10.0)
     val fe = 4321000.0; val fn = 3210000.0
     def qOf(phi: Double): Double = {
@@ -685,6 +703,10 @@ object CrsImpl {
   def toSrid(g: Geometry, target0: Int): Geometry = {
     val target = canonical(target0)
     val src = canonical(g.getSRID)
+    // same-SRID and EMPTY inputs no-op WITHOUT validating the codes —
+    // reference semantics (functions.rs:1868: "no-op if same SRID/empty"),
+    // deliberately kept even though it means an unsupported code only
+    // errors once a non-empty row reaches it
     if (src == target || g.isEmpty) {
       val c = g.copy(); c.setSRID(target0); return c
     }

@@ -444,4 +444,40 @@ class SurfaceSpec extends AnyFunSuite {
       org.apache.spark.sql.types.BinaryType) // wkb stays binary
     assert(df.stToEwkt().orderBy("id").collect()(0).getString(1) == "POINT (0 1)")
   }
+
+  test("empty-geometry edges match GEOS (r9 functions sweep)") {
+    import spark.implicits._
+    def wkt1(c: Column): String =
+      Seq(1).toDF("i").select(st_aswkt(c)).collect()(0).getString(0)
+    def bool1(c: Column): Boolean =
+      Seq(1).toDF("i").select(c).collect()(0).getBoolean(0)
+    val eP = st_geomfromtext(lit("POINT EMPTY"))
+    val eL = st_geomfromtext(lit("LINESTRING EMPTY"))
+    val eML = st_geomfromtext(lit("MULTILINESTRING EMPTY"))
+    val ePoly = st_geomfromtext(lit("POLYGON EMPTY"))
+    // st_multi on empties promotes to MULTI* EMPTY (not a Multi of one
+    // empty element, which crashed the GeoJSON writer)
+    assert(wkt1(st_multi(eP)) === "MULTIPOINT EMPTY")
+    assert(wkt1(st_multi(eL)) === "MULTILINESTRING EMPTY")
+    assert(wkt1(st_multi(ePoly)) === "MULTIPOLYGON EMPTY")
+    // geojson writer survives the promoted empties
+    val gjMulti = Seq(1).toDF("i")
+      .select(st_asgeojson(st_multi(eP))).collect()(0).getString(0)
+    assert(gjMulti.contains("MultiPoint"), gjMulti)
+    // GeoJSON: POINT EMPTY round-trips through our own writer; a Feature
+    // with geometry:null parses (RFC 7946) instead of NPE
+    val gjRt = Seq(1).toDF("i")
+      .select(st_aswkt(st_geomfromgeojson(st_asgeojson(eP)))).collect()(0).getString(0)
+    assert(gjRt === "POINT EMPTY")
+    assert(wkt1(st_geomfromgeojson(
+      lit("""{"type":"Feature","properties":{},"geometry":null}"""))) ===
+      "GEOMETRYCOLLECTION EMPTY")
+    // interpolate on MULTILINESTRING EMPTY degrades like LINESTRING EMPTY
+    assert(wkt1(st_interpolate(eML, lit(1.0))) === "POINT EMPTY")
+    // centroid-origin transforms pass empties through instead of crashing
+    assert(wkt1(st_rotate(ePoly, lit(45.0), lit("centroid"))) === "POLYGON EMPTY")
+    // equals: two empties ARE equal (GEOS special case); one empty is not
+    assert(bool1(st_equals(eP, eL)))
+    assert(!bool1(st_equals(eP, st_point(lit(1.0), lit(2.0)))))
+  }
 }
