@@ -252,7 +252,10 @@ object GeoAggs {
       if (g == null) b
       else {
         val (mi, mg, rest) = b
-        if (idx < mi) {
+        // mg == null disambiguates the sentinel: a REAL order value of
+        // Long.MaxValue must still claim the empty minuend slot (idx < mi
+        // alone would misfile it into the subtrahends and discard it)
+        if (idx < mi || mg == null) {
           if (mg != null) rest += mg
           (idx, g, compact(rest))
         } else {
@@ -263,7 +266,13 @@ object GeoAggs {
     }
     def merge(a: (Long, Array[Byte], ArrayBuffer[Array[Byte]]),
         b: (Long, Array[Byte], ArrayBuffer[Array[Byte]])): (Long, Array[Byte], ArrayBuffer[Array[Byte]]) = {
-      val (keep, drop) = if (a._1 <= b._1) (a, b) else (b, a)
+      // a side with no minuend can never win the keep slot — at the
+      // Long.MaxValue sentinel an index tie against the EMPTY buffer
+      // would otherwise demote the real minuend to a subtrahend
+      val (keep, drop) =
+        if (a._2 == null && b._2 != null) (b, a)
+        else if (b._2 == null && a._2 != null) (a, b)
+        else if (a._1 <= b._1) (a, b) else (b, a)
       val rest = keep._3
       if (drop._2 != null) rest += drop._2
       rest ++= drop._3
@@ -275,10 +284,12 @@ object GeoAggs {
       else if (rest.isEmpty) mg
       else {
         val m = EWKB.read(mg)
-        val sub = unionGeoms(readAll(rest), gridSize)
+        val restGs = readAll(rest)
+        val sub = unionGeoms(restGs, gridSize)
+        // first-nonzero SRID over ALL inputs, like DifferenceAllAgg
         writeWithSrid(
           overlayOp(org.locationtech.jts.operation.overlayng.OverlayNG.DIFFERENCE,
-            gridSize)(m, sub), sridOf(Seq(m)))
+            gridSize)(m, sub), sridOf(m +: restGs))
       }
     }
     def bufferEncoder: Encoder[(Long, Array[Byte], ArrayBuffer[Array[Byte]])] =

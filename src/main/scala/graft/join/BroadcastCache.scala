@@ -19,22 +19,29 @@ import org.apache.spark.broadcast.Broadcast
   */
 private[graft] class BroadcastCache[V](maxEntries: Int = 64) {
   private val cache =
-    new java.util.LinkedHashMap[(String, Long), V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[(String, Long), V]) =
+    new java.util.LinkedHashMap[(String, Long), LazyCell](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(String, Long), LazyCell]) =
         size() > maxEntries
     }
 
   def getOrBuild(bc: Broadcast[_])(build: => V): V = {
     val appId = org.apache.spark.SparkEnv.get.conf.getAppId
     val key = (appId, bc.id)
-    cache.synchronized {
+    // the cache-wide lock covers only the (fast, access-ordered) map
+    // operations; the potentially seconds-long build runs OUTSIDE it via
+    // the lazy cell — a tree build for one broadcast no longer blocks
+    // cache hits for a different broadcast on the same executor, while
+    // concurrent requests for the SAME key still share one build
+    // (lazy-val semantics on the shared cell).
+    val cell = cache.synchronized {
       val hit = cache.get(key)
       if (hit != null) hit
-      else {
-        val v = build
-        cache.put(key, v)
-        v
-      }
+      else { val c = new LazyCell(build); cache.put(key, c); c }
     }
+    cell.value
+  }
+
+  private final class LazyCell(thunk: => V) {
+    lazy val value: V = thunk
   }
 }

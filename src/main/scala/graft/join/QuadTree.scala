@@ -25,16 +25,19 @@ final case class QuadTree(root: QuadTree.Node, extent: Envelope) extends Seriali
     val minY = clamp(e.getMinY, extent.getMinY, extent.getMaxY)
     val maxY = clamp(e.getMaxY, extent.getMinY, extent.getMaxY)
     val out = Seq.newBuilder[Int]
-    def walk(n: Node, nMinX: Double, nMinY: Double, nMaxX: Double, nMaxY: Double): Unit =
+    // the mid-value comparisons fully decide the descent — node bounds
+    // need no threading (a past version passed four dead parameters that
+    // suggested an envelope test which never existed)
+    def walk(n: Node): Unit =
       n match {
         case Leaf(id) => out += id
         case Branch(midX, midY, sw, se, nw, ne) =>
-          if (minX < midX && minY < midY) walk(sw, nMinX, nMinY, midX, midY)
-          if (maxX >= midX && minY < midY) walk(se, midX, nMinY, nMaxX, midY)
-          if (minX < midX && maxY >= midY) walk(nw, nMinX, midY, midX, nMaxY)
-          if (maxX >= midX && maxY >= midY) walk(ne, midX, midY, nMaxX, nMaxY)
+          if (minX < midX && minY < midY) walk(sw)
+          if (maxX >= midX && minY < midY) walk(se)
+          if (minX < midX && maxY >= midY) walk(nw)
+          if (maxX >= midX && maxY >= midY) walk(ne)
       }
-    walk(root, extent.getMinX, extent.getMinY, extent.getMaxX, extent.getMaxY)
+    walk(root)
     out.result()
   }
 

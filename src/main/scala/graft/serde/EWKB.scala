@@ -143,11 +143,28 @@ object EWKB {
     m
   }
 
+  /** (hasZ, hasM) in ONE coordinate pass, early-stopping when both are
+    * found — write() sits on every serialization hot path and separate
+    * hasZ/hasM calls walked large geometries twice. */
+  private def zmFlags(g: Geometry): (Boolean, Boolean) = {
+    var z = false; var m = false
+    g.apply(new CoordinateSequenceFilter {
+      override def filter(seq: CoordinateSequence, i: Int): Unit = {
+        if (!z && seq.hasZ && !java.lang.Double.isNaN(seq.getZ(i))) z = true
+        if (!m && seq.hasM && !java.lang.Double.isNaN(seq.getM(i))) m = true
+      }
+      override def isDone: Boolean = z && m
+      override def isGeometryChanged: Boolean = false
+    })
+    (z, m)
+  }
+
   /** JTS Geometry → EWKB bytes (little-endian, SRID always included at the
     * top level, Z/M flags from actual coordinate content). */
   def write(g: Geometry): Array[Byte] = {
     val out = new LEOut(64)
-    writeGeometry(out, g, g.getSRID, topLevel = true, hasZ(g), hasM(g))
+    val (z, m) = zmFlags(g)
+    writeGeometry(out, g, g.getSRID, topLevel = true, z, m)
     out.toByteArray
   }
 
@@ -226,9 +243,16 @@ object EWKB {
     private var len = 0
     private def ensure(n: Int): Unit =
       if (len + n > buf.length) {
-        var cap = buf.length * 2
-        while (cap < len + n) cap *= 2
-        buf = java.util.Arrays.copyOf(buf, cap)
+        // overflow-checked doubling: past 2^30 the naive cap *= 2 wraps
+        // negative and then sticks at 0 — an infinite loop on >1 GiB
+        // geometries instead of a clean failure
+        val needed = len.toLong + n
+        require(needed <= Int.MaxValue - 8,
+          s"EWKB: geometry serialization exceeds ${Int.MaxValue - 8} bytes")
+        var cap = buf.length.toLong * 2
+        while (cap < needed) cap *= 2
+        buf = java.util.Arrays.copyOf(buf,
+          math.min(cap, (Int.MaxValue - 8).toLong).toInt)
       }
     def byte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
     def int(v: Int): Unit = {

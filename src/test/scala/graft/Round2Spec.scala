@@ -171,6 +171,28 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
         .as[Double].collect()(0)
       assert(area === 98.0, s"parts=$parts")
     }
+    // r9 sweep: Long.MaxValue is a REAL order value, not the internal
+    // sentinel — a lone row at that index must still become the minuend
+    // (the old `idx < sentinel` test misfiled it and returned EMPTY), and
+    // a MaxValue minuend with a smaller-index companion still works
+    for (parts <- Seq(1, 2)) {
+      val lone = spark.createDataFrame(spark.sparkContext.parallelize(
+          Seq((Long.MaxValue, 0.0, 0.0, 10.0, 10.0)), parts))
+        .toDF("i", "x0", "y0", "x1", "y1")
+        .select(col("i"), st_rectangle(col("x0"), col("y0"), col("x1"), col("y1")).as("g"))
+      val loneArea = lone.agg(
+        graft.functions.st_area(st_difference_all_ordered(col("g"), col("i"))).as("a"))
+        .as[Double].collect()(0)
+      assert(loneArea === 100.0, s"lone MaxValue row discarded (parts=$parts)")
+      val mixed = spark.createDataFrame(spark.sparkContext.parallelize(
+          Seq((0L, 0.0, 0.0, 10.0, 10.0), (Long.MaxValue, 1.0, 1.0, 2.0, 2.0)), parts))
+        .toDF("i", "x0", "y0", "x1", "y1")
+        .select(col("i"), st_rectangle(col("x0"), col("y0"), col("x1"), col("y1")).as("g"))
+      val mixedArea = mixed.agg(
+        graft.functions.st_area(st_difference_all_ordered(col("g"), col("i"))).as("a"))
+        .as[Double].collect()(0)
+      assert(mixedArea === 99.0, s"MaxValue subtrahend mishandled (parts=$parts)")
+    }
   }
 
   test("GeoJSON FeatureCollection reader round-trips") {
