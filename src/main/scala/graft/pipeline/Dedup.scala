@@ -74,8 +74,13 @@ object Dedup {
     * (measured: ~20× slowdown). Callers project the normalized text first. */
   private[graft] def shingleHashesNorm(norm: Column, k: Int): Column =
     array_distinct(
-      when(length(norm) >= k,
-        transform(sequence(lit(1), length(norm) - (k - 1)), i => xxhash64(norm.substr(i, lit(k)))))
+      // null text → null shingles → null signature (row drops out of
+      // banding): xxhash64(null) silently returns the SEED, which would
+      // band every null-text row together as mutual near-dups — and
+      // diverge from the native MinHashSig tier, which null-propagates
+      when(norm.isNull, lit(null).cast("array<bigint>"))
+        .when(length(norm) >= k,
+          transform(sequence(lit(1), length(norm) - (k - 1)), i => xxhash64(norm.substr(i, lit(k)))))
         .otherwise(array(xxhash64(norm))))
 
   /** Convenience single-expression form; prefer projecting

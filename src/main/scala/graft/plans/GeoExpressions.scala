@@ -127,13 +127,20 @@ case class STWithinNative(left: Expression, right: Expression) extends BinaryExp
 }
 
 case class STDWithinNative(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = BooleanType
+  // implicit input casts: a SQL fractional literal is DecimalType by
+  // default, and Spark's Decimal is NOT a java.lang.Number — without the
+  // declared DoubleType the eval cast CCE'd and codegen emitted an
+  // illegal (double)(Decimal)
+  override def inputTypes = // Seq[DataType] <: Seq[AbstractDataType (private[sql])]
+    Seq(BinaryType, BinaryType, org.apache.spark.sql.types.DoubleType)
   override def checkInputDataTypes(): TypeCheckResult = {
     val bin = NativeTypeCheck.binary("st_dwithin_native", first, second)
     if (!bin.isSuccess) bin
-    else if (!third.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    else if (third.dataType != org.apache.spark.sql.types.DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"st_dwithin_native expects a numeric distance, got ${third.dataType}")
     else TypeCheckResult.TypeCheckSuccess
@@ -147,13 +154,18 @@ case class STDWithinNative(first: Expression, second: Expression, third: Express
       t: Expression): STDWithinNative = copy(first = f, second = s, third = t)
 }
 
-case class STBufferNative(left: Expression, right: Expression) extends BinaryExpression {
+case class STBufferNative(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = BinaryType
+  // see STDWithinNative: declared DoubleType makes Catalyst cast Decimal
+  // literals instead of CCE-ing in eval / mis-compiling in codegen
+  override def inputTypes = // Seq[DataType] <: Seq[AbstractDataType (private[sql])]
+    Seq(BinaryType, org.apache.spark.sql.types.DoubleType)
   override def checkInputDataTypes(): TypeCheckResult = {
     val bin = NativeTypeCheck.binary("st_buffer_native", left)
     if (!bin.isSuccess) bin
-    else if (!right.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    else if (right.dataType != org.apache.spark.sql.types.DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"st_buffer_native expects a numeric distance, got ${right.dataType}")
     else TypeCheckResult.TypeCheckSuccess
@@ -167,31 +179,42 @@ case class STBufferNative(left: Expression, right: Expression) extends BinaryExp
 }
 
 object GeoExpressions {
+  /** Builder with an arity check: a wrong argument count in SQL gets a
+    * message naming the signature instead of an internal
+    * IndexOutOfBoundsException from inside function resolution. */
+  private def withArity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument${if (n == 1) "" else "s"}, got ${args.length}")
+      b(args)
+    }
+
   /** (identifier, info, builder) triples for SparkSessionExtensions. */
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_area_native"),
       new ExpressionInfo(classOf[STAreaNative].getName, "st_area_native"),
-      (args: Seq[Expression]) => STAreaNative(args.head)),
+      withArity("st_area_native", 1)(args => STAreaNative(args.head))),
     (FunctionIdentifier("st_length_native"),
       new ExpressionInfo(classOf[STLengthNative].getName, "st_length_native"),
-      (args: Seq[Expression]) => STLengthNative(args.head)),
+      withArity("st_length_native", 1)(args => STLengthNative(args.head))),
     (FunctionIdentifier("st_intersects_native"),
       new ExpressionInfo(classOf[STIntersectsNative].getName, "st_intersects_native"),
-      (args: Seq[Expression]) => STIntersectsNative(args(0), args(1))),
+      withArity("st_intersects_native", 2)(args => STIntersectsNative(args(0), args(1)))),
     (FunctionIdentifier("st_contains_native"),
       new ExpressionInfo(classOf[STContainsNative].getName, "st_contains_native"),
-      (args: Seq[Expression]) => STContainsNative(args(0), args(1))),
+      withArity("st_contains_native", 2)(args => STContainsNative(args(0), args(1)))),
     (FunctionIdentifier("st_within_native"),
       new ExpressionInfo(classOf[STWithinNative].getName, "st_within_native"),
-      (args: Seq[Expression]) => STWithinNative(args(0), args(1))),
+      withArity("st_within_native", 2)(args => STWithinNative(args(0), args(1)))),
     (FunctionIdentifier("st_dwithin_native"),
       new ExpressionInfo(classOf[STDWithinNative].getName, "st_dwithin_native"),
-      (args: Seq[Expression]) => STDWithinNative(args(0), args(1), args(2))),
+      withArity("st_dwithin_native", 3)(args => STDWithinNative(args(0), args(1), args(2)))),
     (FunctionIdentifier("st_buffer_native"),
       new ExpressionInfo(classOf[STBufferNative].getName, "st_buffer_native"),
-      (args: Seq[Expression]) => STBufferNative(args(0), args(1))),
+      withArity("st_buffer_native", 2)(args => STBufferNative(args(0), args(1)))),
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "array_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      withArity("array_dot", 2)(args => DotProduct(args(0), args(1)))))
 }

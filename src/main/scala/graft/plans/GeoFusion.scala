@@ -23,14 +23,23 @@ import org.locationtech.jts.geom.Geometry
   * results stay JTS [[Geometry]] objects, and only a geometry-typed root is
   * serialized back to EWKB.
   *
-  * Semantics are identical to the unfused chain by construction: the
-  * program nodes invoke the SAME kernel function values the ScalaUDFs lift
-  * (see [[GeoKernels]]), null short-circuits exactly like the `uG`/`bG`
+  * Semantics match the unfused chain by construction on non-null rows:
+  * the program nodes invoke the SAME kernel function values the ScalaUDFs
+  * lift (see [[GeoKernels]]), null short-circuits like the `uG`/`bG`
   * lifts (any null argument → null result), and geometry-returning calls
   * inherit the first geometry argument's SRID the way `keepSrid` does. The
   * EWKB round trip this skips is lossless (doubles are bit-preserved; the
   * writer's Z/M canonicalization keys on NaN ordinates, which the kernels
   * propagate identically).
+  *
+  * Two DOCUMENTED null-row divergences (both in the fused path's favor,
+  * neither reachable from the oracle queries): (1) a null NON-geometry
+  * scalar argument (e.g. a null precision-mode string) null-propagates
+  * here, while the unfused ScalaUDF passes it into a kernel that may
+  * throw; (2) once an argument is null, sibling subtrees of the same call
+  * are not evaluated, so an error a dead subtree would have raised in the
+  * eager unfused plan is skipped — the same liberty Catalyst's own
+  * conditional short-circuits take.
   *
   * Scope guard: the rule rewrites Project lists ONLY. Filter conditions and
   * join conditions keep their ScalaUDF / native-expression shape so
@@ -418,12 +427,15 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** A node the fusion builder can absorb into a chain. */
+  /** A node the fusion builder can absorb into a chain. Must cover every
+    * case `build()` handles — an absorbable node missing here escapes
+    * [[sharedSubtrees]]'s repeat counting and gets RE-RUN once per fused
+    * chain instead of once per row (the r9 sweep caught STBufferNative). */
   private def isFusableNode(e: Expression): Boolean = e match {
     case u: ScalaUDF => u.udfName.exists(GeoKernels.table.contains)
     case _: STAreaNative | _: STLengthNative | _: STIntersectsNative |
          _: STContainsNative | _: STWithinNative | _: STDWithinNative |
-         _: STGeoFused => true
+         _: STBufferNative | _: STGeoFused => true
     case _ => false
   }
 

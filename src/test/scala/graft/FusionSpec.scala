@@ -54,6 +54,52 @@ class FusionSpec extends AnyFunSuite {
     assertTiersAgree(rects.select(st_x(st_centroid(col("g"))).as("cx")))
   }
 
+  test("native tier drift guard: empties, dwithin boundary, decimal distances") {
+    // r9 sweep: GeoNative re-implements the kernel conventions for the
+    // codegen hot path (no registry lookup per row) — this spec is the
+    // drift alarm. Conventions pinned: empty→false predicates, dwithin's
+    // strict `<` via nextDown, buffer SRID carry-over; plus DecimalType
+    // distance literals (SQL `0.5` is a Decimal) now implicit-cast
+    // instead of crashing eval/codegen.
+    import spark.implicits._
+    val fixtures = Seq(
+      ("POINT (1 1)", "POINT (1 1)"),
+      ("POINT EMPTY", "POINT (1 1)"),
+      ("POINT EMPTY", "POINT EMPTY"),
+      ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POINT (2 2)"),
+      ("POINT (0 0)", "POINT (3 4)") // distance exactly 5
+    ).toDF("wa", "wb")
+      .select(st_geomfromtext($"wa").as("a"), st_geomfromtext($"wb").as("b"))
+      .cache()
+    val rows = spark.sql("SELECT 1").sparkSession // session for SQL natives
+    fixtures.createOrReplaceTempView("graft_native_drift")
+    try {
+      val cmp = rows.sql(
+        """SELECT st_intersects_native(a, b) AS ni, st_intersects(a, b) AS ui,
+          |  st_contains_native(a, b) AS nc, st_contains(a, b) AS uc,
+          |  st_dwithin_native(a, b, 5.0) AS nd5, st_dwithin(a, b, 5.0) AS ud5,
+          |  st_dwithin_native(a, b, 5.1) AS nd51, st_dwithin(a, b, 5.1) AS ud51
+          |FROM graft_native_drift""".stripMargin).collect()
+      cmp.foreach { r =>
+        assert(r.getBoolean(0) === r.getBoolean(1), s"intersects drift: $r")
+        assert(r.getBoolean(2) === r.getBoolean(3), s"contains drift: $r")
+        assert(r.getBoolean(4) === r.getBoolean(5), s"dwithin(5.0) drift: $r")
+        assert(r.getBoolean(6) === r.getBoolean(7), s"dwithin(5.1) drift: $r")
+      }
+      // the exact-distance row pins strict `<`: 5.0 → false, 5.1 → true
+      val exact = rows.sql(
+        """SELECT st_dwithin_native(a, b, 5.0), st_dwithin_native(a, b, 5.1)
+          |FROM graft_native_drift
+          |WHERE st_aswkt(a) = 'POINT (0 0)'""".stripMargin).collect()(0)
+      assert(!exact.getBoolean(0) && exact.getBoolean(1))
+      // buffer: SRID carries over; decimal literal distance works in SQL
+      val buf = rows.sql(
+        """SELECT st_srid(st_buffer_native(st_set_srid(a, 4326), 0.5))
+          |FROM graft_native_drift LIMIT 1""".stripMargin).collect()(0)
+      assert(buf.getInt(0) === 4326)
+    } finally spark.catalog.dropTempView("graft_native_drift")
+  }
+
   test("measure-over-overlay chain (native root) fuses and matches") {
     assertTiersAgree(rects.select(
       st_area(st_intersection(col("g"), col("h"))).as("ia"),
