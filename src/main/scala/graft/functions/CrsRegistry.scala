@@ -74,20 +74,24 @@ object CrsRegistry {
       try {
         val env = org.apache.spark.SparkEnv.get
         if (env != null) {
+          // classpath core-site/hdfs-site PLUS the job's spark.hadoop.*
+          // overrides (object-store credentials etc.; SparkHadoopUtil is
+          // private[spark], so copy the keys directly). Loop-invariant —
+          // built once, not per entry.
+          lazy val hconf = {
+            val c = new org.apache.hadoop.conf.Configuration()
+            env.conf.getAll.foreach { case (k, v) =>
+              if (k.startsWith("spark.hadoop."))
+                c.set(k.stripPrefix("spark.hadoop."), v)
+            }
+            c
+          }
           val blob = env.conf.get(GridConfKey, "")
           blob.split(";;").iterator.map(_.trim).filter(_.nonEmpty).foreach { entry =>
             val eq = entry.indexOf('=')
             require(eq > 0, s"$GridConfKey entry must be datum=/path/to.gsb: $entry")
             val datum = entry.substring(0, eq).trim
             val path = new org.apache.hadoop.fs.Path(entry.substring(eq + 1).trim)
-            // classpath core-site/hdfs-site PLUS the job's spark.hadoop.*
-            // overrides (object-store credentials etc.; SparkHadoopUtil
-            // is private[spark], so copy the keys directly)
-            val hconf = new org.apache.hadoop.conf.Configuration()
-            env.conf.getAll.foreach { case (k, v) =>
-              if (k.startsWith("spark.hadoop."))
-                hconf.set(k.stripPrefix("spark.hadoop."), v)
-            }
             val fs = path.getFileSystem(hconf)
             val in = fs.open(path)
             val bytes =
@@ -160,8 +164,12 @@ object CrsRegistry {
   def registeredWkt(code: Int): Option[String] = { ensureConf(); Option(custom.get(code)).map(_._2) }
 
   private def ensureConf(): Unit = if (!confLoaded) synchronized {
+    // flag flips only AFTER a successful load (same discipline as
+    // ensureGridConf): an early flag would make one malformed entry
+    // silently drop ALL conf registrations for every later caller in
+    // the JVM — subsequent lookups fail with 'unknown SRID' instead of
+    // surfacing the conf error
     if (!confLoaded) {
-      confLoaded = true
       try {
         val env = org.apache.spark.SparkEnv.get
         if (env != null) {
@@ -173,6 +181,7 @@ object CrsRegistry {
             custom.putIfAbsent(code, (parseWkt(entry.substring(eq + 1)), entry.substring(eq + 1)))
           }
         }
+        confLoaded = true
       } catch {
         case scala.util.control.NonFatal(e) =>
           throw new IllegalArgumentException(s"failed to load $ConfKey: ${e.getMessage}", e)
@@ -206,7 +215,7 @@ object CrsRegistry {
       skipWs()
       val start = i
       while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
-      val kind = s.substring(start, i).toUpperCase
+      val kind = s.substring(start, i).toUpperCase(java.util.Locale.ROOT)
       skipWs()
       require(i < s.length && (s(i) == '[' || s(i) == '('),
         s"WKT parse: expected [ after $kind at $i")
@@ -215,13 +224,15 @@ object CrsRegistry {
       var done = false
       while (!done) {
         skipWs()
+        require(i < s.length, s"WKT parse: unterminated $kind (unexpected end of input)")
         s(i) match {
           case ']' | ')' => i += 1; done = true
           case ',' => i += 1
           case '"' =>
             i += 1
             val st = i
-            while (s(i) != '"') i += 1
+            while (i < s.length && s(i) != '"') i += 1
+            require(i < s.length, "WKT parse: unterminated quoted string")
             args += s.substring(st, i)
             i += 1
           case c if c.isLetter =>
@@ -248,7 +259,8 @@ object CrsRegistry {
   /** Lowercase, alphanumeric-only key: makes `Central_Meridian`,
     * `central meridian` and `Longitude of natural origin`-style spellings
     * comparable across the WKT1 / ESRI / WKT2 dialects. */
-  private def norm(s: String): String = s.toLowerCase.replaceAll("[^a-z0-9]", "")
+  private def norm(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "")
 
   private val DegFactor = math.Pi / 180
 
@@ -264,14 +276,40 @@ object CrsRegistry {
     * [[EpsgDb.Crs]]. */
   def parseWkt(wkt: String): Crs = parseTree(tokenizeAndParse(wkt))
 
+  /** Geographic projection honoring the node's angular UNIT and PRIMEM:
+    * grads-and-Paris definitions (ESRI GCS_NTF_Paris) must not be read
+    * as degrees-Greenwich. WKT1 PRIMEM longitudes are in DEGREES
+    * regardless of the CRS unit (the OGC/ESRI/GDAL practice — ESRI
+    * writes Paris as 2.337229166666667 under UNIT["Grad"]); WKT2 PRIMEM
+    * carries its own ANGLEUNIT, handled by [[primeMeridianDeg]]. */
+  private def geographicOf(ell: Ellipsoid, node: Node): Projection = {
+    val toDeg = snapToDeg(node.child("UNIT").orElse(node.child("ANGLEUNIT"))
+      .flatMap(_.numbers.headOption).getOrElse(DegFactor))
+    val pmDeg = primeMeridianDeg(node)
+    if (math.abs(toDeg - 1.0) < 1e-12 && pmDeg == 0.0) Geographic(ell)
+    else GeographicUnits(ell, toDeg, pmDeg)
+  }
+
+  /** PRIMEM longitude in degrees: WKT1 bare value = degrees; a WKT2
+    * ANGLEUNIT child converts explicitly. */
+  private def primeMeridianDeg(node: Node): Double =
+    node.child("PRIMEM").map { pm =>
+      val v = pm.numbers.headOption.getOrElse(0.0)
+      pm.child("ANGLEUNIT").orElse(pm.child("UNIT"))
+        .flatMap(_.numbers.headOption) match {
+        case Some(f) => v * snapToDeg(f)
+        case None => v // WKT1: always degrees
+      }
+    }.getOrElse(0.0)
+
   private def parseTree(root: Node): Crs = root.kind match {
     case "GEOGCS" =>
       val (ell, shift) = datumOf(root)
-      Crs(Geographic(ell), shift, root.name)
+      Crs(geographicOf(ell, root), shift, root.name)
     case "PROJCS" => parseProjcs1(root)
     case "GEOGCRS" | "GEOGRAPHICCRS" | "GEODCRS" | "GEODETICCRS" =>
       val (ell, shift) = datumOf2(root)
-      Crs(Geographic(ell), shift, root.name)
+      Crs(geographicOf(ell, root), shift, root.name)
     case "PROJCRS" | "PROJECTEDCRS" => parseProjcrs2(root)
     case "BOUNDCRS" => parseBoundCrs(root)
     case other => throw new IllegalArgumentException(
@@ -293,10 +331,15 @@ object CrsRegistry {
     val params: Map[String, Double] = root.children("PARAMETER").map { p =>
       (norm(p.name), p.numbers.headOption.getOrElse(0.0))
     }.toMap
+    // longitudes in the PARAMETERs are measured from the GEOGCS's PRIMEM:
+    // a Paris-meridian Central_Meridian of 0 means 2.3372°E Greenwich —
+    // silently ignoring the offset shifted every coordinate ~170 km
+    val pmDeg = primeMeridianDeg(geog)
     val proj = buildProjection(method, ell,
       angle = names => names.flatMap(params.get).headOption.map(_ * toDeg),
       len = names => names.flatMap(params.get).headOption.map(_ * linearFactor),
-      num = names => names.flatMap(params.get).headOption)
+      num = names => names.flatMap(params.get).headOption,
+      pmDeg = pmDeg)
     Crs(unitScaled(proj, linearFactor), shift, root.name)
   }
 
@@ -321,10 +364,8 @@ object CrsRegistry {
     (ell, shift)
   }
 
-  private def shiftFromDatumName(raw: String): Option[Helmert] = {
-    val base = if (raw.startsWith("D_")) raw.substring(2) else raw
-    EpsgDb.datumShiftByName.getOrElse(norm(base), None)
-  }
+  private def shiftFromDatumName(raw: String): Option[Helmert] =
+    EpsgDb.datumShiftByName.getOrElse(norm(stripDatumPrefix(raw)), None)
 
   // ------------------------------------------------------------ WKT2 path
 
@@ -367,6 +408,8 @@ object CrsRegistry {
       norm(p.name) -> P(p.numbers.headOption.getOrElse(0.0), u)
     }.toMap
     def get(names: Seq[String]): Option[P] = names.flatMap(params.get).headOption
+    // base CRS prime meridian (WKT2 carries its unit; bare = degrees)
+    val basePmDeg = primeMeridianDeg(base)
     val proj = buildProjection(method, ell,
       angle = names => get(names).map { p =>
         val f = p.unit.flatMap(_.numbers.headOption).getOrElse(DegFactor)
@@ -377,7 +420,8 @@ object CrsRegistry {
           .getOrElse(linearFactor)
         p.value * f
       },
-      num = names => get(names).map(_.value))
+      num = names => get(names).map(_.value),
+      pmDeg = basePmDeg)
     Crs(unitScaled(proj, linearFactor), shift, root.name)
   }
 
@@ -392,18 +436,28 @@ object CrsRegistry {
     val inner = parseTree(src)
     val tr = root.child("ABRIDGEDTRANSFORMATION")
       .orElse(root.child("COORDINATEOPERATION"))
-    val shift = tr.flatMap { t =>
-      val p: Map[String, Double] = t.children("PARAMETER").map { n =>
-        norm(n.name) -> n.numbers.headOption.getOrElse(0.0)
-      }.toMap
-      def g(k: String): Double = p.getOrElse(k, 0.0)
-      val dsRaw = g("scaledifference")
-      val ds = if (dsRaw != 0.0 && math.abs(dsRaw - 1.0) < 0.01) (dsRaw - 1.0) * 1e6 else dsRaw
-      val h = Helmert(g("xaxistranslation"), g("yaxistranslation"), g("zaxistranslation"),
-        g("xaxisrotation"), g("yaxisrotation"), g("zaxisrotation"), ds)
-      if (h == Helmert(0, 0, 0, 0, 0, 0, 0)) None else Some(h)
+    val shift: Option[Helmert] = tr match {
+      case None => inner.shift
+      case Some(t) =>
+        val p: Map[String, Double] = t.children("PARAMETER").map { n =>
+          norm(n.name) -> n.numbers.headOption.getOrElse(0.0)
+        }.toMap
+        def g(k: String): Double = p.getOrElse(k, 0.0)
+        val dsRaw = g("scaledifference")
+        // only the ABRIDGED form writes the ratio M = 1 + ds·1e-6 — a
+        // full COORDINATEOPERATION's ppm value near 1 (e.g. 0.995 ppm)
+        // must NOT be re-scaled by 1e6
+        val abridged = t.kind == "ABRIDGEDTRANSFORMATION"
+        val ds = if (abridged && dsRaw != 0.0 && math.abs(dsRaw - 1.0) < 0.01)
+          (dsRaw - 1.0) * 1e6 else dsRaw
+        val h = Helmert(g("xaxistranslation"), g("yaxistranslation"), g("zaxistranslation"),
+          g("xaxisrotation"), g("yaxisrotation"), g("zaxisrotation"), ds)
+        // an EXPLICIT all-zero transformation declares coincidence — do
+        // not resurrect the datum-name Helmert (the WKT1 TOWGS84 path
+        // treats explicit zeros the same way)
+        if (h == Helmert(0, 0, 0, 0, 0, 0, 0)) None else Some(h)
     }
-    Crs(inner.proj, shift.orElse(inner.shift), inner.name)
+    Crs(inner.proj, shift, inner.name)
   }
 
   // --------------------------------------------- shared projection builder
@@ -430,9 +484,12 @@ object CrsRegistry {
   private def buildProjection(method: String, ell: Ellipsoid,
       angle: Seq[String] => Option[Double],
       len: Seq[String] => Option[Double],
-      num: Seq[String] => Option[Double]): Projection = {
+      num: Seq[String] => Option[Double],
+      pmDeg: Double = 0.0): Projection = {
     val lat0 = angle(Lat0Names).getOrElse(0.0)
-    val lon0 = angle(Lon0Names).getOrElse(0.0)
+    // longitude parameters are relative to the prime meridian; lon0 in
+    // the projection families is Greenwich-referenced
+    val lon0 = angle(Lon0Names).getOrElse(0.0) + pmDeg
     val sp1 = angle(Sp1Names)
     val lat1 = sp1.getOrElse(0.0)
     val lat2 = angle(Sp2Names).getOrElse(0.0)
@@ -540,18 +597,26 @@ object CrsRegistry {
     val parsed: Option[Node] =
       try Some(tokenizeAndParse(wkt))
       catch { case scala.util.control.NonFatal(_) => None }
-    val authority: Option[Int] = parsed.flatMap { root =>
-      (root.children("AUTHORITY") ++ root.children("ID")).lastOption.collect {
-        case n if n.name.equalsIgnoreCase("EPSG") =>
-          n.args.collectFirst {
-            case d: Double => d.toInt
-            case s: String if s.forall(_.isDigit) && s.nonEmpty => s.toInt
-          }
-      }.flatten
-    }.orElse {
-      // unparseable WKT may still carry a recoverable trailing clause
-      "(?i)AUTHORITY\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
-        .findAllMatchIn(wkt).toSeq.lastOption.map(_.group(1).toInt)
+    val authority: Option[Int] = parsed match {
+      case Some(root) =>
+        // ROOT-level authority only. No regex fallback for parseable WKT:
+        // a root without an EPSG authority (ESRI-coded, GeoServer-style)
+        // must NOT inherit a NESTED clause — the last raw-text match is
+        // typically the base GEOGCS's or even the UNIT's code, and
+        // tagging an Albers grid as 4269/9001 poisons every later
+        // st_to_srid
+        (root.children("AUTHORITY") ++ root.children("ID")).lastOption.collect {
+          case n if n.name.equalsIgnoreCase("EPSG") =>
+            n.args.collectFirst {
+              case d: Double => d.toInt
+              case s: String if s.forall(_.isDigit) && s.nonEmpty => s.toInt
+            }
+        }.flatten
+      case None =>
+        // only UNPARSEABLE WKT may use the raw-text scan, and only a
+        // TRAILING clause (the root authority is last in well-formed WKT)
+        "(?i)AUTHORITY\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]\\s*\\]*\\s*$".r
+          .findFirstMatchIn(wkt.trim).map(_.group(1).toInt)
     }
     authority match {
       case Some(code) =>

@@ -125,6 +125,19 @@ object EpsgDb {
     def inverse(x: Double, y: Double): (Double, Double) = (x, y)
   }
 
+  /** Geographic CRS stored in NON-degree angular units (grads) and/or
+    * referenced to a non-Greenwich prime meridian (Paris): the CRS's
+    * native coordinates are `(lonDeg − pmDeg) / toDeg`. Without this,
+    * a grads/Paris `.prj` (ESRI GCS_NTF_Paris) would register fine but
+    * silently treat grads as degrees — hundreds of km of error. */
+  final case class GeographicUnits(ell: Ellipsoid, toDeg: Double,
+      pmDeg: Double) extends Projection {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      ((lonDeg - pmDeg) / toDeg, latDeg / toDeg)
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (x * toDeg + pmDeg, y * toDeg)
+  }
+
   /** Linear-unit adapter for WKT CRSs whose projected unit is not the
     * metre (e.g. US survey foot): the wrapped projection computes in
     * metres (false easting/northing already converted), outputs divide by

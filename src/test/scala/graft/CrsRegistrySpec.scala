@@ -271,4 +271,83 @@ class CrsRegistrySpec extends AnyFunSuite {
     val (x, y) = EpsgDb.fromWgs84(3.125, 0.0, code)
     assert(math.abs(x - 250000.0) < 1e-6 && math.abs(y) < 1e-6)
   }
+
+  test("r9 sweep: nested authority, grads+Paris, zero transformations, bad WKT") {
+    // (1) parseable WKT with NO root EPSG authority must NOT inherit a
+    // nested clause (the base GEOGCS's 4269 here) — that tagged Albers
+    // metres as NAD83 degrees
+    val noRootAuth =
+      """PROJCS["USA_Albers",GEOGCS["GCS_North_American_1983",
+        |DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],
+        |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433],
+        |AUTHORITY["EPSG","4269"]],
+        |PROJECTION["Albers"],PARAMETER["False_Easting",0.0],
+        |PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",-96.0],
+        |PARAMETER["Standard_Parallel_1",29.5],PARAMETER["Standard_Parallel_2",45.5],
+        |PARAMETER["Latitude_Of_Origin",37.5],UNIT["Meter",1.0]]""".stripMargin
+        .replaceAll("\n", "")
+    val code = CrsRegistry.sridForWkt(noRootAuth)
+    assert(code != 4269 && code != 9001, s"nested authority leaked: $code")
+    assert(code >= 990000, s"expected an auto-registered synthetic code: $code")
+
+    // (2) grads + Paris meridian geographic CRS: native coordinates are
+    // (grads from Paris), so Paris itself reads back ~ (2.5969E, 48.8)
+    val ntfParis =
+      """GEOGCS["GCS_NTF_Paris",DATUM["D_NTF",
+        |SPHEROID["Clarke_1880_IGN",6378249.2,293.4660212936265]],
+        |PRIMEM["Paris",2.337229166666667],
+        |UNIT["Grad",0.01570796326794897]]""".stripMargin.replaceAll("\n", "")
+    CrsRegistry.register(990901, ntfParis)
+    // Paris observatory: 2°20'14.025"E Greenwich = 0 grads from Paris
+    val parisLonDeg = 2.0 + 20.0 / 60 + 14.025 / 3600
+    val (gx, gy) = EpsgDb.fromWgs84(parisLonDeg, 45.0, 990901)
+    // the NTF datum hop moves the point by ~100 m (~0.002 grads) — the
+    // old bug was off by 0.26 grads (~23 km)
+    assert(math.abs(gx) < 0.005, s"Paris should be ~0 grads from Paris: $gx")
+    assert(math.abs(gy - 50.0) < 0.01, s"45 deg = 50 grads: $gy")
+    val (lonB, latB) = EpsgDb.toWgs84(gx, gy, 990901)
+    assert(math.abs(lonB - parisLonDeg) < 1e-7 && math.abs(latB - 45.0) < 1e-7)
+
+    // (3) PROJCS over the Paris meridian: Central_Meridian 0 grads from
+    // Paris = the Greenwich lon0 the embedded NTF zone entries bake in
+    val lambert2 =
+      """PROJCS["NTF_Paris_Lambert_II",GEOGCS["GCS_NTF_Paris",
+        |DATUM["D_NTF",SPHEROID["Clarke_1880_IGN",6378249.2,293.4660212936265]],
+        |PRIMEM["Paris",2.337229166666667],UNIT["Grad",0.01570796326794897]],
+        |PROJECTION["Lambert_Conformal_Conic_1SP"],
+        |PARAMETER["Central_Meridian",0.0],PARAMETER["Latitude_Of_Origin",52.0],
+        |PARAMETER["Scale_Factor",0.99987742],
+        |PARAMETER["False_Easting",600000.0],PARAMETER["False_Northing",2200000.0],
+        |UNIT["Meter",1.0]]""".stripMargin.replaceAll("\n", "")
+    CrsRegistry.register(990902, lambert2)
+    // must agree with the embedded 27572 entry (same cone, Paris baked in)
+    val viaWkt = EpsgDb.fromWgs84(2.5, 46.5, 990902)
+    val viaTable = EpsgDb.fromWgs84(2.5, 46.5, 27572)
+    assert(math.abs(viaWkt._1 - viaTable._1) < 0.01 &&
+      math.abs(viaWkt._2 - viaTable._2) < 0.01,
+      s"Paris-meridian PROJCS diverged: $viaWkt vs $viaTable")
+
+    // (4) explicit all-zero ABRIDGEDTRANSFORMATION = declared coincidence
+    // (must NOT resurrect the NAD27 datum-name Helmert)
+    val zeroBound =
+      """BOUNDCRS[SOURCECRS[GEOGCRS["NAD27",
+        |DATUM["North American Datum 1927",
+        |ELLIPSOID["Clarke 1866",6378206.4,294.978698213898]]]],
+        |TARGETCRS[GEOGCRS["WGS 84",DATUM["WGS84",
+        |ELLIPSOID["WGS 84",6378137,298.257223563]]]],
+        |ABRIDGEDTRANSFORMATION["zero",METHOD["Geocentric translations"],
+        |PARAMETER["X-axis translation",0],PARAMETER["Y-axis translation",0],
+        |PARAMETER["Z-axis translation",0]]]""".stripMargin.replaceAll("\n", "")
+    val zeroCrs = CrsRegistry.parseWkt(zeroBound)
+    assert(zeroCrs.shift.isEmpty, s"zero transformation resurrected ${zeroCrs.shift}")
+
+    // (5) truncated WKT raises IllegalArgumentException, not
+    // StringIndexOutOfBounds
+    assertThrows[IllegalArgumentException] {
+      CrsRegistry.parseWkt("""PROJCS["truncated""")
+    }
+    assertThrows[IllegalArgumentException] {
+      CrsRegistry.parseWkt("""GEOGCS["no closing bracket", DATUM["x"""")
+    }
+  }
 }
