@@ -24,6 +24,17 @@ private[io] object FlatBuf {
   /** Read-side accessor over one flatbuffer (positions are absolute indexes
     * into `bb`, which must be little-endian). */
   final class Reader(val bb: ByteBuffer) {
+    /** Bulk copy `len` bytes from absolute `pos` — array-backed buffers
+      * (the wrap() case, i.e. every caller here) take one arraycopy
+      * instead of per-byte bounds-checked gets on the per-feature
+      * decode hot path. */
+    private def copyBytes(pos: Int, len: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      if (bb.hasArray) System.arraycopy(bb.array(), bb.arrayOffset() + pos, out, 0, len)
+      else { var i = 0; while (i < len) { out(i) = bb.get(pos + i); i += 1 } }
+      out
+    }
+
     def rootTable(start: Int): Int = start + bb.getInt(start)
 
     /** Absolute position of field `field` of the table at `tablePos`, or -1
@@ -69,10 +80,7 @@ private[io] object FlatBuf {
       else {
         val s = indirect(p)
         val len = bb.getInt(s)
-        val bytes = new Array[Byte](len)
-        var i = 0
-        while (i < len) { bytes(i) = bb.get(s + 4 + i); i += 1 }
-        new String(bytes, "UTF-8")
+        new String(copyBytes(s + 4, len), "UTF-8")
       }
     }
 
@@ -116,10 +124,7 @@ private[io] object FlatBuf {
     }
     def byteVector(tablePos: Int, field: Int): Array[Byte] = {
       val (pos, n) = vectorField(tablePos, field)
-      val out = new Array[Byte](n)
-      var i = 0
-      while (i < n) { out(i) = bb.get(pos + i); i += 1 }
-      out
+      copyBytes(pos, n)
     }
   }
 

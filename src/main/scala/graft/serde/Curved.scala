@@ -103,11 +103,20 @@ object Curved {
         (a.getZ == b.getZ || (a.getZ.isNaN && b.getZ.isNaN))
     def add(c: Coordinate): Unit =
       if (coords.isEmpty || !same(coords.last, c)) coords += c
+    // the writer enforces the SQL-MM shape (odd count ≥ 3, or 0); accept
+    // only the same from foreign bytes — silently dropping the tail of an
+    // even-count curve would truncate geometry without a trace
+    require(pts.isEmpty || (pts.length >= 3 && pts.length % 2 == 1),
+      s"circularstring: invalid point count ${pts.length} (need odd ≥ 3)")
     var i = 0
     while (i + 2 < pts.length) {
       arcChords(pts(i), pts(i + 1), pts(i + 2), segsPerQuadrant).foreach(add)
       i += 2
     }
+    // all points identical: the dedup collapses to ONE coordinate, which
+    // JTS rejects — degrade to a 2-point degenerate line at the location
+    // (append directly; add() would dedup it away again)
+    if (coords.length == 1) coords += new Coordinate(coords.head)
     val ls = EWKB.geometryFactory.createLineString(coords.toArray)
     ls.setSRID(h.srid)
     ls
@@ -121,6 +130,26 @@ object Curved {
   private def arcChords(p0: Array[Double], p1: Array[Double], p2: Array[Double],
       segsPerQuadrant: Int): Seq[Coordinate] = {
     val (x0, y0) = (p0(0), p0(1)); val (x1, y1) = (p1(0), p1(1)); val (x2, y2) = (p2(0), p2(1))
+    // SQL-MM FULL CIRCLE form: first == last with a distinct middle point
+    // (diametrically opposite). The determinant is exactly 0 there, so
+    // the collinear branch would flatten the circle to a straight line —
+    // handle it first: center = midpoint(p0, p1), sweep = 2π.
+    if (x0 == x2 && y0 == y2 && (x0 != x1 || y0 != y1)) {
+      val cx = (x0 + x1) / 2; val cy = (y0 + y1) / 2
+      val r = math.hypot(x0 - cx, y0 - cy)
+      val a0 = math.atan2(y0 - cy, x0 - cx)
+      val n = math.max(4 * segsPerQuadrant, 4)
+      val z0 = if (p0.length >= 3) p0(2) else Double.NaN
+      return (0 to n).map { k =>
+        if (k == 0 || k == n) coord(p0) // endpoints exact
+        else {
+          val a = a0 + 2 * math.Pi * k / n
+          val c = new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+          if (!z0.isNaN) c.setZ(z0)
+          c
+        }
+      }
+    }
     val d = 2.0 * (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
     val scale = math.max(math.abs(x0 - x2) + math.abs(y0 - y2), 1.0)
     if (math.abs(d) < 1e-12 * scale * scale) // collinear → straight chords

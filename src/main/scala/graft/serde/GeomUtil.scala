@@ -152,12 +152,31 @@ object GeomUtil {
         (0 until ca.getNumGeometries).forall(i =>
           equalsIdentical(ca.getGeometryN(i), cb.getGeometryN(i)))
       case _ =>
-        val sa = coordinateRows(a, Some(3))
-        val sb = coordinateRows(b, Some(3))
+        // full XYZM comparison: comparing only xyz made geometries
+        // differing solely in M (or in M presence) compare equal, where
+        // the reference's equals_identical distinguishes them. A missing
+        // ordinate reads as NaN and NaN == NaN here — dimension presence
+        // in this engine's value domain is equivalent to NaN content
+        // (EWKB flags key on actual ordinate values).
+        def xyzm(g: Geometry): Seq[(Double, Double, Double, Double)] = {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Double, Double, Double, Double)]
+          g.apply(new CoordinateSequenceFilter {
+            override def filter(cs: CoordinateSequence, i: Int): Unit =
+              buf += ((cs.getX(i), cs.getY(i),
+                if (cs.hasZ) cs.getZ(i) else Double.NaN,
+                if (cs.hasM) cs.getM(i) else Double.NaN))
+            override def isDone: Boolean = false
+            override def isGeometryChanged: Boolean = false
+          })
+          buf.toSeq
+        }
+        def eqNaN(x: Double, y: Double): Boolean = x == y || (x.isNaN && y.isNaN)
+        val sa = xyzm(a)
+        val sb = xyzm(b)
         sa.length == sb.length && sa.zip(sb).forall { case (ra, rb) =>
-          ra.zip(rb).forall { case (x, y) =>
-            (x == y) || (x.isNaN && y.isNaN)
-          }
+          eqNaN(ra._1, rb._1) && eqNaN(ra._2, rb._2) &&
+            eqNaN(ra._3, rb._3) && eqNaN(ra._4, rb._4)
         }
     }
   }

@@ -58,6 +58,20 @@ class CurvedSpec extends AnyFunSuite {
         Seq(1.0, -1.0), Seq(0.0, 0.0)), 0), 32)
     assert(full.isClosed)
     assert(math.abs(full.getLength - 2 * math.Pi) < 0.01)
+    // r9 sweep: the SQL-MM THREE-point full-circle form (first == last,
+    // middle diametrically opposite) — its determinant is exactly 0, so
+    // the collinear branch used to flatten it to a straight line of
+    // length 4 instead of a circle of circumference 2π
+    val circle3 = Curved.linearize(Curved.writeCircularString(
+      Seq(Seq(0.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 0.0)), 0), 32)
+    assert(circle3.isClosed)
+    assert(math.abs(circle3.getLength - 2 * math.Pi) < 0.01,
+      s"full circle flattened: length ${circle3.getLength}")
+    // degenerate: all points identical → 2-point degenerate line, not a
+    // JTS single-coordinate crash
+    val dot = Curved.linearize(Curved.writeCircularString(
+      Seq(Seq(1.0, 1.0), Seq(1.0, 1.0), Seq(1.0, 1.0)), 0), 32)
+    assert(dot.getNumPoints == 2 && dot.getLength == 0.0)
   }
 
   test("collinear triple degrades to straight segments") {
