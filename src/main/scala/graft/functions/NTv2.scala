@@ -161,6 +161,12 @@ object NTv2 {
       require(latInc > 0 && lonInc > 0, s"ntv2: $subName: non-positive increments")
       val nCols = math.round((wLong - eLong) / lonInc).toInt + 1
       val nRows = math.round((nLat - sLat) / latInc).toInt + 1
+      // a 1-row or 1-column grid (nLat==sLat or wLong==eLong) can't be
+      // bilinearly interpolated: interpolate() clamps the base node to
+      // nRows-2 / nCols-2 = -1 and would index out of bounds
+      require(nRows >= 2 && nCols >= 2,
+        s"ntv2: $subName: degenerate grid ($nRows rows x $nCols cols); " +
+          "bilinear interpolation needs at least a 2x2 node field")
       require(count == nCols * nRows,
         s"ntv2: $subName: GS_COUNT $count != $nRows rows x $nCols cols")
       val lat = new Array[Float](count)

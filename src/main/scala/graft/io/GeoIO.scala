@@ -582,7 +582,9 @@ object GeoIO {
     val ext: String = {
       def extOf(n: String): String = {
         val i = n.lastIndexOf('.')
-        if (i < 0) "" else n.substring(i + 1).toLowerCase
+        // Locale.ROOT: a Turkish default locale maps 'I' → 'ı', so ".MIF"
+        // would otherwise miss the dispatch table
+        if (i < 0) "" else n.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
       }
       val known = Set("shp", "gpkg", "fgb", "parquet", "geojson", "json",
         "ndjson", "ndgeojson", "jsonl", "csv", "kml", "gml", "gpx", "dxf", "mif")

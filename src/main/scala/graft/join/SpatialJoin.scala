@@ -545,20 +545,25 @@ object SpatialJoin {
       s"writeSpatialBucketed: input already has a $CellCol column")
     val spark0 = df.sparkSession
     val tableId = spark0.sessionState.sqlParser.parseTableIdentifier(table)
-    // an append must not silently re-grid the store: rows already on disk
-    // were exploded with the ORIGINAL cellSize/geom — mixing grids would
-    // make bucketedMatch disagree with stored cell ids and drop pairs.
-    // Checked BEFORE any write so a bad append leaves the store intact.
-    if (mode == "append" && spark0.sessionState.catalog.tableExists(tableId)) {
+    // a non-overwrite onto an existing store must not silently re-grid it:
+    // rows already on disk were exploded with the ORIGINAL cellSize/geom —
+    // mixing grids would make bucketedMatch disagree with stored cell ids
+    // and drop pairs. This applies to append (new rows on the old grid)
+    // AND to ignore/error modes (the caller believes the store uses THEIR
+    // grid while the on-disk one differs — surface that now rather than at
+    // join time). Checked BEFORE any write so a bad call leaves the store
+    // intact.
+    val existedBefore = spark0.sessionState.catalog.tableExists(tableId)
+    if (mode != "overwrite" && existedBefore) {
       val existing = spark0.sessionState.catalog.getTableMetadata(tableId).properties
       existing.get(CellSizeProp).foreach { prev =>
         require(prev.toDouble == cellSize,
-          s"writeSpatialBucketed: append with cellSize=$cellSize onto a " +
-            s"store written with cellSize=$prev — appends must reuse the grid")
+          s"writeSpatialBucketed: mode=$mode with cellSize=$cellSize onto a " +
+            s"store written with cellSize=$prev — reuse the stamped grid")
       }
       existing.get("graft.spatial.geometry").foreach { prev =>
         require(prev == geom,
-          s"writeSpatialBucketed: append with geom=$geom onto a store " +
+          s"writeSpatialBucketed: mode=$mode with geom=$geom onto a store " +
             s"stamped for $prev")
       }
     }
@@ -579,11 +584,22 @@ object SpatialJoin {
     // stamp the grid geometry into the catalog so the optimizer rule can
     // auto-plan plain spatial joins between two same-grid stores
     // (quote each part separately — backticking the whole string would
-    // turn a db-qualified name into one dotted identifier)
-    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
-    spark0.sql(
-      s"ALTER TABLE $quoted SET TBLPROPERTIES " +
-        s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
+    // turn a db-qualified name into one dotted identifier).
+    // Stamp ONLY when data was actually written: mode=ignore over an
+    // existing table makes saveAsTable a no-op, and restamping would put
+    // THIS call's cellSize/geom on a store whose rows were exploded with
+    // the old grid — the consistency check above catches a mismatched
+    // grid, but an unstamped legacy store must not gain a fabricated stamp
+    // either. (error/errorifexists over an existing table throws in
+    // saveAsTable, so this line is only reachable when a write happened
+    // or the grids were verified identical — skip the no-op restamp.)
+    val wrote = mode == "overwrite" || mode == "append" || !existedBefore
+    if (wrote) {
+      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      spark0.sql(
+        s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+          s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
+    }
     // footer stats describe ONE batch: stamping an append would rewrite
     // every part (old batches included) with the new batch's bbox/types —
     // corrupt metadata for any external reader trusting the footer

@@ -29,12 +29,19 @@ import scala.jdk.CollectionConverters._
   * algorithm. */
 object SpatialJoinStrategy extends SparkStrategy {
 
-  /** predicate name → converse when probe/build sides swap. */
+  /** predicate name → converse when probe/build sides swap.
+    *
+    * `st_equals` is deliberately ABSENT: the sjoin kernels skip empty
+    * geometries on both sides (their envelopes are null, so they can't be
+    * indexed or probed), but st_equals is true for two empties — planning
+    * an equals join through a spatial tier would silently drop those
+    * pairs. It also matches the reference, whose sjoin predicate set
+    * (args.rs:174-185) has no `equals` — such joins fall through to
+    * Spark's default planner with full semantics. */
   private[plans] val Converse: Map[String, String] = Map(
     "st_intersects" -> "st_intersects",
     "st_overlaps" -> "st_overlaps",
     "st_touches" -> "st_touches",
-    "st_equals" -> "st_equals",
     "st_contains" -> "st_within",
     "st_within" -> "st_contains",
     "st_covers" -> "st_covered_by",

@@ -210,4 +210,16 @@ class NTv2Spec extends AnyFunSuite {
       CrsRegistry.registerGridShift("WGS84", gsb) // coincident: nothing to shift
     }
   }
+
+  test("degenerate 1-row / 1-column sub-grids are rejected at parse time") {
+    // nLat == sLat → nRows = 1: bilinear interpolation would clamp the
+    // base row to -1 and index out of bounds on any covered point
+    val oneRow = fixture(nLat = 144000.0) // sLat == nLat
+    val oneCol = fixture(wLong = 352800.0) // eLong == wLong
+    for (g <- Seq(oneRow, oneCol)) {
+      val bytes = NTv2.write(NTv2.GridFile(Seq(g)))
+      val e = intercept[IllegalArgumentException] { NTv2.read(bytes) }
+      assert(e.getMessage.contains("degenerate"), e.getMessage)
+    }
+  }
 }

@@ -360,4 +360,67 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
     assert(broadcastGot === expected)
   }
+
+  test("mode=ignore onto an existing store never restamps the grid") {
+    // ADVICE r9 medium: saveAsTable(mode=ignore) over an existing table is
+    // a no-op, but the unconditional ALTER TABLE used to restamp the
+    // catalog with the NEW cellSize while the on-disk cells kept the old
+    // grid — the auto-plan rule and append guard then trusted the wrong
+    // grid. Now: a mismatched grid on any non-overwrite mode raises BEFORE
+    // writing, and a no-op write never reaches the ALTER.
+    val t = "graft_bkt_restamp"
+    try {
+      SpatialJoin.dropBucketedTable(spark, t)
+      SpatialJoin.writeSpatialBucketed(boxes, t, cellSize = 8.0, buckets = 4)
+      def stampedCell: String = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .properties(SpatialJoin.CellSizeProp)
+      assert(stampedCell.toDouble === 8.0)
+      // mismatched grid: ignore AND append both refuse up front
+      for (m <- Seq("ignore", "append")) {
+        val e = intercept[IllegalArgumentException] {
+          SpatialJoin.writeSpatialBucketed(boxes, t, cellSize = 4.0,
+            buckets = 4, mode = m)
+        }
+        assert(e.getMessage.contains("cellSize"), s"mode=$m: ${e.getMessage}")
+        assert(stampedCell.toDouble === 8.0, s"mode=$m mutated the stamp")
+      }
+      // mismatched geometry column name refuses the same way
+      val e2 = intercept[IllegalArgumentException] {
+        SpatialJoin.writeSpatialBucketed(
+          boxes.withColumnRenamed("geometry", "geom2"), t, cellSize = 8.0,
+          buckets = 4, geom = "geom2", mode = "ignore")
+      }
+      assert(e2.getMessage.contains("geom"), e2.getMessage)
+      // matching grid + ignore: legal no-op, store still joins correctly
+      SpatialJoin.writeSpatialBucketed(boxes, t, cellSize = 8.0,
+        buckets = 4, mode = "ignore")
+      assert(stampedCell.toDouble === 8.0)
+      assert(spark.table(t).count() === boxes
+        .withColumn("c", explode(udf((b: Array[Byte]) =>
+          SpatialJoin.gridCellsOf(b, 8.0)).apply($"geometry"))).count(),
+        "ignore over an existing store must not have written rows")
+    } finally SpatialJoin.dropBucketedTable(spark, t)
+  }
+
+  test("st_equals joins decline the spatial tiers and keep empty-empty pairs") {
+    // ADVICE r9: st_equals used to sit in the planner's Converse table but
+    // the execution kernels had no "equals" case — a matched plan failed at
+    // runtime. It is now absent from Converse (the reference's sjoin
+    // predicate set has no equals either, args.rs:174-185), so the join
+    // falls back to Spark's default planner with FULL semantics — including
+    // two-empties-are-equal, which the envelope-driven tiers cannot see.
+    val l = Seq(
+      (1L, "POINT (1 2)"), (2L, "POINT EMPTY"), (3L, "LINESTRING (0 0, 1 1)"))
+      .toDF("lid", "wkt").select($"lid", st_geomfromtext($"wkt").as("geometry"))
+    val r = Seq(
+      (10L, "POINT (1 2)"), (20L, "GEOMETRYCOLLECTION EMPTY"), (30L, "POINT (9 9)"))
+      .toDF("rid", "wkt").select($"rid", st_geomfromtext($"wkt").as("g2"))
+    val joined = l.join(r, st_equals($"geometry", $"g2"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("SpatialJoin"),
+      s"st_equals must not plan through a spatial tier:\n$plan")
+    val got = joined.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 20L)))
+  }
 }
