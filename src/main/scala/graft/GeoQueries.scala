@@ -1012,6 +1012,85 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    // Round-10 tranche: the COMPLETE SPCS83 zone set (EpsgDb spLcc/spTm
+    // tables + Alaska 1-10 + Hawaii) with metre/foot twins in BOTH foot
+    // units, the Hotine Oblique Mercator seam (Alaska zone 1 variant A,
+    // Timbalai RSO variant B with its datum shift), and the WKT unit
+    // names. All NAD83 zones are shift-free → 1e-8; Timbalai carries a
+    // geocentric translation → 1e-7.
+    "geo_crs7" -> ((s, dir) => {
+      def rtOk(lon: Column, lat: Column, epsg: Int, tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val back = st_to_srid(st_to_srid(p, lit(epsg)), lit(4326))
+        abs(st_x(back) - lon) < tol && abs(st_y(back) - lat) < tol
+      }
+      // foot grid == metre grid ÷ unit factor, same point, to 1e-6 m
+      def twinOk(lon: Column, lat: Column, mCode: Int, fCode: Int,
+          factor: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val m = st_to_srid(p, lit(mCode))
+        val f = st_to_srid(p, lit(fCode))
+        abs(st_x(f) * factor - st_x(m)) < 1e-6 &&
+          abs(st_y(f) * factor - st_y(m)) < 1e-6
+      }
+      val ftUS = 1200.0 / 3937.0
+      val ftI = 0.3048
+      val lonAk1 = -(lit(130.75) + (k % 22).cast("double") / 4.0)
+      val latAk1 = lit(55.25) + (k % 18).cast("double") / 4.0
+      val lonMi = -(lit(83.75) + (k % 26).cast("double") / 4.0)
+      val latMi = lit(45.0) + (k % 10).cast("double") / 4.0
+      val lonNc = -(lit(75.75) + (k % 33).cast("double") / 4.0)
+      val latNc = lit(33.75) + (k % 10).cast("double") / 4.0
+      val lonNv = -(lit(115.25) + (k % 12).cast("double") / 4.0)
+      val latNv = lit(36.25) + (k % 22).cast("double") / 4.0
+      val lonAz = -(lit(109.25) + (k % 10).cast("double") / 4.0)
+      val latAz = lit(31.75) + (k % 18).cast("double") / 4.0
+      val lonKy = -(lit(82.25) + (k % 30).cast("double") / 4.0)
+      val latKy = lit(36.5) + (k % 10).cast("double") / 4.0
+      base(s, dir).select(k,
+        rtOk(lonAk1, latAk1, 26931, 1e-8).as("ak1_hotine_rt_ok"),
+        rtOk(-(lit(152.25) + (k % 12).cast("double") / 4.0),
+          lit(56.25) + (k % 26).cast("double") / 4.0, 26935, 1e-8)
+          .as("ak5_rt_ok"),
+        rtOk(-(lit(157.25) + (k % 6).cast("double") / 4.0),
+          lit(21.0) + (k % 5).cast("double") / 4.0, 26963, 1e-8)
+          .as("hi3_rt_ok"),
+        rtOk(-(lit(104.25) + (k % 40).cast("double") / 4.0),
+          lit(44.75) + (k % 17).cast("double") / 4.0, 32100, 1e-8)
+          .as("mt_rt_ok"),
+        rtOk(lonNc, latNc, 32119, 1e-8).as("nc_rt_ok"),
+        rtOk(lonMi, latMi, 26988, 1e-8).as("mi_n_rt_ok"),
+        rtOk(lonNv, latNv, 32108, 1e-8).as("nv_c_rt_ok"),
+        rtOk(-(lit(106.25) + (k % 10).cast("double") / 4.0),
+          lit(40.75) + (k % 16).cast("double") / 4.0, 32156, 1e-8)
+          .as("wy_ec_rt_ok"),
+        rtOk(lonKy, latKy, 3088, 1e-8).as("ky_1z_rt_ok"),
+        rtOk(-(lit(64.75) + (k % 16).cast("double") / 4.0),
+          lit(17.75) + (k % 5).cast("double") / 4.0, 32161, 1e-8)
+          .as("prvi_rt_ok"),
+        rtOk(-(lit(89.25) + (k % 10).cast("double") / 4.0),
+          lit(36.25) + (k % 16).cast("double") / 4.0, 26996, 1e-8)
+          .as("mo_e_rt_ok"),
+        rtOk(lit(113.25) + (k % 22).cast("double") / 4.0,
+          lit(0.75) + (k % 26).cast("double") / 4.0, 29873, 1e-7)
+          .as("timbalai_rt_ok"),
+        twinOk(lonMi, latMi, 26988, 2251, ftI).as("mi_ft_m_ok"),
+        twinOk(lonNc, latNc, 32119, 2264, ftUS).as("nc_ft_m_ok"),
+        twinOk(lonAz, latAz, 26948, 2222, ftI).as("az_ft_m_ok"),
+        twinOk(lonNv, latNv, 32108, 3422, ftUS).as("nv_ft_m_ok"),
+        twinOk(lonKy, latKy, 3088, 3089, ftUS).as("ky_ft_m_ok"),
+        twinOk(lonMi, lit(42.25) + (k % 5).cast("double") / 4.0,
+          32154, 2289, ftUS).as("wi_ft_m_ok"),
+        // WKT unit names: international foot vs US survey foot
+        st_get_crs_from_code(lit(2251)).contains("UNIT[\"foot\"")
+          .as("ft_intl_unit_ok"),
+        st_get_crs_from_code(lit(2264)).contains("US survey foot")
+          .as("ft_us_unit_ok"),
+        st_get_crs_from_code(lit(26931)).contains("Hotine_Oblique_Mercator")
+          .as("hotine_wkt_ok")
+      ).orderBy(k)
+    }),
+
     // --------------------------------------------- §2.12 serialization
     "geo_serde" -> ((s, dir) => {
       val xiD = (k % 1000000).cast("double") * 16.0
@@ -1592,6 +1671,17 @@ object GeoQueries {
          | TRUE AS pl2000_rt_ok, TRUE AS greek_rt_ok, TRUE AS korea_c_rt_ok,
          | TRUE AS gaussboaga_rt_ok, TRUE AS ease_n_rt_ok,
          | TRUE AS ease_s_rt_ok, TRUE AS ease_g_rt_ok
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs7" ->
+      s"""$B SELECT k,
+         | TRUE AS ak1_hotine_rt_ok, TRUE AS ak5_rt_ok, TRUE AS hi3_rt_ok,
+         | TRUE AS mt_rt_ok, TRUE AS nc_rt_ok, TRUE AS mi_n_rt_ok,
+         | TRUE AS nv_c_rt_ok, TRUE AS wy_ec_rt_ok, TRUE AS ky_1z_rt_ok,
+         | TRUE AS prvi_rt_ok, TRUE AS mo_e_rt_ok, TRUE AS timbalai_rt_ok,
+         | TRUE AS mi_ft_m_ok, TRUE AS nc_ft_m_ok, TRUE AS az_ft_m_ok,
+         | TRUE AS nv_ft_m_ok, TRUE AS ky_ft_m_ok, TRUE AS wi_ft_m_ok,
+         | TRUE AS ft_intl_unit_ok, TRUE AS ft_us_unit_ok,
+         | TRUE AS hotine_wkt_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

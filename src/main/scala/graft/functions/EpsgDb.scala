@@ -42,6 +42,7 @@ object EpsgDb {
   private val Clarke1866 = Ellipsoid(6378206.4, 294.978698213898)
   private val Grs67 = Ellipsoid(6378160.0, 298.247167427)
   private val Krassowsky1940 = Ellipsoid(6378245.0, 298.3)
+  private val Everest1967 = Ellipsoid(6377298.556, 300.8017)
 
   // ------------------------------------------------------- datum transform
 
@@ -699,6 +700,86 @@ object EpsgDb {
     }
   }
 
+  /** Hotine Oblique Mercator (EPSG methods 9812 "variant A" and 9815
+    * "variant B"), per the published EPSG Guidance Note 7-2 formulas —
+    * the projection of SPCS83 Alaska zone 1 and the Borneo RSO grids.
+    * Variant A references the false origin to the aposphere natural
+    * origin (u,v) = (0,0); variant B reduces u by u_c so the false
+    * coordinates apply at the projection centre. The variant-B worked
+    * example from the guidance note (Timbalai 1948 / RSO Borneo) is
+    * pinned in EpsgDbSpec. */
+  final case class HotineOblique(ell: Ellipsoid, latCDeg: Double,
+      lonCDeg: Double, azDeg: Double, gammaDeg: Double, k0: Double,
+      fe: Double, fn: Double, variantB: Boolean) extends Projection {
+    private val e = ell.e
+    private val phiC = math.toRadians(latCDeg)
+    private val lamC = math.toRadians(lonCDeg)
+    private val alphaC = math.toRadians(azDeg)
+    private val gammaC = math.toRadians(gammaDeg)
+    private val sinC = math.sin(phiC)
+    private val cosC = math.cos(phiC)
+    private val bigB = math.sqrt(1 + ell.e2 * math.pow(cosC, 4) / (1 - ell.e2))
+    private val bigA = ell.a * bigB * k0 * math.sqrt(1 - ell.e2) /
+      (1 - ell.e2 * sinC * sinC)
+    private val t0 = math.tan(math.Pi / 4 - phiC / 2) /
+      math.pow((1 - e * sinC) / (1 + e * sinC), e / 2)
+    private val bigD = math.max(1.0, bigB * math.sqrt(1 - ell.e2) /
+      (cosC * math.sqrt(1 - ell.e2 * sinC * sinC)))
+    private val sgn = if (phiC < 0) -1.0 else 1.0
+    private val bigF = bigD + math.sqrt(bigD * bigD - 1) * sgn
+    private val bigH = bigF * math.pow(t0, bigB)
+    private val bigG = (bigF - 1 / bigF) / 2
+    private val gamma0 = math.asin(math.sin(alphaC) / bigD)
+    private val lam0 = lamC - math.asin(bigG * math.tan(gamma0)) / bigB
+    private val uC =
+      if (math.abs(math.abs(alphaC) - math.Pi / 2) < 1e-12) bigA * (lamC - lam0)
+      else (bigA / bigB) * math.atan2(math.sqrt(bigD * bigD - 1),
+        math.cos(alphaC)) * sgn
+    private val uOff = if (variantB) math.abs(uC) * sgn else 0.0
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val esin = e * math.sin(phi)
+      val t = math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), e / 2)
+      val bigQ = bigH / math.pow(t, bigB)
+      val bigS = (bigQ - 1 / bigQ) / 2
+      val bigT = (bigQ + 1 / bigQ) / 2
+      val bigV = math.sin(bigB * (lam - lam0))
+      val bigU = (-bigV * math.cos(gamma0) + bigS * math.sin(gamma0)) / bigT
+      val v = bigA * math.log((1 - bigU) / (1 + bigU)) / (2 * bigB)
+      val u = bigA * math.atan2(bigS * math.cos(gamma0) + bigV * math.sin(gamma0),
+        math.cos(bigB * (lam - lam0))) / bigB - uOff
+      (v * math.cos(gammaC) + u * math.sin(gammaC) + fe,
+        u * math.cos(gammaC) - v * math.sin(gammaC) + fn)
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val vP = (x0 - fe) * math.cos(gammaC) - (y0 - fn) * math.sin(gammaC)
+      val uP = (y0 - fn) * math.cos(gammaC) + (x0 - fe) * math.sin(gammaC) + uOff
+      val bigQ = math.exp(-bigB * vP / bigA)
+      val bigS = (bigQ - 1 / bigQ) / 2
+      val bigT = (bigQ + 1 / bigQ) / 2
+      val bigV = math.sin(bigB * uP / bigA)
+      val bigU = (bigV * math.cos(gamma0) + bigS * math.sin(gamma0)) / bigT
+      val t = math.pow(bigH / math.sqrt((1 + bigU) / (1 - bigU)), 1 / bigB)
+      // conformal-latitude inversion by fixed point (same scheme as the
+      // other conformal projections here; converges far below 1e-12 rad)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 12) {
+        val esin = e * math.sin(phi)
+        phi = math.Pi / 2 -
+          2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        i += 1
+      }
+      val lam = lam0 - math.atan2(bigS * math.cos(gamma0) - bigV * math.sin(gamma0),
+        math.cos(bigB * uP / bigA)) / bigB
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Krovak oblique conformal conic (EPSG method 9819) in its East-North
     * orientation (EPSG 5514 axis convention: E = −westing, N = −southing,
     * so Czech/Slovak coordinates are negative). `lon0Deg` is the origin
@@ -907,6 +988,8 @@ object EpsgDb {
   // EPSG tfm "Monte Mario to WGS 84 (4)" (IGM95, peninsular Italy),
   // position vector
   private val MonteMario = Helmert(-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)
+  // EPSG tfm "Timbalai 1948 to WGS 84 (1)": geocentric translation
+  private val Timbalai = Helmert(-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -976,20 +1059,10 @@ object EpsgDb {
     // Belgian Lambert 72
     add(31370, (Lcc2SP(Intl1924, 51.16666723333333, 49.8333339, 90, 4.367486666666666,
       150000.013, 5400088.438), Some(Bd72), "BD72 / Belgian Lambert 72"))
-    // NAD83 / California Albers + SPCS California zones 1-6 (meters)
+    // NAD83 / California Albers (SPCS California zones live in the
+    // comprehensive State Plane table below)
     add(3310, noShift(AlbersConic(GRS80, 34, 40.5, 0, -120, 0, -4000000),
       "NAD83 / California Albers"))
-    val caZones = Seq(
-      (26941, 41.0 + 40.0 / 60, 40.0, 39.0 + 20.0 / 60, -122.0),
-      (26942, 39.0 + 50.0 / 60, 38.0 + 20.0 / 60, 37.0 + 40.0 / 60, -122.0),
-      (26943, 38.0 + 26.0 / 60, 37.0 + 4.0 / 60, 36.5, -120.5),
-      (26944, 37.25, 36.0, 35.0 + 20.0 / 60, -119.0),
-      (26945, 35.0 + 28.0 / 60, 34.0 + 2.0 / 60, 33.5, -118.0),
-      (26946, 33.0 + 53.0 / 60, 32.0 + 47.0 / 60, 32.0 + 10.0 / 60, -116.25))
-    caZones.zipWithIndex.foreach { case ((code, lat1, lat2, lat0, lon0), i) =>
-      add(code, noShift(Lcc2SP(GRS80, lat1, lat2, lat0, lon0, 2000000, 500000),
-        s"NAD83 / California zone ${i + 1}"))
-    }
     // Canadian Albers systems
     add(3005, noShift(AlbersConic(GRS80, 50, 58.5, 45, -126, 1000000, 0),
       "NAD83 / BC Albers"))
@@ -1153,45 +1226,177 @@ object EpsgDb {
       add(31960 + z, noShift(TMerc(GRS80, 0, -183 + 6 * z, 0.9996, 500000, 10000000),
         s"SIRGAS 2000 / UTM zone ${z}S"))
 
-    // US State Plane (NAD83): a representative zone per projection style,
-    // metres + the US-survey-foot working variants (EPSG parameter
-    // registry values; ftUS false origins are the exact published
-    // foot-denominated values times the foot)
+    // US State Plane Coordinate System of 1983 — the COMPLETE zone set.
+    // Parameters are the published SPCS83 definition (NOAA Manual NOS
+    // NGS 5 appendix A) as carried in the EPSG registry; NAD83 is
+    // WGS84-coincident at this engine's tolerance, so every zone is
+    // shift-free. Working variants in US survey feet ("ftUS",
+    // 1200/3937 m exactly) or international feet ("ft", 0.3048 m)
+    // reuse the metre projection via UnitScaled — the same grid
+    // re-expressed; the specs pin the metre/foot twins against each
+    // other and geo_crs7 round-trips every family through the oracle.
     val ftUS = 1200.0 / 3937.0 // US survey foot in metres, exact
+    val ftI = 0.3048 // international foot in metres, exact
     def ft(code: Int, m: Crs): Unit =
       b += code -> Crs(UnitScaled(m.proj, ftUS), m.shift, m.name + " (ftUS)")
-    // Lambert Conformal Conic zones
-    val txc = Crs(Lcc2SP(GRS80, 31.0 + 53.0 / 60, 30.0 + 7.0 / 60, 29.0 + 40.0 / 60,
-      -(100.0 + 20.0 / 60), 700000, 3000000), None, "NAD83 / Texas Central")
-    b += 32139 -> txc; ft(2277, txc)
-    val nyli = Crs(Lcc2SP(GRS80, 41.0 + 2.0 / 60, 40.0 + 40.0 / 60, 40.0 + 10.0 / 60,
-      -74.0, 300000, 0), None, "NAD83 / New York Long Island")
-    b += 32118 -> nyli; ft(2263, nyli)
-    val pas = Crs(Lcc2SP(GRS80, 40.0 + 58.0 / 60, 39.0 + 56.0 / 60, 39.0 + 20.0 / 60,
-      -77.75, 600000, 0), None, "NAD83 / Pennsylvania South")
-    b += 32129 -> pas; ft(2272, pas)
-    val wan = Crs(Lcc2SP(GRS80, 48.0 + 44.0 / 60, 47.5, 47.0,
-      -(120.0 + 50.0 / 60), 500000, 0), None, "NAD83 / Washington North")
-    b += 32148 -> wan; ft(2285, wan)
-    val mam = Crs(Lcc2SP(GRS80, 42.0 + 41.0 / 60, 41.0 + 43.0 / 60, 41.0,
-      -71.5, 200000, 750000), None, "NAD83 / Massachusetts Mainland")
-    b += 26986 -> mam; ft(2249, mam)
-    val coc = Crs(Lcc2SP(GRS80, 39.75, 38.45, 37.0 + 50.0 / 60,
-      -105.5, 914401.8289, 304800.6096), None, "NAD83 / Colorado Central")
-    b += 26954 -> coc
-    // Transverse Mercator zones
-    val fle = Crs(TMerc(GRS80, 24.0 + 20.0 / 60, -81.0, 0.999941177, 200000, 0),
-      None, "NAD83 / Florida East")
-    b += 26958 -> fle; ft(2236, fle)
-    val ile = Crs(TMerc(GRS80, 36.0 + 40.0 / 60, -(88.0 + 20.0 / 60), 0.999975,
-      300000, 0), None, "NAD83 / Illinois East")
-    b += 26971 -> ile
-    val azc = Crs(TMerc(GRS80, 31.0, -(111.0 + 55.0 / 60), 0.9999, 213360, 0),
-      None, "NAD83 / Arizona Central")
-    b += 26949 -> azc
-    // California zone 3 ftUS variant (same false origin as 26943, in feet)
-    ft(2227, Crs(Lcc2SP(GRS80, 38.0 + 26.0 / 60, 37.0 + 4.0 / 60, 36.5, -120.5,
-      2000000, 500000), None, "NAD83 / California zone 3"))
+    def fti(code: Int, m: Crs): Unit =
+      b += code -> Crs(UnitScaled(m.proj, ftI), m.shift, m.name + " (ft)")
+    def dm(d: Int, min: Int): Double = d + min / 60.0
+
+    // Lambert Conformal Conic 2SP zones:
+    // (metreCode, footCode [0 = registry defines none], internationalFoot?,
+    //  zone, latN, latS, lat0, lon0, FE m, FN m)
+    val spLcc: Seq[(Int, Int, Boolean, String, Double, Double, Double, Double, Double, Double)] = Seq(
+      (26940, 0, false, "Alaska zone 10", dm(53, 50), dm(51, 50), 51.0, -176.0, 1000000.0, 0.0),
+      (26941, 2225, false, "California zone 1", dm(41, 40), 40.0, dm(39, 20), -122.0, 2000000.0, 500000.0),
+      (26942, 2226, false, "California zone 2", dm(39, 50), dm(38, 20), dm(37, 40), -122.0, 2000000.0, 500000.0),
+      (26943, 2227, false, "California zone 3", dm(38, 26), dm(37, 4), 36.5, -120.5, 2000000.0, 500000.0),
+      (26944, 2228, false, "California zone 4", dm(37, 15), 36.0, dm(35, 20), -119.0, 2000000.0, 500000.0),
+      (26945, 2229, false, "California zone 5", dm(35, 28), dm(34, 2), 33.5, -118.0, 2000000.0, 500000.0),
+      (26946, 2230, false, "California zone 6", dm(33, 53), dm(32, 47), dm(32, 10), -116.25, 2000000.0, 500000.0),
+      (26951, 3433, false, "Arkansas North", dm(36, 14), dm(34, 56), dm(34, 20), -92.0, 400000.0, 0.0),
+      (26952, 3434, false, "Arkansas South", dm(34, 46), dm(33, 18), dm(32, 40), -92.0, 400000.0, 400000.0),
+      (26953, 2231, false, "Colorado North", dm(40, 47), dm(39, 43), dm(39, 20), -105.5, 914401.8289, 304800.6096),
+      (26954, 2232, false, "Colorado Central", dm(39, 45), dm(38, 27), dm(37, 50), -105.5, 914401.8289, 304800.6096),
+      (26955, 2233, false, "Colorado South", dm(38, 26), dm(37, 14), dm(36, 40), -105.5, 914401.8289, 304800.6096),
+      (26956, 2234, false, "Connecticut", dm(41, 52), dm(41, 12), dm(40, 50), -dm(72, 45), 304800.6096, 152400.3048),
+      (26960, 2238, false, "Florida North", dm(30, 45), dm(29, 35), 29.0, -84.5, 600000.0, 0.0),
+      (26975, 3417, false, "Iowa North", dm(43, 16), dm(42, 4), 41.5, -93.5, 1500000.0, 1000000.0),
+      (26976, 3418, false, "Iowa South", dm(41, 47), dm(40, 37), 40.0, -93.5, 500000.0, 0.0),
+      (26977, 3419, false, "Kansas North", dm(39, 47), dm(38, 43), dm(38, 20), -98.0, 400000.0, 0.0),
+      (26978, 3420, false, "Kansas South", dm(38, 34), dm(37, 16), dm(36, 40), -98.5, 400000.0, 400000.0),
+      (26979, 2246, false, "Kentucky North", dm(38, 58), dm(37, 58), 37.5, -dm(84, 15), 500000.0, 0.0),
+      (26980, 2247, false, "Kentucky South", dm(37, 56), dm(36, 44), dm(36, 20), -dm(85, 45), 500000.0, 500000.0),
+      (3088, 3089, false, "Kentucky Single Zone", dm(38, 40), dm(37, 5), dm(36, 20), -dm(85, 45), 1500000.0, 1000000.0),
+      (26981, 3451, false, "Louisiana North", dm(32, 40), dm(31, 10), 30.5, -92.5, 1000000.0, 0.0),
+      (26982, 3452, false, "Louisiana South", dm(30, 42), dm(29, 18), 28.5, -dm(91, 20), 1000000.0, 0.0),
+      (32199, 3453, false, "Louisiana Offshore", dm(27, 50), dm(26, 10), 25.5, -dm(91, 20), 1000000.0, 0.0),
+      (26985, 2248, false, "Maryland", dm(39, 27), dm(38, 18), dm(37, 40), -77.0, 400000.0, 0.0),
+      (26986, 2249, false, "Massachusetts Mainland", dm(42, 41), dm(41, 43), 41.0, -71.5, 200000.0, 750000.0),
+      (26987, 2250, false, "Massachusetts Island", dm(41, 29), dm(41, 17), 41.0, -70.5, 500000.0, 0.0),
+      (26988, 2251, true, "Michigan North", dm(47, 5), dm(45, 29), dm(44, 47), -87.0, 8000000.0, 0.0),
+      (26989, 2252, true, "Michigan Central", dm(45, 42), dm(44, 11), dm(43, 19), -dm(84, 22), 6000000.0, 0.0),
+      (26990, 2253, true, "Michigan South", dm(43, 40), dm(42, 6), 41.5, -dm(84, 22), 4000000.0, 0.0),
+      (26991, 26849, false, "Minnesota North", dm(48, 38), dm(47, 2), 46.5, -dm(93, 6), 800000.0, 100000.0),
+      (26992, 26850, false, "Minnesota Central", dm(47, 3), dm(45, 37), 45.0, -dm(94, 15), 800000.0, 100000.0),
+      (26993, 26851, false, "Minnesota South", dm(45, 13), dm(43, 47), 43.0, -94.0, 800000.0, 100000.0),
+      (32100, 2256, true, "Montana", 49.0, 45.0, dm(44, 15), -109.5, 600000.0, 0.0),
+      (32104, 26852, false, "Nebraska", 43.0, 40.0, dm(39, 50), -100.0, 500000.0, 0.0),
+      (32118, 2263, false, "New York Long Island", dm(41, 2), dm(40, 40), dm(40, 10), -74.0, 300000.0, 0.0),
+      (32119, 2264, false, "North Carolina", dm(36, 10), dm(34, 20), dm(33, 45), -79.0, 609601.22, 0.0),
+      (32120, 2265, true, "North Dakota North", dm(48, 44), dm(47, 26), 47.0, -100.5, 600000.0, 0.0),
+      (32121, 2266, true, "North Dakota South", dm(47, 29), dm(46, 11), dm(45, 40), -100.5, 600000.0, 0.0),
+      (32122, 3734, false, "Ohio North", dm(41, 42), dm(40, 26), dm(39, 40), -82.5, 600000.0, 0.0),
+      (32123, 3735, false, "Ohio South", dm(40, 2), dm(38, 44), 38.0, -82.5, 600000.0, 0.0),
+      (32124, 2267, false, "Oklahoma North", dm(36, 46), dm(35, 34), 35.0, -98.0, 600000.0, 0.0),
+      (32125, 2268, false, "Oklahoma South", dm(35, 14), dm(33, 56), dm(33, 20), -98.0, 600000.0, 0.0),
+      (32126, 2269, true, "Oregon North", 46.0, dm(44, 20), dm(43, 40), -120.5, 2500000.0, 0.0),
+      (32127, 2270, true, "Oregon South", 44.0, dm(42, 20), dm(41, 40), -120.5, 1500000.0, 0.0),
+      (32128, 2271, false, "Pennsylvania North", dm(41, 57), dm(40, 53), dm(40, 10), -77.75, 600000.0, 0.0),
+      (32129, 2272, false, "Pennsylvania South", dm(40, 58), dm(39, 56), dm(39, 20), -77.75, 600000.0, 0.0),
+      (32133, 2273, true, "South Carolina", dm(34, 50), dm(32, 30), dm(31, 50), -81.0, 609600.0, 0.0),
+      (32134, 0, false, "South Dakota North", dm(45, 41), dm(44, 25), dm(43, 50), -100.0, 600000.0, 0.0),
+      (32135, 0, false, "South Dakota South", dm(44, 24), dm(42, 50), dm(42, 20), -dm(100, 20), 600000.0, 0.0),
+      (32136, 2274, false, "Tennessee", dm(36, 25), dm(35, 15), dm(34, 20), -86.0, 600000.0, 0.0),
+      (32137, 2275, false, "Texas North", dm(36, 11), dm(34, 39), 34.0, -101.5, 200000.0, 1000000.0),
+      (32138, 2276, false, "Texas North Central", dm(33, 58), dm(32, 8), dm(31, 40), -98.5, 600000.0, 2000000.0),
+      (32139, 2277, false, "Texas Central", dm(31, 53), dm(30, 7), dm(29, 40), -dm(100, 20), 700000.0, 3000000.0),
+      (32140, 2278, false, "Texas South Central", dm(30, 17), dm(28, 23), dm(27, 50), -99.0, 600000.0, 4000000.0),
+      (32141, 2279, false, "Texas South", dm(27, 50), dm(26, 10), dm(25, 40), -98.5, 300000.0, 5000000.0),
+      (32142, 2280, true, "Utah North", dm(41, 47), dm(40, 43), dm(40, 20), -111.5, 500000.0, 1000000.0),
+      (32143, 2281, true, "Utah Central", dm(40, 39), dm(39, 1), dm(38, 20), -111.5, 500000.0, 2000000.0),
+      (32144, 2282, true, "Utah South", dm(38, 21), dm(37, 13), dm(36, 40), -111.5, 500000.0, 3000000.0),
+      (32146, 2283, false, "Virginia North", dm(39, 12), dm(38, 2), dm(37, 40), -78.5, 3500000.0, 2000000.0),
+      (32147, 2284, false, "Virginia South", dm(37, 58), dm(36, 46), dm(36, 20), -78.5, 3500000.0, 1000000.0),
+      (32148, 2285, false, "Washington North", dm(48, 44), 47.5, 47.0, -dm(120, 50), 500000.0, 0.0),
+      (32149, 2286, false, "Washington South", dm(47, 20), dm(45, 50), dm(45, 20), -120.5, 500000.0, 0.0),
+      (32150, 26853, false, "West Virginia North", dm(40, 15), 39.0, 38.5, -79.5, 600000.0, 0.0),
+      (32151, 26854, false, "West Virginia South", dm(38, 53), dm(37, 29), 37.0, -81.0, 600000.0, 0.0),
+      (32152, 2287, false, "Wisconsin North", dm(46, 46), dm(45, 34), dm(45, 10), -90.0, 600000.0, 0.0),
+      (32153, 2288, false, "Wisconsin Central", dm(45, 30), dm(44, 15), dm(43, 50), -90.0, 600000.0, 0.0),
+      (32154, 2289, false, "Wisconsin South", dm(44, 4), dm(42, 44), 42.0, -90.0, 600000.0, 0.0),
+      (32161, 0, false, "Puerto Rico & Virgin Is.", dm(18, 26), dm(18, 2), dm(17, 50), -dm(66, 26), 200000.0, 200000.0))
+    spLcc.foreach { case (m, f, intl, zone, latN, latS, lat0, lon0, fe, fn) =>
+      val crs = Crs(Lcc2SP(GRS80, latN, latS, lat0, lon0, fe, fn), None,
+        s"NAD83 / $zone")
+      b += m -> crs
+      if (f != 0) { if (intl) fti(f, crs) else ft(f, crs) }
+    }
+
+    // Transverse Mercator zones:
+    // (metreCode, footCode, internationalFoot?, zone, lat0, lon0, k0, FE m, FN m)
+    val spTm: Seq[(Int, Int, Boolean, String, Double, Double, Double, Double, Double)] = Seq(
+      (26929, 0, false, "Alabama East", 30.5, -dm(85, 50), 0.99996, 200000.0, 0.0),
+      (26930, 0, false, "Alabama West", 30.0, -87.5, 0.999933333, 600000.0, 0.0),
+      (26948, 2222, true, "Arizona East", 31.0, -dm(110, 10), 0.9999, 213360.0, 0.0),
+      (26949, 2223, true, "Arizona Central", 31.0, -dm(111, 55), 0.9999, 213360.0, 0.0),
+      (26950, 2224, true, "Arizona West", 31.0, -dm(113, 45), 0.999933333, 213360.0, 0.0),
+      (26957, 2235, false, "Delaware", 38.0, -dm(75, 25), 0.999995, 200000.0, 0.0),
+      (26958, 2236, false, "Florida East", dm(24, 20), -81.0, 0.999941177, 200000.0, 0.0),
+      (26959, 2237, false, "Florida West", dm(24, 20), -82.0, 0.999941177, 200000.0, 0.0),
+      (26961, 0, false, "Hawaii zone 1", dm(18, 50), -155.5, 0.999966667, 500000.0, 0.0),
+      (26962, 0, false, "Hawaii zone 2", dm(20, 20), -dm(156, 40), 0.999966667, 500000.0, 0.0),
+      (26963, 3759, false, "Hawaii zone 3", dm(21, 10), -158.0, 0.99999, 500000.0, 0.0),
+      (26964, 0, false, "Hawaii zone 4", dm(21, 50), -159.5, 0.99999, 500000.0, 0.0),
+      (26965, 0, false, "Hawaii zone 5", dm(21, 40), -dm(160, 10), 1.0, 500000.0, 0.0),
+      (26966, 2239, false, "Georgia East", 30.0, -dm(82, 10), 0.9999, 200000.0, 0.0),
+      (26967, 2240, false, "Georgia West", 30.0, -dm(84, 10), 0.9999, 700000.0, 0.0),
+      (26968, 2241, false, "Idaho East", dm(41, 40), -dm(112, 10), 0.999947368, 200000.0, 0.0),
+      (26969, 2242, false, "Idaho Central", dm(41, 40), -114.0, 0.999947368, 500000.0, 0.0),
+      (26970, 2243, false, "Idaho West", dm(41, 40), -115.75, 0.999933333, 800000.0, 0.0),
+      (26971, 3435, false, "Illinois East", dm(36, 40), -dm(88, 20), 0.999975, 300000.0, 0.0),
+      (26972, 3436, false, "Illinois West", dm(36, 40), -dm(90, 10), 0.999941177, 700000.0, 0.0),
+      (26973, 2244, false, "Indiana East", 37.5, -dm(85, 40), 0.999966667, 100000.0, 250000.0),
+      (26974, 2245, false, "Indiana West", 37.5, -dm(87, 5), 0.999966667, 900000.0, 250000.0),
+      (26983, 26847, false, "Maine East", dm(43, 40), -68.5, 0.9999, 300000.0, 0.0),
+      (26984, 26848, false, "Maine West", dm(42, 50), -dm(70, 10), 0.999966667, 900000.0, 0.0),
+      (26994, 2254, false, "Mississippi East", 29.5, -dm(88, 50), 0.99995, 300000.0, 0.0),
+      (26995, 2255, false, "Mississippi West", 29.5, -dm(90, 20), 0.99995, 700000.0, 0.0),
+      (26996, 0, false, "Missouri East", dm(35, 50), -90.5, 0.999933333, 250000.0, 0.0),
+      (26997, 0, false, "Missouri Central", dm(35, 50), -92.5, 0.999933333, 500000.0, 0.0),
+      (26998, 0, false, "Missouri West", dm(36, 10), -94.5, 0.999941177, 850000.0, 0.0),
+      (32107, 3421, false, "Nevada East", dm(34, 45), -dm(115, 35), 0.9999, 200000.0, 8000000.0),
+      (32108, 3422, false, "Nevada Central", dm(34, 45), -dm(116, 40), 0.9999, 500000.0, 6000000.0),
+      (32109, 3423, false, "Nevada West", dm(34, 45), -dm(118, 35), 0.9999, 800000.0, 4000000.0),
+      (32110, 3437, false, "New Hampshire", 42.5, -dm(71, 40), 0.999966667, 300000.0, 0.0),
+      (32111, 3424, false, "New Jersey", dm(38, 50), -74.5, 0.9999, 150000.0, 0.0),
+      (32112, 2257, false, "New Mexico East", 31.0, -dm(104, 20), 0.999909091, 165000.0, 0.0),
+      (32113, 2258, false, "New Mexico Central", 31.0, -106.25, 0.9999, 500000.0, 0.0),
+      (32114, 2259, false, "New Mexico West", 31.0, -dm(107, 50), 0.999916667, 830000.0, 0.0),
+      (32115, 2260, false, "New York East", dm(38, 50), -74.5, 0.9999, 150000.0, 0.0),
+      (32116, 2261, false, "New York Central", 40.0, -dm(76, 35), 0.9999375, 250000.0, 0.0),
+      (32117, 2262, false, "New York West", 40.0, -dm(78, 35), 0.9999375, 350000.0, 0.0),
+      (32130, 3438, false, "Rhode Island", dm(41, 5), -71.5, 0.99999375, 100000.0, 0.0),
+      (32145, 5646, false, "Vermont", 42.5, -72.5, 0.999964286, 500000.0, 0.0),
+      (32155, 3736, false, "Wyoming East", 40.5, -dm(105, 10), 0.9999375, 200000.0, 0.0),
+      (32156, 3737, false, "Wyoming East Central", 40.5, -dm(107, 20), 0.9999375, 400000.0, 100000.0),
+      (32157, 3738, false, "Wyoming West Central", 40.5, -108.75, 0.9999375, 600000.0, 0.0),
+      (32158, 3739, false, "Wyoming West", 40.5, -dm(110, 5), 0.9999375, 800000.0, 100000.0))
+    spTm.foreach { case (m, f, intl, zone, lat0, lon0, k0, fe, fn) =>
+      val crs = Crs(TMerc(GRS80, lat0, lon0, k0, fe, fn), None, s"NAD83 / $zone")
+      b += m -> crs
+      if (f != 0) { if (intl) fti(f, crs) else ft(f, crs) }
+    }
+    // Alaska zones 2-9: 4°-wide TM strips west from 142°W
+    for (z <- 2 to 9)
+      add(26930 + z, noShift(
+        TMerc(GRS80, 54.0, -142.0 - 4.0 * (z - 2), 0.9999, 500000, 0),
+        s"NAD83 / Alaska zone $z"))
+    // Alaska zone 1: Hotine Oblique Mercator variant A along the
+    // panhandle axis (azimuth = rectified grid angle = atan(-3/4),
+    // the published SPCS83 value -36°52'11.6315")
+    add(26931, noShift(
+      HotineOblique(GRS80, 57.0, -dm(133, 40),
+        -(36.0 + 52.0 / 60 + 11.6315 / 3600), -(36.0 + 52.0 / 60 + 11.6315 / 3600),
+        0.9999, 5000000, -5000000, variantB = false),
+      "NAD83 / Alaska zone 1"))
+    // Timbalai 1948 / RSO Borneo (m) — the EPSG Guidance Note 7-2
+    // variant-B worked example; pinned as the Hotine OM anchor in
+    // EpsgDbSpec
+    add(29873, (HotineOblique(Everest1967, 4.0, 115.0,
+      53.0 + 18.0 / 60 + 56.9537 / 3600, 53.0 + 7.0 / 60 + 48.3685 / 3600,
+      0.99984, 590476.87, 442857.65, variantB = true),
+      Some(Timbalai), "Timbalai 1948 / RSO Borneo (m)"))
 
     // ETRS89 national / continental LCCs
     add(3034, noShift(Lcc2SP(GRS80, 35, 65, 52, 10, 4000000, 2800000),
@@ -1400,6 +1605,11 @@ object EpsgDb {
   def wkt(code: Int): Option[String] =
     wktBuiltin(code).orElse(CrsRegistry.registeredWkt(code))
 
+  /** WKT unit name for a [[UnitScaled]] factor: the international foot
+    * (0.3048 exactly) vs the US survey foot (1200/3937). */
+  private def footName(f: Double): String =
+    if (f == 0.3048) "foot" else "US survey foot"
+
   private def wktBuiltin(code: Int): Option[String] = table.get(code).map { crs =>
     def geogcs(ell: Ellipsoid, datumName: String) =
       s"""GEOGCS["$datumName",DATUM["${datumName.replace(' ', '_')}",SPHEROID["${datumName}",${ell.a},${ell.invF}]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""
@@ -1431,12 +1641,17 @@ object EpsgDb {
         s"""PROJCS["${crs.name}",$base,PROJECTION["New_Zealand_Map_Grid"],PARAMETER["latitude_of_origin",-41],PARAMETER["central_meridian",173],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case SwissOblique(_, lat0, lon0, k0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
-      // non-metre CRSs (US survey foot state planes): the false origin is
-      // expressed in the CRS's own unit, per WKT1 convention
+      case HotineOblique(_, latC, lonC, az, gamma, k0, fe, fn, vB) =>
+        val proj = if (vB) "Hotine_Oblique_Mercator_Azimuth_Center"
+          else "Hotine_Oblique_Mercator"
+        s"""PROJCS["${crs.name}",$base,PROJECTION["$proj"],PARAMETER["latitude_of_center",$latC],PARAMETER["longitude_of_center",$lonC],PARAMETER["azimuth",$az],PARAMETER["rectified_grid_angle",$gamma],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      // non-metre CRSs (US-survey-foot / international-foot state
+      // planes): the false origin is expressed in the CRS's own unit,
+      // per WKT1 convention
       case UnitScaled(TMerc(_, lat0, lon0, k0, fe, fn), f) =>
-        s"""PROJCS["${crs.name}",$base,PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",${fe / f}],PARAMETER["false_northing",${fn / f}],UNIT["US survey foot",$f],AUTHORITY["EPSG","$code"]]"""
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",${fe / f}],PARAMETER["false_northing",${fn / f}],UNIT["${footName(f)}",$f],AUTHORITY["EPSG","$code"]]"""
       case UnitScaled(Lcc2SP(_, lat1, lat2, lat0, lon0, fe, fn), f) =>
-        s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["standard_parallel_1",$lat1],PARAMETER["standard_parallel_2",$lat2],PARAMETER["false_easting",${fe / f}],PARAMETER["false_northing",${fn / f}],UNIT["US survey foot",$f],AUTHORITY["EPSG","$code"]]"""
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["standard_parallel_1",$lat1],PARAMETER["standard_parallel_2",$lat2],PARAMETER["false_easting",${fe / f}],PARAMETER["false_northing",${fn / f}],UNIT["${footName(f)}",$f],AUTHORITY["EPSG","$code"]]"""
       case UnitScaled(inner, f) => throw new IllegalStateException(
         s"no WKT synthesis for UnitScaled(${inner.getClass.getSimpleName}, $f)")
     }

@@ -42,6 +42,8 @@ class EpsgDbSpec extends AnyFunSuite {
     case EpsgDb.ObliqueStereo(_, lat0, lon0, _, _, _) => (lon0 + 1.0, lat0 + 0.75)
     case EpsgDb.SwissOblique(_, lat0, lon0, _, _, _) => (lon0 + 1.5, lat0 + 0.5)
     case EpsgDb.Krovak(_, _, _, _, _, _) => (15.5, 49.75) // Czech interior
+    case EpsgDb.HotineOblique(_, latC, lonC, _, _, _, _, _, _) =>
+      (lonC + 0.8, latC + 0.6)
     case EpsgDb.Nzmg(_, _) => (174.75, -41.25) // NZ interior
     case EpsgDb.UnitScaled(inner, _) => domainPoint(crs.copy(proj = inner))
   }
@@ -302,5 +304,119 @@ class EpsgDbSpec extends AnyFunSuite {
       "Lambert_Conformal_Conic_2SP")))
     assert(graft.functions.CrsImpl.crsAuthority(
       graft.functions.CrsImpl.crsFromCode(3995).get) == Some(("EPSG", 3995)))
+  }
+
+  test("Hotine Oblique Mercator: the EPSG variant-B worked example") {
+    // EPSG Guidance Note 7-2, method 9815 (Timbalai 1948 / RSO Borneo):
+    // 5°23'14.1129"N 115°48'19.8196"E → E 679245.73, N 596562.78 (2 cm)
+    val lat = 5.0 + 23.0 / 60 + 14.1129 / 3600
+    val lon = 115.0 + 48.0 / 60 + 19.8196 / 3600
+    val (e, n) = EpsgDb.table(29873).proj.forward(lon, lat)
+    assert(math.abs(e - 679245.73) < 2e-2, s"E=$e")
+    assert(math.abs(n - 596562.78) < 2e-2, s"N=$n")
+    val (lon2, lat2) = EpsgDb.table(29873).proj.inverse(e, n)
+    assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    // Alaska zone 1 (variant A): tight round trip along the panhandle
+    for ((lo, la) <- Seq((-134.4, 58.3), (-131.7, 55.3), (-135.5, 59.4))) {
+      val (x, y) = EpsgDb.table(26931).proj.forward(lo, la)
+      val (lo2, la2) = EpsgDb.table(26931).proj.inverse(x, y)
+      assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9,
+        s"AK1 ($lo,$la) -> ($x,$y) -> ($lo2,$la2)")
+    }
+  }
+
+  test("SPCS83: every foot twin re-expresses its metre grid exactly") {
+    // for each UnitScaled state-plane code, the foot coordinates times
+    // the unit factor must equal the metre zone's coordinates at machine
+    // precision for a spread of in-domain points — a wrong parameter in
+    // EITHER twin breaks the identity only if they disagree, so the twin
+    // pairs are located by name
+    val metersByName = EpsgDb.table.collect {
+      case (code, crs) if !crs.proj.isInstanceOf[EpsgDb.UnitScaled] =>
+        crs.name -> (code, crs)
+    }
+    var checked = 0
+    EpsgDb.table.foreach {
+      case (fCode, fCrs) => fCrs.proj match {
+        case EpsgDb.UnitScaled(inner, factor) =>
+          val baseName = fCrs.name.stripSuffix(" (ftUS)").stripSuffix(" (ft)")
+          val (mCode, mCrs) = metersByName.getOrElse(baseName,
+            fail(s"no metre twin for $fCode (${fCrs.name})"))
+          val (lon0, lat0) = domainPoint(mCrs)
+          for (dLon <- Seq(-0.8, 0.0, 0.9); dLat <- Seq(-0.5, 0.0, 0.6)) {
+            val (xm, ym) = EpsgDb.fromWgs84(lon0 + dLon, lat0 + dLat, mCode)
+            val (xf, yf) = EpsgDb.fromWgs84(lon0 + dLon, lat0 + dLat, fCode)
+            assert(math.abs(xf * factor - xm) < 1e-6 &&
+              math.abs(yf * factor - ym) < 1e-6,
+              s"twin mismatch $mCode/$fCode at (${lon0 + dLon},${lat0 + dLat})")
+          }
+          checked += 1
+        case _ => ()
+      }
+    }
+    assert(checked >= 75, s"expected the full foot-variant set, got $checked")
+  }
+
+  test("SPCS83 LCC zones: unit scale along both standard parallels") {
+    // the defining property of the 2SP Lambert cone: distortion is
+    // exactly 1 on each standard parallel. Checked numerically (ratio of
+    // a small projected arc to the ellipsoidal parallel arc) for every
+    // NAD83 state-plane LCC zone — a mis-recalled standard parallel,
+    // origin latitude, or false origin would break this or the
+    // round-trip/anchor suite
+    val a = 6378137.0; val e2 = 0.0066943800229007876 // GRS80
+    def parallelScale(crs: EpsgDb.Crs, latDeg: Double, lonDeg: Double): Double = {
+      val dLon = 1e-4
+      val (x0, y0) = crs.proj.forward(lonDeg, latDeg)
+      val (x1, y1) = crs.proj.forward(lonDeg + dLon, latDeg)
+      val phi = math.toRadians(latDeg)
+      val rPar = a * math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      math.hypot(x1 - x0, y1 - y0) / (rPar * math.toRadians(dLon))
+    }
+    var zones = 0
+    EpsgDb.table.foreach {
+      case (code, crs) if code >= 3088 && crs.name.startsWith("NAD83 /") =>
+        crs.proj match {
+          case EpsgDb.Lcc2SP(_, latN, latS, _, lon0, _, _) =>
+            for (p <- Seq(latN, latS)) {
+              val k = parallelScale(crs, p, lon0 + 0.5)
+              assert(math.abs(k - 1.0) < 1e-9,
+                s"EPSG:$code (${crs.name}): scale $k at parallel $p")
+            }
+            // and genuinely < 1 between the parallels (cone dips inside)
+            val mid = parallelScale(crs, (latN + latS) / 2, lon0 + 0.5)
+            assert(mid < 1.0, s"EPSG:$code: k=$mid between parallels")
+            zones += 1
+          case _ => ()
+        }
+      case _ => ()
+    }
+    assert(zones >= 55, s"expected the full LCC state-plane set, got $zones")
+  }
+
+  test("SPCS83 TM zones: central-meridian scale equals the published k0") {
+    val a = 6378137.0; val e2 = 0.0066943800229007876
+    var zones = 0
+    EpsgDb.table.foreach {
+      case (code, crs) if code >= 26929 && crs.name.startsWith("NAD83 /") =>
+        crs.proj match {
+          case EpsgDb.TMerc(_, lat0, lon0, k0, _, _) if lat0 > 15 =>
+            // meridian scale at a point ON the central meridian: ratio of
+            // projected northing delta to the ellipsoidal meridian arc
+            val lat = lat0 + 1.0
+            val dLat = 1e-4
+            val (_, y0) = crs.proj.forward(lon0, lat)
+            val (_, y1) = crs.proj.forward(lon0, lat + dLat)
+            val phi = math.toRadians(lat + dLat / 2)
+            val m = a * (1 - e2) / math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+            val k = (y1 - y0) / (m * math.toRadians(dLat))
+            assert(math.abs(k - k0) < 1e-9,
+              s"EPSG:$code (${crs.name}): meridian scale $k != k0 $k0")
+            zones += 1
+          case _ => ()
+        }
+      case _ => ()
+    }
+    assert(zones >= 50, s"expected the full TM state-plane set, got $zones")
   }
 }
