@@ -1081,6 +1081,18 @@ object GeoQueries {
         twinOk(lonKy, latKy, 3088, 3089, ftUS).as("ky_ft_m_ok"),
         twinOk(lonMi, lit(42.25) + (k % 5).cast("double") / 4.0,
           32154, 2289, ftUS).as("wi_ft_m_ok"),
+        // Brazil Polyconic (method 9818): SIRGAS frame shift-free,
+        // SAD69 legacy frame through its geocentric translation; NAD27
+        // UTM through the published mean translation
+        rtOk(-(lit(40.25) + (k % 50).cast("double") / 4.0),
+          -(lit(2.25) + (k % 50).cast("double") / 4.0), 5880, 1e-8)
+          .as("brpoly_rt_ok"),
+        rtOk(-(lit(40.25) + (k % 50).cast("double") / 4.0),
+          -(lit(2.25) + (k % 50).cast("double") / 4.0), 29101, 1e-7)
+          .as("sad69poly_rt_ok"),
+        rtOk(-(lit(84.25) + (k % 10).cast("double") / 4.0),
+          lit(30.25) + (k % 60).cast("double") / 4.0, 26716, 1e-7)
+          .as("nad27utm_rt_ok"),
         // WKT unit names: international foot vs US survey foot
         st_get_crs_from_code(lit(2251)).contains("UNIT[\"foot\"")
           .as("ft_intl_unit_ok"),
@@ -1680,6 +1692,8 @@ object GeoQueries {
          | TRUE AS prvi_rt_ok, TRUE AS mo_e_rt_ok, TRUE AS timbalai_rt_ok,
          | TRUE AS mi_ft_m_ok, TRUE AS nc_ft_m_ok, TRUE AS az_ft_m_ok,
          | TRUE AS nv_ft_m_ok, TRUE AS ky_ft_m_ok, TRUE AS wi_ft_m_ok,
+         | TRUE AS brpoly_rt_ok, TRUE AS sad69poly_rt_ok,
+         | TRUE AS nad27utm_rt_ok,
          | TRUE AS ft_intl_unit_ok, TRUE AS ft_us_unit_ok,
          | TRUE AS hotine_wkt_ok
          |FROM b ORDER BY k""".stripMargin,

@@ -869,6 +869,72 @@ object EpsgDb {
     * the forward complex polynomial, then the published ψ→Δφ series D
     * refined by Newton on the forward real series — forward/inverse are
     * exact fp inverses regardless of the seed series' truncation. */
+  /** American Polyconic (EPSG method 9818, Snyder §18 ellipsoidal
+    * forward) — the projection of the Brazilian national Polyconic
+    * grids. Each parallel is projected true-to-scale along its own
+    * cone, so the projection is neither conformal nor equal-area; the
+    * inverse is a damped 2-D Newton iteration on the forward (the same
+    * polish-the-closed-seed approach as the EASE cylindrical inverse),
+    * converging below 1e-12 rad in a handful of steps over the
+    * continental domain. */
+  final case class Polyconic(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      fe: Double, fn: Double) extends Projection {
+    private val e2 = ell.e2
+    private val lam0 = math.toRadians(lon0Deg)
+    private val m0 = meridianArc(ell, math.toRadians(lat0Deg))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      if (math.abs(phi) < 1e-12)
+        (fe + ell.a * (lam - lam0), fn - m0)
+      else {
+        val sinP = math.sin(phi)
+        val n = ell.a / math.sqrt(1 - e2 * sinP * sinP)
+        val ePrime = (lam - lam0) * sinP
+        val cot = math.cos(phi) / sinP
+        (fe + n * cot * math.sin(ePrime),
+          fn + meridianArc(ell, phi) - m0 + n * cot * (1 - math.cos(ePrime)))
+      }
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      // seed from the spherical picture: the meridian arc gives the
+      // latitude scale, the parallel radius the longitude scale
+      var phi = (y0 - fn + m0) / (ell.a * (1 - e2 / 4))
+      phi = math.max(-1.55, math.min(1.55, phi))
+      var lam = lam0 + (x0 - fe) /
+        (ell.a * math.max(0.05, math.cos(phi)))
+      var i = 0
+      while (i < 40) {
+        val (fx, fy) = forwardRad(lam, phi)
+        val rx = fx - x0
+        val ry = fy - y0
+        if (math.abs(rx) < 1e-9 && math.abs(ry) < 1e-9) i = 40
+        else {
+          // Jacobian by central differences (the forward is cheap)
+          val h = 1e-7
+          val (fxl, fyl) = forwardRad(lam + h, phi)
+          val (fxl2, fyl2) = forwardRad(lam - h, phi)
+          val (fxp, fyp) = forwardRad(lam, phi + h)
+          val (fxp2, fyp2) = forwardRad(lam, phi - h)
+          val j11 = (fxl - fxl2) / (2 * h); val j12 = (fxp - fxp2) / (2 * h)
+          val j21 = (fyl - fyl2) / (2 * h); val j22 = (fyp - fyp2) / (2 * h)
+          val det = j11 * j22 - j12 * j21
+          lam -= (rx * j22 - ry * j12) / det
+          phi -= (ry * j11 - rx * j21) / det
+          i += 1
+        }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+
+    private def forwardRad(lam: Double, phi: Double): (Double, Double) = {
+      val (x, y) = forward(math.toDegrees(lam), math.toDegrees(phi))
+      (x, y)
+    }
+  }
+
   final case class Nzmg(fe: Double, fn: Double) extends Projection {
     val ell: Ellipsoid = Intl1924
     private val lam0 = math.toRadians(173.0)
@@ -990,6 +1056,8 @@ object EpsgDb {
   private val MonteMario = Helmert(-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)
   // EPSG tfm "Timbalai 1948 to WGS 84 (1)": geocentric translation
   private val Timbalai = Helmert(-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)
+  // EPSG tfm "SAD69 to WGS 84 (1)": geocentric translation
+  private val Sad69 = Helmert(-57.0, 1.0, -41.0, 0.0, 0.0, 0.0, 0.0)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -1225,6 +1293,18 @@ object EpsgDb {
     for (z <- 17 to 25)
       add(31960 + z, noShift(TMerc(GRS80, 0, -183 + 6 * z, 0.9996, 500000, 10000000),
         s"SIRGAS 2000 / UTM zone ${z}S"))
+    // Brazilian national Polyconic grids (EPSG method 9818): the modern
+    // SIRGAS 2000 frame (shift-free) and the legacy SAD69 one
+    add(5880, noShift(Polyconic(GRS80, 0, -54, 5000000, 10000000),
+      "SIRGAS 2000 / Brazil Polyconic"))
+    add(29101, (Polyconic(Grs67, 0, -54, 5000000, 10000000),
+      Some(Sad69), "SAD69 / Brazil Polyconic"))
+    add(4618, (Geographic(Grs67), Some(Sad69), "SAD69"))
+    // NAD27 / UTM zones 1N-22N (Clarke 1866 + the published NAD27 mean
+    // translation — the frame of most legacy US federal data)
+    for (z <- 1 to 22)
+      add(26700 + z, (TMerc(Clarke1866, 0, -183 + 6 * z, 0.9996, 500000, 0),
+        Some(Nad27), s"NAD27 / UTM zone ${z}N"))
 
     // US State Plane Coordinate System of 1983 — the COMPLETE zone set.
     // Parameters are the published SPCS83 definition (NOAA Manual NOS
@@ -1641,6 +1721,8 @@ object EpsgDb {
         s"""PROJCS["${crs.name}",$base,PROJECTION["New_Zealand_Map_Grid"],PARAMETER["latitude_of_origin",-41],PARAMETER["central_meridian",173],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case SwissOblique(_, lat0, lon0, k0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Polyconic(_, lat0, lon0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Polyconic"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case HotineOblique(_, latC, lonC, az, gamma, k0, fe, fn, vB) =>
         val proj = if (vB) "Hotine_Oblique_Mercator_Azimuth_Center"
           else "Hotine_Oblique_Mercator"

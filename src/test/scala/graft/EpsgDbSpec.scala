@@ -44,6 +44,8 @@ class EpsgDbSpec extends AnyFunSuite {
     case EpsgDb.Krovak(_, _, _, _, _, _) => (15.5, 49.75) // Czech interior
     case EpsgDb.HotineOblique(_, latC, lonC, _, _, _, _, _, _) =>
       (lonC + 0.8, latC + 0.6)
+    case EpsgDb.Polyconic(_, lat0, lon0, _, _) =>
+      (lon0 + 3.0, if (lat0 == 0.0) -10.25 else lat0 + 2.0)
     case EpsgDb.Nzmg(_, _) => (174.75, -41.25) // NZ interior
     case EpsgDb.UnitScaled(inner, _) => domainPoint(crs.copy(proj = inner))
   }
@@ -392,6 +394,66 @@ class EpsgDbSpec extends AnyFunSuite {
       case _ => ()
     }
     assert(zones >= 55, s"expected the full LCC state-plane set, got $zones")
+  }
+
+  test("Polyconic: Snyder example, true-scale parallels, Brazil round trips") {
+    // Snyder (Map Projections — A Working Manual) §18 ellipsoidal
+    // numerical example: Clarke 1866, φ0=30°, λ0=−96°, point 40°N 75°W →
+    // x = 1 776 774.5 m, y = 1 319 657.8 m
+    val snyder = EpsgDb.Polyconic(EpsgDb.table(26703).proj.ell, 30.0, -96.0, 0, 0)
+    val (sx, sy) = snyder.forward(-75.0, 40.0)
+    assert(math.abs(sx - 1776774.5) < 0.5, s"x=$sx")
+    assert(math.abs(sy - 1319657.8) < 0.5, s"y=$sy")
+    // the defining property: EVERY parallel is true to scale (the arc
+    // along the projected parallel equals the ellipsoidal parallel arc)
+    val br = EpsgDb.table(5880).proj
+    val a = 6378137.0; val e2 = 0.0066943800229007876
+    for (lat <- Seq(-30.0, -15.0, -5.0, 2.0); lon <- Seq(-70.0, -54.0, -40.0)) {
+      val dLon = 1e-4
+      val (x0, y0) = br.forward(lon, lat)
+      val (x1, y1) = br.forward(lon + dLon, lat)
+      val phi = math.toRadians(lat)
+      val rPar = a * math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val kPar = math.hypot(x1 - x0, y1 - y0) / (rPar * math.toRadians(dLon))
+      assert(math.abs(kPar - 1.0) < 1e-9, s"parallel scale at ($lon,$lat): $kPar")
+    }
+    // central meridian: x = FE exactly, equator maps to FN − M0 = FN
+    val (cx, cy) = br.forward(-54.0, 0.0)
+    assert(math.abs(cx - 5000000.0) < 1e-6 && math.abs(cy - 10000000.0) < 1e-6)
+    // Newton inverse: tight round trips across the Brazilian domain,
+    // including the datum-shifted SAD69 twin
+    for ((lon, lat) <- Seq((-68.75, -9.75), (-47.9, -15.8), (-43.2, -22.9),
+        (-60.0, 2.8), (-35.0, -8.0))) {
+      val (x, y) = EpsgDb.fromWgs84(lon, lat, 5880)
+      val (lon2, lat2) = EpsgDb.toWgs84(x, y, 5880)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"5880 ($lon,$lat)")
+      val (xs, ys) = EpsgDb.fromWgs84(lon, lat, 29101)
+      val (lon3, lat3) = EpsgDb.toWgs84(xs, ys, 29101)
+      assert(math.abs(lon3 - lon) < 1e-7 && math.abs(lat3 - lat) < 1e-7,
+        s"29101 ($lon,$lat)")
+      // the datum shift moves the grid by tens of metres, not kilometres
+      assert(math.hypot(xs - x, ys - y) > 5 && math.hypot(xs - x, ys - y) < 200,
+        s"SAD69 offset ${math.hypot(xs - x, ys - y)}")
+    }
+  }
+
+  test("NAD27 UTM zones: projection matches WGS84 UTM, datum shift applied") {
+    // same TM parameters as the closed-form WGS84 UTM path, on Clarke
+    // 1866 + the published mean translation: the pure projection part
+    // must agree with the legacy path's formulas to sub-mm when run on
+    // the same ellipsoid, and the full transform must move points by the
+    // expected tens of metres
+    val (lon, lat) = (-87.25, 41.75) // zone 16
+    val (x27, y27) = EpsgDb.fromWgs84(lon, lat, 26716)
+    val g = graft.serde.EWKB.geometryFactory.createPoint(
+      new org.locationtech.jts.geom.Coordinate(lon, lat))
+    g.setSRID(4326)
+    val w84 = graft.functions.CrsImpl.toSrid(g, 32616).getCoordinate
+    val d = math.hypot(x27 - w84.x, y27 - w84.y)
+    assert(d > 10 && d < 300, s"NAD27-WGS84 separation $d m")
+    val (lon2, lat2) = EpsgDb.toWgs84(x27, y27, 26716)
+    assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
   }
 
   test("SPCS83 TM zones: central-meridian scale equals the published k0") {

@@ -85,17 +85,18 @@ class Round2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val yyz = st_point(lit(-79.38), lit(43.65)).st.setSrid(lit(4326))
       .st.toSrid(lit(3978)).st.toSrid(lit(4326))
     assert(math.abs(one[Double](yyz.st.y) - 43.65) < 1e-8)
-    // 27700/2056 (r5 table), 5514 (r6 Krovak), 27200 (r7 NZ Map Grid)
-    // and 29873 (r10 Hotine Oblique Mercator) are supported; a code
-    // outside every family still raises (5880 is SIRGAS 2000 / Brazil
-    // Polyconic — the polyconic method is not implemented)
+    // 27700/2056 (r5 table), 5514 (r6 Krovak), 27200 (r7 NZ Map Grid),
+    // 29873 (r10 Hotine Oblique Mercator) and 5880 (r10 Polyconic) are
+    // supported; a code outside every family still raises (2000 is
+    // Anguilla 1957 / British West Indies Grid — not registered)
     assert(one[Array[Byte]](p.st.toSrid(lit(27700))) != null)
     assert(one[Array[Byte]](p.st.toSrid(lit(2056))) != null)
     assert(one[Array[Byte]](p.st.toSrid(lit(5514))) != null)
     assert(one[Array[Byte]](p.st.toSrid(lit(27200))) != null)
     assert(one[Array[Byte]](p.st.toSrid(lit(29873))) != null)
+    assert(one[Array[Byte]](p.st.toSrid(lit(5880))) != null)
     val ex = intercept[Exception] {
-      one[Array[Byte]](p.st.toSrid(lit(5880)))
+      one[Array[Byte]](p.st.toSrid(lit(2000)))
     }
     assert(ex.getMessage.contains("to_srid") || ex.getCause != null)
   }
