@@ -272,6 +272,56 @@ object PipelineQueries {
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_opq_self")))
     }),
 
+    // SemDeDup-style semantic deduplication over planted exact twins:
+    // every base embedding gets an identical twin at id+10000, so every
+    // twin pair MUST share a component and exactly one of each pair may
+    // survive; the remaining columns pin the representative rule (lowest
+    // centroid cosine, ties to smaller id) and that no two survivors in
+    // one cell are still near-dups — all Spark-side math the oracle can
+    // assert as exact counts/booleans.
+    "pipe_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val withDups = e.unionAll(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val index = Similarity.trainIvf(e, "vec_id", "embedding", nlist = 16)
+      val sd = Similarity.semDedup(withDups, "vec_id", "embedding", index,
+        threshold = 0.95).localCheckpoint(true)
+      val base = sd.filter(col("id") < 10000)
+        .select(col("id"), col("component").as("c0"), col("kept").as("k0"))
+      val twin = sd.filter(col("id") >= 10000)
+        .select((col("id") - 10000).as("id"), col("component").as("c1"),
+          col("kept").as("k1"))
+      val tj = base.join(twin, Seq("id"))
+      // per-component survivor census
+      val perComp = sd.groupBy(col("component"))
+        .agg(sum(col("kept").cast("long")).as("nk"))
+      // representative rule: the kept id must be each component's
+      // lexicographic min of (centroid_cos, id)
+      val want = sd.groupBy(col("component"))
+        .agg(min_by(col("id"), struct(col("centroid_cos"), col("id")))
+          .as("want_id"))
+      val repOk = sd.filter(col("kept")).join(want, Seq("component"))
+        .agg((count(lit(1)) ===
+          sum((col("id") === col("want_id")).cast("long"))).as("rep_rule_ok"))
+      // survivors in the same cell must be genuinely separated
+      val keptVec = sd.filter(col("kept")).select(col("id"), col("cell"))
+        .join(withDups.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      val lk = keptVec.select(col("cell"), col("id").as("ia"),
+        col("embedding").cast("array<double>").as("va"))
+      val rk = keptVec.select(col("cell"), col("id").as("ib"),
+        col("embedding").cast("array<double>").as("vb"))
+      val nearKept = lk.join(rk, Seq("cell")).filter(col("ia") < col("ib"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.95)
+      sd.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(tj.agg(
+          sum((col("c0") === col("c1")).cast("long")).as("n_twin_same_comp"),
+          sum((col("k0") && col("k1")).cast("long")).as("n_both_twins_kept")))
+        .crossJoin(perComp.agg(
+          (min(col("nk")) === 1 && max(col("nk")) === 1).as("comp_one_kept_ok")))
+        .crossJoin(repOk)
+        .crossJoin(nearKept.agg(count(lit(1)).as("n_kept_near_pairs")))
+    }),
+
     // ------------------------------------------------ multimodal plumbing
     "pipe_multimodal" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
@@ -709,6 +759,17 @@ object PipelineQueries {
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_pq_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfpq_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_opq_self""".stripMargin,
+    "pipe_semdedup" ->
+      """SELECT
+        | (SELECT 2 * count(*) FROM embeddings
+        |   WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0)
+        |   AS n_rows,
+        | (SELECT count(*) FROM embeddings
+        |   WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0)
+        |   AS n_twin_same_comp,
+        | CAST(0 AS BIGINT) AS n_both_twins_kept,
+        | TRUE AS comp_one_kept_ok, TRUE AS rep_rule_ok,
+        | CAST(0 AS BIGINT) AS n_kept_near_pairs""".stripMargin,
     "pipe_dedup_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_j1""".stripMargin,

@@ -1169,4 +1169,74 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
   }
+
+  // ------------------------------------------------ semantic deduplication
+
+  /** SemDeDup-style semantic deduplication (the published
+    * cluster-then-prune method for web-scale training corpora): the IVF
+    * quantizer doubles as the k-means clusterer, within-cluster pairs with
+    * cosine ≥ `threshold` connect into duplicate groups, and ONE
+    * representative survives per group — the member with the LOWEST
+    * cosine to its cluster centroid (the paper's "keep the atypical
+    * example" rule; ties break to the smaller id). Zero-norm vectors have
+    * no direction and are dropped like every other embedding tier here.
+    *
+    * Output: one row per input embedding —
+    * `(id, cell, centroid_cos, component, kept)`.
+    *
+    * 100 TB shape: centroids are a tiny broadcast model; assignment is
+    * one scan; candidate pairing is an equi-join on cell id — never
+    * all-pairs across the corpus. The published algorithm's within-
+    * cluster pairing is O(c²) per cluster, so `nlist` must scale with the
+    * corpus (the paper uses ~100k clusters at web scale); as a backstop,
+    * cells over `maxCellRows` contribute NO edges (their rows survive
+    * un-deduped) rather than quadratic work — the same hot-bucket census
+    * the MinHash tiers use, honest and bounded. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, index: IvfIndex,
+      threshold: Double, maxCellRows: Int = 100000): DataFrame = {
+    val assignCell = nearestCells(index, 1)
+    val ctrs = index.centroids
+    // cosine of each (unit) input vector to its (non-unit) centroid
+    val centroidCos = udf((vec: Seq[Double], cell: Int) => {
+      val c = ctrs(cell)
+      var d = 0.0; var n2 = 0.0; var j = 0
+      while (j < c.length) { d += c(j) * vec(j); n2 += c(j) * c(j); j += 1 }
+      if (n2 == 0) 0.0 else d / math.sqrt(n2)
+    })
+    val rows = unitized(df, idCol, vecCol, "id", "vec")
+      .withColumn("cell", element_at(assignCell(col("vec")), 1))
+      .withColumn("centroid_cos", centroidCos(col("vec"), col("cell")))
+    // pairing over the capped cells only — the OUTPUT keeps every row
+    val capped = Dedup.capBuckets(rows.select("id", "vec", "cell"),
+      Seq("cell"), maxCellRows)
+    val l = capped.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = capped.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
+    // vectors are unit: dot IS the cosine
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = rows.select("id", "cell", "centroid_cos")
+      .join(comps, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    // representative = min (centroid_cos, id) lexicographically
+    val reps = labeled.groupBy(col("component"))
+      .agg(min_by(col("id"),
+        struct(col("centroid_cos"), col("id"))).as("rep_id"))
+    labeled.join(reps, Seq("component"))
+      .withColumn("kept", col("id") === col("rep_id"))
+      .select("id", "cell", "centroid_cos", "component", "kept")
+  }
+
+  /** [[semDedup]] end to end: the surviving rows of `df` with all their
+    * original columns (zero-norm embeddings are dropped — they have no
+    * semantic direction to deduplicate on). */
+  def semDedupFilter(df: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex, threshold: Double,
+      maxCellRows: Int = 100000): DataFrame = {
+    val kept = semDedup(df, idCol, vecCol, index, threshold, maxCellRows)
+      .filter(col("kept")).select("id")
+    df.join(kept, df(idCol) === kept("id"), "left_semi")
+  }
 }
