@@ -26,7 +26,10 @@ import scala.collection.mutable.ArrayBuffer
   * Mercator (1SP/2SP/variant A/B/Auxiliary_Sphere/web mercator),
   * Lambert_Conformal_Conic (1SP/2SP), Albers, Polar_Stereographic
   * (variant A/B, ESRI North/South_Pole), Lambert_Azimuthal_Equal_Area,
-  * Oblique/Double_Stereographic, Krovak, plus plain geographic CRSs.
+  * Oblique/Double_Stereographic, Krovak, Hotine_Oblique_Mercator
+  * (variant A/B and the ESRI Azimuth_Center spelling — azimuth 90 with
+  * rectified angle 90 dispatches to the Swiss somerc family), Polyconic,
+  * plus plain geographic CRSs.
   * Datum shift from TOWGS84 / BOUNDCRS when present; otherwise recovered
   * from the datum NAME via [[EpsgDb.datumShiftByName]] (how the reference
   * resolves ESRI `.prj` files through GDAL, `utils/srid.py:10-23`).
@@ -47,6 +50,11 @@ object CrsRegistry {
     * implemented family. */
   def register(code: Int, wkt: String): Unit =
     custom.put(code, (parseWkt(wkt), wkt))
+
+  /** Remove a JVM-local registration made with [[register]]. A code that
+    * also arrives via [[ConfKey]] will be re-registered lazily on next
+    * lookup (conf entries use putIfAbsent, explicit registrations win). */
+  def unregister(code: Int): Unit = custom.remove(code)
 
   def registered(code: Int): Option[Crs] = { ensureConf(); Option(custom.get(code)).map(_._1) }
 
@@ -551,11 +559,37 @@ object CrsRegistry {
           "latitudeofpseudostandardparallel")).getOrElse(0.0)
         val kk = num("scalefactoronpseudostandardparallel" +: K0Names).getOrElse(1.0)
         Krovak(ell, lat0, lon0, az, psp, kk)
+      case "polyconic" | "americanpolyconic" =>
+        Polyconic(ell, lat0, lon0, fe, fn)
+      case "hotineobliquemercator" | "hotineobliquemercatorvarianta" |
+          "rectifiedskeworthomorphicnaturalorigin" |
+          "obliquemercatorhotine" =>
+        val az = angle(Seq("azimuth", "azimuthofinitialline")).getOrElse(0.0)
+        val gamma = angle(Seq("rectifiedgridangle",
+          "anglefromrectifiedtoskewgrid")).getOrElse(az)
+        val kh = num("scalefactoroninitialline" +: K0Names).getOrElse(1.0)
+        HotineOblique(ell, lat0, lon0, az, gamma, kh, fe, fn, variantB = false)
+      case "hotineobliquemercatorazimuthcenter" |
+          "hotineobliquemercatorvariantb" |
+          "rectifiedskeworthomorphiccenter" =>
+        val az = angle(Seq("azimuth", "azimuthofinitialline")).getOrElse(0.0)
+        val gamma = angle(Seq("rectifiedgridangle",
+          "anglefromrectifiedtoskewgrid")).getOrElse(az)
+        val kh = num("scalefactoroninitialline" +: K0Names).getOrElse(1.0)
+        // ESRI writes the Swiss Rosenmund grids (LV03/LV95) with this
+        // method name and azimuth = rectified angle = 90: that special
+        // case IS the somerc projection, whose dedicated implementation
+        // this engine already carries — dispatch it there so Swiss .prj
+        // files and our own synthesized LV WKT round-trip exactly
+        if (math.abs(az - 90.0) < 1e-9 && math.abs(gamma - 90.0) < 1e-9)
+          SwissOblique(ell, lat0, lon0, kh, fe, fn)
+        else HotineOblique(ell, lat0, lon0, az, gamma, kh, fe, fn, variantB = true)
       case _ => throw new IllegalArgumentException(
         s"WKT projection method not implemented: $method (supported: " +
           "Transverse_Mercator, Mercator (1SP/2SP/web), Lambert_Conformal_Conic (1SP/2SP), " +
           "Albers, Polar_Stereographic (A/B), " +
-          "Lambert_Azimuthal_Equal_Area, Oblique_Stereographic, Krovak)")
+          "Lambert_Azimuthal_Equal_Area, Oblique_Stereographic, Krovak, " +
+          "Hotine_Oblique_Mercator (A/B), Polyconic)")
     }
   }
 

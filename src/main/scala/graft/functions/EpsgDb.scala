@@ -1596,7 +1596,10 @@ object EpsgDb {
     "tm65" -> Some(Tm65),
     "newzealand1949" -> Some(Nzgd49),
     "newzealandgeodeticdatum1949" -> Some(Nzgd49), "nzgd1949" -> Some(Nzgd49),
-    "pulkovo1942" -> Some(Pulkovo42))
+    "pulkovo1942" -> Some(Pulkovo42),
+    "timbalai1948" -> Some(Timbalai),
+    "southamerican1969" -> Some(Sad69),
+    "southamericandatum1969" -> Some(Sad69), "sad69" -> Some(Sad69))
 
   /** Built-in table first, then user registrations ([[CrsRegistry]]). */
   private def crsOf(code: Int): Option[Crs] =

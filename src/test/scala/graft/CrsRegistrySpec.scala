@@ -350,4 +350,33 @@ class CrsRegistrySpec extends AnyFunSuite {
       CrsRegistry.parseWkt("""GEOGCS["no closing bracket", DATUM["x"""")
     }
   }
+
+  test("r10: Hotine OM / Polyconic WKT parse; ESRI azimuth-90 is somerc") {
+    // the engine's own synthesized WKT for the new r10 projections must
+    // round-trip through the parser to the same transform — the contract
+    // a .prj written by us (or by GDAL with these standard names) relies on
+    for ((code, fake) <- Seq((26931, 926931), (29873, 929873), (5880, 905880))) {
+      CrsRegistry.register(fake, EpsgDb.wkt(code).get
+        .replace(s""""EPSG","$code"""", s""""EPSG","$fake""""))
+      val pts = code match {
+        case 26931 => Seq((-134.4, 58.3), (-131.7, 55.3))
+        case 29873 => Seq((115.8, 5.4), (117.5, 4.2))
+        case _ => Seq((-47.9, -15.8), (-60.0, 2.8))
+      }
+      assert(maxDelta(code, fake, pts) < 1e-4, s"code $code")
+      CrsRegistry.unregister(fake)
+    }
+    // ESRI spells the Swiss Rosenmund grids with the Hotine azimuth-center
+    // method name and azimuth = rectified angle = 90 — that exact case
+    // must dispatch to the dedicated somerc family, matching LV95
+    CrsRegistry.register(902056, EpsgDb.wkt(2056).get
+      .replace(""""EPSG","2056"""", """"EPSG","902056""""))
+    assert(maxDelta(2056, 902056, Seq((7.44, 46.95), (8.54, 47.38))) < 1e-4)
+    CrsRegistry.unregister(902056)
+    // a genuinely oblique azimuth through the same ESRI Azimuth_Center
+    // name (29873's own synthesized spelling) stays HOM variant B
+    val homB = CrsRegistry.parseWkt(EpsgDb.wkt(29873).get)
+    assert(homB.proj.isInstanceOf[EpsgDb.HotineOblique])
+    assert(homB.proj.asInstanceOf[EpsgDb.HotineOblique].variantB)
+  }
 }
