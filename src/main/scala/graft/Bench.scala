@@ -174,6 +174,14 @@ object Bench {
       BktSetup.get(s, dir)
       graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkt_l",
         "graft_bench_bkt_r", 16.0, "contains")
+    }),
+    // pinned twin: the pre-r10 ScalaUDF refinement over the identical
+    // plan — quantifies the codegen'd STBucketedMatch's win on the
+    // bucketed tiers' hot loop (encoder boxing + per-row closure call)
+    "geo_sjoin_bucketed_udf" -> ((s, dir) => {
+      BktSetup.get(s, dir)
+      graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkt_l",
+        "graft_bench_bkt_r", 16.0, "contains", refineViaUdf = true)
     })
   )
 

@@ -707,68 +707,47 @@ object SpatialJoin {
       leftTable: String, rightTable: String,
       cellSize: Double, predicate: String = "intersects",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
-      suffix: String = "_right"): DataFrame = {
+      suffix: String = "_right", refineViaUdf: Boolean = false): DataFrame = {
     val l = spark.table(leftTable)
     val leftCols = l.columns.filterNot(_ == CellCol).toSeq
     val r = renameClashes(spark.table(rightTable), leftCols, suffix)
     val rg = if (leftCols.contains(rightGeom)) rightGeom + suffix else rightGeom
     val cs = cellSize
     val predName = predicate
-    val matchUdf = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) =>
-      bucketedMatch(lb, rb, cell, cs, predName))
+    // refineViaUdf pins the pre-r10 ScalaUDF refinement as a bench twin
+    // (geo_sjoin_bucketed_udf) quantifying the native expression's win;
+    // production callers take the codegen'd STBucketedMatch.
+    val refine: org.apache.spark.sql.Column =
+      if (refineViaUdf) {
+        val matchUdf = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) =>
+          bucketedMatch(lb, rb, cell, cs, predName))
+        matchUdf(col(leftGeom), col(rg), col(CellCol))
+      } else org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.STBucketedMatch(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(leftGeom)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(rg)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(CellCol)),
+          cs, graft.plans.GeoNative.predCode(predName)))
     l.join(r, CellCol)
-      .filter(matchUdf(col(leftGeom), col(rg), col(CellCol)))
+      .filter(refine)
       .drop(CellCol)
   }
 
-  /** The bucketed tiers' per-pair refinement — one EWKB parse per side:
-    * envelope intersection FIRST (the STRtree tiers get this from the
-    * tree query, but two geometries sharing a cell can have disjoint
-    * envelopes — without it, intersects_bbox, whose refinement is
-    * unconditionally true, reported them as a pair), then the
-    * reference-point dedup (only the cell owning the bottom-left corner
-    * of the envelope intersection emits a pair that straddles k cells),
-    * then the predicate on plain geometries — PreparedGeometry costs
-    * more than it saves at one use per pair. Shared by [[sjoinBucketed]]
-    * and the auto-planning rule
-    * ([[graft.plans.BucketedSpatialJoinRule]]). */
+  /** Name-based entry to the bucketed refinement kernel, kept for the
+    * bench's `refineViaUdf` twin and tests; the kernel itself (envelope
+    * test + reference-point dedup + predicate) lives ONCE in
+    * [[graft.plans.GeoNative.bucketedMatch]], where the codegen'd
+    * [[graft.plans.STBucketedMatch]] inlines it. */
   private[graft] def bucketedMatch(lb: Array[Byte], rb: Array[Byte],
-      cell: Long, cs: Double, predName: String): Boolean = {
-    if (lb == null || rb == null) false
-    else {
-      val lg = EWKB.read(lb); val rgm = EWKB.read(rb)
-      !lg.isEmpty && !rgm.isEmpty && {
-        val le = lg.getEnvelopeInternal
-        val re = rgm.getEnvelopeInternal
-        le.intersects(re) && {
-          val cx = (cell >> 32).toDouble * cs
-          val cy = (cell << 32 >> 32).toDouble * cs
-          val ix = math.max(le.getMinX, re.getMinX)
-          val iy = math.max(le.getMinY, re.getMinY)
-          ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
-            applyPredPlain(predName, lg, rgm)
-        }
-      }
-    }
-  }
+      cell: Long, cs: Double, predName: String): Boolean =
+    graft.plans.GeoNative.bucketedMatch(lb, rb, cell, cs,
+      graft.plans.GeoNative.predCode(predName))
 
   /** [[applyPred]] without the prepared-geometry wrapper, for sites that
-    * evaluate each pair exactly once. */
+    * evaluate each pair exactly once — delegates to the single dispatch
+    * table in [[graft.plans.GeoNative.pairPred]]. */
   private[graft] def applyPredPlain(name: String, l: Geometry, r: Geometry): Boolean =
-    name match {
-      case "intersects_bbox" => true
-      case "intersects" => l.intersects(r)
-      case "within" => l.within(r)
-      case "contains" => l.contains(r)
-      case "contains_properly" =>
-        PreparedGeometryFactory.prepare(l).containsProperly(r)
-      case "overlaps" => l.overlaps(r)
-      case "crosses" => l.crosses(r)
-      case "touches" => l.touches(r)
-      case "covers" => l.covers(r)
-      case "covered_by" => l.coveredBy(r)
-      case other => throw new IllegalArgumentException(s"unknown sjoin predicate: $other")
-    }
+    graft.plans.GeoNative.pairPred(graft.plans.GeoNative.predCode(name), l, r)
 
   /** Drop a [[writeSpatialBucketed]] table AND its warehouse location — a
     * fresh session's in-memory catalog does not know tables a prior run

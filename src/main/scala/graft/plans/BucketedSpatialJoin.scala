@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.types.LongType
 
 /** Auto-plans a PLAIN spatial join between two bucketed spatial stores
@@ -22,7 +21,7 @@ import org.apache.spark.sql.types.LongType
   * `graft.spatial.cellSize` table property and the SAME bucket count. The
   * join is rewritten to a cell equi-join (bucketed sort-merge — zero
   * exchanges: both scans are already hash-partitioned and sorted on the
-  * cell) refined by [[SpatialJoin.bucketedMatch]] (envelope test +
+  * cell) refined by the codegen'd [[STBucketedMatch]] (envelope test +
   * reference-point dedup + predicate).
   *
   * SEMANTICS NOTE: a store table holds one row per (geometry, covering
@@ -101,12 +100,8 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
         }
       } yield {
         val (lg, rg, predLR) = oriented
-        val cs = lcs
         val predKey = predLR.stripPrefix("st_")
-        val f = udf((lb: Array[Byte], rb: Array[Byte], cell: Long) =>
-          SpatialJoin.bucketedMatch(lb, rb, cell, cs, predKey))
-        val refine = org.apache.spark.sql.graft.ColumnBridge.scalaUDF(
-          f, Seq(lg, rg, lCell))
+        val refine = STBucketedMatch(lg, rg, lCell, lcs, GeoNative.predCode(predKey))
         Filter(refine, Join(l, r, Inner, Some(EqualTo(lCell, rCell)), hint))
       }).getOrElse(j)
   }

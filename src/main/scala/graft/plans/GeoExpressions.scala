@@ -56,6 +56,87 @@ object GeoNative {
     if (out.getSRID == 0 && g.getSRID != 0) out.setSRID(g.getSRID)
     EWKB.write(out)
   }
+
+  // ------------------------------------------- bucketed-join refinement
+
+  /** The sjoin predicate set as dense int codes so the bucketed-join
+    * refinement compiles to a tableswitch instead of per-row string
+    * matching. ONE dispatch table: the name-based
+    * [[graft.join.SpatialJoin.applyPredPlain]] delegates here. */
+  final val PredBbox = 0
+  final val PredIntersects = 1
+  final val PredWithin = 2
+  final val PredContains = 3
+  final val PredContainsProperly = 4
+  final val PredOverlaps = 5
+  final val PredCrosses = 6
+  final val PredTouches = 7
+  final val PredCovers = 8
+  final val PredCoveredBy = 9
+
+  def predCode(name: String): Int = name match {
+    case "intersects_bbox" => PredBbox
+    case "intersects" => PredIntersects
+    case "within" => PredWithin
+    case "contains" => PredContains
+    case "contains_properly" => PredContainsProperly
+    case "overlaps" => PredOverlaps
+    case "crosses" => PredCrosses
+    case "touches" => PredTouches
+    case "covers" => PredCovers
+    case "covered_by" => PredCoveredBy
+    case other => throw new IllegalArgumentException(s"unknown sjoin predicate: $other")
+  }
+
+  /** Plain (unprepared) pair predicate — for sites that evaluate each
+    * pair exactly once, where PreparedGeometry costs more than it saves. */
+  def pairPred(code: Int, l: org.locationtech.jts.geom.Geometry,
+      r: org.locationtech.jts.geom.Geometry): Boolean = code match {
+    case PredBbox => true
+    case PredIntersects => l.intersects(r)
+    case PredWithin => l.within(r)
+    case PredContains => l.contains(r)
+    case PredContainsProperly =>
+      org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(l).containsProperly(r)
+    case PredOverlaps => l.overlaps(r)
+    case PredCrosses => l.crosses(r)
+    case PredTouches => l.touches(r)
+    case PredCovers => l.covers(r)
+    case PredCoveredBy => l.coveredBy(r)
+    case other => throw new IllegalArgumentException(s"unknown sjoin predicate code: $other")
+  }
+
+  /** The bucketed tiers' per-pair refinement — one EWKB parse per side:
+    * envelope intersection FIRST (the STRtree tiers get this from the
+    * tree query, but two geometries sharing a cell can have disjoint
+    * envelopes — without it, intersects_bbox, whose refinement is
+    * unconditionally true, reported them as a pair), then the
+    * reference-point dedup (only the cell owning the bottom-left corner
+    * of the envelope intersection emits a pair that straddles k cells),
+    * then the predicate on plain geometries. Inlined into whole-stage
+    * codegen by [[STBucketedMatch]] for both
+    * [[graft.join.SpatialJoin.sjoinBucketed]] and the auto-planning rule
+    * ([[BucketedSpatialJoinRule]]); the cell size and predicate code are
+    * compile-time literals in the generated code. */
+  def bucketedMatch(lb: Array[Byte], rb: Array[Byte],
+      cell: Long, cs: Double, pred: Int): Boolean = {
+    if (lb == null || rb == null) false
+    else {
+      val lg = EWKB.read(lb); val rgm = EWKB.read(rb)
+      !lg.isEmpty && !rgm.isEmpty && {
+        val le = lg.getEnvelopeInternal
+        val re = rgm.getEnvelopeInternal
+        le.intersects(re) && {
+          val cx = (cell >> 32).toDouble * cs
+          val cy = (cell << 32 >> 32).toDouble * cs
+          val ix = math.max(le.getMinX, re.getMinX)
+          val iy = math.max(le.getMinY, re.getMinY)
+          ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
+            pairPred(pred, lg, rgm)
+        }
+      }
+    }
+  }
 }
 
 private[plans] object NativeTypeCheck {
@@ -176,6 +257,37 @@ case class STBufferNative(left: Expression, right: Expression) extends BinaryExp
     defineCodeGen(ctx, ev, (a, d) => s"graft.plans.GeoNative.buffer($a, (double)($d))")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): STBufferNative = copy(left = newLeft, right = newRight)
+}
+
+/** Native refinement for the bucketed spatial-join tiers: the former
+  * ScalaUDF here cost an encoder round trip plus Option boxing on EVERY
+  * cell-cohabiting candidate pair — the hot loop of the exchange-free
+  * join. This inlines [[GeoNative.bucketedMatch]] into whole-stage
+  * codegen with `cellSize` and the predicate code as Java literals.
+  * Children are (left EWKB, right EWKB, cell id); null in → null out,
+  * which under the enclosing Filter is the same reject the UDF's
+  * null-check produced. Constructed by the planner/join API only — not
+  * registered in SQL (the cell-id contract is an internal layout). */
+case class STBucketedMatch(first: Expression, second: Expression, third: Expression,
+    cellSize: Double, predCode: Int) extends TernaryExpression {
+  override def prettyName: String = "st_bucketed_match"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = {
+    val bin = NativeTypeCheck.binary("st_bucketed_match", first, second)
+    if (!bin.isSuccess) bin
+    else if (third.dataType != org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_bucketed_match expects a LONG cell id, got ${third.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeoNative.bucketedMatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Long], cellSize, predCode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.plans.GeoNative.bucketedMatch($a, $b, $c, ${cellSize}D, $predCode)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): STBucketedMatch = copy(first = f, second = s, third = t)
 }
 
 object GeoExpressions {

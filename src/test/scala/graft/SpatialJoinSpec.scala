@@ -96,6 +96,18 @@ class SpatialJoinSpec extends AnyFunSuite {
       val got = joined.select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
       assert(got === bruteForce(st_intersects))
       assert(got.nonEmpty)
+      // r10: the refinement is the codegen'd STBucketedMatch, not a
+      // ScalaUDF — no encoder round trip in the hot loop — and the
+      // pinned UDF twin produces the identical pair set
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("st_bucketed_match"),
+        "native refinement missing from the bucketed join plan")
+      assert(!joined.queryExecution.executedPlan.toString.contains("UDF"),
+        "bucketed join still refines through a ScalaUDF")
+      val viaUdf = SpatialJoin.sjoinBucketed(spark, "graft_bkt_boxes",
+        "graft_bkt_points", cellSize = 8.0, "intersects", refineViaUdf = true)
+      assert(viaUdf.select($"box_id", $"pt_id").as[(Long, Long)].collect().toSet
+        === got)
       // the plan has zero exchanges: cells are co-located by the
       // write-time bucketing, so the sort-merge join reads both sides
       // in place
