@@ -59,18 +59,19 @@ object Curved {
   // ------------------------------------------------------------------- read
 
   /** CircularString EWKB → (header, n×dim coordinate array); dim is 2 or 3
-    * following the Z flag. Handles either byte order and ISO type codes. */
+    * following the Z flag. Handles either byte order and ISO type codes —
+    * all header/layout facts (including the ISO-code-plus-flag hybrid)
+    * come from the single decoder, [[EWKB.header]]. */
   def readCircularString(bytes: Array[Byte]): (EWKB.Header, Array[Array[Double]]) = {
     val h = EWKB.header(bytes)
     require(h.typeCode == CircularStringCode,
       s"not a CircularString: ${EWKB.typeName(h.typeCode)}")
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    bb.order(if (bytes(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+    bb.order(if (h.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
       else java.nio.ByteOrder.BIG_ENDIAN)
-    val raw = bb.getInt(1)
-    var pos = 5 + (if ((raw & EWKB.FlagSrid) != 0) 4 else 0)
+    var pos = h.payloadOffset
     val n = bb.getInt(pos); pos += 4
-    val dims = 2 + (if (h.hasZ) 1 else 0) + (if (h.hasM) 1 else 0)
+    val dims = h.dims
     val keep = if (h.hasZ) 3 else 2
     val out = new Array[Array[Double]](n)
     var i = 0
@@ -185,23 +186,23 @@ object Curved {
   }
 
   /** Rewrite the top-level SRID of any EWKB value by byte surgery — works
-    * for curved types that JTS cannot parse. */
+    * for curved types that JTS cannot parse. Layout facts (byte order,
+    * SRID-word presence) come from [[EWKB.header]]; only the type word's
+    * raw bits are re-read, to OR the SRID flag in while preserving
+    * whatever ISO/EWKB encoding the value already uses. */
   def withSrid(bytes: Array[Byte], srid: Int): Array[Byte] = {
-    val le = bytes(0) == 1
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
-    val raw = bb.getInt(1)
-    if ((raw & EWKB.FlagSrid) != 0) {
+    val h = EWKB.header(bytes)
+    val order = if (h.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    if (h.hasSridField) {
       val out = bytes.clone()
-      val ob = java.nio.ByteBuffer.wrap(out)
-        .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
-      ob.putInt(5, srid)
+      java.nio.ByteBuffer.wrap(out).order(order).putInt(5, srid)
       out
     } else {
+      val raw = java.nio.ByteBuffer.wrap(bytes).order(order).getInt(1)
       val out = new Array[Byte](bytes.length + 4)
       out(0) = bytes(0)
-      val ob = java.nio.ByteBuffer.wrap(out)
-        .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+      val ob = java.nio.ByteBuffer.wrap(out).order(order)
       ob.putInt(1, raw | EWKB.FlagSrid)
       ob.putInt(5, srid)
       System.arraycopy(bytes, 5, out, 9, bytes.length - 5)

@@ -26,8 +26,20 @@ object EWKB {
   val FlagM: Int = 0x40000000
   val FlagSrid: Int = 0x20000000
 
-  /** Parsed EWKB header: base geometry type code (1..17), flags, srid. */
-  final case class Header(typeCode: Int, hasZ: Boolean, hasM: Boolean, srid: Int)
+  /** Parsed EWKB header: base geometry type code (1..17), flags, srid —
+    * plus the raw-layout facts every other byte-level consumer needs, so
+    * the ISO-code-plus-EWKB-flag hybrid nuance is decoded in EXACTLY one
+    * place ([[header]]): `hasSridField` says whether a 4-byte SRID word
+    * follows the type word (drives [[payloadOffset]]); `littleEndian` is
+    * the value's byte order. */
+  final case class Header(typeCode: Int, hasZ: Boolean, hasM: Boolean, srid: Int,
+      hasSridField: Boolean, littleEndian: Boolean) {
+    /** Byte offset of the geometry body (after byte-order byte, type word
+      * and the optional SRID word). */
+    def payloadOffset: Int = if (hasSridField) 9 else 5
+    /** Stored coordinate dimensionality. */
+    def dims: Int = 2 + (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
+  }
 
   /** 18-type name table, `/root/reference/src/wkb.rs:47-68`. Index = code. */
   private val typeNames: Array[String] = Array(
@@ -66,7 +78,7 @@ object EWKB {
     else if (isoDim == 2) { hasM = true; code -= 2000 }
     else if (isoDim == 3) { hasZ = true; hasM = true; code -= 3000 }
     val srid = if (hasSrid) u32(5) else 0
-    Header(code, hasZ, hasM, srid)
+    Header(code, hasZ, hasM, srid, hasSrid, littleEndian)
   }
 
   // ---------------------------------------------------------------- read
