@@ -262,10 +262,27 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
     val boundR = BindReferences.bindReference(rightGeom, right.output)
 
     // Extract (envelope, row) from the left child ONCE and persist it: the
-    // sampling job below and the cells pass both read the cached blocks, so
-    // an expensive upstream plan (joins, aggregations) is never executed
-    // twice. The ContextCleaner unpersists the blocks once this RDD is
-    // GC-reachable no more (standard Spark reference tracking).
+    // sampling job below, the hot-cell census and the cells pass all read
+    // the cached blocks, so an expensive upstream plan (joins,
+    // aggregations) is never executed twice. The ContextCleaner unpersists
+    // the blocks once this RDD is GC-reachable no more (standard Spark
+    // reference tracking).
+    //
+    // PERSIST (not checkpoint) is deliberate — the blast radius of a lost
+    // block recomputed from a content-nondeterministic upstream (unseeded
+    // sample, round-robin repartition) is BALANCE ONLY, unlike the
+    // id-renumbering hazard SpatialJoin.withStableIndex checkpoints
+    // against. The three consumers:
+    //  * the reservoir sample steers quadtree construction — a stale or
+    //    unrepresentative tree skews cell sizes, never pair membership;
+    //  * the hot-cell census steers salt counts — same;
+    //  * the cogroup pass IS the output evaluation: its pairs are computed
+    //    from whatever rows that single evaluation produced, deduped by
+    //    the reference-point rule on geometry BYTES (no row ids anywhere),
+    //    which is exactly the recompute exposure every vanilla Spark plan
+    //    has under task retry. Checkpointing here would buy no correctness
+    //    and cost a full materialization per join. (See PERF.md,
+    //    "Standing scale decisions".)
     val leftExtracted: RDD[(Double, Double, Double, Double, InternalRow)] =
       left.execute().mapPartitions { it =>
         val bound = boundL // per-task copy
