@@ -420,6 +420,58 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    /** Streaming spectral audio (r10): pipe_audio's sine WAVs get event
+      * timestamps and run through the SAME windowed spectral plan
+      * ([[graft.streaming.MultimodalStreaming.spectralWindowed]]) as a
+      * file-source stream (AvailableNow → append memory sink) AND as a
+      * batch frame. A far-future sentinel row pushes the watermark past
+      * every real window so append mode flushes them (the no-data
+      * microbatch evicts closed windows); the sentinel's own window is
+      * excluded on both sides. Pins: batch ≡ stream (full-outer sym-diff
+      * on (win, n, sum) MUST be 0 — dominant sums are integer-valued
+      * doubles, so order-independent) and the closed-form per-window
+      * counts/sums against DuckDB. */
+    "pipe_stream_audio" -> ((s, dir) => {
+      val rate = 8192
+      val epoch = 1767225600L // 2026-01-01 00:00:00 UTC, 4-min aligned
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("freq",
+          ((lit(64) + col("doc_id") % 8 * 16) * 8).cast("double"))
+        .withColumn("wav", Multimodal.makeWavSine(lit(rate), lit(rate),
+          col("freq"), lit(12000)))
+        .withColumn("ts", timestamp_seconds(lit(epoch) + (col("doc_id") % 16) * 60))
+        .drop("freq")
+      val sentinelTs = epoch + 86400L
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("doc_id"), lit(null).cast("binary").as("wav"),
+          timestamp_seconds(lit(sentinelTs)).as("ts"))
+      val all = base.unionByName(sentinel)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_audio").toString
+      all.write.mode("overwrite").parquet(tmp + "/in")
+      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
+      val streamed = graft.streaming.MultimodalStreaming.spectralWindowed(
+        streamIn, "wav", "ts", "4 minutes")
+      val qn = "stream_audio_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = streamed.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "streaming audio drain timed out")
+      val got = s.table(qn)
+        .filter(col("win_start") < timestamp_seconds(lit(sentinelTs)))
+      val batch = graft.streaming.MultimodalStreaming.spectralWindowed(
+        base, "wav", "ts", "4 minutes")
+      val symDiff = got
+        .select(col("win_start"), col("n"), col("sum_dominant_hz"), lit(1).as("s"))
+        .join(batch.select(col("win_start"), col("n"), col("sum_dominant_hz"))
+          .withColumn("b", lit(1)),
+          Seq("win_start", "n", "sum_dominant_hz"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      got.select(minute(col("win_start")).as("win_min"), col("n").as("n_docs"),
+          col("sum_dominant_hz"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+        .orderBy(col("win_min"))
+    }),
+
     // REAL video plane: MJPEG AVI built frame-by-frame through the JDK JPEG
     // encoder, then header decode (RIFF walk), evenly-spaced frame sampling
     // and per-frame pixel decode. Frame 0 is grey r0; sampled frame 1 is
@@ -787,6 +839,12 @@ object PipelineQueries {
         | 1.0 AS dur_sec,
         | TRUE AS cent_ok, TRUE AS zcr_ok, TRUE AS rms_ok, TRUE AS bw_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_stream_audio" ->
+      """SELECT CAST(FLOOR((doc_id % 16) / 4) * 4 AS INT) AS win_min,
+        | COUNT(*) AS n_docs,
+        | SUM(CAST((64 + doc_id % 8 * 16) * 8 AS DOUBLE)) AS sum_dominant_hz,
+        | CAST(0 AS BIGINT) AS n_sym_diff
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_multimodal_px" ->
       """SELECT doc_id,
         | 16 + (doc_id % 8) * 2 AS width,
