@@ -1293,7 +1293,16 @@ object GeoQueries {
           bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
         .agg(count(lit(1)).as("ibb_n"),
           sum(col("k")).cast("long").as("ibb_sum_k"))
-      one.join(part, "k").crossJoin(ib).orderBy(col("k"))
+      // r10: the DataSourceV2 facade (spark.read.format("flatgeobuf")) —
+      // a pruned+filter-pushed scan and the bbox option over the indexed
+      // file must agree with the function surface
+      val dsAgg = s.read.format("flatgeobuf").load(idx)
+        .filter(col("k") % 2 === 0)
+        .agg(sum(col("k")).cast("long").as("dsv2_sum_k"))
+      val dsBb = s.read.format("flatgeobuf").option("bbox", "0,0,1000,1000")
+        .load(idx).agg(count(lit(1)).as("dsv2_bbox_n"))
+      one.join(part, "k").crossJoin(ib).crossJoin(dsAgg).crossJoin(dsBb)
+        .orderBy(col("k"))
     }),
 
     // Shapefile round trip (pure-JVM .shp/.shx/.dbf/.prj codec): geometry,
@@ -1763,7 +1772,10 @@ object GeoQueries {
       s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area,
          | (SELECT count(*) FROM b WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0) AS ibb_n,
          | (SELECT CAST(sum(k) AS BIGINT) FROM b
-         |   WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0) AS ibb_sum_k
+         |   WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0) AS ibb_sum_k,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 2 = 0) AS dsv2_sum_k,
+         | (SELECT count(*) FROM b WHERE CAST(k%1000000 AS DOUBLE)*16.0 <= 1000.0)
+         |   AS dsv2_bbox_n
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_shp" ->
       s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS shp_area,

@@ -790,7 +790,7 @@ object GeoIO {
         "scalar/string/binary type first)")
   }
 
-  private def sparkTypeFor(ct: Int): DataType = ct match {
+  private[graft] def sparkTypeFor(ct: Int): DataType = ct match {
     case FlatGeobuf.CtBool => BooleanType
     case FlatGeobuf.CtByte => ByteType
     case FlatGeobuf.CtUByte | FlatGeobuf.CtShort => ShortType
