@@ -257,7 +257,7 @@ object Bench {
     * cost survives. If even the best triple stays wide, the key is
     * flagged `noisy` in the output so a reviewer knows to distrust it. */
   private val MaxExtraTrials = 6
-  private def timeWarm(df: => DataFrame): (Double, Double, Boolean) = {
+  private[graft] def timeWarm(df: => DataFrame): (Double, Double, Boolean) = {
     force(df)
     def timed(): Double = {
       val t0 = System.nanoTime()

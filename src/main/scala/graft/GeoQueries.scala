@@ -1099,7 +1099,20 @@ object GeoQueries {
         st_get_crs_from_code(lit(2264)).contains("US survey foot")
           .as("ft_us_unit_ok"),
         st_get_crs_from_code(lit(26931)).contains("Hotine_Oblique_Mercator")
-          .as("hotine_wkt_ok")
+          .as("hotine_wkt_ok"),
+        // r10 tranche: Japan Plane CS (all three datum frames) + WGS72 UTM
+        rtOk(lit(139.25) + (k % 8).cast("double") / 4.0,
+          lit(34.75) + (k % 10).cast("double") / 4.0, 2451, 1e-8)
+          .as("jgd2000_ix_rt_ok"),
+        rtOk(lit(139.25) + (k % 8).cast("double") / 4.0,
+          lit(34.75) + (k % 10).cast("double") / 4.0, 30169, 1e-8)
+          .as("tokyo_ix_rt_ok"),
+        rtOk(-(lit(124.25) + (k % 10).cast("double") / 4.0),
+          lit(42.25) + (k % 40).cast("double") / 4.0, 32210, 1e-8)
+          .as("wgs72_utm10_rt_ok"),
+        rtOk(lit(3.25) + (k % 10).cast("double") / 4.0,
+          -(lit(30.25) + (k % 16).cast("double") / 4.0), 32531, 1e-8)
+          .as("wgs72be_utm31s_rt_ok")
       ).orderBy(k)
     }),
 
@@ -1704,7 +1717,9 @@ object GeoQueries {
          | TRUE AS brpoly_rt_ok, TRUE AS sad69poly_rt_ok,
          | TRUE AS nad27utm_rt_ok,
          | TRUE AS ft_intl_unit_ok, TRUE AS ft_us_unit_ok,
-         | TRUE AS hotine_wkt_ok
+         | TRUE AS hotine_wkt_ok,
+         | TRUE AS jgd2000_ix_rt_ok, TRUE AS tokyo_ix_rt_ok,
+         | TRUE AS wgs72_utm10_rt_ok, TRUE AS wgs72be_utm31s_rt_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

@@ -34,6 +34,7 @@ object EpsgDb {
 
   private val WGS84 = Ellipsoid(6378137.0, 298.257223563)
   private val GRS80 = Ellipsoid(6378137.0, 298.257222101)
+  private val Wgs72Ell = Ellipsoid(6378135.0, 298.26)
   private val Intl1924 = Ellipsoid(6378388.0, 297.0)
   private val Airy1830 = Ellipsoid(6377563.396, 299.3249646)
   private val AiryModified = Ellipsoid(6377340.189, 299.3249646)
@@ -1058,6 +1059,12 @@ object EpsgDb {
   private val Timbalai = Helmert(-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)
   // EPSG tfm "SAD69 to WGS 84 (1)": geocentric translation
   private val Sad69 = Helmert(-57.0, 1.0, -41.0, 0.0, 0.0, 0.0, 0.0)
+  // EPSG tfm "Tokyo to WGS 84 (1)": geocentric translation
+  private val TokyoDatum = Helmert(-148.0, 507.0, 685.0, 0.0, 0.0, 0.0, 0.0)
+  // EPSG tfm "WGS 72 to WGS 84 (1)" / "WGS 72BE to WGS 84 (1)":
+  // position-vector with z-rotation + scale
+  private val Wgs72 = Helmert(0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263)
+  private val Wgs72be = Helmert(0.0, 0.0, 1.9, 0.0, 0.0, 0.814, -0.38)
 
   val table: Map[Int, Crs] = {
     val b = Map.newBuilder[Int, Crs]
@@ -1550,6 +1557,42 @@ object EpsgDb {
     add(3414, noShift(TMerc(WGS84, 1.366666666666667, 103.8333333333333, 1.0,
       28001.642, 38744.572), "SVY21 / Singapore TM"))
 
+    // ---- r10 tranche: the other two Japan CS frames + WGS72 UTM ----
+    // The JGD2011 zone loop above already carries the published GSI zone
+    // origins (jgdZones/jgdRoman); the JGD2000 (2443-2461, same GRS80
+    // projections — the realizations differ at centimetre level, below
+    // this engine's Helmert tolerance) and legacy Tokyo-datum
+    // (30161-30179, Bessel 1841 + the published EPSG "Tokyo to
+    // WGS 84 (1)" geocentric translation) frames reuse it.
+    jgdZones.zipWithIndex.foreach { case ((lat0, lon0), i) =>
+      add(2443 + i, noShift(TMerc(GRS80, lat0, lon0, 0.9999, 0, 0),
+        s"JGD2000 / Japan Plane Rectangular CS ${jgdRoman(i)}"))
+      add(30161 + i, (TMerc(Bessel1841, lat0, lon0, 0.9999, 0, 0),
+        Some(TokyoDatum), s"Tokyo / Japan Plane Rectangular CS ${jgdRoman(i)}"))
+    }
+    add(4612, noShift(Geographic(GRS80), "JGD2000"))
+    add(6668, noShift(Geographic(GRS80), "JGD2011"))
+    add(4301, (Geographic(Bessel1841), Some(TokyoDatum), "Tokyo"))
+
+    // WGS72 / WGS72BE UTM zone grids (legacy satellite-era frames still
+    // met in marine/seismic archives): standard UTM on the WGS72
+    // ellipsoid + the published EPSG time-independent Helmerts
+    // ("WGS 72 to WGS 84 (1)" 4.5 m dz / 0.554" rz / 0.2263 ppm;
+    // "WGS 72BE to WGS 84 (1)" 1.9 m dz / 0.814" rz / -0.38 ppm).
+    for (z <- 1 to 60) {
+      val cm = -183.0 + 6 * z
+      add(32200 + z, (TMerc(Wgs72Ell, 0, cm, 0.9996, 500000, 0),
+        Some(Wgs72), s"WGS 72 / UTM zone ${z}N"))
+      add(32300 + z, (TMerc(Wgs72Ell, 0, cm, 0.9996, 500000, 10000000),
+        Some(Wgs72), s"WGS 72 / UTM zone ${z}S"))
+      add(32400 + z, (TMerc(Wgs72Ell, 0, cm, 0.9996, 500000, 0),
+        Some(Wgs72be), s"WGS 72BE / UTM zone ${z}N"))
+      add(32500 + z, (TMerc(Wgs72Ell, 0, cm, 0.9996, 500000, 10000000),
+        Some(Wgs72be), s"WGS 72BE / UTM zone ${z}S"))
+    }
+    add(4322, (Geographic(Wgs72Ell), Some(Wgs72), "WGS 72"))
+    add(4324, (Geographic(Wgs72Ell), Some(Wgs72be), "WGS 72BE"))
+
     b.result()
   }
 
@@ -1633,7 +1676,22 @@ object EpsgDb {
         def helmert(): (Double, Double) = {
           val (x, y, z) = toXYZ(WGS84, lonDeg, latDeg)
           val (x2, y2, z2) = h.fromWgs84(x, y, z)
-          toGeodetic(crs.proj.ell, x2, y2, z2)
+          var (lo, la) = toGeodetic(crs.proj.ell, x2, y2, z2)
+          // Fixed-point polish: both directions drop ellipsoidal height at
+          // the XYZ→geodetic step (the 2-D convention, like proj with
+          // h = 0), so the one-shot inverse misses by ~shift·e²/R — up to
+          // 2.5 cm for the large Tokyo translation. The forward hop
+          // (datumToWgs84) is the canonical direction; two residual
+          // corrections against it land round trips at machine precision.
+          var i = 0
+          while (i < 2) {
+            val (xf, yf, zf) = toXYZ(crs.proj.ell, lo, la)
+            val (xw, yw, zw) = h.toWgs84(xf, yf, zf)
+            val (flon, flat) = toGeodetic(WGS84, xw, yw, zw)
+            lo += lonDeg - flon; la += latDeg - flat
+            i += 1
+          }
+          (lo, la)
         }
         CrsRegistry.gridShiftFor(h) match {
           case Some(grid) =>

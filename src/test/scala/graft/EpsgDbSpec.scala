@@ -481,4 +481,59 @@ class EpsgDbSpec extends AnyFunSuite {
     }
     assert(zones >= 50, s"expected the full TM state-plane set, got $zones")
   }
+
+  test("r10: Japan CS frames — JGD2000 == JGD2011, Tokyo offset by the datum shift") {
+    for (i <- 0 until 19) {
+      val jgd2000 = EpsgDb.table(2443 + i)
+      val jgd2011 = EpsgDb.table(6669 + i)
+      // the two JGD realizations share the projection (cm-level datum
+      // difference is below this engine's tolerance): identical coords
+      assert(jgd2000.proj == jgd2011.proj, s"zone ${i + 1} projections differ")
+      // zone origin maps to (0, 0) — the GSI definition has no false origin
+      val (lat0, lon0) = jgd2000.proj match {
+        case EpsgDb.TMerc(_, la, lo, k0, fe, fn) =>
+          assert(k0 == 0.9999 && fe == 0 && fn == 0); (la, lo)
+        case other => fail(s"zone ${i + 1} not TM: $other")
+      }
+      val o = jgd2000.proj.forward(lon0, lat0)
+      assert(math.abs(o._1) < 1e-6 && math.abs(o._2) < 1e-6, s"zone ${i + 1}: $o")
+      // the Tokyo-datum twin places the same WGS84 point a datum-shift
+      // away (published Tokyo→WGS84 translation ≈ 860 m geocentric →
+      // hundreds of metres horizontally in Japan)
+      val (xj, yj) = EpsgDb.fromWgs84(lon0 + 0.3, lat0 + 0.2, 2443 + i)
+      val (xt, yt) = EpsgDb.fromWgs84(lon0 + 0.3, lat0 + 0.2, 30161 + i)
+      val d = math.hypot(xt - xj, yt - yj)
+      assert(d > 250 && d < 900, s"zone ${i + 1}: Tokyo offset $d m")
+    }
+    // cross-datum consistency: Tokyo geographic of a WGS84 point moves by
+    // the same horizontal offset the projected twin showed
+    val (lonT, latT) = EpsgDb.toWgs84(139.75, 35.68, 4301) // Tokyo datum → WGS84
+    val d = math.hypot((lonT - 139.75) * 91000, (latT - 35.68) * 111000)
+    assert(d > 250 && d < 900, s"Tokyo geographic hop moved $d m")
+  }
+
+  test("r10: WGS72/WGS72BE UTM — near the WGS84 grid but measurably apart") {
+    // WGS84 UTM (326xx/327xx) lives on the closed-form CrsImpl path, so
+    // build the reference grid directly from the projection machinery
+    for ((wgs72Code, south) <- Seq((32210, false), (32331, true),
+        (32410, false), (32531, true))) {
+      val (lon, lat) = if (!south) (-123.3, 47.5) else (5.2, -33.4)
+      val cm = EpsgDb.table(wgs72Code).proj match {
+        case EpsgDb.TMerc(_, _, lon0, _, _, _) => lon0
+        case other => fail(s"not TM: $other")
+      }
+      val ref = EpsgDb.TMerc(EpsgDb.Ellipsoid(6378137.0, 298.257223563),
+        0, cm, 0.9996, 500000, if (south) 10000000 else 0)
+      val (x72, y72) = EpsgDb.fromWgs84(lon, lat, wgs72Code)
+      val (x84, y84) = ref.forward(lon, lat)
+      val d = math.hypot(x72 - x84, y72 - y84)
+      // the published WGS72→WGS84 is metre-level (4.5 m dz + 0.554" rz
+      // ≈ 17 m of longitude rotation at most); same ballpark for 72BE
+      assert(d > 0.5 && d < 40, s"EPSG:$wgs72Code vs WGS84 UTM: $d m apart")
+      // round trip through the shifted frame at 1e-8°
+      val (lon2, lat2) = EpsgDb.toWgs84(x72, y72, wgs72Code)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"EPSG:$wgs72Code round trip: ($lon2, $lat2)")
+    }
+  }
 }
