@@ -48,8 +48,16 @@ object SpatialJoin {
   private val RIdx = "__graft_ridx"
 
   /** Broadcast-tier guard: above this row count the left side auto-falls
-    * back to the grid-partitioned tier (driver-OOM protection at scale). */
-  val MaxBroadcastRows: Long = 4L * 1000 * 1000
+    * back to the grid-partitioned tier. Protects the driver from OOM AND
+    * from the tier's driver-bound constant: collect + per-executor STRtree
+    * build are single-threaded in the build side's size, and the r10
+    * 10×-scale bench measured the crossover well below the old 4M cap
+    * (1.5M build rows: broadcast 13.2 s vs grid 3.2 s; at 150k the tiers
+    * tie — see PERF.md "Synthetic 10× scale run"). 1M keeps the
+    * broadcast win for genuinely small build sides while routing
+    * large×large joins to the distributed tiers, whose cost the cluster
+    * actually parallelizes. */
+  val MaxBroadcastRows: Long = 1L * 1000 * 1000
 
   /** Broadcast-tier byte guard: a row-count cap alone cannot protect the
     * driver from millions of *wide* rows (all left columns are collected
