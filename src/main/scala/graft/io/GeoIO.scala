@@ -1060,7 +1060,7 @@ object GeoIO {
 
   // ------------------------------------------------------------ GeoPackage
 
-  private def gpkgSparkType(c: GeoPackage.GpkgColumn): DataType = {
+  private[graft] def gpkgSparkType(c: GeoPackage.GpkgColumn): DataType = {
     val t = c.sqlType
     if (t.contains("INT")) LongType
     else if (t == "REAL" || t == "FLOAT" || t.contains("DOUBLE")) DoubleType
@@ -1088,7 +1088,7 @@ object GeoIO {
     * WKB parse. A bbox read is a spatial predicate, so NULL geometries
     * (and null blobs) prune too; a blob without a stored envelope cannot
     * be pruned. */
-  private def gpkgBboxPruned(blob: Array[Byte],
+  private[graft] def gpkgBboxPruned(blob: Array[Byte],
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): Boolean =
     blob == null || {
       val flags = blob(3) & 0xff

@@ -4,39 +4,17 @@ import java.util
 
 import graft.io.{FlatGeobuf, GeoIO}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources._
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-/** DataSourceV2 facade for the FlatGeobuf reader —
-  * `spark.read.format("flatgeobuf").load(path)` as the idiomatic-Spark
-  * face of [[GeoIO.readFlatGeobuf]] (which stays unchanged as the
-  * function-call surface with the full kwargs set). What the facade adds
-  * over the function call:
-  *
-  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the scan's
-  *    `ReadSchema` in `explain` is exactly the referenced columns; a
-  *    pruned-out geometry column skips EWKB serialization entirely (the
-  *    dominant per-feature decode cost).
-  *  - **Filter pushdown** (`SupportsPushDownFilters`): comparison/null
-  *    filters on property columns are evaluated feature-by-feature at
-  *    decode (rows are dropped before Spark sees them) and reported in
-  *    the scan node's `PushedFilters: [...]` description. Pushed filters
-  *    are ALSO returned for Spark-side re-evaluation — pushdown here is
-  *    an IO/width optimization, never a semantics change.
-  *  - **bbox option** (`option("bbox", "x0,y0,x1,y1")`): index-driven
-  *    spatial window (packed Hilbert R-tree search + random-access decode
-  *    of the hits, like the function surface), visible in the scan
-  *    description.
-  *
-  * Scale shape: one [[InputPartition]] per .fgb part file — a single FGB
+/** `spark.read.format("flatgeobuf").load(path)` — the DSv2 face of
+  * [[GeoIO.readFlatGeobuf]] over the shared [[GeoDsv2]] scan (column
+  * pruning, decode-level filter pushdown, bbox option riding the packed
+  * Hilbert R-tree). One partition per .fgb part file — a single FGB
   * stream is not splittable without consulting its index, so the
   * multi-file layout of [[GeoIO.writeFlatGeobufPartitioned]] is the
   * cluster-scale layout, and this source parallelizes exactly over it.
@@ -46,27 +24,52 @@ import org.apache.spark.util.SerializableConfiguration
   * the Spark-catalog analog of a pyogrio driver entry. */
 class FlatGeobufDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "flatgeobuf"
-
   override def supportsExternalMetadata(): Boolean = false
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FlatGeobufDataSource.tableOf(options).schema()
-
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     FlatGeobufDataSource.tableOf(new CaseInsensitiveStringMap(properties))
 }
 
 private[sources] object FlatGeobufDataSource {
-  def tableOf(options: CaseInsensitiveStringMap): FlatGeobufTable = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("flatgeobuf: 'path' must be set (use .load(path))"))
-    val geometryName = Option(options.get("geometry")).getOrElse("geometry")
-    val bbox = Option(options.get("bbox")).map { s =>
-      val parts = s.split(",").map(_.trim.toDouble)
-      require(parts.length == 4, s"flatgeobuf: bbox must be 'x0,y0,x1,y1', got '$s'")
-      (parts(0), parts(1), parts(2), parts(3))
+
+  /** Per-file feature iterator: whole-file read (size-prefixed stream,
+    * not splittable), index-driven bbox candidates when the file carries
+    * the packed R-tree, envelope-test fallback otherwise. */
+  private val iterate: GeoDsv2.PartIterator = (part, conf, bbox) => {
+    val bytes = readWhole(part.path, conf)
+    val feats = bbox match {
+      case None => FlatGeobuf.read(bytes)._2
+      case Some((x0, y0, x1, y1)) =>
+        FlatGeobuf.searchHits(bytes, x0, y0, x1, y1) match {
+          case Some(hits) => FlatGeobuf.readFeaturesAt(bytes, hits.map(_._2))
+          case None => FlatGeobuf.read(bytes)._2.filter { ft =>
+            ft.geometry != null && !ft.geometry.isEmpty && {
+              val e = ft.geometry.getEnvelopeInternal
+              !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0)
+            }
+          }
+        }
     }
+    feats.map(ft => (ft.geometry, ft.properties))
+  }
+
+  private[sources] def readWhole(file: String,
+      conf: SerializableConfiguration): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len); in.readFully(0, buf); buf
+    } finally in.close()
+  }
+
+  def tableOf(options: CaseInsensitiveStringMap): GeoTable = {
+    val path = GeoDsv2.pathOf(options)
+    val geometryName = Option(options.get("geometry")).getOrElse("geometry")
+    val bbox = GeoDsv2.parseBbox(options)
     val spark = SparkSession.active
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,229 +85,9 @@ private[sources] object FlatGeobufDataSource {
     val schema = StructType(
       StructField(geometryName, BinaryType, nullable = true) +:
         header.columns.map(c => StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
-    new FlatGeobufTable(path, files, schema, geometryName, bbox,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
-  }
-}
-
-private[sources] class FlatGeobufTable(path: String, files: Seq[String],
-    tableSchema: StructType, geometryName: String,
-    bbox: Option[(Double, Double, Double, Double)],
-    conf: SerializableConfiguration) extends Table with SupportsRead {
-  override def name(): String = s"flatgeobuf:`$path`"
-  override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FgbScanBuilder(files, tableSchema, geometryName, bbox, conf)
-}
-
-private[sources] class FgbScanBuilder(files: Seq[String], fullSchema: StructType,
-    geometryName: String, bbox: Option[(Double, Double, Double, Double)],
-    conf: SerializableConfiguration)
-    extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
-
-  private var requiredSchema: StructType = fullSchema
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    this.requiredSchema = requiredSchema
-
-  /** Accept the decode-evaluable subset; return ALL filters so Spark
-    * re-evaluates (pushdown is an optimization, never a semantic
-    * transfer — the conservative DSv2 contract). */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(FgbFilterEval.supported(_, fullSchema, geometryName))
-    filters
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def build(): Scan =
-    new FgbScan(files, fullSchema, requiredSchema, geometryName, bbox, pushed, conf)
-}
-
-private[sources] class FgbScan(files: Seq[String], fullSchema: StructType,
-    requiredSchema: StructType, geometryName: String,
-    bbox: Option[(Double, Double, Double, Double)], pushed: Array[Filter],
-    conf: SerializableConfiguration) extends Scan with Batch {
-
-  override def readSchema(): StructType = requiredSchema
-
-  override def description(): String = {
-    val b = bbox.map(t => s"[${t._1},${t._2},${t._3},${t._4}]").getOrElse("[]")
-    s"FlatGeobuf Bbox: $b, PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
-      s"ReadSchema: ${requiredSchema.catalogString}"
-  }
-
-  override def toBatch: Batch = this
-
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => FgbInputPartition(f): InputPartition).toArray
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FgbReaderFactory(fullSchema, requiredSchema, geometryName, bbox, pushed, conf)
-}
-
-private[sources] case class FgbInputPartition(file: String) extends InputPartition
-
-private[sources] class FgbReaderFactory(fullSchema: StructType,
-    requiredSchema: StructType, geometryName: String,
-    bbox: Option[(Double, Double, Double, Double)], pushed: Array[Filter],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FgbPartitionReader(partition.asInstanceOf[FgbInputPartition].file,
-      fullSchema, requiredSchema, geometryName, bbox, pushed, conf)
-}
-
-/** Per-file reader: whole-file read (FGB features are size-prefixed but a
-  * stream is not splittable), index-driven bbox candidates when the file
-  * carries the packed R-tree, pushed-filter evaluation before row
-  * construction, required-column projection at row build (the geometry
-  * column's EWKB serialization — the expensive part — runs only when the
-  * column survives pruning). */
-private[sources] class FgbPartitionReader(file: String, fullSchema: StructType,
-    requiredSchema: StructType, geometryName: String,
-    bbox: Option[(Double, Double, Double, Double)], pushed: Array[Filter],
-    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
-
-  // full-schema property index per required column (-1 = the geometry)
-  private val proj: Array[Int] = requiredSchema.fieldNames.map { n =>
-    if (n == geometryName) -1
-    else {
-      val i = fullSchema.fieldIndex(n)
-      i - 1 // fullSchema = geometry +: properties
-    }
-  }
-  private val needGeom = proj.contains(-1)
-  private val evals: Array[(String, Any) => Boolean] =
-    pushed.map(FgbFilterEval.compile)
-  private val nameOf: Array[String] = fullSchema.fieldNames
-
-  private val it: Iterator[FlatGeobuf.Feature] = {
-    val bytes = {
-      val p = new org.apache.hadoop.fs.Path(file)
-      val fs = p.getFileSystem(conf.value)
-      val in = fs.open(p)
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len); in.readFully(0, buf); buf
-      } finally in.close()
-    }
-    bbox match {
-      case None => FlatGeobuf.read(bytes)._2
-      case Some((x0, y0, x1, y1)) =>
-        FlatGeobuf.searchHits(bytes, x0, y0, x1, y1) match {
-          case Some(hits) => FlatGeobuf.readFeaturesAt(bytes, hits.map(_._2))
-          case None => FlatGeobuf.read(bytes)._2.filter { ft =>
-            ft.geometry != null && !ft.geometry.isEmpty && {
-              val e = ft.geometry.getEnvelopeInternal
-              !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0)
-            }
-          }
-        }
-    }
-  }
-
-  private var current: InternalRow = _
-
-  private def passes(ft: FlatGeobuf.Feature): Boolean = {
-    var i = 0
-    while (i < pushed.length) {
-      val f = pushed(i)
-      val refs = f.references
-      var ok = true
-      var j = 0
-      while (ok && j < refs.length) {
-        val colIdx = fullSchema.fieldIndex(refs(j))
-        val v = if (colIdx == 0) null else ft.properties(colIdx - 1)
-        ok = evals(i)(refs(j), v)
-        j += 1
-      }
-      if (!ok) return false
-      i += 1
-    }
-    true
-  }
-
-  override def next(): Boolean = {
-    while (it.hasNext) {
-      val ft = it.next()
-      if (passes(ft)) {
-        val vals = new Array[Any](proj.length)
-        var i = 0
-        while (i < proj.length) {
-          vals(i) =
-            if (proj(i) == -1) {
-              if (ft.geometry == null) null else graft.serde.EWKB.write(ft.geometry)
-            } else FgbFilterEval.toCatalyst(ft.properties(proj(i)))
-          i += 1
-        }
-        current = new GenericInternalRow(vals)
-        return true
-      }
-    }
-    false
-  }
-
-  override def get(): InternalRow = current
-  override def close(): Unit = ()
-}
-
-/** Decode-time evaluation of the pushable V1 filter subset. Conservative
-  * by construction: anything not confidently evaluable is simply not
-  * pushed (Spark evaluates everything anyway — see
-  * [[FgbScanBuilder.pushFilters]]). */
-private[sources] object FgbFilterEval {
-
-  def supported(f: Filter, schema: StructType, geometryName: String): Boolean = {
-    def col(name: String): Boolean =
-      name != geometryName && schema.fieldNames.contains(name)
-    f match {
-      case EqualTo(a, v) => col(a) && scalarV(v)
-      case GreaterThan(a, v) => col(a) && scalarV(v)
-      case GreaterThanOrEqual(a, v) => col(a) && scalarV(v)
-      case LessThan(a, v) => col(a) && scalarV(v)
-      case LessThanOrEqual(a, v) => col(a) && scalarV(v)
-      case IsNull(a) => col(a)
-      case IsNotNull(a) => col(a)
-      case In(a, vs) => col(a) && vs.forall(scalarV)
-      case _ => false
-    }
-  }
-
-  private def scalarV(v: Any): Boolean = v match {
-    case _: java.lang.Number | _: String | _: java.lang.Boolean => true
-    case _ => false
-  }
-
-  private def cmp(l: Any, r: Any): Option[Int] = (l, r) match {
-    case (a: java.lang.Number, b: java.lang.Number) =>
-      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-    case (a: String, b: String) => Some(a.compareTo(b))
-    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
-    case _ => None
-  }
-
-  /** filter → (columnName, decodedValue) => keep-this-row. A null value
-    * fails every comparison (SQL three-valued logic: NULL comparisons are
-    * not TRUE, and Spark re-filters anyway). */
-  def compile(f: Filter): (String, Any) => Boolean = f match {
-    case EqualTo(a, v) => (n, x) => n != a || (x != null && cmp(x, v).contains(0))
-    case GreaterThan(a, v) => (n, x) => n != a || (x != null && cmp(x, v).exists(_ > 0))
-    case GreaterThanOrEqual(a, v) => (n, x) => n != a || (x != null && cmp(x, v).exists(_ >= 0))
-    case LessThan(a, v) => (n, x) => n != a || (x != null && cmp(x, v).exists(_ < 0))
-    case LessThanOrEqual(a, v) => (n, x) => n != a || (x != null && cmp(x, v).exists(_ <= 0))
-    case IsNull(a) => (n, x) => n != a || x == null
-    case IsNotNull(a) => (n, x) => n != a || x != null
-    case In(a, vs) => (n, x) => n != a || (x != null && vs.exists(v => cmp(x, v).contains(0)))
-    case _ => (_, _) => true
-  }
-
-  /** External decoded value → catalyst representation (strings become
-    * UTF8String; FGB scalars are already catalyst-compatible). */
-  def toCatalyst(v: Any): Any = v match {
-    case s: String => UTF8String.fromString(s)
-    case other => other
+    new GeoTable("FlatGeobuf", path, files.map(GeoDsv2.GeoPart(_)), schema,
+      geometryName, bbox,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      iterate)
   }
 }

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.util
+
+import graft.io.Shapefile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** `spark.read.format("shapefile").load(path)` — the DSv2 face of
+  * [[graft.io.GeoIO.readShapefile]] over the shared [[GeoDsv2]] scan.
+  * One partition per .shp file (a shapefile is record-chained and its
+  * .dbf runs in lockstep — per-file is the natural parallel unit;
+  * directory reads fan out across part files). The `bbox` option prunes
+  * on each record's stored box before geometry decode; the .prj sidecar
+  * resolves the SRID exactly like the function surface (AUTHORITY
+  * clause, EPSG-table inference, or auto-registration). */
+class ShapefileDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "shapefile"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShapefileDataSource.tableOf(options).schema()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    ShapefileDataSource.tableOf(new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object ShapefileDataSource {
+
+  private def sidecar(shp: org.apache.hadoop.fs.Path, ext: String) =
+    new org.apache.hadoop.fs.Path(shp.getParent,
+      shp.getName.replaceAll("(?i)\\.shp$", "") + ext)
+
+  /** Per-file iterator: .shp + .dbf whole-file reads, record-box bbox
+    * prune inside the codec, SRID (packed in GeoPart.a by the driver
+    * plan) stamped onto each geometry. */
+  private val iterate: GeoDsv2.PartIterator = (part, conf, bbox) => {
+    val p = new org.apache.hadoop.fs.Path(part.path)
+    val fs = p.getFileSystem(conf.value)
+    def readAll(q: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(q)
+      try {
+        val len = fs.getFileStatus(q).getLen.toInt
+        val buf = new Array[Byte](len); in.readFully(0, buf); buf
+      } finally in.close()
+    }
+    val dbfP = sidecar(p, ".dbf")
+    val dbf = if (fs.exists(dbfP)) Some(readAll(dbfP)) else None
+    Shapefile.readFeatures(readAll(p), dbf, bbox, srid = part.a.toInt)
+  }
+
+  def tableOf(options: CaseInsensitiveStringMap): GeoTable = {
+    val path = GeoDsv2.pathOf(options)
+    val geometryName = Option(options.get("geometry")).getOrElse("geometry")
+    val bbox = GeoDsv2.parseBbox(options)
+    val spark = SparkSession.active
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shps: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(hadoopPath).isDirectory) {
+        val l = fs.listStatus(hadoopPath).map(_.getPath).toSeq
+          .filter(_.getName.toLowerCase(java.util.Locale.ROOT).endsWith(".shp"))
+          .sortBy(_.getName)
+        require(l.nonEmpty, s"no .shp files in $path")
+        l
+      } else Seq(hadoopPath)
+    def readAll(q: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(q)
+      try {
+        val len = fs.getFileStatus(q).getLen.toInt
+        val buf = new Array[Byte](len); in.readFully(0, buf); buf
+      } finally in.close()
+    }
+    val firstDbf = sidecar(shps.head, ".dbf")
+    val fields: Seq[Shapefile.DbfField] =
+      if (fs.exists(firstDbf)) Shapefile.readDbf(readAll(firstDbf))._1 else Seq.empty
+    val prj = sidecar(shps.head, ".prj")
+    val srid =
+      if (fs.exists(prj)) graft.functions.CrsRegistry.sridForWkt(
+        new String(readAll(prj), java.nio.charset.StandardCharsets.UTF_8))
+      else 0
+    val schema = StructType(
+      StructField(geometryName, BinaryType, nullable = true) +:
+        fields.map(f => StructField(f.name, Shapefile.sparkType(f))))
+    new GeoTable("Shapefile", path,
+      shps.map(s => GeoDsv2.GeoPart(s.toString, a = srid.toLong)), schema,
+      geometryName, bbox,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      iterate)
+  }
+}

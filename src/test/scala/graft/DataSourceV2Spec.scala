@@ -81,6 +81,55 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(desc.contains("10.0,20.0,40.0,80.0"), s"bbox not reported:\n$desc")
   }
 
+  test("format(shapefile): parity, bbox prune, filter pushdown, prj srid") {
+    import graft.functions._
+    val dir = Files.createTempDirectory("shp_dsv2").toFile
+    val shp = new java.io.File(dir, "t.shp").getAbsolutePath
+    val df = spark.range(120).toDF("id")
+      .withColumn("name", concat(lit("f-"), col("id")))
+      .withColumn("geometry", st_set_srid(
+        st_point(col("id").cast("double"), col("id").cast("double") * 2), lit(4326)))
+    GeoIO.writeShapefile(df, shp)
+    val dsv2 = spark.read.format("shapefile").load(shp)
+    val fn = GeoIO.readShapefile(spark, shp)
+    assert(dsv2.schema == fn.schema)
+    assert(dsv2.selectExpr("id", "name", "hex(geometry) AS g").collect().map(_.toSeq).toSet
+      == fn.selectExpr("id", "name", "hex(geometry) AS g").collect().map(_.toSeq).toSet)
+    // .prj round trip: srid recovered like the function surface
+    assert(dsv2.select(st_srid(col("geometry"))).head().getInt(0) == 4326)
+    // bbox option prunes on stored record boxes
+    val got = spark.read.format("shapefile").option("bbox", "5,10,20,40")
+      .load(shp).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (5L to 20L).toSet)
+    // filter pushdown visible + exact
+    val filt = spark.read.format("shapefile").load(shp).filter(col("id") < 7)
+    assert(filt.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(filt.count() == 7)
+  }
+
+  test("format(geopackage): parity with readGeoPackage, leaf-split partitions, bbox") {
+    import graft.functions._
+    val dir = Files.createTempDirectory("gpkg_dsv2").toFile
+    val gpkg = new java.io.File(dir, "t.gpkg").getAbsolutePath
+    val df = spark.range(300).toDF("id")
+      .withColumn("label", concat(lit("g-"), col("id")))
+      .withColumn("score", col("id").cast("double") / 8.0)
+      .withColumn("geometry", st_set_srid(
+        st_point(col("id").cast("double"), col("id").cast("double")), lit(4326)))
+    GeoIO.writeGeoPackage(df, gpkg, tableName = "feats")
+    val dsv2 = spark.read.format("geopackage").option("layer", "feats").load(gpkg)
+    val fn = GeoIO.readGeoPackage(spark, gpkg, layer = Some("feats"))
+    assert(dsv2.schema == fn.schema, s"${dsv2.schema} vs ${fn.schema}")
+    assert(dsv2.selectExpr("id", "label", "score", "hex(geometry) AS g")
+      .collect().map(_.toSeq).toSet
+      == fn.selectExpr("id", "label", "score", "hex(geometry) AS g")
+        .collect().map(_.toSeq).toSet)
+    assert(dsv2.count() == 300)
+    val got = spark.read.format("geopackage").option("bbox", "10,10,25,25")
+      .load(gpkg).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (10L to 25L).toSet)
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)
