@@ -1338,7 +1338,11 @@ object GeoQueries {
       // SQL over the extension-dispatched read)
       val sqlAgg = graft.io.GeoIO.readFile(s, shp,
           sql = Some("SELECT count(*) AS rf_n, sum(k) AS rf_sum_k FROM t WHERE k % 2 = 0"))
-      one.crossJoin(bb).crossJoin(sqlAgg).orderBy(col("k"))
+      // r10: the DSv2 facade over the same sidecar set, bbox option
+      // riding the stored record boxes
+      val ds = s.read.format("shapefile").option("bbox", "0,0,1000,1000")
+        .load(shp).agg(count(lit(1)).as("dsv2_bb_n"))
+      one.crossJoin(bb).crossJoin(sqlAgg).crossJoin(ds).orderBy(col("k"))
     }),
 
     // GeoPackage round trip (pure-JVM SQLite codec): geometry + attribute
@@ -1357,7 +1361,12 @@ object GeoQueries {
       val bb = graft.io.GeoIO.readGeoPackage(s, gpkg,
           bbox = Some((0.0, 0.0, 1000.0, 1000.0)))
         .agg(count(lit(1)).as("bb_n"))
-      one.crossJoin(bb).orderBy(col("k"))
+      // r10: the DSv2 facade over the same container — leaf-split scan
+      // with a pushed filter must agree with the function surface
+      val ds = s.read.format("geopackage").option("layer", "boxes").load(gpkg)
+        .filter(col("k") % 2 === 0)
+        .agg(count(lit(1)).as("dsv2_n"), sum(col("k")).cast("long").as("dsv2_sum_k"))
+      one.crossJoin(bb).crossJoin(ds).orderBy(col("k"))
     }),
 
     // KML + GPX round trip (pure-JVM StAX codecs, io/Kml.scala +
@@ -1798,13 +1807,17 @@ object GeoQueries {
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
          |   AS bb_n,
          | (SELECT count(*) FROM b WHERE k % 2 = 0) AS rf_n,
-         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 2 = 0) AS rf_sum_k
+         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 2 = 0) AS rf_sum_k,
+         | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
+         |   AS dsv2_bb_n
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_gpkg" ->
       s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS name, w*h AS gpkg_area,
          | 4326 AS gpkg_srid,
          | (SELECT count(*) FROM orders WHERE CAST(o_orderkey%1000000 AS DOUBLE)*16.0 <= 1000)
-         |   AS bb_n
+         |   AS bb_n,
+         | (SELECT count(*) FROM b WHERE k % 2 = 0) AS dsv2_n,
+         | (SELECT CAST(sum(k) AS BIGINT) FROM b WHERE k % 2 = 0) AS dsv2_sum_k
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_xml" ->
       s"""$B SELECT k, 'r' || CAST(k AS VARCHAR) AS kml_name, w*h AS kml_area,
