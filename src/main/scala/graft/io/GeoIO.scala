@@ -775,7 +775,7 @@ object GeoIO {
 
   // ------------------------------------------------------------- FlatGeobuf
 
-  private def fgbTypeFor(dt: DataType): Int = dt match {
+  private[graft] def fgbTypeFor(dt: DataType): Int = dt match {
     case BooleanType => FlatGeobuf.CtBool
     case ByteType => FlatGeobuf.CtByte
     case ShortType => FlatGeobuf.CtShort
@@ -937,7 +937,7 @@ object GeoIO {
     spark.createDataFrame(rows, schema)
   }
 
-  private def fgbColumns(df: DataFrame, geometryName: String): Seq[FlatGeobuf.Col] =
+  private[graft] def fgbColumns(df: DataFrame, geometryName: String): Seq[FlatGeobuf.Col] =
     df.schema.fields.toSeq.filterNot(_.name == geometryName)
       .map(f => FlatGeobuf.Col(f.name, fgbTypeFor(f.dataType)))
 

@@ -24,12 +24,13 @@ import org.apache.spark.util.SerializableConfiguration
   * the Spark-catalog analog of a pyogrio driver entry. */
 class FlatGeobufDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "flatgeobuf"
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FlatGeobufDataSource.tableOf(options).schema()
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    FlatGeobufDataSource.tableOf(new CaseInsensitiveStringMap(properties))
+    FlatGeobufDataSource.tableOf(new CaseInsensitiveStringMap(properties),
+      Option(schema))
 }
 
 private[sources] object FlatGeobufDataSource {
@@ -66,13 +67,23 @@ private[sources] object FlatGeobufDataSource {
     } finally in.close()
   }
 
-  def tableOf(options: CaseInsensitiveStringMap): GeoTable = {
+  def tableOf(options: CaseInsensitiveStringMap,
+      writeSchema: Option[StructType] = None): GeoTable = {
     val path = GeoDsv2.pathOf(options)
     val geometryName = Option(options.get("geometry")).getOrElse("geometry")
     val bbox = GeoDsv2.parseBbox(options)
     val spark = SparkSession.active
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // write to a fresh path: no header to read — the table carries the
+    // frame's schema and zero read partitions
+    if (!fs.exists(hadoopPath)) {
+      val schema = writeSchema.getOrElse(throw new IllegalArgumentException(
+        s"flatgeobuf: $path does not exist (reads need an existing file/dir)"))
+      return new FgbWritableTable(path, Seq.empty, schema, geometryName,
+        bbox, conf, iterate)
+    }
     val files: Seq[String] =
       if (fs.getFileStatus(hadoopPath).isDirectory) {
         val l = fs.listStatus(hadoopPath).map(_.getPath).toSeq
@@ -85,9 +96,147 @@ private[sources] object FlatGeobufDataSource {
     val schema = StructType(
       StructField(geometryName, BinaryType, nullable = true) +:
         header.columns.map(c => StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
-    new GeoTable("FlatGeobuf", path, files.map(GeoDsv2.GeoPart(_)), schema,
-      geometryName, bbox,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
-      iterate)
+    new FgbWritableTable(path, files.map(GeoDsv2.GeoPart(_)), schema,
+      geometryName, bbox, conf, iterate)
   }
+}
+
+/** [[GeoTable]] + the DSv2 write path:
+  * `df.write.format("flatgeobuf").mode("overwrite").save(dir)` mirrors
+  * [[GeoIO.writeFlatGeobufPartitioned]] — one .fgb part per input
+  * partition, written executor-side with the streaming codec (no driver
+  * funnel), task-commit renames making retries safe. `mode("append")`
+  * adds part files (task-unique names); overwrite truncates existing
+  * .fgb parts first. */
+private[sources] class FgbWritableTable(path: String,
+    parts: Seq[GeoDsv2.GeoPart], tableSchema: StructType, geometryName: String,
+    bbox: Option[(Double, Double, Double, Double)],
+    conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator)
+    extends GeoTable("FlatGeobuf", path, parts, tableSchema, geometryName,
+      bbox, conf, iterate)
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new FgbWriteBuilder(path, info.schema(), geometryName, conf)
+}
+
+private[sources] class FgbWriteBuilder(path: String, schema: StructType,
+    geometryName: String, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new FgbWrite(path, schema, geometryName, conf, doTruncate)
+}
+
+private[sources] class FgbWrite(path: String, schema: StructType,
+    geometryName: String, conf: SerializableConfiguration, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  require(schema.fieldNames.contains(geometryName),
+    s"flatgeobuf: no geometry column $geometryName in write schema")
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.endsWith(".fgb") || p.getName.endsWith(".fgb.tmp"))
+        .foreach(fs.delete(_, false))
+    fs.mkdirs(dir)
+    new FgbWriterFactory(path, schema, geometryName, conf)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class FgbWriterFactory(path: String, schema: StructType,
+    geometryName: String, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new FgbDataWriter(path, schema, geometryName, conf, partitionId, taskId)
+}
+
+/** Per-task streaming writer: rows append to `part-<pid>-<task>.fgb.tmp`
+  * through the incremental codec; task commit renames to the final name,
+  * so a retried task never leaves a half-written visible part. SRID comes
+  * from the first non-null geometry (mixed SRIDs raise, like the function
+  * surface). */
+private[sources] class FgbDataWriter(path: String, schema: StructType,
+    geometryName: String, conf: SerializableConfiguration,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.types._
+
+  private val geomIdx = schema.fieldIndex(geometryName)
+  private val propFields = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+  private val cols = propFields.map { case (f, _) =>
+    FlatGeobuf.Col(f.name, GeoIO.fgbTypeFor(f.dataType)) }.toSeq
+
+  private val tmp = new org.apache.hadoop.fs.Path(path,
+    f"part-$partitionId%05d-$taskId.fgb.tmp")
+  private val fin = new org.apache.hadoop.fs.Path(path,
+    f"part-$partitionId%05d-$taskId.fgb")
+  private val fs = tmp.getFileSystem(conf.value)
+  private val out = fs.create(tmp, true)
+  private var writer: FlatGeobuf.Writer = null
+  private var srid = -1
+
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    val geoBytes =
+      if (row.isNullAt(geomIdx)) null else row.getBinary(geomIdx)
+    val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
+    if (geom != null) {
+      if (srid == -1) srid = geom.getSRID
+      else if (geom.getSRID != srid) throw new IllegalArgumentException(
+        s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+    }
+    if (writer == null)
+      writer = new FlatGeobuf.Writer(out, cols, math.max(srid, 0))
+    val props = propFields.map { case (f, i) =>
+      if (row.isNullAt(i)) null
+      else f.dataType match {
+        case StringType => row.getUTF8String(i).toString
+        case BinaryType => row.getBinary(i)
+        case BooleanType => row.getBoolean(i)
+        case ByteType => row.getByte(i)
+        case ShortType => row.getShort(i)
+        case IntegerType => row.getInt(i)
+        case LongType => row.getLong(i)
+        case FloatType => row.getFloat(i)
+        case DoubleType => row.getDouble(i)
+        case other => throw new IllegalArgumentException(
+          s"flatgeobuf: unsupported write type $other for ${f.name}")
+      }
+    }
+    writer.write(geom, props.asInstanceOf[Array[Any]])
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
+    writer.close()
+    fs.rename(tmp, fin)
+    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    try { if (writer != null) writer.close() else out.close() }
+    catch { case scala.util.control.NonFatal(_) => () }
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }

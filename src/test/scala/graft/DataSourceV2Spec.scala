@@ -130,6 +130,31 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(got == (10L to 25L).toSet)
   }
 
+  test("format(flatgeobuf) write: overwrite + append round trip, task-commit parts") {
+    import graft.functions._
+    val dir = Files.createTempDirectory("fgb_w").toFile.getAbsolutePath + "/out"
+    val df = spark.range(100).toDF("id").repartition(3)
+      .withColumn("name", concat(lit("w-"), col("id")))
+      .withColumn("geometry", st_set_srid(
+        st_point(col("id").cast("double"), lit(1.0)), lit(3857)))
+    df.write.format("flatgeobuf").mode("overwrite").save(dir)
+    val back = spark.read.format("flatgeobuf").load(dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum("id")).head().getLong(0) == 4950L)
+    assert(back.select(st_srid(col("geometry"))).head().getInt(0) == 3857)
+    // one committed part per input partition, no leftover temps
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".fgb")) == 3, files.toSeq.toString)
+    assert(!files.exists(_.endsWith(".tmp")))
+    // append adds parts; overwrite replaces them
+    df.limit(10).repartition(1).write.format("flatgeobuf").mode("append").save(dir)
+    assert(spark.read.format("flatgeobuf").load(dir).count() == 110)
+    df.write.format("flatgeobuf").mode("overwrite").save(dir)
+    assert(spark.read.format("flatgeobuf").load(dir).count() == 100)
+    // function-surface reader agrees with the DSv2 write
+    assert(GeoIO.readFlatGeobuf(spark, dir).count() == 100)
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)
