@@ -52,9 +52,27 @@ object CrsRegistry {
     custom.put(code, (parseWkt(wkt), wkt))
 
   /** Remove a JVM-local registration made with [[register]]. A code that
-    * also arrives via [[ConfKey]] will be re-registered lazily on next
-    * lookup (conf entries use putIfAbsent, explicit registrations win). */
-  def unregister(code: Int): Unit = custom.remove(code)
+    * also arrives via [[ConfKey]] is re-registered here immediately from
+    * the conf (conf entries otherwise load only once per JVM, so a lazy
+    * "next lookup restores it" contract would be false — the entry would
+    * stay gone). */
+  def unregister(code: Int): Unit = {
+    custom.remove(code)
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null) {
+      env.conf.get(ConfKey, "").split(";;").iterator.map(_.trim)
+        .filter(_.nonEmpty)
+        .find { entry => // same entry grammar as ensureConf
+          val eq = entry.indexOf('=')
+          eq > 0 && scala.util.Try(entry.substring(0, eq).trim.toInt)
+            .toOption.contains(code)
+        }
+        .foreach { entry =>
+          val wkt = entry.substring(entry.indexOf('=') + 1)
+          custom.putIfAbsent(code, (parseWkt(wkt), wkt))
+        }
+    }
+  }
 
   def registered(code: Int): Option[Crs] = { ensureConf(); Option(custom.get(code)).map(_._1) }
 

@@ -1231,11 +1231,9 @@ object EpsgDb {
     }
 
     // NAD27 (Clarke 1866; single-Helmert fallback — the same meter-level
-    // transform proj applies without NADCON grid files)
+    // transform proj applies without NADCON grid files). The UTM zone
+    // loop lives once, in the r10 tranche below (zones 1N-22N).
     add(4267, (Geographic(Clarke1866), Some(Nad27), "NAD27"))
-    for (z <- 10 to 19)
-      add(26700 + z, (TMerc(Clarke1866, 0, -183 + 6 * z, 0.9996, 500000, 0),
-        Some(Nad27), s"NAD27 / UTM zone ${z}N"))
 
     // Czech + Slovak S-JTSK (Krovak oblique conformal conic on Bessel,
     // East-North axis variant; origin longitude 24°50' E Greenwich

@@ -1040,17 +1040,31 @@ object GeoIO {
           FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
         } catch { case e: Throwable => out.close(); throw e }
       } else {
+        // the header SRID comes from the FIRST NON-NULL geometry: rows
+        // before it (null geometries — tiny, property arrays only) are
+        // buffered so a null-first partition doesn't stamp SRID 0 on a
+        // file whose real geometries all carry one
         var writer: FlatGeobuf.Writer = null
+        var leading: scala.collection.mutable.ArrayBuffer[Array[Any]] = null
+        def ensureWriter(srid: Int): Unit = {
+          writer = new FlatGeobuf.Writer(out, cols, srid)
+          if (leading != null) { leading.foreach(writer.write(null, _)); leading = null }
+        }
         try {
           rows.foreach { row =>
             val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
             val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-            if (writer == null)
-              writer = new FlatGeobuf.Writer(out, cols,
-                if (geom == null) 0 else geom.getSRID)
-            writer.write(geom, Array.tabulate(cols.length)(i => row.get(i + 1)))
+            val props = Array.tabulate[Any](cols.length)(i => row.get(i + 1))
+            if (writer == null && geom == null) {
+              if (leading == null)
+                leading = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+              leading += props
+            } else {
+              if (writer == null) ensureWriter(geom.getSRID)
+              writer.write(geom, props)
+            }
           }
-          if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
+          if (writer == null) ensureWriter(0) // empty or all-null partition
         } finally {
           if (writer != null) writer.close() else out.close()
         }

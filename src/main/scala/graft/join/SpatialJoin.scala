@@ -551,6 +551,10 @@ object SpatialJoin {
       mode: String = "overwrite", geoMetadata: Boolean = true): Unit = {
     require(!df.columns.contains(CellCol),
       s"writeSpatialBucketed: input already has a $CellCol column")
+    // DataFrameWriter.mode(String) is case-insensitive — normalize so the
+    // grid-consistency and stamp branches below agree with what Spark
+    // will actually do for "Overwrite"/"Append"/"Ignore"
+    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
     val spark0 = df.sparkSession
     val tableId = spark0.sessionState.sqlParser.parseTableIdentifier(table)
     // a non-overwrite onto an existing store must not silently re-grid it:
@@ -562,7 +566,7 @@ object SpatialJoin {
     // join time). Checked BEFORE any write so a bad call leaves the store
     // intact.
     val existedBefore = spark0.sessionState.catalog.tableExists(tableId)
-    if (mode != "overwrite" && existedBefore) {
+    if (modeNorm != "overwrite" && existedBefore) {
       val existing = spark0.sessionState.catalog.getTableMetadata(tableId).properties
       existing.get(CellSizeProp).foreach { prev =>
         require(prev.toDouble == cellSize,
@@ -577,7 +581,7 @@ object SpatialJoin {
     }
     val cs = cellSize
     val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs))
-    val stamp = geoMetadata && mode == "overwrite"
+    val stamp = geoMetadata && modeNorm == "overwrite"
     val obs = new org.apache.spark.sql.Observation()
     val source = if (stamp) {
       val aggs = graft.io.GeoIO.geoStatsAggs(geom)
@@ -601,7 +605,7 @@ object SpatialJoin {
     // either. (error/errorifexists over an existing table throws in
     // saveAsTable, so this line is only reachable when a write happened
     // or the grids were verified identical — skip the no-op restamp.)
-    val wrote = mode == "overwrite" || mode == "append" || !existedBefore
+    val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
     if (wrote) {
       val quoted = table.split('.').map(p => s"`$p`").mkString(".")
       spark0.sql(

@@ -76,26 +76,27 @@ private[sources] object FlatGeobufDataSource {
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // write to a fresh path: no header to read — the table carries the
-    // frame's schema and zero read partitions
-    if (!fs.exists(hadoopPath)) {
-      val schema = writeSchema.getOrElse(throw new IllegalArgumentException(
-        s"flatgeobuf: $path does not exist (reads need an existing file/dir)"))
-      return new FgbWritableTable(path, Seq.empty, schema, geometryName,
-        bbox, conf, iterate)
-    }
     val files: Seq[String] =
-      if (fs.getFileStatus(hadoopPath).isDirectory) {
-        val l = fs.listStatus(hadoopPath).map(_.getPath).toSeq
-          .filter(_.getName.endsWith(".fgb")).sortBy(_.getName)
-        require(l.nonEmpty, s"no .fgb files in $path")
-        l.map(_.toString)
-      } else Seq(path)
-    val in = fs.open(new org.apache.hadoop.fs.Path(files.head))
-    val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
-    val schema = StructType(
-      StructField(geometryName, BinaryType, nullable = true) +:
-        header.columns.map(c => StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
+      if (!fs.exists(hadoopPath)) Seq.empty
+      else if (fs.getFileStatus(hadoopPath).isDirectory)
+        fs.listStatus(hadoopPath).map(_.getPath).toSeq
+          .filter(_.getName.endsWith(".fgb")).sortBy(_.getName).map(_.toString)
+      else Seq(path)
+    // an explicit schema wins (the DSv2 contract when
+    // supportsExternalMetadata is true): for writes it is the frame's
+    // schema — an overwrite onto stale parts with a DIFFERENT schema
+    // must resolve against the data being written, not the old files —
+    // and a schema-specified read simply trusts the caller
+    val schema = writeSchema.getOrElse {
+      require(files.nonEmpty, if (fs.exists(hadoopPath))
+        s"no .fgb files in $path" else
+        s"flatgeobuf: $path does not exist (reads need an existing file/dir)")
+      val in = fs.open(new org.apache.hadoop.fs.Path(files.head))
+      val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
+      StructType(
+        StructField(geometryName, BinaryType, nullable = true) +:
+          header.columns.map(c => StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
+    }
     new FgbWritableTable(path, files.map(GeoDsv2.GeoPart(_)), schema,
       geometryName, bbox, conf, iterate)
   }
@@ -194,6 +195,20 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
   private val out = fs.create(tmp, true)
   private var writer: FlatGeobuf.Writer = null
   private var srid = -1
+  // the file header carries the SRID and is written at Writer creation,
+  // so rows arriving BEFORE the first non-null geometry (whose SRID
+  // decides the header) are buffered — null geometries carry only their
+  // property arrays, so the buffer is tiny, and an all-null partition
+  // flushes with SRID 0 at commit
+  private var leadingNulls: scala.collection.mutable.ArrayBuffer[Array[Any]] = null
+
+  private def ensureWriter(headerSrid: Int): Unit = {
+    writer = new FlatGeobuf.Writer(out, cols, math.max(headerSrid, 0))
+    if (leadingNulls != null) {
+      leadingNulls.foreach(p => writer.write(null, p))
+      leadingNulls = null
+    }
+  }
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     val geoBytes =
@@ -204,8 +219,6 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
       else if (geom.getSRID != srid) throw new IllegalArgumentException(
         s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
     }
-    if (writer == null)
-      writer = new FlatGeobuf.Writer(out, cols, math.max(srid, 0))
     val props = propFields.map { case (f, i) =>
       if (row.isNullAt(i)) null
       else f.dataType match {
@@ -221,12 +234,21 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
         case other => throw new IllegalArgumentException(
           s"flatgeobuf: unsupported write type $other for ${f.name}")
       }
+    }.asInstanceOf[Array[Any]]
+    if (writer == null) {
+      if (geom == null) {
+        if (leadingNulls == null)
+          leadingNulls = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+        leadingNulls += props
+        return
+      }
+      ensureWriter(srid)
     }
-    writer.write(geom, props.asInstanceOf[Array[Any]])
+    writer.write(geom, props)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
+    if (writer == null) ensureWriter(0) // empty or all-null partition
     writer.close()
     fs.rename(tmp, fin)
     new org.apache.spark.sql.connector.write.WriterCommitMessage {}

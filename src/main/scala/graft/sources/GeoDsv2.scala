@@ -148,8 +148,15 @@ private[sources] class GeoPartitionReader(part: GeoDsv2.GeoPart,
     if (n == geometryName) -1
     else fullSchema.fieldIndex(n) - 1 // fullSchema = geometry +: properties
   }
-  private val evals: Array[(String, Any) => Boolean] =
-    pushed.map(GeoFilterEval.compile)
+  // filter plan, fully resolved at construction: per pushed filter, its
+  // compiled eval and each referenced column's (name, property index) —
+  // fieldIndex lookups and Filter.references allocation are loop-invariant
+  // and must not run per row in the scan's hot path
+  private val filterPlan: Array[((String, Any) => Boolean, Array[(String, Int)])] =
+    pushed.map { f =>
+      (GeoFilterEval.compile(f),
+        f.references.map(n => (n, fullSchema.fieldIndex(n) - 1)))
+    }
 
   private val it: Iterator[(Geometry, Array[Any])] = iterate(part, conf, bbox)
 
@@ -157,14 +164,14 @@ private[sources] class GeoPartitionReader(part: GeoDsv2.GeoPart,
 
   private def passes(props: Array[Any]): Boolean = {
     var i = 0
-    while (i < pushed.length) {
-      val refs = pushed(i).references
+    while (i < filterPlan.length) {
+      val (eval, refs) = filterPlan(i)
       var ok = true
       var j = 0
       while (ok && j < refs.length) {
-        val colIdx = fullSchema.fieldIndex(refs(j))
-        val v = if (colIdx == 0) null else props(colIdx - 1)
-        ok = evals(i)(refs(j), v)
+        val (name, propIdx) = refs(j)
+        val v = if (propIdx < 0) null else props(propIdx)
+        ok = eval(name, v)
         j += 1
       }
       if (!ok) return false

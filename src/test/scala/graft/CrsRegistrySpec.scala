@@ -351,6 +351,31 @@ class CrsRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("r10: unregister restores a ConfKey registration immediately") {
+    // force a Spark env (TestSpark), plant a conf entry, shadow it with an
+    // explicit registration, then unregister — the conf WKT must be back
+    TestSpark.spark
+    val confWkt = EpsgDb.wkt(32119).get.replace(""""EPSG","32119"""", """"EPSG","990777"""")
+    val env = org.apache.spark.SparkEnv.get
+    assert(env != null)
+    val prev = env.conf.get(CrsRegistry.ConfKey, "")
+    env.conf.set(CrsRegistry.ConfKey,
+      (if (prev.isEmpty) "" else prev + ";;") + s"990777=$confWkt")
+    try {
+      val override_ = EpsgDb.wkt(27700).get.replace(""""EPSG","27700"""", """"EPSG","990777"""")
+      CrsRegistry.register(990777, override_)
+      assert(CrsRegistry.registeredWkt(990777).contains(override_))
+      CrsRegistry.unregister(990777)
+      assert(CrsRegistry.registeredWkt(990777).contains(confWkt),
+        "conf-sourced registration not restored after unregister")
+    } finally {
+      CrsRegistry.unregister(990777)
+      if (prev.isEmpty) env.conf.remove(CrsRegistry.ConfKey)
+      else env.conf.set(CrsRegistry.ConfKey, prev)
+      CrsRegistry.unregister(990777) // drop the conf copy too, now that the conf entry is gone
+    }
+  }
+
   test("r10: Hotine OM / Polyconic WKT parse; ESRI azimuth-90 is somerc") {
     // the engine's own synthesized WKT for the new r10 projections must
     // round-trip through the parser to the same transform — the contract

@@ -155,6 +155,25 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(GeoIO.readFlatGeobuf(spark, dir).count() == 100)
   }
 
+  test("write: null-first partition still stamps the real SRID; empty pre-made dir works") {
+    import graft.functions._
+    val dir = Files.createTempDirectory("fgb_w2").toFile.getAbsolutePath + "/out"
+    new java.io.File(dir).mkdirs() // pre-created EMPTY target dir
+    // single partition whose FIRST row has a null geometry
+    val df = spark.range(10).toDF("id").coalesce(1)
+      .withColumn("geometry", when(col("id") === 0, lit(null).cast("binary"))
+        .otherwise(st_set_srid(st_point(col("id").cast("double"), lit(0.0)), lit(27700))))
+      .sortWithinPartitions(col("id"))
+    df.write.format("flatgeobuf").mode("overwrite").save(dir)
+    val back = spark.read.format("flatgeobuf").load(dir)
+    assert(back.count() == 10)
+    assert(back.filter(col("geometry").isNull).count() == 1)
+    // header SRID must come from the first NON-NULL geometry, not the
+    // null-first row
+    assert(back.filter(col("geometry").isNotNull)
+      .select(st_srid(col("geometry"))).distinct().head().getInt(0) == 27700)
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)

@@ -388,8 +388,10 @@ class SpatialJoinSpec extends AnyFunSuite {
         .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
         .properties(SpatialJoin.CellSizeProp)
       assert(stampedCell.toDouble === 8.0)
-      // mismatched grid: ignore AND append both refuse up front
-      for (m <- Seq("ignore", "append")) {
+      // mismatched grid: ignore AND append both refuse up front —
+      // including CAPITALIZED spellings (DataFrameWriter.mode(String) is
+      // case-insensitive, so the guards must normalize too)
+      for (m <- Seq("ignore", "append", "Ignore", "APPEND")) {
         val e = intercept[IllegalArgumentException] {
           SpatialJoin.writeSpatialBucketed(boxes, t, cellSize = 4.0,
             buckets = 4, mode = m)
@@ -412,6 +414,11 @@ class SpatialJoinSpec extends AnyFunSuite {
         .withColumn("c", explode(udf((b: Array[Byte]) =>
           SpatialJoin.gridCellsOf(b, 8.0)).apply($"geometry"))).count(),
         "ignore over an existing store must not have written rows")
+      // capitalized Overwrite IS an overwrite to Spark: the re-grid must
+      // be allowed and the stamp must follow the new grid
+      SpatialJoin.writeSpatialBucketed(boxes, t, cellSize = 4.0,
+        buckets = 4, mode = "Overwrite")
+      assert(stampedCell.toDouble === 4.0, "capitalized Overwrite not restamped")
     } finally SpatialJoin.dropBucketedTable(spark, t)
   }
 
