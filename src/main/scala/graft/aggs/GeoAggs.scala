@@ -32,10 +32,24 @@ import scala.jdk.CollectionConverters._
 object GeoAggs {
 
   // Buffer-compaction threshold: buffers exceeding this many geometries
-  // collapse to one (bounded executor memory per group). 512 keeps typical
-  // groups compaction-free — an intermediate union is O(buffer) JTS work,
-  // and re-running it every 64 rows measured ~5× slower wide-group aggs.
-  private val CompactAt = 512
+  // collapse to one. Compaction exists ONLY to bound executor memory —
+  // every firing is pure O(buffer) JTS overhead the finish-time union
+  // would have done anyway — so the count threshold sits high and a
+  // BYTE backstop (checked every 128 appends) catches the
+  // few-huge-geometries case the count cannot see. r10 cadence sweep on
+  // the 10× fixture (1024 groups × ~1.5k rects): compactAt 128 → 40.6 s,
+  // 512 → 17.3 s, 2048 → 8.6 s — each halving of compaction frequency
+  // ~halves the key, because mid-stream unions re-union an ever-growing
+  // multipolygon. Overridable via GRAFT_AGGS_COMPACT_AT /
+  // -Dgraft.aggs.compactAt (read once at class init).
+  private val CompactAt =
+    sys.env.get("GRAFT_AGGS_COMPACT_AT")
+      .orElse(sys.props.get("graft.aggs.compactAt"))
+      .map(_.toInt).getOrElse(2048)
+  // byte backstop per group buffer (pre-compaction estimate of EWKB
+  // payload held): 16 MiB keeps worst-case ObjectHashAggregate maps well
+  // inside executor memory even with thousands of concurrent groups
+  private val CompactBytes = 16L << 20
 
   private def fact: GeometryFactory = EWKB.geometryFactory
   private def emptyGC: Array[Byte] = EWKB.write(GeoCodec.emptyCollection)
@@ -93,13 +107,21 @@ object GeoAggs {
       * compaction (for order- or multiplicity-sensitive finishes). */
     protected def compactBuffer(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = b
     final def zero: ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
+    /** Count threshold, plus the byte backstop sampled every 128 appends
+      * (an O(buffer) length sum then — amortized O(1) per row). */
+    private def maybeCompact(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
+      if (b.length >= CompactAt ||
+          ((b.length & 127) == 0 && b.length > 0 &&
+            b.iterator.map(g => if (g == null) 0L else g.length.toLong).sum >= CompactBytes))
+        compactBuffer(b)
+      else b
     final def reduce(b: ArrayBuffer[Array[Byte]], a: Array[Byte]): ArrayBuffer[Array[Byte]] = {
       if (a != null) b += a
-      if (b.length >= CompactAt) compactBuffer(b) else b
+      maybeCompact(b)
     }
     final def merge(b1: ArrayBuffer[Array[Byte]], b2: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = {
       b1 ++= b2
-      if (b1.length >= CompactAt) compactBuffer(b1) else b1
+      maybeCompact(b1)
     }
     def bufferEncoder: Encoder[ArrayBuffer[Array[Byte]]] =
       Encoders.kryo[ArrayBuffer[Array[Byte]]]
