@@ -45,7 +45,14 @@ object GeoAggs {
   private val CompactAt =
     sys.env.get("GRAFT_AGGS_COMPACT_AT")
       .orElse(sys.props.get("graft.aggs.compactAt"))
-      .map(_.toInt).getOrElse(2048)
+      .map { s =>
+        val v = try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GRAFT_AGGS_COMPACT_AT must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"GRAFT_AGGS_COMPACT_AT must be positive, got $v")
+        v
+      }.getOrElse(2048)
   // byte backstop per group buffer (pre-compaction estimate of EWKB
   // payload held): 16 MiB keeps worst-case ObjectHashAggregate maps well
   // inside executor memory even with thousands of concurrent groups
@@ -107,21 +114,30 @@ object GeoAggs {
       * compaction (for order- or multiplicity-sensitive finishes). */
     protected def compactBuffer(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = b
     final def zero: ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
-    /** Count threshold, plus the byte backstop sampled every 128 appends
-      * (an O(buffer) length sum then — amortized O(1) per row). */
-    private def maybeCompact(b: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] =
-      if (b.length >= CompactAt ||
-          ((b.length & 127) == 0 && b.length > 0 &&
-            b.iterator.map(g => if (g == null) 0L else g.length.toLong).sum >= CompactBytes))
-        compactBuffer(b)
-      else b
+    /** Count threshold, plus the byte backstop. The byte sum (O(buffer)
+      * length reads) runs when any of these fire — each chosen so the
+      * few-huge-geometries case the count cap cannot see is caught
+      * without per-row O(buffer) work:
+      *  - every 16 appends (amortized O(1)/row; the count cap bounds the
+      *    sum at CompactAt reads);
+      *  - the appended element alone is ≥ 1 MiB (huge geometries trip
+      *    the check immediately, even in buffers far below 16);
+      *  - after EVERY merge (merged buffers jump over sample points). */
+    private def overBytes(b: ArrayBuffer[Array[Byte]]): Boolean =
+      b.iterator.map(g => if (g == null) 0L else g.length.toLong).sum >= CompactBytes
     final def reduce(b: ArrayBuffer[Array[Byte]], a: Array[Byte]): ArrayBuffer[Array[Byte]] = {
       if (a != null) b += a
-      maybeCompact(b)
+      if (b.length >= CompactAt ||
+          (((b.length & 15) == 0 || (a != null && a.length >= (1 << 20))) &&
+            b.nonEmpty && overBytes(b)))
+        compactBuffer(b)
+      else b
     }
     final def merge(b1: ArrayBuffer[Array[Byte]], b2: ArrayBuffer[Array[Byte]]): ArrayBuffer[Array[Byte]] = {
       b1 ++= b2
-      maybeCompact(b1)
+      if (b1.length >= CompactAt || (b1.nonEmpty && overBytes(b1)))
+        compactBuffer(b1)
+      else b1
     }
     def bufferEncoder: Encoder[ArrayBuffer[Array[Byte]]] =
       Encoders.kryo[ArrayBuffer[Array[Byte]]]

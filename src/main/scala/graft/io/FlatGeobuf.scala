@@ -642,6 +642,60 @@ object FlatGeobuf {
     def close(): Unit = dos.close()
   }
 
+  /** The header-SRID protocol shared by EVERY streaming FGB sink (the
+    * single-file writer, the partitioned writer's per-task streams, the
+    * DSv2 DataWriter): the file header carries the SRID and is written at
+    * [[Writer]] creation, so rows arriving BEFORE the first non-null
+    * geometry are buffered (null geometries carry only their property
+    * arrays — tiny); the first real geometry decides the header SRID;
+    * any later geometry with a DIFFERENT SRID raises (the reference
+    * rejects mixed SRIDs, `geodataframe.py:385-491`); an all-null or
+    * empty stream flushes with SRID 0 at [[close]]. One implementation —
+    * the three sinks previously carried drifting copies of this logic. */
+  final class StreamWriter(out: OutputStream, columns: Seq[Col]) {
+    private var writer: Writer = null
+    private var srid = -1
+    private var leading: scala.collection.mutable.ArrayBuffer[Array[Any]] = null
+
+    private def ensure(headerSrid: Int): Unit = {
+      writer = new Writer(out, columns, math.max(headerSrid, 0))
+      if (leading != null) {
+        leading.foreach(writer.write(null, _))
+        leading = null
+      }
+    }
+
+    def write(geom: Geometry, props: Array[Any]): Unit = {
+      if (geom != null) {
+        if (srid == -1) srid = geom.getSRID
+        else if (geom.getSRID != srid) throw new IllegalArgumentException(
+          s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+      }
+      if (writer == null) {
+        if (geom == null) {
+          if (leading == null)
+            leading = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+          leading += props
+          return
+        }
+        ensure(srid)
+      }
+      writer.write(geom, props)
+    }
+
+    /** Close the underlying stream; an empty/all-null stream gets its
+      * (SRID 0) header here. */
+    def close(): Unit = {
+      if (writer == null) ensure(0)
+      writer.close()
+    }
+
+    /** Close WITHOUT flushing buffered rows or writing a header — for
+      * abort paths that will delete the output anyway. */
+    def abortClose(): Unit =
+      if (writer != null) writer.close() else out.close()
+  }
+
   /** Parse a whole .fgb byte array → (header, features iterator).
     * `skip` hops that many size-prefixed feature records without
     * decoding their flatbuffers (scan-level skip_features). */

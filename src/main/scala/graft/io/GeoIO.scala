@@ -978,25 +978,21 @@ object GeoIO {
       } catch { case e: Throwable => out.close(); throw e }
       return
     }
-    var writer: FlatGeobuf.Writer = null
-    var srid = -1
+    // shared streaming sink protocol (leading-null buffering, header SRID
+    // from the first real geometry, mixed SRIDs raise): FlatGeobuf.StreamWriter
+    val writer = new FlatGeobuf.StreamWriter(out, cols)
     val it = ordered.toLocalIterator()
+    var ok = false
     try {
       while (it.hasNext) {
         val row = it.next()
         val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
         val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-        if (writer == null) {
-          srid = if (geom == null) 0 else geom.getSRID
-          writer = new FlatGeobuf.Writer(out, cols, srid)
-        } else if (geom != null && geom.getSRID != srid)
-          throw new IllegalArgumentException(
-            s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
-        writer.write(geom, Array.tabulate(cols.length)(i => row.get(i + 1)))
+        writer.write(geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
       }
-      if (writer == null) writer = new FlatGeobuf.Writer(out, cols, 0)
+      ok = true
     } finally {
-      if (writer != null) writer.close() else out.close()
+      if (ok) writer.close() else writer.abortClose()
     }
   }
 
@@ -1040,33 +1036,21 @@ object GeoIO {
           FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
         } catch { case e: Throwable => out.close(); throw e }
       } else {
-        // the header SRID comes from the FIRST NON-NULL geometry: rows
-        // before it (null geometries — tiny, property arrays only) are
-        // buffered so a null-first partition doesn't stamp SRID 0 on a
-        // file whose real geometries all carry one
-        var writer: FlatGeobuf.Writer = null
-        var leading: scala.collection.mutable.ArrayBuffer[Array[Any]] = null
-        def ensureWriter(srid: Int): Unit = {
-          writer = new FlatGeobuf.Writer(out, cols, srid)
-          if (leading != null) { leading.foreach(writer.write(null, _)); leading = null }
-        }
+        // shared streaming sink protocol — see FlatGeobuf.StreamWriter
+        // (leading-null buffering; mixed SRIDs now raise here too,
+        // matching the indexed branch, the single-file writer and the
+        // DSv2 DataWriter)
+        val writer = new FlatGeobuf.StreamWriter(out, cols)
+        var ok = false
         try {
           rows.foreach { row =>
             val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
             val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-            val props = Array.tabulate[Any](cols.length)(i => row.get(i + 1))
-            if (writer == null && geom == null) {
-              if (leading == null)
-                leading = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
-              leading += props
-            } else {
-              if (writer == null) ensureWriter(geom.getSRID)
-              writer.write(geom, props)
-            }
+            writer.write(geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
           }
-          if (writer == null) ensureWriter(0) // empty or all-null partition
+          ok = true
         } finally {
-          if (writer != null) writer.close() else out.close()
+          if (ok) writer.close() else writer.abortClose()
         }
       }
     }

@@ -103,12 +103,19 @@ private[sources] object FlatGeobufDataSource {
 }
 
 /** [[GeoTable]] + the DSv2 write path:
-  * `df.write.format("flatgeobuf").mode("overwrite").save(dir)` mirrors
-  * [[GeoIO.writeFlatGeobufPartitioned]] — one .fgb part per input
+  * `df.write.format("flatgeobuf").mode("overwrite"|"append").save(dir)`
+  * mirrors [[GeoIO.writeFlatGeobufPartitioned]] — one .fgb part per input
   * partition, written executor-side with the streaming codec (no driver
-  * funnel), task-commit renames making retries safe. `mode("append")`
-  * adds part files (task-unique names); overwrite truncates existing
-  * .fgb parts first. */
+  * funnel) — under a JOB-commit protocol: tasks write invisible
+  * `.fgb.tmp` files named with the write's queryId (no cross-application
+  * collisions), and only `BatchWrite.commit` makes them visible —
+  * truncating old parts first for overwrite — so a failed job leaves the
+  * directory EXACTLY as it was (never a mix of old and new parts). This
+  * also makes self-overwrite (`read dir → transform → overwrite dir`)
+  * safe: the input files outlive every read task and are replaced only
+  * at job commit. Appends validate the frame's property columns against
+  * the stored header (positional decode — a silent schema drift would
+  * scramble columns on read). */
 private[sources] class FgbWritableTable(path: String,
     parts: Seq[GeoDsv2.GeoPart], tableSchema: StructType, geometryName: String,
     bbox: Option[(Double, Double, Double, Double)],
@@ -123,11 +130,11 @@ private[sources] class FgbWritableTable(path: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
-    new FgbWriteBuilder(path, info.schema(), geometryName, conf)
+    new FgbWriteBuilder(path, info.schema(), info.queryId(), geometryName, conf)
 }
 
 private[sources] class FgbWriteBuilder(path: String, schema: StructType,
-    geometryName: String, conf: SerializableConfiguration)
+    queryId: String, geometryName: String, conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -135,11 +142,15 @@ private[sources] class FgbWriteBuilder(path: String, schema: StructType,
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new FgbWrite(path, schema, geometryName, conf, doTruncate)
+    new FgbWrite(path, schema, queryId, geometryName, conf, doTruncate)
 }
 
+private[sources] case class FgbCommit(tmp: String, fin: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
 private[sources] class FgbWrite(path: String, schema: StructType,
-    geometryName: String, conf: SerializableConfiguration, truncate: Boolean)
+    queryId: String, geometryName: String, conf: SerializableConfiguration,
+    truncate: Boolean)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -152,32 +163,85 @@ private[sources] class FgbWrite(path: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf.value)
+    // append onto existing parts: the reader decodes property arrays
+    // POSITIONALLY against the first file's header, so the frame's
+    // property columns must match the stored ones exactly
+    if (!truncate && fs.exists(dir)) {
+      val existing =
+        if (fs.getFileStatus(dir).isDirectory)
+          fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".fgb"))
+            .sortBy(_.getName).headOption
+        else Some(dir)
+      existing.foreach { first =>
+        val in = fs.open(first)
+        val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
+        val writeCols = schema.fields.filter(_.name != geometryName)
+          .map(f => FlatGeobuf.Col(f.name, GeoIO.fgbTypeFor(f.dataType))).toSeq
+        require(writeCols == header.columns,
+          s"flatgeobuf append: property columns $writeCols do not match the " +
+            s"stored layout ${header.columns} — positional decode would " +
+            "scramble columns; use mode(\"overwrite\") to re-lay the store")
+      }
+    }
+    fs.mkdirs(dir)
+    new FgbWriterFactory(path, schema, queryId, geometryName, conf)
+  }
+
+  /** Make the job's parts visible atomically-enough: truncate old parts
+    * (overwrite only), then rename every task's committed tmp. Runs after
+    * ALL tasks (including any reads feeding them) have finished. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir))
       fs.listStatus(dir).map(_.getPath)
-        .filter(p => p.getName.endsWith(".fgb") || p.getName.endsWith(".fgb.tmp"))
+        .filter(_.getName.endsWith(".fgb"))
         .foreach(fs.delete(_, false))
-    fs.mkdirs(dir)
-    new FgbWriterFactory(path, schema, geometryName, conf)
+    messages.foreach {
+      case FgbCommit(tmp, fin) =>
+        val t = new org.apache.hadoop.fs.Path(tmp)
+        val f = new org.apache.hadoop.fs.Path(fin)
+        if (!fs.rename(t, f)) throw new java.io.IOException(
+          s"flatgeobuf: failed to commit $tmp -> $fin")
+      case other => throw new IllegalStateException(s"unexpected commit message: $other")
+    }
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    // task-reported tmps, plus a sweep for this query's stragglers
+    messages.foreach {
+      case FgbCommit(tmp, _) =>
+        try fs.delete(new org.apache.hadoop.fs.Path(tmp), false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
+    }
+    if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory)
+      fs.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.contains(queryId) && p.getName.endsWith(".fgb.tmp"))
+        .foreach(p => try fs.delete(p, false)
+          catch { case scala.util.control.NonFatal(_) => () })
+  }
 }
 
 private[sources] class FgbWriterFactory(path: String, schema: StructType,
-    geometryName: String, conf: SerializableConfiguration)
+    queryId: String, geometryName: String, conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
-    new FgbDataWriter(path, schema, geometryName, conf, partitionId, taskId)
+    new FgbDataWriter(path, schema, queryId, geometryName, conf, partitionId, taskId)
 }
 
-/** Per-task streaming writer: rows append to `part-<pid>-<task>.fgb.tmp`
-  * through the incremental codec; task commit renames to the final name,
-  * so a retried task never leaves a half-written visible part. SRID comes
-  * from the first non-null geometry (mixed SRIDs raise, like the function
-  * surface). */
+/** Per-task streaming writer: rows stream into
+  * `part-<pid>-<queryId>.fgb.tmp` (the queryId makes names unique across
+  * applications and retries never collide with committed parts); the
+  * task's commit message hands the (tmp, final) pair to
+  * [[FgbWrite.commit]], which performs the renames at JOB commit. The
+  * header-SRID protocol (leading-null buffering, mixed SRIDs raise) is
+  * the shared [[FlatGeobuf.StreamWriter]]. */
 private[sources] class FgbDataWriter(path: String, schema: StructType,
-    geometryName: String, conf: SerializableConfiguration,
+    queryId: String, geometryName: String, conf: SerializableConfiguration,
     partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.types._
@@ -187,38 +251,21 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
   private val cols = propFields.map { case (f, _) =>
     FlatGeobuf.Col(f.name, GeoIO.fgbTypeFor(f.dataType)) }.toSeq
 
+  // task attempts of the same partition write DISTINCT tmps (taskId in
+  // the tmp name) but the same final name (the committed attempt wins —
+  // Spark commits exactly one)
   private val tmp = new org.apache.hadoop.fs.Path(path,
-    f"part-$partitionId%05d-$taskId.fgb.tmp")
+    f"part-$partitionId%05d-$queryId-$taskId.fgb.tmp")
   private val fin = new org.apache.hadoop.fs.Path(path,
-    f"part-$partitionId%05d-$taskId.fgb")
+    f"part-$partitionId%05d-$queryId.fgb")
   private val fs = tmp.getFileSystem(conf.value)
   private val out = fs.create(tmp, true)
-  private var writer: FlatGeobuf.Writer = null
-  private var srid = -1
-  // the file header carries the SRID and is written at Writer creation,
-  // so rows arriving BEFORE the first non-null geometry (whose SRID
-  // decides the header) are buffered — null geometries carry only their
-  // property arrays, so the buffer is tiny, and an all-null partition
-  // flushes with SRID 0 at commit
-  private var leadingNulls: scala.collection.mutable.ArrayBuffer[Array[Any]] = null
-
-  private def ensureWriter(headerSrid: Int): Unit = {
-    writer = new FlatGeobuf.Writer(out, cols, math.max(headerSrid, 0))
-    if (leadingNulls != null) {
-      leadingNulls.foreach(p => writer.write(null, p))
-      leadingNulls = null
-    }
-  }
+  private val writer = new FlatGeobuf.StreamWriter(out, cols)
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     val geoBytes =
       if (row.isNullAt(geomIdx)) null else row.getBinary(geomIdx)
     val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-    if (geom != null) {
-      if (srid == -1) srid = geom.getSRID
-      else if (geom.getSRID != srid) throw new IllegalArgumentException(
-        s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
-    }
     val props = propFields.map { case (f, i) =>
       if (row.isNullAt(i)) null
       else f.dataType match {
@@ -235,27 +282,16 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
           s"flatgeobuf: unsupported write type $other for ${f.name}")
       }
     }.asInstanceOf[Array[Any]]
-    if (writer == null) {
-      if (geom == null) {
-        if (leadingNulls == null)
-          leadingNulls = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
-        leadingNulls += props
-        return
-      }
-      ensureWriter(srid)
-    }
     writer.write(geom, props)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (writer == null) ensureWriter(0) // empty or all-null partition
     writer.close()
-    fs.rename(tmp, fin)
-    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+    FgbCommit(tmp.toString, fin.toString)
   }
 
   override def abort(): Unit = {
-    try { if (writer != null) writer.close() else out.close() }
+    try writer.abortClose()
     catch { case scala.util.control.NonFatal(_) => () }
     fs.delete(tmp, false)
   }

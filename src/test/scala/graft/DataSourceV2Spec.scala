@@ -174,6 +174,39 @@ class DataSourceV2Spec extends AnyFunSuite {
       .select(st_srid(col("geometry"))).distinct().head().getInt(0) == 27700)
   }
 
+  test("write protocol: append schema guard, self-overwrite, job-unique part names") {
+    import graft.functions._
+    val dir = Files.createTempDirectory("fgb_w3").toFile.getAbsolutePath + "/out"
+    def frame(n: Int) = spark.range(n).toDF("id").repartition(2)
+      .withColumn("name", concat(lit("p-"), col("id")))
+      .withColumn("geometry", st_set_srid(
+        st_point(col("id").cast("double"), lit(2.0)), lit(4326)))
+    frame(50).write.format("flatgeobuf").mode("overwrite").save(dir)
+    // two appends from separate queries: queryId-unique names never
+    // collide, rows accumulate
+    frame(10).write.format("flatgeobuf").mode("append").save(dir)
+    frame(10).write.format("flatgeobuf").mode("append").save(dir)
+    assert(spark.read.format("flatgeobuf").load(dir).count() == 70)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
+    // append with a DIFFERENT property layout must refuse (positional
+    // decode would scramble columns)
+    val bad = spark.range(5).toDF("id")
+      .withColumn("geometry", st_point(col("id").cast("double"), lit(0.0)))
+      .select(col("geometry"), col("id").cast("string").as("name"), col("id"))
+    val e = intercept[Exception] {
+      bad.write.format("flatgeobuf").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("positional decode") ||
+      Option(e.getCause).exists(_.getMessage.contains("positional decode")),
+      s"unexpected: ${e.getMessage}")
+    // self-overwrite: input files are replaced only at job commit, so
+    // read -> transform -> overwrite the same dir is safe
+    spark.read.format("flatgeobuf").load(dir).filter(col("id") < 30)
+      .write.format("flatgeobuf").mode("overwrite").save(dir)
+    val back = spark.read.format("flatgeobuf").load(dir)
+    assert(back.agg(max("id")).head().getLong(0) == 29L)
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)

@@ -110,6 +110,40 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(parts.length == 7)
   }
 
+  test("r10: null-first row keeps the real SRID; mixed SRIDs raise everywhere") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val dir = Files.createTempDirectory("fgb_nullfirst").toFile
+    val single = new java.io.File(dir, "s.fgb").getAbsolutePath
+    // id 0 carries a NULL geometry and sorts first
+    val df = spark.range(6).toDF("id").coalesce(1)
+      .withColumn("geometry", when(col("id") === 0, lit(null).cast("binary"))
+        .otherwise(st_set_srid(st_point(col("id").cast("double"), lit(0.0)), lit(25832))))
+      .sortWithinPartitions(col("id"))
+    GeoIO.writeFlatGeobuf(df, single)
+    val back = GeoIO.readFlatGeobuf(spark, single)
+    assert(back.count() == 6)
+    assert(back.filter(col("geometry").isNull).count() == 1)
+    assert(back.filter(col("geometry").isNotNull)
+      .selectExpr("max(st_srid(geometry))").head().getInt(0) == 25832)
+    // the partitioned non-indexed writer: same protocol
+    val parts = new java.io.File(dir, "parts").getAbsolutePath
+    GeoIO.writeFlatGeobufPartitioned(df, parts)
+    assert(GeoIO.readFlatGeobuf(spark, parts).filter(col("geometry").isNotNull)
+      .selectExpr("max(st_srid(geometry))").head().getInt(0) == 25832)
+    // mixed SRIDs now raise in the streaming (non-indexed) branches too,
+    // matching the indexed branch and the reference's write_file rule
+    val mixed = spark.range(4).toDF("id").coalesce(1)
+      .withColumn("geometry", st_set_srid(
+        st_point(col("id").cast("double"), lit(0.0)),
+        when(col("id") < 2, lit(4326)).otherwise(lit(3857))))
+    val e = intercept[org.apache.spark.SparkException] {
+      GeoIO.writeFlatGeobufPartitioned(mixed, new java.io.File(dir, "mix").getAbsolutePath)
+    }
+    assert(e.getMessage.contains("mixed SRIDs") ||
+      Option(e.getCause).exists(_.getMessage.contains("mixed SRIDs")))
+  }
+
   test("null geometry and empty frame") {
     val out = new java.io.ByteArrayOutputStream()
     val cols = Seq(FlatGeobuf.Col("id", FlatGeobuf.CtInt))
