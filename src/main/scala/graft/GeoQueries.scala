@@ -1203,6 +1203,46 @@ object GeoQueries {
       plain.crossJoin(bktAgg)
     }),
 
+    /** Stream-static spatial join (r10): events become a file-source
+      * stream of points; each micro-batch probes the broadcast prepared
+      * STRtree of a static zone table
+      * ([[graft.streaming.GeoStreaming.sjoinStream]], append mode — a
+      * stateless per-batch enrichment, the standard streaming
+      * geo-enrichment shape). Pins: per-zone counts/sums closed-form in
+      * DuckDB (point x = id%16 + ¼ lies strictly within zone [z, z+1)),
+      * AND batch ≡ stream — the same pairs the batch planner's spatial
+      * join produces (full-outer sym-diff 0). */
+    "geo_stream_sjoin" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"))
+        .withColumn("geometry", graft.functions.st_point(
+          (col("event_id") % 16).cast("double") + 0.25,
+          (col("event_id") % 8).cast("double") + 0.25))
+      val zones = s.range(16).select(col("id").as("zone_id"),
+        graft.functions.st_rectangle(col("id").cast("double"), lit(0.0),
+          col("id").cast("double") + 1.0, lit(8.0)).as("geometry"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sjoin").toString
+      ev.write.mode("overwrite").parquet(tmp + "/in")
+      val streamIn = s.readStream.schema(ev.schema).parquet(tmp + "/in")
+      val joined = graft.streaming.GeoStreaming.sjoinStream(
+        streamIn, zones, "within")
+      val qn = "stream_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(600000), "streaming sjoin drain timed out")
+      val got = s.table(qn).select(col("event_id"), col("zone_id"))
+      val batchPairs = ev.join(zones.withColumnRenamed("geometry", "zgeom"),
+          graft.functions.st_within(col("geometry"), col("zgeom")))
+        .select(col("event_id"), col("zone_id"))
+      val symDiff = got.withColumn("s", lit(1))
+        .join(batchPairs.withColumn("b", lit(1)), Seq("event_id", "zone_id"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      got.groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_event_id"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+        .orderBy(col("zone_id"))
+    }),
+
     "geo_sjoin_grid" -> ((s, dir) => {
       val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
       val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
@@ -1777,6 +1817,12 @@ object GeoQueries {
     "geo_sjoin_quadtree" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same""".stripMargin,
+    "geo_stream_sjoin" ->
+      """SELECT CAST(event_id % 16 AS BIGINT) AS zone_id,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        | CAST(0 AS BIGINT) AS n_sym_diff
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "geo_sjoin_bucketed" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same, TRUE AS shuffle_free""".stripMargin,
