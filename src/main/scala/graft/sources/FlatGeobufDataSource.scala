@@ -130,11 +130,14 @@ private[sources] class FgbWritableTable(path: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
-    new FgbWriteBuilder(path, info.schema(), info.queryId(), geometryName, conf)
+    new FgbWriteBuilder(path, info.schema(), info.queryId(), geometryName,
+      "true".equalsIgnoreCase(info.options().getOrDefault("spatialindex", "false")),
+      conf)
 }
 
 private[sources] class FgbWriteBuilder(path: String, schema: StructType,
-    queryId: String, geometryName: String, conf: SerializableConfiguration)
+    queryId: String, geometryName: String, spatialIndex: Boolean,
+    conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -142,15 +145,15 @@ private[sources] class FgbWriteBuilder(path: String, schema: StructType,
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new FgbWrite(path, schema, queryId, geometryName, conf, doTruncate)
+    new FgbWrite(path, schema, queryId, geometryName, spatialIndex, conf, doTruncate)
 }
 
 private[sources] case class FgbCommit(tmp: String, fin: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class FgbWrite(path: String, schema: StructType,
-    queryId: String, geometryName: String, conf: SerializableConfiguration,
-    truncate: Boolean)
+    queryId: String, geometryName: String, spatialIndex: Boolean,
+    conf: SerializableConfiguration, truncate: Boolean)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
@@ -184,7 +187,7 @@ private[sources] class FgbWrite(path: String, schema: StructType,
       }
     }
     fs.mkdirs(dir)
-    new FgbWriterFactory(path, schema, queryId, geometryName, conf)
+    new FgbWriterFactory(path, schema, queryId, geometryName, spatialIndex, conf)
   }
 
   /** Make the job's parts visible atomically-enough: truncate old parts
@@ -226,11 +229,13 @@ private[sources] class FgbWrite(path: String, schema: StructType,
 }
 
 private[sources] class FgbWriterFactory(path: String, schema: StructType,
-    queryId: String, geometryName: String, conf: SerializableConfiguration)
+    queryId: String, geometryName: String, spatialIndex: Boolean,
+    conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
-    new FgbDataWriter(path, schema, queryId, geometryName, conf, partitionId, taskId)
+    new FgbDataWriter(path, schema, queryId, geometryName, spatialIndex, conf,
+      partitionId, taskId)
 }
 
 /** Per-task streaming writer: rows stream into
@@ -241,8 +246,8 @@ private[sources] class FgbWriterFactory(path: String, schema: StructType,
   * header-SRID protocol (leading-null buffering, mixed SRIDs raise) is
   * the shared [[FlatGeobuf.StreamWriter]]. */
 private[sources] class FgbDataWriter(path: String, schema: StructType,
-    queryId: String, geometryName: String, conf: SerializableConfiguration,
-    partitionId: Int, taskId: Long)
+    queryId: String, geometryName: String, spatialIndex: Boolean,
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.types._
 
@@ -260,7 +265,18 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
     f"part-$partitionId%05d-$queryId.fgb")
   private val fs = tmp.getFileSystem(conf.value)
   private val out = fs.create(tmp, true)
-  private val writer = new FlatGeobuf.StreamWriter(out, cols)
+  // spatialIndex buffers the partition's features executor-side (the
+  // packed Hilbert R-tree needs them all before the header is written —
+  // same per-partition buffering as the function surface); the streaming
+  // path is the default
+  private val writer =
+    if (spatialIndex) null else new FlatGeobuf.StreamWriter(out, cols)
+  private val buffered =
+    if (spatialIndex)
+      scala.collection.mutable.ArrayBuffer
+        .empty[(org.locationtech.jts.geom.Geometry, Array[Any])]
+    else null
+  private var idxSrid = -1
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     val geoBytes =
@@ -282,16 +298,26 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
           s"flatgeobuf: unsupported write type $other for ${f.name}")
       }
     }.asInstanceOf[Array[Any]]
-    writer.write(geom, props)
+    if (spatialIndex) {
+      if (geom != null) {
+        if (idxSrid == -1) idxSrid = geom.getSRID
+        else if (geom.getSRID != idxSrid) throw new IllegalArgumentException(
+          s"flatgeobuf: mixed SRIDs are not supported ($idxSrid vs ${geom.getSRID})")
+      }
+      buffered += ((geom, props))
+    } else writer.write(geom, props)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writer.close()
+    if (spatialIndex) {
+      try FlatGeobuf.writeIndexed(out, cols, math.max(idxSrid, 0), buffered.iterator)
+      catch { case e: Throwable => out.close(); throw e }
+    } else writer.close()
     FgbCommit(tmp.toString, fin.toString)
   }
 
   override def abort(): Unit = {
-    try writer.abortClose()
+    try { if (spatialIndex) out.close() else writer.abortClose() }
     catch { case scala.util.control.NonFatal(_) => () }
     fs.delete(tmp, false)
   }

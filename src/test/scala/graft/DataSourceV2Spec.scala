@@ -207,6 +207,28 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(back.agg(max("id")).head().getLong(0) == 29L)
   }
 
+  test("write option spatialIndex: parts carry the packed R-tree, bbox reads use it") {
+    import graft.functions._
+    val dir = Files.createTempDirectory("fgb_w_idx").toFile.getAbsolutePath + "/out"
+    val df = spark.range(200).toDF("id").repartition(2)
+      .withColumn("geometry", st_set_srid(
+        st_point(col("id").cast("double"), col("id").cast("double")), lit(4326)))
+    df.write.format("flatgeobuf").option("spatialIndex", "true")
+      .mode("overwrite").save(dir)
+    // every part advertises an index (node size > 0 in its header)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    for (f <- new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fgb"))) {
+      val in = fs.open(new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+      val h = try graft.io.FlatGeobuf.readHeaderFrom(in) finally in.close()
+      assert(h.indexNodeSize > 0, s"${f.getName}: no spatial index in header")
+    }
+    // bbox read over the indexed parts: exact answer
+    val got = spark.read.format("flatgeobuf").option("bbox", "50,50,80,80")
+      .load(dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (50L to 80L).toSet)
+    assert(spark.read.format("flatgeobuf").load(dir).count() == 200)
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)
