@@ -1220,17 +1220,9 @@ object GeoQueries {
       val zones = s.range(16).select(col("id").as("zone_id"),
         graft.functions.st_rectangle(col("id").cast("double"), lit(0.0),
           col("id").cast("double") + 1.0, lit(8.0)).as("geometry"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sjoin").toString
-      ev.write.mode("overwrite").parquet(tmp + "/in")
-      val streamIn = s.readStream.schema(ev.schema).parquet(tmp + "/in")
-      val joined = graft.streaming.GeoStreaming.sjoinStream(
-        streamIn, zones, "within")
-      val qn = "stream_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = joined.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      require(q.awaitTermination(600000), "streaming sjoin drain timed out")
-      val got = s.table(qn).select(col("event_id"), col("zone_id"))
+      val got = graft.streaming.StreamDrain.availableNow(s, ev, "stream_sjoin",
+          in => graft.streaming.GeoStreaming.sjoinStream(in, zones, "within"))
+        .select(col("event_id"), col("zone_id"))
       val batchPairs = ev.join(zones.withColumnRenamed("geometry", "zgeom"),
           graft.functions.st_within(col("geometry"), col("zgeom")))
         .select(col("event_id"), col("zone_id"))

@@ -115,17 +115,10 @@ object PipelineQueries {
     // closed-form oracle.
     "pipe_stream_minhash" -> ((s, dir) => {
       val all = docsWithDups(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      all.write.mode("overwrite").parquet(tmp + "/in")
-      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
-      val hits = graft.streaming.DedupStreaming.nearDupMinhashStream(
-        streamIn, "doc_id", "text", threshold = 1.0)
-      val qn = "stream_minhash_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = hits.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      require(q.awaitTermination(600000), "streaming minhash drain timed out")
-      val pairs = s.table(qn).dropDuplicates("id_a", "id_b")
+      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_minhash",
+          in => graft.streaming.DedupStreaming.nearDupMinhashStream(
+            in, "doc_id", "text", threshold = 1.0).toDF())
+        .dropDuplicates("id_a", "id_b")
       val fps = all.select(col("doc_id").as("id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       val batchPairs = Dedup.nearDupMinhash(all, "doc_id", "text", threshold = 1.0)
@@ -146,17 +139,10 @@ object PipelineQueries {
     // to 0, and the identical-fingerprint pair count is closed-form.
     "pipe_stream_simhash" -> ((s, dir) => {
       val all = docsWithDups(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      all.write.mode("overwrite").parquet(tmp + "/in")
-      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
-      val hits = graft.streaming.DedupStreaming.nearDupSimhashStream(
-        streamIn, "doc_id", "text", maxHamming = 3)
-      val qn = "stream_simhash_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = hits.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      require(q.awaitTermination(600000), "streaming simhash drain timed out")
-      val pairs = s.table(qn).dropDuplicates("id_a", "id_b")
+      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_simhash",
+          in => graft.streaming.DedupStreaming.nearDupSimhashStream(
+            in, "doc_id", "text", maxHamming = 3).toDF())
+        .dropDuplicates("id_a", "id_b")
       val fps = all.select(col("doc_id").as("id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       val batchPairs = Dedup.nearDupSimhash(all, "doc_id", "text", maxHamming = 3)
@@ -179,17 +165,10 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val all = e.unionAll(
         e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      all.write.mode("overwrite").parquet(tmp + "/in")
-      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
-      val hits = graft.streaming.DedupStreaming.nearDupEmbeddingStream(
-        streamIn, "vec_id", "embedding", threshold = 0.9999)
-      val qn = "stream_emb_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = hits.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      require(q.awaitTermination(600000), "streaming embedding drain timed out")
-      val pairs = s.table(qn).dropDuplicates("id_a", "id_b")
+      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_emb",
+          in => graft.streaming.DedupStreaming.nearDupEmbeddingStream(
+            in, "vec_id", "embedding", threshold = 0.9999).toDF())
+        .dropDuplicates("id_a", "id_b")
       val batchPairs = Dedup.nearDupEmbedding(all, "vec_id", "embedding",
         threshold = 0.9999).select("id_a", "id_b")
       val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
@@ -446,17 +425,9 @@ object PipelineQueries {
         .select(lit(-1L).as("doc_id"), lit(null).cast("binary").as("wav"),
           timestamp_seconds(lit(sentinelTs)).as("ts"))
       val all = base.unionByName(sentinel)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_audio").toString
-      all.write.mode("overwrite").parquet(tmp + "/in")
-      val streamIn = s.readStream.schema(all.schema).parquet(tmp + "/in")
-      val streamed = graft.streaming.MultimodalStreaming.spectralWindowed(
-        streamIn, "wav", "ts", "4 minutes")
-      val qn = "stream_audio_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = streamed.writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      require(q.awaitTermination(600000), "streaming audio drain timed out")
-      val got = s.table(qn)
+      val got = graft.streaming.StreamDrain.availableNow(s, all, "stream_audio",
+          in => graft.streaming.MultimodalStreaming.spectralWindowed(
+            in, "wav", "ts", "4 minutes"))
         .filter(col("win_start") < timestamp_seconds(lit(sentinelTs)))
       val batch = graft.streaming.MultimodalStreaming.spectralWindowed(
         base, "wav", "ts", "4 minutes")

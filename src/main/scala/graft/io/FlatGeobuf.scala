@@ -260,11 +260,28 @@ object FlatGeobuf {
       nodeSize: Int = 16, name: String = "graft"): Unit = {
     val encoded = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], org.locationtech.jts.geom.Envelope)]
     features.foreach { case (g, props) =>
-      val b = new FlatBuf.Builder(512)
-      val bytes = buildFeature(b, g, writeProperties(props, columns))
-      val env = if (g == null || g.isEmpty) null else g.getEnvelopeInternal
-      encoded += ((bytes, env))
+      encoded += encodeFeature(g, props, columns)
     }
+    writeIndexedEncoded(out, columns, srid, encoded, nodeSize, name)
+  }
+
+  /** One feature → (flatbuffer bytes, envelope-or-null) — the encoded
+    * form [[writeIndexedEncoded]] consumes. Exposed so buffering sinks
+    * ([[IndexedStreamWriter]]) can encode features AS THEY ARRIVE and
+    * drop the JTS geometry + boxed properties immediately, instead of
+    * holding both the raw and encoded forms at commit. */
+  def encodeFeature(g: Geometry, props: Array[Any],
+      columns: Seq[Col]): (Array[Byte], org.locationtech.jts.geom.Envelope) = {
+    val b = new FlatBuf.Builder(512)
+    val bytes = buildFeature(b, g, writeProperties(props, columns))
+    (bytes, if (g == null || g.isEmpty) null else g.getEnvelopeInternal)
+  }
+
+  /** The index-building back half of [[writeIndexed]] over pre-encoded
+    * features. Closes `out`. */
+  def writeIndexedEncoded(out: OutputStream, columns: Seq[Col], srid: Int,
+      encoded: scala.collection.mutable.ArrayBuffer[(Array[Byte], org.locationtech.jts.geom.Envelope)],
+      nodeSize: Int = 16, name: String = "graft"): Unit = {
     val dos = new DataOutputStream(out)
     def u32(v: Int): Unit = {
       dos.write(v & 0xff); dos.write((v >>> 8) & 0xff)
@@ -694,6 +711,41 @@ object FlatGeobuf {
       * abort paths that will delete the output anyway. */
     def abortClose(): Unit =
       if (writer != null) writer.close() else out.close()
+  }
+
+  /** [[StreamWriter]]'s indexed sibling — the same header-SRID protocol
+    * (first non-null geometry decides, mixed SRIDs raise), but features
+    * are ENCODED as they arrive (flatbuffer bytes + envelope; the JTS
+    * geometry and boxed properties are dropped immediately) and the
+    * packed-Hilbert-R-tree file is emitted at [[close]], which is when
+    * the sort and header can first be written. Memory held = one encoded
+    * copy of the partition, not raw + encoded. */
+  final class IndexedStreamWriter(out: OutputStream, columns: Seq[Col],
+      nodeSize: Int = 16) {
+    private val encoded = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Byte], org.locationtech.jts.geom.Envelope)]
+    private var srid = -1
+
+    def write(geom: Geometry, props: Array[Any]): Unit = {
+      if (geom != null) {
+        if (srid == -1) srid = geom.getSRID
+        else if (geom.getSRID != srid) throw new IllegalArgumentException(
+          s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
+      }
+      encoded += encodeFeature(geom, props, columns)
+    }
+
+    def close(): Unit =
+      try writeIndexedEncoded(out, columns, math.max(srid, 0), encoded, nodeSize)
+      catch {
+        case e: Throwable =>
+          // close the stream without masking the root failure
+          try out.close() catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
+
+    /** For abort paths that will delete the output anyway. */
+    def abortClose(): Unit = out.close()
   }
 
   /** Parse a whole .fgb byte array → (header, features iterator).

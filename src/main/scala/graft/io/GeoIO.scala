@@ -962,20 +962,20 @@ object GeoIO {
     val fs = hadoopPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(hadoopPath, true)
     if (spatialIndex) {
+      // shared indexed sink protocol (encode-as-they-arrive, SRID from
+      // the first real geometry, mixed SRIDs raise): IndexedStreamWriter
+      val iw = new FlatGeobuf.IndexedStreamWriter(out, cols)
+      var ok = false
       try {
-        var srid = -1
-        val feats = ordered.toLocalIterator().asScala.map { row =>
+        ordered.toLocalIterator().asScala.foreach { row =>
           val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
           val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-          if (geom != null) {
-            if (srid == -1) srid = geom.getSRID
-            else if (geom.getSRID != srid) throw new IllegalArgumentException(
-              s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
-          }
-          (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
-        }.toBuffer
-        FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
-      } catch { case e: Throwable => out.close(); throw e }
+          iw.write(geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
+        }
+        ok = true
+      } finally {
+        if (ok) iw.close() else iw.abortClose()
+      }
       return
     }
     // shared streaming sink protocol (leading-null buffering, header SRID
@@ -1021,20 +1021,18 @@ object GeoIO {
       val pfs = part.getFileSystem(conf.value)
       val out = pfs.create(part, true)
       if (doIndex) {
+        val iw = new FlatGeobuf.IndexedStreamWriter(out, cols)
+        var ok = false
         try {
-          var srid = -1
-          val feats = rows.map { row =>
+          rows.foreach { row =>
             val geoBytes = row.get(0).asInstanceOf[Array[Byte]]
             val geom = if (geoBytes == null) null else graft.serde.EWKB.read(geoBytes)
-            if (geom != null) {
-              if (srid == -1) srid = geom.getSRID
-              else if (geom.getSRID != srid) throw new IllegalArgumentException(
-                s"flatgeobuf: mixed SRIDs are not supported ($srid vs ${geom.getSRID})")
-            }
-            (geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
-          }.toBuffer
-          FlatGeobuf.writeIndexed(out, cols, math.max(srid, 0), feats.iterator)
-        } catch { case e: Throwable => out.close(); throw e }
+            iw.write(geom, Array.tabulate[Any](cols.length)(i => row.get(i + 1)))
+          }
+          ok = true
+        } finally {
+          if (ok) iw.close() else iw.abortClose()
+        }
       } else {
         // shared streaming sink protocol — see FlatGeobuf.StreamWriter
         // (leading-null buffering; mixed SRIDs now raise here too,

@@ -265,18 +265,15 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
     f"part-$partitionId%05d-$queryId.fgb")
   private val fs = tmp.getFileSystem(conf.value)
   private val out = fs.create(tmp, true)
-  // spatialIndex buffers the partition's features executor-side (the
-  // packed Hilbert R-tree needs them all before the header is written —
-  // same per-partition buffering as the function surface); the streaming
-  // path is the default
+  // spatialIndex buffers the partition's ENCODED features executor-side
+  // (the packed Hilbert R-tree needs them all before the header can be
+  // written — same per-partition buffering as the function surface, via
+  // the shared FlatGeobuf.IndexedStreamWriter); the streaming path is
+  // the default
   private val writer =
     if (spatialIndex) null else new FlatGeobuf.StreamWriter(out, cols)
-  private val buffered =
-    if (spatialIndex)
-      scala.collection.mutable.ArrayBuffer
-        .empty[(org.locationtech.jts.geom.Geometry, Array[Any])]
-    else null
-  private var idxSrid = -1
+  private val indexed =
+    if (spatialIndex) new FlatGeobuf.IndexedStreamWriter(out, cols) else null
 
   override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
     val geoBytes =
@@ -298,26 +295,17 @@ private[sources] class FgbDataWriter(path: String, schema: StructType,
           s"flatgeobuf: unsupported write type $other for ${f.name}")
       }
     }.asInstanceOf[Array[Any]]
-    if (spatialIndex) {
-      if (geom != null) {
-        if (idxSrid == -1) idxSrid = geom.getSRID
-        else if (geom.getSRID != idxSrid) throw new IllegalArgumentException(
-          s"flatgeobuf: mixed SRIDs are not supported ($idxSrid vs ${geom.getSRID})")
-      }
-      buffered += ((geom, props))
-    } else writer.write(geom, props)
+    if (spatialIndex) indexed.write(geom, props)
+    else writer.write(geom, props)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (spatialIndex) {
-      try FlatGeobuf.writeIndexed(out, cols, math.max(idxSrid, 0), buffered.iterator)
-      catch { case e: Throwable => out.close(); throw e }
-    } else writer.close()
+    if (spatialIndex) indexed.close() else writer.close()
     FgbCommit(tmp.toString, fin.toString)
   }
 
   override def abort(): Unit = {
-    try { if (spatialIndex) out.close() else writer.abortClose() }
+    try { if (spatialIndex) indexed.abortClose() else writer.abortClose() }
     catch { case scala.util.control.NonFatal(_) => () }
     fs.delete(tmp, false)
   }
