@@ -126,13 +126,110 @@ private[sources] class FgbWritableTable(path: String,
   import org.apache.spark.sql.connector.catalog.TableCapability
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+  /** Streaming face: the built scan is wrapped so
+    * `toMicroBatchStream` resolves (pruning/pushdown still negotiate on
+    * the SHARED GeoScanBuilder — only the final Scan is wrapped). */
+  override protected def wrapScan(s: GeoScan):
+      org.apache.spark.sql.connector.read.Scan =
+    new FgbStreamingScan(path, s, conf)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
     new FgbWriteBuilder(path, info.schema(), info.queryId(), geometryName,
       "true".equalsIgnoreCase(info.options().getOrDefault("spatialindex", "false")),
       conf)
+}
+
+/** Micro-batch streaming over a growing directory of .fgb parts — the
+  * landing-zone ingestion pattern
+  * (`spark.readStream.format("flatgeobuf").load(dir)`): each trigger
+  * processes the part files that appeared since the last committed
+  * offset (files are immutable once visible — the write path's
+  * job-commit rename guarantees that). Offsets are the set of processed
+  * file names (URL-encoded into a JSON string, dependency-free);
+  * partitions and readers are the SAME machinery as the batch scan, so
+  * pruning/pushdown/bbox behave identically per micro-batch. */
+private[sources] class FgbStreamingScan(path: String, delegate: GeoScan,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.Scan {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = delegate.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FgbMicroBatchStream(path, delegate, conf)
+}
+
+private[sources] class FgbOffset(val files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    "\"" + files.sorted.map(f =>
+      java.net.URLEncoder.encode(f, "UTF-8")).mkString(",") + "\""
+  override def equals(o: Any): Boolean = o match {
+    case other: FgbOffset => files.toSet == other.files.toSet
+    case _ => false
+  }
+  override def hashCode(): Int = files.toSet.hashCode()
+}
+
+private[sources] object FgbOffset {
+  def fromJson(json: String): FgbOffset = {
+    val body = json.trim.stripPrefix("\"").stripSuffix("\"")
+    new FgbOffset(if (body.isEmpty) Seq.empty
+      else body.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
+  }
+}
+
+private[sources] class FgbMicroBatchStream(path: String, delegate: GeoScan,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listing(): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    if (!fs.exists(dir)) Seq.empty
+    else if (fs.getFileStatus(dir).isDirectory)
+      fs.listStatus(dir).map(_.getPath).toSeq
+        .filter(_.getName.endsWith(".fgb")).map(_.toString).sorted
+    else Seq(path)
+  }
+
+  // Trigger.AvailableNow: snapshot the listing once, drain to exactly it
+  // and stop — files landing mid-drain wait for the next run
+  @volatile private var availableNowEnd: Option[FgbOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(new FgbOffset(listing()))
+
+  override def initialOffset(): Offset = new FgbOffset(Seq.empty)
+  override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(new FgbOffset(listing()))
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no read
+  // limits — every trigger takes all newly visible files
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def deserializeOffset(json: String): Offset = FgbOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset):
+      Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val seen = start.asInstanceOf[FgbOffset].files.toSet
+    end.asInstanceOf[FgbOffset].files.filterNot(seen).sorted
+      .map(f => GeoDsv2.GeoPart(f): org.apache.spark.sql.connector.read.InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory():
+      org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    delegate.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class FgbWriteBuilder(path: String, schema: StructType,

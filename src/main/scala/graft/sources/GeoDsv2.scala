@@ -62,23 +62,29 @@ private[sources] object GeoDsv2 {
       throw new IllegalArgumentException("'path' must be set (use .load(path))"))
 }
 
-private[sources] class GeoTable(formatName: String, path: String,
+private[sources] class GeoTable(formatName: String, protected val path: String,
     parts: Seq[GeoDsv2.GeoPart], tableSchema: StructType, geometryName: String,
     bbox: Option[(Double, Double, Double, Double)],
-    conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator)
+    protected val conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator)
     extends Table with SupportsRead {
   override def name(): String = s"$formatName:`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  /** Hook for subclasses that add execution modes on top of the shared
+    * batch scan (e.g. the FGB streaming face): pruning/pushdown still
+    * negotiate on the shared builder; only the BUILT scan is wrapped. */
+  protected def wrapScan(s: GeoScan): Scan = s
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoScanBuilder(formatName, parts, tableSchema, geometryName, bbox, conf, iterate)
+    new GeoScanBuilder(formatName, parts, tableSchema, geometryName, bbox,
+      conf, iterate, wrapScan)
 }
 
 private[sources] class GeoScanBuilder(formatName: String,
     parts: Seq[GeoDsv2.GeoPart], fullSchema: StructType, geometryName: String,
     bbox: Option[(Double, Double, Double, Double)],
-    conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator)
+    conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator,
+    wrapScan: GeoScan => Scan = identity)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -96,8 +102,8 @@ private[sources] class GeoScanBuilder(formatName: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GeoScan(formatName, parts, fullSchema,
-    requiredSchema, geometryName, bbox, pushed, conf, iterate)
+  override def build(): Scan = wrapScan(new GeoScan(formatName, parts,
+    fullSchema, requiredSchema, geometryName, bbox, pushed, conf, iterate))
 }
 
 private[sources] class GeoScan(formatName: String, parts: Seq[GeoDsv2.GeoPart],

@@ -229,6 +229,37 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(spark.read.format("flatgeobuf").load(dir).count() == 200)
   }
 
+  test("readStream(flatgeobuf): micro-batches over arriving parts, checkpointed offsets") {
+    import graft.functions._
+    val root = Files.createTempDirectory("fgb_stream").toFile.getAbsolutePath
+    val dir = root + "/in"
+    val ckpt = root + "/ckpt"
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi).toDF("id").repartition(1)
+      .withColumn("geometry", st_point(col("id").cast("double"), lit(0.0)))
+    batch(0, 40).write.format("flatgeobuf").mode("append").save(dir)
+    val sink = root + "/sink"
+    def drain(): Unit = {
+      // parquet sink: checkpoint-recoverable (memory sinks are not)
+      val q = spark.readStream.format("flatgeobuf").load(dir)
+        .selectExpr("id")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try require(q.awaitTermination(120000), "fgb stream drain timed out")
+      finally if (q.isActive) q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(sink).count() == 40)
+    // new parts arrive; a SECOND run from the same checkpoint processes
+    // ONLY them (offset = set of seen part files)
+    batch(40, 55).write.format("flatgeobuf").mode("append").save(dir)
+    drain()
+    val ids = spark.read.parquet(sink).select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == (0L until 55L), s"got ${ids.size} rows")
+    assert(ids.size == 55, "rows reprocessed or lost across checkpointed runs")
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)
