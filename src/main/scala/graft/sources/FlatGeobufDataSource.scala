@@ -56,6 +56,20 @@ private[sources] object FlatGeobufDataSource {
     feats.map(ft => (ft.geometry, ft.properties))
   }
 
+  /** The ONE .fgb part-listing used by schema inference, the append
+    * guard and the streaming offset listing (name-sorted; a single file
+    * path lists as itself). */
+  private[sources] def listFgbParts(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Seq.empty
+    else if (fs.getFileStatus(dir).isDirectory)
+      fs.listStatus(dir).map(_.getPath).toSeq
+        .filter(_.getName.endsWith(".fgb")).sortBy(_.getName).map(_.toString)
+    else Seq(path)
+  }
+
   private[sources] def readWhole(file: String,
       conf: SerializableConfiguration): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(file)
@@ -74,24 +88,23 @@ private[sources] object FlatGeobufDataSource {
     val bbox = GeoDsv2.parseBbox(options)
     val spark = SparkSession.active
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files: Seq[String] =
-      if (!fs.exists(hadoopPath)) Seq.empty
-      else if (fs.getFileStatus(hadoopPath).isDirectory)
-        fs.listStatus(hadoopPath).map(_.getPath).toSeq
-          .filter(_.getName.endsWith(".fgb")).sortBy(_.getName).map(_.toString)
-      else Seq(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files: Seq[String] = listFgbParts(path, hconf)
     // an explicit schema wins (the DSv2 contract when
     // supportsExternalMetadata is true): for writes it is the frame's
     // schema — an overwrite onto stale parts with a DIFFERENT schema
     // must resolve against the data being written, not the old files —
-    // and a schema-specified read simply trusts the caller
+    // a schema-specified read trusts the caller, and a STREAM over a
+    // not-yet-populated landing dir must pass .schema(...) too (nothing
+    // exists to infer from — same rule as Spark's own file sources)
     val schema = writeSchema.getOrElse {
-      require(files.nonEmpty, if (fs.exists(hadoopPath))
-        s"no .fgb files in $path" else
-        s"flatgeobuf: $path does not exist (reads need an existing file/dir)")
-      val in = fs.open(new org.apache.hadoop.fs.Path(files.head))
+      require(files.nonEmpty,
+        s"flatgeobuf: no .fgb files under $path to infer a schema from — " +
+          "for a write this resolves from the frame; for a read or a " +
+          "stream over an empty/not-yet-existing landing dir, pass an " +
+          "explicit .schema(...)")
+      val first = new org.apache.hadoop.fs.Path(files.head)
+      val in = first.getFileSystem(hconf).open(first)
       val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
       StructType(
         StructField(geometryName, BinaryType, nullable = true) +:
@@ -128,8 +141,10 @@ private[sources] class FgbWritableTable(path: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   /** Streaming face: the built scan is wrapped so
-    * `toMicroBatchStream` resolves (pruning/pushdown still negotiate on
-    * the SHARED GeoScanBuilder — only the final Scan is wrapped). */
+    * `toMicroBatchStream` resolves. Batch queries still negotiate
+    * pruning/pushdown on the shared GeoScanBuilder before build();
+    * STREAMING queries skip that negotiation entirely (Spark calls
+    * build() directly) — see [[FgbStreamingScan]]'s contract notes. */
   override protected def wrapScan(s: GeoScan):
       org.apache.spark.sql.connector.read.Scan =
     new FgbStreamingScan(path, s, conf)
@@ -145,11 +160,29 @@ private[sources] class FgbWritableTable(path: String,
   * landing-zone ingestion pattern
   * (`spark.readStream.format("flatgeobuf").load(dir)`): each trigger
   * processes the part files that appeared since the last committed
-  * offset (files are immutable once visible — the write path's
-  * job-commit rename guarantees that). Offsets are the set of processed
-  * file names (URL-encoded into a JSON string, dependency-free);
-  * partitions and readers are the SAME machinery as the batch scan, so
-  * pruning/pushdown/bbox behave identically per micro-batch. */
+  * offset.
+  *
+  * CONTRACT AND LIMITS (documented, not guessed):
+  *  - The directory must be APPEND-ONLY while a stream runs: the write
+  *    path's job-commit rename makes files immutable once visible, but
+  *    `mode("overwrite")` (or external compaction) deletes and replaces
+  *    visible parts — an in-flight batch then fails loudly on the
+  *    missing file, and replacement parts carry new names, so a
+  *    restarted stream would re-emit their rows. Compact a streamed
+  *    landing zone only with the stream stopped and its checkpoint
+  *    reset.
+  *  - Offsets are the SET of processed file names (URL-encoded JSON
+  *    string, memoized). That is simple and exactly-once, but grows
+  *    with the directory — suitable for landing zones up to ~10k parts;
+  *    beyond that, batch-load partitioned layouts instead (Spark's own
+  *    FileStreamSource pays a compacted log for the same reason).
+  *  - Spark builds the streaming scan WITHOUT the column-pruning /
+  *    filter-pushdown negotiation (`newScanBuilder(options).build()`
+  *    directly), so micro-batches decode full rows; Spark re-projects
+  *    and re-filters above, so results are identical — only the batch
+  *    path's decode-level skipping does not engage. The `bbox` /
+  *    `geometry` load OPTIONS still apply (they ride the table, not the
+  *    negotiation). */
 private[sources] class FgbStreamingScan(path: String, delegate: GeoScan,
     conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.Scan {
@@ -163,9 +196,10 @@ private[sources] class FgbStreamingScan(path: String, delegate: GeoScan,
 
 private[sources] class FgbOffset(val files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
+  private lazy val jsonStr =
     "\"" + files.sorted.map(f =>
       java.net.URLEncoder.encode(f, "UTF-8")).mkString(",") + "\""
+  override def json(): String = jsonStr
   override def equals(o: Any): Boolean = o match {
     case other: FgbOffset => files.toSet == other.files.toSet
     case _ => false
@@ -187,15 +221,8 @@ private[sources] class FgbMicroBatchStream(path: String, delegate: GeoScan,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def listing(): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(conf.value)
-    if (!fs.exists(dir)) Seq.empty
-    else if (fs.getFileStatus(dir).isDirectory)
-      fs.listStatus(dir).map(_.getPath).toSeq
-        .filter(_.getName.endsWith(".fgb")).map(_.toString).sorted
-    else Seq(path)
-  }
+  private def listing(): Seq[String] =
+    FlatGeobufDataSource.listFgbParts(path, conf.value)
 
   // Trigger.AvailableNow: snapshot the listing once, drain to exactly it
   // and stop — files landing mid-drain wait for the next run
@@ -267,11 +294,8 @@ private[sources] class FgbWrite(path: String, schema: StructType,
     // POSITIONALLY against the first file's header, so the frame's
     // property columns must match the stored ones exactly
     if (!truncate && fs.exists(dir)) {
-      val existing =
-        if (fs.getFileStatus(dir).isDirectory)
-          fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".fgb"))
-            .sortBy(_.getName).headOption
-        else Some(dir)
+      val existing = FlatGeobufDataSource.listFgbParts(path, conf.value).headOption
+        .map(new org.apache.hadoop.fs.Path(_))
       existing.foreach { first =>
         val in = fs.open(first)
         val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
