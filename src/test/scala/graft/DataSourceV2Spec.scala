@@ -260,6 +260,22 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(ids.size == 55, "rows reprocessed or lost across checkpointed runs")
   }
 
+  test("SQL catalog face: CREATE TABLE ... USING flatgeobuf") {
+    spark.sql("DROP TABLE IF EXISTS fgb_sql_t")
+    spark.sql(
+      s"CREATE TABLE fgb_sql_t USING flatgeobuf OPTIONS (path '$singlePath')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM fgb_sql_t WHERE id < 50").head().getLong(0)
+      assert(n == 50)
+      // the registered geo functions compose over the catalog table
+      Geo.registerAll(spark)
+      val a = spark.sql(
+        "SELECT max(st_srid(geometry)) FROM fgb_sql_t").head().getInt(0)
+      assert(a == 3857)
+    } finally spark.sql("DROP TABLE IF EXISTS fgb_sql_t")
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)
