@@ -14,6 +14,10 @@ object ProbeUnionCadence {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      // the documented wide-group memory knob: smaller input splits →
+      // partial-agg buffers flush at partition end (PERF.md 50× section)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).select(sum(col("id"))).collect()
