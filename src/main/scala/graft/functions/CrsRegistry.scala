@@ -119,12 +119,7 @@ object CrsRegistry {
             val datum = entry.substring(0, eq).trim
             val path = new org.apache.hadoop.fs.Path(entry.substring(eq + 1).trim)
             val fs = path.getFileSystem(hconf)
-            val in = fs.open(path)
-            val bytes =
-              try {
-                val len = fs.getFileStatus(path).getLen.toInt
-                val buf = new Array[Byte](len); in.readFully(0, buf); buf
-              } finally in.close()
+            val bytes = graft.io.GeoIO.readWholeGuarded(fs, path)
             // if-absent: an explicit driver-side registerGridShift wins
             // over the conf, matching ensureConf's WKT semantics
             val key = EpsgDb.datumShiftByName.get(norm(stripDatumPrefix(datum)))

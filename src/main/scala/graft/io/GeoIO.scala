@@ -383,19 +383,9 @@ object GeoIO {
     def sidecar(shp: org.apache.hadoop.fs.Path, ext: String): org.apache.hadoop.fs.Path =
       new org.apache.hadoop.fs.Path(shp.getParent,
         shp.getName.replaceAll("(?i)\\.shp$", "") + ext)
-    def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
-      val in = fs.open(p)
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
-    }
-    // schema + srid from the first file's sidecars
-    val firstDbf = sidecar(shps.head, ".dbf")
-    val fields: Seq[Shapefile.DbfField] =
-      if (fs.exists(firstDbf)) Shapefile.readDbf(readAll(firstDbf))._1 else Seq.empty
+    // schema + srid from the first file's sidecars, every other file's
+    // sidecars validated against them (mixed layouts/CRS fail loudly)
+    val (fields, srid) = shapefileDirLayout(fs, shps, path)
     val keptIdx: Seq[Int] = columns match {
       case None => fields.indices
       case Some(want) =>
@@ -405,13 +395,6 @@ object GeoIO {
         require(missing.isEmpty, s"shapefile: no such attribute column(s): ${missing.mkString(", ")}")
         idx
     }
-    val prj = sidecar(shps.head, ".prj")
-    // AUTHORITY clause, EPSG-table inference, or auto-registration — so an
-    // ArcGIS-authored .prj (ESRI dialect, no AUTHORITY) still reprojects
-    val srid =
-      if (fs.exists(prj)) graft.functions.CrsRegistry.sridForWkt(
-        new String(readAll(prj), java.nio.charset.StandardCharsets.UTF_8))
-      else 0
     require(!returnFids || !keptIdx.exists(i => fields(i).name == "fid"),
       "shapefile: return_fids would collide with an attribute column " +
         "named 'fid' — exclude it via columns=")
@@ -496,13 +479,8 @@ object GeoIO {
           .flatMap { case (shpPath, start, local) =>
             val p = new org.apache.hadoop.fs.Path(shpPath)
             val pfs = p.getFileSystem(conf.value)
-            val bytesOf = (path: org.apache.hadoop.fs.Path) => {
-              val in = pfs.open(path)
-              try {
-                val len = pfs.getFileStatus(path).getLen.toInt
-                val buf = new Array[Byte](len); in.readFully(0, buf); buf
-              } finally in.close()
-            }
+            val bytesOf =
+              (path: org.apache.hadoop.fs.Path) => readWholeGuarded(pfs, path)
             val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
               p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
             val shxPath = new org.apache.hadoop.fs.Path(p.getParent,
@@ -519,13 +497,8 @@ object GeoIO {
           .flatMap { case (shpPath, wSkip, wTake) =>
             val p = new org.apache.hadoop.fs.Path(shpPath)
             val pfs = p.getFileSystem(conf.value)
-            val bytesOf = (path: org.apache.hadoop.fs.Path) => {
-              val in = pfs.open(path)
-              try {
-                val len = pfs.getFileStatus(path).getLen.toInt
-                val buf = new Array[Byte](len); in.readFully(0, buf); buf
-              } finally in.close()
-            }
+            val bytesOf =
+              (path: org.apache.hadoop.fs.Path) => readWholeGuarded(pfs, path)
             val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
               p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
             val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
@@ -1432,24 +1405,93 @@ object GeoIO {
           .filter(_.getName.toLowerCase.endsWith(ext)).sortBy(_.getName)
       else Seq(hadoopPath)
     require(files.nonEmpty, s"no $ext files in $path")
-    val in = fs.open(files.head)
-    val first =
-      try {
-        val len = fs.getFileStatus(files.head).getLen.toInt
-        val buf = new Array[Byte](len); in.readFully(0, buf); buf
-      } finally in.close()
+    val first = readWholeGuarded(fs, files.head)
     (files.map(_.toString), first)
+  }
+
+  /** Whole-file read into one array — the shared primitive under every
+    * single-file codec (and the DSv2 sources). A file at or beyond 2 GiB
+    * cannot be addressed by a JVM array: an unguarded `.toInt` throws
+    * NegativeArraySizeException at 2–4 GiB and silently WRAPS beyond
+    * 4 GiB (size-prefixed record loops would quietly yield fewer
+    * features), so the length is checked before allocation. */
+  private[graft] def readWholeGuarded(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue - 8,
+      s"$p is $len bytes — a single file must stay below 2 GiB to be " +
+        "decoded in memory; repartition the write into more, smaller " +
+        "part files")
+    val in = fs.open(p)
+    try { val buf = new Array[Byte](len.toInt); in.readFully(0, buf); buf }
+    finally in.close()
   }
 
   private def readWholeFile(conf: org.apache.spark.util.SerializableConfiguration,
       path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf.value)
-    val in = fs.open(p)
+    readWholeGuarded(p.getFileSystem(conf.value), p)
+  }
+
+  private[graft] def shpSidecar(shp: org.apache.hadoop.fs.Path,
+      ext: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(shp.getParent,
+      shp.getName.replaceAll("(?i)\\.shp$", "") + ext)
+
+  /** Header-only .dbf field list (the 32-byte prologue carries the header
+    * length; field descriptors live entirely inside the header) —
+    * plan-time sidecar validation must not pay whole-file reads. */
+  private[graft] def dbfHeaderFields(fs: org.apache.hadoop.fs.FileSystem,
+      dbfP: org.apache.hadoop.fs.Path): Seq[Shapefile.DbfField] = {
+    val in = fs.open(dbfP)
     try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len); in.readFully(0, buf); buf
+      val pre = new Array[Byte](32); in.readFully(0, pre)
+      val headerSize = java.nio.ByteBuffer.wrap(pre)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(8) & 0xffff
+      val buf = new Array[Byte](math.max(headerSize, 32))
+      System.arraycopy(pre, 0, buf, 0, 32)
+      if (headerSize > 32) in.readFully(32, buf, 32, headerSize - 32)
+      Shapefile.readDbf(buf)._1
     } finally in.close()
+  }
+
+  /** Directory reads take schema and SRID from the FIRST file's sidecars
+    * and decode every file against them — a directory mixing .dbf layouts
+    * would silently misalign attributes, and mixed .prj files would
+    * mislabel the CRS of the other files. Resolve the first file's
+    * (fields, srid) and validate every other file's sidecars against it
+    * (header-only reads), failing loudly on heterogeneity. */
+  private[graft] def shapefileDirLayout(fs: org.apache.hadoop.fs.FileSystem,
+      shps: Seq[org.apache.hadoop.fs.Path],
+      path: String): (Seq[Shapefile.DbfField], Int) = {
+    def fieldsOf(shp: org.apache.hadoop.fs.Path): Seq[Shapefile.DbfField] = {
+      val dbfP = shpSidecar(shp, ".dbf")
+      if (fs.exists(dbfP)) dbfHeaderFields(fs, dbfP) else Seq.empty
+    }
+    def sridOf(shp: org.apache.hadoop.fs.Path): Int = {
+      val prj = shpSidecar(shp, ".prj")
+      if (fs.exists(prj)) graft.functions.CrsRegistry.sridForWkt(
+        new String(readWholeGuarded(fs, prj),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else 0
+    }
+    val fields = fieldsOf(shps.head)
+    val srid = sridOf(shps.head)
+    shps.drop(1).foreach { shp =>
+      val f = fieldsOf(shp)
+      require(f == fields,
+        s"shapefile: mixed .dbf layouts under $path — ${shps.head.getName} " +
+          s"has fields $fields but ${shp.getName} has $f; directory reads " +
+          "need a homogeneous layout (split heterogeneous files into " +
+          "separate directories)")
+      val s = sridOf(shp)
+      require(s == srid,
+        s"shapefile: mixed CRS under $path — ${shps.head.getName} resolves " +
+          s"to SRID $srid but ${shp.getName} resolves to SRID $s; directory " +
+          "reads stamp one SRID onto every file (split by CRS, or to_srid " +
+          "after loading each directory)")
+    }
+    (fields, srid)
   }
 
   // ------------------------------------------- skip_features/max_features

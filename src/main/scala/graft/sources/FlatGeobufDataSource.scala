@@ -73,12 +73,7 @@ private[sources] object FlatGeobufDataSource {
   private[sources] def readWhole(file: String,
       conf: SerializableConfiguration): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(conf.value)
-    val in = fs.open(p)
-    try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len); in.readFully(0, buf); buf
-    } finally in.close()
+    GeoDsv2.readWhole(p.getFileSystem(conf.value), p)
   }
 
   def tableOf(options: CaseInsensitiveStringMap,
@@ -110,8 +105,38 @@ private[sources] object FlatGeobufDataSource {
         StructField(geometryName, BinaryType, nullable = true) +:
           header.columns.map(c => StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
     }
+    // An externally-supplied schema is trusted for WRITES (overwrite must
+    // resolve against the data being written, not stale parts) but a READ
+    // decodes property arrays POSITIONALLY against the stored header —
+    // geometry not first, reordered, or mismatched properties would
+    // silently scramble column values and mis-evaluate pushed filters.
+    // Validated at scan-build time (see GeoTable.validateRead), only when
+    // files exist to validate against.
+    val readValidation: () => Unit = () => writeSchema.foreach { s =>
+      if (files.nonEmpty) {
+        val first = new org.apache.hadoop.fs.Path(files.head)
+        val in = first.getFileSystem(hconf).open(first)
+        val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
+        val stored = StructType(
+          StructField(geometryName, BinaryType, nullable = true) +:
+            header.columns.map(c =>
+              StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
+        val ok = s.length == stored.length &&
+          s.fields.headOption.exists(f =>
+            f.name == geometryName && f.dataType == BinaryType) &&
+          s.fields.zip(stored.fields).forall { case (a, b) =>
+            a.name == b.name && a.dataType == b.dataType }
+        require(ok,
+          s"flatgeobuf: explicit read schema ${s.catalogString} does not " +
+            s"match the stored layout ${stored.catalogString} — the decoder " +
+            "is positional (geometry column first, then the header's " +
+            "properties in order), so a mismatched schema would silently " +
+            "scramble column values; drop .schema(...) to infer, or match " +
+            "the stored layout exactly")
+      }
+    }
     new FgbWritableTable(path, files.map(GeoDsv2.GeoPart(_)), schema,
-      geometryName, bbox, conf, iterate)
+      geometryName, bbox, conf, iterate, readValidation)
   }
 }
 
@@ -122,8 +147,12 @@ private[sources] object FlatGeobufDataSource {
   * funnel) — under a JOB-commit protocol: tasks write invisible
   * `.fgb.tmp` files named with the write's queryId (no cross-application
   * collisions), and only `BatchWrite.commit` makes them visible —
-  * truncating old parts first for overwrite — so a failed job leaves the
-  * directory EXACTLY as it was (never a mix of old and new parts). This
+  * renaming the new parts FIRST and deleting superseded old parts LAST
+  * (overwrite) — so any failure before commit leaves the directory
+  * exactly as it was, and a crash inside commit itself can at worst
+  * leave old parts alongside the new ones (re-run the overwrite to
+  * converge); old data is never deleted before the new data is fully
+  * visible. This
   * also makes self-overwrite (`read dir → transform → overwrite dir`)
   * safe: the input files outlive every read task and are replaced only
   * at job commit. Appends validate the frame's property columns against
@@ -132,10 +161,12 @@ private[sources] object FlatGeobufDataSource {
 private[sources] class FgbWritableTable(path: String,
     parts: Seq[GeoDsv2.GeoPart], tableSchema: StructType, geometryName: String,
     bbox: Option[(Double, Double, Double, Double)],
-    conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator)
+    conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator,
+    readValidation: () => Unit = () => ())
     extends GeoTable("FlatGeobuf", path, parts, tableSchema, geometryName,
       bbox, conf, iterate)
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override protected def validateRead(): Unit = readValidation()
   import org.apache.spark.sql.connector.catalog.TableCapability
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -311,16 +342,24 @@ private[sources] class FgbWrite(path: String, schema: StructType,
     new FgbWriterFactory(path, schema, queryId, geometryName, spatialIndex, conf)
   }
 
-  /** Make the job's parts visible atomically-enough: truncate old parts
-    * (overwrite only), then rename every task's committed tmp. Runs after
-    * ALL tasks (including any reads feeding them) have finished. */
+  /** Make the job's parts visible atomically-enough: rename every task's
+    * committed tmp FIRST, and only then delete the superseded old parts
+    * (overwrite). Ordering matters for crash behavior — a driver crash or
+    * rename failure mid-commit then leaves the old parts intact next to
+    * whatever new parts became visible (re-running the overwrite
+    * converges), instead of a directory whose old data is gone and whose
+    * new data is partial. Runs after ALL tasks (including any reads
+    * feeding them) have finished. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf.value)
-    if (truncate && fs.exists(dir))
-      fs.listStatus(dir).map(_.getPath)
-        .filter(_.getName.endsWith(".fgb"))
-        .foreach(fs.delete(_, false))
+    // snapshot the superseded parts BEFORE any rename; queryId-stamped
+    // final names can never collide with another job's parts
+    val old: Array[org.apache.hadoop.fs.Path] =
+      if (truncate && fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".fgb"))
+      else Array.empty
+    val fresh = messages.collect { case FgbCommit(_, fin) => fin }.toSet
     messages.foreach {
       case FgbCommit(tmp, fin) =>
         val t = new org.apache.hadoop.fs.Path(tmp)
@@ -329,6 +368,7 @@ private[sources] class FgbWrite(path: String, schema: StructType,
           s"flatgeobuf: failed to commit $tmp -> $fin")
       case other => throw new IllegalStateException(s"unexpected commit message: $other")
     }
+    old.filterNot(p => fresh.contains(p.toString)).foreach(fs.delete(_, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -60,6 +60,14 @@ private[sources] object GeoDsv2 {
   def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("'path' must be set (use .load(path))"))
+
+  /** Whole-file read into one array, guarded against the ≥2 GiB part
+    * that a JVM array cannot address — see
+    * [[graft.io.GeoIO.readWholeGuarded]] (shared with the function
+    * surface's codecs). */
+  def readWhole(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path): Array[Byte] =
+    graft.io.GeoIO.readWholeGuarded(fs, file)
 }
 
 private[sources] class GeoTable(formatName: String, protected val path: String,
@@ -75,9 +83,17 @@ private[sources] class GeoTable(formatName: String, protected val path: String,
     * batch scan (e.g. the FGB streaming face): pruning/pushdown still
     * negotiate on the shared builder; only the BUILT scan is wrapped. */
   protected def wrapScan(s: GeoScan): Scan = s
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** Hook run once per READ (scan-builder construction, driver side) —
+    * not at table construction, because a table built for a WRITE
+    * legitimately carries a schema differing from stale on-disk parts
+    * (overwrite). Subclasses with externally-supplied metadata validate
+    * the caller's schema against the stored layout here. */
+  protected def validateRead(): Unit = ()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    validateRead()
     new GeoScanBuilder(formatName, parts, tableSchema, geometryName, bbox,
       conf, iterate, wrapScan)
+  }
 }
 
 private[sources] class GeoScanBuilder(formatName: String,
@@ -235,12 +251,27 @@ private[sources] object GeoFilterEval {
     case _ => false
   }
 
-  private def cmp(l: Any, r: Any): Option[Int] = (l, r) match {
-    case (a: java.lang.Number, b: java.lang.Number) =>
-      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-    case (a: String, b: String) => Some(a.compareTo(b))
-    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+  private def asIntegral(v: Any): Option[Long] = v match {
+    case b: java.lang.Byte    => Some(b.longValue)
+    case s: java.lang.Short   => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long    => Some(l.longValue)
     case _ => None
+  }
+
+  /** Integral pairs compare as longs — a double fallback would round both
+    * sides to the nearest representable double, so pushed filters on Long
+    * columns holding values beyond 2^53 (ns timestamps, snowflake ids)
+    * could DROP rows at decode that Spark's re-filter can never recover. */
+  private def cmp(l: Any, r: Any): Option[Int] = (asIntegral(l), asIntegral(r)) match {
+    case (Some(a), Some(b)) => Some(java.lang.Long.compare(a, b))
+    case _ => (l, r) match {
+      case (a: java.lang.Number, b: java.lang.Number) =>
+        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+      case _ => None
+    }
   }
 
   /** filter → (columnName, decodedValue) => keep-this-row. A null value

@@ -41,17 +41,11 @@ private[sources] object ShapefileDataSource {
   private val iterate: GeoDsv2.PartIterator = (part, conf, bbox) => {
     val p = new org.apache.hadoop.fs.Path(part.path)
     val fs = p.getFileSystem(conf.value)
-    def readAll(q: org.apache.hadoop.fs.Path): Array[Byte] = {
-      val in = fs.open(q)
-      try {
-        val len = fs.getFileStatus(q).getLen.toInt
-        val buf = new Array[Byte](len); in.readFully(0, buf); buf
-      } finally in.close()
-    }
     val dbfP = sidecar(p, ".dbf")
-    val dbf = if (fs.exists(dbfP)) Some(readAll(dbfP)) else None
-    Shapefile.readFeatures(readAll(p), dbf, bbox, srid = part.a.toInt)
+    val dbf = if (fs.exists(dbfP)) Some(GeoDsv2.readWhole(fs, dbfP)) else None
+    Shapefile.readFeatures(GeoDsv2.readWhole(fs, p), dbf, bbox, srid = part.a.toInt)
   }
+
 
   def tableOf(options: CaseInsensitiveStringMap): GeoTable = {
     val path = GeoDsv2.pathOf(options)
@@ -68,21 +62,11 @@ private[sources] object ShapefileDataSource {
         require(l.nonEmpty, s"no .shp files in $path")
         l
       } else Seq(hadoopPath)
-    def readAll(q: org.apache.hadoop.fs.Path): Array[Byte] = {
-      val in = fs.open(q)
-      try {
-        val len = fs.getFileStatus(q).getLen.toInt
-        val buf = new Array[Byte](len); in.readFully(0, buf); buf
-      } finally in.close()
-    }
-    val firstDbf = sidecar(shps.head, ".dbf")
-    val fields: Seq[Shapefile.DbfField] =
-      if (fs.exists(firstDbf)) Shapefile.readDbf(readAll(firstDbf))._1 else Seq.empty
-    val prj = sidecar(shps.head, ".prj")
-    val srid =
-      if (fs.exists(prj)) graft.functions.CrsRegistry.sridForWkt(
-        new String(readAll(prj), java.nio.charset.StandardCharsets.UTF_8))
-      else 0
+    // schema + srid from the first file's sidecars, every other file's
+    // sidecars validated against them at plan time (header-only reads —
+    // mixed .dbf layouts or .prj files fail loudly instead of silently
+    // misaligning attributes / mislabeling the CRS)
+    val (fields, srid) = graft.io.GeoIO.shapefileDirLayout(fs, shps, path)
     val schema = StructType(
       StructField(geometryName, BinaryType, nullable = true) +:
         fields.map(f => StructField(f.name, Shapefile.sparkType(f))))

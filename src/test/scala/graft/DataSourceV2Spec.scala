@@ -276,6 +276,96 @@ class DataSourceV2Spec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS fgb_sql_t")
   }
 
+  test("explicit read schema: exact stored layout accepted, mismatch refused loudly") {
+    import org.apache.spark.sql.types._
+    val stored = StructType(Seq(
+      StructField("geometry", BinaryType), StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    // matching schema: trusted, full parity
+    val ok = spark.read.format("flatgeobuf").schema(stored).load(singlePath)
+    assert(ok.count() == 200)
+    // reordered / mismatched schema would decode positionally against the
+    // stored header and silently scramble columns — must refuse at read
+    val scrambled = StructType(Seq(
+      StructField("id", LongType), StructField("geometry", BinaryType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val e = intercept[Exception] {
+      spark.read.format("flatgeobuf").schema(scrambled).load(singlePath).count()
+    }
+    assert(e.getMessage.contains("scramble") ||
+      Option(e.getCause).exists(_.getMessage.contains("scramble")),
+      s"unexpected: ${e.getMessage}")
+    // a renamed property is a mismatch too
+    val renamed = StructType(Seq(
+      StructField("geometry", BinaryType), StructField("id", LongType),
+      StructField("label", StringType), StructField("score", DoubleType)))
+    intercept[Exception] {
+      spark.read.format("flatgeobuf").schema(renamed).load(singlePath).count()
+    }
+  }
+
+  test("pushed comparison on Long values beyond 2^53 keeps exact rows") {
+    import graft.functions._
+    val dir = Files.createTempDirectory("fgb_big").toFile.getAbsolutePath + "/out"
+    val base = 1L << 53 // 9007199254740992: base+1 rounds to base as a double
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(base - 1L), org.apache.spark.sql.Row(base),
+        org.apache.spark.sql.Row(base + 1L), org.apache.spark.sql.Row(base + 3L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .withColumn("geometry", st_point(lit(1.0), lit(2.0)))
+    df.write.format("flatgeobuf").mode("overwrite").save(dir)
+    // a double-rounding decode filter would drop base+1 (it compares equal
+    // to base as a double, so `> base` fails) — Spark's re-filter cannot
+    // recover a dropped row, so the decode comparison must be integral
+    val got = spark.read.format("flatgeobuf").load(dir)
+      .filter(col("id") > base).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(base + 1L, base + 3L), s"got $got")
+    val eq = spark.read.format("flatgeobuf").load(dir)
+      .filter(col("id") === (base + 1L)).count()
+    assert(eq == 1L)
+  }
+
+  test("shapefile directory: mixed .dbf layouts and mixed CRS refuse at plan time") {
+    import graft.functions._
+    def frame(srid: Int, extraCol: Boolean) = {
+      val base = spark.range(10).toDF("id")
+        .withColumn("geometry", st_set_srid(
+          st_point(col("id").cast("double"), lit(0.0)), lit(srid)))
+      if (extraCol) base.withColumn("name", concat(lit("n-"), col("id"))) else base
+    }
+    // homogeneous directory: reads fine through both surfaces
+    val okDir = Files.createTempDirectory("shp_mix_ok").toFile.getAbsolutePath
+    GeoIO.writeShapefile(frame(4326, extraCol = true), okDir + "/a.shp")
+    GeoIO.writeShapefile(frame(4326, extraCol = true), okDir + "/b.shp")
+    assert(spark.read.format("shapefile").load(okDir).count() == 20)
+    assert(GeoIO.readShapefile(spark, okDir).count() == 20)
+    // mixed attribute layouts: both surfaces fail loudly
+    val mixDbf = Files.createTempDirectory("shp_mix_dbf").toFile.getAbsolutePath
+    GeoIO.writeShapefile(frame(4326, extraCol = true), mixDbf + "/a.shp")
+    GeoIO.writeShapefile(frame(4326, extraCol = false), mixDbf + "/b.shp")
+    val e1 = intercept[Exception] {
+      spark.read.format("shapefile").load(mixDbf).count()
+    }
+    assert(e1.getMessage.contains("mixed .dbf layouts") ||
+      Option(e1.getCause).exists(_.getMessage.contains("mixed .dbf layouts")))
+    val e2 = intercept[Exception] { GeoIO.readShapefile(spark, mixDbf).count() }
+    assert(e2.getMessage.contains("mixed .dbf layouts") ||
+      Option(e2.getCause).exists(_.getMessage.contains("mixed .dbf layouts")))
+    // mixed CRS: .prj sidecars disagree
+    val mixCrs = Files.createTempDirectory("shp_mix_crs").toFile.getAbsolutePath
+    GeoIO.writeShapefile(frame(4326, extraCol = true), mixCrs + "/a.shp")
+    GeoIO.writeShapefile(frame(3857, extraCol = true), mixCrs + "/b.shp")
+    val e3 = intercept[Exception] {
+      spark.read.format("shapefile").load(mixCrs).count()
+    }
+    assert(e3.getMessage.contains("mixed CRS") ||
+      Option(e3.getCause).exists(_.getMessage.contains("mixed CRS")))
+  }
+
   test("geometry option renames the geometry column") {
     val df = spark.read.format("flatgeobuf").option("geometry", "geom")
       .load(singlePath)
