@@ -25,11 +25,17 @@ package object api {
   }
 
   implicit final class GeoDataFrameOps(private val df: DataFrame) extends AnyVal {
-    /** Frame-level sjoin sugar (reference `geodataframe.py:185-230`). */
+    /** Frame-level sjoin sugar (reference `geodataframe.py:185-230`).
+      * `validate`/`nullsEqual`/`coalesce` match the reference's kwargs —
+      * see [[graft.join.SpatialJoin.sjoin]] for their exact semantics. */
     def sjoin(other: DataFrame, predicate: String = "intersects",
         how: String = "inner", leftGeom: String = "geometry",
-        rightGeom: String = "geometry", suffix: String = "_right"): DataFrame =
-      graft.join.SpatialJoin.sjoin(df, other, predicate, how, leftGeom, rightGeom, suffix)
+        rightGeom: String = "geometry", suffix: String = "_right",
+        validate: String = "m:m", nullsEqual: Boolean = false,
+        coalesce: Option[Boolean] = None): DataFrame =
+      graft.join.SpatialJoin.sjoin(df, other, predicate, how, leftGeom,
+        rightGeom, suffix, validate = validate, nullsEqual = nullsEqual,
+        coalesce = coalesce)
 
     /** The frame's geometry columns: the named ones, or (like the
       * reference's default) every binary column when none are given. */

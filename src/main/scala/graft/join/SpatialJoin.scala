@@ -127,12 +127,102 @@ object SpatialJoin {
     *            `geolazyframe.py:96-98`; "cross" is rejected there too)
     * @param suffix appended to right-side columns that clash with left
     * @param maxBuildRows broadcast guard; above it → grid-tier fallback
+    * @param validate "m:m" (default, no check) | "1:m" | "m:1" | "1:1" —
+    *            post-join cardinality assertion matching the reference's
+    *            polars `validate=` kwarg (`geolazyframe.py:87`): "1:m"
+    *            asserts no RIGHT row matched more than one left row
+    *            ("join keys unique in left"), "m:1" the mirror, "1:1"
+    *            both. Checked lazily inside the plan (a window count +
+    *            assert — the error surfaces when the join executes, like
+    *            polars); costs one extra shuffle per checked side, only
+    *            when requested.
+    * @param nullsEqual reference `nulls_equal=` (`geolazyframe.py:88`):
+    *            when true, null geometries pair with each other like
+    *            equal join keys (the spatial tiers alone never match
+    *            null) — implemented as the null×null cross product
+    *            unioned in, with outer-join unmatched rows adjusted. As
+    *            in polars this is many-to-many across all null rows.
+    * @param coalesce reference `coalesce=` (`geolazyframe.py:89`):
+    *            `Some(true)` merges the two geometry key columns into one
+    *            `leftGeom` column (`coalesce(left, right)` — meaningful
+    *            on outer joins where one side can be null) and drops the
+    *            right one; `None`/`Some(false)` keep both (the default,
+    *            polars' behavior for full joins).
     */
   def sjoin(left: DataFrame, right: DataFrame,
       predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
       suffix: String = "_right", maxBuildRows: Long = MaxBroadcastRows,
-      maxBuildBytes: Long = MaxBroadcastBytes): DataFrame = {
+      maxBuildBytes: Long = MaxBroadcastBytes, validate: String = "m:m",
+      nullsEqual: Boolean = false, coalesce: Option[Boolean] = None): DataFrame = {
+    require(Set("m:m", "1:m", "m:1", "1:1")(validate),
+      s"unsupported validate: $validate (expected m:m, 1:m, m:1 or 1:1)")
+    val needIdx = validate != "m:m" || nullsEqual
+    val rgName0 = if (left.columns.contains(rightGeom)) rightGeom + suffix else rightGeom
+    if (!needIdx && !coalesce.contains(true))
+      return sjoinBroadcastImpl(left, right, predicate, how, leftGeom,
+        rightGeom, suffix, maxBuildRows, maxBuildBytes)
+
+    val VL = "__graft_validx_l"
+    val VR = "__graft_validx_r"
+    val l2 = if (needIdx) withStableIndex(left, VL) else left
+    val r2 = if (needIdx) withStableIndex(right, VR) else right
+    var out = sjoinBroadcastImpl(l2, r2, predicate, how, leftGeom, rightGeom,
+      suffix, maxBuildRows, maxBuildBytes)
+
+    if (nullsEqual) {
+      val rRenamed = renameClashes(r2, l2.columns.toSeq, suffix)
+      val nullL = l2.filter(col(leftGeom).isNull)
+      val nullR = rRenamed.filter(col(rgName0).isNull)
+      // lazy scalar counts (broadcast 1-row frames): outer-join unmatched
+      // markers for null rows must disappear exactly when the OTHER side
+      // has nulls for them to pair with
+      val cnts = broadcast(nullR.agg(count(lit(1)).as("__graft_nullr_cnt")))
+        .crossJoin(broadcast(nullL.agg(count(lit(1)).as("__graft_nulll_cnt"))))
+      out = out.crossJoin(cnts)
+        .filter(
+          !(col(leftGeom).isNull && col(VR).isNull && col("__graft_nullr_cnt") > 0) &&
+          !(col(rgName0).isNull && col(VL).isNull && col("__graft_nulll_cnt") > 0))
+        .drop("__graft_nullr_cnt", "__graft_nulll_cnt")
+        .unionByName(nullL.crossJoin(nullR).select(out.columns.map(col): _*))
+    }
+
+    if (validate != "m:m") {
+      import org.apache.spark.sql.expressions.Window
+      // a null idx marks an outer-join unmatched row — those never violate
+      if (validate == "m:1" || validate == "1:1") {
+        val c = "__graft_vcnt_r"
+        out = out
+          .withColumn(c, count(col(VR)).over(Window.partitionBy(col(VL))))
+          .filter(assert_true(col(VL).isNull || col(c) <= 1,
+            lit(s"sjoin validate '$validate' failed: a left row matched " +
+              "more than one right row (join keys not unique in right)")).isNull)
+          .drop(c)
+      }
+      if (validate == "1:m" || validate == "1:1") {
+        val c = "__graft_vcnt_l"
+        out = out
+          .withColumn(c, count(col(VL)).over(Window.partitionBy(col(VR))))
+          .filter(assert_true(col(VR).isNull || col(c) <= 1,
+            lit(s"sjoin validate '$validate' failed: a right row matched " +
+              "more than one left row (join keys not unique in left)")).isNull)
+          .drop(c)
+      }
+    }
+    if (needIdx) out = out.drop(VL, VR)
+    if (coalesce.contains(true))
+      out = out
+        .withColumn(leftGeom, org.apache.spark.sql.functions.coalesce(
+          col(leftGeom), col(rgName0)))
+        .drop(rgName0)
+    out
+  }
+
+  private def sjoinBroadcastImpl(left: DataFrame, right: DataFrame,
+      predicate: String, how: String,
+      leftGeom: String, rightGeom: String,
+      suffix: String, maxBuildRows: Long,
+      maxBuildBytes: Long): DataFrame = {
     require(Set("inner", "left", "right", "full")(how),
       s"unsupported how: $how (cross is not a spatial join)")
     val spark = left.sparkSession
@@ -238,9 +328,18 @@ object SpatialJoin {
     }
 
   /** Sample envelopes to pick a grid cell size ≈ 4× the mean envelope
-    * width (bounded duplication, bounded per-cell fan-in). */
+    * width (bounded duplication, bounded per-cell fan-in). The sample is
+    * hash-ordered, NOT a partition prefix: `limit(n)` alone takes the
+    * earliest partitions, and on spatially-clustered store layouts
+    * (Hilbert-sorted GeoParquet — the common case at scale) those ~1000
+    * rows come from one locality, so a mixed-scale corpus (parcels first,
+    * admin polygons later) would get a cell size wrong by orders of
+    * magnitude. `orderBy(xxhash64).limit` executes as a per-partition
+    * top-k + driver merge (TakeOrderedAndProject) — every partition
+    * contributes, no full sort shuffle. */
   def autoCellSize(df: DataFrame, geom: String): Double = {
-    val sample = df.select(col(geom)).limit(1000).collect()
+    val sample = df.select(col(geom))
+      .orderBy(xxhash64(col(geom), lit(42L))).limit(1000).collect()
     val widths = sample.iterator
       .map(_.get(0).asInstanceOf[Array[Byte]])
       .filter(_ != null)
@@ -400,9 +499,13 @@ object SpatialJoin {
     import spark.implicits._
     val pred = predicate
 
-    // envelope centers of a sample of both sides drive the partitioning
+    // envelope centers of a sample of both sides drive the partitioning —
+    // hash-ordered top-k, not sample().limit() (the fraction-then-limit
+    // still takes the earliest partitions, biasing the tree toward one
+    // locality on spatially-sorted layouts; the exec tier's per-partition
+    // reservoir is the same fix in RDD form)
     def centers(df: DataFrame, geom: String): Array[(Double, Double)] = df
-      .select(col(geom)).sample(withReplacement = false, 0.2, 42).limit(sampleSize)
+      .select(col(geom)).orderBy(xxhash64(col(geom), lit(42L))).limit(sampleSize)
       .collect()
       .flatMap { r =>
         Option(r.get(0).asInstanceOf[Array[Byte]]).map(EWKB.read(_).getEnvelopeInternal)

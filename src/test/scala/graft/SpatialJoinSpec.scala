@@ -422,6 +422,127 @@ class SpatialJoinSpec extends AnyFunSuite {
     } finally SpatialJoin.dropBucketedTable(spark, t)
   }
 
+  test("sjoin validate: m:m never checks; 1:m / m:1 / 1:1 assert with clear messages") {
+    // 2 boxes, 3 points: box 0 contains points 0 and 1 (violates m:1);
+    // point 2 sits inside BOTH boxes (violates 1:m)
+    val bx = Seq((0L, 0.0, 0.0, 10.0, 10.0), (1L, 5.0, 5.0, 15.0, 15.0))
+      .toDF("box_id", "x0", "y0", "x1", "y1")
+      .select($"box_id", st_rectangle($"x0", $"y0", $"x1", $"y1").as("geometry"))
+    val pts = Seq((0L, 1.0, 1.0), (1L, 2.0, 2.0), (2L, 7.0, 7.0))
+      .toDF("pt_id", "px", "py")
+      .select($"pt_id", st_point($"px", $"py").as("geometry"))
+    // m:m: no check, 4 pairs
+    assert(SpatialJoin.sjoin(bx, pts, "contains", validate = "m:m").count() == 4)
+    // m:1: box 0 matched 2 points → fails, message names the right side
+    val e1 = intercept[Exception] {
+      SpatialJoin.sjoin(bx, pts, "contains", validate = "m:1").count()
+    }
+    assert(e1.getMessage.contains("not unique in right") ||
+      Option(e1.getCause).exists(_.getMessage.contains("not unique in right")),
+      s"unexpected: ${e1.getMessage}")
+    // 1:m: point 2 matched by 2 boxes → fails, message names the left side
+    val e2 = intercept[Exception] {
+      SpatialJoin.sjoin(bx, pts, "contains", validate = "1:m").count()
+    }
+    assert(e2.getMessage.contains("not unique in left") ||
+      Option(e2.getCause).exists(_.getMessage.contains("not unique in left")))
+    // 1:1 passes on a genuinely one-to-one fixture, and outer-join
+    // unmatched rows never count as violations
+    val bx1 = bx.filter($"box_id" === 0L)
+    val pts1 = pts.filter($"pt_id" === 0L || $"pt_id" === 2L)
+    // box 0 contains pt 0 and pt 2 → still m-violating; shrink to pt 0 only
+    val ptsOne = pts.filter($"pt_id" === 0L)
+    assert(SpatialJoin.sjoin(bx1, ptsOne, "contains", how = "full",
+      validate = "1:1").count() == 1)
+    assert(SpatialJoin.sjoin(bx, ptsOne, "contains", how = "full",
+      validate = "1:1").count() == 2) // box 1 unmatched: allowed under 1:1
+    assert(pts1.count() == 2) // fixture sanity
+    // unknown mode rejected eagerly
+    intercept[IllegalArgumentException] {
+      SpatialJoin.sjoin(bx, pts, "contains", validate = "one-to-one")
+    }
+  }
+
+  test("sjoin nullsEqual: null geometries pair like equal keys; outer unmatched adjusted") {
+    val l = Seq((0L, Some((1.0, 1.0))), (1L, None), (2L, None))
+      .toDF("lid", "xy")
+      .select($"lid", when($"xy".isNotNull,
+        st_point($"xy._1", $"xy._2")).as("geometry"))
+    val r = Seq((10L, Some((0.0, 0.0, 5.0, 5.0))), (11L, None))
+      .toDF("rid", "box")
+      .select($"rid", when($"box".isNotNull,
+        st_rectangle($"box._1", $"box._2", $"box._3", $"box._4")).as("geometry"))
+    // default: nulls never match — inner keeps only the spatial pair
+    assert(SpatialJoin.sjoin(r, l, "contains").select($"rid", $"lid")
+      .as[(Long, Long)].collect().toSet == Set((10L, 0L)))
+    // nullsEqual inner: the 2 null-left × 1 null-right pairs join in
+    val got = SpatialJoin.sjoin(r, l, "contains", nullsEqual = true)
+      .select($"rid", $"lid").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 0L), (11L, 1L), (11L, 2L)), s"got $got")
+    // nullsEqual full: no lingering unmatched markers for the null rows
+    // that now pair (every row appears exactly through its pairs)
+    val full = SpatialJoin.sjoin(r, l, "contains", how = "full", nullsEqual = true)
+      .select($"rid", $"lid").as[(Option[Long], Option[Long])].collect().toSet
+    assert(full == Set((Some(10L), Some(0L)), (Some(11L), Some(1L)),
+      (Some(11L), Some(2L))), s"got $full")
+    // without nullsEqual, full join keeps them as unmatched rows
+    val fullDefault = SpatialJoin.sjoin(r, l, "contains", how = "full")
+      .select($"rid", $"lid").as[(Option[Long], Option[Long])].collect().toSet
+    assert(fullDefault == Set((Some(10L), Some(0L)), (Some(11L), None),
+      (None, Some(1L)), (None, Some(2L))), s"got $fullDefault")
+  }
+
+  test("sjoin coalesce: Some(true) merges the geometry key columns on outer joins") {
+    val l = Seq((0L, 1.0, 1.0)).toDF("lid", "x", "y")
+      .select($"lid", st_point($"x", $"y").as("geometry"))
+    val r = Seq((10L, 0.0, 0.0, 5.0, 5.0), (11L, 50.0, 50.0, 60.0, 60.0))
+      .toDF("rid", "x0", "y0", "x1", "y1")
+      .select($"rid", st_rectangle($"x0", $"y0", $"x1", $"y1").as("geometry"))
+    // default: both geometry columns survive (suffix on the right)
+    val plain = SpatialJoin.sjoin(l, r, "within", how = "right")
+    assert(plain.columns.contains("geometry") && plain.columns.contains("geometry_right"))
+    // coalesce: single merged geometry column; unmatched right row's
+    // geometry comes from the right side
+    val merged = SpatialJoin.sjoin(l, r, "within", how = "right",
+      coalesce = Some(true))
+    assert(merged.columns.contains("geometry") && !merged.columns.contains("geometry_right"))
+    assert(merged.filter($"geometry".isNull).count() == 0)
+    val area11 = merged.filter($"rid" === 11L)
+      .select(st_area($"geometry")).head().getDouble(0)
+    assert(area11 == 100.0, s"unmatched right row lost its geometry: $area11")
+    // matched row keeps the LEFT geometry (coalesce order)
+    val g0 = merged.filter($"rid" === 10L)
+      .select(st_aswkt($"geometry")).head().getString(0)
+    assert(g0.contains("POINT"), s"matched row should carry the left geometry: $g0")
+  }
+
+  test("autoCellSize is locality-unbiased on a spatially-sorted mixed-scale layout") {
+    // Hilbert-sorted store emulation: 10k tiny parcels (width 0.1) land in
+    // the EARLIEST partitions, 500 large admin polygons (width 100) in the
+    // last — a partition-prefix limit(1000) would sample only parcels and
+    // pick a cell size ~4*0.1, orders of magnitude below the full-scan
+    // estimate. The hash-ordered sample must stay within ~2×.
+    val df = spark.range(10500).select(
+      $"id",
+      when($"id" < 10000,
+        st_rectangle(($"id" % 100).cast("double"), ($"id" / 100).cast("double"),
+          ($"id" % 100).cast("double") + 0.1, ($"id" / 100).cast("double") + 0.1))
+        .otherwise(
+          st_rectangle(($"id" % 20).cast("double") * 50.0, ($"id" % 25).cast("double") * 40.0,
+            ($"id" % 20).cast("double") * 50.0 + 100.0, ($"id" % 25).cast("double") * 40.0 + 100.0))
+        .as("geometry"))
+      .orderBy("id") // range partitioning: tiny geometries fill the first partitions
+      .cache()
+    try {
+      val meanWidth = (10000 * 0.1 + 500 * 100.0) / 10500
+      val fullEstimate = 4 * meanWidth
+      val chosen = SpatialJoin.autoCellSize(df, "geometry")
+      assert(chosen > fullEstimate / 2 && chosen < fullEstimate * 2,
+        s"cell size $chosen not within 2x of full-scan estimate $fullEstimate " +
+          "(a partition-prefix sample would give ~0.4)")
+    } finally { df.unpersist(); () }
+  }
+
   test("st_equals joins decline the spatial tiers and keep empty-empty pairs") {
     // ADVICE r9: st_equals used to sit in the planner's Converse table but
     // the execution kernels had no "equals" case — a matched plan failed at
