@@ -66,14 +66,15 @@ object Bench {
           st_contains(col("a"), col("p")).as("ct"),
           st_dwithin(col("a"), col("p"), lit(1.0)).as("dw"))
     }),
-    // geo_scan_pred with st_intersects pinned to the UDF tier
-    // (contains/dwithin are UDFs in both, so the delta isolates intersects)
+    // geo_scan_pred with ALL THREE predicates pinned to the ScalaUDF tier
+    // (intersects/contains/dwithin are native by default, so this twin
+    // quantifies the full native-predicate delta per round)
     "geo_scan_pred_udf" -> ((s, dir) => {
       orders(s, dir)
         .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"), pt.as("p"))
         .select(graft.functions.GeoUDFs.intersects(col("a"), col("c")).as("i"),
-          st_contains(col("a"), col("p")).as("ct"),
-          st_dwithin(col("a"), col("p"), lit(1.0)).as("dw"))
+          graft.functions.GeoUDFs.contains(col("a"), col("p")).as("ct"),
+          graft.functions.GeoUDFs.dwithin(col("a"), col("p"), lit(1.0)).as("dw"))
     }),
     // per-row overlay + buffer (heaviest JTS kernels); with fusion on the
     // whole construct→translate→overlay→area tree runs as one STGeoFused
@@ -292,10 +293,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // geometry aggregators are ObjectHashAggregate buffers; the default
-      // 128-group fallback degrades wide-group aggs to sort-based with
-      // per-row buffer serialization
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
+      // NO objectHashAggregate fallback override (r11): Spark's default
+      // 128-key fallback IS the wide-group memory backstop — the map stays
+      // bounded and overflow degrades to sort-based aggregation, whose
+      // per-row buffer serialization became cheap when GeoAggs switched
+      // its buffer encoders from kryo to catalyst array-of-binary
+      // (PERF.md r11 sweep: the old 8192 override thrashed at 50×).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

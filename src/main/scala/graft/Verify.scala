@@ -19,7 +19,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
       // default; read as raw nanosecond longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

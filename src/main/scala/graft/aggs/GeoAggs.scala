@@ -139,8 +139,14 @@ object GeoAggs {
         compactBuffer(b1)
       else b1
     }
+    /** Catalyst array-of-binary, NOT kryo: buffers serialize at every
+      * partial-agg shuffle, at ObjectHashAggregate's sort-based fallback
+      * (once per ROW past the fallback threshold), and at SortAggregate
+      * partials — kryo's per-object overhead on a Seq of byte arrays was
+      * the measured reason wide-group aggregation paid for raising the
+      * fallback threshold (r11 sweep in PERF.md). */
     def bufferEncoder: Encoder[ArrayBuffer[Array[Byte]]] =
-      Encoders.kryo[ArrayBuffer[Array[Byte]]]
+      ExpressionEncoder[ArrayBuffer[Array[Byte]]]()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -191,7 +197,8 @@ object GeoAggs {
     def merge(a: Option[Array[Byte]], b: Option[Array[Byte]]): Option[Array[Byte]] =
       b.fold(a)(combine(a, _))
     def finish(acc: Option[Array[Byte]]): Array[Byte] = acc.getOrElse(emptyGC)
-    def bufferEncoder: Encoder[Option[Array[Byte]]] = Encoders.kryo[Option[Array[Byte]]]
+    def bufferEncoder: Encoder[Option[Array[Byte]]] =
+      ExpressionEncoder[Option[Array[Byte]]]()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -331,7 +338,7 @@ object GeoAggs {
       }
     }
     def bufferEncoder: Encoder[(Long, Array[Byte], ArrayBuffer[Array[Byte]])] =
-      Encoders.kryo[(Long, Array[Byte], ArrayBuffer[Array[Byte]])]
+      ExpressionEncoder[(Long, Array[Byte], ArrayBuffer[Array[Byte]])]()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -459,7 +466,7 @@ object GeoAggs {
     def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
       mergeIn(b1, b2(0), b2(1), b2(2), b2(3))
     def finish(b: Array[Double]): Seq[Double] = b.toSeq
-    def bufferEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
     def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
