@@ -108,7 +108,12 @@ object GeoStreaming {
     val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
     val staticRows = renamed.limit(guardLimit).collect()
     require(staticRows.length < guardLimit,
-      s"sjoinStream: static side exceeds $maxBuildRows-row broadcast guard")
+      s"sjoinStream: static side exceeds the $maxBuildRows-row broadcast " +
+        "guard. For a big static side, take the scale path instead: lay it " +
+        "out once with SpatialJoin.writeSpatialBucketed and join each " +
+        "micro-batch with sjoinBucketed (exchange-free stream-static " +
+        "equi-join on the grid cell), or pre-filter the static frame " +
+        "(bbox/column predicates) under the guard")
     // byte guard: the row cap alone cannot protect the driver (or the
     // per-executor broadcast copy) from wide rows
     var staticBytes = 0L
@@ -117,7 +122,12 @@ object GeoStreaming {
       staticBytes += graft.join.SpatialJoin.estimateRowBytes(staticRows(bi)); bi += 1
     }
     require(staticBytes <= maxBuildBytes,
-      s"sjoinStream: static side exceeds the $maxBuildBytes-byte broadcast guard")
+      s"sjoinStream: static side exceeds the $maxBuildBytes-byte broadcast " +
+        "guard. For a big static side, take the scale path instead: lay it " +
+        "out once with SpatialJoin.writeSpatialBucketed and join each " +
+        "micro-batch with sjoinBucketed (exchange-free stream-static " +
+        "equi-join on the grid cell), or pre-filter the static frame " +
+        "(bbox/column predicates) under the guard")
     val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
       (r.get(sgPos).asInstanceOf[Array[Byte]], r)
     })

@@ -92,6 +92,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set((1L, 1), (2L, 3)), s"got $rows") // id 3 is in no zone
   }
 
+  test("sjoinStream guard failure points at the bucketed scale path") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val zones = (1 to 50).toDF("zone")
+      .select(col("zone"), graft.functions.st_rectangle(col("zone") * 100.0,
+        lit(0.0), col("zone") * 100.0 + 50.0, lit(50.0)).as("geometry"))
+    val in = MemoryStream[(Long, Double, Double)]
+    val pts = in.toDF().toDF("id", "x", "y")
+      .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
+    // row guard
+    val eRows = intercept[IllegalArgumentException] {
+      graft.streaming.GeoStreaming.sjoinStream(pts, zones, "within",
+        maxBuildRows = 10)
+    }
+    assert(eRows.getMessage.contains("writeSpatialBucketed") &&
+      eRows.getMessage.contains("sjoinBucketed"),
+      s"row-guard message must name the scale path: ${eRows.getMessage}")
+    // byte guard
+    val eBytes = intercept[IllegalArgumentException] {
+      graft.streaming.GeoStreaming.sjoinStream(pts, zones, "within",
+        maxBuildBytes = 64)
+    }
+    assert(eBytes.getMessage.contains("writeSpatialBucketed") &&
+      eBytes.getMessage.contains("sjoinBucketed"),
+      s"byte-guard message must name the scale path: ${eBytes.getMessage}")
+  }
+
   test("sjoinStream matches batch sjoin for ASYMMETRIC predicates (direction parity)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
