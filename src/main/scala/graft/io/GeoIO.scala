@@ -381,8 +381,7 @@ object GeoIO {
       else Seq(hadoopPath)
     require(shps.nonEmpty, s"no .shp files in $path")
     def sidecar(shp: org.apache.hadoop.fs.Path, ext: String): org.apache.hadoop.fs.Path =
-      new org.apache.hadoop.fs.Path(shp.getParent,
-        shp.getName.replaceAll("(?i)\\.shp$", "") + ext)
+      shpSidecar(shp, ext)
     // schema + srid from the first file's sidecars, every other file's
     // sidecars validated against them (mixed layouts/CRS fail loudly)
     val (fields, srid) = shapefileDirLayout(fs, shps, path)
@@ -1455,42 +1454,75 @@ object GeoIO {
     } finally in.close()
   }
 
-  /** Directory reads take schema and SRID from the FIRST file's sidecars
-    * and decode every file against them — a directory mixing .dbf layouts
-    * would silently misalign attributes, and mixed .prj files would
-    * mislabel the CRS of the other files. Resolve the first file's
-    * (fields, srid) and validate every other file's sidecars against it
-    * (header-only reads), failing loudly on heterogeneity. */
-  private[graft] def shapefileDirLayout(fs: org.apache.hadoop.fs.FileSystem,
-      shps: Seq[org.apache.hadoop.fs.Path],
-      path: String): (Seq[Shapefile.DbfField], Int) = {
-    def fieldsOf(shp: org.apache.hadoop.fs.Path): Seq[Shapefile.DbfField] = {
-      val dbfP = shpSidecar(shp, ".dbf")
-      if (fs.exists(dbfP)) dbfHeaderFields(fs, dbfP) else Seq.empty
-    }
-    def sridOf(shp: org.apache.hadoop.fs.Path): Int = {
-      val prj = shpSidecar(shp, ".prj")
-      if (fs.exists(prj)) graft.functions.CrsRegistry.sridForWkt(
-        new String(readWholeGuarded(fs, prj),
-          java.nio.charset.StandardCharsets.UTF_8))
-      else 0
-    }
-    val fields = fieldsOf(shps.head)
-    val srid = sridOf(shps.head)
+  private def shpFieldsOf(fs: org.apache.hadoop.fs.FileSystem,
+      shp: org.apache.hadoop.fs.Path): Seq[Shapefile.DbfField] = {
+    val dbfP = shpSidecar(shp, ".dbf")
+    if (fs.exists(dbfP)) dbfHeaderFields(fs, dbfP) else Seq.empty
+  }
+
+  private def shpPrjOf(fs: org.apache.hadoop.fs.FileSystem,
+      shp: org.apache.hadoop.fs.Path): Option[String] = {
+    val prj = shpSidecar(shp, ".prj")
+    if (fs.exists(prj)) Some(new String(readWholeGuarded(fs, prj),
+      java.nio.charset.StandardCharsets.UTF_8))
+    else None
+  }
+
+  private def sridOfPrj(prj: Option[String]): Int =
+    prj.map(graft.functions.CrsRegistry.sridForWkt).getOrElse(0)
+
+  /** First file's (fields, srid) — the layout a directory read decodes
+    * every file against. */
+  private[graft] def shapefileHeadLayout(fs: org.apache.hadoop.fs.FileSystem,
+      shp: org.apache.hadoop.fs.Path): (Seq[Shapefile.DbfField], Int) =
+    (shpFieldsOf(fs, shp), sridOfPrj(shpPrjOf(fs, shp)))
+
+  /** Validate every OTHER file's sidecars against the first file's
+    * (header-only reads) — a directory mixing .dbf layouts would silently
+    * misalign attributes, and mixed .prj files would mislabel the CRS of
+    * the other files, so heterogeneity fails loudly at plan/scan time.
+    *
+    * CRS comparison is deliberately conservative against false positives:
+    * identical (whitespace-normalized) .prj text is always accepted, and
+    * differing text only fails when BOTH files resolve to KNOWN distinct
+    * codes — two WKT dialects for the same CRS, neither carrying an
+    * AUTHORITY clause, auto-register as distinct synthetic codes
+    * (CrsRegistry 990000..998999) and must not reject a homogeneous
+    * directory that read fine before validation existed. */
+  private[graft] def validateShapefileDir(fs: org.apache.hadoop.fs.FileSystem,
+      shps: Seq[org.apache.hadoop.fs.Path], path: String,
+      fields: Seq[Shapefile.DbfField], srid: Int): Unit = {
+    if (shps.lengthCompare(1) <= 0) return
+    def norm(prj: Option[String]): String =
+      prj.getOrElse("").replaceAll("\\s+", "")
+    def known(s: Int): Boolean = s != 0 && s < 990000
+    val headPrj = norm(shpPrjOf(fs, shps.head))
     shps.drop(1).foreach { shp =>
-      val f = fieldsOf(shp)
+      val f = shpFieldsOf(fs, shp)
       require(f == fields,
         s"shapefile: mixed .dbf layouts under $path — ${shps.head.getName} " +
           s"has fields $fields but ${shp.getName} has $f; directory reads " +
           "need a homogeneous layout (split heterogeneous files into " +
           "separate directories)")
-      val s = sridOf(shp)
-      require(s == srid,
-        s"shapefile: mixed CRS under $path — ${shps.head.getName} resolves " +
-          s"to SRID $srid but ${shp.getName} resolves to SRID $s; directory " +
-          "reads stamp one SRID onto every file (split by CRS, or to_srid " +
-          "after loading each directory)")
+      val prj = shpPrjOf(fs, shp)
+      if (norm(prj) != headPrj) {
+        val s = sridOfPrj(prj)
+        require(!(known(s) && known(srid) && s != srid),
+          s"shapefile: mixed CRS under $path — ${shps.head.getName} resolves " +
+            s"to SRID $srid but ${shp.getName} resolves to SRID $s; directory " +
+            "reads stamp one SRID onto every file (split by CRS, or to_srid " +
+            "after loading each directory)")
+      }
     }
+  }
+
+  /** [[shapefileHeadLayout]] + [[validateShapefileDir]] in one call — the
+    * function-surface path, where plan time and read time coincide. */
+  private[graft] def shapefileDirLayout(fs: org.apache.hadoop.fs.FileSystem,
+      shps: Seq[org.apache.hadoop.fs.Path],
+      path: String): (Seq[Shapefile.DbfField], Int) = {
+    val (fields, srid) = shapefileHeadLayout(fs, shps.head)
+    validateShapefileDir(fs, shps, path, fields, srid)
     (fields, srid)
   }
 

@@ -165,8 +165,13 @@ object SpatialJoin {
 
     val VL = "__graft_validx_l"
     val VR = "__graft_validx_r"
-    val l2 = if (needIdx) withStableIndex(left, VL) else left
-    val r2 = if (needIdx) withStableIndex(right, VR) else right
+    // Plain monotonically_increasing_id, NOT withStableIndex: the ids only
+    // need per-row uniqueness inside this one query (window grouping /
+    // unmatched-marker detection), never lineage stability across actions —
+    // a localCheckpoint here would eagerly materialize an arbitrarily large
+    // probe side to executor storage before any join work.
+    val l2 = if (needIdx) left.withColumn(VL, monotonically_increasing_id()) else left
+    val r2 = if (needIdx) right.withColumn(VR, monotonically_increasing_id()) else right
     var out = sjoinBroadcastImpl(l2, r2, predicate, how, leftGeom, rightGeom,
       suffix, maxBuildRows, maxBuildBytes)
 
@@ -189,11 +194,21 @@ object SpatialJoin {
 
     if (validate != "m:m") {
       import org.apache.spark.sql.expressions.Window
-      // a null idx marks an outer-join unmatched row — those never violate
+      // A null idx marks an outer-join unmatched row — those never violate
+      // and are excluded from the assert. They must also not share ONE
+      // window partition (partitionBy(null-heavy col) would hash every
+      // unmatched row of a mostly-unmatched outer join into a single
+      // task), so null-idx rows get the OTHER side's id as a synthetic
+      // singleton partition key: their window is themselves, no skew, and
+      // the count they see is never asserted on.
+      def windowKey(idx: String, other: String): org.apache.spark.sql.Column =
+        when(col(idx).isNull, concat(lit("u:"), col(other).cast("string")))
+          .otherwise(concat(lit("k:"), col(idx).cast("string")))
       if (validate == "m:1" || validate == "1:1") {
         val c = "__graft_vcnt_r"
         out = out
-          .withColumn(c, count(col(VR)).over(Window.partitionBy(col(VL))))
+          .withColumn(c, count(col(VR)).over(
+            Window.partitionBy(windowKey(VL, VR))))
           .filter(assert_true(col(VL).isNull || col(c) <= 1,
             lit(s"sjoin validate '$validate' failed: a left row matched " +
               "more than one right row (join keys not unique in right)")).isNull)
@@ -202,7 +217,8 @@ object SpatialJoin {
       if (validate == "1:m" || validate == "1:1") {
         val c = "__graft_vcnt_l"
         out = out
-          .withColumn(c, count(col(VL)).over(Window.partitionBy(col(VR))))
+          .withColumn(c, count(col(VL)).over(
+            Window.partitionBy(windowKey(VR, VL))))
           .filter(assert_true(col(VR).isNull || col(c) <= 1,
             lit(s"sjoin validate '$validate' failed: a right row matched " +
               "more than one left row (join keys not unique in left)")).isNull)
@@ -336,10 +352,16 @@ object SpatialJoin {
     * admin polygons later) would get a cell size wrong by orders of
     * magnitude. `orderBy(xxhash64).limit` executes as a per-partition
     * top-k + driver merge (TakeOrderedAndProject) — every partition
-    * contributes, no full sort shuffle. */
+    * contributes, no full sort shuffle; the pass reads only the pruned
+    * geometry column (an unbiased sample inherently needs one full pass —
+    * the early-exit prefix scan was exactly the bias). The hash is salted
+    * with a per-row id so heavily-duplicated geometries (snapped points,
+    * repeated placeholder shapes, all hashing identically) cannot
+    * monopolize the top-k. */
   def autoCellSize(df: DataFrame, geom: String): Double = {
     val sample = df.select(col(geom))
-      .orderBy(xxhash64(col(geom), lit(42L))).limit(1000).collect()
+      .orderBy(xxhash64(col(geom), monotonically_increasing_id(), lit(42L)))
+      .limit(1000).collect()
     val widths = sample.iterator
       .map(_.get(0).asInstanceOf[Array[Byte]])
       .filter(_ != null)
@@ -500,12 +522,17 @@ object SpatialJoin {
     val pred = predicate
 
     // envelope centers of a sample of both sides drive the partitioning —
-    // hash-ordered top-k, not sample().limit() (the fraction-then-limit
-    // still takes the earliest partitions, biasing the tree toward one
-    // locality on spatially-sorted layouts; the exec tier's per-partition
-    // reservoir is the same fix in RDD form)
+    // fraction pre-sample (partition-uniform row thinning, so the hash
+    // runs on ~20% of rows) then hash-ordered top-k, NOT a bare
+    // fraction-then-limit (the limit takes the earliest partitions,
+    // biasing the tree toward one locality on spatially-sorted layouts;
+    // the exec tier's per-partition reservoir is the same fix in RDD
+    // form). Per-row salt keeps duplicated geometries from monopolizing
+    // the top-k.
     def centers(df: DataFrame, geom: String): Array[(Double, Double)] = df
-      .select(col(geom)).orderBy(xxhash64(col(geom), lit(42L))).limit(sampleSize)
+      .select(col(geom)).sample(withReplacement = false, 0.2, 42)
+      .orderBy(xxhash64(col(geom), monotonically_increasing_id(), lit(42L)))
+      .limit(sampleSize)
       .collect()
       .flatMap { r =>
         Option(r.get(0).asInstanceOf[Array[Byte]]).map(EWKB.read(_).getEnvelopeInternal)

@@ -164,9 +164,8 @@ private[sources] class FgbWritableTable(path: String,
     conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator,
     readValidation: () => Unit = () => ())
     extends GeoTable("FlatGeobuf", path, parts, tableSchema, geometryName,
-      bbox, conf, iterate)
+      bbox, conf, iterate, readValidation)
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override protected def validateRead(): Unit = readValidation()
   import org.apache.spark.sql.connector.catalog.TableCapability
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -359,7 +358,12 @@ private[sources] class FgbWrite(path: String, schema: StructType,
       if (truncate && fs.exists(dir))
         fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".fgb"))
       else Array.empty
-    val fresh = messages.collect { case FgbCommit(_, fin) => fin }.toSet
+    // qualified comparison: listStatus paths are scheme-qualified while
+    // fin strings inherit the user's save path form. (By construction the
+    // pre-rename snapshot cannot contain this job's queryId-stamped names
+    // — the guard is belt-and-braces against a commit retry.)
+    val fresh = messages.collect { case FgbCommit(_, fin) =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(fin)).toString }.toSet
     messages.foreach {
       case FgbCommit(tmp, fin) =>
         val t = new org.apache.hadoop.fs.Path(tmp)
@@ -368,7 +372,8 @@ private[sources] class FgbWrite(path: String, schema: StructType,
           s"flatgeobuf: failed to commit $tmp -> $fin")
       case other => throw new IllegalStateException(s"unexpected commit message: $other")
     }
-    old.filterNot(p => fresh.contains(p.toString)).foreach(fs.delete(_, false))
+    old.filterNot(p => fresh.contains(fs.makeQualified(p).toString))
+      .foreach(fs.delete(_, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -73,7 +73,8 @@ private[sources] object GeoDsv2 {
 private[sources] class GeoTable(formatName: String, protected val path: String,
     parts: Seq[GeoDsv2.GeoPart], tableSchema: StructType, geometryName: String,
     bbox: Option[(Double, Double, Double, Double)],
-    protected val conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator)
+    protected val conf: SerializableConfiguration, iterate: GeoDsv2.PartIterator,
+    readValidation: () => Unit = () => ())
     extends Table with SupportsRead {
   override def name(): String = s"$formatName:`$path`"
   override def schema(): StructType = tableSchema
@@ -83,14 +84,17 @@ private[sources] class GeoTable(formatName: String, protected val path: String,
     * batch scan (e.g. the FGB streaming face): pruning/pushdown still
     * negotiate on the shared builder; only the BUILT scan is wrapped. */
   protected def wrapScan(s: GeoScan): Scan = s
-  /** Hook run once per READ (scan-builder construction, driver side) —
-    * not at table construction, because a table built for a WRITE
-    * legitimately carries a schema differing from stale on-disk parts
-    * (overwrite). Subclasses with externally-supplied metadata validate
-    * the caller's schema against the stored layout here. */
-  protected def validateRead(): Unit = ()
+  /** Read-path validation, run ONCE per table on the first scan build
+    * (driver side) — not at table construction, because (a) a table built
+    * for a WRITE legitimately carries a schema differing from stale
+    * on-disk parts (overwrite), and (b) the DSv2 protocol constructs
+    * tables from BOTH inferSchema and getTable, so eager per-construction
+    * validation would double any O(files) sidecar IO before a single task
+    * launches. The lazy val memoizes across the actions of one loaded
+    * DataFrame (they share the table instance). */
+  private lazy val validatedOnce: Unit = readValidation()
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    validateRead()
+    validatedOnce
     new GeoScanBuilder(formatName, parts, tableSchema, geometryName, bbox,
       conf, iterate, wrapScan)
   }

@@ -32,8 +32,7 @@ class ShapefileDataSource extends TableProvider with DataSourceRegister {
 private[sources] object ShapefileDataSource {
 
   private def sidecar(shp: org.apache.hadoop.fs.Path, ext: String) =
-    new org.apache.hadoop.fs.Path(shp.getParent,
-      shp.getName.replaceAll("(?i)\\.shp$", "") + ext)
+    graft.io.GeoIO.shpSidecar(shp, ext)
 
   /** Per-file iterator: .shp + .dbf whole-file reads, record-box bbox
     * prune inside the codec, SRID (packed in GeoPart.a by the driver
@@ -62,11 +61,14 @@ private[sources] object ShapefileDataSource {
         require(l.nonEmpty, s"no .shp files in $path")
         l
       } else Seq(hadoopPath)
-    // schema + srid from the first file's sidecars, every other file's
-    // sidecars validated against them at plan time (header-only reads —
-    // mixed .dbf layouts or .prj files fail loudly instead of silently
-    // misaligning attributes / mislabeling the CRS)
-    val (fields, srid) = graft.io.GeoIO.shapefileDirLayout(fs, shps, path)
+    // schema + srid from the first file's sidecars; every OTHER file's
+    // sidecars are validated against them lazily at first scan build
+    // (GeoTable.readValidation) — NOT here, because the DSv2 protocol
+    // calls tableOf from both inferSchema and getTable, and an eager
+    // O(files) sidecar sweep would run twice before any task launches.
+    // Mixed .dbf layouts or provably-different CRS fail loudly instead of
+    // silently misaligning attributes / mislabeling the CRS.
+    val (fields, srid) = graft.io.GeoIO.shapefileHeadLayout(fs, shps.head)
     val schema = StructType(
       StructField(geometryName, BinaryType, nullable = true) +:
         fields.map(f => StructField(f.name, Shapefile.sparkType(f))))
@@ -74,6 +76,8 @@ private[sources] object ShapefileDataSource {
       shps.map(s => GeoDsv2.GeoPart(s.toString, a = srid.toLong)), schema,
       geometryName, bbox,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
-      iterate)
+      iterate,
+      readValidation =
+        () => graft.io.GeoIO.validateShapefileDir(fs, shps, path, fields, srid))
   }
 }

@@ -355,7 +355,7 @@ class DataSourceV2Spec extends AnyFunSuite {
     val e2 = intercept[Exception] { GeoIO.readShapefile(spark, mixDbf).count() }
     assert(e2.getMessage.contains("mixed .dbf layouts") ||
       Option(e2.getCause).exists(_.getMessage.contains("mixed .dbf layouts")))
-    // mixed CRS: .prj sidecars disagree
+    // mixed CRS: .prj sidecars provably disagree (two KNOWN codes)
     val mixCrs = Files.createTempDirectory("shp_mix_crs").toFile.getAbsolutePath
     GeoIO.writeShapefile(frame(4326, extraCol = true), mixCrs + "/a.shp")
     GeoIO.writeShapefile(frame(3857, extraCol = true), mixCrs + "/b.shp")
@@ -364,6 +364,30 @@ class DataSourceV2Spec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("mixed CRS") ||
       Option(e3.getCause).exists(_.getMessage.contains("mixed CRS")))
+    // dialect tolerance: same CRS expressed as (a) reformatted text and
+    // (b) an AUTHORITY-less WKT resolving to a synthetic code must NOT
+    // trip the mixed-CRS check — only provably-different known codes do
+    val dialect = Files.createTempDirectory("shp_dialect").toFile.getAbsolutePath
+    GeoIO.writeShapefile(frame(4326, extraCol = true), dialect + "/a.shp")
+    GeoIO.writeShapefile(frame(4326, extraCol = true), dialect + "/b.shp")
+    val bPrj = new java.io.File(dialect + "/b.prj")
+    val aTxt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dialect + "/a.prj").toPath))
+    // rewriting the sidecar behind Hadoop's back: drop its checksum file
+    def rewriteB(txt: String): Unit = {
+      java.nio.file.Files.write(bPrj.toPath, txt.getBytes)
+      new java.io.File(dialect + "/.b.prj.crc").delete()
+    }
+    // (a) whitespace-reformatted copy of the same definition
+    rewriteB(aTxt.replace(",", ", "))
+    assert(spark.read.format("shapefile").load(dialect).count() == 20)
+    // (b) parseable definition with no AUTHORITY clause (ESRI-style):
+    // auto-registers as a synthetic code; known-vs-synthetic is not
+    // provably mixed, so the directory still reads
+    rewriteB("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",""" +
+      """6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],""" +
+      """UNIT["Degree",0.0174532925199433]]""")
+    assert(GeoIO.readShapefile(spark, dialect).count() == 20)
   }
 
   test("geometry option renames the geometry column") {

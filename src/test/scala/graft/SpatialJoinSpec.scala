@@ -543,6 +543,24 @@ class SpatialJoinSpec extends AnyFunSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("autoCellSize: a heavily-duplicated geometry cannot monopolize the sample") {
+    // 10k identical tiny rects (all sharing one geometry hash) + 500
+    // distinct large ones: an unsalted hash-ordered top-k could fill the
+    // whole sample with copies of the duplicate if its hash ranks lowest
+    val df = spark.range(10500).select(
+      when($"id" < 10000, st_rectangle(lit(0.0), lit(0.0), lit(0.1), lit(0.1)))
+        .otherwise(
+          st_rectangle(($"id" % 20).cast("double") * 50.0, ($"id" % 25).cast("double") * 40.0,
+            ($"id" % 20).cast("double") * 50.0 + 100.0, ($"id" % 25).cast("double") * 40.0 + 100.0))
+        .as("geometry"))
+    val meanWidth = (10000 * 0.1 + 500 * 100.0) / 10500
+    val fullEstimate = 4 * meanWidth
+    val chosen = SpatialJoin.autoCellSize(df, "geometry")
+    assert(chosen > fullEstimate / 2 && chosen < fullEstimate * 2,
+      s"cell size $chosen not within 2x of $fullEstimate — duplicated " +
+        "geometry monopolized the hash-ordered sample")
+  }
+
   test("st_equals joins decline the spatial tiers and keep empty-empty pairs") {
     // ADVICE r9: st_equals used to sit in the planner's Converse table but
     // the execution kernels had no "equals" case — a matched plan failed at
