@@ -130,6 +130,66 @@ object GeoQueries {
         .orderBy(k)
     }),
 
+    // Round 11: the FULL curved-type model (CompoundCurve, CurvePolygon,
+    // MultiCurve — EWKB types 9-12) with exact arc closed forms. Length of
+    // line+semicircle compound = w + πw; full-circle CurvePolygon area =
+    // πw²; square-with-circular-hole area = 16w² − πw²; exact arc bounds
+    // (axis extremes, not chord clipping) as hash-strong dyadic doubles;
+    // WKT/WKB round trips; container accessors; the reference cast table.
+    "geo_curved2" -> ((s, dir) => {
+      def f(c: Column) = format_string("%.2f", c)
+      def pt2(x: Column, y: Column) = concat(f(x), lit(" "), f(y))
+      val y0 = ymin
+      // compound: straight w + semicircle radius w
+      val cc = st_geomfromtext(concat(
+        lit("COMPOUNDCURVE (("), pt2(xmin, y0), lit(", "), pt2(xmin + w, y0),
+        lit("), CIRCULARSTRING ("), pt2(xmin + w, y0), lit(", "),
+        pt2(xmin + w + w, y0 + w), lit(", "), pt2(xmin + w + w + w, y0), lit("))")))
+      // full circle radius w centered (xmin+w, ymin)
+      val circle = st_geomfromtext(concat(
+        lit("CURVEPOLYGON (CIRCULARSTRING ("), pt2(xmin, y0), lit(", "),
+        pt2(xmin + w + w, y0), lit(", "), pt2(xmin, y0), lit("))")))
+      // 4w×4w square centered (xmin, ymin) with a circular hole radius w
+      val holed = st_geomfromtext(concat(
+        lit("CURVEPOLYGON (("),
+        pt2(xmin - w - w, y0 - w - w), lit(", "), pt2(xmin + w + w, y0 - w - w), lit(", "),
+        pt2(xmin + w + w, y0 + w + w), lit(", "), pt2(xmin - w - w, y0 + w + w), lit(", "),
+        pt2(xmin - w - w, y0 - w - w),
+        lit("), CIRCULARSTRING ("), pt2(xmin - w, y0), lit(", "), pt2(xmin + w, y0),
+        lit(", "), pt2(xmin - w, y0), lit("))")))
+      val mc = st_geomfromtext(concat(
+        lit("MULTICURVE (("), pt2(xmin, y0), lit(", "), pt2(xmin + w, y0),
+        lit("), CIRCULARSTRING ("), pt2(xmin + w, y0), lit(", "),
+        pt2(xmin + w + w, y0 + w), lit(", "), pt2(xmin + w + w + w, y0), lit("))")))
+      val cs = st_circularstring(array(
+        array(xmin, y0), array(xmin + w, y0 + w), array(xmin + w + w, y0)))
+      val pi = lit(math.Pi)
+      base(s, dir).select(k,
+        st_geometrytype(cc).as("cc_gt"),
+        (abs(st_length(cc) - (w + pi * w)) < w * 1e-9).as("cc_len_ok"),
+        (abs(st_area(circle) - pi * w * w) < w * w * 1e-9).as("circle_area_ok"),
+        (abs(st_area(holed) - (lit(16.0) * w * w - pi * w * w)) < w * w * 1e-9)
+          .as("hole_area_ok"),
+        element_at(st_bounds(circle), 1).as("bb_xmin"),
+        element_at(st_bounds(circle), 2).as("bb_ymin"),
+        element_at(st_bounds(circle), 3).as("bb_xmax"),
+        element_at(st_bounds(circle), 4).as("bb_ymax"),
+        st_geometrytype(st_exterior_ring(circle)).as("ext_gt"),
+        st_geometrytype(st_geomfromtext(st_aswkt(cc))).as("rt_gt"),
+        st_geometrytype(graft.functions.st_geomfromwkb(
+          st_aswkb(circle, lit(2), lit(true), lit(false)))).as("wkb_gt"),
+        st_count_coordinates(cc).as("ncoord"),
+        st_count_geometries(mc).as("nmc"),
+        st_geometrytype(st_get_geometry(mc, lit(1))).as("mc_m1"),
+        st_geometrytype(st_cast(cs, lit("multicurve"))).as("cast_gt"),
+        st_geometrytype(st_linearize(circle)).as("lin_gt"),
+        graft.functions.st_srid(st_geomfromewkt(
+          concat(lit("SRID=3857;CIRCULARSTRING ("), pt2(xmin, y0), lit(", "),
+            pt2(xmin + w, y0 + w), lit(", "), pt2(xmin + w + w, y0), lit(")"))))
+          .as("esrid"))
+        .orderBy(k)
+    }),
+
     "geo_ctor_poly" -> ((s, dir) => {
       base(s, dir).select(k,
         st_area(polyHole).as("area"),
@@ -1829,6 +1889,16 @@ object GeoQueries {
          | xmin AS coord0_x, FALSE AS closed, 3 AS cdim3,
          | 'LineString' AS lin_gt, 65 AS lin_npts, xmin AS lin_first_x,
          | xmin + 2*w AS lin_last_x, TRUE AS len_ok
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_curved2" ->
+      s"""$B SELECT k, 'CompoundCurve' AS cc_gt, TRUE AS cc_len_ok,
+         | TRUE AS circle_area_ok, TRUE AS hole_area_ok,
+         | xmin AS bb_xmin, ymin - w AS bb_ymin,
+         | xmin + 2*w AS bb_xmax, ymin + w AS bb_ymax,
+         | 'CircularString' AS ext_gt, 'CompoundCurve' AS rt_gt,
+         | 'CurvePolygon' AS wkb_gt, 5 AS ncoord, 2 AS nmc,
+         | 'CircularString' AS mc_m1, 'MultiCurve' AS cast_gt,
+         | 'Polygon' AS lin_gt, 3857 AS esrid
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_fgb" ->
       s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area,

@@ -129,16 +129,44 @@ object GeoUDFs {
   // Reference: polars_st/parsing.py; kernels functions.rs:258-408.
 
   // Parse constructors are named so graft.plans.BboxFilterRule can evaluate
-  // constant `st_geomfrom*(lit)` chains at plan time.
+  // constant `st_geomfrom*(lit)` chains at plan time. Curved WKT tags
+  // (CIRCULARSTRING/COMPOUNDCURVE/CURVEPOLYGON/MULTICURVE/MULTISURFACE)
+  // route to the CurvedGeom parser and come back as curved EWKB bytes —
+  // the serde-preserving tier.
   val geomFromWkt: UserDefinedFunction = udf((s: String) =>
-    if (s == null) null else EWKB.write(GeoCodec.fromWkt(s))).withName("st_geomfromtext")
+    if (s == null) null
+    else if (graft.serde.CurvedGeom.isCurvedWkt(s))
+      graft.serde.CurvedGeom.write(graft.serde.CurvedGeom.parseWkt(s), 0)
+    else EWKB.write(GeoCodec.fromWkt(s))).withName("st_geomfromtext")
 
   val geomFromEwkt: UserDefinedFunction = udf((s: String) =>
-    if (s == null) null else EWKB.write(GeoCodec.fromEwkt(s))).withName("st_geomfromewkt")
+    if (s == null) null
+    else {
+      val t = s.trim
+      val (srid, rest) =
+        if (t.regionMatches(true, 0, "SRID=", 0, 5)) {
+          val semi = t.indexOf(';')
+          require(semi > 0, s"invalid EWKT: $s")
+          (t.substring(5, semi).trim.toInt, t.substring(semi + 1))
+        } else (0, t)
+      if (graft.serde.CurvedGeom.isCurvedWkt(rest))
+        graft.serde.CurvedGeom.write(graft.serde.CurvedGeom.parseWkt(rest), srid)
+      else {
+        val g = GeoCodec.fromWkt(rest)
+        if (srid != 0) g.setSRID(srid)
+        EWKB.write(g)
+      }
+    }).withName("st_geomfromewkt")
 
-  /** WKB/EWKB bytes → normalized EWKB. */
+  /** WKB/EWKB bytes → normalized EWKB; curved input is re-encoded in the
+    * curved normal form (little-endian, top-level SRID), not linearized. */
   val geomFromWkb: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null else EWKB.write(EWKB.read(b))).withName("st_geomfromwkb")
+    if (b == null) null
+    else if (graft.serde.CurvedGeom.isCurvedBytes(b)) {
+      val (srid, g) = graft.serde.CurvedGeom.parse(b)
+      graft.serde.CurvedGeom.write(g, srid)
+    }
+    else EWKB.write(EWKB.read(b))).withName("st_geomfromwkb")
 
   val geomFromGeoJson: UserDefinedFunction = udf((s: String) =>
     if (s == null) null else EWKB.write(GeoJson.read(s))).withName("st_geomfromgeojson")
@@ -157,8 +185,37 @@ object GeoUDFs {
     fact.createPoint(new Coordinate(aD(a(0)), aD(a(1))))))
   GeoKernels.add(K("st_pointz", 3, Set.empty, OGeom, a =>
     fact.createPoint(new Coordinate(aD(a(0)), aD(a(1)), aD(a(2))))))
-  GeoKernels.add(K("st_geomfromtext", 1, Set.empty, OGeom, a => GeoCodec.fromWkt(aS(a(0)))))
-  GeoKernels.add(K("st_geomfromewkt", 1, Set.empty, OGeom, a => GeoCodec.fromEwkt(aS(a(0)))))
+  // In a fused chain the constructor feeds other kernels, so curved WKT
+  // linearizes here exactly like EWKB.read does on the unfused path — and
+  // attaches the curved source bytes as userData so curved-aware kernels
+  // downstream (and the fused root serializer) keep curved semantics.
+  private def curvedWktGeom(s: String, srid: Int): Geometry = {
+    val cg = graft.serde.CurvedGeom.parseWkt(s)
+    val g = graft.serde.CurvedGeom.linearize(cg, srid, 32)
+    g.setUserData(graft.serde.CurvedGeom.write(cg, srid))
+    g
+  }
+
+  GeoKernels.add(K("st_geomfromtext", 1, Set.empty, OGeom, a => {
+    val s = aS(a(0))
+    if (graft.serde.CurvedGeom.isCurvedWkt(s)) curvedWktGeom(s, 0)
+    else GeoCodec.fromWkt(s)
+  }))
+  GeoKernels.add(K("st_geomfromewkt", 1, Set.empty, OGeom, a => {
+    val s = aS(a(0)).trim
+    val (srid, rest) =
+      if (s.regionMatches(true, 0, "SRID=", 0, 5)) {
+        val semi = s.indexOf(';')
+        require(semi > 0, s"invalid EWKT: $s")
+        (s.substring(5, semi).trim.toInt, s.substring(semi + 1))
+      } else (0, s)
+    if (graft.serde.CurvedGeom.isCurvedWkt(rest)) curvedWktGeom(rest, srid)
+    else {
+      val g = GeoCodec.fromWkt(rest)
+      if (srid != 0) g.setSRID(srid)
+      g
+    }
+  }))
   GeoKernels.add(K("st_geomfromwkb", 1, Set(0), OGeom, a => aG(a(0))))
   GeoKernels.add(K("st_geomfromgeojson", 1, Set.empty, OGeom, a => GeoJson.read(aS(a(0)))))
 
@@ -200,12 +257,15 @@ object GeoUDFs {
   val circularString: UserDefinedFunction = udf((xs: Seq[Seq[Double]]) =>
     if (xs == null) null else graft.serde.Curved.writeCircularString(xs, 0))
 
-  /** CircularString → chorded LineString (PostGIS-style `ST_CurveToLine`
-    * with segments-per-quadrant); non-curved geometries pass through. */
+  /** Any curved type (8-12) → its chorded linear twin (PostGIS-style
+    * `ST_CurveToLine` with segments-per-quadrant): CircularString /
+    * CompoundCurve → LineString, CurvePolygon → Polygon, MultiCurve →
+    * MultiLineString, MultiSurface → MultiPolygon. Non-curved geometries
+    * pass through. */
   val linearize: UserDefinedFunction = udf((b: Array[Byte], segsPerQuadrant: Int) =>
     if (b == null) null
-    else if (graft.serde.Curved.isCircularString(b))
-      EWKB.write(graft.serde.Curved.linearize(b, segsPerQuadrant))
+    else if (graft.serde.CurvedGeom.isCurvedBytes(b))
+      EWKB.write(graft.serde.CurvedGeom.linearizeBytes(b, segsPerQuadrant))
     else b)
 
   private def multiLineStringK(xs: Seq[Seq[Seq[Double]]]): Geometry =
@@ -288,50 +348,103 @@ object GeoUDFs {
     case _ => Double.NaN
   }
 
-  import graft.serde.Curved
+  import graft.serde.{Curved, CurvedGeom}
 
-  /** Curved coordinate rows with the same dim-override semantics as
-    * [[GeomUtil.coordinateRows]]: pad missing Z with NaN, drop extra. */
-  private def curvedRows(b: Array[Byte], dim: Option[Int]): Seq[Seq[Double]] = {
-    val (_, pts) = Curved.readCircularString(b)
-    pts.toSeq.map { p =>
-      dim.getOrElse(p.length) match {
-        case 2 => Seq(p(0), p(1))
-        case _ => Seq(p(0), p(1), if (p.length >= 3) p(2) else Double.NaN)
-      }
-    }
+  /** Source bytes when `g` is the linearization of a curved geometry —
+    * attached by [[EWKB.read]] and the curved constructor kernels. Lets
+    * fused-chain kernels apply the same curved-aware semantics the
+    * bytes-level UDF branches do, so the tiers cannot drift. */
+  private[functions] def curvedSrc(g: Geometry): Array[Byte] = g.getUserData match {
+    case b: Array[Byte] => b
+    case _ => null
+  }
+
+  /** Linearized twin of a curved model node carrying its bytes as
+    * `userData` — what a curved-aware kernel returns so downstream kernels
+    * (and the fused root serializer) keep the curved representation. */
+  private[functions] def curvedLin(child: graft.serde.CurvedGeom.CG, srid: Int): Geometry = {
+    val bytes = CurvedGeom.write(child, srid)
+    val out = CurvedGeom.linearize(child, srid, 32)
+    out.setUserData(bytes)
+    out
+  }
+
+  /** Copy that sheds the curved-source marker — for kernels that return
+    * their input unchanged, whose unfused twin serializes the parsed
+    * (= linearized) geometry. */
+  private def freshCopy(g: Geometry): Geometry = {
+    val c = g.copy(); c.setUserData(null); c
   }
 
   val countCoordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None
-    else if (Curved.isCircularString(b)) Some(Curved.readCircularString(b)._2.length)
+    else if (CurvedGeom.isCurvedBytes(b))
+      Some(CurvedGeom.countCoordinates(CurvedGeom.parse(b)._2))
     else Some(EWKB.read(b).getNumPoints))
 
   val coordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
-    else if (Curved.isCircularString(b)) curvedRows(b, None)
+    else if (CurvedGeom.isCurvedBytes(b))
+      CurvedGeom.coordinateRows(CurvedGeom.parse(b)._2, None)
     else GeomUtil.coordinateRows(EWKB.read(b), None)).withName("st_coordinates")
 
   /** dim-override variant (reference `coordinates(output_dimension=2|3)`,
     * `geoexpr.py:185-194`). */
   val coordinatesDim: UserDefinedFunction = udf((b: Array[Byte], dim: Int) =>
     if (b == null) null
-    else if (Curved.isCircularString(b)) curvedRows(b, Some(dim))
+    else if (CurvedGeom.isCurvedBytes(b))
+      CurvedGeom.coordinateRows(CurvedGeom.parse(b)._2, Some(dim))
     else GeomUtil.coordinateRows(EWKB.read(b), Some(dim))).withName("st_coordinates_dim")
 
-  // Fused-chain kernels for the array-output accessors. The curved-bytes
-  // fast path above is unreachable in a fused chain: a chain interior is a
-  // COMPUTED JTS geometry (compute kernels cannot produce curved types), so
-  // the parsed-geometry kernel is exact. Standalone calls on raw columns
-  // (where curved bytes can appear) stay single-kernel and never fuse.
-  GeoKernels.add(K("st_coordinates", 1, Set(0), GeoKernels.ONestedDoubleArr,
-    a => GeomUtil.coordinateRows(aG(a(0)), None)))
-  GeoKernels.add(K("st_coordinates_dim", 2, Set(0), GeoKernels.ONestedDoubleArr,
-    a => GeomUtil.coordinateRows(aG(a(0)), Some(aI(a(1))))))
+  // Fused-chain kernels for the array-output accessors. Curved values
+  // reach a fused chain as linearized geometry + curved-source marker
+  // (EWKB.read / the constructor kernels attach it), so the kernels
+  // report CONTROL points for curved sources exactly like the bytes-level
+  // UDF branches above.
+  GeoKernels.add(K("st_coordinates", 1, Set(0), GeoKernels.ONestedDoubleArr, a => {
+    val g = aG(a(0)); val cb = curvedSrc(g)
+    if (cb != null) CurvedGeom.coordinateRows(CurvedGeom.parse(cb)._2, None)
+    else GeomUtil.coordinateRows(g, None)
+  }))
+  GeoKernels.add(K("st_coordinates_dim", 2, Set(0), GeoKernels.ONestedDoubleArr, a => {
+    val g = aG(a(0)); val cb = curvedSrc(g)
+    if (cb != null) CurvedGeom.coordinateRows(CurvedGeom.parse(cb)._2, Some(aI(a(1))))
+    else GeomUtil.coordinateRows(g, Some(aI(a(1))))
+  }))
 
-  val exteriorRing: UserDefinedFunction = fG1("st_exterior_ring") {
-    case p: Polygon => p.getExteriorRing.copy()
-    case _ => null
+  // Structure accessors get a curved-preserving branch: members and rings
+  // of curved containers come back as their own curved EWKB values (a
+  // CurvePolygon's exterior ring IS a CircularString/CompoundCurve), the
+  // same way the reference's GEOS accessors keep curved children. The
+  // fusion kernels stay on the parsed-geometry path — chain interiors are
+  // computed JTS geometries, never curved bytes.
+  import CurvedGeom.{CG, CLine, CCompound, CPoly, CMulti}
+
+  /** Curved ring/member → standalone EWKB with the parent's SRID. */
+  private def curvedChild(g: CG, srid: Int): Array[Byte] = CurvedGeom.write(g, srid)
+
+  val exteriorRing: UserDefinedFunction = {
+    GeoKernels.add(K("st_exterior_ring", 1, Set(0), OGeom, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) CurvedGeom.parse(cb) match {
+        case (srid, CPoly(rings, _, z, m)) =>
+          curvedLin(rings.headOption.getOrElse(CLine(Array.empty, circular = false, z, m)), srid)
+        case _ => null
+      }
+      else g match {
+        case p: Polygon => p.getExteriorRing.copy()
+        case _ => null
+      }
+    }))
+    udf((b: Array[Byte]) =>
+      if (b == null) null
+      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+        case (srid, CPoly(rings, _, z, m)) =>
+          curvedChild(rings.headOption.getOrElse(CLine(Array.empty, circular = false, z, m)), srid)
+        case _ => null
+      }
+      else uG { case p: Polygon => p.getExteriorRing.copy(); case _ => null }(b))
+      .withName("st_exterior_ring")
   }
 
   private def interiorRingsK(g: Geometry): Seq[Array[Byte]] = g match {
@@ -342,14 +455,38 @@ object GeoUDFs {
   }
 
   val interiorRings: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null else interiorRingsK(EWKB.read(b))).withName("st_interior_rings")
+    if (b == null) null
+    else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+      case (srid, CPoly(rings, _, _, _)) => rings.drop(1).map(curvedChild(_, srid))
+      case _ => Seq.empty[Array[Byte]]
+    }
+    else interiorRingsK(EWKB.read(b))).withName("st_interior_rings")
 
-  GeoKernels.add(K("st_interior_rings", 1, Set(0), GeoKernels.OBinaryArr,
-    a => interiorRingsK(aG(a(0)))))
+  GeoKernels.add(K("st_interior_rings", 1, Set(0), GeoKernels.OBinaryArr, a => {
+    val g = aG(a(0)); val cb = curvedSrc(g)
+    if (cb != null) CurvedGeom.parse(cb) match {
+      case (srid, CPoly(rings, _, _, _)) => rings.drop(1).map(curvedChild(_, srid))
+      case _ => Seq.empty[Array[Byte]]
+    }
+    else interiorRingsK(g)
+  }))
 
-  val countInteriorRings: UserDefinedFunction = fI1("st_count_interior_rings") {
-    case p: Polygon => p.getNumInteriorRing
-    case _ => 0
+  val countInteriorRings: UserDefinedFunction = {
+    GeoKernels.add(K("st_count_interior_rings", 1, Set(0), GeoKernels.OInt,
+      a => a(0).asInstanceOf[Geometry] match {
+        case p: Polygon => p.getNumInteriorRing
+        case _ => 0
+      }))
+    udf((b: Array[Byte]) =>
+      if (b == null) None
+      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b)._2 match {
+        case CPoly(rings, _, _, _) => Some(math.max(0, rings.length - 1))
+        case _ => Some(0)
+      }
+      else Some(EWKB.read(b) match {
+        case p: Polygon => p.getNumInteriorRing
+        case _ => 0
+      })).withName("st_count_interior_rings")
   }
 
   /** i-th interior ring; null when out of bounds; raises on non-Polygon
@@ -363,25 +500,81 @@ object GeoUDFs {
   }
 
   val getInteriorRing: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    uG(getInteriorRingK(i))(b)).withName("st_get_interior_ring")
+    if (b != null && CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+      case (srid, CPoly(rings, _, _, _)) =>
+        if (i < 0 || i >= rings.length - 1) null
+        else curvedChild(rings(i + 1), srid)
+      case (_, other) => throw new IllegalArgumentException(
+        s"get_interior_ring requires a Polygon, got ${EWKB.typeName(other.code)}")
+    }
+    else uG(getInteriorRingK(i))(b)).withName("st_get_interior_ring")
 
-  GeoKernels.add(K("st_get_interior_ring", 2, Set(0), OGeom,
-    a => getInteriorRingK(aI(a(1)))(aG(a(0)))))
+  GeoKernels.add(K("st_get_interior_ring", 2, Set(0), OGeom, a => {
+    val g = aG(a(0)); val cb = curvedSrc(g); val i = aI(a(1))
+    if (cb != null) CurvedGeom.parse(cb) match {
+      case (srid, CPoly(rings, _, _, _)) =>
+        if (i < 0 || i >= rings.length - 1) null else curvedLin(rings(i + 1), srid)
+      case (_, other) => throw new IllegalArgumentException(
+        s"get_interior_ring requires a Polygon, got ${EWKB.typeName(other.code)}")
+    }
+    else getInteriorRingK(i)(g)
+  }))
 
-  val countGeometries: UserDefinedFunction = fI1("st_count_geometries")(_.getNumGeometries)
+  val countGeometries: UserDefinedFunction = {
+    GeoKernels.add(K("st_count_geometries", 1, Set(0), GeoKernels.OInt,
+      a => a(0).asInstanceOf[Geometry].getNumGeometries))
+    udf((b: Array[Byte]) =>
+      if (b == null) None
+      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b)._2 match {
+        case CMulti(_, parts, _, _) => Some(parts.length)
+        case _ => Some(1) // atomic curved types count as one, like JTS
+      }
+      else Some(EWKB.read(b).getNumGeometries)).withName("st_count_geometries")
+  }
 
   private def getGeometryK(i: Int)(g: Geometry): Geometry =
     if (i < 0 || i >= g.getNumGeometries) null else g.getGeometryN(i).copy()
 
   val getGeometry: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    uG(getGeometryK(i))(b)).withName("st_get_geometry")
+    if (b != null && CurvedGeom.isCurvedBytes(b)) {
+      val (srid, g) = CurvedGeom.parse(b)
+      val ms = CurvedGeom.members(g)
+      if (i < 0 || i >= ms.length) null else curvedChild(ms(i), srid)
+    }
+    else uG(getGeometryK(i))(b)).withName("st_get_geometry")
 
-  GeoKernels.add(K("st_get_geometry", 2, Set(0), OGeom,
-    a => getGeometryK(aI(a(1)))(aG(a(0)))))
+  GeoKernels.add(K("st_get_geometry", 2, Set(0), OGeom, a => {
+    val g = aG(a(0)); val cb = curvedSrc(g); val i = aI(a(1))
+    if (cb != null) {
+      val (srid, cg) = CurvedGeom.parse(cb)
+      val ms = CurvedGeom.members(cg)
+      if (i < 0 || i >= ms.length) null else curvedLin(ms(i), srid)
+    }
+    else getGeometryK(i)(g)
+  }))
 
-  val countPoints: UserDefinedFunction = fI1("st_count_points") {
-    case l: LineString => l.getNumPoints
-    case _ => 0
+  val countPoints: UserDefinedFunction = {
+    GeoKernels.add(K("st_count_points", 1, Set(0), GeoKernels.OInt, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) CurvedGeom.parse(cb)._2 match {
+        case l: CLine => l.pts.length
+        case _ => 0
+      }
+      else g match {
+        case l: LineString => l.getNumPoints
+        case _ => 0
+      }
+    }))
+    udf((b: Array[Byte]) =>
+      if (b == null) None
+      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b)._2 match {
+        case l: CLine => Some(l.pts.length) // control points, not densified
+        case _ => Some(0)
+      }
+      else Some(EWKB.read(b) match {
+        case l: LineString => l.getNumPoints
+        case _ => 0
+      })).withName("st_count_points")
   }
 
   /** i-th vertex of a LineString; raises on other types (error matrix). */
@@ -393,18 +586,46 @@ object GeoUDFs {
   }
 
   val getPoint: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    uG(getPointK(i))(b)).withName("st_get_point")
+    if (b != null && CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+      case (srid, l: CLine) =>
+        if (i < 0 || i >= l.pts.length) null
+        else curvedChild(CurvedGeom.CPoint(l.pts(i), l.z, l.m), srid)
+      case (_, other) => throw new IllegalArgumentException(
+        s"get_point requires a LineString, got ${EWKB.typeName(other.code)}")
+    }
+    else uG(getPointK(i))(b)).withName("st_get_point")
 
-  GeoKernels.add(K("st_get_point", 2, Set(0), OGeom,
-    a => getPointK(aI(a(1)))(aG(a(0)))))
+  GeoKernels.add(K("st_get_point", 2, Set(0), OGeom, a => {
+    val g = aG(a(0)); val cb = curvedSrc(g); val i = aI(a(1))
+    if (cb != null) CurvedGeom.parse(cb) match {
+      case (srid, l: CLine) =>
+        if (i < 0 || i >= l.pts.length) null
+        else curvedLin(CurvedGeom.CPoint(l.pts(i), l.z, l.m), srid)
+      case (_, other) => throw new IllegalArgumentException(
+        s"get_point requires a LineString, got ${EWKB.typeName(other.code)}")
+    }
+    else getPointK(i)(g)
+  }))
 
   private def partsK(g: Geometry): Seq[Array[Byte]] =
     (0 until g.getNumGeometries).map(i => EWKB.write(keepSrid(g, g.getGeometryN(i).copy())))
 
   val parts: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null else partsK(EWKB.read(b))).withName("st_parts")
+    if (b == null) null
+    else if (CurvedGeom.isCurvedBytes(b)) {
+      val (srid, g) = CurvedGeom.parse(b)
+      CurvedGeom.members(g).map(curvedChild(_, srid))
+    }
+    else partsK(EWKB.read(b))).withName("st_parts")
 
-  GeoKernels.add(K("st_parts", 1, Set(0), GeoKernels.OBinaryArr, a => partsK(aG(a(0)))))
+  GeoKernels.add(K("st_parts", 1, Set(0), GeoKernels.OBinaryArr, a => {
+    val g = aG(a(0)); val cb = curvedSrc(g)
+    if (cb != null) {
+      val (srid, cg) = CurvedGeom.parse(cb)
+      CurvedGeom.members(cg).map(curvedChild(_, srid))
+    }
+    else partsK(g)
+  }))
 
   /** Precision grid size; JTS has no per-geometry precision model, so this
     * is always 0.0 (= full precision) — documented divergence. */
@@ -419,7 +640,7 @@ object GeoUDFs {
     * JVM twin (same PrecisionModel snapping). */
   private def setPrecisionK(grid: Double, mode: String)(g: Geometry): Geometry = {
     require(grid >= 0, s"grid_size must be >= 0, got $grid")
-    if (grid == 0) g.copy()
+    if (grid == 0) freshCopy(g)
     else {
       val pm = new PrecisionModel(1.0 / grid)
       mode.toLowerCase match {
@@ -442,24 +663,55 @@ object GeoUDFs {
   GeoKernels.add(K("st_set_precision", 3, Set(0), OGeom, a =>
     setPrecisionK(aD(a(1)), aS(a(2)))(aG(a(0)))))
 
-  /** [xmin, ymin, xmax, ymax]; NaN×4 for empty (functions.rs:798-813). */
-  private def boundsK(g: Geometry): Seq[Double] =
-    if (g.isEmpty) Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+  /** [xmin, ymin, xmax, ymax]; NaN×4 for empty (functions.rs:798-813).
+    * Geometries linearized from curved sources use the exact arc bbox. */
+  private def boundsK(g: Geometry): Seq[Double] = {
+    val cb = curvedSrc(g)
+    if (cb != null) CurvedGeom.bounds(CurvedGeom.parse(cb)._2).toSeq
+    else if (g.isEmpty) Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     else {
       val e = g.getEnvelopeInternal
       Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
     }
+  }
 
   val bounds: UserDefinedFunction = udf((b: Array[Byte]) =>
-    if (b == null) null else boundsK(EWKB.read(b))).withName("st_bounds")
+    if (b == null) null
+    else if (graft.serde.CurvedGeom.isCurvedBytes(b))
+      // exact arc bbox (axis-extreme points included) — a linearized
+      // envelope would clip the bulge by the chord sagitta
+      graft.serde.CurvedGeom.bounds(graft.serde.CurvedGeom.parse(b)._2).toSeq
+    else boundsK(EWKB.read(b))).withName("st_bounds")
 
   GeoKernels.add(K("st_bounds", 1, Set(0), GeoKernels.ODoubleArr, a => boundsK(aG(a(0)))))
 
   // ----------------------------------------------------------- measurement
   // Reference functions.rs:794-883.
 
-  val area: UserDefinedFunction = fD1("st_area")(_.getArea)
-  val length: UserDefinedFunction = fD1("st_length")(_.getLength)
+  // Exact on curved input (arc closed forms — CurvedGeom tier 2:
+  // Σ r·|sweep| for length, chord-polygon shoelace + (r²/2)(θ−sinθ)
+  // segment corrections for area); JTS kernels otherwise. The fusion
+  // kernels branch on the curved-source marker ([[curvedSrc]]) so a fused
+  // st_length(st_geomfromtext('CIRCULARSTRING …')) is exactly as exact as
+  // the unfused chain.
+  val area: UserDefinedFunction = {
+    GeoKernels.add(K("st_area", 1, Set(0), ODouble, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) CurvedGeom.area(CurvedGeom.parse(cb)._2) else g.getArea
+    }))
+    udf((b: Array[Byte]) =>
+      if (b == null) None else Some(graft.serde.CurvedGeom.areaOfBytes(b)))
+      .withName("st_area")
+  }
+  val length: UserDefinedFunction = {
+    GeoKernels.add(K("st_length", 1, Set(0), ODouble, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) CurvedGeom.length(CurvedGeom.parse(cb)._2) else g.getLength
+    }))
+    udf((b: Array[Byte]) =>
+      if (b == null) None else Some(graft.serde.CurvedGeom.lengthOfBytes(b)))
+      .withName("st_length")
+  }
 
   /** NaN if either side empty (functions.rs:819-829). */
   val distance: UserDefinedFunction = fD2("st_distance")((a, b) =>
@@ -532,10 +784,9 @@ object GeoUDFs {
 
   val isClosed: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None
-    else if (Curved.isCircularString(b)) {
-      val (_, pts) = Curved.readCircularString(b)
-      Some(pts.length > 0 && pts.head.toSeq == pts.last.toSeq)
-    } else Some(EWKB.read(b) match {
+    else if (CurvedGeom.isCurvedBytes(b))
+      Some(CurvedGeom.isClosed(CurvedGeom.parse(b)._2))
+    else Some(EWKB.read(b) match {
       case l: LineString => l.isClosed
       case m: MultiLineString => !m.isEmpty && m.isClosed
       case _ => false
@@ -837,7 +1088,7 @@ object GeoUDFs {
   val convexHull: UserDefinedFunction = fG1("st_convex_hull")(_.convexHull())
 
   private def concaveHullK(ratio: Double, holes: Boolean)(g: Geometry): Geometry =
-    if (g.isEmpty) g.copy() else ConcaveHull.concaveHullByLengthRatio(g, ratio, holes)
+    if (g.isEmpty) freshCopy(g) else ConcaveHull.concaveHullByLengthRatio(g, ratio, holes)
 
   val concaveHull: UserDefinedFunction = udf((b: Array[Byte], ratio: Double, holes: Boolean) =>
     uG(concaveHullK(ratio, holes))(b)).withName("st_concave_hull")
@@ -846,7 +1097,7 @@ object GeoUDFs {
     concaveHullK(aD(a(1)), aB(a(2)))(aG(a(0)))))
 
   private def segmentizeK(maxLen: Double)(g: Geometry): Geometry =
-    if (g.isEmpty || g.getDimension == 0) g.copy() else Densifier.densify(g, maxLen)
+    if (g.isEmpty || g.getDimension == 0) freshCopy(g) else Densifier.densify(g, maxLen)
 
   val segmentize: UserDefinedFunction = udf((b: Array[Byte], maxLen: Double) =>
     uG(segmentizeK(maxLen))(b)).withName("st_segmentize")
@@ -888,7 +1139,7 @@ object GeoUDFs {
   }
 
   val makeValid: UserDefinedFunction = fG1("st_make_valid")(g =>
-    if (g.isValid) g.copy() else GeometryFixer.fix(g))
+    if (g.isValid) freshCopy(g) else GeometryFixer.fix(g))
 
   val normalize: UserDefinedFunction = fG1("st_normalize")(_.norm())
 
@@ -967,13 +1218,60 @@ object GeoUDFs {
   val sharedPaths: UserDefinedFunction = fG2("st_shared_paths")(SharedPathsImpl.sharedPaths)
 
   /** Typed geometry cast (reference cast table functions.rs:61-177,
-    * matrix documented at geoexpr.py:446-468). Curved targets unsupported
-    * (JTS) — raises. */
-  val castTo: UserDefinedFunction = udf((b: Array[Byte], into: String) =>
-    if (into == null) null
-    else uG(g => CastImpl.cast(g, into))(b)).withName("st_cast")
+    * matrix documented at geoexpr.py:446-468). Curved casts are supported
+    * at the bytes level per the reference table (functions.rs:82-170):
+    * CircularString→CompoundCurve/MultiCurve, CompoundCurve→MultiCurve,
+    * CurvePolygon→MultiSurface, LineString→CompoundCurve/MultiCurve,
+    * Polygon→CurvePolygon/MultiSurface, anything→GeometryCollection
+    * (curved members kept via the [[CurvedGeom]] writer). Inside a FUSED
+    * chain (≥2 kernels) curved targets still raise — the kernel tier works
+    * on parsed JTS geometry, which cannot represent curves; standalone
+    * casts (the common case) never fuse. */
+  private val CurvedCastTargets =
+    Set("circularstring", "compoundcurve", "curvepolygon", "multicurve", "multisurface")
 
-  GeoKernels.add(K("st_cast", 2, Set(0), OGeom, a => CastImpl.cast(aG(a(0)), aS(a(1)))))
+  private def curvedCastK(b: Array[Byte], into: String): Array[Byte] = {
+    val target = into.trim.toLowerCase.replace("_", "").replace(" ", "")
+    val (srid, g) = CurvedGeom.parse(b)
+    if (EWKB.typeName(g.code).toLowerCase == target) return CurvedGeom.write(g, srid)
+    val out: CG = (g, target) match {
+      case (l: CLine, "compoundcurve") => CCompound(Vector(l), l.z, l.m)
+      case (l: CLine, "multicurve") => CMulti(11, Vector(l), l.z, l.m)
+      case (c: CCompound, "multicurve") => CMulti(11, Vector(c), c.z, c.m)
+      case (p: CPoly, "curvepolygon") => p.copy(curve = true)
+      case (p: CPoly, "multisurface") => CMulti(12, Vector(p), p.z, p.m)
+      case (_, "geometrycollection") => g match {
+        case CMulti(_, ps, z, m) => CMulti(7, ps, z, m)
+        case other => CMulti(7, Vector(other), other.z, other.m)
+      }
+      case _ => throw new IllegalArgumentException(
+        s"invalid cast from ${EWKB.typeName(g.code)} to $into")
+    }
+    CurvedGeom.write(out, srid)
+  }
+
+  val castTo: UserDefinedFunction = udf((b: Array[Byte], into: String) =>
+    if (into == null || b == null) null
+    else {
+      val target = into.trim.toLowerCase.replace("_", "").replace(" ", "")
+      if (CurvedGeom.isCurvedBytes(b)) curvedCastK(b, into)
+      else if (CurvedCastTargets(target)) curvedCastK(b, into)
+      else uG(g => CastImpl.cast(g, into))(b)
+    }).withName("st_cast")
+
+  GeoKernels.add(K("st_cast", 2, Set(0), OGeom, a => {
+    val g = aG(a(0)); val into = aS(a(1)); val cb = curvedSrc(g)
+    val target = into.trim.toLowerCase.replace("_", "").replace(" ", "")
+    if (cb != null || CurvedCastTargets(target)) {
+      // same bytes-level table as the unfused branch; result re-enters the
+      // chain as linearized-geometry + curved-source marker
+      val ob = curvedCastK(if (cb != null) cb else EWKB.write(g), into)
+      val (srid, cg) = CurvedGeom.parse(ob)
+      if (Curved.isCurvedCode(cg.code)) curvedLin(cg, srid)
+      else EWKB.read(ob)
+    }
+    else CastImpl.cast(g, into)
+  }))
 
   /** Promote to the corresponding Multi* type (functions.rs:779-792).
     * Empties promote to MULTI* EMPTY (the GEOS result, and what
@@ -986,7 +1284,7 @@ object GeoUDFs {
     case p: Point => fact.createMultiPoint(Array(p))
     case l: LineString => fact.createMultiLineString(Array(l))
     case p: Polygon => fact.createMultiPolygon(Array(p))
-    case g => g.copy()
+    case g => freshCopy(g)
   }
 
   // ------------------------------------ affine transforms / linear ref
@@ -1172,7 +1470,7 @@ object GeoUDFs {
     * parsed geometries may be shared via the EWKB parse cache. */
   val setSrid: UserDefinedFunction = udf((b: Array[Byte], srid: Int) =>
     if (b == null) null
-    else if (Curved.isCircularString(b)) Curved.withSrid(b, srid)
+    else if (CurvedGeom.isCurvedBytes(b)) Curved.withSrid(b, srid)
     else {
       val g = EWKB.read(b).copy()
       g.setSRID(srid)
@@ -1207,40 +1505,109 @@ object GeoUDFs {
   // ------------------------------------------------------- serialization
   // Reference functions.rs:703-769.
 
-  // Serializer terminals are fusion kernels too: a chain ending in to_wkt
-  // would otherwise pay one extra serialize+parse at the chain boundary.
-  // Both WKT and GeoJSON writers key Z output on non-NaN ordinates (same
-  // canonicalization EWKB.write applies), so fused and unfused chains
-  // print identically.
-  val asWkt: UserDefinedFunction = fS1("st_aswkt")(GeoCodec.toWkt(_))
-  val asEwkt: UserDefinedFunction = fS1("st_asewkt")(GeoCodec.toEwkt(_))
+  // WKT/WKB serializers branch on raw bytes so curved geometries print as
+  // CIRCULARSTRING/COMPOUNDCURVE/… instead of silently linearizing. Their
+  // fusion kernels branch on the curved-source marker the same way
+  // (curvedSrc), so fused parse→print chains preserve curves identically.
+  // (st_asgeojson needs no branch: GeoJSON has no curve concept, so both
+  // tiers linearize identically.)
 
-  val asWktPrecision: UserDefinedFunction = udf((b: Array[Byte], precision: Int) =>
-    if (b == null) null else GeoCodec.toWkt(EWKB.read(b), precision))
-    .withName("st_aswkt_precision")
+  /** Curved EWKB → WKT with the [[GeoCodec.toWkt]] formatting contract
+    * (precision/trim via the same ordinate rewriter, outputDimension via a
+    * model round trip, old_3d via the same tag rewrite). */
+  private def curvedWktK(b: Array[Byte], precision: Int, trim: Boolean,
+      outputDimension: Int, old3d: Boolean): String = {
+    val (_, g0) = CurvedGeom.parse(b)
+    val g = if (outputDimension >= 4) g0
+    else if (outputDimension >= 3 && !(g0.z && g0.m)) g0
+    else {
+      // clamp stored dims to the writer's output dimension like JTS's
+      // WKTWriter(outputDimension): round-trip through the model writer
+      val forced = if (outputDimension <= 2) Some(2) else Some(3)
+      CurvedGeom.parse(CurvedGeom.write(g0, 0, forceDims = forced))._2
+    }
+    var s = CurvedGeom.toWkt(g)
+    if (precision >= 0 || !trim)
+      s = GeoCodec.formatOrdinates(s, if (precision >= 0) precision else 16, trim)
+    if (old3d) s = s.replace(" ZM ", " M ").replace(" Z ", " ")
+    s
+  }
 
-  GeoKernels.add(K("st_aswkt_precision", 2, Set(0), OString, a =>
-    GeoCodec.toWkt(aG(a(0)), aI(a(1)))))
+  /** EWKT prefix for curved source bytes. */
+  private def curvedEwktK(cb: Array[Byte], precision: Int, trim: Boolean,
+      outputDimension: Int, old3d: Boolean): String = {
+    val srid = EWKB.header(cb).srid
+    val wkt = curvedWktK(cb, precision, trim, outputDimension, old3d)
+    if (srid != 0) s"SRID=$srid;$wkt" else wkt
+  }
+
+  val asWkt: UserDefinedFunction = {
+    GeoKernels.add(K("st_aswkt", 1, Set(0), OString, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) curvedWktK(cb, 6, trim = true, 3, old3d = false)
+      else GeoCodec.toWkt(g)
+    }))
+    udf((b: Array[Byte]) =>
+      if (b == null) null
+      else if (CurvedGeom.isCurvedBytes(b)) curvedWktK(b, 6, trim = true, 3, old3d = false)
+      else GeoCodec.toWkt(EWKB.read(b))).withName("st_aswkt")
+  }
+
+  val asEwkt: UserDefinedFunction = {
+    GeoKernels.add(K("st_asewkt", 1, Set(0), OString, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) curvedEwktK(cb, 6, trim = true, 3, old3d = false)
+      else GeoCodec.toEwkt(g)
+    }))
+    udf((b: Array[Byte]) =>
+      if (b == null) null
+      else if (CurvedGeom.isCurvedBytes(b)) curvedEwktK(b, 6, trim = true, 3, old3d = false)
+      else GeoCodec.toEwkt(EWKB.read(b))).withName("st_asewkt")
+  }
+
+  val asWktPrecision: UserDefinedFunction = {
+    GeoKernels.add(K("st_aswkt_precision", 2, Set(0), OString, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) curvedWktK(cb, aI(a(1)), trim = true, 3, old3d = false)
+      else GeoCodec.toWkt(g, aI(a(1)))
+    }))
+    udf((b: Array[Byte], precision: Int) =>
+      if (b == null) null
+      else if (CurvedGeom.isCurvedBytes(b)) curvedWktK(b, precision, trim = true, 3, old3d = false)
+      else GeoCodec.toWkt(EWKB.read(b), precision))
+      .withName("st_aswkt_precision")
+  }
 
   /** Full to_wkt kwargs (rounding_precision, trim, output_dimension, old_3d),
     * reference `geoexpr.py:349-355`. */
-  val asWktFmt: UserDefinedFunction = udf((b: Array[Byte], precision: Int,
-      trim: Boolean, outputDimension: Int, old3d: Boolean) =>
-    if (b == null) null
-    else GeoCodec.toWkt(EWKB.read(b), precision, trim, outputDimension, old3d))
-    .withName("st_aswkt_fmt")
+  val asWktFmt: UserDefinedFunction = {
+    GeoKernels.add(K("st_aswkt_fmt", 5, Set(0), OString, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) curvedWktK(cb, aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))
+      else GeoCodec.toWkt(g, aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))
+    }))
+    udf((b: Array[Byte], precision: Int,
+        trim: Boolean, outputDimension: Int, old3d: Boolean) =>
+      if (b == null) null
+      else if (CurvedGeom.isCurvedBytes(b))
+        curvedWktK(b, precision, trim, outputDimension, old3d)
+      else GeoCodec.toWkt(EWKB.read(b), precision, trim, outputDimension, old3d))
+      .withName("st_aswkt_fmt")
+  }
 
-  GeoKernels.add(K("st_aswkt_fmt", 5, Set(0), OString,
-    a => GeoCodec.toWkt(aG(a(0)), aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))))
-
-  val asEwktFmt: UserDefinedFunction = udf((b: Array[Byte], precision: Int,
-      trim: Boolean, outputDimension: Int, old3d: Boolean) =>
-    if (b == null) null
-    else GeoCodec.toEwkt(EWKB.read(b), precision, trim, outputDimension, old3d))
-    .withName("st_asewkt_fmt")
-
-  GeoKernels.add(K("st_asewkt_fmt", 5, Set(0), OString,
-    a => GeoCodec.toEwkt(aG(a(0)), aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))))
+  val asEwktFmt: UserDefinedFunction = {
+    GeoKernels.add(K("st_asewkt_fmt", 5, Set(0), OString, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) curvedEwktK(cb, aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))
+      else GeoCodec.toEwkt(g, aI(a(1)), aB(a(2)), aI(a(3)), aB(a(4)))
+    }))
+    udf((b: Array[Byte], precision: Int,
+        trim: Boolean, outputDimension: Int, old3d: Boolean) =>
+      if (b == null) null
+      else if (CurvedGeom.isCurvedBytes(b)) curvedEwktK(b, precision, trim, outputDimension, old3d)
+      else GeoCodec.toEwkt(EWKB.read(b), precision, trim, outputDimension, old3d))
+      .withName("st_asewkt_fmt")
+  }
 
   /** to_geojson(indent): negative = compact (reference None). */
   val asGeoJsonIndent: UserDefinedFunction = udf((b: Array[Byte], indent: Int) =>
@@ -1259,14 +1626,27 @@ object GeoUDFs {
     w.write(g)
   }
 
-  val asWkb: UserDefinedFunction = udf((b: Array[Byte], outputDimension: Int,
-      bigEndian: Boolean, includeSrid: Boolean) =>
-    if (b == null) null
-    else asWkbK(EWKB.read(b), outputDimension, bigEndian, includeSrid))
-    .withName("st_aswkb")
+  private def curvedWkbK(cb: Array[Byte], outputDimension: Int,
+      bigEndian: Boolean, includeSrid: Boolean): Array[Byte] = {
+    val (srid, g) = CurvedGeom.parse(cb)
+    CurvedGeom.write(g, srid, bigEndian, includeSrid,
+      forceDims = if (outputDimension >= 4) None else Some(outputDimension))
+  }
 
-  GeoKernels.add(K("st_aswkb", 4, Set(0), GeoKernels.OBinary,
-    a => asWkbK(aG(a(0)), aI(a(1)), aB(a(2)), aB(a(3)))))
+  val asWkb: UserDefinedFunction = {
+    GeoKernels.add(K("st_aswkb", 4, Set(0), GeoKernels.OBinary, a => {
+      val g = aG(a(0)); val cb = curvedSrc(g)
+      if (cb != null) curvedWkbK(cb, aI(a(1)), aB(a(2)), aB(a(3)))
+      else asWkbK(g, aI(a(1)), aB(a(2)), aB(a(3)))
+    }))
+    udf((b: Array[Byte], outputDimension: Int,
+        bigEndian: Boolean, includeSrid: Boolean) =>
+      if (b == null) null
+      else if (CurvedGeom.isCurvedBytes(b))
+        curvedWkbK(b, outputDimension, bigEndian, includeSrid)
+      else asWkbK(EWKB.read(b), outputDimension, bigEndian, includeSrid))
+      .withName("st_aswkb")
+  }
 
   val asGeoJson: UserDefinedFunction = fS1("st_asgeojson")(GeoJson.write)
 

@@ -275,7 +275,11 @@ object CastImpl {
   def cast(g: Geometry, into: String): Geometry = {
     val target = into.trim.toLowerCase.replace("_", "").replace(" ", "")
     val from = g.getGeometryType.toLowerCase
-    if (from == target) return g.copy()
+    if (from == target) {
+      // shed any curved-source marker: this path returns the PARSED
+      // (= linearized) geometry, same as the unfused serialize would
+      val c = g.copy(); c.setUserData(null); return c
+    }
     (g, target) match {
       case (_, "geometrycollection") =>
         g match {

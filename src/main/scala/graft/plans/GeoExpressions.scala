@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType
   */
 object GeoNative {
   import org.locationtech.jts.operation.relateng.{RelateNG, RelatePredicate}
-  def area(b: Array[Byte]): Double = EWKB.read(b).getArea
-  def length(b: Array[Byte]): Double = EWKB.read(b).getLength
+  // Curved input gets the exact arc closed forms (CurvedGeom tier 2),
+  // identical to the UDF registry's st_area/st_length branch.
+  def area(b: Array[Byte]): Double = graft.serde.CurvedGeom.areaOfBytes(b)
+  def length(b: Array[Byte]): Double = graft.serde.CurvedGeom.lengthOfBytes(b)
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
     val ga = EWKB.read(a)
     val gb = EWKB.read(b)

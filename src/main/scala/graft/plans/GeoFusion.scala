@@ -131,7 +131,13 @@ case class STGeoFused(program: GProg, dataType: DataType, children: Seq[Expressi
   def run(args: Array[Any]): Any =
     runner(args) match {
       case null => null
-      case g: Geometry => EWKB.write(g)
+      case g: Geometry => g.getUserData match {
+        // linearization of a curved geometry (GeoUDFs.curvedSrc contract):
+        // emit the curved source bytes, the same representation the
+        // unfused bytes-level branches preserve
+        case src: Array[Byte] => src
+        case _ => EWKB.write(g)
+      }
       case s: String => UTF8String.fromString(s)
       case s: scala.collection.Seq[_] => GeoFusion.toCatalystArray(s)
       case other => other

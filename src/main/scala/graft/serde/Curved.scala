@@ -127,7 +127,12 @@ object Curved {
     if (p.length >= 3) new Coordinate(p(0), p(1), p(2))
     else new Coordinate(p(0), p(1))
 
-  /** All chord points of the arc p0→p1→p2, endpoints exact. */
+  /** All chord points of the arc p0→p1→p2, endpoints exact. Shared with
+    * [[CurvedGeom.linearize]] (the full curved-type model). */
+  private[serde] def arcChordCoords(p0: Array[Double], p1: Array[Double],
+      p2: Array[Double], segsPerQuadrant: Int): Seq[Coordinate] =
+    arcChords(p0, p1, p2, segsPerQuadrant)
+
   private def arcChords(p0: Array[Double], p1: Array[Double], p2: Array[Double],
       segsPerQuadrant: Int): Seq[Coordinate] = {
     val (x0, y0) = (p0(0), p0(1)); val (x1, y1) = (p1(0), p1(1)); val (x2, y2) = (p2(0), p2(1))

@@ -109,15 +109,45 @@ object EWKB {
         }
     }
 
+  /** One EWKB/WKB parse, with the curved-geometry contract: curved types
+    * 8-12 (and GeometryCollections that contain them) auto-linearize at 32
+    * segments per quadrant — the [[CurvedGeom]] tier-3 rule, so every
+    * compute op works on curved input with documented chordal
+    * approximation. Serde-preserving ops branch on the raw bytes BEFORE
+    * calling read (their isCurved guards), so curves survive where the
+    * representation matters. */
+  /** Curved bytes → linearized JTS geometry carrying the NORMALIZED curved
+    * EWKB as `userData`. Curved-aware consumers (exact length/area/bounds,
+    * structure accessors, the fused-chain root serializer) branch on that
+    * marker, so curved semantics survive even where the value has already
+    * been parsed — the fused and unfused tiers cannot drift. */
+  private def linearizeWithSource(bytes: Array[Byte]): Geometry = {
+    val (srid, cg) = CurvedGeom.parse(bytes)
+    val g = CurvedGeom.linearize(cg, srid, 32)
+    g.setUserData(CurvedGeom.write(cg, srid))
+    g
+  }
+
+  private def parse0(bytes: Array[Byte]): Geometry = {
+    val code = header(bytes).typeCode
+    if (code >= 8 && code <= 12) linearizeWithSource(bytes)
+    else
+      try readerTL.get().read(bytes)
+      catch {
+        case e: Exception if code == 7 && CurvedGeom.containsCurved(bytes) =>
+          linearizeWithSource(bytes)
+      }
+  }
+
   /** EWKB/WKB bytes → JTS Geometry (SRID carried on the geometry). The
     * result is SHARED via a per-thread cache: callers must not mutate it. */
   def read(bytes: Array[Byte]): Geometry = {
-    if (bytes.length > ParseCacheMaxBytes) return readerTL.get().read(bytes)
+    if (bytes.length > ParseCacheMaxBytes) return parse0(bytes)
     val m = parseCacheTL.get()
     val k = java.nio.ByteBuffer.wrap(bytes)
     var g = m.get(k)
     if (g == null) {
-      g = readerTL.get().read(bytes)
+      g = parse0(bytes)
       m.put(k, g)
     }
     g

@@ -39,7 +39,7 @@ object GeoCodec {
     * precision output is reparsed per token and formatted via BigDecimal
     * with HALF_EVEN, which is bit-identical to GEOS's C `%.*f` on the same
     * double. `trim` then strips trailing zeros (GEOS trim=true). */
-  private def formatOrdinates(wkt: String, p: Int, trim: Boolean): String =
+  private[graft] def formatOrdinates(wkt: String, p: Int, trim: Boolean): String =
     NumToken.replaceAllIn(wkt, m => {
       val bd = new java.math.BigDecimal(m.matched.toDouble)
         .setScale(p, java.math.RoundingMode.HALF_EVEN)

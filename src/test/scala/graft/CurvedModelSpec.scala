@@ -1,0 +1,248 @@
+package graft
+
+import graft.serde.{CurvedGeom, EWKB}
+import graft.serde.CurvedGeom.{CLine, CCompound, CPoly, CMulti}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** Full curved-type model (round 11): WKT/WKB round trips for types 8-12,
+  * the exact arc closed forms for length/area/bounds, structure accessors
+  * on curved containers, compute-op auto-linearization, and UDF/native
+  * tier equality. Math anchors are closed-form (πr, πr², stadium areas),
+  * not fixtures from any library. */
+class CurvedModelSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(expr: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("k").select(expr.as("v")).collect()(0).get(0)
+
+  private def wkt(s: String): Array[Byte] =
+    CurvedGeom.write(CurvedGeom.parseWkt(s), 0)
+
+  // ----------------------------------------------------------- WKT parsing
+
+  test("curved WKT parse/print round trips for all five types") {
+    val fixtures = Seq(
+      "CIRCULARSTRING (0 0, 1 1, 2 0)",
+      "COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0))",
+      "CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0))",
+      "CURVEPOLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), CIRCULARSTRING (2 2, 4 2, 2 2))",
+      "MULTICURVE ((0 0, 1 1), CIRCULARSTRING (1 1, 2 2, 3 1))",
+      "MULTISURFACE (CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0)), ((10 10, 11 10, 11 11, 10 10)))",
+      "CIRCULARSTRING EMPTY",
+      "COMPOUNDCURVE EMPTY",
+      "CURVEPOLYGON EMPTY",
+      "MULTICURVE EMPTY",
+      "MULTISURFACE EMPTY",
+      "CIRCULARSTRING Z (0 0 1, 1 1 2, 2 0 3)")
+    for (f <- fixtures) {
+      val g = CurvedGeom.parseWkt(f)
+      val printed = CurvedGeom.toWkt(g)
+      assert(printed == f, s"print mismatch for $f -> $printed")
+      // byte round trip preserves the model
+      val b = CurvedGeom.write(g, 0)
+      assert(CurvedGeom.toWkt(CurvedGeom.parse(b)._2) == f)
+    }
+  }
+
+  test("WKB round trip via big-endian and ISO paths") {
+    val g = CurvedGeom.parseWkt(
+      "COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0))")
+    val be = CurvedGeom.write(g, 4326, bigEndian = true)
+    val (srid2, g2) = CurvedGeom.parse(be)
+    assert(srid2 == 4326)
+    assert(CurvedGeom.toWkt(g2) == CurvedGeom.toWkt(g))
+  }
+
+  // ------------------------------------------------------------ exact math
+
+  test("exact length: semicircle, compound stadium boundary, multicurve") {
+    val semi = CurvedGeom.parseWkt("CIRCULARSTRING (0 0, 5 5, 10 0)") // r=5
+    assert(math.abs(CurvedGeom.length(semi) - math.Pi * 5) < 1e-12)
+    val comp = CurvedGeom.parseWkt(
+      "COMPOUNDCURVE ((0 0, 10 0), CIRCULARSTRING (10 0, 15 5, 10 10), (10 10, 0 10))")
+    assert(math.abs(CurvedGeom.length(comp) - (20 + math.Pi * 5)) < 1e-12)
+    val mc = CurvedGeom.parseWkt(
+      "MULTICURVE ((0 0, 3 4), CIRCULARSTRING (0 0, 5 5, 10 0))")
+    assert(math.abs(CurvedGeom.length(mc) - (5 + math.Pi * 5)) < 1e-12)
+  }
+
+  test("exact area: full circle, stadium, circular hole, multisurface") {
+    // full circle r=5 via the SQL-MM two-point form
+    val circle = CurvedGeom.parseWkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 10 0, 0 0))")
+    assert(math.abs(CurvedGeom.area(circle) - math.Pi * 25) < 1e-10)
+    // stadium: 10x10 square with a semicircular right cap (r=5)
+    val stadium = CurvedGeom.parseWkt(
+      "CURVEPOLYGON (COMPOUNDCURVE ((0 10, 0 0, 10 0), CIRCULARSTRING (10 0, 15 5, 10 10), (10 10, 0 10)))")
+    assert(math.abs(CurvedGeom.area(stadium) - (100 + math.Pi * 25 / 2)) < 1e-10)
+    // square with a circular hole r=1 at (5,5)
+    val holed = CurvedGeom.parseWkt(
+      "CURVEPOLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), CIRCULARSTRING (4 5, 6 5, 4 5))")
+    assert(math.abs(CurvedGeom.area(holed) - (100 - math.Pi)) < 1e-10)
+    // orientation invariance: clockwise exterior gives the same area
+    val cw = CurvedGeom.parseWkt("CURVEPOLYGON (CIRCULARSTRING (0 0, -10 0, 0 0))")
+    assert(math.abs(CurvedGeom.area(cw) - math.Pi * 25) < 1e-10)
+    val ms = CurvedGeom.parseWkt(
+      "MULTISURFACE (CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0)), ((10 10, 14 10, 14 11, 10 11, 10 10)))")
+    assert(math.abs(CurvedGeom.area(ms) - (math.Pi + 4)) < 1e-10)
+  }
+
+  test("major arc (sweep > pi) length and segment area") {
+    // three-quarter circle r=5 around origin: from (5,0) through (-5,0) to (0,-5)
+    val arc = CurvedGeom.parseWkt("CIRCULARSTRING (5 0, -5 0, 0 -5)")
+    assert(math.abs(CurvedGeom.length(arc) - 1.5 * math.Pi * 5) < 1e-12)
+    // closed pac-man: the two radii + the arc; area = 3/4 circle
+    val pac = CurvedGeom.parseWkt(
+      "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 5 0), CIRCULARSTRING (5 0, -5 0, 0 -5), (0 -5, 0 0)))")
+    assert(math.abs(CurvedGeom.area(pac) - 0.75 * math.Pi * 25) < 1e-10)
+  }
+
+  test("exact bounds include arc axis extremes, not just control points") {
+    // arc on circle r=5 centered origin from (3,-4) through (4,3) to (-3,4):
+    // CCW sweep crosses 0° and 90° -> xmax=5, ymax=5 beyond all control points
+    val arc = CurvedGeom.parseWkt("CIRCULARSTRING (3 -4, 4 3, -3 4)")
+    val bb = CurvedGeom.bounds(arc)
+    assert(bb.toSeq == Seq(-3.0, -4.0, 5.0, 5.0))
+    // full circle r=5 centered (5,0)
+    val circle = CurvedGeom.parseWkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 10 0, 0 0))")
+    assert(CurvedGeom.bounds(circle).toSeq == Seq(0.0, -5.0, 10.0, 5.0))
+    // st_bounds wires the exact path
+    val got = one(st_bounds(st_geomfromtext(lit("CIRCULARSTRING (3 -4, 4 3, -3 4)"))))
+      .asInstanceOf[scala.collection.Seq[Double]]
+    assert(got.toSeq == Seq(-3.0, -4.0, 5.0, 5.0))
+  }
+
+  // --------------------------------------------------- Column API surface
+
+  test("st_length / st_area are exact on curved columns, both tiers") {
+    val lenU = one(st_length(st_geomfromtext(lit("CIRCULARSTRING (0 0, 5 5, 10 0)"))))
+    assert(math.abs(lenU.asInstanceOf[Double] - math.Pi * 5) < 1e-12)
+    val areaU = one(st_area(st_geomfromtext(lit("CURVEPOLYGON (CIRCULARSTRING (0 0, 10 0, 0 0))"))))
+    assert(math.abs(areaU.asInstanceOf[Double] - math.Pi * 25) < 1e-10)
+    // native expression tier sees the same closed form
+    graft.Geo.registerAll(spark)
+    val nat = spark.sql(
+      "SELECT st_length_native(st_geomfromtext('CIRCULARSTRING (0 0, 5 5, 10 0)')) AS l, " +
+      "st_area_native(st_geomfromtext('CURVEPOLYGON (CIRCULARSTRING (0 0, 10 0, 0 0))')) AS a")
+      .collect()(0)
+    assert(math.abs(nat.getDouble(0) - math.Pi * 5) < 1e-12)
+    assert(math.abs(nat.getDouble(1) - math.Pi * 25) < 1e-10)
+  }
+
+  test("serializers preserve curves; parsers accept curved tags") {
+    val cs = st_geomfromtext(lit("CIRCULARSTRING (0 0, 1 1, 2 0)"))
+    assert(one(st_aswkt(cs)) == "CIRCULARSTRING (0 0, 1 1, 2 0)")
+    assert(one(st_geometrytype(cs)) == "CircularString")
+    // EWKT round trip with SRID
+    val e = one(st_asewkt(graft.functions.st_set_srid(cs, lit(4326))))
+    assert(e == "SRID=4326;CIRCULARSTRING (0 0, 1 1, 2 0)")
+    assert(one(st_geometrytype(st_geomfromewkt(lit(e.asInstanceOf[String])))) == "CircularString")
+    assert(one(graft.functions.st_srid(st_geomfromewkt(lit(e.asInstanceOf[String])))) == 4326)
+    // WKB round trip, big-endian, no srid
+    val t = one(st_geometrytype(graft.functions.st_geomfromwkb(
+      st_aswkb(st_geomfromtext(lit("COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0))")),
+        lit(2), lit(true), lit(false)))))
+    assert(t == "CompoundCurve")
+    // to_wkt precision formatting applies to curved output
+    val p = one(st_aswkt(st_geomfromtext(lit("CIRCULARSTRING (0.123456789 0, 1 1, 2 0)"))))
+    assert(p == "CIRCULARSTRING (0.123457 0, 1 1, 2 0)")
+  }
+
+  test("structure accessors on curved containers") {
+    val mc = st_geomfromtext(lit("MULTICURVE ((0 0, 1 1), CIRCULARSTRING (1 1, 2 2, 3 1))"))
+    assert(one(st_count_geometries(mc)) == 2)
+    assert(one(st_geometrytype(st_get_geometry(mc, lit(1)))) == "CircularString")
+    val cp = st_geomfromtext(lit(
+      "CURVEPOLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), CIRCULARSTRING (4 5, 6 5, 4 5))"))
+    assert(one(st_geometrytype(st_exterior_ring(cp))) == "LineString")
+    assert(one(st_count_interior_rings(cp)) == 1)
+    assert(one(st_geometrytype(st_get_interior_ring(cp, lit(0)))) == "CircularString")
+    val cc = st_geomfromtext(lit("COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0))"))
+    assert(one(st_count_coordinates(cc)) == 5)
+    assert(one(st_is_closed(cc)) == false)
+    val ring = st_geomfromtext(lit(
+      "COMPOUNDCURVE ((0 10, 0 0, 10 0), CIRCULARSTRING (10 0, 15 5, 10 10), (10 10, 0 10))"))
+    assert(one(st_is_closed(ring)) == true)
+    val cs = st_geomfromtext(lit("CIRCULARSTRING (0 0, 1 1, 2 0)"))
+    assert(one(st_count_points(cs)) == 3)
+    assert(one(st_x(st_get_point(cs, lit(1)))) == 1.0)
+    // parts of an atomic curved value is itself
+    val ps = one(st_parts(cs)).asInstanceOf[scala.collection.Seq[Array[Byte]]]
+    assert(ps.length == 1 && EWKB.header(ps.head).typeCode == 8)
+  }
+
+  test("compute ops auto-linearize curved input") {
+    val circle = st_geomfromtext(lit("CURVEPOLYGON (CIRCULARSTRING (0 0, 10 0, 0 0))"))
+    // centroid of the full circle is its center (5, 0)
+    assert(math.abs(one(st_x(st_centroid(circle))).asInstanceOf[Double] - 5.0) < 1e-9)
+    // point-in-curve predicate works through linearization
+    val inside = one(graft.functions.st_intersects(circle, st_point(lit(5.0), lit(0.0))))
+    assert(inside == true)
+    // buffering a circularstring yields positive area
+    val bufA = one(st_area(st_buffer(st_geomfromtext(lit("CIRCULARSTRING (0 0, 5 5, 10 0)")), lit(1.0))))
+    assert(bufA.asInstanceOf[Double] > 2 * math.Pi * 5) // ~ 2*len*1
+    // linearize of a curvepolygon is a Polygon with near-exact area
+    val lin = st_linearize(circle, lit(64))
+    assert(one(st_geometrytype(lin)) == "Polygon")
+    assert(math.abs(one(st_area(lin)).asInstanceOf[Double] - math.Pi * 25) < 0.01 * 25)
+    // a GeometryCollection holding a curve parses and computes too
+    val gc = CurvedGeom.write(
+      CMulti(7, Vector(CurvedGeom.parseWkt("CIRCULARSTRING (0 0, 5 5, 10 0)")), false, false), 0)
+    val g = EWKB.read(gc)
+    assert(g.getGeometryType == "GeometryCollection")
+    assert(math.abs(g.getLength - math.Pi * 5) < 0.01 * 5)
+  }
+
+  test("curved casts follow the reference table") {
+    val cs = st_geomfromtext(lit("CIRCULARSTRING (0 0, 1 1, 2 0)"))
+    assert(one(st_geometrytype(st_cast(cs, lit("compound_curve")))) == "CompoundCurve")
+    assert(one(st_geometrytype(st_cast(cs, lit("multicurve")))) == "MultiCurve")
+    assert(one(st_geometrytype(st_cast(st_cast(cs, lit("compoundcurve")), lit("multicurve")))) == "MultiCurve")
+    val cp = st_geomfromtext(lit("CURVEPOLYGON (CIRCULARSTRING (0 0, 2 0, 0 0))"))
+    assert(one(st_geometrytype(st_cast(cp, lit("multisurface")))) == "MultiSurface")
+    assert(one(st_geometrytype(st_cast(cp, lit("geometrycollection")))) == "GeometryCollection")
+    // linear input to curved containers
+    val ls = st_geomfromtext(lit("LINESTRING (0 0, 1 1)"))
+    assert(one(st_geometrytype(st_cast(ls, lit("multicurve")))) == "MultiCurve")
+    val poly = st_geomfromtext(lit("POLYGON ((0 0, 1 0, 1 1, 0 0))"))
+    assert(one(st_geometrytype(st_cast(poly, lit("multisurface")))) == "MultiSurface")
+    assert(one(st_geometrytype(st_cast(poly, lit("curvepolygon")))) == "CurvePolygon")
+    // invalid curved cast raises
+    val err = intercept[Exception] {
+      Seq(1).toDF("k").select(st_cast(st_point(lit(0.0), lit(0.0)), lit("multicurve"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("Z ordinates survive the curved paths") {
+    val csz = st_geomfromtext(lit("CIRCULARSTRING Z (0 0 1, 1 1 2, 2 0 3)"))
+    assert(one(st_coordinatedimension(csz)) == 3)
+    assert(one(st_aswkt(csz)) == "CIRCULARSTRING Z (0 0 1, 1 1 2, 2 0 3)")
+    // output_dimension=2 drops Z
+    assert(one(st_aswkt(csz, lit(6), lit(true), lit(2), lit(false))) ==
+      "CIRCULARSTRING (0 0, 1 1, 2 0)")
+    // coordinates accessor reports control points with Z
+    val rows = one(st_coordinates(csz)).asInstanceOf[scala.collection.Seq[scala.collection.Seq[Double]]]
+    assert(rows.map(_.toSeq) == Seq(Seq(0.0, 0.0, 1.0), Seq(1.0, 1.0, 2.0), Seq(2.0, 0.0, 3.0)))
+  }
+
+  test("byte-level model guards") {
+    // CompoundCurve segment of wrong type fails loudly: patch the member's
+    // type word (top header 1+4+4 srid word, count 4, member order byte at
+    // 13, member type low byte at 14) from LineString to Point
+    val ccb = CurvedGeom.write(
+      CCompound(Vector(CLine(Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+        circular = false, false, false)), false, false), 0)
+    val bad = ccb.clone()
+    bad(14) = 1.toByte // little-endian type word low byte: 2 -> 1 (Point)
+    intercept[IllegalArgumentException] { CurvedGeom.parse(bad) }
+    // containsCurved detects nesting, rejects garbage quietly
+    val gc = CurvedGeom.write(
+      CMulti(7, Vector(CurvedGeom.parseWkt("CIRCULARSTRING (0 0, 1 1, 2 0)")), false, false), 0)
+    assert(CurvedGeom.containsCurved(gc))
+    assert(!CurvedGeom.containsCurved(Array[Byte](1, 1, 0, 0, 0)))
+  }
+}
