@@ -128,8 +128,23 @@ object EWKB {
     g
   }
 
+  /** Allocation-free top-level type code peek (ISO thousands folded) for
+    * the per-parse curved check — parse0 sits on every compute hot path. */
+  private def topTypeCode(bytes: Array[Byte]): Int = {
+    if (bytes.length < 5) return -1
+    val raw =
+      if (bytes(0) == 1)
+        (bytes(1) & 0xff) | ((bytes(2) & 0xff) << 8) |
+          ((bytes(3) & 0xff) << 16) | ((bytes(4) & 0xff) << 24)
+      else
+        ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    val code = raw & 0x0fffffff
+    if (code >= 1000) code % 1000 else code
+  }
+
   private def parse0(bytes: Array[Byte]): Geometry = {
-    val code = header(bytes).typeCode
+    val code = topTypeCode(bytes)
     if (code >= 8 && code <= 12) linearizeWithSource(bytes)
     else
       try readerTL.get().read(bytes)
