@@ -24,12 +24,16 @@ import graft.pipeline.{Dedup, TextAnalysis}
   * Semantics vs batch, on the same (drained) input:
   * - Same pairs, same `jaccard_est` / `jaccard` values (same signature,
   *   banding, and shingle math) for buckets within the cap.
-  * - A pair colliding in several bands is emitted once PER colliding band
-  *   (bands have independent state; the batch tier dedups candidates
-  *   globally before verifying). Callers needing exactly-once pairs
-  *   dedup on (id_a, id_b) downstream — chaining a stateful
-  *   dropDuplicates after flatMapGroupsWithState inside this query is
-  *   not supported by Spark.
+  * - A pair colliding in several bands is emitted EXACTLY ONCE: all the
+  *   colliding groups discover the pair in the same micro-batch (pairs
+  *   are emitted at the newer member's arrival), and only the group
+  *   owning the pair's CANONICAL band — the first band where the two
+  *   signatures agree ([[canonicalBand]]) — emits it. Stateless and
+  *   deterministic, so no second stateful operator is needed (Spark
+  *   disallows one after flatMapGroupsWithState here). One corner stays
+  *   documented: if the canonical band's bucket is saturated, the pair
+  *   is suppressed even when another band's bucket is live — the same
+  *   recall contract the cap already imposes.
   * - Bucket cap: the batch tier drops over-cap buckets wholesale; a
   *   stream cannot retract, so a bucket that REACHES the cap stops
   *   admitting members (pairs already emitted stand, nothing further is
@@ -75,10 +79,71 @@ object DedupStreaming {
   final case class SimhashHit(id_a: Long, id_b: Long, hamming: Int)
 
   final case class EmbBucketRow(t: Int, sig: Long, id: Long, vec: Seq[Double],
-      ts: java.sql.Timestamp)
-  final case class EmbMember(id: Long, vec: Seq[Double], ts: Long)
+      sigs: Seq[Long], ts: java.sql.Timestamp)
+  final case class EmbMember(id: Long, vec: Seq[Double], sigs: Seq[Long], ts: Long)
   final case class EmbBucketState(members: List[EmbMember], saturated: Boolean)
   final case class EmbHit(id_a: Long, id_b: Long, cosine: Double)
+
+  /** First band where the two minhash signatures' slices agree — that
+    * band's group is the pair's canonical emitter (exactly-once pair
+    * emission across bands, no second stateful operator). Falls back to
+    * the first band whose BUCKET hashes collide — replicating Catalyst's
+    * Murmur3 fold over the array slice (`hash(slice(sig, …))`, seed 42) —
+    * for the ~2⁻³² case of a bucket collision without slice equality, so
+    * the stream emits exactly the candidate pairs the batch tier's
+    * bucket join discovers. */
+  private[streaming] def canonicalBand(a: Seq[Long], b: Seq[Long],
+      bands: Int, r: Int): Int = {
+    var bb = 0
+    while (bb < bands) {
+      var i = bb * r; val end = i + r; var same = true
+      while (i < end && same) { if (a(i) != b(i)) same = false; i += 1 }
+      if (same) return bb
+      bb += 1
+    }
+    bb = 0
+    while (bb < bands) {
+      if (catalystArrayHash(a, bb * r, r) == catalystArrayHash(b, bb * r, r))
+        return bb
+      bb += 1
+    }
+    -1 // unreachable for pairs discovered via a shared bucket
+  }
+
+  /** First table index where two sign-LSH signature vectors agree; -1 if
+    * none (unreachable for pairs discovered via a shared table bucket). */
+  private[streaming] def firstEqualSig(a: Seq[Long], b: Seq[Long]): Int = {
+    var t = 0
+    val n = math.min(a.length, b.length)
+    while (t < n) {
+      if (a(t) == b(t)) return t
+      t += 1
+    }
+    -1
+  }
+
+  /** First 16-bit chunk index (0-3) where two simhashes agree; -1 if none
+    * (unreachable for pairs discovered via a shared chunk bucket). */
+  private[streaming] def firstEqualChunk(a: Long, b: Long): Int = {
+    var c = 0
+    while (c < 4) {
+      if (((a >>> (c * 16)) & 0xffffL) == ((b >>> (c * 16)) & 0xffffL)) return c
+      c += 1
+    }
+    -1
+  }
+
+  /** Catalyst `hash()` over an array<bigint> slice: Murmur3 x86-32 folded
+    * element-wise from seed 42 (InterpretedHashFunction's array rule). */
+  private def catalystArrayHash(sig: Seq[Long], from: Int, len: Int): Int = {
+    var h = 42
+    var i = from
+    while (i < from + len) {
+      h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(sig(i), h)
+      i += 1
+    }
+    h
+  }
 
   /** Event-time column for the banded projection. The ORIGINAL watermark
     * attribute must flow (unwrapped — casts strip the watermark metadata
@@ -176,10 +241,11 @@ object DedupStreaming {
     val th = threshold
     val cap = maxBucketSize
     val ttl = ttlMs
+    val nBands = b
     banded.groupByKey(row => (row.band, row.bucket))
       .flatMapGroupsWithState[MinhashBucketState, NearDupHit](
         OutputMode.Append(), timeoutOf(ttl)) {
-        case (_, rows, state) =>
+        case ((myBand, _), rows, state) =>
           withTtlState[MinhashMember, MinhashBucketState, NearDupHit](
             ttl, state, s => (s.members, s.saturated),
             MinhashBucketState(_, _), _.ts) { (members0, saturated0) =>
@@ -206,7 +272,14 @@ object DedupStreaming {
                     val sa = m.sh.toSet
                     val uni = sa.union(sb).size
                     val jac = if (uni > 0) sa.intersect(sb).size.toDouble / uni else 0.0
-                    if (jac >= th)
+                    // canonical-band rule: a pair colliding in several bands
+                    // is discovered by several groups in the SAME micro-batch
+                    // (pairs are only emitted at the newer doc's arrival), so
+                    // each group emits iff ITS band is the pair's first
+                    // colliding band — exactly-once across bands with no
+                    // second stateful operator (see canonicalBand).
+                    if (jac >= th &&
+                        canonicalBand(m.sig, row.sig, nBands, nh / nBands) == myBand)
                       out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
                         eq.toDouble / nh, jac)
                   }
@@ -223,8 +296,9 @@ object DedupStreaming {
     * [[Dedup.nearDupSimhash]]. Bucket keys are the four 16-bit chunks of
     * the 64-bit SimHash (pigeonhole: hamming ≤ 3 pairs agree on ≥ 1
     * chunk); state per (chunk, bucket) holds (id, simhash); a new arrival
-    * verifies `bitCount(xor) ≤ maxHamming` against stored members. Same
-    * at-least-once-per-colliding-chunk, cap, and TTL semantics as
+    * verifies `bitCount(xor) ≤ maxHamming` against stored members.
+    * Exactly-once pair emission via the canonical-chunk rule
+    * ([[firstEqualChunk]]); cap and TTL semantics as
     * [[nearDupMinhashStream]]. */
   def nearDupSimhashStream(events: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 100000, eventTimeCol: String = "",
@@ -248,7 +322,7 @@ object DedupStreaming {
     banded.groupByKey(r => (r.chunk, r.bucket))
       .flatMapGroupsWithState[SimhashBucketState, SimhashHit](
         OutputMode.Append(), timeoutOf(ttl)) {
-        case (_, rows, state) =>
+        case ((myChunk, _), rows, state) =>
           withTtlState[SimhashMember, SimhashBucketState, SimhashHit](
             ttl, state, s => (s.members, s.saturated),
             SimhashBucketState(_, _), _.ts) { (members0, saturated0) =>
@@ -263,7 +337,10 @@ object DedupStreaming {
                 } else {
                   members.foreach { m =>
                     val d = java.lang.Long.bitCount(m.sim ^ row.sim)
-                    if (d <= mh)
+                    // canonical-chunk rule (see canonicalBand): emit only
+                    // from the FIRST 16-bit chunk the two simhashes share —
+                    // pigeonhole (d ≤ 3 over 4 chunks) guarantees one exists
+                    if (d <= mh && firstEqualChunk(m.sim, row.sim) == myChunk)
                       out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
                   }
                   members = SimhashMember(row.id, row.sim, rowMs(row.ts)) :: members
@@ -279,9 +356,10 @@ object DedupStreaming {
     * [[Dedup.nearDupEmbedding]]. OR-amplified sign-LSH bucket keys
     * ((table, signature), same planes as batch via
     * [[graft.pipeline.Similarity.signSignatureSeeded]]); state holds the
-    * (id, vector) members; a new arrival verifies exact cosine ≥
-    * threshold against stored members. At-least-once per colliding
-    * table; cap and TTL semantics as [[nearDupMinhashStream]]. */
+    * (id, vector, all-table signatures) members; a new arrival verifies
+    * exact cosine ≥ threshold against stored members. Exactly-once pair
+    * emission via the canonical-table rule ([[firstEqualSig]]); cap and
+    * TTL semantics as [[nearDupMinhashStream]]. */
   def nearDupEmbeddingStream(events: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 12, tables: Int = 4,
       maxBucketSize: Int = 100000, eventTimeCol: String = "",
@@ -298,9 +376,13 @@ object DedupStreaming {
       // null/zero-information vectors give a null signature: drop before
       // the non-nullable encoder (one bad record must not kill the query)
       .filter(col("vec").isNotNull)
-      .select(col("id"), col("vec"), col("ts"), explode(array(sigCols: _*)).as("tsig"))
+      // every table's signature rides along so the canonical-table rule
+      // can pick the pair's single emitter without recomputing planes
+      .select(col("id"), col("vec"), col("ts"),
+        array(sigCols.map(_.getField("sig")): _*).as("sigs"),
+        explode(array(sigCols: _*)).as("tsig"))
       .select(col("tsig.t").as("t"), col("tsig.sig").as("sig"),
-        col("id"), col("vec"), col("ts"))
+        col("id"), col("vec"), col("sigs"), col("ts"))
       .filter(col("sig").isNotNull)
       .as[EmbBucketRow]
     val th = threshold
@@ -309,7 +391,7 @@ object DedupStreaming {
     banded.groupByKey(r => (r.t, r.sig))
       .flatMapGroupsWithState[EmbBucketState, EmbHit](
         OutputMode.Append(), timeoutOf(ttl)) {
-        case (_, rows, state) =>
+        case ((myTable, _), rows, state) =>
           withTtlState[EmbMember, EmbBucketState, EmbHit](
             ttl, state, s => (s.members, s.saturated),
             EmbBucketState(_, _), _.ts) { (members0, saturated0) =>
@@ -332,10 +414,12 @@ object DedupStreaming {
                   members.foreach { m =>
                     val c = dot(m.vec, row.vec) /
                       (math.sqrt(dot(m.vec, m.vec)) * rowNorm)
-                    if (c >= th)
+                    // canonical-table rule (see canonicalBand): emit only
+                    // from the FIRST table whose signatures agree
+                    if (c >= th && firstEqualSig(m.sigs, row.sigs) == myTable)
                       out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
                   }
-                  members = EmbMember(row.id, row.vec, rowMs(row.ts)) :: members
+                  members = EmbMember(row.id, row.vec, row.sigs, rowMs(row.ts)) :: members
                 }
               }
             }

@@ -203,9 +203,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = hits.writeStream.format("memory").queryName("neardupst")
       .outputMode("append").start()
     docs.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
-    val streamed = spark.table("neardupst")
-      .as[(Long, Long, Double, Double)].collect().toSet // set ⇒ per-band repeats collapse
+    val streamedRows = spark.table("neardupst")
+      .as[(Long, Long, Double, Double)].collect().toSeq
     q.stop()
+    // canonical-band rule: exactly once per pair, not once per colliding
+    // band — the raw rows must already be duplicate-free
+    assert(streamedRows.distinct.size == streamedRows.size,
+      s"duplicate pair emissions: $streamedRows")
+    val streamed = streamedRows.toSet
     assert(streamed === batch,
       s"stream=$streamed\nbatch=$batch")
   }
@@ -262,8 +267,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = hits.writeStream.format("memory").queryName("simst")
       .outputMode("append").start()
     docs.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
-    val simStream = spark.table("simst").as[(Long, Long, Int)].collect().toSet
+    val simRows = spark.table("simst").as[(Long, Long, Int)].collect().toSeq
     q.stop()
+    // hamming-0 pairs agree on all 4 chunks — the canonical-chunk rule must
+    // still emit exactly one row
+    assert(simRows.distinct.size == simRows.size, s"duplicate emissions: $simRows")
+    val simStream = simRows.toSet
     assert(simStream === simBatch, s"stream=$simStream batch=$simBatch")
 
     val vecs = Seq(
@@ -281,8 +290,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eq = ehits.writeStream.format("memory").queryName("embst")
       .outputMode("append").start()
     vecs.grouped(2).foreach { chunk => vin.addData(chunk); eq.processAllAvailable() }
-    val embStream = spark.table("embst").as[(Long, Long, Double)].collect().toSet
+    val embRows = spark.table("embst").as[(Long, Long, Double)].collect().toSeq
     eq.stop()
+    // near-identical vectors collide in every table — canonical-table rule
+    assert(embRows.distinct.size == embRows.size, s"duplicate emissions: $embRows")
+    val embStream = embRows.toSet
     assert(embStream.map(p => (p._1, p._2)) === embBatch.map(p => (p._1, p._2)))
     // cosine values agree to fp noise (same summation order as DotProduct)
     embStream.foreach { case (a, b, c) =>
