@@ -100,7 +100,8 @@ package object functions {
   // ------------------------------------------------------------- measurement
   def st_area(g: Column): Column = ofExpr(graft.plans.STAreaNative(toExpr(g)))
   def st_length(g: Column): Column = ofExpr(graft.plans.STLengthNative(toExpr(g)))
-  def st_distance(a: Column, b: Column): Column = distance(a, b)
+  def st_distance(a: Column, b: Column): Column =
+    ofExpr(graft.plans.STDistanceNative(toExpr(a), toExpr(b)))
   def st_hausdorff_distance(a: Column, b: Column): Column = hausdorffDistance(a, b)
   def st_hausdorff_distance(a: Column, b: Column, densify: Column): Column =
     hausdorffDistanceDensify(a, b, densify)
@@ -173,7 +174,7 @@ package object functions {
     offsetCurve(g, distance, lit(8), lit("round"), lit(5.0))
   def st_offset_curve(g: Column, distance: Column, quadSegs: Column, joinStyle: Column,
       mitreLimit: Column): Column = offsetCurve(g, distance, quadSegs, joinStyle, mitreLimit)
-  def st_centroid(g: Column): Column = centroid(g)
+  def st_centroid(g: Column): Column = ofExpr(graft.plans.STCentroidNative(toExpr(g)))
   def st_center(g: Column): Column = center(g)
   def st_clip_by_rect(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     clipByRect(g, xmin, ymin, xmax, ymax)
@@ -183,7 +184,7 @@ package object functions {
   def st_concave_hull(g: Column, ratio: Column): Column = concaveHull(g, ratio, lit(false))
   def st_concave_hull(g: Column): Column = concaveHull(g, lit(0.0), lit(false))
   def st_segmentize(g: Column, maxSegmentLength: Column): Column = segmentize(g, maxSegmentLength)
-  def st_envelope(g: Column): Column = envelope(g)
+  def st_envelope(g: Column): Column = ofExpr(graft.plans.STEnvelopeNative(toExpr(g)))
   def st_extract_unique_points(g: Column): Column = extractUniquePoints(g)
   def st_build_area(g: Column): Column = buildArea(g)
   def st_make_valid(g: Column): Column = makeValid(g)

@@ -49,6 +49,25 @@ object GeoNative {
     val gb = EWKB.read(b)
     !ga.isEmpty && !gb.isEmpty && ga.isWithinDistance(gb, math.nextDown(d))
   }
+  /** NaN if either side is empty (functions.rs:819-829) — identical to
+    * the UDF tier's st_distance convention. */
+  def distance(a: Array[Byte], b: Array[Byte]): Double = {
+    val ga = EWKB.read(a)
+    val gb = EWKB.read(b)
+    if (ga.isEmpty || gb.isEmpty) Double.NaN else ga.distance(gb)
+  }
+  def centroid(b: Array[Byte]): Array[Byte] = {
+    val g = EWKB.read(b)
+    val out = g.getCentroid
+    if (out.getSRID == 0 && g.getSRID != 0) out.setSRID(g.getSRID)
+    EWKB.write(out)
+  }
+  def envelope(b: Array[Byte]): Array[Byte] = {
+    val g = EWKB.read(b)
+    val out = g.getEnvelope
+    if (out.getSRID == 0 && g.getSRID != 0) out.setSRID(g.getSRID)
+    EWKB.write(out)
+  }
   /** Default-parameter buffer (quad_segs 8, round cap/join, mitre 5.0,
     * two-sided — the reference's kwargs defaults, args.rs:102-124). SRID
     * carries over like the uG lift. */
@@ -170,6 +189,40 @@ case class STLengthNative(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.GeoNative.length($c)")
   override protected def withNewChildInternal(newChild: Expression): STLengthNative =
+    copy(child = newChild)
+}
+
+case class STDistanceNative(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    NativeTypeCheck.binary("st_distance_native", left, right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoNative.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GeoNative.distance($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): STDistanceNative = copy(left = newLeft, right = newRight)
+}
+
+case class STCentroidNative(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = NativeTypeCheck.binary("st_centroid_native", child)
+  override protected def nullSafeEval(input: Any): Any =
+    GeoNative.centroid(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GeoNative.centroid($c)")
+  override protected def withNewChildInternal(newChild: Expression): STCentroidNative =
+    copy(child = newChild)
+}
+
+case class STEnvelopeNative(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes() = NativeTypeCheck.binary("st_envelope_native", child)
+  override protected def nullSafeEval(input: Any): Any =
+    GeoNative.envelope(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GeoNative.envelope($c)")
+  override protected def withNewChildInternal(newChild: Expression): STEnvelopeNative =
     copy(child = newChild)
 }
 
@@ -328,6 +381,15 @@ object GeoExpressions {
     (FunctionIdentifier("st_buffer_native"),
       new ExpressionInfo(classOf[STBufferNative].getName, "st_buffer_native"),
       withArity("st_buffer_native", 2)(args => STBufferNative(args(0), args(1)))),
+    (FunctionIdentifier("st_distance_native"),
+      new ExpressionInfo(classOf[STDistanceNative].getName, "st_distance_native"),
+      withArity("st_distance_native", 2)(args => STDistanceNative(args(0), args(1)))),
+    (FunctionIdentifier("st_centroid_native"),
+      new ExpressionInfo(classOf[STCentroidNative].getName, "st_centroid_native"),
+      withArity("st_centroid_native", 1)(args => STCentroidNative(args.head))),
+    (FunctionIdentifier("st_envelope_native"),
+      new ExpressionInfo(classOf[STEnvelopeNative].getName, "st_envelope_native"),
+      withArity("st_envelope_native", 1)(args => STEnvelopeNative(args.head))),
     (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "array_dot"),
       withArity("array_dot", 2)(args => DotProduct(args(0), args(1)))))

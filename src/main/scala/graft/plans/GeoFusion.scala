@@ -441,7 +441,8 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
     case u: ScalaUDF => u.udfName.exists(GeoKernels.table.contains)
     case _: STAreaNative | _: STLengthNative | _: STIntersectsNative |
          _: STContainsNative | _: STWithinNative | _: STDWithinNative |
-         _: STBufferNative | _: STGeoFused => true
+         _: STBufferNative | _: STDistanceNative | _: STCentroidNative |
+         _: STEnvelopeNative | _: STGeoFused => true
     case _ => false
   }
 
@@ -577,6 +578,12 @@ object GeoFusionRule extends Rule[LogicalPlan] with PredicateHelper {
         Some(call("st_within", GeoKernels.table("st_within"), Seq(l, r)))
       case STDWithinNative(a, b, d) =>
         Some(call("st_dwithin", GeoKernels.table("st_dwithin"), Seq(a, b, d)))
+      case STDistanceNative(l, r) =>
+        Some(call("st_distance", GeoKernels.table("st_distance"), Seq(l, r)))
+      case STCentroidNative(c) =>
+        Some(call("st_centroid", GeoKernels.table("st_centroid"), Seq(c)))
+      case STEnvelopeNative(c) =>
+        Some(call("st_envelope", GeoKernels.table("st_envelope"), Seq(c)))
       case STBufferNative(g, d) =>
         // rebuild the 7-arg kernel call with the expression's fixed defaults
         Some(call("st_buffer", GeoKernels.table("st_buffer"), Seq(g, d,
