@@ -97,6 +97,20 @@ class FusionSpec extends AnyFunSuite {
         """SELECT st_srid(st_buffer_native(st_set_srid(a, 4326), 0.5))
           |FROM graft_native_drift LIMIT 1""".stripMargin).collect()(0)
       assert(buf.getInt(0) === 4326)
+      // round-11 promotions: distance (NaN-on-empty), centroid, envelope
+      val d = rows.sql(
+        """SELECT st_distance_native(a, b) AS nd, st_distance(a, b) AS ud,
+          |  st_aswkt(st_centroid_native(a)) AS ncw, st_aswkt(st_centroid(a)) AS ucw,
+          |  st_aswkt(st_envelope_native(a)) AS new, st_aswkt(st_envelope(a)) AS uew,
+          |  st_srid(st_centroid_native(st_set_srid(a, 4326))) AS csrid
+          |FROM graft_native_drift""".stripMargin).collect()
+      d.foreach { r =>
+        val (nd, ud) = (r.getDouble(0), r.getDouble(1))
+        assert(nd == ud || (nd.isNaN && ud.isNaN), s"distance drift: $r")
+        assert(r.getString(2) === r.getString(3), s"centroid drift: $r")
+        assert(r.getString(4) === r.getString(5), s"envelope drift: $r")
+        assert(r.getInt(6) === 4326, s"centroid SRID drift: $r")
+      }
     } finally spark.catalog.dropTempView("graft_native_drift")
   }
 
