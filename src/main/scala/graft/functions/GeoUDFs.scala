@@ -142,13 +142,7 @@ object GeoUDFs {
   val geomFromEwkt: UserDefinedFunction = udf((s: String) =>
     if (s == null) null
     else {
-      val t = s.trim
-      val (srid, rest) =
-        if (t.regionMatches(true, 0, "SRID=", 0, 5)) {
-          val semi = t.indexOf(';')
-          require(semi > 0, s"invalid EWKT: $s")
-          (t.substring(5, semi).trim.toInt, t.substring(semi + 1))
-        } else (0, t)
+      val (srid, rest) = GeoCodec.splitEwkt(s)
       if (graft.serde.CurvedGeom.isCurvedWkt(rest))
         graft.serde.CurvedGeom.write(graft.serde.CurvedGeom.parseWkt(rest), srid)
       else {
@@ -162,7 +156,7 @@ object GeoUDFs {
     * curved normal form (little-endian, top-level SRID), not linearized. */
   val geomFromWkb: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
-    else if (graft.serde.CurvedGeom.isCurvedBytes(b)) {
+    else if (graft.serde.CurvedGeom.isCurvedSource(b)) {
       val (srid, g) = graft.serde.CurvedGeom.parse(b)
       graft.serde.CurvedGeom.write(g, srid)
     }
@@ -186,30 +180,21 @@ object GeoUDFs {
   GeoKernels.add(K("st_pointz", 3, Set.empty, OGeom, a =>
     fact.createPoint(new Coordinate(aD(a(0)), aD(a(1)), aD(a(2))))))
   // In a fused chain the constructor feeds other kernels, so curved WKT
-  // linearizes here exactly like EWKB.read does on the unfused path — and
-  // attaches the curved source bytes as userData so curved-aware kernels
-  // downstream (and the fused root serializer) keep curved semantics.
-  private def curvedWktGeom(s: String, srid: Int): Geometry = {
-    val cg = graft.serde.CurvedGeom.parseWkt(s)
-    val g = graft.serde.CurvedGeom.linearize(cg, srid, 32)
-    g.setUserData(graft.serde.CurvedGeom.write(cg, srid))
-    g
-  }
-
+  // linearizes here exactly like EWKB.read does on the unfused path —
+  // carrying the curved source bytes via the shared marker idiom
+  // (CurvedGeom.linearizedWithSource) so curved-aware kernels downstream
+  // (and the fused root serializer) keep curved semantics.
   GeoKernels.add(K("st_geomfromtext", 1, Set.empty, OGeom, a => {
     val s = aS(a(0))
-    if (graft.serde.CurvedGeom.isCurvedWkt(s)) curvedWktGeom(s, 0)
+    if (graft.serde.CurvedGeom.isCurvedWkt(s))
+      graft.serde.CurvedGeom.linearizedWithSource(graft.serde.CurvedGeom.parseWkt(s), 0)
     else GeoCodec.fromWkt(s)
   }))
   GeoKernels.add(K("st_geomfromewkt", 1, Set.empty, OGeom, a => {
-    val s = aS(a(0)).trim
-    val (srid, rest) =
-      if (s.regionMatches(true, 0, "SRID=", 0, 5)) {
-        val semi = s.indexOf(';')
-        require(semi > 0, s"invalid EWKT: $s")
-        (s.substring(5, semi).trim.toInt, s.substring(semi + 1))
-      } else (0, s)
-    if (graft.serde.CurvedGeom.isCurvedWkt(rest)) curvedWktGeom(rest, srid)
+    val (srid, rest) = GeoCodec.splitEwkt(aS(a(0)))
+    if (graft.serde.CurvedGeom.isCurvedWkt(rest))
+      graft.serde.CurvedGeom.linearizedWithSource(
+        graft.serde.CurvedGeom.parseWkt(rest), srid)
     else {
       val g = GeoCodec.fromWkt(rest)
       if (srid != 0) g.setSRID(srid)
@@ -264,7 +249,9 @@ object GeoUDFs {
     * pass through. */
   val linearize: UserDefinedFunction = udf((b: Array[Byte], segsPerQuadrant: Int) =>
     if (b == null) null
-    else if (graft.serde.CurvedGeom.isCurvedBytes(b))
+    else if (graft.serde.CurvedGeom.isCurvedSource(b))
+      // incl. curve-bearing GeometryCollections: the explicit escape must
+      // not silently keep the fixed 32/quadrant
       EWKB.write(graft.serde.CurvedGeom.linearizeBytes(b, segsPerQuadrant))
     else b)
 
@@ -362,12 +349,8 @@ object GeoUDFs {
   /** Linearized twin of a curved model node carrying its bytes as
     * `userData` — what a curved-aware kernel returns so downstream kernels
     * (and the fused root serializer) keep the curved representation. */
-  private[functions] def curvedLin(child: graft.serde.CurvedGeom.CG, srid: Int): Geometry = {
-    val bytes = CurvedGeom.write(child, srid)
-    val out = CurvedGeom.linearize(child, srid, 32)
-    out.setUserData(bytes)
-    out
-  }
+  private[functions] def curvedLin(child: graft.serde.CurvedGeom.CG, srid: Int): Geometry =
+    CurvedGeom.linearizedWithSource(child, srid)
 
   /** Copy that sheds the curved-source marker — for kernels that return
     * their input unchanged, whose unfused twin serializes the parsed
@@ -378,13 +361,13 @@ object GeoUDFs {
 
   val countCoordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None
-    else if (CurvedGeom.isCurvedBytes(b))
+    else if (CurvedGeom.isCurvedSource(b))
       Some(CurvedGeom.countCoordinates(CurvedGeom.parse(b)._2))
     else Some(EWKB.read(b).getNumPoints))
 
   val coordinates: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
-    else if (CurvedGeom.isCurvedBytes(b))
+    else if (CurvedGeom.isCurvedSource(b))
       CurvedGeom.coordinateRows(CurvedGeom.parse(b)._2, None)
     else GeomUtil.coordinateRows(EWKB.read(b), None)).withName("st_coordinates")
 
@@ -392,7 +375,7 @@ object GeoUDFs {
     * `geoexpr.py:185-194`). */
   val coordinatesDim: UserDefinedFunction = udf((b: Array[Byte], dim: Int) =>
     if (b == null) null
-    else if (CurvedGeom.isCurvedBytes(b))
+    else if (CurvedGeom.isCurvedSource(b))
       CurvedGeom.coordinateRows(CurvedGeom.parse(b)._2, Some(dim))
     else GeomUtil.coordinateRows(EWKB.read(b), Some(dim))).withName("st_coordinates_dim")
 
@@ -438,7 +421,7 @@ object GeoUDFs {
     }))
     udf((b: Array[Byte]) =>
       if (b == null) null
-      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+      else if (CurvedGeom.isCurvedSource(b)) CurvedGeom.parse(b) match {
         case (srid, CPoly(rings, _, z, m)) =>
           curvedChild(rings.headOption.getOrElse(CLine(Array.empty, circular = false, z, m)), srid)
         case _ => null
@@ -456,7 +439,7 @@ object GeoUDFs {
 
   val interiorRings: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
-    else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+    else if (CurvedGeom.isCurvedSource(b)) CurvedGeom.parse(b) match {
       case (srid, CPoly(rings, _, _, _)) => rings.drop(1).map(curvedChild(_, srid))
       case _ => Seq.empty[Array[Byte]]
     }
@@ -479,7 +462,7 @@ object GeoUDFs {
       }))
     udf((b: Array[Byte]) =>
       if (b == null) None
-      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b)._2 match {
+      else if (CurvedGeom.isCurvedSource(b)) CurvedGeom.parse(b)._2 match {
         case CPoly(rings, _, _, _) => Some(math.max(0, rings.length - 1))
         case _ => Some(0)
       }
@@ -500,7 +483,7 @@ object GeoUDFs {
   }
 
   val getInteriorRing: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    if (b != null && CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+    if (b != null && CurvedGeom.isCurvedSource(b)) CurvedGeom.parse(b) match {
       case (srid, CPoly(rings, _, _, _)) =>
         if (i < 0 || i >= rings.length - 1) null
         else curvedChild(rings(i + 1), srid)
@@ -525,7 +508,7 @@ object GeoUDFs {
       a => a(0).asInstanceOf[Geometry].getNumGeometries))
     udf((b: Array[Byte]) =>
       if (b == null) None
-      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b)._2 match {
+      else if (CurvedGeom.isCurvedSource(b)) CurvedGeom.parse(b)._2 match {
         case CMulti(_, parts, _, _) => Some(parts.length)
         case _ => Some(1) // atomic curved types count as one, like JTS
       }
@@ -536,7 +519,7 @@ object GeoUDFs {
     if (i < 0 || i >= g.getNumGeometries) null else g.getGeometryN(i).copy()
 
   val getGeometry: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    if (b != null && CurvedGeom.isCurvedBytes(b)) {
+    if (b != null && CurvedGeom.isCurvedSource(b)) {
       val (srid, g) = CurvedGeom.parse(b)
       val ms = CurvedGeom.members(g)
       if (i < 0 || i >= ms.length) null else curvedChild(ms(i), srid)
@@ -567,7 +550,7 @@ object GeoUDFs {
     }))
     udf((b: Array[Byte]) =>
       if (b == null) None
-      else if (CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b)._2 match {
+      else if (CurvedGeom.isCurvedSource(b)) CurvedGeom.parse(b)._2 match {
         case l: CLine => Some(l.pts.length) // control points, not densified
         case _ => Some(0)
       }
@@ -586,7 +569,7 @@ object GeoUDFs {
   }
 
   val getPoint: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
-    if (b != null && CurvedGeom.isCurvedBytes(b)) CurvedGeom.parse(b) match {
+    if (b != null && CurvedGeom.isCurvedSource(b)) CurvedGeom.parse(b) match {
       case (srid, l: CLine) =>
         if (i < 0 || i >= l.pts.length) null
         else curvedChild(CurvedGeom.CPoint(l.pts(i), l.z, l.m), srid)
@@ -612,7 +595,7 @@ object GeoUDFs {
 
   val parts: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
-    else if (CurvedGeom.isCurvedBytes(b)) {
+    else if (CurvedGeom.isCurvedSource(b)) {
       val (srid, g) = CurvedGeom.parse(b)
       CurvedGeom.members(g).map(curvedChild(_, srid))
     }
@@ -677,7 +660,7 @@ object GeoUDFs {
 
   val bounds: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null
-    else if (graft.serde.CurvedGeom.isCurvedBytes(b))
+    else if (graft.serde.CurvedGeom.isCurvedSource(b))
       // exact arc bbox (axis-extreme points included) — a linearized
       // envelope would clip the bulge by the chord sagitta
       graft.serde.CurvedGeom.bounds(graft.serde.CurvedGeom.parse(b)._2).toSeq
@@ -784,7 +767,7 @@ object GeoUDFs {
 
   val isClosed: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None
-    else if (CurvedGeom.isCurvedBytes(b))
+    else if (CurvedGeom.isCurvedSource(b))
       Some(CurvedGeom.isClosed(CurvedGeom.parse(b)._2))
     else Some(EWKB.read(b) match {
       case l: LineString => l.isClosed
@@ -1141,7 +1124,12 @@ object GeoUDFs {
   val makeValid: UserDefinedFunction = fG1("st_make_valid")(g =>
     if (g.isValid) freshCopy(g) else GeometryFixer.fix(g))
 
-  val normalize: UserDefinedFunction = fG1("st_normalize")(_.norm())
+  // norm() = copy()+normalize(), and JTS copy() preserves userData — shed
+  // the curved-source marker or fused chains would emit the
+  // PRE-normalization curved bytes (see freshCopy)
+  val normalize: UserDefinedFunction = fG1("st_normalize") { g =>
+    val c = g.norm(); c.setUserData(null); c
+  }
 
   private def nodeLinework(g: Geometry): Geometry = {
     val lines = org.locationtech.jts.geom.util.LinearComponentExtracter.getLines(g)
@@ -1223,10 +1211,9 @@ object GeoUDFs {
     * CircularString→CompoundCurve/MultiCurve, CompoundCurve→MultiCurve,
     * CurvePolygon→MultiSurface, LineString→CompoundCurve/MultiCurve,
     * Polygon→CurvePolygon/MultiSurface, anything→GeometryCollection
-    * (curved members kept via the [[CurvedGeom]] writer). Inside a FUSED
-    * chain (≥2 kernels) curved targets still raise — the kernel tier works
-    * on parsed JTS geometry, which cannot represent curves; standalone
-    * casts (the common case) never fuse. */
+    * (curved members kept via the [[CurvedGeom]] writer). The fused
+    * kernel applies the SAME bytes-level table through the curved-source
+    * marker, so curved casts work identically inside fused chains. */
   private val CurvedCastTargets =
     Set("circularstring", "compoundcurve", "curvepolygon", "multicurve", "multisurface")
 
@@ -1254,7 +1241,7 @@ object GeoUDFs {
     if (into == null || b == null) null
     else {
       val target = into.trim.toLowerCase.replace("_", "").replace(" ", "")
-      if (CurvedGeom.isCurvedBytes(b)) curvedCastK(b, into)
+      if (CurvedGeom.isCurvedSource(b)) curvedCastK(b, into)
       else if (CurvedCastTargets(target)) curvedCastK(b, into)
       else uG(g => CastImpl.cast(g, into))(b)
     }).withName("st_cast")
@@ -1470,7 +1457,7 @@ object GeoUDFs {
     * parsed geometries may be shared via the EWKB parse cache. */
   val setSrid: UserDefinedFunction = udf((b: Array[Byte], srid: Int) =>
     if (b == null) null
-    else if (CurvedGeom.isCurvedBytes(b)) Curved.withSrid(b, srid)
+    else if (CurvedGeom.isCurvedSource(b)) Curved.withSrid(b, srid)
     else {
       val g = EWKB.read(b).copy()
       g.setSRID(srid)
@@ -1549,7 +1536,7 @@ object GeoUDFs {
     }))
     udf((b: Array[Byte]) =>
       if (b == null) null
-      else if (CurvedGeom.isCurvedBytes(b)) curvedWktK(b, 6, trim = true, 3, old3d = false)
+      else if (CurvedGeom.isCurvedSource(b)) curvedWktK(b, 6, trim = true, 3, old3d = false)
       else GeoCodec.toWkt(EWKB.read(b))).withName("st_aswkt")
   }
 
@@ -1561,7 +1548,7 @@ object GeoUDFs {
     }))
     udf((b: Array[Byte]) =>
       if (b == null) null
-      else if (CurvedGeom.isCurvedBytes(b)) curvedEwktK(b, 6, trim = true, 3, old3d = false)
+      else if (CurvedGeom.isCurvedSource(b)) curvedEwktK(b, 6, trim = true, 3, old3d = false)
       else GeoCodec.toEwkt(EWKB.read(b))).withName("st_asewkt")
   }
 
@@ -1573,7 +1560,7 @@ object GeoUDFs {
     }))
     udf((b: Array[Byte], precision: Int) =>
       if (b == null) null
-      else if (CurvedGeom.isCurvedBytes(b)) curvedWktK(b, precision, trim = true, 3, old3d = false)
+      else if (CurvedGeom.isCurvedSource(b)) curvedWktK(b, precision, trim = true, 3, old3d = false)
       else GeoCodec.toWkt(EWKB.read(b), precision))
       .withName("st_aswkt_precision")
   }
@@ -1589,7 +1576,7 @@ object GeoUDFs {
     udf((b: Array[Byte], precision: Int,
         trim: Boolean, outputDimension: Int, old3d: Boolean) =>
       if (b == null) null
-      else if (CurvedGeom.isCurvedBytes(b))
+      else if (CurvedGeom.isCurvedSource(b))
         curvedWktK(b, precision, trim, outputDimension, old3d)
       else GeoCodec.toWkt(EWKB.read(b), precision, trim, outputDimension, old3d))
       .withName("st_aswkt_fmt")
@@ -1604,7 +1591,7 @@ object GeoUDFs {
     udf((b: Array[Byte], precision: Int,
         trim: Boolean, outputDimension: Int, old3d: Boolean) =>
       if (b == null) null
-      else if (CurvedGeom.isCurvedBytes(b)) curvedEwktK(b, precision, trim, outputDimension, old3d)
+      else if (CurvedGeom.isCurvedSource(b)) curvedEwktK(b, precision, trim, outputDimension, old3d)
       else GeoCodec.toEwkt(EWKB.read(b), precision, trim, outputDimension, old3d))
       .withName("st_asewkt_fmt")
   }
@@ -1642,7 +1629,7 @@ object GeoUDFs {
     udf((b: Array[Byte], outputDimension: Int,
         bigEndian: Boolean, includeSrid: Boolean) =>
       if (b == null) null
-      else if (CurvedGeom.isCurvedBytes(b))
+      else if (CurvedGeom.isCurvedSource(b))
         curvedWkbK(b, outputDimension, bigEndian, includeSrid)
       else asWkbK(EWKB.read(b), outputDimension, bigEndian, includeSrid))
       .withName("st_aswkb")

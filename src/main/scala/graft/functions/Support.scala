@@ -712,7 +712,10 @@ object CrsImpl {
     // deliberately kept even though it means an unsupported code only
     // errors once a non-empty row reaches it
     if (src == target || g.isEmpty) {
-      val c = g.copy(); c.setSRID(target0); return c
+      // shed any curved-source marker: JTS copy() preserves userData, and
+      // the marker's bytes still carry the OLD srid — a fused chain root
+      // would emit them verbatim, silently dropping the SRID rewrite
+      val c = g.copy(); c.setUserData(null); c.setSRID(target0); return c
     }
     require(isSupported(src) && isSupported(target),
       s"to_srid($src -> $target): supported EPSG codes are the closed-form " +

@@ -60,7 +60,20 @@ object CurvedGeom {
   /** Top-level type code is curved (8-12)? Cheap pre-parse test. */
   def isCurvedBytes(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 5 &&
-      Curved.isCurvedCode(EWKB.header(bytes).typeCode)
+      Curved.isCurvedCode(EWKB.topTypeCode(bytes)) // allocation-free peek:
+      // this sits on the per-row native area/length hot path
+
+  /** Curved for the serde-preserving tier: top-level curved (8-12) OR a
+    * GeometryCollection carrying curved members — the same set of inputs
+    * [[EWKB.read]] linearizes-with-marker, so the bytes-level UDF branches
+    * and the marker-driven fusion kernels route identically. The code-7
+    * deep scan runs only on collections (rare in hot paths; linear,
+    * allocation-free). */
+  def isCurvedSource(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 5 && {
+      val code = EWKB.topTypeCode(bytes)
+      Curved.isCurvedCode(code) || (code == 7 && containsCurved(bytes))
+    }
 
   /** Deep scan: does any nested type word name a curved type? Only called
     * on the JTS-parse-failure path for GeometryCollections, so it may
@@ -344,6 +357,18 @@ object CurvedGeom {
     linearize(g, srid, segsPerQuadrant)
   }
 
+  /** THE curved-source marker idiom, in one place: the 32-seg/quadrant
+    * linearization of `g` carrying its normalized curved EWKB as
+    * `userData`, so curved-aware consumers ([[areaOfBytes]], the fusion
+    * kernels, the fused root serializer) can branch back to the exact
+    * curved semantics. Every tier that attaches the marker goes through
+    * here — the convention cannot drift between call sites. */
+  def linearizedWithSource(g: CG, srid: Int): Geometry = {
+    val out = linearize(g, srid, 32)
+    out.setUserData(write(g, srid))
+    out
+  }
+
   private def mkCoord(c: Array[Double], z: Boolean): Coordinate =
     if (z && c.length > 2) new Coordinate(c(0), c(1), c(2))
     else new Coordinate(c(0), c(1))
@@ -381,12 +406,16 @@ object CurvedGeom {
       s"ring must be a curve, got code ${other.code}")
   }
 
-  private def closeRing(cs: Array[Coordinate]): Array[Coordinate] =
-    if (cs.length >= 3 && (cs.head.x != cs.last.x || cs.head.y != cs.last.y)) cs :+ new Coordinate(cs.head)
-    else if (cs.length == 3 && cs.head.x == cs.last.x && cs.head.y == cs.last.y)
-      // degenerate closed 3-point ring: JTS requires >= 4 points
-      Array(cs(0), cs(1), cs(1), cs(2))
-    else cs
+  private def closeRing(cs: Array[Coordinate]): Array[Coordinate] = {
+    if (cs.isEmpty) return cs
+    val closed =
+      if (cs.head.x != cs.last.x || cs.head.y != cs.last.y) cs :+ new Coordinate(cs.head)
+      else cs
+    // JTS LinearRing needs >= 4 points; degenerate rings (all control
+    // points identical dedup to 1-2 coords) pad in place
+    if (closed.length >= 4) closed
+    else closed ++ Array.fill(4 - closed.length)(new Coordinate(closed.head))
+  }
 
   // ---------------------------------------------------------- exact length
 
@@ -723,6 +752,36 @@ object CurvedGeom {
       case CPoint(c, z, m) =>
         if (c(0).isNaN && c(1).isNaN) "POINT EMPTY"
         else s"POINT ${if (z || m) zmTag(g) + " " else ""}(${coordText(c, z, m)})"
+      // curve-bearing GeometryCollections reach the curved WKT writer via
+      // the fused serializer kernels (code-7 source markers); linear
+      // multi types can appear as their members — cover the full model
+      case mu @ CMulti(7, parts, _, _) =>
+        val body = if (parts.isEmpty) "EMPTY" else parts.map(top).mkString("(", ", ", ")")
+        s"GEOMETRYCOLLECTION ${tagSp(mu)}$body"
+      case mu @ CMulti(4, parts, _, _) =>
+        val body = if (parts.isEmpty) "EMPTY" else parts.map {
+          case CPoint(c, z, m) =>
+            if (c(0).isNaN && c(1).isNaN) "EMPTY" else s"(${coordText(c, z, m)})"
+          case other => throw new IllegalArgumentException(
+            s"toWkt: bad MultiPoint member ${other.code}")
+        }.mkString("(", ", ", ")")
+        s"MULTIPOINT ${tagSp(mu)}$body"
+      case mu @ CMulti(5, parts, _, _) =>
+        val body = if (parts.isEmpty) "EMPTY" else parts.map {
+          case l: CLine if !l.circular => lineBody(l)
+          case other => throw new IllegalArgumentException(
+            s"toWkt: bad MultiLineString member ${other.code}")
+        }.mkString("(", ", ", ")")
+        s"MULTILINESTRING ${tagSp(mu)}$body"
+      case mu @ CMulti(6, parts, _, _) =>
+        val body = if (parts.isEmpty) "EMPTY" else parts.map {
+          case CPoly(rings, false, z, m) =>
+            rings.map { case l: CLine => ptsText(l.pts, z, m); case r => ringText(r) }
+              .mkString("(", ", ", ")")
+          case other => throw new IllegalArgumentException(
+            s"toWkt: bad MultiPolygon member ${other.code}")
+        }.mkString("(", ", ", ")")
+        s"MULTIPOLYGON ${tagSp(mu)}$body"
       case mu: CMulti => throw new IllegalArgumentException(
         s"toWkt: unexpected collection code ${mu.code} in curved writer")
     }
@@ -735,14 +794,19 @@ object CurvedGeom {
   private val CurvedTags =
     Set("CIRCULARSTRING", "COMPOUNDCURVE", "CURVEPOLYGON", "MULTICURVE", "MULTISURFACE")
 
-  /** Does the WKT string start with a curved tag (after optional spaces)?
-    * Used by `from_wkt` to route to [[parseWkt]]. */
+  /** Does the WKT string need the curved parser: a curved top tag, or a
+    * GEOMETRYCOLLECTION that mentions a curved tag anywhere (JTS's reader
+    * rejects curved members). Used by `from_wkt` to route to [[parseWkt]]. */
   def isCurvedWkt(s: String): Boolean = {
     var i = 0
     while (i < s.length && s.charAt(i).isWhitespace) i += 1
     var j = i
     while (j < s.length && s.charAt(j).isLetter) j += 1
-    CurvedTags.contains(s.substring(i, j).toUpperCase(java.util.Locale.ROOT))
+    val tag = s.substring(i, j).toUpperCase(java.util.Locale.ROOT)
+    CurvedTags.contains(tag) || (tag == "GEOMETRYCOLLECTION" && {
+      val u = s.toUpperCase(java.util.Locale.ROOT)
+      CurvedTags.exists(u.contains)
+    })
   }
 
   /** Recursive-descent parser for curved WKT (the five tags above, nested
@@ -797,28 +861,48 @@ object CurvedGeom {
       val save = pos
       if (word() == "EMPTY") true else { pos = save; false }
     }
-    def coords(z: Boolean, m: Boolean): Array[Array[Double]] = {
+    /** Point list with free ordinate counts (2-4 per point); returns the
+      * points plus the widest count seen, so the caller can infer
+      * dimensions from untagged 3D/4D WKT the way JTS's reader does. */
+    def coordsFree(): (Array[Array[Double]], Int) = {
       expect('(')
       val buf = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var maxN = 2
       var done = false
       while (!done) {
-        val dims = 2 + (if (z) 1 else 0) + (if (m) 1 else 0)
         val c = scala.collection.mutable.ArrayBuffer[Double](number(), number())
         skipWs()
-        // tolerate extra ordinates up to the declared dims
-        while (c.length < dims && !eof && (peek != ',' && peek != ')')) { c += number(); skipWs() }
-        require(c.length == dims,
-          s"coordinate has ${c.length} ordinates, expected $dims")
+        while (!eof && peek != ',' && peek != ')') { c += number(); skipWs() }
+        require(c.length <= 4, s"coordinate has ${c.length} ordinates (max 4)")
+        if (c.length > maxN) maxN = c.length
         buf += c.toArray
         skipWs()
         if (!eof && peek == ',') pos += 1 else done = true
       }
       expect(')')
-      buf.toArray
+      (buf.toArray, maxN)
     }
-    def lineBody(circular: Boolean, z: Boolean, m: Boolean): CLine =
-      if (isEmptyWord()) CLine(Array.empty, circular, z, m)
-      else CLine(coords(z, m), circular, z, m)
+    def lineBody(circular: Boolean, z0: Boolean, m0: Boolean): CLine =
+      if (isEmptyWord()) CLine(Array.empty, circular, z0, m0)
+      else {
+        val (pts0, maxN) = coordsFree()
+        // untagged 3rd ordinate is Z, 4th is M (the JTS/PostGIS reader
+        // convention) — unless an explicit M tag claims the 3rd
+        val (z, m) =
+          if (maxN >= 4) (true, true)
+          else if (maxN == 3) { if (m0 && !z0) (false, true) else (true, m0) }
+          else (z0, m0)
+        val dims = 2 + (if (z) 1 else 0) + (if (m) 1 else 0)
+        val pts = pts0.map { c =>
+          if (c.length == dims) c
+          else {
+            val out = Array.fill(dims)(Double.NaN)
+            System.arraycopy(c, 0, out, 0, math.min(c.length, dims))
+            out
+          }
+        }
+        CLine(pts, circular, z, m)
+      }
     /** One compound segment: CIRCULARSTRING tag or bare parenthesized
       * LineString point list. */
     def segment(z: Boolean, m: Boolean): CLine = {
@@ -856,6 +940,20 @@ object CurvedGeom {
         case w => throw new IllegalArgumentException(s"bad ring tag $w")
       }
     }
+    def polyBody(z: Boolean, m: Boolean): CPoly =
+      if (isEmptyWord()) CPoly(Vector.empty, curve = false, z, m)
+      else {
+        expect('(')
+        val rings = Vector.newBuilder[CG]
+        var done = false
+        while (!done) {
+          rings += lineBody(circular = false, z, m)
+          skipWs()
+          if (!eof && peek == ',') pos += 1 else done = true
+        }
+        expect(')')
+        CPoly(rings.result(), curve = false, z, m)
+      }
     def curvePolyBody(z: Boolean, m: Boolean): CPoly =
       if (isEmptyWord()) CPoly(Vector.empty, curve = true, z, m)
       else {
@@ -922,6 +1020,83 @@ object CurvedGeom {
             }
             expect(')')
             CMulti(12, parts.result(), z, m)
+          }
+        // linear types appear as GEOMETRYCOLLECTION members of curve-
+        // bearing collections (the only route into this parser for them)
+        case "POINT" =>
+          if (isEmptyWord()) CPoint(Array(Double.NaN, Double.NaN), z, m)
+          else {
+            val l = lineBody(circular = false, z, m)
+            require(l.pts.length == 1, s"POINT needs 1 coordinate, got ${l.pts.length}")
+            CPoint(l.pts.head, l.z, l.m)
+          }
+        case "LINESTRING" => lineBody(circular = false, z, m)
+        case "POLYGON" => polyBody(z, m)
+        case "MULTIPOINT" =>
+          if (isEmptyWord()) CMulti(4, Vector.empty, z, m)
+          else {
+            expect('(')
+            val parts = Vector.newBuilder[CG]
+            var done = false
+            while (!done) {
+              skipWs()
+              // both MULTIPOINT ((0 0), (1 1)) and MULTIPOINT (0 0, 1 1)
+              val c =
+                if (peek == '(') { val l = lineBody(circular = false, z, m); l.pts.head }
+                else {
+                  val buf = scala.collection.mutable.ArrayBuffer[Double](number(), number())
+                  skipWs()
+                  while (!eof && peek != ',' && peek != ')') { buf += number(); skipWs() }
+                  buf.toArray
+                }
+              parts += CPoint(c, z || c.length > 2, m || c.length > 3)
+              skipWs()
+              if (!eof && peek == ',') pos += 1 else done = true
+            }
+            expect(')')
+            CMulti(4, parts.result(), z, m)
+          }
+        case "MULTILINESTRING" =>
+          if (isEmptyWord()) CMulti(5, Vector.empty, z, m)
+          else {
+            expect('(')
+            val parts = Vector.newBuilder[CG]
+            var done = false
+            while (!done) {
+              parts += lineBody(circular = false, z, m)
+              skipWs()
+              if (!eof && peek == ',') pos += 1 else done = true
+            }
+            expect(')')
+            CMulti(5, parts.result(), z, m)
+          }
+        case "MULTIPOLYGON" =>
+          if (isEmptyWord()) CMulti(6, Vector.empty, z, m)
+          else {
+            expect('(')
+            val parts = Vector.newBuilder[CG]
+            var done = false
+            while (!done) {
+              parts += polyBody(z, m)
+              skipWs()
+              if (!eof && peek == ',') pos += 1 else done = true
+            }
+            expect(')')
+            CMulti(6, parts.result(), z, m)
+          }
+        case "GEOMETRYCOLLECTION" =>
+          if (isEmptyWord()) CMulti(7, Vector.empty, z, m)
+          else {
+            expect('(')
+            val parts = Vector.newBuilder[CG]
+            var done = false
+            while (!done) {
+              parts += geometry()
+              skipWs()
+              if (!eof && peek == ',') pos += 1 else done = true
+            }
+            expect(')')
+            CMulti(7, parts.result(), z, m)
           }
         case w => throw new IllegalArgumentException(s"unsupported curved WKT tag $w")
       }

@@ -123,14 +123,12 @@ object EWKB {
     * been parsed — the fused and unfused tiers cannot drift. */
   private def linearizeWithSource(bytes: Array[Byte]): Geometry = {
     val (srid, cg) = CurvedGeom.parse(bytes)
-    val g = CurvedGeom.linearize(cg, srid, 32)
-    g.setUserData(CurvedGeom.write(cg, srid))
-    g
+    CurvedGeom.linearizedWithSource(cg, srid)
   }
 
   /** Allocation-free top-level type code peek (ISO thousands folded) for
     * the per-parse curved check — parse0 sits on every compute hot path. */
-  private def topTypeCode(bytes: Array[Byte]): Int = {
+  private[serde] def topTypeCode(bytes: Array[Byte]): Int = {
     if (bytes.length < 5) return -1
     val raw =
       if (bytes(0) == 1)

@@ -18,17 +18,24 @@ object GeoCodec {
 
   def fromWkt(s: String): Geometry = wktReaderTL.get().read(s)
 
-  /** `SRID=n;WKT` → geometry with SRID (reference `functions.rs:266-284`). */
-  def fromEwkt(s: String): Geometry = {
+  /** `SRID=n;WKT` → (srid, wkt); (0, trimmed input) when unprefixed. The
+    * ONE EWKT-prefix parse — the UDF and fusion-kernel curved branches
+    * share it so prefix edge cases cannot drift between tiers. */
+  def splitEwkt(s: String): (Int, String) = {
     val t = s.trim
     if (t.regionMatches(true, 0, "SRID=", 0, 5)) {
       val semi = t.indexOf(';')
       require(semi > 0, s"invalid EWKT: $s")
-      val srid = t.substring(5, semi).trim.toInt
-      val g = fromWkt(t.substring(semi + 1))
-      g.setSRID(srid)
-      g
-    } else fromWkt(t)
+      (t.substring(5, semi).trim.toInt, t.substring(semi + 1))
+    } else (0, t)
+  }
+
+  /** `SRID=n;WKT` → geometry with SRID (reference `functions.rs:266-284`). */
+  def fromEwkt(s: String): Geometry = {
+    val (srid, rest) = splitEwkt(s)
+    val g = fromWkt(rest)
+    if (srid != 0) g.setSRID(srid)
+    g
   }
 
   private val NumToken = "-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?".r

@@ -229,6 +229,45 @@ class CurvedModelSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq) == Seq(Seq(0.0, 0.0, 1.0), Seq(1.0, 1.0, 2.0), Seq(2.0, 0.0, 3.0)))
   }
 
+  test("review regressions: marker hygiene, GC curves, degenerate rings, untagged 3D") {
+    // fused WKT of a curve-bearing GeometryCollection (code-7 source
+    // marker) prints curved members instead of crashing
+    val gcWkt = one(st_aswkt(st_cast(
+      st_geomfromtext(lit("CIRCULARSTRING (0 0, 1 1, 2 0)")), lit("geometrycollection"))))
+    assert(gcWkt == "GEOMETRYCOLLECTION (CIRCULARSTRING (0 0, 1 1, 2 0))", s"got $gcWkt")
+    // st_normalize sheds the curved-source marker: the fused chain prints
+    // the normalized LINEARIZED geometry, not the pre-normalization curve
+    val normWkt = one(st_aswkt(st_normalize(
+      st_geomfromtext(lit("CIRCULARSTRING (2 0, 1 1, 0 0)"))))).asInstanceOf[String]
+    assert(normWkt.startsWith("LINESTRING"), s"stale curved marker: $normWkt")
+    // to_srid same-SRID no-op sheds the marker too (the marker bytes carry
+    // the OLD srid — emitting them would drop the rewrite)
+    val reSrid = Seq(1).toDF("k").select(
+      graft.functions.st_srid(graft.functions.st_to_srid(
+        st_geomfromewkt(lit("SRID=3857;CIRCULARSTRING (0 0, 1 1, 2 0)")), lit(3857)))
+        .as("srid")).collect()(0).getInt(0)
+    assert(reSrid == 3857)
+    // curve-bearing GC WKT round trips through the curved parser
+    val gcRt = one(st_geometrytype(st_get_geometry(st_geomfromtext(
+      lit("GEOMETRYCOLLECTION (CIRCULARSTRING (0 0, 1 1, 2 0), POINT (5 5))")), lit(0))))
+    assert(gcRt == "CircularString", s"GC WKT round trip: $gcRt")
+    // st_linearize honors the tolerance on curve-bearing collections
+    val gc = CurvedGeom.write(
+      CMulti(7, Vector(CurvedGeom.parseWkt("CIRCULARSTRING (0 0, 5 5, 10 0)")), false, false), 0)
+    val linGc = Seq(gc).toDF("g")
+      .select(st_count_coordinates(st_linearize(col("g"), lit(128))).as("n"))
+      .collect()(0).getInt(0)
+    assert(linGc == 257, s"GC linearize ignored segsPerQuadrant: $linGc")
+    // degenerate all-identical circular ring survives EWKB.read consumers
+    val degen = st_geomfromtext(lit("CURVEPOLYGON (CIRCULARSTRING (1 1, 1 1, 1 1))"))
+    assert(one(st_area(degen)) == 0.0)
+    assert(one(st_x(st_centroid(degen))).asInstanceOf[Double] == 1.0)
+    // untagged 3D curved WKT infers Z like the JTS linear reader
+    val cs3 = st_geomfromtext(lit("CIRCULARSTRING (0 0 1, 1 1 2, 2 0 3)"))
+    assert(one(st_coordinatedimension(cs3)) == 3)
+    assert(one(st_z(st_get_point(cs3, lit(2)))) == 3.0)
+  }
+
   test("byte-level model guards") {
     // CompoundCurve segment of wrong type fails loudly: patch the member's
     // type word (top header 1+4+4 srid word, count 4, member order byte at
