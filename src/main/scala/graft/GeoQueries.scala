@@ -186,7 +186,15 @@ object GeoQueries {
         graft.functions.st_srid(st_geomfromewkt(
           concat(lit("SRID=3857;CIRCULARSTRING ("), pt2(xmin, y0), lit(", "),
             pt2(xmin + w, y0 + w), lit(", "), pt2(xmin + w + w, y0), lit(")"))))
-          .as("esrid"))
+          .as("esrid"),
+        // r11: affine ops transform CONTROL POINTS and keep the curved
+        // type (GEOS semantics) — translate preserves type + exact length,
+        // uniform 2x scale exactly doubles the semicircle length
+        st_geometrytype(st_translate(cs, w, w, lit(0.0))).as("aff_gt"),
+        (abs(st_length(st_translate(cs, w, w, lit(0.0))) - pi * w) < w * 1e-9)
+          .as("aff_len_ok"),
+        (abs(st_length(st_scale(cs, lit(2.0), lit(2.0), lit(1.0), lit("0 0"))) -
+          pi * w * 2) < w * 1e-9).as("aff_scale_ok"))
         .orderBy(k)
     }),
 
@@ -1898,7 +1906,8 @@ object GeoQueries {
          | 'CircularString' AS ext_gt, 'CompoundCurve' AS rt_gt,
          | 'CurvePolygon' AS wkb_gt, 5 AS ncoord, 2 AS nmc,
          | 'CircularString' AS mc_m1, 'MultiCurve' AS cast_gt,
-         | 'Polygon' AS lin_gt, 3857 AS esrid
+         | 'Polygon' AS lin_gt, 3857 AS esrid,
+         | 'CircularString' AS aff_gt, TRUE AS aff_len_ok, TRUE AS aff_scale_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_fgb" ->
       s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area,

@@ -46,12 +46,21 @@ object GeoUDFs {
     out
   }
 
+  /** Serialize a kernel result: a curved-source marker (see curvedSrc —
+    * attached by curved-aware kernels like the affine family and the
+    * structure accessors) means "emit these curved bytes", exactly like
+    * the fused root serializer; everything else takes the EWKB writer. */
+  private[functions] def writeResult(g: Geometry): Array[Byte] = g.getUserData match {
+    case src: Array[Byte] => src
+    case _ => EWKB.write(g)
+  }
+
   private[functions] def uG(f: Geometry => Geometry): Array[Byte] => Array[Byte] =
     b => if (b == null) null
     else {
       val g = EWKB.read(b)
       val r = f(g)
-      if (r == null) null else EWKB.write(keepSrid(g, r))
+      if (r == null) null else writeResult(keepSrid(g, r))
     }
 
   private[functions] def bG(f: (Geometry, Geometry) => Geometry)
@@ -60,7 +69,7 @@ object GeoUDFs {
     else {
       val ga = EWKB.read(a)
       val r = f(ga, EWKB.read(b))
-      if (r == null) null else EWKB.write(keepSrid(ga, r))
+      if (r == null) null else writeResult(keepSrid(ga, r))
     }
 
   private[functions] def uD(f: Geometry => Double): Array[Byte] => Option[Double] =
@@ -351,6 +360,22 @@ object GeoUDFs {
     * (and the fused root serializer) keep the curved representation. */
   private[functions] def curvedLin(child: graft.serde.CurvedGeom.CG, srid: Int): Geometry =
     CurvedGeom.linearizedWithSource(child, srid)
+
+  /** Coordinate-mapping ops (the affine family, force_2d/3d, flip):
+    * curved sources transform CONTROL POINTS and keep the curved type
+    * (GEOS affine-on-curves semantics); linear geometry maps
+    * per-coordinate via [[GeomUtil.mapCoords]]. Both tiers route here —
+    * the kernels receive the marker-carrying parse, so fused and unfused
+    * chains agree; `writeResult`/the fused root emit the curved bytes. */
+  private def mapCoordsCA(g: Geometry,
+      f: (Double, Double, Double) => (Double, Double, Double),
+      forceDim: Int = 0): Geometry = {
+    val cb = curvedSrc(g)
+    if (cb != null) {
+      val (srid, cg) = CurvedGeom.parse(cb)
+      curvedLin(CurvedGeom.mapControlPoints(cg, f, forceDim), srid)
+    } else GeomUtil.mapCoords(g, f, forceDim)
+  }
 
   /** Copy that sheds the curved-source marker — for kernels that return
     * their input unchanged, whose unfused twin serializes the parsed
@@ -1151,7 +1176,14 @@ object GeoUDFs {
   GeoKernels.add(K("st_remove_repeated_points", 2, Set(0), OGeom, a =>
     GeomUtil.mapCoordsFilterRepeated(aG(a(0)), aD(a(1)))))
 
-  val reverse: UserDefinedFunction = fG1("st_reverse")(_.reverse())
+  // curved sources reverse control points and keep the curved type
+  val reverse: UserDefinedFunction = fG1("st_reverse") { g =>
+    val cb = curvedSrc(g)
+    if (cb != null) {
+      val (srid, cg) = CurvedGeom.parse(cb)
+      curvedLin(CurvedGeom.reverseG(cg), srid)
+    } else g.reverse()
+  }
 
   private def simplifyK(tol: Double, preserve: Boolean)(g: Geometry): Geometry =
     if (preserve) TopologyPreservingSimplifier.simplify(g, tol)
@@ -1164,10 +1196,10 @@ object GeoUDFs {
     simplifyK(aD(a(1)), aB(a(2)))(aG(a(0)))))
 
   val force2d: UserDefinedFunction = fG1("st_force_2d")(g =>
-    GeomUtil.mapCoords(g, (x, y, _) => (x, y, Double.NaN), forceDim = 2))
+    mapCoordsCA(g, (x, y, _) => (x, y, Double.NaN), forceDim = 2))
 
   private def force3dK(zDefault: Double)(g: Geometry): Geometry =
-    GeomUtil.mapCoords(g, (x, y, z) => (x, y, if (z.isNaN) zDefault else z), forceDim = 3)
+    mapCoordsCA(g, (x, y, z) => (x, y, if (z.isNaN) zDefault else z), forceDim = 3)
 
   val force3d: UserDefinedFunction = udf((b: Array[Byte], zDefault: Double) =>
     uG(force3dK(zDefault))(b)).withName("st_force_3d")
@@ -1176,7 +1208,7 @@ object GeoUDFs {
     force3dK(aD(a(1)))(aG(a(0)))))
 
   val flipCoordinates: UserDefinedFunction = fG1("st_flip_coordinates")(g =>
-    GeomUtil.mapCoords(g, (x, y, z) => (y, x, z)))
+    mapCoordsCA(g, (x, y, z) => (y, x, z)))
 
   val minimumRotatedRectangle: UserDefinedFunction =
     fG1("st_minimum_rotated_rectangle")(g =>
@@ -1283,10 +1315,10 @@ object GeoUDFs {
     mat.length match {
       case 6 =>
         val Seq(a1, b1, d1, e1, xo, yo) = mat
-        GeomUtil.mapCoords(g, (x, y, z) => (a1 * x + b1 * y + xo, d1 * x + e1 * y + yo, z))
+        mapCoordsCA(g, (x, y, z) => (a1 * x + b1 * y + xo, d1 * x + e1 * y + yo, z))
       case 12 =>
         val Seq(a1, b1, c1, d1, e1, f1, g1, h1, i1, xo, yo, zo) = mat
-        GeomUtil.mapCoords(g, (x, y, z0) => {
+        mapCoordsCA(g, (x, y, z0) => {
           val z = if (z0.isNaN) 0.0 else z0
           (a1 * x + b1 * y + c1 * z + xo,
            d1 * x + e1 * y + f1 * z + yo,
@@ -1304,7 +1336,7 @@ object GeoUDFs {
     affineK(GeoKernels.aDs(a(1)))(aG(a(0)))))
 
   private def translateK(dx: Double, dy: Double, dz: Double)(g: Geometry): Geometry =
-    GeomUtil.mapCoords(g, (x, y, z) => (x + dx, y + dy, z + dz))
+    mapCoordsCA(g, (x, y, z) => (x + dx, y + dy, z + dz))
 
   val translate: UserDefinedFunction = udf((b: Array[Byte], dx: Double, dy: Double, dz: Double) =>
     uG(translateK(dx, dy, dz))(b)).withName("st_translate")
@@ -1333,7 +1365,7 @@ object GeoUDFs {
     val (ox, oy) = originOf(g, origin)
     val rad = math.toRadians(angleDeg)
     val (c, s) = (math.cos(rad), math.sin(rad))
-    GeomUtil.mapCoords(g, (x, y, z) =>
+    mapCoordsCA(g, (x, y, z) =>
       (ox + (x - ox) * c - (y - oy) * s, oy + (x - ox) * s + (y - oy) * c, z))
   }
 
@@ -1345,7 +1377,7 @@ object GeoUDFs {
 
   private def scaleK(sx: Double, sy: Double, sz: Double, origin: String)(g: Geometry): Geometry = {
     val (ox, oy) = originOf(g, origin)
-    GeomUtil.mapCoords(g, (x, y, z) => (ox + (x - ox) * sx, oy + (y - oy) * sy, z * sz))
+    mapCoordsCA(g, (x, y, z) => (ox + (x - ox) * sx, oy + (y - oy) * sy, z * sz))
   }
 
   val scale: UserDefinedFunction = udf((b: Array[Byte], sx: Double, sy: Double, sz: Double,
@@ -1358,7 +1390,7 @@ object GeoUDFs {
   private def skewK(xDeg: Double, yDeg: Double, origin: String)(g: Geometry): Geometry = {
     val (ox, oy) = originOf(g, origin)
     val (tx, ty) = (math.tan(math.toRadians(xDeg)), math.tan(math.toRadians(yDeg)))
-    GeomUtil.mapCoords(g, (x, y, z) =>
+    mapCoordsCA(g, (x, y, z) =>
       (x + (y - oy) * tx, y + (x - ox) * ty, z))
   }
 
@@ -1380,7 +1412,7 @@ object GeoUDFs {
       val ty = math.tan(math.toRadians(yDeg))
       val tz = math.tan(math.toRadians(zDeg))
       val has3 = EWKB.hasZ(g)
-      GeomUtil.mapCoords(g, (x, y, z0) => {
+      mapCoordsCA(g, (x, y, z0) => {
         val z = if (z0.isNaN) 0.0 else z0
         val dx = x - ox; val dy = y - oy; val dz = z
         (ox + dx + tx * dy + ty * dz,

@@ -624,6 +624,70 @@ object CurvedGeom {
       }
     }
 
+  // ------------------------------------------------- control-point mapping
+
+  /** Transform CONTROL POINTS, keeping the curved type — the GEOS affine-
+    * on-curves semantics (the arc through the transformed points: exact
+    * for rigid motions and uniform scaling, GEOS's accepted approximation
+    * for anisotropic maps). `forceDim`: 2 strips Z/M, 3 ensures Z and
+    * drops M (mirroring [[GeomUtil.mapCoords]]), 0 keeps the node's dims
+    * (M ordinates pass through untouched). */
+  def mapControlPoints(g: CG,
+      f: (Double, Double, Double) => (Double, Double, Double),
+      forceDim: Int = 0): CG = {
+    def flags(z: Boolean, m: Boolean): (Boolean, Boolean) = forceDim match {
+      case 2 => (false, false)
+      case 3 => (true, false)
+      case _ => (z, m)
+    }
+    def mapPts(pts: Array[Array[Double]], z: Boolean, m: Boolean): Array[Array[Double]] = {
+      val (oz, om) = flags(z, m)
+      pts.map { c =>
+        val zIn = if (z && c.length > 2) c(2) else Double.NaN
+        val (x2, y2, z2) = f(c(0), c(1), zIn)
+        val out = new Array[Double](2 + (if (oz) 1 else 0) + (if (om) 1 else 0))
+        out(0) = x2; out(1) = y2
+        var i = 2
+        if (oz) { out(i) = z2; i += 1 }
+        if (om) {
+          val mi = 2 + (if (z) 1 else 0)
+          out(i) = if (m && c.length > mi) c(mi) else Double.NaN
+        }
+        out
+      }
+    }
+    g match {
+      case CPoint(c, z, m) =>
+        val (oz, om) = flags(z, m)
+        CPoint(mapPts(Array(c), z, m).head, oz, om)
+      case l: CLine =>
+        val (oz, om) = flags(l.z, l.m)
+        CLine(mapPts(l.pts, l.z, l.m), l.circular, oz, om)
+      case c: CCompound =>
+        val (oz, om) = flags(c.z, c.m)
+        CCompound(c.segs.map(s => mapControlPoints(s, f, forceDim).asInstanceOf[CLine]), oz, om)
+      case p: CPoly =>
+        val (oz, om) = flags(p.z, p.m)
+        CPoly(p.rings.map(mapControlPoints(_, f, forceDim)), p.curve, oz, om)
+      case mu: CMulti =>
+        val (oz, om) = flags(mu.z, mu.m)
+        CMulti(mu.code, mu.parts.map(mapControlPoints(_, f, forceDim)), oz, om)
+    }
+  }
+
+  /** Reverse traversal order, keeping the curved type: each curve's
+    * control points reverse (an odd-count CircularString stays valid),
+    * compound segments reverse in order AND internally, rings reverse,
+    * collection part order is kept (JTS `reverse()` semantics). */
+  def reverseG(g: CG): CG = g match {
+    case p: CPoint => p
+    case l: CLine => l.copy(pts = l.pts.reverse)
+    case c: CCompound =>
+      c.copy(segs = c.segs.reverse.map(s => s.copy(pts = s.pts.reverse)))
+    case p: CPoly => p.copy(rings = p.rings.map(reverseG))
+    case mu: CMulti => mu.copy(parts = mu.parts.map(reverseG))
+  }
+
   // ------------------------------------------------------------- accessors
 
   /** Control-point count (what `count_coordinates` reports — arcs are NOT

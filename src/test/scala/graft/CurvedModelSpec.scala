@@ -229,6 +229,43 @@ class CurvedModelSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq) == Seq(Seq(0.0, 0.0, 1.0), Seq(1.0, 1.0, 2.0), Seq(2.0, 0.0, 3.0)))
   }
 
+  test("affine family transforms control points and keeps the curved type") {
+    val circ = st_geomfromtext(lit("CIRCULARSTRING (0 0, 5 5, 10 0)")) // r=5, len 5π
+    // rigid motions: type preserved, exact length invariant
+    val tr = st_translate(circ, lit(100.0), lit(200.0), lit(0.0))
+    assert(one(st_geometrytype(tr)) == "CircularString")
+    assert(math.abs(one(st_length(tr)).asInstanceOf[Double] - math.Pi * 5) < 1e-9)
+    assert(one(st_x(st_get_point(tr, lit(0)))) == 100.0)
+    val rot = st_rotate(circ, lit(90.0), lit("0 0"))
+    assert(one(st_geometrytype(rot)) == "CircularString")
+    assert(math.abs(one(st_length(rot)).asInstanceOf[Double] - math.Pi * 5) < 1e-9)
+    // uniform scale: length doubles, curvepolygon area quadruples — exact
+    val sc = st_scale(circ, lit(2.0), lit(2.0), lit(1.0), lit("0 0"))
+    assert(math.abs(one(st_length(sc)).asInstanceOf[Double] - math.Pi * 10) < 1e-9)
+    val cp = st_geomfromtext(lit("CURVEPOLYGON (CIRCULARSTRING (0 0, 10 0, 0 0))"))
+    val cpScaled = st_scale(cp, lit(2.0), lit(2.0), lit(1.0), lit("0 0"))
+    assert(one(st_geometrytype(cpScaled)) == "CurvePolygon")
+    assert(math.abs(one(st_area(cpScaled)).asInstanceOf[Double] - math.Pi * 100) < 1e-8)
+    // reverse keeps the curve, swaps endpoints (compound reverses segments)
+    val cc = st_geomfromtext(lit("COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0))"))
+    val rev = st_reverse(cc)
+    assert(one(st_geometrytype(rev)) == "CompoundCurve")
+    assert(one(st_aswkt(rev)) ==
+      "COMPOUNDCURVE (CIRCULARSTRING (4 0, 3 1, 2 0), (2 0, 0 0))")
+    // flip swaps ordinates in the exact bounds
+    val flipped = st_flip_coordinates(st_geomfromtext(lit("CIRCULARSTRING (3 -4, 4 3, -3 4)")))
+    val bb = one(st_bounds(flipped)).asInstanceOf[scala.collection.Seq[Double]]
+    assert(bb.toSeq == Seq(-4.0, -3.0, 5.0, 5.0))
+    // force_3d adds Z without linearizing; force_2d strips it
+    val c3 = st_force_3d(circ, lit(7.0))
+    assert(one(st_geometrytype(c3)) == "CircularString")
+    assert(one(st_coordinatedimension(c3)) == 3)
+    assert(one(st_coordinatedimension(st_force_2d(c3))) == 2)
+    // SRID rides through the control-point map
+    assert(one(graft.functions.st_srid(st_translate(
+      graft.functions.st_set_srid(circ, lit(4326)), lit(1.0), lit(1.0), lit(0.0)))) == 4326)
+  }
+
   test("review regressions: marker hygiene, GC curves, degenerate rings, untagged 3D") {
     // fused WKT of a curve-bearing GeometryCollection (code-7 source
     // marker) prints curved members instead of crashing
