@@ -40,6 +40,27 @@ object Bench {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n"))
     }),
+    // curved measurement: exact arc closed forms (CurvedGeom tier 2) on
+    // per-row CircularStrings, vs the 32-seg linearize-then-measure twin —
+    // the delta prices the whole curved fast path (round 11)
+    "geo_curved_measure" -> ((s, dir) => {
+      val cs = st_circularstring(array(
+        array(xmin, ymin), array(xmin + w, ymin + w), array(xmin + w + w, ymin)))
+      orders(s, dir)
+        .select(cs.as("c"))
+        .select(st_length(col("c")).as("len"),
+          element_at(st_bounds(col("c")), 4).as("ymax"))
+        .agg(sum(col("len")).as("s_len"), sum(col("ymax")).as("s_ymax"))
+    }),
+    "geo_curved_measure_lin" -> ((s, dir) => {
+      val cs = st_circularstring(array(
+        array(xmin, ymin), array(xmin + w, ymin + w), array(xmin + w + w, ymin)))
+      orders(s, dir)
+        .select(st_linearize(cs, lit(32)).as("c"))
+        .select(st_length(col("c")).as("len"),
+          element_at(st_bounds(col("c")), 4).as("ymax"))
+        .agg(sum(col("len")).as("s_len"), sum(col("ymax")).as("s_ymax"))
+    }),
     // per-row construct + measure, no sort
     "geo_scan_measure" -> ((s, dir) => {
       orders(s, dir)
