@@ -1347,8 +1347,16 @@ object GeoUDFs {
   private def originOf(g: Geometry, origin: String): (Double, Double) =
     origin.toLowerCase match {
       case "center" =>
-        val e = g.getEnvelopeInternal
-        ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+        val cb = curvedSrc(g)
+        if (cb != null) {
+          // exact arc bbox center — the linearized envelope clips the
+          // bulge by the chord sagitta, inconsistent with st_bounds
+          val bb = CurvedGeom.bounds(CurvedGeom.parse(cb)._2)
+          ((bb(0) + bb(2)) / 2, (bb(1) + bb(3)) / 2)
+        } else {
+          val e = g.getEnvelopeInternal
+          ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+        }
       case "centroid" =>
         val c = g.getCentroid
         // empty input: the transform maps zero coordinates, any origin
@@ -1504,7 +1512,9 @@ object GeoUDFs {
     if (b == null) null
     else {
       val g = EWKB.read(b)
-      EWKB.write(CrsImpl.toSrid(g, target))
+      // writeResult: a same-SRID no-op on curved input returns the
+      // SRID-rewritten marker — preserve the curve like the fused tier
+      writeResult(CrsImpl.toSrid(g, target))
     }).withName("st_to_srid")
 
   // (st_set_srid is deliberately NOT a fusion kernel: its UDF is a

@@ -712,10 +712,17 @@ object CrsImpl {
     // deliberately kept even though it means an unsupported code only
     // errors once a non-empty row reaches it
     if (src == target || g.isEmpty) {
-      // shed any curved-source marker: JTS copy() preserves userData, and
-      // the marker's bytes still carry the OLD srid — a fused chain root
-      // would emit them verbatim, silently dropping the SRID rewrite
-      val c = g.copy(); c.setUserData(null); c.setSRID(target0); return c
+      g.getUserData match {
+        // curved source: rewrite the marker's SRID by byte surgery (the
+        // same path st_set_srid takes) so a no-op reprojection keeps the
+        // curved representation instead of shedding it to the
+        // linearization; EWKB.read re-attaches the updated marker
+        case cb: Array[Byte] =>
+          return EWKB.read(graft.serde.Curved.withSrid(cb, target0))
+        case _ =>
+          // JTS copy() preserves userData; plain path must not carry one
+          val c = g.copy(); c.setUserData(null); c.setSRID(target0); return c
+      }
     }
     require(isSupported(src) && isSupported(target),
       s"to_srid($src -> $target): supported EPSG codes are the closed-form " +

@@ -858,6 +858,26 @@ object CurvedGeom {
   private val CurvedTags =
     Set("CIRCULARSTRING", "COMPOUNDCURVE", "CURVEPOLYGON", "MULTICURVE", "MULTISURFACE")
 
+  /** Single forward case-insensitive scan for any curved tag — no
+    * uppercase copy of (potentially multi-KB) WKT on the per-row
+    * constructor hot path. */
+  private def hasCurvedTag(s: String, from: Int): Boolean = {
+    var i = from
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == 'C' || ch == 'c') {
+        if (s.regionMatches(true, i, "CIRCULARSTRING", 0, 14) ||
+            s.regionMatches(true, i, "COMPOUNDCURVE", 0, 13) ||
+            s.regionMatches(true, i, "CURVEPOLYGON", 0, 12)) return true
+      } else if (ch == 'M' || ch == 'm') {
+        if (s.regionMatches(true, i, "MULTICURVE", 0, 10) ||
+            s.regionMatches(true, i, "MULTISURFACE", 0, 12)) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Does the WKT string need the curved parser: a curved top tag, or a
     * GEOMETRYCOLLECTION that mentions a curved tag anywhere (JTS's reader
     * rejects curved members). Used by `from_wkt` to route to [[parseWkt]]. */
@@ -867,10 +887,8 @@ object CurvedGeom {
     var j = i
     while (j < s.length && s.charAt(j).isLetter) j += 1
     val tag = s.substring(i, j).toUpperCase(java.util.Locale.ROOT)
-    CurvedTags.contains(tag) || (tag == "GEOMETRYCOLLECTION" && {
-      val u = s.toUpperCase(java.util.Locale.ROOT)
-      CurvedTags.exists(u.contains)
-    })
+    CurvedTags.contains(tag) ||
+      (tag == "GEOMETRYCOLLECTION" && hasCurvedTag(s, j))
   }
 
   /** Recursive-descent parser for curved WKT (the five tags above, nested
@@ -946,26 +964,23 @@ object CurvedGeom {
       expect(')')
       (buf.toArray, maxN)
     }
+    /** Untagged 3rd ordinate is Z, 4th is M (the JTS/PostGIS reader
+      * convention) — unless an explicit M tag claims the 3rd. */
+    def inferFlags(z0: Boolean, m0: Boolean, n: Int): (Boolean, Boolean) =
+      if (n >= 4) (true, true)
+      else if (n == 3) { if (m0 && !z0) (false, true) else (true, m0) }
+      else (z0, m0)
     def lineBody(circular: Boolean, z0: Boolean, m0: Boolean): CLine =
       if (isEmptyWord()) CLine(Array.empty, circular, z0, m0)
       else {
         val (pts0, maxN) = coordsFree()
-        // untagged 3rd ordinate is Z, 4th is M (the JTS/PostGIS reader
-        // convention) — unless an explicit M tag claims the 3rd
-        val (z, m) =
-          if (maxN >= 4) (true, true)
-          else if (maxN == 3) { if (m0 && !z0) (false, true) else (true, m0) }
-          else (z0, m0)
+        val (z, m) = inferFlags(z0, m0, maxN)
         val dims = 2 + (if (z) 1 else 0) + (if (m) 1 else 0)
-        val pts = pts0.map { c =>
-          if (c.length == dims) c
-          else {
-            val out = Array.fill(dims)(Double.NaN)
-            System.arraycopy(c, 0, out, 0, math.min(c.length, dims))
-            out
-          }
-        }
-        CLine(pts, circular, z, m)
+        // strict like JTS: every point carries exactly the line's dims —
+        // silent NaN padding would emit WKT no reader can parse back
+        pts0.foreach(c => require(c.length == dims,
+          s"coordinate has ${c.length} ordinates, expected $dims"))
+        CLine(pts0, circular, z, m)
       }
     /** One compound segment: CIRCULARSTRING tag or bare parenthesized
       * LineString point list. */
@@ -1016,7 +1031,12 @@ object CurvedGeom {
           if (!eof && peek == ',') pos += 1 else done = true
         }
         expect(')')
-        CPoly(rings.result(), curve = false, z, m)
+        val rs = rings.result()
+        // lift inferred ring dims to the polygon: writeGeom's bare-ring
+        // branch gates ordinate output on the POLYGON's flags, so an
+        // untagged-3D ring would silently lose Z without this
+        CPoly(rs, curve = false,
+          z || rs.exists(_.z), m || rs.exists(_.m))
       }
     def curvePolyBody(z: Boolean, m: Boolean): CPoly =
       if (isEmptyWord()) CPoly(Vector.empty, curve = true, z, m)
@@ -1104,16 +1124,23 @@ object CurvedGeom {
             var done = false
             while (!done) {
               skipWs()
-              // both MULTIPOINT ((0 0), (1 1)) and MULTIPOINT (0 0, 1 1)
-              val c =
-                if (peek == '(') { val l = lineBody(circular = false, z, m); l.pts.head }
-                else {
-                  val buf = scala.collection.mutable.ArrayBuffer[Double](number(), number())
-                  skipWs()
-                  while (!eof && peek != ',' && peek != ')') { buf += number(); skipWs() }
-                  buf.toArray
-                }
-              parts += CPoint(c, z || c.length > 2, m || c.length > 3)
+              // both MULTIPOINT ((0 0), (1 1)) and MULTIPOINT (0 0, 1 1),
+              // plus JTS-style EMPTY members
+              if (isEmptyWord())
+                parts += CPoint(Array(Double.NaN, Double.NaN), z, m)
+              else if (peek == '(') {
+                val l = lineBody(circular = false, z, m)
+                require(l.pts.length == 1,
+                  s"MULTIPOINT member needs 1 coordinate, got ${l.pts.length}")
+                parts += CPoint(l.pts.head, l.z, l.m)
+              } else {
+                val buf = scala.collection.mutable.ArrayBuffer[Double](number(), number())
+                skipWs()
+                while (!eof && peek != ',' && peek != ')') { buf += number(); skipWs() }
+                require(buf.length <= 4, s"coordinate has ${buf.length} ordinates (max 4)")
+                val (pz, pm) = inferFlags(z, m, buf.length)
+                parts += CPoint(buf.toArray, pz, pm)
+              }
               skipWs()
               if (!eof && peek == ',') pos += 1 else done = true
             }

@@ -277,13 +277,16 @@ class CurvedModelSpec extends AnyFunSuite {
     val normWkt = one(st_aswkt(st_normalize(
       st_geomfromtext(lit("CIRCULARSTRING (2 0, 1 1, 0 0)"))))).asInstanceOf[String]
     assert(normWkt.startsWith("LINESTRING"), s"stale curved marker: $normWkt")
-    // to_srid same-SRID no-op sheds the marker too (the marker bytes carry
-    // the OLD srid — emitting them would drop the rewrite)
+    // to_srid same-SRID no-op preserves the curve AND rewrites the
+    // marker's SRID by byte surgery (the st_set_srid path)
     val reSrid = Seq(1).toDF("k").select(
       graft.functions.st_srid(graft.functions.st_to_srid(
         st_geomfromewkt(lit("SRID=3857;CIRCULARSTRING (0 0, 1 1, 2 0)")), lit(3857)))
-        .as("srid")).collect()(0).getInt(0)
-    assert(reSrid == 3857)
+        .as("srid"),
+      st_geometrytype(graft.functions.st_to_srid(
+        st_geomfromewkt(lit("SRID=3857;CIRCULARSTRING (0 0, 1 1, 2 0)")), lit(3857)))
+        .as("gt")).collect()(0)
+    assert(reSrid.getInt(0) == 3857 && reSrid.getString(1) == "CircularString")
     // curve-bearing GC WKT round trips through the curved parser
     val gcRt = one(st_geometrytype(st_get_geometry(st_geomfromtext(
       lit("GEOMETRYCOLLECTION (CIRCULARSTRING (0 0, 1 1, 2 0), POINT (5 5))")), lit(0))))
