@@ -308,6 +308,23 @@ class CurvedModelSpec extends AnyFunSuite {
     assert(one(st_z(st_get_point(cs3, lit(2)))) == 3.0)
   }
 
+  test("curved EWKB survives the GeoParquet round trip with exact bbox covering") {
+    val dir = java.nio.file.Files.createTempDirectory("curved_gpq").toString
+    val df = Seq(1, 2).toDF("id").select(col("id"),
+      st_geomfromtext(lit("CURVEPOLYGON (CIRCULARSTRING (0 0, 10 0, 0 0))")).as("geometry"))
+    graft.io.GeoIO.writeGeoParquet(df, dir)
+    val back = graft.io.GeoIO.readGeoParquet(spark, dir)
+    val row = back.select(st_geometrytype(col("geometry")).as("gt"),
+      st_area(col("geometry")).as("a")).collect()(0)
+    // the stored bytes are the curved EWKB verbatim; area stays exact
+    assert(row.getString(0) == "CurvePolygon")
+    assert(math.abs(row.getDouble(1) - math.Pi * 25) < 1e-10)
+    // bbox covering column was computed with the exact arc bounds
+    val bbox = spark.read.parquet(dir)
+      .select(col("__geo_bbox.ymin")).collect()(0).getDouble(0)
+    assert(bbox == -5.0, s"covering must include the arc bulge, got $bbox")
+  }
+
   test("byte-level model guards") {
     // CompoundCurve segment of wrong type fails loudly: patch the member's
     // type word (top header 1+4+4 srid word, count 4, member order byte at
