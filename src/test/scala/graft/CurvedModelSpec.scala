@@ -308,6 +308,25 @@ class CurvedModelSpec extends AnyFunSuite {
     assert(one(st_z(st_get_point(cs3, lit(2)))) == 3.0)
   }
 
+  test("curved geometries ride the spatial join via linearization") {
+    // full circles radius 1 at x = 0, 40, 80 joined against their centers
+    // plus one point outside every circle — each tier's envelope/predicate
+    // machinery sees the 32-seg linearization
+    val left = Seq(0, 1, 2).toDF("lk").select(col("lk"),
+      st_geomfromtext(format_string(
+        "CURVEPOLYGON (CIRCULARSTRING (%d 0, %d 0, %d 0))",
+        col("lk") * 40 - 1, col("lk") * 40 + 1, col("lk") * 40 - 1)).as("geometry"))
+    val right = Seq(0, 1, 2, 3).toDF("rk").select(col("rk"),
+      st_point(col("rk").cast("double") * 40.0, lit(0.0)).as("geometry"))
+    val broad = graft.join.SpatialJoin.sjoin(left, right, "contains", "inner")
+      .select("lk", "rk").as[(Int, Int)].collect().toSet
+    assert(broad == Set((0, 0), (1, 1), (2, 2)), s"broadcast tier: $broad")
+    val grid = graft.join.SpatialJoin.sjoinPartitioned(left, right,
+      cellSize = 16.0, predicate = "contains")
+      .select("lk", "rk").as[(Int, Int)].collect().toSet
+    assert(grid == Set((0, 0), (1, 1), (2, 2)), s"grid tier: $grid")
+  }
+
   test("curved EWKB survives the GeoParquet round trip with exact bbox covering") {
     val dir = java.nio.file.Files.createTempDirectory("curved_gpq").toString
     val df = Seq(1, 2).toDF("id").select(col("id"),
