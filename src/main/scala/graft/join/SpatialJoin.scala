@@ -363,23 +363,25 @@ object SpatialJoin {
     // pass is the sample's whole cost at scale — hashing geometry bytes
     // for 20% of rows instead of all of them cut the warm 10×
     // autoCellSize probe from ~0.6 s to ~0.35 s (ProbeSjoin10x) while
-    // staying unbiased (a uniform sample of a uniform sample)
-    def widthsOf(d: DataFrame): Seq[Double] = d
+    // staying unbiased (a uniform sample of a uniform sample). Nulls are
+    // filtered BEFORE ranking so a null-heavy frame can neither crowd the
+    // top-k nor mis-trigger the fallback.
+    def sampleRows(d: DataFrame): Array[Array[Byte]] = d
       .orderBy(xxhash64(col(geom), monotonically_increasing_id(), lit(42L)))
-      .limit(1000).collect().iterator
-      .map(_.get(0).asInstanceOf[Array[Byte]])
-      .filter(_ != null)
+      .limit(1000).collect().map(_.get(0).asInstanceOf[Array[Byte]])
+    def widthsOf(rows: Array[Array[Byte]]): Seq[Double] = rows.iterator
       .map(b => EWKB.read(b).getEnvelopeInternal)
       .filterNot(_.isNull)
       .map(e => math.max(e.getWidth, e.getHeight))
       .toSeq
-    val sel = df.select(col(geom))
-    val widths = {
-      val sampled = widthsOf(sel.sample(withReplacement = false, 0.2, 42))
-      // tiny inputs can sample to nothing — fall back to the full scan,
-      // which is cheap exactly when this branch is reachable
-      if (sampled.nonEmpty) sampled else widthsOf(sel)
-    }
+    val sel = df.select(col(geom)).filter(col(geom).isNotNull)
+    val sampled = sampleRows(sel.sample(withReplacement = false, 0.2, 42))
+    // size-aware fallback: a short sample (< 1000 ranked rows) means the
+    // non-null input is ~< 5000 rows, so the un-sampled pass both costs
+    // little and restores the full-width estimator mid-size skewed
+    // inputs rely on
+    val rows = if (sampled.length >= 1000) sampled else sampleRows(sel)
+    val widths = widthsOf(rows)
     if (widths.isEmpty) 1.0
     else math.max(4 * widths.sum / widths.size, 1e-9)
   }

@@ -543,6 +543,20 @@ class SpatialJoinSpec extends AnyFunSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("autoCellSize: null-heavy frames estimate from the valid geometries") {
+    // 95% null geometry column: nulls must neither crowd the ranked
+    // sample (emptying the width estimate toward the 1.0 default) nor
+    // trigger a pointless full re-rank of the whole frame
+    val df = spark.range(20000).select(
+      when($"id" % 20 === 0,
+        st_rectangle(($"id" % 17).cast("double") * 10.0, ($"id" % 13).cast("double") * 10.0,
+          ($"id" % 17).cast("double") * 10.0 + 100.0, ($"id" % 13).cast("double") * 10.0 + 100.0))
+        .otherwise(lit(null).cast("binary")).as("geometry"))
+    val chosen = SpatialJoin.autoCellSize(df, "geometry")
+    assert(chosen > 4 * 100.0 / 2 && chosen < 4 * 100.0 * 2,
+      s"cell size $chosen not within 2x of the valid-only estimate ${4 * 100.0}")
+  }
+
   test("autoCellSize: a heavily-duplicated geometry cannot monopolize the sample") {
     // 10k identical tiny rects (all sharing one geometry hash) + 500
     // distinct large ones: an unsalted hash-ordered top-k could fill the
