@@ -542,8 +542,13 @@ object SpatialJoin {
     // the exec tier's per-partition reservoir is the same fix in RDD
     // form). Per-row salt keeps duplicated geometries from monopolizing
     // the top-k.
+    // nulls filtered BEFORE ranking — the same null-crowding fix as
+    // autoCellSize: a null-heavy frame must not fill the top-k with rows
+    // the flatMap then discards (emptying the tree toward the 1.0-cell
+    // fallback)
     def centers(df: DataFrame, geom: String): Array[(Double, Double)] = df
-      .select(col(geom)).sample(withReplacement = false, 0.2, 42)
+      .select(col(geom)).filter(col(geom).isNotNull)
+      .sample(withReplacement = false, 0.2, 42)
       .orderBy(xxhash64(col(geom), monotonically_increasing_id(), lit(42L)))
       .limit(sampleSize)
       .collect()
@@ -554,7 +559,10 @@ object SpatialJoin {
       }
     var sample = centers(left, leftGeom) ++ centers(right, rightGeom)
     if (sample.isEmpty)
-      sample = left.select(col(leftGeom)).limit(sampleSize).collect()
+      // tiny inputs only (a 0.2 sample of a non-null frame this small is
+      // cheap to re-read un-sampled)
+      sample = left.select(col(leftGeom)).filter(col(leftGeom).isNotNull)
+        .limit(sampleSize).collect()
         .flatMap { r =>
           Option(r.get(0).asInstanceOf[Array[Byte]]).map(EWKB.read(_).getEnvelopeInternal)
             .filterNot(_.isNull)
