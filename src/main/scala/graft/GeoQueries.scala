@@ -194,7 +194,9 @@ object GeoQueries {
         (abs(st_length(st_translate(cs, w, w, lit(0.0))) - pi * w) < w * 1e-9)
           .as("aff_len_ok"),
         (abs(st_length(st_scale(cs, lit(2.0), lit(2.0), lit(1.0), lit("0 0"))) -
-          pi * w * 2) < w * 1e-9).as("aff_scale_ok"))
+          pi * w * 2) < w * 1e-9).as("aff_scale_ok"),
+        st_has_arc(cc).as("has_arc"),
+        st_has_arc(st_linearize(cc)).as("no_arc"))
         .orderBy(k)
     }),
 
@@ -1907,7 +1909,8 @@ object GeoQueries {
          | 'CurvePolygon' AS wkb_gt, 5 AS ncoord, 2 AS nmc,
          | 'CircularString' AS mc_m1, 'MultiCurve' AS cast_gt,
          | 'Polygon' AS lin_gt, 3857 AS esrid,
-         | 'CircularString' AS aff_gt, TRUE AS aff_len_ok, TRUE AS aff_scale_ok
+         | 'CircularString' AS aff_gt, TRUE AS aff_len_ok, TRUE AS aff_scale_ok,
+         | TRUE AS has_arc, FALSE AS no_arc
          |FROM b ORDER BY k""".stripMargin,
     "geo_io_fgb" ->
       s"""$B SELECT k, w*h AS fgb_area, 4326 AS fgb_srid, w*h AS p_area,

@@ -109,6 +109,7 @@ package object api {
     // unary predicates
     def hasZ: Column = st_has_z(c)
     def hasM: Column = st_has_m(c)
+    def hasArc: Column = st_has_arc(c)
     def isCcw: Column = st_is_ccw(c)
     def isClosed: Column = st_is_closed(c)
     def isEmpty: Column = st_is_empty(c)

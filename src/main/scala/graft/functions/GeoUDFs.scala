@@ -782,6 +782,13 @@ object GeoUDFs {
   val hasM: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None else Some(EWKB.header(b).hasM))
 
+  /** True when the value is (or contains) a curved geometry — type codes
+    * 8-12 or a curve-bearing GeometryCollection (PostGIS `ST_HasArc`).
+    * Header-only for atomic types; collections take one flag scan. */
+  val hasArc: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else Some(CurvedGeom.isCurvedSource(b)))
+    .withName("st_has_arc")
+
   /** CCW orientation of closed linear geometry; false otherwise
     * (functions.rs:893-901). */
   val isCcw: UserDefinedFunction = fB1("st_is_ccw") {
@@ -1727,6 +1734,7 @@ object GeoUDFs {
     "st_minimum_clearance" -> minimumClearance,
     "st_has_z" -> hasZ,
     "st_has_m" -> hasM,
+    "st_has_arc" -> hasArc,
     "st_is_ccw" -> isCcw,
     "st_is_closed" -> isClosed,
     "st_is_empty" -> isEmpty,

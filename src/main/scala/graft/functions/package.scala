@@ -113,6 +113,9 @@ package object functions {
   // -------------------------------------------------------- unary predicates
   def st_has_z(g: Column): Column = hasZ(g)
   def st_has_m(g: Column): Column = hasM(g)
+  /** Contains circular arcs (curved types 8-12 or a curve-bearing
+    * collection) — PostGIS `ST_HasArc`; pair with [[st_linearize]]. */
+  def st_has_arc(g: Column): Column = hasArc(g)
   def st_is_ccw(g: Column): Column = isCcw(g)
   def st_is_closed(g: Column): Column = isClosed(g)
   def st_is_empty(g: Column): Column = isEmpty(g)

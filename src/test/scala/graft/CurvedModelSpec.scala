@@ -306,6 +306,11 @@ class CurvedModelSpec extends AnyFunSuite {
     val cs3 = st_geomfromtext(lit("CIRCULARSTRING (0 0 1, 1 1 2, 2 0 3)"))
     assert(one(st_coordinatedimension(cs3)) == 3)
     assert(one(st_z(st_get_point(cs3, lit(2)))) == 3.0)
+    // st_has_arc: curved tops, curve-bearing collections, linear negatives
+    assert(one(st_has_arc(cs3)) == true)
+    assert(one(st_has_arc(lit(gc))) == true)
+    assert(one(st_has_arc(st_point(lit(0.0), lit(0.0)))) == false)
+    assert(one(st_has_arc(st_linearize(cs3))) == false)
   }
 
   test("curved geometries ride the spatial join via linearization") {
