@@ -246,8 +246,9 @@ object GeoUDFs {
 
   /** CircularString constructor (reference `circularstring`,
     * parsing.py:163-189): JTS cannot model arcs, so the EWKB bytes (type 8)
-    * are written directly; header/structure accessors work on them and
-    * [[linearize]] bridges into every compute op. */
+    * are written directly. The full curved model
+    * ([[graft.serde.CurvedGeom]]) gives them exact measures, preserved
+    * serde/affine, and auto-linearized compute everywhere else. */
   val circularString: UserDefinedFunction = udf((xs: Seq[Seq[Double]]) =>
     if (xs == null) null else graft.serde.Curved.writeCircularString(xs, 0))
 

@@ -33,8 +33,10 @@ package object functions {
   def st_linestring(xs: Column): Column = lineString(xs)
   def st_multilinestring(xs: Column): Column = multiLineString(xs)
   /** CircularString from coords (reference `circularstring`,
-    * `parsing.py:163-189`) — curved EWKB bytes; pair with [[st_linearize]]
-    * for compute ops (JTS has no curve model, SURVEY.md §7). */
+    * `parsing.py:163-189`) — curved EWKB bytes. Every compute op accepts
+    * them (length/area/bounds exactly, the rest via auto-linearization —
+    * [[graft.serde.CurvedGeom]]); [[st_linearize]] is the explicit,
+    * tolerance-controlled escape. */
   def st_circularstring(xs: Column): Column = circularString(xs)
   /** Arcs → chords (PostGIS `ST_CurveToLine` convention); non-curved input
     * passes through unchanged. */
