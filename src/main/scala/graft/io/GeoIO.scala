@@ -441,11 +441,8 @@ object GeoIO {
            else Seq(if (g == null) null else graft.serde.EWKB.write(g)))
         org.apache.spark.sql.Row.fromSeq(lead ++ keptArr.map(attrs(_)).toSeq)
     }
-    val sidecarOf: (String, String) => org.apache.hadoop.fs.Path = (f, ext) => {
-      val p = new org.apache.hadoop.fs.Path(f)
-      new org.apache.hadoop.fs.Path(p.getParent,
-        p.getName.replaceAll("(?i)\\.shp$", "") + ext)
-    }
+    val sidecarOf: (String, String) => org.apache.hadoop.fs.Path =
+      (f, ext) => shpSidecar(new org.apache.hadoop.fs.Path(f), ext)
     // global-fid base per file (fids are global across a filename-ordered
     // directory read): .shx FileStatus when present, header-hop count
     // otherwise; only needed when fids must be returned or resolved
@@ -480,10 +477,8 @@ object GeoIO {
             val pfs = p.getFileSystem(conf.value)
             val bytesOf =
               (path: org.apache.hadoop.fs.Path) => readWholeGuarded(pfs, path)
-            val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
-              p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
-            val shxPath = new org.apache.hadoop.fs.Path(p.getParent,
-              p.getName.replaceAll("(?i)\\.shp$", "") + ".shx")
+            val dbfPath = shpSidecar(p, ".dbf")
+            val shxPath = shpSidecar(p, ".shx")
             val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
             Shapefile.readFeaturesByFidsWithIds(bytesOf(p), bytesOf(shxPath), dbf,
               local, srid)
@@ -498,8 +493,7 @@ object GeoIO {
             val pfs = p.getFileSystem(conf.value)
             val bytesOf =
               (path: org.apache.hadoop.fs.Path) => readWholeGuarded(pfs, path)
-            val dbfPath = new org.apache.hadoop.fs.Path(p.getParent,
-              p.getName.replaceAll("(?i)\\.shp$", "") + ".dbf")
+            val dbfPath = shpSidecar(p, ".dbf")
             val dbf = if (pfs.exists(dbfPath)) Some(bytesOf(dbfPath)) else None
             val base = bases(shpPath)
             Shapefile.readFeaturesWithFids(bytesOf(p), dbf, bbox, srid, wSkip, wTake)

@@ -189,7 +189,15 @@ object SpatialJoin {
           !(col(leftGeom).isNull && col(VR).isNull && col("__graft_nullr_cnt") > 0) &&
           !(col(rgName0).isNull && col(VL).isNull && col("__graft_nulll_cnt") > 0))
         .drop("__graft_nullr_cnt", "__graft_nulll_cnt")
-        .unionByName(nullL.crossJoin(nullR).select(out.columns.map(col): _*))
+        // null-pair rows re-evaluate l2/r2, so their monotonically_increasing_id
+        // values are an INDEPENDENT generation from the join subtree's —
+        // negate them into a disjoint range (ids are always >= 0) so a
+        // cross-generation collision cannot merge a null pair into a
+        // matched row's validate window. Within the cross product each
+        // null row keeps one id, so nullsEqual cardinality still counts.
+        .unionByName(nullL.withColumn(VL, -col(VL) - 1)
+          .crossJoin(nullR.withColumn(VR, -col(VR) - 1))
+          .select(out.columns.map(col): _*))
     }
 
     if (validate != "m:m") {

@@ -92,18 +92,24 @@ private[sources] object FlatGeobufDataSource {
     // a schema-specified read trusts the caller, and a STREAM over a
     // not-yet-populated landing dir must pass .schema(...) too (nothing
     // exists to infer from — same rule as Spark's own file sources)
+    // ONE header→StructType construction shared by inference and
+    // validation — they must agree or validation drifts from what
+    // inference produces.
+    def storedSchemaOf(file: String): StructType = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      val in = p.getFileSystem(hconf).open(p)
+      val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
+      StructType(
+        StructField(geometryName, BinaryType, nullable = true) +:
+          header.columns.map(c => StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
+    }
     val schema = writeSchema.getOrElse {
       require(files.nonEmpty,
         s"flatgeobuf: no .fgb files under $path to infer a schema from — " +
           "for a write this resolves from the frame; for a read or a " +
           "stream over an empty/not-yet-existing landing dir, pass an " +
           "explicit .schema(...)")
-      val first = new org.apache.hadoop.fs.Path(files.head)
-      val in = first.getFileSystem(hconf).open(first)
-      val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
-      StructType(
-        StructField(geometryName, BinaryType, nullable = true) +:
-          header.columns.map(c => StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
+      storedSchemaOf(files.head)
     }
     // An externally-supplied schema is trusted for WRITES (overwrite must
     // resolve against the data being written, not stale parts) but a READ
@@ -111,28 +117,40 @@ private[sources] object FlatGeobufDataSource {
     // geometry not first, reordered, or mismatched properties would
     // silently scramble column values and mis-evaluate pushed filters.
     // Validated at scan-build time (see GeoTable.validateRead), only when
-    // files exist to validate against.
-    val readValidation: () => Unit = () => writeSchema.foreach { s =>
-      if (files.nonEmpty) {
-        val first = new org.apache.hadoop.fs.Path(files.head)
-        val in = first.getFileSystem(hconf).open(first)
-        val header = try FlatGeobuf.readHeaderFrom(in) finally in.close()
-        val stored = StructType(
-          StructField(geometryName, BinaryType, nullable = true) +:
-            header.columns.map(c =>
-              StructField(c.name, GeoIO.sparkTypeFor(c.colType))))
-        val ok = s.length == stored.length &&
+    // files exist to validate against. EVERY part's header is checked
+    // against the resolved layout — a directory with heterogeneous .fgb
+    // parts (externally-produced files, mixed schemas) would otherwise
+    // scramble silently (the same hazard the shapefile source rejects for
+    // mixed .dbf layouts). Each part validates once per table instance.
+    val validated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val readValidation: () => Unit = () => if (files.nonEmpty) {
+      def matches(a: StructType, b: StructType): Boolean =
+        a.length == b.length &&
+          a.fields.zip(b.fields).forall { case (x, y) =>
+            x.name == y.name && x.dataType == y.dataType }
+      writeSchema.foreach { s =>
+        val stored = storedSchemaOf(files.head)
+        require(matches(s, stored) &&
           s.fields.headOption.exists(f =>
-            f.name == geometryName && f.dataType == BinaryType) &&
-          s.fields.zip(stored.fields).forall { case (a, b) =>
-            a.name == b.name && a.dataType == b.dataType }
-        require(ok,
+            f.name == geometryName && f.dataType == BinaryType),
           s"flatgeobuf: explicit read schema ${s.catalogString} does not " +
             s"match the stored layout ${stored.catalogString} — the decoder " +
             "is positional (geometry column first, then the header's " +
             "properties in order), so a mismatched schema would silently " +
             "scramble column values; drop .schema(...) to infer, or match " +
             "the stored layout exactly")
+      }
+      files.foreach { f =>
+        if (!validated.contains(f)) {
+          val stored = storedSchemaOf(f)
+          require(matches(schema, stored),
+            s"flatgeobuf: part $f stores layout ${stored.catalogString} but " +
+              s"the table resolved ${schema.catalogString} (from " +
+              s"${files.head}) — mixed .fgb layouts in one directory " +
+              "would decode positionally and scramble column values; " +
+              "split the parts into separate directories")
+          validated.add(f)
+        }
       }
     }
     new FgbWritableTable(path, files.map(GeoDsv2.GeoPart(_)), schema,

@@ -304,6 +304,30 @@ class DataSourceV2Spec extends AnyFunSuite {
     }
   }
 
+  test("flatgeobuf directory: mixed part layouts refuse at scan build") {
+    import graft.functions._
+    // two writes with DIFFERENT property layouts, one part copied across —
+    // positional decode against the head-derived schema would scramble
+    val dirA = Files.createTempDirectory("fgb_mixa").toFile.getAbsolutePath + "/out"
+    val dirB = Files.createTempDirectory("fgb_mixb").toFile.getAbsolutePath + "/out"
+    spark.range(10).select(st_point(col("id").cast("double"), lit(0.0)).as("geometry"),
+      col("id"), col("id").cast("string").as("name"))
+      .coalesce(1).write.format("flatgeobuf").mode("overwrite").save(dirA)
+    spark.range(10).select(st_point(col("id").cast("double"), lit(1.0)).as("geometry"),
+      col("id").cast("string").as("name"), col("id"))
+      .coalesce(1).write.format("flatgeobuf").mode("overwrite").save(dirB)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(dirB))
+      .map(_.getPath).find(_.getName.endsWith(".fgb")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dirA, "zz-foreign.fgb"))
+    val e = intercept[Exception] {
+      spark.read.format("flatgeobuf").load(dirA).count()
+    }
+    assert(e.getMessage.contains("mixed .fgb layouts") ||
+      Option(e.getCause).exists(_.getMessage.contains("mixed .fgb layouts")),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("pushed comparison on Long values beyond 2^53 keeps exact rows") {
     import graft.functions._
     val dir = Files.createTempDirectory("fgb_big").toFile.getAbsolutePath + "/out"
