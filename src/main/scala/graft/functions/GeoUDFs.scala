@@ -1121,7 +1121,13 @@ object GeoUDFs {
   GeoKernels.add(K("st_segmentize", 2, Set(0), OGeom, a =>
     segmentizeK(aD(a(1)))(aG(a(0)))))
 
-  val envelope: UserDefinedFunction = fG1("st_envelope")(_.getEnvelope)
+  // curved input: exact arc bbox (matching st_bounds / originOf('center')),
+  // not the 32-seg linearization's chord-clipped box — one kernel, so the
+  // UDF and fusion tiers agree by construction
+  val envelope: UserDefinedFunction = fG1("st_envelope") { g =>
+    val cb = curvedSrc(g)
+    if (cb != null) CurvedGeom.envelopeGeom(cb) else g.getEnvelope
+  }
 
   val extractUniquePoints: UserDefinedFunction = fG1("st_extract_unique_points") { g =>
     // key on raw bits so NaN z (2D coords) compares equal to itself —

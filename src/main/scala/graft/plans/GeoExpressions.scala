@@ -63,10 +63,16 @@ object GeoNative {
     EWKB.write(out)
   }
   def envelope(b: Array[Byte]): Array[Byte] = {
-    val g = EWKB.read(b)
-    val out = g.getEnvelope
-    if (out.getSRID == 0 && g.getSRID != 0) out.setSRID(g.getSRID)
-    EWKB.write(out)
+    // curved source (incl. curve-bearing collections): exact arc bbox so
+    // the native tier matches st_bounds and the UDF/fusion kernels
+    if (graft.serde.CurvedGeom.isCurvedSource(b))
+      EWKB.write(graft.serde.CurvedGeom.envelopeGeom(b))
+    else {
+      val g = EWKB.read(b)
+      val out = g.getEnvelope
+      if (out.getSRID == 0 && g.getSRID != 0) out.setSRID(g.getSRID)
+      EWKB.write(out)
+    }
   }
   /** Default-parameter buffer (quad_segs 8, round cap/join, mitre 5.0,
     * two-sided — the reference's kwargs defaults, args.rs:102-124). SRID

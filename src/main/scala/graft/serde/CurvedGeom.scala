@@ -162,9 +162,14 @@ object CurvedGeom {
   }
 
   private def readGeom(cur: Cursor): CG = {
-    val sridBefore = cur.lastSrid
     val (code, (z, m), dims) = cur.readHead()
-    // nested SRID words are skipped by readHead; keep the top-level one
+    // `lastSrid` now holds THIS level's SRID (or the inherited outer value
+    // when this header carried no SRID word). Children may overwrite it with
+    // their own nested SRID words; we restore it unconditionally below so a
+    // nested SRID can never be promoted past its own level — in particular a
+    // top header WITHOUT an SRID word keeps srid 0 even when a child is
+    // EWKB-flagged.
+    val sridHere = cur.lastSrid
     val g: CG = code match {
       case 1 =>
         val c = new Array[Double](dims)
@@ -226,7 +231,7 @@ object CurvedGeom {
       case other => throw new IllegalArgumentException(
         s"unsupported WKB type $other")
     }
-    if (cur.lastSrid != sridBefore && sridBefore != 0) cur.lastSrid = sridBefore
+    cur.lastSrid = sridHere
     g
   }
 
@@ -597,6 +602,30 @@ object CurvedGeom {
     else Array(xmin, ymin, xmax, ymax)
   }
 
+  /** Exact-arc envelope of curved EWKB as a JTS geometry, mirroring the
+    * shape conventions of JTS `getEnvelope` (empty → empty point, single
+    * point → point, zero-width/height → 2-point line, else the CCW
+    * rectangle) but built from [[bounds]]' arc-extreme box — so
+    * `st_envelope` and `st_bounds` agree on curved input instead of
+    * differing by the chord sagitta of the 32-seg linearization. */
+  def envelopeGeom(bytes: Array[Byte]): Geometry = {
+    val (srid, g) = parse(bytes)
+    val b = bounds(g)
+    val f = EWKB.geometryFactory
+    val out: Geometry =
+      if (b(0).isNaN) f.createPoint()
+      else if (b(0) == b(2) && b(1) == b(3))
+        f.createPoint(new Coordinate(b(0), b(1)))
+      else if (b(0) == b(2) || b(1) == b(3))
+        f.createLineString(Array(new Coordinate(b(0), b(1)), new Coordinate(b(2), b(3))))
+      else f.createPolygon(Array(
+        new Coordinate(b(0), b(1)), new Coordinate(b(2), b(1)),
+        new Coordinate(b(2), b(3)), new Coordinate(b(0), b(3)),
+        new Coordinate(b(0), b(1))))
+    if (srid != 0) out.setSRID(srid)
+    out
+  }
+
   /** Bytes-level exact area: the branch compute tiers take BEFORE an
     * [[EWKB.read]] would linearize — curved input gets the closed form,
     * everything else the JTS kernel. Shared by the UDF and native tiers
@@ -722,16 +751,22 @@ object CurvedGeom {
     buf.result()
   }
 
-  /** Closed iff non-empty and first point == last point (compound curves
-    * chain across segments). Mirrors JTS `isClosed` on linear types. */
-  def isClosed(g: CG): Boolean = g match {
-    case l: CLine =>
-      l.pts.nonEmpty && l.pts.head.toSeq == l.pts.last.toSeq
-    case c: CCompound =>
-      c.segs.nonEmpty && c.segs.head.pts.nonEmpty && c.segs.last.pts.nonEmpty &&
-        c.segs.head.pts.head.toSeq == c.segs.last.pts.last.toSeq
-    case CMulti(11, parts, _, _) => parts.nonEmpty && parts.forall(isClosed)
-    case _ => false
+  /** Closed iff non-empty and first point == last point IN X/Y ONLY
+    * (compound curves chain across segments). Mirrors JTS `isClosed`,
+    * which compares endpoints with `equals2D` — Z/M deltas don't count,
+    * so the curved tier and the post-linearize JTS tier agree. */
+  def isClosed(g: CG): Boolean = {
+    def eq2d(a: Array[Double], b: Array[Double]): Boolean =
+      a(0) == b(0) && a(1) == b(1)
+    g match {
+      case l: CLine =>
+        l.pts.nonEmpty && eq2d(l.pts.head, l.pts.last)
+      case c: CCompound =>
+        c.segs.nonEmpty && c.segs.head.pts.nonEmpty && c.segs.last.pts.nonEmpty &&
+          eq2d(c.segs.head.pts.head, c.segs.last.pts.last)
+      case CMulti(11, parts, _, _) => parts.nonEmpty && parts.forall(isClosed)
+      case _ => false
+    }
   }
 
   /** Direct members for `count_geometries` / `get_geometry` / `parts`:

@@ -30,14 +30,36 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *   owning the pair's CANONICAL band — the first band where the two
   *   signatures agree ([[canonicalBand]]) — emits it. Stateless and
   *   deterministic, so no second stateful operator is needed (Spark
-  *   disallows one after flatMapGroupsWithState here). One corner stays
-  *   documented: if the canonical band's bucket is saturated, the pair
-  *   is suppressed even when another band's bucket is live — the same
-  *   recall contract the cap already imposes.
+  *   disallows one after flatMapGroupsWithState here).
   * - Bucket cap: the batch tier drops over-cap buckets wholesale; a
   *   stream cannot retract, so a bucket that REACHES the cap stops
-  *   admitting members (pairs already emitted stand, nothing further is
-  *   emitted from that bucket).
+  *   ADMITTING members — but keeps VERIFYING arrivals against its stored
+  *   members and emitting the pairs it is canonical for (saturation
+  *   liveness: a pair whose canonical band saturated AFTER admitting the
+  *   older member is still emitted, exactly once, by the canonical
+  *   group; the live non-canonical groups keep suppressing as usual).
+  *   Verified-but-not-admitted ids are remembered in a ghost list
+  *   (bounded by the same cap) so at-least-once re-delivery cannot
+  *   re-emit their pairs; once the ghost budget is spent the bucket is
+  *   fully closed. The one residual, and provably irreducible, corner:
+  *   a pair whose older member was NEVER admitted to the canonical
+  *   band's bucket (it was already full on arrival) is not emitted even
+  *   when a later band's bucket holds both — the emitter choice must be
+  *   a pure function of the two signatures (any state-dependent choice
+  *   lets two isolated groups both elect themselves), and that band
+  *   cannot verify a member it never stored. Cross-group state is the
+  *   only way out, and Spark permits no second stateful operator here.
+  *
+  * == Checkpoint compatibility ==
+  *
+  * The flatMapGroupsWithState state encoders are the case classes below;
+  * changing their layout breaks restores from checkpoints written by
+  * older builds. Two such breaks exist: [[EmbMember]] gained `sigs`
+  * (canonical-table rule) and all three `*BucketState`s gained `ghosts`
+  * (saturation liveness). Restarting an old stream on this build
+  * requires a NEW checkpoint directory (drain with the old build first
+  * for a seamless handoff); state compatibility across builds is NOT a
+  * contract this module keeps.
   *
   * == Bounded state: event-time TTL ==
   *
@@ -69,19 +91,22 @@ object DedupStreaming {
   final case class MinhashBucketRow(band: Int, bucket: Int, id: Long,
       sig: Seq[Long], sh: Seq[Long], ts: java.sql.Timestamp)
   final case class MinhashMember(id: Long, sig: Seq[Long], sh: Seq[Long], ts: Long)
-  final case class MinhashBucketState(members: List[MinhashMember], saturated: Boolean)
+  final case class MinhashBucketState(members: List[MinhashMember], saturated: Boolean,
+      ghosts: List[Long])
   final case class NearDupHit(id_a: Long, id_b: Long, jaccard_est: Double, jaccard: Double)
 
   final case class SimhashBucketRow(chunk: Int, bucket: Long, id: Long, sim: Long,
       ts: java.sql.Timestamp)
   final case class SimhashMember(id: Long, sim: Long, ts: Long)
-  final case class SimhashBucketState(members: List[SimhashMember], saturated: Boolean)
+  final case class SimhashBucketState(members: List[SimhashMember], saturated: Boolean,
+      ghosts: List[Long])
   final case class SimhashHit(id_a: Long, id_b: Long, hamming: Int)
 
   final case class EmbBucketRow(t: Int, sig: Long, id: Long, vec: Seq[Double],
       sigs: Seq[Long], ts: java.sql.Timestamp)
   final case class EmbMember(id: Long, vec: Seq[Double], sigs: Seq[Long], ts: Long)
-  final case class EmbBucketState(members: List[EmbMember], saturated: Boolean)
+  final case class EmbBucketState(members: List[EmbMember], saturated: Boolean,
+      ghosts: List[Long])
   final case class EmbHit(id_a: Long, id_b: Long, cosine: Double)
 
   /** First band where the two minhash signatures' slices agree — that
@@ -169,27 +194,34 @@ object DedupStreaming {
 
   /** Shared TTL state mechanics for one `flatMapGroupsWithState`
     * invocation: handles the timed-out case, evicts aged members, clears
-    * the saturation latch when an epoch fully drains, and (re)arms the
-    * group timeout after `body` has folded the batch's rows in.
+    * the saturation latch (and its ghost list) when an epoch fully
+    * drains, and (re)arms the group timeout after `body` has folded the
+    * batch's rows in.
     *
     * @param memberTs event time of a stored member
-    * @param body     (retained members, saturated) => (new members, saturated, output)
+    * @param body     (retained members, saturated, ghosts) =>
+    *                 (new members, saturated, ghosts, output)
     * @return the output iterator */
   private def withTtlState[M, S, O](ttlMs: Long, state: GroupState[S],
-      get: S => (List[M], Boolean), mk: (List[M], Boolean) => S, memberTs: M => Long)(
-      body: (List[M], Boolean) => (List[M], Boolean, Iterator[O])): Iterator[O] = {
+      get: S => (List[M], Boolean, List[Long]),
+      mk: (List[M], Boolean, List[Long]) => S, memberTs: M => Long)(
+      body: (List[M], Boolean, List[Long]) => (List[M], Boolean, List[Long], Iterator[O]))
+      : Iterator[O] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val (members0, saturated0) = state.getOption.map(get).getOrElse((Nil, false))
+    val (members0, saturated0, ghosts0) =
+      state.getOption.map(get).getOrElse((Nil, false, Nil))
     val wm = if (ttlMs > 0) state.getCurrentWatermarkMs() else Long.MinValue
     val retained =
       if (ttlMs > 0) members0.filter(m => memberTs(m) + ttlMs > wm) else members0
-    // all members of a saturated epoch aged out → fresh epoch
+    // all members of a saturated epoch aged out → fresh epoch (the ghost
+    // list lives and dies with the latch)
     val saturated1 = saturated0 && retained.nonEmpty
-    val (members, saturated, out) = body(retained, saturated1)
+    val ghosts1 = if (saturated1) ghosts0 else Nil
+    val (members, saturated, ghosts, out) = body(retained, saturated1, ghosts1)
     if (ttlMs > 0 && members.isEmpty && !saturated) {
       state.remove()
     } else {
-      state.update(mk(members, saturated))
+      state.update(mk(members, saturated, ghosts))
       if (ttlMs > 0) {
         val newest = members.iterator.map(memberTs).foldLeft(wm)(math.max)
         state.setTimeoutTimestamp(newest + ttlMs)
@@ -247,47 +279,51 @@ object DedupStreaming {
         OutputMode.Append(), timeoutOf(ttl)) {
         case ((myBand, _), rows, state) =>
           withTtlState[MinhashMember, MinhashBucketState, NearDupHit](
-            ttl, state, s => (s.members, s.saturated),
-            MinhashBucketState(_, _), _.ts) { (members0, saturated0) =>
+            ttl, state, s => (s.members, s.saturated, s.ghosts),
+            MinhashBucketState(_, _, _), _.ts) { (members0, saturated0, ghosts0) =>
             var members = members0
             var saturated = saturated0
+            var ghosts = ghosts0
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
             // id-sorted within the micro-batch: emission order (and which
             // member is "already present" for within-batch pairs) is
             // deterministic under source repartitioning
             rows.toSeq.sortBy(_.id).foreach { row =>
-              if (!saturated) {
-                if (members.lengthCompare(cap) >= 0) {
-                  saturated = true
-                } else if (members.exists(_.id == row.id)) {
-                  // at-least-once re-delivery: the id is already a member —
-                  // re-appending would duplicate every future pair and
-                  // burn a cap slot per replay
-                } else {
-                  val sb = row.sh.toSet // loop-invariant: hoisted per arrival
-                  members.foreach { m =>
-                    var eq = 0
-                    var i = 0
-                    while (i < nh) { if (m.sig(i) == row.sig(i)) eq += 1; i += 1 }
-                    val sa = m.sh.toSet
-                    val uni = sa.union(sb).size
-                    val jac = if (uni > 0) sa.intersect(sb).size.toDouble / uni else 0.0
-                    // canonical-band rule: a pair colliding in several bands
-                    // is discovered by several groups in the SAME micro-batch
-                    // (pairs are only emitted at the newer doc's arrival), so
-                    // each group emits iff ITS band is the pair's first
-                    // colliding band — exactly-once across bands with no
-                    // second stateful operator (see canonicalBand).
-                    if (jac >= th &&
-                        canonicalBand(m.sig, row.sig, nBands, nh / nBands) == myBand)
-                      out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
-                        eq.toDouble / nh, jac)
-                  }
-                  members = MinhashMember(row.id, row.sig, row.sh, rowMs(row.ts)) :: members
+              if (!saturated && members.lengthCompare(cap) >= 0) saturated = true
+              // already a member or a remembered ghost: at-least-once
+              // re-delivery — re-processing would duplicate every pair
+              // (and, for members, burn a cap slot per replay)
+              val seen = members.exists(_.id == row.id) ||
+                (saturated && ghosts.contains(row.id))
+              // saturation liveness: a saturated bucket keeps VERIFYING
+              // (emitting pairs it is canonical for) until its ghost
+              // budget is spent; it just stops admitting
+              if (!seen && (!saturated || ghosts.lengthCompare(cap) < 0)) {
+                val sb = row.sh.toSet // loop-invariant: hoisted per arrival
+                members.foreach { m =>
+                  var eq = 0
+                  var i = 0
+                  while (i < nh) { if (m.sig(i) == row.sig(i)) eq += 1; i += 1 }
+                  val sa = m.sh.toSet
+                  val uni = sa.union(sb).size
+                  val jac = if (uni > 0) sa.intersect(sb).size.toDouble / uni else 0.0
+                  // canonical-band rule: a pair colliding in several bands
+                  // is discovered by several groups in the SAME micro-batch
+                  // (pairs are only emitted at the newer doc's arrival), so
+                  // each group emits iff ITS band is the pair's first
+                  // colliding band — exactly-once across bands with no
+                  // second stateful operator (see canonicalBand).
+                  if (jac >= th &&
+                      canonicalBand(m.sig, row.sig, nBands, nh / nBands) == myBand)
+                    out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
+                      eq.toDouble / nh, jac)
                 }
+                if (!saturated)
+                  members = MinhashMember(row.id, row.sig, row.sh, rowMs(row.ts)) :: members
+                else ghosts = row.id :: ghosts
               }
             }
-            (members, saturated, out.iterator)
+            (members, saturated, ghosts, out.iterator)
           }
       }
   }
@@ -324,30 +360,32 @@ object DedupStreaming {
         OutputMode.Append(), timeoutOf(ttl)) {
         case ((myChunk, _), rows, state) =>
           withTtlState[SimhashMember, SimhashBucketState, SimhashHit](
-            ttl, state, s => (s.members, s.saturated),
-            SimhashBucketState(_, _), _.ts) { (members0, saturated0) =>
+            ttl, state, s => (s.members, s.saturated, s.ghosts),
+            SimhashBucketState(_, _, _), _.ts) { (members0, saturated0, ghosts0) =>
             var members = members0
             var saturated = saturated0
+            var ghosts = ghosts0
             val out = scala.collection.mutable.ArrayBuffer.empty[SimhashHit]
             rows.toSeq.sortBy(_.id).foreach { row =>
-              if (!saturated) {
-                if (members.lengthCompare(cap) >= 0) saturated = true
-                else if (members.exists(_.id == row.id)) {
-                  // re-delivery: already a member (see minhash tier)
-                } else {
-                  members.foreach { m =>
-                    val d = java.lang.Long.bitCount(m.sim ^ row.sim)
-                    // canonical-chunk rule (see canonicalBand): emit only
-                    // from the FIRST 16-bit chunk the two simhashes share —
-                    // pigeonhole (d ≤ 3 over 4 chunks) guarantees one exists
-                    if (d <= mh && firstEqualChunk(m.sim, row.sim) == myChunk)
-                      out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
-                  }
-                  members = SimhashMember(row.id, row.sim, rowMs(row.ts)) :: members
+              if (!saturated && members.lengthCompare(cap) >= 0) saturated = true
+              val seen = members.exists(_.id == row.id) ||
+                (saturated && ghosts.contains(row.id))
+              // saturation liveness + ghost re-delivery guard (see minhash)
+              if (!seen && (!saturated || ghosts.lengthCompare(cap) < 0)) {
+                members.foreach { m =>
+                  val d = java.lang.Long.bitCount(m.sim ^ row.sim)
+                  // canonical-chunk rule (see canonicalBand): emit only
+                  // from the FIRST 16-bit chunk the two simhashes share —
+                  // pigeonhole (d ≤ 3 over 4 chunks) guarantees one exists
+                  if (d <= mh && firstEqualChunk(m.sim, row.sim) == myChunk)
+                    out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
                 }
+                if (!saturated)
+                  members = SimhashMember(row.id, row.sim, rowMs(row.ts)) :: members
+                else ghosts = row.id :: ghosts
               }
             }
-            (members, saturated, out.iterator)
+            (members, saturated, ghosts, out.iterator)
           }
       }
   }
@@ -393,10 +431,11 @@ object DedupStreaming {
         OutputMode.Append(), timeoutOf(ttl)) {
         case ((myTable, _), rows, state) =>
           withTtlState[EmbMember, EmbBucketState, EmbHit](
-            ttl, state, s => (s.members, s.saturated),
-            EmbBucketState(_, _), _.ts) { (members0, saturated0) =>
+            ttl, state, s => (s.members, s.saturated, s.ghosts),
+            EmbBucketState(_, _, _), _.ts) { (members0, saturated0, ghosts0) =>
             var members = members0
             var saturated = saturated0
+            var ghosts = ghosts0
             val out = scala.collection.mutable.ArrayBuffer.empty[EmbHit]
             def dot(a: Seq[Double], b: Seq[Double]): Double = {
               var s = 0.0; var i = 0
@@ -405,25 +444,26 @@ object DedupStreaming {
               s
             }
             rows.toSeq.sortBy(_.id).foreach { row =>
-              if (!saturated) {
-                if (members.lengthCompare(cap) >= 0) saturated = true
-                else if (members.exists(_.id == row.id)) {
-                  // re-delivery: already a member (see minhash tier)
-                } else {
-                  val rowNorm = math.sqrt(dot(row.vec, row.vec)) // hoisted
-                  members.foreach { m =>
-                    val c = dot(m.vec, row.vec) /
-                      (math.sqrt(dot(m.vec, m.vec)) * rowNorm)
-                    // canonical-table rule (see canonicalBand): emit only
-                    // from the FIRST table whose signatures agree
-                    if (c >= th && firstEqualSig(m.sigs, row.sigs) == myTable)
-                      out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
-                  }
-                  members = EmbMember(row.id, row.vec, row.sigs, rowMs(row.ts)) :: members
+              if (!saturated && members.lengthCompare(cap) >= 0) saturated = true
+              val seen = members.exists(_.id == row.id) ||
+                (saturated && ghosts.contains(row.id))
+              // saturation liveness + ghost re-delivery guard (see minhash)
+              if (!seen && (!saturated || ghosts.lengthCompare(cap) < 0)) {
+                val rowNorm = math.sqrt(dot(row.vec, row.vec)) // hoisted
+                members.foreach { m =>
+                  val c = dot(m.vec, row.vec) /
+                    (math.sqrt(dot(m.vec, m.vec)) * rowNorm)
+                  // canonical-table rule (see canonicalBand): emit only
+                  // from the FIRST table whose signatures agree
+                  if (c >= th && firstEqualSig(m.sigs, row.sigs) == myTable)
+                    out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
                 }
+                if (!saturated)
+                  members = EmbMember(row.id, row.vec, row.sigs, rowMs(row.ts)) :: members
+                else ghosts = row.id :: ghosts
               }
             }
-            (members, saturated, out.iterator)
+            (members, saturated, ghosts, out.iterator)
           }
       }
   }

@@ -365,4 +365,69 @@ class CurvedModelSpec extends AnyFunSuite {
     assert(CurvedGeom.containsCurved(gc))
     assert(!CurvedGeom.containsCurved(Array[Byte](1, 1, 0, 0, 0)))
   }
+
+  // --------------------------------------------------- round-12 regressions
+
+  /** Little-endian container wrapper: order byte + type word (optionally
+    * SRID-flagged) + srid + count, then the child bytes verbatim. */
+  private def wrap(code: Int, srid: Option[Int], children: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = { var i = 0; while (i < 4) { out.write((v >>> (8 * i)) & 0xff); i += 1 } }
+    out.write(1)
+    i32(code | (if (srid.isDefined) EWKB.FlagSrid else 0))
+    srid.foreach(i32)
+    i32(children.length)
+    children.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("nested EWKB SRID word never escapes its level") {
+    val child4326 = CurvedGeom.write(
+      CurvedGeom.parseWkt("CIRCULARSTRING (0 0, 1 1, 2 0)"), 4326)
+    // top header carries NO SRID word, child is EWKB-flagged with 4326:
+    // the top level stays srid 0 (the child's word must not be promoted)
+    val (srid0, _) = CurvedGeom.parse(wrap(11, None, child4326))
+    assert(srid0 == 0)
+    // top header DOES carry an SRID: the top's wins over the child's
+    val (srid1, _) = CurvedGeom.parse(wrap(11, Some(3857), child4326))
+    assert(srid1 == 3857)
+    // and a sibling AFTER the flagged child still parses under the top SRID
+    val plain = CurvedGeom.write(
+      CurvedGeom.parseWkt("CIRCULARSTRING (5 5, 6 6, 7 5)"), 0, includeSrid = false)
+    val (srid2, g2) = CurvedGeom.parse(wrap(11, Some(3857), child4326, plain))
+    assert(srid2 == 3857 && CurvedGeom.members(g2).length == 2)
+  }
+
+  test("is_closed on curves compares x/y only, matching JTS equals2D") {
+    // closed in the plane, Z endpoints differ: JTS isClosed (2D) says true
+    val zline = CurvedGeom.parseWkt("CIRCULARSTRING Z (0 0 1, 2 2 2, 0 0 9)")
+    assert(CurvedGeom.isClosed(zline))
+    assert(one(st_is_closed(st_geomfromtext(
+      lit("CIRCULARSTRING Z (0 0 1, 2 2 2, 0 0 9)")))) == true)
+    // the linearized tier agrees (tier consistency was the bug)
+    assert(one(st_is_closed(st_linearize(st_geomfromtext(
+      lit("CIRCULARSTRING Z (0 0 1, 2 2 2, 0 0 9)"))))) == true)
+    // still false when x/y genuinely differ
+    assert(one(st_is_closed(st_geomfromtext(
+      lit("CIRCULARSTRING Z (0 0 1, 2 2 2, 4 0 1)")))) == false)
+  }
+
+  test("st_envelope on curved input uses the exact arc bbox, matching st_bounds") {
+    // arc whose sweep crosses 0° and 90°: exact box (-3,-4,5,5); a
+    // linearized envelope would clip xmax/ymax by the chord sagitta
+    val wktArc = "CIRCULARSTRING (3 -4, 4 3, -3 4)"
+    val env = one(st_aswkt(st_envelope(st_geomfromtext(lit(wktArc))))).asInstanceOf[String]
+    assert(env == "POLYGON ((-3 -4, 5 -4, 5 5, -3 5, -3 -4))", env)
+    // native tier bytes-level entry agrees
+    val envN = EWKB.read(graft.plans.GeoNative.envelope(
+      CurvedGeom.write(CurvedGeom.parseWkt(wktArc), 0)))
+    assert(envN.getEnvelopeInternal.getMaxX == 5.0 && envN.getEnvelopeInternal.getMaxY == 5.0)
+    // SRID carries through, and a curve-bearing collection takes the branch
+    val e2 = EWKB.read(graft.plans.GeoNative.envelope(CurvedGeom.write(
+      CMulti(7, Vector(CurvedGeom.parseWkt(wktArc)), false, false), 4326)))
+    assert(e2.getSRID == 4326 && e2.getEnvelopeInternal.getMaxX == 5.0)
+    // degenerate curved inputs mirror JTS getEnvelope shapes
+    assert(one(st_geometrytype(st_envelope(st_geomfromtext(
+      lit("CIRCULARSTRING EMPTY"))))) == "Point")
+  }
 }

@@ -152,6 +152,57 @@ object CurvedPropertySpec extends Properties("graft-curved") {
       }
     }
 
+  /** (Σ r·|sweep|, Σ r²·|sweep|) over the geometry's true arcs (collinear
+    * triples take the straight-chord branch in BOTH tiers, so they
+    * contribute zero chordal error and are excluded by arcParams=None). */
+  private def arcTerms(g: CG): (Double, Double) = {
+    var s1 = 0.0; var s2 = 0.0
+    def walkLine(l: CLine): Unit = if (l.circular) {
+      var i = 0
+      while (i + 2 < l.pts.length) {
+        CurvedGeom.arcParams(l.pts(i), l.pts(i + 1), l.pts(i + 2)).foreach {
+          case (_, _, r, sweep) =>
+            s1 += r * math.abs(sweep); s2 += r * r * math.abs(sweep)
+        }
+        i += 2
+      }
+    }
+    def walk(g: CG): Unit = g match {
+      case _: CPoint =>
+      case l: CLine => walkLine(l)
+      case c: CCompound => c.segs.foreach(walkLine)
+      case CPoly(rings, _, _, _) => rings.foreach(walk)
+      case CMulti(_, parts, _, _) => parts.foreach(walk)
+    }
+    walk(g); (s1, s2)
+  }
+
+  // The documented contract of tier 3 (auto-linearize at 32 segs/quadrant):
+  // each chord spans δ ≤ (π/2)/32, and the standard chordal bounds give
+  //   |arcLen − chordLen| = r·θ·(1 − sin(δ/2)/(δ/2)) ≤ r·θ·δ²/24
+  //   |segArea per chord| = (r²/2)(δ − sin δ), summed ≤ r²·θ·δ²/12
+  // — so the TOTAL linearization error is bounded by the geometry's
+  // Σ r·|sweep| (length) and Σ r²·|sweep| (area) times δ²/24 and δ²/12.
+  property("32-seg linearization error is within the published chordal bound") =
+    forAll(anyCurved) { case (g, srid) =>
+      val delta = (math.Pi / 2) / 32
+      val (rTheta, r2Theta) = arcTerms(g)
+      val lin = CurvedGeom.linearize(g, srid, 32)
+      val exactLen = CurvedGeom.length(g)
+      val lenBound = rTheta * delta * delta / 24 +
+        1e-9 * math.max(1.0, exactLen) // fp slop on huge-radius arcs
+      val lenOk = math.abs(exactLen - lin.getLength) <= lenBound
+      val areaOk = g match {
+        case _: CPoly | CMulti(12, _, _, _) =>
+          val exactArea = CurvedGeom.area(g)
+          val areaBound = r2Theta * delta * delta / 12 +
+            1e-9 * math.max(1.0, exactArea)
+          math.abs(exactArea - lin.getArea) <= areaBound
+        case _ => true
+      }
+      lenOk && areaOk
+    }
+
   property("translate preserves exact length and type") =
     forAll(anyCurved, ord, ord) { case ((g, _), dx, dy) =>
       val moved = CurvedGeom.mapControlPoints(g, (x, y, z) => (x + dx, y + dy, z))

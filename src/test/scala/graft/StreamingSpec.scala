@@ -249,6 +249,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch === Set((1L, 2L)) && pairs.intersect(batch) === batch)
   }
 
+  test("saturated bucket keeps verifying: canonical-band pairs still emitted exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Long, String)]
+    // cap 2: the bucket saturates once docs 1,2 are admitted. Identical
+    // text means every band collides, so the pair's canonical band is the
+    // first band — whose bucket is saturated when doc 3 arrives. The
+    // liveness fix: a saturated bucket stops ADMITTING but keeps
+    // VERIFYING arrivals against its stored members, so (1,3) and (2,3)
+    // are still emitted — exactly once, by the canonical group only.
+    val hits = graft.streaming.DedupStreaming.nearDupMinhashStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6,
+      maxBucketSize = 2)
+    val q = hits.writeStream.format("memory").queryName("satst")
+      .outputMode("append").start()
+    in.addData(Seq(1L -> fox, 2L -> fox)); q.processAllAvailable()
+    in.addData(Seq(3L -> fox)); q.processAllAvailable() // arrives saturated
+    in.addData(Seq(3L -> fox)); q.processAllAvailable() // at-least-once replay
+    in.addData(Seq(4L -> fox)); q.processAllAvailable() // last ghost slot
+    in.addData(Seq(5L -> fox)); q.processAllAvailable() // ghost budget spent
+    val rows = spark.table("satst").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    q.stop()
+    assert(rows.distinct.size == rows.size,
+      s"duplicate emissions (replay or cross-band): $rows")
+    // (1,2) pre-saturation; (1,3),(2,3),(1,4),(2,4) via saturated-verify
+    // against the stored members; never (3,4) — 3 was never admitted —
+    // and nothing for 5 (ghost budget cap spent, bucket fully closed)
+    assert(rows.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+      s"saturation-liveness semantics drifted: $rows")
+  }
+
   test("streaming SimHash and embedding near-dup match their batch tiers") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
