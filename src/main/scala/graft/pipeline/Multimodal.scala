@@ -30,7 +30,8 @@ object Multimodal {
   /** Pure-JVM image header parse: PNG (IHDR), JPEG (SOFn scan), GIF
     * (logical screen descriptor) → (width, height, channels, format).
     * This is a real decoder for the metadata plane — no image libraries
-    * needed; pixel decode stays stubbed below. */
+    * needed, no pixel work; [[decodeImageMeta]] adds the full-decode
+    * fallback for formats this fast path doesn't know. */
   def parseImageHeader(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
     def u8(i: Int) = b(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -636,25 +637,89 @@ object Multimodal {
     chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
   })
 
-  // ------------------------------------------------------------- STUBS
-  // Deterministic fakes standing in for actual decoders. ??? -> real impl.
+  // ------------------------------------- REAL image meta + feature plane
 
-  /** STUB image decode fallback: binary → (width, height, channels) when
-    * the real header parse is not applicable. Deterministic fake. */
-  val decodeImageStub = udf((bytes: Array[Byte]) =>
+  /** REAL image metadata with a full-decoder fallback: the header fast
+    * path (PNG/JPEG/GIF byte parsers — no pixel work) first, then an
+    * actual `ImageIO` decode for anything else the JDK codecs read (BMP,
+    * WBMP, header-damaged-but-decodable streams). None when no codec
+    * applies — dimensions are never fabricated. */
+  val decodeImageMeta = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else parseImageHeader(bytes) match {
       case Some((w, h, c, _)) => Some((w, h, c))
-      case None =>
-        // ??? real: full pixel decode via libjpeg/libpng JNI
-        val w = 64 + (math.abs(java.util.Arrays.hashCode(bytes)) % 960)
-        val h = 64 + (math.abs(java.util.Arrays.hashCode(bytes) * 31) % 960)
-        Some((w, h, 3))
+      case None => readImage(bytes).map(i =>
+        (i.getWidth, i.getHeight, i.getColorModel.getNumColorComponents))
     })
 
-  /** STUB feature extraction: binary → dense feature vector of `dim`.
-    * A real build runs a vision encoder; the fake hashes byte windows. */
-  def extractFeaturesStub(dim: Int) = udf((bytes: Array[Byte]) =>
+  /** REAL pixel-space image embedding of exactly `dim` dims: a
+    * side²·3-dim pooled RGB thumbnail grid (side = ⌊√(dim/3)⌋) plus a
+    * grayscale histogram over the remaining `dim − side²·3` buckets
+    * (pixel-count normalized). Deterministic and offline, and — unlike
+    * any byte-hash fake — stable under RE-ENCODING: the same picture as
+    * PNG/JPEG/BMP or after a resize lands within codec noise, which is
+    * exactly what image SemDeDup / embedding near-dup mining needs.
+    * None when no JDK codec decodes the bytes (a vision-ENCODER
+    * embedding stays the one labeled stub, [[visionEmbeddingStub]]). */
+  def imageFeatures(dim: Int) = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None
+    else readImage(bytes).map { img =>
+      val side = math.floor(math.sqrt(dim / 3.0)).toInt
+      val gridDims = side * side * 3
+      val histDims = dim - gridDims
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Float](dim)
+      val hist = new Array[Long](math.max(histDims, 1))
+      // one pass: accumulate per-cell RGB sums and the gray histogram
+      val sums = new Array[Long](math.max(gridDims, 1))
+      val counts = new Array[Long](math.max(side * side, 1))
+      var y = 0
+      while (y < h) {
+        val cy = math.min(if (side > 0) y * side / h else 0, side - 1)
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          if (side > 0) {
+            val cx = math.min(x * side / w, side - 1)
+            val cell = cy * side + cx
+            sums(cell * 3) += r; sums(cell * 3 + 1) += g; sums(cell * 3 + 2) += b
+            counts(cell) += 1
+          }
+          if (histDims > 0) hist(((r + g + b) / 3) * histDims / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < side * side) {
+        val n = math.max(counts(c), 1L)
+        out(c * 3) = (sums(c * 3).toDouble / n / 255.0).toFloat
+        out(c * 3 + 1) = (sums(c * 3 + 1).toDouble / n / 255.0).toFloat
+        out(c * 3 + 2) = (sums(c * 3 + 2).toDouble / n / 255.0).toFloat
+        c += 1
+      }
+      val nPix = math.max(w.toLong * h, 1L)
+      var k = 0
+      while (k < histDims) {
+        out(gridDims + k) = (hist(k).toDouble / nPix).toFloat
+        k += 1
+      }
+      out.toSeq
+    })
+
+  // ------------------------------------------------------------- STUBS
+  // Deterministic fakes standing in for actual decoders. ??? -> real impl.
+  // As of round 12 this boundary is ONLY what genuinely cannot run on a
+  // bare JVM: vision-ENCODER embeddings (no offline weights) and
+  // non-MJPEG video codecs (no JVM decoder). Image resize, pixel decode,
+  // metadata fallback and pixel-space features are all real above.
+
+  /** STUB vision-encoder embedding: binary → dense vector of `dim`.
+    * A real build runs a vision encoder (CLIP-class weights — none can
+    * ship offline); the fake hashes byte windows. For a real, offline,
+    * re-encoding-robust image vector use [[imageFeatures]] instead. */
+  def visionEmbeddingStub(dim: Int) = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else {
       // ??? real: vision-encoder embedding
@@ -667,11 +732,6 @@ object Multimodal {
       }
       Some(out.toSeq)
     })
-
-  /** STUB resize: returns the original bytes with the target size recorded;
-    * a real build re-encodes. */
-  val resizeStub = udf((bytes: Array[Byte], w: Int, h: Int) =>
-    if (bytes == null) None else Some(bytes)) // ??? real: decode+scale+encode
 
   /** STUB video frame sampling for non-AVI containers (H.26x/VP9 have no
     * JVM decoder): n byte slices standing in for decoded frames. MJPEG AVI
@@ -686,19 +746,21 @@ object Multimodal {
 
   // ------------------------------------------------- real Spark plumbing
 
-  /** Attach decoded image metadata + features to a binary column, with
-    * partition sizing appropriate for heavy per-row decode work (many
-    * small tasks beat few huge ones when each row costs ~ms). */
+  /** Attach decoded image metadata + pixel-space features to a binary
+    * column, with partition sizing appropriate for heavy per-row decode
+    * work (many small tasks beat few huge ones when each row costs ~ms).
+    * Both columns are REAL decoders now: undecodable bytes give null
+    * meta/features rather than fabricated values. */
   def withImageFeatures(df: DataFrame, binCol: String, featureDim: Int = 64,
       partitions: Int = 0): DataFrame = {
     val sized = if (partitions > 0) df.repartition(partitions) else df
     sized
-      .withColumn("image_meta", decodeImageStub(col(binCol)))
+      .withColumn("image_meta", decodeImageMeta(col(binCol)))
       .withColumn("image_meta", struct(
         col("image_meta._1").as("width"),
         col("image_meta._2").as("height"),
         col("image_meta._3").as("channels")))
-      .withColumn("features", extractFeaturesStub(featureDim)(col(binCol)))
+      .withColumn("features", imageFeatures(featureDim)(col(binCol)))
   }
 
   /** Explode sampled video frames into one row per frame, preserving the
