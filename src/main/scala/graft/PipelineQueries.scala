@@ -302,13 +302,21 @@ object PipelineQueries {
     }),
 
     // ------------------------------------------------ multimodal plumbing
+    // Meta comes from the header fast path on a pixel-less IHDR fixture;
+    // FEATURES come from a real decodable image (the header-only fixture
+    // honestly yields null features — pinned by hdr_feat_null — because
+    // the full decoder refuses truncated streams instead of fabricating).
     "pipe_multimodal" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
         .withColumn("png", Multimodal.makePngHeader(
           (lit(64) + col("doc_id") % 256).cast("int"),
           (lit(32) + col("doc_id") % 128).cast("int")))
+        .withColumn("real", Multimodal.makeImage(lit(16), lit(8),
+          (col("doc_id") % 256).cast("int"),
+          (col("doc_id") * 7 % 256).cast("int"),
+          (col("doc_id") * 13 % 256).cast("int"), lit("png")))
       val decoded = d.withColumn("img", Multimodal.decodeImage(col("png")))
-      val feat = Multimodal.withImageFeatures(d, "png", featureDim = 64)
+      val feat = Multimodal.withImageFeatures(d, "real", featureDim = 64)
       // WAV: 1 channel, 16 kHz, 16-bit, payload (doc_id%100+1) * 32000 bytes
       // → duration exactly (doc_id%100+1) seconds
       val wav = t(s, dir, "documents").select(col("doc_id"))
@@ -324,9 +332,44 @@ object PipelineQueries {
         col("img._1").as("width"),
         col("img._2").as("height"),
         col("img._3").as("channels"),
-        col("img._4").as("fmt"))
-        .join(feat.select(col("doc_id"), size(col("features")).as("n_feat")), "doc_id")
+        col("img._4").as("fmt"),
+        Multimodal.imageFeatures(64)(col("png")).isNull.as("hdr_feat_null"))
+        .join(feat.select(col("doc_id"), size(col("features")).as("n_feat"),
+          col("image_meta.width").as("real_w"),
+          col("image_meta.height").as("real_h")), "doc_id")
         .join(wav, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    /** Closed-form oracle for [[Multimodal.imageFeatures]] (the REAL
+      * pixel-space embedding): on a solid-color image every pooled grid
+      * cell is exactly (r,g,b)/255 and the grayscale histogram is one-hot
+      * at bucket ⌊⌊(r+g+b)/3⌋/16⌋ with value 1.0 (= nPix/nPix). Also pins
+      * RE-ENCODING stability — the property byte-hash fakes cannot have:
+      * the same raster as PNG and BMP (both lossless) yields IDENTICAL
+      * feature vectors. */
+    "pipe_multimodal_feat" -> ((s, dir) => {
+      val gray = floor((col("r") + col("g") + col("b")) / 3)
+      val bucket = floor(gray / 16)
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("r", (col("doc_id") % 256).cast("int"))
+        .withColumn("g", (col("doc_id") * 7 % 256).cast("int"))
+        .withColumn("b", (col("doc_id") * 13 % 256).cast("int"))
+        .withColumn("png", Multimodal.makeImage(lit(20), lit(12),
+          col("r"), col("g"), col("b"), lit("png")))
+        .withColumn("bmp", Multimodal.makeImage(lit(20), lit(12),
+          col("r"), col("g"), col("b"), lit("bmp")))
+        .withColumn("feat", Multimodal.imageFeatures(64)(col("png")))
+        .withColumn("featb", Multimodal.imageFeatures(64)(col("bmp")))
+      d.select(col("doc_id"),
+        size(col("feat")).as("n_feat"),
+        (abs(element_at(col("feat"), 1) - col("r") / 255.0) < 1e-6).as("grid_r_ok"),
+        (abs(element_at(col("feat"), 2) - col("g") / 255.0) < 1e-6).as("grid_g_ok"),
+        (abs(element_at(col("feat"), 3) - col("b") / 255.0) < 1e-6).as("grid_b_ok"),
+        (abs(element_at(col("feat"), 48) - col("b") / 255.0) < 1e-6).as("grid_last_ok"),
+        (element_at(col("feat"), (lit(49) + bucket).cast("int")) === lit(1.0))
+          .as("hist_onehot_ok"),
+        (col("feat") === col("featb")).as("png_bmp_eq"))
         .orderBy(col("doc_id"))
     }),
 
@@ -800,9 +843,15 @@ object PipelineQueries {
       """SELECT doc_id,
         | 64 + (doc_id % 256) AS width,
         | 32 + (doc_id % 128) AS height,
-        | 3 AS channels, 'png' AS fmt, 64 AS n_feat,
+        | 3 AS channels, 'png' AS fmt, TRUE AS hdr_feat_null,
+        | 64 AS n_feat, 16 AS real_w, 8 AS real_h,
         | 1 AS au_channels, 16000 AS au_rate,
         | (doc_id % 100 + 1) * 1000 AS au_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_multimodal_feat" ->
+      """SELECT doc_id, 64 AS n_feat,
+        | TRUE AS grid_r_ok, TRUE AS grid_g_ok, TRUE AS grid_b_ok,
+        | TRUE AS grid_last_ok, TRUE AS hist_onehot_ok, TRUE AS png_bmp_eq
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pipe_audio" ->
       """SELECT doc_id,

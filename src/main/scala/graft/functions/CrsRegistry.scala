@@ -8,9 +8,10 @@ import scala.collection.mutable.ArrayBuffer
   * embedded EPSG table: any WKT definition — OGC WKT1, the ESRI WKT1
   * dialect that ArcGIS writes into `.prj` files (no TOWGS84, no AUTHORITY,
   * `D_`-prefixed datum names), or WKT2 (ISO 19162 `PROJCRS`/`GEOGCRS`,
-  * incl. `BOUNDCRS` datum-shift wrappers) — whose projection method is one
-  * of the implemented families becomes a working `st_to_srid`
-  * target/source.
+  * incl. `BOUNDCRS` datum-shift wrappers) — or any PROJ.4 string
+  * (`+proj=... +ellps=... +towgs84=...`, see [[parseProj4]]) whose
+  * projection method is one of the implemented families becomes a working
+  * `st_to_srid` target/source.
   *
   * Cluster semantics: [[register]] affects the CALLING JVM — the driver,
   * and every executor in `local[*]` mode. On a multi-executor cluster,
@@ -44,12 +45,21 @@ object CrsRegistry {
     * registrations: `"27700=PROJCS[...];;31370=PROJCS[...]"`. */
   val ConfKey = "spark.graft.crs.wkt"
 
-  /** Register EPSG `code` from a WKT string (WKT1, ESRI WKT1 or WKT2) in
+  /** Register EPSG `code` from a CRS definition string — WKT (WKT1, ESRI
+    * WKT1 or WKT2) or a PROJ.4 string (`+proj=... +ellps=... +towgs84=...`,
+    * the grammar users paste from epsg.io / spatialreference.org) — in
     * this JVM (see the class doc for cluster semantics). Throws
     * IllegalArgumentException when the projection method has no
     * implemented family. */
-  def register(code: Int, wkt: String): Unit =
-    custom.put(code, (parseWkt(wkt), wkt))
+  def register(code: Int, definition: String): Unit =
+    custom.put(code, (parseDef(definition), definition))
+
+  /** Dialect dispatch: a definition starting with `+` (or a bare
+    * `proj=`) is PROJ.4; anything else parses as WKT. */
+  def parseDef(s: String): Crs = {
+    val t = s.trim
+    if (t.startsWith("+") || t.startsWith("proj=")) parseProj4(t) else parseWkt(t)
+  }
 
   /** Remove a JVM-local registration made with [[register]]. A code that
     * also arrives via [[ConfKey]] is re-registered here immediately from
@@ -68,8 +78,8 @@ object CrsRegistry {
             .toOption.contains(code)
         }
         .foreach { entry =>
-          val wkt = entry.substring(entry.indexOf('=') + 1)
-          custom.putIfAbsent(code, (parseWkt(wkt), wkt))
+          val defn = entry.substring(entry.indexOf('=') + 1)
+          custom.putIfAbsent(code, (parseDef(defn), defn))
         }
     }
   }
@@ -199,7 +209,7 @@ object CrsRegistry {
             val eq = entry.indexOf('=')
             require(eq > 0, s"$ConfKey entry must be code=WKT: $entry")
             val code = entry.substring(0, eq).trim.toInt
-            custom.putIfAbsent(code, (parseWkt(entry.substring(eq + 1)), entry.substring(eq + 1)))
+            custom.putIfAbsent(code, (parseDef(entry.substring(eq + 1)), entry.substring(eq + 1)))
           }
         }
         confLoaded = true
@@ -481,6 +491,212 @@ object CrsRegistry {
     Crs(inner.proj, shift, inner.name)
   }
 
+  // ------------------------------------------------------------ PROJ.4 path
+
+  /** Ellipsoids by PROJ.4 `+ellps=` mnemonic (normalized): the published
+    * PROJ ellipsoid table, a + 1/f (b-defined entries converted). */
+  private val proj4Ellps: Map[String, Ellipsoid] = {
+    def fromAB(a: Double, b: Double) = Ellipsoid(a, a / (a - b))
+    Map(
+      "wgs84" -> Ellipsoid(6378137.0, 298.257223563),
+      "grs80" -> Ellipsoid(6378137.0, 298.257222101),
+      "clrk66" -> fromAB(6378206.4, 6356583.8),
+      "clrk80" -> Ellipsoid(6378249.145, 293.4663),
+      "clrk80ign" -> Ellipsoid(6378249.2, 293.4660212936269),
+      "intl" -> Ellipsoid(6378388.0, 297.0),
+      "bessel" -> Ellipsoid(6377397.155, 299.1528128),
+      "krass" -> Ellipsoid(6378245.0, 298.3),
+      "airy" -> Ellipsoid(6377563.396, 299.3249646),
+      "modairy" -> fromAB(6377340.189, 6356034.446),
+      "wgs72" -> Ellipsoid(6378135.0, 298.26),
+      "wgs66" -> Ellipsoid(6378145.0, 298.25),
+      "grs67" -> Ellipsoid(6378160.0, 298.247167427),
+      "austsa" -> Ellipsoid(6378160.0, 298.25),
+      "helmert" -> Ellipsoid(6378200.0, 298.3),
+      "evrst30" -> Ellipsoid(6377276.345, 300.8017),
+      "sphere" -> Ellipsoid(6370997.0, 1e12))
+  }
+
+  /** PROJ.4 `+datum=` shorthands → (ellipsoid mnemonic, datum-name key in
+    * [[EpsgDb.datumShiftByName]]) — the public PROJ datum table restated
+    * onto the shift constants this engine already carries. */
+  private val proj4Datums: Map[String, (String, String)] = Map(
+    "wgs84" -> ("wgs84", "wgs84"),
+    "nad83" -> ("grs80", "nad83"),
+    "nad27" -> ("clrk66", "nad27"),
+    "osgb36" -> ("airy", "osgb36"),
+    "potsdam" -> ("bessel", "dhdn"),
+    "ch1903" -> ("bessel", "ch1903"),
+    "nzgd49" -> ("intl", "nzgd1949"),
+    "ire65" -> ("modairy", "tm65"),
+    "hermannskogel" -> ("bessel", "mgi"),
+    "ggrs87" -> ("grs80", "ggrs87"))
+
+  /** PROJ.4 `+pm=` named meridians, degrees east of Greenwich (the
+    * public PROJ prime-meridian table). */
+  private val proj4Pms: Map[String, Double] = Map(
+    "greenwich" -> 0.0, "lisbon" -> -9.131906111111112,
+    "paris" -> 2.337229166666667, "bogota" -> -74.08091666666667,
+    "madrid" -> -3.687938888888889, "rome" -> 12.45233333333333,
+    "bern" -> 7.439583333333333, "jakarta" -> 106.8077194444444,
+    "ferro" -> -17.66666666666667, "brussels" -> 4.367975,
+    "stockholm" -> 18.05827777777778, "athens" -> 23.7163375,
+    "oslo" -> 10.72291666666667)
+
+  /** PROJ.4 `+units=` → metres-per-unit (`+to_meter=` overrides). */
+  private val proj4Units: Map[String, Double] = Map(
+    "m" -> 1.0, "km" -> 1000.0, "cm" -> 0.01, "mm" -> 0.001,
+    "ft" -> 0.3048, "us-ft" -> 1200.0 / 3937.0, "ind-ft" -> 0.30479841,
+    "yd" -> 0.9144, "us-yd" -> 3600.0 / 3937.0,
+    "mi" -> 1609.344, "us-mi" -> 6336000.0 / 3937.0,
+    "in" -> 0.0254, "us-in" -> 100.0 / 3937.0,
+    "link" -> 0.201168402336805, "us-ch" -> 79200.0 / 3937.0, "fath" -> 1.8288)
+
+  /** PROJ.4 string → [[EpsgDb.Crs]]. Supported `+proj=` families map onto
+    * the same projection engine the WKT path uses: longlat/latlong, tmerc,
+    * utm (+zone/+south), merc (+lat_ts → 2SP form), webmerc, lcc (1/2SP),
+    * aea, stere (polar A via +k_0, polar B via +lat_ts), sterea, laea,
+    * cea, krovak, poly, omerc (+no_uoff → variant A), somerc, nzmg.
+    * Ellipsoid from `+ellps`/`+a +b`/`+a +rf`/`+a +f`/`+R`/`+datum`;
+    * datum shift from `+towgs84` (3 or 7 params; all-zero or
+    * `+nadgrids=@null` = explicitly WGS84-coincident) or the `+datum`
+    * shorthand; `+pm` named or numeric; `+units`/`+to_meter` for output
+    * units (false easting/northing stay metres, PROJ semantics).
+    * The reference reaches this grammar through pyproj/PROJ
+    * (`functions.rs:1868-1939`); here it is a ~100-line parser onto the
+    * in-repo families. */
+  def parseProj4(s: String): Crs = {
+    val kv = scala.collection.mutable.LinkedHashMap[String, String]()
+    s.trim.split("\\s+").iterator.filter(_.nonEmpty).foreach { t0 =>
+      val t = if (t0.startsWith("+")) t0.substring(1) else t0
+      val eq = t.indexOf('=')
+      if (eq >= 0) kv(t.substring(0, eq).toLowerCase(java.util.Locale.ROOT)) =
+        t.substring(eq + 1)
+      else kv(t.toLowerCase(java.util.Locale.ROOT)) = ""
+    }
+    val projName = kv.getOrElse("proj",
+      throw new IllegalArgumentException("PROJ.4 string without +proj="))
+    def d(k: String): Option[Double] =
+      kv.get(k).filter(_.nonEmpty).map(_.toDouble)
+
+    val datum = kv.get("datum").map(n => proj4Datums.getOrElse(norm(n),
+      throw new IllegalArgumentException(s"PROJ.4 +datum=$n not implemented " +
+        s"(known: ${proj4Datums.keys.toSeq.sorted.mkString(", ")})")))
+    val ell: Ellipsoid =
+      (d("a"), d("b"), d("rf").orElse(d("f").map(f => if (f == 0) 1e12 else 1 / f))) match {
+        case (Some(a), Some(b), _) =>
+          if (a == b) Ellipsoid(a, 1e12) else Ellipsoid(a, a / (a - b))
+        case (Some(a), None, Some(rf)) => Ellipsoid(a, if (rf == 0) 1e12 else rf)
+        case (Some(a), None, None) => Ellipsoid(a, 1e12) // +a alone = sphere
+        case _ => d("r").map(Ellipsoid(_, 1e12))
+          .orElse(kv.get("ellps").map(n => proj4Ellps.getOrElse(norm(n),
+            throw new IllegalArgumentException(s"PROJ.4 +ellps=$n not implemented " +
+              s"(known: ${proj4Ellps.keys.toSeq.sorted.mkString(", ")})"))))
+          .orElse(datum.map(dt => proj4Ellps(dt._1)))
+          .getOrElse(proj4Ellps("wgs84")) // PROJ's own default
+      }
+    val shift: Option[Helmert] = kv.get("towgs84") match {
+      case Some(csv) =>
+        val p = csv.split(",").map(_.trim.toDouble).padTo(7, 0.0)
+        if (p.forall(_ == 0.0)) None // explicit zeros = coincident
+        else Some(Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6)))
+      case None if kv.get("nadgrids").contains("@null") => None
+      case None => datum.flatMap(dt => EpsgDb.datumShiftByName.getOrElse(dt._2, None))
+    }
+    val pmDeg = kv.get("pm").map { pm =>
+      proj4Pms.getOrElse(norm(pm),
+        scala.util.Try(pm.toDouble).getOrElse(throw new IllegalArgumentException(
+          s"PROJ.4 +pm=$pm: not a known meridian or a number")))
+    }.getOrElse(0.0)
+    val toMeter = d("to_meter").orElse(kv.get("units").map(u =>
+      proj4Units.getOrElse(u.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(s"PROJ.4 +units=$u not implemented " +
+          s"(known: ${proj4Units.keys.toSeq.sorted.mkString(", ")})")))).getOrElse(1.0)
+
+    if (Set("longlat", "latlong", "latlon", "lonlat").contains(projName)) {
+      val proj = if (pmDeg == 0.0) Geographic(ell) else GeographicUnits(ell, 1.0, pmDeg)
+      return Crs(proj, shift, s.trim)
+    }
+
+    // parameters restated under the WKT spellings buildProjection resolves
+    val p = scala.collection.mutable.Map[String, Double]()
+    d("lat_0").foreach(p("latitudeoforigin") = _)
+    d("lon_0").foreach(p("centralmeridian") = _)
+    d("lonc").foreach(p("longitudeofcenter") = _)
+    d("lat_1").foreach(p("standardparallel1") = _)
+    d("lat_2").foreach(p("standardparallel2") = _)
+    d("k").orElse(d("k_0")).foreach(p("scalefactor") = _)
+    d("x_0").foreach(p("falseeasting") = _)
+    d("y_0").foreach(p("falsenorthing") = _)
+    d("alpha").foreach(p("azimuth") = _)
+    d("gamma").foreach(p("rectifiedgridangle") = _)
+
+    val method: String = projName match {
+      case "tmerc" => "transversemercator"
+      case "utm" =>
+        val zone = d("zone").map(_.toInt).getOrElse(throw new IllegalArgumentException(
+          "PROJ.4 +proj=utm needs +zone="))
+        require(zone >= 1 && zone <= 60, s"+proj=utm zone out of range: $zone")
+        p("latitudeoforigin") = 0.0
+        p("centralmeridian") = -183.0 + 6.0 * zone
+        p("scalefactor") = 0.9996
+        p("falseeasting") = 500000.0
+        p("falsenorthing") = if (kv.contains("south")) 1e7 else 0.0
+        "transversemercator"
+      case "merc" =>
+        // +lat_ts selects the standard-parallel (2SP) form; PROJ ignores
+        // +k there, matching mercSp1
+        d("lat_ts") match {
+          case Some(ts) => p("standardparallel1") = ts; "mercator2sp"
+          case None => "mercator1sp"
+        }
+      case "webmerc" => "popularvisualisationpseudomercator"
+      case "lcc" =>
+        if (d("lat_2").isDefined) "lambertconformalconic2sp"
+        else { // 1SP: tangent at lat_1 (PROJ defaults lat_1 = lat_0)
+          d("lat_1").orElse(d("lat_0")).foreach(p("latitudeoforigin") = _)
+          "lambertconformalconic1sp"
+        }
+      case "aea" => "albers"
+      case "stere" =>
+        val lat0 = d("lat_0").getOrElse(0.0)
+        require(math.abs(math.abs(lat0) - 90) < 1e-9,
+          "PROJ.4 +proj=stere is implemented for the polar aspect only " +
+            "(use +proj=sterea for oblique double stereographic)")
+        d("lat_ts") match {
+          case Some(ts) => p("standardparallel1") = ts; "polarstereographicvariantb"
+          case None => "polarstereographicvarianta"
+        }
+      case "sterea" => "obliquestereographic"
+      case "laea" => "lambertazimuthalequalarea"
+      case "cea" =>
+        d("lat_ts").foreach(p("standardparallel1") = _)
+        "cylindricalequalarea"
+      case "krovak" =>
+        // PROJ hardcodes the pseudo standard parallel at 78.5°
+        p.getOrElseUpdate("pseudostandardparallel1", 78.5)
+        p.getOrElseUpdate("azimuth", 30.28813972222222)
+        "krovak"
+      case "poly" => "polyconic"
+      case "omerc" =>
+        if (kv.contains("no_uoff") || kv.contains("no_off"))
+          "hotineobliquemercatorvarianta"
+        else "hotineobliquemercatorazimuthcenter"
+      case "somerc" =>
+        p("azimuth") = 90.0; p("rectifiedgridangle") = 90.0
+        "hotineobliquemercatorazimuthcenter" // az=γ=90 dispatches to somerc
+      case "nzmg" => "newzealandmapgrid"
+      case other => throw new IllegalArgumentException(
+        s"PROJ.4 +proj=$other not implemented (supported: longlat, tmerc, utm, " +
+          "merc, webmerc, lcc, aea, stere (polar), sterea, laea, cea, krovak, " +
+          "poly, omerc, somerc, nzmg)")
+    }
+    def get(names: Seq[String]): Option[Double] = names.flatMap(p.get).headOption
+    val proj = buildProjection(method, ell,
+      angle = get, len = get, num = get, pmDeg = pmDeg)
+    Crs(unitScaled(proj, toMeter), shift, s.trim)
+  }
+
   // --------------------------------------------- shared projection builder
 
   private def unitScaled(proj: Projection, linearFactor: Double): Projection =
@@ -574,6 +790,11 @@ object CrsRegistry {
         Krovak(ell, lat0, lon0, az, psp, kk)
       case "polyconic" | "americanpolyconic" =>
         Polyconic(ell, lat0, lon0, fe, fn)
+      case "cylindricalequalarea" | "lambertcylindricalequalarea" |
+          "lambertcylindricalequalareaspherical" =>
+        Cea(ell, lat1, lon0, fe, fn)
+      case "newzealandmapgrid" =>
+        Nzmg(fe, fn)
       case "hotineobliquemercator" | "hotineobliquemercatorvarianta" |
           "rectifiedskeworthomorphicnaturalorigin" |
           "obliquemercatorhotine" =>

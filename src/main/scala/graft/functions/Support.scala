@@ -729,8 +729,9 @@ object CrsImpl {
         "families (4326, 3857, 3395, 3035, 2154, 3978, 5070, 3577, 3413, 3031, " +
         s"UTM 326xx/327xx) plus the ${EpsgDb.table.size} codes in the embedded " +
         "EPSG parameter table (graft.functions.EpsgDb); other codes can be " +
-        "added from their WKT1 definition via graft.functions.registerCrs " +
-        "or the spark.graft.crs.wkt conf (graft.functions.CrsRegistry)")
+        "added from their WKT or PROJ.4 definition via " +
+        "graft.functions.registerCrs or the spark.graft.crs.wkt conf " +
+        "(graft.functions.CrsRegistry)")
     val out = graft.serde.GeomUtil.mapCoords(g, (x, y, z) => {
       val (lon, lat) = toWgs84Any(x, y, src)
       val (ox, oy) = fromWgs84Any(lon, lat, target)

@@ -247,12 +247,14 @@ package object functions {
   def st_get_crs_authority(defn: Column): Column = crsAuthority(defn)
   /** CRS WKT from an EPSG code. */
   def st_get_crs_from_code(srid: Column): Column = crsFromCode(srid)
-  /** Register an EPSG code from its WKT1 definition (epsg.io / `.prj`
-    * format) so `st_to_srid` can transform to/from it — the escape hatch
-    * for codes beyond the embedded table. JVM-local; on a multi-executor
-    * cluster pass definitions via the `spark.graft.crs.wkt` submit-time
-    * conf instead (see [[CrsRegistry]]). */
-  def registerCrs(code: Int, wkt: String): Unit = CrsRegistry.register(code, wkt)
+  /** Register an EPSG code from its WKT definition (WKT1/ESRI/WKT2 —
+    * epsg.io / `.prj` format) or its PROJ.4 string (`+proj=...`, the other
+    * text epsg.io serves) so `st_to_srid` can transform to/from it — the
+    * escape hatch for codes beyond the embedded table. JVM-local; on a
+    * multi-executor cluster pass definitions via the `spark.graft.crs.wkt`
+    * submit-time conf instead (see [[CrsRegistry]]). */
+  def registerCrs(code: Int, definition: String): Unit =
+    CrsRegistry.register(code, definition)
 
   // ----------------------------------------------------------- serialization
   def st_aswkt(g: Column): Column = asWkt(g)

@@ -132,17 +132,47 @@ object Multimodal {
 
   // ---------------------------------------- REAL pixel plane (JDK codecs)
 
-  /** Decode via the JDK's ImageIO codec registry (PNG/JPEG/GIF/BMP readers
-    * ship with every JVM); None when no codec applies. */
-  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+  /** Decompression-bomb bound for full-raster decodes: a few-KB PNG can
+    * claim 60000×60000 and expand to ~14 GB of raster, OOMing an executor.
+    * 50 MPix ≈ 200 MB of INT_RGB — large enough for any sane training
+    * image, small enough to never kill a task. At 100 TB of crawled bytes,
+    * adversarial headers are a certainty, not a tail risk. */
+  val MaxDecodePixels: Long = 50L * 1000 * 1000
 
-  /** REAL pixel decode: binary → (width, height, color channels) from the
-    * decoded raster (not the header). */
+  /** Decode via the JDK's ImageIO codec registry (PNG/JPEG/GIF/BMP readers
+    * ship with every JVM); None when no codec applies, when the bytes are
+    * corrupt/truncated (readers THROW on recognized-but-damaged streams —
+    * one bad blob in a billion-row corpus must not fail the stage), or
+    * when the header-declared raster exceeds `maxPixels` (checked via the
+    * reader's header stage BEFORE any pixel allocation). */
+  def readImage(bytes: Array[Byte],
+      maxPixels: Long = MaxDecodePixels): Option[java.awt.image.BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // getWidth/getHeight read only the header — no raster work yet
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxPixels) None
+          else Option(reader.read(0))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL pixel decode: binary → (width, height, channels) from the
+    * decoded raster (not the header). Channel convention: alpha COUNTS
+    * (`getNumComponents`) — matching [[parseImageHeader]], where PNG color
+    * type 6 reports 4; an RGB raster reports 3 either way. */
   val decodePixels = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else readImage(bytes).map(i =>
-      (i.getWidth, i.getHeight, i.getColorModel.getNumColorComponents)))
+      (i.getWidth, i.getHeight, i.getColorModel.getNumComponents)))
 
   /** REAL per-channel means over every decoded pixel, normalized to [0,1]:
     * array(meanR, meanG, meanB). */
@@ -643,13 +673,15 @@ object Multimodal {
     * path (PNG/JPEG/GIF byte parsers — no pixel work) first, then an
     * actual `ImageIO` decode for anything else the JDK codecs read (BMP,
     * WBMP, header-damaged-but-decodable streams). None when no codec
-    * applies — dimensions are never fabricated. */
+    * applies — dimensions are never fabricated. Both paths count alpha as
+    * a channel (header: PNG type 6 → 4; fallback: `getNumComponents`), so
+    * the same logical image reports the same channels either way. */
   val decodeImageMeta = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else parseImageHeader(bytes) match {
       case Some((w, h, c, _)) => Some((w, h, c))
       case None => readImage(bytes).map(i =>
-        (i.getWidth, i.getHeight, i.getColorModel.getNumColorComponents))
+        (i.getWidth, i.getHeight, i.getColorModel.getNumComponents))
     })
 
   /** REAL pixel-space image embedding of exactly `dim` dims: a

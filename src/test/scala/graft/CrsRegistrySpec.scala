@@ -404,4 +404,114 @@ class CrsRegistrySpec extends AnyFunSuite {
     assert(homB.proj.isInstanceOf[EpsgDb.HotineOblique])
     assert(homB.proj.asInstanceOf[EpsgDb.HotineOblique].variantB)
   }
+
+  // ------------------------------------------------------ PROJ.4 front-end
+  // Published proj4 strings (the exact text epsg.io serves) registered
+  // under shifted codes, required to agree with the built-in engine.
+
+  test("proj4: UTM via +proj=utm +zone +datum=WGS84") {
+    // anchor: ETRS89 / UTM 33N (same TMerc; GRS80 vs WGS84 differs by
+    // ~0.1 mm of flattening — sub-mm, inside the tolerance)
+    CrsRegistry.register(942633,
+      "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs")
+    assert(maxDelta(25833, 942633,
+      Seq((15.0, 52.0), (12.5, 41.9), (17.9, 59.3))) < 1e-3)
+    // +south adds exactly the 10,000 km false northing
+    CrsRegistry.register(942733,
+      "+proj=utm +zone=33 +south +datum=WGS84 +units=m +no_defs")
+    val (nx, ny) = EpsgDb.fromWgs84(15.0, -25.0, 942633)
+    val (sx, sy) = EpsgDb.fromWgs84(15.0, -25.0, 942733)
+    assert(sx === nx && math.abs(sy - (ny + 1e7)) < 1e-9)
+  }
+
+  test("proj4: tmerc + 7-param +towgs84 datum hop (British National Grid)") {
+    CrsRegistry.register(947700,
+      "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+        "+y_0=-100000 +ellps=airy " +
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 " +
+        "+units=m +no_defs")
+    assert(maxDelta(27700, 947700,
+      Seq((-0.1276, 51.5072), (-3.19, 55.95), (-5.93, 54.6))) < 0.02)
+  }
+
+  test("proj4: +datum=NAD27 shorthand recovers the published Helmert") {
+    CrsRegistry.register(946714, "+proj=utm +zone=14 +datum=NAD27 +units=m +no_defs")
+    assert(maxDelta(26714, 946714, Seq((-98.5, 39.8), (-97.0, 32.8))) < 1e-4)
+  }
+
+  test("proj4: lcc 2SP (RGF93 / Lambert-93)") {
+    CrsRegistry.register(942154,
+      "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 " +
+        "+y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs")
+    assert(maxDelta(2154, 942154, Seq((2.35, 48.85), (5.37, 43.3))) < 1e-4)
+  }
+
+  test("proj4: spherical web mercator via +a=+b and +nadgrids=@null") {
+    CrsRegistry.register(943857,
+      "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 " +
+        "+k=1 +units=m +nadgrids=@null +wktext +no_defs")
+    // anchor: the published EPSG 3857 spherical formulas
+    for ((lon, lat) <- Seq((2.35, 48.85), (-74.0, 40.7))) {
+      val ex = 6378137.0 * math.toRadians(lon)
+      val ey = 6378137.0 * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+      // the engine encodes a sphere as invF=1e12 (the WKT web-mercator
+      // path's own convention) — ~1e-5 m from the exact sphere formulas
+      val (x, y) = EpsgDb.fromWgs84(lon, lat, 943857)
+      assert(math.abs(x - ex) < 1e-4 && math.abs(y - ey) < 1e-4)
+      val (blon, blat) = EpsgDb.toWgs84(x, y, 943857)
+      assert(math.abs(blon - lon) < 1e-9 && math.abs(blat - lat) < 1e-9)
+    }
+  }
+
+  test("proj4: somerc (CH1903+ / LV95) dispatches to the Swiss family") {
+    CrsRegistry.register(942056,
+      "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 " +
+        "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel " +
+        "+towgs84=674.374,15.056,405.346,0,0,0,0 +units=m +no_defs")
+    assert(maxDelta(2056, 942056, Seq((7.44, 46.95), (8.54, 47.38))) < 1e-4)
+    assert(CrsRegistry.parseProj4(
+      "+proj=somerc +lat_0=46.95 +lon_0=7.44 +k_0=1 +ellps=bessel")
+      .proj.isInstanceOf[EpsgDb.SwissOblique])
+  }
+
+  test("proj4: polar stereographic variant B via +lat_ts") {
+    CrsRegistry.register(943976,
+      "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 " +
+        "+datum=WGS84 +units=m +no_defs")
+    assert(maxDelta(3976, 943976, Seq((10.0, -75.0), (-45.0, -80.0))) < 1e-4)
+  }
+
+  test("proj4: +units=us-ft scales output like the WKT UnitScaled path") {
+    val ftUS = 1200.0 / 3937.0
+    CrsRegistry.register(948157,
+      "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 " +
+        s"+x_0=600000 +y_0=750000 +ellps=GRS80 +units=us-ft +no_defs")
+    // PROJ keeps x_0/y_0 in METRES and converts output to the unit
+    val (bx, by) = EpsgDb.fromWgs84(-6.26, 53.35, 2157)
+    val (fx, fy) = EpsgDb.fromWgs84(-6.26, 53.35, 948157)
+    assert(math.abs(fx - bx / ftUS) < 1e-6 && math.abs(fy - by / ftUS) < 1e-6)
+    val (lon, lat) = EpsgDb.toWgs84(fx, fy, 948157)
+    assert(math.abs(lon - -6.26) < 1e-8 && math.abs(lat - 53.35) < 1e-8)
+  }
+
+  test("proj4: +pm=paris shifts longitudes (NTF Lambert)") {
+    // Paris-meridian geographic: lon 0 at the proj4 CRS = 2.3372°E Greenwich
+    CrsRegistry.register(944807,
+      "+proj=longlat +ellps=clrk80ign +pm=paris +no_defs")
+    val (lon, _) = EpsgDb.toWgs84(0.0, 48.0, 944807)
+    assert(math.abs(lon - 2.337229166666667) < 1e-9)
+  }
+
+  test("proj4: geographic + unknown family errors are actionable") {
+    val g = CrsRegistry.parseProj4("+proj=longlat +datum=WGS84 +no_defs")
+    assert(g.proj.isInstanceOf[EpsgDb.Geographic] && g.shift.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=robin +lon_0=0 +ellps=WGS84")
+    }
+    assert(e.getMessage.contains("+proj=robin") && e.getMessage.contains("supported"))
+    val e2 = intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=tmerc +ellps=nonsense")
+    }
+    assert(e2.getMessage.contains("nonsense"))
+  }
 }

@@ -829,22 +829,95 @@ class PipelineSpec extends AnyFunSuite {
     assert(zh === "zh")
   }
 
+  /** Encode a raster to bytes through the JDK writer (test fixture). */
+  private def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic non-solid gradient raster — codec-exercising but
+    * lossless-representable (exact under PNG and BMP round trips). */
+  private def gradientImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / math.max(w - 1, 1)) << 16) |
+        ((y * 255 / math.max(h - 1, 1)) << 8) | ((x + y) * 7 % 256))
+    img
+  }
+
   test("multimodal plumbing: schema and frame explode") {
-    val media = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+    val realPng = encodeImage(gradientImage(16, 8), "png")
+    val media = Seq((1L, realPng),
       (2L, Array[Byte](9, 9, 9, 9))).toDF("id", "payload")
     val feat = Multimodal.withImageFeatures(media, "payload", featureDim = 8)
     assert(feat.schema("image_meta").dataType.typeName === "struct")
-    val row = feat.filter($"id" === 1).select($"image_meta.width", size($"features")).collect()(0)
-    assert(row.getInt(0) >= 64)
-    assert(row.getInt(1) === 8)
+    val row = feat.filter($"id" === 1)
+      .select($"image_meta.width", $"image_meta.height", size($"features")).collect()(0)
+    assert(row.getInt(0) === 16 && row.getInt(1) === 8)
+    assert(row.getInt(2) === 8)
+    // undecodable bytes honestly yield null meta/features — never fabricated
+    val junk = feat.filter($"id" === 2)
+      .select($"image_meta.width".isNull, $"features".isNull).collect()(0)
+    assert(junk.getBoolean(0) && junk.getBoolean(1))
     // deterministic across runs
-    val f1 = feat.select($"features").collect()(0).getSeq[Float](0)
+    val f1 = feat.filter($"id" === 1).select($"features").collect()(0).getSeq[Float](0)
     val f2 = Multimodal.withImageFeatures(media, "payload", featureDim = 8)
-      .select($"features").collect()(0).getSeq[Float](0)
+      .filter($"id" === 1).select($"features").collect()(0).getSeq[Float](0)
     assert(f1 === f2)
     val frames = Multimodal.explodeFrames(media, "id", "payload", 4)
     assert(frames.count() === 8)
     assert(frames.columns.toSeq === Seq("id", "frame_idx", "frame"))
+  }
+
+  test("image decode is corruption-safe and decompression-bomb-guarded") {
+    // truncated-but-claimed stream: the PNG reader recognizes the IHDR
+    // fixture, then hits EOF — must yield None, never throw (one corrupt
+    // blob in a 100 TB corpus must not fail the stage)
+    val truncated = Seq(1).toDF("id")
+      .select(Multimodal.makePngHeader(lit(64), lit(32)).as("png"))
+      .select(Multimodal.decodePixels($"png").as("px"),
+        Multimodal.imageFeatures(8)($"png").as("f"),
+        Multimodal.channelMeans($"png").as("m"),
+        Multimodal.resizeImage($"png", lit(4), lit(4)).as("rs")).collect()(0)
+    assert(truncated.isNullAt(0) && truncated.isNullAt(1) &&
+      truncated.isNullAt(2) && truncated.isNullAt(3))
+    // bomb: tiny bytes claiming a 60000×60000 raster (~14 GB decoded) —
+    // the header-stage pixel bound refuses before any raster allocation
+    val bomb = Seq(1).toDF("id")
+      .select(Multimodal.makePngHeader(lit(60000), lit(60000)).as("png"))
+      .select(Multimodal.decodePixels($"png").isNull,
+        Multimodal.imageFeatures(8)($"png").isNull).collect()(0)
+    assert(bomb.getBoolean(0) && bomb.getBoolean(1))
+    // the bound itself (independent of corruption): a real 16×8 image
+    // decodes under a 128-pixel budget and is refused under a 50-pixel one
+    val realPng = encodeImage(gradientImage(16, 8), "png")
+    assert(Multimodal.readImage(realPng, maxPixels = 128).isDefined)
+    assert(Multimodal.readImage(realPng, maxPixels = 50).isEmpty)
+    // header fast path still reads bomb metadata cheaply (no pixel work)
+    assert(Multimodal.parseImageHeader(
+      Seq(1).toDF("id").select(Multimodal.makePngHeader(lit(60000), lit(60000)))
+        .collect()(0).getAs[Array[Byte]](0)) === Some((60000, 60000, 3, "png")))
+  }
+
+  test("image dedup: pixel features collide under re-encoding; byte-hash cannot") {
+    def l2(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val img = gradientImage(32, 24)
+    val df = Seq((encodeImage(img, "png"), encodeImage(img, "bmp"))).toDF("png", "bmp")
+    // same raster, two lossless codecs: pixel-space features are identical
+    val featRow = df.select(
+      Multimodal.imageFeatures(64)($"png"),
+      Multimodal.imageFeatures(64)($"bmp")).collect()(0)
+    val (fp, fb) = (featRow.getSeq[Float](0), featRow.getSeq[Float](1))
+    assert(l2(fp, fb) === 0.0, "lossless re-encode must not move pixel features")
+    // the byte-hash stub sees two unrelated byte streams — far apart
+    val hashRow = df.select(
+      Multimodal.visionEmbeddingStub(64)($"png"),
+      Multimodal.visionEmbeddingStub(64)($"bmp")).collect()(0)
+    val (hp, hb) = (hashRow.getSeq[Float](0), hashRow.getSeq[Float](1))
+    assert(l2(hp, hb) > 0.5, s"byte-hash collided (d=${l2(hp, hb)}) — fixture broken")
   }
 
   test("multimodal REAL pixel plane: decode, means, resize, features, pcm") {
