@@ -576,6 +576,12 @@ object CrsRegistry {
     }
     val projName = kv.getOrElse("proj",
       throw new IllegalArgumentException("PROJ.4 string without +proj="))
+    // silently ignoring a non-default axis order would register a CRS
+    // whose coordinates come out sign-flipped/swapped (e.g. the South
+    // African +axis=wsu grids) — fail loudly like the other unknowns
+    kv.get("axis").filter(_ != "enu").foreach(a =>
+      throw new IllegalArgumentException(
+        s"PROJ.4 +axis=$a: only the default east-north-up order is implemented"))
     def d(k: String): Option[Double] =
       kv.get(k).filter(_.nonEmpty).map(_.toDouble)
 
@@ -654,6 +660,16 @@ object CrsRegistry {
       case "lcc" =>
         if (d("lat_2").isDefined) "lambertconformalconic2sp"
         else { // 1SP: tangent at lat_1 (PROJ defaults lat_1 = lat_0)
+          // PROJ's 1SP form puts the cone at lat_1 but measures the false
+          // northing from lat_0 — Lcc1SP has a single latitude, so a
+          // DISTINCT pair would silently offset every northing: reject it
+          (d("lat_1"), d("lat_0")) match {
+            case (Some(l1), Some(l0)) if math.abs(l1 - l0) > 1e-12 =>
+              throw new IllegalArgumentException(
+                s"PROJ.4 +proj=lcc 1SP with lat_1=$l1 != lat_0=$l0 is not " +
+                  "implemented (supply +lat_2 for the 2SP form, or equal values)")
+            case _ => ()
+          }
           d("lat_1").orElse(d("lat_0")).foreach(p("latitudeoforigin") = _)
           "lambertconformalconic1sp"
         }
@@ -673,9 +689,14 @@ object CrsRegistry {
         d("lat_ts").foreach(p("standardparallel1") = _)
         "cylindricalequalarea"
       case "krovak" =>
-        // PROJ hardcodes the pseudo standard parallel at 78.5°
+        // PROJ hardcodes ALL of these when absent — a terse
+        // '+proj=krovak +ellps=bessel' is valid there and must not parse
+        // here as a lat_0=0/lon_0=0/k=1 projection thousands of km off
         p.getOrElseUpdate("pseudostandardparallel1", 78.5)
         p.getOrElseUpdate("azimuth", 30.28813972222222)
+        p.getOrElseUpdate("latitudeoforigin", 49.5)
+        p.getOrElseUpdate("centralmeridian", 24.833333333333332)
+        p.getOrElseUpdate("scalefactor", 0.9999)
         "krovak"
       case "poly" => "polyconic"
       case "omerc" =>
@@ -862,6 +883,16 @@ object CrsRegistry {
     * 4. unparseable/unsupported definitions yield 0 (geometry still reads,
     *    untagged — the reference's GDAL fallback behavior). */
   def sridForWkt(wkt: String): Int = {
+    // PROJ.4 definitions have no AUTHORITY concept — parse, then infer
+    // the code from the embedded table or auto-register, same as
+    // authority-less WKT (keeps all three front doors — register, the
+    // conf key, and this .prj/definition resolver — dialect-consistent)
+    if (wkt.trim.startsWith("+") || wkt.trim.startsWith("proj=")) {
+      return try {
+        val crs = parseProj4(wkt.trim)
+        inferSrid(crs).getOrElse(autoRegister(crs, wkt))
+      } catch { case scala.util.control.NonFatal(_) => 0 }
+    }
     val parsed: Option[Node] =
       try Some(tokenizeAndParse(wkt))
       catch { case scala.util.control.NonFatal(_) => None }

@@ -148,27 +148,36 @@ object Multimodal {
   def readImage(bytes: Array[Byte],
       maxPixels: Long = MaxDecodePixels): Option[java.awt.image.BufferedImage] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // memory-cache stream, NOT createImageInputStream: the default
+      // file-cache variant opens a temp file + RandomAccessFile per call —
+      // a per-row UDF would leak handles/tmp-disk between GCs at scale
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          // getWidth/getHeight read only the header — no raster work yet
-          val w = reader.getWidth(0).toLong
-          val h = reader.getHeight(0).toLong
-          if (w <= 0 || h <= 0 || w * h > maxPixels) None
-          else Option(reader.read(0))
-        } finally reader.dispose()
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // getWidth/getHeight read only the header — no raster work yet
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > maxPixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL pixel decode: binary → (width, height, channels) from the
     * decoded raster (not the header). Channel convention: alpha COUNTS
-    * (`getNumComponents`) — matching [[parseImageHeader]], where PNG color
-    * type 6 reports 4; an RGB raster reports 3 either way. */
+    * (`getNumComponents`), matching [[parseImageHeader]]'s PNG type-6 → 4.
+    * NOTE the two planes answer different questions by design: the header
+    * reports the ENCODED layout (a palette GIF/PNG is 1 index channel —
+    * the header parser prints the palette's color arity instead), this op
+    * reports the DECODED raster layout (that same palette image expands
+    * to 3, or 4 with a transparent index). */
   val decodePixels = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else readImage(bytes).map(i =>
@@ -674,8 +683,10 @@ object Multimodal {
     * actual `ImageIO` decode for anything else the JDK codecs read (BMP,
     * WBMP, header-damaged-but-decodable streams). None when no codec
     * applies — dimensions are never fabricated. Both paths count alpha as
-    * a channel (header: PNG type 6 → 4; fallback: `getNumComponents`), so
-    * the same logical image reports the same channels either way. */
+    * a channel (header: PNG type 6 → 4; fallback: `getNumComponents`).
+    * The formats with a header fast path (PNG/JPEG/GIF) ALWAYS take it,
+    * so a given format's channel convention is stable; the decode
+    * fallback only ever serves formats the fast path doesn't know. */
   val decodeImageMeta = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else parseImageHeader(bytes) match {

@@ -94,20 +94,39 @@ object EWKB {
   // re-parse identical bytes per op — the round-trip cost model inherited
   // from the reference (README.md:44). Keyed on byte content; geometries
   // returned from read() are treated as immutable everywhere (mutating ops
-  // copy first — see GeoUDFs.setSrid). Oversized values skip the cache so a
-  // thread holds at most Entries × MaxBytes.
-  private val ParseCacheEntries = 64
+  // copy first — see GeoUDFs.setSrid). Oversized values skip the cache.
+  //
+  // Sizing (r13, ProbeBucketHot): the cache was 64 entries, which the
+  // bucketed spatial join's hot cells THRASH — a cell group cycling >64
+  // distinct inner geometries misses on every lookup AND pays the map
+  // overhead (measured 864 ns/lookup thrashing vs 196 ns hitting on
+  // ~100-byte polygons; a 4096×256 hot cell's single task spent ~100% of
+  // the join wall-clock re-parsing). Now an entry cap of 1024 with a
+  // 2 MiB per-thread BYTE budget (keyed bytes as proxy for geometry heap,
+  // JTS expansion ~3-5×): small-geometry hot cells up to 1024 distinct
+  // values fit, while 256 KiB monsters can only hold 8 slots — worst-case
+  // heap stays ~10 MiB/thread either way, and eviction amortizes O(1).
+  private val ParseCacheEntries = 1024
   private val ParseCacheMaxBytes = 256 * 1024
-  private val parseCacheTL =
-    new ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry]] {
-      override def initialValue() =
-        new java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry](
-            ParseCacheEntries, 0.75f, true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[java.nio.ByteBuffer, Geometry]): Boolean =
-            size() > ParseCacheEntries
-        }
+  private val ParseCacheBudgetBytes = 2L * 1024 * 1024
+  private final class ParseCache {
+    private var bytes = 0L
+    private val m = new java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry](
+      256, 0.75f, true)
+    def get(k: java.nio.ByteBuffer): Geometry = m.get(k)
+    def put(k: java.nio.ByteBuffer, g: Geometry): Unit = {
+      if (m.put(k, g) == null) bytes += k.capacity
+      while (m.size > ParseCacheEntries || bytes > ParseCacheBudgetBytes) {
+        val it = m.entrySet().iterator() // head = least-recently-used
+        val e = it.next()
+        bytes -= e.getKey.capacity
+        it.remove()
+      }
     }
+  }
+  private val parseCacheTL = new ThreadLocal[ParseCache] {
+    override def initialValue() = new ParseCache
+  }
 
   /** One EWKB/WKB parse, with the curved-geometry contract: curved types
     * 8-12 (and GeometryCollections that contain them) auto-linearize at 32

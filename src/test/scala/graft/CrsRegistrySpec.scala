@@ -502,6 +502,37 @@ class CrsRegistrySpec extends AnyFunSuite {
     assert(math.abs(lon - 2.337229166666667) < 1e-9)
   }
 
+  test("proj4: review-pinned edges (axis, lcc 1SP, terse krovak, sridForWkt)") {
+    // non-default axis order must fail loudly, not register sign-flipped
+    val ax = intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=tmerc +lon_0=25 +axis=wsu +ellps=WGS84")
+    }
+    assert(ax.getMessage.contains("+axis=wsu"))
+    // lcc 1SP: distinct lat_0/lat_1 (PROJ offsets the northing) rejected;
+    // the equal form parses
+    intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=lcc +lat_1=33 +lat_0=25 +lon_0=-100 +ellps=WGS84")
+    }
+    assert(CrsRegistry.parseProj4(
+      "+proj=lcc +lat_1=33 +lat_0=33 +k_0=1 +lon_0=-100 +ellps=WGS84")
+      .proj.isInstanceOf[EpsgDb.Lcc1SP])
+    // terse krovak is valid PROJ (every parameter hardcoded there) and
+    // must land on S-JTSK, not a lat_0=0 projection a continent away
+    CrsRegistry.register(945514, "+proj=krovak +ellps=bessel +towgs84=589,76,480")
+    assert(maxDelta(5514, 945514, Seq((14.42, 50.09), (17.25, 49.2))) < 0.01)
+    // the .prj/definition resolver accepts proj4 too: a definition whose
+    // parameters match an embedded-table entry infers that code (smallest
+    // matching code wins — 3006 SWEREF99 TM ≡ ETRS89/UTM 33N parameters)
+    assert(CrsRegistry.sridForWkt(
+      "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0 +units=m +no_defs") === 3006)
+    // no table twin → deterministic synthetic auto-registration that works
+    val syn = CrsRegistry.sridForWkt("+proj=utm +zone=33 +datum=WGS84 +units=m")
+    assert(syn >= 990000 && EpsgDb.isSupported(syn))
+    val (x25833, y25833) = EpsgDb.fromWgs84(15.0, 52.0, 25833)
+    val (xs, ys) = EpsgDb.fromWgs84(15.0, 52.0, syn)
+    assert(math.abs(xs - x25833) < 1e-3 && math.abs(ys - y25833) < 1e-3)
+  }
+
   test("proj4: geographic + unknown family errors are actionable") {
     val g = CrsRegistry.parseProj4("+proj=longlat +datum=WGS84 +no_defs")
     assert(g.proj.isInstanceOf[EpsgDb.Geographic] && g.shift.isEmpty)
