@@ -373,6 +373,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    /** End-to-end IMAGE near-dup (r13): per-doc gradient rasters encoded
+      * as PNG (id) and BMP (id+10000) — the same pixels through two
+      * lossless codecs — run through the full distributed path
+      * ([[Multimodal.nearDupImages]]: pixel features → sign-LSH buckets →
+      * exact-cosine verify). Every twin pair MUST surface (identical
+      * rasters → identical features → same LSH signature in every table,
+      * cosine 1), and no cross-doc pair reaches the 0.9999 bar (distinct
+      * frequency triples per doc). */
+    "pipe_image_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("fr", (col("doc_id") % 16 * 2 + 3).cast("int"))
+        .withColumn("fg", ((col("doc_id") / 16) % 16 * 2 + 5).cast("int"))
+        .withColumn("fb", ((col("doc_id") / 256) % 16 * 2 + 7).cast("int"))
+      val png = base.select(col("doc_id").as("img_id"),
+        Multimodal.makeGradImage(lit(24), lit(16),
+          col("fr"), col("fg"), col("fb"), lit("png")).as("img"))
+      val bmp = base.select((col("doc_id") + 10000).as("img_id"),
+        Multimodal.makeGradImage(lit(24), lit(16),
+          col("fr"), col("fg"), col("fb"), lit("bmp")).as("img"))
+      val pairs = Multimodal.nearDupImages(
+        png.unionAll(bmp), "img_id", "img", threshold = 0.9999)
+      pairs.agg(
+        sum((col("id_b") - col("id_a") === 10000).cast("long")).as("n_twins"),
+        sum((col("id_b") - col("id_a") =!= 10000).cast("long")).as("n_cross"),
+        (min(col("cosine")) > 0.99999999).as("twin_cos_one"))
+    }),
+
     /** REAL pixel plane (JDK ImageIO + PCM): solid-color fixtures make
       * every statistic closed-form — decode dims, channel means v/255,
       * resize round trip, 2×2 thumbnail features, constant-PCM rms/peak/
@@ -848,6 +875,9 @@ object PipelineQueries {
         | 1 AS au_channels, 16000 AS au_rate,
         | (doc_id % 100 + 1) * 1000 AS au_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_image_dedup" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_twins,
+        | CAST(0 AS BIGINT) AS n_cross, TRUE AS twin_cos_one""".stripMargin,
     "pipe_multimodal_feat" ->
       """SELECT doc_id, 64 AS n_feat,
         | TRUE AS grid_r_ok, TRUE AS grid_g_ok, TRUE AS grid_b_ok,

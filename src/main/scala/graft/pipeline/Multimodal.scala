@@ -529,6 +529,30 @@ object Multimodal {
     bos.toByteArray
   })
 
+  /** Fixture: deterministic NON-solid gradient raster (per-channel spatial
+    * frequencies `fr`/`fg`/`fb`), losslessly representable in PNG and BMP.
+    * Distinct frequency triples give distinct pooled-feature vectors where
+    * solid colors could alias (two grays are parallel in grid space). */
+  val makeGradImage = udf((w: Int, h: Int, fr: Int, fg: Int, fb: Int, fmt: String) => {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * fr + y) % 256
+        val g = (y * fg + x) % 256
+        val b = ((x + y) * fb) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  })
+
   /** Fixture: mono 16-bit WAV with `n` constant-amplitude samples —
     * rms = peak = mean = amp/2¹⁵ exactly. */
   val makeWavConst = udf((n: Int, sampleRate: Int, amp: Int) =>
@@ -811,4 +835,20 @@ object Multimodal {
     * MJPEG AVI frames decode for real; other containers hit the stub. */
   def explodeFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame =
     df.select(col(idCol), posexplode(frameSampleStub(n)(col(binCol))).as(Seq("frame_idx", "frame")))
+
+  /** Distributed image near-duplicate mining, end to end: decode →
+    * pixel-space [[imageFeatures]] → sign-LSH embedding near-dup
+    * ([[Dedup.nearDupEmbedding]]: per-table bucket equi-join with
+    * hot-bucket caps, exact-cosine verify — never all-pairs). Because the
+    * features are computed from PIXELS, the same picture re-encoded
+    * (PNG↔BMP, or resized) collides, which a byte-hash never could.
+    * Undecodable/corrupt bytes yield null features and are dropped — they
+    * cannot be near anything. Returns (id_a, id_b, cosine). */
+  def nearDupImages(df: DataFrame, idCol: String, binCol: String,
+      threshold: Double, dim: Int = 64, bits: Int = 12,
+      tables: Int = 4): DataFrame =
+    Dedup.nearDupEmbedding(
+      df.select(col(idCol), imageFeatures(dim)(col(binCol)).as("__feat"))
+        .filter(col("__feat").isNotNull),
+      idCol, "__feat", threshold, bits, tables)
 }

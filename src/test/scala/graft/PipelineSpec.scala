@@ -918,6 +918,23 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.visionEmbeddingStub(64)($"bmp")).collect()(0)
     val (hp, hb) = (hashRow.getSeq[Float](0), hashRow.getSeq[Float](1))
     assert(l2(hp, hb) > 0.5, s"byte-hash collided (d=${l2(hp, hb)}) — fixture broken")
+    // end-to-end distributed path: PNG twin, BMP twin, a half-size resize
+    // re-encode of the same picture, and one unrelated image — the LSH →
+    // exact-verify pipeline pairs all three encodings, not the stranger
+    val quad = Seq(
+      (1L, encodeImage(img, "png")),
+      (2L, encodeImage(img, "bmp")),
+      (4L, encodeImage(gradientImage(17, 13), "png")) // unrelated
+    ).toDF("img_id", "img").unionAll(
+      Seq((3L, 0)).toDF("img_id", "z").select($"img_id",
+        Multimodal.resizeImage(lit(encodeImage(img, "png")), lit(16), lit(12)).as("img")))
+    val found = Multimodal.nearDupImages(quad, "img_id", "img", threshold = 0.98)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)), s"lossless twin missed: $found")
+    assert(found.contains((1L, 3L)) && found.contains((2L, 3L)),
+      s"resized re-encode missed: $found")
+    assert(!found.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image matched: $found")
   }
 
   test("multimodal REAL pixel plane: decode, means, resize, features, pcm") {
