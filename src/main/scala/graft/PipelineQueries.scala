@@ -400,6 +400,32 @@ object PipelineQueries {
         (min(col("cosine")) > 0.99999999).as("twin_cos_one"))
     }),
 
+    /** End-to-end VIDEO near-dup (r13): per-doc gradient MJPEG AVIs
+      * (wrap-free low frequencies — distinct pooled features per triple)
+      * and their REAL transcodes (decode → re-encode → re-mux,
+      * [[Multimodal.transcodeMjpegAvi]]) through
+      * [[Multimodal.nearDupVideos]] (sampled frames → pooled pixel
+      * features → sign-LSH buckets → exact-cosine verify). Margins
+      * measured by probe: twins ≥ 0.99981, worst cross ≤ 0.99919 —
+      * threshold 0.9995 separates deterministically (seeded LSH planes,
+      * deterministic fixtures). */
+    "pipe_video_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("fr", (col("doc_id") % 8 + 1).cast("int"))
+        .withColumn("fg", ((col("doc_id") / 8) % 8 + 1).cast("int"))
+        .withColumn("fb", ((col("doc_id") / 64) % 8 + 1).cast("int"))
+      val orig = base.select(col("doc_id").as("vid_id"),
+        Multimodal.makeGradMjpegAvi(lit(24), lit(16), lit(6),
+          col("fr"), col("fg"), col("fb"), lit(0)).as("avi"))
+      val redone = orig.select((col("vid_id") + 10000).as("vid_id"),
+        Multimodal.transcodeMjpegAvi(col("avi")).as("avi"))
+      val pairs = Multimodal.nearDupVideos(orig.unionAll(redone),
+        "vid_id", "avi", threshold = 0.9995, nFrames = 3)
+      pairs.agg(
+        sum((col("id_b") - col("id_a") === 10000).cast("long")).as("n_twins"),
+        sum((col("id_b") - col("id_a") =!= 10000).cast("long")).as("n_cross"))
+    }),
+
     /** REAL pixel plane (JDK ImageIO + PCM): solid-color fixtures make
       * every statistic closed-form — decode dims, channel means v/255,
       * resize round trip, 2×2 thumbnail features, constant-PCM rms/peak/
@@ -878,6 +904,9 @@ object PipelineQueries {
     "pipe_image_dedup" ->
       """SELECT (SELECT count(*) FROM documents) AS n_twins,
         | CAST(0 AS BIGINT) AS n_cross, TRUE AS twin_cos_one""".stripMargin,
+    "pipe_video_dedup" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_twins,
+        | CAST(0 AS BIGINT) AS n_cross""".stripMargin,
     "pipe_multimodal_feat" ->
       """SELECT doc_id, 64 AS n_feat,
         | TRUE AS grid_r_ok, TRUE AS grid_g_ok, TRUE AS grid_b_ok,

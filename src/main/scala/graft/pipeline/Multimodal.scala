@@ -649,8 +649,8 @@ object Multimodal {
     * JPEG from the JDK encoder; colors stride by `colorStep` from
     * (r0,g0,b0). Playable layout per the public AVI/RIFF spec. */
   val makeMjpegAvi = udf((w: Int, h: Int, nFrames: Int, r0: Int, g0: Int,
-      b0: Int, colorStep: Int) => {
-    def jpegFrame(idx: Int): Array[Byte] = {
+      b0: Int, colorStep: Int) =>
+    muxMjpegAvi(w, h, (0 until nFrames).map { idx =>
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (((r0 + idx * colorStep) & 0xff) << 16) |
@@ -660,8 +660,59 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
-    }
-    val frames = (0 until nFrames).map(jpegFrame)
+    }))
+
+  /** Fixture: MJPEG AVI of GRADIENT frames (per-channel spatial
+    * frequencies + a per-frame phase walk, `phase0` offsetting every
+    * pixel value) — structurally distinct per frequency triple where
+    * solid frames alias (two solid videos with proportional RGB have
+    * PARALLEL pooled features), and robust to a ±1 phase shift, which
+    * makes `phase0`/`phase0+1` pairs the "lightly transcoded twin"
+    * fixture for video near-dup. */
+  val makeGradMjpegAvi = udf((w: Int, h: Int, nFrames: Int, fr: Int, fg: Int,
+      fb: Int, phase0: Int) =>
+    muxMjpegAvi(w, h, (0 until nFrames).map { idx =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val p = phase0 + idx * 4
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (x * fr + y + p) % 256
+          val g = (y * fg + x + p) % 256
+          val b = ((x + y) * fb + p) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }))
+
+  /** REAL MJPEG transcode: decode every frame through the JDK codec,
+    * re-encode, re-mux — the "same video, re-uploaded" transformation
+    * (double JPEG quantization, fresh container bytes). None when the
+    * container isn't AVI or no frame decodes. Pixel-space video features
+    * survive this where any byte hash changes completely. */
+  val transcodeMjpegAvi = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None
+    else parseAviHeader(bytes).flatMap { case (w, h, _, _) =>
+      val frames = aviFramePayloads(bytes).flatMap(f => readImage(f)).map { img =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      if (frames.isEmpty) None else Some(muxMjpegAvi(w, h, frames))
+    })
+
+  /** The RIFF/AVI container build shared by the MJPEG fixtures: RIFF('AVI '
+    * LIST(hdrl avih LIST(strl strh strf)) LIST(movi '00dc'×n)), playable
+    * layout per the public AVI spec. */
+  private def muxMjpegAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length & 1
       val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
@@ -698,7 +749,7 @@ object Multimodal {
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
     chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
-  })
+  }
 
   // ------------------------------------- REAL image meta + feature plane
 
@@ -729,8 +780,12 @@ object Multimodal {
     * None when no JDK codec decodes the bytes (a vision-ENCODER
     * embedding stays the one labeled stub, [[visionEmbeddingStub]]). */
   def imageFeatures(dim: Int) = udf((bytes: Array[Byte]) =>
-    if (bytes == null) None
-    else readImage(bytes).map { img =>
+    if (bytes == null) None else imageFeatureVec(bytes, dim))
+
+  /** [[imageFeatures]]' kernel as a plain function — shared with the
+    * per-frame video plane ([[videoFeatures]]). */
+  def imageFeatureVec(bytes: Array[Byte], dim: Int): Option[Seq[Float]] =
+    readImage(bytes).map { img =>
       val side = math.floor(math.sqrt(dim / 3.0)).toInt
       val gridDims = side * side * 3
       val histDims = dim - gridDims
@@ -773,6 +828,28 @@ object Multimodal {
         k += 1
       }
       out.toSeq
+    }
+
+  /** REAL video-level embedding: sample `nFrames` evenly from an MJPEG
+    * AVI, extract per-frame pixel-space [[imageFeatureVec]]s, mean-pool
+    * across frames — the temporal pooling used for video near-dup mining
+    * (re-muxed / lightly-transcoded copies land close; different content
+    * does not). None when the container isn't AVI or no frame decodes. */
+  def videoFeatures(dim: Int, nFrames: Int = 4) = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None
+    else sampleAviFrames(bytes, nFrames).flatMap { frames =>
+      val feats = frames.flatMap(f => imageFeatureVec(f, dim))
+      if (feats.isEmpty) None
+      else {
+        val out = new Array[Float](dim)
+        feats.foreach { f =>
+          var i = 0
+          while (i < dim) { out(i) += f(i); i += 1 }
+        }
+        var i = 0
+        while (i < dim) { out(i) /= feats.length; i += 1 }
+        Some(out.toSeq)
+      }
     })
 
   // ------------------------------------------------------------- STUBS
@@ -849,6 +926,17 @@ object Multimodal {
       tables: Int = 4): DataFrame =
     Dedup.nearDupEmbedding(
       df.select(col(idCol), imageFeatures(dim)(col(binCol)).as("__feat"))
+        .filter(col("__feat").isNotNull),
+      idCol, "__feat", threshold, bits, tables)
+
+  /** Distributed VIDEO near-duplicate mining: [[videoFeatures]] (sampled
+    * frames → pooled pixel features) through the same sign-LSH bucketed
+    * path as [[nearDupImages]]. Non-AVI / undecodable rows drop out. */
+  def nearDupVideos(df: DataFrame, idCol: String, binCol: String,
+      threshold: Double, dim: Int = 64, nFrames: Int = 4, bits: Int = 12,
+      tables: Int = 4): DataFrame =
+    Dedup.nearDupEmbedding(
+      df.select(col(idCol), videoFeatures(dim, nFrames)(col(binCol)).as("__feat"))
         .filter(col("__feat").isNotNull),
       idCol, "__feat", threshold, bits, tables)
 }

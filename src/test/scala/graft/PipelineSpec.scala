@@ -937,6 +937,26 @@ class PipelineSpec extends AnyFunSuite {
       s"unrelated image matched: $found")
   }
 
+  test("video dedup: transcoded copy collides in pooled frame-feature space") {
+    import org.apache.spark.sql.functions._
+    val vids = Seq((1L, 2, 3, 4), (3L, 7, 1, 5)).toDF("vid_id", "fr", "fg", "fb")
+      .select($"vid_id", Multimodal.makeGradMjpegAvi(lit(24), lit(16), lit(6),
+        $"fr", $"fg", $"fb", lit(0)).as("avi"))
+    val redone = vids.filter($"vid_id" === 1)
+      .select(lit(2L).as("vid_id"), Multimodal.transcodeMjpegAvi($"avi").as("avi"))
+    // non-AVI bytes drop out honestly (null features)
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("vid_id", "avi")
+    val found = Multimodal.nearDupVideos(
+      vids.unionAll(redone).unionAll(junk), "vid_id", "avi",
+      threshold = 0.999, nFrames = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found === Set((1L, 2L)),
+      s"expected exactly the transcode pair, got $found")
+    val nullFeat = junk.select(Multimodal.videoFeatures(64, 3)($"avi").isNull)
+      .collect()(0).getBoolean(0)
+    assert(nullFeat)
+  }
+
   test("multimodal REAL pixel plane: decode, means, resize, features, pcm") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
