@@ -382,7 +382,11 @@ object PipelineQueries {
       * cosine 1), and no cross-doc pair reaches the 0.9999 bar (distinct
       * frequency triples per doc). */
     "pipe_image_dedup" -> ((s, dir) => {
+      // doc_id < 2048: the frequency triple repeats every 4096 ids — at a
+      // larger sf, colliding ids would make byte-identical images and
+      // genuine cross pairs; the cap keeps the fixture injective at ANY sf
       val base = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 2048)
         .withColumn("fr", (col("doc_id") % 16 * 2 + 3).cast("int"))
         .withColumn("fg", ((col("doc_id") / 16) % 16 * 2 + 5).cast("int"))
         .withColumn("fb", ((col("doc_id") / 256) % 16 * 2 + 7).cast("int"))
@@ -410,7 +414,10 @@ object PipelineQueries {
       * threshold 0.9995 separates deterministically (seeded LSH planes,
       * deterministic fixtures). */
     "pipe_video_dedup" -> ((s, dir) => {
+      // doc_id < 256: the triple repeats every 512 ids (see the image-dedup
+      // cap note) — half-period cap keeps the fixture injective at ANY sf
       val base = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 256)
         .withColumn("fr", (col("doc_id") % 8 + 1).cast("int"))
         .withColumn("fg", ((col("doc_id") / 8) % 8 + 1).cast("int"))
         .withColumn("fb", ((col("doc_id") / 64) % 8 + 1).cast("int"))
@@ -902,10 +909,10 @@ object PipelineQueries {
         | (doc_id % 100 + 1) * 1000 AS au_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pipe_image_dedup" ->
-      """SELECT (SELECT count(*) FROM documents) AS n_twins,
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 2048) AS n_twins,
         | CAST(0 AS BIGINT) AS n_cross, TRUE AS twin_cos_one""".stripMargin,
     "pipe_video_dedup" ->
-      """SELECT (SELECT count(*) FROM documents) AS n_twins,
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 256) AS n_twins,
         | CAST(0 AS BIGINT) AS n_cross""".stripMargin,
     "pipe_multimodal_feat" ->
       """SELECT doc_id, 64 AS n_feat,

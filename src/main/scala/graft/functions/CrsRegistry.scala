@@ -54,12 +54,17 @@ object CrsRegistry {
   def register(code: Int, definition: String): Unit =
     custom.put(code, (parseDef(definition), definition))
 
-  /** Dialect dispatch: a definition starting with `+` (or a bare
-    * `proj=`) is PROJ.4; anything else parses as WKT. */
-  def parseDef(s: String): Crs = {
+  /** Dialect test shared by every front door (register, the conf key,
+    * sridForWkt): a definition starting with `+` (or a bare `proj=`) is
+    * PROJ.4; anything else parses as WKT. */
+  def isProj4(s: String): Boolean = {
     val t = s.trim
-    if (t.startsWith("+") || t.startsWith("proj=")) parseProj4(t) else parseWkt(t)
+    t.startsWith("+") || t.startsWith("proj=")
   }
+
+  /** Dialect dispatch onto [[parseProj4]] / [[parseWkt]]. */
+  def parseDef(s: String): Crs =
+    if (isProj4(s)) parseProj4(s.trim) else parseWkt(s.trim)
 
   /** Remove a JVM-local registration made with [[register]]. A code that
     * also arrives via [[ConfKey]] is re-registered here immediately from
@@ -659,18 +664,25 @@ object CrsRegistry {
       case "webmerc" => "popularvisualisationpseudomercator"
       case "lcc" =>
         if (d("lat_2").isDefined) "lambertconformalconic2sp"
-        else { // 1SP: tangent at lat_1 (PROJ defaults lat_1 = lat_0)
+        else { // 1SP: tangent cone at lat_1 (PROJ defaults lat_0 := lat_1)
           // PROJ's 1SP form puts the cone at lat_1 but measures the false
           // northing from lat_0 — Lcc1SP has a single latitude, so a
-          // DISTINCT pair would silently offset every northing: reject it
+          // DISTINCT pair would silently offset every northing; and a
+          // lat_0-only string (no lat_1) is an error in PROJ itself
+          // (lat_1 defaults to 0, an invalid equatorial cone) — both
+          // reject loudly rather than register plausible-looking output
           (d("lat_1"), d("lat_0")) match {
             case (Some(l1), Some(l0)) if math.abs(l1 - l0) > 1e-12 =>
               throw new IllegalArgumentException(
                 s"PROJ.4 +proj=lcc 1SP with lat_1=$l1 != lat_0=$l0 is not " +
                   "implemented (supply +lat_2 for the 2SP form, or equal values)")
+            case (None, Some(_)) =>
+              throw new IllegalArgumentException(
+                "PROJ.4 +proj=lcc needs +lat_1 (PROJ rejects a lat_0-only " +
+                  "string too — its lat_1 would default to an invalid 0)")
             case _ => ()
           }
-          d("lat_1").orElse(d("lat_0")).foreach(p("latitudeoforigin") = _)
+          d("lat_1").foreach(p("latitudeoforigin") = _)
           "lambertconformalconic1sp"
         }
       case "aea" => "albers"
@@ -887,7 +899,7 @@ object CrsRegistry {
     // the code from the embedded table or auto-register, same as
     // authority-less WKT (keeps all three front doors — register, the
     // conf key, and this .prj/definition resolver — dialect-consistent)
-    if (wkt.trim.startsWith("+") || wkt.trim.startsWith("proj=")) {
+    if (isProj4(wkt)) {
       return try {
         val crs = parseProj4(wkt.trim)
         inferSrid(crs).getOrElse(autoRegister(crs, wkt))

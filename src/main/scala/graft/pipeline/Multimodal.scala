@@ -524,34 +524,43 @@ object Multimodal {
     val rgb = (r << 16) | (g << 8) | b
     var y = 0
     while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, fmt, bos)
-    bos.toByteArray
+    encodeImg(img, fmt)
   })
 
-  /** Fixture: deterministic NON-solid gradient raster (per-channel spatial
-    * frequencies `fr`/`fg`/`fb`), losslessly representable in PNG and BMP.
-    * Distinct frequency triples give distinct pooled-feature vectors where
-    * solid colors could alias (two grays are parallel in grid space). */
-  val makeGradImage = udf((w: Int, h: Int, fr: Int, fg: Int, fb: Int, fmt: String) => {
+  /** Shared fixture kernels: one gradient-raster formula (a fix here fixes
+    * every gradient fixture — image and video planes must not drift) and
+    * one encode idiom. */
+  private def gradFrame(w: Int, h: Int, fr: Int, fg: Int, fb: Int,
+      phase: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = (x * fr + y) % 256
-        val g = (y * fg + x) % 256
-        val b = ((x + y) * fb) % 256
+        val r = (x * fr + y + phase) % 256
+        val g = (y * fg + x + phase) % 256
+        val b = ((x + y) * fb + phase) % 256
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
       y += 1
     }
+    img
+  }
+
+  private def encodeImg(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
-  })
+  }
+
+  /** Fixture: deterministic NON-solid gradient raster (per-channel spatial
+    * frequencies `fr`/`fg`/`fb`), losslessly representable in PNG and BMP.
+    * Distinct frequency triples give distinct pooled-feature vectors where
+    * solid colors could alias (two grays are parallel in grid space). */
+  val makeGradImage = udf((w: Int, h: Int, fr: Int, fg: Int, fb: Int, fmt: String) =>
+    encodeImg(gradFrame(w, h, fr, fg, fb, 0), fmt))
 
   /** Fixture: mono 16-bit WAV with `n` constant-amplitude samples —
     * rms = peak = mean = amp/2¹⁵ exactly. */
@@ -657,9 +666,7 @@ object Multimodal {
         (((g0 + idx * colorStep) & 0xff) << 8) | ((b0 + idx * colorStep) & 0xff)
       var y = 0
       while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      encodeImg(img, "jpg")
     }))
 
   /** Fixture: MJPEG AVI of GRADIENT frames (per-channel spatial
@@ -671,26 +678,8 @@ object Multimodal {
     * fixture for video near-dup. */
   val makeGradMjpegAvi = udf((w: Int, h: Int, nFrames: Int, fr: Int, fg: Int,
       fb: Int, phase0: Int) =>
-    muxMjpegAvi(w, h, (0 until nFrames).map { idx =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val p = phase0 + idx * 4
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val r = (x * fr + y + p) % 256
-          val g = (y * fg + x + p) % 256
-          val b = ((x + y) * fb + p) % 256
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }))
+    muxMjpegAvi(w, h, (0 until nFrames).map(idx =>
+      encodeImg(gradFrame(w, h, fr, fg, fb, phase0 + idx * 4), "jpg"))))
 
   /** REAL MJPEG transcode: decode every frame through the JDK codec,
     * re-encode, re-mux — the "same video, re-uploaded" transformation
@@ -700,11 +689,8 @@ object Multimodal {
   val transcodeMjpegAvi = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else parseAviHeader(bytes).flatMap { case (w, h, _, _) =>
-      val frames = aviFramePayloads(bytes).flatMap(f => readImage(f)).map { img =>
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
-        bos.toByteArray
-      }
+      val frames = aviFramePayloads(bytes).flatMap(f => readImage(f))
+        .map(encodeImg(_, "jpg"))
       if (frames.isEmpty) None else Some(muxMjpegAvi(w, h, frames))
     })
 

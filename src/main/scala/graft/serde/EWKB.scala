@@ -96,33 +96,57 @@ object EWKB {
   // returned from read() are treated as immutable everywhere (mutating ops
   // copy first — see GeoUDFs.setSrid). Oversized values skip the cache.
   //
-  // Sizing (r13, ProbeBucketHot): the cache was 64 entries, which the
-  // bucketed spatial join's hot cells THRASH — a cell group cycling >64
-  // distinct inner geometries misses on every lookup AND pays the map
-  // overhead (measured 864 ns/lookup thrashing vs 196 ns hitting on
-  // ~100-byte polygons; a 4096×256 hot cell's single task spent ~100% of
-  // the join wall-clock re-parsing). Now an entry cap of 1024 with a
-  // 2 MiB per-thread BYTE budget (keyed bytes as proxy for geometry heap,
-  // JTS expansion ~3-5×): small-geometry hot cells up to 1024 distinct
-  // values fit, while 256 KiB monsters can only hold 8 slots — worst-case
-  // heap stays ~10 MiB/thread either way, and eviction amortizes O(1).
+  // Sizing (r13, ProbeBucketHot): the cache was a 64-entry LRU, which the
+  // bucketed spatial join's hot cells THRASH — a cell group cycling more
+  // distinct inner geometries than capacity misses on EVERY lookup (LRU's
+  // hit rate under a cycle longer than capacity is exactly 0) while still
+  // paying map overhead (measured 864 ns/lookup thrashing vs 196 ns
+  // hitting on ~100-byte polygons; a 4096×256 hot cell's single task
+  // spent ~100% of the join wall-clock re-parsing). Two tiers now:
+  //
+  //  - SMALL values (≤1 KiB — the typical point/rect/small-polygon rows
+  //    the bucketed join cycles): a DIRECT-MAPPED 4096-slot table. Cyclic
+  //    access degrades to statistical hits (≈(1−1/slots)^(N−1), ~60% at
+  //    N=2048) instead of LRU's zero, lookups are an index + byte compare
+  //    (no linked-list maintenance), and worst-case memory is bounded by
+  //    slots × 1 KiB keys (typical far lower — slots hold actual sizes).
+  //  - LARGER values (1 KiB..256 KiB): the access-order LRU, 1024 entries
+  //    under a 2 MiB per-thread key-byte budget (keyed bytes as proxy for
+  //    geometry heap, JTS expansion ~3-5×), eviction amortized O(1).
+  //  - >256 KiB: uncached (unchanged).
   private val ParseCacheEntries = 1024
   private val ParseCacheMaxBytes = 256 * 1024
   private val ParseCacheBudgetBytes = 2L * 1024 * 1024
+  private val ParseCacheSmallMax = 1024
+  private val ParseCacheSlots = 4096 // power of two (slot mask)
   private final class ParseCache {
+    private val keys = new Array[Array[Byte]](ParseCacheSlots)
+    private val vals = new Array[Geometry](ParseCacheSlots)
     private var bytes = 0L
     private val m = new java.util.LinkedHashMap[java.nio.ByteBuffer, Geometry](
       256, 0.75f, true)
-    def get(k: java.nio.ByteBuffer): Geometry = m.get(k)
-    def put(k: java.nio.ByteBuffer, g: Geometry): Unit = {
-      if (m.put(k, g) == null) bytes += k.capacity
-      while (m.size > ParseCacheEntries || bytes > ParseCacheBudgetBytes) {
-        val it = m.entrySet().iterator() // head = least-recently-used
-        val e = it.next()
-        bytes -= e.getKey.capacity
-        it.remove()
+    private def slotOf(k: Array[Byte]): Int =
+      java.util.Arrays.hashCode(k) & (ParseCacheSlots - 1)
+    def get(k: Array[Byte]): Geometry =
+      if (k.length <= ParseCacheSmallMax) {
+        val s = slotOf(k)
+        if (keys(s) != null && java.util.Arrays.equals(keys(s), k)) vals(s) else null
+      } else m.get(java.nio.ByteBuffer.wrap(k))
+    def put(k: Array[Byte], g: Geometry): Unit =
+      if (k.length <= ParseCacheSmallMax) {
+        val s = slotOf(k)
+        keys(s) = k
+        vals(s) = g
+      } else {
+        val kb = java.nio.ByteBuffer.wrap(k)
+        if (m.put(kb, g) == null) bytes += k.length
+        while (m.size > ParseCacheEntries || bytes > ParseCacheBudgetBytes) {
+          val it = m.entrySet().iterator() // head = least-recently-used
+          val e = it.next()
+          bytes -= e.getKey.capacity
+          it.remove()
+        }
       }
-    }
   }
   private val parseCacheTL = new ThreadLocal[ParseCache] {
     override def initialValue() = new ParseCache
@@ -176,11 +200,10 @@ object EWKB {
   def read(bytes: Array[Byte]): Geometry = {
     if (bytes.length > ParseCacheMaxBytes) return parse0(bytes)
     val m = parseCacheTL.get()
-    val k = java.nio.ByteBuffer.wrap(bytes)
-    var g = m.get(k)
+    var g = m.get(bytes)
     if (g == null) {
       g = parse0(bytes)
-      m.put(k, g)
+      m.put(bytes, g)
     }
     g
   }

@@ -5,20 +5,26 @@ import org.apache.spark.sql.functions._
 import graft.functions._
 
 /** Manual probe (r13, VERDICT r12 item 5b / r11 item 6): does per-pair
-  * EWKB parse thrash in the bucketed refinement justify a per-cell-group
-  * parse cache?
+  * EWKB parse thrash in the bucketed refinement justify a (further)
+  * cache change?
   *
   * [[graft.plans.GeoNative.bucketedMatch]] parses BOTH sides per PAIR:
   * a hot cell with N outers × M distinct inners re-parses each inner's
-  * bytes N times. This probe builds a deliberately pathological store —
-  * one cell holding every row (M=256 distinct inners, N=4096 outers →
-  * ~1M pairs, ~2.1M parses) plus a uniform background — times the
-  * bucketed join end-to-end, independently measures the raw per-parse
-  * cost of the same byte payloads, and reports parse time as a share of
-  * join wall-clock. Decision rule from the verdict: build the cache only
-  * if the share exceeds 10%.
+  * bytes N times unless the per-thread parse cache absorbs the cycle.
+  * History: at the original 64-entry LRU this probe's 256-inner hot
+  * cell measured 864 ns/lookup (LRU hit rate under a longer-than-capacity
+  * cycle is exactly 0) vs 196 ns hitting, join median 1.70 s. r13 first
+  * moved to a 1024-entry/2 MiB-budget LRU (this fixture → 1.01 s), then
+  * — because a 2048-distinct cell put LRU back at zero hits — to a
+  * DIRECT-MAPPED 4096-slot tier for ≤1 KiB values whose cyclic hit rate
+  * degrades statistically (~(1−1/slots)^(N−1)) instead: the 2048-inner
+  * join dropped 9.5 → 6.0 s. The microbench reports per-lookup cost at
+  * cycle lengths 512/2048/8192 against whatever cache is current;
+  * `args(1)` sets the hot cell's distinct-inner count. Decision rule
+  * from the verdict: act only if the recoverable share exceeds 10% of
+  * join wall-clock.
   *
-  * Run: Test/runMain graft.ProbeBucketHot
+  * Run: Test/runMain graft.ProbeBucketHot [warehouseDir] [nInner]
   */
 object ProbeBucketHot {
   def main(args: Array[String]): Unit = {
@@ -41,17 +47,20 @@ object ProbeBucketHot {
     import spark.implicits._
 
     val cellSize = 1.0
-    val nInner = 256   // distinct inner polygons, all inside cell (0,0)
+    // distinct inner polygons, all inside cell (0,0); raise past the
+    // cache's reach (≫4096) to reproduce live near-zero-hit joins
+    val nInner = args.drop(1).headOption.map(_.toInt).getOrElse(256)
     val nOuter = 4096  // outers overlapping the same cell
     val nBackground = 100000
 
     // hot cell: dyadic sub-rectangles of the unit cell so every pair's
-    // envelope test and predicate really run (all intersect)
+    // envelope test and predicate really run (all intersect); 128×128
+    // distinct corners keep payloads unique up to 16384 ids
     def subRect(k: org.apache.spark.sql.Column) = st_rectangle(
-      (k % 16).cast("double") / 32.0,
-      ((k / lit(16)) % 16).cast("double") / 32.0,
-      (k % 16).cast("double") / 32.0 + 0.6,
-      ((k / lit(16)) % 16).cast("double") / 32.0 + 0.6)
+      (k % 128).cast("double") / 256.0,
+      ((k / lit(128)) % 128).cast("double") / 256.0,
+      (k % 128).cast("double") / 256.0 + 0.6,
+      ((k / lit(128)) % 128).cast("double") / 256.0 + 0.6)
     val hotInner = spark.range(nInner).select(col("id").as("ik"),
       subRect(col("id")).as("geometry"))
     val hotOuter = spark.range(nOuter).select(col("id").as("ok"),
@@ -86,14 +95,17 @@ object ProbeBucketHot {
     val joinSec = joinSecs(1)
     println(f"[probe] pairs=$warm join median=${joinSec}%.3f s (runs: ${joinSecs.map(s => f"$s%.3f").mkString(", ")})")
 
-    // EWKB.read already carries a 64-entry per-thread LRU — the question
-    // is what THRASH costs when a cell group cycles >64 distinct
-    // geometries (every lookup misses AND pays map overhead) vs the hit
-    // cost when it fits. Measure both on the SAME payload shapes.
-    val payloads = hotInner.select(st_aswkb(col("geometry"))).as[Array[Byte]].collect()
+    // Per-lookup EWKB.read cost vs cycle length, against the CURRENT
+    // cache (r13: direct-mapped 4096 slots for ≤1 KiB values — cyclic
+    // access degrades STATISTICALLY, ≈(1−1/slots)^(N−1) hit rate, not to
+    // LRU's hard zero). Three regimes: fits-everything, within-slots
+    // statistical, beyond-slots worst case. The microbench synthesizes
+    // its own payloads so it measures regardless of the fixture's nInner.
+    val benchPayloads = spark.range(8192)
+      .select(st_aswkb(subRect(col("id"))).as("b")).as[Array[Byte]].collect()
     var blackhole = 0.0
     def cycle(n: Int, reps: Int): Double = {
-      val sub = payloads.take(n)
+      val sub = benchPayloads.take(n)
       (1 to 200).foreach(_ =>
         sub.foreach(b => blackhole += graft.serde.EWKB.read(b).getNumPoints)) // JIT warm
       val (_, secs) = time {
@@ -105,22 +117,25 @@ object ProbeBucketHot {
       }
       secs * 1e9 / (reps.toLong * n)
     }
-    val hitNs = cycle(32, 16000)     // fits the 64-entry LRU → hits
-    val thrashNs = cycle(256, 2000)  // 256 distinct cycled → 100% miss
+    val fitNs = cycle(512, 1000)      // well inside every tier → hits
+    val statNs = cycle(2048, 250)     // within slots → statistical hits
+    val worstNs = cycle(8192, 64)     // beyond slots → near-full misses
 
     // parses the refinement performs: 2 per cell-cogrouped candidate pair;
     // the hot cell contributes nOuter×nInner of them
     val nParses = 2L * (nOuter.toLong * nInner + nBackground)
-    val thrashSec = nParses * thrashNs / 1e9
-    val hitSec = nParses * hitNs / 1e9
-    println(f"[probe] per-lookup: hit=${hitNs}%.0f ns, thrash=${thrashNs}%.0f ns; " +
-      f"refinement lookups≈$nParses%,d")
-    println(f"[probe] thrash-mode parse ≈ ${thrashSec}%.3f s = ${thrashSec / joinSec * 100}%.1f%% of join; " +
-      f"a perfect cache saves ≤ ${(thrashSec - hitSec) / joinSec * 100}%.1f%%")
-    println(if ((thrashSec - hitSec) / joinSec > 0.10)
-      "[probe] DECISION INPUT: >10% — a scan-resistant/bigger parse cache would pay"
+    val curNs = if (nInner <= 512) fitNs else if (nInner <= 4096) statNs else worstNs
+    val residualShare = nParses * (worstNs - fitNs) / 1e9 / joinSec
+    println(f"[probe] per-lookup by cycle: 512→${fitNs}%.0f ns, 2048→${statNs}%.0f ns, " +
+      f"8192→${worstNs}%.0f ns; refinement lookups≈$nParses%,d")
+    println(f"[probe] current-fixture parse ≈ ${nParses * curNs / 1e9}%.3f s = " +
+      f"${nParses * curNs / 1e9 / joinSec * 100}%.1f%% of join")
+    println(if (residualShare > 0.10)
+      f"[probe] DECISION INPUT: beyond-slots residual would be ${residualShare * 100}%.1f%% — " +
+        "cells cycling ≫4096 distinct geometries defeat any bounded cache; " +
+        "the fix there is a smaller cellSize (fewer rows per cell), not more cache"
     else
-      "[probe] DECISION INPUT: ≤10% — LRU thrash does not justify a cache change")
+      "[probe] DECISION INPUT: ≤10% — parse cost does not justify further cache work")
     println(s"[probe] (blackhole=$blackhole)") // observe the sum: JIT can't elide the loop
     spark.stop()
   }
