@@ -1186,6 +1186,66 @@ object GeoQueries {
       ).orderBy(k)
     }),
 
+    // PROJ.4-string escape hatch (r13): registerCrs accepts the `+proj=`
+    // grammar (the other definition text epsg.io serves, reference
+    // capability via pyproj: functions.rs:1868-1939); each registered
+    // string must transform like its embedded-table twin through
+    // st_to_srid — tmerc+towgs84 (BNG), lcc 2SP (Lambert-93), the
+    // +datum=NAD27 shorthand (UTM 14N), somerc (LV95), and round-trip.
+    "geo_crs8" -> ((s, dir) => {
+      graft.functions.registerCrs(947700,
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+          "+y_0=-100000 +ellps=airy " +
+          "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 " +
+          "+units=m +no_defs")
+      graft.functions.registerCrs(942154,
+        "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 " +
+          "+y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs")
+      graft.functions.registerCrs(946714,
+        "+proj=utm +zone=14 +datum=NAD27 +units=m +no_defs")
+      graft.functions.registerCrs(942056,
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 " +
+          "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel " +
+          "+towgs84=674.374,15.056,405.346,0,0,0,0 +units=m +no_defs")
+      def viaBoth(lon: Column, lat: Column, builtin: Int, reg: Int,
+          tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val a = st_to_srid(p, lit(builtin))
+        val b = st_to_srid(p, lit(reg))
+        abs(st_x(a) - st_x(b)) < tol && abs(st_y(a) - st_y(b)) < tol
+      }
+      def rtOk(lon: Column, lat: Column, epsg: Int, tol: Double): Column = {
+        val p = st_set_srid(st_point(lon, lat), lit(4326))
+        val back = st_to_srid(st_to_srid(p, lit(epsg)), lit(4326))
+        abs(st_x(back) - lon) < tol && abs(st_y(back) - lat) < tol
+      }
+      val lonUk = (k % 24).cast("double") / 4.0 - 5.0
+      val latUk = lit(50.25) + (k % 26).cast("double") / 4.0
+      val lonFr = lit(2.25) + (k % 16).cast("double") / 4.0
+      val latFr = lit(43.75) + (k % 20).cast("double") / 4.0
+      val lonUs = -(lit(96.25) + (k % 16).cast("double") / 4.0)
+      val latUs = lit(30.25) + (k % 32).cast("double") / 4.0
+      val lonCh = lit(6.25) + (k % 14).cast("double") / 4.0
+      val latCh = lit(45.95) + (k % 8).cast("double") / 4.0
+      base(s, dir).select(k,
+        // epsg.io prints the BNG towgs84 with fewer decimals than the
+        // table's full-precision Helmert — ~cm of rounding, 5 cm budget
+        viaBoth(lonUk, latUk, 27700, 947700, 0.05).as("p4_bng_match_ok"),
+        viaBoth(lonFr, latFr, 2154, 942154, 1e-5).as("p4_l93_match_ok"),
+        viaBoth(lonUs, latUs, 26714, 946714, 1e-5).as("p4_nad27_match_ok"),
+        viaBoth(lonCh, latCh, 2056, 942056, 1e-5).as("p4_lv95_match_ok"),
+        rtOk(lonUk, latUk, 947700, 1e-6).as("p4_bng_rt_ok"),
+        rtOk(lonFr, latFr, 942154, 1e-8).as("p4_l93_rt_ok"),
+        rtOk(lonUs, latUs, 946714, 1e-6).as("p4_nad27_rt_ok"),
+        rtOk(lonCh, latCh, 942056, 1e-6).as("p4_lv95_rt_ok"),
+        // the definition resolver infers an embedded code from a proj4
+        // string whose parameters match (3006 SWEREF99 TM ≡ UTM 33N)
+        lit(graft.functions.CrsRegistry.sridForWkt(
+          "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0 +units=m +no_defs")
+          == 3006).as("p4_infer_ok")
+      ).orderBy(k)
+    }),
+
     // --------------------------------------------- §2.12 serialization
     "geo_serde" -> ((s, dir) => {
       val xiD = (k % 1000000).cast("double") * 16.0
@@ -1831,6 +1891,14 @@ object GeoQueries {
          | TRUE AS hotine_wkt_ok,
          | TRUE AS jgd2000_ix_rt_ok, TRUE AS tokyo_ix_rt_ok,
          | TRUE AS wgs72_utm10_rt_ok, TRUE AS wgs72be_utm31s_rt_ok
+         |FROM b ORDER BY k""".stripMargin,
+    "geo_crs8" ->
+      s"""$B SELECT k,
+         | TRUE AS p4_bng_match_ok, TRUE AS p4_l93_match_ok,
+         | TRUE AS p4_nad27_match_ok, TRUE AS p4_lv95_match_ok,
+         | TRUE AS p4_bng_rt_ok, TRUE AS p4_l93_rt_ok,
+         | TRUE AS p4_nad27_rt_ok, TRUE AS p4_lv95_rt_ok,
+         | TRUE AS p4_infer_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

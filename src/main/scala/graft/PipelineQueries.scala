@@ -179,6 +179,40 @@ object PipelineQueries {
         .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
     }),
 
+    /** Streaming IMAGE near-dup twin (r13): the pipe_image_dedup fixture
+      * (PNG/BMP gradient twins, injectivity cap) flows as a file-source
+      * stream; features extract INSIDE the stream and feed the stateful
+      * sign-LSH near-dup. Pins stream ≡ batch (sym-diff 0 against
+      * [[Multimodal.nearDupImages]] — same seeded planes) and full twin
+      * recall (identical feature vectors always collide). */
+    "pipe_stream_image" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 2048)
+        .withColumn("fr", (col("doc_id") % 16 * 2 + 3).cast("int"))
+        .withColumn("fg", ((col("doc_id") / 16) % 16 * 2 + 5).cast("int"))
+        .withColumn("fb", ((col("doc_id") / 256) % 16 * 2 + 7).cast("int"))
+      val png = base.select(col("doc_id").as("img_id"),
+        Multimodal.makeGradImage(lit(20), lit(12),
+          col("fr"), col("fg"), col("fb"), lit("png")).as("img"))
+      val bmp = base.select((col("doc_id") + 10000).as("img_id"),
+        Multimodal.makeGradImage(lit(20), lit(12),
+          col("fr"), col("fg"), col("fb"), lit("bmp")).as("img"))
+      val all = png.unionAll(bmp)
+      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_img",
+          in => graft.streaming.DedupStreaming.nearDupEmbeddingStream(
+            in.withColumn("feat", Multimodal.imageFeatures(64)(col("img"))),
+            "img_id", "feat", threshold = 0.9999).toDF())
+        .dropDuplicates("id_a", "id_b")
+      val batchPairs = Multimodal.nearDupImages(all, "img_id", "img",
+        threshold = 0.9999).select("id_a", "id_b")
+      val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
+        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      pairs.filter(col("id_b") - col("id_a") === 10000)
+        .agg(count(lit(1)).as("n_stream_imgdup"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+    }),
+
     // ------------------------------------- embedding near-dup + ANN search
     "pipe_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -874,6 +908,10 @@ object PipelineQueries {
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_stream_embedding" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_stream_embdup,
+        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
+    "pipe_stream_image" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 2048)
+        |   AS n_stream_imgdup,
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_embedding" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
