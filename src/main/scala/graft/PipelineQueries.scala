@@ -20,6 +20,26 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared image-dedup fixture (pipe_image_dedup + pipe_stream_image):
+    * per-doc gradient rasters as PNG (img_id = doc_id) and BMP (+10000) —
+    * the same pixels through two lossless codecs. doc_id < 2048 because
+    * the frequency triple repeats every 4096 ids — at a larger sf,
+    * colliding ids would make byte-identical images across docs and
+    * genuine cross pairs; the half-period cap keeps the fixture injective
+    * at ANY sf (the oracle SQL filters identically). */
+  private def gradImageTwins(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 2048)
+      .withColumn("fr", (col("doc_id") % 16 * 2 + 3).cast("int"))
+      .withColumn("fg", ((col("doc_id") / 16) % 16 * 2 + 5).cast("int"))
+      .withColumn("fb", ((col("doc_id") / 256) % 16 * 2 + 7).cast("int"))
+    def enc(fmt: String, shift: Int) =
+      base.select((col("doc_id") + shift).as("img_id"),
+        Multimodal.makeGradImage(lit(24), lit(16),
+          col("fr"), col("fg"), col("fb"), lit(fmt)).as("img"))
+    enc("png", 0).unionAll(enc("bmp", 10000))
+  }
+
   /** documents ∪ (documents with doc_id += 10000): each text exactly twice. */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -186,18 +206,7 @@ object PipelineQueries {
       * [[Multimodal.nearDupImages]] — same seeded planes) and full twin
       * recall (identical feature vectors always collide). */
     "pipe_stream_image" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 2048)
-        .withColumn("fr", (col("doc_id") % 16 * 2 + 3).cast("int"))
-        .withColumn("fg", ((col("doc_id") / 16) % 16 * 2 + 5).cast("int"))
-        .withColumn("fb", ((col("doc_id") / 256) % 16 * 2 + 7).cast("int"))
-      val png = base.select(col("doc_id").as("img_id"),
-        Multimodal.makeGradImage(lit(20), lit(12),
-          col("fr"), col("fg"), col("fb"), lit("png")).as("img"))
-      val bmp = base.select((col("doc_id") + 10000).as("img_id"),
-        Multimodal.makeGradImage(lit(20), lit(12),
-          col("fr"), col("fg"), col("fb"), lit("bmp")).as("img"))
-      val all = png.unionAll(bmp)
+      val all = gradImageTwins(s, dir)
       val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_img",
           in => graft.streaming.DedupStreaming.nearDupEmbeddingStream(
             in.withColumn("feat", Multimodal.imageFeatures(64)(col("img"))),
@@ -416,22 +425,8 @@ object PipelineQueries {
       * cosine 1), and no cross-doc pair reaches the 0.9999 bar (distinct
       * frequency triples per doc). */
     "pipe_image_dedup" -> ((s, dir) => {
-      // doc_id < 2048: the frequency triple repeats every 4096 ids — at a
-      // larger sf, colliding ids would make byte-identical images and
-      // genuine cross pairs; the cap keeps the fixture injective at ANY sf
-      val base = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 2048)
-        .withColumn("fr", (col("doc_id") % 16 * 2 + 3).cast("int"))
-        .withColumn("fg", ((col("doc_id") / 16) % 16 * 2 + 5).cast("int"))
-        .withColumn("fb", ((col("doc_id") / 256) % 16 * 2 + 7).cast("int"))
-      val png = base.select(col("doc_id").as("img_id"),
-        Multimodal.makeGradImage(lit(24), lit(16),
-          col("fr"), col("fg"), col("fb"), lit("png")).as("img"))
-      val bmp = base.select((col("doc_id") + 10000).as("img_id"),
-        Multimodal.makeGradImage(lit(24), lit(16),
-          col("fr"), col("fg"), col("fb"), lit("bmp")).as("img"))
       val pairs = Multimodal.nearDupImages(
-        png.unionAll(bmp), "img_id", "img", threshold = 0.9999)
+        gradImageTwins(s, dir), "img_id", "img", threshold = 0.9999)
       pairs.agg(
         sum((col("id_b") - col("id_a") === 10000).cast("long")).as("n_twins"),
         sum((col("id_b") - col("id_a") =!= 10000).cast("long")).as("n_cross"),

@@ -676,10 +676,15 @@ object CrsRegistry {
               throw new IllegalArgumentException(
                 s"PROJ.4 +proj=lcc 1SP with lat_1=$l1 != lat_0=$l0 is not " +
                   "implemented (supply +lat_2 for the 2SP form, or equal values)")
-            case (None, Some(_)) =>
+            case (None, _) =>
+              // lat_0-only AND latitude-less forms both leave lat_1 at
+              // PROJ's invalid 0 default (an equatorial cone, n = sin 0 =
+              // 0 → division by zero → silent Infinity output) — PROJ
+              // errors on both, so must we
               throw new IllegalArgumentException(
-                "PROJ.4 +proj=lcc needs +lat_1 (PROJ rejects a lat_0-only " +
-                  "string too — its lat_1 would default to an invalid 0)")
+                "PROJ.4 +proj=lcc needs +lat_1 (PROJ rejects latitude-less " +
+                  "and lat_0-only strings too — lat_1 would default to an " +
+                  "invalid equatorial 0)")
             case _ => ()
           }
           d("lat_1").foreach(p("latitudeoforigin") = _)

@@ -104,20 +104,24 @@ object EWKB {
   // hitting on ~100-byte polygons; a 4096×256 hot cell's single task
   // spent ~100% of the join wall-clock re-parsing). Two tiers now:
   //
-  //  - SMALL values (≤1 KiB — the typical point/rect/small-polygon rows
-  //    the bucketed join cycles): a DIRECT-MAPPED 4096-slot table. Cyclic
-  //    access degrades to statistical hits (≈(1−1/slots)^(N−1), ~60% at
-  //    N=2048) instead of LRU's zero, lookups are an index + byte compare
-  //    (no linked-list maintenance), and worst-case memory is bounded by
-  //    slots × 1 KiB keys (typical far lower — slots hold actual sizes).
-  //  - LARGER values (1 KiB..256 KiB): the access-order LRU, 1024 entries
-  //    under a 2 MiB per-thread key-byte budget (keyed bytes as proxy for
-  //    geometry heap, JTS expansion ~3-5×), eviction amortized O(1).
+  //  - SMALL values (≤512 B — points, rectangles, small polygons: the
+  //    high-cardinality row classes the bucketed join cycles): a
+  //    DIRECT-MAPPED 4096-slot table. Cyclic access degrades to
+  //    statistical hits (≈(1−1/slots)^(N−1), ~60% at N=2048) instead of
+  //    LRU's zero, and lookups are an index + byte compare (no
+  //    linked-list maintenance). Worst-case retained memory: 4096 ×
+  //    512 B = 2 MiB of keys — the same ceiling as the LRU tier's byte
+  //    budget — plus the retained JTS geometries at ~3-5× the bytes
+  //    (~10 MiB/thread worst, typical far lower: slots hold actual
+  //    sizes, and the dominant small rows are ~100 B).
+  //  - LARGER values (512 B..256 KiB): the access-order LRU, 1024
+  //    entries under a 2 MiB per-thread key-byte budget (keyed bytes as
+  //    proxy for geometry heap), eviction amortized O(1).
   //  - >256 KiB: uncached (unchanged).
   private val ParseCacheEntries = 1024
   private val ParseCacheMaxBytes = 256 * 1024
   private val ParseCacheBudgetBytes = 2L * 1024 * 1024
-  private val ParseCacheSmallMax = 1024
+  private val ParseCacheSmallMax = 512
   private val ParseCacheSlots = 4096 // power of two (slot mask)
   private final class ParseCache {
     private val keys = new Array[Array[Byte]](ParseCacheSlots)

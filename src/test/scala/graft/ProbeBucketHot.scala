@@ -125,17 +125,23 @@ object ProbeBucketHot {
     // the hot cell contributes nOuter×nInner of them
     val nParses = 2L * (nOuter.toLong * nInner + nBackground)
     val curNs = if (nInner <= 512) fitNs else if (nInner <= 4096) statNs else worstNs
-    val residualShare = nParses * (worstNs - fitNs) / 1e9 / joinSec
+    // recoverable = THIS fixture's lookups at THIS fixture's per-lookup
+    // cost vs the all-hits floor — never mix one regime's per-lookup with
+    // another regime's join time
+    val recoverableShare = nParses * (curNs - fitNs) / 1e9 / joinSec
     println(f"[probe] per-lookup by cycle: 512→${fitNs}%.0f ns, 2048→${statNs}%.0f ns, " +
-      f"8192→${worstNs}%.0f ns; refinement lookups≈$nParses%,d")
+      f"8192→${worstNs}%.0f ns (beyond-slots worst/floor = ${worstNs / fitNs}%.1fx); " +
+      f"refinement lookups≈$nParses%,d")
     println(f"[probe] current-fixture parse ≈ ${nParses * curNs / 1e9}%.3f s = " +
-      f"${nParses * curNs / 1e9 / joinSec * 100}%.1f%% of join")
-    println(if (residualShare > 0.10)
-      f"[probe] DECISION INPUT: beyond-slots residual would be ${residualShare * 100}%.1f%% — " +
-        "cells cycling ≫4096 distinct geometries defeat any bounded cache; " +
-        "the fix there is a smaller cellSize (fewer rows per cell), not more cache"
+      f"${nParses * curNs / 1e9 / joinSec * 100}%.1f%% of join; " +
+      f"cache-recoverable ≈ ${recoverableShare * 100}%.1f%%")
+    println(if (recoverableShare > 0.10)
+      "[probe] DECISION INPUT: >10% recoverable at this fixture — more cache " +
+        "reach would pay here; cells cycling ≫4096 distinct geometries defeat " +
+        "any bounded cache, where the fix is a smaller cellSize instead"
     else
-      "[probe] DECISION INPUT: ≤10% — parse cost does not justify further cache work")
+      "[probe] DECISION INPUT: ≤10% recoverable at this fixture — parse cost " +
+        "does not justify further cache work (raise nInner to probe worse regimes)")
     println(s"[probe] (blackhole=$blackhole)") // observe the sum: JIT can't elide the loop
     spark.stop()
   }
