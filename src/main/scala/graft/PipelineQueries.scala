@@ -40,6 +40,25 @@ object PipelineQueries {
     enc("png", 0).unionAll(enc("bmp", 10000))
   }
 
+  /** Shared video-dedup fixture (pipe_video_dedup + pipe_stream_video):
+    * per-doc gradient MJPEG AVIs (vid_id = doc_id) and their REAL
+    * transcodes (+10000). Wrap-free low frequencies keep pooled features
+    * distinct per triple (high frequencies average every cell toward
+    * uniform gray — probe-measured); doc_id < 256 is the half-period
+    * injectivity cap (triple repeats every 512 ids). */
+  private def gradVideoTwins(s: SparkSession, dir: String): DataFrame = {
+    val orig = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 256)
+      .withColumn("fr", (col("doc_id") % 8 + 1).cast("int"))
+      .withColumn("fg", ((col("doc_id") / 8) % 8 + 1).cast("int"))
+      .withColumn("fb", ((col("doc_id") / 64) % 8 + 1).cast("int"))
+      .select(col("doc_id").as("vid_id"),
+        Multimodal.makeGradMjpegAvi(lit(24), lit(16), lit(6),
+          col("fr"), col("fg"), col("fb"), lit(0)).as("avi"))
+    orig.unionAll(orig.select((col("vid_id") + 10000).as("vid_id"),
+      Multimodal.transcodeMjpegAvi(col("avi")).as("avi")))
+  }
+
   /** documents ∪ (documents with doc_id += 10000): each text exactly twice. */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -443,23 +462,34 @@ object PipelineQueries {
       * threshold 0.9995 separates deterministically (seeded LSH planes,
       * deterministic fixtures). */
     "pipe_video_dedup" -> ((s, dir) => {
-      // doc_id < 256: the triple repeats every 512 ids (see the image-dedup
-      // cap note) — half-period cap keeps the fixture injective at ANY sf
-      val base = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 256)
-        .withColumn("fr", (col("doc_id") % 8 + 1).cast("int"))
-        .withColumn("fg", ((col("doc_id") / 8) % 8 + 1).cast("int"))
-        .withColumn("fb", ((col("doc_id") / 64) % 8 + 1).cast("int"))
-      val orig = base.select(col("doc_id").as("vid_id"),
-        Multimodal.makeGradMjpegAvi(lit(24), lit(16), lit(6),
-          col("fr"), col("fg"), col("fb"), lit(0)).as("avi"))
-      val redone = orig.select((col("vid_id") + 10000).as("vid_id"),
-        Multimodal.transcodeMjpegAvi(col("avi")).as("avi"))
-      val pairs = Multimodal.nearDupVideos(orig.unionAll(redone),
+      val pairs = Multimodal.nearDupVideos(gradVideoTwins(s, dir),
         "vid_id", "avi", threshold = 0.9995, nFrames = 3)
       pairs.agg(
         sum((col("id_b") - col("id_a") === 10000).cast("long")).as("n_twins"),
         sum((col("id_b") - col("id_a") =!= 10000).cast("long")).as("n_cross"))
+    }),
+
+    /** Streaming VIDEO near-dup twin (r13): the pipe_video_dedup fixture
+      * as a file-source stream — frame sampling, per-frame decode and
+      * temporal pooling all run INSIDE the stream — into the stateful
+      * sign-LSH near-dup. Stream ≡ batch (same seeded planes → identical
+      * candidate sets → sym-diff 0) and full transcode-twin recall at
+      * the probe-measured 0.9995 margin. */
+    "pipe_stream_video" -> ((s, dir) => {
+      val all = gradVideoTwins(s, dir)
+      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_vid",
+          in => graft.streaming.DedupStreaming.nearDupEmbeddingStream(
+            in.withColumn("feat", Multimodal.videoFeatures(64, 3)(col("avi"))),
+            "vid_id", "feat", threshold = 0.9995).toDF())
+        .dropDuplicates("id_a", "id_b")
+      val batchPairs = Multimodal.nearDupVideos(all, "vid_id", "avi",
+        threshold = 0.9995, nFrames = 3).select("id_a", "id_b")
+      val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
+        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      pairs.filter(col("id_b") - col("id_a") === 10000)
+        .agg(count(lit(1)).as("n_stream_viddup"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
     }),
 
     /** REAL pixel plane (JDK ImageIO + PCM): solid-color fixtures make
@@ -947,6 +977,10 @@ object PipelineQueries {
     "pipe_video_dedup" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 256) AS n_twins,
         | CAST(0 AS BIGINT) AS n_cross""".stripMargin,
+    "pipe_stream_video" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id < 256)
+        |   AS n_stream_viddup,
+        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_multimodal_feat" ->
       """SELECT doc_id, 64 AS n_feat,
         | TRUE AS grid_r_ok, TRUE AS grid_g_ok, TRUE AS grid_b_ok,
