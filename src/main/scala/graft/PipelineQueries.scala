@@ -225,7 +225,7 @@ object PipelineQueries {
       * [[Multimodal.nearDupImages]] — same seeded planes) and full twin
       * recall (identical feature vectors always collide). */
     "pipe_stream_image" -> ((s, dir) => {
-      val all = gradImageTwins(s, dir)
+      val all = gradImageTwins(s, dir).persist() // feeds stream AND batch twin
       val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_img",
           in => graft.streaming.DedupStreaming.nearDupEmbeddingStream(
             in.withColumn("feat", Multimodal.imageFeatures(64)(col("img"))),
@@ -476,7 +476,10 @@ object PipelineQueries {
       * candidate sets → sym-diff 0) and full transcode-twin recall at
       * the probe-measured 0.9995 margin. */
     "pipe_stream_video" -> ((s, dir) => {
-      val all = gradVideoTwins(s, dir)
+      // persist: the fixture's encode→transcode chain is the costliest
+      // UDF work in the suite and feeds BOTH the stream drain and the
+      // batch twin (≤512 tiny rows — bounded by the injectivity cap)
+      val all = gradVideoTwins(s, dir).persist()
       val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_vid",
           in => graft.streaming.DedupStreaming.nearDupEmbeddingStream(
             in.withColumn("feat", Multimodal.videoFeatures(64, 3)(col("avi"))),
