@@ -30,7 +30,8 @@ import scala.collection.mutable.ArrayBuffer
   * Oblique/Double_Stereographic, Krovak, Hotine_Oblique_Mercator
   * (variant A/B and the ESRI Azimuth_Center spelling — azimuth 90 with
   * rectified angle 90 dispatches to the Swiss somerc family), Polyconic,
-  * plus plain geographic CRSs.
+  * Cylindrical_Equal_Area, Equirectangular/Equidistant_Cylindrical,
+  * New_Zealand_Map_Grid, plus plain geographic CRSs.
   * Datum shift from TOWGS84 / BOUNDCRS when present; otherwise recovered
   * from the datum NAME via [[EpsgDb.datumShiftByName]] (how the reference
   * resolves ESRI `.prj` files through GDAL, `utils/srid.py:10-23`).
@@ -561,7 +562,8 @@ object CrsRegistry {
     * the same projection engine the WKT path uses: longlat/latlong, tmerc,
     * utm (+zone/+south), merc (+lat_ts → 2SP form), webmerc, lcc (1/2SP),
     * aea, stere (polar A via +k_0, polar B via +lat_ts), sterea, laea,
-    * cea, krovak, poly, omerc (+no_uoff → variant A), somerc, nzmg.
+    * cea, eqc (+lat_ts standard parallel), krovak, poly, omerc
+    * (+no_uoff → variant A), somerc, nzmg.
     * Ellipsoid from `+ellps`/`+a +b`/`+a +rf`/`+a +f`/`+R`/`+datum`;
     * datum shift from `+towgs84` (3 or 7 params; all-zero or
     * `+nadgrids=@null` = explicitly WGS84-coincident) or the `+datum`
@@ -705,6 +707,9 @@ object CrsRegistry {
       case "cea" =>
         d("lat_ts").foreach(p("standardparallel1") = _)
         "cylindricalequalarea"
+      case "eqc" =>
+        d("lat_ts").foreach(p("standardparallel1") = _)
+        "equidistantcylindrical"
       case "krovak" =>
         // PROJ hardcodes ALL of these when absent — a terse
         // '+proj=krovak +ellps=bessel' is valid there and must not parse
@@ -726,8 +731,8 @@ object CrsRegistry {
       case "nzmg" => "newzealandmapgrid"
       case other => throw new IllegalArgumentException(
         s"PROJ.4 +proj=$other not implemented (supported: longlat, tmerc, utm, " +
-          "merc, webmerc, lcc, aea, stere (polar), sterea, laea, cea, krovak, " +
-          "poly, omerc, somerc, nzmg)")
+          "merc, webmerc, lcc, aea, stere (polar), sterea, laea, cea, eqc, " +
+          "krovak, poly, omerc, somerc, nzmg)")
     }
     def get(names: Seq[String]): Option[Double] = names.flatMap(p.get).headOption
     val proj = buildProjection(method, ell,
@@ -831,6 +836,9 @@ object CrsRegistry {
       case "cylindricalequalarea" | "lambertcylindricalequalarea" |
           "lambertcylindricalequalareaspherical" =>
         Cea(ell, lat1, lon0, fe, fn)
+      case "equirectangular" | "equidistantcylindrical" |
+          "equidistantcylindricalspherical" | "platecarree" =>
+        Eqc(ell, lat1, lat0, lon0, fe, fn)
       case "newzealandmapgrid" =>
         Nzmg(fe, fn)
       case "hotineobliquemercator" | "hotineobliquemercatorvarianta" |
@@ -861,7 +869,8 @@ object CrsRegistry {
           "Transverse_Mercator, Mercator (1SP/2SP/web), Lambert_Conformal_Conic (1SP/2SP), " +
           "Albers, Polar_Stereographic (A/B), " +
           "Lambert_Azimuthal_Equal_Area, Oblique_Stereographic, Krovak, " +
-          "Hotine_Oblique_Mercator (A/B), Polyconic)")
+          "Hotine_Oblique_Mercator (A/B), Polyconic, " +
+          "Cylindrical_Equal_Area, Equirectangular, New_Zealand_Map_Grid)")
     }
   }
 

@@ -579,6 +579,48 @@ object EpsgDb {
     }
   }
 
+  /** Equidistant Cylindrical, EPSG method 1028 (ellipsoidal; the
+    * spherical method 1029 reduces exactly when e² = 0): easting scales
+    * the longitude by the standard parallel's parallel radius
+    * ν₁·cos φ₁, northing is the meridian arc from the latitude of
+    * origin — the world-map CRS family (EPSG 4087 "World Equidistant
+    * Cylindrical", 4088 on the authalic sphere, Plate Carrée). */
+  final case class Eqc(ell: Ellipsoid, lat1Deg: Double, lat0Deg: Double,
+      lon0Deg: Double, fe: Double, fn: Double) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private val phi1 = math.toRadians(lat1Deg)
+    private val sin1 = math.sin(phi1)
+    private val nu1CosPhi1 =
+      ell.a / math.sqrt(1 - ell.e2 * sin1 * sin1) * math.cos(phi1)
+    private val m0 = meridianArc(ell, math.toRadians(lat0Deg))
+    // rectifying-latitude inverse series (Snyder 3-26)
+    private val e1 = {
+      val t = math.sqrt(1 - ell.e2); (1 - t) / (1 + t)
+    }
+    private val mScale =
+      ell.a * (1 - ell.e2 / 4 - 3 * ell.e2 * ell.e2 / 64 -
+        5 * ell.e2 * ell.e2 * ell.e2 / 256)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var dlam = math.toRadians(lonDeg) - lon0
+      while (dlam > math.Pi) dlam -= 2 * math.Pi
+      while (dlam <= -math.Pi) dlam += 2 * math.Pi
+      (fe + nu1CosPhi1 * dlam,
+        fn + meridianArc(ell, math.toRadians(latDeg)) - m0)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val mu = (y - fn + m0) / mScale
+      val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_2 * e1_2
+      val phi = mu +
+        (3 * e1 / 2 - 27 * e1_3 / 32) * math.sin(2 * mu) +
+        (21 * e1_2 / 16 - 55 * e1_4 / 32) * math.sin(4 * mu) +
+        (151 * e1_3 / 96) * math.sin(6 * mu) +
+        (1097 * e1_4 / 512) * math.sin(8 * mu)
+      (math.toDegrees(lon0 + (x - fe) / nu1CosPhi1), math.toDegrees(phi))
+    }
+  }
+
   /** Oblique (double) Stereographic, EPSG method 9809 (EPSG Guidance Note
     * 7-2): ellipsoid → conformal sphere → oblique stereographic. The
     * projection of the Dutch RD grid. */
@@ -1551,6 +1593,13 @@ object EpsgDb {
       "WGS 84 / NSIDC EASE-Grid 2.0 South"))
     add(6933, noShift(Cea(WGS84, 30, 0, 0, 0),
       "WGS 84 / NSIDC EASE-Grid 2.0 Global"))
+    // ---- r13: world equidistant-cylindrical pair (method 1028/1029) ----
+    add(4087, noShift(Eqc(WGS84, 0, 0, 0, 0, 0),
+      "WGS 84 / World Equidistant Cylindrical"))
+    // 4088: method 1029 on the GRS80 authalic sphere (e²=0 reduces the
+    // ellipsoidal forms exactly: x = Rλ, y = Rφ)
+    add(4088, noShift(Eqc(Ellipsoid(6371007.181, 1e12), 0, 0, 0, 0, 0),
+      "World Equidistant Cylindrical (Sphere)"))
     // Singapore SVY21 (WGS84-coincident datum)
     add(3414, noShift(TMerc(WGS84, 1.366666666666667, 103.8333333333333, 1.0,
       28001.642, 38744.572), "SVY21 / Singapore TM"))
@@ -1782,6 +1831,10 @@ object EpsgDb {
         s"""PROJCS["${crs.name}",$base,PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",$lat0],PARAMETER["longitude_of_center",$lon0],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",$k0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case Polyconic(_, lat0, lon0, fe, fn) =>
         s"""PROJCS["${crs.name}",$base,PROJECTION["Polyconic"],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Cea(_, latTs, lon0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Cylindrical_Equal_Area"],PARAMETER["standard_parallel_1",$latTs],PARAMETER["central_meridian",$lon0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
+      case Eqc(_, lat1, lat0, lon0, fe, fn) =>
+        s"""PROJCS["${crs.name}",$base,PROJECTION["Equirectangular"],PARAMETER["standard_parallel_1",$lat1],PARAMETER["latitude_of_origin",$lat0],PARAMETER["central_meridian",$lon0],PARAMETER["false_easting",$fe],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]"""
       case HotineOblique(_, latC, lonC, az, gamma, k0, fe, fn, vB) =>
         val proj = if (vB) "Hotine_Oblique_Mercator_Azimuth_Center"
           else "Hotine_Oblique_Mercator"

@@ -533,6 +533,51 @@ class CrsRegistrySpec extends AnyFunSuite {
     assert(math.abs(xs - x25833) < 1e-3 && math.abs(ys - y25833) < 1e-3)
   }
 
+  test("equidistant cylindrical (EPSG 4087/4088): anchors, sphere reduction, proj4") {
+    // published anchor: the WGS84 quarter meridian is 10 001 965.729 m —
+    // EPSG 4087's northing at the pole IS that arc (method 1028)
+    val (_, yPole) = EpsgDb.fromWgs84(0.0, 90.0, 4087)
+    assert(math.abs(yPole - 10001965.729) < 0.01, s"quarter meridian: $yPole")
+    // easting at the equator is exactly a·λ (ν₁cosφ₁ = a at φ₁ = 0)
+    val (xEq, yEq) = EpsgDb.fromWgs84(90.0, 0.0, 4087)
+    assert(math.abs(xEq - 6378137.0 * math.Pi / 2) < 1e-6 && yEq === 0.0)
+    // round trip: the Snyder 3-26 inverse series truncates at ~2e-9°
+    // (≈0.25 mm) — bound at 1e-8° (~1 mm)
+    for ((lon, lat) <- Seq((2.35, 48.85), (-118.2, 34.05), (151.2, -33.87))) {
+      val (x, y) = EpsgDb.fromWgs84(lon, lat, 4087)
+      val (blon, blat) = EpsgDb.toWgs84(x, y, 4087)
+      assert(math.abs(blon - lon) < 1e-8 && math.abs(blat - lat) < 1e-8)
+    }
+    // 4088 (authalic sphere, method 1029): x = Rλ, y = Rφ — the engine
+    // encodes a sphere as invF=1e12 (same convention as web mercator),
+    // leaving ~1e-5 m from the exact sphere forms
+    val r = 6371007.181
+    val (xs, ys) = EpsgDb.fromWgs84(45.0, 30.0, 4088)
+    assert(math.abs(xs - r * math.toRadians(45)) < 1e-4 &&
+      math.abs(ys - r * math.toRadians(30)) < 1e-4)
+    // proj4 front door: the epsg.io string for 4087 transforms identically
+    CrsRegistry.register(944087,
+      "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs")
+    assert(maxDelta(4087, 944087, Seq((2.35, 48.85), (-118.2, 34.05))) < 1e-6)
+    // WKT front door + synthesized-WKT round trip (also pins that wkt()
+    // now synthesizes Eqc instead of throwing)
+    CrsRegistry.register(954087, EpsgDb.wkt(4087).get
+      .replace(""""EPSG","4087"""", """"EPSG","954087""""))
+    assert(maxDelta(4087, 954087, Seq((2.35, 48.85))) < 1e-6)
+  }
+
+  test("wkt synthesis covers every embedded projection family (Cea regression)") {
+    // 6933 (EASE-Grid 2.0 Global) is the table's one Cea — wkt() used to
+    // MatchError on it; now it synthesizes and re-parses to the same CRS
+    val w = EpsgDb.wkt(6933)
+    assert(w.isDefined && w.get.contains("Cylindrical_Equal_Area"))
+    CrsRegistry.register(956933, w.get
+      .replace(""""EPSG","6933"""", """"EPSG","956933""""))
+    assert(maxDelta(6933, 956933, Seq((10.0, 50.0), (-70.0, -20.0))) < 1e-4)
+    // and the full table synthesizes without throwing
+    EpsgDb.table.keys.foreach(c => EpsgDb.wkt(c))
+  }
+
   test("proj4: geographic + unknown family errors are actionable") {
     val g = CrsRegistry.parseProj4("+proj=longlat +datum=WGS84 +no_defs")
     assert(g.proj.isInstanceOf[EpsgDb.Geographic] && g.shift.isEmpty)

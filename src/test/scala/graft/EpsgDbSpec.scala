@@ -39,6 +39,7 @@ class EpsgDbSpec extends AnyFunSuite {
       else if (lat0 <= -89.0) (lon0 + 35.0, -72.0)   // polar south aspect
       else (lon0 + 5.0, lat0 + 3.0)
     case EpsgDb.Cea(_, _, lon0, _, _) => (lon0 + 40.0, 23.0)
+    case EpsgDb.Eqc(_, _, _, lon0, _, _) => (lon0 + 40.0, 23.0)
     case EpsgDb.ObliqueStereo(_, lat0, lon0, _, _, _) => (lon0 + 1.0, lat0 + 0.75)
     case EpsgDb.SwissOblique(_, lat0, lon0, _, _, _) => (lon0 + 1.5, lat0 + 0.5)
     case EpsgDb.Krovak(_, _, _, _, _, _) => (15.5, 49.75) // Czech interior
