@@ -1207,6 +1207,9 @@ object GeoQueries {
         "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 " +
           "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel " +
           "+towgs84=674.374,15.056,405.346,0,0,0,0 +units=m +no_defs")
+      graft.functions.registerCrs(944087,
+        "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 " +
+          "+datum=WGS84 +units=m +no_defs")
       def viaBoth(lon: Column, lat: Column, builtin: Int, reg: Int,
           tol: Double): Column = {
         val p = st_set_srid(st_point(lon, lat), lit(4326))
@@ -1238,6 +1241,10 @@ object GeoQueries {
         rtOk(lonFr, latFr, 942154, 1e-8).as("p4_l93_rt_ok"),
         rtOk(lonUs, latUs, 946714, 1e-6).as("p4_nad27_rt_ok"),
         rtOk(lonCh, latCh, 942056, 1e-6).as("p4_lv95_rt_ok"),
+        // equidistant cylindrical (r13 family): registered proj4 vs the
+        // embedded 4087 entry, + round trip (series inverse, ~2e-9°)
+        viaBoth(lonFr, latFr, 4087, 944087, 1e-6).as("p4_eqc_match_ok"),
+        rtOk(lonFr, latFr, 944087, 1e-7).as("p4_eqc_rt_ok"),
         // the definition resolver infers an embedded code from a proj4
         // string whose parameters match (3006 SWEREF99 TM ≡ UTM 33N)
         lit(graft.functions.CrsRegistry.sridForWkt(
@@ -1898,6 +1905,7 @@ object GeoQueries {
          | TRUE AS p4_nad27_match_ok, TRUE AS p4_lv95_match_ok,
          | TRUE AS p4_bng_rt_ok, TRUE AS p4_l93_rt_ok,
          | TRUE AS p4_nad27_rt_ok, TRUE AS p4_lv95_rt_ok,
+         | TRUE AS p4_eqc_match_ok, TRUE AS p4_eqc_rt_ok,
          | TRUE AS p4_infer_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
