@@ -1210,6 +1210,13 @@ object GeoQueries {
       graft.functions.registerCrs(944087,
         "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 " +
           "+datum=WGS84 +units=m +no_defs")
+      // r14: classic (single) oblique stereographic — the non-polar
+      // +proj=stere aspect (Snyder §21 on the conformal latitude)
+      graft.functions.registerCrs(945593,
+        "+proj=stere +lat_0=59 +lon_0=25 +k=1 +x_0=0 +y_0=0 " +
+          "+ellps=GRS80 +towgs84=0,0,0 +units=m +no_defs")
+      graft.functions.registerCrs(945594,
+        "+proj=stere +lat_0=40 +lon_0=-100 +R=1 +towgs84=0,0,0 +no_defs")
       def viaBoth(lon: Column, lat: Column, builtin: Int, reg: Int,
           tol: Double): Column = {
         val p = st_set_srid(st_point(lon, lat), lit(4326))
@@ -1249,7 +1256,21 @@ object GeoQueries {
         // string whose parameters match (3006 SWEREF99 TM ≡ UTM 33N)
         lit(graft.functions.CrsRegistry.sridForWkt(
           "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0 +units=m +no_defs")
-          == 3006).as("p4_infer_ok")
+          == 3006).as("p4_infer_ok"),
+        // r14: classic oblique stere — per-row round trip over the Baltic
+        // (conformal fixed-point inverse converges ≪1e-10°)...
+        rtOk(lit(22.25) + (k % 16).cast("double") / 4.0,
+          lit(56.25) + (k % 14).cast("double") / 4.0, 945593, 1e-8)
+          .as("p4_stere_obl_rt_ok"),
+        // ...and the published Snyder PP 1395 sphere example: R=1,
+        // lat_0=40N, lon_0=100W, point (75W, 30N) → (0.3807224,
+        // −0.1263802) — e→0 reduction of the ellipsoidal forms
+        {
+          val sny = st_to_srid(st_set_srid(
+            st_point(lit(-75.0), lit(30.0)), lit(4326)), lit(945594))
+          (abs(st_x(sny) - 0.3807224) < 5e-7 &&
+            abs(st_y(sny) + 0.1263802) < 5e-7).as("p4_stere_snyder_ok")
+        }
       ).orderBy(k)
     }),
 
@@ -1906,7 +1927,8 @@ object GeoQueries {
          | TRUE AS p4_bng_rt_ok, TRUE AS p4_l93_rt_ok,
          | TRUE AS p4_nad27_rt_ok, TRUE AS p4_lv95_rt_ok,
          | TRUE AS p4_eqc_match_ok, TRUE AS p4_eqc_rt_ok,
-         | TRUE AS p4_infer_ok
+         | TRUE AS p4_infer_ok,
+         | TRUE AS p4_stere_obl_rt_ok, TRUE AS p4_stere_snyder_ok
          |FROM b ORDER BY k""".stripMargin,
     "geo_serde" ->
       s"""$B SELECT k,

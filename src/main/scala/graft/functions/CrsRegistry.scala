@@ -26,7 +26,9 @@ import scala.collection.mutable.ArrayBuffer
   * WKT2/EPSG spellings all accepted): Transverse_Mercator/Gauss_Kruger,
   * Mercator (1SP/2SP/variant A/B/Auxiliary_Sphere/web mercator),
   * Lambert_Conformal_Conic (1SP/2SP), Albers, Polar_Stereographic
-  * (variant A/B, ESRI North/South_Pole), Lambert_Azimuthal_Equal_Area,
+  * (variant A/B, ESRI North/South_Pole), plain Stereographic (polar →
+  * variant A, non-polar → the classic single oblique/equatorial form,
+  * Snyder §21), Lambert_Azimuthal_Equal_Area,
   * Oblique/Double_Stereographic, Krovak, Hotine_Oblique_Mercator
   * (variant A/B and the ESRI Azimuth_Center spelling — azimuth 90 with
   * rectified angle 90 dispatches to the Swiss somerc family), Polyconic,
@@ -561,7 +563,8 @@ object CrsRegistry {
   /** PROJ.4 string → [[EpsgDb.Crs]]. Supported `+proj=` families map onto
     * the same projection engine the WKT path uses: longlat/latlong, tmerc,
     * utm (+zone/+south), merc (+lat_ts → 2SP form), webmerc, lcc (1/2SP),
-    * aea, stere (polar A via +k_0, polar B via +lat_ts), sterea, laea,
+    * aea, stere (polar A via +k_0, polar B via +lat_ts, non-polar lat_0 →
+    * the classic oblique/equatorial form), sterea, laea,
     * cea, eqc (+lat_ts standard parallel), krovak, poly, omerc
     * (+no_uoff → variant A), somerc, nzmg.
     * Ellipsoid from `+ellps`/`+a +b`/`+a +rf`/`+a +f`/`+R`/`+datum`;
@@ -657,10 +660,21 @@ object CrsRegistry {
         p("falsenorthing") = if (kv.contains("south")) 1e7 else 0.0
         "transversemercator"
       case "merc" =>
-        // +lat_ts selects the standard-parallel (2SP) form; PROJ ignores
-        // +k there, matching mercSp1
+        // +lat_ts selects the standard-parallel (2SP) form, under which a
+        // scale factor has no meaning — modern PROJ errors on the
+        // combination ("k_0 and lat_ts can not both be specified") except
+        // for the legacy 3857 string's explicit k=1, so must we
         d("lat_ts") match {
-          case Some(ts) => p("standardparallel1") = ts; "mercator2sp"
+          case Some(ts) =>
+            d("k").orElse(d("k_0")).filter(k => math.abs(k - 1.0) > 1e-12)
+              .foreach { kBad =>
+                throw new IllegalArgumentException(
+                  s"PROJ.4 +proj=merc with both +lat_ts=$ts and +k=$kBad: " +
+                    "a standard parallel already fixes the scale (PROJ " +
+                    "rejects the combination; only the legacy k=1 form " +
+                    "is accepted)")
+              }
+            p("standardparallel1") = ts; "mercator2sp"
           case None => "mercator1sp"
         }
       case "webmerc" => "popularvisualisationpseudomercator"
@@ -695,12 +709,23 @@ object CrsRegistry {
       case "aea" => "albers"
       case "stere" =>
         val lat0 = d("lat_0").getOrElse(0.0)
-        require(math.abs(math.abs(lat0) - 90) < 1e-9,
-          "PROJ.4 +proj=stere is implemented for the polar aspect only " +
-            "(use +proj=sterea for oblique double stereographic)")
-        d("lat_ts") match {
-          case Some(ts) => p("standardparallel1") = ts; "polarstereographicvariantb"
-          case None => "polarstereographicvarianta"
+        if (math.abs(math.abs(lat0) - 90) < 1e-9)
+          d("lat_ts") match {
+            case Some(ts) => p("standardparallel1") = ts; "polarstereographicvariantb"
+            case None => "polarstereographicvarianta"
+          }
+        else {
+          // oblique/equatorial aspect: the classic (Snyder §21) single
+          // stereographic. PROJ only consumes +lat_ts in the polar setup —
+          // silently dropping it here would register a different scale
+          // than the user asked for, so reject the combination loudly
+          d("lat_ts").foreach { ts =>
+            throw new IllegalArgumentException(
+              s"PROJ.4 +proj=stere with non-polar lat_0=$lat0 does not " +
+                s"take +lat_ts=$ts (a standard parallel only exists in " +
+                "the polar aspect; use +k for oblique scale)")
+          }
+          "stereographic"
         }
       case "sterea" => "obliquestereographic"
       case "laea" => "lambertazimuthalequalarea"
@@ -731,7 +756,7 @@ object CrsRegistry {
       case "nzmg" => "newzealandmapgrid"
       case other => throw new IllegalArgumentException(
         s"PROJ.4 +proj=$other not implemented (supported: longlat, tmerc, utm, " +
-          "merc, webmerc, lcc, aea, stere (polar), sterea, laea, cea, eqc, " +
+          "merc, webmerc, lcc, aea, stere, sterea, laea, cea, eqc, " +
           "krovak, poly, omerc, somerc, nzmg)")
     }
     def get(names: Seq[String]): Option[Double] = names.flatMap(p.get).headOption
@@ -818,7 +843,10 @@ object CrsRegistry {
       case "polarstereographicvariantb" => polarB(lat1 >= 0)
       case "stereographicnorthpole" => polarB(north = true) // ESRI names
       case "stereographicsouthpole" => polarB(north = false)
-      case "stereographic" if math.abs(math.abs(lat0) - 90) < 1e-6 => polarA
+      case "stereographic" => // classic single stereographic: polar at the
+        // poles (Snyder §21 polar eqs), oblique/equatorial elsewhere
+        if (math.abs(math.abs(lat0) - 90) < 1e-6) polarA
+        else StereoClassic(ell, lat0, lon0, k0, fe, fn)
       case "obliquestereographic" | "doublestereographic" =>
         ObliqueStereo(ell, lat0, lon0, k0, fe, fn)
       case "lambertazimuthalequalarea" =>
@@ -867,7 +895,7 @@ object CrsRegistry {
       case _ => throw new IllegalArgumentException(
         s"WKT projection method not implemented: $method (supported: " +
           "Transverse_Mercator, Mercator (1SP/2SP/web), Lambert_Conformal_Conic (1SP/2SP), " +
-          "Albers, Polar_Stereographic (A/B), " +
+          "Albers, Polar_Stereographic (A/B), Stereographic (polar/oblique classic), " +
           "Lambert_Azimuthal_Equal_Area, Oblique_Stereographic, Krovak, " +
           "Hotine_Oblique_Mercator (A/B), Polyconic, " +
           "Cylindrical_Equal_Area, Equirectangular, New_Zealand_Map_Grid)")

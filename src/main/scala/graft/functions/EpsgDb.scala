@@ -437,6 +437,75 @@ object EpsgDb {
     }
   }
 
+  /** Classic (single-projection) oblique/equatorial Stereographic on the
+    * ellipsoid — Snyder §21, eqs 21-27..21-39 on the conformal latitude
+    * (3-1): what PROJ's `+proj=stere` computes for a non-polar `+lat_0`
+    * (the reference reaches it via proj, functions.rs:1868-1939). Distinct
+    * from [[ObliqueStereo]], the EPSG method 9809 DOUBLE stereographic
+    * (ellipsoid → conformal sphere → sphere stereographic): the two agree
+    * at the natural origin and diverge by centimetres-to-metres away from
+    * it. Conformal; scale at the origin is k0. The antipode of the origin
+    * is the projection's singular point (Snyder's A denominator → 0) —
+    * like the other azimuthal families here, far-zone input is the
+    * caller's responsibility. */
+  final case class StereoClassic(ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    require(math.abs(lat0Deg) < 90 - 1e-9,
+      s"classic stereographic lat_0=$lat0Deg is polar — the polar aspect " +
+        "is a different formula (PolarStereo); dispatch there instead")
+    private val e = ell.e
+    /** Conformal latitude χ(φ), Snyder 3-1. */
+    private def chiOf(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      2 * math.atan(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - esin) / (1 + esin), e / 2)) - math.Pi / 2
+    }
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val chi1 = chiOf(phi0)
+    private val sinChi1 = math.sin(chi1)
+    private val cosChi1 = math.cos(chi1)
+    private val m1 = {
+      val s = math.sin(phi0)
+      math.cos(phi0) / math.sqrt(1 - ell.e2 * s * s)
+    }
+    private val akm1 = 2 * ell.a * k0 * m1 // Snyder 21-27 numerator
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val chi = chiOf(math.toRadians(latDeg))
+      var dlam = math.toRadians(lonDeg) - lam0
+      while (dlam > math.Pi) dlam -= 2 * math.Pi
+      while (dlam <= -math.Pi) dlam += 2 * math.Pi
+      val sinChi = math.sin(chi); val cosChi = math.cos(chi)
+      val bigA = akm1 /
+        (cosChi1 * (1 + sinChi1 * sinChi + cosChi1 * cosChi * math.cos(dlam)))
+      (fe + bigA * cosChi * math.sin(dlam),
+        fn + bigA * (cosChi1 * sinChi - sinChi1 * cosChi * math.cos(dlam)))
+    }
+
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe; val y = y0 - fn
+      val rho = math.hypot(x, y)
+      if (rho < 1e-12) return (lon0Deg, lat0Deg)
+      val ce = 2 * math.atan2(rho * cosChi1, akm1) // Snyder 21-38
+      val sinCe = math.sin(ce); val cosCe = math.cos(ce)
+      val chi = math.asin(cosCe * sinChi1 + y * sinCe * cosChi1 / rho)
+      val lam = lam0 + math.atan2(x * sinCe,
+        rho * cosChi1 * cosCe - y * sinChi1 * sinCe)
+      // χ → φ by the standard conformal fixed point (3-4 iterated; the
+      // same scheme the Mercator / polar-stereo inverses here use)
+      var phi = chi
+      var i = 0
+      while (i < 10) {
+        val esin = e * math.sin(phi)
+        phi = 2 * math.atan(math.tan(math.Pi / 4 + chi / 2) *
+          math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 2
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Ellipsoidal Mercator 1SP (Snyder §7). */
   final case class Mercator1SP(ell: Ellipsoid, lon0Deg: Double, k0: Double,
       fe: Double, fn: Double) extends Projection {
@@ -550,6 +619,11 @@ object EpsgDb {
     * φts = 30°. Inverse latitude via the authalic β series. */
   final case class Cea(ell: Ellipsoid, latTsDeg: Double, lon0Deg: Double,
       fe: Double, fn: Double) extends Projection {
+    // k0 = cos φts/√(1−e²sin²φts) = 0 at a polar parallel: forward easting
+    // collapses and the northing a·q/(2k0) divides by zero — fail loudly
+    require(math.abs(latTsDeg) < 90 - 1e-9,
+      s"cylindrical equal-area standard parallel lat_ts=$latTsDeg is " +
+        "degenerate (k0 = cos 90° = 0)")
     private val lon0 = math.toRadians(lon0Deg)
     private val ts = math.toRadians(latTsDeg)
     private def qOf(phi: Double): Double = authalicQ(ell, phi)
@@ -587,6 +661,12 @@ object EpsgDb {
     * Cylindrical", 4088 on the authalic sphere, Plate Carrée). */
   final case class Eqc(ell: Ellipsoid, lat1Deg: Double, lat0Deg: Double,
       lon0Deg: Double, fe: Double, fn: Double) extends Projection {
+    // a polar standard parallel makes ν₁·cos φ₁ = 0: forward collapses
+    // every easting to FE and the inverse divides by zero — fail loudly
+    // (same policy as the degenerate equatorial lcc cone)
+    require(math.abs(lat1Deg) < 90 - 1e-9,
+      s"equidistant cylindrical standard parallel lat_ts=$lat1Deg is " +
+        "degenerate (cos 90° = 0 collapses the easting axis)")
     private val lon0 = math.toRadians(lon0Deg)
     private val phi1 = math.toRadians(lat1Deg)
     private val sin1 = math.sin(phi1)

@@ -578,6 +578,70 @@ class CrsRegistrySpec extends AnyFunSuite {
     EpsgDb.table.keys.foreach(c => EpsgDb.wkt(c))
   }
 
+  test("proj4: non-polar +proj=stere is the classic oblique stereographic") {
+    // dispatch: oblique lat_0 lands on the classic single-projection
+    // family, NOT the sterea double (the two are distinct projections
+    // that agree only at the natural origin)
+    val rd = "+proj=stere +lat_0=52.15616055555555 +lon_0=5.38763888888889 " +
+      "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel +units=m +no_defs"
+    val classic = CrsRegistry.parseProj4(rd)
+    assert(classic.proj.isInstanceOf[EpsgDb.StereoClassic])
+    val sterea = CrsRegistry.parseProj4(rd.replace("+proj=stere ", "+proj=sterea "))
+    assert(sterea.proj.isInstanceOf[EpsgDb.ObliqueStereo])
+    val (cx, cy) = classic.proj.forward(6.9, 53.1)
+    val (dx, dy) = sterea.proj.forward(6.9, 53.1)
+    val apart = math.hypot(cx - dx, cy - dy)
+    assert(apart > 0.01 && apart < 50, s"classic vs sterea: $apart m")
+    // equatorial aspect is the same formula (lat_0 defaults to 0)
+    assert(CrsRegistry.parseProj4("+proj=stere +lon_0=0 +ellps=GRS80")
+      .proj.isInstanceOf[EpsgDb.StereoClassic])
+    // polar aspects keep their dedicated dispatch
+    assert(CrsRegistry.parseProj4("+proj=stere +lat_0=90 +k=0.994 +ellps=WGS84")
+      .proj.isInstanceOf[EpsgDb.PolarStereo])
+    // Snyder sphere anchor through the front door: +R=1 builds the unit
+    // sphere; the published example point lands to 5e-7
+    val sny = CrsRegistry.parseProj4("+proj=stere +lat_0=40 +lon_0=-100 +R=1")
+    val (ax, ay) = sny.proj.forward(-75.0, 30.0)
+    assert(math.abs(ax - 0.3807224) < 5e-7 && math.abs(ay + 0.1263802) < 5e-7,
+      s"Snyder anchor via proj4: ($ax,$ay)")
+    // +lat_ts only exists in the polar aspect — reject, don't drop it
+    val ts = intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=stere +lat_0=52 +lat_ts=50 +ellps=WGS84")
+    }
+    assert(ts.getMessage.contains("lat_ts"))
+    // end-to-end: registered classic oblique stere round-trips through
+    // the WGS84 hub
+    CrsRegistry.register(949999,
+      "+proj=stere +lat_0=59 +lon_0=25 +k=1 +x_0=0 +y_0=0 " +
+        "+ellps=GRS80 +towgs84=0,0,0 +units=m +no_defs")
+    for ((lon, lat) <- Seq((24.94, 60.17), (28.0, 56.0))) {
+      val (x, y) = EpsgDb.fromWgs84(lon, lat, 949999)
+      val (lon2, lat2) = EpsgDb.toWgs84(x, y, 949999)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+  }
+
+  test("proj4: merc rejects +lat_ts with a non-1 +k (keeps the legacy 3857 form)") {
+    // modern PROJ: "k_0 and lat_ts can not both be specified" — a silent
+    // drop would register a different scale than asked for
+    val e = intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=merc +lat_ts=30 +k=0.98 +ellps=WGS84")
+    }
+    assert(e.getMessage.contains("lat_ts") && e.getMessage.contains("0.98"))
+    // the legacy spherical-3857 string carries +lat_ts=0 +k=1 — still fine
+    assert(CrsRegistry.parseProj4(
+      "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 " +
+        "+k=1 +units=m +nadgrids=@null +wktext +no_defs")
+      .proj.isInstanceOf[EpsgDb.Mercator1SP])
+    // degenerate polar standard parallels fail loudly at parse time too
+    intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=eqc +lat_ts=90 +ellps=WGS84")
+    }
+    intercept[IllegalArgumentException] {
+      CrsRegistry.parseProj4("+proj=cea +lat_ts=90 +ellps=WGS84")
+    }
+  }
+
   test("proj4: geographic + unknown family errors are actionable") {
     val g = CrsRegistry.parseProj4("+proj=longlat +datum=WGS84 +no_defs")
     assert(g.proj.isInstanceOf[EpsgDb.Geographic] && g.shift.isEmpty)

@@ -537,4 +537,88 @@ class EpsgDbSpec extends AnyFunSuite {
         s"EPSG:$wgs72Code round trip: ($lon2, $lat2)")
     }
   }
+
+  test("StereoClassic: Snyder sphere anchor, conformality, round trips, vs double") {
+    // Published anchor — Snyder, Map Projections: A Working Manual
+    // (USGS PP 1395), Appendix numerical example for the oblique
+    // stereographic, SPHERE: R=1, k0=1, φ1=40°N, λ0=100°W; the point
+    // 30°N 75°W maps to x=0.3807224, y=−0.1263802 with local scale
+    // k=1.0402304. The ellipsoidal forms (21-27..21-39 on the conformal
+    // latitude) reduce exactly at e→0 (χ=φ, m=cos φ); the engine's
+    // sphere convention invF=1e12 leaves ~1e-12 relative residue.
+    val sph = EpsgDb.StereoClassic(EpsgDb.Ellipsoid(1.0, 1e12),
+      40.0, -100.0, 1.0, 0, 0)
+    val (sx, sy) = sph.forward(-75.0, 30.0)
+    assert(math.abs(sx - 0.3807224) < 5e-7, s"x=$sx")
+    assert(math.abs(sy + 0.1263802) < 5e-7, s"y=$sy")
+    // the published point scale, taken numerically along the meridian
+    val dp = 1e-6
+    val (sx2, sy2) = sph.forward(-75.0, 30.0 + dp)
+    val kNum = math.hypot(sx2 - sx, sy2 - sy) / math.toRadians(dp)
+    assert(math.abs(kNum - 1.0402304) < 1e-5, s"k=$kNum")
+    val (bl, bp) = sph.inverse(sx, sy)
+    assert(math.abs(bl + 75.0) < 1e-9 && math.abs(bp - 30.0) < 1e-9)
+
+    // ellipsoid (GRS80), oblique center: the projection must be conformal
+    // (meridian scale ≡ parallel scale everywhere) with scale k0 at the
+    // natural origin — the defining invariants of the classic form
+    val grs80 = EpsgDb.Ellipsoid(6378137.0, 298.257222101)
+    val ob = EpsgDb.StereoClassic(grs80, 52.0, 10.0, 0.9999, 500000, 300000)
+    val a = grs80.a; val e2 = grs80.e2
+    def scales(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val w2 = 1 - e2 * math.sin(phi) * math.sin(phi)
+      val rho = a * (1 - e2) / math.pow(w2, 1.5) // meridian radius
+      val nu = a / math.sqrt(w2) // prime-vertical radius
+      // step large enough that double-precision jitter in χ (~1e-9 m on
+      // the projected values) vanishes against the ~1 m deltas, small
+      // enough that scale curvature truncation stays ≪1e-12
+      val d = 1e-5
+      val (x0, y0) = ob.forward(lon, lat)
+      val (xm, ym) = ob.forward(lon, lat + d)
+      val (xp, yp) = ob.forward(lon + d, lat)
+      (math.hypot(xm - x0, ym - y0) / (rho * math.toRadians(d)),
+        math.hypot(xp - x0, yp - y0) / (nu * math.cos(phi) * math.toRadians(d)))
+    }
+    val (h0, k0s) = scales(10.0, 52.0)
+    assert(math.abs(h0 - 0.9999) < 1e-7 && math.abs(k0s - 0.9999) < 1e-7,
+      s"origin scale: h=$h0 k=$k0s")
+    for ((lon, lat) <- Seq((2.0, 48.0), (25.0, 60.0), (10.0, 35.0), (-8.0, 55.0))) {
+      val (h, kp) = scales(lon, lat)
+      assert(math.abs(h / kp - 1.0) < 1e-6, s"conformality at ($lon,$lat): h=$h k=$kp")
+      // tight round trip (conformal fixed point converges ≪1e-10°)
+      val (x, y) = ob.forward(lon, lat)
+      val (lon2, lat2) = ob.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"round trip ($lon,$lat)")
+    }
+
+    // classic vs EPSG 9809 double (Dutch RD parameters): identical at the
+    // natural origin, measurably apart away from it — proves the oblique
+    // stere dispatch is NOT the sterea family
+    val bessel = EpsgDb.Ellipsoid(6377397.155, 299.1528128)
+    val classic = EpsgDb.StereoClassic(bessel,
+      52.15616055555555, 5.38763888888889, 0.9999079, 155000, 463000)
+    val double_ = EpsgDb.ObliqueStereo(bessel,
+      52.15616055555555, 5.38763888888889, 0.9999079, 155000, 463000)
+    val (cx0, cy0) = classic.forward(5.38763888888889, 52.15616055555555)
+    val (dx0, dy0) = double_.forward(5.38763888888889, 52.15616055555555)
+    assert(math.hypot(cx0 - dx0, cy0 - dy0) < 1e-6)
+    val (cx, cy) = classic.forward(6.9, 53.1)
+    val (dx, dy) = double_.forward(6.9, 53.1)
+    val apart = math.hypot(cx - dx, cy - dy)
+    assert(apart > 0.01 && apart < 50, s"classic vs double at 1°: $apart m")
+
+    // degenerate-parallel guards (fail-loudly policy): polar lat_0 here,
+    // polar standard parallels in eqc/cea
+    intercept[IllegalArgumentException] {
+      EpsgDb.StereoClassic(grs80, 90.0, 0.0, 1.0, 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      EpsgDb.Eqc(grs80, 90.0, 0.0, 0.0, 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      EpsgDb.Cea(grs80, -90.0, 0.0, 0, 0)
+    }
+  }
 }

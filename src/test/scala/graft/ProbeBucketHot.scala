@@ -16,7 +16,7 @@ import graft.functions._
   * cycle is exactly 0) vs 196 ns hitting, join median 1.70 s. r13 first
   * moved to a 1024-entry/2 MiB-budget LRU (this fixture → 1.01 s), then
   * — because a 2048-distinct cell put LRU back at zero hits — to a
-  * DIRECT-MAPPED 4096-slot tier for ≤1 KiB values whose cyclic hit rate
+  * DIRECT-MAPPED 4096-slot tier for ≤512 B values whose cyclic hit rate
   * degrades statistically (~(1−1/slots)^(N−1)) instead: the 2048-inner
   * join dropped 9.5 → 6.0 s. The microbench reports per-lookup cost at
   * cycle lengths 512/2048/8192 against whatever cache is current;
@@ -96,7 +96,7 @@ object ProbeBucketHot {
     println(f"[probe] pairs=$warm join median=${joinSec}%.3f s (runs: ${joinSecs.map(s => f"$s%.3f").mkString(", ")})")
 
     // Per-lookup EWKB.read cost vs cycle length, against the CURRENT
-    // cache (r13: direct-mapped 4096 slots for ≤1 KiB values — cyclic
+    // cache (r13: direct-mapped 4096 slots for ≤512 B values — cyclic
     // access degrades STATISTICALLY, ≈(1−1/slots)^(N−1) hit rate, not to
     // LRU's hard zero). Three regimes: fits-everything, within-slots
     // statistical, beyond-slots worst case. The microbench synthesizes
