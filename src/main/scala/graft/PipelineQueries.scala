@@ -37,7 +37,17 @@ object PipelineQueries {
       base.select((col("doc_id") + shift).as("img_id"),
         Multimodal.makeGradImage(lit(24), lit(16),
           col("fr"), col("fg"), col("fb"), lit(fmt)).as("img"))
-    enc("png", 0).unionAll(enc("bmp", 10000))
+    // in-band corrupt media (r14): a truncated PNG (header only, no
+    // pixel data), a decompression-bomb header, and junk bytes ride
+    // INSIDE the fixture — on a 100 TB corpus corrupt blobs arrive in
+    // the same micro-batch as good ones, so the honest-null contract
+    // (feature → null → row drops from pairing, batch AND stream, no
+    // task failure) is pinned where it actually has to hold
+    val corrupt = s.range(3).select((col("id") + 20000).as("img_id"),
+      when(col("id") === 0, Multimodal.makePngHeader(lit(64), lit(32)))
+        .when(col("id") === 1, Multimodal.makePngHeader(lit(60000), lit(60000)))
+        .otherwise(lit(Array[Byte](9, 9, 9, 9))).as("img"))
+    enc("png", 0).unionAll(enc("bmp", 10000)).unionAll(corrupt)
   }
 
   /** Shared video-dedup fixture (pipe_video_dedup + pipe_stream_video):
@@ -55,8 +65,17 @@ object PipelineQueries {
       .select(col("doc_id").as("vid_id"),
         Multimodal.makeGradMjpegAvi(lit(24), lit(16), lit(6),
           col("fr"), col("fg"), col("fb"), lit(0)).as("avi"))
+    // in-band corrupt media (r14, same contract as the image fixture):
+    // a RIFF header truncated before any stream data, and junk bytes —
+    // frame sampling must yield null, the rows must drop from pairing
+    // in both the batch and streaming paths without failing a task
+    val truncated = orig.filter(col("vid_id") === 0)
+      .select(lit(20000L).as("vid_id"), substring(col("avi"), 1, 16).as("avi"))
+    val junk = s.range(1).select(lit(20001L).as("vid_id"),
+      lit(Array[Byte](82, 73, 70, 70)).as("avi")) // bare "RIFF"
     orig.unionAll(orig.select((col("vid_id") + 10000).as("vid_id"),
       Multimodal.transcodeMjpegAvi(col("avi")).as("avi")))
+      .unionAll(truncated).unionAll(junk)
   }
 
   /** documents ∪ (documents with doc_id += 10000): each text exactly twice. */
@@ -236,9 +255,17 @@ object PipelineQueries {
       val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
         .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
         .filter(col("s").isNull || col("b").isNull)
+      // the corrupt rows must be PRESENT in-band yet touch zero pairs in
+      // either path (they null out at the feature stage and drop)
+      val corruptPairs = pairs.select(col("id_a"), col("id_b"))
+        .unionAll(batchPairs)
+        .filter(col("id_a") >= 20000 || col("id_b") >= 20000)
       pairs.filter(col("id_b") - col("id_a") === 10000)
         .agg(count(lit(1)).as("n_stream_imgdup"))
         .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+        .crossJoin(all.filter(col("img_id") >= 20000)
+          .agg(count(lit(1)).as("n_corrupt_in")))
+        .crossJoin(corruptPairs.agg(count(lit(1)).as("n_corrupt_pairs")))
     }),
 
     // ------------------------------------- embedding near-dup + ANN search
@@ -490,9 +517,16 @@ object PipelineQueries {
       val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
         .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
         .filter(col("s").isNull || col("b").isNull)
+      // same in-band corrupt-media contract as the image twin
+      val corruptPairs = pairs.select(col("id_a"), col("id_b"))
+        .unionAll(batchPairs)
+        .filter(col("id_a") >= 20000 || col("id_b") >= 20000)
       pairs.filter(col("id_b") - col("id_a") === 10000)
         .agg(count(lit(1)).as("n_stream_viddup"))
         .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+        .crossJoin(all.filter(col("vid_id") >= 20000)
+          .agg(count(lit(1)).as("n_corrupt_in")))
+        .crossJoin(corruptPairs.agg(count(lit(1)).as("n_corrupt_pairs")))
     }),
 
     /** REAL pixel plane (JDK ImageIO + PCM): solid-color fixtures make
@@ -940,7 +974,9 @@ object PipelineQueries {
     "pipe_stream_image" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 2048)
         |   AS n_stream_imgdup,
-        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
+        | CAST(0 AS BIGINT) AS n_sym_diff,
+        | CAST(3 AS BIGINT) AS n_corrupt_in,
+        | CAST(0 AS BIGINT) AS n_corrupt_pairs""".stripMargin,
     "pipe_embedding" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_embdup,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_bf_self,
@@ -983,7 +1019,9 @@ object PipelineQueries {
     "pipe_stream_video" ->
       """SELECT (SELECT count(*) FROM documents WHERE doc_id < 256)
         |   AS n_stream_viddup,
-        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
+        | CAST(0 AS BIGINT) AS n_sym_diff,
+        | CAST(2 AS BIGINT) AS n_corrupt_in,
+        | CAST(0 AS BIGINT) AS n_corrupt_pairs""".stripMargin,
     "pipe_multimodal_feat" ->
       """SELECT doc_id, 64 AS n_feat,
         | TRUE AS grid_r_ok, TRUE AS grid_g_ok, TRUE AS grid_b_ok,

@@ -863,15 +863,22 @@ object Multimodal {
       Some(out.toSeq)
     })
 
-  /** STUB video frame sampling for non-AVI containers (H.26x/VP9 have no
-    * JVM decoder): n byte slices standing in for decoded frames. MJPEG AVI
-    * takes the REAL path ([[sampleAviFrames]]) first. */
-  def frameSampleStub(n: Int) = udf((bytes: Array[Byte]) =>
+  /** Video frame sampling. MJPEG AVI takes the REAL path
+    * ([[sampleAviFrames]]); other containers (H.26x/VP9) have no JVM
+    * decoder, and by default (`strict = true`) yield null — a row of
+    * fabricated byte-slice "frames" carries no runtime signal that it
+    * isn't video, so the fake is an explicit opt-in, never a silent
+    * fallback. `strict = false` restores the STUB byte slices for
+    * plumbing tests that only exercise shape, not content. */
+  def frameSampleStub(n: Int, strict: Boolean = true) = udf((bytes: Array[Byte]) =>
     if (bytes == null) None
     else sampleAviFrames(bytes, n).orElse {
-      // ??? real: ffmpeg keyframe extraction for non-MJPEG codecs
-      val step = math.max(1, bytes.length / math.max(n, 1))
-      Some((0 until n).map(i => bytes.slice(i * step, math.min((i + 1) * step, bytes.length))))
+      if (strict) None
+      else {
+        // ??? real: ffmpeg keyframe extraction for non-MJPEG codecs
+        val step = math.max(1, bytes.length / math.max(n, 1))
+        Some((0 until n).map(i => bytes.slice(i * step, math.min((i + 1) * step, bytes.length))))
+      }
     })
 
   // ------------------------------------------------- real Spark plumbing
@@ -895,9 +902,14 @@ object Multimodal {
 
   /** Explode sampled video frames into one row per frame, preserving the
     * parent id — the shape a frame-level training pipeline consumes.
-    * MJPEG AVI frames decode for real; other containers hit the stub. */
-  def explodeFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame =
-    df.select(col(idCol), posexplode(frameSampleStub(n)(col(binCol))).as(Seq("frame_idx", "frame")))
+    * MJPEG AVI frames decode for real; by default (`strict = true`)
+    * undecodable containers drop out honestly (posexplode of a null
+    * sample list emits no rows). `strict = false` opts into the
+    * byte-slice stub for shape-only plumbing tests. */
+  def explodeFrames(df: DataFrame, idCol: String, binCol: String, n: Int,
+      strict: Boolean = true): DataFrame =
+    df.select(col(idCol),
+      posexplode(frameSampleStub(n, strict)(col(binCol))).as(Seq("frame_idx", "frame")))
 
   /** Distributed image near-duplicate mining, end to end: decode →
     * pixel-space [[imageFeatures]] → sign-LSH embedding near-dup

@@ -866,9 +866,20 @@ class PipelineSpec extends AnyFunSuite {
     val f2 = Multimodal.withImageFeatures(media, "payload", featureDim = 8)
       .filter($"id" === 1).select($"features").collect()(0).getSeq[Float](0)
     assert(f1 === f2)
+    // strict (default): non-AVI payloads (a PNG, junk bytes — an MP4
+    // would behave identically) yield NULL frame samples and drop out of
+    // the explode; fabricated byte-slice frames never appear silently
     val frames = Multimodal.explodeFrames(media, "id", "payload", 4)
-    assert(frames.count() === 8)
+    assert(frames.count() === 0)
     assert(frames.columns.toSeq === Seq("id", "frame_idx", "frame"))
+    // a real MJPEG AVI still explodes in strict mode
+    val avi = Seq(3L).toDF("id").select($"id",
+      Multimodal.makeMjpegAvi(lit(8), lit(8), lit(6), lit(40), lit(80),
+        lit(120), lit(10)).as("payload"))
+    assert(Multimodal.explodeFrames(avi, "id", "payload", 4).count() === 4)
+    // the byte-slice stub is opt-in only
+    val stubbed = Multimodal.explodeFrames(media, "id", "payload", 4, strict = false)
+    assert(stubbed.count() === 8)
   }
 
   test("image decode is corruption-safe and decompression-bomb-guarded") {
