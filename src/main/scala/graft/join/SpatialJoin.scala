@@ -696,6 +696,18 @@ object SpatialJoin {
     * stores in a plain `df.join(st_intersects(...))`. */
   val CellSizeProp = "graft.spatial.cellSize"
 
+  /** Table property carrying the store's heavy-cell histogram
+    * (`cell:count` CSV, top [[HeavyCellCap]] cells with ≥
+    * [[HeavyCellMinRows]] rows, `,+` suffix when truncated) — written by
+    * [[writeSpatialBucketed]], read by [[sjoinBucketed]]'s hot-cell
+    * salting. A skewed cell is a write-time property of the DATA, so the
+    * store pays for the measurement once and every join reuses it from
+    * the catalog for free. */
+  val CellHistogramProp = "graft.spatial.cellHistogram"
+  private val HeavyCellMinRows = 256L
+  private val HeavyCellCap = 256
+  private val SaltCol = "__salt"
+
   /** @param geoMetadata stamp the GeoParquet 1.1 `geo` payload into every
     *   part footer (default ON since r9): the stats FOLD INTO the write
     *   itself via `Dataset.observe` — the one write-side scan computes
@@ -770,6 +782,27 @@ object SpatialJoin {
       spark0.sql(
         s"ALTER TABLE $quoted SET TBLPROPERTIES " +
           s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
+      // heavy-cell histogram: one cell-column-only scan of the store just
+      // written (bucketed by cell → the groupBy needs no exchange). On
+      // append the FULL table is re-measured — counts must describe all
+      // rows on the grid, not one batch.
+      val heavy = spark0.table(table)
+        .groupBy(col(CellCol)).count()
+        .filter(col("count") >= HeavyCellMinRows)
+        .orderBy(col("count").desc, col(CellCol))
+        .limit(HeavyCellCap + 1).collect()
+      val truncated = heavy.length > HeavyCellCap
+      if (truncated)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"writeSpatialBucketed: $table has more than $HeavyCellCap cells " +
+            s"with >=$HeavyCellMinRows rows — histogram keeps the heaviest " +
+            s"$HeavyCellCap; joins cannot hot-salt the dropped ones. A grid " +
+            "this uniformly dense wants a larger cellSize.")
+      val csv = heavy.take(HeavyCellCap)
+        .map(row => s"${row.getLong(0)}:${row.getLong(1)}").mkString(",") +
+        (if (truncated) ",+" else "")
+      spark0.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+        s"('$CellHistogramProp'='$csv')")
     }
     // footer stats describe ONE batch: stamping an append would rewrite
     // every part (old batches included) with the new batch's bbox/types —
@@ -868,17 +901,49 @@ object SpatialJoin {
     df
   }
 
+  /** The store's heavy-cell histogram from the catalog, if stamped. */
+  private def heavyCellsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[Map[Long, Long]] = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(id).properties
+      .get(CellHistogramProp).map { raw =>
+        val body = if (raw.endsWith(",+")) raw.dropRight(2) else raw
+        if (body.isEmpty) Map.empty[Long, Long]
+        else body.split(',').map { e =>
+          val i = e.indexOf(':')
+          e.take(i).toLong -> e.drop(i + 1).toLong
+        }.toMap
+      }
+  }
+
   /** Inner spatial join between two [[writeSpatialBucketed]] stores
     * written on the SAME grid: an equi-join on the cell column (bucketed
     * sort-merge — no exchange on either side), refined by the
     * reference-point rule (one output pair per geometry pair, no
     * distinct) and the actual predicate. `cellSize` must be the value
-    * both stores were written with. */
+    * both stores were written with.
+    *
+    * Hot-cell salting (r14): a cell whose `leftRows × rightRows` (from
+    * the stores' stamped histograms) reaches `hotPairsBound` is routed
+    * through a salted sub-join instead — the right side sliced into
+    * `ceil(rightRows / saltSliceRows)` hash-salt groups (≤ `maxSalt`),
+    * the left side replicated across them — and unioned with the
+    * exchange-free plan over the remaining cells. This bounds BOTH
+    * failure modes of a skewed cell at 100 TB: the single-task straggler
+    * (its pairs now spread over the salt groups) and EWKB parse thrash
+    * (each task cycles ~saltSliceRows distinct right geometries, inside
+    * the direct-mapped parse tier's statistical reach, where a
+    * beyond-slots cycle re-parses nearly every pair — measured in
+    * ProbeBucketHot/PERF.md). Only hot-cell rows shuffle; cold cells
+    * keep the zero-exchange plan. Stores written before the histogram
+    * stamp (or with `saltHotCells = false`) keep exactly the old plan. */
   def sjoinBucketed(spark: org.apache.spark.sql.SparkSession,
       leftTable: String, rightTable: String,
       cellSize: Double, predicate: String = "intersects",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
-      suffix: String = "_right", refineViaUdf: Boolean = false): DataFrame = {
+      suffix: String = "_right", refineViaUdf: Boolean = false,
+      saltHotCells: Boolean = true, hotPairsBound: Long = 8000000L,
+      saltSliceRows: Int = 1024, maxSalt: Int = 64): DataFrame = {
     val l = spark.table(leftTable)
     val leftCols = l.columns.filterNot(_ == CellCol).toSeq
     val r = renameClashes(spark.table(rightTable), leftCols, suffix)
@@ -899,9 +964,72 @@ object SpatialJoin {
           org.apache.spark.sql.graft.ColumnBridge.expression(col(rg)),
           org.apache.spark.sql.graft.ColumnBridge.expression(col(CellCol)),
           cs, graft.plans.GeoNative.predCode(predName)))
-    l.join(r, CellCol)
-      .filter(refine)
-      .drop(CellCol)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val hot: Map[Long, Long] = if (!saltHotCells) Map.empty else {
+      (heavyCellsOf(spark, leftTable), heavyCellsOf(spark, rightTable)) match {
+        case (Some(lh), Some(rh)) =>
+          lh.iterator.flatMap { case (c, ln) =>
+            // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
+            rh.get(c).filter(rn => ln >= (hotPairsBound + rn - 1) / rn)
+              .map(rn => c -> rn)
+          }.toMap
+        case (lh, rh) =>
+          // a pre-histogram store: mitigation is blind. If the stamped
+          // side alone shows a monster cell, say so loudly — re-writing
+          // the legacy store is the fix.
+          val loudest = lh.orElse(rh).map(m => m.values.foldLeft(0L)(math.max))
+            .getOrElse(0L)
+          if (loudest * HeavyCellMinRows >= hotPairsBound)
+            log.warn(s"sjoinBucketed($leftTable, $rightTable): a stamped " +
+              s"side has a $loudest-row cell but the other store predates " +
+              "the cell histogram — hot-cell salting is OFF for this join; " +
+              "re-write the legacy store to enable it")
+          Map.empty
+      }
+    }
+    val cold0 = l.join(r, CellCol).filter(refine)
+    if (hot.isEmpty) cold0.drop(CellCol)
+    else {
+      log.info(s"sjoinBucketed($leftTable, $rightTable): salting " +
+        s"${hot.size} hot cell(s) past $hotPairsBound pairs")
+      val hotKeys = hot.keys.toSeq.map(java.lang.Long.valueOf)
+      val nsaltOf = hot.map { case (c, rn) =>
+        c -> math.min(maxSalt.toLong,
+          math.max(2L, (rn + saltSliceRows - 1) / saltSliceRows)).toInt
+      }
+      val saltDf = broadcast(spark.createDataFrame(
+        nsaltOf.toSeq.map { case (c, n) => (c, n) }).toDF(CellCol, "__nsalt"))
+      // EXPLICIT partition count on the salt keys: a hot cell's shuffled
+      // bytes are tiny relative to its pair count (33M pair evaluations
+      // fit in a few MB of EWKB), so AQE's size-based coalescing would
+      // fold the salt groups back into one task — exactly the straggler
+      // the salt breaks up. A user-specified keyed repartition is exempt
+      // from coalescing; 4x over-partitioning keeps hash collisions from
+      // re-fusing salt groups.
+      val totalSalt = nsaltOf.values.foldLeft(0L)(_ + _)
+      val saltParts = math.min(8192L, math.max(16L, totalSalt * 4)).toInt
+      val lHot = l.filter(col(CellCol).isin(hotKeys: _*))
+        .join(saltDf, CellCol)
+        .withColumn(SaltCol, explode(sequence(lit(0), col("__nsalt") - 1)))
+        .drop("__nsalt")
+        .repartition(saltParts, col(CellCol), col(SaltCol))
+      val rHot = r.filter(col(CellCol).isin(hotKeys: _*))
+        .join(saltDf, CellCol)
+        .withColumn(SaltCol, pmod(hash(col(rg)), col("__nsalt")))
+        .drop("__nsalt")
+        .repartition(saltParts, col(CellCol), col(SaltCol))
+      // the merge hint pins the salted sub-join's shape: SMJ buffers the
+      // RIGHT group, so the per-pair inner loop cycles one ~saltSliceRows
+      // slice (inside parse-cache reach) while each streamed left row's
+      // bytes hit the same cache slot consecutively. A broadcast-hash
+      // plan would invert the loop — every probe-side row iterating the
+      // FULL replicated left build — and re-create the thrash the salt
+      // exists to break (measured in ProbeBucketHot, PERF.md r14).
+      val salted = lHot.hint("merge").join(rHot, Seq(CellCol, SaltCol))
+        .filter(refine).drop(SaltCol)
+      cold0.filter(!col(CellCol).isin(hotKeys: _*))
+        .unionByName(salted).drop(CellCol)
+    }
   }
 
   /** Name-based entry to the bucketed refinement kernel, kept for the

@@ -38,7 +38,14 @@ import org.apache.spark.sql.types.LongType
   * its own output and [[SpatialJoinStrategy]] (which would otherwise plan
   * the broadcast/quadtree tiers) no longer matches — rule before strategy
   * is exactly the precedence we want: co-located beats broadcast beats
-  * shuffle. */
+  * shuffle.
+  *
+  * Hot-cell salting ([[SpatialJoin.sjoinBucketed]], r14) is NOT applied
+  * by this rule: an optimizer rewrite must stay row-for-row equivalent
+  * to the plan it replaces, and the salted union re-shapes the plan. A
+  * join known to carry skewed cells should go through the sjoinBucketed
+  * door, which reads the stores' stamped histograms and salts past the
+  * pair bound. */
 object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
 
   /** (cell attribute, STAMPED geometry attribute, cellSize, numBuckets)

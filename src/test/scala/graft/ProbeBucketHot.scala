@@ -86,14 +86,24 @@ object ProbeBucketHot {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    def joinOnce(): Long = graft.join.SpatialJoin.sjoinBucketed(
+    def joinOnce(salt: Boolean): Long = graft.join.SpatialJoin.sjoinBucketed(
       spark, "probe_outer", "probe_inner", cellSize, "intersects",
-      leftGeom = "geometry", rightGeom = "geometry").count()
+      leftGeom = "geometry", rightGeom = "geometry",
+      saltHotCells = salt).count()
 
-    val warm = joinOnce() // codegen + page-cache warm
-    val joinSecs = (1 to 3).map(_ => time(joinOnce())._2).sorted
-    val joinSec = joinSecs(1)
-    println(f"[probe] pairs=$warm join median=${joinSec}%.3f s (runs: ${joinSecs.map(s => f"$s%.3f").mkString(", ")})")
+    // ALTERNATING salted/unsalted (r14 hot-cell mitigation A/B): same
+    // ambient, interleaved, so box drift cannot masquerade as a delta
+    val warm = joinOnce(salt = false) // codegen + page-cache warm
+    val warmSalted = joinOnce(salt = true)
+    assert(warmSalted == warm, s"salted pairs $warmSalted != unsalted $warm")
+    val (plainSecs, saltSecs) = (1 to 3).map { _ =>
+      (time(joinOnce(salt = false))._2, time(joinOnce(salt = true))._2)
+    }.unzip
+    val joinSec = plainSecs.sorted.apply(1)
+    println(f"[probe] pairs=$warm unsalted median=${joinSec}%.3f s " +
+      f"(runs: ${plainSecs.map(s => f"$s%.3f").mkString(", ")}) | " +
+      f"salted median=${saltSecs.sorted.apply(1)}%.3f s " +
+      f"(runs: ${saltSecs.map(s => f"$s%.3f").mkString(", ")})")
 
     // Per-lookup EWKB.read cost vs cycle length, against the CURRENT
     // cache (r13: direct-mapped 4096 slots for ≤512 B values — cyclic

@@ -161,6 +161,76 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed store: hot cells salt into cache-sized slices, same pairs") {
+    // r14 (VERDICT r13 item 2): a cell whose pair count crosses the
+    // bound routes through the salted sub-join; the pair set must be
+    // EXACTLY the unsalted plan's, for symmetric and asymmetric
+    // predicates, while cold cells keep the exchange-free path.
+    def subRect(k: org.apache.spark.sql.Column, stride: Long) = st_rectangle(
+      (k * stride % 16).cast("double") / 64.0,
+      ((k * stride / 16) % 16).cast("double") / 64.0,
+      (k * stride % 16).cast("double") / 64.0 + 0.5,
+      ((k * stride / 16) % 16).cast("double") / 64.0 + 0.5)
+    // hot cell (0,0): 600 left rows x 600 right rows = 360k pairs;
+    // background: one row per distant cell, below the histogram floor
+    val lAll = spark.range(600).select($"id".as("lid"),
+        subRect($"id", 1).as("geometry"))
+      .union(spark.range(50).select(($"id" + 20000).as("lid"),
+        st_rectangle($"id".cast("double") * 4 + 100.0, lit(0.0),
+          $"id".cast("double") * 4 + 100.5, lit(0.5)).as("geometry")))
+    val rAll = spark.range(600).select(($"id" + 10000).as("rid"),
+        subRect($"id", 7).as("geometry"))
+      .union(spark.range(50).select(($"id" + 30000).as("rid"),
+        // strict sub-rects of the left background twins so BOTH the
+        // symmetric and the asymmetric predicate have cold-cell pairs
+        st_rectangle($"id".cast("double") * 4 + 100.125, lit(0.125),
+          $"id".cast("double") * 4 + 100.375, lit(0.375)).as("geometry")))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // tiny fixture would broadcast otherwise — the zero-exchange
+      // assertion below is about the bucketed SMJ shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_hot_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_hot_r")
+      SpatialJoin.writeSpatialBucketed(lAll, "graft_bkt_hot_l", cellSize = 1.0, buckets = 4)
+      SpatialJoin.writeSpatialBucketed(rAll, "graft_bkt_hot_r", cellSize = 1.0, buckets = 4)
+      // the write stamped a histogram carrying the hot cell's count
+      val hist = spark.sql("SHOW TBLPROPERTIES graft_bkt_hot_r")
+        .filter($"key" === SpatialJoin.CellHistogramProp)
+        .select($"value").as[String].collect()
+      assert(hist.length === 1 && hist(0).split(',').exists { e =>
+        e.split(':') match { case Array(_, n) => n.toLong >= 600; case _ => false }
+      }, s"histogram missing the hot cell: ${hist.mkString}")
+      for (pred <- Seq("intersects", "contains")) {
+        val plain = SpatialJoin.sjoinBucketed(spark, "graft_bkt_hot_l",
+          "graft_bkt_hot_r", cellSize = 1.0, pred, saltHotCells = false)
+        val expected = plain.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+        val salted = SpatialJoin.sjoinBucketed(spark, "graft_bkt_hot_l",
+          "graft_bkt_hot_r", cellSize = 1.0, pred,
+          hotPairsBound = 100000L, saltSliceRows = 64)
+        // the salted branch actually engaged
+        assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"),
+          "hot cell did not route through the salted sub-join")
+        assert(salted.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+          === expected, s"salted $pred pair set diverged")
+        assert(expected.nonEmpty)
+        // background pairs survive through the cold branch
+        assert(expected.exists { case (a, b) => a >= 20000 && b >= 30000 },
+          "cold-cell pairs lost")
+      }
+      // at the production default bound this fixture is cold everywhere:
+      // the plan stays exactly the exchange-free sort-merge join
+      val def_ = SpatialJoin.sjoinBucketed(spark, "graft_bkt_hot_l",
+        "graft_bkt_hot_r", cellSize = 1.0, "intersects")
+      assert(!def_.queryExecution.executedPlan.toString.contains("Exchange"),
+        "default-bound join lost the exchange-free plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_hot_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_hot_r")
+    }
+  }
+
   test("bucketed intersects_bbox: disjoint envelopes sharing a cell are NOT paired") {
     // ADVICE r8 (medium): intersects_bbox's refinement is unconditionally
     // true, so without an explicit envelope test two disjoint geometries
