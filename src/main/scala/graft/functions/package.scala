@@ -286,6 +286,17 @@ package object functions {
   def st_intersection_all(g: Column): Column = graft.aggs.GeoAggs.intersectionAll(g)
   def st_intersection_all(g: Column, gridSize: Double): Column =
     graft.aggs.GeoAggs.intersectionAllUdaf(gridSize)(g)
+  /** Left fold of difference; the minuend is the FIRST ROW IN ENCOUNTER
+    * ORDER, which is nondeterministic after a shuffle. FINAL decision
+    * (r14, priced in PERF.md): this default cannot silently become
+    * deterministic — Spark's analyzer rejects nondeterministic
+    * expressions (e.g. `monotonically_increasing_id()`) inside
+    * aggregate-function arguments, so an order key can only be stamped
+    * by the caller BEFORE the aggregation. Doing so is free (ordered
+    * fold priced at 0.99× plain, sf0.1 and 10×): order-sensitive inputs
+    * should always use [[st_difference_all_ordered]] with a
+    * `withColumn("_mid", monotonically_increasing_id())` (or any
+    * explicit rank) stamped upstream. */
   def st_difference_all(g: Column): Column = graft.aggs.GeoAggs.differenceAll(g)
   def st_difference_all(g: Column, gridSize: Double): Column =
     graft.aggs.GeoAggs.differenceAllUdaf(gridSize)(g)
