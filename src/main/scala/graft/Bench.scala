@@ -204,6 +204,16 @@ object Bench {
       BktSetup.get(s, dir)
       graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkt_l",
         "graft_bench_bkt_r", 16.0, "contains", refineViaUdf = true)
+    }),
+    // skewed bucketed join: ONE cell past the hot-pair bound (4096 x
+    // 2048 = 8.4M candidate pairs) over a uniform background — tracks
+    // the r14 hot-cell salting path per round (fixture = ProbeBucketHot's
+    // 2048-distinct regime; its alternating A/B put the unsalted twin at
+    // ~1.8x this key, PERF.md r14)
+    "geo_sjoin_bucketed_hot" -> ((s, dir) => {
+      HotBktSetup.get(s, dir)
+      graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkthot_l",
+        "graft_bench_bkthot_r", 1.0, "intersects")
     })
   )
 
@@ -222,6 +232,48 @@ object Bench {
           orders(s, dir).select(k.as("rk"), pt.as("geometry")),
           "graft_bench_bkt_r", 16.0, 32)
         cached = Some(dir)
+      }
+    }
+  }
+
+  /** Build-once skewed bucketed stores: a single hot cell (dyadic
+    * sub-rectangles of the unit cell, all pairwise-intersecting) whose
+    * left×right row product crosses [[graft.join.SpatialJoin
+    * .sjoinBucketed]]'s default pair bound, plus one-row-per-cell
+    * uniform background on each side. */
+  private object HotBktSetup {
+    private var cached = false
+    def get(s: SparkSession, dir: String): Unit = synchronized {
+      if (!cached) {
+        Seq("graft_bench_bkthot_l", "graft_bench_bkthot_r")
+          .foreach(graft.join.SpatialJoin.dropBucketedTable(s, _))
+        // fixed-size skew fixture (fixture regime, not a data scan — the
+        // key tracks the salted path's constant across rounds, so it is
+        // deliberately sf-independent; same generator as ProbeBucketHot)
+        def subRect(kk: org.apache.spark.sql.Column) = st_rectangle(
+          (kk % 128).cast("double") / 256.0,
+          ((kk / lit(128)) % 128).cast("double") / 256.0,
+          (kk % 128).cast("double") / 256.0 + 0.6,
+          ((kk / lit(128)) % 128).cast("double") / 256.0 + 0.6)
+        def bg(id: org.apache.spark.sql.Column, off: Double) = st_rectangle(
+          id.cast("double") * 4.0 + lit(100.0 + off),
+          (id % 64).cast("double") * 4.0 + lit(100.0 + off),
+          id.cast("double") * 4.0 + lit(100.5 + off),
+          (id % 64).cast("double") * 4.0 + lit(100.5 + off))
+        import org.apache.spark.sql.functions.col
+        graft.join.SpatialJoin.writeSpatialBucketed(
+          s.range(4096).select(col("id").as("lk"),
+              subRect(col("id") % 2048).as("geometry"))
+            .union(s.range(100000).select((col("id") + 1000000).as("lk"),
+              bg(col("id"), 0.0).as("geometry"))),
+          "graft_bench_bkthot_l", 1.0, 32)
+        graft.join.SpatialJoin.writeSpatialBucketed(
+          s.range(2048).select(col("id").as("rk"),
+              subRect(col("id")).as("geometry"))
+            .union(s.range(100000).select((col("id") + 1000000).as("rk"),
+              bg(col("id"), 0.25).as("geometry"))),
+          "graft_bench_bkthot_r", 1.0, 32)
+        cached = true
       }
     }
   }

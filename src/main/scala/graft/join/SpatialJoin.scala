@@ -901,19 +901,36 @@ object SpatialJoin {
     df
   }
 
+  /** Parse a [[CellHistogramProp]] payload (shared with the auto-planning
+    * rule's hot-cell warning). */
+  private[graft] def parseCellHistogram(raw: String): Map[Long, Long] = {
+    val body = if (raw.endsWith(",+")) raw.dropRight(2) else raw
+    if (body.isEmpty) Map.empty[Long, Long]
+    else body.split(',').map { e =>
+      val i = e.indexOf(':')
+      e.take(i).toLong -> e.drop(i + 1).toLong
+    }.toMap
+  }
+
+  /** Default [[sjoinBucketed]] hot-cell pair bound (also the
+    * auto-planning rule's warning threshold). */
+  val DefaultHotPairsBound: Long = 8000000L
+
+  /** Hot cells under the sjoinBucketed criterion: present in both
+    * histograms with a pair product past the bound. */
+  private[graft] def hotCellsIn(lh: Map[Long, Long], rh: Map[Long, Long],
+      bound: Long): Map[Long, Long] =
+    lh.iterator.flatMap { case (c, ln) =>
+      // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
+      rh.get(c).filter(rn => ln >= (bound + rn - 1) / rn).map(rn => c -> rn)
+    }.toMap
+
   /** The store's heavy-cell histogram from the catalog, if stamped. */
   private def heavyCellsOf(spark: org.apache.spark.sql.SparkSession,
       table: String): Option[Map[Long, Long]] = {
     val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
     spark.sessionState.catalog.getTableMetadata(id).properties
-      .get(CellHistogramProp).map { raw =>
-        val body = if (raw.endsWith(",+")) raw.dropRight(2) else raw
-        if (body.isEmpty) Map.empty[Long, Long]
-        else body.split(',').map { e =>
-          val i = e.indexOf(':')
-          e.take(i).toLong -> e.drop(i + 1).toLong
-        }.toMap
-      }
+      .get(CellHistogramProp).map(parseCellHistogram)
   }
 
   /** Inner spatial join between two [[writeSpatialBucketed]] stores
@@ -942,7 +959,8 @@ object SpatialJoin {
       cellSize: Double, predicate: String = "intersects",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
       suffix: String = "_right", refineViaUdf: Boolean = false,
-      saltHotCells: Boolean = true, hotPairsBound: Long = 8000000L,
+      saltHotCells: Boolean = true,
+      hotPairsBound: Long = DefaultHotPairsBound,
       saltSliceRows: Int = 1024, maxSalt: Int = 64): DataFrame = {
     val l = spark.table(leftTable)
     val leftCols = l.columns.filterNot(_ == CellCol).toSeq
@@ -967,12 +985,7 @@ object SpatialJoin {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val hot: Map[Long, Long] = if (!saltHotCells) Map.empty else {
       (heavyCellsOf(spark, leftTable), heavyCellsOf(spark, rightTable)) match {
-        case (Some(lh), Some(rh)) =>
-          lh.iterator.flatMap { case (c, ln) =>
-            // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
-            rh.get(c).filter(rn => ln >= (hotPairsBound + rn - 1) / rn)
-              .map(rn => c -> rn)
-          }.toMap
+        case (Some(lh), Some(rh)) => hotCellsIn(lh, rh, hotPairsBound)
         case (lh, rh) =>
           // a pre-histogram store: mitigation is blind. If the stamped
           // side alone shows a monster cell, say so loudly — re-writing

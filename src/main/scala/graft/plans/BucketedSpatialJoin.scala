@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.LongType
   * to the plan it replaces, and the salted union re-shapes the plan. A
   * join known to carry skewed cells should go through the sjoinBucketed
   * door, which reads the stores' stamped histograms and salts past the
-  * pair bound. */
+  * pair bound. This rule reads the same histograms and WARNS at plan
+  * time when the rewrite it emits will carry a hot cell. */
 object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
 
   /** (cell attribute, STAMPED geometry attribute, cellSize, numBuckets)
@@ -61,7 +62,8 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
     * derived expression (st_buffer(...)) must decline, or pairs whose
     * envelopes intersect without sharing a primary-geometry cell would
     * silently vanish. */
-  private def storeInfo(side: LogicalPlan): Option[(Attribute, Attribute, Double, Int)] =
+  private def storeInfo(side: LogicalPlan)
+      : Option[(Attribute, Attribute, Double, Int, Option[Map[Long, Long]], String)] =
     side.output.find(a => a.name == SpatialJoin.CellCol && a.dataType == LongType)
       .flatMap { cellAttr =>
         side.collectLeaves().collectFirst {
@@ -78,7 +80,10 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
                 geomName = ct.properties.getOrElse("graft.spatial.geometry", "geometry")
                 geomAttr <- side.output.find(a =>
                   a.name == geomName && lr.outputSet.contains(a))
-              } yield (cellAttr, geomAttr, cs, bs.numBuckets)
+              } yield (cellAttr, geomAttr, cs, bs.numBuckets,
+                ct.properties.get(SpatialJoin.CellHistogramProp)
+                  .map(SpatialJoin.parseCellHistogram),
+                ct.identifier.unquotedString)
             case _ => None
           }
         }
@@ -88,8 +93,8 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
     case j @ Join(l, r, Inner, Some(cond), hint) =>
       (for {
         (name, a, b) <- SpatialJoinStrategy.spatialCond(cond)
-        (lCell, lGeom, lcs, lnb) <- storeInfo(l)
-        (rCell, rGeom, rcs, rnb) <- storeInfo(r)
+        (lCell, lGeom, lcs, lnb, lHist, lName) <- storeInfo(l)
+        (rCell, rGeom, rcs, rnb, rHist, rName) <- storeInfo(r)
         if lcs == rcs && lnb > 0 && lnb == rnb
         // orient the operands as (leftGeom, rightGeom); a crossed
         // condition flips the predicate to its converse. Operands must
@@ -106,6 +111,19 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
           else None
         }
       } yield {
+        // the rewrite itself never salts (a rule must stay row-for-row
+        // equivalent) — but when the stamped histograms show a cell past
+        // the sjoinBucketed hot bound, say so at PLAN time: the silent
+        // alternative is a straggler task the user discovers at hour N
+        // of a 100 TB join
+        for {
+          lh <- lHist; rh <- rHist
+          hot = SpatialJoin.hotCellsIn(lh, rh, SpatialJoin.DefaultHotPairsBound)
+          if hot.nonEmpty
+        } logWarning(s"spatial join $lName x $rName: ${hot.size} grid " +
+          s"cell(s) exceed ${SpatialJoin.DefaultHotPairsBound} candidate " +
+          "pairs — this auto-planned join will carry straggler tasks; " +
+          "use SpatialJoin.sjoinBucketed, which salts hot cells")
         val (lg, rg, predLR) = oriented
         val predKey = predLR.stripPrefix("st_")
         val refine = STBucketedMatch(lg, rg, lCell, lcs, GeoNative.predCode(predKey))

@@ -147,8 +147,9 @@ object ProbeBucketHot {
       f"cache-recoverable ≈ ${recoverableShare * 100}%.1f%%")
     println(if (recoverableShare > 0.10)
       "[probe] DECISION INPUT: >10% recoverable at this fixture — more cache " +
-        "reach would pay here; cells cycling ≫4096 distinct geometries defeat " +
-        "any bounded cache, where the fix is a smaller cellSize instead"
+        "reach would pay on the UNSALTED plan; since r14 sjoinBucketed " +
+        "salts cells past the pair bound (the salted median above is the " +
+        "production path), so act only if the SALTED join still pays it"
     else
       "[probe] DECISION INPUT: ≤10% recoverable at this fixture — parse cost " +
         "does not justify further cache work (raise nInner to probe worse regimes)")
