@@ -209,7 +209,7 @@ object Bench {
     // 2048 = 8.4M candidate pairs) over a uniform background — tracks
     // the r14 hot-cell salting path per round (fixture = ProbeBucketHot's
     // 2048-distinct regime; its alternating A/B put the unsalted twin at
-    // ~1.8x this key, PERF.md r14)
+    // ~4.3x this key, PERF.md r14)
     "geo_sjoin_bucketed_hot" -> ((s, dir) => {
       HotBktSetup.get(s, dir)
       graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkthot_l",

@@ -706,7 +706,6 @@ object SpatialJoin {
   val CellHistogramProp = "graft.spatial.cellHistogram"
   private val HeavyCellMinRows = 256L
   private val HeavyCellCap = 256
-  private val SaltCol = "__salt"
 
   /** @param geoMetadata stamp the GeoParquet 1.1 `geo` payload into every
     *   part footer (default ON since r9): the stats FOLD INTO the write
@@ -785,24 +784,36 @@ object SpatialJoin {
       // heavy-cell histogram: one cell-column-only scan of the store just
       // written (bucketed by cell → the groupBy needs no exchange). On
       // append the FULL table is re-measured — counts must describe all
-      // rows on the grid, not one batch.
-      val heavy = spark0.table(table)
-        .groupBy(col(CellCol)).count()
-        .filter(col("count") >= HeavyCellMinRows)
-        .orderBy(col("count").desc, col(CellCol))
-        .limit(HeavyCellCap + 1).collect()
-      val truncated = heavy.length > HeavyCellCap
-      if (truncated)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"writeSpatialBucketed: $table has more than $HeavyCellCap cells " +
-            s"with >=$HeavyCellMinRows rows — histogram keeps the heaviest " +
-            s"$HeavyCellCap; joins cannot hot-salt the dropped ones. A grid " +
-            "this uniformly dense wants a larger cellSize.")
-      val csv = heavy.take(HeavyCellCap)
-        .map(row => s"${row.getLong(0)}:${row.getLong(1)}").mkString(",") +
-        (if (truncated) ",+" else "")
-      spark0.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
-        s"('$CellHistogramProp'='$csv')")
+      // rows on the grid, not one batch. The stamp is an optimization
+      // hint: if it fails (e.g. a metastore property-size limit), the
+      // store — already fully written — must not fail with it (same
+      // policy as the geo-footer stamp below); joins degrade to the
+      // unsalted plan.
+      try {
+        val heavy = spark0.table(table)
+          .groupBy(col(CellCol)).count()
+          .filter(col("count") >= HeavyCellMinRows)
+          .orderBy(col("count").desc, col(CellCol))
+          .limit(HeavyCellCap + 1).collect()
+        val truncated = heavy.length > HeavyCellCap
+        if (truncated)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writeSpatialBucketed: $table has more than $HeavyCellCap cells " +
+              s"with >=$HeavyCellMinRows rows — histogram keeps the heaviest " +
+              s"$HeavyCellCap; joins cannot hot-salt the dropped ones. A grid " +
+              "this uniformly dense wants a larger cellSize.")
+        val csv = heavy.take(HeavyCellCap)
+          .map(row => s"${row.getLong(0)}:${row.getLong(1)}").mkString(",") +
+          (if (truncated) ",+" else "")
+        spark0.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+          s"('$CellHistogramProp'='$csv')")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writeSpatialBucketed: store $table written but its cell " +
+              s"histogram was not stamped (hot-cell salting off for joins " +
+              s"against it): ${e.getMessage}")
+      }
     }
     // footer stats describe ONE batch: stamping an append would rewrite
     // every part (old batches included) with the new batch's bbox/types —
@@ -916,22 +927,40 @@ object SpatialJoin {
     * auto-planning rule's warning threshold). */
   val DefaultHotPairsBound: Long = 8000000L
 
-  /** Hot cells under the sjoinBucketed criterion: present in both
-    * histograms with a pair product past the bound. */
+  /** Hot cells under the sjoinBucketed criterion, as `cell → (ln, rn)`
+    * row counts. A cell in one stamped histogram but absent from the
+    * other is NOT below suspicion: the absent side holds up to
+    * [[HeavyCellMinRows]]−1 rows there, and a 10M-row cell against 200
+    * rows is still a 2B-pair straggler — the absent side's count is
+    * estimated at the floor−1 bound (a false positive only costs a few
+    * uselessly salted rows; a false negative costs the straggler). */
   private[graft] def hotCellsIn(lh: Map[Long, Long], rh: Map[Long, Long],
-      bound: Long): Map[Long, Long] =
-    lh.iterator.flatMap { case (c, ln) =>
-      // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
-      rh.get(c).filter(rn => ln >= (bound + rn - 1) / rn).map(rn => c -> rn)
-    }.toMap
-
-  /** The store's heavy-cell histogram from the catalog, if stamped. */
-  private def heavyCellsOf(spark: org.apache.spark.sql.SparkSession,
-      table: String): Option[Map[Long, Long]] = {
-    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    spark.sessionState.catalog.getTableMetadata(id).properties
-      .get(CellHistogramProp).map(parseCellHistogram)
+      bound: Long): Map[Long, (Long, Long)] = {
+    val est = HeavyCellMinRows - 1
+    // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
+    def hot(ln: Long, rn: Long): Boolean = rn > 0 && ln >= (bound + rn - 1) / rn
+    val fromLeft = lh.iterator.flatMap { case (c, ln) =>
+      val rn = rh.getOrElse(c, est)
+      if (hot(ln, rn)) Some(c -> (ln, rn)) else None
+    }
+    val fromRightOnly = rh.iterator.flatMap { case (c, rn) =>
+      if (!lh.contains(c) && hot(est, rn)) Some(c -> (est, rn)) else None
+    }
+    (fromLeft ++ fromRightOnly).toMap
   }
+
+  /** The store's heavy-cell histogram from the catalog, if stamped. A
+    * name the session catalog cannot describe (temp view over a store,
+    * catalog-qualified spelling) degrades to None — the unsalted plan —
+    * rather than failing a join that worked before the histograms
+    * existed. */
+  private def heavyCellsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[Map[Long, Long]] =
+    scala.util.Try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(id).properties
+        .get(CellHistogramProp).map(parseCellHistogram)
+    }.toOption.flatten
 
   /** Inner spatial join between two [[writeSpatialBucketed]] stores
     * written on the SAME grid: an equi-join on the cell column (bucketed
@@ -942,18 +971,24 @@ object SpatialJoin {
     *
     * Hot-cell salting (r14): a cell whose `leftRows × rightRows` (from
     * the stores' stamped histograms) reaches `hotPairsBound` is routed
-    * through a salted sub-join instead — the right side sliced into
-    * `ceil(rightRows / saltSliceRows)` hash-salt groups (≤ `maxSalt`),
-    * the left side replicated across them — and unioned with the
-    * exchange-free plan over the remaining cells. This bounds BOTH
-    * failure modes of a skewed cell at 100 TB: the single-task straggler
-    * (its pairs now spread over the salt groups) and EWKB parse thrash
-    * (each task cycles ~saltSliceRows distinct right geometries, inside
-    * the direct-mapped parse tier's statistical reach, where a
-    * beyond-slots cycle re-parses nearly every pair — measured in
-    * ProbeBucketHot/PERF.md). Only hot-cell rows shuffle; cold cells
-    * keep the zero-exchange plan. Stores written before the histogram
-    * stamp (or with `saltHotCells = false`) keep exactly the old plan. */
+    * through a 2-D salted sub-join instead — each side split by a
+    * row-id salt into (p, q) groups and replicated across the OTHER
+    * side's groups, joined on (cell, lsalt, rsalt), unioned with the
+    * exchange-free plan over the cold cells. `q` restores parse-cache
+    * reach (`ceil(rightRows / saltSliceRows)` — the SMJ-buffered right
+    * slice is what the per-pair inner loop cycles); `p` restores
+    * parallelism (per-task pairs = pairs/(p·q) ≤ hotPairsBound/4), each
+    * capped at `maxSalt`, so left-heavy, right-heavy and both-heavy
+    * skew all bound per-task work. Row-id salts (not geometry hashes):
+    * a hot cell of one repeated geometry must still spread. This bounds
+    * BOTH failure modes of a skewed cell at 100 TB: the single-task
+    * straggler and EWKB parse thrash (a beyond-slots cycle re-parses
+    * nearly every pair — measured in ProbeBucketHot/PERF.md). Only
+    * hot-cell rows shuffle (row counts grow by the other side's salt
+    * count — replication cost ln·q + rn·p, trivial next to pairs);
+    * cold cells keep the zero-exchange plan. Stores written before the
+    * histogram stamp (or with `saltHotCells = false`) keep exactly the
+    * old plan. */
   def sjoinBucketed(spark: org.apache.spark.sql.SparkSession,
       leftTable: String, rightTable: String,
       cellSize: Double, predicate: String = "intersects",
@@ -983,7 +1018,7 @@ object SpatialJoin {
           org.apache.spark.sql.graft.ColumnBridge.expression(col(CellCol)),
           cs, graft.plans.GeoNative.predCode(predName)))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val hot: Map[Long, Long] = if (!saltHotCells) Map.empty else {
+    val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
       (heavyCellsOf(spark, leftTable), heavyCellsOf(spark, rightTable)) match {
         case (Some(lh), Some(rh)) => hotCellsIn(lh, rh, hotPairsBound)
         case (lh, rh) =>
@@ -1006,12 +1041,21 @@ object SpatialJoin {
       log.info(s"sjoinBucketed($leftTable, $rightTable): salting " +
         s"${hot.size} hot cell(s) past $hotPairsBound pairs")
       val hotKeys = hot.keys.toSeq.map(java.lang.Long.valueOf)
-      val nsaltOf = hot.map { case (c, rn) =>
-        c -> math.min(maxSalt.toLong,
-          math.max(2L, (rn + saltSliceRows - 1) / saltSliceRows)).toInt
+      // per cell: q restores the buffered side's cache reach, p restores
+      // parallelism against the pair product (per-task pairs ≤ bound/4)
+      val pairsPerTask = math.max(1L, hotPairsBound / 4)
+      val saltOf: Map[Long, (Int, Int)] = hot.map { case (c, (ln, rn)) =>
+        val q = math.min(maxSalt.toLong,
+          math.max(1L, (rn + saltSliceRows - 1) / saltSliceRows))
+        // ceil(ln / (q*ppt / rn)) without ln*rn overflow: pairs/(q*ppt) =
+        // ln / (q*ppt/rn) — compute the per-lsalt left-row budget first
+        val lBudget = math.max(1L, q * pairsPerTask / math.max(1L, rn))
+        val p = math.min(maxSalt.toLong, math.max(1L, (ln + lBudget - 1) / lBudget))
+        c -> (p.toInt, q.toInt)
       }
       val saltDf = broadcast(spark.createDataFrame(
-        nsaltOf.toSeq.map { case (c, n) => (c, n) }).toDF(CellCol, "__nsalt"))
+        saltOf.toSeq.map { case (c, (p, q)) => (c, p, q) })
+        .toDF(CellCol, "__p", "__q"))
       // EXPLICIT partition count on the salt keys: a hot cell's shuffled
       // bytes are tiny relative to its pair count (33M pair evaluations
       // fit in a few MB of EWKB), so AQE's size-based coalescing would
@@ -1019,18 +1063,27 @@ object SpatialJoin {
       // the salt breaks up. A user-specified keyed repartition is exempt
       // from coalescing; 4x over-partitioning keeps hash collisions from
       // re-fusing salt groups.
-      val totalSalt = nsaltOf.values.foldLeft(0L)(_ + _)
+      val totalSalt = saltOf.values.foldLeft(0L) { case (a, (p, q)) => a + p.toLong * q }
       val saltParts = math.min(8192L, math.max(16L, totalSalt * 4)).toInt
+      // row-id salts, NOT geometry hashes: a hot cell made of one
+      // repeated geometry value must still spread across groups. The id
+      // is assigned in a Project over a deterministic scan, so stage
+      // retries re-derive the same assignment.
+      val lSalt = "__lsalt"; val rSalt = "__rsalt"
       val lHot = l.filter(col(CellCol).isin(hotKeys: _*))
         .join(saltDf, CellCol)
-        .withColumn(SaltCol, explode(sequence(lit(0), col("__nsalt") - 1)))
-        .drop("__nsalt")
-        .repartition(saltParts, col(CellCol), col(SaltCol))
+        .withColumn(lSalt,
+          pmod(monotonically_increasing_id(), col("__p").cast("long")).cast("int"))
+        .withColumn(rSalt, explode(sequence(lit(0), col("__q") - 1)))
+        .drop("__p", "__q")
+        .repartition(saltParts, col(CellCol), col(lSalt), col(rSalt))
       val rHot = r.filter(col(CellCol).isin(hotKeys: _*))
         .join(saltDf, CellCol)
-        .withColumn(SaltCol, pmod(hash(col(rg)), col("__nsalt")))
-        .drop("__nsalt")
-        .repartition(saltParts, col(CellCol), col(SaltCol))
+        .withColumn(rSalt,
+          pmod(monotonically_increasing_id(), col("__q").cast("long")).cast("int"))
+        .withColumn(lSalt, explode(sequence(lit(0), col("__p") - 1)))
+        .drop("__p", "__q")
+        .repartition(saltParts, col(CellCol), col(lSalt), col(rSalt))
       // the merge hint pins the salted sub-join's shape: SMJ buffers the
       // RIGHT group, so the per-pair inner loop cycles one ~saltSliceRows
       // slice (inside parse-cache reach) while each streamed left row's
@@ -1038,8 +1091,8 @@ object SpatialJoin {
       // plan would invert the loop — every probe-side row iterating the
       // FULL replicated left build — and re-create the thrash the salt
       // exists to break (measured in ProbeBucketHot, PERF.md r14).
-      val salted = lHot.hint("merge").join(rHot, Seq(CellCol, SaltCol))
-        .filter(refine).drop(SaltCol)
+      val salted = lHot.hint("merge").join(rHot, Seq(CellCol, lSalt, rSalt))
+        .filter(refine).drop(lSalt, rSalt)
       cold0.filter(!col(CellCol).isin(hotKeys: _*))
         .unionByName(salted).drop(CellCol)
     }

@@ -209,7 +209,7 @@ class SpatialJoinSpec extends AnyFunSuite {
           "graft_bkt_hot_r", cellSize = 1.0, pred,
           hotPairsBound = 100000L, saltSliceRows = 64)
         // the salted branch actually engaged
-        assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"),
+        assert(salted.queryExecution.optimizedPlan.toString.contains("__lsalt"),
           "hot cell did not route through the salted sub-join")
         assert(salted.select($"lid", $"rid").as[(Long, Long)].collect().toSet
           === expected, s"salted $pred pair set diverged")
@@ -224,6 +224,25 @@ class SpatialJoinSpec extends AnyFunSuite {
         "graft_bkt_hot_r", cellSize = 1.0, "intersects")
       assert(!def_.queryExecution.executedPlan.toString.contains("Exchange"),
         "default-bound join lost the exchange-free plan")
+      // temp views over stores have no catalog metadata: the join must
+      // degrade to the (correct) unsalted plan, not throw (r14 review #1)
+      spark.table("graft_bkt_hot_l").createOrReplaceTempView("bkt_hot_vl")
+      spark.table("graft_bkt_hot_r").createOrReplaceTempView("bkt_hot_vr")
+      val viaView = SpatialJoin.sjoinBucketed(spark, "bkt_hot_vl",
+        "bkt_hot_vr", cellSize = 1.0, "intersects", hotPairsBound = 100000L)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(viaView === SpatialJoin.sjoinBucketed(spark, "graft_bkt_hot_l",
+        "graft_bkt_hot_r", cellSize = 1.0, "intersects", saltHotCells = false)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet)
+      // detection estimates (r14 review #2): a monster cell absent from
+      // one histogram (< 256-row floor there) must still flag hot
+      val lh = Map(7L -> 10000000L, 8L -> 300L)
+      val rh = Map(9L -> 10000000L)
+      val hot = SpatialJoin.hotCellsIn(lh, rh, 8000000L)
+      assert(hot.keySet === Set(7L, 9L), s"estimate-based detection: $hot")
+      assert(hot(7L) === ((10000000L, 255L)) && hot(9L) === ((255L, 10000000L)))
+      // ...while two sub-floor sides can never combine past a sane bound
+      assert(SpatialJoin.hotCellsIn(Map(1L -> 300L), Map.empty, 8000000L).isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       SpatialJoin.dropBucketedTable(spark, "graft_bkt_hot_l")
