@@ -813,6 +813,12 @@ object SpatialJoin {
             s"writeSpatialBucketed: store $table written but its cell " +
               s"histogram was not stamped (hot-cell salting off for joins " +
               s"against it): ${e.getMessage}")
+          // an APPEND that fails here would otherwise leave the previous
+          // stamp in place — joins would size salt groups from pre-append
+          // counts, worse than no histogram. Best-effort clear.
+          try spark0.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
+            s"IF EXISTS ('$CellHistogramProp')")
+          catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // footer stats describe ONE batch: stamping an append would rewrite
@@ -912,55 +918,92 @@ object SpatialJoin {
     df
   }
 
+  /** A parsed [[CellHistogramProp]]: kept heavy-cell counts plus whether
+    * the write truncated the list (a truncated histogram's ABSENT cells
+    * may still be arbitrarily heavy, bounded only by its smallest kept
+    * count — the complete one bounds them below [[HeavyCellMinRows]]). */
+  private[graft] final case class CellHist(cells: Map[Long, Long], truncated: Boolean) {
+    /** Upper bound on any cell NOT in `cells`. */
+    def absentBound: Long =
+      if (truncated) cells.values.foldLeft(Long.MaxValue)(math.min)
+      else HeavyCellMinRows - 1
+  }
+
   /** Parse a [[CellHistogramProp]] payload (shared with the auto-planning
     * rule's hot-cell warning). */
-  private[graft] def parseCellHistogram(raw: String): Map[Long, Long] = {
-    val body = if (raw.endsWith(",+")) raw.dropRight(2) else raw
-    if (body.isEmpty) Map.empty[Long, Long]
-    else body.split(',').map { e =>
-      val i = e.indexOf(':')
-      e.take(i).toLong -> e.drop(i + 1).toLong
-    }.toMap
+  private[graft] def parseCellHistogram(raw: String): CellHist = {
+    val truncated = raw.endsWith(",+")
+    val body = if (truncated) raw.dropRight(2) else raw
+    CellHist(
+      if (body.isEmpty) Map.empty[Long, Long]
+      else body.split(',').map { e =>
+        val i = e.indexOf(':')
+        e.take(i).toLong -> e.drop(i + 1).toLong
+      }.toMap,
+      truncated)
   }
 
   /** Default [[sjoinBucketed]] hot-cell pair bound (also the
     * auto-planning rule's warning threshold). */
   val DefaultHotPairsBound: Long = 8000000L
 
-  /** Hot cells under the sjoinBucketed criterion, as `cell → (ln, rn)`
-    * row counts. A cell in one stamped histogram but absent from the
-    * other is NOT below suspicion: the absent side holds up to
-    * [[HeavyCellMinRows]]−1 rows there, and a 10M-row cell against 200
-    * rows is still a 2B-pair straggler — the absent side's count is
-    * estimated at the floor−1 bound (a false positive only costs a few
-    * uselessly salted rows; a false negative costs the straggler). */
-  private[graft] def hotCellsIn(lh: Map[Long, Long], rh: Map[Long, Long],
-      bound: Long): Map[Long, (Long, Long)] = {
-    val est = HeavyCellMinRows - 1
+  /** A candidate hot cell's per-side counts; `lnExact`/`rnExact` say
+    * whether the count came from the histogram (exact) or is the absent
+    * upper bound (an ESTIMATE the join must replace with a real count
+    * before sizing salt groups). */
+  private[graft] final case class HotCand(ln: Long, rn: Long,
+      lnExact: Boolean, rnExact: Boolean)
+
+  /** CANDIDATE hot cells under the sjoinBucketed criterion. A cell in
+    * one stamped histogram but absent from the other is NOT below
+    * suspicion: the absent side holds up to [[CellHist.absentBound]]
+    * rows there (floor−1 for a complete histogram, the smallest kept
+    * count for a truncated one), and a 10M-row cell against 200 rows is
+    * still a 2B-pair straggler. Estimated sides are flagged — candidacy
+    * from an upper bound is safe (recall), but SIZING from one is not
+    * (a one-sided cell would replicate the huge side for zero pairs),
+    * so the join recounts flagged cells exactly before salting. */
+  private[graft] def hotCellsIn(lh: CellHist, rh: CellHist,
+      bound: Long): Map[Long, HotCand] = {
     // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
     def hot(ln: Long, rn: Long): Boolean = rn > 0 && ln >= (bound + rn - 1) / rn
-    val fromLeft = lh.iterator.flatMap { case (c, ln) =>
-      val rn = rh.getOrElse(c, est)
-      if (hot(ln, rn)) Some(c -> (ln, rn)) else None
+    val fromLeft = lh.cells.iterator.flatMap { case (c, ln) =>
+      val (rn, rnExact) = rh.cells.get(c)
+        .map((_, true)).getOrElse((rh.absentBound, false))
+      if (hot(ln, rn)) Some(c -> HotCand(ln, rn, lnExact = true, rnExact))
+      else None
     }
-    val fromRightOnly = rh.iterator.flatMap { case (c, rn) =>
-      if (!lh.contains(c) && hot(est, rn)) Some(c -> (est, rn)) else None
+    val fromRightOnly = rh.cells.iterator.flatMap { case (c, rn) =>
+      if (!lh.cells.contains(c) && hot(lh.absentBound, rn))
+        Some(c -> HotCand(lh.absentBound, rn, lnExact = false, rnExact = true))
+      else None
     }
     (fromLeft ++ fromRightOnly).toMap
   }
 
   /** The store's heavy-cell histogram from the catalog, if stamped. A
     * name the session catalog cannot describe (temp view over a store,
-    * catalog-qualified spelling) degrades to None — the unsalted plan —
-    * rather than failing a join that worked before the histograms
-    * existed. */
+    * catalog-qualified spelling) degrades to None — the unsalted plan,
+    * exactly the pre-histogram behavior; anything else non-fatal (a
+    * transient metastore failure, a corrupt property payload) ALSO
+    * degrades but logs what was swallowed — a silently-unsalted 2B-pair
+    * join must leave a diagnostic. */
   private def heavyCellsOf(spark: org.apache.spark.sql.SparkSession,
-      table: String): Option[Map[Long, Long]] =
-    scala.util.Try {
+      table: String): Option[CellHist] =
+    try {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
       spark.sessionState.catalog.getTableMetadata(id).properties
         .get(CellHistogramProp).map(parseCellHistogram)
-    }.toOption.flatten
+    } catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
+          _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException |
+          _: org.apache.spark.sql.catalyst.parser.ParseException => None
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"sjoinBucketed: could not read the cell histogram of $table — " +
+            s"hot-cell salting is OFF for this join: ${e.getMessage}")
+        None
+    }
 
   /** Inner spatial join between two [[writeSpatialBucketed]] stores
     * written on the SAME grid: an equi-join on the cell column (bucketed
@@ -1018,20 +1061,47 @@ object SpatialJoin {
           org.apache.spark.sql.graft.ColumnBridge.expression(col(CellCol)),
           cs, graft.plans.GeoNative.predCode(predName)))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
+    def pastBound(ln: Long, rn: Long): Boolean =
+      rn > 0 && ln >= (hotPairsBound + rn - 1) / rn
     val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
       (heavyCellsOf(spark, leftTable), heavyCellsOf(spark, rightTable)) match {
-        case (Some(lh), Some(rh)) => hotCellsIn(lh, rh, hotPairsBound)
+        case (Some(lh), Some(rh)) =>
+          val cand = hotCellsIn(lh, rh, hotPairsBound)
+          val needExact = cand.exists { case (_, h) => !h.lnExact || !h.rnExact }
+          if (!needExact) cand.map { case (c, h) => c -> (h.ln, h.rn) }
+          else {
+            // estimate-flagged candidates: candidacy from an upper bound
+            // is safe, SIZING from one is not (a one-sided heavy cell
+            // would replicate millions of rows for zero pairs). One
+            // bucket-pruned count per side over just the candidate cells
+            // replaces every estimate with the real count, then the
+            // bound re-applies.
+            val cells = cand.keys.toSeq.map(java.lang.Long.valueOf)
+            def exactCounts(tbl: String): Map[Long, Long] =
+              spark.table(tbl).filter(col(CellCol).isin(cells: _*))
+                .groupBy(col(CellCol)).count().collect()
+                .map(row => row.getLong(0) -> row.getLong(1)).toMap
+            val lx = exactCounts(leftTable)
+            val rx = exactCounts(rightTable)
+            cand.flatMap { case (c, h) =>
+              val ln = if (h.lnExact) h.ln else lx.getOrElse(c, 0L)
+              val rn = if (h.rnExact) h.rn else rx.getOrElse(c, 0L)
+              if (pastBound(ln, rn)) Some(c -> (ln, rn)) else None
+            }
+          }
         case (lh, rh) =>
-          // a pre-histogram store: mitigation is blind. If the stamped
-          // side alone shows a monster cell, say so loudly — re-writing
-          // the legacy store is the fix.
-          val loudest = lh.orElse(rh).map(m => m.values.foldLeft(0L)(math.max))
-            .getOrElse(0L)
+          // one side has no readable histogram (pre-r14 store, temp
+          // view, unreadable metadata): mitigation is blind. If the
+          // stamped side alone shows a monster cell, say so loudly.
+          val loudest = lh.orElse(rh)
+            .map(h => h.cells.values.foldLeft(0L)(math.max)).getOrElse(0L)
           if (loudest * HeavyCellMinRows >= hotPairsBound)
             log.warn(s"sjoinBucketed($leftTable, $rightTable): a stamped " +
-              s"side has a $loudest-row cell but the other store predates " +
-              "the cell histogram — hot-cell salting is OFF for this join; " +
-              "re-write the legacy store to enable it")
+              s"side has a $loudest-row cell but the other input has no " +
+              "readable cell histogram (pre-r14 store, temp view, or " +
+              "unreadable metadata) — hot-cell salting is OFF for this " +
+              "join; re-write the store to enable it")
           Map.empty
       }
     }
@@ -1068,22 +1138,22 @@ object SpatialJoin {
       // row-id salts, NOT geometry hashes: a hot cell made of one
       // repeated geometry value must still spread across groups. The id
       // is assigned in a Project over a deterministic scan, so stage
-      // retries re-derive the same assignment.
+      // retries re-derive the same assignment. ONE helper builds both
+      // sides — the blocks must stay exactly symmetric (each side mods
+      // its OWN salt, explodes the OTHER's) for every pair to meet at
+      // exactly one (cell, lsalt, rsalt) key.
       val lSalt = "__lsalt"; val rSalt = "__rsalt"
-      val lHot = l.filter(col(CellCol).isin(hotKeys: _*))
-        .join(saltDf, CellCol)
-        .withColumn(lSalt,
-          pmod(monotonically_increasing_id(), col("__p").cast("long")).cast("int"))
-        .withColumn(rSalt, explode(sequence(lit(0), col("__q") - 1)))
-        .drop("__p", "__q")
-        .repartition(saltParts, col(CellCol), col(lSalt), col(rSalt))
-      val rHot = r.filter(col(CellCol).isin(hotKeys: _*))
-        .join(saltDf, CellCol)
-        .withColumn(rSalt,
-          pmod(monotonically_increasing_id(), col("__q").cast("long")).cast("int"))
-        .withColumn(lSalt, explode(sequence(lit(0), col("__p") - 1)))
-        .drop("__p", "__q")
-        .repartition(saltParts, col(CellCol), col(lSalt), col(rSalt))
+      def saltSide(df: DataFrame, ownSalt: String, ownN: String,
+          otherSalt: String, otherN: String): DataFrame =
+        df.filter(col(CellCol).isin(hotKeys: _*))
+          .join(saltDf, CellCol)
+          .withColumn(ownSalt,
+            pmod(monotonically_increasing_id(), col(ownN).cast("long")).cast("int"))
+          .withColumn(otherSalt, explode(sequence(lit(0), col(otherN) - 1)))
+          .drop("__p", "__q")
+          .repartition(saltParts, col(CellCol), col(lSalt), col(rSalt))
+      val lHot = saltSide(l, lSalt, "__p", rSalt, "__q")
+      val rHot = saltSide(r, rSalt, "__q", lSalt, "__p")
       // the merge hint pins the salted sub-join's shape: SMJ buffers the
       // RIGHT group, so the per-pair inner loop cycles one ~saltSliceRows
       // slice (inside parse-cache reach) while each streamed left row's

@@ -63,7 +63,8 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
     * envelopes intersect without sharing a primary-geometry cell would
     * silently vanish. */
   private def storeInfo(side: LogicalPlan)
-      : Option[(Attribute, Attribute, Double, Int, Option[Map[Long, Long]], String)] =
+      : Option[(Attribute, Attribute, Double, Int,
+        Option[SpatialJoin.CellHist], String)] =
     side.output.find(a => a.name == SpatialJoin.CellCol && a.dataType == LongType)
       .flatMap { cellAttr =>
         side.collectLeaves().collectFirst {
@@ -121,9 +122,10 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
           hot = SpatialJoin.hotCellsIn(lh, rh, SpatialJoin.DefaultHotPairsBound)
           if hot.nonEmpty
         } logWarning(s"spatial join $lName x $rName: ${hot.size} grid " +
-          s"cell(s) exceed ${SpatialJoin.DefaultHotPairsBound} candidate " +
-          "pairs — this auto-planned join will carry straggler tasks; " +
-          "use SpatialJoin.sjoinBucketed, which salts hot cells")
+          s"cell(s) reach ${SpatialJoin.DefaultHotPairsBound} candidate " +
+          "pairs (histogram counts; absent sides upper-bounded) — this " +
+          "auto-planned join may carry straggler tasks; use " +
+          "SpatialJoin.sjoinBucketed, which salts hot cells")
         val (lg, rg, predLR) = oriented
         val predKey = predLR.stripPrefix("st_")
         val refine = STBucketedMatch(lg, rg, lCell, lcs, GeoNative.predCode(predKey))

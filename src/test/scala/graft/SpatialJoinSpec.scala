@@ -166,20 +166,32 @@ class SpatialJoinSpec extends AnyFunSuite {
     // bound routes through the salted sub-join; the pair set must be
     // EXACTLY the unsalted plan's, for symmetric and asymmetric
     // predicates, while cold cells keep the exchange-free path.
-    def subRect(k: org.apache.spark.sql.Column, stride: Long) = st_rectangle(
-      (k * stride % 16).cast("double") / 64.0,
-      ((k * stride / 16) % 16).cast("double") / 64.0,
-      (k * stride % 16).cast("double") / 64.0 + 0.5,
-      ((k * stride / 16) % 16).cast("double") / 64.0 + 0.5)
-    // hot cell (0,0): 600 left rows x 600 right rows = 360k pairs;
-    // background: one row per distant cell, below the histogram floor
+    def subRect(k: org.apache.spark.sql.Column, stride: Long, off: Double = 0.0) =
+      st_rectangle(
+        (k * stride % 16).cast("double") / 64.0 + off,
+        ((k * stride / 16) % 16).cast("double") / 64.0 + off,
+        (k * stride % 16).cast("double") / 64.0 + 0.5 + off,
+        ((k * stride / 16) % 16).cast("double") / 64.0 + 0.5 + off)
+    // hot cell (0,0): 600 left x 600 right rows = 360k pairs — both in
+    // histogram. Cell (50,50): 600 left x 240 right — the right side is
+    // BELOW the 256-row histogram floor, so candidacy comes from the
+    // absent-side estimate and sizing from the exact recount (review-2
+    // #2). Cell (70,70): 600 left rows, ZERO right rows — a candidate
+    // the recount must drop (no useless replication of a one-sided
+    // cell). Background: one row per distant cell.
     val lAll = spark.range(600).select($"id".as("lid"),
         subRect($"id", 1).as("geometry"))
+      .union(spark.range(600).select(($"id" + 40000).as("lid"),
+        subRect($"id", 1, 50.0).as("geometry")))
+      .union(spark.range(600).select(($"id" + 50000).as("lid"),
+        subRect($"id", 1, 70.0).as("geometry")))
       .union(spark.range(50).select(($"id" + 20000).as("lid"),
         st_rectangle($"id".cast("double") * 4 + 100.0, lit(0.0),
           $"id".cast("double") * 4 + 100.5, lit(0.5)).as("geometry")))
     val rAll = spark.range(600).select(($"id" + 10000).as("rid"),
         subRect($"id", 7).as("geometry"))
+      .union(spark.range(240).select(($"id" + 45000).as("rid"),
+        subRect($"id", 7, 50.0).as("geometry")))
       .union(spark.range(50).select(($"id" + 30000).as("rid"),
         // strict sub-rects of the left background twins so BOTH the
         // symmetric and the asymmetric predicate have cold-cell pairs
@@ -215,8 +227,12 @@ class SpatialJoinSpec extends AnyFunSuite {
           === expected, s"salted $pred pair set diverged")
         assert(expected.nonEmpty)
         // background pairs survive through the cold branch
-        assert(expected.exists { case (a, b) => a >= 20000 && b >= 30000 },
+        assert(expected.exists { case (a, b) => a >= 20000 && b < 40000 && b >= 30000 },
           "cold-cell pairs lost")
+        // the estimate-recounted hot cell (600 x 240, right below the
+        // histogram floor) contributes its pairs intact
+        assert(expected.exists { case (a, b) => a >= 40000 && a < 50000 && b >= 45000 },
+          "recounted hot-cell pairs lost")
       }
       // at the production default bound this fixture is cold everywhere:
       // the plan stays exactly the exchange-free sort-merge join
@@ -235,14 +251,26 @@ class SpatialJoinSpec extends AnyFunSuite {
         "graft_bkt_hot_r", cellSize = 1.0, "intersects", saltHotCells = false)
         .select($"lid", $"rid").as[(Long, Long)].collect().toSet)
       // detection estimates (r14 review #2): a monster cell absent from
-      // one histogram (< 256-row floor there) must still flag hot
-      val lh = Map(7L -> 10000000L, 8L -> 300L)
-      val rh = Map(9L -> 10000000L)
+      // one histogram (< 256-row floor there) must still flag as a
+      // CANDIDATE, with the absent side marked non-exact
+      val lh = SpatialJoin.CellHist(Map(7L -> 10000000L, 8L -> 300L), truncated = false)
+      val rh = SpatialJoin.CellHist(Map(9L -> 10000000L), truncated = false)
       val hot = SpatialJoin.hotCellsIn(lh, rh, 8000000L)
       assert(hot.keySet === Set(7L, 9L), s"estimate-based detection: $hot")
-      assert(hot(7L) === ((10000000L, 255L)) && hot(9L) === ((255L, 10000000L)))
+      assert(hot(7L) === SpatialJoin.HotCand(10000000L, 255L, lnExact = true, rnExact = false))
+      assert(hot(9L) === SpatialJoin.HotCand(255L, 10000000L, lnExact = false, rnExact = true))
       // ...while two sub-floor sides can never combine past a sane bound
-      assert(SpatialJoin.hotCellsIn(Map(1L -> 300L), Map.empty, 8000000L).isEmpty)
+      assert(SpatialJoin.hotCellsIn(SpatialJoin.CellHist(Map(1L -> 300L), false),
+        SpatialJoin.CellHist(Map.empty, false), 8000000L).isEmpty)
+      // a TRUNCATED histogram's absent cells are bounded by its smallest
+      // kept count, not the 256-row floor (review-2 #1): 300 x 40000
+      // candidate survives even though the cell was dropped from rh
+      val rhTrunc = SpatialJoin.CellHist(Map(9L -> 10000000L, 10L -> 40000L), truncated = true)
+      val hotT = SpatialJoin.hotCellsIn(
+        SpatialJoin.CellHist(Map(7L -> 300L), false), rhTrunc, 8000000L)
+      assert(hotT.get(7L).contains(
+        SpatialJoin.HotCand(300L, 40000L, lnExact = true, rnExact = false)),
+        s"truncated-absent bound: $hotT")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       SpatialJoin.dropBucketedTable(spark, "graft_bkt_hot_l")
