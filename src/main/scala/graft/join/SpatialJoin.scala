@@ -923,11 +923,18 @@ object SpatialJoin {
     * may still be arbitrarily heavy, bounded only by its smallest kept
     * count — the complete one bounds them below [[HeavyCellMinRows]]). */
   private[graft] final case class CellHist(cells: Map[Long, Long], truncated: Boolean) {
-    /** Upper bound on any cell NOT in `cells`. */
+    /** Upper bound on any cell NOT in `cells`. (A truncated-but-empty
+      * payload is not something the writer emits — clamp to the floor
+      * rather than let Long.MaxValue flag every cell a candidate.) */
     def absentBound: Long =
-      if (truncated) cells.values.foldLeft(Long.MaxValue)(math.min)
+      if (truncated && cells.nonEmpty) cells.values.min
       else HeavyCellMinRows - 1
   }
+
+  /** `ln · rn ≥ bound`, computed as `ln ≥ ceil(bound/rn)` so 100 TB-scale
+    * counts can neither overflow a product nor the ceiling addition. */
+  private[graft] def pastPairBound(ln: Long, rn: Long, bound: Long): Boolean =
+    rn > 0 && ln >= (math.max(1L, bound) - 1) / rn + 1
 
   /** Parse a [[CellHistogramProp]] payload (shared with the auto-planning
     * rule's hot-cell warning). */
@@ -965,16 +972,15 @@ object SpatialJoin {
     * so the join recounts flagged cells exactly before salting. */
   private[graft] def hotCellsIn(lh: CellHist, rh: CellHist,
       bound: Long): Map[Long, HotCand] = {
-    // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
-    def hot(ln: Long, rn: Long): Boolean = rn > 0 && ln >= (bound + rn - 1) / rn
     val fromLeft = lh.cells.iterator.flatMap { case (c, ln) =>
       val (rn, rnExact) = rh.cells.get(c)
         .map((_, true)).getOrElse((rh.absentBound, false))
-      if (hot(ln, rn)) Some(c -> HotCand(ln, rn, lnExact = true, rnExact))
+      if (pastPairBound(ln, rn, bound))
+        Some(c -> HotCand(ln, rn, lnExact = true, rnExact))
       else None
     }
     val fromRightOnly = rh.cells.iterator.flatMap { case (c, rn) =>
-      if (!lh.cells.contains(c) && hot(lh.absentBound, rn))
+      if (!lh.cells.contains(c) && pastPairBound(lh.absentBound, rn, bound))
         Some(c -> HotCand(lh.absentBound, rn, lnExact = false, rnExact = true))
       else None
     }
@@ -1061,33 +1067,44 @@ object SpatialJoin {
           org.apache.spark.sql.graft.ColumnBridge.expression(col(CellCol)),
           cs, graft.plans.GeoNative.predCode(predName)))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    // ln >= ceil(bound/rn) avoids ln*rn overflow at 100 TB counts
-    def pastBound(ln: Long, rn: Long): Boolean =
-      rn > 0 && ln >= (hotPairsBound + rn - 1) / rn
     val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
       (heavyCellsOf(spark, leftTable), heavyCellsOf(spark, rightTable)) match {
         case (Some(lh), Some(rh)) =>
+          // detection recall is bounded by the histograms: a cell BOTH
+          // truncated histograms dropped can still be heavy — when even
+          // the two absent bounds multiply past the pair bound, the
+          // unsalted plan may carry an invisible straggler; say so
+          if (lh.truncated && rh.truncated &&
+              pastPairBound(lh.absentBound, rh.absentBound, hotPairsBound))
+            log.warn(s"sjoinBucketed($leftTable, $rightTable): BOTH cell " +
+              "histograms are truncated and their dropped cells can " +
+              "combine past the hot-pair bound — cells outside the " +
+              s"stamped top $HeavyCellCap cannot be salted. A grid this " +
+              "dense wants a larger cellSize.")
           val cand = hotCellsIn(lh, rh, hotPairsBound)
-          val needExact = cand.exists { case (_, h) => !h.lnExact || !h.rnExact }
-          if (!needExact) cand.map { case (c, h) => c -> (h.ln, h.rn) }
+          val needL = cand.exists { case (_, h) => !h.lnExact }
+          val needR = cand.exists { case (_, h) => !h.rnExact }
+          if (!needL && !needR) cand.map { case (c, h) => c -> (h.ln, h.rn) }
           else {
             // estimate-flagged candidates: candidacy from an upper bound
             // is safe, SIZING from one is not (a one-sided heavy cell
             // would replicate millions of rows for zero pairs). One
-            // bucket-pruned count per side over just the candidate cells
-            // replaces every estimate with the real count, then the
-            // bound re-applies.
-            val cells = cand.keys.toSeq.map(java.lang.Long.valueOf)
-            def exactCounts(tbl: String): Map[Long, Long] =
-              spark.table(tbl).filter(col(CellCol).isin(cells: _*))
+            // bucket-pruned count per ESTIMATED side, restricted to the
+            // cells that need it, replaces estimates with real counts,
+            // then the bound re-applies.
+            def exactCounts(tbl: String, forCells: Iterable[Long]): Map[Long, Long] =
+              spark.table(tbl)
+                .filter(col(CellCol).isin(forCells.toSeq.map(java.lang.Long.valueOf): _*))
                 .groupBy(col(CellCol)).count().collect()
                 .map(row => row.getLong(0) -> row.getLong(1)).toMap
-            val lx = exactCounts(leftTable)
-            val rx = exactCounts(rightTable)
+            val lx = if (needL) exactCounts(leftTable,
+              cand.collect { case (c, h) if !h.lnExact => c }) else Map.empty[Long, Long]
+            val rx = if (needR) exactCounts(rightTable,
+              cand.collect { case (c, h) if !h.rnExact => c }) else Map.empty[Long, Long]
             cand.flatMap { case (c, h) =>
               val ln = if (h.lnExact) h.ln else lx.getOrElse(c, 0L)
               val rn = if (h.rnExact) h.rn else rx.getOrElse(c, 0L)
-              if (pastBound(ln, rn)) Some(c -> (ln, rn)) else None
+              if (pastPairBound(ln, rn, hotPairsBound)) Some(c -> (ln, rn)) else None
             }
           }
         case (lh, rh) =>
