@@ -923,12 +923,11 @@ object SpatialJoin {
     * may still be arbitrarily heavy, bounded only by its smallest kept
     * count — the complete one bounds them below [[HeavyCellMinRows]]). */
   private[graft] final case class CellHist(cells: Map[Long, Long], truncated: Boolean) {
-    /** Upper bound on any cell NOT in `cells`. (A truncated-but-empty
-      * payload is not something the writer emits — clamp to the floor
-      * rather than let Long.MaxValue flag every cell a candidate.) */
+    /** Upper bound on any cell NOT in `cells` (truncation implies a
+      * non-empty list — the parser rejects the writer-impossible
+      * truncated-but-empty payload). */
     def absentBound: Long =
-      if (truncated && cells.nonEmpty) cells.values.min
-      else HeavyCellMinRows - 1
+      if (truncated) cells.values.min else HeavyCellMinRows - 1
   }
 
   /** `ln · rn ≥ bound`, computed as `ln ≥ ceil(bound/rn)` so 100 TB-scale
@@ -941,6 +940,11 @@ object SpatialJoin {
   private[graft] def parseCellHistogram(raw: String): CellHist = {
     val truncated = raw.endsWith(",+")
     val body = if (truncated) raw.dropRight(2) else raw
+    // the writer never emits a truncated-but-empty list; throwing here
+    // routes the corruption through heavyCellsOf's LOGGED degradation
+    // instead of silently reading a dense store as "nothing heavy"
+    require(!(truncated && body.isEmpty),
+      s"corrupt cell histogram payload: '$raw'")
     CellHist(
       if (body.isEmpty) Map.empty[Long, Long]
       else body.split(',').map { e =>
@@ -1070,17 +1074,19 @@ object SpatialJoin {
     val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
       (heavyCellsOf(spark, leftTable), heavyCellsOf(spark, rightTable)) match {
         case (Some(lh), Some(rh)) =>
-          // detection recall is bounded by the histograms: a cell BOTH
-          // truncated histograms dropped can still be heavy — when even
-          // the two absent bounds multiply past the pair bound, the
-          // unsalted plan may carry an invisible straggler; say so
-          if (lh.truncated && rh.truncated &&
+          // detection recall is bounded by the histograms: a cell absent
+          // from both maps can still be heavy when EITHER list was
+          // truncated (a 100k-row cell dropped from one top-256 against
+          // 200 below-floor rows is 20M pairs) — when the two absent
+          // bounds alone multiply past the pair bound, the unsalted plan
+          // may carry an invisible straggler; say so
+          if ((lh.truncated || rh.truncated) &&
               pastPairBound(lh.absentBound, rh.absentBound, hotPairsBound))
-            log.warn(s"sjoinBucketed($leftTable, $rightTable): BOTH cell " +
-              "histograms are truncated and their dropped cells can " +
-              "combine past the hot-pair bound — cells outside the " +
-              s"stamped top $HeavyCellCap cannot be salted. A grid this " +
-              "dense wants a larger cellSize.")
+            log.warn(s"sjoinBucketed($leftTable, $rightTable): a truncated " +
+              "cell histogram's dropped cells can combine past the " +
+              "hot-pair bound — cells outside the stamped top " +
+              s"$HeavyCellCap cannot be salted. A grid this dense wants " +
+              "a larger cellSize.")
           val cand = hotCellsIn(lh, rh, hotPairsBound)
           val needL = cand.exists { case (_, h) => !h.lnExact }
           val needR = cand.exists { case (_, h) => !h.rnExact }
@@ -1113,7 +1119,7 @@ object SpatialJoin {
           // stamped side alone shows a monster cell, say so loudly.
           val loudest = lh.orElse(rh)
             .map(h => h.cells.values.foldLeft(0L)(math.max)).getOrElse(0L)
-          if (loudest * HeavyCellMinRows >= hotPairsBound)
+          if (pastPairBound(loudest, HeavyCellMinRows, hotPairsBound))
             log.warn(s"sjoinBucketed($leftTable, $rightTable): a stamped " +
               s"side has a $loudest-row cell but the other input has no " +
               "readable cell histogram (pre-r14 store, temp view, or " +
