@@ -400,16 +400,31 @@ object SpatialJoin {
     * pathological hot cell cannot OOM its task. */
   val MaxCellBuildRows: Int = 1 << 20
 
-  /** Per-cell STRtree cogroup with bounded left fan-in. Cells whose LEFT
-    * slice exceeds `maxCellRows` split into ceil(n/maxCellRows) salt
-    * slices: left rows round-robin into one slice, right rows replicate to
-    * all slices of their cell — each (left, right) pair still meets
-    * exactly once, the reference-point rule still dedups per CELL, and no
-    * task buffers more than ~maxCellRows build rows (the analog of
-    * [[graft.pipeline.Dedup]]'s capBuckets for LSH buckets, except a join
-    * cannot drop — it splits). The hot-cell census costs one extra
-    * map-side-combined count shuffle of (cell) keys and one driver map
-    * bounded by totalLeftRows / maxCellRows entries.
+  /** Per-task candidate-pair target for the partitioned tiers (r14): a
+    * hot cell below the build-row bound can still be a wall-clock
+    * straggler by PAIR COUNT (tree queries + predicate work scale with
+    * ln·rn, not rows) — cells past this split the RIGHT side too. */
+  val GridPairsPerTask: Long = 2000000L
+  private val GridCensusMin = 1024L
+
+  /** Per-cell STRtree cogroup with 2-D bounded fan-in. Cells split into
+    * a (p, q) salt grid joined on (cell, lsalt, rsalt): `p =
+    * ceil(leftRows/maxCellRows)` bounds the buffered build slice (memory
+    * — the right side streams), `q` bounds per-task candidate pairs at
+    * `pairsPerTask` (wall-clock — r14: a 100k×500k cell is 50B tree
+    * probes in one task under a left-only split). Left rows round-robin
+    * into p and replicate across q; right rows round-robin into q and
+    * replicate across p — each (left, right) pair still meets exactly
+    * once, and the reference-point rule still dedups per CELL (the
+    * analog of [[graft.pipeline.Dedup]]'s capBuckets for LSH buckets,
+    * except a join cannot drop — it splits). The census costs one
+    * map-side-combined count shuffle per side; driver maps are bounded
+    * by totalRows / [[GridCensusMin]] entries, and a cell absent from a
+    * census (< [[GridCensusMin]] rows there) sizes from the census floor
+    * — an over-split of a small side only replicates a few rows.
+    * Residual: per-task pairs are bounded below ln·rn/(p·64) by the salt
+    * cap; the quadtree tier (which subdivides hot REGIONS) is the answer
+    * when a single cell is that dense.
     *
     * @param refPoint (cell, leftEnv, rightEnv) => does this CELL own the
     *                 pair (the tier's reference-point rule)
@@ -419,35 +434,54 @@ object SpatialJoin {
       rCells: Dataset[(Long, Long, Array[Byte])],
       pred: String,
       refPoint: (Long, Envelope, Envelope) => Boolean,
-      maxCellRows: Int): DataFrame = {
+      maxCellRows: Int,
+      pairsPerTask: Long = GridPairsPerTask): DataFrame = {
     val spark = lCells.sparkSession
     import spark.implicits._
-    val hotMap: Map[Long, Int] =
+    def census(cells: Dataset[(Long, Long, Array[Byte])],
+        floor: Long): Map[Long, Long] =
+      cells.groupByKey(_._1).count().filter(_._2 >= floor).collect().toMap
+    val hotMap: Map[Long, (Int, Int)] =
       if (maxCellRows <= 0) Map.empty
-      else lCells.groupByKey(_._1).count()
-        .filter(_._2 > maxCellRows)
-        .collect()
-        .map { case (c, n) => c -> math.ceil(n.toDouble / maxCellRows).toInt }
-        .toMap
+      else {
+        val lMap = census(lCells, math.min(GridCensusMin, maxCellRows.toLong))
+        val rMap = census(rCells, GridCensusMin)
+        val est = GridCensusMin - 1
+        (lMap.keysIterator ++ rMap.keysIterator).distinct.flatMap { c =>
+          val ln = lMap.getOrElse(c, est)
+          val rn = rMap.getOrElse(c, est)
+          val p = math.max(1L, (ln + maxCellRows - 1) / maxCellRows)
+          // Double sizing: ln·rn can exceed Long at 100 TB counts and
+          // q only needs magnitude, not exactness
+          val q = math.min(64L, math.max(1L,
+            math.ceil(ln.toDouble / p * rn / pairsPerTask).toLong))
+          if (p > 1 || q > 1) Some(c -> (p.toInt, q.toInt)) else None
+        }.toMap
+      }
     val bcHot = spark.sparkContext.broadcast(hotMap)
     val lS = lCells.mapPartitions { it =>
       var ctr = 0
-      it.map { case (c, id, b) =>
-        val s = bcHot.value.getOrElse(c, 1)
-        val salt = if (s <= 1) 0 else { ctr += 1; ctr % s }
-        (c, salt, id, b)
+      it.flatMap { case (c, id, b) =>
+        val (p, q) = bcHot.value.getOrElse(c, (1, 1))
+        val lsalt = if (p <= 1) 0 else { ctr += 1; ctr % p }
+        (0 until q).iterator.map(rsalt => (c, lsalt, rsalt, id, b))
       }
     }
-    val rS = rCells.flatMap { case (c, id, b) =>
-      val s = bcHot.value.getOrElse(c, 1)
-      (0 until s).iterator.map(salt => (c, salt, id, b))
+    val rS = rCells.mapPartitions { it =>
+      var ctr = 0
+      it.flatMap { case (c, id, b) =>
+        val (p, q) = bcHot.value.getOrElse(c, (1, 1))
+        val rsalt = if (q <= 1) 0 else { ctr += 1; ctr % q }
+        (0 until p).iterator.map(lsalt => (c, lsalt, rsalt, id, b))
+      }
     }
-    lS.groupByKey(t => (t._1, t._2)).cogroup(rS.groupByKey(t => (t._1, t._2))) {
+    lS.groupByKey(t => (t._1, t._2, t._3))
+      .cogroup(rS.groupByKey(t => (t._1, t._2, t._3))) {
       (key, lit, rit) =>
         val cell = key._1
         val tree = new STRtree()
         var n = 0
-        lit.foreach { case (_, _, lid, bytes) =>
+        lit.foreach { case (_, _, _, lid, bytes) =>
           val g = EWKB.read(bytes)
           if (!g.isEmpty) {
             tree.insert(g.getEnvelopeInternal, (lid, PreparedGeometryFactory.prepare(g)))
@@ -457,7 +491,7 @@ object SpatialJoin {
         if (n == 0) Iterator.empty
         else {
           tree.build()
-          rit.flatMap { case (_, _, rid, bytes) =>
+          rit.flatMap { case (_, _, _, rid, bytes) =>
             val rg = EWKB.read(bytes)
             if (rg.isEmpty) Iterator.empty
             else {
@@ -487,7 +521,8 @@ object SpatialJoin {
   def sjoinPartitioned(left: DataFrame, right: DataFrame, cellSize: Double,
       predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
-      suffix: String = "_right", maxCellRows: Int = MaxCellBuildRows): DataFrame = {
+      suffix: String = "_right", maxCellRows: Int = MaxCellBuildRows,
+      pairsPerTask: Long = GridPairsPerTask): DataFrame = {
     require(Set("inner", "left", "right", "full")(how), s"unsupported how: $how")
     val spark = left.sparkSession
     import spark.implicits._
@@ -508,8 +543,8 @@ object SpatialJoin {
     val rCells = rightIdx.select(col(RIdx), col(rightGeom)).as[(Long, Array[Byte])]
       .flatMap { case (id, b) => cellsOf(b).map(c => (c, id, b)) }
 
-    // cogroup by (cell, salt): per-slice STRtree over the left slice,
-    // streamed probe of the right slice. No cross product is ever
+    // cogroup by (cell, lsalt, rsalt): per-slice STRtree over the left
+    // slice, streamed probe of the right slice. No cross product is ever
     // materialized; the reference-point rule (bottom-left corner of the
     // envelope intersection) makes each pair unique without a distinct().
     val pairs = cellCogroupPairs(lCells, rCells, pred,
@@ -519,7 +554,7 @@ object SpatialJoin {
         val ix = math.max(le.getMinX, re.getMinX)
         val iy = math.max(le.getMinY, re.getMinY)
         ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs
-      }, maxCellRows)
+      }, maxCellRows, pairsPerTask)
 
     assemble(leftIdx, rightIdx, pairs, how, suffix)
   }
@@ -536,7 +571,8 @@ object SpatialJoin {
       leftGeom: String = "geometry", rightGeom: String = "geometry",
       suffix: String = "_right", sampleSize: Int = 10000,
       leafCapacity: Int = 64, maxDepth: Int = 12,
-      maxCellRows: Int = MaxCellBuildRows): DataFrame = {
+      maxCellRows: Int = MaxCellBuildRows,
+      pairsPerTask: Long = GridPairsPerTask): DataFrame = {
     require(Set("inner", "left", "right", "full")(how), s"unsupported how: $how")
     val spark = left.sparkSession
     import spark.implicits._
@@ -600,7 +636,7 @@ object SpatialJoin {
         // reference-point dedup against the quadtree leaf
         bcTree.value.leafOf(math.max(le.getMinX, re.getMinX),
           math.max(le.getMinY, re.getMinY)) == cell.toInt,
-      maxCellRows)
+      maxCellRows, pairsPerTask)
 
     assemble(leftIdx, rightIdx, pairs, how, suffix)
   }

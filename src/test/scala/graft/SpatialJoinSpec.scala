@@ -470,6 +470,22 @@ class SpatialJoinSpec extends AnyFunSuite {
       assert(qt.length === expected.size, s"qt cap=$cap: dup or lost pairs")
       assert(qt.toSet === expected, s"qt cap=$cap")
     }
+    // r14: PAIR-count-driven split — a cell far below the build-row cap
+    // (no memory pressure) but past the per-task pair target splits the
+    // RIGHT side too; 2-D (p,q) salting must keep exactly-once coverage
+    // (count == distinct count == |L|·|R|), including at a target so
+    // small that q hits the 64 cap
+    val bigBoxes = spark.range(1200).select($"id".as("box_id"),
+      st_rectangle(lit(0.0), lit(0.0), lit(10.0), lit(10.0)).as("geometry"))
+    val bigPoints = spark.range(1500).select($"id".as("pt_id"),
+      st_point(($"id" % 10).cast("double"), ($"id" % 7).cast("double")).as("geometry"))
+    for (ppt <- Seq(100000L, 100L)) {
+      val g = SpatialJoin.sjoinPartitioned(bigBoxes, bigPoints, 64.0,
+        "intersects", pairsPerTask = ppt)
+      assert(g.count() === 1200L * 1500L, s"ppt=$ppt: pair count")
+      assert(g.select($"box_id", $"pt_id").distinct().count() === 1200L * 1500L,
+        s"ppt=$ppt: duplicate pairs")
+    }
   }
 
   test("byte guard: wide rows under the row cap fall back to the grid tier") {
