@@ -406,6 +406,7 @@ object SpatialJoin {
     * ln·rn, not rows) — cells past this split the RIGHT side too. */
   val GridPairsPerTask: Long = 2000000L
   private val GridCensusMin = 1024L
+  private val CensusKeep = 4096
 
   /** Per-cell STRtree cogroup with 2-D bounded fan-in. Cells split into
     * a (p, q) salt grid joined on (cell, lsalt, rsalt): `p =
@@ -417,14 +418,22 @@ object SpatialJoin {
     * replicate across p — each (left, right) pair still meets exactly
     * once, and the reference-point rule still dedups per CELL (the
     * analog of [[graft.pipeline.Dedup]]'s capBuckets for LSH buckets,
-    * except a join cannot drop — it splits). The census costs one
-    * map-side-combined count shuffle per side; driver maps are bounded
-    * by totalRows / [[GridCensusMin]] entries, and a cell absent from a
-    * census (< [[GridCensusMin]] rows there) sizes from the census floor
-    * — an over-split of a small side only replicates a few rows.
-    * Residual: per-task pairs are bounded below ln·rn/(p·64) by the salt
-    * cap; the quadtree tier (which subdivides hot REGIONS) is the answer
-    * when a single cell is that dense.
+    * except a join cannot drop — it splits). `pairsPerTask =
+    * Long.MaxValue` (or ≤0) disables the pair dimension: only the left
+    * census at the build bound runs — the pre-r14 shape, and the
+    * quadtree tier's default, since leaf occupancy grows with data
+    * volume and potential-pairs sizing would over-split every leaf at
+    * scale. With pair-split on, each side pays one map-side-combined
+    * count shuffle; driver maps are HARD-bounded to the heaviest
+    * [[CensusKeep]] cells (cells beyond the cut keep the unsalted plan),
+    * and a cell absent from a census (< [[GridCensusMin]] rows there)
+    * sizes from the census floor — an over-split of a small side only
+    * replicates a few rows. `pairsPerTask` bounds POTENTIAL pairs
+    * (ln·rn): in a uniform grid with cellSize ≈ envelope size that is
+    * close to actual candidates; a deliberately coarse grid over
+    * well-separated data over-splits (bounded by the 64 cap) — disable
+    * or raise the target there. Residual: per-task pairs are bounded
+    * below ln·rn/(p·64) by the salt cap.
     *
     * @param refPoint (cell, leftEnv, rightEnv) => does this CELL own the
     *                 pair (the tier's reference-point rule)
@@ -438,12 +447,28 @@ object SpatialJoin {
       pairsPerTask: Long = GridPairsPerTask): DataFrame = {
     val spark = lCells.sparkSession
     import spark.implicits._
+    // censuses are HARD-bounded for the driver: heaviest CensusKeep cells
+    // only (cells beyond the cut keep the unsalted plan — same spirit as
+    // the bucketed store's top-256 histogram cap)
     def census(cells: Dataset[(Long, Long, Array[Byte])],
         floor: Long): Map[Long, Long] =
-      cells.groupByKey(_._1).count().filter(_._2 >= floor).collect().toMap
+      cells.groupByKey(_._1).count().toDF("c", "n")
+        .filter(col("n") >= floor)
+        .orderBy(col("n").desc, col("c"))
+        .limit(CensusKeep).as[(Long, Long)].collect().toMap
+    val pairSplit = pairsPerTask > 0 && pairsPerTask < Long.MaxValue
     val hotMap: Map[Long, (Int, Int)] =
       if (maxCellRows <= 0) Map.empty
-      else {
+      else if (!pairSplit) {
+        // memory-only split (the pre-r14 shape, and the quadtree tier's
+        // default — its sample-adaptive subdivision is the pair-count
+        // mitigation there, and potential-pairs sizing on leaves whose
+        // occupancy GROWS with data volume would over-split every leaf
+        // at scale): one left census at the build bound, right unscanned
+        census(lCells, maxCellRows.toLong + 1).map { case (c, n) =>
+          c -> (((n + maxCellRows - 1) / maxCellRows).toInt, 1)
+        }
+      } else {
         val lMap = census(lCells, math.min(GridCensusMin, maxCellRows.toLong))
         val rMap = census(rCells, GridCensusMin)
         val est = GridCensusMin - 1
@@ -565,14 +590,19 @@ object SpatialJoin {
     * while sparse regions stay coarse, so no single cell becomes the
     * straggler. Geometries outside the sampled extent clamp onto boundary
     * cells (correctness is unconditional; only balance depends on the
-    * sample). */
+    * sample). Pair-count salting defaults OFF here (`pairsPerTask =
+    * Long.MaxValue`): adaptive subdivision is this tier's skew answer,
+    * and leaf occupancy grows with data volume, so a potential-pairs
+    * bound would over-split ordinary leaves at scale — opt in for
+    * co-located point masses the tree cannot subdivide (maxDepth caps
+    * subdivision of rows at one coordinate). */
   def sjoinQuadtree(left: DataFrame, right: DataFrame,
       predicate: String = "intersects", how: String = "inner",
       leftGeom: String = "geometry", rightGeom: String = "geometry",
       suffix: String = "_right", sampleSize: Int = 10000,
       leafCapacity: Int = 64, maxDepth: Int = 12,
       maxCellRows: Int = MaxCellBuildRows,
-      pairsPerTask: Long = GridPairsPerTask): DataFrame = {
+      pairsPerTask: Long = Long.MaxValue): DataFrame = {
     require(Set("inner", "left", "right", "full")(how), s"unsupported how: $how")
     val spark = left.sparkSession
     import spark.implicits._
