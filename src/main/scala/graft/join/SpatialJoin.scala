@@ -447,15 +447,32 @@ object SpatialJoin {
       pairsPerTask: Long = GridPairsPerTask): DataFrame = {
     val spark = lCells.sparkSession
     import spark.implicits._
-    // censuses are HARD-bounded for the driver: heaviest CensusKeep cells
-    // only (cells beyond the cut keep the unsalted plan — same spirit as
-    // the bucketed store's top-256 histogram cap)
+    // One aggregation per side. The memory-critical stratum (counts past
+    // `cap`) is collected UNBOUNDED — every such cell must split or a
+    // task OOMs, and the driver map is naturally bounded by totalRows /
+    // cap; the merely-heavy stratum (floor..cap) is hard-bounded to the
+    // heaviest CensusKeep cells (beyond the cut: unsalted plan — the
+    // bucketed store's top-256 spirit). Both strata come from ONE scan:
+    // the union's two branches share the aggregation exchange, which
+    // Spark's ReuseExchange collapses.
     def census(cells: Dataset[(Long, Long, Array[Byte])],
-        floor: Long): Map[Long, Long] =
-      cells.groupByKey(_._1).count().toDF("c", "n")
-        .filter(col("n") >= floor)
-        .orderBy(col("n").desc, col("c"))
-        .limit(CensusKeep).as[(Long, Long)].collect().toMap
+        floor: Long, cap: Long): Map[Long, Long] = {
+      val agg = cells.groupByKey(_._1).count().toDF("c", "n")
+      agg.filter(col("n") > cap)
+        .unionByName(agg.filter(col("n") >= floor && col("n") <= cap)
+          .orderBy(col("n").desc, col("c")).limit(CensusKeep))
+        .as[(Long, Long)].collect().toMap
+    }
+    def exactCounts(cells: Dataset[(Long, Long, Array[Byte])],
+        forCells: Set[Long]): Map[Long, Long] = {
+      val keys = forCells.toSeq.map(java.lang.Long.valueOf)
+      cells.filter(col("_1").isin(keys: _*))
+        .groupByKey(_._1).count().collect().toMap
+    }
+    // a salt count must stay a sane Int: past this the cell needs a
+    // different grid, not more slices (and Long→Int truncation on an
+    // absurd count must never wrap negative and drop rows)
+    def clampSalt(v: Long): Int = math.min(65536L, math.max(1L, v)).toInt
     val pairSplit = pairsPerTask > 0 && pairsPerTask < Long.MaxValue
     val hotMap: Map[Long, (Int, Int)] =
       if (maxCellRows <= 0) Map.empty
@@ -465,39 +482,83 @@ object SpatialJoin {
         // mitigation there, and potential-pairs sizing on leaves whose
         // occupancy GROWS with data volume would over-split every leaf
         // at scale): one left census at the build bound, right unscanned
-        census(lCells, maxCellRows.toLong + 1).map { case (c, n) =>
-          c -> (((n + maxCellRows - 1) / maxCellRows).toInt, 1)
-        }
+        census(lCells, maxCellRows.toLong + 1, maxCellRows.toLong)
+          .map { case (c, n) =>
+            c -> (clampSalt((n + maxCellRows - 1) / maxCellRows), 1)
+          }
       } else {
-        val lMap = census(lCells, math.min(GridCensusMin, maxCellRows.toLong))
-        val rMap = census(rCells, GridCensusMin)
+        val lMap0 = census(lCells, math.min(GridCensusMin, maxCellRows.toLong),
+          maxCellRows.toLong)
+        val rMap0 = census(rCells, GridCensusMin, Long.MaxValue - 1)
+        // SIZING never uses an estimate (an absent side below the census
+        // floor may really hold 1 row — splitting against the 1023 upper
+        // bound would replicate the heavy side for nothing, the same
+        // lesson as the bucketed tier's recount): cells heavy on exactly
+        // one side whose bound-estimate crosses the target get ONE
+        // filtered exact count of the other side, only when such
+        // candidates exist.
         val est = GridCensusMin - 1
-        (lMap.keysIterator ++ rMap.keysIterator).distinct.flatMap { c =>
-          val ln = lMap.getOrElse(c, est)
-          val rn = rMap.getOrElse(c, est)
-          val p = math.max(1L, (ln + maxCellRows - 1) / maxCellRows)
-          // Double sizing: ln·rn can exceed Long at 100 TB counts and
-          // q only needs magnitude, not exactness
-          val q = math.min(64L, math.max(1L,
-            math.ceil(ln.toDouble / p * rn / pairsPerTask).toLong))
-          if (p > 1 || q > 1) Some(c -> (p.toInt, q.toInt)) else None
+        def oneSided(heavy: Map[Long, Long], other: Map[Long, Long]) =
+          heavy.collect { case (c, n) if !other.contains(c) &&
+            pastPairBound(n, est, pairsPerTask) => c }.toSet
+        val needRn = oneSided(lMap0, rMap0)
+        val needLn = oneSided(rMap0, lMap0)
+        val lMap = if (needLn.isEmpty) lMap0
+          else lMap0 ++ exactCounts(lCells, needLn)
+        val rMap = if (needRn.isEmpty) rMap0
+          else rMap0 ++ exactCounts(rCells, needRn)
+        (lMap0.keysIterator ++ rMap0.keysIterator).distinct.flatMap { c =>
+          val ln = lMap.getOrElse(c, 0L)
+          val rn = rMap.getOrElse(c, 0L)
+          val pMem = math.max(1L, (ln + maxCellRows - 1) / maxCellRows)
+          if (!pastPairBound(ln, rn, pairsPerTask)) {
+            if (pMem > 1) Some(c -> (clampSalt(pMem), 1)) else None
+          } else {
+            // balanced 2-D sizing (Double arithmetic — ln·rn can exceed
+            // Long at 100 TB counts and slices only need magnitude):
+            // t = slices needed for the pair target; p/q split so the
+            // replication cost ln·q + rn·p is minimized (p ∝ √(t·ln/rn))
+            // — a left-heavy cell splits LEFT and replicates the cheap
+            // right, not the reverse. Caps at 64 per dimension; pMem
+            // still rules p's floor.
+            val t = math.max(1.0, math.ceil(ln.toDouble * rn / pairsPerTask))
+            val pBal = math.round(math.sqrt(t * ln / math.max(1L, rn)))
+            val p = math.max(pMem, math.min(64L, math.max(1L, pBal)))
+            val q = math.min(64L, math.max(1L, math.ceil(t / p).toLong))
+            Some(c -> (clampSalt(p), clampSalt(q)))
+          }
         }.toMap
       }
     val bcHot = spark.sparkContext.broadcast(hotMap)
+    val NoSalt = (1, 1)
     val lS = lCells.mapPartitions { it =>
-      var ctr = 0
-      it.flatMap { case (c, id, b) =>
-        val (p, q) = bcHot.value.getOrElse(c, (1, 1))
-        val lsalt = if (p <= 1) 0 else { ctr += 1; ctr % p }
-        (0 until q).iterator.map(rsalt => (c, lsalt, rsalt, id, b))
+      val hot = bcHot.value
+      if (hot.isEmpty) it.map { case (c, id, b) => (c, 0, 0, id, b) }
+      else {
+        var ctr = 0
+        it.flatMap { case (c, id, b) =>
+          val (p, q) = hot.getOrElse(c, NoSalt)
+          if (p <= 1 && q <= 1) Iterator.single((c, 0, 0, id, b))
+          else {
+            val lsalt = if (p <= 1) 0 else { ctr += 1; ctr % p }
+            (0 until q).iterator.map(rsalt => (c, lsalt, rsalt, id, b))
+          }
+        }
       }
     }
     val rS = rCells.mapPartitions { it =>
-      var ctr = 0
-      it.flatMap { case (c, id, b) =>
-        val (p, q) = bcHot.value.getOrElse(c, (1, 1))
-        val rsalt = if (q <= 1) 0 else { ctr += 1; ctr % q }
-        (0 until p).iterator.map(lsalt => (c, lsalt, rsalt, id, b))
+      val hot = bcHot.value
+      if (hot.isEmpty) it.map { case (c, id, b) => (c, 0, 0, id, b) }
+      else {
+        var ctr = 0
+        it.flatMap { case (c, id, b) =>
+          val (p, q) = hot.getOrElse(c, NoSalt)
+          if (p <= 1 && q <= 1) Iterator.single((c, 0, 0, id, b))
+          else {
+            val rsalt = if (q <= 1) 0 else { ctr += 1; ctr % q }
+            (0 until p).iterator.map(lsalt => (c, lsalt, rsalt, id, b))
+          }
+        }
       }
     }
     lS.groupByKey(t => (t._1, t._2, t._3))
@@ -643,7 +704,8 @@ object SpatialJoin {
             .map(e => ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2))
         }
     if (sample.isEmpty) return sjoinPartitioned(left, right, 1.0, predicate, how,
-      leftGeom, rightGeom, suffix)
+      leftGeom, rightGeom, suffix, maxCellRows,
+      pairsPerTask = pairsPerTask) // preserve the caller's split intent
     val tree = QuadTree.build(sample.toSeq, leafCapacity, maxDepth)
     val bcTree = spark.sparkContext.broadcast(tree)
 

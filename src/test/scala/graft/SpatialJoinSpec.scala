@@ -479,12 +479,15 @@ class SpatialJoinSpec extends AnyFunSuite {
       st_rectangle(lit(0.0), lit(0.0), lit(10.0), lit(10.0)).as("geometry"))
     val bigPoints = spark.range(1500).select($"id".as("pt_id"),
       st_point(($"id" % 10).cast("double"), ($"id" % 7).cast("double")).as("geometry"))
-    for (ppt <- Seq(100000L, 100L)) {
+    // the third config forces p>1 AND q>1 SIMULTANEOUSLY (joint 2-D salt
+    // grid: a swapped lsalt/rsalt on one side would duplicate or lose
+    // pairs here while every 1-D case still passed)
+    for ((ppt, cap) <- Seq((100000L, 1 << 20), (100L, 1 << 20), (100L, 64))) {
       val g = SpatialJoin.sjoinPartitioned(bigBoxes, bigPoints, 64.0,
-        "intersects", pairsPerTask = ppt)
-      assert(g.count() === 1200L * 1500L, s"ppt=$ppt: pair count")
+        "intersects", maxCellRows = cap, pairsPerTask = ppt)
+      assert(g.count() === 1200L * 1500L, s"ppt=$ppt cap=$cap: pair count")
       assert(g.select($"box_id", $"pt_id").distinct().count() === 1200L * 1500L,
-        s"ppt=$ppt: duplicate pairs")
+        s"ppt=$ppt cap=$cap: duplicate pairs")
     }
   }
 
