@@ -424,11 +424,14 @@ object SpatialJoin {
     * quadtree tier's default, since leaf occupancy grows with data
     * volume and potential-pairs sizing would over-split every leaf at
     * scale. With pair-split on, each side pays one map-side-combined
-    * count shuffle; driver maps are HARD-bounded to the heaviest
-    * [[CensusKeep]] cells (cells beyond the cut keep the unsalted plan),
-    * and a cell absent from a census (< [[GridCensusMin]] rows there)
-    * sizes from the census floor — an over-split of a small side only
-    * replicates a few rows. `pairsPerTask` bounds POTENTIAL pairs
+    * count shuffle; the memory-critical stratum (counts past
+    * maxCellRows) collects UNBOUNDED (every such cell must split or a
+    * task OOMs; naturally ≤ totalRows/maxCellRows entries) while the
+    * merely-heavy stratum is hard-bounded to the heaviest
+    * [[CensusKeep]] cells (beyond the cut: unsalted plan). SIZING never
+    * uses an estimate: one-sided candidates get a filtered exact count
+    * of the absent side, so a below-floor side splits against its real
+    * row count or not at all. `pairsPerTask` bounds POTENTIAL pairs
     * (ln·rn): in a uniform grid with cellSize ≈ envelope size that is
     * close to actual candidates; a deliberately coarse grid over
     * well-separated data over-splits (bounded by the 64 cap) — disable
@@ -465,8 +468,11 @@ object SpatialJoin {
     }
     def exactCounts(cells: Dataset[(Long, Long, Array[Byte])],
         forCells: Set[Long]): Map[Long, Long] = {
-      val keys = forCells.toSeq.map(java.lang.Long.valueOf)
-      cells.filter(col("_1").isin(keys: _*))
+      // broadcast set + typed filter, NOT isin: the key list can be as
+      // large as the unbounded memory stratum, and a 10^5-child In
+      // expression stalls the driver at analysis time
+      val bcKeys = cells.sparkSession.sparkContext.broadcast(forCells)
+      cells.filter(t => bcKeys.value.contains(t._1))
         .groupByKey(_._1).count().collect().toMap
     }
     // a salt count must stay a sane Int: past this the cell needs a
@@ -482,10 +488,10 @@ object SpatialJoin {
         // mitigation there, and potential-pairs sizing on leaves whose
         // occupancy GROWS with data volume would over-split every leaf
         // at scale): one left census at the build bound, right unscanned
-        census(lCells, maxCellRows.toLong + 1, maxCellRows.toLong)
-          .map { case (c, n) =>
+        lCells.groupByKey(_._1).count().filter(_._2 > maxCellRows)
+          .collect().iterator.map { case (c, n) =>
             c -> (clampSalt((n + maxCellRows - 1) / maxCellRows), 1)
-          }
+          }.toMap
       } else {
         val lMap0 = census(lCells, math.min(GridCensusMin, maxCellRows.toLong),
           maxCellRows.toLong)
@@ -540,7 +546,7 @@ object SpatialJoin {
           val (p, q) = hot.getOrElse(c, NoSalt)
           if (p <= 1 && q <= 1) Iterator.single((c, 0, 0, id, b))
           else {
-            val lsalt = if (p <= 1) 0 else { ctr += 1; ctr % p }
+            val lsalt = if (p <= 1) 0 else { ctr = (ctr + 1) % p; ctr }
             (0 until q).iterator.map(rsalt => (c, lsalt, rsalt, id, b))
           }
         }
@@ -555,7 +561,7 @@ object SpatialJoin {
           val (p, q) = hot.getOrElse(c, NoSalt)
           if (p <= 1 && q <= 1) Iterator.single((c, 0, 0, id, b))
           else {
-            val rsalt = if (q <= 1) 0 else { ctr += 1; ctr % q }
+            val rsalt = if (q <= 1) 0 else { ctr = (ctr + 1) % q; ctr }
             (0 until p).iterator.map(lsalt => (c, lsalt, rsalt, id, b))
           }
         }

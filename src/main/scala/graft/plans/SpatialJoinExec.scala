@@ -368,7 +368,11 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
       val hot = bcHot.value
       it.map { case (c, row) =>
         val s = hot.getOrElse(c, 1)
-        val salt = if (s <= 1) 0 else { ctr += 1; ctr % s }
+        // (ctr + 1) % s keeps the counter in [0, s): a bare ctr += 1 can
+        // wrap negative past 2^31 rows in one partition — exactly the
+        // skewed regime this split targets — and a negative salt key
+        // would silently drop the row's pairs
+        val salt = if (s <= 1) 0 else { ctr = (ctr + 1) % s; ctr }
         ((c, salt), row)
       }
     }
