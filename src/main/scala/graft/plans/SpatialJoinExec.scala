@@ -351,9 +351,13 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
         }
       }
 
-    // Hot-cell fan-in cap (mirrors SpatialJoin.cellCogroupPairs): a cell
-    // whose left slice exceeds the bound splits into salt slices — left
-    // rows round-robin into one, right rows replicate to all, so no task
+    // Hot-cell fan-in cap (mirrors SpatialJoin.cellCogroupPairs'
+    // MEMORY-ONLY mode — the r14 pair-count dimension deliberately stays
+    // out of the auto-planned exec: a right census here would tax every
+    // auto join with an extra pass, and the quadtree already subdivides
+    // hot regions; the API tiers are the skew-aware doors): a cell whose
+    // left slice exceeds the bound splits into salt slices — left rows
+    // round-robin into one, right rows replicate to all, so no task
     // buffers an unbounded build slice. The census reads the PERSISTED
     // left extract (no upstream re-execution) and the hot map is bounded
     // by the quadtree's leaf count.
