@@ -472,8 +472,12 @@ object SpatialJoin {
       // large as the unbounded memory stratum, and a 10^5-child In
       // expression stalls the driver at analysis time
       val bcKeys = cells.sparkSession.sparkContext.broadcast(forCells)
-      cells.filter(t => bcKeys.value.contains(t._1))
-        .groupByKey(_._1).count().collect().toMap
+      // project the key column BEFORE the typed filter: filtering the
+      // raw tuple would deserialize every row's EWKB blob just to read
+      // the cell id
+      cells.select(col("_1")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .filter(c => bcKeys.value.contains(c))
+        .groupByKey(identity).count().collect().toMap
     }
     // a salt count must stay a sane Int: past this the cell needs a
     // different grid, not more slices (and Long→Int truncation on an
@@ -546,7 +550,12 @@ object SpatialJoin {
           val (p, q) = hot.getOrElse(c, NoSalt)
           if (p <= 1 && q <= 1) Iterator.single((c, 0, 0, id, b))
           else {
-            val lsalt = if (p <= 1) 0 else { ctr = (ctr + 1) % p; ctr }
+            // monotone counter + floorMod: storing the reduced value
+            // would let a small-modulus cell clamp the salt range of a
+            // co-resident large-modulus cell (round-robin collapse), and
+            // a bare % can go negative past 2^31 rows
+            val lsalt = if (p <= 1) 0
+              else { ctr += 1; java.lang.Math.floorMod(ctr, p) }
             (0 until q).iterator.map(rsalt => (c, lsalt, rsalt, id, b))
           }
         }
@@ -561,7 +570,8 @@ object SpatialJoin {
           val (p, q) = hot.getOrElse(c, NoSalt)
           if (p <= 1 && q <= 1) Iterator.single((c, 0, 0, id, b))
           else {
-            val rsalt = if (q <= 1) 0 else { ctr = (ctr + 1) % q; ctr }
+            val rsalt = if (q <= 1) 0
+              else { ctr += 1; java.lang.Math.floorMod(ctr, q) }
             (0 until p).iterator.map(lsalt => (c, lsalt, rsalt, id, b))
           }
         }

@@ -372,11 +372,13 @@ case class SpatialJoinQuadtreeExec(left: SparkPlan, right: SparkPlan,
       val hot = bcHot.value
       it.map { case (c, row) =>
         val s = hot.getOrElse(c, 1)
-        // (ctr + 1) % s keeps the counter in [0, s): a bare ctr += 1 can
-        // wrap negative past 2^31 rows in one partition — exactly the
-        // skewed regime this split targets — and a negative salt key
-        // would silently drop the row's pairs
-        val salt = if (s <= 1) 0 else { ctr = (ctr + 1) % s; ctr }
+        // monotone counter + floorMod: a bare % can wrap negative past
+        // 2^31 rows in one partition (a negative salt key silently drops
+        // the row's pairs), and storing a value reduced by THIS cell's
+        // modulus would let a small-s cell clamp the salt range of a
+        // co-resident large-s cell (round-robin collapse)
+        val salt = if (s <= 1) 0
+          else { ctr += 1; java.lang.Math.floorMod(ctr, s) }
         ((c, salt), row)
       }
     }
