@@ -408,6 +408,41 @@ object SpatialJoin {
   private val GridCensusMin = 1024L
   private val CensusKeep = 4096
 
+  /** One side's heavy-cell census for the grid tier's pair-split sizing:
+    * `(counts, absentBound)`. The memory-critical stratum (counts past
+    * `cap`) is collected UNBOUNDED — every such cell must split or a
+    * task OOMs, and the driver map is naturally bounded by totalRows /
+    * cap; the merely-heavy stratum (floor..cap) is hard-bounded to the
+    * heaviest `keep` cells. Both strata come from ONE scan: the union's
+    * two branches share the aggregation exchange, which Spark's
+    * ReuseExchange collapses. `absentBound` is the largest row count a
+    * cell ABSENT from the map can still hold: floor−1 when the
+    * merely-heavy stratum fit, its smallest KEPT count when it truncated
+    * at the cut (ADVICE r14 #3 — the bucketed tier's
+    * [[CellHist.absentBound]], same idea; a truncated census also logs,
+    * mirroring sjoinBucketed's warning). */
+  private[graft] def gridCensus(cells: Dataset[(Long, Long, Array[Byte])],
+      floor: Long, cap: Long, keep: Int = CensusKeep): (Map[Long, Long], Long) = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val agg = cells.groupByKey(_._1).count().toDF("c", "n")
+    val rows = agg.filter(col("n") > cap)
+      .unionByName(agg.filter(col("n") >= floor && col("n") <= cap)
+        .orderBy(col("n").desc, col("c")).limit(keep + 1))
+      .as[(Long, Long)].collect()
+    val (mem, merelyHeavy) = rows.partition(_._2 > cap)
+    val truncated = merelyHeavy.length > keep
+    val kept = merelyHeavy.sortBy { case (c, n) => (-n, c) }.take(keep)
+    if (truncated)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"sjoinPartitioned: the pair-split census truncated at $keep " +
+          "merely-heavy cells — absent-side candidacy uses the smallest " +
+          "kept count as its bound; a grid this uniformly dense wants a " +
+          "larger cellSize")
+    ((mem ++ kept).toMap,
+      if (truncated) kept.iterator.map(_._2).min else floor - 1)
+  }
+
   /** Per-cell STRtree cogroup with 2-D bounded fan-in. Cells split into
     * a (p, q) salt grid joined on (cell, lsalt, rsalt): `p =
     * ceil(leftRows/maxCellRows)` bounds the buffered build slice (memory
@@ -450,22 +485,6 @@ object SpatialJoin {
       pairsPerTask: Long = GridPairsPerTask): DataFrame = {
     val spark = lCells.sparkSession
     import spark.implicits._
-    // One aggregation per side. The memory-critical stratum (counts past
-    // `cap`) is collected UNBOUNDED — every such cell must split or a
-    // task OOMs, and the driver map is naturally bounded by totalRows /
-    // cap; the merely-heavy stratum (floor..cap) is hard-bounded to the
-    // heaviest CensusKeep cells (beyond the cut: unsalted plan — the
-    // bucketed store's top-256 spirit). Both strata come from ONE scan:
-    // the union's two branches share the aggregation exchange, which
-    // Spark's ReuseExchange collapses.
-    def census(cells: Dataset[(Long, Long, Array[Byte])],
-        floor: Long, cap: Long): Map[Long, Long] = {
-      val agg = cells.groupByKey(_._1).count().toDF("c", "n")
-      agg.filter(col("n") > cap)
-        .unionByName(agg.filter(col("n") >= floor && col("n") <= cap)
-          .orderBy(col("n").desc, col("c")).limit(CensusKeep))
-        .as[(Long, Long)].collect().toMap
-    }
     def exactCounts(cells: Dataset[(Long, Long, Array[Byte])],
         forCells: Set[Long]): Map[Long, Long] = {
       // broadcast set + typed filter, NOT isin: the key list can be as
@@ -497,22 +516,27 @@ object SpatialJoin {
             c -> (clampSalt((n + maxCellRows - 1) / maxCellRows), 1)
           }.toMap
       } else {
-        val lMap0 = census(lCells, math.min(GridCensusMin, maxCellRows.toLong),
-          maxCellRows.toLong)
-        val rMap0 = census(rCells, GridCensusMin, Long.MaxValue - 1)
+        val (lMap0, lAbsent) = gridCensus(lCells,
+          math.min(GridCensusMin, maxCellRows.toLong), maxCellRows.toLong)
+        val (rMap0, rAbsent) = gridCensus(rCells, GridCensusMin, Long.MaxValue - 1)
         // SIZING never uses an estimate (an absent side below the census
-        // floor may really hold 1 row — splitting against the 1023 upper
+        // floor may really hold 1 row — splitting against the upper
         // bound would replicate the heavy side for nothing, the same
         // lesson as the bucketed tier's recount): cells heavy on exactly
         // one side whose bound-estimate crosses the target get ONE
         // filtered exact count of the other side, only when such
-        // candidates exist.
-        val est = GridCensusMin - 1
-        def oneSided(heavy: Map[Long, Long], other: Map[Long, Long]) =
+        // candidates exist. The absent-side bound is the OTHER census's:
+        // floor−1 when complete, its smallest kept merely-heavy count
+        // when truncated (ADVICE r14 #3 — a cell dropped at the
+        // CensusKeep cut can hold far more than the floor, and a
+        // floor-based estimate would let a 150M-pair cell escape both
+        // candidacy and the exact recount).
+        def oneSided(heavy: Map[Long, Long], other: Map[Long, Long],
+            otherBound: Long) =
           heavy.collect { case (c, n) if !other.contains(c) &&
-            pastPairBound(n, est, pairsPerTask) => c }.toSet
-        val needRn = oneSided(lMap0, rMap0)
-        val needLn = oneSided(rMap0, lMap0)
+            pastPairBound(n, otherBound, pairsPerTask) => c }.toSet
+        val needRn = oneSided(lMap0, rMap0, rAbsent)
+        val needLn = oneSided(rMap0, lMap0, lAbsent)
         val lMap = if (needLn.isEmpty) lMap0
           else lMap0 ++ exactCounts(lCells, needLn)
         val rMap = if (needRn.isEmpty) rMap0
@@ -841,15 +865,38 @@ object SpatialJoin {
   val CellSizeProp = "graft.spatial.cellSize"
 
   /** Table property carrying the store's heavy-cell histogram
-    * (`cell:count` CSV, top [[HeavyCellCap]] cells with ≥
-    * [[HeavyCellMinRows]] rows, `,+` suffix when truncated) — written by
-    * [[writeSpatialBucketed]], read by [[sjoinBucketed]]'s hot-cell
-    * salting. A skewed cell is a write-time property of the DATA, so the
-    * store pays for the measurement once and every join reuses it from
-    * the catalog for free. */
+    * (`cell:count` CSV of cells with ≥ [[HeavyCellMinRows]] rows, `,+`
+    * suffix when truncated; or the `file:` marker pointing at the
+    * [[CellHistogramFile]] sidecar when the list outgrows inline
+    * metastore limits) — written by [[stampCellHistogram]] (which
+    * [[writeSpatialBucketed]] invokes), read by [[sjoinBucketed]]'s
+    * hot-cell salting. A skewed cell is a write-time property of the
+    * DATA, so the store pays for the measurement once and every join
+    * reuses it from the catalog for free. */
   val CellHistogramProp = "graft.spatial.cellHistogram"
   private val HeavyCellMinRows = 256L
   private val HeavyCellCap = 256
+  /** Inline histogram payloads stay below conservative metastore
+    * PARAM_VALUE limits (Hive's default column is 4000 chars): a
+    * metastore that SILENTLY truncates a longer value would store
+    * exactly the cut-mid-entry payload the parser rejects (ADVICE r14).
+    * Lists that don't fit spill to a [[CellHistogramFile]] sidecar in
+    * the store location and the property carries only the `file:`
+    * marker — which also lifts the r14 top-[[HeavyCellCap]] limit:
+    * dense grids' cells past the inline cut become saltable instead of
+    * a warning. */
+  private val HistInlineMaxChars = 3500
+  private[graft] val CellHistogramFile = "_graft_cell_histogram.csv"
+  private[graft] val CellHistogramFileMarker = "file:" + CellHistogramFile
+  /** Sidecar histograms keep the heaviest [[SidecarCellCap]] cells — a
+    * ~1.6 MB driver-side parse bound. */
+  private val SidecarCellCap = 65536
+  /** Plan-size bound on how many cells one [[sjoinBucketed]] call will
+    * salt: the hot/cold row routing uses `isin` over the salted-cell
+    * list, and an unbounded In expression stalls driver analysis. The
+    * heaviest cells win; past this many 8M-pair cells the grid itself
+    * is wrong (larger cellSize), and the join says so. */
+  private val MaxSaltedCells = 512
 
   /** @param geoMetadata stamp the GeoParquet 1.1 `geo` payload into every
     *   part footer (default ON since r9): the stats FOLD INTO the write
@@ -859,10 +906,15 @@ object SpatialJoin {
     *   Spark's bucket-id naming — are preserved). Stores are thereby
     *   externally discoverable by any GeoParquet reader out of the box.
     *   A store that cannot be stamped (mixed SRIDs) logs a warning and
-    *   skips the footer rather than failing the already-complete write. */
+    *   skips the footer rather than failing the already-complete write.
+    * @param cellHistogram stamp the heavy-cell histogram
+    *   ([[stampCellHistogram]]) after the write (default ON). Turning it
+    *   off skips the measurement scan — joins against the store cannot
+    *   hot-salt until [[stampCellHistogram]] backfills it. */
   def writeSpatialBucketed(df: DataFrame, table: String, cellSize: Double,
       buckets: Int = 64, geom: String = "geometry",
-      mode: String = "overwrite", geoMetadata: Boolean = true): Unit = {
+      mode: String = "overwrite", geoMetadata: Boolean = true,
+      cellHistogram: Boolean = true): Unit = {
     require(!df.columns.contains(CellCol),
       s"writeSpatialBucketed: input already has a $CellCol column")
     // DataFrameWriter.mode(String) is case-insensitive — normalize so the
@@ -925,44 +977,37 @@ object SpatialJoin {
       spark0.sql(
         s"ALTER TABLE $quoted SET TBLPROPERTIES " +
           s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
-      // heavy-cell histogram: one cell-column-only scan of the store just
-      // written (bucketed by cell → the groupBy needs no exchange). On
-      // append the FULL table is re-measured — counts must describe all
-      // rows on the grid, not one batch. The stamp is an optimization
-      // hint: if it fails (e.g. a metastore property-size limit), the
-      // store — already fully written — must not fail with it (same
-      // policy as the geo-footer stamp below); joins degrade to the
-      // unsalted plan.
-      try {
-        val heavy = spark0.table(table)
-          .groupBy(col(CellCol)).count()
-          .filter(col("count") >= HeavyCellMinRows)
-          .orderBy(col("count").desc, col(CellCol))
-          .limit(HeavyCellCap + 1).collect()
-        val truncated = heavy.length > HeavyCellCap
-        if (truncated)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"writeSpatialBucketed: $table has more than $HeavyCellCap cells " +
-              s"with >=$HeavyCellMinRows rows — histogram keeps the heaviest " +
-              s"$HeavyCellCap; joins cannot hot-salt the dropped ones. A grid " +
-              "this uniformly dense wants a larger cellSize.")
-        val csv = heavy.take(HeavyCellCap)
-          .map(row => s"${row.getLong(0)}:${row.getLong(1)}").mkString(",") +
-          (if (truncated) ",+" else "")
-        spark0.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
-          s"('$CellHistogramProp'='$csv')")
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"writeSpatialBucketed: store $table written but its cell " +
-              s"histogram was not stamped (hot-cell salting off for joins " +
-              s"against it): ${e.getMessage}")
-          // an APPEND that fails here would otherwise leave the previous
-          // stamp in place — joins would size salt groups from pre-append
-          // counts, worse than no histogram. Best-effort clear.
-          try spark0.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
-            s"IF EXISTS ('$CellHistogramProp')")
-          catch { case scala.util.control.NonFatal(_) => () }
+      // heavy-cell histogram via the shared stamping door (one
+      // cell-column-only scan; bucketed by cell → the groupBy needs no
+      // exchange). On append the FULL table is re-measured — counts must
+      // describe all rows on the grid, not one batch. The stamp is an
+      // optimization hint: if it fails (e.g. an unwritable store
+      // location for the sidecar), the store — already fully written —
+      // must not fail with it (same policy as the geo-footer stamp
+      // below); joins degrade to the unsalted plan.
+      if (cellHistogram) {
+        try stampCellHistogram(spark0, table)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"writeSpatialBucketed: store $table written but its cell " +
+                s"histogram was not stamped (hot-cell salting off for joins " +
+                s"against it): ${e.getMessage}")
+            // an APPEND that fails here would otherwise leave the previous
+            // stamp in place — joins would size salt groups from pre-append
+            // counts, worse than no histogram. Best-effort clear.
+            try spark0.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
+              s"IF EXISTS ('$CellHistogramProp')")
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } else {
+        // explicit opt-out (skips the measurement scan on writes whose
+        // joins will never salt — and simulates a pre-r14 store for the
+        // backfill path): a STALE stamp describing pre-write rows is
+        // worse than none, so clear any.
+        try spark0.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
+          s"IF EXISTS ('$CellHistogramProp')")
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // footer stats describe ONE batch: stamping an append would rewrite
@@ -994,6 +1039,90 @@ object SpatialJoin {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"writeSpatialBucketed: store $table written but not geo-stamped: ${e.getMessage}")
       }
+    }
+  }
+
+  /** (Re)measure and stamp a store's heavy-cell histogram — the backfill
+    * door for stores written before the stamp existed (pre-r14) or with
+    * `cellHistogram = false`: pre-r14 stores gain hot-cell salting
+    * without a rewrite. One cell-column-only scan (the store is bucketed
+    * by cell, so the groupBy needs no exchange); the payload lands
+    * either inline in [[CellHistogramProp]] (when it fits under
+    * conservative metastore value limits) or, for bigger lists, in a
+    * [[CellHistogramFile]] sidecar at the store location with a `file:`
+    * marker property — dense grids keep up to [[SidecarCellCap]]
+    * saltable cells instead of the inline top-[[HeavyCellCap]]. An
+    * inline stamp is read back and verified: a metastore that silently
+    * truncates the value would otherwise store exactly the corrupt
+    * payload that disables salting (ADVICE r14), so a failed round trip
+    * unsets the property and throws. Throws on any failure — callers
+    * who must not fail (the write path) wrap it in their own
+    * degrade-with-warning policy. */
+  def stampCellHistogram(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val df = spark.table(table)
+    require(df.columns.contains(CellCol),
+      s"stampCellHistogram: $table has no $CellCol column — not a " +
+        "writeSpatialBucketed store")
+    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val heavy = df.groupBy(col(CellCol)).count()
+      .filter(col("count") >= HeavyCellMinRows)
+      .orderBy(col("count").desc, col(CellCol))
+      .limit(SidecarCellCap + 1).collect()
+    val truncated = heavy.length > SidecarCellCap
+    if (truncated)
+      log.warn(s"stampCellHistogram: $table has more than $SidecarCellCap " +
+        s"cells with >=$HeavyCellMinRows rows — the histogram keeps the " +
+        s"heaviest $SidecarCellCap; joins cannot hot-salt the dropped " +
+        "ones. A grid this uniformly dense wants a larger cellSize.")
+    val kept = heavy.take(SidecarCellCap)
+    def csvOf(rows: Array[Row], trunc: Boolean): String =
+      rows.map(row => s"${row.getLong(0)}:${row.getLong(1)}").mkString(",") +
+        (if (trunc) ",+" else "")
+    def sidecarPath() = {
+      val loc = spark.sessionState.catalog.getTableMetadata(tableId).location
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc), CellHistogramFile)
+    }
+    val inline = csvOf(kept.take(HeavyCellCap),
+      truncated || kept.length > HeavyCellCap)
+    val payload =
+      if (kept.length <= HeavyCellCap && inline.length <= HistInlineMaxChars) {
+        // a stale sidecar from a previous stamp must not outlive the
+        // fresh inline value (nothing references it once the property is
+        // inline, but a half-readable leftover invites confusion)
+        val p = sidecarPath()
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, false)
+        inline
+      } else {
+        val p = sidecarPath()
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = fs.create(p, true)
+        try out.write(csvOf(kept, truncated)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        CellHistogramFileMarker
+      }
+    spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+      s"('$CellHistogramProp'='$payload')")
+    // read-back round trip (ADVICE r14): an erroring ALTER throws above,
+    // but a metastore that truncates at its PARAM_VALUE limit succeeds
+    // and stores a cut-mid-entry payload — exactly what the parser
+    // rejects at join time. Verify, and leave NO stamp over a corrupt one.
+    val back = spark.sessionState.catalog.getTableMetadata(tableId)
+      .properties.get(CellHistogramProp)
+    if (!back.contains(payload)) {
+      try spark.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
+        s"IF EXISTS ('$CellHistogramProp')")
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new IllegalStateException(
+        s"stampCellHistogram: $table histogram property did not round-trip " +
+          s"(stamped ${payload.length} chars, read back " +
+          s"${back.map(_.length.toString).getOrElse("nothing")} — a " +
+          "metastore value limit?); property unset, salting stays off")
     }
   }
 
@@ -1135,6 +1264,50 @@ object SpatialJoin {
     (fromLeft ++ fromRightOnly).toMap
   }
 
+  /** A stamped histogram property value's payload: the inline CSV
+    * verbatim, or the sidecar file's content when the value is the
+    * `file:` marker [[stampCellHistogram]] writes for lists that outgrow
+    * metastore value limits. The size guard keeps a corrupt marker from
+    * ballooning a driver read. */
+  private def histogramPayload(spark: org.apache.spark.sql.SparkSession,
+      raw: String, location: => java.net.URI): String =
+    if (raw != CellHistogramFileMarker) raw
+    else {
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(location), CellHistogramFile)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val len = fs.getFileStatus(p).getLen
+      require(len > 0 && len <= (16L << 20),
+        s"cell histogram sidecar $p is $len bytes — not a stamped histogram")
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(buf)
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+    }
+
+  /** [[CellHist]] from an already-resolved catalog table, guarded for
+    * optimizer-rule use: a corrupt or metastore-truncated payload (or an
+    * unreadable sidecar) must degrade to None-with-a-warning, never
+    * throw — the auto-planning rule calls this for a plan-time WARNING,
+    * and a diagnostic feature that fails every query over the store is
+    * a regression (ADVICE r14). */
+  private[graft] def histogramFromCatalog(
+      spark: org.apache.spark.sql.SparkSession,
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable): Option[CellHist] =
+    ct.properties.get(CellHistogramProp).flatMap { raw =>
+      try Some(parseCellHistogram(histogramPayload(spark, raw, ct.location)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"unreadable cell histogram on ${ct.identifier} — hot-cell " +
+              s"salting (and the plan-time hot-cell warning) unavailable: " +
+              s"${e.getMessage}")
+          None
+      }
+    }
+
   /** The store's heavy-cell histogram from the catalog, if stamped. A
     * name the session catalog cannot describe (temp view over a store,
     * catalog-qualified spelling) degrades to None — the unsalted plan,
@@ -1146,8 +1319,7 @@ object SpatialJoin {
       table: String): Option[CellHist] =
     try {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
-      spark.sessionState.catalog.getTableMetadata(id).properties
-        .get(CellHistogramProp).map(parseCellHistogram)
+      histogramFromCatalog(spark, spark.sessionState.catalog.getTableMetadata(id))
     } catch {
       case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException |
           _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException |
@@ -1215,7 +1387,7 @@ object SpatialJoin {
           org.apache.spark.sql.graft.ColumnBridge.expression(col(CellCol)),
           cs, graft.plans.GeoNative.predCode(predName)))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
+    val hotAll: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
       (heavyCellsOf(spark, leftTable), heavyCellsOf(spark, rightTable)) match {
         case (Some(lh), Some(rh)) =>
           // detection recall is bounded by the histograms: a cell absent
@@ -1242,11 +1414,20 @@ object SpatialJoin {
             // bucket-pruned count per ESTIMATED side, restricted to the
             // cells that need it, replaces estimates with real counts,
             // then the bound re-applies.
-            def exactCounts(tbl: String, forCells: Iterable[Long]): Map[Long, Long] =
-              spark.table(tbl)
-                .filter(col(CellCol).isin(forCells.toSeq.map(java.lang.Long.valueOf): _*))
-                .groupBy(col(CellCol)).count().collect()
-                .map(row => row.getLong(0) -> row.getLong(1)).toMap
+            // broadcast set + typed filter, NOT isin: a sidecar-sized
+            // histogram can flag thousands of candidate cells, and a
+            // 10^4-child In expression stalls the driver at analysis
+            // time (the grid tier's exactCounts, same lesson). The key
+            // column is projected BEFORE the filter so no geometry blob
+            // deserializes just to read a cell id.
+            def exactCounts(tbl: String, forCells: Iterable[Long]): Map[Long, Long] = {
+              val bcKeys = spark.sparkContext.broadcast(forCells.toSet)
+              spark.table(tbl).select(col(CellCol))
+                .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+                .filter(c => bcKeys.value.contains(c))
+                .groupByKey(identity)(org.apache.spark.sql.Encoders.scalaLong)
+                .count().collect().toMap
+            }
             val lx = if (needL) exactCounts(leftTable,
               cand.collect { case (c, h) if !h.lnExact => c }) else Map.empty[Long, Long]
             val rx = if (needR) exactCounts(rightTable,
@@ -1272,6 +1453,21 @@ object SpatialJoin {
           Map.empty
       }
     }
+    // plan-size bound: the hot/cold routing below is isin over the
+    // salted-cell list (sidecar histograms can surface thousands of
+    // hot cells) — salt the heaviest MaxSaltedCells and say what was
+    // left on the unsalted path
+    val hot: Map[Long, (Long, Long)] =
+      if (hotAll.size <= MaxSaltedCells) hotAll
+      else {
+        log.warn(s"sjoinBucketed($leftTable, $rightTable): ${hotAll.size} " +
+          s"cells reach $hotPairsBound pairs — salting only the heaviest " +
+          s"$MaxSaltedCells (plan-size bound); a grid with this many hot " +
+          "cells wants a larger cellSize")
+        hotAll.toSeq
+          .sortBy { case (c, (ln, rn)) => (-(ln.toDouble * rn), c) }
+          .take(MaxSaltedCells).toMap
+      }
     val cold0 = l.join(r, CellCol).filter(refine)
     if (hot.isEmpty) cold0.drop(CellCol)
     else {

@@ -82,8 +82,12 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
                 geomAttr <- side.output.find(a =>
                   a.name == geomName && lr.outputSet.contains(a))
               } yield (cellAttr, geomAttr, cs, bs.numBuckets,
-                ct.properties.get(SpatialJoin.CellHistogramProp)
-                  .map(SpatialJoin.parseCellHistogram),
+                // guarded (ADVICE r14): a corrupt or metastore-truncated
+                // histogram payload degrades the plan-time WARNING to a
+                // logged None — it must never throw inside the optimizer
+                // and fail the query it would merely have annotated
+                SpatialJoin.histogramFromCatalog(
+                  org.apache.spark.sql.SparkSession.active, ct),
                 ct.identifier.unquotedString)
             case _ => None
           }

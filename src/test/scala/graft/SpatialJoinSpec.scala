@@ -278,6 +278,200 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram backfill door: a stampless store gains salting without a rewrite") {
+    // r15 (VERDICT r14 #1): a store written without the histogram stamp
+    // (the pre-r14 on-disk shape, simulated via cellHistogram = false)
+    // can only warn at join time; stampCellHistogram backfills the
+    // measurement in place and the SAME join then salts — no rewrite.
+    def subRect(k: org.apache.spark.sql.Column, stride: Long) = st_rectangle(
+      (k * stride % 16).cast("double") / 64.0,
+      ((k * stride / 16) % 16).cast("double") / 64.0,
+      (k * stride % 16).cast("double") / 64.0 + 0.5,
+      ((k * stride / 16) % 16).cast("double") / 64.0 + 0.5)
+    val l = spark.range(600).select($"id".as("lid"), subRect($"id", 1).as("geometry"))
+    val r = spark.range(600).select(($"id" + 10000).as("rid"),
+      subRect($"id", 7).as("geometry"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bf_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bf_r")
+      SpatialJoin.writeSpatialBucketed(l, "graft_bkt_bf_l", cellSize = 1.0,
+        buckets = 4, cellHistogram = false)
+      SpatialJoin.writeSpatialBucketed(r, "graft_bkt_bf_r", cellSize = 1.0,
+        buckets = 4, cellHistogram = false)
+      def propOf(t: String) = spark.sql(s"SHOW TBLPROPERTIES $t")
+        .filter($"key" === SpatialJoin.CellHistogramProp)
+        .select($"value").as[String].collect()
+      assert(propOf("graft_bkt_bf_l").isEmpty && propOf("graft_bkt_bf_r").isEmpty,
+        "cellHistogram = false must not stamp")
+      def join() = SpatialJoin.sjoinBucketed(spark, "graft_bkt_bf_l",
+        "graft_bkt_bf_r", cellSize = 1.0, "intersects", hotPairsBound = 100000L,
+        saltSliceRows = 64)
+      val before = join()
+      assert(!before.queryExecution.optimizedPlan.toString.contains("__lsalt"),
+        "stampless store must not salt (it has nothing to size from)")
+      val expected = before.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(expected.nonEmpty)
+      // backfill both stores — no data rewrite, one measurement scan each
+      SpatialJoin.stampCellHistogram(spark, "graft_bkt_bf_l")
+      SpatialJoin.stampCellHistogram(spark, "graft_bkt_bf_r")
+      assert(propOf("graft_bkt_bf_r").nonEmpty, "backfill did not stamp")
+      val after = join()
+      assert(after.queryExecution.optimizedPlan.toString.contains("__lsalt"),
+        "backfilled store did not salt the hot cell")
+      assert(after.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+        === expected, "salted pair set diverged after backfill")
+      // the door rejects a frame that is not a bucketed store
+      spark.range(3).toDF("x").createOrReplaceTempView("bf_not_a_store")
+      val ex = intercept[IllegalArgumentException](
+        SpatialJoin.stampCellHistogram(spark, "bf_not_a_store"))
+      assert(ex.getMessage.contains("not a writeSpatialBucketed store"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bf_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_bf_r")
+    }
+  }
+
+  test("dense grids spill the histogram to a sidecar; joins salt from it") {
+    // r15 (VERDICT r14 #1 truncation relief + ADVICE low): 300 heavy
+    // cells overflow both the r14 top-256 limit and the conservative
+    // inline char budget — the stamp moves to a sidecar file in the
+    // store location, the property carries only the `file:` marker
+    // (which always round-trips any metastore), and ALL 300 cells stay
+    // saltable instead of a truncation warning.
+    val nCells = 300
+    val perCell = 256 // exactly the histogram floor
+    // Column `/` is DOUBLE division — truncate back to the cell ordinal
+    // or the rects smear continuously across cells
+    def cellOf(id: org.apache.spark.sql.Column, per: Int) =
+      (id / per).cast("long").cast("double")
+    val base = spark.range(nCells.toLong * perCell).select(
+      $"id".as("rid"),
+      st_rectangle(cellOf($"id", perCell) + 0.1,
+        ($"id" % 16).cast("double") / 64.0,
+        cellOf($"id", perCell) + 0.4,
+        ($"id" % 16).cast("double") / 64.0 + 0.3).as("geometry"))
+    // boost three cells past the others so the join salts a SUBSET —
+    // 400x400 = 160k pairs there vs 65536 in the uniform cells
+    val boost = spark.range(3L * 144).select(
+      ($"id" + 1000000).as("rid"),
+      st_rectangle(cellOf($"id", 144) + 0.5,
+        ($"id" % 16).cast("double") / 64.0,
+        cellOf($"id", 144) + 0.8,
+        ($"id" % 16).cast("double") / 64.0 + 0.3).as("geometry"))
+    val rows = base.unionByName(boost)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_side")
+      SpatialJoin.writeSpatialBucketed(rows, "graft_bkt_side", cellSize = 1.0,
+        buckets = 8)
+      val prop = spark.sql("SHOW TBLPROPERTIES graft_bkt_side")
+        .filter($"key" === SpatialJoin.CellHistogramProp)
+        .select($"value").as[String].collect()
+      assert(prop.toSeq === Seq(SpatialJoin.CellHistogramFileMarker),
+        s"expected the sidecar marker, got: ${prop.mkString}")
+      // the sidecar holds every heavy cell, untruncated — the r14 limit
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("graft_bkt_side")).location
+      val side = new java.io.File(new java.io.File(loc),
+        SpatialJoin.CellHistogramFile)
+      assert(side.isFile, s"sidecar missing at $side")
+      val hist = SpatialJoin.parseCellHistogram(
+        new String(java.nio.file.Files.readAllBytes(side.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      assert(!hist.truncated && hist.cells.size === nCells,
+        s"sidecar histogram: ${hist.cells.size} cells, truncated=${hist.truncated}")
+      assert(hist.cells.values.count(_ === perCell.toLong) === nCells - 3)
+      assert(hist.cells.values.count(_ === 400L) === 3)
+      // and a join SALTS from the sidecar: the three boosted cells'
+      // 400x400 = 160k pairs cross the bound, the uniform 65536s do not
+      val salted = SpatialJoin.sjoinBucketed(spark, "graft_bkt_side",
+        "graft_bkt_side", cellSize = 1.0, "intersects_bbox",
+        hotPairsBound = 100000L, saltSliceRows = 64)
+      assert(salted.queryExecution.optimizedPlan.toString.contains("__lsalt"),
+        "sidecar histogram did not feed the salting path")
+      val plainCount = SpatialJoin.sjoinBucketed(spark, "graft_bkt_side",
+        "graft_bkt_side", cellSize = 1.0, "intersects_bbox",
+        saltHotCells = false).count()
+      assert(salted.count() === plainCount, "salted count diverged from unsalted")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_side")
+    }
+  }
+
+  test("corrupt histogram property degrades planning and joins, never a query") {
+    // ADVICE r15 (medium): the auto-planning rule parses the stamped
+    // histogram for its plan-time warning — a corrupt or cut-mid-entry
+    // property value must degrade to a logged None there (and to the
+    // unsalted plan in sjoinBucketed), never throw during optimization.
+    val l = spark.range(50).select($"id".as("lid"),
+      st_rectangle($"id".cast("double") * 2.0, lit(0.0),
+        $"id".cast("double") * 2.0 + 1.5, lit(1.5)).as("geometry"))
+    val r = spark.range(50).select($"id".as("rid"),
+      st_point($"id".cast("double") * 2.0 + 0.5, lit(0.5)).as("pgeom"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_cor_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_cor_r")
+      SpatialJoin.writeSpatialBucketed(l, "graft_bkt_cor_l", cellSize = 64.0, buckets = 4)
+      SpatialJoin.writeSpatialBucketed(r, "graft_bkt_cor_r", cellSize = 64.0,
+        buckets = 4, geom = "pgeom")
+      for (corrupt <- Seq("123:45,67", ",+", "garbage")) {
+        spark.sql("ALTER TABLE graft_bkt_cor_l SET TBLPROPERTIES " +
+          s"('${SpatialJoin.CellHistogramProp}'='$corrupt')")
+        // the auto-planned plain join must survive planning AND execute
+        val auto = spark.table("graft_bkt_cor_l").join(
+          spark.table("graft_bkt_cor_r"), st_contains($"geometry", $"pgeom"))
+        assert(auto.count() === 50L, s"auto-planned join wrong under '$corrupt'")
+        // sjoinBucketed degrades to the (correct) unsalted plan
+        val viaDoor = SpatialJoin.sjoinBucketed(spark, "graft_bkt_cor_l",
+          "graft_bkt_cor_r", cellSize = 64.0, "contains",
+          leftGeom = "geometry", rightGeom = "pgeom", hotPairsBound = 10L)
+        assert(!viaDoor.queryExecution.optimizedPlan.toString.contains("__lsalt"))
+        assert(viaDoor.count() === 50L)
+      }
+      // a dangling file: marker (sidecar deleted) degrades the same way
+      spark.sql("ALTER TABLE graft_bkt_cor_l SET TBLPROPERTIES " +
+        s"('${SpatialJoin.CellHistogramProp}'='${SpatialJoin.CellHistogramFileMarker}')")
+      val auto2 = spark.table("graft_bkt_cor_l").join(
+        spark.table("graft_bkt_cor_r"), st_contains($"geometry", $"pgeom"))
+      assert(auto2.count() === 50L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_cor_l")
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_cor_r")
+    }
+  }
+
+  test("grid census reports a truncation-aware absent-side bound") {
+    // ADVICE r15 (low): a census whose merely-heavy stratum truncates at
+    // the keep cut must bound absent cells by the smallest KEPT count —
+    // floor-1 lets a dropped 100k-row cell escape pair-split candidacy.
+    import spark.implicits._
+    def cells(counts: Map[Long, Int]) = {
+      val rows = counts.toSeq.flatMap { case (c, n) =>
+        (0 until n).map(i => (c, i.toLong, Array.emptyByteArray))
+      }
+      spark.createDataset(rows)
+    }
+    val ds = cells(Map(1L -> 40, 2L -> 30, 3L -> 20, 4L -> 12, 5L -> 11, 6L -> 60))
+    // cap 50: cell 6 is memory-critical; floor 10, keep 3 → merely-heavy
+    // keeps 40, 30, 20 and TRUNCATES (12 and 11 dropped) → absent cells
+    // are bounded by the smallest kept count (20), not floor-1 (9)
+    val (m, bound) = SpatialJoin.gridCensus(ds, floor = 10L, cap = 50L, keep = 3)
+    assert(m === Map(6L -> 60L, 1L -> 40L, 2L -> 30L, 3L -> 20L))
+    assert(bound === 20L, s"truncated absent bound: $bound")
+    // untruncated: every merely-heavy cell kept → absent bound is floor-1
+    val (m2, bound2) = SpatialJoin.gridCensus(ds, floor = 10L, cap = 50L, keep = 5)
+    assert(m2.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(bound2 === 9L)
+  }
+
   test("bucketed intersects_bbox: disjoint envelopes sharing a cell are NOT paired") {
     // ADVICE r8 (medium): intersects_bbox's refinement is unconditionally
     // true, so without an explicit envelope test two disjoint geometries
