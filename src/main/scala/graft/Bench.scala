@@ -331,7 +331,14 @@ object Bench {
     * cost survives. If even the best triple stays wide, the key is
     * flagged `noisy` in the output so a reviewer knows to distrust it. */
   private val MaxExtraTrials = 6
-  private[graft] def timeWarm(df: => DataFrame): (Double, Double, Boolean) = {
+  /** @return (median, spread, noisy, min-of-all-samples). The min rides
+    * along for the CONTENDED-RUN flag (r15, VERDICT r14 #2): a uniformly
+    * contended window inflates median AND min together with a
+    * clean-looking spread — the driver's r14 file printed pipe_ann_ivfpq
+    * at 12.6× the quiet value and the spread rule passed it. The run's
+    * MIN exceeding the previous round's median by 2× fires exactly then
+    * (see [[referenceBand]]). */
+  private[graft] def timeWarm(df: => DataFrame): (Double, Double, Boolean, Double) = {
     force(df)
     def timed(): Double = {
       val t0 = System.nanoTime()
@@ -354,8 +361,49 @@ object Bench {
       extra += 1
       val b = bestTriple(samples); med = b._1; spread = b._2
     }
-    (med, spread, spread > 0.5 * med)
+    (med, spread, spread > 0.5 * med, samples.min)
   }
+
+  /** Per-key reference band: the newest `BENCH_r*.json` in the working
+    * directory whose `"sf"` matches this run (the driver archives one per
+    * round, so the band refreshes itself). Returns (file name, key →
+    * last-round median); empty when no comparable file exists — every
+    * key then passes unflagged, the right cold-start behavior. */
+  private[graft] def referenceBand(sfDir: String,
+      dir: String = "."): (String, Map[String, Double]) = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+    files.lastOption.flatMap { f =>
+      try {
+        import org.json4s._
+        val j = jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+        j \ "sf" match {
+          case JString(sf) if sf == sfDir =>
+            j \ "queries" match {
+              case JObject(fields) =>
+                Some(f.getName -> fields.collect {
+                  case (k, JDouble(v)) => k -> v
+                  case (k, JInt(v)) => k -> v.toDouble
+                  case (k, JDecimal(v)) => k -> v.toDouble
+                }.toMap)
+              case _ => None
+            }
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(("", Map.empty[String, Double]))
+  }
+
+  /** The contended-run rule: a key flags when the run's MIN exceeds 2×
+    * the reference median (plus a 0.1 s absolute floor so sub-100 ms
+    * keys don't flap on scheduler jitter). A genuine 2× code regression
+    * also fires it — correctly: either way the number needs a quiet
+    * re-measure before anyone trusts it. */
+  private[graft] def contendedKey(minSec: Double, ref: Double): Boolean =
+    ref > 0 && minSec > 2.0 * ref && minSec - ref > 0.1
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -383,22 +431,31 @@ object Bench {
       // fusion rule would rewrite them too and the pair would measure nothing
       val pinUnfused = name.endsWith("_udf") || name.endsWith("_unfused")
       if (pinUnfused) spark.conf.set("spark.graft.fuse", "false")
-      val (sec, spread, noisy) =
+      val (sec, spread, noisy, minS) =
         try timeWarm(fn(spark, sfDir))
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name: ${e.getMessage}"); (-1.0, 0.0, true)
+            System.err.println(s"[bench] $name: ${e.getMessage}"); (-1.0, 0.0, true, -1.0)
         } finally if (pinUnfused) spark.conf.set("spark.graft.fuse", "true")
-      (name, sec, spread, noisy)
+      (name, sec, spread, noisy, minS)
     }
-    val qs = results.map { case (n, v, _, _) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
-    val spreads = results.map { case (n, _, sp, _) =>
-      "\"" + n + "\":" + BigDecimal(sp).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (n, v, _, _, _) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val spreads = results.map { case (n, _, sp, _, _) => "\"" + n + "\":" + r3(sp) }
       .mkString("{", ",", "}")
-    val noisyKeys = results.collect { case (n, _, _, true) => "\"" + n + "\"" }
+    val mins = results.map { case (n, _, _, _, mn) => "\"" + n + "\":" + r3(mn) }
+      .mkString("{", ",", "}")
+    val noisyKeys = results.collect { case (n, _, _, true, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
+    // contended-run flag (r15): min-vs-prior-median catches the uniformly
+    // hot window the spread rule is blind to (r14's 12.6x driver artifact)
+    val (refFile, band) = referenceBand(sfDir)
+    val contended = results.collect {
+      case (n, v, _, _, mn) if v >= 0 && band.get(n).exists(contendedKey(mn, _)) =>
+        "\"" + n + "\""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"noisy":$noisyKeys,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"min":$mins,"noisy":$noisyKeys,"contended":$contended,"ref":"$refFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,12 +60,12 @@ object BenchScale {
     val results = Bench.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val pinUnfused = name.endsWith("_udf") || name.endsWith("_unfused")
       if (pinUnfused) spark.conf.set("spark.graft.fuse", "false")
-      val (sec, spread, noisy) =
+      val (sec, spread, noisy, _) =
         try Bench.timeWarm(fn(spark, outDir))
         catch {
           case e: Throwable =>
             System.err.println(s"[bench-scale] $name: ${e.getMessage}")
-            (-1.0, 0.0, true)
+            (-1.0, 0.0, true, -1.0)
         } finally if (pinUnfused) spark.conf.set("spark.graft.fuse", "true")
       System.err.println(f"[bench-scale] $name%-28s $sec%8.2f s (spread $spread%.2f)")
       (name, sec, spread, noisy)

@@ -416,6 +416,31 @@ object GeoQueries {
         .orderBy(col("grp"))
     }),
 
+    /** Frame-level ordered-difference door (r15, VERDICT r14 #5):
+      * [[graft.aggs.GeoAggs.differenceAllByRow]] stamps the row-order
+      * key itself — same fixture as geo_agg_diff, same oracle shape,
+      * encounter order pinned by the single sorted partition (the door's
+      * documented contract: order the frame, then fold). */
+    "geo_agg_diff_byrow" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = base(s, dir)
+        .select(k, (k % 2000).as("grp"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(k)))
+        .filter(col("rn") <= 9)
+      val cell = col("rn") - 2
+      val cx = (cell % 3).cast("double") * 16.0 + 4.0
+      val cy = (cell / 3).cast("double").cast("int").cast("double") * 16.0 + 4.0
+      val g = when(col("rn") === 1,
+        st_rectangle(lit(0.0), lit(0.0), lit(64.0), lit(64.0)))
+        .otherwise(st_rectangle(cx, cy, cx + w, cy + h))
+      val src = ranked.select(col("grp"), col("rn"), g.as("g"))
+        .repartition(1).sortWithinPartitions(col("grp"), col("rn"))
+      graft.aggs.GeoAggs.differenceAllByRow(src, col("g"), Seq(col("grp")))
+        .select(col("grp"), st_area(col("difference_all")).as("da"))
+        .orderBy(col("grp"))
+    }),
+
     "geo_agg_vor" -> ((s, dir) => {
       val pts = base(s, dir).select(
         ((k % 4) % 2).cast("double").as("ix"),
@@ -1401,6 +1426,29 @@ object GeoQueries {
           sum((col("lk") === col("rk")).cast("long")).as("n_same"))
     }),
 
+    /** Grid tier under a pair-split-forcing target (r15, unasked): the
+      * geo_sjoin_salted fixture through sjoinPartitioned with
+      * pairsPerTask low enough that every dense cell takes the 2-D
+      * (p,q) salted cogroup — cellCogroupPairs' census, balanced
+      * sizing, and reference-point exactly-once all pinned against the
+      * DuckDB relational truth, not just spec-level pair equality. */
+    "geo_sjoin_grid_salted" -> ((s, dir) => {
+      // 8 cells, ~1875 rows/side each at sf0.01: above the census floor
+      // (1024) so every cell is visible to the pair-split census, and
+      // 3.5M potential pairs/cell crosses the forced 100k target
+      val c = (k % 8).cast("double")
+      val rx = (k % 8).cast("double")
+      val ry = (k % 4).cast("double")
+      val left = base(s, dir).select(k.as("lk"),
+        st_rectangle(c * 16.0 + rx, ry, c * 16.0 + rx + 4.0, ry + 4.0).as("geometry"))
+      val right = base(s, dir).select(k.as("rk"),
+        st_point(c * 16.0 + (k % 12).cast("double") / 2.0 + 0.25,
+          (k % 10).cast("double") / 2.0 + 0.25).as("geometry"))
+      graft.join.SpatialJoin.sjoinPartitioned(left, right, 16.0, "contains",
+          pairsPerTask = 100000L)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "geo_sjoin_quadtree" -> ((s, dir) => {
       val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
       val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
@@ -1431,6 +1479,39 @@ object GeoQueries {
       joined.agg(count(lit(1)).as("n_pairs"),
         sum((col("lk") === col("rk")).cast("long")).as("n_same"))
         .withColumn("shuffle_free", lit(!planHasExchange))
+    }),
+
+    /** Hot-cell SALTED bucketed join against the DuckDB truth (r15,
+      * unasked): every cell of this fixture crosses the pair bound, so
+      * the whole answer flows through the 2-D salted sub-join — the
+      * salting machinery (candidacy, sizing, exactly-once reference
+      * points, AQE-exempt repartition) is pinned by the external oracle,
+      * not just by spec-level pair-set equality. Containment is dyadic
+      * arithmetic (integer rect corners vs .25-offset points — never on
+      * a boundary), so DuckDB computes the same count relationally. */
+    "geo_sjoin_salted" -> ((s, dir) => {
+      val c = (k % 16).cast("double")
+      val rx = (k % 8).cast("double")
+      val ry = (k % 4).cast("double")
+      val left = base(s, dir).select(k.as("lk"),
+        st_rectangle(c * 16.0 + rx, ry, c * 16.0 + rx + 4.0, ry + 4.0).as("geometry"))
+      val right = base(s, dir).select(k.as("rk"),
+        st_point(c * 16.0 + (k % 12).cast("double") / 2.0 + 0.25,
+          (k % 10).cast("double") / 2.0 + 0.25).as("geometry"))
+      Seq("graft_q_salt_l", "graft_q_salt_r")
+        .foreach(graft.join.SpatialJoin.dropBucketedTable(s, _))
+      graft.join.SpatialJoin.writeSpatialBucketed(left, "graft_q_salt_l", 16.0, 16)
+      graft.join.SpatialJoin.writeSpatialBucketed(right, "graft_q_salt_r", 16.0, 16)
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (joined, saltEngaged) =
+        try {
+          val j = graft.join.SpatialJoin.sjoinBucketed(s, "graft_q_salt_l",
+            "graft_q_salt_r", 16.0, "contains", hotPairsBound = 400000L)
+          (j, j.queryExecution.optimizedPlan.toString.contains("__lsalt"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      joined.agg(count(lit(1)).as("n_pairs"))
+        .withColumn("salted", lit(saltEngaged))
     }),
 
     // ---------------------------------------------------- §2.13 frame I/O
@@ -1776,6 +1857,16 @@ object GeoQueries {
         |SELECT grp,
         | 4096.0 - coalesce(sum(CASE WHEN rn > 1 THEN w*h END), 0.0) AS da
         |FROM ranked WHERE rn <= 9 GROUP BY grp ORDER BY grp""".stripMargin,
+    "geo_agg_diff_byrow" ->
+      """WITH ranked AS (
+        | SELECT o_orderkey AS k, o_orderkey%2000 AS grp,
+        |  row_number() OVER (PARTITION BY o_orderkey%2000 ORDER BY o_orderkey) AS rn,
+        |  1+CAST(o_orderkey%13 AS DOUBLE)/4.0 AS w,
+        |  1+CAST(o_orderkey%11 AS DOUBLE)/4.0 AS h
+        | FROM orders)
+        |SELECT grp,
+        | 4096.0 - coalesce(sum(CASE WHEN rn > 1 THEN w*h END), 0.0) AS da
+        |FROM ranked WHERE rn <= 9 GROUP BY grp ORDER BY grp""".stripMargin,
     "geo_agg_vor" ->
       """SELECT 4 AS vor_n, 2 AS del_n, 256.0 AS del_area,
         | 'GeometryCollection' AS vor_gt,
@@ -1986,6 +2077,22 @@ object GeoQueries {
     "geo_sjoin_bucketed" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,
         | (SELECT count(*) FROM orders) AS n_same, TRUE AS shuffle_free""".stripMargin,
+    "geo_sjoin_grid_salted" ->
+      """WITH l AS (SELECT o_orderkey%8 AS c, CAST(o_orderkey%8 AS DOUBLE) AS rx,
+        |  CAST(o_orderkey%4 AS DOUBLE) AS ry FROM orders),
+        | r AS (SELECT o_orderkey%8 AS c, CAST(o_orderkey%12 AS DOUBLE)/2.0+0.25 AS px,
+        |  CAST(o_orderkey%10 AS DOUBLE)/2.0+0.25 AS py FROM orders)
+        |SELECT count(*) AS n_pairs
+        |FROM l JOIN r USING (c)
+        |WHERE px > rx AND px < rx + 4 AND py > ry AND py < ry + 4""".stripMargin,
+    "geo_sjoin_salted" ->
+      """WITH l AS (SELECT o_orderkey%16 AS c, CAST(o_orderkey%8 AS DOUBLE) AS rx,
+        |  CAST(o_orderkey%4 AS DOUBLE) AS ry FROM orders),
+        | r AS (SELECT o_orderkey%16 AS c, CAST(o_orderkey%12 AS DOUBLE)/2.0+0.25 AS px,
+        |  CAST(o_orderkey%10 AS DOUBLE)/2.0+0.25 AS py FROM orders)
+        |SELECT count(*) AS n_pairs, TRUE AS salted
+        |FROM l JOIN r USING (c)
+        |WHERE px > rx AND px < rx + 4 AND py > ry AND py < ry + 4""".stripMargin,
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
          | w*h AS wkb_area, 4326 AS wkb_srid,

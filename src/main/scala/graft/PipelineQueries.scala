@@ -310,6 +310,17 @@ object PipelineQueries {
         tmp + "/pqstore")
       val ivfpq = Similarity.ivfPqTopKStored(s, index, pqBook, tmp + "/pqstore",
         queries, "vec_id", "embedding", k = 1, nprobe = 2, candidates = 16)
+      // r15 guard twin (VERDICT r14 #4): past the pushdown ceiling the
+      // candidate-id row-group hint is skipped — the answer must be
+      // IDENTICAL, pinned by the external oracle, not just a spec
+      val ivfpqNoHint = Similarity.ivfPqTopKStored(s, index, pqBook,
+        tmp + "/pqstore", queries, "vec_id", "embedding", k = 1, nprobe = 2,
+        candidates = 16, maxPushdownIds = 0L)
+      val guardEq = {
+        val a = ivfpq.select("query_id", "rank", "corpus_id")
+        val b = ivfpqNoHint.select("query_id", "rank", "corpus_id")
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      }
       // OPQ tier: learned rotation (eigenvalue-allocation init + Procrustes
       // alternation) before 4-bit packed codes; self-retrieval is exact
       // (rotation is orthogonal — a vector's rotated code still tops its
@@ -338,6 +349,7 @@ object PipelineQueries {
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_ivfpq_self")))
         .crossJoin(opq.agg(
           sum((col("query_id") === col("corpus_id")).cast("long")).as("n_opq_self")))
+        .withColumn("ivfpq_guard_eq", lit(guardEq))
     }),
 
     // SemDeDup-style semantic deduplication over planted exact twins:
@@ -986,7 +998,8 @@ object PipelineQueries {
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfadapt_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_pq_self,
         | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_ivfpq_self,
-        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_opq_self""".stripMargin,
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 0) AS n_opq_self,
+        | TRUE AS ivfpq_guard_eq""".stripMargin,
     "pipe_semdedup" ->
       """SELECT
         | (SELECT 2 * count(*) FROM embeddings

@@ -1,10 +1,10 @@
 package graft.aggs
 
 import graft.serde.{EWKB, GeoCodec}
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id, udaf}
 import org.locationtech.jts.geom._
 import org.locationtech.jts.operation.polygonize.Polygonizer
 import org.locationtech.jts.operation.union.UnaryUnionOp
@@ -499,6 +499,35 @@ object GeoAggs {
     udaf(new DifferenceAllOrderedAgg(gridSize))
   def symmetricDifferenceAllUdaf(gridSize: Double): UserDefinedFunction =
     udaf(new SymmetricDifferenceAllAgg(gridSize))
+
+  /** Frame-level door for the ordered difference fold (r15, VERDICT r14
+    * #5): "first ROW of this frame is the minuend, in the frame's
+    * current row order" as ONE call. Spark's analyzer rejects
+    * nondeterministic expressions inside aggregate-function arguments,
+    * so a Column-level aggregate can never inject its own order key —
+    * this door stamps `monotonically_increasing_id()` UPSTREAM (a plain
+    * projection, where it is legal; ids are ordered by partition index
+    * then row position, i.e. the frame's encounter order, and priced
+    * free — PERF.md r14, 0.99×) and runs [[differenceAllOrdered]] over
+    * it. Optional grouping columns fold each group independently;
+    * `gridSize > 0` snaps operands to the precision grid first.
+    * Output: the group columns plus `difference_all` (EWKB).
+    *
+    * The encounter-order caveat stays real at the edges: a frame fresh
+    * off a shuffle has no defined row order, so order it (or group it)
+    * explicitly first — same contract as the two-step recipe this
+    * replaces (see `st_difference_all`'s scaladoc). */
+  def differenceAllByRow(df: DataFrame, geom: Column,
+      groupCols: Seq[Column] = Nil, gridSize: Double = 0.0): DataFrame = {
+    val mid = "__graft_diff_mid"
+    require(!df.columns.contains(mid),
+      s"differenceAllByRow: input already carries a $mid column")
+    val stamped = df.withColumn(mid, monotonically_increasing_id())
+    val agg = (if (gridSize > 0)
+        differenceAllOrderedUdaf(gridSize)(geom, col(mid))
+      else differenceAllOrdered(geom, col(mid))).as("difference_all")
+    stamped.groupBy(groupCols: _*).agg(agg)
+  }
 
   /** SQL name → aggregator UDF. */
   val all: Seq[(String, UserDefinedFunction)] = Seq(

@@ -296,7 +296,9 @@ package object functions {
     * fold priced at 0.99× plain, sf0.1 and 10×): order-sensitive inputs
     * should always use [[st_difference_all_ordered]] with a
     * `withColumn("_mid", monotonically_increasing_id())` (or any
-    * explicit rank) stamped upstream. */
+    * explicit rank) stamped upstream — or the frame-level door
+    * [[graft.aggs.GeoAggs.differenceAllByRow]], which is that two-step
+    * recipe as one call (r15). */
   def st_difference_all(g: Column): Column = graft.aggs.GeoAggs.differenceAll(g)
   def st_difference_all(g: Column, gridSize: Double): Column =
     graft.aggs.GeoAggs.differenceAllUdaf(gridSize)(g)

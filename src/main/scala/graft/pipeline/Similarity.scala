@@ -471,17 +471,33 @@ object Similarity {
       .partitionBy("cell").parquet(path)
   }
 
+  /** Ceiling on `candidates × |queries|` past which [[ivfPqTopKStored]]
+    * skips its candidate-id row-group pruning hint: the hint is a
+    * driver-side collect, and a 1M-query batch at candidates=64 would
+    * funnel 64M ids through the driver for an OPTIMIZATION — the join on
+    * `cand` alone already carries correctness (VERDICT r14 #4). 4M ids
+    * ≈ tens of MB on the driver, comfortably inside the store's
+    * query-batch model. */
+  val MaxRerankPushdownIds: Long = 4000000L
+
   /** IVF-PQ top-k against a [[buildIvfPqStore]] store: partition-pruned
     * ADC scan over the codes, exact re-rank over candidate rows only.
     * Same output shape and tie-breaking as [[bruteForceTopK]]; with
     * `nprobe` ≥ nlist and `candidates` ≥ the corpus size the result is
-    * brute force exactly. */
+    * brute force exactly.
+    *
+    * @param maxPushdownIds skip the re-rank's candidate-id `isin`
+    *   row-group hint when `candidates × |queries|` exceeds this (the
+    *   result is identical either way — the hint only prunes IO; the
+    *   collect feeding it must not become a driver bottleneck on large
+    *   query batches). Default [[MaxRerankPushdownIds]]. */
   def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession,
       index: IvfIndex, book: PqCodebook, storePath: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int = 4, candidates: Int = 64,
       residual: Boolean = false, packed: Boolean = false,
-      rotation: Option[Array[Array[Double]]] = None): DataFrame = {
+      rotation: Option[Array[Array[Double]]] = None,
+      maxPushdownIds: Long = MaxRerankPushdownIds): DataFrame = {
     val books = book.codebooks
     val ksub = book.ksub
     val tableOf = udf((vec: Seq[Double]) =>
@@ -522,7 +538,12 @@ object Similarity {
       .withColumn("cell", explode(nearestCells(index, nprobe)(col("qvec"))))
       .withColumn("qc",
         if (residual) qcUdf(col("qvec"), col("cell")) else lit(0.0))
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    // ONE job yields both the probed-cell set (≤ nlist ids) and the
+    // distinct query count the pushdown guard below needs
+    val probeRow = q.agg(collect_set(col("cell")),
+      countDistinct(col("query_id"))).head()
+    val probed = probeRow.getSeq[Int](0).toArray
+    val queryCount = probeRow.getLong(1)
     def prunedStore = spark.read.parquet(storePath)
       .withColumn("cell", col("cell").cast("int"))
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
@@ -539,10 +560,17 @@ object Similarity {
       .filter(col("rank") <= candidates)
       .select("query_id", "corpus_id")
     // bounded candidate-id set (≤ candidates × |queries|) → isin pushdown
-    // so the re-rank read prunes row groups on id stats too
-    val candIds = cand.select(col("corpus_id")).distinct().collect().map(_.get(0))
-    val exact = prunedStore.select(col("corpus_id"), col("cvec"))
-      .filter(col("corpus_id").isInCollection(candIds.toSeq))
+    // so the re-rank read prunes row groups on id stats too. GUARDED
+    // (r15, VERDICT r14 #4): the hint is a driver-side collect, so past
+    // maxPushdownIds it is skipped — the join on `cand` below already
+    // carries correctness; only the row-group pruning is forfeited.
+    val exactBase = prunedStore.select(col("corpus_id"), col("cvec"))
+    val exactSrc =
+      if (candidates.toLong * math.max(1L, queryCount) <= maxPushdownIds) {
+        val candIds = cand.select(col("corpus_id")).distinct().collect().map(_.get(0))
+        exactBase.filter(col("corpus_id").isInCollection(candIds.toSeq))
+      } else exactBase
+    val exact = exactSrc
       .join(cand, Seq("corpus_id"))
       .join(broadcast(q.select(col("query_id"), col("qvec")).distinct()),
         Seq("query_id"))

@@ -38,25 +38,32 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *   liveness: a pair whose canonical band saturated AFTER admitting the
   *   older member is still emitted, exactly once, by the canonical
   *   group; the live non-canonical groups keep suppressing as usual).
-  *   Verified-but-not-admitted ids are remembered in a ghost list
-  *   (bounded by the same cap) so at-least-once re-delivery cannot
-  *   re-emit their pairs; once the ghost budget is spent the bucket is
-  *   fully closed. The one residual, and provably irreducible, corner:
-  *   a pair whose older member was NEVER admitted to the canonical
-  *   band's bucket (it was already full on arrival) is not emitted even
-  *   when a later band's bucket holds both — the emitter choice must be
-  *   a pure function of the two signatures (any state-dependent choice
-  *   lets two isolated groups both elect themselves), and that band
-  *   cannot verify a member it never stored. Cross-group state is the
-  *   only way out, and Spark permits no second stateful operator here.
+  *   Refused arrivals are remembered as GHOSTS — full member records,
+  *   not bare ids (r15, VERDICT r14 #3): the canonical group can then
+  *   verify and emit a pair whose OLDER member was refused at its
+  *   saturated bucket (the r14 irreducible corner — sibling bands hold
+  *   the data but must keep suppressing, since the emitter choice has
+  *   to stay a pure function of the two signatures; any state-dependent
+  *   choice lets two isolated groups both elect themselves; what
+  *   changed is that the canonical group now retains what it needs to
+  *   do its job). The ghost list is bounded by the same cap and doubles
+  *   as the at-least-once re-delivery guard; once the ghost budget is
+  *   also spent the bucket is fully closed. The NARROWED residual: a
+  *   pair whose older member arrived past BOTH budgets (2×cap arrivals
+  *   in one bucket epoch) is not emitted even when a later band's
+  *   bucket holds both — cross-group state is the only way out, and
+  *   Spark permits no second stateful operator here. State stays
+  *   cap-bounded in entry count (≤ 2×cap member-sized records).
   *
   * == Checkpoint compatibility ==
   *
   * The flatMapGroupsWithState state encoders are the case classes below;
   * changing their layout breaks restores from checkpoints written by
-  * older builds. Two such breaks exist: [[EmbMember]] gained `sigs`
-  * (canonical-table rule) and all three `*BucketState`s gained `ghosts`
-  * (saturation liveness). Restarting an old stream on this build
+  * older builds. Three such breaks exist: [[EmbMember]] gained `sigs`
+  * (canonical-table rule), all three `*BucketState`s gained `ghosts`
+  * (saturation liveness), and r15 widened `ghosts` from bare ids to
+  * full member records (saturated-canonical rescue). Restarting an old
+  * stream on this build
   * requires a NEW checkpoint directory (drain with the old build first
   * for a seamless handoff); state compatibility across builds is NOT a
   * contract this module keeps.
@@ -92,21 +99,21 @@ object DedupStreaming {
       sig: Seq[Long], sh: Seq[Long], ts: java.sql.Timestamp)
   final case class MinhashMember(id: Long, sig: Seq[Long], sh: Seq[Long], ts: Long)
   final case class MinhashBucketState(members: List[MinhashMember], saturated: Boolean,
-      ghosts: List[Long])
+      ghosts: List[MinhashMember])
   final case class NearDupHit(id_a: Long, id_b: Long, jaccard_est: Double, jaccard: Double)
 
   final case class SimhashBucketRow(chunk: Int, bucket: Long, id: Long, sim: Long,
       ts: java.sql.Timestamp)
   final case class SimhashMember(id: Long, sim: Long, ts: Long)
   final case class SimhashBucketState(members: List[SimhashMember], saturated: Boolean,
-      ghosts: List[Long])
+      ghosts: List[SimhashMember])
   final case class SimhashHit(id_a: Long, id_b: Long, hamming: Int)
 
   final case class EmbBucketRow(t: Int, sig: Long, id: Long, vec: Seq[Double],
       sigs: Seq[Long], ts: java.sql.Timestamp)
   final case class EmbMember(id: Long, vec: Seq[Double], sigs: Seq[Long], ts: Long)
   final case class EmbBucketState(members: List[EmbMember], saturated: Boolean,
-      ghosts: List[Long])
+      ghosts: List[EmbMember])
   final case class EmbHit(id_a: Long, id_b: Long, cosine: Double)
 
   /** First band where the two minhash signatures' slices agree — that
@@ -203,9 +210,9 @@ object DedupStreaming {
     *                 (new members, saturated, ghosts, output)
     * @return the output iterator */
   private def withTtlState[M, S, O](ttlMs: Long, state: GroupState[S],
-      get: S => (List[M], Boolean, List[Long]),
-      mk: (List[M], Boolean, List[Long]) => S, memberTs: M => Long)(
-      body: (List[M], Boolean, List[Long]) => (List[M], Boolean, List[Long], Iterator[O]))
+      get: S => (List[M], Boolean, List[M]),
+      mk: (List[M], Boolean, List[M]) => S, memberTs: M => Long)(
+      body: (List[M], Boolean, List[M]) => (List[M], Boolean, List[M], Iterator[O]))
       : Iterator[O] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val (members0, saturated0, ghosts0) =
@@ -214,9 +221,14 @@ object DedupStreaming {
     val retained =
       if (ttlMs > 0) members0.filter(m => memberTs(m) + ttlMs > wm) else members0
     // all members of a saturated epoch aged out → fresh epoch (the ghost
-    // list lives and dies with the latch)
+    // list lives and dies with the latch); surviving ghosts age out on
+    // the same TTL as members — their re-delivery guard expires with the
+    // watermark contract, exactly like a member's would
     val saturated1 = saturated0 && retained.nonEmpty
-    val ghosts1 = if (saturated1) ghosts0 else Nil
+    val ghosts1 =
+      if (!saturated1) Nil
+      else if (ttlMs > 0) ghosts0.filter(m => memberTs(m) + ttlMs > wm)
+      else ghosts0
     val (members, saturated, ghosts, out) = body(retained, saturated1, ghosts1)
     if (ttlMs > 0 && members.isEmpty && !saturated) {
       state.remove()
@@ -294,13 +306,16 @@ object DedupStreaming {
               // re-delivery — re-processing would duplicate every pair
               // (and, for members, burn a cap slot per replay)
               val seen = members.exists(_.id == row.id) ||
-                (saturated && ghosts.contains(row.id))
+                ghosts.exists(_.id == row.id)
               // saturation liveness: a saturated bucket keeps VERIFYING
               // (emitting pairs it is canonical for) until its ghost
-              // budget is spent; it just stops admitting
+              // budget is spent; it just stops admitting. Ghosts carry
+              // full member data (r15), so refused docs still verify
+              // later arrivals — the canonical group can emit a pair
+              // whose OLDER member was refused at its saturated bucket.
               if (!seen && (!saturated || ghosts.lengthCompare(cap) < 0)) {
                 val sb = row.sh.toSet // loop-invariant: hoisted per arrival
-                members.foreach { m =>
+                (members.iterator ++ ghosts.iterator).foreach { m =>
                   var eq = 0
                   var i = 0
                   while (i < nh) { if (m.sig(i) == row.sig(i)) eq += 1; i += 1 }
@@ -318,9 +333,9 @@ object DedupStreaming {
                     out += NearDupHit(math.min(m.id, row.id), math.max(m.id, row.id),
                       eq.toDouble / nh, jac)
                 }
-                if (!saturated)
-                  members = MinhashMember(row.id, row.sig, row.sh, rowMs(row.ts)) :: members
-                else ghosts = row.id :: ghosts
+                val rec = MinhashMember(row.id, row.sig, row.sh, rowMs(row.ts))
+                if (!saturated) members = rec :: members
+                else ghosts = rec :: ghosts
               }
             }
             (members, saturated, ghosts, out.iterator)
@@ -369,10 +384,10 @@ object DedupStreaming {
             rows.toSeq.sortBy(_.id).foreach { row =>
               if (!saturated && members.lengthCompare(cap) >= 0) saturated = true
               val seen = members.exists(_.id == row.id) ||
-                (saturated && ghosts.contains(row.id))
-              // saturation liveness + ghost re-delivery guard (see minhash)
+                ghosts.exists(_.id == row.id)
+              // saturation liveness + ghost-with-data verify (see minhash)
               if (!seen && (!saturated || ghosts.lengthCompare(cap) < 0)) {
-                members.foreach { m =>
+                (members.iterator ++ ghosts.iterator).foreach { m =>
                   val d = java.lang.Long.bitCount(m.sim ^ row.sim)
                   // canonical-chunk rule (see canonicalBand): emit only
                   // from the FIRST 16-bit chunk the two simhashes share —
@@ -380,9 +395,9 @@ object DedupStreaming {
                   if (d <= mh && firstEqualChunk(m.sim, row.sim) == myChunk)
                     out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
                 }
-                if (!saturated)
-                  members = SimhashMember(row.id, row.sim, rowMs(row.ts)) :: members
-                else ghosts = row.id :: ghosts
+                val rec = SimhashMember(row.id, row.sim, rowMs(row.ts))
+                if (!saturated) members = rec :: members
+                else ghosts = rec :: ghosts
               }
             }
             (members, saturated, ghosts, out.iterator)
@@ -446,11 +461,11 @@ object DedupStreaming {
             rows.toSeq.sortBy(_.id).foreach { row =>
               if (!saturated && members.lengthCompare(cap) >= 0) saturated = true
               val seen = members.exists(_.id == row.id) ||
-                (saturated && ghosts.contains(row.id))
-              // saturation liveness + ghost re-delivery guard (see minhash)
+                ghosts.exists(_.id == row.id)
+              // saturation liveness + ghost-with-data verify (see minhash)
               if (!seen && (!saturated || ghosts.lengthCompare(cap) < 0)) {
                 val rowNorm = math.sqrt(dot(row.vec, row.vec)) // hoisted
-                members.foreach { m =>
+                (members.iterator ++ ghosts.iterator).foreach { m =>
                   val c = dot(m.vec, row.vec) /
                     (math.sqrt(dot(m.vec, m.vec)) * rowNorm)
                   // canonical-table rule (see canonicalBand): emit only
@@ -458,9 +473,9 @@ object DedupStreaming {
                   if (c >= th && firstEqualSig(m.sigs, row.sigs) == myTable)
                     out += EmbHit(math.min(m.id, row.id), math.max(m.id, row.id), c)
                 }
-                if (!saturated)
-                  members = EmbMember(row.id, row.vec, row.sigs, rowMs(row.ts)) :: members
-                else ghosts = row.id :: ghosts
+                val rec = EmbMember(row.id, row.vec, row.sigs, rowMs(row.ts))
+                if (!saturated) members = rec :: members
+                else ghosts = rec :: ghosts
               }
             }
             (members, saturated, ghosts, out.iterator)

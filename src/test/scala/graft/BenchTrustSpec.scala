@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's contended-run flag (r15, VERDICT r14 #2): the r14
+  * driver bench printed `pipe_ann_ivfpq` at 19.6 s — 12.6× the quiet
+  * value — and the spread rule passed it, because a uniformly contended
+  * window inflates median and spread together. The min-vs-prior-median
+  * band fires exactly there; these pins keep the rule and its reference
+  * lookup honest.
+  */
+class BenchTrustSpec extends AnyFunSuite {
+
+  test("contendedKey: fires on a uniformly hot sample, not on drift or tiny keys") {
+    // the r14 artifact: quiet median 1.56 s, contended min far above 2x
+    assert(Bench.contendedKey(minSec = 12.0, ref = 1.56))
+    // ordinary box drift (+-20%) never fires
+    assert(!Bench.contendedKey(minSec = 1.9, ref = 1.56))
+    // exactly-2x does not fire (strict >)
+    assert(!Bench.contendedKey(minSec = 3.12, ref = 1.56))
+    // sub-100 ms keys need the absolute floor, not just the ratio
+    assert(!Bench.contendedKey(minSec = 0.09, ref = 0.03))
+    assert(Bench.contendedKey(minSec = 0.5, ref = 0.2))
+    // no reference (new key, or ref <= 0) never fires
+    assert(!Bench.contendedKey(minSec = 99.0, ref = 0.0))
+    assert(!Bench.contendedKey(minSec = 99.0, ref = -1.0))
+  }
+
+  test("referenceBand: newest matching-sf BENCH file wins; mismatch or garbage is empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_band").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try w.print(body) finally w.close()
+    }
+    try {
+      write("BENCH_r03.json",
+        """{"metric":"total","value":9.9,"queries":{"q1_agg":0.9},"sf":"/d/sf0.1"}""")
+      write("BENCH_r11.json",
+        """{"metric":"total","value":5.0,"queries":{"q1_agg":0.25,"geo_sjoin":1.61},"sf":"/d/sf0.1"}""")
+      val (ref, band) = Bench.referenceBand("/d/sf0.1", dir.toString)
+      assert(ref === "BENCH_r11.json") // numeric round order, not lexicographic
+      assert(band === Map("q1_agg" -> 0.25, "geo_sjoin" -> 1.61))
+      // a different sf in the newest file disables the band entirely —
+      // cross-sf medians would flag everything or nothing
+      val (ref2, band2) = Bench.referenceBand("/d/sf0.01", dir.toString)
+      assert(ref2 === "" && band2.isEmpty)
+      // unparseable newest file degrades to no band, never throws
+      write("BENCH_r12.json", "{not json")
+      val (ref3, band3) = Bench.referenceBand("/d/sf0.1", dir.toString)
+      assert(ref3 === "" && band3.isEmpty)
+    } finally {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+}

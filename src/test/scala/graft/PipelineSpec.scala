@@ -318,6 +318,40 @@ class PipelineSpec extends AnyFunSuite {
       "residual codes identical to raw codes — residual path inert")
   }
 
+  test("re-rank pushdown guard: past the id ceiling the hint is skipped, same answer") {
+    // r15 (VERDICT r14 #4): the candidate-id row-group hint is a driver
+    // collect bounded by candidates × |queries| — past maxPushdownIds it
+    // must be SKIPPED (a 1M-query batch at candidates=64 is a 64M-id
+    // driver collect for an IO optimization), and the answer must not
+    // move: the join on the candidate frame alone carries correctness.
+    val rnd = new scala.util.Random(31)
+    val corpus = (1L to 240L).map { i =>
+      (i, Seq.fill(12)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 40 === 0).toDF("query_id", "embedding")
+    val index = Similarity.trainIvf(corpus, "vec_id", "embedding", nlist = 6, seed = 7L)
+    val book = Similarity.trainPq(corpus, "vec_id", "embedding", m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_guard").toString
+    Similarity.buildIvfPqStore(index, book, corpus, "vec_id", "embedding",
+      dir + "/store")
+    def run(ceiling: Long) = Similarity.ivfPqTopKStored(spark, index, book,
+      dir + "/store", queries, "query_id", "embedding", k = 3, nprobe = 2,
+      candidates = 16, maxPushdownIds = ceiling)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id").as[(Long, Int, Long)].collect().toSet
+    val pushed = run(Similarity.MaxRerankPushdownIds)
+    val guarded = run(0L)
+    assert(rows(pushed) === rows(guarded), "guard changed the answer")
+    assert(rows(pushed).nonEmpty)
+    // the hint itself: ≥16 distinct candidate ids print as an INSET
+    // filter (the ≤8-cell partition filter stays a small IN — INSET is
+    // unambiguously the id hint)
+    assert(pushed.queryExecution.executedPlan.toString.contains("INSET"),
+      "candidate-id pushdown missing under the ceiling")
+    assert(!guarded.queryExecution.executedPlan.toString.contains("INSET"),
+      "candidate-id pushdown survived past the ceiling")
+  }
+
   test("IVF-PQ store: id-clustered layout row-group-prunes the re-rank read") {
     // the store build sorts by corpus_id inside each cell, so every
     // parquet row group covers a tight disjoint id range and the exact

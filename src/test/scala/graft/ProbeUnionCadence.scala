@@ -41,12 +41,12 @@ object ProbeUnionCadence {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).select(sum(col("id"))).collect()
-    def run(): (Double, Double, Boolean) =
+    def run(): (Double, Double, Boolean, Double) =
       Bench.timeWarm(Bench.benchQueries("geo_union_groups")(spark, dir))
     if (guard) {
-      val (auto, aSp, _) = run()
+      val (auto, aSp, _, _) = run()
       spark.conf.set("spark.sql.files.maxPartitionBytes", "2097152")
-      val (knob, kSp, _) = try run()
+      val (knob, kSp, _, _) = try run()
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
       println(f"guard: auto=$auto%.2f s (spread $aSp%.2f) " +
         f"knob=$knob%.2f s (spread $kSp%.2f) ratio=${auto / knob}%.3f")
@@ -55,7 +55,7 @@ object ProbeUnionCadence {
           "the no-knob path (default OHA fallback + catalyst buffer " +
           "encoders) has lost its bound; see PERF.md r11 sweep")
     } else {
-      val (sec, spread, noisy) = run()
+      val (sec, spread, noisy, _) = run()
       println(f"compactAt=${sys.env.getOrElse("GRAFT_AGGS_COMPACT_AT", "default")}%s " +
         f"median=$sec%.2f s spread=$spread%.2f noisy=$noisy")
     }

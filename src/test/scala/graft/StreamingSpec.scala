@@ -276,10 +276,78 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.distinct.size == rows.size,
       s"duplicate emissions (replay or cross-band): $rows")
     // (1,2) pre-saturation; (1,3),(2,3),(1,4),(2,4) via saturated-verify
-    // against the stored members; never (3,4) — 3 was never admitted —
-    // and nothing for 5 (ghost budget cap spent, bucket fully closed)
-    assert(rows.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+    // against the stored members; (3,4) via the r15 ghost-with-data
+    // rescue (3 was refused but its record verifies 4); nothing for 5
+    // (ghost budget cap spent, bucket fully closed)
+    assert(rows.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (3L, 4L)),
       s"saturation-liveness semantics drifted: $rows")
+  }
+
+  test("saturated-canonical rescue: a refused older member still pairs, exactly once") {
+    // r15 (VERDICT r14 #3): the r14 residual was a pair whose OLDER
+    // member was never admitted to its canonical band's bucket (full on
+    // arrival) — live sibling bands held both docs but had to keep
+    // suppressing. Ghosts now carry full member data, so the canonical
+    // group itself verifies and emits. Construction at numHashes=4,
+    // bands=2, cap=2: fillers x1, x2 fill the canonical band-0 bucket;
+    // a (refused there, admitted at its live band-1 bucket) becomes a
+    // ghost WITH data; b == a then arrives — the pair (a,b)'s canonical
+    // band is 0, and only the saturated band-0 group may emit it.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val aText = "the quick brown fox jumps over the lazy dog again and again"
+    // search for filler docs that share a's band-0 slice (same bucket)
+    // but differ on band 1 and are NOT near-dups of a: appending words
+    // keeps a's shingles a subset, so each minhash either survives or
+    // drops — scan candidates for the right pattern
+    val sigOf: String => Seq[Long] = { t =>
+      Seq(t).toDF("text")
+        .select(graft.pipeline.Dedup.minhashSigNative(
+          graft.pipeline.TextAnalysis.normalized(col("text")), 5, 4).as("s"))
+        .as[Seq[Long]].collect()(0)
+    }
+    val shOf: String => Set[Long] = { t =>
+      Seq(t).toDF("text")
+        .select(graft.pipeline.Dedup.shingleHashesNorm(
+          graft.pipeline.TextAnalysis.normalized(col("text")), 5).as("s"))
+        .as[Seq[Long]].collect()(0).toSet
+    }
+    val aSig = sigOf(aText)
+    val aSh = shOf(aText)
+    def jacA(x: Set[Long]) = x.intersect(aSh).size.toDouble / x.union(aSh).size
+    // distinct per-candidate tails so the two chosen fillers are not
+    // near-dups of each other either
+    val fillers = (0 until 400).iterator.map { i =>
+      aText + s" plus tail ${i * 7919} carrying ${i * 104729} distinct trailing tokens"
+    }.filter { t =>
+      val sg = sigOf(t)
+      sg(0) == aSig(0) && sg(1) == aSig(1) && // band 0: same bucket as a
+        (sg(2) != aSig(2) || sg(3) != aSig(3)) && // band 1: a stays live
+        jacA(shOf(t)) < 0.9 // filler-a must not itself verify as a pair
+    }.take(2).toList
+    assert(fillers.size === 2, "fixture search found too few filler docs")
+    val List(x1, x2) = fillers
+    assert({
+      val s1 = shOf(x1); val s2 = shOf(x2)
+      s1.intersect(s2).size.toDouble / s1.union(s2).size < 0.9
+    }, "fillers are near-dups of each other — tails not distinct enough")
+    val in = MemoryStream[(Long, String)]
+    val hits = graft.streaming.DedupStreaming.nearDupMinhashStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.9,
+      numHashes = 4, bands = 2, maxBucketSize = 2)
+    val q = hits.writeStream.format("memory").queryName("rescuest")
+      .outputMode("append").start()
+    in.addData(Seq(20L -> x1, 21L -> x2)); q.processAllAvailable() // fill band-0 bucket
+    in.addData(Seq(11L -> aText)); q.processAllAvailable() // refused there -> ghost
+    in.addData(Seq(12L -> aText)); q.processAllAvailable() // pair (11,12), canonical 0
+    val rows = spark.table("rescuest").select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    q.stop()
+    assert(rows.map(r => (r._1, r._2)).toSet === Set((11L, 12L)),
+      s"saturated-canonical rescue missed or over-emitted: $rows")
+    assert(rows.size === 1, s"pair must be emitted exactly once: $rows")
+    assert(rows.head._3 === 1.0)
   }
 
   test("streaming SimHash and embedding near-dup match their batch tiers") {

