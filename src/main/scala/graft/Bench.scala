@@ -366,20 +366,35 @@ object Bench {
 
   /** Per-key reference band: the newest `BENCH_r*.json` in the working
     * directory whose `"sf"` matches this run (the driver archives one per
-    * round, so the band refreshes itself). Returns (file name, key →
+    * round, so the band refreshes itself). The driver's archive is a
+    * WRAPPER object (`{n, rc, cpus, sf: <number>, tail: "<session log>",
+    * parsed: …}`) with the bench's own JSON line buried inside the tail
+    * log text — unwrap the LAST such line; a file that is already the
+    * raw bench output parses directly. Returns (file name, key →
     * last-round median); empty when no comparable file exists — every
     * key then passes unflagged, the right cold-start behavior. */
   private[graft] def referenceBand(sfDir: String,
       dir: String = "."): (String, Map[String, Double]) = {
+    import org.json4s._
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+    def unwrap(root: JValue): JValue = root \ "queries" match {
+      case JObject(_) => root // raw bench output
+      case _ =>
+        val tail = root \ "tail" match { case JString(t) => t; case _ => "" }
+        var last: Option[String] = None
+        tail.linesIterator.foreach { l =>
+          val i = l.indexOf("{\"metric\"")
+          if (i >= 0) last = Some(l.substring(i))
+        }
+        last.map(jackson.JsonMethods.parse(_)).getOrElse(JNothing)
+    }
     files.lastOption.flatMap { f =>
       try {
-        import org.json4s._
-        val j = jackson.JsonMethods.parse(new String(
+        val j = unwrap(jackson.JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.charset.StandardCharsets.UTF_8)))
         j \ "sf" match {
           case JString(sf) if sf == sfDir =>
             j \ "queries" match {

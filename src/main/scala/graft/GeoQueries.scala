@@ -1504,14 +1504,17 @@ object GeoQueries {
       graft.join.SpatialJoin.writeSpatialBucketed(right, "graft_q_salt_r", 16.0, 16)
       val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val (joined, saltEngaged) =
+      // count() runs INSIDE the guard: restoring the threshold first and
+      // returning a lazy frame would let Verify execute the salted
+      // sub-joins as broadcast-hash under the default 10 MB — the very
+      // machinery this row pins would be planned away (review r15 #4)
+      val (nPairs, saltEngaged) =
         try {
           val j = graft.join.SpatialJoin.sjoinBucketed(s, "graft_q_salt_l",
             "graft_q_salt_r", 16.0, "contains", hotPairsBound = 400000L)
-          (j, j.queryExecution.optimizedPlan.toString.contains("__lsalt"))
+          (j.count(), j.queryExecution.optimizedPlan.toString.contains("__lsalt"))
         } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-      joined.agg(count(lit(1)).as("n_pairs"))
-        .withColumn("salted", lit(saltEngaged))
+      s.range(1).select(lit(nPairs).as("n_pairs"), lit(saltEngaged).as("salted"))
     }),
 
     // ---------------------------------------------------- §2.13 frame I/O

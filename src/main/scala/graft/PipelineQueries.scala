@@ -316,11 +316,16 @@ object PipelineQueries {
       val ivfpqNoHint = Similarity.ivfPqTopKStored(s, index, pqBook,
         tmp + "/pqstore", queries, "vec_id", "embedding", k = 1, nprobe = 2,
         candidates = 16, maxPushdownIds = 0L)
-      val guardEq = {
-        val a = ivfpq.select("query_id", "rank", "corpus_id")
-        val b = ivfpqNoHint.select("query_id", "rank", "corpus_id")
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-      }
+      // ONE action for the multiset equality (two exceptAll actions
+      // would re-execute both ANN pipelines twice — review r15 #6):
+      // signed per-row counts cancel to zero exactly when equal
+      val guardEq = ivfpq.select("query_id", "rank", "corpus_id")
+        .withColumn("__src", lit(1))
+        .unionByName(ivfpqNoHint.select("query_id", "rank", "corpus_id")
+          .withColumn("__src", lit(-1)))
+        .groupBy("query_id", "rank", "corpus_id")
+        .agg(sum(col("__src")).as("__d"))
+        .filter(col("__d") =!= 0).isEmpty
       // OPQ tier: learned rotation (eigenvalue-allocation init + Procrustes
       // alternation) before 4-bit packed codes; self-retrieval is exact
       // (rotation is orthogonal — a vector's rotated code still tops its

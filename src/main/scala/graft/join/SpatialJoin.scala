@@ -1088,16 +1088,11 @@ object SpatialJoin {
     }
     val inline = csvOf(kept.take(HeavyCellCap),
       truncated || kept.length > HeavyCellCap)
+    val goesInline = kept.length <= HeavyCellCap &&
+      inline.length <= HistInlineMaxChars
     val payload =
-      if (kept.length <= HeavyCellCap && inline.length <= HistInlineMaxChars) {
-        // a stale sidecar from a previous stamp must not outlive the
-        // fresh inline value (nothing references it once the property is
-        // inline, but a half-readable leftover invites confusion)
-        val p = sidecarPath()
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.delete(p, false)
-        inline
-      } else {
+      if (goesInline) inline
+      else {
         val p = sidecarPath()
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         val out = fs.create(p, true)
@@ -1123,6 +1118,17 @@ object SpatialJoin {
           s"(stamped ${payload.length} chars, read back " +
           s"${back.map(_.length.toString).getOrElse("nothing")} — a " +
           "metastore value limit?); property unset, salting stays off")
+    }
+    // only AFTER the fresh inline stamp round-tripped may a stale
+    // sidecar from a previous file:-marker stamp be removed — deleting
+    // it first would leave a dangling marker if the ALTER failed
+    // (review r15 #5). Best-effort: a leftover file is unreferenced.
+    if (goesInline) {
+      try {
+        val p = sidecarPath()
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -1264,6 +1270,21 @@ object SpatialJoin {
     (fromLeft ++ fromRightOnly).toMap
   }
 
+  /** Sidecar payload memo keyed by (path, mtime, length): the
+    * auto-planning rule resolves histograms at PLAN time, and a
+    * dashboard planning hundreds of queries over one dense store must
+    * not re-read the file per query — with the memo each plan pays one
+    * getFileStatus RPC, and a backfill refresh (new mtime/len) is
+    * picked up on the next plan. Access-ordered, bounded at 64 entries
+    * (sidecar stores are rare; each payload ≤ ~1.6 MB). */
+  private val sidecarCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), String](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
+          size() > 64
+      })
+
   /** A stamped histogram property value's payload: the inline CSV
     * verbatim, or the sidecar file's content when the value is the
     * `file:` marker [[stampCellHistogram]] writes for lists that outgrow
@@ -1276,15 +1297,24 @@ object SpatialJoin {
       val p = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(location), CellHistogramFile)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val len = fs.getFileStatus(p).getLen
+      val st = fs.getFileStatus(p)
+      val len = st.getLen
       require(len > 0 && len <= (16L << 20),
         s"cell histogram sidecar $p is $len bytes — not a stamped histogram")
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(buf)
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
-      } finally in.close()
+      val key = (p.toString, st.getModificationTime, len)
+      val hit = sidecarCache.get(key)
+      if (hit != null) hit
+      else {
+        val in = fs.open(p)
+        val payload =
+          try {
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(buf)
+            new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+          } finally in.close()
+        sidecarCache.put(key, payload)
+        payload
+      }
     }
 
   /** [[CellHist]] from an already-resolved catalog table, guarded for
@@ -1414,19 +1444,30 @@ object SpatialJoin {
             // bucket-pruned count per ESTIMATED side, restricted to the
             // cells that need it, replaces estimates with real counts,
             // then the bound re-applies.
-            // broadcast set + typed filter, NOT isin: a sidecar-sized
-            // histogram can flag thousands of candidate cells, and a
-            // 10^4-child In expression stalls the driver at analysis
-            // time (the grid tier's exactCounts, same lesson). The key
-            // column is projected BEFORE the filter so no geometry blob
-            // deserializes just to read a cell id.
+            // Small candidate sets keep the isin form — it reaches
+            // Spark's bucket pruning, so the recount reads ONLY the
+            // matching bucket files. A sidecar-sized histogram can flag
+            // thousands of candidates, where the In expression itself
+            // stalls driver analysis: past the cut, fall back to a
+            // broadcast set + typed filter (full scan of the projected
+            // cell column — scan cost beats a 10^4-child In). The key
+            // column is projected before the typed filter so no
+            // geometry blob deserializes just to read a cell id.
             def exactCounts(tbl: String, forCells: Iterable[Long]): Map[Long, Long] = {
-              val bcKeys = spark.sparkContext.broadcast(forCells.toSet)
-              spark.table(tbl).select(col(CellCol))
-                .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-                .filter(c => bcKeys.value.contains(c))
-                .groupByKey(identity)(org.apache.spark.sql.Encoders.scalaLong)
-                .count().collect().toMap
+              val keys = forCells.toSeq
+              if (keys.lengthCompare(256) <= 0)
+                spark.table(tbl)
+                  .filter(col(CellCol).isin(keys.map(java.lang.Long.valueOf): _*))
+                  .groupBy(col(CellCol)).count().collect()
+                  .map(row => row.getLong(0) -> row.getLong(1)).toMap
+              else {
+                val bcKeys = spark.sparkContext.broadcast(keys.toSet)
+                spark.table(tbl).select(col(CellCol))
+                  .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+                  .filter(c => bcKeys.value.contains(c))
+                  .groupByKey(identity)(org.apache.spark.sql.Encoders.scalaLong)
+                  .count().collect().toMap
+              }
             }
             val lx = if (needL) exactCounts(leftTable,
               cand.collect { case (c, h) if !h.lnExact => c }) else Map.empty[Long, Long]

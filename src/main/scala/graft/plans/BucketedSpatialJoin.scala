@@ -64,7 +64,7 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
     * silently vanish. */
   private def storeInfo(side: LogicalPlan)
       : Option[(Attribute, Attribute, Double, Int,
-        Option[SpatialJoin.CellHist], String)] =
+        () => Option[SpatialJoin.CellHist], String)] =
     side.output.find(a => a.name == SpatialJoin.CellCol && a.dataType == LongType)
       .flatMap { cellAttr =>
         side.collectLeaves().collectFirst {
@@ -85,8 +85,12 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
                 // guarded (ADVICE r14): a corrupt or metastore-truncated
                 // histogram payload degrades the plan-time WARNING to a
                 // logged None — it must never throw inside the optimizer
-                // and fail the query it would merely have annotated
-                SpatialJoin.histogramFromCatalog(
+                // and fail the query it would merely have annotated. A
+                // THUNK, not a value: sidecar-stamped stores resolve the
+                // histogram through filesystem metadata, and that cost
+                // belongs only to joins the rule actually rewrites — not
+                // to every candidate it then declines.
+                () => SpatialJoin.histogramFromCatalog(
                   org.apache.spark.sql.SparkSession.active, ct),
                 ct.identifier.unquotedString)
             case _ => None
@@ -122,7 +126,7 @@ object BucketedSpatialJoinRule extends Rule[LogicalPlan] {
         // alternative is a straggler task the user discovers at hour N
         // of a 100 TB join
         for {
-          lh <- lHist; rh <- rHist
+          lh <- lHist(); rh <- rHist()
           hot = SpatialJoin.hotCellsIn(lh, rh, SpatialJoin.DefaultHotPairsBound)
           if hot.nonEmpty
         } logWarning(s"spatial join $lName x $rName: ${hot.size} grid " +

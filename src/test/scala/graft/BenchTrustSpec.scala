@@ -48,6 +48,19 @@ class BenchTrustSpec extends AnyFunSuite {
       write("BENCH_r12.json", "{not json")
       val (ref3, band3) = Bench.referenceBand("/d/sf0.1", dir.toString)
       assert(ref3 === "" && band3.isEmpty)
+      // the DRIVER archive shape: a wrapper with the bench line buried
+      // in the tail log (this is what BENCH_r*.json actually looks like
+      // in the repo — the r14 files are wrappers, not raw bench output)
+      write("BENCH_r13.json",
+        """{"n":13,"rc":0,"cpus":32,"sf":0.1,"parsed":null,"tail":""" +
+          "\"[error] noise line\\n" +
+          """[info] {\"metric\":\"total\",\"value\":9.9,\"queries\":{\"q1_agg\":0.31,\"geo_sjoin\":1.7},\"sf\":\"/d/sf0.1\"}\n""" +
+          "[error] trailing noise\"}")
+      val (ref4, band4) = Bench.referenceBand("/d/sf0.1", dir.toString)
+      assert(ref4 === "BENCH_r13.json", s"wrapper archive not unwrapped: $ref4")
+      assert(band4 === Map("q1_agg" -> 0.31, "geo_sjoin" -> 1.7))
+      // wrapper whose inner line is for another sf: no band
+      assert(Bench.referenceBand("/d/sf0.01", dir.toString)._2.isEmpty)
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()

@@ -45,12 +45,15 @@ object ProbeSaltCap {
     val nBackground = 50000
 
     // dyadic sub-rectangles of the unit cell: every pair's envelope test
-    // and predicate really run (ProbeBucketHot's fixture shape)
+    // and predicate really run. Extent +0.5 (not ProbeBucketHot's +0.6):
+    // origins reach 0.496, so +0.6 would cross the 1.0 cell boundary for
+    // ~20% of rows and split the "one hot cell" fixture into two cells
+    // in different saturation regimes (review r15 #7)
     def subRect(k: org.apache.spark.sql.Column) = st_rectangle(
       (k % 128).cast("double") / 256.0,
       ((k / lit(128)) % 128).cast("double") / 256.0,
-      (k % 128).cast("double") / 256.0 + 0.6,
-      ((k / lit(128)) % 128).cast("double") / 256.0 + 0.6)
+      (k % 128).cast("double") / 256.0 + 0.5,
+      ((k / lit(128)) % 128).cast("double") / 256.0 + 0.5)
     def bgRect(k: org.apache.spark.sql.Column, off: Double) = st_rectangle(
       k.cast("double") * 4.0 + lit(100.0 + off),
       (k % 64).cast("double") * 4.0 + lit(100.0 + off),
