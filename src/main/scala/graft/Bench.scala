@@ -145,6 +145,18 @@ object Bench {
       graft.join.SpatialJoin.sjoinQuadtree(left, right, predicate = "contains")
         .agg(count(lit(1)).as("n"))
     }),
+    // distributed k-nearest join (r15): the partitioned door — cell
+    // shuffle with build-side expansion, per-cell STRtree kNN, global
+    // rank window. Each left point's only in-range neighbor is its own
+    // key's right point (the 16-unit lattice keeps others ≥ 12 away).
+    "geo_sjoin_nearest" -> ((s, dir) => {
+      val left = orders(s, dir).select(k.as("lk"), pt.as("geometry"))
+      val right = orders(s, dir).select(k.as("rk"),
+        st_point(xmin + w, ymin + h).as("geometry"))
+      graft.join.SpatialJoin.sjoinNearestPartitioned(left, right, k = 2,
+          maxDistance = 8.0, distanceCol = Some("d"))
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+    }),
     // text statistics over documents (pure codegen expressions)
     "pipe_text" -> ((s, dir) => {
       val txt = col("text")

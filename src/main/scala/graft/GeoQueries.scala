@@ -27,6 +27,41 @@ object GeoQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** orders → (k, derived dyadic box/point columns), the shared scheme. */
+  /** DuckDB truth for the nearest-join keys: within-cluster cross
+    * product, sqrt in the SAME form the join computes (the filter
+    * compares the sqrt, not the square — identical doubles, identical
+    * boundary behavior), rank() ≤ 2 ties-inclusive. */
+  private val nearestOracleSql: String =
+    """WITH l AS (SELECT o_orderkey AS lk, o_orderkey%50 AS c,
+      |  CAST(o_orderkey%50 AS DOUBLE)*1000 + CAST(o_orderkey%10 AS DOUBLE) AS lx,
+      |  CAST(o_orderkey%6 AS DOUBLE) AS ly FROM orders),
+      | r AS (SELECT o_orderkey AS rk, o_orderkey%50 AS c,
+      |  CAST(o_orderkey%50 AS DOUBLE)*1000 + CAST(o_orderkey%12 AS DOUBLE)*0.5 AS rx,
+      |  CAST(o_orderkey%8 AS DOUBLE)*0.5 AS ry FROM orders),
+      | p AS (SELECT lk, rk,
+      |   sqrt((lx-rx)*(lx-rx) + (ly-ry)*(ly-ry)) AS d
+      |  FROM l JOIN r USING (c)
+      |  WHERE sqrt((lx-rx)*(lx-rx) + (ly-ry)*(ly-ry)) <= 1.5),
+      | ranked AS (SELECT lk, rk, d,
+      |   rank() OVER (PARTITION BY lk ORDER BY d) AS rnk FROM p)
+      |SELECT lk, rk, d FROM ranked WHERE rnk <= 2 ORDER BY lk, rk""".stripMargin
+
+  /** 50 point clusters 1000 units apart (cluster extent ≤ 12 units, so a
+    * 1.5-unit nearest search never crosses clusters and DuckDB can join
+    * within-cluster only): left on the integer lattice, right on the
+    * half-integer lattice — every distance² is an exact multiple of
+    * 0.25. */
+  private def nearestFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = (k % 50).cast("double")
+    val l = base(s, dir).select(k.as("lk"),
+      st_point(c * 1000.0 + (k % 10).cast("double"),
+        (k % 6).cast("double")).as("geometry"))
+    val r = base(s, dir).select(k.as("rk"),
+      st_point(c * 1000.0 + (k % 12).cast("double") * 0.5,
+        (k % 8).cast("double") * 0.5).as("geometry"))
+    (l, r)
+  }
+
   private def base(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey").as("k"))
 
@@ -1517,6 +1552,32 @@ object GeoQueries {
       s.range(1).select(lit(nPairs).as("n_pairs"), lit(saltEngaged).as("salted"))
     }),
 
+    /** Nearest join vs the DuckDB relational truth (r15, beyond the
+      * reference surface — polars-st has only row-wise nearest_points):
+      * 50 well-separated point clusters; each left point takes its
+      * ties-inclusive 2 nearest right points within 1.5 planar units.
+      * Distances hash bit-exact across engines: lattice coordinates are
+      * dyadic, dx²+dy² is exact, and IEEE-754 sqrt is correctly rounded
+      * on both the JVM and DuckDB — so the raw doubles agree to the bit.
+      * This key drives the broadcast tier (auto door);
+      * geo_sjoin_nearest_grid drives the partitioned door on the same
+      * truth. */
+    "geo_sjoin_nearest" -> ((s, dir) => {
+      val (l, r) = nearestFixture(s, dir)
+      graft.join.SpatialJoin.sjoinNearest(l, r, k = 2, maxDistance = 1.5,
+          distanceCol = Some("d"))
+        .select(col("lk"), col("rk"), col("d"))
+        .orderBy(col("lk"), col("rk"))
+    }),
+
+    "geo_sjoin_nearest_grid" -> ((s, dir) => {
+      val (l, r) = nearestFixture(s, dir)
+      graft.join.SpatialJoin.sjoinNearestPartitioned(l, r, k = 2,
+          maxDistance = 1.5, distanceCol = Some("d"), cellSize = 2.0)
+        .select(col("lk"), col("rk"), col("d"))
+        .orderBy(col("lk"), col("rk"))
+    }),
+
     // ---------------------------------------------------- §2.13 frame I/O
     "geo_io" -> ((s, dir) => {
       val df = base(s, dir).select(k, rect.as("geometry"))
@@ -2096,6 +2157,8 @@ object GeoQueries {
         |SELECT count(*) AS n_pairs, TRUE AS salted
         |FROM l JOIN r USING (c)
         |WHERE px > rx AND px < rx + 4 AND py > ry AND py < ry + 4""".stripMargin,
+    "geo_sjoin_nearest" -> nearestOracleSql,
+    "geo_sjoin_nearest_grid" -> nearestOracleSql,
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
          | w*h AS wkb_area, 4326 AS wkb_srid,

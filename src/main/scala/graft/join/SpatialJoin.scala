@@ -264,36 +264,12 @@ object SpatialJoin {
     //    over-cap): pull rows through toLocalIterator, tracking estimated
     //    bytes as they arrive, and abort to the grid tier the moment
     //    either cap trips — partial single pass, no wide-row OOM.
-    val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
-    val statBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
     val leftRows: Array[Row] =
-      if (statBytes <= maxBuildBytes) {
-        val rows = left.limit(guardLimit).collect()
-        // stats can underestimate computed columns — re-check actual bytes
-        var actual = 0L
-        var i = 0
-        while (i < rows.length && actual <= maxBuildBytes) {
-          actual += estimateRowBytes(rows(i)); i += 1
-        }
-        if (rows.length >= guardLimit || actual > maxBuildBytes)
+      collectBounded(left, maxBuildRows, maxBuildBytes) match {
+        case Some(rows) => rows
+        case None =>
           return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
             leftGeom, rightGeom, suffix)
-        rows
-      } else {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var estBytes = 0L
-        var tooBig = false
-        val localIt = left.limit(guardLimit).toLocalIterator()
-        while (!tooBig && localIt.hasNext) {
-          val r = localIt.next()
-          buf += r
-          estBytes += estimateRowBytes(r)
-          if (buf.length >= guardLimit || estBytes > maxBuildBytes) tooBig = true
-        }
-        if (tooBig)
-          return sjoinPartitioned(left, right, autoCellSize(left, leftGeom), predicate, how,
-            leftGeom, rightGeom, suffix)
-        buf.toArray
       }
     val buildData: Array[(Long, Array[Byte])] = leftRows.zipWithIndex.map { case (r, i) =>
       (i.toLong, r.get(leftGeomPos).asInstanceOf[Array[Byte]])
@@ -344,6 +320,42 @@ object SpatialJoin {
     val ordered = attached.select(
       (left.columns.map(col) ++ rightRenamed.columns.map(col)): _*)
     ordered
+  }
+
+  /** Collect `df` driver-side under row AND byte caps, `None` the moment
+    * either trips (callers fall back to a distributed tier). Stats-guided
+    * single pass: when Catalyst's size estimate for the optimized plan is
+    * already under the byte cap (parquet scans carry reliable file-derived
+    * stats) one parallel limit+collect fetches everything — the common
+    * case pays nothing new; otherwise (stats unknown — Catalyst defaults
+    * them huge — or over-cap) rows stream through toLocalIterator with
+    * bytes tracked as they arrive, aborting before a wide-row OOM. */
+  private[graft] def collectBounded(df: DataFrame, maxRows: Long,
+      maxBytes: Long): Option[Array[Row]] = {
+    val guardLimit = math.min(maxRows + 1, Int.MaxValue.toLong - 8).toInt
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statBytes <= maxBytes) {
+      val rows = df.limit(guardLimit).collect()
+      // stats can underestimate computed columns — re-check actual bytes
+      var actual = 0L
+      var i = 0
+      while (i < rows.length && actual <= maxBytes) {
+        actual += estimateRowBytes(rows(i)); i += 1
+      }
+      if (rows.length >= guardLimit || actual > maxBytes) None else Some(rows)
+    } else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var estBytes = 0L
+      var tooBig = false
+      val localIt = df.limit(guardLimit).toLocalIterator()
+      while (!tooBig && localIt.hasNext) {
+        val r = localIt.next()
+        buf += r
+        estBytes += estimateRowBytes(r)
+        if (buf.length >= guardLimit || estBytes > maxBytes) tooBig = true
+      }
+      if (tooBig) None else Some(buf.toArray)
+    }
   }
 
   private[graft] def renameClashes(right: DataFrame, leftCols: Seq[String], suffix: String): DataFrame =
@@ -485,6 +497,59 @@ object SpatialJoin {
       pairsPerTask: Long = GridPairsPerTask): DataFrame = {
     val spark = lCells.sparkSession
     import spark.implicits._
+    saltedCogroup(lCells, rCells, maxCellRows, pairsPerTask) { (key, lit, rit) =>
+      val cell = key._1
+      val tree = new STRtree()
+      var n = 0
+      lit.foreach { case (_, _, _, lid, bytes) =>
+        val g = EWKB.read(bytes)
+        if (!g.isEmpty) {
+          tree.insert(g.getEnvelopeInternal, (lid, PreparedGeometryFactory.prepare(g)))
+          n += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else {
+        tree.build()
+        rit.flatMap { case (_, _, _, rid, bytes) =>
+          val rg = EWKB.read(bytes)
+          if (rg.isEmpty) Iterator.empty
+          else {
+            val re = rg.getEnvelopeInternal
+            tree.query(re).asScala.iterator
+              .map(_.asInstanceOf[(Long, PreparedGeometry)])
+              .filter { case (_, prep) =>
+                refPoint(cell, prep.getGeometry.getEnvelopeInternal, re) }
+              .filter { case (_, prep) => applyPred(pred, prep, rg) }
+              .map { case (lid, _) => (lid, rid) }
+          }
+        }
+      }
+    }.toDF(LIdx, RIdx)
+  }
+
+  /** The salt-routed cogroup shared by the predicate tiers
+    * ([[cellCogroupPairs]]) and the nearest tier: census + 2-D (p, q)
+    * sizing + salted routing, with the per-(cell, lsalt, rsalt) work
+    * delegated to `combine`. The FIRST side is the buffered one (its
+    * slices are memory-bounded by `maxCellRows` — combiners build their
+    * tree over it); the second streams. `combine` receives each group's
+    * key and both salted iterators; each (buf, str) row pair meets
+    * exactly once per shared cell (buf rows round-robin into p and
+    * replicate across q, str rows round-robin into q and replicate
+    * across p). */
+  private def saltedCogroup[U: org.apache.spark.sql.Encoder](
+      bufCells: Dataset[(Long, Long, Array[Byte])],
+      strCells: Dataset[(Long, Long, Array[Byte])],
+      maxCellRows: Int,
+      pairsPerTask: Long)(
+      combine: ((Long, Int, Int),
+        Iterator[(Long, Int, Int, Long, Array[Byte])],
+        Iterator[(Long, Int, Int, Long, Array[Byte])]) => Iterator[U]): Dataset[U] = {
+    val spark = bufCells.sparkSession
+    import spark.implicits._
+    val lCells = bufCells
+    val rCells = strCells
     def exactCounts(cells: Dataset[(Long, Long, Array[Byte])],
         forCells: Set[Long]): Map[Long, Long] = {
       // broadcast set + typed filter, NOT isin: the key list can be as
@@ -602,36 +667,7 @@ object SpatialJoin {
       }
     }
     lS.groupByKey(t => (t._1, t._2, t._3))
-      .cogroup(rS.groupByKey(t => (t._1, t._2, t._3))) {
-      (key, lit, rit) =>
-        val cell = key._1
-        val tree = new STRtree()
-        var n = 0
-        lit.foreach { case (_, _, _, lid, bytes) =>
-          val g = EWKB.read(bytes)
-          if (!g.isEmpty) {
-            tree.insert(g.getEnvelopeInternal, (lid, PreparedGeometryFactory.prepare(g)))
-            n += 1
-          }
-        }
-        if (n == 0) Iterator.empty
-        else {
-          tree.build()
-          rit.flatMap { case (_, _, _, rid, bytes) =>
-            val rg = EWKB.read(bytes)
-            if (rg.isEmpty) Iterator.empty
-            else {
-              val re = rg.getEnvelopeInternal
-              tree.query(re).asScala.iterator
-                .map(_.asInstanceOf[(Long, PreparedGeometry)])
-                .filter { case (_, prep) =>
-                  refPoint(cell, prep.getGeometry.getEnvelopeInternal, re) }
-                .filter { case (_, prep) => applyPred(pred, prep, rg) }
-                .map { case (lid, _) => (lid, rid) }
-            }
-          }
-        }
-    }.toDF(LIdx, RIdx)
+      .cogroup(rS.groupByKey(t => (t._1, t._2, t._3)))(combine)
   }
 
   /** Grid-partitioned spatial join for large×large inputs.
@@ -773,6 +809,346 @@ object SpatialJoin {
     assemble(leftIdx, rightIdx, pairs, how, suffix)
   }
 
+  // ------------------------------------------------------- nearest join
+
+  /** Executor-local cache of a plain-geometry STRtree per broadcast: the
+    * nearest tier measures distances, which need raw geometries, not the
+    * prepared predicates [[TreeCache]] holds. */
+  private object NearestTreeCache {
+    private val cache = new BroadcastCache[STRtree]()
+    def get(bc: Broadcast[Array[(Long, Array[Byte])]]): STRtree =
+      cache.getOrBuild(bc) {
+        val t = new STRtree()
+        bc.value.foreach { case (id, bytes) =>
+          if (bytes != null) {
+            val g = EWKB.read(bytes)
+            if (!g.isEmpty) t.insert(g.getEnvelopeInternal, (id, g))
+          }
+        }
+        t.build()
+        t
+      }
+  }
+
+  /** Geometry distance over (id, Geometry) STRtree items — the JTS kNN
+    * callback. Envelope distance lower-bounds geometry distance, so the
+    * branch-and-bound kNN is exact under it. */
+  private object GeomItemDistance extends org.locationtech.jts.index.strtree.ItemDistance {
+    def distance(a: org.locationtech.jts.index.strtree.ItemBoundable,
+        b: org.locationtech.jts.index.strtree.ItemBoundable): Double =
+      a.getItem.asInstanceOf[(Long, Geometry)]._2
+        .distance(b.getItem.asInstanceOf[(Long, Geometry)]._2)
+  }
+
+  /** Ties-inclusive top-k by `dist`: every candidate whose distance is ≤
+    * the kth smallest (SQL `rank() <= k`). */
+  private[graft] def topKTies[T](cands: Array[T], k: Int)(dist: T => Double): Array[T] =
+    if (cands.length <= k) cands
+    else {
+      val sorted = cands.sortBy(dist)
+      val dk = dist(sorted(k - 1))
+      sorted.takeWhile(dist(_) <= dk)
+    }
+
+  /** All (id, distance, geometry) within `radius` of `g` from an
+    * (id, Geometry) STRtree. The `exclusive` rule (geopandas: skip
+    * candidates equal to the probe) tests topological equality only on
+    * distance-0 candidates — no other candidate can be equal. */
+  private def withinRadius(tree: STRtree, g: Geometry, radius: Double,
+      exclusive: Boolean): Array[(Long, Double, Geometry)] = {
+    val e = new Envelope(g.getEnvelopeInternal)
+    e.expandBy(radius)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Geometry)]
+    tree.query(e).asScala.foreach { item =>
+      val (id, rg) = item.asInstanceOf[(Long, Geometry)]
+      val d = g.distance(rg)
+      if (d <= radius && !(exclusive && d == 0.0 && g.equalsTopo(rg)))
+        buf += ((id, d, rg))
+    }
+    buf.toArray
+  }
+
+  /** Ties-inclusive k nearest within `maxDist` (possibly infinite) of one
+    * probe geometry. Unbounded searches seed the radius from the JTS
+    * branch-and-bound kNN and re-query ties-inclusively within it; when
+    * the exclusive rule filters the seed below k the fetch doubles (the
+    * loop terminates at a full fetch — `nItems` items means every
+    * candidate was seen). */
+  private def nearestOf(tree: STRtree, nItems: Int, g: Geometry, k: Int,
+      maxDist: Double, exclusive: Boolean): Array[(Long, Double, Geometry)] = {
+    if (nItems == 0) return Array.empty
+    if (!maxDist.isInfinite)
+      return topKTies(withinRadius(tree, g, maxDist, exclusive), k)(_._2)
+    var fetch = math.min(nItems, k + (if (exclusive) 4 else 0))
+    var res: Array[(Long, Double, Geometry)] = null
+    while (res == null) {
+      val nn = tree.nearestNeighbour(g.getEnvelopeInternal, (-1L, g),
+        GeomItemDistance, fetch)
+      var r = 0.0
+      nn.foreach { item =>
+        r = math.max(r, g.distance(item.asInstanceOf[(Long, Geometry)]._2))
+      }
+      val cands = topKTies(withinRadius(tree, g, r, exclusive), k)(_._2)
+      if (cands.length >= k || fetch >= nItems) res = cands
+      else fetch = math.min(nItems, fetch * 2)
+    }
+    res
+  }
+
+  private def checkNearestArgs(left: DataFrame, right: DataFrame, k: Int,
+      maxDistance: Double, how: String, distanceCol: Option[String],
+      suffix: String): Unit = {
+    require(k >= 1, s"sjoinNearest: k must be >= 1, got $k")
+    require(!maxDistance.isNaN && maxDistance > 0,
+      s"sjoinNearest: maxDistance must be positive, got $maxDistance")
+    require(Set("inner", "left", "right")(how),
+      s"unsupported how: $how (nearest join supports inner, left, right)")
+    distanceCol.foreach { n =>
+      val taken = left.columns.toSet ++ right.columns.map(c =>
+        if (left.columns.contains(c)) c + suffix else c)
+      require(!taken.contains(n),
+        s"sjoinNearest: distanceCol '$n' clashes with an output column")
+    }
+  }
+
+  /** Nearest-neighbor spatial join — beyond the reference surface
+    * (polars-st has only the row-wise `nearest_points` kernel,
+    * `/root/reference/src/functions.rs:1772`, shipped here as
+    * `st_shortest_line`); the frame-level operation follows the public
+    * geopandas `sjoin_nearest` contract.
+    *
+    * For each PROBE row (the left frame for how ∈ {inner, left}; the
+    * right frame for how = "right") the k nearest build-side geometries
+    * by planar JTS distance are attached, TIES-INCLUSIVE: every build row
+    * whose distance equals the kth smallest is kept (SQL `rank() <= k`),
+    * so the result is deterministic — no arbitrary winner among
+    * equidistant candidates.
+    *
+    * Tiers mirror [[sjoin]]: the build side is collected under the
+    * broadcast guards and probed as an (id, geometry) STRtree with the
+    * JTS branch-and-bound kNN; a build side past the guards falls back to
+    * [[sjoinNearestPartitioned]], which REQUIRES a finite `maxDistance` —
+    * an unbounded nearest join over two at-scale frames has no
+    * partition-local search bound (a probe cell might need a build row
+    * arbitrarily far away).
+    *
+    * @param k neighbors per probe row (ties at the kth distance all kept)
+    * @param maxDistance candidates farther than this planar distance never
+    *        match; probe rows with no candidate drop on "inner" and
+    *        survive with null build columns on "left"/"right". Infinity
+    *        (the default) is broadcast-tier-only.
+    * @param how "inner" | "left" | "right" — geopandas semantics: "left"
+    *        keeps unmatched left rows; "right" swaps the probe role (each
+    *        RIGHT row gets its k nearest LEFT geometries) and keeps
+    *        unmatched right rows.
+    * @param distanceCol when Some(name), the planar distance is appended
+    *        under that column (geopandas `distance_col`).
+    * @param exclusive skip candidates topologically equal to the probe
+    *        geometry (geopandas `exclusive` — "nearest OTHER feature"
+    *        hygiene for self-joins).
+    * @param cellSize fallback-tier grid cell edge; 0 → max(2·maxDistance,
+    *        [[autoCellSize]] of the probe side). */
+  def sjoinNearest(left: DataFrame, right: DataFrame, k: Int = 1,
+      maxDistance: Double = Double.PositiveInfinity, how: String = "inner",
+      leftGeom: String = "geometry", rightGeom: String = "geometry",
+      suffix: String = "_right", distanceCol: Option[String] = None,
+      exclusive: Boolean = false, maxBuildRows: Long = MaxBroadcastRows,
+      maxBuildBytes: Long = MaxBroadcastBytes, cellSize: Double = 0.0,
+      maxCellRows: Int = MaxCellBuildRows,
+      pairsPerTask: Long = GridPairsPerTask): DataFrame = {
+    checkNearestArgs(left, right, k, maxDistance, how, distanceCol, suffix)
+    val spark = left.sparkSession
+    val rightR = renameClashes(right, left.columns.toSeq, suffix)
+    val probeIsLeft = how != "right"
+    val (build, bGeomName) =
+      if (probeIsLeft) (rightR, if (left.columns.contains(rightGeom)) rightGeom + suffix else rightGeom)
+      else (left, leftGeom)
+    val (probe, pGeomName) =
+      if (probeIsLeft) (left, leftGeom)
+      else (rightR, if (left.columns.contains(rightGeom)) rightGeom + suffix else rightGeom)
+    val bGeomPos = build.columns.indexOf(bGeomName)
+    val pGeomPos = probe.columns.indexOf(pGeomName)
+    require(bGeomPos >= 0 && pGeomPos >= 0,
+      s"sjoinNearest: missing geometry column ($leftGeom / $rightGeom)")
+
+    collectBounded(build, maxBuildRows, maxBuildBytes) match {
+      case None =>
+        require(!maxDistance.isInfinite,
+          "sjoinNearest: the build side exceeds the broadcast guards and " +
+            "maxDistance is unbounded — the distributed tier needs a finite " +
+            "maxDistance (no partition-local search bound exists without " +
+            "one); pass maxDistance or raise maxBuildRows/maxBuildBytes")
+        sjoinNearestPartitioned(left, right, k, maxDistance, how, leftGeom,
+          rightGeom, suffix, distanceCol, exclusive, cellSize, maxCellRows,
+          pairsPerTask)
+      case Some(buildRows) =>
+        val kk = k; val maxD = maxDistance; val excl = exclusive
+        val buildData = buildRows.zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.get(bGeomPos).asInstanceOf[Array[Byte]])
+        }
+        val bc = spark.sparkContext.broadcast(buildData)
+        val keepUnmatched = how != "inner"
+        val BIdxCol = "__graft_nbidx"
+        val DCol = "__graft_ndist"
+        val outSchema = StructType(probe.schema.fields ++ Seq(
+          StructField(BIdxCol, LongType, true),
+          StructField(DCol, org.apache.spark.sql.types.DoubleType, true)))
+        val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+        val pairs = probe.mapPartitions { it =>
+          val tree = NearestTreeCache.get(bc)
+          val n = tree.size()
+          it.flatMap { row =>
+            val bytes = row.get(pGeomPos).asInstanceOf[Array[Byte]]
+            val matches =
+              if (bytes == null) Array.empty[(Long, Double, Geometry)]
+              else {
+                val g = EWKB.read(bytes)
+                if (g.isEmpty) Array.empty[(Long, Double, Geometry)]
+                else nearestOf(tree, n, g, kk, maxD, excl)
+              }
+            if (matches.isEmpty) {
+              if (keepUnmatched)
+                Iterator.single(Row.fromSeq(row.toSeq ++ Seq(null, null)))
+              else Iterator.empty
+            } else matches.iterator.map { case (bid, d, _) =>
+              // Seq[Any], NOT Seq(bid, d): Long+Double would unify to
+              // Seq[Double] by numeric widening, silently turning the
+              // build id into a Double the encoder then rejects
+              Row.fromSeq(row.toSeq ++ Seq[Any](bid, d))
+            }
+          }
+        }(enc)
+        // driver-assigned deterministic build ids → small reattach frame
+        val bIdxSchema = StructType(
+          StructField(BIdxCol, LongType, false) +: build.schema.fields)
+        val bIdxDF = spark.createDataFrame(
+          spark.sparkContext.parallelize(buildRows.toIndexedSeq.zipWithIndex
+            .map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }),
+          bIdxSchema)
+        val attached = pairs.join(broadcast(bIdxDF), Seq(BIdxCol),
+          if (keepUnmatched) "left" else "inner")
+        attached.select(
+          (left.columns.map(col) ++ rightR.columns.map(col)
+            ++ distanceCol.map(nm => col(DCol).as(nm)).toSeq): _*)
+    }
+  }
+
+  /** Distributed nearest join for build sides past the broadcast guards.
+    *
+    * Both sides shuffle on grid cells — the BUILD side's envelopes
+    * expanded by `maxDistance` first, so any (probe, build) pair within
+    * `maxDistance` shares at least one cell. A per-cell (id, geometry)
+    * STRtree serves radius-bounded candidates; each cell emits only the
+    * pairs it OWNS (the predicate tiers' reference-point rule over
+    * probe-envelope ∩ expanded-build-envelope — no global dedup shuffle);
+    * emission is pruned to the slice's ties-inclusive top-k, which is
+    * sound: a candidate pruned by ≥ k strictly-closer slice rows has ≥ k
+    * strictly-closer global rows, so its global rank is > k. One rank()
+    * window over the probe id finishes the global top-k. Hot cells route
+    * through [[saltedCogroup]]'s census + 2-D salting like the predicate
+    * grid tier (the build side is the buffered one). */
+  def sjoinNearestPartitioned(left: DataFrame, right: DataFrame, k: Int = 1,
+      maxDistance: Double = Double.NaN, how: String = "inner",
+      leftGeom: String = "geometry", rightGeom: String = "geometry",
+      suffix: String = "_right", distanceCol: Option[String] = None,
+      exclusive: Boolean = false, cellSize: Double = 0.0,
+      maxCellRows: Int = MaxCellBuildRows,
+      pairsPerTask: Long = GridPairsPerTask): DataFrame = {
+    checkNearestArgs(left, right, k, maxDistance, how, distanceCol, suffix)
+    require(!maxDistance.isInfinite,
+      "sjoinNearestPartitioned needs a finite positive maxDistance — the " +
+        "cell scheme has no search bound without one (use sjoinNearest " +
+        "with a broadcastable build side for unbounded searches)")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val probeIsLeft = how != "right"
+    val kk = k; val maxD = maxDistance; val excl = exclusive
+
+    val leftIdx = withStableIndex(left, LIdx)
+    val rightIdx = withStableIndex(right, RIdx)
+    val (probeIdx, pGeom, pIdxName) =
+      if (probeIsLeft) (leftIdx, leftGeom, LIdx) else (rightIdx, rightGeom, RIdx)
+    val (buildIdx, bGeom, bIdxName) =
+      if (probeIsLeft) (rightIdx, rightGeom, RIdx) else (leftIdx, leftGeom, LIdx)
+    val cs =
+      if (cellSize > 0) cellSize
+      else math.max(2 * maxDistance, autoCellSize(probeIdx, pGeom))
+    val csV = cs
+
+    val probeCells = probeIdx.select(col(pIdxName), col(pGeom))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => gridCellsOf(b, csV).map(c => (c, id, b)) }
+    val buildCells = buildIdx.select(col(bIdxName), col(bGeom))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        gridCellsOfExpanded(b, csV, maxD).map(c => (c, id, b)) }
+
+    val triples = saltedCogroup(buildCells, probeCells, maxCellRows,
+      pairsPerTask) { (key, bIt, pIt) =>
+      val cell = key._1
+      val tree = new STRtree()
+      var n = 0
+      bIt.foreach { case (_, _, _, bid, bytes) =>
+        if (bytes != null) {
+          val g = EWKB.read(bytes)
+          if (!g.isEmpty) { tree.insert(g.getEnvelopeInternal, (bid, g)); n += 1 }
+        }
+      }
+      if (n == 0) Iterator.empty
+      else {
+        tree.build()
+        val cx = (cell >> 32).toDouble * csV
+        val cy = (cell << 32 >> 32).toDouble * csV
+        pIt.flatMap { case (_, _, _, pid, bytes) =>
+          if (bytes == null) Iterator.empty
+          else {
+            val g = EWKB.read(bytes)
+            if (g.isEmpty) Iterator.empty
+            else {
+              val pe = g.getEnvelopeInternal
+              topKTies(withinRadius(tree, g, maxD, excl), kk)(_._2).iterator
+                .filter { case (_, _, bg) =>
+                  // ownership: bottom-left corner of probe-env ∩
+                  // expanded-build-env lies in THIS cell (exists for every
+                  // candidate — distance ≤ maxD means the expanded build
+                  // envelope overlaps the probe envelope on both axes)
+                  val be = new Envelope(bg.getEnvelopeInternal)
+                  be.expandBy(maxD)
+                  val ix = math.max(pe.getMinX, be.getMinX)
+                  val iy = math.max(pe.getMinY, be.getMinY)
+                  ix >= cx && ix < cx + csV && iy >= cy && iy < cy + csV
+                }
+                .map { case (bid, d, _) => (pid, bid, d) }
+            }
+          }
+        }
+      }
+    }
+
+    val DCol = "__graft_ndist"
+    val PIdxT = "__graft_npidx"
+    val BIdxT = "__graft_nbidx"
+    import org.apache.spark.sql.expressions.Window
+    val ranked = triples.toDF(PIdxT, BIdxT, DCol)
+      .withColumn("__graft_nrank",
+        rank().over(Window.partitionBy(col(PIdxT)).orderBy(col(DCol))))
+      .filter(col("__graft_nrank") <= kk)
+      .drop("__graft_nrank")
+    val pairs =
+      if (probeIsLeft)
+        ranked.withColumnRenamed(PIdxT, LIdx).withColumnRenamed(BIdxT, RIdx)
+      else
+        ranked.withColumnRenamed(PIdxT, RIdx).withColumnRenamed(BIdxT, LIdx)
+
+    val assembled = assemble(leftIdx, rightIdx, pairs, how, suffix)
+    // public shape: left columns ++ renamed right columns ++ distance
+    val rightRNames = right.columns.map(c =>
+      if (left.columns.contains(c)) c + suffix else c)
+    assembled.select(
+      (left.columns.map(col) ++ rightRNames.map(col)
+        ++ distanceCol.map(nm => col(DCol).as(nm)).toSeq): _*)
+  }
+
   /** Deterministic row index in a SINGLE pass, fully inside the DataFrame
     * tier: `monotonically_increasing_id()` is exactly the (partition <<
     * 33) | offset scheme, assigned during one eager materialization. The
@@ -841,6 +1217,23 @@ object SpatialJoin {
     if (bytes == null) return Nil
     val e = EWKB.read(bytes).getEnvelopeInternal
     if (e.isNull) return Nil
+    val (x0, x1) = (math.floor(e.getMinX / cs).toLong, math.floor(e.getMaxX / cs).toLong)
+    val (y0, y1) = (math.floor(e.getMinY / cs).toLong, math.floor(e.getMaxY / cs).toLong)
+    for (cx <- x0 to x1; cy <- y0 to y1) yield (cx << 32) | (cy & 0xffffffffL)
+  }
+
+  /** Covering grid cells of an EWKB envelope expanded by `pad` — the
+    * nearest tier's build-side assignment: any geometry within `pad`
+    * planar distance of a probe geometry then shares at least one cell
+    * with it (axis separation ≤ pad on both axes ⇒ the expanded envelope
+    * overlaps the probe's). */
+  private[graft] def gridCellsOfExpanded(bytes: Array[Byte], cs: Double,
+      pad: Double): Seq[Long] = {
+    if (bytes == null) return Nil
+    val e0 = EWKB.read(bytes).getEnvelopeInternal
+    if (e0.isNull) return Nil
+    val e = new Envelope(e0)
+    e.expandBy(pad)
     val (x0, x1) = (math.floor(e.getMinX / cs).toLong, math.floor(e.getMaxX / cs).toLong)
     val (y0, y1) = (math.floor(e.getMinY / cs).toLong, math.floor(e.getMaxY / cs).toLong)
     for (cx <- x0 to x1; cy <- y0 to y1) yield (cx << 32) | (cy & 0xffffffffL)

@@ -905,6 +905,182 @@ class SpatialJoinSpec extends AnyFunSuite {
         "geometry monopolized the hash-ordered sample")
   }
 
+  // -------------------------------------------------------- nearest join
+
+  /** Ties-inclusive k-nearest expectation, brute-forced on the driver with
+    * the same JTS distance the join uses. Emits (probeId, buildId, d). */
+  def bruteNearest(
+      probe: Seq[(Long, org.locationtech.jts.geom.Geometry)],
+      build: Seq[(Long, org.locationtech.jts.geom.Geometry)],
+      k: Int, maxD: Double,
+      exclusive: Boolean = false): Set[(Long, Long, Double)] =
+    probe.flatMap { case (pid, pg) =>
+      val cands = build.flatMap { case (bid, bg) =>
+        val d = pg.distance(bg)
+        if (d <= maxD && !(exclusive && d == 0.0 && pg.equalsTopo(bg)))
+          Some((bid, d))
+        else None
+      }.sortBy(_._2)
+      if (cands.isEmpty) Nil
+      else {
+        val dk = if (cands.length <= k) cands.last._2 else cands(k - 1)._2
+        cands.takeWhile(_._2 <= dk).map { case (bid, d) => (pid, bid, d) }
+      }
+    }.toSet
+
+  def geomsOf(df: org.apache.spark.sql.DataFrame, id: String,
+      geom: String): Seq[(Long, org.locationtech.jts.geom.Geometry)] =
+    df.select(col(id), col(geom)).as[(Long, Array[Byte])].collect().toSeq
+      .map { case (i, b) => (i, graft.serde.EWKB.read(b)) }
+
+  test("nearest join: broadcast and partitioned match brute force, ties inclusive") {
+    val expected = bruteNearest(geomsOf(points, "pt_id", "geometry"),
+      geomsOf(boxes, "box_id", "geometry"), k = 2, maxD = 6.0)
+    assert(expected.nonEmpty)
+    val bcast = SpatialJoin.sjoinNearest(points, boxes, k = 2, maxDistance = 6.0,
+        distanceCol = Some("d"))
+      .select($"pt_id", $"box_id", $"d").as[(Long, Long, Double)].collect()
+    assert(bcast.toSet === expected)
+    // no duplicate (probe, build) rows either
+    assert(bcast.length === expected.size)
+    for (cellSize <- Seq(1.5, 4.0, 64.0)) {
+      val grid = SpatialJoin.sjoinNearestPartitioned(points, boxes, k = 2,
+          maxDistance = 6.0, distanceCol = Some("d"), cellSize = cellSize)
+        .select($"pt_id", $"box_id", $"d").as[(Long, Long, Double)].collect()
+      assert(grid.toSet === expected, s"cellSize=$cellSize")
+      assert(grid.length === expected.size,
+        s"cellSize=$cellSize emitted duplicates (ownership rule broken)")
+    }
+  }
+
+  test("nearest join: unbounded broadcast kNN matches brute force") {
+    val expected = bruteNearest(geomsOf(boxes, "box_id", "geometry"),
+      geomsOf(points, "pt_id", "geometry"), k = 3, maxD = Double.PositiveInfinity)
+    val got = SpatialJoin.sjoinNearest(boxes, points, k = 3,
+        distanceCol = Some("d"))
+      .select($"box_id", $"pt_id", $"d").as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // every probe row matched (no distance bound, non-empty build side)
+    assert(got.map(_._1).size === 200)
+  }
+
+  test("nearest join: how=inner drops, how=left keeps, how=right mirrors") {
+    // tiny build side far from most points → most probes unmatched
+    val fewBoxes = boxes.filter($"box_id" < 3)
+    val inner = SpatialJoin.sjoinNearest(points, fewBoxes, k = 1,
+      maxDistance = 2.0, distanceCol = Some("d"))
+    // pairs ≥ matched probes (ties-inclusive k=1 can emit several)
+    val innerMatched = inner.select($"pt_id").distinct().count()
+    assert(innerMatched > 0 && innerMatched < 500)
+    val leftJ = SpatialJoin.sjoinNearest(points, fewBoxes, k = 1,
+        maxDistance = 2.0, how = "left", distanceCol = Some("d"))
+      .select($"pt_id", $"box_id", $"d")
+      .as[(Long, Option[Long], Option[Double])].collect()
+    assert(leftJ.map(_._1).distinct.length === 500)
+    assert(leftJ.count(_._2.isEmpty) === 500 - innerMatched)
+    leftJ.foreach { case (_, b, d) => assert(b.isDefined === d.isDefined) }
+    // right mirror: each BOX gets its nearest point from the left frame
+    val expectedR = bruteNearest(geomsOf(boxes, "box_id", "geometry"),
+      geomsOf(points, "pt_id", "geometry"), k = 1, maxD = 100.0)
+    val gotR = SpatialJoin.sjoinNearest(points, boxes, k = 1,
+        maxDistance = 100.0, how = "right", distanceCol = Some("d"))
+      .select($"box_id", $"pt_id", $"d").as[(Long, Long, Double)].collect().toSet
+    assert(gotR === expectedR)
+    // and the partitioned tier agrees on the mirror
+    val gotRGrid = SpatialJoin.sjoinNearestPartitioned(points, boxes, k = 1,
+        maxDistance = 100.0, how = "right", distanceCol = Some("d"))
+      .select($"box_id", $"pt_id", $"d").as[(Long, Long, Double)].collect().toSet
+    assert(gotRGrid === expectedR)
+  }
+
+  test("nearest join: ties at the kth distance are ALL kept") {
+    val probe = Seq((0L, "POINT (0 0)")).toDF("pid", "wkt")
+      .select($"pid", st_geomfromtext($"wkt").as("geometry"))
+    // four build points all at distance exactly 5
+    val build = Seq((1L, "POINT (3 4)"), (2L, "POINT (4 3)"),
+        (3L, "POINT (-3 4)"), (4L, "POINT (0 5)"), (5L, "POINT (0 7)"))
+      .toDF("bid", "wkt").select($"bid", st_geomfromtext($"wkt").as("geometry"))
+    for (got <- Seq(
+      SpatialJoin.sjoinNearest(probe, build, k = 1, distanceCol = Some("d")),
+      SpatialJoin.sjoinNearestPartitioned(probe, build, k = 1,
+        maxDistance = 6.0, distanceCol = Some("d")))) {
+      val rows = got.select($"bid", $"d").as[(Long, Double)].collect().toSet
+      assert(rows === Set((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0)))
+    }
+  }
+
+  test("nearest join: exclusive skips the topologically equal candidate") {
+    // self-join: without exclusive every row matches itself at d=0;
+    // with exclusive the nearest OTHER point wins (all coords distinct)
+    val self = points.limit(50)
+    val other = self.select($"pt_id".as("oid"), $"geometry")
+    val withSelf = SpatialJoin.sjoinNearest(self, other, k = 1,
+        distanceCol = Some("d"))
+      .select($"pt_id", $"oid", $"d").as[(Long, Long, Double)].collect()
+    assert(withSelf.forall { case (p, o, d) => p == o && d == 0.0 })
+    val excl = SpatialJoin.sjoinNearest(self, other, k = 1,
+        exclusive = true, distanceCol = Some("d"))
+      .select($"pt_id", $"oid", $"d").as[(Long, Long, Double)].collect()
+    assert(excl.forall { case (p, o, d) => p != o && d > 0.0 })
+    val expected = bruteNearest(geomsOf(self, "pt_id", "geometry"),
+      geomsOf(other, "oid", "geometry"), k = 1,
+      maxD = Double.PositiveInfinity, exclusive = true)
+    assert(excl.toSet === expected)
+    // the partitioned tier applies the same rule
+    val exclGrid = SpatialJoin.sjoinNearestPartitioned(self, other, k = 1,
+        maxDistance = 100.0, exclusive = true, distanceCol = Some("d"))
+      .select($"pt_id", $"oid", $"d").as[(Long, Long, Double)].collect().toSet
+    assert(exclGrid === bruteNearest(geomsOf(self, "pt_id", "geometry"),
+      geomsOf(other, "oid", "geometry"), k = 1, maxD = 100.0, exclusive = true))
+  }
+
+  test("nearest join: salted partitioned plan emits the same pairs") {
+    val expected = bruteNearest(geomsOf(points, "pt_id", "geometry"),
+      geomsOf(boxes, "box_id", "geometry"), k = 2, maxD = 6.0)
+    val salted = SpatialJoin.sjoinNearestPartitioned(points, boxes, k = 2,
+        maxDistance = 6.0, distanceCol = Some("d"), cellSize = 64.0,
+        maxCellRows = 50, pairsPerTask = 500L)
+      .select($"pt_id", $"box_id", $"d").as[(Long, Long, Double)].collect()
+    assert(salted.toSet === expected)
+    assert(salted.length === expected.size, "salting duplicated pairs")
+  }
+
+  test("nearest join: nulls, k past the build size, and guard rails") {
+    val withNull = points.limit(10).unionByName(
+      spark.range(1).select(lit(9999L).as("pt_id"),
+        lit(null).cast("binary").as("geometry")))
+    val inner = SpatialJoin.sjoinNearest(withNull, boxes, k = 1,
+      maxDistance = 100.0)
+    assert(!inner.select($"pt_id").as[Long].collect().contains(9999L))
+    val leftJ = SpatialJoin.sjoinNearest(withNull, boxes, k = 1,
+        maxDistance = 100.0, how = "left")
+      .select($"pt_id", $"box_id").as[(Long, Option[Long])].collect()
+    assert(leftJ.exists { case (p, b) => p == 9999L && b.isEmpty })
+    // k larger than the build side: everything within maxDistance returns
+    val tiny = boxes.filter($"box_id" < 2)
+    val all = SpatialJoin.sjoinNearest(points.limit(5), tiny, k = 100,
+        maxDistance = 1000.0)
+      .select($"pt_id", $"box_id").as[(Long, Long)].collect()
+    assert(all.length === 10)
+    // unbounded + un-broadcastable build side: loud, actionable error
+    val err = intercept[IllegalArgumentException] {
+      SpatialJoin.sjoinNearest(points, boxes, k = 1, maxBuildRows = 10)
+    }
+    assert(err.getMessage.contains("maxDistance"))
+    // distanceCol clashing with an output column: rejected
+    val clash = intercept[IllegalArgumentException] {
+      SpatialJoin.sjoinNearest(points, boxes, k = 1, maxDistance = 5.0,
+        distanceCol = Some("box_id"))
+    }
+    assert(clash.getMessage.contains("clash"))
+    // the partitioned door refuses an unbounded maxDistance
+    val unb = intercept[IllegalArgumentException] {
+      SpatialJoin.sjoinNearestPartitioned(points, boxes, k = 1,
+        maxDistance = Double.PositiveInfinity)
+    }
+    assert(unb.getMessage.contains("finite"))
+  }
+
   test("st_equals joins decline the spatial tiers and keep empty-empty pairs") {
     // ADVICE r9: st_equals used to sit in the planner's Converse table but
     // the execution kernels had no "equals" case — a matched plan failed at
