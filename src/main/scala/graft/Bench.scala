@@ -147,12 +147,18 @@ object Bench {
     }),
     // distributed k-nearest join (r15): the partitioned door — cell
     // shuffle with build-side expansion, per-cell STRtree kNN, global
-    // rank window. Each left point's only in-range neighbor is its own
-    // key's right point (the 16-unit lattice keeps others ≥ 12 away).
+    // rank window. Its OWN unbounded lattice (k*16, no modulo — the
+    // shared xmin wraps at k=1e6, which would co-locate keys past that
+    // at larger SFs): each left point's only in-range neighbor is its
+    // own key's right point, every other key sits ≥ 16 units away on
+    // the x axis — a constant-density workload at every SF.
     "geo_sjoin_nearest" -> ((s, dir) => {
-      val left = orders(s, dir).select(k.as("lk"), pt.as("geometry"))
+      val lx = k.cast("double") * 16.0
+      val ly = (k % 16).cast("double") * 16.0
+      val left = orders(s, dir).select(k.as("lk"),
+        st_point(lx + w / 2, ly + h / 2).as("geometry"))
       val right = orders(s, dir).select(k.as("rk"),
-        st_point(xmin + w, ymin + h).as("geometry"))
+        st_point(lx + w, ly + h).as("geometry"))
       graft.join.SpatialJoin.sjoinNearestPartitioned(left, right, k = 2,
           maxDistance = 8.0, distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))

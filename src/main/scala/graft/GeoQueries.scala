@@ -26,11 +26,16 @@ object GeoQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** orders → (k, derived dyadic box/point columns), the shared scheme. */
   /** DuckDB truth for the nearest-join keys: within-cluster cross
-    * product, sqrt in the SAME form the join computes (the filter
-    * compares the sqrt, not the square — identical doubles, identical
-    * boundary behavior), rank() ≤ 2 ties-inclusive. */
+    * product, `sqrt` of an exactly-representable dx²+dy², rank() ≤ 2
+    * ties-inclusive. The Spark side RECOMPUTES the hashed distance the
+    * same way (correctly-rounded `sqrt` over the same exact double —
+    * see the geo_sjoin_nearest scaladoc), so the hashed column is
+    * bit-exact by construction. The join's own distance (JTS
+    * `Math.hypot`) only decides membership and ranks; hypot == sqrt
+    * bitwise over every lattice value this fixture can reach
+    * (NearestHypotSpec pins that, so a divergent JDK fails loudly in
+    * the spec, not mysteriously here). */
   private val nearestOracleSql: String =
     """WITH l AS (SELECT o_orderkey AS lk, o_orderkey%50 AS c,
       |  CAST(o_orderkey%50 AS DOUBLE)*1000 + CAST(o_orderkey%10 AS DOUBLE) AS lx,
@@ -62,6 +67,7 @@ object GeoQueries {
     (l, r)
   }
 
+  /** orders → (k, derived dyadic box/point columns), the shared scheme. */
   private def base(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey").as("k"))
 
@@ -1556,25 +1562,34 @@ object GeoQueries {
       * reference surface — polars-st has only row-wise nearest_points):
       * 50 well-separated point clusters; each left point takes its
       * ties-inclusive 2 nearest right points within 1.5 planar units.
-      * Distances hash bit-exact across engines: lattice coordinates are
-      * dyadic, dx²+dy² is exact, and IEEE-754 sqrt is correctly rounded
-      * on both the JVM and DuckDB — so the raw doubles agree to the bit.
-      * This key drives the broadcast tier (auto door);
-      * geo_sjoin_nearest_grid drives the partitioned door on the same
-      * truth. */
+      * The HASHED distance is recomputed here as `sqrt(dx·dx + dy·dy)`
+      * from the output geometries — lattice coordinates are dyadic, so
+      * dx²+dy² is exact in a double and IEEE-754 `sqrt` is correctly
+      * rounded on both the JVM and DuckDB: bit-exact by construction,
+      * independent of how the join measured. The join's own distance
+      * (JTS point distance routes through `Math.hypot`, which carries
+      * only a 1-ulp spec) decides membership and ranks; NearestHypotSpec
+      * pins hypot == sqrt bitwise over every (dx², dy²) this fixture can
+      * reach, so a divergent JDK fails in the spec, not here. This key
+      * drives the broadcast tier (auto door); geo_sjoin_nearest_grid
+      * drives the partitioned door on the same truth. */
     "geo_sjoin_nearest" -> ((s, dir) => {
       val (l, r) = nearestFixture(s, dir)
+      val dx = st_x(col("geometry")) - st_x(col("geometry_right"))
+      val dy = st_y(col("geometry")) - st_y(col("geometry_right"))
       graft.join.SpatialJoin.sjoinNearest(l, r, k = 2, maxDistance = 1.5,
-          distanceCol = Some("d"))
-        .select(col("lk"), col("rk"), col("d"))
+          distanceCol = Some("d0"))
+        .select(col("lk"), col("rk"), sqrt(dx * dx + dy * dy).as("d"))
         .orderBy(col("lk"), col("rk"))
     }),
 
     "geo_sjoin_nearest_grid" -> ((s, dir) => {
       val (l, r) = nearestFixture(s, dir)
+      val dx = st_x(col("geometry")) - st_x(col("geometry_right"))
+      val dy = st_y(col("geometry")) - st_y(col("geometry_right"))
       graft.join.SpatialJoin.sjoinNearestPartitioned(l, r, k = 2,
-          maxDistance = 1.5, distanceCol = Some("d"), cellSize = 2.0)
-        .select(col("lk"), col("rk"), col("d"))
+          maxDistance = 1.5, distanceCol = Some("d0"), cellSize = 2.0)
+        .select(col("lk"), col("rk"), sqrt(dx * dx + dy * dy).as("d"))
         .orderBy(col("lk"), col("rk"))
     }),
 

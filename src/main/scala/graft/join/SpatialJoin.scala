@@ -1081,7 +1081,7 @@ object SpatialJoin {
     val buildCells = buildIdx.select(col(bIdxName), col(bGeom))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) =>
-        gridCellsOfExpanded(b, csV, maxD).map(c => (c, id, b)) }
+        gridCellsOf(b, csV, pad = maxD).map(c => (c, id, b)) }
 
     val triples = saltedCogroup(buildCells, probeCells, maxCellRows,
       pairsPerTask) { (key, bIt, pIt) =>
@@ -1212,28 +1212,17 @@ object SpatialJoin {
   val CellCol = "__cell"
 
   /** Covering grid cells of an EWKB envelope, packed (cx << 32 | cy) —
-    * the same scheme [[sjoinPartitioned]] shuffles on. */
-  private[graft] def gridCellsOf(bytes: Array[Byte], cs: Double): Seq[Long] = {
-    if (bytes == null) return Nil
-    val e = EWKB.read(bytes).getEnvelopeInternal
-    if (e.isNull) return Nil
-    val (x0, x1) = (math.floor(e.getMinX / cs).toLong, math.floor(e.getMaxX / cs).toLong)
-    val (y0, y1) = (math.floor(e.getMinY / cs).toLong, math.floor(e.getMaxY / cs).toLong)
-    for (cx <- x0 to x1; cy <- y0 to y1) yield (cx << 32) | (cy & 0xffffffffL)
-  }
-
-  /** Covering grid cells of an EWKB envelope expanded by `pad` — the
-    * nearest tier's build-side assignment: any geometry within `pad`
-    * planar distance of a probe geometry then shares at least one cell
-    * with it (axis separation ≤ pad on both axes ⇒ the expanded envelope
-    * overlaps the probe's). */
-  private[graft] def gridCellsOfExpanded(bytes: Array[Byte], cs: Double,
-      pad: Double): Seq[Long] = {
+    * the same scheme [[sjoinPartitioned]] shuffles on. A positive `pad`
+    * expands the envelope first (the nearest tier's build-side
+    * assignment: any geometry within `pad` planar distance of a probe
+    * geometry then shares at least one cell with it — axis separation ≤
+    * pad on both axes ⇒ the expanded envelope overlaps the probe's). */
+  private[graft] def gridCellsOf(bytes: Array[Byte], cs: Double,
+      pad: Double = 0.0): Seq[Long] = {
     if (bytes == null) return Nil
     val e0 = EWKB.read(bytes).getEnvelopeInternal
     if (e0.isNull) return Nil
-    val e = new Envelope(e0)
-    e.expandBy(pad)
+    val e = if (pad > 0) { val x = new Envelope(e0); x.expandBy(pad); x } else e0
     val (x0, x1) = (math.floor(e.getMinX / cs).toLong, math.floor(e.getMaxX / cs).toLong)
     val (y0, y1) = (math.floor(e.getMinY / cs).toLong, math.floor(e.getMaxY / cs).toLong)
     for (cx <- x0 to x1; cy <- y0 to y1) yield (cx << 32) | (cy & 0xffffffffL)
