@@ -223,6 +223,19 @@ object Bench {
       graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkt_l",
         "graft_bench_bkt_r", 16.0, "contains", refineViaUdf = true)
     }),
+    // exchange-free k-nearest against the build-once store (write
+    // untimed, like the other bucketed keys): probe shuffle + codegen'd
+    // st_nearest_match kernel + rank window — the repeated-nearest-join
+    // constant, vs geo_sjoin_nearest's cogroup tier on a like workload
+    "geo_sjoin_nearest_bucketed" -> ((s, dir) => {
+      BktSetup.get(s, dir)
+      val probe = orders(s, dir).select(k.as("lk"),
+        st_point(xmin + w, ymin + h).as("geometry"))
+      graft.join.SpatialJoin.sjoinNearestBucketed(s, probe,
+          "graft_bench_bkt_r", 16.0, k = 2, maxDistance = 8.0,
+          distanceCol = Some("d"))
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+    }),
     // skewed bucketed join: ONE cell past the hot-pair bound (4096 x
     // 2048 = 8.4M candidate pairs) over a uniform background — tracks
     // the r14 hot-cell salting path per round (fixture = ProbeBucketHot's

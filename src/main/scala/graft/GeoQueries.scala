@@ -1593,6 +1593,23 @@ object GeoQueries {
         .orderBy(col("lk"), col("rk"))
     }),
 
+    /** The exchange-free nearest tier on the same truth: the build side
+      * is a [[graft.join.SpatialJoin.writeSpatialBucketed]] store (cells
+      * stamped at write time, never reshuffled); only the probe side
+      * shuffles, to its maxDistance-padded cells. Same hashed-distance
+      * recomputation as the other two nearest rows. */
+    "geo_sjoin_nearest_bucketed" -> ((s, dir) => {
+      val (l, r) = nearestFixture(s, dir)
+      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_nn_store")
+      graft.join.SpatialJoin.writeSpatialBucketed(r, "graft_q_nn_store", 2.0, 16)
+      val dx = st_x(col("geometry")) - st_x(col("geometry_right"))
+      val dy = st_y(col("geometry")) - st_y(col("geometry_right"))
+      graft.join.SpatialJoin.sjoinNearestBucketed(s, l, "graft_q_nn_store",
+          cellSize = 2.0, k = 2, maxDistance = 1.5, distanceCol = Some("d0"))
+        .select(col("lk"), col("rk"), sqrt(dx * dx + dy * dy).as("d"))
+        .orderBy(col("lk"), col("rk"))
+    }),
+
     // ---------------------------------------------------- §2.13 frame I/O
     "geo_io" -> ((s, dir) => {
       val df = base(s, dir).select(k, rect.as("geometry"))
@@ -2174,6 +2191,7 @@ object GeoQueries {
         |WHERE px > rx AND px < rx + 4 AND py > ry AND py < ry + 4""".stripMargin,
     "geo_sjoin_nearest" -> nearestOracleSql,
     "geo_sjoin_nearest_grid" -> nearestOracleSql,
+    "geo_sjoin_nearest_bucketed" -> nearestOracleSql,
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
          | w*h AS wkb_area, 4326 AS wkb_srid,

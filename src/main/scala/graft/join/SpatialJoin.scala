@@ -1826,34 +1826,9 @@ object SpatialJoin {
             // bucket-pruned count per ESTIMATED side, restricted to the
             // cells that need it, replaces estimates with real counts,
             // then the bound re-applies.
-            // Small candidate sets keep the isin form — it reaches
-            // Spark's bucket pruning, so the recount reads ONLY the
-            // matching bucket files. A sidecar-sized histogram can flag
-            // thousands of candidates, where the In expression itself
-            // stalls driver analysis: past the cut, fall back to a
-            // broadcast set + typed filter (full scan of the projected
-            // cell column — scan cost beats a 10^4-child In). The key
-            // column is projected before the typed filter so no
-            // geometry blob deserializes just to read a cell id.
-            def exactCounts(tbl: String, forCells: Iterable[Long]): Map[Long, Long] = {
-              val keys = forCells.toSeq
-              if (keys.lengthCompare(256) <= 0)
-                spark.table(tbl)
-                  .filter(col(CellCol).isin(keys.map(java.lang.Long.valueOf): _*))
-                  .groupBy(col(CellCol)).count().collect()
-                  .map(row => row.getLong(0) -> row.getLong(1)).toMap
-              else {
-                val bcKeys = spark.sparkContext.broadcast(keys.toSet)
-                spark.table(tbl).select(col(CellCol))
-                  .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-                  .filter(c => bcKeys.value.contains(c))
-                  .groupByKey(identity)(org.apache.spark.sql.Encoders.scalaLong)
-                  .count().collect().toMap
-              }
-            }
-            val lx = if (needL) exactCounts(leftTable,
+            val lx = if (needL) exactCellCounts(spark.table(leftTable),
               cand.collect { case (c, h) if !h.lnExact => c }) else Map.empty[Long, Long]
-            val rx = if (needR) exactCounts(rightTable,
+            val rx = if (needR) exactCellCounts(spark.table(rightTable),
               cand.collect { case (c, h) if !h.rnExact => c }) else Map.empty[Long, Long]
             cand.flatMap { case (c, h) =>
               val ln = if (h.lnExact) h.ln else lx.getOrElse(c, 0L)
@@ -1876,26 +1851,43 @@ object SpatialJoin {
           Map.empty
       }
     }
-    // plan-size bound: the hot/cold routing below is isin over the
-    // salted-cell list (sidecar histograms can surface thousands of
-    // hot cells) — salt the heaviest MaxSaltedCells and say what was
-    // left on the unsalted path
-    val hot: Map[Long, (Long, Long)] =
-      if (hotAll.size <= MaxSaltedCells) hotAll
-      else {
-        log.warn(s"sjoinBucketed($leftTable, $rightTable): ${hotAll.size} " +
-          s"cells reach $hotPairsBound pairs — salting only the heaviest " +
-          s"$MaxSaltedCells (plan-size bound); a grid with this many hot " +
-          "cells wants a larger cellSize")
-        hotAll.toSeq
-          .sortBy { case (c, (ln, rn)) => (-(ln.toDouble * rn), c) }
-          .take(MaxSaltedCells).toMap
-      }
-    val cold0 = l.join(r, CellCol).filter(refine)
-    if (hot.isEmpty) cold0.drop(CellCol)
+    routedCellJoin(spark, l, r, hotAll, hotPairsBound, saltSliceRows, maxSalt,
+      s"sjoinBucketed($leftTable, $rightTable)")
+      .filter(refine).drop(CellCol)
+  }
+
+  /** The cell equi-join with hot cells routed through the 2-D
+    * row-id-salted sub-join — the routing core shared by [[sjoinBucketed]]
+    * and [[sjoinNearestBucketed]]. Returns `l ⋈ r` on [[CellCol]] (kept in
+    * the output); the caller applies its per-pair refinement — Catalyst
+    * pushes the filter through the union into both branches — and drops
+    * the cell column. `hotAll` maps cell → (leftRows, rightRows), EXACT
+    * counts only (sizing from an estimate replicates a huge side for
+    * zero pairs — candidacy/sizing split, r14); the heaviest
+    * [[MaxSaltedCells]] are salted (the routing is isin over the salted
+    * list — a plan-size bound). */
+  private def routedCellJoin(spark: org.apache.spark.sql.SparkSession,
+      l: DataFrame, r: DataFrame, hotAll: Map[Long, (Long, Long)],
+      hotPairsBound: Long, saltSliceRows: Int, maxSalt: Int,
+      logCtx: String): DataFrame = {
+    val cold0 = l.join(r, CellCol)
+    if (hotAll.isEmpty) cold0
     else {
-      log.info(s"sjoinBucketed($leftTable, $rightTable): salting " +
-        s"${hot.size} hot cell(s) past $hotPairsBound pairs")
+      val hot: Map[Long, (Long, Long)] =
+        if (hotAll.size <= MaxSaltedCells) hotAll
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$logCtx: ${hotAll.size} cells reach $hotPairsBound pairs — " +
+              s"salting only the heaviest $MaxSaltedCells (plan-size " +
+              "bound); a grid with this many hot cells wants a larger " +
+              "cellSize")
+          hotAll.toSeq
+            .sortBy { case (c, (ln, rn)) => (-(ln.toDouble * rn), c) }
+            .take(MaxSaltedCells).toMap
+        }
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      log.info(s"$logCtx: salting ${hot.size} hot cell(s) past " +
+        s"$hotPairsBound pairs")
       val hotKeys = hot.keys.toSeq.map(java.lang.Long.valueOf)
       // per cell: q restores the buffered side's cache reach, p restores
       // parallelism against the pair product (per-task pairs ≤ bound/4)
@@ -1948,10 +1940,182 @@ object SpatialJoin {
       // FULL replicated left build — and re-create the thrash the salt
       // exists to break (measured in ProbeBucketHot, PERF.md r14).
       val salted = lHot.hint("merge").join(rHot, Seq(CellCol, lSalt, rSalt))
-        .filter(refine).drop(lSalt, rSalt)
+        .drop(lSalt, rSalt)
       cold0.filter(!col(CellCol).isin(hotKeys: _*))
-        .unionByName(salted).drop(CellCol)
+        .unionByName(salted)
     }
+  }
+
+  /** Exact per-cell row counts of `df` (any frame carrying [[CellCol]])
+    * restricted to `forCells`. Small candidate sets keep the isin form —
+    * over a bucketed store it reaches Spark's bucket pruning, so the
+    * recount reads ONLY the matching bucket files. A sidecar-sized
+    * histogram can flag thousands of candidates, where the In expression
+    * itself stalls driver analysis: past the cut, fall back to a
+    * broadcast set + typed filter (full scan of the projected cell
+    * column — scan cost beats a 10^4-child In). The key column is
+    * projected before the typed filter so no geometry blob deserializes
+    * just to read a cell id. */
+  private def exactCellCounts(df: DataFrame, forCells: Iterable[Long]): Map[Long, Long] = {
+    val keys = forCells.toSeq
+    if (keys.isEmpty) Map.empty
+    else if (keys.lengthCompare(256) <= 0)
+      df.filter(col(CellCol).isin(keys.map(java.lang.Long.valueOf): _*))
+        .groupBy(col(CellCol)).count().collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    else {
+      val bcKeys = df.sparkSession.sparkContext.broadcast(keys.toSet)
+      df.select(col(CellCol))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .filter(c => bcKeys.value.contains(c))
+        .groupByKey(identity)(org.apache.spark.sql.Encoders.scalaLong)
+        .count().collect().toMap
+    }
+  }
+
+  /** One-pass heavy-cell census of an exploded probe frame — the probe
+    * side's stand-in for a store's stamped histogram: exact counts of
+    * every cell holding ≥ [[HeavyCellMinRows]] rows, capped at
+    * [[SidecarCellCap]] entries on the driver (past the cap: heaviest
+    * kept, `truncated` set, so [[CellHist.absentBound]] stays sound). */
+  private def probeCellHist(probeCells: DataFrame): CellHist = {
+    val rows = probeCells.groupBy(col(CellCol)).count()
+      .filter(col("count") >= HeavyCellMinRows)
+      .orderBy(col("count").desc, col(CellCol))
+      .limit(SidecarCellCap + 1).collect()
+    val truncated = rows.length > SidecarCellCap
+    CellHist(rows.take(SidecarCellCap)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap, truncated)
+  }
+
+  /** k-nearest join of a probe frame against a [[writeSpatialBucketed]]
+    * store — [[sjoinNearestPartitioned]]'s exchange-free sibling: the
+    * STORE side never shuffles (its rows are already exploded to cells,
+    * bucketed and sorted), only the probe side does, to the cells
+    * covering each probe envelope expanded by `maxDistance` (padding the
+    * PROBE side is equivalent to the partitioned tier's build-side
+    * padding — either way an in-range pair shares a cell; the store's
+    * cells were stamped unpadded at write time, so the pad must ride the
+    * probe). Per pair, the codegen'd [[graft.plans.STNearestMatch]]
+    * evaluates envelope reject → ownership corner (expanded-probe ∩
+    * build envelope — exactly-once across cells) → distance → the
+    * `exclusive` rule in one whole-stage-codegen'd expression; one
+    * rank() window over the probe id finishes the ties-inclusive global
+    * top-k (`rank() <= k` — every build row at the kth distance kept).
+    *
+    * Hot cells route through the same 2-D salted sub-join as
+    * [[sjoinBucketed]]: the store side's counts come from its stamped
+    * histogram (estimates recounted bucket-pruned before sizing), the
+    * probe side's from a one-pass census of the exploded frame (exact
+    * by construction). A store with no readable histogram warns and
+    * keeps the unsalted plan, like the predicate door.
+    *
+    * @param how "inner" drops unmatched probe rows; "left" keeps them
+    *        with null store columns. For "right" semantics (each STORE
+    *        row probing the frame) use [[sjoinNearest]] — a store-side
+    *        outer over a frame inverts the exchange-free premise.
+    * @param cellSize must be the value the store was written with.
+    * @param maxDistance required finite: the cell scheme has no search
+    *        bound without it. */
+  def sjoinNearestBucketed(spark: org.apache.spark.sql.SparkSession,
+      probe: DataFrame, buildTable: String, cellSize: Double, k: Int = 1,
+      maxDistance: Double = Double.NaN, how: String = "inner",
+      probeGeom: String = "geometry", buildGeom: String = "geometry",
+      suffix: String = "_right", distanceCol: Option[String] = None,
+      exclusive: Boolean = false, saltHotCells: Boolean = true,
+      hotPairsBound: Long = DefaultHotPairsBound,
+      saltSliceRows: Int = 1024, maxSalt: Int = 64): DataFrame = {
+    require(k >= 1, s"sjoinNearestBucketed: k must be >= 1, got $k")
+    require(!maxDistance.isNaN && !maxDistance.isInfinite && maxDistance > 0,
+      "sjoinNearestBucketed needs a finite positive maxDistance — the " +
+        "cell scheme has no search bound without one (use sjoinNearest " +
+        "with a broadcastable build side for unbounded searches)")
+    require(Set("inner", "left")(how),
+      s"unsupported how: $how (sjoinNearestBucketed supports inner and " +
+        "left; for right semantics run sjoinNearest with the store read " +
+        "as a plain frame)")
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val probeCols = probe.columns.toSeq
+    require(probeCols.contains(probeGeom),
+      s"sjoinNearestBucketed: probe frame has no '$probeGeom' column")
+    require(!probeCols.contains(CellCol),
+      s"sjoinNearestBucketed: probe frame must not carry '$CellCol'")
+    val store = renameClashes(spark.table(buildTable), probeCols, suffix)
+    val bg = if (probeCols.contains(buildGeom)) buildGeom + suffix else buildGeom
+    require(store.columns.contains(CellCol),
+      s"$buildTable is not a writeSpatialBucketed store (no $CellCol column)")
+    require(store.columns.contains(bg),
+      s"sjoinNearestBucketed: store has no '$buildGeom' column")
+    val storeOutCols = store.columns.filterNot(_ == CellCol).toSeq
+    distanceCol.foreach { n =>
+      require(!(probeCols.toSet ++ storeOutCols).contains(n),
+        s"sjoinNearestBucketed: distanceCol '$n' clashes with an output column")
+    }
+    val cs = cellSize; val maxD = maxDistance; val kk = k
+    val PIdx = "__graft_npidx"; val PGeomT = "__graft_npgeom"
+    val DCol = "__graft_ndist"
+    val probeIdx = withStableIndex(probe, PIdx)
+    val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs, pad = maxD))
+    val probeCells = probeIdx
+      .select(col(PIdx), col(probeGeom).as(PGeomT))
+      .withColumn(CellCol, explode(cellsUdf(col(PGeomT))))
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
+      heavyCellsOf(spark, buildTable) match {
+        case Some(bh) =>
+          val ph = probeCellHist(probeCells)
+          if (bh.truncated &&
+              pastPairBound(ph.absentBound, bh.absentBound, hotPairsBound))
+            log.warn(s"sjoinNearestBucketed($buildTable): the store's " +
+              "truncated cell histogram's dropped cells can combine past " +
+              "the hot-pair bound — such cells cannot be salted. A grid " +
+              "this dense wants a larger cellSize.")
+          val cand = hotCellsIn(ph, bh, hotPairsBound)
+          // probe-side counts are census-exact; only store-side
+          // estimates (absent-from-histogram cells) need a recount
+          val needB = cand.collect { case (c, h) if !h.rnExact => c }
+          val bx = exactCellCounts(spark.table(buildTable), needB)
+          // a probe-census-absent cell's count is an upper bound too —
+          // recount before sizing, same discipline as the store side
+          val needP = cand.collect { case (c, h) if !h.lnExact => c }
+          val px = exactCellCounts(probeCells, needP)
+          cand.flatMap { case (c, h) =>
+            val pn = if (h.lnExact) h.ln else px.getOrElse(c, 0L)
+            val bn = if (h.rnExact) h.rn else bx.getOrElse(c, 0L)
+            if (pastPairBound(pn, bn, hotPairsBound)) Some(c -> (pn, bn)) else None
+          }
+        case None =>
+          log.warn(s"sjoinNearestBucketed($buildTable): the store has no " +
+            "readable cell histogram (pre-r14 store or unreadable " +
+            "metadata) — hot-cell salting is OFF for this join; run " +
+            "stampCellHistogram to enable it")
+          Map.empty
+      }
+    }
+    // probe streams, store slices buffer (q sized on store counts —
+    // the merge-hinted SMJ cycles one ~saltSliceRows store slice per group)
+    val joined = routedCellJoin(spark, probeCells, store, hot,
+      hotPairsBound, saltSliceRows, maxSalt,
+      s"sjoinNearestBucketed($buildTable)")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dExpr = ColumnBridge.column(graft.plans.STNearestMatch(
+      ColumnBridge.expression(col(PGeomT)),
+      ColumnBridge.expression(col(bg)),
+      ColumnBridge.expression(col(CellCol)), cs, maxD, exclusive))
+    val pairs = joined.withColumn(DCol, dExpr)
+      .filter(col(DCol).isNotNull && !isnan(col(DCol)))
+      .drop(CellCol, PGeomT)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = pairs
+      .withColumn("__graft_nrank",
+        rank().over(Window.partitionBy(col(PIdx)).orderBy(col(DCol))))
+      .filter(col("__graft_nrank") <= kk)
+      .drop("__graft_nrank")
+    val attached = probeIdx.join(ranked, Seq(PIdx),
+      if (how == "left") "left" else "inner")
+    attached.select(
+      (probeCols.map(col) ++ storeOutCols.map(col)
+        ++ distanceCol.map(nm => col(DCol).as(nm)).toSeq): _*)
   }
 
   /** Name-based entry to the bucketed refinement kernel, kept for the

@@ -164,6 +164,39 @@ object GeoNative {
       }
     }
   }
+
+  /** The bucketed NEAREST tier's per-pair kernel — [[bucketedMatch]]'s
+    * distance analog, inlined into whole-stage codegen by
+    * [[STNearestMatch]]. Returns the planar distance when the pair is
+    * in range AND this cell owns it, else NaN (the caller filters).
+    * Exactly one EWKB parse per side; the cheap envelope reject runs
+    * before the distance. The ownership corner lives in the PROBE
+    * envelope expanded by `maxD` intersected with the build envelope —
+    * matching the probe side's padded cell assignment
+    * ([[graft.join.SpatialJoin.sjoinNearestBucketed]] explodes probes
+    * with `pad = maxDistance`; the stored build side is unpadded), so
+    * every in-range pair is seen by exactly one shared cell. The
+    * `exclusive` rule tests topological equality only on distance-0
+    * pairs — no other pair can be equal. */
+  def nearestMatch(pb: Array[Byte], bb: Array[Byte], cell: Long,
+      cs: Double, maxD: Double, exclusive: Boolean): Double = {
+    if (pb == null || bb == null) return Double.NaN
+    val pg = EWKB.read(pb); val bg = EWKB.read(bb)
+    if (pg.isEmpty || bg.isEmpty) return Double.NaN
+    val pe = pg.getEnvelopeInternal
+    val be = bg.getEnvelopeInternal
+    // axis separation > maxD on either axis ⇒ distance > maxD
+    val ix = math.max(pe.getMinX - maxD, be.getMinX)
+    val iy = math.max(pe.getMinY - maxD, be.getMinY)
+    if (ix > math.min(pe.getMaxX + maxD, be.getMaxX) ||
+        iy > math.min(pe.getMaxY + maxD, be.getMaxY)) return Double.NaN
+    val cx = (cell >> 32).toDouble * cs
+    val cy = (cell << 32 >> 32).toDouble * cs
+    if (!(ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs)) return Double.NaN
+    val d = pg.distance(bg)
+    if (d > maxD || (exclusive && d == 0.0 && pg.equalsTopo(bg))) Double.NaN
+    else d
+  }
 }
 
 private[plans] object NativeTypeCheck {
@@ -349,6 +382,33 @@ case class STBucketedMatch(first: Expression, second: Expression, third: Express
       s"graft.plans.GeoNative.bucketedMatch($a, $b, $c, ${cellSize}D, $predCode)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): STBucketedMatch = copy(first = f, second = s, third = t)
+}
+
+/** The bucketed nearest join's per-pair kernel, codegen'd —
+  * [[GeoNative.nearestMatch]] as an expression: (probeGeom, buildGeom,
+  * cellId) → planar distance, NaN when out of range or not owned by the
+  * cell. Like [[STBucketedMatch]], constructed by the join API only —
+  * the cell-id contract is an internal layout. */
+case class STNearestMatch(first: Expression, second: Expression, third: Expression,
+    cellSize: Double, maxDist: Double, exclusive: Boolean) extends TernaryExpression {
+  override def prettyName: String = "st_nearest_match"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    val bin = NativeTypeCheck.binary("st_nearest_match", first, second)
+    if (!bin.isSuccess) bin
+    else if (third.dataType != org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_nearest_match expects a LONG cell id, got ${third.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeoNative.nearestMatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Long], cellSize, maxDist, exclusive)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.plans.GeoNative.nearestMatch($a, $b, $c, ${cellSize}D, ${maxDist}D, $exclusive)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): STNearestMatch = copy(first = f, second = s, third = t)
 }
 
 object GeoExpressions {

@@ -1081,6 +1081,130 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(unb.getMessage.contains("finite"))
   }
 
+  test("nearest join against a bucketed store: brute-force equality, left, exclusive") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn")
+      SpatialJoin.writeSpatialBucketed(
+        points.withColumnRenamed("pt_id", "bid"), "graft_bkt_nn",
+        cellSize = 8.0, buckets = 4)
+      val expected = bruteNearest(geomsOf(boxes, "box_id", "geometry"),
+        geomsOf(spark.table("graft_bkt_nn").drop(SpatialJoin.CellCol)
+          .distinct(), "bid", "geometry"), k = 2, maxD = 5.0)
+      assert(expected.nonEmpty)
+      val got = SpatialJoin.sjoinNearestBucketed(spark, boxes, "graft_bkt_nn",
+          cellSize = 8.0, k = 2, maxDistance = 5.0, distanceCol = Some("d"))
+      val rows = got.select($"box_id", $"bid", $"d")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.toSet === expected)
+      // ownership rule: exactly one emission per pair, no dedup shuffle
+      assert(rows.length === expected.size, "duplicate pairs (ownership broken)")
+      // the per-pair kernel is the codegen'd expression, not a UDF
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("st_nearest_match"),
+        "codegen'd nearest kernel missing from the plan")
+      // how=left keeps unmatched probes with null store columns (the
+      // five far probes sit 400+ units from every store point)
+      val probesL = boxes.unionByName(spark.range(5).select(
+        ($"id" + 9000).as("box_id"),
+        st_point($"id".cast("double") + 500.0, lit(500.0)).as("geometry")))
+      val leftJ = SpatialJoin.sjoinNearestBucketed(spark, probesL, "graft_bkt_nn",
+          cellSize = 8.0, k = 1, maxDistance = 0.25, how = "left",
+          distanceCol = Some("d"))
+        .select($"box_id", $"bid", $"d")
+        .as[(Long, Option[Long], Option[Double])].collect()
+      assert(leftJ.map(_._1).distinct.length === 205)
+      assert(leftJ.count { case (p, b, _) => p >= 9000 && b.isEmpty } === 5,
+        "far probes did not survive how=left unmatched")
+      leftJ.foreach { case (_, b, d) => assert(b.isDefined === d.isDefined) }
+      // exclusive: self-join against the store skips the equal geometry
+      val selfStore = SpatialJoin.sjoinNearestBucketed(spark,
+          points.limit(50), "graft_bkt_nn", cellSize = 8.0, k = 1,
+          maxDistance = 50.0, exclusive = true, distanceCol = Some("d"))
+        .select($"pt_id", $"bid", $"d").as[(Long, Long, Double)].collect()
+      assert(selfStore.forall { case (p, b, d) => p != b && d > 0.0 })
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn")
+    }
+  }
+
+  test("bucketed nearest join: hot cells salt to the same ties-inclusive result") {
+    // one hot cell: 3000 store points in [0,1)², probes clustered on it;
+    // background store rows in distant cells keep the cold branch alive
+    val store = spark.range(3000).select($"id".as("bid"),
+        st_point(($"id" % 55).cast("double") / 64.0 + 0.1,
+          ($"id" % 47).cast("double") / 64.0 + 0.1).as("geometry"))
+      .union(spark.range(40).select(($"id" + 10000).as("bid"),
+        st_point($"id".cast("double") + 20.25, lit(0.25)).as("geometry")))
+    val probes = spark.range(400).select($"id".as("pid"),
+        st_point(($"id" % 31).cast("double") / 40.0 + 0.1,
+          ($"id" % 29).cast("double") / 40.0 + 0.1).as("geometry"))
+      .union(spark.range(10).select(($"id" + 5000).as("pid"),
+        st_point($"id".cast("double") + 20.3, lit(0.3)).as("geometry")))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_hot")
+      SpatialJoin.writeSpatialBucketed(store, "graft_bkt_nn_hot",
+        cellSize = 1.0, buckets = 4)
+      def run(salt: Boolean, bound: Long) =
+        SpatialJoin.sjoinNearestBucketed(spark, probes, "graft_bkt_nn_hot",
+          cellSize = 1.0, k = 3, maxDistance = 0.3, distanceCol = Some("d"),
+          saltHotCells = salt, hotPairsBound = bound, saltSliceRows = 64)
+      val plain = run(salt = false, bound = 50000L)
+      val expected = plain.select($"pid", $"bid", $"d")
+        .as[(Long, Long, Double)].collect()
+      val salted = run(salt = true, bound = 50000L)
+      assert(salted.queryExecution.optimizedPlan.toString.contains("__lsalt"),
+        "hot cell did not route through the salted sub-join")
+      val saltedRows = salted.select($"pid", $"bid", $"d")
+        .as[(Long, Long, Double)].collect()
+      assert(saltedRows.toSet === expected.toSet, "salted result diverged")
+      assert(saltedRows.length === expected.length, "salting duplicated pairs")
+      // cold-branch (background) pairs survive alongside the salted cell
+      assert(expected.exists(_._1 >= 5000), "cold-cell pairs lost")
+      // production default bound: unsalted plan, same answer
+      val def_ = run(salt = true, bound = SpatialJoin.DefaultHotPairsBound)
+      assert(!def_.queryExecution.optimizedPlan.toString.contains("__lsalt"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_hot")
+    }
+  }
+
+  test("bucketed nearest join: guard rails") {
+    SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_g")
+    SpatialJoin.writeSpatialBucketed(
+      points.withColumnRenamed("pt_id", "bid"), "graft_bkt_nn_g",
+      cellSize = 8.0, buckets = 2)
+    try {
+      val right = intercept[IllegalArgumentException] {
+        SpatialJoin.sjoinNearestBucketed(spark, boxes, "graft_bkt_nn_g",
+          cellSize = 8.0, maxDistance = 1.0, how = "right")
+      }
+      assert(right.getMessage.contains("sjoinNearest"))
+      val unb = intercept[IllegalArgumentException] {
+        SpatialJoin.sjoinNearestBucketed(spark, boxes, "graft_bkt_nn_g",
+          cellSize = 8.0, maxDistance = Double.PositiveInfinity)
+      }
+      assert(unb.getMessage.contains("finite"))
+      // a plain (non-store) view is rejected with an actionable message
+      boxes.createOrReplaceTempView("graft_nn_plain")
+      val notStore = intercept[IllegalArgumentException] {
+        SpatialJoin.sjoinNearestBucketed(spark, points, "graft_nn_plain",
+          cellSize = 8.0, maxDistance = 1.0)
+      }
+      assert(notStore.getMessage.contains("not a writeSpatialBucketed store"))
+      val clash = intercept[IllegalArgumentException] {
+        SpatialJoin.sjoinNearestBucketed(spark, boxes, "graft_bkt_nn_g",
+          cellSize = 8.0, maxDistance = 1.0, distanceCol = Some("bid"))
+      }
+      assert(clash.getMessage.contains("clash"))
+    } finally SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_g")
+  }
+
   test("st_equals joins decline the spatial tiers and keep empty-empty pairs") {
     // ADVICE r9: st_equals used to sit in the planner's Converse table but
     // the execution kernels had no "equals" case — a matched plan failed at
