@@ -223,16 +223,19 @@ object Bench {
       graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkt_l",
         "graft_bench_bkt_r", 16.0, "contains", refineViaUdf = true)
     }),
-    // exchange-free k-nearest against the build-once store (write
-    // untimed, like the other bucketed keys): probe shuffle + codegen'd
+    // exchange-free k-nearest against a build-once store (write untimed,
+    // like the other bucketed keys): probe shuffle + codegen'd
     // st_nearest_match kernel + rank window — the repeated-nearest-join
-    // constant, vs geo_sjoin_nearest's cogroup tier on a like workload
+    // constant. Store AND probe ride geo_sjoin_nearest's unwrapped k*16
+    // lattice (the shared xmin wraps at k=1e6), so the two nearest keys
+    // stay a like workload with constant density at every SF.
     "geo_sjoin_nearest_bucketed" -> ((s, dir) => {
       BktSetup.get(s, dir)
       val probe = orders(s, dir).select(k.as("lk"),
-        st_point(xmin + w, ymin + h).as("geometry"))
+        st_point(k.cast("double") * 16.0 + w,
+          (k % 16).cast("double") * 16.0 + h).as("geometry"))
       graft.join.SpatialJoin.sjoinNearestBucketed(s, probe,
-          "graft_bench_bkt_r", 16.0, k = 2, maxDistance = 8.0,
+          "graft_bench_bkt_nn", 16.0, k = 2, maxDistance = 8.0,
           distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
     }),
@@ -254,7 +257,7 @@ object Bench {
     private var cached: Option[String] = None
     def get(s: SparkSession, dir: String): Unit = synchronized {
       if (!cached.contains(dir)) {
-        Seq("graft_bench_bkt_l", "graft_bench_bkt_r")
+        Seq("graft_bench_bkt_l", "graft_bench_bkt_r", "graft_bench_bkt_nn")
           .foreach(graft.join.SpatialJoin.dropBucketedTable(s, _))
         graft.join.SpatialJoin.writeSpatialBucketed(
           orders(s, dir).select(k.as("lk"), rect.as("geometry")),
@@ -262,6 +265,13 @@ object Bench {
         graft.join.SpatialJoin.writeSpatialBucketed(
           orders(s, dir).select(k.as("rk"), pt.as("geometry")),
           "graft_bench_bkt_r", 16.0, 32)
+        // the nearest key's store: unwrapped k*16 lattice (constant
+        // density at every SF — the shared xmin wraps at k=1e6)
+        graft.join.SpatialJoin.writeSpatialBucketed(
+          orders(s, dir).select(k.as("rk"),
+            st_point(k.cast("double") * 16.0 + w / 2,
+              (k % 16).cast("double") * 16.0 + h / 2).as("geometry")),
+          "graft_bench_bkt_nn", 16.0, 32)
         cached = Some(dir)
       }
     }

@@ -1449,17 +1449,12 @@ object SpatialJoin {
         "writeSpatialBucketed store")
     val quoted = table.split('.').map(p => s"`$p`").mkString(".")
     val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val heavy = df.groupBy(col(CellCol)).count()
-      .filter(col("count") >= HeavyCellMinRows)
-      .orderBy(col("count").desc, col(CellCol))
-      .limit(SidecarCellCap + 1).collect()
-    val truncated = heavy.length > SidecarCellCap
+    val (kept, truncated) = heavyCellCensus(df)
     if (truncated)
       log.warn(s"stampCellHistogram: $table has more than $SidecarCellCap " +
         s"cells with >=$HeavyCellMinRows rows — the histogram keeps the " +
         s"heaviest $SidecarCellCap; joins cannot hot-salt the dropped " +
         "ones. A grid this uniformly dense wants a larger cellSize.")
-    val kept = heavy.take(SidecarCellCap)
     def csvOf(rows: Array[Row], trunc: Boolean): String =
       rows.map(row => s"${row.getLong(0)}:${row.getLong(1)}").mkString(",") +
         (if (trunc) ",+" else "")
@@ -1778,6 +1773,8 @@ object SpatialJoin {
       saltHotCells: Boolean = true,
       hotPairsBound: Long = DefaultHotPairsBound,
       saltSliceRows: Int = 1024, maxSalt: Int = 64): DataFrame = {
+    verifyStoreCellSize(spark, leftTable, cellSize, "sjoinBucketed")
+    verifyStoreCellSize(spark, rightTable, cellSize, "sjoinBucketed")
     val l = spark.table(leftTable)
     val leftCols = l.columns.filterNot(_ == CellCol).toSeq
     val r = renameClashes(spark.table(rightTable), leftCols, suffix)
@@ -1873,10 +1870,11 @@ object SpatialJoin {
     val cold0 = l.join(r, CellCol)
     if (hotAll.isEmpty) cold0
     else {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
       val hot: Map[Long, (Long, Long)] =
         if (hotAll.size <= MaxSaltedCells) hotAll
         else {
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          log.warn(
             s"$logCtx: ${hotAll.size} cells reach $hotPairsBound pairs — " +
               s"salting only the heaviest $MaxSaltedCells (plan-size " +
               "bound); a grid with this many hot cells wants a larger " +
@@ -1885,7 +1883,6 @@ object SpatialJoin {
             .sortBy { case (c, (ln, rn)) => (-(ln.toDouble * rn), c) }
             .take(MaxSaltedCells).toMap
         }
-      val log = org.slf4j.LoggerFactory.getLogger(getClass)
       log.info(s"$logCtx: salting ${hot.size} hot cell(s) past " +
         s"$hotPairsBound pairs")
       val hotKeys = hot.keys.toSeq.map(java.lang.Long.valueOf)
@@ -1973,19 +1970,49 @@ object SpatialJoin {
     }
   }
 
-  /** One-pass heavy-cell census of an exploded probe frame — the probe
-    * side's stand-in for a store's stamped histogram: exact counts of
-    * every cell holding ≥ [[HeavyCellMinRows]] rows, capped at
-    * [[SidecarCellCap]] entries on the driver (past the cap: heaviest
-    * kept, `truncated` set, so [[CellHist.absentBound]] stays sound). */
-  private def probeCellHist(probeCells: DataFrame): CellHist = {
-    val rows = probeCells.groupBy(col(CellCol)).count()
+  /** Heavy-cell census over any frame carrying [[CellCol]]: exact counts
+    * of every cell holding ≥ [[HeavyCellMinRows]] rows, heaviest
+    * [[SidecarCellCap]] kept (`truncated` when more exist). The ONE
+    * producer of the floor/cap/ordering triple [[CellHist.absentBound]]
+    * relies on — [[stampCellHistogram]] (store stamps) and
+    * [[probeCellHist]] (join-time probe census) both ride it, so the two
+    * can never desynchronize. */
+  private def heavyCellCensus(df: DataFrame): (Array[Row], Boolean) = {
+    val rows = df.groupBy(col(CellCol)).count()
       .filter(col("count") >= HeavyCellMinRows)
       .orderBy(col("count").desc, col(CellCol))
       .limit(SidecarCellCap + 1).collect()
-    val truncated = rows.length > SidecarCellCap
-    CellHist(rows.take(SidecarCellCap)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap, truncated)
+    (rows.take(SidecarCellCap), rows.length > SidecarCellCap)
+  }
+
+  /** One-pass heavy-cell census of an exploded probe frame — the probe
+    * side's stand-in for a store's stamped histogram. */
+  private def probeCellHist(probeCells: DataFrame): CellHist = {
+    val (rows, truncated) = heavyCellCensus(probeCells)
+    CellHist(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap, truncated)
+  }
+
+  /** Join-time grid check: when the store's stamped [[CellSizeProp]] is
+    * readable, a mismatched caller `cellSize` ERRORS — mixed grids make
+    * the cell equi-join and the ownership arithmetic silently drop pairs
+    * (the write-side check at append time can't catch a wrong join-time
+    * argument). Temp views and stores without the stamp skip the check
+    * (same degradation policy as [[heavyCellsOf]]). */
+  private def verifyStoreCellSize(spark: org.apache.spark.sql.SparkSession,
+      table: String, cellSize: Double, ctx: String): Unit = {
+    val stamped: Option[Double] =
+      try {
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        spark.sessionState.catalog.getTableMetadata(id)
+          .properties.get(CellSizeProp).flatMap(v =>
+            scala.util.Try(v.toDouble).toOption)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    stamped.foreach { prev =>
+      require(prev == cellSize,
+        s"$ctx: cellSize $cellSize does not match the grid $table was " +
+          s"written with ($prev) — a mixed-grid join silently drops " +
+          "pairs; pass the store's own cellSize")
+    }
   }
 
   /** k-nearest join of a probe frame against a [[writeSpatialBucketed]]
@@ -2035,6 +2062,7 @@ object SpatialJoin {
         "left; for right semantics run sjoinNearest with the store read " +
         "as a plain frame)")
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    verifyStoreCellSize(spark, buildTable, cellSize, "sjoinNearestBucketed")
     val probeCols = probe.columns.toSeq
     require(probeCols.contains(probeGeom),
       s"sjoinNearestBucketed: probe frame has no '$probeGeom' column")
@@ -2064,12 +2092,13 @@ object SpatialJoin {
       heavyCellsOf(spark, buildTable) match {
         case Some(bh) =>
           val ph = probeCellHist(probeCells)
-          if (bh.truncated &&
+          if ((ph.truncated || bh.truncated) &&
               pastPairBound(ph.absentBound, bh.absentBound, hotPairsBound))
-            log.warn(s"sjoinNearestBucketed($buildTable): the store's " +
-              "truncated cell histogram's dropped cells can combine past " +
-              "the hot-pair bound — such cells cannot be salted. A grid " +
-              "this dense wants a larger cellSize.")
+            log.warn(s"sjoinNearestBucketed($buildTable): a truncated " +
+              "cell histogram's (store stamp or probe census) dropped " +
+              "cells can combine past the hot-pair bound — such cells " +
+              "cannot be salted. A grid this dense wants a larger " +
+              "cellSize.")
           val cand = hotCellsIn(ph, bh, hotPairsBound)
           // probe-side counts are census-exact; only store-side
           // estimates (absent-from-histogram cells) need a recount

@@ -1202,6 +1202,19 @@ class SpatialJoinSpec extends AnyFunSuite {
           cellSize = 8.0, maxDistance = 1.0, distanceCol = Some("bid"))
       }
       assert(clash.getMessage.contains("clash"))
+      // a cellSize that differs from the store's stamped grid ERRORS
+      // instead of silently dropping pairs (mixed grids key the equi-join
+      // and the ownership arithmetic on different lattices) — both doors
+      val wrongGrid = intercept[IllegalArgumentException] {
+        SpatialJoin.sjoinNearestBucketed(spark, points, "graft_bkt_nn_g",
+          cellSize = 4.0, maxDistance = 1.0)
+      }
+      assert(wrongGrid.getMessage.contains("does not match the grid"))
+      val wrongGrid2 = intercept[IllegalArgumentException] {
+        SpatialJoin.sjoinBucketed(spark, "graft_bkt_nn_g", "graft_bkt_nn_g",
+          cellSize = 4.0)
+      }
+      assert(wrongGrid2.getMessage.contains("does not match the grid"))
     } finally SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_g")
   }
 
