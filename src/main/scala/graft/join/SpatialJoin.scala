@@ -2035,7 +2035,12 @@ object SpatialJoin {
     * histogram (estimates recounted bucket-pruned before sizing), the
     * probe side's from a one-pass census of the exploded frame (exact
     * by construction). A store with no readable histogram warns and
-    * keeps the unsalted plan, like the predicate door.
+    * keeps the unsalted plan, like the predicate door. Pricing
+    * (ProbeNearestHot, PERF.md r15): the census is ~0.3 s per call and
+    * the salt's premium on a CHEAP-kernel (point) cell near the bound
+    * is ~1.4 s, while the unsalted downside grows without bound with
+    * cell density — point-heavy callers who know their cells are cheap
+    * can pass `saltHotCells = false`, which skips both.
     *
     * @param how "inner" drops unmatched probe rows; "left" keeps them
     *        with null store columns. For "right" semantics (each STORE
