@@ -1459,6 +1459,39 @@ object GeoQueries {
         .orderBy(col("zone_id"))
     }),
 
+    /** Stream-static k-NEAREST enrichment (r15): events stream probes a
+      * broadcast static point lattice; each event's strict nearest
+      * static point is its own cell's corner — (id%16, id%8) at distance
+      * sqrt(0.125), margin 2.2× to the runner-up, so membership/rank
+      * never sits on a boundary. The hashed distance is recomputed from
+      * coordinates via correctly-rounded sqrt (same convention as the
+      * geo_sjoin_nearest rows); stateless append mode — batch ≡ stream
+      * by construction, pinned in StreamingSpec. */
+    "geo_stream_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"))
+        .withColumn("geometry", graft.functions.st_point(
+          (col("event_id") % 16).cast("double") + 0.25,
+          (col("event_id") % 8).cast("double") + 0.25))
+      // floor(id/16), NOT id/16: Divide on longs is TRUE division in
+      // Spark (returns double) — without the floor the "lattice" would
+      // be 128 points on a fractional diagonal, not a 16×8 grid
+      val static = s.range(128).select(col("id").as("sid"),
+        graft.functions.st_point((col("id") % 16).cast("double"),
+          floor(col("id") / 16).cast("double")).as("geometry"))
+      val got = graft.streaming.StreamDrain.availableNow(s, ev, "stream_nn",
+          in => graft.streaming.GeoStreaming.sjoinNearestStream(in, static,
+            k = 1, distanceCol = Some("d0")))
+      val dx = st_x(col("geometry")) - st_x(col("geometry_static"))
+      val dy = st_y(col("geometry")) - st_y(col("geometry_static"))
+      got.select(col("event_id"), col("sid"),
+          sqrt(dx * dx + dy * dy).as("d"))
+        .groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_event_id"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .orderBy(col("sid"))
+    }),
+
     "geo_sjoin_grid" -> ((s, dir) => {
       val left = base(s, dir).select(k.as("lk"), rect.as("geometry"))
       val right = base(s, dir).select(k.as("rk"), pt.as("geometry"))
@@ -2169,6 +2202,12 @@ object GeoQueries {
         | COUNT(*) AS n_events,
         | CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
         | CAST(0 AS BIGINT) AS n_sym_diff
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "geo_stream_nearest" ->
+      """SELECT CAST(event_id % 16 + 16 * (event_id % 8) AS BIGINT) AS sid,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        | sqrt(0.125) AS min_d, sqrt(0.125) AS max_d
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "geo_sjoin_bucketed" ->
       """SELECT (SELECT count(*) FROM orders) AS n_pairs,

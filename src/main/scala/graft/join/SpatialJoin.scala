@@ -874,7 +874,7 @@ object SpatialJoin {
     * the exclusive rule filters the seed below k the fetch doubles (the
     * loop terminates at a full fetch — `nItems` items means every
     * candidate was seen). */
-  private def nearestOf(tree: STRtree, nItems: Int, g: Geometry, k: Int,
+  private[graft] def nearestOf(tree: STRtree, nItems: Int, g: Geometry, k: Int,
       maxDist: Double, exclusive: Boolean): Array[(Long, Double, Geometry)] = {
     if (nItems == 0) return Array.empty
     if (!maxDist.isInfinite)

@@ -172,6 +172,123 @@ object GeoStreaming {
     }(enc)
   }
 
+  /** Executor-local cache of the stream-nearest tier's plain-geometry
+    * tree: items are (index-into-broadcast, Geometry), so
+    * [[graft.join.SpatialJoin.nearestOf]]'s branch-and-bound kNN runs
+    * unchanged and matches map back to full static rows by index. */
+  private val nearestTreeCache =
+    new graft.join.BroadcastCache[org.locationtech.jts.index.strtree.STRtree]()
+
+  /** Stream-static k-NEAREST enrichment — [[sjoinStream]]'s distance
+    * sibling and [[graft.join.SpatialJoin.sjoinNearest]]'s streaming
+    * twin: each stream row takes its ties-inclusive k nearest static
+    * geometries (`rank() <= k` — every static row at the kth distance
+    * kept), STATELESS (a probe's whole answer comes from the broadcast
+    * static tree, so append mode needs no state store, no watermark, and
+    * batch ≡ stream row-for-row).
+    *
+    * The static side lives under the same broadcast guards as
+    * [[sjoinStream]]; past them the scale path is `foreachBatch` +
+    * [[graft.join.SpatialJoin.sjoinNearestBucketed]] over a
+    * `writeSpatialBucketed` store (the exchange-free per-batch join).
+    * `maxDistance` may be infinite here — the broadcast tree bounds the
+    * search, exactly like the batch broadcast tier.
+    *
+    * @param how "inner" drops unmatched stream rows; "left" keeps them
+    *        with null static columns (static-side outer over a stream is
+    *        unbounded and not offered). */
+  def sjoinNearestStream(stream: DataFrame, static: DataFrame, k: Int = 1,
+      maxDistance: Double = Double.PositiveInfinity, how: String = "inner",
+      streamGeom: String = "geometry", staticGeom: String = "geometry",
+      suffix: String = "_static", distanceCol: Option[String] = None,
+      exclusive: Boolean = false,
+      maxBuildRows: Long = graft.join.SpatialJoin.MaxBroadcastRows,
+      maxBuildBytes: Long = graft.join.SpatialJoin.MaxBroadcastBytes): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types.{StructField, StructType, DoubleType}
+    import graft.serde.EWKB
+    import org.locationtech.jts.index.strtree.STRtree
+
+    require(k >= 1, s"sjoinNearestStream: k must be >= 1, got $k")
+    require(!maxDistance.isNaN && maxDistance > 0,
+      s"sjoinNearestStream: maxDistance must be positive, got $maxDistance")
+    require(Set("inner", "left")(how),
+      s"unsupported how: $how (sjoinNearestStream supports inner and left)")
+    val renamed = graft.join.SpatialJoin.renameClashes(
+      static, stream.columns.toSeq, suffix)
+    val sgName = if (stream.columns.contains(staticGeom)) staticGeom + suffix else staticGeom
+    val sgPos = renamed.columns.indexOf(sgName)
+    require(sgPos >= 0, s"no column $staticGeom in static frame")
+    val gPos = stream.columns.indexOf(streamGeom)
+    require(gPos >= 0, s"no column $streamGeom in stream frame")
+    distanceCol.foreach { n =>
+      require(!(stream.columns.toSet ++ renamed.columns).contains(n),
+        s"sjoinNearestStream: distanceCol '$n' clashes with an output column")
+    }
+    // same single-evaluation broadcast guards as sjoinStream
+    val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
+    val staticRows = renamed.limit(guardLimit).collect()
+    def tooBig(what: String) = s"sjoinNearestStream: static side exceeds " +
+      s"the $what broadcast guard. For a big static side, take the scale " +
+      "path instead: lay it out once with SpatialJoin.writeSpatialBucketed " +
+      "and join each micro-batch via foreachBatch + sjoinNearestBucketed " +
+      "(the exchange-free per-batch nearest join), or pre-filter the " +
+      "static frame under the guard"
+    require(staticRows.length < guardLimit, tooBig(s"$maxBuildRows-row"))
+    var staticBytes = 0L
+    var bi = 0
+    while (bi < staticRows.length && staticBytes <= maxBuildBytes) {
+      staticBytes += graft.join.SpatialJoin.estimateRowBytes(staticRows(bi)); bi += 1
+    }
+    require(staticBytes <= maxBuildBytes, tooBig(s"$maxBuildBytes-byte"))
+    val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
+      (r.get(sgPos).asInstanceOf[Array[Byte]], r)
+    })
+    val kk = k; val maxD = maxDistance; val excl = exclusive
+    val keepUnmatched = how == "left"
+    val nullableStatic = renamed.schema.fields.map(f =>
+      if (keepUnmatched) f.copy(nullable = true) else f)
+    val outSchema = StructType(stream.schema.fields ++ nullableStatic ++
+      distanceCol.map(n => StructField(n, DoubleType, nullable = true)).toSeq)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val emitD = distanceCol.isDefined
+    val nStaticCols = renamed.columns.length
+    stream.mapPartitions { it =>
+      val tree = nearestTreeCache.getOrBuild(bc) {
+        val t = new STRtree()
+        bc.value.zipWithIndex.foreach { case ((bytes, _), i) =>
+          if (bytes != null) {
+            val g = EWKB.read(bytes)
+            if (!g.isEmpty) t.insert(g.getEnvelopeInternal, (i.toLong, g))
+          }
+        }
+        t.build()
+        t
+      }
+      val n = tree.size()
+      val nullTail: Seq[Any] =
+        Seq.fill[Any](nStaticCols)(null) ++ (if (emitD) Seq[Any](null) else Nil)
+      it.flatMap { row =>
+        val bytes = row.get(gPos).asInstanceOf[Array[Byte]]
+        val matches =
+          if (bytes == null) Array.empty[(Long, Double, org.locationtech.jts.geom.Geometry)]
+          else {
+            val g = EWKB.read(bytes)
+            if (g.isEmpty) Array.empty[(Long, Double, org.locationtech.jts.geom.Geometry)]
+            else graft.join.SpatialJoin.nearestOf(tree, n, g, kk, maxD, excl)
+          }
+        if (matches.isEmpty) {
+          if (keepUnmatched) Iterator.single(Row.fromSeq(row.toSeq ++ nullTail))
+          else Iterator.empty
+        } else matches.iterator.map { case (idx, d, _) =>
+          Row.fromSeq(row.toSeq ++ bc.value(idx.toInt)._2.toSeq ++
+            (if (emitD) Seq[Any](d) else Nil))
+        }
+      }
+    }(enc)
+  }
+
   /** One closed session per (user, gap): event-time sessionization with
     * `flatMapGroupsWithState` — the custom-state path the reference lacks
     * and Spark provides natively. Emits (user, start, end, n) when a

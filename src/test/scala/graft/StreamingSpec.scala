@@ -92,6 +92,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set((1L, 1), (2L, 3)), s"got $rows") // id 3 is in no zone
   }
 
+  test("stream nearest join matches the batch broadcast tier, ties inclusive") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // static points on a sparse lattice; one probe equidistant from two
+    val static = Seq((10L, 0.0, 0.0), (11L, 10.0, 0.0), (12L, 20.0, 0.0),
+        (13L, 5.0, 4.0), (14L, 5.0, -4.0))
+      .toDF("sid", "x", "y")
+      .select(col("sid"), graft.functions.st_point(col("x"), col("y")).as("geometry"))
+    val in = MemoryStream[(Long, Double, Double)]
+    val pts = in.toDF().toDF("id", "x", "y")
+      .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
+      .drop("x", "y")
+    val joined = graft.streaming.GeoStreaming.sjoinNearestStream(
+      pts, static, k = 1, distanceCol = Some("d"))
+    val q = joined.select("id", "sid", "d").writeStream.format("memory")
+      .queryName("nnstream").outputMode("append").start()
+    // (5, 0): ties at distance sqrt(41) to BOTH sid 13 and 14 — k=1 keeps
+    // both (rank() <= 1); (1, 0) is strictly nearest sid 10
+    in.addData((1L, 1.0, 0.0), (2L, 5.0, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("nnstream").as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    val batch = graft.join.SpatialJoin.sjoinNearest(
+        Seq((1L, 1.0, 0.0), (2L, 5.0, 0.0)).toDF("id", "x", "y")
+          .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
+          .drop("x", "y"),
+        static, k = 1, distanceCol = Some("d"))
+      .select($"id", $"sid", $"d").as[(Long, Long, Double)].collect().toSet
+    assert(rows === batch, s"stream $rows != batch $batch")
+    assert(rows.count(_._1 == 2L) === 2, "equidistant tie not kept by k=1")
+    // how=left keeps an out-of-range probe with null static columns
+    val in2 = MemoryStream[(Long, Double, Double)]
+    val pts2 = in2.toDF().toDF("id", "x", "y")
+      .withColumn("geometry", graft.functions.st_point(col("x"), col("y")))
+      .drop("x", "y")
+    val left = graft.streaming.GeoStreaming.sjoinNearestStream(
+      pts2, static, k = 1, maxDistance = 2.0, how = "left",
+      distanceCol = Some("d"))
+    val q2 = left.select("id", "sid", "d").writeStream.format("memory")
+      .queryName("nnstreamL").outputMode("append").start()
+    in2.addData((1L, 1.0, 0.0), (9L, 500.0, 500.0))
+    q2.processAllAvailable()
+    val rowsL = spark.table("nnstreamL")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    q2.stop()
+    assert(rowsL === Set((1L, Some(10L), Some(1.0)), (9L, None, None)),
+      s"got $rowsL")
+  }
+
   test("sjoinStream guard failure points at the bucketed scale path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
