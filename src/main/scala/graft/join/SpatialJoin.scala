@@ -332,7 +332,12 @@ object SpatialJoin {
     * bytes tracked as they arrive, aborting before a wide-row OOM. */
   private[graft] def collectBounded(df: DataFrame, maxRows: Long,
       maxBytes: Long): Option[Array[Row]] = {
-    val guardLimit = math.min(maxRows + 1, Int.MaxValue.toLong - 8).toInt
+    // saturate BEFORE the +1: maxRows near Long.MaxValue would overflow
+    // to negative, truncate to a 0 limit, and spuriously reject every
+    // non-empty frame
+    val guardLimit =
+      if (maxRows >= Int.MaxValue.toLong - 9) Int.MaxValue - 8
+      else math.max(1L, maxRows + 1).toInt
     val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (statBytes <= maxBytes) {
       val rows = df.limit(guardLimit).collect()

@@ -101,33 +101,19 @@ object GeoStreaming {
     val sgName = if (stream.columns.contains(staticGeom)) staticGeom + suffix else staticGeom
     val sgPos = renamed.columns.indexOf(sgName)
     require(sgPos >= 0, s"no column $staticGeom in static frame")
-    // Size guard in a SINGLE evaluation of the static plan (same pattern as
-    // SpatialJoin.sjoin): collect at most maxBuildRows+1 rows; hitting the
-    // sentinel means the static side is over the broadcast guard. A separate
-    // count() + collect() would execute the static plan twice.
-    val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
-    val staticRows = renamed.limit(guardLimit).collect()
-    require(staticRows.length < guardLimit,
-      s"sjoinStream: static side exceeds the $maxBuildRows-row broadcast " +
-        "guard. For a big static side, take the scale path instead: lay it " +
-        "out once with SpatialJoin.writeSpatialBucketed and join each " +
-        "micro-batch with sjoinBucketed (exchange-free stream-static " +
-        "equi-join on the grid cell), or pre-filter the static frame " +
-        "(bbox/column predicates) under the guard")
-    // byte guard: the row cap alone cannot protect the driver (or the
-    // per-executor broadcast copy) from wide rows
-    var staticBytes = 0L
-    var bi = 0
-    while (bi < staticRows.length && staticBytes <= maxBuildBytes) {
-      staticBytes += graft.join.SpatialJoin.estimateRowBytes(staticRows(bi)); bi += 1
-    }
-    require(staticBytes <= maxBuildBytes,
-      s"sjoinStream: static side exceeds the $maxBuildBytes-byte broadcast " +
-        "guard. For a big static side, take the scale path instead: lay it " +
-        "out once with SpatialJoin.writeSpatialBucketed and join each " +
-        "micro-batch with sjoinBucketed (exchange-free stream-static " +
-        "equi-join on the grid cell), or pre-filter the static frame " +
-        "(bbox/column predicates) under the guard")
+    // row AND byte guards via the shared bounded collect (stats-guided:
+    // a wide-row static side aborts the stream through toLocalIterator
+    // BEFORE the driver materializes it, not after)
+    val staticRows = graft.join.SpatialJoin.collectBounded(
+      renamed, maxBuildRows, maxBuildBytes).getOrElse(
+      throw new IllegalArgumentException(
+        s"sjoinStream: static side exceeds the broadcast guards " +
+          s"($maxBuildRows rows / $maxBuildBytes bytes). For a big static " +
+          "side, take the scale path instead: lay it out once with " +
+          "SpatialJoin.writeSpatialBucketed and join each micro-batch " +
+          "with sjoinBucketed (exchange-free stream-static equi-join on " +
+          "the grid cell), or pre-filter the static frame (bbox/column " +
+          "predicates) under the guard"))
     val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
       (r.get(sgPos).asInstanceOf[Array[Byte]], r)
     })
@@ -226,22 +212,18 @@ object GeoStreaming {
       require(!(stream.columns.toSet ++ renamed.columns).contains(n),
         s"sjoinNearestStream: distanceCol '$n' clashes with an output column")
     }
-    // same single-evaluation broadcast guards as sjoinStream
-    val guardLimit = math.min(maxBuildRows + 1, Int.MaxValue.toLong - 8).toInt
-    val staticRows = renamed.limit(guardLimit).collect()
-    def tooBig(what: String) = s"sjoinNearestStream: static side exceeds " +
-      s"the $what broadcast guard. For a big static side, take the scale " +
-      "path instead: lay it out once with SpatialJoin.writeSpatialBucketed " +
-      "and join each micro-batch via foreachBatch + sjoinNearestBucketed " +
-      "(the exchange-free per-batch nearest join), or pre-filter the " +
-      "static frame under the guard"
-    require(staticRows.length < guardLimit, tooBig(s"$maxBuildRows-row"))
-    var staticBytes = 0L
-    var bi = 0
-    while (bi < staticRows.length && staticBytes <= maxBuildBytes) {
-      staticBytes += graft.join.SpatialJoin.estimateRowBytes(staticRows(bi)); bi += 1
-    }
-    require(staticBytes <= maxBuildBytes, tooBig(s"$maxBuildBytes-byte"))
+    // same shared bounded collect as sjoinStream (wide rows abort
+    // through toLocalIterator before the driver materializes them)
+    val staticRows = graft.join.SpatialJoin.collectBounded(
+      renamed, maxBuildRows, maxBuildBytes).getOrElse(
+      throw new IllegalArgumentException(
+        s"sjoinNearestStream: static side exceeds the broadcast guards " +
+          s"($maxBuildRows rows / $maxBuildBytes bytes). For a big static " +
+          "side, take the scale path instead: lay it out once with " +
+          "SpatialJoin.writeSpatialBucketed and join each micro-batch via " +
+          "foreachBatch + sjoinNearestBucketed (the exchange-free " +
+          "per-batch nearest join), or pre-filter the static frame under " +
+          "the guard"))
     val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
       (r.get(sgPos).asInstanceOf[Array[Byte]], r)
     })
@@ -255,9 +237,12 @@ object GeoStreaming {
     val emitD = distanceCol.isDefined
     val nStaticCols = renamed.columns.length
     stream.mapPartitions { it =>
+      // bc.value hoisted out of the per-match loop: TorrentBroadcast's
+      // value() is a block-manager lookup, not a field read
+      val staticData = bc.value
       val tree = nearestTreeCache.getOrBuild(bc) {
         val t = new STRtree()
-        bc.value.zipWithIndex.foreach { case ((bytes, _), i) =>
+        staticData.zipWithIndex.foreach { case ((bytes, _), i) =>
           if (bytes != null) {
             val g = EWKB.read(bytes)
             if (!g.isEmpty) t.insert(g.getEnvelopeInternal, (i.toLong, g))
@@ -281,9 +266,12 @@ object GeoStreaming {
         if (matches.isEmpty) {
           if (keepUnmatched) Iterator.single(Row.fromSeq(row.toSeq ++ nullTail))
           else Iterator.empty
-        } else matches.iterator.map { case (idx, d, _) =>
-          Row.fromSeq(row.toSeq ++ bc.value(idx.toInt)._2.toSeq ++
-            (if (emitD) Seq[Any](d) else Nil))
+        } else {
+          val base = row.toSeq // once per stream row, not once per match
+          matches.iterator.map { case (idx, d, _) =>
+            Row.fromSeq(base ++ staticData(idx.toInt)._2.toSeq ++
+              (if (emitD) Seq[Any](d) else Nil))
+          }
         }
       }
     }(enc)

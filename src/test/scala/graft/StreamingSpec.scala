@@ -108,8 +108,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       pts, static, k = 1, distanceCol = Some("d"))
     val q = joined.select("id", "sid", "d").writeStream.format("memory")
       .queryName("nnstream").outputMode("append").start()
-    // (5, 0): ties at distance sqrt(41) to BOTH sid 13 and 14 — k=1 keeps
-    // both (rank() <= 1); (1, 0) is strictly nearest sid 10
+    // (5, 0): ties at distance exactly 4.0 to BOTH sid 13 at (5,4) and
+    // sid 14 at (5,-4) — k=1 keeps both (rank() <= 1); (1, 0) is
+    // strictly nearest sid 10 at (0,0), d=1
     in.addData((1L, 1.0, 0.0), (2L, 5.0, 0.0))
     q.processAllAvailable()
     val rows = spark.table("nnstream").as[(Long, Long, Double)].collect().toSet
