@@ -419,7 +419,12 @@ object Bench {
     import org.json4s._
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(f => f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+      // toLong (not toInt), inside no try: the regex admits digit runs
+      // past Int range, and a throw here would kill the whole bench run
+      // instead of disabling the flag
+      .sortBy(f => scala.util.Try(
+        f.getName.stripPrefix("BENCH_r").stripSuffix(".json").toLong)
+        .getOrElse(Long.MinValue))
     def unwrap(root: JValue): JValue = root \ "queries" match {
       case JObject(_) => root // raw bench output
       case _ =>
@@ -431,7 +436,12 @@ object Bench {
         }
         last.map(jackson.JsonMethods.parse(_)).getOrElse(JNothing)
     }
-    files.lastOption.flatMap { f =>
+    // newest file whose sf MATCHES — not newest-then-match: an archive
+    // from a different sf (a scale run, a different testdata path) must
+    // not shadow an older matching band, or the flag goes silently
+    // inert for the round (the exact failure mode the wrapper-shape fix
+    // of review pass 1 closed)
+    files.reverseIterator.map { f =>
       try {
         val j = unwrap(jackson.JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(f.toPath),
@@ -450,16 +460,18 @@ object Bench {
           case _ => None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    }.getOrElse(("", Map.empty[String, Double]))
+    }.collectFirst { case Some(band) => band }
+      .getOrElse(("", Map.empty[String, Double]))
   }
 
   /** The contended-run rule: a key flags when the run's MIN exceeds 2×
-    * the reference median (plus a 0.1 s absolute floor so sub-100 ms
-    * keys don't flap on scheduler jitter). A genuine 2× code regression
-    * also fires it — correctly: either way the number needs a quiet
-    * re-measure before anyone trusts it. */
+    * the reference median PLUS a 0.1 s absolute floor (`min > 2·ref +
+    * 0.1` — the floor rides on top of the doubling so 100-150 ms keys
+    * can't flap on scheduler jitter, exactly as STATUS documents). A
+    * genuine 2× code regression also fires it — correctly: either way
+    * the number needs a quiet re-measure before anyone trusts it. */
   private[graft] def contendedKey(minSec: Double, ref: Double): Boolean =
-    ref > 0 && minSec > 2.0 * ref && minSec - ref > 0.1
+    ref > 0 && minSec > 2.0 * ref + 0.1
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1015,11 +1015,14 @@ object SpatialJoin {
               if (keepUnmatched)
                 Iterator.single(Row.fromSeq(row.toSeq ++ Seq(null, null)))
               else Iterator.empty
-            } else matches.iterator.map { case (bid, d, _) =>
-              // Seq[Any], NOT Seq(bid, d): Long+Double would unify to
-              // Seq[Double] by numeric widening, silently turning the
-              // build id into a Double the encoder then rejects
-              Row.fromSeq(row.toSeq ++ Seq[Any](bid, d))
+            } else {
+              val base = row.toSeq // once per probe row, not once per match
+              matches.iterator.map { case (bid, d, _) =>
+                // Seq[Any], NOT Seq(bid, d): Long+Double would unify to
+                // Seq[Double] by numeric widening, silently turning the
+                // build id into a Double the encoder then rejects
+                Row.fromSeq(base ++ Seq[Any](bid, d))
+              }
             }
           }
         }(enc)
@@ -2041,9 +2044,9 @@ object SpatialJoin {
     * probe side's from a one-pass census of the exploded frame (exact
     * by construction). A store with no readable histogram warns and
     * keeps the unsalted plan, like the predicate door. Pricing
-    * (ProbeNearestHot, PERF.md r15): the census is ~0.3 s per call and
+    * (ProbeNearestHot, PERF.md r15): the census is ~0.6 s per call and
     * the salt's premium on a CHEAP-kernel (point) cell near the bound
-    * is ~1.4 s, while the unsalted downside grows without bound with
+    * is ~1.5 s, while the unsalted downside grows without bound with
     * cell density — point-heavy callers who know their cells are cheap
     * can pass `saltHotCells = false`, which skips both.
     *

@@ -143,16 +143,19 @@ object GeoStreaming {
         else {
           val g = EWKB.read(bytes)
           if (g.isEmpty) Iterator.empty
-          else tree.query(g.getEnvelopeInternal).asScala.iterator
-            .map(_.asInstanceOf[(org.locationtech.jts.geom.prep.PreparedGeometry, Row)])
-            .filter { case (prep, _) =>
-              // stream.pred(static), via the prepared converse when one
-              // exists; contains_properly evaluates plain
-              if (pred == "contains_properly")
-                graft.join.SpatialJoin.applyPredPlain(pred, g, prep.getGeometry)
-              else graft.join.SpatialJoin.applyPred(prepPred, prep, g)
-            }
-            .map { case (_, srow) => Row.fromSeq(row.toSeq ++ srow.toSeq) }
+          else {
+            val base = row.toSeq // once per stream row, not once per match
+            tree.query(g.getEnvelopeInternal).asScala.iterator
+              .map(_.asInstanceOf[(org.locationtech.jts.geom.prep.PreparedGeometry, Row)])
+              .filter { case (prep, _) =>
+                // stream.pred(static), via the prepared converse when one
+                // exists; contains_properly evaluates plain
+                if (pred == "contains_properly")
+                  graft.join.SpatialJoin.applyPredPlain(pred, g, prep.getGeometry)
+                else graft.join.SpatialJoin.applyPred(prepPred, prep, g)
+              }
+              .map { case (_, srow) => Row.fromSeq(base ++ srow.toSeq) }
+          }
         }
       }
     }(enc)

@@ -18,9 +18,13 @@ class BenchTrustSpec extends AnyFunSuite {
     assert(!Bench.contendedKey(minSec = 1.9, ref = 1.56))
     // exactly-2x does not fire (strict >)
     assert(!Bench.contendedKey(minSec = 3.12, ref = 1.56))
-    // sub-100 ms keys need the absolute floor, not just the ratio
+    // sub-100 ms keys need the absolute floor, not just the ratio: the
+    // floor rides ON TOP of the doubling (min > 2*ref + 0.1), so a
+    // 150 ms key at 0.32 s (mere jitter) stays quiet too
     assert(!Bench.contendedKey(minSec = 0.09, ref = 0.03))
-    assert(Bench.contendedKey(minSec = 0.5, ref = 0.2))
+    assert(!Bench.contendedKey(minSec = 0.32, ref = 0.15))
+    assert(!Bench.contendedKey(minSec = 0.5, ref = 0.2)) // exactly at 2*ref+0.1
+    assert(Bench.contendedKey(minSec = 0.51, ref = 0.2))
     // no reference (new key, or ref <= 0) never fires
     assert(!Bench.contendedKey(minSec = 99.0, ref = 0.0))
     assert(!Bench.contendedKey(minSec = 99.0, ref = -1.0))
@@ -40,14 +44,20 @@ class BenchTrustSpec extends AnyFunSuite {
       val (ref, band) = Bench.referenceBand("/d/sf0.1", dir.toString)
       assert(ref === "BENCH_r11.json") // numeric round order, not lexicographic
       assert(band === Map("q1_agg" -> 0.25, "geo_sjoin" -> 1.61))
-      // a different sf in the newest file disables the band entirely —
-      // cross-sf medians would flag everything or nothing
+      // no file with a matching sf anywhere: no band — cross-sf medians
+      // would flag everything or nothing
       val (ref2, band2) = Bench.referenceBand("/d/sf0.01", dir.toString)
       assert(ref2 === "" && band2.isEmpty)
-      // unparseable newest file degrades to no band, never throws
+      // an unparseable NEWEST file must not shadow an older matching
+      // band (round-review finding: newest-then-match went silently
+      // inert; the contract is newest MATCHING file) — and never throws
       write("BENCH_r12.json", "{not json")
       val (ref3, band3) = Bench.referenceBand("/d/sf0.1", dir.toString)
-      assert(ref3 === "" && band3.isEmpty)
+      assert(ref3 === "BENCH_r11.json" && band3.nonEmpty,
+        s"unparseable newest file shadowed the older matching band: $ref3")
+      // an absurd round number in a file name is skipped, not fatal
+      write("BENCH_r99999999999.json", "{not json either")
+      assert(Bench.referenceBand("/d/sf0.1", dir.toString)._1 === "BENCH_r11.json")
       // the DRIVER archive shape: a wrapper with the bench line buried
       // in the tail log (this is what BENCH_r*.json actually looks like
       // in the repo — the r14 files are wrappers, not raw bench output)

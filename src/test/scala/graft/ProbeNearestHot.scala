@@ -43,10 +43,11 @@ object ProbeNearestHot {
     val nBackground = 50000
 
     // hot points on a 64×64 sub-lattice of the unit cell (all within
-    // maxDistance of many others); background one point per distant cell
+    // maxDistance of many others); background one point per distant cell.
+    // floor(k/64), NOT k/64 — Divide on longs is true division in Spark
     def hotPt(k: org.apache.spark.sql.Column, off: Double) = st_point(
       (k % 64).cast("double") / 64.0 + lit(off),
-      ((k / lit(64)) % 64).cast("double") / 64.0 + lit(off))
+      (floor(k / lit(64)) % 64).cast("double") / 64.0 + lit(off))
     def bgPt(k: org.apache.spark.sql.Column, off: Double) = st_point(
       k.cast("double") * 4.0 + lit(100.0 + off),
       (k % 64).cast("double") * 4.0 + lit(100.0 + off))

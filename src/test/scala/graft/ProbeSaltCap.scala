@@ -49,11 +49,17 @@ object ProbeSaltCap {
     // origins reach 0.496, so +0.6 would cross the 1.0 cell boundary for
     // ~20% of rows and split the "one hot cell" fixture into two cells
     // in different saturation regimes (review r15 #7)
+    // floor(k/128), NOT k/128: Divide on longs is TRUE division in Spark
+    // (returns double) — without the floor the y origins were k/32768 in
+    // [0, 0.125), not the documented 128-step sub-lattice (round-review
+    // r15; the one-hot-cell A/B conclusion was unaffected — all rows
+    // stayed in cell (0,0) either way — but the fixture must be what its
+    // comment says)
     def subRect(k: org.apache.spark.sql.Column) = st_rectangle(
       (k % 128).cast("double") / 256.0,
-      ((k / lit(128)) % 128).cast("double") / 256.0,
+      (floor(k / lit(128)) % 128).cast("double") / 256.0,
       (k % 128).cast("double") / 256.0 + 0.5,
-      ((k / lit(128)) % 128).cast("double") / 256.0 + 0.5)
+      (floor(k / lit(128)) % 128).cast("double") / 256.0 + 0.5)
     def bgRect(k: org.apache.spark.sql.Column, off: Double) = st_rectangle(
       k.cast("double") * 4.0 + lit(100.0 + off),
       (k % 64).cast("double") * 4.0 + lit(100.0 + off),
