@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+import graft.join.SpatialJoin
+
+/** Randomized brute-force equivalence for the nearest-join family: mixed
+  * point/rectangle frames with duplicated coordinates (tie pressure),
+  * random k / maxDistance / cellSize / exclusive, checked against a
+  * driver-side ties-inclusive kNN computed with the same JTS distance.
+  * Fixed seed — failures reproduce. Complements SpatialJoinSpec's
+  * hand-built cases by sweeping fixture shapes no one thought to write:
+  * boundary-straddling rects, equidistant clusters, degenerate
+  * empty-result radii. */
+class NearestRandomSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def bruteNearest(
+      probe: Seq[(Long, org.locationtech.jts.geom.Geometry)],
+      build: Seq[(Long, org.locationtech.jts.geom.Geometry)],
+      k: Int, maxD: Double, exclusive: Boolean): Set[(Long, Long)] =
+    probe.flatMap { case (pid, pg) =>
+      val cands = build.flatMap { case (bid, bg) =>
+        val d = pg.distance(bg)
+        if (d <= maxD && !(exclusive && d == 0.0 && pg.equalsTopo(bg)))
+          Some((bid, d))
+        else None
+      }.sortBy(_._2)
+      if (cands.isEmpty) Nil
+      else {
+        val dk = if (cands.length <= k) cands.last._2 else cands(k - 1)._2
+        cands.takeWhile(_._2 <= dk).map { case (bid, _) => (pid, bid) }
+      }
+    }.toSet
+
+  test("random fixtures: partitioned and broadcast tiers match brute force") {
+    val rnd = new java.util.Random(0xC0FFEE)
+    // half-integer lattice: duplicated coordinates and exact ties are
+    // COMMON, which is where ties-inclusive rank bugs would hide
+    def coord(): Double = rnd.nextInt(41) * 0.5
+    def geomRows(n: Int): Seq[(Long, Array[Byte])] = (0 until n).map { i =>
+      val g =
+        if (rnd.nextBoolean()) EWKBFactories.point(coord(), coord())
+        else {
+          val x = coord(); val y = coord()
+          EWKBFactories.rect(x, y, x + 1 + rnd.nextInt(4) * 0.5,
+            y + 1 + rnd.nextInt(4) * 0.5)
+        }
+      (i.toLong, g)
+    }
+    for (round <- 1 to 5) {
+      val probeRows = geomRows(50 + rnd.nextInt(50))
+      val buildRows = geomRows(50 + rnd.nextInt(50))
+      val k = 1 + rnd.nextInt(3)
+      val maxD = Seq(0.7, 2.5, 6.0)(rnd.nextInt(3))
+      val cellSize = Seq(1.5, 4.0, 50.0)(rnd.nextInt(3))
+      val exclusive = rnd.nextBoolean()
+      val probe = probeRows.toDF("pid", "geometry")
+      val build = buildRows.toDF("bid", "geometry")
+      val expected = bruteNearest(
+        probeRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+        buildRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+        k, maxD, exclusive)
+      val grid = SpatialJoin.sjoinNearestPartitioned(probe, build, k = k,
+          maxDistance = maxD, cellSize = cellSize, exclusive = exclusive)
+        .select($"pid", $"bid").as[(Long, Long)].collect()
+      assert(grid.toSet === expected,
+        s"round $round (k=$k maxD=$maxD cs=$cellSize excl=$exclusive): grid tier diverged")
+      assert(grid.length === expected.size,
+        s"round $round: grid tier duplicated pairs (ownership)")
+      val bcast = SpatialJoin.sjoinNearest(probe, build, k = k,
+          maxDistance = maxD, exclusive = exclusive)
+        .select($"pid", $"bid").as[(Long, Long)].collect()
+      assert(bcast.toSet === expected,
+        s"round $round: broadcast tier diverged")
+      assert(bcast.length === expected.size,
+        s"round $round: broadcast tier duplicated pairs")
+    }
+  }
+
+  test("random fixture through the bucketed store tier") {
+    val rnd = new java.util.Random(0xBEEF)
+    def coord(): Double = rnd.nextInt(41) * 0.5
+    val buildRows = (0 until 80).map(i => (i.toLong,
+      EWKBFactories.point(coord(), coord())))
+    val probeRows = (0 until 60).map { i =>
+      val x = coord(); val y = coord()
+      (i.toLong, EWKBFactories.rect(x, y, x + 1.5, y + 1.5))
+    }
+    val expected = bruteNearest(
+      probeRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+      buildRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+      k = 2, maxD = 3.0, exclusive = false)
+    SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_rand")
+    try {
+      SpatialJoin.writeSpatialBucketed(buildRows.toDF("bid", "geometry"),
+        "graft_bkt_nn_rand", cellSize = 4.0, buckets = 2)
+      val got = SpatialJoin.sjoinNearestBucketed(spark,
+          probeRows.toDF("pid", "geometry"), "graft_bkt_nn_rand",
+          cellSize = 4.0, k = 2, maxDistance = 3.0)
+        .select($"pid", $"bid").as[(Long, Long)].collect()
+      assert(got.toSet === expected)
+      assert(got.length === expected.size, "bucketed tier duplicated pairs")
+    } finally SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_rand")
+  }
+}
+
+/** Tiny driver-side EWKB builders for the random fixtures. */
+private object EWKBFactories {
+  private val fact = graft.serde.EWKB.geometryFactory
+  def point(x: Double, y: Double): Array[Byte] =
+    graft.serde.EWKB.write(fact.createPoint(
+      new org.locationtech.jts.geom.Coordinate(x, y)))
+  def rect(x0: Double, y0: Double, x1: Double, y1: Double): Array[Byte] =
+    graft.serde.EWKB.write(fact.toGeometry(
+      new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1)))
+}
