@@ -2144,8 +2144,11 @@ object SpatialJoin {
       ColumnBridge.expression(col(PGeomT)),
       ColumnBridge.expression(col(bg)),
       ColumnBridge.expression(col(CellCol)), cs, maxD, exclusive))
+    // single !isnan — STNearestMatch is non-nullable (null inputs → NaN
+    // inside the kernel), so the pushed join condition evaluates the
+    // kernel ONCE per candidate pair, not twice (isNotNull + isnan)
     val pairs = joined.withColumn(DCol, dExpr)
-      .filter(col(DCol).isNotNull && !isnan(col(DCol)))
+      .filter(!isnan(col(DCol)))
       .drop(CellCol, PGeomT)
     import org.apache.spark.sql.expressions.Window
     val ranked = pairs

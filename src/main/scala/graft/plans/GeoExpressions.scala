@@ -387,12 +387,19 @@ case class STBucketedMatch(first: Expression, second: Expression, third: Express
 /** The bucketed nearest join's per-pair kernel, codegen'd —
   * [[GeoNative.nearestMatch]] as an expression: (probeGeom, buildGeom,
   * cellId) → planar distance, NaN when out of range or not owned by the
-  * cell. Like [[STBucketedMatch]], constructed by the join API only —
-  * the cell-id contract is an internal layout. */
+  * cell. NON-nullable by design: null inputs fold into the NaN
+  * convention INSIDE the kernel instead of the default null
+  * propagation, so the join's no-pair filter is a single
+  * `!isnan(...)` — Catalyst pushes that one call into the join
+  * condition, where the default `isNotNull AND NOT isnan` form
+  * evaluated the kernel (two EWKB parses) TWICE per candidate pair.
+  * Like [[STBucketedMatch]], constructed by the join API only — the
+  * cell-id contract is an internal layout. */
 case class STNearestMatch(first: Expression, second: Expression, third: Expression,
     cellSize: Double, maxDist: Double, exclusive: Boolean) extends TernaryExpression {
   override def prettyName: String = "st_nearest_match"
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
   override def checkInputDataTypes() = {
     val bin = NativeTypeCheck.binary("st_nearest_match", first, second)
     if (!bin.isSuccess) bin
@@ -401,12 +408,25 @@ case class STNearestMatch(first: Expression, second: Expression, third: Expressi
         s"st_nearest_match expects a LONG cell id, got ${third.dataType}")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
-  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
-    GeoNative.nearestMatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input); val b = second.eval(input); val c = third.eval(input)
+    if (a == null || b == null || c == null) Double.NaN
+    else GeoNative.nearestMatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
       c.asInstanceOf[Long], cellSize, maxDist, exclusive)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c) =>
-      s"graft.plans.GeoNative.nearestMatch($a, $b, $c, ${cellSize}D, ${maxDist}D, $exclusive)")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = first.genCode(ctx); val b = second.genCode(ctx); val c = third.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      ${c.code}
+      double ${ev.value} = (${a.isNull} || ${b.isNull} || ${c.isNull})
+        ? Double.NaN
+        : graft.plans.GeoNative.nearestMatch(${a.value}, ${b.value}, ${c.value},
+            ${cellSize}D, ${maxDist}D, $exclusive);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): STNearestMatch = copy(first = f, second = s, third = t)
 }
