@@ -1100,10 +1100,18 @@ class SpatialJoinSpec extends AnyFunSuite {
       assert(rows.toSet === expected)
       // ownership rule: exactly one emission per pair, no dedup shuffle
       assert(rows.length === expected.size, "duplicate pairs (ownership broken)")
-      // the per-pair kernel is the codegen'd expression, not a UDF
+      // the per-pair kernel is the codegen'd expression, not a UDF —
+      // and it appears EXACTLY twice in the plan (once in the pushed
+      // join condition, once in the survivors' projection). Three or
+      // more means the no-pair filter regressed to a null-safe form
+      // that re-evaluates the kernel (two EWKB parses) per candidate
+      // pair — the exact 3x hot-loop cost the non-nullable NaN
+      // convention removed (PERF.md r15).
       val plan = got.queryExecution.executedPlan.toString
-      assert(plan.contains("st_nearest_match"),
-        "codegen'd nearest kernel missing from the plan")
+      val kernelEvals = "st_nearest_match\\(".r.findAllIn(plan).length
+      assert(kernelEvals === 2,
+        s"st_nearest_match appears $kernelEvals times in the plan " +
+          s"(want 2: join condition + projection):\n$plan")
       // how=left keeps unmatched probes with null store columns (the
       // five far probes sit 400+ units from every store point)
       val probesL = boxes.unionByName(spark.range(5).select(
@@ -1172,6 +1180,27 @@ class SpatialJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       SpatialJoin.dropBucketedTable(spark, "graft_bkt_nn_hot")
     }
+  }
+
+  test("STNearestMatch folds null inputs to NaN, never null (non-nullable contract)") {
+    // the kernel's no-pair convention is an in-band NaN so the join's
+    // filter is ONE !isnan; a null output would slip past that filter.
+    // Exercise both the interpreted eval and the codegen'd branch.
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = Seq(
+        (Some(graft.serde.EWKB.write(graft.serde.EWKB.geometryFactory.createPoint(
+          new org.locationtech.jts.geom.Coordinate(0.5, 0.5)))), 0L),
+        (None, 0L))
+      .toDF("g", "cell")
+    val m = ColumnBridge.column(graft.plans.STNearestMatch(
+      ColumnBridge.expression($"g"), ColumnBridge.expression($"g"),
+      ColumnBridge.expression($"cell"), 1.0, 2.0, false))
+    val out = df.select(m.as("d")).as[Double].collect()
+    assert(out.length === 2)
+    assert(out(0) === 0.0, "self-distance of the non-null row")
+    assert(out(1).isNaN, "null input must fold to NaN, not null")
+    // and the schema says so: the expression is non-nullable
+    assert(!df.select(m.as("d")).schema("d").nullable)
   }
 
   test("bucketed nearest join: guard rails") {
