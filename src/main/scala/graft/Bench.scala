@@ -27,6 +27,10 @@ object Bench {
   private def h = lit(1.0) + (k % 11).cast("double") / 4.0
   private def rect = st_rectangle(xmin, ymin, xmin + w, ymin + h)
   private def pt = st_point(xmin + w / 2, ymin + h / 2)
+  // the nearest keys' UNWRAPPED lattice (the shared xmin wraps at k=1e6,
+  // which would co-locate keys and densify the workload at larger SFs)
+  private def nnLx = k.cast("double") * 16.0
+  private def nnLy = (k % 16).cast("double") * 16.0
 
   private def orders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey").as("k"))
@@ -153,12 +157,10 @@ object Bench {
     // own key's right point, every other key sits ≥ 16 units away on
     // the x axis — a constant-density workload at every SF.
     "geo_sjoin_nearest" -> ((s, dir) => {
-      val lx = k.cast("double") * 16.0
-      val ly = (k % 16).cast("double") * 16.0
       val left = orders(s, dir).select(k.as("lk"),
-        st_point(lx + w / 2, ly + h / 2).as("geometry"))
+        st_point(nnLx + w / 2, nnLy + h / 2).as("geometry"))
       val right = orders(s, dir).select(k.as("rk"),
-        st_point(lx + w, ly + h).as("geometry"))
+        st_point(nnLx + w, nnLy + h).as("geometry"))
       graft.join.SpatialJoin.sjoinNearestPartitioned(left, right, k = 2,
           maxDistance = 8.0, distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
@@ -232,8 +234,7 @@ object Bench {
     "geo_sjoin_nearest_bucketed" -> ((s, dir) => {
       BktSetup.get(s, dir)
       val probe = orders(s, dir).select(k.as("lk"),
-        st_point(k.cast("double") * 16.0 + w,
-          (k % 16).cast("double") * 16.0 + h).as("geometry"))
+        st_point(nnLx + w, nnLy + h).as("geometry"))
       graft.join.SpatialJoin.sjoinNearestBucketed(s, probe,
           "graft_bench_bkt_nn", 16.0, k = 2, maxDistance = 8.0,
           distanceCol = Some("d"))
@@ -265,12 +266,10 @@ object Bench {
         graft.join.SpatialJoin.writeSpatialBucketed(
           orders(s, dir).select(k.as("rk"), pt.as("geometry")),
           "graft_bench_bkt_r", 16.0, 32)
-        // the nearest key's store: unwrapped k*16 lattice (constant
-        // density at every SF — the shared xmin wraps at k=1e6)
+        // the nearest key's store: the unwrapped nnLx/nnLy lattice
         graft.join.SpatialJoin.writeSpatialBucketed(
           orders(s, dir).select(k.as("rk"),
-            st_point(k.cast("double") * 16.0 + w / 2,
-              (k % 16).cast("double") * 16.0 + h / 2).as("geometry")),
+            st_point(nnLx + w / 2, nnLy + h / 2).as("geometry")),
           "graft_bench_bkt_nn", 16.0, 32)
         cached = Some(dir)
       }

@@ -51,6 +51,17 @@ object GeoQueries {
       |   rank() OVER (PARTITION BY lk ORDER BY d) AS rnk FROM p)
       |SELECT lk, rk, d FROM ranked WHERE rnk <= 2 ORDER BY lk, rk""".stripMargin
 
+  /** The hashed distance every nearest row recomputes from the output
+    * geometries: `sqrt(dx·dx + dy·dy)` over exact dyadic squares —
+    * bit-identical to DuckDB's sqrt, independent of how the join
+    * measured (see the geo_sjoin_nearest scaladoc). `rightGeom` is the
+    * renamed build-side geometry column in the join's output. */
+  private def nearestHashedDist(rightGeom: String): Column = {
+    val dx = st_x(col("geometry")) - st_x(col(rightGeom))
+    val dy = st_y(col("geometry")) - st_y(col(rightGeom))
+    sqrt(dx * dx + dy * dy)
+  }
+
   /** 50 point clusters 1000 units apart (cluster extent ≤ 12 units, so a
     * 1.5-unit nearest search never crosses clusters and DuckDB can join
     * within-cluster only): left on the integer lattice, right on the
@@ -1481,10 +1492,8 @@ object GeoQueries {
       val got = graft.streaming.StreamDrain.availableNow(s, ev, "stream_nn",
           in => graft.streaming.GeoStreaming.sjoinNearestStream(in, static,
             k = 1, distanceCol = Some("d0")))
-      val dx = st_x(col("geometry")) - st_x(col("geometry_static"))
-      val dy = st_y(col("geometry")) - st_y(col("geometry_static"))
       got.select(col("event_id"), col("sid"),
-          sqrt(dx * dx + dy * dy).as("d"))
+          nearestHashedDist("geometry_static").as("d"))
         .groupBy(col("sid"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("event_id")).as("sum_event_id"),
@@ -1608,21 +1617,17 @@ object GeoQueries {
       * drives the partitioned door on the same truth. */
     "geo_sjoin_nearest" -> ((s, dir) => {
       val (l, r) = nearestFixture(s, dir)
-      val dx = st_x(col("geometry")) - st_x(col("geometry_right"))
-      val dy = st_y(col("geometry")) - st_y(col("geometry_right"))
       graft.join.SpatialJoin.sjoinNearest(l, r, k = 2, maxDistance = 1.5,
           distanceCol = Some("d0"))
-        .select(col("lk"), col("rk"), sqrt(dx * dx + dy * dy).as("d"))
+        .select(col("lk"), col("rk"), nearestHashedDist("geometry_right").as("d"))
         .orderBy(col("lk"), col("rk"))
     }),
 
     "geo_sjoin_nearest_grid" -> ((s, dir) => {
       val (l, r) = nearestFixture(s, dir)
-      val dx = st_x(col("geometry")) - st_x(col("geometry_right"))
-      val dy = st_y(col("geometry")) - st_y(col("geometry_right"))
       graft.join.SpatialJoin.sjoinNearestPartitioned(l, r, k = 2,
           maxDistance = 1.5, distanceCol = Some("d0"), cellSize = 2.0)
-        .select(col("lk"), col("rk"), sqrt(dx * dx + dy * dy).as("d"))
+        .select(col("lk"), col("rk"), nearestHashedDist("geometry_right").as("d"))
         .orderBy(col("lk"), col("rk"))
     }),
 
@@ -1635,11 +1640,9 @@ object GeoQueries {
       val (l, r) = nearestFixture(s, dir)
       graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_nn_store")
       graft.join.SpatialJoin.writeSpatialBucketed(r, "graft_q_nn_store", 2.0, 16)
-      val dx = st_x(col("geometry")) - st_x(col("geometry_right"))
-      val dy = st_y(col("geometry")) - st_y(col("geometry_right"))
       graft.join.SpatialJoin.sjoinNearestBucketed(s, l, "graft_q_nn_store",
           cellSize = 2.0, k = 2, maxDistance = 1.5, distanceCol = Some("d0"))
-        .select(col("lk"), col("rk"), sqrt(dx * dx + dy * dy).as("d"))
+        .select(col("lk"), col("rk"), nearestHashedDist("geometry_right").as("d"))
         .orderBy(col("lk"), col("rk"))
     }),
 

@@ -964,13 +964,12 @@ object SpatialJoin {
     checkNearestArgs(left, right, k, maxDistance, how, distanceCol, suffix)
     val spark = left.sparkSession
     val rightR = renameClashes(right, left.columns.toSeq, suffix)
+    val rGeomR = if (left.columns.contains(rightGeom)) rightGeom + suffix else rightGeom
     val probeIsLeft = how != "right"
     val (build, bGeomName) =
-      if (probeIsLeft) (rightR, if (left.columns.contains(rightGeom)) rightGeom + suffix else rightGeom)
-      else (left, leftGeom)
+      if (probeIsLeft) (rightR, rGeomR) else (left, leftGeom)
     val (probe, pGeomName) =
-      if (probeIsLeft) (left, leftGeom)
-      else (rightR, if (left.columns.contains(rightGeom)) rightGeom + suffix else rightGeom)
+      if (probeIsLeft) (left, leftGeom) else (rightR, rGeomR)
     val bGeomPos = build.columns.indexOf(bGeomName)
     val pGeomPos = probe.columns.indexOf(pGeomName)
     require(bGeomPos >= 0 && pGeomPos >= 0,
