@@ -78,7 +78,45 @@ class NearestRandomSpec extends AnyFunSuite {
         s"round $round: broadcast tier diverged")
       assert(bcast.length === expected.size,
         s"round $round: broadcast tier duplicated pairs")
+      // how=right swaps the probe role: each BUILD row takes its k
+      // nearest PROBE rows — brute force with the sides exchanged
+      val expectedR = bruteNearest(
+        buildRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+        probeRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+        k, maxD, exclusive)
+      val gridR = SpatialJoin.sjoinNearestPartitioned(probe, build, k = k,
+          maxDistance = maxD, cellSize = cellSize, exclusive = exclusive,
+          how = "right")
+        .select($"bid", $"pid").as[(Long, Option[Long])].collect()
+      val gridRPairs = gridR.collect { case (b, Some(p)) => (b, p) }
+      assert(gridRPairs.toSet === expectedR,
+        s"round $round: how=right grid tier diverged")
+      assert(gridRPairs.length === expectedR.size,
+        s"round $round: how=right duplicated pairs")
+      // right join keeps unmatched build rows, exactly once, null probe
+      val unmatched = gridR.collect { case (b, None) => b }
+      assert(unmatched.toSet === buildRows.map(_._1).toSet -- expectedR.map(_._1),
+        s"round $round: how=right unmatched build rows wrong")
+      assert(unmatched.distinct.length === unmatched.length)
     }
+  }
+
+  test("partitioned tier with k past the build size returns everything in range") {
+    val rnd = new java.util.Random(0xA11CE)
+    val probeRows = (0 until 40).map(i => (i.toLong,
+      EWKBFactories.point(rnd.nextInt(21) * 0.5, rnd.nextInt(21) * 0.5)))
+    val buildRows = (0 until 3).map(i => (i.toLong,
+      EWKBFactories.point(i * 2.0, i * 2.0)))
+    val expected = bruteNearest(
+      probeRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+      buildRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+      k = 50, maxD = 8.0, exclusive = false)
+    val got = SpatialJoin.sjoinNearestPartitioned(
+        probeRows.toDF("pid", "geometry"), buildRows.toDF("bid", "geometry"),
+        k = 50, maxDistance = 8.0, cellSize = 4.0)
+      .select($"pid", $"bid").as[(Long, Long)].collect()
+    assert(got.toSet === expected)
+    assert(got.length === expected.size)
   }
 
   test("random fixture through the bucketed store tier") {
