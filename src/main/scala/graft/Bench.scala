@@ -249,6 +249,38 @@ object Bench {
       HotBktSetup.get(s, dir)
       graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkthot_l",
         "graft_bench_bkthot_r", 1.0, "intersects")
+    }),
+    // pinned twin: the identical skewed join with hot-cell salting OFF —
+    // prices the salting win inside BENCH every round instead of only in
+    // ProbeBucketHot's PERF.md numbers (expected ~4.3x the salted key
+    // per the r14 probe)
+    "geo_sjoin_bucketed_hot_unsalted" -> ((s, dir) => {
+      HotBktSetup.get(s, dir)
+      graft.join.SpatialJoin.sjoinBucketed(s, "graft_bench_bkthot_l",
+        "graft_bench_bkthot_r", 1.0, "intersects", saltHotCells = false)
+    }),
+    // UNBOUNDED distributed nearest (r16): no maxDistance anywhere — the
+    // per-probe bound discovery (two summary passes + summed-area ring
+    // search) rides on top of geo_sjoin_nearest's constant-density
+    // lattice, so the delta over that key prices the no-bound contract
+    "geo_sjoin_nearest_unbounded" -> ((s, dir) => {
+      val left = orders(s, dir).select(k.as("lk"),
+        st_point(nnLx + w / 2, nnLy + h / 2).as("geometry"))
+      val right = orders(s, dir).select(k.as("rk"),
+        st_point(nnLx + w, nnLy + h).as("geometry"))
+      graft.join.SpatialJoin.sjoinNearestUnbounded(left, right, k = 2,
+          distanceCol = Some("d"))
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+    }),
+    // whole-corpus reprojection (r16, VERDICT #2): st_to_srid is the one
+    // §2 family with no bench coverage, and at 100 TB a reprojection is
+    // a full scan — lon/lat lattice → web mercator, coordinate checksum
+    "geo_crs_scan" -> ((s, dir) => {
+      val g = st_set_srid(st_point(
+        (k % 360).cast("double") - 180.0 + 0.5,
+        (k % 170).cast("double") / 2.0 - 42.25), lit(4326))
+      orders(s, dir).select(st_to_srid(g, lit(3857)).as("m"))
+        .agg(sum(st_x(col("m"))).as("sx"), sum(st_y(col("m"))).as("sy"))
     })
   )
 

@@ -78,6 +78,34 @@ object GeoQueries {
     (l, r)
   }
 
+  /** Heterogeneous-density fixture for the unbounded nearest tier: both
+    * sides carry a dense dyadic cluster near the origin, a sparse mid
+    * band, and far outliers (all coordinates dyadic rationals — exact in
+    * both engines). Probe = every 10th key, build = every 25th, so the
+    * DuckDB oracle's cross join stays ~1500 × 600 at sf0.01. */
+  private def nearestUnboundedFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val probe = base(s, dir).filter(k % 10 === 0).select(k.as("pk"),
+      st_point(
+        when(k % 30 === 0, (k % 8).cast("double") * 0.25)
+          .when(k % 30 === 10, lit(1024.0) + (k % 16).cast("double") * 16.0)
+          .otherwise(lit(4000.0) + (k % 8).cast("double") * 64.0),
+        when(k % 30 === 0, (k % 13).cast("double") * 0.25)
+          .when(k % 30 === 10, lit(512.0) + (k % 8).cast("double") * 16.0)
+          .otherwise(lit(2000.0) + (k % 4).cast("double") * 128.0))
+        .as("geometry"))
+    val build = base(s, dir).filter(k % 25 === 0).select(k.as("bk"),
+      st_point(
+        when(k % 100 < 50, (k % 16).cast("double") * 0.25)
+          .when(k % 100 === 50, lit(64.0) + (k % 32).cast("double") * 4.0)
+          .otherwise(lit(4096.0) + (k % 4).cast("double") * 512.0),
+        when(k % 100 < 50, (k % 13).cast("double") * 0.25)
+          .when(k % 100 === 50, (k % 11).cast("double") * 8.0)
+          .otherwise(lit(2048.0) + (k % 8).cast("double") * 256.0))
+        .as("geometry"))
+    (probe, build)
+  }
+
   /** orders → (k, derived dyadic box/point columns), the shared scheme. */
   private def base(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey").as("k"))
@@ -1646,6 +1674,24 @@ object GeoQueries {
         .orderBy(col("lk"), col("rk"))
     }),
 
+    /** The UNBOUNDED distributed nearest tier (no maxDistance anywhere):
+      * per-probe bound discovery over the coarse build summary, then the
+      * padded-probe cell machinery. The fixture is deliberately
+      * heterogeneous — a dense dyadic cluster, a sparse mid band, and
+      * far outliers on BOTH sides — so per-probe bounds span orders of
+      * magnitude and desert probes must reach across hundreds of coarse
+      * rings. DuckDB's oracle is the full relational kNN (cross join +
+      * rank window) over the same dyadic lattice; the hashed distance is
+      * recomputed as sqrt(dx²+dy²) from the output geometries on both
+      * engines (bit-exact by construction, see geo_sjoin_nearest). */
+    "geo_sjoin_nearest_unbounded" -> ((s, dir) => {
+      val (l, r) = nearestUnboundedFixture(s, dir)
+      graft.join.SpatialJoin.sjoinNearestUnbounded(l, r, k = 2,
+          distanceCol = Some("d0"))
+        .select(col("pk"), col("bk"), nearestHashedDist("geometry_right").as("d"))
+        .orderBy(col("pk"), col("bk"))
+    }),
+
     // ---------------------------------------------------- §2.13 frame I/O
     "geo_io" -> ((s, dir) => {
       val df = base(s, dir).select(k, rect.as("geometry"))
@@ -2234,6 +2280,28 @@ object GeoQueries {
     "geo_sjoin_nearest" -> nearestOracleSql,
     "geo_sjoin_nearest_grid" -> nearestOracleSql,
     "geo_sjoin_nearest_bucketed" -> nearestOracleSql,
+    "geo_sjoin_nearest_unbounded" ->
+      """WITH p AS (SELECT o_orderkey AS pk,
+        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%8 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%30 = 10 THEN 1024.0 + CAST(o_orderkey%16 AS DOUBLE)*16.0
+        |       ELSE 4000.0 + CAST(o_orderkey%8 AS DOUBLE)*64.0 END AS px,
+        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%30 = 10 THEN 512.0 + CAST(o_orderkey%8 AS DOUBLE)*16.0
+        |       ELSE 2000.0 + CAST(o_orderkey%4 AS DOUBLE)*128.0 END AS py
+        |  FROM orders WHERE o_orderkey%10 = 0),
+        | b AS (SELECT o_orderkey AS bk,
+        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%16 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%100 = 50 THEN 64.0 + CAST(o_orderkey%32 AS DOUBLE)*4.0
+        |       ELSE 4096.0 + CAST(o_orderkey%4 AS DOUBLE)*512.0 END AS bx,
+        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%100 = 50 THEN CAST(o_orderkey%11 AS DOUBLE)*8.0
+        |       ELSE 2048.0 + CAST(o_orderkey%8 AS DOUBLE)*256.0 END AS by
+        |  FROM orders WHERE o_orderkey%25 = 0),
+        | dd AS (SELECT pk, bk,
+        |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d FROM p CROSS JOIN b),
+        | ranked AS (SELECT pk, bk, d,
+        |   rank() OVER (PARTITION BY pk ORDER BY d) AS rnk FROM dd)
+        |SELECT pk, bk, d FROM ranked WHERE rnk <= 2 ORDER BY pk, bk""".stripMargin,
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
          | w*h AS wkb_area, 4326 AS wkb_srid,

@@ -37,6 +37,21 @@ package object api {
         rightGeom, suffix, validate = validate, nullsEqual = nullsEqual,
         coalesce = coalesce)
 
+    /** Frame-level nearest-join sugar mirroring the public geopandas
+      * `sjoin_nearest` argument surface (beyond the reference, which has
+      * only the row-wise `nearest_points` kernel). Delegates to the
+      * tiered door [[graft.join.SpatialJoin.sjoinNearest]]: broadcast
+      * kNN under the guards, the cell tier for finite `maxDistance`,
+      * [[graft.join.SpatialJoin.sjoinNearestUnbounded]]'s per-probe
+      * bound discovery otherwise. */
+    def sjoinNearest(other: DataFrame, k: Int = 1,
+        maxDistance: Double = Double.PositiveInfinity, how: String = "inner",
+        leftGeom: String = "geometry", rightGeom: String = "geometry",
+        suffix: String = "_right", distanceCol: Option[String] = None,
+        exclusive: Boolean = false): DataFrame =
+      graft.join.SpatialJoin.sjoinNearest(df, other, k, maxDistance, how,
+        leftGeom, rightGeom, suffix, distanceCol, exclusive)
+
     /** The frame's geometry columns: the named ones, or (like the
       * reference's default) every binary column when none are given. */
     private def geometryCols(cols: Seq[String]): Seq[String] =

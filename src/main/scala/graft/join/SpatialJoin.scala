@@ -716,11 +716,9 @@ object SpatialJoin {
     // envelope intersection) makes each pair unique without a distinct().
     val pairs = cellCogroupPairs(lCells, rCells, pred,
       (cell, le, re) => {
-        val cx = (cell >> 32).toDouble * cs
-        val cy = (cell << 32 >> 32).toDouble * cs
         val ix = math.max(le.getMinX, re.getMinX)
         val iy = math.max(le.getMinY, re.getMinY)
-        ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs
+        graft.plans.GeoNative.ownsCorner(ix, iy, cell, cs)
       }, maxCellRows, pairsPerTask)
 
     assemble(leftIdx, rightIdx, pairs, how, suffix)
@@ -932,16 +930,16 @@ object SpatialJoin {
     * Tiers mirror [[sjoin]]: the build side is collected under the
     * broadcast guards and probed as an (id, geometry) STRtree with the
     * JTS branch-and-bound kNN; a build side past the guards falls back to
-    * [[sjoinNearestPartitioned]], which REQUIRES a finite `maxDistance` —
-    * an unbounded nearest join over two at-scale frames has no
-    * partition-local search bound (a probe cell might need a build row
-    * arbitrarily far away).
+    * [[sjoinNearestPartitioned]] when `maxDistance` is finite, or to
+    * [[sjoinNearestUnbounded]] (per-probe bound discovery over a coarse
+    * build summary) when it is not — the full geopandas `sjoin_nearest`
+    * contract holds at every scale.
     *
     * @param k neighbors per probe row (ties at the kth distance all kept)
     * @param maxDistance candidates farther than this planar distance never
     *        match; probe rows with no candidate drop on "inner" and
     *        survive with null build columns on "left"/"right". Infinity
-    *        (the default) is broadcast-tier-only.
+    *        (the default) searches as far as the data requires.
     * @param how "inner" | "left" | "right" — geopandas semantics: "left"
     *        keeps unmatched left rows; "right" swaps the probe role (each
     *        RIGHT row gets its k nearest LEFT geometries) and keeps
@@ -977,14 +975,14 @@ object SpatialJoin {
 
     collectBounded(build, maxBuildRows, maxBuildBytes) match {
       case None =>
-        require(!maxDistance.isInfinite,
-          "sjoinNearest: the build side exceeds the broadcast guards and " +
-            "maxDistance is unbounded — the distributed tier needs a finite " +
-            "maxDistance (no partition-local search bound exists without " +
-            "one); pass maxDistance or raise maxBuildRows/maxBuildBytes")
-        sjoinNearestPartitioned(left, right, k, maxDistance, how, leftGeom,
-          rightGeom, suffix, distanceCol, exclusive, cellSize, maxCellRows,
-          pairsPerTask)
+        if (maxDistance.isInfinite)
+          sjoinNearestUnbounded(left, right, k, how, leftGeom, rightGeom,
+            suffix, distanceCol, exclusive, cellSize, maxCellRows,
+            pairsPerTask)
+        else
+          sjoinNearestPartitioned(left, right, k, maxDistance, how, leftGeom,
+            rightGeom, suffix, distanceCol, exclusive, cellSize, maxCellRows,
+            pairsPerTask)
       case Some(buildRows) =>
         val kk = k; val maxD = maxDistance; val excl = exclusive
         val buildData = buildRows.zipWithIndex.map { case (r, i) =>
@@ -1104,8 +1102,6 @@ object SpatialJoin {
       if (n == 0) Iterator.empty
       else {
         tree.build()
-        val cx = (cell >> 32).toDouble * csV
-        val cy = (cell << 32 >> 32).toDouble * csV
         pIt.flatMap { case (_, _, _, pid, bytes) =>
           if (bytes == null) Iterator.empty
           else {
@@ -1123,7 +1119,7 @@ object SpatialJoin {
                   be.expandBy(maxD)
                   val ix = math.max(pe.getMinX, be.getMinX)
                   val iy = math.max(pe.getMinY, be.getMinY)
-                  ix >= cx && ix < cx + csV && iy >= cy && iy < cy + csV
+                  graft.plans.GeoNative.ownsCorner(ix, iy, cell, csV)
                 }
                 .map { case (bid, d, _) => (pid, bid, d) }
             }
@@ -1154,6 +1150,259 @@ object SpatialJoin {
     assembled.select(
       (left.columns.map(col) ++ rightRNames.map(col)
         ++ distanceCol.map(nm => col(DCol).as(nm)).toSeq): _*)
+  }
+
+  /** Distributed nearest join with NO distance bound — the tier behind
+    * `sjoinNearest(maxDistance = ∞)` when the build side exceeds the
+    * broadcast guards (the public geopandas `sjoin_nearest` no-bound
+    * contract at any scale). The cell scheme alone has no search bound,
+    * so the tier derives one PER PROBE from a coarse build summary
+    * ([[CellSummary]]: anchor counts + envelope coverage as two
+    * driver-resident summed-area tables over a ≤512² grid, built by two
+    * `treeAggregate` passes and broadcast once):
+    *
+    *  1. each probe binary-searches the smallest Chebyshev cell ring
+    *     whose block provably holds ≥ k distinct build rows (anchors are
+    *     counted once per row, at a vertex ON the geometry) — the max
+    *     box-to-box distance to that block bounds the k-th nearest
+    *     distance; a dense-region probe gets a tight local bound while a
+    *     desert probe's bound reaches however far its k-th neighbor is;
+    *  2. the bound rides the PROBE explosion (the bucketed-tier
+    *     convention: probe cells padded by its own `d_p`, build side
+    *     unpadded), with emission filtered to coverage-occupied regions
+    *     — loss-free (the ownership corner of an in-range pair lies in
+    *     the build envelope, whose cells are always covered), so the
+    *     desert probe emits only toward actual data instead of millions
+    *     of empty cells;
+    *  3. per-cell STRtree radius query at `d_p`, slice-local
+    *     ties-inclusive top-k prune, ownership-corner dedup
+    *     (bit-identical floor arithmetic via
+    *     [[graft.plans.GeoNative.ownsCorner]]), one rank() window — the
+    *     bounded tier's finish. Hot cells inherit the census + 2-D
+    *     salting through [[saltedCogroup]].
+    *
+    * `exclusive = true` is the one case a single pass cannot always
+    * settle: topologically-equal duplicates may consume the anchor
+    * budget (k anchors in range, all equal to the probe, zero eligible
+    * matches). Probes that resolve fewer than k ties-inclusive matches
+    * re-run with a doubled anchor target, terminating no later than the
+    * target reaching `totalAnchors` (the bound then covers every build
+    * row). Without `exclusive` the anchor guarantee makes the first pass
+    * exact, so no verification job runs.
+    *
+    * `cellSize = 0` sizes cells from one hash-ranked probe sample as
+    * `max(4 × mean envelope width, 2 × median per-probe bound)` — the
+    * unbounded analog of the bounded tier's `2 × maxDistance` default. */
+  def sjoinNearestUnbounded(left: DataFrame, right: DataFrame, k: Int = 1,
+      how: String = "inner", leftGeom: String = "geometry",
+      rightGeom: String = "geometry", suffix: String = "_right",
+      distanceCol: Option[String] = None, exclusive: Boolean = false,
+      cellSize: Double = 0.0, maxCellRows: Int = MaxCellBuildRows,
+      pairsPerTask: Long = GridPairsPerTask,
+      summaryGrid: Int = CellSummary.DefaultGrid): DataFrame = {
+    checkNearestArgs(left, right, k, Double.PositiveInfinity, how,
+      distanceCol, suffix)
+    val spark = left.sparkSession
+    import spark.implicits._
+    val probeIsLeft = how != "right"
+    val kk = k
+
+    val leftIdx = withStableIndex(left, LIdx)
+    val rightIdx = withStableIndex(right, RIdx)
+    val (probeIdx, pGeom, pIdxName) =
+      if (probeIsLeft) (leftIdx, leftGeom, LIdx) else (rightIdx, rightGeom, RIdx)
+    val (buildIdx, bGeom, bIdxName) =
+      if (probeIsLeft) (rightIdx, rightGeom, RIdx) else (leftIdx, leftGeom, LIdx)
+
+    val DCol = "__graft_ndist"
+    val PIdxT = "__graft_npidx"
+    val BIdxT = "__graft_nbidx"
+    val ranked: DataFrame = CellSummary.compute(buildIdx, bGeom, summaryGrid) match {
+      case None => // no usable build geometry: no matches, by definition
+        Seq.empty[(Long, Long, Double)].toDF(PIdxT, BIdxT, DCol)
+      case Some(summary) =>
+        val bcSum = spark.sparkContext.broadcast(summary)
+        val kTarget0 = (k + (if (exclusive) 1 else 0)).toLong
+        val cs =
+          if (cellSize > 0) cellSize
+          else {
+            // one hash-ranked sample feeds BOTH estimators (autoCellSize's
+            // envelope-width heuristic and the median per-probe bound)
+            val sel = probeIdx.select(col(pGeom)).filter(col(pGeom).isNotNull)
+            val sampled = sel.sample(withReplacement = false, 0.2, 42)
+              .orderBy(xxhash64(col(pGeom), monotonically_increasing_id(), lit(42L)))
+              .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
+            val rows = if (sampled.length >= 500) sampled
+              else sel.orderBy(xxhash64(col(pGeom),
+                monotonically_increasing_id(), lit(42L)))
+                .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
+            val envs = rows.iterator.map(b => EWKB.read(b).getEnvelopeInternal)
+              .filterNot(_.isNull).toArray
+            if (envs.isEmpty) math.max(summary.h, 1e-9)
+            else {
+              val meanW = envs.iterator
+                .map(e => math.max(e.getWidth, e.getHeight)).sum / envs.length
+              val pads = envs.map(summary.boundFor(_, kTarget0)).sorted
+              math.max(math.max(4 * meanW, 2 * pads(pads.length / 2)), 1e-9)
+            }
+          }
+        if (!exclusive)
+          nearestUnboundedPass(probeIdx, buildIdx, pIdxName, pGeom,
+            bIdxName, bGeom, kk, kTarget0, exclusive = false, cs, bcSum,
+            maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
+        else {
+          // escalation loop (see scaladoc): only equal-duplicate pressure
+          // can leave a probe under-matched, and only with `exclusive`
+          var kTarget = kTarget0
+          var pending = probeIdx
+          var parts = List.empty[DataFrame]
+          var done = false
+          while (!done) {
+            val pass = nearestUnboundedPass(pending, buildIdx, pIdxName,
+              pGeom, bIdxName, bGeom, kk, kTarget, exclusive = true, cs,
+              bcSum, maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
+              .persist() // read twice below: resolution check + result
+            if (kTarget >= summary.totalAnchors) {
+              // the bound covered every build row: pass is exact
+              parts ::= pass
+              done = true
+            } else {
+              val resolved = pass.groupBy(col(PIdxT))
+                .agg(count(lit(1)).as("__graft_nc"))
+                .filter(col("__graft_nc") >= kk)
+                .select(col(PIdxT))
+              val unresolved = pending.join(resolved,
+                pending(pIdxName) === resolved(PIdxT), "left_anti")
+              parts ::= pass.join(resolved, Seq(PIdxT), "left_semi")
+              if (unresolved.isEmpty) done = true
+              else {
+                pending = unresolved
+                kTarget = math.min(summary.totalAnchors,
+                  math.max(kTarget * 2, kTarget + 1))
+              }
+            }
+          }
+          parts.reduce(_ union _)
+        }
+    }
+    val pairs =
+      if (probeIsLeft)
+        ranked.withColumnRenamed(PIdxT, LIdx).withColumnRenamed(BIdxT, RIdx)
+      else
+        ranked.withColumnRenamed(PIdxT, RIdx).withColumnRenamed(BIdxT, LIdx)
+    val assembled = assemble(leftIdx, rightIdx, pairs, how, suffix)
+    val rightRNames = right.columns.map(c =>
+      if (left.columns.contains(c)) c + suffix else c)
+    assembled.select(
+      (left.columns.map(col) ++ rightRNames.map(col)
+        ++ distanceCol.map(nm => col(DCol).as(nm)).toSeq): _*)
+  }
+
+  /** One candidate pass of [[sjoinNearestUnbounded]]: padded-probe cell
+    * explosion (coverage-filtered), per-cell STRtree radius query at the
+    * per-probe bound, ownership dedup, rank()-window top-k. The bound is
+    * recomputed inside the cogroup from the broadcast summary (pure
+    * function of the probe envelope) so the tuple shape stays the shared
+    * [[saltedCogroup]] one. */
+  private def nearestUnboundedPass(probeFrame: DataFrame, buildIdx: DataFrame,
+      pIdxName: String, pGeom: String, bIdxName: String, bGeom: String,
+      k: Int, kTarget: Long, exclusive: Boolean, cs: Double,
+      bcSum: Broadcast[CellSummary], maxCellRows: Int, pairsPerTask: Long,
+      PIdxT: String, BIdxT: String, DCol: String): DataFrame = {
+    val spark = probeFrame.sparkSession
+    import spark.implicits._
+    val csV = cs; val kk = k; val kT = kTarget; val excl = exclusive
+
+    val probeCells = probeFrame.select(col(pIdxName), col(pGeom))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        if (b == null) Nil
+        else {
+          val g = EWKB.read(b)
+          if (g.isEmpty) Nil
+          else {
+            val sum = bcSum.value
+            val env = g.getEnvelopeInternal
+            val dp = sum.boundFor(env, kT)
+            val px0 = env.getMinX - dp; val px1 = env.getMaxX + dp
+            val py0 = env.getMinY - dp; val py1 = env.getMaxY + dp
+            // join cells of (covered coarse cell ∩ padded env), deduped —
+            // a cell reachable through two coarse cells must emit once or
+            // the pair would double downstream
+            val cells = new java.util.HashSet[java.lang.Long]()
+            sum.coveredCellsIn(px0, py0, px1, py1).foreach { case (gx, gy) =>
+              val (rx0, ry0, rx1, ry1) = sum.cellRect(gx, gy)
+              val ix0 = math.max(px0, rx0); val ix1 = math.min(px1, rx1)
+              val iy0 = math.max(py0, ry0); val iy1 = math.min(py1, ry1)
+              val jx1 = math.floor(ix1 / csV).toLong
+              val jy1 = math.floor(iy1 / csV).toLong
+              var jx = math.floor(ix0 / csV).toLong
+              while (jx <= jx1) {
+                var jy = math.floor(iy0 / csV).toLong
+                while (jy <= jy1) {
+                  cells.add((jx << 32) | (jy & 0xffffffffL))
+                  jy += 1
+                }
+                jx += 1
+              }
+            }
+            val out = new scala.collection.mutable.ArrayBuffer[
+              (Long, Long, Array[Byte])](cells.size())
+            val it = cells.iterator()
+            while (it.hasNext) out += ((it.next().longValue(), id, b))
+            out
+          }
+        }
+      }
+    val buildCells = buildIdx.select(col(bIdxName), col(bGeom))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => gridCellsOf(b, csV).map(c => (c, id, b)) }
+
+    val triples = saltedCogroup(buildCells, probeCells, maxCellRows,
+      pairsPerTask) { (key, bIt, pIt) =>
+      val cell = key._1
+      val tree = new STRtree()
+      var n = 0
+      bIt.foreach { case (_, _, _, bid, bytes) =>
+        if (bytes != null) {
+          val g = EWKB.read(bytes)
+          if (!g.isEmpty) { tree.insert(g.getEnvelopeInternal, (bid, g)); n += 1 }
+        }
+      }
+      if (n == 0) Iterator.empty
+      else {
+        tree.build()
+        val sum = bcSum.value
+        pIt.flatMap { case (_, _, _, pid, bytes) =>
+          if (bytes == null) Iterator.empty
+          else {
+            val g = EWKB.read(bytes)
+            if (g.isEmpty) Iterator.empty
+            else {
+              val pe = g.getEnvelopeInternal
+              val dp = sum.boundFor(pe, kT)
+              topKTies(withinRadius(tree, g, dp, excl), kk)(_._2).iterator
+                .filter { case (_, _, bg) =>
+                  // ownership corner: (probe env expanded by d_p) ∩ build
+                  // env — matches the padded probe assignment above
+                  val be = bg.getEnvelopeInternal
+                  val ix = math.max(pe.getMinX - dp, be.getMinX)
+                  val iy = math.max(pe.getMinY - dp, be.getMinY)
+                  graft.plans.GeoNative.ownsCorner(ix, iy, cell, csV)
+                }
+                .map { case (bid, d, _) => (pid, bid, d) }
+            }
+          }
+        }
+      }
+    }
+
+    import org.apache.spark.sql.expressions.Window
+    triples.toDF(PIdxT, BIdxT, DCol)
+      .withColumn("__graft_nrank",
+        rank().over(Window.partitionBy(col(PIdxT)).orderBy(col(DCol))))
+      .filter(col("__graft_nrank") <= kk)
+      .drop("__graft_nrank")
   }
 
   /** Deterministic row index in a SINGLE pass, fully inside the DataFrame
@@ -1552,8 +1801,7 @@ object SpatialJoin {
           !(e.getMinX > x1 || e.getMaxX < x0 || e.getMinY > y1 || e.getMaxY < y0) && {
             val ix = math.max(e.getMinX, x0)
             val iy = math.max(e.getMinY, y0)
-            ((math.floor(ix / cs).toLong << 32) |
-              (math.floor(iy / cs).toLong & 0xffffffffL)) == cell
+            graft.plans.GeoNative.ownsCorner(ix, iy, cell, cs)
           }
       }
     })
@@ -1994,9 +2242,39 @@ object SpatialJoin {
 
   /** One-pass heavy-cell census of an exploded probe frame — the probe
     * side's stand-in for a store's stamped histogram. */
-  private def probeCellHist(probeCells: DataFrame): CellHist = {
+  private[graft] def probeCellHist(probeCells: DataFrame): CellHist = {
     val (rows, truncated) = heavyCellCensus(probeCells)
     CellHist(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap, truncated)
+  }
+
+  /** A probe frame's heavy-cell census, computed ONCE and reusable across
+    * joins — [[stampCellHistogram]]'s analog for a FRAME. The grid
+    * parameters ride along so a consumer can refuse a census computed on
+    * a different grid (mixed grids would salt the wrong cells). */
+  final case class ProbeCensus(cellSize: Double, pad: Double,
+      private[graft] val hist: CellHist)
+
+  /** Census a probe frame for [[sjoinNearestBucketed]]'s `probeCensus`
+    * door: a probe joined repeatedly against the same store re-pays the
+    * ~0.6 s join-time census on every call (ProbeNearestHot, PERF.md
+    * r15) — computing it once here and passing it in skips that while
+    * keeping the salting decisions identical (the census is a pure
+    * function of the probe geometries and the grid, so this explosion
+    * and the join's produce the same counts).
+    *
+    * `cellSize` must be the store's grid; `pad` must equal the join's
+    * `maxDistance` (the probe explodes to its PADDED cells — a census
+    * without the pad undercounts boundary cells). Both are re-checked at
+    * join time. */
+  def censusProbe(probe: DataFrame, probeGeom: String, cellSize: Double,
+      pad: Double): ProbeCensus = {
+    require(cellSize > 0, s"censusProbe: cellSize must be positive, got $cellSize")
+    require(!pad.isNaN && !pad.isInfinite && pad >= 0,
+      s"censusProbe: pad must be finite and non-negative, got $pad")
+    val cs = cellSize; val p = pad
+    val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs, pad = p))
+    val cells = probe.select(explode(cellsUdf(col(probeGeom))).as(CellCol))
+    ProbeCensus(cellSize, pad, probeCellHist(cells))
   }
 
   /** Join-time grid check: when the store's stamped [[CellSizeProp]] is
@@ -2047,7 +2325,11 @@ object SpatialJoin {
     * the salt's premium on a CHEAP-kernel (point) cell near the bound
     * is ~1.5 s, while the unsalted downside grows without bound with
     * cell density — point-heavy callers who know their cells are cheap
-    * can pass `saltHotCells = false`, which skips both.
+    * can pass `saltHotCells = false`, which skips both. A probe frame
+    * joined REPEATEDLY can instead pre-compute its census once with
+    * [[censusProbe]] and pass it via `probeCensus` — salting decisions
+    * stay identical (same counts, same machinery) and the per-call
+    * census job disappears (ProbeNearestCensus, PERF.md r16).
     *
     * @param how "inner" drops unmatched probe rows; "left" keeps them
     *        with null store columns. For "right" semantics (each STORE
@@ -2063,7 +2345,8 @@ object SpatialJoin {
       suffix: String = "_right", distanceCol: Option[String] = None,
       exclusive: Boolean = false, saltHotCells: Boolean = true,
       hotPairsBound: Long = DefaultHotPairsBound,
-      saltSliceRows: Int = 1024, maxSalt: Int = 64): DataFrame = {
+      saltSliceRows: Int = 1024, maxSalt: Int = 64,
+      probeCensus: Option[ProbeCensus] = None): DataFrame = {
     require(k >= 1, s"sjoinNearestBucketed: k must be >= 1, got $k")
     require(!maxDistance.isNaN && !maxDistance.isInfinite && maxDistance > 0,
       "sjoinNearestBucketed needs a finite positive maxDistance — the " +
@@ -2100,10 +2383,18 @@ object SpatialJoin {
       .select(col(PIdx), col(probeGeom).as(PGeomT))
       .withColumn(CellCol, explode(cellsUdf(col(PGeomT))))
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    probeCensus.foreach { pc =>
+      require(pc.cellSize == cellSize && pc.pad == maxDistance,
+        s"sjoinNearestBucketed: probeCensus was computed at (cellSize=" +
+          s"${pc.cellSize}, pad=${pc.pad}) but this join runs (cellSize=" +
+          s"$cellSize, pad=$maxDistance) — a mixed-grid census salts the " +
+          "wrong cells; recompute with censusProbe(probe, geom, " +
+          s"$cellSize, $maxDistance)")
+    }
     val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
       heavyCellsOf(spark, buildTable) match {
         case Some(bh) =>
-          val ph = probeCellHist(probeCells)
+          val ph = probeCensus.map(_.hist).getOrElse(probeCellHist(probeCells))
           if ((ph.truncated || bh.truncated) &&
               pastPairBound(ph.absentBound, bh.absentBound, hotPairsBound))
             log.warn(s"sjoinNearestBucketed($buildTable): a truncated " +

@@ -154,16 +154,23 @@ object GeoNative {
         val le = lg.getEnvelopeInternal
         val re = rgm.getEnvelopeInternal
         le.intersects(re) && {
-          val cx = (cell >> 32).toDouble * cs
-          val cy = (cell << 32 >> 32).toDouble * cs
           val ix = math.max(le.getMinX, re.getMinX)
           val iy = math.max(le.getMinY, re.getMinY)
-          ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs &&
-            pairPred(pred, lg, rgm)
+          ownsCorner(ix, iy, cell, cs) && pairPred(pred, lg, rgm)
         }
       }
     }
   }
+
+  /** Reference-point ownership: does `cell` own corner (ix, iy)?
+    * MUST be bit-identical to the cell-assignment arithmetic
+    * ([[graft.join.SpatialJoin.gridCellsOf]]'s `floor(x/cs)` packing) —
+    * the interval form `ix >= cellIdx*cs && ix < (cellIdx+1)*cs` can
+    * disagree with `floor(ix/cs)` within an ulp of a boundary on
+    * non-dyadic grids, silently dropping or double-emitting a pair. */
+  @inline def ownsCorner(ix: Double, iy: Double, cell: Long, cs: Double): Boolean =
+    ((math.floor(ix / cs).toLong << 32) |
+      (math.floor(iy / cs).toLong & 0xffffffffL)) == cell
 
   /** The bucketed NEAREST tier's per-pair kernel — [[bucketedMatch]]'s
     * distance analog, inlined into whole-stage codegen by
@@ -190,9 +197,7 @@ object GeoNative {
     val iy = math.max(pe.getMinY - maxD, be.getMinY)
     if (ix > math.min(pe.getMaxX + maxD, be.getMaxX) ||
         iy > math.min(pe.getMaxY + maxD, be.getMaxY)) return Double.NaN
-    val cx = (cell >> 32).toDouble * cs
-    val cy = (cell << 32 >> 32).toDouble * cs
-    if (!(ix >= cx && ix < cx + cs && iy >= cy && iy < cy + cs)) return Double.NaN
+    if (!ownsCorner(ix, iy, cell, cs)) return Double.NaN
     val d = pg.distance(bg)
     if (d > maxD || (exclusive && d == 0.0 && pg.equalsTopo(bg))) Double.NaN
     else d

@@ -48,12 +48,17 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *   changed is that the canonical group now retains what it needs to
   *   do its job). The ghost list is bounded by the same cap and doubles
   *   as the at-least-once re-delivery guard; once the ghost budget is
-  *   also spent the bucket is fully closed. The NARROWED residual: a
-  *   pair whose older member arrived past BOTH budgets (2×cap arrivals
-  *   in one bucket epoch) is not emitted even when a later band's
-  *   bucket holds both — cross-group state is the only way out, and
-  *   Spark permits no second stateful operator here. State stays
-  *   cap-bounded in entry count (≤ 2×cap member-sized records).
+  *   also spent the bucket is fully closed. The NARROWED residual,
+  *   QUANTIFIED (r16, StreamingSpec "2xcap residual quantified"): a
+  *   bucket epoch seeing n same-bucket arrivals emits exactly C(2·cap,
+  *   2) of the batch tier's C(n, 2) pairs — every pair among the first
+  *   2·cap arrivals survives (member-member, member-ghost, and
+  *   ghost-ghost via the r15 rescue), and a pair is suppressed iff
+  *   either member arrived past 2·cap. At the default cap a bucket
+  *   epoch must see > 200,000 same-bucket arrivals before a single pair
+  *   is lost; cross-group state is the only way past that, and Spark
+  *   permits no second stateful operator here. State stays cap-bounded
+  *   in entry count (≤ 2×cap member-sized records).
   *
   * == Checkpoint compatibility ==
   *

