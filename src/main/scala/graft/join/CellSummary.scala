@@ -44,8 +44,19 @@ import graft.serde.EWKB
   */
 final case class CellSummary(
     x0: Double, y0: Double, h: Double, nx: Int, ny: Int,
+    x1: Double, y1: Double,
     anchorSat: Array[Long], coverSat: Array[Long],
     totalAnchors: Long, occupied: Array[Long]) extends Serializable {
+
+  // Exact grid edges: `x0 + nx*h` can land ULPS SHORT of the true bbox
+  // max (h = ext/grid rounds), leaving an ulp-wide strip of real build
+  // data outside the nominal cell rects — the same bug class the
+  // ownsCorner fix targets. Assignment CLAMPS into the edge cells, so
+  // the edge cells semantically extend to the exact bbox max: every
+  // world-rect consumer (cellRect, boundFor's block, the early-exit)
+  // uses these.
+  @inline private def xEdge: Double = math.max(x0 + nx * h, x1)
+  @inline private def yEdge: Double = math.max(y0 + ny * h, y1)
 
   @inline private def clampX(x: Double): Int =
     math.min(nx - 1, math.max(0, math.floor((x - x0) / h).toInt))
@@ -68,15 +79,6 @@ final case class CellSummary(
     blockSum(anchorSat, math.max(cx0 - r, 0), math.max(cy0 - r, 0),
       math.min(cx1 + r, nx - 1), math.min(cy1 + r, ny - 1))
 
-  /** Does any build ENVELOPE intersect the world rectangle? Loss-free
-    * emission filter (see class doc). */
-  def coverIntersects(wx0: Double, wy0: Double,
-      wx1: Double, wy1: Double): Boolean = {
-    if (wx1 < x0 || wy1 < y0 || wx0 > x0 + nx * h || wy0 > y0 + ny * h)
-      return false
-    blockSum(coverSat, clampX(wx0), clampY(wy0), clampX(wx1), clampY(wy1)) > 0
-  }
-
   /** A distance from `env` provably ≥ the `kTarget`-th nearest build-row
     * distance from ANY geometry inside `env` (or, when fewer than
     * `kTarget` rows exist, ≥ every build-row distance): binary-search
@@ -97,8 +99,10 @@ final case class CellSummary(
     }
     val bx0 = math.max(cx0 - lo, 0); val bx1 = math.min(cx1 + lo, nx - 1)
     val by0 = math.max(cy0 - lo, 0); val by1 = math.min(cy1 + lo, ny - 1)
-    val rx0 = x0 + bx0 * h; val rx1 = x0 + (bx1 + 1) * h
-    val ry0 = y0 + by0 * h; val ry1 = y0 + (by1 + 1) * h
+    val rx0 = x0 + bx0 * h
+    val rx1 = if (bx1 == nx - 1) xEdge else x0 + (bx1 + 1) * h
+    val ry0 = y0 + by0 * h
+    val ry1 = if (by1 == ny - 1) yEdge else y0 + (by1 + 1) * h
     val dx = math.max(env.getMaxX - rx0, rx1 - env.getMinX)
     val dy = math.max(env.getMaxY - ry0, ry1 - env.getMinY)
     val raw = math.sqrt(dx * dx + dy * dy)
@@ -111,7 +115,7 @@ final case class CellSummary(
     * bound costs O(occupied) instead of O(grid²). */
   def coveredCellsIn(wx0: Double, wy0: Double, wx1: Double, wy1: Double)
       : Iterator[(Int, Int)] = {
-    if (wx1 < x0 || wy1 < y0 || wx0 > x0 + nx * h || wy0 > y0 + ny * h)
+    if (wx1 < x0 || wy1 < y0 || wx0 > xEdge || wy0 > yEdge)
       return Iterator.empty
     val gx0 = clampX(wx0); val gx1 = clampX(wx1)
     val gy0 = clampY(wy0); val gy1 = clampY(wy1)
@@ -126,9 +130,12 @@ final case class CellSummary(
           gx >= gx0 && gx <= gx1 && gy >= gy0 && gy <= gy1 }
   }
 
-  /** World rectangle of coarse cell (gx, gy). */
+  /** World rectangle of coarse cell (gx, gy); edge cells extend to the
+    * exact bbox max (see the xEdge note — assignment clamps into them). */
   def cellRect(gx: Int, gy: Int): (Double, Double, Double, Double) =
-    (x0 + gx * h, y0 + gy * h, x0 + (gx + 1) * h, y0 + (gy + 1) * h)
+    (x0 + gx * h, y0 + gy * h,
+      if (gx == nx - 1) xEdge else x0 + (gx + 1) * h,
+      if (gy == ny - 1) yEdge else y0 + (gy + 1) * h)
 }
 
 object CellSummary {
@@ -234,7 +241,7 @@ object CellSummary {
     val occ = (for (yy <- 0 until ny; xx <- 0 until nx
                     if cover(yy * nx + xx) > 0)
       yield (xx.toLong << 32) | (yy.toLong & 0xffffffffL)).toArray
-    Some(CellSummary(mnx, mny, h, nx, ny,
+    Some(CellSummary(mnx, mny, h, nx, ny, mxx, mxy,
       satOf(anchors), satOf(cover), anchors.sum, occ))
   }
 }

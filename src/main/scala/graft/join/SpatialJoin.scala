@@ -1246,43 +1246,64 @@ object SpatialJoin {
               math.max(math.max(4 * meanW, 2 * pads(pads.length / 2)), 1e-9)
             }
           }
+        val buildCells = buildIdx.select(col(bIdxName), col(bGeom))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, b) => gridCellsOf(b, cs).map(c => (c, id, b)) }
         if (!exclusive)
-          nearestUnboundedPass(probeIdx, buildIdx, pIdxName, pGeom,
-            bIdxName, bGeom, kk, kTarget0, exclusive = false, cs, bcSum,
+          nearestUnboundedPass(probeIdx, buildCells, pIdxName, pGeom,
+            kk, kTarget0, exclusive = false, cs, bcSum,
             maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
         else {
           // escalation loop (see scaladoc): only equal-duplicate pressure
-          // can leave a probe under-matched, and only with `exclusive`
-          var kTarget = kTarget0
-          var pending = probeIdx
-          var parts = List.empty[DataFrame]
-          var done = false
-          while (!done) {
-            val pass = nearestUnboundedPass(pending, buildIdx, pIdxName,
-              pGeom, bIdxName, bGeom, kk, kTarget, exclusive = true, cs,
-              bcSum, maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
-              .persist() // read twice below: resolution check + result
-            if (kTarget >= summary.totalAnchors) {
-              // the bound covered every build row: pass is exact
-              parts ::= pass
-              done = true
-            } else {
-              val resolved = pass.groupBy(col(PIdxT))
-                .agg(count(lit(1)).as("__graft_nc"))
-                .filter(col("__graft_nc") >= kk)
-                .select(col(PIdxT))
-              val unresolved = pending.join(resolved,
-                pending(pIdxName) === resolved(PIdxT), "left_anti")
-              parts ::= pass.join(resolved, Seq(PIdxT), "left_semi")
-              if (unresolved.isEmpty) done = true
-              else {
-                pending = unresolved
-                kTarget = math.min(summary.totalAnchors,
-                  math.max(kTarget * 2, kTarget + 1))
+          // can leave a probe under-matched, and only with `exclusive`.
+          // Each kept slice is checkpointed so the pass cache can be
+          // RELEASED per round (no storage leak across repeated joins);
+          // the build cells persist across rounds instead of re-parsing
+          // and re-shuffling the whole build side per escalation.
+          def snap(df: DataFrame): DataFrame =
+            if (spark.sparkContext.getCheckpointDir.isDefined)
+              df.checkpoint(eager = true)
+            else df.localCheckpoint(eager = true)
+          val buildCellsP = buildCells.persist()
+          try {
+            var kTarget = kTarget0
+            // null/empty-geometry probes can never resolve (they emit no
+            // cells) — without this filter they would pin `pending`
+            // non-empty and escalate every round for nothing; assemble
+            // reattaches them for the outer hows from the indexed frames
+            var pending = probeIdx.filter(col(pGeom).isNotNull &&
+              !graft.functions.st_is_empty(col(pGeom)))
+            var parts = List.empty[DataFrame]
+            var done = false
+            while (!done) {
+              val pass = nearestUnboundedPass(pending, buildCellsP,
+                pIdxName, pGeom, kk, kTarget, exclusive = true, cs,
+                bcSum, maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
+                .persist() // read twice below: resolution check + result
+              if (kTarget >= summary.totalAnchors) {
+                // the bound covered every build row: pass is exact
+                parts ::= snap(pass)
+                done = true
+              } else {
+                val resolved = pass.groupBy(col(PIdxT))
+                  .agg(count(lit(1)).as("__graft_nc"))
+                  .filter(col("__graft_nc") >= kk)
+                  .select(col(PIdxT))
+                val kept = snap(pass.join(resolved, Seq(PIdxT), "left_semi"))
+                val unresolved = snap(pending.join(resolved,
+                  pending(pIdxName) === resolved(PIdxT), "left_anti"))
+                parts ::= kept
+                if (unresolved.isEmpty) done = true
+                else {
+                  pending = unresolved
+                  kTarget = math.min(summary.totalAnchors,
+                    math.max(kTarget * 2, kTarget + 1))
+                }
               }
+              pass.unpersist()
             }
-          }
-          parts.reduce(_ union _)
+            parts.reduce(_ union _)
+          } finally buildCellsP.unpersist()
         }
     }
     val pairs =
@@ -1304,8 +1325,9 @@ object SpatialJoin {
     * recomputed inside the cogroup from the broadcast summary (pure
     * function of the probe envelope) so the tuple shape stays the shared
     * [[saltedCogroup]] one. */
-  private def nearestUnboundedPass(probeFrame: DataFrame, buildIdx: DataFrame,
-      pIdxName: String, pGeom: String, bIdxName: String, bGeom: String,
+  private def nearestUnboundedPass(probeFrame: DataFrame,
+      buildCells: Dataset[(Long, Long, Array[Byte])],
+      pIdxName: String, pGeom: String,
       k: Int, kTarget: Long, exclusive: Boolean, cs: Double,
       bcSum: Broadcast[CellSummary], maxCellRows: Int, pairsPerTask: Long,
       PIdxT: String, BIdxT: String, DCol: String): DataFrame = {
@@ -1354,10 +1376,6 @@ object SpatialJoin {
           }
         }
       }
-    val buildCells = buildIdx.select(col(bIdxName), col(bGeom))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, b) => gridCellsOf(b, csV).map(c => (c, id, b)) }
-
     val triples = saltedCogroup(buildCells, probeCells, maxCellRows,
       pairsPerTask) { (key, bIt, pIt) =>
       val cell = key._1

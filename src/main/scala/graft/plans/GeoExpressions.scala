@@ -84,6 +84,20 @@ object GeoNative {
     EWKB.write(out)
   }
 
+  /** st_to_srid as a native kernel — the same parse → [[graft.functions
+    * .CrsImpl.toSrid]] → serialize path as the UDF tier (curved-source
+    * markers pass through verbatim, like the UDF's writeResult), minus
+    * the ScalaUDF encoder boxing. Promotion decided by ProbeCrsScan's
+    * A/B (PERF.md r16). */
+  def toSrid(b: Array[Byte], target: Int): Array[Byte] = {
+    val g = EWKB.read(b)
+    val r = graft.functions.CrsImpl.toSrid(g, target)
+    r.getUserData match {
+      case src: Array[Byte] => src
+      case _ => EWKB.write(r)
+    }
+  }
+
   // ------------------------------------------- bucketed-join refinement
 
   /** The sjoin predicate set as dense int codes so the bucketed-join
@@ -334,6 +348,30 @@ case class STDWithinNative(first: Expression, second: Expression, third: Express
       t: Expression): STDWithinNative = copy(first = f, second = s, third = t)
 }
 
+/** [[GeoNative.toSrid]] as an expression: (geom EWKB, target srid) →
+  * reprojected EWKB. */
+case class STToSridNative(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def dataType: DataType = BinaryType
+  override def inputTypes =
+    Seq(BinaryType, org.apache.spark.sql.types.IntegerType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bin = NativeTypeCheck.binary("st_to_srid_native", left)
+    if (!bin.isSuccess) bin
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"st_to_srid_native expects an integer srid, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override protected def nullSafeEval(a: Any, s: Any): Any =
+    GeoNative.toSrid(a.asInstanceOf[Array[Byte]], s.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, s) => s"graft.plans.GeoNative.toSrid($a, (int)($s))")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): STToSridNative = copy(left = newLeft, right = newRight)
+}
+
 case class STBufferNative(left: Expression, right: Expression) extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -472,6 +510,9 @@ object GeoExpressions {
     (FunctionIdentifier("st_buffer_native"),
       new ExpressionInfo(classOf[STBufferNative].getName, "st_buffer_native"),
       withArity("st_buffer_native", 2)(args => STBufferNative(args(0), args(1)))),
+    (FunctionIdentifier("st_to_srid_native"),
+      new ExpressionInfo(classOf[STToSridNative].getName, "st_to_srid_native"),
+      withArity("st_to_srid_native", 2)(args => STToSridNative(args(0), args(1)))),
     (FunctionIdentifier("st_distance_native"),
       new ExpressionInfo(classOf[STDistanceNative].getName, "st_distance_native"),
       withArity("st_distance_native", 2)(args => STDistanceNative(args(0), args(1)))),

@@ -114,6 +114,41 @@ class FusionSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("graft_native_drift")
   }
 
+  test("st_to_srid_native matches the UDF tier (no-promotion pin, r16)") {
+    // ProbeCrsScan (PERF.md r16): the native form measured ~even with the
+    // UDF — reprojection is math-dominated, so st_to_srid KEEPS the UDF
+    // default and the native expression stays a pinned alternative. This
+    // guards its semantics from drifting while unpromoted.
+    import org.apache.spark.sql.functions.{col, lit}
+    val fixtures = spark.range(50).select(
+      st_set_srid(st_point((col("id") % 36).cast("double") * 10.0 - 175.0,
+        (col("id") % 17).cast("double") * 10.0 - 80.0), lit(4326)).as("g"))
+    fixtures.createOrReplaceTempView("graft_tosrid_drift")
+    try {
+      val rows = spark.sql(
+        """SELECT st_aswkt(st_to_srid_native(g, 3857)) AS nw,
+          |  st_aswkt(st_to_srid(g, 3857)) AS uw,
+          |  st_srid(st_to_srid_native(g, 3857)) AS ns,
+          |  st_aswkt(st_to_srid_native(g, 4326)) AS nnoop,
+          |  st_aswkt(st_to_srid(g, 4326)) AS unoop,
+          |  st_to_srid_native(CAST(NULL AS BINARY), 3857) AS nn
+          |FROM graft_tosrid_drift""".stripMargin).collect()
+      rows.foreach { r =>
+        assert(r.getString(0) === r.getString(1), s"to_srid drift: $r")
+        assert(r.getInt(2) === 3857)
+        assert(r.getString(3) === r.getString(4), s"no-op drift: $r")
+        assert(r.isNullAt(5), "null must stay null")
+      }
+      // curved no-op keeps the curved representation, like the UDF
+      val curved = spark.sql(
+        """SELECT st_geometrytype(st_to_srid_native(
+          |  st_set_srid(st_geomfromtext(
+          |    'CIRCULARSTRING (0 0, 1 1, 2 0)'), 4326), 4326)) AS t""".stripMargin)
+        .collect()(0).getString(0)
+      assert(curved === "CircularString", s"curved no-op shed the arc: $curved")
+    } finally spark.catalog.dropTempView("graft_tosrid_drift")
+  }
+
   test("measure-over-overlay chain (native root) fuses and matches") {
     assertTiersAgree(rects.select(
       st_area(st_intersection(col("g"), col("h"))).as("ia"),
