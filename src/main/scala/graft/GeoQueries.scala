@@ -1692,6 +1692,20 @@ object GeoQueries {
         .orderBy(col("pk"), col("bk"))
     }),
 
+    /** The exclusive door on the same fixture: the dense strata overlap
+      * on the shared dyadic lattice, so distance-0 topologically-equal
+      * pairs exist and must be SKIPPED (geopandas `exclusive`) — DuckDB
+      * mirrors with a coordinate-inequality filter (point equality ==
+      * coordinate equality). This pins the escalation machinery's
+      * resolution accounting end-to-end, not just in the spec. */
+    "geo_sjoin_nearest_unb_excl" -> ((s, dir) => {
+      val (l, r) = nearestUnboundedFixture(s, dir)
+      graft.join.SpatialJoin.sjoinNearestUnbounded(l, r, k = 2,
+          exclusive = true, distanceCol = Some("d0"))
+        .select(col("pk"), col("bk"), nearestHashedDist("geometry_right").as("d"))
+        .orderBy(col("pk"), col("bk"))
+    }),
+
     // ---------------------------------------------------- §2.13 frame I/O
     "geo_io" -> ((s, dir) => {
       val df = base(s, dir).select(k, rect.as("geometry"))
@@ -2299,6 +2313,29 @@ object GeoQueries {
         |  FROM orders WHERE o_orderkey%25 = 0),
         | dd AS (SELECT pk, bk,
         |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d FROM p CROSS JOIN b),
+        | ranked AS (SELECT pk, bk, d,
+        |   rank() OVER (PARTITION BY pk ORDER BY d) AS rnk FROM dd)
+        |SELECT pk, bk, d FROM ranked WHERE rnk <= 2 ORDER BY pk, bk""".stripMargin,
+    "geo_sjoin_nearest_unb_excl" ->
+      """WITH p AS (SELECT o_orderkey AS pk,
+        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%8 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%30 = 10 THEN 1024.0 + CAST(o_orderkey%16 AS DOUBLE)*16.0
+        |       ELSE 4000.0 + CAST(o_orderkey%8 AS DOUBLE)*64.0 END AS px,
+        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%30 = 10 THEN 512.0 + CAST(o_orderkey%8 AS DOUBLE)*16.0
+        |       ELSE 2000.0 + CAST(o_orderkey%4 AS DOUBLE)*128.0 END AS py
+        |  FROM orders WHERE o_orderkey%10 = 0),
+        | b AS (SELECT o_orderkey AS bk,
+        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%16 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%100 = 50 THEN 64.0 + CAST(o_orderkey%32 AS DOUBLE)*4.0
+        |       ELSE 4096.0 + CAST(o_orderkey%4 AS DOUBLE)*512.0 END AS bx,
+        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
+        |       WHEN o_orderkey%100 = 50 THEN CAST(o_orderkey%11 AS DOUBLE)*8.0
+        |       ELSE 2048.0 + CAST(o_orderkey%8 AS DOUBLE)*256.0 END AS by
+        |  FROM orders WHERE o_orderkey%25 = 0),
+        | dd AS (SELECT pk, bk,
+        |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d
+        |  FROM p CROSS JOIN b WHERE NOT (px = bx AND py = by)),
         | ranked AS (SELECT pk, bk, d,
         |   rank() OVER (PARTITION BY pk ORDER BY d) AS rnk FROM dd)
         |SELECT pk, bk, d FROM ranked WHERE rnk <= 2 ORDER BY pk, bk""".stripMargin,

@@ -232,6 +232,31 @@ class NearestUnboundedSpec extends AnyFunSuite {
     }
   }
 
+  test("curved geometries ride the unbounded tier (linearized consistently)") {
+    // CircularStrings parse through EWKB.read's auto-linearization; the
+    // summary's anchors, the STRtree distances, and the brute oracle all
+    // consume that same parse, so equality must hold end to end
+    def arc(x: Double, y: Double): Array[Byte] = {
+      val wkt = s"CIRCULARSTRING ($x $y, ${x + 1} ${y + 1}, ${x + 2} $y)"
+      spark.sql(s"SELECT st_geomfromtext('$wkt')").collect()(0)
+        .getAs[Array[Byte]](0)
+    }
+    val rnd = new java.util.Random(0xCA11)
+    val probeRows = (0 until 25).map(i => (i.toLong,
+      if (i % 3 == 0) arc(rnd.nextInt(21) * 1.0, rnd.nextInt(21) * 1.0)
+      else EWKBFixtures.point(rnd.nextInt(41) * 0.5, rnd.nextInt(41) * 0.5)))
+    val buildRows = (0 until 25).map(i => (i.toLong,
+      if (i % 4 == 0) arc(rnd.nextInt(21) * 1.0, rnd.nextInt(21) * 1.0)
+      else EWKBFixtures.point(rnd.nextInt(41) * 0.5, rnd.nextInt(41) * 0.5)))
+    val expected = brute(probeRows, buildRows, k = 2, exclusive = false)
+    val got = SpatialJoin.sjoinNearestUnbounded(
+        probeRows.toDF("pid", "geometry"), buildRows.toDF("bid", "geometry"),
+        k = 2)
+      .select($"pid", $"bid").as[(Long, Long)].collect()
+    assert(got.toSet === expected)
+    assert(got.length === expected.size)
+  }
+
   test("non-dyadic world: unbounded tier on 0.1-step coordinates") {
     val rnd = new java.util.Random(0x171717)
     def c(): Double = rnd.nextInt(101) * 0.1
