@@ -272,6 +272,21 @@ object Bench {
           distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
     }),
+    // the UNBOUNDED door of the store tier (r16): per-probe bounds come
+    // from the stamped CellSummary sidecar (stamped untimed at store
+    // build, like the histogram), so the delta over the bounded
+    // geo_sjoin_nearest_bucketed key prices exactly the no-bound premium
+    // on the exchange-free path — bound discovery + coverage-filtered
+    // explosion + the STNearestMatchBound kernel
+    "geo_sjoin_nearest_unb_bkt" -> ((s, dir) => {
+      BktSetup.get(s, dir)
+      val probe = orders(s, dir).select(k.as("lk"),
+        st_point(nnLx + w, nnLy + h).as("geometry"))
+      graft.join.SpatialJoin.sjoinNearestBucketed(s, probe,
+          "graft_bench_bkt_nn", 16.0, k = 2,
+          maxDistance = Double.PositiveInfinity, distanceCol = Some("d"))
+        .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+    }),
     // whole-corpus reprojection (r16, VERDICT #2): st_to_srid is the one
     // §2 family with no bench coverage, and at 100 TB a reprojection is
     // a full scan — lon/lat lattice → web mercator, coordinate checksum
@@ -303,6 +318,10 @@ object Bench {
           orders(s, dir).select(k.as("rk"),
             st_point(nnLx + w / 2, nnLy + h / 2).as("geometry")),
           "graft_bench_bkt_nn", 16.0, 32)
+        // cell summary for the unbounded door, stamped at (untimed)
+        // store-build time like the histogram — the timed key then
+        // prices only the per-probe bound discovery + join
+        graft.join.SpatialJoin.stampCellSummary(s, "graft_bench_bkt_nn")
         cached = Some(dir)
       }
     }

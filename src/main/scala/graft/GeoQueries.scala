@@ -51,6 +51,35 @@ object GeoQueries {
       |   rank() OVER (PARTITION BY lk ORDER BY d) AS rnk FROM p)
       |SELECT lk, rk, d FROM ranked WHERE rnk <= 2 ORDER BY lk, rk""".stripMargin
 
+  /** DuckDB's full relational kNN over the heterogeneous unbounded
+    * fixture (cross join + rank window, no distance bound anywhere) —
+    * the ONE truth all unbounded nearest rows pin against
+    * (geo_sjoin_nearest_unbounded and the bucketed-store door's
+    * geo_sjoin_nearest_unb_bkt run the same fixture through different
+    * machinery; geo_sjoin_nearest_unb_excl adds the equality filter). */
+  private val nearestUnbOracleSql: String =
+    """WITH p AS (SELECT o_orderkey AS pk,
+      |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%8 AS DOUBLE)*0.25
+      |       WHEN o_orderkey%30 = 10 THEN 1024.0 + CAST(o_orderkey%16 AS DOUBLE)*16.0
+      |       ELSE 4000.0 + CAST(o_orderkey%8 AS DOUBLE)*64.0 END AS px,
+      |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
+      |       WHEN o_orderkey%30 = 10 THEN 512.0 + CAST(o_orderkey%8 AS DOUBLE)*16.0
+      |       ELSE 2000.0 + CAST(o_orderkey%4 AS DOUBLE)*128.0 END AS py
+      |  FROM orders WHERE o_orderkey%10 = 0),
+      | b AS (SELECT o_orderkey AS bk,
+      |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%16 AS DOUBLE)*0.25
+      |       WHEN o_orderkey%100 = 50 THEN 64.0 + CAST(o_orderkey%32 AS DOUBLE)*4.0
+      |       ELSE 4096.0 + CAST(o_orderkey%4 AS DOUBLE)*512.0 END AS bx,
+      |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
+      |       WHEN o_orderkey%100 = 50 THEN CAST(o_orderkey%11 AS DOUBLE)*8.0
+      |       ELSE 2048.0 + CAST(o_orderkey%8 AS DOUBLE)*256.0 END AS by
+      |  FROM orders WHERE o_orderkey%25 = 0),
+      | dd AS (SELECT pk, bk,
+      |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d FROM p CROSS JOIN b),
+      | ranked AS (SELECT pk, bk, d,
+      |   rank() OVER (PARTITION BY pk ORDER BY d) AS rnk FROM dd)
+      |SELECT pk, bk, d FROM ranked WHERE rnk <= 2 ORDER BY pk, bk""".stripMargin
+
   /** The hashed distance every nearest row recomputes from the output
     * geometries: `sqrt(dx·dx + dy·dy)` over exact dyadic squares —
     * bit-identical to DuckDB's sqrt, independent of how the join
@@ -1692,6 +1721,26 @@ object GeoQueries {
         .orderBy(col("pk"), col("bk"))
     }),
 
+    /** The UNBOUNDED door of the exchange-free STORE tier on the same
+      * truth: the build side is a writeSpatialBucketed store whose
+      * [[graft.join.SpatialJoin.stampCellSummary]] sidecar supplies the
+      * per-probe bounds (write → stamp → join, the full production
+      * path), the per-pair kernel is the codegen'd STNearestMatchBound
+      * reading each probe's own bound from its row, and the store side
+      * never shuffles. Same hashed-distance recomputation and the same
+      * DuckDB relational-kNN truth as geo_sjoin_nearest_unbounded. */
+    "geo_sjoin_nearest_unb_bkt" -> ((s, dir) => {
+      val (l, r) = nearestUnboundedFixture(s, dir)
+      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_unb_store")
+      graft.join.SpatialJoin.writeSpatialBucketed(r, "graft_q_unb_store", 16.0, 16)
+      graft.join.SpatialJoin.stampCellSummary(s, "graft_q_unb_store")
+      graft.join.SpatialJoin.sjoinNearestBucketed(s, l, "graft_q_unb_store",
+          cellSize = 16.0, k = 2, maxDistance = Double.PositiveInfinity,
+          distanceCol = Some("d0"))
+        .select(col("pk"), col("bk"), nearestHashedDist("geometry_right").as("d"))
+        .orderBy(col("pk"), col("bk"))
+    }),
+
     /** The exclusive door on the same fixture: the dense strata overlap
       * on the shared dyadic lattice, so distance-0 topologically-equal
       * pairs exist and must be SKIPPED (geopandas `exclusive`) — DuckDB
@@ -2294,28 +2343,8 @@ object GeoQueries {
     "geo_sjoin_nearest" -> nearestOracleSql,
     "geo_sjoin_nearest_grid" -> nearestOracleSql,
     "geo_sjoin_nearest_bucketed" -> nearestOracleSql,
-    "geo_sjoin_nearest_unbounded" ->
-      """WITH p AS (SELECT o_orderkey AS pk,
-        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%8 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%30 = 10 THEN 1024.0 + CAST(o_orderkey%16 AS DOUBLE)*16.0
-        |       ELSE 4000.0 + CAST(o_orderkey%8 AS DOUBLE)*64.0 END AS px,
-        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%30 = 10 THEN 512.0 + CAST(o_orderkey%8 AS DOUBLE)*16.0
-        |       ELSE 2000.0 + CAST(o_orderkey%4 AS DOUBLE)*128.0 END AS py
-        |  FROM orders WHERE o_orderkey%10 = 0),
-        | b AS (SELECT o_orderkey AS bk,
-        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%16 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%100 = 50 THEN 64.0 + CAST(o_orderkey%32 AS DOUBLE)*4.0
-        |       ELSE 4096.0 + CAST(o_orderkey%4 AS DOUBLE)*512.0 END AS bx,
-        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%100 = 50 THEN CAST(o_orderkey%11 AS DOUBLE)*8.0
-        |       ELSE 2048.0 + CAST(o_orderkey%8 AS DOUBLE)*256.0 END AS by
-        |  FROM orders WHERE o_orderkey%25 = 0),
-        | dd AS (SELECT pk, bk,
-        |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d FROM p CROSS JOIN b),
-        | ranked AS (SELECT pk, bk, d,
-        |   rank() OVER (PARTITION BY pk ORDER BY d) AS rnk FROM dd)
-        |SELECT pk, bk, d FROM ranked WHERE rnk <= 2 ORDER BY pk, bk""".stripMargin,
+    "geo_sjoin_nearest_unbounded" -> nearestUnbOracleSql,
+    "geo_sjoin_nearest_unb_bkt" -> nearestUnbOracleSql,
     "geo_sjoin_nearest_unb_excl" ->
       """WITH p AS (SELECT o_orderkey AS pk,
         |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%8 AS DOUBLE)*0.25

@@ -136,6 +136,42 @@ final case class CellSummary(
     (x0 + gx * h, y0 + gy * h,
       if (gx == nx - 1) xEdge else x0 + (gx + 1) * h,
       if (gy == ny - 1) yEdge else y0 + (gy + 1) * h)
+
+  /** Packed join cells (`jx << 32 | jy`, the [[SpatialJoin.gridCellsOf]]
+    * scheme at cell edge `cs`) of `env` padded by its per-probe bound
+    * `dp`, RESTRICTED to coverage-occupied coarse regions and deduped —
+    * a join cell reachable through two coarse cells must emit once or
+    * the pair would double downstream. Loss-free: the ownership corner
+    * of any in-range pair lies in the build envelope, whose coarse
+    * cells are always covered, so filtering empty regions drops no
+    * pair while keeping a desert probe from exploding into millions of
+    * empty cells. The ONE enumeration both unbounded nearest tiers
+    * ride (cogroup pass and bucketed-store door). */
+  def joinCellsOf(env: Envelope, dp: Double, cs: Double): Array[Long] = {
+    val px0 = env.getMinX - dp; val px1 = env.getMaxX + dp
+    val py0 = env.getMinY - dp; val py1 = env.getMaxY + dp
+    val cells = new java.util.HashSet[java.lang.Long]()
+    coveredCellsIn(px0, py0, px1, py1).foreach { case (gx, gy) =>
+      val (rx0, ry0, rx1, ry1) = cellRect(gx, gy)
+      val ix0 = math.max(px0, rx0); val ix1 = math.min(px1, rx1)
+      val iy0 = math.max(py0, ry0); val iy1 = math.min(py1, ry1)
+      val jx1 = math.floor(ix1 / cs).toLong
+      val jy1 = math.floor(iy1 / cs).toLong
+      var jx = math.floor(ix0 / cs).toLong
+      while (jx <= jx1) {
+        var jy = math.floor(iy0 / cs).toLong
+        while (jy <= jy1) {
+          cells.add((jx << 32) | (jy & 0xffffffffL))
+          jy += 1
+        }
+        jx += 1
+      }
+    }
+    val out = new Array[Long](cells.size())
+    val it = cells.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    out
+  }
 }
 
 object CellSummary {
@@ -144,6 +180,54 @@ object CellSummary {
     * tables ≈ 2 MB each (broadcast + per-task merge payload) while a
     * bound is never looser than ~1/512 of the build extent. */
   val DefaultGrid: Int = 512
+
+  private val Magic = 0x4753554d // "GSUM"
+  private val Version = 1
+
+  /** Sidecar binary format, version 1: magic + version, then the
+    * constructor fields in declaration order with length-prefixed
+    * arrays. Plain DataOutput primitives — NOT Java serialization, so
+    * the on-disk format survives Scala/library upgrades and a
+    * truncated or foreign file fails the magic/length reads loudly
+    * instead of deserializing garbage. */
+  def writeTo(s: CellSummary, out: java.io.DataOutputStream): Unit = {
+    out.writeInt(Magic); out.writeInt(Version)
+    out.writeDouble(s.x0); out.writeDouble(s.y0); out.writeDouble(s.h)
+    out.writeInt(s.nx); out.writeInt(s.ny)
+    out.writeDouble(s.x1); out.writeDouble(s.y1)
+    out.writeLong(s.totalAnchors)
+    def arr(a: Array[Long]): Unit = {
+      out.writeInt(a.length)
+      var i = 0
+      while (i < a.length) { out.writeLong(a(i)); i += 1 }
+    }
+    arr(s.anchorSat); arr(s.coverSat); arr(s.occupied)
+  }
+
+  /** Inverse of [[writeTo]]; throws on any format mismatch (the caller
+    * treats a throw as "no usable stamp" and recomputes). */
+  def readFrom(in: java.io.DataInputStream): CellSummary = {
+    require(in.readInt() == Magic, "cell summary sidecar: bad magic")
+    val v = in.readInt()
+    require(v == Version, s"cell summary sidecar: unknown version $v")
+    val x0 = in.readDouble(); val y0 = in.readDouble(); val h = in.readDouble()
+    val nx = in.readInt(); val ny = in.readInt()
+    require(nx >= 1 && nx <= 4096 && ny >= 1 && ny <= 4096,
+      s"cell summary sidecar: grid out of range (${nx}x$ny)")
+    val x1 = in.readDouble(); val y1 = in.readDouble()
+    val tot = in.readLong()
+    def arr(maxLen: Int): Array[Long] = {
+      val n = in.readInt()
+      require(n >= 0 && n <= maxLen, s"cell summary sidecar: bad array length $n")
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = in.readLong(); i += 1 }
+      a
+    }
+    val satLen = (nx + 1) * (ny + 1)
+    CellSummary(x0, y0, h, nx, ny, x1, y1,
+      arr(satLen), arr(satLen), tot, arr(nx * ny))
+  }
 
   /** Two passes over the build side's geometry column: exact bbox, then
     * the anchor + coverage arrays. Returns None when no row has a

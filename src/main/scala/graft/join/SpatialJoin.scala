@@ -1199,7 +1199,26 @@ object SpatialJoin {
       distanceCol: Option[String] = None, exclusive: Boolean = false,
       cellSize: Double = 0.0, maxCellRows: Int = MaxCellBuildRows,
       pairsPerTask: Long = GridPairsPerTask,
-      summaryGrid: Int = CellSummary.DefaultGrid): DataFrame = {
+      summaryGrid: Int = CellSummary.DefaultGrid): DataFrame =
+    sjoinNearestUnboundedWith(None, left, right, k, how, leftGeom,
+      rightGeom, suffix, distanceCol, exclusive, cellSize, maxCellRows,
+      pairsPerTask, summaryGrid)
+
+  /** [[sjoinNearestUnbounded]] with an optionally PRECOMPUTED build
+    * summary — the coarse plan of [[sjoinNearestBucketed]]'s unbounded
+    * door passes the store's stamped [[CellSummary]] here so the two
+    * summary passes aren't re-paid (the summary is a pure function of
+    * the build rows, which the stamp invariant guarantees unchanged);
+    * `None` computes it from the build side. */
+  private[graft] def sjoinNearestUnboundedWith(
+      precomputed: Option[CellSummary],
+      left: DataFrame, right: DataFrame, k: Int,
+      how: String, leftGeom: String,
+      rightGeom: String, suffix: String,
+      distanceCol: Option[String], exclusive: Boolean,
+      cellSize: Double, maxCellRows: Int,
+      pairsPerTask: Long,
+      summaryGrid: Int): DataFrame = {
     checkNearestArgs(left, right, k, Double.PositiveInfinity, how,
       distanceCol, suffix)
     val spark = left.sparkSession
@@ -1217,7 +1236,8 @@ object SpatialJoin {
     val DCol = "__graft_ndist"
     val PIdxT = "__graft_npidx"
     val BIdxT = "__graft_nbidx"
-    val ranked: DataFrame = CellSummary.compute(buildIdx, bGeom, summaryGrid) match {
+    val ranked: DataFrame = precomputed
+        .orElse(CellSummary.compute(buildIdx, bGeom, summaryGrid)) match {
       case None => // no usable build geometry: no matches, by definition
         Seq.empty[(Long, Long, Double)].toDF(PIdxT, BIdxT, DCol)
       case Some(summary) =>
@@ -1228,23 +1248,9 @@ object SpatialJoin {
           else {
             // one hash-ranked sample feeds BOTH estimators (autoCellSize's
             // envelope-width heuristic and the median per-probe bound)
-            val sel = probeIdx.select(col(pGeom)).filter(col(pGeom).isNotNull)
-            val sampled = sel.sample(withReplacement = false, 0.2, 42)
-              .orderBy(xxhash64(col(pGeom), monotonically_increasing_id(), lit(42L)))
-              .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
-            val rows = if (sampled.length >= 500) sampled
-              else sel.orderBy(xxhash64(col(pGeom),
-                monotonically_increasing_id(), lit(42L)))
-                .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
-            val envs = rows.iterator.map(b => EWKB.read(b).getEnvelopeInternal)
-              .filterNot(_.isNull).toArray
+            val envs = sampleEnvs(probeIdx, pGeom)
             if (envs.isEmpty) math.max(summary.h, 1e-9)
-            else {
-              val meanW = envs.iterator
-                .map(e => math.max(e.getWidth, e.getHeight)).sum / envs.length
-              val pads = envs.map(summary.boundFor(_, kTarget0)).sorted
-              math.max(math.max(4 * meanW, 2 * pads(pads.length / 2)), 1e-9)
-            }
+            else unboundedAutoCell(envs, summary, kTarget0)
           }
         val buildCells = buildIdx.select(col(bIdxName), col(bGeom))
           .as[(Long, Array[Byte])]
@@ -1254,56 +1260,17 @@ object SpatialJoin {
             kk, kTarget0, exclusive = false, cs, bcSum,
             maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
         else {
-          // escalation loop (see scaladoc): only equal-duplicate pressure
-          // can leave a probe under-matched, and only with `exclusive`.
-          // Each kept slice is checkpointed so the pass cache can be
-          // RELEASED per round (no storage leak across repeated joins);
-          // the build cells persist across rounds instead of re-parsing
-          // and re-shuffling the whole build side per escalation.
-          def snap(df: DataFrame): DataFrame =
-            if (spark.sparkContext.getCheckpointDir.isDefined)
-              df.checkpoint(eager = true)
-            else df.localCheckpoint(eager = true)
+          // the build cells persist across escalation rounds instead of
+          // re-parsing and re-shuffling the whole build side per pass
           val buildCellsP = buildCells.persist()
-          try {
-            var kTarget = kTarget0
-            // null/empty-geometry probes can never resolve (they emit no
-            // cells) — without this filter they would pin `pending`
-            // non-empty and escalate every round for nothing; assemble
-            // reattaches them for the outer hows from the indexed frames
-            var pending = probeIdx.filter(col(pGeom).isNotNull &&
-              !graft.functions.st_is_empty(col(pGeom)))
-            var parts = List.empty[DataFrame]
-            var done = false
-            while (!done) {
-              val pass = nearestUnboundedPass(pending, buildCellsP,
-                pIdxName, pGeom, kk, kTarget, exclusive = true, cs,
-                bcSum, maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
-                .persist() // read twice below: resolution check + result
-              if (kTarget >= summary.totalAnchors) {
-                // the bound covered every build row: pass is exact
-                parts ::= snap(pass)
-                done = true
-              } else {
-                val resolved = pass.groupBy(col(PIdxT))
-                  .agg(count(lit(1)).as("__graft_nc"))
-                  .filter(col("__graft_nc") >= kk)
-                  .select(col(PIdxT))
-                val kept = snap(pass.join(resolved, Seq(PIdxT), "left_semi"))
-                val unresolved = snap(pending.join(resolved,
-                  pending(pIdxName) === resolved(PIdxT), "left_anti"))
-                parts ::= kept
-                if (unresolved.isEmpty) done = true
-                else {
-                  pending = unresolved
-                  kTarget = math.min(summary.totalAnchors,
-                    math.max(kTarget * 2, kTarget + 1))
-                }
-              }
-              pass.unpersist()
+          try
+            escalateExclusive(probeIdx, pIdxName, PIdxT, pGeom, kk,
+              kTarget0, summary.totalAnchors) { (pending, kT) =>
+              nearestUnboundedPass(pending, buildCellsP, pIdxName, pGeom,
+                kk, kT, exclusive = true, cs, bcSum,
+                maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
             }
-            parts.reduce(_ union _)
-          } finally buildCellsP.unpersist()
+          finally buildCellsP.unpersist()
         }
     }
     val pairs =
@@ -1346,33 +1313,7 @@ object SpatialJoin {
             val sum = bcSum.value
             val env = g.getEnvelopeInternal
             val dp = sum.boundFor(env, kT)
-            val px0 = env.getMinX - dp; val px1 = env.getMaxX + dp
-            val py0 = env.getMinY - dp; val py1 = env.getMaxY + dp
-            // join cells of (covered coarse cell ∩ padded env), deduped —
-            // a cell reachable through two coarse cells must emit once or
-            // the pair would double downstream
-            val cells = new java.util.HashSet[java.lang.Long]()
-            sum.coveredCellsIn(px0, py0, px1, py1).foreach { case (gx, gy) =>
-              val (rx0, ry0, rx1, ry1) = sum.cellRect(gx, gy)
-              val ix0 = math.max(px0, rx0); val ix1 = math.min(px1, rx1)
-              val iy0 = math.max(py0, ry0); val iy1 = math.min(py1, ry1)
-              val jx1 = math.floor(ix1 / csV).toLong
-              val jy1 = math.floor(iy1 / csV).toLong
-              var jx = math.floor(ix0 / csV).toLong
-              while (jx <= jx1) {
-                var jy = math.floor(iy0 / csV).toLong
-                while (jy <= jy1) {
-                  cells.add((jx << 32) | (jy & 0xffffffffL))
-                  jy += 1
-                }
-                jx += 1
-              }
-            }
-            val out = new scala.collection.mutable.ArrayBuffer[
-              (Long, Long, Array[Byte])](cells.size())
-            val it = cells.iterator()
-            while (it.hasNext) out += ((it.next().longValue(), id, b))
-            out
+            sum.joinCellsOf(env, dp, csV).toSeq.map(c => (c, id, b))
           }
         }
       }
@@ -1421,6 +1362,111 @@ object SpatialJoin {
         rank().over(Window.partitionBy(col(PIdxT)).orderBy(col(DCol))))
       .filter(col("__graft_nrank") <= kk)
       .drop("__graft_nrank")
+  }
+
+  /** Hash-ranked ~500-envelope sample of a geometry column — the shared
+    * estimator input for the unbounded tiers' cell sizing and the
+    * bucketed door's plan choice (deterministic: ranked by xxhash64 of
+    * geometry bytes + row id, so repeated calls see the same sample). */
+  private def sampleEnvs(frame: DataFrame, geomCol: String): Array[Envelope] = {
+    val sel = frame.select(col(geomCol)).filter(col(geomCol).isNotNull)
+    val sampled = sel.sample(withReplacement = false, 0.2, 42)
+      .orderBy(xxhash64(col(geomCol), monotonically_increasing_id(), lit(42L)))
+      .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
+    val rows = if (sampled.length >= 500) sampled
+      else sel.orderBy(xxhash64(col(geomCol),
+        monotonically_increasing_id(), lit(42L)))
+        .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
+    rows.iterator.map(b => EWKB.read(b).getEnvelopeInternal)
+      .filterNot(_.isNull).toArray
+  }
+
+  /** Mean max-extent of the sampled envelopes. */
+  private def meanWidthOf(envs: Array[Envelope]): Double =
+    envs.iterator.map(e => math.max(e.getWidth, e.getHeight)).sum / envs.length
+
+  /** Median per-probe bound over the sampled envelopes. */
+  private def medianBoundOf(envs: Array[Envelope], summary: CellSummary,
+      kTarget: Long): Double = {
+    val pads = envs.map(summary.boundFor(_, kTarget)).sorted
+    pads(pads.length / 2)
+  }
+
+  /** The unbounded cogroup tier's auto cell size:
+    * `max(4 × mean envelope width, 2 × median per-probe bound)` — the
+    * unbounded analog of the bounded tier's `2 × maxDistance` default. */
+  private def unboundedAutoCell(envs: Array[Envelope], summary: CellSummary,
+      kTarget: Long): Double =
+    math.max(math.max(4 * meanWidthOf(envs),
+      2 * medianBoundOf(envs, summary, kTarget)), 1e-9)
+
+  /** The `exclusive` escalation loop the unbounded nearest tiers share
+    * ([[sjoinNearestUnbounded]] and [[sjoinNearestBucketed]]'s unbounded
+    * door): only topologically-equal duplicates can consume a probe's
+    * anchor budget (kTarget anchors in range, all equal to the probe,
+    * fewer than k eligible matches), and only with `exclusive` — without
+    * it the anchor guarantee makes the first pass exact. Probes whose
+    * ranked pass resolves fewer than `k` ties-inclusive matches re-run
+    * `pass` with a doubled anchor target, terminating no later than the
+    * target reaching `totalAnchors` (the bound then covers every build
+    * row, so the pass is exact by construction). Each kept slice is
+    * checkpointed so the pass cache can be RELEASED per round (no
+    * storage leak across repeated joins). Null/empty-geometry probes are
+    * excluded up front — they emit no cells and would otherwise pin
+    * `pending` non-empty and escalate every round for nothing; the
+    * caller reattaches them for the outer hows from its indexed frames.
+    *
+    * @param pendIdCol the probe-id column name in `probeIdx` (what
+    *        `pass` receives); @param outIdCol its name in `pass` output.
+    * @param pass (pending probes, anchor target) → ranked candidate rows
+    *        (one per surviving pair, probe id in `outIdCol`). */
+  private def escalateExclusive(probeIdx: DataFrame, pendIdCol: String,
+      outIdCol: String, pGeom: String, k: Int, kTarget0: Long,
+      totalAnchors: Long)(pass: (DataFrame, Long) => DataFrame): DataFrame = {
+    val spark = probeIdx.sparkSession
+    def snap(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var kTarget = kTarget0
+    var pending = probeIdx.filter(col(pGeom).isNotNull &&
+      !graft.functions.st_is_empty(col(pGeom)))
+    var parts = List.empty[DataFrame]
+    var done = false
+    while (!done) {
+      val p = pass(pending, kTarget)
+        .persist() // read twice below: resolution check + result
+      if (kTarget >= totalAnchors) {
+        // the bound covered every build row: pass is exact
+        parts ::= snap(p)
+        done = true
+      } else {
+        // the resolved-id column gets a FRESH alias: in the bucketed
+        // door pendIdCol == outIdCol, and `resolved` derives from
+        // `pending` through the pass — joining the two on the same
+        // attribute would hit Spark's ambiguous-self-join resolution;
+        // the alias mints a new exprId, so both joins below are
+        // unambiguous regardless of the caller's column naming
+        val RId = "__graft_resid"
+        val resolved = p.groupBy(col(outIdCol))
+          .agg(count(lit(1)).as("__graft_nc"))
+          .filter(col("__graft_nc") >= k)
+          .select(col(outIdCol).as(RId))
+        val kept = snap(p.join(resolved, p(outIdCol) === resolved(RId),
+          "left_semi"))
+        val unresolved = snap(pending.join(resolved,
+          pending(pendIdCol) === resolved(RId), "left_anti"))
+        parts ::= kept
+        if (unresolved.isEmpty) done = true
+        else {
+          pending = unresolved
+          kTarget = math.min(totalAnchors,
+            math.max(kTarget * 2, kTarget + 1))
+        }
+      }
+      p.unpersist()
+    }
+    parts.reduce(_ union _)
   }
 
   /** Deterministic row index in a SINGLE pass, fully inside the DataFrame
@@ -1547,6 +1593,29 @@ object SpatialJoin {
   /** Sidecar histograms keep the heaviest [[SidecarCellCap]] cells — a
     * ~1.6 MB driver-side parse bound. */
   private val SidecarCellCap = 65536
+  /** Table property marking a stamped [[CellSummary]] sidecar (the
+    * unbounded nearest door's per-probe bound oracle) — written by
+    * [[stampCellSummary]], read by [[sjoinNearestBucketed]] when
+    * `maxDistance = ∞`. Value `v1:<nx>:<ny>:<totalAnchors>`; the read
+    * path verifies the sidecar's header against it, so a property and a
+    * sidecar from different stamps can never combine. UNLIKE the
+    * histogram (a perf-only hint), a stale summary is UNSOUND — its
+    * coverage filter would skip join cells only post-stamp rows occupy
+    * (dropping matches) and its anchors could claim rows an overwrite
+    * removed (under-reaching bounds) — so every [[writeSpatialBucketed]]
+    * write INVALIDATES the stamp; re-run [[stampCellSummary]] when the
+    * store settles. */
+  val CellSummaryProp = "graft.spatial.cellSummary"
+  private[graft] val CellSummaryFile = "_graft_cell_summary.bin"
+  /** Plan-choice threshold for the unbounded bucketed nearest door:
+    * when the PREDICTED per-probe store-cell explosion (from a probe
+    * sample against the summary) exceeds this, the exchange-free fine
+    * plan is abandoned for the cogroup plan at a bound-sized coarse
+    * grid — replicating every probe across thousands of store cells
+    * costs far more than shuffling the store once (11× measured on the
+    * bench lattice, PERF.md r16). 0 forces the coarse plan,
+    * Int.MaxValue forces fine. */
+  val UnbFineCellCap: Int = 64
   /** Plan-size bound on how many cells one [[sjoinBucketed]] call will
     * salt: the hot/cold row routing uses `isin` over the salted-cell
     * list, and an unbounded In expression stalls driver analysis. The
@@ -1665,6 +1734,43 @@ object SpatialJoin {
           s"IF EXISTS ('$CellHistogramProp')")
         catch { case scala.util.control.NonFatal(_) => () }
       }
+      // a cell-summary stamp (stampCellSummary) describes the EXACT row
+      // set — unlike the histogram, staleness there is unsound, not
+      // merely unhelpful (see CellSummaryProp), so any write invalidates
+      // it. An overwrite recreated the table (no stamp survives); this
+      // guards the append path. The read side accepts the stamp only
+      // when property AND sidecar agree, so clearing EITHER suffices —
+      // fail the write only if both attempts fail (a broken
+      // metastore/filesystem), because leaving a silently-stale stamp
+      // would corrupt every later unbounded join.
+      val sumStamped =
+        try spark0.sessionState.catalog.getTableMetadata(tableId)
+          .properties.contains(CellSummaryProp)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (sumStamped) {
+        val unsetOk =
+          try {
+            spark0.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
+              s"IF EXISTS ('$CellSummaryProp')")
+            true
+          } catch { case scala.util.control.NonFatal(_) => false }
+        val delOk =
+          try {
+            val loc = spark0.sessionState.catalog.getTableMetadata(tableId).location
+            val p = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(loc), CellSummaryFile)
+            val fs = p.getFileSystem(spark0.sessionState.newHadoopConf())
+            if (fs.exists(p)) fs.delete(p, false)
+            true
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (!unsetOk && !delOk)
+          throw new IllegalStateException(
+            s"writeSpatialBucketed: $table was written but its now-stale " +
+              s"cell summary could not be invalidated — unbounded nearest " +
+              s"joins against it would be UNSOUND; drop the " +
+              s"'$CellSummaryProp' property or delete $CellSummaryFile " +
+              "manually, then stampCellSummary to refresh")
+      }
     }
     // footer stats describe ONE batch: stamping an append would rewrite
     // every part (old batches included) with the new batch's bbox/types —
@@ -1780,6 +1886,157 @@ object SpatialJoin {
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(p)) fs.delete(p, false)
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** One copy per stored row: keep only the exploded copy whose cell
+    * owns the row's envelope-min corner — the same floor packing the
+    * write-side explosion used ([[gridCellsOf]] always emits that
+    * cell), so per-row statistics over a store count each original row
+    * exactly once, without requiring an id column. */
+  private def storeOwnerRows(store: DataFrame, geom: String,
+      cs: Double): DataFrame = {
+    val csV = cs
+    val ownerUdf = udf((b: Array[Byte], cell: Long) => {
+      if (b == null) false
+      else {
+        val e = EWKB.read(b).getEnvelopeInternal
+        !e.isNull &&
+          graft.plans.GeoNative.ownsCorner(e.getMinX, e.getMinY, cell, csV)
+      }
+    })
+    store.filter(ownerUdf(col(geom), col(CellCol)))
+  }
+
+  /** Compute and stamp a store's [[CellSummary]] — the per-probe bound
+    * oracle behind `sjoinNearestBucketed(maxDistance = ∞)`. Without a
+    * stamp the unbounded door computes the summary per call (two
+    * `treeAggregate` passes over the store); stamping pre-pays it once,
+    * the bucketed analog of [[stampCellHistogram]]. The summary is
+    * computed over the store's DISTINCT rows (each exploded row counted
+    * once, at the cell owning its envelope-min corner — identical to a
+    * summary of the pre-explosion frame) and lands in a
+    * [[CellSummaryFile]] binary sidecar at the store location; the
+    * [[CellSummaryProp]] property carries `v1:<nx>:<ny>:<totalAnchors>`
+    * and the stamp is read back and verified end-to-end (property round
+    * trip + sidecar re-parse) — a failed round trip unsets everything
+    * and throws, leaving no corrupt stamp behind. A store with no
+    * usable geometry clears any stale stamp and stamps nothing (the
+    * unbounded door then has no matches by definition).
+    *
+    * Every [[writeSpatialBucketed]] write INVALIDATES the stamp (see
+    * [[CellSummaryProp]] — staleness is unsound here, not merely
+    * unhelpful); re-stamp after the store settles. */
+  def stampCellSummary(spark: org.apache.spark.sql.SparkSession,
+      table: String, grid: Int = CellSummary.DefaultGrid): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val df = spark.table(table)
+    require(df.columns.contains(CellCol),
+      s"stampCellSummary: $table has no $CellCol column — not a " +
+        "writeSpatialBucketed store")
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(tableId)
+    val cs = meta.properties.get(CellSizeProp)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"stampCellSummary: $table has no readable $CellSizeProp stamp — " +
+          "the per-row dedup needs the store's grid; rewrite with " +
+          "writeSpatialBucketed or set the property"))
+    val geom = meta.properties.getOrElse("graft.spatial.geometry", "geometry")
+    require(df.columns.contains(geom),
+      s"stampCellSummary: $table has no '$geom' geometry column")
+    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+    def sidecarPath() = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), CellSummaryFile)
+    def clear(): Unit = {
+      try spark.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
+        s"IF EXISTS ('$CellSummaryProp')")
+      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        val p = sidecarPath()
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    CellSummary.compute(storeOwnerRows(df, geom, cs), geom, grid) match {
+      case None =>
+        clear()
+        log.info(s"stampCellSummary: $table has no usable geometry — " +
+          "nothing stamped (unbounded nearest joins against it have no " +
+          "matches by definition)")
+      case Some(sum) =>
+        val p = sidecarPath()
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(fs.create(p, true)))
+        try CellSummary.writeTo(sum, out) finally out.close()
+        val payload = s"v1:${sum.nx}:${sum.ny}:${sum.totalAnchors}"
+        spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+          s"('$CellSummaryProp'='$payload')")
+        // end-to-end read-back: property round trip (metastore value
+        // limits can't bite a ~30-char payload, but the discipline is
+        // free) AND a full sidecar re-parse against it — the exact
+        // check every later join will run
+        val ok =
+          try {
+            spark.sessionState.catalog.getTableMetadata(tableId)
+              .properties.get(CellSummaryProp).contains(payload) && {
+              val in = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(fs.open(p)))
+              val back = try CellSummary.readFrom(in) finally in.close()
+              back.nx == sum.nx && back.ny == sum.ny &&
+                back.totalAnchors == sum.totalAnchors
+            }
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (!ok) {
+          clear()
+          throw new IllegalStateException(
+            s"stampCellSummary: $table summary stamp did not round-trip " +
+              "(property or sidecar readback failed); stamp cleared, " +
+              "unbounded joins will compute the summary per call")
+        }
+    }
+  }
+
+  /** Read a [[stampCellSummary]] stamp: Some only when the property
+    * parses AND the sidecar parses AND the two agree — any failure
+    * degrades to None with a warning (the unbounded door then computes
+    * a fresh summary for the call: a correctness-neutral slow path,
+    * unlike the histogram's perf-only degradation). */
+  private[graft] def readCellSummary(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[CellSummary] = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    try {
+      val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val meta = spark.sessionState.catalog.getTableMetadata(tableId)
+      meta.properties.get(CellSummaryProp).flatMap { payload =>
+        val parts = payload.split(':')
+        if (parts.length != 4 || parts(0) != "v1") {
+          log.warn(s"readCellSummary: $table carries an unreadable " +
+            s"$CellSummaryProp ('$payload') — ignoring it; re-run " +
+            "stampCellSummary")
+          None
+        } else {
+          val p = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(meta.location), CellSummaryFile)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(fs.open(p)))
+          val sum = try CellSummary.readFrom(in) finally in.close()
+          if (sum.nx == parts(1).toInt && sum.ny == parts(2).toInt &&
+              sum.totalAnchors == parts(3).toLong) Some(sum)
+          else {
+            log.warn(s"readCellSummary: $table sidecar does not match " +
+              "its property stamp — ignoring both; re-run stampCellSummary")
+            None
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"readCellSummary: $table stamp unreadable " +
+          s"(${e.getMessage}) — computing the summary per call")
+        None
     }
   }
 
@@ -2349,13 +2606,46 @@ object SpatialJoin {
     * stay identical (same counts, same machinery) and the per-call
     * census job disappears (ProbeNearestCensus, PERF.md r16).
     *
+    * `maxDistance = Double.PositiveInfinity` opens the UNBOUNDED door
+    * (the geopandas no-bound contract against a store): a per-probe
+    * search bound is discovered from the store's [[CellSummary]] —
+    * read from the [[stampCellSummary]] sidecar when stamped, else
+    * computed for the call over the store's owner-deduped rows — and
+    * the door picks between TWO plans from a probe sample
+    * ([[UnbFineCellCap]] predicted store-cells-per-probe): the FINE
+    * exchange-free plan (bound rides each probe's coverage-filtered
+    * cell explosion; per-pair kernel is the codegen'd
+    * [[graft.plans.STNearestMatchBound]], reading the bound from the
+    * probe row; store never shuffles) when bounds are cell-scale, or
+    * the COARSE cogroup plan at a bound-sized grid (store owner rows
+    * shuffle ONCE; the stamped summary is still reused, so the stamp's
+    * win survives) when bounds span many store cells — the summary's
+    * ≈extent/512 granularity floors the bounds, so a fine-grid store
+    * over a large extent always lands here, and forcing the fine plan
+    * there measured 11× slower (PERF.md r16). `exclusive` escalates
+    * through the shared [[escalateExclusive]] loop either way. A
+    * pre-computed `probeCensus` cannot apply (its fixed pad can't
+    * describe per-probe pads) and is rejected loudly. The salting
+    * knobs (`saltHotCells`/`hotPairsBound`/`saltSliceRows`/`maxSalt`)
+    * govern the fine plan; the coarse plan inherits the cogroup
+    * tier's own skew machinery and its defaults
+    * ([[MaxCellBuildRows]]/[[GridPairsPerTask]]).
+    *
     * @param how "inner" drops unmatched probe rows; "left" keeps them
     *        with null store columns. For "right" semantics (each STORE
     *        row probing the frame) use [[sjoinNearest]] — a store-side
     *        outer over a frame inverts the exchange-free premise.
     * @param cellSize must be the value the store was written with.
-    * @param maxDistance required finite: the cell scheme has no search
-    *        bound without it. */
+    * @param maxDistance finite positive, or `Double.PositiveInfinity`
+    *        for the unbounded door (NaN — the default — errors: the
+    *        caller must choose explicitly).
+    * @param summaryGrid unbounded door only: cells per axis of a
+    *        freshly computed summary (a stamped sidecar keeps its own
+    *        grid).
+    * @param fineCellCap unbounded door only: predicted cells/probe
+    *        above which the coarse cogroup plan replaces the
+    *        exchange-free fine plan (0 forces coarse, Int.MaxValue
+    *        forces fine — the spec uses both). */
   def sjoinNearestBucketed(spark: org.apache.spark.sql.SparkSession,
       probe: DataFrame, buildTable: String, cellSize: Double, k: Int = 1,
       maxDistance: Double = Double.NaN, how: String = "inner",
@@ -2364,12 +2654,14 @@ object SpatialJoin {
       exclusive: Boolean = false, saltHotCells: Boolean = true,
       hotPairsBound: Long = DefaultHotPairsBound,
       saltSliceRows: Int = 1024, maxSalt: Int = 64,
-      probeCensus: Option[ProbeCensus] = None): DataFrame = {
+      probeCensus: Option[ProbeCensus] = None,
+      summaryGrid: Int = CellSummary.DefaultGrid,
+      fineCellCap: Int = UnbFineCellCap): DataFrame = {
     require(k >= 1, s"sjoinNearestBucketed: k must be >= 1, got $k")
-    require(!maxDistance.isNaN && !maxDistance.isInfinite && maxDistance > 0,
-      "sjoinNearestBucketed needs a finite positive maxDistance — the " +
-        "cell scheme has no search bound without one (use sjoinNearest " +
-        "with a broadcastable build side for unbounded searches)")
+    require(!maxDistance.isNaN && maxDistance > 0,
+      "sjoinNearestBucketed needs a positive maxDistance — a finite " +
+        "bound, or Double.PositiveInfinity for the unbounded door " +
+        "(per-probe bounds from the store's cell summary)")
     require(Set("inner", "left")(how),
       s"unsupported how: $how (sjoinNearestBucketed supports inner and " +
         "left; for right semantics run sjoinNearest with the store read " +
@@ -2395,80 +2687,192 @@ object SpatialJoin {
     val cs = cellSize; val maxD = maxDistance; val kk = k
     val PIdx = "__graft_npidx"; val PGeomT = "__graft_npgeom"
     val DCol = "__graft_ndist"
-    val probeIdx = withStableIndex(probe, PIdx)
-    val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs, pad = maxD))
-    val probeCells = probeIdx
-      .select(col(PIdx), col(probeGeom).as(PGeomT))
-      .withColumn(CellCol, explode(cellsUdf(col(PGeomT))))
+    // lazy: the unbounded door's coarse plan hands the raw probe frame to
+    // the cogroup machinery (which indexes it itself) — forcing the
+    // eager checkpoint here would pay it twice
+    lazy val probeIdx = withStableIndex(probe, PIdx)
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    probeCensus.foreach { pc =>
-      require(pc.cellSize == cellSize && pc.pad == maxDistance,
-        s"sjoinNearestBucketed: probeCensus was computed at (cellSize=" +
-          s"${pc.cellSize}, pad=${pc.pad}) but this join runs (cellSize=" +
-          s"$cellSize, pad=$maxDistance) — a mixed-grid census salts the " +
-          "wrong cells; recompute with censusProbe(probe, geom, " +
-          s"$cellSize, $maxDistance)")
-    }
-    val hot: Map[Long, (Long, Long)] = if (!saltHotCells) Map.empty else {
-      heavyCellsOf(spark, buildTable) match {
-        case Some(bh) =>
-          val ph = probeCensus.map(_.hist).getOrElse(probeCellHist(probeCells))
-          if ((ph.truncated || bh.truncated) &&
-              pastPairBound(ph.absentBound, bh.absentBound, hotPairsBound))
-            log.warn(s"sjoinNearestBucketed($buildTable): a truncated " +
-              "cell histogram's (store stamp or probe census) dropped " +
-              "cells can combine past the hot-pair bound — such cells " +
-              "cannot be salted. A grid this dense wants a larger " +
-              "cellSize.")
-          val cand = hotCellsIn(ph, bh, hotPairsBound)
-          // probe-side counts are census-exact; only store-side
-          // estimates (absent-from-histogram cells) need a recount
-          val needB = cand.collect { case (c, h) if !h.rnExact => c }
-          val bx = exactCellCounts(spark.table(buildTable), needB)
-          // a probe-census-absent cell's count is an upper bound too —
-          // recount before sizing, same discipline as the store side
-          val needP = cand.collect { case (c, h) if !h.lnExact => c }
-          val px = exactCellCounts(probeCells, needP)
-          cand.flatMap { case (c, h) =>
-            val pn = if (h.lnExact) h.ln else px.getOrElse(c, 0L)
-            val bn = if (h.rnExact) h.rn else bx.getOrElse(c, 0L)
-            if (pastPairBound(pn, bn, hotPairsBound)) Some(c -> (pn, bn)) else None
-          }
-        case None =>
-          log.warn(s"sjoinNearestBucketed($buildTable): the store has no " +
-            "readable cell histogram (pre-r14 store or unreadable " +
-            "metadata) — hot-cell salting is OFF for this join; run " +
-            "stampCellHistogram to enable it")
-          Map.empty
+
+    // hot map shared by both doors: probe counts from a census of THIS
+    // pass's exploded frame (exact by construction), store counts from
+    // its stamped histogram (estimates recounted bucket-pruned)
+    def hotOf(probeCells: DataFrame,
+        census: Option[ProbeCensus]): Map[Long, (Long, Long)] =
+      if (!saltHotCells) Map.empty else {
+        heavyCellsOf(spark, buildTable) match {
+          case Some(bh) =>
+            val ph = census.map(_.hist).getOrElse(probeCellHist(probeCells))
+            if ((ph.truncated || bh.truncated) &&
+                pastPairBound(ph.absentBound, bh.absentBound, hotPairsBound))
+              log.warn(s"sjoinNearestBucketed($buildTable): a truncated " +
+                "cell histogram's (store stamp or probe census) dropped " +
+                "cells can combine past the hot-pair bound — such cells " +
+                "cannot be salted. A grid this dense wants a larger " +
+                "cellSize.")
+            val cand = hotCellsIn(ph, bh, hotPairsBound)
+            // probe-side counts are census-exact; only store-side
+            // estimates (absent-from-histogram cells) need a recount
+            val needB = cand.collect { case (c, h) if !h.rnExact => c }
+            val bx = exactCellCounts(spark.table(buildTable), needB)
+            // a probe-census-absent cell's count is an upper bound too —
+            // recount before sizing, same discipline as the store side
+            val needP = cand.collect { case (c, h) if !h.lnExact => c }
+            val px = exactCellCounts(probeCells, needP)
+            cand.flatMap { case (c, h) =>
+              val pn = if (h.lnExact) h.ln else px.getOrElse(c, 0L)
+              val bn = if (h.rnExact) h.rn else bx.getOrElse(c, 0L)
+              if (pastPairBound(pn, bn, hotPairsBound)) Some(c -> (pn, bn)) else None
+            }
+          case None =>
+            log.warn(s"sjoinNearestBucketed($buildTable): the store has no " +
+              "readable cell histogram (pre-r14 store or unreadable " +
+              "metadata) — hot-cell salting is OFF for this join; run " +
+              "stampCellHistogram to enable it")
+            Map.empty
+        }
       }
+    def rankTopK(pairs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      pairs
+        .withColumn("__graft_nrank",
+          rank().over(Window.partitionBy(col(PIdx)).orderBy(col(DCol))))
+        .filter(col("__graft_nrank") <= kk)
+        .drop("__graft_nrank")
     }
-    // probe streams, store slices buffer (q sized on store counts —
-    // the merge-hinted SMJ cycles one ~saltSliceRows store slice per group)
-    val joined = routedCellJoin(spark, probeCells, store, hot,
-      hotPairsBound, saltSliceRows, maxSalt,
-      s"sjoinNearestBucketed($buildTable)")
     import org.apache.spark.sql.graft.ColumnBridge
-    val dExpr = ColumnBridge.column(graft.plans.STNearestMatch(
-      ColumnBridge.expression(col(PGeomT)),
-      ColumnBridge.expression(col(bg)),
-      ColumnBridge.expression(col(CellCol)), cs, maxD, exclusive))
-    // single !isnan — STNearestMatch is non-nullable (null inputs → NaN
-    // inside the kernel), so the pushed join condition evaluates the
-    // kernel ONCE per candidate pair, not twice (isNotNull + isnan)
-    val pairs = joined.withColumn(DCol, dExpr)
-      .filter(!isnan(col(DCol)))
-      .drop(CellCol, PGeomT)
-    import org.apache.spark.sql.expressions.Window
-    val ranked = pairs
-      .withColumn("__graft_nrank",
-        rank().over(Window.partitionBy(col(PIdx)).orderBy(col(DCol))))
-      .filter(col("__graft_nrank") <= kk)
-      .drop("__graft_nrank")
-    val attached = probeIdx.join(ranked, Seq(PIdx),
-      if (how == "left") "left" else "inner")
-    attached.select(
-      (probeCols.map(col) ++ storeOutCols.map(col)
-        ++ distanceCol.map(nm => col(DCol).as(nm)).toSeq): _*)
+    def attach(ranked: DataFrame): DataFrame = {
+      val attached = probeIdx.join(ranked, Seq(PIdx),
+        if (how == "left") "left" else "inner")
+      attached.select(
+        (probeCols.map(col) ++ storeOutCols.map(col)
+          ++ distanceCol.map(nm => col(DCol).as(nm)).toSeq): _*)
+    }
+
+    if (maxDistance.isInfinite) {
+      // ------------------------------------------------ unbounded door
+      require(probeCensus.isEmpty,
+        "sjoinNearestBucketed: probeCensus cannot apply to the unbounded " +
+          "door — pads vary per probe, so a fixed-pad census would salt " +
+          "the wrong cells (the join censuses its own exploded cells " +
+          "per pass)")
+      val summaryOpt = readCellSummary(spark, buildTable).orElse {
+        log.info(s"sjoinNearestBucketed($buildTable): unbounded join " +
+          "with no stamped cell summary — computing one for this call " +
+          "(two passes over the store); stampCellSummary persists it " +
+          "for repeated joins")
+        CellSummary.compute(storeOwnerRows(store, bg, cs), bg, summaryGrid)
+      }
+      val kTargetPlan = (k + (if (exclusive) 1 else 0)).toLong
+      // PLAN CHOICE: predict the fine (exchange-free) plan's per-probe
+      // explosion — each probe lands on ~((2·bound + width)/cellSize)²
+      // store cells. Bound tightness is limited by the summary grid
+      // (h ≈ extent/512), so on a store whose grid is much finer than
+      // its extent/512 the fine plan replicates every probe across
+      // thousands of cells — worse than shuffling the store ONCE into
+      // coarser cells sized to the discovered bounds (measured 11× on
+      // the bench lattice, PERF.md r16). Past `fineCellCap` predicted
+      // cells/probe, route to the cogroup machinery with the store's
+      // owner rows as the build side, REUSING this summary (the stamp's
+      // cost win survives the plan switch).
+      val coarsePlan: Option[(CellSummary, Double)] = summaryOpt.flatMap { sum =>
+        val envs = sampleEnvs(probe, probeGeom)
+        if (envs.isEmpty) None
+        else {
+          val side = (2 * medianBoundOf(envs, sum, kTargetPlan) +
+            meanWidthOf(envs)) / cs + 1
+          if (side * side <= fineCellCap) None
+          else Some((sum, unboundedAutoCell(envs, sum, kTargetPlan)))
+        }
+      }
+      coarsePlan match {
+        case Some((sum, coarseCs)) =>
+          log.info(s"sjoinNearestBucketed($buildTable): unbounded door " +
+            s"routing through the coarse cogroup plan (cellSize " +
+            s"$coarseCs) — discovered bounds span too many store cells " +
+            s"for the exchange-free plan (fineCellCap=$fineCellCap)")
+          return sjoinNearestUnboundedWith(Some(sum), probe,
+            storeOwnerRows(store, bg, cs).drop(CellCol), k, how,
+            probeGeom, bg, suffix, distanceCol, exclusive, coarseCs,
+            MaxCellBuildRows, GridPairsPerTask, summaryGrid)
+        case None => () // fine plan below
+      }
+      val bcSumOpt = summaryOpt.map(s0 => spark.sparkContext.broadcast(s0))
+      val kTarget0 = (k + (if (exclusive) 1 else 0)).toLong
+      val DpCol = "__graft_nbound"
+      import spark.implicits._
+      // per-probe bound discovery + coverage-filtered padded explosion —
+      // the cogroup unbounded tier's convention, with the bound riding
+      // the row into the codegen'd kernel
+      def explodeProbes(frame: DataFrame, kT: Long): DataFrame = bcSumOpt match {
+        case None => // no usable store geometry: no matches by definition
+          frame.select(col(PIdx), col(probeGeom).as(PGeomT)).limit(0)
+            .withColumn(CellCol, lit(0L)).withColumn(DpCol, lit(0.0))
+        case Some(bc) =>
+          val csV = cs; val kTv = kT
+          frame.select(col(PIdx), col(probeGeom))
+            .as[(Long, Array[Byte])]
+            .flatMap { case (id, b) =>
+              if (b == null) Nil
+              else {
+                val g = EWKB.read(b)
+                if (g.isEmpty) Nil
+                else {
+                  val sum = bc.value
+                  val env = g.getEnvelopeInternal
+                  val dp = sum.boundFor(env, kTv)
+                  sum.joinCellsOf(env, dp, csV).toSeq.map(c => (id, b, c, dp))
+                }
+              }
+            }.toDF(PIdx, PGeomT, CellCol, DpCol)
+      }
+      def pass(pending: DataFrame, kT: Long): DataFrame = {
+        val probeCells = explodeProbes(pending, kT)
+        val joined = routedCellJoin(spark, probeCells, store,
+          hotOf(probeCells, None), hotPairsBound, saltSliceRows, maxSalt,
+          s"sjoinNearestBucketed($buildTable,unbounded)")
+        val dExpr = ColumnBridge.column(graft.plans.STNearestMatchBound(
+          ColumnBridge.expression(col(PGeomT)),
+          ColumnBridge.expression(col(bg)),
+          ColumnBridge.expression(col(CellCol)),
+          ColumnBridge.expression(col(DpCol)), cs, exclusive))
+        rankTopK(joined.withColumn(DCol, dExpr)
+          .filter(!isnan(col(DCol)))
+          .drop(CellCol, PGeomT, DpCol))
+      }
+      attach(
+        if (!exclusive) pass(probeIdx, kTarget0)
+        else escalateExclusive(probeIdx, PIdx, PIdx, probeGeom, kk,
+          kTarget0, summaryOpt.map(_.totalAnchors).getOrElse(0L))(pass))
+    } else {
+      // -------------------------------------------------- bounded door
+      val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs, pad = maxD))
+      val probeCells = probeIdx
+        .select(col(PIdx), col(probeGeom).as(PGeomT))
+        .withColumn(CellCol, explode(cellsUdf(col(PGeomT))))
+      probeCensus.foreach { pc =>
+        require(pc.cellSize == cellSize && pc.pad == maxDistance,
+          s"sjoinNearestBucketed: probeCensus was computed at (cellSize=" +
+            s"${pc.cellSize}, pad=${pc.pad}) but this join runs (cellSize=" +
+            s"$cellSize, pad=$maxDistance) — a mixed-grid census salts the " +
+            "wrong cells; recompute with censusProbe(probe, geom, " +
+            s"$cellSize, $maxDistance)")
+      }
+      // probe streams, store slices buffer (q sized on store counts —
+      // the merge-hinted SMJ cycles one ~saltSliceRows store slice per group)
+      val joined = routedCellJoin(spark, probeCells, store,
+        hotOf(probeCells, probeCensus), hotPairsBound, saltSliceRows,
+        maxSalt, s"sjoinNearestBucketed($buildTable)")
+      val dExpr = ColumnBridge.column(graft.plans.STNearestMatch(
+        ColumnBridge.expression(col(PGeomT)),
+        ColumnBridge.expression(col(bg)),
+        ColumnBridge.expression(col(CellCol)), cs, maxD, exclusive))
+      // single !isnan — STNearestMatch is non-nullable (null inputs → NaN
+      // inside the kernel), so the pushed join condition evaluates the
+      // kernel ONCE per candidate pair, not twice (isNotNull + isnan)
+      attach(rankTopK(joined.withColumn(DCol, dExpr)
+        .filter(!isnan(col(DCol)))
+        .drop(CellCol, PGeomT)))
+    }
   }
 
   /** Name-based entry to the bucketed refinement kernel, kept for the

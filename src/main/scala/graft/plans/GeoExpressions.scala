@@ -474,6 +474,60 @@ case class STNearestMatch(first: Expression, second: Expression, third: Expressi
       t: Expression): STNearestMatch = copy(first = f, second = s, third = t)
 }
 
+/** [[STNearestMatch]] with the search bound as a CHILD instead of a
+  * constructor constant — the unbounded bucketed nearest tier
+  * ([[graft.join.SpatialJoin.sjoinNearestBucketed]] with
+  * `maxDistance = ∞`) discovers a bound PER PROBE from the store's
+  * coarse cell summary, so the kernel reads it from the probe row:
+  * (probeGeom, buildGeom, cellId, bound) → planar distance, NaN when
+  * out of the probe's own bound or not owned by the cell. Same
+  * non-nullable NaN convention (single kernel evaluation in pushed
+  * join conditions) and the same [[GeoNative.nearestMatch]] body, so
+  * the two expressions cannot drift. Join-API internal. */
+case class STNearestMatchBound(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, cellSize: Double,
+    exclusive: Boolean) extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def prettyName: String = "st_nearest_match_bound"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes() = {
+    val bin = NativeTypeCheck.binary("st_nearest_match_bound", first, second)
+    if (!bin.isSuccess) bin
+    else if (third.dataType != org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_nearest_match_bound expects a LONG cell id, got ${third.dataType}")
+    else if (fourth.dataType != DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_nearest_match_bound expects a DOUBLE bound, got ${fourth.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input); val b = second.eval(input)
+    val c = third.eval(input); val d = fourth.eval(input)
+    if (a == null || b == null || c == null || d == null) Double.NaN
+    else GeoNative.nearestMatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Long], cellSize, d.asInstanceOf[Double], exclusive)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = first.genCode(ctx); val b = second.genCode(ctx)
+    val c = third.genCode(ctx); val d = fourth.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      ${c.code}
+      ${d.code}
+      double ${ev.value} = (${a.isNull} || ${b.isNull} || ${c.isNull} || ${d.isNull})
+        ? Double.NaN
+        : graft.plans.GeoNative.nearestMatch(${a.value}, ${b.value}, ${c.value},
+            ${cellSize}D, ${d.value}, $exclusive);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): STNearestMatchBound =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object GeoExpressions {
   /** Builder with an arity check: a wrong argument count in SQL gets a
     * message naming the signature instead of an internal

@@ -22,42 +22,10 @@ class NearestUnboundedSpec extends AnyFunSuite {
   private def brute(
       probe: Seq[(Long, Array[Byte])], build: Seq[(Long, Array[Byte])],
       k: Int, exclusive: Boolean): Set[(Long, Long)] =
-    probe.flatMap { case (pid, pb) =>
-      val pg = geom(pb)
-      if (pg.isEmpty) Nil
-      else {
-        val cands = build.flatMap { case (bid, bb) =>
-          val bg = geom(bb)
-          if (bg.isEmpty) None
-          else {
-            val d = pg.distance(bg)
-            if (exclusive && d == 0.0 && pg.equalsTopo(bg)) None
-            else Some((bid, d))
-          }
-        }.sortBy(_._2)
-        if (cands.isEmpty) Nil
-        else {
-          val dk = if (cands.length <= k) cands.last._2 else cands(k - 1)._2
-          cands.takeWhile(_._2 <= dk).map { case (bid, _) => (pid, bid) }
-        }
-      }
-    }.toSet
+    EWKBFixtures.brute(probe, build, k, exclusive)
 
-  /** Dense cluster + sparse band + far outliers: per-probe bounds differ
-    * by orders of magnitude within one frame. */
   private def heterogeneous(rnd: java.util.Random, n: Int): Seq[(Long, Array[Byte])] =
-    (0 until n).map { i =>
-      val g = rnd.nextInt(10) match {
-        case d if d < 6 => // dense cluster near the origin
-          EWKBFixtures.point(rnd.nextInt(9) * 0.5, rnd.nextInt(9) * 0.5)
-        case d if d < 9 => // sparse mid band
-          EWKBFixtures.point(50.0 + rnd.nextInt(41) * 2.0, rnd.nextInt(21) * 1.5)
-        case _ => // far outliers
-          EWKBFixtures.point(2000.0 + rnd.nextInt(5) * 100.0,
-            1000.0 + rnd.nextInt(5) * 50.0)
-      }
-      (i.toLong, g)
-    }
+    EWKBFixtures.heterogeneous(rnd, n)
 
   test("heterogeneous density: unbounded tier matches brute force") {
     val rnd = new java.util.Random(0x5EED16)
@@ -272,7 +240,8 @@ class NearestUnboundedSpec extends AnyFunSuite {
   }
 }
 
-/** EWKB builders shared by the unbounded-nearest fixtures. */
+/** EWKB builders + oracles shared by the unbounded-nearest specs
+  * ([[NearestUnboundedSpec]], [[NearestBucketedUnboundedSpec]]). */
 private object EWKBFixtures {
   private val fact = graft.serde.EWKB.geometryFactory
   def point(x: Double, y: Double): Array[Byte] =
@@ -281,4 +250,46 @@ private object EWKBFixtures {
   def rect(x0: Double, y0: Double, x1: Double, y1: Double): Array[Byte] =
     graft.serde.EWKB.write(fact.toGeometry(
       new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1)))
+
+  /** Ties-inclusive k-nearest brute-force oracle (the geopandas
+    * contract both unbounded tiers implement). */
+  def brute(
+      probe: Seq[(Long, Array[Byte])], build: Seq[(Long, Array[Byte])],
+      k: Int, exclusive: Boolean): Set[(Long, Long)] =
+    probe.flatMap { case (pid, pb) =>
+      val pg = if (pb == null) null else graft.serde.EWKB.read(pb)
+      if (pg == null || pg.isEmpty) Nil
+      else {
+        val cands = build.flatMap { case (bid, bb) =>
+          val bg = if (bb == null) null else graft.serde.EWKB.read(bb)
+          if (bg == null || bg.isEmpty) None
+          else {
+            val d = pg.distance(bg)
+            if (exclusive && d == 0.0 && pg.equalsTopo(bg)) None
+            else Some((bid, d))
+          }
+        }.sortBy(_._2)
+        if (cands.isEmpty) Nil
+        else {
+          val dk = if (cands.length <= k) cands.last._2 else cands(k - 1)._2
+          cands.takeWhile(_._2 <= dk).map { case (bid, _) => (pid, bid) }
+        }
+      }
+    }.toSet
+
+  /** Dense cluster + sparse band + far outliers: per-probe bounds differ
+    * by orders of magnitude within one frame. */
+  def heterogeneous(rnd: java.util.Random, n: Int): Seq[(Long, Array[Byte])] =
+    (0 until n).map { i =>
+      val g = rnd.nextInt(10) match {
+        case d if d < 6 => // dense cluster near the origin
+          point(rnd.nextInt(9) * 0.5, rnd.nextInt(9) * 0.5)
+        case d if d < 9 => // sparse mid band
+          point(50.0 + rnd.nextInt(41) * 2.0, rnd.nextInt(21) * 1.5)
+        case _ => // far outliers
+          point(2000.0 + rnd.nextInt(5) * 100.0,
+            1000.0 + rnd.nextInt(5) * 50.0)
+      }
+      (i.toLong, g)
+    }
 }

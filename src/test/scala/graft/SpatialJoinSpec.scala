@@ -1219,11 +1219,14 @@ class SpatialJoinSpec extends AnyFunSuite {
           cellSize = 8.0, maxDistance = 1.0, how = "right")
       }
       assert(right.getMessage.contains("sjoinNearest"))
+      // maxDistance = ∞ is a supported door since r16
+      // (NearestBucketedUnboundedSpec); the NaN DEFAULT still errors —
+      // the caller must choose a bound or the unbounded door explicitly
       val unb = intercept[IllegalArgumentException] {
         SpatialJoin.sjoinNearestBucketed(spark, boxes, "graft_bkt_nn_g",
-          cellSize = 8.0, maxDistance = Double.PositiveInfinity)
+          cellSize = 8.0)
       }
-      assert(unb.getMessage.contains("finite"))
+      assert(unb.getMessage.contains("positive maxDistance"))
       // a plain (non-store) view is rejected with an actionable message
       boxes.createOrReplaceTempView("graft_nn_plain")
       val notStore = intercept[IllegalArgumentException] {
