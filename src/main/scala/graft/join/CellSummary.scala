@@ -216,6 +216,16 @@ object CellSummary {
       s"cell summary sidecar: grid out of range (${nx}x$ny)")
     val x1 = in.readDouble(); val y1 = in.readDouble()
     val tot = in.readLong()
+    // the doubles gate correctness too: a bit-flipped h/bbox would pass
+    // the magic/length checks yet make every bound wrong — reject, the
+    // caller recomputes (this is the "fails loudly" promise)
+    require(java.lang.Double.isFinite(h) && h > 0,
+      s"cell summary sidecar: bad cell size $h")
+    require(java.lang.Double.isFinite(x0) && java.lang.Double.isFinite(y0) &&
+      java.lang.Double.isFinite(x1) && java.lang.Double.isFinite(y1) &&
+      x1 >= x0 && y1 >= y0,
+      s"cell summary sidecar: bad bbox ($x0,$y0,$x1,$y1)")
+    require(tot >= 0, s"cell summary sidecar: bad anchor total $tot")
     def arr(maxLen: Int): Array[Long] = {
       val n = in.readInt()
       require(n >= 0 && n <= maxLen, s"cell summary sidecar: bad array length $n")

@@ -1670,6 +1670,18 @@ object SpatialJoin {
             s"stamped for $prev")
       }
     }
+    // a stamped cell summary describes the EXACT pre-append row set —
+    // invalidate it BEFORE an append commits, not after: a driver crash
+    // between saveAsTable and a post-write unset would leave appended
+    // rows plus a still-mutually-consistent stale stamp, and every later
+    // unbounded join would silently drop matches near the appended
+    // region (review r16 #1). Unsetting first is conservative-safe: a
+    // failed append merely costs later joins a per-call recompute.
+    // Overwrite recreates the table (no stamp survives it) and
+    // ignore/error modes write nothing, so only the append path is at
+    // risk.
+    if (modeNorm == "append" && existedBefore)
+      invalidateCellSummary(spark0, tableId, table)
     val cs = cellSize
     val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs))
     val stamp = geoMetadata && modeNorm == "overwrite"
@@ -1733,43 +1745,6 @@ object SpatialJoin {
         try spark0.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
           s"IF EXISTS ('$CellHistogramProp')")
         catch { case scala.util.control.NonFatal(_) => () }
-      }
-      // a cell-summary stamp (stampCellSummary) describes the EXACT row
-      // set — unlike the histogram, staleness there is unsound, not
-      // merely unhelpful (see CellSummaryProp), so any write invalidates
-      // it. An overwrite recreated the table (no stamp survives); this
-      // guards the append path. The read side accepts the stamp only
-      // when property AND sidecar agree, so clearing EITHER suffices —
-      // fail the write only if both attempts fail (a broken
-      // metastore/filesystem), because leaving a silently-stale stamp
-      // would corrupt every later unbounded join.
-      val sumStamped =
-        try spark0.sessionState.catalog.getTableMetadata(tableId)
-          .properties.contains(CellSummaryProp)
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (sumStamped) {
-        val unsetOk =
-          try {
-            spark0.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
-              s"IF EXISTS ('$CellSummaryProp')")
-            true
-          } catch { case scala.util.control.NonFatal(_) => false }
-        val delOk =
-          try {
-            val loc = spark0.sessionState.catalog.getTableMetadata(tableId).location
-            val p = new org.apache.hadoop.fs.Path(
-              new org.apache.hadoop.fs.Path(loc), CellSummaryFile)
-            val fs = p.getFileSystem(spark0.sessionState.newHadoopConf())
-            if (fs.exists(p)) fs.delete(p, false)
-            true
-          } catch { case scala.util.control.NonFatal(_) => false }
-        if (!unsetOk && !delOk)
-          throw new IllegalStateException(
-            s"writeSpatialBucketed: $table was written but its now-stale " +
-              s"cell summary could not be invalidated — unbounded nearest " +
-              s"joins against it would be UNSOUND; drop the " +
-              s"'$CellSummaryProp' property or delete $CellSummaryFile " +
-              "manually, then stampCellSummary to refresh")
       }
     }
     // footer stats describe ONE batch: stamping an append would rewrite
@@ -1886,6 +1861,47 @@ object SpatialJoin {
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(p)) fs.delete(p, false)
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Clear a [[stampCellSummary]] stamp (property + sidecar). The read
+    * side accepts a stamp only when property AND sidecar agree, so
+    * clearing EITHER suffices; this throws only when BOTH attempts fail
+    * (a broken metastore/filesystem) — the caller must not proceed with
+    * a write that would leave a silently-stale, mutually-consistent
+    * stamp behind. */
+  private def invalidateCellSummary(spark: org.apache.spark.sql.SparkSession,
+      tableId: org.apache.spark.sql.catalyst.TableIdentifier,
+      table: String): Unit = {
+    val stamped =
+      try spark.sessionState.catalog.getTableMetadata(tableId)
+        .properties.contains(CellSummaryProp)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (stamped) {
+      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      val unsetOk =
+        try {
+          spark.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
+            s"IF EXISTS ('$CellSummaryProp')")
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      val delOk =
+        try {
+          val loc = spark.sessionState.catalog.getTableMetadata(tableId).location
+          val p = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(loc), CellSummaryFile)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, false)
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!unsetOk && !delOk)
+        throw new IllegalStateException(
+          s"writeSpatialBucketed: $table carries a cell summary stamp " +
+            s"that could not be invalidated before the write — appending " +
+            s"would make it stale and every later unbounded nearest join " +
+            s"UNSOUND; drop the '$CellSummaryProp' property or delete " +
+            s"$CellSummaryFile manually, then retry (stampCellSummary " +
+            "refreshes it afterwards)")
     }
   }
 
@@ -2695,11 +2711,14 @@ object SpatialJoin {
 
     // hot map shared by both doors: probe counts from a census of THIS
     // pass's exploded frame (exact by construction), store counts from
-    // its stamped histogram (estimates recounted bucket-pruned)
+    // its stamped histogram (estimates recounted bucket-pruned). The
+    // histogram read (catalog + possible sidecar parse) happens once
+    // per JOIN, not once per escalation pass (review r16 #4).
+    lazy val storeHist = heavyCellsOf(spark, buildTable)
     def hotOf(probeCells: DataFrame,
         census: Option[ProbeCensus]): Map[Long, (Long, Long)] =
       if (!saltHotCells) Map.empty else {
-        heavyCellsOf(spark, buildTable) match {
+        storeHist match {
           case Some(bh) =>
             val ph = census.map(_.hist).getOrElse(probeCellHist(probeCells))
             if ((ph.truncated || bh.truncated) &&
@@ -2762,7 +2781,7 @@ object SpatialJoin {
           "for repeated joins")
         CellSummary.compute(storeOwnerRows(store, bg, cs), bg, summaryGrid)
       }
-      val kTargetPlan = (k + (if (exclusive) 1 else 0)).toLong
+      val kTarget0 = (k + (if (exclusive) 1 else 0)).toLong
       // PLAN CHOICE: predict the fine (exchange-free) plan's per-probe
       // explosion — each probe lands on ~((2·bound + width)/cellSize)²
       // store cells. Bound tightness is limited by the summary grid
@@ -2774,16 +2793,20 @@ object SpatialJoin {
       // cells/probe, route to the cogroup machinery with the store's
       // owner rows as the build side, REUSING this summary (the stamp's
       // cost win survives the plan switch).
-      val coarsePlan: Option[(CellSummary, Double)] = summaryOpt.flatMap { sum =>
-        val envs = sampleEnvs(probe, probeGeom)
-        if (envs.isEmpty) None
-        else {
-          val side = (2 * medianBoundOf(envs, sum, kTargetPlan) +
-            meanWidthOf(envs)) / cs + 1
-          if (side * side <= fineCellCap) None
-          else Some((sum, unboundedAutoCell(envs, sum, kTargetPlan)))
+      val coarsePlan: Option[(CellSummary, Double)] =
+        if (fineCellCap == Int.MaxValue) None // documented force-fine door
+        else summaryOpt.flatMap { sum =>
+          val envs = sampleEnvs(probe, probeGeom)
+          if (envs.isEmpty) None
+          else {
+            val side = (2 * medianBoundOf(envs, sum, kTarget0) +
+              meanWidthOf(envs)) / cs + 1
+            // side² is a Double: compare in Double space so a huge
+            // predicted span cannot wrap past an Int cap
+            if (side * side <= fineCellCap.toDouble) None
+            else Some((sum, unboundedAutoCell(envs, sum, kTarget0)))
+          }
         }
-      }
       coarsePlan match {
         case Some((sum, coarseCs)) =>
           log.info(s"sjoinNearestBucketed($buildTable): unbounded door " +
@@ -2797,7 +2820,6 @@ object SpatialJoin {
         case None => () // fine plan below
       }
       val bcSumOpt = summaryOpt.map(s0 => spark.sparkContext.broadcast(s0))
-      val kTarget0 = (k + (if (exclusive) 1 else 0)).toLong
       val DpCol = "__graft_nbound"
       import spark.implicits._
       // per-probe bound discovery + coverage-filtered padded explosion —
@@ -2825,8 +2847,9 @@ object SpatialJoin {
               }
             }.toDF(PIdx, PGeomT, CellCol, DpCol)
       }
-      def pass(pending: DataFrame, kT: Long): DataFrame = {
-        val probeCells = explodeProbes(pending, kT)
+      def pass(pending: DataFrame, kT: Long,
+          register: DataFrame => DataFrame): DataFrame = {
+        val probeCells = register(explodeProbes(pending, kT))
         val joined = routedCellJoin(spark, probeCells, store,
           hotOf(probeCells, None), hotPairsBound, saltSliceRows, maxSalt,
           s"sjoinNearestBucketed($buildTable,unbounded)")
@@ -2840,9 +2863,25 @@ object SpatialJoin {
           .drop(CellCol, PGeomT, DpCol))
       }
       attach(
-        if (!exclusive) pass(probeIdx, kTarget0)
-        else escalateExclusive(probeIdx, PIdx, PIdx, probeGeom, kk,
-          kTarget0, summaryOpt.map(_.totalAnchors).getOrElse(0L))(pass))
+        if (!exclusive) pass(probeIdx, kTarget0, identity)
+        else {
+          // each escalation round reads its probe explosion several
+          // times (census collect, salt recounts, cold + hot routed
+          // sides) — persist per round, released after the loop; every
+          // kept slice is checkpointed inside escalateExclusive, so the
+          // returned union never re-reads these caches (the cogroup
+          // tier's buildCellsP discipline, review r16 #4)
+          val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+          try
+            escalateExclusive(probeIdx, PIdx, PIdx, probeGeom, kk,
+              kTarget0, summaryOpt.map(_.totalAnchors).getOrElse(0L)) {
+              (pending, kT) =>
+                pass(pending, kT, df => {
+                  val p = df.persist(); cached += p; p
+                })
+            }
+          finally cached.foreach(_.unpersist())
+        })
     } else {
       // -------------------------------------------------- bounded door
       val cellsUdf = udf((b: Array[Byte]) => gridCellsOf(b, cs, pad = maxD))
