@@ -1340,14 +1340,27 @@ object SpatialJoin {
             else {
               val pe = g.getEnvelopeInternal
               val dp = sum.boundFor(pe, kT)
-              topKTies(withinRadius(tree, g, dp, excl), kk)(_._2).iterator
-                .filter { case (_, _, bg) =>
-                  // ownership corner: (probe env expanded by d_p) ∩ build
-                  // env — matches the padded probe assignment above
-                  val be = bg.getEnvelopeInternal
-                  val ix = math.max(pe.getMinX - dp, be.getMinX)
-                  val iy = math.max(pe.getMinY - dp, be.getMinY)
-                  graft.plans.GeoNative.ownsCorner(ix, iy, cell, csV)
+              // branch-and-bound kNN, NOT a radius collect: the summary
+              // bound d_p is no tighter than ~extent/512, so on a dense
+              // slice `withinRadius(dp)` materializes O(density · d_p)
+              // candidates per probe — the whole pass degraded linearly
+              // with build size (11 s vs 3 s at sf0.1, PERF.md r16).
+              // Equivalence: every slice row strictly closer than an
+              // in-d_p candidate is itself within d_p, so slice-local
+              // rank is identical computed over the slice or over the
+              // d_p ball — kNN + ties-requery + a d_p post-filter
+              // returns exactly topKTies(withinRadius(d_p)).
+              nearestOf(tree, n, g, kk, Double.PositiveInfinity, excl)
+                .iterator
+                .filter { case (_, d, bg) =>
+                  d <= dp && {
+                    // ownership corner: (probe env expanded by d_p) ∩
+                    // build env — matches the padded probe assignment
+                    val be = bg.getEnvelopeInternal
+                    val ix = math.max(pe.getMinX - dp, be.getMinX)
+                    val iy = math.max(pe.getMinY - dp, be.getMinY)
+                    graft.plans.GeoNative.ownsCorner(ix, iy, cell, csV)
+                  }
                 }
                 .map { case (bid, d, _) => (pid, bid, d) }
             }
@@ -1912,16 +1925,10 @@ object SpatialJoin {
     * exactly once, without requiring an id column. */
   private def storeOwnerRows(store: DataFrame, geom: String,
       cs: Double): DataFrame = {
-    val csV = cs
-    val ownerUdf = udf((b: Array[Byte], cell: Long) => {
-      if (b == null) false
-      else {
-        val e = EWKB.read(b).getEnvelopeInternal
-        !e.isNull &&
-          graft.plans.GeoNative.ownsCorner(e.getMinX, e.getMinY, cell, csV)
-      }
-    })
-    store.filter(ownerUdf(col(geom), col(CellCol)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    store.filter(ColumnBridge.column(graft.plans.STOwnsCell(
+      ColumnBridge.expression(col(geom)),
+      ColumnBridge.expression(col(CellCol)), cs)))
   }
 
   /** Compute and stamp a store's [[CellSummary]] — the per-probe bound

@@ -186,6 +186,18 @@ object GeoNative {
     ((math.floor(ix / cs).toLong << 32) |
       (math.floor(iy / cs).toLong & 0xffffffffL)) == cell
 
+  /** Does `cell` own this geometry's envelope-min corner? The one-row-
+    * per-stored-copy filter behind [[graft.join.SpatialJoin]]'s
+    * owner-dedup scans (cell summary stamping, the unbounded coarse
+    * plan's build side): [[gridCellsOf]] always emits the corner's
+    * cell, and exactly one stored copy carries it. Null/empty → false
+    * (filter semantics). */
+  def ownsEnvelopeCorner(b: Array[Byte], cell: Long, cs: Double): Boolean = {
+    if (b == null) return false
+    val e = EWKB.read(b).getEnvelopeInternal
+    !e.isNull && ownsCorner(e.getMinX, e.getMinY, cell, cs)
+  }
+
   /** The bucketed NEAREST tier's per-pair kernel — [[bucketedMatch]]'s
     * distance analog, inlined into whole-stage codegen by
     * [[STNearestMatch]]. Returns the planar distance when the pair is
@@ -472,6 +484,49 @@ case class STNearestMatch(first: Expression, second: Expression, third: Expressi
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): STNearestMatch = copy(first = f, second = s, third = t)
+}
+
+/** [[GeoNative.ownsEnvelopeCorner]] as a codegen'd expression —
+  * (geom, cellId) → does the cell own the geometry's envelope-min
+  * corner. Whole-store owner-dedup scans run this once per stored copy
+  * (every stampCellSummary and every unbounded coarse-plan join), so
+  * it skips the ScalaUDF encoder round trip like the other kernels.
+  * Non-nullable: null inputs fold to false (filter semantics).
+  * Join-API internal — the cell-id layout is not a public contract. */
+case class STOwnsCell(first: Expression, second: Expression,
+    cellSize: Double) extends BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def prettyName: String = "st_owns_cell"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes() = {
+    val bin = NativeTypeCheck.binary("st_owns_cell", first)
+    if (!bin.isSuccess) bin
+    else if (second.dataType != org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_owns_cell expects a LONG cell id, got ${second.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = first.eval(input); val b = second.eval(input)
+    if (a == null || b == null) false
+    else GeoNative.ownsEnvelopeCorner(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Long], cellSize)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = first.genCode(ctx); val b = second.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      boolean ${ev.value} = !(${a.isNull} || ${b.isNull}) &&
+        graft.plans.GeoNative.ownsEnvelopeCorner(${a.value}, ${b.value},
+          ${cellSize}D);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression): STOwnsCell = copy(first = f, second = s)
 }
 
 /** [[STNearestMatch]] with the search bound as a CHILD instead of a

@@ -313,6 +313,46 @@ class NearestBucketedUnboundedSpec extends AnyFunSuite {
     } finally SpatialJoin.dropBucketedTable(spark, table)
   }
 
+  test("STOwnsCell: exactly one owning cell per row, nulls fold to false, non-nullable") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rnd = new java.util.Random(0x0C11)
+    // multi-cell rects + points on a non-dyadic grid, exploded to every
+    // covering cell exactly as the write side does
+    val cs = 0.7
+    val rows: Seq[(Long, Array[Byte], Long)] = (0 until 40).flatMap { i =>
+      val g =
+        if (i % 3 == 0) EWKBFixtures.point(rnd.nextInt(31) * 0.3, rnd.nextInt(31) * 0.3)
+        else {
+          val x = rnd.nextInt(31) * 0.3; val y = rnd.nextInt(31) * 0.3
+          EWKBFixtures.rect(x, y, x + 0.5 + rnd.nextInt(4) * 0.6,
+            y + 0.5 + rnd.nextInt(4) * 0.6)
+        }
+      SpatialJoin.gridCellsOf(g, cs).map(c => (i.toLong, g, c))
+    } :+ ((999L, null.asInstanceOf[Array[Byte]], 0L))
+    val df = rows.toDF("rid", "geometry", SpatialJoin.CellCol)
+    val ownsNative = ColumnBridge.column(graft.plans.STOwnsCell(
+      ColumnBridge.expression($"geometry"),
+      ColumnBridge.expression(col(SpatialJoin.CellCol)), cs))
+    val kept = df.filter(ownsNative).select($"rid").as[Long].collect()
+    // exactly one copy survives per non-null row — the owner-dedup law
+    assert(kept.sorted.toSeq === (0L until 40L),
+      "owner filter must keep exactly one copy per stored row")
+    // drift pin vs the plain closure form over every exploded copy
+    val got = df.select($"rid", col(SpatialJoin.CellCol).as("c"),
+        ownsNative.as("o"))
+      .as[(Long, Long, Boolean)].collect()
+    val byKey = rows.map { case (rid, g, c) =>
+      (rid, c) -> graft.plans.GeoNative.ownsEnvelopeCorner(g, c, cs)
+    }.toMap
+    got.foreach { case (rid, c, o) =>
+      assert(o === byKey((rid, c)), s"drift at rid=$rid cell=$c")
+    }
+    assert(got.find(_._1 == 999L).exists(!_._3),
+      "null geometry must fold to false")
+    assert(!df.select(ownsNative.as("o")).schema("o").nullable,
+      "STOwnsCell must be non-nullable")
+  }
+
   test("probeCensus is rejected on the unbounded door; non-dyadic grid works") {
     val rnd = new java.util.Random(0x0D1C)
     def c(): Double = rnd.nextInt(101) * 0.1
