@@ -182,6 +182,19 @@ object Bench {
       graft.pipeline.Dedup.minhashCandidates(all, "doc_id", "text")
         .agg(count(lit(1)).as("n"))
     }),
+    // the persistent corpus index twin (r16): store built ONCE (untimed,
+    // like the spatial stores) — the timed part is one batch signed and
+    // joined against it, the incremental-ingest constant. Same doc set
+    // as pipe_minhash's union, so the two keys price "re-sign the whole
+    // corpus per call" vs "sign only the batch".
+    "pipe_minhash_store" -> ((s, dir) => {
+      MhStoreSetup.get(s, dir)
+      val batch = t(s, dir, "documents")
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      graft.pipeline.Dedup.minhashCandidatesAgainstStore(s, batch,
+          "graft_bench_mh_store")
+        .agg(count(lit(1)).as("n"), sum(col("jaccard_est")).as("sj"))
+    }),
     // spectral audio features (per-row radix-2 FFT over generated PCM)
     "pipe_audio" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
@@ -322,6 +335,22 @@ object Bench {
         // store-build time like the histogram — the timed key then
         // prices only the per-probe bound discovery + join
         graft.join.SpatialJoin.stampCellSummary(s, "graft_bench_bkt_nn")
+        cached = Some(dir)
+      }
+    }
+  }
+
+  /** Build-once MinHash corpus index (per sf dir) — the corpus signature
+    * pass is a write-time cost in real use, so only the batch join is
+    * timed. */
+  private object MhStoreSetup {
+    private var cached: Option[String] = None
+    def get(s: SparkSession, dir: String): Unit = synchronized {
+      if (!cached.contains(dir)) {
+        graft.join.SpatialJoin.dropBucketedTable(s, "graft_bench_mh_store")
+        graft.pipeline.Dedup.writeMinhashStore(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "graft_bench_mh_store")
         cached = Some(dir)
       }
     }

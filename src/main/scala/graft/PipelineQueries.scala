@@ -139,6 +139,44 @@ object PipelineQueries {
           sum((col("fp_a") === col("fp_b")).cast("long")).as("n_verified_ident")))
     }),
 
+    /** The persistent MinHash corpus index (r16): corpus → store (one
+      * signature pass, bucketed by band/bucket), then a NEW batch —
+      * half exact dups of corpus docs (ids +10000), half synthetic
+      * novels (ids +20000, content disjoint from any English corpus
+      * text) — dedups against it. Pins: every dup is found (its
+      * identical text gives an IDENTICAL signature → est exactly 1.0 →
+      * one fp-equal candidate pair per doc, assuming the corpus has no
+      * two identical texts — the pipe_dedup_minhash assumption), and
+      * every novel row survives the 0.5-threshold filter (est ≥ 0.5
+      * needs 32 of 64 deterministic minhash agreements — content with
+      * ~zero shingle overlap cannot reach it). Both counts reduce to
+      * `count(documents)` in the oracle. */
+    "pipe_minhash_store" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(corpus.select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("novel-"), col("doc_id"), lit("-"),
+            repeat(concat(lit("zq"), col("doc_id").cast("string")), 12))
+            .as("text")))
+      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_mh_store")
+      Dedup.writeMinhashStore(corpus, "graft_q_mh_store")
+      val fpsC = corpus.select(col("doc_id").as("corpus_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_c"))
+      val fpsB = batch.select(col("doc_id").as("batch_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_b"))
+      val cands = Dedup
+        .minhashCandidatesAgainstStore(s, batch, "graft_q_mh_store")
+        .join(fpsC, Seq("corpus_id")).join(fpsB, Seq("batch_id"))
+      val novel = Dedup.minhashNovelAgainstStore(s, batch,
+        "graft_q_mh_store", threshold = 0.5)
+      cands.agg(
+        sum((col("fp_c") === col("fp_b")).cast("long")).as("n_store_ident"))
+        // count ALL survivors, not just the 20000+ range: a dup row
+        // escaping the filter must inflate this, not hide behind a range
+        .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
+    }),
+
     // ----------------------------------------------------------- SimHash
     "pipe_dedup_simhash" -> ((s, dir) => {
       val all = docsWithDups(s, dir)
@@ -979,6 +1017,9 @@ object PipelineQueries {
     "pipe_dedup_simhash" ->
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_h0""".stripMargin,
+    "pipe_minhash_store" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
+        | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
     "pipe_stream_minhash" ->
       """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,

@@ -183,26 +183,35 @@ object Dedup {
     * the near-dup dedup operating point. Use more, narrower bands (e.g.
     * bands=16) to catch lower-similarity pairs at higher candidate cost.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
-      maxBucketSize: Int = 100000): DataFrame = {
+  /** (id, sig, band, bucket) LSH banding of a frame — the ONE banding
+    * implementation the self-join candidate generator AND the corpus
+    * store ([[writeMinhashStore]] / [[minhashCandidatesAgainstStore]])
+    * ride, so the store's bucket hashing can never drift from the
+    * per-call form. normalize → shingle → sign run as separate
+    * projections: each stage's result is an attribute, so lambdas never
+    * re-evaluate upstream regexes. Signatures are CARRIED THROUGH the
+    * banding instead of being persisted and joined back: the shingling
+    * pipeline runs exactly once, with no executor cache held for the
+    * session's lifetime — only wider (numHashes-long) rows. */
+  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    // normalize → shingle → sign as separate projections: each stage's
-    // result is an attribute, so lambdas never re-evaluate upstream regexes.
-    // Signatures are CARRIED THROUGH the banding and bucket join instead of
-    // being persisted and joined back: the shingling pipeline still runs
-    // exactly once, with no executor cache held for the session's lifetime
-    // and no two extra id-joins — only wider (64-long) shuffle rows.
     val withSig = df
       .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
       .select(col("id"), minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"))
-    val banded = withSig.select(
+    withSig.select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val banded = minhashBanded(df, idCol, textCol, numHashes, bands, shingleK)
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     // self-join within (band, bucket); a<b kills mirror+self pairs.
     // Dedup the id pairs BEFORE scoring: a pair colliding in many bands
@@ -248,6 +257,144 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard_est", "jaccard")
+  }
+
+  // ------------------------------------------------ minhash corpus store
+
+  /** Table property stamped by [[writeMinhashStore]]:
+    * `v1:<numHashes>:<bands>:<shingleK>`. Batch joins read it back and
+    * band the batch with the SAME parameters — mixed parameters hash
+    * different buckets and silently miss every pair, so a missing or
+    * mismatched stamp errors loudly. */
+  val MinhashStoreProp = "graft.dedup.minhashParams"
+
+  /** Persist a corpus's MinHash LSH index as a bucketed table — the
+    * incremental-ingest answer at 100 TB: corpus signatures are computed
+    * ONCE here (the expensive part — normalize + shingle + sign every
+    * document), and every later batch dedup pays only its own batch's
+    * signatures plus a bucketed equi-join in which the CORPUS SIDE NEVER
+    * SHUFFLES (rows pre-exploded to (band, bucket), bucketed and sorted
+    * by the join key — the [[graft.join.SpatialJoin.writeSpatialBucketed]]
+    * discipline applied to dedup).
+    *
+    * `mode = "append"` ingests an accepted batch into the index (the
+    * param stamp must match — checked before any write). Oversized
+    * buckets are capped per written batch ([[capBuckets]] semantics: a
+    * dropped row still pairs through its other bands); bucket growth
+    * ACROSS appended batches is not re-capped — a corpus whose boilerplate
+    * grows a bucket without bound wants an exact-dedup pass first, same
+    * as the self-join door. */
+  def writeMinhashStore(df: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
+      buckets: Int = 64, mode: String = "overwrite",
+      maxBucketSize: Int = 100000): Unit = {
+    val spark = df.sparkSession
+    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val payload = s"v1:$numHashes:$bands:$shingleK"
+    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
+    if (modeNorm != "overwrite" && existedBefore) {
+      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
+        .properties.get(MinhashStoreProp)
+      require(prev.contains(payload),
+        s"writeMinhashStore: mode=$mode with params $payload onto a store " +
+          s"stamped ${prev.getOrElse("(no stamp)")} — mixed parameters " +
+          "hash different buckets and silently miss pairs; reuse the " +
+          "stamped parameters")
+    }
+    val banded = capBuckets(
+      minhashBanded(df, idCol, textCol, numHashes, bands, shingleK),
+      Seq("band", "bucket"), maxBucketSize)
+    banded
+      .repartition(buckets, col("band"), col("bucket"))
+      .write.mode(mode)
+      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+    val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
+    if (wrote) {
+      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+        s"('$MinhashStoreProp'='$payload')")
+    }
+  }
+
+  /** The stamped (numHashes, bands, shingleK) of a [[writeMinhashStore]]
+    * table; errors loudly when absent or unreadable. */
+  private def minhashStoreParams(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Int, Int, Int) = {
+    val stamp =
+      try {
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        spark.sessionState.catalog.getTableMetadata(id)
+          .properties.get(MinhashStoreProp)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    stamp.map(_.split(':')) match {
+      case Some(Array("v1", nh, b, k)) =>
+        try (nh.toInt, b.toInt, k.toInt)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"minhash store $table: unreadable $MinhashStoreProp stamp " +
+              s"'${stamp.get}' — rewrite with writeMinhashStore")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$table is not a writeMinhashStore table (no readable " +
+          s"$MinhashStoreProp stamp) — batch joins must band with the " +
+          "store's own parameters; write it with writeMinhashStore")
+    }
+  }
+
+  /** Candidate near-dup pairs of a NEW batch against a
+    * [[writeMinhashStore]] corpus: the batch is signed and banded with
+    * the store's stamped parameters (one pass over the BATCH only), then
+    * equi-joined on (band, bucket) — the store side reads co-located
+    * bucket files with no shuffle. Returns
+    * (batch_id, corpus_id, jaccard_est), one row per pair (multi-band
+    * collisions deduped before the signature comparison, like
+    * [[minhashCandidates]]). Batch and corpus ids are separate
+    * namespaces — a batch row equal to a corpus row IS reported. */
+  def minhashCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 100000): DataFrame = {
+    val (numHashes, bands, shingleK) = minhashStoreParams(spark, table)
+    val store = spark.table(table)
+    require(Seq("id", "sig", "band", "bucket").forall(store.columns.contains),
+      s"$table does not have writeMinhashStore's (id, sig, band, bucket) layout")
+    val b = capBuckets(
+      minhashBanded(batch, idCol, textCol, numHashes, bands, shingleK),
+      Seq("band", "bucket"), maxBucketSize)
+      .select(col("band"), col("bucket"),
+        col("id").as("batch_id"), col("sig").as("sig_b"))
+    val c = store.select(col("band"), col("bucket"),
+      col("id").as("corpus_id"), col("sig").as("sig_c"))
+    b.join(c, Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"), col("sig_b"), col("sig_c"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        (aggregate(zip_with(col("sig_b"), col("sig_c"),
+          (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes).as("jaccard_est"))
+  }
+
+  /** Batch rows with NO corpus near-dup at `threshold` (estimated
+    * jaccard from the stored signatures) — the ingest filter: keep the
+    * novel rows, then `writeMinhashStore(novel, table, mode = "append")`
+    * folds them into the index so the next batch dedups against them
+    * too. The estimate is signature-based (numHashes resolution); an
+    * exact-verify against corpus text requires the corpus text, which
+    * the index deliberately does not carry — callers needing exact
+    * jaccard join the surviving pairs back to their own corpus table. */
+  def minhashNovelAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, maxBucketSize: Int = 100000): DataFrame = {
+    val hits = minhashCandidatesAgainstStore(spark, batch, table, idCol,
+        textCol, maxBucketSize)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("batch_id")).distinct()
+    batch.join(hits, batch(idCol) === hits("batch_id"), "left_anti")
   }
 
   /** Word n-gram hashes (Int64), the token-level analog of

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+/** The persistent MinHash corpus index
+  * ([[Dedup.writeMinhashStore]] / [[Dedup.minhashCandidatesAgainstStore]] /
+  * [[Dedup.minhashNovelAgainstStore]]): batch-vs-store candidates must
+  * equal the self-join door's cross pairs bit-for-bit (same banding, same
+  * estimate), the novel/ingest cycle must catch a dup of a
+  * previously-appended batch, and the param stamp must refuse mixed
+  * parameters and non-store tables. */
+class MinhashStoreSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def drop(table: String): Unit =
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+
+  private def docText(i: Int): String =
+    s"document number $i talks about topic ${i % 7} and shares a long " +
+      s"common preamble with its siblings while sentence $i diverges in " +
+      s"the tail with unique content ${i * 31}"
+
+  test("store candidates == the self-join door's cross pairs, estimate and all") {
+    val corpus = (0 until 40).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    // batch: 15 exact dups of corpus docs + 10 novel docs, disjoint ids
+    val batch = ((0 until 15).map(i => (10000L + i, docText(i))) ++
+      (0 until 10).map(i => (20000L + i,
+        s"novel ingest row $i with entirely fresh content ${i * 997} zzz")))
+      .toDF("doc_id", "text")
+    val table = "graft_mh_store"
+    drop(table)
+    try {
+      Dedup.writeMinhashStore(corpus, table)
+      val viaStore = Dedup.minhashCandidatesAgainstStore(spark, batch, table)
+        .select($"corpus_id", $"batch_id", $"jaccard_est")
+        .as[(Long, Long, Double)].collect().toSet
+      // reference: the self-join door over corpus ∪ batch, restricted to
+      // pairs crossing the two sides (ids are disjoint: corpus < 10000)
+      val cross = Dedup.minhashCandidates(
+          corpus.unionByName(batch), "doc_id", "text")
+        .filter($"id_a" < 10000 && $"id_b" >= 10000)
+        .select($"id_a", $"id_b", $"jaccard_est")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaStore === cross,
+        "store-door candidates diverge from the self-join door")
+      assert(viaStore.nonEmpty, "fixture sanity: planted dups must collide")
+      // exact dups carry a full-agreement estimate
+      val exact = viaStore.filter { case (c, b, _) => b - 10000 == c }
+      assert(exact.size === 15 && exact.forall(_._3 === 1.0),
+        "every planted exact dup must estimate jaccard 1.0")
+    } finally drop(table)
+  }
+
+  test("novel/ingest cycle: filter, append, and the next batch sees the appended rows") {
+    val corpus = (0 until 30).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    val table = "graft_mh_store_cycle"
+    drop(table)
+    try {
+      Dedup.writeMinhashStore(corpus, table)
+      val batch1 = Seq(
+        (10000L, docText(3)), // dup of corpus
+        (10001L, s"first-batch novel content alpha ${"x" * 40}"),
+        (10002L, s"first-batch novel content beta ${"y" * 40}"))
+        .toDF("doc_id", "text")
+      val novel1 = Dedup.minhashNovelAgainstStore(spark, batch1, table,
+        threshold = 0.5)
+      assert(novel1.select($"doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(10001L, 10002L), "dup row must be filtered, novels kept")
+      Dedup.writeMinhashStore(novel1, table, mode = "append")
+      // batch 2 duplicates a batch-1 novel AND a corpus doc
+      val batch2 = Seq(
+        (30000L, s"first-batch novel content alpha ${"x" * 40}"),
+        (30001L, docText(7)),
+        (30002L, s"second-batch novel gamma ${"z" * 40}"))
+        .toDF("doc_id", "text")
+      val novel2 = Dedup.minhashNovelAgainstStore(spark, batch2, table,
+        threshold = 0.5)
+      assert(novel2.select($"doc_id").as[Long].collect().toSeq === Seq(30002L),
+        "the appended batch-1 novel must now catch its batch-2 dup")
+    } finally drop(table)
+  }
+
+  test("param stamp: mixed-parameter append and non-store tables error loudly") {
+    val corpus = (0 until 10).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    val table = "graft_mh_store_params"
+    drop(table)
+    try {
+      Dedup.writeMinhashStore(corpus, table, numHashes = 64, bands = 8)
+      val mixed = intercept[IllegalArgumentException] {
+        Dedup.writeMinhashStore(corpus, table, numHashes = 64, bands = 16,
+          mode = "append")
+      }
+      assert(mixed.getMessage.contains("stamped"))
+      corpus.createOrReplaceTempView("graft_mh_plain")
+      val notStore = intercept[IllegalArgumentException] {
+        Dedup.minhashCandidatesAgainstStore(spark, corpus, "graft_mh_plain")
+      }
+      assert(notStore.getMessage.contains("writeMinhashStore"))
+      // empty batch: no candidates, novel door returns nothing
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      assert(Dedup.minhashCandidatesAgainstStore(spark, empty, table).isEmpty)
+      assert(Dedup.minhashNovelAgainstStore(spark, empty, table).isEmpty)
+    } finally drop(table)
+  }
+}
