@@ -153,12 +153,17 @@ object PipelineQueries {
       * `count(documents)` in the oracle. */
     "pipe_minhash_store" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // novel text = two md5 hex blocks per id: unique, and pairwise
+      // shingle overlap between any two novels (or a novel and English
+      // corpus text) is near zero — neither the corpus filter nor the
+      // within-batch dedup can cluster them, so the novel count is
+      // exactly the novel half (cyclic id-derived text was NOT safe
+      // here: ids like 111 vs 1111 share most of their 5-gram cycle)
       val batch = corpus
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
         .unionByName(corpus.select((col("doc_id") + 20000).as("doc_id"),
-          concat(lit("novel-"), col("doc_id"), lit("-"),
-            repeat(concat(lit("zq"), col("doc_id").cast("string")), 12))
-            .as("text")))
+          concat(md5(concat(lit("n1-"), col("doc_id"))), lit(" "),
+            md5(concat(lit("n2-"), col("doc_id")))).as("text")))
       graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_mh_store")
       Dedup.writeMinhashStore(corpus, "graft_q_mh_store")
       val fpsC = corpus.select(col("doc_id").as("corpus_id"),
@@ -168,6 +173,10 @@ object PipelineQueries {
       val cands = Dedup
         .minhashCandidatesAgainstStore(s, batch, "graft_q_mh_store")
         .join(fpsC, Seq("corpus_id")).join(fpsB, Seq("batch_id"))
+      // the novel DOOR is deliberately exercised end-to-end (its own
+      // candidates pass included) rather than derived from `cands` —
+      // oracle coverage of the public API outweighs the second
+      // signature pass in this harness
       val novel = Dedup.minhashNovelAgainstStore(s, batch,
         "graft_q_mh_store", threshold = 0.5)
       cands.agg(

@@ -208,6 +208,15 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Fraction of signature positions agreeing — the MinHash jaccard
+    * estimate. ONE implementation for the self-join and store doors
+    * (MinhashStoreSpec pins them bit-for-bit; a drifted copy would
+    * break that silently). */
+  private def jaccardEstExpr(sigA: Column, sigB: Column,
+      numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
       maxBucketSize: Int = 100000): DataFrame = {
@@ -225,9 +234,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes).as("jaccard_est"))
+        jaccardEstExpr(col("sig_a"), col("sig_b"), numHashes).as("jaccard_est"))
   }
 
   /** Full MinHash near-dup pipeline: LSH candidates, then exact shingle
@@ -324,12 +331,15 @@ object Dedup {
     * table; errors loudly when absent or unreadable. */
   private def minhashStoreParams(spark: org.apache.spark.sql.SparkSession,
       table: String): (Int, Int, Int) = {
+    // only ANALYSIS failures (missing table/db, unparseable name, temp
+    // view) mean "no stamp" — a transient metastore fault must propagate,
+    // not masquerade as "rewrite your valid store" (review r16)
     val stamp =
       try {
         val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
         spark.sessionState.catalog.getTableMetadata(id)
           .properties.get(MinhashStoreProp)
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
     stamp.map(_.split(':')) match {
       case Some(Array("v1", nh, b, k)) =>
         try (nh.toInt, b.toInt, k.toInt)
@@ -373,28 +383,57 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("sig_b"), col("sig_c"))
       .dropDuplicates("batch_id", "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
-        (aggregate(zip_with(col("sig_b"), col("sig_c"),
-          (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes).as("jaccard_est"))
+        jaccardEstExpr(col("sig_b"), col("sig_c"), numHashes).as("jaccard_est"))
   }
 
-  /** Batch rows with NO corpus near-dup at `threshold` (estimated
-    * jaccard from the stored signatures) — the ingest filter: keep the
-    * novel rows, then `writeMinhashStore(novel, table, mode = "append")`
-    * folds them into the index so the next batch dedups against them
-    * too. The estimate is signature-based (numHashes resolution); an
-    * exact-verify against corpus text requires the corpus text, which
-    * the index deliberately does not carry — callers needing exact
-    * jaccard join the surviving pairs back to their own corpus table. */
+  /** Batch rows with NO near-dup at `threshold` — the ingest filter:
+    * keep the novel rows, then `writeMinhashStore(novel, table,
+    * mode = "append")` folds them into the index so the next batch
+    * dedups against them too. Checks BOTH directions a duplicate can
+    * arrive from: against the corpus (estimated jaccard from the stored
+    * signatures) and, with `dedupWithinBatch` (default), among the
+    * surviving batch rows themselves via [[dedupNearMinhash]] (exact
+    * shingle jaccard, min-id survivor per cluster) — without it, two
+    * identical new documents in one batch would BOTH be declared novel
+    * and both appended, planting permanent duplicates in the index.
+    *
+    * Recall contract: the store's STAMPED banding fixes the collision
+    * curve — a pair's band-collision probability at true jaccard j is
+    * `1 − (1 − j^r)^b`, which falls off sharply below `(1/b)^(1/r)`
+    * (≈ 0.77 at the 64/8 default). A `threshold` well under that point
+    * asks for pairs the banding rarely surfaces; the call WARNS rather
+    * than silently under-recalling — write the store with more, narrower
+    * bands (see [[autoBands]]) when the operating point is lower.
+    *
+    * The corpus-side estimate is signature-based (numHashes
+    * resolution); an exact verify against corpus text requires the
+    * corpus text, which the index deliberately does not carry — callers
+    * needing exact jaccard join the surviving pairs back to their own
+    * corpus table. */
   def minhashNovelAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.8, maxBucketSize: Int = 100000): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true): DataFrame = {
+    val (numHashes, bands, shingleK) = minhashStoreParams(spark, table)
+    val collisionPoint = math.pow(1.0 / bands, 1.0 * bands / numHashes)
+    if (threshold < collisionPoint * 0.8)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashNovelAgainstStore($table): threshold $threshold sits " +
+          f"well below the stamped banding's collision point " +
+          f"($collisionPoint%.2f at $numHashes hashes / $bands bands) — " +
+          "most pairs at that similarity never share a bucket, so " +
+          "near-dups will be declared novel; rewrite the store with " +
+          "more, narrower bands (autoBands) for this operating point")
     val hits = minhashCandidatesAgainstStore(spark, batch, table, idCol,
         textCol, maxBucketSize)
       .filter(col("jaccard_est") >= threshold)
       .select(col("batch_id")).distinct()
-    batch.join(hits, batch(idCol) === hits("batch_id"), "left_anti")
+    val vsCorpus = batch.join(hits, batch(idCol) === hits("batch_id"),
+      "left_anti")
+    if (!dedupWithinBatch) vsCorpus
+    else dedupNearMinhash(vsCorpus, idCol, textCol, threshold,
+      numHashes = numHashes, bands = 0, shingleK = shingleK)
   }
 
   /** Word n-gram hashes (Int64), the token-level analog of

@@ -61,21 +61,30 @@ class MinhashStoreSpec extends AnyFunSuite {
     drop(table)
     try {
       Dedup.writeMinhashStore(corpus, table)
+      val alphaText = "orchard ledger piano thirteen brick quantum marble"
       val batch1 = Seq(
         (10000L, docText(3)), // dup of corpus
-        (10001L, s"first-batch novel content alpha ${"x" * 40}"),
-        (10002L, s"first-batch novel content beta ${"y" * 40}"))
+        (10001L, alphaText),
+        (10002L, "velvet compass winter granite ninety lantern oboe"),
+        (10003L, alphaText)) // intra-batch dup of 10001
         .toDF("doc_id", "text")
       val novel1 = Dedup.minhashNovelAgainstStore(spark, batch1, table,
         threshold = 0.5)
       assert(novel1.select($"doc_id").as[Long].collect().sorted.toSeq ===
-        Seq(10001L, 10002L), "dup row must be filtered, novels kept")
+        Seq(10001L, 10002L),
+        "corpus dup filtered, novels kept, intra-batch dup collapsed to min id")
+      // without the within-batch pass, both intra-batch copies survive —
+      // exactly the planted-duplicate hazard the default closes
+      val noSelf = Dedup.minhashNovelAgainstStore(spark, batch1, table,
+        threshold = 0.5, dedupWithinBatch = false)
+      assert(noSelf.select($"doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(10001L, 10002L, 10003L))
       Dedup.writeMinhashStore(novel1, table, mode = "append")
       // batch 2 duplicates a batch-1 novel AND a corpus doc
       val batch2 = Seq(
-        (30000L, s"first-batch novel content alpha ${"x" * 40}"),
+        (30000L, alphaText),
         (30001L, docText(7)),
-        (30002L, s"second-batch novel gamma ${"z" * 40}"))
+        (30002L, "bamboo circuit yonder maple seventy gossamer flute"))
         .toDF("doc_id", "text")
       val novel2 = Dedup.minhashNovelAgainstStore(spark, batch2, table,
         threshold = 0.5)
