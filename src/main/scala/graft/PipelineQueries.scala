@@ -186,6 +186,35 @@ object PipelineQueries {
         .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
     }),
 
+    /** The SimHash sibling of pipe_minhash_store (r16) — same fixture
+      * shape (dup half +10000, md5-novel half +20000), same closed-form
+      * counts: a dup's identical text gives an identical 64-bit
+      * signature (hamming 0, caught with CERTAINTY — the 4-chunk
+      * pigeonhole is exact, not an LSH curve), and an md5-hex novel sits
+      * ~32 bits from everything (binomial around 64/2), far outside the
+      * ≤3 radius, on both the corpus check and the within-batch pass. */
+    "pipe_simhash_store" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(corpus.select((col("doc_id") + 20000).as("doc_id"),
+          concat(md5(concat(lit("s1-"), col("doc_id"))), lit(" "),
+            md5(concat(lit("s2-"), col("doc_id")))).as("text")))
+      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_sh_store")
+      Dedup.writeSimhashStore(corpus, "graft_q_sh_store")
+      val fpsC = corpus.select(col("doc_id").as("corpus_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_c"))
+      val fpsB = batch.select(col("doc_id").as("batch_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_b"))
+      val cands = Dedup
+        .simhashCandidatesAgainstStore(s, batch, "graft_q_sh_store")
+        .join(fpsC, Seq("corpus_id")).join(fpsB, Seq("batch_id"))
+      val novel = Dedup.simhashNovelAgainstStore(s, batch, "graft_q_sh_store")
+      cands.agg(
+        sum((col("fp_c") === col("fp_b")).cast("long")).as("n_store_ident"))
+        .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
+    }),
+
     // ----------------------------------------------------------- SimHash
     "pipe_dedup_simhash" -> ((s, dir) => {
       val all = docsWithDups(s, dir)
@@ -1027,6 +1056,9 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_ident,
         | (SELECT count(*) FROM documents) AS n_ident_h0""".stripMargin,
     "pipe_minhash_store" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
+        | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
+    "pipe_simhash_store" ->
       """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
         | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
     "pipe_stream_minhash" ->

@@ -530,6 +530,141 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SimHash near-dup dedup end to end: one survivor (min id) per
+    * connected near-dup component — [[dedupNearMinhash]]'s SimHash
+    * sibling, and the within-batch pass of
+    * [[simhashNovelAgainstStore]]. */
+  def dedupNearSimhash(dfIn: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    val pairs = nearDupSimhash(dfIn, idCol, textCol, maxHamming, maxBucketSize)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val clusters = dfIn.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+    val survivors = clusters.filter(col("id") === col("cluster")).select("id")
+    dfIn.join(survivors, dfIn(idCol) === survivors("id"), "left_semi")
+  }
+
+  // ------------------------------------------------ simhash corpus store
+
+  /** Table property stamped by [[writeSimhashStore]]: `v1:4` (the
+    * 16-bit-chunk count the pigeonhole guarantee is built on). */
+  val SimhashStoreProp = "graft.dedup.simhashParams"
+
+  /** Persist a corpus's SimHash index — [[writeMinhashStore]]'s sibling
+    * for the Hamming-distance tier, with a STRONGER contract: the
+    * 4-chunk pigeonhole is exact (a pair within Hamming distance ≤ 3 of
+    * a 64-bit signature MUST agree on one 16-bit chunk), so the store
+    * door's recall is 100% at the ≤ 3 operating point, not an LSH
+    * collision curve. One row per (chunk, bucket) membership, bucketed
+    * by the join key — batch joins read co-located files with zero
+    * corpus-side shuffle; `mode = "append"` ingests accepted batches. */
+  def writeSimhashStore(df: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 64, mode: String = "overwrite",
+      maxBucketSize: Int = 100000): Unit = {
+    val spark = df.sparkSession
+    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val payload = "v1:4"
+    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
+    if (modeNorm != "overwrite" && existedBefore) {
+      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
+        .properties.get(SimhashStoreProp)
+      require(prev.contains(payload),
+        s"writeSimhashStore: mode=$mode onto a table stamped " +
+          s"${prev.getOrElse("(no stamp)")} (want $payload) — not a " +
+          "compatible simhash store")
+    }
+    val chunked = capBuckets(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+        .select(col("id"), col("sim"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535")),
+      Seq("chunk", "bucket"), maxBucketSize)
+    chunked
+      .repartition(buckets, col("chunk"), col("bucket"))
+      .write.mode(mode)
+      .bucketBy(buckets, "chunk", "bucket").sortBy("chunk", "bucket")
+      .format("parquet")
+      .saveAsTable(table)
+    val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
+    if (wrote) {
+      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
+        s"('$SimhashStoreProp'='$payload')")
+    }
+  }
+
+  private def verifySimhashStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    // analysis failures mean "no stamp"; transient faults propagate
+    // (the minhashStoreParams discipline)
+    val stamp =
+      try {
+        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        spark.sessionState.catalog.getTableMetadata(id)
+          .properties.get(SimhashStoreProp)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    require(stamp.contains("v1:4"),
+      s"$table is not a writeSimhashStore table (no readable " +
+        s"$SimhashStoreProp stamp) — write it with writeSimhashStore")
+  }
+
+  /** Near-dup pairs of a NEW batch against a [[writeSimhashStore]]
+    * corpus: batch signatures (one pass over the batch), chunk
+    * explosion, equi-join on (chunk, bucket) — no corpus-side shuffle —
+    * then the exact `bit_count(xor) ≤ maxHamming` verify. Returns
+    * (batch_id, corpus_id, hamming). `maxHamming` must stay ≤ 3: the
+    * 4-chunk layout's pigeonhole guarantee stops there, and a larger
+    * radius would silently miss pairs. */
+  def simhashCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashCandidatesAgainstStore: maxHamming $maxHamming outside " +
+        "[0, 3] — the 4-chunk pigeonhole guarantees recall only to " +
+        "Hamming distance 3; a larger radius would silently miss pairs")
+    verifySimhashStore(spark, table)
+    val store = spark.table(table)
+    require(Seq("id", "sim", "chunk", "bucket").forall(store.columns.contains),
+      s"$table does not have writeSimhashStore's (id, sim, chunk, bucket) layout")
+    val b = capBuckets(
+      batch.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+        .select(col("id"), col("sim"),
+          explode(sequence(lit(0), lit(3))).as("chunk"))
+        .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535")),
+      Seq("chunk", "bucket"), maxBucketSize)
+      .select(col("chunk"), col("bucket"),
+        col("id").as("batch_id"), col("sim").as("sim_b"))
+    val c = store.select(col("chunk"), col("bucket"),
+      col("id").as("corpus_id"), col("sim").as("sim_c"))
+    b.join(c, Seq("chunk", "bucket"))
+      .withColumn("hamming", bit_count(col("sim_b").bitwiseXOR(col("sim_c"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
+  /** Batch rows with no corpus match within `maxHamming` AND (by
+    * default) one survivor per within-batch near-dup component — the
+    * SimHash ingest filter; append survivors with
+    * `writeSimhashStore(novel, table, mode = "append")`. */
+  def simhashNovelAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true): DataFrame = {
+    val hits = simhashCandidatesAgainstStore(spark, batch, table, idCol,
+        textCol, maxHamming, maxBucketSize)
+      .select(col("batch_id")).distinct()
+    val vsCorpus = batch.join(hits, batch(idCol) === hits("batch_id"),
+      "left_anti")
+    if (!dedupWithinBatch) vsCorpus
+    else dedupNearSimhash(vsCorpus, idCol, textCol, maxHamming, maxBucketSize)
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup: sign-LSH bucket join (random-hyperplane

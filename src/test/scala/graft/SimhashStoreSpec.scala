@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+/** The persistent SimHash corpus index
+  * ([[Dedup.writeSimhashStore]] / [[Dedup.simhashCandidatesAgainstStore]] /
+  * [[Dedup.simhashNovelAgainstStore]]): store-vs-batch candidates must
+  * equal the self-join door's cross pairs (same chunking, same Hamming
+  * verify), the pigeonhole radius guard must refuse maxHamming > 3, and
+  * the novel/ingest cycle must collapse intra-batch dups and re-catch
+  * appended content. */
+class SimhashStoreSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def drop(table: String): Unit =
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+
+  private def docText(i: Int): String =
+    s"document number $i talks about topic ${i % 7} and shares a long " +
+      s"common preamble with its siblings while sentence $i diverges in " +
+      s"the tail with unique content ${i * 31}"
+
+  test("store candidates == the self-join door's cross pairs") {
+    val corpus = (0 until 40).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    val batch = ((0 until 15).map(i => (10000L + i, docText(i))) ++
+      (0 until 10).map(i => (20000L + i,
+        s"wholly novel ingest row $i with fresh content ${i * 997} qqq")))
+      .toDF("doc_id", "text")
+    val table = "graft_sh_store"
+    drop(table)
+    try {
+      Dedup.writeSimhashStore(corpus, table)
+      val viaStore = Dedup.simhashCandidatesAgainstStore(spark, batch, table)
+        .select($"corpus_id", $"batch_id", $"hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val cross = Dedup.nearDupSimhash(
+          corpus.unionByName(batch), "doc_id", "text")
+        .filter($"id_a" < 10000 && $"id_b" >= 10000)
+        .select($"id_a", $"id_b", $"hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(viaStore === cross,
+        "store-door candidates diverge from the self-join door")
+      // every planted exact dup collides at hamming 0
+      val exact = viaStore.filter { case (c, b, _) => b - 10000 == c }
+      assert(exact.size === 15 && exact.forall(_._3 === 0))
+      // the pigeonhole guarantee stops at 3 — a wider radius is refused
+      val wide = intercept[IllegalArgumentException] {
+        Dedup.simhashCandidatesAgainstStore(spark, batch, table, maxHamming = 4)
+      }
+      assert(wide.getMessage.contains("pigeonhole"))
+      // a non-store table is refused
+      corpus.createOrReplaceTempView("graft_sh_plain")
+      val notStore = intercept[IllegalArgumentException] {
+        Dedup.simhashCandidatesAgainstStore(spark, corpus, "graft_sh_plain")
+      }
+      assert(notStore.getMessage.contains("writeSimhashStore"))
+    } finally drop(table)
+  }
+
+  test("novel/ingest cycle with intra-batch dup collapse") {
+    val corpus = (0 until 30).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    val table = "graft_sh_store_cycle"
+    drop(table)
+    try {
+      Dedup.writeSimhashStore(corpus, table)
+      val alphaText = "orchard ledger piano thirteen brick quantum marble"
+      val batch1 = Seq(
+        (10000L, docText(3)), // corpus dup
+        (10001L, alphaText),
+        (10002L, "velvet compass winter granite ninety lantern oboe"),
+        (10003L, alphaText)) // intra-batch dup of 10001
+        .toDF("doc_id", "text")
+      val novel1 = Dedup.simhashNovelAgainstStore(spark, batch1, table)
+      assert(novel1.select($"doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(10001L, 10002L))
+      val noSelf = Dedup.simhashNovelAgainstStore(spark, batch1, table,
+        dedupWithinBatch = false)
+      assert(noSelf.select($"doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(10001L, 10002L, 10003L))
+      Dedup.writeSimhashStore(novel1, table, mode = "append")
+      val batch2 = Seq(
+        (30000L, alphaText), // dup of the appended batch-1 novel
+        (30001L, docText(7)),
+        (30002L, "bamboo circuit yonder maple seventy gossamer flute"))
+        .toDF("doc_id", "text")
+      val novel2 = Dedup.simhashNovelAgainstStore(spark, batch2, table)
+      assert(novel2.select($"doc_id").as[Long].collect().toSeq === Seq(30002L))
+      // mixed-version append refused via the stamp
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('${Dedup.SimhashStoreProp}'='v9:8')")
+      val mixed = intercept[IllegalArgumentException] {
+        Dedup.writeSimhashStore(corpus, table, mode = "append")
+      }
+      assert(mixed.getMessage.contains("stamped"))
+    } finally drop(table)
+  }
+}
