@@ -51,6 +51,70 @@ object Dedup {
       df.join(sizes.filter(col("__bsz") <= maxBucketSize), bucketCols).drop("__bsz")
     }
 
+  /** [[capBuckets]] for STORE WRITES: same drop rule, but the sizes
+    * aggregate is computed once (persisted — it is one small row per
+    * distinct bucket) and the dropped-group count is surfaced as a
+    * WARNING: a corpus index silently thinner than its corpus reads as
+    * complete, and a pair whose only shared bucket was dropped is
+    * missed for good. Costs the same two input passes capBuckets
+    * already pays (sizes + join). */
+  private def capBucketsWarn(df: DataFrame, bucketCols: Seq[String],
+      maxBucketSize: Int, ctx: String)(write: DataFrame => Unit): Unit =
+    if (maxBucketSize <= 0) write(df)
+    else {
+      val sizes = df.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("__bsz")).persist()
+      try {
+        val dropped = sizes.filter(col("__bsz") > maxBucketSize).count()
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$ctx: $dropped bucket group(s) exceed maxBucketSize " +
+              s"$maxBucketSize and were DROPPED from the index — their " +
+              "rows still probe through their other buckets, but a pair " +
+              "whose only shared bucket was dropped will be missed; " +
+              "collapse boilerplate with exact dedup before indexing")
+        write(df.join(sizes.filter(col("__bsz") <= maxBucketSize),
+          bucketCols).drop("__bsz"))
+      } finally sizes.unpersist()
+    }
+
+  /** Cap by the JOINED population: drop bucket groups whose combined
+    * batch+store row count exceeds `maxBucketSize`. This is the
+    * SELF-JOIN door's union semantics ([[capBuckets]] over the union of
+    * the two frames sees the same total), so a store door stays
+    * pair-for-pair equivalent to the self-join at the cap boundary —
+    * per-side caps would admit a bucket with cap rows on EACH side
+    * (cap² candidate pairs, the join bomb the cap exists to stop). The
+    * store side's count aggregation rides its bucketing (no exchange);
+    * write-time-dropped store buckets are simply absent, which matches
+    * the union door (store-side count alone already exceeded the cap). */
+  private def capBucketsJoint(batch: DataFrame, store: DataFrame,
+      bucketCols: Seq[String], maxBucketSize: Int): (DataFrame, DataFrame) =
+    if (maxBucketSize <= 0) (batch, store)
+    else {
+      val bs = batch.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+      val cs = store.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__cn"))
+      // inner join: a bucket absent from either side produces no pairs
+      // anyway, so only jointly-present buckets need the budget check
+      val ok = bs.join(cs, bucketCols)
+        .filter(col("__bn") + col("__cn") <= maxBucketSize)
+        .select(bucketCols.map(col): _*)
+      (batch.join(ok, bucketCols, "left_semi"),
+        store.join(ok, bucketCols, "left_semi"))
+    }
+
+  /** Read a store's stamp property: Some when the table resolves and
+    * carries it; None on ANALYSIS failures only (missing table/db,
+    * unparseable name, temp view). A transient metastore fault
+    * PROPAGATES — it must not masquerade as "not a store" and send the
+    * caller off to rewrite a perfectly valid index. */
+  private def readStoreStamp(spark: org.apache.spark.sql.SparkSession,
+      table: String, prop: String): Option[String] =
+    try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(id).properties.get(prop)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   // ----------------------------------------------------------- shingles
 
   /** Character k-shingles of the normalized text, distinct, codegen'd
@@ -310,15 +374,16 @@ object Dedup {
           "hash different buckets and silently miss pairs; reuse the " +
           "stamped parameters")
     }
-    val banded = capBuckets(
-      minhashBanded(df, idCol, textCol, numHashes, bands, shingleK),
-      Seq("band", "bucket"), maxBucketSize)
-    banded
-      .repartition(buckets, col("band"), col("bucket"))
-      .write.mode(mode)
-      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-      .format("parquet")
-      .saveAsTable(table)
+    capBucketsWarn(minhashBanded(df, idCol, textCol, numHashes, bands, shingleK),
+      Seq("band", "bucket"), maxBucketSize,
+      s"writeMinhashStore($table)") { banded =>
+      banded
+        .repartition(buckets, col("band"), col("bucket"))
+        .write.mode(mode)
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    }
     val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
     if (wrote) {
       val quoted = table.split('.').map(p => s"`$p`").mkString(".")
@@ -331,15 +396,7 @@ object Dedup {
     * table; errors loudly when absent or unreadable. */
   private def minhashStoreParams(spark: org.apache.spark.sql.SparkSession,
       table: String): (Int, Int, Int) = {
-    // only ANALYSIS failures (missing table/db, unparseable name, temp
-    // view) mean "no stamp" — a transient metastore fault must propagate,
-    // not masquerade as "rewrite your valid store" (review r16)
-    val stamp =
-      try {
-        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
-        spark.sessionState.catalog.getTableMetadata(id)
-          .properties.get(MinhashStoreProp)
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val stamp = readStoreStamp(spark, table, MinhashStoreProp)
     stamp.map(_.split(':')) match {
       case Some(Array("v1", nh, b, k)) =>
         try (nh.toInt, b.toInt, k.toInt)
@@ -372,12 +429,15 @@ object Dedup {
     val store = spark.table(table)
     require(Seq("id", "sig", "band", "bucket").forall(store.columns.contains),
       s"$table does not have writeMinhashStore's (id, sig, band, bucket) layout")
-    val b = capBuckets(
+    // JOINT capping (batch + store counts per bucket): per-side caps
+    // would admit cap×cap pair bombs AND diverge from the self-join
+    // door's union semantics at the boundary
+    val (b0, c0) = capBucketsJoint(
       minhashBanded(batch, idCol, textCol, numHashes, bands, shingleK),
-      Seq("band", "bucket"), maxBucketSize)
-      .select(col("band"), col("bucket"),
-        col("id").as("batch_id"), col("sig").as("sig_b"))
-    val c = store.select(col("band"), col("bucket"),
+      store, Seq("band", "bucket"), maxBucketSize)
+    val b = b0.select(col("band"), col("bucket"),
+      col("id").as("batch_id"), col("sig").as("sig_b"))
+    val c = c0.select(col("band"), col("bucket"),
       col("id").as("corpus_id"), col("sig").as("sig_c"))
     b.join(c, Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id"), col("sig_b"), col("sig_c"))
@@ -507,18 +567,45 @@ object Dedup {
     f(TextAnalysis.subwordTokens(text))
   }
 
-  /** SimHash near-dup: bucket by the four 16-bit chunks (a pair within
-    * hamming distance ≤ 3 of a 64-bit hash must agree on at least one of 4
-    * chunks — pigeonhole), verify with bit_count(xor) ≤ maxHamming. */
+  /** Chunk count whose pigeonhole covers `maxHamming`: `c` chunks of
+    * `64/c` bits guarantee a pair within Hamming distance `c − 1`
+    * agrees on at least one chunk. 4 chunks (16-bit buckets) reach
+    * radius 3; 8 chunks (8-bit) reach 7; 16 chunks (4-bit) reach 15 —
+    * at exponentially coarser buckets (2^width values), so wide radii
+    * cost correspondingly bigger bucket joins. Past 15 the scheme's
+    * buckets are too weak to be useful, and the request is refused
+    * rather than silently under-recalled. */
+  private def simhashChunkCount(ctx: String, maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"$ctx: maxHamming $maxHamming outside [0, 15] — 16 4-bit chunks " +
+        "are the widest pigeonhole this 64-bit signature supports; a " +
+        "larger radius would silently miss pairs")
+    if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+  }
+
+  /** (id, sim, chunk, bucket) chunking of a frame — the ONE producer all
+    * three SimHash doors ride (self-join, store writer, store prober),
+    * so the store layout and batch probing can never desynchronize. */
+  private def simhashChunked(df: DataFrame, idCol: String,
+      textCol: String, chunks: Int = 4): DataFrame = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+      .select(col("id"), col("sim"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("bucket", expr(s"(sim >> (chunk * $width)) & $mask"))
+  }
+
+  /** SimHash near-dup: bucket by signature chunks (a pair within
+    * hamming distance ≤ chunks−1 must agree on at least one chunk —
+    * pigeonhole), verify with bit_count(xor) ≤ maxHamming. The chunk
+    * count is derived FROM the radius ([[simhashChunkCount]]) so recall
+    * is exact at every accepted `maxHamming` (≤ 15) — the default 3
+    * keeps the classic 4×16-bit scheme. */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    // bucket key c of 4: (sim >>> (16*c)) & 0xffff
-    val withChunk = capBuckets(
-      withSim.select(col("id"), col("sim"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-        .withColumn("bucket",
-          expr("(sim >> (chunk * 16)) & 65535").as("bucket_v")),
+    val chunks = simhashChunkCount("nearDupSimhash", maxHamming)
+    val withChunk = capBuckets(simhashChunked(df, idCol, textCol, chunks),
       Seq("chunk", "bucket"), maxBucketSize)
     val l = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
@@ -530,13 +617,12 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** SimHash near-dup dedup end to end: one survivor (min id) per
-    * connected near-dup component — [[dedupNearMinhash]]'s SimHash
-    * sibling, and the within-batch pass of
-    * [[simhashNovelAgainstStore]]. */
-  def dedupNearSimhash(dfIn: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
-    val pairs = nearDupSimhash(dfIn, idCol, textCol, maxHamming, maxBucketSize)
+  /** One survivor per near-dup component: the row whose id is the
+    * component minimum (singletons survive as their own component) —
+    * the pairs→survivors finish [[dedupNearMinhash]] and
+    * [[dedupNearSimhash]] share. */
+  private def keepMinIdSurvivors(dfIn: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs, "id_a", "id_b")
     val clusters = dfIn.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
@@ -544,6 +630,15 @@ object Dedup {
     val survivors = clusters.filter(col("id") === col("cluster")).select("id")
     dfIn.join(survivors, dfIn(idCol) === survivors("id"), "left_semi")
   }
+
+  /** SimHash near-dup dedup end to end: one survivor (min id) per
+    * connected near-dup component — [[dedupNearMinhash]]'s SimHash
+    * sibling, and the within-batch pass of
+    * [[simhashNovelAgainstStore]]. */
+  def dedupNearSimhash(dfIn: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame =
+    keepMinIdSurvivors(dfIn, idCol,
+      nearDupSimhash(dfIn, idCol, textCol, maxHamming, maxBucketSize))
 
   // ------------------------------------------------ simhash corpus store
 
@@ -556,9 +651,16 @@ object Dedup {
     * 4-chunk pigeonhole is exact (a pair within Hamming distance ≤ 3 of
     * a 64-bit signature MUST agree on one 16-bit chunk), so the store
     * door's recall is 100% at the ≤ 3 operating point, not an LSH
-    * collision curve. One row per (chunk, bucket) membership, bucketed
-    * by the join key — batch joins read co-located files with zero
-    * corpus-side shuffle; `mode = "append"` ingests accepted batches. */
+    * collision curve — UP TO the hot-bucket cap: an over-`maxBucketSize`
+    * (chunk, bucket) group is dropped (WARNED at write time, and the
+    * join applies the same union-count rule as the self-join door), and
+    * a pair whose only agreeing chunk sat in a dropped group is missed.
+    * A corpus hitting that warning wants an exact-dedup pass first —
+    * 100k+ rows sharing a 16-bit chunk value is boilerplate, not
+    * near-dup structure. One row per (chunk, bucket) membership,
+    * bucketed by the join key — batch joins read co-located files with
+    * zero corpus-side shuffle; `mode = "append"` ingests accepted
+    * batches. */
   def writeSimhashStore(df: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 64, mode: String = "overwrite",
@@ -576,18 +678,16 @@ object Dedup {
           s"${prev.getOrElse("(no stamp)")} (want $payload) — not a " +
           "compatible simhash store")
     }
-    val chunked = capBuckets(
-      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-        .select(col("id"), col("sim"),
-          explode(sequence(lit(0), lit(3))).as("chunk"))
-        .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535")),
-      Seq("chunk", "bucket"), maxBucketSize)
-    chunked
-      .repartition(buckets, col("chunk"), col("bucket"))
-      .write.mode(mode)
-      .bucketBy(buckets, "chunk", "bucket").sortBy("chunk", "bucket")
-      .format("parquet")
-      .saveAsTable(table)
+    capBucketsWarn(simhashChunked(df, idCol, textCol),
+      Seq("chunk", "bucket"), maxBucketSize,
+      s"writeSimhashStore($table)") { chunked =>
+      chunked
+        .repartition(buckets, col("chunk"), col("bucket"))
+        .write.mode(mode)
+        .bucketBy(buckets, "chunk", "bucket").sortBy("chunk", "bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    }
     val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
     if (wrote) {
       val quoted = table.split('.').map(p => s"`$p`").mkString(".")
@@ -597,19 +697,10 @@ object Dedup {
   }
 
   private def verifySimhashStore(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
-    // analysis failures mean "no stamp"; transient faults propagate
-    // (the minhashStoreParams discipline)
-    val stamp =
-      try {
-        val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
-        spark.sessionState.catalog.getTableMetadata(id)
-          .properties.get(SimhashStoreProp)
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
-    require(stamp.contains("v1:4"),
+      table: String): Unit =
+    require(readStoreStamp(spark, table, SimhashStoreProp).contains("v1:4"),
       s"$table is not a writeSimhashStore table (no readable " +
         s"$SimhashStoreProp stamp) — write it with writeSimhashStore")
-  }
 
   /** Near-dup pairs of a NEW batch against a [[writeSimhashStore]]
     * corpus: batch signatures (one pass over the batch), chunk
@@ -624,21 +715,20 @@ object Dedup {
       maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashCandidatesAgainstStore: maxHamming $maxHamming outside " +
-        "[0, 3] — the 4-chunk pigeonhole guarantees recall only to " +
-        "Hamming distance 3; a larger radius would silently miss pairs")
+        "[0, 3] — the store's STAMPED 4×16-bit chunk layout's pigeonhole " +
+        "guarantees recall only to Hamming distance 3 and a wider radius would " +
+        "silently miss pairs (the in-frame nearDupSimhash door derives " +
+        "wider chunkings; a store for wider radii needs its own layout)")
     verifySimhashStore(spark, table)
     val store = spark.table(table)
     require(Seq("id", "sim", "chunk", "bucket").forall(store.columns.contains),
       s"$table does not have writeSimhashStore's (id, sim, chunk, bucket) layout")
-    val b = capBuckets(
-      batch.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-        .select(col("id"), col("sim"),
-          explode(sequence(lit(0), lit(3))).as("chunk"))
-        .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535")),
-      Seq("chunk", "bucket"), maxBucketSize)
-      .select(col("chunk"), col("bucket"),
-        col("id").as("batch_id"), col("sim").as("sim_b"))
-    val c = store.select(col("chunk"), col("bucket"),
+    // joint capping — see minhashCandidatesAgainstStore
+    val (b0, c0) = capBucketsJoint(simhashChunked(batch, idCol, textCol),
+      store, Seq("chunk", "bucket"), maxBucketSize)
+    val b = b0.select(col("chunk"), col("bucket"),
+      col("id").as("batch_id"), col("sim").as("sim_b"))
+    val c = c0.select(col("chunk"), col("bucket"),
       col("id").as("corpus_id"), col("sim").as("sim_c"))
     b.join(c, Seq("chunk", "bucket"))
       .withColumn("hamming", bit_count(col("sim_b").bitwiseXOR(col("sim_c"))))
@@ -968,10 +1058,7 @@ object Dedup {
     * with all original columns. */
   def dedupNearMinhash(dfIn: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 0,
-      shingleK: Int = 5): DataFrame = {
-    val clusters = clusterNearMinhash(dfIn, idCol, textCol, threshold,
-      numHashes, bands, shingleK)
-    val survivors = clusters.filter(col("id") === col("cluster")).select("id")
-    dfIn.join(survivors, dfIn(idCol) === survivors("id"), "left_semi")
-  }
+      shingleK: Int = 5): DataFrame =
+    keepMinIdSurvivors(dfIn, idCol,
+      nearDupMinhash(dfIn, idCol, textCol, threshold, numHashes, bands, shingleK))
 }

@@ -61,6 +61,31 @@ class SimhashStoreSpec extends AnyFunSuite {
     } finally drop(table)
   }
 
+  test("widened radius derives a chunking with exact recall (brute equality)") {
+    // radius 6 exceeds the classic 4-chunk pigeonhole (≤3); the door now
+    // derives 8×8-bit chunks (guarantee ≤7) instead of silently
+    // under-recalling — pin against the driver-side brute force
+    val rnd = new java.util.Random(0x51A511)
+    val docs = (0 until 50).map { i =>
+      val base = docText(i % 17) // clusters of near-identical texts
+      val mutated =
+        if (i < 17) base
+        else base + s" trailing mutation ${rnd.nextInt(4)} pass $i"
+      (i.toLong, mutated)
+    }.toDF("doc_id", "text")
+    val sims = docs.select($"doc_id",
+        graft.pipeline.Dedup.simhash64($"text").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 6
+    } yield (a, b)).toSet
+    val got = Dedup.nearDupSimhash(docs, "doc_id", "text", maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected, "widened-radius recall diverged from brute force")
+    assert(expected.nonEmpty, "fixture sanity: some pairs within radius 6")
+  }
+
   test("novel/ingest cycle with intra-batch dup collapse") {
     val corpus = (0 until 30).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
     val table = "graft_sh_store_cycle"
