@@ -347,7 +347,7 @@ object Bench {
     private var cached: Option[String] = None
     def get(s: SparkSession, dir: String): Unit = synchronized {
       if (!cached.contains(dir)) {
-        graft.join.SpatialJoin.dropBucketedTable(s, "graft_bench_mh_store")
+        graft.pipeline.Dedup.dropMinhashStore(s, "graft_bench_mh_store")
         graft.pipeline.Dedup.writeMinhashStore(
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           "graft_bench_mh_store")

@@ -164,7 +164,7 @@ object PipelineQueries {
         .unionByName(corpus.select((col("doc_id") + 20000).as("doc_id"),
           concat(md5(concat(lit("n1-"), col("doc_id"))), lit(" "),
             md5(concat(lit("n2-"), col("doc_id")))).as("text")))
-      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_mh_store")
+      Dedup.dropMinhashStore(s, "graft_q_mh_store")
       Dedup.writeMinhashStore(corpus, "graft_q_mh_store")
       val fpsC = corpus.select(col("doc_id").as("corpus_id"),
         TextAnalysis.fingerprint(col("text")).as("fp_c"))

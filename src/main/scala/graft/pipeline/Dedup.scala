@@ -96,9 +96,19 @@ object Dedup {
       val cs = store.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__cn"))
       // inner join: a bucket absent from either side produces no pairs
       // anyway, so only jointly-present buckets need the budget check
-      val ok = bs.join(cs, bucketCols)
+      val ok0 = bs.join(cs, bucketCols)
         .filter(col("__bn") + col("__cn") <= maxBucketSize)
         .select(bucketCols.map(col): _*)
+      // materialize the qualifying-bucket list ONCE (small — one row per
+      // bucket): left lazy, each of its consumers (both semi joins)
+      // re-runs the batch SIGNATURE pass inside the count subplan — the
+      // 10× scale bench read the store door at 2.3× the self-join door
+      // before this eager cut (PERF.md r16)
+      val spark = batch.sparkSession
+      val ok =
+        if (spark.sparkContext.getCheckpointDir.isDefined)
+          ok0.checkpoint(eager = true)
+        else ok0.localCheckpoint(eager = true)
       (batch.join(ok, bucketCols, "left_semi"),
         store.join(ok, bucketCols, "left_semi"))
     }
@@ -257,13 +267,19 @@ object Dedup {
     * banding instead of being persisted and joined back: the shingling
     * pipeline runs exactly once, with no executor cache held for the
     * session's lifetime — only wider (numHashes-long) rows. */
-  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, shingleK: Int): DataFrame = {
+  /** (id, sig) signatures of a frame — one normalize→shingle→sign pass. */
+  private def minhashSigned(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col("id"), minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"))
+
+  /** (id, sig, band, bucket) band explosion of an (id, sig) frame — the
+    * ONE bucket-hashing implementation every minhash door rides. */
+  private def bandExplode(withSig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
-      .select(col("id"), minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"))
     withSig.select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -271,6 +287,18 @@ object Dedup {
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
+
+  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleK: Int): DataFrame =
+    bandExplode(minhashSigned(df, idCol, textCol, numHashes, shingleK),
+      numHashes, bands)
+
+  /** Eager lineage cut for a frame read by several consumers — reliable
+    * checkpoint when a dir is configured, executor-local otherwise. */
+  private def snapFrame(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Fraction of signature positions agreeing — the MinHash jaccard
     * estimate. ONE implementation for the self-join and store doors
@@ -339,22 +367,36 @@ object Dedup {
     * mismatched stamp errors loudly. */
   val MinhashStoreProp = "graft.dedup.minhashParams"
 
-  /** Persist a corpus's MinHash LSH index as a bucketed table — the
-    * incremental-ingest answer at 100 TB: corpus signatures are computed
-    * ONCE here (the expensive part — normalize + shingle + sign every
-    * document), and every later batch dedup pays only its own batch's
-    * signatures plus a bucketed equi-join in which the CORPUS SIDE NEVER
-    * SHUFFLES (rows pre-exploded to (band, bucket), bucketed and sorted
-    * by the join key — the [[graft.join.SpatialJoin.writeSpatialBucketed]]
-    * discipline applied to dedup).
+  /** Suffix of the per-doc signature table living next to a
+    * [[writeMinhashStore]] bands table. */
+  val MinhashSigTableSuffix = "__sigs"
+
+  /** Persist a corpus's MinHash LSH index — the incremental-ingest
+    * answer at 100 TB: corpus signatures are computed ONCE here (the
+    * expensive part — normalize + shingle + sign every document; worse,
+    * RE-computing them means re-reading the corpus text), and every
+    * later batch dedup pays only its own batch's signatures plus
+    * bucketed joins in which the CORPUS SIDE NEVER SHUFFLES.
+    *
+    * TWO tables (the [[graft.join.SpatialJoin.writeSpatialBucketed]]
+    * discipline applied to dedup):
+    *  - `<table>`: SLIM band rows (id, band, bucket), bucketed/sorted by
+    *    (band, bucket) — the candidate equi-join touches 24-byte rows.
+    *    Carrying the full signature here (the first cut did) makes the
+    *    index ~4 KB/doc at the 64/8 default — larger than typical
+    *    document text, and the 10× scale bench read the store door at
+    *    ~3× the self-join door before the split (PERF.md r16).
+    *  - `<table>__sigs`: (id, sig), bucketed by id — the estimate join
+    *    fetches signatures once per DEDUPED PAIR, corpus side co-located.
     *
     * `mode = "append"` ingests an accepted batch into the index (the
-    * param stamp must match — checked before any write). Oversized
-    * buckets are capped per written batch ([[capBuckets]] semantics: a
-    * dropped row still pairs through its other bands); bucket growth
-    * ACROSS appended batches is not re-capped — a corpus whose boilerplate
-    * grows a bucket without bound wants an exact-dedup pass first, same
-    * as the self-join door. */
+    * param stamp must match — checked before any write; a crash between
+    * the two writes leaves the new docs absent from the bands table —
+    * simply re-append). Oversized buckets are capped per written batch
+    * with a WARNING; bucket growth ACROSS appended batches is not
+    * re-capped — a corpus whose boilerplate grows a bucket without
+    * bound wants an exact-dedup pass first, same as the self-join
+    * door. Drop with [[dropMinhashStore]] (both tables). */
   def writeMinhashStore(df: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
@@ -374,10 +416,25 @@ object Dedup {
           "hash different buckets and silently miss pairs; reuse the " +
           "stamped parameters")
     }
-    capBucketsWarn(minhashBanded(df, idCol, textCol, numHashes, bands, shingleK),
-      Seq("band", "bucket"), maxBucketSize,
-      s"writeMinhashStore($table)") { banded =>
-      banded
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sigTable = table + MinhashSigTableSuffix
+    val withSig = minhashSigned(df, idCol, textCol, numHashes, shingleK)
+    // on APPEND the band rows must cover only the NEW batch, so the one
+    // signature pass is snapshotted and feeds both writes; on overwrite
+    // the just-written sigs table IS exactly the corpus — band rows
+    // derive from reading it back (520-byte rows), no snapshot held
+    val sigSource =
+      if (modeNorm == "append") Some(snapFrame(withSig)) else None
+    sigSource.getOrElse(withSig)
+      .repartition(buckets, col("id"))
+      .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(sigTable)
+    val banded = bandExplode(
+      sigSource.getOrElse(spark.table(sigTable)), numHashes, bands)
+      .select(col("id"), col("band"), col("bucket"))
+    capBucketsWarn(banded, Seq("band", "bucket"), maxBucketSize,
+      s"writeMinhashStore($table)") { slim =>
+      slim
         .repartition(buckets, col("band"), col("bucket"))
         .write.mode(mode)
         .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
@@ -390,6 +447,14 @@ object Dedup {
       spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
         s"('$MinhashStoreProp'='$payload')")
     }
+  }
+
+  /** Drop BOTH tables of a [[writeMinhashStore]] index (band rows and
+    * per-doc signatures) and their warehouse locations. */
+  def dropMinhashStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    graft.join.SpatialJoin.dropBucketedTable(spark, table + MinhashSigTableSuffix)
   }
 
   /** The stamped (numHashes, bands, shingleK) of a [[writeMinhashStore]]
@@ -413,35 +478,43 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs of a NEW batch against a
-    * [[writeMinhashStore]] corpus: the batch is signed and banded with
-    * the store's stamped parameters (one pass over the BATCH only), then
-    * equi-joined on (band, bucket) — the store side reads co-located
-    * bucket files with no shuffle. Returns
-    * (batch_id, corpus_id, jaccard_est), one row per pair (multi-band
-    * collisions deduped before the signature comparison, like
-    * [[minhashCandidates]]). Batch and corpus ids are separate
-    * namespaces — a batch row equal to a corpus row IS reported. */
+    * [[writeMinhashStore]] corpus: the batch is signed ONCE with the
+    * store's stamped parameters (the pass is snapshotted — the band
+    * explosion, the joint-cap census, and the estimate join all read
+    * it), slim band rows equi-join on (band, bucket) with no
+    * corpus-side shuffle, pairs dedup across bands, and only THEN are
+    * signatures fetched — once per pair, the corpus side from its
+    * bucketed-by-id table. Returns (batch_id, corpus_id, jaccard_est).
+    * Batch and corpus ids are separate namespaces — a batch row equal
+    * to a corpus row IS reported. */
   def minhashCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
       maxBucketSize: Int = 100000): DataFrame = {
     val (numHashes, bands, shingleK) = minhashStoreParams(spark, table)
     val store = spark.table(table)
-    require(Seq("id", "sig", "band", "bucket").forall(store.columns.contains),
-      s"$table does not have writeMinhashStore's (id, sig, band, bucket) layout")
+    require(Seq("id", "band", "bucket").forall(store.columns.contains),
+      s"$table does not have writeMinhashStore's slim (id, band, bucket) layout")
+    val sigs = spark.table(table + MinhashSigTableSuffix)
+    require(Seq("id", "sig").forall(sigs.columns.contains),
+      s"$table$MinhashSigTableSuffix does not have the (id, sig) layout")
+    val bSig = snapFrame(minhashSigned(batch, idCol, textCol, numHashes, shingleK))
     // JOINT capping (batch + store counts per bucket): per-side caps
     // would admit cap×cap pair bombs AND diverge from the self-join
     // door's union semantics at the boundary
     val (b0, c0) = capBucketsJoint(
-      minhashBanded(batch, idCol, textCol, numHashes, bands, shingleK),
+      bandExplode(bSig, numHashes, bands).select(col("id"), col("band"), col("bucket")),
       store, Seq("band", "bucket"), maxBucketSize)
-    val b = b0.select(col("band"), col("bucket"),
-      col("id").as("batch_id"), col("sig").as("sig_b"))
-    val c = c0.select(col("band"), col("bucket"),
-      col("id").as("corpus_id"), col("sig").as("sig_c"))
-    b.join(c, Seq("band", "bucket"))
-      .select(col("batch_id"), col("corpus_id"), col("sig_b"), col("sig_c"))
+    val pairs = b0.select(col("band"), col("bucket"), col("id").as("batch_id"))
+      .join(c0.select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+    pairs
+      .join(sigs.select(col("id").as("corpus_id"), col("sig").as("sig_c")),
+        Seq("corpus_id"))
+      .join(bSig.select(col("id").as("batch_id"), col("sig").as("sig_b")),
+        Seq("batch_id"))
       .select(col("batch_id"), col("corpus_id"),
         jaccardEstExpr(col("sig_b"), col("sig_c"), numHashes).as("jaccard_est"))
   }

@@ -17,7 +17,7 @@ class MinhashStoreSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def drop(table: String): Unit =
-    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    Dedup.dropMinhashStore(spark, table)
 
   private def docText(i: Int): String =
     s"document number $i talks about topic ${i % 7} and shares a long " +
