@@ -101,14 +101,10 @@ object Dedup {
         .select(bucketCols.map(col): _*)
       // materialize the qualifying-bucket list ONCE (small — one row per
       // bucket): left lazy, each of its consumers (both semi joins)
-      // re-runs the batch SIGNATURE pass inside the count subplan — the
-      // 10× scale bench read the store door at 2.3× the self-join door
-      // before this eager cut (PERF.md r16)
-      val spark = batch.sparkSession
-      val ok =
-        if (spark.sparkContext.getCheckpointDir.isDefined)
-          ok0.checkpoint(eager = true)
-        else ok0.localCheckpoint(eager = true)
+      // re-runs the batch census subplan — the 10× scale bench read the
+      // store door at 2.3× the self-join door before this eager cut
+      // (PERF.md r16)
+      val ok = snapFrame(ok0)
       (batch.join(ok, bucketCols, "left_semi"),
         store.join(ok, bucketCols, "left_semi"))
     }
@@ -275,12 +271,17 @@ object Dedup {
       .select(col("id"), minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"))
 
   /** (id, sig, band, bucket) band explosion of an (id, sig) frame — the
-    * ONE bucket-hashing implementation every minhash door rides. */
+    * ONE bucket-hashing implementation every minhash door rides.
+    * Null signatures (null text) are dropped FIRST: Spark's `hash(null)`
+    * is the seed constant, so without the filter every null-text row
+    * would land in one shared bucket per band and pair with every other
+    * null-text row at a null estimate — phantom candidates (review r16).
+    * A null-text row therefore never matches anything, in any door. */
   private def bandExplode(withSig: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    withSig.select(
+    withSig.filter(col("sig").isNotNull).select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
@@ -293,12 +294,18 @@ object Dedup {
     bandExplode(minhashSigned(df, idCol, textCol, numHashes, shingleK),
       numHashes, bands)
 
-  /** Eager lineage cut for a frame read by several consumers — reliable
-    * checkpoint when a dir is configured, executor-local otherwise. */
+  /** Eager EPHEMERAL snapshot for a frame read by several consumers
+    * within one call (the batch signature pass, the joint-cap bucket
+    * list). Always executor-local, deliberately NOT the reliable
+    * checkpoint dir: these frames are cheap to recompute and exist only
+    * to stop a shared subplan re-running per consumer, while reliable
+    * checkpoint FILES are never deleted unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set — a
+    * per-batch ingest loop would leak its full signed batch to the dir
+    * on every call. Local blocks are GC-cleaned with the frame; an
+    * executor loss fails the job loudly and a retry recomputes. */
   private def snapFrame(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    df.localCheckpoint(eager = true)
 
   /** Fraction of signature positions agreeing — the MinHash jaccard
     * estimate. ONE implementation for the self-join and store doors
@@ -390,9 +397,12 @@ object Dedup {
     *    fetches signatures once per DEDUPED PAIR, corpus side co-located.
     *
     * `mode = "append"` ingests an accepted batch into the index (the
-    * param stamp must match — checked before any write; a crash between
-    * the two writes leaves the new docs absent from the bands table —
-    * simply re-append). Oversized buckets are capped per written batch
+    * param stamp must match — checked before any write). The two saves
+    * are not atomic, so the stamp is UNSET for the duration and re-set
+    * only after both land: a crash mid-write leaves a stamp-less store
+    * that the candidates door refuses loudly (rewrite with
+    * mode=overwrite) instead of one silently joining old band rows to
+    * new signatures. Oversized buckets are capped per written batch
     * with a WARNING; bucket growth ACROSS appended batches is not
     * re-capped — a corpus whose boilerplate grows a bucket without
     * bound wants an exact-dedup pass first, same as the self-join
@@ -405,7 +415,10 @@ object Dedup {
     val spark = df.sparkSession
     val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
     val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val payload = s"v1:$numHashes:$bands:$shingleK"
+    // v2 = the slim two-table layout; a v1 (fat single-table) stamp from
+    // the earlier cut must FAIL the param check rather than let a
+    // half-migrated store validate
+    val payload = s"v2:$numHashes:$bands:$shingleK"
     val existedBefore = spark.sessionState.catalog.tableExists(tableId)
     if (modeNorm != "overwrite" && existedBefore) {
       val prev = spark.sessionState.catalog.getTableMetadata(tableId)
@@ -413,10 +426,20 @@ object Dedup {
       require(prev.contains(payload),
         s"writeMinhashStore: mode=$mode with params $payload onto a store " +
           s"stamped ${prev.getOrElse("(no stamp)")} — mixed parameters " +
-          "hash different buckets and silently miss pairs; reuse the " +
-          "stamped parameters")
+          "(or an old store layout) silently miss pairs; reuse the " +
+          "stamped parameters, or rewrite with mode=overwrite")
     }
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // UNSET the stamp for the duration of the two-table write: the two
+    // saves are not atomic, and a crash between them must leave a store
+    // that ERRORS loudly at the candidates door (no stamp → "rewrite")
+    // rather than one that silently joins old band rows to new
+    // signatures. Re-set only after BOTH writes land.
+    if (existedBefore)
+      try spark.sql(s"ALTER TABLE " +
+        table.split('.').map(p => s"`$p`").mkString(".") +
+        s" UNSET TBLPROPERTIES IF EXISTS ('$MinhashStoreProp')")
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     val sigTable = table + MinhashSigTableSuffix
     val withSig = minhashSigned(df, idCol, textCol, numHashes, shingleK)
     // on APPEND the band rows must cover only the NEW batch, so the one
@@ -463,7 +486,7 @@ object Dedup {
       table: String): (Int, Int, Int) = {
     val stamp = readStoreStamp(spark, table, MinhashStoreProp)
     stamp.map(_.split(':')) match {
-      case Some(Array("v1", nh, b, k)) =>
+      case Some(Array("v2", nh, b, k)) =>
         try (nh.toInt, b.toInt, k.toInt)
         catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
@@ -471,9 +494,9 @@ object Dedup {
               s"'${stamp.get}' — rewrite with writeMinhashStore")
         }
       case _ => throw new IllegalArgumentException(
-        s"$table is not a writeMinhashStore table (no readable " +
-          s"$MinhashStoreProp stamp) — batch joins must band with the " +
-          "store's own parameters; write it with writeMinhashStore")
+        s"$table is not a current writeMinhashStore table (no readable " +
+          s"v2 $MinhashStoreProp stamp — missing, mid-write, or an old " +
+          "layout) — rewrite it with writeMinhashStore(mode=overwrite)")
     }
   }
 
@@ -510,9 +533,13 @@ object Dedup {
         Seq("band", "bucket"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+    // dropDuplicates on id: insurance against a double-appended batch
+    // duplicating sig rows (each dup would re-emit every pair touching
+    // the doc); the sigs table is bucketed by id, so the aggregate
+    // needs no exchange
     pairs
-      .join(sigs.select(col("id").as("corpus_id"), col("sig").as("sig_c")),
-        Seq("corpus_id"))
+      .join(sigs.select(col("id").as("corpus_id"), col("sig").as("sig_c"))
+        .dropDuplicates("corpus_id"), Seq("corpus_id"))
       .join(bSig.select(col("id").as("batch_id"), col("sig").as("sig_b")),
         Seq("batch_id"))
       .select(col("batch_id"), col("corpus_id"),

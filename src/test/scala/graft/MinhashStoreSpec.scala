@@ -113,6 +113,27 @@ class MinhashStoreSpec extends AnyFunSuite {
       val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
       assert(Dedup.minhashCandidatesAgainstStore(spark, empty, table).isEmpty)
       assert(Dedup.minhashNovelAgainstStore(spark, empty, table).isEmpty)
+      // null text never matches anything: Spark's hash(null) is a seed
+      // constant, so unfiltered null signatures would all share one
+      // bucket per band and emit phantom null-estimate pairs
+      val withNull = Seq((700L, null.asInstanceOf[String]),
+        (701L, docText(1))).toDF("doc_id", "text")
+      val nullCands = Dedup.minhashCandidatesAgainstStore(spark, withNull, table)
+      assert(nullCands.filter($"batch_id" === 700L).isEmpty,
+        "null-text batch row produced candidates")
+      assert(nullCands.filter($"batch_id" === 701L).count() >= 1)
+      assert(Dedup.minhashCandidates(
+        Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+          (3L, docText(0))).toDF("doc_id", "text"), "doc_id", "text").isEmpty,
+        "self-join door paired null-text rows")
+      // a missing stamp (the mid-write crash window leaves exactly this)
+      // refuses loudly instead of silently joining stale tables
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES " +
+        s"('${Dedup.MinhashStoreProp}')")
+      val midWrite = intercept[IllegalArgumentException] {
+        Dedup.minhashCandidatesAgainstStore(spark, corpus, table)
+      }
+      assert(midWrite.getMessage.contains("rewrite"))
     } finally drop(table)
   }
 }
