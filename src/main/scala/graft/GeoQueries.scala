@@ -56,9 +56,11 @@ object GeoQueries {
     * the ONE truth all unbounded nearest rows pin against
     * (geo_sjoin_nearest_unbounded and the bucketed-store door's
     * geo_sjoin_nearest_unb_bkt run the same fixture through different
-    * machinery; geo_sjoin_nearest_unb_excl adds the equality filter). */
-  private val nearestUnbOracleSql: String =
-    """WITH p AS (SELECT o_orderkey AS pk,
+    * machinery; geo_sjoin_nearest_unb_excl adds the equality filter —
+    * via `pairFilter`, so the fixture lattice exists ONCE and the
+    * exclusive oracle can never drift onto stale coordinates). */
+  private def nearestUnbSql(pairFilter: String): String =
+    s"""WITH p AS (SELECT o_orderkey AS pk,
       |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%8 AS DOUBLE)*0.25
       |       WHEN o_orderkey%30 = 10 THEN 1024.0 + CAST(o_orderkey%16 AS DOUBLE)*16.0
       |       ELSE 4000.0 + CAST(o_orderkey%8 AS DOUBLE)*64.0 END AS px,
@@ -75,10 +77,13 @@ object GeoQueries {
       |       ELSE 2048.0 + CAST(o_orderkey%8 AS DOUBLE)*256.0 END AS by
       |  FROM orders WHERE o_orderkey%25 = 0),
       | dd AS (SELECT pk, bk,
-      |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d FROM p CROSS JOIN b),
+      |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d
+      |  FROM p CROSS JOIN b$pairFilter),
       | ranked AS (SELECT pk, bk, d,
       |   rank() OVER (PARTITION BY pk ORDER BY d) AS rnk FROM dd)
       |SELECT pk, bk, d FROM ranked WHERE rnk <= 2 ORDER BY pk, bk""".stripMargin
+
+  private val nearestUnbOracleSql: String = nearestUnbSql("")
 
   /** The hashed distance every nearest row recomputes from the output
     * geometries: `sqrt(dx·dx + dy·dy)` over exact dyadic squares —
@@ -2345,29 +2350,10 @@ object GeoQueries {
     "geo_sjoin_nearest_bucketed" -> nearestOracleSql,
     "geo_sjoin_nearest_unbounded" -> nearestUnbOracleSql,
     "geo_sjoin_nearest_unb_bkt" -> nearestUnbOracleSql,
+    // point equality == coordinate equality on this all-point fixture,
+    // so the geopandas `exclusive` rule is one coordinate filter
     "geo_sjoin_nearest_unb_excl" ->
-      """WITH p AS (SELECT o_orderkey AS pk,
-        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%8 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%30 = 10 THEN 1024.0 + CAST(o_orderkey%16 AS DOUBLE)*16.0
-        |       ELSE 4000.0 + CAST(o_orderkey%8 AS DOUBLE)*64.0 END AS px,
-        |  CASE WHEN o_orderkey%30 = 0 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%30 = 10 THEN 512.0 + CAST(o_orderkey%8 AS DOUBLE)*16.0
-        |       ELSE 2000.0 + CAST(o_orderkey%4 AS DOUBLE)*128.0 END AS py
-        |  FROM orders WHERE o_orderkey%10 = 0),
-        | b AS (SELECT o_orderkey AS bk,
-        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%16 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%100 = 50 THEN 64.0 + CAST(o_orderkey%32 AS DOUBLE)*4.0
-        |       ELSE 4096.0 + CAST(o_orderkey%4 AS DOUBLE)*512.0 END AS bx,
-        |  CASE WHEN o_orderkey%100 < 50 THEN CAST(o_orderkey%13 AS DOUBLE)*0.25
-        |       WHEN o_orderkey%100 = 50 THEN CAST(o_orderkey%11 AS DOUBLE)*8.0
-        |       ELSE 2048.0 + CAST(o_orderkey%8 AS DOUBLE)*256.0 END AS by
-        |  FROM orders WHERE o_orderkey%25 = 0),
-        | dd AS (SELECT pk, bk,
-        |   sqrt((px-bx)*(px-bx) + (py-by)*(py-by)) AS d
-        |  FROM p CROSS JOIN b WHERE NOT (px = bx AND py = by)),
-        | ranked AS (SELECT pk, bk, d,
-        |   rank() OVER (PARTITION BY pk ORDER BY d) AS rnk FROM dd)
-        |SELECT pk, bk, d FROM ranked WHERE rnk <= 2 ORDER BY pk, bk""".stripMargin,
+      nearestUnbSql(" WHERE NOT (px = bx AND py = by)"),
     "geo_io" ->
       s"""$B SELECT k, w*h AS pq_area, w*h AS csv_area, w*h AS nd_area, w*h AS fc_area,
          | w*h AS wkb_area, 4326 AS wkb_srid,

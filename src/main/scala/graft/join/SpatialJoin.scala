@@ -1386,7 +1386,10 @@ object SpatialJoin {
     val sampled = sel.sample(withReplacement = false, 0.2, 42)
       .orderBy(xxhash64(col(geomCol), monotonically_increasing_id(), lit(42L)))
       .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
-    val rows = if (sampled.length >= 500) sampled
+    // ≥50 sampled rows already give a reliable median/mean — re-running
+    // the ranked scan over the FULL frame is only worth a second job
+    // when the 20% sample came back nearly empty (tiny frames)
+    val rows = if (sampled.length >= 50) sampled
       else sel.orderBy(xxhash64(col(geomCol),
         monotonically_increasing_id(), lit(42L)))
         .limit(500).collect().map(_.get(0).asInstanceOf[Array[Byte]])
@@ -1543,6 +1546,13 @@ object SpatialJoin {
 
   /** Grid-cell column name carried by a bucketed spatial store. */
   val CellCol = "__cell"
+
+  /** Backtick-quote each part of a possibly-db-qualified table name for
+    * ALTER TABLE statements — quoting the whole string would turn a
+    * qualified name into one dotted identifier. The ONE implementation
+    * every store stamper rides (spatial, minhash, simhash). */
+  private[graft] def quoteTable(table: String): String =
+    table.split('.').map(p => s"`$p`").mkString(".")
 
   /** Covering grid cells of an EWKB envelope, packed (cx << 32 | cy) —
     * the same scheme [[sjoinPartitioned]] shuffles on. A positive `pad`
@@ -1723,7 +1733,7 @@ object SpatialJoin {
     // or the grids were verified identical — skip the no-op restamp.)
     val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
     if (wrote) {
-      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      val quoted = quoteTable(table)
       spark0.sql(
         s"ALTER TABLE $quoted SET TBLPROPERTIES " +
           s"('$CellSizeProp'='$cellSize', 'graft.spatial.geometry'='$geom')")
@@ -1815,7 +1825,7 @@ object SpatialJoin {
     require(df.columns.contains(CellCol),
       s"stampCellHistogram: $table has no $CellCol column — not a " +
         "writeSpatialBucketed store")
-    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+    val quoted = quoteTable(table)
     val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val (kept, truncated) = heavyCellCensus(df)
     if (truncated)
@@ -1891,7 +1901,7 @@ object SpatialJoin {
         .properties.contains(CellSummaryProp)
       catch { case scala.util.control.NonFatal(_) => false }
     if (stamped) {
-      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      val quoted = quoteTable(table)
       val unsetOk =
         try {
           spark.sql(s"ALTER TABLE $quoted UNSET TBLPROPERTIES " +
@@ -1968,7 +1978,7 @@ object SpatialJoin {
     val geom = meta.properties.getOrElse("graft.spatial.geometry", "geometry")
     require(df.columns.contains(geom),
       s"stampCellSummary: $table has no '$geom' geometry column")
-    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+    val quoted = quoteTable(table)
     def sidecarPath() = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(meta.location), CellSummaryFile)
     def clear(): Unit = {
@@ -2803,15 +2813,21 @@ object SpatialJoin {
       val coarsePlan: Option[(CellSummary, Double)] =
         if (fineCellCap == Int.MaxValue) None // documented force-fine door
         else summaryOpt.flatMap { sum =>
-          val envs = sampleEnvs(probe, probeGeom)
-          if (envs.isEmpty) None
+          // documented force-coarse door — honored even when the probe
+          // sample has no usable envelopes (cellSize 0 → the cogroup
+          // tier's own auto estimator)
+          if (fineCellCap <= 0) Some((sum, 0.0))
           else {
-            val side = (2 * medianBoundOf(envs, sum, kTarget0) +
-              meanWidthOf(envs)) / cs + 1
-            // side² is a Double: compare in Double space so a huge
-            // predicted span cannot wrap past an Int cap
-            if (side * side <= fineCellCap.toDouble) None
-            else Some((sum, unboundedAutoCell(envs, sum, kTarget0)))
+            val envs = sampleEnvs(probe, probeGeom)
+            if (envs.isEmpty) None
+            else {
+              val side = (2 * medianBoundOf(envs, sum, kTarget0) +
+                meanWidthOf(envs)) / cs + 1
+              // side² is a Double: compare in Double space so a huge
+              // predicted span cannot wrap past an Int cap
+              if (side * side <= fineCellCap.toDouble) None
+              else Some((sum, unboundedAutoCell(envs, sum, kTarget0)))
+            }
           }
         }
       coarsePlan match {

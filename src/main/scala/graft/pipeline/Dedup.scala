@@ -434,11 +434,13 @@ object Dedup {
     // saves are not atomic, and a crash between them must leave a store
     // that ERRORS loudly at the candidates door (no stamp → "rewrite")
     // rather than one that silently joins old band rows to new
-    // signatures. Re-set only after BOTH writes land.
-    if (existedBefore)
-      try spark.sql(s"ALTER TABLE " +
-        table.split('.').map(p => s"`$p`").mkString(".") +
-        s" UNSET TBLPROPERTIES IF EXISTS ('$MinhashStoreProp')")
+    // signatures. Re-set only after BOTH writes land. ONLY on modes
+    // that actually write — ignore/error modes write nothing, and
+    // unsetting there would permanently brick a valid index with a
+    // no-op call (review r16).
+    if (existedBefore && (modeNorm == "overwrite" || modeNorm == "append"))
+      try spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
+        s"UNSET TBLPROPERTIES IF EXISTS ('$MinhashStoreProp')")
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     val sigTable = table + MinhashSigTableSuffix
     val withSig = minhashSigned(df, idCol, textCol, numHashes, shingleK)
@@ -466,7 +468,7 @@ object Dedup {
     }
     val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
     if (wrote) {
-      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      val quoted = graft.join.SpatialJoin.quoteTable(table)
       spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
         s"('$MinhashStoreProp'='$payload')")
     }
@@ -790,7 +792,7 @@ object Dedup {
     }
     val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
     if (wrote) {
-      val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+      val quoted = graft.join.SpatialJoin.quoteTable(table)
       spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
         s"('$SimhashStoreProp'='$payload')")
     }
