@@ -1199,10 +1199,27 @@ object SpatialJoin {
       distanceCol: Option[String] = None, exclusive: Boolean = false,
       cellSize: Double = 0.0, maxCellRows: Int = MaxCellBuildRows,
       pairsPerTask: Long = GridPairsPerTask,
-      summaryGrid: Int = CellSummary.DefaultGrid): DataFrame =
-    sjoinNearestUnboundedWith(None, left, right, k, how, leftGeom,
+      summaryGrid: Int = CellSummary.DefaultGrid,
+      buildSummary: Option[CellSummary] = None): DataFrame =
+    sjoinNearestUnboundedWith(buildSummary, left, right, k, how, leftGeom,
       rightGeom, suffix, distanceCol, exclusive, cellSize, maxCellRows,
       pairsPerTask, summaryGrid)
+
+  /** A build frame's [[CellSummary]], computed ONCE and reusable across
+    * joins — [[censusProbe]]'s analog for the unbounded tier: a build
+    * side joined repeatedly re-pays the two summary passes on every
+    * `sjoinNearestUnbounded` call; pre-computing it here and passing it
+    * via `buildSummary` skips them. The summary must describe EXACTLY
+    * the join's BUILD side — the `right` frame, or `left` when
+    * `how = "right"` — computed over different rows it is UNSOUND (its
+    * coverage filter would skip regions only the missing rows occupy,
+    * silently dropping matches), which is also why the store tier
+    * invalidates its stamped summary on every write. Returns
+    * None when no row has a usable geometry (such a join has no matches
+    * by definition, and `buildSummary = None` just recomputes). */
+  def summarizeBuild(build: DataFrame, geom: String = "geometry",
+      summaryGrid: Int = CellSummary.DefaultGrid): Option[CellSummary] =
+    CellSummary.compute(build, geom, summaryGrid)
 
   /** [[sjoinNearestUnbounded]] with an optionally PRECOMPUTED build
     * summary — the coarse plan of [[sjoinNearestBucketed]]'s unbounded

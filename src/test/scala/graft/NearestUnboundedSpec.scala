@@ -181,6 +181,32 @@ class NearestUnboundedSpec extends AnyFunSuite {
     assert(got.length === expected.size)
   }
 
+  test("buildSummary door: pre-computed summary == fresh, both orientations") {
+    val rnd = new java.util.Random(0x5B1157)
+    val probeRows = heterogeneous(rnd, 60)
+    val buildRows = heterogeneous(rnd, 60)
+    val probe = probeRows.toDF("pid", "geometry")
+    val build = buildRows.toDF("bid", "geometry")
+    val fresh = SpatialJoin.sjoinNearestUnbounded(probe, build, k = 2)
+      .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+    val summary = SpatialJoin.summarizeBuild(build)
+    assert(summary.isDefined)
+    val supplied = SpatialJoin.sjoinNearestUnbounded(probe, build, k = 2,
+        buildSummary = summary)
+      .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+    assert(supplied === fresh, "supplied-summary results diverged")
+    assert(fresh === brute(probeRows, buildRows, 2, exclusive = false))
+    // how=right flips the build side to the LEFT frame — the summary
+    // must describe it, not the right frame
+    val freshR = SpatialJoin.sjoinNearestUnbounded(probe, build, k = 1,
+        how = "right")
+      .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+    val suppliedR = SpatialJoin.sjoinNearestUnbounded(probe, build, k = 1,
+        how = "right", buildSummary = SpatialJoin.summarizeBuild(probe))
+      .select($"pid", $"bid").as[(Long, Long)].collect().toSet
+    assert(suppliedR === freshR, "how=right supplied-summary diverged")
+  }
+
   test("CellSummary.boundFor is a sound k-th-distance bound") {
     val rnd = new java.util.Random(0xB0D16)
     val buildRows = heterogeneous(rnd, 150)
