@@ -96,6 +96,14 @@ object GeoQueries {
     sqrt(dx * dx + dy * dy)
   }
 
+  /** The shared output shape of every nearest oracle row: the two key
+    * columns plus the RECOMPUTED hashed distance, deterministically
+    * ordered — one place, so the six rows can't drift on the hashed
+    * column's derivation. */
+  private def nearestOut(df: DataFrame, pk: String, bk: String): DataFrame =
+    df.select(col(pk), col(bk), nearestHashedDist("geometry_right").as("d"))
+      .orderBy(col(pk), col(bk))
+
   /** 50 point clusters 1000 units apart (cluster extent ≤ 12 units, so a
     * 1.5-unit nearest search never crosses clusters and DuckDB can join
     * within-cluster only): left on the integer lattice, right on the
@@ -1681,16 +1689,14 @@ object GeoQueries {
       val (l, r) = nearestFixture(s, dir)
       graft.join.SpatialJoin.sjoinNearest(l, r, k = 2, maxDistance = 1.5,
           distanceCol = Some("d0"))
-        .select(col("lk"), col("rk"), nearestHashedDist("geometry_right").as("d"))
-        .orderBy(col("lk"), col("rk"))
+        .transform(nearestOut(_, "lk", "rk"))
     }),
 
     "geo_sjoin_nearest_grid" -> ((s, dir) => {
       val (l, r) = nearestFixture(s, dir)
       graft.join.SpatialJoin.sjoinNearestPartitioned(l, r, k = 2,
           maxDistance = 1.5, distanceCol = Some("d0"), cellSize = 2.0)
-        .select(col("lk"), col("rk"), nearestHashedDist("geometry_right").as("d"))
-        .orderBy(col("lk"), col("rk"))
+        .transform(nearestOut(_, "lk", "rk"))
     }),
 
     /** The exchange-free nearest tier on the same truth: the build side
@@ -1704,8 +1710,7 @@ object GeoQueries {
       graft.join.SpatialJoin.writeSpatialBucketed(r, "graft_q_nn_store", 2.0, 16)
       graft.join.SpatialJoin.sjoinNearestBucketed(s, l, "graft_q_nn_store",
           cellSize = 2.0, k = 2, maxDistance = 1.5, distanceCol = Some("d0"))
-        .select(col("lk"), col("rk"), nearestHashedDist("geometry_right").as("d"))
-        .orderBy(col("lk"), col("rk"))
+        .transform(nearestOut(_, "lk", "rk"))
     }),
 
     /** The UNBOUNDED distributed nearest tier (no maxDistance anywhere):
@@ -1722,8 +1727,7 @@ object GeoQueries {
       val (l, r) = nearestUnboundedFixture(s, dir)
       graft.join.SpatialJoin.sjoinNearestUnbounded(l, r, k = 2,
           distanceCol = Some("d0"))
-        .select(col("pk"), col("bk"), nearestHashedDist("geometry_right").as("d"))
-        .orderBy(col("pk"), col("bk"))
+        .transform(nearestOut(_, "pk", "bk"))
     }),
 
     /** The UNBOUNDED door of the exchange-free STORE tier on the same
@@ -1742,8 +1746,7 @@ object GeoQueries {
       graft.join.SpatialJoin.sjoinNearestBucketed(s, l, "graft_q_unb_store",
           cellSize = 16.0, k = 2, maxDistance = Double.PositiveInfinity,
           distanceCol = Some("d0"))
-        .select(col("pk"), col("bk"), nearestHashedDist("geometry_right").as("d"))
-        .orderBy(col("pk"), col("bk"))
+        .transform(nearestOut(_, "pk", "bk"))
     }),
 
     /** The exclusive door on the same fixture: the dense strata overlap
@@ -1756,8 +1759,7 @@ object GeoQueries {
       val (l, r) = nearestUnboundedFixture(s, dir)
       graft.join.SpatialJoin.sjoinNearestUnbounded(l, r, k = 2,
           exclusive = true, distanceCol = Some("d0"))
-        .select(col("pk"), col("bk"), nearestHashedDist("geometry_right").as("d"))
-        .orderBy(col("pk"), col("bk"))
+        .transform(nearestOut(_, "pk", "bk"))
     }),
 
     // ---------------------------------------------------- §2.13 frame I/O

@@ -121,6 +121,17 @@ object Dedup {
       spark.sessionState.catalog.getTableMetadata(id).properties.get(prop)
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  /** Stamp a store's parameter property when the write mode actually
+    * wrote — the shared finish of both index writers. */
+  private def stampStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, modeNorm: String, existedBefore: Boolean,
+      prop: String, payload: String): Unit = {
+    val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
+    if (wrote)
+      spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
+        s"SET TBLPROPERTIES ('$prop'='$payload')")
+  }
+
   // ----------------------------------------------------------- shingles
 
   /** Character k-shingles of the normalized text, distinct, codegen'd
@@ -466,12 +477,7 @@ object Dedup {
         .format("parquet")
         .saveAsTable(table)
     }
-    val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
-    if (wrote) {
-      val quoted = graft.join.SpatialJoin.quoteTable(table)
-      spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
-        s"('$MinhashStoreProp'='$payload')")
-    }
+    stampStore(spark, table, modeNorm, existedBefore, MinhashStoreProp, payload)
   }
 
   /** Drop BOTH tables of a [[writeMinhashStore]] index (band rows and
@@ -790,12 +796,7 @@ object Dedup {
         .format("parquet")
         .saveAsTable(table)
     }
-    val wrote = modeNorm == "overwrite" || modeNorm == "append" || !existedBefore
-    if (wrote) {
-      val quoted = graft.join.SpatialJoin.quoteTable(table)
-      spark.sql(s"ALTER TABLE $quoted SET TBLPROPERTIES " +
-        s"('$SimhashStoreProp'='$payload')")
-    }
+    stampStore(spark, table, modeNorm, existedBefore, SimhashStoreProp, payload)
   }
 
   private def verifySimhashStore(spark: org.apache.spark.sql.SparkSession,
