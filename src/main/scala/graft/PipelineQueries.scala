@@ -186,6 +186,35 @@ object PipelineQueries {
         .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
     }),
 
+    /** The cosine tier of the persistent index family (r16): corpus
+      * embeddings → sign-LSH store, then a dup half (ids +100000,
+      * verbatim vectors — identical signatures collide in every table
+      * and the exact cosine clears 0.9999, the pipe_embedding
+      * precedent) and a NEGATED half (ids +200000, −v: cosine against
+      * any corpus w is −cos(v, w), which can only reach 0.9999 if the
+      * corpus held an antipodal pair — it does not, deterministically).
+      * Both counts reduce to count(embeddings); the within-batch dedup
+      * path is spec-pinned (EmbeddingStoreSpec), so the novel door runs
+      * dedupWithinBatch = false here — negations of near-dup corpus
+      * pairs would otherwise collapse each other. */
+    "pipe_embedding_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Dedup.dropEmbeddingStore(s, "graft_q_emb_store")
+      Dedup.writeEmbeddingStore(e, "graft_q_emb_store")
+      val dupBatch = e.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      val nDup = Dedup
+        .embeddingCandidatesAgainstStore(s, dupBatch, "graft_q_emb_store")
+        .filter(col("cosine") >= 0.9999)
+        .filter(col("batch_id") - col("corpus_id") === 100000)
+        .agg(count(lit(1)).as("n_emb_dup"))
+      val negBatch = e.select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      val novel = Dedup.embeddingNovelAgainstStore(s, negBatch,
+        "graft_q_emb_store", threshold = 0.9999, dedupWithinBatch = false)
+      nDup.crossJoin(novel.agg(count(lit(1)).as("n_emb_novel")))
+    }),
+
     /** The SimHash sibling of pipe_minhash_store (r16) — same fixture
       * shape (dup half +10000, md5-novel half +20000), same closed-form
       * counts: a dup's identical text gives an identical 64-bit
@@ -1061,6 +1090,9 @@ object PipelineQueries {
     "pipe_simhash_store" ->
       """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
         | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
+    "pipe_embedding_store" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_emb_dup,
+        | (SELECT count(*) FROM embeddings) AS n_emb_novel""".stripMargin,
     "pipe_stream_minhash" ->
       """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,

@@ -894,6 +894,191 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Embedding near-dup dedup end to end: one survivor (min id) per
+    * connected near-dup component — the cosine tier's
+    * [[dedupNearMinhash]] sibling, and the within-batch pass of
+    * [[embeddingNovelAgainstStore]]. */
+  def dedupNearEmbedding(dfIn: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 12, tables: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame =
+    keepMinIdSurvivors(dfIn, idCol,
+      nearDupEmbedding(dfIn, idCol, vecCol, threshold, bits, tables, maxBucketSize))
+
+  // --------------------------------------------- embedding corpus store
+
+  /** Table property stamped by [[writeEmbeddingStore]]:
+    * `v1:<bits>:<tables>`. */
+  val EmbeddingStoreProp = "graft.dedup.embeddingParams"
+
+  /** Suffix of the per-row vector table living next to a
+    * [[writeEmbeddingStore]] bucket table. */
+  val EmbeddingVecTableSuffix = "__vecs"
+
+  /** (id, vec) cast pass shared by the embedding store doors; null
+    * vectors dropped (they can never verify, and a null signature would
+    * otherwise share one bucket per table — the minhash hash(null)
+    * lesson). */
+  private def embeddingVecs(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+
+  /** (id, t, sig) sign-LSH bucket rows of an (id, vec) frame — the ONE
+    * bucket derivation the self-join door ([[nearDupEmbedding]]'s
+    * seeded tables) and the store doors share. */
+  private def embeddingBucketRows(withVec: DataFrame, bits: Int,
+      tables: Int): DataFrame = {
+    val sigCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        Similarity.signSignatureSeeded(bits, t)(col("vec")).as("sig")))
+    withVec
+      .select(col("id"), explode(array(sigCols: _*)).as("ts"))
+      .select(col("id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+  }
+
+  /** Persist a corpus's sign-LSH embedding index — the cosine tier of
+    * the persistent near-dup family ([[writeMinhashStore]] /
+    * [[writeSimhashStore]]). Same two-table discipline as the minhash
+    * index: slim (id, t, sig) bucket rows bucketed by the join key,
+    * plus an (id, vec) table bucketed by id for the exact-cosine verify
+    * (fetched once per DEDUPED pair). RECALL is the sign-LSH curve, not
+    * exact: a pair at cosine c collides in one table with probability
+    * p^bits (p = 1 − acos(c)/π) and anywhere with 1 − (1 − p^bits)^tables
+    * — ~93% at c = 0.95 with the 12-bit × 8-table... at the 12/4
+    * default ~73%, exact duplicates always — while PRECISION is exact
+    * (every emitted pair carries the true cosine). Batches dedup against
+    * precisely what [[nearDupEmbedding]] would find on the union.
+    * `mode = "append"` ingests accepted batches; the stamp is unset for
+    * the non-atomic two-table write window, like the minhash index. */
+  def writeEmbeddingStore(df: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 12, tables: Int = 4, buckets: Int = 64,
+      mode: String = "overwrite", maxBucketSize: Int = 100000): Unit = {
+    val spark = df.sparkSession
+    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val payload = s"v1:$bits:$tables"
+    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
+    if (modeNorm != "overwrite" && existedBefore) {
+      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
+        .properties.get(EmbeddingStoreProp)
+      require(prev.contains(payload),
+        s"writeEmbeddingStore: mode=$mode with params $payload onto a " +
+          s"store stamped ${prev.getOrElse("(no stamp)")} — mixed plane " +
+          "parameters hash different buckets and silently miss pairs; " +
+          "reuse the stamped parameters, or rewrite with mode=overwrite")
+    }
+    if (existedBefore && (modeNorm == "overwrite" || modeNorm == "append"))
+      try spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
+        s"UNSET TBLPROPERTIES IF EXISTS ('$EmbeddingStoreProp')")
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    val vecTable = table + EmbeddingVecTableSuffix
+    val withVec = embeddingVecs(df, idCol, vecCol)
+    val vecSource =
+      if (modeNorm == "append") Some(snapFrame(withVec)) else None
+    vecSource.getOrElse(withVec)
+      .repartition(buckets, col("id"))
+      .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(vecTable)
+    val bucketRows = embeddingBucketRows(
+      vecSource.getOrElse(spark.table(vecTable)), bits, tables)
+    capBucketsWarn(bucketRows, Seq("t", "sig"), maxBucketSize,
+      s"writeEmbeddingStore($table)") { slim =>
+      slim
+        .repartition(buckets, col("t"), col("sig"))
+        .write.mode(mode)
+        .bucketBy(buckets, "t", "sig").sortBy("t", "sig")
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    stampStore(spark, table, modeNorm, existedBefore, EmbeddingStoreProp, payload)
+  }
+
+  /** Drop BOTH tables of a [[writeEmbeddingStore]] index. */
+  def dropEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    graft.join.SpatialJoin.dropBucketedTable(spark, table + EmbeddingVecTableSuffix)
+  }
+
+  /** The stamped (bits, tables) of a [[writeEmbeddingStore]] index;
+    * errors loudly when absent, mid-write, or unreadable. */
+  private def embeddingStoreParams(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Int, Int) = {
+    val stamp = readStoreStamp(spark, table, EmbeddingStoreProp)
+    stamp.map(_.split(':')) match {
+      case Some(Array("v1", b, t)) =>
+        try (b.toInt, t.toInt)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"embedding store $table: unreadable $EmbeddingStoreProp stamp " +
+              s"'${stamp.get}' — rewrite with writeEmbeddingStore")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$table is not a writeEmbeddingStore table (no readable " +
+          s"$EmbeddingStoreProp stamp — missing, mid-write, or foreign) — " +
+          "rewrite it with writeEmbeddingStore(mode=overwrite)")
+    }
+  }
+
+  /** Candidate pairs of a NEW batch against a [[writeEmbeddingStore]]
+    * corpus, with the EXACT cosine attached (the verify is built in —
+    * every emitted pair carries the true cosine, so filtering at a
+    * threshold gives exactly what [[nearDupEmbedding]] finds on the
+    * union, recall curve included). Returns
+    * (batch_id, corpus_id, cosine). */
+  def embeddingCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Int = 100000): DataFrame = {
+    val (bits, tables) = embeddingStoreParams(spark, table)
+    val store = spark.table(table)
+    require(Seq("id", "t", "sig").forall(store.columns.contains),
+      s"$table does not have writeEmbeddingStore's slim (id, t, sig) layout")
+    val vecs = spark.table(table + EmbeddingVecTableSuffix)
+    require(Seq("id", "vec").forall(vecs.columns.contains),
+      s"$table$EmbeddingVecTableSuffix does not have the (id, vec) layout")
+    val bVec = snapFrame(embeddingVecs(batch, idCol, vecCol))
+    val (b0, c0) = capBucketsJoint(
+      embeddingBucketRows(bVec, bits, tables),
+      store, Seq("t", "sig"), maxBucketSize)
+    val pairs = b0.select(col("t"), col("sig"), col("id").as("batch_id"))
+      .join(c0.select(col("t"), col("sig"), col("id").as("corpus_id")),
+        Seq("t", "sig"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    pairs
+      .join(vecs.select(col("id").as("corpus_id"), col("vec").as("vec_c"))
+        .dropDuplicates("corpus_id"), Seq("corpus_id"))
+      .join(bVec.select(col("id").as("batch_id"), col("vec").as("vec_b")),
+        Seq("batch_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        Similarity.cosine(col("vec_b"), col("vec_c")).as("cosine"))
+  }
+
+  /** Batch rows with no corpus match at `threshold` cosine AND (by
+    * default) one survivor per within-batch near-dup component — the
+    * embedding ingest filter; append survivors with
+    * `writeEmbeddingStore(novel, table, mode = "append")`. Null-vector
+    * rows never match and always come back novel. */
+  def embeddingNovelAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true): DataFrame = {
+    val (bits, tables) = embeddingStoreParams(spark, table)
+    val hits = embeddingCandidatesAgainstStore(spark, batch, table, idCol,
+        vecCol, maxBucketSize)
+      .filter(col("cosine") >= threshold)
+      .select(col("batch_id")).distinct()
+    val vsCorpus = batch.join(hits, batch(idCol) === hits("batch_id"),
+      "left_anti")
+    if (!dedupWithinBatch) vsCorpus
+    else dedupNearEmbedding(vsCorpus, idCol, vecCol, threshold, bits,
+      tables, maxBucketSize)
+  }
+
   // -------------------------------------------------- decontamination
 
   /** Train-set rows sharing at least one word `n`-gram with a benchmark /

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+/** The persistent sign-LSH embedding index
+  * ([[Dedup.writeEmbeddingStore]] / [[Dedup.embeddingCandidatesAgainstStore]] /
+  * [[Dedup.embeddingNovelAgainstStore]]): threshold-filtered store
+  * candidates must equal the self-join door's cross pairs (same seeded
+  * planes, same exact-cosine verify), and the novel/ingest cycle must
+  * collapse intra-batch dups, pass null vectors through as novel, and
+  * re-catch appended content. */
+class EmbeddingStoreSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def drop(table: String): Unit =
+    Dedup.dropEmbeddingStore(spark, table)
+
+  private def rv(rnd: java.util.Random, d: Int = 8): Seq[Double] =
+    Seq.fill(d)(rnd.nextGaussian())
+
+  test("store candidates == the self-join door's cross pairs at one threshold") {
+    val rnd = new java.util.Random(0xE5B0)
+    val corpusRows = (0 until 40).map(i => (i.toLong, rv(rnd)))
+    val batchRows = (0 until 15).map(i => (10000L + i, corpusRows(i)._2)) ++
+      (0 until 10).map(i => (20000L + i, rv(rnd)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val table = "graft_emb_store"
+    drop(table)
+    try {
+      Dedup.writeEmbeddingStore(corpus, table)
+      val viaStore = Dedup.embeddingCandidatesAgainstStore(spark, batch, table)
+        .filter($"cosine" >= 0.95)
+        .select($"corpus_id", $"batch_id").as[(Long, Long)].collect().toSet
+      val cross = Dedup.nearDupEmbedding(corpus.unionByName(batch),
+          "vec_id", "embedding", threshold = 0.95)
+        .filter($"id_a" < 10000 && $"id_b" >= 10000)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(viaStore === cross,
+        "store-door pairs diverge from the self-join door")
+      // exact duplicates always collide (identical signatures in every
+      // table) and verify at cosine ~1
+      assert((0 until 15).forall(i => viaStore.contains((i.toLong, 10000L + i))))
+      // a non-store table is refused
+      corpus.createOrReplaceTempView("graft_emb_plain")
+      val notStore = intercept[IllegalArgumentException] {
+        Dedup.embeddingCandidatesAgainstStore(spark, corpus, "graft_emb_plain")
+      }
+      assert(notStore.getMessage.contains("writeEmbeddingStore"))
+    } finally drop(table)
+  }
+
+  test("novel/ingest cycle: intra-batch collapse, null vectors novel, append re-catch") {
+    val rnd = new java.util.Random(0xE5B1)
+    val corpusRows = (0 until 30).map(i => (i.toLong, rv(rnd)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val table = "graft_emb_store_cycle"
+    drop(table)
+    try {
+      Dedup.writeEmbeddingStore(corpus, table)
+      val novelA = rv(rnd); val novelB = rv(rnd)
+      val batch1 = Seq(
+        (10000L, corpusRows(3)._2), // corpus dup
+        (10001L, novelA),
+        (10002L, novelB),
+        (10003L, novelA),           // intra-batch dup of 10001
+        (10004L, null.asInstanceOf[Seq[Double]])) // null vector
+        .toDF("vec_id", "embedding")
+      val novel1 = Dedup.embeddingNovelAgainstStore(spark, batch1, table)
+      assert(novel1.select($"vec_id").as[Long].collect().sorted.toSeq ===
+        Seq(10001L, 10002L, 10004L),
+        "corpus dup filtered, intra-batch dup collapsed, null kept novel")
+      val noSelf = Dedup.embeddingNovelAgainstStore(spark, batch1, table,
+        dedupWithinBatch = false)
+      assert(noSelf.select($"vec_id").as[Long].collect().sorted.toSeq ===
+        Seq(10001L, 10002L, 10003L, 10004L))
+      // append (the null-vector row is filtered by the writer)
+      Dedup.writeEmbeddingStore(novel1, table, mode = "append")
+      val batch2 = Seq(
+        (30000L, novelA),           // dup of the appended batch-1 novel
+        (30001L, corpusRows(7)._2), // corpus dup
+        (30002L, rv(rnd)))          // fresh
+        .toDF("vec_id", "embedding")
+      val novel2 = Dedup.embeddingNovelAgainstStore(spark, batch2, table)
+      assert(novel2.select($"vec_id").as[Long].collect().toSeq === Seq(30002L))
+      // mixed plane parameters refused on append
+      val mixed = intercept[IllegalArgumentException] {
+        Dedup.writeEmbeddingStore(corpus, table, mode = "append", bits = 8)
+      }
+      assert(mixed.getMessage.contains("stamped"))
+    } finally drop(table)
+  }
+}
