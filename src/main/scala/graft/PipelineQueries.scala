@@ -244,6 +244,40 @@ object PipelineQueries {
         .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
     }),
 
+    /** The token-level (word-n-gram) tier of the persistent index
+      * family (r17) — same fixture shape as pipe_minhash_store (dup
+      * half +10000, md5-novel half +20000), same closed-form counts: a
+      * dup's identical text gives an identical n-gram set → identical
+      * signature → est exactly 1.0; an md5-hex novel is two tokens,
+      * i.e. ONE whole-text 3-gram, whose single-element minhash
+      * signature agrees with anything else's only at ~2⁻⁶⁴ per
+      * position. The store is COMPACTED (ample cap — behavior
+      * preserving) between write and probe, so the tmp-table swap and
+      * re-stamp run under the driver's oracle too. */
+    "pipe_ngram_store" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(corpus.select((col("doc_id") + 20000).as("doc_id"),
+          concat(md5(concat(lit("g1-"), col("doc_id"))), lit(" "),
+            md5(concat(lit("g2-"), col("doc_id")))).as("text")))
+      Dedup.dropNgramStore(s, "graft_q_ng_store")
+      Dedup.writeNgramStore(corpus, "graft_q_ng_store")
+      Dedup.compactNgramStore(s, "graft_q_ng_store")
+      val fpsC = corpus.select(col("doc_id").as("corpus_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_c"))
+      val fpsB = batch.select(col("doc_id").as("batch_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_b"))
+      val cands = Dedup
+        .ngramCandidatesAgainstStore(s, batch, "graft_q_ng_store")
+        .join(fpsC, Seq("corpus_id")).join(fpsB, Seq("batch_id"))
+      val novel = Dedup.ngramNovelAgainstStore(s, batch,
+        "graft_q_ng_store", threshold = 0.8)
+      cands.agg(
+        sum((col("fp_c") === col("fp_b")).cast("long")).as("n_store_ident"))
+        .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
+    }),
+
     // ----------------------------------------------------------- SimHash
     "pipe_dedup_simhash" -> ((s, dir) => {
       val all = docsWithDups(s, dir)
@@ -1088,6 +1122,9 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
         | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
     "pipe_simhash_store" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
+        | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
+    "pipe_ngram_store" ->
       """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
         | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
     "pipe_embedding_store" ->

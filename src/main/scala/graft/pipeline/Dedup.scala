@@ -87,26 +87,72 @@ object Dedup {
     * (cap² candidate pairs, the join bomb the cap exists to stop). The
     * store side's count aggregation rides its bucketing (no exchange);
     * write-time-dropped store buckets are simply absent, which matches
-    * the union door (store-side count alone already exceeded the cap). */
+    * the union door (store-side count alone already exceeded the cap).
+    *
+    * Dropped groups are WARNED (one count over the snapped joint-census
+    * frame — one small row per jointly-present bucket): each written
+    * batch is capped at write time, but a bucket can grow past the cap
+    * ACROSS appends, and silently skipping it at join time would read
+    * as "no duplicates there"; the fix is the store's compaction door
+    * ([[compactMinhashStore]] and siblings). */
   private def capBucketsJoint(batch: DataFrame, store: DataFrame,
-      bucketCols: Seq[String], maxBucketSize: Int): (DataFrame, DataFrame) =
+      bucketCols: Seq[String], maxBucketSize: Int,
+      ctx: String): (DataFrame, DataFrame) =
     if (maxBucketSize <= 0) (batch, store)
     else {
       val bs = batch.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bn"))
       val cs = store.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__cn"))
       // inner join: a bucket absent from either side produces no pairs
-      // anyway, so only jointly-present buckets need the budget check
-      val ok0 = bs.join(cs, bucketCols)
-        .filter(col("__bn") + col("__cn") <= maxBucketSize)
+      // anyway, so only jointly-present buckets need the budget check.
+      // Materialize the joint census ONCE (small — one row per
+      // jointly-present bucket): left lazy, each of its consumers (the
+      // dropped-count warn and both semi joins) re-runs the batch census
+      // subplan — the 10× scale bench read the store door at 2.3× the
+      // self-join door before this eager cut (PERF.md r16)
+      val joint = snapFrame(bs.join(cs, bucketCols)
+        .select(bucketCols.map(col) :+ (col("__bn") + col("__cn")).as("__tot"): _*))
+      val dropped = joint.filter(col("__tot") > maxBucketSize).count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$ctx: $dropped bucket group(s) exceed maxBucketSize " +
+            s"$maxBucketSize jointly across batch+store and were SKIPPED " +
+            "for this join — pairs meeting only there are missed. A " +
+            "store bucket that grew past the cap across appends wants " +
+            "the compaction door (compactMinhashStore / " +
+            "compactSimhashStore / compactEmbeddingStore / " +
+            "compactNgramStore), or an exact-dedup pass over the corpus")
+      val ok = joint.filter(col("__tot") <= maxBucketSize)
         .select(bucketCols.map(col): _*)
-      // materialize the qualifying-bucket list ONCE (small — one row per
-      // bucket): left lazy, each of its consumers (both semi joins)
-      // re-runs the batch census subplan — the 10× scale bench read the
-      // store door at 2.3× the self-join door before this eager cut
-      // (PERF.md r16)
-      val ok = snapFrame(ok0)
       (batch.join(ok, bucketCols, "left_semi"),
         store.join(ok, bucketCols, "left_semi"))
+    }
+
+  /** [[capBuckets]] that COUNTS dropped groups and WARNS — the
+    * returning-frame sibling of [[capBucketsWarn]] for in-frame doors
+    * whose narrow bucket domain makes silent saturation REACHABLE (the
+    * widened-radius SimHash chunkings: 256 or 16 bucket values per
+    * chunk, so any frame past ~cap × domain rows drops essentially
+    * every group and returns zero pairs). Eager: the bucket census runs
+    * at call time (one aggregate pass, snapped — the join reuses the
+    * tiny censused list, not the pass). */
+  private def capBucketsWarned(df: DataFrame, bucketCols: Seq[String],
+      maxBucketSize: Int, ctx: String): DataFrame =
+    if (maxBucketSize <= 0) df
+    else {
+      val sizes = snapFrame(
+        df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bsz")))
+      val dropped = sizes.filter(col("__bsz") > maxBucketSize).count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$ctx: $dropped bucket group(s) exceed maxBucketSize " +
+            s"$maxBucketSize and were DROPPED — pairs meeting only in a " +
+            "dropped group are missed (recall is NOT exact past the " +
+            "cap). A wide Hamming radius shrinks the bucket domain " +
+            "(8-bit chunks: 256 values; 4-bit: 16), so large frames " +
+            "saturate every group: raise maxBucketSize, shrink the " +
+            "radius, or exact-dedup boilerplate first")
+      df.join(sizes.filter(col("__bsz") <= maxBucketSize), bucketCols)
+        .drop("__bsz")
     }
 
   /** Read a store's stamp property: Some when the table resolves and
@@ -386,8 +432,115 @@ object Dedup {
   val MinhashStoreProp = "graft.dedup.minhashParams"
 
   /** Suffix of the per-doc signature table living next to a
-    * [[writeMinhashStore]] bands table. */
+    * [[writeMinhashStore]] / [[writeNgramStore]] bands table. */
   val MinhashSigTableSuffix = "__sigs"
+
+  /** Shared writer of the two-table SIGNATURE stores (the MinHash
+    * shingle tier and the word-n-gram tier — same layout, different
+    * `sign` pass): slim (id, band, bucket) rows bucketed by the join
+    * key + (id, sig) rows bucketed by id, param stamp unset across the
+    * non-atomic two-table window (a crash leaves a store the doors
+    * refuse loudly), per-batch hot buckets capped with a WARNING.
+    * `sign` must produce (id, sig) and null-propagate on null text
+    * ([[bandExplode]] then drops the null signatures — the hash(null)
+    * phantom-bucket lesson, review r16). */
+  private def writeSignatureStore(df: DataFrame, table: String,
+      sign: DataFrame => DataFrame, prop: String, payload: String,
+      numHashes: Int, bands: Int, buckets: Int, mode: String,
+      maxBucketSize: Int, writer: String): Unit = {
+    val spark = df.sparkSession
+    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
+    if (modeNorm != "overwrite" && existedBefore) {
+      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
+        .properties.get(prop)
+      require(prev.contains(payload),
+        s"$writer: mode=$mode with params $payload onto a store " +
+          s"stamped ${prev.getOrElse("(no stamp)")} — mixed parameters " +
+          "(or an old store layout) silently miss pairs; reuse the " +
+          "stamped parameters, or rewrite with mode=overwrite")
+    }
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // UNSET the stamp for the duration of the two-table write: the two
+    // saves are not atomic, and a crash between them must leave a store
+    // that ERRORS loudly at the candidates door (no stamp → "rewrite")
+    // rather than one that silently joins old band rows to new
+    // signatures. Re-set only after BOTH writes land. ONLY on modes
+    // that actually write — ignore/error modes write nothing, and
+    // unsetting there would permanently brick a valid index with a
+    // no-op call (review r16).
+    if (existedBefore && (modeNorm == "overwrite" || modeNorm == "append"))
+      try spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
+        s"UNSET TBLPROPERTIES IF EXISTS ('$prop')")
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    val sigTable = table + MinhashSigTableSuffix
+    val withSig = sign(df)
+    // on APPEND the band rows must cover only the NEW batch, so the one
+    // signature pass is snapshotted and feeds both writes; on overwrite
+    // the just-written sigs table IS exactly the corpus — band rows
+    // derive from reading it back (520-byte rows), no snapshot held
+    val sigSource =
+      if (modeNorm == "append") Some(snapFrame(withSig)) else None
+    sigSource.getOrElse(withSig)
+      .repartition(buckets, col("id"))
+      .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(sigTable)
+    val banded = bandExplode(
+      sigSource.getOrElse(spark.table(sigTable)), numHashes, bands)
+      .select(col("id"), col("band"), col("bucket"))
+    capBucketsWarn(banded, Seq("band", "bucket"), maxBucketSize,
+      s"$writer($table)") { slim =>
+      slim
+        .repartition(buckets, col("band"), col("bucket"))
+        .write.mode(mode)
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    stampStore(spark, table, modeNorm, existedBefore, prop, payload)
+  }
+
+  /** Shared candidate pass of the two-table signature stores: the batch
+    * is signed ONCE (snapshotted — the band explosion, the joint-cap
+    * census, and the estimate join all read it), slim band rows
+    * equi-join on (band, bucket) with no corpus-side shuffle, pairs
+    * dedup across bands, and only THEN are signatures fetched — once
+    * per pair, the corpus side from its bucketed-by-id table. */
+  private def signatureStoreCandidates(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String, sign: DataFrame => DataFrame,
+      numHashes: Int, bands: Int, maxBucketSize: Int,
+      writer: String, ctx: String): DataFrame = {
+    val store = spark.table(table)
+    require(Seq("id", "band", "bucket").forall(store.columns.contains),
+      s"$table does not have $writer's slim (id, band, bucket) layout")
+    val sigs = spark.table(table + MinhashSigTableSuffix)
+    require(Seq("id", "sig").forall(sigs.columns.contains),
+      s"$table$MinhashSigTableSuffix does not have the (id, sig) layout")
+    val bSig = snapFrame(sign(batch))
+    // JOINT capping (batch + store counts per bucket): per-side caps
+    // would admit cap×cap pair bombs AND diverge from the self-join
+    // door's union semantics at the boundary
+    val (b0, c0) = capBucketsJoint(
+      bandExplode(bSig, numHashes, bands).select(col("id"), col("band"), col("bucket")),
+      store, Seq("band", "bucket"), maxBucketSize, ctx)
+    val pairs = b0.select(col("band"), col("bucket"), col("id").as("batch_id"))
+      .join(c0.select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    // dropDuplicates on id: insurance against a double-appended batch
+    // duplicating sig rows (each dup would re-emit every pair touching
+    // the doc); the sigs table is bucketed by id, so the aggregate
+    // needs no exchange
+    pairs
+      .join(sigs.select(col("id").as("corpus_id"), col("sig").as("sig_c"))
+        .dropDuplicates("corpus_id"), Seq("corpus_id"))
+      .join(bSig.select(col("id").as("batch_id"), col("sig").as("sig_b")),
+        Seq("batch_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccardEstExpr(col("sig_b"), col("sig_c"), numHashes).as("jaccard_est"))
+  }
 
   /** Persist a corpus's MinHash LSH index — the incremental-ingest
     * answer at 100 TB: corpus signatures are computed ONCE here (the
@@ -414,71 +567,24 @@ object Dedup {
     * that the candidates door refuses loudly (rewrite with
     * mode=overwrite) instead of one silently joining old band rows to
     * new signatures. Oversized buckets are capped per written batch
-    * with a WARNING; bucket growth ACROSS appended batches is not
-    * re-capped — a corpus whose boilerplate grows a bucket without
-    * bound wants an exact-dedup pass first, same as the self-join
-    * door. Drop with [[dropMinhashStore]] (both tables). */
+    * with a WARNING; bucket growth ACROSS appended batches is guarded
+    * at join time ([[capBucketsJoint]] skips the grown bucket with a
+    * warning) and repaired by [[compactMinhashStore]] — a corpus whose
+    * boilerplate grows a bucket without bound also wants an exact-dedup
+    * pass, same as the self-join door. Drop with [[dropMinhashStore]]
+    * (both tables). */
   def writeMinhashStore(df: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
       buckets: Int = 64, mode: String = "overwrite",
-      maxBucketSize: Int = 100000): Unit = {
-    val spark = df.sparkSession
-    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
-    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      maxBucketSize: Int = 100000): Unit =
     // v2 = the slim two-table layout; a v1 (fat single-table) stamp from
     // the earlier cut must FAIL the param check rather than let a
     // half-migrated store validate
-    val payload = s"v2:$numHashes:$bands:$shingleK"
-    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
-    if (modeNorm != "overwrite" && existedBefore) {
-      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
-        .properties.get(MinhashStoreProp)
-      require(prev.contains(payload),
-        s"writeMinhashStore: mode=$mode with params $payload onto a store " +
-          s"stamped ${prev.getOrElse("(no stamp)")} — mixed parameters " +
-          "(or an old store layout) silently miss pairs; reuse the " +
-          "stamped parameters, or rewrite with mode=overwrite")
-    }
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // UNSET the stamp for the duration of the two-table write: the two
-    // saves are not atomic, and a crash between them must leave a store
-    // that ERRORS loudly at the candidates door (no stamp → "rewrite")
-    // rather than one that silently joins old band rows to new
-    // signatures. Re-set only after BOTH writes land. ONLY on modes
-    // that actually write — ignore/error modes write nothing, and
-    // unsetting there would permanently brick a valid index with a
-    // no-op call (review r16).
-    if (existedBefore && (modeNorm == "overwrite" || modeNorm == "append"))
-      try spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
-        s"UNSET TBLPROPERTIES IF EXISTS ('$MinhashStoreProp')")
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    val sigTable = table + MinhashSigTableSuffix
-    val withSig = minhashSigned(df, idCol, textCol, numHashes, shingleK)
-    // on APPEND the band rows must cover only the NEW batch, so the one
-    // signature pass is snapshotted and feeds both writes; on overwrite
-    // the just-written sigs table IS exactly the corpus — band rows
-    // derive from reading it back (520-byte rows), no snapshot held
-    val sigSource =
-      if (modeNorm == "append") Some(snapFrame(withSig)) else None
-    sigSource.getOrElse(withSig)
-      .repartition(buckets, col("id"))
-      .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(sigTable)
-    val banded = bandExplode(
-      sigSource.getOrElse(spark.table(sigTable)), numHashes, bands)
-      .select(col("id"), col("band"), col("bucket"))
-    capBucketsWarn(banded, Seq("band", "bucket"), maxBucketSize,
-      s"writeMinhashStore($table)") { slim =>
-      slim
-        .repartition(buckets, col("band"), col("bucket"))
-        .write.mode(mode)
-        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-        .format("parquet")
-        .saveAsTable(table)
-    }
-    stampStore(spark, table, modeNorm, existedBefore, MinhashStoreProp, payload)
-  }
+    writeSignatureStore(df, table,
+      minhashSigned(_, idCol, textCol, numHashes, shingleK),
+      MinhashStoreProp, s"v2:$numHashes:$bands:$shingleK",
+      numHashes, bands, buckets, mode, maxBucketSize, "writeMinhashStore")
 
   /** Drop BOTH tables of a [[writeMinhashStore]] index (band rows and
     * per-doc signatures) and their warehouse locations. */
@@ -523,35 +629,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       maxBucketSize: Int = 100000): DataFrame = {
     val (numHashes, bands, shingleK) = minhashStoreParams(spark, table)
-    val store = spark.table(table)
-    require(Seq("id", "band", "bucket").forall(store.columns.contains),
-      s"$table does not have writeMinhashStore's slim (id, band, bucket) layout")
-    val sigs = spark.table(table + MinhashSigTableSuffix)
-    require(Seq("id", "sig").forall(sigs.columns.contains),
-      s"$table$MinhashSigTableSuffix does not have the (id, sig) layout")
-    val bSig = snapFrame(minhashSigned(batch, idCol, textCol, numHashes, shingleK))
-    // JOINT capping (batch + store counts per bucket): per-side caps
-    // would admit cap×cap pair bombs AND diverge from the self-join
-    // door's union semantics at the boundary
-    val (b0, c0) = capBucketsJoint(
-      bandExplode(bSig, numHashes, bands).select(col("id"), col("band"), col("bucket")),
-      store, Seq("band", "bucket"), maxBucketSize)
-    val pairs = b0.select(col("band"), col("bucket"), col("id").as("batch_id"))
-      .join(c0.select(col("band"), col("bucket"), col("id").as("corpus_id")),
-        Seq("band", "bucket"))
-      .select(col("batch_id"), col("corpus_id"))
-      .dropDuplicates("batch_id", "corpus_id")
-    // dropDuplicates on id: insurance against a double-appended batch
-    // duplicating sig rows (each dup would re-emit every pair touching
-    // the doc); the sigs table is bucketed by id, so the aggregate
-    // needs no exchange
-    pairs
-      .join(sigs.select(col("id").as("corpus_id"), col("sig").as("sig_c"))
-        .dropDuplicates("corpus_id"), Seq("corpus_id"))
-      .join(bSig.select(col("id").as("batch_id"), col("sig").as("sig_b")),
-        Seq("batch_id"))
-      .select(col("batch_id"), col("corpus_id"),
-        jaccardEstExpr(col("sig_b"), col("sig_c"), numHashes).as("jaccard_est"))
+    signatureStoreCandidates(spark, batch, table,
+      minhashSigned(_, idCol, textCol, numHashes, shingleK),
+      numHashes, bands, maxBucketSize, "writeMinhashStore",
+      s"minhashCandidatesAgainstStore($table)")
   }
 
   /** Batch rows with NO near-dup at `threshold` — the ingest filter:
@@ -605,13 +686,37 @@ object Dedup {
   }
 
   /** Word n-gram hashes (Int64), the token-level analog of
-    * [[shingleHashesNorm]]; `toks` must be a materialized column. */
+    * [[shingleHashesNorm]]; `toks` must be a materialized column.
+    * Null tokens (null text) null-propagate: `concat_ws` over a null
+    * array yields "" — without the guard every null-text row would get
+    * the identical single-gram {hash("")} set and pair with every other
+    * null-text row at exact jaccard 1.0 (the hash(null) phantom-bucket
+    * lesson, applied to the n-gram tier). */
   private def ngramHashesOf(toks: Column, n: Int): Column =
     array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      when(toks.isNull, lit(null).cast("array<bigint>"))
+        .when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
         .otherwise(array(xxhash64(concat_ws(" ", toks)))))
+
+  /** (id, ng) n-gram hash sets of a frame — one normalize→tokenize pass
+    * (tokens materialized first, so the tokenizer runs once per
+    * document, not per gram position). */
+  private def ngramSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.normalized(col(textCol)).as("__norm"))
+      .select(col("id"), TextAnalysis.tokens(col("__norm")).as("__toks"))
+      .select(col("id"), ngramHashesOf(col("__toks"), n).as("ng"))
+
+  /** (id, sig) MinHash-over-n-grams signatures — the n-gram tier's
+    * [[minhashSigned]], and the one signer the self-join door and the
+    * [[writeNgramStore]] index share. */
+  private def ngramSigned(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    ngramSets(df, idCol, textCol, n)
+      .select(col("id"), minhashSignatureHashed(numHashes)(col("ng")).as("sig"))
 
   /** Word n-gram Jaccard near-dup: MinHash-LSH candidates over hashed word
     * n-grams, exact n-gram-set Jaccard verify ≥ threshold. Same
@@ -624,18 +729,13 @@ object Dedup {
     require(numHashes % b == 0,
       s"nearDupNgram: numHashes=$numHashes not divisible by bands=$b — " +
         "part of the signature would be silently ignored")
-    val r = numHashes / b
-    val withNg = df
-      .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
-      .select(col("id"), TextAnalysis.tokens(col("__norm")).as("__toks"))
-      .select(col("id"), ngramHashesOf(col("__toks"), n).as("ng"))
+    val withNg = ngramSets(df, idCol, textCol, n)
     val withSig = withNg
       .select(col("id"), col("ng"), minhashSignatureHashed(numHashes)(col("ng")).as("sig"))
-    val banded = withSig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(b - 1)),
-        bb => struct(bb.as("band"), hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // the shared bandExplode drops null signatures (null text) before
+    // bucketing — see its phantom-bucket note
+    val banded = bandExplode(withSig.select(col("id"), col("sig")),
+      numHashes, b).select(col("id"), col("band"), col("bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val rgt = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -650,6 +750,205 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** N-gram near-dup dedup end to end: one survivor (min id) per
+    * connected near-dup component — [[dedupNearMinhash]]'s token-level
+    * sibling, and the within-batch pass of [[ngramNovelAgainstStore]]. */
+  def dedupNearNgram(dfIn: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 0, maxBucketSize: Int = 100000): DataFrame =
+    keepMinIdSurvivors(dfIn, idCol,
+      nearDupNgram(dfIn, idCol, textCol, threshold, n, numHashes, bands,
+        maxBucketSize))
+
+  // -------------------------------------------------- ngram corpus store
+
+  /** Table property stamped by [[writeNgramStore]]:
+    * `v1:<n>:<numHashes>:<bands>`. */
+  val NgramStoreProp = "graft.dedup.ngramParams"
+
+  /** Persist a corpus's word-n-gram MinHash index — the token-level tier
+    * of the persistent near-dup family, completing the symmetry with
+    * [[writeMinhashStore]] (character shingles), [[writeSimhashStore]]
+    * (Hamming) and [[writeEmbeddingStore]] (cosine): before it,
+    * [[nearDupNgram]] required the full corpus per call. Identical
+    * two-table layout and stamp discipline (shared
+    * writeSignatureStore core): slim (id, band, bucket) rows bucketed by
+    * the join key, (id, sig) rows bucketed by id, stamp unset across the
+    * non-atomic two-table window, per-batch hot buckets capped with a
+    * WARNING; growth ACROSS appends is guarded at join time and repaired
+    * by [[compactNgramStore]]. `mode = "append"` ingests accepted
+    * batches; drop with [[dropNgramStore]]. */
+  def writeNgramStore(df: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, numHashes: Int = 64, bands: Int = 8,
+      buckets: Int = 64, mode: String = "overwrite",
+      maxBucketSize: Int = 100000): Unit =
+    writeSignatureStore(df, table,
+      ngramSigned(_, idCol, textCol, n, numHashes),
+      NgramStoreProp, s"v1:$n:$numHashes:$bands",
+      numHashes, bands, buckets, mode, maxBucketSize, "writeNgramStore")
+
+  /** Drop BOTH tables of a [[writeNgramStore]] index. */
+  def dropNgramStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    graft.join.SpatialJoin.dropBucketedTable(spark, table + MinhashSigTableSuffix)
+  }
+
+  /** The stamped (n, numHashes, bands) of a [[writeNgramStore]] table;
+    * errors loudly when absent, mid-write, or unreadable. */
+  private def ngramStoreParams(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Int, Int, Int) = {
+    val stamp = readStoreStamp(spark, table, NgramStoreProp)
+    stamp.map(_.split(':')) match {
+      case Some(Array("v1", n, nh, b)) =>
+        try (n.toInt, nh.toInt, b.toInt)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"ngram store $table: unreadable $NgramStoreProp stamp " +
+              s"'${stamp.get}' — rewrite with writeNgramStore")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$table is not a writeNgramStore table (no readable " +
+          s"$NgramStoreProp stamp — missing, mid-write, or foreign) — " +
+          "rewrite it with writeNgramStore(mode=overwrite)")
+    }
+  }
+
+  /** Candidate near-dup pairs of a NEW batch against a
+    * [[writeNgramStore]] corpus — [[minhashCandidatesAgainstStore]]'s
+    * token-level twin (same shared core, n-gram signer). Returns
+    * (batch_id, corpus_id, jaccard_est). */
+  def ngramCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = 100000): DataFrame = {
+    val (n, numHashes, bands) = ngramStoreParams(spark, table)
+    signatureStoreCandidates(spark, batch, table,
+      ngramSigned(_, idCol, textCol, n, numHashes),
+      numHashes, bands, maxBucketSize, "writeNgramStore",
+      s"ngramCandidatesAgainstStore($table)")
+  }
+
+  /** Batch rows with NO n-gram near-dup at `threshold` — the token-level
+    * ingest filter; append survivors with `writeNgramStore(novel, table,
+    * mode = "append")`. Same two-direction contract and banding-recall
+    * warning as [[minhashNovelAgainstStore]]; the within-batch pass
+    * ([[dedupNearNgram]]) verifies with EXACT n-gram jaccard, while the
+    * corpus check is signature-estimated (the index deliberately carries
+    * no text). */
+  def ngramNovelAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true): DataFrame = {
+    val (n, numHashes, bands) = ngramStoreParams(spark, table)
+    val collisionPoint = math.pow(1.0 / bands, 1.0 * bands / numHashes)
+    if (threshold < collisionPoint * 0.8)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramNovelAgainstStore($table): threshold $threshold sits " +
+          f"well below the stamped banding's collision point " +
+          f"($collisionPoint%.2f at $numHashes hashes / $bands bands) — " +
+          "most pairs at that similarity never share a bucket, so " +
+          "near-dups will be declared novel; rewrite the store with " +
+          "more, narrower bands (autoBands) for this operating point")
+    val hits = ngramCandidatesAgainstStore(spark, batch, table, idCol,
+        textCol, maxBucketSize)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("batch_id")).distinct()
+    val vsCorpus = batch.join(hits, batch(idCol) === hits("batch_id"),
+      "left_anti")
+    if (!dedupWithinBatch) vsCorpus
+    else dedupNearNgram(vsCorpus, idCol, textCol, threshold, n,
+      numHashes = numHashes, bands = 0, maxBucketSize = maxBucketSize)
+  }
+
+  // ------------------------------------------------- store compaction
+
+  /** Re-apply the hot-bucket cap to a persistent index's slim bucket
+    * table — the maintenance door for buckets grown past `maxBucketSize`
+    * ACROSS appends: each write caps only its own batch, so the union
+    * can exceed the cap and re-open the join bomb the cap exists to
+    * stop (until compaction, the candidates doors SKIP such buckets
+    * with a warning — see [[capBucketsJoint]]). The rewrite goes
+    * through a `__compact` sibling table + catalog rename — never a
+    * read-and-overwrite of the table being scanned, and never a
+    * driver/executor-memory snapshot of the store — and the bucket
+    * census rides the store's own bucketing (no exchange). The stamp is
+    * unset before the drop+rename swap and re-set after, so every crash
+    * window leaves a store the doors refuse loudly rather than one
+    * silently half-swapped. Sibling sig/vec tables are untouched: a row
+    * whose every bucket row was dropped simply never joins, exactly as
+    * if write-time capping had dropped it. */
+  private def recapBucketTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, bucketCols: Seq[String], maxBucketSize: Int,
+      prop: String, ctx: String): Unit = {
+    require(maxBucketSize > 0, s"$ctx: maxBucketSize must be positive")
+    val payload = readStoreStamp(spark, table, prop).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ctx: $table has no readable $prop stamp (missing, mid-write, " +
+          "or foreign) — not a compactable store; rewrite it first"))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ctx: $table is not bucketed — not a store table"))
+    val tmp = table + "__compact"
+    graft.join.SpatialJoin.dropBucketedTable(spark, tmp)
+    capBucketsWarn(spark.table(table), bucketCols, maxBucketSize, ctx) {
+      capped =>
+        capped
+          .repartition(buckets, bucketCols.map(col): _*)
+          .write.mode("overwrite")
+          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .format("parquet")
+          .saveAsTable(tmp)
+    }
+    // swap: unset the stamp FIRST so a crash anywhere in the drop+rename
+    // window leaves a loudly-refused store, not a silently stale one
+    spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
+      s"UNSET TBLPROPERTIES IF EXISTS ('$prop')")
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(tmp)} " +
+      s"RENAME TO ${graft.join.SpatialJoin.quoteTable(table)}")
+    spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
+      s"SET TBLPROPERTIES ('$prop'='$payload')")
+  }
+
+  /** Compact a [[writeMinhashStore]] index: re-apply the hot-bucket cap
+    * across everything appended so far (same WARN discipline as write
+    * time) and rewrite the slim band table in place. Post-compaction the
+    * store is row-for-row what a fresh `writeMinhashStore(overwrite)` of
+    * the accumulated corpus would hold — minus buckets that individual
+    * batch writes already dropped, which a fresh overwrite also drops. */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): Unit =
+    recapBucketTable(spark, table, Seq("band", "bucket"), maxBucketSize,
+      MinhashStoreProp, s"compactMinhashStore($table)")
+
+  /** Compact a [[writeNgramStore]] index — see [[compactMinhashStore]]. */
+  def compactNgramStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): Unit =
+    recapBucketTable(spark, table, Seq("band", "bucket"), maxBucketSize,
+      NgramStoreProp, s"compactNgramStore($table)")
+
+  /** Compact a [[writeSimhashStore]] index — see [[compactMinhashStore]].
+    * NB dropping an over-cap (chunk, bucket) group forfeits the exact
+    * ≤3-Hamming recall for pairs whose only agreeing chunk sat there —
+    * the same caveat the writer's cap carries. */
+  def compactSimhashStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): Unit =
+    recapBucketTable(spark, table, Seq("chunk", "bucket"), maxBucketSize,
+      SimhashStoreProp, s"compactSimhashStore($table)")
+
+  /** Compact a [[writeEmbeddingStore]] index — see
+    * [[compactMinhashStore]]. */
+  def compactEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): Unit =
+    recapBucketTable(spark, table, Seq("t", "sig"), maxBucketSize,
+      EmbeddingStoreProp, s"compactEmbeddingStore($table)")
 
   // ------------------------------------------------------------ SimHash
 
@@ -682,7 +981,11 @@ object Dedup {
     * at exponentially coarser buckets (2^width values), so wide radii
     * cost correspondingly bigger bucket joins. Past 15 the scheme's
     * buckets are too weak to be useful, and the request is refused
-    * rather than silently under-recalled. */
+    * rather than silently under-recalled. NB the widened chunkings also
+    * shrink the bucket DOMAIN (8 chunks: 256 values each; 16 chunks:
+    * 16), so the hot-bucket cap saturates on large frames — the
+    * widened-radius callers count and WARN on dropped groups rather
+    * than silently returning nothing. */
   private def simhashChunkCount(ctx: String, maxHamming: Int): Int = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"$ctx: maxHamming $maxHamming outside [0, 15] — 16 4-bit chunks " +
@@ -708,13 +1011,26 @@ object Dedup {
     * hamming distance ≤ chunks−1 must agree on at least one chunk —
     * pigeonhole), verify with bit_count(xor) ≤ maxHamming. The chunk
     * count is derived FROM the radius ([[simhashChunkCount]]) so recall
-    * is exact at every accepted `maxHamming` (≤ 15) — the default 3
-    * keeps the classic 4×16-bit scheme. */
+    * is exact at every accepted `maxHamming` (≤ 15) UP TO the
+    * hot-bucket cap: an over-`maxBucketSize` (chunk, bucket) group is
+    * dropped, and a pair whose only agreeing chunk sat there is missed.
+    * At the default radius (4 chunks, 65536-value buckets) that takes
+    * genuine boilerplate; the WIDENED radii collapse the bucket domain
+    * (maxHamming 4-7: 256 values/chunk; 8-15: 16), where any frame
+    * beyond ~cap × domain rows saturates EVERY group — those paths
+    * count dropped groups eagerly and WARN instead of silently
+    * returning zero pairs. The default 3 keeps the classic 4×16-bit
+    * scheme. */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val chunks = simhashChunkCount("nearDupSimhash", maxHamming)
-    val withChunk = capBuckets(simhashChunked(df, idCol, textCol, chunks),
-      Seq("chunk", "bucket"), maxBucketSize)
+    val chunked = simhashChunked(df, idCol, textCol, chunks)
+    // widened radii (narrow bucket domains) warn on drops — an eager
+    // census pass; the default radius keeps the fully-lazy cap
+    val withChunk =
+      if (chunks > 4) capBucketsWarned(chunked, Seq("chunk", "bucket"),
+        maxBucketSize, s"nearDupSimhash(maxHamming=$maxHamming)")
+      else capBuckets(chunked, Seq("chunk", "bucket"), maxBucketSize)
     val l = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("chunk", "bucket"))
@@ -828,7 +1144,8 @@ object Dedup {
       s"$table does not have writeSimhashStore's (id, sim, chunk, bucket) layout")
     // joint capping — see minhashCandidatesAgainstStore
     val (b0, c0) = capBucketsJoint(simhashChunked(batch, idCol, textCol),
-      store, Seq("chunk", "bucket"), maxBucketSize)
+      store, Seq("chunk", "bucket"), maxBucketSize,
+      s"simhashCandidatesAgainstStore($table)")
     val b = b0.select(col("chunk"), col("bucket"),
       col("id").as("batch_id"), col("sim").as("sim_b"))
     val c = c0.select(col("chunk"), col("bucket"),
@@ -906,6 +1223,50 @@ object Dedup {
 
   // --------------------------------------------- embedding corpus store
 
+  /** Sign-LSH recall at cosine `cos` under (bits, tables): a pair
+    * collides in ONE table with probability p^bits where
+    * p = 1 − acos(cos)/π (the random-hyperplane agreement probability,
+    * Charikar 2002), and anywhere with 1 − (1 − p^bits)^tables. */
+  private[graft] def signRecall(cos: Double, bits: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+  }
+
+  /** Tables needed for `targetRecall` at cosine `threshold` with
+    * `bits`-plane signatures: ceil(ln(1−target)/ln(1−p^bits)). */
+  private def tablesFor(threshold: Double, targetRecall: Double,
+      bits: Int): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val pb = math.pow(p, bits)
+    if (pb >= 1.0) 1
+    else if (pb <= 0.0) Int.MaxValue
+    else math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt.max(1)
+  }
+
+  /** Recall-targeted (bits, tables) for a sign-LSH index — the
+    * [[autoBands]] analog of the cosine tier: the widest (most
+    * selective) signature whose table count for `targetRecall` at the
+    * `threshold` operating point stays within `maxTables`. Wider
+    * signatures need more OR-amplification tables (index size ∝ tables)
+    * but shed false candidates exponentially (a random pair collides
+    * anywhere with ~tables/2^bits), so the scan runs bits high→low and
+    * takes the first fit; if even the narrowest considered signature
+    * (8 bits) cannot reach the target within `maxTables`, that floor is
+    * returned and the novel door's recall warning fires at join time.
+    * autoPlanes(0.95) = (13, 8): recall ≈ 0.90 at cosine 0.95 — vs
+    * ~0.73 from the historical hand-set 12-bit/4-table default. */
+  private[graft] def autoPlanes(threshold: Double,
+      targetRecall: Double = 0.9, maxTables: Int = 8): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"autoPlanes: threshold $threshold outside (0, 1)")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"autoPlanes: targetRecall $targetRecall outside (0, 1)")
+    (24 to 8 by -1).iterator
+      .map(b => (b, tablesFor(threshold, targetRecall, b)))
+      .collectFirst { case (b, t) if t <= maxTables => (b, t) }
+      .getOrElse((8, maxTables))
+  }
+
   /** Table property stamped by [[writeEmbeddingStore]]:
     * `v1:<bits>:<tables>`. */
   val EmbeddingStoreProp = "graft.dedup.embeddingParams"
@@ -943,22 +1304,50 @@ object Dedup {
     * index: slim (id, t, sig) bucket rows bucketed by the join key,
     * plus an (id, vec) table bucketed by id for the exact-cosine verify
     * (fetched once per DEDUPED pair). RECALL is the sign-LSH curve, not
-    * exact: a pair at cosine c collides in one table with probability
-    * p^bits (p = 1 − acos(c)/π) and anywhere with 1 − (1 − p^bits)^tables
-    * — ~93% at c = 0.95 with the 12-bit × 8-table... at the 12/4
-    * default ~73%, exact duplicates always — while PRECISION is exact
-    * (every emitted pair carries the true cosine). Batches dedup against
-    * precisely what [[nearDupEmbedding]] would find on the union.
+    * exact ([[signRecall]]): a pair at cosine c collides in one table
+    * with probability p^bits (p = 1 − acos(c)/π) and anywhere with
+    * 1 − (1 − p^bits)^tables — exact duplicates always — while
+    * PRECISION is exact (every emitted pair carries the true cosine).
+    * Batches dedup against precisely what [[nearDupEmbedding]] would
+    * find on the union.
+    *
+    * Plane sizing is RECALL-TARGETED by default: bits/tables ≤ 0 (the
+    * default) resolves via [[autoPlanes]] to the stamped operating
+    * point — `autoThreshold` cosine at `targetRecall` — (13, 8) for the
+    * 0.95/0.9 defaults, ≥90% recall where the historical hand-set 12/4
+    * gave a correct-but-surprising ~73%. Setting exactly one of
+    * bits/tables derives the other for the same target; setting both
+    * pins them verbatim (the pre-r17 behavior). The novel door WARNS
+    * when a requested threshold's recall under the STAMPED parameters
+    * falls below ~90%.
+    *
     * `mode = "append"` ingests accepted batches; the stamp is unset for
     * the non-atomic two-table write window, like the minhash index. */
   def writeEmbeddingStore(df: DataFrame, table: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = 12, tables: Int = 4, buckets: Int = 64,
-      mode: String = "overwrite", maxBucketSize: Int = 100000): Unit = {
+      bits: Int = 0, tables: Int = 0, buckets: Int = 64,
+      mode: String = "overwrite", maxBucketSize: Int = 100000,
+      autoThreshold: Double = 0.95, targetRecall: Double = 0.9): Unit = {
+    val (bitsR, tables0) = (bits > 0, tables > 0) match {
+      case (true, true) => (bits, tables)
+      case (false, false) => autoPlanes(autoThreshold, targetRecall)
+      case (true, false) => (bits, tablesFor(autoThreshold, targetRecall, bits))
+      case (false, true) =>
+        // widest signature reaching the target within the given tables
+        ((24 to 8 by -1).find(b =>
+          tablesFor(autoThreshold, targetRecall, b) <= tables).getOrElse(8),
+          tables)
+    }
+    require(tables0 <= 64,
+      s"writeEmbeddingStore: $bitsR-bit signatures need $tables0 tables " +
+        s"for recall $targetRecall at cosine $autoThreshold — an index " +
+        "that large is almost certainly a mis-set operating point; use " +
+        "fewer bits or let autoPlanes choose (bits=0, tables=0)")
+    val tablesR = tables0
     val spark = df.sparkSession
     val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
     val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val payload = s"v1:$bits:$tables"
+    val payload = s"v1:$bitsR:$tablesR"
     val existedBefore = spark.sessionState.catalog.tableExists(tableId)
     if (modeNorm != "overwrite" && existedBefore) {
       val prev = spark.sessionState.catalog.getTableMetadata(tableId)
@@ -982,7 +1371,7 @@ object Dedup {
       .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
       .format("parquet").saveAsTable(vecTable)
     val bucketRows = embeddingBucketRows(
-      vecSource.getOrElse(spark.table(vecTable)), bits, tables)
+      vecSource.getOrElse(spark.table(vecTable)), bitsR, tablesR)
     capBucketsWarn(bucketRows, Seq("t", "sig"), maxBucketSize,
       s"writeEmbeddingStore($table)") { slim =>
       slim
@@ -1042,7 +1431,8 @@ object Dedup {
     val bVec = snapFrame(embeddingVecs(batch, idCol, vecCol))
     val (b0, c0) = capBucketsJoint(
       embeddingBucketRows(bVec, bits, tables),
-      store, Seq("t", "sig"), maxBucketSize)
+      store, Seq("t", "sig"), maxBucketSize,
+      s"embeddingCandidatesAgainstStore($table)")
     val pairs = b0.select(col("t"), col("sig"), col("id").as("batch_id"))
       .join(c0.select(col("t"), col("sig"), col("id").as("corpus_id")),
         Seq("t", "sig"))
@@ -1068,6 +1458,18 @@ object Dedup {
       threshold: Double = 0.95, maxBucketSize: Int = 100000,
       dedupWithinBatch: Boolean = true): DataFrame = {
     val (bits, tables) = embeddingStoreParams(spark, table)
+    // the cosine tier's analog of the minhash door's collision-point
+    // warning: the STAMPED planes fix the recall curve, and a threshold
+    // whose recall under them is poor mostly declares near-dups novel
+    val recall = signRecall(threshold, bits, tables)
+    if (recall < 0.9)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"embeddingNovelAgainstStore($table): the stamped $bits-bit × " +
+          f"$tables-table planes catch only ${recall * 100}%.0f%% of " +
+          f"pairs at cosine $threshold (exact duplicates always) — " +
+          "most near-dups at that similarity will be declared novel; " +
+          "rewrite the store with autoPlanes sizing (writeEmbeddingStore " +
+          "bits=0/tables=0 with autoThreshold at this operating point)")
     val hits = embeddingCandidatesAgainstStore(spark, batch, table, idCol,
         vecCol, maxBucketSize)
       .filter(col("cosine") >= threshold)

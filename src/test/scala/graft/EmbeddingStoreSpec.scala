@@ -32,12 +32,14 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     val table = "graft_emb_store"
     drop(table)
     try {
+      // the writer's default is autoPlanes(0.95, 0.9) = (13, 8); the
+      // self-join reference must band with the SAME planes for parity
       Dedup.writeEmbeddingStore(corpus, table)
       val viaStore = Dedup.embeddingCandidatesAgainstStore(spark, batch, table)
         .filter($"cosine" >= 0.95)
         .select($"corpus_id", $"batch_id").as[(Long, Long)].collect().toSet
       val cross = Dedup.nearDupEmbedding(corpus.unionByName(batch),
-          "vec_id", "embedding", threshold = 0.95)
+          "vec_id", "embedding", threshold = 0.95, bits = 13, tables = 8)
         .filter($"id_a" < 10000 && $"id_b" >= 10000)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(viaStore === cross,
@@ -93,5 +95,36 @@ class EmbeddingStoreSpec extends AnyFunSuite {
       }
       assert(mixed.getMessage.contains("stamped"))
     } finally drop(table)
+  }
+
+  test("signRecall / autoPlanes: the sign-LSH curve and its recall-targeted sizing") {
+    // Charikar sign-LSH: recall(c) = 1 − (1 − p^bits)^tables with
+    // p = 1 − acos(c)/π. Hand-computed anchors at cosine 0.95
+    // (p = 0.898922): one 12-bit table catches ~27.8%, four ~72.8%
+    // (the pre-r17 hand-set default), eight ~92.6%.
+    assert(math.abs(Dedup.signRecall(0.95, 12, 1) - 0.2784) < 0.001)
+    assert(math.abs(Dedup.signRecall(0.95, 12, 4) - 0.7283) < 0.001)
+    assert(math.abs(Dedup.signRecall(0.95, 12, 8) - 0.9262) < 0.001)
+    // exact duplicates are always caught, at any sizing
+    assert(Dedup.signRecall(1.0, 24, 1) === 1.0)
+    // the documented auto default: widest signature whose table count
+    // for 0.9 recall at cosine 0.95 stays within 8 tables — 13 bits
+    // lands at recall 0.9002 (8 tables needed is 7.995 exactly), and
+    // 14 bits would need a 10th table
+    assert(Dedup.autoPlanes(0.95) === ((13, 8)))
+    assert(math.abs(Dedup.signRecall(0.95, 13, 8) - 0.9001) < 0.001)
+    assert(Dedup.signRecall(0.95, 14, 8) < 0.9)
+    // monotone sanity across thresholds: an easier (higher-cosine)
+    // operating point affords a wider signature at the same budget
+    val (bLo, tLo) = Dedup.autoPlanes(0.90)
+    val (bHi, tHi) = Dedup.autoPlanes(0.99)
+    assert(bHi > bLo, "higher threshold must afford wider signatures")
+    assert(tLo <= 8 && tHi <= 8)
+    assert(Dedup.signRecall(0.90, bLo, tLo) >= 0.9)
+    assert(Dedup.signRecall(0.99, bHi, tHi) >= 0.9)
+    // the floor: an operating point the 8-bit floor cannot reach within
+    // the table budget comes back (8, maxTables) — the novel door's
+    // recall warning covers the gap at join time
+    assert(Dedup.autoPlanes(0.5, 0.99, 4) === ((8, 4)))
   }
 }

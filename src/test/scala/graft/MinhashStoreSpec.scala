@@ -93,6 +93,63 @@ class MinhashStoreSpec extends AnyFunSuite {
     } finally drop(table)
   }
 
+  test("cross-append bucket growth: join-time skip, compaction ≡ fresh overwrite") {
+    // identical boilerplate texts collide in EVERY band (identical
+    // signatures), so appends below the per-batch cap still grow one
+    // bucket past it — the exact join bomb the cap exists to stop
+    val boiler = "the same boilerplate licence text repeated verbatim " +
+      "across every appended batch of this corpus"
+    val cap = 4
+    val corpus1 = ((0 until 3).map(i => (i.toLong, boiler)) ++
+      (10 until 15).map(i => (i.toLong, docText(i)))).toDF("doc_id", "text")
+    val corpus2 = ((3 until 6).map(i => (i.toLong, boiler)) ++
+      (15 until 20).map(i => (i.toLong, docText(i)))).toDF("doc_id", "text")
+    val table = "graft_mh_store_grow"
+    val fresh = "graft_mh_store_grow_fresh"
+    drop(table); drop(fresh)
+    try {
+      Dedup.writeMinhashStore(corpus1, table, maxBucketSize = cap)
+      Dedup.writeMinhashStore(corpus2, table, mode = "append",
+        maxBucketSize = cap)
+      // the boilerplate buckets now hold 6 > cap rows; the joint-cap
+      // guard must SKIP them (warned) — a boiler probe finds nothing...
+      val boilerProbe = Seq((30000L, boiler)).toDF("doc_id", "text")
+      assert(Dedup.minhashCandidatesAgainstStore(spark, boilerProbe, table,
+        maxBucketSize = cap).filter($"corpus_id" < 6L).isEmpty,
+        "grown bucket must be skipped at join time, not exploded")
+      // ...while a dup of an un-grown doc still matches
+      val docProbe = Seq((30001L, docText(12))).toDF("doc_id", "text")
+      assert(Dedup.minhashCandidatesAgainstStore(spark, docProbe, table,
+        maxBucketSize = cap)
+        .filter($"corpus_id" === 12L && $"jaccard_est" === 1.0)
+        .count() === 1)
+      // compaction re-caps across everything appended so far; the
+      // result must equal a fresh overwrite of the accumulated corpus
+      Dedup.compactMinhashStore(spark, table, maxBucketSize = cap)
+      Dedup.writeMinhashStore(corpus1.unionByName(corpus2), fresh,
+        maxBucketSize = cap)
+      val gotRows = spark.table(table).select($"id", $"band", $"bucket")
+        .as[(Long, Int, Int)].collect().toSet
+      val freshRows = spark.table(fresh).select($"id", $"band", $"bucket")
+        .as[(Long, Int, Int)].collect().toSet
+      assert(gotRows === freshRows,
+        "compacted band table diverges from a fresh overwrite")
+      assert(gotRows.nonEmpty && !gotRows.exists(_._1 < 6L),
+        "boilerplate band rows must be gone, the rest intact")
+      // the stamp survived the tmp-table swap: the doors still work
+      assert(Dedup.minhashCandidatesAgainstStore(spark, docProbe, table,
+        maxBucketSize = cap)
+        .filter($"corpus_id" === 12L).count() === 1)
+      // a compaction on a stamp-less table refuses loudly
+      spark.sql(s"ALTER TABLE $fresh UNSET TBLPROPERTIES " +
+        s"('${Dedup.MinhashStoreProp}')")
+      val bad = intercept[IllegalArgumentException] {
+        Dedup.compactMinhashStore(spark, fresh, maxBucketSize = cap)
+      }
+      assert(bad.getMessage.contains("stamp"))
+    } finally { drop(table); drop(fresh) }
+  }
+
   test("param stamp: mixed-parameter append and non-store tables error loudly") {
     val corpus = (0 until 10).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
     val table = "graft_mh_store_params"
