@@ -1976,7 +1976,13 @@ object SpatialJoin {
     *
     * Every [[writeSpatialBucketed]] write INVALIDATES the stamp (see
     * [[CellSummaryProp]] — staleness is unsound here, not merely
-    * unhelpful); re-stamp after the store settles. */
+    * unhelpful); re-stamp after the store settles. Writes made OUTSIDE
+    * writeSpatialBucketed (plain `INSERT INTO`, a foreign engine
+    * touching the files) are NOT detected — the stamp and sidecar stay
+    * mutually consistent but describe the old rows, and a stale
+    * summary's coverage filter silently drops matches; treat the
+    * contract as "graft invalidates graft's writes" and re-stamp after
+    * any foreign write. */
   def stampCellSummary(spark: org.apache.spark.sql.SparkSession,
       table: String, grid: Int = CellSummary.DefaultGrid): Unit = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -2052,7 +2058,10 @@ object SpatialJoin {
     * parses AND the sidecar parses AND the two agree — any failure
     * degrades to None with a warning (the unbounded door then computes
     * a fresh summary for the call: a correctness-neutral slow path,
-    * unlike the histogram's perf-only degradation). */
+    * unlike the histogram's perf-only degradation). The mutual-agreement
+    * check catches graft's own mid-write windows, NOT foreign writes
+    * (plain `INSERT INTO` leaves a consistent-but-stale pair) — see
+    * [[stampCellSummary]]'s contract note. */
   private[graft] def readCellSummary(spark: org.apache.spark.sql.SparkSession,
       table: String): Option[CellSummary] = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -2680,6 +2689,11 @@ object SpatialJoin {
     * govern the fine plan; the coarse plan inherits the cogroup
     * tier's own skew machinery and its defaults
     * ([[MaxCellBuildRows]]/[[GridPairsPerTask]]).
+    *
+    * Streaming callers: wrap this door per micro-batch with
+    * [[graft.streaming.GeoStreaming.sjoinNearestStoreStream]] — the
+    * scale path past the broadcast stream tier, unbounded maxDistance
+    * included.
     *
     * @param how "inner" drops unmatched probe rows; "left" keeps them
     *        with null store columns. For "right" semantics (each STORE

@@ -177,11 +177,13 @@ object GeoStreaming {
     * batch ≡ stream row-for-row).
     *
     * The static side lives under the same broadcast guards as
-    * [[sjoinStream]]; past them the scale path is `foreachBatch` +
+    * [[sjoinStream]]; past them the scale path is
+    * [[sjoinNearestStoreStream]] — `foreachBatch` +
     * [[graft.join.SpatialJoin.sjoinNearestBucketed]] over a
-    * `writeSpatialBucketed` store (the exchange-free per-batch join).
-    * `maxDistance` may be infinite here — the broadcast tree bounds the
-    * search, exactly like the batch broadcast tier.
+    * `writeSpatialBucketed` store (the exchange-free per-batch join),
+    * which also carries maxDistance = ∞ through the store's unbounded
+    * door. `maxDistance` may be infinite here too — the broadcast tree
+    * bounds the search, exactly like the batch broadcast tier.
     *
     * @param how "inner" drops unmatched stream rows; "left" keeps them
     *        with null static columns (static-side outer over a stream is
@@ -223,9 +225,10 @@ object GeoStreaming {
         s"sjoinNearestStream: static side exceeds the broadcast guards " +
           s"($maxBuildRows rows / $maxBuildBytes bytes). For a big static " +
           "side, take the scale path instead: lay it out once with " +
-          "SpatialJoin.writeSpatialBucketed and join each micro-batch via " +
-          "foreachBatch + sjoinNearestBucketed (the exchange-free " +
-          "per-batch nearest join), or pre-filter the static frame under " +
+          "SpatialJoin.writeSpatialBucketed (+ stampCellSummary) and join " +
+          "each micro-batch via GeoStreaming.sjoinNearestStoreStream — " +
+          "the exchange-free per-batch nearest join, unbounded " +
+          "maxDistance included — or pre-filter the static frame under " +
           "the guard"))
     val bc = stream.sparkSession.sparkContext.broadcast(staticRows.map { r =>
       (r.get(sgPos).asInstanceOf[Array[Byte]], r)
@@ -279,6 +282,38 @@ object GeoStreaming {
       }
     }(enc)
   }
+
+  /** Stream-vs-STORE k-nearest — the scale path [[sjoinNearestStream]]'s
+    * broadcast guard points at, packaged: each micro-batch joins against
+    * a [[graft.join.SpatialJoin.writeSpatialBucketed]] store via
+    * [[graft.join.SpatialJoin.sjoinNearestBucketed]] (exchange-free on
+    * the store side), so the static side may be arbitrarily large AND
+    * `maxDistance` may be omitted entirely — the default ∞ rides the
+    * store's unbounded door (per-probe bounds from the stamped
+    * cell-summary sidecar; run
+    * [[graft.join.SpatialJoin.stampCellSummary]] after writing the store
+    * so the per-batch joins skip the summary passes). Returns a
+    * configured `DataStreamWriter`: the caller supplies the `sink`
+    * consuming each joined micro-batch (write to a table, a file sink,
+    * …), then sets trigger/checkpoint and `.start()`s. Semantics are the
+    * batch door's, per micro-batch — ties-inclusive kNN, inner/left,
+    * distanceCol, exclusive — so batch ≡ stream row-for-row over the
+    * same input split any way into batches (the join is stateless: a
+    * probe's whole answer comes from the store). */
+  def sjoinNearestStoreStream(stream: DataFrame, buildTable: String,
+      cellSize: Double, k: Int = 1,
+      maxDistance: Double = Double.PositiveInfinity, how: String = "inner",
+      streamGeom: String = "geometry", buildGeom: String = "geometry",
+      suffix: String = "_right", distanceCol: Option[String] = None,
+      exclusive: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.join.SpatialJoin.sjoinNearestBucketed(
+        batch.sparkSession, batch, buildTable, cellSize = cellSize, k = k,
+        maxDistance = maxDistance, how = how, probeGeom = streamGeom,
+        buildGeom = buildGeom, suffix = suffix, distanceCol = distanceCol,
+        exclusive = exclusive), batchId)
+    }
 
   /** One closed session per (user, gap): event-time sessionization with
     * `flatMapGroupsWithState` — the custom-state path the reference lacks

@@ -142,6 +142,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $rowsL")
   }
 
+  test("sjoinNearestStoreStream: unbounded per-batch store joins ≡ the batch door") {
+    import spark.implicits._
+    val rnd = new java.util.Random(0x517EA7)
+    val probeRows = EWKBFixtures.heterogeneous(rnd, 60)
+    val buildRows = EWKBFixtures.heterogeneous(rnd, 60)
+    val table = "graft_stream_unb_store"
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snss").toString
+    try {
+      graft.join.SpatialJoin.writeSpatialBucketed(
+        buildRows.toDF("bid", "geometry"), table, cellSize = 4.0, buckets = 4)
+      graft.join.SpatialJoin.stampCellSummary(spark, table)
+      val probe = probeRows.toDF("pid", "geometry")
+      // batch reference: the store's unbounded door (no maxDistance at
+      // all), itself pinned against brute force
+      val expected = graft.join.SpatialJoin.sjoinNearestBucketed(spark,
+          probe, table, cellSize = 4.0, k = 2,
+          maxDistance = Double.PositiveInfinity)
+        .select($"pid", $"bid").as[(Long, Long)].collect().toSeq.sorted
+      assert(expected.toSet ===
+        EWKBFixtures.brute(probeRows, buildRows, 2, exclusive = false))
+      // several micro-batches (maxFilesPerTrigger=1) so the per-batch
+      // contract — each batch joins the store independently — is real
+      probe.repartition(4).write.mode("overwrite").parquet(tmp + "/in")
+      val streamIn = spark.readStream.schema(probe.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/in")
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var batches = 0
+      val q = graft.streaming.GeoStreaming.sjoinNearestStoreStream(
+          streamIn, table, cellSize = 4.0, k = 2) { (joined, _) =>
+          val rows = joined.select(col("pid"), col("bid"))
+            .as[(Long, Long)].collect()
+          got.synchronized { got ++= rows; batches += 1 }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ck")
+        .start()
+      assert(q.awaitTermination(600000), "stream drain timed out")
+      assert(batches > 1, "fixture sanity: want multiple micro-batches")
+      assert(got.sorted === expected, "stream ≡ batch broke")
+    } finally {
+      graft.join.SpatialJoin.dropBucketedTable(spark, table)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   test("sjoinStream guard failure points at the bucketed scale path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
