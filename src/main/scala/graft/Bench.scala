@@ -300,6 +300,18 @@ object Bench {
           maxDistance = Double.PositiveInfinity, distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
     }),
+    // fixed-size, data-independent CPU calibration (r17, VERDICT #2): a
+    // pure-codegen xxhash64 chain over a constant range — no I/O, no
+    // page cache, no fixture, so its quiet-run time is the box's CPU
+    // constant. A CONTENDED WINDOW inflates every key by a modest
+    // factor (r16's driver run: 1.28-1.37× across untouched keys) that
+    // the per-key 2× min-rule is blind to; this key gets a 1.25×
+    // threshold instead, so the WINDOW flags even when no workload key
+    // trips — reviewers then re-measure before trusting anything.
+    "calib_cpu" -> ((s, _) => {
+      s.range(64L * 1000 * 1000)
+        .select(xxhash64(xxhash64(col("id")), col("id")).as("h"))
+    }),
     // whole-corpus reprojection (r16, VERDICT #2): st_to_srid is the one
     // §2 family with no bench coverage, and at 100 TB a reprojection is
     // a full scan — lon/lat lattice → web mercator, coordinate checksum
@@ -543,14 +555,23 @@ object Bench {
       .getOrElse(("", Map.empty[String, Double]))
   }
 
-  /** The contended-run rule: a key flags when the run's MIN exceeds 2×
-    * the reference median PLUS a 0.1 s absolute floor (`min > 2·ref +
-    * 0.1` — the floor rides on top of the doubling so 100-150 ms keys
-    * can't flap on scheduler jitter, exactly as STATUS documents). A
-    * genuine 2× code regression also fires it — correctly: either way
-    * the number needs a quiet re-measure before anyone trusts it. */
-  private[graft] def contendedKey(minSec: Double, ref: Double): Boolean =
-    ref > 0 && minSec > 2.0 * ref + 0.1
+  /** The contended-run rule: a key flags when the run's MIN exceeds
+    * `factor`× the reference median PLUS an absolute floor (the floor
+    * rides on top of the multiplier so 100-150 ms keys can't flap on
+    * scheduler jitter, exactly as STATUS documents). Workload keys use
+    * 2×/0.1 s — a genuine 2× code regression also fires it, correctly:
+    * either way the number needs a quiet re-measure. The calib_cpu key
+    * uses 1.25×/0.05 s ([[CalibKey]]): it is fixture-fixed and purely
+    * CPU-bound, so even the modest uniform inflation of a busy
+    * neighbor (r16: 1.3×) is signal there, not noise. */
+  private[graft] def contendedKey(minSec: Double, ref: Double,
+      factor: Double = 2.0, floor: Double = 0.1): Boolean =
+    ref > 0 && minSec > factor * ref + floor
+
+  /** The calibration key's name and its tighter contention rule. */
+  private[graft] val CalibKey = "calib_cpu"
+  private[graft] def contendedCalib(minSec: Double, ref: Double): Boolean =
+    contendedKey(minSec, ref, factor = 1.25, floor = 0.05)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -598,7 +619,9 @@ object Bench {
     // hot window the spread rule is blind to (r14's 12.6x driver artifact)
     val (refFile, band) = referenceBand(sfDir)
     val contended = results.collect {
-      case (n, v, _, _, mn) if v >= 0 && band.get(n).exists(contendedKey(mn, _)) =>
+      case (n, v, _, _, mn) if v >= 0 && band.get(n).exists(ref =>
+          if (n == CalibKey) contendedCalib(mn, ref)
+          else contendedKey(mn, ref)) =>
         "\"" + n + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum

@@ -30,6 +30,21 @@ class BenchTrustSpec extends AnyFunSuite {
     assert(!Bench.contendedKey(minSec = 99.0, ref = -1.0))
   }
 
+  test("contendedCalib: the calibration key trips on the modest uniform inflation") {
+    // the r16 driver window: untouched keys at 1.28-1.37x — below the
+    // workload keys' 2x rule, but the fixture-fixed CPU key (quiet cost
+    // ~2 s) must flag that window
+    assert(Bench.contendedCalib(minSec = 2.60, ref = 2.0)) // 1.30x fires
+    assert(!Bench.contendedKey(minSec = 2.60, ref = 2.0),
+      "workload rule correctly blind to 1.3x — that is the calib key's job")
+    // ordinary jitter on the CPU constant stays quiet
+    assert(!Bench.contendedCalib(minSec = 2.2, ref = 2.0))
+    // exactly at 1.25*ref + 0.05 does not fire (strict >)
+    assert(!Bench.contendedCalib(minSec = 2.55, ref = 2.0))
+    assert(Bench.contendedCalib(minSec = 2.56, ref = 2.0))
+    assert(!Bench.contendedCalib(minSec = 99.0, ref = 0.0))
+  }
+
   test("referenceBand: newest matching-sf BENCH file wins; mismatch or garbage is empty") {
     val dir = java.nio.file.Files.createTempDirectory("graft_band").toFile
     def write(name: String, body: String): Unit = {
