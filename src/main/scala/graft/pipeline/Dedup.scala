@@ -320,25 +320,43 @@ object Dedup {
     * banding instead of being persisted and joined back: the shingling
     * pipeline runs exactly once, with no executor cache held for the
     * session's lifetime — only wider (numHashes-long) rows. */
-  /** (id, sig) signatures of a frame — one normalize→shingle→sign pass. */
+  /** (id, sig) signatures of a frame — one normalize→shingle→sign pass.
+    * Null-TEXT rows are filtered at the SOURCE column, where the
+    * predicate pushes to the parquet scan: null text is the only way a
+    * signature comes back null (normalize and MinHashSig both
+    * null-propagate; "" signs the {""} singleton), so this is exactly
+    * the null-signature guard [[bandExplode]] needs — and filtering on
+    * the raw column instead of `sig IS NOT NULL` matters a lot: a
+    * filter on the DERIVED signature pushes below the projection,
+    * substituting the whole normalize+sign expression into the
+    * predicate, and every consumer of the banded subplan re-evaluates
+    * it per row (ProbeMinhashAB r17: the r16 sig-filter shape read
+    * 1.83 s vs 1.15 s for this one — the whole pipe_minhash
+    * "regression" was that filter). */
   private def minhashSigned(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleK: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         TextAnalysis.normalized(col(textCol)).as("__norm"))
       .select(col("id"), minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"))
 
   /** (id, sig, band, bucket) band explosion of an (id, sig) frame — the
     * ONE bucket-hashing implementation every minhash door rides.
-    * Null signatures (null text) are dropped FIRST: Spark's `hash(null)`
-    * is the seed constant, so without the filter every null-text row
-    * would land in one shared bucket per band and pair with every other
-    * null-text row at a null estimate — phantom candidates (review r16).
-    * A null-text row therefore never matches anything, in any door. */
+    * INVARIANT: the input carries NO null signatures — Spark's
+    * `hash(null)` is the seed constant, so a null signature would land
+    * in one shared bucket per band and pair with every other null-text
+    * row at a null estimate (phantom candidates, review r16). The
+    * producers guarantee it at the CHEAP tier: the signers filter null
+    * TEXT at the source column ([[minhashSigned]] / [[ngramSets]] —
+    * scan-pushed), and the store writer filters `sig IS NOT NULL` on
+    * its read-back path where sig is a stored attribute. A filter here
+    * on the derived sig column would re-evaluate the whole sign
+    * expression per consumer (ProbeMinhashAB r17, −37%). */
   private def bandExplode(withSig: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    withSig.filter(col("sig").isNotNull).select(
+    withSig.select(
       col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
@@ -486,8 +504,13 @@ object Dedup {
       .repartition(buckets, col("id"))
       .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
       .format("parquet").saveAsTable(sigTable)
+    // the read-back path filters null sigs as a stored-ATTRIBUTE
+    // predicate (parquet-pushed, free): current signers never write
+    // them, but a pre-r17 store's sigs table may carry null-text rows
     val banded = bandExplode(
-      sigSource.getOrElse(spark.table(sigTable)), numHashes, bands)
+      sigSource.getOrElse(
+        spark.table(sigTable).filter(col("sig").isNotNull)),
+      numHashes, bands)
       .select(col("id"), col("band"), col("bucket"))
     capBucketsWarn(banded, Seq("band", "bucket"), maxBucketSize,
       s"$writer($table)") { slim =>
@@ -702,10 +725,14 @@ object Dedup {
 
   /** (id, ng) n-gram hash sets of a frame — one normalize→tokenize pass
     * (tokens materialized first, so the tokenizer runs once per
-    * document, not per gram position). */
+    * document, not per gram position). Null text filtered at the source
+    * column, same rationale as [[minhashSigned]] (scan-pushed; a
+    * derived-column null filter re-evaluates the pipeline per
+    * consumer). */
   private def ngramSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         TextAnalysis.normalized(col(textCol)).as("__norm"))
       .select(col("id"), TextAnalysis.tokens(col("__norm")).as("__toks"))
       .select(col("id"), ngramHashesOf(col("__toks"), n).as("ng"))
@@ -732,8 +759,9 @@ object Dedup {
     val withNg = ngramSets(df, idCol, textCol, n)
     val withSig = withNg
       .select(col("id"), col("ng"), minhashSignatureHashed(numHashes)(col("ng")).as("sig"))
-    // the shared bandExplode drops null signatures (null text) before
-    // bucketing — see its phantom-bucket note
+    // null text was filtered at the source in ngramSets, so the shared
+    // bandExplode's no-null-signature invariant holds — see its
+    // phantom-bucket note
     val banded = bandExplode(withSig.select(col("id"), col("sig")),
       numHashes, b).select(col("id"), col("band"), col("bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
