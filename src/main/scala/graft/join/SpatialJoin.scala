@@ -543,11 +543,22 @@ object SpatialJoin {
     * exactly once per shared cell (buf rows round-robin into p and
     * replicate across q, str rows round-robin into q and replicate
     * across p). */
+  /** @param bufCensus a PRE-COMPUTED census of the buffered side (the
+    *        [[gridCensus]] result at this call's exact floor/cap) — the
+    *        exclusive escalation loop's reuse door: its build cells are
+    *        identical across rounds while the probe side re-pads, so
+    *        per-round recomputation is a whole aggregate pass over the
+    *        build cells for nothing. Measured NEUTRAL at probe scale
+    *        (ProbeUnbCensus r17 — the loop is fixed-job-overhead-bound
+    *        there) and kept for the at-scale pass elimination. Callers
+    *        must pass a census computed over the SAME bufCells at
+    *        `min(GridCensusMin, maxCellRows)/maxCellRows`, or None. */
   private def saltedCogroup[U: org.apache.spark.sql.Encoder](
       bufCells: Dataset[(Long, Long, Array[Byte])],
       strCells: Dataset[(Long, Long, Array[Byte])],
       maxCellRows: Int,
-      pairsPerTask: Long)(
+      pairsPerTask: Long,
+      bufCensus: Option[(Map[Long, Long], Long)] = None)(
       combine: ((Long, Int, Int),
         Iterator[(Long, Int, Int, Long, Array[Byte])],
         Iterator[(Long, Int, Int, Long, Array[Byte])]) => Iterator[U]): Dataset[U] = {
@@ -586,8 +597,8 @@ object SpatialJoin {
             c -> (clampSalt((n + maxCellRows - 1) / maxCellRows), 1)
           }.toMap
       } else {
-        val (lMap0, lAbsent) = gridCensus(lCells,
-          math.min(GridCensusMin, maxCellRows.toLong), maxCellRows.toLong)
+        val (lMap0, lAbsent) = bufCensus.getOrElse(gridCensus(lCells,
+          math.min(GridCensusMin, maxCellRows.toLong), maxCellRows.toLong))
         val (rMap0, rAbsent) = gridCensus(rCells, GridCensusMin, Long.MaxValue - 1)
         // SIZING never uses an estimate (an absent side below the census
         // floor may really hold 1 row — splitting against the upper
@@ -1278,16 +1289,39 @@ object SpatialJoin {
             maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
         else {
           // the build cells persist across escalation rounds instead of
-          // re-parsing and re-shuffling the whole build side per pass
+          // re-parsing and re-shuffling the whole build side per pass,
+          // and their census is computed ONCE and reused by every round
+          // (the build side is identical across rounds — recomputing is
+          // an aggregate pass over the full build cells per round for
+          // nothing; measured neutral at probe scale, kept for the
+          // at-scale pass elimination — ProbeUnbCensus r17). Only the
+          // pair-split mode has a census to reuse; the same floor/cap
+          // saltedCogroup would use, or the map drifts from the
+          // per-pass computation.
           val buildCellsP = buildCells.persist()
+          val buildCensus =
+            if (maxCellRows > 0 && pairsPerTask > 0 &&
+                pairsPerTask < Long.MaxValue)
+              Some(gridCensus(buildCellsP,
+                math.min(GridCensusMin, maxCellRows.toLong),
+                maxCellRows.toLong))
+            else None
+          // each round's probe explosion is read twice (census + cogroup)
+          // — persist per round, released after the loop; kept slices
+          // are checkpointed inside escalateExclusive, so the returned
+          // union never re-reads these caches (the bucketed door's
+          // discipline, review r16 #4)
+          val cached = scala.collection.mutable.ListBuffer
+            .empty[Dataset[(Long, Long, Array[Byte])]]
           try
             escalateExclusive(probeIdx, pIdxName, PIdxT, pGeom, kk,
               kTarget0, summary.totalAnchors) { (pending, kT) =>
               nearestUnboundedPass(pending, buildCellsP, pIdxName, pGeom,
                 kk, kT, exclusive = true, cs, bcSum,
-                maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol)
+                maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol, buildCensus,
+                registerProbe = ds => { val p = ds.persist(); cached += p; p })
             }
-          finally buildCellsP.unpersist()
+          finally { buildCellsP.unpersist(); cached.foreach(_.unpersist()) }
         }
     }
     val pairs =
@@ -1314,12 +1348,20 @@ object SpatialJoin {
       pIdxName: String, pGeom: String,
       k: Int, kTarget: Long, exclusive: Boolean, cs: Double,
       bcSum: Broadcast[CellSummary], maxCellRows: Int, pairsPerTask: Long,
-      PIdxT: String, BIdxT: String, DCol: String): DataFrame = {
+      PIdxT: String, BIdxT: String, DCol: String,
+      buildCensus: Option[(Map[Long, Long], Long)] = None,
+      registerProbe: Dataset[(Long, Long, Array[Byte])] =>
+        Dataset[(Long, Long, Array[Byte])] = identity): DataFrame = {
     val spark = probeFrame.sparkSession
     import spark.implicits._
     val csV = cs; val kk = k; val kT = kTarget; val excl = exclusive
 
-    val probeCells = probeFrame.select(col(pIdxName), col(pGeom))
+    // registerProbe: the escalation loop persists each round's probe
+    // explosion (the saltedCogroup below reads it TWICE — probe census +
+    // cogroup — and the summed-area bound lookups per probe are the
+    // expensive part of the explosion); single-pass callers keep the
+    // identity (one consumer pipeline, nothing to share)
+    val probeCells = registerProbe(probeFrame.select(col(pIdxName), col(pGeom))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) =>
         if (b == null) Nil
@@ -1333,9 +1375,9 @@ object SpatialJoin {
             sum.joinCellsOf(env, dp, csV).toSeq.map(c => (c, id, b))
           }
         }
-      }
+      })
     val triples = saltedCogroup(buildCells, probeCells, maxCellRows,
-      pairsPerTask) { (key, bIt, pIt) =>
+      pairsPerTask, buildCensus) { (key, bIt, pIt) =>
       val cell = key._1
       val tree = new STRtree()
       var n = 0

@@ -33,6 +33,19 @@ import graft.functions._
   * the key and the decision is NO — recorded in PERF.md either way.
   * A/B/C alternate 3× so box drift can't masquerade as the delta.
   *
+  * RESULT (r17, PERF.md): D ≈ 0.65 s ≈ the whole 0.67 s/round marginal
+  * — but implementing BOTH build-census reuse and per-round probe
+  * persistence moved A by nothing (5.78 → 6.00 min, inside noise): at
+  * this scale every per-round job (two censuses, resolution aggregate,
+  * two lineage checkpoints, persist materialization) is dominated by
+  * the same fixed per-job overhead, so removing one job's WORK doesn't
+  * remove its floor. Both changes are kept anyway: at cluster scale the
+  * censuses are real passes over the (arbitrarily large) cells
+  * datasets, and skipping one per round is a pass eliminated — the
+  * small-scale measurement just says the win is invisible here, not
+  * that it's absent at 100 TB. Equality pinned by the escalation cases
+  * in NearestUnboundedSpec / NearestBucketedUnboundedSpec.
+  *
   * Run: Test/runMain graft.ProbeUnbCensus
   */
 object ProbeUnbCensus {
@@ -74,28 +87,46 @@ object ProbeUnbCensus {
       probe.limit(1000), build.limit(1000), k = 1))
 
     val rounds = (math.log(dup.toDouble) / math.log(2.0)).ceil.toInt + 1
-    var (ta, tb, tc) = (List.empty[Double], List.empty[Double], List.empty[Double])
+    // D's fixture: the IN-JOIN census shape — the escalation loop holds
+    // its exploded build cells PERSISTED across rounds (the r16 design),
+    // so each round's build census is a count aggregate over a cached
+    // dataset, not a from-source recompute like C
+    val cellsDf = build.select(
+      (floor(st_x(col("geometry")) / 32.0).cast("long") * 100000L +
+        floor(st_y(col("geometry")) / 32.0).cast("long")).as("cell")).persist()
+    force(cellsDf)
+    var (ta, tb, tc, td) = (List.empty[Double], List.empty[Double],
+      List.empty[Double], List.empty[Double])
     for (_ <- 1 to 3) {
       ta ::= time(force(graft.join.SpatialJoin.sjoinNearestUnbounded(
         probe, build, k = 1, exclusive = true)))
       tb ::= time(force(graft.join.SpatialJoin.sjoinNearestUnbounded(
         probe, build, k = 1, exclusive = false)))
-      // the reusable slice: one census over the build side's exploded
-      // cells (pad 0 — the build explosion is unpadded)
+      // C: a from-source census over the build side (upper bound)
       tc ::= time {
         graft.join.SpatialJoin.censusProbe(build, "geometry",
           cellSize = 32.0, pad = 0.0); ()
       }
+      // D: the in-join shape — aggregate over the persisted cells
+      td ::= time {
+        cellsDf.groupBy(col("cell")).agg(count(lit(1)))
+          .agg(count(lit(1))).collect(); ()
+      }
     }
     def mn(l: List[Double]) = l.min
+    def fmt(l: List[Double]) =
+      l.reverse.map(v => f"$v%.2f").mkString(" ") + f" s (min ${l.min}%.2f)"
     val marginal = (mn(ta) - mn(tb)) / math.max(1, rounds - 1)
     println(f"[ProbeUnbCensus] n=$n dup=$dup est_rounds=$rounds")
-    println(f"[ProbeUnbCensus] A exclusive (multi-round): ${ta.reverse.map(v => f"$v%.2f").mkString(" ")} s (min ${mn(ta)}%.2f)")
-    println(f"[ProbeUnbCensus] B non-exclusive (1 round): ${tb.reverse.map(v => f"$v%.2f").mkString(" ")} s (min ${mn(tb)}%.2f)")
-    println(f"[ProbeUnbCensus] C build-cells census:      ${tc.reverse.map(v => f"$v%.2f").mkString(" ")} s (min ${mn(tc)}%.2f)")
-    println(f"[ProbeUnbCensus] marginal/round ≈ $marginal%.2f s; census share ≤ ${100 * mn(tc) / math.max(1e-9, marginal)}%.0f%% of it")
+    println(s"[ProbeUnbCensus] A exclusive (multi-round): ${fmt(ta)}")
+    println(s"[ProbeUnbCensus] B non-exclusive (1 round): ${fmt(tb)}")
+    println(s"[ProbeUnbCensus] C census from source     : ${fmt(tc)}")
+    println(s"[ProbeUnbCensus] D census, persisted cells: ${fmt(td)}")
+    println(f"[ProbeUnbCensus] marginal/round ≈ $marginal%.2f s; reusable " +
+      f"slice (D) ≈ ${100 * mn(td) / math.max(1e-9, marginal)}%.0f%% of it")
     println("[ProbeUnbCensus] decide: implement build-census reuse only if " +
-      "C is a dominant slice of the per-round marginal")
+      "D is a dominant slice of the per-round marginal")
+    cellsDf.unpersist()
     spark.stop()
   }
 }
