@@ -1306,22 +1306,30 @@ object SpatialJoin {
                 math.min(GridCensusMin, maxCellRows.toLong),
                 maxCellRows.toLong))
             else None
-          // each round's probe explosion is read twice (census + cogroup)
-          // — persist per round, released after the loop; kept slices
-          // are checkpointed inside escalateExclusive, so the returned
-          // union never re-reads these caches (the bucketed door's
-          // discipline, review r16 #4)
-          val cached = scala.collection.mutable.ListBuffer
-            .empty[Dataset[(Long, Long, Array[Byte])]]
+          // each round's probe explosion is read 2-3 times (census +
+          // cogroup) — persist per round, and release the PREVIOUS
+          // round's cache as the next round registers: a round's cache
+          // is dead once its kept/unresolved slices are checkpointed
+          // inside escalateExclusive, and round 1's cache is the FULL
+          // probe explosion (the biggest) — keeping every round pinned
+          // to the loop's end would pressure the block manager into
+          // evicting the build-cells cache the loop actually reuses
+          // (review r17)
+          var prevProbe: Option[Dataset[(Long, Long, Array[Byte])]] = None
           try
             escalateExclusive(probeIdx, pIdxName, PIdxT, pGeom, kk,
               kTarget0, summary.totalAnchors) { (pending, kT) =>
               nearestUnboundedPass(pending, buildCellsP, pIdxName, pGeom,
                 kk, kT, exclusive = true, cs, bcSum,
                 maxCellRows, pairsPerTask, PIdxT, BIdxT, DCol, buildCensus,
-                registerProbe = ds => { val p = ds.persist(); cached += p; p })
+                registerProbe = ds => {
+                  prevProbe.foreach(_.unpersist())
+                  val p = ds.persist(); prevProbe = Some(p); p
+                })
             }
-          finally { buildCellsP.unpersist(); cached.foreach(_.unpersist()) }
+          finally {
+            buildCellsP.unpersist(); prevProbe.foreach(_.unpersist())
+          }
         }
     }
     val pairs =
@@ -1357,10 +1365,15 @@ object SpatialJoin {
     val csV = cs; val kk = k; val kT = kTarget; val excl = exclusive
 
     // registerProbe: the escalation loop persists each round's probe
-    // explosion (the saltedCogroup below reads it TWICE — probe census +
-    // cogroup — and the summed-area bound lookups per probe are the
-    // expensive part of the explosion); single-pass callers keep the
-    // identity (one consumer pipeline, nothing to share)
+    // explosion (the saltedCogroup below reads it 2-3 times — probe
+    // census, possibly an exactCounts recount, the cogroup — and the
+    // summed-area bound lookups per probe are the expensive part of the
+    // explosion). The NON-exclusive door keeps the identity NOT because
+    // it has one consumer (it has the same 2-3) but because its result
+    // is returned LAZILY: there is no safe point to unpersist — before
+    // the caller evaluates would undo the cache, never would leak it
+    // for the session. The escalation loop has that safe point (each
+    // round's kept slices are checkpointed), so only it registers.
     val probeCells = registerProbe(probeFrame.select(col(pIdxName), col(pGeom))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) =>
@@ -2963,20 +2976,23 @@ object SpatialJoin {
         else {
           // each escalation round reads its probe explosion several
           // times (census collect, salt recounts, cold + hot routed
-          // sides) — persist per round, released after the loop; every
-          // kept slice is checkpointed inside escalateExclusive, so the
-          // returned union never re-reads these caches (the cogroup
-          // tier's buildCellsP discipline, review r16 #4)
-          val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+          // sides) — persist per round, and release the PREVIOUS
+          // round's cache as the next registers (a round's cache is
+          // dead once its kept slices are checkpointed inside
+          // escalateExclusive; round 1's is the full explosion, and
+          // pinning every round to the loop's end pressures the block
+          // manager — review r17, the cogroup tier's discipline)
+          var prevProbe: Option[DataFrame] = None
           try
             escalateExclusive(probeIdx, PIdx, PIdx, probeGeom, kk,
               kTarget0, summaryOpt.map(_.totalAnchors).getOrElse(0L)) {
               (pending, kT) =>
                 pass(pending, kT, df => {
-                  val p = df.persist(); cached += p; p
+                  prevProbe.foreach(_.unpersist())
+                  val p = df.persist(); prevProbe = Some(p); p
                 })
             }
-          finally cached.foreach(_.unpersist())
+          finally prevProbe.foreach(_.unpersist())
         })
     } else {
       // -------------------------------------------------- bounded door

@@ -524,6 +524,41 @@ object Dedup {
     stampStore(spark, table, modeNorm, existedBefore, prop, payload)
   }
 
+  /** Drop BOTH tables of a two-table signature store ([[dropMinhashStore]]
+    * / [[dropNgramStore]] delegate here). */
+  private def dropSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    graft.join.SpatialJoin.dropBucketedTable(spark, table + MinhashSigTableSuffix)
+  }
+
+  /** The shared novel/ingest filter of the signature-store tiers
+    * ([[minhashNovelAgainstStore]] / [[ngramNovelAgainstStore]] — same
+    * collision-point warning, same corpus-then-within-batch flow; a
+    * drifted copy would silently fix one door and not the other):
+    * `candidates` is the tier's store-candidates frame, `dedupWithin`
+    * its exact-verify within-batch dedup. */
+  private def novelAgainstSignatureStore(batch: DataFrame, idCol: String,
+      threshold: Double, numHashes: Int, bands: Int, ctx: String,
+      candidates: DataFrame, dedupWithinBatch: Boolean,
+      dedupWithin: DataFrame => DataFrame): DataFrame = {
+    val collisionPoint = math.pow(1.0 / bands, 1.0 * bands / numHashes)
+    if (threshold < collisionPoint * 0.8)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$ctx: threshold $threshold sits " +
+          f"well below the stamped banding's collision point " +
+          f"($collisionPoint%.2f at $numHashes hashes / $bands bands) — " +
+          "most pairs at that similarity never share a bucket, so " +
+          "near-dups will be declared novel; rewrite the store with " +
+          "more, narrower bands (autoBands) for this operating point")
+    val hits = candidates
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("batch_id")).distinct()
+    val vsCorpus = batch.join(hits, batch(idCol) === hits("batch_id"),
+      "left_anti")
+    if (!dedupWithinBatch) vsCorpus else dedupWithin(vsCorpus)
+  }
+
   /** Shared candidate pass of the two-table signature stores: the batch
     * is signed ONCE (snapshotted — the band explosion, the joint-cap
     * census, and the estimate join all read it), slim band rows
@@ -612,10 +647,7 @@ object Dedup {
   /** Drop BOTH tables of a [[writeMinhashStore]] index (band rows and
     * per-doc signatures) and their warehouse locations. */
   def dropMinhashStore(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
-    graft.join.SpatialJoin.dropBucketedTable(spark, table)
-    graft.join.SpatialJoin.dropBucketedTable(spark, table + MinhashSigTableSuffix)
-  }
+      table: String): Unit = dropSignatureStore(spark, table)
 
   /** The stamped (numHashes, bands, shingleK) of a [[writeMinhashStore]]
     * table; errors loudly when absent or unreadable. */
@@ -688,24 +720,13 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 100000,
       dedupWithinBatch: Boolean = true): DataFrame = {
     val (numHashes, bands, shingleK) = minhashStoreParams(spark, table)
-    val collisionPoint = math.pow(1.0 / bands, 1.0 * bands / numHashes)
-    if (threshold < collisionPoint * 0.8)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minhashNovelAgainstStore($table): threshold $threshold sits " +
-          f"well below the stamped banding's collision point " +
-          f"($collisionPoint%.2f at $numHashes hashes / $bands bands) — " +
-          "most pairs at that similarity never share a bucket, so " +
-          "near-dups will be declared novel; rewrite the store with " +
-          "more, narrower bands (autoBands) for this operating point")
-    val hits = minhashCandidatesAgainstStore(spark, batch, table, idCol,
-        textCol, maxBucketSize)
-      .filter(col("jaccard_est") >= threshold)
-      .select(col("batch_id")).distinct()
-    val vsCorpus = batch.join(hits, batch(idCol) === hits("batch_id"),
-      "left_anti")
-    if (!dedupWithinBatch) vsCorpus
-    else dedupNearMinhash(vsCorpus, idCol, textCol, threshold,
-      numHashes = numHashes, bands = 0, shingleK = shingleK)
+    novelAgainstSignatureStore(batch, idCol, threshold, numHashes, bands,
+      s"minhashNovelAgainstStore($table)",
+      minhashCandidatesAgainstStore(spark, batch, table, idCol, textCol,
+        maxBucketSize),
+      dedupWithinBatch,
+      vsCorpus => dedupNearMinhash(vsCorpus, idCol, textCol, threshold,
+        numHashes = numHashes, bands = 0, shingleK = shingleK))
   }
 
   /** Word n-gram hashes (Int64), the token-level analog of
@@ -819,10 +840,7 @@ object Dedup {
 
   /** Drop BOTH tables of a [[writeNgramStore]] index. */
   def dropNgramStore(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
-    graft.join.SpatialJoin.dropBucketedTable(spark, table)
-    graft.join.SpatialJoin.dropBucketedTable(spark, table + MinhashSigTableSuffix)
-  }
+      table: String): Unit = dropSignatureStore(spark, table)
 
   /** The stamped (n, numHashes, bands) of a [[writeNgramStore]] table;
     * errors loudly when absent, mid-write, or unreadable. */
@@ -872,24 +890,13 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 100000,
       dedupWithinBatch: Boolean = true): DataFrame = {
     val (n, numHashes, bands) = ngramStoreParams(spark, table)
-    val collisionPoint = math.pow(1.0 / bands, 1.0 * bands / numHashes)
-    if (threshold < collisionPoint * 0.8)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"ngramNovelAgainstStore($table): threshold $threshold sits " +
-          f"well below the stamped banding's collision point " +
-          f"($collisionPoint%.2f at $numHashes hashes / $bands bands) — " +
-          "most pairs at that similarity never share a bucket, so " +
-          "near-dups will be declared novel; rewrite the store with " +
-          "more, narrower bands (autoBands) for this operating point")
-    val hits = ngramCandidatesAgainstStore(spark, batch, table, idCol,
-        textCol, maxBucketSize)
-      .filter(col("jaccard_est") >= threshold)
-      .select(col("batch_id")).distinct()
-    val vsCorpus = batch.join(hits, batch(idCol) === hits("batch_id"),
-      "left_anti")
-    if (!dedupWithinBatch) vsCorpus
-    else dedupNearNgram(vsCorpus, idCol, textCol, threshold, n,
-      numHashes = numHashes, bands = 0, maxBucketSize = maxBucketSize)
+    novelAgainstSignatureStore(batch, idCol, threshold, numHashes, bands,
+      s"ngramNovelAgainstStore($table)",
+      ngramCandidatesAgainstStore(spark, batch, table, idCol, textCol,
+        maxBucketSize),
+      dedupWithinBatch,
+      vsCorpus => dedupNearNgram(vsCorpus, idCol, textCol, threshold, n,
+        numHashes = numHashes, bands = 0, maxBucketSize = maxBucketSize))
   }
 
   // ------------------------------------------------- store compaction
@@ -1336,8 +1343,13 @@ object Dedup {
     * with probability p^bits (p = 1 − acos(c)/π) and anywhere with
     * 1 − (1 − p^bits)^tables — exact duplicates always — while
     * PRECISION is exact (every emitted pair carries the true cosine).
-    * Batches dedup against precisely what [[nearDupEmbedding]] would
-    * find on the union.
+    * Batches dedup against precisely what [[nearDupEmbedding]] finds on
+    * the union AT THE STAMPED (bits, tables): since the store's default
+    * is auto-sized (below) while the in-frame door's hand-set default
+    * stays (12, 4), comparing the two at their respective DEFAULTS
+    * diverges by the recall difference — pass the stamped planes to
+    * nearDupEmbedding for a like-for-like comparison
+    * (EmbeddingStoreSpec does exactly this).
     *
     * Plane sizing is RECALL-TARGETED by default: bits/tables ≤ 0 (the
     * default) resolves via [[autoPlanes]] to the stamped operating
@@ -1356,22 +1368,36 @@ object Dedup {
       bits: Int = 0, tables: Int = 0, buckets: Int = 64,
       mode: String = "overwrite", maxBucketSize: Int = 100000,
       autoThreshold: Double = 0.95, targetRecall: Double = 0.9): Unit = {
-    val (bitsR, tables0) = (bits > 0, tables > 0) match {
+    // every path that USES the recall target validates it (autoPlanes
+    // owns the checks); the fully-pinned case ignores the target and
+    // keeps the pre-r17 accept-verbatim behavior — including table
+    // counts past what auto-sizing would consider sane
+    def checkTarget(): Unit = {
+      require(autoThreshold > 0 && autoThreshold < 1,
+        s"writeEmbeddingStore: autoThreshold $autoThreshold outside (0, 1)")
+      require(targetRecall > 0 && targetRecall < 1,
+        s"writeEmbeddingStore: targetRecall $targetRecall outside (0, 1)")
+    }
+    val (bitsR, tablesR) = (bits > 0, tables > 0) match {
       case (true, true) => (bits, tables)
       case (false, false) => autoPlanes(autoThreshold, targetRecall)
-      case (true, false) => (bits, tablesFor(autoThreshold, targetRecall, bits))
+      case (true, false) =>
+        checkTarget()
+        val t = tablesFor(autoThreshold, targetRecall, bits)
+        require(t <= 64,
+          s"writeEmbeddingStore: $bits-bit signatures need $t tables " +
+            s"for recall $targetRecall at cosine $autoThreshold — an " +
+            "index that large is almost certainly a mis-set operating " +
+            "point; use fewer bits or let autoPlanes choose (bits=0, " +
+            "tables=0)")
+        (bits, t)
       case (false, true) =>
-        // widest signature reaching the target within the given tables
-        ((24 to 8 by -1).find(b =>
-          tablesFor(autoThreshold, targetRecall, b) <= tables).getOrElse(8),
+        // widest signature reaching the target within the given table
+        // budget — autoPlanes' own scan (and its input validation)
+        checkTarget()
+        (autoPlanes(autoThreshold, targetRecall, maxTables = tables)._1,
           tables)
     }
-    require(tables0 <= 64,
-      s"writeEmbeddingStore: $bitsR-bit signatures need $tables0 tables " +
-        s"for recall $targetRecall at cosine $autoThreshold — an index " +
-        "that large is almost certainly a mis-set operating point; use " +
-        "fewer bits or let autoPlanes choose (bits=0, tables=0)")
-    val tablesR = tables0
     val spark = df.sparkSession
     val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
     val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -1443,7 +1469,8 @@ object Dedup {
     * corpus, with the EXACT cosine attached (the verify is built in —
     * every emitted pair carries the true cosine, so filtering at a
     * threshold gives exactly what [[nearDupEmbedding]] finds on the
-    * union, recall curve included). Returns
+    * union AT THE STAMPED (bits, tables) — not at the in-frame door's
+    * own (12, 4) default; see the writer's parity note). Returns
     * (batch_id, corpus_id, cosine). */
   def embeddingCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
