@@ -330,6 +330,30 @@ object PipelineQueries {
         .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
     }),
 
+    /** The streaming n-gram tier (r17): the same drain + batch-equality
+      * pin as pipe_stream_minhash, over the token-level door — stream
+      * pairs must equal [[Dedup.nearDupNgram]]'s (sym-diff 0), and the
+      * identical-fingerprint pair count is count(documents). */
+    "pipe_stream_ngram" -> ((s, dir) => {
+      val all = docsWithDups(s, dir)
+      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_ngram",
+          in => graft.streaming.DedupStreaming.nearDupNgramStream(
+            in, "doc_id", "text", threshold = 1.0).toDF())
+        .dropDuplicates("id_a", "id_b")
+      val fps = all.select(col("doc_id").as("id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val batchPairs = Dedup.nearDupNgram(all, "doc_id", "text", threshold = 1.0)
+        .select("id_a", "id_b")
+      val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
+        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      pairs
+        .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+        .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+        .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_stream_ident"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+    }),
+
     // The streaming SimHash tier, drained the same way: pairs (and the
     // deterministic hamming values) must equal the batch tier's — the
     // full-outer symmetric difference on (id_a, id_b, hamming) is pinned
@@ -1134,6 +1158,9 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_stream_simhash" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
+        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
+    "pipe_stream_ngram" ->
       """SELECT (SELECT count(*) FROM documents) AS n_stream_ident,
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_stream_embedding" ->

@@ -736,7 +736,7 @@ object Dedup {
     * the identical single-gram {hash("")} set and pair with every other
     * null-text row at exact jaccard 1.0 (the hash(null) phantom-bucket
     * lesson, applied to the n-gram tier). */
-  private def ngramHashesOf(toks: Column, n: Int): Column =
+  private[graft] def ngramHashesOf(toks: Column, n: Int): Column =
     array_distinct(
       when(toks.isNull, lit(null).cast("array<bigint>"))
         .when(size(toks) >= n,
@@ -1219,18 +1219,27 @@ object Dedup {
     *
     * OR-amplified over `tables` independent signature tables (each its own
     * planes): a near pair only has to collide in ONE table, so recall at
-    * cosine c is 1-(1-p^bits)^tables with p = 1-acos(c)/π — a single
-    * 12-bit table catches ~28% of 0.95-cosine pairs, four tables ~73%,
-    * eight ~93% (exact duplicates are always caught). Candidates are
-    * deduped across tables before the exact verify. */
+    * cosine c is 1-(1-p^bits)^tables with p = 1-acos(c)/π ([[signRecall]];
+    * exact duplicates are always caught). Candidates are deduped across
+    * tables before the exact verify.
+    *
+    * Plane sizing is RECALL-TARGETED by default (r17, the same
+    * [[resolvePlanes]] rule as [[writeEmbeddingStore]], so the two
+    * doors' defaults agree at equal thresholds): bits/tables ≤ 0
+    * resolve via [[autoPlanes]] for ≥90% recall at THIS call's
+    * `threshold` — (13, 8) at 0.95 where the pre-r17 hand-set 12/4
+    * gave a correct-but-surprising ~73%. Pinning both keeps them
+    * verbatim; pinning one derives the other. */
   def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 12, tables: Int = 4,
+      threshold: Double, bits: Int = 0, tables: Int = 0,
       maxBucketSize: Int = 100000): DataFrame = {
+    val (bitsR, tablesR) = resolvePlanes("nearDupEmbedding", threshold,
+      targetRecall = 0.9, bits, tables)
     val withVec = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     // one signature column per table, exploded to (table, sig) bucket keys
-    val sigCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), Similarity.signSignatureSeeded(bits, t)(col("vec")).as("sig")))
+    val sigCols = (0 until tablesR).map(t =>
+      struct(lit(t).as("t"), Similarity.signSignatureSeeded(bitsR, t)(col("vec")).as("sig")))
     val bucketed = capBuckets(
       withVec.select(col("id"), col("vec"), explode(array(sigCols: _*)).as("ts"))
         .select(col("id"), col("vec"), col("ts.t").as("t"), col("ts.sig").as("sig")),
@@ -1251,7 +1260,7 @@ object Dedup {
     * [[dedupNearMinhash]] sibling, and the within-batch pass of
     * [[embeddingNovelAgainstStore]]. */
   def dedupNearEmbedding(dfIn: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 12, tables: Int = 4,
+      threshold: Double, bits: Int = 0, tables: Int = 0,
       maxBucketSize: Int = 100000): DataFrame =
     keepMinIdSurvivors(dfIn, idCol,
       nearDupEmbedding(dfIn, idCol, vecCol, threshold, bits, tables, maxBucketSize))
@@ -1302,6 +1311,58 @@ object Dedup {
       .getOrElse((8, maxTables))
   }
 
+  /** Resolve a sign-LSH (bits, tables) request — the ONE sizing rule
+    * the in-frame door ([[nearDupEmbedding]]) and the store writer
+    * ([[writeEmbeddingStore]]) share, so their defaults can never drift
+    * again (review r17): both pinned (> 0) → verbatim, no validation of
+    * the recall target (the pre-r17 accept-anything contract); both
+    * unset → [[autoPlanes]] at the threshold; exactly one pinned →
+    * derive the other for the same target. Auto-resolved sizings that
+    * cannot reach the target (the 8-bit floor) WARN — a pinned sizing
+    * is the caller's informed choice and stays silent. */
+  private def resolvePlanes(ctx: String, threshold: Double,
+      targetRecall: Double, bits: Int, tables: Int,
+      maxTables: Int = 8): (Int, Int) = {
+    def checkTarget(): Unit = {
+      require(threshold > 0 && threshold <= 1,
+        s"$ctx: auto plane sizing needs a cosine threshold in (0, 1] — " +
+          s"got $threshold; pin bits and tables explicitly for operating " +
+          "points outside it")
+      require(targetRecall > 0 && targetRecall < 1,
+        s"$ctx: targetRecall $targetRecall outside (0, 1)")
+    }
+    val resolved = (bits > 0, tables > 0) match {
+      case (true, true) => (bits, tables)
+      case (false, false) =>
+        checkTarget()
+        if (threshold >= 1) (24, 1) // exact dups collide in any table
+        else autoPlanes(threshold, targetRecall, maxTables)
+      case (true, false) =>
+        checkTarget()
+        val t = if (threshold >= 1) 1 else tablesFor(threshold, targetRecall, bits)
+        require(t <= 64,
+          s"$ctx: $bits-bit signatures need $t tables for recall " +
+            s"$targetRecall at cosine $threshold — an index that large is " +
+            "almost certainly a mis-set operating point; use fewer bits " +
+            "or let autoPlanes choose (bits=0, tables=0)")
+        (bits, t)
+      case (false, true) =>
+        checkTarget()
+        (if (threshold >= 1) 24
+         else autoPlanes(threshold, targetRecall, maxTables = tables)._1,
+          tables)
+    }
+    if ((bits <= 0 || tables <= 0) && threshold < 1 &&
+        signRecall(threshold, resolved._1, resolved._2) < targetRecall - 1e-9)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"$ctx: auto-sized planes (${resolved._1} bits × ${resolved._2} " +
+          f"tables) reach only ${100 * signRecall(threshold, resolved._1, resolved._2)}%.0f%% " +
+          f"recall at cosine $threshold — the table budget cannot meet " +
+          f"targetRecall $targetRecall at this operating point (exact " +
+          "duplicates are still always caught)")
+    resolved
+  }
+
   /** Table property stamped by [[writeEmbeddingStore]]:
     * `v1:<bits>:<tables>`. */
   val EmbeddingStoreProp = "graft.dedup.embeddingParams"
@@ -1344,12 +1405,12 @@ object Dedup {
     * 1 − (1 − p^bits)^tables — exact duplicates always — while
     * PRECISION is exact (every emitted pair carries the true cosine).
     * Batches dedup against precisely what [[nearDupEmbedding]] finds on
-    * the union AT THE STAMPED (bits, tables): since the store's default
-    * is auto-sized (below) while the in-frame door's hand-set default
-    * stays (12, 4), comparing the two at their respective DEFAULTS
-    * diverges by the recall difference — pass the stamped planes to
-    * nearDupEmbedding for a like-for-like comparison
-    * (EmbeddingStoreSpec does exactly this).
+    * the union AT THE STAMPED (bits, tables). Both doors default to the
+    * same [[resolvePlanes]] auto-sizing, so defaults agree whenever the
+    * in-frame threshold equals this writer's `autoThreshold`; for any
+    * other operating point pass the stamped planes to nearDupEmbedding
+    * for a like-for-like comparison (EmbeddingStoreSpec does exactly
+    * this).
     *
     * Plane sizing is RECALL-TARGETED by default: bits/tables ≤ 0 (the
     * default) resolves via [[autoPlanes]] to the stamped operating
@@ -1368,36 +1429,8 @@ object Dedup {
       bits: Int = 0, tables: Int = 0, buckets: Int = 64,
       mode: String = "overwrite", maxBucketSize: Int = 100000,
       autoThreshold: Double = 0.95, targetRecall: Double = 0.9): Unit = {
-    // every path that USES the recall target validates it (autoPlanes
-    // owns the checks); the fully-pinned case ignores the target and
-    // keeps the pre-r17 accept-verbatim behavior — including table
-    // counts past what auto-sizing would consider sane
-    def checkTarget(): Unit = {
-      require(autoThreshold > 0 && autoThreshold < 1,
-        s"writeEmbeddingStore: autoThreshold $autoThreshold outside (0, 1)")
-      require(targetRecall > 0 && targetRecall < 1,
-        s"writeEmbeddingStore: targetRecall $targetRecall outside (0, 1)")
-    }
-    val (bitsR, tablesR) = (bits > 0, tables > 0) match {
-      case (true, true) => (bits, tables)
-      case (false, false) => autoPlanes(autoThreshold, targetRecall)
-      case (true, false) =>
-        checkTarget()
-        val t = tablesFor(autoThreshold, targetRecall, bits)
-        require(t <= 64,
-          s"writeEmbeddingStore: $bits-bit signatures need $t tables " +
-            s"for recall $targetRecall at cosine $autoThreshold — an " +
-            "index that large is almost certainly a mis-set operating " +
-            "point; use fewer bits or let autoPlanes choose (bits=0, " +
-            "tables=0)")
-        (bits, t)
-      case (false, true) =>
-        // widest signature reaching the target within the given table
-        // budget — autoPlanes' own scan (and its input validation)
-        checkTarget()
-        (autoPlanes(autoThreshold, targetRecall, maxTables = tables)._1,
-          tables)
-    }
+    val (bitsR, tablesR) = resolvePlanes("writeEmbeddingStore",
+      autoThreshold, targetRecall, bits, tables)
     val spark = df.sparkSession
     val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
     val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -1469,9 +1502,8 @@ object Dedup {
     * corpus, with the EXACT cosine attached (the verify is built in —
     * every emitted pair carries the true cosine, so filtering at a
     * threshold gives exactly what [[nearDupEmbedding]] finds on the
-    * union AT THE STAMPED (bits, tables) — not at the in-frame door's
-    * own (12, 4) default; see the writer's parity note). Returns
-    * (batch_id, corpus_id, cosine). */
+    * union AT THE STAMPED (bits, tables); see the writer's parity
+    * note). Returns (batch_id, corpus_id, cosine). */
   def embeddingCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -286,11 +286,66 @@ object DedupStreaming {
         col("id"), col("sig"), col("sh"), col("ts"))
       .as[MinhashBucketRow]
 
+    bandedPairsStream(banded, numHashes, b, threshold, maxBucketSize, ttlMs)
+  }
+
+  /** Streaming word-n-gram near-dup: the streaming tier of
+    * [[Dedup.nearDupNgram]], completing the streaming symmetry of the
+    * dedup family (minhash / simhash / embedding / n-gram). Identical
+    * state machinery to [[nearDupMinhashStream]] — MinHash-LSH banding
+    * over the n-gram hash set, exact n-gram-set jaccard verify,
+    * canonical-band exactly-once emission, cap/ghost/TTL semantics —
+    * with the token-level projection chain of the batch door (tokens
+    * materialized before the gram transform; null text dropped up
+    * front). */
+  def nearDupNgramStream(events: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, numHashes: Int = 64, bands: Int = 0,
+      maxBucketSize: Int = 100000, eventTimeCol: String = "",
+      watermarkDelay: String = "0 seconds", ttlMs: Long = 0L): Dataset[NearDupHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val b = if (bands > 0) bands else Dedup.autoBands(numHashes, threshold)
+    require(numHashes % b == 0, "numHashes must be divisible by bands")
+    val r = numHashes / b
+    val base = withWatermarkIf(events, eventTimeCol, watermarkDelay, ttlMs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.normalized(col(textCol)).as("__norm"),
+        tsCol(eventTimeCol, ttlMs).as("ts"))
+      .select(col("id"), col("ts"),
+        TextAnalysis.tokens(col("__norm")).as("__toks"))
+      .select(col("id"), col("ts"),
+        Dedup.ngramHashesOf(col("__toks"), n).as("sh"))
+      .select(col("id"), col("ts"), col("sh"),
+        Dedup.minhashSignatureHashed(numHashes)(col("sh")).as("sig"))
+    val banded = base.filter(col("sig").isNotNull && col("sh").isNotNull)
+      .select(
+        col("id"), col("sig"), col("sh"), col("ts"),
+        explode(transform(sequence(lit(0), lit(b - 1)),
+          bb => struct(bb.as("band"),
+            hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket")))).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("id"), col("sig"), col("sh"), col("ts"))
+      .as[MinhashBucketRow]
+    bandedPairsStream(banded, numHashes, b, threshold, maxBucketSize, ttlMs)
+  }
+
+  /** The banded stateful pair stream [[nearDupMinhashStream]] and
+    * [[nearDupNgramStream]] share: per-(band, bucket)
+    * flatMapGroupsWithState over [[MinhashBucketRow]]s — signature
+    * estimate + exact set-jaccard verify over `sh` (shingle hashes or
+    * n-gram hashes; the fold never cares which), canonical-band
+    * exactly-once emission, saturation ghosts, TTL eviction. */
+  private def bandedPairsStream(banded: Dataset[MinhashBucketRow],
+      numHashes: Int, bands: Int, threshold: Double, maxBucketSize: Int,
+      ttlMs: Long): Dataset[NearDupHit] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     val nh = numHashes
     val th = threshold
     val cap = maxBucketSize
     val ttl = ttlMs
-    val nBands = b
+    val nBands = bands
     banded.groupByKey(row => (row.band, row.bucket))
       .flatMapGroupsWithState[MinhashBucketState, NearDupHit](
         OutputMode.Append(), timeoutOf(ttl)) {

@@ -32,14 +32,17 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     val table = "graft_emb_store"
     drop(table)
     try {
-      // the writer's default is autoPlanes(0.95, 0.9) = (13, 8); the
-      // self-join reference must band with the SAME planes for parity
+      // BOTH doors default through the same resolvePlanes auto-sizing
+      // (autoPlanes(0.95, 0.9) = (13, 8)), so default-vs-default parity
+      // holds whenever the in-frame threshold equals the writer's
+      // autoThreshold — this comparison deliberately uses the DEFAULTS
+      // on both sides to pin that alignment (review r17)
       Dedup.writeEmbeddingStore(corpus, table)
       val viaStore = Dedup.embeddingCandidatesAgainstStore(spark, batch, table)
         .filter($"cosine" >= 0.95)
         .select($"corpus_id", $"batch_id").as[(Long, Long)].collect().toSet
       val cross = Dedup.nearDupEmbedding(corpus.unionByName(batch),
-          "vec_id", "embedding", threshold = 0.95, bits = 13, tables = 8)
+          "vec_id", "embedding", threshold = 0.95)
         .filter($"id_a" < 10000 && $"id_b" >= 10000)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(viaStore === cross,

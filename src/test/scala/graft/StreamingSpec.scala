@@ -541,6 +541,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming n-gram near-dup matches its batch tier, near pairs included") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // docs 1/3: identical after normalization (jaccard 1.0); docs 1/5: a
+    // one-word tail edit (high-but-sub-1.0 n-gram jaccard) — exercises
+    // the estimate + exact-verify path, not just exact dups; 2/4 noise
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "an entirely different document about spark streaming state",
+      3L -> "THE quick   brown fox jumps over the lazy dog again and again today",
+      4L -> "yet another unrelated piece of text with its own words",
+      5L -> "the quick brown fox jumps over the lazy dog again and again tomorrow")
+    val th = 0.55
+    val batch = graft.pipeline.Dedup.nearDupNgram(
+      docs.toDF("doc_id", "text"), "doc_id", "text", threshold = th)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(batch.map(p => (p._1, p._2)).contains((1L, 3L)),
+      "fixture sanity: the normalized-identical pair must verify at 1.0")
+    assert(batch.exists(p => p._3 < 1.0),
+      s"fixture sanity: want a sub-1.0 verified pair, got $batch")
+    val in = MemoryStream[(Long, String)]
+    val hits = graft.streaming.DedupStreaming.nearDupNgramStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = th)
+    val q = hits.writeStream.format("memory").queryName("ngramst")
+      .outputMode("append").start()
+    docs.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    val rows = spark.table("ngramst").select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    q.stop()
+    assert(rows.distinct.size == rows.size, s"duplicate emissions: $rows")
+    assert(rows.toSet === batch, s"stream=${rows.toSet} batch=$batch")
+    // null text must not kill the long-running query nor pair with anything
+    val in2 = MemoryStream[(Long, String)]
+    val hits2 = graft.streaming.DedupStreaming.nearDupNgramStream(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = th)
+    val q2 = hits2.writeStream.format("memory").queryName("ngramst2")
+      .outputMode("append").start()
+    in2.addData(Seq(10L -> null.asInstanceOf[String],
+      11L -> null.asInstanceOf[String], 12L -> docs.head._2))
+    q2.processAllAvailable()
+    val rows2 = spark.table("ngramst2").as[(Long, Long, Double, Double)].collect()
+    q2.stop()
+    assert(rows2.isEmpty, s"null-text rows paired: ${rows2.toSeq}")
+  }
+
   test("sessionization with flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
