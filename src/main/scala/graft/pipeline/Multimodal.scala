@@ -920,8 +920,8 @@ object Multimodal {
     * Undecodable/corrupt bytes yield null features and are dropped — they
     * cannot be near anything. Returns (id_a, id_b, cosine). */
   def nearDupImages(df: DataFrame, idCol: String, binCol: String,
-      threshold: Double, dim: Int = 64, bits: Int = 12,
-      tables: Int = 4): DataFrame =
+      threshold: Double, dim: Int = 64, bits: Int = 0,
+      tables: Int = 0): DataFrame =
     Dedup.nearDupEmbedding(
       df.select(col(idCol), imageFeatures(dim)(col(binCol)).as("__feat"))
         .filter(col("__feat").isNotNull),
@@ -931,8 +931,8 @@ object Multimodal {
     * frames → pooled pixel features) through the same sign-LSH bucketed
     * path as [[nearDupImages]]. Non-AVI / undecodable rows drop out. */
   def nearDupVideos(df: DataFrame, idCol: String, binCol: String,
-      threshold: Double, dim: Int = 64, nFrames: Int = 4, bits: Int = 12,
-      tables: Int = 4): DataFrame =
+      threshold: Double, dim: Int = 64, nFrames: Int = 4, bits: Int = 0,
+      tables: Int = 0): DataFrame =
     Dedup.nearDupEmbedding(
       df.select(col(idCol), videoFeatures(dim, nFrames)(col(binCol)).as("__feat"))
         .filter(col("__feat").isNotNull),

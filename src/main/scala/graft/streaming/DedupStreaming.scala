@@ -474,14 +474,21 @@ object DedupStreaming {
     * emission via the canonical-table rule ([[firstEqualSig]]); cap and
     * TTL semantics as [[nearDupMinhashStream]]. */
   def nearDupEmbeddingStream(events: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 12, tables: Int = 4,
+      threshold: Double, bits: Int = 0, tables: Int = 0,
       maxBucketSize: Int = 100000, eventTimeCol: String = "",
       watermarkDelay: String = "0 seconds", ttlMs: Long = 0L): Dataset[EmbHit] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val sigCols = (0 until tables).map(t =>
+    // same recall-targeted default sizing as the batch door (r17) —
+    // batch ≡ stream stays a default-vs-default property at equal
+    // thresholds. NB a plane change (auto or pinned) changes bucket
+    // keys: restarting on an old checkpoint after changing planes is
+    // the state-compatibility non-contract README documents.
+    val (bitsR, tablesR) = Dedup.resolvePlanes("nearDupEmbeddingStream",
+      threshold, targetRecall = 0.9, bits, tables)
+    val sigCols = (0 until tablesR).map(t =>
       struct(lit(t).as("t"),
-        graft.pipeline.Similarity.signSignatureSeeded(bits, t)(col("vec")).as("sig")))
+        graft.pipeline.Similarity.signSignatureSeeded(bitsR, t)(col("vec")).as("sig")))
     val banded = withWatermarkIf(events, eventTimeCol, watermarkDelay, ttlMs)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"),
