@@ -84,6 +84,32 @@ object PipelineQueries {
     d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
 
+  /** The stream≡batch pin the text near-dup streaming tiers share
+    * (pipe_stream_minhash / pipe_stream_ngram): drain the duped docs
+    * through the streaming door, full-outer sym-diff against the batch
+    * door's (id_a, id_b) pairs (pinned 0 by the oracle), and count the
+    * identical-fingerprint pairs (closed-form count(documents)). ONE
+    * copy, so the two tiers' pinning logic cannot drift (review r17). */
+  private def streamVsBatchTextPairs(s: SparkSession, dir: String,
+      name: String, streamDoor: DataFrame => DataFrame,
+      batchDoor: DataFrame => DataFrame): DataFrame = {
+    val all = docsWithDups(s, dir)
+    val pairs = graft.streaming.StreamDrain.availableNow(s, all, name,
+        streamDoor)
+      .dropDuplicates("id_a", "id_b")
+    val fps = all.select(col("doc_id").as("id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batchPairs = batchDoor(all).select("id_a", "id_b")
+    val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
+      .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
+      .filter(col("s").isNull || col("b").isNull)
+    pairs
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_stream_ident"))
+      .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ------------------------------------------------------ text analysis
@@ -310,49 +336,21 @@ object PipelineQueries {
     // is compared in-query against the batch tier — n_sym_diff MUST be 0
     // (same pairs), and the identical-fingerprint pair count is the
     // closed-form oracle.
-    "pipe_stream_minhash" -> ((s, dir) => {
-      val all = docsWithDups(s, dir)
-      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_minhash",
-          in => graft.streaming.DedupStreaming.nearDupMinhashStream(
-            in, "doc_id", "text", threshold = 1.0).toDF())
-        .dropDuplicates("id_a", "id_b")
-      val fps = all.select(col("doc_id").as("id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-      val batchPairs = Dedup.nearDupMinhash(all, "doc_id", "text", threshold = 1.0)
-        .select("id_a", "id_b")
-      val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
-        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
-        .filter(col("s").isNull || col("b").isNull)
-      pairs
-        .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-        .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-        .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_stream_ident"))
-        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
-    }),
+    "pipe_stream_minhash" -> ((s, dir) =>
+      streamVsBatchTextPairs(s, dir, "stream_minhash",
+        in => graft.streaming.DedupStreaming.nearDupMinhashStream(
+          in, "doc_id", "text", threshold = 1.0).toDF(),
+        all => Dedup.nearDupMinhash(all, "doc_id", "text", threshold = 1.0))),
 
     /** The streaming n-gram tier (r17): the same drain + batch-equality
       * pin as pipe_stream_minhash, over the token-level door — stream
       * pairs must equal [[Dedup.nearDupNgram]]'s (sym-diff 0), and the
       * identical-fingerprint pair count is count(documents). */
-    "pipe_stream_ngram" -> ((s, dir) => {
-      val all = docsWithDups(s, dir)
-      val pairs = graft.streaming.StreamDrain.availableNow(s, all, "stream_ngram",
-          in => graft.streaming.DedupStreaming.nearDupNgramStream(
-            in, "doc_id", "text", threshold = 1.0).toDF())
-        .dropDuplicates("id_a", "id_b")
-      val fps = all.select(col("doc_id").as("id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-      val batchPairs = Dedup.nearDupNgram(all, "doc_id", "text", threshold = 1.0)
-        .select("id_a", "id_b")
-      val symDiff = pairs.select(col("id_a"), col("id_b"), lit(1).as("s"))
-        .join(batchPairs.withColumn("b", lit(1)), Seq("id_a", "id_b"), "full")
-        .filter(col("s").isNull || col("b").isNull)
-      pairs
-        .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-        .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-        .agg(sum((col("fp_a") === col("fp_b")).cast("long")).as("n_stream_ident"))
-        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
-    }),
+    "pipe_stream_ngram" -> ((s, dir) =>
+      streamVsBatchTextPairs(s, dir, "stream_ngram",
+        in => graft.streaming.DedupStreaming.nearDupNgramStream(
+          in, "doc_id", "text", threshold = 1.0).toDF(),
+        all => Dedup.nearDupNgram(all, "doc_id", "text", threshold = 1.0))),
 
     // The streaming SimHash tier, drained the same way: pairs (and the
     // deterministic hamming values) must equal the batch tier's — the

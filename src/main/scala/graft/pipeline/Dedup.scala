@@ -1320,7 +1320,7 @@ object Dedup {
     * derive the other for the same target. Auto-resolved sizings that
     * cannot reach the target (the 8-bit floor) WARN — a pinned sizing
     * is the caller's informed choice and stays silent. */
-  private def resolvePlanes(ctx: String, threshold: Double,
+  private[graft] def resolvePlanes(ctx: String, threshold: Double,
       targetRecall: Double, bits: Int, tables: Int,
       maxTables: Int = 8): (Int, Int) = {
     def checkTarget(): Unit = {

@@ -273,20 +273,30 @@ object DedupStreaming {
       .select(col("id"), col("ts"),
         Dedup.minhashSigNative(col("__norm"), shingleK, numHashes).as("sig"),
         Dedup.shingleHashesNorm(col("__norm"), shingleK).as("sh"))
-    // a null text gives a null signature: drop such rows up front — one
-    // bad record must not NPE (and so kill) the long-running query, and
-    // the batch tier's Column math null-propagates them out the same way
-    val banded = base.filter(col("sig").isNotNull && col("sh").isNotNull)
+    bandedPairsStream(bandedRowsOf(base, b, r), numHashes, b, threshold,
+      maxBucketSize, ttlMs)
+  }
+
+  /** The banding projection [[nearDupMinhashStream]] and
+    * [[nearDupNgramStream]] share: null-signature rows dropped up front
+    * (one bad record must not NPE — and so kill — the long-running
+    * query; the batch tier's Column math null-propagates them the same
+    * way), then the per-band bucket hash — ONE copy, so the two text
+    * tiers can never band differently (review r17). Expects
+    * (id, ts, sig, sh). */
+  private def bandedRowsOf(base: DataFrame, bands: Int,
+      r: Int): Dataset[MinhashBucketRow] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.filter(col("sig").isNotNull && col("sh").isNotNull)
       .select(
-      col("id"), col("sig"), col("sh"), col("ts"),
-      explode(transform(sequence(lit(0), lit(b - 1)),
-        bb => struct(bb.as("band"),
-          hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket")))).as("bb"))
+        col("id"), col("sig"), col("sh"), col("ts"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          bb => struct(bb.as("band"),
+            hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket")))).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("id"), col("sig"), col("sh"), col("ts"))
       .as[MinhashBucketRow]
-
-    bandedPairsStream(banded, numHashes, b, threshold, maxBucketSize, ttlMs)
   }
 
   /** Streaming word-n-gram near-dup: the streaming tier of
@@ -318,16 +328,8 @@ object DedupStreaming {
         Dedup.ngramHashesOf(col("__toks"), n).as("sh"))
       .select(col("id"), col("ts"), col("sh"),
         Dedup.minhashSignatureHashed(numHashes)(col("sh")).as("sig"))
-    val banded = base.filter(col("sig").isNotNull && col("sh").isNotNull)
-      .select(
-        col("id"), col("sig"), col("sh"), col("ts"),
-        explode(transform(sequence(lit(0), lit(b - 1)),
-          bb => struct(bb.as("band"),
-            hash(slice(col("sig"), bb * r + 1, lit(r))).as("bucket")))).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("id"), col("sig"), col("sh"), col("ts"))
-      .as[MinhashBucketRow]
-    bandedPairsStream(banded, numHashes, b, threshold, maxBucketSize, ttlMs)
+    bandedPairsStream(bandedRowsOf(base, b, r), numHashes, b, threshold,
+      maxBucketSize, ttlMs)
   }
 
   /** The banded stateful pair stream [[nearDupMinhashStream]] and
