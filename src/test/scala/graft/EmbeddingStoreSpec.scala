@@ -100,6 +100,49 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     } finally drop(table)
   }
 
+  test("cross-append growth: join-time skip, compactEmbeddingStore ≡ fresh overwrite") {
+    // identical vectors share every (t, sig) membership, so per-batch-
+    // capped appends still grow those buckets past the cap
+    val rnd = new java.util.Random(0xE5B2)
+    val boiler = rv(rnd)
+    val others = (0 until 10).map(_ => rv(rnd))
+    val cap = 4
+    val corpus1 = ((0 until 3).map(i => (i.toLong, boiler)) ++
+      (0 until 5).map(i => (10L + i, others(i)))).toDF("vec_id", "embedding")
+    val corpus2 = ((3 until 6).map(i => (i.toLong, boiler)) ++
+      (5 until 10).map(i => (10L + i, others(i)))).toDF("vec_id", "embedding")
+    val table = "graft_emb_store_grow"
+    val fresh = "graft_emb_store_grow_fresh"
+    drop(table); drop(fresh)
+    try {
+      Dedup.writeEmbeddingStore(corpus1, table, maxBucketSize = cap)
+      Dedup.writeEmbeddingStore(corpus2, table, mode = "append",
+        maxBucketSize = cap)
+      val boilerProbe = Seq((30000L, boiler)).toDF("vec_id", "embedding")
+      assert(Dedup.embeddingCandidatesAgainstStore(spark, boilerProbe, table,
+        maxBucketSize = cap).filter($"corpus_id" < 6L).isEmpty,
+        "grown bucket must be skipped at join time, not exploded")
+      Dedup.compactEmbeddingStore(spark, table, maxBucketSize = cap)
+      Dedup.writeEmbeddingStore(corpus1.unionByName(corpus2), fresh,
+        maxBucketSize = cap)
+      val cols = Seq($"id", $"t", $"sig")
+      val gotRows = spark.table(table).select(cols: _*)
+        .as[(Long, Int, Long)].collect().toSet
+      val freshRows = spark.table(fresh).select(cols: _*)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(gotRows === freshRows,
+        "compacted bucket table diverges from a fresh overwrite")
+      assert(gotRows.nonEmpty && !gotRows.exists(_._1 < 6L),
+        "boilerplate bucket rows must be gone, the rest intact")
+      // the stamp survived the swap: an exact dup of an un-grown vector
+      // still matches through the compacted store
+      val probe = Seq((30001L, others(3))).toDF("vec_id", "embedding")
+      assert(Dedup.embeddingCandidatesAgainstStore(spark, probe, table,
+          maxBucketSize = cap)
+        .filter($"corpus_id" === 13L && $"cosine" > 0.9999).count() === 1)
+    } finally { drop(table); drop(fresh) }
+  }
+
   test("signRecall / autoPlanes: the sign-LSH curve and its recall-targeted sizing") {
     // Charikar sign-LSH: recall(c) = 1 − (1 − p^bits)^tables with
     // p = 1 − acos(c)/π. Hand-computed anchors at cosine 0.95

@@ -123,4 +123,44 @@ class SimhashStoreSpec extends AnyFunSuite {
       assert(mixed.getMessage.contains("stamped"))
     } finally drop(table)
   }
+
+  test("cross-append growth: join-time skip, compactSimhashStore ≡ fresh overwrite") {
+    // identical texts share all four (chunk, bucket) memberships, so
+    // per-batch-capped appends still grow those buckets past the cap
+    val boiler = "the same boilerplate licence text repeated verbatim " +
+      "across every appended batch of this corpus"
+    val cap = 4
+    val corpus1 = ((0 until 3).map(i => (i.toLong, boiler)) ++
+      (10 until 15).map(i => (i.toLong, docText(i)))).toDF("doc_id", "text")
+    val corpus2 = ((3 until 6).map(i => (i.toLong, boiler)) ++
+      (15 until 20).map(i => (i.toLong, docText(i)))).toDF("doc_id", "text")
+    val table = "graft_sh_store_grow"
+    val fresh = "graft_sh_store_grow_fresh"
+    drop(table); drop(fresh)
+    try {
+      Dedup.writeSimhashStore(corpus1, table, maxBucketSize = cap)
+      Dedup.writeSimhashStore(corpus2, table, mode = "append",
+        maxBucketSize = cap)
+      val boilerProbe = Seq((30000L, boiler)).toDF("doc_id", "text")
+      assert(Dedup.simhashCandidatesAgainstStore(spark, boilerProbe, table,
+        maxBucketSize = cap).filter($"corpus_id" < 6L).isEmpty,
+        "grown bucket must be skipped at join time, not exploded")
+      Dedup.compactSimhashStore(spark, table, maxBucketSize = cap)
+      Dedup.writeSimhashStore(corpus1.unionByName(corpus2), fresh,
+        maxBucketSize = cap)
+      val cols = Seq($"id", $"sim", $"chunk", $"bucket")
+      val gotRows = spark.table(table).select(cols: _*)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      val freshRows = spark.table(fresh).select(cols: _*)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      assert(gotRows === freshRows,
+        "compacted chunk table diverges from a fresh overwrite")
+      assert(gotRows.nonEmpty && !gotRows.exists(_._1 < 6L),
+        "boilerplate chunk rows must be gone, the rest intact")
+      // the stamp survived the swap: the candidates door still works
+      val docProbe = Seq((30001L, docText(12))).toDF("doc_id", "text")
+      assert(Dedup.simhashCandidatesAgainstStore(spark, docProbe, table,
+        maxBucketSize = cap).filter($"corpus_id" === 12L).count() === 1)
+    } finally { drop(table); drop(fresh) }
+  }
 }
