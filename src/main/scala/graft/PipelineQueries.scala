@@ -950,6 +950,25 @@ object PipelineQueries {
           sum(col("doc_id")).as("clean_id_sum")))
     }),
 
+    /** The decontamination tier of the persistent index family (r17):
+      * the SAME fixture and oracle SQL as pipe_decontam, but the eval
+      * grams come from a [[Dedup.writeDecontamStore]] table (hash-only,
+      * broadcast at join time) instead of a per-call bench pass — the
+      * store door must reproduce the direct door's answer exactly. */
+    "pipe_decontam_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_dc_store")
+      Dedup.writeDecontamStore(bench, "graft_q_dc_store", n = 8)
+      val contam = Dedup.contaminatedAgainstStore(s, docs, "doc_id", "text",
+        "graft_q_dc_store")
+      val clean = Dedup.decontaminateAgainstStore(s, docs, "doc_id", "text",
+        "graft_q_dc_store")
+      contam.agg(count(lit(1)).as("n_contam"))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean"),
+          sum(col("doc_id")).as("clean_id_sum")))
+    }),
+
     // ---------------------------------- repetition signals (Gopher-style)
     "pipe_text2" -> ((s, dir) => {
       val txt = col("text")
@@ -1327,6 +1346,23 @@ object PipelineQueries {
         |   / CAST(greatest(len(t) - 7, 1) AS DOUBLE) AS dup_frac
         |FROM tk LEFT JOIN dup USING (id) ORDER BY id""".stripMargin,
     "pipe_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS tk
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+        |  THEN list_transform(generate_series(1, len(tk) - 7),
+        |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+        |  ELSE [array_to_string(tk, ' ')] END) AS gram FROM toks),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+        |SELECT (SELECT count(*) FROM contam) AS n_contam,
+        | (SELECT count(*) FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS n_clean,
+        | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS clean_id_sum""".stripMargin,
+    // the store door must reproduce the direct door's answer exactly —
+    // identical oracle SQL, store-vs-direct equality is the whole pin
+    "pipe_decontam_store" ->
       """WITH toks AS (SELECT doc_id,
         |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS tk
         | FROM documents),

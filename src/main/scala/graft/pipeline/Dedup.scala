@@ -1606,6 +1606,100 @@ object Dedup {
     train.join(bad, train(trainId) === bad("id"), "left_anti")
   }
 
+  // --------------------------------------------- decontamination store
+
+  /** Table property stamped by [[writeDecontamStore]]: `v1:<n>`. */
+  val DecontamStoreProp = "graft.dedup.decontamParams"
+
+  /** Persist a benchmark/eval suite's distinct word-n-gram HASH set —
+    * the decontamination tier of the persistent index family: eval
+    * suites are stable across ingest batches, so the
+    * normalize→tokenize→gram pass over them is paid ONCE here and every
+    * later batch pays only its own gram stream plus a broadcast join
+    * against this (small — one 8-byte hash per distinct gram) table.
+    * Grams travel as xxhash64 longs, the family's hash-only discipline
+    * (collisions ~2⁻⁶⁴); docs shorter than `n` tokens contribute their
+    * whole text as one gram, matching [[contaminated]]. One column
+    * (`gram` BIGINT) bucketed by gram; the stamped `n` refuses mixed
+    * gram lengths at both doors (grams of different n never match —
+    * every miss would be silent). `mode = "append"` ingests additional
+    * eval suites (batch-distinct on write; cross-append duplicates are
+    * harmless — the join door re-distincts its broadcast side). */
+  def writeDecontamStore(bench: DataFrame, table: String,
+      textCol: String = "text", n: Int = 8, buckets: Int = 16,
+      mode: String = "overwrite"): Unit = {
+    val spark = bench.sparkSession
+    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val payload = s"v1:$n"
+    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
+    if (modeNorm != "overwrite" && existedBefore) {
+      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
+        .properties.get(DecontamStoreProp)
+      require(prev.contains(payload),
+        s"writeDecontamStore: mode=$mode with params $payload onto a " +
+          s"store stamped ${prev.getOrElse("(no stamp)")} — grams of a " +
+          "different n never match and every miss is silent; reuse the " +
+          "stamped n, or rewrite with mode=overwrite")
+    }
+    val grams = ngramSets(bench.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol, n)
+      .select(explode(col("ng")).as("gram")).distinct()
+    grams
+      .repartition(buckets, col("gram"))
+      .write.mode(mode).bucketBy(buckets, "gram").sortBy("gram")
+      .format("parquet").saveAsTable(table)
+    stampStore(spark, table, modeNorm, existedBefore, DecontamStoreProp, payload)
+  }
+
+  /** The stamped n of a [[writeDecontamStore]] table; errors loudly
+    * when absent or unreadable. */
+  private def decontamStoreN(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val stamp = readStoreStamp(spark, table, DecontamStoreProp)
+    stamp.map(_.split(':')) match {
+      case Some(Array("v1", n)) =>
+        try n.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"decontam store $table: unreadable $DecontamStoreProp stamp " +
+              s"'${stamp.get}' — rewrite with writeDecontamStore")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$table is not a writeDecontamStore table (no readable " +
+          s"$DecontamStoreProp stamp) — write it with writeDecontamStore")
+    }
+  }
+
+  /** [[contaminated]] against a [[writeDecontamStore]] suite: train rows
+    * sharing at least one word n-gram (at the STAMPED n) with the stored
+    * eval grams. The store side is re-distincted (append overlap) and
+    * broadcast — eval suites are small by definition, the same premise
+    * as the direct door — so the 100 TB train side never shuffles for
+    * the join; its only shuffle is the final id-distinct. Returns the
+    * distinct contaminated train ids. */
+  def contaminatedAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      train: DataFrame, trainId: String, trainText: String,
+      table: String): DataFrame = {
+    val n = decontamStoreN(spark, table)
+    val store = spark.table(table)
+    require(store.columns.contains("gram"),
+      s"$table does not have writeDecontamStore's (gram) layout")
+    val tg = ngramSets(train, trainId, trainText, n)
+      .select(col("id"), explode(col("ng")).as("gram"))
+    tg.join(broadcast(store.select(col("gram")).distinct()), Seq("gram"))
+      .select("id").distinct()
+  }
+
+  /** [[decontaminate]] against a [[writeDecontamStore]] suite: train
+    * rows sharing NO stored gram, all columns kept. */
+  def decontaminateAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      train: DataFrame, trainId: String, trainText: String,
+      table: String): DataFrame = {
+    val bad = contaminatedAgainstStore(spark, train, trainId, trainText, table)
+    train.join(bad, train(trainId) === bad("id"), "left_anti")
+  }
+
   // ------------------------------------ cross-document duplicated spans
 
   /** Token k-gram hashes WITH multiplicity and position order (unlike
