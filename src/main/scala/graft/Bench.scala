@@ -312,6 +312,21 @@ object Bench {
       s.range(64L * 1000 * 1000)
         .select(xxhash64(xxhash64(col("id")), col("id")).as("h"))
     }),
+    // the ALLOCATION/memory-bound calibration twin (r17): md5 over a
+    // per-row string materializes buffers and streams memory where
+    // calib_cpu's hash chain stays in registers. The r17 isolation
+    // probes (ProbeKeyIso) found the allocation-heavy workload keys
+    // (pipe_audio, geo_scan_overlay, pipe_ann_ivfpq) inflated 1.3-1.8×
+    // in windows where calib_cpu held flat — host-level memory-bandwidth
+    // or GC pressure that register-bound work never sees. The PAIR
+    // discriminates: calib_cpu up → CPU contention; calib_alloc up
+    // alone → memory-side contention; both flat but workloads up →
+    // suspect the code.
+    "calib_alloc" -> ((s, _) => {
+      s.range(8L * 1000 * 1000)
+        .select(md5(concat(col("id").cast("string"),
+          lit("-"), (col("id") * 31).cast("string"))).as("h"))
+    }),
     // whole-corpus reprojection (r16, VERDICT #2): st_to_srid is the one
     // §2 family with no bench coverage, and at 100 TB a reprojection is
     // a full scan — lon/lat lattice → web mercator, coordinate checksum
@@ -568,8 +583,11 @@ object Bench {
       factor: Double = 2.0, floor: Double = 0.1): Boolean =
     ref > 0 && minSec > factor * ref + floor
 
-  /** The calibration key's name and its tighter contention rule. */
-  private[graft] val CalibKey = "calib_cpu"
+  /** The calibration keys and their tighter contention rule —
+    * calib_cpu (register-bound) and calib_alloc (allocation/memory-
+    * bound); see the key comments for how the pair discriminates
+    * contention modes. */
+  private[graft] val CalibKeys = Set("calib_cpu", "calib_alloc")
   private[graft] def contendedCalib(minSec: Double, ref: Double): Boolean =
     contendedKey(minSec, ref, factor = 1.25, floor = 0.05)
 
@@ -620,7 +638,7 @@ object Bench {
     val (refFile, band) = referenceBand(sfDir)
     val contended = results.collect {
       case (n, v, _, _, mn) if v >= 0 && band.get(n).exists(ref =>
-          if (n == CalibKey) contendedCalib(mn, ref)
+          if (CalibKeys(n)) contendedCalib(mn, ref)
           else contendedKey(mn, ref)) =>
         "\"" + n + "\""
     }.mkString("[", ",", "]")
