@@ -575,10 +575,11 @@ object Bench {
     * rides on top of the multiplier so 100-150 ms keys can't flap on
     * scheduler jitter, exactly as STATUS documents). Workload keys use
     * 2×/0.1 s — a genuine 2× code regression also fires it, correctly:
-    * either way the number needs a quiet re-measure. The calib_cpu key
-    * uses 1.25×/0.05 s ([[CalibKey]]): it is fixture-fixed and purely
-    * CPU-bound, so even the modest uniform inflation of a busy
-    * neighbor (r16: 1.3×) is signal there, not noise. */
+    * either way the number needs a quiet re-measure. The calibration
+    * keys ([[CalibKeys]]: calib_cpu and calib_alloc) use 1.25×/0.05 s:
+    * they are fixture-fixed and purely compute-bound, so even the
+    * modest uniform inflation of a busy neighbor (r16: 1.3×) is signal
+    * there, not noise. */
   private[graft] def contendedKey(minSec: Double, ref: Double,
       factor: Double = 2.0, floor: Double = 0.1): Boolean =
     ref > 0 && minSec > factor * ref + floor

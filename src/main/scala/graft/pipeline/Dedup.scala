@@ -167,6 +167,30 @@ object Dedup {
       spark.sessionState.catalog.getTableMetadata(id).properties.get(prop)
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  /** The store writers' shared PROLOGUE ([[stampStore]]'s opening
+    * bracket): normalize the mode, resolve prior existence, and refuse
+    * a non-overwrite write whose parameters don't match the stamp —
+    * mixed parameters hash different buckets (or grams of a different
+    * n) and silently miss pairs. One copy for all four tiers (review
+    * r17 — the fourth paste had already drifted its message). */
+  private def checkStoreWrite(spark: org.apache.spark.sql.SparkSession,
+      table: String, mode: String, prop: String, payload: String,
+      writer: String): (String, Boolean) = {
+    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
+    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
+    if (modeNorm != "overwrite" && existedBefore) {
+      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
+        .properties.get(prop)
+      require(prev.contains(payload),
+        s"$writer: mode=$mode with params $payload onto a store " +
+          s"stamped ${prev.getOrElse("(no stamp)")} — mixed parameters " +
+          "(or an old store layout) silently miss pairs; reuse the " +
+          "stamped parameters, or rewrite with mode=overwrite")
+    }
+    (modeNorm, existedBefore)
+  }
+
   /** Stamp a store's parameter property when the write mode actually
     * wrote — the shared finish of both index writers. */
   private def stampStore(spark: org.apache.spark.sql.SparkSession,
@@ -467,18 +491,8 @@ object Dedup {
       numHashes: Int, bands: Int, buckets: Int, mode: String,
       maxBucketSize: Int, writer: String): Unit = {
     val spark = df.sparkSession
-    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
-    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
-    if (modeNorm != "overwrite" && existedBefore) {
-      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
-        .properties.get(prop)
-      require(prev.contains(payload),
-        s"$writer: mode=$mode with params $payload onto a store " +
-          s"stamped ${prev.getOrElse("(no stamp)")} — mixed parameters " +
-          "(or an old store layout) silently miss pairs; reuse the " +
-          "stamped parameters, or rewrite with mode=overwrite")
-    }
+    val (modeNorm, existedBefore) =
+      checkStoreWrite(spark, table, mode, prop, payload, writer)
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // UNSET the stamp for the duration of the two-table write: the two
     // saves are not atomic, and a crash between them must leave a store
@@ -1125,18 +1139,9 @@ object Dedup {
       buckets: Int = 64, mode: String = "overwrite",
       maxBucketSize: Int = 100000): Unit = {
     val spark = df.sparkSession
-    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
-    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val payload = "v1:4"
-    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
-    if (modeNorm != "overwrite" && existedBefore) {
-      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
-        .properties.get(SimhashStoreProp)
-      require(prev.contains(payload),
-        s"writeSimhashStore: mode=$mode onto a table stamped " +
-          s"${prev.getOrElse("(no stamp)")} (want $payload) — not a " +
-          "compatible simhash store")
-    }
+    val (modeNorm, existedBefore) = checkStoreWrite(spark, table, mode,
+      SimhashStoreProp, payload, "writeSimhashStore")
     capBucketsWarn(simhashChunked(df, idCol, textCol),
       Seq("chunk", "bucket"), maxBucketSize,
       s"writeSimhashStore($table)") { chunked =>
@@ -1432,19 +1437,9 @@ object Dedup {
     val (bitsR, tablesR) = resolvePlanes("writeEmbeddingStore",
       autoThreshold, targetRecall, bits, tables)
     val spark = df.sparkSession
-    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
-    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val payload = s"v1:$bitsR:$tablesR"
-    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
-    if (modeNorm != "overwrite" && existedBefore) {
-      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
-        .properties.get(EmbeddingStoreProp)
-      require(prev.contains(payload),
-        s"writeEmbeddingStore: mode=$mode with params $payload onto a " +
-          s"store stamped ${prev.getOrElse("(no stamp)")} — mixed plane " +
-          "parameters hash different buckets and silently miss pairs; " +
-          "reuse the stamped parameters, or rewrite with mode=overwrite")
-    }
+    val (modeNorm, existedBefore) = checkStoreWrite(spark, table, mode,
+      EmbeddingStoreProp, payload, "writeEmbeddingStore")
     if (existedBefore && (modeNorm == "overwrite" || modeNorm == "append"))
       try spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
         s"UNSET TBLPROPERTIES IF EXISTS ('$EmbeddingStoreProp')")
@@ -1586,12 +1581,19 @@ object Dedup {
     // materialize the token array per document BEFORE the gram transform
     // (the per-element re-tokenization trap wordNgrams documents): the
     // tokenizer regex runs once per document, not once per gram position
-    // — this is the 100 TB side of the module
+    // — this is the 100 TB side of the module.
+    // Null text filtered on BOTH sides: without it, null tokens fall to
+    // wordNgramsOfTokens' whole-text branch as the [""] gram, so one
+    // null-text bench row would mark every null-text train row
+    // contaminated — and the store door ([[contaminatedAgainstStore]]),
+    // which null-filters in ngramSets, would disagree (review r17)
     val tg = train
+      .filter(col(trainText).isNotNull)
       .select(col(trainId).as("id"),
         TextAnalysis.tokens(TextAnalysis.normalized(col(trainText))).as("__toks"))
       .select(col("id"), explode(wordNgramsOfTokens(col("__toks"), n)).as("gram"))
     val bg = bench
+      .filter(col(benchText).isNotNull)
       .select(TextAnalysis.tokens(TextAnalysis.normalized(col(benchText))).as("__toks"))
       .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("gram")).distinct()
     tg.join(broadcast(bg), Seq("gram")).select("id").distinct()
@@ -1620,34 +1622,30 @@ object Dedup {
     * Grams travel as xxhash64 longs, the family's hash-only discipline
     * (collisions ~2⁻⁶⁴); docs shorter than `n` tokens contribute their
     * whole text as one gram, matching [[contaminated]]. One column
-    * (`gram` BIGINT) bucketed by gram; the stamped `n` refuses mixed
-    * gram lengths at both doors (grams of different n never match —
-    * every miss would be silent). `mode = "append"` ingests additional
-    * eval suites (batch-distinct on write; cross-append duplicates are
-    * harmless — the join door re-distincts its broadcast side). */
+    * (`gram` BIGINT), plain parquet — the join door BROADCASTS the
+    * table, which ignores bucketing, so no bucketed layout is paid
+    * for. The stamped `n` refuses mixed gram lengths at both doors
+    * (grams of different n never match — every miss would be silent).
+    * `mode = "append"` ingests additional eval suites (batch-distinct
+    * on write; cross-append duplicates are harmless — the join door
+    * re-distincts its broadcast side). */
   def writeDecontamStore(bench: DataFrame, table: String,
       textCol: String = "text", n: Int = 8, buckets: Int = 16,
       mode: String = "overwrite"): Unit = {
     val spark = bench.sparkSession
-    val modeNorm = mode.toLowerCase(java.util.Locale.ROOT)
-    val tableId = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val payload = s"v1:$n"
-    val existedBefore = spark.sessionState.catalog.tableExists(tableId)
-    if (modeNorm != "overwrite" && existedBefore) {
-      val prev = spark.sessionState.catalog.getTableMetadata(tableId)
-        .properties.get(DecontamStoreProp)
-      require(prev.contains(payload),
-        s"writeDecontamStore: mode=$mode with params $payload onto a " +
-          s"store stamped ${prev.getOrElse("(no stamp)")} — grams of a " +
-          "different n never match and every miss is silent; reuse the " +
-          "stamped n, or rewrite with mode=overwrite")
-    }
+    val (modeNorm, existedBefore) = checkStoreWrite(spark, table, mode,
+      DecontamStoreProp, payload, "writeDecontamStore")
     val grams = ngramSets(bench.select(lit(0L).as("__id"), col(textCol)),
         "__id", textCol, n)
       .select(explode(col("ng")).as("gram")).distinct()
+    // plain parquet, no bucketBy: the only reader BROADCASTS the table
+    // (a broadcast join ignores bucketing), so a bucketed layout would
+    // pay a write-side sort for zero read-side benefit (review r17);
+    // the repartition just bounds the file count of a small table
     grams
-      .repartition(buckets, col("gram"))
-      .write.mode(mode).bucketBy(buckets, "gram").sortBy("gram")
+      .repartition(buckets)
+      .write.mode(mode)
       .format("parquet").saveAsTable(table)
     stampStore(spark, table, modeNorm, existedBefore, DecontamStoreProp, payload)
   }

@@ -19,10 +19,14 @@ object ProbeKeyIso {
   def main(args: Array[String]): Unit = {
     val key = sys.env.getOrElse("SPARK_GRAFT_KEY", "pipe_audio")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the same parallelism knob Bench.main honors — an isolated reading
+    // at different parallelism would be incomparable to the bench run
+    // it adjudicates (review r17)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
