@@ -966,6 +966,52 @@ object Dedup {
       s"SET TBLPROPERTIES ('$prop'='$payload')")
   }
 
+  /** Bucket-occupancy statistics of a persistent index's slim bucket
+    * table — the PROACTIVE "do I need compaction?" door (the join-time
+    * over-cap warning is the reactive one): one row of
+    * (n_rows, n_buckets, max_bucket, n_over_cap) with `n_over_cap`
+    * counting bucket groups past `cap`. The aggregation rides the
+    * store's own bucketing — no exchange. */
+  private def storeBucketStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, bucketCols: Seq[String], cap: Int): DataFrame =
+    spark.table(table)
+      .groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("__n")).as("max_bucket"),
+        sum((col("__n") > cap).cast("long")).as("n_over_cap"))
+
+  /** [[storeBucketStats]] for a [[writeMinhashStore]] index (stamp
+    * verified): `n_over_cap > 0` means [[capBucketsJoint]] will skip
+    * those buckets at join time — run [[compactMinhashStore]]. */
+  def minhashStoreStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): DataFrame = {
+    minhashStoreParams(spark, table)
+    storeBucketStats(spark, table, Seq("band", "bucket"), maxBucketSize)
+  }
+
+  /** [[storeBucketStats]] for a [[writeNgramStore]] index. */
+  def ngramStoreStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): DataFrame = {
+    ngramStoreParams(spark, table)
+    storeBucketStats(spark, table, Seq("band", "bucket"), maxBucketSize)
+  }
+
+  /** [[storeBucketStats]] for a [[writeSimhashStore]] index. */
+  def simhashStoreStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): DataFrame = {
+    verifySimhashStore(spark, table)
+    storeBucketStats(spark, table, Seq("chunk", "bucket"), maxBucketSize)
+  }
+
+  /** [[storeBucketStats]] for a [[writeEmbeddingStore]] index. */
+  def embeddingStoreStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBucketSize: Int = 100000): DataFrame = {
+    embeddingStoreParams(spark, table)
+    storeBucketStats(spark, table, Seq("t", "sig"), maxBucketSize)
+  }
+
   /** Compact a [[writeMinhashStore]] index: re-apply the hot-bucket cap
     * across everything appended so far (same WARN discipline as write
     * time) and rewrite the slim band table in place. Post-compaction the

@@ -123,9 +123,21 @@ class MinhashStoreSpec extends AnyFunSuite {
         maxBucketSize = cap)
         .filter($"corpus_id" === 12L && $"jaccard_est" === 1.0)
         .count() === 1)
+      // the proactive stats door sees the growth before any join does
+      // ≥8 over-cap groups (the boilerplate's 8 bands; the similar
+      // docText docs add a few of their own) and a max of ≥6 (the six
+      // boiler copies, +1 when a docText row shares the bucket)
+      val pre = Dedup.minhashStoreStats(spark, table, maxBucketSize = cap)
+        .as[(Long, Long, Long, Long)].head()
+      assert(pre._4 >= 8L && pre._3 >= 6L,
+        s"stats must show the grown buckets: $pre")
       // compaction re-caps across everything appended so far; the
       // result must equal a fresh overwrite of the accumulated corpus
       Dedup.compactMinhashStore(spark, table, maxBucketSize = cap)
+      val post = Dedup.minhashStoreStats(spark, table, maxBucketSize = cap)
+        .as[(Long, Long, Long, Long)].head()
+      assert(post._4 === 0L && post._3 <= cap.toLong,
+        s"stats must be clean after compaction: $post")
       Dedup.writeMinhashStore(corpus1.unionByName(corpus2), fresh,
         maxBucketSize = cap)
       val gotRows = spark.table(table).select($"id", $"band", $"bucket")
