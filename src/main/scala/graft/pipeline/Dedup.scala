@@ -977,10 +977,16 @@ object Dedup {
     spark.table(table)
       .groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-      .agg(sum(col("__n")).as("n_rows"),
+      // coalesce: sum/max over an EMPTY bucket set (empty corpus, or a
+      // write that dropped every group) are null, and the documented
+      // one-row read pattern must see zeros; cap <= 0 follows the
+      // family convention (cap disabled → nothing is over it)
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_buckets"),
-        max(col("__n")).as("max_bucket"),
-        sum((col("__n") > cap).cast("long")).as("n_over_cap"))
+        coalesce(max(col("__n")), lit(0L)).as("max_bucket"),
+        (if (cap <= 0) lit(0L)
+         else coalesce(sum((col("__n") > cap).cast("long")), lit(0L)))
+          .as("n_over_cap"))
 
   /** [[storeBucketStats]] for a [[writeMinhashStore]] index (stamp
     * verified): `n_over_cap > 0` means [[capBucketsJoint]] will skip

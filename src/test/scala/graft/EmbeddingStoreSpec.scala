@@ -122,7 +122,15 @@ class EmbeddingStoreSpec extends AnyFunSuite {
       assert(Dedup.embeddingCandidatesAgainstStore(spark, boilerProbe, table,
         maxBucketSize = cap).filter($"corpus_id" < 6L).isEmpty,
         "grown bucket must be skipped at join time, not exploded")
+      val pre = Dedup.embeddingStoreStats(spark, table, maxBucketSize = cap)
+        .as[(Long, Long, Long, Long)].head()
+      assert(pre._4 >= 8L && pre._3 >= 6L,
+        s"stats must show the grown (t, sig) buckets: $pre")
       Dedup.compactEmbeddingStore(spark, table, maxBucketSize = cap)
+      val post = Dedup.embeddingStoreStats(spark, table, maxBucketSize = cap)
+        .as[(Long, Long, Long, Long)].head()
+      assert(post._4 === 0L && post._3 <= cap.toLong,
+        s"stats must be clean after compaction: $post")
       Dedup.writeEmbeddingStore(corpus1.unionByName(corpus2), fresh,
         maxBucketSize = cap)
       val cols = Seq($"id", $"t", $"sig")

@@ -85,11 +85,19 @@ class NgramStoreSpec extends AnyFunSuite {
         threshold = 0.5)
       assert(novel2.select($"doc_id").as[Long].collect().toSeq === Seq(30002L),
         "the appended batch-1 novel must now catch its batch-2 dup")
-      // compaction with ample cap is behavior-preserving
+      // compaction with ample cap is behavior-preserving, and the
+      // stats door reads clean at the default cap (plus: a disabled
+      // cap reports nothing over it, the family convention)
       Dedup.compactNgramStore(spark, table)
       val novel2b = Dedup.ngramNovelAgainstStore(spark, batch2, table,
         threshold = 0.5)
       assert(novel2b.select($"doc_id").as[Long].collect().toSeq === Seq(30002L))
+      val stats = Dedup.ngramStoreStats(spark, table)
+        .as[(Long, Long, Long, Long)].head()
+      assert(stats._1 > 0L && stats._4 === 0L, s"unexpected stats: $stats")
+      val uncapped = Dedup.ngramStoreStats(spark, table, maxBucketSize = 0)
+        .as[(Long, Long, Long, Long)].head()
+      assert(uncapped._4 === 0L, "disabled cap must report zero over-cap")
     } finally drop(table)
   }
 

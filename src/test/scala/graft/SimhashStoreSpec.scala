@@ -145,7 +145,15 @@ class SimhashStoreSpec extends AnyFunSuite {
       assert(Dedup.simhashCandidatesAgainstStore(spark, boilerProbe, table,
         maxBucketSize = cap).filter($"corpus_id" < 6L).isEmpty,
         "grown bucket must be skipped at join time, not exploded")
+      val pre = Dedup.simhashStoreStats(spark, table, maxBucketSize = cap)
+        .as[(Long, Long, Long, Long)].head()
+      assert(pre._4 >= 4L && pre._3 >= 6L,
+        s"stats must show the grown chunk buckets: $pre")
       Dedup.compactSimhashStore(spark, table, maxBucketSize = cap)
+      val post = Dedup.simhashStoreStats(spark, table, maxBucketSize = cap)
+        .as[(Long, Long, Long, Long)].head()
+      assert(post._4 === 0L && post._3 <= cap.toLong,
+        s"stats must be clean after compaction: $post")
       Dedup.writeSimhashStore(corpus1.unionByName(corpus2), fresh,
         maxBucketSize = cap)
       val cols = Seq($"id", $"sim", $"chunk", $"bucket")
