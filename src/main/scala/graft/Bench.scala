@@ -511,18 +511,99 @@ object Bench {
     (med, spread, spread > 0.5 * med, samples.min)
   }
 
-  /** Per-key reference band: the newest `BENCH_r*.json` in the working
+  /** The locally-maintained band file: `{"<sfDir>": {"<key>": sec}}`,
+    * per-key MIN of the run medians across every bench run on this box.
+    * [[main]] merges each run into it AFTER reading the reference (a run
+    * never bands itself), and [[referenceBand]] prefers it over the
+    * `BENCH_r*.json` archive scan — the driver's archives carry the
+    * bench line inside a `tail` log that has been observed truncated
+    * mid-line (r15-r17), which silently knocked the reference back to
+    * the pre-calibration r14 file and left the contention flag inert
+    * for three rounds (VERDICT r17 #1). Min-merge keeps the bands at
+    * the quiet floor: a contended run's inflated medians can only lose
+    * the min, never raise a band. */
+  private[graft] val BandsFileName = "BENCH_BANDS.json"
+
+  /** Read the bands file's map for one sf dir; empty on absent/garbage. */
+  private[graft] def readBands(sfDir: String,
+      dir: String = "."): Map[String, Double] = {
+    import org.json4s._
+    val f = new java.io.File(dir, BandsFileName)
+    if (!f.isFile) Map.empty
+    else try {
+      jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)) \ sfDir match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Merge one run's per-key medians into the bands file (per-key min
+    * with whatever is already stamped; other sf sections untouched).
+    * Negative medians (errored keys) are skipped. Tmp-file + rename so
+    * a crash mid-write can't leave a half-band file. */
+  private[graft] def mergeBands(sfDir: String, run: Map[String, Double],
+      dir: String = "."): Unit = {
+    import org.json4s._
+    val f = new java.io.File(dir, BandsFileName)
+    val existing: Map[String, Map[String, Double]] =
+      if (!f.isFile) Map.empty
+      else try {
+        jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+          case JObject(sfs) => sfs.collect { case (sf, JObject(fields)) =>
+            sf -> fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val old = existing.getOrElse(sfDir, Map.empty)
+    val merged = old ++ run.collect {
+      case (k, v) if v >= 0 => k -> math.min(v, old.getOrElse(k, v))
+    }
+    val all = existing + (sfDir -> merged)
+    def num(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val body = all.toSeq.sortBy(_._1).map { case (sf, m) =>
+      "\"" + sf + "\":" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val tmp = new java.io.File(dir, BandsFileName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Per-key reference band. Preference order: the local
+    * [[BandsFileName]] (per-key quiet minima this box has ever measured
+    * at this sf — immune to the driver-archive truncation, see
+    * [[mergeBands]]), then the newest `BENCH_r*.json` in the working
     * directory whose `"sf"` matches this run (the driver archives one per
     * round, so the band refreshes itself). The driver's archive is a
     * WRAPPER object (`{n, rc, cpus, sf: <number>, tail: "<session log>",
     * parsed: …}`) with the bench's own JSON line buried inside the tail
     * log text — unwrap the LAST such line; a file that is already the
     * raw bench output parses directly. Returns (file name, key →
-    * last-round median); empty when no comparable file exists — every
+    * band); empty when no comparable file exists — every
     * key then passes unflagged, the right cold-start behavior. */
   private[graft] def referenceBand(sfDir: String,
       dir: String = "."): (String, Map[String, Double]) = {
     import org.json4s._
+    val bands = readBands(sfDir, dir)
+    if (bands.nonEmpty) return (BandsFileName, bands)
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       // toLong (not toInt), inside no try: the regex admits digit runs
@@ -645,6 +726,12 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"min":$mins,"noisy":$noisyKeys,"contended":$contended,"ref":"$refFile","sf":"$sfDir"}""")
+    // stamp this run into the local bands file AFTER the reference read
+    // (a run must never band itself); min-merge means a contended window
+    // can only fail to lower a band, never raise one
+    try mergeBands(sfDir, results.map { case (n, v, _, _, _) => n -> v }.toMap)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bands write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -86,6 +86,66 @@ class BenchTrustSpec extends AnyFunSuite {
       assert(band4 === Map("q1_agg" -> 0.31, "geo_sjoin" -> 1.7))
       // wrapper whose inner line is for another sf: no band
       assert(Bench.referenceBand("/d/sf0.01", dir.toString)._2.isEmpty)
+      // the r15-r17 failure mode VERBATIM: the driver archive's tail is
+      // truncated MID-metric-line, so unwrap finds no line and the file
+      // must fall through to the older parseable band — not return empty
+      // (this is the shape that silently knocked the reference back to
+      // the pre-calibration r14 file for three rounds, VERDICT r17 #1)
+      write("BENCH_r14.json",
+        """{"n":14,"rc":0,"cpus":32,"sf":0.1,"parsed":null,"tail":""" +
+          "\"etric\\\":\\\"total\\\",\\\"value\\\":9.9,\\\"sf\\\":\\\"/d/sf0.1\\\"}\\n" +
+          "[error] noise\"}")
+      val (ref5, band5) = Bench.referenceBand("/d/sf0.1", dir.toString)
+      assert(ref5 === "BENCH_r13.json" && band5.nonEmpty,
+        s"truncated-tail newest archive shadowed the older band: $ref5")
+    } finally {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  test("bands file: preferred over archives, min-merged, never banded by a contended run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try w.print(body) finally w.close()
+    }
+    try {
+      // an archive exists, but once a bands file is stamped it must win:
+      // the archive's tail can truncate (r15-r17), the local file cannot
+      write("BENCH_r11.json",
+        """{"metric":"total","value":5.0,"queries":{"q1_agg":0.30,"calib_cpu":0.40},"sf":"/d/sf0.1"}""")
+      assert(Bench.referenceBand("/d/sf0.1", dir.toString)._1 === "BENCH_r11.json")
+      // first run stamps its medians (errored keys, median -1, skipped)
+      Bench.mergeBands("/d/sf0.1",
+        Map("q1_agg" -> 0.25, "calib_cpu" -> 0.17, "broken" -> -1.0), dir.toString)
+      val (ref1, band1) = Bench.referenceBand("/d/sf0.1", dir.toString)
+      assert(ref1 === Bench.BandsFileName)
+      assert(band1 === Map("q1_agg" -> 0.25, "calib_cpu" -> 0.17))
+      // the calib floor is the stamped band: a 1.5x contended window
+      // (the exact r17 readings, 0.249-0.28 vs floor ~0.17) now FIRES
+      assert(Bench.contendedCalib(minSec = 0.28, ref = band1("calib_cpu")))
+      // a CONTENDED second run (everything 1.6x) must not raise any band
+      Bench.mergeBands("/d/sf0.1",
+        Map("q1_agg" -> 0.40, "calib_cpu" -> 0.27), dir.toString)
+      assert(Bench.readBands("/d/sf0.1", dir.toString) ===
+        Map("q1_agg" -> 0.25, "calib_cpu" -> 0.17))
+      // a quieter run lowers its keys and new keys join
+      Bench.mergeBands("/d/sf0.1",
+        Map("q1_agg" -> 0.22, "geo_sjoin" -> 1.5), dir.toString)
+      assert(Bench.readBands("/d/sf0.1", dir.toString) ===
+        Map("q1_agg" -> 0.22, "calib_cpu" -> 0.17, "geo_sjoin" -> 1.5))
+      // other sf sections ride along untouched; lookups never cross sf
+      Bench.mergeBands("/d/sf0.01", Map("q1_agg" -> 0.05), dir.toString)
+      assert(Bench.readBands("/d/sf0.1", dir.toString)("q1_agg") === 0.22)
+      assert(Bench.readBands("/d/sf0.01", dir.toString) === Map("q1_agg" -> 0.05))
+      // garbage bands file: lookup is empty and the archive fallback
+      // returns; the next merge rebuilds from scratch instead of throwing
+      write(Bench.BandsFileName, "{not json")
+      assert(Bench.readBands("/d/sf0.1", dir.toString).isEmpty)
+      assert(Bench.referenceBand("/d/sf0.1", dir.toString)._1 === "BENCH_r11.json")
+      Bench.mergeBands("/d/sf0.1", Map("q1_agg" -> 0.3), dir.toString)
+      assert(Bench.readBands("/d/sf0.1", dir.toString) === Map("q1_agg" -> 0.3))
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()
