@@ -927,41 +927,86 @@ object Dedup {
     * census rides the store's own bucketing (no exchange). The stamp is
     * unset before the drop+rename swap and re-set after, so every crash
     * window leaves a store the doors refuse loudly rather than one
-    * silently half-swapped. Sibling sig/vec tables are untouched: a row
-    * whose every bucket row was dropped simply never joins, exactly as
-    * if write-time capping had dropped it. */
+    * silently half-swapped.
+    *
+    * Double-append repair: the rewrite goes through `distinct()`, so a
+    * batch appended twice (each copy re-emitting every pair touching
+    * its docs at join time) collapses back to the row set a fresh
+    * overwrite would hold. The census therefore counts distinct rows —
+    * the same population write-time capping sees.
+    *
+    * Sibling VACUUM (`siblingSuffix`, the two-table tiers): after the
+    * slim swap lands — stamp still unset, so a crash mid-vacuum leaves
+    * a loudly-refused store — the sibling sig/vec table is rewritten to
+    * exactly ONE row per id surviving in the slim table (left-semi +
+    * dropDuplicates(id), same tmp-table + rename discipline). Without
+    * it, ids whose every band row was dropped keep their sig/vec rows
+    * forever and double-appended batches leave duplicate sig rows, dead
+    * weight taxing every estimate join's build side on the 100 TB
+    * ingest loop. Dropping an orphan's sig is safe: candidates fetch
+    * signatures only for ids present in slim pairs, so a row with no
+    * band rows can never join — exactly as if write-time capping had
+    * dropped it. (A fresh overwrite of the accumulated corpus would
+    * keep sigs for its OWN capped-out docs — rows the join can never
+    * reference either way; the vacuum is the tighter of the two.) */
   private def recapBucketTable(spark: org.apache.spark.sql.SparkSession,
       table: String, bucketCols: Seq[String], maxBucketSize: Int,
-      prop: String, ctx: String): Unit = {
+      prop: String, ctx: String,
+      siblingSuffix: Option[String] = None): Unit = {
     require(maxBucketSize > 0, s"$ctx: maxBucketSize must be positive")
     val payload = readStoreStamp(spark, table, prop).getOrElse(
       throw new IllegalArgumentException(
         s"$ctx: $table has no readable $prop stamp (missing, mid-write, " +
           "or foreign) — not a compactable store; rewrite it first"))
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table))
-    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
-      throw new IllegalArgumentException(
-        s"$ctx: $table is not bucketed — not a store table"))
+    def bucketCount(t: String): Int = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      meta.bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ctx: $t is not bucketed — not a store table"))
+    }
+    val buckets = bucketCount(table)
     val tmp = table + "__compact"
     graft.join.SpatialJoin.dropBucketedTable(spark, tmp)
-    capBucketsWarn(spark.table(table), bucketCols, maxBucketSize, ctx) {
-      capped =>
-        capped
-          .repartition(buckets, bucketCols.map(col): _*)
-          .write.mode("overwrite")
-          .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-          .sortBy(bucketCols.head, bucketCols.tail: _*)
-          .format("parquet")
-          .saveAsTable(tmp)
+    capBucketsWarn(spark.table(table).distinct(), bucketCols,
+      maxBucketSize, ctx) { capped =>
+      capped
+        .repartition(buckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet")
+        .saveAsTable(tmp)
     }
     // swap: unset the stamp FIRST so a crash anywhere in the drop+rename
-    // window leaves a loudly-refused store, not a silently stale one
+    // window (and the sibling vacuum after it) leaves a loudly-refused
+    // store, not a silently stale one
     spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
       s"UNSET TBLPROPERTIES IF EXISTS ('$prop')")
     graft.join.SpatialJoin.dropBucketedTable(spark, table)
     spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(tmp)} " +
       s"RENAME TO ${graft.join.SpatialJoin.quoteTable(table)}")
+    siblingSuffix.foreach { suffix =>
+      val sib = table + suffix
+      if (spark.sessionState.catalog.tableExists(
+          spark.sessionState.sqlParser.parseTableIdentifier(sib))) {
+        val sibBuckets = bucketCount(sib)
+        val sibTmp = sib + "__compact"
+        graft.join.SpatialJoin.dropBucketedTable(spark, sibTmp)
+        // surviving slim ids are the tiny side; the sibling streams from
+        // its own id-bucketed files (no exchange on the big side)
+        val surviving = spark.table(table).select(col("id")).distinct()
+        spark.table(sib)
+          .dropDuplicates("id")
+          .join(surviving, Seq("id"), "left_semi")
+          .repartition(sibBuckets, col("id"))
+          .write.mode("overwrite").bucketBy(sibBuckets, "id").sortBy("id")
+          .format("parquet").saveAsTable(sibTmp)
+        graft.join.SpatialJoin.dropBucketedTable(spark, sib)
+        spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(sibTmp)} " +
+          s"RENAME TO ${graft.join.SpatialJoin.quoteTable(sib)}")
+      }
+    }
     spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(table)} " +
       s"SET TBLPROPERTIES ('$prop'='$payload')")
   }
@@ -1020,20 +1065,27 @@ object Dedup {
 
   /** Compact a [[writeMinhashStore]] index: re-apply the hot-bucket cap
     * across everything appended so far (same WARN discipline as write
-    * time) and rewrite the slim band table in place. Post-compaction the
-    * store is row-for-row what a fresh `writeMinhashStore(overwrite)` of
-    * the accumulated corpus would hold — minus buckets that individual
-    * batch writes already dropped, which a fresh overwrite also drops. */
+    * time), collapse double-appended rows, rewrite the slim band table
+    * in place, and VACUUM the `__sigs` sibling down to one row per
+    * surviving id (see [[recapBucketTable]] — orphaned and duplicate
+    * sig rows otherwise accumulate without bound across the ingest
+    * loop). Post-compaction the store is row-for-row what a fresh
+    * `writeMinhashStore(overwrite)` of the accumulated corpus would
+    * hold — minus buckets that individual batch writes already dropped,
+    * which a fresh overwrite also drops, and minus sig rows no slim row
+    * references, which can never join. */
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBucketSize: Int = 100000): Unit =
     recapBucketTable(spark, table, Seq("band", "bucket"), maxBucketSize,
-      MinhashStoreProp, s"compactMinhashStore($table)")
+      MinhashStoreProp, s"compactMinhashStore($table)",
+      siblingSuffix = Some(MinhashSigTableSuffix))
 
   /** Compact a [[writeNgramStore]] index — see [[compactMinhashStore]]. */
   def compactNgramStore(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBucketSize: Int = 100000): Unit =
     recapBucketTable(spark, table, Seq("band", "bucket"), maxBucketSize,
-      NgramStoreProp, s"compactNgramStore($table)")
+      NgramStoreProp, s"compactNgramStore($table)",
+      siblingSuffix = Some(MinhashSigTableSuffix))
 
   /** Compact a [[writeSimhashStore]] index — see [[compactMinhashStore]].
     * NB dropping an over-cap (chunk, bucket) group forfeits the exact
@@ -1045,11 +1097,13 @@ object Dedup {
       SimhashStoreProp, s"compactSimhashStore($table)")
 
   /** Compact a [[writeEmbeddingStore]] index — see
-    * [[compactMinhashStore]]. */
+    * [[compactMinhashStore]]; the vacuumed sibling here is the `__vecs`
+    * table. */
   def compactEmbeddingStore(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBucketSize: Int = 100000): Unit =
     recapBucketTable(spark, table, Seq("t", "sig"), maxBucketSize,
-      EmbeddingStoreProp, s"compactEmbeddingStore($table)")
+      EmbeddingStoreProp, s"compactEmbeddingStore($table)",
+      siblingSuffix = Some(EmbeddingVecTableSuffix))
 
   // ------------------------------------------------------------ SimHash
 

@@ -142,6 +142,16 @@ class EmbeddingStoreSpec extends AnyFunSuite {
         "compacted bucket table diverges from a fresh overwrite")
       assert(gotRows.nonEmpty && !gotRows.exists(_._1 < 6L),
         "boilerplate bucket rows must be gone, the rest intact")
+      // VACUUM: the vecs sibling keeps exactly one row per surviving
+      // slim id — the boilerplate vectors are orphans once their every
+      // bucket row was re-capped away, and must not ride the estimate
+      // join's build side forever
+      val vecIds = spark.table(table + Dedup.EmbeddingVecTableSuffix)
+        .select($"id").as[Long].collect().toSeq
+      assert(vecIds.size === vecIds.distinct.size,
+        "duplicate vec rows survived the vacuum")
+      assert(vecIds.toSet === gotRows.map(_._1),
+        "vacuumed vecs must cover exactly the surviving slim ids")
       // the stamp survived the swap: an exact dup of an un-grown vector
       // still matches through the compacted store
       val probe = Seq((30001L, others(3))).toDF("vec_id", "embedding")

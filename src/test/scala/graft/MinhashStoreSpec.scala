@@ -148,6 +148,16 @@ class MinhashStoreSpec extends AnyFunSuite {
         "compacted band table diverges from a fresh overwrite")
       assert(gotRows.nonEmpty && !gotRows.exists(_._1 < 6L),
         "boilerplate band rows must be gone, the rest intact")
+      // VACUUM: the sigs sibling keeps exactly one row per SURVIVING
+      // slim id — the boilerplate docs' signatures (orphans once every
+      // band row of theirs was re-capped away) must be gone, not parked
+      // in the index forever
+      val sigIds = spark.table(table + Dedup.MinhashSigTableSuffix)
+        .select($"id").as[Long].collect().toSeq
+      assert(sigIds.size === sigIds.distinct.size,
+        "duplicate sig rows survived the vacuum")
+      assert(sigIds.toSet === gotRows.map(_._1),
+        "vacuumed sigs must cover exactly the surviving slim ids")
       // the stamp survived the tmp-table swap: the doors still work
       assert(Dedup.minhashCandidatesAgainstStore(spark, docProbe, table,
         maxBucketSize = cap)
@@ -159,6 +169,43 @@ class MinhashStoreSpec extends AnyFunSuite {
         Dedup.compactMinhashStore(spark, fresh, maxBucketSize = cap)
       }
       assert(bad.getMessage.contains("stamp"))
+    } finally { drop(table); drop(fresh) }
+  }
+
+  test("double-append: duplicate slim+sig rows repaired by compaction") {
+    // the same accepted batch appended twice (a retried ingest step is
+    // the realistic way this happens): every slim row and every sig row
+    // of the batch is duplicated. Candidates stay correct (the doors
+    // dedup), but the dead weight is permanent until compaction.
+    val corpus = (0 until 10).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    val batch = (100 until 105).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
+    val table = "graft_mh_store_dup"
+    val fresh = "graft_mh_store_dup_fresh"
+    drop(table); drop(fresh)
+    try {
+      Dedup.writeMinhashStore(corpus, table)
+      Dedup.writeMinhashStore(batch, table, mode = "append")
+      Dedup.writeMinhashStore(batch, table, mode = "append") // the retry
+      val sigTable = table + Dedup.MinhashSigTableSuffix
+      assert(spark.table(sigTable).count() === 20L,
+        "fixture sanity: the doubled batch must have doubled its sig rows")
+      // the candidates door dedups, so a dup probe still sees ONE pair
+      val probe = Seq((30000L, docText(101))).toDF("doc_id", "text")
+      def probePairs() = Dedup.minhashCandidatesAgainstStore(spark, probe, table)
+        .filter($"corpus_id" === 101L && $"jaccard_est" === 1.0).count()
+      assert(probePairs() === 1L)
+      // compaction repairs both tables to what ONE append would have left
+      Dedup.compactMinhashStore(spark, table)
+      Dedup.writeMinhashStore(corpus.unionByName(batch), fresh)
+      def rows(t: String) = spark.table(t).select($"id", $"band", $"bucket")
+        .as[(Long, Int, Int)].collect().toSeq.sorted
+      assert(rows(table) === rows(fresh),
+        "compacted slim table must equal a single-write store row-for-row " +
+          "(multiset — duplicates removed, nothing else)")
+      assert(spark.table(sigTable).count() === 15L &&
+        spark.table(sigTable).select($"id").distinct().count() === 15L,
+        "vacuum must leave one sig row per doc")
+      assert(probePairs() === 1L, "doors must still work after the repair")
     } finally { drop(table); drop(fresh) }
   }
 
