@@ -270,6 +270,39 @@ object PipelineQueries {
         .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
     }),
 
+    /** The WIDENED-RADIUS door of the SimHash store tier (r18): the
+      * store is written with maxHamming = 6, stamping the 8×8-bit chunk
+      * layout (pigeonhole exact to Hamming 7) the store tier previously
+      * refused — same fixture and closed-form counts as
+      * pipe_simhash_store, still valid at the wider radius: a dup's
+      * identical text is Hamming 0, and an md5-hex novel sits ~32 bits
+      * from everything (binomial around 64/2 — P(≤6) is astronomically
+      * small), far outside the radius on both the corpus check and the
+      * within-batch pass. */
+    "pipe_simhash_store_wide" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = corpus
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(corpus.select((col("doc_id") + 20000).as("doc_id"),
+          concat(md5(concat(lit("w1-"), col("doc_id"))), lit(" "),
+            md5(concat(lit("w2-"), col("doc_id")))).as("text")))
+      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_sh_store_w")
+      Dedup.writeSimhashStore(corpus, "graft_q_sh_store_w", maxHamming = 6)
+      val fpsC = corpus.select(col("doc_id").as("corpus_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_c"))
+      val fpsB = batch.select(col("doc_id").as("batch_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_b"))
+      val cands = Dedup
+        .simhashCandidatesAgainstStore(s, batch, "graft_q_sh_store_w",
+          maxHamming = 6)
+        .join(fpsC, Seq("corpus_id")).join(fpsB, Seq("batch_id"))
+      val novel = Dedup.simhashNovelAgainstStore(s, batch,
+        "graft_q_sh_store_w", maxHamming = 6)
+      cands.agg(
+        sum((col("fp_c") === col("fp_b")).cast("long")).as("n_store_ident"))
+        .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
+    }),
+
     /** The token-level (word-n-gram) tier of the persistent index
       * family (r17) — same fixture shape as pipe_minhash_store (dup
       * half +10000, md5-novel half +20000), same closed-form counts: a
@@ -1163,6 +1196,9 @@ object PipelineQueries {
       """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
         | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
     "pipe_simhash_store" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
+        | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
+    "pipe_simhash_store_wide" ->
       """SELECT (SELECT count(*) FROM documents) AS n_store_ident,
         | (SELECT count(*) FROM documents) AS n_novel""".stripMargin,
     "pipe_ngram_store" ->

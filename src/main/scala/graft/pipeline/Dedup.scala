@@ -1052,7 +1052,7 @@ object Dedup {
   /** [[storeBucketStats]] for a [[writeSimhashStore]] index. */
   def simhashStoreStats(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBucketSize: Int = 100000): DataFrame = {
-    verifySimhashStore(spark, table)
+    simhashStoreChunks(spark, table)
     storeBucketStats(spark, table, Seq("chunk", "bucket"), maxBucketSize)
   }
 
@@ -1221,8 +1221,11 @@ object Dedup {
 
   // ------------------------------------------------ simhash corpus store
 
-  /** Table property stamped by [[writeSimhashStore]]: `v1:4` (the
-    * 16-bit-chunk count the pigeonhole guarantee is built on). */
+  /** Table property stamped by [[writeSimhashStore]]: `v1:<chunks>` —
+    * the chunk count the pigeonhole guarantee is built on (4 16-bit
+    * chunks for the classic ≤3 radius; 8 or 16 for the widened radii,
+    * [[simhashChunkCount]]). Pre-r18 stores stamped `v1:4` and remain
+    * fully compatible: the default write layout is byte-identical. */
   val SimhashStoreProp = "graft.dedup.simhashParams"
 
   /** Persist a corpus's SimHash index — [[writeMinhashStore]]'s sibling
@@ -1239,16 +1242,28 @@ object Dedup {
     * near-dup structure. One row per (chunk, bucket) membership,
     * bucketed by the join key — batch joins read co-located files with
     * zero corpus-side shuffle; `mode = "append"` ingests accepted
-    * batches. */
+    * batches.
+    *
+    * WIDENED radii (r18, closing the last batch/store asymmetry of the
+    * dedup family): `maxHamming` in [4, 15] stamps the corresponding
+    * coarser chunk layout (8 8-bit chunks to radius 7; 16 4-bit chunks
+    * to 15 — [[simhashChunkCount]]), and the candidates door then
+    * accepts any radius the STAMPED layout's pigeonhole covers. The
+    * same caveat as the in-frame door: a coarser layout shrinks the
+    * bucket DOMAIN (256 or 16 values per chunk), so large corpora
+    * saturate the hot-bucket cap — drops are WARNED at write time here
+    * and at join time by the joint-cap guard. Appends must match the
+    * stamped layout (mixed chunkings hash different buckets). */
   def writeSimhashStore(df: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 64, mode: String = "overwrite",
-      maxBucketSize: Int = 100000): Unit = {
+      maxBucketSize: Int = 100000, maxHamming: Int = 3): Unit = {
     val spark = df.sparkSession
-    val payload = "v1:4"
+    val chunks = simhashChunkCount(s"writeSimhashStore($table)", maxHamming)
+    val payload = s"v1:$chunks"
     val (modeNorm, existedBefore) = checkStoreWrite(spark, table, mode,
       SimhashStoreProp, payload, "writeSimhashStore")
-    capBucketsWarn(simhashChunked(df, idCol, textCol),
+    capBucketsWarn(simhashChunked(df, idCol, textCol, chunks),
       Seq("chunk", "bucket"), maxBucketSize,
       s"writeSimhashStore($table)") { chunked =>
       chunked
@@ -1261,35 +1276,49 @@ object Dedup {
     stampStore(spark, table, modeNorm, existedBefore, SimhashStoreProp, payload)
   }
 
-  private def verifySimhashStore(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit =
-    require(readStoreStamp(spark, table, SimhashStoreProp).contains("v1:4"),
-      s"$table is not a writeSimhashStore table (no readable " +
-        s"$SimhashStoreProp stamp) — write it with writeSimhashStore")
+  /** The stamped chunk count of a [[writeSimhashStore]] table (4, 8, or
+    * 16); errors loudly when absent, mid-write, or unreadable. */
+  private def simhashStoreChunks(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val stamp = readStoreStamp(spark, table, SimhashStoreProp)
+    stamp.map(_.split(':')) match {
+      case Some(Array("v1", c)) if Seq("4", "8", "16").contains(c) => c.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$table is not a writeSimhashStore table (no readable " +
+          s"$SimhashStoreProp stamp — missing, mid-write, or foreign) — " +
+          "rewrite it with writeSimhashStore(mode=overwrite)")
+    }
+  }
 
   /** Near-dup pairs of a NEW batch against a [[writeSimhashStore]]
     * corpus: batch signatures (one pass over the batch), chunk
-    * explosion, equi-join on (chunk, bucket) — no corpus-side shuffle —
-    * then the exact `bit_count(xor) ≤ maxHamming` verify. Returns
-    * (batch_id, corpus_id, hamming). `maxHamming` must stay ≤ 3: the
-    * 4-chunk layout's pigeonhole guarantee stops there, and a larger
-    * radius would silently miss pairs. */
+    * explosion at the STAMPED chunk count, equi-join on (chunk, bucket)
+    * — no corpus-side shuffle — then the exact
+    * `bit_count(xor) ≤ maxHamming` verify. Returns
+    * (batch_id, corpus_id, hamming). `maxHamming` must stay within the
+    * stamped layout's pigeonhole (chunks − 1: 3 for the default 4-chunk
+    * store, 7 for an 8-chunk one, 15 for 16) — recall is exact up to
+    * that radius; a store written for a wider radius serves any
+    * narrower probe. Over-cap bucket groups are SKIPPED with a warning
+    * (the joint-cap guard), the one recall exception. */
   def simhashCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
       maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
+    val chunks = simhashStoreChunks(spark, table)
+    require(maxHamming >= 0 && maxHamming <= chunks - 1,
       s"simhashCandidatesAgainstStore: maxHamming $maxHamming outside " +
-        "[0, 3] — the store's STAMPED 4×16-bit chunk layout's pigeonhole " +
-        "guarantees recall only to Hamming distance 3 and a wider radius would " +
-        "silently miss pairs (the in-frame nearDupSimhash door derives " +
-        "wider chunkings; a store for wider radii needs its own layout)")
-    verifySimhashStore(spark, table)
+        s"[0, ${chunks - 1}] — the store's STAMPED $chunks-chunk layout's " +
+        s"pigeonhole guarantees recall only to Hamming distance " +
+        s"${chunks - 1}, and a wider radius would silently miss pairs; " +
+        "rewrite the store with writeSimhashStore(maxHamming=<radius>) " +
+        "for a wider operating point")
     val store = spark.table(table)
     require(Seq("id", "sim", "chunk", "bucket").forall(store.columns.contains),
       s"$table does not have writeSimhashStore's (id, sim, chunk, bucket) layout")
     // joint capping — see minhashCandidatesAgainstStore
-    val (b0, c0) = capBucketsJoint(simhashChunked(batch, idCol, textCol),
+    val (b0, c0) = capBucketsJoint(
+      simhashChunked(batch, idCol, textCol, chunks),
       store, Seq("chunk", "bucket"), maxBucketSize,
       s"simhashCandidatesAgainstStore($table)")
     val b = b0.select(col("chunk"), col("bucket"),

@@ -86,6 +86,70 @@ class SimhashStoreSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture sanity: some pairs within radius 6")
   }
 
+  test("widened-radius store: stamped coarse layout serves radii to chunks-1") {
+    // writeSimhashStore(maxHamming = 6) stamps the 8×8-bit layout
+    // (pigeonhole ≤ 7) — before r18 the store tier hard-capped at the
+    // 4-chunk ≤ 3, the one batch/store asymmetry of the dedup family.
+    // Pin the store door against the driver-side brute force at the
+    // widened radius AND at a narrower one through the same store.
+    val rnd = new java.util.Random(0x51A512)
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, docText(i % 11))
+    }.toDF("doc_id", "text")
+    val batch = (0 until 20).map { i =>
+      val base = docText(i % 11)
+      val mutated =
+        if (i < 6) base // exact dups
+        else base + s" trailing mutation ${rnd.nextInt(4)} pass $i"
+      (10000L + i, mutated)
+    }.toDF("doc_id", "text")
+    val table = "graft_sh_store_wide"
+    drop(table)
+    try {
+      Dedup.writeSimhashStore(corpus, table, maxHamming = 6)
+      val simC = corpus.select($"doc_id",
+        Dedup.simhash64($"text").as("sim")).as[(Long, Long)].collect().toMap
+      val simB = batch.select($"doc_id",
+        Dedup.simhash64($"text").as("sim")).as[(Long, Long)].collect().toMap
+      def brute(radius: Int) = (for {
+        c <- simC.keys; b <- simB.keys
+        if java.lang.Long.bitCount(simC(c) ^ simB(b)) <= radius
+      } yield (c, b)).toSet
+      val got6 = Dedup.simhashCandidatesAgainstStore(spark, batch, table,
+          maxHamming = 6)
+        .select($"corpus_id", $"batch_id").as[(Long, Long)].collect().toSet
+      assert(got6 === brute(6),
+        "widened store recall diverged from brute force at radius 6")
+      assert(brute(6).exists { case (c, b) =>
+        java.lang.Long.bitCount(simC(c) ^ simB(b)) > 3 },
+        "fixture sanity: some pair must need the widened radius")
+      // a NARROWER probe through the coarse layout stays exact too
+      val got3 = Dedup.simhashCandidatesAgainstStore(spark, batch, table,
+          maxHamming = 3)
+        .select($"corpus_id", $"batch_id").as[(Long, Long)].collect().toSet
+      assert(got3 === brute(3),
+        "narrow probe through the wide layout diverged from brute force")
+      // past the stamped pigeonhole: refused, naming the rewrite path
+      val past = intercept[IllegalArgumentException] {
+        Dedup.simhashCandidatesAgainstStore(spark, batch, table, maxHamming = 8)
+      }
+      assert(past.getMessage.contains("pigeonhole") &&
+        past.getMessage.contains("maxHamming=<radius>"))
+      // an append with a different chunk layout is refused via the stamp
+      val mixed = intercept[IllegalArgumentException] {
+        Dedup.writeSimhashStore(corpus, table, mode = "append", maxHamming = 3)
+      }
+      assert(mixed.getMessage.contains("stamped"))
+      // the novel door rides the widened radius: an exact dup is caught,
+      // a hamming-in-(3,6] mutation is caught ONLY at the wide radius
+      val novel6 = Dedup.simhashNovelAgainstStore(spark, batch, table,
+        maxHamming = 6, dedupWithinBatch = false)
+        .select($"doc_id").as[Long].collect().toSet
+      val expectedNovel6 = simB.keySet -- brute(6).map(_._2)
+      assert(novel6 === expectedNovel6)
+    } finally drop(table)
+  }
+
   test("novel/ingest cycle with intra-batch dup collapse") {
     val corpus = (0 until 30).map(i => (i.toLong, docText(i))).toDF("doc_id", "text")
     val table = "graft_sh_store_cycle"
