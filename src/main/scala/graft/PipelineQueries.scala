@@ -1002,6 +1002,48 @@ object PipelineQueries {
           sum(col("doc_id")).as("clean_id_sum")))
     }),
 
+    /** The STREAMING door of the decontamination tier (r18): the door
+      * is stateless (stamped eval grams broadcast per micro-batch), so
+      * stream ≡ batch row-for-row. The drain appends each batch's clean
+      * rows to parquet (materialized to storage before the temp dir can
+      * go), the stream-vs-batch symmetric difference is pinned to zero
+      * in-query, and the clean count/id-sum reuse pipe_decontam's
+      * DuckDB oracle. */
+    "pipe_stream_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      graft.join.SpatialJoin.dropBucketedTable(s, "graft_q_dcs_store")
+      Dedup.writeDecontamStore(bench, "graft_q_dcs_store", n = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dcs_q").toString
+      val clean = try {
+        docs.repartition(4).write.mode("overwrite").parquet(tmp + "/in")
+        val streamIn = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp + "/in")
+        val q = graft.streaming.DedupStreaming.decontamStoreStream(
+            streamIn, "graft_q_dcs_store") { (cleanBatch, _) =>
+            cleanBatch.write.mode("append").parquet(tmp + "/out")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", tmp + "/ck")
+          .start()
+        require(q.awaitTermination(600000), "pipe_stream_decontam drain timed out")
+        // snapshot off the temp files (eager) so the dir can be deleted
+        s.read.parquet(tmp + "/out").select(col("doc_id")).localCheckpoint()
+      } finally {
+        try org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(tmp))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val batchClean = Dedup.decontaminateAgainstStore(s, docs, "doc_id",
+        "text", "graft_q_dcs_store").select(col("doc_id"))
+      val symDiff = clean.withColumn("s", lit(1))
+        .join(batchClean.withColumn("b", lit(1)), Seq("doc_id"), "full")
+        .filter(col("s").isNull || col("b").isNull)
+      clean.agg(count(lit(1)).as("n_clean"),
+          sum(col("doc_id")).as("clean_id_sum"))
+        .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
+    }),
+
     // ---------------------------------- repetition signals (Gopher-style)
     "pipe_text2" -> ((s, dir) => {
       val txt = col("text")
@@ -1413,6 +1455,23 @@ object PipelineQueries {
         |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS n_clean,
         | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
         |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS clean_id_sum""".stripMargin,
+    // the stream door must reproduce the batch store door's clean set —
+    // same gram oracle as pipe_decontam, sym-diff pinned to zero
+    "pipe_stream_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS tk
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+        |  THEN list_transform(generate_series(1, len(tk) - 7),
+        |    i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+        |  ELSE [array_to_string(tk, ' ')] END) AS gram FROM toks),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+        |SELECT (SELECT count(*) FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS n_clean,
+        | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS clean_id_sum,
+        | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
     "pipe_text2" ->
       """WITH l AS (SELECT doc_id, text,
         |  list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),

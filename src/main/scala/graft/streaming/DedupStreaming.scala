@@ -551,4 +551,29 @@ object DedupStreaming {
           }
       }
   }
+
+  /** Streaming DECONTAMINATION against a
+    * [[graft.pipeline.Dedup.writeDecontamStore]] suite — the stream twin
+    * of [[graft.pipeline.Dedup.decontaminateAgainstStore]], completing
+    * the tier's direct/store/stream symmetry (every other near-dup tier
+    * already has all three doors). The door is STATELESS: the stamped
+    * eval grams are broadcast per micro-batch and a row's verdict
+    * depends on nothing but the row and the store, so batch ≡ stream
+    * row-for-row over the same input split any way into batches — no
+    * flatMapGroupsWithState, no checkpoint-state contract, just
+    * `foreachBatch` over the packaged batch door (the
+    * [[GeoStreaming.sjoinNearestStoreStream]] pattern). Returns a
+    * configured `DataStreamWriter`: the caller supplies the `sink`
+    * consuming each micro-batch's CLEAN rows (all columns kept), then
+    * sets trigger/checkpoint and `.start()`s. Rows sharing a stored
+    * gram are dropped; callers wanting the contaminated ids instead run
+    * [[graft.pipeline.Dedup.contaminatedAgainstStore]] inside their own
+    * foreachBatch. */
+  def decontamStoreStream(stream: DataFrame, table: String,
+      trainId: String = "doc_id", trainText: String = "text")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(Dedup.decontaminateAgainstStore(batch.sparkSession, batch,
+        trainId, trainText, table), batchId)
+    }
 }

@@ -189,6 +189,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontamStoreStream: per-batch store decontamination ≡ the batch door") {
+    import spark.implicits._
+    val table = "graft_stream_dc_store"
+    graft.join.SpatialJoin.dropBucketedTable(spark, table)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dcs").toString
+    try {
+      // train docs: half share an 8-gram with the eval suite, half don't
+      def gram8(tag: String) =
+        s"alpha bravo charlie delta echo foxtrot golf $tag"
+      val train = (0 until 40).map { i =>
+        val text =
+          if (i % 2 == 0) s"clean document $i " + gram8(s"unique$i") + s" tail $i"
+          else s"leaky document $i " + gram8("SHARED") + s" tail $i"
+        (i.toLong, text)
+      }.toDF("doc_id", "text")
+      val bench = Seq("the eval prompt contains " + gram8("SHARED") + " verbatim")
+        .toDF("text")
+      graft.pipeline.Dedup.writeDecontamStore(bench, table, n = 8)
+      val expected = graft.pipeline.Dedup.decontaminateAgainstStore(spark,
+          train, "doc_id", "text", table)
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+      assert(expected === (0 until 40 by 2).map(_.toLong),
+        "batch-door sanity: exactly the even (clean) docs survive")
+      // several micro-batches so the per-batch contract is real
+      train.repartition(4).write.mode("overwrite").parquet(tmp + "/in")
+      val streamIn = spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp + "/in")
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var batches = 0
+      val q = graft.streaming.DedupStreaming.decontamStoreStream(
+          streamIn, table) { (clean, _) =>
+          val ids = clean.select($"doc_id").as[Long].collect()
+          got.synchronized { got ++= ids; batches += 1 }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ck")
+        .start()
+      assert(q.awaitTermination(600000), "stream drain timed out")
+      assert(batches > 1, "fixture sanity: want multiple micro-batches")
+      assert(got.sorted === expected, "stream ≡ batch broke")
+    } finally {
+      graft.join.SpatialJoin.dropBucketedTable(spark, table)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   test("sjoinStream guard failure points at the bucketed scale path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
