@@ -692,7 +692,13 @@ object Dedup {
     * signatures fetched — once per pair, the corpus side from its
     * bucketed-by-id table. Returns (batch_id, corpus_id, jaccard_est).
     * Batch and corpus ids are separate namespaces — a batch row equal
-    * to a corpus row IS reported. */
+    * to a corpus row IS reported.
+    *
+    * NB this call runs a small EAGER Spark job (the joint-cap census +
+    * skipped-bucket warning — see [[capBucketsJoint]]) before the lazy
+    * result frame returns, so don't construct it speculatively; the
+    * same applies to every `*CandidatesAgainstStore` /
+    * `*NovelAgainstStore` door. */
   def minhashCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -878,7 +884,8 @@ object Dedup {
 
   /** Candidate near-dup pairs of a NEW batch against a
     * [[writeNgramStore]] corpus — [[minhashCandidatesAgainstStore]]'s
-    * token-level twin (same shared core, n-gram signer). Returns
+    * token-level twin (same shared core, n-gram signer, same eager
+    * joint-cap census at call time). Returns
     * (batch_id, corpus_id, jaccard_est). */
   def ngramCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
@@ -1174,7 +1181,10 @@ object Dedup {
     * (maxHamming 4-7: 256 values/chunk; 8-15: 16), where any frame
     * beyond ~cap × domain rows saturates EVERY group — those paths
     * count dropped groups eagerly and WARN instead of silently
-    * returning zero pairs. The default 3 keeps the classic 4×16-bit
+    * returning zero pairs — so `maxHamming >= 4` runs a small EAGER
+    * Spark job (the bucket census) at call time, where the default
+    * radius stays fully lazy; don't construct widened-radius frames
+    * speculatively. The default 3 keeps the classic 4×16-bit
     * scheme. */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
@@ -1300,7 +1310,9 @@ object Dedup {
     * store, 7 for an 8-chunk one, 15 for 16) — recall is exact up to
     * that radius; a store written for a wider radius serves any
     * narrower probe. Over-cap bucket groups are SKIPPED with a warning
-    * (the joint-cap guard), the one recall exception. */
+    * (the joint-cap guard), the one recall exception. Runs the small
+    * eager joint-cap census job at call time — see
+    * [[minhashCandidatesAgainstStore]]'s note. */
   def simhashCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1441,8 +1453,11 @@ object Dedup {
     * ~0.73 from the historical hand-set 12-bit/4-table default. */
   private[graft] def autoPlanes(threshold: Double,
       targetRecall: Double = 0.9, maxTables: Int = 8): (Int, Int) = {
-    require(threshold > 0 && threshold < 1,
-      s"autoPlanes: threshold $threshold outside (0, 1)")
+    // full cosine domain: thresholds <= 0 are valid operating points
+    // (the target is simply unreachable — tablesFor diverges, the scan
+    // falls to the 8-bit floor and resolvePlanes' recall warning fires)
+    require(threshold >= -1 && threshold < 1,
+      s"autoPlanes: threshold $threshold outside [-1, 1)")
     require(targetRecall > 0 && targetRecall < 1,
       s"autoPlanes: targetRecall $targetRecall outside (0, 1)")
     (24 to 8 by -1).iterator
@@ -1464,8 +1479,12 @@ object Dedup {
       targetRecall: Double, bits: Int, tables: Int,
       maxTables: Int = 8): (Int, Int) = {
     def checkTarget(): Unit = {
-      require(threshold > 0 && threshold <= 1,
-        s"$ctx: auto plane sizing needs a cosine threshold in (0, 1] — " +
+      // the full cosine domain is accepted (r18, ADVICE r17 #1): a
+      // threshold <= 0 is a valid operating point at which the recall
+      // target is simply unreachable — auto sizing falls to the 8-bit
+      // floor and the warning below fires, matching autoPlanes
+      require(threshold >= -1 && threshold <= 1,
+        s"$ctx: auto plane sizing needs a cosine threshold in [-1, 1] — " +
           s"got $threshold; pin bits and tables explicitly for operating " +
           "points outside it")
       require(targetRecall > 0 && targetRecall < 1,
@@ -1633,7 +1652,9 @@ object Dedup {
     * every emitted pair carries the true cosine, so filtering at a
     * threshold gives exactly what [[nearDupEmbedding]] finds on the
     * union AT THE STAMPED (bits, tables); see the writer's parity
-    * note). Returns (batch_id, corpus_id, cosine). */
+    * note). Returns (batch_id, corpus_id, cosine). Runs the small
+    * eager joint-cap census job at call time — see
+    * [[minhashCandidatesAgainstStore]]'s note. */
   def embeddingCandidatesAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -190,5 +190,24 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     // the table budget comes back (8, maxTables) — the novel door's
     // recall warning covers the gap at join time
     assert(Dedup.autoPlanes(0.5, 0.99, 4) === ((8, 4)))
+    // thresholds <= 0 are VALID cosine operating points (ADVICE r17 #1:
+    // the pre-r17 fixed default accepted them; auto sizing must not
+    // throw for default-arg callers) — the target is unreachable, so
+    // the floor comes back and the recall warning covers the gap
+    assert(Dedup.autoPlanes(0.0) === ((8, 8)))
+    assert(Dedup.autoPlanes(-1.0) === ((8, 8)))
+    assert(Dedup.resolvePlanes("spec", 0.0, 0.9, 0, 0) === ((8, 8)))
+    assert(Dedup.resolvePlanes("spec", -0.5, 0.9, 0, 0) === ((8, 8)))
+    // and the in-frame door runs end-to-end at threshold 0 under
+    // default sizing: every pair with non-negative cosine is eligible
+    import spark.implicits._
+    val tiny = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.01)),
+      (3L, Seq(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val pairs = Dedup.nearDupEmbedding(tiny, "vec_id", "embedding",
+        threshold = 0.0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "near-identical pair must surface at threshold 0")
+    assert(!pairs.contains((1L, 3L)), "antipodal cosine -1 is below 0")
   }
 }
