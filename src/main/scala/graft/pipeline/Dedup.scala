@@ -1148,7 +1148,7 @@ object Dedup {
     * 16), so the hot-bucket cap saturates on large frames — the
     * widened-radius callers count and WARN on dropped groups rather
     * than silently returning nothing. */
-  private def simhashChunkCount(ctx: String, maxHamming: Int): Int = {
+  private[graft] def simhashChunkCount(ctx: String, maxHamming: Int): Int = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"$ctx: maxHamming $maxHamming outside [0, 15] — 16 4-bit chunks " +
         "are the widest pigeonhole this 64-bit signature supports; a " +

@@ -159,12 +159,16 @@ object DedupStreaming {
     -1
   }
 
-  /** First 16-bit chunk index (0-3) where two simhashes agree; -1 if none
-    * (unreachable for pairs discovered via a shared chunk bucket). */
-  private[streaming] def firstEqualChunk(a: Long, b: Long): Int = {
+  /** First chunk index (0 to chunks−1, default the classic 4×16-bit
+    * layout) where two simhashes agree; -1 if none (unreachable for
+    * pairs discovered via a shared chunk bucket). */
+  private[streaming] def firstEqualChunk(a: Long, b: Long,
+      chunks: Int = 4): Int = {
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     var c = 0
-    while (c < 4) {
-      if (((a >>> (c * 16)) & 0xffffL) == ((b >>> (c * 16)) & 0xffffL)) return c
+    while (c < chunks) {
+      if (((a >>> (c * width)) & mask) == ((b >>> (c * width)) & mask)) return c
       c += 1
     }
     -1
@@ -406,18 +410,32 @@ object DedupStreaming {
   }
 
   /** Streaming SimHash near-dup: the streaming tier of
-    * [[Dedup.nearDupSimhash]]. Bucket keys are the four 16-bit chunks of
-    * the 64-bit SimHash (pigeonhole: hamming ≤ 3 pairs agree on ≥ 1
-    * chunk); state per (chunk, bucket) holds (id, simhash); a new arrival
-    * verifies `bitCount(xor) ≤ maxHamming` against stored members.
-    * Exactly-once pair emission via the canonical-chunk rule
-    * ([[firstEqualChunk]]); cap and TTL semantics as
-    * [[nearDupMinhashStream]]. */
+    * [[Dedup.nearDupSimhash]]. Bucket keys are the SimHash's chunks at
+    * the radius-derived chunk count (the batch door's
+    * [[Dedup.simhashChunkCount]]: 4×16-bit to hamming 3, 8×8-bit to 7,
+    * 16×4-bit to 15 — pigeonhole: a pair within the radius agrees on
+    * ≥ 1 chunk; before r18 this door hardcoded 4 chunks and a
+    * `maxHamming >= 4` request SILENTLY missed pairs); state per
+    * (chunk, bucket) holds (id, simhash); a new arrival verifies
+    * `bitCount(xor) ≤ maxHamming` against stored members. Exactly-once
+    * pair emission via the canonical-chunk rule ([[firstEqualChunk]] at
+    * the same chunk count); cap and TTL semantics as
+    * [[nearDupMinhashStream]]. NB a widened radius changes the bucket
+    * KEYS (coarser chunks), so restarting a default-radius checkpoint
+    * at a widened radius is the state-compatibility non-contract above;
+    * the default radius keys state exactly as before. The widened
+    * layouts also shrink the bucket domain (256 or 16 values per
+    * chunk), so large streams saturate the per-bucket cap sooner — the
+    * cap/ghost machinery bounds state, at the residual StreamingSpec
+    * quantifies. */
   def nearDupSimhashStream(events: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 100000, eventTimeCol: String = "",
       watermarkDelay: String = "0 seconds", ttlMs: Long = 0L): Dataset[SimhashHit] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val chunks = Dedup.simhashChunkCount("nearDupSimhashStream", maxHamming)
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
     val banded = withWatermarkIf(events, eventTimeCol, watermarkDelay, ttlMs)
       .select(col(idCol).cast("long").as("id"),
         Dedup.simhash64(col(textCol)).as("sim"),
@@ -425,8 +443,8 @@ object DedupStreaming {
       // null text → null simhash: drop before the non-nullable encoder
       .filter(col("sim").isNotNull)
       .select(col("id"), col("sim"), col("ts"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("bucket", expr("(sim >> (chunk * 16)) & 65535"))
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("bucket", expr(s"(sim >> (chunk * $width)) & $mask"))
       .select(col("chunk"), col("bucket"), col("id"), col("sim"), col("ts"))
       .as[SimhashBucketRow]
     val mh = maxHamming
@@ -452,9 +470,9 @@ object DedupStreaming {
                 (members.iterator ++ ghosts.iterator).foreach { m =>
                   val d = java.lang.Long.bitCount(m.sim ^ row.sim)
                   // canonical-chunk rule (see canonicalBand): emit only
-                  // from the FIRST 16-bit chunk the two simhashes share —
-                  // pigeonhole (d ≤ 3 over 4 chunks) guarantees one exists
-                  if (d <= mh && firstEqualChunk(m.sim, row.sim) == myChunk)
+                  // from the FIRST chunk the two simhashes share —
+                  // pigeonhole (d ≤ chunks−1) guarantees one exists
+                  if (d <= mh && firstEqualChunk(m.sim, row.sim, chunks) == myChunk)
                     out += SimhashHit(math.min(m.id, row.id), math.max(m.id, row.id), d)
                 }
                 val rec = SimhashMember(row.id, row.sim, rowMs(row.ts))

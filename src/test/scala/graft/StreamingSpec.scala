@@ -560,6 +560,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val simStream = simRows.toSet
     assert(simStream === simBatch, s"stream=$simStream batch=$simBatch")
 
+    // WIDENED radius (r18): the stream door now derives the coarse
+    // chunk layout like the batch door — before, maxHamming >= 4
+    // silently missed pairs (hardcoded 4 chunks, no guard). Pin
+    // stream ≡ batch at radius 6 on a fixture with a pair whose
+    // hamming NEEDS the widened pigeonhole.
+    val wideDocs = (0 until 24).map { i =>
+      val base = s"shared preamble sentence about topic ${i % 5} with " +
+        s"stable wording across variants while suffix ${i / 5} differs"
+      (i.toLong, if (i < 5) base else base + s" extra trailing clause $i")
+    }
+    val wideBatch = graft.pipeline.Dedup.nearDupSimhash(
+      wideDocs.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(wideBatch.exists(_._3 > 3),
+      "fixture sanity: some pair must need the widened radius")
+    val win = MemoryStream[(Long, String)]
+    val whits = graft.streaming.DedupStreaming.nearDupSimhashStream(
+      win.toDF().toDF("doc_id", "text"), "doc_id", "text", maxHamming = 6)
+    val wq = whits.writeStream.format("memory").queryName("simstw")
+      .outputMode("append").start()
+    wideDocs.grouped(7).foreach { chunk => win.addData(chunk); wq.processAllAvailable() }
+    val wideRows = spark.table("simstw").as[(Long, Long, Int)].collect().toSeq
+    wq.stop()
+    assert(wideRows.distinct.size == wideRows.size,
+      s"duplicate emissions at widened radius: $wideRows")
+    assert(wideRows.toSet === wideBatch,
+      s"widened stream=${wideRows.toSet} batch=$wideBatch")
+
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.1f, 0.0f)),
       (2L, Seq(0.99f, 0.05f, 0.1f, 0.0f)), // near 1
