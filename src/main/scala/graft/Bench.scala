@@ -524,31 +524,53 @@ object Bench {
     * the min, never raise a band. */
   private[graft] val BandsFileName = "BENCH_BANDS.json"
 
-  /** Read the bands file's map for one sf dir; empty on absent/garbage. */
-  private[graft] def readBands(sfDir: String,
-      dir: String = "."): Map[String, Double] = {
+  /** The bands file's section key: the sf dir PLUS the cpu count, so a
+    * run at a different parallelism (SPARK_GRAFT_CPUS) min-merges into
+    * its own section instead of permanently ratcheting the default
+    * section's bands below what the default config can ever reach (a
+    * band has no ratchet-UP path by design — after a deliberate
+    * environment change that makes quiet runs slower, e.g. a
+    * regenerated fixture at the same path, delete the file and let the
+    * next runs reseed it). */
+  private[graft] def bandKey(sfDir: String, cpus: String): String =
+    if (cpus.isEmpty) sfDir else s"$sfDir|cpus=$cpus"
+
+  /** The numeric fields of a JSON object as key → double (json4s parses
+    * numbers as JDouble/JInt/JDecimal depending on shape — ONE decoder
+    * for every bands/archive reader, so they can't drift). */
+  private def numericFields(j: org.json4s.JValue): Map[String, Double] = {
     import org.json4s._
+    j match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+        case (k, JDecimal(v)) => k -> v.toDouble
+        case (k, JLong(v)) => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Read the bands file's map for one section key; empty on
+    * absent/garbage. */
+  private[graft] def readBands(key: String,
+      dir: String = "."): Map[String, Double] = {
     val f = new java.io.File(dir, BandsFileName)
     if (!f.isFile) Map.empty
     else try {
-      jackson.JsonMethods.parse(new String(
+      numericFields(org.json4s.jackson.JsonMethods.parse(new String(
         java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)) \ sfDir match {
-        case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v)) => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty
-      }
+        java.nio.charset.StandardCharsets.UTF_8)) \ key)
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   /** Merge one run's per-key medians into the bands file (per-key min
-    * with whatever is already stamped; other sf sections untouched).
-    * Negative medians (errored keys) are skipped. Tmp-file + rename so
-    * a crash mid-write can't leave a half-band file. */
-  private[graft] def mergeBands(sfDir: String, run: Map[String, Double],
+    * with whatever is already stamped; other sections untouched).
+    * Negative medians (errored keys) are skipped. Rendered through
+    * json4s (arbitrary section-key strings stay valid JSON) and written
+    * tmp-file + rename so a crash mid-write can't leave a half-band
+    * file. */
+  private[graft] def mergeBands(key: String, run: Map[String, Double],
       dir: String = "."): Unit = {
     import org.json4s._
     val f = new java.io.File(dir, BandsFileName)
@@ -558,27 +580,23 @@ object Bench {
         jackson.JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)) match {
-          case JObject(sfs) => sfs.collect { case (sf, JObject(fields)) =>
-            sf -> fields.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v)) => k -> v.toDouble
-              case (k, JDecimal(v)) => k -> v.toDouble
-            }.toMap
-          }.toMap
+          case JObject(sections) =>
+            sections.map { case (s, v) => s -> numericFields(v) }.toMap
           case _ => Map.empty
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val old = existing.getOrElse(sfDir, Map.empty)
+    val old = existing.getOrElse(key, Map.empty)
     val merged = old ++ run.collect {
       case (k, v) if v >= 0 => k -> math.min(v, old.getOrElse(k, v))
     }
-    val all = existing + (sfDir -> merged)
-    def num(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    val body = all.toSeq.sortBy(_._1).map { case (sf, m) =>
-      "\"" + sf + "\":" + m.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + num(v) }
-        .mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
+    val all = existing + (key -> merged)
+    def num(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val body = jackson.JsonMethods.compact(jackson.JsonMethods.render(
+      JObject(all.toSeq.sortBy(_._1).map { case (s, m) =>
+        s -> JObject(m.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> (JDouble(num(v)): JValue) }.toList)
+      }.toList)))
     val tmp = new java.io.File(dir, BandsFileName + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -600,9 +618,9 @@ object Bench {
     * band); empty when no comparable file exists — every
     * key then passes unflagged, the right cold-start behavior. */
   private[graft] def referenceBand(sfDir: String,
-      dir: String = "."): (String, Map[String, Double]) = {
+      dir: String = ".", cpus: String = ""): (String, Map[String, Double]) = {
     import org.json4s._
-    val bands = readBands(sfDir, dir)
+    val bands = readBands(bandKey(sfDir, cpus), dir)
     if (bands.nonEmpty) return (BandsFileName, bands)
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
@@ -635,15 +653,8 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)))
         j \ "sf" match {
           case JString(sf) if sf == sfDir =>
-            j \ "queries" match {
-              case JObject(fields) =>
-                Some(f.getName -> fields.collect {
-                  case (k, JDouble(v)) => k -> v
-                  case (k, JInt(v)) => k -> v.toDouble
-                  case (k, JDecimal(v)) => k -> v.toDouble
-                }.toMap)
-              case _ => None
-            }
+            val qs = numericFields(j \ "queries")
+            if (qs.nonEmpty) Some(f.getName -> qs) else None
           case _ => None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -717,7 +728,7 @@ object Bench {
       .mkString("[", ",", "]")
     // contended-run flag (r15): min-vs-prior-median catches the uniformly
     // hot window the spread rule is blind to (r14's 12.6x driver artifact)
-    val (refFile, band) = referenceBand(sfDir)
+    val (refFile, band) = referenceBand(sfDir, cpus = cpus)
     val contended = results.collect {
       case (n, v, _, _, mn) if v >= 0 && band.get(n).exists(ref =>
           if (CalibKeys(n)) contendedCalib(mn, ref)
@@ -729,7 +740,8 @@ object Bench {
     // stamp this run into the local bands file AFTER the reference read
     // (a run must never band itself); min-merge means a contended window
     // can only fail to lower a band, never raise one
-    try mergeBands(sfDir, results.map { case (n, v, _, _, _) => n -> v }.toMap)
+    try mergeBands(bandKey(sfDir, cpus),
+      results.map { case (n, v, _, _, _) => n -> v }.toMap)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bands write failed: ${e.getMessage}") }
     spark.stop()

@@ -1026,7 +1026,12 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", tmp + "/ck")
           .start()
-        require(q.awaitTermination(600000), "pipe_stream_decontam drain timed out")
+        // stop the query on the timeout path too: the finally below
+        // deletes the input/checkpoint dirs, and a still-running stream
+        // would error against the missing paths for the session's rest
+        val drained = try q.awaitTermination(600000)
+          finally { if (q.isActive) q.stop() }
+        require(drained, "pipe_stream_decontam drain timed out")
         // snapshot off the temp files (eager) so the dir can be deleted
         s.read.parquet(tmp + "/out").select(col("doc_id")).localCheckpoint()
       } finally {

@@ -604,9 +604,14 @@ object Dedup {
     // dropDuplicates on id: insurance against a double-appended batch
     // duplicating sig rows (each dup would re-emit every pair touching
     // the doc); the sigs table is bucketed by id, so the aggregate
-    // needs no exchange
+    // needs no exchange. The isNotNull filter (parquet-pushed attribute
+    // predicate) must come FIRST: a pre-r17 store can carry a null-text
+    // sig row next to a real one for the same id, and an arbitrary
+    // per-id pick that keeps the null would null the estimate and
+    // silently drop every pair touching the doc
     pairs
-      .join(sigs.select(col("id").as("corpus_id"), col("sig").as("sig_c"))
+      .join(sigs.filter(col("sig").isNotNull)
+        .select(col("id").as("corpus_id"), col("sig").as("sig_c"))
         .dropDuplicates("corpus_id"), Seq("corpus_id"))
       .join(bSig.select(col("id").as("batch_id"), col("sig").as("sig_b")),
         Seq("batch_id"))
@@ -942,24 +947,30 @@ object Dedup {
     * overwrite would hold. The census therefore counts distinct rows —
     * the same population write-time capping sees.
     *
-    * Sibling VACUUM (`siblingSuffix`, the two-table tiers): after the
-    * slim swap lands — stamp still unset, so a crash mid-vacuum leaves
-    * a loudly-refused store — the sibling sig/vec table is rewritten to
-    * exactly ONE row per id surviving in the slim table (left-semi +
+    * Sibling VACUUM (`sibling` = (suffix, payload column), the
+    * two-table tiers): after the slim swap lands — stamp still unset,
+    * so a crash mid-vacuum leaves a loudly-refused store — the sibling
+    * sig/vec table is rewritten to exactly ONE NON-NULL row per id
+    * surviving in the slim table (null-payload filter + left-semi +
     * dropDuplicates(id), same tmp-table + rename discipline). Without
     * it, ids whose every band row was dropped keep their sig/vec rows
     * forever and double-appended batches leave duplicate sig rows, dead
     * weight taxing every estimate join's build side on the 100 TB
-    * ingest loop. Dropping an orphan's sig is safe: candidates fetch
-    * signatures only for ids present in slim pairs, so a row with no
-    * band rows can never join — exactly as if write-time capping had
-    * dropped it. (A fresh overwrite of the accumulated corpus would
-    * keep sigs for its OWN capped-out docs — rows the join can never
-    * reference either way; the vacuum is the tighter of the two.) */
+    * ingest loop. The null filter runs BEFORE the per-id dedup: a
+    * pre-r17 store can carry a null-text sig row next to a later real
+    * append of the same id, and an arbitrary pick could keep the null
+    * one permanently — the read path's isNotNull filter must stay a
+    * no-op after a vacuum, not the only thing hiding a lost signature.
+    * Dropping an orphan's sig is safe: candidates fetch signatures only
+    * for ids present in slim pairs, so a row with no band rows can
+    * never join — exactly as if write-time capping had dropped it.
+    * (A fresh overwrite of the accumulated corpus would keep sigs for
+    * its OWN capped-out docs — rows the join can never reference either
+    * way; the vacuum is the tighter of the two.) */
   private def recapBucketTable(spark: org.apache.spark.sql.SparkSession,
       table: String, bucketCols: Seq[String], maxBucketSize: Int,
       prop: String, ctx: String,
-      siblingSuffix: Option[String] = None): Unit = {
+      sibling: Option[(String, String)] = None): Unit = {
     require(maxBucketSize > 0, s"$ctx: maxBucketSize must be positive")
     val payload = readStoreStamp(spark, table, prop).getOrElse(
       throw new IllegalArgumentException(
@@ -993,7 +1004,7 @@ object Dedup {
     graft.join.SpatialJoin.dropBucketedTable(spark, table)
     spark.sql(s"ALTER TABLE ${graft.join.SpatialJoin.quoteTable(tmp)} " +
       s"RENAME TO ${graft.join.SpatialJoin.quoteTable(table)}")
-    siblingSuffix.foreach { suffix =>
+    sibling.foreach { case (suffix, payloadCol) =>
       val sib = table + suffix
       if (spark.sessionState.catalog.tableExists(
           spark.sessionState.sqlParser.parseTableIdentifier(sib))) {
@@ -1004,6 +1015,7 @@ object Dedup {
         // its own id-bucketed files (no exchange on the big side)
         val surviving = spark.table(table).select(col("id")).distinct()
         spark.table(sib)
+          .filter(col(payloadCol).isNotNull)
           .dropDuplicates("id")
           .join(surviving, Seq("id"), "left_semi")
           .repartition(sibBuckets, col("id"))
@@ -1085,14 +1097,14 @@ object Dedup {
       table: String, maxBucketSize: Int = 100000): Unit =
     recapBucketTable(spark, table, Seq("band", "bucket"), maxBucketSize,
       MinhashStoreProp, s"compactMinhashStore($table)",
-      siblingSuffix = Some(MinhashSigTableSuffix))
+      sibling = Some((MinhashSigTableSuffix, "sig")))
 
   /** Compact a [[writeNgramStore]] index — see [[compactMinhashStore]]. */
   def compactNgramStore(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBucketSize: Int = 100000): Unit =
     recapBucketTable(spark, table, Seq("band", "bucket"), maxBucketSize,
       NgramStoreProp, s"compactNgramStore($table)",
-      siblingSuffix = Some(MinhashSigTableSuffix))
+      sibling = Some((MinhashSigTableSuffix, "sig")))
 
   /** Compact a [[writeSimhashStore]] index — see [[compactMinhashStore]].
     * NB dropping an over-cap (chunk, bucket) group forfeits the exact
@@ -1110,7 +1122,7 @@ object Dedup {
       table: String, maxBucketSize: Int = 100000): Unit =
     recapBucketTable(spark, table, Seq("t", "sig"), maxBucketSize,
       EmbeddingStoreProp, s"compactEmbeddingStore($table)",
-      siblingSuffix = Some(EmbeddingVecTableSuffix))
+      sibling = Some((EmbeddingVecTableSuffix, "vec")))
 
   // ------------------------------------------------------------ SimHash
 
@@ -1676,8 +1688,11 @@ object Dedup {
         Seq("t", "sig"))
       .select(col("batch_id"), col("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+    // null filter before the per-id pick — see the sigs fetch in
+    // signatureStoreCandidates for why order matters
     pairs
-      .join(vecs.select(col("id").as("corpus_id"), col("vec").as("vec_c"))
+      .join(vecs.filter(col("vec").isNotNull)
+        .select(col("id").as("corpus_id"), col("vec").as("vec_c"))
         .dropDuplicates("corpus_id"), Seq("corpus_id"))
       .join(bVec.select(col("id").as("batch_id"), col("vec").as("vec_b")),
         Seq("batch_id"))

@@ -139,6 +139,17 @@ class BenchTrustSpec extends AnyFunSuite {
       Bench.mergeBands("/d/sf0.01", Map("q1_agg" -> 0.05), dir.toString)
       assert(Bench.readBands("/d/sf0.1", dir.toString)("q1_agg") === 0.22)
       assert(Bench.readBands("/d/sf0.01", dir.toString) === Map("q1_agg" -> 0.05))
+      // sections are keyed by (sf, cpus): a run at a different
+      // parallelism must NOT ratchet the default section's bands down
+      // to minima the default config can never reach
+      assert(Bench.bandKey("/d/sf0.1", "32") === "/d/sf0.1|cpus=32")
+      assert(Bench.bandKey("/d/sf0.1", "") === "/d/sf0.1")
+      Bench.mergeBands(Bench.bandKey("/d/sf0.1", "64"),
+        Map("q1_agg" -> 0.01), dir.toString)
+      assert(Bench.readBands("/d/sf0.1", dir.toString)("q1_agg") === 0.22,
+        "a cpus=64 run leaked into the unkeyed section")
+      assert(Bench.referenceBand("/d/sf0.1", dir.toString, cpus = "64")._2
+        === Map("q1_agg" -> 0.01))
       // garbage bands file: lookup is empty and the archive fallback
       // returns; the next merge rebuilds from scratch instead of throwing
       write(Bench.BandsFileName, "{not json")
@@ -146,6 +157,13 @@ class BenchTrustSpec extends AnyFunSuite {
       assert(Bench.referenceBand("/d/sf0.1", dir.toString)._1 === "BENCH_r11.json")
       Bench.mergeBands("/d/sf0.1", Map("q1_agg" -> 0.3), dir.toString)
       assert(Bench.readBands("/d/sf0.1", dir.toString) === Map("q1_agg" -> 0.3))
+      // section keys with JSON-hostile characters survive the round trip
+      // (the writer renders through json4s, not string concatenation)
+      val hostile = """C:\data\sf"0.1""""
+      Bench.mergeBands(hostile, Map("q1_agg" -> 0.5), dir.toString)
+      assert(Bench.readBands(hostile, dir.toString) === Map("q1_agg" -> 0.5))
+      assert(Bench.readBands("/d/sf0.1", dir.toString) === Map("q1_agg" -> 0.3),
+        "hostile section corrupted the file for other sections")
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()

@@ -187,8 +187,15 @@ class MinhashStoreSpec extends AnyFunSuite {
       Dedup.writeMinhashStore(batch, table, mode = "append")
       Dedup.writeMinhashStore(batch, table, mode = "append") // the retry
       val sigTable = table + Dedup.MinhashSigTableSuffix
-      assert(spark.table(sigTable).count() === 20L,
-        "fixture sanity: the doubled batch must have doubled its sig rows")
+      // a pre-r17 store could carry a NULL-text sig row next to a later
+      // real append of the same id; the vacuum's per-id pick must never
+      // keep the null one (it would lose the signature permanently)
+      Seq(101L).toDF("id")
+        .withColumn("sig", lit(null).cast("array<bigint>"))
+        .write.mode("append").bucketBy(64, "id").sortBy("id")
+        .format("parquet").saveAsTable(sigTable)
+      assert(spark.table(sigTable).count() === 21L,
+        "fixture sanity: doubled batch sigs + the planted null row")
       // the candidates door dedups, so a dup probe still sees ONE pair
       val probe = Seq((30000L, docText(101))).toDF("doc_id", "text")
       def probePairs() = Dedup.minhashCandidatesAgainstStore(spark, probe, table)
@@ -205,6 +212,9 @@ class MinhashStoreSpec extends AnyFunSuite {
       assert(spark.table(sigTable).count() === 15L &&
         spark.table(sigTable).select($"id").distinct().count() === 15L,
         "vacuum must leave one sig row per doc")
+      assert(spark.table(sigTable)
+        .filter($"id" === 101L && $"sig".isNotNull).count() === 1L,
+        "vacuum kept the planted null sig over the real one")
       assert(probePairs() === 1L, "doors must still work after the repair")
     } finally { drop(table); drop(fresh) }
   }

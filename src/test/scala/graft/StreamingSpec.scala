@@ -179,7 +179,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", tmp + "/ck")
         .start()
-      assert(q.awaitTermination(600000), "stream drain timed out")
+      val drained = try q.awaitTermination(600000)
+        finally { if (q.isActive) q.stop() }
+      assert(drained, "stream drain timed out")
       assert(batches > 1, "fixture sanity: want multiple micro-batches")
       assert(got.sorted === expected, "stream ≡ batch broke")
     } finally {
@@ -226,7 +228,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", tmp + "/ck")
         .start()
-      assert(q.awaitTermination(600000), "stream drain timed out")
+      val drained = try q.awaitTermination(600000)
+        finally { if (q.isActive) q.stop() }
+      assert(drained, "stream drain timed out")
       assert(batches > 1, "fixture sanity: want multiple micro-batches")
       assert(got.sorted === expected, "stream ≡ batch broke")
     } finally {
