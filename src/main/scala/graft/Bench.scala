@@ -590,12 +590,12 @@ object Bench {
       case (k, v) if v >= 0 => k -> math.min(v, old.getOrElse(k, v))
     }
     val all = existing + (key -> merged)
-    def num(v: Double) =
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def num(v: Double): JValue =
+      JDecimal(BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
     val body = jackson.JsonMethods.compact(jackson.JsonMethods.render(
       JObject(all.toSeq.sortBy(_._1).map { case (s, m) =>
         s -> JObject(m.toSeq.sortBy(_._1)
-          .map { case (k, v) => k -> (JDouble(num(v)): JValue) }.toList)
+          .map { case (k, v) => k -> num(v) }.toList)
       }.toList)))
     val tmp = new java.io.File(dir, BandsFileName + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
@@ -648,11 +648,22 @@ object Bench {
     // of review pass 1 closed)
     files.reverseIterator.map { f =>
       try {
-        val j = unwrap(jackson.JsonMethods.parse(new String(
+        val root = jackson.JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)))
+          java.nio.charset.StandardCharsets.UTF_8))
+        val j = unwrap(root)
+        // a cpus-stamped file (the driver wrapper and post-r18 bench
+        // lines both carry one) must match this run's parallelism — an
+        // 8-cpu run compared against a 32-cpu band would flag nearly
+        // every key; a file with NO cpus field (pre-r18 raw lines) is
+        // accepted, since every archived run used the default 32
+        val cpusOk = (root \ "cpus") match {
+          case JInt(c) => cpus.isEmpty || c.toString == cpus
+          case JString(c) => cpus.isEmpty || c == cpus
+          case _ => true
+        }
         j \ "sf" match {
-          case JString(sf) if sf == sfDir =>
+          case JString(sf) if sf == sfDir && cpusOk =>
             val qs = numericFields(j \ "queries")
             if (qs.nonEmpty) Some(f.getName -> qs) else None
           case _ => None
@@ -736,7 +747,7 @@ object Bench {
         "\"" + n + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"min":$mins,"noisy":$noisyKeys,"contended":$contended,"ref":"$refFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"min":$mins,"noisy":$noisyKeys,"contended":$contended,"ref":"$refFile","cpus":"$cpus","sf":"$sfDir"}""")
     // stamp this run into the local bands file AFTER the reference read
     // (a run must never band itself); min-merge means a contended window
     // can only fail to lower a band, never raise one

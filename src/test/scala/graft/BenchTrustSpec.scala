@@ -164,6 +164,21 @@ class BenchTrustSpec extends AnyFunSuite {
       assert(Bench.readBands(hostile, dir.toString) === Map("q1_agg" -> 0.5))
       assert(Bench.readBands("/d/sf0.1", dir.toString) === Map("q1_agg" -> 0.3),
         "hostile section corrupted the file for other sections")
+      // the ARCHIVE fallback is cpus-checked too: a cpus-stamped file
+      // from a different parallelism must not become the reference (an
+      // 8-cpu run against a 32-cpu band would flag nearly every key);
+      // legacy files without the field are accepted
+      new java.io.File(dir, Bench.BandsFileName).delete()
+      write("BENCH_r12.json",
+        """{"metric":"total","value":9.9,"queries":{"q1_agg":0.29},""" +
+          """"cpus":"32","sf":"/d/sf0.1"}""")
+      assert(Bench.referenceBand("/d/sf0.1", dir.toString, cpus = "8")._1
+        === "BENCH_r11.json",
+        "a 32-cpu archive served as the band for an 8-cpu run")
+      assert(Bench.referenceBand("/d/sf0.1", dir.toString, cpus = "32")._1
+        === "BENCH_r12.json")
+      assert(Bench.referenceBand("/d/sf0.1", dir.toString)._1
+        === "BENCH_r12.json", "no-cpus lookup must accept stamped files")
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()

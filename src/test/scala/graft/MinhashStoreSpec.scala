@@ -190,9 +190,12 @@ class MinhashStoreSpec extends AnyFunSuite {
       // a pre-r17 store could carry a NULL-text sig row next to a later
       // real append of the same id; the vacuum's per-id pick must never
       // keep the null one (it would lose the signature permanently)
+      val sigBuckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(sigTable))
+        .bucketSpec.get.numBuckets
       Seq(101L).toDF("id")
         .withColumn("sig", lit(null).cast("array<bigint>"))
-        .write.mode("append").bucketBy(64, "id").sortBy("id")
+        .write.mode("append").bucketBy(sigBuckets, "id").sortBy("id")
         .format("parquet").saveAsTable(sigTable)
       assert(spark.table(sigTable).count() === 21L,
         "fixture sanity: doubled batch sigs + the planted null row")
