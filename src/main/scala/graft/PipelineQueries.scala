@@ -1049,6 +1049,67 @@ object PipelineQueries {
         .crossJoin(symDiff.agg(count(lit(1)).as("n_sym_diff")))
     }),
 
+    /** The STREAMING INGEST LOOP (r18): three micro-batches through
+      * [[graft.streaming.DedupStreaming.minhashIngestStream]] against a
+      * persistent index — batch 0 is the dup half (every row filtered
+      * against the corpus), batch 1 the md5-novel half (every row
+      * accepted AND appended), batch 2 a re-dup of batch 1's rows
+      * (ids +10000) — filtered ONLY because batch 1's accepted rows
+      * were folded into the index, i.e. the cross-batch contract is
+      * what this row pins. Closed form: accepted = count(documents),
+      * their id sum = sum(doc_id) + 20000·count, and the index ends at
+      * 2·count distinct docs (corpus + accepted). */
+    "pipe_stream_ingest" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val novelHalf = corpus.select((col("doc_id") + 20000).as("doc_id"),
+        concat(md5(concat(lit("i1-"), col("doc_id"))), lit(" "),
+          md5(concat(lit("i2-"), col("doc_id")))).as("text"))
+      Dedup.dropMinhashStore(s, "graft_q_ingest_store")
+      Dedup.writeMinhashStore(corpus, "graft_q_ingest_store")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_q").toString
+      val accepted = try {
+        Seq(
+          corpus.select((col("doc_id") + 10000).as("doc_id"), col("text")),
+          novelHalf,
+          novelHalf.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        ).zipWithIndex.foreach { case (b, i) =>
+          b.repartition(1).write.mode("overwrite").parquet(tmp + s"/in/b=$i")
+        }
+        // the file source orders micro-batches by file TIMESTAMP, and
+        // the three writes land within the same clock tick — stamp
+        // strictly increasing mtimes so the cross-batch order (dups
+        // after their originals) is deterministic
+        val base = new java.io.File(tmp + "/in/b=0").lastModified()
+        (0 to 2).foreach { i =>
+          new java.io.File(tmp + s"/in/b=$i").listFiles()
+            .foreach(_.setLastModified(base - (20 - i) * 60000L))
+        }
+        val streamIn = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp + "/in/b=*")
+        val q = graft.streaming.DedupStreaming.minhashIngestStream(
+            streamIn, "graft_q_ingest_store", threshold = 0.8) { (novel, _) =>
+            novel.write.mode("append").parquet(tmp + "/out")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", tmp + "/ck")
+          .start()
+        val drained = try q.awaitTermination(600000)
+          finally { if (q.isActive) q.stop() }
+        require(drained, "pipe_stream_ingest drain timed out")
+        s.read.parquet(tmp + "/out").select(col("doc_id")).localCheckpoint()
+      } finally {
+        try org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(tmp))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val indexDocs = s.table(
+          "graft_q_ingest_store" + Dedup.MinhashSigTableSuffix)
+        .select(col("id")).distinct()
+      accepted.agg(count(lit(1)).as("n_accepted"),
+          sum(col("doc_id")).as("accepted_id_sum"))
+        .crossJoin(indexDocs.agg(count(lit(1)).as("n_index_docs")))
+    }),
+
     // ---------------------------------- repetition signals (Gopher-style)
     "pipe_text2" -> ((s, dir) => {
       val txt = col("text")
@@ -1477,6 +1538,14 @@ object PipelineQueries {
         | (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
         |    WHERE doc_id NOT IN (SELECT doc_id FROM contam)) AS clean_id_sum,
         | CAST(0 AS BIGINT) AS n_sym_diff""".stripMargin,
+    // the streaming ingest loop's closed form: the md5-novel half is
+    // accepted (ids +20000), the dup half and the cross-batch re-dup
+    // are filtered, the index ends at corpus + accepted
+    "pipe_stream_ingest" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_accepted,
+        | (SELECT CAST(sum(doc_id) + 20000 * count(*) AS BIGINT)
+        |    FROM documents) AS accepted_id_sum,
+        | (SELECT 2 * count(*) FROM documents) AS n_index_docs""".stripMargin,
     "pipe_text2" ->
       """WITH l AS (SELECT doc_id, text,
         |  list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),

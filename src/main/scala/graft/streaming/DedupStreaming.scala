@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.pipeline.{Dedup, TextAnalysis}
@@ -594,4 +594,132 @@ object DedupStreaming {
       sink(Dedup.decontaminateAgainstStore(batch.sparkSession, batch,
         trainId, trainText, table), batchId)
     }
+
+  /** The STREAMING INGEST LOOP against a persistent near-dup index —
+    * the batch loop README documents (`novel → sink → append`), packaged
+    * as one `foreachBatch` door per tier: each micro-batch is filtered
+    * through the tier's `*NovelAgainstStore` (against the corpus AND
+    * within the batch), the surviving novel rows go to the caller's
+    * `sink`, and are then APPENDED to the index — so batch `i` dedups
+    * against the original corpus plus every accepted row of batches
+    * `0..i-1`. Cross-batch dedup with NO stream state at all: the index
+    * IS the state, bounded by the corpus, durable across restarts, and
+    * shared with every batch door.
+    *
+    * Semantics: the drained stream's surviving set equals running the
+    * batch ingest loop over the same micro-batch partition of the input
+    * (StreamingSpec pins this against a planted cross-batch dup) —
+    * unlike the stateful `nearDup*Stream` twins, the split into batches
+    * DOES matter exactly as it does for the batch loop: two near-dups
+    * arriving in ONE batch collapse to the min-id survivor, arriving in
+    * different batches the earlier one wins.
+    *
+    * Failure contract: `foreachBatch` can re-run a micro-batch after a
+    * crash, and the append is not transactional with the sink — a
+    * replayed batch re-appends its novel rows (they dedup themselves
+    * away at candidates time, the doors' dropDuplicates) and the store
+    * accumulates exactly the retried-ingest dead weight
+    * [[graft.pipeline.Dedup.compactMinhashStore]]'s vacuum removes; run
+    * the tier's compaction door after recovering from a failed stream.
+    * The sink may also observe a replayed batch — standard foreachBatch
+    * at-least-once.
+    *
+    * The store must exist (write the base corpus first); its stamped
+    * parameters drive every batch, so the whole stream re-points by
+    * rewriting the store. Returns the configured `DataStreamWriter` —
+    * set trigger/checkpoint and `.start()`. */
+  def minhashIngestStream(stream: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestStream(stream, sink,
+      Seq(table, table + Dedup.MinhashSigTableSuffix)) { (s, batch) =>
+      val novel = Dedup.minhashNovelAgainstStore(s, batch, table, idCol,
+        textCol, threshold, maxBucketSize, dedupWithinBatch)
+      (novel, accepted => Dedup.writeMinhashStore(accepted, table, idCol,
+        textCol, mode = "append", maxBucketSize = maxBucketSize))
+    }
+
+  /** [[minhashIngestStream]]'s token-level (word-n-gram) twin. */
+  def ngramIngestStream(stream: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestStream(stream, sink,
+      Seq(table, table + Dedup.MinhashSigTableSuffix)) { (s, batch) =>
+      val novel = Dedup.ngramNovelAgainstStore(s, batch, table, idCol,
+        textCol, threshold, maxBucketSize, dedupWithinBatch)
+      (novel, accepted => Dedup.writeNgramStore(accepted, table, idCol,
+        textCol, mode = "append", maxBucketSize = maxBucketSize))
+    }
+
+  /** [[minhashIngestStream]]'s Hamming-distance twin; `maxHamming` must
+    * sit within the store's stamped chunk layout's pigeonhole. */
+  def simhashIngestStream(stream: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestStream(stream, sink, Seq(table)) { (s, batch) =>
+      val novel = Dedup.simhashNovelAgainstStore(s, batch, table, idCol,
+        textCol, maxHamming, maxBucketSize, dedupWithinBatch)
+      (novel, accepted => Dedup.writeSimhashStore(accepted, table, idCol,
+        textCol, mode = "append", maxBucketSize = maxBucketSize,
+        maxHamming = maxHamming))
+    }
+
+  /** [[minhashIngestStream]]'s cosine twin; batches dedup at the
+    * store's STAMPED (bits, tables) recall curve. */
+  def embeddingIngestStream(stream: DataFrame, table: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95, maxBucketSize: Int = 100000,
+      dedupWithinBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestStream(stream, sink,
+      Seq(table, table + Dedup.EmbeddingVecTableSuffix)) { (s, batch) =>
+      val novel = Dedup.embeddingNovelAgainstStore(s, batch, table, idCol,
+        vecCol, threshold, maxBucketSize, dedupWithinBatch)
+      (novel, accepted => Dedup.writeEmbeddingStore(accepted, table, idCol,
+        vecCol, mode = "append", maxBucketSize = maxBucketSize))
+    }
+
+  /** The shared foreachBatch skeleton of the four ingest doors: novel
+    * rows are SNAPPED once (localCheckpoint) — the sink and the append
+    * both consume them, and an unsnapped frame would re-run the whole
+    * novel computation per consumer AND could see a different store
+    * (the append mutates it between the two reads). The append runs
+    * AFTER the sink so a sink failure fails the batch before the store
+    * grows (the replay then re-filters the same batch against the
+    * un-grown store — same answer). Empty batches skip the append
+    * (writeSignatureStore on zero rows is a no-op write but still
+    * cycles the stamp; skipping keeps crash windows to real appends).
+    *
+    * After a real append the store tables are REFRESHED in the PARENT
+    * session (the one the stream was built from): foreachBatch runs in
+    * a micro-batch-cloned session whose writes invalidate only its own
+    * relation cache, so without the refresh a caller probing the index
+    * from the session that started the stream can silently read
+    * PRE-STREAM file listings (the cloned session's in-stream reads are
+    * always current). Other sessions keep standard Spark semantics —
+    * refresh before reading. */
+  private def ingestStream(stream: DataFrame,
+      sink: (DataFrame, Long) => Unit, refreshTables: Seq[String])(
+      tier: (SparkSession, DataFrame) => (DataFrame, DataFrame => Unit)): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val parent = stream.sparkSession
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val (novelLazy, append) = tier(s, batch)
+      val novel = novelLazy.localCheckpoint(true)
+      sink(novel, batchId)
+      if (!novel.isEmpty) {
+        append(novel)
+        refreshTables.foreach { t =>
+          try parent.catalog.refreshTable(t)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+      }
+    }
+  }
 }

@@ -240,6 +240,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhashIngestStream: the streaming ingest loop ≡ the sequential batch loop") {
+    import spark.implicits._
+    val table = "graft_stream_ingest_store"
+    graft.pipeline.Dedup.dropMinhashStore(spark, table)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    try {
+      // mostly tag-specific content: cross-tag jaccard stays far below
+      // the 0.8 threshold, identical text is exactly 1.0
+      def doc(tag: String) =
+        s"unique $tag narrative " + Seq.fill(8)(tag + "ish").mkString(" ")
+      val corpus = Seq((1L, doc("alpha")), (2L, doc("beta")))
+        .toDF("doc_id", "text")
+      graft.pipeline.Dedup.writeMinhashStore(corpus, table)
+      // three one-file micro-batches, in doc_id order (file source sorts
+      // by path): b1 has a corpus dup + novel gamma; b2 has a CROSS-BATCH
+      // dup of gamma (only catchable because b1's novel was appended) +
+      // novel delta + an intra-batch dup of delta; b3 re-dups delta
+      val b1 = Seq((10L, doc("alpha")), (11L, doc("gamma")))
+      val b2 = Seq((20L, doc("gamma")), (21L, doc("delta")), (22L, doc("delta")))
+      val b3 = Seq((30L, doc("delta")), (31L, doc("epsilon")))
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        b.toDF("doc_id", "text").repartition(1)
+          .write.mode("overwrite").parquet(tmp + s"/in/batch=$i")
+      }
+      // deterministic micro-batch ORDER: the file source sorts by file
+      // timestamp and the three writes land within one clock tick
+      val mtBase = new java.io.File(tmp + "/in/batch=0").lastModified()
+      (0 to 2).foreach { i =>
+        new java.io.File(tmp + s"/in/batch=$i").listFiles()
+          .foreach(_.setLastModified(mtBase - (20 - i) * 60000L))
+      }
+      val streamIn = spark.readStream
+        .schema(b1.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp + "/in/batch=*")
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = graft.streaming.DedupStreaming.minhashIngestStream(
+          streamIn, table, threshold = 0.8) { (novel, batchId) =>
+          val ids = novel.select($"doc_id").as[Long].collect()
+          got.synchronized { got ++= ids.map(batchId -> _) }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ck")
+        .start()
+      val drained = try q.awaitTermination(600000)
+        finally { if (q.isActive) q.stop() }
+      assert(drained, "ingest stream drain timed out")
+      // survivors: gamma's FIRST arrival (11), delta's min-id in its own
+      // batch (21), epsilon (31); every later dup — cross-batch included —
+      // is filtered because the accepted rows were appended
+      assert(got.map(_._2).sorted === Seq(11L, 21L, 31L),
+        s"streaming ingest loop diverged: $got")
+      assert(got.map(_._1).distinct.size > 1,
+        "fixture sanity: want multiple micro-batches")
+      // the store now holds corpus + survivors: a re-probe of every
+      // accepted tag is a dup, a fresh tag is novel
+      val probe = Seq((40L, doc("gamma")), (41L, doc("epsilon")),
+        (42L, doc("zeta"))).toDF("doc_id", "text")
+      val novelNow = graft.pipeline.Dedup.minhashNovelAgainstStore(spark,
+          probe, table, threshold = 0.8)
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(novelNow === Seq(42L), s"post-stream store state wrong: $novelNow")
+    } finally {
+      graft.pipeline.Dedup.dropMinhashStore(spark, table)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   test("sjoinStream guard failure points at the bucketed scale path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
