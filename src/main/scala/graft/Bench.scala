@@ -35,6 +35,25 @@ object Bench {
   private def orders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey").as("k"))
 
+  /** Spread a narrow scan across the executors (r18, guide §2.5): the sf
+    * fixtures are SINGLE-ROW-GROUP parquet files, and a row group is the
+    * atomic split unit — no file-split conf can parallelize it — so every
+    * scan-shaped query was running its heavy per-row compute (overlay,
+    * FFT, arc linearize, text stats, reprojection) in ONE task with the
+    * other cores idle. A round-robin repartition of the narrow input
+    * (8-byte key or short document row) costs a ~1-5 MB exchange and buys
+    * cores× on the compute stage; the count derives from
+    * defaultParallelism so the driver's lower-core runs keep scaling.
+    * Applied ONLY where per-row compute dominates: a probe (ProbeScanPar)
+    * measured q1_agg 0.25→1.08 s (wide rows, trivial compute — the
+    * exchange dominates) and the join keys neutral-to-worse (they
+    * re-evaluate inputs for sampling/summary passes, multiplying the
+    * exchange), so those keep the bare scan. This is the 100 TB shape:
+    * inputs there arrive as many splittable row groups, and the compute
+    * stage runs at cluster parallelism either way. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Headline set: name → query. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
@@ -50,7 +69,7 @@ object Bench {
     "geo_curved_measure" -> ((s, dir) => {
       val cs = st_circularstring(array(
         array(xmin, ymin), array(xmin + w, ymin + w), array(xmin + w + w, ymin)))
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(cs.as("c"))
         .select(st_length(col("c")).as("len"),
           element_at(st_bounds(col("c")), 4).as("ymax"))
@@ -59,7 +78,7 @@ object Bench {
     "geo_curved_measure_lin" -> ((s, dir) => {
       val cs = st_circularstring(array(
         array(xmin, ymin), array(xmin + w, ymin + w), array(xmin + w + w, ymin)))
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(st_linearize(cs, lit(32)).as("c"))
         .select(st_length(col("c")).as("len"),
           element_at(st_bounds(col("c")), 4).as("ymax"))
@@ -67,7 +86,7 @@ object Bench {
     }),
     // per-row construct + measure, no sort
     "geo_scan_measure" -> ((s, dir) => {
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(k, rect.as("g"), pt.as("p"))
         .select(st_area(col("g")).as("area"), st_length(col("g")).as("len"),
           st_x(st_centroid(col("g"))).as("cx"))
@@ -77,7 +96,7 @@ object Bench {
     // construction and JTS kernels, only the call tier differs; benched
     // 3.17s UDF vs 1.05s native at sf0.1)
     "geo_scan_measure_udf" -> ((s, dir) => {
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(k, rect.as("g"), pt.as("p"))
         .select(graft.functions.GeoUDFs.area(col("g")).as("area"),
           graft.functions.GeoUDFs.length(col("g")).as("len"),
@@ -85,7 +104,7 @@ object Bench {
     }),
     // per-row binary predicates (RelateNG hot path)
     "geo_scan_pred" -> ((s, dir) => {
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"), pt.as("p"))
         .select(st_intersects(col("a"), col("c")).as("i"),
           st_contains(col("a"), col("p")).as("ct"),
@@ -95,7 +114,7 @@ object Bench {
     // (intersects/contains/dwithin are native by default, so this twin
     // quantifies the full native-predicate delta per round)
     "geo_scan_pred_udf" -> ((s, dir) => {
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"), pt.as("p"))
         .select(graft.functions.GeoUDFs.intersects(col("a"), col("c")).as("i"),
           graft.functions.GeoUDFs.contains(col("a"), col("p")).as("ct"),
@@ -105,7 +124,7 @@ object Bench {
     // whole construct→translate→overlay→area tree runs as one STGeoFused
     // program (zero interior EWKB round trips)
     "geo_scan_overlay" -> ((s, dir) => {
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"))
         .select(st_area(st_intersection(col("a"), col("c"))).as("ia"),
           st_area(st_buffer(col("a"), lit(0.5))).as("ba"))
@@ -114,7 +133,7 @@ object Bench {
     // spark.graft.fuse for *_unfused/*_udf names): quantifies the per-op
     // parse→compute→serialize tax the fusion tier removes
     "geo_scan_overlay_unfused" -> ((s, dir) => {
-      orders(s, dir)
+      spread(orders(s, dir))
         .select(rect.as("a"), st_translate(rect, w / 2, lit(0.0)).as("c"))
         .select(st_area(st_intersection(col("a"), col("c"))).as("ia"),
           st_area(st_buffer(col("a"), lit(0.5))).as("ba"))
@@ -168,7 +187,7 @@ object Bench {
     // text statistics over documents (pure codegen expressions)
     "pipe_text" -> ((s, dir) => {
       val txt = col("text")
-      t(s, dir, "documents").select(
+      spread(t(s, dir, "documents")).select(
         graft.pipeline.TextAnalysis.tokenCount(txt).as("n_tok"),
         graft.pipeline.TextAnalysis.alphaRatio(txt).as("alpha"),
         graft.pipeline.TextAnalysis.langId(txt).as("lang"),
@@ -197,7 +216,7 @@ object Bench {
     }),
     // spectral audio features (per-row radix-2 FFT over generated PCM)
     "pipe_audio" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"))
+      val d = spread(t(s, dir, "documents").select(col("doc_id")))
         .withColumn("wav", graft.pipeline.Multimodal.makeWavSine(
           lit(8192), lit(8192),
           ((lit(64) + col("doc_id") % 8 * 16) * 8).cast("double"), lit(12000)))
@@ -334,7 +353,7 @@ object Bench {
       val g = st_set_srid(st_point(
         (k % 360).cast("double") - 180.0 + 0.5,
         (k % 170).cast("double") / 2.0 - 42.25), lit(4326))
-      orders(s, dir).select(st_to_srid(g, lit(3857)).as("m"))
+      spread(orders(s, dir)).select(st_to_srid(g, lit(3857)).as("m"))
         .agg(sum(st_x(col("m"))).as("sx"), sum(st_y(col("m"))).as("sy"))
     })
   )
