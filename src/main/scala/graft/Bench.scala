@@ -730,6 +730,18 @@ object Bench {
       // its buffer encoders from kryo to catalyst array-of-binary
       // (PERF.md r11 sweep: the old 8192 override thrashed at 50×).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE partition coalescing costs partitions by BYTES; geometry and
+      // signature rows here are ~30-100 bytes but carry micro- to
+      // milliseconds of kernel CPU each, so the default 1 MB floor
+      // collapsed every post-shuffle compute stage to a handful of tasks
+      // (ProbeUnionGroups2: the 1024-group union final stage ran 3 tasks
+      // over 8.3 CPU-seconds — 4.6 s wall → 1.4 s with the floor at 16k).
+      // Parallelism-first coalescing stays ON (tiny tails still merge);
+      // at cluster scale partitions dwarf the floor either way, so this
+      // only matters exactly where it should: kernel-bound small-byte
+      // stages. Overridable for other boxes via env.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/session warm-up on a trivial job so the first measured query
