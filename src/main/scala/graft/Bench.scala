@@ -145,10 +145,14 @@ object Bench {
         .groupBy(col("grp"))
         .agg(st_area(st_union_all(col("g"))).as("area"))
     }),
-    // broadcast STRtree spatial join: every point in its own rect
+    // broadcast STRtree spatial join: every point in its own rect.
+    // The PROBE (right) side is spread (r18): it was a single-task scan
+    // probing the tree one-threaded (0.87 s of the key); the build (left)
+    // side stays bare — it is collected to the driver for the broadcast
+    // tree, so an exchange there is pure overhead (ProbeScanPar2/JoinAB).
     "geo_sjoin" -> ((s, dir) => {
       val left = orders(s, dir).select(k.as("lk"), rect.as("geometry"))
-      val right = orders(s, dir).select(k.as("rk"), pt.as("geometry"))
+      val right = spread(orders(s, dir)).select(k.as("rk"), pt.as("geometry"))
       graft.join.SpatialJoin.sjoin(left, right, "contains", "inner")
         .agg(count(lit(1)).as("n"))
     }),
@@ -175,10 +179,15 @@ object Bench {
     // at larger SFs): each left point's only in-range neighbor is its
     // own key's right point, every other key sits ≥ 16 units away on
     // the x axis — a constant-density workload at every SF.
+    // both sides spread (r18): the cell-explode prep stages ran single
+    // task; ProbeJoinAB alternated A/B reads 0.87x for the spread form
+    // here, while grid/quadtree/unbounded (inputs re-evaluated by their
+    // sampling/census passes, each re-paying the exchange) read worse
+    // and keep the bare scan.
     "geo_sjoin_nearest" -> ((s, dir) => {
-      val left = orders(s, dir).select(k.as("lk"),
+      val left = spread(orders(s, dir)).select(k.as("lk"),
         st_point(nnLx + w / 2, nnLy + h / 2).as("geometry"))
-      val right = orders(s, dir).select(k.as("rk"),
+      val right = spread(orders(s, dir)).select(k.as("rk"),
         st_point(nnLx + w, nnLy + h).as("geometry"))
       graft.join.SpatialJoin.sjoinNearestPartitioned(left, right, k = 2,
           maxDistance = 8.0, distanceCol = Some("d"))

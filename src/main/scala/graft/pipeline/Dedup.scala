@@ -410,10 +410,40 @@ object Dedup {
     * estimate. ONE implementation for the self-join and store doors
     * (MinhashStoreSpec pins them bit-for-bit; a drifted copy would
     * break that silently). */
+  /** Probe accessors (r18 perf probes; not public API). */
+  private[graft] def probeBandedR18(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    capBuckets(minhashBanded(df, idCol, textCol, 64, 8, 5),
+      Seq("band", "bucket"), 100000)
+  private[graft] def probeJaccardEst(a: Column, b: Column, n: Int): Column =
+    jaccardEstExpr(a, b, n)
+
   private def jaccardEstExpr(sigA: Column, sigB: Column,
       numHashes: Int): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** Self-join on `keys` emitting (id_a, id_b[, <payload>_a/_b]) pairs
+    * with id_a < id_b, built from two ALIASES of the SAME plan with the
+    * per-side projections applied AFTER the join (r18): the old form
+    * projected `id as id_a` / `id as id_b` below each side's exchange,
+    * so the two exchange subtrees were not canonically equal,
+    * ReuseExchange could not dedup them, and the whole upstream
+    * banding/signature pass (shingle + sign + explode — the dominant
+    * cost) ran once PER SIDE: 2x the sign CPU and a second full input
+    * scan per candidates call at corpus scale. Aliased sides share one
+    * canonical subtree, so the shuffle is computed once and read twice
+    * (ProbeMinhashReuse: ReusedExchange in the final plan, results
+    * bit-identical). */
+  private def selfJoinPairs(df: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val cond = keys.map(kc => col(s"__sj_a.$kc") === col(s"__sj_b.$kc"))
+      .reduce(_ && _) && (col("__sj_a.id") < col("__sj_b.id"))
+    val proj = col("__sj_a.id").as("id_a") +: col("__sj_b.id").as("id_b") +:
+      payload.flatMap(c => Seq(col(s"__sj_a.$c").as(c + "_a"),
+        col(s"__sj_b.$c").as(c + "_b")))
+    df.alias("__sj_a").join(df.alias("__sj_b"), cond).select(proj: _*)
+  }
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
@@ -423,13 +453,7 @@ object Dedup {
     // self-join within (band, bucket); a<b kills mirror+self pairs.
     // Dedup the id pairs BEFORE scoring: a pair colliding in many bands
     // would otherwise pay the signature comparison once per band.
-    val l = capped.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val rgt = capped.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(rgt, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    selfJoinPairs(capped, Seq("band", "bucket"), Seq("sig"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         jaccardEstExpr(col("sig_a"), col("sig_b"), numHashes).as("jaccard_est"))
@@ -811,11 +835,8 @@ object Dedup {
     val banded = bandExplode(withSig.select(col("id"), col("sig")),
       numHashes, b).select(col("id"), col("band"), col("bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val rgt = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = l.join(rgt, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val pairs = selfJoinPairs(capped, Seq("band", "bucket"), Nil)
+      .dropDuplicates("id_a", "id_b")
     val ngs = withNg.select(col("id"), col("ng"))
     pairs
       .join(ngs.select(col("id").as("id_a"), col("ng").as("ng_a")), Seq("id_a"))
@@ -1208,10 +1229,7 @@ object Dedup {
       if (chunks > 4) capBucketsWarned(chunked, Seq("chunk", "bucket"),
         maxBucketSize, s"nearDupSimhash(maxHamming=$maxHamming)")
       else capBuckets(chunked, Seq("chunk", "bucket"), maxBucketSize)
-    val l = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = withChunk.select(col("chunk"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("chunk", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    selfJoinPairs(withChunk, Seq("chunk", "bucket"), Seq("sim"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -1408,11 +1426,7 @@ object Dedup {
       withVec.select(col("id"), col("vec"), explode(array(sigCols: _*)).as("ts"))
         .select(col("id"), col("vec"), col("ts.t").as("t"), col("ts.sig").as("sig")),
       Seq("t", "sig"), maxBucketSize)
-    val l = bucketed.select(col("t"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = bucketed.select(col("t"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("t", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+    selfJoinPairs(bucketed, Seq("t", "sig"), Seq("vec"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)

@@ -4,12 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 
-/** Probe (r18 optimization), part 2: the spatial-join bench keys build
-  * BOTH sides from the single-row-group orders scan, so geometry
-  * construction + cell assignment run in one task before the join's own
-  * shuffle. A/B: as-is vs repartition(defaultParallelism) on each side.
-  */
-object ProbeScanPar2 {
+/** Probe (r18): ALTERNATING A/B (A,B,A,B,...) for the shuffle-tier join
+  * keys so box-level contention drift cancels pairwise — the plain
+  * 3-sample probes disagreed across windows. */
+object ProbeJoinAB {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -26,15 +24,19 @@ object ProbeScanPar2 {
 
     def force(df: DataFrame): Unit = {
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(expr("bit_xor(h)")).collect()
-      ()
+        .agg(expr("bit_xor(h)")).collect(); ()
     }
-    def time3(tag: String)(df: => DataFrame): Unit = {
-      force(df)
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); force(df); (System.nanoTime() - t0) / 1e9
+    def ab(tag: String)(a: => DataFrame)(b: => DataFrame): Unit = {
+      force(a); force(b) // warm both
+      val as = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 4).foreach { _ =>
+        var t0 = System.nanoTime(); force(a); as += (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime(); force(b); bs += (System.nanoTime() - t0) / 1e9
       }
-      println(f"[probe] $tag%-30s med=${ts.sorted.apply(1)}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      println(f"[probe] $tag%-22s A med=${med(as.toSeq)}%6.3f (${as.map(t => f"$t%.2f").mkString(",")})  " +
+        f"B med=${med(bs.toSeq)}%6.3f (${bs.map(t => f"$t%.2f").mkString(",")})  B/A=${med(bs.toSeq) / med(as.toSeq)}%5.2f")
     }
 
     def k = col("k")
@@ -46,39 +48,19 @@ object ProbeScanPar2 {
     def pt = st_point(xmin + w / 2, ymin + h / 2)
     def nnLx = k.cast("double") * 16.0
     def nnLy = (k % 16).cast("double") * 16.0
-
     val par = spark.sparkContext.defaultParallelism
     def orders0 = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("k"))
     def id(df: DataFrame) = df
     def sp(df: DataFrame) = df.repartition(par)
 
-    def sjoin(prep: DataFrame => DataFrame): DataFrame = {
-      val left = prep(orders0).select(k.as("lk"), rect.as("geometry"))
-      val right = prep(orders0).select(k.as("rk"), pt.as("geometry"))
-      graft.join.SpatialJoin.sjoin(left, right, "contains", "inner")
-        .agg(count(lit(1)).as("n"))
-    }
-    time3("sjoin AS-IS")(sjoin(id))
-    time3("sjoin repart")(sjoin(sp))
-    // spread only the PROBE (right) side: the left is collected to the
-    // driver for the broadcast tree, so spreading it only hurts
-    time3("sjoin spread-right") {
-      val left = orders0.select(k.as("lk"), rect.as("geometry"))
-      val right = sp(orders0).select(k.as("rk"), pt.as("geometry"))
-      graft.join.SpatialJoin.sjoin(left, right, "contains", "inner")
-        .agg(count(lit(1)).as("n"))
-    }
-
     def grid(prep: DataFrame => DataFrame): DataFrame = {
       val left = prep(orders0).select(k.as("lk"), rect.as("geometry"))
       val right = prep(orders0).select(k.as("rk"), pt.as("geometry"))
       graft.join.SpatialJoin.sjoinPartitioned(left, right, cellSize = 64.0,
-        predicate = "contains")
-        .agg(count(lit(1)).as("n"))
+        predicate = "contains").agg(count(lit(1)).as("n"))
     }
-    time3("sjoin_grid AS-IS")(grid(id))
-    time3("sjoin_grid repart")(grid(sp))
+    ab("grid as-is vs spread")(grid(id))(grid(sp))
 
     def quad(prep: DataFrame => DataFrame): DataFrame = {
       val left = prep(orders0).select(k.as("lk"), rect.as("geometry"))
@@ -86,8 +68,7 @@ object ProbeScanPar2 {
       graft.join.SpatialJoin.sjoinQuadtree(left, right, predicate = "contains")
         .agg(count(lit(1)).as("n"))
     }
-    time3("sjoin_quadtree AS-IS")(quad(id))
-    time3("sjoin_quadtree repart")(quad(sp))
+    ab("quad as-is vs spread")(quad(id))(quad(sp))
 
     def nearest(prep: DataFrame => DataFrame): DataFrame = {
       val left = prep(orders0).select(k.as("lk"),
@@ -98,10 +79,9 @@ object ProbeScanPar2 {
           maxDistance = 8.0, distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
     }
-    time3("sjoin_nearest AS-IS")(nearest(id))
-    time3("sjoin_nearest repart")(nearest(sp))
+    ab("nearest as-is vs spread")(nearest(id))(nearest(sp))
 
-    def nearestUnb(prep: DataFrame => DataFrame): DataFrame = {
+    def unb(prep: DataFrame => DataFrame): DataFrame = {
       val left = prep(orders0).select(k.as("lk"),
         st_point(nnLx + w / 2, nnLy + h / 2).as("geometry"))
       val right = prep(orders0).select(k.as("rk"),
@@ -110,8 +90,7 @@ object ProbeScanPar2 {
           distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
     }
-    time3("nearest_unbounded AS-IS")(nearestUnb(id))
-    time3("nearest_unbounded repart")(nearestUnb(sp))
+    ab("unb as-is vs spread")(unb(id))(unb(sp))
 
     spark.stop()
   }
