@@ -1584,19 +1584,16 @@ object SpatialJoin {
     * should set it. An expensive upstream plan still executes exactly
     * once. */
   private[graft] def withStableIndex(df: DataFrame, name: String): DataFrame = {
-    // Spread a narrow input across the executors BEFORE indexing (r18):
-    // a single-row-group file (or any few-partition upstream) otherwise
-    // pins the checkpoint — and every downstream cells/census/explode
-    // pass that reads it — to that partition count, serializing the
-    // whole join prep on a core or two. The exchange happens once (this
-    // frame is eagerly materialized right here), re-reads hit the
-    // checkpoint, and ids stay stable by the same checkpoint argument as
-    // below. At scale inputs already carry >= cluster parallelism and
-    // this is a no-op.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val indexed = src.withColumn(name, monotonically_increasing_id())
+    // NOT spread (r18 probe, kept for the record): repartitioning a
+    // below-parallelism frame here before the checkpoint looked like a
+    // free parallelism win, but the alternated A/B (ProbeJoinAB
+    // abProp) read grid 1.33x / quadtree 1.50x / unbounded 1.17x WORSE
+    // with it — the tiers' many small downstream passes each schedule
+    // partitions× tasks over the checkpoint, and that overhead exceeds
+    // the single-task compute they replace at these row counts. At
+    // cluster scale inputs already carry >= parallelism partitions and
+    // the question is moot.
+    val indexed = df.withColumn(name, monotonically_increasing_id())
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       indexed.checkpoint(eager = true)
     else indexed.localCheckpoint(eager = true)

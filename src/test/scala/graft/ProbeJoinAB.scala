@@ -60,6 +60,29 @@ object ProbeJoinAB {
       graft.join.SpatialJoin.sjoinPartitioned(left, right, cellSize = 64.0,
         predicate = "contains").agg(count(lit(1)).as("n"))
     }
+    def withProp[T](v: String)(f: => T): T = {
+      sys.props("graft.join.indexSpread.probeOff") = v
+      try f finally sys.props.remove("graft.join.indexSpread.probeOff")
+    }
+    def abProp(tag: String)(mk: => DataFrame): Unit = {
+      def a = withProp("true")(mk)   // pre-r18 withStableIndex
+      def b = mk                      // r18 spread form
+      // force rebuilds the frame lazily INSIDE the prop scope per sample
+      force(withProp("true")(mk)); force(mk)
+      val as = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 4).foreach { _ =>
+        var t0 = System.nanoTime(); force(withProp("true")(mk)); as += (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime(); force(mk); bs += (System.nanoTime() - t0) / 1e9
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      println(f"[probe] $tag%-22s off=${med(as.toSeq)}%6.3f (${as.map(t => f"$t%.2f").mkString(",")})  " +
+        f"on=${med(bs.toSeq)}%6.3f (${bs.map(t => f"$t%.2f").mkString(",")})  on/off=${med(bs.toSeq) / med(as.toSeq)}%5.2f")
+    }
+    abProp("grid idxSpread")(grid(id))
+    abProp("quad idxSpread")(quad(id))
+    abProp("nearest idxSpread")(nearest(id))
+    abProp("unb idxSpread")(unb(id))
     ab("grid as-is vs spread")(grid(id))(grid(sp))
 
     def quad(prep: DataFrame => DataFrame): DataFrame = {
