@@ -171,8 +171,8 @@ object PlanDumpR18 {
       })
 
     // ---- geo_sjoin_nearest: spread inputs (bench) + withStableIndex spread
-    dump("geo_sjoin_nearest_before", "pre-r18: bare 1-task inputs; " +
-      "withStableIndex checkpointed 1 partition, serializing cells/census", {
+    dump("geo_sjoin_nearest_before", "pre-r18: bare 1-task inputs feeding " +
+      "the single-partition stable-index checkpoint and cell explode", {
       val left = orders0.select(k.as("lk"),
         st_point(nnLx + w / 2, nnLy + h / 2).as("geometry"))
       val right = orders0.select(k.as("rk"),
@@ -181,9 +181,9 @@ object PlanDumpR18 {
           maxDistance = 8.0, distanceCol = Some("d"))
         .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
     })
-    dump("geo_sjoin_nearest_after", "r18: inputs spread (bench) and " +
-      "withStableIndex spreads any below-parallelism frame before the " +
-      "eager checkpoint (one exchange, re-reads hit the checkpoint)", {
+    dump("geo_sjoin_nearest_after", "r18: both inputs spread at the bench " +
+      "level (alternated A/B 0.87x; the library-internal withStableIndex " +
+      "spread was probed separately and REVERTED - see OPTIMIZATION_r18.md)", {
       val left = sp(orders0).select(k.as("lk"),
         st_point(nnLx + w / 2, nnLy + h / 2).as("geometry"))
       val right = sp(orders0).select(k.as("rk"),
