@@ -217,8 +217,10 @@ object Bench {
     // corpus per call" vs "sign only the batch".
     "pipe_minhash_store" -> ((s, dir) => {
       MhStoreSetup.get(s, dir)
-      val batch = t(s, dir, "documents")
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      // batch side spread (r18, ProbeStoreAB 0.94x): the batch sign pass
+      // was a single-task stage against the already-parallel store side
+      val batch = spread(t(s, dir, "documents")
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       graft.pipeline.Dedup.minhashCandidatesAgainstStore(s, batch,
           "graft_bench_mh_store")
         .agg(count(lit(1)).as("n"), sum(col("jaccard_est")).as("sj"))
@@ -274,7 +276,10 @@ object Bench {
     // stay a like workload with constant density at every SF.
     "geo_sjoin_nearest_bucketed" -> ((s, dir) => {
       BktSetup.get(s, dir)
-      val probe = orders(s, dir).select(k.as("lk"),
+      // probe side spread (r18, ProbeStoreAB alternated A/B 0.94x); the
+      // unbounded twin re-evaluates the probe for bound discovery and
+      // measured 1.10x WITH the spread, so it keeps the bare scan
+      val probe = spread(orders(s, dir)).select(k.as("lk"),
         st_point(nnLx + w, nnLy + h).as("geometry"))
       graft.join.SpatialJoin.sjoinNearestBucketed(s, probe,
           "graft_bench_bkt_nn", 16.0, k = 2, maxDistance = 8.0,

@@ -597,9 +597,13 @@ object SpatialJoin {
             c -> (clampSalt((n + maxCellRows - 1) / maxCellRows), 1)
           }.toMap
       } else {
-        val (lMap0, lAbsent) = bufCensus.getOrElse(gridCensus(lCells,
-          math.min(GridCensusMin, maxCellRows.toLong), maxCellRows.toLong))
-        val (rMap0, rAbsent) = gridCensus(rCells, GridCensusMin, Long.MaxValue - 1)
+        val ((lMap0, lAbsent), (rMap0, rAbsent)) = bufCensus match {
+          case Some(bc) => (bc, gridCensus(rCells, GridCensusMin, Long.MaxValue - 1))
+          case None => inParallel(
+            gridCensus(lCells,
+              math.min(GridCensusMin, maxCellRows.toLong), maxCellRows.toLong),
+            gridCensus(rCells, GridCensusMin, Long.MaxValue - 1))
+        }
         // SIZING never uses an estimate (an absent side below the census
         // floor may really hold 1 row — splitting against the upper
         // bound would replicate the heavy side for nothing, the same
@@ -707,8 +711,8 @@ object SpatialJoin {
     val pred = predicate
     val cs = cellSize
 
-    val leftIdx = withStableIndex(left, LIdx)
-    val rightIdx = withStableIndex(right, RIdx)
+    val (leftIdx, rightIdx) = inParallel(
+      withStableIndex(left, LIdx), withStableIndex(right, RIdx))
 
     // the one packed-cell scheme, shared with the bucketed store (the
     // two tiers only interoperate while their cells stay bit-identical);
@@ -799,8 +803,8 @@ object SpatialJoin {
     val tree = QuadTree.build(sample.toSeq, leafCapacity, maxDepth)
     val bcTree = spark.sparkContext.broadcast(tree)
 
-    val leftIdx = withStableIndex(left, LIdx)
-    val rightIdx = withStableIndex(right, RIdx)
+    val (leftIdx, rightIdx) = inParallel(
+      withStableIndex(left, LIdx), withStableIndex(right, RIdx))
 
     def cellsOf(bytes: Array[Byte]): Seq[Int] = {
       if (bytes == null) return Nil
@@ -1080,8 +1084,8 @@ object SpatialJoin {
     val probeIsLeft = how != "right"
     val kk = k; val maxD = maxDistance; val excl = exclusive
 
-    val leftIdx = withStableIndex(left, LIdx)
-    val rightIdx = withStableIndex(right, RIdx)
+    val (leftIdx, rightIdx) = inParallel(
+      withStableIndex(left, LIdx), withStableIndex(right, RIdx))
     val (probeIdx, pGeom, pIdxName) =
       if (probeIsLeft) (leftIdx, leftGeom, LIdx) else (rightIdx, rightGeom, RIdx)
     val (buildIdx, bGeom, bIdxName) =
@@ -1254,8 +1258,8 @@ object SpatialJoin {
     val probeIsLeft = how != "right"
     val kk = k
 
-    val leftIdx = withStableIndex(left, LIdx)
-    val rightIdx = withStableIndex(right, RIdx)
+    val (leftIdx, rightIdx) = inParallel(
+      withStableIndex(left, LIdx), withStableIndex(right, RIdx))
     val (probeIdx, pGeom, pIdxName) =
       if (probeIsLeft) (leftIdx, leftGeom, LIdx) else (rightIdx, rightGeom, RIdx)
     val (buildIdx, bGeom, bIdxName) =
@@ -1583,6 +1587,22 @@ object SpatialJoin {
     * the dir has a TTL policy) — long-running apps doing repeated joins
     * should set it. An expensive upstream plan still executes exactly
     * once. */
+  /** Run two independent eager materializations CONCURRENTLY (r18,
+    * guide §2.6 "overlap independent jobs"): the shuffle-tier joins
+    * issue strictly sequential driver actions (checkpoint left,
+    * checkpoint right, census left, census right) whose jobs each leave
+    * most of the pool idle; overlapping each pair saves ~min(t1,t2).
+    * Actions on existing frames are thread-safe; FIFO scheduling
+    * back-fills the second job into the first job's idle slots. */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future(fb)
+    val a = fa
+    (a, Await.result(fut, Duration.Inf))
+  }
+
   private[graft] def withStableIndex(df: DataFrame, name: String): DataFrame = {
     // NOT spread (r18 probe, kept for the record): repartitioning a
     // below-parallelism frame here before the checkpoint looked like a
