@@ -2496,10 +2496,11 @@ object SpatialJoin {
             // bucket-pruned count per ESTIMATED side, restricted to the
             // cells that need it, replaces estimates with real counts,
             // then the bound re-applies.
-            val lx = if (needL) exactCellCounts(spark.table(leftTable),
-              cand.collect { case (c, h) if !h.lnExact => c }) else Map.empty[Long, Long]
-            val rx = if (needR) exactCellCounts(spark.table(rightTable),
-              cand.collect { case (c, h) if !h.rnExact => c }) else Map.empty[Long, Long]
+            val (lx, rx) = inParallel(
+              if (needL) exactCellCounts(spark.table(leftTable),
+                cand.collect { case (c, h) if !h.lnExact => c }) else Map.empty[Long, Long],
+              if (needR) exactCellCounts(spark.table(rightTable),
+                cand.collect { case (c, h) if !h.rnExact => c }) else Map.empty[Long, Long])
             cand.flatMap { case (c, h) =>
               val ln = if (h.lnExact) h.ln else lx.getOrElse(c, 0L)
               val rn = if (h.rnExact) h.rn else rx.getOrElse(c, 0L)
