@@ -28,7 +28,9 @@ object ProbeJoinStages {
         val tm = si.taskMetrics
         lines ::= f"stage ${si.stageId}%4d tasks=${si.numTasks}%4d wall=${ms / 1000.0}%7.2fs " +
           f"cpu=${tm.executorCpuTime / 1e9}%7.2fs run=${tm.executorRunTime / 1e3}%7.2fs " +
-          f"shW=${tm.shuffleWriteMetrics.bytesWritten / 1e6}%8.2fMB shR=${tm.shuffleReadMetrics.totalBytesRead / 1e6}%8.2fMB"
+          f"gc=${tm.jvmGCTime / 1e3}%6.2fs fetch=${tm.shuffleReadMetrics.fetchWaitTime / 1e3}%6.2fs " +
+          f"deser=${tm.executorDeserializeTime / 1e3}%6.2fs " +
+          f"shW=${tm.shuffleWriteMetrics.bytesWritten / 1e6}%7.2fMB shR=${tm.shuffleReadMetrics.totalBytesRead / 1e6}%7.2fMB"
       }
     })
 

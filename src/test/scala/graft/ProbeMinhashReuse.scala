@@ -72,6 +72,41 @@ object ProbeMinhashReuse {
       println(f"[probe] $tag A med=${med(as.toSeq)}%6.3f (${as.map(t => f"$t%.2f").mkString(",")})  " +
         f"B med=${med(bs.toSeq)}%6.3f (${bs.map(t => f"$t%.2f").mkString(",")})")
     }
+    // C: window-based cap + alias self-join — ONE sign pass total
+    def cWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val banded = Dedup.probeBandedUncapped(docsAll, "doc_id", "text")
+      val wn = Window.partitionBy(col("band"), col("bucket"))
+      val capped = banded.withColumn("__bsz", count(lit(1)).over(wn))
+        .filter(col("__bsz") <= 100000).drop("__bsz")
+      val j = capped.alias("a").join(capped.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.probeJaccardEst(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
+      j.agg(count(lit(1)).as("n"))
+    }
+    val rc = {
+      import org.apache.spark.sql.expressions.Window
+      val banded = Dedup.probeBandedUncapped(docsAll, "doc_id", "text")
+      val wn = Window.partitionBy(col("band"), col("bucket"))
+      val capped = banded.withColumn("__bsz", count(lit(1)).over(wn))
+        .filter(col("__bsz") <= 100000).drop("__bsz")
+      capped.alias("a").join(capped.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.probeJaccardEst(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
+        .agg(count(lit(1)).as("n"), sum("jaccard_est").as("s")).collect()(0)
+    }
+    println(s"[probe] C result: $rc")
+    ab("minhash alias-vs-window")(a)(cWindow)
     ab("minhash cur-vs-alias")(a)(b)
     // did ReuseExchange fire in B? and is B's result identical to A's?
     val bj = {
