@@ -51,8 +51,12 @@ object Bench {
     * exchange), so those keep the bare scan. This is the 100 TB shape:
     * inputs there arrive as many splittable row groups, and the compute
     * stage runs at cluster parallelism either way. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // conditional: BenchScale's synthetic decade is written 64-partition,
+    // and an already-parallel input must not pay a pointless exchange
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   /** Headline set: name → query. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
