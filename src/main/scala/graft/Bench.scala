@@ -53,9 +53,19 @@ object Bench {
     * stage runs at cluster parallelism either way. */
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // conditional: BenchScale's synthetic decade is written 64-partition,
-    // and an already-parallel input must not pay a pointless exchange
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // Guard on the FILE count, not df.rdd.getNumPartitions: Spark splits
+    // a parquet file into byte-range partitions regardless of row
+    // groups, so a large single-row-group file would report ~par splits
+    // of which all but one are EMPTY and the split-count guard would
+    // silently turn the fix off exactly where it matters (review r18
+    // finding). File count is what the fixtures vary: the sf dirs ship
+    // one single-row-group file per table (must spread); BenchScale's
+    // synthetic decade is written 64-file and must not pay a pointless
+    // exchange.
+    val files = df.inputFiles.length
+    if ((if (files > 0) files else df.rdd.getNumPartitions) < par)
+      df.repartition(par)
+    else df
   }
 
   /** Headline set: name → query. */

@@ -1561,6 +1561,34 @@ object SpatialJoin {
     parts.reduce(_ union _)
   }
 
+  /** Run two independent eager materializations CONCURRENTLY (r18,
+    * guide §2.6 "overlap independent jobs"): the shuffle-tier joins
+    * issue strictly sequential eager driver actions (checkpoint left,
+    * checkpoint right, census left, census right) whose jobs each leave
+    * most of the pool idle; overlapping each pair saves ~min(t1,t2).
+    * Actions on existing frames are thread-safe; FIFO scheduling
+    * back-fills the second job into the first job's idle slots. The
+    * forked side runs under `blocking` (a Spark job can hold its thread
+    * for minutes — the global pool must compensate rather than starve
+    * co-resident users), and a failure of the caller-thread side AWAITS
+    * the forked job before rethrowing, so no Spark job is ever left
+    * running unobserved. */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{blocking, Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future(blocking(fb))
+    val a =
+      try fa
+      catch {
+        case t: Throwable =>
+          try Await.ready(fut, Duration.Inf)
+          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          throw t
+      }
+    (a, Await.result(fut, Duration.Inf))
+  }
+
   /** Deterministic row index in a SINGLE pass, fully inside the DataFrame
     * tier: `monotonically_increasing_id()` is exactly the (partition <<
     * 33) | offset scheme, assigned during one eager materialization. The
@@ -1587,22 +1615,6 @@ object SpatialJoin {
     * the dir has a TTL policy) — long-running apps doing repeated joins
     * should set it. An expensive upstream plan still executes exactly
     * once. */
-  /** Run two independent eager materializations CONCURRENTLY (r18,
-    * guide §2.6 "overlap independent jobs"): the shuffle-tier joins
-    * issue strictly sequential driver actions (checkpoint left,
-    * checkpoint right, census left, census right) whose jobs each leave
-    * most of the pool idle; overlapping each pair saves ~min(t1,t2).
-    * Actions on existing frames are thread-safe; FIFO scheduling
-    * back-fills the second job into the first job's idle slots. */
-  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fut = Future(fb)
-    val a = fa
-    (a, Await.result(fut, Duration.Inf))
-  }
-
   private[graft] def withStableIndex(df: DataFrame, name: String): DataFrame = {
     // NOT spread (r18 probe, kept for the record): repartitioning a
     // below-parallelism frame here before the checkpoint looked like a

@@ -43,25 +43,26 @@ object Dedup {
     * bands/tables; truly pathological exact-dup groups should be
     * exact-deduped first. Costs one extra shuffle on the same bucket key
     * the join shuffles on, with map-side combine on the count. */
-  private[pipeline] def capBuckets(df: DataFrame, bucketCols: Seq[String],
+  private[graft] def capBuckets(df: DataFrame, bucketCols: Seq[String],
       maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) df
     else {
-      // WINDOW count, not aggregate+join-back (r18): the join form
-      // evaluated `df` twice (once for the sizes census, once as the
-      // join probe) — for the banding doors that is a second full
-      // sign pass over the corpus — and paid a second exchange for the
-      // aggregate. The window count rides the ONE (bucket-cols)
-      // exchange the downstream self-join needs anyway, so the banding
-      // pass runs once end-to-end (ProbeMinhashReuse: 2.05 -> 1.49 s at
-      // sf0.1, results bit-identical). Rows in over-cap groups are
-      // dropped exactly as before; the banding doors filter null
-      // signatures upstream, and a stray null bucket key could not pair
-      // in the equi-self-join under either form.
-      val wn = org.apache.spark.sql.expressions.Window
-        .partitionBy(bucketCols.map(col): _*)
-      df.withColumn("__bsz", count(lit(1)).over(wn))
-        .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      // Aggregate sizes + broadcast-join-back, DELIBERATELY not a
+      // window count (r18 measured-then-rejected): a window count would
+      // ride the one bucket-cols exchange the downstream self-join
+      // needs and save the census's second evaluation of `df` (a full
+      // extra sign pass for the banding doors — 2.05 -> 1.49 s on the
+      // minhash door at sf0.1, ProbeMinhashReuse), BUT it moves every
+      // row of an OVER-CAP group (signature payload included) to one
+      // task's window buffer before dropping it. The cap exists for
+      // exactly the degenerate-boilerplate bucket (B copies of one
+      // document, B² candidate pairs); under the census form those B
+      // rows are counted map-side and NEVER shuffled, while the window
+      // form would funnel B·|sig| bytes through a single straggler.
+      // Bounded worst case wins over the common-case 2x sign CPU; the
+      // boilerplate defense stays "exact-dedup before indexing".
+      val sizes = df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bsz"))
+      df.join(sizes.filter(col("__bsz") <= maxBucketSize), bucketCols).drop("__bsz")
     }
 
   /** [[capBuckets]] for STORE WRITES: same drop rule, but the sizes
@@ -401,7 +402,7 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
-  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def minhashBanded(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleK: Int): DataFrame =
     bandExplode(minhashSigned(df, idCol, textCol, numHashes, shingleK),
       numHashes, bands)
@@ -423,18 +424,7 @@ object Dedup {
     * estimate. ONE implementation for the self-join and store doors
     * (MinhashStoreSpec pins them bit-for-bit; a drifted copy would
     * break that silently). */
-  /** Probe accessors (r18 perf probes; not public API). */
-  private[graft] def probeBandedR18(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    capBuckets(minhashBanded(df, idCol, textCol, 64, 8, 5),
-      Seq("band", "bucket"), 100000)
-  private[graft] def probeBandedUncapped(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    minhashBanded(df, idCol, textCol, 64, 8, 5)
-  private[graft] def probeJaccardEst(a: Column, b: Column, n: Int): Column =
-    jaccardEstExpr(a, b, n)
-
-  private def jaccardEstExpr(sigA: Column, sigB: Column,
+  private[graft] def jaccardEstExpr(sigA: Column, sigB: Column,
       numHashes: Int): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes

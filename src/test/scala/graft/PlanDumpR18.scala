@@ -151,7 +151,9 @@ object PlanDumpR18 {
       "pre-r18 SHAPE (rebuilt inline): per-side projections below the " +
         "exchanges defeat ReuseExchange — the signature pass appears TWICE " +
         "(two scan+sign subtrees feeding the join)", {
-        val banded = graft.pipeline.Dedup.probeBandedR18(docsAll, "doc_id", "text")
+        val banded = graft.pipeline.Dedup.capBuckets(
+          graft.pipeline.Dedup.minhashBanded(docsAll, "doc_id", "text", 64, 8, 5),
+          Seq("band", "bucket"), 100000)
         val l = banded.select(col("band"), col("bucket"),
           col("id").as("id_a"), col("sig").as("sig_a"))
         val r = banded.select(col("band"), col("bucket"),

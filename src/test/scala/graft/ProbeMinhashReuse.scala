@@ -43,7 +43,7 @@ object ProbeMinhashReuse {
 
     // B: alias self-join over ONE banded frame (reuse candidate)
     def b = {
-      val banded = Dedup.probeBandedR18(docsAll, "doc_id", "text")
+      val banded = Dedup.capBuckets(Dedup.minhashBanded(docsAll, "doc_id", "text", 64, 8, 5), Seq("band", "bucket"), 100000)
       val j = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
@@ -51,7 +51,7 @@ object ProbeMinhashReuse {
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"),
-          Dedup.probeJaccardEst(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
+          Dedup.jaccardEstExpr(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
       j.agg(count(lit(1)).as("n"))
     }
 
@@ -75,7 +75,7 @@ object ProbeMinhashReuse {
     // C: window-based cap + alias self-join — ONE sign pass total
     def cWindow = {
       import org.apache.spark.sql.expressions.Window
-      val banded = Dedup.probeBandedUncapped(docsAll, "doc_id", "text")
+      val banded = Dedup.minhashBanded(docsAll, "doc_id", "text", 64, 8, 5)
       val wn = Window.partitionBy(col("band"), col("bucket"))
       val capped = banded.withColumn("__bsz", count(lit(1)).over(wn))
         .filter(col("__bsz") <= 100000).drop("__bsz")
@@ -86,12 +86,12 @@ object ProbeMinhashReuse {
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"),
-          Dedup.probeJaccardEst(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
+          Dedup.jaccardEstExpr(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
       j.agg(count(lit(1)).as("n"))
     }
     val rc = {
       import org.apache.spark.sql.expressions.Window
-      val banded = Dedup.probeBandedUncapped(docsAll, "doc_id", "text")
+      val banded = Dedup.minhashBanded(docsAll, "doc_id", "text", 64, 8, 5)
       val wn = Window.partitionBy(col("band"), col("bucket"))
       val capped = banded.withColumn("__bsz", count(lit(1)).over(wn))
         .filter(col("__bsz") <= 100000).drop("__bsz")
@@ -102,7 +102,7 @@ object ProbeMinhashReuse {
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"),
-          Dedup.probeJaccardEst(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
+          Dedup.jaccardEstExpr(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
         .agg(count(lit(1)).as("n"), sum("jaccard_est").as("s")).collect()(0)
     }
     println(s"[probe] C result: $rc")
@@ -110,7 +110,7 @@ object ProbeMinhashReuse {
     ab("minhash cur-vs-alias")(a)(b)
     // did ReuseExchange fire in B? and is B's result identical to A's?
     val bj = {
-      val banded = Dedup.probeBandedR18(docsAll, "doc_id", "text")
+      val banded = Dedup.capBuckets(Dedup.minhashBanded(docsAll, "doc_id", "text", 64, 8, 5), Seq("band", "bucket"), 100000)
       banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
@@ -118,7 +118,7 @@ object ProbeMinhashReuse {
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
         .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"),
-          Dedup.probeJaccardEst(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
+          Dedup.jaccardEstExpr(col("sig_a"), col("sig_b"), 64).as("jaccard_est"))
     }
     val rb = bj.agg(count(lit(1)).as("n"), sum("jaccard_est").as("s")).collect()(0)
     println(s"[probe] B result: $rb")
