@@ -62,10 +62,13 @@ object Bench {
     // one single-row-group file per table (must spread); BenchScale's
     // synthetic decade is written 64-file and must not pay a pointless
     // exchange.
+    // files == 0 (no file-based leaves) → do not spread: the old
+    // rdd.getNumPartitions fallback materialized the whole logical plan
+    // as an RDD just to read a count that byte-range splits inflate
+    // anyway — the exact miscount the comment above warns about
+    // (ADVICE r18)
     val files = df.inputFiles.length
-    if ((if (files > 0) files else df.rdd.getNumPartitions) < par)
-      df.repartition(par)
-    else df
+    if (files > 0 && files < par) df.repartition(par) else df
   }
 
   /** Headline set: name → query. */
@@ -789,7 +792,17 @@ object Bench {
       (name, sec, spread, noisy, minS)
     }
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (n, v, _, _, _) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    // The stdout CONTRACT LINE stays compact (r19, VERDICT r18 #1): the
+    // driver archives only a bounded tail of the output and truncates
+    // longer lines mid-JSON — full-precision medians plus the inline
+    // spread/min/noisy/contended blocks pushed the line past that bound
+    // for two rounds (BENCH_r17/r18 `parsed: null`, PERF per_query
+    // empty). Medians print at 3 dp via r3 (a bench that samples whole
+    // queries has no sub-millisecond signal anyway) and every
+    // diagnostic block moves to ONE stderr line ([bench-diag]), which
+    // local probes read and the driver never needs.
+    val qs = results.map { case (n, v, _, _, _) => "\"" + n + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val spreads = results.map { case (n, _, sp, _, _) => "\"" + n + "\":" + r3(sp) }
       .mkString("{", ",", "}")
     val mins = results.map { case (n, _, _, _, mn) => "\"" + n + "\":" + r3(mn) }
@@ -806,7 +819,8 @@ object Bench {
         "\"" + n + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"min":$mins,"noisy":$noisyKeys,"contended":$contended,"ref":"$refFile","cpus":"$cpus","sf":"$sfDir"}""")
+    System.err.println(s"""[bench-diag] {"spread":$spreads,"min":$mins,"noisy":$noisyKeys,"contended":$contended,"ref":"$refFile"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpus":"$cpus","sf":"$sfDir"}""")
     // stamp this run into the local bands file AFTER the reference read
     // (a run must never band itself); min-merge means a contended window
     // can only fail to lower a band, never raise one
