@@ -51,25 +51,13 @@ object Bench {
     * exchange), so those keep the bare scan. This is the 100 TB shape:
     * inputs there arrive as many splittable row groups, and the compute
     * stage runs at cluster parallelism either way. */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // Guard on the FILE count, not df.rdd.getNumPartitions: Spark splits
-    // a parquet file into byte-range partitions regardless of row
-    // groups, so a large single-row-group file would report ~par splits
-    // of which all but one are EMPTY and the split-count guard would
-    // silently turn the fix off exactly where it matters (review r18
-    // finding). File count is what the fixtures vary: the sf dirs ship
-    // one single-row-group file per table (must spread); BenchScale's
-    // synthetic decade is written 64-file and must not pay a pointless
-    // exchange.
-    // files == 0 (no file-based leaves) → do not spread: the old
-    // rdd.getNumPartitions fallback materialized the whole logical plan
-    // as an RDD just to read a count that byte-range splits inflate
-    // anyway — the exact miscount the comment above warns about
-    // (ADVICE r18)
-    val files = df.inputFiles.length
-    if (files > 0 && files < par) df.repartition(par) else df
-  }
+  private def spread(df: DataFrame): DataFrame =
+    // the logic now lives in the ENGINE (r19, VERDICT r18 #6): file-count
+    // guard (not byte-range split count — those lie for single-row-group
+    // files, review r18), no-op on many-file at-scale inputs, no-op on
+    // frames without file leaves (ADVICE r18 — the old
+    // rdd.getNumPartitions fallback materialized the plan as an RDD)
+    graft.api.GraftSession.spreadUnsplittable(df)
 
   /** Headline set: name → query. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -564,8 +564,29 @@ object SpatialJoin {
         Iterator[(Long, Int, Int, Long, Array[Byte])]) => Iterator[U]): Dataset[U] = {
     val spark = bufCells.sparkSession
     import spark.implicits._
-    val lCells = bufCells
-    val rCells = strCells
+    // r19 (VERDICT r18 #4): a census and the cogroup were TWO full
+    // evaluations of a side's cells explode (stored-input read + EWKB
+    // parse + cell math per row — and at bench fixture shape, a single
+    // task). Each side a census will scan gets a LAZY localCheckpoint:
+    // the census action materializes the blocks, the cogroup (and any
+    // exactCounts recount) re-reads them, so the explode pass runs once
+    // per side. Blocks release via the ContextCleaner when the result
+    // frame is collected (the snapFrame contract in pipeline.Dedup —
+    // amortized, GC-timed; PipelineSpec pins the no-accumulation bound
+    // for the dedup doors, ProbeJoinAB the win here). A side that is
+    // already persisted (the escalation loop's registerProbe) keeps its
+    // own cache. Probe toggle: -Dgraft.join.cellSnap.probeOff=true.
+    val snapOff = java.lang.Boolean.getBoolean("graft.join.cellSnap.probeOff")
+    def snapSide(ds: Dataset[(Long, Long, Array[Byte])]) =
+      if (snapOff || ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE) ds
+      else ds.localCheckpoint(eager = false)
+    val pairSplitEarly = pairsPerTask > 0 && pairsPerTask < Long.MaxValue
+    val lCells =
+      if (maxCellRows > 0 && (!pairSplitEarly || bufCensus.isEmpty)) snapSide(bufCells)
+      else bufCells
+    val rCells =
+      if (maxCellRows > 0 && pairSplitEarly) snapSide(strCells)
+      else strCells
     def exactCounts(cells: Dataset[(Long, Long, Array[Byte])],
         forCells: Set[Long]): Map[Long, Long] = {
       // broadcast set + typed filter, NOT isin: the key list can be as
@@ -583,7 +604,7 @@ object SpatialJoin {
     // different grid, not more slices (and Long→Int truncation on an
     // absurd count must never wrap negative and drop rows)
     def clampSalt(v: Long): Int = math.min(65536L, math.max(1L, v)).toInt
-    val pairSplit = pairsPerTask > 0 && pairsPerTask < Long.MaxValue
+    val pairSplit = pairSplitEarly
     val hotMap: Map[Long, (Int, Int)] =
       if (maxCellRows <= 0) Map.empty
       else if (!pairSplit) {
@@ -786,11 +807,27 @@ object SpatialJoin {
           .filterNot(_.isNull)
           .map(e => ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2))
       }
-    var sample = centers(left, leftGeom) ++ centers(right, rightGeom)
+    // Checkpoint FIRST, sample FROM the checkpoints (r19, guide §2.6 and
+    // §1.2 "don't compute things twice"): the r18 order sampled the raw
+    // inputs (two more full evaluations of each side's upstream plan —
+    // expensive when the geometry column is constructed) and ran the two
+    // sampling jobs sequentially. The indexed checkpoints must exist
+    // anyway; sampling them re-reads materialized rows instead of
+    // re-running the upstream plan, and the two sampling jobs overlap.
+    // The sample CONTENT can differ from the raw-order sample (row order
+    // changes which rows the hash top-k keeps) — only partition balance
+    // depends on it; correctness is unconditional.
+    val (leftIdx, rightIdx) = inParallel(
+      withStableIndex(left, LIdx), withStableIndex(right, RIdx))
+    var sample = {
+      val (ls, rs) = inParallel(
+        centers(leftIdx, leftGeom), centers(rightIdx, rightGeom))
+      ls ++ rs
+    }
     if (sample.isEmpty)
       // tiny inputs only (a 0.2 sample of a non-null frame this small is
       // cheap to re-read un-sampled)
-      sample = left.select(col(leftGeom)).filter(col(leftGeom).isNotNull)
+      sample = leftIdx.select(col(leftGeom)).filter(col(leftGeom).isNotNull)
         .limit(sampleSize).collect()
         .flatMap { r =>
           Option(r.get(0).asInstanceOf[Array[Byte]]).map(EWKB.read(_).getEnvelopeInternal)
@@ -802,9 +839,6 @@ object SpatialJoin {
       pairsPerTask = pairsPerTask) // preserve the caller's split intent
     val tree = QuadTree.build(sample.toSeq, leafCapacity, maxDepth)
     val bcTree = spark.sparkContext.broadcast(tree)
-
-    val (leftIdx, rightIdx) = inParallel(
-      withStableIndex(left, LIdx), withStableIndex(right, RIdx))
 
     def cellsOf(bytes: Array[Byte]): Seq[Int] = {
       if (bytes == null) return Nil
@@ -1577,13 +1611,35 @@ object SpatialJoin {
     import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fut = Future(blocking(fb))
+    // Spark's job group / description / scheduler pool are thread-local
+    // and a global-pool worker may have been created under a DIFFERENT
+    // caller's properties (they are inherited at thread creation, not at
+    // task submit) — without re-stamping, the forked job could escape the
+    // caller's cancelJobGroup and mis-attribute in the UI (ADVICE r18).
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val PropKeys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+    val props = PropKeys.map(k => k -> sc.getLocalProperty(k))
+    val fut = Future(blocking {
+      props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      fb
+    })
     val a =
       try fa
       catch {
         case t: Throwable =>
-          try Await.ready(fut, Duration.Inf)
-          catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          // BOUNDED companion wait (ADVICE r18): the forked job usually
+          // fails or finishes promptly once its sibling died, but a hung
+          // straggler must not mask the original exception forever —
+          // after the bound the failure propagates and the forked job is
+          // left to the session's own lifecycle.
+          try Await.ready(fut, Duration(120, "s"))
+          catch {
+            case _: InterruptedException => Thread.currentThread().interrupt()
+            case _: java.util.concurrent.TimeoutException => t.addSuppressed(
+              new RuntimeException("inParallel: forked side still running " +
+                "120 s after the caller side failed — abandoning the wait"))
+          }
           throw t
       }
     (a, Await.result(fut, Duration.Inf))

@@ -454,7 +454,21 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 8, shingleK: Int = 5,
       maxBucketSize: Int = 100000): DataFrame = {
-    val banded = minhashBanded(df, idCol, textCol, numHashes, bands, shingleK)
+    // Snapshot the SIGNED frame (id, sig) before banding (r19, VERDICT
+    // r18 #7): capBuckets' census is a second consumer of the banded
+    // subplan, and with the sign expressions inlined it re-ran the whole
+    // normalize→shingle→sign pass — the door's dominant cost — once for
+    // the census on top of the self-join side's single (ReuseExchange'd)
+    // run: 2× sign CPU and a second full corpus scan per call at scale.
+    // The snap materializes numHashes ints + id per doc (far smaller
+    // than the text it derives from); the census and both join sides
+    // re-derive bands from it with cheap slice hashes. Over-cap rows
+    // still never shuffle — the census stays a map-side-combined
+    // aggregate, so capBuckets' bounded-worst-case argument holds
+    // unchanged. Cap off → single consumer → no snap (stay lazy).
+    val signed = minhashSigned(df, idCol, textCol, numHashes, shingleK)
+    val src = if (maxBucketSize > 0) snapFrame(signed) else signed
+    val banded = bandExplode(src, numHashes, bands)
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     // self-join within (band, bucket); a<b kills mirror+self pairs.
     // Dedup the id pairs BEFORE scoring: a pair colliding in many bands
@@ -483,9 +497,13 @@ object Dedup {
       shingleK: Int = 5): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val cands = minhashCandidates(df, idCol, textCol, numHashes, b, shingleK)
-    val sh = df
+    // snapped (r19): the exact-verify joins read `sh` once per pair SIDE
+    // (id_a and id_b), and the rename-below-exchange join shape defeats
+    // ReuseExchange (the selfJoinPairs lesson) — without the snap the
+    // normalize+shingle pass ran twice more per call
+    val sh = snapFrame(df
       .select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("__norm"))
-      .select(col("id"), shingleHashesNorm(col("__norm"), shingleK).as("sh"))
+      .select(col("id"), shingleHashesNorm(col("__norm"), shingleK).as("sh")))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -832,13 +850,19 @@ object Dedup {
     require(numHashes % b == 0,
       s"nearDupNgram: numHashes=$numHashes not divisible by bands=$b — " +
         "part of the signature would be silently ignored")
-    val withNg = ngramSets(df, idCol, textCol, n)
-    val withSig = withNg
-      .select(col("id"), col("ng"), minhashSignatureHashed(numHashes)(col("ng")).as("sig"))
+    // Snapshot (id, ng, sig) once (r19, the capBuckets-census fold):
+    // the tokenization + gram-hash + signature pass was re-evaluated by
+    // the cap census, the capped join side, AND each of the two
+    // verify-side joins below — four full text passes per call. The
+    // snap holds the gram-hash array + signature per doc (no text);
+    // every consumer reads it.
+    val withNg = snapFrame(ngramSets(df, idCol, textCol, n)
+      .select(col("id"), col("ng"),
+        minhashSignatureHashed(numHashes)(col("ng")).as("sig")))
     // null text was filtered at the source in ngramSets, so the shared
     // bandExplode's no-null-signature invariant holds — see its
     // phantom-bucket note
-    val banded = bandExplode(withSig.select(col("id"), col("sig")),
+    val banded = bandExplode(withNg.select(col("id"), col("sig")),
       numHashes, b).select(col("id"), col("band"), col("bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     val pairs = selfJoinPairs(capped, Seq("band", "bucket"), Nil)
@@ -1202,7 +1226,16 @@ object Dedup {
       textCol: String, chunks: Int = 4): DataFrame = {
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    // Snapshot the 16-byte (id, sim) rows before chunk explosion (r19,
+    // the capBuckets-census fold): every caller evaluates the chunked
+    // frame at least twice (cap census + join side, or census + store
+    // write), and with simhash64 inlined each evaluation re-hashed the
+    // full text column. One eager pass signs; the chunk/bucket
+    // re-derivation per consumer is two integer ops. Makes the doors
+    // eager at call time (they already were for widened radii and the
+    // store writes; nearDupSimhash's default radius gives up its
+    // laziness for half the sign CPU).
+    snapFrame(df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")))
       .select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("bucket", expr(s"(sim >> (chunk * $width)) & $mask"))
@@ -1220,11 +1253,11 @@ object Dedup {
     * (maxHamming 4-7: 256 values/chunk; 8-15: 16), where any frame
     * beyond ~cap × domain rows saturates EVERY group — those paths
     * count dropped groups eagerly and WARN instead of silently
-    * returning zero pairs — so `maxHamming >= 4` runs a small EAGER
-    * Spark job (the bucket census) at call time, where the default
-    * radius stays fully lazy; don't construct widened-radius frames
-    * speculatively. The default 3 keeps the classic 4×16-bit
-    * scheme. */
+    * returning zero pairs. EVERY radius now runs an eager signing job
+    * at call time (r19 — the (id, sim) snapshot in simhashChunked
+    * halves the sign CPU; widened radii additionally run their census
+    * eagerly), so don't construct these frames speculatively. The
+    * default 3 keeps the classic 4×16-bit scheme. */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val chunks = simhashChunkCount("nearDupSimhash", maxHamming)
@@ -1425,11 +1458,18 @@ object Dedup {
       targetRecall = 0.9, bits, tables)
     val withVec = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    // one signature column per table, exploded to (table, sig) bucket keys
+    // one signature column per table, exploded to (table, sig) bucket keys.
+    // The signature array is snapshotted BEFORE the explode (r19, the
+    // capBuckets-census fold): the cap census re-evaluated every table's
+    // bits×dim hyperplane dots on top of the join side's run — 2× the
+    // signing CPU per call. The snap carries (id, vec, sigs): vec rides
+    // anyway as the verify payload, sigs add tables longs per row.
     val sigCols = (0 until tablesR).map(t =>
       struct(lit(t).as("t"), Similarity.signSignatureSeeded(bitsR, t)(col("vec")).as("sig")))
+    val signed = snapFrame(
+      withVec.select(col("id"), col("vec"), array(sigCols: _*).as("__sigs")))
     val bucketed = capBuckets(
-      withVec.select(col("id"), col("vec"), explode(array(sigCols: _*)).as("ts"))
+      signed.select(col("id"), col("vec"), explode(col("__sigs")).as("ts"))
         .select(col("id"), col("vec"), col("ts.t").as("t"), col("ts.sig").as("sig")),
       Seq("t", "sig"), maxBucketSize)
     selfJoinPairs(bucketed, Seq("t", "sig"), Seq("vec"))

@@ -559,25 +559,36 @@ object Similarity {
       .withColumn("rank", row_number().over(wCand))
       .filter(col("rank") <= candidates)
       .select("query_id", "corpus_id")
-    // bounded candidate-id set (≤ candidates × |queries|) → isin pushdown
-    // so the re-rank read prunes row groups on id stats too. GUARDED
-    // (r15, VERDICT r14 #4): the hint is a driver-side collect, so past
-    // maxPushdownIds it is skipped — the join on `cand` below already
-    // carries correctness; only the row-group pruning is forfeited.
+    // bounded candidate PAIR set (≤ candidates × |queries|) → collected
+    // ONCE and re-attached as a LocalRelation. GUARDED (r15, VERDICT r14
+    // #4): the collect is driver-side, so past maxPushdownIds the lazy
+    // join on `cand` runs instead — correctness is identical; only the
+    // id row-group pruning (and the scan dedup below) is forfeited.
+    // r19 (guide §1.2/§5): the old form collected only the DISTINCT IDS
+    // for an isin hint and left `cand` itself lazy, so the final action
+    // re-executed the whole ADC scan + rank — the dominant stage of a
+    // query batch ran twice per call. Collecting the pairs costs the
+    // same bounded driver transfer the id hint already paid and removes
+    // the second ADC pass outright; the isin pushdown on the exact read
+    // is unchanged (ids derive from the collected pairs).
     val exactBase = prunedStore.select(col("corpus_id"), col("cvec"))
-    val exactSrc =
+    val exact =
       if (candidates.toLong * math.max(1L, queryCount) <= maxPushdownIds) {
-        val candIds = cand.select(col("corpus_id")).distinct().collect().map(_.get(0))
-        exactBase.filter(col("corpus_id").isInCollection(candIds.toSeq))
-      } else exactBase
-    val exact = exactSrc
-      .join(cand, Seq("corpus_id"))
+        val candRows = cand.collect()
+        val cix = cand.schema.fieldIndex("corpus_id")
+        val candIds = candRows.iterator.map(_.get(cix)).toSet.toSeq
+        val candLocal = spark.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), cand.schema)
+        exactBase.filter(col("corpus_id").isInCollection(candIds))
+          .join(broadcast(candLocal), Seq("corpus_id"))
+      } else exactBase.join(cand, Seq("corpus_id"))
+    val exactScored = exact
       .join(broadcast(q.select(col("query_id"), col("qvec")).distinct()),
         Seq("query_id"))
       .withColumn("cosine", dot(col("cvec"), col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    localTopK(exact.select("query_id", "corpus_id", "cosine"), k)
+    localTopK(exactScored.select("query_id", "corpus_id", "cosine"), k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
