@@ -759,8 +759,9 @@ object Bench {
       // at cluster scale partitions dwarf the floor either way, so this
       // only matters exactly where it should: kernel-bound small-byte
       // stages. Overridable for other boxes via env.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
+      .config(graft.api.GraftSession.CoalesceFloorKey,
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE",
+          graft.api.GraftSession.CoalesceFloorDefault))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/session warm-up on a trivial job so the first measured query

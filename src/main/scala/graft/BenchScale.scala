@@ -70,14 +70,20 @@ object BenchScale {
       System.err.println(f"[bench-scale] $name%-28s $sec%8.2f s (spread $spread%.2f)")
       (name, sec, spread, noisy)
     }
-    val qs = results.map { case (n, v, _, _) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
-    val spreads = results.map { case (n, _, sp, _) =>
-      "\"" + n + "\":" + BigDecimal(sp).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+    // same compact stdout contract as Bench (r19): 3-dp medians, the
+    // diagnostic blocks on stderr — a full-precision line with inline
+    // spread/noisy was the exact shape whose length truncated the
+    // driver-archived Bench line mid-JSON for two rounds
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (n, v, _, _) => "\"" + n + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (n, _, sp, _) => "\"" + n + "\":" + r3(sp) }
       .mkString("{", ",", "}")
     val noisyKeys = results.collect { case (n, _, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"noisy":$noisyKeys,"sf":"synthetic-${scale}x-$sfDir"}""")
+    System.err.println(s"""[bench-diag] {"spread":$spreads,"noisy":$noisyKeys}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"synthetic-${scale}x-$sfDir"}""")
     spark.stop()
   }
 }

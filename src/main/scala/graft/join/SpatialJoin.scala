@@ -552,7 +552,11 @@ object SpatialJoin {
     *        (ProbeUnbCensus r17 — the loop is fixed-job-overhead-bound
     *        there) and kept for the at-scale pass elimination. Callers
     *        must pass a census computed over the SAME bufCells at
-    *        `min(GridCensusMin, maxCellRows)/maxCellRows`, or None. */
+    *        `min(GridCensusMin, maxCellRows)/maxCellRows`, or None —
+    *        and should PERSIST bufCells themselves (the current caller
+    *        does): a census-supplied side is not snapped here (r19),
+    *        so an unpersisted one would re-run its explode if a
+    *        one-sided heavy cell triggers the exactCounts recount. */
   private def saltedCogroup[U: org.apache.spark.sql.Encoder](
       bufCells: Dataset[(Long, Long, Array[Byte])],
       strCells: Dataset[(Long, Long, Array[Byte])],
@@ -1604,9 +1608,13 @@ object SpatialJoin {
     * back-fills the second job into the first job's idle slots. The
     * forked side runs under `blocking` (a Spark job can hold its thread
     * for minutes — the global pool must compensate rather than starve
-    * co-resident users), and a failure of the caller-thread side AWAITS
-    * the forked job before rethrowing, so no Spark job is ever left
-    * running unobserved. */
+    * co-resident users). A failure of the caller-thread side waits for
+    * the forked job UP TO A BOUND (120 s) before rethrowing: the forked
+    * side normally fails or finishes promptly once its sibling died,
+    * but a hung straggler must not mask the original exception forever —
+    * past the bound the exception carries a suppressed note and the
+    * forked job is left to the session's own lifecycle (callers that
+    * unpersist caches in a finally may then see it recompute them). */
   private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
     import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.duration.Duration
@@ -1621,8 +1629,14 @@ object SpatialJoin {
       "spark.job.interruptOnCancel", "spark.scheduler.pool")
     val props = PropKeys.map(k => k -> sc.getLocalProperty(k))
     val fut = Future(blocking {
+      // restore the worker thread's own values afterwards — global-pool
+      // threads are shared with unrelated code in the embedding app, and
+      // a leaked job group would route that code's jobs into this
+      // caller's cancelJobGroup (review r19)
+      val prior = PropKeys.map(k => k -> sc.getLocalProperty(k))
       props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
-      fb
+      try fb
+      finally prior.foreach { case (k, v) => sc.setLocalProperty(k, v) }
     })
     val a =
       try fa

@@ -1263,7 +1263,8 @@ object Dedup {
     val chunks = simhashChunkCount("nearDupSimhash", maxHamming)
     val chunked = simhashChunked(df, idCol, textCol, chunks)
     // widened radii (narrow bucket domains) warn on drops — an eager
-    // census pass; the default radius keeps the fully-lazy cap
+    // census pass; every radius signs eagerly now (the simhashChunked
+    // snapshot, r19)
     val withChunk =
       if (chunks > 4) capBucketsWarned(chunked, Seq("chunk", "bucket"),
         maxBucketSize, s"nearDupSimhash(maxHamming=$maxHamming)")

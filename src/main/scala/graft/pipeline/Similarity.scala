@@ -480,6 +480,15 @@ object Similarity {
     * query-batch model. */
   val MaxRerankPushdownIds: Long = 4000000L
 
+  /** Tighter ceiling for collecting the full candidate PAIR rows (r19):
+    * the pair collect removes the final action's second ADC scan, but a
+    * Row is ~10× the bytes of a bare id (object headers + schema ref +
+    * two boxed fields), plus a LocalRelation copy and a broadcast — so
+    * the 4M-id budget above would be ~0.5 GB×3 as pairs. Between the
+    * two ceilings the door keeps the r18 behavior (distinct-id isin
+    * hint + lazy join). */
+  val MaxRerankCollectPairs: Long = 1000000L
+
   /** IVF-PQ top-k against a [[buildIvfPqStore]] store: partition-pruned
     * ADC scan over the codes, exact re-rank over candidate rows only.
     * Same output shape and tie-breaking as [[bruteForceTopK]]; with
@@ -559,21 +568,23 @@ object Similarity {
       .withColumn("rank", row_number().over(wCand))
       .filter(col("rank") <= candidates)
       .select("query_id", "corpus_id")
-    // bounded candidate PAIR set (≤ candidates × |queries|) → collected
-    // ONCE and re-attached as a LocalRelation. GUARDED (r15, VERDICT r14
-    // #4): the collect is driver-side, so past maxPushdownIds the lazy
-    // join on `cand` runs instead — correctness is identical; only the
-    // id row-group pruning (and the scan dedup below) is forfeited.
-    // r19 (guide §1.2/§5): the old form collected only the DISTINCT IDS
-    // for an isin hint and left `cand` itself lazy, so the final action
-    // re-executed the whole ADC scan + rank — the dominant stage of a
-    // query batch ran twice per call. Collecting the pairs costs the
-    // same bounded driver transfer the id hint already paid and removes
-    // the second ADC pass outright; the isin pushdown on the exact read
-    // is unchanged (ids derive from the collected pairs).
+    // bounded candidate set, three tiers by candidates × |queries|
+    // (r15 guard, r19 split — guide §1.2/§5):
+    //  - ≤ MaxRerankCollectPairs: collect the ranked PAIR rows once and
+    //    re-attach them as a broadcast LocalRelation — the final action
+    //    then reads only candidate rows instead of re-executing the
+    //    whole ADC scan + rank (the dominant stage ran twice per call
+    //    pre-r19). Pair Rows are ~10× bare ids on the driver, hence the
+    //    tighter ceiling.
+    //  - ≤ maxPushdownIds: the r18 shape — collect only the DISTINCT
+    //    IDS for the isin row-group hint, keep the join on `cand` lazy
+    //    (the ADC subtree executes twice, but the driver holds ids only).
+    //  - above both: fully lazy; correctness rides the join on `cand`
+    //    alone, only IO pruning is forfeited (VERDICT r14 #4).
     val exactBase = prunedStore.select(col("corpus_id"), col("cvec"))
+    val candVolume = candidates.toLong * math.max(1L, queryCount)
     val exact =
-      if (candidates.toLong * math.max(1L, queryCount) <= maxPushdownIds) {
+      if (candVolume <= math.min(MaxRerankCollectPairs, maxPushdownIds)) {
         val candRows = cand.collect()
         val cix = cand.schema.fieldIndex("corpus_id")
         val candIds = candRows.iterator.map(_.get(cix)).toSet.toSeq
@@ -581,6 +592,10 @@ object Similarity {
           java.util.Arrays.asList(candRows: _*), cand.schema)
         exactBase.filter(col("corpus_id").isInCollection(candIds))
           .join(broadcast(candLocal), Seq("corpus_id"))
+      } else if (candVolume <= maxPushdownIds) {
+        val candIds = cand.select(col("corpus_id")).distinct().collect().map(_.get(0))
+        exactBase.filter(col("corpus_id").isInCollection(candIds.toSeq))
+          .join(cand, Seq("corpus_id"))
       } else exactBase.join(cand, Seq("corpus_id"))
     val exactScored = exact
       .join(broadcast(q.select(col("query_id"), col("qvec")).distinct()),

@@ -10,7 +10,7 @@ import graft.functions._
   * B = lazy localCheckpoint of censused sides (r19). */
 object ProbeCellSnapAB {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.plans.GraftExtensions)
